@@ -1,0 +1,498 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.2/§2.4): scans, projections,
+  * filters, equi/semi/anti/broadcast joins, hash aggregation, rollup/cube/
+  * grouping sets, ranking + analytic windows, top-k, set ops, scalar
+  * string/date/math/json functions.
+  *
+  * Scale notes (the 100 TB story, verified locally via `.explain`):
+  *   - filters/projections are declared first so Catalyst pushes them into
+  *     the parquet scan (PushedFilters / ReadSchema pruning);
+  *   - dimension tables (region/nation/customer/part/supplier) are tiny
+  *     relative to the fact tables at every SF, so dimension joins use
+  *     `broadcast()` — no shuffle of the fact side;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *     reuse that partitioning for the following aggregation where possible;
+  *   - aggregates are partial+final HashAggregate (map-side combine) for
+  *     free from Catalyst;
+  *   - every output carries a total-order sort so results are deterministic
+  *     for the DuckDB hash compare (ties broken by primary keys).
+  *
+  * Oracle parity: aggregates over doubles are rounded (2–6 dp) in BOTH the
+  * Spark query and the DuckDB SQL, because double summation order differs
+  * between engines.  Window running sums accumulate in the same declared
+  * order in both engines, so they are bit-stable even before rounding.
+  */
+object Relational {
+
+  /** q01 — pricing summary report (TPC-H Q1 shape).
+    * Reference semantics: the per-flag aggregate report a lake compaction
+    * job would run over telemetry partitions (SURVEY.md §2.4 aggregation).
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** q02 — selective filter + projection + top-k.
+    * `.explain` must show PushedFilters on l_shipdate/l_discount and a
+    * 5-column ReadSchema; top-k plans as TakeOrderedAndProject (no global
+    * sort of the fact table).
+    */
+  def q02FilterTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1999-01-01").cast("timestamp") && $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(100)
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05
+       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+       LIMIT 100"""
+
+  /** q03 — shipping-priority revenue (TPC-H Q3 shape): broadcast dim filter
+    * (customer segment) + fact-fact equi join + agg + top-k.
+    * customer is broadcast; orders⋈lineitem shuffles once on the order key.
+    */
+  def q03RevenueTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1999-01-01'
+         AND l_shipdate > TIMESTAMP '1997-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey ASC
+       LIMIT 10"""
+
+  /** q04 — left-semi join (EXISTS): orders having a high-quantity line.
+    * Semi join shuffles only keys of the probe side; count by priority.
+    */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigLines = Tables.lineitem(s, dir).filter($"l_quantity" > 45.0)
+      .select($"l_orderkey")
+    Tables.orders(s, dir)
+      .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** q05 — left-anti join (NOT EXISTS): customers with no recent orders
+    * (churned since 1998-06-01). The dedup-removal primitive
+    * (SURVEY.md §2.4 joins row); the probe side is date-filtered so the
+    * result is non-empty at every SF (every customer has *some* order).
+    */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1998-06-01").cast("timestamp"))
+      .select($"o_custkey")
+    Tables.customer(s, dir)
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1998-06-01')
+       ORDER BY c_custkey"""
+
+  /** q06 — broadcast dimension join + agg: revenue by part brand.
+    * part is always tiny vs lineitem (20k vs 600k at sf0.1; same ratio at
+    * 100 TB) → `broadcast()` so the fact side never shuffles for the join;
+    * the only shuffle is the final 25-group aggregation exchange.
+    */
+  def q06BrandRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  val q06Sql: String =
+    """SELECT p_brand,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand
+       ORDER BY p_brand"""
+
+  /** q07 — ranking window: top-3 orders per customer by total price.
+    * One shuffle on o_custkey; rank predicate is evaluated before the
+    * final sort so only ≤3 rows/customer survive.
+    */
+  def q07TopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         FROM orders) t
+       WHERE rn <= 3
+       ORDER BY o_custkey, rn"""
+
+  /** q08 — analytic window: per-supplier running revenue + delta vs the
+    * previous shipment (the lag-based spike-detection shape from
+    * SURVEY.md §2.4).  Running double sums accumulate in identical declared
+    * order in Spark and DuckDB, so values are bit-stable.
+    */
+  def q08RunningAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .withColumn("running_revenue",
+        round(sum($"l_extendedprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("delta_prev",
+        round($"l_extendedprice" - lag($"l_extendedprice", 1, 0.0).over(w), 2))
+      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q08Sql: String =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+       round(sum(l_extendedprice) OVER w2, 2) AS running_revenue,
+       round(l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER w1, 2) AS delta_prev
+       FROM lineitem
+       WINDOW w1 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+              w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
+
+  /** q09 — rollup over the region→nation hierarchy (reporting rollups,
+    * SURVEY.md §2.4 grouping-sets row).  Dims broadcast; single shuffle for
+    * the rollup aggregation.  NULLS FIRST pinned on both engines.
+    */
+  def q09Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val geo = broadcast(
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name", $"r_name"))
+    Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      .join(geo, $"c_nationkey" === $"n_nationkey")
+      .join(Tables.orders(s, dir).select($"o_custkey", $"o_totalprice"),
+        $"c_custkey" === $"o_custkey")
+      .rollup($"r_name", $"n_name")
+      .agg(round(sum($"o_totalprice"), 2).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q09Sql: String =
+    """SELECT r_name, n_name,
+       round(sum(o_totalprice), 2) AS total_sales,
+       count(*) AS n_orders
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       JOIN orders ON o_custkey = c_custkey
+       GROUP BY ROLLUP (r_name, n_name)
+       ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+
+  /** q10 — cube over returnflag × linestatus. */
+  def q10Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(avg($"l_discount"), 6).as("avg_disc"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q10Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_discount), 6) AS avg_disc
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** q11 — explicit GROUPING SETS via the SQL surface (status-only,
+    * priority-only, grand total) + grouping() disambiguator.
+    */
+  def q11GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+         grouping(o_orderstatus) AS g_status,
+         grouping(o_orderpriority) AS g_priority,
+         count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM graft_orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""")
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
+                o_orderpriority ASC NULLS FIRST"""
+
+  /** q12 — set ops: customers active in 1996 INTERSECT 1997, plus the
+    * 1996-only EXCEPT set, tagged and unioned.
+    */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    def activeIn(year: Int): DataFrame =
+      ord.filter(functions.year($"o_orderdate") === year).select($"o_custkey").distinct()
+    val both = activeIn(1996).intersect(activeIn(1997))
+      .withColumn("cohort", lit("both_years"))
+    val only96 = activeIn(1996).except(activeIn(1997))
+      .withColumn("cohort", lit("only_1996"))
+    both.union(only96).orderBy($"cohort", $"o_custkey")
+  }
+
+  // Local alias so `functions.year` above resolves even with the wildcard import.
+  private object functions { def year(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.year(c) }
+
+  val q12Sql: String =
+    """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+            y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+       SELECT o_custkey, 'both_years' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+       UNION ALL
+       SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+       ORDER BY cohort, o_custkey"""
+
+  /** q13 — scalar string functions (SURVEY.md §2.4 string row): lower,
+    * substring, split+element, regexp_extract, concat, length, trim.
+    */
+  def q13StringFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lower"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        element_at(split($"p_type", " "), 1).as("type_head"),
+        regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+        concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+        length($"p_name").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
+  val q13Sql: String =
+    """SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       substring(p_name, 1, 8) AS name_prefix,
+       string_split(p_type, ' ')[1] AS type_head,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       concat(p_brand, '/', p_type) AS brand_type,
+       length(p_name) AS name_len
+       FROM part
+       ORDER BY p_partkey"""
+
+  /** q14 — date/time functions: truncation hierarchy + month-grain sales
+    * aggregation (the time-bucketed reporting query).
+    */
+  def q14DateTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(
+        year($"o_orderdate").as("o_year"),
+        quarter($"o_orderdate").as("o_quarter"),
+        date_trunc("month", $"o_orderdate").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("monthly_sales"))
+      .orderBy($"o_year", $"o_quarter", $"o_month")
+  }
+
+  val q14Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+       quarter(o_orderdate) AS o_quarter,
+       date_trunc('month', o_orderdate) AS o_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS monthly_sales
+       FROM orders
+       GROUP BY 1, 2, 3
+       ORDER BY o_year, o_quarter, o_month"""
+
+  /** q15 — math functions over a pushed-down filter. */
+  def q15MathFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_quantity" >= 30.0)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round(sqrt($"l_extendedprice"), 4).as("price_sqrt"),
+        round(log($"l_extendedprice"), 6).as("price_ln"),
+        round(pow($"l_discount" + 1.0, 2.0), 6).as("disc_sq"),
+        ceil($"l_quantity" / 7.0).cast("long").as("qty_bucket"),
+        floor($"l_extendedprice" / 1000.0).cast("long").as("price_kbucket"),
+        abs($"l_discount" - 0.05).as("disc_dev"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q15Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice), 4) AS price_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(pow(l_discount + 1.0, 2.0), 6) AS disc_sq,
+       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
+       abs(l_discount - 0.05) AS disc_dev
+       FROM lineitem
+       WHERE l_quantity >= 30.0
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** q16 — distinct aggregation: exact distinct customers per priority
+    * (Catalyst plans expand + two-phase agg; at 100 TB you'd swap in
+    * approx_count_distinct — exposed separately since HLL isn't
+    * oracle-comparable).
+    */
+  def q16DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(max($"o_totalprice"), 2).as("max_price"),
+        round(min($"o_totalprice"), 2).as("min_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q16Sql: String =
+    """SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(max(o_totalprice), 2) AS max_price,
+       round(min(o_totalprice), 2) AS min_price
+       FROM orders
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** All relational queries + oracles, keyed for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_topk" -> (q02FilterTopk _),
+    "q03_revenue_topn" -> (q03RevenueTopN _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_anti_join" -> (q05AntiJoin _),
+    "q06_brand_revenue" -> (q06BrandRevenue _),
+    "q07_top_per_group" -> (q07TopPerGroup _),
+    "q08_running_agg" -> (q08RunningAgg _),
+    "q09_rollup" -> (q09Rollup _),
+    "q10_cube" -> (q10Cube _),
+    "q11_grouping_sets" -> (q11GroupingSets _),
+    "q12_set_ops" -> (q12SetOps _),
+    "q13_string_fns" -> (q13StringFns _),
+    "q14_date_time" -> (q14DateTime _),
+    "q15_math_fns" -> (q15MathFns _),
+    "q16_distinct_agg" -> (q16DistinctAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_topk" -> q02Sql,
+    "q03_revenue_topn" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_anti_join" -> q05Sql,
+    "q06_brand_revenue" -> q06Sql,
+    "q07_top_per_group" -> q07Sql,
+    "q08_running_agg" -> q08Sql,
+    "q09_rollup" -> q09Sql,
+    "q10_cube" -> q10Sql,
+    "q11_grouping_sets" -> q11Sql,
+    "q12_set_ops" -> q12Sql,
+    "q13_string_fns" -> q13Sql,
+    "q14_date_time" -> q14Sql,
+    "q15_math_fns" -> q15Sql,
+    "q16_distinct_agg" -> q16Sql)
+}
