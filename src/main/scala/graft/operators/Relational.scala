@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import Num._
 
 /** Relational operator surface (SURVEY.md §2.2/§2.4): scans, projections,
   * filters, equi/semi/anti/broadcast joins, hash aggregation, rollup/cube/
@@ -23,10 +24,9 @@ import graft.Tables
   *   - every output carries a total-order sort so results are deterministic
   *     for the DuckDB hash compare (ties broken by primary keys).
   *
-  * Oracle parity: aggregates over doubles are rounded (2–6 dp) in BOTH the
-  * Spark query and the DuckDB SQL, because double summation order differs
-  * between engines.  Window running sums accumulate in the same declared
-  * order in both engines, so they are bit-stable even before rounding.
+  * Oracle parity: all double sums/avgs and all rounding go through
+  * [[Num]] — see there for why builtin round()/SUM(double) are not
+  * reproducible across engines.
   */
 object Relational {
 
@@ -40,26 +40,26 @@ object Relational {
       .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 6).as("avg_disc"),
+        rsum($"l_quantity", 2).as("sum_qty"),
+        rsum($"l_extendedprice", 2).as("sum_base_price"),
+        rsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("sum_disc_price"),
+        rsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 2).as("sum_charge"),
+        ravg($"l_quantity", 4).as("avg_qty"),
+        ravg($"l_extendedprice", 4).as("avg_price"),
+        ravg($"l_discount", 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q01Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+       ${rsumSql("l_quantity", 2)} AS sum_qty,
+       ${rsumSql("l_extendedprice", 2)} AS sum_base_price,
+       ${rsumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS sum_disc_price,
+       ${rsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 2)} AS sum_charge,
+       ${ravgSql("l_quantity", 4)} AS avg_qty,
+       ${ravgSql("l_extendedprice", 4)} AS avg_price,
+       ${ravgSql("l_discount", 6)} AS avg_disc,
        count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -104,14 +104,14 @@ object Relational {
     ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .join(li, $"o_orderkey" === $"l_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .agg(rsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey".asc)
       .limit(10)
   }
 
   val q03Sql: String =
-    """SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ${rsumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
        FROM customer, orders, lineitem
        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
          AND l_orderkey = o_orderkey
@@ -180,16 +180,16 @@ object Relational {
         $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        rsum($"l_quantity", 2).as("sum_qty"),
+        rsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"p_brand")
   }
 
   val q06Sql: String =
-    """SELECT p_brand,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+    s"""SELECT p_brand,
+       ${rsumSql("l_quantity", 2)} AS sum_qty,
+       ${rsumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue,
        count(*) AS n_lines
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY p_brand
@@ -221,8 +221,8 @@ object Relational {
 
   /** q08 — analytic window: per-supplier running revenue + delta vs the
     * previous shipment (the lag-based spike-detection shape from
-    * SURVEY.md §2.4).  Running double sums accumulate in identical declared
-    * order in Spark and DuckDB, so values are bit-stable.
+    * SURVEY.md §2.4). Running double sums accumulate in identical declared
+    * order in Spark and DuckDB, so values are bit-stable before rounding.
     */
   def q08RunningAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -231,16 +231,16 @@ object Relational {
     Tables.lineitem(s, dir)
       .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
       .withColumn("running_revenue",
-        round(sum($"l_extendedprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        r(sum($"l_extendedprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
       .withColumn("delta_prev",
-        round($"l_extendedprice" - lag($"l_extendedprice", 1, 0.0).over(w), 2))
+        r($"l_extendedprice" - lag($"l_extendedprice", 1, 0.0).over(w), 2))
       .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
   }
 
   val q08Sql: String =
-    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
-       round(sum(l_extendedprice) OVER w2, 2) AS running_revenue,
-       round(l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER w1, 2) AS delta_prev
+    s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+       ${rSql("sum(l_extendedprice) OVER w2", 2)} AS running_revenue,
+       ${rSql("l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER w1", 2)} AS delta_prev
        FROM lineitem
        WINDOW w1 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
               w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
@@ -248,8 +248,8 @@ object Relational {
        ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
 
   /** q09 — rollup over the region→nation hierarchy (reporting rollups,
-    * SURVEY.md §2.4 grouping-sets row).  Dims broadcast; single shuffle for
-    * the rollup aggregation.  NULLS FIRST pinned on both engines.
+    * SURVEY.md §2.4 grouping-sets row). Dims broadcast; single shuffle for
+    * the rollup aggregation. NULLS FIRST pinned on both engines.
     */
   def q09Rollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -262,14 +262,14 @@ object Relational {
       .join(Tables.orders(s, dir).select($"o_custkey", $"o_totalprice"),
         $"c_custkey" === $"o_custkey")
       .rollup($"r_name", $"n_name")
-      .agg(round(sum($"o_totalprice"), 2).as("total_sales"),
+      .agg(rsum($"o_totalprice", 2).as("total_sales"),
         count(lit(1)).as("n_orders"))
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
   val q09Sql: String =
-    """SELECT r_name, n_name,
-       round(sum(o_totalprice), 2) AS total_sales,
+    s"""SELECT r_name, n_name,
+       ${rsumSql("o_totalprice", 2)} AS total_sales,
        count(*) AS n_orders
        FROM customer
        JOIN nation ON c_nationkey = n_nationkey
@@ -284,15 +284,15 @@ object Relational {
     Tables.lineitem(s, dir)
       .cube($"l_returnflag", $"l_linestatus")
       .agg(count(lit(1)).as("n"),
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(avg($"l_discount"), 6).as("avg_disc"))
+        rsum($"l_quantity", 2).as("sum_qty"),
+        ravg($"l_discount", 6).as("avg_disc"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
   val q10Sql: String =
-    """SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_discount), 6) AS avg_disc
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       ${rsumSql("l_quantity", 2)} AS sum_qty,
+       ${ravgSql("l_discount", 6)} AS avg_disc
        FROM lineitem
        GROUP BY CUBE (l_returnflag, l_linestatus)
        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
@@ -303,11 +303,11 @@ object Relational {
   def q11GroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
     s.sql(
-      """SELECT o_orderstatus, o_orderpriority,
+      s"""SELECT o_orderstatus, o_orderpriority,
          grouping(o_orderstatus) AS g_status,
          grouping(o_orderpriority) AS g_priority,
          count(*) AS n,
-         round(sum(o_totalprice), 2) AS total
+         ${rsumSql("o_totalprice", 2)} AS total
          FROM graft_orders_gs
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
@@ -315,11 +315,11 @@ object Relational {
   }
 
   val q11Sql: String =
-    """SELECT o_orderstatus, o_orderpriority,
+    s"""SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus) AS g_status,
        grouping(o_orderpriority) AS g_priority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       ${rsumSql("o_totalprice", 2)} AS total
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
@@ -331,17 +331,14 @@ object Relational {
   def q12SetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ord = Tables.orders(s, dir)
-    def activeIn(year: Int): DataFrame =
-      ord.filter(functions.year($"o_orderdate") === year).select($"o_custkey").distinct()
+    def activeIn(yr: Int): DataFrame =
+      ord.filter(year($"o_orderdate") === yr).select($"o_custkey").distinct()
     val both = activeIn(1996).intersect(activeIn(1997))
       .withColumn("cohort", lit("both_years"))
     val only96 = activeIn(1996).except(activeIn(1997))
       .withColumn("cohort", lit("only_1996"))
     both.union(only96).orderBy($"cohort", $"o_custkey")
   }
-
-  // Local alias so `functions.year` above resolves even with the wildcard import.
-  private object functions { def year(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.year(c) }
 
   val q12Sql: String =
     """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
@@ -352,7 +349,7 @@ object Relational {
        ORDER BY cohort, o_custkey"""
 
   /** q13 — scalar string functions (SURVEY.md §2.4 string row): lower,
-    * substring, split+element, regexp_extract, concat, length, trim.
+    * substring, split+element, regexp_extract, concat, length.
     */
   def q13StringFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -390,30 +387,32 @@ object Relational {
         quarter($"o_orderdate").as("o_quarter"),
         date_trunc("month", $"o_orderdate").as("o_month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice"), 2).as("monthly_sales"))
+        rsum($"o_totalprice", 2).as("monthly_sales"))
       .orderBy($"o_year", $"o_quarter", $"o_month")
   }
 
   val q14Sql: String =
-    """SELECT year(o_orderdate) AS o_year,
+    s"""SELECT year(o_orderdate) AS o_year,
        quarter(o_orderdate) AS o_quarter,
        date_trunc('month', o_orderdate) AS o_month,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS monthly_sales
+       ${rsumSql("o_totalprice", 2)} AS monthly_sales
        FROM orders
        GROUP BY 1, 2, 3
        ORDER BY o_year, o_quarter, o_month"""
 
-  /** q15 — math functions over a pushed-down filter. */
+  /** q15 — math functions over a pushed-down filter. sqrt is IEEE-exact in
+    * both engines; ln/pow can differ in the last ulp, hidden by r6.
+    */
   def q15MathFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .filter($"l_quantity" >= 30.0)
       .select(
         $"l_orderkey", $"l_linenumber",
-        round(sqrt($"l_extendedprice"), 4).as("price_sqrt"),
-        round(log($"l_extendedprice"), 6).as("price_ln"),
-        round(pow($"l_discount" + 1.0, 2.0), 6).as("disc_sq"),
+        r(sqrt($"l_extendedprice"), 4).as("price_sqrt"),
+        r(log($"l_extendedprice"), 6).as("price_ln"),
+        r(pow($"l_discount" + 1.0, 2.0), 6).as("disc_sq"),
         ceil($"l_quantity" / 7.0).cast("long").as("qty_bucket"),
         floor($"l_extendedprice" / 1000.0).cast("long").as("price_kbucket"),
         abs($"l_discount" - 0.05).as("disc_dev"))
@@ -421,10 +420,10 @@ object Relational {
   }
 
   val q15Sql: String =
-    """SELECT l_orderkey, l_linenumber,
-       round(sqrt(l_extendedprice), 4) AS price_sqrt,
-       round(ln(l_extendedprice), 6) AS price_ln,
-       round(pow(l_discount + 1.0, 2.0), 6) AS disc_sq,
+    s"""SELECT l_orderkey, l_linenumber,
+       ${rSql("sqrt(l_extendedprice)", 4)} AS price_sqrt,
+       ${rSql("ln(l_extendedprice)", 6)} AS price_ln,
+       ${rSql("pow(l_discount + 1.0, 2.0)", 6)} AS disc_sq,
        CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
        CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
        abs(l_discount - 0.05) AS disc_dev
@@ -444,8 +443,8 @@ object Relational {
       .agg(
         countDistinct($"o_custkey").as("n_customers"),
         count(lit(1)).as("n_orders"),
-        round(max($"o_totalprice"), 2).as("max_price"),
-        round(min($"o_totalprice"), 2).as("min_price"))
+        max($"o_totalprice").as("max_price"),
+        min($"o_totalprice").as("min_price"))
       .orderBy($"o_orderpriority")
   }
 
@@ -453,8 +452,8 @@ object Relational {
     """SELECT o_orderpriority,
        count(DISTINCT o_custkey) AS n_customers,
        count(*) AS n_orders,
-       round(max(o_totalprice), 2) AS max_price,
-       round(min(o_totalprice), 2) AS min_price
+       max(o_totalprice) AS max_price,
+       min(o_totalprice) AS min_price
        FROM orders
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""

@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Num._
+
+/** Telemetry semantics of the reference pipeline, re-expressed Spark-first
+  * (SURVEY.md §2.1–§2.3), exercised over the driver's `events` table (the
+  * telemetry-analog stream table) and a deterministic twin of the
+  * reference's synthetic training-data generator.
+  *
+  * Reference citations:
+  *   - generator twin t04: `/root/reference/generate_historical_data.py:33-64`
+  *     (10 000 rows, 1-min cadence, 5%% anomalies without replacement,
+  *     normal temp ~N(68,3) / vib ~N(1.8,0.3) clipped ≥0, anomaly temp
+  *     U(80,100) / vib U(3,5)).
+  *   - threshold scoring t05: the data's exact decision rule
+  *     (SURVEY.md §2.3 M5) — anomaly ⇔ temp ≥ 80 ∧ vib ≥ 3 — evaluated as a
+  *     confusion matrix reproducing `README.md:106-108` precision/recall.
+  *   - alert formatting t06: `realtime_inference.py:125-139` (P6).
+  *   - JSON parse-and-drop t01: `realtime_inference.py:101-114` (P2/P3).
+  *   - per-key compaction t03: QoS-1 at-least-once delivery
+  *     (`IoTSimulator.java:55`) means the lake holds duplicates; compaction
+  *     keeps the latest record per key (SURVEY.md §3.1).
+  *   - windowed aggregation t02: the Firehose 300-s processing-time buffer
+  *     (`phase3-kinesis-s3.yaml:86-88`) as an event-time tumbling window.
+  *   - spike detection t07 / sessionization t08: the lag/session shapes
+  *     from SURVEY.md §2.4 (window functions, stateful streaming rows).
+  *
+  * Determinism: the twin replaces numpy RNG with a splittable LCG evaluated
+  * as pure integer/double arithmetic, identical in Spark and DuckDB (no
+  * engine rand()); normals are Irwin–Hall (sum of 12 uniforms − 6), again
+  * pure arithmetic. Distribution parameters match the reference; the stream
+  * of random bits does not (numpy MT19937 is not reproducible in SQL).
+  *
+  * Scale: every query here is shuffle-minimal — t01/t06 are scan-local
+  * (zero shuffles), t02 one aggregation exchange, t03/t07/t08 one window
+  * shuffle on the partition key (user_id), the twin is a generated scan
+  * (`spark.range`) that parallelizes perfectly across executors.
+  */
+object Telemetry {
+
+  private val TwinRows  = 10000L
+  private val TwinEpoch = 1767225600L // 2026-01-01 00:00:00 UTC
+
+  /** k-th uniform stream: LCG over (id + k·10007), pure bigint arithmetic
+    * then one exact int→double division. Identical in both engines. */
+  private def uCol(id: Column, k: Int): Column =
+    (((id + lit(k.toLong * 10007L)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      .cast("double") / lit(2147483648.0)
+
+  private def uSql(k: Int): String =
+    s"(CAST(((id + ${k.toLong * 10007L}) * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0)"
+
+  /** Irwin–Hall standard normal: Σ₁₂ u − 6, summed in declared order. */
+  private def zCol(id: Column, base: Int): Column =
+    (0 until 12).map(j => uCol(id, base + j)).reduce(_ + _) - lit(6.0)
+
+  private def zSql(base: Int): String =
+    "(" + (0 until 12).map(j => uSql(base + j)).mkString(" + ") + " - 6.0)"
+
+  private def anomCond(id: Column): Column = (id * lit(48271L)) % lit(100L) < lit(5L)
+  private val anomCondSql = "((id * 48271) % 100) < 5"
+
+  /** t04 — deterministic generator twin (P8/P9/P10). Exactly 500/10000
+    * anomalies: 48271 is coprime to 100, so id→(id·48271)%100 is a bijection
+    * on each block of 100 ids → exactly 5 hits per block (the
+    * without-replacement exact-count semantics of
+    * `generate_historical_data.py:47-51`). */
+  def twin(s: SparkSession): DataFrame = {
+    val id = col("id")
+    s.range(TwinRows).toDF("id").select(
+      id,
+      timestamp_seconds(lit(TwinEpoch) + id * lit(60L)).as("ts"),
+      lit("NC_Machine_AC").as("machine_id"),
+      anomCond(id).cast("int").as("is_anomaly"),
+      r(when(anomCond(id), lit(80.0) + lit(20.0) * uCol(id, 100))
+        .otherwise(lit(68.0) + lit(3.0) * zCol(id, 0)), 6).as("temperature"),
+      r(when(anomCond(id), lit(3.0) + lit(2.0) * uCol(id, 101))
+        .otherwise(greatest(lit(1.8) + lit(0.3) * zCol(id, 12), lit(0.0))), 6).as("vibration"))
+  }
+
+  val twinSql: String =
+    s"""SELECT id,
+       make_timestamp((1767225600 + id * 60) * 1000000) AS ts,
+       'NC_Machine_AC' AS machine_id,
+       CAST($anomCondSql AS INTEGER) AS is_anomaly,
+       ${rSql(s"CASE WHEN $anomCondSql THEN 80.0 + 20.0 * ${uSql(100)} ELSE 68.0 + 3.0 * ${zSql(0)} END", 6)} AS temperature,
+       ${rSql(s"CASE WHEN $anomCondSql THEN 3.0 + 2.0 * ${uSql(101)} ELSE greatest(1.8 + 0.3 * ${zSql(12)}, 0.0) END", 6)} AS vibration
+       FROM range(10000) t(id)"""
+
+  def t04GeneratorTwin(s: SparkSession, dir: String): DataFrame =
+    twin(s).orderBy(col("id"))
+
+  val t04Sql: String = s"SELECT * FROM ($twinSql) ORDER BY id"
+
+  /** t01 — JSON parse + field extraction + malformed-drop
+    * (`realtime_inference.py:101-114`): pull `k` out of the props JSON
+    * string, cast, drop nulls. Scan-local, zero shuffles. */
+  def t01JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+      .filter($"k".isNotNull)
+      .orderBy($"event_id")
+  }
+
+  val t01Sql: String =
+    """SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+       FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+       ORDER BY event_id"""
+
+  /** t02 — event-time tumbling window aggregation (the Firehose 300-s
+    * buffer as a declarative 1-hour window): per event_type per hour.
+    * Batch twin of `window(ts, "1 hour")`; expressed via date_trunc so the
+    * oracle is identical. One aggregation exchange. */
+  def t02HourlyRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        ravg($"value", 4).as("avg_value"),
+        rsum($"value", 2).as("sum_value"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  val t02Sql: String =
+    s"""SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       ${ravgSql("value", 4)} AS avg_value,
+       ${rsumSql("value", 2)} AS sum_value
+       FROM events
+       GROUP BY event_type, date_trunc('hour', ts)
+       ORDER BY event_type, hour"""
+
+  /** t03 — lake compaction / at-least-once dedup: latest event per
+    * (user_id, event_type), ties broken by event_id. One window shuffle. */
+  def t03LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val t03Sql: String =
+    """SELECT user_id, event_type, ts, event_id, value FROM (
+         SELECT user_id, event_type, ts, event_id, value,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) t
+       WHERE rn = 1
+       ORDER BY user_id, event_type"""
+
+  /** t05 — threshold scoring + evaluation (M5 + M3): score the twin with
+    * the exact rule temp≥80 ∧ vib≥3, emit the confusion matrix and
+    * precision/recall (reproduces the reference's 1.00/1.00 on separable
+    * data, `README.md:106-108`). Single-row result, map-side combine. */
+  def t05ThresholdEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = (col("temperature") >= 80.0) && (col("vibration") >= 3.0)
+    val anom = col("is_anomaly") === 1
+    twin(s).agg(
+      sum(when(pred && anom, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !anom, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && anom, 1L).otherwise(0L)).as("fn"),
+      sum(when(!pred && !anom, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        r(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
+        r(col("tp") / (col("tp") + col("fn")), 6).as("recall"))
+  }
+
+  val t05Sql: String = {
+    val pred = "(temperature >= 80.0 AND vibration >= 3.0)"
+    s"""SELECT tp, fp, fn, tn,
+       ${rSql("tp / (tp + fp)", 6)} AS precision,
+       ${rSql("tp / (tp + fn)", 6)} AS recall
+       FROM (SELECT
+         sum(CASE WHEN $pred AND is_anomaly = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN $pred AND is_anomaly = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN NOT $pred AND is_anomaly = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN NOT $pred AND is_anomaly = 0 THEN 1 ELSE 0 END) AS tn
+         FROM ($twinSql)) m"""
+  }
+
+  /** t06 — alert classifier expression (P6, `realtime_inference.py:125-139`):
+    * severity label + formatted message per scored record. String building
+    * uses cast(round(x)) not printf — Java's %.2f rounds HALF_UP, C's
+    * rounds half-even, so printf is not oracle-safe. Scan-local. */
+  def t06AlertFormat(s: SparkSession, dir: String): DataFrame = {
+    val pred = (col("temperature") >= 80.0) && (col("vibration") >= 3.0)
+    twin(s).select(
+      col("id"),
+      when(pred, lit("ALERT")).otherwise(lit("NORMAL")).as("severity"),
+      concat(
+        when(pred, lit("ALERT")).otherwise(lit("NORMAL")),
+        lit(" machine="), col("machine_id"),
+        lit(" temp="), r(col("temperature"), 2).cast("string"),
+        lit(" vib="), r(col("vibration"), 2).cast("string")).as("message"))
+      .orderBy(col("id"))
+  }
+
+  val t06Sql: String = {
+    val pred = "(temperature >= 80.0 AND vibration >= 3.0)"
+    s"""SELECT id,
+       CASE WHEN $pred THEN 'ALERT' ELSE 'NORMAL' END AS severity,
+       concat(CASE WHEN $pred THEN 'ALERT' ELSE 'NORMAL' END,
+              ' machine=', machine_id,
+              ' temp=', CAST(${rSql("temperature", 2)} AS VARCHAR),
+              ' vib=', CAST(${rSql("vibration", 2)} AS VARCHAR)) AS message
+       FROM ($twinSql)
+       ORDER BY id"""
+  }
+
+  /** t07 — spike detection via lag (Δvalue vs previous event per user,
+    * SURVEY.md §2.4 window-functions row). One window shuffle on user_id. */
+  def t07SpikeDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("delta", r($"value" - lag($"value", 1, 0.0).over(w), 2))
+      .withColumn("is_spike", (abs($"delta") >= 15.0).cast("int"))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val t07Sql: String =
+    s"""SELECT user_id, ts, event_id, value,
+       ${rSql("value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 2)} AS delta,
+       CAST(abs(${rSql("value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 2)}) >= 15.0 AS INTEGER) AS is_spike
+       FROM events
+       ORDER BY user_id, ts, event_id"""
+
+  /** t08 — sessionization (session_window batch twin): a new session starts
+    * after a >4 h gap; sessions aggregated per user. Gap comparison uses
+    * epoch seconds (µs precision) — identical in both engines. Two window
+    * passes over one user_id shuffle, then one aggregation. */
+  def t08Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapS = 14400.0
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("gap",
+        when(lag($"ts", 1).over(w).isNull ||
+          ($"ts".cast("double") - lag($"ts", 1).over(w).cast("double")) > gapS, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"gap").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        floor(max($"ts").cast("double") - min($"ts").cast("double")).cast("long").as("duration_s"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val t08Sql: String =
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts, 1) OVER w IS NULL
+                  OR (epoch(ts) - epoch(lag(ts, 1) OVER w)) > 14400.0
+                THEN 1 ELSE 0 END AS gap
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id, ts,
+           sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM g)
+       SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS duration_s
+       FROM sess
+       GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_json_extract" -> (t01JsonExtract _),
+    "t02_hourly_rollup" -> (t02HourlyRollup _),
+    "t03_latest_per_key" -> (t03LatestPerKey _),
+    "t04_generator_twin" -> (t04GeneratorTwin _),
+    "t05_threshold_eval" -> (t05ThresholdEval _),
+    "t06_alert_format" -> (t06AlertFormat _),
+    "t07_spike_detect" -> (t07SpikeDetect _),
+    "t08_sessionize" -> (t08Sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "t01_json_extract" -> t01Sql,
+    "t02_hourly_rollup" -> t02Sql,
+    "t03_latest_per_key" -> t03Sql,
+    "t04_generator_twin" -> t04Sql,
+    "t05_threshold_eval" -> t05Sql,
+    "t06_alert_format" -> t06Sql,
+    "t07_spike_detect" -> t07Sql,
+    "t08_sessionize" -> t08Sql)
+}
