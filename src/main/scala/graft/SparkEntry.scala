@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, Telemetry}
+import graft.operators.{DedupLsh, Relational, Similarity, Telemetry, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Telemetry.queries
+    Relational.queries ++ Telemetry.queries ++ TextOps.queries ++
+      Similarity.queries ++ DedupLsh.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Telemetry.oracles
+    Relational.oracles ++ Telemetry.oracles ++ TextOps.oracles ++
+      Similarity.oracles ++ DedupLsh.oracles
 }

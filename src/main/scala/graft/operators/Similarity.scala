@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Num._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * the ANN surface mandated by BASELINE.json (SURVEY.md §2.4 north-star
+  * row).
+  *
+  * e01 is the brute-force cosine top-k baseline: the query side is tiny
+  * (vec_id % 100 = 0 → 1% of rows) and broadcast, so the big side streams
+  * through a BroadcastNestedLoopJoin with scan-local dot products — no
+  * shuffle of the corpus, scales linearly in corpus size × query count.
+  * e04 is blocked pairwise near-dup (block = label); its 100 TB path is the
+  * LSH variant in [[DedupLsh.e03 style bucketing]].
+  *
+  * Numerics: embeddings are cast float→double (exact widening) and dot
+  * products accumulate left-to-right via `aggregate`/`zip_with`, matching
+  * the oracle's `list_sum(list_transform(range(...)))` element order, so
+  * cosines are bit-identical before the r6 rounding.
+  */
+object Similarity {
+
+  /** corpus with vectors as array<double> + precomputed L2 norm. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+  }
+
+  private val corpusSql =
+    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+       FROM embeddings"""
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, p) -> a + p)"
+
+  /** e01 — brute-force cosine top-5 neighbors for every 100th vector. */
+  def e01CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val q = c.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val cand = c.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    broadcast(q).join(cand, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", r(expr(dotExpr) / ($"qnrm" * $"cnrm"), 6))
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val e01Sql: String =
+    s"""WITH n AS ($corpusSql),
+       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ${rSql("list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)", 6)} AS cosine
+         FROM n q JOIN n c ON q.vec_id != c.vec_id
+         WHERE q.vec_id % 100 = 0),
+       ranked AS (SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM p)
+       SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
+  /** e02 — vector statistics per label: count + norm avg/min/max (the
+    * sanity aggregation a feature-store health check runs). */
+  def e02NormStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    corpus(s, dir)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+        ravg($"nrm", 6).as("avg_norm"),
+        r(min($"nrm"), 6).as("min_norm"),
+        r(max($"nrm"), 6).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  val e02Sql: String =
+    s"""WITH n AS ($corpusSql)
+       SELECT label, count(*) AS n_vectors,
+       ${ravgSql("nrm", 6)} AS avg_norm,
+       ${rSql("min(nrm)", 6)} AS min_norm,
+       ${rSql("max(nrm)", 6)} AS max_norm
+       FROM n
+       GROUP BY label
+       ORDER BY label"""
+
+  /** e04 — embedding-cosine near-duplicate pairs, blocked on label:
+    * top-50 most similar same-label pairs. Label blocking keeps the
+    * quadratic term per-block (at 100 TB: per-cluster), and the pairs
+    * shuffle on the block key only. */
+  def e04NearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val a = c.select($"label", $"vec_id".as("id_a"), $"v".as("qv"), $"nrm".as("na"))
+    val b = c.select($"label".as("lb"), $"vec_id".as("id_b"), $"v".as("cv"), $"nrm".as("nb"))
+    a.join(b, $"label" === $"lb" && $"id_a" < $"id_b")
+      .withColumn("cosine", r(expr(dotExpr) / ($"na" * $"nb"), 6))
+      .select($"label", $"id_a", $"id_b", $"cosine")
+      .orderBy($"cosine".desc, $"id_a", $"id_b")
+      .limit(50)
+  }
+
+  val e04Sql: String =
+    s"""WITH n AS ($corpusSql)
+       SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         ${rSql("list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)", 6)} AS cosine
+       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       ORDER BY cosine DESC, id_a, id_b
+       LIMIT 50"""
+
+  /** e03 — LSH-bucketed approximate NN (the scale path for e01): 6-bit
+    * random-hyperplane signatures (64 buckets) from deterministic LCG
+    * planes; neighbors are searched only within the query's bucket, so the
+    * corpus side shuffles once on the bucket key instead of a full cross
+    * product. Correctness (recall vs e01) is covered by SimilaritySpec;
+    * Verify records a rows-only check (no oracle). */
+  def e03LshAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // plane_j[i] = LCG(j * 64 + i) - 0.5, j = 0..5 — same arithmetic family
+    // as Telemetry's twin: pure integer ops, reproducible everywhere.
+    val sigExpr =
+      """aggregate(
+           transform(sequence(0, 5), j ->
+             CASE WHEN aggregate(
+               zip_with(v, transform(sequence(0, 63), i ->
+                 CAST(((CAST(j * 64 + i AS BIGINT) * 1103515245 + 12345) % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5),
+                 (x, p) -> x * p),
+               0D, (a, t) -> a + t) >= 0D THEN 1L ELSE 0L END),
+           0L, (acc, b) -> acc * 2 + b)"""
+    val c = corpus(s, dir).withColumn("bucket", expr(sigExpr))
+    val q = c.filter($"vec_id" % 100 === 0)
+      .select($"bucket".as("qb"), $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val cand = c.select($"bucket".as("cb"), $"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    q.join(cand, $"qb" === $"cb" && $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", r(expr(dotExpr) / ($"qnrm" * $"cnrm"), 6))
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_cosine_topk" -> (e01CosineTopK _),
+    "e02_norm_stats" -> (e02NormStats _),
+    "e03_lsh_ann" -> (e03LshAnn _),
+    "e04_neardup_pairs" -> (e04NearDupPairs _))
+
+  /** e03 intentionally absent — rows-only check + SimilaritySpec. */
+  val oracles: Map[String, String] = Map(
+    "e01_cosine_topk" -> e01Sql,
+    "e02_norm_stats" -> e02Sql,
+    "e04_neardup_pairs" -> e04Sql)
+}

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Num._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface mandated by BASELINE.json beyond the
+  * reference's own operators (SURVEY.md §2.4 north-star row): token
+  * counting, quality scoring, language-ID heuristic, exact/normalized
+  * dedup, n-gram Jaccard near-dup, document fingerprinting.
+  *
+  * All queries are scan-local per-document expression pipelines (zero
+  * shuffles except final aggregations/joins), codegen-friendly (higher-order
+  * array functions, no UDFs). At 100 TB each parallelizes embarrassingly;
+  * the only quadratic operator (d05 pairwise Jaccard) is blocked on `lang`
+  * — its scale path is MinHash LSH in [[DedupLsh]].
+  *
+  * Tokenization contract (shared by every operator and its oracle):
+  * whitespace-split of trimmed text, empty tokens dropped.
+  */
+object TextOps {
+
+  /** tokens as a Column (Spark side). */
+  private def toks(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** DuckDB equivalent of [[toks]]. */
+  private def toksSql(e: String): String =
+    s"list_filter(string_split_regex(trim($e), '\\s+'), t -> t != '')"
+
+  /** d01 — token statistics: token count, char count, avg token length. */
+  def d01TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        size(toks($"text")).as("n_tokens"),
+        length($"text").as("len_chars"),
+        aggregate(toks($"text"), lit(0L), (a, t) => a + length(t)).as("sum_tok_len"))
+      .withColumn("avg_tok_len",
+        when($"n_tokens" > 0, r($"sum_tok_len".cast("double") / $"n_tokens", 4)).otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  val d01Sql: String = {
+    val t = toksSql("text")
+    s"""SELECT doc_id, lang, n_chars,
+       len($t) AS n_tokens,
+       length(text) AS len_chars,
+       CAST(list_sum(list_transform($t, t -> length(t))) AS BIGINT) AS sum_tok_len,
+       CASE WHEN len($t) > 0
+            THEN ${rSql(s"CAST(list_sum(list_transform($t, t -> length(t))) AS BIGINT) / len($t)", 4)}
+            ELSE 0.0 END AS avg_tok_len
+       FROM documents
+       ORDER BY doc_id"""
+  }
+
+  /** d02 — quality scoring: punctuation / digit / uppercase / stopword
+    * ratios combined into a deterministic [0,1] score (the length-punct-
+    * stopword heuristic family used for LLM corpus filtering). */
+  def d02QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val len = length($"text")
+    def ratioOf(pattern: String): Column =
+      (len - length(regexp_replace($"text", pattern, ""))).cast("double") / len
+    val stopRatio = size(filter(toks(lower($"text")),
+      t => t.isin("the", "and", "of", "to", "a"))).cast("double") /
+      size(toks($"text"))
+    Tables.documents(s, dir)
+      .filter(len > 0)
+      .select($"doc_id",
+        r(ratioOf("[.,!?;:]"), 6).as("punct_ratio"),
+        r(ratioOf("[0-9]"), 6).as("digit_ratio"),
+        r(ratioOf("[A-Z]"), 6).as("upper_ratio"),
+        r(stopRatio, 6).as("stopword_ratio"))
+      .withColumn("quality",
+        r(lit(0.5) * $"stopword_ratio"
+          + lit(0.25) * (lit(1.0) - $"punct_ratio")
+          + lit(0.25) * (lit(1.0) - $"digit_ratio"), 6))
+      .orderBy($"doc_id")
+  }
+
+  val d02Sql: String = {
+    def ratioOf(p: String) =
+      s"((length(text) - length(regexp_replace(text, '$p', '', 'g'))) / length(text))"
+    val stop = s"(len(list_filter(${toksSql("lower(text)")}, t -> t IN ('the','and','of','to','a'))) / len(${toksSql("text")}))"
+    s"""SELECT doc_id,
+       ${rSql(ratioOf("[.,!?;:]"), 6)} AS punct_ratio,
+       ${rSql(ratioOf("[0-9]"), 6)} AS digit_ratio,
+       ${rSql(ratioOf("[A-Z]"), 6)} AS upper_ratio,
+       ${rSql(stop, 6)} AS stopword_ratio,
+       ${rSql(
+        s"0.5 * ${rSql(stop, 6)} + 0.25 * (1.0 - ${rSql(ratioOf("[.,!?;:]"), 6)}) + 0.25 * (1.0 - ${rSql(ratioOf("[0-9]"), 6)})",
+        6)} AS quality
+       FROM documents
+       WHERE length(text) > 0
+       ORDER BY doc_id"""
+  }
+
+  private val stopLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** d03 — language-ID heuristic: stopword-hit counts per candidate
+    * language, argmax with a fixed preference order (en>es>de>fr>zh) for
+    * determinism; compared against the labeled `lang`. */
+  def d03LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val low = toks(lower($"text"))
+    val scored = Tables.documents(s, dir).select(
+      $"doc_id" +: $"lang".as("actual_lang") +:
+        stopLists.map { case (l, ws) =>
+          size(filter(low, t => t.isin(ws: _*))).as(s"s_$l")
+        }: _*)
+    val Seq(en, es, de, fr, zh) = stopLists.map(p => col(s"s_${p._1}"))
+    scored
+      .withColumn("predicted_lang",
+        when(en >= greatest(es, de, fr, zh), "en")
+          .when(es >= greatest(de, fr, zh), "es")
+          .when(de >= greatest(fr, zh), "de")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .withColumn("correct", ($"predicted_lang" === $"actual_lang").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d03Sql: String = {
+    val low = toksSql("lower(text)")
+    val scores = stopLists.map { case (l, ws) =>
+      s"len(list_filter($low, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n       ")
+    s"""SELECT doc_id, actual_lang, s_en, s_es, s_de, s_fr, s_zh,
+       CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+            WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+            WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS predicted_lang,
+       CAST((CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+            WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+            WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END) = actual_lang AS INTEGER) AS correct
+       FROM (SELECT doc_id, lang AS actual_lang,
+       $scores
+       FROM documents) t
+       ORDER BY doc_id"""
+  }
+
+  /** normalized-text fingerprint shared by d04/d06: lowercase, collapse
+    * whitespace, md5. */
+  private def normFp(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  private def normFpSql(e: String): String =
+    s"md5(regexp_replace(lower(trim($e)), '\\s+', ' ', 'g'))"
+
+  /** d04 — exact (normalized) deduplication: hash-groupBy on the
+    * fingerprint, keep the lowest doc_id as representative. The single
+    * shuffle is on the 32-hex-char hash — uniformly distributed, no skew,
+    * scales linearly. */
+  def d04ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", normFp($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"kept_doc_id")
+  }
+
+  val d04Sql: String =
+    s"""SELECT fp, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+       FROM (SELECT doc_id, ${normFpSql("text")} AS fp FROM documents) t
+       GROUP BY fp
+       ORDER BY kept_doc_id"""
+
+  /** d05 — near-duplicate pairs by token-set Jaccard, blocked on `lang`
+    * (the exact quadratic baseline; MinHash LSH in [[DedupLsh]] is the
+    * 100 TB path). |A∪B| computed as |A|+|B|−|A∩B| so both engines use
+    * the same set primitive. Top-500 pairs for bounded output. */
+  def d05JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    val inter = size(array_intersect($"a.ts", $"b.ts"))
+    val uni = size($"a.ts") + size($"b.ts") - inter
+    a.join(b, $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"a.lang".as("lang"),
+        r(inter.cast("double") / uni, 6).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(500)
+  }
+
+  val d05Sql: String = {
+    s"""WITH d AS (SELECT doc_id, lang, list_distinct(${toksSql("text")}) AS ts FROM documents)
+       SELECT doc_a, doc_b, lang, jaccard FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+           ${rSql("len(list_intersect(a.ts, b.ts)) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 6)} AS jaccard
+         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+       WHERE jaccard >= 0.5
+       ORDER BY jaccard DESC, doc_a, doc_b
+       LIMIT 500"""
+  }
+
+  /** d06 — document fingerprinting: polynomial rolling hash over the
+    * character codepoints (mod 1e9+7) + the normalized md5. Pure integer
+    * arithmetic → identical across engines; codegen higher-order fns. */
+  def d06Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        when(length($"text") > 0,
+          expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
+            "0L, (acc, c) -> (acc * 31 + c) % 1000000007)"))
+          .otherwise(lit(0L)).as("poly_hash"),
+        normFp($"text").as("md5_norm"))
+      .orderBy($"doc_id")
+  }
+
+  val d06Sql: String =
+    s"""SELECT doc_id,
+       CASE WHEN length(text) > 0 THEN
+         list_reduce(list_concat([CAST(0 AS BIGINT)],
+           list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)
+       ELSE 0 END AS poly_hash,
+       ${normFpSql("text")} AS md5_norm
+       FROM documents
+       ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_token_stats" -> (d01TokenStats _),
+    "d02_quality_score" -> (d02QualityScore _),
+    "d03_lang_id" -> (d03LangId _),
+    "d04_exact_dedup" -> (d04ExactDedup _),
+    "d05_jaccard_pairs" -> (d05JaccardPairs _),
+    "d06_fingerprint" -> (d06Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "d01_token_stats" -> d01Sql,
+    "d02_quality_score" -> d02Sql,
+    "d03_lang_id" -> d03Sql,
+    "d04_exact_dedup" -> d04Sql,
+    "d05_jaccard_pairs" -> d05Sql,
+    "d06_fingerprint" -> d06Sql)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+class TextOpsSpec extends GraftSpec {
+
+  test("d01 token count matches a driver-side recount on a sample") {
+    val rows = TextOps.d01TokenStats(spark, sfTiny).limit(20).collect()
+    val texts = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val expected = texts(r.getAs[Long]("doc_id")).trim
+        .split("\\s+").count(_.nonEmpty)
+      assert(r.getAs[Int]("n_tokens") == expected, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("d02 ratios and quality are within [0,1]") {
+    val df = TextOps.d02QualityScore(spark, sfTiny).cache()
+    Seq("punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio", "quality")
+      .foreach { c =>
+        assert(df.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+      }
+    df.unpersist()
+  }
+
+  test("d04 dedup is idempotent: representatives are distinct and minimal") {
+    val df = TextOps.d04ExactDedup(spark, sfTiny).cache()
+    assert(df.select("kept_doc_id").distinct().count() == df.count())
+    assert(df.agg(sum("n_copies")).collect()(0).getLong(0) ==
+      Tables.documents(spark, sfTiny).count())
+    df.unpersist()
+  }
+
+  test("d05 jaccard values are in (0,1] and pairs are canonical a<b") {
+    val df = TextOps.d05JaccardPairs(spark, sfTiny).cache()
+    assert(df.filter(col("jaccard") <= 0.0 || col("jaccard") > 1.0).count() == 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    df.unpersist()
+  }
+
+  test("d06 fingerprint is stable and collision-consistent with md5") {
+    // same normalized text ⇔ same md5; identical poly hashes for those too
+    val df = TextOps.d06Fingerprint(spark, sfTiny)
+      .groupBy("md5_norm").agg(countDistinct("poly_hash").as("n"))
+    assert(df.filter(col("n") > 1).count() == 0)
+  }
+
+  test("every text query runs and returns rows at sf0.001") {
+    TextOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfTiny).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("text oracles cover every query") {
+    assert(TextOps.oracles.keySet == TextOps.queries.keySet)
+  }
+}
