@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Num._
+
+/** One media object: opaque payload + typed metadata (the multimodal
+  * column contract — binary content never interpreted by the engine
+  * itself, only by decode stages). */
+case class MediaRecord(doc_id: Long, payload: Array[Byte],
+  media_type: String, n_bytes: Long)
+
+/** Fake "decoded" features — stands in for image/audio decode output. */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+  height: Int, mean_byte: Double)
+
+/** Multimodal-column operators (BASELINE.json north-star): treat media as
+  * opaque `binary` columns with typed metadata; decode / feature-extract /
+  * frame-sample with real Spark plumbing (schema, partitioning, batch
+  * shape) and a STUBBED decode kernel — the container has no image/audio
+  * libs, so the decode is a deterministic fake over the bytes
+  * (clearly marked below); swapping in a real codec changes only the
+  * kernel body, not the dataflow.
+  *
+  * The driver testdata has no binary table, so payloads are manufactured
+  * from `documents.text` (UTF-8 bytes) — the point is the binary-column
+  * dataflow, not the content.
+  *
+  * Scale: x01/x02 are scan-local expression pipelines. x03's decode runs
+  * via `mapPartitions` so a real codec would amortize per-partition init
+  * (model load, decoder context) across rows — the Scala analog of
+  * `mapInPandas` batch decoding; partition count (not row count) bounds
+  * the per-task memory of decoded media.
+  */
+object Multimodal {
+
+  /** documents.text → opaque payload + metadata columns. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      $"text".cast("binary").as("payload"),
+      lit("text/plain").as("media_type"),
+      octet_length($"text").cast("long").as("n_bytes"))
+  }
+
+  /** x01 — binary metadata projection: size + content hash, no decode.
+    * The "list your media objects" scan — pushdown-friendly, zero shuffle. */
+  def x01BinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select($"doc_id", $"media_type", $"n_bytes", md5($"payload").as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val x01Sql: String =
+    """SELECT doc_id, 'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+       FROM documents
+       ORDER BY doc_id"""
+
+  /** x02 — frame sampling: fixed-size frames (64 chars) with ordinals —
+    * the video-frame / audio-chunk extraction shape (explode of a
+    * generated sequence; each frame hashed). */
+  def x02FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(length($"text") > 0)
+      .select($"doc_id",
+        posexplode(expr(
+          "transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)," +
+            " i -> substr(text, i * 64 + 1, 64))")).as(Seq("frame_id", "frame")))
+      .select($"doc_id", $"frame_id", length($"frame").as("frame_len"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_id")
+  }
+
+  val x02Sql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_id,
+       length(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_len,
+       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+       FROM documents, range(0, 100000) r(i)
+       WHERE length(text) > 0 AND i < ceil(length(text) / 64.0)
+       ORDER BY doc_id, frame_id"""
+
+  /** x03 — batched decode + feature extraction via mapPartitions (the
+    * mapInPandas analog). The decode kernel below is a DETERMINISTIC FAKE
+    * (byte-statistics pretending to be image dims + luminance): the
+    * container ships no codecs. Real use: replace `fakeDecode` with the
+    * codec call; everything else (encoder, partition batching, schema)
+    * stays. No oracle (mapPartitions is not SQL) → rows-only + spec. */
+  def x03DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRecord] = mediaTable(s, dir).as[MediaRecord]
+    media.mapPartitions { rows =>
+      // per-partition init would go here (decoder context, model weights)
+      rows.map(fakeDecode)
+    }.toDF()
+      .select($"doc_id", $"n_bytes", $"width", $"height", r($"mean_byte", 6).as("mean_byte"))
+      .orderBy($"doc_id")
+  }
+
+  /** STUB decode kernel — deterministic byte statistics in lieu of a real
+    * codec (no image/audio libraries in this environment). */
+  private def fakeDecode(m: MediaRecord): MediaFeatures = {
+    val bytes = m.payload
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    // fake "dimensions": a codec would parse the header; we derive
+    // deterministic pseudo-dims from the length
+    val width = math.max(1, (m.n_bytes % 640L).toInt)
+    val height = math.max(1, (m.n_bytes / 640L + 1L).toInt)
+    MediaFeatures(m.doc_id, m.n_bytes, width, height, mean)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_binary_meta" -> (x01BinaryMeta _),
+    "x02_frame_sample" -> (x02FrameSample _),
+    "x03_decode_features" -> (x03DecodeFeatures _))
+
+  /** x03 is mapPartitions-based → rows-only + MultimodalSpec. */
+  val oracles: Map[String, String] = Map(
+    "x01_binary_meta" -> x01Sql,
+    "x02_frame_sample" -> x02Sql)
+}

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Telemetry wire record (FIXTURES.md §1; `IoTSimulator.java:63-75`). */
+case class Telemetry(machineId: String, temperature: Double,
+  vibration: Double, timestamp: Long)
+
+/** Scored record flowing to the alert stage. */
+case class Scored(machineId: String, ts: java.sql.Timestamp, severity: String)
+
+/** Alert transition emitted by the suppression operator. */
+case class Transition(machineId: String, ts: java.sql.Timestamp,
+  severity: String, previous: String)
+
+/** Structured Streaming layer (SURVEY.md §2.1/§3, build-plan step 6): the
+  * reference's live path — simulator → broker → router → buffered lake
+  * sink, and subscriber → parse → score → alert — as streaming queries
+  * over the exact same expression logic the batch operators use.
+  *
+  * Reference citations:
+  *   - S1 simulator (`IoTSimulator.java:153-184`): rate source at
+  *     rowsPerSecond=1, U(65,70)°C / U(1.2,1.5) mm/s, p=0.10 anomaly spike
+  *     of (+15°C, +2.0 mm/s), epoch-seconds timestamps.
+  *   - P1/P2/P3 JSON round trip + malformed-drop
+  *     (`realtime_inference.py:101-114`): to_json / from_json PERMISSIVE +
+  *     null-filter — the stream survives bad records.
+  *   - S4 router (`phase2-iot-kinesis.yaml:61-66`): identity select +
+  *     repartition by machineId (per-key ordering at the shuffle boundary).
+  *   - S5 Firehose sink (`phase3-kinesis-s3.yaml:84-89`): 300-s
+  *     processing-time trigger, gzip, time-bucketed partition paths,
+  *     checkpointed (at-least-once, matching Firehose semantics).
+  *   - QoS-1 dedup (SURVEY.md §2.4 stateful row): at-least-once delivery
+  *     means duplicates; `withWatermark + dropDuplicates` bounds the state.
+  *   - alert suppression: flatMapGroupsWithState emits only severity
+  *     *transitions* per machine — the stateful-streaming showcase.
+  *
+  * Scale: every stateful operator keys by machineId, so state partitions
+  * across executors with the shuffle; watermarks bound state size; the
+  * sink trigger controls file count (the 100 TB small-files defense).
+  */
+object StreamOps {
+
+  val telemetrySchema: StructType = StructType(Seq(
+    StructField("machineId", StringType),
+    StructField("temperature", DoubleType),
+    StructField("vibration", DoubleType),
+    StructField("timestamp", LongType)))
+
+  /** S1 — synthetic telemetry source: rate stream shaped like the
+    * simulator. rand(seed) is per-row deterministic given the offset. */
+  def simulatorStream(s: SparkSession, rowsPerSecond: Int = 1): DataFrame = {
+    val base = s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    val anomaly = rand(7L) < 0.10
+    base.select(
+      lit("NC_Machine_AC").as("machineId"),
+      (lit(65.0) + rand(11L) * 5.0 +
+        when(anomaly, 15.0).otherwise(0.0)).as("temperature"),
+      (lit(1.2) + rand(13L) * 0.3 +
+        when(anomaly, 2.0).otherwise(0.0)).as("vibration"),
+      unix_timestamp(col("timestamp")).as("timestamp"))
+  }
+
+  /** P1 — serialize to the wire format (field order = class order, as
+    * Gson does in `IoTSimulator.java:156`). */
+  def toWire(df: DataFrame): DataFrame =
+    df.select(to_json(struct(
+      col("machineId"), col("temperature"),
+      col("vibration"), col("timestamp"))).as("value"))
+
+  /** P2/P3 — parse, validate, drop malformed; stream stays alive. */
+  def parseWire(df: DataFrame): DataFrame =
+    df.select(from_json(col("value"), telemetrySchema).as("p"))
+      .filter(col("p").isNotNull &&
+        col("p.temperature").isNotNull && col("p.vibration").isNotNull)
+      .select(col("p.machineId").as("machineId"),
+        col("p.temperature").as("temperature"),
+        col("p.vibration").as("vibration"),
+        timestamp_seconds(col("p.timestamp")).as("ts"))
+
+  /** S4 — router: identity projection + per-key partitioning. */
+  def route(df: DataFrame): DataFrame =
+    df.select(col("*")).repartition(col("machineId"))
+
+  /** M5 + P6 — threshold scoring + alert classification. */
+  def score(df: DataFrame): DataFrame = {
+    val pred = (col("temperature") >= 80.0) && (col("vibration") >= 3.0)
+    df.withColumn("severity", when(pred, "ALERT").otherwise("NORMAL"))
+      .withColumn("message", concat(
+        col("severity"), lit(" machine="), col("machineId"),
+        lit(" temp="), format_number(col("temperature"), 2),
+        lit(" vib="), format_number(col("vibration"), 2)))
+  }
+
+  /** QoS-1 dedup: at-least-once duplicates dropped within the watermark. */
+  def dedupQos1(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", watermark).dropDuplicates("machineId", "ts")
+
+  /** event-time tumbling window aggregate (the Firehose 300-s buffer as a
+    * declarative window). */
+  def tumblingStats(df: DataFrame, width: String = "5 minutes"): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(col("machineId"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n"), avg("temperature").as("avg_temp"),
+        max("vibration").as("max_vib"))
+
+  /** sliding window variant (10-min window every 1 min). */
+  def slidingStats(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(col("machineId"), window(col("ts"), "10 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"), avg("temperature").as("avg_temp"))
+
+  /** session windows: incident grouping with a 5-min gap. */
+  def sessionStats(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(col("machineId"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+
+  /** stateful alert suppression: emit only severity transitions per
+    * machine (consecutive identical severities are suppressed). */
+  def alertTransitions(ds: Dataset[Scored]): Dataset[Transition] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.machineId)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (machineId: String, rows: Iterator[Scored], state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.severity))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var prev = state.getOption.getOrElse("")
+          sorted.foreach { r =>
+            if (r.severity != prev) {
+              out += Transition(machineId, r.ts, r.severity, if (prev.isEmpty) "NONE" else prev)
+              prev = r.severity
+            }
+          }
+          if (prev.nonEmpty) state.update(prev)
+          out.iterator
+      }
+  }
+
+  /** S5 — buffered, compressed, time-partitioned lake sink: 300-s
+    * processing-time trigger ≈ Firehose's 300-s buffer; gzip ≈ its
+    * CompressionFormat; date/hour partition columns ≈ its prefix paths;
+    * checkpointing gives the same at-least-once contract. */
+  def bufferedLakeSink(df: DataFrame, path: String, checkpoint: String,
+    trigger: Trigger = Trigger.ProcessingTime("300 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.withColumn("date", to_date(col("ts")))
+      .withColumn("hour", hour(col("ts")))
+      .writeStream
+      .format("json")
+      .option("compression", "gzip")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date", "hour")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+}

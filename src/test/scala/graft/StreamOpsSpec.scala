@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Scored, StreamOps}
+
+class StreamOpsSpec extends GraftSpec {
+  import scala.language.implicitConversions
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("parseWire drops malformed records and keeps the stream alive (P2/P3)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    in.addData(
+      """{"machineId":"m1","temperature":67.3,"vibration":1.4,"timestamp":1754980000}""",
+      """not json at all""",
+      """{"machineId":"m1","vibration":1.4,"timestamp":1754980001}""", // missing temperature
+      """{"machineId":"m1","temperature":"hot","vibration":1.4,"timestamp":1754980002}""", // bad type
+      """{"machineId":"m2","temperature":88.0,"vibration":3.4,"timestamp":1754980003}""")
+    val q = StreamOps.parseWire(in.toDF()).writeStream
+      .format("memory").queryName("parsed").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("parsed").collect()
+      assert(rows.length == 2, rows.mkString("; "))
+    } finally q.stop()
+  }
+
+  test("round trip: simulator batch → toWire → parseWire preserves records (P1)") {
+    import spark.implicits._
+    val batch = Seq(
+      ("NC_Machine_AC", 67.5, 1.3, 1754980000L),
+      ("NC_Machine_AC", 85.0, 3.5, 1754980001L))
+      .toDF("machineId", "temperature", "vibration", "timestamp")
+    val back = StreamOps.parseWire(StreamOps.toWire(batch)).collect()
+    assert(back.length == 2)
+    assert(back.map(_.getAs[Double]("temperature")).sorted.sameElements(Array(67.5, 85.0)))
+  }
+
+  test("dedupQos1 removes at-least-once duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Double, Long)]
+    in.addData(
+      ("m1", 67.0, 1.3, 1000L), ("m1", 67.0, 1.3, 1000L), // dup
+      ("m1", 68.0, 1.4, 1001L), ("m2", 69.0, 1.2, 1000L))
+    val df = in.toDF().toDF("machineId", "temperature", "vibration", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = StreamOps.dedupQos1(df).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 3)
+    } finally q.stop()
+  }
+
+  test("tumblingStats windows counts per machine (S5 window semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Double, Long)]
+    // two 5-min windows: 0-300 (2 events), 300-600 (1 event)
+    in.addData(("m1", 67.0, 1.3, 10L), ("m1", 70.0, 1.5, 200L), ("m1", 90.0, 3.6, 310L))
+    val df = in.toDF().toDF("machineId", "temperature", "vibration", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = StreamOps.tumblingStats(df).writeStream
+      .format("memory").queryName("tumbled").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tumbled").orderBy("window.start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 2 && rows(1).getAs[Long]("n") == 1)
+      assert(rows(1).getAs[Double]("max_vib") == 3.6)
+    } finally q.stop()
+  }
+
+  test("alertTransitions suppresses consecutive identical severities") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Scored]
+    in.addData(
+      Scored("m1", new Timestamp(1000L), "NORMAL"),
+      Scored("m1", new Timestamp(2000L), "NORMAL"),
+      Scored("m1", new Timestamp(3000L), "ALERT"),
+      Scored("m1", new Timestamp(4000L), "ALERT"),
+      Scored("m1", new Timestamp(5000L), "NORMAL"),
+      Scored("m2", new Timestamp(1000L), "ALERT"))
+    val q = StreamOps.alertTransitions(in.toDS()).writeStream
+      .format("memory").queryName("transitions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("transitions").orderBy("machineId", "ts").collect()
+      assert(rows.length == 4, rows.mkString("; "))
+      val m1 = rows.filter(_.getString(0) == "m1").map(_.getAs[String]("severity"))
+      assert(m1.sameElements(Array("NORMAL", "ALERT", "NORMAL")))
+    } finally q.stop()
+  }
+
+  test("bufferedLakeSink writes gzip json under date/hour partitions (S5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Double, Long)]
+    in.addData(("m1", 67.0, 1.3, 1754980000L), ("m1", 90.0, 3.7, 1754983600L))
+    val df = in.toDF().toDF("machineId", "temperature", "vibration", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = tmp("graft-lake")
+    val q = StreamOps.bufferedLakeSink(df, out, tmp("graft-ckpt"),
+      Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var gz = 0; var partDirs = 0
+    files.forEachRemaining { p =>
+      val n = p.toString
+      if (n.endsWith(".json.gz")) gz += 1
+      if (n.contains("date=") && n.contains("hour=") && p.toFile.isDirectory) partDirs += 1
+    }
+    assert(gz >= 2, s"expected gzip part files, found $gz")
+    assert(partDirs >= 2, s"expected date=/hour= partition dirs, found $partDirs")
+  }
+}
