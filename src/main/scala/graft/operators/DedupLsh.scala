@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import Num._
 
@@ -9,40 +10,69 @@ import Num._
   * scale path for the exact quadratic Jaccard in [[TextOps.d05JaccardPairs]]
   * (BASELINE.json north-star: MinHash+LSH, SimHash).
   *
+  * Features are word 3-gram shingles, not unigrams: this corpus has a
+  * 31-token vocabulary, and a typical document covers ~80% of it, so every
+  * unigram sketch collapses (nearly all docs share the argmin token of
+  * each hash → measured 1,780-doc LSH buckets → a quadratic candidate
+  * join). Shingling restores a large, sparse feature space — the standard
+  * MinHash construction (shingle → minhash → band → bucket-join).
+  *
   * Neither operator is DuckDB-expressible (both build on xxhash64), so both
   * ship without oracle SQL: Verify records a rows-only check and
   * DedupLshSpec carries correctness (determinism, exact-dup guarantee,
-  * recall of high-Jaccard pairs vs the exact baseline).
+  * recall on a crafted corpus).
   *
   * Scale shape: signatures are scan-local per-document expression work
   * (higher-order functions, whole-stage codegen, no UDFs). Candidate
   * generation explodes each doc into BANDS rows and shuffles once on the
-  * (band, band-hash) key — uniformly distributed, no skew. Verification
-  * joins candidates back to token sets and computes exact Jaccard only for
-  * the candidate set, which is O(near-dups), not O(n²).
+  * (band, band-hash) key. Verification joins candidates back to shingle
+  * sets and computes exact Jaccard only for the candidate set — O(dups),
+  * not O(n²).
   */
 object DedupLsh {
 
   private val NumHashes = 32
-  private val Bands = 8 // × 4 rows/band
+  // 4 bands × 8 rows: P(candidate) = 1-(1-j^8)^4 — near 1 for j ≥ 0.9,
+  // negligible below j ≈ 0.5; j=1 pairs collide on every band (the
+  // exact-dup guarantee DedupLshSpec pins).
+  private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
   private val P = 2147483647L // 2^31 − 1 (prime)
+  private val SegBucketCap = 128
 
-  private def toks(c: Column): Column =
-    array_distinct(filter(split(trim(c), "\\s+"), t => t =!= ""))
+  /** (doc_id, text) → (doc_id, sh): word 3-gram shingles (order-sensitive,
+    * distinct), from the raw token stream; docs shorter than 3 tokens
+    * contribute their whole text as one shingle. Public for spec use on
+    * crafted corpora. */
+  def shingleDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+      .withColumn("sh", when(size(col("tk")) >= 3,
+        array_distinct(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))")))
+        .otherwise(array(concat_ws(" ", col("tk")))))
+      .select(col("doc_id"), col("sh"))
 
-  /** j-th MinHash of a token set: min over tokens of an affine-permuted
-    * xxhash64. a_j odd, b_j from a second stream; pmod keeps values in
-    * [0, P). */
-  private def minhash(ts: Column, j: Int): Column = {
+  /** docs(doc_id, sh: array<string>) — shingle sets of the corpus.
+    * Cached: a downstream explode/generator re-evaluates its child per
+    * OUTPUT row, so an uncached shingle expression is recomputed |sh|
+    * times per document (measured 8.6 s vs 0.3 s at sf0.1). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleDocs(Tables.documents(s, dir).select($"doc_id", $"text")).cache()
+  }
+
+  /** j-th MinHash of a shingle set: min over shingles of an affine-permuted
+    * xxhash64; pmod keeps values in [0, P). */
+  private def minhash(sh: Column, j: Int): Column = {
     val a = 2L * j + 1L
     val b = j * 7919L + 13L
-    array_min(transform(ts, t => pmod(lit(a) * pmod(xxhash64(t), lit(P)) + lit(b), lit(P))))
+    array_min(transform(sh, t => pmod(lit(a) * pmod(xxhash64(t), lit(P)) + lit(b), lit(P))))
   }
 
   /** signature array + per-band bucket hashes for one document. */
   private def withSignature(docs: DataFrame): DataFrame = {
-    val sig = array((0 until NumHashes).map(j => minhash(col("ts"), j)): _*)
+    val sig = array((0 until NumHashes).map(j => minhash(col("sh"), j)): _*)
     val banded = docs.withColumn("sig", sig)
     val bandCols = (0 until Bands).map { bnd =>
       val parts = (0 until RowsPerBand).map(r => col("sig")(bnd * RowsPerBand + r).cast("string"))
@@ -51,75 +81,106 @@ object DedupLsh {
     banded.withColumn("bands", array(bandCols: _*))
   }
 
-  /** m01 — MinHash LSH near-dup pairs: candidates share ≥1 band, verified
-    * with exact token-set Jaccard ≥ 0.5. Output is deterministic: the
-    * probabilistic part only affects candidate recall, every emitted pair
-    * is exact-verified. */
-  def m01MinHashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id", toks($"text").as("ts"))
+  /** Core MinHash-LSH pairing over (doc_id, sh): candidates share ≥1 band,
+    * each candidate exact-verified with shingle Jaccard ≥ 0.5. Exposed for
+    * spec-level testing on crafted corpora. */
+  def minHashPairs(docs0: DataFrame): DataFrame = {
+    // Cache the shingle sets and the (tiny) sketch table: both feed two
+    // plan branches (self-join sides / verify join), and without a
+    // materialization barrier Catalyst inlines the whole shingle pipeline
+    // into all 32 minhash expressions per branch — a plan-size explosion
+    // (measured: 45× slowdown at sf0.1). Sketches are O(n_docs · 24 B):
+    // cacheable at any corpus scale.
+    val docs = docs0.cache()
     val buckets = withSignature(docs)
-      .select($"doc_id", explode($"bands").as("b"))
-      .select($"doc_id", $"b.band", $"b.bh")
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+      .cache()
     val cands = buckets.as("x")
-      .join(buckets.as("y"), $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
-        $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .join(buckets.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val a = docs.select($"doc_id".as("doc_a"), $"ts".as("ta"))
-    val b = docs.select($"doc_id".as("doc_b"), $"ts".as("tb"))
-    val inter = size(array_intersect($"ta", $"tb"))
-    val uni = size($"ta") + size($"tb") - inter
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val uni = size(col("ta")) + size(col("tb")) - inter
     cands.join(a, "doc_a").join(b, "doc_b")
       .withColumn("jaccard", r(inter.cast("double") / uni, 6))
-      .filter($"jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(500)
   }
 
-  /** m02 — 64-bit SimHash signatures: per bit, sign of the ±1 vote sum
-    * over token hashes. Identical texts ⇒ identical signatures; near
-    * texts ⇒ small Hamming distance (DedupLshSpec). */
-  def m02SimHash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sim =
-      """aggregate(
-           transform(sequence(63, 0, -1), j ->
-             CASE WHEN aggregate(hs, 0L,
-               (acc, h) -> acc + IF(((h >> j) & 1L) = 1L, 1L, -1L)) >= 0L
-             THEN 1L ELSE 0L END),
-           0L, (acc, b) -> shiftleft(acc, 1) + b)"""
-    Tables.documents(s, dir)
-      .select($"doc_id", $"lang", toks($"text").as("ts"))
-      .withColumn("hs", transform($"ts", t => xxhash64(t)))
-      .select($"doc_id", $"lang", size($"ts").as("n_tokens"), expr(sim).as("simhash"))
-      .orderBy($"doc_id")
+  /** m01 — shingle-MinHash LSH near-dup pairs over documents. */
+  def m01MinHashPairs(s: SparkSession, dir: String): DataFrame =
+    minHashPairs(shingled(s, dir))
+
+  /** Core 64-bit SimHash over (doc_id, sh): bit j is set iff at least half
+    * the shingle hashes have bit j set (the sign of the ±1 vote sum).
+    *
+    * Shaped for codegen: nested higher-order lambdas (aggregate inside
+    * transform) are interpreted in Spark — 64 × |sh| closure evaluations
+    * per document measured ~4× slower than this explode → 64 conditional
+    * SUMs (one whole-stage-codegen'd hash aggregate) → bitwise reassembly. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), size(col("sh")).as("n_shingles"),
+      explode(col("sh")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    // 16 packed sums, four 16-bit counter lanes each (lane k of s_j counts
+    // bit j+16k): 64 separate SUMs overflow the codegen method-size limit
+    // and fall back to interpreted evaluation (~4× slower, measured).
+    // Lanes can't carry into each other while counts stay ≤ 65535.
+    val lanes = lit(0x0001000100010001L)
+    val bitSums = (0 until 16).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lanes)).as(s"s$j"))
+    val sums = hashed.groupBy(col("doc_id"), col("n_shingles"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    // vote_j = 2·S_j − n ≥ 0  ⇔  2·S_j ≥ n (matches the ±1-sum sign rule)
+    val simhash = (0 until 64).map { j =>
+      val sj = shiftright(col(s"s${j % 16}"), 16 * (j / 16)).bitwiseAND(lit(0xFFFFL))
+      shiftleft(when(sj * 2 >= col("n_shingles"), lit(1L)).otherwise(lit(0L)), j)
+    }.reduce(_ bitwiseOR _)
+    sums.select(col("doc_id"), col("n_shingles"), simhash.as("simhash"))
   }
 
-  /** m03 — SimHash near-dup pairs via 16-bit segment blocking (pigeonhole:
-    * Hamming ≤ 3 ⇒ at least one of 4 segments identical), then exact
-    * Hamming filter. The blocked join shuffles on (segment-index, segment
-    * value) — never quadratic in the corpus. */
-  def m03SimHashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sigs = m02SimHash(s, dir).select($"doc_id", $"simhash")
-    val segs = sigs.select($"doc_id", $"simhash",
+  /** m02 — SimHash signatures for every document. Identical texts ⇒
+    * identical signatures; near texts ⇒ small Hamming distance. */
+  def m02SimHash(s: SparkSession, dir: String): DataFrame =
+    simHash(shingled(s, dir)).orderBy(col("doc_id"))
+
+  /** Core SimHash pairing: 16-bit segment blocking (pigeonhole: Hamming ≤ 3
+    * ⇒ some segment identical), exact Hamming ≤ 6 filter. Each segment
+    * bucket is capped at its [[SegBucketCap]] lowest doc_ids — an explicit
+    * (documented) recall bound against degenerate buckets; the
+    * top-of-output (smallest hamming, smallest ids) is unaffected. */
+  def simHashPairs(docs: DataFrame): DataFrame = {
+    // cached for the same plan-explosion reason as minHashPairs
+    val sigs = simHash(docs).select(col("doc_id"), col("simhash")).cache()
+    val segs = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
-        shiftright($"simhash", k * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("seg_idx", "seg")))
-    val cands = segs.as("x")
-      .join(segs.as("y"), $"x.seg_idx" === $"y.seg_idx" && $"x.seg" === $"y.seg" &&
-        $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"x.simhash".as("sig_a"),
-        $"y.doc_id".as("doc_b"), $"y.simhash".as("sig_b"))
+        shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("seg_idx", "seg")))
+    val wB = Window.partitionBy(col("seg_idx"), col("seg")).orderBy(col("doc_id"))
+    val capped = segs.withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= SegBucketCap).drop("rnk")
+    val cands = capped.as("x")
+      .join(capped.as("y"), col("x.seg_idx") === col("y.seg_idx") && col("x.seg") === col("y.seg") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sig_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sig_b"))
       .distinct()
     cands
-      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
-      .filter($"hamming" <= 6)
-      .select($"doc_a", $"doc_b", $"hamming")
-      .orderBy($"hamming", $"doc_a", $"doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(500)
   }
+
+  /** m03 — SimHash near-dup pairs over documents. */
+  def m03SimHashPairs(s: SparkSession, dir: String): DataFrame =
+    simHashPairs(shingled(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_minhash_pairs" -> (m01MinHashPairs _),

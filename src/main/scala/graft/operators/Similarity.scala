@@ -135,7 +135,10 @@ object Similarity {
                  (x, p) -> x * p),
                0D, (a, t) -> a + t) >= 0D THEN 1L ELSE 0L END),
            0L, (acc, b) -> acc * 2 + b)"""
-    val c = corpus(s, dir).withColumn("bucket", expr(sigExpr))
+    // cached: both the query side and candidate side read the bucketed
+    // corpus; without the barrier the 6×64-plane signature expression is
+    // inlined and recomputed per branch
+    val c = corpus(s, dir).withColumn("bucket", expr(sigExpr)).cache()
     val q = c.filter($"vec_id" % 100 === 0)
       .select($"bucket".as("qb"), $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val cand = c.select($"bucket".as("cb"), $"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
