@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Num._
+
+/** Advanced relational operators (SURVEY.md §2.4): as-of join, range join,
+  * approximate distinct, scalar subquery, correlated aggregate, pivot.
+  * Each declarative, shuffle-minimal, and oracle-checked where the
+  * semantics are engine-portable.
+  */
+object Analytics {
+
+  /** q17 — as-of join (event ↔ nearest prior reading, SURVEY.md §2.4 joins
+    * row): for each error event, the most recent prior click of the same
+    * user. Implemented as the union-free single-pass window form: tag click
+    * columns, `last(..., ignoreNulls)` over the per-user time order — one
+    * shuffle on user_id, no join at all (the classic scalable as-of plan;
+    * a sort-merge as-of join would shuffle both sides the same way). */
+  def q17AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .withColumn("last_click_value",
+        last(when($"event_type" === "click", $"value"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts", $"value", $"last_click_ts", $"last_click_value")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val q17Sql: String =
+    """SELECT event_id, user_id, ts, value, last_click_ts, last_click_value FROM (
+         SELECT event_id, user_id, event_type, ts, value,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER w AS last_click_value,
+           last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER w AS last_click_ts
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+       WHERE event_type = 'error'
+       ORDER BY user_id, ts, event_id"""
+
+  /** q18 — range (band) join: lineitem prices bucketed against a literal
+    * band dimension via interval containment. The band table is broadcast,
+    * so the fact side never shuffles for the join. */
+  def q18RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = s.createDataFrame(Seq(
+      ("low", 0.0, 20000.0),
+      ("mid", 20000.0, 50000.0),
+      ("high", 50000.0, 1e18))).toDF("band", "lo", "hi")
+    Tables.lineitem(s, dir).select($"l_extendedprice", $"l_quantity")
+      .join(broadcast(bands), $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_lines"),
+        rsum($"l_extendedprice", 2).as("sum_price"),
+        ravg($"l_quantity", 4).as("avg_qty"))
+      .orderBy($"band")
+  }
+
+  val q18Sql: String =
+    s"""SELECT band, count(*) AS n_lines,
+       ${rsumSql("l_extendedprice", 2)} AS sum_price,
+       ${ravgSql("l_quantity", 4)} AS avg_qty
+       FROM lineitem
+       JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 50000.0),
+                    ('high', 50000.0, 1e18)) b(band, lo, hi)
+         ON l_extendedprice >= lo AND l_extendedprice < hi
+       GROUP BY band
+       ORDER BY band"""
+
+  /** q19 — approximate distinct (HLL++): the 100 TB replacement for q16's
+    * exact expand-based distinct. Sketch internals aren't portable to
+    * DuckDB → rows-only + AnalyticsSpec asserting relative error. */
+  def q19ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("exact_customers"),
+        approx_count_distinct($"o_custkey", 0.02).as("approx_customers"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** q20 — scalar subquery: parts priced above the global average.
+    * The average goes through the decimal-exact policy in both engines so
+    * the boundary is identical. */
+  def q20ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_part_sq")
+    s.sql(
+      s"""SELECT p_partkey, p_name, p_retailprice
+         FROM graft_part_sq
+         WHERE p_retailprice > (SELECT ${davgSql("p_retailprice")} FROM graft_part_sq)
+         ORDER BY p_partkey""")
+  }
+
+  val q20Sql: String =
+    s"""SELECT p_partkey, p_name, p_retailprice
+       FROM part
+       WHERE p_retailprice > (SELECT ${davgSql("p_retailprice")} FROM part)
+       ORDER BY p_partkey"""
+
+  /** q21 — correlated aggregate (TPC-H Q17 shape) decorrelated to a
+    * window: lineitems under half their part's average quantity. The
+    * window average uses the decimal-exact sum so partition order doesn't
+    * matter. One shuffle on l_partkey. */
+  def q21CorrelatedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_partkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      .withColumn("part_avg_qty",
+        r(sum($"l_quantity".cast("decimal(38,10)")).over(w).cast("double") /
+          count(lit(1)).over(w), 4))
+      .filter($"l_quantity" < $"part_avg_qty" * 0.5)
+      // (l_orderkey, l_linenumber) is not unique in this testdata —
+      // l_partkey completes the total order
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+  }
+
+  val q21Sql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, part_avg_qty FROM (
+         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+           ${rSql("CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) OVER w AS DOUBLE) / count(*) OVER w", 4)} AS part_avg_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_partkey)) t
+       WHERE l_quantity < part_avg_qty * 0.5
+       ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity"""
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q22 — pivot: per-user event-type counts as columns (Spark `pivot`
+    * with a pinned value list → no extra distinct-values job; nulls
+    * filled 0 to match the oracle's conditional sums). */
+  def q22Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy($"user_id")
+  }
+
+  val q22Sql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n       ")
+    s"""SELECT user_id,
+       $cols
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_asof_join" -> (q17AsofJoin _),
+    "q18_range_join" -> (q18RangeJoin _),
+    "q19_approx_distinct" -> (q19ApproxDistinct _),
+    "q20_scalar_subquery" -> (q20ScalarSubquery _),
+    "q21_correlated_agg" -> (q21CorrelatedAgg _),
+    "q22_pivot" -> (q22Pivot _))
+
+  /** q19 is sketch-based → rows-only + AnalyticsSpec. */
+  val oracles: Map[String, String] = Map(
+    "q17_asof_join" -> q17Sql,
+    "q18_range_join" -> q18Sql,
+    "q20_scalar_subquery" -> q20Sql,
+    "q21_correlated_agg" -> q21Sql,
+    "q22_pivot" -> q22Sql)
+}

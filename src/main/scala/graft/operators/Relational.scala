@@ -76,7 +76,10 @@ object Relational {
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= lit("1999-01-01").cast("timestamp") && $"l_discount" > 0.05)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity", $"l_extendedprice")
-      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      // (l_orderkey, l_linenumber) is NOT unique in this testdata; the
+      // added keys make the order total (verified at sf0.01/sf0.1)
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_partkey".asc, $"l_quantity".asc)
       .limit(100)
   }
 
@@ -84,7 +87,8 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05
-       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC,
+                l_partkey ASC, l_quantity ASC
        LIMIT 100"""
 
   /** q03 — shipping-priority revenue (TPC-H Q3 shape): broadcast dim filter
@@ -226,15 +230,17 @@ object Relational {
     */
   def q08RunningAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // l_extendedprice completes the total order per supplier (verified);
+    // without it running sums over tied keys are engine-dependent
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
     Tables.lineitem(s, dir)
       .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
       .withColumn("running_revenue",
         r(sum($"l_extendedprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
       .withColumn("delta_prev",
         r($"l_extendedprice" - lag($"l_extendedprice", 1, 0.0).over(w), 2))
-      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
   }
 
   val q08Sql: String =
@@ -242,10 +248,10 @@ object Relational {
        ${rSql("sum(l_extendedprice) OVER w2", 2)} AS running_revenue,
        ${rSql("l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER w1", 2)} AS delta_prev
        FROM lineitem
-       WINDOW w1 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
-              w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       WINDOW w1 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice),
+              w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
+       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice"""
 
   /** q09 — rollup over the region→nation hierarchy (reporting rollups,
     * SURVEY.md §2.4 grouping-sets row). Dims broadcast; single shuffle for
@@ -416,7 +422,9 @@ object Relational {
         ceil($"l_quantity" / 7.0).cast("long").as("qty_bucket"),
         floor($"l_extendedprice" / 1000.0).cast("long").as("price_kbucket"),
         abs($"l_discount" - 0.05).as("disc_dev"))
-      .orderBy($"l_orderkey", $"l_linenumber")
+      // price_sqrt/disc_sq are bijective in extendedprice/discount, so this
+      // output-column order is total up to fully-identical rows
+      .orderBy($"l_orderkey", $"l_linenumber", $"price_sqrt", $"disc_sq", $"qty_bucket")
   }
 
   val q15Sql: String =
@@ -429,7 +437,7 @@ object Relational {
        abs(l_discount - 0.05) AS disc_dev
        FROM lineitem
        WHERE l_quantity >= 30.0
-       ORDER BY l_orderkey, l_linenumber"""
+       ORDER BY l_orderkey, l_linenumber, price_sqrt, disc_sq, qty_bucket"""
 
   /** q16 — distinct aggregation: exact distinct customers per priority
     * (Catalyst plans expand + two-phase agg; at 100 TB you'd swap in

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.VectorExpressions
 import graft.Tables
 import Num._
 
@@ -24,12 +25,15 @@ import Num._
   */
 object Similarity {
 
-  /** corpus with vectors as array<double> + precomputed L2 norm. */
+  /** corpus with vectors as array<double> + precomputed L2 norm. Dot
+    * products run through the native codegen'd [[VectorExpressions.dot]]
+    * (same left-to-right summation as the lambda form → oracle-identical). */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    VectorExpressions.register(s)
     Tables.embeddings(s, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot($"v", $"v")))
   }
 
   private val corpusSql =
@@ -37,8 +41,7 @@ object Similarity {
        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
        FROM embeddings"""
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, p) -> a + p)"
+  private def dotQC: Column = VectorExpressions.dot(col("qv"), col("cv"))
 
   /** e01 — brute-force cosine top-5 neighbors for every 100th vector. */
   def e01CosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -49,7 +52,7 @@ object Similarity {
     val cand = c.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     broadcast(q).join(cand, $"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", r(expr(dotExpr) / ($"qnrm" * $"cnrm"), 6))
+      .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
       .select($"query_id", $"neighbor_id", $"cosine")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
@@ -102,7 +105,7 @@ object Similarity {
     val a = c.select($"label", $"vec_id".as("id_a"), $"v".as("qv"), $"nrm".as("na"))
     val b = c.select($"label".as("lb"), $"vec_id".as("id_b"), $"v".as("cv"), $"nrm".as("nb"))
     a.join(b, $"label" === $"lb" && $"id_a" < $"id_b")
-      .withColumn("cosine", r(expr(dotExpr) / ($"na" * $"nb"), 6))
+      .withColumn("cosine", r(dotQC / ($"na" * $"nb"), 6))
       .select($"label", $"id_a", $"id_b", $"cosine")
       .orderBy($"cosine".desc, $"id_a", $"id_b")
       .limit(50)
@@ -144,7 +147,7 @@ object Similarity {
     val cand = c.select($"bucket".as("cb"), $"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     q.join(cand, $"qb" === $"cb" && $"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", r(expr(dotExpr) / ($"qnrm" * $"cnrm"), 6))
+      .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
       .select($"query_id", $"neighbor_id", $"cosine")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)

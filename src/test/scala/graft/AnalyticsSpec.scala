@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends GraftSpec {
+
+  test("q17 as-of values reference a genuine prior click of the same user") {
+    import spark.implicits._
+    val asof = Analytics.q17AsofJoin(spark, sfTiny)
+      .filter($"last_click_ts".isNotNull).limit(50).collect()
+    assert(asof.nonEmpty)
+    val clicks = Tables.events(spark, sfTiny).filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value").collect()
+      .groupBy(_.getLong(0))
+    asof.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val errTs = r.getAs[java.sql.Timestamp]("ts")
+      val ct = r.getAs[java.sql.Timestamp]("last_click_ts")
+      assert(!ct.after(errTs), s"click after error for user $u")
+      assert(clicks(u).exists(c => c.getTimestamp(1) == ct &&
+        c.getDouble(2) == r.getAs[Double]("last_click_value")))
+    }
+  }
+
+  test("q18 bands partition all lineitems exactly once") {
+    val total = Analytics.q18RangeJoin(spark, sfTiny)
+      .agg(sum("n_lines")).collect()(0).getLong(0)
+    assert(total == Tables.lineitem(spark, sfTiny).count())
+  }
+
+  test("q19 approx distinct within 5% of exact") {
+    val bad = Analytics.q19ApproxDistinct(spark, sfTiny)
+      .filter(abs(col("approx_customers") - col("exact_customers")) >
+        col("exact_customers") * 0.05)
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
+  test("q20 returns only above-average parts and at least one") {
+    val df = Analytics.q20ScalarSubquery(spark, sfTiny).cache()
+    val n = df.count()
+    assert(n > 0 && n < Tables.part(spark, sfTiny).count())
+    df.unpersist()
+  }
+
+  test("q22 pivot row sums equal per-user event counts") {
+    import spark.implicits._
+    val pivoted = Analytics.q22Pivot(spark, sfTiny)
+      .withColumn("total", $"click" + $"error" + $"purchase" + $"signup" + $"view")
+      .select($"user_id", $"total")
+    val direct = Tables.events(spark, sfTiny).groupBy($"user_id")
+      .agg(count(lit(1)).as("total"))
+    assert(pivoted.except(direct).count() == 0)
+  }
+
+  test("analytics oracles cover the SQL-expressible queries") {
+    assert(Analytics.oracles.keySet == Analytics.queries.keySet - "q19_approx_distinct")
+  }
+}

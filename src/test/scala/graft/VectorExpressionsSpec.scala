@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+class VectorExpressionsSpec extends GraftSpec {
+
+  test("graft_dot matches the higher-order-function formulation bit-exactly") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val df = Tables.embeddings(spark, sfTiny)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("native", VectorExpressions.dot($"v", $"v"))
+      .withColumn("lambda", expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, p) -> a + p)"))
+    assert(df.filter($"native" =!= $"lambda").count() == 0)
+  }
+
+  test("graft_dot handles nulls: null array -> null, null element -> skipped") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0)))),
+      (2L, None, Some(Seq(Some(1.0)))),
+      (3L, Some(Seq(Some(1.0), None)), Some(Seq(Some(5.0), Some(7.0)))))
+      .toDF("id", "a", "b")
+      .withColumn("d", VectorExpressions.dot(col("a"), col("b")))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDouble(3) == 11.0)
+    assert(rows(1).isNullAt(3))
+    assert(rows(2).getDouble(3) == 5.0) // null element contributes 0
+  }
+
+  test("graft_dot is available from plain SQL after registration") {
+    VectorExpressions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("similarity plan stays inside whole-stage codegen with graft_dot") {
+    val df = graft.operators.Similarity.e04NearDupPairs(spark, sfTiny)
+    df.collect() // force execution so AQE's final plan (with codegen stages) exists
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"), plan.take(1500))
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(1500))
+  }
+}
