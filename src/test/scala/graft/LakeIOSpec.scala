@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Telemetry
+import graft.sources.LakeIO
+import graft.streaming.StreamOps
+
+class LakeIOSpec extends GraftSpec {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("CSV sink/scan round trip preserves the historical table (S6/S7)") {
+    import spark.implicits._
+    val hist = Telemetry.twin(spark)
+      .select($"ts".as("timestamp"), $"machine_id".as("machineId"),
+        $"temperature", $"vibration", $"is_anomaly")
+    val dir = tmp("graft-csv")
+    LakeIO.writeCsv(hist, dir)
+    val back = LakeIO.readCsv(spark, dir)
+    assert(back.count() == 10000L)
+    val a = hist.orderBy("timestamp").collect()
+    val b = back.orderBy("timestamp").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("CSV scan drops malformed rows but keeps the load alive") {
+    val dir = tmp("graft-badcsv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
+      """timestamp,machineId,temperature,vibration,is_anomaly
+        |2026-01-01 00:00:00+00:00,NC_Machine_AC,68.0,1.8,0
+        |this row is not even csv-shaped
+        |2026-01-01 00:01:00+00:00,NC_Machine_AC,85.0,3.5,1
+        |""".stripMargin)
+    // collect(), not count(): count() reads zero columns so the parser
+    // never runs and DROPMALFORMED can't drop anything (documented Spark
+    // CSV behavior)
+    assert(LakeIO.readCsv(spark, dir).collect().length == 2)
+  }
+
+  test("partitioned lake write prunes partitions on read (S5 layout)") {
+    import spark.implicits._
+    val dir = tmp("graft-lake")
+    LakeIO.writePartitionedLake(Tables.events(spark, sfTiny), dir)
+    val pruned = LakeIO.readLake(spark, dir)
+      .filter($"date" === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1200))
+    val expected = Tables.events(spark, sfTiny)
+      .filter(to_date($"ts") === "2024-01-02").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("JSON error side channel splits good and bad records (P2/S5 errors)") {
+    val dir = tmp("graft-json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "data.json"),
+      """{"machineId":"m1","temperature":67.0,"vibration":1.3,"timestamp":1754980000}
+        |this is not json
+        |{"machineId":"m2","temperature":90.0,"vibration":3.6,"timestamp":1754980001}
+        |{"broken": true
+        |""".stripMargin)
+    val (good, bad) = LakeIO.readJsonWithErrorChannel(spark, dir, StreamOps.telemetrySchema)
+    assert(good.count() == 2)
+    assert(bad.count() == 2)
+  }
+}
