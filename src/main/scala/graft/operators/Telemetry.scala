@@ -282,6 +282,39 @@ object Telemetry {
        GROUP BY user_id, session_id
        ORDER BY user_id, session_id"""
 
+  /** t09 — JSON-payload statistics: extract props.k per event type and
+    * aggregate count / mean / exact interpolated median+p90 / extremes.
+    * Spark `percentile` and DuckDB `quantile_cont` share the (n−1)·p
+    * interpolation rule, so values agree bit-for-bit under r6. */
+  def t09PropsStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        ravg($"k", 4).as("avg_k"),
+        r(expr("percentile(k, 0.5D)"), 6).as("median_k"),
+        r(expr("percentile(k, 0.9D)"), 6).as("p90_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val t09Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       ${ravgSql("k", 4)} AS avg_k,
+       ${rSql("quantile_cont(k, 0.5)", 6)} AS median_k,
+       ${rSql("quantile_cont(k, 0.9)", 6)} AS p90_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+       FROM (SELECT event_type,
+               CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
+             FROM events) t
+       WHERE k IS NOT NULL
+       GROUP BY event_type
+       ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_json_extract" -> (t01JsonExtract _),
     "t02_hourly_rollup" -> (t02HourlyRollup _),
@@ -290,7 +323,8 @@ object Telemetry {
     "t05_threshold_eval" -> (t05ThresholdEval _),
     "t06_alert_format" -> (t06AlertFormat _),
     "t07_spike_detect" -> (t07SpikeDetect _),
-    "t08_sessionize" -> (t08Sessionize _))
+    "t08_sessionize" -> (t08Sessionize _),
+    "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
     "t01_json_extract" -> t01Sql,
@@ -300,5 +334,6 @@ object Telemetry {
     "t05_threshold_eval" -> t05Sql,
     "t06_alert_format" -> t06Sql,
     "t07_spike_detect" -> t07Sql,
-    "t08_sessionize" -> t08Sql)
+    "t08_sessionize" -> t08Sql,
+    "t09_props_stats" -> t09Sql)
 }
