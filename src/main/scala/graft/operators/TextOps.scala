@@ -251,13 +251,42 @@ object TextOps {
        FROM documents
        ORDER BY doc_id"""
 
+  /** d07 — BPE-ish regex token counting: pre-tokenizer segmentation
+    * (letter runs | digit runs | single non-space symbols — the GPT-2
+    * pre-tokenizer shape without byte-level merges), counted next to the
+    * whitespace tokenization for comparison. The simple character-class
+    * regex behaves identically under Java regex and RE2. */
+  def d07BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val patt = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(toks($"text")).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit(patt), lit(0))).as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        when($"n_ws_tokens" > 0,
+          r($"n_bpe_tokens".cast("double") / $"n_ws_tokens", 4)).otherwise(0.0))
+      .orderBy($"doc_id")
+  }
+
+  val d07Sql: String =
+    s"""SELECT doc_id,
+       len(${toksSql("text")}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe_tokens,
+       CASE WHEN len(${toksSql("text")}) > 0
+            THEN ${rSql(s"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) / len(${toksSql("text")})", 4)}
+            ELSE 0.0 END AS tokens_per_word
+       FROM documents
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_token_stats" -> (d01TokenStats _),
     "d02_quality_score" -> (d02QualityScore _),
     "d03_lang_id" -> (d03LangId _),
     "d04_exact_dedup" -> (d04ExactDedup _),
     "d05_jaccard_pairs" -> (d05JaccardPairs _),
-    "d06_fingerprint" -> (d06Fingerprint _))
+    "d06_fingerprint" -> (d06Fingerprint _),
+    "d07_bpe_tokens" -> (d07BpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "d01_token_stats" -> d01Sql,
@@ -265,5 +294,6 @@ object TextOps {
     "d03_lang_id" -> d03Sql,
     "d04_exact_dedup" -> d04Sql,
     "d05_jaccard_pairs" -> d05Sql,
-    "d06_fingerprint" -> d06Sql)
+    "d06_fingerprint" -> d06Sql,
+    "d07_bpe_tokens" -> d07Sql)
 }

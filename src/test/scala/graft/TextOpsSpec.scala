@@ -48,6 +48,11 @@ class TextOpsSpec extends GraftSpec {
     assert(df.filter(col("n") > 1).count() == 0)
   }
 
+  test("d07 BPE-ish tokens are at least as many as whitespace tokens") {
+    val df = TextOps.d07BpeTokens(spark, sfTiny)
+    assert(df.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+  }
+
   test("every text query runs and returns rows at sf0.001") {
     TextOps.queries.foreach { case (name, fn) =>
       assert(fn(spark, sfTiny).count() > 0, s"$name returned 0 rows")
