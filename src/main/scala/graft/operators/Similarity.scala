@@ -154,13 +154,57 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** e05 — IVF-style approximate NN (the second scale path): a coarse
+    * quantizer of NLIST deterministic centroids (every (n/NLIST)-th corpus
+    * vector), each vector assigned to its nearest centroid (one broadcast
+    * pass), queries probing their NPROBE nearest centroid lists. The
+    * corpus shuffles once on the centroid id; search cost drops from
+    * O(n·q) to O(n·q·NPROBE/NLIST). Deterministic throughout (centroid
+    * choice, argmin tie-break by centroid id) — but the probe set isn't
+    * SQL-practical in DuckDB, so: rows-only + SimilaritySpec. */
+  def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val NList = 16
+    val NProbe = 4
+    val c = corpus(s, dir).cache()
+    val n = c.count()
+    val stride = math.max(1L, n / NList)
+    val cents = c.filter($"vec_id" % stride === 0 && $"vec_id" / stride < NList)
+      .select(($"vec_id" / stride).cast("int").as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+    // assign: per (vector, centroid) cosine → best NPROBE for queries,
+    // best 1 for corpus rows (classic IVF assignment)
+    val scored = c.join(broadcast(cents))
+      .withColumn("ccos", VectorExpressions.dot($"v", $"cv") / ($"nrm" * $"cnrm"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val assigned = scored
+      .withColumn("crank", row_number().over(wAssign))
+      .filter($"crank" === 1)
+      .select($"cid", $"vec_id".as("neighbor_id"), $"v".as("cv2"), $"nrm".as("cnrm2"))
+    val probes = scored
+      .filter($"vec_id" % 100 === 0)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter($"crank" <= NProbe)
+      .select($"cid", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    probes.join(assigned, Seq("cid"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine",
+        r(VectorExpressions.dot($"qv", $"cv2") / ($"qnrm" * $"cnrm2"), 6))
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .distinct() // a neighbor can appear via several probed lists
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
-    "e04_neardup_pairs" -> (e04NearDupPairs _))
+    "e04_neardup_pairs" -> (e04NearDupPairs _),
+    "e05_ivf_ann" -> (e05IvfAnn _))
 
-  /** e03 intentionally absent — rows-only check + SimilaritySpec. */
+  /** e03/e05 intentionally absent — rows-only checks + SimilaritySpec. */
   val oracles: Map[String, String] = Map(
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,

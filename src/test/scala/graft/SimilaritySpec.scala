@@ -49,7 +49,18 @@ class SimilaritySpec extends GraftSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("e05 IVF neighbors report exact cosines and nonzero recall") {
+    val approx = Similarity.e05IvfAnn(spark, sfTiny)
+      .select("query_id", "neighbor_id", "cosine")
+    val exact = Similarity.e01CosineTopK(spark, sfTiny)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("c2"))
+    val joined = approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
+    assert(joined.filter(col("cosine") =!= col("c2")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
   test("similarity oracles cover the SQL-expressible queries") {
-    assert(Similarity.oracles.keySet == Similarity.queries.keySet - "e03_lsh_ann")
+    assert(Similarity.oracles.keySet ==
+      Similarity.queries.keySet -- Set("e03_lsh_ann", "e05_ivf_ann"))
   }
 }
