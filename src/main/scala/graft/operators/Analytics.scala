@@ -158,13 +158,55 @@ object Analytics {
        ORDER BY user_id"""
   }
 
+  /** q23 — statistical aggregates: sample stddev/variance and Pearson
+    * correlation per return flag. Built-in stddev/corr accumulate doubles
+    * in partition order (non-reproducible across engines), so the moments
+    * (Σx, Σx², Σxy) go through exact decimal sums and the classic
+    * closed forms are evaluated in double — bit-identical both sides. */
+  def q23StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        m($"l_quantity").as("sx"),
+        m($"l_quantity" * $"l_quantity").as("sxx"),
+        m($"l_extendedprice").as("sy"),
+        m($"l_extendedprice" * $"l_extendedprice").as("syy"),
+        m($"l_quantity" * $"l_extendedprice").as("sxy"))
+      .select($"l_returnflag", $"n",
+        r(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1), 6).as("var_qty"),
+        r(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("stddev_qty"),
+        r(($"sxy" - $"sx" * $"sy" / $"n") /
+          (sqrt($"sxx" - $"sx" * $"sx" / $"n") * sqrt($"syy" - $"sy" * $"sy" / $"n")), 6)
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q23Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""SELECT l_returnflag, n,
+       ${rSql("(sxx - sx * sx / n) / (n - 1)", 6)} AS var_qty,
+       ${rSql("sqrt((sxx - sx * sx / n) / (n - 1))", 6)} AS stddev_qty,
+       ${rSql("(sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))", 6)} AS corr_qty_price
+       FROM (SELECT l_returnflag, count(*) AS n,
+         ${m("l_quantity")} AS sx,
+         ${m("l_quantity * l_quantity")} AS sxx,
+         ${m("l_extendedprice")} AS sy,
+         ${m("l_extendedprice * l_extendedprice")} AS syy,
+         ${m("l_quantity * l_extendedprice")} AS sxy
+         FROM lineitem GROUP BY l_returnflag) t
+       ORDER BY l_returnflag"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_asof_join" -> (q17AsofJoin _),
     "q18_range_join" -> (q18RangeJoin _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q20_scalar_subquery" -> (q20ScalarSubquery _),
     "q21_correlated_agg" -> (q21CorrelatedAgg _),
-    "q22_pivot" -> (q22Pivot _))
+    "q22_pivot" -> (q22Pivot _),
+    "q23_stats_agg" -> (q23StatsAgg _))
 
   /** q19 is sketch-based → rows-only + AnalyticsSpec. */
   val oracles: Map[String, String] = Map(
@@ -172,5 +214,6 @@ object Analytics {
     "q18_range_join" -> q18Sql,
     "q20_scalar_subquery" -> q20Sql,
     "q21_correlated_agg" -> q21Sql,
-    "q22_pivot" -> q22Sql)
+    "q22_pivot" -> q22Sql,
+    "q23_stats_agg" -> q23Sql)
 }
