@@ -142,6 +142,22 @@ object StreamOps {
       }
   }
 
+  /** foreachBatch lake compactor: per micro-batch, drop QoS-1 duplicates
+    * and append to the lake — the escape hatch when a sink needs logic no
+    * declarative writer has (idempotent upserts, multi-table fan-out).
+    * Dedup here is within-batch; cross-batch dedup belongs to
+    * [[dedupQos1]] upstream. */
+  def foreachBatchCompact(df: DataFrame, path: String,
+    checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.dropDuplicates("machineId", "ts")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+
   /** S5 — buffered, compressed, time-partitioned lake sink: 300-s
     * processing-time trigger ≈ Firehose's 300-s buffer; gzip ≈ its
     * CompressionFormat; date/hour partition columns ≈ its prefix paths;

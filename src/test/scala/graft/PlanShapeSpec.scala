@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import graft.operators.{Relational, Telemetry, TextOps}
+
+/** Plan-shape regression guards: the scale story is "minimal shuffles,
+  * broadcast dims, pushdown" — these specs pin the shuffle counts so a
+  * future refactor can't silently regress a single-exchange plan into a
+  * multi-shuffle one. Counts are upper bounds on the FINAL (post-AQE)
+  * physical plan.
+  */
+class PlanShapeSpec extends GraftSpec {
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force execution so AQE settles
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def countNodes(df: DataFrame)(pred: SparkPlan => Boolean): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      if (pred(p)) n += 1
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan) // AQE stages hide children
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(finalPlan(df))
+    n
+  }
+
+  private def countShuffles(df: DataFrame): Int =
+    countNodes(df)(_.isInstanceOf[ShuffleExchangeLike])
+
+  private def countBroadcasts(df: DataFrame): Int =
+    countNodes(df)(_.isInstanceOf[BroadcastExchangeLike])
+
+  test("q01 aggregation: one agg exchange + one sort exchange") {
+    assert(countShuffles(Relational.q01PricingSummary(spark, sfTiny)) <= 2)
+  }
+
+  test("q06 broadcast-dim join: no shuffle for the join itself") {
+    val df = Relational.q06BrandRevenue(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1)
+    assert(countShuffles(df) <= 2) // agg + sort only
+  }
+
+  test("t03 compaction: one window shuffle + one sort") {
+    assert(countShuffles(Telemetry.t03LatestPerKey(spark, sfTiny)) <= 2)
+  }
+
+  test("t07 spike detection: one window shuffle + one sort") {
+    assert(countShuffles(Telemetry.t07SpikeDetect(spark, sfTiny)) <= 2)
+  }
+
+  test("d04 exact dedup: one hash exchange + one sort") {
+    assert(countShuffles(TextOps.d04ExactDedup(spark, sfTiny)) <= 2)
+  }
+
+  test("t04 generator twin: zero shuffles (generated scan + sort only)") {
+    // range → expressions is scan-local; only the final sort may exchange
+    assert(countShuffles(Telemetry.t04GeneratorTwin(spark, sfTiny)) <= 1)
+  }
+}

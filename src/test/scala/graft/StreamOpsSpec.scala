@@ -101,6 +101,48 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("live rate-source simulator produces reference-shaped telemetry (S1)") {
+    val q = StreamOps.simulatorStream(spark, rowsPerSecond = 200)
+      .writeStream.format("memory").queryName("sim").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("sim").count() < 50 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+      }
+      val rows = spark.table("sim").collect()
+      assert(rows.length >= 50, s"only ${rows.length} rows")
+      rows.foreach { r =>
+        val t = r.getAs[Double]("temperature")
+        val v = r.getAs[Double]("vibration")
+        assert(r.getAs[String]("machineId") == "NC_Machine_AC")
+        assert(t >= 65.0 && t <= 90.0, s"temp $t")   // U(65,70) + optional +15
+        assert(v >= 1.2 && v <= 3.5, s"vib $v")      // U(1.2,1.5) + optional +2
+      }
+      // anomaly spike (+15, +2) appears in roughly 10% of records
+      val anomalies = rows.count(_.getAs[Double]("temperature") > 70.0)
+      assert(anomalies > 0, "no anomaly spikes observed")
+    } finally q.stop()
+  }
+
+  test("foreachBatchCompact dedups within batch and appends with batch ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Double, Long)]
+    in.addData(("m1", 67.0, 1.3, 1000L), ("m1", 67.0, 1.3, 1000L), ("m2", 68.0, 1.4, 1001L))
+    val df = in.toDF().toDF("machineId", "temperature", "vibration", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = tmp("graft-compact")
+    val q = StreamOps.foreachBatchCompact(df, out, tmp("graft-compact-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      in.addData(("m1", 67.0, 1.3, 1000L), ("m3", 70.0, 1.5, 1002L)) // dup of batch 0 + new
+      q.processAllAvailable()
+    } finally q.stop()
+    val lake = spark.read.parquet(out)
+    assert(lake.count() == 4) // 2 (batch 0 deduped) + 2 (batch 1: cross-batch dup kept)
+    assert(lake.select("batch_id").distinct().count() == 2)
+  }
+
   test("bufferedLakeSink writes gzip json under date/hour partitions (S5)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
