@@ -199,6 +199,35 @@ object Analytics {
        ORDER BY l_returnflag"""
   }
 
+  /** q24 — FILTER-clause conditional aggregates + multiset set ops:
+    * per-status filtered sums (ANSI FILTER syntax, identical in both
+    * engines) over the multiset difference of two order cohorts
+    * (EXCEPT ALL preserves duplicity, unlike q12's EXCEPT). */
+  def q24FilteredMultiset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderstatus", $"o_totalprice", year($"o_orderdate").as("y"))
+    val a = ord.filter($"y" <= 1997).select($"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val b = ord.filter($"y" >= 1997).select($"o_custkey", $"o_orderstatus", $"o_totalprice")
+    a.exceptAll(b)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count(when($"o_totalprice" > 100000.0, 1)).as("n_big"),
+        rsum(when($"o_totalprice" > 100000.0, $"o_totalprice").otherwise(0.0), 2).as("big_total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q24Sql: String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+       ${rsumSql("CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0.0 END", 2)} AS big_total
+       FROM (
+         SELECT o_custkey, o_orderstatus, o_totalprice FROM orders WHERE year(o_orderdate) <= 1997
+         EXCEPT ALL
+         SELECT o_custkey, o_orderstatus, o_totalprice FROM orders WHERE year(o_orderdate) >= 1997) t
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_asof_join" -> (q17AsofJoin _),
     "q18_range_join" -> (q18RangeJoin _),
@@ -206,7 +235,8 @@ object Analytics {
     "q20_scalar_subquery" -> (q20ScalarSubquery _),
     "q21_correlated_agg" -> (q21CorrelatedAgg _),
     "q22_pivot" -> (q22Pivot _),
-    "q23_stats_agg" -> (q23StatsAgg _))
+    "q23_stats_agg" -> (q23StatsAgg _),
+    "q24_filtered_multiset" -> (q24FilteredMultiset _))
 
   /** q19 is sketch-based → rows-only + AnalyticsSpec. */
   val oracles: Map[String, String] = Map(
@@ -215,5 +245,6 @@ object Analytics {
     "q20_scalar_subquery" -> q20Sql,
     "q21_correlated_agg" -> q21Sql,
     "q22_pivot" -> q22Sql,
-    "q23_stats_agg" -> q23Sql)
+    "q23_stats_agg" -> q23Sql,
+    "q24_filtered_multiset" -> q24Sql)
 }
