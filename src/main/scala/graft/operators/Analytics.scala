@@ -228,6 +228,67 @@ object Analytics {
        GROUP BY o_orderstatus
        ORDER BY o_orderstatus"""
 
+  /** q25 — HAVING: brands whose line count clears a floor (post-aggregate
+    * predicate; Catalyst evaluates it as a filter above the final agg). */
+  def q25Having(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"), rsum($"l_quantity", 2).as("sum_qty"))
+      .filter($"n_lines" >= 100)
+      .orderBy($"p_brand")
+  }
+
+  val q25Sql: String =
+    s"""SELECT p_brand, count(*) AS n_lines, ${rsumSql("l_quantity", 2)} AS sum_qty
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand
+       HAVING count(*) >= 100
+       ORDER BY p_brand"""
+
+  /** q26 — unpivot (melt): q22's wide per-user counts back to long form
+    * (Spark `unpivot` API; the oracle uses the portable UNION ALL form). */
+  def q26Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q22Pivot(s, dir)
+      .unpivot(Array($"user_id"), EventTypes.map(col).toArray, "event_type", "n_events")
+      .filter($"n_events" > 0)
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q26Sql: String = {
+    val arms = EventTypes.map(t =>
+      s"""SELECT user_id, '$t' AS event_type, "$t" AS n_events FROM p""")
+      .mkString("\n       UNION ALL\n       ")
+    s"""WITH p AS ($q22Sql)
+       SELECT user_id, event_type, n_events FROM (
+       $arms) u
+       WHERE n_events > 0
+       ORDER BY user_id, event_type"""
+  }
+
+  /** q27 — deterministic array aggregation: sorted distinct status set per
+    * priority (collect_set alone is order-nondeterministic; array_sort
+    * pins it — the only reproducible form of array agg). */
+  def q27ArrayAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(array_sort(collect_set($"o_orderstatus")).as("statuses"),
+        countDistinct($"o_orderstatus").as("n_statuses"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q27Sql: String =
+    """SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       count(DISTINCT o_orderstatus) AS n_statuses
+       FROM orders
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_asof_join" -> (q17AsofJoin _),
     "q18_range_join" -> (q18RangeJoin _),
@@ -236,7 +297,10 @@ object Analytics {
     "q21_correlated_agg" -> (q21CorrelatedAgg _),
     "q22_pivot" -> (q22Pivot _),
     "q23_stats_agg" -> (q23StatsAgg _),
-    "q24_filtered_multiset" -> (q24FilteredMultiset _))
+    "q24_filtered_multiset" -> (q24FilteredMultiset _),
+    "q25_having" -> (q25Having _),
+    "q26_unpivot" -> (q26Unpivot _),
+    "q27_array_agg" -> (q27ArrayAgg _))
 
   /** q19 is sketch-based → rows-only + AnalyticsSpec. */
   val oracles: Map[String, String] = Map(
@@ -246,5 +310,8 @@ object Analytics {
     "q21_correlated_agg" -> q21Sql,
     "q22_pivot" -> q22Sql,
     "q23_stats_agg" -> q23Sql,
-    "q24_filtered_multiset" -> q24Sql)
+    "q24_filtered_multiset" -> q24Sql,
+    "q25_having" -> q25Sql,
+    "q26_unpivot" -> q26Sql,
+    "q27_array_agg" -> q27Sql)
 }
