@@ -134,18 +134,23 @@ object Analytics {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  /** q22 — pivot: per-user event-type counts as columns (Spark `pivot`
-    * with a pinned value list → no extra distinct-values job; nulls
-    * filled 0 to match the oracle's conditional sums). */
-  def q22Pivot(s: SparkSession, dir: String): DataFrame = {
+  /** unsorted pivot core shared by q22 (adds the sort) and q26 (unpivots —
+    * sorting before Expand would be a wasted full-table shuffle+sort that
+    * EliminateSorts cannot remove). */
+  private def pivotCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"user_id")
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)
-      .orderBy($"user_id")
   }
+
+  /** q22 — pivot: per-user event-type counts as columns (Spark `pivot`
+    * with a pinned value list → no extra distinct-values job; nulls
+    * filled 0 to match the oracle's conditional sums). */
+  def q22Pivot(s: SparkSession, dir: String): DataFrame =
+    pivotCore(s, dir).orderBy(col("user_id"))
 
   val q22Sql: String = {
     val cols = EventTypes.map(t =>
@@ -252,7 +257,7 @@ object Analytics {
     * (Spark `unpivot` API; the oracle uses the portable UNION ALL form). */
   def q26Unpivot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    q22Pivot(s, dir)
+    pivotCore(s, dir)
       .unpivot(Array($"user_id"), EventTypes.map(col).toArray, "event_type", "n_events")
       .filter($"n_events" > 0)
       .orderBy($"user_id", $"event_type")
@@ -274,7 +279,11 @@ object Analytics {
     * pins it — the only reproducible form of array agg). */
   def q27ArrayAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // explicit null guard: Spark collect_set silently DROPS nulls while
+    // DuckDB list(DISTINCT) KEEPS one — filtering in both engines pins the
+    // semantics instead of relying on the column never being null
     Tables.orders(s, dir)
+      .filter($"o_orderstatus".isNotNull)
       .groupBy($"o_orderpriority")
       .agg(array_sort(collect_set($"o_orderstatus")).as("statuses"),
         countDistinct($"o_orderstatus").as("n_statuses"))
@@ -286,6 +295,7 @@ object Analytics {
        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
        count(DISTINCT o_orderstatus) AS n_statuses
        FROM orders
+       WHERE o_orderstatus IS NOT NULL
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
