@@ -62,23 +62,26 @@ object DedupLsh {
     shingleDocs(Tables.documents(s, dir).select($"doc_id", $"text")).cache()
   }
 
-  /** j-th MinHash of a shingle set: min over shingles of an affine-permuted
-    * xxhash64; pmod keeps values in [0, P). */
-  private def minhash(sh: Column, j: Int): Column = {
-    val a = 2L * j + 1L
-    val b = j * 7919L + 13L
-    array_min(transform(sh, t => pmod(lit(a) * pmod(xxhash64(t), lit(P)) + lit(b), lit(P))))
-  }
-
-  /** signature array + per-band bucket hashes for one document. */
+  /** Signature + per-band bucket hashes for every document.
+    *
+    * Shaped like [[simHash]] for codegen: explode shingles, hash once,
+    * then 32 MIN aggregates of the affine permutations in one
+    * whole-stage-codegen'd hash aggregate — the array_min(transform(...))
+    * form evaluates 32·|sh| interpreted lambdas per doc instead
+    * (higher-order functions never enter codegen). Values are identical:
+    * min over rows of pmod(a_j·pmod(h,P)+b_j, P) per doc. */
   private def withSignature(docs: DataFrame): DataFrame = {
-    val sig = array((0 until NumHashes).map(j => minhash(col("sh"), j)): _*)
-    val banded = docs.withColumn("sig", sig)
+    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("t"))
+      .withColumn("h", pmod(xxhash64(col("t")), lit(P)))
+    val mins = (0 until NumHashes).map { j =>
+      min(pmod(lit(2L * j + 1L) * col("h") + lit(j * 7919L + 13L), lit(P))).as(s"s$j")
+    }
+    val sums = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until Bands).map { bnd =>
-      val parts = (0 until RowsPerBand).map(r => col("sig")(bnd * RowsPerBand + r).cast("string"))
+      val parts = (0 until RowsPerBand).map(r => col(s"s${bnd * RowsPerBand + r}").cast("string"))
       struct(lit(bnd).as("band"), xxhash64(concat_ws(":", parts: _*)).as("bh"))
     }
-    banded.withColumn("bands", array(bandCols: _*))
+    sums.withColumn("bands", array(bandCols: _*))
   }
 
   /** Core MinHash-LSH pairing over (doc_id, sh): candidates share ≥1 band,

@@ -192,18 +192,25 @@ object TextOps {
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts"))
     val vocabSize = docs.select(explode($"ts")).distinct().count()
+    // lossless size pruning: J ≥ 0.5 ⟹ I ≥ (|A|+|B|)/3 and I ≤ min ⟹
+    // max ≤ 2·min — pairs outside the 2× size band can never qualify, so
+    // the predicate drops them before the intersection is computed (the
+    // oracle needn't mirror it: it only removes non-qualifying pairs)
+    def sizeBand(na: Column, nb: Column): Column = na <= nb * 2 && nb <= na * 2
     val (pairs, inter, nta, ntb) =
       if (vocabSize <= TokenBits.MaxVocab) {
         val m = TokenBits.withMasks(docs, TokenBits.nWords(vocabSize))
         val a = m.select($"doc_id", $"lang", $"nt", $"mask".as("ma")).as("a")
         val b = m.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"),
           $"nt".as("nt_b"), $"mask".as("mb"))
-        (a.join(b, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b"),
+        (a.join(b, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
+          sizeBand($"nt", $"nt_b")),
           TokenBits.interExpr, $"nt", $"nt_b")
       } else {
         val a = docs.as("a")
         val b = docs.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"), $"ts".as("tsb"))
-        (a.join(b, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b"),
+        (a.join(b, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
+          sizeBand(size($"ts"), size($"tsb"))),
           size(array_intersect($"ts", $"tsb")), size($"ts"), size($"tsb"))
       }
     pairs
