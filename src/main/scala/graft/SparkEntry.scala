@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, DedupLsh, Multimodal, Relational, Similarity, Telemetry, TextOps}
+import graft.operators.{Advanced, Analytics, Corpus, DedupLsh, Multimodal, Relational, Similarity, Telemetry, TextOps}
 import graft.ml.Maintenance
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,14 +19,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Analytics.queries ++ Telemetry.queries ++
-      TextOps.queries ++ Similarity.queries ++ DedupLsh.queries ++
+    Relational.queries ++ Analytics.queries ++ Advanced.queries ++
+      Telemetry.queries ++ TextOps.queries ++ Corpus.queries ++
+      Similarity.queries ++ DedupLsh.queries ++
       Multimodal.queries ++ Maintenance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Analytics.oracles ++ Telemetry.oracles ++
-      TextOps.oracles ++ Similarity.oracles ++ DedupLsh.oracles ++
+    Relational.oracles ++ Analytics.oracles ++ Advanced.oracles ++
+      Telemetry.oracles ++ TextOps.oracles ++ Corpus.oracles ++
+      Similarity.oracles ++ DedupLsh.oracles ++
       Multimodal.oracles ++ Maintenance.oracles
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Num._
+
+/** Second wave of relational/analytics operators (SURVEY.md §2.4):
+  * distribution window functions, multiset intersection, lateral token
+  * expansion, cohort retention, deterministic stratified sampling, and
+  * date-spine gap filling. All oracle-checked against DuckDB.
+  *
+  * Scale notes are per-query; the common theme is one shuffle on the
+  * natural key, broadcast for every small side, and total-order output.
+  */
+object Advanced {
+
+  /** q28 — distribution window functions: quartile (ntile), percent_rank,
+    * cume_dist of customers by account balance within market segment.
+    * The window order (c_acctbal, c_custkey) is a total order, so every
+    * rank function is deterministic; percent_rank/cume_dist are single
+    * IEEE divisions of exact integers (identical across engines), rounded
+    * through the shared policy anyway. One shuffle on c_mktsegment; at
+    * 100 TB a global per-segment sort is the unavoidable cost of exact
+    * quantile assignment — the approximate path is percentile_approx. */
+  def q28WindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", r(percent_rank().over(w), 6))
+      .withColumn("cume", r(cume_dist().over(w), 6))
+      .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
+  }
+
+  val q28Sql: String =
+    s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       ${rSql("percent_rank() OVER w", 6)} AS pct_rank,
+       ${rSql("cume_dist() OVER w", 6)} AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_mktsegment, c_acctbal, c_custkey"""
+
+  /** q29 — INTERSECT ALL (multiset intersection, min-of-multiplicities):
+    * (customer, status) pairs present in both the ≤1996 and ≥1997 order
+    * cohorts, aggregated per status. Catalyst plans intersectAll as a
+    * count-compare aggregate — one shuffle on the full row, same as the
+    * oracle's semantics. Complements q12 (distinct set ops) and q24
+    * (EXCEPT ALL). */
+  def q29IntersectAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderstatus", year($"o_orderdate").as("y"))
+    val a = ord.filter($"y" <= 1996).select($"o_custkey", $"o_orderstatus")
+    val b = ord.filter($"y" >= 1997).select($"o_custkey", $"o_orderstatus")
+    a.intersectAll(b)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_pairs,
+       count(DISTINCT o_custkey) AS n_customers
+       FROM (
+         SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) <= 1996
+         INTERSECT ALL
+         SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) >= 1997) t
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus"""
+
+  /** q30 — lateral/generator expansion with ordinality: the first three
+    * whitespace tokens of each document with their positions (posexplode;
+    * the oracle uses DuckDB's lateral generate_series since its unnest
+    * carries no ordinality). Generator output is bounded (≤3 rows/doc) so
+    * the expansion cannot blow up downstream; slice-before-explode keeps
+    * the per-row work O(3), not O(n_tokens). */
+  def q30LateralTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = filter(split(trim($"text"), "\\s+"), t => t =!= "")
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(slice(toks, 1, 3)).as(Seq("pos", "token")))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  // DuckDB's table-function generate_series rejects lateral column args, so
+  // the oracle zips two unnests (same-length lists zip row-wise) instead.
+  val q30Sql: String =
+    """WITH d AS (SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS ts
+       FROM documents),
+       u AS (SELECT doc_id, unnest(generate_series(1, least(3, len(ts)))) AS i,
+             unnest(ts[1:3]) AS token FROM d)
+       SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, token FROM u
+       ORDER BY doc_id, pos"""
+
+  /** q31 — weekly cohort retention over the events stream: users grouped
+    * by first-active week; per (cohort, week-offset) distinct active
+    * users and retention ratio. Two shuffles (user_id for firsts, cohort
+    * key for the report) — the user-level distinct is the classic
+    * pre-aggregation that keeps the big shuffle on (user, week) pairs,
+    * never raw events; cohort sizes broadcast back. */
+  def q31CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+    val firsts = ev.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    val sizes = firsts.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+    ev.distinct()
+      .join(firsts, "user_id")
+      .select($"cohort_week",
+        (datediff($"wk", $"cohort_week") / 7).cast("int").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention", r($"n_active".cast("double") / $"cohort_size", 6))
+      .select($"cohort_week", $"week_offset", $"n_active", $"cohort_size", $"retention")
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q31Sql: String =
+    s"""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+       firsts AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+       sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week),
+       act AS (SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, e.wk) / 7 AS INTEGER) AS week_offset,
+           count(*) AS n_active
+         FROM (SELECT DISTINCT user_id, wk FROM ev) e JOIN firsts f USING (user_id)
+         GROUP BY 1, 2)
+       SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+         ${rSql("a.n_active / s.cohort_size", 6)} AS retention
+       FROM act a JOIN sizes s USING (cohort_week)
+       ORDER BY a.cohort_week, a.week_offset"""
+
+  /** s01 — deterministic stratified sampling: per-segment sampling rates
+    * (permille) applied through a seeded LCG hash of the key, so the
+    * sample is reproducible across engines and runs — the property
+    * `rand()`-based sampling cannot give (SURVEY.md §7 "Oracle parity").
+    * The rate table is broadcast; the filter is scan-local (no shuffle at
+    * all), which is what makes hash-sampling the only sampling strategy
+    * that scales: TABLESAMPLE/rand() resample differently per retry. */
+  def s01StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = s.createDataFrame(Seq(
+      ("BUILDING", 200L), ("AUTOMOBILE", 100L))).toDF("seg", "permille")
+    Tables.customer(s, dir)
+      .join(broadcast(rates), $"c_mktsegment" === $"seg", "left")
+      .withColumn("p", coalesce($"permille", lit(50L)))
+      .filter(($"c_custkey" * 48271L + 11L) % 1000003L % 1000L < $"p")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val s01Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+       FROM customer LEFT JOIN (VALUES ('BUILDING', 200), ('AUTOMOBILE', 100)) r(seg, permille)
+         ON c_mktsegment = seg
+       WHERE ((CAST(c_custkey AS BIGINT) * 48271 + 11) % 1000003) % 1000 < COALESCE(permille, 50)
+       ORDER BY c_custkey"""
+
+  /** t10 — date-spine gap filling: per-day error-event counts with
+    * explicit zero rows for silent days (sequence + explode builds the
+    * spine from the observed bounds; left join + coalesce fills). The
+    * spine side is tiny (days), the counts side is pre-aggregated before
+    * the join — at 100 TB the join input is |days| × |distinct days|,
+    * not raw events. */
+  def t10DateSpine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(to_date($"ts").as("d"), $"event_type", $"value")
+    val errs = ev.filter($"event_type" === "error")
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_errors"), rsum($"value", 2).as("error_value"))
+    val spine = ev.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("d"))
+    spine.join(errs, Seq("d"), "left")
+      .na.fill(0L, Seq("n_errors")).na.fill(0.0, Seq("error_value"))
+      .orderBy($"d")
+  }
+
+  // list-form generate_series (unnest in the select list) — the table-form
+  // can't take the lateral b.lo/b.hi column args in DuckDB.
+  val t10Sql: String =
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+       b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+       sp0 AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g FROM b),
+       spine AS (SELECT CAST(g AS DATE) AS d FROM sp0),
+       errs AS (SELECT d, count(*) AS n_errors, ${rsumSql("value", 2)} AS error_value
+                FROM ev WHERE event_type = 'error' GROUP BY d)
+       SELECT spine.d, COALESCE(errs.n_errors, 0) AS n_errors,
+         COALESCE(errs.error_value, 0.0) AS error_value
+       FROM spine LEFT JOIN errs USING (d)
+       ORDER BY spine.d"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_window_distribution" -> (q28WindowDistribution _),
+    "q29_intersect_all" -> (q29IntersectAll _),
+    "q30_lateral_tokens" -> (q30LateralTokens _),
+    "q31_cohort_retention" -> (q31CohortRetention _),
+    "s01_stratified_sample" -> (s01StratifiedSample _),
+    "t10_date_spine" -> (t10DateSpine _))
+
+  val oracles: Map[String, String] = Map(
+    "q28_window_distribution" -> q28Sql,
+    "q29_intersect_all" -> q29Sql,
+    "q30_lateral_tokens" -> q30Sql,
+    "q31_cohort_retention" -> q31Sql,
+    "s01_stratified_sample" -> s01Sql,
+    "t10_date_spine" -> t10Sql)
+}

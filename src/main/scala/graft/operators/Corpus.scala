@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Num._
+import TextOps.{toks, toksSql}
+
+/** Corpus-level text operators: TF-IDF term weighting and near-duplicate
+  * cluster formation (connected components over the d05 pair graph) — the
+  * two standard steps after pairwise dedup scoring in an LLM-data pipeline
+  * (pick canonical documents per duplicate cluster; weight terms for
+  * quality/filter models).
+  */
+object Corpus {
+
+  /** d08 — TF-IDF: top-3 terms per document by tf·ln(N/df), lowercased
+    * whitespace tokens. Plan shape: one explode→groupBy for tf (shuffle on
+    * (doc, term)), one groupBy for df (shuffle on term), a shuffle join
+    * tf⋈df on term, and a per-doc window for the top-3 — every stage keyed
+    * on uniformly-distributed text terms, so it scales linearly; df and N
+    * are corpus-wide but tiny (vocabulary-sized / scalar). Ranking uses the
+    * ROUNDED score (term as tie-break) so Spark and DuckDB rank
+    * identically even when raw doubles differ in the last ulp. */
+  def d08Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select($"doc_id", explode(toks(lower($"text"))).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        r($"tf" * log($"n".cast("double") / $"df"), 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val d08Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n FROM documents),
+       sc AS (SELECT doc_id, tf.term AS term,
+                ${rSql("tf * ln(CAST(n AS DOUBLE) / df)", 6)} AS tfidf
+              FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       rk AS (SELECT doc_id, term, tfidf,
+                row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+              FROM sc)
+       SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 3
+       ORDER BY doc_id, rk"""
+
+  /** d09 — near-duplicate clusters: connected components over the J ≥ 0.5
+    * pair graph ([[TextOps.nearDupPairs]]), labeling every document with
+    * the minimum doc_id reachable from it (= canonical representative).
+    *
+    * Implementation is distributed min-label propagation: each round joins
+    * the current labels to the (bidirectional) edge list and takes the
+    * per-node min — one shuffle join + one shuffle agg per round,
+    * converging in graph-diameter rounds. Near-dup components are dense
+    * and shallow (duplicates of one source document), so the diameter is
+    * tiny; for adversarial long-chain graphs the same loop upgrades to the
+    * alternating large-star/small-star algorithm (O(log n) rounds,
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Convergence is detected by the label-sum fixpoint: labels
+    * only ever decrease, so an unchanged sum ⟺ no label moved.
+    * `localCheckpoint` truncates the per-round lineage so the final plan
+    * doesn't re-derive the whole loop.
+    *
+    * The DuckDB oracle computes the same fixpoint with a recursive CTE —
+    * fully SQL-expressible, so this IS oracle-checked (rare for an
+    * iterative graph operator). */
+  def d09DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = TextOps.nearDupPairs(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val ee = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id".as("node"), $"doc_id".as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum($"label")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val prop = labels.join(ee, $"node" === $"src").select($"dst".as("node"), $"label")
+      val next = labels.union(prop)
+        .groupBy($"node").agg(min($"label").as("label"))
+        .localCheckpoint(true)
+      val s2 = next.agg(sum($"label")).head.getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = next
+      iter += 1
+    }
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"label")))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val d09Sql: String =
+    s"""WITH RECURSIVE
+       d AS (SELECT doc_id, lang, list_distinct(${toksSql("text")}) AS ts FROM documents),
+       e AS (SELECT doc_a, doc_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ${rSql("len(list_intersect(a.ts, b.ts)) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 6)} AS jaccard
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.5),
+       ee AS (SELECT doc_a AS src, doc_b AS dst FROM e
+              UNION ALL SELECT doc_b, doc_a FROM e),
+       cc AS (SELECT doc_id AS node, doc_id AS label FROM d
+              UNION
+              SELECT ee.dst AS node, cc.label FROM cc JOIN ee ON cc.node = ee.src),
+       lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
+       SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM lab
+       ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d08_tfidf" -> (d08Tfidf _),
+    "d09_dedup_clusters" -> (d09DedupClusters _))
+
+  val oracles: Map[String, String] = Map(
+    "d08_tfidf" -> d08Sql,
+    "d09_dedup_clusters" -> d09Sql)
+}

@@ -23,11 +23,11 @@ import Num._
 object TextOps {
 
   /** tokens as a Column (Spark side). */
-  private def toks(c: Column): Column =
+  private[operators] def toks(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
   /** DuckDB equivalent of [[toks]]. */
-  private def toksSql(e: String): String =
+  private[operators] def toksSql(e: String): String =
     s"list_filter(string_split_regex(trim($e), '\\s+'), t -> t != '')"
 
   /** d01 — token statistics: token count, char count, avg token length. */
@@ -189,6 +189,16 @@ object TextOps {
     * way (same |A∩B|), so one oracle serves both. */
   def d05JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    nearDupPairs(s, dir)
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(500)
+  }
+
+  /** All near-duplicate pairs (J ≥ 0.5) — the shared edge generator for
+    * d05's report and d09's cluster builder ([[Corpus.d09DedupClusters]]).
+    * Unsorted/unlimited; columns (doc_a, doc_b, lang, jaccard). */
+  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts"))
     val vocabSize = docs.select(explode($"ts")).distinct().count()
@@ -217,8 +227,6 @@ object TextOps {
       .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"), $"lang",
         r(inter.cast("double") / (nta + ntb - inter), 6).as("jaccard"))
       .filter($"jaccard" >= 0.5)
-      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
-      .limit(500)
   }
 
   val d05Sql: String = {

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Advanced
+
+class AdvancedSpec extends GraftSpec {
+
+  test("q28 quartiles balanced within each segment, ranks in [0,1]") {
+    import spark.implicits._
+    val out = Advanced.q28WindowDistribution(spark, sfTiny).cache()
+    try {
+      val byQ = out.groupBy($"c_mktsegment", $"quartile").count()
+        .groupBy($"c_mktsegment")
+        .agg((max($"count") - min($"count")).as("spread"))
+        .collect()
+      assert(byQ.nonEmpty)
+      byQ.foreach(r => assert(r.getAs[Long]("spread") <= 1,
+        s"ntile(4) spread > 1 in ${r.get(0)}"))
+      val bad = out.filter($"pct_rank" < 0 || $"pct_rank" > 1 ||
+        $"cume" <= 0 || $"cume" > 1).count()
+      assert(bad == 0)
+    } finally out.unpersist()
+  }
+
+  test("q29 multiset intersection is bounded by both cohorts") {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfTiny)
+      .select($"o_custkey", $"o_orderstatus", year($"o_orderdate").as("y"))
+    val na = ord.filter($"y" <= 1996).count()
+    val nb = ord.filter($"y" >= 1997).count()
+    val ni = Advanced.q29IntersectAll(spark, sfTiny)
+      .agg(sum($"n_pairs")).collect()(0).getLong(0)
+    assert(ni > 0 && ni <= math.min(na, nb))
+  }
+
+  test("q30 emits at most 3 ordered positions per doc, tokens non-empty") {
+    import spark.implicits._
+    val out = Advanced.q30LateralTokens(spark, sfTiny).cache()
+    try {
+      assert(out.filter($"pos" < 0 || $"pos" > 2).count() == 0)
+      assert(out.filter(length($"token") === 0).count() == 0)
+      val perDoc = out.groupBy($"doc_id").count()
+      assert(perDoc.filter($"count" > 3).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q31 cohort week-0 retention is 1.0 and offsets are non-negative") {
+    import spark.implicits._
+    val out = Advanced.q31CohortRetention(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"week_offset" < 0).count() == 0)
+      val w0 = out.filter($"week_offset" === 0)
+      assert(w0.filter($"retention" =!= 1.0).count() == 0,
+        "every user is active in their own first week")
+      assert(out.filter($"n_active" > $"cohort_size").count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("s01 sample is a deterministic subset honoring per-stratum rates") {
+    import spark.implicits._
+    val a = Advanced.s01StratifiedSample(spark, sfTiny).collect()
+    val b = Advanced.s01StratifiedSample(spark, sfTiny).collect()
+    assert(a.toSeq == b.toSeq, "hash sampling must be reproducible")
+    val keys = a.map(_.getLong(0)).toSet
+    val cust = Tables.customer(spark, sfTiny)
+      .select($"c_custkey", $"c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(keys.subsetOf(cust.map(_._1).toSet))
+    // the LCG filter is exactly reproducible on the driver
+    def permille(seg: String): Long = seg match {
+      case "BUILDING" => 200L; case "AUTOMOBILE" => 100L; case _ => 50L
+    }
+    val expected = cust.collect {
+      case (k, seg) if ((k * 48271L + 11L) % 1000003L) % 1000L < permille(seg) => k
+    }.toSet
+    assert(keys == expected)
+  }
+
+  test("t10 spine has consecutive days and conserves the error count") {
+    import spark.implicits._
+    val out = Advanced.t10DateSpine(spark, sfTiny).collect()
+    val days = out.map(_.getDate(0).toLocalDate)
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b.toEpochDay - a.toEpochDay == 1, s"gap $a→$b")
+      case _ =>
+    }
+    val total = out.map(_.getLong(1)).sum
+    val expected = Tables.events(spark, sfTiny)
+      .filter($"event_type" === "error").count()
+    assert(total == expected)
+  }
+}

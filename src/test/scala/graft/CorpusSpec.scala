@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, TextOps}
+
+class CorpusSpec extends GraftSpec {
+
+  test("d08 emits ≤3 ranked terms per doc, scores non-increasing in rank") {
+    import spark.implicits._
+    val out = Corpus.d08Tfidf(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"rk" < 1 || $"rk" > 3).count() == 0)
+      // scores within a doc are non-increasing as rank grows
+      val viol = out.groupBy($"doc_id")
+        .agg(min(when($"rk" === 1, $"tfidf")).as("s1"),
+          min(when($"rk" === 2, $"tfidf")).as("s2"),
+          min(when($"rk" === 3, $"tfidf")).as("s3"))
+        .filter(($"s2".isNotNull && $"s2" > $"s1") ||
+          ($"s3".isNotNull && $"s3" > $"s2"))
+        .count()
+      assert(viol == 0)
+      // a term present in every doc has idf = ln(1) = 0
+      assert(out.filter($"tfidf" < 0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("d09 clusters: canonical is min member, edges stay intra-cluster, sizes conserve") {
+    import spark.implicits._
+    val out = Corpus.d09DedupClusters(spark, sfTiny).cache()
+    try {
+      val nDocs = Tables.documents(spark, sfTiny).count()
+      assert(out.count() == nDocs, "one row per document")
+      assert(out.filter($"cluster_id" > $"doc_id").count() == 0,
+        "cluster id is the minimum member")
+      // every near-dup edge joins two docs of the same cluster
+      val lab = out.select($"doc_id", $"cluster_id")
+      val pairs = TextOps.d05JaccardPairs(spark, sfTiny)
+        .select($"doc_a", $"doc_b")
+      val split = pairs
+        .join(lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+        .join(lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+        .filter($"ca" =!= $"cb").count()
+      assert(split == 0, "an edge crossed two clusters")
+      // cluster sizes partition the corpus
+      val sizeSum = out.select($"cluster_id", $"cluster_size").distinct()
+        .agg(sum($"cluster_size")).collect()(0).getLong(0)
+      assert(sizeSum == nDocs)
+    } finally out.unpersist()
+  }
+}
