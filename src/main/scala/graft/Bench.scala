@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the driver environment is a 32-thread local JVM; shuffle.partitions
+    // matches so every core gets exactly one reduce partition
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,8 +14,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay session/codegen/parquet-footer startup outside the timings
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      spark.catalog.clearCache() // no cross-query help from operator caches
+    // optional args = query keys to bench (default: all) — local iteration aid
+    val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+                   else SparkEntry.queries
+    val results = selected.map { case (name, fn) =>
+      // per-query session hygiene, outside the timed region: drop cached
+      // plans AND any persistent RDD blocks a previous query left behind
+      // (MLlib training caches, localCheckpoint blocks) — without this,
+      // leftover storage + deferred GC lands on whichever query runs next
+      // and makes timings order-dependent.
+      spark.catalog.clearCache()
+      // non-blocking: a blocking unpersist intermittently stalls 15-50 s
+      // in local mode; the following System.gc gives removal a window
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -195,13 +195,42 @@ object Advanced {
        FROM spine LEFT JOIN errs USING (d)
        ORDER BY spine.d"""
 
+  /** t11 — time-RANGE rolling window: trailing 1-hour mean of `value` per
+    * event_type, frame defined by event TIME (RANGE BETWEEN on epoch-µs),
+    * not row count — the correct rolling statistic for irregular streams
+    * (t07's rows-frame twin). One shuffle on event_type + per-partition
+    * sort; the decimal window sum keeps the mean order-independent. At
+    * 100 TB the partition key would widen to (event_type, day-bucket)
+    * with boundary stitching — noted, not needed at bench scale. */
+  def t11RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"es")
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type", unix_micros($"ts").as("es"), $"value")
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("roll_avg",
+        r(sum($"value".cast("decimal(38,10)")).over(w).cast("double") / $"n_window", 6))
+      .orderBy($"event_type", $"es", $"event_id")
+  }
+
+  val t11Sql: String =
+    s"""SELECT event_id, event_type, es, value,
+       count(*) OVER w AS n_window,
+       ${rSql("CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE) / (count(*) OVER w)", 6)} AS roll_avg
+       FROM (SELECT event_id, event_type, epoch_us(ts) AS es, value FROM events) t
+       WINDOW w AS (PARTITION BY event_type ORDER BY es
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       ORDER BY event_type, es, event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_window_distribution" -> (q28WindowDistribution _),
     "q29_intersect_all" -> (q29IntersectAll _),
     "q30_lateral_tokens" -> (q30LateralTokens _),
     "q31_cohort_retention" -> (q31CohortRetention _),
     "s01_stratified_sample" -> (s01StratifiedSample _),
-    "t10_date_spine" -> (t10DateSpine _))
+    "t10_date_spine" -> (t10DateSpine _),
+    "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q28_window_distribution" -> q28Sql,
@@ -209,5 +238,6 @@ object Advanced {
     "q30_lateral_tokens" -> q30Sql,
     "q31_cohort_retention" -> q31Sql,
     "s01_stratified_sample" -> s01Sql,
-    "t10_date_spine" -> t10Sql)
+    "t10_date_spine" -> t10Sql,
+    "t11_rolling_window" -> t11Sql)
 }

@@ -59,45 +59,77 @@ object Corpus {
     * pair graph ([[TextOps.nearDupPairs]]), labeling every document with
     * the minimum doc_id reachable from it (= canonical representative).
     *
-    * Implementation is distributed min-label propagation: each round joins
-    * the current labels to the (bidirectional) edge list and takes the
-    * per-node min — one shuffle join + one shuffle agg per round,
-    * converging in graph-diameter rounds. Near-dup components are dense
-    * and shallow (duplicates of one source document), so the diameter is
-    * tiny; for adversarial long-chain graphs the same loop upgrades to the
-    * alternating large-star/small-star algorithm (O(log n) rounds,
-    * Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14). Convergence is detected by the label-sum fixpoint: labels
-    * only ever decrease, so an unchanged sum ⟺ no label moved.
+    * Implementation is distributed star contraction (the min-selection
+    * variant of large-star/small-star, Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round maps every
+    * endpoint to the minimum of its closed neighborhood, composes the
+    * node→representative labels through that map, contracts the edge list,
+    * and repeats until no edges survive — O(log n) rounds worst case, and
+    * ONE round for the dense cliques near-dup graphs actually form, with
+    * per-round cost proportional to the shrinking edge list.
     * `localCheckpoint` truncates the per-round lineage so the final plan
-    * doesn't re-derive the whole loop.
+    * doesn't re-derive the whole loop; freed rounds are unpersisted
+    * immediately (non-blocking — the blocking form stalls in local mode).
     *
     * The DuckDB oracle computes the same fixpoint with a recursive CTE —
     * fully SQL-expressible, so this IS oracle-checked (rare for an
     * iterative graph operator). */
   def d09DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = TextOps.nearDupPairs(s, dir)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val ee = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint(true)
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id".as("node"), $"doc_id".as("label"))
-      .localCheckpoint(true)
-    var prevSum = labels.agg(sum($"label")).head.getLong(0)
-    var converged = false
+    // localCheckpoint bookkeeping: each round's checkpoint truncates the
+    // loop's lineage (so the returned plan doesn't re-derive the whole
+    // iteration), and every intermediate checkpoint is unpersisted as soon
+    // as its successor is materialized — without this the pair graph and
+    // per-round label blocks pile up in executor storage and degrade every
+    // query that runs after this one in the same session.
+    def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (s.sparkContext.getPersistentRDDs.keySet -- before).toSeq)
+    }
+    // non-blocking: a blocking unpersist round-trips through the block
+    // manager and stalls 15-50 s intermittently in local mode (measured);
+    // async removal is safe — the blocks are dead to this lineage.
+    def free(ids: Seq[Int]): Unit = ids.foreach(id =>
+      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    // materialize the pair graph ONCE: union branches re-evaluate their
+    // child per branch, so deriving anything twice from the live quadratic
+    // pair join would run it twice (CLAUDE.md invariant 5)
+    var (edges, edgeIds) = ckpt(TextOps.nearDupPairs(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst")))
+    var (labels, labelIds) = ckpt(Tables.documents(s, dir)
+      .select($"doc_id".as("node"), $"doc_id".as("label")))
+    // star contraction: per round, every endpoint maps to the minimum of
+    // its closed neighborhood (rep), labels compose through the map, and
+    // edges contract to (rep(src), rep(dst)) minus self-loops, deduped.
+    // Dense near-dup cliques collapse to their minimum in one round, so
+    // the 10^6-edge list shrinks geometrically — each round's cost is
+    // proportional to the SURVIVING edges, unlike naive min-label
+    // propagation which re-joins the full edge list every round.
     var iter = 0
-    while (!converged && iter < 50) {
-      val prop = labels.join(ee, $"node" === $"src").select($"dst".as("node"), $"label")
-      val next = labels.union(prop)
-        .groupBy($"node").agg(min($"label").as("label"))
-        .localCheckpoint(true)
-      val s2 = next.agg(sum($"label")).head.getLong(0)
-      converged = s2 == prevSum
-      prevSum = s2
-      labels = next
+    var nEdges = edges.count()
+    while (nEdges > 0 && iter < 50) {
+      val m = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+        .groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("v"), least($"src", $"mn").as("rep"))
+      val (labels2, labelIds2) = ckpt(
+        labels.join(m, $"label" === $"v", "left")
+          .select($"node", coalesce($"rep", $"label").as("label")))
+      val mu = m.select($"v".as("uv"), $"rep".as("ru"))
+      val mv = m.select($"v".as("vv"), $"rep".as("rv"))
+      val (edges2, edgeIds2) = ckpt(
+        edges.join(mu, $"src" === $"uv").join(mv, $"dst" === $"vv")
+          .select(least($"ru", $"rv").as("src"), greatest($"ru", $"rv").as("dst"))
+          .filter($"src" =!= $"dst")
+          .distinct())
+      free(labelIds); free(edgeIds)
+      labels = labels2; labelIds = labelIds2
+      edges = edges2; edgeIds = edgeIds2
+      nEdges = edges.count()
       iter += 1
     }
+    free(edgeIds)
     labels
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"label")))
       .select($"node".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")

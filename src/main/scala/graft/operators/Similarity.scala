@@ -197,16 +197,43 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** e06 — per-label centroids (the IVF coarse-quantizer training step as
+    * a declarative aggregate): element-wise mean of all vectors per label.
+    * posexplode fans each vector into (dim, x) rows, but partial
+    * aggregation collapses them map-side to ≤ labels×64 rows per
+    * partition before the single shuffle — the scalable layout for
+    * element-wise vector statistics (no driver-side vector math). */
+  def e06LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n_vectors"), ravg($"x", 6).as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
+  val e06Sql: String =
+    s"""WITH u AS (SELECT label,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding::DOUBLE[]) AS x
+       FROM embeddings)
+       SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n_vectors,
+         ${ravgSql("x", 6)} AS centroid
+       FROM u GROUP BY label, i
+       ORDER BY label, dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
     "e04_neardup_pairs" -> (e04NearDupPairs _),
-    "e05_ivf_ann" -> (e05IvfAnn _))
+    "e05_ivf_ann" -> (e05IvfAnn _),
+    "e06_label_centroids" -> (e06LabelCentroids _))
 
   /** e03/e05 intentionally absent — rows-only checks + SimilaritySpec. */
   val oracles: Map[String, String] = Map(
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,
-    "e04_neardup_pairs" -> e04Sql)
+    "e04_neardup_pairs" -> e04Sql,
+    "e06_label_centroids" -> e06Sql)
 }

@@ -209,13 +209,14 @@ object TextOps {
     def sizeBand(na: Column, nb: Column): Column = na <= nb * 2 && nb <= na * 2
     val (pairs, inter, nta, ntb) =
       if (vocabSize <= TokenBits.MaxVocab) {
-        val m = TokenBits.withMasks(docs, TokenBits.nWords(vocabSize))
+        val nw = TokenBits.nWords(vocabSize)
+        val m = TokenBits.withMasks(docs, nw)
         val a = m.select($"doc_id", $"lang", $"nt", $"mask".as("ma")).as("a")
         val b = m.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"),
           $"nt".as("nt_b"), $"mask".as("mb"))
         (a.join(b, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
           sizeBand($"nt", $"nt_b")),
-          TokenBits.interExpr, $"nt", $"nt_b")
+          TokenBits.interExpr(nw), $"nt", $"nt_b")
       } else {
         val a = docs.as("a")
         val b = docs.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"), $"ts".as("tsb"))

@@ -47,7 +47,13 @@ object TokenBits {
       .drop((0 until nwords).map(w => s"w$w"): _*)
   }
 
-  /** |A∩B| of two masks named `ma`/`mb` in scope. */
-  val interExpr: Column =
-    expr("aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (a, b) -> a + b)")
+  /** |A∩B| of two masks named `ma`/`mb` in scope. Unrolled over the known
+    * word count: `zip_with`+`aggregate` would allocate a fresh array and
+    * evaluate two lambdas PER PAIR — at millions of blocked pairs that
+    * allocation dominates. The static sum of `bit_count(ma[i] & mb[i])`
+    * is pure primitive codegen (no allocation). */
+  def interExpr(nwords: Int): Column =
+    (0 until nwords)
+      .map(i => bit_count(element_at(col("ma"), i + 1).bitwiseAND(element_at(col("mb"), i + 1))))
+      .reduce(_ + _)
 }

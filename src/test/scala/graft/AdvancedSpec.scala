@@ -77,6 +77,24 @@ class AdvancedSpec extends GraftSpec {
     assert(keys == expected)
   }
 
+  test("t11 rolling window contains the current row and stays within value bounds") {
+    import spark.implicits._
+    val out = Advanced.t11RollingWindow(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"n_window" < 1).count() == 0,
+        "RANGE frame always includes the current row")
+      // a frame of one row must average to exactly that row's value (r6)
+      val singletons = out.filter($"n_window" === 1)
+        .filter(abs($"roll_avg" - $"value") > 1e-6).count()
+      assert(singletons == 0)
+      // global bounds: every rolling mean lies within [min, max] of values
+      val Array(lo, hi) = out.agg(min($"value"), max($"value")).collect()(0)
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      assert(out.filter($"roll_avg" < lo - 1e-9 || $"roll_avg" > hi + 1e-9).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("t10 spine has consecutive days and conserves the error count") {
     import spark.implicits._
     val out = Advanced.t10DateSpine(spark, sfTiny).collect()

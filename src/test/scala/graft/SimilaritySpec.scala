@@ -59,6 +59,20 @@ class SimilaritySpec extends GraftSpec {
     assert(joined.count() > 0)
   }
 
+  test("e06 centroids: 64 dims per label, counts match label sizes") {
+    val out = Similarity.e06LabelCentroids(spark, sfTiny).cache()
+    try {
+      val perLabel = out.groupBy("label").count().collect()
+      assert(perLabel.nonEmpty && perLabel.forall(_.getLong(1) == 64L),
+        "one centroid component per dimension")
+      val sizes = Tables.embeddings(spark, sfTiny).groupBy("label").count()
+        .withColumnRenamed("count", "n_label")
+      val bad = out.join(sizes, "label")
+        .filter(col("n_vectors") =!= col("n_label")).count()
+      assert(bad == 0, "per-dim vector count equals label population")
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover the SQL-expressible queries") {
     assert(Similarity.oracles.keySet ==
       Similarity.queries.keySet -- Set("e03_lsh_ann", "e05_ivf_ann"))
