@@ -84,6 +84,12 @@ object DedupLsh {
     sums.withColumn("bands", array(bandCols: _*))
   }
 
+  /** (doc_id, band, bh) bucket rows for every document. */
+  private[operators] def bucketsOf(docs: DataFrame): DataFrame =
+    withSignature(docs)
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+
   /** Core MinHash-LSH pairing over (doc_id, sh): candidates share ≥1 band,
     * each candidate exact-verified with shingle Jaccard ≥ 0.5. Exposed for
     * spec-level testing on crafted corpora. */
@@ -95,10 +101,7 @@ object DedupLsh {
     // (measured: 45× slowdown at sf0.1). Sketches are O(n_docs · 24 B):
     // cacheable at any corpus scale.
     val docs = docs0.cache()
-    val buckets = withSignature(docs)
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
-      .cache()
+    val buckets = bucketsOf(docs).cache()
     val cands = buckets.as("x")
       .join(buckets.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))

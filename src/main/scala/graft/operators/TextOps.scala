@@ -211,10 +211,17 @@ object TextOps {
       if (vocabSize <= TokenBits.MaxVocab) {
         val nw = TokenBits.nWords(vocabSize)
         val m = TokenBits.withMasks(docs, nw)
-        val a = m.select($"doc_id", $"lang", $"nt", $"mask".as("ma")).as("a")
+        // the block key `lang` has ~5 distinct values, so a shuffled join
+        // would put all pairs on ≤5 tasks; repartitioning the probe side
+        // by doc_id and broadcasting the (mask-compressed, small-vocab)
+        // build side spreads the quadratic work across every core. The
+        // no-broadcast general path below stays for large corpora, whose
+        // scale route is MinHash LSH (DedupLsh), not this exact baseline.
+        val a = m.select($"doc_id", $"lang", $"nt", $"mask".as("ma"))
+          .repartition(col("doc_id")).as("a")
         val b = m.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"),
           $"nt".as("nt_b"), $"mask".as("mb"))
-        (a.join(b, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
+        (a.join(broadcast(b), $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
           sizeBand($"nt", $"nt_b")),
           TokenBits.interExpr(nw), $"nt", $"nt_b")
       } else {

@@ -59,6 +59,24 @@ object LakeIO {
   def readLake(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Bucketed external table: hash-partitioned AND per-file sorted on the
+    * join key at write time, so repeated joins/aggregations on that key
+    * plan with ZERO shuffle exchanges (verified in LakeIOSpec) — the
+    * co-located-join layout for fact tables that are joined on the same
+    * key query after query. At 100 TB this is the difference between
+    * re-shuffling terabytes per join and a purely map-side merge; the
+    * bucket count would scale with data volume (here parameterized). */
+  def writeBucketed(df: DataFrame, s: SparkSession, table: String,
+    path: String, key: String, buckets: Int): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** P2 fail-soft JSON scan with error side channel: good records parsed
     * to `schema`, malformed lines preserved verbatim in the returned
     * `(good, bad)` pair — the `telemetry/` vs `telemetry_errors/` split. */

@@ -142,6 +142,30 @@ object StreamOps {
       }
   }
 
+  /** stream-static enrichment: telemetry joined to a (small) machine
+    * dimension — the dimension is broadcast to every task, so the stream
+    * side never shuffles and no streaming state is kept. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), Seq("machineId"), "left")
+
+  /** stream-stream interval join: each reading picks up alerts for the
+    * same machine from the trailing 5 minutes. Both sides carry
+    * watermarks so the join state is bounded (rows outside
+    * watermark + interval are evicted) — the canonical correlated-streams
+    * operator; state partitions by the equi-key machineId. */
+  def joinWithAlerts(readings: DataFrame, alerts: DataFrame): DataFrame = {
+    val r = readings.withWatermark("ts", "10 minutes").alias("r")
+    val a = alerts
+      .withColumnRenamed("ts", "alert_ts")
+      .withWatermark("alert_ts", "10 minutes").alias("a")
+    r.join(a,
+      expr("""r.machineId = a.machineId AND
+              a.alert_ts BETWEEN r.ts - INTERVAL 5 MINUTES AND r.ts"""))
+      .select(col("r.machineId").as("machineId"), col("r.ts").as("ts"),
+        col("r.temperature").as("temperature"),
+        col("a.alert_ts").as("alert_ts"), col("a.severity").as("severity"))
+  }
+
   /** foreachBatch lake compactor: per micro-batch, drop QoS-1 duplicates
     * and append to the lake — the escape hatch when a sink needs logic no
     * declarative writer has (idempotent upserts, multi-table fan-out).

@@ -51,6 +51,43 @@ class LakeIOSpec extends GraftSpec {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("bucketed tables join with zero shuffle exchanges (co-located join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val dir = tmp("graft-bucketed")
+    val orders = Tables.orders(spark, sfTiny).select($"o_orderkey", $"o_totalprice")
+    val lines = Tables.lineitem(spark, sfTiny).select($"l_orderkey", $"l_quantity")
+    LakeIO.writeBucketed(orders, spark, "graft_b_orders", s"$dir/o", "o_orderkey", 4)
+    LakeIO.writeBucketed(lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+      spark, "graft_b_lines", s"$dir/l", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lines"), "o_orderkey")
+      joined.collect()
+      var shuffles = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        if (p.isInstanceOf[ShuffleExchangeLike]) shuffles += 1
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(joined.queryExecution.executedPlan)
+      assert(shuffles == 0, s"bucketed join must not shuffle, saw $shuffles")
+      assert(joined.count() == Tables.lineitem(spark, sfTiny)
+        .join(Tables.orders(spark, sfTiny), $"l_orderkey" === $"o_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lines")
+    }
+  }
+
   test("JSON error side channel splits good and bad records (P2/S5 errors)") {
     val dir = tmp("graft-json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "data.json"),

@@ -143,6 +143,54 @@ class StreamOpsSpec extends GraftSpec {
     assert(lake.select("batch_id").distinct().count() == 2)
   }
 
+  test("enrichWithDim broadcast-joins the machine dimension (stream-static)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Long)]
+    in.addData(("m1", 67.0, 1754980000L), ("m2", 91.0, 1754980001L),
+      ("m3", 70.0, 1754980002L))
+    val stream = in.toDF().toDF("machineId", "temperature", "sec")
+    val dim = Seq(("m1", "line-a"), ("m2", "line-b")).toDF("machineId", "prod_line")
+    val q = StreamOps.enrichWithDim(stream, dim).writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 3)
+      val byId = rows.map(r => r.getAs[String]("machineId") ->
+        Option(r.getAs[String]("prod_line"))).toMap
+      assert(byId("m1").contains("line-a") && byId("m2").contains("line-b"))
+      assert(byId("m3").isEmpty, "unknown machine keeps null dimension (left join)")
+    } finally q.stop()
+  }
+
+  test("joinWithAlerts matches readings to trailing 5-minute alerts (stream-stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1754980000L
+    val readings = MemoryStream[(String, Double, Long)]
+    val alerts = MemoryStream[(String, String, Long)]
+    readings.addData(
+      ("m1", 67.0, base + 600), // alert 60 s earlier → joins
+      ("m2", 70.0, base + 600)) // no alert within window
+    alerts.addData(
+      ("m1", "ALERT", base + 540),
+      ("m2", "ALERT", base + 1200)) // 10 min AFTER the reading → excluded
+    val rDf = readings.toDF().toDF("machineId", "temperature", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val aDf = alerts.toDF().toDF("machineId", "severity", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val q = StreamOps.joinWithAlerts(rDf, aDf).writeStream
+      .format("memory").queryName("joined").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("joined").collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      assert(rows(0).getAs[String]("machineId") == "m1")
+      assert(rows(0).getAs[String]("severity") == "ALERT")
+    } finally q.stop()
+  }
+
   test("bufferedLakeSink writes gzip json under date/hour partitions (S5)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
