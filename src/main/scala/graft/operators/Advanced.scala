@@ -223,7 +223,62 @@ object Advanced {
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
        ORDER BY event_type, es, event_id"""
 
+  /** q32 — EXISTS / NOT EXISTS correlated subqueries (the SQL-surface twin
+    * of q04/q05's DataFrame semi/anti joins — Catalyst decorrelates both
+    * to the same left-semi/left-anti physical joins, so this also pins
+    * that the SQL entry point optimizes identically). */
+  def q32ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_cust_x")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_ord_x")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+         FROM graft_cust_x c
+         WHERE EXISTS (SELECT 1 FROM graft_ord_x o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+           AND NOT EXISTS (SELECT 1 FROM graft_ord_x o
+                           WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
+         ORDER BY c_custkey""")
+  }
+
+  val q32Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
+       ORDER BY c_custkey"""
+
+  /** q33 — exact interpolated percentiles (percentile_cont semantics) per
+    * group: both engines sort the group and linearly interpolate, so the
+    * values agree to the last ulp (hidden by r6 regardless). The exact
+    * form is the small-group reporting path; at 100 TB swap in
+    * percentile_approx (t-digest) — same call shape. */
+  def q33Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        r(percentile($"l_quantity", lit(0.5)), 6).as("qty_p50"),
+        r(percentile($"l_quantity", lit(0.9)), 6).as("qty_p90"),
+        r(percentile($"l_extendedprice", lit(0.5)), 6).as("price_p50"),
+        r(percentile($"l_extendedprice", lit(0.99)), 6).as("price_p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q33Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       ${rSql("quantile_cont(l_quantity, 0.5)", 6)} AS qty_p50,
+       ${rSql("quantile_cont(l_quantity, 0.9)", 6)} AS qty_p90,
+       ${rSql("quantile_cont(l_extendedprice, 0.5)", 6)} AS price_p50,
+       ${rSql("quantile_cont(l_extendedprice, 0.99)", 6)} AS price_p99
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_exists_subquery" -> (q32ExistsSubquery _),
+    "q33_percentiles" -> (q33Percentiles _),
     "q28_window_distribution" -> (q28WindowDistribution _),
     "q29_intersect_all" -> (q29IntersectAll _),
     "q30_lateral_tokens" -> (q30LateralTokens _),
@@ -233,6 +288,8 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q32_exists_subquery" -> q32Sql,
+    "q33_percentiles" -> q33Sql,
     "q28_window_distribution" -> q28Sql,
     "q29_intersect_all" -> q29Sql,
     "q30_lateral_tokens" -> q30Sql,

@@ -155,11 +155,61 @@ object Corpus {
        FROM lab
        ORDER BY doc_id"""
 
+  /** d10 — bigram language-model scoring: every document scored by the
+    * mean log-probability of its bigrams under the corpus's own MLE
+    * bigram model (P(w2|w1) = c(w1 w2)/c(w1·)) — the perplexity-filter
+    * family used to rank corpus text by fluency. Plan shape: one explode
+    * over ordered bigrams (cached — it feeds both the count aggregation
+    * and the per-doc join), counts shuffle on the bigram key (uniform,
+    * vocabulary-sized), probabilities join back to instances on that same
+    * key, one final per-doc aggregation. The log-prob sum goes through
+    * the decimal policy so partition order can't move the mean. */
+  def d10BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = toks(lower($"text"))
+    val big = Tables.documents(s, dir)
+      .select($"doc_id", tk.as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("bg"))
+      .cache()
+    val cb = big.groupBy($"bg").agg(count(lit(1)).as("nb"))
+    val cu = cb
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .groupBy($"w1").agg(sum($"nb").as("nu"))
+    val p = cb.withColumn("w1", substring_index($"bg", " ", 1))
+      .join(cu, "w1")
+      .select($"bg", log($"nb".cast("double") / $"nu").as("logp"))
+    big.join(p, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r(dsum($"logp") / count(lit(1)), 6).as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
+  val d10Sql: String =
+    s"""WITH big AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+           i -> tk[i] || ' ' || tk[i + 1])) AS bg
+         FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents)
+         WHERE len(tk) >= 2),
+       cb AS (SELECT bg, count(*) AS nb FROM big GROUP BY bg),
+       cu AS (SELECT split_part(bg, ' ', 1) AS w1, sum(nb) AS nu FROM cb GROUP BY 1),
+       p AS (SELECT bg, ln(CAST(nb AS DOUBLE) / nu) AS logp
+             FROM cb JOIN cu ON split_part(cb.bg, ' ', 1) = cu.w1)
+       SELECT doc_id, count(*) AS n_bigrams,
+         ${rSql(s"${dsumSql("logp")} / count(*)", 6)} AS avg_logp
+       FROM big JOIN p USING (bg)
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d08_tfidf" -> (d08Tfidf _),
-    "d09_dedup_clusters" -> (d09DedupClusters _))
+    "d09_dedup_clusters" -> (d09DedupClusters _),
+    "d10_bigram_lm" -> (d10BigramLm _))
 
   val oracles: Map[String, String] = Map(
     "d08_tfidf" -> d08Sql,
-    "d09_dedup_clusters" -> d09Sql)
+    "d09_dedup_clusters" -> d09Sql,
+    "d10_bigram_lm" -> d10Sql)
 }

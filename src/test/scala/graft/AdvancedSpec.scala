@@ -77,6 +77,37 @@ class AdvancedSpec extends GraftSpec {
     assert(keys == expected)
   }
 
+  test("q32 EXISTS/NOT EXISTS matches the DataFrame semi/anti composition") {
+    import spark.implicits._
+    val out = Advanced.q32ExistsSubquery(spark, sfTiny)
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val cust = Tables.customer(spark, sfTiny)
+    val ord = Tables.orders(spark, sfTiny)
+    val expected = cust
+      .join(ord.filter($"o_totalprice" > 300000.0), $"c_custkey" === $"o_custkey", "left_semi")
+      .join(ord.filter(year($"o_orderdate") === 1998), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    assert(out == expected && out.nonEmpty)
+  }
+
+  test("q33 percentiles are ordered and bracketed by group min/max") {
+    import spark.implicits._
+    val out = Advanced.q33Percentiles(spark, sfTiny).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("qty_p50") <= r.getAs[Double]("qty_p90"))
+      assert(r.getAs[Double]("price_p50") <= r.getAs[Double]("price_p99"))
+    }
+    val bounds = Tables.lineitem(spark, sfTiny).groupBy($"l_returnflag")
+      .agg(min($"l_quantity").as("lo"), max($"l_quantity").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val p50 = r.getAs[Double]("qty_p50")
+      assert(p50 >= lo && p50 <= hi)
+    }
+  }
+
   test("t11 rolling window contains the current row and stays within value bounds") {
     import spark.implicits._
     val out = Advanced.t11RollingWindow(spark, sfTiny).cache()

@@ -25,6 +25,25 @@ class CorpusSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("d10 bigram LM: log-probs non-positive, unique-bigram docs score ln of rarity") {
+    import spark.implicits._
+    val out = Corpus.d10BigramLm(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // MLE probabilities are ≤ 1 ⇒ mean log-prob ≤ 0
+      assert(out.filter($"avg_logp" > 1e-9).count() == 0)
+      // n_bigrams = token count − 1 for docs with ≥ 2 tokens
+      val docs = Tables.documents(spark, sfTiny)
+        .select($"doc_id", size(filter(split(trim(lower($"text")), "\\s+"),
+          t => t =!= "")).as("nt"))
+        .filter($"nt" >= 2)
+      val bad = out.join(docs, "doc_id")
+        .filter($"n_bigrams" =!= $"nt" - 1).count()
+      assert(bad == 0)
+      assert(out.count() == docs.count(), "every multi-token doc is scored")
+    } finally out.unpersist()
+  }
+
   test("d09 clusters: canonical is min member, edges stay intra-cluster, sizes conserve") {
     import spark.implicits._
     val out = Corpus.d09DedupClusters(spark, sfTiny).cache()
