@@ -276,7 +276,47 @@ object Advanced {
        GROUP BY l_returnflag
        ORDER BY l_returnflag"""
 
+  /** q34 — FULL OUTER JOIN: customer order activity in 1995 vs 1998,
+    * keeping one-sided customers from both cohorts (the join type q04/q05
+    * and the left joins elsewhere don't exercise). Both sides are
+    * pre-aggregated before the join — at scale the full-outer shuffle
+    * moves one row per (customer, year), never raw orders. */
+  def q34FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_totalprice", year($"o_orderdate").as("y"))
+    def agg(yr: Int, n: String, rev: String) = ord.filter($"y" === yr)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as(n), rsum($"o_totalprice", 2).as(rev))
+    agg(1995, "n95", "rev95")
+      .join(agg(1998, "n98", "rev98"), Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        coalesce($"n95", lit(0L)).as("n95"), coalesce($"rev95", lit(0.0)).as("rev95"),
+        coalesce($"n98", lit(0L)).as("n98"), coalesce($"rev98", lit(0.0)).as("rev98"))
+      .withColumn("status",
+        when($"n95" > 0 && $"n98" > 0, "both")
+          .when($"n95" > 0, "only_1995").otherwise("only_1998"))
+      .orderBy($"o_custkey")
+  }
+
+  val q34Sql: String =
+    s"""WITH a AS (SELECT o_custkey, count(*) AS n95,
+           ${rsumSql("o_totalprice", 2)} AS rev95
+         FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+       b AS (SELECT o_custkey, count(*) AS n98,
+           ${rsumSql("o_totalprice", 2)} AS rev98
+         FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey)
+       SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+         COALESCE(n95, 0) AS n95, COALESCE(rev95, 0.0) AS rev95,
+         COALESCE(n98, 0) AS n98, COALESCE(rev98, 0.0) AS rev98,
+         CASE WHEN COALESCE(n95, 0) > 0 AND COALESCE(n98, 0) > 0 THEN 'both'
+              WHEN COALESCE(n95, 0) > 0 THEN 'only_1995'
+              ELSE 'only_1998' END AS status
+       FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+       ORDER BY o_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_full_outer" -> (q34FullOuter _),
     "q32_exists_subquery" -> (q32ExistsSubquery _),
     "q33_percentiles" -> (q33Percentiles _),
     "q28_window_distribution" -> (q28WindowDistribution _),
@@ -288,6 +328,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q34_full_outer" -> q34Sql,
     "q32_exists_subquery" -> q32Sql,
     "q33_percentiles" -> q33Sql,
     "q28_window_distribution" -> q28Sql,

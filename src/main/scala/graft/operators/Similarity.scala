@@ -222,7 +222,51 @@ object Similarity {
        FROM u GROUP BY label, i
        ORDER BY label, dim"""
 
+  /** Product-quantization core over (vec_id, v: array<double>): M=8
+    * sub-spaces of 8 dims, K=16 centroids per sub-space. The codebook is
+    * a deterministic stride sample of the corpus (every (n/K)-th vector —
+    * same construction as e05's coarse quantizer; a k-means refinement
+    * would slot in here unchanged). Assignment explodes each vector into
+    * (sub-space × centroid) candidate rows — scan-local, broadcast
+    * codebook — and argmins via a lexicographic struct-min (tie-break on
+    * centroid id, deterministic). Exposed for spec use. */
+  def pqCodes(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    val M = 8; val K = 16; val sub = 8
+    val n = c.count()
+    val stride = math.max(1L, n / K)
+    val codebook = c.filter($"vec_id" % stride === 0 && $"vec_id" / stride < K)
+      .select(($"vec_id" / stride).cast("int").as("m"), $"v".as("cv"))
+    val subs = c.select($"vec_id", $"v",
+      explode(sequence(lit(0), lit(M - 1))).as("j"))
+    val dist = expr(s"""aggregate(
+        zip_with(slice(v, j * $sub + 1, $sub), slice(cv, j * $sub + 1, $sub),
+          (x, y) -> (x - y) * (x - y)),
+        0D, (a, d) -> a + d)""")
+    subs.join(broadcast(codebook))
+      .withColumn("dist", dist)
+      .groupBy($"vec_id", $"j")
+      .agg(min(struct($"dist", $"m")).as("best"))
+      .groupBy($"vec_id")
+      .agg(
+        transform(array_sort(collect_list(struct($"j", $"best.m".as("m")))),
+          p => p.getField("m")).as("codes"),
+        r(dsum($"best.dist"), 6).as("mse"))
+      .orderBy($"vec_id")
+  }
+
+  /** e07 — PQ codes + per-vector reconstruction error for the corpus.
+    * 8×4-bit codes replace 256 bytes of floats (64× compression) — the
+    * memory layout ADC-style ANN search runs on at 100 TB. Argmin over a
+    * literal codebook isn't SQL-practical in DuckDB → rows-only +
+    * SimilaritySpec. */
+  def e07PqQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqCodes(corpus(s, dir).select($"vec_id", $"v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e07_pq_quantize" -> (e07PqQuantize _),
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
@@ -230,7 +274,7 @@ object Similarity {
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e06_label_centroids" -> (e06LabelCentroids _))
 
-  /** e03/e05 intentionally absent — rows-only checks + SimilaritySpec. */
+  /** e03/e05/e07 intentionally absent — rows-only checks + SimilaritySpec. */
   val oracles: Map[String, String] = Map(
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,

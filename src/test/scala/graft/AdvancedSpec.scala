@@ -90,6 +90,23 @@ class AdvancedSpec extends GraftSpec {
     assert(out == expected && out.nonEmpty)
   }
 
+  test("q34 full outer keeps one-sided customers from both cohorts") {
+    import spark.implicits._
+    val out = Advanced.q34FullOuter(spark, sfTiny).cache()
+    try {
+      val statuses = out.groupBy($"status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(statuses.getOrElse("only_1995", 0L) > 0, "left-only rows survive")
+      assert(statuses.getOrElse("only_1998", 0L) > 0, "right-only rows survive")
+      // row count = distinct customers active in either year
+      val ord = Tables.orders(spark, sfTiny)
+        .select($"o_custkey", year($"o_orderdate").as("y"))
+      val expected = ord.filter($"y" === 1995 || $"y" === 1998)
+        .select($"o_custkey").distinct().count()
+      assert(out.count() == expected)
+    } finally out.unpersist()
+  }
+
   test("q33 percentiles are ordered and bracketed by group min/max") {
     import spark.implicits._
     val out = Advanced.q33Percentiles(spark, sfTiny).collect()

@@ -70,4 +70,28 @@ class PlanShapeSpec extends GraftSpec {
     // range → expressions is scan-local; only the final sort may exchange
     assert(countShuffles(Telemetry.t04GeneratorTwin(spark, sfTiny)) <= 1)
   }
+
+  test("s01 stratified sample: broadcast rate dim, scan-local filter + sort only") {
+    val df = graft.operators.Advanced.s01StratifiedSample(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1, "rate dimension must broadcast")
+    assert(countShuffles(df) <= 1, "only the final sort may exchange")
+  }
+
+  test("q31 cohort retention: cohort sizes broadcast back, bounded shuffles") {
+    val df = graft.operators.Advanced.q31CohortRetention(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1)
+    assert(countShuffles(df) <= 6)
+  }
+
+  test("t10 date spine: pre-aggregated counts, bounded shuffles") {
+    assert(countShuffles(graft.operators.Advanced.t10DateSpine(spark, sfTiny)) <= 3)
+  }
+
+  test("q33 percentiles: one agg exchange + one sort") {
+    assert(countShuffles(graft.operators.Advanced.q33Percentiles(spark, sfTiny)) <= 2)
+  }
+
+  test("q28 distribution windows: one window shuffle + one sort") {
+    assert(countShuffles(graft.operators.Advanced.q28WindowDistribution(spark, sfTiny)) <= 2)
+  }
 }

@@ -73,8 +73,27 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e07 PQ codes: 8 codes in [0,16), mse ≥ 0, deterministic, exact for codebook vectors") {
+    import spark.implicits._
+    val out = Similarity.e07PqQuantize(spark, sfTiny).cache()
+    try {
+      val n = Tables.embeddings(spark, sfTiny).count()
+      assert(out.count() == n)
+      val bad = out.filter(size($"codes") =!= 8 ||
+        exists($"codes", c => c < 0 || c > 15) || $"mse" < 0).count()
+      assert(bad == 0)
+      // a vector that IS centroid m must quantize to all-m codes with mse 0
+      val stride = math.max(1L, n / 16)
+      val centroidRows = out.filter($"vec_id" % stride === 0 && $"vec_id" / stride < 16)
+      assert(centroidRows.filter($"mse" =!= 0.0).count() == 0,
+        "codebook members reconstruct exactly")
+      val rerun = Similarity.e07PqQuantize(spark, sfTiny).collect()
+      assert(rerun.sameElements(out.collect()), "PQ assignment is deterministic")
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover the SQL-expressible queries") {
     assert(Similarity.oracles.keySet ==
-      Similarity.queries.keySet -- Set("e03_lsh_ann", "e05_ivf_ann"))
+      Similarity.queries.keySet -- Set("e03_lsh_ann", "e05_ivf_ann", "e07_pq_quantize"))
   }
 }
