@@ -315,7 +315,51 @@ object Advanced {
        FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
        ORDER BY o_custkey"""
 
+  /** t12 — event funnel: signup → first subsequent purchase, per user,
+    * reduced to conversion rate and time-to-convert. Two pre-aggregations
+    * (one per funnel stage) and a user-keyed join — the shuffles move one
+    * row per user per stage, never raw events, which is the layout that
+    * survives a 100× event-volume scale-up. Time delta runs in epoch-µs
+    * integers; the mean goes through the decimal policy. */
+  def t12Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(signups, "user_id")
+      .filter($"ts" >= $"signup_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .select($"user_id", $"signup_ts", $"purchase_ts",
+        (unix_micros($"purchase_ts") - unix_micros($"signup_ts")).as("us_to_convert"))
+      .agg(
+        count(lit(1)).as("n_signup_users"),
+        count($"purchase_ts").as("n_converted"),
+        r(count($"purchase_ts").cast("double") / count(lit(1)), 6).as("conversion_rate"),
+        r(dsum($"us_to_convert".cast("double") / 3600000000.0) / count($"us_to_convert"), 4)
+          .as("avg_hours_to_convert"))
+  }
+
+  val t12Sql: String =
+    s"""WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       pu AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+         FROM events e JOIN su ON e.user_id = su.user_id
+         WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+         GROUP BY e.user_id),
+       j AS (SELECT su.user_id, signup_ts, purchase_ts,
+           epoch_us(purchase_ts) - epoch_us(signup_ts) AS us_to_convert
+         FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+       SELECT count(*) AS n_signup_users,
+         count(purchase_ts) AS n_converted,
+         ${rSql("count(purchase_ts) / count(*)", 6)} AS conversion_rate,
+         ${rSql(s"${dsumSql("us_to_convert / 3600000000.0")} / count(us_to_convert)", 4)}
+           AS avg_hours_to_convert
+       FROM j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_funnel" -> (t12Funnel _),
     "q34_full_outer" -> (q34FullOuter _),
     "q32_exists_subquery" -> (q32ExistsSubquery _),
     "q33_percentiles" -> (q33Percentiles _),
@@ -328,6 +372,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "t12_funnel" -> t12Sql,
     "q34_full_outer" -> q34Sql,
     "q32_exists_subquery" -> q32Sql,
     "q33_percentiles" -> q33Sql,

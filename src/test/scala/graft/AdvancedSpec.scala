@@ -90,6 +90,16 @@ class AdvancedSpec extends GraftSpec {
     assert(out == expected && out.nonEmpty)
   }
 
+  test("t12 funnel: converted ⊆ signups, rate consistent, hours non-negative") {
+    import spark.implicits._
+    val r = Advanced.t12Funnel(spark, sfTiny).collect()(0)
+    val nS = r.getAs[Long]("n_signup_users")
+    val nC = r.getAs[Long]("n_converted")
+    assert(nS > 0 && nC >= 0 && nC <= nS)
+    assert(math.abs(r.getAs[Double]("conversion_rate") - nC.toDouble / nS) < 1e-6)
+    if (nC > 0) assert(r.getAs[Double]("avg_hours_to_convert") >= 0.0)
+  }
+
   test("q34 full outer keeps one-sided customers from both cohorts") {
     import spark.implicits._
     val out = Advanced.q34FullOuter(spark, sfTiny).cache()
