@@ -15,6 +15,8 @@ object Bench {
     // warmup: pay session/codegen/parquet-footer startup outside the timings
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // optional args = query keys to bench (default: all) — local iteration aid
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
                    else SparkEntry.queries
     val results = selected.map { case (name, fn) =>
@@ -29,7 +31,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Parquet count-star pushdown
+      // and partial-agg collapse under-time scan-heavy shapes; the noop
+      // write materializes every output row through the full plan
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

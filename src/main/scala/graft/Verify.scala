@@ -18,9 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd key must not look like a clean pass — fail loudly
+    val unknown = keyFilter -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
     val selected = if (keyFilter.nonEmpty)
       SparkEntry.queries.view.filterKeys(keyFilter).toMap else SparkEntry.queries
     selected.foreach { case (name, fn) =>
+      // same per-query hygiene as Bench: caches and checkpoint blocks a
+      // query leaves behind (d10's bigram cache, d09/d11 localCheckpoints,
+      // MLlib training) must not accumulate across the full 70+-query run
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -282,17 +282,20 @@ object Analytics {
     // explicit null guard: Spark collect_set silently DROPS nulls while
     // DuckDB list(DISTINCT) KEEPS one — filtering in both engines pins the
     // semantics instead of relying on the column never being null
+    // array_join: an array<string> output column crashes the driver's
+    // pandas sort_values ('unhashable numpy.ndarray', r1) — the joined
+    // string carries the same information and is hashable
     Tables.orders(s, dir)
       .filter($"o_orderstatus".isNotNull)
       .groupBy($"o_orderpriority")
-      .agg(array_sort(collect_set($"o_orderstatus")).as("statuses"),
+      .agg(array_join(array_sort(collect_set($"o_orderstatus")), ",").as("statuses"),
         countDistinct($"o_orderstatus").as("n_statuses"))
       .orderBy($"o_orderpriority")
   }
 
   val q27Sql: String =
     """SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        count(DISTINCT o_orderstatus) AS n_statuses
        FROM orders
        WHERE o_orderstatus IS NOT NULL

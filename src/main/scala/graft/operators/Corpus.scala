@@ -76,6 +76,16 @@ object Corpus {
     * iterative graph operator). */
   def d09DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    dedupClusters(s, TextOps.nearDupPairs(s, dir))(dir)
+  }
+
+  /** Star-contraction cluster labeling over an arbitrary (doc_a, doc_b)
+    * pair graph — d09 feeds it the exact quadratic d05 edges, d11 the
+    * bucketed LSH edges ([[DedupLsh.lshPairs]]), which is the composition
+    * that survives 100 TB (the edge generator is the scale ceiling, not
+    * this loop). */
+  def dedupClusters(s: SparkSession, pairEdges: DataFrame)(dir: String): DataFrame = {
+    import s.implicits._
     // localCheckpoint bookkeeping: each round's checkpoint truncates the
     // loop's lineage (so the returned plan doesn't re-derive the whole
     // iteration), and every intermediate checkpoint is unpersisted as soon
@@ -96,7 +106,7 @@ object Corpus {
     // materialize the pair graph ONCE: union branches re-evaluate their
     // child per branch, so deriving anything twice from the live quadratic
     // pair join would run it twice (CLAUDE.md invariant 5)
-    var (edges, edgeIds) = ckpt(TextOps.nearDupPairs(s, dir)
+    var (edges, edgeIds) = ckpt(pairEdges
       .select($"doc_a".as("src"), $"doc_b".as("dst")))
     var (labels, labelIds) = ckpt(Tables.documents(s, dir)
       .select($"doc_id".as("node"), $"doc_id".as("label")))
@@ -129,6 +139,12 @@ object Corpus {
       nEdges = edges.count()
       iter += 1
     }
+    // fail loudly: a silent partial contraction would surface only as an
+    // opaque oracle hash mismatch (star contraction halves components per
+    // round, so 50 rounds covers any graph with < 2^50 nodes — hitting
+    // this is a bug, not a tuning problem)
+    require(nEdges == 0,
+      s"dedupClusters star contraction did not converge after $iter rounds ($nEdges edges left)")
     free(edgeIds)
     labels
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"label")))
@@ -154,6 +170,16 @@ object Corpus {
          count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM lab
        ORDER BY doc_id"""
+
+  /** d11 — LSH-fed near-duplicate clusters: same star-contraction labeling
+    * as d09 but edges come from the bucketed MinHash-LSH pair generator
+    * instead of the exact quadratic d05 join — the composition that holds
+    * at 100 TB (single shuffle per LSH stage, capped buckets, no all-pairs
+    * term anywhere). xxhash64-based edges aren't DuckDB-expressible →
+    * rows-only + CorpusSpec (cluster equality with d09 on this corpus,
+    * where LSH recall at J ≥ 0.5 is total for the pairs that matter). */
+  def d11LshClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, DedupLsh.lshPairs(s, dir))(dir)
 
   /** d10 — bigram language-model scoring: every document scored by the
     * mean log-probability of its bigrams under the corpus's own MLE
@@ -206,8 +232,10 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d08_tfidf" -> (d08Tfidf _),
     "d09_dedup_clusters" -> (d09DedupClusters _),
-    "d10_bigram_lm" -> (d10BigramLm _))
+    "d10_bigram_lm" -> (d10BigramLm _),
+    "d11_lsh_clusters" -> (d11LshClusters _))
 
+  /** d11 is xxhash64-based (LSH edges) → rows-only + CorpusSpec. */
   val oracles: Map[String, String] = Map(
     "d08_tfidf" -> d08Sql,
     "d09_dedup_clusters" -> d09Sql,

@@ -39,6 +39,10 @@ object DedupLsh {
   private val RowsPerBand = NumHashes / Bands
   private val P = 2147483647L // 2^31 − 1 (prime)
   private val SegBucketCap = 128
+  // per-(band, bh) membership cap for minhash candidate generation — the
+  // same degenerate-bucket guard SegBucketCap provides for simhash
+  // (spec-visible: DedupLshSpec pins the O(N·cap) candidate bound)
+  private[graft] val BandBucketCap = 128
 
   /** (doc_id, text) → (doc_id, sh): word 3-gram shingles (order-sensitive,
     * distinct), from the raw token stream; docs shorter than 3 tokens
@@ -90,10 +94,12 @@ object DedupLsh {
       .select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
 
-  /** Core MinHash-LSH pairing over (doc_id, sh): candidates share ≥1 band,
-    * each candidate exact-verified with shingle Jaccard ≥ 0.5. Exposed for
-    * spec-level testing on crafted corpora. */
-  def minHashPairs(docs0: DataFrame): DataFrame = {
+  /** Unsorted/unlimited MinHash-LSH pair set over (doc_id, sh): candidates
+    * share ≥1 band, each candidate exact-verified with shingle Jaccard
+    * ≥ 0.5. Columns (doc_a, doc_b, jaccard). The shared edge generator for
+    * m01's report and the LSH-fed cluster builder
+    * ([[Corpus.d11LshClusters]]). */
+  def minHashPairsAll(docs0: DataFrame): DataFrame = {
     // Cache the shingle sets and the (tiny) sketch table: both feed two
     // plan branches (self-join sides / verify join), and without a
     // materialization barrier Catalyst inlines the whole shingle pipeline
@@ -101,7 +107,17 @@ object DedupLsh {
     // (measured: 45× slowdown at sf0.1). Sketches are O(n_docs · 24 B):
     // cacheable at any corpus scale.
     val docs = docs0.cache()
-    val buckets = bucketsOf(docs).cache()
+    // Cap each (band, bh) bucket at its BandBucketCap lowest doc_ids: a
+    // degenerate bucket (e.g. near-empty docs all sharing one shingle)
+    // otherwise goes quadratic in the self-join — the one unbounded term
+    // in this plan at 100 TB. Recall bound is explicit and documented:
+    // a true pair is missed only if BOTH docs fall outside the cap in
+    // EVERY band they co-collide in (exact dups collide in all 4 bands).
+    val wB = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val buckets = bucketsOf(docs)
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= BandBucketCap).drop("rnk")
+      .cache()
     val cands = buckets.as("x")
       .join(buckets.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -115,13 +131,22 @@ object DedupLsh {
       .withColumn("jaccard", r(inter.cast("double") / uni, 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Top-500 report form of [[minHashPairsAll]] (spec + driver surface). */
+  def minHashPairs(docs0: DataFrame): DataFrame =
+    minHashPairsAll(docs0)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(500)
-  }
 
   /** m01 — shingle-MinHash LSH near-dup pairs over documents. */
   def m01MinHashPairs(s: SparkSession, dir: String): DataFrame =
     minHashPairs(shingled(s, dir))
+
+  /** Unlimited LSH pair set over the documents table — the bucketed
+    * (scale-path) edge source for [[Corpus.d11LshClusters]]. */
+  def lshPairs(s: SparkSession, dir: String): DataFrame =
+    minHashPairsAll(shingled(s, dir))
 
   /** Core 64-bit SimHash over (doc_id, sh): bit j is set iff at least half
     * the shingle hashes have bit j set (the sign of the ±1 vote sum).

@@ -308,12 +308,17 @@ object Relational {
     */
   def q11GroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+    // CAST total AS DOUBLE: rsumSql inside Spark SQL yields a DECIMAL
+    // column, which pyarrow surfaces as object(Decimal) while the DuckDB
+    // oracle's fetchdf gives float64 — the actual r1 hash-red cause
+    // (q09/q10 pass because the Scala `rsum` already emits double).
+    // grouping() also cast to INT on both sides (tinyint vs wider int).
     s.sql(
       s"""SELECT o_orderstatus, o_orderpriority,
-         grouping(o_orderstatus) AS g_status,
-         grouping(o_orderpriority) AS g_priority,
+         CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         CAST(grouping(o_orderpriority) AS INT) AS g_priority,
          count(*) AS n,
-         ${rsumSql("o_totalprice", 2)} AS total
+         CAST(${rsumSql("o_totalprice", 2)} AS DOUBLE) AS total
          FROM graft_orders_gs
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
@@ -322,8 +327,8 @@ object Relational {
 
   val q11Sql: String =
     s"""SELECT o_orderstatus, o_orderpriority,
-       grouping(o_orderstatus) AS g_status,
-       grouping(o_orderpriority) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
        count(*) AS n,
        ${rsumSql("o_totalprice", 2)} AS total
        FROM orders

@@ -262,11 +262,43 @@ object Similarity {
     * SimilaritySpec. */
   def e07PqQuantize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the raw array<int> codes column crashes the driver's pandas
+    // sort_values (unhashable ndarray, r1) — pack the 8 4-bit codes into
+    // one bigint (the byte layout an ADC scan would store anyway; 32 bits
+    // of payload, accumulated in long to stay inside ANSI arithmetic); the
+    // array form stays available via pqCodes for SimilaritySpec
     pqCodes(corpus(s, dir).select($"vec_id", $"v"))
+      .select($"vec_id",
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a * 16 + c)").as("codes_packed"),
+        $"mse")
+  }
+
+  /** e08 — ANN quality report: recall@5 of the two approximate paths (e03
+    * LSH buckets, e05 IVF probes) against the exact e01 top-5, per query
+    * vector. Makes ANN quality a first-class, per-round-visible number
+    * instead of a spec-only assertion. Join of three existing outputs on
+    * (query_id, neighbor_id) — each side is ≤ 5·|queries| rows, so the
+    * report costs nothing beyond the searches themselves. e03/e05 aren't
+    * SQL-practical → rows-only + SimilaritySpec (bounds + floor). */
+  def e08AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = e01CosineTopK(s, dir).select($"query_id", $"neighbor_id").cache()
+    def hitsOf(approx: DataFrame, as: String): DataFrame =
+      ex.join(approx.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as(as))
+    val base = ex.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+    base
+      .join(hitsOf(e03LshAnn(s, dir), "h_lsh"), Seq("query_id"), "left")
+      .join(hitsOf(e05IvfAnn(s, dir), "h_ivf"), Seq("query_id"), "left")
+      .select($"query_id",
+        r(coalesce($"h_lsh", lit(0L)).cast("double") / $"n_exact", 6).as("recall_lsh"),
+        r(coalesce($"h_ivf", lit(0L)).cast("double") / $"n_exact", 6).as("recall_ivf"))
+      .orderBy($"query_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_pq_quantize" -> (e07PqQuantize _),
+    "e08_ann_recall" -> (e08AnnRecall _),
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
@@ -274,7 +306,7 @@ object Similarity {
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e06_label_centroids" -> (e06LabelCentroids _))
 
-  /** e03/e05/e07 intentionally absent — rows-only checks + SimilaritySpec. */
+  /** e03/e05/e07/e08 intentionally absent — rows-only checks + SimilaritySpec. */
   val oracles: Map[String, String] = Map(
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,

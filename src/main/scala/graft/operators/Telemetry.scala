@@ -179,14 +179,17 @@ object Telemetry {
 
   val t05Sql: String = {
     val pred = "(temperature >= 80.0 AND vibration >= 3.0)"
+    // CAST AS BIGINT: DuckDB sum(int) returns HUGEINT (int128 → pandas
+    // object), Spark emits int64 — the driver's dtype-sensitive hash
+    // diverges without the cast (r1 red)
     s"""SELECT tp, fp, fn, tn,
        ${rSql("tp / (tp + fp)", 6)} AS precision,
        ${rSql("tp / (tp + fn)", 6)} AS recall
        FROM (SELECT
-         sum(CASE WHEN $pred AND is_anomaly = 1 THEN 1 ELSE 0 END) AS tp,
-         sum(CASE WHEN $pred AND is_anomaly = 0 THEN 1 ELSE 0 END) AS fp,
-         sum(CASE WHEN NOT $pred AND is_anomaly = 1 THEN 1 ELSE 0 END) AS fn,
-         sum(CASE WHEN NOT $pred AND is_anomaly = 0 THEN 1 ELSE 0 END) AS tn
+         CAST(sum(CASE WHEN $pred AND is_anomaly = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN $pred AND is_anomaly = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT $pred AND is_anomaly = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT $pred AND is_anomaly = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
          FROM ($twinSql)) m"""
   }
 
@@ -272,8 +275,10 @@ object Telemetry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ), sess AS (
          SELECT user_id, ts,
-           sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           -- BIGINT cast: DuckDB windowed sum(int) is HUGEINT → pandas
+           -- object; Spark emits int64 (r1 driver-red without it)
+           CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM g)
        SELECT user_id, session_id, count(*) AS n_events,
          min(ts) AS session_start, max(ts) AS session_end,

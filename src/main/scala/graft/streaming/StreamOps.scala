@@ -182,12 +182,18 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
 
+  /** The reference sink's buffer interval: Firehose flushes every 300 s
+    * (`phase3-kinesis-s3.yaml:86-88` IntervalInSeconds: 300) — the latency
+    * bound the published "≤ 5 min to the lake" claim rests on. Named so
+    * StreamOpsSpec can pin it. */
+  val FirehoseTrigger: Trigger = Trigger.ProcessingTime("300 seconds")
+
   /** S5 — buffered, compressed, time-partitioned lake sink: 300-s
     * processing-time trigger ≈ Firehose's 300-s buffer; gzip ≈ its
     * CompressionFormat; date/hour partition columns ≈ its prefix paths;
     * checkpointing gives the same at-least-once contract. */
   def bufferedLakeSink(df: DataFrame, path: String, checkpoint: String,
-    trigger: Trigger = Trigger.ProcessingTime("300 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    trigger: Trigger = FirehoseTrigger): DataStreamWriter[org.apache.spark.sql.Row] =
     df.withColumn("date", to_date(col("ts")))
       .withColumn("hour", hour(col("ts")))
       .writeStream

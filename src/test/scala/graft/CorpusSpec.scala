@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, TextOps}
+import graft.operators.{Corpus, DedupLsh, TextOps}
 
 class CorpusSpec extends GraftSpec {
 
@@ -65,6 +65,39 @@ class CorpusSpec extends GraftSpec {
       val sizeSum = out.select($"cluster_id", $"cluster_size").distinct()
         .agg(sum($"cluster_size")).collect()(0).getLong(0)
       assert(sizeSum == nDocs)
+    } finally out.unpersist()
+  }
+
+  test("d11 LSH clusters: same invariants as d09 over the LSH edge set") {
+    import spark.implicits._
+    // d11 uses shingle-MinHash edges (stricter than d05's unigram Jaccard),
+    // so its clusters legitimately differ from d09's — the invariants that
+    // must hold are structural, against d11's OWN edge generator.
+    val out = Corpus.d11LshClusters(spark, sfTiny).cache()
+    try {
+      val nDocs = Tables.documents(spark, sfTiny).count()
+      assert(out.count() == nDocs, "one row per document")
+      assert(out.filter($"cluster_id" > $"doc_id").count() == 0,
+        "cluster id is the minimum member")
+      val lab = out.select($"doc_id", $"cluster_id")
+      val split = DedupLsh.lshPairs(spark, sfTiny).select($"doc_a", $"doc_b")
+        .join(lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+        .join(lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+        .filter($"ca" =!= $"cb").count()
+      assert(split == 0, "an LSH edge crossed two clusters")
+      val sizeSum = out.select($"cluster_id", $"cluster_size").distinct()
+        .agg(sum($"cluster_size")).collect()(0).getLong(0)
+      assert(sizeSum == nDocs)
+      // identical raw texts collide in every band (J = 1) → must share a
+      // cluster (groups here are far below the 128 bucket cap)
+      val sameText = Tables.documents(spark, sfTiny)
+        .groupBy($"text").agg(min($"doc_id").as("rep"), collect_list($"doc_id").as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode($"ids").as("doc_id"), $"rep")
+      val splitDups = sameText.join(lab, "doc_id")
+        .groupBy($"rep").agg(countDistinct($"cluster_id").as("k"))
+        .filter($"k" > 1).count()
+      assert(splitDups == 0, "identical texts must co-cluster")
     } finally out.unpersist()
   }
 }

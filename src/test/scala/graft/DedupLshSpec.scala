@@ -48,6 +48,28 @@ class DedupLshSpec extends GraftSpec {
       r.getAs[Int]("hamming") == 0), pairs.mkString("; "))
   }
 
+  test("m01 degenerate bucket is capped: N identical docs yield O(N·cap) not O(N²)") {
+    import spark.implicits._
+    // 150 identical docs all land in ONE bucket per band; without the
+    // BandBucketCap the self-join would emit C(150,2) = 11175 candidate
+    // pairs — with it, only the cap lowest doc_ids pair: C(128,2) = 8128
+    val n = 150
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clones = (0L until n.toLong).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = DedupLsh.minHashPairsAll(DedupLsh.shingleDocs(clones)).cache()
+    try {
+      val cap = DedupLsh.BandBucketCap
+      assert(pairs.count() == cap.toLong * (cap - 1) / 2,
+        s"expected C($cap,2) capped pairs")
+      assert(pairs.count() < n.toLong * (n - 1) / 2, "cap must beat the quadratic bound")
+      // every surviving pair is a true exact dup
+      assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+      // the cap keeps the LOWEST doc_ids, so the canonical representative
+      // (doc 0) still pairs with every other kept doc
+      assert(pairs.filter(col("doc_a") === 0L).count() == cap - 1)
+    } finally pairs.unpersist()
+  }
+
   test("m01 on real docs: pairs verify at jaccard >= 0.5, canonical order") {
     val df = DedupLsh.m01MinHashPairs(spark, sfTiny).cache()
     assert(df.filter(col("jaccard") < 0.5).count() == 0)

@@ -73,27 +73,48 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
-  test("e07 PQ codes: 8 codes in [0,16), mse ≥ 0, deterministic, exact for codebook vectors") {
+  test("e07 PQ codes: packed 8×4-bit, mse ≥ 0, deterministic, exact for codebook vectors") {
     import spark.implicits._
     val out = Similarity.e07PqQuantize(spark, sfTiny).cache()
     try {
       val n = Tables.embeddings(spark, sfTiny).count()
       assert(out.count() == n)
-      val bad = out.filter(size($"codes") =!= 8 ||
-        exists($"codes", c => c < 0 || c > 15) || $"mse" < 0).count()
+      // 8 nibbles of payload: packed value fits in 32 unsigned bits
+      val bad = out.filter($"codes_packed" < 0L ||
+        $"codes_packed" > 4294967295L || $"mse" < 0).count()
       assert(bad == 0)
-      // a vector that IS centroid m must quantize to all-m codes with mse 0
+      // a vector that IS centroid m must quantize to all-m codes (packed:
+      // nibble m repeated 8× = m · 0x11111111) with mse 0
       val stride = math.max(1L, n / 16)
       val centroidRows = out.filter($"vec_id" % stride === 0 && $"vec_id" / stride < 16)
+        .withColumn("m", ($"vec_id" / stride).cast("long"))
       assert(centroidRows.filter($"mse" =!= 0.0).count() == 0,
         "codebook members reconstruct exactly")
+      assert(centroidRows.filter($"codes_packed" =!= $"m" * 0x11111111L).count() == 0,
+        "codebook members code to their own centroid in every sub-space")
       val rerun = Similarity.e07PqQuantize(spark, sfTiny).collect()
       assert(rerun.sameElements(out.collect()), "PQ assignment is deterministic")
     } finally out.unpersist()
   }
 
+  test("e08 recall report: one row per e01 query, recalls in [0,1], IVF nonzero") {
+    import spark.implicits._
+    val out = Similarity.e08AnnRecall(spark, sfTiny).cache()
+    try {
+      val nQueries = Similarity.e01CosineTopK(spark, sfTiny)
+        .select("query_id").distinct().count()
+      assert(out.count() == nQueries, "one recall row per query vector")
+      assert(out.filter($"recall_lsh" < 0 || $"recall_lsh" > 1 ||
+        $"recall_ivf" < 0 || $"recall_ivf" > 1).count() == 0)
+      // the IVF path probes NPROBE=4 of 16 lists — it must recover at
+      // least one true neighbor overall (e03's looser bound is spec'd above)
+      assert(out.agg(sum($"recall_ivf")).collect()(0).getDouble(0) > 0.0)
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover the SQL-expressible queries") {
     assert(Similarity.oracles.keySet ==
-      Similarity.queries.keySet -- Set("e03_lsh_ann", "e05_ivf_ann", "e07_pq_quantize"))
+      Similarity.queries.keySet --
+        Set("e03_lsh_ann", "e05_ivf_ann", "e07_pq_quantize", "e08_ann_recall"))
   }
 }

@@ -213,4 +213,33 @@ class StreamOpsSpec extends GraftSpec {
     assert(gz >= 2, s"expected gzip part files, found $gz")
     assert(partDirs >= 2, s"expected date=/hour= partition dirs, found $partDirs")
   }
+
+  test("latency pin: 300-s Firehose trigger configured; micro-batch keeps up at 1 msg/s") {
+    // config pin — the reference's published "≤ 5 min to the lake" bound
+    // (phase3-kinesis-s3.yaml IntervalInSeconds: 300)
+    assert(StreamOps.FirehoseTrigger == Trigger.ProcessingTime("300 seconds"))
+
+    // throughput pin: 300 s of reference traffic (1 msg/s,
+    // IoTSimulator.java PUBLISH_INTERVAL_MS=1000) must clear one
+    // parse→score micro-batch in far less than the 300-s buffer window —
+    // i.e. the pipeline keeps up with the simulator with headroom.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val batch = (0 until 300).map(i =>
+      s"""{"machineId":"m${i % 3}","temperature":${65.0 + i % 20},"vibration":${1.2 + (i % 30) / 10.0},"timestamp":${1754980000L + i}}""")
+    in.addData(batch: _*)
+    val q = StreamOps.score(StreamOps.parseWire(in.toDF())).writeStream
+      .format("memory").queryName("latency_pin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("latency_pin").count() == 300)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.nonEmpty)
+      val worstMs = batches.map(_.durationMs.get("triggerExecution").toLong).max
+      // generous CI bound: 30 s for a 300-row batch is still 10× inside
+      // the 300-s budget; in practice this runs in well under a second
+      assert(worstMs < 30000L, s"micro-batch took ${worstMs} ms for 300 rows")
+    } finally q.stop()
+  }
 }
