@@ -204,6 +204,71 @@ object Analytics {
        ORDER BY l_returnflag"""
   }
 
+  /** q35 — least-squares regression aggregates (the regr_* family):
+    * slope / intercept / R² of price-on-quantity plus sample covariance,
+    * per line status. Built-in regr_slope/regr_r2 accumulate doubles in
+    * partition order (non-reproducible), so — like q23 — the moments go
+    * through exact decimal sums and the closed forms are evaluated in
+    * double with IDENTICAL operation order on both sides. One map-side
+    * partial agg + one shuffle on the group key: scales like q01. */
+  def q35RegressionAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n0"),
+        m($"l_quantity").as("sx"),
+        m($"l_quantity" * $"l_quantity").as("sxx"),
+        m($"l_extendedprice").as("sy"),
+        m($"l_extendedprice" * $"l_extendedprice").as("syy"),
+        m($"l_quantity" * $"l_extendedprice").as("sxy"))
+      .select($"l_linestatus", $"n0".as("n"), $"sx", $"sxx", $"sy", $"syy", $"sxy")
+      .select($"l_linestatus", $"n",
+        r(slope, 6).as("slope"),
+        r(($"sy" - slope * $"sx") / $"n", 6).as("intercept"),
+        r((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")) /
+          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"),
+        r(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 6).as("covar_samp"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q35Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""SELECT l_linestatus, n,
+       ${rSql(slope, 6)} AS slope,
+       ${rSql(s"(sy - $slope * sx) / n", 6)} AS intercept,
+       ${rSql("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2,
+       ${rSql("(sxy - sx * sy / n) / (n - 1)", 6)} AS covar_samp
+       FROM (SELECT l_linestatus, count(*) AS n,
+         ${m("l_quantity")} AS sx,
+         ${m("l_quantity * l_quantity")} AS sxx,
+         ${m("l_extendedprice")} AS sy,
+         ${m("l_extendedprice * l_extendedprice")} AS syy,
+         ${m("l_quantity * l_extendedprice")} AS sxy
+         FROM lineitem GROUP BY l_linestatus) t
+       ORDER BY l_linestatus"""
+  }
+
+  /** q37 — approximate percentiles (Greenwald-Khanna sketch): the
+    * sketch-family twin of q33's exact percentile_cont. At 100 TB exact
+    * percentiles sort every group; the GK sketch is single-pass,
+    * mergeable map-side, and bounds rank error by n/accuracy — the same
+    * exact→sketch trade q16→q19 makes for distinct counts. Sketch
+    * internals differ between engines (DuckDB uses t-digest) → rows-only;
+    * AnalyticsSpec bounds the error against the exact q33 values. */
+  def q37ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("p90_approx"),
+        expr("approx_percentile(l_extendedprice, 0.99D, 10000)").as("p99_approx"))
+      .orderBy($"l_returnflag")
+  }
+
   /** q24 — FILTER-clause conditional aggregates + multiset set ops:
     * per-status filtered sums (ANSI FILTER syntax, identical in both
     * engines) over the multiset difference of two order cohorts
@@ -313,9 +378,11 @@ object Analytics {
     "q24_filtered_multiset" -> (q24FilteredMultiset _),
     "q25_having" -> (q25Having _),
     "q26_unpivot" -> (q26Unpivot _),
-    "q27_array_agg" -> (q27ArrayAgg _))
+    "q27_array_agg" -> (q27ArrayAgg _),
+    "q35_regression_agg" -> (q35RegressionAgg _),
+    "q37_approx_percentile" -> (q37ApproxPercentile _))
 
-  /** q19 is sketch-based → rows-only + AnalyticsSpec. */
+  /** q19/q37 are sketch-based → rows-only + AnalyticsSpec. */
   val oracles: Map[String, String] = Map(
     "q17_asof_join" -> q17Sql,
     "q18_range_join" -> q18Sql,
@@ -326,5 +393,6 @@ object Analytics {
     "q24_filtered_multiset" -> q24Sql,
     "q25_having" -> q25Sql,
     "q26_unpivot" -> q26Sql,
-    "q27_array_agg" -> q27Sql)
+    "q27_array_agg" -> q27Sql,
+    "q35_regression_agg" -> q35Sql)
 }

@@ -472,7 +472,46 @@ object Relational {
        ORDER BY o_orderpriority"""
 
   /** All relational queries + oracles, keyed for SparkEntry. */
+  /** q36 — fuzzy string matching: Levenshtein-close part-name pairs
+    * within a brand block. The exact-edit-distance baseline of the fuzzy
+    * join family (both engines implement classic Levenshtein — values are
+    * integer-identical). Blocking on p_brand keeps the quadratic term
+    * per-block and shuffles once on the block key; at 100 TB the block
+    * would be a q-gram LSH bucket (the m01 construction) instead of a
+    * catalog attribute — this is the verifier that path composes with. */
+  def q36FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
+    val b = p.select($"p_brand".as("brand_b"), $"p_partkey".as("key_b"), $"p_name".as("name_b"))
+    // lossless length-band pruning: edit distance ≥ |len(a) − len(b)|, so
+    // pairs outside the ±3 band can never qualify — the cheap predicate
+    // drops them before the O(m·n) Levenshtein runs (the oracle needn't
+    // mirror it: it only removes non-qualifying pairs)
+    a.join(b, $"p_brand" === $"brand_b" && $"key_a" < $"key_b" &&
+        abs(length($"name_a") - length($"name_b")) <= 3)
+      // threshold form runs the banded O(k·n) algorithm and returns -1
+      // above the bound — same qualifying distances as the full compute
+      .withColumn("dist", levenshtein($"name_a", $"name_b", 3))
+      .filter($"dist" >= 0 && $"dist" <= 3)
+      .select($"p_brand", $"key_a", $"key_b", $"name_a", $"name_b", $"dist")
+      .orderBy($"dist", $"key_a", $"key_b")
+      .limit(100)
+  }
+
+  val q36Sql: String =
+    """SELECT p_brand, key_a, key_b, name_a, name_b, dist FROM (
+         SELECT a.p_brand AS p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+                a.p_name AS name_a, b.p_name AS name_b,
+                levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) t
+       WHERE dist <= 3
+       ORDER BY dist, key_a, key_b
+       LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_fuzzy_match" -> (q36FuzzyMatch _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -491,6 +530,7 @@ object Relational {
     "q16_distinct_agg" -> (q16DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q36_fuzzy_match" -> q36Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

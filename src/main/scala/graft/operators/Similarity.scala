@@ -125,19 +125,22 @@ object Similarity {
     * corpus side shuffles once on the bucket key instead of a full cross
     * product. Correctness (recall vs e01) is covered by SimilaritySpec;
     * Verify records a rows-only check (no oracle). */
+  // plane_j[i] = LCG(j * 64 + i) - 0.5, j = 0..5 — same arithmetic family
+  // as Telemetry's twin: pure integer ops, reproducible everywhere.
+  // 6-bit random-hyperplane signature → 64 buckets; shared by e03 (ANN
+  // search) and e09 (near-dup pair blocking).
+  private val sigExpr =
+    """aggregate(
+         transform(sequence(0, 5), j ->
+           CASE WHEN aggregate(
+             zip_with(v, transform(sequence(0, 63), i ->
+               CAST(((CAST(j * 64 + i AS BIGINT) * 1103515245 + 12345) % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5),
+               (x, p) -> x * p),
+             0D, (a, t) -> a + t) >= 0D THEN 1L ELSE 0L END),
+         0L, (acc, b) -> acc * 2 + b)"""
+
   def e03LshAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // plane_j[i] = LCG(j * 64 + i) - 0.5, j = 0..5 — same arithmetic family
-    // as Telemetry's twin: pure integer ops, reproducible everywhere.
-    val sigExpr =
-      """aggregate(
-           transform(sequence(0, 5), j ->
-             CASE WHEN aggregate(
-               zip_with(v, transform(sequence(0, 63), i ->
-                 CAST(((CAST(j * 64 + i AS BIGINT) * 1103515245 + 12345) % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5),
-                 (x, p) -> x * p),
-               0D, (a, t) -> a + t) >= 0D THEN 1L ELSE 0L END),
-           0L, (acc, b) -> acc * 2 + b)"""
     // cached: both the query side and candidate side read the bucketed
     // corpus; without the barrier the 6×64-plane signature expression is
     // inlined and recomputed per branch
@@ -273,6 +276,38 @@ object Similarity {
         $"mse")
   }
 
+  /** e09 — bucketed embedding near-dup pairs: the 100 TB path for e04.
+    * e04's label blocking is quadratic per label (≈10 labels → O(n²/10)
+    * at any scale); here candidates form only inside a 6-bit hyperplane
+    * bucket — near-identical vectors agree on every hyperplane sign with
+    * high probability (exact duplicates always do), so the quadratic term
+    * shrinks to the bucket size while one shuffle on the bucket key does
+    * the blocking. Same top-50 report shape as e04. Bucketing isn't
+    * SQL-practical in DuckDB → rows-only + SimilaritySpec (planted-pair
+    * recall, exact-cosine verification). */
+  def e09NearDupAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nearDupAnnPairs(corpus(s, dir))
+      .orderBy($"cosine".desc, $"id_a", $"id_b")
+      .limit(50)
+  }
+
+  /** Core bucket-blocked near-dup pairing over corpus(vec_id, v, nrm) —
+    * exposed for spec use on crafted corpora. */
+  def nearDupAnnPairs(corpus0: DataFrame): DataFrame = {
+    // cache: the bucketed corpus feeds both self-join branches (the
+    // signature is 6×64 interpreted lambda evaluations per row — compute
+    // it once; CLAUDE.md invariant 5)
+    val c = corpus0.withColumn("bucket", expr(sigExpr)).cache()
+    val a = c.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("qv"), col("nrm").as("na"))
+    val b = c.select(col("bucket").as("bk"), col("vec_id").as("id_b"),
+      col("v").as("cv"), col("nrm").as("nb"))
+    a.join(b, col("bucket") === col("bk") && col("id_a") < col("id_b"))
+      .withColumn("cosine", r(dotQC / (col("na") * col("nb")), 6))
+      .select(col("bucket"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** e08 — ANN quality report: recall@5 of the two approximate paths (e03
     * LSH buckets, e05 IVF probes) against the exact e01 top-5, per query
     * vector. Makes ANN quality a first-class, per-round-visible number
@@ -299,6 +334,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e08_ann_recall" -> (e08AnnRecall _),
+    "e09_neardup_ann" -> (e09NearDupAnn _),
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
@@ -306,7 +342,7 @@ object Similarity {
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e06_label_centroids" -> (e06LabelCentroids _))
 
-  /** e03/e05/e07/e08 intentionally absent — rows-only checks + SimilaritySpec. */
+  /** e03/e05/e07/e08/e09 intentionally absent — rows-only checks + SimilaritySpec. */
   val oracles: Map[String, String] = Map(
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,

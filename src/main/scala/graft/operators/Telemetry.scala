@@ -320,7 +320,76 @@ object Telemetry {
        GROUP BY event_type
        ORDER BY event_type"""
 
+  /** t13 — forward fill (LOCF): repair sensor dropouts by carrying the
+    * last observed value forward per device stream — the standard
+    * timeseries gap-repair operator (the reference's subscriber assumes
+    * lossy QoS-0/1 delivery, `realtime_inference.py:87`). Dropouts are
+    * simulated deterministically (every 7th event id), then
+    * last(ignoreNulls) over an unbounded-preceding ROWS frame restores
+    * them. One window shuffle on user_id — same scale shape as t07. */
+  def t13ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 7 === 0, lit(null)).otherwise($"value").as("v_raw"))
+      .withColumn("v_fill", last($"v_raw", ignoreNulls = true).over(w))
+      .withColumn("was_filled", ($"v_raw".isNull && $"v_fill".isNotNull).cast("int"))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val t13Sql: String =
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_raw
+         FROM events)
+       SELECT user_id, ts, event_id, v_raw,
+         last_value(v_raw IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+         CAST(v_raw IS NULL AND last_value(v_raw IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL AS INTEGER) AS was_filled
+       FROM g
+       ORDER BY user_id, ts, event_id"""
+
+  /** t14 — single-pass top-k per key via the typed [[graft.functions.TopKAggregator]]
+    * (Aggregator[IN,BUF,OUT]): top-3 readings per user. Unlike the
+    * window-rank form (q07), the aggregator ships at most k rows per
+    * group per partition through the shuffle — the heavy-hitter-safe
+    * top-k at 100 TB (a window sorts entire partitions). Output is
+    * exploded to scalar rows (driver-safe) and oracle-checked against
+    * the window twin: tie-break (value DESC, event_id ASC) matches the
+    * aggregator's ordering, so the two forms agree bit-for-bit. */
+  def t14TopkUdaf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAggregator(3).toColumn
+    Tables.events(s, dir)
+      .select($"user_id", $"value", $"event_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .toDF("user_id", "topk")
+      .select($"user_id", posexplode($"topk"))
+      .select($"user_id", ($"pos" + 1).as("rk"),
+        $"col._1".as("value"), $"col._2".as("event_id"))
+      .orderBy($"user_id", $"rk")
+  }
+
+  val t14Sql: String =
+    """SELECT user_id, rk, value, event_id FROM (
+         SELECT user_id, value, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id ASC) AS rk
+         FROM events) t
+       WHERE rk <= 3
+       ORDER BY user_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_topk_udaf" -> (t14TopkUdaf _),
+    "t13_forward_fill" -> (t13ForwardFill _),
     "t01_json_extract" -> (t01JsonExtract _),
     "t02_hourly_rollup" -> (t02HourlyRollup _),
     "t03_latest_per_key" -> (t03LatestPerKey _),
@@ -332,6 +401,8 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t14_topk_udaf" -> t14Sql,
+    "t13_forward_fill" -> t13Sql,
     "t01_json_extract" -> t01Sql,
     "t02_hourly_rollup" -> t02Sql,
     "t03_latest_per_key" -> t03Sql,

@@ -100,6 +100,16 @@ object StreamOps {
   def dedupQos1(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
     df.withWatermark("ts", watermark).dropDuplicates("machineId", "ts")
 
+  /** QoS-1 dedup, redelivery-bounded form: dropDuplicatesWithinWatermark
+    * guarantees dedup for duplicates arriving within the watermark delay
+    * OF EACH OTHER (broker redelivery skew), rather than keying state on
+    * exact event-time equality — state is evicted once a record's
+    * event time passes out of the watermark, so state size is bounded by
+    * the delay × arrival rate regardless of key cardinality. The right
+    * primitive when redeliveries can carry regenerated timestamps. */
+  def dedupQos1Within(df: DataFrame, delay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", delay).dropDuplicatesWithinWatermark("machineId", "ts")
+
   /** event-time tumbling window aggregate (the Firehose 300-s buffer as a
     * declarative window). */
   def tumblingStats(df: DataFrame, width: String = "5 minutes"): DataFrame =

@@ -53,7 +53,27 @@ class AnalyticsSpec extends GraftSpec {
     assert(pivoted.except(direct).count() == 0)
   }
 
+  test("q37 approx percentiles within GK rank-error bound of exact") {
+    import spark.implicits._
+    val approx = Analytics.q37ApproxPercentile(spark, sfTiny)
+    // exact interpolation-free reference: GK bounds RANK error by
+    // n/accuracy, so compare against exact percentile_disc-style values
+    // with a generous relative tolerance (prices span ~[900, 105000])
+    val exact = Tables.lineitem(spark, sfTiny)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99D)").as("p99"))
+    val bad = approx.join(exact, "l_returnflag")
+      .filter(abs($"p50_approx" - $"p50") / $"p50" > 0.02 ||
+        abs($"p90_approx" - $"p90") / $"p90" > 0.02 ||
+        abs($"p99_approx" - $"p99") / $"p99" > 0.02)
+    assert(bad.count() == 0)
+    assert(approx.count() == exact.count())
+  }
+
   test("analytics oracles cover the SQL-expressible queries") {
-    assert(Analytics.oracles.keySet == Analytics.queries.keySet - "q19_approx_distinct")
+    assert(Analytics.oracles.keySet == Analytics.queries.keySet --
+      Set("q19_approx_distinct", "q37_approx_percentile"))
   }
 }

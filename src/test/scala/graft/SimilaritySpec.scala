@@ -112,9 +112,44 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e09 bucket-blocked near-dup: finds planted duplicates, cosines exact, canonical") {
+    import spark.implicits._
+    // 40 spread-out base vectors + exact clones of three of them: clones
+    // agree with their originals on every hyperplane sign, so bucket
+    // blocking can never separate them
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 64).map(d => math.sin(i * 64 + d).abs + 0.1).toArray)
+    }
+    val clones = Seq(5, 17, 31).map(i => (100L + i, base(i)._2.clone()))
+    val corpusDf = (base ++ clones).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+    val pairs = Similarity.nearDupAnnPairs(corpusDf).cache()
+    try {
+      val got = pairs.select("id_a", "id_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      Seq(5L, 17L, 31L).foreach { i =>
+        assert(got.get((i, 100L + i)).contains(1.0),
+          s"planted clone pair ($i, ${100 + i}) missing or cosine != 1.0: $got")
+      }
+      assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+      assert(pairs.filter(col("cosine") > 1.000001).count() == 0)
+    } finally pairs.unpersist()
+  }
+
+  test("e09 on real embeddings: top-50, deterministic, pairs canonical") {
+    val out = Similarity.e09NearDupAnn(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0 && out.count() <= 50)
+      assert(out.filter(col("id_a") >= col("id_b")).count() == 0)
+      val rerun = Similarity.e09NearDupAnn(spark, sfTiny).collect()
+      assert(rerun.sameElements(out.collect()))
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover the SQL-expressible queries") {
     assert(Similarity.oracles.keySet ==
       Similarity.queries.keySet --
-        Set("e03_lsh_ann", "e05_ivf_ann", "e07_pq_quantize", "e08_ann_recall"))
+        Set("e03_lsh_ann", "e05_ivf_ann", "e07_pq_quantize", "e08_ann_recall",
+          "e09_neardup_ann"))
   }
 }

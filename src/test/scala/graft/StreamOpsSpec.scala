@@ -60,6 +60,25 @@ class StreamOpsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("dedupQos1Within drops broker redeliveries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double, Double, Long)]
+    val df = in.toDF().toDF("machineId", "temperature", "vibration", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = StreamOps.dedupQos1Within(df).writeStream
+      .format("memory").queryName("deduped_within").outputMode("append").start()
+    try {
+      in.addData(("m1", 67.0, 1.3, 1000L), ("m2", 69.0, 1.2, 1000L))
+      q.processAllAvailable()
+      // redelivery lands in a LATER micro-batch, well inside the 10-min
+      // watermark delay of the original — must still be dropped
+      in.addData(("m1", 67.0, 1.3, 1000L), ("m1", 68.0, 1.4, 1001L))
+      q.processAllAvailable()
+      assert(spark.table("deduped_within").count() == 3)
+    } finally q.stop()
+  }
+
   test("tumblingStats windows counts per machine (S5 window semantics)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
