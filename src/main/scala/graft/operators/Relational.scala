@@ -482,13 +482,25 @@ object Relational {
   def q36FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
+    // the block key p_brand has ~25 distinct values — a shuffled join
+    // would serialize all pairs onto ≤25 tasks (measured 8.6 s at sf0.1);
+    // repartitioning the probe side by key and broadcasting the (small)
+    // name table spreads the quadratic work across every core (same
+    // mitigation as d05's nearDupPairs) — 25 blocks × 800 names each is
+    // broadcastable at any catalog size
+    // explicit partition count: the probe rows are only ~1 MB, so AQE
+    // would coalesce a bare repartition(col) to ONE partition and
+    // serialize the whole quadratic join on a single task — the byte-size
+    // heuristic can't see the join's compute amplification
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
+      .repartition(nPart, col("key_a"))
     val b = p.select($"p_brand".as("brand_b"), $"p_partkey".as("key_b"), $"p_name".as("name_b"))
     // lossless length-band pruning: edit distance ≥ |len(a) − len(b)|, so
     // pairs outside the ±3 band can never qualify — the cheap predicate
     // drops them before the O(m·n) Levenshtein runs (the oracle needn't
     // mirror it: it only removes non-qualifying pairs)
-    a.join(b, $"p_brand" === $"brand_b" && $"key_a" < $"key_b" &&
+    a.join(broadcast(b), $"p_brand" === $"brand_b" && $"key_a" < $"key_b" &&
         abs(length($"name_a") - length($"name_b")) <= 3)
       // threshold form runs the banded O(k·n) algorithm and returns -1
       // above the bound — same qualifying distances as the full compute
