@@ -51,6 +51,28 @@ class LakeIOSpec extends GraftSpec {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val dir = tmp("graft-lake-dpp")
+    LakeIO.writePartitionedLake(Tables.events(spark, sfTiny), dir)
+    val fact = LakeIO.readLake(spark, dir)
+    // dim carries the selective predicate; the fact's partition filter is
+    // only knowable at runtime from the dim's surviving rows — exactly the
+    // star-join shape DPP exists for (at 100 TB: skip whole date dirs)
+    val dimDir = tmp("graft-lake-dppdim")
+    Tables.events(spark, sfTiny)
+      .select(to_date($"ts").as("date")).distinct()
+      .withColumn("flag", (dayofmonth($"date") <= 2).cast("int"))
+      .write.mode("overwrite").parquet(dimDir)
+    // the filter must survive to the optimizer (a LocalRelation dim would
+    // constant-fold it away), so the dim goes through parquet
+    val dim = spark.read.parquet(dimDir).filter($"flag" === 1)
+    val joined = fact.join(dim.hint("broadcast"), Seq("date"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
+    assert(joined.count() > 0)
+  }
+
   test("bucketed tables join with zero shuffle exchanges (co-located join)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
