@@ -206,11 +206,19 @@ object Corpus {
     val p = cb.withColumn("w1", substring_index($"bg", " ", 1))
       .join(cu, "w1")
       .select($"bg", log($"nb".cast("double") / $"nu").as("logp"))
-    big.join(p, "bg")
+    val out = big.join(p, "bg")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         r(dsum($"logp") / count(lit(1)), 6).as("avg_logp"))
       .orderBy($"doc_id")
+      // eager snapshot of the (per-doc, tiny) result lets the bigram
+      // cache be freed inside the query — a long-lived session otherwise
+      // accumulates the exploded-bigram blocks until external hygiene
+      // runs (the Verify/Bench harnesses clear caches per query, but a
+      // library caller shouldn't have to)
+      .localCheckpoint(true)
+    big.unpersist(blocking = false)
+    out
   }
 
   val d10Sql: String =
