@@ -1,9 +1,10 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Telemetry
@@ -71,8 +72,31 @@ object Maintenance {
       .orderBy(col("id"))
   }
 
+  /** ml02 — the same M1–M4 pipeline shape with a calibrated linear model:
+    * logistic regression over {temperature, vibration}, emitting the
+    * anomaly probability next to the hard prediction. On the separable
+    * twin the decision boundary must agree with the threshold rule
+    * (MaintenanceSpec pins ≥ 99.9% agreement + probability bounds).
+    * Scoring is a broadcast model + scan-local transform — same 100 TB
+    * story as ml01; no oracle (MLlib) → rows-only + spec. */
+  def ml02LrScoring(s: SparkSession, dir: String): DataFrame = {
+    val assembler = new VectorAssembler()
+      .setInputCols(FeatureCols).setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setLabelCol("is_anomaly").setFeaturesCol("features")
+      .setMaxIter(100)
+    val model = new Pipeline().setStages(Array(assembler, lr))
+      .fit(Telemetry.twin(s))
+    model.transform(Telemetry.twin(s))
+      .select(col("id"), col("is_anomaly"),
+        col("prediction").cast("int").as("lr_prediction"),
+        vector_to_array(col("probability")).getItem(1).as("p_anomaly"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ml01_rf_scoring" -> (ml01RfScoring _))
+    "ml01_rf_scoring" -> (ml01RfScoring _),
+    "ml02_lr_scoring" -> (ml02LrScoring _))
 
   val oracles: Map[String, String] = Map.empty
 }

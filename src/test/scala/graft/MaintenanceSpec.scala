@@ -15,6 +15,22 @@ class MaintenanceSpec extends GraftSpec {
     df.unpersist()
   }
 
+  test("ml02 logistic regression recovers the rule boundary with calibrated probabilities") {
+    val df = Maintenance.ml02LrScoring(spark, sfTiny).cache()
+    try {
+      assert(df.count() == 10000L)
+      assert(df.filter(col("p_anomaly") < 0 || col("p_anomaly") > 1).count() == 0)
+      // the twin is linearly separable, so the LR boundary must agree with
+      // the generating rule on (at least) 99.9% of records
+      val disagree = df.filter(col("lr_prediction") =!= col("is_anomaly")).count()
+      assert(disagree <= 10L, s"$disagree disagreements")
+      // calibration sanity: anomalies score higher on average than normals
+      val pAnom = df.filter(col("is_anomaly") === 1).agg(avg("p_anomaly")).collect()(0).getDouble(0)
+      val pNorm = df.filter(col("is_anomaly") === 0).agg(avg("p_anomaly")).collect()(0).getDouble(0)
+      assert(pAnom > 0.9 && pNorm < 0.1, s"pAnom=$pAnom pNorm=$pNorm")
+    } finally df.unpersist()
+  }
+
   test("held-out precision/recall reproduce the reference's 1.00/1.00") {
     val (p, r) = Maintenance.evaluate(spark)
     assert(p == 1.0, s"precision $p")

@@ -233,6 +233,32 @@ class StreamOpsSpec extends GraftSpec {
     assert(partDirs >= 2, s"expected date=/hour= partition dirs, found $partDirs")
   }
 
+  test("end-to-end: wire JSON → parse → score → alert transitions (the full reference path)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    // one machine crossing NORMAL → ALERT → ALERT (suppressed) → NORMAL,
+    // with a malformed frame in the middle that must not kill the stream
+    in.addData(
+      """{"machineId":"m1","temperature":67.0,"vibration":1.3,"timestamp":1754980000}""",
+      """{"machineId":"m1","temperature":85.0,"vibration":3.5,"timestamp":1754980060}""",
+      """garbage frame""",
+      """{"machineId":"m1","temperature":86.0,"vibration":3.6,"timestamp":1754980120}""",
+      """{"machineId":"m1","temperature":66.0,"vibration":1.2,"timestamp":1754980180}""")
+    val scored = StreamOps.score(StreamOps.parseWire(in.toDF()))
+      .select($"machineId", $"ts", $"severity").as[Scored]
+    val q = StreamOps.alertTransitions(scored).writeStream
+      .format("memory").queryName("e2e_alerts").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("e2e_alerts").orderBy("ts").collect()
+      assert(rows.map(_.getAs[String]("severity")).toSeq ==
+        Seq("NORMAL", "ALERT", "NORMAL"), rows.mkString("; "))
+      assert(rows.map(_.getAs[String]("previous")).toSeq ==
+        Seq("NONE", "NORMAL", "ALERT"))
+    } finally q.stop()
+  }
+
   test("latency pin: 300-s Firehose trigger configured; micro-batch keeps up at 1 msg/s") {
     // config pin — the reference's published "≤ 5 min to the lake" bound
     // (phase3-kinesis-s3.yaml IntervalInSeconds: 300)
