@@ -128,8 +128,10 @@ object Similarity {
   // plane_j[i] = LCG(j * 64 + i) - 0.5 — same arithmetic family as
   // Telemetry's twin: pure integer ops, reproducible everywhere.
   // 6-bit random-hyperplane signature (planes lo..hi) → 64 buckets per
-  // table; shared by e03 (multi-table ANN) and e09 (near-dup blocking).
-  private def sigExpr(lo: Int, hi: Int): String =
+  // table. The QUERIES use the codegen'd [[VectorExpressions.lshSig]]
+  // kernel; this interpreted higher-order form is its semantic twin and
+  // VectorExpressionsSpec pins their bit-equality on real embeddings.
+  private[graft] def sigExpr(lo: Int, hi: Int): String =
     s"""aggregate(
          transform(sequence($lo, $hi), j ->
            CASE WHEN aggregate(
@@ -156,7 +158,8 @@ object Similarity {
     // L×6×64-plane signature expression is inlined and recomputed per
     // branch (CLAUDE.md invariant 5)
     val c = corpus(s, dir)
-      .withColumn("bkts", array((0 until L).map(t => expr(sigExpr(6 * t, 6 * t + 5))): _*))
+      .withColumn("bkts", array((0 until L).map(t =>
+        VectorExpressions.lshSig($"v", 6 * t, 6 * t + 5)): _*))
       .cache()
     val buckets = c.select($"vec_id", posexplode($"bkts").as(Seq("tbl", "bucket")))
     // multiprobe radius 1: each query also probes the 6 buckets one
@@ -325,7 +328,8 @@ object Similarity {
     // cache: the bucketed corpus feeds both self-join branches (the
     // signature is 6×64 interpreted lambda evaluations per row — compute
     // it once; CLAUDE.md invariant 5)
-    val c = corpus0.withColumn("bucket", expr(sigExpr(0, 5))).cache()
+    VectorExpressions.register(corpus0.sparkSession)
+    val c = corpus0.withColumn("bucket", VectorExpressions.lshSig(col("v"), 0, 5)).cache()
     val a = c.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("qv"), col("nrm").as("na"))
     val b = c.select(col("bucket").as("bk"), col("vec_id").as("id_b"),

@@ -2,11 +2,11 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** `graft_dot(a, b)` — native dot product of two array<double>.
   *
@@ -75,23 +75,108 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_lsh_sig(v, lo, hi)` — random-hyperplane LSH signature of an
+  * array<double>: bit j (MSB-first over planes lo..hi) is set iff
+  * dot(v, plane_j) ≥ 0, where plane_j[i] = LCG(j·64 + i)/2³¹ − 0.5 (the
+  * same deterministic LCG family the engine uses everywhere).
+  *
+  * The composable form — nested `aggregate(transform(sequence(...)))`
+  * lambdas — evaluates (hi−lo+1)·64 interpreted closures and allocates a
+  * plane array per row (higher-order functions never enter whole-stage
+  * codegen). This expression generates two tight primitive loops instead:
+  * the scan-side kernel of LSH bucketing at 100 TB. Accumulation order
+  * (per-plane left-to-right sum, then acc·2+bit) matches the lambda form
+  * exactly, so bucket values are bit-identical
+  * (VectorExpressionsSpec pins the equivalence).
+  */
+case class LshSignature(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), IntegerType, IntegerType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_lsh_sig"
+
+  override protected def nullSafeEval(v: Any, loAny: Any, hiAny: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val lo = loAny.asInstanceOf[Int]
+    val hi = hiAny.asInstanceOf[Int]
+    val n = x.numElements()
+    var acc = 0L
+    var j = lo
+    while (j <= hi) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val h = ((j.toLong * 64 + i) * 1103515245L + 12345L) % 2147483648L
+          s += x.getDouble(i) * (h.toDouble / 2147483648.0 - 0.5)
+        }
+        i += 1
+      }
+      acc = acc * 2 + (if (s >= 0.0) 1L else 0L)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, lo, hi) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $v.numElements();
+         |long $acc = 0L;
+         |for (int $j = $lo; $j <= $hi; $j++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) {
+         |      long $h = (((long) $j * 64 + $i) * 1103515245L + 12345L) % 2147483648L;
+         |      $s += $v.getDouble($i) * (((double) $h) / 2147483648.0 - 0.5);
+         |    }
+         |  }
+         |  $acc = $acc * 2 + ($s >= 0.0 ? 1L : 0L);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newFirst: Expression, newSecond: Expression, newThird: Expression): LshSignature =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
 
-  private val info =
+  private val infos = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression)
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression),
+    (new FunctionIdentifier("graft_lsh_sig"),
+      new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
+      (children: Seq[Expression]) => LshSignature(children(0), children(1), children(2)): Expression))
 
   /** Idempotent in-session registration (for sessions built without
     * `withExtensions`, e.g. the driver's). */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+    infos.foreach { case (id, info, builder) =>
+      classic.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 
-  /** Column-API entry point; requires [[register]] (or [[GraftExtensions]])
+  /** Column-API entry points; require [[register]] (or [[GraftExtensions]])
     * on the session first. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def lshSig(v: Column, lo: Int, hi: Int): Column =
+    call_function("graft_lsh_sig", v, lit(lo), lit(hi))
 }
 
 /** `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` (or
@@ -103,5 +188,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_sig"),
+      new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
+      (children: Seq[Expression]) => LshSignature(children(0), children(1), children(2))))
   }
 }

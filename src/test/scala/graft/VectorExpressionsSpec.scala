@@ -44,4 +44,32 @@ class VectorExpressionsSpec extends GraftSpec {
     assert(plan.contains("graft_dot"), plan.take(1500))
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(1500))
   }
+
+  test("graft_lsh_sig equals the interpreted higher-order form on every real embedding") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // every table range the queries use, plus an offset one
+    Seq((0, 5), (6, 11), (12, 17), (3, 9)).foreach { case (lo, hi) =>
+      val mismatches = vecs
+        .withColumn("kernel", VectorExpressions.lshSig($"v", lo, hi))
+        .withColumn("lambda", expr(graft.operators.Similarity.sigExpr(lo, hi)))
+        .filter($"kernel" =!= $"lambda").count()
+      assert(mismatches == 0, s"planes [$lo,$hi]")
+    }
+  }
+
+  test("graft_lsh_sig: null element contributes zero, null array yields null") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), None, Some(0.5)))),
+      (2L, Option.empty[Seq[Option[Double]]]))
+      .toDF("id", "v")
+    val rows = df.withColumn("sig", VectorExpressions.lshSig($"v", 0, 5))
+      .orderBy($"id").collect()
+    assert(!rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(2))
+  }
 }
