@@ -68,4 +68,47 @@ class PropertySpec extends GraftSpec {
       assert(global == grouped)
     }
   }
+
+  test("property: d12 chunks tile every token with 8-token overlap, none lost") {
+    // chunk layout invariants, independent of the corpus: chunk i holds
+    // tokens [i·56+1, i·56+64]; consecutive-chunk overlap re-covers the
+    // last 8; union == all tokens
+    import spark.implicits._
+    val out = graft.operators.TextOps.d12ChunkSplit(spark, sfTiny).cache()
+    try {
+      val docs = Tables.documents(spark, sfTiny)
+        .select($"doc_id", size(filter(split(trim($"text"), "\\s+"), t => t =!= "")).as("n"))
+        .filter($"n" >= 1)
+      // every chunk ≤ 64 tokens, ≥ 1 token
+      assert(out.filter($"n_chunk_tokens" > 64 || $"n_chunk_tokens" < 1).count() == 0)
+      // exact tiling: chunk i covers tokens [i·56+1, min(i·56+64, n)]
+      val bad = out.join(docs, "doc_id")
+        .filter($"n_chunk_tokens" =!= least(lit(64), $"n" - $"chunk_id" * 56))
+        .count()
+      assert(bad == 0, "every chunk must cover exactly its stride window")
+      // chunk count: ceil(n / 56) per doc
+      val perDoc = out.groupBy($"doc_id").agg(count(lit(1)).as("k"))
+      val badK = perDoc.join(docs, "doc_id")
+        .filter($"k" =!= ceil($"n" / 56.0).cast("long")).count()
+      assert(badK == 0)
+      assert(perDoc.count() == docs.count())
+    } finally out.unpersist()
+  }
+
+  test("property: t13 forward fill preserves observed values and fills only gaps") {
+    import spark.implicits._
+    val out = graft.operators.Telemetry.t13ForwardFill(spark, sfTiny).cache()
+    try {
+      // observed rows pass through untouched
+      assert(out.filter($"v_raw".isNotNull && $"v_fill" =!= $"v_raw").count() == 0)
+      // filled rows are exactly the null-raw rows with some prior value
+      assert(out.filter($"was_filled" === 1 && $"v_raw".isNotNull).count() == 0)
+      // idempotence: filling an already-filled series changes nothing
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val refill = out.withColumn("v2", last($"v_fill", ignoreNulls = true).over(w))
+      assert(refill.filter($"v_fill".isNotNull && $"v2" =!= $"v_fill").count() == 0)
+    } finally out.unpersist()
+  }
 }
