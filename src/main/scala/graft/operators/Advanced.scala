@@ -358,7 +358,42 @@ object Advanced {
            AS avg_hours_to_convert
        FROM j"""
 
+  /** q38 — window navigation functions (lag/lead/first_value/nth_value)
+    * as an order-gap analysis: per customer, days since the previous
+    * order, days until the next, the first order date, and the third
+    * (null until it exists). Frames are pinned to ROWS UNBOUNDED
+    * PRECEDING..CURRENT on both sides — nth_value's default RANGE frame
+    * is the classic cross-engine divergence. One window shuffle on
+    * o_custkey + the final sort, same scale shape as q08. */
+  def q38OrderGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .withColumn("days_since_prev",
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)))
+      .withColumn("days_to_next",
+        datediff(lead($"o_orderdate", 1).over(w), $"o_orderdate"))
+      .withColumn("first_order", first($"o_orderdate").over(wf))
+      .withColumn("third_order", nth_value($"o_orderdate", 3).over(wf))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val q38Sql: String =
+    """SELECT o_custkey, o_orderdate, o_orderkey,
+       datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev,
+       datediff('day', o_orderdate, lead(o_orderdate, 1) OVER w) AS days_to_next,
+       first_value(o_orderdate) OVER wf AS first_order,
+       nth_value(o_orderdate, 3) OVER wf AS third_order
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_order_gaps" -> (q38OrderGaps _),
     "t12_funnel" -> (t12Funnel _),
     "q34_full_outer" -> (q34FullOuter _),
     "q32_exists_subquery" -> (q32ExistsSubquery _),
@@ -372,6 +407,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q38_order_gaps" -> q38Sql,
     "t12_funnel" -> t12Sql,
     "q34_full_outer" -> q34Sql,
     "q32_exists_subquery" -> q32Sql,
