@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Num._
@@ -117,13 +118,63 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.n_bytes, width, height, mean)
   }
 
+  /** x04 — scene-cut detection over the frame stream: per-frame "energy"
+    * (codepoint sum — the stub for a real per-frame luminance/feature
+    * value), frame-to-frame delta, a 5-frame rolling mean, and a cut flag
+    * where the energy jumps — the windowed shot-boundary shape every
+    * video pipeline runs after frame sampling. One window shuffle on
+    * doc_id; energies are integers (exact in double regardless of
+    * accumulation order, so the rolling mean is oracle-safe). */
+  def x04SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_id")
+    val w5 = w.rowsBetween(-4, Window.currentRow)
+    Tables.documents(s, dir)
+      .filter(length($"text") > 0)
+      .select($"doc_id",
+        posexplode(expr(
+          "transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)," +
+            " i -> substr(text, i * 64 + 1, 64))")).as(Seq("frame_id", "frame")))
+      .withColumn("energy", expr(
+        "aggregate(transform(sequence(1, length(frame)), i -> ascii(substr(frame, i, 1))), " +
+          "0L, (a, c) -> a + CAST(c AS BIGINT))"))
+      .drop("frame")
+      .withColumn("d_energy", $"energy" - lag($"energy", 1).over(w))
+      .withColumn("roll_mean5", r(avg($"energy").over(w5), 6))
+      .withColumn("is_cut", (abs($"d_energy") > 1000L).cast("int"))
+      .orderBy($"doc_id", $"frame_id")
+  }
+
+  val x04Sql: String =
+    """WITH f AS (
+         SELECT doc_id, CAST(i AS INTEGER) AS frame_id,
+           substring(text, CAST(i * 64 + 1 AS INTEGER), 64) AS frame
+         FROM documents, range(0, 100000) r(i)
+         WHERE length(text) > 0 AND i < ceil(length(text) / 64.0)),
+       e AS (
+         SELECT doc_id, frame_id,
+           CAST(list_sum(list_transform(range(1, length(frame) + 1),
+             i -> ascii(substring(frame, i, 1)))) AS BIGINT) AS energy
+         FROM f)
+       SELECT doc_id, frame_id, energy,
+         energy - lag(energy, 1) OVER w AS d_energy,
+         floor(avg(energy) OVER w5 * 1000000.0 + 0.5) / 1000000.0 AS roll_mean5,
+         CAST(abs(energy - lag(energy, 1) OVER w) > 1000 AS INTEGER) AS is_cut
+       FROM e
+       WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id),
+              w5 AS (PARTITION BY doc_id ORDER BY frame_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       ORDER BY doc_id, frame_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_binary_meta" -> (x01BinaryMeta _),
     "x02_frame_sample" -> (x02FrameSample _),
-    "x03_decode_features" -> (x03DecodeFeatures _))
+    "x03_decode_features" -> (x03DecodeFeatures _),
+    "x04_scene_cuts" -> (x04SceneCuts _))
 
   /** x03 is mapPartitions-based → rows-only + MultimodalSpec. */
   val oracles: Map[String, String] = Map(
     "x01_binary_meta" -> x01Sql,
-    "x02_frame_sample" -> x02Sql)
+    "x02_frame_sample" -> x02Sql,
+    "x04_scene_cuts" -> x04Sql)
 }
