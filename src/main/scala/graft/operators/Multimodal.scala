@@ -147,6 +147,10 @@ object Multimodal {
 
   val x04Sql: String =
     """WITH f AS (
+         -- range cap 100000 frames = docs up to 6.4M chars; testdata max
+         -- doc length is ~4k chars (~64 frames). If the corpus ever grows
+         -- past that the oracle silently drops frames and this query reds
+         -- on rows_match — raise the cap alongside the assumption here.
          SELECT doc_id, CAST(i AS INTEGER) AS frame_id,
            substring(text, CAST(i * 64 + 1 AS INTEGER), 64) AS frame
          FROM documents, range(0, 100000) r(i)

@@ -105,8 +105,11 @@ object StreamOps {
     * OF EACH OTHER (broker redelivery skew), rather than keying state on
     * exact event-time equality — state is evicted once a record's
     * event time passes out of the watermark, so state size is bounded by
-    * the delay × arrival rate regardless of key cardinality. The right
-    * primitive when redeliveries can carry regenerated timestamps. */
+    * the delay × arrival rate regardless of key cardinality. Note the key
+    * still includes ts: a redelivery that REGENERATES its timestamp forms
+    * a new key and is NOT dropped — the benefit here is bounded state and
+    * tolerance for skewed arrival of identical events, not id-free dedup.
+    * (For regenerated-timestamp redeliveries, key on a message id.) */
   def dedupQos1Within(df: DataFrame, delay: String = "10 minutes"): DataFrame =
     df.withWatermark("ts", delay).dropDuplicatesWithinWatermark("machineId", "ts")
 

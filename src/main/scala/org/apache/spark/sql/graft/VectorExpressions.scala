@@ -86,8 +86,14 @@ case class DotProduct(left: Expression, right: Expression)
   * codegen). This expression generates two tight primitive loops instead:
   * the scan-side kernel of LSH bucketing at 100 TB. Accumulation order
   * (per-plane left-to-right sum, then acc·2+bit) matches the lambda form
-  * exactly, so bucket values are bit-identical
-  * (VectorExpressionsSpec pins the equivalence).
+  * exactly, so bucket values are bit-identical FOR NULL-FREE EMBEDDINGS
+  * (VectorExpressionsSpec pins the equivalence on that domain — which is
+  * all the testdata, where embedding elements are non-null by schema).
+  * Intentional divergence on arrays containing null elements: this kernel
+  * skips null elements (they contribute 0 to the dot product) so one bad
+  * element degrades rather than destroys the signature, while the lambda
+  * form null-poisons the whole product (zip_with → null → sum null →
+  * CASE false → bit 0).
   */
 case class LshSignature(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with ExpectsInputTypes {

@@ -87,6 +87,15 @@ def main(sf_dir, out_dir, only=None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # fail loudly on typo'd key filters — a silently-skipped key prints
+    # nothing and exits 0, the exact silent-pass mode Verify/Bench reject
+    if only:
+        known = set(oracle) | {n for n in os.listdir(out_dir)
+                               if os.path.isdir(f"{out_dir}/{n}")}
+        unknown = only - known
+        if unknown:
+            print(f"FATAL unknown query keys: {sorted(unknown)}")
+            return 2
     n_pass = n_fail = 0
     # rows-only keys (no oracle SQL): the driver still sorts their output,
     # so an unhashable (array-typed) column crashes the gate — replicate
