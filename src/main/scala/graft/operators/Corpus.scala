@@ -175,11 +175,27 @@ object Corpus {
     * as d09 but edges come from the bucketed MinHash-LSH pair generator
     * instead of the exact quadratic d05 join — the composition that holds
     * at 100 TB (single shuffle per LSH stage, capped buckets, no all-pairs
-    * term anywhere). xxhash64-based edges aren't DuckDB-expressible →
-    * rows-only + CorpusSpec (cluster equality with d09 on this corpus,
-    * where LSH recall at J ≥ 0.5 is total for the pairs that matter). */
+    * term anywhere). The LSH edges use portable md5-derived hashes
+    * ([[DedupLsh.pairCtes]]), so the whole composition — sketch, bucket,
+    * verify, iterate-to-fixpoint — is oracle-checked end to end via a
+    * recursive CTE; CorpusSpec additionally pins cluster equality with
+    * d09 on this corpus (LSH recall at J ≥ 0.5 is total for the pairs
+    * that matter here). */
   def d11LshClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(s, DedupLsh.lshPairs(s, dir))(dir)
+
+  val d11Sql: String =
+    s"""WITH RECURSIVE ${DedupLsh.pairCtes},
+       ee AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+              UNION ALL SELECT doc_b, doc_a FROM pr),
+       cc AS (SELECT doc_id AS node, doc_id AS label FROM documents
+              UNION
+              SELECT ee.dst AS node, cc.label FROM cc JOIN ee ON cc.node = ee.src),
+       lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
+       SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       FROM lab
+       ORDER BY doc_id"""
 
   /** d10 — bigram language-model scoring: every document scored by the
     * mean log-probability of its bigrams under the corpus's own MLE
@@ -243,9 +259,9 @@ object Corpus {
     "d10_bigram_lm" -> (d10BigramLm _),
     "d11_lsh_clusters" -> (d11LshClusters _))
 
-  /** d11 is xxhash64-based (LSH edges) → rows-only + CorpusSpec. */
   val oracles: Map[String, String] = Map(
     "d08_tfidf" -> d08Sql,
     "d09_dedup_clusters" -> d09Sql,
-    "d10_bigram_lm" -> d10Sql)
+    "d10_bigram_lm" -> d10Sql,
+    "d11_lsh_clusters" -> d11Sql)
 }

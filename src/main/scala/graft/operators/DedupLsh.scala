@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import Num._
+import TextOps.toksSql
 
 /** Sketch-based near-duplicate detection over `documents` — the 100 TB
   * scale path for the exact quadratic Jaccard in [[TextOps.d05JaccardPairs]]
@@ -17,10 +18,19 @@ import Num._
   * join). Shingling restores a large, sparse feature space — the standard
   * MinHash construction (shingle → minhash → band → bucket-join).
   *
-  * Neither operator is DuckDB-expressible (both build on xxhash64), so both
-  * ship without oracle SQL: Verify records a rows-only check and
-  * DedupLshSpec carries correctness (determinism, exact-dup guarantee,
-  * recall on a crafted corpus).
+  * Every hash in this path is PORTABLE: a 60-bit (or 2×32-bit) integer
+  * parsed from the hex md5 of the input, computable identically in Spark
+  * (`conv(substring(md5(x),…),16,10)`) and DuckDB
+  * (`('0x'||substring(md5(x),…))::BIGINT`). That makes the entire sketch
+  * pipeline — shingles → minhash signatures → band buckets → capped
+  * candidate join → exact verify, and the simhash bit votes — fully
+  * oracle-checkable, unusual for LSH operators (they are usually excused
+  * from differential testing as "engine-specific hashing"). DedupLshSpec
+  * additionally carries the hash-agnostic properties (determinism,
+  * exact-dup guarantee, recall on a crafted corpus, O(N·cap) candidate
+  * bound). xxhash64 would be ~2-3× cheaper per shingle but is not
+  * expressible in DuckDB; md5 stays whole-stage-codegen'd and scan-local,
+  * so the scale shape is unchanged.
   *
   * Scale shape: signatures are scan-local per-document expression work
   * (higher-order functions, whole-stage codegen, no UDFs). Candidate
@@ -43,6 +53,17 @@ object DedupLsh {
   // same degenerate-bucket guard SegBucketCap provides for simhash
   // (spec-visible: DedupLshSpec pins the O(N·cap) candidate bound)
   private[graft] val BandBucketCap = 128
+
+  /** Portable 60-bit hash: both engines parse the first 15 hex chars of
+    * md5(s) as an integer (15, not 16, so the value fits signed int64 with
+    * headroom for the affine permutations). Spark's conv and DuckDB's
+    * '0x'-cast agree exactly; md5-of-utf8 parity is already proven by the
+    * oracle-green d04. */
+  private[operators] def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private[operators] def h60Sql(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
   /** (doc_id, text) → (doc_id, sh): word 3-gram shingles (order-sensitive,
     * distinct), from the raw token stream; docs shorter than 3 tokens
@@ -76,14 +97,14 @@ object DedupLsh {
     * min over rows of pmod(a_j·pmod(h,P)+b_j, P) per doc. */
   private def withSignature(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), explode(col("sh")).as("t"))
-      .withColumn("h", pmod(xxhash64(col("t")), lit(P)))
+      .withColumn("h", pmod(h60(col("t")), lit(P)))
     val mins = (0 until NumHashes).map { j =>
       min(pmod(lit(2L * j + 1L) * col("h") + lit(j * 7919L + 13L), lit(P))).as(s"s$j")
     }
     val sums = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until Bands).map { bnd =>
       val parts = (0 until RowsPerBand).map(r => col(s"s${bnd * RowsPerBand + r}").cast("string"))
-      struct(lit(bnd).as("band"), xxhash64(concat_ws(":", parts: _*)).as("bh"))
+      struct(lit(bnd).as("band"), h60(concat_ws(":", parts: _*)).as("bh"))
     }
     sums.withColumn("bands", array(bandCols: _*))
   }
@@ -158,7 +179,16 @@ object DedupLsh {
   def simHash(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), size(col("sh")).as("n_shingles"),
       explode(col("sh")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      // portable 64-bit hash assembled from two 32-bit md5 hex parses
+      // (bits 0-31 ← hex chars 1-8, bits 32-63 ← chars 9-16); shiftleft
+      // wraps into the sign bit in Java semantics, which is fine — only
+      // the bit pattern matters, and the oracle never assembles h at all
+      // (it votes on the two halves directly)
+      .withColumn("hx", md5(col("t")))
+      .withColumn("h",
+        shiftleft(conv(substring(col("hx"), 9, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("hx"), 1, 8), 16, 10).cast("long")))
+      .drop("hx")
     // 16 packed sums, four 16-bit counter lanes each (lane k of s_j counts
     // bit j+16k): 64 separate SUMs overflow the codegen method-size limit
     // and fall back to interpreted evaluation (~4× slower, measured).
@@ -219,6 +249,120 @@ object DedupLsh {
     "m02_simhash" -> (m02SimHash _),
     "m03_simhash_pairs" -> (m03SimHashPairs _))
 
-  /** xxhash64-based — not DuckDB-expressible; rows-only + DedupLshSpec. */
-  val oracles: Map[String, String] = Map.empty
+  // ---- DuckDB oracle twins ------------------------------------------------
+  // The portable md5-derived hashes make every stage SQL-expressible; all
+  // arithmetic below is integer-only (mins, affine permutations mod P, bit
+  // votes), so there is no float-accumulation-order hazard anywhere — the
+  // only double is the final Jaccard ratio, which both engines compute as
+  // one IEEE division of small ints.
+
+  /** DuckDB twin of [[shingleDocs]] over `documents` (CTE block ending in
+    * shd(doc_id, sh)). range(1, len-1) is 1-based-exclusive: i spans the
+    * len(tk)-2 trigram starts, matching Spark's sequence(0, size-3). */
+  private val shingleCtes: String =
+    s"""tk0 AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+       shd AS (SELECT doc_id,
+           CASE WHEN len(tk) >= 3
+                THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+                ELSE [array_to_string(tk, ' ')] END AS sh
+         FROM tk0)"""
+
+  /** CTE block shingles → minhash signatures → band buckets → capped
+    * candidates → exact-verified pairs; ends in pr(doc_a, doc_b, jaccard)
+    * with jaccard ≥ 0.5 — shared by m01's oracle and d11's cluster oracle.
+    * Multiplier literals are ::BIGINT-cast (DuckDB int32 literal overflow,
+    * CLAUDE.md invariant 7). */
+  private[operators] val pairCtes: String = {
+    val sigCols = (0 until NumHashes).map { j =>
+      s"min((${2 * j + 1}::BIGINT * h + ${j * 7919 + 13}) % $P) AS s$j"
+    }.mkString(", ")
+    val bandHashes = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"s${b * RowsPerBand + r}::VARCHAR").mkString(" || ':' || ")
+      s"${h60Sql(parts)} AS bh$b"
+    }.mkString(", ")
+    val bucketUnion = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, bh$b AS bh FROM bnd")
+      .mkString(" UNION ALL ")
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    s"""$shingleCtes,
+       ex AS (SELECT doc_id, unnest(sh) AS t FROM shd),
+       hh AS (SELECT doc_id, ${h60Sql("t")} % $P AS h FROM ex),
+       sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+       bnd AS (SELECT doc_id, $bandHashes FROM sig),
+       bkt AS ($bucketUnion),
+       cap AS (SELECT doc_id, band, bh FROM (
+           SELECT doc_id, band, bh,
+             row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rnk
+           FROM bkt) c
+         WHERE rnk <= $BandBucketCap),
+       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM cap x JOIN cap y
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       pr AS (SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+             ${rSql(s"$inter / (len(a.sh) + len(b.sh) - $inter)", 6)} AS jaccard
+           FROM cand JOIN shd a ON cand.doc_a = a.doc_id
+                     JOIN shd b ON cand.doc_b = b.doc_id) v
+         WHERE jaccard >= 0.5)"""
+  }
+
+  val m01Sql: String =
+    s"""WITH $pairCtes
+       SELECT doc_a, doc_b, jaccard FROM pr
+       ORDER BY jaccard DESC, doc_a, doc_b
+       LIMIT 500"""
+
+  /** CTE block shingles → per-bit vote sums → assembled 64-bit simhash;
+    * ends in sg(doc_id, n, simhash). The two 32-bit md5 parses are voted
+    * on directly (bit j<32 from b0, else b1); assembly sums 2^j literals
+    * for j ≤ 62 and adds -2^63 for bit 63, so no BIGINT shift ever
+    * overflows (DuckDB errors on shift overflow, unlike Java's wrap). */
+  private val simhashCtes: String = {
+    val votes = (0 until 64).map { j =>
+      val bit = if (j < 32) s"(b0 >> $j) & 1" else s"(b1 >> ${j - 32}) & 1"
+      s"sum($bit) AS s$j"
+    }.mkString(", ")
+    val assemble = (0 until 63)
+      .map(j => s"CASE WHEN s$j * 2 >= n THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ") +
+      " + CASE WHEN s63 * 2 >= n THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END"
+    s"""$shingleCtes,
+       ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS t FROM shd),
+       hh AS (SELECT doc_id, n,
+           ('0x' || substring(md5(t), 1, 8))::BIGINT AS b0,
+           ('0x' || substring(md5(t), 9, 8))::BIGINT AS b1
+         FROM ex),
+       vt AS (SELECT doc_id, n, $votes FROM hh GROUP BY doc_id, n),
+       sg AS (SELECT doc_id, n, ($assemble) AS simhash FROM vt)"""
+  }
+
+  val m02Sql: String =
+    s"""WITH $simhashCtes
+       SELECT doc_id, n AS n_shingles, simhash FROM sg
+       ORDER BY doc_id"""
+
+  val m03Sql: String =
+    s"""WITH $simhashCtes,
+       seg AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS sidx FROM sg),
+       segv AS (SELECT doc_id, simhash, sidx,
+           (simhash >> (16 * sidx)) & 65535 AS seg FROM seg),
+       capd AS (SELECT doc_id, simhash, sidx, seg FROM (
+           SELECT doc_id, simhash, sidx, seg,
+             row_number() OVER (PARTITION BY sidx, seg ORDER BY doc_id) AS rnk
+           FROM segv) z
+         WHERE rnk <= $SegBucketCap)
+       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+       FROM capd x JOIN capd y
+       ON x.sidx = y.sidx AND x.seg = y.seg AND x.doc_id < y.doc_id
+       WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+       ORDER BY hamming, doc_a, doc_b
+       LIMIT 500"""
+
+  val oracles: Map[String, String] = Map(
+    "m01_minhash_pairs" -> m01Sql,
+    "m02_simhash" -> m02Sql,
+    "m03_simhash_pairs" -> m03Sql)
 }
