@@ -76,7 +76,8 @@ object Corpus {
     * iterative graph operator). */
   def d09DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    dedupClusters(s, TextOps.nearDupPairs(s, dir))(dir)
+    dedupClusters(s, TextOps.nearDupPairs(s, dir),
+      Tables.documents(s, dir).select($"doc_id"))
   }
 
   /** Star-contraction cluster labeling over an arbitrary (doc_a, doc_b)
@@ -84,7 +85,7 @@ object Corpus {
     * bucketed LSH edges ([[DedupLsh.lshPairs]]), which is the composition
     * that survives 100 TB (the edge generator is the scale ceiling, not
     * this loop). */
-  def dedupClusters(s: SparkSession, pairEdges: DataFrame)(dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, pairEdges: DataFrame, nodes: DataFrame): DataFrame = {
     import s.implicits._
     // localCheckpoint bookkeeping: each round's checkpoint truncates the
     // loop's lineage (so the returned plan doesn't re-derive the whole
@@ -108,7 +109,7 @@ object Corpus {
     // pair join would run it twice (CLAUDE.md invariant 5)
     var (edges, edgeIds) = ckpt(pairEdges
       .select($"doc_a".as("src"), $"doc_b".as("dst")))
-    var (labels, labelIds) = ckpt(Tables.documents(s, dir)
+    var (labels, labelIds) = ckpt(nodes
       .select($"doc_id".as("node"), $"doc_id".as("label")))
     // star contraction: per round, every endpoint maps to the minimum of
     // its closed neighborhood (rep), labels compose through the map, and
@@ -176,16 +177,19 @@ object Corpus {
     * instead of the exact quadratic d05 join — the composition that holds
     * at 100 TB (single shuffle per LSH stage, capped buckets, no all-pairs
     * term anywhere). The LSH edges use portable md5-derived hashes
-    * ([[DedupLsh.pairCtes]]), so the whole composition — sketch, bucket,
+    * ([[DedupLsh.pairCtesOver]]), so the whole composition — sketch, bucket,
     * verify, iterate-to-fixpoint — is oracle-checked end to end via a
     * recursive CTE; CorpusSpec additionally pins cluster equality with
     * d09 on this corpus (LSH recall at J ≥ 0.5 is total for the pairs
     * that matter here). */
-  def d11LshClusters(s: SparkSession, dir: String): DataFrame =
-    dedupClusters(s, DedupLsh.lshPairs(s, dir))(dir)
+  def d11LshClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupClusters(s, DedupLsh.lshPairs(s, dir),
+      Tables.documents(s, dir).select($"doc_id"))
+  }
 
   val d11Sql: String =
-    s"""WITH RECURSIVE ${DedupLsh.pairCtes},
+    s"""WITH RECURSIVE ${DedupLsh.pairCtesOver("documents")},
        ee AS (SELECT doc_a AS src, doc_b AS dst FROM pr
               UNION ALL SELECT doc_b, doc_a FROM pr),
        cc AS (SELECT doc_id AS node, doc_id AS label FROM documents
@@ -196,6 +200,86 @@ object Corpus {
          count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        FROM lab
        ORDER BY doc_id"""
+
+  /** d13 — end-to-end corpus curation: the composition an LLM training-data
+    * pipeline runs before tokenization, as ONE differentially-tested query.
+    *
+    *   1. quality filter — d02's composite score ≥ 0.52 (scan-local);
+    *   2. exact dedup — keep the lowest doc_id per normalized md5
+    *      fingerprint (one shuffle on the hash, d04's shape);
+    *   3. near-dup dedup — MinHash-LSH pairs over the survivors
+    *      ([[DedupLsh.minHashPairsAll]], bucketed + capped), star-contraction
+    *      clusters, keep each cluster's canonical (minimum) doc_id;
+    *   4. stratified rebalance — deterministic md5-hash sampling at 50%
+    *      for the dominant `en`, 90% for the rest (scan-local, reproducible
+    *      across engines/retries — the property rand() sampling can't give).
+    *
+    * Every stage is the scale-path variant (no quadratic term anywhere:
+    * the only pairwise work is LSH-candidate verification), yet the whole
+    * composition is oracle-checked — quality formula, fingerprint window,
+    * LSH pair CTEs, recursive-CTE connected components, and the sampling
+    * hash all reuse the building blocks their standalone queries already
+    * prove. Output: one row per curated document with its lineage stats
+    * (quality, near-dup cluster size, token count). */
+  def d13CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qual = Tables.documents(s, dir)
+      .filter(length($"text") > 0)
+      .withColumn("quality", TextOps.qualityCol)
+      .filter($"quality" >= 0.52)
+    // exact dedup via a min-over-fingerprint window (equivalent to d04's
+    // groupBy+min, but keeps the full row without a self-join)
+    val surv = qual
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy(TextOps.normFp($"text"))))
+      .filter($"doc_id" === $"keep_id")
+      .drop("keep_id")
+      .cache() // feeds the shingle pipeline AND the final lineage join
+    val pairs = DedupLsh.minHashPairsAll(
+      DedupLsh.shingleDocs(surv.select($"doc_id", $"text")))
+    val clusters = dedupClusters(s, pairs, surv.select($"doc_id"))
+    val sampleRate = when($"lang" === "en", 50L).otherwise(90L)
+    val out = clusters
+      .filter($"doc_id" === $"cluster_id") // canonical per near-dup cluster
+      .join(surv, "doc_id")
+      .filter(pmod(DedupLsh.h60(
+        concat_ws(":", $"lang", $"doc_id".cast("string"))), lit(100L)) < sampleRate)
+      .select($"doc_id", $"lang", $"quality", $"cluster_size",
+        size(toks($"text")).as("n_tokens"))
+      .orderBy($"doc_id")
+      // eager snapshot so the survivor cache can be freed inside the query
+      .localCheckpoint(true)
+    surv.unpersist(blocking = false)
+    out
+  }
+
+  val d13Sql: String =
+    s"""WITH RECURSIVE
+       q0 AS (SELECT doc_id, lang, text, ${TextOps.qualitySql} AS quality
+              FROM documents WHERE length(text) > 0),
+       q1 AS (SELECT * FROM q0 WHERE quality >= 0.52),
+       surv AS (SELECT doc_id, lang, text, quality FROM (
+           SELECT q1.*,
+             min(doc_id) OVER (PARTITION BY ${TextOps.normFpSql("text")}) AS keep_id
+           FROM q1) f
+         WHERE doc_id = keep_id),
+       ${DedupLsh.pairCtesOver("surv")},
+       ee AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+              UNION ALL SELECT doc_b, doc_a FROM pr),
+       cc AS (SELECT doc_id AS node, doc_id AS label FROM surv
+              UNION
+              SELECT ee.dst AS node, cc.label FROM cc JOIN ee ON cc.node = ee.src),
+       lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+       cl AS (SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM lab)
+       SELECT c.doc_id, s.lang, s.quality, c.cluster_size,
+         len(${toksSql("s.text")}) AS n_tokens
+       FROM cl c JOIN surv s ON c.doc_id = s.doc_id
+       WHERE c.doc_id = c.cluster_id
+         AND ('0x' || substring(md5(s.lang || ':' || c.doc_id::VARCHAR), 1, 15))::BIGINT % 100
+             < CASE WHEN s.lang = 'en' THEN 50 ELSE 90 END
+       ORDER BY c.doc_id"""
 
   /** d10 — bigram language-model scoring: every document scored by the
     * mean log-probability of its bigrams under the corpus's own MLE
@@ -257,11 +341,13 @@ object Corpus {
     "d08_tfidf" -> (d08Tfidf _),
     "d09_dedup_clusters" -> (d09DedupClusters _),
     "d10_bigram_lm" -> (d10BigramLm _),
-    "d11_lsh_clusters" -> (d11LshClusters _))
+    "d11_lsh_clusters" -> (d11LshClusters _),
+    "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "d08_tfidf" -> d08Sql,
     "d09_dedup_clusters" -> d09Sql,
     "d10_bigram_lm" -> d10Sql,
-    "d11_lsh_clusters" -> d11Sql)
+    "d11_lsh_clusters" -> d11Sql,
+    "d13_curation_pipeline" -> d13Sql)
 }

@@ -256,11 +256,12 @@ object DedupLsh {
   // only double is the final Jaccard ratio, which both engines compute as
   // one IEEE division of small ints.
 
-  /** DuckDB twin of [[shingleDocs]] over `documents` (CTE block ending in
-    * shd(doc_id, sh)). range(1, len-1) is 1-based-exclusive: i spans the
-    * len(tk)-2 trigram starts, matching Spark's sequence(0, size-3). */
-  private val shingleCtes: String =
-    s"""tk0 AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+  /** DuckDB twin of [[shingleDocs]] over a (doc_id, text) relation (CTE
+    * block ending in shd(doc_id, sh)). range(1, len-1) is
+    * 1-based-exclusive: i spans the len(tk)-2 trigram starts, matching
+    * Spark's sequence(0, size-3). */
+  private def shingleCtesOver(src: String): String =
+    s"""tk0 AS (SELECT doc_id, ${toksSql("text")} AS tk FROM $src),
        shd AS (SELECT doc_id,
            CASE WHEN len(tk) >= 3
                 THEN list_distinct(list_transform(range(1, len(tk) - 1),
@@ -269,11 +270,12 @@ object DedupLsh {
          FROM tk0)"""
 
   /** CTE block shingles → minhash signatures → band buckets → capped
-    * candidates → exact-verified pairs; ends in pr(doc_a, doc_b, jaccard)
-    * with jaccard ≥ 0.5 — shared by m01's oracle and d11's cluster oracle.
+    * candidates → exact-verified pairs over a (doc_id, text) relation;
+    * ends in pr(doc_a, doc_b, jaccard) with jaccard ≥ 0.5 — shared by
+    * m01's oracle, d11's cluster oracle, and d13's curation oracle.
     * Multiplier literals are ::BIGINT-cast (DuckDB int32 literal overflow,
     * CLAUDE.md invariant 7). */
-  private[operators] val pairCtes: String = {
+  private[operators] def pairCtesOver(src: String): String = {
     val sigCols = (0 until NumHashes).map { j =>
       s"min((${2 * j + 1}::BIGINT * h + ${j * 7919 + 13}) % $P) AS s$j"
     }.mkString(", ")
@@ -286,7 +288,7 @@ object DedupLsh {
       .map(b => s"SELECT doc_id, $b AS band, bh$b AS bh FROM bnd")
       .mkString(" UNION ALL ")
     val inter = "len(list_intersect(a.sh, b.sh))"
-    s"""$shingleCtes,
+    s"""${shingleCtesOver(src)},
        ex AS (SELECT doc_id, unnest(sh) AS t FROM shd),
        hh AS (SELECT doc_id, ${h60Sql("t")} % $P AS h FROM ex),
        sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
@@ -309,7 +311,7 @@ object DedupLsh {
   }
 
   val m01Sql: String =
-    s"""WITH $pairCtes
+    s"""WITH ${pairCtesOver("documents")}
        SELECT doc_a, doc_b, jaccard FROM pr
        ORDER BY jaccard DESC, doc_a, doc_b
        LIMIT 500"""
@@ -328,7 +330,7 @@ object DedupLsh {
       .map(j => s"CASE WHEN s$j * 2 >= n THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
       .mkString(" + ") +
       " + CASE WHEN s63 * 2 >= n THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END"
-    s"""$shingleCtes,
+    s"""${shingleCtesOver("documents")},
        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS t FROM shd),
        hh AS (SELECT doc_id, n,
            ('0x' || substring(md5(t), 1, 8))::BIGINT AS b0,

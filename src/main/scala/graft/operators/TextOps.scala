@@ -56,47 +56,61 @@ object TextOps {
        ORDER BY doc_id"""
   }
 
+  /** rounded character-class ratio of col("text") — shared by d02 and the
+    * d13 curation pipeline. */
+  private def charRatio(pattern: String): Column = {
+    val len = length(col("text"))
+    r((len - length(regexp_replace(col("text"), pattern, ""))).cast("double") / len, 6)
+  }
+
+  private def charRatioSql(p: String): String =
+    rSql(s"((length(text) - length(regexp_replace(text, '$p', '', 'g'))) / length(text))", 6)
+
+  /** rounded en-stopword token ratio of col("text"). */
+  private def stopwordRatio: Column =
+    r(size(filter(toks(lower(col("text"))),
+      t => t.isin("the", "and", "of", "to", "a"))).cast("double") /
+      size(toks(col("text"))), 6)
+
+  private def stopwordRatioSql: String =
+    rSql(s"(len(list_filter(${toksSql("lower(text)")}, t -> t IN ('the','and','of','to','a'))) / len(${toksSql("text")}))", 6)
+
+  /** the d02 composite quality score of col("text") (rounded ratios in,
+    * rounded score out) — the filter key of the d13 curation pipeline. */
+  private[operators] def qualityCol: Column =
+    r(lit(0.5) * stopwordRatio
+      + lit(0.25) * (lit(1.0) - charRatio("[.,!?;:]"))
+      + lit(0.25) * (lit(1.0) - charRatio("[0-9]")), 6)
+
+  private[operators] def qualitySql: String =
+    rSql(s"0.5 * $stopwordRatioSql + 0.25 * (1.0 - ${charRatioSql("[.,!?;:]")}) + 0.25 * (1.0 - ${charRatioSql("[0-9]")})", 6)
+
   /** d02 — quality scoring: punctuation / digit / uppercase / stopword
     * ratios combined into a deterministic [0,1] score (the length-punct-
     * stopword heuristic family used for LLM corpus filtering). */
   def d02QualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val len = length($"text")
-    def ratioOf(pattern: String): Column =
-      (len - length(regexp_replace($"text", pattern, ""))).cast("double") / len
-    val stopRatio = size(filter(toks(lower($"text")),
-      t => t.isin("the", "and", "of", "to", "a"))).cast("double") /
-      size(toks($"text"))
     Tables.documents(s, dir)
-      .filter(len > 0)
+      .filter(length($"text") > 0)
       .select($"doc_id",
-        r(ratioOf("[.,!?;:]"), 6).as("punct_ratio"),
-        r(ratioOf("[0-9]"), 6).as("digit_ratio"),
-        r(ratioOf("[A-Z]"), 6).as("upper_ratio"),
-        r(stopRatio, 6).as("stopword_ratio"))
-      .withColumn("quality",
-        r(lit(0.5) * $"stopword_ratio"
-          + lit(0.25) * (lit(1.0) - $"punct_ratio")
-          + lit(0.25) * (lit(1.0) - $"digit_ratio"), 6))
+        charRatio("[.,!?;:]").as("punct_ratio"),
+        charRatio("[0-9]").as("digit_ratio"),
+        charRatio("[A-Z]").as("upper_ratio"),
+        stopwordRatio.as("stopword_ratio"),
+        qualityCol.as("quality"))
       .orderBy($"doc_id")
   }
 
-  val d02Sql: String = {
-    def ratioOf(p: String) =
-      s"((length(text) - length(regexp_replace(text, '$p', '', 'g'))) / length(text))"
-    val stop = s"(len(list_filter(${toksSql("lower(text)")}, t -> t IN ('the','and','of','to','a'))) / len(${toksSql("text")}))"
+  val d02Sql: String =
     s"""SELECT doc_id,
-       ${rSql(ratioOf("[.,!?;:]"), 6)} AS punct_ratio,
-       ${rSql(ratioOf("[0-9]"), 6)} AS digit_ratio,
-       ${rSql(ratioOf("[A-Z]"), 6)} AS upper_ratio,
-       ${rSql(stop, 6)} AS stopword_ratio,
-       ${rSql(
-        s"0.5 * ${rSql(stop, 6)} + 0.25 * (1.0 - ${rSql(ratioOf("[.,!?;:]"), 6)}) + 0.25 * (1.0 - ${rSql(ratioOf("[0-9]"), 6)})",
-        6)} AS quality
+       ${charRatioSql("[.,!?;:]")} AS punct_ratio,
+       ${charRatioSql("[0-9]")} AS digit_ratio,
+       ${charRatioSql("[A-Z]")} AS upper_ratio,
+       $stopwordRatioSql AS stopword_ratio,
+       $qualitySql AS quality
        FROM documents
        WHERE length(text) > 0
        ORDER BY doc_id"""
-  }
 
   private val stopLists: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a"),
@@ -152,10 +166,10 @@ object TextOps {
 
   /** normalized-text fingerprint shared by d04/d06: lowercase, collapse
     * whitespace, md5. */
-  private def normFp(c: Column): Column =
+  private[operators] def normFp(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
-  private def normFpSql(e: String): String =
+  private[operators] def normFpSql(e: String): String =
     s"md5(regexp_replace(lower(trim($e)), '\\s+', ' ', 'g'))"
 
   /** d04 — exact (normalized) deduplication: hash-groupBy on the
