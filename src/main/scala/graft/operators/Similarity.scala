@@ -11,19 +11,36 @@ import Num._
   * the ANN surface mandated by BASELINE.json (SURVEY.md §2.4 north-star
   * row).
   *
-  * e01 is the brute-force cosine top-k baseline: the query side is tiny
-  * (vec_id % 100 = 0 → 1% of rows) and broadcast, so the big side streams
-  * through a BroadcastNestedLoopJoin with scan-local dot products — no
-  * shuffle of the corpus, scales linearly in corpus size × query count.
-  * e04 is blocked pairwise near-dup (block = label); its 100 TB path is the
-  * LSH variant in [[DedupLsh.e03 style bucketing]].
+  * e01 is the brute-force cosine top-k baseline: the query side is a FIXED
+  * deterministic budget (hash-rank cap of the `vec_id % 100` sample, so the
+  * broadcast stays O([[QueryBudget]]) at any corpus size) and the big side
+  * streams through a BroadcastNestedLoopJoin with scan-local dot products —
+  * no shuffle of the corpus. e03/e05/e09 are the bucketed scale paths.
   *
   * Numerics: embeddings are cast float→double (exact widening) and dot
-  * products accumulate left-to-right via `aggregate`/`zip_with`, matching
-  * the oracle's `list_sum(list_transform(range(...)))` element order, so
-  * cosines are bit-identical before the r6 rounding.
+  * products accumulate left-to-right via the codegen'd
+  * [[VectorExpressions.dot]], matching the oracle's
+  * `list_sum(list_transform(range(...)))` element order, so cosines are
+  * bit-identical before the r6 rounding.
+  *
+  * EVERY query here is oracle-checked (r4): the LSH hyperplane signature is
+  * pure integer LCG arithmetic + a left-to-right double dot product, both
+  * already proven engine-portable (the LCG by Telemetry's generator twin,
+  * the dot order by e01) — so the DuckDB twins below mirror bucketing,
+  * IVF probe selection, and PQ argmin exactly, closing the trust gap where
+  * a hashing bug could hide behind a rows-only check.
   */
 object Similarity {
+
+  /** e01 exact-baseline query budget: the broadcast query side is capped at
+    * this many vectors — chosen by md5 hash rank within the `% 100` sample,
+    * deterministic at any corpus size. At the test SFs the sample is under
+    * budget so every sampled vector is a query; at 100× the cost of the
+    * exact baseline stays fixed instead of growing with the corpus. */
+  private[graft] val QueryBudget = 256
+
+  private val NList = 16
+  private val NProbe = 4
 
   /** corpus with vectors as array<double> + precomputed L2 norm. Dot
     * products run through the native codegen'd [[VectorExpressions.dot]]
@@ -43,32 +60,59 @@ object Similarity {
 
   private def dotQC: Column = VectorExpressions.dot(col("qv"), col("cv"))
 
-  /** e01 — brute-force cosine top-5 neighbors for every 100th vector. */
-  def e01CosineTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val c = corpus(s, dir)
-    val q = c.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val cand = c.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    broadcast(q).join(cand, $"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
-      .select($"query_id", $"neighbor_id", $"cosine")
+  /** Portable per-vector selection hash (md5 of the decimal vec_id string,
+    * first 15 hex chars as int64 — [[DedupLsh.h60]]): hash-rank ordering
+    * gives a deterministic pseudo-random sample in both engines with no
+    * driver-side `count()` sizing pass. */
+  private def hvCol: Column = DedupLsh.h60(col("vec_id").cast("string"))
+  private val hvSql: String = DedupLsh.h60Sql("vec_id::VARCHAR")
+
+  /** The [[QueryBudget]]-capped exact query set over corpus(vec_id, v, nrm):
+    * every 100th vector, hash-ranked, first `budget`. A top-k (TakeOrdered),
+    * not a global sort — distributed at any scale. */
+  private def querySide(c: DataFrame, budget: Int): DataFrame =
+    c.filter(col("vec_id") % 100 === 0)
+      .orderBy(hvCol, col("vec_id")).limit(budget)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+
+  /** Exact cosine top-5 over corpus(vec_id, v, nrm) with an explicit query
+    * budget — exposed for the SimilaritySpec budget assertion. */
+  def cosineTopK(c: DataFrame, budget: Int): DataFrame = {
+    val s = c.sparkSession
+    VectorExpressions.register(s)
+    val cand = c.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(querySide(c, budget)).join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", r(dotQC / (col("qnrm") * col("cnrm")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .orderBy($"query_id", $"rank")
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** e01 — brute-force cosine top-5 neighbors for the budgeted query set. */
+  def e01CosineTopK(s: SparkSession, dir: String): DataFrame =
+    cosineTopK(corpus(s, dir), QueryBudget)
+
+  /** CTE block (expects `n` in scope): budgeted query set + exact ranked
+    * pairs, ending in ex(query_id, neighbor_id, cosine, rank). Shared by
+    * e01's oracle and e08's recall oracle. */
+  private def e01Ctes: String =
+    s"""exq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+         WHERE vec_id % 100 = 0
+         ORDER BY $hvSql, vec_id
+         LIMIT $QueryBudget),
+       exp0 AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.v[i])) / (q.qnrm * c.nrm)", 6)} AS cosine
+         FROM exq q JOIN n c ON q.query_id != c.vec_id),
+       ex AS (SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM exp0)"""
 
   val e01Sql: String =
     s"""WITH n AS ($corpusSql),
-       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ${rSql("list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)", 6)} AS cosine
-         FROM n q JOIN n c ON q.vec_id != c.vec_id
-         WHERE q.vec_id % 100 = 0),
-       ranked AS (SELECT query_id, neighbor_id, cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-         FROM p)
-       SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       $e01Ctes
+       SELECT query_id, neighbor_id, cosine, rank FROM ex
        WHERE rank <= 5
        ORDER BY query_id, rank"""
 
@@ -119,18 +163,10 @@ object Similarity {
        ORDER BY cosine DESC, id_a, id_b
        LIMIT 50"""
 
-  /** e03 — LSH-bucketed approximate NN (the scale path for e01): 6-bit
-    * random-hyperplane signatures (64 buckets) from deterministic LCG
-    * planes; neighbors are searched only within the query's bucket, so the
-    * corpus side shuffles once on the bucket key instead of a full cross
-    * product. Correctness (recall vs e01) is covered by SimilaritySpec;
-    * Verify records a rows-only check (no oracle). */
-  // plane_j[i] = LCG(j * 64 + i) - 0.5 — same arithmetic family as
-  // Telemetry's twin: pure integer ops, reproducible everywhere.
-  // 6-bit random-hyperplane signature (planes lo..hi) → 64 buckets per
-  // table. The QUERIES use the codegen'd [[VectorExpressions.lshSig]]
-  // kernel; this interpreted higher-order form is its semantic twin and
-  // VectorExpressionsSpec pins their bit-equality on real embeddings.
+  /** Interpreted higher-order-function twin of the codegen'd
+    * [[VectorExpressions.lshSig]] kernel — plane_j[i] = LCG(j·64+i) − 0.5,
+    * MSB-first sign bits over planes lo..hi. VectorExpressionsSpec pins
+    * their bit-equality on real embeddings; queries use the kernel. */
   private[graft] def sigExpr(lo: Int, hi: Int): String =
     s"""aggregate(
          transform(sequence($lo, $hi), j ->
@@ -141,15 +177,27 @@ object Similarity {
              0D, (a, t) -> a + t) >= 0D THEN 1L ELSE 0L END),
          0L, (acc, b) -> acc * 2 + b)"""
 
+  /** DuckDB twin of [[org.apache.spark.sql.graft.LshSignature]] over planes
+    * lo..hi: bit k (MSB-first) is the sign of the dot product with plane
+    * lo+k, whose components come from the same LCG. Pure integer arithmetic
+    * plus one left-to-right double sum — both engine-portable (the ::BIGINT
+    * cast guards DuckDB's int32 literal overflow; the outer cast pins the
+    * CASE-sum to BIGINT so downstream xor/joins stay in int64). */
+  private def sigSql(lo: Int, hi: Int, v: String): String =
+    s"""(list_sum(list_transform(range(0, ${hi - lo + 1}), k ->
+       CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         $v[i + 1] * ((((($lo + k) * 64 + i) * 1103515245::BIGINT + 12345) % 2147483648) / 2147483648.0 - 0.5)))
+         >= 0 THEN (1::BIGINT << (${hi - lo} - k)) ELSE 0::BIGINT END)))::BIGINT"""
+
   /** e03 — multi-table LSH approximate NN (the scale path for e01):
     * L=3 independent 6-bit hyperplane tables; a pair is a candidate if it
     * collides in ANY table (P(miss) = Π(1 − p_t), the classic recall
     * amplification — single-table recall@5 measured 0.12 on this corpus,
     * multi-table ≥ 3×). Candidates are the union of per-table bucket
     * joins — one shuffle on the (table, bucket) key — deduped BEFORE the
-    * exact cosine, so each survivor is scored once. Correctness (recall
-    * vs e01) is covered by SimilaritySpec + the e08 report; Verify records
-    * a rows-only check (no oracle). */
+    * exact cosine, so each survivor is scored once. Oracle-checked (the
+    * signature SQL twin mirrors the codegen kernel bit for bit); recall
+    * quality additionally covered by SimilaritySpec + the e08 report. */
   def e03LshAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val L = 3
@@ -167,7 +215,7 @@ object Similarity {
     // are the dominant false-negative mode, and 7 probe rows per
     // (query, table) cost nothing next to another full hash table
     // (measured recall@5 at sf0.01: 0.12 single-table → 0.24 with L=3 →
-    // 0.56 with multiprobe — ahead of e05's IVF at 0.48)
+    // 0.56 with multiprobe — ahead of e05's IVF)
     val qb = buckets.filter($"vec_id" % 100 === 0)
       .select($"tbl".as("qt"), $"vec_id".as("query_id"),
         explode(array($"bucket" +: (0 until 6).map(k =>
@@ -187,23 +235,54 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** CTE block (expects `n` in scope): 3-table signatures → bucket rows →
+    * multiprobe candidates → exact ranked pairs, ending in
+    * lsh(query_id, neighbor_id, cosine, rank). Shared by e03 and e08. */
+  private def e03Ctes: String =
+    s"""sg AS (SELECT vec_id, ${sigSql(0, 5, "v")} AS b0,
+           ${sigSql(6, 11, "v")} AS b1, ${sigSql(12, 17, "v")} AS b2 FROM n),
+       bkt AS (SELECT vec_id, 0 AS tbl, b0 AS bucket FROM sg
+               UNION ALL SELECT vec_id, 1, b1 FROM sg
+               UNION ALL SELECT vec_id, 2, b2 FROM sg),
+       qb AS (SELECT vec_id AS query_id, tbl AS qt,
+           unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+                   xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
+                   xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT)]) AS qbk
+         FROM bkt WHERE vec_id % 100 = 0),
+       cnd AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+         FROM qb JOIN bkt b
+         ON qb.qt = b.tbl AND qb.qbk = b.bucket AND qb.query_id != b.vec_id),
+       lshp AS (SELECT query_id, neighbor_id,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)", 6)} AS cosine
+         FROM cnd JOIN n q ON cnd.query_id = q.vec_id
+                  JOIN n c ON cnd.neighbor_id = c.vec_id),
+       lsh AS (SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM lshp)"""
+
+  val e03Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e03Ctes
+       SELECT query_id, neighbor_id, cosine, rank FROM lsh
+       WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
   /** e05 — IVF-style approximate NN (the second scale path): a coarse
-    * quantizer of NLIST deterministic centroids (every (n/NLIST)-th corpus
-    * vector), each vector assigned to its nearest centroid (one broadcast
-    * pass), queries probing their NPROBE nearest centroid lists. The
-    * corpus shuffles once on the centroid id; search cost drops from
-    * O(n·q) to O(n·q·NPROBE/NLIST). Deterministic throughout (centroid
-    * choice, argmin tie-break by centroid id) — but the probe set isn't
-    * SQL-practical in DuckDB, so: rows-only + SimilaritySpec. */
+    * quantizer of NLIST hash-rank-sampled corpus vectors (deterministic,
+    * no driver-side sizing pass — the top-NLIST by selection hash is a
+    * distributed TakeOrdered), each vector assigned to its nearest
+    * centroid (one broadcast pass), queries probing their NPROBE nearest
+    * centroid lists. The corpus shuffles once on the centroid id; search
+    * cost drops from O(n·q) to O(n·q·NPROBE/NLIST). Deterministic
+    * throughout (hash-rank centroids, argmin tie-break by centroid id) —
+    * and oracle-checked: the probe-set construction mirrors in SQL. */
   def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val NList = 16
-    val NProbe = 4
     val c = corpus(s, dir).cache()
-    val n = c.count()
-    val stride = math.max(1L, n / NList)
-    val cents = c.filter($"vec_id" % stride === 0 && $"vec_id" / stride < NList)
-      .select(($"vec_id" / stride).cast("int").as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val cents = c.orderBy(hvCol, $"vec_id").limit(NList)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(hvCol, $"vec_id")) - 1).cast("int"))
+      .select($"cid", $"v".as("cv"), $"nrm".as("cnrm"))
     // assign: per (vector, centroid) cosine → best NPROBE for queries,
     // best 1 for corpus rows (classic IVF assignment)
     val scored = c.join(broadcast(cents))
@@ -229,6 +308,39 @@ object Similarity {
       .filter($"rank" <= 5)
       .orderBy($"query_id", $"rank")
   }
+
+  /** CTE block (expects `n` in scope): hash-rank centroids → assignment +
+    * probes → ranked IVF neighbors, ending in
+    * ivf(query_id, neighbor_id, cosine, rank). Shared by e05 and e08. */
+  private def e05Ctes: String =
+    s"""ivfct AS (SELECT cid, cv, cnrm FROM (
+           SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS cid,
+             v AS cv, nrm AS cnrm FROM n) t
+         WHERE cid < $NList),
+       ivfsc AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+           list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS ccos
+         FROM n, ivfct c),
+       ivfrk AS (SELECT vec_id, v, nrm, cid, ccos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         FROM ivfsc),
+       ivfas AS (SELECT cid, vec_id AS neighbor_id, v AS cv2, nrm AS cnrm2
+         FROM ivfrk WHERE crank = 1),
+       ivfpr AS (SELECT cid, vec_id AS query_id, v AS qv, nrm AS qnrm
+         FROM ivfrk WHERE vec_id % 100 = 0 AND crank <= $NProbe),
+       ivfp AS (SELECT DISTINCT query_id, neighbor_id,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv2[i])) / (p.qnrm * a.cnrm2)", 6)} AS cosine
+         FROM ivfpr p JOIN ivfas a USING (cid)
+         WHERE p.query_id != a.neighbor_id),
+       ivf AS (SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM ivfp)"""
+
+  val e05Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e05Ctes
+       SELECT query_id, neighbor_id, cosine, rank FROM ivf
+       WHERE rank <= 5
+       ORDER BY query_id, rank"""
 
   /** e06 — per-label centroids (the IVF coarse-quantizer training step as
     * a declarative aggregate): element-wise mean of all vectors per label.
@@ -257,19 +369,21 @@ object Similarity {
 
   /** Product-quantization core over (vec_id, v: array<double>): M=8
     * sub-spaces of 8 dims, K=16 centroids per sub-space. The codebook is
-    * a deterministic stride sample of the corpus (every (n/K)-th vector —
-    * same construction as e05's coarse quantizer; a k-means refinement
-    * would slot in here unchanged). Assignment explodes each vector into
+    * the K hash-rank-lowest corpus vectors (deterministic pseudo-random
+    * sample, no driver-side sizing pass; a k-means refinement would slot
+    * in here unchanged). Assignment explodes each vector into
     * (sub-space × centroid) candidate rows — scan-local, broadcast
     * codebook — and argmins via a lexicographic struct-min (tie-break on
     * centroid id, deterministic). Exposed for spec use. */
   def pqCodes(c: DataFrame): DataFrame = {
     import c.sparkSession.implicits._
     val M = 8; val K = 16; val sub = 8
-    val n = c.count()
-    val stride = math.max(1L, n / K)
-    val codebook = c.filter($"vec_id" % stride === 0 && $"vec_id" / stride < K)
-      .select(($"vec_id" / stride).cast("int").as("m"), $"v".as("cv"))
+    val codebook = c
+      .withColumn("hv", DedupLsh.h60($"vec_id".cast("string")))
+      .orderBy($"hv", $"vec_id").limit(K)
+      .withColumn("m",
+        (row_number().over(Window.orderBy($"hv", $"vec_id")) - 1).cast("int"))
+      .select($"m", $"v".as("cv"))
     val subs = c.select($"vec_id", $"v",
       explode(sequence(lit(0), lit(M - 1))).as("j"))
     val dist = expr(s"""aggregate(
@@ -290,9 +404,9 @@ object Similarity {
 
   /** e07 — PQ codes + per-vector reconstruction error for the corpus.
     * 8×4-bit codes replace 256 bytes of floats (64× compression) — the
-    * memory layout ADC-style ANN search runs on at 100 TB. Argmin over a
-    * literal codebook isn't SQL-practical in DuckDB → rows-only +
-    * SimilaritySpec. */
+    * memory layout ADC-style ANN search runs on at 100 TB. Oracle-checked:
+    * the codebook choice, per-sub-space squared distance (left-to-right
+    * sum) and argmin tie-break all mirror in SQL. */
   def e07PqQuantize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the raw array<int> codes column crashes the driver's pandas
@@ -306,21 +420,50 @@ object Similarity {
         $"mse")
   }
 
+  val e07Sql: String =
+    s"""WITH n AS ($corpusSql),
+       cb AS (SELECT m, cv FROM (
+           SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS m, v AS cv
+           FROM n) t
+         WHERE m < 16),
+       sj AS (SELECT vec_id, v, unnest(range(0, 8)) AS j FROM n),
+       ds AS (SELECT vec_id, j, m,
+           list_sum(list_transform(range(1, 9), i ->
+             (v[j * 8 + i] - cv[j * 8 + i]) * (v[j * 8 + i] - cv[j * 8 + i]))) AS dist
+         FROM sj, cb),
+       am AS (SELECT vec_id, j, m, dist,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, m ASC) AS rn
+         FROM ds)
+       SELECT vec_id,
+         CAST(sum(m * (1::BIGINT << (4 * (7 - j)))) AS BIGINT) AS codes_packed,
+         ${rSql(dsumSql("dist"), 6)} AS mse
+       FROM am WHERE rn = 1
+       GROUP BY vec_id
+       ORDER BY vec_id"""
+
   /** e09 — bucketed embedding near-dup pairs: the 100 TB path for e04.
     * e04's label blocking is quadratic per label (≈10 labels → O(n²/10)
     * at any scale); here candidates form only inside a 6-bit hyperplane
     * bucket — near-identical vectors agree on every hyperplane sign with
     * high probability (exact duplicates always do), so the quadratic term
     * shrinks to the bucket size while one shuffle on the bucket key does
-    * the blocking. Same top-50 report shape as e04. Bucketing isn't
-    * SQL-practical in DuckDB → rows-only + SimilaritySpec (planted-pair
-    * recall, exact-cosine verification). */
+    * the blocking. Same top-50 report shape as e04. Oracle-checked via
+    * the signature SQL twin; planted-pair recall in SimilaritySpec. */
   def e09NearDupAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     nearDupAnnPairs(corpus(s, dir))
       .orderBy($"cosine".desc, $"id_a", $"id_b")
       .limit(50)
   }
+
+  val e09Sql: String =
+    s"""WITH n AS ($corpusSql),
+       sg AS (SELECT vec_id, v, nrm, ${sigSql(0, 5, "v")} AS bucket FROM n)
+       SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         ${rSql("list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)", 6)} AS cosine
+       FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       ORDER BY cosine DESC, id_a, id_b
+       LIMIT 50"""
 
   /** Core bucket-blocked near-dup pairing over corpus(vec_id, v, nrm) —
     * exposed for spec use on crafted corpora. */
@@ -344,8 +487,8 @@ object Similarity {
     * vector. Makes ANN quality a first-class, per-round-visible number
     * instead of a spec-only assertion. Join of three existing outputs on
     * (query_id, neighbor_id) — each side is ≤ 5·|queries| rows, so the
-    * report costs nothing beyond the searches themselves. e03/e05 aren't
-    * SQL-practical → rows-only + SimilaritySpec (bounds + floor). */
+    * report costs nothing beyond the searches themselves. Oracle-checked:
+    * all three inputs now mirror in SQL, so the report does too. */
   def e08AnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ex = e01CosineTopK(s, dir).select($"query_id", $"neighbor_id").cache()
@@ -362,6 +505,27 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  val e08Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e01Ctes,
+       $e03Ctes,
+       $e05Ctes,
+       ext AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= 5),
+       base AS (SELECT query_id, count(*) AS n_exact FROM ext GROUP BY query_id),
+       hl AS (SELECT e.query_id, count(*) AS h FROM ext e
+         JOIN (SELECT query_id, neighbor_id FROM lsh WHERE rank <= 5) a
+         USING (query_id, neighbor_id) GROUP BY e.query_id),
+       hi AS (SELECT e.query_id, count(*) AS h FROM ext e
+         JOIN (SELECT query_id, neighbor_id FROM ivf WHERE rank <= 5) a
+         USING (query_id, neighbor_id) GROUP BY e.query_id)
+       SELECT b.query_id,
+         ${rSql("coalesce(hl.h, 0) / b.n_exact", 6)} AS recall_lsh,
+         ${rSql("coalesce(hi.h, 0) / b.n_exact", 6)} AS recall_ivf
+       FROM base b
+       LEFT JOIN hl ON b.query_id = hl.query_id
+       LEFT JOIN hi ON b.query_id = hi.query_id
+       ORDER BY b.query_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e08_ann_recall" -> (e08AnnRecall _),
@@ -373,10 +537,15 @@ object Similarity {
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e06_label_centroids" -> (e06LabelCentroids _))
 
-  /** e03/e05/e07/e08/e09 intentionally absent — rows-only checks + SimilaritySpec. */
+  /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,
+    "e03_lsh_ann" -> e03Sql,
     "e04_neardup_pairs" -> e04Sql,
-    "e06_label_centroids" -> e06Sql)
+    "e05_ivf_ann" -> e05Sql,
+    "e06_label_centroids" -> e06Sql,
+    "e07_pq_quantize" -> e07Sql,
+    "e08_ann_recall" -> e08Sql,
+    "e09_neardup_ann" -> e09Sql)
 }

@@ -75,6 +75,7 @@ class SimilaritySpec extends GraftSpec {
 
   test("e07 PQ codes: packed 8×4-bit, mse ≥ 0, deterministic, exact for codebook vectors") {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val out = Similarity.e07PqQuantize(spark, sfTiny).cache()
     try {
       val n = Tables.embeddings(spark, sfTiny).count()
@@ -84,10 +85,15 @@ class SimilaritySpec extends GraftSpec {
         $"codes_packed" > 4294967295L || $"mse" < 0).count()
       assert(bad == 0)
       // a vector that IS centroid m must quantize to all-m codes (packed:
-      // nibble m repeated 8× = m · 0x11111111) with mse 0
-      val stride = math.max(1L, n / 16)
-      val centroidRows = out.filter($"vec_id" % stride === 0 && $"vec_id" / stride < 16)
-        .withColumn("m", ($"vec_id" / stride).cast("long"))
+      // nibble m repeated 8× = m · 0x11111111) with mse 0; the codebook is
+      // the 16 hash-rank-lowest vectors (mirrors pqCodes' selection)
+      val hv = conv(substring(md5($"vec_id".cast("string")), 1, 15), 16, 10).cast("long")
+      val centroidRows = Tables.embeddings(spark, sfTiny)
+        .select($"vec_id").withColumn("hv", hv)
+        .orderBy($"hv", $"vec_id").limit(16)
+        .withColumn("m", (row_number().over(Window.orderBy($"hv", $"vec_id")) - 1).cast("long"))
+        .join(out, "vec_id")
+      assert(centroidRows.count() == 16)
       assert(centroidRows.filter($"mse" =!= 0.0).count() == 0,
         "codebook members reconstruct exactly")
       assert(centroidRows.filter($"codes_packed" =!= $"m" * 0x11111111L).count() == 0,
@@ -95,6 +101,31 @@ class SimilaritySpec extends GraftSpec {
       val rerun = Similarity.e07PqQuantize(spark, sfTiny).collect()
       assert(rerun.sameElements(out.collect()), "PQ assignment is deterministic")
     } finally out.unpersist()
+  }
+
+  test("e01 query budget caps the broadcast query side deterministically") {
+    import spark.implicits._
+    // 1000 dense ids → the % 100 sample has 10 members; a budget of 4 must
+    // keep exactly 4 of them, chosen by hash rank (re-run → same set)
+    val corpusDf = (0 until 1000).map { i =>
+      (i.toLong, (0 until 64).map(d => math.sin(i * 64 + d)).toArray)
+    }.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+    val out = Similarity.cosineTopK(corpusDf, 4).cache()
+    try {
+      val qids = out.select("query_id").distinct().collect().map(_.getLong(0)).sorted
+      assert(qids.length == 4, s"budget=4 must cap the query side, got ${qids.toSeq}")
+      assert(qids.forall(_ % 100 == 0))
+      val rerun = Similarity.cosineTopK(corpusDf, 4)
+        .select("query_id").distinct().collect().map(_.getLong(0)).sorted
+      assert(rerun.sameElements(qids), "budget selection is deterministic")
+    } finally out.unpersist()
+  }
+
+  test("e05 is deterministic: two runs are value-identical") {
+    val a = Similarity.e05IvfAnn(spark, sfTiny).collect()
+    val b = Similarity.e05IvfAnn(spark, sfTiny).collect()
+    assert(a.sameElements(b))
   }
 
   test("e08 recall report: one row per e01 query, recalls in [0,1], IVF nonzero") {
@@ -146,10 +177,7 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
-  test("similarity oracles cover the SQL-expressible queries") {
-    assert(Similarity.oracles.keySet ==
-      Similarity.queries.keySet --
-        Set("e03_lsh_ann", "e05_ivf_ann", "e07_pq_quantize", "e08_ann_recall",
-          "e09_neardup_ann"))
+  test("similarity oracles cover every query (all hash-checked since r4)") {
+    assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
 }
