@@ -196,11 +196,12 @@ object TextOps {
     * 100 TB path). |A∪B| computed as |A|+|B|−|A∩B| so both engines use
     * the same set primitive. Top-500 pairs for bounded output.
     *
-    * Fast path: when the corpus vocabulary is small (a cheap distinct-count
-    * probe decides), token sets are bitmask-encoded ([[TokenBits]]) so the
-    * millions of blocked pairs cost bit_count ops instead of per-pair
-    * hash-set builds — ~20× on this corpus. Results are identical either
-    * way (same |A∩B|), so one oracle serves both. */
+    * Fast path: token sets that fit the capped vocabulary are bitmask-
+    * encoded ([[TokenBits]]) so the millions of blocked pairs cost one
+    * bit_count each instead of per-pair hash-set builds — ~20× on this
+    * corpus. The mask/exact split is decided PER PAIR inside the plan
+    * (no driver-side vocabulary probe — r3 review item), and results are
+    * identical either way (same |A∩B|), so one oracle serves both. */
   def d05JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     nearDupPairs(s, dir)
@@ -210,45 +211,53 @@ object TextOps {
 
   /** All near-duplicate pairs (J ≥ 0.5) — the shared edge generator for
     * d05's report and d09's cluster builder ([[Corpus.d09DedupClusters]]).
-    * Unsorted/unlimited; columns (doc_a, doc_b, lang, jaccard). */
+    * Unsorted/unlimited; columns (doc_a, doc_b, lang, jaccard).
+    *
+    * Plan shape: one capped-vocabulary mask pass ([[TokenBits]]), then the
+    * lang-blocked self-join splits per pair — `bit_count` when at most one
+    * side overflows the vocabulary (exact: a shared token is in-vocab
+    * unless both docs overflow), `array_intersect` for the ovf×ovf rest.
+    * On this corpus every doc fits → the exact branch is empty; on a
+    * large-vocabulary corpus the mask branch thins out and the exact
+    * branch is the old general path. Zero driver-side actions either way. */
   private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts"))
-    val vocabSize = docs.select(explode($"ts")).distinct().count()
+    // cached: feeds the fast self-join (both sides) and the overflow
+    // branch — without the barrier the mask pipeline (explode + vocab
+    // join + bit_or) re-evaluates per branch (CLAUDE.md invariant 5)
+    val m = TokenBits.withCappedMask(docs).cache()
     // lossless size pruning: J ≥ 0.5 ⟹ I ≥ (|A|+|B|)/3 and I ≤ min ⟹
     // max ≤ 2·min — pairs outside the 2× size band can never qualify, so
     // the predicate drops them before the intersection is computed (the
     // oracle needn't mirror it: it only removes non-qualifying pairs)
     def sizeBand(na: Column, nb: Column): Column = na <= nb * 2 && nb <= na * 2
-    val (pairs, inter, nta, ntb) =
-      if (vocabSize <= TokenBits.MaxVocab) {
-        val nw = TokenBits.nWords(vocabSize)
-        val m = TokenBits.withMasks(docs, nw)
-        // the block key `lang` has ~5 distinct values, so a shuffled join
-        // would put all pairs on ≤5 tasks; repartitioning the probe side
-        // by doc_id and broadcasting the (mask-compressed, small-vocab)
-        // build side spreads the quadratic work across every core. The
-        // no-broadcast general path below stays for large corpora, whose
-        // scale route is MinHash LSH (DedupLsh), not this exact baseline.
-        val a = m.select($"doc_id", $"lang", $"nt", $"mask".as("ma"))
-          .repartition(col("doc_id")).as("a")
-        val b = m.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"),
-          $"nt".as("nt_b"), $"mask".as("mb"))
-        (a.join(broadcast(b), $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
-          sizeBand($"nt", $"nt_b")),
-          TokenBits.interExpr(nw), $"nt", $"nt_b")
-      } else {
-        val a = docs.as("a")
-        val b = docs.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"), $"ts".as("tsb"))
-        (a.join(b, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
-          sizeBand(size($"ts"), size($"tsb"))),
-          size(array_intersect($"ts", $"tsb")), size($"ts"), size($"tsb"))
-      }
-    pairs
+    // the block key `lang` has ~5 distinct values, so a shuffled join
+    // would put all pairs on ≤5 tasks; repartitioning the probe side
+    // by doc_id and broadcasting the mask-compressed build side spreads
+    // the quadratic work across every core.
+    val a = m.select($"doc_id", $"lang", $"nt", $"mask".as("ma"), $"ovf".as("ova"))
+      .repartition(col("doc_id"))
+    val b = m.select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"),
+      $"nt".as("nt_b"), $"mask".as("mb"), $"ovf".as("ovb"))
+    val interFast = TokenBits.interExpr
+    val fast = a.join(broadcast(b), $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
+        sizeBand($"nt", $"nt_b") && !($"ova" && $"ovb"))
       .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"), $"lang",
-        r(inter.cast("double") / (nta + ntb - inter), 6).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
+        r(interFast.cast("double") / ($"nt" + $"nt_b" - interFast), 6).as("jaccard"))
+    // ovf×ovf remainder: exact set intersection, no broadcast (on a
+    // large-vocabulary corpus this side IS the corpus — the documented
+    // exact-baseline fallback; empty on this corpus)
+    val oa = m.filter($"ovf").select($"doc_id", $"lang", $"nt", $"ts")
+    val ob = m.filter($"ovf").select($"doc_id".as("doc_id_b"), $"lang".as("lang_b"),
+      $"nt".as("nt_b"), $"ts".as("tsb"))
+    val interSlow = size(array_intersect($"ts", $"tsb"))
+    val slow = oa.join(ob, $"lang" === $"lang_b" && $"doc_id" < $"doc_id_b" &&
+        sizeBand($"nt", $"nt_b"))
+      .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"), $"lang",
+        r(interSlow.cast("double") / ($"nt" + $"nt_b" - interSlow), 6).as("jaccard"))
+    fast.union(slow).filter($"jaccard" >= 0.5)
   }
 
   val d05Sql: String = {
