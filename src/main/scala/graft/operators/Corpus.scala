@@ -242,8 +242,11 @@ object Corpus {
     val out = clusters
       .filter($"doc_id" === $"cluster_id") // canonical per near-dup cluster
       .join(surv, "doc_id")
+      // coalesce(lang, ''): concat_ws SKIPS nulls while DuckDB's || is
+      // null-propagating — without the explicit default the two sampling
+      // hashes silently diverge on a nullable corpus (r3 advice)
       .filter(pmod(DedupLsh.h60(
-        concat_ws(":", $"lang", $"doc_id".cast("string"))), lit(100L)) < sampleRate)
+        concat_ws(":", coalesce($"lang", lit("")), $"doc_id".cast("string"))), lit(100L)) < sampleRate)
       .select($"doc_id", $"lang", $"quality", $"cluster_size",
         size(toks($"text")).as("n_tokens"))
       .orderBy($"doc_id")
@@ -277,7 +280,7 @@ object Corpus {
          len(${toksSql("s.text")}) AS n_tokens
        FROM cl c JOIN surv s ON c.doc_id = s.doc_id
        WHERE c.doc_id = c.cluster_id
-         AND ('0x' || substring(md5(s.lang || ':' || c.doc_id::VARCHAR), 1, 15))::BIGINT % 100
+         AND ('0x' || substring(md5(coalesce(s.lang, '') || ':' || c.doc_id::VARCHAR), 1, 15))::BIGINT % 100
              < CASE WHEN s.lang = 'en' THEN 50 ELSE 90 END
        ORDER BY c.doc_id"""
 

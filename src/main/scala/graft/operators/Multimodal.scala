@@ -95,12 +95,23 @@ object Multimodal {
   def x03DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRecord] = mediaTable(s, dir).as[MediaRecord]
-    media.mapPartitions { rows =>
-      // per-partition init would go here (decoder context, model weights)
-      rows.map(fakeDecode)
-    }.toDF()
+    decodeAll(media, () => ()).toDF()
       .select($"doc_id", $"n_bytes", $"width", $"height", r($"mean_byte", 6).as("mean_byte"))
       .orderBy($"doc_id")
+  }
+
+  /** The mapPartitions decode kernel with an explicit per-partition init
+    * hook: `onInit` runs ONCE per partition before any row is decoded —
+    * the slot a real codec uses for decoder-context/model-weight setup
+    * (and the contract MultimodalSpec pins with an accumulator, so a
+    * refactor can't silently turn per-partition init into per-row init). */
+  private[graft] def decodeAll(media: Dataset[MediaRecord],
+      onInit: () => Unit): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      onInit() // per-partition init (decoder context, model weights)
+      rows.map(fakeDecode)
+    }
   }
 
   /** STUB decode kernel — deterministic byte statistics in lieu of a real

@@ -48,4 +48,17 @@ class MultimodalSpec extends GraftSpec {
     val b = Multimodal.x03DecodeFeatures(spark, sfTiny).collect()
     assert(a.sameElements(b) && a.length == 500)
   }
+
+  test("x03 decode init runs exactly once per partition (codec contract)") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sfTiny)
+      .as[graft.operators.MediaRecord]
+      .repartition(7) // a known partition count, > 1
+    val inits = spark.sparkContext.longAccumulator("decode_inits")
+    val n = Multimodal.decodeAll(media, () => inits.add(1)).count()
+    assert(n == 500)
+    // a real codec's context/model load sits in onInit: per-ROW init
+    // (or per-partition re-init) would show up here as inits > 7
+    assert(inits.value == 7L, s"expected 7 partition inits, got ${inits.value}")
+  }
 }
