@@ -75,6 +75,13 @@ object Similarity {
       .orderBy(hvCol, col("vec_id")).limit(budget)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
 
+  /** Just the budgeted query ids (broadcast-joined into the ANN paths so
+    * e03/e05 share e01's fixed per-scale query cost). */
+  private def queryIds(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") % 100 === 0)
+      .orderBy(hvCol, col("vec_id")).limit(QueryBudget)
+      .select(col("vec_id"))
+
   /** Exact cosine top-5 over corpus(vec_id, v, nrm) with an explicit query
     * budget — exposed for the SimilaritySpec budget assertion. */
   def cosineTopK(c: DataFrame, budget: Int): DataFrame = {
@@ -216,7 +223,7 @@ object Similarity {
     // (query, table) cost nothing next to another full hash table
     // (measured recall@5 at sf0.01: 0.12 single-table → 0.24 with L=3 →
     // 0.56 with multiprobe — ahead of e05's IVF)
-    val qb = buckets.filter($"vec_id" % 100 === 0)
+    val qb = buckets.join(broadcast(queryIds(c)), "vec_id")
       .select($"tbl".as("qt"), $"vec_id".as("query_id"),
         explode(array($"bucket" +: (0 until 6).map(k =>
           $"bucket".bitwiseXOR(lit(1L << k))): _*)).as("qb"))
@@ -244,11 +251,13 @@ object Similarity {
        bkt AS (SELECT vec_id, 0 AS tbl, b0 AS bucket FROM sg
                UNION ALL SELECT vec_id, 1, b1 FROM sg
                UNION ALL SELECT vec_id, 2, b2 FROM sg),
+       lshq AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+         ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
        qb AS (SELECT vec_id AS query_id, tbl AS qt,
            unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
                    xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
                    xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT)]) AS qbk
-         FROM bkt WHERE vec_id % 100 = 0),
+         FROM bkt WHERE vec_id IN (SELECT vec_id FROM lshq)),
        cnd AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
          FROM qb JOIN bkt b
          ON qb.qt = b.tbl AND qb.qbk = b.bucket AND qb.query_id != b.vec_id),
@@ -293,7 +302,7 @@ object Similarity {
       .filter($"crank" === 1)
       .select($"cid", $"vec_id".as("neighbor_id"), $"v".as("cv2"), $"nrm".as("cnrm2"))
     val probes = scored
-      .filter($"vec_id" % 100 === 0)
+      .join(broadcast(queryIds(c)), "vec_id")
       .withColumn("crank", row_number().over(wAssign))
       .filter($"crank" <= NProbe)
       .select($"cid", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
@@ -325,8 +334,10 @@ object Similarity {
          FROM ivfsc),
        ivfas AS (SELECT cid, vec_id AS neighbor_id, v AS cv2, nrm AS cnrm2
          FROM ivfrk WHERE crank = 1),
+       ivfq AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
+         ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
        ivfpr AS (SELECT cid, vec_id AS query_id, v AS qv, nrm AS qnrm
-         FROM ivfrk WHERE vec_id % 100 = 0 AND crank <= $NProbe),
+         FROM ivfrk WHERE vec_id IN (SELECT vec_id FROM ivfq) AND crank <= $NProbe),
        ivfp AS (SELECT DISTINCT query_id, neighbor_id,
            ${rSql("list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv2[i])) / (p.qnrm * a.cnrm2)", 6)} AS cosine
          FROM ivfpr p JOIN ivfas a USING (cid)
