@@ -117,4 +117,42 @@ class PlanShapeSpec extends GraftSpec {
   test("t15 EWMA: one groupByKey exchange + one sort") {
     assert(countShuffles(Telemetry.t15Ewma(spark, sfTiny)) <= 2)
   }
+
+  test("e01 exact baseline: budgeted query side broadcasts, corpus never shuffles for the join") {
+    val df = graft.operators.Similarity.e01CosineTopK(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1, "query side must broadcast")
+    // window over query_id + final sort; the candidate scan itself streams
+    assert(countShuffles(df) <= 2)
+  }
+
+  test("ANN/d05 query construction runs no Spark jobs (no driver-side sizing passes)") {
+    // r3 review: e05/e07 sized their centroid stride with count() and d05
+    // probed the vocabulary with distinct().count() — full corpus passes
+    // before the query proper. Construction must now be fully lazy.
+    val tracker = spark.sparkContext.statusTracker
+    def settledJobCount: Int = {
+      // job-start events reach the status store asynchronously: wait until
+      // the count is stable across two polls
+      var prev = -1
+      var cur = tracker.getJobIdsForGroup(null).length
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = tracker.getJobIdsForGroup(null).length }
+      cur
+    }
+    // calibrate: a bare parquet read may itself launch a footer/schema job
+    // — that is table loading, not a sizing pass, so subtract it
+    val a0 = settledJobCount
+    Tables.embeddings(spark, sfTiny)
+    val perEmb = settledJobCount - a0
+    val b0 = settledJobCount
+    Tables.documents(spark, sfTiny)
+    val perDoc = settledJobCount - b0
+    val before = settledJobCount
+    graft.operators.Similarity.e05IvfAnn(spark, sfTiny) // reads embeddings
+    graft.operators.Similarity.e07PqQuantize(spark, sfTiny) // reads embeddings
+    TextOps.d05JaccardPairs(spark, sfTiny) // reads documents
+    val after = settledJobCount
+    val allowed = 2 * perEmb + perDoc
+    assert(after - before <= allowed,
+      s"query construction launched ${after - before} job(s); only $allowed table-read job(s) allowed")
+  }
 }
