@@ -7,7 +7,8 @@ import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Telemetry
+import graft.operators.{Num, Telemetry}
+import Num._
 
 /** The reference's ML path (SURVEY.md §2.3 M1–M4) as an MLlib pipeline:
   *
@@ -94,9 +95,82 @@ object Maintenance {
       .orderBy(col("id"))
   }
 
+  // --- ml03: closed-form training as ONE distributed aggregation pass ----
+
+  /** Cramer's-rule solution of the 3×3 normal equations A·[b,w1,w2]ᵀ = r
+    * over the moment columns (nn, s1, s2, s11, s12, s22, sy, s1y, s2y).
+    * Shared string templates: the Spark side evaluates them via `expr` and
+    * the DuckDB oracle inlines the same text, so the IEEE evaluation order
+    * is identical character for character (the determinism the oracle hash
+    * needs — see Num.scala). */
+  private val detS =
+    "(nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+  private val detBS =
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+  private val detW1S =
+    "(nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+  private val detW2S =
+    "(nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+
+  /** ml03 — the 100 TB training story made explicit: a linear-probability
+    * classifier over {temperature, vibration} fit by the normal equations,
+    * i.e. training IS one map-side-combinable aggregation (9 decimal
+    * moments) + O(1) driver-free algebra — no iterations, no MLlib, no
+    * collect. Scoring is the same broadcast-weights + scan-local transform
+    * shape as ml01/ml02. Every step is order-independent decimal or
+    * fixed-order IEEE arithmetic → fully oracle-checked (the first ML
+    * entry the DuckDB differential can verify end to end: a training-code
+    * bug now fails the hash, not just an accuracy spec). */
+  def ml03LsqScoring(s: SparkSession, dir: String): DataFrame = {
+    val t = Telemetry.twin(s).select(
+      col("id"), col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    val mom = t.agg(
+      count(lit(1)).cast("double").as("nn"),
+      dsum(col("x1")).as("s1"),
+      dsum(col("x2")).as("s2"),
+      dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("is_anomaly").cast("double")).as("sy"),
+      dsum(col("x1") * col("is_anomaly")).as("s1y"),
+      dsum(col("x2") * col("is_anomaly")).as("s2y"))
+    val wts = mom.select(
+      expr(s"$detBS / $detS").as("b"),
+      expr(s"$detW1S / $detS").as("w1"),
+      expr(s"$detW2S / $detS").as("w2"))
+    t.crossJoin(broadcast(wts))
+      .select(col("id"), col("is_anomaly"),
+        r(expr("b + w1 * x1 + w2 * x2"), 6).as("score"))
+      .withColumn("lsq_prediction", (col("score") >= 0.5).cast("int"))
+      .orderBy(col("id"))
+  }
+
+  val ml03Sql: String =
+    s"""WITH t AS (SELECT id, is_anomaly, temperature AS x1, vibration AS x2
+         FROM (${Telemetry.twinSql})),
+       mom AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         ${dsumSql("x1")} AS s1, ${dsumSql("x2")} AS s2,
+         ${dsumSql("x1 * x1")} AS s11, ${dsumSql("x1 * x2")} AS s12,
+         ${dsumSql("x2 * x2")} AS s22,
+         ${dsumSql("CAST(is_anomaly AS DOUBLE)")} AS sy,
+         ${dsumSql("x1 * is_anomaly")} AS s1y, ${dsumSql("x2 * is_anomaly")} AS s2y
+         FROM t),
+       wts AS (SELECT $detBS / $detS AS b, $detW1S / $detS AS w1,
+         $detW2S / $detS AS w2 FROM mom),
+       sc AS (SELECT id, is_anomaly, ${rSql("b + w1 * x1 + w2 * x2", 6)} AS score
+         FROM t, wts)
+       SELECT id, is_anomaly, score,
+         CAST(score >= 0.5 AS INTEGER) AS lsq_prediction
+       FROM sc ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml01_rf_scoring" -> (ml01RfScoring _),
-    "ml02_lr_scoring" -> (ml02LrScoring _))
+    "ml02_lr_scoring" -> (ml02LrScoring _),
+    "ml03_lsq_scoring" -> (ml03LsqScoring _))
 
-  val oracles: Map[String, String] = Map.empty
+  /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
+    * closed-form algebra mirrors exactly. */
+  val oracles: Map[String, String] = Map(
+    "ml03_lsq_scoring" -> ml03Sql)
 }

@@ -537,8 +537,113 @@ object Similarity {
        LEFT JOIN hi ON b.query_id = hi.query_id
        ORDER BY b.query_id"""
 
+  // --- e10: k-means (Lloyd) — the IVF/PQ coarse-quantizer TRAINING step --
+
+  private[graft] val KmK = 8
+  private[graft] val KmIters = 2
+
+  /** Squared-L2 distance over the joined (v, cv) pair — left-to-right
+    * accumulation in index order, the exact order the oracle's
+    * `list_sum(list_transform(range(1,65), …))` evaluates (e07 proved the
+    * (x−y)² parity). */
+  private def sqDistExpr: Column = expr(
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, d) -> a + d)")
+
+  /** One Lloyd assignment: nearest centroid per vector (tie-break by cid —
+    * deterministic because the distances are bit-identical by
+    * construction). Broadcast centroids, scan-local distances, one window
+    * shuffle on vec_id. */
+  private def kmAssign(c: DataFrame, cents: DataFrame): DataFrame = {
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
+    c.join(broadcast(cents))
+      .withColumn("dist", sqDistExpr)
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("dist"))
+  }
+
+  /** One Lloyd update: element-wise mean of each cluster's vectors via the
+    * e06 posexplode→partial-agg layout (map-side combine collapses to
+    * ≤ K×64 rows per partition before the shuffle), rebuilt into an array
+    * ordered by dimension. Means are decimal-exact sums ÷ count
+    * (order-independent → engine-identical). Empty clusters drop out in
+    * both engines alike. */
+  private def kmUpdate(asg: DataFrame): DataFrame =
+    asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(davg(col("x")).as("mu"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        p => p.getField("mu")).as("cv"))
+
+  /** Final assignment after `iters` Lloyd rounds from the hash-rank-K init
+    * — exposed for the SimilaritySpec inertia-descent assertion. */
+  def kmeansAssign(c: DataFrame, k: Int, iters: Int): DataFrame = {
+    val init = c.orderBy(hvCol, col("vec_id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(hvCol, col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), col("v").as("cv"))
+    val cents = (1 to iters).foldLeft(init)((ct, _) => kmUpdate(kmAssign(c, ct)))
+    kmAssign(c, cents)
+  }
+
+  /** e10 — k-means clustering of the corpus (K=[[KmK]], [[KmIters]] Lloyd
+    * rounds, hash-rank init — the training step that would refine e05's
+    * IVF lists and e07's PQ codebook). Per round: one broadcast of K
+    * centroids, scan-local distances, one aggregation shuffle — the
+    * canonical distributed-k-means layout that holds at any corpus size
+    * (centroid state is O(K·dim), never the corpus). Fully oracle-checked:
+    * hash-rank init, argmin tie-breaks, and decimal-mean updates all
+    * mirror in SQL, so a training-loop bug fails the hash — unusual
+    * coverage for an iterative ML operator. */
+  def e10Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).select($"vec_id", $"v").cache()
+    kmeansAssign(c, KmK, KmIters)
+      .select($"vec_id", $"cid".as("cluster"), r($"dist", 6).as("sq_dist"))
+      .orderBy($"vec_id")
+  }
+
+  /** CTE pair for Lloyd round t: assignment against cents`t-1`, then the
+    * per-dimension decimal means rebuilt into centroid lists. */
+  private def kmRoundSql(t: Int): String =
+    s"""kma$t AS (SELECT vec_id, v, cid, dist FROM (
+           SELECT n.vec_id, n.v, c.cid,
+             list_sum(list_transform(range(1, 65), i ->
+               (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) AS dist,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65), i ->
+                 (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) ASC, c.cid ASC) AS rn
+           FROM n, kmc${t - 1} c) z WHERE rn = 1),
+       kmu$t AS (SELECT cid, unnest(generate_series(1, 64)) AS dim,
+           unnest(v) AS x FROM kma$t),
+       kmm$t AS (SELECT cid, dim, ${davgSql("x")} AS mu
+         FROM kmu$t GROUP BY cid, dim),
+       kmc$t AS (SELECT cid, list(mu ORDER BY dim) AS cv
+         FROM kmm$t GROUP BY cid)"""
+
+  val e10Sql: String = {
+    val rounds = (1 to KmIters).map(kmRoundSql).mkString(",\n       ")
+    s"""WITH n AS ($corpusSql),
+       kmc0 AS (SELECT cid, cv FROM (
+           SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS cid,
+             v AS cv FROM n) t
+         WHERE cid < $KmK),
+       $rounds,
+       kmf AS (SELECT vec_id, cid, dist FROM (
+           SELECT n.vec_id, c.cid,
+             list_sum(list_transform(range(1, 65), i ->
+               (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) AS dist,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65), i ->
+                 (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) ASC, c.cid ASC) AS rn
+           FROM n, kmc$KmIters c) z WHERE rn = 1)
+       SELECT vec_id, cid AS cluster, ${rSql("dist", 6)} AS sq_dist
+       FROM kmf ORDER BY vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_pq_quantize" -> (e07PqQuantize _),
+    "e10_kmeans" -> (e10Kmeans _),
     "e08_ann_recall" -> (e08AnnRecall _),
     "e09_neardup_ann" -> (e09NearDupAnn _),
     "e01_cosine_topk" -> (e01CosineTopK _),
@@ -550,6 +655,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e10_kmeans" -> e10Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,
     "e03_lsh_ann" -> e03Sql,

@@ -31,6 +31,20 @@ class MaintenanceSpec extends GraftSpec {
     } finally df.unpersist()
   }
 
+  test("ml03 closed-form least-squares classifier recovers the rule exactly") {
+    val df = Maintenance.ml03LsqScoring(spark, sfTiny).cache()
+    try {
+      assert(df.count() == 10000L)
+      // the twin is linearly separable with well-separated classes, so the
+      // 0.5-thresholded linear-probability model must agree with the
+      // generating rule on every record (measured: 10000/10000)
+      assert(df.filter(col("lsq_prediction") =!= col("is_anomaly")).count() == 0)
+      // scores are a regression output, not probabilities — but they must
+      // stay in a sane band around [0,1] for calibrated downstream use
+      assert(df.filter(col("score") < -0.5 || col("score") > 1.5).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("held-out precision/recall reproduce the reference's 1.00/1.00") {
     val (p, r) = Maintenance.evaluate(spark)
     assert(p == 1.0, s"precision $p")

@@ -177,6 +177,27 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e10 k-means: total partition of the corpus, K clusters, inertia descends") {
+    import spark.implicits._
+    val n = graft.Tables.embeddings(spark, sfTiny).count()
+    val out = Similarity.e10Kmeans(spark, sfTiny).cache()
+    try {
+      // every vector assigned to exactly one cluster
+      assert(out.count() == n)
+      assert(out.select("vec_id").distinct().count() == n)
+      assert(out.select("cluster").distinct().count() == Similarity.KmK.toLong)
+      assert(out.filter(col("sq_dist") < 0.0).count() == 0)
+      // Lloyd's guarantee: inertia after the update rounds is no worse
+      // than under the raw hash-rank init
+      val c = graft.Tables.embeddings(spark, sfTiny)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      def inertia(iters: Int): Double =
+        Similarity.kmeansAssign(c, Similarity.KmK, iters)
+          .agg(sum("dist")).collect()(0).getDouble(0)
+      assert(inertia(Similarity.KmIters) < inertia(0))
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
