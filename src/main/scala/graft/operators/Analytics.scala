@@ -87,6 +87,109 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** q39 — sampled percentiles: the PORTABLE approximate-percentile scale
+    * path (q37's GK sketch with engine-specific internals stays rows-only;
+    * this twin is hash-checked). A deterministic ~5% md5-rank sample —
+    * scan-local, no shuffle, identical rows selected in both engines —
+    * feeds q33's exact interpolated percentiles, shrinking the per-group
+    * sort from n to n/20. Rank error is O(1/√(n·rate)) (AnalyticsSpec
+    * bounds it against the exact q33 values); at 100 TB the sample rate is
+    * the knob that trades accuracy for sort size. */
+  def q39SampledPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter(DedupLsh.h60(concat_ws(":", $"l_orderkey", $"l_linenumber")) % 20 === 0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sample"),
+        r(percentile($"l_extendedprice", lit(0.5)), 6).as("price_p50"),
+        r(percentile($"l_extendedprice", lit(0.9)), 6).as("price_p90"),
+        r(percentile($"l_extendedprice", lit(0.99)), 6).as("price_p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q39Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n_sample,
+       ${rSql("quantile_cont(l_extendedprice, 0.5)", 6)} AS price_p50,
+       ${rSql("quantile_cont(l_extendedprice, 0.9)", 6)} AS price_p90,
+       ${rSql("quantile_cont(l_extendedprice, 0.99)", 6)} AS price_p99
+       FROM lineitem
+       WHERE ${DedupLsh.h60Sql("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} % 20 = 0
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
+
+  // --- q40: a PORTABLE HyperLogLog — the sketch the oracle can check ----
+
+  private val HllM = 256 // registers (b = 8); std error 1.04/√m ≈ 6.5%
+
+  /** α_m·m²·2⁵³ — the raw-estimator numerator, precomputed to one double
+    * so both engines see a single literal (E_raw = const / S where S is
+    * the exact integer Σ 2^(53−M_j) scaled by 2⁵³). */
+  private val HllConst: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM * HllM * 9007199254740992.0
+
+  /** q40 — approximate distinct via a portable HyperLogLog: q19's
+    * approx_count_distinct uses Spark-private xxhash64 sketch internals
+    * (→ rows-only forever); this twin builds the SAME kind of sketch from
+    * engine-portable pieces — md5-rank hash (d04-proven), register index =
+    * low 8 bits, ρ = leading-zero count of the remaining 52 bits via an
+    * integer CASE cascade, registers = max(ρ) — so the whole sketch,
+    * including the linear-counting small-range branch, mirrors in DuckDB
+    * and the oracle hash-checks it. Register state is 256 ints per group,
+    * merged map-side by max — the identical 100 TB layout HLL++ uses.
+    * Σ 2^(−M) is computed as the exact integer Σ 2^(53−M) (max 256·2⁵³ <
+    * 2⁶³), so the only float ops are one division and the ln() of the
+    * linear-counting branch (d08-proven portable at r6; r2 here). */
+  def q40PortableHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val h = DedupLsh.h60($"o_custkey".cast("string"))
+    val w = shiftright(h, 8)
+    val rho = (50 to 0 by -1)
+      .foldLeft(when(w >= lit(1L << 51), lit(1)))((acc, k) =>
+        acc.when(w >= lit(1L << k), lit(52 - k)))
+      .otherwise(lit(53))
+    val s1 = ord
+      .select($"o_orderpriority", (h % 256).as("idx"), rho.as("rho"))
+      .groupBy($"o_orderpriority", $"idx").agg(max($"rho").as("mx"))
+      .groupBy($"o_orderpriority")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)")).as("sp"),
+        count(lit(1)).as("nreg"))
+      .select($"o_orderpriority",
+        ($"sp" + (lit(HllM.toLong) - $"nreg") * lit(9007199254740992L)).as("s"),
+        (lit(HllM.toLong) - $"nreg").as("v"))
+    val raw = lit(HllConst) / $"s".cast("double")
+    val est = when($"v" > 0 && raw <= lit(2.5 * HllM),
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"v".cast("double")))
+      .otherwise(raw)
+    val exact = ord.groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("exact_customers"))
+    exact.join(s1, "o_orderpriority")
+      .select($"o_orderpriority", $"exact_customers", r(est, 2).as("hll_customers"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q40Sql: String = {
+    val rho = (51 to 0 by -1)
+      .map(k => s"WHEN (hv >> 8) >= ${1L << k} THEN ${52 - k}")
+      .mkString("CASE ", " ", " ELSE 53 END")
+    val raw = s"$HllConst / CAST(s AS DOUBLE)"
+    s"""WITH h AS (SELECT o_orderpriority,
+           ${DedupLsh.h60Sql("o_custkey::VARCHAR")} AS hv FROM orders),
+       reg AS (SELECT o_orderpriority, hv % 256 AS idx, max($rho) AS mx
+         FROM h GROUP BY o_orderpriority, hv % 256),
+       sk AS (SELECT o_orderpriority,
+           CAST(sum(1::BIGINT << (53 - mx)) AS BIGINT)
+             + ($HllM - count(*)) * 9007199254740992 AS s,
+           $HllM - count(*) AS v
+         FROM reg GROUP BY o_orderpriority),
+       ex AS (SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_customers
+         FROM orders GROUP BY o_orderpriority)
+       SELECT ex.o_orderpriority, exact_customers,
+         ${rSql(s"CASE WHEN v > 0 AND $raw <= ${2.5 * HllM} THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST(v AS DOUBLE)) ELSE $raw END", 2)} AS hll_customers
+       FROM ex JOIN sk USING (o_orderpriority)
+       ORDER BY ex.o_orderpriority"""
+  }
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -380,10 +483,15 @@ object Analytics {
     "q26_unpivot" -> (q26Unpivot _),
     "q27_array_agg" -> (q27ArrayAgg _),
     "q35_regression_agg" -> (q35RegressionAgg _),
-    "q37_approx_percentile" -> (q37ApproxPercentile _))
+    "q37_approx_percentile" -> (q37ApproxPercentile _),
+    "q39_sampled_percentile" -> (q39SampledPercentile _),
+    "q40_portable_hll" -> (q40PortableHll _))
 
-  /** q19/q37 are sketch-based → rows-only + AnalyticsSpec. */
+  /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
+    * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q39_sampled_percentile" -> q39Sql,
+    "q40_portable_hll" -> q40Sql,
     "q17_asof_join" -> q17Sql,
     "q18_range_join" -> q18Sql,
     "q20_scalar_subquery" -> q20Sql,

@@ -72,6 +72,38 @@ class AnalyticsSpec extends GraftSpec {
     assert(approx.count() == exact.count())
   }
 
+  test("q39 sampled percentiles: ~5% sample, estimates near exact") {
+    import spark.implicits._
+    val df = Analytics.q39SampledPercentile(spark, sfSmall).cache()
+    try {
+      // deterministic md5-rank sampling keeps ~1/20 of each group
+      val nTotal = Tables.lineitem(spark, sfSmall).count()
+      val nSample = df.agg(sum("n_sample")).collect()(0).getLong(0)
+      val rate = nSample.toDouble / nTotal
+      assert(rate > 0.03 && rate < 0.07, s"sample rate $rate")
+      // sampled percentiles track the exact q33-style values
+      val exact = Tables.lineitem(spark, sfSmall)
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("e50"),
+          expr("percentile(l_extendedprice, 0.99D)").as("e99"))
+      val bad = df.join(exact, "l_returnflag")
+        .filter(abs($"price_p50" - $"e50") / $"e50" > 0.10 ||
+          abs($"price_p99" - $"e99") / $"e99" > 0.10)
+      assert(bad.count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("q40 portable HLL within 25% of exact on every group, both branches") {
+    // sfTiny (~130 distinct/group) exercises the linear-counting branch,
+    // sfSmall (~1300) the raw-estimator branch (2.5m boundary = 640)
+    Seq(sfTiny, sfSmall).foreach { sf =>
+      val bad = Analytics.q40PortableHll(spark, sf)
+        .filter(abs(col("hll_customers") - col("exact_customers")) /
+          col("exact_customers") > 0.25)
+      assert(bad.count() == 0, s"estimate off by >25% at $sf")
+    }
+  }
+
   test("analytics oracles cover the SQL-expressible queries") {
     assert(Analytics.oracles.keySet == Analytics.queries.keySet --
       Set("q19_approx_distinct", "q37_approx_percentile"))
