@@ -340,7 +340,60 @@ object Corpus {
        GROUP BY doc_id
        ORDER BY doc_id"""
 
+  /** d14 — BM25 term weighting (the retrieval-grade upgrade of d08's
+    * TF-IDF: saturating tf and document-length normalization, k1=1.2,
+    * b=0.75, Lucene's non-negative idf): top-3 terms per document. Plan
+    * adds one per-doc length aggregate and a broadcast 1-row avgdl to
+    * d08's tf⋈df shape — still keyed on uniform terms/doc_ids, linear at
+    * any corpus size. Engine parity: the idf ratio is scaled to integers
+    * ((2N−2df+1)/(2df+1)) so DuckDB can't fall into decimal/decimal
+    * division (its rounded-scale result diverges from double math);
+    * everything else is int→double promotion + one d08-proven ln. */
+  def d14Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select($"doc_id", explode(toks(lower($"text"))).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val avgdl = dl.agg(davg($"dl").as("avgdl"))
+    val idf = log(lit(1.0) +
+      (lit(2L) * $"n" - lit(2L) * $"df" + lit(1L)) / (lit(2L) * $"df" + lit(1L)))
+    // idf·(k1+1)·(tf/den), NOT idf·(tf·2.2)/den: BIGINT·DECIMAL is exact
+    // DECIMAL in DuckDB but double in Spark — keep every int→float
+    // transition a division or a float·float product
+    val score = idf * lit(2.2) * ($"tf" /
+      ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl"))))
+    val w = Window.partitionBy($"doc_id").orderBy($"bm25".desc, $"term")
+    tf.join(df, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .select($"doc_id", $"term", r(score, 6).as("bm25"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val d14Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n FROM documents),
+       ad AS (SELECT ${davgSql("dl")} AS avgdl FROM dl),
+       sc AS (SELECT doc_id, tf.term AS term,
+           ${rSql("ln(1.0 + (2 * n - 2 * df + 1) / (2 * df + 1)) * 2.2 * (tf / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))", 6)} AS bm25
+         FROM tf JOIN df ON tf.term = df.term JOIN dl USING (doc_id)
+         CROSS JOIN n CROSS JOIN ad),
+       rk AS (SELECT doc_id, term, bm25,
+           row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rk
+         FROM sc)
+       SELECT doc_id, term, bm25, rk FROM rk WHERE rk <= 3
+       ORDER BY doc_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_bm25" -> (d14Bm25 _),
     "d08_tfidf" -> (d08Tfidf _),
     "d09_dedup_clusters" -> (d09DedupClusters _),
     "d10_bigram_lm" -> (d10BigramLm _),
@@ -348,6 +401,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "d14_bm25" -> d14Sql,
     "d08_tfidf" -> d08Sql,
     "d09_dedup_clusters" -> d09Sql,
     "d10_bigram_lm" -> d10Sql,

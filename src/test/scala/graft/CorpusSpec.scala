@@ -25,6 +25,30 @@ class CorpusSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("d14 BM25: ≤3 ranked terms per doc, positive saturating scores") {
+    import spark.implicits._
+    val out = Corpus.d14Bm25(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"rk" < 1 || $"rk" > 3).count() == 0)
+      // Lucene's idf form ln(1 + x) with x > 0 makes every score positive,
+      // and tf-saturation bounds the tf factor by k1+1 = 2.2, so score
+      // <= 2.2 * ln(1 + 2n) — a loose but structural ceiling
+      assert(out.filter($"bm25" <= 0).count() == 0)
+      val n = graft.Tables.documents(spark, sfTiny).count().toDouble
+      assert(out.filter($"bm25" > 2.2 * math.log(1 + 2 * n)).count() == 0)
+      // scores within a doc are non-increasing as rank grows
+      val viol = out.groupBy($"doc_id")
+        .agg(min(when($"rk" === 1, $"bm25")).as("s1"),
+          min(when($"rk" === 2, $"bm25")).as("s2"),
+          min(when($"rk" === 3, $"bm25")).as("s3"))
+        .filter(($"s2".isNotNull && $"s2" > $"s1") ||
+          ($"s3".isNotNull && $"s3" > $"s2"))
+        .count()
+      assert(viol == 0)
+    } finally out.unpersist()
+  }
+
   test("d10 bigram LM: log-probs non-positive, unique-bigram docs score ln of rarity") {
     import spark.implicits._
     val out = Corpus.d10BigramLm(spark, sfTiny).cache()
