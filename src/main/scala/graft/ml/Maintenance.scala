@@ -164,13 +164,102 @@ object Maintenance {
          CAST(score >= 0.5 AS INTEGER) AS lsq_prediction
        FROM sc ORDER BY id"""
 
+  // --- ml04: iterative training as unrolled aggregation passes ----------
+
+  private[graft] val GdIters = 3
+
+  /** Rational ("fast") sigmoid 0.5 + z/(2(1+|z|)) — same monotone S-shape
+    * as the logistic link but pure IEEE arithmetic (no libm exp), so the
+    * per-row probabilities are bit-identical across engines. Shared text,
+    * evaluated via expr() in Spark and inlined in the oracle. */
+  private val pExpr =
+    "0.5 + 0.5 * (b + w1 * z1 + w2 * z2) / (1.0 + abs(b + w1 * z1 + w2 * z2))"
+
+  /** Standardization moments → (mu, sd) per feature; sqrt is IEEE
+    * correctly-rounded (not libm), so the z-scores mirror exactly. */
+  private val mu1S = "(s1 / nn)"; private val sd1S = s"sqrt(s11 / nn - $mu1S * $mu1S)"
+  private val mu2S = "(s2 / nn)"; private val sd2S = s"sqrt(s22 / nn - $mu2S * $mu2S)"
+
+  /** ml04 — the ITERATIVE half of the training story (ml03 is the
+    * closed-form half): full-batch gradient descent on a quasi-logistic
+    * model over standardized {temperature, vibration}, [[GdIters]] unrolled
+    * steps, learning rate 1. Each step is exactly one distributed
+    * aggregation (three decimal-exact gradient means over the scored
+    * corpus) plus an O(1) broadcast weight update — the map-side-combinable
+    * shape full-batch GD has on a cluster, with no driver-side math beyond
+    * the 1-row weight table. Every arithmetic step is order-independent
+    * decimal or fixed-order IEEE → the whole training LOOP mirrors in
+    * unrolled CTEs and is hash-checked (like e10's k-means, a place where
+    * a subtle update-rule bug would otherwise hide behind an accuracy
+    * spec). */
+  def ml04GdScoring(s: SparkSession, dir: String): DataFrame = {
+    val t = Telemetry.twin(s).select(
+      col("id"), col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    val st = t.agg(
+      count(lit(1)).cast("double").as("nn"),
+      dsum(col("x1")).as("s1"), dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x2")).as("s2"), dsum(col("x2") * col("x2")).as("s22"))
+      .select(expr(mu1S).as("mu1"), expr(sd1S).as("sd1"),
+        expr(mu2S).as("mu2"), expr(sd2S).as("sd2"))
+    // cached: the z-scored corpus feeds every GD step plus the final
+    // scoring pass (CLAUDE.md invariant 5)
+    val z = t.crossJoin(broadcast(st))
+      .select(col("id"), col("is_anomaly"),
+        expr("(x1 - mu1) / sd1").as("z1"), expr("(x2 - mu2) / sd2").as("z2"))
+      .cache()
+    val w0 = s.range(1).select(
+      lit(0.0).as("b"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+    def step(w: DataFrame): DataFrame =
+      z.crossJoin(broadcast(w))
+        .withColumn("p", expr(pExpr))
+        .agg(
+          (min(col("b")) + davg(expr("(is_anomaly - p)"))).as("b"),
+          (min(col("w1")) + davg(expr("(is_anomaly - p) * z1"))).as("w1"),
+          (min(col("w2")) + davg(expr("(is_anomaly - p) * z2"))).as("w2"))
+    val wT = (1 to GdIters).foldLeft(w0)((w, _) => step(w))
+    z.crossJoin(broadcast(wT))
+      .select(col("id"), col("is_anomaly"), r(expr(pExpr), 6).as("score"))
+      .withColumn("gd_prediction", (col("score") >= 0.5).cast("int"))
+      .orderBy(col("id"))
+  }
+
+  val ml04Sql: String = {
+    val steps = (1 to GdIters).map { i =>
+      s"""p$i AS (SELECT is_anomaly, z1, z2, b, w1, w2, $pExpr AS p
+           FROM z CROSS JOIN w${i - 1}),
+         w$i AS (SELECT min(b) + ${davgSql("(is_anomaly - p)")} AS b,
+           min(w1) + ${davgSql("(is_anomaly - p) * z1")} AS w1,
+           min(w2) + ${davgSql("(is_anomaly - p) * z2")} AS w2 FROM p$i)"""
+    }.mkString(",\n       ")
+    s"""WITH t AS (SELECT id, is_anomaly, temperature AS x1, vibration AS x2
+         FROM (${Telemetry.twinSql})),
+       mom AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         ${dsumSql("x1")} AS s1, ${dsumSql("x1 * x1")} AS s11,
+         ${dsumSql("x2")} AS s2, ${dsumSql("x2 * x2")} AS s22 FROM t),
+       st AS (SELECT $mu1S AS mu1, $sd1S AS sd1, $mu2S AS mu2, $sd2S AS sd2
+         FROM mom),
+       z AS (SELECT id, is_anomaly, (x1 - mu1) / sd1 AS z1,
+         (x2 - mu2) / sd2 AS z2 FROM t CROSS JOIN st),
+       w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+         CAST(0.0 AS DOUBLE) AS w2),
+       $steps,
+       sc AS (SELECT id, is_anomaly, ${rSql(pExpr, 6)} AS score
+         FROM z CROSS JOIN w$GdIters)
+       SELECT id, is_anomaly, score,
+         CAST(score >= 0.5 AS INTEGER) AS gd_prediction
+       FROM sc ORDER BY id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml01_rf_scoring" -> (ml01RfScoring _),
     "ml02_lr_scoring" -> (ml02LrScoring _),
-    "ml03_lsq_scoring" -> (ml03LsqScoring _))
+    "ml03_lsq_scoring" -> (ml03LsqScoring _),
+    "ml04_gd_scoring" -> (ml04GdScoring _))
 
   /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
     * closed-form algebra mirrors exactly. */
   val oracles: Map[String, String] = Map(
-    "ml03_lsq_scoring" -> ml03Sql)
+    "ml03_lsq_scoring" -> ml03Sql,
+    "ml04_gd_scoring" -> ml04Sql)
 }

@@ -45,6 +45,22 @@ class MaintenanceSpec extends GraftSpec {
     } finally df.unpersist()
   }
 
+  test("ml04 gradient-descent classifier recovers the rule exactly in 3 steps") {
+    val df = Maintenance.ml04GdScoring(spark, sfTiny).cache()
+    try {
+      assert(df.count() == 10000L)
+      // separable standardized data: 3 full-batch GD steps at lr=1 put
+      // every record on the right side of 0.5 (measured: 10000/10000)
+      assert(df.filter(col("gd_prediction") =!= col("is_anomaly")).count() == 0)
+      // the rational sigmoid maps into (0,1) by construction
+      assert(df.filter(col("score") <= 0.0 || col("score") >= 1.0).count() == 0)
+      // calibration direction: anomalies score above normals on average
+      val pAnom = df.filter(col("is_anomaly") === 1).agg(avg("score")).collect()(0).getDouble(0)
+      val pNorm = df.filter(col("is_anomaly") === 0).agg(avg("score")).collect()(0).getDouble(0)
+      assert(pAnom > 0.6 && pNorm < 0.4, s"pAnom=$pAnom pNorm=$pNorm")
+    } finally df.unpersist()
+  }
+
   test("held-out precision/recall reproduce the reference's 1.00/1.00") {
     val (p, r) = Maintenance.evaluate(spark)
     assert(p == 1.0, s"precision $p")
