@@ -392,7 +392,79 @@ object Corpus {
        SELECT doc_id, term, bm25, rk FROM rk WHERE rk <= 3
        ORDER BY doc_id, rk"""
 
+  // --- d15: TextRank — weighted PageRank over token co-occurrence -------
+
+  private[graft] val TrIters = 3
+
+  /** d15 — TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank (damping 0.85, [[TrIters]] power-iteration rounds) over the
+    * symmetrized token-adjacency graph, ranking the corpus vocabulary by
+    * random-walk centrality — the graph-based cousin of d08/d14's
+    * frequency scores. Plan: one bigram explode → edge aggregation
+    * (vocabulary²-bounded state), then per round one join-aggregate on the
+    * edge key with decimal-exact contribution sums — graph state is
+    * vocabulary-sized, never corpus-sized, so the loop holds at 100 TB.
+    * Like e10/ml04, the whole iteration mirrors in unrolled CTEs → the
+    * oracle hash-checks the power iteration itself (rank mass
+    * conservation additionally pinned in CorpusSpec). */
+  def d15Textrank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adj = Tables.documents(s, dir)
+      .select(toks(lower($"text")).as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS u, tk[i + 1] AS v))")).as("p"))
+      .select($"p.u", $"p.v")
+      .filter($"u" =!= $"v")
+    // cached: the edge list feeds the degree table, the node set, and all
+    // TrIters contribution joins (CLAUDE.md invariant 5); it is bounded
+    // by vocabulary², not corpus size
+    val ed = adj.union(adj.select($"v".as("u"), $"u".as("v")))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("wgt"))
+      .cache()
+    val wdeg = ed.groupBy($"u").agg(sum($"wgt").as("wd"))
+    val nTbl = ed.select($"u").distinct().agg(count(lit(1)).cast("double").as("nn"))
+    val pr0 = ed.select($"u").distinct().crossJoin(broadcast(nTbl))
+      .select($"u", (lit(1.0) / $"nn").as("pr"))
+    def step(pr: DataFrame): DataFrame =
+      ed.join(wdeg, "u").join(pr, "u").crossJoin(broadcast(nTbl))
+        .groupBy($"v")
+        .agg((lit(0.15) / min($"nn") + lit(0.85) * dsum(expr("wgt / wd * pr"))).as("pr"))
+        .select($"v".as("u"), $"pr")
+    val prT = (1 to TrIters).foldLeft(pr0)((p, _) => step(p))
+    prT.select($"u".as("term"), r($"pr", 6).as("score"))
+      .withColumn("pos", row_number().over(Window.orderBy($"score".desc, $"term")))
+      .orderBy($"pos")
+  }
+
+  val d15Sql: String = {
+    val steps = (1 to TrIters).map { t =>
+      s"""pr$t AS (SELECT e.v AS u,
+           0.15 / min(nn) + 0.85 * ${dsumSql("e.wgt / w.wd * p.pr")} AS pr
+         FROM ed e JOIN wd w ON e.u = w.u JOIN pr${t - 1} p ON e.u = p.u
+         CROSS JOIN ntb GROUP BY e.v)"""
+    }.mkString(",\n       ")
+    s"""WITH tk0 AS (SELECT ${toksSql("lower(text)")} AS tk FROM documents),
+       adj0 AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS u,
+           unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS v
+         FROM tk0 WHERE len(tk) >= 2),
+       adj AS (SELECT u, v FROM adj0 WHERE u != v),
+       ed AS (SELECT u, v, count(*) AS wgt FROM (
+           SELECT u, v FROM adj UNION ALL SELECT v, u FROM adj) z
+         GROUP BY u, v),
+       wd AS (SELECT u, CAST(sum(wgt) AS BIGINT) AS wd FROM ed GROUP BY u),
+       ntb AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS nn FROM ed),
+       pr0 AS (SELECT u, 1.0 / nn AS pr
+         FROM (SELECT DISTINCT u FROM ed) n CROSS JOIN ntb),
+       $steps
+       SELECT u AS term, ${rSql("pr", 6)} AS score,
+         row_number() OVER (ORDER BY ${rSql("pr", 6)} DESC, u) AS pos
+       FROM pr$TrIters
+       ORDER BY pos"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_textrank" -> (d15Textrank _),
     "d14_bm25" -> (d14Bm25 _),
     "d08_tfidf" -> (d08Tfidf _),
     "d09_dedup_clusters" -> (d09DedupClusters _),
@@ -401,6 +473,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "d15_textrank" -> d15Sql,
     "d14_bm25" -> d14Sql,
     "d08_tfidf" -> d08Sql,
     "d09_dedup_clusters" -> d09Sql,

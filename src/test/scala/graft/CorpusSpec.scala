@@ -49,6 +49,29 @@ class CorpusSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("d15 TextRank: rank mass conserved, scores positive, pos is a total order") {
+    import spark.implicits._
+    val out = Corpus.d15Textrank(spark, sfTiny).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      // PageRank on a symmetric graph with no dangling nodes conserves
+      // total rank mass = 1 (up to the r6 rounding of each of n terms)
+      val mass = out.agg(sum($"score")).collect()(0).getDouble(0)
+      assert(math.abs(mass - 1.0) < n * 1e-6 + 1e-9, s"mass $mass")
+      assert(out.filter($"score" <= 0).count() == 0)
+      // pos is 1..n with no gaps, ordered by (score desc, term)
+      assert(out.agg(min($"pos"), max($"pos")).collect()(0) ===
+        org.apache.spark.sql.Row(1, n.toInt))
+      val viol = out.as[(String, Double, Int)].collect().sortBy(_._3)
+        .sliding(2).exists { case Array(a, b) =>
+          b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)
+        case _ => false
+        }
+      assert(!viol)
+    } finally out.unpersist()
+  }
+
   test("d10 bigram LM: log-probs non-positive, unique-bigram docs score ln of rarity") {
     import spark.implicits._
     val out = Corpus.d10BigramLm(spark, sfTiny).cache()
