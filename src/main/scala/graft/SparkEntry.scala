@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, Analytics, Corpus, DedupLsh, Multimodal, Relational, Similarity, Telemetry, TextOps}
+import graft.operators.{Advanced, Analytics, Corpus, Curation, DedupLsh, Multimodal, Relational, Similarity, Telemetry, TextOps}
 import graft.ml.Maintenance
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ Advanced.queries ++
       Telemetry.queries ++ TextOps.queries ++ Corpus.queries ++
-      Similarity.queries ++ DedupLsh.queries ++
+      Curation.queries ++ Similarity.queries ++ DedupLsh.queries ++
       Multimodal.queries ++ Maintenance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,6 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ Advanced.oracles ++
       Telemetry.oracles ++ TextOps.oracles ++ Corpus.oracles ++
-      Similarity.oracles ++ DedupLsh.oracles ++
+      Curation.oracles ++ Similarity.oracles ++ DedupLsh.oracles ++
       Multimodal.oracles ++ Maintenance.oracles
 }

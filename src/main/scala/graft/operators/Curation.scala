@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Num._
+import TextOps.{toks, toksSql}
+
+/** Corpus-curation operators for a large-scale training-data pipeline —
+  * the steps between raw documents and a packed training set that the
+  * text-analysis (`TextOps`) and dedup (`DedupLsh`/`Corpus`) families
+  * don't cover: benchmark decontamination, PII scrubbing, repetition
+  * filtering (Gopher-style), target-mixture resampling, and fixed-budget
+  * sequence packing.
+  *
+  * Every query is oracle-checked. Determinism contract: sampling uses the
+  * seeded LCG family from s01 (`(id·48271 + inc) % 1000003 % 1000`, a
+  * different increment per operator so samples decorrelate), rate math is
+  * pure BIGINT division (Spark `div` ≡ DuckDB `//` on non-negative
+  * values), and every double ratio flows through [[Num.r]].
+  */
+object Curation {
+
+  /** seeded permille hash of a bigint id column (Spark side). */
+  private def lcg(id: Column, inc: Long): Column =
+    ((id * lit(48271L) + lit(inc)) % lit(1000003L)) % lit(1000L)
+
+  private def lcgSql(id: String, inc: Long): String =
+    s"((CAST($id AS BIGINT) * 48271 + $inc) % 1000003) % 1000"
+
+  // --- d16: benchmark n-gram decontamination ---------------------------
+
+  private[graft] val BenchPermille = 50L
+  private[graft] val ContamThreshold = 0.2
+
+  /** d16 — benchmark decontamination: a deterministic ~5 % hash-sample of
+    * the corpus plays the held-out eval set; every remaining (train)
+    * document is scored by the fraction of its distinct token trigrams
+    * that appear anywhere in the benchmark — the n-gram-overlap test used
+    * to keep eval data out of LLM training sets. Trigrams (rather than
+    * the 8–13-grams used on web corpora) fit this corpus's ~30-word
+    * vocabulary so overlap rates are non-degenerate.
+    *
+    * Plan shape: the benchmark side filters on a scan-local LCG predicate
+    * BEFORE tokenizing (predicate pushes below the projection), so its
+    * distinct-trigram set is benchmark-sized — fixed, broadcastable at
+    * any corpus scale. The train side is one explode → broadcast left
+    * join → per-doc count: linear, no shuffle of raw text. */
+  def d16Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = when(size($"tk") >= 3,
+      expr("array_distinct(transform(sequence(0, size(tk) - 3), " +
+        "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2])))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", toks(lower($"text")).as("tk"))
+      .select($"doc_id", grams.as("gs"))
+    val bench = docs.filter(lcg($"doc_id", 37L) < BenchPermille)
+      .select(explode($"gs").as("bg")).distinct()
+    docs.filter(lcg($"doc_id", 37L) >= BenchPermille)
+      .select($"doc_id", size($"gs").as("n_ngrams"), explode_outer($"gs").as("g"))
+      .join(broadcast(bench), $"g" === $"bg", "left")
+      .groupBy($"doc_id", $"n_ngrams")
+      .agg(count($"bg").as("n_hits"))
+      .select($"doc_id", $"n_ngrams", $"n_hits",
+        when($"n_ngrams" > 0, r($"n_hits".cast("double") / $"n_ngrams", 6))
+          .otherwise(lit(0.0)).as("contam_ratio"))
+      .withColumn("contaminated", ($"contam_ratio" >= ContamThreshold).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d16Sql: String = {
+    val ratio = s"CASE WHEN len(tr.gs) > 0 THEN ${rSql("COALESCE(h.n_hits, 0) / len(tr.gs)", 6)} ELSE 0.0 END"
+    s"""WITH tk0 AS (SELECT doc_id, ${lcgSql("doc_id", 37L)} AS lcg,
+         CASE WHEN len(tk) >= 3
+              THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+              ELSE CAST([] AS VARCHAR[]) END AS gs
+       FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents) z),
+       bench AS (SELECT DISTINCT unnest(gs) AS g FROM tk0 WHERE lcg < $BenchPermille),
+       train AS (SELECT doc_id, gs FROM tk0 WHERE lcg >= $BenchPermille),
+       tg AS (SELECT doc_id, unnest(gs) AS g FROM train),
+       hits AS (SELECT t.doc_id, count(b.g) AS n_hits
+                FROM tg t LEFT JOIN bench b ON t.g = b.g GROUP BY t.doc_id)
+       SELECT tr.doc_id, len(tr.gs) AS n_ngrams,
+         COALESCE(h.n_hits, 0) AS n_hits,
+         $ratio AS contam_ratio,
+         CAST(($ratio) >= $ContamThreshold AS INTEGER) AS contaminated
+       FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+       ORDER BY tr.doc_id"""
+  }
+
+  // --- d17: PII scrubbing -----------------------------------------------
+
+  // Scala-escaped once: the actual patterns are [a-z0-9._%+-]+@... / \d{3}-…
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\d{3}-\\d{4}-\\d{4}"
+
+  /** d17 — PII scrubbing: regex redaction of emails and phone numbers
+    * with per-document redaction counts and a fingerprint of the scrubbed
+    * text. The synthetic corpus contains no PII, so the query plants it
+    * deterministically first (every 7th doc an email, every 11th a phone
+    * — the SAME construction in both engines), then proves the scrubber
+    * removed exactly what was planted. Entirely scan-local: zero
+    * shuffles, embarrassingly parallel at any scale. */
+  def d17PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dirty = concat($"text",
+      when($"doc_id" % 7 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com now"))).otherwise(lit("")),
+      when($"doc_id" % 11 === 0,
+        concat(lit(" call 555-"), ($"doc_id" % 9000 + 1000).cast("string"),
+          lit("-1234"))).otherwise(lit("")))
+    val clean = regexp_replace(regexp_replace($"dirty", EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    Tables.documents(s, dir)
+      .select($"doc_id", dirty.as("dirty"))
+      .select($"doc_id", $"dirty", clean.as("clean"))
+      .select($"doc_id",
+        regexp_count($"dirty", lit(EmailRe)).as("n_emails"),
+        regexp_count($"dirty", lit(PhoneRe)).as("n_phones"),
+        md5($"clean").as("clean_fp"),
+        (length($"dirty") - length($"clean")).as("n_masked_chars"))
+      .withColumn("is_dirty", ($"n_emails" + $"n_phones" > 0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d17Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+                      ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                      THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234'
+                      ELSE '' END AS dirty
+       FROM documents),
+       sc AS (SELECT doc_id, dirty,
+         regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'),
+                        '$PhoneRe', '<PHONE>', 'g') AS clean
+       FROM d)
+       SELECT doc_id,
+         len(regexp_extract_all(dirty, '$EmailRe')) AS n_emails,
+         len(regexp_extract_all(dirty, '$PhoneRe')) AS n_phones,
+         md5(clean) AS clean_fp,
+         length(dirty) - length(clean) AS n_masked_chars,
+         CAST(len(regexp_extract_all(dirty, '$EmailRe'))
+            + len(regexp_extract_all(dirty, '$PhoneRe')) > 0 AS INTEGER) AS is_dirty
+       FROM sc
+       ORDER BY doc_id"""
+
+  // --- d18: repetition filter (Gopher-style) ----------------------------
+
+  private[graft] val TopTokThreshold = 0.2
+  private[graft] val DupBigramThreshold = 0.3
+
+  /** d18 — repetition filtering: per-document repeated-content signals in
+    * the style of the Gopher quality rules — most-frequent-token mass,
+    * distinct-token count, and duplicate-bigram fraction — plus the
+    * composite `repetitive` gate. The bigram fraction is scan-local
+    * (array fns); token mass is the d08-proven explode → (doc, tok)
+    * count → per-doc max, every shuffle keyed on uniformly distributed
+    * (doc_id, token) — linear at any corpus size. The gate compares the
+    * ROUNDED ratios so both engines flip at identical boundaries. */
+  def d18RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = when(size($"tk") >= 2,
+      expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    Tables.documents(s, dir)
+      .select($"doc_id", toks(lower($"text")).as("tk"))
+      .filter(size($"tk") > 0)
+      .select($"doc_id", $"tk", bg.as("bg"))
+      .select($"doc_id", size($"tk").as("n_tokens"),
+        when(size($"bg") > 0,
+          r(lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg"), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"),
+        explode($"tk").as("tok"))
+      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio", $"tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio")
+      .agg(count(lit(1)).as("n_distinct_tokens"), max($"c").as("top_cnt"))
+      .select($"doc_id", $"n_tokens", $"n_distinct_tokens",
+        r($"top_cnt".cast("double") / $"n_tokens", 6).as("top_token_ratio"),
+        $"dup_bigram_ratio")
+      .withColumn("repetitive",
+        ($"top_token_ratio" >= TopTokThreshold ||
+          $"dup_bigram_ratio" >= DupBigramThreshold).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d18Sql: String = {
+    val topRatio = rSql("max(c) / n_tokens", 6)
+    s"""WITH tk0 AS (SELECT doc_id, tk
+         FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents) z
+         WHERE len(tk) > 0),
+       bg0 AS (SELECT doc_id, tk,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+       FROM tk0),
+       base AS (SELECT doc_id, tk,
+         CASE WHEN len(bg) > 0 THEN ${rSql("1.0 - len(list_distinct(bg)) / len(bg)", 6)}
+              ELSE 0.0 END AS dup_bigram_ratio
+       FROM bg0),
+       te AS (SELECT doc_id, len(tk) AS n_tokens, dup_bigram_ratio, unnest(tk) AS tok FROM base),
+       cnt AS (SELECT doc_id, n_tokens, dup_bigram_ratio, tok, count(*) AS c
+               FROM te GROUP BY doc_id, n_tokens, dup_bigram_ratio, tok)
+       SELECT doc_id, n_tokens, count(*) AS n_distinct_tokens,
+         $topRatio AS top_token_ratio,
+         dup_bigram_ratio,
+         CAST(($topRatio) >= $TopTokThreshold
+              OR dup_bigram_ratio >= $DupBigramThreshold AS INTEGER) AS repetitive
+       FROM cnt GROUP BY doc_id, n_tokens, dup_bigram_ratio
+       ORDER BY doc_id"""
+  }
+
+  // --- d19: target-mixture resampling ------------------------------------
+
+  /** d19 — domain mixture resampling: re-weight the corpus toward a
+    * target source mixture (head sources up-weighted, the long tail
+    * down-sampled) at a half-corpus token budget — the "data mixing" step
+    * that turns a crawled pile into a training distribution. Per-source
+    * rates are derived IN-PLAN from relative weights in pure BIGINT math
+    * (`target_s = w_s·N / 2Σw`, rate = min(1000‰, 1000·target/n_s)); the
+    * rate table is source-cardinality-sized and broadcast, the acceptance
+    * test is the scan-local LCG — so the big side never shuffles and the
+    * sample is byte-reproducible at any scale. */
+  def d19DomainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = when($"source".isin("src0", "src1", "src2"), 300L)
+      .when($"source".isin("src3", "src4"), 200L)
+      .otherwise(25L)
+    val docs = Tables.documents(s, dir)
+    val perSrc = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", w)
+    val tot = perSrc.agg(sum($"n_s").as("n_total"), sum($"w").as("sum_w"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .select($"source".as("src"),
+        least(lit(1000L),
+          expr("((w * n_total) div (2 * sum_w)) * 1000 div n_s")).as("permille"))
+    docs.join(broadcast(rates), $"source" === $"src")
+      .filter(lcg($"doc_id", 101L) < $"permille")
+      .select($"doc_id", $"source", $"lang", $"permille")
+      .orderBy($"doc_id")
+  }
+
+  val d19Sql: String =
+    s"""WITH ps AS (SELECT source, count(*) AS n_s,
+         CASE WHEN source IN ('src0','src1','src2') THEN 300
+              WHEN source IN ('src3','src4') THEN 200
+              ELSE 25 END AS w
+       FROM documents GROUP BY source),
+       tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                      CAST(sum(w) AS BIGINT) AS sum_w FROM ps),
+       rates AS (SELECT source AS src,
+         CAST(least(1000, ((w * n_total) // (2 * sum_w)) * 1000 // n_s) AS BIGINT) AS permille
+       FROM ps CROSS JOIN tot)
+       SELECT doc_id, source, lang, permille
+       FROM documents d JOIN rates r ON d.source = r.src
+       WHERE ${lcgSql("doc_id", 101L)} < permille
+       ORDER BY doc_id"""
+
+  // --- d20: fixed-budget sequence packing --------------------------------
+
+  private[graft] val PackBudget = 512
+
+  /** d20 — sequence packing: stream documents (deterministic doc_id
+    * order) into fixed 512-token training sequences, concat-and-chunk
+    * style — a document starts in the sequence its running token count
+    * falls in. Packing is per (lang, shard-of-100-docs) so the cumulative
+    * window never sees an unbounded partition: at 100 TB each shard packs
+    * locally (bounded waste at shard edges), which is exactly how
+    * distributed packing is done — a single global running sum would
+    * serialize the corpus through one task. Pure integer math throughout.
+    */
+  def d20SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(toks($"text")).as("n_tok"))
+      .withColumn("shard", expr("doc_id div 100"))
+      .withColumn("cum", sum($"n_tok").over(win))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $PackBudget"))
+      .groupBy($"lang", $"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"lang", $"shard", $"seq_id")
+  }
+
+  val d20Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, len(${toksSql("text")}) AS n_tok,
+         doc_id // 100 AS shard
+       FROM documents),
+       c AS (SELECT doc_id, lang, shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       FROM t)
+       SELECT lang, shard, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+         min(doc_id) AS first_doc
+       FROM c GROUP BY lang, shard, seq_id
+       ORDER BY lang, shard, seq_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_decontaminate" -> (d16Decontaminate _),
+    "d17_pii_scrub" -> (d17PiiScrub _),
+    "d18_repetition_filter" -> (d18RepetitionFilter _),
+    "d19_domain_mix" -> (d19DomainMix _),
+    "d20_seq_packing" -> (d20SeqPacking _))
+
+  val oracles: Map[String, String] = Map(
+    "d16_decontaminate" -> d16Sql,
+    "d17_pii_scrub" -> d17Sql,
+    "d18_repetition_filter" -> d18Sql,
+    "d19_domain_mix" -> d19Sql,
+    "d20_seq_packing" -> d20Sql)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends GraftSpec {
+
+  test("d16 decontamination: benchmark docs excluded, ratios bounded, flag consistent") {
+    import spark.implicits._
+    val out = Curation.d16Decontaminate(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // no benchmark member leaks into the train-side report
+      val benchLeak = out.filter(
+        ((($"doc_id" * 48271L + 37L) % 1000003L) % 1000L) < Curation.BenchPermille).count()
+      assert(benchLeak == 0)
+      // hits are a subset of the doc's own distinct trigrams
+      assert(out.filter($"n_hits" > $"n_ngrams" || $"n_hits" < 0).count() == 0)
+      assert(out.filter($"contam_ratio" < 0.0 || $"contam_ratio" > 1.0).count() == 0)
+      // the gate fires exactly on the rounded ratio
+      val flagViol = out.filter(
+        ($"contaminated" === 1) =!= ($"contam_ratio" >= Curation.ContamThreshold)).count()
+      assert(flagViol == 0)
+    } finally out.unpersist()
+  }
+
+  test("d17 PII scrub: planted PII is found and masked, clean docs untouched") {
+    import spark.implicits._
+    val out = Curation.d17PiiScrub(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // every 7th doc got an email planted; every 11th a phone
+      assert(out.filter($"doc_id" % 7 === 0 && $"n_emails" < 1).count() == 0)
+      assert(out.filter($"doc_id" % 11 === 0 && $"n_phones" < 1).count() == 0)
+      // docs with nothing planted have nothing redacted
+      val cleanViol = out.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 11 =!= 0 &&
+        ($"n_emails" =!= 0 || $"n_phones" =!= 0 || $"n_masked_chars" =!= 0)).count()
+      assert(cleanViol == 0)
+      // masking strictly shortens dirty text (<EMAIL>/<PHONE> are shorter
+      // than any planted literal)
+      assert(out.filter($"is_dirty" === 1 && $"n_masked_chars" <= 0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("d18 repetition filter: ratios bounded, distinct <= total, gate on rounded values") {
+    import spark.implicits._
+    val out = Curation.d18RepetitionFilter(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"n_distinct_tokens" > $"n_tokens").count() == 0)
+      assert(out.filter($"top_token_ratio" < 0.0 || $"top_token_ratio" > 1.0).count() == 0)
+      assert(out.filter($"dup_bigram_ratio" < 0.0 || $"dup_bigram_ratio" > 1.0).count() == 0)
+      // the most frequent token accounts for at least 1/n of the mass
+      // (up to the r6 floor-rounding of the ratio: 1/7 rounds to 0.142857)
+      assert(out.filter(($"top_token_ratio" + 1e-6) * $"n_tokens" < 1.0).count() == 0)
+      val flagViol = out.filter(($"repetitive" === 1) =!=
+        ($"top_token_ratio" >= Curation.TopTokThreshold ||
+          $"dup_bigram_ratio" >= Curation.DupBigramThreshold)).count()
+      assert(flagViol == 0)
+    } finally out.unpersist()
+  }
+
+  test("d19 domain mix: rates respect weights, every kept row passes its LCG gate") {
+    import spark.implicits._
+    val out = Curation.d19DomainMix(spark, sfSmall).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"permille" <= 0 || $"permille" > 1000).count() == 0)
+      // acceptance is exactly the scan-local LCG predicate
+      val gateViol = out.filter(
+        ((($"doc_id" * 48271L + 101L) % 1000003L) % 1000L) >= $"permille").count()
+      assert(gateViol == 0)
+      // a head source (weight 300) is sampled at a higher rate than any
+      // tail source (weight 25)
+      val head = out.filter($"source" === "src0").agg(max($"permille")).collect()(0).getLong(0)
+      val tail = out.filter(!$"source".isin("src0", "src1", "src2", "src3", "src4"))
+        .agg(max($"permille")).collect()(0).getLong(0)
+      assert(head > tail, s"head $head tail $tail")
+    } finally out.unpersist()
+  }
+
+  test("d20 sequence packing: token mass conserved, sequences keyed uniquely") {
+    import spark.implicits._
+    val out = Curation.d20SeqPacking(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // packing moves every token into exactly one sequence
+      val packed = out.agg(sum($"seq_tokens")).collect()(0).getLong(0)
+      val total = graft.Tables.documents(spark, sfTiny)
+        .agg(sum(size(org.apache.spark.sql.functions.split(trim(col("text")), "\\s+")))
+          .cast("long")).collect()(0).getLong(0)
+      // toks drops empty tokens; recompute with the shared tokenizer
+      val totalToks = graft.Tables.documents(spark, sfTiny)
+        .agg(sum(size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")))
+          .cast("long")).collect()(0).getLong(0)
+      assert(packed == totalToks, s"packed $packed total $totalToks (raw $total)")
+      assert(out.filter($"n_docs" < 1 || $"seq_tokens" < 0).count() == 0)
+      // (lang, shard, seq_id) is the grouping key — must be unique
+      assert(out.groupBy($"lang", $"shard", $"seq_id").count()
+        .filter($"count" > 1).count() == 0)
+    } finally out.unpersist()
+  }
+}
