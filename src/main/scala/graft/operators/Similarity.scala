@@ -386,25 +386,40 @@ object Similarity {
     * (sub-space × centroid) candidate rows — scan-local, broadcast
     * codebook — and argmins via a lexicographic struct-min (tie-break on
     * centroid id, deterministic). Exposed for spec use. */
-  def pqCodes(c: DataFrame): DataFrame = {
+  private val PqM = 8; private val PqK = 16; private val PqSub = 8
+
+  /** The PQ codebook: [[PqK]] hash-rank corpus vectors, id'd 0..K-1. */
+  private[graft] def pqCodebook(c: DataFrame): DataFrame = {
     import c.sparkSession.implicits._
-    val M = 8; val K = 16; val sub = 8
-    val codebook = c
-      .withColumn("hv", DedupLsh.h60($"vec_id".cast("string")))
-      .orderBy($"hv", $"vec_id").limit(K)
+    c.withColumn("hv", DedupLsh.h60($"vec_id".cast("string")))
+      .orderBy($"hv", $"vec_id").limit(PqK)
       .withColumn("m",
         (row_number().over(Window.orderBy($"hv", $"vec_id")) - 1).cast("int"))
       .select($"m", $"v".as("cv"))
-    val subs = c.select($"vec_id", $"v",
-      explode(sequence(lit(0), lit(M - 1))).as("j"))
-    val dist = expr(s"""aggregate(
-        zip_with(slice(v, j * $sub + 1, $sub), slice(cv, j * $sub + 1, $sub),
+  }
+
+  /** Per-sub-space squared distance between the row's `v` slice and the
+    * codebook row's `cv` slice (left-to-right sum, oracle-identical). */
+  private def pqSubDist(vc: String): Column = expr(s"""aggregate(
+        zip_with(slice($vc, j * $PqSub + 1, $PqSub), slice(cv, j * $PqSub + 1, $PqSub),
           (x, y) -> (x - y) * (x - y)),
         0D, (a, d) -> a + d)""")
-    subs.join(broadcast(codebook))
-      .withColumn("dist", dist)
+
+  /** Per-(vector, sub-space) nearest codebook entry: (vec_id, j,
+    * best.dist, best.m) — the row-form PQ assignment shared by e07's code
+    * packing and e11's ADC candidate scoring. */
+  private[graft] def pqSubCodes(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    c.select($"vec_id", $"v", explode(sequence(lit(0), lit(PqM - 1))).as("j"))
+      .join(broadcast(pqCodebook(c)))
+      .withColumn("dist", pqSubDist("v"))
       .groupBy($"vec_id", $"j")
       .agg(min(struct($"dist", $"m")).as("best"))
+  }
+
+  def pqCodes(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    pqSubCodes(c)
       .groupBy($"vec_id")
       .agg(
         transform(array_sort(collect_list(struct($"j", $"best.m".as("m")))),
@@ -451,6 +466,114 @@ object Similarity {
        FROM am WHERE rn = 1
        GROUP BY vec_id
        ORDER BY vec_id"""
+
+  /** e11 — IVF+PQ asymmetric-distance (ADC) search: the composition of
+    * e05's coarse quantizer (probe [[NProbe]] of [[NList]] inverted
+    * lists) with e07's product quantizer — candidates are scored WITHOUT
+    * touching their float vectors, only their 8×4-bit PQ codes, exactly
+    * the memory-resident layout a billion-vector index serves from
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011; ref similarity surface: README.md:1 north-star).
+    *
+    * Per query, an 8×16-entry lookup table of sub-space squared
+    * distances to the codebook is built (fixed size: QueryBudget×128
+    * rows — broadcast at any scale); each candidate's approximate
+    * distance is the decimal-exact sum of its 8 LUT entries. Plan: the
+    * code table shuffles once on vec_id; candidates are bounded by
+    * budget×NProbe/NList×n; everything joined to the LUT by broadcast.
+    * Fully oracle-checked — probe selection, codebook, code argmin, and
+    * the ADC sum all mirror in DuckDB SQL. */
+  def e11IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    // coarse quantizer (e05's construction): NList hash-rank centroids,
+    // nearest-list assignment per corpus vector, NProbe lists per query
+    val cents = c.orderBy(hvCol, $"vec_id").limit(NList)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(hvCol, $"vec_id")) - 1).cast("int"))
+      .select($"cid", $"v".as("cv"), $"nrm".as("cnrm"))
+    val scored = c.join(broadcast(cents))
+      .withColumn("ccos", VectorExpressions.dot($"v", $"cv") / ($"nrm" * $"cnrm"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    val ranked = scored.withColumn("crank", row_number().over(wAssign))
+    val assigned = ranked.filter($"crank" === 1)
+      .select($"cid", $"vec_id".as("neighbor_id"))
+    val probes = ranked.join(broadcast(queryIds(c)), "vec_id")
+      .filter($"crank" <= NProbe)
+      .select($"cid", $"vec_id".as("query_id"))
+    // per-query ADC lookup table: distance from the query's j-th sub-space
+    // to every codebook entry — 256×8×16 rows, broadcastable at any scale
+    val lut = querySide(c, QueryBudget)
+      .select($"query_id", $"qv", explode(sequence(lit(0), lit(PqM - 1))).as("j"))
+      .crossJoin(broadcast(pqCodebook(c)))
+      .select($"query_id", $"j", $"m", pqSubDist("qv").as("qd"))
+    // candidate = (query, every vector in a probed list); each corpus
+    // vector lives in exactly one list, so (query, neighbor) is unique
+    val cand = probes.join(assigned, Seq("cid"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id")
+    val codes = pqSubCodes(c)
+      .select($"vec_id".as("neighbor_id"), $"j", $"best.m".as("m"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc_dist".asc, $"neighbor_id".asc)
+    cand.join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "j", "m"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(r(dsum($"qd"), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val e11Sql: String =
+    s"""WITH n AS ($corpusSql),
+       ct AS (SELECT cid, cv, cnrm FROM (
+           SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS cid,
+             v AS cv, nrm AS cnrm FROM n) t
+         WHERE cid < $NList),
+       sc AS (SELECT n.vec_id, c.cid,
+           list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS ccos
+         FROM n, ct c),
+       rk AS (SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+         FROM sc),
+       asg AS (SELECT cid, vec_id AS neighbor_id FROM rk WHERE crank = 1),
+       q AS (SELECT vec_id, v FROM n WHERE vec_id % 100 = 0
+         ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
+       pr AS (SELECT cid, vec_id AS query_id FROM rk
+         WHERE vec_id IN (SELECT vec_id FROM q) AND crank <= $NProbe),
+       cb AS (SELECT m, cv FROM (
+           SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS m, v AS cv
+           FROM n) t
+         WHERE m < $PqK),
+       sj AS (SELECT vec_id, v, unnest(range(0, $PqM)) AS j FROM n),
+       ds AS (SELECT vec_id, j, m,
+           list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+             (v[j * $PqSub + i] - cv[j * $PqSub + i]) * (v[j * $PqSub + i] - cv[j * $PqSub + i]))) AS dist
+         FROM sj, cb),
+       cd AS (SELECT vec_id, j, m FROM (
+           SELECT vec_id, j, m,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, m ASC) AS rn
+           FROM ds) z
+         WHERE rn = 1),
+       qsub AS (SELECT vec_id AS query_id, v AS qv, unnest(range(0, $PqM)) AS j FROM q),
+       lut AS (SELECT query_id, j, m,
+           list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+             (qv[j * $PqSub + i] - cv[j * $PqSub + i]) * (qv[j * $PqSub + i] - cv[j * $PqSub + i]))) AS qd
+         FROM qsub, cb),
+       cand AS (SELECT p.query_id, a.neighbor_id
+         FROM pr p JOIN asg a USING (cid)
+         WHERE p.query_id != a.neighbor_id),
+       adc AS (SELECT c.query_id, c.neighbor_id, ${rSql(dsumSql("l.qd"), 6)} AS adc_dist
+         FROM cand c
+         JOIN cd ON cd.vec_id = c.neighbor_id
+         JOIN lut l ON l.query_id = c.query_id AND l.j = cd.j AND l.m = cd.m
+         GROUP BY c.query_id, c.neighbor_id),
+       rnk AS (SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         FROM adc)
+       SELECT query_id, neighbor_id, adc_dist, rank FROM rnk
+       WHERE rank <= 5
+       ORDER BY query_id, rank"""
 
   /** e09 — bucketed embedding near-dup pairs: the 100 TB path for e04.
     * e04's label blocking is quadratic per label (≈10 labels → O(n²/10)
@@ -651,7 +774,8 @@ object Similarity {
     "e03_lsh_ann" -> (e03LshAnn _),
     "e04_neardup_pairs" -> (e04NearDupPairs _),
     "e05_ivf_ann" -> (e05IvfAnn _),
-    "e06_label_centroids" -> (e06LabelCentroids _))
+    "e06_label_centroids" -> (e06LabelCentroids _),
+    "e11_ivfpq_ann" -> (e11IvfPqAnn _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -664,5 +788,6 @@ object Similarity {
     "e06_label_centroids" -> e06Sql,
     "e07_pq_quantize" -> e07Sql,
     "e08_ann_recall" -> e08Sql,
-    "e09_neardup_ann" -> e09Sql)
+    "e09_neardup_ann" -> e09Sql,
+    "e11_ivfpq_ann" -> e11Sql)
 }

@@ -198,6 +198,30 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e11 ADC search: same query set as e05, ranks contiguous, deterministic") {
+    import spark.implicits._
+    val out = Similarity.e11IvfPqAnn(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // squared distances are non-negative and ranked ascending 1..≤5
+      assert(out.filter($"adc_dist" < 0).count() == 0)
+      assert(out.filter($"rank" < 1 || $"rank" > 5).count() == 0)
+      val rankViol = out.groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+        .filter($"mn" =!= 1 || $"mx" =!= $"n").count()
+      assert(rankViol == 0, "ranks are 1..n with no gaps")
+      // the coarse quantizer is shared with e05 — identical query budget
+      val qE11 = out.select("query_id").distinct().collect().map(_.getLong(0)).sorted
+      val qE05 = Similarity.e05IvfAnn(spark, sfTiny)
+        .select("query_id").distinct().collect().map(_.getLong(0)).sorted
+      assert(qE11.sameElements(qE05), "same probe construction as e05")
+      // two runs are value-identical (hash-rank sampling, struct-min
+      // argmin, rounded dist + id tie-breaks leave no nondeterminism)
+      val rerun = Similarity.e11IvfPqAnn(spark, sfTiny).collect()
+      assert(out.collect().sameElements(rerun))
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
