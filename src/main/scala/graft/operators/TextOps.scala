@@ -366,7 +366,71 @@ object TextOps {
        ORDER BY doc_id, chunk_id"""
   }
 
+  // --- d21: Count-Min heavy hitters — the frequency sketch twin of q40 --
+
+  private val CmsD = 4
+  private val CmsW = 64
+
+  /** d21 — heavy hitters via a portable Count-Min sketch (Cormode &
+    * Muthukrishnan 2005): [[CmsD]]×[[CmsW]] salted md5-rank counters
+    * (the q40/d04-proven portable hash), point estimate = min over the
+    * D rows — reported against exact counts for the top-20 tokens, so
+    * the CMS ≥ exact overestimate guarantee is visible per row.
+    *
+    * Scale shape: ONE corpus-wide (token → count) aggregation (map-side
+    * combined), then everything downstream — the 256-cell sketch, the
+    * top-20, the estimates — is vocabulary-sized. Sketching the count
+    * table instead of raw occurrences is arithmetic-identical (cells sum
+    * occurrence counts either way) and keeps the hash work off the fat
+    * side; at 100 TB you'd fold the same salted-hash cells map-side with
+    * no extra shuffle. The whole sketch mirrors in DuckDB SQL. */
+  def d21CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = Tables.documents(s, dir)
+      .select(explode(toks(lower($"text"))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+      .cache() // vocabulary-sized; feeds the cell table AND the top-k
+    val buckets = (0 until CmsD).map(d =>
+      struct(lit(d).as("d"),
+        (DedupLsh.h60(concat(lit(s"$d:"), $"tok")) % CmsW).cast("int").as("b")))
+    val db = exact
+      .select($"tok", $"exact_cnt", explode(array(buckets: _*)).as("x"))
+      .select($"tok", $"exact_cnt", $"x.d".as("d"), $"x.b".as("b"))
+    val sketch = db.groupBy($"d", $"b").agg(sum($"exact_cnt").as("cell"))
+    val top = exact
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"exact_cnt".desc, $"tok")))
+      .filter($"rank" <= 20)
+    top.join(db.select($"tok", $"d", $"b"), "tok")
+      .join(broadcast(sketch), Seq("d", "b"))
+      .groupBy($"rank", $"tok", $"exact_cnt")
+      .agg(min($"cell").as("cms_est"))
+      .withColumn("overcount", $"cms_est" - $"exact_cnt")
+      .orderBy($"rank")
+  }
+
+  val d21Sql: String =
+    s"""WITH tok AS (SELECT unnest(${toksSql("lower(text)")}) AS tok FROM documents),
+       ex AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+       dbx AS (SELECT tok, exact_cnt, unnest(range(0, $CmsD)) AS d FROM ex),
+       db AS (SELECT tok, exact_cnt, d,
+           ${DedupLsh.h60Sql("CAST(d AS VARCHAR) || ':' || tok")} % $CmsW AS b
+         FROM dbx),
+       sk AS (SELECT d, b, CAST(sum(exact_cnt) AS BIGINT) AS cell FROM db GROUP BY d, b),
+       top AS (SELECT tok, exact_cnt, rank FROM (
+           SELECT tok, exact_cnt,
+             row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rank FROM ex) z
+         WHERE rank <= 20)
+       SELECT t.rank, t.tok AS tok, t.exact_cnt, min(s.cell) AS cms_est,
+         min(s.cell) - t.exact_cnt AS overcount
+       FROM top t
+       JOIN db ON db.tok = t.tok
+       JOIN sk s ON s.d = db.d AND s.b = db.b
+       GROUP BY t.rank, t.tok, t.exact_cnt
+       ORDER BY t.rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d12_chunk_split" -> (d12ChunkSplit _),
     "d01_token_stats" -> (d01TokenStats _),
     "d02_quality_score" -> (d02QualityScore _),
@@ -377,6 +441,7 @@ object TextOps {
     "d07_bpe_tokens" -> (d07BpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "d21_cms_heavy_hitters" -> d21Sql,
     "d12_chunk_split" -> d12Sql,
     "d01_token_stats" -> d01Sql,
     "d02_quality_score" -> d02Sql,

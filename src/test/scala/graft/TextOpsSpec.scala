@@ -59,6 +59,24 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("d21 CMS heavy hitters: estimate >= exact (the CMS guarantee), ranks dense") {
+    import spark.implicits._
+    val out = TextOps.d21CmsHeavyHitters(spark, sfTiny).cache()
+    try {
+      val n = out.count()
+      assert(n > 0 && n <= 20)
+      // Count-Min never undercounts: min over D salted rows >= true count
+      assert(out.filter($"cms_est" < $"exact_cnt").count() == 0)
+      assert(out.filter($"overcount" =!= ($"cms_est" - $"exact_cnt")).count() == 0)
+      // ranks are 1..n by descending exact count
+      assert(out.agg(min($"rank"), max($"rank")).collect()(0) ===
+        org.apache.spark.sql.Row(1, n.toInt))
+      val viol = out.orderBy($"rank").select($"exact_cnt").as[Long].collect()
+        .sliding(2).exists { case Array(a, b) => b > a; case _ => false }
+      assert(!viol, "exact counts non-increasing in rank")
+    } finally out.unpersist()
+  }
+
   test("text oracles cover every query") {
     assert(TextOps.oracles.keySet == TextOps.queries.keySet)
   }
