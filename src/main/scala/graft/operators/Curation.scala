@@ -172,11 +172,15 @@ object Curation {
       .select($"doc_id", toks(lower($"text")).as("tk"))
       .filter(size($"tk") > 0)
       .select($"doc_id", $"tk", bg.as("bg"))
-      .select($"doc_id", size($"tk").as("n_tokens"),
+      // ratio in its OWN select, below the explode: expressions that share
+      // a select with a generator are hoisted above the Generate and
+      // re-evaluated per OUTPUT row (CLAUDE.md invariant 5) — measured
+      // 40× redundant array_distinct work on this corpus
+      .select($"doc_id", $"tk", size($"tk").as("n_tokens"),
         when(size($"bg") > 0,
           r(lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg"), 6))
-          .otherwise(lit(0.0)).as("dup_bigram_ratio"),
-        explode($"tk").as("tok"))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .select($"doc_id", $"n_tokens", $"dup_bigram_ratio", explode($"tk").as("tok"))
       .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio", $"tok")
       .agg(count(lit(1)).as("c"))
       .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio")
