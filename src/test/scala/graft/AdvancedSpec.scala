@@ -166,4 +166,35 @@ class AdvancedSpec extends GraftSpec {
       .filter($"event_type" === "error").count()
     assert(total == expected)
   }
+
+  test("q41 bloom prefilter: no false negatives, real pruning, result ≡ plain semi join") {
+    import spark.implicits._
+    val dim = Tables.part(spark, sfSmall).filter($"p_brand" === "Brand#23")
+    val fact = Tables.lineitem(spark, sfSmall)
+      .select($"l_partkey", $"l_linestatus", $"l_extendedprice")
+    val probed = Advanced.bloomPrefilter(fact, "l_partkey",
+      Advanced.bloomArray(dim, "p_partkey")).cache()
+    try {
+      // pruning is real: the surviving fraction is close to the true ~4 %
+      // match rate (false positives bounded well under 10× the truth)
+      val kept = probed.count()
+      val all = fact.count()
+      assert(kept < all / 5, s"bloom kept $kept of $all")
+      // no false negatives: the exact semi join loses nothing to the bloom
+      val viaBloom = probed.join(broadcast(dim.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi").count()
+      val plain = fact.join(broadcast(dim.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi").count()
+      assert(viaBloom == plain, s"bloom dropped true members: $viaBloom vs $plain")
+      // the full query is value-identical to its no-bloom twin
+      val twin = fact.join(broadcast(dim.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          graft.operators.Num.rsum($"l_extendedprice", 2).as("revenue"))
+        .orderBy($"l_linestatus").collect()
+      val got = Advanced.q41BloomSemijoin(spark, sfSmall).collect()
+      assert(got.sameElements(twin))
+    } finally probed.unpersist()
+  }
 }
