@@ -155,4 +155,30 @@ class PlanShapeSpec extends GraftSpec {
     assert(after - before <= allowed,
       s"query construction launched ${after - before} job(s); only $allowed table-read job(s) allowed")
   }
+
+  test("d16 decontamination: benchmark set broadcast, never shuffle-joined") {
+    val df = graft.operators.Curation.d16Decontaminate(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1)
+    assert(countNodes(df)(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]) == 0)
+  }
+
+  test("d19 domain mix: rate table broadcast, fact side never shuffles before the gate") {
+    val df = graft.operators.Curation.d19DomainMix(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1)
+    // per-source agg (1) + tiny-side exchanges + final sort; the FACT scan
+    // feeds the broadcast join with no exchange of its own
+    assert(countNodes(df)(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]) == 0)
+  }
+
+  test("q41 bloom prefilter: fact side reaches the semi join with zero shuffles") {
+    val df = graft.operators.Advanced.q41BloomSemijoin(spark, sfTiny)
+    // bloom 1-row broadcast + dim broadcast; shuffles are the final agg +
+    // sort plus two exchanges inside the 256-row bloom build (groupBy(w) +
+    // the 1-row collect) — nothing on the fact side, which reaches the
+    // bloom gate and semi join straight from its scan
+    assert(countBroadcasts(df) >= 2)
+    assert(countShuffles(df) <= 4)
+  }
 }
