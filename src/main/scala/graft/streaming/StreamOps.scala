@@ -16,6 +16,13 @@ case class Scored(machineId: String, ts: java.sql.Timestamp, severity: String)
 case class Transition(machineId: String, ts: java.sql.Timestamp,
   severity: String, previous: String)
 
+/** Per-key HyperLogLog state carried by the streaming distinct sketch:
+  * 256 registers + the raw row count. */
+case class HllState(regs: Array[Byte], n: Long)
+
+/** Running estimate emitted by the streaming distinct sketch. */
+case class HllEstimate(key: String, n_rows: Long, estimate: Double)
+
 /** Structured Streaming layer (SURVEY.md §2.1/§3, build-plan step 6): the
   * reference's live path — simulator → broker → router → buffered lake
   * sink, and subscriber → parse → score → alert — as streaming queries
@@ -152,6 +159,56 @@ object StreamOps {
           }
           if (prev.nonEmpty) state.update(prev)
           out.iterator
+      }
+  }
+
+  /** Fold one value into 256 HLL registers — the q40 construction
+    * (md5-rank 60-bit hash, register = low 8 bits, ρ = leading-zero rank
+    * of the remaining 52 bits). Shared by the streaming sketch and its
+    * batch twin so StreamOpsSpec can assert bit-equality. */
+  private[graft] def hllUpdate(regs: Array[Byte], value: String): Unit = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = h >>> 4 // low 60 bits of the leading hex — the h60 family
+    val idx = (h % 256).toInt
+    val w = h >>> 8 // 52-bit window
+    val rho = if (w == 0L) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
+    if (rho > regs(idx)) regs(idx) = rho.toByte
+  }
+
+  /** HLL point estimate over 256 registers (α·m²/Σ2^−M with the
+    * linear-counting small-range branch — q40's estimator). */
+  private[graft] def hllEstimate(regs: Array[Byte]): Double = {
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    var s = 0.0
+    var v = 0
+    regs.foreach { r => s += math.pow(2.0, -r.toDouble); if (r == 0) v += 1 }
+    val raw = alpha * m * m / s
+    if (v > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / v) else raw
+  }
+
+  /** Stateful streaming distinct-count sketch: per-key HLL registers
+    * carried in GroupState, each micro-batch folding its (key, value)
+    * rows into the registers and emitting the refreshed running estimate
+    * (Update mode). State is 256 bytes per key — bounded no matter how
+    * long the stream runs, which is what makes the sketch (not a distinct
+    * set) THE streaming distinct-count representation; the identical
+    * register layout is what HLL++ merges shard-wise at 100 TB. */
+  def distinctSketch(ds: Dataset[(String, String)]): Dataset[HllEstimate] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[HllState, HllEstimate](GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[HllState]) =>
+          val st = state.getOption.getOrElse(HllState(Array.fill[Byte](256)(0), 0L))
+          var n = st.n
+          rows.foreach { r => hllUpdate(st.regs, r._2); n += 1 }
+          val next = HllState(st.regs, n)
+          state.update(next)
+          HllEstimate(key, n, hllEstimate(next.regs))
       }
   }
 

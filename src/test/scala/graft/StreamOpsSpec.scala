@@ -287,4 +287,33 @@ class StreamOpsSpec extends GraftSpec {
       assert(worstMs < 30000L, s"micro-batch took ${worstMs} ms for 300 rows")
     } finally q.stop()
   }
+
+  test("streaming HLL sketch: state merges across batches, equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.distinctSketch(in.toDS()).writeStream
+      .format("memory").queryName("hll_sketch").outputMode("update").start()
+    try {
+      // two micro-batches with overlapping values: the second batch's
+      // estimate must reflect state carried over from the first
+      val batch1 = (0 until 400).map(i => ("k1", s"u${i % 120}"))
+      val batch2 = (0 until 400).map(i => ("k1", s"u${60 + i % 120}")) // 60 new
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val last = spark.table("hll_sketch").orderBy($"n_rows".desc).collect()(0)
+      assert(last.getAs[Long]("n_rows") == 800L)
+      // batch twin: fold ALL values through the same register math
+      val regs = Array.fill[Byte](256)(0)
+      (batch1 ++ batch2).foreach { case (_, v) => StreamOps.hllUpdate(regs, v) }
+      val want = StreamOps.hllEstimate(regs)
+      assert(last.getAs[Double]("estimate") == want,
+        "streaming state must be bit-identical to the single-pass fold")
+      // and the estimate is within the m=256 error envelope of truth (180
+      // distinct; 3σ ≈ 19.5 %)
+      assert(math.abs(want - 180.0) / 180.0 < 0.2, s"estimate $want vs 180")
+    } finally q.stop()
+  }
 }
