@@ -392,6 +392,44 @@ object Advanced {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
+  // --- s02: deterministic weighted sampling (A-Res priorities) ----------
+
+  /** s02 — weighted sampling without replacement, Efraimidis–Spirakis
+    * A-Res: each row gets priority u^(1/w) — here in log form
+    * ln(u)/w, scaled ×10⁶ and rounded so both engines rank identical
+    * values — with u a seeded LCG uniform in (0, 1] (the s01 family; no
+    * rand() resample hazard) and w = o_totalprice, then the k=50 largest
+    * priorities are the sample: P(selected) ≈ proportional to weight.
+    * Plan: scan-local priorities → TakeOrdered top-k (distributed, no
+    * global sort) → a 50-row window for the rank column. The ln is the
+    * d08-proven portable transcendental; ties on the rounded priority
+    * break by key. */
+  def s02WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = (($"o_orderkey" * 48271L + 13L) % 1000003L + 1L).cast("double") / 1000004.0
+    val pr = r(lit(1e6) * log(u) / $"o_totalprice", 6)
+    val top = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice", pr.as("priority"))
+      .orderBy($"priority".desc, $"o_orderkey")
+      .limit(50)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"priority".desc, $"o_orderkey")))
+      .orderBy($"rank")
+  }
+
+  val s02Sql: String = {
+    val u = "CAST((CAST(o_orderkey AS BIGINT) * 48271 + 13) % 1000003 + 1 AS DOUBLE) / CAST(1000004 AS DOUBLE)"
+    s"""WITH pri AS (SELECT o_orderkey, o_totalprice,
+         ${rSql(s"1000000.0 * ln($u) / o_totalprice", 6)} AS priority
+       FROM orders),
+       top AS (SELECT * FROM pri ORDER BY priority DESC, o_orderkey LIMIT 50)
+       SELECT o_orderkey, o_totalprice, priority,
+         row_number() OVER (ORDER BY priority DESC, o_orderkey) AS rank
+       FROM top
+       ORDER BY rank"""
+  }
+
   // --- q41: portable Bloom runtime filter ahead of a semi join ----------
 
   private val BloomWords = 256 // 16384 bits
@@ -474,6 +512,7 @@ object Advanced {
        ORDER BY l_linestatus"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s02_weighted_sample" -> (s02WeightedSample _),
     "q41_bloom_semijoin" -> (q41BloomSemijoin _),
     "q38_order_gaps" -> (q38OrderGaps _),
     "t12_funnel" -> (t12Funnel _),
@@ -489,6 +528,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "s02_weighted_sample" -> s02Sql,
     "q41_bloom_semijoin" -> q41Sql,
     "q38_order_gaps" -> q38Sql,
     "t12_funnel" -> t12Sql,

@@ -167,6 +167,27 @@ class AdvancedSpec extends GraftSpec {
     assert(total == expected)
   }
 
+  test("s02 weighted sample: 50 ranked rows, priorities ordered, biased to heavy rows") {
+    import spark.implicits._
+    val out = Advanced.s02WeightedSample(spark, sfSmall).cache()
+    try {
+      assert(out.count() == 50)
+      assert(out.agg(min($"rank"), max($"rank")).collect()(0) ===
+        org.apache.spark.sql.Row(1, 50))
+      // ln(u) <= 0 and weights are positive, so priorities are <= 0 and
+      // non-increasing in rank
+      assert(out.filter($"priority" > 0).count() == 0)
+      val ordered = out.orderBy($"rank").select($"priority").as[Double].collect()
+      assert(ordered.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+      // A-Res selects proportionally to weight: the sampled orders skew
+      // heavy (sample mean totalprice well above the corpus mean)
+      val sampleMean = out.agg(avg($"o_totalprice")).collect()(0).getDouble(0)
+      val corpusMean = Tables.orders(spark, sfSmall)
+        .agg(avg($"o_totalprice")).collect()(0).getDouble(0)
+      assert(sampleMean > corpusMean, s"sample $sampleMean corpus $corpusMean")
+    } finally out.unpersist()
+  }
+
   test("q41 bloom prefilter: no false negatives, real pruning, result ≡ plain semi join") {
     import spark.implicits._
     val dim = Tables.part(spark, sfSmall).filter($"p_brand" === "Brand#23")
