@@ -575,6 +575,67 @@ object Similarity {
        WHERE rank <= 5
        ORDER BY query_id, rank"""
 
+  // --- e12: Johnson–Lindenstrauss random projection ---------------------
+
+  private val RpD = 16
+
+  /** ±1 projection matrix (RpD rows × 64), derived host-side from
+    * md5("rp:j:i") at object init. Both the Column and SQL forms embed
+    * the SAME literals, so the "random" matrix needs no portable runtime
+    * hash — determinism by construction. */
+  private lazy val rpMatrix: IndexedSeq[IndexedSeq[Double]] =
+    (0 until RpD).map(j => (0 until 64).map { i =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8"))(0)
+      if ((b & 1) == 0) 1.0 else -1.0
+    })
+
+  /** e12 — random-projection dimensionality reduction (Johnson &
+    * Lindenstrauss; Achlioptas ±1 database-friendly form): project the
+    * 64-dim embeddings onto [[RpD]] fixed ±1 directions and report each
+    * vector's original vs projected norm and their ratio — the
+    * norm-preservation guarantee (ratio concentrated near 1, E[ratio²]=1)
+    * that makes the 4× smaller vectors usable for distance work. Fully
+    * scan-local (16 codegen'd `graft_dot`s against literal rows, no
+    * shuffle but the output sort), so it parallelizes embarrassingly —
+    * the projection you'd run before e03/e05 at 100 TB to shrink the
+    * vector payload. */
+  def e12RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = (0 until RpD).map { j =>
+      VectorExpressions.dot($"v",
+        array(rpMatrix(j).map(x => lit(x)): _*)).as(s"d$j")
+    }
+    val sq = (0 until RpD).map(j => col(s"d$j") * col(s"d$j")).reduce(_ + _)
+    corpus(s, dir)
+      .select(($"vec_id" +: $"nrm" +: dims): _*)
+      .select($"vec_id", r($"nrm", 6).as("nrm"),
+        r(sqrt(sq / lit(RpD.toDouble)), 6).as("proj_nrm"))
+      .withColumn("norm_ratio",
+        when($"nrm" > 0, r($"proj_nrm" / $"nrm", 4)).otherwise(lit(0.0)))
+      .orderBy($"vec_id")
+  }
+
+  val e12Sql: String = {
+    def rowLit(j: Int): String =
+      rpMatrix(j).map(x => if (x > 0) "1.0" else "-1.0").mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val dims = (0 until RpD).map(j =>
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * (${rowLit(j)})[i])) AS d$j")
+      .mkString(",\n         ")
+    val sq = (0 until RpD).map(j => s"d$j * d$j").mkString(" + ")
+    s"""WITH n AS ($corpusSql),
+       p AS (SELECT vec_id, nrm,
+         $dims
+       FROM n)
+       SELECT vec_id, ${rSql("nrm", 6)} AS nrm,
+         ${rSql(s"sqrt(($sq) / CAST($RpD AS DOUBLE))", 6)} AS proj_nrm,
+         CASE WHEN ${rSql("nrm", 6)} > 0
+              THEN ${rSql(s"(${rSql(s"sqrt(($sq) / CAST($RpD AS DOUBLE))", 6)}) / (${rSql("nrm", 6)})", 4)}
+              ELSE 0.0 END AS norm_ratio
+       FROM p
+       ORDER BY vec_id"""
+  }
+
   /** e09 — bucketed embedding near-dup pairs: the 100 TB path for e04.
     * e04's label blocking is quadratic per label (≈10 labels → O(n²/10)
     * at any scale); here candidates form only inside a 6-bit hyperplane
@@ -775,7 +836,8 @@ object Similarity {
     "e04_neardup_pairs" -> (e04NearDupPairs _),
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e06_label_centroids" -> (e06LabelCentroids _),
-    "e11_ivfpq_ann" -> (e11IvfPqAnn _))
+    "e11_ivfpq_ann" -> (e11IvfPqAnn _),
+    "e12_random_projection" -> (e12RandomProjection _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -789,5 +851,6 @@ object Similarity {
     "e07_pq_quantize" -> e07Sql,
     "e08_ann_recall" -> e08Sql,
     "e09_neardup_ann" -> e09Sql,
-    "e11_ivfpq_ann" -> e11Sql)
+    "e11_ivfpq_ann" -> e11Sql,
+    "e12_random_projection" -> e12Sql)
 }

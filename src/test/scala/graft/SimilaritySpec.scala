@@ -222,6 +222,23 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e12 random projection: norm ratios concentrate near 1 (the JL guarantee)") {
+    import spark.implicits._
+    val out = Similarity.e12RandomProjection(spark, sfSmall).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      assert(out.filter($"nrm" <= 0 || $"proj_nrm" < 0).count() == 0)
+      // E[ratio²] = 1 for a ±1/√D projection; with D=16 the per-row std of
+      // ratio² is √(2/16) ≈ 0.35, so the corpus mean sits tight around 1
+      val meanSq = out.agg(avg($"norm_ratio" * $"norm_ratio")).collect()(0).getDouble(0)
+      assert(math.abs(meanSq - 1.0) < 0.1, s"E[ratio²] = $meanSq")
+      // and individual rows rarely stray far: ≥80 % within ±0.5
+      val close = out.filter(abs($"norm_ratio" - 1.0) < 0.5).count()
+      assert(close.toDouble / n >= 0.8, s"only $close/$n within ±0.5")
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
