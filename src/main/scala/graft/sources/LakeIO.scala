@@ -95,4 +95,19 @@ object LakeIO {
       .select(col("_corrupt_record").as("raw"))
     (good, bad)
   }
+
+  /** Columnar ORC sink (zlib) — the second columnar format a lake speaks
+    * natively besides parquet; same partition-friendly layout. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+  /** ORC scan — schema read from file metadata, filters/pruning push down
+    * exactly as for parquet (both formats share the v2 datasource scan). */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  /** JSON-lines sink (gzip) — the interchange format of the reference's
+    * wire path, as a batch artifact. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
 }
