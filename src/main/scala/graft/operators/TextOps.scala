@@ -276,11 +276,14 @@ object TextOps {
     * arithmetic → identical across engines; codegen higher-order fns. */
   def d06Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    org.apache.spark.sql.graft.VectorExpressions.register(s)
+    // the codegen'd graft_poly_hash replaces the interpreted
+    // aggregate(transform(sequence(...))) fold — bit-identical (the spec
+    // pins it against the lambda twin) and ~5× faster on this corpus
     Tables.documents(s, dir)
       .select($"doc_id",
         when(length($"text") > 0,
-          expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
-            "0L, (acc, c) -> (acc * 31 + c) % 1000000007)"))
+          org.apache.spark.sql.graft.VectorExpressions.polyHash($"text"))
           .otherwise(lit(0L)).as("poly_hash"),
         normFp($"text").as("md5_norm"))
       .orderBy($"doc_id")

@@ -72,4 +72,22 @@ class VectorExpressionsSpec extends GraftSpec {
     assert(!rows(0).isNullAt(2))
     assert(rows(1).isNullAt(2))
   }
+
+  test("graft_poly_hash equals the interpreted lambda fold on every real document") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val twin = expr("aggregate(transform(sequence(1, length(text)), " +
+      "i -> ascii(substr(text, i, 1))), 0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
+    val diff = Tables.documents(spark, sfTiny)
+      .filter(length($"text") > 0)
+      .select(VectorExpressions.polyHash($"text").as("fast"), twin.as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(diff == 0)
+    // known value + empty string + unicode (zh codepoints, not bytes)
+    val rows = Seq("ab", "", "的").toDF("s")
+      .select(VectorExpressions.polyHash($"s")).as[Long].collect()
+    assert(rows(0) == 97L * 31 + 98) // 'a'*31 + 'b'
+    assert(rows(1) == 0L)
+    assert(rows(2) == 30340L) // U+7684 codepoint, one fold step
+  }
 }
