@@ -308,7 +308,59 @@ object Curation {
        FROM c GROUP BY lang, shard, seq_id
        ORDER BY lang, shard, seq_id"""
 
+  // --- d22: the dataset card — one-row corpus summary ---------------------
+
+  /** d22 — dataset card: the one-row summary a curation pipeline
+    * publishes with a released corpus — document/token volume,
+    * exact-duplicate ratio (d04's normalized fingerprint), language
+    * distribution entropy, and mean quality score (d02's composite).
+    * Three independent linear aggregation passes (tokens, fingerprints,
+    * languages) cross-joined as 1-row sides; every float path runs
+    * through the decimal-sum + floor-round policy, the entropy ln is the
+    * d08-proven portable transcendental. At 100 TB this is three
+    * map-side-combined scans and nothing else. */
+  def d22DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter(length($"text") > 0)
+    val tok = docs
+      .select(size(toks($"text")).as("nt"), TextOps.qualityCol.as("q"))
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+        ravg($"nt".cast("double"), 2).as("avg_doc_tokens"),
+        ravg($"q", 6).as("avg_quality"))
+    val dup = docs
+      .select(TextOps.normFp($"text").as("fp"))
+      .groupBy($"fp").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct_docs"))
+    val lang = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .agg(dsum(-($"c".cast("double") / $"n") *
+        log($"c".cast("double") / $"n")).as("ent"))
+      .select(r($"ent", 6).as("lang_entropy"))
+    tok.crossJoin(broadcast(dup)).crossJoin(broadcast(lang))
+      .select($"n_docs", $"n_tokens", $"avg_doc_tokens",
+        r(lit(1.0) - $"n_distinct_docs".cast("double") / $"n_docs", 6).as("dup_ratio"),
+        $"lang_entropy", $"avg_quality")
+  }
+
+  val d22Sql: String =
+    s"""WITH d AS (SELECT * FROM documents WHERE length(text) > 0),
+       tok AS (SELECT count(*) AS n_docs,
+           CAST(sum(len(${toksSql("text")})) AS BIGINT) AS n_tokens,
+           ${ravgSql(s"CAST(len(${toksSql("text")}) AS DOUBLE)", 2)} AS avg_doc_tokens,
+           ${ravgSql(TextOps.qualitySql, 6)} AS avg_quality
+         FROM d),
+       dup AS (SELECT count(*) AS n_distinct_docs FROM (
+           SELECT ${TextOps.normFpSql("text")} AS fp FROM d GROUP BY 1) z),
+       lang AS (SELECT ${rSql(dsumSql("-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)"), 6)} AS lang_entropy
+         FROM (SELECT lang, count(*) AS c FROM d GROUP BY lang) lc
+         CROSS JOIN (SELECT count(*) AS n FROM d) t)
+       SELECT n_docs, n_tokens, avg_doc_tokens,
+         ${rSql("1.0 - CAST(n_distinct_docs AS DOUBLE) / n_docs", 6)} AS dup_ratio,
+         lang_entropy, avg_quality
+       FROM tok CROSS JOIN dup CROSS JOIN lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_dataset_card" -> (d22DatasetCard _),
     "d16_decontaminate" -> (d16Decontaminate _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
@@ -316,6 +368,7 @@ object Curation {
     "d20_seq_packing" -> (d20SeqPacking _))
 
   val oracles: Map[String, String] = Map(
+    "d22_dataset_card" -> d22Sql,
     "d16_decontaminate" -> d16Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,

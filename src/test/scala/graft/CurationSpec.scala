@@ -79,6 +79,26 @@ class CurationSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("d22 dataset card: metrics bounded and consistent with their source queries") {
+    import spark.implicits._
+    val row = Curation.d22DatasetCard(spark, sfTiny).collect()(0)
+    val nDocs = row.getAs[Long]("n_docs")
+    assert(nDocs > 0 && row.getAs[Long]("n_tokens") > 0)
+    assert(row.getAs[Double]("avg_doc_tokens") > 0)
+    val dup = row.getAs[Double]("dup_ratio")
+    assert(dup >= 0.0 && dup < 1.0)
+    // 5-language corpus: entropy in (0, ln 5]
+    val ent = row.getAs[Double]("lang_entropy")
+    assert(ent > 0.0 && ent <= math.log(5.0) + 1e-9, s"entropy $ent")
+    val q = row.getAs[Double]("avg_quality")
+    assert(q >= 0.0 && q <= 1.0)
+    // dup_ratio agrees with d04's fingerprint groups
+    val distinctFp = graft.operators.TextOps.d04ExactDedup(spark, sfTiny).count()
+    val allDocs = graft.Tables.documents(spark, sfTiny)
+      .filter(length($"text") > 0).count()
+    assert(math.abs(dup - (1.0 - distinctFp.toDouble / allDocs)) < 1e-5)
+  }
+
   test("d20 sequence packing: token mass conserved, sequences keyed uniquely") {
     import spark.implicits._
     val out = Curation.d20SeqPacking(spark, sfTiny).cache()
