@@ -83,9 +83,13 @@ object Maintenance {
   def ml02LrScoring(s: SparkSession, dir: String): DataFrame = {
     val assembler = new VectorAssembler()
       .setInputCols(FeatureCols).setOutputCol("features")
+    // 25 iterations: on the separable twin LBFGS fixes the decision
+    // boundary within ~10 rounds and then only inflates the margin; 100
+    // iters spent 2× the query's wall time buying nothing the spec
+    // (≥ 99.9 % rule agreement + calibration bounds) can see
     val lr = new LogisticRegression()
       .setLabelCol("is_anomaly").setFeaturesCol("features")
-      .setMaxIter(100)
+      .setMaxIter(25)
     val model = new Pipeline().setStages(Array(assembler, lr))
       .fit(Telemetry.twin(s))
     model.transform(Telemetry.twin(s))
