@@ -359,7 +359,179 @@ object Curation {
          lang_entropy, avg_quality
        FROM tok CROSS JOIN dup CROSS JOIN lang"""
 
+  // --- d23: the curation pipeline composed end-to-end --------------------
+
+  /** d23 — the new-family composition, d13's sibling: PII scrub (d17's
+    * plant-then-scrub, so the scrubber is provably in the path) →
+    * benchmark decontamination (d16's trigram-overlap gate; benchmark
+    * members themselves excluded from training) → repetition gate (d18's
+    * rounded-ratio rules) → target-mixture resampling over the SURVIVORS
+    * (d19's BIGINT rates) → fixed-budget sequence packing (d20) — one
+    * oracle-checked query emitting the packed training sequences of the
+    * curated, rebalanced corpus. The tokenized-clean-corpus cache feeds
+    * every stage and is freed in-query via the d13 localCheckpoint
+    * pattern; every stage keeps its standalone query's plan shape, so the
+    * composition inherits their scale stories unchanged. */
+  def d23CurationPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dirty = concat($"text",
+      when($"doc_id" % 7 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com now"))).otherwise(lit("")),
+      when($"doc_id" % 11 === 0,
+        concat(lit(" call 555-"), ($"doc_id" % 9000 + 1000).cast("string"),
+          lit("-1234"))).otherwise(lit("")))
+    val clean = regexp_replace(regexp_replace($"dirty", EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    val tk = Tables.documents(s, dir)
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"lang", $"source", dirty.as("dirty"))
+      .select($"doc_id", $"lang", $"source", toks(lower(clean)).as("tk"))
+      .cache() // feeds decontamination (both sides), repetition, mix, pack
+    // decontamination gate (d16's construction at n=5): longer n-grams
+    // than d16's deliberately-overlapping trigrams — on this ~30-word
+    // vocabulary the trigram space saturates as the benchmark grows
+    // (measured at sf0.1: 98 % of the corpus falsely flagged), which is
+    // exactly why production decontamination uses long n-grams; 5-grams
+    // keep the false-hit rate negligible at every test scale
+    val grams = when(size($"tk") >= 5,
+      expr("array_distinct(transform(sequence(0, size(tk) - 5), " +
+        "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2], ' ', tk[i + 3], ' ', tk[i + 4])))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val g0 = tk.select($"doc_id", grams.as("gs"))
+    val bench = g0.filter(lcg($"doc_id", 37L) < BenchPermille)
+      .select(explode($"gs").as("bg")).distinct()
+    val decontam = g0.filter(lcg($"doc_id", 37L) >= BenchPermille)
+      .select($"doc_id", size($"gs").as("n_ngrams"), explode_outer($"gs").as("g"))
+      .join(broadcast(bench), $"g" === $"bg", "left")
+      .groupBy($"doc_id", $"n_ngrams")
+      .agg(count($"bg").as("n_hits"))
+      .filter($"n_ngrams" === 0 ||
+        r($"n_hits".cast("double") / $"n_ngrams", 6) < ContamThreshold)
+      .select($"doc_id")
+    // repetition gate (d18): keep docs below both rounded-ratio rules
+    val bg = when(size($"tk") >= 2,
+      expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val calm = tk.filter(size($"tk") > 0)
+      .select($"doc_id", $"tk", bg.as("bg"))
+      .select($"doc_id", $"tk", size($"tk").as("n_tokens"),
+        when(size($"bg") > 0,
+          r(lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg"), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .select($"doc_id", $"n_tokens", $"dup_bigram_ratio", explode($"tk").as("tok"))
+      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio", $"tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio")
+      .agg(max($"c").as("top_cnt"))
+      .filter(!(r($"top_cnt".cast("double") / $"n_tokens", 6) >= TopTokThreshold ||
+        $"dup_bigram_ratio" >= DupBigramThreshold))
+      .select($"doc_id")
+    val surv = tk
+      .join(decontam, Seq("doc_id"), "left_semi")
+      .join(calm, Seq("doc_id"), "left_semi")
+    // mixture resampling (d19) over the survivors
+    val w = when($"source".isin("src0", "src1", "src2"), 300L)
+      .when($"source".isin("src3", "src4"), 200L)
+      .otherwise(25L)
+    val perSrc = surv.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", w)
+    val tot = perSrc.agg(sum($"n_s").as("n_total"), sum($"w").as("sum_w"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .select($"source".as("src"),
+        least(lit(1000L),
+          expr("((w * n_total) div (2 * sum_w)) * 1000 div n_s")).as("permille"))
+    val mixed = surv.join(broadcast(rates), $"source" === $"src")
+      .filter(lcg($"doc_id", 101L) < $"permille")
+    // sequence packing (d20) of the curated, rebalanced corpus
+    val win = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = mixed
+      .select($"doc_id", $"lang", size($"tk").as("n_tok"))
+      .withColumn("shard", expr("doc_id div 100"))
+      .withColumn("cum", sum($"n_tok").over(win))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $PackBudget"))
+      .groupBy($"lang", $"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"lang", $"shard", $"seq_id")
+      // eager snapshot so the token cache can be freed inside the query
+      .localCheckpoint(true)
+    tk.unpersist(blocking = false)
+    out
+  }
+
+  val d23Sql: String = {
+    val ratio = s"${rSql("COALESCE(h.n_hits, 0) / len(g0.gs)", 6)}"
+    s"""WITH d0 AS (SELECT doc_id, lang, source,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+                      ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                      THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234'
+                      ELSE '' END AS dirty
+       FROM documents WHERE length(text) > 0),
+       tk0 AS (SELECT doc_id, lang, source,
+         ${toksSql(s"lower(regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'))")} AS tk,
+         ${lcgSql("doc_id", 37L)} AS lcg37
+       FROM d0),
+       g0 AS (SELECT doc_id, lcg37,
+         CASE WHEN len(tk) >= 5
+              THEN list_distinct(list_transform(range(1, len(tk) - 3),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4]))
+              ELSE CAST([] AS VARCHAR[]) END AS gs
+       FROM tk0),
+       bench AS (SELECT DISTINCT unnest(gs) AS g FROM g0 WHERE lcg37 < $BenchPermille),
+       tg AS (SELECT doc_id, unnest(gs) AS g FROM g0 WHERE lcg37 >= $BenchPermille),
+       hits AS (SELECT t.doc_id, count(b.g) AS n_hits
+                FROM tg t LEFT JOIN bench b ON t.g = b.g GROUP BY t.doc_id),
+       keep1 AS (SELECT g0.doc_id FROM g0 LEFT JOIN hits h ON g0.doc_id = h.doc_id
+                 WHERE lcg37 >= $BenchPermille
+                   AND (len(g0.gs) = 0 OR $ratio < $ContamThreshold)),
+       bg0 AS (SELECT doc_id, tk,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+       FROM tk0 WHERE len(tk) > 0),
+       rb AS (SELECT doc_id, tk,
+         CASE WHEN len(bg) > 0 THEN ${rSql("1.0 - len(list_distinct(bg)) / len(bg)", 6)}
+              ELSE 0.0 END AS dup_bigram_ratio
+       FROM bg0),
+       te AS (SELECT doc_id, len(tk) AS n_tokens, dup_bigram_ratio, unnest(tk) AS tok FROM rb),
+       cnt AS (SELECT doc_id, n_tokens, dup_bigram_ratio, tok, count(*) AS c
+               FROM te GROUP BY doc_id, n_tokens, dup_bigram_ratio, tok),
+       keep2 AS (SELECT doc_id FROM cnt GROUP BY doc_id, n_tokens, dup_bigram_ratio
+                 HAVING NOT (${rSql("max(c) / n_tokens", 6)} >= $TopTokThreshold
+                             OR dup_bigram_ratio >= $DupBigramThreshold)),
+       surv AS (SELECT tk0.* FROM tk0
+                JOIN keep1 ON tk0.doc_id = keep1.doc_id
+                JOIN keep2 ON tk0.doc_id = keep2.doc_id),
+       ps AS (SELECT source, count(*) AS n_s,
+           CASE WHEN source IN ('src0','src1','src2') THEN 300
+                WHEN source IN ('src3','src4') THEN 200
+                ELSE 25 END AS w
+         FROM surv GROUP BY source),
+       tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                      CAST(sum(w) AS BIGINT) AS sum_w FROM ps),
+       rates AS (SELECT source AS src,
+           CAST(least(1000, ((w * n_total) // (2 * sum_w)) * 1000 // n_s) AS BIGINT) AS permille
+         FROM ps CROSS JOIN tot),
+       mixed AS (SELECT doc_id, lang, len(tk) AS n_tok, doc_id // 100 AS shard
+                 FROM surv JOIN rates ON surv.source = rates.src
+                 WHERE ${lcgSql("doc_id", 101L)} < permille),
+       c AS (SELECT doc_id, lang, shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       FROM mixed)
+       SELECT lang, shard, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+         min(doc_id) AS first_doc
+       FROM c GROUP BY lang, shard, seq_id
+       ORDER BY lang, shard, seq_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_curation_packing" -> (d23CurationPacking _),
     "d22_dataset_card" -> (d22DatasetCard _),
     "d16_decontaminate" -> (d16Decontaminate _),
     "d17_pii_scrub" -> (d17PiiScrub _),
@@ -368,6 +540,7 @@ object Curation {
     "d20_seq_packing" -> (d20SeqPacking _))
 
   val oracles: Map[String, String] = Map(
+    "d23_curation_packing" -> d23Sql,
     "d22_dataset_card" -> d22Sql,
     "d16_decontaminate" -> d16Sql,
     "d17_pii_scrub" -> d17Sql,

@@ -99,6 +99,28 @@ class CurationSpec extends GraftSpec {
     assert(math.abs(dup - (1.0 - distinctFp.toDouble / allDocs)) < 1e-5)
   }
 
+  test("d23 composed pipeline: packed output keyed uniquely, benchmark never trained on") {
+    import spark.implicits._
+    val out = Curation.d23CurationPacking(spark, sfSmall).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"n_docs" < 1 || $"seq_tokens" <= 0).count() == 0)
+      assert(out.groupBy($"lang", $"shard", $"seq_id").count()
+        .filter($"count" > 1).count() == 0)
+      // decontamination excludes the held-out benchmark entirely: no
+      // sequence can START with a benchmark member
+      val benchLeak = out.filter(
+        ((($"first_doc" * 48271L + 37L) % 1000003L) % 1000L) < Curation.BenchPermille).count()
+      assert(benchLeak == 0)
+      // the mixture stage ran: the packed corpus is a strict subset of the
+      // survivors (fewer packed docs than documents overall)
+      val packedDocs = out.agg(sum($"n_docs")).collect()(0).getLong(0)
+      val allDocs = graft.Tables.documents(spark, sfSmall)
+        .filter(length($"text") > 0).count()
+      assert(packedDocs > 0 && packedDocs < allDocs, s"$packedDocs of $allDocs")
+    } finally out.unpersist()
+  }
+
   test("d20 sequence packing: token mass conserved, sequences keyed uniquely") {
     import spark.implicits._
     val out = Curation.d20SeqPacking(spark, sfTiny).cache()
