@@ -111,4 +111,38 @@ class PropertySpec extends GraftSpec {
       assert(refill.filter($"v_fill".isNotNull && $"v2" =!= $"v_fill").count() == 0)
     } finally out.unpersist()
   }
+
+  test("property: bloom prefilter never drops an inserted key (no false negatives)") {
+    import spark.implicits._
+    import graft.operators.Advanced
+    // arbitrary key sets, including negatives and duplicates
+    samples(Gen.listOfN(60, Gen.chooseNum(-100000L, 100000L)), 4).foreach { keys =>
+      val dim = keys.toDF("k")
+      val bloom = Advanced.bloomArray(dim, "k")
+      // probe with the inserted keys themselves: every one must pass
+      val kept = Advanced.bloomPrefilter(dim, "k", bloom).count()
+      assert(kept == keys.length.toLong, s"bloom dropped ${keys.length - kept} inserted keys")
+    }
+  }
+
+  test("property: greedy packing bins are dense and conserve token mass") {
+    import spark.implicits._
+    samples(Gen.listOfN(50, Gen.chooseNum(1, 600)), 4).foreach { lens =>
+      val df = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val packed = df.withColumn("cum", sum($"n").over(w))
+        .withColumn("bin", expr("(cum - n) div 512"))
+        .groupBy($"bin").agg(sum($"n").as("toks"), count(lit(1)).as("docs"))
+      // conservation: every token lands in exactly one bin
+      assert(packed.agg(sum($"toks")).collect()(0).getLong(0) == lens.map(_.toLong).sum)
+      // density: bins are a contiguous 0..max range (a doc can straddle,
+      // never leave an empty bin behind — cum only moves forward by n)
+      val bins = packed.select($"bin").as[Long].collect().sorted
+      assert(bins.head == 0L)
+      // a gap can only appear when one doc spans multiple whole bins —
+      // with n <= 600 < 2*512 a doc skips at most one bin
+      bins.sliding(2).foreach { case Array(a, b) => assert(b - a <= 2); case _ => }
+    }
+  }
 }
