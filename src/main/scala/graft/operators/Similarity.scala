@@ -524,54 +524,61 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  val e11Sql: String =
-    s"""WITH n AS ($corpusSql),
-       ct AS (SELECT cid, cv, cnrm FROM (
+  /** CTE block (expects `n` in scope): IVF probe selection + PQ codes +
+    * per-query LUT → ADC-ranked neighbors, ending in
+    * ivfpq(query_id, neighbor_id, adc_dist, rank). Shared by e11 and
+    * e08's recall oracle; names pq-prefixed to avoid collisions. */
+  private def e11Ctes: String =
+    s"""pqct AS (SELECT cid, cv, cnrm FROM (
            SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS cid,
              v AS cv, nrm AS cnrm FROM n) t
          WHERE cid < $NList),
-       sc AS (SELECT n.vec_id, c.cid,
+       pqsc AS (SELECT n.vec_id, c.cid,
            list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS ccos
-         FROM n, ct c),
-       rk AS (SELECT vec_id, cid,
+         FROM n, pqct c),
+       pqrk AS (SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
-         FROM sc),
-       asg AS (SELECT cid, vec_id AS neighbor_id FROM rk WHERE crank = 1),
-       q AS (SELECT vec_id, v FROM n WHERE vec_id % 100 = 0
+         FROM pqsc),
+       pqasg AS (SELECT cid, vec_id AS neighbor_id FROM pqrk WHERE crank = 1),
+       pqq AS (SELECT vec_id, v FROM n WHERE vec_id % 100 = 0
          ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
-       pr AS (SELECT cid, vec_id AS query_id FROM rk
-         WHERE vec_id IN (SELECT vec_id FROM q) AND crank <= $NProbe),
-       cb AS (SELECT m, cv FROM (
+       pqpr AS (SELECT cid, vec_id AS query_id FROM pqrk
+         WHERE vec_id IN (SELECT vec_id FROM pqq) AND crank <= $NProbe),
+       pqcb AS (SELECT m, cv FROM (
            SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS m, v AS cv
            FROM n) t
          WHERE m < $PqK),
-       sj AS (SELECT vec_id, v, unnest(range(0, $PqM)) AS j FROM n),
-       ds AS (SELECT vec_id, j, m,
+       pqsj AS (SELECT vec_id, v, unnest(range(0, $PqM)) AS j FROM n),
+       pqds AS (SELECT vec_id, j, m,
            list_sum(list_transform(range(1, ${PqSub + 1}), i ->
              (v[j * $PqSub + i] - cv[j * $PqSub + i]) * (v[j * $PqSub + i] - cv[j * $PqSub + i]))) AS dist
-         FROM sj, cb),
-       cd AS (SELECT vec_id, j, m FROM (
+         FROM pqsj, pqcb),
+       pqcd AS (SELECT vec_id, j, m FROM (
            SELECT vec_id, j, m,
              row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, m ASC) AS rn
-           FROM ds) z
+           FROM pqds) z
          WHERE rn = 1),
-       qsub AS (SELECT vec_id AS query_id, v AS qv, unnest(range(0, $PqM)) AS j FROM q),
-       lut AS (SELECT query_id, j, m,
+       pqqs AS (SELECT vec_id AS query_id, v AS qv, unnest(range(0, $PqM)) AS j FROM pqq),
+       pqlut AS (SELECT query_id, j, m,
            list_sum(list_transform(range(1, ${PqSub + 1}), i ->
              (qv[j * $PqSub + i] - cv[j * $PqSub + i]) * (qv[j * $PqSub + i] - cv[j * $PqSub + i]))) AS qd
-         FROM qsub, cb),
-       cand AS (SELECT p.query_id, a.neighbor_id
-         FROM pr p JOIN asg a USING (cid)
+         FROM pqqs, pqcb),
+       pqcand AS (SELECT p.query_id, a.neighbor_id
+         FROM pqpr p JOIN pqasg a USING (cid)
          WHERE p.query_id != a.neighbor_id),
-       adc AS (SELECT c.query_id, c.neighbor_id, ${rSql(dsumSql("l.qd"), 6)} AS adc_dist
-         FROM cand c
-         JOIN cd ON cd.vec_id = c.neighbor_id
-         JOIN lut l ON l.query_id = c.query_id AND l.j = cd.j AND l.m = cd.m
+       pqadc AS (SELECT c.query_id, c.neighbor_id, ${rSql(dsumSql("l.qd"), 6)} AS adc_dist
+         FROM pqcand c
+         JOIN pqcd ON pqcd.vec_id = c.neighbor_id
+         JOIN pqlut l ON l.query_id = c.query_id AND l.j = pqcd.j AND l.m = pqcd.m
          GROUP BY c.query_id, c.neighbor_id),
-       rnk AS (SELECT query_id, neighbor_id, adc_dist,
+       ivfpq AS (SELECT query_id, neighbor_id, adc_dist,
            row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
-         FROM adc)
-       SELECT query_id, neighbor_id, adc_dist, rank FROM rnk
+         FROM pqadc)"""
+
+  val e11Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e11Ctes
+       SELECT query_id, neighbor_id, adc_dist, rank FROM ivfpq
        WHERE rank <= 5
        ORDER BY query_id, rank"""
 
@@ -694,9 +701,11 @@ object Similarity {
     base
       .join(hitsOf(e03LshAnn(s, dir), "h_lsh"), Seq("query_id"), "left")
       .join(hitsOf(e05IvfAnn(s, dir), "h_ivf"), Seq("query_id"), "left")
+      .join(hitsOf(e11IvfPqAnn(s, dir), "h_pq"), Seq("query_id"), "left")
       .select($"query_id",
         r(coalesce($"h_lsh", lit(0L)).cast("double") / $"n_exact", 6).as("recall_lsh"),
-        r(coalesce($"h_ivf", lit(0L)).cast("double") / $"n_exact", 6).as("recall_ivf"))
+        r(coalesce($"h_ivf", lit(0L)).cast("double") / $"n_exact", 6).as("recall_ivf"),
+        r(coalesce($"h_pq", lit(0L)).cast("double") / $"n_exact", 6).as("recall_ivfpq"))
       .orderBy($"query_id")
   }
 
@@ -705,6 +714,7 @@ object Similarity {
        $e01Ctes,
        $e03Ctes,
        $e05Ctes,
+       $e11Ctes,
        ext AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= 5),
        base AS (SELECT query_id, count(*) AS n_exact FROM ext GROUP BY query_id),
        hl AS (SELECT e.query_id, count(*) AS h FROM ext e
@@ -712,13 +722,18 @@ object Similarity {
          USING (query_id, neighbor_id) GROUP BY e.query_id),
        hi AS (SELECT e.query_id, count(*) AS h FROM ext e
          JOIN (SELECT query_id, neighbor_id FROM ivf WHERE rank <= 5) a
+         USING (query_id, neighbor_id) GROUP BY e.query_id),
+       hp AS (SELECT e.query_id, count(*) AS h FROM ext e
+         JOIN (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5) a
          USING (query_id, neighbor_id) GROUP BY e.query_id)
        SELECT b.query_id,
          ${rSql("coalesce(hl.h, 0) / b.n_exact", 6)} AS recall_lsh,
-         ${rSql("coalesce(hi.h, 0) / b.n_exact", 6)} AS recall_ivf
+         ${rSql("coalesce(hi.h, 0) / b.n_exact", 6)} AS recall_ivf,
+         ${rSql("coalesce(hp.h, 0) / b.n_exact", 6)} AS recall_ivfpq
        FROM base b
        LEFT JOIN hl ON b.query_id = hl.query_id
        LEFT JOIN hi ON b.query_id = hi.query_id
+       LEFT JOIN hp ON b.query_id = hp.query_id
        ORDER BY b.query_id"""
 
   // --- e10: k-means (Lloyd) — the IVF/PQ coarse-quantizer TRAINING step --

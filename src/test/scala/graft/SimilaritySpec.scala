@@ -136,7 +136,11 @@ class SimilaritySpec extends GraftSpec {
         .select("query_id").distinct().count()
       assert(out.count() == nQueries, "one recall row per query vector")
       assert(out.filter($"recall_lsh" < 0 || $"recall_lsh" > 1 ||
-        $"recall_ivf" < 0 || $"recall_ivf" > 1).count() == 0)
+        $"recall_ivf" < 0 || $"recall_ivf" > 1 ||
+        $"recall_ivfpq" < 0 || $"recall_ivfpq" > 1).count() == 0)
+      // ADC scores the same candidates as IVF from 4-bit codes — lossy,
+      // so per-query it can only find neighbors IVF's lists contain
+      assert(out.filter($"recall_ivfpq" > $"recall_ivf" + 1e-9).count() == 0)
       // the IVF path probes NPROBE=4 of 16 lists — it must recover at
       // least one true neighbor overall (e03's looser bound is spec'd above)
       assert(out.agg(sum($"recall_ivf")).collect()(0).getDouble(0) > 0.0)
