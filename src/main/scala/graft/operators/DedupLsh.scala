@@ -244,7 +244,71 @@ object DedupLsh {
   def m03SimHashPairs(s: SparkSession, dir: String): DataFrame =
     simHashPairs(shingled(s, dir))
 
+  /** m04 — MinHash accuracy report (the sketch-accuracy twin of q40/d21
+    * for set similarity): for every capped LSH candidate pair, the
+    * signature-agreement estimate (matching components / 32 — E[est] = J,
+    * Broder 1997) next to the exact shingle Jaccard and the absolute
+    * error, so the sketch's quality is visible per pair. Reuses the m01
+    * sketch caches (one signature pass, capped bucket self-join); the
+    * extra work over m01 is one 32-column equality sum per candidate.
+    * Estimates are multiples of 1/32 (exact binary) → r6 is exact. */
+  def m04JaccardEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = shingled(s, dir)
+    val sig = withSignature(docs).cache()
+    val wB = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val buckets = sig
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= BandBucketCap).drop("rnk")
+    val cands = buckets.as("x")
+      .join(buckets.as("y"), col("x.band") === col("y.band") &&
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(j => col(s"s$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(j => col(s"s$j").as(s"b$j")): _*)
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val ja = docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"))
+    val jb = docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    cands.join(sa, "doc_a").join(sb, "doc_b").join(ja, "doc_a").join(jb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r(inter.cast("double") / (size(col("ta")) + size(col("tb")) - inter), 6).as("jaccard"),
+        r(agree.cast("double") / NumHashes, 6).as("est_jaccard"))
+      .withColumn("abs_err", r(abs(col("jaccard") - col("est_jaccard")), 6))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .limit(500)
+  }
+
+  val m04Sql: String = {
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    s"""WITH ${candCtesOver("documents")},
+       est AS (SELECT c.doc_a, c.doc_b, ($agree) AS agree
+           FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                       JOIN sig sb ON c.doc_b = sb.doc_id),
+       rep AS (SELECT e.doc_a, e.doc_b,
+           ${rSql(s"$inter / (len(a.sh) + len(b.sh) - $inter)", 6)} AS jaccard,
+           ${rSql(s"e.agree / $NumHashes", 6)} AS est_jaccard
+         FROM est e JOIN shd a ON e.doc_a = a.doc_id
+                    JOIN shd b ON e.doc_b = b.doc_id)
+       SELECT doc_a, doc_b, jaccard, est_jaccard,
+         ${rSql("abs(jaccard - est_jaccard)", 6)} AS abs_err
+       FROM rep
+       ORDER BY doc_a, doc_b
+       LIMIT 500"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m04_jaccard_estimate" -> (m04JaccardEstimate _),
     "m01_minhash_pairs" -> (m01MinHashPairs _),
     "m02_simhash" -> (m02SimHash _),
     "m03_simhash_pairs" -> (m03SimHashPairs _))
@@ -275,7 +339,10 @@ object DedupLsh {
     * m01's oracle, d11's cluster oracle, and d13's curation oracle.
     * Multiplier literals are ::BIGINT-cast (DuckDB int32 literal overflow,
     * CLAUDE.md invariant 7). */
-  private[operators] def pairCtesOver(src: String): String = {
+  /** CTE block shingles → signatures → band buckets → capped candidate
+    * pairs; ends in cand(doc_a, doc_b) with sig/shd still in scope —
+    * shared by [[pairCtesOver]] and m04's estimation oracle. */
+  private def candCtesOver(src: String): String = {
     val sigCols = (0 until NumHashes).map { j =>
       s"min((${2 * j + 1}::BIGINT * h + ${j * 7919 + 13}) % $P) AS s$j"
     }.mkString(", ")
@@ -287,7 +354,6 @@ object DedupLsh {
     val bucketUnion = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band, bh$b AS bh FROM bnd")
       .mkString(" UNION ALL ")
-    val inter = "len(list_intersect(a.sh, b.sh))"
     s"""${shingleCtesOver(src)},
        ex AS (SELECT doc_id, unnest(sh) AS t FROM shd),
        hh AS (SELECT doc_id, ${h60Sql("t")} % $P AS h FROM ex),
@@ -301,7 +367,12 @@ object DedupLsh {
          WHERE rnk <= $BandBucketCap),
        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM cap x JOIN cap y
-           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  private[operators] def pairCtesOver(src: String): String = {
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    s"""${candCtesOver(src)},
        pr AS (SELECT doc_a, doc_b, jaccard FROM (
            SELECT doc_a, doc_b,
              ${rSql(s"$inter / (len(a.sh) + len(b.sh) - $inter)", 6)} AS jaccard
@@ -364,6 +435,7 @@ object DedupLsh {
        LIMIT 500"""
 
   val oracles: Map[String, String] = Map(
+    "m04_jaccard_estimate" -> m04Sql,
     "m01_minhash_pairs" -> m01Sql,
     "m02_simhash" -> m02Sql,
     "m03_simhash_pairs" -> m03Sql)

@@ -89,4 +89,20 @@ class DedupLshSpec extends GraftSpec {
     assert(df.filter(col("hamming") > 6).count() == 0)
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
+
+  test("m04 estimate: 1/32 grid, exact dups estimated exactly, error bounded") {
+    val out = DedupLsh.m04JaccardEstimate(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() == 0)
+      // estimates are counts/32 — on the exact 1/32 grid
+      assert(out.filter(
+        col("est_jaccard") * 32 =!= round(col("est_jaccard") * 32)).count() == 0)
+      // identical shingle sets have identical signatures: J = 1 ⇒ est = 1
+      assert(out.filter(col("jaccard") === 1.0 && col("est_jaccard") =!= 1.0).count() == 0)
+      // 32 hashes: per-pair std ≤ 0.09, so the mean |error| stays small
+      val meanErr = out.agg(avg(col("abs_err"))).collect()(0).getDouble(0)
+      assert(meanErr < 0.15, s"mean |err| $meanErr")
+    } finally out.unpersist()
+  }
 }
