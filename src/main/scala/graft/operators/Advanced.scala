@@ -392,6 +392,29 @@ object Advanced {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
+  // --- t16: SCD2 validity intervals --------------------------------------
+
+  /** t16 — slowly-changing-dimension (type 2) interval construction: each
+    * event opens a validity interval for its user's state, closed by the
+    * user's next event (`lead`; the latest interval stays open = NULL
+    * valid_to) — the temporal-snapshot layout warehouse dimensions keep.
+    * One shuffle on user_id; the window order (ts, event_id) is a total
+    * order so interval boundaries are deterministic. */
+  def t16Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts".as("valid_from"), lead($"ts", 1).over(w).as("valid_to"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  val t16Sql: String =
+    """SELECT user_id, event_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+       FROM events
+       ORDER BY user_id, valid_from, event_id"""
+
   // --- s02: deterministic weighted sampling (A-Res priorities) ----------
 
   /** s02 — weighted sampling without replacement, Efraimidis–Spirakis
@@ -512,6 +535,7 @@ object Advanced {
        ORDER BY l_linestatus"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_scd2_intervals" -> (t16Scd2Intervals _),
     "s02_weighted_sample" -> (s02WeightedSample _),
     "q41_bloom_semijoin" -> (q41BloomSemijoin _),
     "q38_order_gaps" -> (q38OrderGaps _),
@@ -528,6 +552,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "t16_scd2_intervals" -> t16Sql,
     "s02_weighted_sample" -> s02Sql,
     "q41_bloom_semijoin" -> q41Sql,
     "q38_order_gaps" -> q38Sql,

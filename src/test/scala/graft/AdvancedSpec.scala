@@ -167,6 +167,24 @@ class AdvancedSpec extends GraftSpec {
     assert(total == expected)
   }
 
+  test("t16 SCD2 intervals: chained per user, exactly one open interval each") {
+    import spark.implicits._
+    val out = Advanced.t16Scd2Intervals(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // exactly one open (NULL valid_to) interval per user — the latest
+      val users = out.select($"user_id").distinct().count()
+      assert(out.filter($"valid_to".isNull).count() == users)
+      // intervals chain: this row's valid_to is the user's next valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"valid_from", $"event_id")
+      val chained = out.withColumn("nxt", lead($"valid_from", 1).over(w))
+      assert(chained.filter($"nxt".isNotNull && $"valid_to" =!= $"nxt").count() == 0)
+      // no negative-length intervals
+      assert(out.filter($"valid_to".isNotNull && $"valid_to" < $"valid_from").count() == 0)
+    } finally out.unpersist()
+  }
+
   test("s02 weighted sample: 50 ranked rows, priorities ordered, biased to heavy rows") {
     import spark.implicits._
     val out = Advanced.s02WeightedSample(spark, sfSmall).cache()
