@@ -392,6 +392,37 @@ object Advanced {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
+  // --- q42: equi-width histogram -----------------------------------------
+
+  /** q42 — 20-bucket equi-width histogram of line-item price: data-driven
+    * bounds (one 1-row min/max aggregate, broadcast), scan-local bucket
+    * assignment in pure IEEE double math (identical across engines — no
+    * builtin width_bucket, whose edge semantics differ), map-side-combined
+    * counts. The max value folds into the top bucket via least(). */
+  def q42Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bounds = Tables.lineitem(s, dir)
+      .agg(min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+    Tables.lineitem(s, dir)
+      .select($"l_extendedprice")
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(20.0), lit(1.0) +
+          floor(($"l_extendedprice" - $"lo") / (($"hi" - $"lo") / 20.0))).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_items"), rsum($"l_extendedprice", 2).as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  val q42Sql: String =
+    s"""WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+         FROM lineitem)
+       SELECT CAST(least(20.0, 1.0 + floor((l_extendedprice - lo) / ((hi - lo) / 20.0))) AS INTEGER) AS bucket,
+         count(*) AS n_items, ${rsumSql("l_extendedprice", 2)} AS sum_price
+       FROM lineitem CROSS JOIN b
+       GROUP BY 1
+       ORDER BY 1"""
+
   // --- t16: SCD2 validity intervals --------------------------------------
 
   /** t16 — slowly-changing-dimension (type 2) interval construction: each
@@ -535,6 +566,7 @@ object Advanced {
        ORDER BY l_linestatus"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_histogram" -> (q42Histogram _),
     "t16_scd2_intervals" -> (t16Scd2Intervals _),
     "s02_weighted_sample" -> (s02WeightedSample _),
     "q41_bloom_semijoin" -> (q41BloomSemijoin _),
@@ -552,6 +584,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q42_histogram" -> q42Sql,
     "t16_scd2_intervals" -> t16Sql,
     "s02_weighted_sample" -> s02Sql,
     "q41_bloom_semijoin" -> q41Sql,

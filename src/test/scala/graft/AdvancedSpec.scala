@@ -167,6 +167,18 @@ class AdvancedSpec extends GraftSpec {
     assert(total == expected)
   }
 
+  test("q42 histogram: 20 dense buckets conserving row count") {
+    import spark.implicits._
+    val out = Advanced.q42Histogram(spark, sfTiny).cache()
+    try {
+      val buckets = out.select($"bucket").as[Int].collect().sorted
+      assert(buckets.head >= 1 && buckets.last == 20)
+      assert(out.filter($"n_items" < 1).count() == 0)
+      val total = out.agg(sum($"n_items")).collect()(0).getLong(0)
+      assert(total == Tables.lineitem(spark, sfTiny).count())
+    } finally out.unpersist()
+  }
+
   test("t16 SCD2 intervals: chained per user, exactly one open interval each") {
     import spark.implicits._
     val out = Advanced.t16Scd2Intervals(spark, sfTiny).cache()
