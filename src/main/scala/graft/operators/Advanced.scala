@@ -503,7 +503,8 @@ object Advanced {
 
   /** 1-row DataFrame holding a [[BloomWords]]×64-bit Bloom filter (column
     * `bloom`: array<bigint>) over `keyCol` of `dim` — k=[[BloomK]] salted
-    * md5-rank hashes (d04/q40-proven portable family). Exposed for the
+    * xxhash64 hashes (Spark-internal determinism suffices: the bloom never
+    * reaches the oracle, see [[withBloomHashes]]). Exposed for the
     * AdvancedSpec no-false-negative assertion. */
   private[graft] def bloomArray(dim: DataFrame, keyCol: String): DataFrame =
     withBloomHashes(dim, keyCol)

@@ -94,7 +94,10 @@ object Analytics {
     * feeds q33's exact interpolated percentiles, shrinking the per-group
     * sort from n to n/20. Rank error is O(1/√(n·rate)) (AnalyticsSpec
     * bounds it against the exact q33 values); at 100 TB the sample rate is
-    * the knob that trades accuracy for sort size. */
+    * the knob that trades accuracy for sort size. NOTE: exact `percentile`
+    * buffers the sampled values per group in executor memory — per-group
+    * memory grows with n·rate, so the rate must shrink as data grows; the
+    * constant-memory path at any rate is q37's GK sketch. */
   def q39SampledPercentile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)

@@ -118,9 +118,13 @@ object Corpus {
     // the 10^6-edge list shrinks geometrically — each round's cost is
     // proportional to the SURVIVING edges, unlike naive min-label
     // propagation which re-joins the full edge list every round.
+    // convergence probe: isEmpty is a limit-1 probe (one task, short-
+    // circuits on the first non-empty partition) where count() paid a full
+    // pass over the surviving edges every round — on a deep graph that is
+    // one extra scan per contraction for a boolean we only need the sign of
     var iter = 0
-    var nEdges = edges.count()
-    while (nEdges > 0 && iter < 50) {
+    var edgesRemain = !edges.isEmpty
+    while (edgesRemain && iter < 50) {
       val m = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
         .groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src".as("v"), least($"src", $"mn").as("rep"))
@@ -137,15 +141,15 @@ object Corpus {
       free(labelIds); free(edgeIds)
       labels = labels2; labelIds = labelIds2
       edges = edges2; edgeIds = edgeIds2
-      nEdges = edges.count()
+      edgesRemain = !edges.isEmpty
       iter += 1
     }
     // fail loudly: a silent partial contraction would surface only as an
     // opaque oracle hash mismatch (star contraction halves components per
     // round, so 50 rounds covers any graph with < 2^50 nodes — hitting
     // this is a bug, not a tuning problem)
-    require(nEdges == 0,
-      s"dedupClusters star contraction did not converge after $iter rounds ($nEdges edges left)")
+    require(!edgesRemain,
+      s"dedupClusters star contraction did not converge after $iter rounds (edges remain)")
     free(edgeIds)
     labels
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"label")))

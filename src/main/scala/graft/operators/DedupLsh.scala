@@ -333,15 +333,11 @@ object DedupLsh {
                 ELSE [array_to_string(tk, ' ')] END AS sh
          FROM tk0)"""
 
-  /** CTE block shingles → minhash signatures → band buckets → capped
-    * candidates → exact-verified pairs over a (doc_id, text) relation;
-    * ends in pr(doc_a, doc_b, jaccard) with jaccard ≥ 0.5 — shared by
-    * m01's oracle, d11's cluster oracle, and d13's curation oracle.
-    * Multiplier literals are ::BIGINT-cast (DuckDB int32 literal overflow,
-    * CLAUDE.md invariant 7). */
   /** CTE block shingles → signatures → band buckets → capped candidate
     * pairs; ends in cand(doc_a, doc_b) with sig/shd still in scope —
-    * shared by [[pairCtesOver]] and m04's estimation oracle. */
+    * shared by [[pairCtesOver]] and m04's estimation oracle.
+    * Multiplier literals are ::BIGINT-cast (DuckDB int32 literal overflow,
+    * CLAUDE.md invariant 7). */
   private def candCtesOver(src: String): String = {
     val sigCols = (0 until NumHashes).map { j =>
       s"min((${2 * j + 1}::BIGINT * h + ${j * 7919 + 13}) % $P) AS s$j"
@@ -370,6 +366,9 @@ object DedupLsh {
            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
   }
 
+  /** [[candCtesOver]] plus exact verification: ends in
+    * pr(doc_a, doc_b, jaccard) with jaccard ≥ 0.5 — shared by m01's
+    * oracle, d11's cluster oracle, and d13's curation oracle. */
   private[operators] def pairCtesOver(src: String): String = {
     val inter = "len(list_intersect(a.sh, b.sh))"
     s"""${candCtesOver(src)},

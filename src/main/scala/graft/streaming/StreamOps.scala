@@ -172,7 +172,7 @@ object StreamOps {
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h = h >>> 4 // low 60 bits of the leading hex — the h60 family
+    h = h >>> 4 // top 60 bits = first 15 hex chars of the md5 — the h60 family
     val idx = (h % 256).toInt
     val w = h >>> 8 // 52-bit window
     val rho = if (w == 0L) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
