@@ -19,6 +19,12 @@ import TextOps.{toks, toksSql}
   * different increment per operator so samples decorrelate), rate math is
   * pure BIGINT division (Spark `div` ≡ DuckDB `//` on non-negative
   * values), and every double ratio flows through [[Num.r]].
+  *
+  * Structure: each stage has ONE pair of builders — a Spark
+  * Column/DataFrame fragment and a DuckDB CTE/SQL fragment — shared by
+  * the standalone query (d16–d20) and the end-to-end composition (d23),
+  * so an edit to a stage propagates to both and the composition cannot
+  * silently drift from the oracle-checked standalone semantics.
   */
 object Curation {
 
@@ -28,6 +34,199 @@ object Curation {
 
   private def lcgSql(id: String, inc: Long): String =
     s"((CAST($id AS BIGINT) * 48271 + $inc) % 1000003) % 1000"
+
+  // --- shared stage builders ---------------------------------------------
+
+  /** d17's deterministic PII planting over (doc_id, text): every 7th doc
+    * gets an email, every 11th a phone — the SAME construction in both
+    * engines, so the scrubber is provably in the path. */
+  private[graft] val dirtyCol: Column = concat(col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" call 555-"), (col("doc_id") % 9000 + 1000).cast("string"),
+        lit("-1234"))).otherwise(lit("")))
+
+  /** d17's scrubber: regex redaction of emails then phones. */
+  private[graft] def cleanCol(dirty: Column): Column =
+    regexp_replace(regexp_replace(dirty, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  private[graft] val dirtySql: String =
+    """text || CASE WHEN doc_id % 7 = 0
+      |             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+      |             ELSE '' END
+      |     || CASE WHEN doc_id % 11 = 0
+      |             THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234'
+      |             ELSE '' END""".stripMargin
+
+  private[graft] def cleanSql(e: String): String =
+    s"regexp_replace(regexp_replace($e, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+
+  /** distinct n-gram array over a token array column `tk` (empty when the
+    * doc is shorter than n) — d16 uses n=3, d23 n=5 (see the saturation
+    * note on [[d23CurationPacking]]). */
+  private[graft] def gramsCol(n: Int): Column = {
+    val cat = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(", ' ', ")
+    when(size(col("tk")) >= n,
+      expr(s"array_distinct(transform(sequence(0, size(tk) - $n), i -> concat($cat)))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+  }
+
+  private[graft] def gramsSql(n: Int): String = {
+    val cat = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN len(tk) >= $n
+       THEN list_distinct(list_transform(range(1, len(tk) - ${n - 2}), i -> $cat))
+       ELSE CAST([] AS VARCHAR[]) END"""
+  }
+
+  /** d16's decontamination core over a (doc_id, gs) relation:
+    * deterministic benchmark split (lcg inc=37 below [[BenchPermille]]),
+    * benchmark-sized distinct n-gram set broadcast against ONE explode of
+    * the train side; returns (doc_id, n_ngrams, n_hits) per TRAIN doc. */
+  private[graft] def contamHits(s: SparkSession, g0: DataFrame): DataFrame = {
+    import s.implicits._
+    val bench = g0.filter(lcg($"doc_id", 37L) < BenchPermille)
+      .select(explode($"gs").as("bg")).distinct()
+    g0.filter(lcg($"doc_id", 37L) >= BenchPermille)
+      .select($"doc_id", size($"gs").as("n_ngrams"), explode_outer($"gs").as("g"))
+      .join(broadcast(bench), $"g" === $"bg", "left")
+      .groupBy($"doc_id", $"n_ngrams")
+      .agg(count($"bg").as("n_hits"))
+  }
+
+  /** contamination ratio over [[contamHits]]' output columns (0.0 for
+    * gram-less docs, so a `< threshold` filter keeps them). */
+  private[graft] def contamRatioCol: Column =
+    when(col("n_ngrams") > 0, r(col("n_hits").cast("double") / col("n_ngrams"), 6))
+      .otherwise(lit(0.0))
+
+  /** bench/tg/hits CTE block over a CTE `src` with (doc_id, gs) and the
+    * named lcg column — the SQL twin of [[contamHits]]. */
+  private[graft] def contamCtesSql(src: String, lcgCol: String): String =
+    s"""bench AS (SELECT DISTINCT unnest(gs) AS g FROM $src WHERE $lcgCol < $BenchPermille),
+       tg AS (SELECT doc_id, unnest(gs) AS g FROM $src WHERE $lcgCol >= $BenchPermille),
+       hits AS (SELECT t.doc_id, count(b.g) AS n_hits
+                FROM tg t LEFT JOIN bench b ON t.g = b.g GROUP BY t.doc_id)"""
+
+  private[graft] def contamRatioSql(gsLen: String, hits: String): String =
+    s"CASE WHEN $gsLen > 0 THEN ${rSql(s"COALESCE($hits, 0) / $gsLen", 6)} ELSE 0.0 END"
+
+  /** d18's repetition core over a (doc_id, tk) relation: scan-local
+    * duplicate-bigram ratio computed BELOW the explode (generator-hoist
+    * trap, CLAUDE.md invariant 5 — measured 40× redundant array work
+    * otherwise), then explode → (doc, tok) count → per-doc rollup.
+    * Returns (doc_id, n_tokens, dup_bigram_ratio, n_distinct_tokens,
+    * top_cnt) for docs with at least one token. */
+  private[graft] def repetitionStats(s: SparkSession, tk: DataFrame): DataFrame = {
+    import s.implicits._
+    val bg = when(size($"tk") >= 2,
+      expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    tk.filter(size($"tk") > 0)
+      .select($"doc_id", $"tk", bg.as("bg"))
+      .select($"doc_id", $"tk", size($"tk").as("n_tokens"),
+        when(size($"bg") > 0,
+          r(lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg"), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .select($"doc_id", $"n_tokens", $"dup_bigram_ratio", explode($"tk").as("tok"))
+      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio", $"tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio")
+      .agg(count(lit(1)).as("n_distinct_tokens"), max($"c").as("top_cnt"))
+  }
+
+  /** the composite gate over the ROUNDED ratios (both engines flip at
+    * identical boundaries). */
+  private[graft] def repetitiveGate(topRatio: Column, dupRatio: Column): Column =
+    topRatio >= TopTokThreshold || dupRatio >= DupBigramThreshold
+
+  /** bg0/rb/te/cnt CTE block over a CTE `src` with (doc_id, tk) — the SQL
+    * twin of [[repetitionStats]] up to the final rollup (left to the
+    * caller: d18 selects full stats, d23 gates in a HAVING). */
+  private[graft] def repetitionCtesSql(src: String): String =
+    s"""bg0 AS (SELECT doc_id, tk,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+       FROM $src WHERE len(tk) > 0),
+       rb AS (SELECT doc_id, tk,
+         CASE WHEN len(bg) > 0 THEN ${rSql("1.0 - len(list_distinct(bg)) / len(bg)", 6)}
+              ELSE 0.0 END AS dup_bigram_ratio
+       FROM bg0),
+       te AS (SELECT doc_id, len(tk) AS n_tokens, dup_bigram_ratio, unnest(tk) AS tok FROM rb),
+       cnt AS (SELECT doc_id, n_tokens, dup_bigram_ratio, tok, count(*) AS c
+               FROM te GROUP BY doc_id, n_tokens, dup_bigram_ratio, tok)"""
+
+  private[graft] def repetitiveGateSql(topRatio: String, dupRatio: String): String =
+    s"($topRatio) >= $TopTokThreshold OR $dupRatio >= $DupBigramThreshold"
+
+  /** d19's rate derivation: the broadcastable (src, permille) rate table
+    * for a corpus relation with a `source` column — per-source rates from
+    * relative weights at a half-corpus budget, pure BIGINT math. */
+  private[graft] def mixRates(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = when($"source".isin("src0", "src1", "src2"), 300L)
+      .when($"source".isin("src3", "src4"), 200L)
+      .otherwise(25L)
+    val perSrc = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", w)
+    val tot = perSrc.agg(sum($"n_s").as("n_total"), sum($"w").as("sum_w"))
+    perSrc.crossJoin(broadcast(tot))
+      .select($"source".as("src"),
+        least(lit(1000L),
+          expr("((w * n_total) div (2 * sum_w)) * 1000 div n_s")).as("permille"))
+  }
+
+  /** the scan-local acceptance predicate paired with [[mixRates]]. */
+  private[graft] def mixAccept: Column = lcg(col("doc_id"), 101L) < col("permille")
+
+  /** ps/tot/rates CTE block over a relation `src` with a `source` column
+    * — the SQL twin of [[mixRates]]. */
+  private[graft] def mixRatesCtesSql(src: String): String =
+    s"""ps AS (SELECT source, count(*) AS n_s,
+         CASE WHEN source IN ('src0','src1','src2') THEN 300
+              WHEN source IN ('src3','src4') THEN 200
+              ELSE 25 END AS w
+       FROM $src GROUP BY source),
+       tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                      CAST(sum(w) AS BIGINT) AS sum_w FROM ps),
+       rates AS (SELECT source AS src,
+         CAST(least(1000, ((w * n_total) // (2 * sum_w)) * 1000 // n_s) AS BIGINT) AS permille
+       FROM ps CROSS JOIN tot)"""
+
+  /** d20's bounded-shard packing over a (doc_id, lang, n_tok) relation:
+    * (lang, shard-of-100-docs) running token sums → [[PackBudget]]-token
+    * sequence ids → per-sequence rollup, totally ordered. */
+  private[graft] def packSequences(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val win = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", expr("doc_id div 100"))
+      .withColumn("cum", sum($"n_tok").over(win))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $PackBudget"))
+      .groupBy($"lang", $"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"lang", $"shard", $"seq_id")
+  }
+
+  /** the c CTE + final SELECT over a relation `src` with
+    * (doc_id, lang, n_tok) — the SQL twin of [[packSequences]],
+    * terminating the statement (includes the total-order ORDER BY). */
+  private[graft] def packSelectSql(src: String): String =
+    s"""c AS (SELECT doc_id, lang, shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       FROM (SELECT doc_id, lang, n_tok, doc_id // 100 AS shard FROM $src) zp)
+       SELECT lang, shard, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+         min(doc_id) AS first_doc
+       FROM c GROUP BY lang, shard, seq_id
+       ORDER BY lang, shard, seq_id"""
 
   // --- d16: benchmark n-gram decontamination ---------------------------
 
@@ -49,40 +248,23 @@ object Curation {
     * join → per-doc count: linear, no shuffle of raw text. */
   def d16Decontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = when(size($"tk") >= 3,
-      expr("array_distinct(transform(sequence(0, size(tk) - 3), " +
-        "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2])))"))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
     val docs = Tables.documents(s, dir)
       .select($"doc_id", toks(lower($"text")).as("tk"))
-      .select($"doc_id", grams.as("gs"))
-    val bench = docs.filter(lcg($"doc_id", 37L) < BenchPermille)
-      .select(explode($"gs").as("bg")).distinct()
-    docs.filter(lcg($"doc_id", 37L) >= BenchPermille)
-      .select($"doc_id", size($"gs").as("n_ngrams"), explode_outer($"gs").as("g"))
-      .join(broadcast(bench), $"g" === $"bg", "left")
-      .groupBy($"doc_id", $"n_ngrams")
-      .agg(count($"bg").as("n_hits"))
+      .select($"doc_id", gramsCol(3).as("gs"))
+    contamHits(s, docs)
       .select($"doc_id", $"n_ngrams", $"n_hits",
-        when($"n_ngrams" > 0, r($"n_hits".cast("double") / $"n_ngrams", 6))
-          .otherwise(lit(0.0)).as("contam_ratio"))
+        contamRatioCol.as("contam_ratio"))
       .withColumn("contaminated", ($"contam_ratio" >= ContamThreshold).cast("int"))
       .orderBy($"doc_id")
   }
 
   val d16Sql: String = {
-    val ratio = s"CASE WHEN len(tr.gs) > 0 THEN ${rSql("COALESCE(h.n_hits, 0) / len(tr.gs)", 6)} ELSE 0.0 END"
+    val ratio = contamRatioSql("len(tr.gs)", "h.n_hits")
     s"""WITH tk0 AS (SELECT doc_id, ${lcgSql("doc_id", 37L)} AS lcg,
-         CASE WHEN len(tk) >= 3
-              THEN list_distinct(list_transform(range(1, len(tk) - 1),
-                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
-              ELSE CAST([] AS VARCHAR[]) END AS gs
+         ${gramsSql(3)} AS gs
        FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents) z),
-       bench AS (SELECT DISTINCT unnest(gs) AS g FROM tk0 WHERE lcg < $BenchPermille),
-       train AS (SELECT doc_id, gs FROM tk0 WHERE lcg >= $BenchPermille),
-       tg AS (SELECT doc_id, unnest(gs) AS g FROM train),
-       hits AS (SELECT t.doc_id, count(b.g) AS n_hits
-                FROM tg t LEFT JOIN bench b ON t.g = b.g GROUP BY t.doc_id)
+       ${contamCtesSql("tk0", "lcg")},
+       train AS (SELECT doc_id, gs FROM tk0 WHERE lcg >= $BenchPermille)
        SELECT tr.doc_id, len(tr.gs) AS n_ngrams,
          COALESCE(h.n_hits, 0) AS n_hits,
          $ratio AS contam_ratio,
@@ -100,24 +282,14 @@ object Curation {
   /** d17 — PII scrubbing: regex redaction of emails and phone numbers
     * with per-document redaction counts and a fingerprint of the scrubbed
     * text. The synthetic corpus contains no PII, so the query plants it
-    * deterministically first (every 7th doc an email, every 11th a phone
-    * — the SAME construction in both engines), then proves the scrubber
+    * deterministically first ([[dirtyCol]]), then proves the scrubber
     * removed exactly what was planted. Entirely scan-local: zero
     * shuffles, embarrassingly parallel at any scale. */
   def d17PiiScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dirty = concat($"text",
-      when($"doc_id" % 7 === 0,
-        concat(lit(" contact user"), $"doc_id".cast("string"),
-          lit("@mail.example.com now"))).otherwise(lit("")),
-      when($"doc_id" % 11 === 0,
-        concat(lit(" call 555-"), ($"doc_id" % 9000 + 1000).cast("string"),
-          lit("-1234"))).otherwise(lit("")))
-    val clean = regexp_replace(regexp_replace($"dirty", EmailRe, "<EMAIL>"),
-      PhoneRe, "<PHONE>")
     Tables.documents(s, dir)
-      .select($"doc_id", dirty.as("dirty"))
-      .select($"doc_id", $"dirty", clean.as("clean"))
+      .select($"doc_id", dirtyCol.as("dirty"))
+      .select($"doc_id", $"dirty", cleanCol($"dirty").as("clean"))
       .select($"doc_id",
         regexp_count($"dirty", lit(EmailRe)).as("n_emails"),
         regexp_count($"dirty", lit(PhoneRe)).as("n_phones"),
@@ -128,18 +300,8 @@ object Curation {
   }
 
   val d17Sql: String =
-    s"""WITH d AS (SELECT doc_id,
-         text || CASE WHEN doc_id % 7 = 0
-                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
-                      ELSE '' END
-              || CASE WHEN doc_id % 11 = 0
-                      THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234'
-                      ELSE '' END AS dirty
-       FROM documents),
-       sc AS (SELECT doc_id, dirty,
-         regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'),
-                        '$PhoneRe', '<PHONE>', 'g') AS clean
-       FROM d)
+    s"""WITH d AS (SELECT doc_id, $dirtySql AS dirty FROM documents),
+       sc AS (SELECT doc_id, dirty, ${cleanSql("dirty")} AS clean FROM d)
        SELECT doc_id,
          len(regexp_extract_all(dirty, '$EmailRe')) AS n_emails,
          len(regexp_extract_all(dirty, '$PhoneRe')) AS n_phones,
@@ -157,65 +319,31 @@ object Curation {
 
   /** d18 — repetition filtering: per-document repeated-content signals in
     * the style of the Gopher quality rules — most-frequent-token mass,
-    * distinct-token count, and duplicate-bigram fraction — plus the
-    * composite `repetitive` gate. The bigram fraction is scan-local
-    * (array fns); token mass is the d08-proven explode → (doc, tok)
-    * count → per-doc max, every shuffle keyed on uniformly distributed
-    * (doc_id, token) — linear at any corpus size. The gate compares the
-    * ROUNDED ratios so both engines flip at identical boundaries. */
+    * distinct-token count, and duplicate-bigram fraction
+    * ([[repetitionStats]]) — plus the composite `repetitive` gate. Every
+    * shuffle keyed on uniformly distributed (doc_id, token) — linear at
+    * any corpus size. The gate compares the ROUNDED ratios so both
+    * engines flip at identical boundaries. */
   def d18RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bg = when(size($"tk") >= 2,
-      expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-    Tables.documents(s, dir)
-      .select($"doc_id", toks(lower($"text")).as("tk"))
-      .filter(size($"tk") > 0)
-      .select($"doc_id", $"tk", bg.as("bg"))
-      // ratio in its OWN select, below the explode: expressions that share
-      // a select with a generator are hoisted above the Generate and
-      // re-evaluated per OUTPUT row (CLAUDE.md invariant 5) — measured
-      // 40× redundant array_distinct work on this corpus
-      .select($"doc_id", $"tk", size($"tk").as("n_tokens"),
-        when(size($"bg") > 0,
-          r(lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg"), 6))
-          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
-      .select($"doc_id", $"n_tokens", $"dup_bigram_ratio", explode($"tk").as("tok"))
-      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio", $"tok")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio")
-      .agg(count(lit(1)).as("n_distinct_tokens"), max($"c").as("top_cnt"))
+    repetitionStats(s, Tables.documents(s, dir)
+      .select($"doc_id", toks(lower($"text")).as("tk")))
       .select($"doc_id", $"n_tokens", $"n_distinct_tokens",
         r($"top_cnt".cast("double") / $"n_tokens", 6).as("top_token_ratio"),
         $"dup_bigram_ratio")
       .withColumn("repetitive",
-        ($"top_token_ratio" >= TopTokThreshold ||
-          $"dup_bigram_ratio" >= DupBigramThreshold).cast("int"))
+        repetitiveGate($"top_token_ratio", $"dup_bigram_ratio").cast("int"))
       .orderBy($"doc_id")
   }
 
   val d18Sql: String = {
     val topRatio = rSql("max(c) / n_tokens", 6)
-    s"""WITH tk0 AS (SELECT doc_id, tk
-         FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents) z
-         WHERE len(tk) > 0),
-       bg0 AS (SELECT doc_id, tk,
-         CASE WHEN len(tk) >= 2
-              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
-              ELSE CAST([] AS VARCHAR[]) END AS bg
-       FROM tk0),
-       base AS (SELECT doc_id, tk,
-         CASE WHEN len(bg) > 0 THEN ${rSql("1.0 - len(list_distinct(bg)) / len(bg)", 6)}
-              ELSE 0.0 END AS dup_bigram_ratio
-       FROM bg0),
-       te AS (SELECT doc_id, len(tk) AS n_tokens, dup_bigram_ratio, unnest(tk) AS tok FROM base),
-       cnt AS (SELECT doc_id, n_tokens, dup_bigram_ratio, tok, count(*) AS c
-               FROM te GROUP BY doc_id, n_tokens, dup_bigram_ratio, tok)
+    s"""WITH tk0 AS (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents),
+       ${repetitionCtesSql("tk0")}
        SELECT doc_id, n_tokens, count(*) AS n_distinct_tokens,
          $topRatio AS top_token_ratio,
          dup_bigram_ratio,
-         CAST(($topRatio) >= $TopTokThreshold
-              OR dup_bigram_ratio >= $DupBigramThreshold AS INTEGER) AS repetitive
+         CAST((${repetitiveGateSql(topRatio, "dup_bigram_ratio")}) AS INTEGER) AS repetitive
        FROM cnt GROUP BY doc_id, n_tokens, dup_bigram_ratio
        ORDER BY doc_id"""
   }
@@ -227,40 +355,22 @@ object Curation {
     * down-sampled) at a half-corpus token budget — the "data mixing" step
     * that turns a crawled pile into a training distribution. Per-source
     * rates are derived IN-PLAN from relative weights in pure BIGINT math
-    * (`target_s = w_s·N / 2Σw`, rate = min(1000‰, 1000·target/n_s)); the
-    * rate table is source-cardinality-sized and broadcast, the acceptance
-    * test is the scan-local LCG — so the big side never shuffles and the
-    * sample is byte-reproducible at any scale. */
+    * (`target_s = w_s·N / 2Σw`, rate = min(1000‰, 1000·target/n_s),
+    * [[mixRates]]); the rate table is source-cardinality-sized and
+    * broadcast, the acceptance test is the scan-local LCG — so the big
+    * side never shuffles and the sample is byte-reproducible at any
+    * scale. */
   def d19DomainMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = when($"source".isin("src0", "src1", "src2"), 300L)
-      .when($"source".isin("src3", "src4"), 200L)
-      .otherwise(25L)
     val docs = Tables.documents(s, dir)
-    val perSrc = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
-      .withColumn("w", w)
-    val tot = perSrc.agg(sum($"n_s").as("n_total"), sum($"w").as("sum_w"))
-    val rates = perSrc.crossJoin(broadcast(tot))
-      .select($"source".as("src"),
-        least(lit(1000L),
-          expr("((w * n_total) div (2 * sum_w)) * 1000 div n_s")).as("permille"))
-    docs.join(broadcast(rates), $"source" === $"src")
-      .filter(lcg($"doc_id", 101L) < $"permille")
+    docs.join(broadcast(mixRates(s, docs)), $"source" === $"src")
+      .filter(mixAccept)
       .select($"doc_id", $"source", $"lang", $"permille")
       .orderBy($"doc_id")
   }
 
   val d19Sql: String =
-    s"""WITH ps AS (SELECT source, count(*) AS n_s,
-         CASE WHEN source IN ('src0','src1','src2') THEN 300
-              WHEN source IN ('src3','src4') THEN 200
-              ELSE 25 END AS w
-       FROM documents GROUP BY source),
-       tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
-                      CAST(sum(w) AS BIGINT) AS sum_w FROM ps),
-       rates AS (SELECT source AS src,
-         CAST(least(1000, ((w * n_total) // (2 * sum_w)) * 1000 // n_s) AS BIGINT) AS permille
-       FROM ps CROSS JOIN tot)
+    s"""WITH ${mixRatesCtesSql("documents")}
        SELECT doc_id, source, lang, permille
        FROM documents d JOIN rates r ON d.source = r.src
        WHERE ${lcgSql("doc_id", 101L)} < permille
@@ -273,40 +383,22 @@ object Curation {
   /** d20 — sequence packing: stream documents (deterministic doc_id
     * order) into fixed 512-token training sequences, concat-and-chunk
     * style — a document starts in the sequence its running token count
-    * falls in. Packing is per (lang, shard-of-100-docs) so the cumulative
-    * window never sees an unbounded partition: at 100 TB each shard packs
-    * locally (bounded waste at shard edges), which is exactly how
-    * distributed packing is done — a single global running sum would
-    * serialize the corpus through one task. Pure integer math throughout.
-    */
+    * falls in ([[packSequences]]). Packing is per (lang, shard-of-100-
+    * docs) so the cumulative window never sees an unbounded partition: at
+    * 100 TB each shard packs locally (bounded waste at shard edges),
+    * which is exactly how distributed packing is done — a single global
+    * running sum would serialize the corpus through one task. Pure
+    * integer math throughout. */
   def d20SeqPacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val win = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
-      .select($"doc_id", $"lang", size(toks($"text")).as("n_tok"))
-      .withColumn("shard", expr("doc_id div 100"))
-      .withColumn("cum", sum($"n_tok").over(win))
-      .withColumn("seq_id", expr(s"(cum - n_tok) div $PackBudget"))
-      .groupBy($"lang", $"shard", $"seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
-        min($"doc_id").as("first_doc"))
-      .orderBy($"lang", $"shard", $"seq_id")
+    packSequences(s, Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(toks($"text")).as("n_tok")))
   }
 
   val d20Sql: String =
-    s"""WITH t AS (SELECT doc_id, lang, len(${toksSql("text")}) AS n_tok,
-         doc_id // 100 AS shard
+    s"""WITH t AS (SELECT doc_id, lang, len(${toksSql("text")}) AS n_tok
        FROM documents),
-       c AS (SELECT doc_id, lang, shard, n_tok,
-         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-       FROM t)
-       SELECT lang, shard, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id,
-         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
-         min(doc_id) AS first_doc
-       FROM c GROUP BY lang, shard, seq_id
-       ORDER BY lang, shard, seq_id"""
+       ${packSelectSql("t")}"""
 
   // --- d22: the dataset card — one-row corpus summary ---------------------
 
@@ -363,172 +455,73 @@ object Curation {
 
   /** d23 — the new-family composition, d13's sibling: PII scrub (d17's
     * plant-then-scrub, so the scrubber is provably in the path) →
-    * benchmark decontamination (d16's trigram-overlap gate; benchmark
-    * members themselves excluded from training) → repetition gate (d18's
+    * benchmark decontamination (d16's gate at n=5; benchmark members
+    * themselves excluded from training) → repetition gate (d18's
     * rounded-ratio rules) → target-mixture resampling over the SURVIVORS
     * (d19's BIGINT rates) → fixed-budget sequence packing (d20) — one
     * oracle-checked query emitting the packed training sequences of the
-    * curated, rebalanced corpus. The tokenized-clean-corpus cache feeds
-    * every stage and is freed in-query via the d13 localCheckpoint
-    * pattern; every stage keeps its standalone query's plan shape, so the
-    * composition inherits their scale stories unchanged. */
+    * curated, rebalanced corpus. Every stage is the SHARED builder the
+    * standalone query uses ([[contamHits]], [[repetitionStats]],
+    * [[mixRates]], [[packSequences]]), so the composition inherits their
+    * semantics and scale stories by construction. The tokenized-clean-
+    * corpus cache feeds every stage and is freed in-query via the d13
+    * localCheckpoint pattern.
+    *
+    * Why n=5 grams (vs d16's trigrams): on this ~30-word vocabulary the
+    * trigram space saturates as the benchmark grows (measured at sf0.1:
+    * 98 % of the corpus falsely flagged) — exactly why production
+    * decontamination uses long n-grams; 5-grams keep the false-hit rate
+    * negligible at every test scale. */
   def d23CurationPacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dirty = concat($"text",
-      when($"doc_id" % 7 === 0,
-        concat(lit(" contact user"), $"doc_id".cast("string"),
-          lit("@mail.example.com now"))).otherwise(lit("")),
-      when($"doc_id" % 11 === 0,
-        concat(lit(" call 555-"), ($"doc_id" % 9000 + 1000).cast("string"),
-          lit("-1234"))).otherwise(lit("")))
-    val clean = regexp_replace(regexp_replace($"dirty", EmailRe, "<EMAIL>"),
-      PhoneRe, "<PHONE>")
     val tk = Tables.documents(s, dir)
       .filter(length($"text") > 0)
-      .select($"doc_id", $"lang", $"source", dirty.as("dirty"))
-      .select($"doc_id", $"lang", $"source", toks(lower(clean)).as("tk"))
+      .select($"doc_id", $"lang", $"source", dirtyCol.as("dirty"))
+      .select($"doc_id", $"lang", $"source", toks(lower(cleanCol($"dirty"))).as("tk"))
       .cache() // feeds decontamination (both sides), repetition, mix, pack
-    // decontamination gate (d16's construction at n=5): longer n-grams
-    // than d16's deliberately-overlapping trigrams — on this ~30-word
-    // vocabulary the trigram space saturates as the benchmark grows
-    // (measured at sf0.1: 98 % of the corpus falsely flagged), which is
-    // exactly why production decontamination uses long n-grams; 5-grams
-    // keep the false-hit rate negligible at every test scale
-    val grams = when(size($"tk") >= 5,
-      expr("array_distinct(transform(sequence(0, size(tk) - 5), " +
-        "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2], ' ', tk[i + 3], ' ', tk[i + 4])))"))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-    val g0 = tk.select($"doc_id", grams.as("gs"))
-    val bench = g0.filter(lcg($"doc_id", 37L) < BenchPermille)
-      .select(explode($"gs").as("bg")).distinct()
-    val decontam = g0.filter(lcg($"doc_id", 37L) >= BenchPermille)
-      .select($"doc_id", size($"gs").as("n_ngrams"), explode_outer($"gs").as("g"))
-      .join(broadcast(bench), $"g" === $"bg", "left")
-      .groupBy($"doc_id", $"n_ngrams")
-      .agg(count($"bg").as("n_hits"))
-      .filter($"n_ngrams" === 0 ||
-        r($"n_hits".cast("double") / $"n_ngrams", 6) < ContamThreshold)
+    val decontam = contamHits(s, tk.select($"doc_id", gramsCol(5).as("gs")))
+      .filter(contamRatioCol < ContamThreshold)
       .select($"doc_id")
-    // repetition gate (d18): keep docs below both rounded-ratio rules
-    val bg = when(size($"tk") >= 2,
-      expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-    val calm = tk.filter(size($"tk") > 0)
-      .select($"doc_id", $"tk", bg.as("bg"))
-      .select($"doc_id", $"tk", size($"tk").as("n_tokens"),
-        when(size($"bg") > 0,
-          r(lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg"), 6))
-          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
-      .select($"doc_id", $"n_tokens", $"dup_bigram_ratio", explode($"tk").as("tok"))
-      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio", $"tok")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id", $"n_tokens", $"dup_bigram_ratio")
-      .agg(max($"c").as("top_cnt"))
-      .filter(!(r($"top_cnt".cast("double") / $"n_tokens", 6) >= TopTokThreshold ||
-        $"dup_bigram_ratio" >= DupBigramThreshold))
+    val calm = repetitionStats(s, tk.select($"doc_id", $"tk"))
+      .filter(!repetitiveGate(
+        r($"top_cnt".cast("double") / $"n_tokens", 6), $"dup_bigram_ratio"))
       .select($"doc_id")
     val surv = tk
       .join(decontam, Seq("doc_id"), "left_semi")
       .join(calm, Seq("doc_id"), "left_semi")
-    // mixture resampling (d19) over the survivors
-    val w = when($"source".isin("src0", "src1", "src2"), 300L)
-      .when($"source".isin("src3", "src4"), 200L)
-      .otherwise(25L)
-    val perSrc = surv.groupBy($"source").agg(count(lit(1)).as("n_s"))
-      .withColumn("w", w)
-    val tot = perSrc.agg(sum($"n_s").as("n_total"), sum($"w").as("sum_w"))
-    val rates = perSrc.crossJoin(broadcast(tot))
-      .select($"source".as("src"),
-        least(lit(1000L),
-          expr("((w * n_total) div (2 * sum_w)) * 1000 div n_s")).as("permille"))
-    val mixed = surv.join(broadcast(rates), $"source" === $"src")
-      .filter(lcg($"doc_id", 101L) < $"permille")
-    // sequence packing (d20) of the curated, rebalanced corpus
-    val win = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = mixed
-      .select($"doc_id", $"lang", size($"tk").as("n_tok"))
-      .withColumn("shard", expr("doc_id div 100"))
-      .withColumn("cum", sum($"n_tok").over(win))
-      .withColumn("seq_id", expr(s"(cum - n_tok) div $PackBudget"))
-      .groupBy($"lang", $"shard", $"seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
-        min($"doc_id").as("first_doc"))
-      .orderBy($"lang", $"shard", $"seq_id")
+    val mixed = surv.join(broadcast(mixRates(s, surv)), $"source" === $"src")
+      .filter(mixAccept)
+    val out = packSequences(s, mixed
+      .select($"doc_id", $"lang", size($"tk").as("n_tok")))
       // eager snapshot so the token cache can be freed inside the query
       .localCheckpoint(true)
     tk.unpersist(blocking = false)
     out
   }
 
-  val d23Sql: String = {
-    val ratio = s"${rSql("COALESCE(h.n_hits, 0) / len(g0.gs)", 6)}"
-    s"""WITH d0 AS (SELECT doc_id, lang, source,
-         text || CASE WHEN doc_id % 7 = 0
-                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
-                      ELSE '' END
-              || CASE WHEN doc_id % 11 = 0
-                      THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-1234'
-                      ELSE '' END AS dirty
+  val d23Sql: String =
+    s"""WITH d0 AS (SELECT doc_id, lang, source, $dirtySql AS dirty
        FROM documents WHERE length(text) > 0),
        tk0 AS (SELECT doc_id, lang, source,
-         ${toksSql(s"lower(regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'))")} AS tk,
+         ${toksSql(s"lower(${cleanSql("dirty")})")} AS tk,
          ${lcgSql("doc_id", 37L)} AS lcg37
        FROM d0),
-       g0 AS (SELECT doc_id, lcg37,
-         CASE WHEN len(tk) >= 5
-              THEN list_distinct(list_transform(range(1, len(tk) - 3),
-                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4]))
-              ELSE CAST([] AS VARCHAR[]) END AS gs
-       FROM tk0),
-       bench AS (SELECT DISTINCT unnest(gs) AS g FROM g0 WHERE lcg37 < $BenchPermille),
-       tg AS (SELECT doc_id, unnest(gs) AS g FROM g0 WHERE lcg37 >= $BenchPermille),
-       hits AS (SELECT t.doc_id, count(b.g) AS n_hits
-                FROM tg t LEFT JOIN bench b ON t.g = b.g GROUP BY t.doc_id),
+       g0 AS (SELECT doc_id, lcg37, ${gramsSql(5)} AS gs FROM tk0),
+       ${contamCtesSql("g0", "lcg37")},
        keep1 AS (SELECT g0.doc_id FROM g0 LEFT JOIN hits h ON g0.doc_id = h.doc_id
                  WHERE lcg37 >= $BenchPermille
-                   AND (len(g0.gs) = 0 OR $ratio < $ContamThreshold)),
-       bg0 AS (SELECT doc_id, tk,
-         CASE WHEN len(tk) >= 2
-              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
-              ELSE CAST([] AS VARCHAR[]) END AS bg
-       FROM tk0 WHERE len(tk) > 0),
-       rb AS (SELECT doc_id, tk,
-         CASE WHEN len(bg) > 0 THEN ${rSql("1.0 - len(list_distinct(bg)) / len(bg)", 6)}
-              ELSE 0.0 END AS dup_bigram_ratio
-       FROM bg0),
-       te AS (SELECT doc_id, len(tk) AS n_tokens, dup_bigram_ratio, unnest(tk) AS tok FROM rb),
-       cnt AS (SELECT doc_id, n_tokens, dup_bigram_ratio, tok, count(*) AS c
-               FROM te GROUP BY doc_id, n_tokens, dup_bigram_ratio, tok),
+                   AND (${contamRatioSql("len(g0.gs)", "h.n_hits")}) < $ContamThreshold),
+       ${repetitionCtesSql("tk0")},
        keep2 AS (SELECT doc_id FROM cnt GROUP BY doc_id, n_tokens, dup_bigram_ratio
-                 HAVING NOT (${rSql("max(c) / n_tokens", 6)} >= $TopTokThreshold
-                             OR dup_bigram_ratio >= $DupBigramThreshold)),
+                 HAVING NOT (${repetitiveGateSql(rSql("max(c) / n_tokens", 6), "dup_bigram_ratio")})),
        surv AS (SELECT tk0.* FROM tk0
                 JOIN keep1 ON tk0.doc_id = keep1.doc_id
                 JOIN keep2 ON tk0.doc_id = keep2.doc_id),
-       ps AS (SELECT source, count(*) AS n_s,
-           CASE WHEN source IN ('src0','src1','src2') THEN 300
-                WHEN source IN ('src3','src4') THEN 200
-                ELSE 25 END AS w
-         FROM surv GROUP BY source),
-       tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
-                      CAST(sum(w) AS BIGINT) AS sum_w FROM ps),
-       rates AS (SELECT source AS src,
-           CAST(least(1000, ((w * n_total) // (2 * sum_w)) * 1000 // n_s) AS BIGINT) AS permille
-         FROM ps CROSS JOIN tot),
-       mixed AS (SELECT doc_id, lang, len(tk) AS n_tok, doc_id // 100 AS shard
+       ${mixRatesCtesSql("surv")},
+       mixed AS (SELECT doc_id, lang, len(tk) AS n_tok
                  FROM surv JOIN rates ON surv.source = rates.src
                  WHERE ${lcgSql("doc_id", 101L)} < permille),
-       c AS (SELECT doc_id, lang, shard, n_tok,
-         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-       FROM mixed)
-       SELECT lang, shard, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id,
-         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
-         min(doc_id) AS first_doc
-       FROM c GROUP BY lang, shard, seq_id
-       ORDER BY lang, shard, seq_id"""
-  }
+       ${packSelectSql("mixed")}"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_curation_packing" -> (d23CurationPacking _),
