@@ -123,11 +123,18 @@ object Telemetry {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
-      .agg(count(lit(1)).as("n_events"),
-        ravg($"value", 4).as("avg_value"),
-        rsum($"value", 2).as("sum_value"))
+      .agg(rollupAggs.head, rollupAggs.tail: _*)
       .orderBy($"event_type", $"hour")
   }
+
+  /** t02's aggregate list, shared with the streaming twin
+    * (`StreamOps.hourlyRollup`): the decimal sum/avg policy makes the
+    * result independent of summation order, which is what lets a
+    * micro-batched replay reproduce the batch rollup bit-for-bit. */
+  private[graft] def rollupAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_events"),
+    ravg(col("value"), 4).as("avg_value"),
+    rsum(col("value"), 2).as("sum_value"))
 
   val t02Sql: String =
     s"""SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -258,12 +265,19 @@ object Telemetry {
       .withColumn("session_id",
         sum($"gap").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_id")
-      .agg(count(lit(1)).as("n_events"),
-        min($"ts").as("session_start"),
-        max($"ts").as("session_end"),
-        floor(max($"ts").cast("double") - min($"ts").cast("double")).cast("long").as("duration_s"))
+      .agg(sessionAggs.head, sessionAggs.tail: _*)
       .orderBy($"user_id", $"session_id")
   }
+
+  /** t08's per-session aggregate list, shared with the streaming twin
+    * (`StreamOps.sessionizeEvents`) so both layers summarize a session
+    * identically. */
+  private[graft] def sessionAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_events"),
+    min(col("ts")).as("session_start"),
+    max(col("ts")).as("session_end"),
+    floor(max(col("ts")).cast("double") - min(col("ts")).cast("double"))
+      .cast("long").as("duration_s"))
 
   val t08Sql: String =
     """WITH g AS (

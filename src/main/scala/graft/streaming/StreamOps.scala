@@ -16,6 +16,11 @@ case class Scored(machineId: String, ts: java.sql.Timestamp, severity: String)
 case class Transition(machineId: String, ts: java.sql.Timestamp,
   severity: String, previous: String)
 
+/** One event-stream record, shaped like the `events` table — the payload
+  * of the latest-per-key compactor (t03's streaming twin). */
+case class EventRec(user_id: Long, event_type: String, ts: java.sql.Timestamp,
+  event_id: Long, value: Double)
+
 /** Per-key HyperLogLog state carried by the streaming distinct sketch:
   * 256 registers + the raw row count. */
 case class HllState(regs: Array[Byte], n: Long)
@@ -139,6 +144,66 @@ object StreamOps {
     df.withWatermark("ts", "10 minutes")
       .groupBy(col("machineId"), session_window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n"))
+
+  // --- replay twins: the streaming differential ------------------------
+  // Each operator below is the streaming form of an oracle-checked batch
+  // query (t02/t08/t03), built from the SAME shared aggregate builders, so
+  // StreamReplaySpec can replay the events table through it in
+  // micro-batches and assert the output is bit-identical to the batch
+  // answer — extending the DuckDB differential to the streaming layer.
+
+  /** t02's streaming twin — event-time 1-hour tumbling rollup per
+    * event_type. The shared decimal aggregate policy
+    * (`Telemetry.rollupAggs`) makes the result independent of summation
+    * order, so ANY micro-batching of the stream reproduces the batch
+    * rollup bit-for-bit (double sums would drift in the last ulp).
+    * Complete mode: windowed state merges across batches; for 1-hour
+    * windows `window.start ≡ date_trunc('hour', ts)`, the batch grouping
+    * key. */
+  def hourlyRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(graft.operators.Telemetry.rollupAggs.head,
+        graft.operators.Telemetry.rollupAggs.tail: _*)
+      .select(col("event_type"), col("window.start").as("hour"),
+        col("n_events"), col("avg_value"), col("sum_value"))
+
+  /** t08's streaming twin — 4-hour-gap sessionization as session windows
+    * over user_id, with t08's shared per-session aggregates
+    * (`Telemetry.sessionAggs`). Append mode + watermark: a session closes
+    * (and is emitted exactly once) when the watermark passes its end —
+    * sessions whose events straddle micro-batches merge in state first.
+    * Boundary semantics match the batch rule (`gap > 14400 s` starts a
+    * new session) because session windows are half-open: an event exactly
+    * 4 h after the previous one does NOT overlap its window. */
+  def sessionizeEvents(df: DataFrame, delay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(graft.operators.Telemetry.sessionAggs.head,
+        graft.operators.Telemetry.sessionAggs.tail: _*)
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("n_events"), col("session_start"), col("session_end"),
+        col("duration_s"))
+
+  /** t03's streaming twin — lake compaction as a stateful running
+    * maximum: per (user_id, event_type) keep the latest event (ties by
+    * event_id, the batch tie-break), emitting the refreshed champion each
+    * micro-batch (Update mode). State is ONE row per key — bounded by key
+    * cardinality, not stream length — and partitions across executors
+    * with the groupByKey shuffle, which is the 100 TB story: a
+    * continuously-compacted latest-view over any number of machines. */
+  def latestPerKey(ds: Dataset[EventRec]): Dataset[EventRec] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[EventRec, EventRec](GroupStateTimeout.NoTimeout()) {
+        (_, rows: Iterator[EventRec], state: GroupState[EventRec]) =>
+          val best = (state.getOption.iterator ++ rows).reduce { (a, b) =>
+            val c = a.ts.compareTo(b.ts) // Timestamp.compareTo is nanos-exact
+            if (c > 0 || (c == 0 && a.event_id >= b.event_id)) a else b
+          }
+          state.update(best)
+          best
+      }
+  }
 
   /** stateful alert suppression: emit only severity transitions per
     * machine (consecutive identical severities are suppressed). */

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Telemetry
+import graft.streaming.{EventRec, StreamOps}
+
+/** The streaming differential: replay the REAL events table through the
+  * stateful streaming operators in micro-batches and assert the output is
+  * bit-identical to the oracle-checked batch twins (t02 hourly rollup,
+  * t08 sessionization, t03 latest-per-key — all green in the DuckDB
+  * differential). This extends the engine's strongest verification tool
+  * to the streaming layer: if the streaming state machinery (window
+  * merge, session merge, GroupState carry) dropped, duplicated, or
+  * mis-merged anything across batch boundaries, the row sets would
+  * diverge and the string-level comparison here would fail loudly.
+  *
+  * Every test feeds 8 micro-batches (ts-ordered slices of the table), so
+  * windows, sessions, and per-key champions MUST carry state across
+  * batches — each test asserts that precondition explicitly before
+  * comparing. */
+class StreamReplaySpec extends GraftSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** events at sf0.001 as ts-ordered records, sliced into n micro-batches. */
+  private lazy val recs: Seq[EventRec] = {
+    import spark.implicits._
+    Tables.events(spark, sfTiny)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      .as[EventRec].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+  }
+  private lazy val slices: Seq[Seq[EventRec]] = {
+    val k = math.ceil(recs.size / 8.0).toInt
+    recs.grouped(k).toSeq
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("replayed hourlyRollup is bit-identical to the oracle-green t02 batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // round-robin slicing: at ~1.15 events per (event_type, hour) group in
+    // this table, contiguous ts-slices rarely split a group — interleaving
+    // guarantees groups span batches AND arrive out of event-time order,
+    // both of which Complete-mode windowed state must absorb
+    val rr = recs.zipWithIndex.groupBy(_._2 % 8).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val hourOf = (e: EventRec) => (e.event_type, e.ts.getTime / 3600000L)
+    val slicesPerGroup = rr.zipWithIndex
+      .flatMap { case (s, i) => s.map(hourOf).distinct.map(g => (g, i)) }
+      .groupBy(_._1).map(_._2.map(_._2).distinct.size)
+    assert(slicesPerGroup.exists(_ >= 2),
+      "slicing must split at least one hour-group across batches")
+
+    val in = MemoryStream[EventRec]
+    val out = tmp("graft-replay-rollup")
+    // foreachBatch parquet sink, Complete mode: every trigger overwrites
+    // with the full refreshed state; the final file set IS the rollup —
+    // the same parquet-dump shape the Verify differential reads
+    val q = StreamOps.hourlyRollup(in.toDF()).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .outputMode("complete").start()
+    try {
+      rr.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select($"event_type", $"hour", $"n_events", $"avg_value", $"sum_value")
+    val batch = Telemetry.t02HourlyRollup(spark, sfTiny)
+    assert(canon(streamed) == canon(batch),
+      "micro-batched streaming rollup must equal the batch rollup bit-for-bit")
+  }
+
+  test("replayed sessionizeEvents equals the oracle-green t08 batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batch = Telemetry.t08Sessionize(spark, sfTiny)
+    val batchRows = batch.collect()
+    // precondition: at least one session straddles a micro-batch cut, so
+    // session-window state must merge across batches
+    val cuts = slices.init.map(_.last.ts)
+    val straddling = batchRows.count { r =>
+      val start = r.getAs[Timestamp]("session_start")
+      val end = r.getAs[Timestamp]("session_end")
+      cuts.exists(c => start.compareTo(c) <= 0 && end.compareTo(c) > 0)
+    }
+    assert(straddling > 0, "slicing must split at least one session across batches")
+
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.sessionizeEvents(in.toDF()).writeStream
+      .format("memory").queryName("replay_sessions").outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      // Append mode emits a session only once the watermark passes its
+      // close; two far-future sentinel batches advance the watermark past
+      // every real session (watermark is computed from the PREVIOUS
+      // batch's max event time, hence two)
+      val maxTs = recs.last.ts.getTime
+      Seq(6, 7).foreach { h =>
+        in.addData(EventRec(-1L, "zz_sentinel",
+          new Timestamp(maxTs + h * 3600 * 1000L), -1L, 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("replay_sessions")
+      .filter($"user_id" >= 0)
+      .withColumn("session_id", row_number()
+        .over(Window.partitionBy($"user_id").orderBy($"w_start")).cast("long"))
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start", $"session_end", $"duration_s")
+    assert(canon(streamed) == canon(batch),
+      "replayed session windows must equal the batch sessionization")
+  }
+
+  test("replayed latestPerKey converges to the oracle-green t03 batch compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.latestPerKey(in.toDS()).writeStream
+      .format("memory").queryName("replay_latest").outputMode("update").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val emitted = spark.table("replay_latest").as[EventRec].collect().toSeq
+    // precondition: some key's champion was refreshed across batches (the
+    // GroupState genuinely carried and updated)
+    val refreshed = emitted.groupBy(e => (e.user_id, e.event_type))
+      .count(_._2.map(_.event_id).distinct.size >= 2)
+    assert(refreshed > 0, "at least one key must update its champion across batches")
+
+    // the final champion per key = the max emission per key (each emission
+    // is the running latest, so emissions are monotone per key)
+    val ord = Ordering.fromLessThan[EventRec] { (a, b) =>
+      val c = a.ts.compareTo(b.ts)
+      c < 0 || (c == 0 && a.event_id < b.event_id)
+    }
+    val finals = emitted.groupBy(e => (e.user_id, e.event_type))
+      .values.map(_.max(ord)).toSeq
+    val streamed = finals.toDF()
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+    val batch = Telemetry.t03LatestPerKey(spark, sfTiny)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+    assert(canon(streamed) == canon(batch),
+      "streaming compaction state must converge to the batch latest-per-key")
+  }
+}
