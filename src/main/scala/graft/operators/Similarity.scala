@@ -40,7 +40,18 @@ object Similarity {
   private[graft] val QueryBudget = 256
 
   private val NList = 16
-  private val NProbe = 4
+  private val NProbe = 8
+
+  /** e03's multiprobe mask set: the identity probe, all 6 single-bit
+    * flips, and all 15 two-bit flips — radius-2 multiprobe over the 6-bit
+    * bucket space (22 probe rows per (query, table)). Near-misses on one
+    * or two hyperplanes are the dominant false-negative modes; probing
+    * them costs probe rows, not another hash table. Shared by the Column
+    * and SQL forms so the probe sets match bit for bit. */
+  private[graft] val ProbeMasks: Seq[Long] =
+    (0L +: (0 until 6).map(k => 1L << k)) ++ (for {
+      a <- 0 until 6; b <- a + 1 until 6
+    } yield (1L << a) | (1L << b))
 
   /** corpus with vectors as array<double> + precomputed L2 norm. Dot
     * products run through the native codegen'd [[VectorExpressions.dot]]
@@ -217,16 +228,16 @@ object Similarity {
         VectorExpressions.lshSig($"v", 6 * t, 6 * t + 5)): _*))
       .cache()
     val buckets = c.select($"vec_id", posexplode($"bkts").as(Seq("tbl", "bucket")))
-    // multiprobe radius 1: each query also probes the 6 buckets one
-    // bit-flip away in every table — near-misses on a single hyperplane
-    // are the dominant false-negative mode, and 7 probe rows per
-    // (query, table) cost nothing next to another full hash table
+    // radius-2 multiprobe ([[ProbeMasks]]): each query probes its own
+    // bucket plus every bucket one or two bit-flips away in every table
     // (measured recall@5 at sf0.01: 0.12 single-table → 0.24 with L=3 →
-    // 0.56 with multiprobe — ahead of e05's IVF)
+    // 0.56 with radius-1 → see e08 for the radius-2 number); 22 probe
+    // rows per (query, table) still cost nothing next to another full
+    // hash table
     val qb = buckets.join(broadcast(queryIds(c)), "vec_id")
       .select($"tbl".as("qt"), $"vec_id".as("query_id"),
-        explode(array($"bucket" +: (0 until 6).map(k =>
-          $"bucket".bitwiseXOR(lit(1L << k))): _*)).as("qb"))
+        explode(array(ProbeMasks.map(m =>
+          $"bucket".bitwiseXOR(lit(m))): _*)).as("qb"))
     val cands = qb.join(buckets,
         $"qt" === $"tbl" && $"qb" === $"bucket" && $"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))
@@ -254,9 +265,8 @@ object Similarity {
        lshq AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
          ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
        qb AS (SELECT vec_id AS query_id, tbl AS qt,
-           unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
-                   xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT),
-                   xor(bucket, 16::BIGINT), xor(bucket, 32::BIGINT)]) AS qbk
+           unnest([${ProbeMasks.map(m => if (m == 0L) "bucket"
+      else s"xor(bucket, $m::BIGINT)").mkString(", ")}]) AS qbk
          FROM bkt WHERE vec_id IN (SELECT vec_id FROM lshq)),
        cnd AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id
          FROM qb JOIN bkt b
@@ -296,11 +306,20 @@ object Similarity {
     // best 1 for corpus rows (classic IVF assignment)
     val scored = c.join(broadcast(cents))
       .withColumn("ccos", VectorExpressions.dot($"v", $"cv") / ($"nrm" * $"cnrm"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
+    // full-corpus argmin by AGGREGATE, not a window (e07's shape): the
+    // lexicographic max(struct) gets map-side partial aggregation, so the
+    // exchange carries ≤ n pre-combined rows instead of the NList×n a
+    // row_number window would shuffle; (ccos, −cid) reproduces the
+    // (ccos DESC, cid ASC) tie-break and v/nrm ride in never-compared
+    // tail positions (cid is unique within a group)
     val assigned = scored
-      .withColumn("crank", row_number().over(wAssign))
-      .filter($"crank" === 1)
-      .select($"cid", $"vec_id".as("neighbor_id"), $"v".as("cv2"), $"nrm".as("cnrm2"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"), $"v", $"nrm")).as("b"))
+      .select((-$"b.ncid").cast("int").as("cid"), $"vec_id".as("neighbor_id"),
+        $"b.v".as("cv2"), $"b.nrm".as("cnrm2"))
+    // the probe side ranks AFTER the broadcast query-id join, so this
+    // window only ever sees QueryBudget×NList rows — bounded at any scale
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
     val probes = scored
       .join(broadcast(queryIds(c)), "vec_id")
       .withColumn("crank", row_number().over(wAssign))
@@ -494,11 +513,15 @@ object Similarity {
       .select($"cid", $"v".as("cv"), $"nrm".as("cnrm"))
     val scored = c.join(broadcast(cents))
       .withColumn("ccos", VectorExpressions.dot($"v", $"cv") / ($"nrm" * $"cnrm"))
+    // full-corpus argmin by aggregate (see e05): map-side combine, ≤ n-row
+    // exchange; the probe window ranks only the broadcast-joined queries
+    val assigned = scored
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("b"))
+      .select((-$"b.ncid").cast("int").as("cid"), $"vec_id".as("neighbor_id"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
-    val ranked = scored.withColumn("crank", row_number().over(wAssign))
-    val assigned = ranked.filter($"crank" === 1)
-      .select($"cid", $"vec_id".as("neighbor_id"))
-    val probes = ranked.join(broadcast(queryIds(c)), "vec_id")
+    val probes = scored.join(broadcast(queryIds(c)), "vec_id")
+      .withColumn("crank", row_number().over(wAssign))
       .filter($"crank" <= NProbe)
       .select($"cid", $"vec_id".as("query_id"))
     // per-query ADC lookup table: distance from the query's j-th sub-space
@@ -750,16 +773,17 @@ object Similarity {
 
   /** One Lloyd assignment: nearest centroid per vector (tie-break by cid —
     * deterministic because the distances are bit-identical by
-    * construction). Broadcast centroids, scan-local distances, one window
-    * shuffle on vec_id. */
-  private def kmAssign(c: DataFrame, cents: DataFrame): DataFrame = {
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
+    * construction). Broadcast centroids, scan-local distances, then an
+    * argmin AGGREGATE (min(struct(dist, cid, v)) — e07's shape): map-side
+    * partial aggregation pre-combines per partition, so each Lloyd round
+    * exchanges ≤ n rows instead of the K×n a row_number window would. */
+  private def kmAssign(c: DataFrame, cents: DataFrame): DataFrame =
     c.join(broadcast(cents))
       .withColumn("dist", sqDistExpr)
-      .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"), col("dist"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("v"))).as("b"))
+      .select(col("vec_id"), col("b.v").as("v"), col("b.cid").as("cid"),
+        col("b.dist").as("dist"))
 
   /** One Lloyd update: element-wise mean of each cluster's vectors via the
     * e06 posexplode→partial-agg layout (map-side combine collapses to

@@ -125,6 +125,32 @@ class PlanShapeSpec extends GraftSpec {
     assert(countShuffles(df) <= 2)
   }
 
+  test("IVF family argmin is a partial aggregate, not a full-relation window") {
+    // r4 review: e05/e11/e10 ranked the (vector × centroid) relation with
+    // row_number() to pick each vector's nearest centroid — a window
+    // shuffles all NList×n rows. The argmin is now min/max(struct(...))
+    // (e07's shape): partial aggregation combines map-side, so the
+    // exchange carries at most n pre-combined rows. Pin the plan: the
+    // partial-mode struct extremum must appear, and no WindowExec may
+    // partition by the full-corpus vec_id (bounded windows — the
+    // broadcast-joined probe side, tiny codebook ranks, final per-query
+    // rank — remain legitimate).
+    import graft.operators.Similarity
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      finalPlan(df).toString
+    }
+    val e05 = planOf(Similarity.e05IvfAnn(spark, sfTiny))
+    val e11 = planOf(Similarity.e11IvfPqAnn(spark, sfTiny))
+    val e10 = planOf(Similarity.e10Kmeans(spark, sfTiny))
+    assert(e05.contains("partial_max(struct("), "e05 assignment must partial-aggregate")
+    assert(e11.contains("partial_max(struct("), "e11 assignment must partial-aggregate")
+    assert(e10.contains("partial_min(struct("), "e10 Lloyd assignment must partial-aggregate")
+    // e07 set the pattern originally — keep it pinned too
+    val e07 = planOf(Similarity.e07PqQuantize(spark, sfTiny))
+    assert(e07.contains("partial_min(struct("), "e07 sub-code argmin must partial-aggregate")
+  }
+
   test("ANN/d05 query construction runs no Spark jobs (no driver-side sizing passes)") {
     // r3 review: e05/e07 sized their centroid stride with count() and d05
     // probed the vocabulary with distinct().count() — full corpus passes

@@ -41,6 +41,24 @@ class SimilaritySpec extends GraftSpec {
     assert(approx.intersect(exact).count() > 0)
   }
 
+  test("ANN recall floors at sf0.01: LSH >= 0.7, IVF >= 0.6, ADC bounded by IVF") {
+    import spark.implicits._
+    // the e08 report at sf0.01 is the per-round quality gate made a spec
+    // floor: radius-2 multiprobe (e03) and NPROBE=8 (e05) must hold these
+    // medians, so a parameter or construction regression fails loudly
+    val out = Similarity.e08AnnRecall(spark, sfSmall).cache()
+    try {
+      def med(c: String): Double =
+        out.agg(expr(s"percentile($c, 0.5D)")).collect()(0).getDouble(0)
+      assert(med("recall_lsh") >= 0.7, s"LSH median recall ${med("recall_lsh")}")
+      assert(med("recall_ivf") >= 0.6, s"IVF median recall ${med("recall_ivf")}")
+      // ADC re-scores IVF's candidate lists from lossy 4-bit codes: it can
+      // find something (floor > 0 in aggregate) but never more than IVF
+      assert(out.agg(sum($"recall_ivfpq")).collect()(0).getDouble(0) > 0.0)
+      assert(out.filter($"recall_ivfpq" > $"recall_ivf" + 1e-9).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("e04 pairs are canonical, sorted by cosine desc") {
     val rows = Similarity.e04NearDupPairs(spark, sfTiny).collect()
     assert(rows.nonEmpty)
