@@ -21,6 +21,13 @@ case class Transition(machineId: String, ts: java.sql.Timestamp,
 case class EventRec(user_id: Long, event_type: String, ts: java.sql.Timestamp,
   event_id: Long, value: Double)
 
+/** Tokenized document flowing into the streaming packer. */
+case class TokDoc(doc_id: Long, lang: String, n_tok: Int)
+
+/** Sequence assignment emitted by the streaming packer. */
+case class PackedDoc(doc_id: Long, lang: String, shard: Long, seq_id: Long,
+  n_tok: Int)
+
 /** Per-key HyperLogLog state carried by the streaming distinct sketch:
   * 256 registers + the raw row count. */
 case class HllState(regs: Array[Byte], n: Long)
@@ -183,6 +190,45 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("w_start"),
         col("n_events"), col("session_start"), col("session_end"),
         col("duration_s"))
+
+  /** d19's streaming form — mixture resampling over a document stream:
+    * the rate table is trained batch-side ([[graft.operators.Curation
+    * .mixRates]] over a corpus snapshot — rates are corpus statistics, not
+    * stream state) and broadcast against the stream; the acceptance test
+    * is the same scan-local LCG ([[graft.operators.Curation.mixAccept]]).
+    * Stateless: the stream side never shuffles and needs no watermark —
+    * the production shape for "apply a trained sampling policy live". */
+  def mixResampleStream(stream: DataFrame, rates: DataFrame): DataFrame =
+    stream.join(broadcast(rates), col("source") === col("src"))
+      .filter(graft.operators.Curation.mixAccept)
+      .drop("src")
+
+  /** d20's streaming form — fixed-budget sequence packing as
+    * flatMapGroupsWithState: per (lang, shard-of-100-docs) the state is
+    * ONE running token count; each micro-batch folds its docs in doc_id
+    * order and emits their sequence assignments
+    * (`seq_id = (cum − n_tok) div` [[graft.operators.Curation.PackBudget]],
+    * d20's exact rule). Requires shard-monotone replay (doc_id order
+    * within a shard across batches), which is how a packing stage consumes
+    * an ordered lake anyway. State is O(1) per shard and shards are
+    * bounded (100 docs), so state size tracks ACTIVE shards only — the
+    * streaming twin of d20's bounded-window story. */
+  def packStream(ds: Dataset[TokDoc]): Dataset[PackedDoc] = {
+    import ds.sparkSession.implicits._
+    val budget = graft.operators.Curation.PackBudget
+    ds.groupByKey(d => (d.lang, d.doc_id / 100L))
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((lang, shard), rows: Iterator[TokDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            cum += d.n_tok
+            PackedDoc(d.doc_id, lang, shard, (cum - d.n_tok) / budget, d.n_tok)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 
   /** t03's streaming twin — lake compaction as a stateful running
     * maximum: per (user_id, event_type) keep the latest event (ties by

@@ -6,8 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.Telemetry
-import graft.streaming.{EventRec, StreamOps}
+import graft.operators.{Curation, Telemetry}
+import graft.streaming.{EventRec, StreamOps, TokDoc}
 
 /** The streaming differential: replay the REAL events table through the
   * stateful streaming operators in micro-batches and assert the output is
@@ -154,5 +154,97 @@ class StreamReplaySpec extends GraftSpec {
       .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
     assert(canon(streamed) == canon(batch),
       "streaming compaction state must converge to the batch latest-per-key")
+  }
+
+  // --- streaming curation: d19/d20 via the SAME shared stage builders ---
+
+  /** d20's exact tokenizer (TextOps.toks) as a public-functions Column. */
+  private def nTokCol =
+    size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+
+  /** documents at sf0.001 as doc_id-ordered (doc_id, source, lang, n_tok),
+    * sliced into 8 micro-batches. */
+  private lazy val docSlices: Seq[Seq[(Long, String, String, Int)]] = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"source", $"lang", nTokCol.as("n_tok"))
+      .as[(Long, String, String, Int)].collect().toSeq.sortBy(_._1)
+    val k = math.ceil(rows.size / 8.0).toInt
+    rows.grouped(k).toSeq
+  }
+
+  test("replayed mixResampleStream equals the oracle-green d19 batch mix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the rate table is a corpus statistic, trained batch-side with the
+    // SAME builder d19 uses and broadcast against the stream
+    val rates = Curation.mixRates(spark, Tables.documents(spark, sfTiny))
+    val in = MemoryStream[(Long, String, String, Int)]
+    val df = in.toDF().toDF("doc_id", "source", "lang", "n_tok")
+    val q = StreamOps.mixResampleStream(df, rates).writeStream
+      .format("memory").queryName("replay_mix").outputMode("append").start()
+    try {
+      docSlices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("replay_mix")
+      .select($"doc_id", $"source", $"lang", $"permille")
+    val batch = operators.Curation.d19DomainMix(spark, sfTiny)
+    assert(canon(streamed) == canon(batch),
+      "stream-side LCG acceptance must reproduce the batch mix exactly")
+  }
+
+  test("replayed packStream equals the oracle-green d20 batch packing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // precondition: some (lang, shard) group spans >= 2 micro-batches, so
+    // the running-count GroupState genuinely carries across batches
+    val shardOf = (r: (Long, String, String, Int)) => (r._3, r._1 / 100L)
+    val perSlice = docSlices.map(_.map(shardOf).toSet)
+    assert(perSlice.zip(perSlice.tail).exists { case (a, b) => a.intersect(b).nonEmpty },
+      "slicing must split at least one shard across batches")
+
+    val in = MemoryStream[TokDoc]
+    val q = StreamOps.packStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_pack").outputMode("append").start()
+    try {
+      docSlices.foreach { s =>
+        in.addData(s.map(r => TokDoc(r._1, r._3, r._4)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("replay_pack")
+      .groupBy($"lang", $"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc"))
+    val batch = operators.Curation.d20SeqPacking(spark, sfTiny)
+    assert(canon(streamed) == canon(batch),
+      "per-shard running-count state must reproduce d20's sequence ids")
+  }
+
+  test("streamed mix → pack composition equals the shared batch builders") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny)
+    val rates = Curation.mixRates(spark, docs)
+    val in = MemoryStream[(Long, String, String, Int)]
+    val df = in.toDF().toDF("doc_id", "source", "lang", "n_tok")
+    // one streaming query: stateless broadcast mix, then stateful packing
+    val mixed = StreamOps.mixResampleStream(df, rates)
+      .select($"doc_id", $"lang", $"n_tok").as[TokDoc]
+    val q = StreamOps.packStream(mixed).writeStream
+      .format("memory").queryName("replay_mixpack").outputMode("append").start()
+    try {
+      docSlices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("replay_mixpack")
+      .groupBy($"lang", $"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc"))
+    val surv = docs.join(broadcast(rates), $"source" === $"src")
+      .filter(Curation.mixAccept)
+      .select($"doc_id", $"lang", nTokCol.as("n_tok"))
+    val batch = Curation.packSequences(spark, surv)
+    assert(canon(streamed) == canon(batch),
+      "the streaming curation tail must equal the same batch builders composed")
   }
 }
