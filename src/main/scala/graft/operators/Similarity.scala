@@ -398,42 +398,86 @@ object Similarity {
        ORDER BY label, dim"""
 
   /** Product-quantization core over (vec_id, v: array<double>): M=8
-    * sub-spaces of 8 dims, K=16 centroids per sub-space. The codebook is
-    * the K hash-rank-lowest corpus vectors (deterministic pseudo-random
-    * sample, no driver-side sizing pass; a k-means refinement would slot
-    * in here unchanged). Assignment explodes each vector into
-    * (sub-space × centroid) candidate rows — scan-local, broadcast
-    * codebook — and argmins via a lexicographic struct-min (tie-break on
-    * centroid id, deterministic). Exposed for spec use. */
+    * sub-spaces of 8 dims, K=16 centroids per sub-space, codebook TRAINED
+    * per sub-space with [[PqIters]] Lloyd rounds from a hash-rank init —
+    * k-means (e10's machinery) applied per sub-space, the way PQ
+    * codebooks are actually built (Jégou et al., TPAMI 2011 §III; an
+    * untrained random-sample codebook measured avg ADC recall@5 0.08).
+    * Assignment joins the sliced corpus to the broadcast codebook and
+    * argmins via a lexicographic struct-min (tie-break on centroid id,
+    * deterministic). Exposed for spec use. */
   private val PqM = 8; private val PqK = 16; private val PqSub = 8
+  private[graft] val PqIters = 2
 
-  /** The PQ codebook: [[PqK]] hash-rank corpus vectors, id'd 0..K-1. */
-  private[graft] def pqCodebook(c: DataFrame): DataFrame = {
+  /** Round-0 PQ codebook: per-sub-space slices of the [[PqK]] hash-rank
+    * corpus vectors, (j, m, c8). */
+  private[graft] def pqCodebook0(c: DataFrame): DataFrame = {
     import c.sparkSession.implicits._
     c.withColumn("hv", DedupLsh.h60($"vec_id".cast("string")))
       .orderBy($"hv", $"vec_id").limit(PqK)
       .withColumn("m",
         (row_number().over(Window.orderBy($"hv", $"vec_id")) - 1).cast("int"))
-      .select($"m", $"v".as("cv"))
+      .select($"m", $"v".as("cv"), explode(sequence(lit(0), lit(PqM - 1))).as("j"))
+      .select($"j", $"m", expr(s"slice(cv, j * $PqSub + 1, $PqSub)").as("c8"))
   }
 
-  /** Per-sub-space squared distance between the row's `v` slice and the
-    * codebook row's `cv` slice (left-to-right sum, oracle-identical). */
-  private def pqSubDist(vc: String): Column = expr(s"""aggregate(
-        zip_with(slice($vc, j * $PqSub + 1, $PqSub), slice(cv, j * $PqSub + 1, $PqSub),
-          (x, y) -> (x - y) * (x - y)),
-        0D, (a, d) -> a + d)""")
-
-  /** Per-(vector, sub-space) nearest codebook entry: (vec_id, j,
-    * best.dist, best.m) — the row-form PQ assignment shared by e07's code
-    * packing and e11's ADC candidate scoring. */
-  private[graft] def pqSubCodes(c: DataFrame): DataFrame = {
+  /** (vec_id, j, subv): the corpus exploded into 8-dim sub-vectors. */
+  private def pqSubCorpus(c: DataFrame): DataFrame = {
     import c.sparkSession.implicits._
     c.select($"vec_id", $"v", explode(sequence(lit(0), lit(PqM - 1))).as("j"))
-      .join(broadcast(pqCodebook(c)))
-      .withColumn("dist", pqSubDist("v"))
-      .groupBy($"vec_id", $"j")
-      .agg(min(struct($"dist", $"m")).as("best"))
+      .select($"vec_id", $"j", expr(s"slice(v, j * $PqSub + 1, $PqSub)").as("subv"))
+  }
+
+  /** 8-dim squared distance subv ↔ c8 via the codegen'd
+    * [[VectorExpressions.sqDist]] (left-to-right accumulation — same
+    * order as the lambda form and the oracle, measured ~2× on the
+    * corpus×K×M training loop vs interpreted zip_with). */
+  private def pqDist8: Column = VectorExpressions.sqDist(col("subv"), col("c8"))
+
+  /** PQ assignment: nearest codebook entry per (vector, sub-space) — the
+    * argmin-by-aggregate shape (map-side combine, ≤ corpus×M rows
+    * exchanged); subv rides in a never-compared tail position for the
+    * training update. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    VectorExpressions.register(sub.sparkSession)
+    sub.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", pqDist8)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("m"), col("subv"))).as("best"))
+  }
+
+  /** One Lloyd update per (j, m): decimal-exact per-dimension means
+    * (order-independent → engine-identical), empty entries drop out in
+    * both engines alike. */
+  private def pqUpdate(asg: DataFrame): DataFrame =
+    asg.select(col("j"), col("best.m").as("m"),
+      posexplode(col("best.subv")).as(Seq("dim", "x")))
+      .groupBy(col("j"), col("m"), col("dim")).agg(davg(col("x")).as("mu"))
+      .groupBy(col("j"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        p => p.getField("mu")).as("c8"))
+
+  /** The trained codebook: [[PqIters]] Lloyd rounds from [[pqCodebook0]].
+    * 128 tiny rows — identical broadcast subtrees are deduplicated by
+    * exchange reuse when a query needs it twice (codes + LUT). */
+  private[graft] def pqCodebook(c: DataFrame): DataFrame = {
+    val sub = pqSubCorpus(c)
+    (1 to PqIters).foldLeft(pqCodebook0(c))((cb, _) => pqUpdate(pqAssign(sub, cb)))
+  }
+
+  /** Per-(vector, sub-space) nearest trained-codebook entry: (vec_id, j,
+    * best.dist, best.m) — shared by e07's code packing and e11's ADC
+    * candidate scoring. */
+  private[graft] def pqSubCodes(c: DataFrame): DataFrame =
+    pqSubCodesWith(c, pqCodebook(c))
+
+  /** [[pqSubCodes]] against an explicit codebook — exposed so the spec
+    * can compare trained vs round-0 distortion. */
+  private[graft] def pqSubCodesWith(c: DataFrame, cb: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    pqAssign(pqSubCorpus(c), cb)
+      .select($"vec_id", $"j",
+        struct($"best.dist".as("dist"), $"best.m".as("m")).as("best"))
   }
 
   def pqCodes(c: DataFrame): DataFrame = {
@@ -458,31 +502,62 @@ object Similarity {
     // sort_values (unhashable ndarray, r1) — pack the 8 4-bit codes into
     // one bigint (the byte layout an ADC scan would store anyway; 32 bits
     // of payload, accumulated in long to stay inside ANSI arithmetic); the
-    // array form stays available via pqCodes for SimilaritySpec
-    pqCodes(corpus(s, dir).select($"vec_id", $"v"))
+    // array form stays available via pqCodes for SimilaritySpec.
+    // cached: codebook training re-reads the corpus once per Lloyd round
+    pqCodes(corpus(s, dir).select($"vec_id", $"v").cache())
       .select($"vec_id",
         expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a * 16 + c)").as("codes_packed"),
         $"mse")
   }
 
-  val e07Sql: String =
-    s"""WITH n AS ($corpusSql),
-       cb AS (SELECT m, cv FROM (
+  /** CTE block (expects `n` in scope): per-sub-space codebook TRAINING
+    * ([[PqIters]] Lloyd rounds from the hash-rank init) + final
+    * assignment, ending in pqcd(vec_id, j, m, dist) — the SQL twin of
+    * [[pqCodebook]]/[[pqSubCodes]]. Shared by e07, e11 and (via
+    * [[e11Ctes]]) e08, so the whole PQ training loop is hash-checked. */
+  private def pqTrainCtes: String = {
+    def sub8(v: String) =
+      s"list_transform(range(1, ${PqSub + 1}), i -> $v[j * $PqSub + i])"
+    val d8 = s"list_sum(list_transform(range(1, ${PqSub + 1}), i -> " +
+      "(s.subv[i] - c.c8[i]) * (s.subv[i] - c.c8[i])))"
+    val rounds = (1 to PqIters).map { t =>
+      s"""pqds$t AS (SELECT s.vec_id, s.j, c.m, s.subv, $d8 AS dist
+           FROM pqsub s JOIN pqcb${t - 1} c ON s.j = c.j),
+         pqam$t AS (SELECT vec_id, j, m, subv FROM (
+             SELECT vec_id, j, m, subv,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, m ASC) AS rn
+             FROM pqds$t) z WHERE rn = 1),
+         pqup$t AS (SELECT j, m, unnest(generate_series(1, $PqSub)) AS dim,
+             unnest(subv) AS x FROM pqam$t),
+         pqmm$t AS (SELECT j, m, dim, ${davgSql("x")} AS mu
+           FROM pqup$t GROUP BY j, m, dim),
+         pqcb$t AS (SELECT j, m, list(mu ORDER BY dim) AS c8
+           FROM pqmm$t GROUP BY j, m)"""
+    }.mkString(",\n       ")
+    s"""pqcbv AS (SELECT m, cv FROM (
            SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS m, v AS cv
            FROM n) t
-         WHERE m < 16),
-       sj AS (SELECT vec_id, v, unnest(range(0, 8)) AS j FROM n),
-       ds AS (SELECT vec_id, j, m,
-           list_sum(list_transform(range(1, 9), i ->
-             (v[j * 8 + i] - cv[j * 8 + i]) * (v[j * 8 + i] - cv[j * 8 + i]))) AS dist
-         FROM sj, cb),
-       am AS (SELECT vec_id, j, m, dist,
-           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, m ASC) AS rn
-         FROM ds)
+         WHERE m < $PqK),
+       pqcb0 AS (SELECT j, m, ${sub8("cv")} AS c8
+         FROM pqcbv, (SELECT unnest(range(0, $PqM)) AS j) jj),
+       pqsub AS (SELECT vec_id, j, ${sub8("v")} AS subv
+         FROM (SELECT vec_id, v, unnest(range(0, $PqM)) AS j FROM n) zs),
+       $rounds,
+       pqfd AS (SELECT s.vec_id, s.j, c.m, $d8 AS dist
+         FROM pqsub s JOIN pqcb$PqIters c ON s.j = c.j),
+       pqcd AS (SELECT vec_id, j, m, dist FROM (
+           SELECT vec_id, j, m, dist,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, m ASC) AS rn
+           FROM pqfd) z WHERE rn = 1)"""
+  }
+
+  val e07Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $pqTrainCtes
        SELECT vec_id,
          CAST(sum(m * (1::BIGINT << (4 * (7 - j)))) AS BIGINT) AS codes_packed,
          ${rSql(dsumSql("dist"), 6)} AS mse
-       FROM am WHERE rn = 1
+       FROM pqcd
        GROUP BY vec_id
        ORDER BY vec_id"""
 
@@ -525,11 +600,13 @@ object Similarity {
       .filter($"crank" <= NProbe)
       .select($"cid", $"vec_id".as("query_id"))
     // per-query ADC lookup table: distance from the query's j-th sub-space
-    // to every codebook entry — 256×8×16 rows, broadcastable at any scale
+    // to every trained codebook entry — ≤256×8×16 rows, broadcastable at
+    // any scale
     val lut = querySide(c, QueryBudget)
       .select($"query_id", $"qv", explode(sequence(lit(0), lit(PqM - 1))).as("j"))
-      .crossJoin(broadcast(pqCodebook(c)))
-      .select($"query_id", $"j", $"m", pqSubDist("qv").as("qd"))
+      .select($"query_id", $"j", expr(s"slice(qv, j * $PqSub + 1, $PqSub)").as("subv"))
+      .join(broadcast(pqCodebook(c)), Seq("j"))
+      .select($"query_id", $"j", $"m", pqDist8.as("qd"))
     // candidate = (query, every vector in a probed list); each corpus
     // vector lives in exactly one list, so (query, neighbor) is unique
     val cand = probes.join(assigned, Seq("cid"))
@@ -567,25 +644,14 @@ object Similarity {
          ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
        pqpr AS (SELECT cid, vec_id AS query_id FROM pqrk
          WHERE vec_id IN (SELECT vec_id FROM pqq) AND crank <= $NProbe),
-       pqcb AS (SELECT m, cv FROM (
-           SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS m, v AS cv
-           FROM n) t
-         WHERE m < $PqK),
-       pqsj AS (SELECT vec_id, v, unnest(range(0, $PqM)) AS j FROM n),
-       pqds AS (SELECT vec_id, j, m,
+       $pqTrainCtes,
+       pqqs AS (SELECT vec_id AS query_id, j,
+           list_transform(range(1, ${PqSub + 1}), i -> v[j * $PqSub + i]) AS subv
+         FROM (SELECT vec_id, v, unnest(range(0, $PqM)) AS j FROM pqq) zq),
+       pqlut AS (SELECT q.query_id, q.j, c.m,
            list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-             (v[j * $PqSub + i] - cv[j * $PqSub + i]) * (v[j * $PqSub + i] - cv[j * $PqSub + i]))) AS dist
-         FROM pqsj, pqcb),
-       pqcd AS (SELECT vec_id, j, m FROM (
-           SELECT vec_id, j, m,
-             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, m ASC) AS rn
-           FROM pqds) z
-         WHERE rn = 1),
-       pqqs AS (SELECT vec_id AS query_id, v AS qv, unnest(range(0, $PqM)) AS j FROM pqq),
-       pqlut AS (SELECT query_id, j, m,
-           list_sum(list_transform(range(1, ${PqSub + 1}), i ->
-             (qv[j * $PqSub + i] - cv[j * $PqSub + i]) * (qv[j * $PqSub + i] - cv[j * $PqSub + i]))) AS qd
-         FROM pqqs, pqcb),
+             (q.subv[i] - c.c8[i]) * (q.subv[i] - c.c8[i]))) AS qd
+         FROM pqqs q JOIN pqcb$PqIters c ON q.j = c.j),
        pqcand AS (SELECT p.query_id, a.neighbor_id
          FROM pqpr p JOIN pqasg a USING (cid)
          WHERE p.query_id != a.neighbor_id),
@@ -764,12 +830,12 @@ object Similarity {
   private[graft] val KmK = 8
   private[graft] val KmIters = 2
 
-  /** Squared-L2 distance over the joined (v, cv) pair — left-to-right
-    * accumulation in index order, the exact order the oracle's
+  /** Squared-L2 distance over the joined (v, cv) pair — the codegen'd
+    * [[VectorExpressions.sqDist]], left-to-right accumulation in index
+    * order, the exact order the oracle's
     * `list_sum(list_transform(range(1,65), …))` evaluates (e07 proved the
     * (x−y)² parity). */
-  private def sqDistExpr: Column = expr(
-    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, d) -> a + d)")
+  private def sqDistExpr: Column = VectorExpressions.sqDist(col("v"), col("cv"))
 
   /** One Lloyd assignment: nearest centroid per vector (tie-break by cid —
     * deterministic because the distances are bit-identical by
@@ -801,6 +867,7 @@ object Similarity {
   /** Final assignment after `iters` Lloyd rounds from the hash-rank-K init
     * — exposed for the SimilaritySpec inertia-descent assertion. */
   def kmeansAssign(c: DataFrame, k: Int, iters: Int): DataFrame = {
+    VectorExpressions.register(c.sparkSession)
     val init = c.orderBy(hvCol, col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(hvCol, col("vec_id"))) - 1).cast("int"))

@@ -76,6 +76,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_sqdist(a, b)` — native squared L2 distance of two
+  * array<double>: Σ (a[i]−b[i])², accumulated left-to-right — exactly the
+  * order of the composable `aggregate(zip_with(a, b, (x,y) ->
+  * (x−y)*(x−y)), 0D, (s,v) -> s+v)` and of the DuckDB oracle's
+  * `list_sum(list_transform(...))`, so results stay bit-identical while
+  * replacing two interpreted lambdas + an intermediate array per row with
+  * a tight primitive loop. The hot kernel of PQ codebook training (e07/
+  * e11) and Lloyd assignment (e10), where it runs corpus×K times per
+  * round. Null semantics match [[DotProduct]]: null if either array is
+  * null; null ELEMENTS contribute 0 (total function, one bad element
+  * degrades rather than poisons — embeddings are null-free by schema, the
+  * domain VectorExpressionsSpec pins equivalence on). */
+case class SqDist(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_lsh_sig(v, lo, hi)` — random-hyperplane LSH signature of an
   * array<double>: bit j (MSB-first over planes lo..hi) is set iff
   * dot(v, plane_j) ≥ 0, where plane_j[i] = LCG(j·64 + i)/2³¹ − 0.5 (the
@@ -217,7 +279,10 @@ object VectorExpressions {
       (children: Seq[Expression]) => LshSignature(children(0), children(1), children(2)): Expression),
     (new FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children(0)): Expression))
+      (children: Seq[Expression]) => PolyHash(children(0)): Expression),
+    (new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => SqDist(children(0), children(1)): Expression))
 
   /** Idempotent in-session registration (for sessions built without
     * `withExtensions`, e.g. the driver's). */
@@ -236,6 +301,8 @@ object VectorExpressions {
     call_function("graft_lsh_sig", v, lit(lo), lit(hi))
 
   def polyHash(c: Column): Column = call_function("graft_poly_hash", c)
+
+  def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 }
 
 /** `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` (or
@@ -255,5 +322,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
       (children: Seq[Expression]) => PolyHash(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => SqDist(children(0), children(1))))
   }
 }

@@ -52,9 +52,11 @@ class SimilaritySpec extends GraftSpec {
         out.agg(expr(s"percentile($c, 0.5D)")).collect()(0).getDouble(0)
       assert(med("recall_lsh") >= 0.7, s"LSH median recall ${med("recall_lsh")}")
       assert(med("recall_ivf") >= 0.6, s"IVF median recall ${med("recall_ivf")}")
-      // ADC re-scores IVF's candidate lists from lossy 4-bit codes: it can
-      // find something (floor > 0 in aggregate) but never more than IVF
-      assert(out.agg(sum($"recall_ivfpq")).collect()(0).getDouble(0) > 0.0)
+      // ADC re-scores IVF's candidate lists from lossy 4-bit codes: with
+      // the Lloyd-trained codebook it holds a mean floor (untrained
+      // measured 0.08, trained 0.2) but never beats IVF per query
+      assert(out.agg(avg($"recall_ivfpq")).collect()(0).getDouble(0) >= 0.1,
+        "trained-codebook ADC mean recall floor")
       assert(out.filter($"recall_ivfpq" > $"recall_ivf" + 1e-9).count() == 0)
     } finally out.unpersist()
   }
@@ -91,9 +93,8 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
-  test("e07 PQ codes: packed 8×4-bit, mse ≥ 0, deterministic, exact for codebook vectors") {
+  test("e07 PQ codes: packed 8×4-bit, mse ≥ 0, deterministic, training reduces distortion") {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val out = Similarity.e07PqQuantize(spark, sfTiny).cache()
     try {
       val n = Tables.embeddings(spark, sfTiny).count()
@@ -102,20 +103,18 @@ class SimilaritySpec extends GraftSpec {
       val bad = out.filter($"codes_packed" < 0L ||
         $"codes_packed" > 4294967295L || $"mse" < 0).count()
       assert(bad == 0)
-      // a vector that IS centroid m must quantize to all-m codes (packed:
-      // nibble m repeated 8× = m · 0x11111111) with mse 0; the codebook is
-      // the 16 hash-rank-lowest vectors (mirrors pqCodes' selection)
-      val hv = conv(substring(md5($"vec_id".cast("string")), 1, 15), 16, 10).cast("long")
-      val centroidRows = Tables.embeddings(spark, sfTiny)
-        .select($"vec_id").withColumn("hv", hv)
-        .orderBy($"hv", $"vec_id").limit(16)
-        .withColumn("m", (row_number().over(Window.orderBy($"hv", $"vec_id")) - 1).cast("long"))
-        .join(out, "vec_id")
-      assert(centroidRows.count() == 16)
-      assert(centroidRows.filter($"mse" =!= 0.0).count() == 0,
-        "codebook members reconstruct exactly")
-      assert(centroidRows.filter($"codes_packed" =!= $"m" * 0x11111111L).count() == 0,
-        "codebook members code to their own centroid in every sub-space")
+      // the Lloyd rounds must strictly improve total distortion over the
+      // round-0 hash-rank codebook — the point of training the quantizer
+      val c = Tables.embeddings(spark, sfTiny)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+      def totalDist(cb: org.apache.spark.sql.DataFrame): Double =
+        Similarity.pqSubCodesWith(c, cb)
+          .agg(sum($"best.dist")).collect()(0).getDouble(0)
+      val mse0 = totalDist(Similarity.pqCodebook0(c))
+      val mseT = totalDist(Similarity.pqCodebook(c))
+      assert(mseT < mse0,
+        s"trained codebook distortion $mseT must beat round-0 $mse0")
+      c.unpersist()
       val rerun = Similarity.e07PqQuantize(spark, sfTiny).collect()
       assert(rerun.sameElements(out.collect()), "PQ assignment is deterministic")
     } finally out.unpersist()

@@ -30,6 +30,34 @@ class VectorExpressionsSpec extends GraftSpec {
     assert(rows(2).getDouble(3) == 5.0) // null element contributes 0
   }
 
+  test("graft_sqdist matches the higher-order-function formulation bit-exactly") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    // pair each vector with a shifted twin so distances are non-trivial
+    val df = Tables.embeddings(spark, sfTiny)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("w", expr("transform(v, x -> x * 0.5 + 0.25)"))
+      .withColumn("native", VectorExpressions.sqDist($"v", $"w"))
+      .withColumn("lambda",
+        expr("aggregate(zip_with(v, w, (x, y) -> (x - y) * (x - y)), 0D, (a, d) -> a + d)"))
+    assert(df.filter($"native" =!= $"lambda").count() == 0)
+  }
+
+  test("graft_sqdist handles nulls: null array -> null, null element -> skipped") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0)))),
+      (2L, None, Some(Seq(Some(1.0)))),
+      (3L, Some(Seq(Some(1.0), None)), Some(Seq(Some(5.0), Some(7.0)))))
+      .toDF("id", "a", "b")
+      .withColumn("d", VectorExpressions.sqDist(col("a"), col("b")))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDouble(3) == 8.0) // (1-3)^2 + (2-4)^2
+    assert(rows(1).isNullAt(3))
+    assert(rows(2).getDouble(3) == 16.0) // null element contributes 0
+  }
+
   test("graft_dot is available from plain SQL after registration") {
     VectorExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
