@@ -579,6 +579,16 @@ object Similarity {
     * the ADC sum all mirror in DuckDB SQL. */
   def e11IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    adcRanked(s, dir)
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The full ADC-ranked candidate relation (query_id, neighbor_id,
+    * adc_dist, rank) — e11's body, shared with e13's re-rank stage and
+    * e08's report so the ADC pipeline is built once per query. */
+  private def adcRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val c = corpus(s, dir).cache()
     // coarse quantizer (e05's construction): NList hash-rank centroids,
     // nearest-list assignment per corpus vector, NProbe lists per query
@@ -620,7 +630,41 @@ object Similarity {
       .groupBy($"query_id", $"neighbor_id")
       .agg(r(dsum($"qd"), 6).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
+  }
+
+  /** e13's shortlist depth: ADC keeps this many candidates per query for
+    * the exact re-rank. */
+  private[graft] val RerankDepth = 32
+
+  /** Exact-cosine top-5 re-rank of a (query_id, neighbor_id) shortlist
+    * against corpus `c` — e13's tail, shared with e08's report. */
+  private def rerankTop5(c: DataFrame, short: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    short.select($"query_id", $"neighbor_id")
+      .join(c.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm")), "query_id")
+      .join(c.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm")), "neighbor_id")
+      .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
+  }
+
+  /** e13 — IVF-PQ search with exact re-ranking (the "refine" stage of a
+    * production ADC index): the 4-bit codes prune each query's probed
+    * lists to a [[RerankDepth]]-deep shortlist WITHOUT touching float
+    * vectors; only the shortlist's ≤ budget×[[RerankDepth]] vectors are
+    * then fetched for exact cosines — at 100 TB that is the difference
+    * between scanning float vectors for half the corpus (e05) and for
+    * 32 rows per query. Per-query recall provably sandwiches:
+    * e11 ≤ e13 ≤ e05 (ADC's top-5 is inside the shortlist, and an exact
+    * top-5 member of the shortlist can only be displaced by true
+    * better neighbors; the shortlist is inside e05's candidate set) —
+    * SimilaritySpec pins both inequalities, e08 reports the number. */
+  def e13AdcRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rerankTop5(corpus(s, dir).cache(),
+      adcRanked(s, dir).filter($"rank" <= RerankDepth))
       .orderBy($"query_id", $"rank")
   }
 
@@ -668,6 +712,27 @@ object Similarity {
     s"""WITH n AS ($corpusSql),
        $e11Ctes
        SELECT query_id, neighbor_id, adc_dist, rank FROM ivfpq
+       WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
+  /** CTE block (expects `n` and `ivfpq` in scope): ADC shortlist → exact
+    * re-rank, ending in rrk(query_id, neighbor_id, cosine, rank). Shared
+    * by e13 and e08's recall oracle. */
+  private def rerankCtes: String =
+    s"""rrs AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= $RerankDepth),
+       rrx AS (SELECT rrs.query_id, rrs.neighbor_id,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)", 6)} AS cosine
+         FROM rrs JOIN n q ON rrs.query_id = q.vec_id
+                  JOIN n c ON rrs.neighbor_id = c.vec_id),
+       rrk AS (SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM rrx)"""
+
+  val e13Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e11Ctes,
+       $rerankCtes
+       SELECT query_id, neighbor_id, cosine, rank FROM rrk
        WHERE rank <= 5
        ORDER BY query_id, rank"""
 
@@ -787,14 +852,21 @@ object Similarity {
       ex.join(approx.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
         .groupBy($"query_id").agg(count(lit(1)).as(as))
     val base = ex.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+    // the ADC pipeline is built ONCE: its top-5 yields recall_ivfpq, its
+    // RerankDepth shortlist (cached — ≤ budget×32 rows) feeds the exact
+    // re-rank for recall_rerank
+    val adc = adcRanked(s, dir).filter($"rank" <= RerankDepth)
+      .select($"query_id", $"neighbor_id", $"rank").cache()
     base
       .join(hitsOf(e03LshAnn(s, dir), "h_lsh"), Seq("query_id"), "left")
       .join(hitsOf(e05IvfAnn(s, dir), "h_ivf"), Seq("query_id"), "left")
-      .join(hitsOf(e11IvfPqAnn(s, dir), "h_pq"), Seq("query_id"), "left")
+      .join(hitsOf(adc.filter($"rank" <= 5), "h_pq"), Seq("query_id"), "left")
+      .join(hitsOf(rerankTop5(corpus(s, dir), adc), "h_rr"), Seq("query_id"), "left")
       .select($"query_id",
         r(coalesce($"h_lsh", lit(0L)).cast("double") / $"n_exact", 6).as("recall_lsh"),
         r(coalesce($"h_ivf", lit(0L)).cast("double") / $"n_exact", 6).as("recall_ivf"),
-        r(coalesce($"h_pq", lit(0L)).cast("double") / $"n_exact", 6).as("recall_ivfpq"))
+        r(coalesce($"h_pq", lit(0L)).cast("double") / $"n_exact", 6).as("recall_ivfpq"),
+        r(coalesce($"h_rr", lit(0L)).cast("double") / $"n_exact", 6).as("recall_rerank"))
       .orderBy($"query_id")
   }
 
@@ -814,15 +886,21 @@ object Similarity {
          USING (query_id, neighbor_id) GROUP BY e.query_id),
        hp AS (SELECT e.query_id, count(*) AS h FROM ext e
          JOIN (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5) a
+         USING (query_id, neighbor_id) GROUP BY e.query_id),
+       $rerankCtes,
+       hr AS (SELECT e.query_id, count(*) AS h FROM ext e
+         JOIN (SELECT query_id, neighbor_id FROM rrk WHERE rank <= 5) a
          USING (query_id, neighbor_id) GROUP BY e.query_id)
        SELECT b.query_id,
          ${rSql("coalesce(hl.h, 0) / b.n_exact", 6)} AS recall_lsh,
          ${rSql("coalesce(hi.h, 0) / b.n_exact", 6)} AS recall_ivf,
-         ${rSql("coalesce(hp.h, 0) / b.n_exact", 6)} AS recall_ivfpq
+         ${rSql("coalesce(hp.h, 0) / b.n_exact", 6)} AS recall_ivfpq,
+         ${rSql("coalesce(hr.h, 0) / b.n_exact", 6)} AS recall_rerank
        FROM base b
        LEFT JOIN hl ON b.query_id = hl.query_id
        LEFT JOIN hi ON b.query_id = hi.query_id
        LEFT JOIN hp ON b.query_id = hp.query_id
+       LEFT JOIN hr ON b.query_id = hr.query_id
        ORDER BY b.query_id"""
 
   // --- e10: k-means (Lloyd) — the IVF/PQ coarse-quantizer TRAINING step --
@@ -943,7 +1021,8 @@ object Similarity {
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e06_label_centroids" -> (e06LabelCentroids _),
     "e11_ivfpq_ann" -> (e11IvfPqAnn _),
-    "e12_random_projection" -> (e12RandomProjection _))
+    "e12_random_projection" -> (e12RandomProjection _),
+    "e13_adc_rerank" -> (e13AdcRerank _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -958,5 +1037,6 @@ object Similarity {
     "e08_ann_recall" -> e08Sql,
     "e09_neardup_ann" -> e09Sql,
     "e11_ivfpq_ann" -> e11Sql,
-    "e12_random_projection" -> e12Sql)
+    "e12_random_projection" -> e12Sql,
+    "e13_adc_rerank" -> e13Sql)
 }

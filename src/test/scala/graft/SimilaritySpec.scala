@@ -54,10 +54,15 @@ class SimilaritySpec extends GraftSpec {
       assert(med("recall_ivf") >= 0.6, s"IVF median recall ${med("recall_ivf")}")
       // ADC re-scores IVF's candidate lists from lossy 4-bit codes: with
       // the Lloyd-trained codebook it holds a mean floor (untrained
-      // measured 0.08, trained 0.2) but never beats IVF per query
+      // measured 0.08, trained 0.2); the exact re-rank (e13) then
+      // sandwiches PER QUERY — ivfpq <= rerank <= ivf — by construction
+      // (ADC top-5 ⊆ shortlist; shortlist ⊆ IVF candidates)
       assert(out.agg(avg($"recall_ivfpq")).collect()(0).getDouble(0) >= 0.1,
         "trained-codebook ADC mean recall floor")
-      assert(out.filter($"recall_ivfpq" > $"recall_ivf" + 1e-9).count() == 0)
+      assert(out.filter($"recall_ivfpq" > $"recall_rerank" + 1e-9).count() == 0,
+        "exact re-rank of the shortlist can never lose an ADC top-5 hit")
+      assert(out.filter($"recall_rerank" > $"recall_ivf" + 1e-9).count() == 0,
+        "the shortlist is inside IVF's candidate set")
     } finally out.unpersist()
   }
 
@@ -154,13 +159,35 @@ class SimilaritySpec extends GraftSpec {
       assert(out.count() == nQueries, "one recall row per query vector")
       assert(out.filter($"recall_lsh" < 0 || $"recall_lsh" > 1 ||
         $"recall_ivf" < 0 || $"recall_ivf" > 1 ||
-        $"recall_ivfpq" < 0 || $"recall_ivfpq" > 1).count() == 0)
-      // ADC scores the same candidates as IVF from 4-bit codes — lossy,
-      // so per-query it can only find neighbors IVF's lists contain
-      assert(out.filter($"recall_ivfpq" > $"recall_ivf" + 1e-9).count() == 0)
+        $"recall_ivfpq" < 0 || $"recall_ivfpq" > 1 ||
+        $"recall_rerank" < 0 || $"recall_rerank" > 1).count() == 0)
+      // the per-query sandwich: ADC top-5 ⊆ shortlist (re-rank can only
+      // add hits) and shortlist ⊆ IVF candidates (re-rank can't exceed)
+      assert(out.filter($"recall_ivfpq" > $"recall_rerank" + 1e-9).count() == 0)
+      assert(out.filter($"recall_rerank" > $"recall_ivf" + 1e-9).count() == 0)
       // the IVF path probes NPROBE=4 of 16 lists — it must recover at
       // least one true neighbor overall (e03's looser bound is spec'd above)
       assert(out.agg(sum($"recall_ivf")).collect()(0).getDouble(0) > 0.0)
+    } finally out.unpersist()
+  }
+
+  test("e13 re-rank: exact cosines, ranks contiguous, deterministic") {
+    import spark.implicits._
+    val out = Similarity.e13AdcRerank(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // cosines are the exact brute-force values (same rounding policy)
+      val exact = Similarity.e01CosineTopK(spark, sfTiny)
+        .select($"query_id", $"neighbor_id", $"cosine".as("c2"))
+      val joined = out.join(exact, Seq("query_id", "neighbor_id"), "inner")
+      assert(joined.filter($"cosine" =!= $"c2").count() == 0)
+      // per query: ranks are 1..k contiguous
+      val bad = out.groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+        .filter($"mx" =!= $"n" || $"mn" =!= 1).count()
+      assert(bad == 0, "ranks must be contiguous from 1")
+      val rerun = Similarity.e13AdcRerank(spark, sfTiny).collect()
+      assert(rerun.sameElements(out.collect()))
     } finally out.unpersist()
   }
 
