@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import Num._
 
@@ -432,8 +433,81 @@ object TextOps {
        GROUP BY t.rank, t.tok, t.exact_cnt
        ORDER BY t.rank"""
 
+  // --- d24: sub-document (chunk-level) dedup ----------------------------
+
+  private val DedupChunk = 16
+
+  /** d24 — chunk-level deduplication: the sub-document dedup step of web
+    * corpus pipelines (CCNet/RefinedWeb dedup paragraphs or lines; this
+    * corpus has no line structure, so the unit is d12-style fixed
+    * [[DedupChunk]]-token non-overlapping chunks). The FIRST occurrence
+    * of each distinct chunk — ordered by (doc_id, chunk_id), the corpus'
+    * canonical order — is kept; later occurrences (exact-duplicate docs,
+    * repeated segments within a doc) count as duplicates. Per-doc report:
+    * chunk counts, duplicate-chunk count, surviving tokens, and the
+    * rounded duplicate ratio.
+    *
+    * Scale shape: one explode (rows × per-doc chunk count), one window
+    * shuffle keyed on chunk_text — high-cardinality, uniform (t03's
+    * dedup-rank pattern; nothing here is centroid-amplified, so a window
+    * is the right tool), then one per-doc aggregation. Linear at any
+    * corpus size. */
+  def d24ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDedup(Tables.documents(s, dir))
+
+  /** d24's core over any (doc_id, text) relation — exposed so the spec
+    * can verify the dedup semantics on a corpus with PLANTED duplicates
+    * (the real corpus contains no exact-duplicate documents). */
+  private[graft] def chunkDedup(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"chunk_text").orderBy($"doc_id", $"chunk_id")
+    docs
+      .select($"doc_id", toks(lower($"text")).as("tk"))
+      .withColumn("n", size($"tk"))
+      .filter($"n" >= 1)
+      .select($"doc_id", $"tk",
+        explode(expr(s"sequence(0, CAST(ceil(n / $DedupChunk.0D) AS INT) - 1)")).as("chunk_id"))
+      .withColumn("chunk_tokens", expr(s"slice(tk, chunk_id * $DedupChunk + 1, $DedupChunk)"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk_tokens").as("n_chunk_tokens"),
+        array_join($"chunk_tokens", " ").as("chunk_text"))
+      .withColumn("occ", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"occ" === 1, $"n_chunk_tokens").otherwise(0L)).as("kept_tokens"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks", $"kept_tokens",
+        r($"n_dup_chunks".cast("double") / $"n_chunks", 6).as("dup_chunk_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val d24Sql: String = {
+    val t = toksSql("lower(text)")
+    s"""WITH d AS (SELECT doc_id, $t AS tk, len($t) AS n FROM documents
+                   WHERE len($t) >= 1),
+       c AS (SELECT doc_id, tk,
+               unnest(generate_series(0, CAST(ceil(n / $DedupChunk.0) AS INT) - 1)) AS chunk_id
+             FROM d),
+       ch AS (SELECT doc_id, chunk_id,
+           len(list_slice(tk, chunk_id * $DedupChunk + 1, chunk_id * $DedupChunk + $DedupChunk)) AS n_chunk_tokens,
+           array_to_string(list_slice(tk, chunk_id * $DedupChunk + 1, chunk_id * $DedupChunk + $DedupChunk), ' ') AS chunk_text
+         FROM c),
+       oc AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+           row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS occ
+         FROM ch)
+       SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         CAST(sum(CASE WHEN occ = 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+         ${rSql("sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / count(*)", 6)} AS dup_chunk_ratio
+       FROM oc
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
+    "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d12_chunk_split" -> (d12ChunkSplit _),
     "d01_token_stats" -> (d01TokenStats _),
     "d02_quality_score" -> (d02QualityScore _),
@@ -445,6 +519,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "d21_cms_heavy_hitters" -> d21Sql,
+    "d24_chunk_dedup" -> d24Sql,
     "d12_chunk_split" -> d12Sql,
     "d01_token_stats" -> d01Sql,
     "d02_quality_score" -> d02Sql,

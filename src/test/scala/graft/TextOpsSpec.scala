@@ -77,6 +77,40 @@ class TextOpsSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("d24 chunk dedup: duplicate docs fully flagged, chunk counts conserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real corpus: valid ratios + chunk-count conservation
+    val out = TextOps.d24ChunkDedup(spark, sfTiny).cache()
+    try {
+      assert(out.filter($"dup_chunk_ratio" < 0 || $"dup_chunk_ratio" > 1).count() == 0)
+      val toksOf = size(filter(split(trim(lower($"text")), "\\s+"), t => t =!= ""))
+      val docs = Tables.documents(spark, sfTiny)
+        .select($"doc_id", toksOf.as("nt")).filter($"nt" >= 1)
+      val badCounts = out.join(docs, "doc_id")
+        .filter($"n_chunks" =!= ceil($"nt" / 16.0).cast("long")).count()
+      assert(badCounts == 0, "one chunk per 16 tokens, last partial included")
+    } finally out.unpersist()
+
+    // planted corpus (the real one has no exact duplicates): doc 2 copies
+    // doc 1 (every chunk a dup), doc 3 repeats one 16-token segment twice
+    // (exactly one within-doc dup), doc 4 is fresh
+    val seg = (0 until 16).map(i => s"w$i").mkString(" ")
+    val segB = (0 until 16).map(i => s"x$i").mkString(" ")
+    val segC = (0 until 16).map(i => s"z$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$seg $segB"), (2L, s"$seg $segB"),
+      (3L, s"$segC $segC"), (4L, (100 until 132).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.chunkDedup(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_chunks"), r.getAs[Double]("dup_chunk_ratio"))).toMap
+    assert(rows(1L) == (0L, 0.0), "first occurrence keeps everything")
+    assert(rows(2L) == (2L, 1.0), "a full copy is fully flagged")
+    assert(rows(3L) == (1L, 0.5), "a repeated in-doc segment flags exactly once")
+    assert(rows(4L) == (0L, 0.0), "fresh content untouched")
+  }
+
   test("text oracles cover every query") {
     assert(TextOps.oracles.keySet == TextOps.queries.keySet)
   }
