@@ -145,4 +145,68 @@ class PropertySpec extends GraftSpec {
       bins.sliding(2).foreach { case Array(a, b) => assert(b - a <= 2); case _ => }
     }
   }
+
+  test("property: packStream equals packSequences for arbitrary corpora and batchings") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TokDoc
+    implicit val sqlCtx = spark.sqlContext
+    // random doc sizes over random langs; replay in doc_id order split at
+    // a random batch boundary — the streaming running-count state must
+    // reproduce the batch windowed packing exactly
+    val gen = for {
+      lens <- Gen.listOfN(60, Gen.chooseNum(1, 600))
+      langs <- Gen.listOfN(60, Gen.oneOf("en", "de"))
+      cut <- Gen.chooseNum(1, 59)
+    } yield (lens, langs, cut)
+    samples(gen, 3).foreach { case (lens, langs, cut) =>
+      val docs = lens.zip(langs).zipWithIndex
+        .map { case ((n, l), i) => TokDoc(i.toLong, l, n) }
+      val in = MemoryStream[TokDoc]
+      val name = s"prop_pack_${docs.hashCode.abs}"
+      val q = StreamOps.packStream(in.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        Seq(docs.take(cut), docs.drop(cut)).foreach { b =>
+          in.addData(b: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .groupBy($"lang", $"shard", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+          min($"doc_id").as("first_doc"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.Curation.packSequences(spark,
+        docs.toDF().select($"doc_id", $"lang", $"n_tok"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    }
+  }
+
+  test("property: chunk dedup conserves chunks and flags all planted copies") {
+    import spark.implicits._
+    // random word-salad docs with a random subset duplicated under new ids
+    val gen = for {
+      lens <- Gen.listOfN(12, Gen.chooseNum(1, 80))
+      words <- Gen.listOfN(12, Gen.chooseNum(0, 6))
+      nDup <- Gen.chooseNum(1, 6)
+    } yield (lens, words, nDup)
+    samples(gen, 3).foreach { case (lens, words, nDup) =>
+      val base = lens.zip(words).zipWithIndex.map { case ((n, w), i) =>
+        (i.toLong, (0 until n).map(k => s"t${(w + k * 7) % 13}").mkString(" "))
+      }
+      val copies = base.take(nDup).map { case (id, t) => (1000L + id, t) }
+      val out = graft.operators.TextOps.chunkDedup(
+        (base ++ copies).toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Double]("dup_chunk_ratio"))).toMap
+      // chunk conservation per doc
+      base.foreach { case (id, t) =>
+        val nt = t.split("\\s+").count(_.nonEmpty)
+        assert(out(id)._1 == math.ceil(nt / 16.0).toLong)
+      }
+      // every full copy (higher doc_id than its source) is fully flagged
+      copies.foreach { case (id, _) => assert(out(id)._2 == 1.0, s"copy $id") }
+    }
+  }
 }
