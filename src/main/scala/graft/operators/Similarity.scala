@@ -989,10 +989,12 @@ object Similarity {
        kmc$t AS (SELECT cid, list(mu ORDER BY dim) AS cv
          FROM kmm$t GROUP BY cid)"""
 
-  val e10Sql: String = {
+  /** CTE block (expects `n` in scope): hash-rank init, [[KmIters]] Lloyd
+    * rounds, final assignment — ends in kmf(vec_id, cid, dist). Shared by
+    * e10's oracle and e14's semantic-dedup oracle so the two can't drift. */
+  private[graft] val e10Ctes: String = {
     val rounds = (1 to KmIters).map(kmRoundSql).mkString(",\n       ")
-    s"""WITH n AS ($corpusSql),
-       kmc0 AS (SELECT cid, cv FROM (
+    s"""kmc0 AS (SELECT cid, cv FROM (
            SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS cid,
              v AS cv FROM n) t
          WHERE cid < $KmK),
@@ -1004,10 +1006,77 @@ object Similarity {
              row_number() OVER (PARTITION BY n.vec_id
                ORDER BY list_sum(list_transform(range(1, 65), i ->
                  (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))) ASC, c.cid ASC) AS rn
-           FROM n, kmc$KmIters c) z WHERE rn = 1)
+           FROM n, kmc$KmIters c) z WHERE rn = 1)"""
+  }
+
+  val e10Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e10Ctes
        SELECT vec_id, cid AS cluster, ${rSql("dist", 6)} AS sq_dist
        FROM kmf ORDER BY vec_id"""
+
+  // --- e14: semantic dedup (SemDeDup) — cluster-scoped cosine pruning ----
+
+  /** e14's cosine threshold: a pair is a semantic duplicate when its
+    * r6-rounded cosine reaches this. Sits in the upper tail of the pair
+    * cosine distribution on this synthetic corpus (same-label max ≈ 0.47)
+    * — measured prune 16 % (sf0.001/0.01) to 41 % (sf0.1, where the fixed
+    * K=8 makes clusters denser). Real web-scale SemDeDup runs ≥ 0.95 on
+    * genuinely redundant data — the knob, not the shape, changes. */
+  private[graft] val SemDedupTau = 0.35
+
+  /** e14 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the corpus (e10's oracle-checked Lloyd
+    * machinery), then WITHIN each cluster drop any vector whose r6 cosine
+    * to a smaller-id same-cluster vector reaches [[SemDedupTau]] — the
+    * min-id survivor rule d04 uses for exact dedup, applied in embedding
+    * space. The quadratic term is cluster-bounded: cost is Σ|cluster|²,
+    * never n² — at 100 TB you raise K so clusters stay O(target) and the
+    * pair join shuffles on a fine cid key (K=[[KmK]] here only to share
+    * e10's hash-checked training loop; the composition is K-agnostic).
+    * Output per vector: its cluster, kept flag, and (for removed rows)
+    * the min-id duplicate witness + its cosine. Fully oracle-checked —
+    * clustering, thresholding, and survivor rule all mirror in SQL. */
+  def e14SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).select($"vec_id", $"v").cache()
+    // invariant: cache the assignment before the self-join — generators /
+    // self-joins re-evaluate child plans per branch (2 Lloyd rounds ×2
+    // otherwise).
+    val asg = kmeansAssign(c, KmK, KmIters)
+      .withColumn("nrm", sqrt(VectorExpressions.dot($"v", $"v")))
+      .select($"vec_id", $"cid", $"v", $"nrm")
+      .cache()
+    val a = asg.select($"cid", $"vec_id".as("id_a"), $"v".as("qv"), $"nrm".as("na"))
+    val b = asg.select($"cid".as("cb"), $"vec_id".as("id_b"), $"v".as("cv"), $"nrm".as("nb"))
+    val rem = a.join(b, $"cid" === $"cb" && $"id_a" < $"id_b")
+      .withColumn("cosine", r(dotQC / ($"na" * $"nb"), 6))
+      .filter($"cosine" >= lit(SemDedupTau))
+      .groupBy($"id_b")
+      .agg(min($"id_a").as("dup_of0"), max($"cosine").as("dup_cos0"))
+    asg.join(rem, asg("vec_id") === rem("id_b"), "left")
+      .select($"vec_id", $"cid".as("cluster"),
+        when($"dup_of0".isNull, 1).otherwise(0).as("kept"),
+        coalesce($"dup_of0", lit(-1L)).as("dup_of"),
+        coalesce($"dup_cos0", lit(-2.0d)).as("dup_cos"))
+      .orderBy($"vec_id")
   }
+
+  val e14Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e10Ctes,
+       sda AS (SELECT k.vec_id, k.cid, n.v, n.nrm FROM kmf k JOIN n USING (vec_id)),
+       sdp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)", 6)} AS cosine
+         FROM sda a JOIN sda b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       sdr AS (SELECT id_b, min(id_a) AS dup_of0, max(cosine) AS dup_cos0
+         FROM sdp WHERE cosine >= $SemDedupTau::DOUBLE GROUP BY id_b)
+       SELECT g.vec_id, g.cid AS cluster,
+         CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END AS kept,
+         coalesce(r.dup_of0, -1) AS dup_of,
+         coalesce(r.dup_cos0, -2.0::DOUBLE) AS dup_cos
+       FROM sda g LEFT JOIN sdr r ON g.vec_id = r.id_b
+       ORDER BY g.vec_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_pq_quantize" -> (e07PqQuantize _),
@@ -1022,7 +1091,8 @@ object Similarity {
     "e06_label_centroids" -> (e06LabelCentroids _),
     "e11_ivfpq_ann" -> (e11IvfPqAnn _),
     "e12_random_projection" -> (e12RandomProjection _),
-    "e13_adc_rerank" -> (e13AdcRerank _))
+    "e13_adc_rerank" -> (e13AdcRerank _),
+    "e14_semantic_dedup" -> (e14SemanticDedup _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -1038,5 +1108,6 @@ object Similarity {
     "e09_neardup_ann" -> e09Sql,
     "e11_ivfpq_ann" -> e11Sql,
     "e12_random_projection" -> e12Sql,
-    "e13_adc_rerank" -> e13Sql)
+    "e13_adc_rerank" -> e13Sql,
+    "e14_semantic_dedup" -> e14Sql)
 }

@@ -287,6 +287,36 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e14 semantic dedup: cluster minima survive, witnesses valid, prune non-trivial") {
+    import spark.implicits._
+    val out = Similarity.e14SemanticDedup(spark, sfTiny).cache()
+    try {
+      val n = graft.Tables.embeddings(spark, sfTiny).count()
+      assert(out.count() == n, "one verdict per vector")
+      // the smallest id in every cluster has no smaller-id witness → kept
+      val minViol = out.withColumn("mn",
+          min($"vec_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
+        .filter($"vec_id" === $"mn" && $"kept" === 0).count()
+      assert(minViol == 0, "per-cluster min id must be kept")
+      // removed rows carry a valid witness: smaller id, cosine ≥ τ;
+      // kept rows carry the sentinels
+      assert(out.filter($"kept" === 0 &&
+        ($"dup_of" >= $"vec_id" || $"dup_cos" < Similarity.SemDedupTau)).count() == 0)
+      assert(out.filter($"kept" === 1 &&
+        ($"dup_of" =!= -1L || $"dup_cos" =!= -2.0)).count() == 0)
+      // the witness lives in the same cluster (the prune is cluster-scoped)
+      val cl = out.select($"vec_id".as("w_id"), $"cluster".as("w_cl"))
+      assert(out.filter($"kept" === 0).join(cl, $"dup_of" === $"w_id")
+        .filter($"cluster" =!= $"w_cl").count() == 0)
+      // τ sits inside the cosine distribution: some removed, most kept
+      val removed = out.filter($"kept" === 0).count()
+      assert(removed > 0, "threshold should prune something on this corpus")
+      assert(removed < n / 2, s"prune should not collapse the corpus ($removed/$n)")
+      // deterministic end to end
+      assert(out.collect().sameElements(Similarity.e14SemanticDedup(spark, sfTiny).collect()))
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
