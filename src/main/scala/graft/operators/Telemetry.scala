@@ -447,7 +447,65 @@ object Telemetry {
        FROM rec
        ORDER BY user_id, ts, event_id"""
 
+  // --- t17: interval join — batch twin of the stream-stream join ---------
+
+  /** t17's trailing lookback. The streaming operator's reference default is
+    * 5 minutes ([[graft.streaming.StreamOps.joinWithAlerts]]); the twin
+    * runs 24 h because this corpus emits ~1 error per machine-day — the
+    * window must sit inside the data's inter-event cadence to exercise
+    * cross-batch matches. Spark / DuckDB spellings of the same interval. */
+  private[graft] val LookbackSpark = "INTERVAL 24 HOURS"
+  private[graft] val LookbackSql = "INTERVAL 24 HOUR"
+
+  /** Value-thresholded severity — shared by t17's batch alert derivation
+    * and the StreamReplaySpec streaming side, so the twins can't drift. */
+  private[graft] def severityCol: Column =
+    when(col("value") >= 10.0, "crit").otherwise("warn")
+
+  /** Alert derivation for t17: error events become alerts. */
+  private[graft] def alertsFrom(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("a_machine_id"), col("event_id").as("a_event_id"),
+        col("ts").as("alert_ts"), severityCol.as("severity"))
+
+  /** t17 — interval (event-time range) join: every reading picks up the
+    * same machine's alerts from the trailing [[LookbackSpark]] — the batch
+    * twin of the stream-stream join
+    * [[graft.streaming.StreamOps.joinWithAlerts]], giving that stateful
+    * operator an oracle-checked differential target (StreamReplaySpec
+    * replays both sides and asserts bit-equality). Executes as a
+    * sort-merge join on the machine equi-key with the range predicate as
+    * a post-join filter; the key's cardinality grows with the fleet
+    * (1 500 machines at sf0.1), so the shuffle spreads at scale. Output
+    * keyed by the (reading, alert) event-id pair — globally unique, the
+    * total order the driver hash needs. */
+  def t17IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val r0 = ev.select($"user_id".as("machine_id"), $"event_id".as("r_event_id"),
+      $"ts", $"value".as("temperature"))
+    r0.join(alertsFrom(ev), $"machine_id" === $"a_machine_id" &&
+        $"alert_ts" >= $"ts" - expr(LookbackSpark) && $"alert_ts" <= $"ts")
+      .select($"machine_id", $"r_event_id", $"ts", $"temperature",
+        $"a_event_id", $"alert_ts", $"severity")
+      .orderBy($"r_event_id", $"a_event_id")
+  }
+
+  val t17Sql: String =
+    s"""WITH r AS (SELECT user_id AS machine_id, event_id AS r_event_id, ts,
+           value AS temperature FROM events),
+       a AS (SELECT user_id AS a_machine_id, event_id AS a_event_id,
+           ts AS alert_ts,
+           CASE WHEN value >= 10.0 THEN 'crit' ELSE 'warn' END AS severity
+         FROM events WHERE event_type = 'error')
+       SELECT machine_id, r_event_id, ts, temperature, a_event_id, alert_ts,
+         severity
+       FROM r JOIN a ON machine_id = a_machine_id
+         AND alert_ts BETWEEN ts - $LookbackSql AND ts
+       ORDER BY r_event_id, a_event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_interval_join" -> (t17IntervalJoin _),
     "t15_ewma" -> (t15Ewma _),
     "t14_topk_udaf" -> (t14TopkUdaf _),
     "t13_forward_fill" -> (t13ForwardFill _),
@@ -462,6 +520,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t17_interval_join" -> t17Sql,
     "t15_ewma" -> t15Sql,
     "t14_topk_udaf" -> t14Sql,
     "t13_forward_fill" -> t13Sql,

@@ -334,14 +334,15 @@ object StreamOps {
     * watermarks so the join state is bounded (rows outside
     * watermark + interval are evicted) — the canonical correlated-streams
     * operator; state partitions by the equi-key machineId. */
-  def joinWithAlerts(readings: DataFrame, alerts: DataFrame): DataFrame = {
+  def joinWithAlerts(readings: DataFrame, alerts: DataFrame,
+      lookback: String = "INTERVAL 5 MINUTES"): DataFrame = {
     val r = readings.withWatermark("ts", "10 minutes").alias("r")
     val a = alerts
       .withColumnRenamed("ts", "alert_ts")
       .withWatermark("alert_ts", "10 minutes").alias("a")
     r.join(a,
-      expr("""r.machineId = a.machineId AND
-              a.alert_ts BETWEEN r.ts - INTERVAL 5 MINUTES AND r.ts"""))
+      expr(s"""r.machineId = a.machineId AND
+              a.alert_ts BETWEEN r.ts - $lookback AND r.ts"""))
       .select(col("r.machineId").as("machineId"), col("r.ts").as("ts"),
         col("r.temperature").as("temperature"),
         col("a.alert_ts").as("alert_ts"), col("a.severity").as("severity"))

@@ -81,6 +81,58 @@ class StreamReplaySpec extends GraftSpec {
       "micro-batched streaming rollup must equal the batch rollup bit-for-bit")
   }
 
+  test("replayed joinWithAlerts equals the oracle-green t17 batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // precondition: the contiguous slicing leaves matches that SPAN batch
+    // boundaries — a reading whose 24 h alert window reaches into an
+    // earlier slice — so the alert-side join state must survive triggers
+    // (23 h bound below keeps the check clear of ms-vs-µs edge rounding)
+    val sliceOf: Map[Long, Int] = slices.zipWithIndex
+      .flatMap { case (s, i) => s.map(e => e.event_id -> i) }.toMap
+    val errs = recs.filter(_.event_type == "error")
+    val cross = recs.exists { rr =>
+      errs.exists { aa =>
+        aa.user_id == rr.user_id &&
+        aa.ts.getTime <= rr.ts.getTime &&
+        aa.ts.getTime >= rr.ts.getTime - 23L * 3600 * 1000 &&
+        sliceOf(aa.event_id) < sliceOf(rr.event_id)
+      }
+    }
+    assert(cross, "slicing must leave at least one cross-batch interval match")
+
+    val inR = MemoryStream[EventRec]
+    val inA = MemoryStream[EventRec]
+    val readings = inR.toDF()
+      .select($"user_id".as("machineId"), $"ts", $"value".as("temperature"))
+    val alerts = inA.toDF().filter($"event_type" === "error")
+      .select($"user_id".as("machineId"), $"ts",
+        Telemetry.severityCol.as("severity"))
+    val out = tmp("graft-replay-interval")
+    // append mode: inner stream-stream joins emit each match exactly once,
+    // as soon as both sides have arrived — the parquet append accumulates
+    // the full join result across triggers
+    val q = StreamOps.joinWithAlerts(readings, alerts, Telemetry.LookbackSpark)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .outputMode("append").start()
+    try {
+      // both sides advance in lockstep ts order, so neither watermark can
+      // evict state the other side still needs
+      slices.foreach { s => inR.addData(s: _*); inA.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select($"machineId", $"ts", $"temperature", $"alert_ts", $"severity")
+    val batch = Telemetry.t17IntervalJoin(spark, sfTiny)
+      .select($"machine_id".as("machineId"), $"ts", $"temperature",
+        $"alert_ts", $"severity")
+    assert(canon(streamed) == canon(batch),
+      "stream-stream interval join must replay to the batch interval join")
+  }
+
   test("replayed sessionizeEvents equals the oracle-green t08 batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
