@@ -326,5 +326,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
       (children: Seq[Expression]) => SqDist(children(0), children(1))))
+    // auto-vectorize the HOF dot/sqdist idioms into the strict kernels —
+    // semantics-preserving on all inputs (see VectorKernelRule)
+    ext.injectOptimizerRule(_ => VectorKernelRule)
   }
 }

@@ -118,4 +118,44 @@ class VectorExpressionsSpec extends GraftSpec {
     assert(rows(1) == 0L)
     assert(rows(2) == 30340L) // U+7684 codepoint, one fold step
   }
+
+  test("VectorKernelRule auto-vectorizes HOF dot/sqdist, bit-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorKernelRule
+    val hofDot = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    val hofSq = "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)"
+    val df = Tables.embeddings(spark, sfTiny).select(
+      $"vec_id",
+      $"embedding".cast("array<double>").as("a"),
+      reverse($"embedding".cast("array<double>")).as("b"))
+    val base = df.select($"vec_id", expr(hofDot).as("d"), expr(hofSq).as("q"))
+      .orderBy($"vec_id").collect()
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VectorKernelRule
+    try {
+      val out = df.select($"vec_id", expr(hofDot).as("d"), expr(hofSq).as("q"))
+        .orderBy($"vec_id")
+      // the rule fired: both HOF folds replaced by the strict kernels
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_dot_strict"), plan.linesIterator.next())
+      assert(plan.contains("graft_sqdist_strict"))
+      // and the values are bit-identical to the interpreted HOF run
+      assert(out.collect().sameElements(base))
+      // strict null algebra survives the rewrite: length mismatch and
+      // null elements poison to null, exactly like the lambda form
+      val edge = Seq(
+        (1L, Seq(Option(1.0), Option(2.0)), Seq(Option(3.0))),
+        (2L, Seq(Option(1.0), None), Seq(Option(1.0), Option(2.0))),
+        (3L, Seq(Option(2.0), Option(3.0)), Seq(Option(4.0), Option(5.0))))
+        .toDF("id", "a", "b")
+      val got = edge.select($"id", expr(hofDot).as("d")).orderBy($"id").collect()
+      assert(got(0).isNullAt(1), "length mismatch -> null")
+      assert(got(1).isNullAt(1), "null element -> null")
+      assert(got(2).getDouble(1) == 23.0)
+      // a merge lambda that is NOT a plain sum must not match
+      val noRw = df.select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + 2 * v)"))
+      assert(!noRw.queryExecution.optimizedPlan.toString.contains("graft_dot_strict"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
