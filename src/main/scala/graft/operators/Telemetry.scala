@@ -491,21 +491,59 @@ object Telemetry {
       .orderBy($"r_event_id", $"a_event_id")
   }
 
-  val t17Sql: String =
-    s"""WITH r AS (SELECT user_id AS machine_id, event_id AS r_event_id, ts,
+  /** Readings/alerts CTE pair + join condition shared by t17 and t18 —
+    * the twins differ only in join type and null-side coalescing. */
+  private val raCtes: String =
+    """r AS (SELECT user_id AS machine_id, event_id AS r_event_id, ts,
            value AS temperature FROM events),
        a AS (SELECT user_id AS a_machine_id, event_id AS a_event_id,
            ts AS alert_ts,
            CASE WHEN value >= 10.0 THEN 'crit' ELSE 'warn' END AS severity
-         FROM events WHERE event_type = 'error')
+         FROM events WHERE event_type = 'error')"""
+  private val raCond: String =
+    s"machine_id = a_machine_id AND alert_ts BETWEEN ts - $LookbackSql AND ts"
+
+  val t17Sql: String =
+    s"""WITH $raCtes
        SELECT machine_id, r_event_id, ts, temperature, a_event_id, alert_ts,
          severity
-       FROM r JOIN a ON machine_id = a_machine_id
-         AND alert_ts BETWEEN ts - $LookbackSql AND ts
+       FROM r JOIN a ON $raCond
+       ORDER BY r_event_id, a_event_id"""
+
+  /** t18 — LEFT OUTER interval join: t17 plus the readings that saw NO
+    * alert in their trailing window, emitted with sentinel alert columns
+    * (q34's coalesce convention — the driver hash can't take nulls in
+    * sort keys). This is the batch twin of the left-outer stream-stream
+    * join, whose null-side emission is watermark-driven state expiry —
+    * StreamReplaySpec replays it and asserts bit-equality, the one outer
+    * streaming behavior the differential didn't cover. Same sort-merge
+    * equi-key layout as t17. */
+  def t18IntervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val r0 = ev.select($"user_id".as("machine_id"), $"event_id".as("r_event_id"),
+      $"ts", $"value".as("temperature"))
+    r0.join(alertsFrom(ev), $"machine_id" === $"a_machine_id" &&
+        $"alert_ts" >= $"ts" - expr(LookbackSpark) && $"alert_ts" <= $"ts", "left")
+      .select($"machine_id", $"r_event_id", $"ts", $"temperature",
+        coalesce($"a_event_id", lit(-1L)).as("a_event_id"),
+        coalesce($"alert_ts", expr("TIMESTAMP '1900-01-01 00:00:00'")).as("alert_ts"),
+        coalesce($"severity", lit("none")).as("severity"))
+      .orderBy($"r_event_id", $"a_event_id")
+  }
+
+  val t18Sql: String =
+    s"""WITH $raCtes
+       SELECT machine_id, r_event_id, ts, temperature,
+         coalesce(a_event_id, -1) AS a_event_id,
+         coalesce(alert_ts, TIMESTAMP '1900-01-01 00:00:00') AS alert_ts,
+         coalesce(severity, 'none') AS severity
+       FROM r LEFT JOIN a ON $raCond
        ORDER BY r_event_id, a_event_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_interval_join" -> (t17IntervalJoin _),
+    "t18_interval_join_left" -> (t18IntervalJoinLeft _),
     "t15_ewma" -> (t15Ewma _),
     "t14_topk_udaf" -> (t14TopkUdaf _),
     "t13_forward_fill" -> (t13ForwardFill _),
@@ -521,6 +559,7 @@ object Telemetry {
 
   val oracles: Map[String, String] = Map(
     "t17_interval_join" -> t17Sql,
+    "t18_interval_join_left" -> t18Sql,
     "t15_ewma" -> t15Sql,
     "t14_topk_udaf" -> t14Sql,
     "t13_forward_fill" -> t13Sql,

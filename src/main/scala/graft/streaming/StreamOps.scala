@@ -335,14 +335,16 @@ object StreamOps {
     * watermark + interval are evicted) — the canonical correlated-streams
     * operator; state partitions by the equi-key machineId. */
   def joinWithAlerts(readings: DataFrame, alerts: DataFrame,
-      lookback: String = "INTERVAL 5 MINUTES"): DataFrame = {
+      lookback: String = "INTERVAL 5 MINUTES",
+      joinType: String = "inner"): DataFrame = {
     val r = readings.withWatermark("ts", "10 minutes").alias("r")
     val a = alerts
       .withColumnRenamed("ts", "alert_ts")
       .withWatermark("alert_ts", "10 minutes").alias("a")
     r.join(a,
       expr(s"""r.machineId = a.machineId AND
-              a.alert_ts BETWEEN r.ts - $lookback AND r.ts"""))
+              a.alert_ts BETWEEN r.ts - $lookback AND r.ts"""),
+      joinType)
       .select(col("r.machineId").as("machineId"), col("r.ts").as("ts"),
         col("r.temperature").as("temperature"),
         col("a.alert_ts").as("alert_ts"), col("a.severity").as("severity"))

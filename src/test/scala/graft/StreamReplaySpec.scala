@@ -133,6 +133,57 @@ class StreamReplaySpec extends GraftSpec {
       "stream-stream interval join must replay to the batch interval join")
   }
 
+  test("replayed left-outer joinWithAlerts equals the oracle-green t18 batch left join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val inR = MemoryStream[EventRec]
+    val inA = MemoryStream[EventRec]
+    val readings = inR.toDF()
+      .select($"user_id".as("machineId"), $"ts", $"value".as("temperature"))
+    val alerts = inA.toDF().filter($"event_type" === "error")
+      .select($"user_id".as("machineId"), $"ts",
+        Telemetry.severityCol.as("severity"))
+    val out = tmp("graft-replay-left")
+    val q = StreamOps.joinWithAlerts(readings, alerts,
+        Telemetry.LookbackSpark, "left_outer")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .outputMode("append").start()
+    try {
+      slices.foreach { s => inR.addData(s: _*); inA.addData(s: _*); q.processAllAvailable() }
+      // null-side rows emit only when BOTH watermarks pass the reading's
+      // eviction point, and each trigger's watermark derives from the
+      // PREVIOUS batch's max event time — hence two far-future sentinel
+      // batches (fed to both sides; machineId −1 keeps them filterable)
+      val maxTs = recs.last.ts.getTime
+      Seq(48L, 96L).zipWithIndex.foreach { case (h, i) =>
+        val sentinel = EventRec(-1L, "error",
+          new Timestamp(maxTs + h * 3600 * 1000), -1L - i, 0.0)
+        inR.addData(sentinel); inA.addData(sentinel); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .filter($"machineId" >= 0)
+      .select($"machineId", $"ts", $"temperature",
+        coalesce($"alert_ts", expr("TIMESTAMP '1900-01-01 00:00:00'")).as("alert_ts"),
+        coalesce($"severity", lit("none")).as("severity"))
+    val batch = Telemetry.t18IntervalJoinLeft(spark, sfTiny)
+      .select($"machine_id".as("machineId"), $"ts", $"temperature",
+        $"alert_ts", $"severity")
+    // precondition: the outer semantics are actually exercised — readings
+    // with no alert in their window exist and must surface as null-side
+    // emissions in the stream
+    val unmatched = batch.filter($"severity" === "none").count()
+    assert(unmatched > 0, "corpus must contain alert-free readings")
+    assert(streamed.filter($"severity" === "none").count() == unmatched,
+      "watermark expiry must emit exactly the unmatched readings")
+    assert(canon(streamed) == canon(batch),
+      "left-outer stream-stream join must replay to the batch left join")
+  }
+
   test("replayed sessionizeEvents equals the oracle-green t08 batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
