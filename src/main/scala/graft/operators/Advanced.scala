@@ -162,6 +162,36 @@ object Advanced {
        WHERE ((CAST(c_custkey AS BIGINT) * 48271 + 11) % 1000003) % 1000 < COALESCE(permille, 50)
        ORDER BY c_custkey"""
 
+  /** s03 — deterministic hash train/val/test split (80/10/10): each
+    * document's destination is a pure function of its id (h60 % 10), so
+    * the split is reproducible across engines, runs, and cluster sizes,
+    * and costs ZERO shuffle — a scan-local map, the split strategy that
+    * holds at 100 TB (`randomSplit` resamples per retry and shifts under
+    * AQE re-planning). Stratification across langs holds in expectation
+    * (the hash is independent of lang; AdvancedSpec pins per-lang
+    * fractions); the exact-fraction alternative — per-stratum rank
+    * windows — would shuffle the corpus on a 5-value lang key, the
+    * low-cardinality-key trap. Deterministic twin of the reference's
+    * random train/test split (SURVEY.md §2.3 M3). */
+  def s03HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+      .withColumn("split",
+        when($"h" <= 7, "train").when($"h" === 8, "val").otherwise("test"))
+      .select($"doc_id", $"lang", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val s03Sql: String =
+    s"""SELECT doc_id, lang,
+         CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END
+           AS split
+       FROM (SELECT doc_id, lang,
+           ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h
+         FROM documents)
+       ORDER BY doc_id"""
+
   /** t10 — date-spine gap filling: per-day error-event counts with
     * explicit zero rows for silent days (sequence + explode builds the
     * spine from the observed bounds; left join + coalesce fills). The
@@ -581,6 +611,7 @@ object Advanced {
     "q30_lateral_tokens" -> (q30LateralTokens _),
     "q31_cohort_retention" -> (q31CohortRetention _),
     "s01_stratified_sample" -> (s01StratifiedSample _),
+    "s03_hash_split" -> (s03HashSplit _),
     "t10_date_spine" -> (t10DateSpine _),
     "t11_rolling_window" -> (t11RollingWindow _))
 
@@ -599,6 +630,7 @@ object Advanced {
     "q30_lateral_tokens" -> q30Sql,
     "q31_cohort_retention" -> q31Sql,
     "s01_stratified_sample" -> s01Sql,
+    "s03_hash_split" -> s03Sql,
     "t10_date_spine" -> t10Sql,
     "t11_rolling_window" -> t11Sql)
 }

@@ -248,4 +248,34 @@ class AdvancedSpec extends GraftSpec {
       assert(got.sameElements(twin))
     } finally probed.unpersist()
   }
+
+  test("s03 hash split: total partition, ~80/10/10 overall and per lang, shuffle-free") {
+    import spark.implicits._
+    val out = Advanced.s03HashSplit(spark, sfSmall).cache()
+    try {
+      val n = Tables.documents(spark, sfSmall).count()
+      assert(out.count() == n, "every document gets exactly one split")
+      // overall fractions: binomial ±3σ at n=500 keeps these loose bounds
+      val frac = out.groupBy($"split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+      assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+      assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06)
+      assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06)
+      // stratification in expectation: every lang keeps a train majority
+      val perLang = out.groupBy($"lang").agg(
+        (sum(when($"split" === "train", 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("tf")).collect()
+      perLang.foreach(r => assert(math.abs(r.getDouble(1) - 0.8) < 0.2,
+        s"lang ${r.getString(0)} train fraction ${r.getDouble(1)}"))
+      // the split itself is a scan-local map: the only exchange in the
+      // plan is the final presentation sort (rangepartitioning) — no
+      // hash-partition shuffle anywhere (AQE prints the plan twice, so
+      // count kinds, not lines)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "hash split must not shuffle on a key")
+      // deterministic across runs
+      assert(out.collect().sameElements(Advanced.s03HashSplit(spark, sfSmall).collect()))
+    } finally out.unpersist()
+  }
 }
