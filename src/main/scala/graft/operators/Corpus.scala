@@ -467,7 +467,72 @@ object Corpus {
        ORDER BY pos"""
   }
 
+  // --- d25: DSIR importance-weighted data selection -----------------------
+
+  /** d25's target domain: the sources whose token distribution defines
+    * "target-like" text. Shared by the Column and SQL forms. */
+  private[graft] val DsirTargetSrcs = Seq("src0", "src1", "src2", "src3")
+
+  /** d25 — DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by its mean per-token log importance ratio
+    * ln p_target(w) − ln p_raw(w) under add-one-smoothed unigram LMs,
+    * where target = the [[DsirTargetSrcs]] domains and raw = the whole
+    * corpus; positive scores mark target-like documents worth upsampling.
+    * Both LMs train in-plan from ONE token aggregation (a per-token
+    * conditional count rides along the raw count), the totals are a
+    * broadcast 1-row frame, and the ratio joins back to token instances
+    * on the uniform vocabulary key — d10's scalable explode→count→join
+    * layout with the model table doubled, linear at any corpus size.
+    * Smoothed-probability logs are exact-integer ratios through ln (the
+    * d10-proven parity path); the mean goes through the decimal policy. */
+  def d25DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cached: instances feed the count aggregation AND the scoring join
+    // (CLAUDE.md invariant 5)
+    val inst = Tables.documents(s, dir)
+      .select($"doc_id", $"source", explode(toks(lower($"text"))).as("w"))
+      .cache()
+    val cr = inst.groupBy($"w").agg(
+      count(lit(1)).as("craw"),
+      sum(when($"source".isin(DsirTargetSrcs: _*), 1L).otherwise(0L)).as("ctgt"))
+    val tot = cr.agg(sum($"craw").as("nraw"), sum($"ctgt").as("ntgt"),
+      count(lit(1)).as("v"))
+    val p = cr.crossJoin(broadcast(tot))
+      .select($"w",
+        (log(($"ctgt" + lit(1L)).cast("double") / ($"ntgt" + $"v")) -
+          log(($"craw" + lit(1L)).cast("double") / ($"nraw" + $"v"))).as("lr"))
+    val out = inst.join(p, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        r(dsum($"lr") / count(lit(1)), 6).as("dsir_score"))
+      .withColumn("selected", ($"dsir_score" >= 0.0).cast("int"))
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    inst.unpersist(blocking = false)
+    out
+  }
+
+  val d25Sql: String = {
+    val inTgt = DsirTargetSrcs.map(s => s"'$s'").mkString(", ")
+    s"""WITH inst AS (SELECT doc_id, source,
+           unnest(${toksSql("lower(text)")}) AS w FROM documents),
+       cr AS (SELECT w, count(*) AS craw,
+           (sum(CASE WHEN source IN ($inTgt) THEN 1 ELSE 0 END))::BIGINT AS ctgt
+         FROM inst GROUP BY w),
+       tot AS (SELECT (sum(craw))::BIGINT AS nraw, (sum(ctgt))::BIGINT AS ntgt,
+           count(*) AS v FROM cr),
+       p AS (SELECT w, ln((ctgt + 1) / (ntgt + v)) - ln((craw + 1) / (nraw + v))
+           AS lr FROM cr CROSS JOIN tot),
+       sc AS (SELECT doc_id, count(*) AS n_tokens,
+           ${rSql(s"${dsumSql("lr")} / count(*)", 6)} AS dsir_score
+         FROM inst JOIN p USING (w) GROUP BY doc_id)
+       SELECT doc_id, n_tokens, dsir_score,
+         CAST(dsir_score >= 0 AS INTEGER) AS selected
+       FROM sc ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_dsir_select" -> (d25DsirSelect _),
     "d15_textrank" -> (d15Textrank _),
     "d14_bm25" -> (d14Bm25 _),
     "d08_tfidf" -> (d08Tfidf _),
@@ -477,6 +542,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "d25_dsir_select" -> d25Sql,
     "d15_textrank" -> d15Sql,
     "d14_bm25" -> d14Sql,
     "d08_tfidf" -> d08Sql,

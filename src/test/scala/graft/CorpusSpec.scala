@@ -147,4 +147,29 @@ class CorpusSpec extends GraftSpec {
       assert(splitDups == 0, "identical texts must co-cluster")
     } finally out.unpersist()
   }
+
+  test("d25 DSIR: target-domain docs score higher on average, flag consistent") {
+    import spark.implicits._
+    val out = Corpus.d25DsirSelect(spark, sfTiny).cache()
+    try {
+      // every tokenized document gets exactly one score (toks is empty
+      // exactly when the trimmed text is)
+      val nTok = Tables.documents(spark, sfTiny)
+        .filter(length(trim($"text")) > 0).count()
+      assert(out.count() == nTok)
+      // the defining DSIR property: the importance ratio separates the
+      // target domain from the rest (E_target[lr] = +KL, E_raw[lr] ≈ −KL)
+      val docs = Tables.documents(spark, sfTiny).select($"doc_id", $"source")
+      val m = out.join(docs, "doc_id")
+        .groupBy($"source".isin(Corpus.DsirTargetSrcs: _*).as("tgt"))
+        .agg(avg($"dsir_score").as("m")).collect()
+        .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(m(true) > m(false),
+        s"target mean ${m(true)} must exceed raw mean ${m(false)}")
+      // flag is exactly the sign of the rounded score
+      assert(out.filter(($"dsir_score" >= 0.0) =!= ($"selected" === 1)).count() == 0)
+      // deterministic
+      assert(out.collect().sameElements(Corpus.d25DsirSelect(spark, sfTiny).collect()))
+    } finally out.unpersist()
+  }
 }
