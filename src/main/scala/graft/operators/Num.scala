@@ -38,6 +38,13 @@ object Num {
   def r(c: Column, k: Int): Column =
     floor(c * lit(p10(k)) + lit(0.5)) / lit(p10(k))
 
+  /** Driver/executor-side Scala twin of [[r]] — the identical IEEE ops
+    * (×10^k, +0.5, floor, ÷10^k), for per-key sequential algorithms that
+    * run inside mapGroups (t15 EWMA, e15 MMR) yet must stay bit-equal to
+    * the SQL oracle. */
+  def rD(x: Double, k: Int): Double =
+    math.floor(x * p10(k) + 0.5) / p10(k)
+
   def rSql(e: String, k: Int): String = {
     val p = p10(k).toLong
     s"floor(($e) * $p.0 + 0.5) / $p.0"

@@ -736,6 +736,152 @@ object Similarity {
        WHERE rank <= 5
        ORDER BY query_id, rank"""
 
+  // --- e15: MMR diversity re-ranking over the ADC shortlist -------------
+
+  /** e15's relevance/diversity mix: score = λ·rel − (1−λ)·max-sim-to-
+    * selected. β is written as its own literal so both engines parse the
+    * identical double (1−0.7 in IEEE is 0.30000000000000004, not 0.3). */
+  private[graft] val MmrLambda = 0.7
+  private[graft] val MmrBeta = 0.3
+  private[graft] val MmrK = 5
+
+  /** e15 — Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick [[MmrK]] results per query from e13's
+    * [[RerankDepth]]-deep ADC shortlist, each round taking the candidate
+    * maximizing λ·cosine(q,c) − (1−λ)·max_{s∈selected} cosine(c,s) — the
+    * diversification step a RAG retrieval stack runs after ANN search,
+    * so near-duplicate neighbors don't crowd the result page. All
+    * pairwise work is shortlist-local (≤ depth² per query, never corpus-
+    * sized); the greedy loop is [[MmrK]]−1 unrolled rounds over cached
+    * candidate/pair frames, each an anti-join + max-aggregate + top-1
+    * window on ≤ depth rows per query. Fully oracle-checked: probe
+    * selection, codes, shortlist, pairwise cosines, and every greedy
+    * round mirror in SQL. */
+  def e15MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    // full-depth shortlist with exact r6 relevance cosines (e13's refine
+    // input, before its top-5 cut), carrying each candidate's vector and
+    // norm for the in-group pairwise work
+    val short = adcRanked(s, dir).filter($"rank" <= RerankDepth)
+      .select($"query_id", $"neighbor_id")
+      .join(c.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm")), "query_id")
+      .join(c.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm")), "neighbor_id")
+      .withColumn("rel", r(dotQC / ($"qnrm" * $"cnrm"), 6))
+      .select($"query_id", $"neighbor_id", $"rel", $"cv", $"cnrm")
+      .as[(Long, Long, Double, Seq[Double], Double)]
+    // the greedy loop is sequential per query over shortlist-local state
+    // (≤ depth vectors) → one mapGroups pass after a single shuffle, the
+    // t15-EWMA layout. A distributed formulation (K−1 unrolled anti-join +
+    // max-agg + top-1 rounds) was built and measured first: its plan
+    // references the selection 3× per round, so the lineage (and Catalyst's
+    // re-analysis of it) triplicates per round — 112 s at sf0.001; eager
+    // per-round localCheckpoints still left ~15 s of barrier jobs at every
+    // scale. In-group arithmetic mirrors the oracle exactly: left-to-right
+    // dots, Num.rD rounding, (mmr DESC, id ASC) argmax.
+    short.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double], Double)]) =>
+        val cands = it.toArray
+        val n = cands.length
+        val vecs = cands.map(_._4.toArray)
+        val selected = new Array[Boolean](n)
+        val msim = Array.fill(n)(Double.NegativeInfinity)
+        def dotLR(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val out = Array.newBuilder[(Long, Int, Long, Double, Double)]
+        var last = -1
+        val k = math.min(MmrK, n)
+        var pos = 1
+        while (pos <= k) {
+          if (pos > 1) {
+            // fold the newest pick into every unselected candidate's
+            // max-similarity — the same max the oracle's per-round
+            // inner-join aggregate takes over the whole selected set
+            var i = 0
+            while (i < n) {
+              if (!selected(i)) {
+                val cc = Num.rD(dotLR(vecs(i), vecs(last)) /
+                  (cands(i)._5 * cands(last)._5), 6)
+                if (cc > msim(i)) msim(i) = cc
+              }
+              i += 1
+            }
+          }
+          // argmax of the round's score, ties to the smaller neighbor id
+          var best = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!selected(i)) {
+              val sc = if (pos == 1) cands(i)._3
+                else MmrLambda * cands(i)._3 - MmrBeta * msim(i)
+              if (best < 0 || sc > bestScore ||
+                  (sc == bestScore && cands(i)._2 < cands(best)._2)) {
+                best = i
+                bestScore = sc
+              }
+            }
+            i += 1
+          }
+          val mmrOut = if (pos == 1) MmrLambda * cands(best)._3 else bestScore
+          out += ((qid, pos, cands(best)._2, cands(best)._3, Num.rD(mmrOut, 6)))
+          selected(best) = true
+          last = best
+          pos += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "pos", "neighbor_id", "rel", "mmr_score")
+      .orderBy($"query_id", $"pos")
+  }
+
+  val e15Sql: String = {
+    // every msel/msc is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each round references the previous selection three
+    // times — the same 3^rounds lineage blow-up the Spark side hit
+    // (measured: 6 min → seconds at sf0.1)
+    val rounds = (2 to MmrK).map { t =>
+      s"""msc$t AS MATERIALIZED (SELECT r.query_id, r.neighbor_id,
+             r.cosine AS rel, max(p.cc) AS msim
+           FROM rrx r
+           JOIN mmp p ON p.query_id = r.query_id AND p.a = r.neighbor_id
+           JOIN msel${t - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.b
+           WHERE NOT EXISTS (SELECT 1 FROM msel${t - 1} z
+             WHERE z.query_id = r.query_id AND z.neighbor_id = r.neighbor_id)
+           GROUP BY r.query_id, r.neighbor_id, r.cosine),
+         mpk$t AS (SELECT query_id, neighbor_id, rel, $t AS pos,
+             $MmrLambda::DOUBLE * rel - $MmrBeta::DOUBLE * msim AS mmr
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY $MmrLambda::DOUBLE * rel - $MmrBeta::DOUBLE * msim DESC,
+                 neighbor_id ASC) AS rn
+             FROM msc$t) z WHERE rn = 1),
+         msel$t AS MATERIALIZED (SELECT * FROM msel${t - 1}
+           UNION ALL SELECT * FROM mpk$t)"""
+    }.mkString(",\n       ")
+    s"""WITH n AS ($corpusSql),
+       $e11Ctes,
+       $rerankCtes,
+       mmp AS MATERIALIZED (SELECT x.query_id, x.neighbor_id AS a,
+           y.neighbor_id AS b,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) / (va.nrm * vb.nrm)", 6)} AS cc
+         FROM rrx x
+         JOIN rrx y ON x.query_id = y.query_id AND x.neighbor_id != y.neighbor_id
+         JOIN n va ON va.vec_id = x.neighbor_id
+         JOIN n vb ON vb.vec_id = y.neighbor_id),
+       msel1 AS MATERIALIZED (SELECT query_id, neighbor_id, cosine AS rel,
+           1 AS pos, $MmrLambda::DOUBLE * cosine AS mmr
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM rrx) z
+         WHERE rn = 1),
+       $rounds
+       SELECT query_id, pos, neighbor_id, rel, ${rSql("mmr", 6)} AS mmr_score
+       FROM msel$MmrK
+       ORDER BY query_id, pos"""
+  }
+
   // --- e12: Johnson–Lindenstrauss random projection ---------------------
 
   private val RpD = 16
@@ -1092,7 +1238,8 @@ object Similarity {
     "e11_ivfpq_ann" -> (e11IvfPqAnn _),
     "e12_random_projection" -> (e12RandomProjection _),
     "e13_adc_rerank" -> (e13AdcRerank _),
-    "e14_semantic_dedup" -> (e14SemanticDedup _))
+    "e14_semantic_dedup" -> (e14SemanticDedup _),
+    "e15_mmr_rerank" -> (e15MmrRerank _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -1109,5 +1256,6 @@ object Similarity {
     "e11_ivfpq_ann" -> e11Sql,
     "e12_random_projection" -> e12Sql,
     "e13_adc_rerank" -> e13Sql,
-    "e14_semantic_dedup" -> e14Sql)
+    "e14_semantic_dedup" -> e14Sql,
+    "e15_mmr_rerank" -> e15Sql)
 }

@@ -317,6 +317,48 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e15 MMR: contiguous positions, rank-1 = max relevance, measurably diverser than e13") {
+    import spark.implicits._
+    val out = Similarity.e15MmrRerank(spark, sfSmall).cache()
+    val e13 = Similarity.e13AdcRerank(spark, sfSmall).cache()
+    try {
+      // positions are 1..k with no gaps, neighbors distinct per query
+      val posViol = out.groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), min($"pos").as("mn"), max($"pos").as("mx"),
+          countDistinct($"neighbor_id").as("d"))
+        .filter($"mn" =!= 1 || $"mx" =!= $"n" || $"d" =!= $"n").count()
+      assert(posViol == 0)
+      // the first pick is pure relevance — e13's rank-1 row
+      val r1 = e13.filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id".as("top_nid"))
+      assert(out.filter($"pos" === 1).join(r1, "query_id")
+        .filter($"neighbor_id" =!= $"top_nid").count() == 0)
+      // diversification is real: MMR's picks diverge from pure relevance
+      // for at least one query, and the mean intra-set cosine drops
+      // (measured 0.085 vs 0.112 at sf0.01)
+      def intra(sel: org.apache.spark.sql.DataFrame): Double = {
+        val c = Tables.embeddings(spark, sfSmall)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(org.apache.spark.sql.graft.VectorExpressions.dot($"v", $"v")))
+        val a = sel.select($"query_id", $"neighbor_id".as("ia"))
+          .join(c.select($"vec_id".as("ia"), $"v".as("qv"), $"nrm".as("na")), "ia")
+        val b = sel.select($"query_id".as("qb"), $"neighbor_id".as("ib"))
+          .join(c.select($"vec_id".as("ib"), $"v".as("cv"), $"nrm".as("nb")), "ib")
+        a.join(b, $"query_id" === $"qb" && $"ia" < $"ib")
+          .select((org.apache.spark.sql.graft.VectorExpressions.dot($"qv", $"cv") /
+            ($"na" * $"nb")).as("cc"))
+          .agg(avg($"cc")).collect()(0).getDouble(0)
+      }
+      val sep = e13.select($"query_id", $"neighbor_id")
+        .exceptAll(out.select($"query_id", $"neighbor_id")).count()
+      assert(sep > 0, "MMR must change at least one pick vs pure relevance")
+      val (mi, ei) = (intra(out), intra(e13))
+      assert(mi < ei, s"MMR intra-set cosine $mi must be below e13's $ei")
+      // deterministic
+      assert(out.collect().sameElements(Similarity.e15MmrRerank(spark, sfSmall).collect()))
+    } finally { out.unpersist(); e13.unpersist() }
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
