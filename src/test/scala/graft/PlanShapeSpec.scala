@@ -182,6 +182,22 @@ class PlanShapeSpec extends GraftSpec {
       s"query construction launched ${after - before} job(s); only $allowed table-read job(s) allowed")
   }
 
+  test("t17/t18 interval joins: one equi-key join, bounded exchanges") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the range predicate must ride the machine-id equi-join as a post-join
+    // condition — NOT degrade to a nested-loop cross product (AQE may pick
+    // broadcast-hash vs sort-merge by size; either is the equi-key layout)
+    Seq(Telemetry.t17IntervalJoin(spark, sfTiny),
+        Telemetry.t18IntervalJoinLeft(spark, sfTiny)).foreach { df =>
+      assert(countNodes(df)(p => p.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+        p.isInstanceOf[CartesianProductExec]) == 0,
+        "interval join must not degrade to a nested loop")
+      assert(countNodes(df)(_.isInstanceOf[BaseJoinExec]) == 1)
+      // two join-input exchanges + the presentation sort at most
+      assert(countShuffles(df) <= 3)
+    }
+  }
+
   test("d16 decontamination: benchmark set broadcast, never shuffle-joined") {
     val df = graft.operators.Curation.d16Decontaminate(spark, sfTiny)
     assert(countBroadcasts(df) >= 1)
