@@ -531,7 +531,109 @@ object Corpus {
        FROM sc ORDER BY doc_id"""
   }
 
+  // --- d26: perplexity bucketing (CCNet) ----------------------------------
+
+  /** d26 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document by its cross-entropy under a
+    * bigram LM trained on the TARGET domain only ([[DsirTargetSrcs]], the
+    * d25 domains — CCNet's Wikipedia), then split the corpus into
+    * head/middle/tail by the tertiles of that score. This is the other
+    * half of the perplexity-filter family: d10 scores under the corpus's
+    * OWN LM (fluency relative to itself); d26 scores against a curated
+    * reference and keeps the buckets, which is what CCNet actually ships.
+    *
+    * Model: P(w2|w1) = (c_tgt(w1 w2) + 1) / (c_tgt(w1 ·) + V), add-one
+    * smoothed over the corpus-wide unigram vocabulary V so bigrams unseen
+    * in the target domain still score (LEFT joins + coalesce-0 — the
+    * out-of-domain case add-one smoothing exists for). Cross-entropy =
+    * −mean log P over the doc's bigrams, through the decimal-sum policy.
+    *
+    * Plan shape: d10's explode→count→join layout (bigram instances cached
+    * — they feed LM training and the scoring join; CLAUDE.md invariant 5)
+    * with the LM counts filtered to the target rows, plus a broadcast
+    * 1-row vocabulary size and a broadcast 1-row tertile frame. All joins
+    * are keyed on uniform text n-grams — linear at any corpus size. The
+    * tertile cutoffs use exact interpolated percentile on the ROUNDED
+    * score (the q33-proven quantile_cont parity path; identical inputs →
+    * identical interpolation → bucket comparisons bit-agree), computed in
+    * one single-group aggregate: exact percentile buffers the column, so
+    * at 100 TB swap in the q37 GK sketch for the cutoffs — same shape. */
+  def d26PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val big = docs
+      .select($"doc_id", $"source", toks(lower($"text")).as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("bg"))
+      .cache()
+    val vocab = docs
+      .select(explode(toks(lower($"text"))).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val cbt = big.filter($"source".isin(DsirTargetSrcs: _*))
+      .groupBy($"bg").agg(count(lit(1)).as("nb"))
+    val cut = cbt
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .groupBy($"w1").agg(sum($"nb").as("nu"))
+    val inst = big
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .join(cbt, Seq("bg"), "left")
+      .join(cut, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        log((coalesce($"nb", lit(0L)) + lit(1L)).cast("double") /
+          (coalesce($"nu", lit(0L)) + $"v")).as("logp"))
+    val ce = inst.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r(-dsum($"logp") / count(lit(1)), 6).as("ce"))
+    val cuts = ce.agg(
+      r(percentile($"ce", lit(1.0 / 3)), 6).as("t1"),
+      r(percentile($"ce", lit(2.0 / 3)), 6).as("t2"))
+    val out = ce.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"n_bigrams", $"ce",
+        when($"ce" <= $"t1", "head")
+          .when($"ce" <= $"t2", "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    big.unpersist(blocking = false)
+    out
+  }
+
+  val d26Sql: String = {
+    val inTgt = DsirTargetSrcs.map(s => s"'$s'").mkString(", ")
+    s"""WITH big AS (
+         SELECT doc_id, source, unnest(list_transform(range(1, len(tk)),
+           i -> tk[i] || ' ' || tk[i + 1])) AS bg
+         FROM (SELECT doc_id, source, ${toksSql("lower(text)")} AS tk FROM documents)
+         WHERE len(tk) >= 2),
+       vocab AS (SELECT count(DISTINCT w) AS v
+         FROM (SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents)),
+       cbt AS (SELECT bg, count(*) AS nb FROM big
+         WHERE source IN ($inTgt) GROUP BY bg),
+       cut AS (SELECT split_part(bg, ' ', 1) AS w1, (sum(nb))::BIGINT AS nu
+         FROM cbt GROUP BY 1),
+       inst AS (SELECT doc_id,
+           ln((coalesce(nb, 0) + 1) / (coalesce(nu, 0) + v)) AS logp
+         FROM big
+         LEFT JOIN cbt USING (bg)
+         LEFT JOIN cut ON split_part(big.bg, ' ', 1) = cut.w1
+         CROSS JOIN vocab),
+       ce AS (SELECT doc_id, count(*) AS n_bigrams,
+           ${rSql(s"-(${dsumSql("logp")}) / count(*)", 6)} AS ce
+         FROM inst GROUP BY doc_id),
+       cuts AS (SELECT ${rSql("quantile_cont(ce, 1.0 / 3)", 6)} AS t1,
+           ${rSql("quantile_cont(ce, 2.0 / 3)", 6)} AS t2 FROM ce)
+       SELECT doc_id, n_bigrams, ce,
+         CASE WHEN ce <= t1 THEN 'head'
+              WHEN ce <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+       FROM ce CROSS JOIN cuts
+       ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
     "d25_dsir_select" -> (d25DsirSelect _),
     "d15_textrank" -> (d15Textrank _),
     "d14_bm25" -> (d14Bm25 _),
@@ -542,6 +644,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "d26_perplexity_buckets" -> d26Sql,
     "d25_dsir_select" -> d25Sql,
     "d15_textrank" -> d15Sql,
     "d14_bm25" -> d14Sql,

@@ -165,9 +165,9 @@ object TextOps {
        ORDER BY doc_id"""
   }
 
-  /** normalized-text fingerprint shared by d04/d06: lowercase, collapse
-    * whitespace, md5. */
-  private[operators] def normFp(c: Column): Column =
+  /** normalized-text fingerprint shared by d04/d06 (and the streaming
+    * dedup twin in StreamOps). */
+  private[graft] def normFp(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
   private[operators] def normFpSql(e: String): String =
@@ -177,14 +177,18 @@ object TextOps {
     * fingerprint, keep the lowest doc_id as representative. The single
     * shuffle is on the 32-hex-char hash — uniformly distributed, no skew,
     * scales linearly. */
-  def d04ExactDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", normFp($"text").as("fp"))
-      .groupBy($"fp")
-      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy($"kept_doc_id")
-  }
+  /** d04's core on an arbitrary (doc_id, text) corpus — shared with the
+    * streaming replay differential so the batch and stream twins cannot
+    * drift. */
+  private[graft] def dedupCore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), normFp(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("kept_doc_id"))
+
+  def d04ExactDedup(s: SparkSession, dir: String): DataFrame =
+    dedupCore(Tables.documents(s, dir))
 
   val d04Sql: String =
     s"""SELECT fp, min(doc_id) AS kept_doc_id, count(*) AS n_copies

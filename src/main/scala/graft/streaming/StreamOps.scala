@@ -116,6 +116,22 @@ object StreamOps {
   }
 
   /** QoS-1 dedup: at-least-once duplicates dropped within the watermark. */
+  /** Corpus exact-dedup on ingest: first-arrival survivor per normalized
+    * text fingerprint (d04's `normFp`, the SHARED builder — so the stream
+    * twin cannot drift from the oracle-green batch dedup). When documents
+    * arrive in doc_id order this keeps exactly d04's min-id survivors
+    * (StreamReplaySpec asserts it on a planted-duplicate corpus). No
+    * watermark: content fingerprints never expire, so state is one 16-byte
+    * hash per DISTINCT document — the batch dedup's hash table made
+    * incremental. At 100 TB the state store shards this by fingerprint
+    * across executors; bound it with a TTL key (ingest-day in the dedup
+    * key) if the dedup contract is windowed rather than global. */
+  def dedupCorpusStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.TextOps.normFp(col("text")))
+      .dropDuplicates("fp")
+      .drop("fp")
+
   def dedupQos1(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
     df.withWatermark("ts", watermark).dropDuplicates("machineId", "ts")
 

@@ -172,4 +172,44 @@ class CorpusSpec extends GraftSpec {
       assert(out.collect().sameElements(Corpus.d25DsirSelect(spark, sfTiny).collect()))
     } finally out.unpersist()
   }
+
+  test("d26 perplexity buckets: tertile partition ordered by score, target domain scores lower") {
+    import spark.implicits._
+    val out = Corpus.d26PerplexityBuckets(spark, sfTiny).cache()
+    try {
+      // one row per document with >= 2 tokens (bigrams need a pair)
+      val nBig = Tables.documents(spark, sfTiny)
+        .filter(size(filter(split(trim(lower($"text")), "\\s+"), t => t =!= "")) >= 2)
+        .count()
+      assert(out.count() == nBig)
+      // cross-entropy under a smoothed LM is strictly positive
+      assert(out.filter($"ce" <= 0.0).count() == 0)
+      // buckets are contiguous score ranges: head below middle below tail
+      val rng = out.groupBy($"bucket")
+        .agg(min($"ce").as("lo"), max($"ce").as("hi")).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(rng.keySet == Set("head", "middle", "tail"))
+      assert(rng("head")._2 <= rng("middle")._1, "head must end before middle starts")
+      assert(rng("middle")._2 <= rng("tail")._1, "middle must end before tail starts")
+      // tertiles: each bucket holds roughly a third (ties at the rounded
+      // cutoff can shift a few docs between neighbours)
+      val n = out.count().toDouble
+      val sizes = out.groupBy($"bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq("head", "middle", "tail").foreach { b =>
+        assert(sizes(b) > n / 4 && sizes(b) < n / 2,
+          s"$b holds ${sizes(b)} of $n — not a tertile") }
+      // the defining CCNet property: documents from the LM's own training
+      // domain are more predictable under it than out-of-domain documents
+      val docs = Tables.documents(spark, sfTiny).select($"doc_id", $"source")
+      val m = out.join(docs, "doc_id")
+        .groupBy($"source".isin(Corpus.DsirTargetSrcs: _*).as("tgt"))
+        .agg(avg($"ce").as("m")).collect()
+        .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(m(true) < m(false),
+        s"target-domain mean ce ${m(true)} must be below out-of-domain ${m(false)}")
+      // deterministic
+      assert(out.collect().sameElements(Corpus.d26PerplexityBuckets(spark, sfTiny).collect()))
+    } finally out.unpersist()
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Telemetry}
+import graft.operators.{Curation, Telemetry, TextOps}
 import graft.streaming.{EventRec, StreamOps, TokDoc}
 
 /** The streaming differential: replay the REAL events table through the
@@ -349,5 +349,51 @@ class StreamReplaySpec extends GraftSpec {
     val batch = Curation.packSequences(spark, surv)
     assert(canon(streamed) == canon(batch),
       "the streaming curation tail must equal the same batch builders composed")
+  }
+
+  test("replayed corpus dedup keeps exactly the d04-core survivors on planted duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the testdata has no exact duplicates (verified: 0 normFp groups with
+    // n_copies > 1 at sf0.001/0.01), so plant them: every 12th document is
+    // re-ingested under a fresh high doc_id with case/whitespace mangling
+    // that normFp must see through. High ids put every copy in a LATER
+    // micro-batch than its original, so (a) the dedup state must carry
+    // across batches for every planted pair, and (b) no two same-fp rows
+    // share a batch — the survivor is decided by state, not by intra-batch
+    // processing order.
+    val base = Tables.documents(spark, sfTiny).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val maxId = base.map(_._1).max
+    // copy only early-position originals: copies sort after maxId (the
+    // final slices), so keeping originals out of the tail slice guarantees
+    // every (original, copy) pair spans a batch boundary
+    val copies = base.take(base.size * 3 / 4).filter(_._1 % 12 == 0).map {
+      case (id, t) => (maxId + 1 + id, "  " + t.toUpperCase + "  ") }
+    assert(copies.size >= 20, "need a meaningful planted-duplicate count")
+    val planted = (base ++ copies).sortBy(_._1)
+    val k = math.ceil(planted.size / 8.0).toInt
+    val slices = planted.grouped(k).toSeq
+    // precondition (b): no fingerprint collides inside a single slice
+    val fpOf = (t: String) => t.trim.toLowerCase.replaceAll("\\s+", " ")
+    assert(slices.forall(s => s.map(r => fpOf(r._2)).distinct.size == s.size),
+      "planted copies must land in different micro-batches than originals")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupCorpusStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("replay_dedup")
+      .outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("replay_dedup").select($"doc_id")
+    val plantedDf = planted.toDF("doc_id", "text")
+    val batch = TextOps.dedupCore(plantedDf)
+    // the streaming survivor set IS the batch min-id survivor set, and
+    // every planted copy was deduplicated away
+    assert(canon(streamed) == canon(batch.select($"kept_doc_id".as("doc_id"))),
+      "first-arrival streaming dedup must keep d04's min-id survivors")
+    assert(spark.table("replay_dedup").count() == base.size.toLong)
+    assert(batch.filter($"n_copies" > 1).count() == copies.size.toLong)
   }
 }
