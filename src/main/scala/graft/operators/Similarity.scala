@@ -882,6 +882,80 @@ object Similarity {
        ORDER BY query_id, pos"""
   }
 
+  // --- e16: SQ8 scalar-quantized search (FAISS SQ-flat) ------------------
+
+  /** e16 — scalar 8-bit quantization search (the FAISS `SQ8` flat index,
+    * Jégou et al.'s scalar baseline): per-DIMENSION corpus min/max define
+    * a linear 256-level grid, every vector stores one byte per dimension
+    * (8× smaller than float64 at the same 64 dims), and search runs
+    * asymmetric — raw query against dequantized candidates — e13's ADC
+    * idea with a scalar rather than product codebook. Training is ONE
+    * posexplode→groupBy(pos) aggregate (64 tiny rows folded into a
+    * broadcast 1-row limits frame); quantize/dequantize are scan-local
+    * transforms; search is e01's broadcast-query shape, so the whole
+    * plan stays linear in corpus size with a fixed per-scale query cost.
+    * Engine parity: code = floor(t + 0.5) of identical IEEE doubles
+    * (builtin round(double) is banned — the half-up floor is the portable
+    * twin, CLAUDE.md invariant 1); constant dimensions clamp to code 0;
+    * ranking uses the ROUNDED score with id tie-break. */
+  def e16Sq8Ann(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val stats = c.select(posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
+    val lims = stats.agg(
+      expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").as("mns"),
+      expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("mxs"))
+    val dq = c.crossJoin(broadcast(lims))
+      .withColumn("codes", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+             CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((v[i] - mns[i]) * CAST(255 AS DOUBLE) /
+                         (mxs[i] - mns[i]) + 0.5D) AS BIGINT) END)"""))
+      .withColumn("dv", expr(
+        """transform(sequence(0, size(codes) - 1), i ->
+             mns[i] + codes[i] * (mxs[i] - mns[i]) / CAST(255 AS DOUBLE))"""))
+      .select($"vec_id".as("neighbor_id"), $"dv",
+        sqrt(VectorExpressions.dot($"dv", $"dv")).as("dnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"scos".desc, $"neighbor_id".asc)
+    broadcast(querySide(c, QueryBudget))
+      .join(dq, col("query_id") =!= col("neighbor_id"))
+      .withColumn("scos", r(VectorExpressions.dot($"qv", $"dv") / ($"qnrm" * $"dnrm"), 6))
+      .select($"query_id", $"neighbor_id", $"scos")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val e16Sql: String =
+    s"""WITH n AS ($corpusSql),
+       st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+           SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM n)
+         GROUP BY pos),
+       lims AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+         FROM st),
+       dq AS (SELECT vec_id AS neighbor_id,
+           list_transform(generate_series(1, len(v)), i ->
+             mns[i] + (CASE WHEN mxs[i] = mns[i] THEN 0
+                       ELSE CAST(floor((v[i] - mns[i]) * CAST(255 AS DOUBLE) /
+                              (mxs[i] - mns[i]) + 0.5) AS BIGINT) END)
+               * (mxs[i] - mns[i]) / CAST(255 AS DOUBLE)) AS dv
+         FROM n CROSS JOIN lims),
+       dqn AS (SELECT neighbor_id, dv,
+           sqrt(list_sum(list_transform(dv, x -> x * x))) AS dnrm FROM dq),
+       exq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+         WHERE vec_id % 100 = 0 ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
+       sc AS (SELECT q.query_id, d.neighbor_id,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> q.qv[i] * d.dv[i])) / (q.qnrm * d.dnrm)", 6)} AS scos
+         FROM exq q JOIN dqn d ON q.query_id != d.neighbor_id),
+       rk AS (SELECT query_id, neighbor_id, scos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY scos DESC, neighbor_id ASC) AS rank
+         FROM sc)
+       SELECT query_id, neighbor_id, scos, rank FROM rk
+       WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
   // --- e12: Johnson–Lindenstrauss random projection ---------------------
 
   private val RpD = 16
@@ -1239,7 +1313,8 @@ object Similarity {
     "e12_random_projection" -> (e12RandomProjection _),
     "e13_adc_rerank" -> (e13AdcRerank _),
     "e14_semantic_dedup" -> (e14SemanticDedup _),
-    "e15_mmr_rerank" -> (e15MmrRerank _))
+    "e15_mmr_rerank" -> (e15MmrRerank _),
+    "e16_sq8_ann" -> (e16Sq8Ann _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -1257,5 +1332,6 @@ object Similarity {
     "e12_random_projection" -> e12Sql,
     "e13_adc_rerank" -> e13Sql,
     "e14_semantic_dedup" -> e14Sql,
-    "e15_mmr_rerank" -> e15Sql)
+    "e15_mmr_rerank" -> e15Sql,
+    "e16_sq8_ann" -> e16Sql)
 }

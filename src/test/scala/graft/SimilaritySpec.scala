@@ -359,6 +359,29 @@ class SimilaritySpec extends GraftSpec {
     } finally { out.unpersist(); e13.unpersist() }
   }
 
+  test("e16 SQ8: 5 ranked rows per query, high recall vs exact, deterministic") {
+    import spark.implicits._
+    val out = Similarity.e16Sq8Ann(spark, sfTiny).cache()
+    try {
+      // exactly 5 contiguous ranks per budgeted query
+      val bad = out.groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+        .filter($"n" =!= 5 || $"mx" =!= 5 || $"mn" =!= 1).count()
+      assert(bad == 0, "every query must get ranks 1..5")
+      // 8-bit scalar quantization is fine-grained: its top-5 should agree
+      // with the exact brute-force top-5 almost everywhere (mean overlap
+      // well above the coarse-quantizer variants' floors)
+      val exact = Similarity.e01CosineTopK(spark, sfTiny)
+        .select($"query_id", $"neighbor_id")
+      val overlap = out.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg((count(lit(1)) / 5.0).as("rec"))
+      val meanRec = overlap.agg(avg($"rec")).as[Double].head()
+      assert(meanRec >= 0.8, s"SQ8 mean recall@5 $meanRec below 0.8")
+      val rerun = Similarity.e16Sq8Ann(spark, sfTiny).collect()
+      assert(rerun.sameElements(out.collect()))
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
