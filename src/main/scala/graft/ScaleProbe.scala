@@ -60,7 +60,17 @@ object ScaleProbe {
       ("e08_ann_recall", Seq(1, 4, 10), operators.Similarity.e08AnnRecall),
       ("d23_curation_packing", Seq(1, 4, 10), operators.Curation.d23CurationPacking),
       ("d11_lsh_clusters", Seq(1, 4, 10), operators.Corpus.d11LshClusters),
-      ("d09_dedup_clusters", Seq(1, 2, 4), operators.Corpus.d09DedupClusters))
+      ("d09_dedup_clusters", Seq(1, 2, 4), operators.Corpus.d09DedupClusters),
+      // e14 keeps K fixed at e10's 8 to share its oracle-checked training
+      // loop, so cluster sizes — and the per-cluster quadratic — grow with
+      // the corpus here: the probe MEASURES that artifact (at real scale K
+      // grows with n; see the e14 scaladoc), like d09's documented edge
+      // source
+      ("e14_semantic_dedup", Seq(1, 2, 4), operators.Similarity.e14SemanticDedup),
+      ("e15_mmr_rerank", Seq(1, 4, 10), operators.Similarity.e15MmrRerank),
+      ("d25_dsir_select", Seq(1, 4, 10), operators.Corpus.d25DsirSelect),
+      ("d26_perplexity_buckets", Seq(1, 4, 10), operators.Corpus.d26PerplexityBuckets),
+      ("e16_sq8_ann", Seq(1, 4, 10), operators.Similarity.e16Sq8Ann))
 
     val factors = queries.flatMap(_._2).distinct.sorted
     factors.foreach { f =>

@@ -333,6 +333,140 @@ object TextOps {
        FROM documents
        ORDER BY doc_id"""
 
+  /** Number of BPE merge rounds d27 trains (a fixed training trace, like
+    * e10's [[Similarity.KmIters]] — enough rounds to see the vocabulary
+    * compress, small enough for the 8-round unrolled DuckDB oracle). */
+  private[graft] val BpeMerges = 8
+
+  /** d27's core on an arbitrary (word, freq) vocabulary — exposed for the
+    * hand-checkable Sennrich-example spec. Runs the classic BPE training
+    * loop: count adjacent symbol pairs weighted by word frequency, merge
+    * the most frequent pair (ties: lexicographic), repeat. The merge is
+    * greedy left-to-right non-overlapping — the same semantics as one
+    * non-overlapping string replace, which is how the DuckDB oracle
+    * expresses it. Pure integer arithmetic end to end: no rounding
+    * policy needed for engine parity. */
+  private[graft] def bpeTrain(wf: org.apache.spark.sql.Dataset[(String, Long)],
+      rounds: Int): DataFrame = {
+    val s = wf.sparkSession
+    import s.implicits._
+    wf.groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        // one vocabulary-sized group: sort for a canonical fold order
+        // (the argmax itself is order-independent — unique (p1, p2) keys
+        // under a total (-count, p1, p2) ordering)
+        var vocab: Array[(Array[String], Long)] = it.toArray.sortBy(_._1)
+          .map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+        val res = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+        var round = 1
+        while (round <= rounds) {
+          val cnt = scala.collection.mutable.HashMap[(String, String), Long]()
+          vocab.foreach { case (sy, f) =>
+            var i = 0
+            while (i < sy.length - 1) {
+              val k = (sy(i), sy(i + 1))
+              cnt(k) = cnt.getOrElse(k, 0L) + f
+              i += 1
+            }
+          }
+          if (cnt.nonEmpty) {
+            val ((p1, p2), c) =
+              cnt.minBy { case ((a, b), n) => (-n, a, b) }
+            vocab = vocab.map { case (sy, f) =>
+              val nb = scala.collection.mutable.ArrayBuffer[String]()
+              var i = 0
+              while (i < sy.length) {
+                if (i < sy.length - 1 && sy(i) == p1 && sy(i + 1) == p2) {
+                  nb += p1 + p2; i += 2
+                } else { nb += sy(i); i += 1 }
+              }
+              (nb.toArray, f)
+            }
+            val totalSyms = vocab.map { case (sy, f) => sy.length * f }.sum
+            res += ((round, p1, p2, c, totalSyms))
+          }
+          round += 1
+        }
+        res.iterator
+      }
+      .toDF("merge_no", "p1", "p2", "pair_count", "corpus_symbols")
+      .orderBy(col("merge_no"))
+  }
+
+  /** d27 — BPE merge training (Sennrich et al. 2016, arXiv:1508.07909):
+    * learn the first [[BpeMerges]] byte-pair merges from the corpus and
+    * report the training trace — merged pair, its pre-merge weighted
+    * count, and the corpus symbol total after the merge (the compression
+    * curve). d07 counts tokens under a FIXED pre-tokenizer; d27 trains
+    * the data-dependent merge table a real tokenizer ships with.
+    *
+    * Plan shape: the corpus-sized work is ONE distributed token
+    * explode→count (uniform vocabulary keys); the sequential merge loop
+    * then runs over the vocabulary-SIZED frequency table in a single
+    * mapGroups pass (the t15/e15 layout for order-dependent recurrences —
+    * classic BPE trainers are exactly this: distributed count, single-node
+    * merge loop, because the vocabulary is bounded while the corpus is
+    * not). Words are restricted to the [a-z0-9]+ alphabet so symbol
+    * indexing is codepoint-exact in both engines (real byte-level BPE
+    * operates on bytes for the same reason). The DuckDB oracle unrolls
+    * the rounds as MATERIALIZED CTEs (e15 lesson), expressing the greedy
+    * left-to-right merge as a non-overlapping string replace over
+    * control-char-wrapped symbols. */
+  def d27BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables.documents(s, dir)
+      .select(explode(toks(lower($"text"))).as("w"))
+      .filter($"w".rlike("^[a-z0-9]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+    bpeTrain(wf, BpeMerges)
+  }
+
+  val d27Sql: String = {
+    // symbol stream encoding: every symbol wrapped chr(1)<sym>chr(2), so a
+    // pair pattern can never straddle a symbol boundary and replace() is
+    // exactly the greedy left-to-right non-overlapping BPE merge
+    val sep = "chr(2) || chr(1)"
+    def syms(v: String) = s"string_split(trim($v, chr(1) || chr(2)), $sep)"
+    val rounds = (1 to BpeMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""pr$k AS MATERIALIZED (
+           SELECT string_split(pr, chr(3))[1] AS p1,
+                  string_split(pr, chr(3))[2] AS p2,
+                  (sum(f))::BIGINT AS cnt
+           FROM (SELECT f, unnest(list_transform(range(1, len(sy)),
+                    i -> sy[i] || chr(3) || sy[i + 1])) AS pr
+                 FROM (SELECT f, ${syms("s")} AS sy FROM $prev))
+           GROUP BY 1, 2),
+         t$k AS MATERIALIZED (
+           SELECT p1, p2, cnt FROM pr$k
+           ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1),
+         v$k AS MATERIALIZED (
+           SELECT w, f, replace(s,
+             chr(1) || p1 || chr(2) || chr(1) || p2 || chr(2),
+             chr(1) || p1 || p2 || chr(2)) AS s
+           FROM $prev CROSS JOIN t$k),
+         s$k AS (
+           SELECT $k AS merge_no, p1, p2, cnt AS pair_count,
+             (SELECT (sum(f * len(${syms("s")})))::BIGINT FROM v$k) AS corpus_symbols
+           FROM t$k)"""
+    }.mkString(",\n       ")
+    val union = (1 to BpeMerges).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+    s"""WITH wf AS MATERIALIZED (
+         SELECT w, count(*) AS f FROM (
+           SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents)
+         WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')
+         GROUP BY w),
+       v0 AS MATERIALIZED (
+         SELECT w, f, array_to_string(list_transform(range(1, len(w) + 1),
+           i -> chr(1) || w[i] || chr(2)), '') AS s
+         FROM wf),
+       $rounds
+       SELECT merge_no, p1, p2, pair_count, corpus_symbols
+       FROM ($union)
+       ORDER BY merge_no"""
+  }
+
   /** d12 — document chunking: fixed-size token windows (64 tokens,
     * stride 56 → 8-token overlap) — the packing step that turns variable-
     * length documents into training-window-sized pieces. A cached token
@@ -519,7 +653,8 @@ object TextOps {
     "d04_exact_dedup" -> (d04ExactDedup _),
     "d05_jaccard_pairs" -> (d05JaccardPairs _),
     "d06_fingerprint" -> (d06Fingerprint _),
-    "d07_bpe_tokens" -> (d07BpeTokens _))
+    "d07_bpe_tokens" -> (d07BpeTokens _),
+    "d27_bpe_train" -> (d27BpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "d21_cms_heavy_hitters" -> d21Sql,
@@ -531,5 +666,6 @@ object TextOps {
     "d04_exact_dedup" -> d04Sql,
     "d05_jaccard_pairs" -> d05Sql,
     "d06_fingerprint" -> d06Sql,
-    "d07_bpe_tokens" -> d07Sql)
+    "d07_bpe_tokens" -> d07Sql,
+    "d27_bpe_train" -> d27Sql)
 }

@@ -111,6 +111,38 @@ class TextOpsSpec extends GraftSpec {
     assert(rows(4L) == (0L, 0.0), "fresh content untouched")
   }
 
+  test("d27 BPE training reproduces the classic Sennrich example by hand") {
+    import spark.implicits._
+    // Sennrich et al. 2016 §3.2 shape: {low:5, lower:2, newest:6, widest:3}.
+    // Hand-derived trace: r1 (e,s) 9 (ties (s,t) lexicographically),
+    // r2 (es,t) 9, r3 (l,o) 7 (ties (o,w)), r4 (lo,w) 7; weighted symbol
+    // totals 70, 61, 54, 47.
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)).toDS()
+    val got = TextOps.bpeTrain(wf, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L, 70L),
+      (2, "es", "t", 9L, 61L),
+      (3, "l", "o", 7L, 54L),
+      (4, "lo", "w", 7L, 47L)))
+  }
+
+  test("d27 on the corpus: contiguous rounds, compression monotone, counts non-increasing") {
+    import spark.implicits._
+    val out = TextOps.d27BpeTrain(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == (1 to 8), "one row per merge round")
+    // every merge strictly shrinks the weighted symbol total
+    assert(out.sliding(2).forall { case Array(a, b) => b._5 < a._5 },
+      "corpus symbol count must strictly decrease per merge")
+    // greedy argmax: the winning pair count never grows between rounds
+    assert(out.sliding(2).forall { case Array(a, b) => b._4 <= a._4 },
+      "merge counts must be non-increasing")
+    // determinism
+    val rerun = TextOps.d27BpeTrain(spark, sfTiny).collect()
+    assert(rerun.sameElements(TextOps.d27BpeTrain(spark, sfTiny).collect()))
+  }
+
   test("text oracles cover every query") {
     assert(TextOps.oracles.keySet == TextOps.queries.keySet)
   }
