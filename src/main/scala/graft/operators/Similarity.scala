@@ -715,11 +715,12 @@ object Similarity {
        WHERE rank <= 5
        ORDER BY query_id, rank"""
 
-  /** CTE block (expects `n` and `ivfpq` in scope): ADC shortlist → exact
-    * re-rank, ending in rrk(query_id, neighbor_id, cosine, rank). Shared
-    * by e13 and e08's recall oracle. */
-  private def rerankCtes: String =
-    s"""rrs AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= $RerankDepth),
+  /** CTE block (expects `n` in scope): exact re-rank of the shortlist
+    * produced by `sel` (a SELECT yielding (query_id, neighbor_id)),
+    * ending in rrk(query_id, neighbor_id, cosine, rank). Shared by
+    * e13/e08 (ADC shortlist) and e17 (Hamming shortlist). */
+  private def rerankCtesOver(sel: String): String =
+    s"""rrs AS ($sel),
        rrx AS (SELECT rrs.query_id, rrs.neighbor_id,
            ${rSql("list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)", 6)} AS cosine
          FROM rrs JOIN n q ON rrs.query_id = q.vec_id
@@ -727,6 +728,10 @@ object Similarity {
        rrk AS (SELECT query_id, neighbor_id, cosine,
            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
          FROM rrx)"""
+
+  /** The e13/e08 instantiation: ADC shortlist from `ivfpq`. */
+  private def rerankCtes: String = rerankCtesOver(
+    s"SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= $RerankDepth")
 
   val e13Sql: String =
     s"""WITH n AS ($corpusSql),
@@ -881,6 +886,79 @@ object Similarity {
        FROM msel$MmrK
        ORDER BY query_id, pos"""
   }
+
+  // --- e17: binary (1-bit) quantization + Hamming shortlist --------------
+
+  /** e17 — binary quantization search: one SIGN BIT per dimension against
+    * the per-dimension corpus mean, so a 64-dim float64 vector becomes
+    * ONE int64 (64× compression) and candidate scoring is a single
+    * xor+popcount per pair — the cheapest possible scan, all integer,
+    * codegen'd. The Hamming top-[[RerankDepth]] shortlist is then
+    * re-ranked by exact cosine (e13's shared `rerankTop5` refine tail),
+    * which is what production binary-quantized vector indexes ship.
+    * Training is the e16 posexplode shape with exact decimal means (the
+    * portable avg(double) twin); packing is a 64-term UNROLLED sum of
+    * distinct powers of two (HOFs are interpreted — CLAUDE.md perf
+    * lesson; addition of disjoint bits ≡ bitwise or, overflow-free).
+    * At 100 TB the packed column is the only thing the first pass scans:
+    * 8 bytes/vector against 512, before the ≤ budget×32 float fetch. */
+  def e17BinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val stats = c.select(posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(davg($"x").as("m"))
+    val ms = stats.agg(
+      expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ms"))
+    val bits = (0 until 64).map(i =>
+      when(col("v").getItem(i) > col("ms").getItem(i), lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val packed = c.crossJoin(broadcast(ms)).select($"vec_id", bits.as("b"))
+    val qs = packed.filter($"vec_id" % 100 === 0)
+      .orderBy(hvCol, $"vec_id").limit(QueryBudget)
+      .select($"vec_id".as("query_id"), $"b".as("qb"))
+    val w = Window.partitionBy($"query_id").orderBy($"hd".asc, $"neighbor_id".asc)
+    val short = broadcast(qs)
+      .join(packed.select($"vec_id".as("neighbor_id"), $"b".as("cb")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hd", bit_count($"qb".bitwiseXOR($"cb")))
+      .withColumn("hrank", row_number().over(w))
+      .filter($"hrank" <= RerankDepth)
+    val out = rerankTop5(c, short).orderBy($"query_id", $"rank")
+      .localCheckpoint(true)
+    c.unpersist(blocking = false)
+    out
+  }
+
+  val e17Sql: String =
+    s"""WITH n AS ($corpusSql),
+       bst AS (SELECT pos, ${davgSql("x")} AS m FROM (
+           SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM n)
+         GROUP BY pos),
+       bms AS (SELECT list(m ORDER BY pos) AS ms FROM bst),
+       bpk AS (SELECT vec_id,
+           (list_sum(list_transform(range(1, 65), i ->
+             CASE WHEN v[i] > ms[i] THEN
+               -- DuckDB checks shift overflow into the sign bit; spell
+               -- bit 63 (Long.MinValue) out the classic way
+               (CASE WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT
+                     ELSE (1::BIGINT << (i - 1)) END)
+             ELSE 0::BIGINT END)))::BIGINT AS b
+         FROM n CROSS JOIN bms),
+       bq AS (SELECT vec_id AS query_id, b AS qb FROM bpk
+         WHERE vec_id % 100 = 0
+         ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
+       bham AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           bit_count(xor(q.qb, c.b)) AS hd
+         FROM bq q JOIN bpk c ON q.query_id != c.vec_id),
+       bsh AS (SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY hd ASC, neighbor_id ASC) AS hrank
+         FROM bham),
+       ${rerankCtesOver(
+      s"SELECT query_id, neighbor_id FROM bsh WHERE hrank <= $RerankDepth")}
+       SELECT query_id, neighbor_id, cosine, rank FROM rrk
+       WHERE rank <= 5
+       ORDER BY query_id, rank"""
 
   // --- e16: SQ8 scalar-quantized search (FAISS SQ-flat) ------------------
 
@@ -1314,7 +1392,8 @@ object Similarity {
     "e13_adc_rerank" -> (e13AdcRerank _),
     "e14_semantic_dedup" -> (e14SemanticDedup _),
     "e15_mmr_rerank" -> (e15MmrRerank _),
-    "e16_sq8_ann" -> (e16Sq8Ann _))
+    "e16_sq8_ann" -> (e16Sq8Ann _),
+    "e17_binary_hamming" -> (e17BinaryHamming _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -1333,5 +1412,6 @@ object Similarity {
     "e13_adc_rerank" -> e13Sql,
     "e14_semantic_dedup" -> e14Sql,
     "e15_mmr_rerank" -> e15Sql,
-    "e16_sq8_ann" -> e16Sql)
+    "e16_sq8_ann" -> e16Sql,
+    "e17_binary_hamming" -> e17Sql)
 }

@@ -382,6 +382,32 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e17 binary+Hamming: exact rerank cosines, contiguous ranks, useful recall") {
+    import spark.implicits._
+    val out = Similarity.e17BinaryHamming(spark, sfTiny).cache()
+    try {
+      // rerank emits EXACT cosines (same rounding policy as e01)
+      val exact = Similarity.e01CosineTopK(spark, sfTiny)
+        .select($"query_id", $"neighbor_id", $"cosine".as("c2"))
+      val joined = out.join(exact, Seq("query_id", "neighbor_id"), "inner")
+      assert(joined.filter($"cosine" =!= $"c2").count() == 0)
+      // ranks 1..5 contiguous per query
+      val bad = out.groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+        .filter($"n" =!= 5 || $"mx" =!= 5 || $"mn" =!= 1).count()
+      assert(bad == 0, "every query must get ranks 1..5")
+      // one sign bit per dimension is lossy but must stay a useful
+      // pre-filter at the 32-deep refine depth
+      val overlap = out.join(exact.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg((count(lit(1)) / 5.0).as("rec"))
+      val meanRec = overlap.agg(avg($"rec")).as[Double].head()
+      assert(meanRec >= 0.3, s"binary-quantized mean recall@5 $meanRec below 0.3")
+      val rerun = Similarity.e17BinaryHamming(spark, sfTiny).collect()
+      assert(rerun.sameElements(out.collect()))
+    } finally out.unpersist()
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
