@@ -226,17 +226,20 @@ class StreamReplaySpec extends GraftSpec {
       "replayed session windows must equal the batch sessionization")
   }
 
-  test("replayed latestPerKey converges to the oracle-green t03 batch compaction") {
+  /** Replay latestPerKey into `sink`, assert cross-batch state carry, and
+    * return the per-key final champions — shared by the default-provider
+    * and RocksDB-provider tests so both run the IDENTICAL replay. */
+  private def replayLatestFinals(sink: String): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[EventRec]
     val q = StreamOps.latestPerKey(in.toDS()).writeStream
-      .format("memory").queryName("replay_latest").outputMode("update").start()
+      .format("memory").queryName(sink).outputMode("update").start()
     try {
       slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
     } finally q.stop()
 
-    val emitted = spark.table("replay_latest").as[EventRec].collect().toSeq
+    val emitted = spark.table(sink).as[EventRec].collect().toSeq
     // precondition: some key's champion was refreshed across batches (the
     // GroupState genuinely carried and updated)
     val refreshed = emitted.groupBy(e => (e.user_id, e.event_type))
@@ -249,14 +252,36 @@ class StreamReplaySpec extends GraftSpec {
       val c = a.ts.compareTo(b.ts)
       c < 0 || (c == 0 && a.event_id < b.event_id)
     }
-    val finals = emitted.groupBy(e => (e.user_id, e.event_type))
-      .values.map(_.max(ord)).toSeq
-    val streamed = finals.toDF()
+    emitted.groupBy(e => (e.user_id, e.event_type))
+      .values.map(_.max(ord)).toSeq.toDF()
       .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+  }
+
+  test("replayed latestPerKey converges to the oracle-green t03 batch compaction") {
+    import spark.implicits._
     val batch = Telemetry.t03LatestPerKey(spark, sfTiny)
       .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
-    assert(canon(streamed) == canon(batch),
+    assert(canon(replayLatestFinals("replay_latest")) == canon(batch),
       "streaming compaction state must converge to the batch latest-per-key")
+  }
+
+  test("the same replay under the RocksDB state store matches the batch twin") {
+    import spark.implicits._
+    // RocksDB is the state backend a 100 TB deployment runs (bounded-heap,
+    // changelog-checkpointed); the differential must hold provider-agnostic
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = Telemetry.t03LatestPerKey(spark, sfTiny)
+        .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      assert(canon(replayLatestFinals("replay_latest_rocks")) == canon(batch),
+        "GroupState carry must be identical under the RocksDB provider")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   // --- streaming curation: d19/d20 via the SAME shared stage builders ---
