@@ -643,9 +643,106 @@ object TextOps {
        ORDER BY doc_id"""
   }
 
+  // --- d28: duplicate-substring spans (ExactSubstr approximation) -------
+
+  private val SubstrK = 8
+
+  /** d28 — duplicate-substring span detection, the token-granular
+    * approximation of suffix-array ExactSubstr dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a token is part of a duplicated span iff it is
+    * covered by some [[SubstrK]]-token sliding window whose text occurs
+    * in at least TWO DISTINCT documents. (Within-doc repetition is d18's
+    * job; chunk-aligned dedup is d24's; this catches cross-doc duplicated
+    * spans at arbitrary offsets, which chunking misses.) Per-doc report:
+    * token count, duplicated-window starts, covered-token count via
+    * interval union, and the rounded duplicated-token ratio.
+    *
+    * The interval union of the fixed-length windows [p, p+K-1] is computed
+    * with one `lead` pass: each start contributes min(K, next_start - p)
+    * tokens, the last contributes K — no per-token explode of the coverage.
+    *
+    * Scale shape: one explode (≈ one row per token), ONE window shuffle
+    * keyed on the 8-gram text (high-cardinality, uniform — the cross-doc
+    * test is `min(doc_id) ≠ max(doc_id)` over that partition, so no
+    * self-join and no second evaluation of the generator), then a per-doc
+    * lead + aggregation on the surviving (duplicated) starts only. Linear
+    * in corpus size; the 8-gram key space grows with the corpus so the
+    * window partitions stay tiny. */
+  def d28SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables.documents(s, dir))
+
+  /** d28's core over any (doc_id, text) relation — exposed so the spec
+    * can plant cross-doc duplicated spans at unaligned offsets and check
+    * the coverage arithmetic exactly. */
+  private[graft] def substringDedup(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toked = docs
+      .select($"doc_id", toks(lower($"text")).as("tk"))
+      .withColumn("n", size($"tk"))
+      .filter($"n" >= 1)
+    val wSh = Window.partitionBy($"sh")
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p")
+    val dupStarts = toked
+      .filter($"n" >= SubstrK)
+      .select($"doc_id", $"tk", explode(expr(s"sequence(1, n - $SubstrK + 1)")).as("p"))
+      .select($"doc_id", $"p",
+        array_join(expr(s"slice(tk, p, $SubstrK)"), " ").as("sh"))
+      .withColumn("dup", min($"doc_id").over(wSh) =!= max($"doc_id").over(wSh))
+      .filter($"dup")
+      .select($"doc_id", $"p")
+    val coverage = dupStarts
+      .withColumn("nxt", lead($"p", 1).over(wDoc))
+      .withColumn("covered",
+        when($"nxt".isNull, lit(SubstrK))
+          .otherwise(least(lit(SubstrK), $"nxt" - $"p")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_starts"),
+        sum($"covered".cast("long")).as("dup_span_tokens"))
+    toked.select($"doc_id", $"n".as("n_tokens"))
+      .join(coverage, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_starts", lit(0L)).as("dup_starts"),
+        coalesce($"dup_span_tokens", lit(0L)).as("dup_span_tokens"),
+        r(coalesce($"dup_span_tokens", lit(0L)).cast("double") / $"n_tokens", 6)
+          .as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val d28Sql: String = {
+    val t = toksSql("lower(text)")
+    val K = SubstrK
+    s"""WITH d AS (SELECT doc_id, $t AS tk, len($t) AS n FROM documents
+                   WHERE len($t) >= 1),
+       sh AS (SELECT doc_id, tk, unnest(generate_series(1, n - $K + 1)) AS p
+              FROM d WHERE n >= $K),
+       sh2 AS (SELECT doc_id, p,
+           array_to_string(list_slice(tk, p, p + $K - 1), ' ') AS sh
+         FROM sh),
+       fl AS (SELECT doc_id, p,
+           min(doc_id) OVER (PARTITION BY sh) <> max(doc_id) OVER (PARTITION BY sh) AS dup
+         FROM sh2),
+       du AS (SELECT doc_id, p FROM fl WHERE dup),
+       cov AS (SELECT doc_id, p,
+           lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+         FROM du),
+       agg AS (SELECT doc_id, count(*) AS dup_starts,
+           CAST(sum(CASE WHEN nxt IS NULL THEN $K
+                         ELSE least($K, nxt - p) END) AS BIGINT) AS dup_span_tokens
+         FROM cov GROUP BY doc_id)
+       SELECT d.doc_id, d.n AS n_tokens,
+         CAST(coalesce(a.dup_starts, 0) AS BIGINT) AS dup_starts,
+         CAST(coalesce(a.dup_span_tokens, 0) AS BIGINT) AS dup_span_tokens,
+         ${rSql("coalesce(a.dup_span_tokens, 0) / d.n", 6)} AS dup_ratio
+       FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
+    "d28_substring_dedup" -> (d28SubstringDedup _),
     "d12_chunk_split" -> (d12ChunkSplit _),
     "d01_token_stats" -> (d01TokenStats _),
     "d02_quality_score" -> (d02QualityScore _),
@@ -659,6 +756,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
+    "d28_substring_dedup" -> d28Sql,
     "d12_chunk_split" -> d12Sql,
     "d01_token_stats" -> d01Sql,
     "d02_quality_score" -> d02Sql,

@@ -111,6 +111,43 @@ class TextOpsSpec extends GraftSpec {
     assert(rows(4L) == (0L, 0.0), "fresh content untouched")
   }
 
+  test("d28 substring dedup: planted cross-doc spans, interval-union arithmetic exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real corpus: ratios valid, coverage bounded by token count, and any
+    // doc with a duplicated start covers at least one full 8-token window
+    val out = TextOps.d28SubstringDedup(spark, sfTiny).cache()
+    try {
+      assert(out.filter($"dup_ratio" < 0 || $"dup_ratio" > 1).count() == 0)
+      assert(out.filter($"dup_span_tokens" > $"n_tokens").count() == 0)
+      assert(out.filter($"dup_starts" > 0 && $"dup_span_tokens" < 8).count() == 0)
+      assert(out.filter($"dup_starts" === 0 && $"dup_span_tokens" =!= 0).count() == 0)
+    } finally out.unpersist()
+
+    // planted corpus: a 12-token span shared by docs 1 and 2 at DIFFERENT
+    // offsets (chunk-aligned d24 would miss it), docs 3/4 exact copies
+    // (both flagged — cross-doc duplication is symmetric, unlike d24's
+    // first-occurrence-keeps), doc 5 fresh.
+    val shared = (1 to 12).map(i => s"c$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"a1 a2 a3 a4 $shared a5 a6 a7 a8"),          // span at tokens 5..16 of 20
+      (2L, s"b1 b2 $shared b3 b4 b5 b6"),                 // span at tokens 3..14 of 18
+      (3L, (1 to 10).map(i => s"f$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"f$i").mkString(" ")),
+      (5L, (1 to 9).map(i => s"g$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.substringDedup(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_starts"), r.getAs[Long]("dup_span_tokens"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    // 12-token shared span → 12-8+1 = 5 duplicated window starts, union = 12
+    assert(rows(1L) == ((5L, 12L, 0.6)), "unaligned span in doc 1")
+    assert(rows(2L) == ((5L, 12L, 0.666667)), "unaligned span in doc 2")
+    assert(rows(3L) == ((3L, 10L, 1.0)), "exact copy flags the first doc too")
+    assert(rows(4L) == ((3L, 10L, 1.0)), "exact copy fully covered")
+    assert(rows(5L) == ((0L, 0L, 0.0)), "fresh content untouched")
+  }
+
   test("d27 BPE training reproduces the classic Sennrich example by hand") {
     import spark.implicits._
     // Sennrich et al. 2016 §3.2 shape: {low:5, lower:2, newest:6, widest:3}.
