@@ -632,7 +632,121 @@ object Corpus {
        ORDER BY doc_id"""
   }
 
+  // --- ml05: multinomial Naive Bayes text classifier ----------------------
+
+  /** ml05 — multinomial Naive Bayes lang classifier, trained and scored
+    * entirely in-plan (the classic fastText-predecessor text classifier;
+    * add-one smoothing per Manning, Raghavan & Schütze IR book §13.2).
+    * Train on s03's deterministic "train" split (h60(doc_id)%10 ≤ 7 —
+    * the split expression is DedupLsh.h60, shared with s03 so the two
+    * can't drift), score the "test" split (h = 9): per (doc, lang)
+    * log-score = ln(prior_l) + Σ_w ln((c_{l,w}+1)/(n_l+V)), prediction =
+    * argmax via min(struct(-score, lang)) on the ROUNDED score (map-side
+    * combinable; rounded-then-argmax is the q33/d26 cross-engine parity
+    * path, lexicographic lang tie-break). OOV test tokens (absent from
+    * the train vocabulary) drop out via the inner scoring join — the
+    * deterministic OOV policy.
+    *
+    * Scale shape: ONE token aggregation over the train split (uniform
+    * (lang, w) key), a V×L smoothed-probability grid joined to test
+    * token instances on the uniform vocabulary key (d10/d25's layout),
+    * then per-(doc, lang) decimal sums and a ≤L-row-per-doc argmin
+    * aggregate. Priors/totals are broadcast 1-row or L-row frames. All
+    * logs are exact-integer ratios through ln (d10-proven parity).
+    * Linear at any corpus size; model state is O(V·L). */
+  def ml05NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+    naiveBayes(sp.filter($"h" <= 7), sp.filter($"h" === 9))
+  }
+
+  /** ml05's core over explicit (doc_id, lang, text) train/test relations —
+    * exposed so the spec can train on a vocabulary-separable planted
+    * corpus and check the predictions by hand. */
+  private[graft] def naiveBayes(train: DataFrame, test: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    // cached: the (lang, w) count table feeds the vocabulary, the
+    // per-lang totals, AND the grid join (CLAUDE.md invariant 5 — three
+    // plan branches would re-run the explode→agg otherwise)
+    val cnt = train
+      .select($"lang", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      .cache()
+    val vocab = cnt.select($"w").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val nl = cnt.groupBy($"lang").agg(sum($"c").as("n"))
+    val pri = train.groupBy($"lang").agg(count(lit(1)).as("dl"))
+    val tot = train.agg(count(lit(1)).as("dt"))
+    val grid = vocab
+      .crossJoin(broadcast(pri.select($"lang")))
+      .join(cnt, Seq("lang", "w"), "left")
+      .join(broadcast(nl), "lang")
+      .crossJoin(broadcast(vsize))
+      .select($"lang", $"w",
+        log((coalesce($"c", lit(0L)) + lit(1L)).cast("double") / ($"n" + $"v"))
+          .as("lr"))
+    val ll = test
+      .select($"doc_id", $"lang".as("true_lang"), explode(toks(lower($"text"))).as("w"))
+      .join(grid.withColumnRenamed("lang", "cand_lang"), "w")
+      .groupBy($"doc_id", $"true_lang", $"cand_lang")
+      .agg(dsum($"lr").as("llsum"))
+    val sc = ll
+      .join(broadcast(pri.withColumnRenamed("lang", "cand_lang")), "cand_lang")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"true_lang", $"cand_lang",
+        r(log($"dl".cast("double") / $"dt") + $"llsum", 6).as("score"))
+    val out = sc
+      .groupBy($"doc_id", $"true_lang")
+      .agg(min(struct((-$"score").as("ns"), $"cand_lang".as("l"))).as("b"))
+      .select($"doc_id", $"true_lang".as("lang"), $"b.l".as("pred_lang"),
+        r(-$"b.ns", 6).as("score"),
+        ($"true_lang" === $"b.l").cast("int").as("correct"))
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  val ml05Sql: String =
+    s"""WITH sp AS (SELECT doc_id, lang, text,
+           ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h FROM documents),
+       tr AS (SELECT * FROM sp WHERE h <= 7),
+       te AS (SELECT * FROM sp WHERE h = 9),
+       cnt AS (SELECT lang, w, count(*) AS c FROM
+           (SELECT lang, unnest(${toksSql("lower(text)")}) AS w FROM tr)
+         GROUP BY lang, w),
+       voc AS (SELECT DISTINCT w FROM cnt),
+       vs AS (SELECT count(*) AS v FROM voc),
+       nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY lang),
+       pri AS (SELECT lang, count(*) AS dl FROM tr GROUP BY lang),
+       tot AS (SELECT count(*) AS dt FROM tr),
+       grid AS (SELECT p.lang, voc.w,
+           ln((coalesce(cnt.c, 0) + 1) / (nl.n + vs.v)) AS lr
+         FROM voc CROSS JOIN (SELECT lang FROM pri) p
+         LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.w = voc.w
+         JOIN nl ON nl.lang = p.lang CROSS JOIN vs),
+       ti AS (SELECT doc_id, lang AS true_lang,
+           unnest(${toksSql("lower(text)")}) AS w FROM te),
+       ll AS (SELECT doc_id, true_lang, g.lang AS cand_lang,
+           ${dsumSql("g.lr")} AS llsum
+         FROM ti JOIN grid g USING (w)
+         GROUP BY doc_id, true_lang, g.lang),
+       sc AS (SELECT doc_id, true_lang, cand_lang,
+           ${rSql("ln(CAST(pri.dl AS DOUBLE) / tot.dt) + llsum", 6)} AS score
+         FROM ll JOIN pri ON pri.lang = cand_lang CROSS JOIN tot),
+       rk AS (SELECT doc_id, true_lang, cand_lang, score,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, cand_lang ASC) AS rn FROM sc)
+       SELECT doc_id, true_lang AS lang, cand_lang AS pred_lang,
+         ${rSql("score", 6)} AS score,
+         CAST(true_lang = cand_lang AS INTEGER) AS correct
+       FROM rk WHERE rn = 1
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml05_naive_bayes" -> (ml05NaiveBayes _),
     "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
     "d25_dsir_select" -> (d25DsirSelect _),
     "d15_textrank" -> (d15Textrank _),
@@ -644,6 +758,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "ml05_naive_bayes" -> ml05Sql,
     "d26_perplexity_buckets" -> d26Sql,
     "d25_dsir_select" -> d25Sql,
     "d15_textrank" -> d15Sql,

@@ -212,4 +212,48 @@ class CorpusSpec extends GraftSpec {
       assert(out.collect().sameElements(Corpus.d26PerplexityBuckets(spark, sfTiny).collect()))
     } finally out.unpersist()
   }
+
+  test("ml05 naive bayes: one row per test doc, scores non-positive, flag consistent") {
+    import spark.implicits._
+    val out = Corpus.ml05NaiveBayes(spark, sfTiny).cache()
+    try {
+      // the s03 "test" decile of the corpus, one prediction per doc —
+      // the split MUST agree with s03's (shared h60 expression)
+      val sp = graft.operators.Advanced.s03HashSplit(spark, sfTiny)
+      val nTest = sp.filter($"split" === "test").count()
+      assert(out.count() == nTest, "every test doc must get a prediction")
+      assert(out.select($"doc_id").distinct().count() == nTest)
+      // log-probability scores: ln(prior) + Σ ln(p ≤ 1) is always < 0
+      assert(out.filter($"score" >= 0.0).count() == 0)
+      // predicted langs come from the train split's label set
+      val trainLangs = sp.filter($"split" === "train").select($"lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(out.select($"pred_lang").distinct().collect()
+        .map(_.getString(0)).toSet.subsetOf(trainLangs))
+      assert(out.filter(($"lang" === $"pred_lang").cast("int") =!= $"correct").count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
+  test("ml05 on a vocabulary-separable planted corpus predicts every label") {
+    import spark.implicits._
+    // three langs with disjoint vocabularies; test docs reuse one lang's
+    // vocabulary exclusively → NB must recover the label exactly
+    val train = Seq(
+      (1L, "aa", "cat cat dog"), (2L, "aa", "dog cat"),
+      (3L, "bb", "fish whale shark"), (4L, "bb", "shark fish"),
+      (5L, "cc", "oak pine elm"), (6L, "cc", "elm oak"))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq(
+      (10L, "aa", "cat dog dog"), (11L, "bb", "whale shark"),
+      (12L, "cc", "pine elm oak"),
+      // OOV-only doc: every token unseen → inner join drops it
+      (13L, "aa", "zebra quagga"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Corpus.naiveBayes(train, test).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Int]("correct")))).toMap
+    assert(rows == Map(
+      10L -> (("aa", 1)), 11L -> (("bb", 1)), 12L -> (("cc", 1))),
+      s"got $rows")
+  }
 }
