@@ -376,6 +376,52 @@ object Curation {
        WHERE ${lcgSql("doc_id", 101L)} < permille
        ORDER BY doc_id"""
 
+  // --- d29: temperature-scaled multilingual resampling --------------------
+
+  /** d29 — temperature sampling across languages (Conneau et al. 2020,
+    * XLM-R, arXiv:1911.02116 §3.1): rebalance the corpus toward
+    * q_l ∝ (n_l/N)^α so low-resource languages are up-weighted relative
+    * to their head-heavy natural distribution. α = 1/4, spelled
+    * sqrt(sqrt(·)) — two IEEE-exact operations, bit-identical across
+    * engines (pow(x, 0.25) would not be). Per-doc acceptance weight
+    * a_l = (n_l/N)^α / n_l, normalized so the most-upweighted language
+    * keeps everything, floored to a BIGINT permille; acceptance is d19's
+    * scan-local LCG under a fresh increment.
+    *
+    * Scale shape: d19's exactly — one lang-cardinality aggregate, a
+    * broadcast rate table, a scan-local acceptance filter; the corpus
+    * side never shuffles and the sample is byte-reproducible anywhere. */
+  def d29TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pl = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val tot = pl.agg(sum($"n_l").as("n"))
+    val a = pl.crossJoin(broadcast(tot))
+      .select($"lang", $"n_l",
+        (sqrt(sqrt($"n_l".cast("double") / $"n")) / $"n_l").as("a"))
+    val mx = a.agg(max($"a").as("amax"))
+    val rates = a.crossJoin(broadcast(mx))
+      .select($"lang",
+        floor($"a" / $"amax" * lit(1000.0)).cast("long").as("permille"))
+    docs.join(broadcast(rates), "lang")
+      .filter(lcg($"doc_id", 103L) < $"permille")
+      .select($"doc_id", $"lang", $"source", $"permille")
+      .orderBy($"doc_id")
+  }
+
+  val d29Sql: String =
+    s"""WITH pl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM pl),
+       a AS (SELECT lang, n_l, sqrt(sqrt(n_l / n)) / n_l AS a
+             FROM pl CROSS JOIN tot),
+       mx AS (SELECT max(a) AS amax FROM a),
+       rates AS (SELECT lang, CAST(floor(a / amax * 1000.0) AS BIGINT) AS permille
+                 FROM a CROSS JOIN mx)
+       SELECT doc_id, lang, source, permille
+       FROM documents d JOIN rates USING (lang)
+       WHERE ${lcgSql("doc_id", 103L)} < permille
+       ORDER BY doc_id"""
+
   // --- d20: fixed-budget sequence packing --------------------------------
 
   private[graft] val PackBudget = 512
@@ -530,6 +576,7 @@ object Curation {
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
     "d19_domain_mix" -> (d19DomainMix _),
+    "d29_temperature_mix" -> (d29TemperatureMix _),
     "d20_seq_packing" -> (d20SeqPacking _))
 
   val oracles: Map[String, String] = Map(
@@ -539,5 +586,6 @@ object Curation {
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,
     "d19_domain_mix" -> d19Sql,
+    "d29_temperature_mix" -> d29Sql,
     "d20_seq_packing" -> d20Sql)
 }

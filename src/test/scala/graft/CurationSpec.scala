@@ -79,6 +79,37 @@ class CurationSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("d29 temperature mix: smallest lang kept whole, rates anti-monotone in size") {
+    import spark.implicits._
+    val out = Curation.d29TemperatureMix(spark, sfSmall).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"permille" <= 0 || $"permille" > 1000).count() == 0)
+      // acceptance is exactly the scan-local LCG predicate (inc = 103)
+      val gateViol = out.filter(
+        ((($"doc_id" * 48271L + 103L) % 1000003L) % 1000L) >= $"permille").count()
+      assert(gateViol == 0)
+      // α = 1/4 flattening: acceptance rate strictly anti-monotone in
+      // language size, and the smallest language keeps everything
+      val nl = Tables.documents(spark, sfSmall).groupBy($"lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pm = out.groupBy($"lang").agg(max($"permille").as("p"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bySize = nl.toSeq.sortBy(_._2)
+      assert(pm(bySize.head._1) == 1000L, "smallest lang must keep all docs")
+      bySize.sliding(2).foreach { case Seq((la, na), (lb, nb)) =>
+        if (na < nb) assert(pm(la) >= pm(lb), s"$la ($na) vs $lb ($nb)")
+      }
+      // every kept lang's permille matches the closed-form rate
+      val n = nl.values.sum.toDouble
+      val amax = nl.values.map(c => math.sqrt(math.sqrt(c / n)) / c).max
+      nl.foreach { case (l, c) =>
+        val want = math.floor(math.sqrt(math.sqrt(c / n)) / c / amax * 1000.0).toLong
+        assert(pm(l) == want, s"lang $l: got ${pm(l)} want $want")
+      }
+    } finally out.unpersist()
+  }
+
   test("d22 dataset card: metrics bounded and consistent with their source queries") {
     import spark.implicits._
     val row = Curation.d22DatasetCard(spark, sfTiny).collect()(0)
