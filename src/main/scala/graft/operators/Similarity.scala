@@ -1376,7 +1376,112 @@ object Similarity {
        FROM sda g LEFT JOIN sdr r ON g.vec_id = r.id_b
        ORDER BY g.vec_id"""
 
+  // --- e18: PCA projection via power iteration ---------------------------
+
+  private[graft] val PcaIters = 6
+
+  /** e18's power-iteration loop over a (vec_id, i, cx) centered relation:
+    * [[PcaIters]] rounds of v ← C·v / ‖C·v‖ from the uniform unit start
+    * v₀ = 1/8 (1/√64, exactly representable). Returns the (j, vj) loading
+    * frame, ‖v‖ = 1. Exposed for the spec (unit norm, Rayleigh growth).
+    *
+    * Parity: every reduction (covariance entries, the matvec, the norm)
+    * is a decimal-exact sum — order-independent, so engine-identical —
+    * and the per-round normalization is a whole-frame WINDOW over the 64
+    * matvec rows, not a second aggregate branch: each round references
+    * its predecessor exactly ONCE, so the analyzed plan grows linearly
+    * (the e15 iterative-lineage lesson; a norm-by-crossJoin would double
+    * the plan per round). The covariance build — the only corpus-sized
+    * work — is localCheckpoint-truncated before the loop.
+    *
+    * Scale shape: covariance = ONE self-join on vec_id of the cached
+    * centered explode (64 rows per vector → 64² products map-side-summed
+    * per partition by the decimal partial aggregate), shuffling ≤ 4096
+    * rows; the iteration then runs on 4096-row/64-row frames — O(d²)
+    * state independent of corpus size, the classic distributed-PCA
+    * layout (Σxxᵀ is embarrassingly partial-aggregable). */
+  private[graft] def pcaLoadings(cx: DataFrame, iters: Int): DataFrame = {
+    val s = cx.sparkSession
+    import s.implicits._
+    val nn = cx.select($"vec_id").distinct().agg(count(lit(1)).as("n"))
+    val cov = cx.as("a").join(cx.as("b"), "vec_id")
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.cx") * col("b.cx")).as("p"))
+      .groupBy($"i", $"j").agg(dsum($"p").as("sp"))
+      .crossJoin(broadcast(nn))
+      .select($"i", $"j", ($"sp" / $"n").as("c"))
+      .localCheckpoint(true)
+    val whole = Window.partitionBy()
+    var v = s.range(64)
+      .select(($"id" + 1).cast("int").as("j"), lit(0.125).as("vj"))
+    for (_ <- 1 to iters) {
+      v = cov.join(v, "j")
+        .groupBy($"i").agg(dsum($"c" * $"vj").as("w"))
+        .select($"i".as("j"),
+          ($"w" / sqrt(sum(($"w" * $"w").cast("decimal(38,10)")).over(whole)
+            .cast("double"))).as("vj"))
+    }
+    v
+  }
+
+  /** e18 — first-principal-component projection (PCA via power iteration,
+    * Golub & Van Loan §8.2): center the embeddings, form the 64×64
+    * covariance IN-PLAN, run [[PcaIters]] matvec-normalize rounds, and
+    * project every vector onto the dominant eigenvector — the standard
+    * embedding-space diagnostic/compression axis (and the whitening
+    * direction SemDeDup-style pipelines remove). Output: per-vector pc1
+    * coordinate. The whole training loop is hash-checked — the e10/ml04
+    * unrolled-iteration precedent applied to an eigenproblem. */
+  def e18PcaProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xe = corpus(s, dir)
+      .select($"vec_id", $"label", posexplode($"v"))
+      .select($"vec_id", $"label", ($"pos" + 1).cast("int").as("i"), $"col".as("x"))
+    val mu = xe.groupBy($"i").agg(davg($"x").as("mu"))
+    // cached: feeds the quadratic covariance self-join (both sides) and
+    // the final projection (CLAUDE.md invariant 5)
+    val cx = xe.join(broadcast(mu), "i")
+      .select($"vec_id", $"label", $"i", ($"x" - $"mu").as("cx"))
+      .cache()
+    val v = pcaLoadings(cx.select($"vec_id", $"i", $"cx"), PcaIters)
+    val out = cx.join(broadcast(v), $"i" === $"j")
+      .groupBy($"vec_id", $"label")
+      .agg(r(dsum($"cx" * $"vj"), 6).as("pc1"))
+      .orderBy($"vec_id")
+      .localCheckpoint(true)
+    cx.unpersist(blocking = false)
+    out
+  }
+
+  val e18Sql: String = {
+    def round(t: Int): String =
+      s"""v$t AS (SELECT i AS j,
+           w / sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,10))) OVER () AS DOUBLE)) AS vj
+         FROM (SELECT i, ${dsumSql("c * vj")} AS w
+               FROM cov2 JOIN v${t - 1} USING (j) GROUP BY i) wt)"""
+    val rounds = (1 to PcaIters).map(round).mkString(",\n       ")
+    s"""WITH n AS ($corpusSql),
+       xe AS (SELECT vec_id, label, unnest(generate_series(1, 64)) AS i,
+           unnest(v) AS x FROM n),
+       mu AS (SELECT i, ${davgSql("x")} AS mu FROM xe GROUP BY i),
+       cx AS MATERIALIZED (SELECT vec_id, label, i, x - mu AS cx
+         FROM xe JOIN mu USING (i)),
+       nn AS (SELECT count(*) AS n FROM n),
+       cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+           ${dsumSql("a.cx * b.cx")} AS sp
+         FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       cov2 AS (SELECT i, j, sp / n AS c FROM cov CROSS JOIN nn),
+       v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+           CAST(0.125 AS DOUBLE) AS vj),
+       $rounds
+       SELECT cx.vec_id, cx.label, ${rSql(dsumSql("cx.cx * vj"), 6)} AS pc1
+       FROM cx JOIN v$PcaIters ON cx.i = v$PcaIters.j
+       GROUP BY cx.vec_id, cx.label
+       ORDER BY cx.vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_pca_project" -> (e18PcaProject _),
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e10_kmeans" -> (e10Kmeans _),
     "e08_ann_recall" -> (e08AnnRecall _),
@@ -1397,6 +1502,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,

@@ -408,6 +408,44 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e18 PCA: centered scores, one row per vector, beats every single axis") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Similarity.e18PcaProject(spark, sfTiny).cache()
+    try {
+      val n = Tables.embeddings(spark, sfTiny).count()
+      assert(out.count() == n)
+      // projections of centered data sum to ~0 (only r6 rounding residue)
+      val mean = out.agg(avg($"pc1")).collect()(0).getDouble(0)
+      assert(math.abs(mean) < 1e-4, s"pc1 mean $mean")
+      // the dominant eigen-direction explains at least as much variance
+      // as the best single coordinate axis (the point of PCA)
+      val pc1Var = out.agg(var_pop($"pc1")).collect()(0).getDouble(0)
+      val axisVar = Tables.embeddings(spark, sfTiny)
+        .select(posexplode($"embedding".cast("array<double>")))
+        .groupBy($"pos").agg(var_pop($"col").as("v"))
+        .agg(max($"v")).collect()(0).getDouble(0)
+      assert(pc1Var > axisVar, s"pc1 var $pc1Var vs best axis $axisVar")
+    } finally out.unpersist(blocking = false)
+  }
+
+  test("e18 loadings: unit norm, and a planted dominant axis is recovered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // centered relation with variance concentrated on dimension 1
+    val cx = (1 to 20).flatMap { k =>
+      (1 to 64).map { i =>
+        val v = if (i == 1) (k - 10.5) * 10.0 else math.sin(k * 64 + i) * 0.1
+        (k.toLong, i, v)
+      }
+    }.toDF("vec_id", "i", "cx")
+    val v = Similarity.pcaLoadings(cx, Similarity.PcaIters).collect()
+      .map(r => r.getAs[Int]("j") -> r.getAs[Double]("vj")).toMap
+    val norm = math.sqrt(v.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9, s"loading norm $norm")
+    assert(math.abs(v(1)) > 0.999, s"dominant axis loading ${v(1)}")
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
