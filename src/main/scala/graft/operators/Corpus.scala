@@ -745,7 +745,147 @@ object Corpus {
        FROM rk WHERE rn = 1
        ORDER BY doc_id"""
 
+  // --- ml06: hashed bag-of-words quality classifier (logistic GD) ---------
+
+  private[graft] val QlrIters = 4
+  private val QlrF = 8
+
+  /** z = b + Σ wⱼfⱼ and the ml04 rational sigmoid over it — shared
+    * expression text, evaluated via expr() in Spark and inlined in SQL. */
+  private val qlrZ =
+    "b + " + (1 to QlrF).map(j => s"w$j * f$j").mkString(" + ")
+  private val qlrP = s"0.5 + 0.5 * ($qlrZ) / (1.0 + abs($qlrZ))"
+
+  /** ml06 — the quality-classifier step of a web-corpus pipeline (GPT-3's
+    * LR filter over CommonCrawl, Brown et al. 2020 Appendix A; CCNet's
+    * fastText stage): logistic regression over [[QlrF]] hashed
+    * bag-of-words frequency features (h60(token) mod F — the hashing
+    * trick, Weinberger et al. 2009), z-scored in-plan (ml04's
+    * standardization, so gradients are O(1)-scaled), trained by
+    * [[QlrIters]] unrolled full-batch GD steps with ml04's rational
+    * sigmoid (no libm exp → bit-portable) and the min(w)+davg(grad)
+    * update shape — each
+    * step is ONE map-side-combinable aggregation referencing the weight
+    * row exactly once, so the unrolled lineage stays linear. Labels:
+    * y = 1 for the d25 target domains (the "curated reference" side a
+    * real pipeline trains against). Output: per-doc quality probability
+    * + keep decision, the whole training loop hash-checked.
+    *
+    * Scale shape: ONE explode→aggregate builds the feature matrix (per-doc
+    * key, map-side combine), each GD step shuffles only partial gradient
+    * sums (9 decimal aggregates), weights broadcast back — full-batch GD's
+    * natural cluster layout; feature extraction is the only corpus-sized
+    * pass and is linear. */
+  def ml06QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id",
+      when($"source".isin(DsirTargetSrcs: _*), 1.0).otherwise(0.0).as("y"),
+      $"text")
+    qualityLr(docs)
+  }
+
+  /** ml06's core over a labeled (doc_id, y, text) relation — exposed so
+    * the spec can verify separation on a vocabulary-separable planted
+    * corpus. */
+  /** z-score of raw feature j with a constant-feature guard (an all-equal
+    * hash bucket — possible on a tiny planted vocabulary — has rf−mu = 0,
+    * so dividing by 1 instead of 0 keeps it exactly 0). */
+  private def qlrZScore(j: Int): String = {
+    val mu = s"(s$j / nn)"
+    val sd = s"sqrt(ss$j / nn - $mu * $mu)"
+    s"(rf$j - $mu) / (CASE WHEN $sd = 0 THEN 1.0 ELSE $sd END)"
+  }
+
+  private[graft] def qualityLr(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fRaw = docs
+      .select($"doc_id", $"y", explode(toks(lower($"text"))).as("w"))
+      .withColumn("hb", DedupLsh.h60($"w") % QlrF)
+      .groupBy($"doc_id", $"y")
+      .agg(
+        (sum(when($"hb" === 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("rf1"),
+        (2 to QlrF).map(j =>
+          (sum(when($"hb" === (j - 1), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as(s"rf$j")): _*)
+    val mom = fRaw.agg(
+      count(lit(1)).cast("double").as("nn"),
+      (1 to QlrF).flatMap(j => Seq(
+        dsum(col(s"rf$j")).as(s"s$j"),
+        dsum(col(s"rf$j") * col(s"rf$j")).as(s"ss$j"))): _*)
+    // cached: the standardized feature matrix (ml04's z-scoring, so the
+    // gradient steps are O(1)-scaled) feeds every GD step plus the final
+    // scoring pass (CLAUDE.md invariant 5)
+    val f = fRaw.crossJoin(broadcast(mom))
+      .select((Seq($"doc_id", $"y") ++
+        (1 to QlrF).map(j => expr(qlrZScore(j)).as(s"f$j"))): _*)
+      .cache()
+    val w0 = s.range(1).select(
+      (Seq(lit(0.0).as("b")) ++ (1 to QlrF).map(j => lit(0.0).as(s"w$j"))): _*)
+    def step(w: DataFrame): DataFrame =
+      f.crossJoin(broadcast(w))
+        .withColumn("p", expr(qlrP))
+        .agg(
+          (min($"b") + davg(expr("(y - p)"))).as("b"),
+          (1 to QlrF).map(j =>
+            (min(col(s"w$j")) + davg(expr(s"(y - p) * f$j")))
+              .as(s"w$j")): _*)
+    val wT = (1 to QlrIters).foldLeft(w0)((w, _) => step(w))
+    val out = f.crossJoin(broadcast(wT))
+      .select($"doc_id", $"y".cast("int").as("label"),
+        r(expr(qlrP), 6).as("score"))
+      .withColumn("keep", ($"score" >= 0.5).cast("int"))
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    f.unpersist(blocking = false)
+    out
+  }
+
+  val ml06Sql: String = {
+    val inTgt = DsirTargetSrcs.map(x => s"'$x'").mkString(", ")
+    val feats = (1 to QlrF).map(j =>
+      s"CAST(sum(CASE WHEN hb = ${j - 1} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rf$j")
+      .mkString(",\n           ")
+    val moms = (1 to QlrF).flatMap(j => Seq(
+      s"${dsumSql(s"rf$j")} AS s$j",
+      s"${dsumSql(s"rf$j * rf$j")} AS ss$j")).mkString(",\n           ")
+    val zcols = (1 to QlrF).map(j => s"${qlrZScore(j)} AS f$j")
+      .mkString(",\n           ")
+    val steps = (1 to QlrIters).map { i =>
+      val upd = (1 to QlrF).map(j =>
+        s"min(w$j) + ${davgSql(s"(y - p) * f$j")} AS w$j").mkString(",\n           ")
+      s"""p$i AS (SELECT f.*, ww.*, $qlrP AS p
+           FROM f CROSS JOIN w${i - 1} ww),
+         w$i AS (SELECT min(b) + ${davgSql("(y - p)")} AS b,
+           $upd FROM p$i)"""
+    }.mkString(",\n       ")
+    val w0cols = (Seq("CAST(0.0 AS DOUBLE) AS b") ++
+      (1 to QlrF).map(j => s"CAST(0.0 AS DOUBLE) AS w$j")).mkString(", ")
+    s"""WITH ti AS (SELECT doc_id,
+           CASE WHEN source IN ($inTgt) THEN 1.0 ELSE 0.0 END AS y,
+           unnest(${toksSql("lower(text)")}) AS w FROM documents),
+       th AS (SELECT doc_id, y, ${DedupLsh.h60Sql("w")} % $QlrF AS hb FROM ti),
+       fr AS (SELECT doc_id, y,
+           $feats
+         FROM th GROUP BY doc_id, y),
+       mom AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+           $moms
+         FROM fr),
+       f AS MATERIALIZED (SELECT doc_id, y,
+           $zcols
+         FROM fr CROSS JOIN mom),
+       w0 AS (SELECT $w0cols),
+       $steps
+       SELECT doc_id, CAST(y AS INTEGER) AS label,
+         ${rSql(qlrP, 6)} AS score,
+         CAST(${rSql(qlrP, 6)} >= 0.5 AS INTEGER) AS keep
+       FROM f CROSS JOIN w$QlrIters
+       ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
     "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
     "d25_dsir_select" -> (d25DsirSelect _),
@@ -758,6 +898,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,
     "d26_perplexity_buckets" -> d26Sql,
     "d25_dsir_select" -> d25Sql,

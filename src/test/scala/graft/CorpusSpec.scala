@@ -234,6 +234,35 @@ class CorpusSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("ml06 quality classifier: valid probabilities, target domains score higher") {
+    import spark.implicits._
+    val out = Corpus.ml06QualityClassifier(spark, sfTiny).cache()
+    try {
+      assert(out.count() == Tables.documents(spark, sfTiny).count())
+      assert(out.filter($"score" <= 0.0 || $"score" >= 1.0).count() == 0)
+      assert(out.filter(($"score" >= 0.5).cast("int") =!= $"keep").count() == 0)
+      // the learnable signal on this corpus is small (8 hash buckets over
+      // a 31-token vocabulary) but its direction must be right: the
+      // target domains the labels come from score higher on average
+      val m = out.groupBy($"label").agg(avg($"score").as("m")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(m(1) - m(0) > 0.001, s"separation ${m(1) - m(0)}")
+    } finally out.unpersist(blocking = false)
+  }
+
+  test("ml06 separates a vocabulary-disjoint planted corpus completely") {
+    import spark.implicits._
+    val planted = ((1 to 10).map(k => (k.toLong, 1.0, s"good$k great quality prose text")) ++
+      (11 to 20).map(k => (k.toLong, 0.0, s"spam$k junk noise filler garbage")))
+      .toDF("doc_id", "y", "text")
+    val rows = Corpus.qualityLr(planted).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Double]("score")))
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    assert(pos.min > neg.max,
+      s"classes must separate: pos min ${pos.min} vs neg max ${neg.max}")
+  }
+
   test("ml05 on a vocabulary-separable planted corpus predicts every label") {
     import spark.implicits._
     // three langs with disjoint vocabularies; test docs reuse one lang's
