@@ -471,6 +471,41 @@ object Relational {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  /** q43 — multi-column DISTINCT aggregation: several count(DISTINCT x)
+    * over DIFFERENT columns in one aggregate, plus a conditional distinct
+    * — the aggregation surface that forces Spark's Expand-based plan (one
+    * row replicated per distinct group, grouping-id partial aggregation;
+    * a single-distinct agg like q16 takes the cheaper two-stage path).
+    * Scale shape: the Expand triples the shuffle input but each distinct
+    * stream partial-aggregates map-side on (key, value) before the one
+    * exchange — the standard engine answer; no per-distinct re-scan of
+    * the fact table. */
+  def q43MultiDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_part"),
+        countDistinct($"l_suppkey").as("nd_supp"),
+        countDistinct($"l_orderkey").as("nd_order"),
+        count(when($"l_quantity" > 25, $"l_partkey")).as("n_heavy"),
+        countDistinct(when($"l_quantity" > 25, $"l_partkey")).as("nd_part_heavy"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q43Sql: String =
+    """SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS nd_part,
+       count(DISTINCT l_suppkey) AS nd_supp,
+       count(DISTINCT l_orderkey) AS nd_order,
+       count(CASE WHEN l_quantity > 25 THEN l_partkey END) AS n_heavy,
+       count(DISTINCT CASE WHEN l_quantity > 25 THEN l_partkey END) AS nd_part_heavy,
+       count(*) AS n_rows
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
+
   /** All relational queries + oracles, keyed for SparkEntry. */
   /** q36 — fuzzy string matching: Levenshtein-close part-name pairs
     * within a brand block. The exact-edit-distance baseline of the fuzzy
@@ -539,7 +574,8 @@ object Relational {
     "q13_string_fns" -> (q13StringFns _),
     "q14_date_time" -> (q14DateTime _),
     "q15_math_fns" -> (q15MathFns _),
-    "q16_distinct_agg" -> (q16DistinctAgg _))
+    "q16_distinct_agg" -> (q16DistinctAgg _),
+    "q43_multi_distinct" -> (q43MultiDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q36_fuzzy_match" -> q36Sql,
@@ -558,5 +594,6 @@ object Relational {
     "q13_string_fns" -> q13Sql,
     "q14_date_time" -> q14Sql,
     "q15_math_fns" -> q15Sql,
-    "q16_distinct_agg" -> q16Sql)
+    "q16_distinct_agg" -> q16Sql,
+    "q43_multi_distinct" -> q43Sql)
 }

@@ -76,4 +76,19 @@ class RelationalSpec extends GraftSpec {
     assert(dup == 0)
     df.unpersist()
   }
+
+  test("q43 multi-distinct: Expand plan, bounds between distinct streams hold") {
+    val df = Relational.q43MultiDistinct(spark, sfTiny).cache()
+    try {
+      // multi-column DISTINCT must take Spark's Expand-based path
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), "expected an Expand-based distinct plan")
+      df.collect().foreach { r =>
+        assert(r.getAs[Long]("nd_part_heavy") <= r.getAs[Long]("nd_part"))
+        assert(r.getAs[Long]("nd_part_heavy") <= r.getAs[Long]("n_heavy"))
+        assert(r.getAs[Long]("n_heavy") <= r.getAs[Long]("n_rows"))
+        assert(r.getAs[Long]("nd_order") <= r.getAs[Long]("n_rows"))
+      }
+    } finally df.unpersist(blocking = false)
+  }
 }
