@@ -739,10 +739,99 @@ object TextOps {
        ORDER BY d.doc_id"""
   }
 
+  // --- d30: shingle-set containment pairs (Broder) -----------------------
+
+  private val ContainK = 4
+  private val ContainTau = 0.5
+
+  /** d30 — containment-based near-duplicate pairs (Broder 1997, "On the
+    * resemblance and containment of documents": C(A,B) =
+    * |S(A)∩S(B)| / min(|S(A)|,|S(B)|) over [[ContainK]]-token shingle
+    * sets). Containment is the ASYMMETRIC half of the dedup family: a
+    * chunk wholly embedded in a larger document scores C = 1 while its
+    * Jaccard can be arbitrarily small, so d05/m01 miss it (and on this
+    * corpus 19 of the 25 C ≥ ½ pairs cross lang blocks, so d05's
+    * blocking would too). Top-500 report by rounded containment.
+    *
+    * Scale shape — EXACT inverted-index candidate generation (the
+    * prefix-filter family, PPJoin's layout): C ≥ τ > 0 implies at least
+    * one shared shingle, so candidates = the distinct pairs produced by
+    * ONE self-equi-join on the exploded (shingle, doc_id) index — a
+    * shuffle on the high-cardinality shingle key, never an all-pairs
+    * product. Exact containment is then computed only for candidates
+    * (two array joins + one intersect per candidate). Linear in shared-
+    * shingle pair count; a pathological hot shingle (k docs → k² pair
+    * rows pre-distinct) is the documented skew hazard — at 100 TB you
+    * drop shingles with df above a cap first (they cannot push C from
+    * below τ on real corpora; m01/d24/d28 are the in-repo linear twins). */
+  def d30ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+
+  /** d30's core over any (doc_id, text) relation — exposed so the spec
+    * can plant a chunk-inside-document pair (C = 1, low Jaccard). */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cat = (0 until ContainK).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(", ' ', ")
+    // cached: the shingle-set table feeds the inverted index AND both
+    // sides of the candidate verification join (CLAUDE.md invariant 5)
+    val sh = docs
+      .select($"doc_id", toks(lower($"text")).as("tk"))
+      .filter(size($"tk") >= ContainK)
+      .select($"doc_id",
+        expr(s"array_distinct(transform(sequence(0, size(tk) - $ContainK), i -> concat($cat)))")
+          .as("sh"))
+      .withColumn("ns", size($"sh"))
+      .cache()
+    val idx = sh.select($"doc_id", explode($"sh").as("g"))
+    val cands = idx.as("a")
+      .join(idx.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect($"sha", $"shb"))
+    val out = cands
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha"), $"ns".as("nsa")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb"), $"ns".as("nsb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"nsa", $"nsb",
+        r(inter.cast("double") / least($"nsa", $"nsb"), 6).as("containment"))
+      .filter($"containment" >= ContainTau)
+      .orderBy($"containment".desc, $"doc_a", $"doc_b")
+      .limit(500)
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  val d30Sql: String = {
+    val t = toksSql("lower(text)")
+    val cat = (0 until ContainK).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""WITH d0 AS (SELECT doc_id, $t AS tk FROM documents
+                    WHERE len($t) >= $ContainK),
+       d AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(tk) - ${ContainK - 2}), i -> $cat)) AS sh
+         FROM d0),
+       ds AS (SELECT doc_id, sh, len(sh) AS ns FROM d),
+       idx AS (SELECT doc_id, unnest(sh) AS g FROM ds),
+       cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+       sc AS (SELECT doc_a, doc_b, x.ns AS nsa, y.ns AS nsb,
+           ${rSql("len(list_intersect(x.sh, y.sh)) / least(x.ns, y.ns)", 6)} AS containment
+         FROM cands
+         JOIN ds x ON x.doc_id = doc_a
+         JOIN ds y ON y.doc_id = doc_b)
+       SELECT doc_a, doc_b, nsa, nsb, containment
+       FROM sc WHERE containment >= $ContainTau
+       ORDER BY containment DESC, doc_a, doc_b
+       LIMIT 500"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d28_substring_dedup" -> (d28SubstringDedup _),
+    "d30_containment_pairs" -> (d30ContainmentPairs _),
     "d12_chunk_split" -> (d12ChunkSplit _),
     "d01_token_stats" -> (d01TokenStats _),
     "d02_quality_score" -> (d02QualityScore _),
@@ -757,6 +846,7 @@ object TextOps {
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
     "d28_substring_dedup" -> d28Sql,
+    "d30_containment_pairs" -> d30Sql,
     "d12_chunk_split" -> d12Sql,
     "d01_token_stats" -> d01Sql,
     "d02_quality_score" -> d02Sql,

@@ -148,6 +148,30 @@ class TextOpsSpec extends GraftSpec {
     assert(rows(5L) == ((0L, 0L, 0.0)), "fresh content untouched")
   }
 
+  test("d30 containment: embedded chunk scores 1.0 where Jaccard would miss it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real corpus: thresholded, canonical pair order, valid bounds
+    val out = TextOps.d30ContainmentPairs(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"containment" < 0.5 || $"containment" > 1.0).count() == 0)
+      assert(out.filter($"doc_a" >= $"doc_b").count() == 0)
+    } finally out.unpersist(blocking = false)
+
+    // planted: doc 2 is a 8-token chunk of 40-token doc 1 → C = 1.0 but
+    // Jaccard |∩|/|∪| = 5/37 ≈ 0.14 — the pair d05's J ≥ 0.5 gate drops;
+    // doc 3 shares no 4-gram with either
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val chunk = (11 to 18).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 12).map(i => s"v$i").mkString(" ")
+    val planted = Seq((1L, big), (2L, chunk), (3L, fresh)).toDF("doc_id", "text")
+    val rows = TextOps.containmentPairs(planted).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment")))
+    assert(rows.toSeq == Seq((1L, 2L, 1.0)), s"got ${rows.toSeq}")
+  }
+
   test("d27 BPE training reproduces the classic Sennrich example by hand") {
     import spark.implicits._
     // Sennrich et al. 2016 §3.2 shape: {low:5, lower:2, newest:6, widest:3}.
