@@ -26,15 +26,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to
-    * micros — exactly what DuckDB's reader does (its `describe` reports
-    * TIMESTAMP, i.e. µs), so both engines see identical values. */
+  /** events.ts has shipped in two physical parquet types across driver
+    * rounds: TIMESTAMP(NANOS) (r1–r4), which Spark cannot read as a
+    * timestamp ([PARQUET_TYPE_ILLEGAL]) and is read nanos-as-long then
+    * truncated to micros, and plain TIMESTAMP(MICROS, NTZ) (r5+), read
+    * natively. Both paths normalize to session-TZ TimestampType with
+    * identical micro values — exactly what DuckDB's reader sees (its
+    * `describe` reports TIMESTAMP, i.e. µs) — so downstream operators and
+    * the driver hash are schema-agnostic. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      // TIMESTAMP_NTZ: reinterpret as session-local (UTC) — same micros
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -884,7 +884,119 @@ object Corpus {
        ORDER BY doc_id"""
   }
 
+  // --- ml07: sparse kNN text classifier (inverted-index cosine) -----------
+
+  /** ml07 neighborhood size and test-side query budget. The budget is the
+    * e01 lesson applied to sparse vectors: pairwise text similarity is
+    * quadratic unless one side is capped, so the scored side is a FIXED
+    * hash-rank sample — the exact-kNN cost stays O(budget × corpus)
+    * regardless of corpus size. */
+  private[graft] val KnnK = 5
+  private[graft] val KnnBudget = 128
+
+  /** ml07 — k-nearest-neighbor lang classifier over sparse term-count
+    * vectors (the classic IR kNN text classifier, Manning, Raghavan &
+    * Schütze IR book §14.3; the memory-based sibling of ml05's parametric
+    * Naive Bayes). Train = s03's "train" split (h60(doc_id)%10 ≤ 7), test
+    * = a [[KnnBudget]]-capped hash-rank sample of the "test" split (h = 9,
+    * the e01 budget pattern). Similarity = cosine over raw term counts,
+    * computed SPARSELY via an inverted-index join on the token — only
+    * (test, train) pairs sharing ≥ 1 token are ever materialized, the
+    * standard sparse-kNN candidate generation. Top-[[KnnK]] neighbors by
+    * ROUNDED cosine (doc_id tie-break, the q33 parity path), prediction =
+    * majority vote with (votes DESC, best-rank ASC, lang ASC) tie-break
+    * via a map-side-combinable min(struct(…)) argmin. Test documents
+    * sharing no token with the train split drop out via the inner join —
+    * the deterministic OOV policy (ml05's).
+    *
+    * Scale shape: per-split token aggregation on uniform (doc, token)
+    * keys; the broadcast-able capped test side joins the train index on
+    * the token key; per-pair partial sums combine map-side; the vote
+    * argmin is a ≤L-rows-per-query aggregate. Numerics: dots and squared
+    * norms are sums of integer-valued doubles (exact, order-independent
+    * below 2^53), so cosine is bit-identical across engines before the
+    * r6 rounding. */
+  def ml07KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+    val test = sp.filter($"h" === 9)
+      .orderBy(DedupLsh.h60($"doc_id".cast("string")), $"doc_id")
+      .limit(KnnBudget)
+    knnClassify(sp.filter($"h" <= 7), test, KnnK)
+  }
+
+  /** ml07's core over explicit (doc_id, lang, text) train/test relations
+    * (test pre-capped, doc_ids disjoint from train) — exposed so the spec
+    * can classify a vocabulary-separable planted corpus and check the
+    * neighbor votes by hand. */
+  private[graft] def knnClassify(train: DataFrame, test: DataFrame, k: Int): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    // sparse vector per doc: (doc, token) counts + the full-vector L2 norm
+    def sparseTf(d: DataFrame): DataFrame = {
+      val c = d.select($"doc_id", $"lang", explode(toks(lower($"text"))).as("w"))
+        .groupBy($"doc_id", $"lang", $"w")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      c.join(c.groupBy($"doc_id").agg(sqrt(sum($"tf" * $"tf")).as("nrm")), "doc_id")
+    }
+    val tr = sparseTf(train)
+      .select($"doc_id".as("tid"), $"lang".as("nl"), $"w", $"tf".as("ttf"), $"nrm".as("tnrm"))
+    val te = sparseTf(test)
+      .select($"doc_id".as("qid"), $"lang".as("tl"), $"w", $"tf".as("qtf"), $"nrm".as("qnrm"))
+    val cos = broadcast(te).join(tr, "w")
+      .groupBy($"qid", $"tl", $"qnrm", $"tid", $"nl", $"tnrm")
+      .agg(sum($"qtf" * $"ttf").as("dot"))
+      .select($"qid", $"tl", $"tid", $"nl",
+        r($"dot" / ($"qnrm" * $"tnrm"), 6).as("cosine"))
+    // probe-side window: bounded by budget × candidates (e01's shape)
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid".asc)
+    cos.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .groupBy($"qid", $"tl", $"nl")
+      .agg(count(lit(1)).as("cnt"), min($"rk").as("br"))
+      .groupBy($"qid", $"tl")
+      .agg(min(struct((-$"cnt").as("nc"), $"br".as("br"), $"nl".as("l"))).as("b"))
+      .select($"qid".as("doc_id"), $"tl".as("lang"), $"b.l".as("pred_lang"),
+        (-$"b.nc").as("votes"),
+        ($"tl" === $"b.l").cast("int").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val ml07Sql: String =
+    s"""WITH sp AS (SELECT doc_id, lang, text,
+           ${DedupLsh.h60Sql("doc_id::VARCHAR")} AS hv FROM documents),
+       tr0 AS (SELECT doc_id, lang, text FROM sp WHERE hv % 10 <= 7),
+       te0 AS (SELECT doc_id, lang, text FROM sp WHERE hv % 10 = 9
+         ORDER BY hv, doc_id LIMIT $KnnBudget),
+       ttf0 AS (SELECT doc_id, lang, w, CAST(count(*) AS DOUBLE) AS tf FROM
+           (SELECT doc_id, lang, unnest(${toksSql("lower(text)")}) AS w FROM tr0)
+         GROUP BY doc_id, lang, w),
+       tn AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM ttf0 GROUP BY doc_id),
+       qtf0 AS (SELECT doc_id, lang, w, CAST(count(*) AS DOUBLE) AS tf FROM
+           (SELECT doc_id, lang, unnest(${toksSql("lower(text)")}) AS w FROM te0)
+         GROUP BY doc_id, lang, w),
+       qn AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM qtf0 GROUP BY doc_id),
+       p AS (SELECT q.doc_id AS qid, q.lang AS tl, t.doc_id AS tid, t.lang AS nl,
+           sum(q.tf * t.tf) AS dot
+         FROM qtf0 q JOIN ttf0 t USING (w)
+         GROUP BY q.doc_id, q.lang, t.doc_id, t.lang),
+       c AS (SELECT qid, tl, tid, nl,
+           ${rSql("dot / (qn.nrm * tn.nrm)", 6)} AS cosine
+         FROM p JOIN qn ON qn.doc_id = qid JOIN tn ON tn.doc_id = tid),
+       top AS (SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, tid ASC) AS rk FROM c),
+       v AS (SELECT qid, tl, nl, count(*) AS cnt, min(rk) AS br
+         FROM top WHERE rk <= $KnnK GROUP BY qid, tl, nl),
+       pr AS (SELECT qid, tl, nl, cnt, row_number() OVER (PARTITION BY qid
+           ORDER BY cnt DESC, br ASC, nl ASC) AS rn FROM v)
+       SELECT qid AS doc_id, tl AS lang, nl AS pred_lang,
+         CAST(cnt AS BIGINT) AS votes,
+         CAST(tl = nl AS INTEGER) AS correct
+       FROM pr WHERE rn = 1
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
     "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
@@ -898,6 +1010,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "ml07_knn_classify" -> ml07Sql,
     "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,
     "d26_perplexity_buckets" -> d26Sql,

@@ -827,7 +827,72 @@ object TextOps {
        LIMIT 500"""
   }
 
+  // --- d31: Gopher document-quality rules ---------------------------------
+
+  /** Gopher rule-4 stopword list (Rae et al., arXiv:2112.11446 App. A). */
+  private[graft] val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** d31 — Gopher document-quality rules (Rae et al., arXiv:2112.11446,
+    * Appendix A — the quality-filter rule set of the Gopher/MassiveText
+    * pipeline): the word-level subset meaningful on this single-line
+    * corpus — word count in [50, 100000], mean word length in [3, 10],
+    * ≥ 80 % of words containing an alphabetic character, and ≥ 2 hits on
+    * the Gopher stopword list. The line-level rules (bullet/ellipsis line
+    * ratios) are vacuous here (documents are single-line by construction)
+    * and are omitted rather than emitted as constant columns.
+    *
+    * Flags derive from the ROUNDED metrics (the q33 cross-engine parity
+    * path: compare after [[Num.r]], so a last-ulp ratio difference can't
+    * flip a flag) and `keep` is their conjunction. Scan-local per-document
+    * expressions — zero shuffles, embarrassingly parallel at 100 TB; at
+    * scale `keep` becomes the pushdown-friendly partition filter of the
+    * downstream pipeline (the d13/d23 gate pattern). */
+  def d31GopherQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    Tables.documents(s, dir)
+      .filter(size(toks($"text")) > 0)
+      .select($"doc_id",
+        size(t).as("n_words"),
+        r(aggregate(t, lit(0L), (a, w) => a + length(w)).cast("double") / size(t), 4)
+          .as("mean_word_len"),
+        r(size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / size(t), 6)
+          .as("alpha_frac"),
+        size(filter(toks(lower($"text")), w => w.isin(GopherStops: _*))).as("stop_hits"))
+      .withColumn("f_words", ($"n_words" >= 50 && $"n_words" <= 100000).cast("int"))
+      .withColumn("f_word_len", ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0).cast("int"))
+      .withColumn("f_alpha", ($"alpha_frac" >= 0.8).cast("int"))
+      .withColumn("f_stops", ($"stop_hits" >= 2).cast("int"))
+      .withColumn("keep",
+        ($"f_words" === 1 && $"f_word_len" === 1 && $"f_alpha" === 1 && $"f_stops" === 1)
+          .cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d31Sql: String = {
+    val t = toksSql("text")
+    val tl = toksSql("lower(text)")
+    s"""WITH m AS (SELECT doc_id,
+         len($t) AS n_words,
+         ${rSql(s"CAST(list_sum(list_transform($t, w -> length(w))) AS BIGINT) / len($t)", 4)}
+           AS mean_word_len,
+         ${rSql(s"len(list_filter($t, w -> regexp_matches(w, '[A-Za-z]'))) / len($t)", 6)}
+           AS alpha_frac,
+         len(list_filter($tl, w -> w IN (${GopherStops.map(w => s"'$w'").mkString(",")})))
+           AS stop_hits
+       FROM documents WHERE len($t) > 0)
+       SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+         CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS f_words,
+         CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS f_word_len,
+         CAST(alpha_frac >= 0.8 AS INTEGER) AS f_alpha,
+         CAST(stop_hits >= 2 AS INTEGER) AS f_stops,
+         CAST(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND alpha_frac >= 0.8 AND stop_hits >= 2 AS INTEGER) AS keep
+       FROM m ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d31_gopher_quality" -> (d31GopherQuality _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d28_substring_dedup" -> (d28SubstringDedup _),
@@ -843,6 +908,7 @@ object TextOps {
     "d27_bpe_train" -> (d27BpeTrain _))
 
   val oracles: Map[String, String] = Map(
+    "d31_gopher_quality" -> d31Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
     "d28_substring_dedup" -> d28Sql,

@@ -285,4 +285,49 @@ class CorpusSpec extends GraftSpec {
       10L -> (("aa", 1)), 11L -> (("bb", 1)), 12L -> (("cc", 1))),
       s"got $rows")
   }
+
+  test("ml07 kNN hand-check: neighbor votes, majority, and OOV drop on a planted corpus") {
+    import spark.implicits._
+    // disjoint vocabularies per lang → candidates only ever come from the
+    // test doc's own lang; vote counts are the train-doc counts
+    val train = Seq(
+      (1L, "aa", "cat cat dog"), (2L, "aa", "dog cat"), (3L, "aa", "cat bird"),
+      (4L, "bb", "fish whale shark"), (5L, "bb", "shark fish"),
+      (6L, "cc", "oak pine elm"), (7L, "cc", "elm oak"))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq(
+      (10L, "aa", "cat dog"), (11L, "bb", "whale shark fish"),
+      (12L, "cc", "pine oak"),
+      // OOV-only: no shared token with any train doc → inner join drops it
+      (13L, "aa", "zebra quagga"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Corpus.knnClassify(train, test, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Long]("votes"),
+          r.getAs[Int]("correct")))).toMap
+    // votes = number of same-lang train docs sharing ≥1 token (all within k=5)
+    assert(rows == Map(
+      10L -> (("aa", 3L, 1)), 11L -> (("bb", 2L, 1)), 12L -> (("cc", 2L, 1))),
+      s"got $rows")
+  }
+
+  test("ml07 on the corpus: one row per scored test doc, votes bounded, flags consistent") {
+    import spark.implicits._
+    val out = Corpus.ml07KnnClassify(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0 && out.count() <= Corpus.KnnBudget)
+      assert(out.select($"doc_id").distinct().count() == out.count())
+      // scored docs are test-split members (shared h60 split expression)
+      val sp = graft.operators.Advanced.s03HashSplit(spark, sfTiny)
+      val testIds = sp.filter($"split" === "test").select($"doc_id")
+      assert(out.join(testIds, Seq("doc_id"), "left_anti").count() == 0)
+      // votes ∈ [1, K]; predicted langs come from the train split
+      assert(out.filter($"votes" < 1 || $"votes" > Corpus.KnnK).count() == 0)
+      val trainLangs = sp.filter($"split" === "train").select($"lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(out.select($"pred_lang").distinct().collect()
+        .map(_.getString(0)).toSet.subsetOf(trainLangs))
+      assert(out.filter(($"lang" === $"pred_lang").cast("int") =!= $"correct").count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
 }

@@ -204,6 +204,37 @@ class TextOpsSpec extends GraftSpec {
     assert(rerun.sameElements(TextOps.d27BpeTrain(spark, sfTiny).collect()))
   }
 
+  test("d31 gopher rules: flag algebra exact, integer metrics recomputed on a sample") {
+    import spark.implicits._
+    val out = TextOps.d31GopherQuality(spark, sfTiny).cache()
+    try {
+      // one row per non-empty doc
+      val n = Tables.documents(spark, sfTiny)
+        .filter(length(trim($"text")) > 0).count()
+      assert(out.count() == n)
+      assert(out.select($"doc_id").distinct().count() == n)
+      // every flag is 0/1 and derives from its own (rounded) metric;
+      // keep is the exact conjunction — no row may disagree
+      assert(out.filter(
+        $"f_words" =!= ($"n_words" >= 50 && $"n_words" <= 100000).cast("int") ||
+        $"f_word_len" =!= ($"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0).cast("int") ||
+        $"f_alpha" =!= ($"alpha_frac" >= 0.8).cast("int") ||
+        $"f_stops" =!= ($"stop_hits" >= 2).cast("int") ||
+        $"keep" =!= ($"f_words" * $"f_word_len" * $"f_alpha" * $"f_stops")).count() == 0)
+      assert(out.filter($"alpha_frac" < 0.0 || $"alpha_frac" > 1.0).count() == 0)
+      // integer metrics recomputed driver-side on a sample (d01 pattern)
+      val texts = Tables.documents(spark, sfTiny)
+        .select("doc_id", "text").limit(20).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.filter($"doc_id".isin(texts.keys.toSeq: _*)).collect().foreach { r =>
+        val ws = texts(r.getAs[Long]("doc_id")).trim.split("\\s+").filter(_.nonEmpty)
+        assert(r.getAs[Int]("n_words") == ws.length, s"doc ${r.get(0)} n_words")
+        val stops = ws.map(_.toLowerCase).count(TextOps.GopherStops.contains)
+        assert(r.getAs[Int]("stop_hits") == stops, s"doc ${r.get(0)} stop_hits")
+      }
+    } finally out.unpersist(blocking = false)
+  }
+
   test("text oracles cover every query") {
     assert(TextOps.oracles.keySet == TextOps.queries.keySet)
   }
