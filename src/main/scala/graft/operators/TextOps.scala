@@ -422,13 +422,21 @@ object TextOps {
     bpeTrain(wf, BpeMerges)
   }
 
-  val d27Sql: String = {
-    // symbol stream encoding: every symbol wrapped chr(1)<sym>chr(2), so a
-    // pair pattern can never straddle a symbol boundary and replace() is
-    // exactly the greedy left-to-right non-overlapping BPE merge
-    val sep = "chr(2) || chr(1)"
-    def syms(v: String) = s"string_split(trim($v, chr(1) || chr(2)), $sep)"
-    val rounds = (1 to BpeMerges).map { k =>
+  /** DuckDB symbol-stream split shared by the BPE training + encoding
+    * oracles: every symbol is wrapped chr(1)<sym>chr(2), so a pair pattern
+    * can never straddle a symbol boundary and replace() is exactly the
+    * greedy left-to-right non-overlapping BPE merge. */
+  private def bpeSymsSql(v: String): String =
+    s"string_split(trim($v, chr(1) || chr(2)), chr(2) || chr(1))"
+
+  /** Shared DuckDB BPE training CTEs (d27/d32 — one source of truth so the
+    * trainer and the encoder can't drift): `wf` = alphabet word counts,
+    * `v0` = wrapped symbol streams, then per round k: `pr_k` weighted pair
+    * counts, `t_k` the round-k merge (argmax, lexicographic ties), `v_k`
+    * the post-merge vocabulary state. MATERIALIZED throughout — plain CTEs
+    * inline per reference and blow up the unrolled-iteration plan. */
+  private def bpeCtesSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
       val prev = s"v${k - 1}"
       s"""pr$k AS MATERIALIZED (
            SELECT string_split(pr, chr(3))[1] AS p1,
@@ -436,7 +444,7 @@ object TextOps {
                   (sum(f))::BIGINT AS cnt
            FROM (SELECT f, unnest(list_transform(range(1, len(sy)),
                     i -> sy[i] || chr(3) || sy[i + 1])) AS pr
-                 FROM (SELECT f, ${syms("s")} AS sy FROM $prev))
+                 FROM (SELECT f, ${bpeSymsSql("s")} AS sy FROM $prev))
            GROUP BY 1, 2),
          t$k AS MATERIALIZED (
            SELECT p1, p2, cnt FROM pr$k
@@ -445,14 +453,9 @@ object TextOps {
            SELECT w, f, replace(s,
              chr(1) || p1 || chr(2) || chr(1) || p2 || chr(2),
              chr(1) || p1 || p2 || chr(2)) AS s
-           FROM $prev CROSS JOIN t$k),
-         s$k AS (
-           SELECT $k AS merge_no, p1, p2, cnt AS pair_count,
-             (SELECT (sum(f * len(${syms("s")})))::BIGINT FROM v$k) AS corpus_symbols
-           FROM t$k)"""
+           FROM $prev CROSS JOIN t$k)"""
     }.mkString(",\n       ")
-    val union = (1 to BpeMerges).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
-    s"""WITH wf AS MATERIALIZED (
+    s"""wf AS MATERIALIZED (
          SELECT w, count(*) AS f FROM (
            SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents)
          WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')
@@ -461,10 +464,104 @@ object TextOps {
          SELECT w, f, array_to_string(list_transform(range(1, len(w) + 1),
            i -> chr(1) || w[i] || chr(2)), '') AS s
          FROM wf),
-       $rounds
+       $rs"""
+  }
+
+  val d27Sql: String = {
+    val sCtes = (1 to BpeMerges).map { k =>
+      s"""s$k AS (
+           SELECT $k AS merge_no, p1, p2, cnt AS pair_count,
+             (SELECT (sum(f * len(${bpeSymsSql("s")})))::BIGINT FROM v$k) AS corpus_symbols
+           FROM t$k)"""
+    }.mkString(",\n       ")
+    val union = (1 to BpeMerges).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+    s"""WITH ${bpeCtesSql(BpeMerges)},
+       $sCtes
        SELECT merge_no, p1, p2, pair_count, corpus_symbols
        FROM ($union)
        ORDER BY merge_no"""
+  }
+
+  /** d32's core: encode per-occurrence words with a learned merge table by
+    * replaying the merges IN TRAINING ORDER as wrapped-string replaces —
+    * round k's single non-overlapping replace applied to the round-(k-1)
+    * state is literally what training did to the vocabulary, so encoding
+    * the training corpus reproduces the trainer's final symbol totals
+    * exactly (the conservation spec). The merge table is pivoted into ONE
+    * broadcast row (pat_k/rep_k columns), so the trainer sub-plan executes
+    * once as a broadcast build and the corpus side is a scan-local fold of
+    * [[rounds]] replaces. Returns (doc_id, w, bpe = symbol count). */
+  private[graft] def bpeEncode(words: DataFrame, merges: DataFrame, rounds: Int): DataFrame = {
+    val aggs = (1 to rounds).flatMap { k =>
+      Seq(
+        min(when(col("merge_no") === k,
+          concat(lit("\u0001"), col("p1"), lit("\u0002\u0001"), col("p2"), lit("\u0002"))))
+          .as(s"pat$k"),
+        min(when(col("merge_no") === k,
+          concat(lit("\u0001"), col("p1"), col("p2"), lit("\u0002")))).as(s"rep$k"))
+    }
+    val one = merges.agg(aggs.head, aggs.tail: _*)
+    val wrapped = regexp_replace(col("w"), "(.)", "\u0001$1\u0002")
+    val enc = (1 to rounds).foldLeft(wrapped)((acc, k) =>
+      replace(acc, col(s"pat$k"), col(s"rep$k")))
+    words.crossJoin(broadcast(one))
+      .select(col("doc_id"), col("w"),
+        (length(enc) - length(replace(enc, lit("\u0001"), lit("")))).as("bpe"))
+  }
+
+  /** d32 — BPE encoding with the d27-learned merge table (the apply half
+    * of the tokenizer: d27 trains the merges, d32 tokenizes the corpus
+    * with them — together the full Sennrich train/encode cycle). Per doc:
+    * alphabet-word count, character count, BPE token count under the
+    * 8-merge vocabulary, and chars-per-token (the compression a larger
+    * merge table would push toward real tokenizers' ~4). Docs with no
+    * [a-z0-9]+ word drop out (nothing to encode), matching the inner
+    * explode on both engines.
+    *
+    * Scale shape: training is d27's ONE distributed count + one
+    * vocabulary-sized mapGroups; the 8 merges pivot to a single broadcast
+    * row; encoding is scan-local string folding per word occurrence; the
+    * only corpus-sized shuffle is the final uniform groupBy(doc_id) with
+    * map-side combine. All-integer outputs except the ratio (rounded). */
+  def d32BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val wf = docs.select(explode(toks(lower($"text"))).as("w"))
+      .filter($"w".rlike("^[a-z0-9]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("f")).as[(String, Long)]
+    val words = docs.select($"doc_id", explode(toks(lower($"text"))).as("w"))
+      .filter($"w".rlike("^[a-z0-9]+$"))
+    bpeEncode(words, bpeTrain(wf, BpeMerges), BpeMerges)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"w")).as("n_chars"),
+        sum($"bpe").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+        r($"n_chars" / $"n_bpe_tokens", 4).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val d32Sql: String = {
+    val encChain = (1 to BpeMerges).map { k =>
+      s"""x$k AS (
+           SELECT doc_id, w, replace(s,
+             chr(1) || p1 || chr(2) || chr(1) || p2 || chr(2),
+             chr(1) || p1 || p2 || chr(2)) AS s
+           FROM x${k - 1} CROSS JOIN t$k)"""
+    }.mkString(",\n       ")
+    s"""WITH ${bpeCtesSql(BpeMerges)},
+       x0 AS (
+         SELECT doc_id, w, array_to_string(list_transform(range(1, len(w) + 1),
+           i -> chr(1) || w[i] || chr(2)), '') AS s
+         FROM (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS w FROM documents)
+         WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')),
+       $encChain
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT) AS n_bpe_tokens,
+         ${rSql("CAST(sum(len(w)) AS BIGINT) / CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT)", 4)}
+           AS chars_per_token
+       FROM x$BpeMerges GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** d12 — document chunking: fixed-size token windows (64 tokens,
@@ -893,6 +990,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d31_gopher_quality" -> (d31GopherQuality _),
+    "d32_bpe_encode" -> (d32BpeEncode _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d28_substring_dedup" -> (d28SubstringDedup _),
@@ -909,6 +1007,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "d31_gopher_quality" -> d31Sql,
+    "d32_bpe_encode" -> d32Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
     "d28_substring_dedup" -> d28Sql,

@@ -204,6 +204,43 @@ class TextOpsSpec extends GraftSpec {
     assert(rerun.sameElements(TextOps.d27BpeTrain(spark, sfTiny).collect()))
   }
 
+  test("d32 encoding with the Sennrich merges reproduces hand-derived token counts") {
+    import spark.implicits._
+    // train on the classic vocabulary (d27 spec pins the trace: merges
+    // (e,s), (es,t), (l,o), (lo,w)); encode a doc containing the training
+    // words plus the held-out "lowest" — hand-derived symbol counts
+    // (consistent with the trace's final corpus_symbols 47 =
+    // 5·1 + 2·3 + 6·4 + 3·4): low→[low]=1, lower→[low,e,r]=3,
+    // lowest→[low,est]=2, newest→[n,e,w,est]=4, widest→[w,i,d,est]=4
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)).toDS()
+    val merges = TextOps.bpeTrain(wf, 4)
+    val words = Seq((1L, "low"), (1L, "lower"), (1L, "lowest"),
+      (1L, "newest"), (1L, "widest")).toDF("doc_id", "w")
+    val got = TextOps.bpeEncode(words, merges, 4).collect()
+      .map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(got == Map("low" -> 1, "lower" -> 3, "lowest" -> 2,
+      "newest" -> 4, "widest" -> 4), s"got $got")
+  }
+
+  test("d32 conserves d27's trained corpus symbol total (encode ≡ training replay)") {
+    import spark.implicits._
+    // replaying the merges in training order over the training corpus must
+    // land on exactly the trainer's final state: sum of per-doc BPE token
+    // counts == corpus_symbols after the last d27 merge
+    val trained = TextOps.d27BpeTrain(spark, sfTiny).collect()
+      .maxBy(_.getInt(0)).getAs[Long]("corpus_symbols")
+    val out = TextOps.d32BpeEncode(spark, sfTiny).cache()
+    try {
+      val encoded = out.agg(sum($"n_bpe_tokens")).collect()(0).getLong(0)
+      assert(encoded == trained,
+        s"encoded total $encoded must equal trained corpus_symbols $trained")
+      // per-doc sanity: every word is ≥1 token, no token exceeds its chars
+      assert(out.filter($"n_bpe_tokens" < $"n_words" ||
+        $"n_bpe_tokens" > $"n_chars").count() == 0)
+      assert(out.filter($"chars_per_token" < 1.0).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d31 gopher rules: flag algebra exact, integer metrics recomputed on a sample") {
     import spark.implicits._
     val out = TextOps.d31GopherQuality(spark, sfTiny).cache()
