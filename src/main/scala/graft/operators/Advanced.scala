@@ -514,6 +514,53 @@ object Advanced {
        ORDER BY rank"""
   }
 
+  // --- s04: exact per-stratum budget sampling (balanced corpus) ---------
+
+  /** s04 per-stratum budget and the salt fan-out of the pre-aggregation
+    * stage. */
+  private[graft] val S04Budget = 50
+  private val S04Salts = 32
+
+  /** s04 — balanced sampling: EXACTLY min(B, |stratum|) docs per language
+    * by hash rank (md5 order — the e05/e07-proven portable sample family),
+    * the "N docs per language/domain" balancing step of corpus assembly
+    * (s01 samples by per-stratum RATE; s04 hits an exact per-stratum
+    * COUNT). Deterministic: same sample at any parallelism, any engine.
+    *
+    * Scale shape: a naive `row_number over (partition by lang)` would
+    * funnel the whole corpus through ≤|langs| window tasks (the
+    * low-cardinality-key trap). Instead rank in two phases: top-B within
+    * (lang, salt) over [[S04Salts]] xxhash64 salt buckets — salted
+    * windows are parallel and each keeps ≤B rows, and since any global
+    * top-B member is also a top-B member of its own salt bucket the
+    * pre-filter is lossless — then the exact window runs over ≤salts·B
+    * rows per lang. The salt stage is Spark-internal (the oracle is the
+    * single equivalent window), so cheap xxhash64 is fine (q41 lesson). */
+  def s04BalancedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("hk"))
+      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(S04Salts)))
+    val pre = d
+      .withColumn("r1", row_number().over(
+        Window.partitionBy($"lang", $"salt").orderBy($"hk", $"doc_id")))
+      .filter($"r1" <= S04Budget)
+    pre
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"hk", $"doc_id")))
+      .filter($"rk" <= S04Budget)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  val s04Sql: String =
+    s"""SELECT lang, rk, doc_id FROM (
+         SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+         FROM documents)
+       WHERE rk <= $S04Budget
+       ORDER BY lang, rk"""
+
   // --- q41: portable Bloom runtime filter ahead of a semi join ----------
 
   private val BloomWords = 256 // 16384 bits
@@ -612,6 +659,7 @@ object Advanced {
     "q31_cohort_retention" -> (q31CohortRetention _),
     "s01_stratified_sample" -> (s01StratifiedSample _),
     "s03_hash_split" -> (s03HashSplit _),
+    "s04_balanced_sample" -> (s04BalancedSample _),
     "t10_date_spine" -> (t10DateSpine _),
     "t11_rolling_window" -> (t11RollingWindow _))
 
@@ -631,6 +679,7 @@ object Advanced {
     "q31_cohort_retention" -> q31Sql,
     "s01_stratified_sample" -> s01Sql,
     "s03_hash_split" -> s03Sql,
+    "s04_balanced_sample" -> s04Sql,
     "t10_date_spine" -> t10Sql,
     "t11_rolling_window" -> t11Sql)
 }

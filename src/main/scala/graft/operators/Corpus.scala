@@ -709,8 +709,11 @@ object Corpus {
     out
   }
 
-  val ml05Sql: String =
-    s"""WITH sp AS (SELECT doc_id, lang, text,
+  /** ml05's DuckDB training/scoring CTE block (ends in `rk`, the ranked
+    * per-(doc, candidate) scores) — shared with ml08's evaluation so the
+    * predictions being evaluated are the predictions being checked. */
+  private def ml05Ctes: String =
+    s"""sp AS (SELECT doc_id, lang, text,
            ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h FROM documents),
        tr AS (SELECT * FROM sp WHERE h <= 7),
        te AS (SELECT * FROM sp WHERE h = 9),
@@ -738,12 +741,96 @@ object Corpus {
          FROM ll JOIN pri ON pri.lang = cand_lang CROSS JOIN tot),
        rk AS (SELECT doc_id, true_lang, cand_lang, score,
            row_number() OVER (PARTITION BY doc_id
-             ORDER BY score DESC, cand_lang ASC) AS rn FROM sc)
+             ORDER BY score DESC, cand_lang ASC) AS rn FROM sc)"""
+
+  val ml05Sql: String =
+    s"""WITH $ml05Ctes
        SELECT doc_id, true_lang AS lang, cand_lang AS pred_lang,
          ${rSql("score", 6)} AS score,
          CAST(true_lang = cand_lang AS INTEGER) AS correct
        FROM rk WHERE rn = 1
        ORDER BY doc_id"""
+
+  // --- ml08: classifier evaluation report ---------------------------------
+
+  /** ml08's evaluation core over any predictions frame with (lang,
+    * pred_lang, correct) columns: per-class support / predicted / true
+    * positives → precision, recall, F1 (rounded; zero-denominator classes
+    * score 0), plus a leading `_micro` row (micro-averaged P = R = F1 =
+    * accuracy). The per-class tp is identical computed from the actual or
+    * the predicted side (correct ⇒ both classes are the same label), which
+    * is what lets the full-outer join coalesce them. */
+  private[graft] def classifierEval(preds: DataFrame): DataFrame = {
+    val s = preds.sparkSession
+    import s.implicits._
+    val a = preds.groupBy($"lang")
+      .agg(count(lit(1)).as("support"), sum($"correct").as("tpa"))
+    val p = preds.groupBy($"pred_lang")
+      .agg(count(lit(1)).as("predicted"), sum($"correct").as("tpp"))
+      .withColumnRenamed("pred_lang", "lang")
+    val j = a.join(p, Seq("lang"), "full_outer")
+      .select($"lang",
+        coalesce($"support", lit(0L)).as("support"),
+        coalesce($"predicted", lit(0L)).as("predicted"),
+        coalesce($"tpa", $"tpp", lit(0L)).as("tp"))
+    val micro = preds
+      .agg(count(lit(1)).as("support"), sum($"correct").as("tp"))
+      .select(lit("_micro").as("lang"), $"support",
+        $"support".as("predicted"), $"tp")
+    j.unionByName(micro)
+      .select($"lang", $"support", $"predicted", $"tp",
+        when($"predicted" > 0, r($"tp".cast("double") / $"predicted", 6))
+          .otherwise(0.0).as("prec"),
+        when($"support" > 0, r($"tp".cast("double") / $"support", 6))
+          .otherwise(0.0).as("rec"))
+      .withColumn("f1",
+        when($"prec" + $"rec" > 0.0,
+          r(lit(2.0) * $"prec" * $"rec" / ($"prec" + $"rec"), 6)).otherwise(0.0))
+      .orderBy($"lang")
+  }
+
+  /** ml08 — per-class evaluation of the ml05 Naive Bayes classifier (the
+    * classifier-family sibling of e08's ANN recall report: quality as an
+    * oracle-checked per-round number, not a claim in a doc). One row per
+    * lang appearing as truth or prediction — support, predicted count,
+    * true positives, precision/recall/F1 — plus the `_micro` accuracy row.
+    *
+    * Scale shape: ml05's plan (already linear, checkpoint-materialized)
+    * followed by two map-side-combinable aggregations over the ≤|test|
+    * prediction rows and an L-row full-outer join — the report itself is
+    * free at any corpus size. */
+  def ml08ClassifierEval(s: SparkSession, dir: String): DataFrame =
+    classifierEval(ml05NaiveBayes(s, dir))
+
+  val ml08Sql: String =
+    s"""WITH $ml05Ctes,
+       pred AS (SELECT doc_id, true_lang AS lang, cand_lang AS pred_lang,
+           CAST(true_lang = cand_lang AS INTEGER) AS correct
+         FROM rk WHERE rn = 1),
+       a AS (SELECT lang, count(*) AS support,
+           CAST(sum(correct) AS BIGINT) AS tpa FROM pred GROUP BY lang),
+       p AS (SELECT pred_lang AS lang, count(*) AS predicted,
+           CAST(sum(correct) AS BIGINT) AS tpp FROM pred GROUP BY pred_lang),
+       j AS (SELECT coalesce(a.lang, p.lang) AS lang,
+           CAST(coalesce(a.support, 0) AS BIGINT) AS support,
+           CAST(coalesce(p.predicted, 0) AS BIGINT) AS predicted,
+           CAST(coalesce(a.tpa, p.tpp, 0) AS BIGINT) AS tp
+         FROM a FULL OUTER JOIN p ON a.lang = p.lang),
+       m AS (SELECT '_micro' AS lang, CAST(count(*) AS BIGINT) AS support,
+           CAST(count(*) AS BIGINT) AS predicted,
+           CAST(sum(correct) AS BIGINT) AS tp FROM pred),
+       u AS (SELECT * FROM j UNION ALL SELECT * FROM m),
+       pr AS (SELECT lang, support, predicted, tp,
+           CASE WHEN predicted > 0 THEN ${rSql("tp / predicted", 6)}
+                ELSE 0.0 END AS prec,
+           CASE WHEN support > 0 THEN ${rSql("tp / support", 6)}
+                ELSE 0.0 END AS rec
+         FROM u)
+       SELECT lang, support, predicted, tp, prec, rec,
+         CASE WHEN prec + rec > 0 THEN ${rSql("2.0 * prec * rec / (prec + rec)", 6)}
+              ELSE 0.0 END AS f1
+       FROM pr
+       ORDER BY lang"""
 
   // --- ml06: hashed bag-of-words quality classifier (logistic GD) ---------
 
@@ -997,6 +1084,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml07_knn_classify" -> (ml07KnnClassify _),
+    "ml08_classifier_eval" -> (ml08ClassifierEval _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
     "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
@@ -1011,6 +1099,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "ml07_knn_classify" -> ml07Sql,
+    "ml08_classifier_eval" -> ml08Sql,
     "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,
     "d26_perplexity_buckets" -> d26Sql,

@@ -278,4 +278,33 @@ class AdvancedSpec extends GraftSpec {
       assert(out.collect().sameElements(Advanced.s03HashSplit(spark, sfSmall).collect()))
     } finally out.unpersist()
   }
+
+  test("s04 balanced sample: exact per-stratum budgets, salted two-phase ≡ single window") {
+    import spark.implicits._
+    val out = Advanced.s04BalancedSample(spark, sfSmall).cache()
+    try {
+      // exactly min(B, |stratum|) per lang, ranks dense from 1
+      val strata = Tables.documents(spark, sfSmall).groupBy($"lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = out.groupBy($"lang").agg(count(lit(1)).as("n"), max($"rk").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      assert(got.nonEmpty)
+      got.foreach { case (l, n, mx) =>
+        val want = math.min(Advanced.S04Budget.toLong, strata(l))
+        assert(n == want && mx.toLong == want, s"lang $l: n=$n max_rk=$mx want=$want")
+      }
+      // the salted pre-aggregation is lossless: equal to the plain
+      // single-window ranking computed directly
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"hk", $"doc_id")
+      val plain = Tables.documents(spark, sfSmall)
+        .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("hk"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= Advanced.S04Budget)
+        .select($"lang", $"rk", $"doc_id")
+        .orderBy($"lang", $"rk")
+      assert(out.collect().sameElements(plain.collect()),
+        "two-phase result must equal the single-window ranking")
+    } finally out.unpersist(blocking = false)
+  }
 }

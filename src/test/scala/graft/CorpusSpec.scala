@@ -286,6 +286,43 @@ class CorpusSpec extends GraftSpec {
       s"got $rows")
   }
 
+  test("ml08 eval on a hand-planted confusion matrix: P/R/F1 exact per class and micro") {
+    import spark.implicits._
+    // 4 predictions: aa→aa ✓, aa→bb ✗, bb→bb ✓, cc→bb ✗
+    val preds = Seq(
+      (1L, "aa", "aa", 1), (2L, "aa", "bb", 0),
+      (3L, "bb", "bb", 1), (4L, "cc", "bb", 0))
+      .toDF("doc_id", "lang", "pred_lang", "correct")
+    val got = Corpus.classifierEval(preds).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == Map(
+      "_micro" -> ((4L, 4L, 2L, 0.5, 0.5, 0.5)),
+      "aa" -> ((2L, 1L, 1L, 1.0, 0.5, 0.666667)),
+      "bb" -> ((1L, 3L, 1L, 0.333333, 1.0, 0.5)),
+      "cc" -> ((1L, 0L, 0L, 0.0, 0.0, 0.0))), s"got $got")
+  }
+
+  test("ml08 on the corpus is consistent with ml05's own predictions") {
+    import spark.implicits._
+    val preds = Corpus.ml05NaiveBayes(spark, sfTiny).cache()
+    try {
+      val out = Corpus.ml08ClassifierEval(spark, sfTiny).collect()
+      val micro = out.find(_.getString(0) == "_micro").get
+      assert(micro.getAs[Long]("support") == preds.count())
+      assert(micro.getAs[Long]("tp") ==
+        preds.agg(sum($"correct")).collect()(0).getLong(0))
+      // per-class rows partition the predictions: supports sum to N
+      assert(out.filter(_.getString(0) != "_micro")
+        .map(_.getAs[Long]("support")).sum == preds.count())
+      out.foreach { r =>
+        Seq("prec", "rec", "f1").foreach { c =>
+          val v = r.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"${r.getString(0)} $c=$v") }
+      }
+    } finally preds.unpersist(blocking = false)
+  }
+
   test("ml07 kNN hand-check: neighbor votes, majority, and OOV drop on a planted corpus") {
     import spark.implicits._
     // disjoint vocabularies per lang → candidates only ever come from the
