@@ -57,20 +57,15 @@ object ScaleProbe {
     // expected to MEASURE that quadratic, not hide it); the declared
     // scale paths get the full 1/4/10 ladder.
     val queries: Seq[(String, Seq[Int], (SparkSession, String) => DataFrame)] = Seq(
-      ("e08_ann_recall", Seq(1, 4, 10), operators.Similarity.e08AnnRecall),
-      ("d23_curation_packing", Seq(1, 4, 10), operators.Curation.d23CurationPacking),
-      ("d11_lsh_clusters", Seq(1, 4, 10), operators.Corpus.d11LshClusters),
-      ("d09_dedup_clusters", Seq(1, 2, 4), operators.Corpus.d09DedupClusters),
-      // e14 keeps K fixed at e10's 8 to share its oracle-checked training
-      // loop, so cluster sizes — and the per-cluster quadratic — grow with
-      // the corpus here: the probe MEASURES that artifact (at real scale K
-      // grows with n; see the e14 scaladoc), like d09's documented edge
-      // source
-      ("e14_semantic_dedup", Seq(1, 2, 4), operators.Similarity.e14SemanticDedup),
-      ("e15_mmr_rerank", Seq(1, 4, 10), operators.Similarity.e15MmrRerank),
-      ("d25_dsir_select", Seq(1, 4, 10), operators.Corpus.d25DsirSelect),
-      ("d26_perplexity_buckets", Seq(1, 4, 10), operators.Corpus.d26PerplexityBuckets),
-      ("e16_sq8_ann", Seq(1, 4, 10), operators.Similarity.e16Sq8Ann))
+      // current probe set: the late-r5 additions (earlier sweeps'
+      // results — e08 0.85, d23 0.58, d11 0.62, d09 3.40 quadratic-by-
+      // design, e14 0.20, d26 0.70, e15 0.78, d25 0.79, e16 0.91 — are
+      // recorded in CLAUDE.md)
+      ("ml07_knn_classify", Seq(1, 4, 10), operators.Corpus.ml07KnnClassify),
+      ("ml08_classifier_eval", Seq(1, 4, 10), operators.Corpus.ml08ClassifierEval),
+      ("d32_bpe_encode", Seq(1, 4, 10), operators.TextOps.d32BpeEncode),
+      ("d31_gopher_quality", Seq(1, 4, 10), operators.TextOps.d31GopherQuality),
+      ("s04_balanced_sample", Seq(1, 4, 10), operators.Advanced.s04BalancedSample))
 
     val factors = queries.flatMap(_._2).distinct.sorted
     factors.foreach { f =>

@@ -929,7 +929,11 @@ object Corpus {
     out
   }
 
-  val ml06Sql: String = {
+  /** ml06's DuckDB CTE block (hashed features, z-scoring, the unrolled GD
+    * steps — ends in `f` joined against the final weights `w{QlrIters}`) —
+    * shared with ml09's calibration report so the scored probabilities
+    * being calibrated are the probabilities being checked. */
+  private def ml06Ctes: String = {
     val inTgt = DsirTargetSrcs.map(x => s"'$x'").mkString(", ")
     val feats = (1 to QlrF).map(j =>
       s"CAST(sum(CASE WHEN hb = ${j - 1} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rf$j")
@@ -949,7 +953,7 @@ object Corpus {
     }.mkString(",\n       ")
     val w0cols = (Seq("CAST(0.0 AS DOUBLE) AS b") ++
       (1 to QlrF).map(j => s"CAST(0.0 AS DOUBLE) AS w$j")).mkString(", ")
-    s"""WITH ti AS (SELECT doc_id,
+    s"""ti AS (SELECT doc_id,
            CASE WHEN source IN ($inTgt) THEN 1.0 ELSE 0.0 END AS y,
            unnest(${toksSql("lower(text)")}) AS w FROM documents),
        th AS (SELECT doc_id, y, ${DedupLsh.h60Sql("w")} % $QlrF AS hb FROM ti),
@@ -963,13 +967,84 @@ object Corpus {
            $zcols
          FROM fr CROSS JOIN mom),
        w0 AS (SELECT $w0cols),
-       $steps
+       $steps"""
+  }
+
+  val ml06Sql: String =
+    s"""WITH $ml06Ctes
        SELECT doc_id, CAST(y AS INTEGER) AS label,
          ${rSql(qlrP, 6)} AS score,
          CAST(${rSql(qlrP, 6)} >= 0.5 AS INTEGER) AS keep
        FROM f CROSS JOIN w$QlrIters
        ORDER BY doc_id"""
+
+  // --- ml09: probability calibration report (reliability diagram) ---------
+
+  /** ml09's core over any scored frame with (label ∈ {0,1}, score ∈ (0,1))
+    * columns: decile reliability diagram — per bucket floor(10·score)
+    * (capped at 9), the count, decimal-mean predicted score, observed
+    * positive rate, and |obs − pred| gap — plus a trailing bucket = −1
+    * summary row whose `gap` is the expected calibration error
+    * ECE = Σ (n_b/N)·gap_b (Naeini et al., AAAI 2015). Buckets derive
+    * from the ROUNDED score (q33 parity path: floor can't straddle a
+    * last-ulp difference) and the summary row is computed from the
+    * rounded per-bucket rows in both engines. The tiny per-bucket frame
+    * is checkpoint-materialized before the summary scan so the scorer's
+    * training plan executes once (CLAUDE.md invariant 5). */
+  private[graft] def calibration(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val per = scored
+      .select($"label", $"score",
+        least(floor($"score" * 10), lit(9L)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        r(davg($"score"), 6).as("mean_score"),
+        sum($"label").as("pos"))
+      .select($"bucket", $"n", $"mean_score",
+        r($"pos".cast("double") / $"n", 6).as("obs_rate"))
+      .withColumn("gap", r(abs($"obs_rate" - $"mean_score"), 6))
+      .localCheckpoint(true)
+    val tot = per.agg(sum($"n").as("n"),
+        r(dsum($"n" * $"mean_score") / sum($"n"), 6).as("mean_score"),
+        r(dsum($"n" * $"obs_rate") / sum($"n"), 6).as("obs_rate"),
+        r(dsum($"n" * $"gap") / sum($"n"), 6).as("gap"))
+      .select(lit(-1L).as("bucket"), $"n", $"mean_score", $"obs_rate", $"gap")
+    per.unionByName(tot).orderBy($"bucket")
   }
+
+  /** ml09 — calibration report for the ml06 quality classifier (the
+    * third member of the eval family: e08 measures search recall, ml08
+    * classification P/R/F1, ml09 probability calibration): is a doc
+    * scored 0.7 actually in the target domain ~70 % of the time? Scale
+    * shape: ml06's linear training/scoring plan followed by ONE
+    * map-side-combinable 10-ary aggregation; the report is free at any
+    * corpus size. */
+  def ml09Calibration(s: SparkSession, dir: String): DataFrame =
+    calibration(ml06QualityClassifier(s, dir))
+
+  val ml09Sql: String =
+    s"""WITH $ml06Ctes,
+       sc AS (SELECT CAST(y AS INTEGER) AS label, ${rSql(qlrP, 6)} AS score
+         FROM f CROSS JOIN w$QlrIters),
+       bk AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+           label, score FROM sc),
+       per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           ${rSql(davgSql("score"), 6)} AS mean_score,
+           CAST(sum(label) AS BIGINT) AS pos
+         FROM bk GROUP BY bucket),
+       per2 AS (SELECT bucket, n, mean_score,
+           ${rSql("pos / n", 6)} AS obs_rate FROM per),
+       per3 AS (SELECT bucket, n, mean_score, obs_rate,
+           ${rSql("abs(obs_rate - mean_score)", 6)} AS gap FROM per2),
+       tot AS (SELECT CAST(-1 AS BIGINT) AS bucket, CAST(sum(n) AS BIGINT) AS n,
+           ${rSql(s"${dsumSql("n * mean_score")} / CAST(sum(n) AS DOUBLE)", 6)} AS mean_score,
+           ${rSql(s"${dsumSql("n * obs_rate")} / CAST(sum(n) AS DOUBLE)", 6)} AS obs_rate,
+           ${rSql(s"${dsumSql("n * gap")} / CAST(sum(n) AS DOUBLE)", 6)} AS gap
+         FROM per3)
+       SELECT bucket, n, mean_score, obs_rate, gap FROM per3
+       UNION ALL SELECT bucket, n, mean_score, obs_rate, gap FROM tot
+       ORDER BY bucket"""
 
   // --- ml07: sparse kNN text classifier (inverted-index cosine) -----------
 
@@ -1085,6 +1160,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
+    "ml09_calibration" -> (ml09Calibration _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
     "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
@@ -1100,6 +1176,7 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "ml07_knn_classify" -> ml07Sql,
     "ml08_classifier_eval" -> ml08Sql,
+    "ml09_calibration" -> ml09Sql,
     "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,
     "d26_perplexity_buckets" -> d26Sql,

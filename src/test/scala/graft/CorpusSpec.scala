@@ -323,6 +323,43 @@ class CorpusSpec extends GraftSpec {
     } finally preds.unpersist(blocking = false)
   }
 
+  test("ml09 calibration on a hand-planted score set: buckets, rates, ECE exact") {
+    import spark.implicits._
+    val scored = Seq((1, 0.85), (0, 0.85), (1, 0.62), (0, 0.15), (0, 0.18))
+      .toDF("label", "score")
+    val got = Corpus.calibration(scored).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // bucket 8: n=2 mean .85 obs .5 gap .35 | 6: n=1 .62 1.0 .38 |
+    // 1: n=2 mean (.15+.18)/2=.165 obs 0 gap .165
+    // total: mean (1.7+.62+.33)/5=.53, obs 2/5=.4, ECE (.7+.38+.33)/5=.282
+    assert(got == Map(
+      -1L -> ((5L, 0.53, 0.4, 0.282)),
+      1L -> ((2L, 0.165, 0.0, 0.165)),
+      6L -> ((1L, 0.62, 1.0, 0.38)),
+      8L -> ((2L, 0.85, 0.5, 0.35))), s"got $got")
+  }
+
+  test("ml09 on the corpus: buckets partition the docs, ECE row consistent") {
+    import spark.implicits._
+    val out = Corpus.ml09Calibration(spark, sfTiny).collect()
+    val tot = out.find(_.getLong(0) == -1L).get
+    val per = out.filter(_.getLong(0) >= 0L)
+    assert(tot.getAs[Long]("n") ==
+      Tables.documents(spark, sfTiny).count())
+    assert(per.map(_.getAs[Long]("n")).sum == tot.getAs[Long]("n"))
+    out.foreach { r =>
+      Seq("mean_score", "obs_rate", "gap").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"bucket ${r.getLong(0)} $c=$v") }
+      // every bucket's mean prediction lies inside the bucket's range
+      val b = r.getLong(0)
+      if (b >= 0)
+        assert(r.getAs[Double]("mean_score") >= b / 10.0 - 1e-9 &&
+          r.getAs[Double]("mean_score") <= (b + 1) / 10.0 + 1e-9)
+    }
+  }
+
   test("ml07 kNN hand-check: neighbor votes, majority, and OOV drop on a planted corpus") {
     import spark.implicits._
     // disjoint vocabularies per lang → candidates only ever come from the
