@@ -978,6 +978,99 @@ object Corpus {
        FROM f CROSS JOIN w$QlrIters
        ORDER BY doc_id"""
 
+  // --- d33: PPMI co-occurrence contexts (distributional semantics) --------
+
+  /** d33 output budget (total order + LIMIT keeps the report bounded at
+    * any vocabulary size) and per-word context fan-out. */
+  private[graft] val PpmiTopPerWord = 3
+  private val PpmiLimit = 500
+
+  /** d33 — positive pointwise mutual information over forward window-2
+    * co-occurrence pairs (Church & Hanks 1990; Levy & Goldberg 2014 showed
+    * PPMI factorization ≈ skip-gram embeddings — this is the count-based
+    * half of distributional semantics, the corpus-statistics sibling of
+    * the e-family's dense vectors): for each focus word the top-3 context
+    * words by PPMI = max(0, ln(c(w,c)·T / (c(w)·c(c)))). Pairs are the
+    * d10 bigram layout extended with offset-2 skips; PMI's log argument
+    * is an exact-integer ratio (d10-proven ln parity; all products stay
+    * far below 2⁵³), ranking is on the ROUNDED score with a context
+    * tie-break, and the output is budget-capped under a (w, rk) total
+    * order.
+    *
+    * Scale shape: one explode (2 pairs/token), one count aggregation on
+    * the uniform pair key (cached — it feeds both marginals and the
+    * score join, invariant 5), marginal joins on vocabulary-sized
+    * relations, a vocabulary-bounded ranking window, TakeOrdered for the
+    * budget. Linear in the corpus; state is O(observed pairs). */
+  def d33PpmiContexts(s: SparkSession, dir: String): DataFrame =
+    ppmiContexts(Tables.documents(s, dir))
+
+  /** d33's core over an explicit (text) relation — exposed so the spec can
+    * check PPMI values and the skip-pair construction on a planted doc. */
+  private[graft] def ppmiContexts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = toks(lower($"text"))
+    val pairs = docs
+      .select(tk.as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(explode(expr(
+        """concat(
+             transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1])),
+             CASE WHEN size(tk) >= 3
+                  THEN transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i + 2]))
+                  ELSE CAST(array() AS array<string>) END)""")).as("pr"))
+    val cp = pairs.groupBy($"pr").agg(count(lit(1)).as("npair")).cache()
+    val cw = cp.groupBy(substring_index($"pr", " ", 1).as("w"))
+      .agg(sum($"npair").as("nw"))
+    val cc = cp.groupBy(substring_index($"pr", " ", -1).as("c"))
+      .agg(sum($"npair").as("nc"))
+    val tt = cp.agg(sum($"npair").as("t"))
+    val sc = cp
+      .select(substring_index($"pr", " ", 1).as("w"),
+        substring_index($"pr", " ", -1).as("c"), $"npair")
+      .join(cw, "w").join(cc, "c").crossJoin(broadcast(tt))
+      .select($"w", $"c", $"npair",
+        r(log(($"npair" * $"t").cast("double") / ($"nw" * $"nc").cast("double")), 6)
+          .as("ppmi"))
+      .filter($"ppmi" > 0.0)
+    val out = sc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"w").orderBy($"ppmi".desc, $"c".asc)))
+      .filter($"rk" <= PpmiTopPerWord)
+      .orderBy($"w", $"rk")
+      .limit(PpmiLimit)
+      .localCheckpoint(true)
+    cp.unpersist(blocking = false)
+    out.select($"w", $"rk", $"c", $"npair", $"ppmi")
+  }
+
+  val d33Sql: String =
+    s"""WITH pairs AS (
+         SELECT unnest(list_concat(
+             list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]),
+             list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 2]))) AS pr
+         FROM (SELECT ${toksSql("lower(text)")} AS tk FROM documents)
+         WHERE len(tk) >= 2),
+       cp AS MATERIALIZED (SELECT pr, count(*) AS npair FROM pairs GROUP BY pr),
+       cw AS (SELECT split_part(pr, ' ', 1) AS w,
+           CAST(sum(npair) AS BIGINT) AS nw FROM cp GROUP BY 1),
+       cc AS (SELECT split_part(pr, ' ', 2) AS c,
+           CAST(sum(npair) AS BIGINT) AS nc FROM cp GROUP BY 1),
+       tt AS (SELECT CAST(sum(npair) AS BIGINT) AS t FROM cp),
+       sc AS (SELECT w, c, npair,
+           ${rSql("ln(CAST(npair * t AS DOUBLE) / CAST(nw * nc AS DOUBLE))", 6)} AS ppmi
+         FROM (SELECT split_part(pr, ' ', 1) AS w, split_part(pr, ' ', 2) AS c,
+                 npair FROM cp) x
+         JOIN cw USING (w) JOIN cc USING (c) CROSS JOIN tt),
+       top AS (SELECT w, c, npair, ppmi,
+           row_number() OVER (PARTITION BY w ORDER BY ppmi DESC, c ASC) AS rk
+         FROM sc WHERE ppmi > 0.0)
+       SELECT w, rk, c, npair, ppmi FROM top
+       WHERE rk <= $PpmiTopPerWord
+       ORDER BY w, rk
+       LIMIT $PpmiLimit"""
+
   // --- ml09: probability calibration report (reliability diagram) ---------
 
   /** ml09's core over any scored frame with (label ∈ {0,1}, score ∈ (0,1))
@@ -1161,6 +1254,7 @@ object Corpus {
     "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
     "ml09_calibration" -> (ml09Calibration _),
+    "d33_ppmi_contexts" -> (d33PpmiContexts _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
     "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
@@ -1177,6 +1271,7 @@ object Corpus {
     "ml07_knn_classify" -> ml07Sql,
     "ml08_classifier_eval" -> ml08Sql,
     "ml09_calibration" -> ml09Sql,
+    "d33_ppmi_contexts" -> d33Sql,
     "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,
     "d26_perplexity_buckets" -> d26Sql,

@@ -323,6 +323,34 @@ class CorpusSpec extends GraftSpec {
     } finally preds.unpersist(blocking = false)
   }
 
+  test("d33 PPMI hand-check: window-2 pairs and exact scores on a planted doc") {
+    import spark.implicits._
+    // one doc "a b c": pairs a·b, b·c (adjacent), a·c (skip-2); T=3;
+    // focus marginals a:2 b:1, context marginals b:1 c:2.
+    // PPMI(a,b) = ln(1·3/(2·1)) = 0.405465 = PPMI(b,c);
+    // PPMI(a,c) = ln(3/4) < 0 → dropped by the positivity gate
+    val got = Corpus.ppmiContexts(Seq(Tuple1("a b c")).toDF("text")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 1, "b", 1L, 0.405465), ("b", 1, "c", 1L, 0.405465)), s"got ${got.toSeq}")
+  }
+
+  test("d33 on the corpus: dense positive-PPMI ranks, bounded fan-out, deterministic") {
+    import spark.implicits._
+    val out = Corpus.d33PpmiContexts(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"rk" < 1 || $"rk" > Corpus.PpmiTopPerWord).count() == 0)
+      assert(out.filter($"ppmi" <= 0.0).count() == 0)
+      // ranks are dense per focus word: max rk equals the row count
+      assert(out.groupBy($"w")
+        .agg(count(lit(1)).as("n"), max($"rk").as("mx"))
+        .filter($"n" =!= $"mx").count() == 0)
+      assert(out.collect().sameElements(Corpus.d33PpmiContexts(spark, sfTiny).collect()))
+    } finally out.unpersist(blocking = false)
+  }
+
   test("ml09 calibration on a hand-planted score set: buckets, rates, ECE exact") {
     import spark.implicits._
     val scored = Seq((1, 0.85), (0, 0.85), (1, 0.62), (0, 0.15), (0, 0.18))
