@@ -514,6 +514,55 @@ object Advanced {
        ORDER BY rank"""
   }
 
+  // --- q44: MERGE INTO / SCD1 upsert batch twin -------------------------
+
+  /** q44 — lakehouse MERGE INTO semantics (WHEN MATCHED THEN UPDATE /
+    * WHEN NOT MATCHED THEN INSERT) as a deterministic batch twin over the
+    * customer dim: the changeset updates every 5th key's balance (+100)
+    * and inserts an offset-keyed new row for every key ≡ 3 (mod 7); the
+    * output is the post-merge table with a per-row action audit column
+    * (update / insert / keep) — SCD1's overwrite semantics, the
+    * complement of t16's SCD2 history intervals and t03's latest-per-key
+    * compaction. The changeset is derived in-plan so the whole merge is
+    * reproducible cross-engine.
+    *
+    * Scale shape: ONE full-outer shuffle on the unique merge key (what
+    * MERGE executes on any engine); a small changeset would broadcast
+    * instead. The balance arithmetic is a single IEEE op on exact
+    * inputs — bit-identical without rounding. */
+  def q44MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tgt = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+    val upd = tgt.filter($"c_custkey" % 5 === 0)
+      .select($"c_custkey".as("k"), ($"c_acctbal" + lit(100.0)).as("nb"))
+    val ins = tgt.filter($"c_custkey" % 7 === 3)
+      .select(($"c_custkey" + lit(10000000L)).as("k"),
+        lit(0.0).as("nb"))
+    val src = upd.unionByName(ins)
+    tgt.join(src, $"c_custkey" === $"k", "full_outer")
+      .select(coalesce($"c_custkey", $"k").as("custkey"),
+        coalesce($"nb", $"c_acctbal").as("bal"),
+        when($"c_custkey".isNull, "insert")
+          .when($"nb".isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy($"custkey")
+  }
+
+  val q44Sql: String =
+    """WITH tgt AS (SELECT c_custkey, c_acctbal FROM customer),
+       upd AS (SELECT c_custkey AS k, c_acctbal + CAST(100.0 AS DOUBLE) AS nb
+         FROM tgt WHERE c_custkey % 5 = 0),
+       ins AS (SELECT c_custkey + 10000000 AS k, CAST(0.0 AS DOUBLE) AS nb
+         FROM tgt WHERE c_custkey % 7 = 3),
+       src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+       SELECT coalesce(t.c_custkey, s.k) AS custkey,
+         coalesce(s.nb, t.c_acctbal) AS bal,
+         CASE WHEN t.c_custkey IS NULL THEN 'insert'
+              WHEN s.nb IS NULL THEN 'keep'
+              ELSE 'update' END AS action
+       FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.k
+       ORDER BY custkey"""
+
   // --- s04: exact per-stratum budget sampling (balanced corpus) ---------
 
   /** s04 per-stratum budget and the salt fan-out of the pre-aggregation
@@ -660,6 +709,7 @@ object Advanced {
     "s01_stratified_sample" -> (s01StratifiedSample _),
     "s03_hash_split" -> (s03HashSplit _),
     "s04_balanced_sample" -> (s04BalancedSample _),
+    "q44_merge_upsert" -> (q44MergeUpsert _),
     "t10_date_spine" -> (t10DateSpine _),
     "t11_rolling_window" -> (t11RollingWindow _))
 
@@ -680,6 +730,7 @@ object Advanced {
     "s01_stratified_sample" -> s01Sql,
     "s03_hash_split" -> s03Sql,
     "s04_balanced_sample" -> s04Sql,
+    "q44_merge_upsert" -> q44Sql,
     "t10_date_spine" -> t10Sql,
     "t11_rolling_window" -> t11Sql)
 }

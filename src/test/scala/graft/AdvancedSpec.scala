@@ -279,6 +279,34 @@ class AdvancedSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("q44 merge upsert: actions partition the keyspace, balances follow the changeset") {
+    import spark.implicits._
+    val out = Advanced.q44MergeUpsert(spark, sfSmall).cache()
+    try {
+      val tgt = Tables.customer(spark, sfSmall)
+        .select($"c_custkey", $"c_acctbal").cache()
+      val n = tgt.count()
+      val nUpd = tgt.filter($"c_custkey" % 5 === 0).count()
+      val nIns = tgt.filter($"c_custkey" % 7 === 3).count()
+      // post-merge table: every target key exactly once + the inserts
+      assert(out.count() == n + nIns)
+      assert(out.select($"custkey").distinct().count() == n + nIns)
+      val acts = out.groupBy($"action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(acts == Map("update" -> nUpd, "insert" -> nIns,
+        "keep" -> (n - nUpd)), s"got $acts")
+      // updated rows carry old balance + 100, kept rows the old balance,
+      // inserted rows zero — checked row-by-row via a join back
+      val j = out.join(tgt, out("custkey") === tgt("c_custkey"), "left")
+      assert(j.filter($"action" === "update" &&
+        $"bal" =!= $"c_acctbal" + 100.0).count() == 0)
+      assert(j.filter($"action" === "keep" && $"bal" =!= $"c_acctbal").count() == 0)
+      assert(j.filter($"action" === "insert" &&
+        ($"c_custkey".isNotNull || $"bal" =!= 0.0)).count() == 0)
+      tgt.unpersist(blocking = false)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("s04 balanced sample: exact per-stratum budgets, salted two-phase ≡ single window") {
     import spark.implicits._
     val out = Advanced.s04BalancedSample(spark, sfSmall).cache()
