@@ -1188,16 +1188,23 @@ object Corpus {
   private[graft] def knnClassify(train: DataFrame, test: DataFrame, k: Int): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
-    // sparse vector per doc: (doc, token) counts + the full-vector L2 norm
-    def sparseTf(d: DataFrame): DataFrame = {
+    // sparse vector per doc: (doc, token) counts + the full-vector L2
+    // norm. The count table feeds both the tf rows and the norm
+    // aggregation — cached so the corpus explode runs once per split
+    // (invariant 5), freed after the small output materializes (d10's
+    // pattern).
+    def sparseTf(d: DataFrame): (DataFrame, DataFrame) = {
       val c = d.select($"doc_id", $"lang", explode(toks(lower($"text"))).as("w"))
         .groupBy($"doc_id", $"lang", $"w")
         .agg(count(lit(1)).cast("double").as("tf"))
-      c.join(c.groupBy($"doc_id").agg(sqrt(sum($"tf" * $"tf")).as("nrm")), "doc_id")
+        .cache()
+      (c.join(c.groupBy($"doc_id").agg(sqrt(sum($"tf" * $"tf")).as("nrm")), "doc_id"), c)
     }
-    val tr = sparseTf(train)
+    val (trTf, trC) = sparseTf(train)
+    val (teTf, teC) = sparseTf(test)
+    val tr = trTf
       .select($"doc_id".as("tid"), $"lang".as("nl"), $"w", $"tf".as("ttf"), $"nrm".as("tnrm"))
-    val te = sparseTf(test)
+    val te = teTf
       .select($"doc_id".as("qid"), $"lang".as("tl"), $"w", $"tf".as("qtf"), $"nrm".as("qnrm"))
     val cos = broadcast(te).join(tr, "w")
       .groupBy($"qid", $"tl", $"qnrm", $"tid", $"nl", $"tnrm")
@@ -1206,7 +1213,7 @@ object Corpus {
         r($"dot" / ($"qnrm" * $"tnrm"), 6).as("cosine"))
     // probe-side window: bounded by budget × candidates (e01's shape)
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid".asc)
-    cos.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+    val out = cos.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
       .groupBy($"qid", $"tl", $"nl")
       .agg(count(lit(1)).as("cnt"), min($"rk").as("br"))
       .groupBy($"qid", $"tl")
@@ -1215,6 +1222,10 @@ object Corpus {
         (-$"b.nc").as("votes"),
         ($"tl" === $"b.l").cast("int").as("correct"))
       .orderBy($"doc_id")
+      .localCheckpoint(true)
+    trC.unpersist(blocking = false)
+    teC.unpersist(blocking = false)
+    out
   }
 
   val ml07Sql: String =

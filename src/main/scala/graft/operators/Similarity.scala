@@ -1480,7 +1480,78 @@ object Similarity {
        ORDER BY cx.vec_id"""
   }
 
+  // --- e19: exact kNN label classifier over embeddings --------------------
+
+  /** e19 test-side query budget (the e01 lesson: the scored side is FIXED
+    * so brute-force kNN stays O(budget × corpus) at any scale). */
+  private[graft] val EknnBudget = 128
+
+  /** e19 — kNN label classifier over the embeddings table (the dense-
+    * vector sibling of ml07's sparse-text kNN, and the supervised use of
+    * e01's search machinery): train = h60(vec_id) % 10 ≤ 7, test = a
+    * [[EknnBudget]]-capped hash-rank sample of the h = 9 decile; top-5
+    * exact-cosine train neighbors per test vector ([[VectorExpressions
+    * .dot]] kernel, rounded-cosine ranking with id tie-break), prediction
+    * = majority vote via ml07's map-side-combinable min(struct) argmin
+    * with (votes DESC, best-rank ASC, label ASC) tie-break. Predictions
+    * compose with [[Corpus.classifierEval]] for per-class P/R/F1 (spec).
+    *
+    * Scale shape: broadcast O(budget) query side against a linear scan of
+    * the train split; per-query candidate windows bounded by the budget
+    * join; one ≤L-rows-per-query vote aggregate. The ANN variants (e03/
+    * e05/e11/e16/e17) are the drop-in scale path for the neighbor stage. */
+  def e19EmbeddingKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).withColumn("h", hvCol % 10)
+    val test = c.filter($"h" === 9)
+      .orderBy(hvCol, $"vec_id").limit(EknnBudget)
+      .select($"vec_id".as("query_id"), $"label".as("tl"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    val train = c.filter($"h" <= 7)
+      .select($"vec_id".as("tid"), $"label".as("nl"),
+        $"v".as("cv"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"tid".asc)
+    train.crossJoin(broadcast(test))
+      .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
+      .select($"query_id", $"tl", $"tid", $"nl", $"cosine")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .groupBy($"query_id", $"tl", $"nl")
+      .agg(count(lit(1)).as("cnt"), min($"rk").as("br"))
+      .groupBy($"query_id", $"tl")
+      .agg(min(struct((-$"cnt").as("nc"), $"br".as("br"), $"nl".as("l"))).as("b"))
+      .select($"query_id".as("vec_id"), $"tl".as("label"),
+        $"b.l".as("pred_label"), (-$"b.nc").as("votes"),
+        ($"tl" === $"b.l").cast("int").as("correct"))
+      .orderBy($"vec_id")
+  }
+
+  val e19Sql: String =
+    s"""WITH n AS ($corpusSql),
+       sp AS (SELECT vec_id, label, v, nrm, $hvSql % 10 AS h FROM n),
+       te AS (SELECT vec_id AS query_id, label AS tl, v AS qv, nrm AS qnrm
+         FROM sp WHERE h = 9 ORDER BY $hvSql, vec_id LIMIT $EknnBudget),
+       tr AS (SELECT vec_id AS tid, label AS nl, v AS cv, nrm AS cnrm
+         FROM sp WHERE h <= 7),
+       p AS (SELECT q.query_id, q.tl, t.tid, t.nl,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> q.qv[i] * t.cv[i])) / (q.qnrm * t.cnrm)", 6)} AS cosine
+         FROM te q CROSS JOIN tr t),
+       rk AS (SELECT query_id, tl, tid, nl, cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, tid ASC) AS rk FROM p),
+       v AS (SELECT query_id, tl, nl, count(*) AS cnt, min(rk) AS br
+         FROM rk WHERE rk <= 5 GROUP BY 1, 2, 3),
+       pr AS (SELECT query_id, tl, nl, cnt,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cnt DESC, br ASC, nl ASC) AS rn FROM v)
+       SELECT query_id AS vec_id, tl AS label, nl AS pred_label,
+         CAST(cnt AS BIGINT) AS votes,
+         CAST(tl = nl AS INTEGER) AS correct
+       FROM pr WHERE rn = 1
+       ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_embedding_knn" -> (e19EmbeddingKnn _),
     "e18_pca_project" -> (e18PcaProject _),
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e10_kmeans" -> (e10Kmeans _),
@@ -1502,6 +1573,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e19_embedding_knn" -> e19Sql,
     "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,
     "e01_cosine_topk" -> e01Sql,

@@ -446,6 +446,33 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(v(1)) > 0.999, s"dominant axis loading ${v(1)}")
   }
 
+  test("e19 embedding kNN: budgeted test decile, bounded votes, composes with ml08's eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Similarity.e19EmbeddingKnn(spark, sfSmall).cache()
+    try {
+      assert(out.count() > 0 && out.count() <= Similarity.EknnBudget)
+      assert(out.select($"vec_id").distinct().count() == out.count())
+      assert(out.filter($"votes" < 1 || $"votes" > 5).count() == 0)
+      assert(out.filter(($"label" === $"pred_label").cast("int") =!= $"correct").count() == 0)
+      // predictions come from labels that exist in the corpus
+      val trainLabels = Tables.embeddings(spark, sfSmall)
+        .select($"label").distinct().collect().map(_.getInt(0)).toSet
+      assert(out.select($"pred_label").distinct().collect()
+        .map(_.getInt(0)).toSet.subsetOf(trainLabels))
+      // the prediction frame composes with the shared eval core (ml08):
+      // micro row accounts for every prediction
+      val ev = graft.operators.Corpus.classifierEval(
+        out.select($"label".cast("string").as("lang"),
+          $"pred_label".cast("string").as("pred_lang"), $"correct"))
+        .collect()
+      val micro = ev.find(_.getString(0) == "_micro").get
+      assert(micro.getAs[Long]("support") == out.count())
+      assert(micro.getAs[Long]("tp") ==
+        out.agg(sum($"correct")).collect()(0).getLong(0))
+    } finally out.unpersist(blocking = false)
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
