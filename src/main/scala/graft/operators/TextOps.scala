@@ -988,7 +988,61 @@ object TextOps {
        FROM m ORDER BY doc_id"""
   }
 
+  // --- d34: C4 document-quality rules -------------------------------------
+
+  /** d34 deny list (stand-in for C4's "List of Dirty, Naughty … Words"
+    * filter — the mechanism, not the full list). */
+  private[graft] val C4BadWords = Seq("xxx", "sex", "porn", "viagra")
+
+  /** d34 — C4 rule filter (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    * the T5/C4 cleaning heuristics; the second canonical ruleset next to
+    * d31's Gopher rules): the subset meaningful on this single-line
+    * corpus — terminal punctuation (. ! ? "), ≥ 5 words (C4's short-line
+    * drop), no "lorem ipsum", no curly brace (code), no deny-list word.
+    * All-integer flags, `keep` = conjunction, fully scan-local — zero
+    * shuffles, the same pushdown-friendly gate shape as d31/d13.
+    * Dropped-as-vacuous here: the javascript-line and 3-sentence page
+    * rules (single-line docs), the dedup step (d04/d24/d28 own it). */
+  def d34C4Filters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val low = lower($"text")
+    Tables.documents(s, dir)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        substring(trim($"text"), -1, 1).isin(".", "!", "?", "\"")
+          .cast("int").as("f_terminal"),
+        (size(toks($"text")) >= 5).cast("int").as("f_min_words"),
+        (!low.contains("lorem ipsum")).cast("int").as("f_lorem"),
+        (!$"text".contains("{")).cast("int").as("f_brace"),
+        (size(filter(toks(low), w => w.isin(C4BadWords: _*))) === 0)
+          .cast("int").as("f_badword"))
+      .withColumn("keep",
+        ($"f_terminal" * $"f_min_words" * $"f_lorem" * $"f_brace" * $"f_badword"))
+      .orderBy($"doc_id")
+  }
+
+  val d34Sql: String =
+    s"""SELECT doc_id,
+         CAST(right(trim(text), 1) IN ('.', '!', '?', '"') AS INTEGER) AS f_terminal,
+         CAST(len(${toksSql("text")}) >= 5 AS INTEGER) AS f_min_words,
+         CAST(NOT contains(lower(text), 'lorem ipsum') AS INTEGER) AS f_lorem,
+         CAST(NOT contains(text, '{') AS INTEGER) AS f_brace,
+         CAST(len(list_filter(${toksSql("lower(text)")},
+             w -> w IN (${C4BadWords.map(w => s"'$w'").mkString(",")}))) = 0
+           AS INTEGER) AS f_badword,
+         CAST(right(trim(text), 1) IN ('.', '!', '?', '"')
+           AND len(${toksSql("text")}) >= 5
+           AND NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{')
+           AND len(list_filter(${toksSql("lower(text)")},
+             w -> w IN (${C4BadWords.map(w => s"'$w'").mkString(",")}))) = 0
+           AS INTEGER) AS keep
+       FROM documents
+       WHERE length(trim(text)) > 0
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
     "d32_bpe_encode" -> (d32BpeEncode _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
@@ -1006,6 +1060,7 @@ object TextOps {
     "d27_bpe_train" -> (d27BpeTrain _))
 
   val oracles: Map[String, String] = Map(
+    "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,
     "d32_bpe_encode" -> d32Sql,
     "d21_cms_heavy_hitters" -> d21Sql,

@@ -241,6 +241,36 @@ class TextOpsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("d34 C4 rules: flags recomputed driver-side on a sample, keep algebra exact") {
+    import spark.implicits._
+    val out = TextOps.d34C4Filters(spark, sfTiny).cache()
+    try {
+      val n = Tables.documents(spark, sfTiny)
+        .filter(length(trim($"text")) > 0).count()
+      assert(out.count() == n)
+      // keep is the exact conjunction of the five flags
+      assert(out.filter($"keep" =!=
+        $"f_terminal" * $"f_min_words" * $"f_lorem" * $"f_brace" * $"f_badword")
+        .count() == 0)
+      // driver-side recompute of every flag on a 25-doc sample
+      val texts = Tables.documents(spark, sfTiny)
+        .select("doc_id", "text").limit(25).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.filter($"doc_id".isin(texts.keys.toSeq: _*)).collect().foreach { r =>
+        val t = texts(r.getAs[Long]("doc_id"))
+        val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+        assert(r.getAs[Int]("f_terminal") ==
+          (if (Seq('.', '!', '?', '"').contains(t.trim.last)) 1 else 0))
+        assert(r.getAs[Int]("f_min_words") == (if (ws.length >= 5) 1 else 0))
+        assert(r.getAs[Int]("f_lorem") ==
+          (if (t.toLowerCase.contains("lorem ipsum")) 0 else 1))
+        assert(r.getAs[Int]("f_brace") == (if (t.contains("{")) 0 else 1))
+        assert(r.getAs[Int]("f_badword") ==
+          (if (ws.map(_.toLowerCase).exists(TextOps.C4BadWords.contains)) 0 else 1))
+      }
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d31 gopher rules: flag algebra exact, integer metrics recomputed on a sample") {
     import spark.implicits._
     val out = TextOps.d31GopherQuality(spark, sfTiny).cache()
