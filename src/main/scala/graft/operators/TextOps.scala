@@ -24,7 +24,7 @@ import Num._
 object TextOps {
 
   /** tokens as a Column (Spark side). */
-  private[operators] def toks(c: Column): Column =
+  private[graft] def toks(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
   /** DuckDB equivalent of [[toks]]. */
@@ -491,7 +491,10 @@ object TextOps {
     * broadcast row (pat_k/rep_k columns), so the trainer sub-plan executes
     * once as a broadcast build and the corpus side is a scan-local fold of
     * [[rounds]] replaces. Returns (doc_id, w, bpe = symbol count). */
-  private[graft] def bpeEncode(words: DataFrame, merges: DataFrame, rounds: Int): DataFrame = {
+  /** The learned merge table pivoted into ONE row of pat_k/rep_k wrapped
+    * replace patterns — the broadcastable "model artifact" of the trained
+    * tokenizer (shared by d32 and the streaming encode twin). */
+  private[graft] def mergesOneRow(merges: DataFrame, rounds: Int): DataFrame = {
     val aggs = (1 to rounds).flatMap { k =>
       Seq(
         min(when(col("merge_no") === k,
@@ -500,14 +503,25 @@ object TextOps {
         min(when(col("merge_no") === k,
           concat(lit("\u0001"), col("p1"), col("p2"), lit("\u0002")))).as(s"rep$k"))
     }
-    val one = merges.agg(aggs.head, aggs.tail: _*)
-    val wrapped = regexp_replace(col("w"), "(.)", "\u0001$1\u0002")
+    merges.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** BPE symbol count of word-column `w` under the pat_k/rep_k columns of
+    * [[mergesOneRow]] (which must be in scope): wrap every char, replay
+    * the merges in training order as non-overlapping replaces, count the
+    * surviving symbol markers. Pure Column algebra — usable per exploded
+    * word (d32) or inside a higher-order lambda over a token array (the
+    * streaming twin). */
+  private[graft] def bpeCountCol(w: Column, rounds: Int): Column = {
+    val wrapped = regexp_replace(w, "(.)", "\u0001$1\u0002")
     val enc = (1 to rounds).foldLeft(wrapped)((acc, k) =>
       replace(acc, col(s"pat$k"), col(s"rep$k")))
-    words.crossJoin(broadcast(one))
-      .select(col("doc_id"), col("w"),
-        (length(enc) - length(replace(enc, lit("\u0001"), lit("")))).as("bpe"))
+    length(enc) - length(replace(enc, lit("\u0001"), lit("")))
   }
+
+  private[graft] def bpeEncode(words: DataFrame, merges: DataFrame, rounds: Int): DataFrame =
+    words.crossJoin(broadcast(mergesOneRow(merges, rounds)))
+      .select(col("doc_id"), col("w"), bpeCountCol(col("w"), rounds).as("bpe"))
 
   /** d32 — BPE encoding with the d27-learned merge table (the apply half
     * of the tokenizer: d27 trains the merges, d32 tokenizes the corpus

@@ -219,6 +219,34 @@ object StreamOps {
       .filter(graft.operators.Curation.mixAccept)
       .drop("src")
 
+  /** d32's streaming form — BPE-tokenize a document stream with a
+    * batch-trained merge table (the "train offline, tokenize live" shape,
+    * mixResampleStream's sibling: the model artifact is corpus statistics,
+    * not stream state): [[graft.operators.TextOps.mergesOneRow]]'s 1-row
+    * pivot of the d27-learned merges joins the stream broadcast-side, and
+    * each document is encoded SCAN-LOCALLY — the per-word merge replay
+    * ([[graft.operators.TextOps.bpeCountCol]], shared with the batch d32)
+    * runs inside higher-order folds over the token array, so the batch
+    * plan's explode → groupBy(doc_id) collapses to per-row expressions.
+    * Stateless, no watermark, no shuffle; emits d32's exact schema. */
+  def bpeEncodeStream(stream: DataFrame, merges1row: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    import graft.operators.Num.r
+    val rounds = TextOps.BpeMerges
+    val tk = filter(TextOps.toks(lower(col("text"))), w => w.rlike("^[a-z0-9]+$"))
+    stream.withColumn("__j", lit(1))
+      .join(broadcast(merges1row.withColumn("__j", lit(1))), "__j")
+      .withColumn("tk", tk)
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        aggregate(col("tk"), lit(0L), (a, w) => a + length(w)).as("n_chars"),
+        aggregate(col("tk"), lit(0L),
+          (a, w) => a + TextOps.bpeCountCol(w, rounds).cast("long")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        r(col("n_chars") / col("n_bpe_tokens"), 4))
+  }
+
   /** d20's streaming form — fixed-budget sequence packing as
     * flatMapGroupsWithState: per (lang, shard-of-100-docs) the state is
     * ONE running token count; each micro-batch folds its docs in doc_id

@@ -421,4 +421,30 @@ class StreamReplaySpec extends GraftSpec {
     assert(spark.table("replay_dedup").count() == base.size.toLong)
     assert(batch.filter($"n_copies" > 1).count() == copies.size.toLong)
   }
+
+  test("replayed bpeEncodeStream equals the oracle-green d32 batch encoding") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the merge table is a corpus statistic, trained batch-side with the
+    // SAME trainer the batch query uses (d27 over the snapshot), pivoted
+    // to one row and materialized once — the broadcast model artifact
+    val one = TextOps.mergesOneRow(
+      TextOps.d27BpeTrain(spark, sfTiny), TextOps.BpeMerges)
+      .localCheckpoint(true)
+    val texts = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val k = math.ceil(texts.size / 8.0).toInt
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.bpeEncodeStream(df, one).writeStream
+      .format("memory").queryName("replay_bpe").outputMode("append").start()
+    try {
+      texts.grouped(k).foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("replay_bpe")
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens", $"chars_per_token")
+    val batch = TextOps.d32BpeEncode(spark, sfTiny)
+    assert(canon(streamed) == canon(batch),
+      "scan-local streaming encode must reproduce the batch explode→agg exactly")
+  }
 }
