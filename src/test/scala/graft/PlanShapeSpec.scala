@@ -223,4 +223,28 @@ class PlanShapeSpec extends GraftSpec {
     assert(countBroadcasts(df) >= 2)
     assert(countShuffles(df) <= 4)
   }
+
+  test("d31/d34 rule gates: scan-local — only the presentation sort exchanges") {
+    assert(countShuffles(TextOps.d31GopherQuality(spark, sfTiny)) <= 1)
+    assert(countShuffles(TextOps.d34C4Filters(spark, sfTiny)) <= 1)
+  }
+
+  test("e19 embedding kNN: budgeted query side broadcasts, train side never shuffles pre-join") {
+    val df = graft.operators.Similarity.e19EmbeddingKnn(spark, sfTiny)
+    assert(countBroadcasts(df) >= 1, "the capped test decile must broadcast")
+    // query-side TakeOrdered + candidate window + vote agg + sort
+    assert(countShuffles(df) <= 5)
+  }
+
+  test("s04 balanced sample: salted pre-rank keeps both windows bounded") {
+    val df = graft.operators.Advanced.s04BalancedSample(spark, sfTiny)
+    // (lang, salt) window + lang window + presentation sort
+    assert(countShuffles(df) <= 3)
+  }
+
+  test("q44 merge upsert: one full-outer exchange pair + sort, nothing else") {
+    // target + source sides of the full-outer join each exchange once;
+    // the presentation sort is the only other shuffle
+    assert(countShuffles(graft.operators.Advanced.q44MergeUpsert(spark, sfTiny)) <= 3)
+  }
 }
