@@ -193,6 +193,91 @@ object Analytics {
        ORDER BY ex.o_orderpriority"""
   }
 
+  // --- q45: KMV / theta-family distinct sketch with a mergeable union ---
+
+  private val KmvK = 64 // k minimum values; std error ≈ 1/√(k−2) ≈ 12.7%
+  private val KmvSalts = 32
+
+  /** (k−1)·2⁶⁰ as ONE double literal (both factors are powers-of-two-
+    * scaled small ints, so the product is exactly representable and both
+    * engines parse the identical constant — the HllConst pattern). */
+  private val KmvNum: Double = (KmvK - 1).toDouble * 1152921504606846976.0
+
+  /** q45 — KMV (k-minimum-values) distinct-count sketch per event type,
+    * the order-statistics member of the sketch suite (q40 HLL, d21 CMS,
+    * q39 sampled percentiles, q37 GK, q41 Bloom; Bar-Yossef et al. 2002 —
+    * the estimator inside Theta sketches): keep the [[KmvK]] smallest
+    * h60 hashes of the distinct users; if the sketch isn't full the count
+    * is exact, else est = (k−1)·2⁶⁰ / h_(k). The `_union` row is the KMV
+    * of the merged per-type sketches — set-operation mergeability is THE
+    * reason engines ship theta sketches, and here union-merge ≡ KMV of
+    * the distinct-user union by construction, so the oracle checks the
+    * merge law itself. Estimates derive from exact integer hashes (the
+    * only float ops are one product-literal division, nearest-double
+    * conversion being identical in both engines), then round.
+    *
+    * Scale shape: one distinct shuffle on (type, user), then s04's salted
+    * two-phase top-k so the low-cardinality type key never funnels the
+    * corpus through ≤|types| window tasks; sketch state is O(k) per key —
+    * the mergeable-across-partitions layout production theta sketches
+    * use. */
+  def q45KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+      .withColumn("h", DedupLsh.h60($"user_id".cast("string")))
+      .cache()
+    val uni = du.select($"user_id", $"h").distinct()
+      .select(lit("_union").as("event_type"), $"user_id", $"h")
+    val all = du.select($"event_type", $"user_id", $"h").unionByName(uni)
+    val cnt = all.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+    // salted lossless pre-rank (s04's trick), then the exact per-type rank
+    val pre = all
+      .withColumn("salt", pmod(xxhash64($"user_id"), lit(KmvSalts)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy($"event_type", $"salt").orderBy($"h", $"user_id")))
+      .filter($"r1" <= KmvK)
+    val kth = pre
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"h", $"user_id")))
+      .filter($"rk" <= KmvK)
+      .groupBy($"event_type")
+      .agg(max($"h").as("kth_hash"), count(lit(1)).as("m"))
+    val est = when($"m" < KmvK, $"n_exact".cast("double"))
+      .otherwise(lit(KmvNum) / $"kth_hash".cast("double"))
+    val out = cnt.join(kth, "event_type")
+      .select($"event_type", $"n_exact", $"kth_hash", r(est, 2).as("kmv_estimate"))
+      .withColumn("rel_err",
+        r(abs($"kmv_estimate" - $"n_exact") / $"n_exact", 4))
+      .orderBy($"event_type")
+      .localCheckpoint(true)
+    du.unpersist(blocking = false)
+    out
+  }
+
+  val q45Sql: String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       dh AS (SELECT event_type, user_id,
+           ${DedupLsh.h60Sql("user_id::VARCHAR")} AS h FROM du),
+       un AS (SELECT '_union' AS event_type, user_id, h
+         FROM (SELECT DISTINCT user_id, h FROM dh)),
+       allr AS (SELECT * FROM dh UNION ALL SELECT * FROM un),
+       cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         FROM allr GROUP BY 1),
+       rk AS (SELECT event_type, h, user_id,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY h, user_id) AS rk FROM allr),
+       kth AS (SELECT event_type, CAST(max(h) AS BIGINT) AS kth_hash,
+           count(*) AS m FROM rk WHERE rk <= $KmvK GROUP BY 1),
+       base AS (SELECT cnt.event_type, n_exact, kth_hash,
+           ${rSql(s"CASE WHEN m < $KmvK THEN CAST(n_exact AS DOUBLE) ELSE $KmvNum / CAST(kth_hash AS DOUBLE) END", 2)}
+             AS kmv_estimate
+         FROM cnt JOIN kth USING (event_type))
+       SELECT event_type, n_exact, kth_hash, kmv_estimate,
+         ${rSql("abs(kmv_estimate - n_exact) / n_exact", 4)} AS rel_err
+       FROM base
+       ORDER BY event_type"""
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -488,13 +573,15 @@ object Analytics {
     "q35_regression_agg" -> (q35RegressionAgg _),
     "q37_approx_percentile" -> (q37ApproxPercentile _),
     "q39_sampled_percentile" -> (q39SampledPercentile _),
-    "q40_portable_hll" -> (q40PortableHll _))
+    "q40_portable_hll" -> (q40PortableHll _),
+    "q45_kmv_sketch" -> (q45KmvSketch _))
 
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
     "q39_sampled_percentile" -> q39Sql,
     "q40_portable_hll" -> q40Sql,
+    "q45_kmv_sketch" -> q45Sql,
     "q17_asof_join" -> q17Sql,
     "q18_range_join" -> q18Sql,
     "q20_scalar_subquery" -> q20Sql,

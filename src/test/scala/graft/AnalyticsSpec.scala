@@ -108,4 +108,28 @@ class AnalyticsSpec extends GraftSpec {
     assert(Analytics.oracles.keySet == Analytics.queries.keySet --
       Set("q19_approx_distinct", "q37_approx_percentile"))
   }
+
+  test("q45 KMV sketch: exact below k, bounded error above, union merge law holds") {
+    import spark.implicits._
+    val out = Analytics.q45KmvSketch(spark, sfTiny).cache()
+    try {
+      val rows = out.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(rows.contains("_union"))
+      rows.foreach { case (t, (n, _, est, err)) =>
+        if (n < 64) assert(est == n.toDouble, s"$t: sketch not full must be exact")
+        else assert(err <= 0.5, s"$t: rel_err $err (est $est vs exact $n)")
+      }
+      // union row counts ALL distinct users, ≥ any single type
+      val unionN = rows("_union")._1
+      rows.filter(_._1 != "_union").foreach { case (t, (n, _, _, _)) =>
+        assert(n <= unionN, s"$t exceeds the union") }
+      // merge law: the union's k-th smallest hash can only move down
+      val unionKth = rows("_union")._2
+      rows.filter(_._1 != "_union").foreach { case (t, (n, kth, _, _)) =>
+        if (n >= 64) assert(unionKth <= kth,
+          s"$t: union kth $unionKth must be <= per-type kth $kth") }
+      assert(out.collect().sameElements(Analytics.q45KmvSketch(spark, sfTiny).collect()))
+    } finally out.unpersist(blocking = false)
+  }
 }
