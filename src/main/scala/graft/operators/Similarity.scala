@@ -1404,12 +1404,27 @@ object Similarity {
     val s = cx.sparkSession
     import s.implicits._
     val nn = cx.select($"vec_id").distinct().agg(count(lit(1)).as("n"))
-    val cov = cx.as("a").join(cx.as("b"), "vec_id")
+    // covariance is symmetric: form only the upper triangle (2080 of 4096
+    // cells — halves the product/decimal-agg volume, the dominant cost),
+    // checkpoint the tiny cell frame, then mirror. Cell values are
+    // identical to the full-grid form (same product multiset per cell,
+    // decimal sums order-independent), so the oracle hash is unchanged.
+    val half = cx.as("a").join(cx.as("b"), "vec_id")
       .select(col("a.i").as("i"), col("b.i").as("j"),
         (col("a.cx") * col("b.cx")).as("p"))
+      .filter($"i" <= $"j")
       .groupBy($"i", $"j").agg(dsum($"p").as("sp"))
+      .localCheckpoint(true)
+    // mirror inside ONE plan branch (a self-union of the checkpointed
+    // frame trips Union's constraint rewrite in Spark 4.1): each
+    // off-diagonal cell explodes into both orientations
+    val cov = half
+      .select($"sp", explode(
+        when($"i" === $"j", array(struct($"i".as("i"), $"j".as("j"))))
+          .otherwise(array(struct($"i".as("i"), $"j".as("j")),
+            struct($"j".as("i"), $"i".as("j"))))).as("e"))
       .crossJoin(broadcast(nn))
-      .select($"i", $"j", ($"sp" / $"n").as("c"))
+      .select($"e.i".as("i"), $"e.j".as("j"), ($"sp" / $"n").as("c"))
       .localCheckpoint(true)
     val whole = Window.partitionBy()
     var v = s.range(64)
