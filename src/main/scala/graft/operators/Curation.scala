@@ -273,6 +273,62 @@ object Curation {
        ORDER BY tr.doc_id"""
   }
 
+  // --- d35: train→test split-leakage audit ------------------------------
+
+  private[graft] val LeakN = 5
+  private[graft] val LeakTau = 0.2
+
+  /** d35 — split-leakage audit: check s03's TEST decile against its own
+    * TRAIN split by distinct 5-gram overlap (the self-audit complement of
+    * d16, which protects an EXTERNAL benchmark: there the reference side
+    * is benchmark-sized and broadcasts; here it is corpus-sized, so the
+    * membership test is a uniform gram-KEY equi-join — the
+    * decontamination plan shape that remains when neither side is small).
+    * Per test doc: distinct 5-grams, how many occur anywhere in train,
+    * the rounded overlap ratio, and the leaked flag (ratio ≥
+    * [[LeakTau]]). 5-grams per the d23 saturation note (trigrams flag
+    * ~everything on this vocabulary).
+    *
+    * Scale shape: both sides tokenize scan-locally below their split
+    * predicates; one distinct shuffle on the train gram key, one explode
+    * + equi-join + per-doc count on the test decile. Linear; no text is
+    * ever shuffled. */
+  def d35SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g0 = Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+      .select($"doc_id", $"h", toks(lower($"text")).as("tk"))
+      .select($"doc_id", $"h", gramsCol(LeakN).as("gs"))
+    val trainG = g0.filter($"h" <= 7).select(explode($"gs").as("tg")).distinct()
+    g0.filter($"h" === 9)
+      .select($"doc_id", size($"gs").as("n_ngrams"), explode_outer($"gs").as("g"))
+      .join(trainG, $"g" === $"tg", "left")
+      .groupBy($"doc_id", $"n_ngrams")
+      .agg(count($"tg").as("n_hits"))
+      .select($"doc_id", $"n_ngrams", $"n_hits",
+        contamRatioCol.as("leak_ratio"))
+      .withColumn("leaked", ($"leak_ratio" >= LeakTau).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d35Sql: String = {
+    val ratio = contamRatioSql("te.n_ngrams", "h.n_hits")
+    s"""WITH g0 AS (SELECT doc_id,
+         ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h,
+         ${gramsSql(LeakN)} AS gs
+       FROM (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents) z),
+       tr AS (SELECT DISTINCT unnest(gs) AS tg FROM g0 WHERE h <= 7),
+       tg AS (SELECT doc_id, unnest(gs) AS g FROM g0 WHERE h = 9),
+       hits AS (SELECT t.doc_id, count(b.tg) AS n_hits
+         FROM tg t LEFT JOIN tr b ON t.g = b.tg GROUP BY t.doc_id),
+       te AS (SELECT doc_id, len(gs) AS n_ngrams FROM g0 WHERE h = 9)
+       SELECT te.doc_id, te.n_ngrams, COALESCE(h.n_hits, 0) AS n_hits,
+         $ratio AS leak_ratio,
+         CAST(($ratio) >= $LeakTau AS INTEGER) AS leaked
+       FROM te LEFT JOIN hits h ON te.doc_id = h.doc_id
+       ORDER BY te.doc_id"""
+  }
+
   // --- d17: PII scrubbing -----------------------------------------------
 
   // Scala-escaped once: the actual patterns are [a-z0-9._%+-]+@... / \d{3}-…
@@ -573,6 +629,7 @@ object Curation {
     "d23_curation_packing" -> (d23CurationPacking _),
     "d22_dataset_card" -> (d22DatasetCard _),
     "d16_decontaminate" -> (d16Decontaminate _),
+    "d35_split_leakage" -> (d35SplitLeakage _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
     "d19_domain_mix" -> (d19DomainMix _),
@@ -583,6 +640,7 @@ object Curation {
     "d23_curation_packing" -> d23Sql,
     "d22_dataset_card" -> d22Sql,
     "d16_decontaminate" -> d16Sql,
+    "d35_split_leakage" -> d35Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,
     "d19_domain_mix" -> d19Sql,

@@ -173,4 +173,39 @@ class CurationSpec extends GraftSpec {
         .filter($"count" > 1).count() == 0)
     } finally out.unpersist()
   }
+
+  test("d35 split leakage matches a full driver-side reimplementation at sfTiny") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val out = Curation.d35SplitLeakage(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_ngrams"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("leak_ratio"), r.getAs[Int]("leaked")))).toMap
+    // independent recompute: split labels via s03 (the shared h60
+    // expression), then plain Scala 5-gram sets
+    val splits = graft.operators.Advanced.s03HashSplit(spark, sfTiny)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", lower($"text").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), splits(r.getLong(0))))
+    def grams(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < Curation.LeakN) Set.empty
+      else ws.sliding(Curation.LeakN).map(_.mkString(" ")).toSet
+    }
+    val trainGrams = docs.filter(_._3 == "train").flatMap(d => grams(d._2)).toSet
+    val test = docs.filter(_._3 == "test")
+    assert(out.keySet == test.map(_._1).toSet, "one row per test doc")
+    test.foreach { case (id, t, _) =>
+      val gs = grams(t)
+      val hits = gs.count(trainGrams.contains)
+      val (n, h, ratio, leaked) = out(id)
+      assert(n == gs.size && h == hits.toLong, s"doc $id: counts")
+      val want = if (gs.isEmpty) 0.0
+        else graft.operators.Num.rD(hits.toDouble / gs.size, 6)
+      assert(ratio == want, s"doc $id: ratio $ratio vs $want")
+      assert(leaked == (if (ratio >= Curation.LeakTau) 1 else 0))
+    }
+  }
 }
