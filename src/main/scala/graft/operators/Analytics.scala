@@ -278,6 +278,52 @@ object Analytics {
        FROM base
        ORDER BY event_type"""
 
+  // --- q46: robust statistics (median absolute deviation) ---------------
+
+  /** q46 — robust dispersion per return flag: median, MAD = median(|x −
+    * median|), and the normal-consistent robust sigma 1.4826·MAD (Hampel;
+    * the outlier-resistant complement of q23's moment statistics — one
+    * corrupted price shifts a stddev but not a MAD). Two exact-percentile
+    * stages on the q33/q39-proven `percentile` ↔ `quantile_cont` parity
+    * pairing: deviations are single IEEE ops against the ROUNDED median,
+    * so the second percentile's input is bit-identical cross-engine.
+    *
+    * Scale shape: first percentile per group, 3-row broadcast back, scan-
+    * local deviations, second percentile per group — two group sorts, no
+    * raw-row shuffle beyond them. Exact percentile buffers per group
+    * (q39's caveat); the constant-memory path at 100 TB is q37's GK
+    * sketch on both stages. */
+  def q46RobustStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    val med = li.groupBy($"l_returnflag")
+      .agg(r(percentile($"l_extendedprice", lit(0.5)), 6).as("med"))
+    li.join(broadcast(med), "l_returnflag")
+      .select($"l_returnflag", $"med",
+        abs($"l_extendedprice" - $"med").as("dev"))
+      .groupBy($"l_returnflag", $"med")
+      .agg(count(lit(1)).as("n"),
+        r(percentile($"dev", lit(0.5)), 6).as("mad"))
+      .withColumn("sigma_robust", r($"mad" * lit(1.4826), 6))
+      .select($"l_returnflag", $"n", $"med", $"mad", $"sigma_robust")
+      .orderBy($"l_returnflag")
+  }
+
+  val q46Sql: String =
+    s"""WITH med AS (SELECT l_returnflag,
+         ${rSql("quantile_cont(l_extendedprice, 0.5)", 6)} AS med
+       FROM lineitem GROUP BY 1),
+       d AS (SELECT l.l_returnflag, med,
+           abs(l_extendedprice - med) AS dev
+         FROM lineitem l JOIN med USING (l_returnflag)),
+       d2 AS (SELECT l_returnflag, med, CAST(count(*) AS BIGINT) AS n,
+           ${rSql("quantile_cont(dev, 0.5)", 6)} AS mad
+         FROM d GROUP BY 1, 2)
+       SELECT l_returnflag, n, med, mad,
+         ${rSql("mad * CAST(1.4826 AS DOUBLE)", 6)} AS sigma_robust
+       FROM d2
+       ORDER BY l_returnflag"""
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -574,7 +620,8 @@ object Analytics {
     "q37_approx_percentile" -> (q37ApproxPercentile _),
     "q39_sampled_percentile" -> (q39SampledPercentile _),
     "q40_portable_hll" -> (q40PortableHll _),
-    "q45_kmv_sketch" -> (q45KmvSketch _))
+    "q45_kmv_sketch" -> (q45KmvSketch _),
+    "q46_robust_stats" -> (q46RobustStats _))
 
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
@@ -582,6 +629,7 @@ object Analytics {
     "q39_sampled_percentile" -> q39Sql,
     "q40_portable_hll" -> q40Sql,
     "q45_kmv_sketch" -> q45Sql,
+    "q46_robust_stats" -> q46Sql,
     "q17_asof_join" -> q17Sql,
     "q18_range_join" -> q18Sql,
     "q20_scalar_subquery" -> q20Sql,

@@ -825,7 +825,7 @@ object Corpus {
                 ELSE 0.0 END AS prec,
            CASE WHEN support > 0 THEN ${rSql("tp / support", 6)}
                 ELSE 0.0 END AS rec
-         FROM u)
+         FROM eu)
        SELECT lang, support, predicted, tp, prec, rec,
          CASE WHEN prec + rec > 0 THEN ${rSql("2.0 * prec * rec / (prec + rec)", 6)}
               ELSE 0.0 END AS f1
@@ -1228,8 +1228,10 @@ object Corpus {
     out
   }
 
-  val ml07Sql: String =
-    s"""WITH sp AS (SELECT doc_id, lang, text,
+  /** ml07's DuckDB CTE block (split, sparse tf, inverted-index cosine,
+    * vote ranking — ends in `pr`) — shared with ml10's evaluation. */
+  private def ml07Ctes: String =
+    s"""sp AS (SELECT doc_id, lang, text,
            ${DedupLsh.h60Sql("doc_id::VARCHAR")} AS hv FROM documents),
        tr0 AS (SELECT doc_id, lang, text FROM sp WHERE hv % 10 <= 7),
        te0 AS (SELECT doc_id, lang, text FROM sp WHERE hv % 10 = 9
@@ -1254,16 +1256,57 @@ object Corpus {
        v AS (SELECT qid, tl, nl, count(*) AS cnt, min(rk) AS br
          FROM top WHERE rk <= $KnnK GROUP BY qid, tl, nl),
        pr AS (SELECT qid, tl, nl, cnt, row_number() OVER (PARTITION BY qid
-           ORDER BY cnt DESC, br ASC, nl ASC) AS rn FROM v)
+           ORDER BY cnt DESC, br ASC, nl ASC) AS rn FROM v)"""
+
+  val ml07Sql: String =
+    s"""WITH $ml07Ctes
        SELECT qid AS doc_id, tl AS lang, nl AS pred_lang,
          CAST(cnt AS BIGINT) AS votes,
          CAST(tl = nl AS INTEGER) AS correct
        FROM pr WHERE rn = 1
        ORDER BY doc_id"""
 
+  /** ml10 — per-class evaluation of the ml07 kNN classifier (ml08's
+    * report over the memory-based model — same eval core, same oracle
+    * CTE-sharing discipline, so the parametric and non-parametric
+    * classifiers carry comparable per-round quality numbers). */
+  def ml10KnnEval(s: SparkSession, dir: String): DataFrame =
+    classifierEval(ml07KnnClassify(s, dir))
+
+  val ml10Sql: String =
+    s"""WITH $ml07Ctes,
+       pred AS (SELECT qid AS doc_id, tl AS lang, nl AS pred_lang,
+           CAST(tl = nl AS INTEGER) AS correct
+         FROM pr WHERE rn = 1),
+       ea AS (SELECT lang, count(*) AS support,
+           CAST(sum(correct) AS BIGINT) AS tpa FROM pred GROUP BY lang),
+       ep AS (SELECT pred_lang AS lang, count(*) AS predicted,
+           CAST(sum(correct) AS BIGINT) AS tpp FROM pred GROUP BY pred_lang),
+       ej AS (SELECT coalesce(ea.lang, ep.lang) AS lang,
+           CAST(coalesce(ea.support, 0) AS BIGINT) AS support,
+           CAST(coalesce(ep.predicted, 0) AS BIGINT) AS predicted,
+           CAST(coalesce(ea.tpa, ep.tpp, 0) AS BIGINT) AS tp
+         FROM ea FULL OUTER JOIN ep ON ea.lang = ep.lang),
+       em AS (SELECT '_micro' AS lang, CAST(count(*) AS BIGINT) AS support,
+           CAST(count(*) AS BIGINT) AS predicted,
+           CAST(sum(correct) AS BIGINT) AS tp FROM pred),
+       eu AS (SELECT * FROM ej UNION ALL SELECT * FROM em),
+       pr2 AS (SELECT lang, support, predicted, tp,
+           CASE WHEN predicted > 0 THEN ${rSql("tp / predicted", 6)}
+                ELSE 0.0 END AS prec,
+           CASE WHEN support > 0 THEN ${rSql("tp / support", 6)}
+                ELSE 0.0 END AS rec
+         FROM eu)
+       SELECT lang, support, predicted, tp, prec, rec,
+         CASE WHEN prec + rec > 0 THEN ${rSql("2.0 * prec * rec / (prec + rec)", 6)}
+              ELSE 0.0 END AS f1
+       FROM pr2
+       ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
+    "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
@@ -1281,6 +1324,7 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "ml07_knn_classify" -> ml07Sql,
     "ml08_classifier_eval" -> ml08Sql,
+    "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,
     "ml06_quality_classifier" -> ml06Sql,

@@ -109,6 +109,22 @@ class AnalyticsSpec extends GraftSpec {
       Set("q19_approx_distinct", "q37_approx_percentile"))
   }
 
+  test("q46 robust stats: median agrees with q33, MAD bounded and consistent") {
+    import spark.implicits._
+    val out = Analytics.q46RobustStats(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // med is the same rounded exact percentile q33 reports
+    val q33 = graft.operators.Advanced.q33Percentiles(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("price_p50")).toMap
+    assert(out.keySet == q33.keySet)
+    out.foreach { case (f, (n, med, mad, sig)) =>
+      assert(n > 0 && med == q33(f), s"$f median")
+      assert(mad >= 0.0, s"$f mad $mad")
+      assert(sig == graft.operators.Num.rD(mad * 1.4826, 6), s"$f sigma")
+    }
+  }
+
   test("q45 KMV sketch: exact below k, bounded error above, union merge law holds") {
     import spark.implicits._
     val out = Analytics.q45KmvSketch(spark, sfTiny).cache()
