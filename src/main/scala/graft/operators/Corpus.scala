@@ -1071,6 +1071,80 @@ object Corpus {
        ORDER BY w, rk
        LIMIT $PpmiLimit"""
 
+  // --- d36: Zipf rank-frequency report (corpus-statistics diagnostic) -----
+
+  /** d36 rank depth for the log-log fit. */
+  private[graft] val ZipfTop = 100
+
+  /** d36 — per-language Zipf report: token volume, vocabulary size, the
+    * top term, and the rank-frequency log-log slope fitted by least
+    * squares over the top-[[ZipfTop]] terms (Zipf's law predicts ≈ −1 on
+    * natural text; a corpus whose slope collapses toward 0 is
+    * template/boilerplate-heavy — a standard data-quality diagnostic).
+    * x = ln(rank), y = ln(count): both logs of exact integers (the
+    * d08/d10 portable-ln family), per-row products are identical IEEE
+    * doubles, moments go through decimal sums (q35's regression layout),
+    * slope/fit from the rounded policy.
+    *
+    * Scale shape: one explode → (lang, term) count on uniform keys, a
+    * vocabulary-sized ranking window, then an O(top) aggregation per
+    * lang. Linear in the corpus; fit state is O(1) per language. */
+  def d36ZipfReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = dsum(c)
+    val tc = Tables.documents(s, dir)
+      .select($"lang", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val tot = tc.groupBy($"lang")
+      .agg(sum($"cnt").as("n_tokens"), count(lit(1)).as("vocab_size"))
+    val top = tc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"cnt".desc, $"w".asc)))
+      .filter($"rk" <= ZipfTop)
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    val fit = top
+      .select($"lang", $"w", $"cnt", $"rk",
+        log($"rk".cast("double")).as("x"), log($"cnt".cast("double")).as("y"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        m($"x").as("sx"), m($"x" * $"x").as("sxx"),
+        m($"y").as("sy"), m($"x" * $"y").as("sxy"),
+        min(struct($"rk", $"w".as("tw"), $"cnt".as("tc"))).as("t1"))
+      .select($"lang", $"t1.tw".as("top_term"), $"t1.tc".as("top_cnt"),
+        r(slope, 6).as("zipf_slope"))
+    val out = tot.join(fit, "lang")
+      .select($"lang", $"n_tokens", $"vocab_size", $"top_term", $"top_cnt",
+        $"zipf_slope")
+      .orderBy($"lang")
+      .localCheckpoint(true)
+    tc.unpersist(blocking = false)
+    out
+  }
+
+  val d36Sql: String = {
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""WITH tc AS (SELECT lang, w, count(*) AS cnt FROM
+         (SELECT lang, unnest(${toksSql("lower(text)")}) AS w FROM documents)
+       GROUP BY lang, w),
+       tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size FROM tc GROUP BY lang),
+       rk AS (SELECT lang, w, cnt, row_number() OVER (PARTITION BY lang
+           ORDER BY cnt DESC, w ASC) AS rk FROM tc),
+       t1 AS (SELECT lang, w AS top_term, CAST(cnt AS BIGINT) AS top_cnt
+         FROM rk WHERE rk = 1),
+       top AS (SELECT lang, ln(CAST(rk AS DOUBLE)) AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y FROM rk WHERE rk <= $ZipfTop),
+       fit AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+           ${dsumSql("x")} AS sx, ${dsumSql("x * x")} AS sxx,
+           ${dsumSql("y")} AS sy, ${dsumSql("x * y")} AS sxy
+         FROM top GROUP BY lang)
+       SELECT tot.lang, n_tokens, vocab_size, top_term, top_cnt,
+         ${rSql(slope, 6)} AS zipf_slope
+       FROM tot JOIN fit ON fit.lang = tot.lang JOIN t1 ON t1.lang = tot.lang
+       ORDER BY tot.lang"""
+  }
+
   // --- ml09: probability calibration report (reliability diagram) ---------
 
   /** ml09's core over any scored frame with (label ∈ {0,1}, score ∈ (0,1))
@@ -1309,6 +1383,7 @@ object Corpus {
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
+    "d36_zipf_report" -> (d36ZipfReport _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
     "d26_perplexity_buckets" -> (d26PerplexityBuckets _),
@@ -1327,6 +1402,7 @@ object Corpus {
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,
+    "d36_zipf_report" -> d36Sql,
     "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,
     "d26_perplexity_buckets" -> d26Sql,

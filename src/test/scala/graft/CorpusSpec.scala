@@ -351,6 +351,39 @@ class CorpusSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("d36 zipf report: driver-side recount agrees, slopes negative on natural text") {
+    import spark.implicits._
+    val out = Corpus.d36ZipfReport(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getDouble(5)))).toMap
+    // full driver-side recount at sfTiny
+    val counts = Tables.documents(spark, sfTiny)
+      .select($"lang", $"text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty).map(w => (r.getString(0), w)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byLang = counts.groupBy(_._1._1)
+    assert(out.keySet == byLang.keySet)
+    byLang.foreach { case (lang, m) =>
+      val (nTok, vocab, topTerm, topCnt, slope) = out(lang)
+      assert(nTok == m.values.sum && vocab == m.size.toLong, s"$lang volumes")
+      val ranked = m.toSeq.map { case ((_, w), c) => (w, c) }
+        .sortBy { case (w, c) => (-c, w) }
+      assert((topTerm, topCnt) == ranked.head, s"$lang top term")
+      // slope from the same top-100 log-log points, plain double sums —
+      // matches the decimal-moment form to well below the rounding grain
+      val pts = ranked.take(Corpus.ZipfTop).zipWithIndex
+        .map { case ((_, c), i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - want) < 1e-6, s"$lang slope $slope vs $want")
+      assert(slope < 0.0, s"$lang rank-frequency slope must be negative")
+    }
+  }
+
   test("ml09 calibration on a hand-planted score set: buckets, rates, ECE exact") {
     import spark.implicits._
     val scored = Seq((1, 0.85), (0, 0.85), (1, 0.62), (0, 0.15), (0, 0.18))
