@@ -181,7 +181,43 @@ object Multimodal {
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
        ORDER BY doc_id, frame_id"""
 
+  // --- x05: binary-content dedup ------------------------------------------
+
+  /** x05 — media deduplication by exact content hash (the byte-identical
+    * image/audio dedup step of a multimodal pipeline — re-encodes and
+    * re-crawls produce byte-duplicate assets; d04 is the text twin, this
+    * operates on the OPAQUE binary payload without interpreting it):
+    * md5 of the payload (x01's proven binary-hash parity), keep the
+    * lowest doc_id per content group, report copy counts and reclaimable
+    * bytes. ONE shuffle on the uniform 32-hex hash key — d04's linear
+    * scale story applied to media. */
+  def x05MediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select($"doc_id", $"n_bytes", md5($"payload").as("content_md5"))
+      .groupBy($"content_md5")
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"),
+        min($"n_bytes").as("n_bytes"))
+      .withColumn("reclaimed_bytes", ($"n_copies" - 1) * $"n_bytes")
+      .select($"content_md5", $"kept_doc_id", $"n_copies", $"n_bytes",
+        $"reclaimed_bytes")
+      .orderBy($"kept_doc_id")
+  }
+
+  val x05Sql: String =
+    """WITH m AS (SELECT doc_id, md5(text) AS content_md5,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       FROM documents)
+       SELECT content_md5, min(doc_id) AS kept_doc_id,
+         count(*) AS n_copies,
+         CAST(min(n_bytes) AS BIGINT) AS n_bytes,
+         CAST((count(*) - 1) * min(n_bytes) AS BIGINT) AS reclaimed_bytes
+       FROM m
+       GROUP BY content_md5
+       ORDER BY kept_doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x05_media_dedup" -> (x05MediaDedup _),
     "x01_binary_meta" -> (x01BinaryMeta _),
     "x02_frame_sample" -> (x02FrameSample _),
     "x03_decode_features" -> (x03DecodeFeatures _),
@@ -189,6 +225,7 @@ object Multimodal {
 
   /** x03 is mapPartitions-based → rows-only + MultimodalSpec. */
   val oracles: Map[String, String] = Map(
+    "x05_media_dedup" -> x05Sql,
     "x01_binary_meta" -> x01Sql,
     "x02_frame_sample" -> x02Sql,
     "x04_scene_cuts" -> x04Sql)

@@ -61,4 +61,23 @@ class MultimodalSpec extends GraftSpec {
     // (or per-partition re-init) would show up here as inits > 7
     assert(inits.value == 7L, s"expected 7 partition inits, got ${inits.value}")
   }
+
+  test("x05 media dedup: groups partition the corpus, representatives minimal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.x05MediaDedup(spark, sfTiny).cache()
+    try {
+      val n = Tables.documents(spark, sfTiny).count()
+      assert(out.agg(sum($"n_copies")).collect()(0).getLong(0) == n,
+        "content groups must partition the corpus")
+      assert(out.select($"content_md5").distinct().count() == out.count())
+      assert(out.filter($"reclaimed_bytes" =!=
+        ($"n_copies" - 1) * $"n_bytes").count() == 0)
+      // every doc's hash maps to a group whose representative is ≤ it
+      val viol = Multimodal.x01BinaryMeta(spark, sfTiny)
+        .join(out, "content_md5")
+        .filter($"kept_doc_id" > $"doc_id").count()
+      assert(viol == 0, "representative must be the minimal doc_id")
+    } finally out.unpersist(blocking = false)
+  }
 }
