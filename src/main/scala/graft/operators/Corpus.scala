@@ -802,25 +802,26 @@ object Corpus {
   def ml08ClassifierEval(s: SparkSession, dir: String): DataFrame =
     classifierEval(ml05NaiveBayes(s, dir))
 
-  val ml08Sql: String =
-    s"""WITH $ml05Ctes,
-       pred AS (SELECT doc_id, true_lang AS lang, cand_lang AS pred_lang,
-           CAST(true_lang = cand_lang AS INTEGER) AS correct
-         FROM rk WHERE rn = 1),
-       a AS (SELECT lang, count(*) AS support,
+  /** The evaluation tail shared by ml08's and ml10's oracles: expects a
+    * CTE `pred(lang, pred_lang, correct)` in scope and emits the
+    * ea/…/pr2 block plus the final per-class + `_micro` select (ONE
+    * source of truth — the ml08/ml10 pair previously carried two copies
+    * and a rename in one silently broke the other). */
+  private def evalTailSql: String =
+    s"""ea AS (SELECT lang, count(*) AS support,
            CAST(sum(correct) AS BIGINT) AS tpa FROM pred GROUP BY lang),
-       p AS (SELECT pred_lang AS lang, count(*) AS predicted,
+       ep AS (SELECT pred_lang AS lang, count(*) AS predicted,
            CAST(sum(correct) AS BIGINT) AS tpp FROM pred GROUP BY pred_lang),
-       j AS (SELECT coalesce(a.lang, p.lang) AS lang,
-           CAST(coalesce(a.support, 0) AS BIGINT) AS support,
-           CAST(coalesce(p.predicted, 0) AS BIGINT) AS predicted,
-           CAST(coalesce(a.tpa, p.tpp, 0) AS BIGINT) AS tp
-         FROM a FULL OUTER JOIN p ON a.lang = p.lang),
-       m AS (SELECT '_micro' AS lang, CAST(count(*) AS BIGINT) AS support,
+       ej AS (SELECT coalesce(ea.lang, ep.lang) AS lang,
+           CAST(coalesce(ea.support, 0) AS BIGINT) AS support,
+           CAST(coalesce(ep.predicted, 0) AS BIGINT) AS predicted,
+           CAST(coalesce(ea.tpa, ep.tpp, 0) AS BIGINT) AS tp
+         FROM ea FULL OUTER JOIN ep ON ea.lang = ep.lang),
+       em AS (SELECT '_micro' AS lang, CAST(count(*) AS BIGINT) AS support,
            CAST(count(*) AS BIGINT) AS predicted,
            CAST(sum(correct) AS BIGINT) AS tp FROM pred),
-       u AS (SELECT * FROM j UNION ALL SELECT * FROM m),
-       pr AS (SELECT lang, support, predicted, tp,
+       eu AS (SELECT * FROM ej UNION ALL SELECT * FROM em),
+       pr2 AS (SELECT lang, support, predicted, tp,
            CASE WHEN predicted > 0 THEN ${rSql("tp / predicted", 6)}
                 ELSE 0.0 END AS prec,
            CASE WHEN support > 0 THEN ${rSql("tp / support", 6)}
@@ -829,8 +830,15 @@ object Corpus {
        SELECT lang, support, predicted, tp, prec, rec,
          CASE WHEN prec + rec > 0 THEN ${rSql("2.0 * prec * rec / (prec + rec)", 6)}
               ELSE 0.0 END AS f1
-       FROM pr
+       FROM pr2
        ORDER BY lang"""
+
+  val ml08Sql: String =
+    s"""WITH $ml05Ctes,
+       pred AS (SELECT doc_id, true_lang AS lang, cand_lang AS pred_lang,
+           CAST(true_lang = cand_lang AS INTEGER) AS correct
+         FROM rk WHERE rn = 1),
+       $evalTailSql"""
 
   // --- ml06: hashed bag-of-words quality classifier (logistic GD) ---------
 
@@ -1352,30 +1360,7 @@ object Corpus {
        pred AS (SELECT qid AS doc_id, tl AS lang, nl AS pred_lang,
            CAST(tl = nl AS INTEGER) AS correct
          FROM pr WHERE rn = 1),
-       ea AS (SELECT lang, count(*) AS support,
-           CAST(sum(correct) AS BIGINT) AS tpa FROM pred GROUP BY lang),
-       ep AS (SELECT pred_lang AS lang, count(*) AS predicted,
-           CAST(sum(correct) AS BIGINT) AS tpp FROM pred GROUP BY pred_lang),
-       ej AS (SELECT coalesce(ea.lang, ep.lang) AS lang,
-           CAST(coalesce(ea.support, 0) AS BIGINT) AS support,
-           CAST(coalesce(ep.predicted, 0) AS BIGINT) AS predicted,
-           CAST(coalesce(ea.tpa, ep.tpp, 0) AS BIGINT) AS tp
-         FROM ea FULL OUTER JOIN ep ON ea.lang = ep.lang),
-       em AS (SELECT '_micro' AS lang, CAST(count(*) AS BIGINT) AS support,
-           CAST(count(*) AS BIGINT) AS predicted,
-           CAST(sum(correct) AS BIGINT) AS tp FROM pred),
-       eu AS (SELECT * FROM ej UNION ALL SELECT * FROM em),
-       pr2 AS (SELECT lang, support, predicted, tp,
-           CASE WHEN predicted > 0 THEN ${rSql("tp / predicted", 6)}
-                ELSE 0.0 END AS prec,
-           CASE WHEN support > 0 THEN ${rSql("tp / support", 6)}
-                ELSE 0.0 END AS rec
-         FROM eu)
-       SELECT lang, support, predicted, tp, prec, rec,
-         CASE WHEN prec + rec > 0 THEN ${rSql("2.0 * prec * rec / (prec + rec)", 6)}
-              ELSE 0.0 END AS f1
-       FROM pr2
-       ORDER BY lang"""
+       $evalTailSql"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml07_knn_classify" -> (ml07KnnClassify _),
