@@ -5,7 +5,7 @@ import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClass
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Num, Telemetry}
 import Num._
@@ -255,15 +255,127 @@ object Maintenance {
        FROM sc ORDER BY id"""
   }
 
+  // --- ml11: k-fold cross-validation as ONE grouped aggregation pass ----
+
+  private[graft] val CvFolds = 4L
+
+  /** ml11 — k-fold cross-validation of the ml03 closed-form model, the
+    * distributed generalization of the reference's single train/test split
+    * (`README.md:106-108`, M3). The trick that makes CV one pass instead of
+    * k passes: the 9 normal-equation moments are additive, so ONE
+    * `groupBy(fold)` aggregation yields per-fold moments, and each fold's
+    * leave-one-fold-out training moments are `total − fold` — computed in
+    * exact decimal(38,10) so the subtraction is order-independent and the
+    * k solved models mirror bit-for-bit in the oracle. Scoring joins the
+    * k-row broadcast weight table back on `fold`, so every held-out record
+    * is scored by the model that never saw it; the report is a k-row
+    * accuracy/RMSE table. At 100 TB this is still exactly one wide
+    * aggregation + one broadcast join — CV costs the same as a single fit. */
+  def ml11KfoldCv(s: SparkSession, dir: String): DataFrame = {
+    val t = Telemetry.twin(s).select(
+      col("id"), (col("id") % lit(CvFolds)).as("fold"),
+      col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    // decimal moments kept IN decimal until after the leave-one-out
+    // subtraction (a double roundtrip per fold would re-order additions)
+    def dmom(c: Column): Column = sum(c.cast("decimal(38,10)"))
+    val fm = t.groupBy(col("fold")).agg(
+      count(lit(1)).as("fn"),
+      dmom(col("x1")).as("f1"), dmom(col("x2")).as("f2"),
+      dmom(col("x1") * col("x1")).as("f11"),
+      dmom(col("x1") * col("x2")).as("f12"),
+      dmom(col("x2") * col("x2")).as("f22"),
+      dmom(col("is_anomaly").cast("double")).as("fy"),
+      dmom(col("x1") * col("is_anomaly")).as("f1y"),
+      dmom(col("x2") * col("is_anomaly")).as("f2y"))
+    val tot = fm.agg(
+      sum(col("fn")).as("tn"),
+      sum(col("f1")).as("t1"), sum(col("f2")).as("t2"),
+      sum(col("f11")).as("t11"), sum(col("f12")).as("t12"),
+      sum(col("f22")).as("t22"), sum(col("fy")).as("ty"),
+      sum(col("f1y")).as("t1y"), sum(col("f2y")).as("t2y"))
+    val tm = fm.crossJoin(broadcast(tot)).select(
+      col("fold"),
+      (col("tn") - col("fn")).as("n_train"),
+      (col("tn") - col("fn")).cast("double").as("nn"),
+      (col("t1") - col("f1")).cast("double").as("s1"),
+      (col("t2") - col("f2")).cast("double").as("s2"),
+      (col("t11") - col("f11")).cast("double").as("s11"),
+      (col("t12") - col("f12")).cast("double").as("s12"),
+      (col("t22") - col("f22")).cast("double").as("s22"),
+      (col("ty") - col("fy")).cast("double").as("sy"),
+      (col("t1y") - col("f1y")).cast("double").as("s1y"),
+      (col("t2y") - col("f2y")).cast("double").as("s2y"))
+    val wts = tm.select(col("fold"), col("n_train"),
+      expr(s"$detBS / $detS").as("b"),
+      expr(s"$detW1S / $detS").as("w1"),
+      expr(s"$detW2S / $detS").as("w2"))
+    val sc = t.join(broadcast(wts), Seq("fold"))
+      .select(col("fold"), col("n_train"), col("is_anomaly"),
+        col("b"), col("w1"), col("w2"),
+        r(expr("b + w1 * x1 + w2 * x2"), 6).as("score"))
+    val sqErr = (col("is_anomaly") - col("score")) * (col("is_anomaly") - col("score"))
+    val hit = (col("score") >= 0.5).cast("int") === col("is_anomaly")
+    sc.groupBy(col("fold")).agg(
+      min(col("n_train")).as("n_train"),
+      count(lit(1)).as("n_test"),
+      r(min(col("b")), 6).as("b"),
+      r(min(col("w1")), 6).as("w1"),
+      r(min(col("w2")), 6).as("w2"),
+      count(when(hit, 1)).as("n_correct"),
+      r(count(when(hit, 1)).cast("double") / count(lit(1)), 6).as("accuracy"),
+      r(sqrt(dsum(sqErr) / count(lit(1))), 6).as("rmse"))
+      .orderBy(col("fold"))
+  }
+
+  val ml11Sql: String = {
+    def dmomS(e: String): String = s"sum(CAST(($e) AS DECIMAL(38,10)))"
+    val hitS = "CAST(score >= 0.5 AS INTEGER) = is_anomaly"
+    s"""WITH t AS (SELECT id, id % $CvFolds AS fold, is_anomaly,
+         temperature AS x1, vibration AS x2 FROM (${Telemetry.twinSql})),
+       fm AS (SELECT fold, count(*) AS fn,
+         ${dmomS("x1")} AS f1, ${dmomS("x2")} AS f2,
+         ${dmomS("x1 * x1")} AS f11, ${dmomS("x1 * x2")} AS f12,
+         ${dmomS("x2 * x2")} AS f22,
+         ${dmomS("CAST(is_anomaly AS DOUBLE)")} AS fy,
+         ${dmomS("x1 * is_anomaly")} AS f1y, ${dmomS("x2 * is_anomaly")} AS f2y
+         FROM t GROUP BY fold),
+       tot AS (SELECT CAST(sum(fn) AS BIGINT) AS tn,
+         sum(f1) AS t1, sum(f2) AS t2, sum(f11) AS t11, sum(f12) AS t12,
+         sum(f22) AS t22, sum(fy) AS ty, sum(f1y) AS t1y, sum(f2y) AS t2y
+         FROM fm),
+       tm AS (SELECT fold, tn - fn AS n_train,
+         CAST(tn - fn AS DOUBLE) AS nn,
+         CAST(t1 - f1 AS DOUBLE) AS s1, CAST(t2 - f2 AS DOUBLE) AS s2,
+         CAST(t11 - f11 AS DOUBLE) AS s11, CAST(t12 - f12 AS DOUBLE) AS s12,
+         CAST(t22 - f22 AS DOUBLE) AS s22, CAST(ty - fy AS DOUBLE) AS sy,
+         CAST(t1y - f1y AS DOUBLE) AS s1y, CAST(t2y - f2y AS DOUBLE) AS s2y
+         FROM fm CROSS JOIN tot),
+       wts AS (SELECT fold, n_train, $detBS / $detS AS b,
+         $detW1S / $detS AS w1, $detW2S / $detS AS w2 FROM tm),
+       sc AS (SELECT t.fold AS fold, n_train, is_anomaly, b, w1, w2,
+         ${rSql("b + w1 * x1 + w2 * x2", 6)} AS score
+         FROM t JOIN wts ON t.fold = wts.fold)
+       SELECT fold, min(n_train) AS n_train, count(*) AS n_test,
+         ${rSql("min(b)", 6)} AS b, ${rSql("min(w1)", 6)} AS w1,
+         ${rSql("min(w2)", 6)} AS w2,
+         count(*) FILTER (WHERE $hitS) AS n_correct,
+         ${rSql(s"CAST(count(*) FILTER (WHERE $hitS) AS DOUBLE) / count(*)", 6)} AS accuracy,
+         ${rSql(s"sqrt(${dsumSql("(is_anomaly - score) * (is_anomaly - score)")} / count(*))", 6)} AS rmse
+       FROM sc GROUP BY fold ORDER BY fold"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml01_rf_scoring" -> (ml01RfScoring _),
     "ml02_lr_scoring" -> (ml02LrScoring _),
     "ml03_lsq_scoring" -> (ml03LsqScoring _),
-    "ml04_gd_scoring" -> (ml04GdScoring _))
+    "ml04_gd_scoring" -> (ml04GdScoring _),
+    "ml11_kfold_cv" -> (ml11KfoldCv _))
 
   /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
     * closed-form algebra mirrors exactly. */
   val oracles: Map[String, String] = Map(
     "ml03_lsq_scoring" -> ml03Sql,
-    "ml04_gd_scoring" -> ml04Sql)
+    "ml04_gd_scoring" -> ml04Sql,
+    "ml11_kfold_cv" -> ml11Sql)
 }

@@ -61,6 +61,32 @@ class MaintenanceSpec extends GraftSpec {
     } finally df.unpersist()
   }
 
+  test("ml11 k-fold CV: fold algebra closes and every held-out fold is near-perfect") {
+    val df = Maintenance.ml11KfoldCv(spark, sfTiny).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.length == 4, s"${rows.length} folds")
+      // the folds partition the corpus: test sizes sum to the corpus and
+      // each fold's train + test is the whole corpus
+      assert(rows.map(_.getAs[Long]("n_test")).sum == 10000L)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 10000L)
+        assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_test"))
+        // held-out generalization on the separable twin: each leave-one-
+        // fold-out model must classify its unseen quarter near-perfectly
+        assert(r.getAs[Double]("accuracy") >= 0.99, s"fold $r")
+        assert(r.getAs[Double]("rmse") <= 0.5, s"fold $r")
+      }
+      // the four leave-one-out models are fit on 75% overlapping data, so
+      // their weights must agree to the first decimal — a wrong fold
+      // subtraction would scatter them
+      Seq("b", "w1", "w2").foreach { c =>
+        val ws = rows.map(_.getAs[Double](c))
+        assert(ws.max - ws.min < 0.1, s"$c spread ${ws.mkString(",")}")
+      }
+    } finally df.unpersist()
+  }
+
   test("held-out precision/recall reproduce the reference's 1.00/1.00") {
     val (p, r) = Maintenance.evaluate(spark)
     assert(p == 1.0, s"precision $p")
