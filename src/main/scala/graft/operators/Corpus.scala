@@ -1362,7 +1362,144 @@ object Corpus {
          FROM pr WHERE rn = 1),
        $evalTailSql"""
 
+  // --- d37: stupid-backoff trigram LM scoring -----------------------------
+
+  /** Shared Spark/DuckDB scoring expression over the joined count columns
+    * (c3c = trigram count, c2ctx = its context-bigram count, c2big =
+    * backoff-bigram count, c1ctx = its context-unigram count, c1w = token
+    * count, ntok = train token total). The backoff penalty ln(0.4) is
+    * spelled `ln(2) - ln(5)` so every log stays in the d10-proven
+    * exact-integer parity family; the ratios inside ln are int→double
+    * divisions, identical IEEE in both engines. */
+  private val sbLogpExpr =
+    """CASE WHEN c3c IS NOT NULL THEN ln(CAST(c3c AS DOUBLE) / c2ctx)
+            WHEN c2big IS NOT NULL THEN
+              (ln(2) - ln(5)) + ln(CAST(c2big AS DOUBLE) / c1ctx)
+            ELSE (ln(2) - ln(5)) + (ln(2) - ln(5)) +
+              ln(CAST(c1w AS DOUBLE) / ntok) END"""
+  private val sbLvlExpr =
+    "CASE WHEN c3c IS NOT NULL THEN 3 WHEN c2big IS NOT NULL THEN 2 ELSE 1 END"
+
+  /** d37 — stupid-backoff trigram LM (Brants et al., EMNLP 2007 "Large
+    * Language Models in Machine Translation"): the LM smoothing scheme
+    * built FOR distributed corpora — no discount normalization, so the
+    * model is nothing but raw n-gram counts and scoring is
+    * S(w₃|w₁w₂) = c₃/c₂ if the trigram was seen, else 0.4·S(w₃|w₂),
+    * else 0.4²·c(w₃)/N. Trained on the s03 train split (h60 deciles ≤ 7,
+    * shared with ml05/d35 so splits can't drift), scored on the test
+    * decile (h = 9) where unseen trigrams actually occur; OOV test tokens
+    * drop via the inner unigram join (ml05's deterministic OOV policy).
+    * Per-language report: docs, scored positions, how often each backoff
+    * level fired, and the decimal-mean log-score.
+    *
+    * Scale shape: the train token arrays are tokenized once (cached) and
+    * feed the three count tables; counts join to test trigram instances
+    * on uniform vocabulary-sized keys (d10/ml05's layout — no broadcast
+    * of model state, so the LM can be arbitrarily large); N is a 1-row
+    * broadcast. Linear in both splits at any scale. */
+  def d37StupidBackoff(s: SparkSession, dir: String): DataFrame =
+    stupidBackoff(Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60(col("doc_id").cast("string")) % 10))
+
+  /** d37's core over an explicit (doc_id, lang, text, h) relation — exposed
+    * so the spec can plant a tiny corpus with a controlled split and check
+    * every backoff level's score by hand. */
+  private[graft] def stupidBackoff(sp0: DataFrame): DataFrame = {
+    val s = sp0.sparkSession
+    import s.implicits._
+    val sp = sp0.select($"doc_id", $"lang", toks(lower($"text")).as("tk"), $"h")
+    // cached: the tokenized train split feeds the uni/bi/trigram counts
+    // (three plan branches — CLAUDE.md invariant 5)
+    val trd = sp.filter($"h" <= 7).select($"doc_id", $"tk").cache()
+    val c1 = trd.select(explode($"tk").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c")).cache()
+    val nt = c1.agg(sum($"c").as("ntok"))
+    val c2 = trd.filter(size($"tk") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c")).cache()
+    val c3 = trd.filter(size($"tk") >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))")).as("tg"))
+      .groupBy($"tg").agg(count(lit(1)).as("c"))
+    val inst = sp.filter($"h" === 9).filter(size($"tk") >= 3)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))")).as("tg"))
+      .select($"doc_id", $"lang", $"tg",
+        concat_ws(" ", split_part($"tg", lit(" "), lit(1)),
+          split_part($"tg", lit(" "), lit(2))).as("ctx2"),
+        concat_ws(" ", split_part($"tg", lit(" "), lit(2)),
+          split_part($"tg", lit(" "), lit(3))).as("bg2"),
+        split_part($"tg", lit(" "), lit(2)).as("ctx1"),
+        split_part($"tg", lit(" "), lit(3)).as("w"))
+    val jn = inst
+      .join(c1.select($"w", $"c".as("c1w")), "w")
+      .join(c3.select($"tg", $"c".as("c3c")), Seq("tg"), "left")
+      .join(c2.select($"bg".as("ctx2"), $"c".as("c2ctx")), Seq("ctx2"), "left")
+      .join(c2.select($"bg".as("bg2"), $"c".as("c2big")), Seq("bg2"), "left")
+      .join(c1.select($"w".as("ctx1"), $"c".as("c1ctx")), Seq("ctx1"), "left")
+      .crossJoin(broadcast(nt))
+    val out = jn
+      .select($"doc_id", $"lang", expr(sbLvlExpr).as("lvl"),
+        expr(sbLogpExpr).as("logp"))
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_pos"),
+        count(when($"lvl" === 3, 1)).as("n_tri"),
+        count(when($"lvl" === 2, 1)).as("n_bi"),
+        count(when($"lvl" === 1, 1)).as("n_uni"),
+        r(dsum($"logp") / count(lit(1)), 6).as("avg_logp"))
+      .orderBy($"lang")
+      .localCheckpoint(true)
+    Seq(trd, c1, c2).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val d37Sql: String =
+    s"""WITH sp AS MATERIALIZED (SELECT doc_id, lang,
+         ${toksSql("lower(text)")} AS tk,
+         ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h FROM documents),
+       trd AS MATERIALIZED (SELECT doc_id, tk FROM sp WHERE h <= 7),
+       c1 AS MATERIALIZED (SELECT w, count(*) AS c FROM
+           (SELECT unnest(tk) AS w FROM trd) GROUP BY w),
+       nt AS (SELECT CAST(sum(c) AS BIGINT) AS ntok FROM c1),
+       c2 AS MATERIALIZED (SELECT bg, count(*) AS c FROM
+           (SELECT unnest(list_transform(range(1, len(tk)),
+              i -> tk[i] || ' ' || tk[i + 1])) AS bg
+            FROM trd WHERE len(tk) >= 2) GROUP BY bg),
+       c3 AS (SELECT tg, count(*) AS c FROM
+           (SELECT unnest(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS tg
+            FROM trd WHERE len(tk) >= 3) GROUP BY tg),
+       inst AS (SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS tg
+         FROM sp WHERE h = 9 AND len(tk) >= 3),
+       parts AS (SELECT doc_id, lang, tg,
+           split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx2,
+           split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS bg2,
+           split_part(tg, ' ', 2) AS ctx1,
+           split_part(tg, ' ', 3) AS w FROM inst),
+       jn AS (SELECT doc_id, lang, c3.c AS c3c, c2c.c AS c2ctx,
+           c2b.c AS c2big, c1c.c AS c1ctx, cw.c AS c1w, nt.ntok AS ntok
+         FROM parts
+         JOIN c1 cw ON cw.w = parts.w
+         LEFT JOIN c3 ON c3.tg = parts.tg
+         LEFT JOIN c2 c2c ON c2c.bg = parts.ctx2
+         LEFT JOIN c2 c2b ON c2b.bg = parts.bg2
+         LEFT JOIN c1 c1c ON c1c.w = parts.ctx1
+         CROSS JOIN nt),
+       sc AS (SELECT doc_id, lang, $sbLvlExpr AS lvl, $sbLogpExpr AS logp
+         FROM jn)
+       SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_pos,
+         count(*) FILTER (WHERE lvl = 3) AS n_tri,
+         count(*) FILTER (WHERE lvl = 2) AS n_bi,
+         count(*) FILTER (WHERE lvl = 1) AS n_uni,
+         ${rSql(s"${dsumSql("logp")} / count(*)", 6)} AS avg_logp
+       FROM sc GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d37_stupid_backoff" -> (d37StupidBackoff _),
     "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
     "ml10_knn_eval" -> (ml10KnnEval _),
@@ -1382,6 +1519,7 @@ object Corpus {
     "d13_curation_pipeline" -> (d13CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "d37_stupid_backoff" -> d37Sql,
     "ml07_knn_classify" -> ml07Sql,
     "ml08_classifier_eval" -> ml08Sql,
     "ml10_knn_eval" -> ml10Sql,

@@ -5,6 +5,52 @@ import graft.operators.{Corpus, DedupLsh, TextOps}
 
 class CorpusSpec extends GraftSpec {
 
+  test("d37 stupid backoff: hand-planted corpus scores every backoff level exactly") {
+    import spark.implicits._
+    // train (h=0): trigrams "a b c"×2, "a b d"; bigrams a-b×3, b-c×2,
+    // b-d×1; unigrams a×3 b×3 c×2 d×1, N=9. test (h=9):
+    //   doc 4 "a b c d e": (a,b,c) tri-hit ln(2/3); (b,c,d) falls through
+    //     to unigram 2·ln(0.4)+ln(1/9); (c,d,e) drops (e is OOV)
+    //   doc 5 "b a b": (b,a,b) bigram-hit ln(0.4)+ln(3/3)
+    val sp = Seq(
+      (1L, "en", "a b c", 0), (2L, "en", "a b c", 0), (3L, "en", "a b d", 0),
+      (4L, "en", "a b c d e", 9), (5L, "en", "b a b", 9))
+      .toDF("doc_id", "lang", "text", "h")
+    val rows = Corpus.stupidBackoff(sp).collect()
+    assert(rows.length == 1)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("lang") == "en")
+    assert(r0.getAs[Long]("n_docs") == 2L)
+    assert(r0.getAs[Long]("n_pos") == 3L)
+    assert(r0.getAs[Long]("n_tri") == 1L)
+    assert(r0.getAs[Long]("n_bi") == 1L)
+    assert(r0.getAs[Long]("n_uni") == 1L)
+    val pen = math.log(2) - math.log(5)
+    val expected = operators.Num.rD(
+      (math.log(2.0 / 3.0) + (pen + pen + math.log(1.0 / 9.0)) +
+        (pen + math.log(3.0 / 3.0))) / 3.0, 6)
+    assert(r0.getAs[Double]("avg_logp") == expected,
+      s"${r0.getAs[Double]("avg_logp")} vs $expected")
+  }
+
+  test("d37 on testdata: level counts partition positions, scores are log-probabilities") {
+    import spark.implicits._
+    val out = Corpus.d37StupidBackoff(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // the three backoff levels partition the scored positions
+      assert(out.filter($"n_tri" + $"n_bi" + $"n_uni" =!= $"n_pos").count() == 0)
+      // every per-position score is ln of a probability ≤ 1 (count ratios
+      // are ≤ 1 by construction, the penalty is negative) → means ≤ 0
+      assert(out.filter($"avg_logp" > 0).count() == 0)
+      // the held-out decile genuinely exercises backoff at this scale
+      val tot = out.agg(sum($"n_tri").as("t"), sum($"n_bi").as("b"),
+        sum($"n_uni").as("u")).collect()(0)
+      assert(tot.getAs[Long]("t") > 0)
+      assert(tot.getAs[Long]("b") + tot.getAs[Long]("u") > 0)
+    } finally out.unpersist()
+  }
+
   test("d08 emits ≤3 ranked terms per doc, scores non-increasing in rank") {
     import spark.implicits._
     val out = Corpus.d08Tfidf(spark, sfTiny).cache()
