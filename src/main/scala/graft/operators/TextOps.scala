@@ -621,8 +621,24 @@ object TextOps {
 
   // --- d21: Count-Min heavy hitters — the frequency sketch twin of q40 --
 
-  private val CmsD = 4
-  private val CmsW = 64
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 64
+
+  /** The D salted (d, b) bucket structs of the `tok` column — the one CMS
+    * hash layout, shared by d21's sketch and (via [[cmsCellsOf]]) the
+    * streaming twin's replay spec, so the two can't drift. */
+  private[graft] def cmsBuckets: Column =
+    explode(array((0 until CmsD).map(d =>
+      struct(lit(d).as("d"),
+        (DedupLsh.h60(concat(lit(s"$d:"), col("tok"))) % CmsW).cast("int").as("b"))): _*))
+
+  /** The batch CMS cell table over a one-column (`tok`) occurrence frame —
+    * d21's sketch stage over raw occurrences (arithmetic-identical to
+    * d21's count-table fold), for the streaming differential. */
+  private[graft] def cmsCellsOf(occ: DataFrame): DataFrame =
+    occ.select(col("tok"), cmsBuckets.as("x"))
+      .groupBy(col("x.d").as("d"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
 
   /** d21 — heavy hitters via a portable Count-Min sketch (Cormode &
     * Muthukrishnan 2005): [[CmsD]]×[[CmsW]] salted md5-rank counters
@@ -643,11 +659,8 @@ object TextOps {
       .select(explode(toks(lower($"text"))).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
       .cache() // vocabulary-sized; feeds the cell table AND the top-k
-    val buckets = (0 until CmsD).map(d =>
-      struct(lit(d).as("d"),
-        (DedupLsh.h60(concat(lit(s"$d:"), $"tok")) % CmsW).cast("int").as("b")))
     val db = exact
-      .select($"tok", $"exact_cnt", explode(array(buckets: _*)).as("x"))
+      .select($"tok", $"exact_cnt", cmsBuckets.as("x"))
       .select($"tok", $"exact_cnt", $"x.d".as("d"), $"x.b".as("b"))
     val sketch = db.groupBy($"d", $"b").agg(sum($"exact_cnt").as("cell"))
     val top = exact

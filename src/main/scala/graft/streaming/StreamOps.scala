@@ -28,6 +28,9 @@ case class TokDoc(doc_id: Long, lang: String, n_tok: Int)
 case class PackedDoc(doc_id: Long, lang: String, shard: Long, seq_id: Long,
   n_tok: Int)
 
+/** One Count-Min cell emitted by the streaming frequency sketch. */
+case class CmsCell(d: Int, b: Int, cell: Long)
+
 /** Per-key HyperLogLog state carried by the streaming distinct sketch:
   * 256 registers + the raw row count. */
 case class HllState(regs: Array[Byte], n: Long)
@@ -321,13 +324,21 @@ object StreamOps {
     * (md5-rank 60-bit hash, register = low 8 bits, ρ = leading-zero rank
     * of the remaining 52 bits). Shared by the streaming sketch and its
     * batch twin so StreamOpsSpec can assert bit-equality. */
-  private[graft] def hllUpdate(regs: Array[Byte], value: String): Unit = {
+  /** Executor-side Scala twin of `DedupLsh.h60` (top 60 bits = first 15
+    * hex chars of the md5) — shared by the streaming HLL and CMS sketches
+    * so their bucket layout is bit-identical to the batch Column form
+    * (the replay specs assert exactly that). */
+  private[graft] def h60Scala(value: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(value.getBytes("UTF-8"))
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h = h >>> 4 // top 60 bits = first 15 hex chars of the md5 — the h60 family
+    h >>> 4
+  }
+
+  private[graft] def hllUpdate(regs: Array[Byte], value: String): Unit = {
+    val h = h60Scala(value)
     val idx = (h % 256).toInt
     val w = h >>> 8 // 52-bit window
     val rho = if (w == 0L) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
@@ -364,6 +375,33 @@ object StreamOps {
           val next = HllState(st.regs, n)
           state.update(next)
           HllEstimate(key, n, hllEstimate(next.regs))
+      }
+  }
+
+  /** Stateful streaming Count-Min sketch over a token stream — d21's
+    * streaming twin: each token occurrence folds into the same
+    * [[graft.operators.TextOps.CmsD]]×[[graft.operators.TextOps.CmsW]]
+    * salted-h60 cells the batch sketch uses, with one running Long per
+    * cell carried in GroupState and the refreshed cell emitted every
+    * micro-batch (Update mode). State is the fixed 256-cell grid no
+    * matter how long the stream runs — the property that makes CMS (not
+    * an exact count table) THE streaming frequency representation; the
+    * same cells merge shard-wise by addition at 100 TB. Because cell
+    * updates are commutative integer sums, ANY micro-batching of the
+    * corpus converges to the batch sketch exactly — StreamReplaySpec
+    * asserts bit-equality against d21's cell table. */
+  def cmsSketchStream(toks: Dataset[String]): Dataset[CmsCell] = {
+    import toks.sparkSession.implicits._
+    val (cd, cw) = (graft.operators.TextOps.CmsD, graft.operators.TextOps.CmsW)
+    toks
+      .flatMap(t => (0 until cd).map(d =>
+        (d, (h60Scala(s"$d:" + t) % cw).toInt)))
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Int), rows: Iterator[(Int, Int)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          CmsCell(key._1, key._2, c)
       }
   }
 

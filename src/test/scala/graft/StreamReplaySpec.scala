@@ -321,6 +321,36 @@ class StreamReplaySpec extends GraftSpec {
       "stream-side LCG acceptance must reproduce the batch mix exactly")
   }
 
+  test("replayed cmsSketchStream converges to the batch Count-Min cell table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val occ = Tables.documents(spark, sfTiny)
+      .select(explode(TextOps.toks(lower($"text"))).as("tok"))
+    val toks = occ.as[String].collect().toSeq
+    val tokSlices = toks.grouped(math.ceil(toks.size / 8.0).toInt).toSeq
+    val in = MemoryStream[String]
+    val q = StreamOps.cmsSketchStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_cms").outputMode("update")
+      .option("checkpointLocation", tmp("cms-replay")).start()
+    try {
+      tokSlices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val emitted = spark.table("replay_cms")
+    // precondition: cells were re-emitted across micro-batches, i.e. the
+    // GroupState counters genuinely carried (one emission per touched
+    // cell per batch — far more rows than the 256 final cells)
+    assert(emitted.count() > 256,
+      "expected multi-batch cell updates, got a single-batch run")
+    // counters are monotone, so the converged sketch is the max per cell
+    val streamed = emitted.groupBy($"d", $"b").agg(max($"cell").as("cell"))
+    val batch = TextOps.cmsCellsOf(occ)
+    assert(canon(streamed) == canon(batch),
+      "replayed CMS cells must equal the batch sketch bit-for-bit")
+    // and the total mass folded equals D × token occurrences
+    val mass = streamed.agg(sum($"cell")).collect()(0).getLong(0)
+    assert(mass == 4L * toks.size, s"mass $mass vs ${4L * toks.size}")
+  }
+
   test("replayed packStream equals the oracle-green d20 batch packing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
