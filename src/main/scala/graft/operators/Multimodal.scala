@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -216,7 +216,110 @@ object Multimodal {
        GROUP BY content_md5
        ORDER BY kept_doc_id"""
 
+  // --- x06: content-defined chunking dedup --------------------------------
+
+  /** Expected chunk length: a cut fires where the 4-char rolling hash ≡ 0
+    * (mod [[CdcMask]]). */
+  private val CdcMask = 64
+
+  /** x06 — content-defined chunking (CDC) dedup over the opaque payload:
+    * the rsync/LBFS boundary trick (Muthitacharoen et al., SOSP 2001)
+    * that makes blob-level dedup SHIFT-RESISTANT — x02/d24 chunk on a
+    * fixed grid, so a 1-byte insertion re-keys every downstream chunk,
+    * while CDC cuts where a small rolling window of the CONTENT hashes to
+    * 0 (mod [[CdcMask]]), so boundaries re-synchronize right after an
+    * edit and every later chunk still dedups (the storage-layer dedup of
+    * media lakes and model-checkpoint stores). Boundaries come from a
+    * 4-char polynomial window (base 31, the d06 family), computed
+    * scan-locally as array expressions — chars never explode, only the
+    * ~64× smaller chunk stream does. First occurrence per chunk hash
+    * (min (doc_id, chunk_id), e07's argmin-struct aggregate) survives;
+    * per-doc report: chunks, duplicate chunks, duplicate chars, and the
+    * rounded dedup ratio.
+    *
+    * Scale shape: chunking is scan-local; ONE shuffle on the uniform
+    * 32-hex chunk hash + a doc_id-keyed join back — d04's linear dedup
+    * story at sub-document granularity. No min/max chunk-size clamps
+    * (production CDC adds them; they'd only change the cut predicate). */
+  def x06CdcDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cdcReport(Tables.documents(s, dir).filter(length($"text") > 0)
+      .select($"doc_id", $"text"))
+  }
+
+  /** The 4-char rolling-hash cut predicate + chunk bounds, shared between
+    * the Spark column form and (textually mirrored) the DuckDB oracle. */
+  private def cdcCutPred(i: String): String =
+    s"(ascii(substr(text, $i - 3, 1)) * 29791 + ascii(substr(text, $i - 2, 1)) * 961 + " +
+      s"ascii(substr(text, $i - 1, 1)) * 31 + ascii(substr(text, $i, 1))) % $CdcMask = 0"
+
+  /** x06's core over an explicit (doc_id, text) relation — exposed so the
+    * spec can plant a prefix-shifted near-duplicate and assert the
+    * re-synchronization property chunk by chunk. */
+  /** The composable (interpreted-lambda) bounds twin — the spec pins the
+    * codegen kernel bit-equal to this form; the sequence is filtered to
+    * i < len so the trailing bound never duplicates (for len < 4 the
+    * descending sequence filters to empty). */
+  private[graft] def cdcBoundsLambda: Column = expr(
+    s"concat(array(0), filter(sequence(4, length(text)), " +
+      s"i -> i < length(text) AND ${cdcCutPred("i")}), array(length(text)))")
+
+  private[graft] def cdcReport(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    org.apache.spark.sql.graft.VectorExpressions.register(s)
+    val chunks = docs
+      .withColumn("bounds",
+        org.apache.spark.sql.graft.VectorExpressions.cdcBounds($"text", CdcMask))
+      .withColumn("cks", expr(
+        "transform(sequence(1, size(bounds) - 1), " +
+          "k -> substr(text, element_at(bounds, k) + 1, " +
+          "element_at(bounds, k + 1) - element_at(bounds, k)))"))
+      .select($"doc_id", posexplode($"cks").as(Seq("chunk_id", "ctext")))
+      .select($"doc_id", $"chunk_id", length($"ctext").as("clen"),
+        md5($"ctext").as("chunk_md5"))
+    val first = chunks.groupBy($"chunk_md5")
+      .agg(min(struct($"doc_id", $"chunk_id")).as("f"))
+    chunks.join(first, "chunk_md5")
+      .withColumn("is_dup",
+        ($"doc_id" =!= $"f.doc_id" || $"chunk_id" =!= $"f.chunk_id").cast("int"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"is_dup").as("n_dup_chunks"),
+        sum(when($"is_dup" === 1, $"clen").otherwise(0)).as("dup_chars"),
+        sum($"clen").as("n_chars"),
+        r(sum(when($"is_dup" === 1, $"clen").otherwise(0)).cast("double") /
+          sum($"clen"), 6).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val x06Sql: String =
+    s"""WITH c0 AS (SELECT doc_id, text,
+         [0] || list_filter(range(4, length(text)),
+           i -> ${cdcCutPred("i")}) || [length(text)] AS bounds
+       FROM documents WHERE length(text) > 0),
+       ck AS (SELECT doc_id,
+         list_transform(range(1, len(bounds)),
+           k -> substring(text, bounds[k] + 1, bounds[k + 1] - bounds[k])) AS cks
+       FROM c0),
+       cx AS (SELECT doc_id,
+         CAST(unnest(generate_series(1, len(cks))) - 1 AS INTEGER) AS chunk_id,
+         unnest(cks) AS ctext FROM ck),
+       ch AS (SELECT doc_id, chunk_id, length(ctext) AS clen,
+         md5(ctext) AS chunk_md5 FROM cx),
+       dup AS (SELECT doc_id, chunk_id, clen,
+         CASE WHEN row_number() OVER (PARTITION BY chunk_md5
+           ORDER BY doc_id, chunk_id) > 1 THEN 1 ELSE 0 END AS is_dup
+       FROM ch)
+       SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks,
+         CAST(sum(CASE WHEN is_dup = 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars,
+         CAST(sum(clen) AS BIGINT) AS n_chars,
+         ${rSql("CAST(sum(CASE WHEN is_dup = 1 THEN clen ELSE 0 END) AS DOUBLE) / sum(clen)", 6)} AS dup_ratio
+       FROM dup GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x06_cdc_dedup" -> (x06CdcDedup _),
     "x05_media_dedup" -> (x05MediaDedup _),
     "x01_binary_meta" -> (x01BinaryMeta _),
     "x02_frame_sample" -> (x02FrameSample _),
@@ -225,6 +328,7 @@ object Multimodal {
 
   /** x03 is mapPartitions-based → rows-only + MultimodalSpec. */
   val oracles: Map[String, String] = Map(
+    "x06_cdc_dedup" -> x06Sql,
     "x05_media_dedup" -> x05Sql,
     "x01_binary_meta" -> x01Sql,
     "x02_frame_sample" -> x02Sql,

@@ -240,6 +240,28 @@ object GraftHash {
     }
     acc
   }
+
+  /** Content-defined-chunking bounds (x06): [0, cuts…, n] over CODEPOINT
+    * positions, where 1-based position i (4 ≤ i < n) is a cut iff the
+    * 4-codepoint window ending at i satisfies
+    * (cp(i−3)·29791 + cp(i−2)·961 + cp(i−1)·31 + cp(i)) % mask == 0 —
+    * exactly the `filter(sequence(4, length(text)), i -> i < length(text)
+    * AND …ascii(substr(…))…)` lambda and DuckDB's `list_filter(range(4,
+    * length(text)), …)` (SQL length/substr/ascii all count codepoints). */
+  def cdcBounds(s: UTF8String, mask: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n / 32 + 2)
+    out += 0
+    var i = 4
+    while (i < n) {
+      val h = cps(i - 4) * 29791 + cps(i - 3) * 961 + cps(i - 2) * 31 + cps(i - 1)
+      if (h % mask == 0) out += i
+      i += 1
+    }
+    out += n
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_poly_hash(s)` — the d06 rolling polynomial document fingerprint
@@ -268,9 +290,41 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_cdc_bounds(s, mask)` — x06's content-defined chunk bounds as a
+  * native expression: array<int> [0, cuts…, length] with cuts where the
+  * 4-codepoint rolling window hashes to 0 (mod mask). The composable form
+  * re-evaluates 4 interpreted `ascii(substr(…))` calls per character
+  * (and `substr` degrades to O(i) on non-ASCII text → O(len²) per doc);
+  * this is one static pass over the codepoints. Bit-identical to the
+  * lambda filter (VectorExpressionsSpec pins it) and to the DuckDB
+  * oracle's `list_filter(range(…))`. */
+case class CdcBounds(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_cdc_bounds"
+
+  override protected def nullSafeEval(s: Any, m: Any): Any =
+    GraftHash.cdcBounds(s.asInstanceOf[UTF8String], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, m) => s"org.apache.spark.sql.graft.GraftHash.cdcBounds($s, $m)")
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): CdcBounds =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   private val infos = Seq(
+    (new FunctionIdentifier("graft_cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "graft_cdc_bounds"),
+      (children: Seq[Expression]) => CdcBounds(children(0), children(1)): Expression),
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression),
@@ -302,6 +356,9 @@ object VectorExpressions {
 
   def polyHash(c: Column): Column = call_function("graft_poly_hash", c)
 
+  def cdcBounds(c: Column, mask: Int): Column =
+    call_function("graft_cdc_bounds", c, lit(mask))
+
   def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 }
 
@@ -326,6 +383,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
       (children: Seq[Expression]) => SqDist(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "graft_cdc_bounds"),
+      (children: Seq[Expression]) => CdcBounds(children(0), children(1))))
     // auto-vectorize the HOF dot/sqdist idioms into the strict kernels —
     // semantics-preserving on all inputs (see VectorKernelRule)
     ext.injectOptimizerRule(_ => VectorKernelRule)

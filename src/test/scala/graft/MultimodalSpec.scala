@@ -62,6 +62,51 @@ class MultimodalSpec extends GraftSpec {
     assert(inits.value == 7L, s"expected 7 partition inits, got ${inits.value}")
   }
 
+  test("x06 CDC chunking re-synchronizes after a prefix shift (the anti-fixed-grid property)") {
+    import spark.implicits._
+    // pseudo-random base text: enough entropy that chunks are distinct
+    // and cut windows occur (deterministic seed)
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 1200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, base),                 // original
+      (2L, "zq9" + base),         // 3-char insertion — breaks ANY fixed grid
+      (3L, base)                  // byte-identical copy
+    ).toDF("doc_id", "text")
+    val rows = Multimodal.cdcReport(docs).collect().sortBy(_.getLong(0))
+    val Array(a, b, c) = rows
+    // cuts genuinely fired on the base text
+    assert(a.getAs[Long]("n_chunks") > 3, s"only ${a.getAs[Long]("n_chunks")} chunks")
+    // the identical copy dedups completely against doc 1
+    assert(c.getAs[Long]("n_dup_chunks") == c.getAs[Long]("n_chunks"))
+    assert(c.getAs[Double]("dup_ratio") == 1.0)
+    // the shifted copy re-synchronizes at the first content-defined cut:
+    // every chunk except the head (prefix-contaminated) chunk dedups
+    assert(b.getAs[Long]("n_dup_chunks") == b.getAs[Long]("n_chunks") - 1,
+      s"expected all but the head chunk to dedup, got $b")
+    // doc 1 is first occurrence everywhere
+    assert(a.getAs[Long]("n_dup_chunks") == 0L)
+    // chunk algebra: chunk chars partition each doc's text
+    assert(a.getAs[Long]("n_chars") == 1200L)
+    assert(b.getAs[Long]("n_chars") == 1203L)
+  }
+
+  test("x06 on testdata: chunks partition chars, ratios bounded") {
+    import spark.implicits._
+    val out = Multimodal.x06CdcDedup(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // chunk chars per doc sum to the doc's length
+      val viol = out.join(
+          Tables.documents(spark, sfTiny).select($"doc_id", length($"text").as("tl")),
+          "doc_id")
+        .filter($"n_chars" =!= $"tl").count()
+      assert(viol == 0, "CDC chunks must partition every document's chars")
+      assert(out.filter($"dup_ratio" < 0 || $"dup_ratio" > 1).count() == 0)
+      assert(out.filter($"n_dup_chunks" > $"n_chunks").count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("x05 media dedup: groups partition the corpus, representatives minimal") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -119,6 +119,30 @@ class VectorExpressionsSpec extends GraftSpec {
     assert(rows(2) == 30340L) // U+7684 codepoint, one fold step
   }
 
+  test("graft_cdc_bounds equals the interpreted lambda filter on every real document") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val diff = Tables.documents(spark, sfTiny)
+      .filter(length($"text") > 0)
+      .select(VectorExpressions.cdcBounds($"text", 64).as("fast"),
+        graft.operators.Multimodal.cdcBoundsLambda.as("slow"))
+      .filter(expr("fast != slow")).count()
+    assert(diff == 0)
+    // edge shapes: shorter than the window, exactly the window, empty-ish
+    val edge = Seq("a", "abc", "abcd", "abcde").toDF("text")
+      .select(VectorExpressions.cdcBounds($"text", 64).as("fast"),
+        graft.operators.Multimodal.cdcBoundsLambda.as("slow"))
+      .filter(expr("fast != slow")).count()
+    assert(edge == 0)
+    // bounds are strictly increasing from 0 to length
+    val bad = Tables.documents(spark, sfTiny).filter(length($"text") > 0)
+      .select(VectorExpressions.cdcBounds($"text", 64).as("b"), length($"text").as("n"))
+      .filter(expr("b[0] != 0 OR b[size(b) - 1] != n OR " +
+        "exists(sequence(1, size(b) - 1), k -> b[k] <= b[k - 1])"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("VectorKernelRule auto-vectorizes HOF dot/sqdist, bit-identically") {
     import spark.implicits._
     import org.apache.spark.sql.graft.VectorKernelRule
