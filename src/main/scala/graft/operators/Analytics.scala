@@ -604,7 +604,77 @@ object Analytics {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  // --- q47: lagged autocorrelation of the hourly event series -------------
+
+  private val AcfLags = Seq(1, 2, 3, 24)
+
+  /** q47 — sample autocorrelation: Pearson correlation between the hourly
+    * mean-value series and itself at lags 1/2/3/24 h, per event_type —
+    * the seasonality/persistence diagnostic run before any time-series
+    * model (lag-24 ≈ daily cycle). The series points are the ROUNDED
+    * decimal hourly means (q33 parity path), the lagged pairing is an
+    * integer equi-join on epoch-hour seconds (hx + lag·3600 — no interval
+    * arithmetic to diverge between engines), and the correlation is q35's
+    * decimal-moment formula evaluated from shared expression text.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over events (the
+    * t02 rollup), then everything downstream is series-sized — the series
+    * grows with TIME, not corpus volume, so the lag join is bounded at
+    * any data scale; the tiny lag table is a broadcast literal. */
+  def q47Autocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val acf = "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    // cached: the hourly series feeds both sides of the lag join
+    // (CLAUDE.md invariant 5)
+    val hourly = Tables.events(s, dir)
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("hour", $"ts")).as("hx"))
+      .agg(r(davg($"value"), 6).as("x"))
+      .cache()
+    val lags = AcfLags.toDF("lag")
+    val b = hourly.select($"event_type".as("et2"), $"hx".as("hx2"), $"x".as("y"))
+    val out = hourly
+      .crossJoin(broadcast(lags))
+      .join(b, $"et2" === $"event_type" && $"hx2" === $"hx" + $"lag" * 3600)
+      .groupBy($"event_type", $"lag")
+      .agg(count(lit(1)).as("n0"),
+        m($"x").as("sx"), m($"x" * $"x").as("sxx"),
+        m($"y").as("sy"), m($"y" * $"y").as("syy"),
+        m($"x" * $"y").as("sxy"))
+      .select($"event_type", $"lag", $"n0".as("n_pairs"),
+        $"n0".cast("double").as("n"), $"sx", $"sxx", $"sy", $"syy", $"sxy")
+      .select($"event_type", $"lag", $"n_pairs", r(expr(acf), 6).as("acf"))
+      .orderBy($"event_type", $"lag")
+      .localCheckpoint(true)
+    hourly.unpersist(blocking = false)
+    out
+  }
+
+  val q47Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    val acf = "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS x
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       lg AS (SELECT * FROM (VALUES (1), (2), (3), (24)) t(lag)),
+       p AS (SELECT a.event_type, lag, a.x AS x, b.x AS y
+         FROM h a CROSS JOIN lg
+         JOIN h b ON b.event_type = a.event_type
+           AND b.hx = a.hx + lag * 3600),
+       mo AS (SELECT event_type, lag, count(*) AS n0,
+         ${m("x")} AS sx, ${m("x * x")} AS sxx, ${m("y")} AS sy,
+         ${m("y * y")} AS syy, ${m("x * y")} AS sxy
+       FROM p GROUP BY event_type, lag)
+       SELECT event_type, lag, n0 AS n_pairs, ${rSql(acf, 6)} AS acf
+       FROM (SELECT event_type, lag, n0, CAST(n0 AS DOUBLE) AS n,
+         sx, sxx, sy, syy, sxy FROM mo) z
+       ORDER BY event_type, lag"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
     "q18_range_join" -> (q18RangeJoin _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
@@ -626,6 +696,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,
     "q40_portable_hll" -> q40Sql,
     "q45_kmv_sketch" -> q45Sql,

@@ -5,6 +5,34 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends GraftSpec {
 
+  test("q47 autocorrelation: bounded coefficients, pair algebra, corr cross-check") {
+    import spark.implicits._
+    val out = Analytics.q47Autocorr(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // a correlation is in [-1, 1] (tiny rounding slack)
+      assert(out.filter(abs($"acf") > 1.000001).count() == 0)
+      // longer lags can only lose pairs on a fixed time span
+      val mono = out.groupBy($"event_type")
+        .agg(min(when($"lag" === 1, $"n_pairs")).as("p1"),
+          min(when($"lag" === 24, $"n_pairs")).as("p24"))
+        .filter($"p1".isNotNull && $"p24".isNotNull && $"p24" > $"p1")
+        .count()
+      assert(mono == 0)
+      // cross-check the decimal-moment formula against Spark's own corr()
+      // on the identically-constructed lag-1 pairs
+      val hourly = Tables.events(spark, sfTiny)
+        .groupBy($"event_type", unix_timestamp(date_trunc("hour", $"ts")).as("hx"))
+        .agg(operators.Num.r(operators.Num.davg($"value"), 6).as("x"))
+      val b = hourly.select($"event_type".as("et2"), $"hx".as("hx2"), $"x".as("y"))
+      val ref = hourly.join(b, $"et2" === $"event_type" && $"hx2" === $"hx" + 3600)
+        .groupBy($"event_type").agg(corr($"x", $"y").as("c"))
+      val viol = out.filter($"lag" === 1).join(ref, "event_type")
+        .filter(abs($"acf" - $"c") > 1e-4).count()
+      assert(viol == 0, "moment-formula ACF must agree with corr() at lag 1")
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q17 as-of values reference a genuine prior click of the same user") {
     import spark.implicits._
     val asof = Analytics.q17AsofJoin(spark, sfTiny)
