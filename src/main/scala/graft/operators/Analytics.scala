@@ -604,6 +604,92 @@ object Analytics {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  // --- q48: Poisson-bootstrap confidence intervals -------------------------
+
+  private val BootB = 32
+  /** Poisson(1) CDF at 0..3 — literal doubles, identical in both engines;
+    * weights cap at 4 (P ≈ 0.004 tail folded into the last bucket). */
+  private val PoisCdf = Seq(0.3678794411714423, 0.7357588823428846,
+    0.9196986029286058, 0.9810118431238462)
+
+  /** q48 — bootstrap confidence interval for the per-language mean token
+    * count via the POISSON bootstrap (Chamandy et al., Google 2012
+    * "Estimating uncertainty for massive data streams"): the classical
+    * bootstrap needs n draws per replicate (a shuffle per resample at
+    * scale); the Poisson approximation gives every row an independent
+    * Poisson(1) weight per replicate, so ALL [[BootB]] resamples are
+    * scan-local weight columns folded by one map-side-combinable
+    * aggregation. Weights here are deterministic: u = h60(doc:b)/2⁵³
+    * inverse-CDF'd through literal Poisson(1) thresholds, so the whole
+    * resampling mirrors in DuckDB and is hash-checked. Replicate means are
+    * rounded (q33 parity), and the CI is the exact 5th/95th percentile of
+    * the [[BootB]] means via the proven percentile↔quantile_cont pairing.
+    *
+    * Scale shape: one explode (×[[BootB]]) of the per-doc metric row —
+    * NOT of the text — then (lang, b)-keyed decimal sums and an L-row
+    * percentile; no shuffle ever moves more than metric rows. */
+  def q48BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bootstrapCi(Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q48's core over an explicit (doc_id, lang, x) relation — exposed so
+    * the spec can plant a constant metric (every resample mean collapses
+    * to the constant, pinning the whole weight/mean/percentile path). */
+  private[graft] def bootstrapCi(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val docs = metric.cache() // feeds the replicates AND the point estimate
+    val reps = docs
+      .select($"lang", $"x", explode(sequence(lit(0), lit(BootB - 1))).as("b"),
+        $"doc_id")
+      .withColumn("u",
+        (DedupLsh.h60(concat($"doc_id".cast("string"), lit(":"), $"b".cast("string")))
+          % lit(9007199254740992L)).cast("double") / lit(9007199254740992.0))
+      .withColumn("w",
+        when($"u" < PoisCdf(0), 0).when($"u" < PoisCdf(1), 1)
+          .when($"u" < PoisCdf(2), 2).when($"u" < PoisCdf(3), 3).otherwise(4))
+    val bm = reps.groupBy($"lang", $"b")
+      .agg(r(dsum($"w" * $"x") / sum($"w"), 6).as("mb"))
+    val ci = bm.groupBy($"lang")
+      .agg(r(percentile($"mb", lit(0.05)), 6).as("boot_lo"),
+        r(percentile($"mb", lit(0.95)), 6).as("boot_hi"))
+    val out = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), r(davg($"x"), 6).as("mean_x"))
+      .join(ci, "lang")
+      .select($"lang", $"n_docs", $"mean_x", $"boot_lo", $"boot_hi")
+      .orderBy($"lang")
+      .localCheckpoint(true)
+    docs.unpersist(blocking = false)
+    out
+  }
+
+  val q48Sql: String = {
+    val wCase = s"""CASE WHEN u < ${PoisCdf(0)} THEN 0
+      WHEN u < ${PoisCdf(1)} THEN 1 WHEN u < ${PoisCdf(2)} THEN 2
+      WHEN u < ${PoisCdf(3)} THEN 3 ELSE 4 END"""
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, lang,
+         len(${TextOps.toksSql("lower(text)")}) AS x FROM documents),
+       rep AS (SELECT doc_id, lang, x, unnest(range(0, $BootB)) AS b FROM d),
+       uu AS (SELECT lang, b, x,
+         CAST(${DedupLsh.h60Sql("doc_id::VARCHAR || ':' || b::VARCHAR")}
+           % 9007199254740992 AS DOUBLE) / 9007199254740992.0 AS u
+       FROM rep),
+       ww AS (SELECT lang, b, x, $wCase AS w FROM uu),
+       bm AS (SELECT lang, b,
+         ${rSql(s"${dsumSql("w * x")} / CAST(sum(w) AS BIGINT)", 6)} AS mb
+       FROM ww GROUP BY lang, b),
+       ci AS (SELECT lang, ${rSql("quantile_cont(mb, 0.05)", 6)} AS boot_lo,
+         ${rSql("quantile_cont(mb, 0.95)", 6)} AS boot_hi
+       FROM bm GROUP BY lang),
+       base AS (SELECT lang, count(*) AS n_docs,
+         ${rSql(davgSql("x"), 6)} AS mean_x FROM d GROUP BY lang)
+       SELECT base.lang AS lang, n_docs, mean_x, boot_lo, boot_hi
+       FROM base JOIN ci ON ci.lang = base.lang
+       ORDER BY base.lang"""
+  }
+
   // --- q47: lagged autocorrelation of the hourly event series -------------
 
   private val AcfLags = Seq(1, 2, 3, 24)
@@ -674,6 +760,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
     "q18_range_join" -> (q18RangeJoin _),
@@ -696,6 +783,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,
     "q40_portable_hll" -> q40Sql,

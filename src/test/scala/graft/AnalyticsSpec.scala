@@ -5,6 +5,39 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends GraftSpec {
 
+  test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
+    import spark.implicits._
+    // every Poisson-weighted mean of a constant is that constant, so the
+    // CI must collapse to [c, c] — pinning weights, replicate means, and
+    // the percentile tail in one shot
+    val docs = ((1 to 40).map(i => (i.toLong, "aa", 7)) ++
+      (41 to 80).map(i => (i.toLong, "bb", 3))).toDF("doc_id", "lang", "x")
+    val rows = Analytics.bootstrapCi(docs).collect().sortBy(_.getString(0))
+    assert(rows.length == 2)
+    val a = rows(0); val b = rows(1)
+    assert(a.getAs[Long]("n_docs") == 40L && b.getAs[Long]("n_docs") == 40L)
+    for ((row, c) <- Seq((a, 7.0), (b, 3.0))) {
+      assert(row.getAs[Double]("mean_x") == c)
+      assert(row.getAs[Double]("boot_lo") == c, s"lo ${row}")
+      assert(row.getAs[Double]("boot_hi") == c, s"hi ${row}")
+    }
+  }
+
+  test("q48 on testdata: intervals ordered and bracket the point estimate") {
+    import spark.implicits._
+    val out = Analytics.q48BootstrapCi(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"boot_lo" > $"boot_hi").count() == 0)
+      // the point estimate sits inside (or within one width of) the CI —
+      // 32 replicates leave some slack, but not mean-outside-by-a-width
+      val viol = out.filter(
+        $"mean_x" < $"boot_lo" - ($"boot_hi" - $"boot_lo") ||
+        $"mean_x" > $"boot_hi" + ($"boot_hi" - $"boot_lo")).count()
+      assert(viol == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q47 autocorrelation: bounded coefficients, pair algebra, corr cross-check") {
     import spark.implicits._
     val out = Analytics.q47Autocorr(spark, sfTiny).cache()
