@@ -604,6 +604,76 @@ object Analytics {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  // --- q49: pairwise Welch's t-test between sources ------------------------
+
+  /** Shared Welch algebra over the joined per-source moment columns
+    * (na/sxa/sxxa vs nb2/sxb/sxxb) — one text, evaluated by `expr` on the
+    * Spark side and inlined in the oracle, so the IEEE order is identical. */
+  private val WVa = "((sxxa - sxa * sxa / na) / (na - 1.0))"
+  private val WVb = "((sxxb - sxb * sxb / nb2) / (nb2 - 1.0))"
+  private val WSe = s"($WVa / na + $WVb / nb2)"
+  private val WT = s"((sxa / na - sxb / nb2) / sqrt($WSe))"
+  private val WDf =
+    s"(($WSe * $WSe) / (($WVa / na) * ($WVa / na) / (na - 1.0) + ($WVb / nb2) * ($WVb / nb2) / (nb2 - 1.0)))"
+
+  /** q49 — Welch's unequal-variance two-sample t-test between every pair
+    * of sources on the per-doc token count (the A/B-test primitive:
+    * "does source X produce longer documents than source Y, beyond
+    * noise?"). Each side collapses to three decimal moments (n, Σx, Σx²)
+    * in ONE map-side-combinable pass; the pairwise frame is an S²-row
+    * self-join of the tiny per-source table, and t / Welch–Satterthwaite
+    * df are fixed-order IEEE algebra from shared expression text — the
+    * whole test mirrors in DuckDB. At 100 TB the cost is the one metric
+    * scan; the test itself is free. */
+  def q49WelchTtest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    welchTtest(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q49's core over an explicit (source, x) relation — exposed so the
+    * spec can check t and df against hand-computed values. */
+  private[graft] def welchTtest(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val mom = metric
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n0"), m($"x").as("sx"), m($"x" * $"x").as("sxx"))
+      .cache() // both sides of the pair join
+    val a = mom.select($"source".as("source_a"), $"n0".as("na0"),
+      $"n0".cast("double").as("na"), $"sx".as("sxa"), $"sxx".as("sxxa"))
+    val b = mom.select($"source".as("source_b"), $"n0".as("nb0"),
+      $"n0".cast("double").as("nb2"), $"sx".as("sxb"), $"sxx".as("sxxb"))
+    val out = a.crossJoin(b).filter($"source_a" < $"source_b")
+      .select($"source_a", $"source_b", $"na0".as("n_a"), $"nb0".as("n_b"),
+        r(expr("sxa / na"), 6).as("mean_a"),
+        r(expr("sxb / nb2"), 6).as("mean_b"),
+        r(expr(WT), 6).as("t_stat"),
+        r(expr(WDf), 6).as("df"))
+      .orderBy($"source_a", $"source_b")
+      .localCheckpoint(true)
+    mom.unpersist(blocking = false)
+    out
+  }
+
+  val q49Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH mo AS MATERIALIZED (SELECT source, count(*) AS n0,
+         ${m("x")} AS sx, ${m("x * x")} AS sxx
+       FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+             FROM documents) z
+       GROUP BY source),
+       pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         a.n0 AS na0, CAST(a.n0 AS DOUBLE) AS na, a.sx AS sxa, a.sxx AS sxxa,
+         b.n0 AS nb0, CAST(b.n0 AS DOUBLE) AS nb2, b.sx AS sxb, b.sxx AS sxxb
+       FROM mo a CROSS JOIN mo b WHERE a.source < b.source)
+       SELECT source_a, source_b, na0 AS n_a, nb0 AS n_b,
+         ${rSql("sxa / na", 6)} AS mean_a, ${rSql("sxb / nb2", 6)} AS mean_b,
+         ${rSql(WT, 6)} AS t_stat, ${rSql(WDf, 6)} AS df
+       FROM pr ORDER BY source_a, source_b"""
+  }
+
   // --- q48: Poisson-bootstrap confidence intervals -------------------------
 
   private val BootB = 32
@@ -760,6 +830,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_welch_ttest" -> (q49WelchTtest _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
@@ -783,6 +854,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q49_welch_ttest" -> q49Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,

@@ -5,6 +5,38 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends GraftSpec {
 
+  test("q49 Welch t: hand-computed statistic and df on a planted two-sample frame") {
+    import spark.implicits._
+    // A = {1..8} (mean 4.5, var 6), B = {11..14} (mean 12.5, var 5/3)
+    val docs = ((1 to 8).map(x => ("a", x)) ++ (11 to 14).map(x => ("b", x)))
+      .toDF("source", "x")
+    val rows = Analytics.welchTtest(docs).collect()
+    assert(rows.length == 1)
+    val row = rows(0)
+    assert(row.getAs[String]("source_a") == "a" && row.getAs[String]("source_b") == "b")
+    assert(row.getAs[Long]("n_a") == 8L && row.getAs[Long]("n_b") == 4L)
+    assert(row.getAs[Double]("mean_a") == 4.5 && row.getAs[Double]("mean_b") == 12.5)
+    val va = 6.0 / 8; val vb = (5.0 / 3) / 4
+    val se = va + vb
+    val t = (4.5 - 12.5) / math.sqrt(se)
+    val df = se * se / (va * va / 7 + vb * vb / 3)
+    assert(math.abs(row.getAs[Double]("t_stat") - t) < 1e-5, s"t ${row.getAs[Double]("t_stat")} vs $t")
+    assert(math.abs(row.getAs[Double]("df") - df) < 1e-5, s"df ${row.getAs[Double]("df")} vs $df")
+  }
+
+  test("q49 on testdata: one row per source pair, symmetric magnitude") {
+    import spark.implicits._
+    val out = Analytics.q49WelchTtest(spark, sfTiny).cache()
+    try {
+      val srcs = Tables.documents(spark, sfTiny)
+        .filter($"source".isNotNull).select($"source").distinct().count()
+      assert(out.count() == srcs * (srcs - 1) / 2)
+      assert(out.filter($"source_a" >= $"source_b").count() == 0)
+      // df is bounded by min(n)-1 below and na+nb-2 above (Welch property)
+      assert(out.filter($"df" > $"n_a" + $"n_b" - 2 + 0.001).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
     import spark.implicits._
     // every Poisson-weighted mean of a constant is that constant, so the
