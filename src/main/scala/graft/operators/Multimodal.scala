@@ -278,9 +278,13 @@ object Multimodal {
       .select($"doc_id", posexplode($"cks").as(Seq("chunk_id", "ctext")))
       .select($"doc_id", $"chunk_id", length($"ctext").as("clen"),
         md5($"ctext").as("chunk_md5"))
+      // cached: the chunk stream feeds the first-occurrence table AND the
+      // join probe (CLAUDE.md invariant 5 — two plan branches would re-run
+      // the kernel + explode otherwise)
+      .cache()
     val first = chunks.groupBy($"chunk_md5")
       .agg(min(struct($"doc_id", $"chunk_id")).as("f"))
-    chunks.join(first, "chunk_md5")
+    val out = chunks.join(first, "chunk_md5")
       .withColumn("is_dup",
         ($"doc_id" =!= $"f.doc_id" || $"chunk_id" =!= $"f.chunk_id").cast("int"))
       .groupBy($"doc_id")
@@ -291,6 +295,9 @@ object Multimodal {
         r(sum(when($"is_dup" === 1, $"clen").otherwise(0)).cast("double") /
           sum($"clen"), 6).as("dup_ratio"))
       .orderBy($"doc_id")
+      .localCheckpoint(true)
+    chunks.unpersist(blocking = false)
+    out
   }
 
   val x06Sql: String =

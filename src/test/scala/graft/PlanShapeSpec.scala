@@ -182,6 +182,16 @@ class PlanShapeSpec extends GraftSpec {
       s"query construction launched ${after - before} job(s); only $allowed table-read job(s) allowed")
   }
 
+  test("ml11 k-fold CV: one grouped moment pass, broadcast weights, bounded exchanges") {
+    val df = graft.ml.Maintenance.ml11KfoldCv(spark, sfTiny)
+    // fold moments (1) + tot single-partition (1) + fold report agg (1)
+    // + final sort (1), slack for AQE reuse
+    assert(countShuffles(df) <= 5, s"${countShuffles(df)} shuffles")
+    // the totals and the k-row weight table must both broadcast — held-out
+    // scoring may never shuffle the corpus on fold
+    assert(countBroadcasts(df) >= 2, s"${countBroadcasts(df)} broadcasts")
+  }
+
   test("t17/t18 interval joins: one equi-key join, bounded exchanges") {
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     // the range predicate must ride the machine-id equi-join as a post-join
