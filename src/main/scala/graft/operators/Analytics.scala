@@ -604,6 +604,84 @@ object Analytics {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  // --- q50: chi-square independence of the lang × source grid --------------
+
+  /** q50 — Pearson chi-square test of independence between document
+    * language and source, plus Cramér's V effect size: the categorical
+    * association diagnostic of corpus composition audits ("are languages
+    * evenly spread over crawls, or is one source carrying one language?").
+    * The contingency table is ONE map-side-combinable count aggregation;
+    * marginals/expected counts live on the tiny L×S grid (zero-observed
+    * cells restored by a left join against the marginal cross), and
+    * Σ(O−E)²/E goes through the decimal-sum policy so cell order can't
+    * move the statistic. NULL categories are coalesced to '' on both
+    * sides so the null group participates identically in both engines.
+    * At 100 TB the cost is the one count scan; the test is free. */
+  def q50Chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chi2Independence(Tables.documents(s, dir)
+      .select(coalesce($"lang", lit("")).as("lang"),
+        coalesce($"source", lit("")).as("source")))
+  }
+
+  /** q50's core over an explicit (lang, source) relation — exposed so the
+    * spec can plant a perfectly-proportional table (χ² must be exactly 0)
+    * and a maximally-associated one (V must be exactly 1). */
+  private[graft] def chi2Independence(cats: DataFrame): DataFrame = {
+    val s = cats.sparkSession
+    import s.implicits._
+    val cellv = "(o - e) * (o - e) / e"
+    val obs = cats
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .cache() // feeds both marginals and the grid join
+    val rl = obs.groupBy($"lang").agg(sum($"o").as("rl"))
+    val cs = obs.groupBy($"source").agg(sum($"o").as("cs"))
+    val nn = obs.agg(sum($"o").as("nn"))
+    val cells = rl.crossJoin(broadcast(cs))
+      .join(obs, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(nn))
+      .select($"lang", $"source", coalesce($"o", lit(0L)).as("o"),
+        expr("CAST(rl AS DOUBLE) * cs / nn").as("e"), $"nn")
+    val out = cells
+      .agg(min($"nn").as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        dsum(expr(cellv)).as("chi2u"))
+      .select($"n_docs", $"n_langs", $"n_sources",
+        (($"n_langs" - 1) * ($"n_sources" - 1)).as("dof"),
+        r($"chi2u", 6).as("chi2"),
+        r(sqrt($"chi2u" /
+          ($"n_docs".cast("double") * least($"n_langs" - 1, $"n_sources" - 1))), 6)
+          .as("cramers_v"))
+      .orderBy($"dof")
+      .localCheckpoint(true)
+    obs.unpersist(blocking = false)
+    out
+  }
+
+  val q50Sql: String = {
+    val cellv = "(o - e) * (o - e) / e"
+    s"""WITH obs AS MATERIALIZED (SELECT coalesce(lang, '') AS lang,
+         coalesce(source, '') AS source, count(*) AS o
+       FROM documents GROUP BY 1, 2),
+       rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM obs GROUP BY lang),
+       cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM obs GROUP BY source),
+       nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+       cells AS (SELECT rl.lang, cs.source, coalesce(o, 0) AS o,
+         CAST(rl AS DOUBLE) * cs / nn AS e, nn
+       FROM rl CROSS JOIN cs
+       LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source
+       CROSS JOIN nn),
+       agg AS (SELECT min(nn) AS n_docs,
+         count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+         ${dsumSql(cellv)} AS chi2u FROM cells)
+       SELECT n_docs, n_langs, n_sources,
+         (n_langs - 1) * (n_sources - 1) AS dof,
+         ${rSql("chi2u", 6)} AS chi2,
+         ${rSql("sqrt(chi2u / (CAST(n_docs AS DOUBLE) * least(n_langs - 1, n_sources - 1)))", 6)} AS cramers_v
+       FROM agg ORDER BY dof"""
+  }
+
   // --- q49: pairwise Welch's t-test between sources ------------------------
 
   /** Shared Welch algebra over the joined per-source moment columns
@@ -830,6 +908,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_chi2_independence" -> (q50Chi2Independence _),
     "q49_welch_ttest" -> (q49WelchTtest _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
@@ -854,6 +933,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q50_chi2_independence" -> q50Sql,
     "q49_welch_ttest" -> q49Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,

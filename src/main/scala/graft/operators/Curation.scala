@@ -295,12 +295,18 @@ object Curation {
     * ever shuffled. */
   def d35SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached BEFORE the explodes: a generator re-evaluates its child per
+    // OUTPUT row (CLAUDE.md invariant 5), so exploding the un-materialized
+    // gram arrays re-ran the transform+array_distinct per emitted gram —
+    // measured 30 s → 3 s at sf0.1. The cache also serves both split
+    // branches with one tokenization pass.
     val g0 = Tables.documents(s, dir)
       .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
       .select($"doc_id", $"h", toks(lower($"text")).as("tk"))
       .select($"doc_id", $"h", gramsCol(LeakN).as("gs"))
+      .cache()
     val trainG = g0.filter($"h" <= 7).select(explode($"gs").as("tg")).distinct()
-    g0.filter($"h" === 9)
+    val out = g0.filter($"h" === 9)
       .select($"doc_id", size($"gs").as("n_ngrams"), explode_outer($"gs").as("g"))
       .join(trainG, $"g" === $"tg", "left")
       .groupBy($"doc_id", $"n_ngrams")
@@ -309,6 +315,9 @@ object Curation {
         contamRatioCol.as("leak_ratio"))
       .withColumn("leaked", ($"leak_ratio" >= LeakTau).cast("int"))
       .orderBy($"doc_id")
+      .localCheckpoint(true)
+    g0.unpersist(blocking = false)
+    out
   }
 
   val d35Sql: String = {

@@ -5,6 +5,36 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends GraftSpec {
 
+  test("q50 chi-square: zero on a proportional table, V = 1 on a diagonal one") {
+    import spark.implicits._
+    // perfectly proportional 2×2 (independence): chi2 = 0, V = 0
+    val indep = (Seq.fill(10)(("p", "s")) ++ Seq.fill(20)(("p", "t")) ++
+      Seq.fill(30)(("q", "s")) ++ Seq.fill(60)(("q", "t"))).toDF("lang", "source")
+    val r1 = Analytics.chi2Independence(indep).collect()(0)
+    assert(r1.getAs[Long]("n_docs") == 120L)
+    assert(r1.getAs[Long]("dof") == 1L)
+    assert(r1.getAs[Double]("chi2") == 0.0)
+    assert(r1.getAs[Double]("cramers_v") == 0.0)
+    // diagonal 2×2 (perfect association): chi2 = n, V = 1
+    val diag = (Seq.fill(25)(("p", "s")) ++ Seq.fill(25)(("q", "t")))
+      .toDF("lang", "source")
+    val r2 = Analytics.chi2Independence(diag).collect()(0)
+    assert(r2.getAs[Double]("chi2") == 50.0)
+    assert(r2.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("q50 on testdata: one summary row with coherent category counts") {
+    import spark.implicits._
+    val out = Analytics.q50Chi2Independence(spark, sfTiny).collect()
+    assert(out.length == 1)
+    val row = out(0)
+    assert(row.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sfTiny).count())
+    assert(row.getAs[Double]("chi2") >= 0.0)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.000001)
+  }
+
   test("q49 Welch t: hand-computed statistic and df on a planted two-sample frame") {
     import spark.implicits._
     // A = {1..8} (mean 4.5, var 6), B = {11..14} (mean 12.5, var 5/3)
