@@ -604,6 +604,77 @@ object Analytics {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  // --- q51: pairwise two-sample Kolmogorov–Smirnov distance -----------------
+
+  /** q51 — two-sample Kolmogorov–Smirnov statistic between every pair of
+    * sources on the per-doc token count: D = max_v |F_a(v) − F_b(v)|, the
+    * nonparametric distribution-shift detector (the drift alarm between
+    * crawls that a mean test like q49 can't see). ECDFs are exact count
+    * ratios: one (source, value) count aggregation, a zero-filled
+    * source × distinct-value grid (so both step functions are evaluated
+    * on the SAME value axis — the tie-correct formulation), cumulative
+    * counts via a window over the value axis, and the pairwise max over
+    * the tiny F-grid self-join. Every F is an integer/integer division
+    * and max is order-independent, so the statistic mirrors exactly.
+    *
+    * Scale shape: the corpus is touched once by the count aggregation;
+    * everything downstream is (sources × distinct values)-sized — metric
+    * cardinality, not corpus volume. */
+  def q51KsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ksTest(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q51's core over an explicit (source, x) relation — exposed so the
+    * spec can plant distributions with a hand-computable D. */
+  private[graft] def ksTest(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val cnt = metric.groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+      .cache() // feeds the value axis, the per-source totals, and the grid
+    val vals = cnt.select($"x").distinct()
+    val srcn = cnt.groupBy($"source").agg(sum($"c").as("n"))
+    val grid = srcn.crossJoin(broadcast(vals))
+      .join(cnt, Seq("source", "x"), "left")
+      .select($"source", $"n", $"x", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("f",
+        sum($"c").over(Window.partitionBy($"source").orderBy($"x"))
+          .cast("double") / $"n")
+    val a = grid.select($"source".as("source_a"), $"n".as("n_a"),
+      $"x", $"f".as("fa"))
+    val b = grid.select($"source".as("source_b"), $"n".as("n_b"),
+      $"x", $"f".as("fb"))
+    val out = a.join(b, Seq("x")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(min($"n_a").as("n_a"), min($"n_b").as("n_b"),
+        r(max(abs($"fa" - $"fb")), 6).as("ks_stat"))
+      .orderBy($"source_a", $"source_b")
+      .localCheckpoint(true)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  val q51Sql: String =
+    s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
+       FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+             FROM documents) z
+       GROUP BY source, x),
+       vals AS (SELECT DISTINCT x FROM cnt),
+       srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+       grid AS (SELECT s.source, s.n, v.x, coalesce(c.c, 0) AS c
+         FROM srcn s CROSS JOIN vals v
+         LEFT JOIN cnt c ON c.source = s.source AND c.x = v.x),
+       f AS (SELECT source, n, x,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS DOUBLE) / n AS f
+       FROM grid)
+       SELECT a.source AS source_a, b.source AS source_b,
+         min(a.n) AS n_a, min(b.n) AS n_b,
+         ${rSql("max(abs(a.f - b.f))", 6)} AS ks_stat
+       FROM f a JOIN f b ON a.x = b.x AND a.source < b.source
+       GROUP BY a.source, b.source
+       ORDER BY source_a, source_b"""
+
   // --- q50: chi-square independence of the lang × source grid --------------
 
   /** q50 — Pearson chi-square test of independence between document
@@ -908,6 +979,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_ks_test" -> (q51KsTest _),
     "q50_chi2_independence" -> (q50Chi2Independence _),
     "q49_welch_ttest" -> (q49WelchTtest _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
@@ -933,6 +1005,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q51_ks_test" -> q51Sql,
     "q50_chi2_independence" -> q50Sql,
     "q49_welch_ttest" -> q49Sql,
     "q48_bootstrap_ci" -> q48Sql,

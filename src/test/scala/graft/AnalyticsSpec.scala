@@ -5,6 +5,32 @@ import graft.operators.Analytics
 
 class AnalyticsSpec extends GraftSpec {
 
+  test("q51 KS: hand-computed distance, identical distributions give zero") {
+    import spark.implicits._
+    // a = {1,2,3,4}, b = {3,4,5,6}: F_a - F_b peaks at v=2 (0.5 - 0) and
+    // the step functions agree again beyond 6 → D = 0.5
+    val m1 = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _)))
+      .toDF("source", "x")
+    val r1 = Analytics.ksTest(m1).collect()(0)
+    assert(r1.getAs[Long]("n_a") == 4L && r1.getAs[Long]("n_b") == 4L)
+    assert(r1.getAs[Double]("ks_stat") == 0.5, s"$r1")
+    // identical distributions → D = 0 exactly
+    val m2 = (Seq(1, 2, 2, 7).map(("a", _)) ++ Seq(1, 2, 2, 7).map(("b", _)))
+      .toDF("source", "x")
+    assert(Analytics.ksTest(m2).collect()(0).getAs[Double]("ks_stat") == 0.0)
+  }
+
+  test("q51 on testdata: pair count and [0,1] bounds") {
+    import spark.implicits._
+    val out = Analytics.q51KsTest(spark, sfTiny).cache()
+    try {
+      val srcs = Tables.documents(spark, sfTiny)
+        .filter($"source".isNotNull).select($"source").distinct().count()
+      assert(out.count() == srcs * (srcs - 1) / 2)
+      assert(out.filter($"ks_stat" < 0 || $"ks_stat" > 1).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q50 chi-square: zero on a proportional table, V = 1 on a diagonal one") {
     import spark.implicits._
     // perfectly proportional 2×2 (independence): chi2 = 0, V = 0
