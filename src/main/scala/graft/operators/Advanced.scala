@@ -351,9 +351,13 @@ object Advanced {
     * row per user per stage, never raw events, which is the layout that
     * survives a 100× event-volume scale-up. Time delta runs in epoch-µs
     * integers; the mean goes through the decimal policy. */
-  def t12Funnel(s: SparkSession, dir: String): DataFrame = {
+  /** t12's per-user funnel stage — (user_id, signup_ts, purchase_ts) with
+    * purchase_ts = earliest purchase at-or-after the earliest signup.
+    * Shared with the streaming replay spec so the stream twin is compared
+    * against exactly the frame the oracle-checked summary aggregates. */
+  private[graft] def funnelPerUser(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
     val signups = ev.filter($"event_type" === "signup")
       .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
     val purchases = ev.filter($"event_type" === "purchase")
@@ -361,6 +365,11 @@ object Advanced {
       .filter($"ts" >= $"signup_ts")
       .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
     signups.join(purchases, Seq("user_id"), "left")
+  }
+
+  def t12Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    funnelPerUser(Tables.events(s, dir).select($"user_id", $"event_type", $"ts"))
       .select($"user_id", $"signup_ts", $"purchase_ts",
         (unix_micros($"purchase_ts") - unix_micros($"signup_ts")).as("us_to_convert"))
       .agg(

@@ -31,6 +31,18 @@ case class PackedDoc(doc_id: Long, lang: String, shard: Long, seq_id: Long,
 /** One Count-Min cell emitted by the streaming frequency sketch. */
 case class CmsCell(d: Int, b: Int, cell: Long)
 
+/** Per-user funnel state carried by the streaming funnel: earliest signup
+  * micros, earliest valid purchase micros, and the purchases that arrived
+  * BELOW the current signup minimum (they become valid retroactively if an
+  * even earlier signup shows up — the out-of-order case). */
+case class FunnelSt(signupUs: Option[Long], bestUs: Option[Long],
+  pendingUs: List[Long])
+
+/** Running per-user funnel emitted each micro-batch (micros; purchase
+  * null until a valid one exists). */
+case class FunnelOut(user_id: Long, signup_us: Option[Long],
+  purchase_us: Option[Long])
+
 /** Per-key HyperLogLog state carried by the streaming distinct sketch:
   * 256 registers + the raw row count. */
 case class HllState(regs: Array[Byte], n: Long)
@@ -375,6 +387,42 @@ object StreamOps {
           val next = HllState(st.regs, n)
           state.update(next)
           HllEstimate(key, n, hllEstimate(next.regs))
+      }
+  }
+
+  /** t12's streaming twin — per-user conversion funnel as GroupState: the
+    * earliest signup and the earliest purchase at-or-after it, maintained
+    * purely with min-over-set algebra so the result is independent of how
+    * the event stream is sliced into micro-batches AND of arrival order
+    * within a batch (StreamReplaySpec replays round-robin — maximally
+    * out of order — and asserts bit-equality with the batch
+    * `funnelPerUser` frame the oracle-checked t12 aggregates). The subtle
+    * state is `pendingUs`: a purchase BELOW the current signup minimum is
+    * not discarded, because a yet-earlier signup can make it valid
+    * retroactively; it is re-examined whenever the signup minimum drops.
+    * State is two longs + the pre-signup purchase backlog (bounded by
+    * out-of-orderness, zero in a ts-ordered stream). */
+  def funnelStream(events: Dataset[EventRec]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSt, FunnelOut](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventRec], state: GroupState[FunnelSt]) =>
+          val st = state.getOption.getOrElse(FunnelSt(None, None, Nil))
+          val batch = rows.toSeq
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val sNew = (st.signupUs.toSeq ++
+            batch.filter(_.event_type == "signup").map(e => us(e.ts)))
+            .reduceOption(_ min _)
+          val candidates = st.pendingUs ++
+            batch.filter(_.event_type == "purchase").map(e => us(e.ts))
+          val (valid, pending) = sNew match {
+            case Some(s0) => candidates.partition(_ >= s0)
+            case None => (Nil, candidates)
+          }
+          val best = (st.bestUs.toSeq ++ valid).reduceOption(_ min _)
+          state.update(FunnelSt(sNew, best, pending))
+          FunnelOut(uid, sNew, best)
       }
   }
 

@@ -321,6 +321,44 @@ class StreamReplaySpec extends GraftSpec {
       "stream-side LCG acceptance must reproduce the batch mix exactly")
   }
 
+  test("replayed funnelStream equals the batch per-user funnel under out-of-order slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // round-robin slices: arrival order is maximally decoupled from event
+    // time, so purchases routinely precede their user's signup
+    val rr = recs.zipWithIndex.groupBy(_._2 % 8).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    // precondition: the retro-validation path is exercised — some user's
+    // purchase arrives in an earlier slice than ANY of their signups
+    val firstSliceOf = (pred: EventRec => Boolean) =>
+      rr.zipWithIndex.flatMap { case (s, i) =>
+        s.filter(pred).map(e => (e.user_id, i)) }
+        .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).min) }
+    val su = firstSliceOf(_.event_type == "signup")
+    val pu = firstSliceOf(_.event_type == "purchase")
+    assert(pu.exists { case (u, i) => su.get(u).exists(_ > i) },
+      "need a purchase arriving before its user's first signup")
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.funnelStream(in.toDS()).writeStream.format("memory")
+      .queryName("replay_funnel").outputMode("update")
+      .option("checkpointLocation", tmp("funnel-replay")).start()
+    try {
+      rr.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // signup minima only decrease and valid-purchase minima only decrease
+    // once set, so min-over-emissions = the converged per-user state
+    val streamed = spark.table("replay_funnel")
+      .groupBy($"user_id")
+      .agg(min($"signup_us").as("signup_us"), min($"purchase_us").as("purchase_us"))
+      .filter($"signup_us".isNotNull)
+    val batch = operators.Advanced.funnelPerUser(
+        Tables.events(spark, sfTiny).select($"user_id", $"event_type", $"ts"))
+      .select($"user_id", unix_micros($"signup_ts").as("signup_us"),
+        unix_micros($"purchase_ts").as("purchase_us"))
+    assert(canon(streamed) == canon(batch),
+      "streamed funnel state must equal the batch per-user funnel frame")
+  }
+
   test("replayed cmsSketchStream converges to the batch Count-Min cell table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
