@@ -1068,7 +1068,72 @@ object TextOps {
        WHERE length(trim(text)) > 0
        ORDER BY doc_id"""
 
+  // --- d38: readability scoring (Flesch / Flesch–Kincaid) -----------------
+
+  /** Shared Flesch algebra over (wd, st, sy) double columns — one text for
+    * `expr` and the oracle so the IEEE order matches. */
+  private val FleschExpr = "206.835 - 1.015 * (wd / st) - 84.6 * (sy / wd)"
+  private val FkGradeExpr = "0.39 * (wd / st) + 11.8 * (sy / wd) - 15.59"
+
+  /** d38 — readability scoring: Flesch reading ease + Flesch–Kincaid
+    * grade level (Kincaid et al. 1975), the classic audience-level
+    * text-quality signal next to d02's surface heuristics and d31/d34's
+    * rule gates. Sentences = runs of terminal punctuation, syllables =
+    * vowel-group runs (the standard regex approximation; identical under
+    * Java regex and RE2 — d07's character-class precedent), both clamped
+    * to ≥1 so the ratios are total. The ease band derives from the
+    * ROUNDED score (q33 parity path). Fully scan-local: zero shuffles
+    * before the output sort, linear at any corpus size. */
+  def d38Readability(s: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(s, dir))
+
+  /** d38's core over an explicit (doc_id, text) relation — exposed so the
+    * spec can hand-compute the scores of a planted sentence. */
+  private[graft] def readability(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id",
+        size(toks($"text")).as("n_words"),
+        greatest(lit(1), size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))))
+          .as("n_sentences"),
+        greatest(lit(1), size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))))
+          .as("n_syllables"))
+      .filter($"n_words" > 0)
+      .withColumn("wd", $"n_words".cast("double"))
+      .withColumn("st", $"n_sentences".cast("double"))
+      .withColumn("sy", $"n_syllables".cast("double"))
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        r(expr(FleschExpr), 4).as("flesch"),
+        r(expr(FkGradeExpr), 4).as("fk_grade"))
+      .withColumn("band",
+        when($"flesch" >= 90, "very_easy").when($"flesch" >= 70, "easy")
+          .when($"flesch" >= 50, "medium").when($"flesch" >= 30, "hard")
+          .otherwise("very_hard"))
+      .orderBy($"doc_id")
+  }
+
+  val d38Sql: String =
+    s"""WITH m AS (SELECT doc_id,
+         len(${toksSql("text")}) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syllables
+       FROM documents),
+       sc AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+         CAST(n_words AS DOUBLE) AS wd, CAST(n_sentences AS DOUBLE) AS st,
+         CAST(n_syllables AS DOUBLE) AS sy
+       FROM m WHERE n_words > 0)
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+         ${rSql(FleschExpr, 4)} AS flesch, ${rSql(FkGradeExpr, 4)} AS fk_grade,
+         CASE WHEN ${rSql(FleschExpr, 4)} >= 90 THEN 'very_easy'
+              WHEN ${rSql(FleschExpr, 4)} >= 70 THEN 'easy'
+              WHEN ${rSql(FleschExpr, 4)} >= 50 THEN 'medium'
+              WHEN ${rSql(FleschExpr, 4)} >= 30 THEN 'hard'
+              ELSE 'very_hard' END AS band
+       FROM sc ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
     "d32_bpe_encode" -> (d32BpeEncode _),
@@ -1087,6 +1152,7 @@ object TextOps {
     "d27_bpe_train" -> (d27BpeTrain _))
 
   val oracles: Map[String, String] = Map(
+    "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,
     "d32_bpe_encode" -> d32Sql,

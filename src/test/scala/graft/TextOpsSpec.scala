@@ -5,6 +5,37 @@ import graft.operators.TextOps
 
 class TextOpsSpec extends GraftSpec {
 
+  test("d38 readability: hand-computed Flesch scores on a planted sentence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 vowel groups
+      (2L, "")                             // filtered out (no words)
+    ).toDF("doc_id", "text")
+    val rows = TextOps.readability(docs).collect()
+    assert(rows.length == 1)
+    val row = rows(0)
+    assert(row.getAs[Int]("n_words") == 6)
+    assert(row.getAs[Int]("n_sentences") == 2)
+    assert(row.getAs[Int]("n_syllables") == 6)
+    // 206.835 − 1.015·(6/2) − 84.6·(6/6), rounded half-up to 4 dp
+    assert(row.getAs[Double]("flesch") == operators.Num.rD(206.835 - 1.015 * 3 - 84.6, 4))
+    assert(row.getAs[Double]("fk_grade") == operators.Num.rD(0.39 * 3 + 11.8 - 15.59, 4))
+    assert(row.getAs[String]("band") == "very_easy")
+  }
+
+  test("d38 on testdata: totals positive, bands consistent with scores") {
+    import spark.implicits._
+    val out = TextOps.d38Readability(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"n_sentences" < 1 || $"n_syllables" < 1).count() == 0)
+      val bad = out.filter(
+        ($"band" === "very_easy" && $"flesch" < 90) ||
+        ($"band" === "very_hard" && $"flesch" >= 30)).count()
+      assert(bad == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d01 token count matches a driver-side recount on a sample") {
     val rows = TextOps.d01TokenStats(spark, sfTiny).limit(20).collect()
     val texts = Tables.documents(spark, sfTiny)
