@@ -1565,7 +1565,80 @@ object Similarity {
        FROM pr WHERE rn = 1
        ORDER BY vec_id"""
 
+  // --- e20: truncated-dimension (Matryoshka) recall -------------------------
+
+  private val MrlDims = Seq(8, 16, 32)
+
+  /** e20 — Matryoshka-style truncation evaluation (Kusupati et al. 2022,
+    * arXiv:2205.13147): recall@5 of exact search run on PREFIX dimensions
+    * (8/16/32 of 64) against the full-dimension exact top-5 — the
+    * dimension/quality trade curve behind adaptive-retrieval deployments
+    * (search coarse in a prefix, refine in full dims; e16/e17 quantize
+    * width, e20 cuts width). Each truncated search is [[cosineTopK]]
+    * itself over the sliced corpus (same budgeted hash-rank queries, so
+    * per-query sets align by construction), and recall joins on the
+    * (query, neighbor) pairs. Per-width report: mean + median recall@5.
+    *
+    * Scale: 1 + |[[MrlDims]]| budgeted broadcast searches, each e01's
+    * shape — O(budget · corpus) scan-local work, no new shuffles. */
+  def e20MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache() // exact + one sliced search per width
+    val exact5 = cosineTopK(c, QueryBudget)
+      .select($"query_id", $"neighbor_id").cache()
+    val qbase = exact5.select($"query_id").distinct()
+    val parts = MrlDims.map { m =>
+      val cm = c.select($"vec_id", slice($"v", 1, m).as("v"))
+        .withColumn("nrm", sqrt(VectorExpressions.dot($"v", $"v")))
+      val t5 = cosineTopK(cm, QueryBudget).select($"query_id", $"neighbor_id")
+      qbase.join(
+          t5.join(exact5, Seq("query_id", "neighbor_id"))
+            .groupBy($"query_id").agg(count(lit(1)).as("h")),
+          Seq("query_id"), "left")
+        .select(coalesce($"h", lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          ravg($"hits" / lit(5.0), 6).as("avg_recall5"),
+          r(percentile($"hits" / lit(5.0), lit(0.5)), 6).as("p50_recall5"))
+        .select(lit(m).as("m_dims"), $"n_queries", $"avg_recall5", $"p50_recall5")
+    }
+    val out = parts.reduce(_ unionByName _).orderBy($"m_dims").localCheckpoint(true)
+    Seq(c, exact5).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val e20Sql: String = {
+    val perM = MrlDims.map { m =>
+      s"""tq$m AS (SELECT vec_id AS query_id, v AS qv,
+           sqrt(list_sum(list_transform(v[1:$m], x -> x * x))) AS qnrm
+         FROM n WHERE vec_id % 100 = 0
+         ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
+       tp$m AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           ${rSql(s"list_sum(list_transform(range(1, ${m + 1}), i -> q.qv[i] * c.v[i])) / (q.qnrm * sqrt(list_sum(list_transform(v[1:$m], x -> x * x))))", 6)} AS cosine
+         FROM tq$m q JOIN n c ON q.query_id != c.vec_id),
+       rk$m AS (SELECT query_id, neighbor_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM tp$m),
+       h$m AS (SELECT b.query_id, count(x.neighbor_id) AS hits
+         FROM (SELECT DISTINCT query_id FROM ex WHERE rank <= 5) b
+         LEFT JOIN (SELECT t.query_id, t.neighbor_id FROM rk$m t
+           JOIN ex ON ex.query_id = t.query_id
+             AND ex.neighbor_id = t.neighbor_id AND ex.rank <= 5
+           WHERE t.rank <= 5) x ON x.query_id = b.query_id
+         GROUP BY b.query_id),
+       s$m AS (SELECT $m AS m_dims, count(*) AS n_queries,
+           ${ravgSql("hits / 5.0", 6)} AS avg_recall5,
+           ${rSql("quantile_cont(hits / 5.0, 0.5)", 6)} AS p50_recall5
+         FROM h$m)"""
+    }.mkString(",\n       ")
+    val un = MrlDims.map(m => s"SELECT * FROM s$m").mkString(" UNION ALL ")
+    s"""WITH n AS MATERIALIZED ($corpusSql),
+       $e01Ctes,
+       $perM
+       SELECT * FROM ($un) z ORDER BY m_dims"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_matryoshka_recall" -> (e20MatryoshkaRecall _),
     "e19_embedding_knn" -> (e19EmbeddingKnn _),
     "e18_pca_project" -> (e18PcaProject _),
     "e07_pq_quantize" -> (e07PqQuantize _),
@@ -1591,6 +1664,7 @@ object Similarity {
     "e19_embedding_knn" -> e19Sql,
     "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,
+    "e20_matryoshka_recall" -> e20Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,
     "e03_lsh_ann" -> e03Sql,

@@ -150,6 +150,26 @@ class SimilaritySpec extends GraftSpec {
     assert(a.sameElements(b))
   }
 
+  test("e20 matryoshka recall: aligned query sets, bounded recalls, width signal") {
+    import spark.implicits._
+    val rows = Similarity.e20MatryoshkaRecall(spark, sfTiny).collect()
+    assert(rows.map(_.getAs[Int]("m_dims")).toSeq == Seq(8, 16, 32))
+    // every width is evaluated on the same budgeted query set
+    assert(rows.map(_.getAs[Long]("n_queries")).distinct.length == 1)
+    assert(rows.forall(_.getAs[Long]("n_queries") > 0))
+    rows.foreach { r =>
+      val a = r.getAs[Double]("avg_recall5")
+      assert(a >= 0.0 && a <= 1.0, s"$r")
+      assert(r.getAs[Double]("p50_recall5") >= 0.0 && r.getAs[Double]("p50_recall5") <= 1.0)
+    }
+    // the widest prefix must retain a detectable fraction of the exact
+    // neighbors (measured 0.28 on this synthetic corpus), and truncation
+    // to 1/8 width cannot beat half width by more than small-sample noise
+    val byM = rows.map(r => r.getAs[Int]("m_dims") -> r.getAs[Double]("avg_recall5")).toMap
+    assert(byM(32) >= 0.1, s"recall@32 ${byM(32)}")
+    assert(byM(8) <= byM(32) + 0.2, s"8-dim ${byM(8)} vs 32-dim ${byM(32)}")
+  }
+
   test("e08 recall report: one row per e01 query, recalls in [0,1], IVF nonzero") {
     import spark.implicits._
     val out = Similarity.e08AnnRecall(spark, sfTiny).cache()
