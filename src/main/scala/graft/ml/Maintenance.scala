@@ -7,7 +7,7 @@ import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Num, Telemetry}
+import graft.operators.{DedupLsh, Num, Telemetry}
 import Num._
 
 /** The reference's ML path (SURVEY.md §2.3 M1–M4) as an MLlib pipeline:
@@ -365,7 +365,108 @@ object Maintenance {
        FROM sc GROUP BY fold ORDER BY fold"""
   }
 
+  // --- ml12: learning curve as cumulative moment algebra ------------------
+
+  /** ml12 — the dataset-size ablation ("learning curve"): the ml03
+    * closed-form model trained on growing prefixes of the corpus (h60
+    * deciles 0..k for k = 0..8) and evaluated on the held-out decile 9 —
+    * the scaling ablation every data-pipeline team runs before paying for
+    * more data. The whole curve costs ONE grouped aggregation: per-decile
+    * moments cumulate to prefix moments with a 10-row running window (the
+    * moments are additive, ml11's trick in prefix form), each prefix row
+    * solves its own normal equations, and the 9-row weight table
+    * broadcasts against the fixed test decile. At 100 TB all 9 trainings
+    * still cost one pass. */
+  def ml12LearningCurve(s: SparkSession, dir: String): DataFrame = {
+    val t = Telemetry.twin(s).select(
+      col("id"), (DedupLsh.h60(col("id").cast("string")) % 10).as("h"),
+      col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    def dmom(c: Column): Column = sum(c.cast("decimal(38,10)"))
+    val dm = t.groupBy(col("h")).agg(
+      count(lit(1)).as("fn"),
+      dmom(col("x1")).as("f1"), dmom(col("x2")).as("f2"),
+      dmom(col("x1") * col("x1")).as("f11"),
+      dmom(col("x1") * col("x2")).as("f12"),
+      dmom(col("x2") * col("x2")).as("f22"),
+      dmom(col("is_anomaly").cast("double")).as("fy"),
+      dmom(col("x1") * col("is_anomaly")).as("f1y"),
+      dmom(col("x2") * col("is_anomaly")).as("f2y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def cum(c: String, as: String): Column = sum(col(c)).over(w).as(as)
+    val pm = dm.select(col("h"),
+        cum("fn", "cn"), cum("f1", "c1"), cum("f2", "c2"), cum("f11", "c11"),
+        cum("f12", "c12"), cum("f22", "c22"), cum("fy", "cy"),
+        cum("f1y", "c1y"), cum("f2y", "c2y"))
+      .filter(col("h") <= 8)
+      .select(col("h").as("k"), col("cn").as("n_train"),
+        col("cn").cast("double").as("nn"),
+        col("c1").cast("double").as("s1"), col("c2").cast("double").as("s2"),
+        col("c11").cast("double").as("s11"), col("c12").cast("double").as("s12"),
+        col("c22").cast("double").as("s22"), col("cy").cast("double").as("sy"),
+        col("c1y").cast("double").as("s1y"), col("c2y").cast("double").as("s2y"))
+    val wts = pm.select(col("k"), col("n_train"),
+      expr(s"$detBS / $detS").as("b"),
+      expr(s"$detW1S / $detS").as("w1"),
+      expr(s"$detW2S / $detS").as("w2"))
+    val sqErr = (col("is_anomaly") - col("score")) * (col("is_anomaly") - col("score"))
+    val hit = (col("score") >= 0.5).cast("int") === col("is_anomaly")
+    t.filter(col("h") === 9)
+      .crossJoin(broadcast(wts))
+      .withColumn("score", r(expr("b + w1 * x1 + w2 * x2"), 6))
+      .groupBy(col("k")).agg(
+        min(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        r(min(col("b")), 6).as("b"),
+        r(min(col("w1")), 6).as("w1"),
+        r(min(col("w2")), 6).as("w2"),
+        r(count(when(hit, 1)).cast("double") / count(lit(1)), 6).as("accuracy"),
+        r(sqrt(dsum(sqErr) / count(lit(1))), 6).as("rmse"))
+      .orderBy(col("k"))
+  }
+
+  val ml12Sql: String = {
+    def dmomS(e: String): String = s"sum(CAST(($e) AS DECIMAL(38,10)))"
+    def cumS(c: String, as: String): String =
+      s"sum($c) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS $as"
+    val hitS = "CAST(score >= 0.5 AS INTEGER) = is_anomaly"
+    s"""WITH t AS (SELECT id, ${DedupLsh.h60Sql("id::VARCHAR")} % 10 AS h,
+         is_anomaly, temperature AS x1, vibration AS x2
+       FROM (${Telemetry.twinSql})),
+       dm AS (SELECT h, count(*) AS fn,
+         ${dmomS("x1")} AS f1, ${dmomS("x2")} AS f2,
+         ${dmomS("x1 * x1")} AS f11, ${dmomS("x1 * x2")} AS f12,
+         ${dmomS("x2 * x2")} AS f22,
+         ${dmomS("CAST(is_anomaly AS DOUBLE)")} AS fy,
+         ${dmomS("x1 * is_anomaly")} AS f1y, ${dmomS("x2 * is_anomaly")} AS f2y
+         FROM t GROUP BY h),
+       pm0 AS (SELECT h, ${cumS("fn", "cn")}, ${cumS("f1", "c1")},
+         ${cumS("f2", "c2")}, ${cumS("f11", "c11")}, ${cumS("f12", "c12")},
+         ${cumS("f22", "c22")}, ${cumS("fy", "cy")}, ${cumS("f1y", "c1y")},
+         ${cumS("f2y", "c2y")} FROM dm),
+       pm AS (SELECT h AS k, CAST(cn AS BIGINT) AS n_train,
+         CAST(cn AS DOUBLE) AS nn,
+         CAST(c1 AS DOUBLE) AS s1, CAST(c2 AS DOUBLE) AS s2,
+         CAST(c11 AS DOUBLE) AS s11, CAST(c12 AS DOUBLE) AS s12,
+         CAST(c22 AS DOUBLE) AS s22, CAST(cy AS DOUBLE) AS sy,
+         CAST(c1y AS DOUBLE) AS s1y, CAST(c2y AS DOUBLE) AS s2y
+         FROM pm0 WHERE h <= 8),
+       wts AS (SELECT k, n_train, $detBS / $detS AS b,
+         $detW1S / $detS AS w1, $detW2S / $detS AS w2 FROM pm),
+       sc AS (SELECT k, n_train, is_anomaly, b, w1, w2,
+         ${rSql("b + w1 * x1 + w2 * x2", 6)} AS score
+         FROM (SELECT * FROM t WHERE h = 9) te CROSS JOIN wts)
+       SELECT k, min(n_train) AS n_train, count(*) AS n_test,
+         ${rSql("min(b)", 6)} AS b, ${rSql("min(w1)", 6)} AS w1,
+         ${rSql("min(w2)", 6)} AS w2,
+         ${rSql(s"CAST(count(*) FILTER (WHERE $hitS) AS DOUBLE) / count(*)", 6)} AS accuracy,
+         ${rSql(s"sqrt(${dsumSql("(is_anomaly - score) * (is_anomaly - score)")} / count(*))", 6)} AS rmse
+       FROM sc GROUP BY k ORDER BY k"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml12_learning_curve" -> (ml12LearningCurve _),
     "ml01_rf_scoring" -> (ml01RfScoring _),
     "ml02_lr_scoring" -> (ml02LrScoring _),
     "ml03_lsq_scoring" -> (ml03LsqScoring _),
@@ -375,6 +476,7 @@ object Maintenance {
   /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
     * closed-form algebra mirrors exactly. */
   val oracles: Map[String, String] = Map(
+    "ml12_learning_curve" -> ml12Sql,
     "ml03_lsq_scoring" -> ml03Sql,
     "ml04_gd_scoring" -> ml04Sql,
     "ml11_kfold_cv" -> ml11Sql)

@@ -59,10 +59,10 @@ object DedupLsh {
     * headroom for the affine permutations). Spark's conv and DuckDB's
     * '0x'-cast agree exactly; md5-of-utf8 parity is already proven by the
     * oracle-green d04. */
-  private[operators] def h60(c: Column): Column =
+  private[graft] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  private[operators] def h60Sql(e: String): String =
+  private[graft] def h60Sql(e: String): String =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
   /** (doc_id, text) → (doc_id, sh): word 3-gram shingles (order-sensitive,

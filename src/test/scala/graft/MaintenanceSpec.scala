@@ -87,6 +87,30 @@ class MaintenanceSpec extends GraftSpec {
     } finally df.unpersist()
   }
 
+  test("ml12 learning curve: prefix algebra closes, every prefix model generalizes") {
+    val df = Maintenance.ml12LearningCurve(spark, sfTiny).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.length == 9, s"${rows.length} curve points")
+      // prefixes grow strictly and the test decile is fixed
+      val nt = rows.map(_.getAs[Long]("n_train"))
+      assert(nt.zip(nt.tail).forall { case (a, b) => a < b }, nt.mkString(","))
+      assert(rows.map(_.getAs[Long]("n_test")).distinct.length == 1)
+      assert(nt.last + rows(0).getAs[Long]("n_test") == 10000L)
+      // the twin is separable: even the smallest prefix recovers the rule
+      rows.foreach { r =>
+        assert(r.getAs[Double]("accuracy") >= 0.98, s"$r")
+        assert(r.getAs[Double]("rmse") <= 0.5, s"$r")
+      }
+      // weights converge: the largest two prefixes agree to 2 decimals
+      val last2 = rows.takeRight(2)
+      Seq("b", "w1", "w2").foreach { c =>
+        val Seq(a, b) = last2.map(_.getAs[Double](c)).toSeq
+        assert(math.abs(a - b) < 0.05, s"$c: $a vs $b")
+      }
+    } finally df.unpersist()
+  }
+
   test("held-out precision/recall reproduce the reference's 1.00/1.00") {
     val (p, r) = Maintenance.evaluate(spark)
     assert(p == 1.0, s"precision $p")
