@@ -675,6 +675,98 @@ object Analytics {
        GROUP BY a.source, b.source
        ORDER BY source_a, source_b"""
 
+  // --- q52: pairwise Mann–Whitney U rank-sum test ---------------------------
+
+  /** q52 — tie-corrected Mann–Whitney U (Wilcoxon rank-sum) between every
+    * pair of sources on the per-doc token count: the nonparametric location
+    * test that complements q49 (mean shift under normality) and q51 (any
+    * distribution shift). `u_stat` counts the pairs where the a-side value
+    * wins (#\{(xa, xb) : xa > xb\} + ½·ties); `z` is the normal
+    * approximation with the standard tie correction
+    * σ² = (nA·nB/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Everything until the final z is exact integer arithmetic on the q51
+    * count-table shape (2U stays a BIGINT, so no double sum can reorder):
+    * one (source, value) count aggregation touches the corpus; U comes from
+    * cumulative counts over the shared value axis; the z formula is one
+    * shared expression text evaluated on integer-derived doubles, so the
+    * IEEE ops mirror exactly. Scale cost = the one count scan. */
+  def q52MannWhitneyU(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mannWhitneyU(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** Shared z text: inputs na/nb/tt are integer-derived doubles, u2 = 2U a
+    * BIGINT — identical IEEE evaluation order in both engines. */
+  private val MwZ =
+    "(u2 / 2.0 - na * nb / 2.0) / sqrt(na * nb / 12.0 * " +
+      "((na + nb + 1.0) - tt / ((na + nb) * (na + nb - 1.0))))"
+
+  /** q52's core over an explicit (source, x) relation — exposed so the spec
+    * can plant samples with a hand-computed U and z. */
+  private[graft] def mannWhitneyU(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val cnt = metric.groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+      .cache() // feeds the value axis, the per-source totals, and the grid
+    val vals = cnt.select($"x").distinct()
+    val srcn = cnt.groupBy($"source").agg(sum($"c").as("n"))
+    val grid = srcn.crossJoin(broadcast(vals))
+      .join(cnt, Seq("source", "x"), "left")
+      .select($"source", $"n", $"x", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("cum",
+        sum($"c").over(Window.partitionBy($"source").orderBy($"x")))
+    val a = grid.select($"source".as("source_a"), $"n".as("n_a"),
+      $"x", $"c".as("ca"))
+    val b = grid.select($"source".as("source_b"), $"n".as("n_b"),
+      $"x", $"c".as("cb"), $"cum".as("cumb"))
+    val out = a.join(b, Seq("x")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(min($"n_a").as("n_a"), min($"n_b").as("n_b"),
+        // 2U = Σ cA·(2·(#B below) + #B tied) — exact BIGINT
+        sum($"ca" * (($"cumb" - $"cb") * 2 + $"cb")).as("u2"),
+        // pooled tie term Σ(t³ − t), t = per-value pooled count
+        sum(($"ca" + $"cb") * ($"ca" + $"cb") * ($"ca" + $"cb")
+          - ($"ca" + $"cb")).as("tt"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        $"n_a".cast("double").as("na"), $"n_b".cast("double").as("nb"),
+        // u2 ≤ 2·nA·nB < 2^53 at any realistic per-source count → exact
+        $"u2".cast("double").as("u2"), $"tt".cast("double").as("tt"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        ($"u2" / 2.0).as("u_stat"),
+        r(expr(MwZ), 6).as("z"))
+      .orderBy($"source_a", $"source_b")
+      .localCheckpoint(true)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  val q52Sql: String =
+    s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
+       FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+             FROM documents) z
+       GROUP BY source, x),
+       vals AS (SELECT DISTINCT x FROM cnt),
+       srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+       grid AS (SELECT s.source, s.n, v.x, coalesce(c.c, 0) AS c,
+         CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY s.source ORDER BY v.x) AS BIGINT) AS cum
+         FROM srcn s CROSS JOIN vals v
+         LEFT JOIN cnt c ON c.source = s.source AND c.x = v.x),
+       pair AS (SELECT a.source AS source_a, b.source AS source_b,
+         min(a.n) AS n_a, min(b.n) AS n_b,
+         CAST(sum(a.c * ((b.cum - b.c) * 2 + b.c)) AS BIGINT) AS u2,
+         CAST(sum((a.c + b.c) * (a.c + b.c) * (a.c + b.c) - (a.c + b.c)) AS BIGINT) AS tt
+       FROM grid a JOIN grid b ON a.x = b.x AND a.source < b.source
+       GROUP BY a.source, b.source)
+       SELECT source_a, source_b, n_a, n_b, u2 / 2.0 AS u_stat,
+         ${rSql(MwZ, 6)} AS z
+       FROM (SELECT source_a, source_b, n_a, n_b,
+         CAST(u2 AS DOUBLE) AS u2,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(tt AS DOUBLE) AS tt FROM pair) p
+       ORDER BY source_a, source_b"""
+
   // --- q50: chi-square independence of the lang × source grid --------------
 
   /** q50 — Pearson chi-square test of independence between document
@@ -979,6 +1071,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_mannwhitney_u" -> (q52MannWhitneyU _),
     "q51_ks_test" -> (q51KsTest _),
     "q50_chi2_independence" -> (q50Chi2Independence _),
     "q49_welch_ttest" -> (q49WelchTtest _),
@@ -1005,6 +1098,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q52_mannwhitney_u" -> q52Sql,
     "q51_ks_test" -> q51Sql,
     "q50_chi2_independence" -> q50Sql,
     "q49_welch_ttest" -> q49Sql,

@@ -31,6 +31,41 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q52 Mann–Whitney: hand-computed U and z, tie-corrected") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}: every b beats every a → U = 0;
+    // σ² = (4/12)·(5 − 0) = 5/3, z = (0 − 2)/√(5/3) = −1.5491933…
+    val m1 = (Seq(1, 2).map(("a", _)) ++ Seq(3, 4).map(("b", _)))
+      .toDF("source", "x")
+    val r1 = Analytics.mannWhitneyU(m1).collect()(0)
+    assert(r1.getAs[Long]("n_a") == 2L && r1.getAs[Long]("n_b") == 2L)
+    assert(r1.getAs[Double]("u_stat") == 0.0, s"$r1")
+    assert(r1.getAs[Double]("z") == -1.549193, s"$r1")
+    // label swap mirrors: a = {3,4}, b = {1,2} → U = nA·nB = 4, z = +1.549193
+    val m2 = (Seq(3, 4).map(("a", _)) ++ Seq(1, 2).map(("b", _)))
+      .toDF("source", "x")
+    val r2 = Analytics.mannWhitneyU(m2).collect()(0)
+    assert(r2.getAs[Double]("u_stat") == 4.0 && r2.getAs[Double]("z") == 1.549193, s"$r2")
+    // identical tied samples {1,2,2,7}: U = nA·nB/2 = 8 exactly, z = 0 —
+    // exercises both the ½·tie credit in U and the Σ(t³−t) correction
+    val m3 = (Seq(1, 2, 2, 7).map(("a", _)) ++ Seq(1, 2, 2, 7).map(("b", _)))
+      .toDF("source", "x")
+    val r3 = Analytics.mannWhitneyU(m3).collect()(0)
+    assert(r3.getAs[Double]("u_stat") == 8.0 && r3.getAs[Double]("z") == 0.0, s"$r3")
+  }
+
+  test("q52 on testdata: pair count and 0 ≤ U ≤ nA·nB") {
+    import spark.implicits._
+    val out = Analytics.q52MannWhitneyU(spark, sfTiny).cache()
+    try {
+      val srcs = Tables.documents(spark, sfTiny)
+        .filter($"source".isNotNull).select($"source").distinct().count()
+      assert(out.count() == srcs * (srcs - 1) / 2)
+      assert(out.filter($"u_stat" < 0 ||
+        $"u_stat" > $"n_a".cast("double") * $"n_b").count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q50 chi-square: zero on a proportional table, V = 1 on a diagonal one") {
     import spark.implicits._
     // perfectly proportional 2×2 (independence): chi2 = 0, V = 0
