@@ -675,6 +675,79 @@ object Analytics {
        GROUP BY a.source, b.source
        ORDER BY source_a, source_b"""
 
+  // --- q53: Benford first-digit distribution audit --------------------------
+
+  /** Benford P(d) = log10(1 + 1/d), d = 1..9 — literal doubles identical in
+    * both engines (DuckDB VALUES get an explicit DOUBLE cast; a bare decimal
+    * literal there would be DECIMAL). */
+  private val BenfordP = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** Shared χ² contribution text: nn (total count) / os (observed share) are
+    * integer-derived doubles, p the literal expectation. */
+  private val BenfordChi = "nn * (os - p) * (os - p) / p"
+
+  /** q53 — Benford's-law audit of the order amounts: the fraud/synthetic-data
+    * detector ("do the first significant digits follow log10(1+1/d)?").
+    * The digit is taken portably from the cent-exact integer amount
+    * (floor(x·100 + 0.5) → first character of its decimal string — no
+    * floating log10, whose last-ulp behavior differs between libm and the
+    * JVM), counted in one map-side-combinable pass, and laid over the
+    * 9-row literal expectation table so absent digits still report a row.
+    * Per-digit χ² contributions n·(p̂−p)²/p use one shared expression text.
+    * At 100 TB the cost is the single count scan; the audit is free. */
+  def q53Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    benford(Tables.orders(s, dir).select($"o_totalprice".as("x")))
+  }
+
+  /** q53's core over an explicit (x) amount relation — exposed so the spec
+    * can plant digit-skewed samples with hand-computed shares. */
+  private[graft] def benford(amounts: DataFrame): DataFrame = {
+    val s = amounts.sparkSession
+    import s.implicits._
+    val obs = amounts
+      .select(substring(floor($"x" * 100 + 0.5).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum($"n_obs").as("n"))
+    val exp = BenfordP.toDF("digit", "p")
+    exp.join(obs, Seq("digit"), "left")
+      .select($"digit".cast("long").as("digit"), $"p",
+        coalesce($"n_obs", lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs", $"p",
+        $"n".cast("double").as("nn"),
+        ($"n_obs".cast("double") / $"n".cast("double")).as("os"))
+      .select($"digit", $"n_obs",
+        r($"os", 6).as("obs_share"), r($"p", 6).as("exp_share"),
+        r(expr(BenfordChi), 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
+  val q53Sql: String = {
+    val values = BenfordP
+      .map { case (d, p) => s"($d, CAST($p AS DOUBLE))" }.mkString(", ")
+    s"""WITH amt AS (SELECT o_totalprice AS x FROM orders),
+       obs AS (SELECT CAST(substr(CAST(CAST(floor(x * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n_obs
+       FROM amt GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+       exp AS (SELECT * FROM (VALUES $values) t(digit, p))
+       SELECT digit, n_obs, ${rSql("os", 6)} AS obs_share,
+         ${rSql("p", 6)} AS exp_share, ${rSql(BenfordChi, 6)} AS chi2_term
+       FROM (SELECT CAST(e.digit AS BIGINT) AS digit,
+         coalesce(o.n_obs, 0) AS n_obs, e.p,
+         CAST(t.n AS DOUBLE) AS nn,
+         CAST(coalesce(o.n_obs, 0) AS DOUBLE) / CAST(t.n AS DOUBLE) AS os
+       FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t) z
+       ORDER BY digit"""
+  }
+
   // --- q52: pairwise Mann–Whitney U rank-sum test ---------------------------
 
   /** q52 — tie-corrected Mann–Whitney U (Wilcoxon rank-sum) between every
@@ -1071,6 +1144,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_benford" -> (q53Benford _),
     "q52_mannwhitney_u" -> (q52MannWhitneyU _),
     "q51_ks_test" -> (q51KsTest _),
     "q50_chi2_independence" -> (q50Chi2Independence _),
@@ -1098,6 +1172,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q53_benford" -> q53Sql,
     "q52_mannwhitney_u" -> q52Sql,
     "q51_ks_test" -> q51Sql,
     "q50_chi2_independence" -> q50Sql,

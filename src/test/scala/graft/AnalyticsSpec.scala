@@ -31,6 +31,35 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q53 Benford: digit extraction across magnitudes, hand-computed terms") {
+    import spark.implicits._
+    // all five amounts lead with digit 1 across four orders of magnitude,
+    // plus one digit-9 value from the sub-unit range (0.99 → cents 99)
+    val amt = Seq(1.00, 19.99, 123.45, 1999.00, 0.99).toDF("x")
+    val out = Analytics.benford(amt).collect()
+    assert(out.length == 9)
+    val d1 = out.find(_.getAs[Long]("digit") == 1L).get
+    assert(d1.getAs[Long]("n_obs") == 4L && d1.getAs[Double]("obs_share") == 0.8)
+    val d9 = out.find(_.getAs[Long]("digit") == 9L).get
+    assert(d9.getAs[Long]("n_obs") == 1L && d9.getAs[Double]("obs_share") == 0.2)
+    // an absent digit still reports: share 0, χ² term = n·p(d) exactly
+    val d5 = out.find(_.getAs[Long]("digit") == 5L).get
+    assert(d5.getAs[Long]("n_obs") == 0L && d5.getAs[Double]("obs_share") == 0.0)
+    assert(d5.getAs[Double]("chi2_term") ==
+      graft.operators.Num.rD(5 * 0.07918124604762482, 6), s"$d5")
+  }
+
+  test("q53 on testdata: 9 rows covering every order") {
+    import spark.implicits._
+    val out = Analytics.q53Benford(spark, sfTiny).cache()
+    try {
+      assert(out.count() == 9)
+      assert(out.agg(sum($"n_obs")).collect()(0).getLong(0) ==
+        Tables.orders(spark, sfTiny).count())
+      assert(out.filter($"obs_share" < 0 || $"obs_share" > 1).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q52 Mann–Whitney: hand-computed U and z, tie-corrected") {
     import spark.implicits._
     // a = {1,2}, b = {3,4}: every b beats every a → U = 0;
