@@ -338,6 +338,90 @@ object Curation {
        ORDER BY te.doc_id"""
   }
 
+  // --- d39: per-source n-gram novelty audit -------------------------------
+
+  /** d39 — n-gram novelty audit: for each document, the fraction of its
+    * distinct 5-grams FIRST introduced by that document (first occurrence
+    * = min doc_id over the whole corpus), rolled up per source. The
+    * memorization/duplication health metric of crawl ingestion: a source
+    * whose novelty ratio collapses is re-crawling text the corpus already
+    * has, even when no single document is an exact or near duplicate
+    * (complements d04/d11, which find whole-doc duplicates, and d35,
+    * which audits a specific split boundary).
+    *
+    * Scale shape: gram arrays are materialized once before the explode
+    * (invariant 5), the first-seen table is ONE map-side-combinable
+    * min(doc_id) per gram, and the novelty join is gram-keyed equi-join —
+    * the d35 shape. Nothing ever shuffles text; everything downstream of
+    * the two explodes is (gram)- or (doc)-sized. */
+  def d39Novelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    noveltyReport(Tables.documents(s, dir)
+      .select($"doc_id", coalesce($"source", lit("")).as("source"), $"text"))
+  }
+
+  /** d39's core over an explicit (doc_id, source, text) relation — exposed
+    * so the spec can plant a corpus with hand-countable first occurrences. */
+  private[graft] def noveltyReport(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g0 = docs
+      .select($"doc_id", $"source", toks(lower($"text")).as("tk"))
+      .select($"doc_id", $"source", gramsCol(LeakN).as("gs"))
+      .cache() // materialize gram arrays BEFORE the explodes (invariant 5)
+    val first = g0.select(explode($"gs").as("g"), $"doc_id")
+      .groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    val perDoc = g0
+      .select($"doc_id", $"source", size($"gs").as("n_ngrams"),
+        explode_outer($"gs").as("g"))
+      .join(first, Seq("g"), "left")
+      .groupBy($"doc_id", $"source", $"n_ngrams")
+      .agg(count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+      .select($"source", $"n_ngrams", $"n_novel",
+        when($"n_ngrams" > 0,
+          r($"n_novel".cast("double") / $"n_ngrams", 6)).otherwise(lit(0.0))
+          .as("doc_novelty"))
+    val out = perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_ngrams").as("n_grams"),
+        sum($"n_novel").as("n_novel"),
+        ravg($"doc_novelty", 6).as("mean_doc_novelty"))
+      .select($"source", $"n_docs", $"n_grams", $"n_novel",
+        when($"n_grams" > 0,
+          r($"n_novel".cast("double") / $"n_grams", 6)).otherwise(lit(0.0))
+          .as("novelty_ratio"),
+        $"mean_doc_novelty")
+      .orderBy($"source")
+      .localCheckpoint(true)
+    g0.unpersist(blocking = false)
+    out
+  }
+
+  val d39Sql: String =
+    s"""WITH g0 AS MATERIALIZED (SELECT doc_id, source, ${gramsSql(LeakN)} AS gs
+       FROM (SELECT doc_id, coalesce(source, '') AS source,
+             ${toksSql("lower(text)")} AS tk FROM documents) z),
+       fg AS (SELECT g, min(doc_id) AS first_doc
+         FROM (SELECT doc_id, unnest(gs) AS g FROM g0) e GROUP BY g),
+       ex AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+       nv AS (SELECT e.doc_id,
+           count(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS n_novel
+         FROM ex e LEFT JOIN fg f ON f.g = e.g GROUP BY e.doc_id),
+       pd AS (SELECT d.source, len(d.gs) AS n_ngrams,
+           coalesce(n.n_novel, 0) AS n_novel,
+           CASE WHEN len(d.gs) > 0
+             THEN ${rSql("coalesce(n.n_novel, 0) / len(d.gs)", 6)}
+             ELSE 0.0 END AS doc_novelty
+         FROM g0 d LEFT JOIN nv n ON n.doc_id = d.doc_id)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_ngrams) AS BIGINT) AS n_grams,
+         CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         CASE WHEN CAST(sum(n_ngrams) AS BIGINT) > 0
+           THEN ${rSql("CAST(CAST(sum(n_novel) AS BIGINT) AS DOUBLE) / CAST(sum(n_ngrams) AS BIGINT)", 6)}
+           ELSE 0.0 END AS novelty_ratio,
+         ${ravgSql("doc_novelty", 6)} AS mean_doc_novelty
+       FROM pd GROUP BY source ORDER BY source"""
+
   // --- d17: PII scrubbing -----------------------------------------------
 
   // Scala-escaped once: the actual patterns are [a-z0-9._%+-]+@... / \d{3}-…
@@ -639,6 +723,7 @@ object Curation {
     "d22_dataset_card" -> (d22DatasetCard _),
     "d16_decontaminate" -> (d16Decontaminate _),
     "d35_split_leakage" -> (d35SplitLeakage _),
+    "d39_novelty" -> (d39Novelty _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
     "d19_domain_mix" -> (d19DomainMix _),
@@ -650,6 +735,7 @@ object Curation {
     "d22_dataset_card" -> d22Sql,
     "d16_decontaminate" -> d16Sql,
     "d35_split_leakage" -> d35Sql,
+    "d39_novelty" -> d39Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,
     "d19_domain_mix" -> d19Sql,

@@ -5,6 +5,45 @@ import graft.operators.Curation
 
 class CurationSpec extends GraftSpec {
 
+  test("d39 novelty: hand-countable first occurrences on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c d e f"), // grams {a b c d e, b c d e f} — both first here
+      (2L, "s1", "a b c d e f"), // exact repeat → 0 novel
+      (3L, "s2", "a b c d e x"), // one seen gram, one new → 0.5
+      (4L, "s2", "hi there")     // too short for a 5-gram → 0 grams
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.noveltyReport(docs).collect()
+    assert(out.length == 2)
+    val s1 = out.find(_.getAs[String]("source") == "s1").get
+    assert(s1.getAs[Long]("n_docs") == 2L && s1.getAs[Long]("n_grams") == 4L
+      && s1.getAs[Long]("n_novel") == 2L, s"$s1")
+    assert(s1.getAs[Double]("novelty_ratio") == 0.5
+      && s1.getAs[Double]("mean_doc_novelty") == 0.5, s"$s1")
+    val s2 = out.find(_.getAs[String]("source") == "s2").get
+    assert(s2.getAs[Long]("n_docs") == 2L && s2.getAs[Long]("n_grams") == 2L
+      && s2.getAs[Long]("n_novel") == 1L, s"$s2")
+    assert(s2.getAs[Double]("novelty_ratio") == 0.5
+      && s2.getAs[Double]("mean_doc_novelty") == 0.25, s"$s2")
+  }
+
+  test("d39 on testdata: every distinct gram is novel exactly once") {
+    import spark.implicits._
+    val out = Curation.d39Novelty(spark, sfTiny).cache()
+    try {
+      val docs = Tables.documents(spark, sfTiny)
+      assert(out.agg(sum($"n_docs")).collect()(0).getLong(0) == docs.count())
+      // Σ n_novel over sources = # distinct 5-grams in the corpus (each
+      // gram has exactly one first occurrence)
+      val distinctGrams = docs
+        .select(graft.operators.TextOps.toks(lower($"text")).as("tk"))
+        .select(explode(Curation.gramsCol(5)).as("g")).distinct().count()
+      assert(out.agg(sum($"n_novel")).collect()(0).getLong(0) == distinctGrams)
+      assert(out.filter($"novelty_ratio" < 0 || $"novelty_ratio" > 1 ||
+        $"mean_doc_novelty" < 0 || $"mean_doc_novelty" > 1).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d16 decontamination: benchmark docs excluded, ratios bounded, flag consistent") {
     import spark.implicits._
     val out = Curation.d16Decontaminate(spark, sfTiny).cache()
