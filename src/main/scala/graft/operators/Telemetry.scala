@@ -301,6 +301,102 @@ object Telemetry {
        GROUP BY user_id, session_id
        ORDER BY user_id, session_id"""
 
+  // --- t19: Kaplan–Meier survival over session durations --------------------
+
+  /** t19 — Kaplan–Meier survival estimate of session duration with right
+    * censoring: sessions still plausibly open at the data horizon (ending
+    * within one session gap of the global max end) are censored — they
+    * contribute to the risk sets without counting as endings, the estimator
+    * every retention/durability analysis needs once the observation window
+    * is finite. Builds on t08's session construction ([[t08Sessionize]]).
+    *
+    * S(t) = Π_\{t'≤t\} (1 − d/n) is computed as exp of a running ln-sum over
+    * the tiny distinct-duration axis (the d10/d33 ln-parity family; the
+    * running window accumulates in pinned order, the q08 precedent). The
+    * terminal time point can have d = n (hazard 1) — guarded on both
+    * engines (DuckDB ln(0) raises) and reported as survival 0.
+    *
+    * Scale shape: one user_id shuffle for sessionization (t08), one
+    * map-side-combinable count per duration; everything after is
+    * (distinct durations)-sized, where the single-task global window is
+    * the right plan. */
+  def t19KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kaplanMeier(t08Sessionize(s, dir).select($"session_end", $"duration_s"),
+      14400.0)
+  }
+
+  /** t19's core over an explicit (session_end, duration_s) relation —
+    * exposed so the spec can plant durations with a hand-computed curve. */
+  private[graft] def kaplanMeier(sess: DataFrame, gapS: Double): DataFrame = {
+    val s = sess.sparkSession
+    import s.implicits._
+    val horizon = sess.agg(max($"session_end").as("tmax"))
+    val at = sess.crossJoin(broadcast(horizon))
+      .select($"duration_s".as("dur"),
+        ($"session_end".cast("double") > $"tmax".cast("double") - gapS)
+          .cast("long").as("cens"))
+      .groupBy($"dur")
+      .agg(count(lit(1)).as("c_all"), sum(lit(1L) - $"cens").as("c_obs"),
+        sum($"cens").as("c_cens"))
+    val wDesc = Window.orderBy($"dur".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy($"dur".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    at.withColumn("n_risk", sum($"c_all").over(wDesc))
+      .filter($"c_obs" > 0)
+      .withColumn("lnterm",
+        when($"c_obs" === $"n_risk", lit(0.0)) // hazard 1 → overridden below
+          .otherwise(log(lit(1.0) - $"c_obs".cast("double") / $"n_risk".cast("double"))))
+      .withColumn("lsum", sum($"lnterm").over(wAsc))
+      .select($"dur".as("duration_s"), $"n_risk",
+        $"c_obs".as("n_events"), $"c_cens".as("n_censored"),
+        when($"c_obs" === $"n_risk", lit(0.0))
+          .otherwise(r(exp($"lsum"), 6)).as("survival"))
+      .orderBy($"duration_s")
+  }
+
+  val t19Sql: String =
+    s"""WITH g AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts, 1) OVER w IS NULL
+                  OR (epoch(ts) - epoch(lag(ts, 1) OVER w)) > 14400.0
+                THEN 1 ELSE 0 END AS gap
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id, ts,
+           CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM g),
+       sd AS (SELECT max(ts) AS session_end,
+           CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS dur
+         FROM sess GROUP BY user_id, session_id),
+       hz AS (SELECT max(session_end) AS tmax FROM sd),
+       tg AS (SELECT dur,
+           CASE WHEN epoch(session_end) > epoch(tmax) - 14400.0
+                THEN 1 ELSE 0 END AS cens
+         FROM sd CROSS JOIN hz),
+       at AS (SELECT dur, count(*) AS c_all,
+           CAST(sum(1 - cens) AS BIGINT) AS c_obs,
+           CAST(sum(cens) AS BIGINT) AS c_cens
+         FROM tg GROUP BY dur),
+       rk AS (SELECT dur, c_obs, c_cens,
+           CAST(sum(c_all) OVER (ORDER BY dur DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+         FROM at),
+       ev AS (SELECT dur, n_risk, c_obs, c_cens,
+           CASE WHEN c_obs = n_risk THEN 0.0
+                ELSE ln(1.0 - CAST(c_obs AS DOUBLE) / CAST(n_risk AS DOUBLE)) END AS lnterm
+         FROM rk WHERE c_obs > 0),
+       cm AS (SELECT dur, n_risk, c_obs, c_cens,
+           sum(lnterm) OVER (ORDER BY dur ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+         FROM ev)
+       SELECT dur AS duration_s, n_risk, c_obs AS n_events, c_cens AS n_censored,
+         CASE WHEN c_obs = n_risk THEN 0.0 ELSE ${rSql("exp(lsum)", 6)} END AS survival
+       FROM cm ORDER BY duration_s"""
+
   /** t09 — JSON-payload statistics: extract props.k per event type and
     * aggregate count / mean / exact interpolated median+p90 / extremes.
     * Spark `percentile` and DuckDB `quantile_cont` share the (n−1)·p
@@ -555,6 +651,7 @@ object Telemetry {
     "t06_alert_format" -> (t06AlertFormat _),
     "t07_spike_detect" -> (t07SpikeDetect _),
     "t08_sessionize" -> (t08Sessionize _),
+    "t19_kaplan_meier" -> (t19KaplanMeier _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -571,5 +668,6 @@ object Telemetry {
     "t06_alert_format" -> t06Sql,
     "t07_spike_detect" -> t07Sql,
     "t08_sessionize" -> t08Sql,
+    "t19_kaplan_meier" -> t19Sql,
     "t09_props_stats" -> t09Sql)
 }

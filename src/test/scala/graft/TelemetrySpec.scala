@@ -50,6 +50,50 @@ class TelemetrySpec extends GraftSpec {
     assert(dup == 0)
   }
 
+  test("t19 Kaplan–Meier: hand-computed curve with censoring and a terminal death") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // five sessions, gap 100 s, horizon = 2000: the dur-20 session ending
+    // AT the horizon is censored; everything else is observed
+    val sess = Seq((1000L, 10L), (1000L, 10L), (1000L, 20L), (1000L, 30L),
+      (2000L, 20L))
+      .toDF("endsec", "duration_s")
+      .select(timestamp_seconds($"endsec").as("session_end"), $"duration_s")
+    val out = Telemetry.kaplanMeier(sess, 100.0).collect()
+    assert(out.length == 3, out.mkString("; "))
+    def row(d: Long) = out.find(_.getAs[Long]("duration_s") == d).get
+    // t=10: n=5, d=2 → S = 0.6       t=20: n=3, d=1, 1 censored → S = 0.4
+    // t=30: n=d=1 (hazard 1) → S = 0 via the guarded branch
+    assert(row(10).getAs[Long]("n_risk") == 5L && row(10).getAs[Long]("n_events") == 2L
+      && row(10).getAs[Long]("n_censored") == 0L
+      && row(10).getAs[Double]("survival") == 0.6, s"${row(10)}")
+    assert(row(20).getAs[Long]("n_risk") == 3L && row(20).getAs[Long]("n_events") == 1L
+      && row(20).getAs[Long]("n_censored") == 1L
+      && row(20).getAs[Double]("survival") == 0.4, s"${row(20)}")
+    assert(row(30).getAs[Long]("n_risk") == 1L && row(30).getAs[Long]("n_events") == 1L
+      && row(30).getAs[Double]("survival") == 0.0, s"${row(30)}")
+  }
+
+  test("t19 on testdata: survival is a non-increasing [0,1] step function") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Telemetry.t19KaplanMeier(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"survival" < 0 || $"survival" > 1).count() == 0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"duration_s")
+      assert(out.withColumn("prev", lag($"survival", 1).over(w))
+        .filter($"prev".isNotNull && $"survival" > $"prev").count() == 0)
+      // Σ n_events = # uncensored sessions (ending a gap before the horizon)
+      val sess = Telemetry.t08Sessionize(spark, sfTiny)
+        .select($"session_end", $"duration_s").cache()
+      val tmax = sess.agg(max($"session_end".cast("double"))).collect()(0).getDouble(0)
+      val uncens = sess.filter($"session_end".cast("double") <= tmax - 14400.0).count()
+      assert(out.agg(sum($"n_events")).collect()(0).getLong(0) == uncens)
+      sess.unpersist(blocking = false)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("t08 session durations are non-negative and bounded by the span") {
     val df = Telemetry.t08Sessionize(spark, sfTiny)
     assert(df.filter(col("duration_s") < 0).count() == 0)
