@@ -465,7 +465,131 @@ object Maintenance {
        FROM sc GROUP BY k ORDER BY k"""
   }
 
+  // --- ml13: gradient-boosted stumps, the ensemble training loop ----------
+
+  private[graft] val GbtRounds = 3
+
+  /** Literal split-candidate grid (feat 1 = temperature, 2 = vibration),
+    * spanning the generator twin's normal/anomaly ranges — data-independent
+    * so the split search needs no quantile pass and mirrors exactly. */
+  private val StumpCands = Seq(
+    (1, 70.0), (1, 75.0), (1, 80.0), (1, 85.0), (1, 90.0),
+    (2, 2.0), (2, 2.5), (2, 3.0), (2, 3.5), (2, 4.0))
+
+  /** Shared stump-selection algebra over the per-candidate columns
+    * (nl/n integer counts, nld/nrd their doubles, sl/st decimal-exact
+    * residual sums): leaf means, and the SSE-reduction gain
+    * nl·ml² + nr·mr² (valid because the total residual SS is
+    * candidate-independent). Degenerate splits (an empty side) get gain
+    * −1 so they can never win. */
+  private val StumpMl = "CASE WHEN nl > 0 THEN sl / nld ELSE 0.0 END"
+  private val StumpMr = "CASE WHEN n - nl > 0 THEN (st - sl) / nrd ELSE 0.0 END"
+  private val StumpGain =
+    "CASE WHEN nl = 0 OR nl = n THEN -1.0 ELSE nld * ml * ml + nrd * mr * mr END"
+
+  /** Running-ensemble expression after k rounds: F_k(x) = f0 + Σ ν·stump_j,
+    * ν = 0.5, left-to-right addition — one text for both engines. */
+  private def gbtF(k: Int): String =
+    "f0" + (1 to k).map(j =>
+      s" + 0.5 * (CASE WHEN (CASE WHEN feat$j = 1 THEN x1 ELSE x2 END) <= th$j THEN ml$j ELSE mr$j END)")
+      .mkString
+
+  /** ml13 — gradient boosting with depth-1 trees (regression stumps on the
+    * squared loss), the third member of the oracle-checked training family
+    * (ml03 closed-form, ml04 gradient descent, ml13 ensemble). Each of the
+    * [[GbtRounds]] rounds is ONE map-side-combinable aggregation: the
+    * corpus × 10-literal-candidate grid collapses to per-candidate counts
+    * and decimal-exact residual sums, the argmax stump is a 1-row
+    * `max(struct(gain, …))` (ORDER BY … LIMIT 1 in the oracle — identical
+    * selection because the gains mirror bit-for-bit), and the model state
+    * is a growing 1-row broadcast table exactly like ml04's weight chain —
+    * so the corpus is never iterated on the driver and lineage stays
+    * linear. Scoring replays the shared ensemble expression [[gbtF]]. */
+  def ml13GbtStumps(s: SparkSession, dir: String): DataFrame =
+    gbtTrainScore(Telemetry.twin(s).select(
+      col("id"), col("is_anomaly"),
+      col("is_anomaly").cast("double").as("y"),
+      col("temperature").as("x1"), col("vibration").as("x2")),
+      StumpCands)
+
+  /** ml13's core over an explicit (id, is_anomaly, y, x1, x2) relation and
+    * candidate grid — exposed so the spec can plant a separable corpus with
+    * a hand-derivable boosting trace. */
+  private[graft] def gbtTrainScore(t0: DataFrame,
+      cands: Seq[(Int, Double)]): DataFrame = {
+    val s = t0.sparkSession
+    import s.implicits._
+    val t = t0.cache() // feeds every round's aggregation plus final scoring
+    val cand = cands.toDF("feat", "theta")
+    var state = t.agg(davg(col("y")).as("f0"))
+    for (i <- 1 to GbtRounds) {
+      val g = t.crossJoin(broadcast(state)).crossJoin(broadcast(cand))
+        .withColumn("xv", expr("CASE WHEN feat = 1 THEN x1 ELSE x2 END"))
+        .withColumn("res", expr(s"y - (${gbtF(i - 1)})"))
+        .groupBy(col("feat"), col("theta"))
+        .agg(count(when(expr("xv <= theta"), 1)).as("nl"),
+          dsum(expr("CASE WHEN xv <= theta THEN res ELSE 0.0 END")).as("sl"),
+          count(lit(1)).as("n"), dsum(col("res")).as("st"))
+        .withColumn("nld", col("nl").cast("double"))
+        .withColumn("nrd", (col("n") - col("nl")).cast("double"))
+        .withColumn("ml", expr(StumpMl)).withColumn("mr", expr(StumpMr))
+        .withColumn("gain", expr(StumpGain))
+      val best = g
+        .agg(max(struct(col("gain"), (-col("feat")).as("nf"),
+          (-col("theta")).as("nt"), col("feat"), col("theta"),
+          col("ml"), col("mr"))).as("s"))
+        .select(col("s.feat").as(s"feat$i"), col("s.theta").as(s"th$i"),
+          col("s.ml").as(s"ml$i"), col("s.mr").as(s"mr$i"))
+      state = state.crossJoin(broadcast(best))
+    }
+    val out = t.crossJoin(broadcast(state))
+      .select(col("id"), col("is_anomaly"),
+        r(expr(gbtF(GbtRounds)), 6).as("score"))
+      .withColumn("gbt_prediction", (col("score") >= 0.5).cast("int"))
+      .orderBy(col("id"))
+      .localCheckpoint(true)
+    t.unpersist(blocking = false)
+    out
+  }
+
+  val ml13Sql: String = {
+    val values = StumpCands
+      .map { case (f, th) => s"($f, CAST($th AS DOUBLE))" }.mkString(", ")
+    val rounds = (1 to GbtRounds).map { i =>
+      s"""z$i AS MATERIALIZED (SELECT feat, theta, xv, y - (${gbtF(i - 1)}) AS res
+           FROM (SELECT t.*, w.*, c.feat, c.theta,
+                 CASE WHEN c.feat = 1 THEN t.x1 ELSE t.x2 END AS xv
+                 FROM t CROSS JOIN w${i - 1} w CROSS JOIN cand c) q),
+         g$i AS (SELECT feat, theta,
+             count(CASE WHEN xv <= theta THEN 1 END) AS nl,
+             ${dsumSql("CASE WHEN xv <= theta THEN res ELSE 0.0 END")} AS sl,
+             count(*) AS n, ${dsumSql("res")} AS st
+           FROM z$i GROUP BY feat, theta),
+         b$i AS (SELECT feat AS feat$i, theta AS th$i, ml AS ml$i, mr AS mr$i
+           FROM (SELECT feat, theta, nl, n, nld, nrd, ml, mr, $StumpGain AS gain
+             FROM (SELECT feat, theta, nl, n, nld, nrd,
+                 $StumpMl AS ml, $StumpMr AS mr
+               FROM (SELECT feat, theta, nl, n, sl, st,
+                   CAST(nl AS DOUBLE) AS nld, CAST(n - nl AS DOUBLE) AS nrd
+                 FROM g$i) a) b) c
+           ORDER BY gain DESC, feat ASC, theta ASC LIMIT 1),
+         w$i AS (SELECT w.*, b.* FROM w${i - 1} w CROSS JOIN b$i b)"""
+    }.mkString(",\n       ")
+    s"""WITH t AS MATERIALIZED (SELECT id, is_anomaly,
+         CAST(is_anomaly AS DOUBLE) AS y, temperature AS x1, vibration AS x2
+         FROM (${Telemetry.twinSql})),
+       cand AS (SELECT * FROM (VALUES $values) v(feat, theta)),
+       w0 AS (SELECT ${davgSql("y")} AS f0 FROM t),
+       $rounds,
+       sc AS (SELECT id, is_anomaly, ${rSql(gbtF(GbtRounds), 6)} AS score
+         FROM t CROSS JOIN w$GbtRounds)
+       SELECT id, is_anomaly, score,
+         CAST(score >= 0.5 AS INTEGER) AS gbt_prediction
+       FROM sc ORDER BY id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml13_gbt_stumps" -> (ml13GbtStumps _),
     "ml12_learning_curve" -> (ml12LearningCurve _),
     "ml01_rf_scoring" -> (ml01RfScoring _),
     "ml02_lr_scoring" -> (ml02LrScoring _),
@@ -476,6 +600,7 @@ object Maintenance {
   /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
     * closed-form algebra mirrors exactly. */
   val oracles: Map[String, String] = Map(
+    "ml13_gbt_stumps" -> ml13Sql,
     "ml12_learning_curve" -> ml12Sql,
     "ml03_lsq_scoring" -> ml03Sql,
     "ml04_gd_scoring" -> ml04Sql,

@@ -61,6 +61,41 @@ class MaintenanceSpec extends GraftSpec {
     } finally df.unpersist()
   }
 
+  test("ml13 boosted stumps: hand-derivable trace on a separable plant") {
+    import spark.implicits._
+    // two classes split by x1 at ≤70 vs 90, x2 constant (every x2 split is
+    // degenerate → gain −1). f0 = 0.5; each round re-picks the same θ=70
+    // stump (tie-break: smallest winning θ) and halves the residual:
+    // F1 = 0.25/0.75, F2 = 0.125/0.875, F3 = 0.0625/0.9375.
+    val t = Seq(
+      (1L, 0, 0.0, 70.0, 1.0), (2L, 0, 0.0, 70.0, 1.0),
+      (3L, 1, 1.0, 90.0, 1.0), (4L, 1, 1.0, 90.0, 1.0))
+      .toDF("id", "is_anomaly", "y", "x1", "x2")
+    val cands = Seq((1, 70.0), (1, 75.0), (1, 80.0), (1, 85.0), (1, 90.0),
+      (2, 2.0), (2, 2.5), (2, 3.0), (2, 3.5), (2, 4.0))
+    val out = Maintenance.gbtTrainScore(t, cands).collect()
+    assert(out.length == 4)
+    def sc(id: Long) = out.find(_.getAs[Long]("id") == id).get
+    assert(sc(1L).getAs[Double]("score") == 0.0625, s"${sc(1L)}")
+    assert(sc(2L).getAs[Double]("score") == 0.0625)
+    assert(sc(3L).getAs[Double]("score") == 0.9375, s"${sc(3L)}")
+    assert(sc(4L).getAs[Double]("score") == 0.9375)
+    assert(out.forall(r =>
+      r.getAs[Int]("gbt_prediction") == r.getAs[Int]("is_anomaly")))
+  }
+
+  test("ml13 on the generator twin: the ensemble recovers the anomaly rule") {
+    val df = Maintenance.ml13GbtStumps(spark, sfTiny).cache()
+    try {
+      assert(df.count() == 10000L)
+      // temp ≥ 80 alone separates the twin almost perfectly; 3 stump
+      // rounds must land ≥ 99.5% agreement with the labels
+      val acc = df.filter(col("gbt_prediction") === col("is_anomaly")).count() / 10000.0
+      assert(acc >= 0.995, s"acc=$acc")
+      assert(df.filter(col("score") < -0.5 || col("score") > 1.5).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("ml11 k-fold CV: fold algebra closes and every held-out fold is near-perfect") {
     val df = Maintenance.ml11KfoldCv(spark, sfTiny).cache()
     try {
