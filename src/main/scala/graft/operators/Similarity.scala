@@ -1240,17 +1240,22 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
         p => p.getField("mu")).as("cv"))
 
-  /** Final assignment after `iters` Lloyd rounds from the hash-rank-K init
-    * — exposed for the SimilaritySpec inertia-descent assertion. */
-  def kmeansAssign(c: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Centroid table after `iters` Lloyd rounds from the hash-rank-K init —
+    * factored out so e21 can score distances against the SAME final
+    * centroids the assignment used. */
+  private[graft] def kmeansCentroids(c: DataFrame, k: Int, iters: Int): DataFrame = {
     VectorExpressions.register(c.sparkSession)
     val init = c.orderBy(hvCol, col("vec_id")).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(hvCol, col("vec_id"))) - 1).cast("int"))
       .select(col("cid"), col("v").as("cv"))
-    val cents = (1 to iters).foldLeft(init)((ct, _) => kmUpdate(kmAssign(c, ct)))
-    kmAssign(c, cents)
+    (1 to iters).foldLeft(init)((ct, _) => kmUpdate(kmAssign(c, ct)))
   }
+
+  /** Final assignment after `iters` Lloyd rounds from the hash-rank-K init
+    * — exposed for the SimilaritySpec inertia-descent assertion. */
+  def kmeansAssign(c: DataFrame, k: Int, iters: Int): DataFrame =
+    kmAssign(c, kmeansCentroids(c, k, iters))
 
   /** e10 — k-means clustering of the corpus (K=[[KmK]], [[KmIters]] Lloyd
     * rounds, hash-rank init — the training step that would refine e05's
@@ -1375,6 +1380,72 @@ object Similarity {
          coalesce(r.dup_cos0, -2.0::DOUBLE) AS dup_cos
        FROM sda g LEFT JOIN sdr r ON g.vec_id = r.id_b
        ORDER BY g.vec_id"""
+
+  // --- e21: centroid-silhouette evaluation of the e10 clustering ---------
+
+  /** Per-vector silhouette from the own-centroid / nearest-other-centroid
+    * distances — shared text. With argmin assignment bd ≥ ad always, so
+    * the score lives in [0, 1] (0 = on a cluster boundary); the double-zero
+    * guard covers a vector sitting exactly on two identical centroids. */
+  private val SilExpr =
+    "CASE WHEN ad = 0.0 AND bd = 0.0 THEN 0.0 ELSE (bd - ad) / (CASE WHEN ad > bd THEN ad ELSE bd END) END"
+
+  /** e21 — simplified (centroid-based) silhouette of the e10 k-means
+    * clustering: a(i) = ‖x − c_own‖, b(i) = min over other centroids, s =
+    * (b − a)/max(a, b), reported per cluster (n, mean a, mean b, mean s).
+    * The clustering-quality gauge that turns e10 from "it converged" into
+    * "the clusters are separated" — the full pairwise silhouette is O(n²)
+    * and never runs at scale; the centroid form is the standard surrogate
+    * (one broadcast of K centroids, scan-local distances, two n-row
+    * aggregations — linear, K-bounded state, same story as e10 itself).
+    * Shares e10's Lloyd machinery and oracle CTEs so the evaluated model
+    * can't drift from the trained one. */
+  def e21Silhouette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).select($"vec_id", $"v").cache()
+    // centroid table cached: both the assignment and the all-centroid
+    // distance scan reference it (invariant 5 — the Lloyd chain would
+    // otherwise train twice)
+    val cents = kmeansCentroids(c, KmK, KmIters).cache()
+    val asg = kmAssign(c, cents)
+      .select($"vec_id", $"cid", sqrt($"dist").as("ad"))
+      .cache()
+    val bd = c.join(broadcast(cents))
+      .withColumn("d", sqrt(sqDistExpr))
+      .select($"vec_id", $"cid".as("ocid"), $"d")
+      .join(asg.select($"vec_id", $"cid"), Seq("vec_id"))
+      .filter($"ocid" =!= $"cid")
+      .groupBy($"vec_id").agg(min($"d").as("bd"))
+    val out = asg.join(bd, Seq("vec_id"))
+      .withColumn("sil", r(expr(SilExpr), 6))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        ravg($"ad", 6).as("mean_a"), ravg($"bd", 6).as("mean_b"),
+        ravg($"sil", 6).as("mean_sil"))
+      .select($"cid".as("cluster"), $"n_vecs", $"mean_a", $"mean_b", $"mean_sil")
+      .orderBy($"cluster")
+      .localCheckpoint(true)
+    Seq(asg, cents, c).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val e21Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e10Ctes,
+       sad AS (SELECT vec_id, cid, sqrt(dist) AS ad FROM kmf),
+       sod AS (SELECT a.vec_id, min(sqrt(list_sum(list_transform(range(1, 65), i ->
+             (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))))) AS bd
+         FROM sad a JOIN n v USING (vec_id)
+         CROSS JOIN kmc$KmIters c
+         WHERE c.cid != a.cid
+         GROUP BY a.vec_id),
+       sil AS (SELECT a.cid, a.ad, o.bd, ${rSql(SilExpr, 6)} AS sil
+         FROM (SELECT vec_id, cid, ad FROM sad) a
+         JOIN sod o USING (vec_id))
+       SELECT cid AS cluster, count(*) AS n_vecs,
+         ${ravgSql("ad", 6)} AS mean_a, ${ravgSql("bd", 6)} AS mean_b,
+         ${ravgSql("sil", 6)} AS mean_sil
+       FROM sil GROUP BY cid ORDER BY cluster"""
 
   // --- e18: PCA projection via power iteration ---------------------------
 
@@ -1643,6 +1714,7 @@ object Similarity {
     "e18_pca_project" -> (e18PcaProject _),
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e10_kmeans" -> (e10Kmeans _),
+    "e21_silhouette" -> (e21Silhouette _),
     "e08_ann_recall" -> (e08AnnRecall _),
     "e09_neardup_ann" -> (e09NearDupAnn _),
     "e01_cosine_topk" -> (e01CosineTopK _),
@@ -1664,6 +1736,7 @@ object Similarity {
     "e19_embedding_knn" -> e19Sql,
     "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,
+    "e21_silhouette" -> e21Sql,
     "e20_matryoshka_recall" -> e20Sql,
     "e01_cosine_topk" -> e01Sql,
     "e02_norm_stats" -> e02Sql,

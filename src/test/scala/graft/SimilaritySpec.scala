@@ -245,6 +245,26 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e21 silhouette: covers the corpus, bd ≥ ad, scores in [0,1], sizes ≡ e10") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Similarity.e21Silhouette(spark, sfTiny).cache()
+    try {
+      val n = spark.read.parquet(s"$sfTiny/embeddings.parquet").count()
+      assert(out.count() > 0 && out.count() <= 8)
+      assert(out.agg(sum($"n_vecs")).collect()(0).getLong(0) == n)
+      // argmin assignment ⇒ nearest-other ≥ own distance, silhouette in [0,1]
+      assert(out.filter($"mean_b" < $"mean_a").count() == 0)
+      assert(out.filter($"mean_sil" < 0 || $"mean_sil" > 1).count() == 0)
+      // the evaluated clustering is exactly e10's: per-cluster sizes match
+      val e10Sizes = Similarity.e10Kmeans(spark, sfTiny)
+        .groupBy($"cluster").agg(count(lit(1)).as("n10"))
+      assert(out.join(e10Sizes, Seq("cluster"), "full")
+        .filter($"n_vecs".isNull || $"n10".isNull || $"n_vecs" =!= $"n10")
+        .count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("e10 k-means: total partition of the corpus, K clusters, inertia descends") {
     import spark.implicits._
     val n = graft.Tables.embeddings(spark, sfTiny).count()
