@@ -675,6 +675,75 @@ object Analytics {
        GROUP BY a.source, b.source
        ORDER BY source_a, source_b"""
 
+  // --- q54: entropy / mutual-information decomposition ----------------------
+
+  /** Shared entropy text: H = ln(N) − (Σ n·ln n)/N over a decimal-exact
+    * Σ n·ln n (sl/ss/sj) and the double total nn — the ln-parity family. */
+  private val MiHl = "(ln(nn) - sl / nn)"
+  private val MiHs = "(ln(nn) - ss / nn)"
+  private val MiHj = "(ln(nn) - sj / nn)"
+
+  /** q54 — Shannon entropy and mutual information of the lang × source
+    * grid (nats): H(L), H(S), H(L,S), MI = H(L)+H(S)−H(L,S), and NMI =
+    * MI/√(H(L)·H(S)) — the information-theoretic association measure next
+    * to q50's χ² (χ² weights rare cells quadratically; MI is the
+    * log-likelihood-ratio view, and NMI is the clustering-agreement score
+    * ML evaluation uses). One count aggregation touches the corpus; the
+    * three Σ n·ln n terms are decimal-exact sums over the tiny cell/
+    * marginal tables, so the statistic mirrors bit-for-bit. */
+  def q54MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mutualInfo(Tables.documents(s, dir)
+      .select(coalesce($"lang", lit("")).as("lang"),
+        coalesce($"source", lit("")).as("source")))
+  }
+
+  /** q54's core over an explicit (lang, source) relation — exposed so the
+    * spec can plant independent (MI = 0) and diagonal (NMI = 1) tables. */
+  private[graft] def mutualInfo(cats: DataFrame): DataFrame = {
+    val s = cats.sparkSession
+    import s.implicits._
+    val cells = cats.groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .cache() // feeds both marginals and the joint term
+    def nLnN(c: org.apache.spark.sql.Column) =
+      dsum(c.cast("double") * log(c.cast("double")))
+    val jl = cells.agg(sum($"o").as("n0"), nLnN($"o").as("sj"))
+    val sl = cells.groupBy($"lang").agg(sum($"o").as("nl"))
+      .agg(nLnN($"nl").as("sl"))
+    val ss = cells.groupBy($"source").agg(sum($"o").as("ns"))
+      .agg(nLnN($"ns").as("ss"))
+    val out = jl.crossJoin(broadcast(sl)).crossJoin(broadcast(ss))
+      .select($"n0".as("n_docs"), $"n0".cast("double").as("nn"),
+        $"sl", $"ss", $"sj")
+      .select($"n_docs",
+        r(expr(MiHl), 6).as("h_lang"), r(expr(MiHs), 6).as("h_source"),
+        r(expr(MiHj), 6).as("h_joint"),
+        r(expr(s"$MiHl + $MiHs - $MiHj"), 6).as("mi"),
+        r(expr(s"CASE WHEN $MiHl > 0.0 AND $MiHs > 0.0 THEN ($MiHl + $MiHs - $MiHj) / sqrt($MiHl * $MiHs) ELSE 0.0 END"), 6)
+          .as("nmi"))
+      .localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    out
+  }
+
+  val q54Sql: String = {
+    def nLnN(e: String) = dsumSql(s"CAST($e AS DOUBLE) * ln(CAST($e AS DOUBLE))")
+    s"""WITH cells AS MATERIALIZED (SELECT coalesce(lang, '') AS lang,
+         coalesce(source, '') AS source, count(*) AS o
+       FROM documents GROUP BY 1, 2),
+       jl AS (SELECT CAST(sum(o) AS BIGINT) AS n0, ${nLnN("o")} AS sj FROM cells),
+       ml AS (SELECT ${nLnN("nl")} AS sl FROM
+         (SELECT CAST(sum(o) AS BIGINT) AS nl FROM cells GROUP BY lang) z),
+       ms AS (SELECT ${nLnN("ns")} AS ss FROM
+         (SELECT CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY source) z)
+       SELECT n_docs, ${rSql(MiHl, 6)} AS h_lang, ${rSql(MiHs, 6)} AS h_source,
+         ${rSql(MiHj, 6)} AS h_joint,
+         ${rSql(s"$MiHl + $MiHs - $MiHj", 6)} AS mi,
+         ${rSql(s"CASE WHEN $MiHl > 0.0 AND $MiHs > 0.0 THEN ($MiHl + $MiHs - $MiHj) / sqrt($MiHl * $MiHs) ELSE 0.0 END", 6)} AS nmi
+       FROM (SELECT n0 AS n_docs, CAST(n0 AS DOUBLE) AS nn, sl, ss, sj
+         FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
+  }
+
   // --- q53: Benford first-digit distribution audit --------------------------
 
   /** Benford P(d) = log10(1 + 1/d), d = 1..9 — literal doubles identical in
@@ -1144,6 +1213,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_mutual_info" -> (q54MutualInfo _),
     "q53_benford" -> (q53Benford _),
     "q52_mannwhitney_u" -> (q52MannWhitneyU _),
     "q51_ks_test" -> (q51KsTest _),
@@ -1172,6 +1242,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q54_mutual_info" -> q54Sql,
     "q53_benford" -> q53Sql,
     "q52_mannwhitney_u" -> q52Sql,
     "q51_ks_test" -> q51Sql,

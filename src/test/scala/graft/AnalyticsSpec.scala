@@ -31,6 +31,40 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q54 mutual info: zero on independence, NMI = 1 on a diagonal table") {
+    import spark.implicits._
+    // proportional 2×2 → MI rounds to 0; marginal entropy hand-computed
+    // through the same decimal(38,10) Σ n·ln n path the query uses
+    val indep = (Seq.fill(10)(("p", "s")) ++ Seq.fill(20)(("p", "t")) ++
+      Seq.fill(30)(("q", "s")) ++ Seq.fill(60)(("q", "t"))).toDF("lang", "source")
+    val r1 = Analytics.mutualInfo(indep).collect()(0)
+    assert(r1.getAs[Long]("n_docs") == 120L)
+    assert(r1.getAs[Double]("mi") == 0.0 && r1.getAs[Double]("nmi") == 0.0, s"$r1")
+    def d10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val hl = math.log(120.0) -
+      (d10(30 * math.log(30.0)) + d10(90 * math.log(90.0))).toDouble / 120.0
+    assert(r1.getAs[Double]("h_lang") == graft.operators.Num.rD(hl, 6), s"$r1")
+    // diagonal 2×2 → H(L) = H(S) = H(L,S) → MI = H(L), NMI = 1
+    val diag = (Seq.fill(25)(("p", "s")) ++ Seq.fill(25)(("q", "t")))
+      .toDF("lang", "source")
+    val r2 = Analytics.mutualInfo(diag).collect()(0)
+    assert(r2.getAs[Double]("mi") == r2.getAs[Double]("h_lang")
+      && r2.getAs[Double]("h_joint") == r2.getAs[Double]("h_lang")
+      && r2.getAs[Double]("nmi") == 1.0, s"$r2")
+  }
+
+  test("q54 on testdata: one row, MI within its entropy bounds") {
+    val out = Analytics.q54MutualInfo(spark, sfTiny).collect()
+    assert(out.length == 1)
+    val row = out(0)
+    val (hl, hs, mi) = (row.getAs[Double]("h_lang"),
+      row.getAs[Double]("h_source"), row.getAs[Double]("mi"))
+    assert(hl >= 0 && hs >= 0 && mi >= 0)
+    assert(mi <= math.min(hl, hs) + 1e-6, s"$row")
+    val nmi = row.getAs[Double]("nmi")
+    assert(nmi >= 0 && nmi <= 1)
+  }
+
   test("q53 Benford: digit extraction across magnitudes, hand-computed terms") {
     import spark.implicits._
     // all five amounts lead with digit 1 across four orders of magnitude,
