@@ -675,6 +675,72 @@ object Analytics {
        GROUP BY a.source, b.source
        ORDER BY source_a, source_b"""
 
+  // --- q55: Theil–Sen robust trend over the daily series --------------------
+
+  /** q55 — Theil–Sen estimator per event_type over the daily mean-value
+    * series: slope = median of all pairwise slopes, intercept = median of
+    * the per-day residuals against that slope — the robust trend line
+    * (up to ~29% contamination) next to q35's OLS and q46's MAD. Series
+    * points are ROUNDED decimal daily means on an integer day index, so
+    * every pairwise slope is identical IEEE arithmetic; both medians ride
+    * the proven percentile↔quantile_cont pairing.
+    *
+    * Scale shape: ONE map-side-combinable aggregation touches events; the
+    * pairwise frame is days²-sized (the series grows with TIME, not
+    * volume — 30 days ⇒ 435 pairs per type at any corpus size), so the
+    * quadratic term is bounded by the calendar, never the data. */
+  def q55TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    theilSen(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(ravg($"value", 6).as("y"))
+      .select($"event_type",
+        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+  }
+
+  /** q55's core over an explicit (event_type, di, y) series — exposed so
+    * the spec can plant a line with an outlier the median must reject. */
+  private[graft] def theilSen(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val daily = series.cache() // feeds the pair join twice + the residuals
+    val a = daily.select($"event_type", $"di".as("da"), $"y".as("ya"))
+    val b = daily.select($"event_type".as("et2"), $"di".as("db"), $"y".as("yb"))
+    val slopes = a.join(b, $"et2" === $"event_type" && $"da" < $"db")
+      .withColumn("slope", expr("(yb - ya) / CAST(db - da AS DOUBLE)"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        r(percentile($"slope", lit(0.5)), 6).as("ts_slope"))
+    val out = daily.join(broadcast(slopes), Seq("event_type"))
+      .withColumn("resid", expr("y - ts_slope * CAST(di AS DOUBLE)"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), min($"n_pairs").as("n_pairs"),
+        min($"ts_slope").as("ts_slope"),
+        r(percentile($"resid", lit(0.5)), 6).as("ts_intercept"))
+      .select($"event_type", $"n_days", $"n_pairs", $"ts_slope", $"ts_intercept")
+      .orderBy($"event_type")
+      .localCheckpoint(true)
+    daily.unpersist(blocking = false)
+    out
+  }
+
+  val q55Sql: String =
+    s"""WITH daily AS MATERIALIZED (SELECT event_type,
+         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         ${rSql(davgSql("value"), 6)} AS y
+       FROM events GROUP BY event_type, date_trunc('day', ts)),
+       sl AS (SELECT a.event_type, count(*) AS n_pairs,
+         ${rSql("quantile_cont((b.y - a.y) / CAST(b.di - a.di AS DOUBLE), 0.5)", 6)} AS ts_slope
+       FROM daily a JOIN daily b
+         ON b.event_type = a.event_type AND a.di < b.di
+       GROUP BY a.event_type)
+       SELECT d.event_type, count(*) AS n_days, min(s.n_pairs) AS n_pairs,
+         min(s.ts_slope) AS ts_slope,
+         ${rSql("quantile_cont(d.y - s.ts_slope * CAST(d.di AS DOUBLE), 0.5)", 6)} AS ts_intercept
+       FROM daily d JOIN sl s ON s.event_type = d.event_type
+       GROUP BY d.event_type
+       ORDER BY d.event_type"""
+
   // --- q54: entropy / mutual-information decomposition ----------------------
 
   /** Shared entropy text: H = ln(N) − (Σ n·ln n)/N over a decimal-exact
@@ -1213,6 +1279,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_theil_sen" -> (q55TheilSen _),
     "q54_mutual_info" -> (q54MutualInfo _),
     "q53_benford" -> (q53Benford _),
     "q52_mannwhitney_u" -> (q52MannWhitneyU _),
@@ -1242,6 +1309,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q55_theil_sen" -> q55Sql,
     "q54_mutual_info" -> q54Sql,
     "q53_benford" -> q53Sql,
     "q52_mannwhitney_u" -> q52Sql,

@@ -31,6 +31,31 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q55 Theil–Sen: recovers a planted line through one gross outlier") {
+    import spark.implicits._
+    // y = 2d + 5 at d = 0..3, then a wild outlier at d = 4: 6 of the 10
+    // pairwise slopes are exactly 2 → median 2; residuals {5,5,5,5,92} →
+    // intercept 5. OLS would be dragged to slope ≈ 20.
+    val series = Seq((0L, 5.0), (1L, 7.0), (2L, 9.0), (3L, 11.0), (4L, 100.0))
+      .map { case (d, y) => ("a", d, y) }.toDF("event_type", "di", "y")
+    val r1 = Analytics.theilSen(series).collect()(0)
+    assert(r1.getAs[Long]("n_days") == 5L && r1.getAs[Long]("n_pairs") == 10L)
+    assert(r1.getAs[Double]("ts_slope") == 2.0, s"$r1")
+    assert(r1.getAs[Double]("ts_intercept") == 5.0, s"$r1")
+  }
+
+  test("q55 on testdata: one row per event type, calendar-bounded pairs") {
+    import spark.implicits._
+    val out = Analytics.q55TheilSen(spark, sfTiny).cache()
+    try {
+      val types = Tables.events(spark, sfTiny)
+        .select($"event_type").distinct().count()
+      assert(out.count() == types)
+      // n_pairs = C(n_days, 2) exactly
+      assert(out.filter($"n_pairs" =!= $"n_days" * ($"n_days" - 1) / 2).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q54 mutual info: zero on independence, NMI = 1 on a diagonal table") {
     import spark.implicits._
     // proportional 2×2 → MI rounds to 0; marginal entropy hand-computed
