@@ -675,6 +675,70 @@ object Analytics {
        GROUP BY a.source, b.source
        ORDER BY source_a, source_b"""
 
+  // --- q56: CUSUM changepoint scan over the hourly series -------------------
+
+  /** q56 — CUSUM changepoint detection per event_type: the running sum of
+    * deviations from the series mean, S_i = Σ_(j≤i) (x_j − μ), whose
+    * maximum |S| marks the most likely level-shift point (Page 1954; the
+    * monitoring primitive behind drift alarms). Series points are the
+    * ROUNDED hourly means on the integer epoch-hour axis (q47's series),
+    * μ is the rounded decimal series mean, and the running sum accumulates
+    * in pinned hx order (q08 precedent) — so S, its max, and the argmax
+    * hour mirror exactly; ties break to the earliest hour in both engines.
+    *
+    * Scale shape: one rollup aggregation over events, then everything is
+    * series-sized (grows with time, not volume). */
+  def q56Cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cusum(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(ravg($"value", 6).as("x"))
+      .select($"event_type", $"h".cast("long").as("hx"), $"x"))
+  }
+
+  /** q56's core over an explicit (event_type, hx, x) series — exposed so
+    * the spec can plant a step series with a hand-located changepoint. */
+  private[graft] def cusum(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val hourly = series.cache() // feeds the mean and the running scan
+    val mu = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"), ravg($"x", 6).as("mean_x"))
+    val w = Window.partitionBy($"event_type").orderBy($"hx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = hourly.join(broadcast(mu), Seq("event_type"))
+      .withColumn("s", sum($"x" - $"mean_x").over(w))
+      .withColumn("abs_s", abs($"s"))
+      .groupBy($"event_type")
+      .agg(min($"n_hours").as("n_hours"), min($"mean_x").as("mean_x"),
+        max(struct($"abs_s", (-$"hx").as("nh"), $"hx")).as("b"))
+      .select($"event_type", $"n_hours", $"mean_x",
+        $"b.hx".as("cp_hour"), r($"b.abs_s", 6).as("cusum_max"))
+      .orderBy($"event_type")
+      .localCheckpoint(true)
+    hourly.unpersist(blocking = false)
+    out
+  }
+
+  val q56Sql: String =
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS x
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       m AS (SELECT event_type, count(*) AS n_hours, ${ravgSql("x", 6)} AS mean_x
+         FROM h GROUP BY event_type),
+       c AS (SELECT h.event_type, m.n_hours, m.mean_x, h.hx,
+         sum(h.x - m.mean_x) OVER (PARTITION BY h.event_type ORDER BY h.hx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         FROM h JOIN m USING (event_type)),
+       rk AS (SELECT event_type, n_hours, mean_x, hx, abs(s) AS abs_s,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(s) DESC, hx ASC) AS rn
+         FROM c)
+       SELECT event_type, n_hours, mean_x, hx AS cp_hour,
+         ${rSql("abs_s", 6)} AS cusum_max
+       FROM rk WHERE rn = 1 ORDER BY event_type"""
+
   // --- q55: Theil–Sen robust trend over the daily series --------------------
 
   /** q55 — Theil–Sen estimator per event_type over the daily mean-value
@@ -1279,6 +1343,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_cusum" -> (q56Cusum _),
     "q55_theil_sen" -> (q55TheilSen _),
     "q54_mutual_info" -> (q54MutualInfo _),
     "q53_benford" -> (q53Benford _),
@@ -1309,6 +1374,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q56_cusum" -> q56Sql,
     "q55_theil_sen" -> q55Sql,
     "q54_mutual_info" -> q54Sql,
     "q53_benford" -> q53Sql,

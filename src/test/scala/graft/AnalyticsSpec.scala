@@ -31,6 +31,35 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q56 CUSUM: locates a planted level shift at its exact hour") {
+    import spark.implicits._
+    // step series 0,0,0 → 6,6,6 (μ = 3): S = −3,−6,−9,−6,−3,0 — the CUSUM
+    // trough |S| = 9 sits at the last pre-shift hour (hx = 7200)
+    val series = Seq(0L -> 0.0, 3600L -> 0.0, 7200L -> 0.0,
+      10800L -> 6.0, 14400L -> 6.0, 18000L -> 6.0)
+      .map { case (h, x) => ("a", h, x) }.toDF("event_type", "hx", "x")
+    val r1 = Analytics.cusum(series).collect()(0)
+    assert(r1.getAs[Long]("n_hours") == 6L && r1.getAs[Double]("mean_x") == 3.0)
+    assert(r1.getAs[Long]("cp_hour") == 7200L, s"$r1")
+    assert(r1.getAs[Double]("cusum_max") == 9.0, s"$r1")
+    // a constant series never alarms: max |S| = 0 at the first hour
+    val flat = Seq(0L, 3600L, 7200L).map(h => ("a", h, 5.0))
+      .toDF("event_type", "hx", "x")
+    val r2 = Analytics.cusum(flat).collect()(0)
+    assert(r2.getAs[Double]("cusum_max") == 0.0 && r2.getAs[Long]("cp_hour") == 0L)
+  }
+
+  test("q56 on testdata: one row per event type, CUSUM closes near zero") {
+    import spark.implicits._
+    val out = Analytics.q56Cusum(spark, sfTiny).cache()
+    try {
+      val types = Tables.events(spark, sfTiny)
+        .select($"event_type").distinct().count()
+      assert(out.count() == types)
+      assert(out.filter($"cusum_max" < 0).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q55 Theil–Sen: recovers a planted line through one gross outlier") {
     import spark.implicits._
     // y = 2d + 5 at d = 0..3, then a wild outlier at d = 4: 6 of the 10
