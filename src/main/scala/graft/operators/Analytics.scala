@@ -874,6 +874,75 @@ object Analytics {
          FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
   }
 
+  // --- q57: Gini concentration audit over order spend -----------------------
+
+  /** Shared Gini expression text over (n, sx, srx): the rank-sum identity
+    * G = 2·Σ r·x / (n·Σx) − (n+1)/n (ranks 1..n ascending in x). Tied x
+    * values contribute x·Σranks whichever way the unique-key tie-break
+    * orders them, so the statistic is tie-break-invariant. */
+  private val GiniExpr =
+    "(2.0 * srx) / (CAST(n AS DOUBLE) * sx) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)"
+
+  /** q57 — Gini coefficient + top-decile concentration of order spend per
+    * market segment: the inequality audit ("how concentrated is revenue?")
+    * next to q42's histogram and q33's percentiles. Ranks come from one
+    * per-segment window ordered by the unique (x, o_orderkey) pair; the
+    * same sorted pass supplies the partition count, so top-decile
+    * membership (rank > n − n÷10) is decided scan-locally. Σx and Σr·x are
+    * decimal-exact, the final ratios pure IEEE.
+    *
+    * Scale shape: one shuffle on the segment key feeds rank, count, and
+    * all three sums. Exact Gini inherently sorts each group; at 100 TB the
+    * drop-in approximation is the q42 equi-width histogram form of the
+    * same rank-sum identity (trapezoid Lorenz over bucket totals), which
+    * is a pure map-side aggregate. */
+  def q57Gini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gini(Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderkey".as("k"),
+        $"o_totalprice".as("x")))
+  }
+
+  /** q57's core over an explicit (seg, k, x) relation with unique k —
+    * exposed so the spec can plant uniform (G=0) and single-holder
+    * (G=(n−1)/n) segments. */
+  private[graft] def gini(amounts: DataFrame): DataFrame = {
+    val s = amounts.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"seg").orderBy($"x", $"k")
+    amounts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("nw", count(lit(1)).over(Window.partitionBy($"seg")))
+      .groupBy($"seg")
+      .agg(max($"rk").as("n"),
+        dsum($"x").as("sx"),
+        dsum($"rk".cast("double") * $"x").as("srx"),
+        dsum(when($"rk" > $"nw" - expr("nw DIV 10"), $"x")).as("stop"))
+      .select($"seg", $"n".as("n_orders"), r($"sx", 2).as("total_spend"),
+        r(expr(GiniExpr), 6).as("gini"),
+        r($"stop" / $"sx", 6).as("top10_share"))
+      .orderBy($"seg")
+  }
+
+  val q57Sql: String =
+    s"""WITH base AS (SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
+         o.o_totalprice AS x
+       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       rk AS (SELECT seg, x,
+         row_number() OVER (PARTITION BY seg ORDER BY x, k) AS rk,
+         count(*) OVER (PARTITION BY seg) AS nw
+       FROM base),
+       m AS (SELECT seg, CAST(max(rk) AS BIGINT) AS n,
+         ${dsumSql("x")} AS sx,
+         ${dsumSql("CAST(rk AS DOUBLE) * x")} AS srx,
+         ${dsumSql("CASE WHEN rk > nw - nw // 10 THEN x END")} AS stop
+       FROM rk GROUP BY seg)
+       SELECT seg, n AS n_orders, ${rSql("sx", 2)} AS total_spend,
+         ${rSql(GiniExpr, 6)} AS gini,
+         ${rSql("stop / sx", 6)} AS top10_share
+       FROM m ORDER BY seg"""
+
   // --- q53: Benford first-digit distribution audit --------------------------
 
   /** Benford P(d) = log10(1 + 1/d), d = 1..9 — literal doubles identical in
@@ -1343,6 +1412,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_gini" -> (q57Gini _),
     "q56_cusum" -> (q56Cusum _),
     "q55_theil_sen" -> (q55TheilSen _),
     "q54_mutual_info" -> (q54MutualInfo _),
@@ -1374,6 +1444,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q57_gini" -> q57Sql,
     "q56_cusum" -> q56Sql,
     "q55_theil_sen" -> q55Sql,
     "q54_mutual_info" -> q54Sql,

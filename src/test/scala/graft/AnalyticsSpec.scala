@@ -31,6 +31,33 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q57 Gini: uniform segment scores 0, single holder (n-1)/n, exact top-decile share") {
+    import spark.implicits._
+    // uniform: every order identical → G = 0; single holder of all spend
+    // among n=4 → G = (n−1)/n = 0.75
+    val planted = (Seq.fill(4)(10.0).zipWithIndex.map { case (x, i) => ("u", i.toLong, x) } ++
+      Seq(0.0, 0.0, 0.0, 10.0).zipWithIndex.map { case (x, i) => ("h", i.toLong, x) })
+      .toDF("seg", "k", "x")
+    val byseg = Analytics.gini(planted).collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(byseg("u").getAs[Double]("gini") == 0.0, s"${byseg("u")}")
+    assert(byseg("h").getAs[Double]("gini") == 0.75, s"${byseg("h")}")
+    // ranks 19,20 of 1..20 are the top decile: share = 39/210 → 0.185714
+    val twenty = (1 to 20).map(i => ("t", i.toLong, i.toDouble)).toDF("seg", "k", "x")
+    val r20 = Analytics.gini(twenty).collect()(0)
+    assert(r20.getAs[Long]("n_orders") == 20L)
+    assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
+  }
+
+  test("q57 on testdata: one row per segment, gini within [0,1]") {
+    import spark.implicits._
+    val out = Analytics.q57Gini(spark, sfTiny).cache()
+    try {
+      assert(out.count() == 5)
+      assert(out.filter($"gini" < 0 || $"gini" > 1).count() == 0)
+      assert(out.filter($"top10_share" <= 0.1).count() == 0) // top decile holds > its head count share
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q56 CUSUM: locates a planted level shift at its exact hour") {
     import spark.implicits._
     // step series 0,0,0 → 6,6,6 (μ = 3): S = −3,−6,−9,−6,−3,0 — the CUSUM
