@@ -874,6 +874,64 @@ object Analytics {
          FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
   }
 
+  // --- q58: Markov transition matrix over per-user event sequences ----------
+
+  /** q58 — first-order Markov transition matrix of event types: for each
+    * user's (ts, event_id)-ordered stream, count consecutive (src → dst)
+    * pairs, then report the conditional probability p = n/Σ_src n and the
+    * lift over the destination's marginal share — the behavioral-model
+    * primitive behind next-event prediction and funnel anomaly detection
+    * (pairs never cross a user boundary). Counts are exact; the two
+    * ratios are pure IEEE on integer-derived doubles.
+    *
+    * Scale shape: one shuffle on user_id produces the lagged pairs; the
+    * cell table is |types|²-sized, so the probability/lift windows run
+    * over a handful of rows regardless of corpus size. */
+  def q58Markov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    markov(Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type"))
+  }
+
+  /** q58's core over an explicit (user_id, ts, event_id, event_type)
+    * stream — exposed so the spec can plant a branching chain with
+    * hand-counted transitions and prove user-boundary isolation. */
+  private[graft] def markov(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cells = ev
+      .withColumn("dst_type", lead($"event_type", 1).over(w))
+      .filter($"dst_type".isNotNull)
+      .groupBy($"event_type".as("src_type"), $"dst_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    cells
+      .withColumn("tot_src", sum($"n_pairs").over(Window.partitionBy($"src_type")))
+      .withColumn("tot_dst", sum($"n_pairs").over(Window.partitionBy($"dst_type")))
+      .withColumn("tot_all", sum($"n_pairs").over(Window.partitionBy()))
+      .select($"src_type", $"dst_type", $"n_pairs",
+        r($"n_pairs".cast("double") / $"tot_src".cast("double"), 6).as("p"),
+        r(($"n_pairs".cast("double") / $"tot_src".cast("double")) /
+          ($"tot_dst".cast("double") / $"tot_all".cast("double")), 6).as("lift"))
+      .orderBy($"src_type", $"dst_type")
+  }
+
+  val q58Sql: String =
+    s"""WITH pairs AS (SELECT event_type AS src_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+       FROM events),
+       cells AS (SELECT src_type, dst_type, count(*) AS n_pairs
+         FROM pairs WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type),
+       m AS (SELECT src_type, dst_type, n_pairs,
+         sum(n_pairs) OVER (PARTITION BY src_type) AS tot_src,
+         sum(n_pairs) OVER (PARTITION BY dst_type) AS tot_dst,
+         sum(n_pairs) OVER () AS tot_all
+       FROM cells)
+       SELECT src_type, dst_type, n_pairs,
+         ${rSql("CAST(n_pairs AS DOUBLE) / CAST(tot_src AS DOUBLE)", 6)} AS p,
+         ${rSql("(CAST(n_pairs AS DOUBLE) / CAST(tot_src AS DOUBLE)) / (CAST(tot_dst AS DOUBLE) / CAST(tot_all AS DOUBLE))", 6)} AS lift
+       FROM m ORDER BY src_type, dst_type"""
+
   // --- q57: Gini concentration audit over order spend -----------------------
 
   /** Shared Gini expression text over (n, sx, srx): the rank-sum identity
@@ -1412,6 +1470,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
     "q56_cusum" -> (q56Cusum _),
     "q55_theil_sen" -> (q55TheilSen _),
@@ -1444,6 +1503,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,
     "q56_cusum" -> q56Sql,
     "q55_theil_sen" -> q55Sql,

@@ -31,6 +31,39 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q58 Markov: hand-counted branching chain, user boundaries never pair") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A→B, user 2: A→C, user 3: A→B. p(A→B)=2/3, p(A→C)=1/3;
+    // dst marginals are the same shares, so every lift is exactly 1.
+    val ev = Seq(
+      (1L, t(0), 1L, "A"), (1L, t(10), 2L, "B"),
+      (2L, t(0), 3L, "A"), (2L, t(10), 4L, "C"),
+      (3L, t(0), 5L, "A"), (3L, t(10), 6L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Analytics.markov(ev).collect()
+    assert(rows.length == 2) // no B→A / C→A pairs across user boundaries
+    val ab = rows.find(r => r.getAs[String]("dst_type") == "B").get
+    val ac = rows.find(r => r.getAs[String]("dst_type") == "C").get
+    assert(ab.getAs[Long]("n_pairs") == 2L && ab.getAs[Double]("p") == 0.666667, s"$ab")
+    assert(ac.getAs[Long]("n_pairs") == 1L && ac.getAs[Double]("p") == 0.333333, s"$ac")
+    assert(ab.getAs[Double]("lift") == 1.0 && ac.getAs[Double]("lift") == 1.0)
+  }
+
+  test("q58 on testdata: rows bound by types², conditional rows sum to 1 per src") {
+    import spark.implicits._
+    val out = Analytics.q58Markov(spark, sfTiny).cache()
+    try {
+      val types = Tables.events(spark, sfTiny)
+        .select($"event_type").distinct().count()
+      assert(out.count() <= types * types && out.count() > 0)
+      // each src row-sums to 1 within rounding slack (25 cells × 5e-7)
+      val sums = out.groupBy($"src_type").agg(sum($"p").as("sp")).collect()
+      assert(sums.forall(r => math.abs(r.getAs[Double]("sp") - 1.0) < 1e-4), sums.mkString(";"))
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q57 Gini: uniform segment scores 0, single holder (n-1)/n, exact top-decile share") {
     import spark.implicits._
     // uniform: every order identical → G = 0; single holder of all spend
