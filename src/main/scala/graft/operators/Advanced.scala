@@ -701,7 +701,95 @@ object Advanced {
        GROUP BY l_linestatus
        ORDER BY l_linestatus"""
 
+  // --- t20: RFM customer segmentation ---------------------------------------
+
+  /** Quintile index 1..5 of `m` against four broadcast thresholds named
+    * `${t}1`..`${t}4` — ties land in the LOWER bucket (>, not ≥), so no
+    * tie-break is needed and the assignment is scan-local. Shared
+    * Spark/DuckDB expression text (both accept this CASE chain). */
+  private def quintSql(m: String, t: String): String =
+    s"CAST(1 + ${(1 to 4).map(i => s"CASE WHEN $m > $t$i THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT)"
+
+  /** t20 — RFM segmentation: per customer, recency (days from last order
+    * to the corpus max date), frequency (order count), and monetary
+    * (cent-rounded spend) are each cut into quintiles against exact
+    * interpolated thresholds (the q33-proven percentile ↔ quantile_cont
+    * pairing, rounded to 6 dp before comparison), then customers are
+    * rolled up per (r_q, f_q, m_q) cell — the classic CRM segmentation
+    * grid. Quintile 1 = most recent / fewest orders / lowest spend; ties
+    * sit in the lower bucket, so no rank tie-break exists at all.
+    *
+    * Scale shape: one groupBy(custkey) aggregation, a 1-row threshold
+    * broadcast, scan-local bucket assignment, and a ≤125-cell rollup.
+    * The exact-percentile threshold pass buffers the per-customer metric
+    * per group (q39's documented trade-off); at real scale the drop-in is
+    * q37's GK sketch for the twelve cuts. */
+  def t20Rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rfm(Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_totalprice"))
+  }
+
+  /** t20's core over an explicit (o_custkey, o_orderdate, o_totalprice)
+    * relation — exposed so the spec can plant 10 single-order customers
+    * with hand-placed quintile cells. */
+  private[graft] def rfm(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    val per = orders.groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_d"),
+        count(lit(1)).as("freq"), rsum($"o_totalprice", 2).as("mon"))
+    val ref = orders.agg(max($"o_orderdate").as("ref_d"))
+    val cust = per.crossJoin(broadcast(ref))
+      .select($"o_custkey",
+        datediff($"ref_d", $"last_d").cast("long").as("rec"), $"freq", $"mon")
+      .cache() // feeds the threshold pass and the scoring pass
+    def cuts(c: org.apache.spark.sql.Column, t: String) =
+      Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
+        r(percentile(c, lit(p)), 6).as(s"$t${i + 1}")
+      }
+    val th = cust.agg(cuts($"rec".cast("double"), "rc").head,
+      (cuts($"rec".cast("double"), "rc").tail ++
+        cuts($"freq".cast("double"), "fc") ++ cuts($"mon", "mc")): _*)
+    val out = cust.crossJoin(broadcast(th))
+      .select($"o_custkey", $"freq", $"mon",
+        expr(quintSql("CAST(rec AS DOUBLE)", "rc")).as("r_q"),
+        expr(quintSql("CAST(freq AS DOUBLE)", "fc")).as("f_q"),
+        expr(quintSql("mon", "mc")).as("m_q"))
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        ravg($"freq", 6).as("avg_orders"), ravg($"mon", 2).as("avg_monetary"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+      .localCheckpoint(true)
+    cust.unpersist(blocking = false)
+    out
+  }
+
+  val t20Sql: String =
+    s"""WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+         count(*) AS freq, ${rsumSql("o_totalprice", 2)} AS mon
+       FROM orders GROUP BY o_custkey),
+       ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
+       cust AS MATERIALIZED (SELECT o_custkey,
+         CAST(date_diff('day', CAST(last_d AS DATE), CAST(ref_d AS DATE)) AS BIGINT) AS rec,
+         freq, mon
+       FROM per CROSS JOIN ref),
+       th AS (SELECT
+         ${Seq("rc" -> "CAST(rec AS DOUBLE)", "fc" -> "CAST(freq AS DOUBLE)", "mc" -> "mon")
+           .flatMap { case (t, m) => Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (p, i) =>
+             s"${rSql(s"quantile_cont($m, $p)", 6)} AS $t${i + 1}" } }.mkString(", ")}
+       FROM cust)
+       SELECT r_q, f_q, m_q, count(*) AS n_customers,
+         ${ravgSql("freq", 6)} AS avg_orders, ${ravgSql("mon", 2)} AS avg_monetary
+       FROM (SELECT ${quintSql("CAST(rec AS DOUBLE)", "rc")} AS r_q,
+         ${quintSql("CAST(freq AS DOUBLE)", "fc")} AS f_q,
+         ${quintSql("mon", "mc")} AS m_q, freq, mon
+       FROM cust CROSS JOIN th) z
+       GROUP BY r_q, f_q, m_q
+       ORDER BY r_q, f_q, m_q"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_rfm" -> (t20Rfm _),
     "q42_histogram" -> (q42Histogram _),
     "t16_scd2_intervals" -> (t16Scd2Intervals _),
     "s02_weighted_sample" -> (s02WeightedSample _),
@@ -723,6 +811,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "t20_rfm" -> t20Sql,
     "q42_histogram" -> q42Sql,
     "t16_scd2_intervals" -> t16Sql,
     "s02_weighted_sample" -> s02Sql,

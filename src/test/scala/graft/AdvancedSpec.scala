@@ -5,6 +5,37 @@ import graft.operators.Advanced
 
 class AdvancedSpec extends GraftSpec {
 
+  test("t20 RFM: planted spend ladder lands in hand-computed quintile cells") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 customers, one same-day order each: rec = 0 and freq = 1 for all
+    // (both quintile chains collapse to bucket 1); spend 10..100 cuts at
+    // interpolated 28/46/64/82 → monetary pairs {10,20}..{90,100}
+    val d = Timestamp.valueOf("2024-01-15 00:00:00")
+    val orders = (1 to 10).map(i => (i.toLong, d, i * 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val rows = Advanced.rfm(orders).collect()
+    assert(rows.length == 5, rows.mkString(";"))
+    assert(rows.forall(r => r.getAs[Long]("r_q") == 1L && r.getAs[Long]("f_q") == 1L))
+    val cells = rows.map(r => r.getAs[Long]("m_q") ->
+      (r.getAs[Long]("n_customers"), r.getAs[Double]("avg_monetary"))).toMap
+    assert(cells == Map(1L -> (2L, 15.0), 2L -> (2L, 35.0), 3L -> (2L, 55.0),
+      4L -> (2L, 75.0), 5L -> (2L, 95.0)), cells.toString)
+  }
+
+  test("t20 on testdata: customer total conserved, quintiles within 1..5") {
+    import spark.implicits._
+    val out = Advanced.t20Rfm(spark, sfTiny).cache()
+    try {
+      val nCust = Tables.orders(spark, sfTiny)
+        .select($"o_custkey").distinct().count()
+      assert(out.agg(sum($"n_customers")).collect()(0).getLong(0) == nCust)
+      Seq("r_q", "f_q", "m_q").foreach { c =>
+        assert(out.filter(col(c) < 1 || col(c) > 5).count() == 0, c)
+      }
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q28 quartiles balanced within each segment, ranks in [0,1]") {
     import spark.implicits._
     val out = Advanced.q28WindowDistribution(spark, sfTiny).cache()
