@@ -1153,6 +1153,113 @@ object Corpus {
        ORDER BY tot.lang"""
   }
 
+  // --- d40: Heaps'-law vocabulary-growth report ----------------------------
+
+  /** d40 — Heaps'-law vocabulary growth: cumulative token volume and
+    * distinct-vocabulary size at ten doc_id-prefix checkpoints (prefix k
+    * holds the docs with 10·doc_id < k·D, D = max doc_id + 1), plus the
+    * log-log least-squares fit V ≈ K·Nᵝ over the ten points (Heaps 1978;
+    * β ≈ 0.4–0.6 on natural text — a saturating β is the standard sign of
+    * a capped/templated vocabulary, the d36 Zipf report's growth-side
+    * sibling). Vocabulary at a checkpoint counts words whose FIRST
+    * occurrence (min doc_id) falls inside the prefix, so no prefix is
+    * ever re-scanned. x = ln(cum tokens), y = ln(vocab) are logs of exact
+    * integers (the d08/d10 portable-ln family); moments ride q35's
+    * decimal layout; slope/intercept are reported rounded (intercept as
+    * ln K — no exp, ln is the only transcendental touched).
+    *
+    * Scale shape: one tokenize pass feeds (a) a doc-level 10-way
+    * conditional aggregate (scan-local, map-side combinable) and (b) a
+    * word-level min(doc_id) aggregate — one shuffle on the word key. The
+    * checkpoint frame is 10 rows wide regardless of corpus size; no
+    * window, no prefix re-scan, no quadratic term anywhere. */
+  def d40HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    heapsLaw(Tables.documents(s, dir).select($"doc_id", $"text"))
+  }
+
+  /** d40's core over an explicit (doc_id, text) corpus — exposed so the
+    * spec can plant a corpus with hand-counted prefix vocabularies. */
+  private[graft] def heapsLaw(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tokd = docs.select($"doc_id", toks(lower($"text")).as("ws"))
+      .cache() // feeds the doc-level counts and the first-occurrence pass
+    val dmax = tokd.agg((max($"doc_id") + lit(1L)).as("dd"))
+    val docAgg = tokd
+      .select($"doc_id", size($"ws").cast("long").as("nt"))
+      .crossJoin(broadcast(dmax))
+      .agg((1 to 10).flatMap(k => Seq(
+        count(when($"doc_id" * 10 < $"dd" * k, lit(1))).as(s"d$k"),
+        sum(when($"doc_id" * 10 < $"dd" * k, $"nt")).as(s"t$k"))).head,
+        (1 to 10).flatMap(k => Seq(
+          count(when($"doc_id" * 10 < $"dd" * k, lit(1))).as(s"d$k"),
+          sum(when($"doc_id" * 10 < $"dd" * k, $"nt")).as(s"t$k"))).tail: _*)
+    val vocAgg = tokd
+      .select($"doc_id", explode($"ws").as("w"))
+      .groupBy($"w").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(dmax))
+      .agg((1 to 10).map(k =>
+        count(when($"fd" * 10 < $"dd" * k, lit(1))).as(s"v$k")).head,
+        (1 to 10).map(k =>
+          count(when($"fd" * 10 < $"dd" * k, lit(1))).as(s"v$k")).tail: _*)
+    val pts = docAgg.crossJoin(vocAgg)
+      .select(expr("stack(10, " + (1 to 10)
+        .map(k => s"${k}L, d$k, t$k, v$k").mkString(", ") +
+        ") AS (k, cum_docs, cum_tokens, vocab)"))
+      .select($"k", $"cum_docs", $"cum_tokens", $"vocab",
+        log($"cum_tokens".cast("double")).as("x"),
+        log($"vocab".cast("double")).as("y"))
+      .cache() // 10 rows; feeds the fit and the output join
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    val fit = pts.agg(count(lit(1)).cast("double").as("n"),
+        dsum($"x").as("sx"), dsum($"x" * $"x").as("sxx"),
+        dsum($"y").as("sy"), dsum($"x" * $"y").as("sxy"))
+      .select(r(slope, 6).as("heaps_beta"),
+        r(($"sy" - slope * $"sx") / $"n", 6).as("heaps_lnk"))
+    val out = pts.crossJoin(broadcast(fit))
+      .select($"k", $"cum_docs", $"cum_tokens", $"vocab",
+        $"heaps_beta", $"heaps_lnk")
+      .orderBy($"k")
+      .localCheckpoint(true)
+    tokd.unpersist(blocking = false)
+    pts.unpersist(blocking = false)
+    out
+  }
+
+  val d40Sql: String = {
+    val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    val branches = (1 to 10).map(k =>
+      s"SELECT $k AS k, d$k AS cum_docs, t$k AS cum_tokens, v$k AS vocab FROM da CROSS JOIN va")
+      .mkString(" UNION ALL ")
+    s"""WITH tokd AS MATERIALIZED (SELECT doc_id,
+         ${toksSql("lower(text)")} AS ws FROM documents),
+       dmax AS (SELECT max(doc_id) + 1 AS dd FROM tokd),
+       da AS (SELECT ${(1 to 10).map(k =>
+         s"count(CASE WHEN 10 * doc_id < $k * dd THEN 1 END) AS d$k, " +
+         s"CAST(sum(CASE WHEN 10 * doc_id < $k * dd THEN nt END) AS BIGINT) AS t$k")
+         .mkString(", ")}
+         FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nt FROM tokd)
+         CROSS JOIN dmax),
+       fw AS (SELECT w, min(doc_id) AS fd
+         FROM (SELECT doc_id, unnest(ws) AS w FROM tokd) GROUP BY w),
+       va AS (SELECT ${(1 to 10).map(k =>
+         s"count(CASE WHEN 10 * fd < $k * dd THEN 1 END) AS v$k").mkString(", ")}
+         FROM fw CROSS JOIN dmax),
+       pts AS (SELECT k, cum_docs, cum_tokens, vocab,
+           ln(CAST(cum_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+         FROM ($branches) u),
+       fit AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           ${dsumSql("x")} AS sx, ${dsumSql("x * x")} AS sxx,
+           ${dsumSql("y")} AS sy, ${dsumSql("x * y")} AS sxy
+         FROM pts)
+       SELECT k, cum_docs, cum_tokens, vocab,
+         ${rSql(slope, 6)} AS heaps_beta,
+         ${rSql(s"(sy - ($slope) * sx) / n", 6)} AS heaps_lnk
+       FROM pts CROSS JOIN fit
+       ORDER BY k"""
+  }
+
   // --- ml09: probability calibration report (reliability diagram) ---------
 
   /** ml09's core over any scored frame with (label ∈ {0,1}, score ∈ (0,1))
@@ -1505,6 +1612,7 @@ object Corpus {
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
+    "d40_heaps_law" -> (d40HeapsLaw _),
     "d36_zipf_report" -> (d36ZipfReport _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
@@ -1525,6 +1633,7 @@ object Corpus {
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,
+    "d40_heaps_law" -> d40Sql,
     "d36_zipf_report" -> d36Sql,
     "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,

@@ -5,6 +5,42 @@ import graft.operators.{Corpus, DedupLsh, TextOps}
 
 class CorpusSpec extends GraftSpec {
 
+  test("d40 Heaps: one-new-word-per-doc corpus gives exact prefix counts") {
+    import spark.implicits._
+    // doc i = "base w{i}": prefix k holds k docs, 2k tokens, vocab k+1
+    val docs = (0 until 10).map(i => (i.toLong, s"base w$i")).toDF("doc_id", "text")
+    val rows = operators.Corpus.heapsLaw(docs).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Long]("cum_docs") == k, s"$r")
+      assert(r.getAs[Long]("cum_tokens") == 2 * k, s"$r")
+      assert(r.getAs[Long]("vocab") == k + 1, s"$r")
+    }
+    // growth slower than linear in tokens → β strictly inside (0, 1)
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    assert(beta > 0.0 && beta < 1.0, beta.toString)
+    assert(rows.map(_.getAs[Double]("heaps_beta")).distinct.length == 1)
+  }
+
+  test("d40 on testdata: 10 checkpoints, monotone growth, sub-linear beta") {
+    import spark.implicits._
+    val out = operators.Corpus.d40HeapsLaw(spark, sfTiny).cache()
+    try {
+      val rows = out.orderBy($"k").collect()
+      assert(rows.length == 10)
+      val toks = rows.map(_.getAs[Long]("cum_tokens"))
+      val voc = rows.map(_.getAs[Long]("vocab"))
+      assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+      assert(voc.zip(voc.tail).forall { case (a, b) => a <= b })
+      // the synthetic ~40-word vocabulary saturates at the first
+      // checkpoint — exactly the capped-vocabulary signal d40 exists to
+      // flag — so β can legitimately round to 0 here; it must not be
+      // negative (vocabulary never shrinks)
+      assert(rows.head.getAs[Double]("heaps_beta") >= 0.0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d37 stupid backoff: hand-planted corpus scores every backoff level exactly") {
     import spark.implicits._
     // train (h=0): trigrams "a b c"×2, "a b d"; bigrams a-b×3, b-c×2,
