@@ -1260,6 +1260,84 @@ object Corpus {
        ORDER BY k"""
   }
 
+  // --- d41: Jensen–Shannon drift audit per source ---------------------------
+
+  /** ln 2 as an exact double literal — shared by both engines so neither
+    * side's libm is consulted for the constant (q53's literal-table trick). */
+  private val Ln2 = "0.6931471805599453"
+
+  /** d41 — Jensen–Shannon divergence of each source's unigram
+    * distribution P against the corpus distribution Q: the symmetric,
+    * bounded (≤ ln 2) drift score domain-shift audits use (Lin 1991),
+    * next to d25's DSIR importance ratio and d26's cross-entropy. Words
+    * present in the source contribute p·ln(p/m) + q·ln(q/m) with
+    * m = (p+q)/2; the q-mass of words ABSENT from the source contributes
+    * exactly q·ln 2, so JSD = ½·Σ_present t + ½·ln2·(1 − coverage) with
+    * no outer join and no zero-probability rows materialized — coverage
+    * (the corpus mass the source's vocabulary spans) is reported too.
+    * All ratios are integer-derived doubles, ln rides the proven d10/d26
+    * parity family, sums are decimal-exact, ln 2 is a shared literal.
+    *
+    * Scale shape: one tokenize → (source, word) count shuffle; the global
+    * word table derives from the same counts (no second corpus scan);
+    * everything after is vocabulary-sized. */
+  def d41JsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jsDrift(Tables.documents(s, dir)
+      .select(coalesce($"source", lit("")).as("src"), $"text"))
+  }
+
+  /** d41's core over an explicit (src, text) corpus — exposed so the spec
+    * can plant identical (JSD = 0) and disjoint (JSD → ln 2 vs the rest)
+    * sources with hand-computed divergences. */
+  private[graft] def jsDrift(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cs = docs
+      .select($"src", explode(toks(lower($"text"))).as("w"))
+      .groupBy($"src", $"w").agg(count(lit(1)).as("np"))
+      .cache() // feeds the global table, the totals, and the join
+    val cw = cs.groupBy($"w").agg(sum($"np").as("nw"))
+    val ns = cs.groupBy($"src").agg(sum($"np").as("nsrc"))
+    val nt = cw.agg(sum($"nw").as("ntot"))
+    val p = $"np".cast("double") / $"nsrc".cast("double")
+    val q = $"nw".cast("double") / $"ntot".cast("double")
+    val out = cs.join(cw, "w").join(broadcast(ns), "src")
+      .crossJoin(broadcast(nt))
+      .select($"src", $"nsrc", p.as("p"), q.as("q"))
+      .withColumn("m", ($"p" + $"q") / lit(2.0))
+      .groupBy($"src")
+      .agg(min($"nsrc").as("n_tokens"),
+        dsum($"p" * log($"p" / $"m") + $"q" * log($"q" / $"m")).as("tsum"),
+        dsum($"q").as("qcov"))
+      .select($"src".as("source"), $"n_tokens", r($"qcov", 6).as("coverage"),
+        r(lit(0.5) * $"tsum" +
+          lit(0.5) * expr(s"CAST($Ln2 AS DOUBLE)") * (lit(1.0) - $"qcov"), 6).as("jsd"))
+      .orderBy($"source")
+      .localCheckpoint(true)
+    cs.unpersist(blocking = false)
+    out
+  }
+
+  val d41Sql: String =
+    s"""WITH tok AS (SELECT src, unnest(${toksSql("lower(text)")}) AS w
+         FROM (SELECT coalesce(source, '') AS src, text FROM documents)),
+       cs AS MATERIALIZED (SELECT src, w, count(*) AS np FROM tok GROUP BY src, w),
+       cw AS (SELECT w, CAST(sum(np) AS BIGINT) AS nw FROM cs GROUP BY w),
+       ns AS (SELECT src, CAST(sum(np) AS BIGINT) AS nsrc FROM cs GROUP BY src),
+       nt AS (SELECT CAST(sum(nw) AS BIGINT) AS ntot FROM cw),
+       pq AS (SELECT src, nsrc,
+           CAST(np AS DOUBLE) / CAST(nsrc AS DOUBLE) AS p,
+           CAST(nw AS DOUBLE) / CAST(ntot AS DOUBLE) AS q
+         FROM cs JOIN cw USING (w) JOIN ns USING (src) CROSS JOIN nt),
+       ag AS (SELECT src, min(nsrc) AS n_tokens,
+           ${dsumSql("p * ln(p / ((p + q) / CAST(2.0 AS DOUBLE))) + q * ln(q / ((p + q) / CAST(2.0 AS DOUBLE)))")} AS tsum,
+           ${dsumSql("q")} AS qcov
+         FROM pq GROUP BY src)
+       SELECT src AS source, n_tokens, ${rSql("qcov", 6)} AS coverage,
+         ${rSql(s"CAST(0.5 AS DOUBLE) * tsum + CAST(0.5 AS DOUBLE) * CAST($Ln2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - qcov)", 6)} AS jsd
+       FROM ag ORDER BY source"""
+
   // --- ml09: probability calibration report (reliability diagram) ---------
 
   /** ml09's core over any scored frame with (label ∈ {0,1}, score ∈ (0,1))
@@ -1612,6 +1690,7 @@ object Corpus {
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
+    "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
     "d36_zipf_report" -> (d36ZipfReport _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
@@ -1633,6 +1712,7 @@ object Corpus {
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,
+    "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,
     "d36_zipf_report" -> d36Sql,
     "ml06_quality_classifier" -> ml06Sql,

@@ -5,6 +5,32 @@ import graft.operators.{Corpus, DedupLsh, TextOps}
 
 class CorpusSpec extends GraftSpec {
 
+  test("d41 JSD: identical source scores 0, disjoint halves hit the hand value") {
+    import spark.implicits._
+    // identical: both sources are "x y" → P = Q → JSD = 0, coverage = 1
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("src", "text")
+    operators.Corpus.jsDrift(same).collect().foreach { r =>
+      assert(r.getAs[Double]("jsd") == 0.0 && r.getAs[Double]("coverage") == 1.0, s"$r")
+    }
+    // disjoint halves: a = "x x", b = "y y". For either source
+    // t = ln(4/3) + 0.5·ln(2/3), JSD = t/2 + ln2/4 ≈ 0.215762
+    val disj = Seq(("a", "x x"), ("b", "y y")).toDF("src", "text")
+    operators.Corpus.jsDrift(disj).collect().foreach { r =>
+      assert(r.getAs[Double]("coverage") == 0.5, s"$r")
+      assert(r.getAs[Double]("jsd") == 0.215762, s"$r")
+    }
+  }
+
+  test("d41 on testdata: one row per source, JSD within [0, ln 2]") {
+    import spark.implicits._
+    val out = operators.Corpus.d41JsDrift(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"jsd" < 0 || $"jsd" > 0.693148).count() == 0)
+      assert(out.filter($"coverage" <= 0 || $"coverage" > 1).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d40 Heaps: one-new-word-per-doc corpus gives exact prefix counts") {
     import spark.implicits._
     // doc i = "base w{i}": prefix k holds k docs, 2k tokens, vocab k+1
