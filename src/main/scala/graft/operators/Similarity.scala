@@ -1708,7 +1708,81 @@ object Similarity {
        SELECT * FROM ($un) z ORDER BY m_dims"""
   }
 
+  // --- e22: hard-negative mining for contrastive training -------------------
+
+  /** e22 — hard-negative mining: for each budgeted query, the 3 most
+    * cosine-similar vectors with a DIFFERENT label (the "hard negatives"
+    * contrastive/triplet training feeds on), alongside the top same-label
+    * positive and the triplet margin pos−neg (negative margin = the
+    * negative outranks the positive — the informative triplets). One
+    * scored pass over the e01 broadcast-budget shape ranks positives and
+    * negatives in a single (query, same-label) window; queries whose
+    * label has no other member report a NULL positive/margin.
+    *
+    * Scale shape: identical to e01 — broadcast O([[QueryBudget]]) query
+    * side, candidate side never shuffles before the per-query window over
+    * budget-bounded groups. At real scale the same mining runs over an
+    * ANN shortlist (e13's ADC re-rank) instead of the exact scan. */
+  def e22HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val q = c.filter($"vec_id" % 100 === 0)
+      .orderBy(hvCol, $"vec_id").limit(QueryBudget)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    val cand = c.select($"vec_id".as("neighbor_id"), $"label".as("c_label"),
+      $"v".as("cv"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"query_id", $"same")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    val ranked = broadcast(q).join(cand, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
+      .withColumn("same", $"q_label" === $"c_label")
+      .withColumn("rn", row_number().over(w))
+      .filter(($"same" && $"rn" === 1) || (!$"same" && $"rn" <= 3))
+      .cache() // ≤ 4·budget rows; feeds the negative and positive branches
+    val neg = ranked.filter(!$"same")
+      .select($"query_id", $"q_label", $"rn".cast("long").as("rank"),
+        $"neighbor_id".as("neg_id"), $"c_label".as("neg_label"),
+        $"cosine".as("neg_cosine"))
+    val pos = ranked.filter($"same")
+      .select($"query_id", $"neighbor_id".as("pos_id"), $"cosine".as("pos_cosine"))
+    val out = neg.join(pos, Seq("query_id"), "left")
+      .select($"query_id", $"q_label", $"rank", $"neg_id", $"neg_label",
+        $"neg_cosine", $"pos_id", $"pos_cosine",
+        r($"pos_cosine" - $"neg_cosine", 6).as("margin"))
+      .orderBy($"query_id", $"rank")
+      .localCheckpoint(true)
+    ranked.unpersist(blocking = false)
+    out
+  }
+
+  val e22Sql: String =
+    s"""WITH n AS MATERIALIZED ($corpusSql),
+       exq AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qnrm
+         FROM n WHERE vec_id % 100 = 0
+         ORDER BY $hvSql, vec_id
+         LIMIT $QueryBudget),
+       sc AS (SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id,
+           c.label AS c_label,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.v[i])) / (q.qnrm * c.nrm)", 6)} AS cosine,
+           (c.label = q.q_label) AS same
+         FROM exq q JOIN n c ON q.query_id != c.vec_id),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY query_id, same
+           ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         FROM sc),
+       neg AS (SELECT query_id, q_label, rn AS rank, neighbor_id AS neg_id,
+           c_label AS neg_label, cosine AS neg_cosine
+         FROM rk WHERE NOT same AND rn <= 3),
+       pos AS (SELECT query_id, neighbor_id AS pos_id, cosine AS pos_cosine
+         FROM rk WHERE same AND rn = 1)
+       SELECT g.query_id, g.q_label, g.rank, g.neg_id, g.neg_label,
+         g.neg_cosine, p.pos_id, p.pos_cosine,
+         ${rSql("p.pos_cosine - g.neg_cosine", 6)} AS margin
+       FROM neg g LEFT JOIN pos p ON p.query_id = g.query_id
+       ORDER BY g.query_id, g.rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_hard_negatives" -> (e22HardNegatives _),
     "e20_matryoshka_recall" -> (e20MatryoshkaRecall _),
     "e19_embedding_knn" -> (e19EmbeddingKnn _),
     "e18_pca_project" -> (e18PcaProject _),
@@ -1733,6 +1807,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e22_hard_negatives" -> e22Sql,
     "e19_embedding_knn" -> e19Sql,
     "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,

@@ -5,6 +5,30 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSpec {
 
+  test("e22 hard negatives: labels truly differ, margins reconcile, exact top bounds") {
+    import spark.implicits._
+    val out = Similarity.e22HardNegatives(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      // reported neg_label is the table's label for neg_id, and differs from q_label
+      val lab = Tables.embeddings(spark, sfTiny)
+        .select($"vec_id".as("neg_id"), $"label".as("true_label"))
+      assert(out.join(lab, "neg_id")
+        .filter($"neg_label" =!= $"true_label" || $"neg_label" === $"q_label")
+        .count() == 0)
+      // margin is exactly pos − neg under the shared rounding policy
+      assert(out.filter($"pos_cosine".isNotNull).collect().forall { r =>
+        r.getAs[Double]("margin") ==
+          operators.Num.rD(r.getAs[Double]("pos_cosine") - r.getAs[Double]("neg_cosine"), 6)
+      })
+      // the unrestricted e01 top-1 dominates every restricted rank-1 negative
+      val top1 = Similarity.e01CosineTopK(spark, sfTiny)
+        .filter($"rank" === 1).select($"query_id", $"cosine".as("best"))
+      assert(out.filter($"rank" === 1).join(top1, "query_id")
+        .filter($"neg_cosine" > $"best").count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("e01 cosines are in [-1,1] and exactly 5 neighbors per query") {
     val df = Similarity.e01CosineTopK(spark, sfTiny).cache()
     assert(df.filter(col("cosine") < -1.0 || col("cosine") > 1.0).count() == 0)
