@@ -588,7 +588,100 @@ object Maintenance {
        FROM sc ORDER BY id"""
   }
 
+  // --- ml14: ridge-regularized training with a lambda sweep ---------------
+
+  /** ml14's regularization grid — exact binary doubles so the literals
+    * mirror bit-for-bit (written with CAST AS DOUBLE in the oracle). */
+  private[graft] val RidgeLams = Seq(0.0, 0.5, 2.0, 8.0)
+
+  /** Ridge-ify ml03's Cramer templates: the penalty λ·nn lands on the two
+    * feature diagonal moments (s11, s22) and nowhere else — the intercept
+    * stays unpenalized, and scaling by nn makes λ corpus-size-invariant.
+    * Pure text substitution, so Spark and DuckDB evaluate the identical
+    * expression tree. */
+  private def ridgeSub(t: String): String =
+    t.replace("s11", "(s11 + lam * nn)").replace("s22", "(s22 + lam * nn)")
+
+  /** ml14 — model selection as a query: ml03's closed-form linear-
+    * probability trainer swept over the [[RidgeLams]] ridge grid in ONE
+    * pass. The 9 training moments are computed once; each λ reuses them
+    * through the substituted Cramer templates (a 4-row broadcast), and one
+    * scoring pass reports per-λ train MSE, accuracy, and the weight norm.
+    * The textbook checks hold as theorems and are spec-pinned: train MSE
+    * is non-decreasing and ‖w‖ non-increasing in λ, with λ=0 ≡ ml03.
+    *
+    * Scale shape: training cost is ONE map-side-combinable aggregation
+    * regardless of grid size; the sweep itself is O(|grid|) broadcast
+    * algebra, and evaluation is a single scan scored against 4 broadcast
+    * weight rows — the pattern a 100 TB hyperparameter sweep needs (never
+    * re-aggregate the corpus per candidate). */
+  def ml14Ridge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Telemetry.twin(s).select(
+      col("id"), col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    val mom = t.agg(
+      count(lit(1)).cast("double").as("nn"),
+      dsum(col("x1")).as("s1"),
+      dsum(col("x2")).as("s2"),
+      dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("is_anomaly").cast("double")).as("sy"),
+      dsum(col("x1") * col("is_anomaly")).as("s1y"),
+      dsum(col("x2") * col("is_anomaly")).as("s2y"))
+    val lams = RidgeLams.map(Tuple1.apply).toDF("lam")
+    val wts = mom.crossJoin(broadcast(lams))
+      .select($"lam",
+        expr(s"${ridgeSub(detBS)} / ${ridgeSub(detS)}").as("b"),
+        expr(s"${ridgeSub(detW1S)} / ${ridgeSub(detS)}").as("w1"),
+        expr(s"${ridgeSub(detW2S)} / ${ridgeSub(detS)}").as("w2"))
+    t.crossJoin(broadcast(wts))
+      .select($"lam", $"b", $"w1", $"w2",
+        expr("b + w1 * x1 + w2 * x2").as("p"),
+        col("is_anomaly").cast("double").as("y"))
+      .groupBy($"lam")
+      .agg(min($"b").as("bb"), min($"w1").as("ww1"), min($"w2").as("ww2"),
+        davg(($"p" - $"y") * ($"p" - $"y")).as("mse0"),
+        davg(when(($"p" >= 0.5) === ($"y" === 1.0), 1.0).otherwise(0.0)).as("acc0"))
+      .select($"lam", r($"bb", 6).as("b"), r($"ww1", 6).as("w1"),
+        r($"ww2", 6).as("w2"),
+        r(sqrt($"ww1" * $"ww1" + $"ww2" * $"ww2"), 6).as("w_norm"),
+        r($"mse0", 6).as("mse_train"), r($"acc0", 6).as("accuracy"))
+      .orderBy($"lam")
+  }
+
+  val ml14Sql: String = {
+    val values = RidgeLams.map(l => s"(CAST($l AS DOUBLE))").mkString(", ")
+    s"""WITH t AS (SELECT id, is_anomaly, temperature AS x1, vibration AS x2
+         FROM (${Telemetry.twinSql})),
+       mom AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         ${dsumSql("x1")} AS s1, ${dsumSql("x2")} AS s2,
+         ${dsumSql("x1 * x1")} AS s11, ${dsumSql("x1 * x2")} AS s12,
+         ${dsumSql("x2 * x2")} AS s22,
+         ${dsumSql("CAST(is_anomaly AS DOUBLE)")} AS sy,
+         ${dsumSql("x1 * is_anomaly")} AS s1y, ${dsumSql("x2 * is_anomaly")} AS s2y
+         FROM t),
+       lg AS (SELECT * FROM (VALUES $values) v(lam)),
+       wts AS (SELECT lam, ${ridgeSub(detBS)} / ${ridgeSub(detS)} AS b,
+         ${ridgeSub(detW1S)} / ${ridgeSub(detS)} AS w1,
+         ${ridgeSub(detW2S)} / ${ridgeSub(detS)} AS w2
+         FROM mom CROSS JOIN lg),
+       sc AS (SELECT lam, b, w1, w2, b + w1 * x1 + w2 * x2 AS p,
+         CAST(is_anomaly AS DOUBLE) AS y FROM t, wts),
+       ag AS (SELECT lam, min(b) AS bb, min(w1) AS ww1, min(w2) AS ww2,
+         ${davgSql("(p - y) * (p - y)")} AS mse0,
+         ${davgSql("CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END")} AS acc0
+         FROM sc GROUP BY lam)
+       SELECT lam, ${rSql("bb", 6)} AS b, ${rSql("ww1", 6)} AS w1,
+         ${rSql("ww2", 6)} AS w2,
+         ${rSql("sqrt(ww1 * ww1 + ww2 * ww2)", 6)} AS w_norm,
+         ${rSql("mse0", 6)} AS mse_train, ${rSql("acc0", 6)} AS accuracy
+       FROM ag ORDER BY lam"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml14_ridge" -> (ml14Ridge _),
     "ml13_gbt_stumps" -> (ml13GbtStumps _),
     "ml12_learning_curve" -> (ml12LearningCurve _),
     "ml01_rf_scoring" -> (ml01RfScoring _),
@@ -600,6 +693,7 @@ object Maintenance {
   /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
     * closed-form algebra mirrors exactly. */
   val oracles: Map[String, String] = Map(
+    "ml14_ridge" -> ml14Sql,
     "ml13_gbt_stumps" -> ml13Sql,
     "ml12_learning_curve" -> ml12Sql,
     "ml03_lsq_scoring" -> ml03Sql,

@@ -7,6 +7,21 @@ import graft.ml.Maintenance
 
 class MaintenanceSpec extends GraftSpec {
 
+  test("ml14 ridge: train MSE non-decreasing, weight norm shrinks, OLS stays accurate") {
+    import spark.implicits._
+    val rows = Maintenance.ml14Ridge(spark, sfTiny).orderBy($"lam").collect()
+    assert(rows.length == Maintenance.RidgeLams.length)
+    val mse = rows.map(_.getAs[Double]("mse_train"))
+    val nrm = rows.map(_.getAs[Double]("w_norm"))
+    // ridge theorems on the training objective (rounding slack 1e-6)
+    assert(mse.zip(mse.tail).forall { case (a, b) => b >= a - 1e-6 }, mse.mkString(","))
+    assert(nrm.zip(nrm.tail).forall { case (a, b) => b <= a + 1e-6 }, nrm.mkString(","))
+    // the grid actually bites: the heaviest penalty strictly shrinks ‖w‖
+    assert(nrm.last < nrm.head, s"${nrm.head} -> ${nrm.last}")
+    // λ=0 is ml03's OLS fit — its threshold accuracy on the twin is high
+    assert(rows.head.getAs[Double]("accuracy") >= 0.95, s"${rows.head}")
+  }
+
   test("RF agrees with the threshold rule on every record (separable data)") {
     val df = Maintenance.ml01RfScoring(spark, sfTiny).cache()
     assert(df.count() == 10000L)
