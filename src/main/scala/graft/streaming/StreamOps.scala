@@ -43,6 +43,9 @@ case class FunnelSt(signupUs: Option[Long], bestUs: Option[Long],
 case class FunnelOut(user_id: Long, signup_us: Option[Long],
   purchase_us: Option[Long])
 
+/** One (src → dst) transition emitted by the streaming Markov miner. */
+case class PairOut(user_id: Long, src_type: String, dst_type: String)
+
 /** Per-key HyperLogLog state carried by the streaming distinct sketch:
   * 256 registers + the raw row count. */
 case class HllState(regs: Array[Byte], n: Long)
@@ -307,6 +310,35 @@ object StreamOps {
           }
           state.update(best)
           best
+      }
+  }
+
+  /** q58's streaming twin — first-order Markov transition mining as
+    * GroupState: per user the state is just the LAST event seen (one
+    * record per user — bounded by key cardinality, not stream length);
+    * each arriving event emits the (prev → curr) pair, with batch rows
+    * applied in the batch twin's (ts, event_id) order. Appended pairs,
+    * aggregated downstream (or by the replay spec), reproduce q58's
+    * transition cells exactly when each user's events arrive in time
+    * order across batches — the precondition StreamReplaySpec asserts.
+    * The 100 TB story matches t03's compactor: per-user state shards
+    * across executors with the groupByKey shuffle. */
+  def markovStream(ds: Dataset[EventRec]): Dataset[PairOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EventRec, PairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventRec], state: GroupState[EventRec]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += PairOut(uid, p.event_type, e.event_type))
+            prev = Some(e)
+          }
+          prev.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Telemetry, TextOps}
+import graft.operators.{Analytics, Curation, Telemetry, TextOps}
 import graft.streaming.{EventRec, StreamOps, TokDoc}
 
 /** The streaming differential: replay the REAL events table through the
@@ -224,6 +224,34 @@ class StreamReplaySpec extends GraftSpec {
         $"session_start", $"session_end", $"duration_s")
     assert(canon(streamed) == canon(batch),
       "replayed session windows must equal the batch sessionization")
+  }
+
+  test("replayed markovStream reproduces the oracle-green q58 transition cells") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // precondition: at least one user's event sequence spans ≥2 slices, so
+    // the (prev → curr) pair at the boundary can only come from GroupState
+    val userSliceSpread = slices.zipWithIndex
+      .flatMap { case (s, i) => s.map(e => (e.user_id, i)) }
+      .groupBy(_._1).map(_._2.map(_._2).distinct.size)
+    assert(userSliceSpread.exists(_ >= 2),
+      "slicing must split at least one user's sequence across batches")
+
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.markovStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_markov").outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // cell counts determine q58's p and lift exactly, so cell equality is
+    // full equality of the transition matrix
+    val streamed = spark.table("replay_markov")
+      .groupBy($"src_type", $"dst_type").agg(count(lit(1)).as("n_pairs"))
+    val batch = Analytics.q58Markov(spark, sfTiny)
+      .select($"src_type", $"dst_type", $"n_pairs")
+    assert(canon(streamed) == canon(batch),
+      "replayed Markov cells must equal the batch transition matrix")
   }
 
   /** Replay latestPerKey into `sink`, assert cross-batch state carry, and
