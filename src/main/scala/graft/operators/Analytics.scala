@@ -874,6 +874,118 @@ object Analytics {
          FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
   }
 
+  // --- q59: additive seasonal decomposition of the event stream -------------
+
+  /** q59 — additive seasonal decomposition per event_type: value ≈ mean +
+    * hour-of-day effect + day-of-week effect, with the variance explained
+    * (R²) by the two seasonal profiles — the load-shape diagnostic behind
+    * capacity planning and anomaly baselines (q47's ACF tells you THAT
+    * seasonality exists; q59 extracts the profile). Everything derives
+    * from ONE (event_type, hod, dow) cell aggregation: the residual
+    * variance needs no second scan because the fitted value m+eₕ+e_d is
+    * constant within a cell, so E[(v−fit)²] = Σ_c (s2_c − 2μ_c s1_c +
+    * n_c μ_c²)/N — pure cell algebra. Weekday index is Monday=0 in both
+    * engines (Spark weekday ↔ DuckDB isodow−1); all sums decimal-exact.
+    *
+    * Scale shape: one map-side-combinable aggregation touches events;
+    * the cell frame is ≤ 168 rows per type forever after. */
+  def q59SeasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    seasonalDecomp(Tables.events(s, dir)
+      .select($"event_type", hour($"ts").cast("long").as("hod"),
+        expr("CAST(weekday(ts) AS BIGINT)").as("dow"), $"value"))
+  }
+
+  /** q59's core over an explicit (event_type, hod, dow, value) relation —
+    * exposed so the spec can plant a pure two-factor signal (R² = 1) and
+    * a flat series (all effects 0). */
+  private[graft] def seasonalDecomp(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val cells = ev.groupBy($"event_type", $"hod", $"dow")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("s1"),
+        dsum($"value" * $"value").as("s2"))
+      .cache() // ≤ 168 rows per type; feeds every table below
+    val tot = cells.groupBy($"event_type")
+      .agg(sum($"n").as("nn"), dsum($"s1").as("ts1"), dsum($"s2").as("ts2"))
+      .select($"event_type", $"nn", ($"ts1" / $"nn".cast("double")).as("m"),
+        ($"ts2" / $"nn".cast("double")).as("ev2"))
+    val hod = cells.groupBy($"event_type", $"hod")
+      .agg(sum($"n").as("nh"), dsum($"s1").as("hs1"))
+      .join(broadcast(tot), "event_type")
+      .select($"event_type", $"hod", $"nh",
+        ($"hs1" / $"nh".cast("double") - $"m").as("eh"))
+    val dow = cells.groupBy($"event_type", $"dow")
+      .agg(sum($"n").as("nd"), dsum($"s1").as("ds1"))
+      .join(broadcast(tot), "event_type")
+      .select($"event_type", $"dow", $"nd",
+        ($"ds1" / $"nd".cast("double") - $"m").as("ed"))
+    val fitted = cells
+      .join(broadcast(hod.select($"event_type", $"hod", $"eh")), Seq("event_type", "hod"))
+      .join(broadcast(dow.select($"event_type", $"dow", $"ed")), Seq("event_type", "dow"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("mu", $"m" + $"eh" + $"ed")
+      .groupBy($"event_type")
+      .agg(dsum($"s2" - lit(2.0) * $"mu" * $"s1" +
+        $"n".cast("double") * $"mu" * $"mu").as("sr"),
+        min($"nn").as("nn0"), min($"m").as("m0"), min($"ev2").as("ev20"))
+      .select($"event_type",
+        ($"ev20" - $"m0" * $"m0").as("var_total"),
+        ($"sr" / $"nn0".cast("double")).as("var_resid"))
+      .select($"event_type", r($"var_total", 6).as("var_total"),
+        r($"var_resid", 6).as("var_resid"),
+        r(lit(1.0) - $"var_resid" / $"var_total", 6).as("r2"))
+    val eff = hod.select($"event_type", lit("hod").as("kind"), $"hod".as("idx"),
+        $"nh".as("n_obs"), r($"eh", 6).as("effect"))
+      .unionByName(dow.select($"event_type", lit("dow").as("kind"),
+        $"dow".as("idx"), $"nd".as("n_obs"), r($"ed", 6).as("effect")))
+    val out = eff.join(broadcast(fitted), "event_type")
+      .select($"event_type", $"kind", $"idx", $"n_obs", $"effect",
+        $"var_total", $"var_resid", $"r2")
+      .orderBy($"event_type", $"kind", $"idx")
+      .localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    out
+  }
+
+  val q59Sql: String =
+    s"""WITH cells AS MATERIALIZED (SELECT event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+         CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+         count(*) AS n, ${dsumSql("value")} AS s1,
+         ${dsumSql("value * value")} AS s2
+       FROM events GROUP BY 1, 2, 3),
+       tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+         ${dsumSql("s1")} / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS m,
+         ${dsumSql("s2")} / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS ev2
+       FROM cells GROUP BY event_type),
+       hod AS (SELECT c.event_type, hod, CAST(sum(n) AS BIGINT) AS nh,
+         ${dsumSql("s1")} / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) - min(t.m) AS eh
+       FROM cells c JOIN tot t ON t.event_type = c.event_type
+       GROUP BY c.event_type, hod),
+       dw AS (SELECT c.event_type, dow, CAST(sum(n) AS BIGINT) AS nd,
+         ${dsumSql("s1")} / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) - min(t.m) AS ed
+       FROM cells c JOIN tot t ON t.event_type = c.event_type
+       GROUP BY c.event_type, dow),
+       fitted AS (SELECT c.event_type,
+         ${rSql("min(t.ev2) - min(t.m) * min(t.m)", 6)} AS var_total,
+         ${rSql(s"${dsumSql("s2 - CAST(2.0 AS DOUBLE) * (t.m + h.eh + d.ed) * s1 + CAST(n AS DOUBLE) * (t.m + h.eh + d.ed) * (t.m + h.eh + d.ed)")} / CAST(min(t.nn) AS DOUBLE)", 6)} AS var_resid
+       FROM cells c
+       JOIN hod h ON h.event_type = c.event_type AND h.hod = c.hod
+       JOIN dw d ON d.event_type = c.event_type AND d.dow = c.dow
+       JOIN tot t ON t.event_type = c.event_type
+       GROUP BY c.event_type),
+       eff AS (SELECT event_type, 'hod' AS kind, hod AS idx, nh AS n_obs,
+           ${rSql("eh", 6)} AS effect FROM hod
+         UNION ALL
+         SELECT event_type, 'dow' AS kind, dow AS idx, nd AS n_obs,
+           ${rSql("ed", 6)} AS effect FROM dw)
+       SELECT e.event_type, e.kind, e.idx, e.n_obs, e.effect,
+         f.var_total, f.var_resid,
+         ${rSql("CAST(1.0 AS DOUBLE) - f.var_resid / f.var_total", 6)} AS r2
+       FROM eff e JOIN fitted f ON f.event_type = e.event_type
+       ORDER BY e.event_type, e.kind, e.idx"""
+
   // --- q58: Markov transition matrix over per-user event sequences ----------
 
   /** q58 — first-order Markov transition matrix of event types: for each
@@ -1470,6 +1582,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
     "q56_cusum" -> (q56Cusum _),
@@ -1503,6 +1616,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,
     "q56_cusum" -> q56Sql,

@@ -31,6 +31,41 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q59 seasonal: planted two-factor signal recovered exactly with R² = 1") {
+    import spark.implicits._
+    // balanced grid, zero-sum effects: v = 10 + a_h + b_d with
+    // a = (−3,−1,1,3) over hods 0..3 and b = (−2,2) over dows 0..1
+    val a = Map(0L -> -3.0, 1L -> -1.0, 2L -> 1.0, 3L -> 3.0)
+    val b = Map(0L -> -2.0, 1L -> 2.0)
+    val ev = (for { h <- 0L to 3L; d <- 0L to 1L }
+      yield ("x", h, d, 10.0 + a(h) + b(d))).toDF("event_type", "hod", "dow", "value")
+    val rows = Analytics.seasonalDecomp(ev).collect()
+    assert(rows.length == 6) // 4 hod effects + 2 dow effects
+    rows.foreach { r =>
+      val eff = r.getAs[Double]("effect")
+      val want = if (r.getAs[String]("kind") == "hod") a(r.getAs[Long]("idx"))
+        else b(r.getAs[Long]("idx"))
+      assert(eff == want, s"$r")
+      assert(r.getAs[Double]("var_total") == 9.0, s"$r") // mean(a²)+mean(b²)
+      assert(r.getAs[Double]("var_resid") == 0.0 && r.getAs[Double]("r2") == 1.0, s"$r")
+    }
+  }
+
+  test("q59 on testdata: effects weighted-sum to zero per type, R² ≤ 1") {
+    import spark.implicits._
+    val out = Analytics.q59SeasonalDecomp(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"r2" > 1).count() == 0)
+      // Σ n·effect = 0 per (type, kind) up to rounding (≤ 1e-3 over 24 cells)
+      val sums = out.groupBy($"event_type", $"kind")
+        .agg(sum($"n_obs".cast("double") * $"effect").as("se"),
+          sum($"n_obs").cast("double").as("nn")).collect()
+      assert(sums.forall(r => math.abs(r.getAs[Double]("se") / r.getAs[Double]("nn")) < 1e-3),
+        sums.mkString(";"))
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q58 Markov: hand-counted branching chain, user boundaries never pair") {
     import spark.implicits._
     import java.sql.Timestamp
