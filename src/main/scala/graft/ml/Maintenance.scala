@@ -680,7 +680,94 @@ object Maintenance {
        FROM ag ORDER BY lam"""
   }
 
+  // --- ml15: ablation feature importance from the shared moments ----------
+
+  /** 2×2 normal-equation solve for a single-feature model over moment
+    * names (s = Σx, ss = Σx², sxy = Σx·y): intercept and weight text,
+    * shared verbatim by Spark expr() and the oracle. */
+  private def det2(sS: String, ssS: String) = s"(nn * $ssS - $sS * $sS)"
+  private def b1(sS: String, ssS: String, sxyS: String) =
+    s"((sy * $ssS - $sS * $sxyS) / ${det2(sS, ssS)})"
+  private def w1of(sS: String, ssS: String, sxyS: String) =
+    s"((nn * $sxyS - $sS * sy) / ${det2(sS, ssS)})"
+
+  /** ml15 — ablation feature importance: refit ml03's model WITHOUT each
+    * feature (the 2×2 closed form over the SAME 9 moments — no second
+    * training scan) and report the train-MSE increase. Unlike permutation
+    * importance this is fully deterministic, and the theorem "dropping a
+    * regressor never lowers train MSE" is spec-pinned (importance ≥ 0,
+    * exactly 0 for the full model). One scoring scan evaluates all three
+    * models against a 3-row broadcast weight table — the ml14 sweep
+    * shape: candidate count never re-aggregates the corpus. */
+  def ml15Ablation(s: SparkSession, dir: String): DataFrame = {
+    val t = Telemetry.twin(s).select(
+      col("id"), col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    val mom = t.agg(
+      count(lit(1)).cast("double").as("nn"),
+      dsum(col("x1")).as("s1"),
+      dsum(col("x2")).as("s2"),
+      dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("is_anomaly").cast("double")).as("sy"),
+      dsum(col("x1") * col("is_anomaly")).as("s1y"),
+      dsum(col("x2") * col("is_anomaly")).as("s2y"))
+    val wts = mom.select(expr(
+      s"""stack(3,
+         'full', $detBS / $detS, $detW1S / $detS, $detW2S / $detS,
+         'drop_x1', ${b1("s2", "s22", "s2y")}, CAST(0.0 AS DOUBLE), ${w1of("s2", "s22", "s2y")},
+         'drop_x2', ${b1("s1", "s11", "s1y")}, ${w1of("s1", "s11", "s1y")}, CAST(0.0 AS DOUBLE)
+         ) AS (model, b, w1, w2)"""))
+    val scored = t.crossJoin(broadcast(wts))
+      .select(col("model"), col("b"), col("w1"), col("w2"),
+        expr("b + w1 * x1 + w2 * x2").as("p"),
+        col("is_anomaly").cast("double").as("y"))
+      .groupBy(col("model"))
+      .agg(min(col("b")).as("bb"), min(col("w1")).as("ww1"),
+        min(col("w2")).as("ww2"),
+        davg((col("p") - col("y")) * (col("p") - col("y"))).as("mse0"))
+      // 3 rows, but referenced by two plan branches below — pin it so the
+      // scoring aggregation runs once (invariant: branches re-evaluate)
+      .localCheckpoint(true)
+    val full = scored.filter(col("model") === "full")
+      .select(col("mse0").as("mse_full"))
+    scored.crossJoin(broadcast(full))
+      .select(col("model"), r(col("bb"), 6).as("b"), r(col("ww1"), 6).as("w1"),
+        r(col("ww2"), 6).as("w2"), r(col("mse0"), 6).as("mse_train"),
+        r(col("mse0") - col("mse_full"), 6).as("importance"))
+      .orderBy(col("model"))
+  }
+
+  val ml15Sql: String =
+    s"""WITH t AS MATERIALIZED (SELECT id, is_anomaly, temperature AS x1,
+         vibration AS x2 FROM (${Telemetry.twinSql})),
+       mom AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         ${dsumSql("x1")} AS s1, ${dsumSql("x2")} AS s2,
+         ${dsumSql("x1 * x1")} AS s11, ${dsumSql("x1 * x2")} AS s12,
+         ${dsumSql("x2 * x2")} AS s22,
+         ${dsumSql("CAST(is_anomaly AS DOUBLE)")} AS sy,
+         ${dsumSql("x1 * is_anomaly")} AS s1y, ${dsumSql("x2 * is_anomaly")} AS s2y
+         FROM t),
+       wts AS (SELECT 'full' AS model, $detBS / $detS AS b,
+           $detW1S / $detS AS w1, $detW2S / $detS AS w2 FROM mom
+         UNION ALL SELECT 'drop_x1', ${b1("s2", "s22", "s2y")},
+           CAST(0.0 AS DOUBLE), ${w1of("s2", "s22", "s2y")} FROM mom
+         UNION ALL SELECT 'drop_x2', ${b1("s1", "s11", "s1y")},
+           ${w1of("s1", "s11", "s1y")}, CAST(0.0 AS DOUBLE) FROM mom),
+       sc AS (SELECT model, b, w1, w2, b + w1 * x1 + w2 * x2 AS p,
+         CAST(is_anomaly AS DOUBLE) AS y FROM t, wts),
+       ag AS (SELECT model, min(b) AS bb, min(w1) AS ww1, min(w2) AS ww2,
+         ${davgSql("(p - y) * (p - y)")} AS mse0
+         FROM sc GROUP BY model),
+       fm AS (SELECT mse0 AS mse_full FROM ag WHERE model = 'full')
+       SELECT model, ${rSql("bb", 6)} AS b, ${rSql("ww1", 6)} AS w1,
+         ${rSql("ww2", 6)} AS w2, ${rSql("mse0", 6)} AS mse_train,
+         ${rSql("mse0 - mse_full", 6)} AS importance
+       FROM ag CROSS JOIN fm ORDER BY model"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml15_ablation" -> (ml15Ablation _),
     "ml14_ridge" -> (ml14Ridge _),
     "ml13_gbt_stumps" -> (ml13GbtStumps _),
     "ml12_learning_curve" -> (ml12LearningCurve _),
@@ -693,6 +780,7 @@ object Maintenance {
   /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
     * closed-form algebra mirrors exactly. */
   val oracles: Map[String, String] = Map(
+    "ml15_ablation" -> ml15Sql,
     "ml14_ridge" -> ml14Sql,
     "ml13_gbt_stumps" -> ml13Sql,
     "ml12_learning_curve" -> ml12Sql,

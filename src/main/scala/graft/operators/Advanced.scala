@@ -192,6 +192,45 @@ object Advanced {
          FROM documents)
        ORDER BY doc_id"""
 
+  /** s05 — group-aware K-fold assignment (GroupKFold): every document of
+    * a source lands in the SAME fold (fold = h60(source) mod 5), the
+    * split discipline that prevents near-duplicate train/test leakage
+    * when a group (site, author, session) emits correlated documents —
+    * d35 measures that leakage, s05 prevents it structurally. Reports
+    * per-fold source/doc/token volumes and the doc share, so fold
+    * imbalance (the price of group purity) is visible. Same portable
+    * h60 family as s03's row-level split.
+    *
+    * Scale shape: fold assignment is scan-local (hash of a column value,
+    * no group table, no join); the report is one map-side-combinable
+    * aggregation. */
+  def s05GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(coalesce($"source", lit("")).as("src"), $"doc_id",
+        size(TextOps.toks($"text")).cast("long").as("n_tok"))
+      .withColumn("fold", pmod(DedupLsh.h60($"src"), lit(5L)))
+      .groupBy($"fold")
+      .agg(countDistinct($"src").as("n_sources"), count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"))
+      .withColumn("doc_share",
+        r($"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy()).cast("double"), 6))
+      .orderBy($"fold")
+  }
+
+  val s05Sql: String =
+    s"""WITH d AS (SELECT coalesce(source, '') AS src, doc_id,
+         CAST(len(${TextOps.toksSql("text")}) AS BIGINT) AS n_tok,
+         ((${DedupLsh.h60Sql("coalesce(source, '')")}) % 5 + 5) % 5 AS fold
+       FROM documents),
+       f AS (SELECT fold, count(DISTINCT src) AS n_sources,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       FROM d GROUP BY fold)
+       SELECT fold, n_sources, n_docs, n_tokens,
+         ${rSql("CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)", 6)} AS doc_share
+       FROM f ORDER BY fold"""
+
   /** t10 — date-spine gap filling: per-day error-event counts with
     * explicit zero rows for silent days (sequence + explode builds the
     * spine from the observed bounds; left join + coalesce fills). The
@@ -805,6 +844,7 @@ object Advanced {
     "q31_cohort_retention" -> (q31CohortRetention _),
     "s01_stratified_sample" -> (s01StratifiedSample _),
     "s03_hash_split" -> (s03HashSplit _),
+    "s05_group_split" -> (s05GroupSplit _),
     "s04_balanced_sample" -> (s04BalancedSample _),
     "q44_merge_upsert" -> (q44MergeUpsert _),
     "t10_date_spine" -> (t10DateSpine _),
@@ -827,6 +867,7 @@ object Advanced {
     "q31_cohort_retention" -> q31Sql,
     "s01_stratified_sample" -> s01Sql,
     "s03_hash_split" -> s03Sql,
+    "s05_group_split" -> s05Sql,
     "s04_balanced_sample" -> s04Sql,
     "q44_merge_upsert" -> q44Sql,
     "t10_date_spine" -> t10Sql,

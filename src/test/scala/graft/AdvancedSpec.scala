@@ -5,6 +5,22 @@ import graft.operators.Advanced
 
 class AdvancedSpec extends GraftSpec {
 
+  test("s05 group split: group purity holds and volumes are conserved") {
+    import spark.implicits._
+    val out = Advanced.s05GroupSplit(spark, sfTiny).cache()
+    try {
+      val docs = Tables.documents(spark, sfTiny)
+      // every source is in exactly one fold → fold source counts sum to
+      // the distinct-source total (a source split across folds would
+      // double-count here)
+      val nSrc = docs.select(coalesce($"source", lit(""))).distinct().count()
+      assert(out.agg(sum($"n_sources")).collect()(0).getLong(0) == nSrc)
+      assert(out.agg(sum($"n_docs")).collect()(0).getLong(0) == docs.count())
+      val shares = out.agg(sum($"doc_share")).collect()(0).getDouble(0)
+      assert(math.abs(shares - 1.0) < 1e-5, shares.toString)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("t20 RFM: planted spend ladder lands in hand-computed quintile cells") {
     import spark.implicits._
     import java.sql.Timestamp

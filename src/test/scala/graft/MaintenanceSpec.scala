@@ -7,6 +7,22 @@ import graft.ml.Maintenance
 
 class MaintenanceSpec extends GraftSpec {
 
+  test("ml15 ablation: dropping a regressor never lowers train MSE, full model is the floor") {
+    import spark.implicits._
+    val rows = Maintenance.ml15Ablation(spark, sfTiny).collect()
+      .map(r => r.getAs[String]("model") -> r).toMap
+    assert(rows.keySet == Set("full", "drop_x1", "drop_x2"))
+    assert(rows("full").getAs[Double]("importance") == 0.0)
+    assert(rows("full").getAs[Double]("w1") != 0.0 && rows("full").getAs[Double]("w2") != 0.0)
+    Seq("drop_x1", "drop_x2").foreach { m =>
+      assert(rows(m).getAs[Double]("importance") >= 0.0, s"${rows(m)}")
+      assert(rows(m).getAs[Double]("mse_train") >= rows("full").getAs[Double]("mse_train") - 1e-6)
+    }
+    // the dropped weight really is zeroed in the refit
+    assert(rows("drop_x1").getAs[Double]("w1") == 0.0)
+    assert(rows("drop_x2").getAs[Double]("w2") == 0.0)
+  }
+
   test("ml14 ridge: train MSE non-decreasing, weight norm shrinks, OLS stays accurate") {
     import spark.implicits._
     val rows = Maintenance.ml14Ridge(spark, sfTiny).orderBy($"lam").collect()
