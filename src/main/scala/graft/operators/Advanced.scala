@@ -419,8 +419,11 @@ object Advanced {
           .as("avg_hours_to_convert"))
   }
 
-  val t12Sql: String =
-    s"""WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+  /** t12's funnel CTE block, ending in j(user_id, signup_ts, purchase_ts,
+    * us_to_convert) — shared by t12's summary and q60's latency report so
+    * the two views of the funnel cannot drift. */
+  private[graft] val funnelCtesSql: String =
+    """su AS (SELECT user_id, min(ts) AS signup_ts FROM events
          WHERE event_type = 'signup' GROUP BY user_id),
        pu AS (SELECT e.user_id, min(e.ts) AS purchase_ts
          FROM events e JOIN su ON e.user_id = su.user_id
@@ -428,13 +431,64 @@ object Advanced {
          GROUP BY e.user_id),
        j AS (SELECT su.user_id, signup_ts, purchase_ts,
            epoch_us(purchase_ts) - epoch_us(signup_ts) AS us_to_convert
-         FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+         FROM su LEFT JOIN pu ON su.user_id = pu.user_id)"""
+
+  val t12Sql: String =
+    s"""WITH $funnelCtesSql
        SELECT count(*) AS n_signup_users,
          count(purchase_ts) AS n_converted,
          ${rSql("count(purchase_ts) / count(*)", 6)} AS conversion_rate,
          ${rSql(s"${dsumSql("us_to_convert / 3600000000.0")} / count(us_to_convert)", 4)}
            AS avg_hours_to_convert
        FROM j"""
+
+  /** q60 — funnel stage-latency report: the DISTRIBUTION behind t12's
+    * single mean — exact interpolated p25/p50/p75/p90 of hours-to-convert
+    * (q33's percentile ↔ quantile_cont pairing) plus time-bounded
+    * conversion SLOs (share of signup users converting within 1 h / 24 h
+    * / 7 d, exact integer-µs thresholds). Shares t12's per-user funnel
+    * frame on the Spark side and [[funnelCtesSql]] in the oracle, so the
+    * summary and the distribution cannot disagree about who converted.
+    * Scale shape = t12: per-stage pre-aggregation, one row per user ever
+    * shuffled; the percentile buffers one value per CONVERTED user
+    * (q39's documented trade-off — q37's GK sketch is the huge-cohort
+    * drop-in). */
+  def q60StageLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hrs = $"dt_us".cast("double") / lit(3600000000.0)
+    funnelPerUser(Tables.events(s, dir).select($"user_id", $"event_type", $"ts"))
+      .select($"user_id",
+        (unix_micros($"purchase_ts") - unix_micros($"signup_ts")).as("dt_us"))
+      .agg(count(lit(1)).as("n_signup_users"),
+        count($"dt_us").as("n_converted"),
+        r(percentile(hrs, lit(0.25)), 4).as("p25_hours"),
+        r(percentile(hrs, lit(0.5)), 4).as("p50_hours"),
+        r(percentile(hrs, lit(0.75)), 4).as("p75_hours"),
+        r(percentile(hrs, lit(0.9)), 4).as("p90_hours"),
+        r(count(when($"dt_us" <= 3600000000L, 1)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("within_1h"),
+        r(count(when($"dt_us" <= 86400000000L, 1)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("within_24h"),
+        r(count(when($"dt_us" <= 604800000000L, 1)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("within_7d"))
+  }
+
+  val q60Sql: String = {
+    val hrs = "CAST(us_to_convert AS DOUBLE) / CAST(3600000000.0 AS DOUBLE)"
+    def within(us: Long) =
+      s"CAST(count(CASE WHEN us_to_convert <= $us THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    s"""WITH $funnelCtesSql
+       SELECT count(*) AS n_signup_users,
+         count(us_to_convert) AS n_converted,
+         ${rSql(s"quantile_cont($hrs, 0.25)", 4)} AS p25_hours,
+         ${rSql(s"quantile_cont($hrs, 0.5)", 4)} AS p50_hours,
+         ${rSql(s"quantile_cont($hrs, 0.75)", 4)} AS p75_hours,
+         ${rSql(s"quantile_cont($hrs, 0.9)", 4)} AS p90_hours,
+         ${rSql(within(3600000000L), 6)} AS within_1h,
+         ${rSql(within(86400000000L), 6)} AS within_24h,
+         ${rSql(within(604800000000L), 6)} AS within_7d
+       FROM j"""
+  }
 
   /** q38 — window navigation functions (lag/lead/first_value/nth_value)
     * as an order-gap analysis: per customer, days since the previous
@@ -845,6 +899,7 @@ object Advanced {
     "s01_stratified_sample" -> (s01StratifiedSample _),
     "s03_hash_split" -> (s03HashSplit _),
     "s05_group_split" -> (s05GroupSplit _),
+    "q60_stage_latency" -> (q60StageLatency _),
     "s04_balanced_sample" -> (s04BalancedSample _),
     "q44_merge_upsert" -> (q44MergeUpsert _),
     "t10_date_spine" -> (t10DateSpine _),
@@ -868,6 +923,7 @@ object Advanced {
     "s01_stratified_sample" -> s01Sql,
     "s03_hash_split" -> s03Sql,
     "s05_group_split" -> s05Sql,
+    "q60_stage_latency" -> q60Sql,
     "s04_balanced_sample" -> s04Sql,
     "q44_merge_upsert" -> q44Sql,
     "t10_date_spine" -> t10Sql,

@@ -5,6 +5,21 @@ import graft.operators.Advanced
 
 class AdvancedSpec extends GraftSpec {
 
+  test("q60 stage latency: agrees with t12 and is internally ordered") {
+    import spark.implicits._
+    val q = Advanced.q60StageLatency(spark, sfTiny).collect()(0)
+    val t = Advanced.t12Funnel(spark, sfTiny).collect()(0)
+    assert(q.getAs[Long]("n_signup_users") == t.getAs[Long]("n_signup_users"))
+    assert(q.getAs[Long]("n_converted") == t.getAs[Long]("n_converted"))
+    val ps = Seq("p25_hours", "p50_hours", "p75_hours", "p90_hours").map(q.getAs[Double])
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, ps.mkString(","))
+    val ws = Seq("within_1h", "within_24h", "within_7d").map(q.getAs[Double])
+    assert(ws.zip(ws.tail).forall { case (a, b) => a <= b }, ws.mkString(","))
+    // time-bounded conversions are a subset of all conversions
+    val rate = q.getAs[Long]("n_converted").toDouble / q.getAs[Long]("n_signup_users")
+    assert(ws.last <= rate + 1e-6)
+  }
+
   test("s05 group split: group purity holds and volumes are conserved") {
     import spark.implicits._
     val out = Advanced.s05GroupSplit(spark, sfTiny).cache()
