@@ -225,7 +225,7 @@ object TextOps {
     * On this corpus every doc fits → the exact branch is empty; on a
     * large-vocabulary corpus the mask branch thins out and the exact
     * branch is the old general path. Zero driver-side actions either way. */
-  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts"))
@@ -1132,7 +1132,79 @@ object TextOps {
               ELSE 'very_hard' END AS band
        FROM sc ORDER BY doc_id"""
 
+  // --- d42: dedup threshold sweep (curation tuning curve) -------------------
+
+  /** d42's Jaccard threshold grid — every value ≥ the 0.5 floor the d05
+    * pair table is built at, so one pair pass serves the whole sweep. */
+  private[graft] val SweepThetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** d42 — dedup threshold sweep: how many near-dup pairs and how many
+    * flagged documents survive at Jaccard θ ∈ [[SweepThetas]] — the
+    * tuning curve a curation pipeline reads before committing to a
+    * threshold (aggressive θ=0.5 vs conservative θ=0.9 trades recall
+    * against false merges). ONE d05 pair pass feeds all five thresholds
+    * (pairs are computed once and fanned out against a 5-row broadcast
+    * grid); flagged-document counts are distinct doc ids over qualifying
+    * pairs; absent thresholds zero-fill so the curve is always 5 rows.
+    *
+    * Scale shape: the pair source is d05's documented exact baseline
+    * (scale twin m01/d11); everything downstream of the pair table is
+    * pair-cardinality × 5. */
+  def d42DedupSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val th = SweepThetas.map(Tuple1.apply).toDF("theta")
+    val pr = nearDupPairs(s, dir).cache() // one pair pass for the whole grid
+    val cand = pr.crossJoin(broadcast(th))
+      .filter($"jaccard" >= $"theta")
+      .select($"theta", $"doc_a", $"doc_b")
+      .cache() // feeds the pair count and the distinct-doc count
+    val np = cand.groupBy($"theta").agg(count(lit(1)).as("n_pairs"))
+    val nd = cand.select($"theta", explode(array($"doc_a", $"doc_b")).as("d"))
+      .distinct()
+      .groupBy($"theta").agg(count(lit(1)).as("n_docs_flagged"))
+    val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val out = th.join(np, Seq("theta"), "left").join(nd, Seq("theta"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"theta", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_flagged", lit(0L)).as("n_docs_flagged"),
+        r(coalesce($"n_docs_flagged", lit(0L)).cast("double") /
+          $"n_docs".cast("double"), 6).as("flagged_share"))
+      .orderBy($"theta")
+      .localCheckpoint(true)
+    pr.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    out
+  }
+
+  val d42Sql: String = {
+    val values = SweepThetas.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, lang,
+         list_distinct(${toksSql("text")}) AS ts FROM documents),
+       pr AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ${rSql("len(list_intersect(a.ts, b.ts)) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 6)} AS jaccard
+         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+       WHERE jaccard >= 0.5),
+       th AS (SELECT * FROM (VALUES $values) v(theta)),
+       cand AS MATERIALIZED (SELECT theta, doc_a, doc_b
+         FROM pr CROSS JOIN th WHERE jaccard >= theta),
+       np AS (SELECT theta, count(*) AS n_pairs FROM cand GROUP BY theta),
+       nd AS (SELECT theta, count(*) AS n_docs_flagged FROM
+         (SELECT DISTINCT theta, d FROM (
+            SELECT theta, doc_a AS d FROM cand
+            UNION ALL SELECT theta, doc_b FROM cand) u) z
+       GROUP BY theta),
+       tot AS (SELECT count(*) AS n_docs FROM documents)
+       SELECT th.theta, coalesce(np.n_pairs, 0) AS n_pairs,
+         coalesce(nd.n_docs_flagged, 0) AS n_docs_flagged,
+         ${rSql("CAST(coalesce(nd.n_docs_flagged, 0) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)", 6)} AS flagged_share
+       FROM th LEFT JOIN np ON np.theta = th.theta
+       LEFT JOIN nd ON nd.theta = th.theta CROSS JOIN tot
+       ORDER BY th.theta"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d42_dedup_sweep" -> (d42DedupSweep _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
@@ -1152,6 +1224,7 @@ object TextOps {
     "d27_bpe_train" -> (d27BpeTrain _))
 
   val oracles: Map[String, String] = Map(
+    "d42_dedup_sweep" -> d42Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,

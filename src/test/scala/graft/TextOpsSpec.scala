@@ -5,6 +5,26 @@ import graft.operators.TextOps
 
 class TextOpsSpec extends GraftSpec {
 
+  test("d42 sweep: monotone in theta and anchored to the d05 pair table at 0.5") {
+    import spark.implicits._
+    val out = operators.TextOps.d42DedupSweep(spark, sfTiny).orderBy($"theta").collect()
+    assert(out.length == operators.TextOps.SweepThetas.length)
+    val pairs = out.map(_.getAs[Long]("n_pairs"))
+    val docs = out.map(_.getAs[Long]("n_docs_flagged"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a }, pairs.mkString(","))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, docs.mkString(","))
+    assert(out.forall { r =>
+      val s = r.getAs[Double]("flagged_share"); s >= 0.0 && s <= 1.0
+    })
+    // θ = 0.5 is exactly the d05 pair table (count + distinct flagged docs)
+    val pr = operators.TextOps.nearDupPairs(spark, sfTiny).cache()
+    try {
+      assert(pairs.head == pr.count(), s"${pairs.head} vs ${pr.count()}")
+      val nd = pr.select($"doc_a".as("d")).union(pr.select($"doc_b")).distinct().count()
+      assert(docs.head == nd, s"${docs.head} vs $nd")
+    } finally pr.unpersist(blocking = false)
+  }
+
   test("d38 readability: hand-computed Flesch scores on a planted sentence") {
     import spark.implicits._
     val docs = Seq(
