@@ -874,6 +874,94 @@ object Analytics {
          FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
   }
 
+  // --- q61: Holt linear-trend forecast over the daily series ----------------
+
+  /** q61 — Holt's linear-trend exponential smoothing (Holt 1957) per
+    * event_type over the q55 daily mean series: level/trend recursions
+    * (α = 0.5, β = 0.25 — exact binary literals), one-step-ahead forecast
+    * error (SSE accumulated IN series order, so the recursion mirrors the
+    * recursive-CTE oracle step for step — the t15 EWMA precedent), and a
+    * 1/2/3-day-ahead forecast from the final state. The forecasting
+    * member of the time-series family: q55 fits a global robust trend,
+    * q56 finds the level shift, q61 extrapolates.
+    *
+    * Scale shape: ONE map-side-combinable rollup touches events; the
+    * recursion runs inside a single mapGroups pass per event_type over
+    * the day-indexed series (grows with TIME, not volume — t15's layout:
+    * for per-key-local sequential algorithms one shuffled pass is the
+    * right plan, never an iterative DataFrame loop). */
+  def q61HoltForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    holtForecast(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(ravg($"value", 6).as("y"))
+      .select($"event_type",
+        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+  }
+
+  /** q61's core over an explicit (event_type, di, y) series — exposed so
+    * the spec can replay a hand-traced 3-point recursion. */
+  private[graft] def holtForecast(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    series.select($"event_type", $"di", $"y")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (et: String, it: Iterator[(String, Long, Double)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        var l = 0.0; var b = 0.0; var sse = 0.0; var first = true
+        rows.foreach { case (_, _, y) =>
+          if (first) { first = false; l = y; b = 0.0 }
+          else {
+            val f = l + b
+            val ln = 0.5 * y + 0.5 * (l + b)
+            b = 0.25 * (ln - l) + 0.75 * b
+            sse = sse + (y - f) * (y - f)
+            l = ln
+          }
+        }
+        (et, rows.length.toLong, l, b, sse)
+      }
+      .toDF("event_type", "n_days", "l", "b", "sse")
+      .select($"event_type", $"n_days", r($"l", 6).as("level"),
+        r($"b", 6).as("trend"),
+        r($"sse" / ($"n_days" - 1).cast("double"), 6).as("mse_1step"),
+        r($"l" + $"b", 6).as("fc_1"),
+        r($"l" + lit(2.0) * $"b", 6).as("fc_2"),
+        r($"l" + lit(3.0) * $"b", 6).as("fc_3"))
+      .orderBy($"event_type")
+  }
+
+  val q61Sql: String =
+    s"""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
+         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         ${rSql(davgSql("value"), 6)} AS y
+       FROM events GROUP BY event_type, date_trunc('day', ts)),
+       s AS MATERIALIZED (SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY di) AS rn
+       FROM daily),
+       cnt AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days
+         FROM s GROUP BY event_type),
+       rec AS (
+         SELECT event_type, rn, y AS l, CAST(0.0 AS DOUBLE) AS b,
+           CAST(0.0 AS DOUBLE) AS sse
+         FROM s WHERE rn = 1
+         UNION ALL
+         SELECT s.event_type, s.rn,
+           0.5 * s.y + 0.5 * (rec.l + rec.b),
+           0.25 * ((0.5 * s.y + 0.5 * (rec.l + rec.b)) - rec.l) + 0.75 * rec.b,
+           rec.sse + (s.y - (rec.l + rec.b)) * (s.y - (rec.l + rec.b))
+         FROM s JOIN rec ON s.event_type = rec.event_type AND s.rn = rec.rn + 1)
+       SELECT r.event_type, c.n_days, ${rSql("r.l", 6)} AS level,
+         ${rSql("r.b", 6)} AS trend,
+         ${rSql("r.sse / CAST(c.n_days - 1 AS DOUBLE)", 6)} AS mse_1step,
+         ${rSql("r.l + r.b", 6)} AS fc_1,
+         ${rSql("r.l + 2.0 * r.b", 6)} AS fc_2,
+         ${rSql("r.l + 3.0 * r.b", 6)} AS fc_3
+       FROM rec r JOIN cnt c ON c.event_type = r.event_type
+       WHERE r.rn = c.n_days
+       ORDER BY r.event_type"""
+
   // --- q59: additive seasonal decomposition of the event stream -------------
 
   /** q59 — additive seasonal decomposition per event_type: value ≈ mean +
@@ -1582,6 +1670,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_holt_forecast" -> (q61HoltForecast _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -1616,6 +1705,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q61_holt_forecast" -> q61Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

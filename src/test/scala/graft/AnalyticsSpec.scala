@@ -31,6 +31,38 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q61 Holt: hand-traced 3-point recursion, constant series is a fixed point") {
+    import spark.implicits._
+    // y = 1,2,3: l₁=1,b₁=0 → l₂=1.5,b₂=0.125 (err 1) → l₃=2.3125,
+    // b₃=0.296875 (err 1.375) — sse = 2.890625, mse = 1.4453125
+    val series = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0))
+      .toDF("event_type", "di", "y")
+    val r1 = Analytics.holtForecast(series).collect()(0)
+    assert(r1.getAs[Long]("n_days") == 3L)
+    assert(r1.getAs[Double]("level") == 2.3125 && r1.getAs[Double]("trend") == 0.296875, s"$r1")
+    assert(r1.getAs[Double]("mse_1step") == 1.445313, s"$r1")
+    assert(r1.getAs[Double]("fc_1") == 2.609375 && r1.getAs[Double]("fc_2") == 2.90625
+      && r1.getAs[Double]("fc_3") == 3.203125, s"$r1")
+    // a constant series is a fixed point: zero trend, zero error, flat forecast
+    val flat = Seq.tabulate(4)(i => ("a", i.toLong, 5.0)).toDF("event_type", "di", "y")
+    val r2 = Analytics.holtForecast(flat).collect()(0)
+    assert(r2.getAs[Double]("level") == 5.0 && r2.getAs[Double]("trend") == 0.0)
+    assert(r2.getAs[Double]("mse_1step") == 0.0 && r2.getAs[Double]("fc_3") == 5.0)
+  }
+
+  test("q61 on testdata: one row per type, day counts line up, errors non-negative") {
+    import spark.implicits._
+    val out = Analytics.q61HoltForecast(spark, sfTiny).cache()
+    try {
+      val days = Tables.events(spark, sfTiny)
+        .select($"event_type", date_trunc("day", $"ts").as("d")).distinct()
+        .groupBy($"event_type").agg(count(lit(1)).as("nd"))
+      assert(out.join(days, "event_type")
+        .filter($"n_days" =!= $"nd").count() == 0)
+      assert(out.filter($"mse_1step" < 0).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q59 seasonal: planted two-factor signal recovered exactly with R² = 1") {
     import spark.implicits._
     // balanced grid, zero-sum effects: v = 10 + a_h + b_d with
