@@ -976,23 +976,37 @@ object Similarity {
     * (builtin round(double) is banned — the half-up floor is the portable
     * twin, CLAUDE.md invariant 1); constant dimensions clamp to code 0;
     * ranking uses the ROUNDED score with id tie-break. */
+  /** Per-dimension (min, max) grid of the corpus as ONE broadcastable row
+    * (mns, mxs) — the scalar-quantizer training artifact, shared by e16's
+    * SQ8 search and e23's bit-depth distortion sweep. */
+  private def sqLims(c: DataFrame): DataFrame =
+    c.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("mxs"))
+
+  /** `levels`-step scalar quantization codes of `v` against (mns, mxs) —
+    * e16's 255-level expression with the level count parameterized
+    * (identical text at 255, so e16's hashes are unchanged). */
+  private def sqCodesExpr(levels: Int) = expr(
+    s"""transform(sequence(0, size(v) - 1), i ->
+         CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((v[i] - mns[i]) * CAST($levels AS DOUBLE) /
+                     (mxs[i] - mns[i]) + 0.5D) AS BIGINT) END)""")
+
+  /** Dequantization of `codes` back to the grid — [[sqCodesExpr]]'s
+    * inverse half. */
+  private def sqDvExpr(levels: Int) = expr(
+    s"""transform(sequence(0, size(codes) - 1), i ->
+         mns[i] + codes[i] * (mxs[i] - mns[i]) / CAST($levels AS DOUBLE))""")
+
   def e16Sq8Ann(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, dir)
-    val stats = c.select(posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
-    val lims = stats.agg(
-      expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").as("mns"),
-      expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("mxs"))
-    val dq = c.crossJoin(broadcast(lims))
-      .withColumn("codes", expr(
-        """transform(sequence(0, size(v) - 1), i ->
-             CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
-                  ELSE CAST(floor((v[i] - mns[i]) * CAST(255 AS DOUBLE) /
-                         (mxs[i] - mns[i]) + 0.5D) AS BIGINT) END)"""))
-      .withColumn("dv", expr(
-        """transform(sequence(0, size(codes) - 1), i ->
-             mns[i] + codes[i] * (mxs[i] - mns[i]) / CAST(255 AS DOUBLE))"""))
+    val dq = c.crossJoin(broadcast(sqLims(c)))
+      .withColumn("codes", sqCodesExpr(255))
+      .withColumn("dv", sqDvExpr(255))
       .select($"vec_id".as("neighbor_id"), $"dv",
         sqrt(VectorExpressions.dot($"dv", $"dv")).as("dnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"scos".desc, $"neighbor_id".asc)
@@ -1708,6 +1722,84 @@ object Similarity {
        SELECT * FROM ($un) z ORDER BY m_dims"""
   }
 
+  // --- e23: scalar-quantization bit-depth distortion sweep -------------------
+
+  /** e23's bit depths (levels 2ᵇ − 1 each) — the storage/quality grid. */
+  private[graft] val SqBits = Seq(1, 4, 8)
+
+  /** e23 — quantization distortion sweep: per-dimension mean squared
+    * reconstruction error of [[SqBits]]-bit scalar quantization (the
+    * artifact e16 searches with at 8 bits), reported absolutely and
+    * relative to the mean per-dimension variance — the "how many bits can
+    * I afford" table read before sizing a vector store (1 bit ≈ e17's
+    * regime, 8 bits ≈ e16's; distortion should fall ~4× per added bit on
+    * smooth data). The grid (mns, mxs) is trained once ([[sqLims]] — the
+    * SAME builder e16 searches with), every depth dequantizes against it
+    * in one scan, errors go through the codegen'd sqdist kernel and
+    * decimal means.
+    *
+    * Scale shape: one posexplode stats pass + one scoring scan for ALL
+    * depths (never re-scan per candidate, the ml14 sweep rule); output is
+    * |grid| rows. */
+  def e23SqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val varRow = c.select(posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(count(lit(1)).cast("double").as("np"),
+        dsum($"x").as("s1"), dsum($"x" * $"x").as("s2"))
+      .select(($"s2" / $"np" - ($"s1" / $"np") * ($"s1" / $"np")).as("vr"))
+      .agg(davg($"vr").as("avg_var"))
+    val scored = SqBits.foldLeft(c.crossJoin(broadcast(sqLims(c)))) { (df, b) =>
+      val lv = (1 << b) - 1
+      df.withColumn("codes", sqCodesExpr(lv))
+        .withColumn("dv", sqDvExpr(lv))
+        .withColumn(s"e$b", VectorExpressions.sqDist($"v", $"dv"))
+        .drop("codes", "dv")
+    }
+    val agg = scored.agg(count(lit(1)).as("n_vectors"),
+      SqBits.map(b => davg(col(s"e$b")).as(s"m$b")): _*)
+    agg.crossJoin(broadcast(varRow))
+      .select(expr("stack(" + SqBits.length + ", " + SqBits.map(b =>
+          s"CAST($b AS BIGINT), CAST(${(1 << b) - 1} AS BIGINT), m$b").mkString(", ") +
+        ") AS (bits, levels, m)"), $"n_vectors", $"avg_var")
+      .select($"bits", $"levels", $"n_vectors",
+        r($"m" / lit(64.0), 8).as("mse_per_dim"),
+        r(($"m" / lit(64.0)) / $"avg_var", 8).as("rel_distortion"))
+      .orderBy($"bits")
+  }
+
+  val e23Sql: String = {
+    def dvI(lv: Int) =
+      s"""(mns[i] + (CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor((v[i] - mns[i]) * CAST($lv AS DOUBLE) /
+                  (mxs[i] - mns[i]) + 0.5) AS BIGINT) END) *
+           (mxs[i] - mns[i]) / CAST($lv AS DOUBLE))"""
+    def eB(b: Int) =
+      s"list_sum(list_transform(range(1, 65), i -> (v[i] - ${dvI((1 << b) - 1)}) * (v[i] - ${dvI((1 << b) - 1)})))"
+    val branches = SqBits.map(b =>
+      s"SELECT CAST($b AS BIGINT) AS bits, CAST(${(1 << b) - 1} AS BIGINT) AS levels, m$b AS m, n_vectors FROM ag")
+      .mkString(" UNION ALL ")
+    s"""WITH n AS MATERIALIZED ($corpusSql),
+       st AS (SELECT pos, min(x) AS mn, max(x) AS mx,
+           CAST(count(*) AS DOUBLE) AS np, ${dsumSql("x")} AS s1,
+           ${dsumSql("x * x")} AS s2
+         FROM (SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM n)
+         GROUP BY pos),
+       lims AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+         FROM st),
+       vr AS (SELECT ${davgSql("s2 / np - (s1 / np) * (s1 / np)")} AS avg_var FROM st),
+       errs AS (SELECT ${SqBits.map(b => s"${eB(b)} AS e$b").mkString(", ")}
+         FROM n CROSS JOIN lims),
+       ag AS (SELECT count(*) AS n_vectors,
+           ${SqBits.map(b => s"${davgSql(s"e$b")} AS m$b").mkString(", ")}
+         FROM errs)
+       SELECT bits, levels, n_vectors,
+         ${rSql("m / CAST(64.0 AS DOUBLE)", 8)} AS mse_per_dim,
+         ${rSql("(m / CAST(64.0 AS DOUBLE)) / avg_var", 8)} AS rel_distortion
+       FROM ($branches) z CROSS JOIN vr
+       ORDER BY bits"""
+  }
+
   // --- e22: hard-negative mining for contrastive training -------------------
 
   /** e22 — hard-negative mining: for each budgeted query, the 3 most
@@ -1782,6 +1874,7 @@ object Similarity {
        ORDER BY g.query_id, g.rank"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_sq_distortion" -> (e23SqDistortion _),
     "e22_hard_negatives" -> (e22HardNegatives _),
     "e20_matryoshka_recall" -> (e20MatryoshkaRecall _),
     "e19_embedding_knn" -> (e19EmbeddingKnn _),
@@ -1807,6 +1900,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e23_sq_distortion" -> e23Sql,
     "e22_hard_negatives" -> e22Sql,
     "e19_embedding_knn" -> e19Sql,
     "e18_pca_project" -> e18Sql,

@@ -637,7 +637,69 @@ object Telemetry {
        FROM r LEFT JOIN a ON $raCond
        ORDER BY r_event_id, a_event_id"""
 
+  // --- t21: multi-window SLO burn rate ------------------------------------
+
+  /** t21 — SRE multi-window burn-rate alerting (Google SRE Workbook ch. 5)
+    * over the hourly error series: per hour, the error share in the
+    * trailing 1 h / 6 h / 24 h RANGE windows relative to the corpus-wide
+    * baseline rate (self-calibrating burn = windowed rate ÷ overall
+    * rate), and the two-window alert flag (fast ≥ 2× AND slow ≥ 1.5× —
+    * the pattern that pages quickly on real incidents yet ignores blips).
+    * Integer-hour RANGE frames (t11's time-RANGE shape on the rollup
+    * series); all rates are integer-derived IEEE ratios.
+    *
+    * Scale shape: one map-side-combinable hourly rollup touches events;
+    * the windows run over the hour series, which grows with TIME, not
+    * volume. */
+  def t21BurnRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    burnRate(Tables.events(s, dir)
+      .select((date_trunc("hour", $"ts").cast("long") / 3600).cast("long").as("hx"),
+        ($"event_type" === "error").cast("long").as("is_err")))
+  }
+
+  /** t21's core over an explicit (hx, is_err) relation — exposed so the
+    * spec can plant an incident hour inside a quiet baseline. */
+  private[graft] def burnRate(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val hourly = ev.groupBy($"hx")
+      .agg(count(lit(1)).as("n"), sum($"is_err").as("e"))
+    val base = ev.agg(count(lit(1)).as("nn"), sum($"is_err").as("ee"))
+      .select(($"ee".cast("double") / $"nn".cast("double")).as("base_rate"))
+    def win(h: Int) = Window.orderBy($"hx").rangeBetween(-(h - 1), 0)
+    def burn(h: Int) =
+      r((sum($"e").over(win(h)).cast("double") /
+        sum($"n").over(win(h)).cast("double")) / $"base_rate", 6)
+    hourly.crossJoin(broadcast(base))
+      .select($"hx", $"n".as("n_events"), $"e".as("n_errors"),
+        burn(1).as("burn_1h"), burn(6).as("burn_6h"), burn(24).as("burn_24h"))
+      .withColumn("alert",
+        ($"burn_1h" >= 2.0 && $"burn_6h" >= 1.5).cast("int"))
+      .orderBy($"hx")
+  }
+
+  val t21Sql: String = {
+    def burn(h: Int) =
+      rSql("(CAST(sum(e) OVER (ORDER BY hx RANGE BETWEEN " + (h - 1) +
+        " PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(n) OVER (ORDER BY hx RANGE BETWEEN " +
+        (h - 1) + " PRECEDING AND CURRENT ROW) AS DOUBLE)) / base_rate", 6)
+    s"""WITH ev AS (SELECT CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS BIGINT) AS hx,
+         CAST(event_type = 'error' AS BIGINT) AS is_err FROM events),
+       hourly AS (SELECT hx, count(*) AS n, CAST(sum(is_err) AS BIGINT) AS e
+         FROM ev GROUP BY hx),
+       base AS (SELECT CAST(sum(is_err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS base_rate
+         FROM ev),
+       b AS (SELECT hx, n, e,
+           ${burn(1)} AS burn_1h, ${burn(6)} AS burn_6h, ${burn(24)} AS burn_24h
+         FROM hourly CROSS JOIN base)
+       SELECT hx, n AS n_events, e AS n_errors, burn_1h, burn_6h, burn_24h,
+         CAST(burn_1h >= 2.0 AND burn_6h >= 1.5 AS INTEGER) AS alert
+       FROM b ORDER BY hx"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_burn_rate" -> (t21BurnRate _),
     "t17_interval_join" -> (t17IntervalJoin _),
     "t18_interval_join_left" -> (t18IntervalJoinLeft _),
     "t15_ewma" -> (t15Ewma _),
@@ -655,6 +717,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t21_burn_rate" -> t21Sql,
     "t17_interval_join" -> t17Sql,
     "t18_interval_join_left" -> t18Sql,
     "t15_ewma" -> t15Sql,

@@ -5,6 +5,19 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSpec {
 
+  test("e23 distortion: error collapses with bit depth, 8-bit is e16's regime") {
+    import spark.implicits._
+    val rows = Similarity.e23SqDistortion(spark, sfTiny).orderBy($"bits").collect()
+    assert(rows.map(_.getAs[Long]("bits")).toSeq == Seq(1L, 4L, 8L))
+    val mse = rows.map(_.getAs[Double]("mse_per_dim"))
+    assert(mse.forall(_ >= 0.0))
+    // each 3-bit step multiplies the level count ~8-16× → MSE drops ≫10×
+    assert(mse(1) < mse(0) / 10.0, mse.mkString(","))
+    assert(mse(2) < mse(1) / 10.0, mse.mkString(","))
+    // relative distortion at 8 bits is negligible next to the data variance
+    assert(rows(2).getAs[Double]("rel_distortion") < 0.01, s"${rows(2)}")
+  }
+
   test("e22 hard negatives: labels truly differ, margins reconcile, exact top bounds") {
     import spark.implicits._
     val out = Similarity.e22HardNegatives(spark, sfTiny).cache()

@@ -5,6 +5,39 @@ import graft.operators.Telemetry
 
 class TelemetrySpec extends GraftSpec {
 
+  test("t21 burn rate: planted incident pages, quiet hours stay exactly sub-threshold") {
+    import spark.implicits._
+    // 30 quiet hours (10 events, 1 error) + one incident hour (10/10):
+    // base = 4/31, so quiet burn_1h = 0.775 and incident burn_1h = 7.75,
+    // burn_6h = 1.9375, burn_24h = 1.065625 — all exact binary values
+    val ev = (0 until 31).flatMap { h =>
+      val errs = if (h == 30) 10 else 1
+      (0 until 10).map(i => (h.toLong, if (i < errs) 1L else 0L))
+    }.toDF("hx", "is_err")
+    val rows = operators.Telemetry.burnRate(ev).collect()
+      .map(r => r.getAs[Long]("hx") -> r).toMap
+    assert(rows.size == 31)
+    assert(rows(30L).getAs[Double]("burn_1h") == 7.75, s"${rows(30L)}")
+    assert(rows(30L).getAs[Double]("burn_6h") == 1.9375, s"${rows(30L)}")
+    assert(rows(30L).getAs[Double]("burn_24h") == 1.065625, s"${rows(30L)}")
+    assert(rows(30L).getAs[Int]("alert") == 1)
+    (0L until 30L).foreach { h =>
+      assert(rows(h).getAs[Double]("burn_1h") == 0.775, s"${rows(h)}")
+      assert(rows(h).getAs[Int]("alert") == 0, s"${rows(h)}")
+    }
+  }
+
+  test("t21 on testdata: hour grid covered, alerts require both windows hot") {
+    import spark.implicits._
+    val out = operators.Telemetry.t21BurnRate(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"alert" === 1 &&
+        ($"burn_1h" < 2.0 || $"burn_6h" < 1.5)).count() == 0)
+      assert(out.filter($"burn_1h" < 0).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("twin has exactly 5% anomalies (without-replacement semantics)") {
     val df = Telemetry.twin(spark).cache()
     assert(df.count() == 10000L)
