@@ -986,6 +986,78 @@ object Corpus {
        FROM f CROSS JOIN w$QlrIters
        ORDER BY doc_id"""
 
+  // --- ml16: precision–recall threshold sweep over ml06's scores ----------
+
+  /** ml16's decision-threshold grid (written `k/10` so the literal text
+    * `0.1 .. 0.9` parses to the identical double in both engines). */
+  private[graft] val PrTaus: Seq[Int] = 1 to 9
+
+  /** Shared precision/recall/F1 texts over integer counts tp/fp/fn —
+    * NULL where undefined (no positive predictions / degenerate F1). */
+  private val PrecT =
+    "CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END"
+  private val RecT = "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)"
+  private val F1T =
+    s"CASE WHEN tp + fp = 0 OR ($PrecT) + ($RecT) = 0 THEN NULL ELSE 2.0 * ($PrecT) * ($RecT) / (($PrecT) + ($RecT)) END"
+
+  /** ml16 — the operating-point sweep behind ml06's fixed keep ≥ 0.5
+    * gate: precision, recall, and F1 of the quality classifier at every
+    * decision threshold τ ∈ {0.1..0.9} (the curve a pipeline owner reads
+    * before choosing how aggressively to filter — the classifier-side
+    * sibling of d42's dedup sweep and ml14's λ sweep). The scored corpus
+    * is produced ONCE (ml06's own plan) and all nine thresholds fold in
+    * ONE 27-way conditional aggregation — never re-score per candidate;
+    * comparisons run on the ROUNDED score, so they mirror exactly.
+    * Completeness: recall(τ) is non-increasing and recall at τ=0.1 ≈ 1
+    * are spec-pinned. */
+  def ml16PrCurve(s: SparkSession, dir: String): DataFrame =
+    prCurve(ml06QualityClassifier(s, dir))
+
+  /** ml16's core over a scored (label, score) frame — exposed so the
+    * spec can plant a perfectly separable score column. */
+  private[graft] def prCurve(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val ag = scored.agg(
+      count(lit(1)).as("n"),
+      PrTaus.flatMap { k =>
+        val t = k / 10.0
+        Seq(
+          count(when($"score" >= t && $"label" === 1, 1)).as(s"tp$k"),
+          count(when($"score" >= t && $"label" === 0, 1)).as(s"fp$k"),
+          count(when($"score" < t && $"label" === 1, 1)).as(s"fn$k"))
+      }: _*)
+    ag.select(expr("stack(" + PrTaus.length + ", " + PrTaus.map(k =>
+        s"CAST(${k / 10.0} AS DOUBLE), tp$k, fp$k, fn$k").mkString(", ") +
+      ") AS (tau, tp, fp, fn)"))
+      .select($"tau", $"tp", $"fp", $"fn",
+        r(expr(PrecT), 6).as("precision"),
+        r(expr(RecT), 6).as("recall"),
+        r(expr(F1T), 6).as("f1"))
+      .orderBy($"tau")
+  }
+
+  val ml16Sql: String = {
+    val conds = PrTaus.flatMap { k =>
+      val t = k / 10.0
+      Seq(
+        s"count(CASE WHEN score >= CAST($t AS DOUBLE) AND label = 1 THEN 1 END) AS tp$k",
+        s"count(CASE WHEN score >= CAST($t AS DOUBLE) AND label = 0 THEN 1 END) AS fp$k",
+        s"count(CASE WHEN score < CAST($t AS DOUBLE) AND label = 1 THEN 1 END) AS fn$k")
+    }.mkString(",\n           ")
+    val branches = PrTaus.map(k =>
+      s"SELECT CAST(${k / 10.0} AS DOUBLE) AS tau, tp$k AS tp, fp$k AS fp, fn$k AS fn FROM ag")
+      .mkString(" UNION ALL ")
+    s"""WITH $ml06Ctes,
+       sc AS (SELECT CAST(y AS INTEGER) AS label, ${rSql(qlrP, 6)} AS score
+         FROM f CROSS JOIN w$QlrIters),
+       ag AS (SELECT $conds FROM sc)
+       SELECT tau, tp, fp, fn, ${rSql(PrecT, 6)} AS precision,
+         ${rSql(RecT, 6)} AS recall, ${rSql(F1T, 6)} AS f1
+       FROM ($branches) z
+       ORDER BY tau"""
+  }
+
   // --- d33: PPMI co-occurrence contexts (distributional semantics) --------
 
   /** d33 output budget (total order + LIMIT keeps the report bounded at
@@ -1690,6 +1762,7 @@ object Corpus {
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
+    "ml16_pr_curve" -> (ml16PrCurve _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
     "d36_zipf_report" -> (d36ZipfReport _),
@@ -1712,6 +1785,7 @@ object Corpus {
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,
+    "ml16_pr_curve" -> ml16Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,
     "d36_zipf_report" -> d36Sql,

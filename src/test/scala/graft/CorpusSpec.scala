@@ -5,6 +5,34 @@ import graft.operators.{Corpus, DedupLsh, TextOps}
 
 class CorpusSpec extends GraftSpec {
 
+  test("ml16 PR curve: hand-computed operating points on a planted score column") {
+    import spark.implicits._
+    val scored = Seq((1, 0.9), (1, 0.7), (0, 0.6), (1, 0.4), (0, 0.2))
+      .toDF("label", "score")
+    val rows = operators.Corpus.prCurve(scored).collect()
+      .map(r => math.round(r.getAs[Double]("tau") * 10).toInt -> r).toMap
+    assert(rows.size == 9)
+    // τ=0.5: tp=2 fp=1 fn=1; τ=0.3: tp=3 fp=1 fn=0; τ=0.8: tp=1 fp=0 fn=2
+    assert(rows(5).getAs[Double]("precision") == 0.666667 &&
+      rows(5).getAs[Double]("recall") == 0.666667 &&
+      rows(5).getAs[Double]("f1") == 0.666667, s"${rows(5)}")
+    assert(rows(3).getAs[Double]("precision") == 0.75 &&
+      rows(3).getAs[Double]("recall") == 1.0 &&
+      rows(3).getAs[Double]("f1") == 0.857143, s"${rows(3)}")
+    assert(rows(8).getAs[Double]("precision") == 1.0 &&
+      rows(8).getAs[Double]("recall") == 0.333333 &&
+      rows(8).getAs[Double]("f1") == 0.5, s"${rows(8)}")
+  }
+
+  test("ml16 on testdata: recall non-increasing in tau, loose gate catches everything") {
+    import spark.implicits._
+    val out = operators.Corpus.ml16PrCurve(spark, sfTiny).orderBy($"tau").collect()
+    assert(out.length == 9)
+    val rec = out.map(_.getAs[Double]("recall"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => b <= a + 1e-9 }, rec.mkString(","))
+    assert(rec.head >= 0.9, rec.head.toString) // τ=0.1 keeps nearly all targets
+  }
+
   test("d41 JSD: identical source scores 0, disjoint halves hit the hand value") {
     import spark.implicits._
     // identical: both sources are "x y" → P = Q → JSD = 0, coverage = 1
