@@ -295,9 +295,14 @@ object Similarity {
     * cost drops from O(n·q) to O(n·q·NPROBE/NLIST). Deterministic
     * throughout (hash-rank centroids, argmin tie-break by centroid id) —
     * and oracle-checked: the probe-set construction mirrors in SQL. */
-  def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
+  /** e05's IVF internals over corpus(vec_id, v, nrm): centroid
+    * assignment (argmin-by-aggregate, e07's shape) and the per-query
+    * probe ranking with its `crank` kept — shared by e05's NPROBE search
+    * and e24's nprobe sweep so the quantizer being swept is the
+    * quantizer being searched. */
+  private def ivfParts(c: DataFrame): (DataFrame, DataFrame) = {
+    val s = c.sparkSession
     import s.implicits._
-    val c = corpus(s, dir).cache()
     val cents = c.orderBy(hvCol, $"vec_id").limit(NList)
       .withColumn("cid",
         (row_number().over(Window.orderBy(hvCol, $"vec_id")) - 1).cast("int"))
@@ -323,10 +328,18 @@ object Similarity {
     val probes = scored
       .join(broadcast(queryIds(c)), "vec_id")
       .withColumn("crank", row_number().over(wAssign))
-      .filter($"crank" <= NProbe)
-      .select($"cid", $"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .select($"cid", $"crank", $"vec_id".as("query_id"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    (assigned, probes)
+  }
+
+  def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val (assigned, probes) = ivfParts(c)
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
-    probes.join(assigned, Seq("cid"))
+    probes.filter($"crank" <= NProbe).drop("crank")
+      .join(assigned, Seq("cid"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine",
         r(VectorExpressions.dot($"qv", $"cv2") / ($"qnrm" * $"cnrm2"), 6))
@@ -340,7 +353,9 @@ object Similarity {
   /** CTE block (expects `n` in scope): hash-rank centroids → assignment +
     * probes → ranked IVF neighbors, ending in
     * ivf(query_id, neighbor_id, cosine, rank). Shared by e05 and e08. */
-  private def e05Ctes: String =
+  /** The quantizer half of [[e05Ctes]] (centroids → assignment → probe
+    * ranks → budgeted query ids) — shared with e24's nprobe sweep. */
+  private def ivfCoreCtes: String =
     s"""ivfct AS (SELECT cid, cv, cnrm FROM (
            SELECT row_number() OVER (ORDER BY $hvSql, vec_id) - 1 AS cid,
              v AS cv, nrm AS cnrm FROM n) t
@@ -354,7 +369,10 @@ object Similarity {
        ivfas AS (SELECT cid, vec_id AS neighbor_id, v AS cv2, nrm AS cnrm2
          FROM ivfrk WHERE crank = 1),
        ivfq AS (SELECT vec_id FROM n WHERE vec_id % 100 = 0
-         ORDER BY $hvSql, vec_id LIMIT $QueryBudget),
+         ORDER BY $hvSql, vec_id LIMIT $QueryBudget)"""
+
+  private def e05Ctes: String =
+    s"""$ivfCoreCtes,
        ivfpr AS (SELECT cid, vec_id AS query_id, v AS qv, nrm AS qnrm
          FROM ivfrk WHERE vec_id IN (SELECT vec_id FROM ivfq) AND crank <= $NProbe),
        ivfp AS (SELECT DISTINCT query_id, neighbor_id,
@@ -1722,6 +1740,92 @@ object Similarity {
        SELECT * FROM ($un) z ORDER BY m_dims"""
   }
 
+  // --- e24: IVF nprobe recall sweep ------------------------------------------
+
+  /** e24's probe-count grid (its maximum is e05's operating NPROBE). */
+  private[graft] val SweepProbes = Seq(1, 2, 4, 8)
+
+  /** e24 — the IVF tuning curve: recall@5 vs exact search at nprobe ∈
+    * [[SweepProbes]] (the d42/ml14/ml16 sweep discipline applied to the
+    * ANN index: how many inverted lists must a query probe before recall
+    * is acceptable?). The quantizer is built ONCE by the SAME
+    * [[ivfParts]] assignment e05 searches with, candidates are scored
+    * once at the maximum probe depth with their probe rank kept, and
+    * each grid point just re-ranks the crank-filtered subset — never
+    * re-assign, never re-score. Monotone recall in nprobe is guaranteed
+    * by construction (candidate sets nest) and spec-pinned.
+    *
+    * Scale shape: e05's search cost at the deepest probe level plus
+    * e01's exact baseline; every window below the broadcast query join
+    * is budget-bounded. */
+  def e24NprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val (assigned, probes) = ivfParts(c)
+    val cand = probes.filter($"crank" <= SweepProbes.max)
+      .join(assigned, Seq("cid"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine",
+        r(VectorExpressions.dot($"qv", $"cv2") / ($"qnrm" * $"cnrm2"), 6))
+      .select($"query_id", $"neighbor_id", $"cosine", $"crank")
+      .cache() // scored once; every grid point filters this frame
+    val exact5 = cosineTopK(c, QueryBudget)
+      .select($"query_id", $"neighbor_id").cache()
+    val qbase = exact5.select($"query_id").distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    val parts = SweepProbes.map { p =>
+      val t5 = cand.filter($"crank" <= p)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id")
+      qbase.join(
+          t5.join(exact5, Seq("query_id", "neighbor_id"))
+            .groupBy($"query_id").agg(count(lit(1)).as("h")),
+          Seq("query_id"), "left")
+        .select(coalesce($"h", lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          ravg($"hits" / lit(5.0), 6).as("avg_recall5"),
+          r(percentile($"hits" / lit(5.0), lit(0.5)), 6).as("p50_recall5"))
+        .select(lit(p.toLong).as("nprobe"), $"n_queries", $"avg_recall5",
+          $"p50_recall5")
+    }
+    val out = parts.reduce(_ unionByName _).orderBy($"nprobe").localCheckpoint(true)
+    Seq(c, cand, exact5).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val e24Sql: String = {
+    val perP = SweepProbes.map { p =>
+      s"""cp$p AS (SELECT query_id, neighbor_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM swcand WHERE crank <= $p),
+       h$p AS (SELECT b.query_id, count(x.neighbor_id) AS hits
+         FROM (SELECT DISTINCT query_id FROM ex WHERE rank <= 5) b
+         LEFT JOIN (SELECT t.query_id, t.neighbor_id FROM cp$p t
+           JOIN ex ON ex.query_id = t.query_id
+             AND ex.neighbor_id = t.neighbor_id AND ex.rank <= 5
+           WHERE t.rank <= 5) x ON x.query_id = b.query_id
+         GROUP BY b.query_id),
+       s$p AS (SELECT $p AS nprobe, count(*) AS n_queries,
+           ${ravgSql("hits / 5.0", 6)} AS avg_recall5,
+           ${rSql("quantile_cont(hits / 5.0, 0.5)", 6)} AS p50_recall5
+         FROM h$p)"""
+    }.mkString(",\n       ")
+    val un = SweepProbes.map(p => s"SELECT * FROM s$p").mkString(" UNION ALL ")
+    s"""WITH n AS MATERIALIZED ($corpusSql),
+       $e01Ctes,
+       $ivfCoreCtes,
+       swpr AS (SELECT cid, crank, vec_id AS query_id, v AS qv, nrm AS qnrm
+         FROM ivfrk WHERE vec_id IN (SELECT vec_id FROM ivfq)
+           AND crank <= ${SweepProbes.max}),
+       swcand AS MATERIALIZED (SELECT p.query_id, a.neighbor_id, p.crank,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv2[i])) / (p.qnrm * a.cnrm2)", 6)} AS cosine
+         FROM swpr p JOIN ivfas a USING (cid)
+         WHERE p.query_id != a.neighbor_id),
+       $perP
+       SELECT * FROM ($un) z ORDER BY nprobe"""
+  }
+
   // --- e23: scalar-quantization bit-depth distortion sweep -------------------
 
   /** e23's bit depths (levels 2ᵇ − 1 each) — the storage/quality grid. */
@@ -1874,6 +1978,7 @@ object Similarity {
        ORDER BY g.query_id, g.rank"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_nprobe_sweep" -> (e24NprobeSweep _),
     "e23_sq_distortion" -> (e23SqDistortion _),
     "e22_hard_negatives" -> (e22HardNegatives _),
     "e20_matryoshka_recall" -> (e20MatryoshkaRecall _),
@@ -1900,6 +2005,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e24_nprobe_sweep" -> e24Sql,
     "e23_sq_distortion" -> e23Sql,
     "e22_hard_negatives" -> e22Sql,
     "e19_embedding_knn" -> e19Sql,

@@ -5,6 +5,18 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSpec {
 
+  test("e24 nprobe sweep: recall monotone in probe depth over nested candidate sets") {
+    import spark.implicits._
+    val rows = Similarity.e24NprobeSweep(spark, sfTiny).orderBy($"nprobe").collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.map(_.getAs[Long]("n_queries")).distinct.length == 1)
+    val rec = rows.map(_.getAs[Double]("avg_recall5"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a - 1e-9 }, rec.mkString(","))
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    // probing every list we ever probe must beat probing one
+    assert(rec.last >= rec.head)
+  }
+
   test("e23 distortion: error collapses with bit depth, 8-bit is e16's regime") {
     import spark.implicits._
     val rows = Similarity.e23SqDistortion(spark, sfTiny).orderBy($"bits").collect()
