@@ -874,6 +874,77 @@ object Analytics {
          FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
   }
 
+  // --- q62: robust outlier scan over the hourly series ----------------------
+
+  /** q62 — modified-z-score outlier scan (Iglewicz & Hoaglin 1993): per
+    * event_type, the 3 most extreme hours of the hourly mean series by
+    * M = 0.6745·(x − median)/MAD, flagged when |M| > 3.5 — the robust
+    * complement of t07's stddev spike detector (one wild hour inflates a
+    * stddev threshold and masks itself; the median/MAD pair doesn't
+    * move). Median and MAD ride the proven percentile pairing (q46),
+    * the report always carries exactly 3 ranked rows per type so quiet
+    * corpora don't produce an empty (hash-fragile) result, and a
+    * constant series (MAD = 0) yields NULL scores in both engines.
+    *
+    * Scale shape: one rollup touches events; everything after is
+    * series-sized (q47's argument). */
+  def q62RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    robustOutliers(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(ravg($"value", 6).as("x"))
+      .select($"event_type", $"h".cast("long").as("hx"), $"x"))
+  }
+
+  /** q62's core over an explicit (event_type, hx, x) series — exposed so
+    * the spec can plant one wild hour in a tight series. */
+  private[graft] def robustOutliers(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val h = series.cache() // feeds median, MAD, and the scoring pass
+    val med = h.groupBy($"event_type")
+      .agg(r(percentile($"x", lit(0.5)), 6).as("med"))
+    val mad = h.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(min($"med").as("med"),
+        r(percentile(abs($"x" - $"med"), lit(0.5)), 6).as("mad"))
+    val out = h.join(broadcast(mad), "event_type")
+      .withColumn("mz",
+        when($"mad" > 0, lit(0.6745) * ($"x" - $"med") / $"mad"))
+      .withColumn("rk", row_number().over(Window.partitionBy($"event_type")
+        .orderBy(abs($"mz").desc_nulls_last, $"hx".asc)))
+      .filter($"rk" <= 3)
+      .select($"event_type", $"rk".cast("long").as("rk"), $"hx", $"x",
+        r($"mz", 6).as("mz"), (abs($"mz") > 3.5).cast("int").as("is_outlier"))
+      .orderBy($"event_type", $"rk")
+      .localCheckpoint(true)
+    h.unpersist(blocking = false)
+    out
+  }
+
+  val q62Sql: String =
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS x
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       med AS (SELECT event_type, ${rSql("quantile_cont(x, 0.5)", 6)} AS med
+         FROM h GROUP BY event_type),
+       md AS (SELECT h.event_type, min(med) AS med,
+         ${rSql("quantile_cont(abs(x - med), 0.5)", 6)} AS mad
+       FROM h JOIN med USING (event_type) GROUP BY h.event_type),
+       sc AS (SELECT h.event_type, hx, x, med, mad,
+         CASE WHEN mad > 0 THEN 0.6745 * (x - med) / mad END AS mz
+       FROM h JOIN md USING (event_type)),
+       rk AS (SELECT event_type, hx, x, mz, row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(mz) DESC NULLS LAST, hx ASC) AS rk
+         FROM sc)
+       SELECT event_type, CAST(rk AS BIGINT) AS rk, hx, x,
+         ${rSql("mz", 6)} AS mz,
+         CAST(abs(mz) > 3.5 AS INTEGER) AS is_outlier
+       FROM rk WHERE rk <= 3
+       ORDER BY event_type, rk"""
+
   // --- q61: Holt linear-trend forecast over the daily series ----------------
 
   /** q61 — Holt's linear-trend exponential smoothing (Holt 1957) per
@@ -1670,6 +1741,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_robust_outliers" -> (q62RobustOutliers _),
     "q61_holt_forecast" -> (q61HoltForecast _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
@@ -1705,6 +1777,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q62_robust_outliers" -> q62Sql,
     "q61_holt_forecast" -> q61Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,

@@ -31,6 +31,25 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q62 robust outliers: planted wild hour flagged, constant series scores NULL") {
+    import spark.implicits._
+    // {10,11,10,11,10,50}: med = 10.5, MAD = 0.5 → M(50) = 0.6745·79 =
+    // 53.2855 (flagged); every quiet hour scores ±0.6745 (not flagged)
+    val xs = Seq(10.0, 11.0, 10.0, 11.0, 10.0, 50.0)
+    val series = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong * 3600, x) }
+      .toDF("event_type", "hx", "x")
+    val rows = Analytics.robustOutliers(series).orderBy($"rk").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("x") == 50.0 && rows(0).getAs[Double]("mz") == 53.2855
+      && rows(0).getAs[Int]("is_outlier") == 1, s"${rows(0)}")
+    assert(rows.tail.forall(r => r.getAs[Int]("is_outlier") == 0), rows.mkString(";"))
+    // a constant series has MAD = 0 → no defined score, nothing flagged
+    val flat = Seq.tabulate(5)(i => ("a", i.toLong * 3600, 7.0))
+      .toDF("event_type", "hx", "x")
+    val fr = Analytics.robustOutliers(flat).collect()
+    assert(fr.length == 3 && fr.forall(r => r.isNullAt(r.fieldIndex("mz"))))
+  }
+
   test("q61 Holt: hand-traced 3-point recursion, constant series is a fixed point") {
     import spark.implicits._
     // y = 1,2,3: l₁=1,b₁=0 → l₂=1.5,b₂=0.125 (err 1) → l₃=2.3125,
