@@ -490,6 +490,89 @@ object Advanced {
        FROM j"""
   }
 
+  /** q63's attribution lookback in µs (24 h). */
+  private val AttrLookbackUs = 86400000000L
+
+  /** q63 — multi-touch attribution: every purchase credits the
+    * click/view/signup touches of the SAME user in the trailing 24 h,
+    * under the two standard models side by side — last-touch (the most
+    * recent touch takes the whole conversion) and linear (every touch in
+    * the window shares equally); purchases with no touch in window land
+    * in an explicit '(none)' organic row, so credit always sums to the
+    * purchase total. The touch join is t17's user-keyed interval shape
+    * (both sides pre-filtered, one shuffle on user_id); per-purchase
+    * windows are bounded by a user's 24 h activity. Ordering runs on
+    * integer epoch-µs, credit fractions are integer-derived IEEE, sums
+    * decimal-exact. */
+  def q63Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    attribution(Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value"))
+  }
+
+  /** q63's core over an explicit event relation — exposed so the spec can
+    * plant a hand-credited touch sequence. */
+  private[graft] def attribution(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("pu"),
+        $"event_id".as("pid"), $"value")
+    val touches = ev.filter($"event_type".isin("click", "view", "signup"))
+      .select($"user_id".as("t_uid"), unix_micros($"ts").as("tu"),
+        $"event_id".as("t_eid"), $"event_type".as("ttype"))
+    val joined = purchases.join(touches,
+        $"user_id" === $"t_uid" && $"tu" < $"pu" &&
+          $"pu" - $"tu" <= AttrLookbackUs, "left")
+      .withColumn("nt", count($"t_eid").over(Window.partitionBy($"pid")))
+      .withColumn("rk", row_number().over(Window.partitionBy($"pid")
+        .orderBy($"tu".desc_nulls_last, $"t_eid".desc_nulls_last)))
+      .cache() // feeds the last-touch and linear branches
+    val last = joined.filter($"rk" === 1)
+      .groupBy(coalesce($"ttype", lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_last"), rsum($"value", 2).as("last_revenue"))
+    val lin = joined.filter($"t_eid".isNotNull)
+      .groupBy($"ttype".as("touch_type"))
+      .agg(r(dsum(lit(1.0) / $"nt".cast("double")), 6).as("linear_credit"),
+        rsum($"value" / $"nt".cast("double"), 2).as("linear_revenue"))
+    val out = last.join(lin, Seq("touch_type"), "full_outer")
+      .select($"touch_type", coalesce($"n_last", lit(0L)).as("n_last"),
+        coalesce($"last_revenue", lit(0.0)).as("last_revenue"),
+        coalesce($"linear_credit", lit(0.0)).as("linear_credit"),
+        coalesce($"linear_revenue", lit(0.0)).as("linear_revenue"))
+      .orderBy($"touch_type")
+      .localCheckpoint(true)
+    joined.unpersist(blocking = false)
+    out
+  }
+
+  val q63Sql: String =
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS pu, event_id AS pid, value
+         FROM events WHERE event_type = 'purchase'),
+       t AS (SELECT user_id AS t_uid, epoch_us(ts) AS tu, event_id AS t_eid,
+         event_type AS ttype
+         FROM events WHERE event_type IN ('click', 'view', 'signup')),
+       j AS MATERIALIZED (SELECT p.*, t.tu, t.t_eid, t.ttype,
+           count(t_eid) OVER (PARTITION BY pid) AS nt,
+           row_number() OVER (PARTITION BY pid
+             ORDER BY tu DESC NULLS LAST, t_eid DESC NULLS LAST) AS rk
+         FROM p LEFT JOIN t ON t.t_uid = p.user_id AND t.tu < p.pu
+           AND p.pu - t.tu <= $AttrLookbackUs),
+       last AS (SELECT coalesce(ttype, '(none)') AS touch_type,
+           count(*) AS n_last, ${rsumSql("value", 2)} AS last_revenue
+         FROM j WHERE rk = 1 GROUP BY 1),
+       lin AS (SELECT ttype AS touch_type,
+           ${rSql(dsumSql("CAST(1.0 AS DOUBLE) / CAST(nt AS DOUBLE)"), 6)} AS linear_credit,
+           ${rsumSql("value / CAST(nt AS DOUBLE)", 2)} AS linear_revenue
+         FROM j WHERE t_eid IS NOT NULL GROUP BY 1)
+       SELECT coalesce(last.touch_type, lin.touch_type) AS touch_type,
+         coalesce(n_last, 0) AS n_last,
+         coalesce(last_revenue, 0.0) AS last_revenue,
+         coalesce(linear_credit, 0.0) AS linear_credit,
+         coalesce(linear_revenue, 0.0) AS linear_revenue
+       FROM last FULL OUTER JOIN lin ON lin.touch_type = last.touch_type
+       ORDER BY touch_type"""
+
   /** q38 — window navigation functions (lag/lead/first_value/nth_value)
     * as an order-gap analysis: per customer, days since the previous
     * order, days until the next, the first order date, and the third
@@ -900,6 +983,7 @@ object Advanced {
     "s03_hash_split" -> (s03HashSplit _),
     "s05_group_split" -> (s05GroupSplit _),
     "q60_stage_latency" -> (q60StageLatency _),
+    "q63_attribution" -> (q63Attribution _),
     "s04_balanced_sample" -> (s04BalancedSample _),
     "q44_merge_upsert" -> (q44MergeUpsert _),
     "t10_date_spine" -> (t10DateSpine _),
@@ -924,6 +1008,7 @@ object Advanced {
     "s03_hash_split" -> s03Sql,
     "s05_group_split" -> s05Sql,
     "q60_stage_latency" -> q60Sql,
+    "q63_attribution" -> q63Sql,
     "s04_balanced_sample" -> s04Sql,
     "q44_merge_upsert" -> q44Sql,
     "t10_date_spine" -> t10Sql,

@@ -5,6 +5,46 @@ import graft.operators.Advanced
 
 class AdvancedSpec extends GraftSpec {
 
+  test("q63 attribution: hand-credited touches, organic purchases, window cutoff") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: click then view then purchase — last = view, linear splits
+      (1L, "click", t(0), 1L, 0.0), (1L, "view", t(10), 2L, 0.0),
+      (1L, "purchase", t(20), 3L, 100.0),
+      // user 2: organic purchase (no touches at all)
+      (2L, "purchase", t(0), 4L, 40.0),
+      // user 3: the only touch is outside the 24 h lookback
+      (3L, "click", t(0), 5L, 0.0),
+      (3L, "purchase", t(25 * 3600), 6L, 60.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val rows = Advanced.attribution(ev).collect()
+      .map(r => r.getAs[String]("touch_type") -> r).toMap
+    assert(rows.keySet == Set("(none)", "click", "view"))
+    assert(rows("view").getAs[Long]("n_last") == 1L &&
+      rows("view").getAs[Double]("last_revenue") == 100.0, s"${rows("view")}")
+    assert(rows("view").getAs[Double]("linear_credit") == 0.5 &&
+      rows("view").getAs[Double]("linear_revenue") == 50.0)
+    assert(rows("click").getAs[Long]("n_last") == 0L &&
+      rows("click").getAs[Double]("linear_credit") == 0.5 &&
+      rows("click").getAs[Double]("linear_revenue") == 50.0, s"${rows("click")}")
+    assert(rows("(none)").getAs[Long]("n_last") == 2L &&
+      rows("(none)").getAs[Double]("last_revenue") == 100.0, s"${rows("(none)")}")
+  }
+
+  test("q63 on testdata: last-touch counts and revenue are conserved") {
+    import spark.implicits._
+    val out = Advanced.q63Attribution(spark, sfTiny).cache()
+    try {
+      val p = Tables.events(spark, sfTiny).filter($"event_type" === "purchase")
+      assert(out.agg(sum($"n_last")).collect()(0).getLong(0) == p.count())
+      val totRev = p.agg(operators.Num.rsum($"value", 2)).collect()(0).getDouble(0)
+      val attRev = out.agg(sum($"last_revenue")).collect()(0).getDouble(0)
+      assert(math.abs(attRev - totRev) < 0.1, s"$attRev vs $totRev")
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q60 stage latency: agrees with t12 and is internally ordered") {
     import spark.implicits._
     val q = Advanced.q60StageLatency(spark, sfTiny).collect()(0)
