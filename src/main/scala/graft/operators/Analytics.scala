@@ -874,6 +874,72 @@ object Analytics {
          FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
   }
 
+  // --- q64: market-basket association rules over per-user type sets ---------
+
+  /** q64 — association rules on the per-user event-type SET (Agrawal &
+    * Srikant 1994's support/confidence plus lift): for every ordered
+    * type pair A→B, how many users did both, P(A∧B), P(B|A), and the
+    * lift over independence — the co-occurrence complement of q58's
+    * sequential transitions (q58 asks "what follows A", q64 asks "who
+    * also does B at all"). One distinct (user, type) projection feeds a
+    * user-keyed self-join whose output is |types|²-bounded; marginals
+    * broadcast. All ratios are integer-derived IEEE.
+    *
+    * Scale shape: distinct + self-join shuffle on user_id once; the
+    * rule table is ≤ |types|² rows at any corpus size. */
+  def q64BasketRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    basketRules(Tables.events(s, dir).select($"user_id", $"event_type"))
+  }
+
+  /** q64's core over an explicit (user_id, event_type) relation —
+    * exposed so the spec can plant baskets with hand-computed lifts. */
+  private[graft] def basketRules(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val ut = ev.select($"user_id", $"event_type").distinct().cache()
+    // user total stays IN the plan (1-row broadcast) — no driver-side
+    // count() sizing pass (the r4 lesson)
+    val nu = ut.agg(countDistinct($"user_id").cast("double").as("nn"))
+    val marg = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+    val both = ut.join(ut.select($"user_id".as("u2"), $"event_type".as("cons")),
+        $"user_id" === $"u2" && $"event_type" =!= $"cons")
+      .groupBy($"event_type".as("ante"), $"cons")
+      .agg(count(lit(1)).as("n_both"))
+    val out = both
+      .join(broadcast(marg.select($"event_type".as("ante"), $"n_t".as("n_a"))), "ante")
+      .join(broadcast(marg.select($"event_type".as("cons"), $"n_t".as("n_b"))), "cons")
+      .crossJoin(broadcast(nu))
+      .select($"ante", $"cons", $"n_both",
+        r($"n_both".cast("double") / $"nn", 6).as("support"),
+        r($"n_both".cast("double") / $"n_a".cast("double"), 6).as("confidence"),
+        r(($"n_both".cast("double") * $"nn") /
+          ($"n_a".cast("double") * $"n_b".cast("double")), 6).as("lift"))
+      .orderBy($"ante", $"cons")
+      .localCheckpoint(true)
+    ut.unpersist(blocking = false)
+    out
+  }
+
+  val q64Sql: String =
+    s"""WITH ut AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events),
+       nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nn FROM ut),
+       marg AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+       bo AS (SELECT a.event_type AS ante, b.event_type AS cons,
+           count(*) AS n_both
+         FROM ut a JOIN ut b ON b.user_id = a.user_id
+           AND b.event_type != a.event_type
+         GROUP BY 1, 2)
+       SELECT ante, cons, n_both,
+         ${rSql("CAST(n_both AS DOUBLE) / nn", 6)} AS support,
+         ${rSql("CAST(n_both AS DOUBLE) / CAST(ma.n_t AS DOUBLE)", 6)} AS confidence,
+         ${rSql("(CAST(n_both AS DOUBLE) * nn) / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE))", 6)} AS lift
+       FROM bo
+       JOIN marg ma ON ma.event_type = ante
+       JOIN marg mb ON mb.event_type = cons
+       CROSS JOIN nu
+       ORDER BY ante, cons"""
+
   // --- q62: robust outlier scan over the hourly series ----------------------
 
   /** q62 — modified-z-score outlier scan (Iglewicz & Hoaglin 1993): per
@@ -1741,6 +1807,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
     "q61_holt_forecast" -> (q61HoltForecast _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
@@ -1777,6 +1844,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,
     "q61_holt_forecast" -> q61Sql,
     "q59_seasonal_decomp" -> q59Sql,

@@ -1826,6 +1826,61 @@ object Similarity {
        SELECT * FROM ($un) z ORDER BY nprobe"""
   }
 
+  // --- e25: IVF inverted-list balance report ---------------------------------
+
+  /** e25 — the partition-skew audit of the IVF index: per inverted list,
+    * its vector count and share, plus the corpus-wide balance statistics
+    * every row carries (coefficient of variation of list sizes and the
+    * largest list's share). On a 1000-executor cluster an unbalanced
+    * coarse quantizer IS the straggler: probe cost is proportional to
+    * the probed lists' sizes, so max_share bounds the hot-partition
+    * factor. Uses the SAME [[ivfParts]] assignment e05/e24 search —
+    * the audited index is the searched index. One ≤NList-row aggregate
+    * after the assignment pass; CV from decimal moments (q23's layout).
+    */
+  def e25IvfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val (assigned, _) = ivfParts(c)
+    val lists = assigned.groupBy($"cid")
+      .agg(count(lit(1)).as("n_vectors")).cache()
+    val tot = lists.agg(sum($"n_vectors").cast("double").as("nn"),
+        count(lit(1)).cast("double").as("k"),
+        dsum($"n_vectors".cast("double")).as("s1"),
+        dsum($"n_vectors".cast("double") * $"n_vectors".cast("double")).as("s2"),
+        max($"n_vectors").cast("double").as("mx"))
+      .select($"nn",
+        r(sqrt($"s2" / $"k" - ($"s1" / $"k") * ($"s1" / $"k")) / ($"s1" / $"k"), 6).as("cv"),
+        r($"mx" / $"nn", 6).as("max_share"))
+    val out = lists.crossJoin(broadcast(tot))
+      .select($"cid".cast("long").as("cid"), $"n_vectors",
+        r($"n_vectors".cast("double") / $"nn", 6).as("share"),
+        $"cv", $"max_share")
+      .orderBy($"cid")
+      .localCheckpoint(true)
+    Seq(c, lists).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val e25Sql: String =
+    s"""WITH n AS MATERIALIZED ($corpusSql),
+       $ivfCoreCtes,
+       lists AS (SELECT cid, count(*) AS n_vectors FROM ivfas GROUP BY cid),
+       tot AS (SELECT CAST(sum(n_vectors) AS DOUBLE) AS nn,
+           CAST(count(*) AS DOUBLE) AS k,
+           ${dsumSql("CAST(n_vectors AS DOUBLE)")} AS s1,
+           ${dsumSql("CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE)")} AS s2,
+           CAST(max(n_vectors) AS DOUBLE) AS mx
+         FROM lists),
+       tt AS (SELECT nn,
+           ${rSql("sqrt(s2 / k - (s1 / k) * (s1 / k)) / (s1 / k)", 6)} AS cv,
+           ${rSql("mx / nn", 6)} AS max_share
+         FROM tot)
+       SELECT CAST(cid AS BIGINT) AS cid, n_vectors,
+         ${rSql("CAST(n_vectors AS DOUBLE) / nn", 6)} AS share, cv, max_share
+       FROM lists CROSS JOIN tt
+       ORDER BY cid"""
+
   // --- e23: scalar-quantization bit-depth distortion sweep -------------------
 
   /** e23's bit depths (levels 2ᵇ − 1 each) — the storage/quality grid. */
@@ -1978,6 +2033,7 @@ object Similarity {
        ORDER BY g.query_id, g.rank"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_ivf_balance" -> (e25IvfBalance _),
     "e24_nprobe_sweep" -> (e24NprobeSweep _),
     "e23_sq_distortion" -> (e23SqDistortion _),
     "e22_hard_negatives" -> (e22HardNegatives _),
@@ -2005,6 +2061,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e25_ivf_balance" -> e25Sql,
     "e24_nprobe_sweep" -> e24Sql,
     "e23_sq_distortion" -> e23Sql,
     "e22_hard_negatives" -> e22Sql,

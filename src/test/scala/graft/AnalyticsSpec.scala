@@ -31,6 +31,24 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q64 basket rules: hand-computed support, confidence, and lift") {
+    import spark.implicits._
+    // baskets: {A,B}, {A,B}, {A}, {B,C} over N=4 users
+    val ev = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "B"), (4L, "C"), (1L, "A")) // dup row must not double-count
+      .toDF("user_id", "event_type")
+    val rows = Analytics.basketRules(ev).collect()
+      .map(r => (r.getAs[String]("ante"), r.getAs[String]("cons")) -> r).toMap
+    assert(rows.keySet == Set(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")))
+    val ab = rows(("A", "B"))
+    assert(ab.getAs[Long]("n_both") == 2L && ab.getAs[Double]("support") == 0.5, s"$ab")
+    assert(ab.getAs[Double]("confidence") == 0.666667 &&
+      ab.getAs[Double]("lift") == 0.888889, s"$ab")
+    val cb = rows(("C", "B"))
+    assert(cb.getAs[Double]("confidence") == 1.0 &&
+      cb.getAs[Double]("lift") == 1.333333, s"$cb")
+  }
+
   test("q62 robust outliers: planted wild hour flagged, constant series scores NULL") {
     import spark.implicits._
     // {10,11,10,11,10,50}: med = 10.5, MAD = 0.5 → M(50) = 0.6745·79 =

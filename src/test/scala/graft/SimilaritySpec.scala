@@ -5,6 +5,22 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSpec {
 
+  test("e25 IVF balance: every vector in exactly one list, shares and stats cohere") {
+    import spark.implicits._
+    val out = Similarity.e25IvfBalance(spark, sfTiny).cache()
+    try {
+      val n = Tables.embeddings(spark, sfTiny).count()
+      assert(out.agg(sum($"n_vectors")).collect()(0).getLong(0) == n)
+      val shares = out.agg(sum($"share")).collect()(0).getDouble(0)
+      assert(math.abs(shares - 1.0) < 1e-4, shares.toString)
+      val r0 = out.collect()(0)
+      assert(r0.getAs[Double]("cv") >= 0.0)
+      assert(r0.getAs[Double]("max_share") >= 1.0 / 16.0)
+      assert(out.agg(max($"share")).collect()(0).getDouble(0) ==
+        r0.getAs[Double]("max_share"))
+    } finally out.unpersist(blocking = false)
+  }
+
   test("e24 nprobe sweep: recall monotone in probe depth over nested candidate sets") {
     import spark.implicits._
     val rows = Similarity.e24NprobeSweep(spark, sfTiny).orderBy($"nprobe").collect()
