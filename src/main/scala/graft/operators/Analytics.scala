@@ -874,6 +874,57 @@ object Analytics {
          FROM jl CROSS JOIN ml CROSS JOIN ms) p"""
   }
 
+  // --- q65: new-vs-returning growth accounting -------------------------------
+
+  /** q65 — daily growth accounting: active users split into NEW (first
+    * ever activity today) and RETURNING, plus the cumulative registered
+    * user count — the product-analytics daily the reference's dashboards
+    * imply and q31's cohort matrix summarizes. New/returning follows
+    * from ONE min-day-per-user aggregation broadcast-joined back to the
+    * distinct (user, day) activity set; the cumulative line is a running
+    * sum over the day series (grows with time, not volume).
+    *
+    * Scale shape: two shuffles on user_id (distinct + min), then
+    * everything is day-series-sized. */
+  def q65NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    newVsReturning(Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("d")))
+  }
+
+  /** q65's core over an explicit (user_id, d) activity relation —
+    * exposed so the spec can plant a two-day arrival pattern. */
+  private[graft] def newVsReturning(act: DataFrame): DataFrame = {
+    val s = act.sparkSession
+    import s.implicits._
+    val ud = act.distinct().cache()
+    val firsts = ud.groupBy($"user_id").agg(min($"d").as("first_d"))
+    val perDay = ud.join(firsts, "user_id")
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_active"),
+        count(when($"first_d" === $"d", 1)).as("n_new"))
+      .withColumn("n_returning", $"n_active" - $"n_new")
+      .withColumn("cum_users", sum($"n_new").over(
+        Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"d", $"n_active", $"n_new", $"n_returning", $"cum_users")
+      .orderBy($"d")
+      .localCheckpoint(true)
+    ud.unpersist(blocking = false)
+    perDay
+  }
+
+  val q65Sql: String =
+    s"""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id, d FROM
+         (SELECT user_id, CAST(ts AS DATE) AS d FROM events)),
+       f AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY user_id),
+       perday AS (SELECT d, count(*) AS n_active,
+           count(CASE WHEN first_d = d THEN 1 END) AS n_new
+         FROM ud JOIN f USING (user_id) GROUP BY d)
+       SELECT d, n_active, n_new, n_active - n_new AS n_returning,
+         CAST(sum(n_new) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       FROM perday ORDER BY d"""
+
   // --- q64: market-basket association rules over per-user type sets ---------
 
   /** q64 — association rules on the per-user event-type SET (Agrawal &
@@ -1807,6 +1858,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_new_vs_returning" -> (q65NewVsReturning _),
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
     "q61_holt_forecast" -> (q61HoltForecast _),
@@ -1844,6 +1896,7 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q65_new_vs_returning" -> q65Sql,
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,
     "q61_holt_forecast" -> q61Sql,

@@ -1332,6 +1332,82 @@ object Corpus {
        ORDER BY k"""
   }
 
+  // --- d43: corpus ordering-bias audit ---------------------------------------
+
+  /** d43 — ordering-bias audit: is the corpus shuffled, or does source
+    * composition drift along doc_id order? Training streams consume data
+    * in storage order, so a source-clustered corpus silently becomes a
+    * curriculum (early epochs see one domain). Per doc_id decile (the
+    * d40 prefix arithmetic: decile = 10·doc_id ÷ D), the source χ²
+    * against the corpus-wide composition (q50's expected-count formula)
+    * and the decile's dominant source — a large χ² in ANY decile means
+    * "shuffle before training". One (decile, source) cell aggregation;
+    * everything after is |sources|×10-sized. */
+  def d43OrderBias(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orderBias(Tables.documents(s, dir)
+      .select($"doc_id", coalesce($"source", lit("")).as("src")))
+  }
+
+  /** d43's core over an explicit (doc_id, src) relation — exposed so the
+    * spec can plant a perfectly clustered and a perfectly striped order. */
+  private[graft] def orderBias(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dd = docs.agg((max($"doc_id") + lit(1L)).as("dd"))
+    val cells = docs.crossJoin(broadcast(dd))
+      // integer division on BOTH sides: DuckDB CAST(double AS BIGINT)
+      // ROUNDS where Spark's cast truncates — never divide-then-cast
+      .select(expr("(doc_id * 10) DIV dd").as("decile"), $"src")
+      .groupBy($"decile", $"src").agg(count(lit(1)).as("o"))
+      .cache() // feeds marginals and the χ² join
+    val bySrc = cells.groupBy($"src").agg(sum($"o").as("n_src"))
+    val byDec = cells.groupBy($"decile").agg(sum($"o").as("n_dec"))
+    val tot = cells.agg(sum($"o").cast("double").as("nn"))
+    val chi = cells
+      .join(broadcast(bySrc), "src").join(broadcast(byDec), "decile")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", $"n_dec".cast("double") * $"n_src".cast("double") / $"nn")
+      .groupBy($"decile")
+      // absent (decile, source) cells contribute (0−e)²/e = e, and
+      // Σ_all e = n_dec — so fold them in as Σ_present((o−e)²/e − e) +
+      // n_dec without ever materializing zero rows
+      .agg(min($"n_dec").as("n_docs"),
+        r(dsum(($"o".cast("double") - $"e") * ($"o".cast("double") - $"e") / $"e"
+          - $"e") + min($"n_dec").cast("double"), 6).as("chi2"),
+        min(struct((-$"o").as("no"), $"src")).as("b"))
+      .select($"decile", $"n_docs", $"chi2", $"b.src".as("top_source"),
+        r((-$"b.no").cast("double") / $"n_docs".cast("double"), 6).as("top_share"))
+      .orderBy($"decile")
+      .localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    chi
+  }
+
+  val d43Sql: String =
+    s"""WITH d AS (SELECT doc_id, coalesce(source, '') AS src FROM documents),
+       dd AS (SELECT max(doc_id) + 1 AS dd FROM d),
+       cells AS MATERIALIZED (SELECT (doc_id * 10) // dd AS decile,
+           src, count(*) AS o
+         FROM d CROSS JOIN dd GROUP BY 1, 2),
+       bysrc AS (SELECT src, CAST(sum(o) AS BIGINT) AS n_src FROM cells GROUP BY src),
+       bydec AS (SELECT decile, CAST(sum(o) AS BIGINT) AS n_dec FROM cells GROUP BY decile),
+       tot AS (SELECT CAST(sum(o) AS DOUBLE) AS nn FROM cells),
+       sc AS (SELECT decile, src, o, n_src, n_dec, nn,
+           CAST(n_dec AS DOUBLE) * CAST(n_src AS DOUBLE) / nn AS e
+         FROM cells JOIN bysrc USING (src) JOIN bydec USING (decile) CROSS JOIN tot),
+       ag AS (SELECT decile, min(n_dec) AS n_docs,
+           ${rSql(s"${dsumSql("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e - e")} + CAST(min(n_dec) AS DOUBLE)", 6)} AS chi2
+         FROM sc GROUP BY decile),
+       rk AS (SELECT decile, src, o, row_number() OVER (
+           PARTITION BY decile ORDER BY o DESC, src ASC) AS rn
+         FROM cells),
+       top AS (SELECT decile, src AS top_source, o AS top_o FROM rk WHERE rn = 1)
+       SELECT ag.decile, n_docs, chi2, top_source,
+         ${rSql("CAST(top_o AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS top_share
+       FROM ag JOIN top ON top.decile = ag.decile
+       ORDER BY ag.decile"""
+
   // --- d41: Jensen–Shannon drift audit per source ---------------------------
 
   /** ln 2 as an exact double literal — shared by both engines so neither
@@ -1762,6 +1838,7 @@ object Corpus {
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
+    "d43_order_bias" -> (d43OrderBias _),
     "ml16_pr_curve" -> (ml16PrCurve _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
@@ -1785,6 +1862,7 @@ object Corpus {
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,
+    "d43_order_bias" -> d43Sql,
     "ml16_pr_curve" -> ml16Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,

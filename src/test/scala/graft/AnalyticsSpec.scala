@@ -31,6 +31,20 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q65 new vs returning: planted two-day arrivals split and accumulate exactly") {
+    import spark.implicits._
+    import java.sql.Date
+    val d1 = Date.valueOf("2024-03-01"); val d2 = Date.valueOf("2024-03-02")
+    val act = Seq((1L, d1), (2L, d1), (1L, d2), (3L, d2), (1L, d2)) // dup row ignored
+      .toDF("user_id", "d")
+    val rows = Analytics.newVsReturning(act).orderBy($"d").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_active") == 2 && rows(0).getAs[Long]("n_new") == 2
+      && rows(0).getAs[Long]("n_returning") == 0 && rows(0).getAs[Long]("cum_users") == 2)
+    assert(rows(1).getAs[Long]("n_active") == 2 && rows(1).getAs[Long]("n_new") == 1
+      && rows(1).getAs[Long]("n_returning") == 1 && rows(1).getAs[Long]("cum_users") == 3)
+  }
+
   test("q64 basket rules: hand-computed support, confidence, and lift") {
     import spark.implicits._
     // baskets: {A,B}, {A,B}, {A}, {B,C} over N=4 users

@@ -33,6 +33,28 @@ class CorpusSpec extends GraftSpec {
     assert(rec.head >= 0.9, rec.head.toString) // τ=0.1 keeps nearly all targets
   }
 
+  test("d43 order bias: clustered order alarms with χ² = 10, striped order scores 0") {
+    import spark.implicits._
+    // clustered: first half all A, second half all B → every decile is
+    // pure, χ² = (10−5)²/5 + (0−5)²/5 = 10, dominant share 1.0
+    val clustered = (0L until 100L)
+      .map(i => (i, if (i < 50) "A" else "B")).toDF("doc_id", "src")
+    val cr = operators.Corpus.orderBias(clustered).collect()
+    assert(cr.length == 10)
+    cr.foreach { r =>
+      assert(r.getAs[Double]("chi2") == 10.0 && r.getAs[Double]("top_share") == 1.0, s"$r")
+      assert(r.getAs[String]("top_source") ==
+        (if (r.getAs[Long]("decile") < 5) "A" else "B"))
+    }
+    // striped (alternating): every decile matches the global mix exactly
+    val striped = (0L until 100L)
+      .map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("doc_id", "src")
+    operators.Corpus.orderBias(striped).collect().foreach { r =>
+      assert(r.getAs[Double]("chi2") == 0.0 && r.getAs[Double]("top_share") == 0.5, s"$r")
+      assert(r.getAs[String]("top_source") == "A") // tie breaks to the smaller name
+    }
+  }
+
   test("d41 JSD: identical source scores 0, disjoint halves hit the hand value") {
     import spark.implicits._
     // identical: both sources are "x y" → P = Q → JSD = 0, coverage = 1
