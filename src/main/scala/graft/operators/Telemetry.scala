@@ -637,6 +637,77 @@ object Telemetry {
        FROM r LEFT JOIN a ON $raCond
        ORDER BY r_event_id, a_event_id"""
 
+  // --- t22: sensor heartbeat / liveness audit -------------------------------
+
+  /** t22 — heartbeat audit per device stream (the fleet-health scan a
+    * predictive-maintenance deployment runs before trusting its data):
+    * per user_id, event count, mean and max inter-event gap, time since
+    * the last event relative to the corpus clock (max ts — in-plan 1-row
+    * broadcast, no wall clock so the audit is deterministic), and two
+    * flags — `gappy` (max gap > 4× the stream's own mean gap: a feed
+    * that stalls and recovers) and `stale` (silent for > 2× its mean gap
+    * at corpus end: likely dead). Gaps are integer epoch-µs from one
+    * lag window; ratios are IEEE on integer-derived doubles.
+    *
+    * Scale shape: one shuffle on user_id for the lag window + the
+    * per-user aggregate; the 1-row clock broadcasts. */
+  def t22Heartbeat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    heartbeat(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tu"), $"event_id"))
+  }
+
+  /** t22's core over an explicit (user_id, tu, event_id) relation —
+    * exposed so the spec can plant a stalling and a dead stream. */
+  private[graft] def heartbeat(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tu", $"event_id")
+    val gaps = ev
+      .withColumn("gap", $"tu" - lag($"tu", 1).over(w))
+      .cache() // feeds the per-user aggregate and the corpus clock
+    val clock = gaps.agg(max($"tu").as("t_end"))
+    val out = gaps.crossJoin(broadcast(clock))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count($"gap").as("n_gaps"),
+        dsum($"gap".cast("double")).as("sum_gap"),
+        max($"gap").as("max_gap_us"),
+        min($"t_end" - $"tu").as("silent_us"))
+      .filter($"n_gaps" > 0)
+      // flags compare against the ROUNDED mean so the threshold the
+      // report shows is the threshold the flags used (and both engines
+      // compare identical doubles)
+      .withColumn("mean_gap_us", r($"sum_gap" / $"n_gaps".cast("double"), 2))
+      .select($"user_id", $"n_events", $"mean_gap_us",
+        $"max_gap_us", $"silent_us",
+        ($"max_gap_us".cast("double") > lit(4.0) * $"mean_gap_us").cast("int").as("gappy"),
+        ($"silent_us".cast("double") > lit(2.0) * $"mean_gap_us").cast("int").as("stale"))
+      .orderBy($"user_id")
+      .localCheckpoint(true)
+    gaps.unpersist(blocking = false)
+    out
+  }
+
+  val t22Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+       g AS MATERIALIZED (SELECT user_id, tu,
+           tu - lag(tu, 1) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap
+         FROM ev),
+       clock AS (SELECT max(tu) AS t_end FROM g),
+       ag AS (SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+           ${dsumSql("CAST(gap AS DOUBLE)")} AS sum_gap,
+           max(gap) AS max_gap_us, min(t_end - tu) AS silent_us
+         FROM g CROSS JOIN clock GROUP BY user_id),
+       m AS (SELECT user_id, n_events, max_gap_us, silent_us,
+           sum_gap / CAST(n_gaps AS DOUBLE) AS mean_gap_us
+         FROM ag WHERE n_gaps > 0)
+       SELECT user_id, n_events, ${rSql("mean_gap_us", 2)} AS mean_gap_us,
+         max_gap_us, silent_us,
+         CAST(CAST(max_gap_us AS DOUBLE) > 4.0 * ${rSql("mean_gap_us", 2)} AS INTEGER) AS gappy,
+         CAST(CAST(silent_us AS DOUBLE) > 2.0 * ${rSql("mean_gap_us", 2)} AS INTEGER) AS stale
+       FROM m ORDER BY user_id"""
+
   // --- t21: multi-window SLO burn rate ------------------------------------
 
   /** t21 — SRE multi-window burn-rate alerting (Google SRE Workbook ch. 5)
@@ -699,6 +770,7 @@ object Telemetry {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_heartbeat" -> (t22Heartbeat _),
     "t21_burn_rate" -> (t21BurnRate _),
     "t17_interval_join" -> (t17IntervalJoin _),
     "t18_interval_join_left" -> (t18IntervalJoinLeft _),
@@ -717,6 +789,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t22_heartbeat" -> t22Sql,
     "t21_burn_rate" -> t21Sql,
     "t17_interval_join" -> t17Sql,
     "t18_interval_join_left" -> t18Sql,

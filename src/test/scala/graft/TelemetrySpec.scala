@@ -5,6 +5,25 @@ import graft.operators.Telemetry
 
 class TelemetrySpec extends GraftSpec {
 
+  test("t22 heartbeat: planted stalling stream flags gappy, early-ending stream flags stale") {
+    import spark.implicits._
+    // A: 9 gaps of 10 then one of 100 → mean 19, max 100 > 4·19 (gappy),
+    // last event defines the corpus clock (silent 0). B: steady cadence
+    // 10 ending at 50 → silent 140 > 2·10 (stale), max = mean (not gappy)
+    val a = (0 to 9).map(i => (1L, i * 10L)) :+ (1L -> 190L)
+    val b = (0 to 5).map(i => (2L, i * 10L))
+    val ev = (a ++ b).zipWithIndex
+      .map { case ((u, tu), i) => (u, tu, i.toLong) }
+      .toDF("user_id", "tu", "event_id")
+    val rows = operators.Telemetry.heartbeat(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val ra = rows(1L); val rb = rows(2L)
+    assert(ra.getAs[Double]("mean_gap_us") == 19.0 && ra.getAs[Long]("max_gap_us") == 100L, s"$ra")
+    assert(ra.getAs[Int]("gappy") == 1 && ra.getAs[Int]("stale") == 0, s"$ra")
+    assert(rb.getAs[Double]("mean_gap_us") == 10.0 && rb.getAs[Long]("silent_us") == 140L, s"$rb")
+    assert(rb.getAs[Int]("gappy") == 0 && rb.getAs[Int]("stale") == 1, s"$rb")
+  }
+
   test("t21 burn rate: planted incident pages, quiet hours stay exactly sub-threshold") {
     import spark.implicits._
     // 30 quiet hours (10 events, 1 error) + one incident hour (10/10):
