@@ -1058,6 +1058,102 @@ object Corpus {
        ORDER BY tau"""
   }
 
+  // --- ml17: ROC curve + exact rank-sum AUC over ml06's scores ------------
+
+  /** Shared ratio/AUC texts over exact integers (tp/fp from the decile
+    * counts; u2 = 2U, n1/n0 from the count table) — identical IEEE
+    * evaluation order in both engines. */
+  private val RocTpr = "CAST(tp AS DOUBLE) / CAST(n1 AS DOUBLE)"
+  private val RocFpr = "CAST(fp AS DOUBLE) / CAST(n0 AS DOUBLE)"
+  private val RocAuc =
+    "CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))"
+
+  /** ml17 — ROC operating points + exact AUC for the ml06 quality
+    * classifier: the ranking-quality complement of ml16's PR sweep (PR
+    * answers "how precise is the keep gate"; ROC/AUC answers "does the
+    * score order good docs above bad ones at all", threshold-free).
+    * AUC is computed EXACTLY via the rank-sum identity
+    * AUC = U / (n1·n0), U = #\{(pos, neg) : s_pos > s_neg\} + ½·ties —
+    * the q52 Mann–Whitney count-table shape over the ROUNDED score:
+    * 2U = Σ_v c1(v)·(2·#neg below v + #neg tied at v) stays a BIGINT, so
+    * nothing can reorder. Gini = 2·AUC − 1 rides along, and the nine
+    * decile thresholds give the curve's (fpr, tpr) points from ONE
+    * conditional aggregation (ml16's shape).
+    *
+    * Scale shape: scoring is ml06's linear plan; the count table is
+    * bounded by score cardinality (≤ 10⁶ + 1 distinct 6-dp values), so
+    * the global cumulative window runs over a bounded relation; the
+    * decile counts are one map-side-combinable pass. */
+  def ml17RocAuc(s: SparkSession, dir: String): DataFrame =
+    rocAuc(ml06QualityClassifier(s, dir))
+
+  /** ml17's core over a scored (label ∈ {0,1}, score) frame — exposed so
+    * the spec can plant separable and tied score columns with
+    * hand-computed AUC. */
+  private[graft] def rocAuc(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val cnt = scored.groupBy($"score").agg(
+      count(when($"label" === 1, 1)).as("c1"),
+      count(when($"label" === 0, 1)).as("c0"))
+    val grid = cnt.withColumn("cum0",
+      sum($"c0").over(Window.orderBy($"score")))
+    val summ = grid.agg(
+      sum($"c1").as("n1"), sum($"c0").as("n0"),
+      sum($"c1" * (($"cum0" - $"c0") * 2 + $"c0")).as("u2"))
+    val ag = scored.agg(
+      count(lit(1)).as("n"),
+      PrTaus.flatMap { k =>
+        val t = k / 10.0
+        Seq(
+          count(when($"score" >= t && $"label" === 1, 1)).as(s"tp$k"),
+          count(when($"score" >= t && $"label" === 0, 1)).as(s"fp$k"))
+      }: _*)
+    ag.select(expr("stack(" + PrTaus.length + ", " + PrTaus.map(k =>
+        s"CAST(${k / 10.0} AS DOUBLE), tp$k, fp$k").mkString(", ") +
+      ") AS (tau, tp, fp)"))
+      .crossJoin(broadcast(summ))
+      .select($"tau", $"tp", $"fp",
+        r(expr(RocTpr), 6).as("tpr"), r(expr(RocFpr), 6).as("fpr"),
+        $"n1".as("n_pos"), $"n0".as("n_neg"),
+        r(expr(RocAuc), 6).as("auc"),
+        r(expr(s"2.0 * ($RocAuc) - 1.0"), 6).as("gini"))
+      .orderBy($"tau")
+  }
+
+  val ml17Sql: String = {
+    val conds = PrTaus.flatMap { k =>
+      val t = k / 10.0
+      Seq(
+        s"count(CASE WHEN score >= CAST($t AS DOUBLE) AND label = 1 THEN 1 END) AS tp$k",
+        s"count(CASE WHEN score >= CAST($t AS DOUBLE) AND label = 0 THEN 1 END) AS fp$k")
+    }.mkString(",\n           ")
+    val branches = PrTaus.map(k =>
+      s"SELECT CAST(${k / 10.0} AS DOUBLE) AS tau, tp$k AS tp, fp$k AS fp FROM ag")
+      .mkString(" UNION ALL ")
+    s"""WITH $ml06Ctes,
+       sc AS (SELECT CAST(y AS INTEGER) AS label, ${rSql(qlrP, 6)} AS score
+         FROM f CROSS JOIN w$QlrIters),
+       cnt AS (SELECT score,
+           count(CASE WHEN label = 1 THEN 1 END) AS c1,
+           count(CASE WHEN label = 0 THEN 1 END) AS c0
+         FROM sc GROUP BY score),
+       grid AS (SELECT c1, c0,
+           CAST(sum(c0) OVER (ORDER BY score) AS BIGINT) AS cum0
+         FROM cnt),
+       summ AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(c0) AS BIGINT) AS n0,
+           CAST(sum(c1 * ((cum0 - c0) * 2 + c0)) AS BIGINT) AS u2
+         FROM grid),
+       ag AS (SELECT $conds FROM sc)
+       SELECT tau, tp, fp, ${rSql(RocTpr, 6)} AS tpr,
+         ${rSql(RocFpr, 6)} AS fpr, n1 AS n_pos, n0 AS n_neg,
+         ${rSql(RocAuc, 6)} AS auc,
+         ${rSql(s"2.0 * ($RocAuc) - 1.0", 6)} AS gini
+       FROM ($branches) z CROSS JOIN summ
+       ORDER BY tau"""
+  }
+
   // --- d33: PPMI co-occurrence contexts (distributional semantics) --------
 
   /** d33 output budget (total order + LIMIT keeps the report bounded at
@@ -1840,6 +1936,7 @@ object Corpus {
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
     "d43_order_bias" -> (d43OrderBias _),
     "ml16_pr_curve" -> (ml16PrCurve _),
+    "ml17_roc_auc" -> (ml17RocAuc _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
     "d36_zipf_report" -> (d36ZipfReport _),
@@ -1864,6 +1961,7 @@ object Corpus {
     "d33_ppmi_contexts" -> d33Sql,
     "d43_order_bias" -> d43Sql,
     "ml16_pr_curve" -> ml16Sql,
+    "ml17_roc_auc" -> ml17Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,
     "d36_zipf_report" -> d36Sql,

@@ -24,6 +24,45 @@ class CorpusSpec extends GraftSpec {
       rows(8).getAs[Double]("f1") == 0.5, s"${rows(8)}")
   }
 
+  test("ml17 ROC/AUC: separable scores give AUC=1, tied mix gives the hand-computed U") {
+    import spark.implicits._
+    val sep = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("label", "score")
+    val r1 = operators.Corpus.rocAuc(sep).collect()
+    assert(r1.length == 9)
+    assert(r1.forall(_.getAs[Double]("auc") == 1.0))
+    assert(r1.forall(_.getAs[Double]("gini") == 1.0))
+    val at5 = r1.find(r => math.round(r.getAs[Double]("tau") * 10) == 5).get
+    assert(at5.getAs[Long]("tp") == 2 && at5.getAs[Long]("fp") == 0 &&
+      at5.getAs[Double]("tpr") == 1.0 && at5.getAs[Double]("fpr") == 0.0)
+    // pos {0.8, 0.5, 0.5, 0.2}, neg {0.7, 0.5, 0.3}:
+    // U = 3 (0.8 beats all) + 2·(1 + ½) (0.5s beat 0.3, tie 0.5) + 0 = 6
+    // AUC = 6 / (4·3) = 0.5 exactly, gini 0
+    val tied = Seq((1, 0.8), (1, 0.5), (1, 0.5), (1, 0.2),
+      (0, 0.7), (0, 0.5), (0, 0.3)).toDF("label", "score")
+    val r2 = operators.Corpus.rocAuc(tied).collect()
+    assert(r2.forall(_.getAs[Double]("auc") == 0.5))
+    assert(r2.forall(_.getAs[Double]("gini") == 0.0))
+    assert(r2.forall(r => r.getAs[Long]("n_pos") == 4 && r.getAs[Long]("n_neg") == 3))
+    val t5 = r2.find(r => math.round(r.getAs[Double]("tau") * 10) == 5).get
+    assert(t5.getAs[Long]("tp") == 3 && t5.getAs[Long]("fp") == 2 &&
+      t5.getAs[Double]("tpr") == 0.75 && t5.getAs[Double]("fpr") == 0.666667)
+  }
+
+  test("ml17 on testdata: monotone curve, constant AUC, gini identity") {
+    import spark.implicits._
+    val out = operators.Corpus.ml17RocAuc(spark, sfTiny).orderBy($"tau").collect()
+    assert(out.length == 9)
+    val aucs = out.map(_.getAs[Double]("auc")).distinct
+    assert(aucs.length == 1 && aucs.head >= 0.0 && aucs.head <= 1.0, aucs.toSeq)
+    val tprs = out.map(_.getAs[Double]("tpr"))
+    val fprs = out.map(_.getAs[Double]("fpr"))
+    assert(tprs.sliding(2).forall(p => p(0) >= p(1)), tprs.toSeq)
+    assert(fprs.sliding(2).forall(p => p(0) >= p(1)), fprs.toSeq)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("gini") - (2 * r.getAs[Double]("auc") - 1)) < 2e-6)
+    }
+  }
+
   test("ml16 on testdata: recall non-increasing in tau, loose gate catches everything") {
     import spark.implicits._
     val out = operators.Corpus.ml16PrCurve(spark, sfTiny).orderBy($"tau").collect()
