@@ -1554,6 +1554,103 @@ object Analytics {
          CAST(tt AS DOUBLE) AS tt FROM pair) p
        ORDER BY source_a, source_b"""
 
+  // --- q66: Kruskal–Wallis rank test across all sources ---------------------
+
+  /** Shared statistic texts over exact-integer-derived doubles: s2 is the
+    * decimal-exact Σᵢ Rᵢ²/nᵢ, nn = N, tt = Σ(t³−t), kk = #groups. */
+  private val KwH = "12.0 / (nn * (nn + 1.0)) * s2 - 3.0 * (nn + 1.0)"
+  private val KwHAdj = s"($KwH) / (1.0 - tt / (nn * nn * nn - nn))"
+  private val KwEta2 = s"(($KwH) - kk + 1.0) / (nn - kk)"
+
+  /** q66 — tie-corrected Kruskal–Wallis H across ALL sources on the
+    * per-doc token count: the k-group generalization of q52's pairwise
+    * Mann–Whitney (one omnibus "do any sources differ in location?"
+    * before pairwise drill-down), plus the η²_H effect size
+    * (H − k + 1)/(N − k). Ranks come from the q52 count-table shape:
+    * one (source, value) count aggregation, pooled counts per value with
+    * a cumulative window over the bounded value axis, and the midrank
+    * ×2 identity 2·r̄(v) = 2·(#below) + t + 1 — so every per-source rank
+    * sum is an exact BIGINT (2R). Σᵢ Rᵢ²/nᵢ crosses sources through the
+    * decimal-sum policy (k tiny but the policy is unconditional), and
+    * H / the tie correction / η² are shared expression texts over
+    * exact-integer-derived doubles. Output: one row per source with its
+    * midrank mean, the global H/H_adj/η² on every row.
+    *
+    * Scale shape: the corpus is touched by ONE map-side-combinable count;
+    * everything after lives on the value axis (bounded by distinct metric
+    * values) and the k-row source table. */
+  def q66KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kruskalWallis(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q66's core over an explicit (source, x) relation — exposed so the spec
+    * can plant samples with a hand-computed H. */
+  private[graft] def kruskalWallis(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val cnt = metric.groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+      .cache() // feeds the pooled value axis and the per-source rank sums
+    val pc = cnt.groupBy($"x").agg(sum($"c").as("t"))
+      .withColumn("cum", sum($"t").over(Window.orderBy($"x")))
+      // 2·midrank(v): 2·(#strictly below) + (t + 1)
+      .select($"x", $"t", (($"cum" - $"t") * 2 + $"t" + 1).as("r2"))
+    val per = cnt.join(pc.select($"x", $"r2"), Seq("x"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n"), sum($"c" * $"r2").as("r2sum"))
+    val term =
+      "(CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE) / 2.0) / CAST(n AS DOUBLE)"
+    val glob = per.agg(
+      sum($"n").as("n_total"), count(lit(1)).as("n_groups"),
+      dsum(expr(term)).as("s2"))
+    val ttg = pc.agg(sum($"t" * $"t" * $"t" - $"t").as("ttl"))
+    val out = per
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(ttg))
+      .select($"source", $"n",
+        r($"r2sum".cast("double") / 2.0 / $"n".cast("double"), 6)
+          .as("mean_rank"),
+        $"n_total", $"n_groups",
+        $"s2", $"n_total".cast("double").as("nn"),
+        $"n_groups".cast("double").as("kk"), $"ttl".cast("double").as("tt"))
+      .select($"source", $"n", $"mean_rank", $"n_total", $"n_groups",
+        r(expr(KwH), 6).as("h"), r(expr(KwHAdj), 6).as("h_adj"),
+        r(expr(KwEta2), 6).as("eta2"))
+      .orderBy($"source")
+      .localCheckpoint(true)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  val q66Sql: String =
+    s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
+       FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+             FROM documents) z
+       GROUP BY source, x),
+       pc AS (SELECT x, t, (cum - t) * 2 + t + 1 AS r2 FROM
+         (SELECT x, CAST(sum(c) AS BIGINT) AS t,
+            CAST(sum(sum(c)) OVER (ORDER BY x) AS BIGINT) AS cum
+          FROM cnt GROUP BY x) u),
+       per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * r2) AS BIGINT) AS r2sum
+         FROM cnt JOIN pc USING (x) GROUP BY source),
+       gstat AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+           count(*) AS n_groups,
+           ${dsumSql(
+             "(CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE) / 2.0) / CAST(n AS DOUBLE)")} AS s2
+         FROM per),
+       ttg AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ttl FROM pc)
+       SELECT source, n,
+         ${rSql("CAST(r2sum AS DOUBLE) / 2.0 / CAST(n AS DOUBLE)", 6)} AS mean_rank,
+         n_total, n_groups,
+         ${rSql(KwH, 6)} AS h, ${rSql(KwHAdj, 6)} AS h_adj,
+         ${rSql(KwEta2, 6)} AS eta2
+       FROM (SELECT p.source, p.n, p.r2sum, g.n_total, g.n_groups, g.s2,
+           CAST(g.n_total AS DOUBLE) AS nn, CAST(g.n_groups AS DOUBLE) AS kk,
+           CAST(t.ttl AS DOUBLE) AS tt
+         FROM per p CROSS JOIN gstat g CROSS JOIN ttg t) z
+       ORDER BY source"""
+
   // --- q50: chi-square independence of the lang × source grid --------------
 
   /** q50 — Pearson chi-square test of independence between document
@@ -1859,6 +1956,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_new_vs_returning" -> (q65NewVsReturning _),
+    "q66_kruskal_wallis" -> (q66KruskalWallis _),
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
     "q61_holt_forecast" -> (q61HoltForecast _),
@@ -1897,6 +1995,7 @@ object Analytics {
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
     "q65_new_vs_returning" -> q65Sql,
+    "q66_kruskal_wallis" -> q66Sql,
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,
     "q61_holt_forecast" -> q61Sql,

@@ -361,6 +361,50 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q66 Kruskal–Wallis: hand-computed H, tie correction, eta2") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}: ranks 1,2 | 3,4 → R = 3, 7;
+    // H = 12/20 · (9/2 + 49/2) − 15 = 2.4; no ties → h_adj = 2.4;
+    // η² = (2.4 − 2 + 1)/(4 − 2) = 0.7
+    val m1 = (Seq(1, 2).map(("a", _)) ++ Seq(3, 4).map(("b", _)))
+      .toDF("source", "x")
+    val r1 = Analytics.kruskalWallis(m1).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(r1("a").getAs[Double]("mean_rank") == 1.5 &&
+      r1("b").getAs[Double]("mean_rank") == 3.5, r1.toSeq)
+    assert(r1("a").getAs[Double]("h") == 2.4 &&
+      r1("a").getAs[Double]("h_adj") == 2.4 &&
+      r1("a").getAs[Double]("eta2") == 0.7, r1("a").toString)
+    // fully tied split a = {1,1}, b = {2,2}: midranks 1.5, 3.5 → same
+    // H = 2.4; Σ(t³−t) = 12 → C = 1 − 12/60 = 0.8 → h_adj = 3.0
+    val m2 = (Seq(1, 1).map(("a", _)) ++ Seq(2, 2).map(("b", _)))
+      .toDF("source", "x")
+    val r2 = Analytics.kruskalWallis(m2).collect()(0)
+    assert(r2.getAs[Double]("h") == 2.4 && r2.getAs[Double]("h_adj") == 3.0, s"$r2")
+    // identical distributions: equal mean ranks → H = 0 exactly
+    val m3 = (Seq(1, 2).map(("a", _)) ++ Seq(1, 2).map(("b", _)))
+      .toDF("source", "x")
+    val r3 = Analytics.kruskalWallis(m3).collect()(0)
+    assert(r3.getAs[Double]("h") == 0.0 &&
+      r3.getAs[Double]("mean_rank") == 2.5, s"$r3")
+  }
+
+  test("q66 on testdata: one row per source, grand mean rank is (N+1)/2") {
+    import spark.implicits._
+    val out = Analytics.q66KruskalWallis(spark, sfTiny).cache()
+    try {
+      val rows = out.collect()
+      val srcs = Tables.documents(spark, sfTiny)
+        .select($"source").distinct().count()
+      assert(rows.length == srcs)
+      assert(rows.forall(_.getAs[Double]("h_adj") >= 0.0))
+      // Σ nᵢ·r̄ᵢ = N(N+1)/2 → weighted mean of mean_rank = (N+1)/2
+      val n = rows.map(_.getAs[Long]("n_total")).head.toDouble
+      val wm = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean_rank")).sum / n
+      assert(math.abs(wm - (n + 1) / 2) < 1e-3, s"$wm vs ${(n + 1) / 2}")
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q50 chi-square: zero on a proportional table, V = 1 on a diagonal one") {
     import spark.implicits._
     // perfectly proportional 2×2 (independence): chi2 = 0, V = 0
