@@ -1203,7 +1203,91 @@ object TextOps {
        ORDER BY th.theta"""
   }
 
+  // --- d44: character-entropy gibberish filter -----------------------------
+
+  /** d44's alphabet: the 36 alphanumerics that survive the fold. */
+  private val EntChars: Seq[Char] = ('a' to 'z') ++ ('0' to '9')
+
+  /** Per-symbol count / entropy-term / distinct / argmax texts over the
+    * pre-projected count columns c0..c35 and total n — shared between
+    * expr() (Spark) and the oracle, so every ln and + evaluates in the
+    * identical textual order. */
+  private def entCntT(i: Int): String = {
+    val c = EntChars(i)
+    s"(length(ft) - length(replace(ft, '$c', '')))"
+  }
+  private val entTermT = EntChars.indices.map(i =>
+    s"(CASE WHEN c$i > 0 THEN CAST(c$i AS DOUBLE) * ln(CAST(c$i AS DOUBLE)) ELSE 0.0 END)")
+    .mkString(" + ")
+  private val entT =
+    s"CASE WHEN n = 0 THEN 0.0 ELSE ln(CAST(n AS DOUBLE)) - ($entTermT) / CAST(n AS DOUBLE) END"
+  private val entDistT = "(" + EntChars.indices.map(i =>
+    s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ") + ")"
+  private val entTopT = {
+    val g = "greatest(" + EntChars.indices.map(i => s"c$i").mkString(", ") + ")"
+    s"CASE WHEN n = 0 THEN 0.0 ELSE CAST($g AS DOUBLE) / CAST(n AS DOUBLE) END"
+  }
+
+  /** d44 — character-entropy gibberish filter: Shannon entropy (nats) of
+    * the per-doc alphanumeric character distribution, via the exact-count
+    * identity H = ln(n) − (Σ c·ln c)/n — every ln argument an exact
+    * integer (d10's ln-parity family), so the score is bit-portable.
+    * Low-entropy text ("aaaa…", keyboard mashing, base64-ish runs with a
+    * dominant symbol) is the one failure mode length/stopword heuristics
+    * (d02) and word-level rules (d31/d34) cannot see; real English sits
+    * near 2.8–3.1 nats, so the flag trips on H < 2.0 or a single symbol
+    * holding > 40 % of the mass (rounded metrics, so both engines gate
+    * identically).
+    *
+    * Scale shape: entirely scan-local — one projection computes all 36
+    * counts as length-difference expressions (no explode, no shuffle
+    * beyond the final sort); linear in corpus bytes, embarrassing to
+    * parallelize at 100 TB. */
+  def d44CharEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.documents(s, dir))
+
+  /** d44's core over an explicit (doc_id, text) relation — exposed so the
+    * spec can plant strings with hand-computed entropy. */
+  private[graft] def charEntropy(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cnts = docs
+      .select($"doc_id",
+        regexp_replace(lower($"text"), "[^a-z0-9]", "").as("ft"))
+      .select((Seq($"doc_id", length($"ft").cast("bigint").as("n")) ++
+        EntChars.indices.map(i => expr(entCntT(i)).cast("bigint").as(s"c$i"))): _*)
+    cnts
+      .select($"doc_id", $"n".as("n_alnum"),
+        expr(entDistT).cast("bigint").as("distinct_chars"),
+        r(expr(entT), 6).as("entropy"),
+        r(expr(entTopT), 6).as("top_share"))
+      .withColumn("is_gibberish",
+        ($"entropy" < 2.0 || $"top_share" > 0.4).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d44Sql: String = {
+    val ccols = EntChars.indices.map(i =>
+      s"CAST(${entCntT(i)} AS BIGINT) AS c$i").mkString(",\n           ")
+    s"""WITH f AS (SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS ft
+         FROM documents),
+       cnts AS (SELECT doc_id, CAST(length(ft) AS BIGINT) AS n,
+           $ccols
+         FROM f),
+       sc AS (SELECT doc_id, n AS n_alnum,
+           CAST($entDistT AS BIGINT) AS distinct_chars,
+           ${rSql(entT, 6)} AS entropy,
+           ${rSql(entTopT, 6)} AS top_share
+         FROM cnts)
+       SELECT doc_id, n_alnum, distinct_chars, entropy, top_share,
+         CAST(entropy < 2.0 OR top_share > 0.4 AS INTEGER) AS is_gibberish
+       FROM sc
+       ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d44_char_entropy" -> (d44CharEntropy _),
     "d42_dedup_sweep" -> (d42DedupSweep _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
@@ -1224,6 +1308,7 @@ object TextOps {
     "d27_bpe_train" -> (d27BpeTrain _))
 
   val oracles: Map[String, String] = Map(
+    "d44_char_entropy" -> d44Sql,
     "d42_dedup_sweep" -> d42Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,

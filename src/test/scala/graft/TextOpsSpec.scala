@@ -5,6 +5,51 @@ import graft.operators.TextOps
 
 class TextOpsSpec extends GraftSpec {
 
+  test("d44 char entropy: hand-computed H on planted strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),            // H = 0, one symbol holds all mass
+      (2L, "abcd"),            // H = ln 4 = 1.386294
+      (3L, "abcdefgh"),        // H = ln 8 = 2.079442 → not gibberish
+      (4L, "AbAb!"),           // folds to "abab" → H = ln 2 = 0.693147
+      (5L, "!!! ???")          // no alnum chars at all → n = 0, H = 0
+    ).toDF("doc_id", "text")
+    val rows = operators.TextOps.charEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Double]("entropy") == 0.0 &&
+      rows(1L).getAs[Long]("distinct_chars") == 1 &&
+      rows(1L).getAs[Double]("top_share") == 1.0 &&
+      rows(1L).getAs[Int]("is_gibberish") == 1, rows(1L).toString)
+    assert(rows(2L).getAs[Double]("entropy") == 1.386294 &&
+      rows(2L).getAs[Int]("is_gibberish") == 1, rows(2L).toString)
+    assert(rows(3L).getAs[Double]("entropy") == 2.079442 &&
+      rows(3L).getAs[Long]("n_alnum") == 8 &&
+      rows(3L).getAs[Double]("top_share") == 0.125 &&
+      rows(3L).getAs[Int]("is_gibberish") == 0, rows(3L).toString)
+    assert(rows(4L).getAs[Double]("entropy") == 0.693147 &&
+      rows(4L).getAs[Long]("n_alnum") == 4, rows(4L).toString)
+    assert(rows(5L).getAs[Long]("n_alnum") == 0 &&
+      rows(5L).getAs[Double]("entropy") == 0.0 &&
+      rows(5L).getAs[Double]("top_share") == 0.0 &&
+      rows(5L).getAs[Int]("is_gibberish") == 1, rows(5L).toString)
+  }
+
+  test("d44 on testdata: entropy bounded by ln(distinct), no explode in the plan") {
+    import spark.implicits._
+    val out = TextOps.d44CharEntropy(spark, sfTiny).cache()
+    try {
+      assert(out.count() == Tables.documents(spark, sfTiny).count())
+      // H ≤ ln(#distinct symbols), with rounding slack
+      assert(out.filter($"distinct_chars" > 0 &&
+        $"entropy" > log($"distinct_chars".cast("double")) + 1e-5).count() == 0)
+      assert(out.filter($"entropy" < 0 || $"top_share" < 0 || $"top_share" > 1)
+        .count() == 0)
+      // scan-local: no generator (explode) anywhere in the plan
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("generate"), plan.take(400))
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d42 sweep: monotone in theta and anchored to the d05 pair table at 0.5") {
     import spark.implicits._
     val out = operators.TextOps.d42DedupSweep(spark, sfTiny).orderBy($"theta").collect()
