@@ -708,6 +708,99 @@ object Telemetry {
          CAST(CAST(silent_us AS DOUBLE) > 2.0 * ${rSql("mean_gap_us", 2)} AS INTEGER) AS stale
        FROM m ORDER BY user_id"""
 
+  // --- t23: single-changepoint scan over the hourly series ----------------
+
+  /** Shared split-cost texts over exact BIGINTs (sk/st = prefix/total sums
+    * of the 1e6-scaled rounded hourly means, k/tt = split index / series
+    * length): between-segment sum-of-squares gain of splitting after k,
+    * f(k) − S²/T (the constant Σx² cancels, so no squared-value sums are
+    * ever formed), descaled back to value² units. */
+  private val CpMeanL = "CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0"
+  private val CpMeanR =
+    "CAST(st - sk AS DOUBLE) / CAST(tt - k AS DOUBLE) / 1000000.0"
+  private val CpGain =
+    "(CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) + " +
+      "CAST(st - sk AS DOUBLE) * CAST(st - sk AS DOUBLE) / CAST(tt - k AS DOUBLE) - " +
+      "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(tt AS DOUBLE)) / 1000000000000.0"
+
+  /** t23 — level-shift changepoint detection: per event_type, the single
+    * split of the hourly mean series that maximizes the between-segment
+    * sum-of-squares reduction (binary segmentation's first step, the
+    * CUSUM-family offline twin of t07/q62's pointwise outlier scans —
+    * those find one wild hour; this finds "the metric moved and stayed
+    * moved"). Exactness: the rounded hourly means are scaled to integers
+    * (floor(x·10⁶ + 0.5) — both engines' cast of an integral double
+    * agrees), so every prefix sum is a BIGINT and the gain formula is
+    * one shared expression over exact-integer-derived doubles; the
+    * argmax ranks on the ROUNDED gain with the split index as
+    * tie-break. Σx² cancels out of the argmax, so no overflow-prone
+    * squared-value sums exist anywhere.
+    *
+    * Scale shape: one map-side-combinable rollup touches events; the
+    * candidate scan is a per-type window over the hour series, which
+    * grows with time, not volume (t21's argument). */
+  def t23Changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    changepoint(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(ravg($"value", 6).as("x"))
+      .select($"event_type", $"h".cast("long").as("hx"), $"x"))
+  }
+
+  /** t23's core over an explicit (event_type, hx, x) series — exposed so
+    * the spec can plant a clean step and a constant series. */
+  private[graft] def changepoint(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"hx")
+    val pre = series
+      .withColumn("xi", floor($"x" * 1000000.0 + 0.5).cast("bigint"))
+      .withColumn("k", row_number().over(w).cast("bigint"))
+      .withColumn("sk", sum($"xi").over(w))
+    val tot = pre.groupBy($"event_type")
+      .agg(count(lit(1)).as("tt"), sum($"xi").as("st"))
+    pre.join(broadcast(tot), "event_type")
+      .filter($"k" < $"tt")
+      .withColumn("gain", r(expr(CpGain), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy($"event_type")
+        .orderBy($"gain".desc_nulls_last, $"k".asc)))
+      .filter($"rk" === 1)
+      .select($"event_type", $"tt".as("t_hours"), $"k".as("split_k"),
+        $"hx".as("split_hx"),
+        r(expr(CpMeanL), 6).as("mean_left"),
+        r(expr(CpMeanR), 6).as("mean_right"),
+        r(expr(s"($CpMeanR) - ($CpMeanL)"), 6).as("shift"),
+        $"gain")
+      .orderBy($"event_type")
+  }
+
+  val t23Sql: String =
+    s"""WITH h AS (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS x
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       p AS (SELECT event_type, hx,
+           CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xi
+         FROM h),
+       seq AS (SELECT event_type, hx, xi,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY hx) AS BIGINT) AS k,
+           CAST(sum(xi) OVER (PARTITION BY event_type ORDER BY hx) AS BIGINT) AS sk
+         FROM p),
+       tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS tt,
+           CAST(sum(xi) AS BIGINT) AS st
+         FROM p GROUP BY event_type),
+       cand AS (SELECT q.event_type, hx, k, sk, tt, st,
+           ${rSql(CpGain, 6)} AS gain
+         FROM seq q JOIN tot USING (event_type) WHERE k < tt),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           ORDER BY gain DESC NULLS LAST, k ASC) AS rk
+         FROM cand)
+       SELECT event_type, tt AS t_hours, k AS split_k, hx AS split_hx,
+         ${rSql(CpMeanL, 6)} AS mean_left, ${rSql(CpMeanR, 6)} AS mean_right,
+         ${rSql(s"($CpMeanR) - ($CpMeanL)", 6)} AS shift, gain
+       FROM rk WHERE rk = 1
+       ORDER BY event_type"""
+
   // --- t21: multi-window SLO burn rate ------------------------------------
 
   /** t21 — SRE multi-window burn-rate alerting (Google SRE Workbook ch. 5)
@@ -770,6 +863,7 @@ object Telemetry {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_changepoint" -> (t23Changepoint _),
     "t22_heartbeat" -> (t22Heartbeat _),
     "t21_burn_rate" -> (t21BurnRate _),
     "t17_interval_join" -> (t17IntervalJoin _),
@@ -789,6 +883,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t23_changepoint" -> t23Sql,
     "t22_heartbeat" -> t22Sql,
     "t21_burn_rate" -> t21Sql,
     "t17_interval_join" -> t17Sql,

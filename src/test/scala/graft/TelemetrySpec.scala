@@ -5,6 +5,41 @@ import graft.operators.Telemetry
 
 class TelemetrySpec extends GraftSpec {
 
+  test("t23 changepoint: exact step recovered, constant series ties to k=1 with gain 0") {
+    import spark.implicits._
+    // clean step 0→6 after hour 3: total SS = 54, all removed at k=3
+    val step = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 6.0), (5L, 6.0), (6L, 6.0))
+      .map { case (h, v) => ("a", h, v) } ++
+      // constant series: every split gains 0 → tie-break picks k=1
+      (1L to 4L).map(h => ("b", h, 5.0)) ++
+      // single-hour series: no valid split → must be absent
+      Seq(("c", 1L, 9.0))
+    val out = Telemetry.changepoint(step.toDF("event_type", "hx", "x")).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(!out.contains("c") && out.size == 2, out.keys.toSeq)
+    val a = out("a")
+    assert(a.getAs[Long]("split_k") == 3 && a.getAs[Long]("split_hx") == 3 &&
+      a.getAs[Long]("t_hours") == 6, a.toString)
+    assert(a.getAs[Double]("gain") == 54.0 &&
+      a.getAs[Double]("mean_left") == 0.0 &&
+      a.getAs[Double]("mean_right") == 6.0 &&
+      a.getAs[Double]("shift") == 6.0, a.toString)
+    val b = out("b")
+    assert(b.getAs[Long]("split_k") == 1 && b.getAs[Double]("gain") == 0.0 &&
+      b.getAs[Double]("shift") == 0.0, b.toString)
+  }
+
+  test("t23 on testdata: valid split index and non-negative gain per type") {
+    import spark.implicits._
+    val out = Telemetry.t23Changepoint(spark, sfTiny).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("split_k") >= 1 &&
+        r.getAs[Long]("split_k") < r.getAs[Long]("t_hours"), r.toString)
+      assert(r.getAs[Double]("gain") >= 0.0, r.toString)
+    }
+  }
+
   test("t22 heartbeat: planted stalling stream flags gappy, early-ending stream flags stale") {
     import spark.implicits._
     // A: 9 gaps of 10 then one of 100 → mean 19, max 100 > 4·19 (gappy),
