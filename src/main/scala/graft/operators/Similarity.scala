@@ -2032,7 +2032,102 @@ object Similarity {
        FROM neg g LEFT JOIN pos p ON p.query_id = g.query_id
        ORDER BY g.query_id, g.rank"""
 
+  // --- e26: embedding outliers vs the label centroid ----------------------
+
+  /** Shared z-score text over the per-label decimal moments (s1/s2 exact
+    * decimal sums of the rounded d2, nnv = label count as double): NULL on
+    * a degenerate (zero-variance) label in both engines. */
+  private val CoZ = {
+    val mu = "(s1 / nnv)"
+    val v = s"(s2 / nnv - $mu * $mu)"
+    s"CASE WHEN $v > 0 THEN (d2 - $mu) / sqrt($v) END"
+  }
+
+  /** e26 — embedding-space outlier report: each vector's squared L2
+    * distance to its LABEL centroid (e06's per-dim decimal means rebuilt
+    * into a vector), z-scored against the label's own distance
+    * distribution, top-3 most distant per label — the mislabeled-example
+    * / embedding-drift audit (a vector far from its class centroid is a
+    * labeling error, an out-of-domain sample, or a pipeline bug). z is
+    * monotone in d2 within a label, so ranking on the ROUNDED d2 with a
+    * vec_id tie-break is the z-ranking without touching the nullable z.
+    *
+    * Scale shape: centroids are the e06 posexplode→partial-agg layout
+    * (state O(labels×64)); distances are one scan against the broadcast
+    * centroid table through the codegen'd sqdist kernel; moments are one
+    * map-side-combinable aggregation; the top-3 ranking is two-phase —
+    * per-(label, salt) windows (32× parallelism, the low-cardinality-key
+    * lesson) feed a final window over ≤ labels×32×3 rows, lossless
+    * because any global top-3 row is inside its salt's top-3. */
+  def e26CentroidOutliers(s: SparkSession, dir: String): DataFrame =
+    centroidOutliers(corpus(s, dir).select(col("label"), col("vec_id"), col("v")))
+
+  /** e26's core over an explicit (label, vec_id, v) corpus — exposed so
+    * the spec can plant a far-off vector with a hand-computed z. */
+  private[graft] def centroidOutliers(c: DataFrame): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    VectorExpressions.register(s)
+    val cv = c.select($"label", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(r(davg($"x"), 6).as("mu"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"mu"))),
+        p => p.getField("mu")).as("cv"))
+    val d2f = c.join(broadcast(cv), Seq("label"))
+      .select($"label", $"vec_id",
+        r(VectorExpressions.sqDist($"v", $"cv"), 6).as("d2"))
+      .cache() // feeds the moment aggregate and the ranking (invariant 5)
+    val mom = d2f.groupBy($"label").agg(
+      count(lit(1)).as("n_vectors"),
+      dsum($"d2").as("s1"), dsum($"d2" * $"d2").as("s2"))
+    val cand = d2f
+      .withColumn("salt", DedupLsh.h60($"vec_id".cast("string")) % 32)
+      .withColumn("srk", row_number().over(Window
+        .partitionBy($"label", $"salt").orderBy($"d2".desc, $"vec_id".asc)))
+      .filter($"srk" <= 3)
+    val out = cand
+      .withColumn("rk", row_number().over(Window.partitionBy($"label")
+        .orderBy($"d2".desc, $"vec_id".asc)))
+      .filter($"rk" <= 3)
+      .join(broadcast(mom), Seq("label"))
+      .withColumn("nnv", $"n_vectors".cast("double"))
+      .select($"label", $"rk".cast("long").as("rk"), $"vec_id", $"d2",
+        $"n_vectors", r(expr(CoZ), 6).as("z"))
+      .withColumn("is_outlier", ($"z" > 3.0).cast("int"))
+      .orderBy($"label", $"rk")
+      .localCheckpoint(true)
+    d2f.unpersist(blocking = false)
+    out
+  }
+
+  val e26Sql: String =
+    s"""WITH n AS ($corpusSql),
+       cu AS (SELECT label, unnest(generate_series(1, 64)) AS dim,
+           unnest(v) AS x FROM n),
+       cm AS (SELECT label, dim, ${rSql(davgSql("x"), 6)} AS mu
+         FROM cu GROUP BY label, dim),
+       cent AS (SELECT label, list(mu ORDER BY dim) AS cv
+         FROM cm GROUP BY label),
+       d2f AS MATERIALIZED (SELECT n.label, n.vec_id,
+           ${rSql("list_sum(list_transform(range(1, 65), i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i])))", 6)} AS d2
+         FROM n JOIN cent c USING (label)),
+       mom AS (SELECT label, count(*) AS n_vectors,
+           ${dsumSql("d2")} AS s1, ${dsumSql("d2 * d2")} AS s2
+         FROM d2f GROUP BY label),
+       rk AS (SELECT label, vec_id, d2,
+           row_number() OVER (PARTITION BY label
+             ORDER BY d2 DESC, vec_id ASC) AS rk
+         FROM d2f)
+       SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2, n_vectors,
+         ${rSql(CoZ, 6)} AS z,
+         CAST(${rSql(CoZ, 6)} > 3.0 AS INTEGER) AS is_outlier
+       FROM (SELECT r.label, r.rk, r.vec_id, r.d2, m.n_vectors,
+           CAST(m.n_vectors AS DOUBLE) AS nnv, m.s1, m.s2
+         FROM rk r JOIN mom m USING (label) WHERE rk <= 3) z
+       ORDER BY label, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e26_centroid_outliers" -> (e26CentroidOutliers _),
     "e25_ivf_balance" -> (e25IvfBalance _),
     "e24_nprobe_sweep" -> (e24NprobeSweep _),
     "e23_sq_distortion" -> (e23SqDistortion _),
@@ -2061,6 +2156,7 @@ object Similarity {
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
+    "e26_centroid_outliers" -> e26Sql,
     "e25_ivf_balance" -> e25Sql,
     "e24_nprobe_sweep" -> e24Sql,
     "e23_sq_distortion" -> e23Sql,

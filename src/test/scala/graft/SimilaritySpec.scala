@@ -5,6 +5,43 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSpec {
 
+  test("e26 centroid outliers: planted far vector ranks first with the hand-derived z") {
+    import spark.implicits._
+    val c = Seq(
+      ("x", 1L, Seq(0.0, 0.0)), ("x", 2L, Seq(0.0, 2.0)),
+      ("x", 3L, Seq(2.0, 0.0)), ("x", 4L, Seq(10.0, 10.0)),
+      // zero-variance label: both at the centroid → z NULL
+      ("y", 5L, Seq(1.0, 1.0)), ("y", 6L, Seq(1.0, 1.0))
+    ).toDF("label", "vec_id", "v")
+    val rows = Similarity.centroidOutliers(c).collect()
+    val x = rows.filter(_.getAs[String]("label") == "x")
+    // centroid [3,3]; d2 = 18, 10, 10, 98 → top: vec 4 (98), vec 1 (18),
+    // then the 10-tie broken by vec_id → vec 2
+    assert(x.map(r => (r.getAs[Long]("rk"), r.getAs[Long]("vec_id"))).toSeq ==
+      Seq((1L, 4L), (2L, 1L), (3L, 2L)), x.toSeq)
+    assert(x.head.getAs[Double]("d2") == 98.0)
+    // z of the top: (98 − 34)/sqrt(2532 − 34²), same IEEE ops as CoZ
+    val mu = 136.0 / 4.0
+    val expZ = math.floor((98.0 - mu) / math.sqrt(2532.0 / 1.0 - mu * mu) * 1e6 + 0.5) / 1e6
+    assert(x.head.getAs[Double]("z") == expZ, s"${x.head} vs $expZ")
+    assert(x.head.getAs[Long]("n_vectors") == 4)
+    val y = rows.filter(_.getAs[String]("label") == "y")
+    assert(y.length == 2 && y.forall(r => r.isNullAt(r.fieldIndex("z")) &&
+      r.getAs[Double]("d2") == 0.0), y.toSeq)
+  }
+
+  test("e26 on testdata: three ranked rows per label, d2 descending within label") {
+    import spark.implicits._
+    val out = Similarity.e26CentroidOutliers(spark, sfTiny).collect()
+    val labels = Tables.embeddings(spark, sfTiny).select($"label").distinct().count()
+    assert(out.length == 3 * labels, s"${out.length} vs 3×$labels")
+    out.groupBy(r => r.get(r.fieldIndex("label"))).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("d2"))
+      assert(byRk.sliding(2).forall(p => p(0) >= p(1)), byRk.toSeq)
+    }
+    assert(out.forall(_.getAs[Double]("d2") >= 0.0))
+  }
+
   test("e25 IVF balance: every vector in exactly one list, shares and stats cohere") {
     import spark.implicits._
     val out = Similarity.e25IvfBalance(spark, sfTiny).cache()
