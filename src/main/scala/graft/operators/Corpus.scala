@@ -1154,6 +1154,95 @@ object Corpus {
        ORDER BY tau"""
   }
 
+  // --- ml18: leakage-safe out-of-fold target encoding ----------------------
+
+  /** ml18 smoothing pseudo-count (exact binary literal). */
+  private val TeM = 10.0
+
+  /** Shared encoding texts over exact integers (n_oof/sum_oof = leave-one-
+    * fold-out count/target-sum, pr = the global prior as an exact-integer
+    * ratio): raw out-of-fold mean with prior fallback on an empty
+    * complement, and the additively-smoothed blend. */
+  private val TeRaw =
+    "CASE WHEN n_oof > 0 THEN CAST(sum_oof AS DOUBLE) / CAST(n_oof AS DOUBLE) ELSE pr END"
+  private val TeSmooth =
+    s"(CAST(sum_oof AS DOUBLE) + $TeM * pr) / (CAST(n_oof AS DOUBLE) + $TeM)"
+
+  /** ml18 — out-of-fold target encoding (Micci-Barreca 2001, the
+    * high-cardinality categorical feature used by every tabular GBM
+    * pipeline): for each (lang, fold) cell, the mean of the binary
+    * target over all OTHER folds' documents of that lang — the
+    * leakage-safe construction (a row never contributes to its own
+    * encoding; ml11's leave-one-fold-out = total − fold identity), plus
+    * the m=[[TeM]] smoothed blend toward the global prior that tames
+    * rare categories. Target: y = 1 for d25's curated target domains
+    * (ml06's label); folds: h60(doc_id) mod 5 (s03's scan-local row
+    * split, independent of lang). Counts and target sums stay BIGINT to
+    * the end, so the encodings are exact-integer ratios.
+    *
+    * Scale shape: ONE map-side-combinable (lang, fold) count aggregation
+    * touches the corpus; the leave-out subtraction, prior, and blends
+    * all live on the langs×5 grid. Applying the encoding downstream is a
+    * broadcast join of this table — never a shuffle of the corpus. */
+  def ml18TargetEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    targetEncode(Tables.documents(s, dir).select(
+      coalesce($"lang", lit("")).as("lang"),
+      pmod(DedupLsh.h60($"doc_id".cast("string")), lit(5L)).as("fold"),
+      when($"source".isin(DsirTargetSrcs: _*), 1L).otherwise(0L).as("y")))
+  }
+
+  /** ml18's core over an explicit (lang, fold, y ∈ {0,1}) relation —
+    * exposed so the spec can plant cells with hand-computed encodings. */
+  private[graft] def targetEncode(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val cf = d.groupBy($"lang", $"fold")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+      .cache() // feeds the per-lang totals and the global prior
+    val ct = cf.groupBy($"lang").agg(sum($"n").as("nt"), sum($"sy").as("st"))
+    val all = cf.agg(sum($"n").as("n_all"), sum($"sy").as("sy_all"))
+    val out = cf.join(broadcast(ct), Seq("lang"))
+      .crossJoin(broadcast(all))
+      .select($"lang", $"fold", $"n".as("n_in_fold"),
+        ($"nt" - $"n").as("n_oof"), ($"st" - $"sy").as("sum_oof"),
+        ($"sy_all".cast("double") / $"n_all".cast("double")).as("pr"))
+      .select($"lang", $"fold", $"n_in_fold", $"n_oof", $"sum_oof",
+        r($"pr", 6).as("prior"),
+        r(expr(TeRaw), 6).as("enc_raw"),
+        r(expr(TeSmooth), 6).as("enc_smooth"))
+      .orderBy($"lang", $"fold")
+      .localCheckpoint(true)
+    cf.unpersist(blocking = false)
+    out
+  }
+
+  val ml18Sql: String = {
+    val inTgt = DsirTargetSrcs.map(x => s"'$x'").mkString(", ")
+    s"""WITH d AS (SELECT coalesce(lang, '') AS lang,
+         ((${DedupLsh.h60Sql("doc_id::VARCHAR")}) % 5 + 5) % 5 AS fold,
+         CASE WHEN source IN ($inTgt) THEN 1 ELSE 0 END AS y
+       FROM documents),
+       cf AS MATERIALIZED (SELECT lang, fold, count(*) AS n,
+           CAST(sum(y) AS BIGINT) AS sy
+         FROM d GROUP BY lang, fold),
+       ct AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt,
+           CAST(sum(sy) AS BIGINT) AS st
+         FROM cf GROUP BY lang),
+       al AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+           CAST(sum(sy) AS BIGINT) AS sy_all
+         FROM cf)
+       SELECT lang, fold, n_in_fold, n_oof, sum_oof,
+         ${rSql("pr", 6)} AS prior,
+         ${rSql(TeRaw, 6)} AS enc_raw,
+         ${rSql(TeSmooth, 6)} AS enc_smooth
+       FROM (SELECT cf.lang, cf.fold, cf.n AS n_in_fold,
+           ct.nt - cf.n AS n_oof, ct.st - cf.sy AS sum_oof,
+           CAST(al.sy_all AS DOUBLE) / CAST(al.n_all AS DOUBLE) AS pr
+         FROM cf JOIN ct USING (lang) CROSS JOIN al) z
+       ORDER BY lang, fold"""
+  }
+
   // --- d33: PPMI co-occurrence contexts (distributional semantics) --------
 
   /** d33 output budget (total order + LIMIT keeps the report bounded at
@@ -1937,6 +2026,7 @@ object Corpus {
     "d43_order_bias" -> (d43OrderBias _),
     "ml16_pr_curve" -> (ml16PrCurve _),
     "ml17_roc_auc" -> (ml17RocAuc _),
+    "ml18_target_encode" -> (ml18TargetEncode _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
     "d36_zipf_report" -> (d36ZipfReport _),
@@ -1962,6 +2052,7 @@ object Corpus {
     "d43_order_bias" -> d43Sql,
     "ml16_pr_curve" -> ml16Sql,
     "ml17_roc_auc" -> ml17Sql,
+    "ml18_target_encode" -> ml18Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,
     "d36_zipf_report" -> d36Sql,

@@ -63,6 +63,44 @@ class CorpusSpec extends GraftSpec {
     }
   }
 
+  test("ml18 target encode: hand-computed out-of-fold means, prior fallback, smoothing") {
+    import spark.implicits._
+    val d = Seq(("a", 0L, 1L), ("a", 0L, 0L), ("a", 1L, 1L), ("a", 1L, 1L),
+      ("b", 0L, 0L)).toDF("lang", "fold", "y")
+    val rows = operators.Corpus.targetEncode(d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("fold")) -> r).toMap
+    assert(rows.size == 3)
+    // prior = 3/5 = 0.6 everywhere
+    assert(rows.values.forall(_.getAs[Double]("prior") == 0.6))
+    val a0 = rows(("a", 0L))
+    assert(a0.getAs[Long]("n_oof") == 2 && a0.getAs[Long]("sum_oof") == 2 &&
+      a0.getAs[Double]("enc_raw") == 1.0 &&
+      a0.getAs[Double]("enc_smooth") == 0.666667, a0.toString)
+    val a1 = rows(("a", 1L))
+    assert(a1.getAs[Double]("enc_raw") == 0.5 &&
+      a1.getAs[Double]("enc_smooth") == 0.583333, a1.toString)
+    // lang b exists only in fold 0 → empty complement → prior fallback
+    val b0 = rows(("b", 0L))
+    assert(b0.getAs[Long]("n_oof") == 0 && b0.getAs[Double]("enc_raw") == 0.6 &&
+      b0.getAs[Double]("enc_smooth") == 0.6, b0.toString)
+  }
+
+  test("ml18 on testdata: leave-out identity and bounded encodings") {
+    import spark.implicits._
+    val out = operators.Corpus.ml18TargetEncode(spark, sfTiny).collect()
+    assert(out.nonEmpty)
+    // within a lang: n_in_fold + n_oof is the same lang total for every fold
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val totals = rs.map(r => r.getAs[Long]("n_in_fold") + r.getAs[Long]("n_oof")).distinct
+      assert(totals.length == 1, totals.toSeq)
+    }
+    assert(out.forall { r =>
+      val e = r.getAs[Double]("enc_smooth")
+      e >= 0.0 && e <= 1.0 && r.getAs[Double]("enc_raw") >= 0.0 &&
+        r.getAs[Double]("enc_raw") <= 1.0
+    })
+  }
+
   test("ml16 on testdata: recall non-increasing in tau, loose gate catches everything") {
     import spark.implicits._
     val out = operators.Corpus.ml16PrCurve(spark, sfTiny).orderBy($"tau").collect()
