@@ -325,7 +325,103 @@ object Multimodal {
          ${rSql("CAST(sum(CASE WHEN is_dup = 1 THEN clen ELSE 0 END) AS DOUBLE) / sum(clen)", 6)} AS dup_ratio
        FROM dup GROUP BY doc_id ORDER BY doc_id"""
 
+  // --- x07: perceptual-hash near-duplicate pairs ---------------------------
+
+  /** x07's Hamming threshold: with the 64-bit hash split into 4 bands of
+    * 16 bits, hd ≤ 3 GUARANTEES one equal band (pigeonhole) — the banded
+    * candidate join is exact, not approximate, at this threshold. */
+  private val PhashHamT = 3
+
+  /** x07 — perceptual-hash near-duplicate detection: the average-hash
+    * (aHash) pipeline used for image near-dup at scale (compute a tiny
+    * grayscale signature, binarize against its own mean, pack to one
+    * int64, pair up by Hamming distance), run over the opaque payload's
+    * first 64 sanitized symbols as the stand-in "pixels" (the container
+    * ships no codecs — the decode stays x03's stub; the signature,
+    * packing, banding, and pairing are the real thing). Bits compare
+    * b·64 > Σb — all integer, no division; bit 63 packs as Long.MinValue
+    * (e17's spelling). Near-dup = hd ≤ [[PhashHamT]] via 4×16-bit band
+    * blocking (m02/m03's SimHash segment trick, exact by pigeonhole at
+    * this threshold); x05 catches byte-identical copies, x07 catches
+    * re-encoded/slightly-edited ones.
+    *
+    * Scale shape: hashing is scan-local; candidates join on (band,
+    * 16-bit value) — 4 rows per object, uniform keys; each verified
+    * candidate is one xor+popcount. Exact-dup cliques (identical ph)
+    * should be pre-collapsed by x05 to bound bucket sizes at 100 TB. */
+  def x07PhashNeardup(s: SparkSession, dir: String): DataFrame =
+    phashNeardup(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** x07's core over an explicit (doc_id, text) relation — exposed so the
+    * spec can plant one-symbol edits with hand-derived Hamming gaps. */
+  private[graft] def phashNeardup(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = docs
+      .select($"doc_id",
+        regexp_replace(lower($"text"), "[^a-z0-9]", "").as("ft"))
+      .filter(length($"ft") >= 64)
+      .select((Seq($"doc_id") ++
+        (0 until 64).map(i =>
+          ascii(substring($"ft", i + 1, 1)).cast("long").as(s"b$i"))): _*)
+      .withColumn("s", (0 until 64).map(i => col(s"b$i")).reduce(_ + _))
+    val bits = (0 until 64).map(i =>
+      when(col(s"b$i") * 64 > col("s"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val ph = g.select($"doc_id", bits.as("ph"))
+      .cache() // both sides of the band self-join (invariant 5)
+    val bands = ph.select($"doc_id", $"ph",
+      posexplode(array((0 until 4).map(j =>
+        shiftright($"ph", 16 * j).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band", "bv")))
+    val out = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ph").as("pa"), col("b.ph").as("pb"))
+      .distinct()
+      .withColumn("hd", bit_count($"pa".bitwiseXOR($"pb")).cast("bigint"))
+      .filter($"hd" <= PhashHamT)
+      .select($"doc_a", $"doc_b", $"hd",
+        ($"hd" === 0).cast("int").as("is_exact"))
+      .orderBy($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    ph.unpersist(blocking = false)
+    out
+  }
+
+  val x07Sql: String = {
+    val bcols = (0 until 64).map(i =>
+      s"ord(substr(ft, ${i + 1}, 1))::BIGINT AS b$i").mkString(",\n           ")
+    val ssum = (0 until 64).map(i => s"b$i").mkString(" + ")
+    val bitsum = (0 until 64).map { i =>
+      val on = if (i == 63) "(-9223372036854775807 - 1)::BIGINT"
+      else s"(1::BIGINT << $i)"
+      s"(CASE WHEN b$i * 64 > s THEN $on ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH f AS (SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS ft
+         FROM documents),
+       g AS (SELECT doc_id,
+           $bcols
+         FROM f WHERE length(ft) >= 64),
+       gs AS (SELECT *, $ssum AS s FROM g),
+       ph AS MATERIALIZED (SELECT doc_id, ($bitsum)::BIGINT AS ph FROM gs),
+       bands AS (SELECT doc_id, ph, j AS band, (ph >> (16 * j)) & 65535 AS bv
+         FROM ph, range(0, 4) r(j)),
+       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.ph AS pa, b.ph AS pb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hd,
+         CAST(bit_count(xor(pa, pb)) = 0 AS INTEGER) AS is_exact
+       FROM pairs WHERE bit_count(xor(pa, pb)) <= $PhashHamT
+       ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x07_phash_neardup" -> (x07PhashNeardup _),
     "x06_cdc_dedup" -> (x06CdcDedup _),
     "x05_media_dedup" -> (x05MediaDedup _),
     "x01_binary_meta" -> (x01BinaryMeta _),
@@ -335,6 +431,7 @@ object Multimodal {
 
   /** x03 is mapPartitions-based → rows-only + MultimodalSpec. */
   val oracles: Map[String, String] = Map(
+    "x07_phash_neardup" -> x07Sql,
     "x06_cdc_dedup" -> x06Sql,
     "x05_media_dedup" -> x05Sql,
     "x01_binary_meta" -> x01Sql,

@@ -5,6 +5,45 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends GraftSpec {
 
+  test("x07 phash: exact copy at hd 0, one-symbol edit at hd 1, different pattern absent") {
+    import spark.implicits._
+    val a32b32 = "a" * 32 + "b" * 32
+    val docs = Seq(
+      (1L, a32b32),                       // bits set exactly on 32..63
+      (2L, a32b32),                       // byte-identical → hd 0
+      (3L, "z" + a32b32.drop(1)),         // one symbol louder → one extra bit
+      (4L, "ab" * 32),                    // alternating → no band shared with 1
+      (5L, "abc")                         // shorter than the 64-symbol window
+    ).toDF("doc_id", "text")
+    val rows = Multimodal.phashNeardup(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(rows.contains((1L, 2L)) && rows((1L, 2L)).getAs[Long]("hd") == 0 &&
+      rows((1L, 2L)).getAs[Int]("is_exact") == 1, rows.keys.toSeq)
+    assert(rows.contains((1L, 3L)) && rows((1L, 3L)).getAs[Long]("hd") == 1 &&
+      rows((1L, 3L)).getAs[Int]("is_exact") == 0, rows.keys.toSeq)
+    assert(rows.contains((2L, 3L)) && rows((2L, 3L)).getAs[Long]("hd") == 1)
+    // doc 4 shares no 16-bit band with 1/2/3; doc 5 never hashed
+    assert(rows.keys.forall { case (x, y) => x != 4L && y != 4L && x != 5L && y != 5L },
+      rows.keys.toSeq)
+  }
+
+  test("x07 on testdata: pair table is symmetric-free and within threshold") {
+    import spark.implicits._
+    val out = Multimodal.x07PhashNeardup(spark, sfTiny).cache()
+    try {
+      assert(out.filter($"doc_a" >= $"doc_b").count() == 0)
+      assert(out.filter($"hd" > 3 || $"hd" < 0).count() == 0)
+      // every exact text duplicate with ≥64 sanitized symbols must appear at hd 0
+      val ft = Tables.documents(spark, sfTiny).select($"doc_id",
+        regexp_replace(lower($"text"), "[^a-z0-9]", "").as("ft"))
+        .filter(length($"ft") >= 64)
+      val dupPairs = ft.as("x").join(ft.as("y"),
+        col("x.ft") === col("y.ft") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).count()
+      assert(out.filter($"hd" === 0).count() >= dupPairs)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("x01 metadata matches the source table") {
     val meta = Multimodal.x01BinaryMeta(spark, sfTiny)
     assert(meta.count() == Tables.documents(spark, sfTiny).count())
