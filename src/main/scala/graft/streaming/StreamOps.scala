@@ -46,6 +46,14 @@ case class FunnelOut(user_id: Long, signup_us: Option[Long],
 /** One (src → dst) transition emitted by the streaming Markov miner. */
 case class PairOut(user_id: Long, src_type: String, dst_type: String)
 
+/** Per-user EWMA state: the RAW (unrounded) running smoothed value —
+  * rounding happens only at emission, exactly like the batch twin. */
+case class EwmaSt(acc: Double)
+
+/** One smoothed reading emitted by the streaming EWMA denoiser. */
+case class EwmaOut(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+  value: Double, ewma: Double)
+
 /** Per-key HyperLogLog state carried by the streaming distinct sketch:
   * 256 registers + the raw row count. */
 case class HllState(regs: Array[Byte], n: Long)
@@ -338,6 +346,39 @@ object StreamOps {
             prev = Some(e)
           }
           prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** t15's streaming twin — EWMA (α = 0.2) per device stream as
+    * GroupState: the state is ONE double (the raw running accumulator),
+    * each arriving reading folds y = 0.2·x + 0.8·y (the IDENTICAL IEEE
+    * literals and op order as the batch recurrence, seeded with the first
+    * reading) and emits the r6-rounded value — so a replay in per-key
+    * time order is bit-equal to the oracle-checked t15, which the
+    * StreamReplaySpec differential asserts. The accumulator stays RAW in
+    * state (the batch twin rounds only its output column); batch rows
+    * are applied in the twin's (ts, event_id) order. 100 TB story:
+    * per-device O(1) state sharded by the groupByKey shuffle — the
+    * always-on denoiser in front of t05/t06-style alerting. */
+  def ewmaStream(ds: Dataset[EventRec]): Dataset[EwmaOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaSt, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventRec], state: GroupState[EwmaSt]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var st = state.getOption
+          val out = sorted.map { e =>
+            val acc = st match {
+              case None    => e.value
+              case Some(p) => 0.2 * e.value + 0.8 * p.acc
+            }
+            st = Some(EwmaSt(acc))
+            EwmaOut(uid, e.ts, e.event_id, e.value, graft.operators.Num.rD(acc, 6))
+          }
+          st.foreach(state.update)
           out.iterator
       }
   }

@@ -226,6 +226,32 @@ class StreamReplaySpec extends GraftSpec {
       "replayed session windows must equal the batch sessionization")
   }
 
+  test("replayed ewmaStream is bit-identical to the oracle-green t15 batch EWMA") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // precondition: at least one user's readings span ≥2 slices, so the
+    // accumulator at the boundary can only come from GroupState carry
+    val userSliceSpread = slices.zipWithIndex
+      .flatMap { case (s, i) => s.map(e => (e.user_id, i)) }
+      .groupBy(_._1).map(_._2.map(_._2).distinct.size)
+    assert(userSliceSpread.exists(_ >= 2),
+      "slicing must split at least one user's readings across batches")
+
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.ewmaStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_ewma").outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.table("replay_ewma")
+      .select($"user_id", $"ts", $"event_id", $"value", $"ewma")
+    val batch = Telemetry.t15Ewma(spark, sfTiny)
+      .select($"user_id", $"ts", $"event_id", $"value", $"ewma")
+    assert(canon(streamed) == canon(batch),
+      "replayed EWMA must equal the batch recurrence bit-for-bit")
+  }
+
   test("replayed markovStream reproduces the oracle-green q58 transition cells") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
