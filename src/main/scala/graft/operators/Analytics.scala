@@ -1554,6 +1554,60 @@ object Analytics {
          CAST(tt AS DOUBLE) AS tt FROM pair) p
        ORDER BY source_a, source_b"""
 
+  // --- q67: time-lag feature builder over the hourly series -----------------
+
+  /** q67 — the feature-store query: per (event_type, hour), the supervised-
+    * learning features a forecasting/anomaly model trains on — time-lagged
+    * values at 1 h and 24 h (JOIN-based, so a silent hour yields NULL
+    * instead of silently lagging to the wrong hour — the classic row-lag
+    * bug `lag()` would commit on gappy series), the hour-over-hour delta,
+    * and the trailing-24 h mean over PRESENT hours (t11/t21's integer-hour
+    * RANGE frame with the decimal window sum). This is what "build the
+    * training matrix" looks like as a declarative plan.
+    *
+    * Scale shape: one map-side-combinable rollup touches events; the lag
+    * joins and RANGE window run on the hour series (grows with time, not
+    * volume), keyed by (event_type, hx) — co-partitioned, no skew. */
+  def q67LagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hh"))
+      .agg(count(lit(1)).as("n"), ravg($"value", 6).as("x"))
+      .select($"event_type", ($"hh".cast("long") / 3600).cast("long").as("hx"),
+        $"n", $"x")
+    val l1 = h.select($"event_type", ($"hx" + 1).as("hx"), $"x".as("lag1_x"))
+    val l24 = h.select($"event_type", ($"hx" + 24).as("hx"), $"x".as("lag24_x"))
+    val w = Window.partitionBy($"event_type").orderBy($"hx")
+      .rangeBetween(-23, 0)
+    h.join(l1, Seq("event_type", "hx"), "left")
+      .join(l24, Seq("event_type", "hx"), "left")
+      .withColumn("nz24", count($"x").over(w))
+      .withColumn("s24", sum($"x".cast("decimal(38,10)")).over(w).cast("double"))
+      .select($"event_type", $"hx", $"n", $"x", $"lag1_x", $"lag24_x",
+        r($"x" - $"lag1_x", 6).as("d1"),
+        r($"s24" / $"nz24".cast("double"), 6).as("ma24_x"), $"nz24")
+      .orderBy($"event_type", $"hx")
+  }
+
+  val q67Sql: String =
+    s"""WITH h AS (SELECT event_type,
+         CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS BIGINT) AS hx,
+         count(*) AS n, ${rSql(davgSql("value"), 6)} AS x
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       wn AS (SELECT event_type, hx, n, x,
+           count(x) OVER (PARTITION BY event_type ORDER BY hx
+             RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS nz24,
+           CAST(sum(CAST(x AS DECIMAL(38,10))) OVER (PARTITION BY event_type
+             ORDER BY hx RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS DOUBLE) AS s24
+         FROM h)
+       SELECT w.event_type, w.hx, w.n, w.x, l1.x AS lag1_x, l24.x AS lag24_x,
+         ${rSql("w.x - l1.x", 6)} AS d1,
+         ${rSql("s24 / CAST(nz24 AS DOUBLE)", 6)} AS ma24_x, nz24
+       FROM wn w
+       LEFT JOIN h l1 ON l1.event_type = w.event_type AND l1.hx = w.hx - 1
+       LEFT JOIN h l24 ON l24.event_type = w.event_type AND l24.hx = w.hx - 24
+       ORDER BY w.event_type, w.hx"""
+
   // --- q66: Kruskal–Wallis rank test across all sources ---------------------
 
   /** Shared statistic texts over exact-integer-derived doubles: s2 is the
@@ -1957,6 +2011,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_new_vs_returning" -> (q65NewVsReturning _),
     "q66_kruskal_wallis" -> (q66KruskalWallis _),
+    "q67_lag_features" -> (q67LagFeatures _),
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
     "q61_holt_forecast" -> (q61HoltForecast _),
@@ -1996,6 +2051,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q65_new_vs_returning" -> q65Sql,
     "q66_kruskal_wallis" -> q66Sql,
+    "q67_lag_features" -> q67Sql,
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,
     "q61_holt_forecast" -> q61Sql,

@@ -361,6 +361,37 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q67 lag features: time-lag identity, window mean identity, series head NULLs") {
+    import spark.implicits._
+    val out = Analytics.q67LagFeatures(spark, sfTiny).cache()
+    try {
+      val rows = out.collect()
+      val byKey = rows.map(r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("hx")) -> r).toMap
+      // lag1_x at hour h must be x at hour h−1 (and NULL when h−1 is silent)
+      rows.foreach { r =>
+        val k = (r.getAs[String]("event_type"), r.getAs[Long]("hx"))
+        val prev = byKey.get((k._1, k._2 - 1))
+        (prev, Option(r.getAs[java.lang.Double]("lag1_x"))) match {
+          case (Some(p), Some(l)) => assert(l == p.getAs[Double]("x"), s"$r")
+          case (None, l)          => assert(l.isEmpty, s"$r")
+          case (Some(_), None)    => fail(s"missing lag despite present hour: $r")
+        }
+        val l24 = Option(r.getAs[java.lang.Double]("lag24_x"))
+        assert(l24 == byKey.get((k._1, k._2 - 24)).map(_.getAs[Double]("x")), s"$r")
+      }
+      // a window holding one hour reports its own x as the mean
+      rows.filter(_.getAs[Long]("nz24") == 1).foreach { r =>
+        assert(r.getAs[Double]("ma24_x") == r.getAs[Double]("x"), s"$r")
+      }
+      // each series' first hour has no 1h lag
+      rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+        val head = rs.minBy(_.getAs[Long]("hx"))
+        assert(head.isNullAt(head.fieldIndex("lag1_x")), s"$head")
+      }
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q66 Kruskal–Wallis: hand-computed H, tie correction, eta2") {
     import spark.implicits._
     // a = {1,2}, b = {3,4}: ranks 1,2 | 3,4 → R = 3, 7;
