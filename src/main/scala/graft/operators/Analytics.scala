@@ -631,7 +631,11 @@ object Analytics {
   private[graft] def ksTest(metric: DataFrame): DataFrame = {
     val s = metric.sparkSession
     import s.implicits._
-    val cnt = metric.groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+    // NULL metric values would diverge between engines on the cumulative
+    // window (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — drop them
+    // on both sides (q52/q66's fix, same rank-table shape).
+    val cnt = metric.filter($"x".isNotNull)
+      .groupBy($"source", $"x").agg(count(lit(1)).as("c"))
       .cache() // feeds the value axis, the per-source totals, and the grid
     val vals = cnt.select($"x").distinct()
     val srcn = cnt.groupBy($"source").agg(sum($"c").as("n"))
@@ -659,6 +663,7 @@ object Analytics {
     s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
        FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
              FROM documents) z
+       WHERE x IS NOT NULL
        GROUP BY source, x),
        vals AS (SELECT DISTINCT x FROM cnt),
        srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
@@ -1495,7 +1500,11 @@ object Analytics {
   private[graft] def mannWhitneyU(metric: DataFrame): DataFrame = {
     val s = metric.sparkSession
     import s.implicits._
-    val cnt = metric.groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+    // NULL metric values would rank NULLS FIRST in Spark's window but
+    // NULLS LAST in DuckDB's ASC default — drop them on both sides so the
+    // rank construction is null-robust, not just null-absent.
+    val cnt = metric.filter($"x".isNotNull)
+      .groupBy($"source", $"x").agg(count(lit(1)).as("c"))
       .cache() // feeds the value axis, the per-source totals, and the grid
     val vals = cnt.select($"x").distinct()
     val srcn = cnt.groupBy($"source").agg(sum($"c").as("n"))
@@ -1533,6 +1542,7 @@ object Analytics {
     s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
        FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
              FROM documents) z
+       WHERE x IS NOT NULL
        GROUP BY source, x),
        vals AS (SELECT DISTINCT x FROM cnt),
        srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
@@ -1575,11 +1585,12 @@ object Analytics {
       .agg(count(lit(1)).as("n"), ravg($"value", 6).as("x"))
       .select($"event_type", ($"hh".cast("long") / 3600).cast("long").as("hx"),
         $"n", $"x")
+      .cache() // self-joined twice below — don't re-aggregate events 3x
     val l1 = h.select($"event_type", ($"hx" + 1).as("hx"), $"x".as("lag1_x"))
     val l24 = h.select($"event_type", ($"hx" + 24).as("hx"), $"x".as("lag24_x"))
     val w = Window.partitionBy($"event_type").orderBy($"hx")
       .rangeBetween(-23, 0)
-    h.join(l1, Seq("event_type", "hx"), "left")
+    val out = h.join(l1, Seq("event_type", "hx"), "left")
       .join(l24, Seq("event_type", "hx"), "left")
       .withColumn("nz24", count($"x").over(w))
       .withColumn("s24", sum($"x".cast("decimal(38,10)")).over(w).cast("double"))
@@ -1587,10 +1598,13 @@ object Analytics {
         r($"x" - $"lag1_x", 6).as("d1"),
         r($"s24" / $"nz24".cast("double"), 6).as("ma24_x"), $"nz24")
       .orderBy($"event_type", $"hx")
+      .localCheckpoint(true)
+    h.unpersist(blocking = false)
+    out
   }
 
   val q67Sql: String =
-    s"""WITH h AS (SELECT event_type,
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
          CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS BIGINT) AS hx,
          count(*) AS n, ${rSql(davgSql("value"), 6)} AS x
        FROM events GROUP BY event_type, date_trunc('hour', ts)),
@@ -1644,7 +1658,11 @@ object Analytics {
   private[graft] def kruskalWallis(metric: DataFrame): DataFrame = {
     val s = metric.sparkSession
     import s.implicits._
-    val cnt = metric.groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+    // NULL metric values would diverge between engines on the pooled
+    // cumulative window (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) —
+    // drop them on both sides (q52's fix, same rank-table shape).
+    val cnt = metric.filter($"x".isNotNull)
+      .groupBy($"source", $"x").agg(count(lit(1)).as("c"))
       .cache() // feeds the pooled value axis and the per-source rank sums
     val pc = cnt.groupBy($"x").agg(sum($"c").as("t"))
       .withColumn("cum", sum($"t").over(Window.orderBy($"x")))
@@ -1680,6 +1698,7 @@ object Analytics {
     s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
        FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
              FROM documents) z
+       WHERE x IS NOT NULL
        GROUP BY source, x),
        pc AS (SELECT x, t, (cum - t) * 2 + t + 1 AS r2 FROM
          (SELECT x, CAST(sum(c) AS BIGINT) AS t,

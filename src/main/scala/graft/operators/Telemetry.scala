@@ -757,9 +757,10 @@ object Telemetry {
       .withColumn("xi", floor($"x" * 1000000.0 + 0.5).cast("bigint"))
       .withColumn("k", row_number().over(w).cast("bigint"))
       .withColumn("sk", sum($"xi").over(w))
+      .cache() // feeds both tot and the candidate join
     val tot = pre.groupBy($"event_type")
       .agg(count(lit(1)).as("tt"), sum($"xi").as("st"))
-    pre.join(broadcast(tot), "event_type")
+    val out = pre.join(broadcast(tot), "event_type")
       .filter($"k" < $"tt")
       .withColumn("gain", r(expr(CpGain), 6))
       .withColumn("rk", row_number().over(Window.partitionBy($"event_type")
@@ -772,6 +773,9 @@ object Telemetry {
         r(expr(s"($CpMeanR) - ($CpMeanL)"), 6).as("shift"),
         $"gain")
       .orderBy($"event_type")
+      .localCheckpoint(true)
+    pre.unpersist(blocking = false)
+    out
   }
 
   val t23Sql: String =

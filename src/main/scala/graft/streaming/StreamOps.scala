@@ -405,10 +405,6 @@ object StreamOps {
       }
   }
 
-  /** Fold one value into 256 HLL registers — the q40 construction
-    * (md5-rank 60-bit hash, register = low 8 bits, ρ = leading-zero rank
-    * of the remaining 52 bits). Shared by the streaming sketch and its
-    * batch twin so StreamOpsSpec can assert bit-equality. */
   /** Executor-side Scala twin of `DedupLsh.h60` (top 60 bits = first 15
     * hex chars of the md5) — shared by the streaming HLL and CMS sketches
     * so their bucket layout is bit-identical to the batch Column form
@@ -422,6 +418,10 @@ object StreamOps {
     h >>> 4
   }
 
+  /** Fold one value into 256 HLL registers — the q40 construction
+    * (md5-rank 60-bit hash, register = low 8 bits, ρ = leading-zero rank
+    * of the remaining 52 bits). Shared by the streaming sketch and its
+    * batch twin so StreamOpsSpec can assert bit-equality. */
   private[graft] def hllUpdate(regs: Array[Byte], value: String): Unit = {
     val h = h60Scala(value)
     val idx = (h % 256).toInt
