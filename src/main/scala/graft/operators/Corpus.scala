@@ -1822,6 +1822,10 @@ object Corpus {
         (-$"b.nc").as("votes"),
         ($"tl" === $"b.l").cast("int").as("correct"))
       .orderBy($"doc_id")
+      // output ≤ test-budget rows (test side is pre-capped): one partition,
+      // so downstream consumers (ml10's classifierEval) pay 1-task stages
+      // instead of 32-task stages over a handful of rows
+      .coalesce(1)
       .localCheckpoint(true)
     trC.unpersist(blocking = false)
     teC.unpersist(blocking = false)
