@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Telemetry
+import graft.streaming.{EventRec, StreamOps}
+
+/** The crash-recovery differential: the production property a streaming
+  * deployment actually needs is not "a continuous replay matches batch"
+  * (StreamReplaySpec) but "a replay that is KILLED at a micro-batch
+  * boundary and RESTARTED from its checkpoint still matches batch" —
+  * exactly-once output across restarts. Reference delivery semantics are
+  * at-least-once with managed-service retries
+  * (reference IoTSimulator.java:55 re-publish loop,
+  * phase3-kinesis-s3.yaml:86-89 Firehose retry config); the engine must
+  * therefore prove (a) aggregation state recovers from the checkpoint,
+  * (b) GroupState recovers, and (c) a REDELIVERED batch — re-executed
+  * because the crash landed between the offset log and the commit log —
+  * does not duplicate sink output (the file sink's metadata log dedups).
+  *
+  * Each test stops a real StreamingQuery, starts a NEW query on the SAME
+  * checkpoint + the same MemoryStream (whose offsets the checkpoint
+  * recorded), and asserts bit-equality with the oracle-green batch twin.
+  */
+class StreamRecoverySpec extends GraftSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** events at sf0.001, ts-ordered. */
+  private lazy val recs: Seq[EventRec] = {
+    import spark.implicits._
+    Tables.events(spark, sfTiny)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      .as[EventRec].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+  }
+
+  /** Round-robin 8-slicing: every slice spans the full time range, so
+    * post-restart batches carry events OLDER than pre-restart state —
+    * lost state becomes observable instead of being masked by time order. */
+  private lazy val rr: Seq[Seq[EventRec]] =
+    recs.zipWithIndex.groupBy(_._2 % 8).toSeq.sortBy(_._1).map(_._2.map(_._1))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("hourlyRollup killed at a batch boundary and restarted from checkpoint equals t02") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hourOf = (e: EventRec) => (e.event_type, e.ts.getTime / 3600000L)
+    val groupSlices = rr.zipWithIndex
+      .flatMap { case (s, i) => s.map(hourOf).distinct.map(g => (g, i)) }
+      .groupBy(_._1).map { case (g, xs) => (g, xs.map(_._2).distinct.toSet) }
+    // preconditions that make state loss observable:
+    //  (a) a group ENTIRELY pre-stop — its presence in the final Complete
+    //      output can only come from recovered aggregation state
+    //  (b) a group SPANNING the stop — its count is correct only if the
+    //      recovered partial aggregate merges with post-restart events
+    assert(groupSlices.exists(_._2.forall(_ <= 3)),
+      "need an hour-group fed entirely before the kill")
+    assert(groupSlices.exists(g => g._2.exists(_ <= 3) && g._2.exists(_ >= 4)),
+      "need an hour-group spanning the kill boundary")
+
+    val in = MemoryStream[EventRec]
+    val out = tmp("graft-recover-rollup")
+    val ckpt = tmp("graft-recover-rollup-ckpt")
+    def start() = StreamOps.hourlyRollup(in.toDF()).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    val q1 = start()
+    try rr.take(4).foreach { s => in.addData(s: _*); q1.processAllAvailable() }
+    finally q1.stop() // the kill: state + offsets survive only in ckpt
+    val q2 = start()
+    try rr.drop(4).foreach { s => in.addData(s: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select($"event_type", $"hour", $"n_events", $"avg_value", $"sum_value")
+    val batch = Telemetry.t02HourlyRollup(spark, sfTiny)
+    assert(canon(streamed) == canon(batch),
+      "restarted Complete-mode rollup must equal the batch rollup bit-for-bit")
+  }
+
+  test("latestPerKey GroupState survives a kill/restart and never regresses") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val keyOf = (e: EventRec) => (e.user_id, e.event_type)
+    val ord = Ordering.fromLessThan[EventRec] { (a, b) =>
+      val c = a.ts.compareTo(b.ts)
+      c < 0 || (c == 0 && a.event_id < b.event_id)
+    }
+    // precondition: for some key, the pre-stop champion is NEWER than a
+    // post-stop event of the same key — if the restart lost GroupState,
+    // the first post-restart emission for that key would REGRESS to the
+    // older event and the monotonicity assertion below would fail
+    val preChamp = rr.take(4).flatten.groupBy(keyOf).map { case (k, v) => (k, v.max(ord)) }
+    val regressable = rr.drop(4).flatten.exists(e =>
+      preChamp.get(keyOf(e)).exists(c => ord.lt(e, c)))
+    assert(regressable, "need a post-restart event older than its key's pre-stop champion")
+
+    val in = MemoryStream[EventRec]
+    val out = tmp("graft-recover-latest")
+    val ckpt = tmp("graft-recover-latest-ckpt")
+    def start() = StreamOps.latestPerKey(in.toDS()).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventRec], bid: Long) =>
+        batch.toDF().withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    val q1 = start()
+    try rr.take(4).foreach { s => in.addData(s: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try rr.drop(4).foreach { s => in.addData(s: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val emitted = spark.read.parquet(out)
+    // monotonicity across the restart: each key's champion emissions only
+    // move forward in (ts, event_id) — the recovered state, not the batch
+    // contents, decides every post-restart emission
+    val perKey = emitted
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value", $"batch_id")
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+    perKey.foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_.getLong(5))
+      inOrder.zip(inOrder.tail).foreach { case (a, b) =>
+        val c = a.getTimestamp(2).compareTo(b.getTimestamp(2))
+        assert(c < 0 || (c == 0 && a.getLong(3) <= b.getLong(3)),
+          s"champion regressed across batches for key ${(a.getLong(0), a.getString(1))}")
+      }
+    }
+    // convergence: the final champion per key equals the batch compaction
+    val finals = emitted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+    val batch = Telemetry.t03LatestPerKey(spark, sfTiny)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+    assert(canon(finals) == canon(batch),
+      "restarted GroupState compaction must converge to the batch latest-per-key")
+  }
+
+  test("a redelivered final batch is deduplicated by the file sink's commit log") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // ts-contiguous slices (the session test's slicing): sessions close as
+    // the watermark advances, Append mode, REAL parquet file sink — the
+    // sink whose _spark_metadata log carries the exactly-once contract
+    val k = math.ceil(recs.size / 8.0).toInt
+    val slices = recs.grouped(k).toSeq
+    val in = MemoryStream[EventRec]
+    val out = tmp("graft-recover-sessions")
+    val ckpt = tmp("graft-recover-sessions-ckpt")
+    def start() = StreamOps.sessionizeEvents(in.toDF()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q1.processAllAvailable() }
+      // two far-future sentinels flush every real session past the
+      // watermark (it derives from the PREVIOUS batch's max event time)
+      val maxTs = recs.last.ts.getTime
+      Seq(6, 7).foreach { h =>
+        in.addData(EventRec(-1L, "zz_sentinel",
+          new Timestamp(maxTs + h * 3600 * 1000L), -1L, 0.0))
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+
+    val committed = canon(spark.read.parquet(out))
+
+    // simulate the crash window at-least-once delivery leaves open: the
+    // offset log recorded the final batch but the COMMIT log did not —
+    // on restart the engine must RE-EXECUTE that batch (redelivery) and
+    // the file sink must skip it as already committed
+    val commits = Paths.get(ckpt, "commits")
+    val last = Files.list(commits).toArray.map(_.asInstanceOf[Path])
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(last)
+    // the local ChecksumFs keeps a .N.crc sidecar; it must go with the
+    // commit or the re-commit's rename collides
+    val crc = last.resolveSibling("." + last.getFileName.toString + ".crc")
+    Files.deleteIfExists(crc)
+
+    val q2 = start()
+    try q2.processAllAvailable() // re-runs the redelivered batch
+    finally q2.stop()
+
+    assert(Files.exists(last), "the redelivered batch must re-commit")
+    val afterRedelivery = canon(spark.read.parquet(out))
+    assert(afterRedelivery == committed,
+      "the file sink must deduplicate the redelivered batch (exactly-once output)")
+
+    // and the recovered output still equals the oracle-green batch twin
+    val streamed = spark.read.parquet(out)
+      .filter($"user_id" >= 0)
+      .withColumn("session_id", row_number()
+        .over(Window.partitionBy($"user_id").orderBy($"w_start")).cast("long"))
+      .select($"user_id", $"session_id", $"n_events",
+        $"session_start", $"session_end", $"duration_s")
+    val batch = Telemetry.t08Sessionize(spark, sfTiny)
+    assert(canon(streamed) == canon(batch),
+      "post-redelivery file-sink content must equal the batch sessionization")
+  }
+}
