@@ -1394,6 +1394,96 @@ object Analytics {
          ${rSql("stop / sx", 6)} AS top10_share
        FROM m ORDER BY seg"""
 
+  // --- q68: histogram-Lorenz Gini (q57's map-side scale sibling) ------------
+
+  /** q68's bucket count — q42's equi-width granularity. */
+  private val LorenzBuckets = 20
+
+  /** q68 — Gini concentration from the Lorenz trapezoid over a per-segment
+    * [[LorenzBuckets]]-bucket equi-width histogram: the documented 100 TB
+    * drop-in for q57's exact rank-sum Gini (q57 scaladoc). Exact Gini
+    * inherently sorts every row through the segment key; this form needs
+    * only one per-segment min/max aggregate (broadcast back), scan-local
+    * bucket assignment (q42's formula, max folded into the top bucket,
+    * degenerate hi = lo segments collapsing to bucket 1), and one
+    * map-side-combinable (seg, bucket) count/sum aggregation — the only
+    * window left runs over the ≤20-row bucket axis per segment.
+    *
+    * Trapezoid identity G = 1 − Σ_b (F_b − F_{b−1})·(L_b + L_{b−1}) with
+    * F/L the cumulative population/spend shares at the bucket's upper
+    * edge; absent buckets contribute exactly zero (F and L are flat across
+    * them). Cumulative sums stay decimal-exact; each bucket term is pure
+    * deterministic IEEE; the ≤20-term sum re-enters decimal so its order
+    * never matters. Singleton buckets make the trapezoid EQUAL the
+    * rank-sum Gini (algebraic identity, spec-pinned); within-bucket spread
+    * is convexified away, so q68 ≤ q57 always, with error bounded by the
+    * within-bucket inequality (spec-pinned on planted distributions). */
+  def q68GiniHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    giniHist(Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_totalprice".as("x")))
+  }
+
+  /** q68's core over an explicit (seg, x) relation — exposed so the spec
+    * can compare against [[gini]] on planted distributions. */
+  private[graft] def giniHist(amounts0: DataFrame): DataFrame = {
+    val s = amounts0.sparkSession
+    import s.implicits._
+    val amounts = amounts0.select($"seg", $"x")
+    val b = lit(LorenzBuckets.toDouble)
+    val bounds = amounts.groupBy($"seg")
+      .agg(min($"x").as("lo"), max($"x").as("hi"))
+    val hist = amounts.join(broadcast(bounds), "seg")
+      .withColumn("bucket",
+        when($"hi" === $"lo", lit(1))
+          .otherwise(least(b, lit(1.0) +
+            floor(($"x" - $"lo") / (($"hi" - $"lo") / b))).cast("int")))
+      .groupBy($"seg", $"bucket")
+      .agg(count(lit(1)).as("nb"), sum($"x".cast("decimal(38,10)")).as("sb"))
+    val wc = Window.partitionBy($"seg").orderBy($"bucket")
+    val ws = Window.partitionBy($"seg")
+    hist
+      .withColumn("cums", sum($"sb").over(wc))
+      .withColumn("nn", sum($"nb").over(ws))
+      .withColumn("ss", sum($"sb").over(ws))
+      .withColumn("term",
+        ($"nb".cast("double") / $"nn".cast("double")) *
+          ((lit(2.0) * $"cums".cast("double") - $"sb".cast("double")) /
+            $"ss".cast("double")))
+      .groupBy($"seg")
+      .agg(sum($"nb").as("n_orders"),
+        r(sum($"sb").cast("double"), 2).as("total_spend"),
+        r(lit(1.0) - dsum($"term"), 6).as("gini_hist"))
+      .orderBy($"seg")
+  }
+
+  val q68Sql: String =
+    s"""WITH base AS (SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       bnd AS (SELECT seg, min(x) AS lo, max(x) AS hi FROM base GROUP BY seg),
+       bk AS (SELECT base.seg,
+           CASE WHEN hi = lo THEN 1
+                ELSE CAST(least(20.0, 1.0 + floor((x - lo) / ((hi - lo) / 20.0))) AS INTEGER)
+           END AS bucket, x
+         FROM base JOIN bnd ON bnd.seg = base.seg),
+       hb AS (SELECT seg, bucket, count(*) AS nb,
+           sum(CAST(x AS DECIMAL(38,10))) AS sb
+         FROM bk GROUP BY seg, bucket),
+       cm AS (SELECT seg, bucket, nb, sb,
+           sum(sb) OVER (PARTITION BY seg ORDER BY bucket) AS cums,
+           sum(nb) OVER (PARTITION BY seg) AS nn,
+           sum(sb) OVER (PARTITION BY seg) AS ss
+         FROM hb),
+       tm AS (SELECT seg, nb, sb,
+           (CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) *
+           ((2.0 * CAST(cums AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(ss AS DOUBLE)) AS term
+         FROM cm)
+       SELECT seg, CAST(sum(nb) AS BIGINT) AS n_orders,
+         ${rSql("CAST(sum(sb) AS DOUBLE)", 2)} AS total_spend,
+         ${rSql(s"1.0 - ${dsumSql("term")}", 6)} AS gini_hist
+       FROM tm GROUP BY seg ORDER BY seg"""
+
   // --- q53: Benford first-digit distribution audit --------------------------
 
   /** Benford P(d) = log10(1 + 1/d), d = 1..9 — literal doubles identical in
@@ -2037,6 +2127,7 @@ object Analytics {
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
+    "q68_gini_hist" -> (q68GiniHist _),
     "q56_cusum" -> (q56Cusum _),
     "q55_theil_sen" -> (q55TheilSen _),
     "q54_mutual_info" -> (q54MutualInfo _),
@@ -2077,6 +2168,7 @@ object Analytics {
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,
+    "q68_gini_hist" -> q68Sql,
     "q56_cusum" -> q56Sql,
     "q55_theil_sen" -> q55Sql,
     "q54_mutual_info" -> q54Sql,

@@ -199,6 +199,30 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q68 histogram Gini: equals exact q57 on singleton-bucket distributions, lower-bounds it under spread") {
+    import spark.implicits._
+    // u: hi = lo → one bucket → 0 exactly; h: {0,0,0}→bucket 1, {10}→bucket 20
+    // — within-bucket values identical so the trapezoid is exact (0.75);
+    // t: 20 distinct values land in 20 distinct buckets → singleton identity,
+    // trapezoid ≡ rank-sum Gini bit-for-bit
+    val planted = (Seq.fill(4)(10.0).zipWithIndex.map { case (x, i) => ("u", i.toLong, x) } ++
+      Seq(0.0, 0.0, 0.0, 10.0).zipWithIndex.map { case (x, i) => ("h", i.toLong, x) } ++
+      (1 to 20).map(i => ("t", i.toLong, i.toDouble))).toDF("seg", "k", "x")
+    val exact = Analytics.gini(planted).collect()
+      .map(r => r.getAs[String]("seg") -> r.getAs[Double]("gini")).toMap
+    val hist = Analytics.giniHist(planted).collect()
+      .map(r => r.getAs[String]("seg") -> r.getAs[Double]("gini_hist")).toMap
+    assert(hist("u") == 0.0 && exact("u") == 0.0)
+    assert(hist("h") == 0.75 && exact("h") == 0.75)
+    assert(hist("t") == exact("t"), s"${hist("t")} vs ${exact("t")}")
+    // within-bucket spread (1..100 → 5 values per bucket): convexified
+    // Lorenz → G_hist ≤ G_exact; hand-computed gap 0.00079
+    val spread = (1 to 100).map(i => ("s", i.toLong, i.toDouble)).toDF("seg", "k", "x")
+    val ge = Analytics.gini(spread).collect()(0).getAs[Double]("gini")
+    val gh = Analytics.giniHist(spread).collect()(0).getAs[Double]("gini_hist")
+    assert(gh <= ge && ge - gh <= 0.005, s"hist $gh exact $ge")
+  }
+
   test("q57 on testdata: one row per segment, gini within [0,1]") {
     import spark.implicits._
     val out = Analytics.q57Gini(spark, sfTiny).cache()
