@@ -1150,10 +1150,30 @@ object TextOps {
     * Scale shape: the pair source is d05's documented exact baseline
     * (scale twin m01/d11); everything downstream of the pair table is
     * pair-cardinality × 5. */
-  def d42DedupSweep(s: SparkSession, dir: String): DataFrame = {
+  def d42DedupSweep(s: SparkSession, dir: String): DataFrame =
+    sweepOver(nearDupPairs(s, dir), Tables.documents(s, dir))
+
+  /** d45 — the same θ sweep over d11's LSH candidate pairs
+    * ([[DedupLsh.lshPairs]]: capped band buckets → exact shingle-Jaccard
+    * verification ≥ 0.5): the tuning curve computed on the composition
+    * that actually runs at 100 TB (d11 slope 0.62–0.75 measured vs d05's
+    * 3.27–3.40 quadratic edge source). d42 stays as the exact-baseline
+    * differential; note the two curves count DIFFERENT similarity spaces
+    * (d05's token Jaccard vs the shingle Jaccard LSH verifies), so they
+    * agree in shape, not in absolute counts. */
+  def d45DedupSweepLsh(s: SparkSession, dir: String): DataFrame =
+    sweepOver(DedupLsh.lshPairs(s, dir), Tables.documents(s, dir))
+
+  /** The shared sweep tail over a (doc_a, doc_b, jaccard ≥ 0.5) pair frame:
+    * ONE pair pass fans out against the broadcast 5-row θ grid; pair and
+    * flagged-document counts per θ, zero-filled so the curve is always
+    * 5 rows. Everything downstream of the pair table is pair-cardinality
+    * × 5 at any scale. */
+  private def sweepOver(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
     val th = SweepThetas.map(Tuple1.apply).toDF("theta")
-    val pr = nearDupPairs(s, dir).cache() // one pair pass for the whole grid
+    val pr = pairs.cache() // one pair pass for the whole grid
     val cand = pr.crossJoin(broadcast(th))
       .filter($"jaccard" >= $"theta")
       .select($"theta", $"doc_a", $"doc_b")
@@ -1162,7 +1182,7 @@ object TextOps {
     val nd = cand.select($"theta", explode(array($"doc_a", $"doc_b")).as("d"))
       .distinct()
       .groupBy($"theta").agg(count(lit(1)).as("n_docs_flagged"))
-    val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
     val out = th.join(np, Seq("theta"), "left").join(nd, Seq("theta"), "left")
       .crossJoin(broadcast(tot))
       .select($"theta", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
@@ -1176,23 +1196,20 @@ object TextOps {
     out
   }
 
-  val d42Sql: String = {
+  /** The sweep tail in SQL, appended after a CTE block ending in
+    * pr(doc_a, doc_b, jaccard ≥ 0.5) — shared by d42 (exact d05 pairs)
+    * and d45 ([[DedupLsh.pairCtesOver]]'s LSH pairs; `swp` not `cand`
+    * because that block already binds `cand`). */
+  private val sweepTailSql: String = {
     val values = SweepThetas.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
-    s"""WITH d AS MATERIALIZED (SELECT doc_id, lang,
-         list_distinct(${toksSql("text")}) AS ts FROM documents),
-       pr AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ${rSql("len(list_intersect(a.ts, b.ts)) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 6)} AS jaccard
-         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
-       WHERE jaccard >= 0.5),
-       th AS (SELECT * FROM (VALUES $values) v(theta)),
-       cand AS MATERIALIZED (SELECT theta, doc_a, doc_b
+    s"""th AS (SELECT * FROM (VALUES $values) v(theta)),
+       swp AS MATERIALIZED (SELECT theta, doc_a, doc_b
          FROM pr CROSS JOIN th WHERE jaccard >= theta),
-       np AS (SELECT theta, count(*) AS n_pairs FROM cand GROUP BY theta),
+       np AS (SELECT theta, count(*) AS n_pairs FROM swp GROUP BY theta),
        nd AS (SELECT theta, count(*) AS n_docs_flagged FROM
          (SELECT DISTINCT theta, d FROM (
-            SELECT theta, doc_a AS d FROM cand
-            UNION ALL SELECT theta, doc_b FROM cand) u) z
+            SELECT theta, doc_a AS d FROM swp
+            UNION ALL SELECT theta, doc_b FROM swp) u) z
        GROUP BY theta),
        tot AS (SELECT count(*) AS n_docs FROM documents)
        SELECT th.theta, coalesce(np.n_pairs, 0) AS n_pairs,
@@ -1202,6 +1219,20 @@ object TextOps {
        LEFT JOIN nd ON nd.theta = th.theta CROSS JOIN tot
        ORDER BY th.theta"""
   }
+
+  val d42Sql: String =
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, lang,
+         list_distinct(${toksSql("text")}) AS ts FROM documents),
+       pr AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ${rSql("len(list_intersect(a.ts, b.ts)) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 6)} AS jaccard
+         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+       WHERE jaccard >= 0.5),
+       $sweepTailSql"""
+
+  val d45Sql: String =
+    s"""WITH ${DedupLsh.pairCtesOver("documents")},
+       $sweepTailSql"""
 
   // --- d44: character-entropy gibberish filter -----------------------------
 
@@ -1289,6 +1320,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d44_char_entropy" -> (d44CharEntropy _),
     "d42_dedup_sweep" -> (d42DedupSweep _),
+    "d45_dedup_sweep_lsh" -> (d45DedupSweepLsh _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
@@ -1310,6 +1342,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "d44_char_entropy" -> d44Sql,
     "d42_dedup_sweep" -> d42Sql,
+    "d45_dedup_sweep_lsh" -> d45Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,

@@ -70,6 +70,23 @@ class TextOpsSpec extends GraftSpec {
     } finally pr.unpersist(blocking = false)
   }
 
+  test("d45 LSH sweep: monotone in theta and anchored to the lshPairs table at 0.5") {
+    import spark.implicits._
+    val out = operators.TextOps.d45DedupSweepLsh(spark, sfTiny).orderBy($"theta").collect()
+    assert(out.length == operators.TextOps.SweepThetas.length)
+    val pairs = out.map(_.getAs[Long]("n_pairs"))
+    val docs = out.map(_.getAs[Long]("n_docs_flagged"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a }, pairs.mkString(","))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, docs.mkString(","))
+    // θ = 0.5 is exactly d11's LSH pair table (count + distinct flagged docs)
+    val pr = operators.DedupLsh.lshPairs(spark, sfTiny).cache()
+    try {
+      assert(pairs.head == pr.count(), s"${pairs.head} vs ${pr.count()}")
+      val nd = pr.select($"doc_a".as("d")).union(pr.select($"doc_b")).distinct().count()
+      assert(docs.head == nd, s"${docs.head} vs $nd")
+    } finally pr.unpersist(blocking = false)
+  }
+
   test("d38 readability: hand-computed Flesch scores on a planted sentence") {
     import spark.implicits._
     val docs = Seq(
