@@ -358,6 +358,27 @@ object Similarity {
     ivfSearch(assigned, probes).orderBy($"query_id", $"rank")
   }
 
+  /** e05's coarse quantizer packed into ONE broadcast row (cid-ordered
+    * array of (cid, cv, cnrm)) — the model artifact for the streaming
+    * index-maintenance twin [[graft.streaming.StreamOps.ivfAssignStream]]
+    * (bpeEncodeStream's train-batch/apply-stream shape). */
+  private[graft] def ivfCentroidsOneRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    corpus(s, dir).orderBy(hvCol, $"vec_id").limit(NList)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(hvCol, $"vec_id")) - 1).cast("int"))
+      .agg(sort_array(collect_list(struct($"cid", $"v".as("cv"),
+        $"nrm".as("cnrm")))).as("cents"))
+  }
+
+  /** e05's batch corpus→list assignment as (vec_id, cid) — the replay
+    * differential's batch side for ivfAssignStream. */
+  private[graft] def ivfBatchAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (assigned, _) = ivfParts(corpus(s, dir).cache())
+    assigned.select($"neighbor_id".as("vec_id"), $"cid")
+  }
+
   /** CTE block (expects `n` in scope): hash-rank centroids → assignment +
     * probes → ranked IVF neighbors, ending in
     * ivf(query_id, neighbor_id, cosine, rank). Shared by e05 and e08. */

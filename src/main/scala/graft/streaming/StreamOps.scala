@@ -273,6 +273,39 @@ object StreamOps {
         r(col("n_chars") / col("n_bpe_tokens"), 4))
   }
 
+  /** e05's streaming index-maintenance half — route arriving vectors to
+    * the batch-trained IVF coarse quantizer's inverted lists: the shape a
+    * live 100 TB vector corpus needs (the quantizer trains offline over a
+    * snapshot, new vectors are assigned in-stream; bpeEncodeStream's
+    * train-batch/apply-stream pattern, with the model artifact =
+    * [[graft.operators.Similarity.ivfCentroidsOneRow]]'s cid-ordered
+    * centroid array packed into ONE broadcast row). The argmin is
+    * SCAN-LOCAL: a fold over the centroid array with a strict-`>`
+    * comparison reproduces e05's max(struct(ccos, −cid)) tie-break
+    * (highest cosine, lowest cid — the fold meets lower cids first), and
+    * the dot product is the same graft_dot kernel with the same
+    * left-to-right summation, so assignments are bit-equal to the batch
+    * quantizer's. Stateless, no watermark, no shuffle. */
+  def ivfAssignStream(stream: DataFrame, cents1row: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    VectorExpressions.register(stream.sparkSession)
+    stream.withColumn("__j", lit(1))
+      .join(broadcast(cents1row.withColumn("__j", lit(1))), "__j")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
+      .withColumn("best",
+        aggregate(col("cents"),
+          struct(lit(Double.NegativeInfinity).as("ccos"), lit(-1).as("cid")),
+          (acc, c) => {
+            val ccos = VectorExpressions.dot(col("v"), c.getField("cv")) /
+              (col("nrm") * c.getField("cnrm"))
+            when(ccos > acc.getField("ccos"),
+              struct(ccos.as("ccos"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+  }
+
   /** d20's streaming form — fixed-budget sequence packing as
     * flatMapGroupsWithState: per (lang, shard-of-100-docs) the state is
     * ONE running token count; each micro-batch folds its docs in doc_id

@@ -544,6 +544,35 @@ class StreamReplaySpec extends GraftSpec {
     assert(batch.filter($"n_copies" > 1).count() == copies.size.toLong)
   }
 
+  test("replayed ivfAssignStream equals e05's batch list assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the quantizer is a corpus statistic, trained batch-side over the
+    // snapshot (e05's hash-rank centroids) and packed into one broadcast
+    // row — the model artifact for streaming index maintenance
+    val one = operators.Similarity.ivfCentroidsOneRow(spark, sfTiny)
+      .localCheckpoint(true)
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val k = math.ceil(vecs.size / 8.0).toInt
+    val in = MemoryStream[(Long, Seq[Float])]
+    val df = in.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.ivfAssignStream(df, one).writeStream
+      .format("memory").queryName("replay_ivf").outputMode("append").start()
+    try {
+      vecs.grouped(k).foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("replay_ivf").select($"vec_id", $"cid")
+    val batch = operators.Similarity.ivfBatchAssignments(spark, sfTiny)
+    // scan-local fold argmin ≡ batch max(struct) argmin, bit for bit —
+    // every vector routed to the same inverted list the batch build chose
+    assert(canon(streamed) == canon(batch),
+      "streaming list assignment must reproduce the batch quantizer exactly")
+    // and the stream actually exercised multiple lists
+    assert(spark.table("replay_ivf").select($"cid").distinct().count() > 1)
+  }
+
   test("replayed bpeEncodeStream equals the oracle-green d32 batch encoding") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
