@@ -43,6 +43,41 @@ class StreamOpsSpec extends GraftSpec {
     assert(back.map(_.getAs[Double]("temperature")).sorted.sameElements(Array(67.5, 85.0)))
   }
 
+  test("wire round trip through a REAL file source (documented Kafka fallback)") {
+    // The reference ingests over MQTT→Kinesis; the 1:1 Spark exercise
+    // would be the kafka connector, but /opt/spark/jars ships no
+    // spark-sql-kafka jar and the container has no broker/egress — so the
+    // closest REAL network-shaped source is the file stream: toWire's
+    // exact bytes land on disk, readStream.format("text") re-ingests them
+    // byte-for-byte (the same opaque-payload contract a broker delivers),
+    // and parseWire recovers the records. MemoryStream specs cover the
+    // semantics; this covers a true external-source boundary.
+    import spark.implicits._
+    val batch = Seq(
+      ("NC_Machine_AC", 67.5, 1.3, 1754980000L),
+      ("NC_Machine_BD", 85.0, 3.5, 1754980001L))
+      .toDF("machineId", "temperature", "vibration", "timestamp")
+    val dir = tmp("wire_files")
+    StreamOps.toWire(batch).select($"value").write.mode("overwrite").text(dir)
+    val in = spark.readStream.format("text").load(dir)
+    val q = StreamOps.parseWire(in).writeStream
+      .format("memory").queryName("wire_file").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val back = spark.table("wire_file").collect()
+      assert(back.length == 2, back.mkString("; "))
+      assert(back.map(_.getAs[Double]("temperature")).sorted
+        .sameElements(Array(67.5, 85.0)))
+      assert(back.map(_.getAs[String]("machineId")).sorted
+        .sameElements(Array("NC_Machine_AC", "NC_Machine_BD")))
+    } finally q.stop()
+    // and the bytes on disk are exactly toWire's payloads (byte equality
+    // of the wire format across the disk boundary)
+    val disk = spark.read.text(dir).as[String].collect().sorted
+    val wire = StreamOps.toWire(batch).select($"value").as[String].collect().sorted
+    assert(disk.sameElements(wire))
+  }
+
   test("dedupQos1 removes at-least-once duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
