@@ -1155,6 +1155,124 @@ object Analytics {
        WHERE r.rn = c.n_days
        ORDER BY r.event_type"""
 
+  // --- q69: additive Holt–Winters (seasonal Holt) over the daily series -----
+
+  /** q69 — additive Holt–Winters triple exponential smoothing (Winters
+    * 1960) per event_type over q61's daily series, season length m = 7
+    * (day-of-week): q61 extrapolates level+trend, q69 adds the seasonal
+    * state q59 showed exists. Binary-exact smoothing literals (α = 0.5,
+    * β = 0.25, γ = 0.25); first-cycle init (l₀ = the EXPLICIT
+    * left-associated 7-term mean so both engines add in the same order,
+    * s_j = y_j − l₀, b₀ = 0); one-step-ahead SSE accumulated in series
+    * order; 1/2/3-day forecasts read the final level/trend plus the
+    * wrapped seasonal. Types shorter than 8 days are dropped (no error
+    * terms exist).
+    *
+    * Scale shape: ONE map-side-combinable rollup touches events; the
+    * recursion is a single mapGroups pass per event_type over the
+    * day-indexed series (t15/q61's layout — state is (l, b, s₀..s₆),
+    * grows with TIME, not volume). The oracle carries the 7 seasonal
+    * columns through a recursive CTE, so the whole recursion is
+    * hash-checked step for step. */
+  def q69HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    holtWinters(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(ravg($"value", 6).as("y"))
+      .select($"event_type",
+        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+  }
+
+  /** q69's core over an explicit (event_type, di, y) series — exposed so
+    * the spec can replay hand-traced periodic/constant series. */
+  private[graft] def holtWinters(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    series.select($"event_type", $"di", $"y")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Double)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        if (rows.length < 8) Iterator.empty
+        else {
+          val ys = rows.map(_._3)
+          val l0 = ((((((ys(0) + ys(1)) + ys(2)) + ys(3)) + ys(4)) + ys(5)) + ys(6)) / 7.0
+          val sv = Array.tabulate(7)(j => ys(j) - l0)
+          var l = l0; var b = 0.0; var sse = 0.0
+          var i = 7
+          while (i < rows.length) {
+            val y = ys(i); val p = i % 7; val sj = sv(p)
+            val f = l + b + sj
+            val ln = 0.5 * (y - sj) + 0.5 * (l + b)
+            val bn = 0.25 * (ln - l) + 0.75 * b
+            sv(p) = 0.25 * (y - ln) + 0.75 * sj
+            sse = sse + (y - f) * (y - f)
+            l = ln; b = bn
+            i += 1
+          }
+          val n = rows.length
+          Iterator((et, n.toLong, l, b, sse,
+            l + b + sv(n % 7),
+            l + 2.0 * b + sv((n + 1) % 7),
+            l + 3.0 * b + sv((n + 2) % 7)))
+        }
+      }
+      .toDF("event_type", "n_days", "l", "b", "sse", "f1", "f2", "f3")
+      .select($"event_type", $"n_days", r($"l", 6).as("level"),
+        r($"b", 6).as("trend"),
+        r($"sse" / ($"n_days" - 7).cast("double"), 6).as("mse_1step"),
+        r($"f1", 6).as("fc_1"), r($"f2", 6).as("fc_2"), r($"f3", 6).as("fc_3"))
+      .orderBy($"event_type")
+  }
+
+  val q69Sql: String = {
+    // the seasonal slot y at rn touches: 1-based column index ((rn−1)%7)+1
+    val sel = (0 until 7).map(k => s"WHEN $k THEN rec.s${k + 1}")
+      .mkString("CASE (s.rn - 1) % 7 ", " ", " END")
+    val lNew = s"0.5 * (s.y - ($sel)) + 0.5 * (rec.l + rec.b)"
+    val sCols = (0 until 7).map { k =>
+      s"CASE WHEN (s.rn - 1) % 7 = $k THEN 0.25 * (s.y - ($lNew)) + 0.75 * rec.s${k + 1} ELSE rec.s${k + 1} END"
+    }.mkString(",\n           ")
+    def fcSel(h: Int) = (0 until 7).map(k => s"WHEN $k THEN r.s${k + 1}")
+      .mkString(s"CASE (c.n_days + ${h - 1}) % 7 ", " ", " END")
+    val y7 = (1 to 7).map(j => s"max(CASE WHEN rn = $j THEN y END) AS y$j").mkString(", ")
+    s"""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
+         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         ${rSql(davgSql("value"), 6)} AS y
+       FROM events GROUP BY event_type, date_trunc('day', ts)),
+       s AS MATERIALIZED (SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY di) AS rn
+       FROM daily),
+       cnt AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days
+         FROM s GROUP BY event_type),
+       init AS (SELECT event_type, $y7 FROM s WHERE rn <= 7 GROUP BY event_type),
+       rec0 AS (SELECT event_type, 7 AS rn, l, CAST(0.0 AS DOUBLE) AS b,
+           y1 - l AS s1, y2 - l AS s2, y3 - l AS s3, y4 - l AS s4,
+           y5 - l AS s5, y6 - l AS s6, y7 - l AS s7,
+           CAST(0.0 AS DOUBLE) AS sse
+         FROM (SELECT event_type, y1, y2, y3, y4, y5, y6, y7,
+             ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS l
+           FROM init) z),
+       rec AS (
+         SELECT * FROM rec0
+         UNION ALL
+         SELECT s.event_type, s.rn,
+           $lNew,
+           0.25 * (($lNew) - rec.l) + 0.75 * rec.b,
+           $sCols,
+           rec.sse + (s.y - (rec.l + rec.b + ($sel))) * (s.y - (rec.l + rec.b + ($sel)))
+         FROM s JOIN rec ON s.event_type = rec.event_type AND s.rn = rec.rn + 1)
+       SELECT r.event_type, c.n_days, ${rSql("r.l", 6)} AS level,
+         ${rSql("r.b", 6)} AS trend,
+         ${rSql("r.sse / CAST(c.n_days - 7 AS DOUBLE)", 6)} AS mse_1step,
+         ${rSql(s"r.l + r.b + (${fcSel(1)})", 6)} AS fc_1,
+         ${rSql(s"r.l + 2.0 * r.b + (${fcSel(2)})", 6)} AS fc_2,
+         ${rSql(s"r.l + 3.0 * r.b + (${fcSel(3)})", 6)} AS fc_3
+       FROM rec r JOIN cnt c ON c.event_type = r.event_type
+       WHERE r.rn = c.n_days AND c.n_days >= 8
+       ORDER BY r.event_type"""
+  }
+
   // --- q59: additive seasonal decomposition of the event stream -------------
 
   /** q59 — additive seasonal decomposition per event_type: value ≈ mean +
@@ -2124,6 +2242,7 @@ object Analytics {
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
     "q61_holt_forecast" -> (q61HoltForecast _),
+    "q69_holt_winters" -> (q69HoltWinters _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2165,6 +2284,7 @@ object Analytics {
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,
     "q61_holt_forecast" -> q61Sql,
+    "q69_holt_winters" -> q69Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

@@ -199,6 +199,31 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q69 Holt-Winters: pure period-7 series tracks exactly, short types drop") {
+    import spark.implicits._
+    // periodic pattern (mean 29 exact in binary): after first-cycle init
+    // l = 29, s_j = y_j − 29, every later step has y − s_j = 29 → the
+    // recursion is a fixed point: sse = 0, trend 0, forecasts replay the
+    // pattern (positions n%7, (n+1)%7, (n+2)%7 = indices 0,1,2)
+    val pat = Seq(7.0, 14.0, 21.0, 28.0, 35.0, 42.0, 56.0)
+    val per = (0 until 21).map(i => ("p", i.toLong, pat(i % 7)))
+    val const = (0 until 21).map(i => ("c", i.toLong, 5.0))
+    val short = (0 until 7).map(i => ("s", i.toLong, 1.0)) // < 8 days → dropped
+    val out = Analytics.holtWinters((per ++ const ++ short)
+      .toDF("event_type", "di", "y")).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(!out.contains("s") && out.size == 2)
+    val p = out("p")
+    assert(p.getAs[Double]("level") == 29.0 && p.getAs[Double]("trend") == 0.0)
+    assert(p.getAs[Double]("mse_1step") == 0.0)
+    assert(p.getAs[Double]("fc_1") == 7.0, s"$p")
+    assert(p.getAs[Double]("fc_2") == 14.0, s"$p")
+    assert(p.getAs[Double]("fc_3") == 21.0, s"$p")
+    val c = out("c")
+    assert(c.getAs[Double]("level") == 5.0 && c.getAs[Double]("trend") == 0.0)
+    assert(c.getAs[Double]("mse_1step") == 0.0 && c.getAs[Double]("fc_3") == 5.0)
+  }
+
   test("q68 histogram Gini: equals exact q57 on singleton-bucket distributions, lower-bounds it under spread") {
     import spark.implicits._
     // u: hi = lo → one bucket → 0 exactly; h: {0,0,0}→bucket 1, {10}→bucket 20
