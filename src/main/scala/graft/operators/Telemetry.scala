@@ -326,9 +326,13 @@ object Telemetry {
       14400.0)
   }
 
-  /** t19's core over an explicit (session_end, duration_s) relation —
-    * exposed so the spec can plant durations with a hand-computed curve. */
-  private[graft] def kaplanMeier(sess: DataFrame, gapS: Double): DataFrame = {
+  /** The censoring-aware risk table over (session_end, duration_s): per
+    * distinct duration, total/observed/censored counts plus the
+    * at-risk count n_risk (suffix sum over the duration axis) — the
+    * shared state both survival estimators (t19 Kaplan–Meier, t24
+    * Nelson–Aalen) read. Rows without observed events are dropped (they
+    * only feed risk sets). */
+  private def riskTable(sess: DataFrame, gapS: Double): DataFrame = {
     val s = sess.sparkSession
     import s.implicits._
     val horizon = sess.agg(max($"session_end").as("tmax"))
@@ -341,10 +345,18 @@ object Telemetry {
         sum($"cens").as("c_cens"))
     val wDesc = Window.orderBy($"dur".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAsc = Window.orderBy($"dur".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     at.withColumn("n_risk", sum($"c_all").over(wDesc))
       .filter($"c_obs" > 0)
+  }
+
+  /** t19's core over an explicit (session_end, duration_s) relation —
+    * exposed so the spec can plant durations with a hand-computed curve. */
+  private[graft] def kaplanMeier(sess: DataFrame, gapS: Double): DataFrame = {
+    val s = sess.sparkSession
+    import s.implicits._
+    val wAsc = Window.orderBy($"dur".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(sess, gapS)
       .withColumn("lnterm",
         when($"c_obs" === $"n_risk", lit(0.0)) // hazard 1 → overridden below
           .otherwise(log(lit(1.0) - $"c_obs".cast("double") / $"n_risk".cast("double"))))
@@ -356,8 +368,49 @@ object Telemetry {
       .orderBy($"duration_s")
   }
 
-  val t19Sql: String =
-    s"""WITH g AS (
+  /** t24 — Nelson–Aalen cumulative hazard over the same censored session
+    * durations (Nelson 1972, Aalen 1978): H(t) = Σ_\{t'≤t\} d/n with its
+    * standard-error estimate sqrt(Σ d/n²) and the Fleming–Harrington
+    * survival exp(−H) — the hazard-scale view t19's product-limit curve
+    * can't give (hazard increments are additive, so confidence bands and
+    * hazard-ratio comparisons read directly off H). Shares t19's entire
+    * risk-table construction ([[riskTable]] / the survivalCtes SQL
+    * block); only the accumulated term differs (d/n instead of
+    * ln(1 − d/n) — no zero guard needed: d = n is hazard 1, finite).
+    * Running sums accumulate over the pinned duration order (the q08
+    * precedent). Same scale shape as t19. */
+  def t24NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nelsonAalen(t08Sessionize(s, dir).select($"session_end", $"duration_s"),
+      14400.0)
+  }
+
+  /** t24's core — exposed for the hand-computed spec. */
+  private[graft] def nelsonAalen(sess: DataFrame, gapS: Double): DataFrame = {
+    val s = sess.sparkSession
+    import s.implicits._
+    val wAsc = Window.orderBy($"dur".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(sess, gapS)
+      .withColumn("hterm", $"c_obs".cast("double") / $"n_risk".cast("double"))
+      .withColumn("vterm", $"c_obs".cast("double") /
+        ($"n_risk".cast("double") * $"n_risk".cast("double")))
+      .withColumn("hsum", sum($"hterm").over(wAsc))
+      .withColumn("vsum", sum($"vterm").over(wAsc))
+      .select($"dur".as("duration_s"), $"n_risk",
+        $"c_obs".as("n_events"), $"c_cens".as("n_censored"),
+        r($"hsum", 6).as("cum_hazard"),
+        r(sqrt($"vsum"), 6).as("hazard_se"),
+        r(exp(-$"hsum"), 6).as("surv_fh"))
+      .orderBy($"duration_s")
+  }
+
+  /** The shared survival CTE block: t08's sessionization → censored
+    * duration risk table; ends in rk(dur, c_obs, c_cens, n_risk) with
+    * rows lacking observed events still present (the WHERE c_obs > 0
+    * lives in each estimator's tail). Shared by t19 and t24. */
+  private val survivalCtesSql: String =
+    """g AS (
          SELECT user_id, ts, event_id,
            CASE WHEN lag(ts, 1) OVER w IS NULL
                   OR (epoch(ts) - epoch(lag(ts, 1) OVER w)) > 14400.0
@@ -384,7 +437,28 @@ object Telemetry {
        rk AS (SELECT dur, c_obs, c_cens,
            CAST(sum(c_all) OVER (ORDER BY dur DESC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
-         FROM at),
+         FROM at)"""
+
+  val t24Sql: String =
+    s"""WITH $survivalCtesSql,
+       hv AS (SELECT dur, n_risk, c_obs, c_cens,
+           CAST(c_obs AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hterm,
+           CAST(c_obs AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS vterm
+         FROM rk WHERE c_obs > 0),
+       cm AS (SELECT dur, n_risk, c_obs, c_cens,
+           sum(hterm) OVER (ORDER BY dur ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hsum,
+           sum(vterm) OVER (ORDER BY dur ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vsum
+         FROM hv)
+       SELECT dur AS duration_s, n_risk, c_obs AS n_events, c_cens AS n_censored,
+         ${rSql("hsum", 6)} AS cum_hazard,
+         ${rSql("sqrt(vsum)", 6)} AS hazard_se,
+         ${rSql("exp(-hsum)", 6)} AS surv_fh
+       FROM cm ORDER BY duration_s"""
+
+  val t19Sql: String =
+    s"""WITH $survivalCtesSql,
        ev AS (SELECT dur, n_risk, c_obs, c_cens,
            CASE WHEN c_obs = n_risk THEN 0.0
                 ELSE ln(1.0 - CAST(c_obs AS DOUBLE) / CAST(n_risk AS DOUBLE)) END AS lnterm
@@ -884,6 +958,7 @@ object Telemetry {
     "t07_spike_detect" -> (t07SpikeDetect _),
     "t08_sessionize" -> (t08Sessionize _),
     "t19_kaplan_meier" -> (t19KaplanMeier _),
+    "t24_nelson_aalen" -> (t24NelsonAalen _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -904,5 +979,6 @@ object Telemetry {
     "t07_spike_detect" -> t07Sql,
     "t08_sessionize" -> t08Sql,
     "t19_kaplan_meier" -> t19Sql,
+    "t24_nelson_aalen" -> t24Sql,
     "t09_props_stats" -> t09Sql)
 }

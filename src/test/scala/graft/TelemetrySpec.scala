@@ -161,6 +161,34 @@ class TelemetrySpec extends GraftSpec {
       && row(30).getAs[Double]("survival") == 0.0, s"${row(30)}")
   }
 
+  test("t24 Nelson-Aalen: hand-computed hazard on the t19 fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sess = Seq((1000L, 10L), (1000L, 10L), (1000L, 20L), (1000L, 30L),
+      (2000L, 20L))
+      .toDF("endsec", "duration_s")
+      .select(timestamp_seconds($"endsec").as("session_end"), $"duration_s")
+    val out = Telemetry.nelsonAalen(sess, 100.0).collect()
+    assert(out.length == 3, out.mkString("; "))
+    def row(d: Long) = out.find(_.getAs[Long]("duration_s") == d).get
+    // H accumulates d/n over the duration axis: 2/5 → +1/3 → +1 (d = n is
+    // finite on the hazard scale — no guard branch exists here)
+    val h10 = 2.0 / 5.0
+    val h20 = h10 + 1.0 / 3.0
+    val h30 = h20 + 1.0
+    assert(row(10).getAs[Double]("cum_hazard") == operators.Num.rD(h10, 6), s"${row(10)}")
+    assert(row(20).getAs[Double]("cum_hazard") == operators.Num.rD(h20, 6), s"${row(20)}")
+    assert(row(30).getAs[Double]("cum_hazard") == operators.Num.rD(h30, 6), s"${row(30)}")
+    val v30 = 2.0 / 25.0 + 1.0 / 9.0 + 1.0
+    assert(row(30).getAs[Double]("hazard_se") == operators.Num.rD(math.sqrt(v30), 6))
+    assert(row(30).getAs[Double]("surv_fh") == operators.Num.rD(math.exp(-h30), 6))
+    // Fleming–Harrington ≥ Kaplan–Meier everywhere (standard inequality)
+    val km = Telemetry.kaplanMeier(sess, 100.0).collect()
+      .map(r => r.getAs[Long]("duration_s") -> r.getAs[Double]("survival")).toMap
+    assert(out.forall(r => r.getAs[Double]("surv_fh") >=
+      km(r.getAs[Long]("duration_s")) - 1e-9))
+  }
+
   test("t19 on testdata: survival is a non-increasing [0,1] step function") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
