@@ -1518,6 +1518,78 @@ object Similarity {
          ${ravgSql("sil", 6)} AS mean_sil
        FROM sil GROUP BY cid ORDER BY cluster"""
 
+  // --- e27: Davies–Bouldin index of the e10 clustering -------------------
+
+  /** e27 — Davies–Bouldin cluster-validity index (Davies & Bouldin 1979)
+    * over the e10 k-means clustering: per cluster i the dispersion S_i =
+    * mean member→centroid distance; per ordered pair the similarity
+    * R_ij = (S_i + S_j)/M_ij with M_ij the centroid separation; each
+    * cluster reports its WORST competitor max_{j≠i} R_ij (the DB index
+    * is the mean of this column — small = tight, well-separated). e21's
+    * silhouette scores members, DB scores the cluster GEOMETRY — the two
+    * standard internal-validity views, both sharing e10's hash-checked
+    * Lloyd machinery so the evaluated model is the trained one.
+    *
+    * Scale shape: dispersions are one K-bounded aggregate over the
+    * assignment scan; separations live on the K×K centroid frame;
+    * everything after is K²-sized. Corpus-linear, like e10 itself. */
+  def e27DaviesBouldin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    daviesBouldin(corpus(s, dir).select($"vec_id", $"v"), KmK, KmIters)
+  }
+
+  /** e27's core with explicit (k, iters) — exposed so the spec can plant
+    * a two-cluster geometry with hand-computed dispersion/separation. */
+  private[graft] def daviesBouldin(c0: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = c0.sparkSession
+    import s.implicits._
+    val c = c0.cache()
+    val cents = kmeansCentroids(c, k, iters).cache()
+    val disp = kmAssign(c, cents)
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"), r(davg(sqrt($"dist")), 6).as("si"))
+      .cache() // feeds both sides of the pair ratios plus the output join
+    val sep = cents.as("a").join(cents.as("b"), col("a.cid") =!= col("b.cid"))
+      .select(col("a.cid").as("cid"), col("b.cid").as("ocid"),
+        sqrt(VectorExpressions.sqDist(col("a.cv"), col("b.cv"))).as("mij"))
+    val worst = sep
+      .join(disp.select($"cid", $"si"), Seq("cid"))
+      .join(disp.select($"cid".as("ocid"), $"si".as("sj")), Seq("ocid"))
+      .withColumn("rij", r(($"si" + $"sj") / $"mij", 6))
+      .groupBy($"cid")
+      .agg(max(struct($"rij", (-$"ocid").as("nocid"))).as("w"))
+      .select($"cid", $"w.rij".as("db_ratio"),
+        (-$"w.nocid").cast("int").as("vs_cluster"))
+    val out = disp.join(worst, Seq("cid"))
+      .select($"cid".as("cluster"), $"n_vecs", $"si".as("dispersion"),
+        $"vs_cluster", $"db_ratio")
+      .orderBy($"cluster")
+      .localCheckpoint(true)
+    Seq(disp, cents, c).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val e27Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e10Ctes,
+       dsp AS (SELECT cid, count(*) AS n_vecs,
+           ${rSql(davgSql("sqrt(dist)"), 6)} AS si
+         FROM kmf GROUP BY cid),
+       sep AS (SELECT a.cid AS cid, b.cid AS ocid,
+           sqrt(list_sum(list_transform(range(1, 65), i ->
+             (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])))) AS mij
+         FROM kmc$KmIters a JOIN kmc$KmIters b ON a.cid != b.cid),
+       rr AS (SELECT s.cid, s.ocid, ${rSql("(i.si + j.si) / s.mij", 6)} AS rij
+         FROM sep s JOIN dsp i ON i.cid = s.cid JOIN dsp j ON j.cid = s.ocid),
+       wr AS (SELECT cid, ocid, rij FROM (
+           SELECT cid, ocid, rij,
+             row_number() OVER (PARTITION BY cid ORDER BY rij DESC, ocid ASC) AS rn
+           FROM rr) z WHERE rn = 1)
+       SELECT d.cid AS cluster, d.n_vecs, d.si AS dispersion,
+         w.ocid AS vs_cluster, w.rij AS db_ratio
+       FROM dsp d JOIN wr w ON w.cid = d.cid
+       ORDER BY cluster"""
+
   // --- e18: PCA projection via power iteration ---------------------------
 
   private[graft] val PcaIters = 6
@@ -2179,6 +2251,7 @@ object Similarity {
     "e21_silhouette" -> (e21Silhouette _),
     "e08_ann_recall" -> (e08AnnRecall _),
     "e09_neardup_ann" -> (e09NearDupAnn _),
+    "e27_davies_bouldin" -> (e27DaviesBouldin _),
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
@@ -2214,6 +2287,7 @@ object Similarity {
     "e07_pq_quantize" -> e07Sql,
     "e08_ann_recall" -> e08Sql,
     "e09_neardup_ann" -> e09Sql,
+    "e27_davies_bouldin" -> e27Sql,
     "e11_ivfpq_ann" -> e11Sql,
     "e12_random_projection" -> e12Sql,
     "e13_adc_rerank" -> e13Sql,

@@ -347,6 +347,31 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("e27 Davies-Bouldin: hand-computed two-cluster geometry and e21 dispersion parity") {
+    import spark.implicits._
+    // two tight pairs on the x-axis at 1.0±0.1 and 10.0±0.1: whatever the
+    // hash-rank init picks, two Lloyd rounds converge to means (1.0, 10.0)
+    // exactly → S_i = 0.1, M = 9, R = r6(0.2/9) = 0.022222 for both rows
+    def v(x: Double) = Array.fill(64)(0.0).updated(0, x).toSeq
+    val planted = Seq((1L, v(0.9)), (2L, v(1.1)), (3L, v(9.9)), (4L, v(10.1)))
+      .toDF("vec_id", "v")
+    val rows = operators.Similarity.daviesBouldin(planted, 2, 3).collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 2L, s"$r")
+      assert(r.getAs[Double]("dispersion") == 0.1, s"$r")
+      assert(r.getAs[Double]("db_ratio") == 0.022222, s"$r")
+      assert(r.getAs[Int]("vs_cluster") != r.getAs[Int]("cluster"))
+    }
+    // on testdata: dispersion must equal e21's mean_a (both are the mean
+    // member→own-centroid distance over the same trained model)
+    val db = operators.Similarity.e27DaviesBouldin(spark, sfTiny).collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Double]("dispersion")).toMap
+    val sil = operators.Similarity.e21Silhouette(spark, sfTiny).collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Double]("mean_a")).toMap
+    assert(db == sil, s"$db vs $sil")
+  }
+
   test("e21 silhouette: covers the corpus, bd ≥ ad, scores in [0,1], sizes ≡ e10") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
