@@ -338,6 +338,80 @@ object Curation {
        ORDER BY te.doc_id"""
   }
 
+  // --- d46: source×source n-gram containment matrix ----------------------
+
+  /** d46 — cross-source overlap matrix: for every ordered source pair
+    * (a, b), the containment C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|
+    * over distinct 5-grams — the corpus-level view of d35's split audit
+    * (d35 asks "does MY test decile leak from MY train split"; d46 asks
+    * "which ingestion sources are re-crawling each other", the question
+    * that decides whether two feeds should even coexist in a mix).
+    * Asymmetric by construction: a small feed fully contained in a big
+    * one scores 1.0 one way and near 0 the other. Absent pairs zero-fill
+    * so the matrix is always |sources|·(|sources|−1) rows.
+    *
+    * Scale shape: gram arrays materialize once before the explode
+    * (invariant 5); the (source, gram) distinct is one uniform-key
+    * shuffle; the pair counts are a gram-keyed self-equi-join whose
+    * fan-out per gram is bounded by |sources|² — the d35 equi-join shape,
+    * never all-pairs of documents. */
+  def d46SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sourceOverlap(Tables.documents(s, dir).select($"source", $"text"))
+  }
+
+  /** d46's core over (source, text) — exposed for the planted-overlap
+    * spec. */
+  private[graft] def sourceOverlap(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g0 = docs
+      .select($"source", toks(lower($"text")).as("tk"))
+      .select($"source", gramsCol(LeakN).as("gs"))
+      .cache()
+    val sg = g0.select($"source", explode($"gs").as("g")).distinct().cache()
+    val tot = sg.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+    val srcs = g0.select($"source").distinct()
+    val pairs = srcs.as("pa").crossJoin(srcs.as("pb"))
+      .select(col("pa.source").as("src_a"), col("pb.source").as("src_b"))
+      .filter($"src_a" =!= $"src_b")
+    val shared = sg.as("x").join(sg.as("y"),
+        col("x.g") === col("y.g") && col("x.source") =!= col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared0"))
+    val out = pairs
+      .join(broadcast(tot.select($"source".as("src_a"),
+        $"n_grams".as("n_grams_a"))), Seq("src_a"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b", $"n_grams_a",
+        coalesce($"n_shared0", lit(0L)).as("n_shared"),
+        r(coalesce($"n_shared0", lit(0L)).cast("double") /
+          $"n_grams_a".cast("double"), 6).as("containment"))
+      .orderBy($"src_a", $"src_b")
+      .localCheckpoint(true)
+    Seq(g0, sg).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val d46Sql: String =
+    s"""WITH g0 AS MATERIALIZED (SELECT source, ${gramsSql(LeakN)} AS gs
+         FROM (SELECT source, ${toksSql("lower(text)")} AS tk FROM documents) z),
+       sg AS MATERIALIZED (SELECT DISTINCT source, unnest(gs) AS g FROM g0),
+       tot AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+       srcs AS (SELECT DISTINCT source FROM g0),
+       pairs AS (SELECT a.source AS src_a, b.source AS src_b
+         FROM srcs a, srcs b WHERE a.source != b.source),
+       sh AS (SELECT x.source AS src_a, y.source AS src_b,
+           count(*) AS n_shared0
+         FROM sg x JOIN sg y ON x.g = y.g AND x.source != y.source
+         GROUP BY x.source, y.source)
+       SELECT p.src_a, p.src_b, CAST(t.n_grams AS BIGINT) AS n_grams_a,
+         CAST(coalesce(s.n_shared0, 0) AS BIGINT) AS n_shared,
+         ${rSql("CAST(coalesce(s.n_shared0, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)", 6)} AS containment
+       FROM pairs p JOIN tot t ON t.source = p.src_a
+       LEFT JOIN sh s ON s.src_a = p.src_a AND s.src_b = p.src_b
+       ORDER BY p.src_a, p.src_b"""
+
   // --- d39: per-source n-gram novelty audit -------------------------------
 
   /** d39 — n-gram novelty audit: for each document, the fraction of its
@@ -723,6 +797,7 @@ object Curation {
     "d22_dataset_card" -> (d22DatasetCard _),
     "d16_decontaminate" -> (d16Decontaminate _),
     "d35_split_leakage" -> (d35SplitLeakage _),
+    "d46_source_overlap" -> (d46SourceOverlap _),
     "d39_novelty" -> (d39Novelty _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
@@ -735,6 +810,7 @@ object Curation {
     "d22_dataset_card" -> d22Sql,
     "d16_decontaminate" -> d16Sql,
     "d35_split_leakage" -> d35Sql,
+    "d46_source_overlap" -> d46Sql,
     "d39_novelty" -> d39Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,

@@ -213,6 +213,27 @@ class CurationSpec extends GraftSpec {
     } finally out.unpersist()
   }
 
+  test("d46 source overlap: hand-computed containment on a planted 3-source corpus") {
+    import spark.implicits._
+    // A has grams {abcde, bcdef}; B has {abcde, bcdex}; C has {pqrst}
+    // → C(A→B) = C(B→A) = 1/2; every pair with C is 0; matrix = 6 rows
+    val docs = Seq(
+      ("A", "a b c d e f"),
+      ("B", "a b c d e x"),
+      ("C", "p q r s t")).toDF("source", "text")
+    val out = operators.Curation.sourceOverlap(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    assert(out.size == 6, out.keys.mkString(";"))
+    assert(out(("A", "B")).getAs[Long]("n_grams_a") == 2L)
+    assert(out(("A", "B")).getAs[Long]("n_shared") == 1L)
+    assert(out(("A", "B")).getAs[Double]("containment") == 0.5)
+    assert(out(("B", "A")).getAs[Double]("containment") == 0.5)
+    assert(out(("C", "A")).getAs[Long]("n_grams_a") == 1L)
+    Seq(("A", "C"), ("B", "C"), ("C", "A"), ("C", "B")).foreach { k =>
+      assert(out(k).getAs[Double]("containment") == 0.0, s"$k ${out(k)}")
+    }
+  }
+
   test("d35 split leakage matches a full driver-side reimplementation at sfTiny") {
     import spark.implicits._
     import graft.operators.Curation
