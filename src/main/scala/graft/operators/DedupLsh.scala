@@ -307,7 +307,115 @@ object DedupLsh {
        LIMIT 500"""
   }
 
+  /** m05's fixed sample budget: 64 hash-ranked docs → 2016 exact pairs. */
+  private val ScurveSample = 64
+
+  /** 1 − (1 − m^[[RowsPerBand]])^[[Bands]] at the bin midpoint
+    * m = (bin + 0.5)/10, spelled as an explicit multiplication chain
+    * shared VERBATIM by both engines — libm pow() parity across engines
+    * is not guaranteed, repeated IEEE multiplication is. */
+  private def scurveTheorySql(bin: String): String = {
+    val m = s"((CAST($bin AS DOUBLE) + 0.5) / 10.0)"
+    val p8 = (1 until RowsPerBand).foldLeft(m)((acc, _) => s"($acc * $m)")
+    val q = s"(1.0 - $p8)"
+    val q4 = (1 until Bands).foldLeft(q)((acc, _) => s"($acc * $q)")
+    s"1.0 - $q4"
+  }
+
+  /** Column twin of [[scurveTheorySql]] — same multiplication chain in
+    * the same order, but with Scala double literals (an `expr()` parse of
+    * the SQL text would make every literal DECIMAL, CLAUDE.md inv. 8b). */
+  private def scurveTheoryCol(bin: Column): Column = {
+    val m = (bin.cast("double") + lit(0.5)) / lit(10.0)
+    val p8 = (1 until RowsPerBand).foldLeft(m)((acc, _) => acc * m)
+    val q = lit(1.0) - p8
+    val q4 = (1 until Bands).foldLeft(q)((acc, _) => acc * q)
+    lit(1.0) - q4
+  }
+
+  /** m05 — LSH s-curve calibration: over all pairs of a fixed
+    * [[ScurveSample]]-doc hash-rank sample, exact shingle Jaccard (binned
+    * by 0.1), the EMPIRICAL ≥1-band collision rate, and the THEORETICAL
+    * candidate probability 1 − (1 − j^8)^4 at the bin midpoint — the
+    * report that validates m01's (bands, rows) choice against observed
+    * data before committing to a corpus-scale dedup run. Bins with no
+    * sampled pair are absent (the curve reports what was measured).
+    * Exact dups land in bin 9 with empirical rate 1 (the all-band
+    * collision guarantee DedupLshSpec already pins for m01).
+    *
+    * Scale shape: the sample is a hash-rank top-64 (TakeOrdered, no
+    * driver-side sizing pass); all pairwise work is budget² = 2016 rows
+    * at any corpus size — only the shingling scan is corpus-sized. */
+  def m05LshScurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lshScurve(Tables.documents(s, dir).select($"doc_id", $"text"))
+  }
+
+  /** m05's core over (doc_id, text) — exposed for the planted-corpus
+    * spec. */
+  private[graft] def lshScurve(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val smp = shingleDocs(docs0)
+      .orderBy(h60($"doc_id".cast("string")), $"doc_id").limit(ScurveSample)
+      .cache() // feeds the band build AND both exact-pair sides
+    val bands = bucketsOf(smp).cache()
+    val coll = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("cf", lit(1))
+    val a = smp.select($"doc_id".as("doc_a"), $"sh".as("ta"))
+    val b = smp.select($"doc_id".as("doc_b"), $"sh".as("tb"))
+    val inter = size(array_intersect($"ta", $"tb"))
+    val pairs = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("jacc", r(inter.cast("double") /
+        (size($"ta") + size($"tb") - inter), 6))
+      .select($"doc_a", $"doc_b", $"jacc")
+      .join(coll, Seq("doc_a", "doc_b"), "left")
+      .withColumn("coll", coalesce($"cf", lit(0)))
+      .withColumn("jacc_bin", least(lit(9), floor($"jacc" * 10.0).cast("int")))
+    val out = pairs.groupBy($"jacc_bin")
+      .agg(count(lit(1)).as("n_pairs"), sum($"coll").cast("long").as("n_collide"))
+      .withColumn("emp_p",
+        r($"n_collide".cast("double") / $"n_pairs".cast("double"), 6))
+      .withColumn("theory_p", r(scurveTheoryCol($"jacc_bin"), 6))
+      .orderBy($"jacc_bin")
+      .localCheckpoint(true)
+    Seq(smp, bands).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val m05Sql: String =
+    s"""WITH ${shingleCtesOver("documents")},
+       smp AS (SELECT doc_id, sh FROM shd
+         ORDER BY ${h60Sql("doc_id::VARCHAR")}, doc_id LIMIT $ScurveSample),
+       ex AS (SELECT doc_id, unnest(sh) AS t FROM smp),
+       hh AS (SELECT doc_id, ${h60Sql("t")} % $P AS h FROM ex),
+       sig AS (SELECT doc_id, $sigColsSql FROM hh GROUP BY doc_id),
+       bnd AS (SELECT doc_id, $bandHashesSql FROM sig),
+       bkt AS ($bucketUnionSql),
+       cl AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bkt x JOIN bkt y
+         ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ${rSql("len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))", 6)} AS jacc
+         FROM smp a JOIN smp b ON a.doc_id < b.doc_id),
+       fl AS (SELECT p.jacc,
+           CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS coll
+         FROM pr p LEFT JOIN cl c
+         ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b),
+       bb AS (SELECT CAST(least(9, CAST(floor(jacc * 10.0) AS INTEGER)) AS INTEGER) AS jacc_bin,
+           coll FROM fl)
+       SELECT jacc_bin, count(*) AS n_pairs,
+         CAST(sum(coll) AS BIGINT) AS n_collide,
+         ${rSql("CAST(sum(coll) AS BIGINT) / CAST(count(*) AS DOUBLE)", 6)} AS emp_p,
+         ${rSql(scurveTheorySql("jacc_bin"), 6)} AS theory_p
+       FROM bb GROUP BY jacc_bin ORDER BY jacc_bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m05_lsh_scurve" -> (m05LshScurve _),
     "m04_jaccard_estimate" -> (m04JaccardEstimate _),
     "m01_minhash_pairs" -> (m01MinHashPairs _),
     "m02_simhash" -> (m02SimHash _),
@@ -338,18 +446,25 @@ object DedupLsh {
     * shared by [[pairCtesOver]] and m04's estimation oracle.
     * Multiplier literals are ::BIGINT-cast (DuckDB int32 literal overflow,
     * CLAUDE.md invariant 7). */
+  /** Signature / band-hash / bucket-union SQL fragments (over CTEs named
+    * hh → sig → bnd) — shared by [[candCtesOver]] and m05's sampled
+    * s-curve oracle. */
+  private lazy val sigColsSql: String = (0 until NumHashes).map { j =>
+    s"min((${2 * j + 1}::BIGINT * h + ${j * 7919 + 13}) % $P) AS s$j"
+  }.mkString(", ")
+  private lazy val bandHashesSql: String = (0 until Bands).map { b =>
+    val parts = (0 until RowsPerBand)
+      .map(r => s"s${b * RowsPerBand + r}::VARCHAR").mkString(" || ':' || ")
+    s"${h60Sql(parts)} AS bh$b"
+  }.mkString(", ")
+  private lazy val bucketUnionSql: String = (0 until Bands)
+    .map(b => s"SELECT doc_id, $b AS band, bh$b AS bh FROM bnd")
+    .mkString(" UNION ALL ")
+
   private def candCtesOver(src: String): String = {
-    val sigCols = (0 until NumHashes).map { j =>
-      s"min((${2 * j + 1}::BIGINT * h + ${j * 7919 + 13}) % $P) AS s$j"
-    }.mkString(", ")
-    val bandHashes = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => s"s${b * RowsPerBand + r}::VARCHAR").mkString(" || ':' || ")
-      s"${h60Sql(parts)} AS bh$b"
-    }.mkString(", ")
-    val bucketUnion = (0 until Bands)
-      .map(b => s"SELECT doc_id, $b AS band, bh$b AS bh FROM bnd")
-      .mkString(" UNION ALL ")
+    val sigCols = sigColsSql
+    val bandHashes = bandHashesSql
+    val bucketUnion = bucketUnionSql
     s"""${shingleCtesOver(src)},
        ex AS (SELECT doc_id, unnest(sh) AS t FROM shd),
        hh AS (SELECT doc_id, ${h60Sql("t")} % $P AS h FROM ex),
@@ -434,6 +549,7 @@ object DedupLsh {
        LIMIT 500"""
 
   val oracles: Map[String, String] = Map(
+    "m05_lsh_scurve" -> m05Sql,
     "m04_jaccard_estimate" -> m04Sql,
     "m01_minhash_pairs" -> m01Sql,
     "m02_simhash" -> m02Sql,

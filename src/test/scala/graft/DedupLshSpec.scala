@@ -90,6 +90,24 @@ class DedupLshSpec extends GraftSpec {
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("m05 s-curve: exact dups collide at rate 1 in bin 9, disjoint pairs at 0 in bin 0, theory monotone") {
+    import spark.implicits._
+    val rows = DedupLsh.lshScurve(crafted).collect()
+      .map(r => r.getAs[Int]("jacc_bin") -> r).toMap
+    // the (0,1) exact-dup pair: jaccard 1 → bin 9, all-band collision
+    assert(rows(9).getAs[Long]("n_pairs") == 1L, rows.values.mkString(";"))
+    assert(rows(9).getAs[Double]("emp_p") == 1.0)
+    // doc 3 is disjoint from everything: its 4 pairs land in bin 0 with
+    // no collision; the reshuffled doc 4 also shares no shingles with 0/1/2
+    assert(rows(0).getAs[Double]("emp_p") == 0.0, s"${rows(0)}")
+    // theory column follows the shared chain 1 − (1 − m^8)^4 and rises
+    val th = rows.toSeq.sortBy(_._1).map(_._2.getAs[Double]("theory_p"))
+    assert(th.zip(th.tail).forall { case (a, b) => a < b }, th.mkString(","))
+    assert(rows(9).getAs[Double]("theory_p") > 0.9)
+    // pair accounting: C(5,2) = 10 pairs total
+    assert(rows.values.map(_.getAs[Long]("n_pairs")).sum == 10L)
+  }
+
   test("m04 estimate: 1/32 grid, exact dups estimated exactly, error bounded") {
     val out = DedupLsh.m04JaccardEstimate(spark, sfTiny).cache()
     try {
