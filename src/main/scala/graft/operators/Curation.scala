@@ -412,6 +412,113 @@ object Curation {
        LEFT JOIN sh s ON s.src_a = p.src_a AND s.src_b = p.src_b
        ORDER BY p.src_a, p.src_b"""
 
+  // --- ml19: PSI drift audit between the s03 train and test splits --------
+
+  /** ml19's bin count — 10 equi-width bins, the standard PSI grid. */
+  private val PsiBins = 10
+
+  /** ml19 — Population Stability Index between s03's train (h ≤ 7) and
+    * test (h = 9) splits over two document features (n_chars, n_tokens):
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), the drift gauge every deployed
+    * scoring pipeline monitors (rule of thumb: < 0.1 stable, > 0.25
+    * shifted). A HASH split should score ≈ 0 — so this audit doubles as
+    * the empirical check that s03's md5 split is unbiased. Counts are
+    * +1-Laplace-smoothed so empty bins stay finite AND every ln argument
+    * is an exact integer (the d10 ln-parity family: ln(p/q) expands to
+    * ± lns of integer counts — bit-portable). Absent bins zero-fill, so
+    * the grid is always features × [[PsiBins]] rows; the per-feature
+    * total re-enters decimal (order-independent) and repeats on each row.
+    *
+    * Scale shape: one scan builds both features; bounds are a
+    * feature-keyed 2-row aggregate (broadcast back); counts are one
+    * map-side-combinable (feature, bin, split) aggregation; everything
+    * after is 20 rows. */
+  def ml19PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = lit(PsiBins.toDouble)
+    val feats = Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+      .filter($"h" <= 7 || $"h" === 9)
+      .select(when($"h" <= 7, lit("train")).otherwise(lit("test")).as("split"),
+        explode(array(
+          struct(lit("n_chars").as("feature"), $"n_chars".cast("double").as("x")),
+          struct(lit("n_tokens").as("feature"),
+            size(toks(lower($"text"))).cast("double").as("x")))).as("f"))
+      .select($"split", $"f.feature", $"f.x")
+      .cache() // feeds bounds and counts
+    val bounds = feats.groupBy($"feature").agg(min($"x").as("lo"), max($"x").as("hi"))
+    val counted = feats.join(broadcast(bounds), "feature")
+      .withColumn("bin",
+        when($"hi" === $"lo", lit(1))
+          .otherwise(least(b, lit(1.0) +
+            floor(($"x" - $"lo") / (($"hi" - $"lo") / b))).cast("int")))
+      .groupBy($"feature", $"bin")
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("ntr0"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("nte0"))
+    val axis = bounds.select($"feature")
+      .crossJoin(broadcast(Seq.range(1, PsiBins + 1).toDF("bin")))
+    val wf = Window.partitionBy($"feature")
+    val terms = axis.join(counted, Seq("feature", "bin"), "left")
+      .select($"feature", $"bin",
+        coalesce($"ntr0", lit(0L)).as("n_train"),
+        coalesce($"nte0", lit(0L)).as("n_test"))
+      .withColumn("ttr", sum($"n_train").over(wf))
+      .withColumn("tte", sum($"n_test").over(wf))
+      .withColumn("p", ($"n_train" + 1).cast("double") / ($"ttr" + PsiBins).cast("double"))
+      .withColumn("q", ($"n_test" + 1).cast("double") / ($"tte" + PsiBins).cast("double"))
+      .withColumn("term", ($"p" - $"q") *
+        ((log(($"n_train" + 1).cast("double")) - log(($"ttr" + PsiBins).cast("double"))) -
+          (log(($"n_test" + 1).cast("double")) - log(($"tte" + PsiBins).cast("double")))))
+      .cache() // feeds the per-bin output and the per-feature total
+    val tot = terms.groupBy($"feature").agg(r(dsum($"term"), 6).as("psi"))
+    val out = terms
+      .join(broadcast(tot), Seq("feature"))
+      .select($"feature", $"bin", $"n_train", $"n_test",
+        r($"p", 6).as("p_train"), r($"q", 6).as("p_test"),
+        r($"term", 6).as("psi_term"), $"psi")
+      .orderBy($"feature", $"bin")
+      .localCheckpoint(true)
+    Seq(feats, terms).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val ml19Sql: String = {
+    val p = "CAST(n_train + 1 AS DOUBLE) / CAST(ttr + 10 AS DOUBLE)"
+    val q = "CAST(n_test + 1 AS DOUBLE) / CAST(tte + 10 AS DOUBLE)"
+    val term = s"(($p) - ($q)) * ((ln(CAST(n_train + 1 AS DOUBLE)) - ln(CAST(ttr + 10 AS DOUBLE))) - (ln(CAST(n_test + 1 AS DOUBLE)) - ln(CAST(tte + 10 AS DOUBLE))))"
+    s"""WITH fx AS MATERIALIZED (SELECT
+         CASE WHEN h <= 7 THEN 'train' ELSE 'test' END AS split, feature, x
+       FROM (SELECT ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h,
+           unnest(['n_chars', 'n_tokens']) AS feature,
+           unnest([CAST(n_chars AS DOUBLE),
+             CAST(len(${toksSql("lower(text)")}) AS DOUBLE)]) AS x
+         FROM documents) z
+       WHERE h <= 7 OR h = 9),
+       bnd AS (SELECT feature, min(x) AS lo, max(x) AS hi FROM fx GROUP BY feature),
+       cnt AS (SELECT fx.feature,
+           CASE WHEN hi = lo THEN 1
+                ELSE CAST(least(10.0, 1.0 + floor((x - lo) / ((hi - lo) / 10.0))) AS INTEGER)
+           END AS bin,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ntr0,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS nte0
+         FROM fx JOIN bnd ON bnd.feature = fx.feature
+         GROUP BY 1, 2),
+       ax AS (SELECT feature, unnest(generate_series(1, 10)) AS bin FROM bnd),
+       tm AS (SELECT feature, bin, n_train, n_test, ttr, tte, $term AS term
+         FROM (SELECT a.feature, a.bin,
+             coalesce(c.ntr0, 0) AS n_train, coalesce(c.nte0, 0) AS n_test,
+             sum(coalesce(c.ntr0, 0)) OVER (PARTITION BY a.feature) AS ttr,
+             sum(coalesce(c.nte0, 0)) OVER (PARTITION BY a.feature) AS tte
+           FROM ax a LEFT JOIN cnt c ON c.feature = a.feature AND c.bin = a.bin) y),
+       psi AS (SELECT feature, ${rSql(dsumSql("term"), 6)} AS psi
+         FROM tm GROUP BY feature)
+       SELECT t.feature, CAST(t.bin AS INTEGER) AS bin, t.n_train, t.n_test,
+         ${rSql(p, 6)} AS p_train, ${rSql(q, 6)} AS p_test,
+         ${rSql("term", 6)} AS psi_term, psi.psi
+       FROM tm t JOIN psi ON psi.feature = t.feature
+       ORDER BY t.feature, t.bin"""
+  }
+
   // --- d39: per-source n-gram novelty audit -------------------------------
 
   /** d39 — n-gram novelty audit: for each document, the fraction of its
@@ -798,6 +905,7 @@ object Curation {
     "d16_decontaminate" -> (d16Decontaminate _),
     "d35_split_leakage" -> (d35SplitLeakage _),
     "d46_source_overlap" -> (d46SourceOverlap _),
+    "ml19_psi_drift" -> (ml19PsiDrift _),
     "d39_novelty" -> (d39Novelty _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
@@ -811,6 +919,7 @@ object Curation {
     "d16_decontaminate" -> d16Sql,
     "d35_split_leakage" -> d35Sql,
     "d46_source_overlap" -> d46Sql,
+    "ml19_psi_drift" -> ml19Sql,
     "d39_novelty" -> d39Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,

@@ -234,6 +234,30 @@ class CurationSpec extends GraftSpec {
     }
   }
 
+  test("ml19 PSI: full grid, non-negative terms, shares sum to 1, hash split is stable") {
+    import spark.implicits._
+    val out = operators.Curation.ml19PsiDrift(spark, sfTiny).cache()
+    try {
+      // 2 features × 10 bins, every term ≥ 0 ((p−q) and ln(p/q) share sign)
+      assert(out.count() == 20)
+      assert(out.select($"feature").distinct().count() == 2)
+      assert(out.filter($"psi_term" < 0).count() == 0)
+      // smoothed shares sum to exactly 1 per feature (up to r6 per-bin slack)
+      val sums = out.groupBy($"feature")
+        .agg(sum($"p_train").as("sp"), sum($"p_test").as("sq")).collect()
+      assert(sums.forall(r => math.abs(r.getAs[Double]("sp") - 1.0) < 1e-4 &&
+        math.abs(r.getAs[Double]("sq") - 1.0) < 1e-4), sums.mkString(";"))
+      // psi ≈ Σ terms, and an md5 hash split must read as stable drift
+      val byF = out.collect().groupBy(_.getAs[String]("feature"))
+      byF.foreach { case (f, rows) =>
+        val psi = rows.head.getAs[Double]("psi")
+        val st = rows.map(_.getAs[Double]("psi_term")).sum
+        assert(math.abs(psi - st) < 1e-4, s"$f: $psi vs $st")
+        assert(psi >= 0.0 && psi < 0.25, s"$f psi=$psi")
+      }
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d35 split leakage matches a full driver-side reimplementation at sfTiny") {
     import spark.implicits._
     import graft.operators.Curation
