@@ -519,6 +519,104 @@ object Curation {
        ORDER BY t.feature, t.bin"""
   }
 
+  // --- ml20: information-gain feature ranking against the lang label ------
+
+  /** ml20 — mutual-information feature ranking: for each document feature
+    * (ml19's n_chars / n_tokens, same 10-bin equi-width grid), the
+    * information gain against the lang label, IG = H(lang) − H(lang|bin)
+    * = MI(bin, lang) — the model-free feature-selection score (q54 scores
+    * one fixed column pair on events; ml20 ranks the classifier features
+    * d03/ml05 actually consume). Everything expands from ONE
+    * (feature, bin, lang) cell count via the exact-count identity
+    * MI = ln N − S_l/N − S_b/N + S_bl/N with S_* = Σ c·ln c over the
+    * respective marginal — every ln argument an exact integer count (d10
+    * ln-parity family), every sum decimal. ig_ratio = MI/H(lang) ∈ [0,1]
+    * (0 = independent, 1 = feature determines the label).
+    *
+    * Scale shape: one scan builds features; cells are one
+    * map-side-combinable aggregation, bounded by bins × langs per
+    * feature; marginals re-aggregate the tiny cell frame. */
+  def ml20InfoGain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    infoGain(Tables.documents(s, dir)
+      .select(coalesce($"lang", lit("")).as("lang"),
+        explode(array(
+          struct(lit("n_chars").as("feature"), $"n_chars".cast("double").as("x")),
+          struct(lit("n_tokens").as("feature"),
+            size(toks(lower($"text"))).cast("double").as("x")))).as("f"))
+      .select($"lang", $"f.feature", $"f.x"))
+  }
+
+  /** ml20's core over (lang, feature, x) — exposed so the spec can plant
+    * perfectly-dependent and independent features. */
+  private[graft] def infoGain(f00: DataFrame): DataFrame = {
+    val s = f00.sparkSession
+    import s.implicits._
+    val b = lit(PsiBins.toDouble)
+    val f0 = f00.cache()
+    val bounds = f0.groupBy($"feature").agg(min($"x").as("lo"), max($"x").as("hi"))
+    val cells = f0.join(broadcast(bounds), "feature")
+      .withColumn("bin",
+        when($"hi" === $"lo", lit(1))
+          .otherwise(least(b, lit(1.0) +
+            floor(($"x" - $"lo") / (($"hi" - $"lo") / b))).cast("int")))
+      .groupBy($"feature", $"bin", $"lang")
+      .agg(count(lit(1)).as("c"))
+      .cache() // three marginal aggregations read it
+    val cln = (cc: Column) => cc.cast("double") * log(cc.cast("double"))
+    val sbl = cells.groupBy($"feature").agg(dsum(cln($"c")).as("sbl"))
+    val sb = cells.groupBy($"feature", $"bin").agg(sum($"c").as("cb"))
+      .groupBy($"feature")
+      .agg(dsum(cln($"cb")).as("sb"), sum($"cb").as("nn"))
+    val sl = cells.groupBy($"feature", $"lang").agg(sum($"c").as("cl"))
+      .groupBy($"feature").agg(dsum(cln($"cl")).as("sl"))
+    val hl = log($"nn".cast("double")) - $"sl" / $"nn".cast("double")
+    val mi = log($"nn".cast("double")) - $"sl" / $"nn".cast("double") -
+      $"sb" / $"nn".cast("double") + $"sbl" / $"nn".cast("double")
+    val out = sb.join(sl, "feature").join(sbl, "feature")
+      .select($"feature", $"nn".as("n_docs"),
+        r(hl, 6).as("h_label"), r(mi, 6).as("mi"),
+        when(r(hl, 6) === 0.0, lit(0.0)).otherwise(r(mi / hl, 6)).as("ig_ratio"))
+      .orderBy($"feature")
+      .localCheckpoint(true)
+    Seq(f0, cells).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val ml20Sql: String = {
+    def cln(c: String) = s"CAST($c AS DOUBLE) * ln(CAST($c AS DOUBLE))"
+    val hl = "ln(CAST(nn AS DOUBLE)) - sl / CAST(nn AS DOUBLE)"
+    val mi = "ln(CAST(nn AS DOUBLE)) - sl / CAST(nn AS DOUBLE) - sb / CAST(nn AS DOUBLE) + sbl / CAST(nn AS DOUBLE)"
+    s"""WITH fx AS MATERIALIZED (SELECT coalesce(lang, '') AS lang, feature, x
+       FROM (SELECT lang,
+           unnest(['n_chars', 'n_tokens']) AS feature,
+           unnest([CAST(n_chars AS DOUBLE),
+             CAST(len(${toksSql("lower(text)")}) AS DOUBLE)]) AS x
+         FROM documents) z),
+       bnd AS (SELECT feature, min(x) AS lo, max(x) AS hi FROM fx GROUP BY feature),
+       cells AS MATERIALIZED (SELECT fx.feature,
+           CASE WHEN hi = lo THEN 1
+                ELSE CAST(least(10.0, 1.0 + floor((x - lo) / ((hi - lo) / 10.0))) AS INTEGER)
+           END AS bin, lang, count(*) AS c
+         FROM fx JOIN bnd ON bnd.feature = fx.feature
+         GROUP BY 1, 2, 3),
+       sbl AS (SELECT feature, ${dsumSql(cln("c"))} AS sbl FROM cells GROUP BY feature),
+       sb AS (SELECT feature, ${dsumSql(cln("cb"))} AS sb,
+           CAST(sum(cb) AS BIGINT) AS nn
+         FROM (SELECT feature, bin, CAST(sum(c) AS BIGINT) AS cb
+           FROM cells GROUP BY feature, bin) m GROUP BY feature),
+       sl AS (SELECT feature, ${dsumSql(cln("cl"))} AS sl
+         FROM (SELECT feature, lang, CAST(sum(c) AS BIGINT) AS cl
+           FROM cells GROUP BY feature, lang) m GROUP BY feature)
+       SELECT sb.feature, nn AS n_docs,
+         ${rSql(hl, 6)} AS h_label, ${rSql(mi, 6)} AS mi,
+         CASE WHEN ${rSql(hl, 6)} = 0.0 THEN 0.0
+              ELSE ${rSql(s"($mi) / ($hl)", 6)} END AS ig_ratio
+       FROM sb JOIN sl ON sl.feature = sb.feature
+       JOIN sbl ON sbl.feature = sb.feature
+       ORDER BY sb.feature"""
+  }
+
   // --- d39: per-source n-gram novelty audit -------------------------------
 
   /** d39 — n-gram novelty audit: for each document, the fraction of its
@@ -906,6 +1004,7 @@ object Curation {
     "d35_split_leakage" -> (d35SplitLeakage _),
     "d46_source_overlap" -> (d46SourceOverlap _),
     "ml19_psi_drift" -> (ml19PsiDrift _),
+    "ml20_info_gain" -> (ml20InfoGain _),
     "d39_novelty" -> (d39Novelty _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
@@ -920,6 +1019,7 @@ object Curation {
     "d35_split_leakage" -> d35Sql,
     "d46_source_overlap" -> d46Sql,
     "ml19_psi_drift" -> ml19Sql,
+    "ml20_info_gain" -> ml20Sql,
     "d39_novelty" -> d39Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,

@@ -258,6 +258,31 @@ class CurationSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("ml20 info gain: determining feature scores ig_ratio 1, constant feature 0") {
+    import spark.implicits._
+    // 'det': x = 1 for en, 100 for fr → bins separate perfectly → MI = H(lang)
+    // 'flat': constant → one bin → MI = 0
+    val rows = (0 until 8).flatMap { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      Seq((lang, "det", if (i % 2 == 0) 1.0 else 100.0), (lang, "flat", 5.0))
+    }
+    val out = operators.Curation.infoGain(rows.toDF("lang", "feature", "x"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(out("det").getAs[Double]("ig_ratio") == 1.0, s"${out("det")}")
+    assert(out("det").getAs[Double]("mi") == out("det").getAs[Double]("h_label"))
+    // H(lang) for a 4/4 split = ln 2
+    assert(out("det").getAs[Double]("h_label") == operators.Num.rD(math.log(2.0), 6))
+    assert(out("flat").getAs[Double]("mi") == 0.0 &&
+      out("flat").getAs[Double]("ig_ratio") == 0.0, s"${out("flat")}")
+    // testdata: both features in [0, 1] ratio range, MI ≤ H
+    val td = operators.Curation.ml20InfoGain(spark, sfTiny).collect()
+    assert(td.length == 2)
+    td.foreach { r =>
+      assert(r.getAs[Double]("ig_ratio") >= 0.0 && r.getAs[Double]("ig_ratio") <= 1.0, s"$r")
+      assert(r.getAs[Double]("mi") <= r.getAs[Double]("h_label") + 1e-9)
+    }
+  }
+
   test("d35 split leakage matches a full driver-side reimplementation at sfTiny") {
     import spark.implicits._
     import graft.operators.Curation
