@@ -31,6 +31,9 @@ case class PackedDoc(doc_id: Long, lang: String, shard: Long, seq_id: Long,
 /** One Count-Min cell emitted by the streaming frequency sketch. */
 case class CmsCell(d: Int, b: Int, cell: Long)
 
+/** One ranked row emitted by the streaming top-k compactor. */
+case class TopkOut(user_id: Long, rk: Int, value: Double, event_id: Long)
+
 /** Per-user funnel state carried by the streaming funnel: earliest signup
   * micros, earliest valid purchase micros, and the purchases that arrived
   * BELOW the current signup minimum (they become valid retroactively if an
@@ -330,6 +333,33 @@ object StreamOps {
           }
           state.update(cum)
           out.iterator
+      }
+  }
+
+  /** t14's streaming twin — per-user running top-3 readings via the SAME
+    * [[graft.functions.TopKAggregator]] state machine held in GroupState:
+    * each micro-batch folds its rows through the aggregator's reduce and
+    * re-emits the refreshed ranking for keys it touched (Update mode,
+    * latestPerKey's shape). Because reduce/merge/finish are literally the
+    * batch aggregator's methods, the streaming state machine CANNOT drift
+    * from the oracle-checked batch top-k — one implementation, two
+    * execution modes. State is ≤ k (value, event_id) pairs per user:
+    * bounded by key cardinality × k, the streaming heavy-hitter-safe
+    * top-k (a windowed rank would buffer whole partitions). */
+  def topkStream(ds: Dataset[EventRec]): Dataset[TopkOut] = {
+    import ds.sparkSession.implicits._
+    val agg = new graft.functions.TopKAggregator(3)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Double, Long)], TopkOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid: Long, rows: Iterator[EventRec], state: GroupState[List[(Double, Long)]]) =>
+          val st = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (b, e) => agg.reduce(b, (e.value, e.event_id))
+          }
+          state.update(st)
+          agg.finish(st).iterator.zipWithIndex.map { case ((v, eid), i) =>
+            TopkOut(uid, i + 1, v, eid)
+          }
       }
   }
 

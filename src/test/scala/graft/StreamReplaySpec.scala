@@ -311,6 +311,35 @@ class StreamReplaySpec extends GraftSpec {
       .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
   }
 
+  test("replayed topkStream converges to the oracle-green t14 batch top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.topkStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_topk").outputMode("update").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val emitted = spark.table("replay_topk")
+    // precondition: some user's champion set grew across batches (> k
+    // distinct members ever emitted ⇒ the GroupState genuinely evolved)
+    val grew = emitted.select($"user_id", $"value", $"event_id").distinct()
+      .groupBy($"user_id").count().filter($"count" > 3).count()
+    assert(grew > 0, "at least one user must rotate members through its top-3")
+    // every member of the FINAL top-3 was emitted when it first entered
+    // the state, so final = top-3 over the distinct emission set
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"value".desc, $"event_id".asc)
+    val finals = emitted.select($"user_id", $"value", $"event_id").distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"user_id", $"rk", $"value", $"event_id")
+    val batch = Telemetry.t14TopkUdaf(spark, sfTiny)
+      .select($"user_id", $"rk".cast("int").as("rk"), $"value", $"event_id")
+    assert(canon(finals) == canon(batch),
+      "streaming top-k state must converge to the batch aggregator exactly")
+  }
+
   test("replayed latestPerKey converges to the oracle-green t03 batch compaction") {
     import spark.implicits._
     val batch = Telemetry.t03LatestPerKey(spark, sfTiny)
