@@ -840,6 +840,29 @@ object Corpus {
          FROM rk WHERE rn = 1),
        $evalTailSql"""
 
+  // --- ml21: evaluation of d03's heuristic lang-id -------------------------
+
+  /** ml21 — per-class evaluation of d03's stopword lang-id heuristic
+    * through the SAME [[classifierEval]] core as ml08/ml10: d03 ships a
+    * per-doc `correct` flag but no aggregate quality number; this closes
+    * the loop (support / predicted / P / R / F1 per lang + `_micro`
+    * accuracy), making the heuristic's quality an oracle-checked
+    * per-round number like the trained classifiers'. Null labels
+    * coalesce to '' so the class axis is total. Scale shape: d03's
+    * scan-local scoring followed by the eval's two L-row aggregations. */
+  def ml21LangidEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    classifierEval(TextOps.d03LangId(s, dir)
+      .select(coalesce($"actual_lang", lit("")).as("lang"),
+        $"predicted_lang".as("pred_lang"), $"correct"))
+  }
+
+  val ml21Sql: String =
+    s"""WITH pred AS (SELECT coalesce(actual_lang, '') AS lang,
+         predicted_lang AS pred_lang, correct
+       FROM (${TextOps.d03Sql}) d3),
+       $evalTailSql"""
+
   // --- ml06: hashed bag-of-words quality classifier (logistic GD) ---------
 
   private[graft] val QlrIters = 4
@@ -2024,6 +2047,7 @@ object Corpus {
     "d37_stupid_backoff" -> (d37StupidBackoff _),
     "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
+    "ml21_langid_eval" -> (ml21LangidEval _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
@@ -2050,6 +2074,7 @@ object Corpus {
     "d37_stupid_backoff" -> d37Sql,
     "ml07_knn_classify" -> ml07Sql,
     "ml08_classifier_eval" -> ml08Sql,
+    "ml21_langid_eval" -> ml21Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,

@@ -5,6 +5,21 @@ import graft.operators.{Corpus, DedupLsh, TextOps}
 
 class CorpusSpec extends GraftSpec {
 
+  test("ml21 langid eval: micro row equals d03's correct share, classes well-formed") {
+    import spark.implicits._
+    val out = operators.Corpus.ml21LangidEval(spark, sfTiny).collect()
+    val micro = out.find(_.getAs[String]("lang") == "_micro").get
+    val d03 = operators.TextOps.d03LangId(spark, sfTiny)
+      .agg(count(lit(1)), sum($"correct")).collect()(0)
+    assert(micro.getAs[Long]("support") == d03.getLong(0))
+    assert(micro.getAs[Long]("tp") == d03.getLong(1))
+    out.filter(_.getAs[String]("lang") != "_micro").foreach { r =>
+      assert(r.getAs[Double]("prec") >= 0 && r.getAs[Double]("prec") <= 1, s"$r")
+      assert(r.getAs[Double]("rec") >= 0 && r.getAs[Double]("rec") <= 1, s"$r")
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("support").max(r.getAs[Long]("predicted")))
+    }
+  }
+
   test("ml16 PR curve: hand-computed operating points on a planted score column") {
     import spark.implicits._
     val scored = Seq((1, 0.9), (1, 0.7), (0, 0.6), (1, 0.4), (0, 0.2))
