@@ -1590,6 +1590,77 @@ object Similarity {
        FROM dsp d JOIN wr w ON w.cid = d.cid
        ORDER BY cluster"""
 
+  // --- e28: embedding drift between hash splits ---------------------------
+
+  /** e28 — embedding-space drift between s03's train (h ≤ 7) and test
+    * (h = 9) hash splits: per label (plus the pooled `_all` row), the L2
+    * distance and cosine between the two splits' centroids — ml19's PSI
+    * for the vector modality (a deployed retrieval/ANN index needs to
+    * know when new embeddings stop looking like the ones the quantizer
+    * was trained on). centroid_dist is the primary gauge (small for an
+    * unbiased hash split); centroid_cos is reported too but is noisy when
+    * the population mean sits near the origin (as zero-centered
+    * embeddings do) — interpret it only when the centroids have mass.
+    *
+    * Scale shape: e06's posexplode layout — per-dimension decimal means
+    * collapse map-side to ≤ 2·labels·64 rows before the one shuffle; the
+    * drift algebra then runs on the (label, dim) frame. Corpus-linear. */
+  def e28EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cent = Tables.embeddings(s, dir)
+      .withColumn("h", DedupLsh.h60($"vec_id".cast("string")) % 10)
+      .filter($"h" <= 7 || $"h" === 9)
+      .select(when($"h" <= 7, lit("train")).otherwise(lit("test")).as("split"),
+        explode(array(coalesce($"label".cast("string"), lit("")),
+          lit("_all"))).as("label"),
+        posexplode($"embedding".cast("array<double>")))
+      .groupBy($"split", $"label", $"pos")
+      .agg(davg($"col").as("mu"),
+        count(lit(1)).as("n")) // rows per (split,label,pos) = vector count
+    val tr = cent.filter($"split" === "train")
+      .select($"label", $"pos", $"mu".as("mt"), $"n".as("n_train"))
+    val te = cent.filter($"split" === "test")
+      .select($"label", $"pos", $"mu".as("me"), $"n".as("n_test"))
+    tr.join(te, Seq("label", "pos"))
+      .groupBy($"label")
+      .agg(max($"n_train").as("n_train"), max($"n_test").as("n_test"),
+        dsum(($"mt" - $"me") * ($"mt" - $"me")).as("ss"),
+        dsum($"mt" * $"me").as("dd"),
+        dsum($"mt" * $"mt").as("t2"),
+        dsum($"me" * $"me").as("e2"))
+      .select($"label", $"n_train", $"n_test",
+        r(sqrt($"ss"), 6).as("centroid_dist"),
+        r($"dd" / (sqrt($"t2") * sqrt($"e2")), 6).as("centroid_cos"))
+      .orderBy($"label")
+  }
+
+  val e28Sql: String =
+    s"""WITH sp AS (SELECT
+         CASE WHEN h <= 7 THEN 'train' ELSE 'test' END AS split,
+         label, embedding FROM (
+           SELECT ${DedupLsh.h60Sql("vec_id::VARCHAR")} % 10 AS h,
+             unnest([coalesce(CAST(label AS VARCHAR), ''), '_all']) AS label, embedding
+           FROM embeddings) z
+         WHERE h <= 7 OR h = 9),
+       u AS (SELECT split, label,
+           unnest(generate_series(1, len(embedding))) AS i,
+           unnest(embedding::DOUBLE[]) AS x
+         FROM sp),
+       cent AS (SELECT split, label, i, ${davgSql("x")} AS mu,
+           count(*) AS n
+         FROM u GROUP BY split, label, i),
+       j AS (SELECT t.label, t.mu AS mt, e.mu AS me, t.n AS n_train,
+           e.n AS n_test
+         FROM cent t JOIN cent e
+         ON t.label = e.label AND t.i = e.i
+         WHERE t.split = 'train' AND e.split = 'test')
+       SELECT label, CAST(max(n_train) AS BIGINT) AS n_train,
+         CAST(max(n_test) AS BIGINT) AS n_test,
+         ${rSql(s"sqrt(${dsumSql("(mt - me) * (mt - me)")})", 6)} AS centroid_dist,
+         ${rSql(s"${dsumSql("mt * me")} / (sqrt(${dsumSql("mt * mt")}) * sqrt(${dsumSql("me * me")}))", 6)} AS centroid_cos
+       FROM j GROUP BY label
+       ORDER BY label"""
+
   // --- e18: PCA projection via power iteration ---------------------------
 
   private[graft] val PcaIters = 6
@@ -2252,6 +2323,7 @@ object Similarity {
     "e08_ann_recall" -> (e08AnnRecall _),
     "e09_neardup_ann" -> (e09NearDupAnn _),
     "e27_davies_bouldin" -> (e27DaviesBouldin _),
+    "e28_embedding_drift" -> (e28EmbeddingDrift _),
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
@@ -2288,6 +2360,7 @@ object Similarity {
     "e08_ann_recall" -> e08Sql,
     "e09_neardup_ann" -> e09Sql,
     "e27_davies_bouldin" -> e27Sql,
+    "e28_embedding_drift" -> e28Sql,
     "e11_ivfpq_ann" -> e11Sql,
     "e12_random_projection" -> e12Sql,
     "e13_adc_rerank" -> e13Sql,

@@ -372,6 +372,28 @@ class SimilaritySpec extends GraftSpec {
     assert(db == sil, s"$db vs $sil")
   }
 
+  test("e28 embedding drift: hash split shows near-identical centroids, _all row present") {
+    import spark.implicits._
+    val out = operators.Similarity.e28EmbeddingDrift(spark, sfTiny).collect()
+    val all = out.find(_.getAs[String]("label") == "_all")
+    assert(all.isDefined, out.mkString(";"))
+    // counts: _all row sums the 80%/10% split shares of the corpus
+    val total = Tables.embeddings(spark, sfTiny).count()
+    val a = all.get
+    assert(a.getAs[Long]("n_train") + a.getAs[Long]("n_test") <= total)
+    assert(a.getAs[Long]("n_train") > a.getAs[Long]("n_test") &&
+      a.getAs[Long]("n_test") > 0, s"$a")
+    // an unbiased hash split of zero-centered embeddings: pooled
+    // centroids sit close together in absolute terms (dist ≪ the ~8
+    // typical vector norm); cosine is noise near the origin, so only
+    // its range is pinned
+    assert(a.getAs[Double]("centroid_dist") < 1.0, s"$a")
+    out.foreach { r =>
+      assert(r.getAs[Double]("centroid_dist") >= 0.0)
+      assert(math.abs(r.getAs[Double]("centroid_cos")) <= 1.0 + 1e-9, s"$r")
+    }
+  }
+
   test("e21 silhouette: covers the corpus, bd ≥ ad, scores in [0,1], sizes ≡ e10") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
