@@ -1590,6 +1590,94 @@ object Similarity {
        FROM dsp d JOIN wr w ON w.cid = d.cid
        ORDER BY cluster"""
 
+  // --- e29: NDCG@5 retrieval-quality evaluation ---------------------------
+
+  /** Discount table 1/log2(i+1) for ranks 1..5 and its prefix sums
+    * (IDCG@R): Scala-computed literals injected into BOTH engines via
+    * shortest-repr double round-trip (the BenfordP pattern) — no libm
+    * log parity is exercised at query time. */
+  private val NdcgDisc: Seq[Double] =
+    (1 to 5).map(i => math.log(2.0) / math.log(i + 1.0))
+  private val NdcgIdcg: Seq[Double] = NdcgDisc.scanLeft(0.0)(_ + _).tail
+
+  /** e29 — NDCG@5 + precision@5 of the exact cosine retrieval (e01's
+    * budgeted top-5) against label relevance: e08 scores the ANN indexes
+    * against exact search; e29 scores exact search itself against the
+    * LABELS — the end-to-end retrieval-quality number (is nearest-in-
+    * embedding-space actually same-class?). Per query: rel_i = [neighbor
+    * label = query label], DCG = Σ rel_i/log2(i+1), IDCG truncated at
+    * min(5, |label|−1) (singleton-label queries score 0 — nothing
+    * relevant exists to retrieve); reported per label with query counts.
+    *
+    * Scale shape: e01's broadcast-budget search (O(budget) forever) plus
+    * two label-sized joins and one budget-sized aggregation. */
+  def e29NdcgEval(s: SparkSession, dir: String): DataFrame =
+    ndcgEval(corpus(s, dir))
+
+  /** e29's core over corpus(vec_id, label, v, nrm) — exposed for the
+    * planted-cluster spec. */
+  private[graft] def ndcgEval(c0: DataFrame): DataFrame = {
+    val s = c0.sparkSession
+    import s.implicits._
+    val c = c0.cache()
+    val top = cosineTopK(c, QueryBudget)
+    val labels = c.select($"vec_id", $"label")
+    val nl = c.groupBy($"label").agg(count(lit(1)).as("nlab"))
+    val disc = (2 to 5).foldLeft(when($"rank" === 1, NdcgDisc(0))) {
+      (w, i) => w.when($"rank" === i, NdcgDisc(i - 1))
+    }.otherwise(0.0)
+    val perQ = top
+      .join(labels.select($"vec_id".as("query_id"), $"label".as("qlab")), "query_id")
+      .join(labels.select($"vec_id".as("neighbor_id"), $"label".as("nlb")), "neighbor_id")
+      .withColumn("rel", coalesce(($"qlab" === $"nlb").cast("int"), lit(0)))
+      .groupBy($"query_id", $"qlab")
+      .agg(dsum($"rel".cast("double") * disc).as("dcg"), sum($"rel").as("nrel"))
+      .join(broadcast(nl.select($"label".as("qlab"), $"nlab")), "qlab")
+      .withColumn("rr", least(lit(5L), $"nlab" - 1))
+      .withColumn("idcg", (2 to 5).foldLeft(when($"rr" === 1, NdcgIdcg(0))) {
+        (w, i) => w.when($"rr" === i, NdcgIdcg(i - 1))
+      }.otherwise(0.0))
+      .withColumn("ndcg", when($"idcg" > 0, r($"dcg" / $"idcg", 6)).otherwise(0.0))
+    perQ.groupBy($"qlab")
+      .agg(count(lit(1)).as("n_queries"),
+        ravg($"nrel".cast("double") / 5.0, 6).as("p_at_5"),
+        ravg($"ndcg", 6).as("ndcg_at_5"))
+      .select($"qlab".as("label"), $"n_queries", $"p_at_5", $"ndcg_at_5")
+      .orderBy($"label")
+  }
+
+  val e29Sql: String = {
+    val disc = (1 to 5).map(i => s"WHEN $i THEN ${NdcgDisc(i - 1)}")
+      .mkString("CASE t.rank ", " ", " ELSE 0.0 END")
+    val idcg = (1 to 5).map(i => s"WHEN $i THEN ${NdcgIdcg(i - 1)}")
+      .mkString("CASE rr ", " ", " ELSE 0.0 END")
+    s"""WITH n AS ($corpusSql),
+       $e01Ctes,
+       top5 AS (SELECT query_id, neighbor_id, rank FROM ex WHERE rank <= 5),
+       lb AS (SELECT vec_id, label FROM n),
+       nl AS (SELECT label, count(*) AS nlab FROM n GROUP BY label),
+       sc AS (SELECT t.query_id, q.label AS qlab,
+           CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+           $disc AS disc
+         FROM top5 t JOIN lb q ON q.vec_id = t.query_id
+                     JOIN lb c ON c.vec_id = t.neighbor_id),
+       pq AS (SELECT query_id, qlab,
+           ${dsumSql("CAST(rel AS DOUBLE) * disc")} AS dcg,
+           CAST(sum(rel) AS BIGINT) AS nrel
+         FROM sc GROUP BY query_id, qlab),
+       pj AS (SELECT pq.query_id, pq.qlab, pq.dcg, pq.nrel,
+           least(5, nlab - 1) AS rr
+         FROM pq JOIN nl ON nl.label = pq.qlab),
+       fq AS (SELECT query_id, qlab, nrel,
+           CASE WHEN ($idcg) > 0 THEN ${rSql(s"dcg / ($idcg)", 6)}
+                ELSE 0.0 END AS ndcg
+         FROM pj)
+       SELECT qlab AS label, count(*) AS n_queries,
+         ${ravgSql("CAST(nrel AS DOUBLE) / 5.0", 6)} AS p_at_5,
+         ${ravgSql("ndcg", 6)} AS ndcg_at_5
+       FROM fq GROUP BY qlab ORDER BY label"""
+  }
+
   // --- e28: embedding drift between hash splits ---------------------------
 
   /** e28 — embedding-space drift between s03's train (h ≤ 7) and test
@@ -2324,6 +2412,7 @@ object Similarity {
     "e09_neardup_ann" -> (e09NearDupAnn _),
     "e27_davies_bouldin" -> (e27DaviesBouldin _),
     "e28_embedding_drift" -> (e28EmbeddingDrift _),
+    "e29_ndcg_eval" -> (e29NdcgEval _),
     "e01_cosine_topk" -> (e01CosineTopK _),
     "e02_norm_stats" -> (e02NormStats _),
     "e03_lsh_ann" -> (e03LshAnn _),
@@ -2361,6 +2450,7 @@ object Similarity {
     "e09_neardup_ann" -> e09Sql,
     "e27_davies_bouldin" -> e27Sql,
     "e28_embedding_drift" -> e28Sql,
+    "e29_ndcg_eval" -> e29Sql,
     "e11_ivfpq_ann" -> e11Sql,
     "e12_random_projection" -> e12Sql,
     "e13_adc_rerank" -> e13Sql,

@@ -372,6 +372,30 @@ class SimilaritySpec extends GraftSpec {
     assert(db == sil, s"$db vs $sil")
   }
 
+  test("e29 NDCG: perfectly clustered labels score 1, partial cluster gets exact truncated IDCG") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    // label A (6 members incl. queries 100..300) along e1, label B
+    // (4 members incl. query 400) along e2: A queries retrieve 5 A's
+    // (ndcg 1, p 1); B queries retrieve 3 B's then 2 A's at cosine 0
+    // (dcg = IDCG(3), rr = 3 → ndcg 1, p = 0.6)
+    VectorExpressions.register(spark)
+    def v(i: Int, x: Double) = Array.fill(64)(0.0).updated(i, x).toSeq
+    val rows =
+      Seq(100L, 200L, 300L, 1L, 2L, 3L).map(id => (id, "A", v(0, 1.0 + id * 0.001))) ++
+        Seq(400L, 5L, 6L, 7L).map(id => (id, "B", v(1, 1.0 + id * 0.001)))
+    val c = rows.toDF("vec_id", "label", "v")
+      .withColumn("nrm", sqrt(VectorExpressions.dot($"v", $"v")))
+    val out = operators.Similarity.ndcgEval(c).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    assert(out("A").getAs[Long]("n_queries") == 3L, out.values.mkString(";"))
+    assert(out("A").getAs[Double]("p_at_5") == 1.0 &&
+      out("A").getAs[Double]("ndcg_at_5") == 1.0, s"${out("A")}")
+    assert(out("B").getAs[Long]("n_queries") == 1L)
+    assert(out("B").getAs[Double]("p_at_5") == 0.6 &&
+      out("B").getAs[Double]("ndcg_at_5") == 1.0, s"${out("B")}")
+  }
+
   test("e28 embedding drift: hash split shows near-identical centroids, _all row present") {
     import spark.implicits._
     val out = operators.Similarity.e28EmbeddingDrift(spark, sfTiny).collect()
