@@ -1273,6 +1273,90 @@ object Analytics {
        ORDER BY r.event_type"""
   }
 
+  // --- q70: Wald–Wolfowitz runs test over the hourly series -----------------
+
+  /** q70 — Wald–Wolfowitz runs test per event_type on the hourly means:
+    * is the series random around its median, or does it trend/oscillate?
+    * (Too FEW sign runs = positive autocorrelation/trending; too MANY =
+    * oscillation — the nonparametric cousin of q47's ACF and the q55/q56
+    * trend tools.) Median-tied hours are dropped (the standard rule);
+    * runs count via one lag window over the hour order; z from the exact
+    * run-count moments μ = 2n₊n₋/(n₊+n₋) + 1,
+    * σ² = (μ−1)(μ−2)/(n₊+n₋−1) — all integer-derived, spelled once per
+    * engine in the identical order. Types with a single sign (or too few
+    * points) drop out: no variance exists to test against.
+    *
+    * Scale shape: one map-side-combinable hourly rollup over events;
+    * everything after lives on the (type × hours) axis. */
+  def q70RunsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runsTest(Tables.events(s, dir)
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("hour", $"ts")).as("hx"))
+      .agg(r(davg($"value"), 6).as("y")))
+  }
+
+  /** q70's core over an explicit (event_type, hx, y) hourly relation —
+    * exposed so the spec can plant alternating and trending series. */
+  private[graft] def runsTest(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val h = hourly.cache() // feeds the median and the sign sequence
+    val med = h.groupBy($"event_type")
+      .agg(percentile($"y", lit(0.5)).as("med"))
+    val w = Window.partitionBy($"event_type").orderBy($"hx")
+    val runs = h.join(broadcast(med), "event_type")
+      .filter($"y" =!= $"med")
+      .withColumn("sgn", when($"y" > $"med", 1).otherwise(-1))
+      .withColumn("chg", when(lag($"sgn", 1).over(w).isNull ||
+        lag($"sgn", 1).over(w) =!= $"sgn", 1).otherwise(0))
+      .groupBy($"event_type")
+      .agg(sum(when($"sgn" === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"sgn" === -1, 1L).otherwise(0L)).as("n_neg"),
+        sum($"chg").cast("long").as("n_runs"))
+    runs.filter($"n_pos" > 0 && $"n_neg" > 0 && $"n_pos" + $"n_neg" > 1)
+      .withColumn("mu", lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double") /
+        ($"n_pos" + $"n_neg").cast("double") + lit(1.0))
+      .withColumn("v", ($"mu" - lit(1.0)) * ($"mu" - lit(2.0)) /
+        ($"n_pos" + $"n_neg" - 1).cast("double"))
+      .filter($"v" > 0)
+      .select($"event_type", $"n_pos", $"n_neg", $"n_runs",
+        r($"mu", 6).as("expected_runs"),
+        r(($"n_runs".cast("double") - $"mu") / sqrt($"v"), 6).as("z"))
+      .orderBy($"event_type")
+  }
+
+  val q70Sql: String =
+    s"""WITH hr AS (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS y
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       md AS (SELECT event_type, quantile_cont(y, 0.5) AS med
+         FROM hr GROUP BY event_type),
+       sg AS (SELECT hr.event_type, hx,
+           CASE WHEN y > med THEN 1 ELSE -1 END AS sgn
+         FROM hr JOIN md ON md.event_type = hr.event_type
+         WHERE y != med),
+       ch AS (SELECT event_type, sgn,
+           CASE WHEN lag(sgn, 1) OVER w IS NULL OR lag(sgn, 1) OVER w != sgn
+                THEN 1 ELSE 0 END AS chg
+         FROM sg WINDOW w AS (PARTITION BY event_type ORDER BY hx)),
+       rn AS (SELECT event_type,
+           CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(sum(chg) AS BIGINT) AS n_runs
+         FROM ch GROUP BY event_type),
+       st AS (SELECT event_type, n_pos, n_neg, n_runs,
+           2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE) + 1.0 AS mu
+         FROM rn WHERE n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1),
+       vv AS (SELECT event_type, n_pos, n_neg, n_runs, mu,
+           (mu - 1.0) * (mu - 2.0) / CAST(n_pos + n_neg - 1 AS DOUBLE) AS v
+         FROM st)
+       SELECT event_type, n_pos, n_neg, n_runs,
+         ${rSql("mu", 6)} AS expected_runs,
+         ${rSql("(CAST(n_runs AS DOUBLE) - mu) / sqrt(v)", 6)} AS z
+       FROM vv WHERE v > 0 ORDER BY event_type"""
+
   // --- q59: additive seasonal decomposition of the event stream -------------
 
   /** q59 — additive seasonal decomposition per event_type: value ≈ mean +
@@ -2243,6 +2327,7 @@ object Analytics {
     "q62_robust_outliers" -> (q62RobustOutliers _),
     "q61_holt_forecast" -> (q61HoltForecast _),
     "q69_holt_winters" -> (q69HoltWinters _),
+    "q70_runs_test" -> (q70RunsTest _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2285,6 +2370,7 @@ object Analytics {
     "q62_robust_outliers" -> q62Sql,
     "q61_holt_forecast" -> q61Sql,
     "q69_holt_winters" -> q69Sql,
+    "q70_runs_test" -> q70Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

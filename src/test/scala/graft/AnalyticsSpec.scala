@@ -199,6 +199,27 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q70 runs test: alternating series hits max runs with the exact z, trend scores negative") {
+    import spark.implicits._
+    // alternating 10,0,...: median 5, signs alternate → r = 8 (max);
+    // trending 1..8: median 4.5, signs ---- ++++ → r = 2 (min)
+    val alt = (0 until 8).map(i => ("a", i.toLong, if (i % 2 == 0) 10.0 else 0.0))
+    val tr = (1 to 8).map(i => ("t", i.toLong, i.toDouble))
+    val const = (0 until 8).map(i => ("c", i.toLong, 5.0)) // all tied → dropped
+    val out = Analytics.runsTest((alt ++ tr ++ const).toDF("event_type", "hx", "y"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(!out.contains("c") && out.size == 2)
+    val mu = 2.0 * 4.0 * 4.0 / 8.0 + 1.0
+    val v = (mu - 1.0) * (mu - 2.0) / 7.0
+    val a = out("a")
+    assert(a.getAs[Long]("n_runs") == 8L && a.getAs[Long]("n_pos") == 4L)
+    assert(a.getAs[Double]("z") == operators.Num.rD((8.0 - mu) / math.sqrt(v), 6), s"$a")
+    val t = out("t")
+    assert(t.getAs[Long]("n_runs") == 2L)
+    assert(t.getAs[Double]("z") == operators.Num.rD((2.0 - mu) / math.sqrt(v), 6), s"$t")
+    assert(t.getAs[Double]("z") < 0 && a.getAs[Double]("z") > 0)
+  }
+
   test("q69 Holt-Winters: pure period-7 series tracks exactly, short types drop") {
     import spark.implicits._
     // periodic pattern (mean 29 exact in binary): after first-cycle init
