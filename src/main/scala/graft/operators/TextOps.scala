@@ -555,7 +555,10 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val d32Sql: String = {
+  /** The trained-merge encode chain in SQL (x0 char-wrap → one replace
+    * per merge round), ending in x[[BpeMerges]](doc_id, w, s) — shared by
+    * d32's per-doc report and d47's per-lang fertility. */
+  private lazy val bpeEncodeChainSql: String = {
     val encChain = (1 to BpeMerges).map { k =>
       s"""x$k AS (
            SELECT doc_id, w, replace(s,
@@ -563,20 +566,72 @@ object TextOps {
              chr(1) || p1 || p2 || chr(2)) AS s
            FROM x${k - 1} CROSS JOIN t$k)"""
     }.mkString(",\n       ")
-    s"""WITH ${bpeCtesSql(BpeMerges)},
-       x0 AS (
+    s"""x0 AS (
          SELECT doc_id, w, array_to_string(list_transform(range(1, len(w) + 1),
            i -> chr(1) || w[i] || chr(2)), '') AS s
          FROM (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS w FROM documents)
          WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')),
-       $encChain
+       $encChain"""
+  }
+
+  val d32Sql: String =
+    s"""WITH ${bpeCtesSql(BpeMerges)},
+       $bpeEncodeChainSql
        SELECT doc_id, count(*) AS n_words,
          CAST(sum(len(w)) AS BIGINT) AS n_chars,
          CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT) AS n_bpe_tokens,
          ${rSql("CAST(sum(len(w)) AS BIGINT) / CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT)", 4)}
            AS chars_per_token
        FROM x$BpeMerges GROUP BY doc_id ORDER BY doc_id"""
+
+  /** d47 — tokenizer fertility per language: the per-lang rollup of
+    * d32's encode (chars per BPE token and tokens per word under the
+    * d27-trained merges). THE cross-lingual tokenizer-equity audit: a
+    * tokenizer trained on one language's statistics fragments the others
+    * (fertility ↑), which multiplies their effective training cost —
+    * the number multilingual-corpus teams read before fixing a merge
+    * table. Same trained model, same encode chain as d32 (shared
+    * [[bpeEncodeChainSql]] / [[bpeEncode]]), one lang-keyed rollup
+    * instead of doc-keyed; null langs coalesce to ''.
+    *
+    * Scale shape: d32's (training + scan-local encode) with the final
+    * uniform groupBy on the ≤|langs| key after a doc_id-keyed lang join. */
+  def d47BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val wf = docs.select(explode(toks(lower($"text"))).as("w"))
+      .filter($"w".rlike("^[a-z0-9]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("f")).as[(String, Long)]
+    val words = docs.select($"doc_id", explode(toks(lower($"text"))).as("w"))
+      .filter($"w".rlike("^[a-z0-9]+$"))
+    val langs = docs.select($"doc_id", coalesce($"lang", lit("")).as("lang"))
+    bpeEncode(words, bpeTrain(wf, BpeMerges), BpeMerges)
+      .join(langs, "doc_id")
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length($"w")).as("n_chars"),
+        sum($"bpe").as("n_bpe_tokens"))
+      .select($"lang", $"n_docs", $"n_words", $"n_chars", $"n_bpe_tokens",
+        r($"n_chars" / $"n_bpe_tokens", 4).as("chars_per_token"),
+        r($"n_bpe_tokens".cast("double") / $"n_words".cast("double"), 4)
+          .as("tokens_per_word"))
+      .orderBy($"lang")
   }
+
+  val d47Sql: String =
+    s"""WITH ${bpeCtesSql(BpeMerges)},
+       $bpeEncodeChainSql,
+       lj AS (SELECT doc_id, coalesce(lang, '') AS lang FROM documents)
+       SELECT lang, count(DISTINCT x.doc_id) AS n_docs, count(*) AS n_words,
+         CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT) AS n_bpe_tokens,
+         ${rSql("CAST(sum(len(w)) AS BIGINT) / CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT)", 4)}
+           AS chars_per_token,
+         ${rSql("CAST(CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)}
+           AS tokens_per_word
+       FROM x$BpeMerges x JOIN lj ON lj.doc_id = x.doc_id
+       GROUP BY lang ORDER BY lang"""
 
   /** d12 — document chunking: fixed-size token windows (64 tokens,
     * stride 56 → 8-token overlap) — the packing step that turns variable-
@@ -1325,6 +1380,7 @@ object TextOps {
     "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
     "d32_bpe_encode" -> (d32BpeEncode _),
+    "d47_bpe_fertility" -> (d47BpeFertility _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d28_substring_dedup" -> (d28SubstringDedup _),
@@ -1347,6 +1403,7 @@ object TextOps {
     "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,
     "d32_bpe_encode" -> d32Sql,
+    "d47_bpe_fertility" -> d47Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
     "d28_substring_dedup" -> d28Sql,

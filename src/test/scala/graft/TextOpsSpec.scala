@@ -87,6 +87,25 @@ class TextOpsSpec extends GraftSpec {
     } finally pr.unpersist(blocking = false)
   }
 
+  test("d47 fertility: per-lang totals conserve d32's per-doc totals exactly") {
+    import spark.implicits._
+    val d47 = operators.TextOps.d47BpeFertility(spark, sfTiny)
+      .agg(sum($"n_words"), sum($"n_chars"), sum($"n_bpe_tokens"),
+        sum($"n_docs")).collect()(0)
+    val d32 = operators.TextOps.d32BpeEncode(spark, sfTiny)
+      .agg(sum($"n_words"), sum($"n_chars"), sum($"n_bpe_tokens"),
+        count(lit(1))).collect()(0)
+    assert((0 to 3).forall(i => d47.getLong(i) == d32.getLong(i)),
+      s"$d47 vs $d32")
+    // fertility sanity: every lang tokenizes to ≥1 token per word and
+    // ≤ word length
+    val rows = operators.TextOps.d47BpeFertility(spark, sfTiny).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("tokens_per_word") >= 1.0, s"$r")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0, s"$r")
+    }
+  }
+
   test("d38 readability: hand-computed Flesch scores on a planted sentence") {
     import spark.implicits._
     val docs = Seq(
