@@ -420,7 +420,60 @@ object Multimodal {
        ORDER BY doc_a, doc_b"""
   }
 
+  // --- x08: byte-budget shard packing (webdataset manifest) ----------------
+
+  /** x08's shard byte budget (16 KiB here; real webdataset shards run
+    * ~100 MB-1 GB — the knob, not the shape, changes). */
+  private val ShardBudget = 16384L
+
+  /** x08 — webdataset-style shard packing: lay the binary payloads of
+    * each (source, 1000-doc group) stream into [[ShardBudget]]-byte
+    * shards in doc_id order and emit the manifest (shard id + byte
+    * offset per object) a tar-shard writer consumes. d20's packing rule
+    * on bytes instead of tokens (an object belongs to the shard where it
+    * STARTS); the 1000-doc group key is d20's boundedness trick — writer
+    * parallelism = active groups, window state never exceeds a group.
+    * All-integer outputs: the `div`-vs-round hazard is avoided with
+    * integer division on both engines (CLAUDE.md invariant 7). */
+  def x08ShardPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shardPack(Tables.documents(s, dir)
+      .select(coalesce($"source", lit("")).as("source"), $"doc_id",
+        octet_length($"text").cast("long").as("n_bytes")))
+  }
+
+  /** x08's core over (source, doc_id, n_bytes) — exposed for the
+    * hand-computed boundary spec. */
+  private[graft] def shardPack(objs: DataFrame): DataFrame = {
+    val s = objs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source", $"grp").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    objs
+      .withColumn("grp", expr("doc_id div 1000"))
+      .withColumn("cum", sum($"n_bytes").over(w))
+      .withColumn("shard_id", expr(s"(cum - n_bytes) div $ShardBudget"))
+      .select($"source", $"grp", $"doc_id", $"n_bytes", $"shard_id",
+        ($"cum" - $"n_bytes" - $"shard_id" * ShardBudget).as("offset_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  val x08Sql: String =
+    s"""WITH m AS (SELECT coalesce(source, '') AS source, doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         doc_id // 1000 AS grp
+       FROM documents),
+       c AS (SELECT source, grp, doc_id, n_bytes,
+         CAST(sum(n_bytes) OVER (PARTITION BY source, grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       FROM m)
+       SELECT source, CAST(grp AS BIGINT) AS grp, doc_id, n_bytes,
+         CAST((cum - n_bytes) // $ShardBudget AS BIGINT) AS shard_id,
+         CAST(cum - n_bytes - ((cum - n_bytes) // $ShardBudget) * $ShardBudget AS BIGINT) AS offset_bytes
+       FROM c ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x08_shard_packing" -> (x08ShardPacking _),
     "x07_phash_neardup" -> (x07PhashNeardup _),
     "x06_cdc_dedup" -> (x06CdcDedup _),
     "x05_media_dedup" -> (x05MediaDedup _),
@@ -431,6 +484,7 @@ object Multimodal {
 
   /** x03 is mapPartitions-based → rows-only + MultimodalSpec. */
   val oracles: Map[String, String] = Map(
+    "x08_shard_packing" -> x08Sql,
     "x07_phash_neardup" -> x07Sql,
     "x06_cdc_dedup" -> x06Sql,
     "x05_media_dedup" -> x05Sql,

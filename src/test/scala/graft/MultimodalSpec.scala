@@ -44,6 +44,32 @@ class MultimodalSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("x08 shard packing: objects land in the shard where they start, offsets exact") {
+    import spark.implicits._
+    // one stream, 10000-byte objects against the 16384-byte budget:
+    // starts 0 / 10000 / 20000 / 30000 → shards 0, 0, 1, 1 with offsets
+    // 0, 10000, 3616, 13616
+    val objs = Seq((1L, 10000L), (2L, 10000L), (3L, 10000L), (4L, 10000L))
+      .map { case (id, b) => ("s3", id, b) }.toDF("source", "doc_id", "n_bytes")
+    val out = operators.Multimodal.shardPack(objs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard_id"), r.getAs[Long]("offset_bytes"))).toMap
+    assert(out(1L) == (0L, 0L) && out(2L) == (0L, 10000L), s"$out")
+    assert(out(3L) == (1L, 3616L) && out(4L) == (1L, 13616L), s"$out")
+    // on testdata: manifest covers every doc, offsets within [0, budget)
+    val td = operators.Multimodal.x08ShardPacking(spark, sfTiny).cache()
+    try {
+      assert(td.count() == Tables.documents(spark, sfTiny).count())
+      assert(td.filter($"offset_bytes" < 0 || $"offset_bytes" >= 16384).count() == 0)
+      // conservation per (source, grp, shard): bytes of its members equal
+      // the cum deltas — implied by offsets; spot-check monotone shard ids
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"grp").orderBy($"doc_id")
+      assert(td.withColumn("prev", lag($"shard_id", 1).over(w))
+        .filter($"prev".isNotNull && $"shard_id" < $"prev").count() == 0)
+    } finally td.unpersist(blocking = false)
+  }
+
   test("x01 metadata matches the source table") {
     val meta = Multimodal.x01BinaryMeta(spark, sfTiny)
     assert(meta.count() == Tables.documents(spark, sfTiny).count())
