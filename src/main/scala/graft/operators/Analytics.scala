@@ -324,6 +324,56 @@ object Analytics {
        FROM d2
        ORDER BY l_returnflag"""
 
+  /** q71 — trimmed + winsorized means per return flag (the
+    * robust-location family member between q46's median/MAD and the raw
+    * q23 moments): thresholds = exact interpolated p05/p95 (rounded
+    * before comparison, the q33/t20 policy), trimmed mean drops the
+    * tails, winsorized mean CLAMPS them (least/greatest — scan-local,
+    * identical in both engines). One threshold aggregate broadcast back,
+    * one conditional-aggregate scan — no second sort.
+    *
+    * Scale shape: exact percentiles sort per group (q33's documented
+    * cost; q39's hash-sample is the drop-in at 100 TB), everything else
+    * is map-side-combinable. */
+  def q71WinsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    winsorizedStats(Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("seg"), $"l_extendedprice".as("x")))
+  }
+
+  /** q71's core over (seg, x) — exposed for the hand-computed 1..100
+    * spec. */
+  private[graft] def winsorizedStats(vals: DataFrame): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    val th = vals.groupBy($"seg")
+      .agg(r(percentile($"x", lit(0.05)), 6).as("lo"),
+        r(percentile($"x", lit(0.95)), 6).as("hi"))
+    vals.join(broadcast(th), "seg")
+      .groupBy($"seg", $"lo", $"hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" >= $"lo" && $"x" <= $"hi", 1L).otherwise(0L)).as("n_kept"),
+        ravg(when($"x" >= $"lo" && $"x" <= $"hi", $"x"), 6).as("trimmed_mean"),
+        ravg(least(greatest($"x", $"lo"), $"hi"), 6).as("winsor_mean"))
+      .select($"seg", $"n", $"lo".as("p05"), $"hi".as("p95"),
+        $"n_kept", $"trimmed_mean", $"winsor_mean")
+      .orderBy($"seg")
+  }
+
+  val q71Sql: String =
+    s"""WITH v AS (SELECT l_returnflag AS seg, l_extendedprice AS x
+         FROM lineitem),
+       th AS (SELECT seg,
+           ${rSql("quantile_cont(x, 0.05)", 6)} AS lo,
+           ${rSql("quantile_cont(x, 0.95)", 6)} AS hi
+         FROM v GROUP BY seg),
+       j AS (SELECT v.seg, x, lo, hi FROM v JOIN th USING (seg))
+       SELECT seg, count(*) AS n, lo AS p05, hi AS p95,
+         CAST(sum(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         ${ravgSql("CASE WHEN x >= lo AND x <= hi THEN x END", 6)} AS trimmed_mean,
+         ${ravgSql("least(greatest(x, lo), hi)", 6)} AS winsor_mean
+       FROM j GROUP BY seg, lo, hi ORDER BY seg"""
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -2328,6 +2378,7 @@ object Analytics {
     "q61_holt_forecast" -> (q61HoltForecast _),
     "q69_holt_winters" -> (q69HoltWinters _),
     "q70_runs_test" -> (q70RunsTest _),
+    "q71_winsorized_stats" -> (q71WinsorizedStats _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2371,6 +2422,7 @@ object Analytics {
     "q61_holt_forecast" -> q61Sql,
     "q69_holt_winters" -> q69Sql,
     "q70_runs_test" -> q70Sql,
+    "q71_winsorized_stats" -> q71Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

@@ -199,6 +199,24 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q71 winsorized: 1..100 trims to 6..95 and clamps symmetrically to mean 50.5") {
+    import spark.implicits._
+    // p05 = 5.95, p95 = 95.05 ((n−1)p interpolation); trimmed keeps 6..95
+    // (mean 50.5); clamping is symmetric here so winsor mean is also 50.5
+    val vals = (1 to 100).map(i => ("a", i.toDouble)).toDF("seg", "x")
+    val r0 = Analytics.winsorizedStats(vals).collect()(0)
+    assert(r0.getAs[Double]("p05") == 5.95 && r0.getAs[Double]("p95") == 95.05, s"$r0")
+    assert(r0.getAs[Long]("n") == 100L && r0.getAs[Long]("n_kept") == 90L)
+    assert(r0.getAs[Double]("trimmed_mean") == 50.5)
+    assert(r0.getAs[Double]("winsor_mean") == 50.5)
+    // asymmetric outlier: one wild max pulls the raw mean but not the
+    // trimmed one
+    val wild = ((1 to 99).map(i => ("w", i.toDouble)) :+ ("w", 100000.0)).toDF("seg", "x")
+    val rw = Analytics.winsorizedStats(wild).collect()(0)
+    assert(rw.getAs[Double]("trimmed_mean") < 60.0, s"$rw")
+    assert(rw.getAs[Double]("winsor_mean") < 60.0, s"$rw")
+  }
+
   test("q70 runs test: alternating series hits max runs with the exact z, trend scores negative") {
     import spark.implicits._
     // alternating 10,0,...: median 5, signs alternate → r = 8 (max);
