@@ -863,6 +863,63 @@ object Corpus {
        FROM (${TextOps.d03Sql}) d3),
        $evalTailSql"""
 
+  // --- ml22: McNemar paired comparison of ml05 vs ml07 ---------------------
+
+  /** ml22 — McNemar's paired test between the two lang classifiers on
+    * the docs BOTH scored (ml07's budgeted test subset of the shared h60
+    * split): the discordant-pair counts b (only NB right) / c (only kNN
+    * right) and χ² = (b−c)²/(b+c) — the statistically-sound way to claim
+    * "model A beats model B" on a shared test set (marginal accuracies
+    * alone ignore pairing). Evals share their classifiers' full CTE
+    * blocks (nested WITH subqueries — ml05Ctes/ml07Ctes bind a
+    * conflicting `sp`), so the compared predictions are the checked
+    * predictions. One row; b + c = 0 degenerates to χ² = 0.
+    *
+    * Scale shape: the two classifiers' own plans plus a doc_id equi-join
+    * on the ≤128-row budget and a single global aggregate. */
+  def ml22Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = ml05NaiveBayes(s, dir).select($"doc_id", $"correct".as("c_nb"))
+    val knn = ml07KnnClassify(s, dir).select($"doc_id", $"correct".as("c_knn"))
+    nb.join(knn, "doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(($"c_nb" * $"c_knn").cast("long")).as("both_right"),
+        sum(($"c_nb" * (lit(1) - $"c_knn")).cast("long")).as("only_nb"),
+        sum(((lit(1) - $"c_nb") * $"c_knn").cast("long")).as("only_knn"),
+        sum(((lit(1) - $"c_nb") * (lit(1) - $"c_knn")).cast("long")).as("both_wrong"))
+      .select($"n_pairs", $"both_right", $"only_nb", $"only_knn", $"both_wrong",
+        when($"only_nb" + $"only_knn" > 0,
+          r((($"only_nb" - $"only_knn") * ($"only_nb" - $"only_knn")).cast("double") /
+            ($"only_nb" + $"only_knn").cast("double"), 6)).otherwise(0.0).as("chi2"),
+        r(($"both_right" + $"only_nb").cast("double") / $"n_pairs".cast("double"), 6).as("acc_nb"),
+        r(($"both_right" + $"only_knn").cast("double") / $"n_pairs".cast("double"), 6).as("acc_knn"))
+  }
+
+  // lazy: ml07Ctes reads KnnK/KnnBudget vals defined LATER in this file —
+  // a strict val here would interpolate them as 0 (object-init order)
+  lazy val ml22Sql: String =
+    s"""WITH p1 AS (SELECT doc_id, correct FROM (
+         WITH $ml05Ctes
+         SELECT doc_id, CAST(true_lang = cand_lang AS INTEGER) AS correct
+         FROM rk WHERE rn = 1) z1),
+       p2 AS (SELECT doc_id, correct FROM (
+         WITH $ml07Ctes
+         SELECT qid AS doc_id, CAST(tl = nl AS INTEGER) AS correct
+         FROM pr WHERE rn = 1) z2),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(p1.correct * p2.correct) AS BIGINT) AS both_right,
+           CAST(sum(p1.correct * (1 - p2.correct)) AS BIGINT) AS only_nb,
+           CAST(sum((1 - p1.correct) * p2.correct) AS BIGINT) AS only_knn,
+           CAST(sum((1 - p1.correct) * (1 - p2.correct)) AS BIGINT) AS both_wrong
+         FROM p1 JOIN p2 USING (doc_id))
+       SELECT n_pairs, both_right, only_nb, only_knn, both_wrong,
+         CASE WHEN only_nb + only_knn > 0
+              THEN ${rSql("CAST((only_nb - only_knn) * (only_nb - only_knn) AS DOUBLE) / CAST(only_nb + only_knn AS DOUBLE)", 6)}
+              ELSE 0.0 END AS chi2,
+         ${rSql("CAST(both_right + only_nb AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 6)} AS acc_nb,
+         ${rSql("CAST(both_right + only_knn AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 6)} AS acc_knn
+       FROM m"""
+
   // --- ml06: hashed bag-of-words quality classifier (logistic GD) ---------
 
   private[graft] val QlrIters = 4
@@ -2048,6 +2105,7 @@ object Corpus {
     "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
     "ml21_langid_eval" -> (ml21LangidEval _),
+    "ml22_mcnemar" -> (ml22Mcnemar _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
@@ -2075,6 +2133,7 @@ object Corpus {
     "ml07_knn_classify" -> ml07Sql,
     "ml08_classifier_eval" -> ml08Sql,
     "ml21_langid_eval" -> ml21Sql,
+    "ml22_mcnemar" -> ml22Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,

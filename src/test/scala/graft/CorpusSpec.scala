@@ -20,6 +20,27 @@ class CorpusSpec extends GraftSpec {
     }
   }
 
+  test("ml22 McNemar: cells partition the paired subset and match driver-side recounts") {
+    import spark.implicits._
+    val r0 = operators.Corpus.ml22Mcnemar(spark, sfTiny).collect()(0)
+    val nb = operators.Corpus.ml05NaiveBayes(spark, sfTiny)
+      .select($"doc_id", $"correct".as("c1")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("c1")).toMap
+    val knn = operators.Corpus.ml07KnnClassify(spark, sfTiny)
+      .select($"doc_id", $"correct".as("c2")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("c2")).toMap
+    val paired = knn.keySet.intersect(nb.keySet)
+    assert(r0.getAs[Long]("n_pairs") == paired.size.toLong, s"$r0")
+    val b = paired.count(k => nb(k) == 1 && knn(k) == 0)
+    val c = paired.count(k => nb(k) == 0 && knn(k) == 1)
+    assert(r0.getAs[Long]("only_nb") == b.toLong && r0.getAs[Long]("only_knn") == c.toLong)
+    assert(r0.getAs[Long]("both_right") + r0.getAs[Long]("only_nb") +
+      r0.getAs[Long]("only_knn") + r0.getAs[Long]("both_wrong") ==
+      r0.getAs[Long]("n_pairs"))
+    val chi2 = if (b + c > 0) operators.Num.rD((b - c).toDouble * (b - c) / (b + c), 6) else 0.0
+    assert(r0.getAs[Double]("chi2") == chi2, s"$r0 vs $chi2")
+  }
+
   test("ml16 PR curve: hand-computed operating points on a planted score column") {
     import spark.implicits._
     val scored = Seq((1, 0.9), (1, 0.7), (0, 0.6), (1, 0.4), (0, 0.2))
