@@ -196,6 +196,61 @@ object TextOps {
        GROUP BY fp
        ORDER BY kept_doc_id"""
 
+  /** d48 — dedup impact by source: which ingestion feeds lose how much
+    * to d04's exact dedup (survivor = min-doc_id of the fingerprint
+    * group, d04's rule — a doc "survives" only if it IS its group's
+    * representative, so a feed that re-crawls content first published
+    * elsewhere loses everything). Per source: doc count, survivors,
+    * removals, characters reclaimed, removal share — the attribution
+    * report next to d04's group table (x05 reports reclaimable bytes
+    * globally; d48 says WHO to bill). d46's containment matrix predicts
+    * this; d48 measures it.
+    *
+    * Scale shape: d04's single uniform fingerprint shuffle, one winner
+    * join back on the same key, one source-keyed rollup. */
+  def d48DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupImpact(Tables.documents(s, dir)
+      .select($"doc_id", coalesce($"source", lit("")).as("source"),
+        $"n_chars".cast("long").as("n_chars"), $"text"))
+  }
+
+  /** d48's core over (doc_id, source, n_chars, text) — exposed for the
+    * planted cross-source-dup spec. */
+  private[graft] def dedupImpact(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val d = docs.select($"doc_id", $"source", $"n_chars",
+      normFp($"text").as("fp"))
+    val w = d.groupBy($"fp").agg(min($"doc_id").as("wid"))
+    d.join(w, "fp")
+      .withColumn("kept", ($"doc_id" === $"wid").cast("int"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"kept").cast("long").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).cast("long").as("n_removed"),
+        sum(when($"kept" === 0, $"n_chars").otherwise(lit(0L)))
+          .cast("long").as("chars_removed"))
+      .withColumn("removed_share",
+        r($"n_removed".cast("double") / $"n_docs".cast("double"), 6))
+      .orderBy($"source")
+  }
+
+  val d48Sql: String =
+    s"""WITH d AS (SELECT doc_id, coalesce(source, '') AS source,
+         CAST(n_chars AS BIGINT) AS n_chars, ${normFpSql("text")} AS fp
+       FROM documents),
+       w AS (SELECT fp, min(doc_id) AS wid FROM d GROUP BY fp),
+       j AS (SELECT d.source, d.n_chars,
+           CASE WHEN d.doc_id = w.wid THEN 1 ELSE 0 END AS kept
+         FROM d JOIN w USING (fp))
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(kept) AS BIGINT) AS n_kept,
+         CAST(count(*) - sum(kept) AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN kept = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed,
+         ${rSql("CAST(count(*) - sum(kept) AS BIGINT) / CAST(count(*) AS DOUBLE)", 6)} AS removed_share
+       FROM j GROUP BY source ORDER BY source"""
+
   /** d05 — near-duplicate pairs by token-set Jaccard, blocked on `lang`
     * (the exact quadratic baseline; MinHash LSH in [[DedupLsh]] is the
     * 100 TB path). |A∪B| computed as |A|+|B|−|A∩B| so both engines use
@@ -1381,6 +1436,7 @@ object TextOps {
     "d31_gopher_quality" -> (d31GopherQuality _),
     "d32_bpe_encode" -> (d32BpeEncode _),
     "d47_bpe_fertility" -> (d47BpeFertility _),
+    "d48_dedup_impact" -> (d48DedupImpact _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d28_substring_dedup" -> (d28SubstringDedup _),
@@ -1404,6 +1460,7 @@ object TextOps {
     "d31_gopher_quality" -> d31Sql,
     "d32_bpe_encode" -> d32Sql,
     "d47_bpe_fertility" -> d47Sql,
+    "d48_dedup_impact" -> d48Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
     "d28_substring_dedup" -> d28Sql,

@@ -87,6 +87,32 @@ class TextOpsSpec extends GraftSpec {
     } finally pr.unpersist(blocking = false)
   }
 
+  test("d48 dedup impact: cross-source duplicate billed to the re-crawling feed") {
+    import spark.implicits._
+    // A publishes first (doc 1); A's own re-post (doc 2) and B's copy
+    // (doc 3) both lose to it; B's original doc 4 survives
+    val docs = Seq(
+      (1L, "A", "same text here"),
+      (2L, "A", "same text here"),
+      (3L, "B", "same text here"),
+      (4L, "B", "unique b content")).map { case (id, s0, t) =>
+      (id, s0, t.length.toLong, t)
+    }.toDF("doc_id", "source", "n_chars", "text")
+    val out = operators.TextOps.dedupImpact(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("A"); val b = out("B")
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_kept") == 1 &&
+      a.getAs[Long]("n_removed") == 1, s"$a")
+    assert(b.getAs[Long]("n_docs") == 2 && b.getAs[Long]("n_kept") == 1 &&
+      b.getAs[Long]("n_removed") == 1, s"$b")
+    assert(b.getAs[Long]("chars_removed") == "same text here".length.toLong)
+    assert(a.getAs[Double]("removed_share") == 0.5)
+    // conservation vs d04 on testdata: Σ n_kept = # fingerprint groups
+    val kept = operators.TextOps.d48DedupImpact(spark, sfTiny)
+      .agg(sum($"n_kept")).collect()(0).getLong(0)
+    assert(kept == operators.TextOps.d04ExactDedup(spark, sfTiny).count())
+  }
+
   test("d47 fertility: per-lang totals conserve d32's per-doc totals exactly") {
     import spark.implicits._
     val d47 = operators.TextOps.d47BpeFertility(spark, sfTiny)
