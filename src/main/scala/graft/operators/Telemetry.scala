@@ -538,6 +538,77 @@ object Telemetry {
        FROM g
        ORDER BY user_id, ts, event_id"""
 
+  /** t25 — linear-interpolation gap repair (t13's LOCF sibling — LOCF
+    * holds a stale reading flat through a dropout, interpolation draws
+    * the line a slowly-moving physical signal actually followed): same
+    * deterministic dropout simulation (every 7th event id), each missing
+    * value rebuilt from the last/next surviving neighbors weighted by
+    * time distance; edges (no neighbor on one side) degrade to
+    * LOCF/NOCB, fill_kind labels observed/interpolated/edge/unfillable.
+    * Equal-timestamp neighbors (nx = px) fall back to LOCF so no
+    * division blows up. Two ROWS-frame windows on the same (user_id)
+    * shuffle — t13's exact scale shape. */
+  def t25GapInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gapInterpolate(Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 7 === 0, lit(null)).otherwise($"value").as("v_raw")))
+  }
+
+  /** t25's core over (user_id, ts, event_id, v_raw) — exposed for the
+    * hand-computed line spec. */
+  private[graft] def gapInterpolate(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val wp = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev
+      .withColumn("pv", last($"v_raw", ignoreNulls = true).over(wp))
+      .withColumn("px",
+        last(when($"v_raw".isNotNull, $"ts".cast("double")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first($"v_raw", ignoreNulls = true).over(wn))
+      .withColumn("nx",
+        first(when($"v_raw".isNotNull, $"ts".cast("double")), ignoreNulls = true).over(wn))
+      .select($"user_id", $"ts", $"event_id", $"v_raw",
+        when($"v_raw".isNotNull, $"v_raw")
+          .when($"pv".isNotNull && $"nv".isNotNull && $"nx" > $"px",
+            r($"pv" + ($"nv" - $"pv") *
+              (($"ts".cast("double") - $"px") / ($"nx" - $"px")), 6))
+          .otherwise(coalesce($"pv", $"nv")).as("v_interp"),
+        when($"v_raw".isNotNull, 0)
+          .when($"pv".isNotNull && $"nv".isNotNull && $"nx" > $"px", 1)
+          .when($"pv".isNotNull || $"nv".isNotNull, 2)
+          .otherwise(3).as("fill_kind"))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val t25Sql: String =
+    s"""WITH g AS (SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_raw
+       FROM events),
+       f AS (SELECT user_id, ts, event_id, v_raw,
+           last_value(v_raw IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN v_raw IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER wp AS px,
+           first_value(v_raw IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN v_raw IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER wn AS nx
+         FROM g
+         WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wn AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+       SELECT user_id, ts, event_id, v_raw,
+         CASE WHEN v_raw IS NOT NULL THEN v_raw
+              WHEN pv IS NOT NULL AND nv IS NOT NULL AND nx > px
+                THEN ${rSql("pv + (nv - pv) * ((epoch(ts) - px) / (nx - px))", 6)}
+              ELSE coalesce(pv, nv) END AS v_interp,
+         CASE WHEN v_raw IS NOT NULL THEN 0
+              WHEN pv IS NOT NULL AND nv IS NOT NULL AND nx > px THEN 1
+              WHEN pv IS NOT NULL OR nv IS NOT NULL THEN 2
+              ELSE 3 END AS fill_kind
+       FROM f ORDER BY user_id, ts, event_id"""
+
   /** t14 — single-pass top-k per key via the typed [[graft.functions.TopKAggregator]]
     * (Aggregator[IN,BUF,OUT]): top-3 readings per user. Unlike the
     * window-rank form (q07), the aggregator ships at most k rows per
@@ -959,6 +1030,7 @@ object Telemetry {
     "t08_sessionize" -> (t08Sessionize _),
     "t19_kaplan_meier" -> (t19KaplanMeier _),
     "t24_nelson_aalen" -> (t24NelsonAalen _),
+    "t25_gap_interpolate" -> (t25GapInterpolate _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -980,5 +1052,6 @@ object Telemetry {
     "t08_sessionize" -> t08Sql,
     "t19_kaplan_meier" -> t19Sql,
     "t24_nelson_aalen" -> t24Sql,
+    "t25_gap_interpolate" -> t25Sql,
     "t09_props_stats" -> t09Sql)
 }

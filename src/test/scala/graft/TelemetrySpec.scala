@@ -161,6 +161,25 @@ class TelemetrySpec extends GraftSpec {
       && row(30).getAs[Double]("survival") == 0.0, s"${row(30)}")
   }
 
+  test("t25 gap interpolation: hand-computed line, edges degrade to LOCF/NOCB") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: 10 @t0, null @t10, null @t20, 40 @t30 → 20, 30 on the line;
+    // user 2: null @t0 (leading → NOCB = 7), 7 @t10, null @t20 (trailing → LOCF)
+    val ev = Seq(
+      (1L, 0L, 1L, Some(10.0)), (1L, 10L, 2L, None),
+      (1L, 20L, 3L, None), (1L, 30L, 4L, Some(40.0)),
+      (2L, 0L, 5L, None), (2L, 10L, 6L, Some(7.0)), (2L, 20L, 7L, None))
+      .toDF("user_id", "sec", "event_id", "v_raw")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id", $"v_raw")
+    val out = Telemetry.gapInterpolate(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("v_interp"), r.getAs[Int]("fill_kind"))).toMap
+    assert(out(1L) == (10.0, 0) && out(4L) == (40.0, 0))
+    assert(out(2L) == (20.0, 1) && out(3L) == (30.0, 1), s"$out")
+    assert(out(5L) == (7.0, 2) && out(7L) == (7.0, 2), s"$out")
+  }
+
   test("t24 Nelson-Aalen: hand-computed hazard on the t19 fixture") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
