@@ -1407,6 +1407,144 @@ object Analytics {
          ${rSql("(CAST(n_runs AS DOUBLE) - mu) / sqrt(v)", 6)} AS z
        FROM vv WHERE v > 0 ORDER BY event_type"""
 
+  // --- q72: LTTB downsampling of the hourly series --------------------------
+
+  /** q72's output size: 12 points (first + 10 bucket champions + last). */
+  private val LttbT = 12
+
+  /** q72 — Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    * the Grafana/Influx visualization standard): reduce each event_type's
+    * hourly series to [[LttbT]] points that preserve visual shape —
+    * spikes, knees, extremes — where naive striding would erase them.
+    * First/last points always kept; the middle splits into 10 equal
+    * buckets; per bucket the survivor maximizes the triangle area with
+    * the PREVIOUSLY selected point and the next bucket's average (a
+    * sequential greedy — each choice depends on the last), ties broken
+    * toward the earliest hour. Bucket-average y re-enters decimal so the
+    * anchor is order-independent; the greedy itself is pure IEEE in one
+    * mapGroups pass per type (t15/q61's layout). Types with ≤ 12 hours
+    * emit nothing (nothing to downsample).
+    *
+    * The oracle replays the SAME greedy as a recursive CTE whose
+    * per-step argmax is a correlated NOT-EXISTS anti-join (aggregates
+    * are not allowed in a recursive term), so every selection — area
+    * arithmetic, anchor construction, tie-break — is hash-checked.
+    *
+    * Scale shape: one map-side-combinable hourly rollup; the recursion
+    * state is one point per type and buckets live on the (type × hours)
+    * axis. */
+  def q72LttbDownsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lttb(Tables.events(s, dir)
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("hour", $"ts")).as("hx"))
+      .agg(r(davg($"value"), 6).as("y")))
+  }
+
+  /** q72's core over an explicit (event_type, hx, y) series — exposed so
+    * the spec can plant a spike that naive striding would miss. */
+  private[graft] def lttb(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val mid = LttbT - 2
+    series.select($"event_type", $"hx".cast("long"), $"y")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._2)
+        val n = pts.length
+        if (n <= LttbT) Iterator.empty
+        else {
+          val buckets = Array.fill(mid)(scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+          var i = 1
+          while (i <= n - 2) {
+            // 1-based rn = i + 1; bucket = (rn − 2)·mid div (n − 2)
+            buckets((((i - 1).toLong * mid) / (n - 2)).toInt) += ((pts(i)._2, pts(i)._3))
+            i += 1
+          }
+          def bavg(k: Int): (Double, Double) = {
+            val b = buckets(k)
+            val bx = b.map(_._1).sum.toDouble / b.length
+            // decimal re-entry: CAST(double AS DECIMAL(38,10)) twin
+            val by = b.map(p => BigDecimal(p._2)
+              .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / b.length
+            (bx, by)
+          }
+          val out = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Double)]()
+          out += ((et, 0, pts(0)._2, pts(0)._3))
+          var ax = pts(0)._2.toDouble; var ay = pts(0)._3
+          var k = 0
+          while (k < mid) {
+            val (bx2, by2) =
+              if (k < mid - 1) bavg(k + 1)
+              else (pts(n - 1)._2.toDouble, pts(n - 1)._3)
+            var bestA = -1.0; var bestHx = 0L; var bestY = 0.0
+            buckets(k).foreach { case (phx, py) =>
+              val px = phx.toDouble
+              val ar = math.abs((ax - bx2) * (py - ay) - (ax - px) * (by2 - ay))
+              if (ar > bestA) { bestA = ar; bestHx = phx; bestY = py }
+            }
+            out += ((et, k + 1, bestHx, bestY))
+            ax = bestHx.toDouble; ay = bestY
+            k += 1
+          }
+          out += ((et, mid + 1, pts(n - 1)._2, pts(n - 1)._3))
+          out.iterator
+        }
+      }
+      .toDF("event_type", "sel", "hx", "y")
+      .orderBy($"event_type", $"sel")
+  }
+
+  val q72Sql: String = {
+    def ar(px: String, py: String) =
+      s"abs((rec.sxd - a.bx) * (($py) - rec.sy) - (rec.sxd - ($px)) * (a.by2 - rec.sy))"
+    s"""WITH RECURSIVE hr AS MATERIALIZED (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS y
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       s AS MATERIALIZED (SELECT event_type, hx, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+       FROM hr),
+       cnt AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n
+         FROM s GROUP BY event_type),
+       big AS MATERIALIZED (SELECT s.event_type, s.hx, s.y, s.rn, cnt.n
+         FROM s JOIN cnt USING (event_type) WHERE n > $LttbT),
+       mid AS MATERIALIZED (SELECT event_type, hx, CAST(hx AS DOUBLE) AS hxd, y,
+           CAST(((rn - 2) * ${LttbT - 2}) // (n - 2) AS BIGINT) AS k
+         FROM big WHERE rn >= 2 AND rn <= n - 1),
+       bavg AS (SELECT event_type, k,
+           CAST(CAST(sum(hx) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bx,
+           ${davgSql("y")} AS by2
+         FROM mid GROUP BY event_type, k),
+       lastp AS (SELECT event_type, hx, CAST(hx AS DOUBLE) AS bx, y AS by2, y
+         FROM big WHERE rn = n),
+       anch AS (SELECT event_type, k - 1 AS k, bx, by2 FROM bavg WHERE k >= 1
+                UNION ALL
+                SELECT event_type, ${LttbT - 3} AS k, bx, by2 FROM lastp),
+       firstp AS (SELECT event_type, hx, CAST(hx AS DOUBLE) AS hxd, y
+         FROM big WHERE rn = 1),
+       rec AS (
+         SELECT event_type, -1 AS k, hx AS shx, hxd AS sxd, y AS sy FROM firstp
+         UNION ALL
+         SELECT m.event_type, rec.k + 1, m.hx, m.hxd, m.y
+         FROM rec
+         JOIN anch a ON a.event_type = rec.event_type AND a.k = rec.k + 1
+         JOIN mid m ON m.event_type = rec.event_type AND m.k = rec.k + 1
+         WHERE NOT EXISTS (
+           SELECT 1 FROM mid q
+           WHERE q.event_type = m.event_type AND q.k = m.k
+             AND (${ar("q.hxd", "q.y")} > ${ar("m.hxd", "m.y")}
+               OR (${ar("q.hxd", "q.y")} = ${ar("m.hxd", "m.y")} AND q.hx < m.hx))))
+       SELECT event_type, CAST(sel AS INTEGER) AS sel, hx, y FROM (
+         SELECT event_type, 0 AS sel, hx, y FROM firstp
+         UNION ALL
+         SELECT event_type, k + 1 AS sel, shx AS hx, sy AS y FROM rec WHERE k >= 0
+         UNION ALL
+         SELECT event_type, ${LttbT - 1} AS sel, hx, y FROM lastp) u
+       ORDER BY event_type, sel"""
+  }
+
   // --- q59: additive seasonal decomposition of the event stream -------------
 
   /** q59 — additive seasonal decomposition per event_type: value ≈ mean +
@@ -2379,6 +2517,7 @@ object Analytics {
     "q69_holt_winters" -> (q69HoltWinters _),
     "q70_runs_test" -> (q70RunsTest _),
     "q71_winsorized_stats" -> (q71WinsorizedStats _),
+    "q72_lttb_downsample" -> (q72LttbDownsample _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2423,6 +2562,7 @@ object Analytics {
     "q69_holt_winters" -> q69Sql,
     "q70_runs_test" -> q70Sql,
     "q71_winsorized_stats" -> q71Sql,
+    "q72_lttb_downsample" -> q72Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

@@ -199,6 +199,27 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q72 LTTB: the spike survives downsampling, selections are hx-monotone, short series drop") {
+    import spark.implicits._
+    val spike = (0 until 30).map(i =>
+      ("s", i.toLong, if (i == 17) 100.0 else 1.0))
+    val short = (0 until 12).map(i => ("x", i.toLong, i.toDouble))
+    val out = Analytics.lttb((spike ++ short).toDF("event_type", "hx", "y"))
+      .collect()
+    assert(out.forall(_.getAs[String]("event_type") == "s")) // short series dropped
+    assert(out.length == 12, out.mkString(";"))
+    val bysel = out.map(r => r.getAs[Int]("sel") ->
+      (r.getAs[Long]("hx"), r.getAs[Double]("y"))).toMap
+    assert(bysel(0) == (0L, 1.0) && bysel(11) == (29L, 1.0))
+    // the spike's bucket champion must be the spike itself — naive
+    // striding (every 3rd point) would have erased it
+    assert(out.exists(r => r.getAs[Long]("hx") == 17L &&
+      r.getAs[Double]("y") == 100.0), out.mkString(";"))
+    // selections advance strictly in time
+    val hxs = out.sortBy(_.getAs[Int]("sel")).map(_.getAs[Long]("hx"))
+    assert(hxs.zip(hxs.tail).forall { case (a, b) => a < b }, hxs.mkString(","))
+  }
+
   test("q71 winsorized: 1..100 trims to 6..95 and clamps symmetrically to mean 50.5") {
     import spark.implicits._
     // p05 = 5.95, p95 = 95.05 ((n−1)p interpolation); trimmed keeps 6..95
