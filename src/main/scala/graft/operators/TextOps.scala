@@ -251,6 +251,57 @@ object TextOps {
          ${rSql("CAST(count(*) - sum(kept) AS BIGINT) / CAST(count(*) AS DOUBLE)", 6)} AS removed_share
        FROM j GROUP BY source ORDER BY source"""
 
+  /** d49 — INCREMENTAL dedup: the daily-ingestion shape d04 doesn't
+    * cover — dedup an incoming batch (h60 deciles 8–9, ~20 % of the
+    * corpus standing in for "today's crawl") against BOTH the existing
+    * corpus's fingerprint store (deciles 0–7) and itself. Per incoming
+    * doc: kept flag and verdict ('new' / 'dup_of_corpus' /
+    * 'dup_in_batch' — corpus membership wins, then d04's min-doc_id rule
+    * within the batch). This is the steady-state production plan: the
+    * historical side reduces to DISTINCT fingerprints (the store you
+    * actually persist), the batch joins it on the uniform 32-hex key,
+    * and nothing ever re-scans old text.
+    *
+    * Scale shape: one distinct-shuffle over the store fingerprints, one
+    * batch-sized left join + min-id aggregate on the same key. */
+  def d49IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+      .select($"doc_id", $"h", normFp($"text").as("fp"))
+    val store = d.filter($"h" <= 7).select($"fp".as("sfp")).distinct()
+    val batch = d.filter($"h" >= 8).select($"doc_id", $"fp")
+    val wmin = batch.groupBy($"fp").agg(min($"doc_id").as("wid"))
+    batch
+      .join(store, $"fp" === $"sfp", "left")
+      .join(wmin, "fp")
+      .select($"doc_id",
+        when($"sfp".isNotNull, "dup_of_corpus")
+          .when($"doc_id" =!= $"wid", "dup_in_batch")
+          .otherwise("new").as("verdict"))
+      .withColumn("kept", ($"verdict" === "new").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val d49Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+         ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h,
+         ${normFpSql("text")} AS fp
+       FROM documents),
+       store AS (SELECT DISTINCT fp AS sfp FROM d WHERE h <= 7),
+       batch AS (SELECT doc_id, fp FROM d WHERE h >= 8),
+       wmin AS (SELECT fp, min(doc_id) AS wid FROM batch GROUP BY fp)
+       SELECT b.doc_id,
+         CASE WHEN s.sfp IS NOT NULL THEN 'dup_of_corpus'
+              WHEN b.doc_id != w.wid THEN 'dup_in_batch'
+              ELSE 'new' END AS verdict,
+         CAST((CASE WHEN s.sfp IS NOT NULL THEN 'dup_of_corpus'
+              WHEN b.doc_id != w.wid THEN 'dup_in_batch'
+              ELSE 'new' END) = 'new' AS INTEGER) AS kept
+       FROM batch b LEFT JOIN store s ON b.fp = s.sfp
+       JOIN wmin w ON w.fp = b.fp
+       ORDER BY b.doc_id"""
+
   /** d05 — near-duplicate pairs by token-set Jaccard, blocked on `lang`
     * (the exact quadratic baseline; MinHash LSH in [[DedupLsh]] is the
     * 100 TB path). |A∪B| computed as |A|+|B|−|A∩B| so both engines use
@@ -1437,6 +1488,7 @@ object TextOps {
     "d32_bpe_encode" -> (d32BpeEncode _),
     "d47_bpe_fertility" -> (d47BpeFertility _),
     "d48_dedup_impact" -> (d48DedupImpact _),
+    "d49_incremental_dedup" -> (d49IncrementalDedup _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d28_substring_dedup" -> (d28SubstringDedup _),
@@ -1461,6 +1513,7 @@ object TextOps {
     "d32_bpe_encode" -> d32Sql,
     "d47_bpe_fertility" -> d47Sql,
     "d48_dedup_impact" -> d48Sql,
+    "d49_incremental_dedup" -> d49Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
     "d28_substring_dedup" -> d28Sql,

