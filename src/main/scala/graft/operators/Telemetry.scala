@@ -609,6 +609,64 @@ object Telemetry {
               ELSE 3 END AS fill_kind
        FROM f ORDER BY user_id, ts, event_id"""
 
+  /** t26 — alert-episode coalescing: every error event opens a 1-hour
+    * alert interval; overlapping/touching intervals per user merge into
+    * EPISODES (classic gaps-and-islands: a new episode starts where the
+    * interval's start exceeds the running max end of everything before
+    * it — NOT the previous row's end, which would split episodes a long
+    * interval still covers). The pager-dedup view t22's heartbeat audit
+    * and q63's attribution windows both presuppose: one incident, one
+    * row, however many raw alerts it contains. Integer epoch-second
+    * arithmetic throughout (floor(epoch) ↔ unix_timestamp, the t19
+    * pairing). One user_id window shuffle, then a per-episode rollup. */
+  def t26EpisodeMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    episodeMerge(Tables.events(s, dir).filter($"event_type" === "error")
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("st"))
+      .withColumn("en", $"st" + 3600L))
+  }
+
+  /** t26's core over (user_id, event_id, st, en) intervals — exposed for
+    * the hand-laid chain/gap spec. */
+  private[graft] def episodeMerge(iv: DataFrame): DataFrame = {
+    val s = iv.sparkSession
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("pmax", max($"en").over(wPrev))
+      .withColumn("newep",
+        ($"pmax".isNull || $"st" > $"pmax").cast("int"))
+      .withColumn("ep", sum($"newep").over(wRun))
+      .groupBy($"user_id", $"ep")
+      .agg(min($"st").as("ep_start"), max($"en").as("ep_end"),
+        count(lit(1)).as("n_alerts"))
+      .withColumn("duration_s", $"ep_end" - $"ep_start")
+      .orderBy($"user_id", $"ep")
+  }
+
+  val t26Sql: String =
+    """WITH a AS (SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS st,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS en
+       FROM events WHERE event_type = 'error'),
+       m AS (SELECT user_id, event_id, st, en,
+           max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         FROM a),
+       f AS (SELECT user_id, event_id, st, en,
+           CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS newep
+         FROM m),
+       g AS (SELECT user_id, st, en,
+           CAST(sum(newep) OVER (PARTITION BY user_id ORDER BY st, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ep
+         FROM f)
+       SELECT user_id, ep, min(st) AS ep_start, max(en) AS ep_end,
+         count(*) AS n_alerts, max(en) - min(st) AS duration_s
+       FROM g GROUP BY user_id, ep
+       ORDER BY user_id, ep"""
+
   /** t14 — single-pass top-k per key via the typed [[graft.functions.TopKAggregator]]
     * (Aggregator[IN,BUF,OUT]): top-3 readings per user. Unlike the
     * window-rank form (q07), the aggregator ships at most k rows per
@@ -1031,6 +1089,7 @@ object Telemetry {
     "t19_kaplan_meier" -> (t19KaplanMeier _),
     "t24_nelson_aalen" -> (t24NelsonAalen _),
     "t25_gap_interpolate" -> (t25GapInterpolate _),
+    "t26_episode_merge" -> (t26EpisodeMerge _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -1053,5 +1112,6 @@ object Telemetry {
     "t19_kaplan_meier" -> t19Sql,
     "t24_nelson_aalen" -> t24Sql,
     "t25_gap_interpolate" -> t25Sql,
+    "t26_episode_merge" -> t26Sql,
     "t09_props_stats" -> t09Sql)
 }

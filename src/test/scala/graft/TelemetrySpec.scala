@@ -161,6 +161,30 @@ class TelemetrySpec extends GraftSpec {
       && row(30).getAs[Double]("survival") == 0.0, s"${row(30)}")
   }
 
+  test("t26 episode merge: chained overlaps fuse, long interval bridges, gaps split") {
+    import spark.implicits._
+    // user 1: [0,100] [50,150] [140,240] chain → one episode [0,240];
+    // then a gap → [300,400] second episode.
+    // user 2: [0,500] covers [100,200] AND bridges to [450,550] even
+    // though [100,200] ended long before — running-max semantics
+    // (a previous-row lag would wrongly split at 450)
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 50L, 150L), (1L, 3L, 140L, 240L),
+      (1L, 4L, 300L, 400L),
+      (2L, 5L, 0L, 500L), (2L, 6L, 100L, 200L), (2L, 7L, 450L, 550L))
+      .toDF("user_id", "event_id", "st", "en")
+    val out = Telemetry.episodeMerge(iv).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ep")) -> r).toMap
+    assert(out.size == 3, out.keys.mkString(";"))
+    val u1e1 = out((1L, 1L)); val u1e2 = out((1L, 2L)); val u2 = out((2L, 1L))
+    assert(u1e1.getAs[Long]("ep_start") == 0L && u1e1.getAs[Long]("ep_end") == 240L
+      && u1e1.getAs[Long]("n_alerts") == 3L, s"$u1e1")
+    assert(u1e2.getAs[Long]("ep_start") == 300L && u1e2.getAs[Long]("n_alerts") == 1L)
+    assert(u2.getAs[Long]("ep_start") == 0L && u2.getAs[Long]("ep_end") == 550L
+      && u2.getAs[Long]("n_alerts") == 3L, s"$u2")
+    assert(u2.getAs[Long]("duration_s") == 550L)
+  }
+
   test("t25 gap interpolation: hand-computed line, edges degrade to LOCF/NOCB") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
