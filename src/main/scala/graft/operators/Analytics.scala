@@ -374,6 +374,52 @@ object Analytics {
          ${ravgSql("least(greatest(x, lo), hi)", 6)} AS winsor_mean
        FROM j GROUP BY seg, lo, hi ORDER BY seg"""
 
+  /** q73 — equi-DEPTH histogram of line-item price (q42's equi-width
+    * complement, and the statistic a cost-based optimizer actually keeps):
+    * bucket boundaries = the exact interpolated decile grid (rounded
+    * before comparison, q33's policy), assignment = nine scan-local
+    * comparisons against the ONE broadcast boundary row (values equal to
+    * a boundary fall LOW, t20's tie rule), per-bucket count/min/max.
+    * Counts deviate from n/10 exactly where ties mass on a boundary —
+    * which is the point of reporting them.
+    *
+    * Scale shape: one exact-percentile aggregate (q39's sampled grid is
+    * the 100 TB drop-in), then a map-side-combinable count scan. */
+  def q73EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    equidepthHist(Tables.lineitem(s, dir).select($"l_extendedprice".as("x")))
+  }
+
+  /** q73's core over (x) — exposed for the 1..100 hand-computed spec. */
+  private[graft] def equidepthHist(vals: DataFrame): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    val bounds = vals.agg(
+      r(percentile($"x", lit(0.1)), 6).as("b1"),
+      (2 to 9).map(i => r(percentile($"x", lit(i / 10.0)), 6).as(s"b$i")): _*)
+    vals.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (1 to 9).map(i => when($"x" > col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _) + 1)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_items"),
+        r(min($"x"), 6).as("lo"), r(max($"x"), 6).as("hi"))
+      .orderBy($"bucket")
+  }
+
+  val q73Sql: String = {
+    val qs = (1 to 9).map(i =>
+      s"${rSql(s"quantile_cont(x, 0.$i)", 6)} AS b$i").mkString(", ")
+    val bucket = (1 to 9).map(i => s"CASE WHEN x > b$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+       b AS (SELECT $qs FROM v)
+       SELECT ($bucket) + 1 AS bucket, count(*) AS n_items,
+         ${rSql("min(x)", 6)} AS lo, ${rSql("max(x)", 6)} AS hi
+       FROM v CROSS JOIN b
+       GROUP BY 1 ORDER BY 1"""
+  }
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -2518,6 +2564,7 @@ object Analytics {
     "q70_runs_test" -> (q70RunsTest _),
     "q71_winsorized_stats" -> (q71WinsorizedStats _),
     "q72_lttb_downsample" -> (q72LttbDownsample _),
+    "q73_equidepth_hist" -> (q73EquidepthHist _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2563,6 +2610,7 @@ object Analytics {
     "q70_runs_test" -> q70Sql,
     "q71_winsorized_stats" -> q71Sql,
     "q72_lttb_downsample" -> q72Sql,
+    "q73_equidepth_hist" -> q73Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

@@ -199,6 +199,24 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q73 equi-depth: 1..100 splits into ten 10-item buckets at the decile grid") {
+    import spark.implicits._
+    val vals = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("x")
+    val out = Analytics.equidepthHist(vals).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("n_items") == 10L), out.mkString(";"))
+    // boundary b1 = 10.9 ((n−1)p interpolation): bucket 1 = {1..10}
+    val b1 = out.find(_.getAs[Int]("bucket") == 1).get
+    assert(b1.getAs[Double]("lo") == 1.0 && b1.getAs[Double]("hi") == 10.0, s"$b1")
+    val b10 = out.find(_.getAs[Int]("bucket") == 10).get
+    assert(b10.getAs[Double]("lo") == 91.0 && b10.getAs[Double]("hi") == 100.0)
+    // tie masses fall LOW: all-equal input lands in one bucket
+    val ties = Seq.fill(20)(Tuple1(5.0)).toDF("x")
+    val tout = Analytics.equidepthHist(ties).collect()
+    assert(tout.length == 1 && tout(0).getAs[Int]("bucket") == 1 &&
+      tout(0).getAs[Long]("n_items") == 20L, tout.mkString(";"))
+  }
+
   test("q72 LTTB: the spike survives downsampling, selections are hx-monotone, short series drop") {
     import spark.implicits._
     val spike = (0 until 30).map(i =>
