@@ -420,6 +420,67 @@ object Analytics {
        GROUP BY 1 ORDER BY 1"""
   }
 
+  /** q74 — DAU/WAU/MAU active-user rollup with the DAU/MAU stickiness
+    * ratio (the growth-accounting standard next to q65's new/returning
+    * split): trailing 7/28-day distinct users per day WITHOUT a sliding
+    * distinct window — each (user, day) row fans out to the window-end
+    * days it supports (7 rows for WAU, 28 for MAU), and the trailing
+    * count becomes a plain per-day COUNT DISTINCT. Bounded fan-out, one
+    * uniform day-keyed shuffle per metric — the scalable form of a
+    * distinct-over-RANGE-window, which Spark cannot evaluate and a
+    * 1000-executor cluster would not want anyway. Phantom trailing days
+    * beyond the data horizon are clipped against the broadcast max-day.
+    * Day index is epoch-days (exact-multiple division, d43-safe). */
+  def q74ActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    activeUsers(Tables.events(s, dir)
+      .select($"user_id",
+        (date_trunc("day", $"ts").cast("long") / 86400).cast("long").as("di")))
+  }
+
+  /** q74's core over (user_id, di) — exposed for the planted two-cohort
+    * spec. */
+  private[graft] def activeUsers(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val ud = ev.select($"user_id", $"di").distinct().cache()
+    val bounds = ud.agg(max($"di").as("mx"))
+    def windowed(days: Int, name: String): DataFrame =
+      ud.select($"user_id",
+          explode(sequence($"di", $"di" + (days - 1))).as("wd"))
+        .crossJoin(broadcast(bounds))
+        .filter($"wd" <= $"mx")
+        .groupBy($"wd".as("di"))
+        .agg(countDistinct($"user_id").as(name))
+    val dau = ud.groupBy($"di").agg(countDistinct($"user_id").as("dau"))
+    val out = dau
+      .join(windowed(7, "wau"), Seq("di"))
+      .join(windowed(28, "mau"), Seq("di"))
+      .select($"di", $"dau", $"wau", $"mau",
+        r($"dau".cast("double") / $"mau".cast("double"), 6).as("stickiness"))
+      .orderBy($"di")
+      .localCheckpoint(true)
+    ud.unpersist(blocking = false)
+    out
+  }
+
+  val q74Sql: String =
+    s"""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id,
+         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di
+       FROM events),
+       mx AS (SELECT max(di) AS mx FROM ud),
+       dau AS (SELECT di, count(DISTINCT user_id) AS dau FROM ud GROUP BY di),
+       w7 AS (SELECT wd AS di, count(DISTINCT user_id) AS wau FROM (
+           SELECT user_id, unnest(generate_series(di, di + 6)) AS wd FROM ud) z
+         CROSS JOIN mx WHERE wd <= mx GROUP BY wd),
+       w28 AS (SELECT wd AS di, count(DISTINCT user_id) AS mau FROM (
+           SELECT user_id, unnest(generate_series(di, di + 27)) AS wd FROM ud) z
+         CROSS JOIN mx WHERE wd <= mx GROUP BY wd)
+       SELECT dau.di, dau.dau, w7.wau, w28.mau,
+         ${rSql("CAST(dau.dau AS DOUBLE) / CAST(w28.mau AS DOUBLE)", 6)} AS stickiness
+       FROM dau JOIN w7 ON w7.di = dau.di JOIN w28 ON w28.di = dau.di
+       ORDER BY dau.di"""
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -2565,6 +2626,7 @@ object Analytics {
     "q71_winsorized_stats" -> (q71WinsorizedStats _),
     "q72_lttb_downsample" -> (q72LttbDownsample _),
     "q73_equidepth_hist" -> (q73EquidepthHist _),
+    "q74_active_users" -> (q74ActiveUsers _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2611,6 +2673,7 @@ object Analytics {
     "q71_winsorized_stats" -> q71Sql,
     "q72_lttb_downsample" -> q72Sql,
     "q73_equidepth_hist" -> q73Sql,
+    "q74_active_users" -> q74Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

@@ -199,6 +199,24 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q74 active users: hand-computed DAU/WAU/MAU on a two-cohort plant") {
+    import spark.implicits._
+    // user 1 active on days 0 and 10, user 2 on day 0 only:
+    // day 0 → dau 2, wau 2, mau 2, stickiness 1.0
+    // day 10 → dau 1 (u1), wau 1 ([4,10] = u1), mau 2 (day 0 within 28) → 0.5
+    val ev = Seq((1L, 0L), (1L, 10L), (2L, 0L), (2L, 0L))
+      .toDF("user_id", "di")
+    val out = Analytics.activeUsers(ev).collect()
+      .map(r => r.getAs[Long]("di") -> r).toMap
+    val d0 = out(0L); val d10 = out(10L)
+    assert(d0.getAs[Long]("dau") == 2 && d0.getAs[Long]("wau") == 2 &&
+      d0.getAs[Long]("mau") == 2 && d0.getAs[Double]("stickiness") == 1.0, s"$d0")
+    assert(d10.getAs[Long]("dau") == 1 && d10.getAs[Long]("wau") == 1 &&
+      d10.getAs[Long]("mau") == 2 && d10.getAs[Double]("stickiness") == 0.5, s"$d10")
+    // only days with activity report (2 rows)
+    assert(out.size == 2, out.keys.mkString(","))
+  }
+
   test("q73 equi-depth: 1..100 splits into ten 10-item buckets at the decile grid") {
     import spark.implicits._
     val vals = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("x")
