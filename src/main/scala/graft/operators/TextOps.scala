@@ -302,6 +302,74 @@ object TextOps {
        JOIN wmin w ON w.fp = b.fp
        ORDER BY b.doc_id"""
 
+  /** d50's boilerplate threshold: a sentence-level unit repeated in at
+    * least this many DISTINCT docs of one source is boilerplate. */
+  private val BoilerK = 3
+
+  /** d50 — boilerplate detection (CCNet/C4's paragraph-level cleaning
+    * concern at sentence granularity): a sentence fingerprint recurring
+    * in ≥ [[BoilerK]] distinct docs of the SAME source is boilerplate
+    * (header/footer/cookie-banner text the whole-doc dedups d04/d11
+    * can't see — the docs differ, their furniture doesn't). Per source:
+    * unit count, boilerplate instances, distinct boilerplate units, and
+    * the share of units that are furniture — the number that decides
+    * whether a feed needs paragraph-level scrubbing before training.
+    *
+    * Scale shape: one sentence explode (scan-local), one distinct +
+    * count on the uniform (source, fp) key, one join back on the same
+    * key, one source rollup. No text is ever pairwise-compared. */
+  def d50Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    boilerplate(Tables.documents(s, dir)
+      .select($"doc_id", coalesce($"source", lit("")).as("source"), $"text"))
+  }
+
+  /** d50's core over (doc_id, source, text) — exposed for the planted
+    * shared-footer spec. */
+  private[graft] def boilerplate(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val units = docs
+      .select($"doc_id", $"source", explode(split($"text", "[.!?]")).as("s0"))
+      .select($"doc_id", $"source", trim($"s0").as("sent"))
+      .filter(length($"sent") >= 20)
+      .select($"doc_id", $"source", md5(lower($"sent")).as("fp"))
+      .cache() // feeds the repetition table and the rollup
+    val rep = units.select($"source", $"fp", $"doc_id").distinct()
+      .groupBy($"source", $"fp").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= BoilerK)
+      .select($"source", $"fp", lit(1).as("bf"))
+    val out = units.join(rep, Seq("source", "fp"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_units"),
+        sum(coalesce($"bf", lit(0))).cast("long").as("n_boiler_units"),
+        countDistinct(when($"bf".isNotNull, $"fp")).as("n_boiler_fps"))
+      .withColumn("boiler_share",
+        r($"n_boiler_units".cast("double") / $"n_units".cast("double"), 6))
+      .orderBy($"source")
+      .localCheckpoint(true)
+    units.unpersist(blocking = false)
+    out
+  }
+
+  val d50Sql: String =
+    s"""WITH u AS MATERIALIZED (SELECT doc_id, source, md5(lower(sent)) AS fp FROM (
+         SELECT doc_id, coalesce(source, '') AS source,
+           trim(unnest(string_split_regex(text, '[.!?]'))) AS sent
+         FROM documents) z
+       WHERE length(sent) >= 20),
+       rep AS (SELECT source, fp, 1 AS bf FROM (
+           SELECT source, fp, count(*) AS nd FROM
+             (SELECT DISTINCT source, fp, doc_id FROM u) d
+           GROUP BY source, fp) c
+         WHERE nd >= $BoilerK)
+       SELECT u.source, count(*) AS n_units,
+         CAST(sum(coalesce(bf, 0)) AS BIGINT) AS n_boiler_units,
+         CAST(count(DISTINCT CASE WHEN bf IS NOT NULL THEN u.fp END) AS BIGINT) AS n_boiler_fps,
+         ${rSql("CAST(sum(coalesce(bf, 0)) AS BIGINT) / CAST(count(*) AS DOUBLE)", 6)} AS boiler_share
+       FROM u LEFT JOIN rep ON rep.source = u.source AND rep.fp = u.fp
+       GROUP BY u.source ORDER BY u.source"""
+
   /** d05 — near-duplicate pairs by token-set Jaccard, blocked on `lang`
     * (the exact quadratic baseline; MinHash LSH in [[DedupLsh]] is the
     * 100 TB path). |A∪B| computed as |A|+|B|−|A∩B| so both engines use
@@ -1489,6 +1557,7 @@ object TextOps {
     "d47_bpe_fertility" -> (d47BpeFertility _),
     "d48_dedup_impact" -> (d48DedupImpact _),
     "d49_incremental_dedup" -> (d49IncrementalDedup _),
+    "d50_boilerplate" -> (d50Boilerplate _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
     "d28_substring_dedup" -> (d28SubstringDedup _),
@@ -1514,6 +1583,7 @@ object TextOps {
     "d47_bpe_fertility" -> d47Sql,
     "d48_dedup_impact" -> d48Sql,
     "d49_incremental_dedup" -> d49Sql,
+    "d50_boilerplate" -> d50Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
     "d28_substring_dedup" -> d28Sql,

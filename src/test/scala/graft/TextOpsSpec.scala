@@ -87,6 +87,28 @@ class TextOpsSpec extends GraftSpec {
     } finally pr.unpersist(blocking = false)
   }
 
+  test("d50 boilerplate: shared footer flagged across distinct docs, unique bodies clean") {
+    import spark.implicits._
+    val footer = "subscribe to our newsletter for updates"
+    val docs = Seq(
+      (1L, "A", s"first article body with unique content here. $footer."),
+      (2L, "A", s"second article something entirely different. $footer."),
+      (3L, "A", s"third piece of original writing right here. $footer."),
+      (4L, "A", "a lone document without any shared furniture."),
+      (5L, "B", s"b-side article one has its own words here. $footer."))
+      .toDF("doc_id", "source", "text")
+    val out = operators.TextOps.boilerplate(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("A")
+    // A: 7 units ≥20 chars (3 bodies + 3 footers + doc 4's body);
+    // the footer fp appears in 3 distinct docs → 3 boiler instances
+    assert(a.getAs[Long]("n_units") == 7, s"$a")
+    assert(a.getAs[Long]("n_boiler_units") == 3 && a.getAs[Long]("n_boiler_fps") == 1, s"$a")
+    // B's single footer instance is NOT boilerplate there (per-source rule)
+    val b = out("B")
+    assert(b.getAs[Long]("n_boiler_units") == 0 && b.getAs[Long]("n_boiler_fps") == 0, s"$b")
+  }
+
   test("d49 incremental dedup: verdicts partition the batch and agree with d04 globally") {
     import spark.implicits._
     val out = operators.TextOps.d49IncrementalDedup(spark, sfTiny).cache()
