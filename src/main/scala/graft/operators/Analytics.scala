@@ -481,6 +481,58 @@ object Analytics {
        FROM dau JOIN w7 ON w7.di = dau.di JOIN w28 ON w28.di = dau.di
        ORDER BY dau.di"""
 
+  /** q75 — join-key skew report over the lineitem fact's three join keys
+    * (orderkey / partkey / suppkey): per key column, the cardinality,
+    * max/mean per-key row counts, the p99 per-key count, and the skew
+    * factor max/mean — the diagnostic that decides between a plain
+    * shuffle join, AQE skew splitting, or salting (operators/Skew.scala)
+    * BEFORE the 100 TB job runs. One map-side-combinable count per key
+    * column; the per-key count tables are key-cardinality-sized, and the
+    * exact p99 runs on counts, not rows.
+    *
+    * The per-key mean is the exact-multiple-safe ratio of two counts;
+    * p99 uses the q33 percentile pairing on integer counts. */
+  def q75SkewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey").cache()
+    val out = Seq(("l_orderkey", $"l_orderkey"), ("l_partkey", $"l_partkey"),
+      ("l_suppkey", $"l_suppkey")).map { case (name, c) =>
+      li.groupBy(c.as("k")).agg(count(lit(1)).as("n"))
+        .agg(lit(name).as("join_key"),
+          count(lit(1)).as("n_keys"),
+          sum($"n").as("n_rows"),
+          max($"n").as("max_rows"),
+          r(percentile($"n", lit(0.99)), 6).as("p99_rows"))
+        .withColumn("mean_rows",
+          r($"n_rows".cast("double") / $"n_keys".cast("double"), 6))
+        .withColumn("skew_factor",
+          r($"max_rows".cast("double") /
+            ($"n_rows".cast("double") / $"n_keys".cast("double")), 6))
+    }.reduce(_.unionByName(_))
+      .select($"join_key", $"n_keys", $"n_rows", $"max_rows", $"p99_rows",
+        $"mean_rows", $"skew_factor")
+      .orderBy($"join_key")
+      .localCheckpoint(true)
+    li.unpersist(blocking = false)
+    out
+  }
+
+  val q75Sql: String = {
+    def one(name: String) =
+      s"""SELECT '$name' AS join_key, count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           ${rSql("quantile_cont(n, 0.99)", 6)} AS p99_rows,
+           ${rSql("CAST(sum(n) AS BIGINT) / CAST(count(*) AS DOUBLE)", 6)} AS mean_rows,
+           ${rSql("CAST(max(n) AS BIGINT) / (CAST(sum(n) AS BIGINT) / CAST(count(*) AS DOUBLE))", 6)} AS skew_factor
+         FROM (SELECT $name AS k, count(*) AS n FROM lineitem GROUP BY $name) c"""
+    s"""SELECT * FROM (${one("l_orderkey")}
+       UNION ALL ${one("l_partkey")}
+       UNION ALL ${one("l_suppkey")}) u
+       ORDER BY join_key"""
+  }
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -2627,6 +2679,7 @@ object Analytics {
     "q72_lttb_downsample" -> (q72LttbDownsample _),
     "q73_equidepth_hist" -> (q73EquidepthHist _),
     "q74_active_users" -> (q74ActiveUsers _),
+    "q75_skew_report" -> (q75SkewReport _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2674,6 +2727,7 @@ object Analytics {
     "q72_lttb_downsample" -> q72Sql,
     "q73_equidepth_hist" -> q73Sql,
     "q74_active_users" -> q74Sql,
+    "q75_skew_report" -> q75Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

@@ -199,6 +199,27 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q75 skew report: one row per join key, conserved totals, coherent skew stats") {
+    import spark.implicits._
+    val out = Analytics.q75SkewReport(spark, sfTiny).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.length == 3)
+      val total = Tables.lineitem(spark, sfTiny).count()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_rows") == total, s"$r")
+        assert(r.getAs[Long]("max_rows") >= 1L)
+        assert(r.getAs[Double]("skew_factor") >= 1.0 - 1e-9, s"$r")
+        assert(r.getAs[Double]("p99_rows") <= r.getAs[Long]("max_rows") + 1e-9)
+        assert(r.getAs[Double]("mean_rows") <= r.getAs[Long]("max_rows").toDouble)
+      }
+      // suppkey is the lowest-cardinality key here → highest mean load
+      val byKey = rows.map(r => r.getAs[String]("join_key") ->
+        r.getAs[Double]("mean_rows")).toMap
+      assert(byKey("l_suppkey") >= byKey("l_orderkey"), byKey.toString)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q74 active users: hand-computed DAU/WAU/MAU on a two-cohort plant") {
     import spark.implicits._
     // user 1 active on days 0 and 10, user 2 on day 0 only:
