@@ -533,6 +533,49 @@ object Analytics {
        ORDER BY join_key"""
   }
 
+  /** q76 — top event paths: the 20 most frequent 3-step event-type
+    * sequences across user streams (q58's Markov matrix assumes
+    * order-1 memory; q76 reads the actual order-2 paths — funnel
+    * discovery rather than funnel verification). Two leads on one
+    * user_id window (never crossing user boundaries), one
+    * map-side-combinable path count, share against the in-plan total,
+    * top-20 by (count DESC, path ASC) — a TakeOrdered, not a global
+    * sort. Paths serialize as '>'-joined strings (never expose an array
+    * column — driver sort crashes, q27/e07 lesson). */
+  def q76EventPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tri = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+    val tot = tri.agg(count(lit(1)).as("nt"))
+    tri.groupBy($"path").agg(count(lit(1)).as("n_paths"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", r($"n_paths".cast("double") / $"nt".cast("double"), 6))
+      .select($"path", $"n_paths", $"share")
+      .orderBy($"n_paths".desc, $"path")
+      .limit(20)
+  }
+
+  val q76Sql: String =
+    s"""WITH tri AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM (
+         SELECT event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) z
+       WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+       tot AS (SELECT count(*) AS nt FROM tri)
+       SELECT path, count(*) AS n_paths,
+         ${rSql("count(*) / CAST(nt AS DOUBLE)", 6)} AS share
+       FROM tri CROSS JOIN tot
+       GROUP BY path, nt
+       ORDER BY n_paths DESC, path
+       LIMIT 20"""
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -2680,6 +2723,7 @@ object Analytics {
     "q73_equidepth_hist" -> (q73EquidepthHist _),
     "q74_active_users" -> (q74ActiveUsers _),
     "q75_skew_report" -> (q75SkewReport _),
+    "q76_event_paths" -> (q76EventPaths _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2728,6 +2772,7 @@ object Analytics {
     "q73_equidepth_hist" -> q73Sql,
     "q74_active_users" -> q74Sql,
     "q75_skew_report" -> q75Sql,
+    "q76_event_paths" -> q76Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

@@ -199,6 +199,31 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q76 event paths: windows never cross users, shares sum to 1 over the top set") {
+    import spark.implicits._
+    val out = Analytics.q76EventPaths(spark, sfTiny).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty && rows.length <= 20)
+      // counts descend under the pinned ordering
+      val ns = rows.map(_.getAs[Long]("n_paths"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+      // total conservation: Σ over ALL paths = Σ per-user max(0, n_events−2)
+      val totalTriples = Tables.events(spark, sfTiny)
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .agg(sum(greatest($"n" - 2, lit(0L)))).collect()(0).getLong(0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val allPaths = Tables.events(spark, sfTiny)
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e2".isNotNull && $"e3".isNotNull).count()
+      assert(allPaths == totalTriples, s"$allPaths vs $totalTriples")
+      assert(rows.forall(r => r.getAs[Double]("share") > 0 &&
+        r.getAs[Double]("share") <= 1))
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q75 skew report: one row per join key, conserved totals, coherent skew stats") {
     import spark.implicits._
     val out = Analytics.q75SkewReport(spark, sfTiny).cache()
