@@ -1819,6 +1819,51 @@ object Corpus {
        UNION ALL SELECT bucket, n, mean_score, obs_rate, gap FROM tot
        ORDER BY bucket"""
 
+  // --- ml23: Brier score of the ml06 probability classifier ----------------
+
+  /** ml23 — Brier score + skill (Brier 1950): mean squared error of
+    * ml06's probabilities against the labels, the strictly proper
+    * scoring rule that completes the probability-eval triad (ml17 AUC =
+    * ranking, ml09 ECE = calibration, ml23 Brier = both at once);
+    * brier_ref = p̄(1−p̄) is the climatology baseline and skill =
+    * 1 − brier/brier_ref (positive ⇒ beats always-predict-the-base-rate).
+    * One decimal-mean aggregate over ml06's scored frame; oracle shares
+    * `ml06Ctes` so the scored probabilities are the checked ones. Skill
+    * divides the ROUNDED report columns (identical text both engines). */
+  def ml23Brier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = ml06QualityClassifier(s, dir)
+      .select($"label".cast("double").as("y"), $"score")
+    sc.agg(count(lit(1)).as("n"),
+        r(davg(($"score" - $"y") * ($"score" - $"y")), 6).as("brier"),
+        dsum($"y").as("npos"))
+      .withColumn("base_rate", r($"npos" / $"n".cast("double"), 6))
+      .withColumn("brier_ref",
+        r(($"npos" / $"n".cast("double")) *
+          (lit(1.0) - $"npos" / $"n".cast("double")), 6))
+      .withColumn("skill",
+        when($"brier_ref" > 0,
+          r(lit(1.0) - $"brier" / $"brier_ref", 6)).otherwise(0.0))
+      .select($"n", $"base_rate", $"brier", $"brier_ref", $"skill")
+  }
+
+  val ml23Sql: String =
+    s"""WITH $ml06Ctes,
+       sc AS (SELECT CAST(y AS DOUBLE) AS y, ${rSql(qlrP, 6)} AS score
+         FROM f CROSS JOIN w$QlrIters),
+       m AS (SELECT count(*) AS n,
+           ${rSql(davgSql("(score - y) * (score - y)"), 6)} AS brier,
+           ${dsumSql("y")} AS npos
+         FROM sc),
+       m2 AS (SELECT n, brier,
+           ${rSql("npos / CAST(n AS DOUBLE)", 6)} AS base_rate,
+           ${rSql("(npos / CAST(n AS DOUBLE)) * (1.0 - npos / CAST(n AS DOUBLE))", 6)} AS brier_ref
+         FROM m)
+       SELECT n, base_rate, brier, brier_ref,
+         CASE WHEN brier_ref > 0 THEN ${rSql("1.0 - brier / brier_ref", 6)}
+              ELSE 0.0 END AS skill
+       FROM m2"""
+
   // --- ml07: sparse kNN text classifier (inverted-index cosine) -----------
 
   /** ml07 neighborhood size and test-side query budget. The budget is the
@@ -2106,6 +2151,7 @@ object Corpus {
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
     "ml21_langid_eval" -> (ml21LangidEval _),
     "ml22_mcnemar" -> (ml22Mcnemar _),
+    "ml23_brier" -> (ml23Brier _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
@@ -2134,6 +2180,7 @@ object Corpus {
     "ml08_classifier_eval" -> ml08Sql,
     "ml21_langid_eval" -> ml21Sql,
     "ml22_mcnemar" -> ml22Sql,
+    "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,

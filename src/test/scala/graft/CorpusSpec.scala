@@ -20,6 +20,30 @@ class CorpusSpec extends GraftSpec {
     }
   }
 
+  test("ml23 Brier: matches a driver-side recount and sits in [0, 1]") {
+    import spark.implicits._
+    val r0 = operators.Corpus.ml23Brier(spark, sfTiny).collect()(0)
+    val sc = operators.Corpus.ml06QualityClassifier(spark, sfTiny)
+      .select($"label".cast("double"), $"score").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = sc.length
+    assert(r0.getAs[Long]("n") == n.toLong)
+    // driver recount with the same decimal quantization
+    val bd = sc.map { case (y, p) =>
+      BigDecimal((p - y) * (p - y)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val brier = operators.Num.rD(bd.toDouble / n, 6)
+    assert(r0.getAs[Double]("brier") == brier, s"$r0 vs $brier")
+    assert(r0.getAs[Double]("brier") >= 0 && r0.getAs[Double]("brier") <= 1)
+    assert(r0.getAs[Double]("skill") <= 1.0)
+    // skill identity on the rounded report columns (NOT sign-pinned:
+    // ml06's 4 blunt GD steps rank well — AUC/ml17 — but are only mildly
+    // sharper than climatology, so Brier skill hovers near 0 at sfTiny)
+    val skill = operators.Num.rD(
+      1.0 - r0.getAs[Double]("brier") / r0.getAs[Double]("brier_ref"), 6)
+    assert(r0.getAs[Double]("skill") == skill, s"$r0 vs $skill")
+  }
+
   test("ml22 McNemar: cells partition the paired subset and match driver-side recounts") {
     import spark.implicits._
     val r0 = operators.Corpus.ml22Mcnemar(spark, sfTiny).collect()(0)
