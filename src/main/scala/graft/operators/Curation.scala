@@ -617,6 +617,70 @@ object Curation {
        ORDER BY sb.feature"""
   }
 
+  // --- s06: temporal train/test split over events --------------------------
+
+  /** s06 — time-based split: train on the past, evaluate on the future
+    * (the ONLY leakage-sound discipline for forecasting targets —
+    * s03/s05 hash/group splits would let tomorrow's events train
+    * yesterday's model). Boundary = the exact interpolated p80 of the
+    * event time axis (rounded before comparison, q33's policy); per
+    * split: event/user counts and time range, plus the user-overlap
+    * count — temporal splits deliberately SHARE users across the
+    * boundary (that is the deployment condition), and the report makes
+    * that visible instead of pretending otherwise.
+    *
+    * Scale shape: one exact-percentile aggregate (q39's sample is the
+    * 100 TB drop-in), a broadcast boundary, two map-side rollups. */
+  def s06TimeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    timeSplit(Tables.events(s, dir)
+      .select($"user_id", $"ts".cast("double").as("x")))
+  }
+
+  /** s06's core over (user_id, x) — exposed for the planted-boundary
+    * spec. */
+  private[graft] def timeSplit(ev0: DataFrame): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val ev = ev0.cache()
+    val b = ev.agg(r(percentile($"x", lit(0.8)), 6).as("tau"))
+    val tagged = ev.crossJoin(broadcast(b))
+      .withColumn("split", when($"x" <= $"tau", "train").otherwise("test"))
+      .cache() // feeds the rollup and the overlap count
+    val overlap = tagged.select($"user_id", $"split").distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("ns"))
+      .filter($"ns" === 2)
+      .agg(count(lit(1)).as("n_overlap_users"))
+    val out = tagged.groupBy($"split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        r(min($"x"), 6).as("min_ts"), r(max($"x"), 6).as("max_ts"),
+        r(max($"tau"), 6).as("boundary"))
+      .crossJoin(broadcast(overlap))
+      .orderBy($"split")
+      .localCheckpoint(true)
+    Seq(ev, tagged).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val s06Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch(ts) AS x FROM events),
+       b AS (SELECT ${rSql("quantile_cont(x, 0.8)", 6)} AS tau FROM ev),
+       tg AS (SELECT user_id, x, tau,
+           CASE WHEN x <= tau THEN 'train' ELSE 'test' END AS split
+         FROM ev CROSS JOIN b),
+       ov AS (SELECT count(*) AS n_overlap_users FROM (
+           SELECT user_id FROM (SELECT DISTINCT user_id, split FROM tg) d
+           GROUP BY user_id HAVING count(*) = 2) z)
+       SELECT split, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         ${rSql("min(x)", 6)} AS min_ts, ${rSql("max(x)", 6)} AS max_ts,
+         ${rSql("max(tau)", 6)} AS boundary,
+         n_overlap_users
+       FROM tg CROSS JOIN ov
+       GROUP BY split, n_overlap_users
+       ORDER BY split"""
+
   // --- d39: per-source n-gram novelty audit -------------------------------
 
   /** d39 — n-gram novelty audit: for each document, the fraction of its
@@ -1005,6 +1069,7 @@ object Curation {
     "d46_source_overlap" -> (d46SourceOverlap _),
     "ml19_psi_drift" -> (ml19PsiDrift _),
     "ml20_info_gain" -> (ml20InfoGain _),
+    "s06_time_split" -> (s06TimeSplit _),
     "d39_novelty" -> (d39Novelty _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
@@ -1020,6 +1085,7 @@ object Curation {
     "d46_source_overlap" -> d46Sql,
     "ml19_psi_drift" -> ml19Sql,
     "ml20_info_gain" -> ml20Sql,
+    "s06_time_split" -> s06Sql,
     "d39_novelty" -> d39Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,

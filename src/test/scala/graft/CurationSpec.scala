@@ -283,6 +283,22 @@ class CurationSpec extends GraftSpec {
     }
   }
 
+  test("s06 time split: planted boundary at p80, overlap counts the straddling user") {
+    import spark.implicits._
+    // 10 points 1..10 → p80 = 8.2; train = {1..8}, test = {9,10};
+    // user 1 is active on both sides, user 2 only in train
+    val ev = ((1 to 8).map(i => (if (i <= 4) 1L else 2L, i.toDouble)) ++
+      Seq((1L, 9.0), (1L, 10.0))).toDF("user_id", "x")
+    val out = operators.Curation.timeSplit(ev).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    val tr = out("train"); val te = out("test")
+    assert(tr.getAs[Double]("boundary") == 8.2 && te.getAs[Double]("boundary") == 8.2)
+    assert(tr.getAs[Long]("n_events") == 8 && te.getAs[Long]("n_events") == 2, s"$tr $te")
+    assert(tr.getAs[Long]("n_users") == 2 && te.getAs[Long]("n_users") == 1)
+    assert(tr.getAs[Long]("n_overlap_users") == 1)
+    assert(tr.getAs[Double]("max_ts") <= 8.2 && te.getAs[Double]("min_ts") > 8.2)
+  }
+
   test("d35 split leakage matches a full driver-side reimplementation at sfTiny") {
     import spark.implicits._
     import graft.operators.Curation
