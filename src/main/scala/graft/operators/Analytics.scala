@@ -576,6 +576,64 @@ object Analytics {
        ORDER BY n_paths DESC, path
        LIMIT 20"""
 
+  /** q77 — weighted quantiles: the p25/p50/p75 of line-item price
+    * weighted by QUANTITY per return flag ("half the units ship at or
+    * below this price" — the unit-weighted view q33's row-weighted
+    * percentiles can't give). Lower weighted quantile rule (smallest
+    * value whose cumulative weight reaches q·W) — a DEFINED order
+    * statistic with no interpolation, hence exactly portable; cumulative
+    * weights stay decimal-exact and the thresholds compare in identical
+    * IEEE text. Values pre-aggregate per (flag, price) so the per-group
+    * window runs over distinct prices, not rows.
+    *
+    * Scale shape: one map-side-combinable (flag, price) weight rollup,
+    * then the per-group sorted window over distinct values (q33's
+    * documented exact-percentile cost; q39-style sampling is the 100 TB
+    * drop-in). */
+  def q77WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    weightedQuantiles(Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("seg"), $"l_extendedprice".as("x"),
+        $"l_quantity".as("wt")))
+  }
+
+  /** q77's core over (seg, x, wt) — exposed for the hand-weighted spec. */
+  private[graft] def weightedQuantiles(vals: DataFrame): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    val g = vals.groupBy($"seg", $"x")
+      .agg(sum($"wt".cast("decimal(38,10)")).as("w"))
+    val wv = Window.partitionBy($"seg").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy($"seg")
+    def pick(q: Double) =
+      min(when($"cumw".cast("double") >= lit(q) * $"tw".cast("double"), $"x"))
+    g.withColumn("cumw", sum($"w").over(wv))
+      .withColumn("tw", sum($"w").over(wa))
+      .groupBy($"seg")
+      .agg(r(max($"tw").cast("double"), 2).as("total_weight"),
+        pick(0.25).as("wp25"), pick(0.5).as("wp50"), pick(0.75).as("wp75"))
+      .orderBy($"seg")
+  }
+
+  val q77Sql: String = {
+    def pick(q: String) =
+      s"min(CASE WHEN CAST(cumw AS DOUBLE) >= $q * CAST(tw AS DOUBLE) THEN x END)"
+    s"""WITH v AS (SELECT l_returnflag AS seg, l_extendedprice AS x,
+         l_quantity AS wt FROM lineitem),
+       g AS (SELECT seg, x, sum(CAST(wt AS DECIMAL(38,10))) AS w
+         FROM v GROUP BY seg, x),
+       c AS (SELECT seg, x,
+           sum(w) OVER (PARTITION BY seg ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           sum(w) OVER (PARTITION BY seg) AS tw
+         FROM g)
+       SELECT seg, ${rSql("CAST(max(tw) AS DOUBLE)", 2)} AS total_weight,
+         ${pick("0.25")} AS wp25, ${pick("0.5")} AS wp50,
+         ${pick("0.75")} AS wp75
+       FROM c GROUP BY seg ORDER BY seg"""
+  }
+
   /** q20 — scalar subquery: parts priced above the global average.
     * The average goes through the decimal-exact policy in both engines so
     * the boundary is identical. */
@@ -2724,6 +2782,7 @@ object Analytics {
     "q74_active_users" -> (q74ActiveUsers _),
     "q75_skew_report" -> (q75SkewReport _),
     "q76_event_paths" -> (q76EventPaths _),
+    "q77_weighted_median" -> (q77WeightedMedian _),
     "q59_seasonal_decomp" -> (q59SeasonalDecomp _),
     "q58_markov" -> (q58Markov _),
     "q57_gini" -> (q57Gini _),
@@ -2773,6 +2832,7 @@ object Analytics {
     "q74_active_users" -> q74Sql,
     "q75_skew_report" -> q75Sql,
     "q76_event_paths" -> q76Sql,
+    "q77_weighted_median" -> q77Sql,
     "q59_seasonal_decomp" -> q59Sql,
     "q58_markov" -> q58Sql,
     "q57_gini" -> q57Sql,

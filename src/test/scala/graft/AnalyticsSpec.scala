@@ -199,6 +199,23 @@ class AnalyticsSpec extends GraftSpec {
     assert(r20.getAs[Double]("top10_share") == 0.185714, s"$r20")
   }
 
+  test("q77 weighted quantiles: heavy tail value pulls the weighted median, unweighted agrees with counts") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7 (W=10): cum 1,2,3,10 →
+    // p25 first ≥ 2.5 → 3; p50 first ≥ 5 → 4; p75 first ≥ 7.5 → 4
+    val planted = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0),
+      ("a", 4.0, 7.0)).toDF("seg", "x", "wt")
+    val r0 = Analytics.weightedQuantiles(planted).collect()(0)
+    assert(r0.getAs[Double]("total_weight") == 10.0)
+    assert(r0.getAs[Double]("wp25") == 3.0 && r0.getAs[Double]("wp50") == 4.0 &&
+      r0.getAs[Double]("wp75") == 4.0, s"$r0")
+    // unit weights reduce to the lower (type-1) quantile of the values
+    val unit = (1 to 10).map(i => ("u", i.toDouble, 1.0)).toDF("seg", "x", "wt")
+    val ru = Analytics.weightedQuantiles(unit).collect()(0)
+    assert(ru.getAs[Double]("wp50") == 5.0 && ru.getAs[Double]("wp25") == 3.0 &&
+      ru.getAs[Double]("wp75") == 8.0, s"$ru")
+  }
+
   test("q76 event paths: windows never cross users, shares sum to 1 over the top set") {
     import spark.implicits._
     val out = Analytics.q76EventPaths(spark, sfTiny).cache()
