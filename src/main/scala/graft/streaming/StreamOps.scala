@@ -34,6 +34,13 @@ case class CmsCell(d: Int, b: Int, cell: Long)
 /** One ranked row emitted by the streaming top-k compactor. */
 case class TopkOut(user_id: Long, rk: Int, value: Double, event_id: Long)
 
+/** One closed alert episode emitted by the streaming coalescer. */
+case class EpisodeOut(user_id: Long, ep_start: Long, ep_end: Long,
+  n_alerts: Long)
+
+/** Open-episode state carried by the streaming coalescer. */
+case class EpisodeSt(start: Long, maxEnd: Long, n: Long)
+
 /** Per-user funnel state carried by the streaming funnel: earliest signup
   * micros, earliest valid purchase micros, and the purchases that arrived
   * BELOW the current signup minimum (they become valid retroactively if an
@@ -360,6 +367,44 @@ object StreamOps {
           agg.finish(st).iterator.zipWithIndex.map { case ((v, eid), i) =>
             TopkOut(uid, i + 1, v, eid)
           }
+      }
+  }
+
+  /** t26's streaming twin — alert-episode coalescing as GroupState: per
+    * user the state is the one OPEN episode (start, running max end,
+    * count); an arriving error event either extends it (start ≤ maxEnd,
+    * t26's running-max rule in online form) or CLOSES it — the closed
+    * episode is emitted (Append) and a fresh one opens. Requires
+    * st-monotone replay per user (how an ordered event lake streams
+    * anyway, packStream's precondition); the final open episode flushes
+    * with a far-future sentinel alert. Integer epoch-second arithmetic
+    * (getTime/1000 floor ≡ unix_timestamp). State is O(1) per user —
+    * the continuously-coalescing pager view of t26. */
+  def episodeStream(ds: Dataset[EventRec]): Dataset[EpisodeOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.event_type == "error")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EpisodeSt, EpisodeOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid: Long, rows: Iterator[EventRec], state: GroupState[EpisodeSt]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[EpisodeOut]
+          sorted.foreach { e =>
+            val s0 = e.ts.getTime / 1000L
+            val e0 = s0 + 3600L
+            st match {
+              case Some(ep) if s0 <= ep.maxEnd =>
+                st = Some(EpisodeSt(ep.start, math.max(ep.maxEnd, e0), ep.n + 1))
+              case Some(ep) =>
+                out += EpisodeOut(uid, ep.start, ep.maxEnd, ep.n)
+                st = Some(EpisodeSt(s0, e0, 1L))
+              case None =>
+                st = Some(EpisodeSt(s0, e0, 1L))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
       }
   }
 

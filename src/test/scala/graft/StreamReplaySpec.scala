@@ -340,6 +340,35 @@ class StreamReplaySpec extends GraftSpec {
       "streaming top-k state must converge to the batch aggregator exactly")
   }
 
+  test("replayed episodeStream equals the oracle-green t26 batch episodes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.episodeStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_ep").outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      // flush: a far-future sentinel alert per error-active user closes
+      // every real open episode (the sentinel's own episode stays in
+      // state, never emitted)
+      val users = recs.filter(_.event_type == "error").map(_.user_id).distinct
+      val far = new Timestamp(recs.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000)
+      in.addData(users.map(u =>
+        EventRec(u, "error", far, 900000000L + u, 0.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("replay_ep")
+      .select($"user_id", $"ep_start", $"ep_end", $"n_alerts")
+    // state genuinely coalesced: multi-alert episodes and multi-episode
+    // users both exist
+    assert(streamed.filter($"n_alerts" >= 2).count() > 0)
+    assert(streamed.groupBy($"user_id").count().filter($"count" >= 2).count() > 0)
+    val batch = Telemetry.t26EpisodeMerge(spark, sfTiny)
+      .select($"user_id", $"ep_start", $"ep_end", $"n_alerts")
+    assert(canon(streamed) == canon(batch),
+      "streaming episode coalescing must reproduce the batch gaps-and-islands exactly")
+  }
+
   test("replayed latestPerKey converges to the oracle-green t03 batch compaction") {
     import spark.implicits._
     val batch = Telemetry.t03LatestPerKey(spark, sfTiny)
