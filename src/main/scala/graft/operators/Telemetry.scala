@@ -667,6 +667,45 @@ object Telemetry {
        FROM g GROUP BY user_id, ep
        ORDER BY user_id, ep"""
 
+  /** t27 — reliability report over t26's alert episodes: MTTR (mean
+    * episode duration = time-to-recover), MTBF (mean gap from an
+    * episode's end to the next episode's start within a user stream),
+    * and availability = uptime/(uptime + downtime) — the SRE numbers an
+    * incident pipeline reports once t26 has turned raw alerts into
+    * incidents. Gaps come from one lead over the per-user episode order
+    * (episodes are disjoint by construction, so gaps are positive);
+    * all inputs are exact integers, means decimal. One global summary
+    * row. Scale shape: t26's plan plus an episode-count-sized window
+    * and one aggregate. */
+  def t27Reliability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ep")
+    val ep = t26EpisodeMerge(s, dir)
+      .withColumn("next_start", lead($"ep_start", 1).over(w))
+      .withColumn("gap", $"next_start" - $"ep_end")
+    ep.agg(count(lit(1)).as("n_episodes"),
+        countDistinct($"user_id").as("n_users"),
+        ravg($"duration_s", 2).as("mttr_s"),
+        ravg($"gap", 2).as("mtbf_s"),
+        dsum($"gap").as("up"), dsum($"duration_s").as("down"))
+      .select($"n_episodes", $"n_users", $"mttr_s", $"mtbf_s",
+        r($"up" / ($"up" + $"down"), 6).as("availability"))
+  }
+
+  val t27Sql: String =
+    s"""WITH ep AS (SELECT user_id, ep, ep_start, ep_end, n_alerts,
+         duration_s FROM ($t26Sql) t),
+       g AS (SELECT user_id, ep_start, ep_end, duration_s,
+           lead(ep_start, 1) OVER (PARTITION BY user_id ORDER BY ep)
+             - ep_end AS gap
+         FROM ep)
+       SELECT count(*) AS n_episodes,
+         count(DISTINCT user_id) AS n_users,
+         ${ravgSql("duration_s", 2)} AS mttr_s,
+         ${ravgSql("gap", 2)} AS mtbf_s,
+         ${rSql(s"${dsumSql("gap")} / (${dsumSql("gap")} + ${dsumSql("duration_s")})", 6)} AS availability
+       FROM g"""
+
   /** t14 — single-pass top-k per key via the typed [[graft.functions.TopKAggregator]]
     * (Aggregator[IN,BUF,OUT]): top-3 readings per user. Unlike the
     * window-rank form (q07), the aggregator ships at most k rows per
@@ -1090,6 +1129,7 @@ object Telemetry {
     "t24_nelson_aalen" -> (t24NelsonAalen _),
     "t25_gap_interpolate" -> (t25GapInterpolate _),
     "t26_episode_merge" -> (t26EpisodeMerge _),
+    "t27_reliability" -> (t27Reliability _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -1113,5 +1153,6 @@ object Telemetry {
     "t24_nelson_aalen" -> t24Sql,
     "t25_gap_interpolate" -> t25Sql,
     "t26_episode_merge" -> t26Sql,
+    "t27_reliability" -> t27Sql,
     "t09_props_stats" -> t09Sql)
 }

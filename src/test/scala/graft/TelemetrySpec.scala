@@ -161,6 +161,22 @@ class TelemetrySpec extends GraftSpec {
       && row(30).getAs[Double]("survival") == 0.0, s"${row(30)}")
   }
 
+  test("t27 reliability: counts conserve t26, availability and durations coherent") {
+    import spark.implicits._
+    val r0 = Telemetry.t27Reliability(spark, sfTiny).collect()(0)
+    val eps = Telemetry.t26EpisodeMerge(spark, sfTiny).cache()
+    try {
+      assert(r0.getAs[Long]("n_episodes") == eps.count())
+      assert(r0.getAs[Long]("n_users") ==
+        eps.select($"user_id").distinct().count())
+      // every episode lasts at least the 1h alert window
+      assert(r0.getAs[Double]("mttr_s") >= 3600.0, s"$r0")
+      val av = r0.getAs[Double]("availability")
+      assert(av > 0.0 && av < 1.0, s"$r0")
+      assert(r0.getAs[Double]("mtbf_s") > 0.0)
+    } finally eps.unpersist(blocking = false)
+  }
+
   test("t26 episode merge: chained overlaps fuse, long interval bridges, gaps split") {
     import spark.implicits._
     // user 1: [0,100] [50,150] [140,240] chain → one episode [0,240];
