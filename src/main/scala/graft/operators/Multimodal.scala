@@ -472,8 +472,46 @@ object Multimodal {
          CAST(cum - n_bytes - ((cum - n_bytes) // $ShardBudget) * $ShardBudget AS BIGINT) AS offset_bytes
        FROM c ORDER BY doc_id"""
 
+  /** x09 — the dedup→pack composition a real lake job runs: keep only
+    * d04's exact-dedup survivors (min-doc_id winners on the normalized
+    * fingerprint — x05's rule) and lay THOSE into x08's byte-budget
+    * shards. Composing the two oracle-checked stages as one query pins
+    * the interface between them (survivor selection feeding offsets) —
+    * the d13/d23 composition discipline applied to the multimodal lake.
+    * Scale: d04's one uniform fingerprint shuffle + x08's group-bounded
+    * packing windows. */
+  def x09DedupPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", coalesce($"source", lit("")).as("source"), $"text")
+      .withColumn("fp", TextOps.normFp($"text"))
+    val w = d.groupBy($"fp").agg(min($"doc_id").as("wid"))
+    shardPack(d.join(w, "fp").filter($"doc_id" === $"wid")
+      .select($"source", $"doc_id",
+        octet_length($"text").cast("long").as("n_bytes")))
+  }
+
+  val x09Sql: String =
+    s"""WITH d AS (SELECT doc_id, coalesce(source, '') AS source, text,
+         ${TextOps.normFpSql("text")} AS fp
+       FROM documents),
+       w AS (SELECT fp, min(doc_id) AS wid FROM d GROUP BY fp),
+       m AS (SELECT d.source, d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           d.doc_id // 1000 AS grp
+         FROM d JOIN w ON w.fp = d.fp AND d.doc_id = w.wid),
+       c AS (SELECT source, grp, doc_id, n_bytes,
+         CAST(sum(n_bytes) OVER (PARTITION BY source, grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       FROM m)
+       SELECT source, CAST(grp AS BIGINT) AS grp, doc_id, n_bytes,
+         CAST((cum - n_bytes) // $ShardBudget AS BIGINT) AS shard_id,
+         CAST(cum - n_bytes - ((cum - n_bytes) // $ShardBudget) * $ShardBudget AS BIGINT) AS offset_bytes
+       FROM c ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x08_shard_packing" -> (x08ShardPacking _),
+    "x09_dedup_pack" -> (x09DedupPack _),
     "x07_phash_neardup" -> (x07PhashNeardup _),
     "x06_cdc_dedup" -> (x06CdcDedup _),
     "x05_media_dedup" -> (x05MediaDedup _),
@@ -485,6 +523,7 @@ object Multimodal {
   /** x03 is mapPartitions-based → rows-only + MultimodalSpec. */
   val oracles: Map[String, String] = Map(
     "x08_shard_packing" -> x08Sql,
+    "x09_dedup_pack" -> x09Sql,
     "x07_phash_neardup" -> x07Sql,
     "x06_cdc_dedup" -> x06Sql,
     "x05_media_dedup" -> x05Sql,

@@ -70,6 +70,23 @@ class MultimodalSpec extends GraftSpec {
     } finally td.unpersist(blocking = false)
   }
 
+  test("x09 dedup-pack: manifest covers exactly the d04 survivors") {
+    import spark.implicits._
+    val out = operators.Multimodal.x09DedupPack(spark, sfTiny).cache()
+    try {
+      // row set = d04's winners, no duplicates packed
+      assert(out.count() ==
+        operators.TextOps.d04ExactDedup(spark, sfTiny).count())
+      assert(out.select($"doc_id").distinct().count() == out.count())
+      assert(out.filter($"offset_bytes" < 0 || $"offset_bytes" >= 16384)
+        .count() == 0)
+      // composition is a subset of the full x08 manifest's id space
+      val full = operators.Multimodal.x08ShardPacking(spark, sfTiny)
+        .select($"doc_id")
+      assert(out.select($"doc_id").exceptAll(full).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("x01 metadata matches the source table") {
     val meta = Multimodal.x01BinaryMeta(spark, sfTiny)
     assert(meta.count() == Tables.documents(spark, sfTiny).count())
