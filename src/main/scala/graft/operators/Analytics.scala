@@ -2612,6 +2612,87 @@ object Analytics {
        FROM pr ORDER BY source_a, source_b"""
   }
 
+  // --- q78: one-way ANOVA across sources -----------------------------------
+
+  /** Shared ANOVA algebra over the per-metric totals (nd, kd, sxs, sxxs,
+    * sb) — one text, evaluated identically in both engines, so the IEEE
+    * order matches. sb = Σ_g sx_g²/n_g is the between-group raw sum of
+    * squares; the group terms re-enter decimal before summing so the
+    * cross-group total is order-independent. */
+  private val ASsb = "(sb - sxs * sxs / nd)"
+  private val ASsw = "(sxxs - sb)"
+  private val ASst = "(sxxs - sxs * sxs / nd)"
+  private val AF = s"(($ASsb / (kd - 1.0)) / ($ASsw / (nd - kd)))"
+
+  /** q78 — one-way ANOVA F-test across all sources at once, on the
+    * per-doc token and char counts (q49 answers "do these TWO sources
+    * differ?" pairwise; ANOVA answers "does source explain the metric AT
+    * ALL?" in one number, with η² as the variance-explained effect size —
+    * the parametric sibling of q66's Kruskal–Wallis). Each (metric,
+    * source) cell collapses to three decimal moments in ONE
+    * map-side-combinable pass; SSB/SSW/F/η² are fixed-order IEEE algebra
+    * over the k-row cell table with the cross-group sums re-entering
+    * decimal (order-independent). At 100 TB the cost is the one metric
+    * scan; the test itself is free. */
+  def q78Anova(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    anovaF(Tables.documents(s, dir)
+      .select($"source", explode(array(
+        struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
+        struct(lit("n_tokens").as("metric"),
+          size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
+      .select($"f.metric", $"source", $"f.x"))
+  }
+
+  /** q78's core over an explicit (metric, source, x) relation — exposed
+    * so the spec can check F and η² against hand-computed values. */
+  private[graft] def anovaF(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    metric
+      .groupBy($"metric", $"source")
+      .agg(count(lit(1)).as("n0"), m($"x").as("sx"), m($"x" * $"x").as("sxx"))
+      .groupBy($"metric")
+      .agg(sum($"n0").as("n_docs"), count(lit(1)).as("k_groups"),
+        m($"sx").as("sxs"), m($"sxx").as("sxxs"),
+        m($"sx" * $"sx" / $"n0".cast("double")).as("sb"))
+      .filter($"k_groups" >= 2 && $"n_docs" > $"k_groups")
+      .withColumn("nd", $"n_docs".cast("double"))
+      .withColumn("kd", $"k_groups".cast("double"))
+      .filter(expr(ASsw) > 0 && expr(ASst) > 0)
+      .select($"metric", $"n_docs", $"k_groups",
+        r(expr(ASsb), 6).as("ssb"), r(expr(ASsw), 6).as("ssw"),
+        r(expr(AF), 6).as("f_stat"),
+        r(expr(s"$ASsb / $ASst"), 6).as("eta_sq"))
+      .orderBy($"metric")
+  }
+
+  val q78Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH mx AS (SELECT source,
+         unnest(['n_chars', 'n_tokens']) AS metric,
+         unnest([CAST(n_chars AS INTEGER),
+           CAST(len(${TextOps.toksSql("lower(text)")}) AS INTEGER)]) AS x
+       FROM documents),
+       mo AS MATERIALIZED (SELECT metric, source, count(*) AS n0,
+         ${m("x")} AS sx, ${m("x * x")} AS sxx
+       FROM mx GROUP BY metric, source),
+       ag AS (SELECT metric, CAST(sum(n0) AS BIGINT) AS n_docs,
+         count(*) AS k_groups, ${m("sx")} AS sxs, ${m("sxx")} AS sxxs,
+         ${m("sx * sx / CAST(n0 AS DOUBLE)")} AS sb
+       FROM mo GROUP BY metric),
+       pr AS (SELECT metric, n_docs, k_groups,
+         CAST(n_docs AS DOUBLE) AS nd, CAST(k_groups AS DOUBLE) AS kd,
+         sxs, sxxs, sb
+       FROM ag WHERE k_groups >= 2 AND n_docs > k_groups)
+       SELECT metric, n_docs, k_groups,
+         ${rSql(ASsb, 6)} AS ssb, ${rSql(ASsw, 6)} AS ssw,
+         ${rSql(AF, 6)} AS f_stat,
+         ${rSql(s"$ASsb / $ASst", 6)} AS eta_sq
+       FROM pr WHERE $ASsw > 0 AND $ASst > 0 ORDER BY metric"""
+  }
+
   // --- q48: Poisson-bootstrap confidence intervals -------------------------
 
   private val BootB = 32
@@ -2795,6 +2876,7 @@ object Analytics {
     "q51_ks_test" -> (q51KsTest _),
     "q50_chi2_independence" -> (q50Chi2Independence _),
     "q49_welch_ttest" -> (q49WelchTtest _),
+    "q78_anova" -> (q78Anova _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
@@ -2845,6 +2927,7 @@ object Analytics {
     "q51_ks_test" -> q51Sql,
     "q50_chi2_independence" -> q50Sql,
     "q49_welch_ttest" -> q49Sql,
+    "q78_anova" -> q78Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,

@@ -706,6 +706,44 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q78 ANOVA: hand-computed F and eta_sq on a planted three-group frame") {
+    import spark.implicits._
+    // groups {1,2,3}, {4,5,6}, {7,8,9}: means 2/5/8, grand 5;
+    // SSB = 3·(9+0+9) = 54, SSW = 2 per group → 6, F = (54/2)/(6/6) = 27,
+    // eta² = 54/60 = 0.9
+    val m = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6),
+      ("c", 7), ("c", 8), ("c", 9))
+      .map { case (g, x) => ("m", g, x) }.toDF("metric", "source", "x")
+    val rows = Analytics.anovaF(m).collect()
+    assert(rows.length == 1)
+    val row = rows(0)
+    assert(row.getAs[Long]("n_docs") == 9L && row.getAs[Long]("k_groups") == 3L)
+    assert(row.getAs[Double]("ssb") == 54.0 && row.getAs[Double]("ssw") == 6.0)
+    assert(row.getAs[Double]("f_stat") == 27.0)
+    assert(row.getAs[Double]("eta_sq") == 0.9)
+  }
+
+  test("q78 ANOVA: identical groups give SSB = 0 exactly (all-decimal path)") {
+    import spark.implicits._
+    val m = Seq("a", "b", "c").flatMap(g => Seq(1, 2, 3).map(x => ("m", g, x)))
+      .toDF("metric", "source", "x")
+    val row = Analytics.anovaF(m).collect()(0)
+    assert(row.getAs[Double]("ssb") == 0.0 && row.getAs[Double]("f_stat") == 0.0)
+    assert(row.getAs[Double]("eta_sq") == 0.0)
+  }
+
+  test("q78 on testdata: two metric rows, eta_sq in [0,1]") {
+    import spark.implicits._
+    val out = Analytics.q78Anova(spark, sfTiny).cache()
+    try {
+      assert(out.count() == 2)
+      assert(out.select($"metric").as[String].collect().sorted.toSeq ==
+        Seq("n_chars", "n_tokens"))
+      assert(out.filter($"eta_sq" < 0 || $"eta_sq" > 1).count() == 0)
+      assert(out.filter($"f_stat" < 0).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
     import spark.implicits._
     // every Poisson-weighted mean of a constant is that constant, so the
