@@ -2464,6 +2464,107 @@ object Analytics {
          FROM per p CROSS JOIN gstat g CROSS JOIN ttg t) z
        ORDER BY source"""
 
+  // --- q79: Spearman vs Pearson correlation per language -------------------
+
+  /** Shared Pearson algebra over moment columns (nn, sx, sxx, sy, syy,
+    * sxy) — one text for the raw metrics and the rank columns alike. */
+  private def pearsonOf(p: String): String =
+    s"((nn * s${p}xy - s${p}x * s${p}y) / " +
+      s"(sqrt(nn * s${p}xx - s${p}x * s${p}x) * sqrt(nn * s${p}yy - s${p}y * s${p}y)))"
+
+  /** q79 — Spearman rank correlation vs Pearson between per-doc char and
+    * token counts, per language (rho ≫ r flags a monotone-but-nonlinear
+    * relation a linear model would miss; rho ≈ r ≈ 1 here is the sanity
+    * check that chars track tokens). Ranks are midranks via q66's exact
+    * integer trick — r2 = 2·midrank = 2·(#strictly below) + (t+1) from a
+    * per-(lang, value) count table and a cumulative window on the VALUE
+    * axis (metric cardinality, not corpus volume) — and correlation is
+    * affine-invariant, so Pearson on the integer r2 columns IS Spearman
+    * (tie-correct, no /2 ever computed). Both correlations come from ONE
+    * per-lang decimal-moment aggregation; NULL langs coalesce to ''.
+    *
+    * Scale shape: one metric scan, two value-axis rank tables joined
+    * back on (lang, value), one map-side-combinable moment pass. */
+  def q79Spearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spearman(Tables.documents(s, dir)
+      .select(coalesce($"lang", lit("")).as("lang"),
+        $"n_chars".cast("long").as("x"),
+        size(TextOps.toks(lower($"text"))).cast("long").as("y")))
+  }
+
+  /** q79's core over an explicit (lang, x, y) relation — exposed so the
+    * spec can plant ties and monotone-nonlinear relations. */
+  private[graft] def spearman(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val docs = metric.filter($"x".isNotNull && $"y".isNotNull)
+      .cache() // feeds both rank axes and the moment pass
+    def rankTable(v: String) = docs.groupBy($"lang", col(v))
+      .agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum($"t").over(
+        Window.partitionBy($"lang").orderBy(col(v))))
+      .select($"lang", col(v), (($"cum" - $"t") * 2 + $"t" + 1).as(s"r$v"))
+    val ranked = docs
+      .join(rankTable("x"), Seq("lang", "x"))
+      .join(rankTable("y"), Seq("lang", "y"))
+    val out = ranked.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        m($"x").as("sx"), m($"x" * $"x").as("sxx"),
+        m($"y").as("sy"), m($"y" * $"y").as("syy"),
+        m($"x" * $"y").as("sxy"),
+        m($"rx").as("srx"), m($"rx" * $"rx").as("srxx"),
+        m($"ry").as("sry"), m($"ry" * $"ry").as("sryy"),
+        m($"rx" * $"ry").as("srxy"))
+      .withColumn("nn", $"n_docs".cast("double"))
+      .filter(expr("nn * sxx - sx * sx") > 0 && expr("nn * syy - sy * sy") > 0 &&
+        expr("nn * srxx - srx * srx") > 0 && expr("nn * sryy - sry * sry") > 0)
+      .select($"lang", $"n_docs",
+        r(expr(pearsonOf("")), 6).as("pearson_r"),
+        r(expr(pearsonOf("r")), 6).as("spearman_rho"))
+      .orderBy($"lang")
+      .localCheckpoint(true)
+    docs.unpersist(blocking = false)
+    out
+  }
+
+  val q79Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH d AS MATERIALIZED (SELECT coalesce(lang, '') AS lang,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(len(${TextOps.toksSql("lower(text)")}) AS BIGINT) AS y
+       FROM documents
+       WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       rx AS (SELECT lang, x, (cum - t) * 2 + t + 1 AS rx FROM
+         (SELECT lang, x, count(*) AS t,
+            sum(count(*)) OVER (PARTITION BY lang ORDER BY x) AS cum
+          FROM d GROUP BY lang, x) u),
+       ry AS (SELECT lang, y, (cum - t) * 2 + t + 1 AS ry FROM
+         (SELECT lang, y, count(*) AS t,
+            sum(count(*)) OVER (PARTITION BY lang ORDER BY y) AS cum
+          FROM d GROUP BY lang, y) u),
+       mo AS (SELECT d.lang, count(*) AS n_docs,
+         ${m("d.x")} AS sx, ${m("d.x * d.x")} AS sxx,
+         ${m("d.y")} AS sy, ${m("d.y * d.y")} AS syy, ${m("d.x * d.y")} AS sxy,
+         ${m("rx.rx")} AS srx, ${m("rx.rx * rx.rx")} AS srxx,
+         ${m("ry.ry")} AS sry, ${m("ry.ry * ry.ry")} AS sryy,
+         ${m("rx.rx * ry.ry")} AS srxy
+       FROM d JOIN rx ON rx.lang = d.lang AND rx.x = d.x
+              JOIN ry ON ry.lang = d.lang AND ry.y = d.y
+       GROUP BY d.lang),
+       pr AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) AS nn,
+         sx, sxx, sy, syy, sxy, srx, srxx, sry, sryy, srxy
+       FROM mo)
+       SELECT lang, n_docs,
+         ${rSql(pearsonOf(""), 6)} AS pearson_r,
+         ${rSql(pearsonOf("r"), 6)} AS spearman_rho
+       FROM pr
+       WHERE nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0
+         AND nn * srxx - srx * srx > 0 AND nn * sryy - sry * sry > 0
+       ORDER BY lang"""
+  }
+
   // --- q50: chi-square independence of the lang × source grid --------------
 
   /** q50 — Pearson chi-square test of independence between document
@@ -2877,6 +2978,7 @@ object Analytics {
     "q50_chi2_independence" -> (q50Chi2Independence _),
     "q49_welch_ttest" -> (q49WelchTtest _),
     "q78_anova" -> (q78Anova _),
+    "q79_spearman" -> (q79Spearman _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
@@ -2928,6 +3030,7 @@ object Analytics {
     "q50_chi2_independence" -> q50Sql,
     "q49_welch_ttest" -> q49Sql,
     "q78_anova" -> q78Sql,
+    "q79_spearman" -> q79Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,

@@ -744,6 +744,39 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q79 Spearman: monotone cubic scores rho = 1 while Pearson stays below") {
+    import spark.implicits._
+    val m = (1 to 8).map(x => ("aa", x.toLong, (x.toLong * x * x)))
+      .toDF("lang", "x", "y")
+    val row = Analytics.spearman(m).collect()(0)
+    assert(row.getAs[Double]("spearman_rho") == 1.0)
+    val r = row.getAs[Double]("pearson_r")
+    assert(r > 0.8 && r < 1.0, s"pearson $r")
+  }
+
+  test("q79 Spearman: hand-computed tie-corrected rho") {
+    import spark.implicits._
+    // x = 1..4, y = (1,3,3,4): midranks y = (1, 2.5, 2.5, 4),
+    // rho = 18 / sqrt(20·18) = 0.948683...
+    val m = Seq((1L, 1L), (2L, 3L), (3L, 3L), (4L, 4L))
+      .map { case (x, y) => ("aa", x, y) }.toDF("lang", "x", "y")
+    val row = Analytics.spearman(m).collect()(0)
+    val want = 18.0 / math.sqrt(20.0 * 18.0)
+    assert(math.abs(row.getAs[Double]("spearman_rho") - want) < 1e-5)
+  }
+
+  test("q79 on testdata: one row per lang, chars track tokens strongly") {
+    import spark.implicits._
+    val out = Analytics.q79Spearman(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"spearman_rho" < 0.5).count() == 0,
+        "chars and tokens should be strongly monotone-related")
+      assert(out.filter(abs($"pearson_r") > 1.000001 ||
+        abs($"spearman_rho") > 1.000001).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
     import spark.implicits._
     // every Poisson-weighted mean of a constant is that constant, so the
