@@ -920,6 +920,75 @@ object Corpus {
          ${rSql("CAST(both_right + only_knn AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 6)} AS acc_knn
        FROM m"""
 
+  // --- ml24: Cohen's kappa agreement between ml05 and ml07 ------------------
+
+  /** Shared kappa algebra over (n_pairs, n_agree, pes): observed
+    * agreement, chance agreement from the marginal product sum, and the
+    * chance-corrected kappa — one text per engine. */
+  private val KPo = "(CAST(n_agree AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+  private val KPe =
+    "(CAST(pes AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)))"
+  private val KKap = s"(($KPo - $KPe) / (1.0 - $KPe))"
+
+  /** ml24 — Cohen's kappa (Cohen 1960) between the two lang classifiers'
+    * PREDICTED labels on the shared test subset: raw agreement p_o minus
+    * the agreement p_e = Σ_l p_a(l)·p_b(l) two raters with these
+    * marginals would reach by chance (ml22 asks "which model is
+    * RIGHT more often?" via the truth; ml24 asks "do they even see the
+    * same structure?" without it — the inter-annotator-agreement number
+    * every labeling pipeline reports). p_o and the marginal product sum
+    * are exact integers up to the final divisions; two constant raters
+    * (p_e = 1) degenerate to kappa = 0 by convention.
+    *
+    * Scale shape: the two classifiers' own plans, a doc_id equi-join on
+    * the ≤128-row budget, then label-cardinality marginal tables. */
+  def ml24CohenKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = ml05NaiveBayes(s, dir).select($"doc_id", $"pred_lang".as("pa"))
+    val knn = ml07KnnClassify(s, dir).select($"doc_id", $"pred_lang".as("pb"))
+    cohenKappa(nb.join(knn, "doc_id").select($"pa", $"pb"))
+  }
+
+  /** ml24's core over an explicit (pa, pb) paired-prediction relation —
+    * exposed so the spec can plant the classic 2×2 agreement grid. */
+  private[graft] def cohenKappa(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val pp = pairs.localCheckpoint(true) // 3 consumers of two full classifier plans
+    val ag = pp.agg(count(lit(1)).as("n_pairs"),
+      sum(when($"pa" === $"pb", 1L).otherwise(0L)).as("n_agree"))
+    val ma = pp.groupBy($"pa".as("l")).agg(count(lit(1)).as("na"))
+    val mb = pp.groupBy($"pb".as("l")).agg(count(lit(1)).as("nb"))
+    val pe = ma.join(mb, "l")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("pes"))
+    ag.crossJoin(broadcast(pe))
+      .select($"n_pairs", $"n_agree",
+        r(expr(KPo), 6).as("po"), r(expr(KPe), 6).as("pe"),
+        when(expr(KPe) < 1.0, r(expr(KKap), 6)).otherwise(0.0).as("kappa"))
+  }
+
+  // lazy: ml07Ctes reads KnnK/KnnBudget vals defined later in this file
+  // (object-init order, ml22's lesson)
+  lazy val ml24Sql: String =
+    s"""WITH p1 AS (SELECT doc_id, pa FROM (
+         WITH $ml05Ctes
+         SELECT doc_id, cand_lang AS pa FROM rk WHERE rn = 1) z1),
+       p2 AS (SELECT doc_id, pb FROM (
+         WITH $ml07Ctes
+         SELECT qid AS doc_id, nl AS pb FROM pr WHERE rn = 1) z2),
+       pp AS MATERIALIZED (SELECT pa, pb FROM p1 JOIN p2 USING (doc_id)),
+       ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         FROM pp),
+       ma AS (SELECT pa AS l, count(*) AS na FROM pp GROUP BY pa),
+       mb AS (SELECT pb AS l, count(*) AS nb FROM pp GROUP BY pb),
+       pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pes
+         FROM ma JOIN mb USING (l))
+       SELECT n_pairs, n_agree,
+         ${rSql(KPo, 6)} AS po, ${rSql(KPe, 6)} AS pe,
+         CASE WHEN $KPe < 1.0 THEN ${rSql(KKap, 6)} ELSE 0.0 END AS kappa
+       FROM ag CROSS JOIN pe"""
+
   // --- ml06: hashed bag-of-words quality classifier (logistic GD) ---------
 
   private[graft] val QlrIters = 4
@@ -2151,6 +2220,7 @@ object Corpus {
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
     "ml21_langid_eval" -> (ml21LangidEval _),
     "ml22_mcnemar" -> (ml22Mcnemar _),
+    "ml24_cohen_kappa" -> (ml24CohenKappa _),
     "ml23_brier" -> (ml23Brier _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
@@ -2180,6 +2250,7 @@ object Corpus {
     "ml08_classifier_eval" -> ml08Sql,
     "ml21_langid_eval" -> ml21Sql,
     "ml22_mcnemar" -> ml22Sql,
+    "ml24_cohen_kappa" -> ml24Sql,
     "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,

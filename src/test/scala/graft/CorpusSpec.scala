@@ -65,6 +65,37 @@ class CorpusSpec extends GraftSpec {
     assert(r0.getAs[Double]("chi2") == chi2, s"$r0 vs $chi2")
   }
 
+  test("ml24 Cohen kappa: hand-computed 2x2 agreement grid") {
+    import spark.implicits._
+    // 4 (y,y), 3 (n,n), 2 (y,n), 1 (n,y): po = 0.7,
+    // pe = (6·5 + 4·5)/100 = 0.5, kappa = 0.4
+    val pairs = (Seq.fill(4)(("y", "y")) ++ Seq.fill(3)(("n", "n")) ++
+      Seq.fill(2)(("y", "n")) ++ Seq.fill(1)(("n", "y"))).toDF("pa", "pb")
+    val r0 = operators.Corpus.cohenKappa(pairs).collect()(0)
+    assert(r0.getAs[Long]("n_pairs") == 10L && r0.getAs[Long]("n_agree") == 7L)
+    assert(r0.getAs[Double]("po") == 0.7 && r0.getAs[Double]("pe") == 0.5)
+    assert(r0.getAs[Double]("kappa") == 0.4, s"$r0")
+  }
+
+  test("ml24 Cohen kappa: perfect two-label agreement scores 1, constant raters 0") {
+    import spark.implicits._
+    val perfect = (Seq.fill(5)(("a", "a")) ++ Seq.fill(5)(("b", "b"))).toDF("pa", "pb")
+    assert(operators.Corpus.cohenKappa(perfect).collect()(0)
+      .getAs[Double]("kappa") == 1.0)
+    val const = Seq.fill(6)(("a", "a")).toDF("pa", "pb")
+    assert(operators.Corpus.cohenKappa(const).collect()(0)
+      .getAs[Double]("kappa") == 0.0) // pe = 1 degenerate case
+  }
+
+  test("ml24 on testdata: pairs match ml22's, kappa bounded") {
+    import spark.implicits._
+    val r0 = operators.Corpus.ml24CohenKappa(spark, sfTiny).collect()(0)
+    val r22 = operators.Corpus.ml22Mcnemar(spark, sfTiny).collect()(0)
+    assert(r0.getAs[Long]("n_pairs") == r22.getAs[Long]("n_pairs"))
+    val k = r0.getAs[Double]("kappa")
+    assert(k >= -1.0 && k <= 1.0, s"$r0")
+  }
+
   test("ml16 PR curve: hand-computed operating points on a planted score column") {
     import spark.implicits._
     val scored = Seq((1, 0.9), (1, 0.7), (0, 0.6), (1, 0.4), (0, 0.2))
