@@ -1938,6 +1938,91 @@ object Similarity {
        FROM pr WHERE rn = 1
        ORDER BY vec_id"""
 
+  // --- e30: Rocchio nearest-centroid classifier -----------------------------
+
+  /** e30 — nearest-centroid (Rocchio) label classifier over the
+    * embeddings table (IR-book §14.2 — the O(L) inference sibling of
+    * e19's O(n) kNN: the whole model is L centroid vectors, so inference
+    * cost is independent of corpus size): per-label centroids from the
+    * train split via e06's posexplode/decimal-mean machinery (components
+    * rounded once), test = e19's budgeted hash-rank sample of the h = 9
+    * decile, and cosine(query, centroid) computed as a decimal SUM over
+    * the (dim)-row join — order-independent, so no array assembly or
+    * summation-order pinning is needed anywhere. Prediction = argmax
+    * cosine via the map-side-combinable min(struct) argmin with label
+    * tie-break (finite cosines only — norms are positive). Predictions
+    * compose with [[Corpus.classifierEval]] (spec-pinned).
+    *
+    * Scale shape: one train scan collapses map-side to L×64 centroid
+    * rows (the model); scoring is a (budget×64 ⋈ L×64) grid join — no
+    * corpus-sized shuffle; at 100 TB inference is a scan against an
+    * L-row broadcast model. */
+  def e30Rocchio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).withColumn("h", hvCol % 10)
+    val test = c.filter($"h" === 9)
+      .orderBy(hvCol, $"vec_id").limit(EknnBudget)
+      .select($"vec_id".as("query_id"), $"label".as("tl"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    rocchio(c.filter($"h" <= 7).select($"label", $"v"), test)
+  }
+
+  /** e30's core over explicit train (label, v) / test (query_id, tl, qv,
+    * qnrm) relations — exposed so the spec can plant separable clusters. */
+  private[graft] def rocchio(train: DataFrame, test: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val cen = train
+      .select($"label".as("cl"), posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"cl", $"i")
+      .agg(r(davg($"x"), 6).as("mu"))
+      .cache() // feeds the norm and the dot grid
+    val cn = cen.groupBy($"cl").agg(sqrt(dsum($"mu" * $"mu")).as("cnrm"))
+    val out = test
+      .select($"query_id", $"tl", $"qnrm", posexplode($"qv").as(Seq("i", "x")))
+      .join(broadcast(cen), "i")
+      .groupBy($"query_id", $"tl", $"qnrm", $"cl")
+      .agg(dsum($"x" * $"mu").as("d"))
+      .join(broadcast(cn), "cl")
+      .withColumn("cosine", r($"d" / ($"qnrm" * $"cnrm"), 6))
+      .groupBy($"query_id", $"tl")
+      .agg(min(struct((-$"cosine").as("nc"), $"cl".as("l"))).as("b"))
+      .select($"query_id".as("vec_id"), $"tl".as("label"),
+        $"b.l".as("pred_label"), (-$"b.nc").as("cosine"),
+        ($"tl" === $"b.l").cast("int").as("correct"))
+      .orderBy($"vec_id")
+      .localCheckpoint(true)
+    cen.unpersist(blocking = false)
+    out
+  }
+
+  val e30Sql: String =
+    s"""WITH n AS ($corpusSql),
+       sp AS (SELECT vec_id, label, v, nrm, $hvSql % 10 AS h FROM n),
+       te AS (SELECT vec_id AS query_id, label AS tl, v AS qv, nrm AS qnrm
+         FROM sp WHERE h = 9 ORDER BY $hvSql, vec_id LIMIT $EknnBudget),
+       cx AS (SELECT label AS cl, unnest(generate_series(1, len(v))) AS i,
+           unnest(v) AS x
+         FROM sp WHERE h <= 7),
+       cen AS MATERIALIZED (SELECT cl, i, ${rSql(davgSql("x"), 6)} AS mu
+         FROM cx GROUP BY cl, i),
+       cn AS (SELECT cl, sqrt(${dsumSql("mu * mu")}) AS cnrm
+         FROM cen GROUP BY cl),
+       qx AS (SELECT query_id, tl, qnrm,
+           unnest(generate_series(1, len(qv))) AS i, unnest(qv) AS x
+         FROM te),
+       dt AS (SELECT query_id, tl, qnrm, cl, ${dsumSql("x * mu")} AS d
+         FROM qx JOIN cen USING (i) GROUP BY query_id, tl, qnrm, cl),
+       sc AS (SELECT query_id, tl, cl,
+           ${rSql("d / (qnrm * cnrm)", 6)} AS cosine
+         FROM dt JOIN cn USING (cl)),
+       pr AS (SELECT query_id, tl, cl, cosine, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, cl ASC) AS rn
+         FROM sc)
+       SELECT query_id AS vec_id, tl AS label, cl AS pred_label, cosine,
+         CAST(tl = cl AS INTEGER) AS correct
+       FROM pr WHERE rn = 1 ORDER BY vec_id"""
+
   // --- e20: truncated-dimension (Matryoshka) recall -------------------------
 
   private val MrlDims = Seq(8, 16, 32)
@@ -2404,6 +2489,7 @@ object Similarity {
     "e22_hard_negatives" -> (e22HardNegatives _),
     "e20_matryoshka_recall" -> (e20MatryoshkaRecall _),
     "e19_embedding_knn" -> (e19EmbeddingKnn _),
+    "e30_rocchio" -> (e30Rocchio _),
     "e18_pca_project" -> (e18PcaProject _),
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e10_kmeans" -> (e10Kmeans _),
@@ -2435,6 +2521,7 @@ object Similarity {
     "e23_sq_distortion" -> e23Sql,
     "e22_hard_negatives" -> e22Sql,
     "e19_embedding_knn" -> e19Sql,
+    "e30_rocchio" -> e30Sql,
     "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,
     "e21_silhouette" -> e21Sql,

@@ -686,6 +686,42 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("e30 Rocchio: planted separable clusters classify perfectly") {
+    import spark.implicits._
+    // label "a" clusters around e1, "b" around e2 — every test vector is
+    // closer (in cosine) to its own centroid
+    def v(main: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(4)(i => if (i == main) 1.0 else eps)
+    val train = Seq(("a", v(0, 0.1)), ("a", v(0, 0.2)),
+      ("b", v(1, 0.1)), ("b", v(1, 0.2))).toDF("label", "v")
+    val test = Seq((1L, "a", v(0, 0.15)), (2L, "b", v(1, 0.15)))
+      .map { case (id, l, q) =>
+        (id, l, q, math.sqrt(q.map(x => x * x).sum)) }
+      .toDF("query_id", "tl", "qv", "qnrm")
+    val rows = Similarity.rocchio(train, test).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Int]("correct") == 1), rows.mkString(";"))
+    assert(rows.forall(r => r.getAs[Double]("cosine") > 0.9))
+  }
+
+  test("e30 on testdata: budgeted, distinct, composes with ml08's eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Similarity.e30Rocchio(spark, sfSmall).cache()
+    try {
+      assert(out.count() > 0 && out.count() <= Similarity.EknnBudget)
+      assert(out.select($"vec_id").distinct().count() == out.count())
+      assert(out.filter(($"label" === $"pred_label").cast("int") =!= $"correct").count() == 0)
+      assert(out.filter(abs($"cosine") > 1.000001).count() == 0)
+      val ev = graft.operators.Corpus.classifierEval(
+        out.select($"label".cast("string").as("lang"),
+          $"pred_label".cast("string").as("pred_lang"), $"correct"))
+        .collect()
+      val micro = ev.find(_.getString(0) == "_micro").get
+      assert(micro.getAs[Long]("support") == out.count())
+    } finally out.unpersist(blocking = false)
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
