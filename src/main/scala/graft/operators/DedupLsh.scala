@@ -128,22 +128,7 @@ object DedupLsh {
     // (measured: 45× slowdown at sf0.1). Sketches are O(n_docs · 24 B):
     // cacheable at any corpus scale.
     val docs = docs0.cache()
-    // Cap each (band, bh) bucket at its BandBucketCap lowest doc_ids: a
-    // degenerate bucket (e.g. near-empty docs all sharing one shingle)
-    // otherwise goes quadratic in the self-join — the one unbounded term
-    // in this plan at 100 TB. Recall bound is explicit and documented:
-    // a true pair is missed only if BOTH docs fall outside the cap in
-    // EVERY band they co-collide in (exact dups collide in all 4 bands).
-    val wB = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
-    val buckets = bucketsOf(docs)
-      .withColumn("rnk", row_number().over(wB))
-      .filter(col("rnk") <= BandBucketCap).drop("rnk")
-      .cache()
-    val cands = buckets.as("x")
-      .join(buckets.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cands = lshCandidatePairs(docs)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"))
     val inter = size(array_intersect(col("ta"), col("tb")))
@@ -152,6 +137,30 @@ object DedupLsh {
       .withColumn("jaccard", r(inter.cast("double") / uni, 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Capped-bucket LSH candidate pairs over CACHED (doc_id, sh) — the
+    * shared edge source for Jaccard verification ([[minHashPairsAll]],
+    * m01/d11) and edit-distance verification (d51).
+    *
+    * Each (band, bh) bucket is capped at its [[BandBucketCap]] lowest
+    * doc_ids: a degenerate bucket (e.g. near-empty docs all sharing one
+    * shingle) otherwise goes quadratic in the self-join — the one
+    * unbounded term in this plan at 100 TB. Recall bound is explicit and
+    * documented: a true pair is missed only if BOTH docs fall outside
+    * the cap in EVERY band they co-collide in (exact dups collide in all
+    * 4 bands). */
+  private[graft] def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val wB = Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val buckets = bucketsOf(docs)
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= BandBucketCap).drop("rnk")
+      .cache()
+    buckets.as("x")
+      .join(buckets.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Top-500 report form of [[minHashPairsAll]] (spec + driver surface). */
@@ -168,6 +177,70 @@ object DedupLsh {
     * (scale-path) edge source for [[Corpus.d11LshClusters]]. */
   def lshPairs(s: SparkSession, dir: String): DataFrame =
     minHashPairsAll(shingled(s, dir))
+
+  /** d51's edit-distance comparison window: ASCII-printable-projected
+    * 200-char prefixes. The projection makes the two engines' levenshtein
+    * agree BY CONSTRUCTION (DuckDB's is byte-level, Spark's is
+    * codepoint-level — identical only on ASCII input), and the prefix cap
+    * bounds the O(len²) DP per pair at any document size. */
+  private val EditPrefix = 200
+
+  /** d51 — edit-distance verification of the LSH candidate pairs: the
+    * character-granular near-dup verifier (Jaccard over 3-gram shingles
+    * is blind to WHERE edits fall and over-penalizes short docs; edit
+    * similarity 1 − lev/max(len) reads the actual revision distance —
+    * the fuzzy-dedup verifier used when near-dups are EDITS of each
+    * other, not remixes). Candidates come from the SAME capped-bucket
+    * LSH pass as m01/d11 ([[lshCandidatePairs]] — never all pairs), each
+    * verified with one levenshtein over the [[EditPrefix]]-char
+    * ASCII-projected prefixes; top-500 by similarity, total-order
+    * ranked.
+    *
+    * Scale shape: the m01 candidate plan plus one O(prefix²) scan-local
+    * DP per candidate — cost ∝ candidates, never corpus². */
+  def d51EditDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    editDedup(Tables.documents(s, dir).select($"doc_id", $"text"))
+  }
+
+  /** d51's core over (doc_id, text) — exposed so the spec can plant an
+    * exact duplicate and a one-edit revision. */
+  private[graft] def editDedup(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val cands = lshCandidatePairs(shingleDocs(docs0).cache())
+    val nt = docs0.select($"doc_id",
+      substring(regexp_replace($"text", "[^\\x20-\\x7e]", ""), 1, EditPrefix)
+        .as("nx"))
+      .cache() // both sides of the pair join
+    cands
+      .join(nt.select($"doc_id".as("doc_a"), $"nx".as("na")), "doc_a")
+      .join(nt.select($"doc_id".as("doc_b"), $"nx".as("nb")), "doc_b")
+      .withColumn("lev", levenshtein($"na", $"nb").cast("long"))
+      .withColumn("lmax", greatest(length($"na"), length($"nb")))
+      .select($"doc_a", $"doc_b", $"lev",
+        when($"lmax" === 0, 1.0).otherwise(
+          r(lit(1.0) - $"lev".cast("double") / $"lmax".cast("double"), 6))
+          .as("edit_sim"))
+      .orderBy(desc_nulls_last("edit_sim"), col("doc_a"), col("doc_b"))
+      .limit(500)
+  }
+
+  lazy val d51Sql: String =
+    s"""WITH ${candCtesOver("documents")},
+       nt AS (SELECT doc_id,
+           substring(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), 1, $EditPrefix) AS nx
+         FROM documents),
+       pv AS (SELECT doc_a, doc_b,
+           CAST(levenshtein(a.nx, b.nx) AS BIGINT) AS lev,
+           greatest(length(a.nx), length(b.nx)) AS lmax
+         FROM cand JOIN nt a ON a.doc_id = cand.doc_a
+                   JOIN nt b ON b.doc_id = cand.doc_b)
+       SELECT doc_a, doc_b, lev,
+         CASE WHEN lmax = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE ${rSql("1.0 - CAST(lev AS DOUBLE) / CAST(lmax AS DOUBLE)", 6)}
+         END AS edit_sim
+       FROM pv ORDER BY edit_sim DESC NULLS LAST, doc_a, doc_b LIMIT 500"""
 
   /** Core 64-bit SimHash over (doc_id, sh): bit j is set iff at least half
     * the shingle hashes have bit j set (the sign of the ±1 vote sum).
@@ -416,6 +489,7 @@ object DedupLsh {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m05_lsh_scurve" -> (m05LshScurve _),
+    "d51_edit_dedup" -> (d51EditDedup _),
     "m04_jaccard_estimate" -> (m04JaccardEstimate _),
     "m01_minhash_pairs" -> (m01MinHashPairs _),
     "m02_simhash" -> (m02SimHash _),
@@ -550,6 +624,7 @@ object DedupLsh {
 
   val oracles: Map[String, String] = Map(
     "m05_lsh_scurve" -> m05Sql,
+    "d51_edit_dedup" -> d51Sql,
     "m04_jaccard_estimate" -> m04Sql,
     "m01_minhash_pairs" -> m01Sql,
     "m02_simhash" -> m02Sql,

@@ -48,6 +48,38 @@ class DedupLshSpec extends GraftSpec {
       r.getAs[Int]("hamming") == 0), pairs.mkString("; "))
   }
 
+  test("d51 edit dedup: exact dup at sim 1, hand-computed edit similarity, bounded") {
+    import spark.implicits._
+    val rows = DedupLsh.editDedup(crafted).collect()
+    // exact dup 0≡1: lev 0, sim 1, ranked first
+    val exact = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(exact.isDefined, rows.mkString("; "))
+    assert(exact.get.getAs[Long]("lev") == 0L &&
+      exact.get.getAs[Double]("edit_sim") == 1.0)
+    assert(rows.head.getAs[Double]("edit_sim") == 1.0)
+    // any reported pair has sim in [0,1] and lev consistent with it
+    assert(rows.forall { r =>
+      val sim = r.getAs[Double]("edit_sim")
+      sim >= 0.0 && sim <= 1.0 && (r.getAs[Long]("lev") == 0L) == (sim == 1.0)
+    })
+    // IF the candidate pass surfaced the one-word revision 0↔2, its lev
+    // must be the exact replace cost ("lazy"→"sleepy": 4 edits)
+    rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 2L).foreach { p =>
+      assert(p.getAs[Long]("lev") == 4L, s"$p")
+    }
+  }
+
+  test("d51 on real docs: canonical pair order, prefix cap bounds lev") {
+    import spark.implicits._
+    val out = DedupLsh.d51EditDedup(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("doc_a") >= col("doc_b")).count() == 0)
+      assert(out.filter(col("lev") < 0 || col("lev") > 200).count() == 0)
+      assert(out.filter(col("edit_sim") < 0 || col("edit_sim") > 1).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("m01 degenerate bucket is capped: N identical docs yield O(N·cap) not O(N²)") {
     import spark.implicits._
     // 150 identical docs all land in ONE bucket per band; without the
