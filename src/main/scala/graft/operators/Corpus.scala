@@ -1666,6 +1666,103 @@ object Corpus {
        ORDER BY k"""
   }
 
+  // --- d52: vocabulary coverage / OOV-rate audit ----------------------------
+
+  /** d52's vocabulary-size grid. */
+  private val VocabKs = Seq(100, 1000, 10000)
+
+  /** d52 — vocabulary-coverage audit: what share of the TEST split's
+    * token mass (and distinct types) is covered by the TRAIN split's
+    * top-k vocabulary, for k ∈ [[VocabKs]] — the "how big must my
+    * embedding table be" curve fixed before any tokenizer freeze, and
+    * the OOV-rate complement of d40's Heaps growth law (Heaps says how
+    * fast vocabulary GROWS; d52 says how little of it you NEED — Zipf
+    * mass concentrates in the head). Train/test is the shared s03 h60
+    * split (ml05/d35/ml19's), vocabulary rank is (count DESC, word ASC)
+    * over the vocabulary-sized count table, and every k is served by ONE
+    * pass over the test-vocabulary join against the broadcast top-k
+    * table (ml14's never-re-aggregate sweep rule).
+    *
+    * Scale shape: two token-count aggregations (map-side combinable),
+    * one vocabulary-axis rank window, one test-vocab-sized broadcast
+    * join fanned ×|grid|; no corpus-sized shuffle after the counts. */
+  def d52VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vocabCoverage(Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+      .filter($"h" <= 7 || $"h" === 9)
+      .select(when($"h" <= 7, lit("train")).otherwise(lit("test")).as("split"),
+        explode(toks(lower($"text"))).as("w")),
+      VocabKs)
+  }
+
+  /** d52's core over an explicit (split, w) token-instance relation —
+    * exposed so the spec can plant a skewed vocabulary and a small grid. */
+  private[graft] def vocabCoverage(tokens: DataFrame, ks: Seq[Int]): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    val t = tokens.cache() // feeds the train and test count tables
+    val vocab = t.filter($"split" === "train")
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      // vocabulary-axis window (documented single-task rank over the
+      // count table — vocabulary-sized state, the d27/d36 family)
+      .withColumn("rank", row_number().over(Window.orderBy($"c".desc, $"w".asc)))
+      .filter($"rank" <= ks.max)
+      .select($"w", $"rank")
+    val te = t.filter($"split" === "test")
+      .groupBy($"w").agg(count(lit(1)).as("tc"))
+    val grid = ks.toDF("k_vocab")
+    val out = te.join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(grid))
+      .groupBy($"k_vocab")
+      .agg(sum($"tc").as("test_tokens"),
+        sum(when($"rank".isNotNull && $"rank" <= $"k_vocab", $"tc")
+          .otherwise(0L)).as("covered_tokens"),
+        count(lit(1)).as("test_types"),
+        count(when($"rank".isNotNull && $"rank" <= $"k_vocab", 1)).as("covered_types"))
+      .select($"k_vocab", $"test_tokens", $"covered_tokens",
+        r($"covered_tokens".cast("double") / $"test_tokens".cast("double"), 6)
+          .as("token_coverage"),
+        $"test_types", $"covered_types",
+        r($"covered_types".cast("double") / $"test_types".cast("double"), 6)
+          .as("type_coverage"))
+      .orderBy($"k_vocab")
+      .localCheckpoint(true)
+    t.unpersist(blocking = false)
+    out
+  }
+
+  val d52Sql: String = {
+    val kmax = VocabKs.max
+    val grid = VocabKs.mkString(", ")
+    s"""WITH sp AS MATERIALIZED (SELECT
+         CASE WHEN h <= 7 THEN 'train' ELSE 'test' END AS split, w
+       FROM (SELECT ${DedupLsh.h60Sql("doc_id::VARCHAR")} % 10 AS h,
+           unnest(${toksSql("lower(text)")}) AS w
+         FROM documents) z
+       WHERE h <= 7 OR h = 9),
+       vc AS (SELECT w, rank FROM (
+           SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rank
+           FROM sp WHERE split = 'train' GROUP BY w) v
+         WHERE rank <= $kmax),
+       te AS (SELECT w, count(*) AS tc FROM sp WHERE split = 'test' GROUP BY w),
+       jn AS (SELECT te.w, te.tc, vc.rank FROM te LEFT JOIN vc ON vc.w = te.w),
+       gr AS (SELECT unnest([$grid]) AS k_vocab),
+       ag AS (SELECT k_vocab,
+           CAST(sum(tc) AS BIGINT) AS test_tokens,
+           CAST(sum(CASE WHEN rank IS NOT NULL AND rank <= k_vocab
+             THEN tc ELSE 0 END) AS BIGINT) AS covered_tokens,
+           count(*) AS test_types,
+           CAST(count(CASE WHEN rank IS NOT NULL AND rank <= k_vocab
+             THEN 1 END) AS BIGINT) AS covered_types
+         FROM jn CROSS JOIN gr GROUP BY k_vocab)
+       SELECT CAST(k_vocab AS INTEGER) AS k_vocab, test_tokens, covered_tokens,
+         ${rSql("CAST(covered_tokens AS DOUBLE) / CAST(test_tokens AS DOUBLE)", 6)} AS token_coverage,
+         test_types, covered_types,
+         ${rSql("CAST(covered_types AS DOUBLE) / CAST(test_types AS DOUBLE)", 6)} AS type_coverage
+       FROM ag ORDER BY k_vocab"""
+  }
+
   // --- d43: corpus ordering-bias audit ---------------------------------------
 
   /** d43 — ordering-bias audit: is the corpus shuffled, or does source
@@ -2231,6 +2328,7 @@ object Corpus {
     "ml18_target_encode" -> (ml18TargetEncode _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
+    "d52_vocab_coverage" -> (d52VocabCoverage _),
     "d36_zipf_report" -> (d36ZipfReport _),
     "ml06_quality_classifier" -> (ml06QualityClassifier _),
     "ml05_naive_bayes" -> (ml05NaiveBayes _),
@@ -2261,6 +2359,7 @@ object Corpus {
     "ml18_target_encode" -> ml18Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,
+    "d52_vocab_coverage" -> d52Sql,
     "d36_zipf_report" -> d36Sql,
     "ml06_quality_classifier" -> ml06Sql,
     "ml05_naive_bayes" -> ml05Sql,

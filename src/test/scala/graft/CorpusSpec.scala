@@ -249,6 +249,34 @@ class CorpusSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("d52 vocab coverage: hand-computed mass and type coverage with an OOV word") {
+    import spark.implicits._
+    val toks = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).map(("train", _)) ++
+      (Seq.fill(2)("a") ++ Seq("b") ++ Seq("d")).map(("test", _))
+    val rows = operators.Corpus.vocabCoverage(toks.toDF("split", "w"), Seq(1, 2))
+      .collect().map(r => r.getAs[Int]("k_vocab") -> r).toMap
+    // vocab ranks a=1, b=2, c=3; test mass = 4 tokens / 3 types ("d" is OOV)
+    assert(rows(1).getAs[Long]("test_tokens") == 4L)
+    assert(rows(1).getAs[Long]("covered_tokens") == 2L &&
+      rows(1).getAs[Double]("token_coverage") == 0.5)
+    assert(rows(1).getAs[Long]("covered_types") == 1L)
+    assert(rows(2).getAs[Long]("covered_tokens") == 3L &&
+      rows(2).getAs[Double]("token_coverage") == 0.75)
+    assert(rows(2).getAs[Long]("test_types") == 3L &&
+      rows(2).getAs[Long]("covered_types") == 2L)
+  }
+
+  test("d52 on testdata: one row per k, coverage monotone in k and bounded") {
+    import spark.implicits._
+    val out = operators.Corpus.d52VocabCoverage(spark, sfTiny).collect()
+    assert(out.length == 3)
+    val cov = out.sortBy(_.getAs[Int]("k_vocab")).map(_.getAs[Double]("token_coverage"))
+    assert(cov.sliding(2).forall(p => p(0) <= p(1)), cov.mkString(","))
+    assert(cov.forall(c => c >= 0.0 && c <= 1.0))
+    // every row reports the same test totals
+    assert(out.map(_.getAs[Long]("test_tokens")).distinct.length == 1)
+  }
+
   test("d40 Heaps: one-new-word-per-doc corpus gives exact prefix counts") {
     import spark.implicits._
     // doc i = "base w{i}": prefix k holds k docs, 2k tokens, vocab k+1
