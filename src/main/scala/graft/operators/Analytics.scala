@@ -1120,6 +1120,105 @@ object Analytics {
        GROUP BY d.event_type
        ORDER BY d.event_type"""
 
+  // --- q80: Mann–Kendall trend test ------------------------------------------
+
+  /** Shared Mann–Kendall algebra over (n, s_stat, tsum, n0, n1): the
+    * tie-corrected variance of S, Kendall's tau-b, and the
+    * continuity-corrected z — one text per engine, all inputs exact
+    * integers. */
+  private val MkVar =
+    "((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tsum AS DOUBLE)) / 18.0)"
+  private val MkTau =
+    "(CAST(s_stat AS DOUBLE) / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE)) * CAST(n0 AS DOUBLE)))"
+
+  /** q80 — Mann–Kendall trend test per event_type over q55's daily
+    * series (the SIGNIFICANCE companion of q55's Theil–Sen slope — the
+    * two are used together: Theil–Sen says how steep, Mann–Kendall says
+    * whether the monotone trend is real): S = Σ_{i<j} sgn(y_j − y_i)
+    * from the same day-axis-bounded pair join q55 runs, tie-corrected
+    * var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, Kendall's tau-b with
+    * the tie denominator, and the continuity-corrected z. Every input —
+    * S, tie-group sizes, pair counts — is an exact integer, so the test
+    * mirrors bit-for-bit. Fully-tied series (var = 0) drop out: no
+    * variance to test against.
+    *
+    * Scale shape: one map-side-combinable daily rollup; the pair join
+    * and tie table live on the (type × days) axis — time-grown, not
+    * corpus-grown. */
+  def q80MannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mannKendall(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(ravg($"value", 6).as("y"))
+      .select($"event_type",
+        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+  }
+
+  /** q80's core over an explicit (event_type, di, y) series — exposed so
+    * the spec can plant monotone, tied, and constant series. */
+  private[graft] def mannKendall(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val daily = series.cache() // feeds the pair join twice + the tie table
+    val a = daily.select($"event_type", $"di".as("da"), $"y".as("ya"))
+    val b = daily.select($"event_type".as("et2"), $"di".as("db"), $"y".as("yb"))
+    val sv = a.join(b, $"et2" === $"event_type" && $"da" < $"db")
+      .withColumn("sgn",
+        when($"yb" > $"ya", 1L).when($"yb" < $"ya", -1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(sum($"sgn").as("s_stat"))
+    val ties = daily.groupBy($"event_type", $"y").agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tsum"),
+        sum(expr("(t * (t - 1)) div 2")).as("n1"))
+    val cnt = daily.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val out = cnt.join(sv, "event_type").join(ties, "event_type")
+      .withColumn("n0", expr("(n * (n - 1)) div 2"))
+      .filter(expr(MkVar) > 0 && $"n0" > $"n1")
+      .select($"event_type", $"n".as("n_days"), $"s_stat",
+        r(expr(MkTau), 6).as("tau_b"), r(expr(MkVar), 6).as("var_s"),
+        when($"s_stat" > 0,
+          r(expr(s"(CAST(s_stat AS DOUBLE) - 1.0) / sqrt($MkVar)"), 6))
+          .when($"s_stat" < 0,
+            r(expr(s"(CAST(s_stat AS DOUBLE) + 1.0) / sqrt($MkVar)"), 6))
+          .otherwise(0.0).as("z"))
+      .orderBy($"event_type")
+      .localCheckpoint(true)
+    daily.unpersist(blocking = false)
+    out
+  }
+
+  val q80Sql: String =
+    s"""WITH daily AS MATERIALIZED (SELECT event_type,
+         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         ${rSql(davgSql("value"), 6)} AS y
+       FROM events GROUP BY event_type, date_trunc('day', ts)),
+       sv AS (SELECT a.event_type,
+           CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+             ELSE 0 END) AS BIGINT) AS s_stat
+         FROM daily a JOIN daily b
+           ON b.event_type = a.event_type AND a.di < b.di
+         GROUP BY a.event_type),
+       tg AS (SELECT event_type, y, count(*) AS t
+         FROM daily GROUP BY event_type, y),
+       ti AS (SELECT event_type,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+           CAST(sum((t * (t - 1)) // 2) AS BIGINT) AS n1
+         FROM tg GROUP BY event_type),
+       cn AS (SELECT event_type, count(*) AS n FROM daily GROUP BY event_type),
+       jo AS (SELECT cn.event_type, n, s_stat, tsum, n1,
+           (n * (n - 1)) // 2 AS n0
+         FROM cn JOIN sv USING (event_type) JOIN ti USING (event_type))
+       SELECT event_type, n AS n_days, s_stat,
+         ${rSql(MkTau, 6)} AS tau_b, ${rSql(MkVar, 6)} AS var_s,
+         CASE WHEN s_stat > 0
+              THEN ${rSql(s"(CAST(s_stat AS DOUBLE) - 1.0) / sqrt($MkVar)", 6)}
+              WHEN s_stat < 0
+              THEN ${rSql(s"(CAST(s_stat AS DOUBLE) + 1.0) / sqrt($MkVar)", 6)}
+              ELSE CAST(0.0 AS DOUBLE) END AS z
+       FROM jo WHERE $MkVar > 0 AND n0 > n1
+       ORDER BY event_type"""
+
   // --- q54: entropy / mutual-information decomposition ----------------------
 
   /** Shared entropy text: H = ln(N) − (Σ n·ln n)/N over a decimal-exact
@@ -2979,6 +3078,7 @@ object Analytics {
     "q49_welch_ttest" -> (q49WelchTtest _),
     "q78_anova" -> (q78Anova _),
     "q79_spearman" -> (q79Spearman _),
+    "q80_mann_kendall" -> (q80MannKendall _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
@@ -3031,6 +3131,7 @@ object Analytics {
     "q49_welch_ttest" -> q49Sql,
     "q78_anova" -> q78Sql,
     "q79_spearman" -> q79Sql,
+    "q80_mann_kendall" -> q80Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,

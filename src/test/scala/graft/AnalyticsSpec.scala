@@ -777,6 +777,45 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q80 Mann-Kendall: monotone series hit tau ±1, tie case hand-computed, constant drops") {
+    import spark.implicits._
+    val up = (1 to 5).map(i => ("up", i.toLong, i.toDouble))
+    val dn = (1 to 5).map(i => ("dn", i.toLong, (6 - i).toDouble))
+    val tie = Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex.map { case (y, i) => ("tie", i.toLong, y) }
+    val const = (1 to 5).map(i => ("const", i.toLong, 7.0))
+    val rows = Analytics.mannKendall((up ++ dn ++ tie ++ const)
+      .toDF("event_type", "di", "y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!rows.contains("const")) // fully tied: no variance to test
+    assert(rows("up").getAs[Long]("s_stat") == 10L &&
+      rows("up").getAs[Double]("tau_b") == 1.0)
+    assert(rows("dn").getAs[Long]("s_stat") == -10L &&
+      rows("dn").getAs[Double]("tau_b") == -1.0)
+    // untied n=5: var = 5·4·15/18
+    val v5 = operators.Num.rD(300.0 / 18.0, 6)
+    assert(rows("up").getAs[Double]("var_s") == v5)
+    assert(rows("up").getAs[Double]("z") ==
+      operators.Num.rD(9.0 / math.sqrt(300.0 / 18.0), 6))
+    // tie case: S = 5, tsum = 18 → var = 138/18, n0 = 6, n1 = 1
+    assert(rows("tie").getAs[Long]("s_stat") == 5L)
+    assert(rows("tie").getAs[Double]("tau_b") ==
+      operators.Num.rD(5.0 / math.sqrt(5.0 * 6.0), 6))
+    assert(rows("tie").getAs[Double]("var_s") == operators.Num.rD(138.0 / 18.0, 6))
+    assert(rows("tie").getAs[Double]("z") ==
+      operators.Num.rD(4.0 / math.sqrt(138.0 / 18.0), 6))
+  }
+
+  test("q80 on testdata: one row per type, tau and z sign-coherent with S") {
+    import spark.implicits._
+    val out = Analytics.q80MannKendall(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(abs($"tau_b") > 1.000001).count() == 0)
+      assert(out.filter($"s_stat" > 0 && ($"tau_b" <= 0 || $"z" < 0)).count() == 0)
+      assert(out.filter($"s_stat" < 0 && ($"tau_b" >= 0 || $"z" > 0)).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
     import spark.implicits._
     // every Poisson-weighted mean of a constant is that constant, so the
