@@ -1985,6 +1985,93 @@ object Corpus {
        UNION ALL SELECT bucket, n, mean_score, obs_rate, gap FROM tot
        ORDER BY bucket"""
 
+  // --- ml25: cumulative gains / lift table over ml06 ------------------------
+
+  /** Ascending score-decile bucket (1..10) against nine broadcast
+    * thresholds, ties to the LOWER bucket (t20's rule — no rank
+    * tie-break exists at all). */
+  private def decBucketSql(m: String, t: String): String =
+    s"CAST(1 + ${(1 to 9).map(i => s"CASE WHEN $m > $t$i THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT)"
+
+  private val GCap = "(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE))"
+  private val GLift =
+    "((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)))"
+
+  /** ml25 — cumulative gains and lift by score decile of the ml06
+    * quality classifier (the triage table behind "score everything,
+    * process the top k%": decile 1 = highest scores; capture = share of
+    * all positives reached by that depth, lift = positive rate at depth
+    * ÷ base rate — ml16 sweeps THRESHOLDS, ml25 sweeps POPULATION
+    * DEPTH). Deciles come from nine exact interpolated score thresholds
+    * (q33's percentile↔quantile_cont pairing, rounded before
+    * comparison, ties to the lower bucket — t20's rule), so bucketing is
+    * a scan-local comparison against one broadcast row, never a global
+    * rank sort; heavy score ties legally leave some deciles empty.
+    * Cumulation rides the ≤10-row decile axis. Oracle shares `ml06Ctes`
+    * — the ranked scores are the checked scores.
+    *
+    * Scale shape: ml06's scoring plan + one percentile aggregate + one
+    * scan-local bucket pass; everything after is ≤10 rows. */
+  def ml25Gains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gainsTable(ml06QualityClassifier(s, dir)
+      .select($"label".cast("long").as("y"), $"score"))
+  }
+
+  /** ml25's core over an explicit (y, score) relation — exposed so the
+    * spec can plant a perfectly-ranked and an uninformative scorer. */
+  private[graft] def gainsTable(sc0: DataFrame): DataFrame = {
+    val s = sc0.sparkSession
+    import s.implicits._
+    val sc = sc0.cache() // feeds the threshold pass and the bucket pass
+    val cuts = (1 to 9).map(i => r(percentile($"score", lit(i / 10.0)), 6).as(s"d$i"))
+    val th = sc.agg(cuts.head, cuts.tail: _*)
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val out = sc.crossJoin(broadcast(th))
+      .select((lit(11L) - expr(decBucketSql("score", "d"))).as("decile"), $"y")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+      .withColumn("cum_n", sum($"n").over(w))
+      .withColumn("cum_pos", sum($"n_pos").over(w))
+      .withColumn("tot_n", sum($"n").over(wAll))
+      .withColumn("tot_pos", sum($"n_pos").over(wAll))
+      .filter($"tot_pos" > 0)
+      .select($"decile", $"n", $"n_pos", $"cum_n", $"cum_pos",
+        r(expr(GCap), 6).as("capture"), r(expr(GLift), 6).as("lift"))
+      .orderBy($"decile")
+      .localCheckpoint(true)
+    sc.unpersist(blocking = false)
+    out
+  }
+
+  val ml25Sql: String =
+    s"""WITH $ml06Ctes,
+       sc AS MATERIALIZED (SELECT CAST(y AS BIGINT) AS y,
+           ${rSql(qlrP, 6)} AS score
+         FROM f CROSS JOIN w$QlrIters),
+       gth AS (SELECT ${(1 to 9).map(i =>
+           s"${rSql(s"quantile_cont(score, 0.$i)", 6)} AS d$i").mkString(", ")}
+         FROM sc),
+       bk AS (SELECT 11 - ${decBucketSql("score", "d")} AS decile, y
+         FROM sc CROSS JOIN gth),
+       per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos
+         FROM bk GROUP BY decile),
+       cm AS (SELECT decile, n, n_pos,
+           CAST(sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cum_n,
+           CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+           CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+           CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+         FROM per)
+       SELECT decile, n, n_pos, cum_n, cum_pos,
+         ${rSql(GCap, 6)} AS capture, ${rSql(GLift, 6)} AS lift
+       FROM cm WHERE tot_pos > 0 ORDER BY decile"""
+
   // --- ml23: Brier score of the ml06 probability classifier ----------------
 
   /** ml23 — Brier score + skill (Brier 1950): mean squared error of
@@ -2318,6 +2405,7 @@ object Corpus {
     "ml21_langid_eval" -> (ml21LangidEval _),
     "ml22_mcnemar" -> (ml22Mcnemar _),
     "ml24_cohen_kappa" -> (ml24CohenKappa _),
+    "ml25_gains" -> (ml25Gains _),
     "ml23_brier" -> (ml23Brier _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
@@ -2349,6 +2437,7 @@ object Corpus {
     "ml21_langid_eval" -> ml21Sql,
     "ml22_mcnemar" -> ml22Sql,
     "ml24_cohen_kappa" -> ml24Sql,
+    "ml25_gains" -> ml25Sql,
     "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,

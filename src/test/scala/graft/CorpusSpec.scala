@@ -96,6 +96,44 @@ class CorpusSpec extends GraftSpec {
     assert(k >= -1.0 && k <= 1.0, s"$r0")
   }
 
+  test("ml25 gains: perfect ranker lifts 5x in the top deciles, full depth closes at 1") {
+    import spark.implicits._
+    // 100 distinct scores i/100, positives = top 20 → deciles 1-2 all
+    // positive: capture 0.5 then 1.0, lift 5.0 at both depths
+    val sc = (1 to 100).map(i => (if (i > 80) 1L else 0L, i / 100.0)).toDF("y", "score")
+    val rows = operators.Corpus.gainsTable(sc).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(rows.size == 10)
+    assert(rows(1L).getAs[Long]("n") == 10L && rows(1L).getAs[Long]("n_pos") == 10L)
+    assert(rows(1L).getAs[Double]("capture") == 0.5 &&
+      rows(1L).getAs[Double]("lift") == 5.0)
+    assert(rows(2L).getAs[Double]("capture") == 1.0 &&
+      rows(2L).getAs[Double]("lift") == 5.0)
+    assert(rows(10L).getAs[Double]("capture") == 1.0 &&
+      rows(10L).getAs[Double]("lift") == 1.0)
+  }
+
+  test("ml25 gains: constant scorer collapses to one decile at lift 1") {
+    import spark.implicits._
+    val sc = (1 to 40).map(i => (if (i % 4 == 0) 1L else 0L, 0.5)).toDF("y", "score")
+    val rows = operators.Corpus.gainsTable(sc).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("decile") == 10L)
+    assert(rows(0).getAs[Double]("capture") == 1.0 &&
+      rows(0).getAs[Double]("lift") == 1.0)
+  }
+
+  test("ml25 on testdata: cumulative columns monotone, full depth closes at 1") {
+    import spark.implicits._
+    val out = operators.Corpus.ml25Gains(spark, sfTiny).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val sorted = out.sortBy(_.getAs[Long]("decile"))
+    assert(sorted.map(_.getAs[Long]("cum_n")).sliding(2)
+      .forall(p => p.length < 2 || p(0) < p(1)))
+    assert(sorted.last.getAs[Double]("capture") == 1.0)
+    assert(sorted.last.getAs[Double]("lift") == 1.0)
+  }
+
   test("ml16 PR curve: hand-computed operating points on a planted score column") {
     import spark.implicits._
     val scored = Seq((1, 0.9), (1, 0.7), (0, 0.6), (1, 0.4), (0, 0.2))
