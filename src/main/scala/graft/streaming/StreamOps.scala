@@ -58,6 +58,11 @@ case class PairOut(user_id: Long, src_type: String, dst_type: String)
 
 /** Per-user EWMA state: the RAW (unrounded) running smoothed value —
   * rounding happens only at emission, exactly like the batch twin. */
+case class HourRec(event_type: String, hx: Long, x: Double)
+case class CusumSt(s: Double, maxAbs: Double, cpHx: Long, n: Long)
+case class CusumOut(event_type: String, n_hours: Long, mean_x: Double,
+  cp_hour: Long, cusum_max: Double)
+
 case class EwmaSt(acc: Double)
 
 /** One smoothed reading emitted by the streaming EWMA denoiser. */
@@ -488,6 +493,42 @@ object StreamOps {
           }
           st.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** q56's streaming twin — the CUSUM drift monitor in its deployed
+    * form (train-batch/apply-stream, bpeEncodeStream/ivfAssignStream's
+    * pattern): the baseline mean per event_type is trained OFFLINE by
+    * the oracle-checked batch pass (q56's rounded per-type mean — the
+    * tiny model artifact, captured by the closure like a broadcast), and
+    * the stream folds each arriving hourly point into s += (x − mean),
+    * tracking the running |s| champion. The fold order is the batch
+    * window's ROWS-frame accumulation order (hx ascending), and the
+    * strict-`>` champion update reproduces the batch
+    * max(struct(abs_s, −hx)) tie-break (earliest hour wins ties), so a
+    * per-type hx-monotone replay lands bit-equal to q56's final row —
+    * StreamReplaySpec asserts exactly that on the max-n_hours update.
+    * State is O(1) per type (Update mode, one refreshed champion row per
+    * type per micro-batch); at 100 TB types shard across executors with
+    * the groupByKey shuffle. */
+  def cusumStream(ds: Dataset[HourRec],
+                  baseline: Map[String, Double]): Dataset[CusumOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(h => baseline.contains(h.event_type))
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[CusumSt, CusumOut](GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[HourRec], state: GroupState[CusumSt]) =>
+          val mean = baseline(et)
+          var st = state.getOption
+            .getOrElse(CusumSt(0.0, Double.NegativeInfinity, Long.MinValue, 0L))
+          rows.toSeq.sortBy(_.hx).foreach { h =>
+            val s2 = st.s + (h.x - mean)
+            val a2 = math.abs(s2)
+            st = if (a2 > st.maxAbs) CusumSt(s2, a2, h.hx, st.n + 1)
+            else CusumSt(s2, st.maxAbs, st.cpHx, st.n + 1)
+          }
+          state.update(st)
+          CusumOut(et, st.n, mean, st.cpHx, graft.operators.Num.rD(st.maxAbs, 6))
       }
   }
 

@@ -252,6 +252,53 @@ class StreamReplaySpec extends GraftSpec {
       "replayed EWMA must equal the batch recurrence bit-for-bit")
   }
 
+  test("replayed cusumStream reproduces the oracle-green q56 changepoint rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.HourRec
+    // the stream consumes the SAME hourly series q56 aggregates (rounded
+    // decimal hourly means), in hx order — how a rollup stage feeds a
+    // monitor anyway; the baseline mean is the batch-trained artifact
+    val hourlyDf = Tables.events(spark, sfTiny)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(graft.operators.Num.ravg($"value", 6).as("x"))
+      .select($"event_type", $"h".cast("long").as("hx"), $"x")
+      .cache()
+    try {
+      val mu = hourlyDf.groupBy($"event_type")
+        .agg(graft.operators.Num.ravg($"x", 6).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val hourly = hourlyDf.as[HourRec].collect().toSeq
+        .sortBy(h => (h.hx, h.event_type))
+      val k = math.ceil(hourly.size / 4.0).toInt
+      val hSlices = hourly.grouped(k).toSeq
+      // precondition: at least one type's series spans ≥2 slices, so the
+      // running s at the boundary can only come from GroupState carry
+      val spread = hSlices.zipWithIndex
+        .flatMap { case (s, i) => s.map(h => (h.event_type, i)) }
+        .groupBy(_._1).map(_._2.map(_._2).distinct.size)
+      assert(spread.exists(_ >= 2),
+        "slicing must split at least one type's series across batches")
+
+      val in = MemoryStream[HourRec]
+      val q = StreamOps.cusumStream(in.toDS(), mu).writeStream
+        .format("memory").queryName("replay_cusum").outputMode("update").start()
+      try {
+        hSlices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+
+      // Update mode appends one refreshed champion per type per batch;
+      // the final answer is the max-n_hours update of each type
+      val wn = Window.partitionBy($"event_type").orderBy($"n_hours".desc)
+      val streamed = spark.table("replay_cusum")
+        .withColumn("rn", row_number().over(wn)).filter($"rn" === 1)
+        .select($"event_type", $"n_hours", $"mean_x", $"cp_hour", $"cusum_max")
+      val batch = Analytics.q56Cusum(spark, sfTiny)
+      assert(canon(streamed) == canon(batch),
+        "replayed CUSUM champions must equal the batch changepoint rows")
+    } finally hourlyDf.unpersist(blocking = false)
+  }
+
   test("replayed markovStream reproduces the oracle-green q58 transition cells") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
