@@ -706,6 +706,66 @@ object Telemetry {
          ${rSql(s"${dsumSql("gap")} / (${dsumSql("gap")} + ${dsumSql("duration_s")})", 6)} AS availability
        FROM g"""
 
+  /** t28 — downtime Pareto over t26's episodes: the top-20 users by
+    * total episode downtime with each one's share and the running
+    * cumulative share of corpus downtime (the "which 20 % of machines
+    * cause 80 % of incidents" table an SRE triages from; t27 reports the
+    * fleet averages, t28 names the offenders; d48's attribution
+    * discipline on the reliability axis). Top-k via orderBy+limit (the
+    * TakeOrdered plan — never a full-user rank window), cumulation rides
+    * the 20-row frame, the denominator is one broadcast total row.
+    * All-integer durations; shares rounded. */
+  def t28DowntimePareto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    downtimePareto(t26EpisodeMerge(s, dir).select($"user_id", $"duration_s"))
+  }
+
+  /** t28's core over (user_id, duration_s) episode rows — exposed for the
+    * hand-shared Pareto spec. */
+  private[graft] def downtimePareto(ep: DataFrame): DataFrame = {
+    val s = ep.sparkSession
+    import s.implicits._
+    val per = ep.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_episodes"), sum($"duration_s").as("downtime_s"))
+      .cache() // feeds the total and the top-k
+    val tot = per.agg(sum($"downtime_s").as("tot_down"))
+    val top = per.orderBy($"downtime_s".desc, $"user_id".asc).limit(20)
+    val w = Window.orderBy($"downtime_s".desc, $"user_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = top.crossJoin(broadcast(tot))
+      .filter($"tot_down" > 0)
+      .withColumn("cum_down", sum($"downtime_s").over(w))
+      .select(row_number().over(
+          Window.orderBy($"downtime_s".desc, $"user_id".asc)).as("rk"),
+        $"user_id", $"n_episodes", $"downtime_s",
+        r($"downtime_s".cast("double") / $"tot_down".cast("double"), 6).as("share"),
+        r($"cum_down".cast("double") / $"tot_down".cast("double"), 6).as("cum_share"))
+      .orderBy($"rk")
+      .localCheckpoint(true)
+    per.unpersist(blocking = false)
+    out
+  }
+
+  val t28Sql: String =
+    s"""WITH ep AS (SELECT user_id, duration_s FROM ($t26Sql) t),
+       per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(sum(duration_s) AS BIGINT) AS downtime_s
+         FROM ep GROUP BY user_id),
+       tot AS (SELECT CAST(sum(downtime_s) AS BIGINT) AS tot_down FROM per),
+       top AS (SELECT user_id, n_episodes, downtime_s FROM per
+         ORDER BY downtime_s DESC NULLS LAST, user_id ASC LIMIT 20),
+       cm AS (SELECT user_id, n_episodes, downtime_s, tot_down,
+           CAST(sum(downtime_s) OVER (ORDER BY downtime_s DESC NULLS LAST,
+             user_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_down,
+           row_number() OVER (ORDER BY downtime_s DESC NULLS LAST,
+             user_id ASC) AS rk
+         FROM top CROSS JOIN tot WHERE tot_down > 0)
+       SELECT CAST(rk AS INTEGER) AS rk, user_id, n_episodes, downtime_s,
+         ${rSql("CAST(downtime_s AS DOUBLE) / CAST(tot_down AS DOUBLE)", 6)} AS share,
+         ${rSql("CAST(cum_down AS DOUBLE) / CAST(tot_down AS DOUBLE)", 6)} AS cum_share
+       FROM cm ORDER BY rk"""
+
   /** t14 — single-pass top-k per key via the typed [[graft.functions.TopKAggregator]]
     * (Aggregator[IN,BUF,OUT]): top-3 readings per user. Unlike the
     * window-rank form (q07), the aggregator ships at most k rows per
@@ -1130,6 +1190,7 @@ object Telemetry {
     "t25_gap_interpolate" -> (t25GapInterpolate _),
     "t26_episode_merge" -> (t26EpisodeMerge _),
     "t27_reliability" -> (t27Reliability _),
+    "t28_downtime_pareto" -> (t28DowntimePareto _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -1154,5 +1215,6 @@ object Telemetry {
     "t25_gap_interpolate" -> t25Sql,
     "t26_episode_merge" -> t26Sql,
     "t27_reliability" -> t27Sql,
+    "t28_downtime_pareto" -> t28Sql,
     "t09_props_stats" -> t09Sql)
 }

@@ -177,6 +177,33 @@ class TelemetrySpec extends GraftSpec {
     } finally eps.unpersist(blocking = false)
   }
 
+  test("t28 downtime Pareto: hand-shared three-user concentration table") {
+    import spark.implicits._
+    // user 1: 50s over two episodes, user 2: 30s, user 3: 20s
+    val ep = Seq((1L, 40L), (1L, 10L), (2L, 30L), (3L, 20L))
+      .toDF("user_id", "duration_s")
+    val rows = operators.Telemetry.downtimePareto(ep).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).getAs[Long]("n_episodes") == 2L &&
+      rows(0).getAs[Long]("downtime_s") == 50L)
+    assert(rows(0).getAs[Double]("share") == 0.5 &&
+      rows(0).getAs[Double]("cum_share") == 0.5)
+    assert(rows(1).getAs[Double]("cum_share") == 0.8)
+    assert(rows(2).getAs[Double]("cum_share") == 1.0)
+  }
+
+  test("t28 on testdata: at most 20 rows, shares ordered and closing below 1") {
+    import spark.implicits._
+    val out = operators.Telemetry.t28DowntimePareto(spark, sfTiny).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val shares = out.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("share"))
+    assert(shares.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val cums = out.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cum_share"))
+    assert(cums.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(cums.last <= 1.000001)
+  }
+
   test("t26 episode merge: chained overlaps fuse, long interval bridges, gaps split") {
     import spark.implicits._
     // user 1: [0,100] [50,150] [140,240] chain → one episode [0,240];
