@@ -195,13 +195,13 @@ object Analytics {
 
   // --- q45: KMV / theta-family distinct sketch with a mergeable union ---
 
-  private val KmvK = 64 // k minimum values; std error ≈ 1/√(k−2) ≈ 12.7%
+  private[graft] val KmvK = 64 // k minimum values; std error ≈ 1/√(k−2) ≈ 12.7%
   private val KmvSalts = 32
 
   /** (k−1)·2⁶⁰ as ONE double literal (both factors are powers-of-two-
     * scaled small ints, so the product is exactly representable and both
     * engines parse the identical constant — the HllConst pattern). */
-  private val KmvNum: Double = (KmvK - 1).toDouble * 1152921504606846976.0
+  private[graft] val KmvNum: Double = (KmvK - 1).toDouble * 1152921504606846976.0
 
   /** q45 — KMV (k-minimum-values) distinct-count sketch per event type,
     * the order-statistics member of the sketch suite (q40 HLL, d21 CMS,

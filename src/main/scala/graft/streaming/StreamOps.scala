@@ -58,6 +58,9 @@ case class PairOut(user_id: Long, src_type: String, dst_type: String)
 
 /** Per-user EWMA state: the RAW (unrounded) running smoothed value —
   * rounding happens only at emission, exactly like the batch twin. */
+case class KmvOut(event_type: String, m: Long, kth_hash: Long,
+  kmv_estimate: Double)
+
 case class HourRec(event_type: String, hx: Long, x: Double)
 case class CusumSt(s: Double, maxAbs: Double, cpHx: Long, n: Long)
 case class CusumOut(event_type: String, n_hours: Long, mean_x: Double,
@@ -493,6 +496,44 @@ object StreamOps {
           }
           st.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** q45's streaming twin — the KMV distinct sketch with its defining
+    * property actually exercised: state per key is the [[graft.operators
+    * .Analytics.KmvK]] smallest distinct (h60(user), user) pairs — a
+    * BOUNDED sorted set, however long the stream runs (the order-
+    * statistics member of the streaming sketch trio: distinctSketch =
+    * HLL registers, cmsSketchStream = CMS counters, kmvStream = KMV
+    * order statistics). Every event also feeds the '_union' key, so the
+    * streamed union sketch IS the merged sketch and q45's set-operation
+    * merge law replays too. Below k the sketch is exact (it holds every
+    * distinct value, estimate = m); at k the estimate is the batch
+    * formula from the identical k-th hash — so the replay is bit-equal
+    * to oracle-green q45 on (kth_hash, kmv_estimate), which
+    * StreamReplaySpec asserts. Update mode, champions refreshed per
+    * batch; keys shard across executors with the groupByKey shuffle. */
+  def kmvStream(ds: Dataset[EventRec]): Dataset[KmvOut] = {
+    import ds.sparkSession.implicits._
+    val k = graft.operators.Analytics.KmvK
+    val num = graft.operators.Analytics.KmvNum
+    ds.flatMap(e => Seq((e.event_type, e.user_id), ("_union", e.user_id)))
+      .groupByKey(_._1)
+      .mapGroupsWithState[List[(Long, Long)], KmvOut](GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[List[(Long, Long)]]) =>
+          var st = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, uid) =>
+            val p = (h60Scala(uid.toString), uid)
+            if (!st.contains(p)) {
+              val merged = (p :: st).sorted
+              st = if (merged.size > k) merged.take(k) else merged
+            }
+          }
+          state.update(st)
+          val m = st.size.toLong
+          val kth = if (st.isEmpty) 0L else st.map(_._1).max
+          val est = if (m < k) m.toDouble else num / kth.toDouble
+          KmvOut(key, m, kth, graft.operators.Num.rD(est, 2))
       }
   }
 

@@ -252,6 +252,41 @@ class StreamReplaySpec extends GraftSpec {
       "replayed EWMA must equal the batch recurrence bit-for-bit")
   }
 
+  test("replayed kmvStream reproduces the oracle-green q45 sketch incl. the union row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // KMV state is a SET of order statistics — micro-batch order cannot
+    // matter, and the bounded-state property is exactly what the batch
+    // sketch's k-smallest selection promises; '_union' replays the merge law
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.kmvStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_kmv").outputMode("update").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // final state per key = the max-m update (m only grows), kth_hash
+    // breaks saturated-m ties (it only shrinks as smaller hashes arrive)
+    val wn = Window.partitionBy($"event_type")
+      .orderBy($"m".desc, $"kth_hash".asc)
+    val streamed = spark.table("replay_kmv")
+      .withColumn("rn", row_number().over(wn)).filter($"rn" === 1)
+      .select($"event_type", $"m", $"kth_hash", $"kmv_estimate")
+    val batch = Analytics.q45KmvSketch(spark, sfTiny)
+      .select($"event_type", $"n_exact", $"kth_hash", $"kmv_estimate")
+    val sm = streamed.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val bm = batch.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sm.keySet == bm.keySet, s"${sm.keySet} vs ${bm.keySet}")
+    bm.foreach { case (k, (nExact, kth, est)) =>
+      val (m, skth, sest) = sm(k)
+      assert(m == math.min(nExact, 64L), s"$k m=$m n_exact=$nExact")
+      assert(skth == kth, s"$k kth $skth vs $kth")
+      assert(sest == est, s"$k est $sest vs $est")
+    }
+  }
+
   test("replayed cusumStream reproduces the oracle-green q56 changepoint rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
