@@ -766,6 +766,98 @@ object Telemetry {
          ${rSql("CAST(cum_down AS DOUBLE) / CAST(tot_down AS DOUBLE)", 6)} AS cum_share
        FROM cm ORDER BY rk"""
 
+  /** t29 — deseasonalized anomaly scan: q62 flags raw hourly outliers,
+    * but telemetry has STRUCTURE — a 3 a.m. lull is not an anomaly and a
+    * mild value at peak hour may be. t29 removes q59's additive
+    * hour-of-day × day-of-week profile first (fitted = m + eh + ed,
+    * computed over the hourly mean series itself), scores residuals in
+    * residual-sigma units, and always reports the top-3 |score| hours
+    * per type (q62's no-empty-result rule). hod/dow come from pure
+    * integer epoch arithmetic — (hx/3600) mod 24 and (hx/86400 + 3)
+    * mod 7, Monday = 0 — so no calendar function parity is ever needed.
+    *
+    * Scale shape: one map-side-combinable hourly rollup; profile tables
+    * live on the (type × 24/7) axes, scoring is scan-local against
+    * broadcasts, the final rank window rides per-type hours. */
+  def t29SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    seasonalAnomaly(Tables.events(s, dir)
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("hour", $"ts")).as("hx"))
+      .agg(ravg($"value", 6).as("y")))
+  }
+
+  /** t29's core over an explicit (event_type, hx, y) hourly series —
+    * exposed so the spec can plant a periodic signal with one planted
+    * break the raw-outlier view cannot see. */
+  private[graft] def seasonalAnomaly(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val h = hourly
+      .withColumn("hod", expr("(hx div 3600) % 24"))
+      .withColumn("dow", expr("((hx div 86400) + 3) % 7"))
+      .cache() // feeds the mean, both profiles, and the scoring pass
+    val tot = h.groupBy($"event_type").agg(davg($"y").as("m"))
+    val eh = h.groupBy($"event_type", $"hod").agg(davg($"y").as("mh"))
+      .join(broadcast(tot), "event_type")
+      .select($"event_type", $"hod", ($"mh" - $"m").as("eh"))
+    val ed = h.groupBy($"event_type", $"dow").agg(davg($"y").as("md"))
+      .join(broadcast(tot), "event_type")
+      .select($"event_type", $"dow", ($"md" - $"m").as("ed"))
+    val fr = h
+      .join(broadcast(eh), Seq("event_type", "hod"))
+      .join(broadcast(ed), Seq("event_type", "dow"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("fitted", $"m" + $"eh" + $"ed")
+      .withColumn("resid", $"y" - $"fitted")
+      .cache() // feeds sigma and the scored ranking
+    val sg = fr.groupBy($"event_type")
+      .agg(sqrt(davg($"resid" * $"resid")).as("sigma"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy(abs($"resid" / $"sigma").desc, $"hx".asc)
+    val out = fr.join(broadcast(sg), "event_type")
+      .filter($"sigma" > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"event_type", $"rk", $"hx", $"hod", $"dow", $"y",
+        r($"fitted", 6).as("fitted"), r($"resid" / $"sigma", 6).as("score"))
+      .orderBy($"event_type", $"rk")
+      .localCheckpoint(true)
+    Seq(h, fr).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val t29Sql: String =
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS y
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       hh AS (SELECT event_type, hx, y, (hx // 3600) % 24 AS hod,
+         ((hx // 86400) + 3) % 7 AS dow FROM h),
+       tot AS (SELECT event_type, ${davgSql("y")} AS m FROM hh GROUP BY 1),
+       eh AS (SELECT hh.event_type, hod, ${davgSql("y")} - min(t.m) AS eh
+         FROM hh JOIN tot t ON t.event_type = hh.event_type
+         GROUP BY hh.event_type, hod),
+       ed AS (SELECT hh.event_type, dow, ${davgSql("y")} - min(t.m) AS ed
+         FROM hh JOIN tot t ON t.event_type = hh.event_type
+         GROUP BY hh.event_type, dow),
+       fr AS MATERIALIZED (SELECT hh.event_type, hx, hh.hod, hh.dow, y,
+           m + eh + ed AS fitted, y - (m + eh + ed) AS resid
+         FROM hh JOIN eh ON eh.event_type = hh.event_type AND eh.hod = hh.hod
+                 JOIN ed ON ed.event_type = hh.event_type AND ed.dow = hh.dow
+                 JOIN tot ON tot.event_type = hh.event_type),
+       sg AS (SELECT event_type, sqrt(${davgSql("resid * resid")}) AS sigma
+         FROM fr GROUP BY event_type),
+       rk AS (SELECT fr.event_type, hx, hod, dow, y, fitted, resid, sigma,
+           row_number() OVER (PARTITION BY fr.event_type
+             ORDER BY abs(resid / sigma) DESC NULLS LAST, hx ASC) AS rk
+         FROM fr JOIN sg ON sg.event_type = fr.event_type
+         WHERE sigma > 0)
+       SELECT event_type, CAST(rk AS INTEGER) AS rk, hx, hod, dow, y,
+         ${rSql("fitted", 6)} AS fitted, ${rSql("resid / sigma", 6)} AS score
+       FROM rk WHERE rk <= 3
+       ORDER BY event_type, rk"""
+
   /** t14 — single-pass top-k per key via the typed [[graft.functions.TopKAggregator]]
     * (Aggregator[IN,BUF,OUT]): top-3 readings per user. Unlike the
     * window-rank form (q07), the aggregator ships at most k rows per
@@ -1191,6 +1283,7 @@ object Telemetry {
     "t26_episode_merge" -> (t26EpisodeMerge _),
     "t27_reliability" -> (t27Reliability _),
     "t28_downtime_pareto" -> (t28DowntimePareto _),
+    "t29_seasonal_anomaly" -> (t29SeasonalAnomaly _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -1216,5 +1309,6 @@ object Telemetry {
     "t26_episode_merge" -> t26Sql,
     "t27_reliability" -> t27Sql,
     "t28_downtime_pareto" -> t28Sql,
+    "t29_seasonal_anomaly" -> t29Sql,
     "t09_props_stats" -> t09Sql)
 }

@@ -204,6 +204,38 @@ class TelemetrySpec extends GraftSpec {
     assert(cums.last <= 1.000001)
   }
 
+  test("t29 seasonal anomaly: an in-range break of the daily pattern tops the scan") {
+    import spark.implicits._
+    // 14 days of a pure hod pattern y = 10 + hod (range 10..33); one hour
+    // (day 6, hod 1) reads 30.0 — inside the GLOBAL range, invisible to a
+    // raw-outlier scan, but +19 against its own hour-of-day expectation
+    val rows = for (d <- 0 until 14; hod <- 0 until 24) yield {
+      val y = if (d == 6 && hod == 1) 30.0 else 10.0 + hod
+      ("p", d * 86400L + hod * 3600L, y)
+    }
+    val flat = (0 until 48).map(i => ("flat", i * 3600L, 5.0))
+    val out = operators.Telemetry.seasonalAnomaly(
+      (rows ++ flat).toDF("event_type", "hx", "y")).collect()
+    assert(!out.exists(_.getString(0) == "flat"), "zero-variance series must drop")
+    val top = out.filter(_.getString(0) == "p").sortBy(_.getAs[Int]("rk"))
+    assert(top.length == 3)
+    assert(top(0).getAs[Long]("hx") == 6 * 86400L + 3600L, top(0).toString)
+    assert(top(0).getAs[Double]("y") == 30.0)
+    assert(top(0).getAs[Double]("score") > 3.0, top(0).toString)
+  }
+
+  test("t29 on testdata: exactly 3 ranked rows per surviving type") {
+    import spark.implicits._
+    val out = operators.Telemetry.t29SeasonalAnomaly(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      val perType = out.groupBy($"event_type").count().collect()
+      assert(perType.forall(_.getLong(1) == 3L), perType.mkString(";"))
+      assert(out.filter($"rk" < 1 || $"rk" > 3).count() == 0)
+      assert(out.filter($"hod" < 0 || $"hod" > 23 || $"dow" < 0 || $"dow" > 6).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("t26 episode merge: chained overlaps fuse, long interval bridges, gaps split") {
     import spark.implicits._
     // user 1: [0,100] [50,150] [140,240] chain → one episode [0,240];
