@@ -920,6 +920,65 @@ object Corpus {
          ${rSql("CAST(both_right + only_knn AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 6)} AS acc_knn
        FROM m"""
 
+  // --- ml26: top confusion cells of the NB classifier -----------------------
+
+  /** ml26 — error analysis of ml05: the top-10 (true → predicted)
+    * confusion cells by error count with each cell's share of ALL errors
+    * (ml08 reports per-class rates; ml26 names the specific confusions —
+    * the table that decides which training data to go collect next).
+    * One L²-bounded cell aggregation over ml05's misclassified rows, a
+    * 1-row error total broadcast, TakeOrdered top-10. Oracle shares
+    * `ml05Ctes` — the analyzed predictions are the checked predictions. */
+  def ml26ConfusionCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    confusionCells(ml05NaiveBayes(s, dir)
+      .select($"lang".as("true_lang"), $"pred_lang", $"correct"))
+  }
+
+  /** ml26's core over (true_lang, pred_lang, correct) prediction rows —
+    * exposed for the hand-counted confusion spec. */
+  private[graft] def confusionCells(preds: DataFrame): DataFrame = {
+    val s = preds.sparkSession
+    import s.implicits._
+    val cells = preds.filter($"correct" === 0)
+      .groupBy($"true_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_errors"))
+      .cache() // feeds the total and the top-k
+    val tot = cells.agg(sum($"n_errors").as("tot_err"))
+    val out = cells
+      .orderBy($"n_errors".desc, $"true_lang".asc, $"pred_lang".asc)
+      .limit(10)
+      .crossJoin(broadcast(tot))
+      .filter($"tot_err" > 0)
+      .select(row_number().over(Window.orderBy($"n_errors".desc,
+          $"true_lang".asc, $"pred_lang".asc)).as("rk"),
+        $"true_lang", $"pred_lang", $"n_errors",
+        r($"n_errors".cast("double") / $"tot_err".cast("double"), 6)
+          .as("err_share"))
+      .orderBy($"rk")
+      .localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    out
+  }
+
+  lazy val ml26Sql: String =
+    s"""WITH $ml05Ctes,
+       pd AS (SELECT true_lang, cand_lang AS pred_lang FROM rk
+         WHERE rn = 1 AND true_lang != cand_lang),
+       cells AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT)
+           AS n_errors
+         FROM pd GROUP BY 1, 2),
+       etot AS (SELECT CAST(sum(n_errors) AS BIGINT) AS tot_err FROM cells),
+       top AS (SELECT true_lang, pred_lang, n_errors FROM cells
+         ORDER BY n_errors DESC NULLS LAST, true_lang ASC, pred_lang ASC
+         LIMIT 10)
+       SELECT CAST(row_number() OVER (ORDER BY n_errors DESC NULLS LAST,
+           true_lang ASC, pred_lang ASC) AS INTEGER) AS rk,
+         true_lang, pred_lang, n_errors,
+         ${rSql("CAST(n_errors AS DOUBLE) / CAST(tot_err AS DOUBLE)", 6)} AS err_share
+       FROM top CROSS JOIN etot WHERE tot_err > 0
+       ORDER BY rk"""
+
   // --- ml24: Cohen's kappa agreement between ml05 and ml07 ------------------
 
   /** Shared kappa algebra over (n_pairs, n_agree, pes): observed
@@ -2406,6 +2465,7 @@ object Corpus {
     "ml22_mcnemar" -> (ml22Mcnemar _),
     "ml24_cohen_kappa" -> (ml24CohenKappa _),
     "ml25_gains" -> (ml25Gains _),
+    "ml26_confusion_cells" -> (ml26ConfusionCells _),
     "ml23_brier" -> (ml23Brier _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
@@ -2438,6 +2498,7 @@ object Corpus {
     "ml22_mcnemar" -> ml22Sql,
     "ml24_cohen_kappa" -> ml24Sql,
     "ml25_gains" -> ml25Sql,
+    "ml26_confusion_cells" -> ml26Sql,
     "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,

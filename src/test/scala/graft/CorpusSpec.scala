@@ -65,6 +65,32 @@ class CorpusSpec extends GraftSpec {
     assert(r0.getAs[Double]("chi2") == chi2, s"$r0 vs $chi2")
   }
 
+  test("ml26 confusion cells: hand-counted grid, shares sum to 1 over all cells") {
+    import spark.implicits._
+    // errors: a→b ×3, a→c ×1, b→a ×2; correct rows must not count
+    val preds = (Seq.fill(3)(("a", "b", 0)) ++ Seq(("a", "c", 0)) ++
+      Seq.fill(2)(("b", "a", 0)) ++ Seq.fill(4)(("a", "a", 1)))
+      .toDF("true_lang", "pred_lang", "correct")
+    val rows = operators.Corpus.confusionCells(preds).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("true_lang") == "a" &&
+      rows(0).getAs[String]("pred_lang") == "b" &&
+      rows(0).getAs[Long]("n_errors") == 3L)
+    assert(rows(0).getAs[Double]("err_share") == 0.5)
+    assert(rows.map(_.getAs[Double]("err_share")).sum == 1.0)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("ml26 on testdata: cells bound by ml08's error totals") {
+    import spark.implicits._
+    val out = operators.Corpus.ml26ConfusionCells(spark, sfTiny).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val totalErrs = operators.Corpus.ml05NaiveBayes(spark, sfTiny)
+      .filter($"correct" === 0).count()
+    assert(out.map(_.getAs[Long]("n_errors")).sum <= totalErrs)
+    assert(out.forall(r => r.getAs[String]("true_lang") != r.getAs[String]("pred_lang")))
+  }
+
   test("ml24 Cohen kappa: hand-computed 2x2 agreement grid") {
     import spark.implicits._
     // 4 (y,y), 3 (n,n), 2 (y,n), 1 (n,y): po = 0.7,
