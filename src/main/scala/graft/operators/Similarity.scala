@@ -1841,14 +1841,18 @@ object Similarity {
     out
   }
 
-  val e18Sql: String = {
+  /** e18's whole eigenproblem as a CTE block (centered explode,
+    * covariance, unrolled power-iteration rounds) — ends in
+    * v{PcaIters}(j, vj); shared with e31 so the audited eigenvector is
+    * the projecting eigenvector. */
+  private def pcaCtes: String = {
     def round(t: Int): String =
       s"""v$t AS (SELECT i AS j,
            w / sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,10))) OVER () AS DOUBLE)) AS vj
          FROM (SELECT i, ${dsumSql("c * vj")} AS w
                FROM cov2 JOIN v${t - 1} USING (j) GROUP BY i) wt)"""
     val rounds = (1 to PcaIters).map(round).mkString(",\n       ")
-    s"""WITH n AS ($corpusSql),
+    s"""n AS ($corpusSql),
        xe AS (SELECT vec_id, label, unnest(generate_series(1, 64)) AS i,
            unnest(v) AS x FROM n),
        mu AS (SELECT i, ${davgSql("x")} AS mu FROM xe GROUP BY i),
@@ -1861,12 +1865,80 @@ object Similarity {
        cov2 AS (SELECT i, j, sp / n AS c FROM cov CROSS JOIN nn),
        v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
            CAST(0.125 AS DOUBLE) AS vj),
-       $rounds
+       $rounds"""
+  }
+
+  val e18Sql: String =
+    s"""WITH $pcaCtes
        SELECT cx.vec_id, cx.label, ${rSql(dsumSql("cx.cx * vj"), 6)} AS pc1
        FROM cx JOIN v$PcaIters ON cx.i = v$PcaIters.j
        GROUP BY cx.vec_id, cx.label
        ORDER BY cx.vec_id"""
+
+  // --- e31: PCA explained-variance report -----------------------------------
+
+  private val E31Lam =
+    "(s2 / CAST(n_vectors AS DOUBLE) - (s1 / CAST(n_vectors AS DOUBLE)) * (s1 / CAST(n_vectors AS DOUBLE)))"
+  private val E31Tot = "(sq / CAST(n_vectors AS DOUBLE))"
+
+  /** e31 — explained-variance audit of e18's first principal component:
+    * variance of the RAW pc1 projections (λ₁ ≈ the dominant eigenvalue)
+    * against the total variance Σ_i Var(xᵢ) = E‖x − μ‖² (the trace,
+    * needing no eigen-anything), and their ratio — the one-number answer
+    * to "is this embedding cloud effectively low-dimensional?" that
+    * decides whether e12/e20-style width cuts are safe (e23 audits
+    * QUANTIZATION loss per bit; e31 audits PROJECTION loss per
+    * dimension). Shares e18's whole eigenproblem (`pcaCtes` /
+    * [[pcaLoadings]]) so the audited eigenvector is the projecting one;
+    * all moments decimal-summed.
+    *
+    * Scale shape: e18's covariance plan plus two map-side-combinable
+    * moment passes over the cached centered explode; output is one row. */
+  def e31PcaVariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xe = corpus(s, dir)
+      .select($"vec_id", $"label", posexplode($"v"))
+      .select($"vec_id", ($"pos" + 1).cast("int").as("i"), $"col".as("x"))
+    val mu = xe.groupBy($"i").agg(davg($"x").as("mu"))
+    val cx = xe.join(broadcast(mu), "i")
+      .select($"vec_id", $"i", ($"x" - $"mu").as("cx"))
+      .cache() // feeds the eigenproblem, the projection, and the trace
+    val out = pcaVariance(cx)
+    cx.unpersist(blocking = false)
+    out
   }
+
+  /** e31's core over a CACHED centered (vec_id, i, cx) explode — exposed
+    * so the spec can plant exactly-one-axis and two-axis clouds. */
+  private[graft] def pcaVariance(cx: DataFrame): DataFrame = {
+    val s = cx.sparkSession
+    import s.implicits._
+    val v = pcaLoadings(cx, PcaIters)
+    val pc = cx.join(broadcast(v), $"i" === $"j")
+      .groupBy($"vec_id").agg(dsum($"cx" * $"vj").as("p"))
+    val st = pc.agg(count(lit(1)).as("n_vectors"),
+      dsum($"p").as("s1"), dsum($"p" * $"p").as("s2"))
+    val tv = cx.agg(dsum($"cx" * $"cx").as("sq"))
+    st.crossJoin(broadcast(tv))
+      .filter(expr(E31Tot) > 0)
+      .select($"n_vectors",
+        r(expr(E31Lam), 6).as("pc1_var"),
+        r(expr(E31Tot), 6).as("var_total"),
+        r(expr(s"$E31Lam / $E31Tot"), 6).as("explained_share"))
+  }
+
+  val e31Sql: String =
+    s"""WITH $pcaCtes,
+       pc AS (SELECT cx.vec_id, ${dsumSql("cx.cx * vj")} AS p
+         FROM cx JOIN v$PcaIters ON cx.i = v$PcaIters.j
+         GROUP BY cx.vec_id),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           ${dsumSql("p")} AS s1, ${dsumSql("p * p")} AS s2 FROM pc),
+       tv AS (SELECT ${dsumSql("cx * cx")} AS sq FROM cx)
+       SELECT n_vectors, ${rSql(E31Lam, 6)} AS pc1_var,
+         ${rSql(E31Tot, 6)} AS var_total,
+         ${rSql(s"$E31Lam / $E31Tot", 6)} AS explained_share
+       FROM st CROSS JOIN tv WHERE $E31Tot > 0"""
 
   // --- e19: exact kNN label classifier over embeddings --------------------
 
@@ -2490,6 +2562,7 @@ object Similarity {
     "e20_matryoshka_recall" -> (e20MatryoshkaRecall _),
     "e19_embedding_knn" -> (e19EmbeddingKnn _),
     "e30_rocchio" -> (e30Rocchio _),
+    "e31_pca_variance" -> (e31PcaVariance _),
     "e18_pca_project" -> (e18PcaProject _),
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e10_kmeans" -> (e10Kmeans _),
@@ -2522,6 +2595,7 @@ object Similarity {
     "e22_hard_negatives" -> e22Sql,
     "e19_embedding_knn" -> e19Sql,
     "e30_rocchio" -> e30Sql,
+    "e31_pca_variance" -> e31Sql,
     "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,
     "e21_silhouette" -> e21Sql,

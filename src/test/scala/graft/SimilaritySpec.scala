@@ -722,6 +722,37 @@ class SimilaritySpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("e31 PCA variance: one-axis cloud explains exactly 1, mixed cloud its known share") {
+    import spark.implicits._
+    // all variance on axis 1: C = diag(2,0), one power round lands on e1
+    // exactly → pc scores ±2, λ = 4... over n=2: sq = 8, λ = s2/2 = 4,
+    // tv = 4 → share exactly 1
+    val one = Seq((1L, 1, 2.0), (1L, 2, 0.0), (2L, 1, -2.0), (2L, 2, 0.0))
+      .toDF("vec_id", "i", "cx").cache()
+    val r1 = Similarity.pcaVariance(one).collect()(0)
+    assert(r1.getAs[Long]("n_vectors") == 2L)
+    assert(r1.getAs[Double]("explained_share") == 1.0, s"$r1")
+    assert(r1.getAs[Double]("pc1_var") == 4.0 && r1.getAs[Double]("var_total") == 4.0)
+    one.unpersist(blocking = false)
+    // independent axes with variances 2 and 0.5 → share → 0.8
+    val mixed = Seq(
+      (1L, 1, 2.0), (1L, 2, 0.0), (2L, 1, -2.0), (2L, 2, 0.0),
+      (3L, 1, 0.0), (3L, 2, 1.0), (4L, 1, 0.0), (4L, 2, -1.0))
+      .toDF("vec_id", "i", "cx").cache()
+    val r2 = Similarity.pcaVariance(mixed).collect()(0)
+    assert(r2.getAs[Double]("var_total") == 2.5, s"$r2")
+    val share = r2.getAs[Double]("explained_share")
+    assert(share > 0.75 && share <= 0.8000001, s"share $share")
+    mixed.unpersist(blocking = false)
+  }
+
+  test("e31 on testdata: one row, share in (0, 1], trace positive") {
+    val r0 = Similarity.e31PcaVariance(spark, sfSmall).collect()(0)
+    assert(r0.getAs[Double]("var_total") > 0)
+    val share = r0.getAs[Double]("explained_share")
+    assert(share > 0.0 && share <= 1.0000001, s"$r0")
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
