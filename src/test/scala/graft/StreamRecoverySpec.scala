@@ -154,6 +154,74 @@ class StreamRecoverySpec extends GraftSpec {
       "restarted GroupState compaction must converge to the batch latest-per-key")
   }
 
+  test("kmvStream sorted-set state survives a kill/restart and converges to q45") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.KmvOut
+    // KMV state is order-independent, so this test may slice by USER:
+    // users in the first half then never reappear, making state loss
+    // observable. Precondition: for some key, a member of the FINAL
+    // k-smallest set arrives ONLY before the kill while the key keeps
+    // receiving rows after it — a restart that lost the sorted set could
+    // never re-learn that member, so kth_hash/estimate would diverge
+    val byUser = recs.sortBy(e => (e.user_id, e.ts.getTime, e.event_id))
+    val ku = math.ceil(byUser.size / 8.0).toInt
+    val uSlices = byUser.grouped(ku).toSeq
+    def keyRows(rows: Seq[EventRec]) =
+      rows.flatMap(e => Seq((e.event_type, e.user_id), ("_union", e.user_id)))
+    val preU = keyRows(uSlices.take(4).flatten).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val postU = keyRows(uSlices.drop(4).flatten).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val finalSet = keyRows(recs).groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2).distinct
+        .map(u => (StreamOps.h60Scala(u.toString), u)).sorted.take(64)
+    }
+    val observable = finalSet.exists { case (k, set) =>
+      postU.contains(k) && set.exists { case (_, u) =>
+        preU.getOrElse(k, Set.empty).contains(u) && !postU(k).contains(u) }
+    }
+    assert(observable,
+      "need a final sketch member that arrives only before the kill")
+
+    val in = MemoryStream[EventRec]
+    val out = tmp("graft-recover-kmv")
+    val ckpt = tmp("graft-recover-kmv-ckpt")
+    def start() = StreamOps.kmvStream(in.toDS()).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KmvOut], bid: Long) =>
+        batch.toDF().withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    val q1 = start()
+    try uSlices.take(4).foreach { s => in.addData(s: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try uSlices.drop(4).foreach { s => in.addData(s: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    // final state per key = max-m update, kth_hash breaking saturated ties
+    val finals = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"m".desc, $"kth_hash".asc)))
+      .filter($"rn" === 1)
+      .select($"event_type", $"m", $"kth_hash", $"kmv_estimate")
+    val sm = finals.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val bm = graft.operators.Analytics.q45KmvSketch(spark, sfTiny)
+      .select($"event_type", $"n_exact", $"kth_hash", $"kmv_estimate")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sm.keySet == bm.keySet)
+    bm.foreach { case (k, (nExact, kth, est)) =>
+      val (m, skth, sest) = sm(k)
+      assert(m == math.min(nExact, 64L), s"$k m=$m n_exact=$nExact")
+      assert(skth == kth && sest == est, s"$k ($skth,$sest) vs ($kth,$est)")
+    }
+  }
+
   test("a redelivered final batch is deduplicated by the file sink's commit log") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
