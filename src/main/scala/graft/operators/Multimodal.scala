@@ -509,9 +509,89 @@ object Multimodal {
          CAST(cum - n_bytes - ((cum - n_bytes) // $ShardBudget) * $ShardBudget AS BIGINT) AS offset_bytes
        FROM c ORDER BY doc_id"""
 
+  /** x10's boilerplate-frame cap: frames appearing in more doc_ids than
+    * this are dropped before pairing (they are furniture, not signal, and
+    * they are the quadratic term — the BandBucketCap discipline). */
+  private val FrameDfCap = 64
+
+  /** x10 — cross-asset frame-overlap containment: for every pair of
+    * "videos" sharing at least one sampled frame, the shared-distinct-
+    * frame count and containment = shared / min(frames_a, frames_b) —
+    * shot-level near-dup detection (x05 catches byte-identical ASSETS,
+    * x07 perceptually-identical ones; x10 catches a clip EMBEDDED in a
+    * longer cut, where whole-asset hashes all miss — d46's containment
+    * matrix on the frame axis). Frames are x02's 64-unit fixed-grid
+    * samples hashed to md5; candidates come from ONE frame-key
+    * equi-join, with frames in > [[FrameDfCap]] docs dropped first.
+    * Top-20 pairs, total-order ranked.
+    *
+    * Scale shape: one frame explode (÷64 of the payload), a doc-
+    * frequency gate, one uniform frame-key self-join bounded per key by
+    * the cap, pair aggregation — never an all-pairs term. */
+  def x10FrameOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameOverlap(Tables.documents(s, dir).select($"doc_id", $"text"))
+  }
+
+  /** x10's core over (doc_id, text) — exposed so the spec can plant an
+    * embedded clip with a hand-computed containment. */
+  private[graft] def frameOverlap(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fr = docs.filter(length($"text") > 0)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)," +
+          " i -> substr(text, i * 64 + 1, 64))")).as("frame"))
+      .select($"doc_id", md5($"frame").as("fh")).distinct()
+      .cache() // feeds per-doc totals, the df gate, and both join sides
+    val nd = fr.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    val keep = fr.groupBy($"fh").agg(count(lit(1)).as("dfc"))
+      .filter($"dfc" <= FrameDfCap).select($"fh")
+    val fr2 = fr.join(keep, "fh")
+    val out = fr2.as("a")
+      .join(fr2.as("b"), col("a.fh") === col("b.fh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_frames"))
+      .join(broadcast(nd.select($"doc_id".as("doc_a"), $"nf".as("n_frames_a"))), "doc_a")
+      .join(broadcast(nd.select($"doc_id".as("doc_b"), $"nf".as("n_frames_b"))), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared_frames", $"n_frames_a", $"n_frames_b",
+        r($"shared_frames".cast("double") /
+          least($"n_frames_a", $"n_frames_b").cast("double"), 6).as("containment"))
+      .orderBy(desc_nulls_last("containment"), $"doc_a", $"doc_b")
+      .limit(20)
+      .localCheckpoint(true)
+    fr.unpersist(blocking = false)
+    out
+  }
+
+  val x10Sql: String =
+    s"""WITH fr AS MATERIALIZED (SELECT DISTINCT doc_id,
+         md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS fh
+       FROM documents, range(0, 100000) r(i)
+       WHERE length(text) > 0 AND i < ceil(length(text) / 64.0)),
+       nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         FROM fr GROUP BY doc_id),
+       keep AS (SELECT fh FROM fr GROUP BY fh
+         HAVING count(*) <= $FrameDfCap),
+       fr2 AS MATERIALIZED (SELECT fr.doc_id, fr.fh FROM fr JOIN keep USING (fh)),
+       pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_frames
+         FROM fr2 a JOIN fr2 b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       ct AS (SELECT doc_a, doc_b, shared_frames,
+           na.nf AS n_frames_a, nb.nf AS n_frames_b
+         FROM pp JOIN nd na ON na.doc_id = pp.doc_a
+                 JOIN nd nb ON nb.doc_id = pp.doc_b)
+       SELECT doc_a, doc_b, shared_frames, n_frames_a, n_frames_b,
+         ${rSql("CAST(shared_frames AS DOUBLE) / CAST(least(n_frames_a, n_frames_b) AS DOUBLE)", 6)} AS containment
+       FROM ct
+       ORDER BY containment DESC NULLS LAST, doc_a, doc_b LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x08_shard_packing" -> (x08ShardPacking _),
     "x09_dedup_pack" -> (x09DedupPack _),
+    "x10_frame_overlap" -> (x10FrameOverlap _),
     "x07_phash_neardup" -> (x07PhashNeardup _),
     "x06_cdc_dedup" -> (x06CdcDedup _),
     "x05_media_dedup" -> (x05MediaDedup _),
@@ -524,6 +604,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "x08_shard_packing" -> x08Sql,
     "x09_dedup_pack" -> x09Sql,
+    "x10_frame_overlap" -> x10Sql,
     "x07_phash_neardup" -> x07Sql,
     "x06_cdc_dedup" -> x06Sql,
     "x05_media_dedup" -> x05Sql,

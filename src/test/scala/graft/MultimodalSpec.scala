@@ -87,6 +87,44 @@ class MultimodalSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("x10 frame overlap: an embedded clip scores its hand-computed containment") {
+    import spark.implicits._
+    // 64-char frames fi; A = f1..f10, B = f1..f5 + g1..g5 (5 shared →
+    // containment 5/10 = 0.5), C disjoint
+    def f(tag: String, i: Int): String = {
+      val s = s"$tag$i"
+      s + "x" * (64 - s.length)
+    }
+    val a = (1 to 10).map(f("fa", _)).mkString
+    val b = ((1 to 5).map(f("fa", _)) ++ (1 to 5).map(f("gb", _))).mkString
+    val c = (1 to 10).map(f("hc", _)).mkString
+    val rows = Multimodal.frameOverlap(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val p = rows(0)
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Long]("shared_frames") == 5L)
+    assert(p.getAs[Long]("n_frames_a") == 10L && p.getAs[Long]("n_frames_b") == 10L)
+    assert(p.getAs[Double]("containment") == 0.5)
+  }
+
+  test("x10 on testdata: canonical pairs, containment bounded, frames agree with x02") {
+    import spark.implicits._
+    val out = Multimodal.x10FrameOverlap(spark, sfTiny).cache()
+    try {
+      assert(out.count() <= 20)
+      assert(out.filter($"doc_a" >= $"doc_b").count() == 0)
+      assert(out.filter($"containment" <= 0 || $"containment" > 1.000001).count() == 0)
+      // composition pin: per-doc distinct-frame totals equal x02's view
+      val x2 = Multimodal.x02FrameSample(spark, sfTiny)
+        .groupBy($"doc_id").agg(countDistinct($"frame_md5").as("nf2"))
+      val bad = out.select($"doc_a".as("doc_id"), $"n_frames_a".as("nf"))
+        .union(out.select($"doc_b", $"n_frames_b")).distinct()
+        .join(x2, "doc_id").filter($"nf" =!= $"nf2").count()
+      assert(bad == 0, "x10 frame totals must match x02's distinct hashes")
+    } finally out.unpersist(blocking = false)
+  }
+
   test("x01 metadata matches the source table") {
     val meta = Multimodal.x01BinaryMeta(spark, sfTiny)
     assert(meta.count() == Tables.documents(spark, sfTiny).count())
