@@ -1222,6 +1222,67 @@ object Analytics {
        FROM jo WHERE $MkVar > 0 AND n0 > n1
        ORDER BY event_type"""
 
+  // --- q81: recursive CTE (Spark 4 WITH RECURSIVE) ---------------------------
+
+  /** q81 — the sequential EWMA recursion evaluated by Spark's OWN
+    * `WITH RECURSIVE` (new engine surface in Spark 4 — every other
+    * sequential operator here runs recursions in mapGroups (t15/q61/q72)
+    * or unrolled rounds (ml04/e10) because recursive SQL didn't exist;
+    * q81 exercises the declarative third path and hash-checks it against
+    * DuckDB's recursive CTE, the same construct the oracle family
+    * already trusts): per event_type over the daily mean series, base
+    * case = day 1, recursive step e = 0.25·y + 0.75·e_prev (binary-exact
+    * literals), joined on the per-type day rank so the recursion
+    * advances every type one row per iteration.
+    *
+    * Scale shape: one map-side-combinable daily rollup + a time-axis
+    * rank window; the recursion state per iteration is one row per type
+    * and iteration count = days — time-grown, not corpus-grown. */
+  def q81RecursiveEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    recursiveEwma(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(ravg($"value", 6).as("y"))
+      .select($"event_type",
+        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+  }
+
+  /** q81's core over an explicit (event_type, di, y) series — exposed so
+    * the spec can plant a hand-folded recursion. */
+  private[graft] def recursiveEwma(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    series
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("di"))))
+      .createOrReplaceTempView("q81_daily")
+    s.sql(
+      s"""WITH RECURSIVE rec AS (
+           SELECT event_type, rn, y, CAST(y AS DOUBLE) AS e
+           FROM q81_daily WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.rn, d.y, 0.25 * d.y + 0.75 * rec.e
+           FROM q81_daily d JOIN rec
+             ON d.event_type = rec.event_type AND d.rn = rec.rn + 1)
+         SELECT event_type, rn, y, CAST(${rSql("e", 6)} AS DOUBLE) AS ewma
+         FROM rec ORDER BY event_type, rn""")
+  }
+
+  val q81Sql: String =
+    s"""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
+         ${rSql(davgSql("value"), 6)} AS y,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY date_trunc('day', ts)) AS rn
+       FROM events GROUP BY event_type, date_trunc('day', ts)),
+       rec AS (
+         SELECT event_type, rn, y, CAST(y AS DOUBLE) AS e
+         FROM daily WHERE rn = 1
+         UNION ALL
+         SELECT d.event_type, d.rn, d.y, 0.25 * d.y + 0.75 * rec.e
+         FROM daily d JOIN rec
+           ON d.event_type = rec.event_type AND d.rn = rec.rn + 1)
+       SELECT event_type, rn, y, ${rSql("e", 6)} AS ewma
+       FROM rec ORDER BY event_type, rn"""
+
   // --- q54: entropy / mutual-information decomposition ----------------------
 
   /** Shared entropy text: H = ln(N) − (Σ n·ln n)/N over a decimal-exact
@@ -3082,6 +3143,7 @@ object Analytics {
     "q78_anova" -> (q78Anova _),
     "q79_spearman" -> (q79Spearman _),
     "q80_mann_kendall" -> (q80MannKendall _),
+    "q81_recursive_ewma" -> (q81RecursiveEwma _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
@@ -3135,6 +3197,7 @@ object Analytics {
     "q78_anova" -> q78Sql,
     "q79_spearman" -> q79Sql,
     "q80_mann_kendall" -> q80Sql,
+    "q81_recursive_ewma" -> q81Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,

@@ -816,6 +816,34 @@ class AnalyticsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("q81 recursive EWMA: Spark's WITH RECURSIVE folds a planted series exactly") {
+    import spark.implicits._
+    val series = Seq(("a", 1L, 8.0), ("a", 2L, 4.0), ("a", 3L, 16.0),
+      ("b", 5L, 2.0)).toDF("event_type", "di", "y")
+    val rows = Analytics.recursiveEwma(series).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("rn")) -> r.getAs[Double]("ewma")).toMap
+    // hand fold: 8; 0.25·4+0.75·8 = 7; 0.25·16+0.75·7 = 9.25
+    assert(rows(("a", 1)) == 8.0 && rows(("a", 2)) == 7.0 && rows(("a", 3)) == 9.25)
+    assert(rows(("b", 1)) == 2.0)
+    assert(rows.size == 4)
+  }
+
+  test("q81 on testdata: every daily row present, recursion matches a driver fold") {
+    import spark.implicits._
+    val out = Analytics.q81RecursiveEwma(spark, sfTiny).collect()
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Int]("rn"))
+      var e = ordered.head.getAs[Double]("y")
+      assert(ordered.head.getAs[Double]("ewma") == operators.Num.rD(e, 6))
+      ordered.tail.foreach { r =>
+        e = 0.25 * r.getAs[Double]("y") + 0.75 * e
+        assert(r.getAs[Double]("ewma") == operators.Num.rD(e, 6), r.toString)
+      }
+    }
+    assert(out.nonEmpty)
+  }
+
   test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
     import spark.implicits._
     // every Poisson-weighted mean of a constant is that constant, so the
