@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -142,15 +142,27 @@ object Analytics {
     * Σ 2^(−M) is computed as the exact integer Σ 2^(53−M) (max 256·2⁵³ <
     * 2⁶³), so the only float ops are one division and the ln() of the
     * linear-counting branch (d08-proven portable at r6; r2 here). */
+  /** ρ of a 60-bit h60 hash under the q40 register layout (register =
+    * low 8 bits, ρ = leading-zero rank of the remaining 52) — shared by
+    * q40's grouped sketch and q82's day-windowed register tables. */
+  private def hllRho(h: Column): Column = {
+    val w = shiftright(h, 8)
+    (50 to 0 by -1)
+      .foldLeft(when(w >= lit(1L << 51), lit(1)))((acc, k) =>
+        acc.when(w >= lit(1L << k), lit(52 - k)))
+      .otherwise(lit(53))
+  }
+
+  /** SQL twin of [[hllRho]] over a column named `hv`. */
+  private val hllRhoSql: String = (51 to 0 by -1)
+    .map(k => s"WHEN (hv >> 8) >= ${1L << k} THEN ${52 - k}")
+    .mkString("CASE ", " ", " ELSE 53 END")
+
   def q40PortableHll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ord = Tables.orders(s, dir)
     val h = DedupLsh.h60($"o_custkey".cast("string"))
-    val w = shiftright(h, 8)
-    val rho = (50 to 0 by -1)
-      .foldLeft(when(w >= lit(1L << 51), lit(1)))((acc, k) =>
-        acc.when(w >= lit(1L << k), lit(52 - k)))
-      .otherwise(lit(53))
+    val rho = hllRho(h)
     val s1 = ord
       .select($"o_orderpriority", (h % 256).as("idx"), rho.as("rho"))
       .groupBy($"o_orderpriority", $"idx").agg(max($"rho").as("mx"))
@@ -172,9 +184,7 @@ object Analytics {
   }
 
   val q40Sql: String = {
-    val rho = (51 to 0 by -1)
-      .map(k => s"WHEN (hv >> 8) >= ${1L << k} THEN ${52 - k}")
-      .mkString("CASE ", " ", " ELSE 53 END")
+    val rho = hllRhoSql
     val raw = s"$HllConst / CAST(s AS DOUBLE)"
     s"""WITH h AS (SELECT o_orderpriority,
            ${DedupLsh.h60Sql("o_custkey::VARCHAR")} AS hv FROM orders),
@@ -191,6 +201,92 @@ object Analytics {
          ${rSql(s"CASE WHEN v > 0 AND $raw <= ${2.5 * HllM} THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST(v AS DOUBLE)) ELSE $raw END", 2)} AS hll_customers
        FROM ex JOIN sk USING (o_orderpriority)
        ORDER BY ex.o_orderpriority"""
+  }
+
+  // --- q82: trailing-MAU from mergeable daily HLL registers ------------------
+
+  /** q82 — approximate trailing-28-day MAU per day from DAILY HLL
+    * register tables merged across the window (q74 computes the exact
+    * number by fanning every (user, day) ×28 — the right call at this
+    * scale; q82 is the sketch path a 100 TB event lake actually deploys:
+    * registers are built ONCE per day (mergeable, 256 ints — the
+    * reason HLL exists), and every trailing window is a register-wise
+    * MAX over the day axis, never re-touching events). Absent registers
+    * zero-fill on a dense (days × 256) grid so the RANGE-window merge
+    * sees every register every day; estimator and linear-counting
+    * branch are q40's, from the shared ρ builders.
+    *
+    * Scale shape: one map-side-combinable (day, register) aggregation
+    * over events; everything after lives on the days × 256 axis. */
+  def q82SketchedMau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sketchedMau(Tables.events(s, dir)
+      .select((unix_timestamp(date_trunc("day", $"ts")) / 86400).cast("long").as("di"),
+        $"user_id"))
+  }
+
+  /** q82's core over an explicit (di, user_id) relation — exposed so the
+    * spec can compare the sketch against q74's exact MAU. */
+  private[graft] def sketchedMau(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val h = DedupLsh.h60($"user_id".cast("string"))
+    val daily = ev.select($"di", (h % 256).as("idx"), hllRho(h).as("rho"))
+      .groupBy($"di", $"idx").agg(max($"rho").as("mx"))
+      .cache() // feeds the day axis and the dense grid
+    val days = daily.select($"di").distinct()
+      .withColumn("window_days", count(lit(1)).over(
+        Window.orderBy($"di").rangeBetween(-27, 0)))
+      .cache() // day-axis cardinality; feeds the grid and the output join
+    val dense = days.select($"di")
+      .crossJoin(broadcast((0 until 256).toDF("idx")))
+      .join(daily, Seq("di", "idx"), "left")
+      .select($"di", $"idx", coalesce($"mx", lit(0)).as("mx"))
+    val merged = dense.withColumn("m", max($"mx").over(
+      Window.partitionBy($"idx").orderBy($"di").rangeBetween(-27, 0)))
+    val sk = merged.groupBy($"di")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("s"),
+        sum(when($"m" === 0, 1L).otherwise(0L)).as("v"))
+    val raw = lit(HllConst) / $"s".cast("double")
+    val est = when($"v" > 0 && raw <= lit(2.5 * HllM),
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"v".cast("double")))
+      .otherwise(raw)
+    val out = sk.join(days, "di")
+      .select($"di".as("day"), $"window_days", $"v".as("zero_regs"),
+        r(est, 2).as("mau_est"))
+      .orderBy($"day")
+      .localCheckpoint(true)
+    Seq(daily, days).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val q82Sql: String = {
+    val raw = s"$HllConst / CAST(s AS DOUBLE)"
+    s"""WITH ev AS (SELECT
+         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         ${DedupLsh.h60Sql("user_id::VARCHAR")} AS hv
+       FROM events),
+       daily AS MATERIALIZED (SELECT di, hv % 256 AS idx,
+           max($hllRhoSql) AS mx
+         FROM ev GROUP BY di, hv % 256),
+       days AS MATERIALIZED (SELECT di,
+           CAST(count(*) OVER (ORDER BY di RANGE BETWEEN 27 PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS window_days
+         FROM (SELECT DISTINCT di FROM daily) z),
+       grid AS (SELECT di, unnest(generate_series(0, 255)) AS idx
+         FROM days),
+       dense AS (SELECT g.di, g.idx, coalesce(d.mx, 0) AS mx
+         FROM grid g LEFT JOIN daily d ON d.di = g.di AND d.idx = g.idx),
+       mg AS (SELECT di, idx, max(mx) OVER (PARTITION BY idx ORDER BY di
+           RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS m
+         FROM dense),
+       sk AS (SELECT di, CAST(sum(1::BIGINT << (53 - m)) AS BIGINT) AS s,
+           CAST(count(CASE WHEN m = 0 THEN 1 END) AS BIGINT) AS v
+         FROM mg GROUP BY di)
+       SELECT sk.di AS day, window_days, v AS zero_regs,
+         ${rSql(s"CASE WHEN v > 0 AND $raw <= ${2.5 * HllM} THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST(v AS DOUBLE)) ELSE $raw END", 2)} AS mau_est
+       FROM sk JOIN days USING (di)
+       ORDER BY day"""
   }
 
   // --- q45: KMV / theta-family distinct sketch with a mergeable union ---
@@ -3144,6 +3240,7 @@ object Analytics {
     "q79_spearman" -> (q79Spearman _),
     "q80_mann_kendall" -> (q80MannKendall _),
     "q81_recursive_ewma" -> (q81RecursiveEwma _),
+    "q82_sketched_mau" -> (q82SketchedMau _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
@@ -3198,6 +3295,7 @@ object Analytics {
     "q79_spearman" -> q79Sql,
     "q80_mann_kendall" -> q80Sql,
     "q81_recursive_ewma" -> q81Sql,
+    "q82_sketched_mau" -> q82Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,

@@ -844,6 +844,32 @@ class AnalyticsSpec extends GraftSpec {
     assert(out.nonEmpty)
   }
 
+  test("q82 sketched MAU: constant population stabilizes, estimate tracks q74's exact") {
+    import spark.implicits._
+    // same 40 users every day for 40 days: every full window sees the
+    // same register table, so mau_est is CONSTANT once windows fill
+    val const = for (d <- 0L until 40L; u <- 1L to 40L) yield (d, u)
+    val rows = Analytics.sketchedMau(const.toDF("di", "user_id")).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.length == 40)
+    val full = rows.filter(_.getAs[Long]("window_days") == 28L)
+    assert(full.nonEmpty)
+    assert(full.map(_.getAs[Double]("mau_est")).distinct.length == 1)
+    // small-range linear counting keeps the estimate near 40
+    val est = full.head.getAs[Double]("mau_est")
+    assert(math.abs(est - 40.0) / 40.0 < 0.25, s"est $est")
+    // sketch vs exact on the real table: within HLL's error envelope
+    val sk = Analytics.q82SketchedMau(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("mau_est")).toMap
+    val exact = Analytics.q74ActiveUsers(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("di") -> r.getAs[Long]("mau")).toMap
+    assert(sk.keySet == exact.keySet)
+    exact.foreach { case (d, ex) =>
+      assert(math.abs(sk(d) - ex) / ex.toDouble < 0.25,
+        s"day $d sketch ${sk(d)} vs exact $ex")
+    }
+  }
+
   test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
     import spark.implicits._
     // every Poisson-weighted mean of a constant is that constant, so the
