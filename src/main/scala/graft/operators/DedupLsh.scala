@@ -242,6 +242,68 @@ object DedupLsh {
          END AS edit_sim
        FROM pv ORDER BY edit_sim DESC NULLS LAST, doc_a, doc_b LIMIT 500"""
 
+  /** d53 — NEAR-dup train→test leakage over the s03 hash split: test
+    * docs (h = 9) with at least one verified LSH near-dup (jaccard ≥
+    * 0.5) in the train split (h ≤ 7). d35 audits EXACT 5-gram overlap;
+    * paraphrased or lightly-edited duplicates slip past gram membership
+    * but not past shingle Jaccard — this is the leakage mode SemDeDup/
+    * dedup-before-split exists to prevent, reported per leaked test doc
+    * with its match count and best (jaccard, train doc). Pairs come
+    * from the SAME m01/d11 pair pass ([[lshPairs]]); split membership
+    * is two scan-local hash joins.
+    *
+    * Scale shape: the m01 candidate plan + two doc-keyed joins + one
+    * leaked-doc aggregation — nothing new shuffles at corpus size. */
+  def d53NeardupLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.documents(s, dir)
+      .select($"doc_id", (h60($"doc_id".cast("string")) % 10).as("h"))
+    neardupLeakage(lshPairs(s, dir), sp)
+  }
+
+  /** d53's core over explicit pairs (doc_a, doc_b, jaccard) and split
+    * memberships (doc_id, h) — exposed for the planted-leak spec. */
+  private[graft] def neardupLeakage(pairs: DataFrame, sp: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .filter(($"ha" === 9 && $"hb" <= 7) || ($"hb" === 9 && $"ha" <= 7))
+      .select(when($"ha" === 9, $"doc_a").otherwise($"doc_b").as("test_doc"),
+        when($"ha" === 9, $"doc_b").otherwise($"doc_a").as("train_doc"),
+        $"jaccard")
+      .groupBy($"test_doc")
+      .agg(count(lit(1)).as("n_train_matches"),
+        max(struct($"jaccard".as("j"), (-$"train_doc").as("nt"))).as("b"))
+      .select($"test_doc", $"n_train_matches",
+        $"b.j".as("best_jaccard"), (-$"b.nt").as("best_train_doc"))
+      .orderBy($"test_doc")
+  }
+
+  lazy val d53Sql: String =
+    s"""WITH ${pairCtesOver("documents")},
+       hs AS (SELECT doc_id, ${h60Sql("doc_id::VARCHAR")} % 10 AS h
+         FROM documents),
+       cx AS (SELECT
+           CASE WHEN a.h = 9 THEN pr.doc_a ELSE pr.doc_b END AS test_doc,
+           CASE WHEN a.h = 9 THEN pr.doc_b ELSE pr.doc_a END AS train_doc,
+           jaccard
+         FROM pr JOIN hs a ON a.doc_id = pr.doc_a
+                 JOIN hs b ON b.doc_id = pr.doc_b
+         WHERE (a.h = 9 AND b.h <= 7) OR (b.h = 9 AND a.h <= 7)),
+       ag AS (SELECT test_doc, CAST(count(*) AS BIGINT) AS n_train_matches
+         FROM cx GROUP BY test_doc),
+       bs AS (SELECT test_doc, jaccard AS best_jaccard,
+           train_doc AS best_train_doc
+         FROM (SELECT test_doc, jaccard, train_doc, row_number() OVER (
+             PARTITION BY test_doc
+             ORDER BY jaccard DESC NULLS LAST, train_doc ASC) AS rn
+           FROM cx) z WHERE rn = 1)
+       SELECT test_doc, n_train_matches, best_jaccard, best_train_doc
+       FROM ag JOIN bs USING (test_doc)
+       ORDER BY test_doc"""
+
   /** Core 64-bit SimHash over (doc_id, sh): bit j is set iff at least half
     * the shingle hashes have bit j set (the sign of the ±1 vote sum).
     *
@@ -490,6 +552,7 @@ object DedupLsh {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m05_lsh_scurve" -> (m05LshScurve _),
     "d51_edit_dedup" -> (d51EditDedup _),
+    "d53_neardup_leakage" -> (d53NeardupLeakage _),
     "m04_jaccard_estimate" -> (m04JaccardEstimate _),
     "m01_minhash_pairs" -> (m01MinHashPairs _),
     "m02_simhash" -> (m02SimHash _),
@@ -625,6 +688,7 @@ object DedupLsh {
   val oracles: Map[String, String] = Map(
     "m05_lsh_scurve" -> m05Sql,
     "d51_edit_dedup" -> d51Sql,
+    "d53_neardup_leakage" -> d53Sql,
     "m04_jaccard_estimate" -> m04Sql,
     "m01_minhash_pairs" -> m01Sql,
     "m02_simhash" -> m02Sql,

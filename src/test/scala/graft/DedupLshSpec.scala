@@ -80,6 +80,35 @@ class DedupLshSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("d53 near-dup leakage: planted cross-split pairs aggregate to the right report") {
+    import spark.implicits._
+    // pairs: test 9 ↔ train {1 (j .8), 2 (j .9)}; test 19 ↔ test 29 (both
+    // h=9: NOT leakage); train 3 ↔ train 4: not leakage either
+    val pairs = Seq((1L, 9L, 0.8), (2L, 9L, 0.9), (19L, 29L, 1.0), (3L, 4L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val sp = Seq(1L -> 0L, 2L -> 7L, 3L -> 3L, 4L -> 5L,
+      9L -> 9L, 19L -> 9L, 29L -> 9L).toDF("doc_id", "h")
+    val rows = DedupLsh.neardupLeakage(pairs, sp).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("test_doc") == 9L)
+    assert(r0.getAs[Long]("n_train_matches") == 2L)
+    assert(r0.getAs[Double]("best_jaccard") == 0.9)
+    assert(r0.getAs[Long]("best_train_doc") == 2L)
+  }
+
+  test("d53 on real docs: every reported doc is split-9 with train matches") {
+    import spark.implicits._
+    val out = DedupLsh.d53NeardupLeakage(spark, sfSmall).collect()
+    def split(id: Long): Long =
+      graft.streaming.StreamOps.h60Scala(id.toString) % 10
+    out.foreach { r =>
+      assert(split(r.getAs[Long]("test_doc")) == 9L)
+      assert(split(r.getAs[Long]("best_train_doc")) <= 7L)
+      assert(r.getAs[Double]("best_jaccard") >= 0.5)
+    }
+  }
+
   test("m01 degenerate bucket is capped: N identical docs yield O(N·cap) not O(N²)") {
     import spark.implicits._
     // 150 identical docs all land in ONE bucket per band; without the
