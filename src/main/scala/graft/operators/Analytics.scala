@@ -1347,9 +1347,13 @@ object Analytics {
     * the spec can plant a hand-folded recursion. */
   private[graft] def recursiveEwma(series: DataFrame): DataFrame = {
     val s = series.sparkSession
+    // checkpoint the anchor: the recursion re-evaluates the view once PER
+    // LEVEL (~n_days events rollups — measured 11.8 s at sf0.1; with the
+    // barrier 2 s), the d35 generator trap in recursive-CTE form
     series
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("di"))))
+      .localCheckpoint(true)
       .createOrReplaceTempView("q81_daily")
     s.sql(
       s"""WITH RECURSIVE rec AS (
