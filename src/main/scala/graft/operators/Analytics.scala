@@ -3212,6 +3212,85 @@ object Analytics {
        ORDER BY event_type, lag"""
   }
 
+  // --- q83: lagged cross-correlation between event types ---------------------
+
+  /** q83's lag grid in hours: negative = a LEADS b. */
+  private val XcorrLags = Seq(-3, -1, 0, 1, 3)
+
+  /** q83 — lagged cross-correlation between every ordered pair of
+    * event types on the hourly mean series (q47 asks "does a series
+    * predict ITSELF?"; q83 asks "does type a LEAD type b?" — the
+    * lead-lag discovery behind alert-precursor mining: a peak at lag
+    * +1 h means a's activity one hour ago correlates with b's now).
+    * Same machinery as q47: rounded decimal hourly means, integer
+    * epoch-hour lag equi-join (never interval arithmetic), q35's
+    * fixed-order moment formula; degenerate (constant-overlap) pairs
+    * drop via the positive-variance guard.
+    *
+    * Scale shape: one map-side-combinable hourly rollup; the pair×lag
+    * join lives on the (types² × lags × hours) axis — time-grown. */
+  def q83CrossCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    crossCorrelation(Tables.events(s, dir)
+      .groupBy($"event_type",
+        unix_timestamp(date_trunc("hour", $"ts")).as("hx"))
+      .agg(r(davg($"value"), 6).as("x")))
+  }
+
+  /** q83's core over an explicit (event_type, hx, x) hourly relation —
+    * exposed so the spec can plant a shifted-copy pair. */
+  private[graft] def crossCorrelation(hourly0: DataFrame): DataFrame = {
+    val s = hourly0.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val xc = "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    val hourly = hourly0.cache() // both sides of the lag join
+    val lags = XcorrLags.toDF("lag")
+    val b = hourly.select($"event_type".as("type_b"), $"hx".as("hx2"), $"x".as("y"))
+    val out = hourly
+      .crossJoin(broadcast(lags))
+      .join(b, $"type_b" =!= $"event_type" && $"hx2" === $"hx" + $"lag" * 3600)
+      .groupBy($"event_type", $"type_b", $"lag")
+      .agg(count(lit(1)).as("n0"),
+        m($"x").as("sx"), m($"x" * $"x").as("sxx"),
+        m($"y").as("sy"), m($"y" * $"y").as("syy"),
+        m($"x" * $"y").as("sxy"))
+      .withColumn("n", $"n0".cast("double"))
+      .filter(expr("n * sxx - sx * sx") > 0 && expr("n * syy - sy * sy") > 0)
+      .select($"event_type".as("type_a"), $"type_b", $"lag",
+        $"n0".as("n_pairs"), r(expr(xc), 6).as("xcorr"))
+      .orderBy($"type_a", $"type_b", $"lag")
+      .localCheckpoint(true)
+    hourly.unpersist(blocking = false)
+    out
+  }
+
+  val q83Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    val xc = "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    val grid = XcorrLags.map(l => s"($l)").mkString(", ")
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS x
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       lg AS (SELECT * FROM (VALUES $grid) t(lag)),
+       p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, lag,
+           a.x AS x, b.x AS y
+         FROM h a CROSS JOIN lg
+         JOIN h b ON b.event_type != a.event_type
+           AND b.hx = a.hx + lag * 3600),
+       mo AS (SELECT type_a, type_b, lag, count(*) AS n0,
+         ${m("x")} AS sx, ${m("x * x")} AS sxx, ${m("y")} AS sy,
+         ${m("y * y")} AS syy, ${m("x * y")} AS sxy
+       FROM p GROUP BY type_a, type_b, lag),
+       fz AS (SELECT type_a, type_b, lag, n0, CAST(n0 AS DOUBLE) AS n,
+         sx, sxx, sy, syy, sxy FROM mo)
+       SELECT type_a, type_b, lag, n0 AS n_pairs, ${rSql(xc, 6)} AS xcorr
+       FROM fz
+       WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       ORDER BY type_a, type_b, lag"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_new_vs_returning" -> (q65NewVsReturning _),
     "q66_kruskal_wallis" -> (q66KruskalWallis _),
@@ -3245,6 +3324,7 @@ object Analytics {
     "q80_mann_kendall" -> (q80MannKendall _),
     "q81_recursive_ewma" -> (q81RecursiveEwma _),
     "q82_sketched_mau" -> (q82SketchedMau _),
+    "q83_cross_correlation" -> (q83CrossCorrelation _),
     "q48_bootstrap_ci" -> (q48BootstrapCi _),
     "q47_autocorrelation" -> (q47Autocorr _),
     "q17_asof_join" -> (q17AsofJoin _),
@@ -3300,6 +3380,7 @@ object Analytics {
     "q80_mann_kendall" -> q80Sql,
     "q81_recursive_ewma" -> q81Sql,
     "q82_sketched_mau" -> q82Sql,
+    "q83_cross_correlation" -> q83Sql,
     "q48_bootstrap_ci" -> q48Sql,
     "q47_autocorrelation" -> q47Sql,
     "q39_sampled_percentile" -> q39Sql,

@@ -870,6 +870,33 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q83 cross-correlation: a shifted copy peaks at exactly its lag") {
+    import spark.implicits._
+    // b(t) = a(t − 3600): a leads b by 1 h → xcorr(a→b) = 1 at lag +1,
+    // and xcorr(b→a) = 1 at lag −1
+    val base = (0 until 48).map(h => h.toLong * 3600L -> (10.0 + (h % 7)))
+    val a = base.map { case (hx, v) => ("a", hx, v) }
+    val b = base.map { case (hx, v) => ("b", hx + 3600L, v) }
+    val rows = Analytics.crossCorrelation((a ++ b).toDF("event_type", "hx", "x"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Int]("lag")) ->
+        r.getAs[Double]("xcorr")).toMap
+    assert(rows(("a", "b", 1)) == 1.0, rows.toString)
+    assert(rows(("b", "a", -1)) == 1.0)
+    // at the wrong lag the periodic pattern decorrelates below 1
+    assert(rows(("a", "b", 0)) < 1.0)
+  }
+
+  test("q83 on testdata: ordered pairs at every lag, correlations bounded") {
+    import spark.implicits._
+    val out = Analytics.q83CrossCorrelation(spark, sfTiny).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter($"type_a" === $"type_b").count() == 0)
+      assert(out.filter(abs($"xcorr") > 1.000001).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
   test("q48 bootstrap CI: constant metric collapses the whole resampling path") {
     import spark.implicits._
     // every Poisson-weighted mean of a constant is that constant, so the
