@@ -863,6 +863,60 @@ object Corpus {
        FROM (${TextOps.d03Sql}) d3),
        $evalTailSql"""
 
+  // --- ml27: majority-vote ensemble of the three lang classifiers ----------
+
+  /** The vote rule as one shared text: NB and kNN and the d03 heuristic
+    * each cast one vote; any 2-of-3 majority wins, a three-way split
+    * falls back to the NB prediction (deterministic, no randomness). */
+  private val VoteSql =
+    "CASE WHEN pa = pb OR pa = pc THEN pa WHEN pb = pc THEN pb ELSE pa END"
+
+  /** ml27 — majority-vote ensemble of ml05 (Naive Bayes), ml07 (kNN) and
+    * d03 (stopword heuristic) on the docs all three score, evaluated
+    * through the SAME [[classifierEval]] core (the classic cheap
+    * ensemble: three INDEPENDENTLY-derived predictors — parametric,
+    * memory-based, rule-based — vote per doc; ml22/ml24 measure whether
+    * they disagree enough for voting to help, ml27 reports what the vote
+    * actually buys). All three prediction plans compose in the oracle
+    * (ml22's nested-WITH trick, plus d03's scoring subquery), so the
+    * ensembled predictions are the checked predictions.
+    *
+    * Scale shape: the three classifiers' own plans + two doc_id joins on
+    * the ≤128-row budget + the eval's L-row aggregations. */
+  def ml27EnsembleEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = ml05NaiveBayes(s, dir)
+      .select($"doc_id", coalesce($"lang", lit("")).as("lang"), $"pred_lang".as("pa"))
+    val knn = ml07KnnClassify(s, dir).select($"doc_id", $"pred_lang".as("pb"))
+    val heur = TextOps.d03LangId(s, dir).select($"doc_id", $"predicted_lang".as("pc"))
+    classifierEval(majorityVote(nb.join(knn, "doc_id").join(heur, "doc_id")))
+  }
+
+  /** The vote applied to (lang, pa, pb, pc) rows → (lang, pred_lang,
+    * correct) — exposed so the spec can pin every branch of the rule. */
+  private[graft] def majorityVote(j: DataFrame): DataFrame = {
+    val s = j.sparkSession
+    import s.implicits._
+    j.withColumn("pred_lang", expr(VoteSql))
+      .select($"lang", $"pred_lang",
+        ($"lang" === $"pred_lang").cast("int").as("correct"))
+  }
+
+  // lazy: ml07Ctes reads constants defined later in the file (ml22's lesson)
+  lazy val ml27Sql: String =
+    s"""WITH p1 AS (SELECT doc_id, lang, pa FROM (
+         WITH $ml05Ctes
+         SELECT doc_id, coalesce(true_lang, '') AS lang, cand_lang AS pa
+         FROM rk WHERE rn = 1) z1),
+       p2 AS (SELECT doc_id, pb FROM (
+         WITH $ml07Ctes
+         SELECT qid AS doc_id, nl AS pb FROM pr WHERE rn = 1) z2),
+       p3 AS (SELECT doc_id, predicted_lang AS pc FROM (${TextOps.d03Sql}) z3),
+       pred AS (SELECT lang, $VoteSql AS pred_lang,
+           CAST(lang = ($VoteSql) AS INTEGER) AS correct
+         FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)),
+       $evalTailSql"""
+
   // --- ml22: McNemar paired comparison of ml05 vs ml07 ---------------------
 
   /** ml22 — McNemar's paired test between the two lang classifiers on
@@ -2466,6 +2520,7 @@ object Corpus {
     "ml24_cohen_kappa" -> (ml24CohenKappa _),
     "ml25_gains" -> (ml25Gains _),
     "ml26_confusion_cells" -> (ml26ConfusionCells _),
+    "ml27_ensemble_eval" -> (ml27EnsembleEval _),
     "ml23_brier" -> (ml23Brier _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
@@ -2499,6 +2554,7 @@ object Corpus {
     "ml24_cohen_kappa" -> ml24Sql,
     "ml25_gains" -> ml25Sql,
     "ml26_confusion_cells" -> ml26Sql,
+    "ml27_ensemble_eval" -> ml27Sql,
     "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,

@@ -91,6 +91,29 @@ class CorpusSpec extends GraftSpec {
     assert(out.forall(r => r.getAs[String]("true_lang") != r.getAs[String]("pred_lang")))
   }
 
+  test("ml27 majority vote: every branch of the rule pinned") {
+    import spark.implicits._
+    val j = Seq(
+      ("en", "en", "en", "en"), // unanimous → en
+      ("en", "en", "de", "en"), // pa = pc → en
+      ("en", "de", "en", "en"), // pa = pc? pa=de pb=en pc=en → pb = pc → en
+      ("de", "de", "de", "fr"), // pa = pb → de
+      ("fr", "en", "de", "zh")) // three-way split → pa = en
+      .toDF("lang", "pa", "pb", "pc")
+    val v = operators.Corpus.majorityVote(j).collect()
+    assert(v.map(_.getAs[String]("pred_lang")).toSeq ==
+      Seq("en", "en", "en", "de", "en"))
+    assert(v.map(_.getAs[Int]("correct")).toSeq == Seq(1, 1, 1, 1, 0))
+  }
+
+  test("ml27 on testdata: micro support equals ml22's paired subset") {
+    import spark.implicits._
+    val ev = operators.Corpus.ml27EnsembleEval(spark, sfTiny).collect()
+    val micro = ev.find(_.getString(0) == "_micro").get
+    val r22 = operators.Corpus.ml22Mcnemar(spark, sfTiny).collect()(0)
+    assert(micro.getAs[Long]("support") == r22.getAs[Long]("n_pairs"))
+  }
+
   test("ml24 Cohen kappa: hand-computed 2x2 agreement grid") {
     import spark.implicits._
     // 4 (y,y), 3 (n,n), 2 (y,n), 1 (n,y): po = 0.7,
