@@ -787,10 +787,11 @@ object Telemetry {
       .agg(ravg($"value", 6).as("y")))
   }
 
-  /** t29's core over an explicit (event_type, hx, y) hourly series —
-    * exposed so the spec can plant a periodic signal with one planted
-    * break the raw-outlier view cannot see. */
-  private[graft] def seasonalAnomaly(hourly: DataFrame): DataFrame = {
+  /** t29's scored frame (event_type, hx, hod, dow, y, fitted, resid,
+    * sigma) BEFORE the top-3 ranking — exposed as the batch side of the
+    * streaming anomaly-monitor differential (fitted/resid stay RAW; the
+    * output queries round). */
+  private[graft] def seasonalScores(hourly: DataFrame): DataFrame = {
     val s = hourly.sparkSession
     import s.implicits._
     val h = hourly
@@ -813,18 +814,29 @@ object Telemetry {
       .cache() // feeds sigma and the scored ranking
     val sg = fr.groupBy($"event_type")
       .agg(sqrt(davg($"resid" * $"resid")).as("sigma"))
+    val out = fr.join(broadcast(sg), "event_type")
+      .select($"event_type", $"hx", $"hod", $"dow", $"y",
+        $"fitted", $"resid", $"sigma")
+      .localCheckpoint(true)
+    Seq(h, fr).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** t29's core over an explicit (event_type, hx, y) hourly series —
+    * exposed so the spec can plant a periodic signal with one planted
+    * break the raw-outlier view cannot see. */
+  private[graft] def seasonalAnomaly(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
     val w = Window.partitionBy($"event_type")
       .orderBy(abs($"resid" / $"sigma").desc, $"hx".asc)
-    val out = fr.join(broadcast(sg), "event_type")
+    seasonalScores(hourly)
       .filter($"sigma" > 0)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"event_type", $"rk", $"hx", $"hod", $"dow", $"y",
         r($"fitted", 6).as("fitted"), r($"resid" / $"sigma", 6).as("score"))
       .orderBy($"event_type", $"rk")
-      .localCheckpoint(true)
-    Seq(h, fr).foreach(_.unpersist(blocking = false))
-    out
   }
 
   val t29Sql: String =

@@ -66,6 +66,9 @@ case class CusumSt(s: Double, maxAbs: Double, cpHx: Long, n: Long)
 case class CusumOut(event_type: String, n_hours: Long, mean_x: Double,
   cp_hour: Long, cusum_max: Double)
 
+case class AnomalyOut(event_type: String, hx: Long, y: Double,
+  fitted: Double, score: Double)
+
 case class EwmaSt(acc: Double)
 
 /** One smoothed reading emitted by the streaming EWMA denoiser. */
@@ -497,6 +500,34 @@ object StreamOps {
           st.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** t29's streaming twin — the deseasonalized anomaly monitor in its
+    * deployed form (cusumStream/ivfAssignStream's train-batch/
+    * apply-stream pattern): the seasonal profile — RAW fitted value per
+    * (type, hod, dow) cell and residual sigma per type, both from the
+    * oracle-checked batch pass ([[graft.operators.Telemetry
+    * .seasonalScores]]) — is the closure-captured model artifact, and
+    * each arriving hourly point scores scan-locally with the IDENTICAL
+    * IEEE ops and integer hod/dow arithmetic as the batch scorer, so the
+    * replay is bit-equal to the batch scored frame (StreamReplaySpec).
+    * Stateless, no watermark, no shuffle — the always-on pager view of
+    * t29. Cells unseen in training emit nothing (no expectation exists
+    * to deviate from). */
+  def anomalyScoreStream(ds: Dataset[HourRec],
+      fitted: Map[(String, Long, Long), Double],
+      sigma: Map[String, Double]): Dataset[AnomalyOut] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { h =>
+      val hod = (h.hx / 3600L) % 24L
+      val dow = ((h.hx / 86400L) + 3L) % 7L
+      for {
+        f <- fitted.get((h.event_type, hod, dow))
+        sg <- sigma.get(h.event_type) if sg > 0.0
+      } yield AnomalyOut(h.event_type, h.hx, h.x,
+        graft.operators.Num.rD(f, 6),
+        graft.operators.Num.rD((h.x - f) / sg, 6))
+    }
   }
 
   /** q45's streaming twin — the KMV distinct sketch with its defining

@@ -252,6 +252,50 @@ class StreamReplaySpec extends GraftSpec {
       "replayed EWMA must equal the batch recurrence bit-for-bit")
   }
 
+  test("replayed anomalyScoreStream is bit-identical to the batch seasonal scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.HourRec
+    val hourlyDf = Tables.events(spark, sfTiny)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(graft.operators.Num.ravg($"value", 6).as("x"))
+      .select($"event_type", $"h".cast("long").as("hx"), $"x")
+      .cache()
+    try {
+      // batch pass = the model trainer AND the differential's target
+      val scored = Telemetry.seasonalScores(
+        hourlyDf.select($"event_type", $"hx", $"x".as("y"))).collect()
+      val fitted = scored.map(r => (r.getString(0), r.getAs[Long]("hod"),
+        r.getAs[Long]("dow")) -> r.getAs[Double]("fitted")).toMap
+      val sigma = scored.map(r => r.getString(0) -> r.getAs[Double]("sigma")).toMap
+      val hourly = hourlyDf.as[HourRec].collect().toSeq
+        .sortBy(h => (h.hx, h.event_type))
+      val k = math.ceil(hourly.size / 4.0).toInt
+
+      val in = MemoryStream[HourRec]
+      val q = StreamOps.anomalyScoreStream(in.toDS(), fitted, sigma)
+        .writeStream.format("memory").queryName("replay_anom")
+        .outputMode("append").start()
+      try {
+        hourly.grouped(k).foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+
+      val streamed = spark.table("replay_anom")
+        .select($"event_type", $"hx", $"y", $"fitted", $"score")
+      val batch = scored.filter(r => r.getAs[Double]("sigma") > 0.0).map { r =>
+        (r.getString(0), r.getAs[Long]("hx"), r.getAs[Double]("y"),
+          graft.operators.Num.rD(r.getAs[Double]("fitted"), 6),
+          graft.operators.Num.rD(
+            r.getAs[Double]("resid") / r.getAs[Double]("sigma"), 6)).toString
+      }.sorted.toSeq
+      val got = streamed.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)).toString).sorted.toSeq
+      assert(got == batch,
+        "streamed anomaly scores must equal the batch scorer bit-for-bit")
+    } finally hourlyDf.unpersist(blocking = false)
+  }
+
   test("replayed kmvStream reproduces the oracle-green q45 sketch incl. the union row") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
