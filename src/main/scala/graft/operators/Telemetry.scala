@@ -42,8 +42,8 @@ import Num._
   */
 object Telemetry {
 
-  private val TwinRows  = 10000L
-  private val TwinEpoch = 1767225600L // 2026-01-01 00:00:00 UTC
+  private[graft] val TwinRows  = 10000L
+  private[graft] val TwinEpoch = 1767225600L // 2026-01-01 00:00:00 UTC
 
   /** k-th uniform stream: LCG over (id + k·10007), pure bigint arithmetic
     * then one exact int→double division. Identical in both engines. */

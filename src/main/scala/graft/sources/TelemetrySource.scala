@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 connector for the deterministic telemetry generator —
+  * the reference's S1 simulator (`IoTSimulator.java:153-184`,
+  * `generate_historical_data.py:33-78`) as a REAL Spark source:
+  *
+  *   spark.read.format("graft.sources.TelemetrySource")
+  *     .option("rows", 10000).option("partitions", 8).load()
+  *
+  * Every row is a pure function of its id (the same LCG / Irwin–Hall /
+  * exact-count-anomaly algebra as [[graft.operators.Telemetry.twin]],
+  * via the [[graft.operators.Num.rD]] Scala twin of the rounding
+  * policy), so the scan is embarrassingly parallel — `partitions`
+  * contiguous id ranges, no driver-side data, no shuffle — and the
+  * output is BIT-EQUAL to the oracle-checked Column-expression twin
+  * (spec-pinned), which is itself t04-hash-checked against DuckDB.
+  * That chain makes this connector's output transitively oracle-checked.
+  *
+  * 100 TB story: a generated source scales by splitting the id range —
+  * exactly how this plans its [[InputPartition]]s; state per reader is
+  * one cursor. (Column pruning is left to Spark's post-scan projection:
+  * the rows are computed, not read, so there is no I/O to save.)
+  */
+class TelemetrySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TelemetrySource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TelemetryTable(
+      properties.getOrDefault("rows",
+        graft.operators.Telemetry.TwinRows.toString).toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object TelemetrySource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("machine_id", StringType, nullable = false),
+    StructField("is_anomaly", IntegerType, nullable = false),
+    StructField("temperature", DoubleType, nullable = false),
+    StructField("vibration", DoubleType, nullable = false)))
+
+  /** Scala twins of the generator's Column algebra — identical integer
+    * LCG, identical left-to-right Irwin–Hall summation, identical
+    * rounding ([[graft.operators.Num.rD]]). */
+  private[sources] def u(id: Long, k: Int): Double =
+    (((id + k.toLong * 10007L) * 1103515245L + 12345L) % 2147483648L).toDouble /
+      2147483648.0
+
+  private[sources] def z(id: Long, base: Int): Double = {
+    var s = u(id, base)
+    var j = 1
+    while (j < 12) { s = s + u(id, base + j); j += 1 }
+    s - 6.0
+  }
+
+  private[sources] def isAnomaly(id: Long): Boolean = (id * 48271L) % 100L < 5L
+
+  private[sources] def temperature(id: Long): Double =
+    graft.operators.Num.rD(
+      if (isAnomaly(id)) 80.0 + 20.0 * u(id, 100)
+      else 68.0 + 3.0 * z(id, 0), 6)
+
+  private[sources] def vibration(id: Long): Double =
+    graft.operators.Num.rD(
+      if (isAnomaly(id)) 3.0 + 2.0 * u(id, 101)
+      else math.max(1.8 + 0.3 * z(id, 12), 0.0), 6)
+}
+
+private[sources] class TelemetryTable(rows: Long, parts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_telemetry($rows)"
+  override def schema(): StructType = TelemetrySource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new TelemetryScan(rows, parts)
+    }
+}
+
+private[sources] class TelemetryScan(rows: Long, parts: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = TelemetrySource.Schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, parts)
+    (0 until n).map { p =>
+      TelemetryRange(rows * p / n, rows * (p + 1) / n): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TelemetryReaderFactory
+}
+
+private[sources] case class TelemetryRange(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class TelemetryReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[TelemetryRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.start - 1
+      override def next(): Boolean = { id += 1; id < r.end }
+      override def get(): InternalRow = InternalRow(
+        id,
+        (graft.operators.Telemetry.TwinEpoch + id * 60L) * 1000000L,
+        UTF8String.fromString("NC_Machine_AC"),
+        if (TelemetrySource.isAnomaly(id)) 1 else 0,
+        TelemetrySource.temperature(id),
+        TelemetrySource.vibration(id))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -142,6 +142,33 @@ class LakeIOSpec extends GraftSpec {
     assert(filtered.count() == src.filter($"o_orderstatus" === "F").count())
   }
 
+  test("TelemetrySource DSv2 connector is bit-equal to the oracle-checked generator twin") {
+    import spark.implicits._
+    val dsv2 = spark.read.format("graft.sources.TelemetrySource").load()
+    val twin = graft.operators.Telemetry.twin(spark)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // nullability differs by construction (CASE-derived twin columns are
+    // nullable) — names and types are the contract
+    assert(dsv2.schema.map(f => (f.name, f.dataType)) ==
+      twin.schema.map(f => (f.name, f.dataType)),
+      s"${dsv2.schema} vs ${twin.schema}")
+    assert(canon(dsv2) == canon(twin),
+      "DSv2 rows must equal the Column-expression twin bit-for-bit")
+  }
+
+  test("TelemetrySource splits the id range across the requested partitions") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.TelemetrySource")
+      .option("rows", "1000").option("partitions", "8").load()
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 1000L)
+    // contiguous cover, no dup/gap
+    assert(df.select($"id").distinct().count() == 1000L)
+    assert(df.agg(org.apache.spark.sql.functions.min($"id"),
+      org.apache.spark.sql.functions.max($"id")).collect()(0).toSeq == Seq(0L, 999L))
+  }
+
   test("JSON-lines sink round-trips through the error-channel reader with zero errors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
