@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,7 +40,8 @@ class TelemetrySource extends TableProvider {
     new TelemetryTable(
       properties.getOrDefault("rows",
         graft.operators.Telemetry.TwinRows.toString).toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "1000").toLong)
 }
 
 object TelemetrySource {
@@ -78,22 +80,24 @@ object TelemetrySource {
       else math.max(1.8 + 0.3 * z(id, 12), 0.0), 6)
 }
 
-private[sources] class TelemetryTable(rows: Long, parts: Int)
+private[sources] class TelemetryTable(rows: Long, parts: Int, perBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_telemetry($rows)"
   override def schema(): StructType = TelemetrySource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new TelemetryScan(rows, parts)
+      override def build(): Scan = new TelemetryScan(rows, parts, perBatch)
     }
 }
 
-private[sources] class TelemetryScan(rows: Long, parts: Int)
+private[sources] class TelemetryScan(rows: Long, parts: Int, perBatch: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = TelemetrySource.Schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TelemetryMicroBatch(rows, parts, perBatch)
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, parts)
     (0 until n).map { p =>
@@ -102,6 +106,44 @@ private[sources] class TelemetryScan(rows: Long, parts: Int)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TelemetryReaderFactory
+}
+
+private[sources] case class TelemetryOffset(id: Long) extends Offset {
+  override def json: String = id.toString
+}
+
+/** The streaming half (the reference's S1 is a live simulator,
+  * `IoTSimulator.java:153-184`): offsets are positions in the
+  * deterministic id stream, admission is STATELESS via
+  * [[SupportsAdmissionControl]] — the engine hands `latestOffset` the
+  * checkpoint-restored start, so a restarted query resumes at the exact
+  * id it stopped at with no instance state to lose (a mutable cursor
+  * here silently re-reads or skips after a restart — measured; the
+  * spec's kill/restart loop yields each id exactly once). */
+private[sources] class TelemetryMicroBatch(rows: Long, parts: Int, perBatch: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  override def initialOffset(): Offset = TelemetryOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    TelemetryOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    TelemetryOffset(
+      math.min(rows, start.asInstanceOf[TelemetryOffset].id + perBatch))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: the engine calls latestOffset(start, limit)")
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s0, e0) = (start.asInstanceOf[TelemetryOffset].id,
+      end.asInstanceOf[TelemetryOffset].id)
+    val n = math.max(1, parts)
+    (0 until n).map { p =>
+      TelemetryRange(s0 + (e0 - s0) * p / n, s0 + (e0 - s0) * (p + 1) / n): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TelemetryReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class TelemetryRange(start: Long, end: Long)

@@ -169,6 +169,44 @@ class LakeIOSpec extends GraftSpec {
       org.apache.spark.sql.functions.max($"id")).collect()(0).toSeq == Seq(0L, 999L))
   }
 
+  test("TelemetrySource streams in micro-batches and drains to the batch row set") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_tsrc_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_ckpt").toString
+    val q = spark.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", "400").option("rowsPerBatch", "150").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 400L)
+    assert(got.select($"id").distinct().count() == 400L)
+    val batch = spark.read.format("graft.sources.TelemetrySource")
+      .option("rows", "400").load()
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq,
+      "streamed rows must equal the batch scan's")
+  }
+
+  test("TelemetrySource offsets recover: kill/restart yields each id exactly once") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_tsrc_rec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_rec_ckpt").toString
+    def start() = spark.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", "500").option("rowsPerBatch", "100").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .outputMode("append").start()
+    // Trigger.Once processes ONE admission step per run: several runs with
+    // kills between them must stitch the id stream with no dup and no gap
+    (1 to 5).foreach { _ => val q = start(); q.awaitTermination() }
+    val got = spark.read.parquet(out)
+    assert(got.count() == 500L, s"got ${got.count()}")
+    assert(got.select($"id").distinct().count() == 500L)
+    assert(got.agg(min($"id"), max($"id")).collect()(0).toSeq == Seq(0L, 499L))
+  }
+
   test("JSON-lines sink round-trips through the error-channel reader with zero errors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
