@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,8 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * 100 TB story: a generated source scales by splitting the id range —
   * exactly how this plans its [[InputPartition]]s; state per reader is
-  * one cursor. (Column pruning is left to Spark's post-scan projection:
-  * the rows are computed, not read, so there is no I/O to save.)
+  * one cursor. Id-range predicates PUSH DOWN into the partition
+  * planner (the partitions for a filtered range are never generated at
+  * all — DSv2's partition-pruning contract on a generated source) and
+  * column pruning narrows the produced rows to the required fields;
+  * both are spec-pinned on correctness — accepted filters are reported
+  * fully handled, so Spark does NOT re-filter and any range-math error
+  * would surface as wrong results, not hidden work.
   */
 class TelemetrySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -87,25 +93,62 @@ private[sources] class TelemetryTable(rows: Long, parts: Int, perBatch: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new TelemetryScan(rows, parts, perBatch)
-    }
+    new TelemetryScanBuilder(rows, parts, perBatch)
 }
 
-private[sources] class TelemetryScan(rows: Long, parts: Int, perBatch: Long)
-    extends Scan with Batch {
-  override def readSchema(): StructType = TelemetrySource.Schema
+/** Pushdown surface: id-range filters narrow [lo, hi) exactly (and are
+  * reported handled — no residual re-filter), `pruneColumns` narrows the
+  * produced schema. Anything else stays residual for Spark. */
+private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = TelemetrySource.Schema
+
+  private def lv(v: Any): Long = v.asInstanceOf[Number].longValue
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case EqualTo("id", _) | GreaterThan("id", _) | GreaterThanOrEqual("id", _) |
+           LessThan("id", _) | LessThanOrEqual("id", _) | IsNotNull("id") => true
+      case _ => false
+    }
+    ok.foreach {
+      case EqualTo("id", v)            => lo = math.max(lo, lv(v)); hi = math.min(hi, lv(v) + 1)
+      case GreaterThan("id", v)        => lo = math.max(lo, lv(v) + 1)
+      case GreaterThanOrEqual("id", v) => lo = math.max(lo, lv(v))
+      case LessThan("id", v)           => hi = math.min(hi, lv(v))
+      case LessThanOrEqual("id", v)    => hi = math.min(hi, lv(v) + 1)
+      case _                           => () // IsNotNull: id is never null
+    }
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(s: StructType): Unit = required = s
+  override def build(): Scan =
+    new TelemetryScan(lo, math.max(lo, hi), parts, perBatch, required)
+}
+
+private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,
+    perBatch: Long, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-telemetry range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TelemetryMicroBatch(rows, parts, perBatch)
+    new TelemetryMicroBatch(hi, parts, perBatch, required)
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, parts)
     (0 until n).map { p =>
-      TelemetryRange(rows * p / n, rows * (p + 1) / n): InputPartition
+      TelemetryRange(lo + (hi - lo) * p / n,
+        lo + (hi - lo) * (p + 1) / n): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TelemetryReaderFactory
+    new TelemetryReaderFactory(required)
 }
 
 private[sources] case class TelemetryOffset(id: Long) extends Offset {
@@ -120,7 +163,8 @@ private[sources] case class TelemetryOffset(id: Long) extends Offset {
   * id it stopped at with no instance state to lose (a mutable cursor
   * here silently re-reads or skips after a restart — measured; the
   * spec's kill/restart loop yields each id exactly once). */
-private[sources] class TelemetryMicroBatch(rows: Long, parts: Int, perBatch: Long)
+private[sources] class TelemetryMicroBatch(rows: Long, parts: Int,
+    perBatch: Long, required: StructType)
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = TelemetryOffset(0L)
   override def deserializeOffset(json: String): Offset =
@@ -141,7 +185,7 @@ private[sources] class TelemetryMicroBatch(rows: Long, parts: Int, perBatch: Lon
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TelemetryReaderFactory
+    new TelemetryReaderFactory(required)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -149,19 +193,22 @@ private[sources] class TelemetryMicroBatch(rows: Long, parts: Int, perBatch: Lon
 private[sources] case class TelemetryRange(start: Long, end: Long)
     extends InputPartition
 
-private[sources] class TelemetryReaderFactory extends PartitionReaderFactory {
+private[sources] class TelemetryReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[TelemetryRange]
+    val fields = required.fieldNames
     new PartitionReader[InternalRow] {
       private var id = r.start - 1
       override def next(): Boolean = { id += 1; id < r.end }
-      override def get(): InternalRow = InternalRow(
-        id,
-        (graft.operators.Telemetry.TwinEpoch + id * 60L) * 1000000L,
-        UTF8String.fromString("NC_Machine_AC"),
-        if (TelemetrySource.isAnomaly(id)) 1 else 0,
-        TelemetrySource.temperature(id),
-        TelemetrySource.vibration(id))
+      override def get(): InternalRow = InternalRow.fromSeq(fields.map {
+        case "id"          => id
+        case "ts"          => (graft.operators.Telemetry.TwinEpoch + id * 60L) * 1000000L
+        case "machine_id"  => UTF8String.fromString("NC_Machine_AC")
+        case "is_anomaly"  => if (TelemetrySource.isAnomaly(id)) 1 else 0
+        case "temperature" => TelemetrySource.temperature(id)
+        case "vibration"   => TelemetrySource.vibration(id)
+      }.toSeq)
       override def close(): Unit = ()
     }
   }

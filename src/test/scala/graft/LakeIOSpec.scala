@@ -169,6 +169,36 @@ class LakeIOSpec extends GraftSpec {
       org.apache.spark.sql.functions.max($"id")).collect()(0).toSeq == Seq(0L, 999L))
   }
 
+  test("TelemetrySource pushes id-range filters into partition planning (handled, no residual)") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.TelemetrySource").load()
+      .filter($"id" >= 9990L)
+    // the source reports range filters fully handled, so Spark does NOT
+    // re-filter — correctness of the result IS the proof the source
+    // applied the bound itself
+    val got = df.collect().sortBy(_.getLong(0))
+    assert(got.length == 10 && got.head.getLong(0) == 9990L &&
+      got.last.getLong(0) == 9999L)
+    val twin = graft.operators.Telemetry.twin(spark).filter($"id" >= 9990L)
+      .collect().sortBy(_.getLong(0))
+    assert(got.map(_.toString).toSeq == twin.map(_.toString).toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[9990,10000)"), plan.take(800))
+  }
+
+  test("TelemetrySource prunes columns to the required fields") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.TelemetrySource").load()
+      .select($"id", $"temperature").filter($"id" < 100L)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "temperature"))
+    val twin = graft.operators.Telemetry.twin(spark)
+      .select($"id", $"temperature").filter($"id" < 100L)
+    assert(df.collect().map(_.toString).sorted.toSeq ==
+      twin.collect().map(_.toString).sorted.toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,100)"), plan.take(800))
+  }
+
   test("TelemetrySource streams in micro-batches and drains to the batch row set") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_tsrc_stream").toString
