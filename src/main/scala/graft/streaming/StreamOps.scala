@@ -419,6 +419,58 @@ object StreamOps {
       }
   }
 
+  /** [[episodeStream]]'s watermark-driven variant — the same t26
+    * coalescing state machine, but open episodes are closed by
+    * `GroupStateTimeout.EventTimeTimeout` instead of a later event: the
+    * timeout is armed at the episode's running max end, so once the
+    * WATERMARK passes the point where any overlapping alert could still
+    * arrive, the episode emits — no per-user sentinel traffic, the
+    * mechanism a production pager actually uses to close quiet
+    * incidents (one global watermark advance flushes every user). The
+    * timeout timestamp is clamped above the current watermark (Spark
+    * rejects an already-passed timeout; closing later than maxEnd only
+    * delays emission, never changes content). Replay ≡ t26 bit-equal
+    * with a single junk-user flush event (StreamReplaySpec). */
+  def episodeStreamTimeout(ds: Dataset[EventRec]): Dataset[EpisodeOut] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.event_type == "error")
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EpisodeSt, EpisodeOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid: Long, rows: Iterator[EventRec], state: GroupState[EpisodeSt]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption
+              .map(ep => EpisodeOut(uid, ep.start, ep.maxEnd, ep.n))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[EpisodeOut]
+            sorted.foreach { e =>
+              val s0 = e.ts.getTime / 1000L
+              val e0 = s0 + 3600L
+              st match {
+                case Some(ep) if s0 <= ep.maxEnd =>
+                  st = Some(EpisodeSt(ep.start, math.max(ep.maxEnd, e0), ep.n + 1))
+                case Some(ep) =>
+                  out += EpisodeOut(uid, ep.start, ep.maxEnd, ep.n)
+                  st = Some(EpisodeSt(s0, e0, 1L))
+                case None =>
+                  st = Some(EpisodeSt(s0, e0, 1L))
+              }
+            }
+            st.foreach { ep =>
+              state.update(ep)
+              state.setTimeoutTimestamp(
+                math.max(ep.maxEnd * 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** t03's streaming twin — lake compaction as a stateful running
     * maximum: per (user_id, event_type) keep the latest event (ties by
     * event_id, the batch tie-break), emitting the refreshed champion each

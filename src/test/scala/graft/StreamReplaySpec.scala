@@ -495,6 +495,34 @@ class StreamReplaySpec extends GraftSpec {
       "streaming episode coalescing must reproduce the batch gaps-and-islands exactly")
   }
 
+  test("episodeStreamTimeout closes episodes by watermark alone, equal to t26") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.episodeStreamTimeout(in.toDS()).writeStream
+      .format("memory").queryName("replay_ep_to").outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      // flush: ONE junk user's far-future events advance the watermark
+      // (derived from the PREVIOUS batch's max — hence two batches) and
+      // EventTimeTimeout closes EVERY user's open episode; no per-user
+      // sentinel traffic, the difference from episodeStream's flush
+      val far = recs.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000
+      Seq(0L, 3600000L).foreach { d =>
+        in.addData(EventRec(-1L, "error", new Timestamp(far + d), 900000001L, 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("replay_ep_to")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"ep_start", $"ep_end", $"n_alerts")
+    assert(streamed.filter($"n_alerts" >= 2).count() > 0)
+    val batch = Telemetry.t26EpisodeMerge(spark, sfTiny)
+      .select($"user_id", $"ep_start", $"ep_end", $"n_alerts")
+    assert(canon(streamed) == canon(batch),
+      "watermark-closed episodes must reproduce the batch gaps-and-islands exactly")
+  }
+
   test("replayed latestPerKey converges to the oracle-green t03 batch compaction") {
     import spark.implicits._
     val batch = Telemetry.t03LatestPerKey(spark, sfTiny)
