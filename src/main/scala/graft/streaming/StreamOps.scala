@@ -471,6 +471,23 @@ object StreamOps {
       }
   }
 
+  /** Redelivery dedup — the consumer-side answer to the reference's
+    * at-least-once delivery (`IoTSimulator.java:55` re-publish loop,
+    * Firehose retries in `phase3-kinesis-s3.yaml:86-89`): duplicate
+    * event_ids arriving within the watermark horizon are dropped by
+    * Spark's built-in `dropDuplicatesWithinWatermark` (bounded state —
+    * keys expire once the watermark passes them, unlike a plain
+    * dropDuplicates whose state grows forever; the 1-hour horizon is
+    * the redelivery window the upstream retry policy bounds). Replay
+    * with planted cross-batch redeliveries ≡ the distinct original set
+    * (StreamReplaySpec). */
+  def dedupEventsStream(ds: Dataset[EventRec]): Dataset[EventRec] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .as[EventRec]
+  }
+
   /** t03's streaming twin — lake compaction as a stateful running
     * maximum: per (user_id, event_type) keep the latest event (ties by
     * event_id, the batch tie-break), emitting the refreshed champion each

@@ -495,6 +495,41 @@ class StreamReplaySpec extends GraftSpec {
       "streaming episode coalescing must reproduce the batch gaps-and-islands exactly")
   }
 
+  test("dedupEventsStream drops planted cross-batch redeliveries exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // at-least-once simulation: every 7th event is REDELIVERED in the
+    // NEXT batch (the crash-retry window) — state must carry across the
+    // boundary for the duplicate to be recognized
+    val base = recs.take(400)
+    val k = 100
+    val batches = base.grouped(k).toSeq
+    val withDups = batches.zipWithIndex.map { case (b, i) =>
+      val redelivered =
+        if (i == 0) Seq.empty
+        else batches(i - 1).zipWithIndex.collect { case (e, j) if j % 7 == 0 => e }
+      b ++ redelivered
+    }
+    val planted = withDups.map(_.size).sum - base.size
+    assert(planted > 0, "need planted redeliveries")
+
+    val in = MemoryStream[EventRec]
+    val q = StreamOps.dedupEventsStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_dedup_ev").outputMode("append").start()
+    try {
+      withDups.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("replay_dedup_ev")
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+    assert(got.count() == base.size.toLong,
+      s"expected ${base.size} distinct events, got ${got.count()}")
+    assert(canon(got) == base.map(e =>
+      org.apache.spark.sql.Row(e.user_id, e.event_type, e.ts, e.event_id, e.value)
+        .toString).sorted.toSeq,
+      "deduped stream must equal the distinct original set")
+  }
+
   test("episodeStreamTimeout closes episodes by watermark alone, equal to t26") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
