@@ -71,7 +71,13 @@ object SkewProbe {
       ("m01_minhash_pairs", Seq(1, 4), operators.DedupLsh.m01MinHashPairs),
       ("d11_lsh_clusters", Seq(1, 4), operators.Corpus.d11LshClusters),
       ("e09_neardup_ann", Seq(1, 4), operators.Similarity.e09NearDupAnn),
-      ("s04_balanced_sample", Seq(1, 4, 10), operators.Advanced.s04BalancedSample))
+      ("s04_balanced_sample", Seq(1, 4, 10), operators.Advanced.s04BalancedSample),
+      // r6 additions riding the same capped candidate machinery: d51/d53
+      // verify over lshCandidatePairs, x10 has its own FrameDfCap —
+      // duplicate cliques are exactly the load those caps bound
+      ("d51_edit_dedup", Seq(1, 4), operators.DedupLsh.d51EditDedup),
+      ("d53_neardup_leakage", Seq(1, 4), operators.DedupLsh.d53NeardupLeakage),
+      ("x10_frame_overlap", Seq(1, 4), operators.Multimodal.x10FrameOverlap))
 
     val factors = queries.flatMap(_._2).distinct.sorted
     factors.foreach { f =>
