@@ -557,8 +557,47 @@ object Relational {
        ORDER BY dist, key_a, key_b
        LIMIT 100"""
 
+  // --- q84: TPC-H Q5 through the SQL front end --------------------------------
+
+  /** The Q5 body, shared verbatim by both engines up to the rounded
+    * revenue expression (the one engine-specific piece). */
+  private def q5Body(rev: String): String =
+    s"""SELECT n_name, $rev AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+         AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+       GROUP BY n_name
+       ORDER BY revenue DESC NULLS LAST, n_name"""
+
+  /** q84 — TPC-H Q5 (local-supplier volume), submitted as SQL TEXT
+    * through `spark.sql` over temp views (every other relational query
+    * declares its plan with the DataFrame API; q84 exercises the SQL
+    * front end end-to-end — parser, analyzer view resolution, join
+    * reorder over a 6-table star, pushdown of the region/date filters —
+    * on the most-benchmarked OLAP query shape there is). The query text
+    * is shared with the oracle verbatim except the rounded-decimal
+    * revenue (and Spark's decimal-literal CAST, the q11 lesson).
+    *
+    * Scale shape: Catalyst's own — dimension filters reach the scans,
+    * region/nation/supplier/customer broadcast, the orders⋈lineitem
+    * equi-join carries the one fact-sized shuffle. */
+  def q84TpchQ5(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(q5Body(
+      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)"))
+  }
+
+  val q84Sql: String =
+    q5Body(rsumSql("l_extendedprice * (1 - l_discount)", 2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_fuzzy_match" -> (q36FuzzyMatch _),
+    "q84_tpch_q5" -> (q84TpchQ5 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -579,6 +618,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q36_fuzzy_match" -> q36Sql,
+    "q84_tpch_q5" -> q84Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

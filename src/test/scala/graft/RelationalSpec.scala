@@ -91,4 +91,32 @@ class RelationalSpec extends GraftSpec {
       }
     } finally df.unpersist(blocking = false)
   }
+
+  test("q84 TPC-H Q5: SQL front end agrees with a DataFrame-API recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = operators.Relational.q84TpchQ5(spark, sfSmall).collect()
+    assert(out.nonEmpty)
+    // revenue ranking is descending
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // DataFrame-API recomputation of the same semantics
+    val asiaNations = Tables.nation(spark, sfSmall)
+      .join(Tables.region(spark, sfSmall).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+    val df = Tables.lineitem(spark, sfSmall)
+      .join(Tables.orders(spark, sfSmall)
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfSmall), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(spark, sfSmall),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(asiaNations, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(operators.Num.rsum($"l_extendedprice" * (lit(1) - $"l_discount"), 2)
+        .as("revenue"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("revenue")).toMap
+    val got = out.map(r => r.getString(0) -> r.getAs[Double]("revenue")).toMap
+    assert(got == df, s"$got vs $df")
+  }
 }
