@@ -2075,9 +2075,12 @@ object Corpus {
   def ml09Calibration(s: SparkSession, dir: String): DataFrame =
     calibration(ml06QualityClassifier(s, dir))
 
-  val ml09Sql: String =
-    s"""WITH $ml06Ctes,
-       sc AS (SELECT CAST(y AS INTEGER) AS label, ${rSql(qlrP, 6)} AS score
+  /** ml09's bucket CTE block (ml06 scoring -> decile buckets -> per-bucket
+    * n / mean score / observed rate) — ends in per2(bucket, n, mean_score,
+    * obs_rate); shared with ml28 so the calibrated buckets are the
+    * measured buckets. */
+  private def calBucketCtes: String =
+    s"""sc AS (SELECT CAST(y AS INTEGER) AS label, ${rSql(qlrP, 6)} AS score
          FROM f CROSS JOIN w$QlrIters),
        bk AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
            label, score FROM sc),
@@ -2086,7 +2089,11 @@ object Corpus {
            CAST(sum(label) AS BIGINT) AS pos
          FROM bk GROUP BY bucket),
        per2 AS (SELECT bucket, n, mean_score,
-           ${rSql("pos / n", 6)} AS obs_rate FROM per),
+           ${rSql("pos / n", 6)} AS obs_rate FROM per)"""
+
+  val ml09Sql: String =
+    s"""WITH $ml06Ctes,
+       $calBucketCtes,
        per3 AS (SELECT bucket, n, mean_score, obs_rate,
            ${rSql("abs(obs_rate - mean_score)", 6)} AS gap FROM per2),
        tot AS (SELECT CAST(-1 AS BIGINT) AS bucket, CAST(sum(n) AS BIGINT) AS n,
@@ -2097,6 +2104,69 @@ object Corpus {
        SELECT bucket, n, mean_score, obs_rate, gap FROM per3
        UNION ALL SELECT bucket, n, mean_score, obs_rate, gap FROM tot
        ORDER BY bucket"""
+
+  // --- ml28: isotonic calibration of the reliability buckets ----------------
+
+  /** ml28 — isotonic (PAVA) calibration of ml09's reliability diagram:
+    * ml09 MEASURES miscalibration, ml28 FIXES it — the monotone map
+    * score-bucket → calibrated probability (Zadrozny & Elkan 2002, the
+    * method every "calibrated=isotonic" flag runs). Computed not by the
+    * sequential pool-adjacent-violators loop but by its closed-form
+    * minimax identity ŷ_i = max_{j≤i} min_{k≥i} wmean(y, j..k) — over 10
+    * buckets that is a ≤10³-row interval-mean triangle plus two nested
+    * aggregations, fully relational and identical in both engines
+    * (weighted means from exact integer counts and rounded rates).
+    * Conservation (Σ n·ŷ = Σ n·y) and monotonicity are PAVA theorems,
+    * both spec-pinned along with a hand-pooled violator sequence.
+    * Oracle shares `ml06Ctes` + ml09's `calBucketCtes` — the calibrated
+    * buckets are the measured buckets.
+    *
+    * Scale shape: ml06's scoring plan + the 10-ary bucket aggregate;
+    * the isotonic algebra lives on the bucket axis. */
+  def ml28IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    isotonicOf(ml09Calibration(s, dir)
+      .filter($"bucket" >= 0)
+      .select($"bucket", $"n", $"mean_score", $"obs_rate"))
+  }
+
+  /** ml28's core over (bucket, n, mean_score, obs_rate) rows — exposed
+    * for the hand-pooled PAVA spec. */
+  private[graft] def isotonicOf(buckets: DataFrame): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val ps = buckets.localCheckpoint(true) // tiny; 4 self-join consumers
+    val member = ps.select($"bucket".as("mb"), $"n".as("mn"), $"obs_rate".as("my"))
+    val iv = ps.select($"bucket".as("lo")).crossJoin(ps.select($"bucket".as("hi")))
+      .filter($"lo" <= $"hi")
+      .join(member, $"mb" >= $"lo" && $"mb" <= $"hi")
+      .groupBy($"lo", $"hi")
+      .agg((dsum($"mn" * $"my") / sum($"mn").cast("double")).as("wm"))
+    val mni = ps.select($"bucket")
+      .join(iv, $"lo" <= $"bucket" && $"hi" >= $"bucket")
+      .groupBy($"bucket", $"lo").agg(min($"wm").as("mn_wm"))
+    val cal = mni.groupBy($"bucket").agg(r(max($"mn_wm"), 6).as("iso_rate"))
+    ps.join(cal, "bucket")
+      .select($"bucket", $"n", $"mean_score", $"obs_rate", $"iso_rate")
+      .orderBy($"bucket")
+  }
+
+  val ml28Sql: String =
+    s"""WITH $ml06Ctes,
+       $calBucketCtes,
+       iv AS (SELECT a.bucket AS lo, b.bucket AS hi,
+           ${dsumSql("m.n * m.obs_rate")} / CAST(sum(m.n) AS DOUBLE) AS wm
+         FROM per2 a JOIN per2 b ON a.bucket <= b.bucket
+           JOIN per2 m ON m.bucket >= a.bucket AND m.bucket <= b.bucket
+         GROUP BY a.bucket, b.bucket),
+       mni AS (SELECT p.bucket, iv.lo, min(iv.wm) AS mn_wm
+         FROM per2 p JOIN iv ON iv.lo <= p.bucket AND iv.hi >= p.bucket
+         GROUP BY p.bucket, iv.lo),
+       cal AS (SELECT bucket, ${rSql("max(mn_wm)", 6)} AS iso_rate
+         FROM mni GROUP BY bucket)
+       SELECT per2.bucket, n, mean_score, obs_rate, iso_rate
+       FROM per2 JOIN cal ON cal.bucket = per2.bucket
+       ORDER BY per2.bucket"""
 
   // --- ml25: cumulative gains / lift table over ml06 ------------------------
 
@@ -2521,6 +2591,7 @@ object Corpus {
     "ml25_gains" -> (ml25Gains _),
     "ml26_confusion_cells" -> (ml26ConfusionCells _),
     "ml27_ensemble_eval" -> (ml27EnsembleEval _),
+    "ml28_isotonic_calibration" -> (ml28IsotonicCalibration _),
     "ml23_brier" -> (ml23Brier _),
     "ml10_knn_eval" -> (ml10KnnEval _),
     "ml09_calibration" -> (ml09Calibration _),
@@ -2555,6 +2626,7 @@ object Corpus {
     "ml25_gains" -> ml25Sql,
     "ml26_confusion_cells" -> ml26Sql,
     "ml27_ensemble_eval" -> ml27Sql,
+    "ml28_isotonic_calibration" -> ml28Sql,
     "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,

@@ -114,6 +114,41 @@ class CorpusSpec extends GraftSpec {
     assert(micro.getAs[Long]("support") == r22.getAs[Long]("n_pairs"))
   }
 
+  test("ml28 isotonic: hand-pooled violator sequence, monotone, conserving") {
+    import spark.implicits._
+    // equal weights, y = (0.1, 0.3, 0.2, 0.4): PAVA pools buckets 1,2 →
+    // (0.1, 0.25, 0.25, 0.4)
+    val b = Seq((0L, 10L, 0.05, 0.1), (1L, 10L, 0.15, 0.3),
+      (2L, 10L, 0.25, 0.2), (3L, 10L, 0.35, 0.4))
+      .toDF("bucket", "n", "mean_score", "obs_rate")
+    val rows = operators.Corpus.isotonicOf(b).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("iso_rate")).toMap
+    assert(rows == Map(0L -> 0.1, 1L -> 0.25, 2L -> 0.25, 3L -> 0.4), rows.toString)
+  }
+
+  test("ml28 isotonic: weighted pool uses the weighted mean") {
+    import spark.implicits._
+    // y = (0.4 w1, 0.1 w3): pooled wmean = (0.4 + 0.3)/4 = 0.175 for both
+    val b = Seq((0L, 1L, 0.1, 0.4), (1L, 3L, 0.2, 0.1))
+      .toDF("bucket", "n", "mean_score", "obs_rate")
+    val rows = operators.Corpus.isotonicOf(b).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("iso_rate")).toMap
+    assert(rows == Map(0L -> 0.175, 1L -> 0.175), rows.toString)
+  }
+
+  test("ml28 on testdata: monotone and weight-conserving against ml09's buckets") {
+    import spark.implicits._
+    val out = operators.Corpus.ml28IsotonicCalibration(spark, sfTiny).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(out.nonEmpty)
+    val iso = out.map(_.getAs[Double]("iso_rate"))
+    assert(iso.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)), iso.mkString(","))
+    val wObs = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("obs_rate")).sum
+    val wIso = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("iso_rate")).sum
+    assert(math.abs(wObs - wIso) < out.map(_.getAs[Long]("n")).sum * 1e-5,
+      s"conservation: $wObs vs $wIso")
+  }
+
   test("ml24 Cohen kappa: hand-computed 2x2 agreement grid") {
     import spark.implicits._
     // 4 (y,y), 3 (n,n), 2 (y,n), 1 (n,y): po = 0.7,
