@@ -1875,6 +1875,82 @@ object Similarity {
        GROUP BY cx.vec_id, cx.label
        ORDER BY cx.vec_id"""
 
+  // --- e32: corpus cosine-similarity baseline ---------------------------------
+
+  /** e32's sample size: all C(128,2) = 8128 pairs of a 128-vector
+    * hash-rank sample — constant work at any corpus size. */
+  private val CosSample = 128
+
+  /** e32 — the corpus's random-pair cosine profile: a 20-bin histogram
+    * over [−1, 1] plus the mean and exact p95 of pairwise cosines on a
+    * fixed hash-rank sample (the BASELINE every similarity threshold is
+    * set against — e14's τ = 0.35 and e04's near-dup cut are only
+    * meaningful relative to what UNRELATED pairs score; this query makes
+    * that distribution an oracle-checked number). Bins zero-fill so the
+    * axis is always 20 rows; ties at bin edges fall via the shared
+    * floor expression in both engines.
+    *
+    * Scale shape: one [[CosSample]]-row hash-rank sample (s04's no-
+    * sizing-pass family), an 8128-pair self-join of the broadcast
+    * sample, codegen'd `graft_dot` cosines — O(1) beyond the scan. */
+  def e32CosineBaseline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cosineBaseline(corpus(s, dir)
+      .orderBy(hvCol, $"vec_id").limit(CosSample)
+      .select($"vec_id", $"v", $"nrm"))
+  }
+
+  /** e32's core over a SMALL (vec_id, v, nrm) sample — exposed so the
+    * spec can plant identical and orthogonal vector groups. */
+  private[graft] def cosineBaseline(sample: DataFrame): DataFrame = {
+    val s = sample.sparkSession
+    import s.implicits._
+    VectorExpressions.register(s) // dotQC's kernel (spec path skips corpus())
+    val sm = sample.localCheckpoint(true) // both sides of the pair join
+    val a = sm.select($"vec_id".as("ida"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val b = sm.select($"vec_id".as("idb"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val pairs = a.crossJoin(b).filter($"ida" < $"idb")
+      .select(r(dotQC / ($"qnrm" * $"cnrm"), 6).as("c"))
+      .withColumn("bin",
+        least(lit(19L), floor(($"c" + lit(1.0)) * lit(10.0)).cast("long")))
+      .localCheckpoint(true) // feeds the histogram and the summary
+    val tot = pairs.agg(count(lit(1)).as("n_pairs_total"),
+      ravg($"c", 6).as("mean_cos"),
+      r(percentile($"c", lit(0.95)), 6).as("p95_cos"))
+    val axis = (0L until 20L).toDF("bin")
+    val out = axis
+      .join(pairs.groupBy($"bin").agg(count(lit(1)).as("n0")), Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"bin", coalesce($"n0", lit(0L)).as("n_pairs"),
+        r(coalesce($"n0", lit(0L)).cast("double") /
+          $"n_pairs_total".cast("double"), 6).as("share"),
+        $"mean_cos", $"p95_cos")
+      .orderBy($"bin")
+    out
+  }
+
+  val e32Sql: String =
+    s"""WITH n AS ($corpusSql),
+       sm AS MATERIALIZED (SELECT vec_id, v, nrm FROM n
+         ORDER BY $hvSql, vec_id LIMIT $CosSample),
+       pr AS MATERIALIZED (SELECT
+           least(19, CAST(floor((c + 1.0) * 10.0) AS BIGINT)) AS bin, c
+         FROM (SELECT
+             ${rSql("list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)", 6)} AS c
+           FROM sm a JOIN sm b ON a.vec_id < b.vec_id) z),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_total,
+           ${ravgSql("c", 6)} AS mean_cos,
+           ${rSql("quantile_cont(c, 0.95)", 6)} AS p95_cos
+         FROM pr),
+       axis AS (SELECT unnest(generate_series(0, 19)) AS bin),
+       hg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n0 FROM pr GROUP BY bin)
+       SELECT CAST(axis.bin AS BIGINT) AS bin,
+         coalesce(n0, 0) AS n_pairs,
+         ${rSql("CAST(coalesce(n0, 0) AS DOUBLE) / CAST(n_pairs_total AS DOUBLE)", 6)} AS share,
+         mean_cos, p95_cos
+       FROM axis LEFT JOIN hg ON hg.bin = axis.bin CROSS JOIN tot
+       ORDER BY bin"""
+
   // --- e31: PCA explained-variance report -----------------------------------
 
   private val E31Lam =
@@ -2563,6 +2639,7 @@ object Similarity {
     "e19_embedding_knn" -> (e19EmbeddingKnn _),
     "e30_rocchio" -> (e30Rocchio _),
     "e31_pca_variance" -> (e31PcaVariance _),
+    "e32_cosine_baseline" -> (e32CosineBaseline _),
     "e18_pca_project" -> (e18PcaProject _),
     "e07_pq_quantize" -> (e07PqQuantize _),
     "e10_kmeans" -> (e10Kmeans _),
@@ -2596,6 +2673,7 @@ object Similarity {
     "e19_embedding_knn" -> e19Sql,
     "e30_rocchio" -> e30Sql,
     "e31_pca_variance" -> e31Sql,
+    "e32_cosine_baseline" -> e32Sql,
     "e18_pca_project" -> e18Sql,
     "e10_kmeans" -> e10Sql,
     "e21_silhouette" -> e21Sql,

@@ -753,6 +753,35 @@ class SimilaritySpec extends GraftSpec {
     assert(share > 0.0 && share <= 1.0000001, s"$r0")
   }
 
+  test("e32 cosine baseline: identical and orthogonal plants land in their bins") {
+    import spark.implicits._
+    // 3 identical vectors (3 pairs at cos 1 → bin 19) + 2 orthogonal
+    // (1 pair at cos 0 → bin 10) + 6 cross pairs at cos ~0.7 (bin 17)
+    def vec(axis: Int): Seq[Double] = Seq.tabulate(4)(i => if (i == axis) 1.0 else 0.0)
+    val both = Seq(1.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(2.0))
+    val rows = Seq(
+      (1L, vec(0)), (2L, vec(0)), (3L, vec(0)),
+      (4L, vec(1)), (5L, both))
+      .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
+      .toDF("vec_id", "v", "nrm")
+    val out = Similarity.cosineBaseline(rows).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_pairs")).toMap
+    assert(out.size == 20 && out.values.sum == 10L)
+    assert(out(19L) == 3L, out.toString)   // the 3 identical pairs
+    assert(out(10L) == 3L, out.toString)   // cos 0: (1,4),(2,4),(3,4)
+    assert(out(17L) == 4L, out.toString)   // cos ≈ 0.707: id 5 vs 1,2,3,4
+  }
+
+  test("e32 on testdata: 20 bins, shares sum to 1, p95 above mean") {
+    import spark.implicits._
+    val out = Similarity.e32CosineBaseline(spark, sfSmall).collect()
+    assert(out.length == 20)
+    val shares = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"$shares")
+    val r0 = out.head
+    assert(r0.getAs[Double]("p95_cos") >= r0.getAs[Double]("mean_cos"))
+  }
+
   test("similarity oracles cover every query (all hash-checked since r4)") {
     assert(Similarity.oracles.keySet == Similarity.queries.keySet)
   }
