@@ -870,6 +870,130 @@ object Telemetry {
        FROM rk WHERE rk <= 3
        ORDER BY event_type, rk"""
 
+  // --- t30: log-rank test between session-duration groups --------------------
+
+  /** Shared log-rank term algebra over per-time columns (da, db, ra,
+    * rb): pooled deaths/at-risk, group-A expectation, hypergeometric
+    * variance — one text per engine. */
+  private val LrD = "(CAST(da + db AS DOUBLE))"
+  private val LrN = "(CAST(ra + rb AS DOUBLE))"
+  private val LrEa = s"($LrD * CAST(ra AS DOUBLE) / $LrN)"
+  private val LrV =
+    s"($LrD * (CAST(ra AS DOUBLE) / $LrN) * (1.0 - CAST(ra AS DOUBLE) / $LrN) * (($LrN - $LrD) / ($LrN - 1.0)))"
+
+  /** t30 — the log-rank test (Mantel 1966) between two session-duration
+    * populations split by h60(user) parity (the survival A/B test: t19
+    * ESTIMATES each curve, t24 its hazard — t30 answers whether two
+    * curves DIFFER beyond chance, censoring-correct, which no mean/
+    * median duration comparison is): at every event time, observed
+    * group-A deaths vs the pooled-hazard expectation d·n_A/n and the
+    * hypergeometric variance; Z = (O − E)/√ΣV, χ² = Z². Same censoring
+    * rule and duration axis as t19 (the 4-h horizon); every input is an
+    * exact integer until the fixed-order term algebra. A hash split
+    * should accept the null — the audit that the test and the split are
+    * both sound.
+    *
+    * Scale shape: t08's sessionization + ONE (dur)-axis aggregation
+    * carrying both groups as conditional sums + duration-axis windows. */
+  def t30LogRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    logRank(t08Sessionize(s, dir)
+      .select(when(DedupLsh.h60($"user_id".cast("string")) % 2 === 0, "a")
+          .otherwise("b").as("grp"),
+        $"session_end", $"duration_s"), 14400.0)
+  }
+
+  /** t30's core over (grp ∈ {a,b}, session_end, duration_s) — exposed
+    * for the hand-computed four-event spec. */
+  private[graft] def logRank(sess: DataFrame, gapS: Double): DataFrame = {
+    val s = sess.sparkSession
+    import s.implicits._
+    val horizon = sess.agg(max($"session_end").as("tmax"))
+    val at = sess.crossJoin(broadcast(horizon))
+      .select($"grp", $"duration_s".as("dur"),
+        ($"session_end".cast("double") > $"tmax".cast("double") - gapS)
+          .cast("long").as("cens"))
+      .groupBy($"dur")
+      .agg(sum(when($"grp" === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when($"grp" === "b", 1L).otherwise(0L)).as("cb"),
+        sum(when($"grp" === "a" && $"cens" === 0, 1L).otherwise(0L)).as("da"),
+        sum(when($"grp" === "b" && $"cens" === 0, 1L).otherwise(0L)).as("db"))
+      .cache() // feeds the totals and the at-risk windows
+    val tot = at.agg(sum($"ca").as("n_sessions_a"), sum($"cb").as("n_sessions_b"),
+      sum($"da").as("events_a"), sum($"db").as("events_b"))
+    val wDesc = Window.orderBy($"dur".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = at
+      .withColumn("ra", sum($"ca").over(wDesc))
+      .withColumn("rb", sum($"cb").over(wDesc))
+      .filter($"da" + $"db" > 0)
+      .select($"da",
+        expr(LrEa).as("ea"),
+        when(expr(LrN) > 1.0, expr(LrV)).otherwise(lit(0.0)).as("v"))
+      .agg(sum($"da").as("oa"), dsum($"ea").as("easum"), dsum($"v").as("vsum"))
+    val out = tot.crossJoin(broadcast(st))
+      .filter($"vsum" > 0)
+      .select($"n_sessions_a", $"n_sessions_b", $"events_a", $"events_b",
+        r($"oa".cast("double") - $"easum", 6).as("o_minus_e"),
+        r($"vsum", 6).as("var_sum"),
+        r(($"oa".cast("double") - $"easum") / sqrt($"vsum"), 6).as("z"),
+        r((($"oa".cast("double") - $"easum") / sqrt($"vsum")) *
+          (($"oa".cast("double") - $"easum") / sqrt($"vsum")), 6).as("chi2"))
+      .localCheckpoint(true)
+    at.unpersist(blocking = false)
+    out
+  }
+
+  val t30Sql: String =
+    s"""WITH g AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts, 1) OVER w IS NULL
+                  OR (epoch(ts) - epoch(lag(ts, 1) OVER w)) > 14400.0
+                THEN 1 ELSE 0 END AS gap
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sess AS (
+         SELECT user_id, ts,
+           CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM g),
+       sd AS (SELECT user_id, max(ts) AS session_end,
+           CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS dur
+         FROM sess GROUP BY user_id, session_id),
+       hz AS (SELECT max(session_end) AS tmax FROM sd),
+       tg AS (SELECT CASE WHEN ${DedupLsh.h60Sql("user_id::VARCHAR")} % 2 = 0
+                THEN 'a' ELSE 'b' END AS grp, dur,
+           CASE WHEN epoch(session_end) > epoch(tmax) - 14400.0
+                THEN 1 ELSE 0 END AS cens
+         FROM sd CROSS JOIN hz),
+       at AS MATERIALIZED (SELECT dur,
+           CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+           CAST(sum(CASE WHEN grp = 'a' AND cens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+           CAST(sum(CASE WHEN grp = 'b' AND cens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS db
+         FROM tg GROUP BY dur),
+       tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_sessions_a,
+           CAST(sum(cb) AS BIGINT) AS n_sessions_b,
+           CAST(sum(da) AS BIGINT) AS events_a,
+           CAST(sum(db) AS BIGINT) AS events_b
+         FROM at),
+       rk AS (SELECT dur, da, db,
+           CAST(sum(ca) OVER (ORDER BY dur DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ra,
+           CAST(sum(cb) OVER (ORDER BY dur DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rb
+         FROM at),
+       st AS (SELECT CAST(sum(da) AS BIGINT) AS oa,
+           ${dsumSql(LrEa)} AS easum,
+           ${dsumSql(s"CASE WHEN $LrN > 1.0 THEN $LrV ELSE 0.0 END")} AS vsum
+         FROM rk WHERE da + db > 0)
+       SELECT n_sessions_a, n_sessions_b, events_a, events_b,
+         ${rSql("CAST(oa AS DOUBLE) - easum", 6)} AS o_minus_e,
+         ${rSql("vsum", 6)} AS var_sum,
+         ${rSql("(CAST(oa AS DOUBLE) - easum) / sqrt(vsum)", 6)} AS z,
+         ${rSql("((CAST(oa AS DOUBLE) - easum) / sqrt(vsum)) * ((CAST(oa AS DOUBLE) - easum) / sqrt(vsum))", 6)} AS chi2
+       FROM tot CROSS JOIN st WHERE vsum > 0"""
+
   /** t14 — single-pass top-k per key via the typed [[graft.functions.TopKAggregator]]
     * (Aggregator[IN,BUF,OUT]): top-3 readings per user. Unlike the
     * window-rank form (q07), the aggregator ships at most k rows per
@@ -1296,6 +1420,7 @@ object Telemetry {
     "t27_reliability" -> (t27Reliability _),
     "t28_downtime_pareto" -> (t28DowntimePareto _),
     "t29_seasonal_anomaly" -> (t29SeasonalAnomaly _),
+    "t30_logrank" -> (t30LogRank _),
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
@@ -1322,5 +1447,6 @@ object Telemetry {
     "t27_reliability" -> t27Sql,
     "t28_downtime_pareto" -> t28Sql,
     "t29_seasonal_anomaly" -> t29Sql,
+    "t30_logrank" -> t30Sql,
     "t09_props_stats" -> t09Sql)
 }

@@ -236,6 +236,35 @@ class TelemetrySpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("t30 log-rank: hand-computed four-event interleaved groups") {
+    import spark.implicits._
+    // A events at t=1,3; B at t=2,4; no censoring (gap 0):
+    // O_A = 2, E_A = 1/2 + 1/3 + 1/2 + 0 = 4/3, V = 1/4 + 2/9 + 1/4 = 13/18
+    val sess = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L))
+      .map { case (g, d) => (g, new java.sql.Timestamp(d * 1000L + 100000L), d) }
+      .toDF("grp", "session_end", "duration_s")
+    val rows = operators.Telemetry.logRank(sess, 0.0).collect()
+    assert(rows.length == 1)
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("n_sessions_a") == 2L && r0.getAs[Long]("events_a") == 2L)
+    val e = 0.5 + 1.0 / 3.0 + 0.5
+    val v = 0.25 + 2.0 / 9.0 + 0.25
+    assert(r0.getAs[Double]("o_minus_e") == operators.Num.rD(2.0 - e, 6), r0.toString)
+    assert(r0.getAs[Double]("var_sum") == operators.Num.rD(v, 6))
+    assert(r0.getAs[Double]("z") == operators.Num.rD((2.0 - e) / math.sqrt(v), 6))
+  }
+
+  test("t30 on testdata: a hash split accepts the null comfortably") {
+    import spark.implicits._
+    val rows = operators.Telemetry.t30LogRank(spark, sfTiny).collect()
+    assert(rows.length == 1)
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("n_sessions_a") > 0 && r0.getAs[Long]("n_sessions_b") > 0)
+    assert(r0.getAs[Double]("var_sum") > 0)
+    // hash-split populations are exchangeable: |z| should be modest
+    assert(math.abs(r0.getAs[Double]("z")) < 4.0, r0.toString)
+  }
+
   test("t26 episode merge: chained overlaps fuse, long interval bridges, gaps split") {
     import spark.implicits._
     // user 1: [0,100] [50,150] [140,240] chain → one episode [0,240];
