@@ -65,7 +65,11 @@ object ScaleProbe {
       ("ml08_classifier_eval", Seq(1, 4, 10), operators.Corpus.ml08ClassifierEval),
       ("d32_bpe_encode", Seq(1, 4, 10), operators.TextOps.d32BpeEncode),
       ("d31_gopher_quality", Seq(1, 4, 10), operators.TextOps.d31GopherQuality),
-      ("s04_balanced_sample", Seq(1, 4, 10), operators.Advanced.s04BalancedSample))
+      ("s04_balanced_sample", Seq(1, 4, 10), operators.Advanced.s04BalancedSample),
+      // r6 heavies: e31's covariance is corpus-linear with O(d²) state,
+      // ml27 is bounded by the 128-query kNN budget
+      ("e31_pca_variance", Seq(1, 4), operators.Similarity.e31PcaVariance),
+      ("ml27_ensemble_eval", Seq(1, 4), operators.Corpus.ml27EnsembleEval))
 
     val factors = queries.flatMap(_._2).distinct.sorted
     factors.foreach { f =>
