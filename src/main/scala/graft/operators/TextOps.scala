@@ -370,6 +370,80 @@ object TextOps {
        FROM u LEFT JOIN rep ON rep.source = u.source AND rep.fp = u.fp
        GROUP BY u.source ORDER BY u.source"""
 
+  /** d54's neighborhood width: each doc compares to its [[SnmW]] sort
+    * successors. */
+  private val SnmW = 3
+
+  /** d54 — sorted-neighborhood (SNM) near-dup pairs (Hernández & Stolfo
+    * 1995, the pre-LSH dedup standard and still the complementary pass:
+    * SNM's sort key clusters docs that share PREFIXES — a doc edited
+    * anywhere after its opening lands adjacent, however low its shingle
+    * Jaccard bands score — while LSH is prefix-blind): sort key = the
+    * normalized 40-char prefix, docs sorted within 2-char-prefix blocks,
+    * each doc paired with its [[SnmW]] sort successors, candidates
+    * exact-verified with d05's token-set Jaccard ≥ 0.5; top-500
+    * total-order ranked. Candidate count is ≤ W·n by construction —
+    * never quadratic. The windows sort per prefix block (the method's
+    * classic hot-block weakness; the standard remedy — multi-pass SNM
+    * over different keys — composes by unioning passes). */
+  def d54SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sortedNeighborhood(Tables.documents(s, dir).select($"doc_id", $"text"))
+  }
+
+  /** d54's core over (doc_id, text) — exposed for the planted
+    * prefix-edit spec. */
+  private[graft] def sortedNeighborhood(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val keyed = docs
+      .withColumn("skey",
+        substring(lower(regexp_replace(trim($"text"), "\\s+", " ")), 1, 40))
+      .withColumn("blk", substring($"skey", 1, 2))
+      .withColumn("ts", array_distinct(toks($"text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"blk").orderBy($"skey", $"doc_id")))
+      .cache() // both sides of the neighborhood join
+    val a = keyed.select($"blk", $"rn", $"doc_id".as("ida"), $"ts".as("ta"))
+    val b = keyed.select($"blk".as("blk2"), $"rn".as("rn2"),
+      $"doc_id".as("idb"), $"ts".as("tb"))
+    val inter = size(array_intersect($"ta", $"tb"))
+    val out = a.join(b, $"blk2" === $"blk" &&
+        $"rn2" > $"rn" && $"rn2" <= $"rn" + SnmW)
+      .select(least($"ida", $"idb").as("doc_a"),
+        greatest($"ida", $"idb").as("doc_b"),
+        r(inter.cast("double") /
+          (size($"ta") + size($"tb") - inter), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .distinct()
+      .orderBy(desc_nulls_last("jaccard"), $"doc_a", $"doc_b")
+      .limit(500)
+      .localCheckpoint(true)
+    keyed.unpersist(blocking = false)
+    out
+  }
+
+  val d54Sql: String = {
+    val inter = "len(list_intersect(a.ta, b.ta))"
+    s"""WITH k AS MATERIALIZED (SELECT doc_id,
+         substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 40) AS skey,
+         substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 2) AS blk,
+         list_distinct(${toksSql("text")}) AS ta
+       FROM documents),
+       rk AS MATERIALIZED (SELECT doc_id, blk, ta,
+           row_number() OVER (PARTITION BY blk ORDER BY skey, doc_id) AS rn
+         FROM k),
+       cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
+           ${rSql(s"$inter / (len(a.ta) + len(b.ta) - $inter)", 6)} AS jaccard
+         FROM rk a JOIN rk b ON b.blk = a.blk
+           AND b.rn > a.rn AND b.rn <= a.rn + $SnmW)
+       SELECT doc_a, doc_b, jaccard FROM cand
+       WHERE jaccard >= 0.5
+       ORDER BY jaccard DESC NULLS LAST, doc_a, doc_b
+       LIMIT 500"""
+  }
+
   /** d05 — near-duplicate pairs by token-set Jaccard, blocked on `lang`
     * (the exact quadratic baseline; MinHash LSH in [[DedupLsh]] is the
     * 100 TB path). |A∪B| computed as |A|+|B|−|A∩B| so both engines use
@@ -1550,6 +1624,7 @@ object TextOps {
     "d44_char_entropy" -> (d44CharEntropy _),
     "d42_dedup_sweep" -> (d42DedupSweep _),
     "d45_dedup_sweep_lsh" -> (d45DedupSweepLsh _),
+    "d54_sorted_neighborhood" -> (d54SortedNeighborhood _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
@@ -1576,6 +1651,7 @@ object TextOps {
     "d44_char_entropy" -> d44Sql,
     "d42_dedup_sweep" -> d42Sql,
     "d45_dedup_sweep_lsh" -> d45Sql,
+    "d54_sorted_neighborhood" -> d54Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,

@@ -510,6 +510,31 @@ class TextOpsSpec extends GraftSpec {
     } finally out.unpersist(blocking = false)
   }
 
+  test("d54 sorted neighborhood: prefix-sharing edits pair, far sort keys don't") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                                  // 1 ≡ 2 exact dup
+      (2L, base),
+      (3L, base + " lambda"),                      // suffix edit: same prefix key
+      (4L, "zz totally different content words")). // far sort key
+      toDF("doc_id", "text")
+    val rows = TextOps.sortedNeighborhood(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(rows.contains((1L, 2L)) && rows((1L, 2L)) == 1.0, rows.toString)
+    // the suffix-edited doc shares the sort prefix → adjacent → verified
+    assert(rows.contains((1L, 3L)) || rows.contains((2L, 3L)), rows.toString)
+    assert(!rows.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("d54 on testdata: canonical pairs, verified at jaccard >= 0.5") {
+    import spark.implicits._
+    val out = TextOps.d54SortedNeighborhood(spark, sfTiny).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(_.getAs[Double]("jaccard") >= 0.5))
+    assert(out.length <= 500)
+  }
+
   test("text oracles cover every query") {
     assert(TextOps.oracles.keySet == TextOps.queries.keySet)
   }
