@@ -465,6 +465,110 @@ object Maintenance {
        FROM sc GROUP BY k ORDER BY k"""
   }
 
+  // --- ml29: walk-forward (time-ordered) validation -------------------------
+
+  /** ml29 — walk-forward validation of the ml03 closed-form model: train
+    * on the first k+1 TIME deciles of the telemetry stream, evaluate on
+    * decile k+2 — the NEXT period, never a fixed future set (ml11/ml12
+    * shuffle by hash, which silently assumes exchangeability; deployed
+    * time-series models retrain on the past and score the immediate
+    * future, and THIS estimate is the honest one under drift — s06's
+    * temporal-split discipline applied to model evaluation). Time
+    * deciles are exact integer prefix arithmetic on the generator id
+    * stream (d40's rule); the whole 9-step curve still costs ONE grouped
+    * aggregation via ml12's additive prefix moments, and each step's
+    * test block joins its own weights row (k+1 = test decile).
+    *
+    * Scale shape: one scan → 10 decile moment rows → window prefix sums
+    * → 9-row broadcast weights joined back per test decile. */
+  def ml29WalkForward(s: SparkSession, dir: String): DataFrame = {
+    val t = Telemetry.twin(s).select(
+      col("id"),
+      expr(s"(id * 10) div ${Telemetry.TwinRows}").as("td"),
+      col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    def dmom(c: Column): Column = sum(c.cast("decimal(38,10)"))
+    val dm = t.groupBy(col("td")).agg(
+      count(lit(1)).as("fn"),
+      dmom(col("x1")).as("f1"), dmom(col("x2")).as("f2"),
+      dmom(col("x1") * col("x1")).as("f11"),
+      dmom(col("x1") * col("x2")).as("f12"),
+      dmom(col("x2") * col("x2")).as("f22"),
+      dmom(col("is_anomaly").cast("double")).as("fy"),
+      dmom(col("x1") * col("is_anomaly")).as("f1y"),
+      dmom(col("x2") * col("is_anomaly")).as("f2y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("td"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def cum(c: String, as: String): Column = sum(col(c)).over(w).as(as)
+    val pm = dm.select(col("td"),
+        cum("fn", "cn"), cum("f1", "c1"), cum("f2", "c2"), cum("f11", "c11"),
+        cum("f12", "c12"), cum("f22", "c22"), cum("fy", "cy"),
+        cum("f1y", "c1y"), cum("f2y", "c2y"))
+      .filter(col("td") <= 8)
+      .select(col("td").as("k"), col("cn").as("n_train"),
+        col("cn").cast("double").as("nn"),
+        col("c1").cast("double").as("s1"), col("c2").cast("double").as("s2"),
+        col("c11").cast("double").as("s11"), col("c12").cast("double").as("s12"),
+        col("c22").cast("double").as("s22"), col("cy").cast("double").as("sy"),
+        col("c1y").cast("double").as("s1y"), col("c2y").cast("double").as("s2y"))
+    val wts = pm.select(col("k"), col("n_train"),
+      expr(s"$detBS / $detS").as("b"),
+      expr(s"$detW1S / $detS").as("w1"),
+      expr(s"$detW2S / $detS").as("w2"))
+    val sqErr = (col("is_anomaly") - col("score")) * (col("is_anomaly") - col("score"))
+    val hit = (col("score") >= 0.5).cast("int") === col("is_anomaly")
+    t.join(broadcast(wts), t("td") === wts("k") + 1)
+      .withColumn("score", r(expr("b + w1 * x1 + w2 * x2"), 6))
+      .groupBy(col("k")).agg(
+        min(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        r(min(col("b")), 6).as("b"),
+        r(min(col("w1")), 6).as("w1"),
+        r(min(col("w2")), 6).as("w2"),
+        r(count(when(hit, 1)).cast("double") / count(lit(1)), 6).as("accuracy"),
+        r(sqrt(dsum(sqErr) / count(lit(1))), 6).as("rmse"))
+      .orderBy(col("k"))
+  }
+
+  val ml29Sql: String = {
+    def dmomS(e: String): String = s"sum(CAST(($e) AS DECIMAL(38,10)))"
+    def cumS(c: String, as: String): String =
+      s"sum($c) OVER (ORDER BY td ROWS UNBOUNDED PRECEDING) AS $as"
+    val hitS = "CAST(score >= 0.5 AS INTEGER) = is_anomaly"
+    s"""WITH t AS (SELECT id, (id * 10) // ${Telemetry.TwinRows} AS td,
+         is_anomaly, temperature AS x1, vibration AS x2
+       FROM (${Telemetry.twinSql})),
+       dm AS (SELECT td, count(*) AS fn,
+         ${dmomS("x1")} AS f1, ${dmomS("x2")} AS f2,
+         ${dmomS("x1 * x1")} AS f11, ${dmomS("x1 * x2")} AS f12,
+         ${dmomS("x2 * x2")} AS f22,
+         ${dmomS("CAST(is_anomaly AS DOUBLE)")} AS fy,
+         ${dmomS("x1 * is_anomaly")} AS f1y, ${dmomS("x2 * is_anomaly")} AS f2y
+         FROM t GROUP BY td),
+       pm0 AS (SELECT td, ${cumS("fn", "cn")}, ${cumS("f1", "c1")},
+         ${cumS("f2", "c2")}, ${cumS("f11", "c11")}, ${cumS("f12", "c12")},
+         ${cumS("f22", "c22")}, ${cumS("fy", "cy")}, ${cumS("f1y", "c1y")},
+         ${cumS("f2y", "c2y")} FROM dm),
+       pm AS (SELECT td AS k, CAST(cn AS BIGINT) AS n_train,
+         CAST(cn AS DOUBLE) AS nn,
+         CAST(c1 AS DOUBLE) AS s1, CAST(c2 AS DOUBLE) AS s2,
+         CAST(c11 AS DOUBLE) AS s11, CAST(c12 AS DOUBLE) AS s12,
+         CAST(c22 AS DOUBLE) AS s22, CAST(cy AS DOUBLE) AS sy,
+         CAST(c1y AS DOUBLE) AS s1y, CAST(c2y AS DOUBLE) AS s2y
+         FROM pm0 WHERE td <= 8),
+       wts AS (SELECT k, n_train, $detBS / $detS AS b,
+         $detW1S / $detS AS w1, $detW2S / $detS AS w2 FROM pm),
+       sc AS (SELECT k, n_train, is_anomaly, b, w1, w2,
+         ${rSql("b + w1 * x1 + w2 * x2", 6)} AS score
+         FROM t JOIN wts ON t.td = wts.k + 1)
+       SELECT k, min(n_train) AS n_train, count(*) AS n_test,
+         ${rSql("min(b)", 6)} AS b, ${rSql("min(w1)", 6)} AS w1,
+         ${rSql("min(w2)", 6)} AS w2,
+         ${rSql(s"CAST(count(*) FILTER (WHERE $hitS) AS DOUBLE) / count(*)", 6)} AS accuracy,
+         ${rSql(s"sqrt(${dsumSql("(is_anomaly - score) * (is_anomaly - score)")} / count(*))", 6)} AS rmse
+       FROM sc GROUP BY k ORDER BY k"""
+  }
+
   // --- ml13: gradient-boosted stumps, the ensemble training loop ----------
 
   private[graft] val GbtRounds = 3
@@ -771,6 +875,7 @@ object Maintenance {
     "ml14_ridge" -> (ml14Ridge _),
     "ml13_gbt_stumps" -> (ml13GbtStumps _),
     "ml12_learning_curve" -> (ml12LearningCurve _),
+    "ml29_walk_forward" -> (ml29WalkForward _),
     "ml01_rf_scoring" -> (ml01RfScoring _),
     "ml02_lr_scoring" -> (ml02LrScoring _),
     "ml03_lsq_scoring" -> (ml03LsqScoring _),
@@ -784,6 +889,7 @@ object Maintenance {
     "ml14_ridge" -> ml14Sql,
     "ml13_gbt_stumps" -> ml13Sql,
     "ml12_learning_curve" -> ml12Sql,
+    "ml29_walk_forward" -> ml29Sql,
     "ml03_lsq_scoring" -> ml03Sql,
     "ml04_gd_scoring" -> ml04Sql,
     "ml11_kfold_cv" -> ml11Sql)

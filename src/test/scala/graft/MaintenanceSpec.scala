@@ -153,6 +153,26 @@ class MaintenanceSpec extends GraftSpec {
     } finally df.unpersist()
   }
 
+  test("ml29 walk-forward: 9 steps, prefix counts exact, every step's model generalizes") {
+    import spark.implicits._
+    val rows = Maintenance.ml29WalkForward(spark, sfTiny).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 9)
+    // exact time-decile prefixes: step k trains on (k+1)·1000 rows and
+    // tests on the next 1000
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Long]("n_train") == (k + 1) * 1000L, r.toString)
+      assert(r.getAs[Long]("n_test") == 1000L, r.toString)
+      // the anomaly structure is stationary by construction, so every
+      // next-period evaluation should stay strong
+      assert(r.getAs[Double]("accuracy") >= 0.95, r.toString)
+    }
+    // weights converge toward ml12's full-prefix weights as k grows
+    val last = rows.last
+    assert(math.abs(last.getAs[Double]("w1")) + math.abs(last.getAs[Double]("w2")) > 0)
+  }
+
   test("ml12 learning curve: prefix algebra closes, every prefix model generalizes") {
     val df = Maintenance.ml12LearningCurve(spark, sfTiny).cache()
     try {
