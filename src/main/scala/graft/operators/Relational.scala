@@ -560,10 +560,14 @@ object Relational {
   // --- q84: TPC-H Q5 through the SQL front end --------------------------------
 
   /** The Q5 body, shared verbatim by both engines up to the rounded
-    * revenue expression (the one engine-specific piece). */
-  private def q5Body(rev: String): String =
+    * revenue expression and the table-name prefix (Spark reads prefixed
+    * `graft_q5_*` temp views so the session-global view namespace never
+    * shadows bare base-table names for later `spark.sql` callers; the
+    * DuckDB oracle reads the driver's bare table names — `p` is empty
+    * there). */
+  private def q5Body(rev: String, p: String): String =
     s"""SELECT n_name, $rev AS revenue
-       FROM customer, orders, lineitem, supplier, nation, region
+       FROM ${p}customer, ${p}orders, ${p}lineitem, ${p}supplier, ${p}nation, ${p}region
        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -587,13 +591,14 @@ object Relational {
     * equi-join carries the one fact-sized shuffle. */
   def q84TpchQ5(s: SparkSession, dir: String): DataFrame = {
     Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
-      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q5_$t"))
     s.sql(q5Body(
-      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)"))
+      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)",
+      "graft_q5_"))
   }
 
   val q84Sql: String =
-    q5Body(rsumSql("l_extendedprice * (1 - l_discount)", 2))
+    q5Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_fuzzy_match" -> (q36FuzzyMatch _),
