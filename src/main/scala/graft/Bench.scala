@@ -67,7 +67,17 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failuresField = "\"failures\":" + failedKeys.size +
       (if (failedKeys.nonEmpty) ",\"failed\":" + failedKeys.mkString("[", ",", "]") else "")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$failuresField,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",$failuresField,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the complete artifact: the driver's bounded tail capture
+    // keeps only ~2 KB of stdout (75 of 250 per-query timings survive per
+    // round), so the committed file is the only full per-query record.
+    // Written only for full runs — a filtered local iteration must not
+    // overwrite the committed full sweep.
+    if (args.isEmpty) {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+    }
     spark.stop()
   }
 }

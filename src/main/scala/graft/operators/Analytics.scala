@@ -221,8 +221,8 @@ object Analytics {
   def q82SketchedMau(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     sketchedMau(Tables.events(s, dir)
-      .select((unix_timestamp(date_trunc("day", $"ts")) / 86400).cast("long").as("di"),
-        $"user_id"))
+      .select(unix_timestamp(date_trunc("day", $"ts")).as("es"), $"user_id")
+      .select(expr("es div 86400").as("di"), $"user_id"))
   }
 
   /** q82's core over an explicit (di, user_id) relation — exposed so the
@@ -263,7 +263,7 @@ object Analytics {
   val q82Sql: String = {
     val raw = s"$HllConst / CAST(s AS DOUBLE)"
     s"""WITH ev AS (SELECT
-         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS di,
          ${DedupLsh.h60Sql("user_id::VARCHAR")} AS hv
        FROM events),
        daily AS MATERIALIZED (SELECT di, hv % 256 AS idx,
@@ -533,8 +533,8 @@ object Analytics {
   def q74ActiveUsers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     activeUsers(Tables.events(s, dir)
-      .select($"user_id",
-        (date_trunc("day", $"ts").cast("long") / 86400).cast("long").as("di")))
+      .select($"user_id", date_trunc("day", $"ts").cast("long").as("es"))
+      .select($"user_id", expr("es div 86400").as("di")))
   }
 
   /** q74's core over (user_id, di) — exposed for the planted two-cohort
@@ -655,7 +655,7 @@ object Analytics {
       .crossJoin(broadcast(tot))
       .withColumn("share", r($"n_paths".cast("double") / $"nt".cast("double"), 6))
       .select($"path", $"n_paths", $"share")
-      .orderBy($"n_paths".desc, $"path")
+      .orderBy($"n_paths".desc_nulls_last, $"path")
       .limit(20)
   }
 
@@ -672,7 +672,7 @@ object Analytics {
          ${rSql("count(*) / CAST(nt AS DOUBLE)", 6)} AS share
        FROM tri CROSS JOIN tot
        GROUP BY path, nt
-       ORDER BY n_paths DESC, path
+       ORDER BY n_paths DESC NULLS LAST, path
        LIMIT 20"""
 
   /** q77 — weighted quantiles: the p25/p50/p75 of line-item price
@@ -1173,7 +1173,7 @@ object Analytics {
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
       .agg(ravg($"value", 6).as("y"))
       .select($"event_type",
-        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+        expr("CAST(d AS BIGINT) div 86400").as("di"), $"y"))
   }
 
   /** q55's core over an explicit (event_type, di, y) series — exposed so
@@ -1204,7 +1204,7 @@ object Analytics {
 
   val q55Sql: String =
     s"""WITH daily AS MATERIALIZED (SELECT event_type,
-         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS di,
          ${rSql(davgSql("value"), 6)} AS y
        FROM events GROUP BY event_type, date_trunc('day', ts)),
        sl AS (SELECT a.event_type, count(*) AS n_pairs,
@@ -1250,7 +1250,7 @@ object Analytics {
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
       .agg(ravg($"value", 6).as("y"))
       .select($"event_type",
-        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+        expr("CAST(d AS BIGINT) div 86400").as("di"), $"y"))
   }
 
   /** q80's core over an explicit (event_type, di, y) series — exposed so
@@ -1289,7 +1289,7 @@ object Analytics {
 
   val q80Sql: String =
     s"""WITH daily AS MATERIALIZED (SELECT event_type,
-         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS di,
          ${rSql(davgSql("value"), 6)} AS y
        FROM events GROUP BY event_type, date_trunc('day', ts)),
        sv AS (SELECT a.event_type,
@@ -1340,7 +1340,7 @@ object Analytics {
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
       .agg(ravg($"value", 6).as("y"))
       .select($"event_type",
-        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+        expr("CAST(d AS BIGINT) div 86400").as("di"), $"y"))
   }
 
   /** q81's core over an explicit (event_type, di, y) series — exposed so
@@ -1662,7 +1662,7 @@ object Analytics {
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
       .agg(ravg($"value", 6).as("y"))
       .select($"event_type",
-        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+        expr("CAST(d AS BIGINT) div 86400").as("di"), $"y"))
   }
 
   /** q61's core over an explicit (event_type, di, y) series — exposed so
@@ -1700,7 +1700,7 @@ object Analytics {
 
   val q61Sql: String =
     s"""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
-         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS di,
          ${rSql(davgSql("value"), 6)} AS y
        FROM events GROUP BY event_type, date_trunc('day', ts)),
        s AS MATERIALIZED (SELECT event_type, y,
@@ -1753,7 +1753,7 @@ object Analytics {
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
       .agg(ravg($"value", 6).as("y"))
       .select($"event_type",
-        ($"d".cast("long") / 86400).cast("long").as("di"), $"y"))
+        expr("CAST(d AS BIGINT) div 86400").as("di"), $"y"))
   }
 
   /** q69's core over an explicit (event_type, di, y) series — exposed so
@@ -1810,7 +1810,7 @@ object Analytics {
       .mkString(s"CASE (c.n_days + ${h - 1}) % 7 ", " ", " END")
     val y7 = (1 to 7).map(j => s"max(CASE WHEN rn = $j THEN y END) AS y$j").mkString(", ")
     s"""WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type,
-         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS di,
          ${rSql(davgSql("value"), 6)} AS y
        FROM events GROUP BY event_type, date_trunc('day', ts)),
        s AS MATERIALIZED (SELECT event_type, y,

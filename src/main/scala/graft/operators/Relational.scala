@@ -600,9 +600,79 @@ object Relational {
   val q84Sql: String =
     q5Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
 
+  // --- q85/q86: TPC-H Q3 and Q10 through the SQL front end --------------------
+
+  /** The Q3 body (shipping priority), shared verbatim by both engines up
+    * to the rounded revenue and the view prefix. Deviations from the
+    * published query, forced by this testdata: the catalog has no
+    * `o_shippriority` (o_orderpriority stands in) and its dates span
+    * 1995-2001 (cutoff moved to 1997-06-15); ORDER BY gains the
+    * `l_orderkey` tiebreak because `(revenue, o_orderdate)` is not a
+    * total order of the output — l_orderkey IS unique per group (one
+    * order has one date/priority), so the extended key is total. */
+  private def q3Body(rev: String, p: String): String =
+    s"""SELECT l_orderkey, $rev AS revenue, o_orderdate, o_orderpriority
+       FROM ${p}customer, ${p}orders, ${p}lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < CAST('1997-06-15' AS TIMESTAMP)
+         AND l_shipdate > CAST('1997-06-15' AS TIMESTAMP)
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC NULLS LAST, o_orderdate, l_orderkey
+       LIMIT 10"""
+
+  /** q85 — TPC-H Q3 as SQL TEXT through `spark.sql` (q84's front-end
+    * path: parser → analyzer view resolution → join reorder → pushdown).
+    * Scale shape: customer's segment filter broadcasts, orders⋈lineitem
+    * carries the one fact shuffle, the top-10 is a TakeOrdered — no
+    * global sort materializes. */
+  def q85TpchQ3(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q3_$t"))
+    s.sql(q3Body(
+      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)",
+      "graft_q3_"))
+  }
+
+  val q85Sql: String =
+    q3Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
+
+  /** The Q10 body (returned-item reporting), shared verbatim by both
+    * engines up to the rounded revenue and the view prefix. This catalog
+    * carries no c_address/c_phone/c_comment, so the report keeps the
+    * columns that exist; quarter moved inside the data's 1995-2001 span.
+    * `c_custkey` tiebreak: unique per group, so the order is total. */
+  private def q10Body(rev: String, p: String): String =
+    s"""SELECT c_custkey, c_name, $rev AS revenue, c_acctbal, n_name
+       FROM ${p}customer, ${p}orders, ${p}lineitem, ${p}nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= CAST('1996-10-01' AS TIMESTAMP)
+         AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC NULLS LAST, c_custkey
+       LIMIT 20"""
+
+  /** q86 — TPC-H Q10 as SQL TEXT through `spark.sql`. Scale shape: the
+    * quarter filter prunes orders before the fact join, nation broadcasts,
+    * the per-customer rollup shuffles once on the (already-joined) group
+    * key, top-20 via TakeOrdered. */
+  def q86TpchQ10(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q10_$t"))
+    s.sql(q10Body(
+      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)",
+      "graft_q10_"))
+  }
+
+  val q86Sql: String =
+    q10Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_fuzzy_match" -> (q36FuzzyMatch _),
     "q84_tpch_q5" -> (q84TpchQ5 _),
+    "q85_tpch_q3" -> (q85TpchQ3 _),
+    "q86_tpch_q10" -> (q86TpchQ10 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -624,6 +694,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q36_fuzzy_match" -> q36Sql,
     "q84_tpch_q5" -> q84Sql,
+    "q85_tpch_q3" -> q85Sql,
+    "q86_tpch_q10" -> q86Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -151,7 +151,7 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,
     new TelemetryReaderFactory(required)
 }
 
-private[sources] case class TelemetryOffset(id: Long) extends Offset {
+private[graft] case class TelemetryOffset(id: Long) extends Offset {
   override def json: String = id.toString
 }
 
@@ -163,16 +163,41 @@ private[sources] case class TelemetryOffset(id: Long) extends Offset {
   * id it stopped at with no instance state to lose (a mutable cursor
   * here silently re-reads or skips after a restart — measured; the
   * spec's kill/restart loop yields each id exactly once). */
-private[sources] class TelemetryMicroBatch(rows: Long, parts: Int,
+private[graft] class TelemetryMicroBatch(rows: Long, parts: Int,
     perBatch: Long, required: StructType)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   override def initialOffset(): Offset = TelemetryOffset(0L)
+  // Trigger.AvailableNow: the availability horizon is the static `rows`
+  // cap, so prepare has nothing to snapshot; the engine then drains in
+  // read-limit-sized batches until reportLatestOffset is reached (without
+  // this interface Spark falls back to ONE unbounded batch)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = TelemetryOffset(rows)
   override def deserializeOffset(json: String): Offset =
     TelemetryOffset(json.trim.toLong)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    TelemetryOffset(
-      math.min(rows, start.asInstanceOf[TelemetryOffset].id + perBatch))
+
+  /** Rows this limit admits past `start` — honoring the ARGUMENT, not the
+    * constructor default: `Trigger.AvailableNow` and composite
+    * maxRows/maxBytes wrappers hand a limit that differs from
+    * [[getDefaultReadLimit]], and ignoring it silently mis-batches. */
+  private def admit(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows      => r.maxRows()
+    case _: ReadAllAvailable => Long.MaxValue
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(admit).min // composite = most restrictive member
+    case _                   => perBatch // min-rows / unknown: default batch
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[TelemetryOffset].id
+    // saturating add: allAvailable admits Long.MaxValue rows, and
+    // `s0 + MaxValue` overflows negative — an offset BEHIND the start
+    // makes the engine wait forever (measured: Trigger.Once hangs)
+    val a = math.max(0L, admit(limit))
+    TelemetryOffset(if (a >= rows - s0) rows else s0 + a)
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: the engine calls latestOffset(start, limit)")

@@ -222,19 +222,62 @@ class LakeIOSpec extends GraftSpec {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_tsrc_rec").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_rec_ckpt").toString
-    def start() = spark.readStream.format("graft.sources.TelemetrySource")
-      .option("rows", "500").option("rowsPerBatch", "100").load()
+    def start(avail: Long) = spark.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", avail.toString).option("rowsPerBatch", "100").load()
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.Once())
       .outputMode("append").start()
-    // Trigger.Once processes ONE admission step per run: several runs with
-    // kills between them must stitch the id stream with no dup and no gap
-    (1 to 5).foreach { _ => val q = start(); q.awaitTermination() }
+    // Trigger.Once hands the source ReadLimit.allAvailable(), so each run
+    // drains to the CURRENT availability horizon; growing the horizon
+    // 100 ids per run with a kill between runs forces every restart to
+    // resume from the checkpointed offset — the stitched stream must have
+    // no dup and no gap
+    (1 to 5).foreach { i => val q = start(i * 100L); q.awaitTermination() }
     val got = spark.read.parquet(out)
     assert(got.count() == 500L, s"got ${got.count()}")
     assert(got.select($"id").distinct().count() == 500L)
     assert(got.agg(min($"id"), max($"id")).collect()(0).toSeq == Seq(0L, 499L))
+  }
+
+  test("TelemetrySource honors a NON-DEFAULT ReadLimit (maxRows / allAvailable / composite)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // perBatch (the constructor default) is 1000 — every limit below
+    // differs from it, so passing any of these through latestOffset
+    // proves the ARGUMENT is honored, not the default echoed back
+    val mb = new graft.sources.TelemetryMicroBatch(10000L, 4, 1000L,
+      graft.sources.TelemetrySource.Schema)
+    def adv(startId: Long, lim: ReadLimit): Long =
+      mb.latestOffset(graft.sources.TelemetryOffset(startId), lim)
+        .asInstanceOf[graft.sources.TelemetryOffset].id
+    assert(adv(0L, ReadLimit.maxRows(137L)) == 137L)
+    assert(adv(9950L, ReadLimit.maxRows(137L)) == 10000L, "clamped to rows")
+    assert(adv(42L, ReadLimit.allAvailable()) == 10000L,
+      "ReadAllAvailable advances to the end of the stream")
+    assert(adv(0L, ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(300L), ReadLimit.maxRows(80L)))) == 80L,
+      "composite takes the most restrictive member")
+    assert(adv(0L, ReadLimit.minRows(5L, 1000L)) == 1000L,
+      "min-rows alone falls back to the default batch size")
+  }
+
+  test("TelemetrySource drains under Trigger.AvailableNow exactly once") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_tsrc_an").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_an_ckpt").toString
+    val q = spark.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", "450").option("rowsPerBatch", "200").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 450L && got.select($"id").distinct().count() == 450L)
+    // SupportsTriggerAvailableNow: the drain must run in read-limit-sized
+    // batches (ceil(450/200) = 3), not one unbounded fallback batch
+    assert(q.lastProgress.batchId >= 2,
+      s"expected >=3 micro-batches, saw batchId ${q.lastProgress.batchId}")
   }
 
   test("JSON-lines sink round-trips through the error-channel reader with zero errors") {
