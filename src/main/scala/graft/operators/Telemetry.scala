@@ -1396,7 +1396,34 @@ object Telemetry {
        FROM b ORDER BY hx"""
   }
 
+  // --- t31: DSv2 write-path round trip ------------------------------------
+
+  /** t31 — the generator twin written THROUGH the DSv2 write connector
+    * ([[graft.sources.LakeSink]]: task-staged gzip JSON, driver commit
+    * coordination — the reference's buffered fault-tolerant S3 sink,
+    * `phase3-kinesis-s3.yaml:81-89`) and read back from the committed
+    * lake files. Oracle = t04's: the round trip must be value-exact
+    * through serialize → commit → parse, so the whole write path sits
+    * under the DuckDB differential, not just its specs.
+    *
+    * Scale shape: the write is embarrassingly parallel (each task streams
+    * its own gzip file; the driver sees only O(#tasks) renames), the read
+    * is a parallel JSON scan. */
+  def t31SinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_t31_lake").toString
+    val t = twin(s)
+    t.write.format("graft.sources.LakeSink").mode("overwrite").save(out)
+    s.read.schema(t.schema)
+      .option("timestampFormat", graft.sources.LakeSink.TimestampFormat)
+      .json(out)
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t31Sql: String = t04Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
     "t23_changepoint" -> (t23Changepoint _),
     "t22_heartbeat" -> (t22Heartbeat _),
     "t21_burn_rate" -> (t21BurnRate _),
@@ -1424,6 +1451,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t31_sink_roundtrip" -> t31Sql,
     "t23_changepoint" -> t23Sql,
     "t22_heartbeat" -> t22Sql,
     "t21_burn_rate" -> t21Sql,

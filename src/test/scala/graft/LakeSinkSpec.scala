@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{LakeSink, LakeSinkCommit, LakeSinkFiles, LakeSinkStreamingWrite}
+
+/** The DSv2 WRITE-path contract ([[graft.sources.LakeSink]]): batch
+  * commit, task/job abort leaving no partial files, truncate-on-overwrite,
+  * streaming exactly-once across restart, and redelivered-epoch dedup —
+  * the write-side mirror of StreamRecoverySpec.
+  */
+class LakeSinkSpec extends GraftSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def partFiles(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      var out = List.empty[String]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".json.gz")) out ::= n
+      }
+      out.sorted
+    }
+  }
+
+  private def stagingFiles(dir: String): Seq[String] = {
+    val d = LakeSinkFiles.stagingDir(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      var out = List.empty[String]
+      while (it.hasNext) out ::= it.next().getFileName.toString
+      out.sorted
+    }
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("batch commit: committed lake equals the input, staging drained, _SUCCESS written") {
+    val out = tmp("graft_sink_batch")
+    val src = graft.operators.Telemetry.twin(spark).filter(col("id") < 1000L)
+    src.write.format("graft.sources.LakeSink").mode("append").save(out)
+    assert(Files.exists(Paths.get(out, "_SUCCESS")))
+    assert(stagingFiles(out).isEmpty, s"staging not drained: ${stagingFiles(out)}")
+    assert(partFiles(out).nonEmpty)
+    val back = spark.read.schema(src.schema)
+      .option("timestampFormat", LakeSink.TimestampFormat).json(out)
+    assert(canon(back) == canon(src), "round trip must be value-exact")
+  }
+
+  test("overwrite truncates previously committed part files") {
+    import spark.implicits._
+    val out = tmp("graft_sink_trunc")
+    Seq(1L, 2L, 3L).toDF("v").write.format("graft.sources.LakeSink")
+      .mode("append").save(out)
+    Seq(10L, 20L).toDF("v").write.format("graft.sources.LakeSink")
+      .mode("overwrite").save(out)
+    val back = spark.read.schema(StructType(Seq(StructField("v", LongType))))
+      .json(out)
+    assert(canon(back) == Seq("[10]", "[20]"),
+      s"overwrite must replace, not accumulate: ${canon(back)}")
+  }
+
+  test("job abort leaves NO partial files: neither destination nor staging") {
+    import spark.implicits._
+    val out = tmp("graft_sink_abort")
+    val poison = spark.range(1000).as[Long]
+      .map { i => if (i == 777L) throw new RuntimeException("graft-poison"); i }
+      .toDF("v")
+    val err = intercept[Exception] {
+      poison.write.format("graft.sources.LakeSink").mode("append").save(out)
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(err).exists(t => Option(t.getMessage).exists(_.contains("graft-poison"))))
+    assert(partFiles(out).isEmpty, s"destination leaked: ${partFiles(out)}")
+    assert(stagingFiles(out).isEmpty, s"staging leaked: ${stagingFiles(out)}")
+    assert(!Files.exists(Paths.get(out, "_SUCCESS")))
+  }
+
+  test("unsupported column type fails at planning, before any task writes") {
+    import spark.implicits._
+    val out = tmp("graft_sink_badtype")
+    val err = intercept[Exception] {
+      Seq((1L, Seq(1, 2))).toDF("v", "arr").write
+        .format("graft.sources.LakeSink").mode("append").save(out)
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(err).exists(t =>
+      Option(t.getMessage).exists(_.contains("unsupported column type"))))
+    assert(partFiles(out).isEmpty && stagingFiles(out).isEmpty)
+  }
+
+  test("streaming kill/restart through the sink is exactly-once (no dup, no gap)") {
+    import spark.implicits._
+    val out = tmp("graft_sink_stream")
+    val ckpt = tmp("graft_sink_stream_ckpt")
+    // source horizon grows 100 ids per run with a kill between runs: each
+    // restart must resume from the checkpointed offset AND must not
+    // re-append epochs the sink already committed
+    def run(avail: Long) = {
+      val q = spark.readStream.format("graft.sources.TelemetrySource")
+        .option("rows", avail.toString).option("rowsPerBatch", "100").load()
+        .writeStream.format("graft.sources.LakeSink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    (1 to 5).foreach(i => run(i * 100L))
+    val batch = spark.read.format("graft.sources.TelemetrySource")
+      .option("rows", "500").load()
+    val back = spark.read.schema(batch.schema)
+      .option("timestampFormat", LakeSink.TimestampFormat).json(out)
+    assert(back.count() == 500L)
+    assert(back.select($"id").distinct().count() == 500L, "duplicate ids = replayed epoch leaked")
+    assert(canon(back) == canon(batch), "stitched lake must equal the batch scan")
+    assert(stagingFiles(out).isEmpty)
+  }
+
+  test("a REDELIVERED epoch is discarded by the commit log, not re-promoted") {
+    val out = tmp("graft_sink_redeliver")
+    LakeSinkFiles.ensureDirs(out)
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val sw = new LakeSinkStreamingWrite(schema, out)
+    def stage(name: String, content: String): Unit =
+      Files.write(LakeSinkFiles.stagingDir(out).resolve(name), content.getBytes)
+    // first delivery of epoch 7
+    stage("part-e7-0.json.gz", "first")
+    sw.commit(7L, Array(LakeSinkCommit("part-e7-0.json.gz")))
+    assert(partFiles(out) == Seq("part-e7-0.json.gz"))
+    assert(Files.exists(LakeSinkFiles.commitsDir(out).resolve("7")))
+    // crash between sink commit and checkpoint write → engine re-runs
+    // epoch 7 and re-delivers the commit: the marker must win
+    stage("part-e7-0.json.gz", "second")
+    sw.commit(7L, Array(LakeSinkCommit("part-e7-0.json.gz")))
+    assert(stagingFiles(out).isEmpty, "re-staged file must be discarded")
+    assert(new String(Files.readAllBytes(Paths.get(out, "part-e7-0.json.gz"))) == "first",
+      "the FIRST delivery's bytes must survive the redelivery")
+  }
+
+  test("streaming abort discards staged files for the epoch") {
+    val out = tmp("graft_sink_sabort")
+    LakeSinkFiles.ensureDirs(out)
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val sw = new LakeSinkStreamingWrite(schema, out)
+    Files.write(LakeSinkFiles.stagingDir(out).resolve("part-e3-0.json.gz"), "x".getBytes)
+    Files.write(LakeSinkFiles.stagingDir(out)
+      .resolve("part-e3-1.json.gz.e3-1-a42.inprogress"), "y".getBytes)
+    sw.abort(3L, Array(LakeSinkCommit("part-e3-0.json.gz")))
+    assert(stagingFiles(out).isEmpty,
+      "abort must remove both committed-message files and in-progress leftovers")
+    assert(partFiles(out).isEmpty)
+  }
+}
