@@ -77,9 +77,19 @@ object SkewProbe {
       // duplicate cliques are exactly the load those caps bound
       ("d51_edit_dedup", Seq(1, 4), operators.DedupLsh.d51EditDedup),
       ("d53_neardup_leakage", Seq(1, 4), operators.DedupLsh.d53NeardupLeakage),
-      ("x10_frame_overlap", Seq(1, 4), operators.Multimodal.x10FrameOverlap))
+      ("x10_frame_overlap", Seq(1, 4), operators.Multimodal.x10FrameOverlap),
+      // d54: the per-prefix-block sort puts each block on ONE task and the
+      // clique corpus shares one 40-char prefix — the hot-block case SNM
+      // is known weak on; measured to decide whether the multi-pass
+      // remedy is needed
+      ("d54_sorted_neighborhood", Seq(1, 4), operators.TextOps.d54SortedNeighborhood))
 
-    val factors = queries.flatMap(_._2).distinct.sorted
+    // optional args beyond the base dir = query-name filter (local iteration)
+    val keyFilter = args.drop(1).toSet
+    val selected =
+      if (keyFilter.isEmpty) queries else queries.filter(q => keyFilter(q._1))
+
+    val factors = selected.flatMap(_._2).distinct.sorted
     factors.foreach { f =>
       replicateSkew(spark, base, f, s"$out/x$f")
       Console.err.println(s"generated skewed x$f")
@@ -96,7 +106,7 @@ object SkewProbe {
       }.min
 
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    val rows = queries.map { case (name, fs, fn) =>
+    val rows = selected.map { case (name, fs, fn) =>
       val times = fs.map(f => f -> time(fn, s"$out/x$f"))
       val (f1, t1) = times.head
       val (fN, tN) = times.last

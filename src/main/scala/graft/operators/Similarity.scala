@@ -1158,6 +1158,19 @@ object Similarity {
        ORDER BY vec_id"""
   }
 
+  /** Per-bucket membership cap for e09's self-join — the m01/BandBucketCap
+    * guard on the ANN side: a duplicate clique collapses into ONE
+    * hyperplane bucket (identical vectors agree on every sign), and an
+    * uncapped bucket self-join goes quadratic in the clique (measured
+    * skew slope 0.78 with the within-clique term visible). The trade is
+    * the same as m01's, explicit and documented: pairs BOTH of whose
+    * members rank past the cap in their shared bucket are missed —
+    * irrelevant after upstream exact dedup (d04/x05), which removes
+    * identical vectors before near-dup search in any real pipeline.
+    * NOTE: defined ABOVE e09Sql — a strict val interpolated before its
+    * initializer runs reads 0 (object-init order, the ml22 lesson). */
+  private[graft] val AnnBucketCap = 256
+
   /** e09 — bucketed embedding near-dup pairs: the 100 TB path for e04.
     * e04's label blocking is quadratic per label (≈10 labels → O(n²/10)
     * at any scale); here candidates form only inside a 6-bit hyperplane
@@ -1175,10 +1188,15 @@ object Similarity {
 
   val e09Sql: String =
     s"""WITH n AS ($corpusSql),
-       sg AS (SELECT vec_id, v, nrm, ${sigSql(0, 5, "v")} AS bucket FROM n)
+       sg AS (SELECT vec_id, v, nrm, ${sigSql(0, 5, "v")} AS bucket FROM n),
+       cap AS (SELECT vec_id, v, nrm, bucket FROM (
+           SELECT vec_id, v, nrm, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rnk
+           FROM sg)
+         WHERE rnk <= $AnnBucketCap)
        SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
          ${rSql("list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)", 6)} AS cosine
-       FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       FROM cap a JOIN cap b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        ORDER BY cosine DESC, id_a, id_b
        LIMIT 50"""
 
@@ -1189,7 +1207,11 @@ object Similarity {
     // signature is 6×64 interpreted lambda evaluations per row — compute
     // it once; CLAUDE.md invariant 5)
     VectorExpressions.register(corpus0.sparkSession)
-    val c = corpus0.withColumn("bucket", VectorExpressions.lshSig(col("v"), 0, 5)).cache()
+    val wB = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val c = corpus0.withColumn("bucket", VectorExpressions.lshSig(col("v"), 0, 5))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= AnnBucketCap).drop("rnk")
+      .cache()
     val a = c.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("qv"), col("nrm").as("na"))
     val b = c.select(col("bucket").as("bk"), col("vec_id").as("id_b"),
