@@ -287,4 +287,85 @@ class StreamRecoverySpec extends GraftSpec {
     assert(canon(streamed) == canon(batch),
       "post-redelivery file-sink content must equal the batch sessionization")
   }
+
+  test("left-outer joinWithAlerts killed at a batch boundary resumes to t18 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // contiguous ts-ordered slices (the interval-join replay shape: both
+    // watermarks advance in lockstep, so neither side evicts state the
+    // other still needs)
+    val slices = { val k = math.ceil(recs.size / 8.0).toInt; recs.grouped(k).toSeq }
+    // precondition: a match SPANNING the kill — its alert arrives before
+    // the stop, its reading after the restart; that pairing can only come
+    // from recovered join state (23 h bound keeps clear of edge rounding)
+    val sliceOf: Map[Long, Int] = slices.zipWithIndex
+      .flatMap { case (s, i) => s.map(e => e.event_id -> i) }.toMap
+    val errs = recs.filter(_.event_type == "error")
+    val crossKill = recs.exists { r0 =>
+      errs.exists { a =>
+        a.user_id == r0.user_id &&
+        a.ts.getTime <= r0.ts.getTime &&
+        a.ts.getTime >= r0.ts.getTime - 23L * 3600 * 1000 &&
+        sliceOf(a.event_id) < 4 && sliceOf(r0.event_id) >= 4
+      }
+    }
+    assert(crossKill, "need a match whose alert precedes the kill and reading follows it")
+
+    val inR = MemoryStream[EventRec]
+    val inA = MemoryStream[EventRec]
+    val out = tmp("graft-recover-join")
+    val ckpt = tmp("graft-recover-join-ckpt")
+    def start() = {
+      val readings = inR.toDF()
+        .select($"user_id".as("machineId"), $"ts", $"value".as("temperature"))
+      val alerts = inA.toDF().filter($"event_type" === "error")
+        .select($"user_id".as("machineId"), $"ts",
+          Telemetry.severityCol.as("severity"))
+      StreamOps.joinWithAlerts(readings, alerts,
+          Telemetry.LookbackSpark, "left_outer")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    try slices.take(4).foreach { s =>
+      inR.addData(s: _*); inA.addData(s: _*); q1.processAllAvailable()
+    } finally q1.stop() // the kill: buffered join state + pending
+                        // null-side readings survive only in ckpt
+    val q2 = start()
+    try {
+      slices.drop(4).foreach { s =>
+        inR.addData(s: _*); inA.addData(s: _*); q2.processAllAvailable()
+      }
+      // flush pending null-side rows: watermark derives from the PREVIOUS
+      // batch's max event time — two far-future sentinel batches
+      val maxTs = recs.last.ts.getTime
+      Seq(48L, 96L).zipWithIndex.foreach { case (h, i) =>
+        val sentinel = EventRec(-1L, "error",
+          new Timestamp(maxTs + h * 3600 * 1000), -1L - i, 0.0)
+        inR.addData(sentinel); inA.addData(sentinel); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .filter($"machineId" >= 0)
+      .select($"machineId", $"ts", $"temperature",
+        coalesce($"alert_ts", expr("TIMESTAMP '1900-01-01 00:00:00'")).as("alert_ts"),
+        coalesce($"severity", lit("none")).as("severity"))
+    val batch = Telemetry.t18IntervalJoinLeft(spark, sfTiny)
+      .select($"machine_id".as("machineId"), $"ts", $"temperature",
+        $"alert_ts", $"severity")
+    // the outer semantics survive the restart: watermark expiry after the
+    // kill must emit EXACTLY the unmatched readings — including readings
+    // buffered as pending null-side rows when the query died
+    val unmatched = batch.filter($"severity" === "none").count()
+    assert(unmatched > 0, "corpus must contain alert-free readings")
+    assert(streamed.filter($"severity" === "none").count() == unmatched,
+      "recovered watermark expiry must emit exactly the unmatched readings")
+    assert(canon(streamed) == canon(batch),
+      "killed-and-restarted left-outer join must equal the batch left join bit-for-bit")
+  }
 }
