@@ -168,6 +168,89 @@ object Maintenance {
          CAST(score >= 0.5 AS INTEGER) AS lsq_prediction
        FROM sc ORDER BY id"""
 
+  // --- ml30: linear attribution (exact SHAP for the LSQ model) -----------
+
+  /** ml30 — per-feature attribution of ml03's linear model. For a linear
+    * model with intercept fit by least squares, the Shapley decomposition
+    * is EXACT and closed-form (the "linear SHAP" special case):
+    * score(x) = ȳ + Σ_j w_j·(x_j − μ_j), so feature j's contribution to a
+    * prediction is c_j = w_j·(x_j − μ_j) and its global importance is
+    * E|c_j| = |w_j|·E|x_j − μ_j| — no sampling, no surrogate model.
+    * Reports per feature: the fitted weight, mean |contribution|, and the
+    * importance share — the "which sensor drives the anomaly score"
+    * number a maintenance team acts on.
+    *
+    * Two aggregation passes over the generated twin (moments → weights/
+    * means, then mean absolute deviations against the broadcast means);
+    * all moments decimal-exact, weights through the SAME Cramer text as
+    * ml03 (character-identical IEEE), |x−μ| a fixed-order IEEE op —
+    * fully oracle-checked. Scale: two map-side-combinable scans + 1-row
+    * broadcasts, linear at any corpus size. */
+  def ml30LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val t = Telemetry.twin(s).select(
+      col("id"), col("is_anomaly"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    val mom = t.agg(
+      count(lit(1)).cast("double").as("nn"),
+      dsum(col("x1")).as("s1"),
+      dsum(col("x2")).as("s2"),
+      dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("is_anomaly").cast("double")).as("sy"),
+      dsum(col("x1") * col("is_anomaly")).as("s1y"),
+      dsum(col("x2") * col("is_anomaly")).as("s2y"))
+    val wts = mom.select(
+      expr(s"$detW1S / $detS").as("w1"),
+      expr(s"$detW2S / $detS").as("w2"),
+      expr("s1 / nn").as("mu1"),
+      expr("s2 / nn").as("mu2"))
+    val sad = t.crossJoin(broadcast(wts))
+      .agg(count(lit(1)).cast("double").as("nn2"),
+        dsum(abs(col("x1") - col("mu1"))).as("sad1"),
+        dsum(abs(col("x2") - col("mu2"))).as("sad2"),
+        first(col("w1")).as("w1"), first(col("w2")).as("w2"))
+      .select(r(col("w1"), 6).as("w1r"), r(col("w2"), 6).as("w2r"),
+        r(abs(col("w1")) * (col("sad1") / col("nn2")), 6).as("ma1"),
+        r(abs(col("w2")) * (col("sad2") / col("nn2")), 6).as("ma2"))
+    val f1 = sad.select(lit("temperature").as("feature"), col("w1r").as("weight"),
+      col("ma1").as("mean_abs_contrib"),
+      r(col("ma1") / (col("ma1") + col("ma2")), 6).as("share"))
+    val f2 = sad.select(lit("vibration").as("feature"), col("w2r").as("weight"),
+      col("ma2").as("mean_abs_contrib"),
+      r(col("ma2") / (col("ma1") + col("ma2")), 6).as("share"))
+    f1.union(f2).orderBy(col("feature"))
+  }
+
+  val ml30Sql: String =
+    s"""WITH t AS (SELECT id, is_anomaly, temperature AS x1, vibration AS x2
+         FROM (${Telemetry.twinSql})),
+       mom AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         ${dsumSql("x1")} AS s1, ${dsumSql("x2")} AS s2,
+         ${dsumSql("x1 * x1")} AS s11, ${dsumSql("x1 * x2")} AS s12,
+         ${dsumSql("x2 * x2")} AS s22,
+         ${dsumSql("CAST(is_anomaly AS DOUBLE)")} AS sy,
+         ${dsumSql("x1 * is_anomaly")} AS s1y, ${dsumSql("x2 * is_anomaly")} AS s2y
+         FROM t),
+       wts AS (SELECT $detW1S / $detS AS w1, $detW2S / $detS AS w2,
+         s1 / nn AS mu1, s2 / nn AS mu2 FROM mom),
+       sad AS (SELECT CAST(count(*) AS DOUBLE) AS nn2,
+           ${dsumSql("abs(x1 - mu1)")} AS sad1,
+           ${dsumSql("abs(x2 - mu2)")} AS sad2,
+           first(w1) AS w1, first(w2) AS w2
+         FROM t, wts),
+       ma AS (SELECT ${rSql("w1", 6)} AS w1r, ${rSql("w2", 6)} AS w2r,
+           ${rSql("abs(w1) * (sad1 / nn2)", 6)} AS ma1,
+           ${rSql("abs(w2) * (sad2 / nn2)", 6)} AS ma2
+         FROM sad)
+       SELECT feature, weight, mean_abs_contrib, share FROM (
+         SELECT 'temperature' AS feature, w1r AS weight,
+           ma1 AS mean_abs_contrib, ${rSql("ma1 / (ma1 + ma2)", 6)} AS share
+         FROM ma
+         UNION ALL
+         SELECT 'vibration', w2r, ma2, ${rSql("ma2 / (ma1 + ma2)", 6)} FROM ma) z
+       ORDER BY feature"""
+
   // --- ml04: iterative training as unrolled aggregation passes ----------
 
   private[graft] val GdIters = 3
@@ -879,6 +962,7 @@ object Maintenance {
     "ml01_rf_scoring" -> (ml01RfScoring _),
     "ml02_lr_scoring" -> (ml02LrScoring _),
     "ml03_lsq_scoring" -> (ml03LsqScoring _),
+    "ml30_linear_attribution" -> (ml30LinearAttribution _),
     "ml04_gd_scoring" -> (ml04GdScoring _),
     "ml11_kfold_cv" -> (ml11KfoldCv _))
 
@@ -891,6 +975,7 @@ object Maintenance {
     "ml12_learning_curve" -> ml12Sql,
     "ml29_walk_forward" -> ml29Sql,
     "ml03_lsq_scoring" -> ml03Sql,
+    "ml30_linear_attribution" -> ml30Sql,
     "ml04_gd_scoring" -> ml04Sql,
     "ml11_kfold_cv" -> ml11Sql)
 }

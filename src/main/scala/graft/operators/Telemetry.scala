@@ -1396,6 +1396,89 @@ object Telemetry {
        FROM b ORDER BY hx"""
   }
 
+  // --- t32: OEE (overall equipment effectiveness) --------------------------
+
+  /** t32 — OEE, the canonical maintenance KPI (Nakajima's TPM formulation:
+    * OEE = availability × performance × quality), per user/machine stream:
+    *
+    *   - availability = uptime share of the observed horizon (first event
+    *     → last event + the 1 h alert window), downtime = t26's merged
+    *     error-episode durations — the SAME episodes the incident pipeline
+    *     reports, so the two KPIs can't drift;
+    *   - performance = the stream's event rate relative to the best
+    *     observed rate in the fleet (rate ratios on ROUNDED rates — the
+    *     q33 parity path for the argmax-free fleet max);
+    *   - quality = non-error share of events.
+    *
+    * All inputs are exact integers (epoch seconds, counts, episode
+    * durations); every ratio is a fixed-order IEEE division of those
+    * integers, so the whole KPI mirrors bit-for-bit. One events
+    * aggregation + t26's episode plan + a 1-row fleet-max broadcast.
+    *
+    * Scale shape: per-user aggregates on the uniform user key, episode
+    * machinery is t26's (window over per-user error streams), the fleet
+    * max is a 1-row broadcast — linear in events at any scale. */
+  def t32Oee(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    oeeReport(
+      Tables.events(s, dir)
+        .select($"user_id", unix_timestamp($"ts").as("es"),
+          ($"event_type" === "error").cast("long").as("is_err")),
+      t26EpisodeMerge(s, dir))
+  }
+
+  /** t32's core over explicit (user_id, es, is_err) events and a
+    * (user_id, …, duration_s) episode frame — exposed for the planted
+    * hand-computed OEE spec. */
+  private[graft] def oeeReport(ev: DataFrame, episodes: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val per = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"is_err").as("n_errors"),
+        min($"es").as("t0"), max($"es").as("t1"))
+      .withColumn("span_s", $"t1" + 3600L - $"t0")
+    val down = episodes
+      .groupBy($"user_id").agg(sum($"duration_s").as("down_s"))
+    val base = per.join(down, Seq("user_id"), "left")
+      .withColumn("down_s", coalesce($"down_s", lit(0L)))
+      .withColumn("avail",
+        r(($"span_s" - $"down_s").cast("double") / $"span_s".cast("double"), 6))
+      .withColumn("rate",
+        r($"n_events".cast("double") / ($"span_s".cast("double") / 3600.0), 6))
+      .withColumn("quality",
+        r(($"n_events" - $"n_errors").cast("double") / $"n_events".cast("double"), 6))
+    val mx = base.agg(max($"rate").as("max_rate"))
+    base.crossJoin(broadcast(mx))
+      .withColumn("perf", r($"rate" / $"max_rate", 6))
+      .select($"user_id", $"n_events", $"n_errors", $"down_s", $"span_s",
+        $"avail", $"perf", $"quality",
+        r($"avail" * $"perf" * $"quality", 6).as("oee"))
+      .orderBy($"user_id")
+  }
+
+  val t32Sql: String =
+    s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(event_type = 'error' AS BIGINT) AS is_err FROM events),
+       per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_err) AS BIGINT) AS n_errors,
+           min(es) AS t0, max(es) AS t1,
+           max(es) + 3600 - min(es) AS span_s
+         FROM ev GROUP BY user_id),
+       dn AS (SELECT user_id, CAST(sum(duration_s) AS BIGINT) AS down_s
+         FROM ($t26Sql) t GROUP BY user_id),
+       b AS (SELECT p.user_id, n_events, n_errors,
+           coalesce(down_s, 0) AS down_s, span_s,
+           ${rSql("CAST(span_s - coalesce(down_s, 0) AS DOUBLE) / CAST(span_s AS DOUBLE)", 6)} AS avail,
+           ${rSql("CAST(n_events AS DOUBLE) / (CAST(span_s AS DOUBLE) / 3600.0)", 6)} AS rate,
+           ${rSql("CAST(n_events - n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)", 6)} AS quality
+         FROM per p LEFT JOIN dn ON dn.user_id = p.user_id),
+       mx AS (SELECT max(rate) AS max_rate FROM b)
+       SELECT user_id, n_events, n_errors, down_s, span_s, avail,
+         ${rSql("rate / max_rate", 6)} AS perf, quality,
+         ${rSql(s"avail * (${rSql("rate / max_rate", 6)}) * quality", 6)} AS oee
+       FROM b CROSS JOIN mx
+       ORDER BY user_id"""
+
   // --- t31: DSv2 write-path round trip ------------------------------------
 
   /** t31 — the generator twin written THROUGH the DSv2 write connector
@@ -1424,6 +1507,7 @@ object Telemetry {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
+    "t32_oee" -> (t32Oee _),
     "t23_changepoint" -> (t23Changepoint _),
     "t22_heartbeat" -> (t22Heartbeat _),
     "t21_burn_rate" -> (t21BurnRate _),
@@ -1452,6 +1536,7 @@ object Telemetry {
 
   val oracles: Map[String, String] = Map(
     "t31_sink_roundtrip" -> t31Sql,
+    "t32_oee" -> t32Sql,
     "t23_changepoint" -> t23Sql,
     "t22_heartbeat" -> t22Sql,
     "t21_burn_rate" -> t21Sql,

@@ -391,9 +391,17 @@ object TextOps {
     sortedNeighborhood(Tables.documents(s, dir).select($"doc_id", $"text"))
   }
 
-  /** d54's core over (doc_id, text) — exposed for the planted
-    * prefix-edit spec. */
-  private[graft] def sortedNeighborhood(docs: DataFrame): DataFrame = {
+  /** d54's core over (doc_id, text): top-500 report over the unlimited
+    * pair set — exposed for the planted prefix-edit spec. */
+  private[graft] def sortedNeighborhood(docs: DataFrame): DataFrame =
+    snmPairsAll(docs)
+      .orderBy(desc_nulls_last("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(500)
+
+  /** The unlimited SNM pair set (J ≥ 0.5, distinct) — shared by d54's
+    * report and d55's audit; checkpointed so callers reuse it without
+    * re-running the neighborhood join. */
+  private[graft] def snmPairsAll(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val keyed = docs
@@ -427,16 +435,17 @@ object TextOps {
           (size($"ta") + size($"tb") - inter), 6).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .distinct()
-      .orderBy(desc_nulls_last("jaccard"), $"doc_a", $"doc_b")
-      .limit(500)
       .localCheckpoint(true)
     keyed.unpersist(blocking = false)
     out
   }
 
-  val d54Sql: String = {
+  /** The SNM CTE block (sort keys → per-block ranks → windowed candidate
+    * pairs → verified J ≥ 0.5 pair set `snmp`) — shared by d54's report
+    * and d55's audit, so the audited pairs ARE the reported pairs. */
+  private def snmCtesSql: String = {
     val inter = "len(list_intersect(a.ta, b.ta))"
-    s"""WITH k AS MATERIALIZED (SELECT doc_id,
+    s"""k AS MATERIALIZED (SELECT doc_id,
          substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 40) AS skey,
          substring(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 2) AS blk,
          list_distinct(${toksSql("text")}) AS ta
@@ -448,12 +457,84 @@ object TextOps {
            greatest(a.doc_id, b.doc_id) AS doc_b,
            ${rSql(s"$inter / (len(a.ta) + len(b.ta) - $inter)", 6)} AS jaccard
          FROM rk a JOIN rk b ON b.blk = a.blk
-           AND b.rn > a.rn AND b.rn <= a.rn + $SnmW)
-       SELECT doc_a, doc_b, jaccard FROM cand
-       WHERE jaccard >= 0.5
+           AND b.rn > a.rn AND b.rn <= a.rn + $SnmW),
+       snmp AS (SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.5)"""
+  }
+
+  val d54Sql: String =
+    s"""WITH $snmCtesSql
+       SELECT doc_a, doc_b, jaccard FROM snmp
        ORDER BY jaccard DESC NULLS LAST, doc_a, doc_b
        LIMIT 500"""
+
+  /** d55 — SNM audit: pair-level precision/recall/F1 of the
+    * sorted-neighborhood pair set against the exact lang-blocked all-pairs
+    * Jaccard graph ([[nearDupPairs]], the d05/d09 edge truth) — the number
+    * that justifies (or indicts) the window width W: recall < 1 counts
+    * the true pairs the W-successor window never saw; precision < 1
+    * counts SNM finds outside the blocked truth (cross-lang prefix
+    * matches). F1 = 2|∩|/(|S|+|E|) stays an exact integer ratio.
+    *
+    * Scale shape: the SNM side is the linear band-bucket plan; the exact
+    * side is the documented quadratic baseline (this is an AUDIT query,
+    * run at sample scale like d42 — the 100 TB path audits a hash-rank
+    * sample, not the full corpus). One row. */
+  def d55SnmAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    snmAudit(
+      snmPairsAll(Tables.documents(s, dir).select($"doc_id", $"text"))
+        .select($"doc_a", $"doc_b"),
+      // checkpoint: the exact pair set feeds the count and the overlap
+      // join (invariant 5 — the quadratic join must not run twice)
+      nearDupPairs(s, dir).select($"doc_a", $"doc_b").localCheckpoint(true))
   }
+
+  /** d55's metric core over explicit (doc_a, doc_b) pair frames —
+    * exposed so the spec can plant a window-missed pair. */
+  private[graft] def snmAudit(sn: DataFrame, ex: DataFrame): DataFrame = {
+    val s = sn.sparkSession
+    import s.implicits._
+    val co = sn.join(ex, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_common"))
+    val ne = ex.agg(count(lit(1)).as("n_exact"))
+    val ns = sn.agg(count(lit(1)).as("n_snm"))
+    ne.crossJoin(ns).crossJoin(co)
+      .select($"n_exact", $"n_snm", $"n_common",
+        when($"n_snm" > 0,
+          r($"n_common".cast("double") / $"n_snm".cast("double"), 6))
+          .otherwise(0.0).as("prec"),
+        when($"n_exact" > 0,
+          r($"n_common".cast("double") / $"n_exact".cast("double"), 6))
+          .otherwise(0.0).as("rec"),
+        when($"n_exact" + $"n_snm" > 0,
+          r((lit(2L) * $"n_common").cast("double") /
+            ($"n_exact" + $"n_snm").cast("double"), 6))
+          .otherwise(0.0).as("f1"))
+  }
+
+  val d55Sql: String =
+    s"""WITH $snmCtesSql,
+       d5 AS (SELECT doc_id, lang, list_distinct(${toksSql("text")}) AS ts FROM documents),
+       ex AS (SELECT doc_a, doc_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ${rSql("len(list_intersect(a.ts, b.ts)) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 6)} AS jaccard
+           FROM d5 a JOIN d5 b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.5),
+       sn AS (SELECT doc_a, doc_b FROM snmp),
+       co AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         FROM sn JOIN ex USING (doc_a, doc_b)),
+       ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n_snm FROM sn)
+       SELECT n_exact, n_snm, n_common,
+         CASE WHEN n_snm > 0
+              THEN ${rSql("CAST(n_common AS DOUBLE) / CAST(n_snm AS DOUBLE)", 6)}
+              ELSE 0.0 END AS prec,
+         CASE WHEN n_exact > 0
+              THEN ${rSql("CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)}
+              ELSE 0.0 END AS rec,
+         CASE WHEN n_exact + n_snm > 0
+              THEN ${rSql("CAST(2 * n_common AS DOUBLE) / CAST(n_exact + n_snm AS DOUBLE)", 6)}
+              ELSE 0.0 END AS f1
+       FROM ne CROSS JOIN ns CROSS JOIN co"""
 
   /** d05 — near-duplicate pairs by token-set Jaccard, blocked on `lang`
     * (the exact quadratic baseline; MinHash LSH in [[DedupLsh]] is the
@@ -1636,6 +1717,7 @@ object TextOps {
     "d42_dedup_sweep" -> (d42DedupSweep _),
     "d45_dedup_sweep_lsh" -> (d45DedupSweepLsh _),
     "d54_sorted_neighborhood" -> (d54SortedNeighborhood _),
+    "d55_snm_audit" -> (d55SnmAudit _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
@@ -1663,6 +1745,7 @@ object TextOps {
     "d42_dedup_sweep" -> d42Sql,
     "d45_dedup_sweep_lsh" -> d45Sql,
     "d54_sorted_neighborhood" -> d54Sql,
+    "d55_snm_audit" -> d55Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,

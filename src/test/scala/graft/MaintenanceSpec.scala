@@ -203,6 +203,21 @@ class MaintenanceSpec extends GraftSpec {
     assert(r == 1.0, s"recall $r")
   }
 
+  test("ml30 linear attribution: shares sum to 1 and temperature dominates the anomaly signal") {
+    val rows = Maintenance.ml30LinearAttribution(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("temperature", "vibration"))
+    val shares = rows.map(_._4)
+    assert(math.abs(shares.sum - 1.0) <= 2e-6, s"shares ${shares.toSeq}")
+    assert(rows.forall(_._3 >= 0.0), "mean |contribution| must be non-negative")
+    // the generator plants the anomaly in temperature (+15 C spike vs a
+    // +1.2 vibration bump on much smaller spread): the linear model must
+    // attribute most of its output variation to temperature
+    val byFeat = rows.map(r => r._1 -> r._4).toMap
+    assert(byFeat("temperature") > 0.5,
+      s"temperature share ${byFeat("temperature")} should dominate")
+  }
+
   test("model save/load roundtrip preserves predictions (S8)") {
     val dir = Files.createTempDirectory("graft-model").toString
     val model = Maintenance.train(spark)

@@ -362,6 +362,41 @@ class TelemetrySpec extends GraftSpec {
     assert(df.filter(col("session_end") < col("session_start")).count() == 0)
   }
 
+  test("t32 OEE matches a hand-computed two-user plant") {
+    import spark.implicits._
+    // user 1: events at 0/3600/7200 s, one error → horizon 10800 s, one
+    // 3600 s episode, quality 2/3, rate 3/(10800/3600) = 1.0
+    // user 2: events at 0/3600, no errors → horizon 7200 s, avail 1,
+    // quality 1, rate 2/(7200/3600) = 1.0 → fleet max rate = 1.0
+    val ev = Seq(
+      (1L, 0L, 0L), (1L, 3600L, 1L), (1L, 7200L, 0L),
+      (2L, 0L, 0L), (2L, 3600L, 0L)).toDF("user_id", "es", "is_err")
+    val eps = Seq((1L, 1L, 3600L, 7200L, 1L, 3600L))
+      .toDF("user_id", "ep", "ep_start", "ep_end", "n_alerts", "duration_s")
+    val got = operators.Telemetry.oeeReport(ev, eps)
+      .collect().map(r0 => (r0.getLong(0), r0.getDouble(5), r0.getDouble(6),
+        r0.getDouble(7), r0.getDouble(8))).toSeq
+    // avail1 = 7200/10800 → 0.666667; oee1 = r(0.666667·1·0.666667) = 0.444445
+    assert(got == Seq(
+      (1L, 0.666667, 1.0, 0.666667, 0.444445),
+      (2L, 1.0, 1.0, 1.0, 1.0)), got.toString)
+  }
+
+  test("t32 OEE factors stay in [0,1] and multiply to the reported OEE at sf0.001") {
+    val df = Telemetry.t32Oee(spark, sfTiny).cache()
+    try {
+      Seq("avail", "perf", "quality", "oee").foreach { c =>
+        assert(df.filter(col(c) < 0 || col(c) > 1).count() == 0, s"$c out of [0,1]")
+      }
+      // perf = 1 for at least one stream (the fleet-max definition)
+      assert(df.filter(col("perf") === 1.0).count() >= 1)
+      val bad = df.filter(
+        abs(col("oee") - graft.operators.Num.r(col("avail") * col("perf") * col("quality"), 6))
+          > 1e-9).count()
+      assert(bad == 0, "oee must equal r(avail*perf*quality, 6)")
+    } finally df.unpersist(blocking = false)
+  }
+
   test("every telemetry query runs and returns rows at sf0.001") {
     Telemetry.queries.foreach { case (name, fn) =>
       assert(fn(spark, sfTiny).count() > 0, s"$name returned 0 rows")

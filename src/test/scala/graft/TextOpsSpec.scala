@@ -535,6 +535,34 @@ class TextOpsSpec extends GraftSpec {
     assert(out.length <= 500)
   }
 
+  test("d55 SNM audit scores a planted window-miss correctly") {
+    import spark.implicits._
+    // C/D share a prefix block and sort adjacent → SNM finds them; A/B
+    // are the same near-dup pair with DIFFERENT first tokens (J = 6/8 =
+    // 0.75 but blocks "zz" vs "qq") → prefix-blind truth has them, the
+    // prefix-keyed window cannot — the exact miss class d55 quantifies
+    val docs = Seq(
+      (1L, "zz target one two three four five"),
+      (2L, "qq target one two three four five"),
+      (3L, "aa same text here now"),
+      (4L, "aa same text here now extra")).toDF("doc_id", "text")
+    val sn = TextOps.snmPairsAll(docs).select(col("doc_a"), col("doc_b"))
+    assert(sn.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
+    val ex = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = TextOps.snmAudit(sn, ex).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (2L, 1L, 1L))
+    assert((got.getDouble(3), got.getDouble(4), got.getDouble(5)) ==
+      (1.0, 0.5, 0.666667), got.toString)
+  }
+
+  test("d55 on testdata: overlap bounded by both pair sets, metrics consistent") {
+    val r0 = TextOps.d55SnmAudit(spark, sfTiny).collect()(0)
+    val (ne, ns, nc) = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
+    assert(nc <= math.min(ne, ns))
+    assert(r0.getDouble(3) >= 0 && r0.getDouble(3) <= 1.0)
+    assert(r0.getDouble(4) >= 0 && r0.getDouble(4) <= 1.0)
+  }
+
   test("text oracles cover every query") {
     assert(TextOps.oracles.keySet == TextOps.queries.keySet)
   }
