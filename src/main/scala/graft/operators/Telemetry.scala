@@ -1505,7 +1505,40 @@ object Telemetry {
 
   val t31Sql: String = t04Sql
 
+  /** t33 — the PARTITIONED write path under the differential: the twin
+    * written through [[graft.sources.LakeSink]] with Hive-style
+    * `d=<date>/hr=<hour>/` dynamic partition directories (the reference
+    * sink's date/hour prefix layout, `phase3-kinesis-s3.yaml:84`) and
+    * read back via Spark partition discovery (the user schema pins the
+    * restored partition-column types). Oracle = the twin + its derived
+    * partition columns, so dir-name round-tripping of BOTH a date and an
+    * int partition value is hash-checked.
+    *
+    * Scale shape: dynamic partitioning with one open stream per
+    * partition value per task; partition values move to directory names
+    * (readable with partition pruning — LakeSinkSpec pins
+    * PartitionFilters), rows carry only data columns. */
+  def t33PartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_t33_lake").toString
+    val t = twin(s)
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("hr", hour(col("ts")))
+    t.write.format("graft.sources.LakeSink")
+      .option("partitionCols", "d,hr").mode("overwrite").save(out)
+    s.read.schema(t.schema)
+      .option("timestampFormat", graft.sources.LakeSink.TimestampFormat)
+      .json(out)
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t33Sql: String =
+    s"""SELECT *, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(hour(ts) AS INTEGER) AS hr
+       FROM ($twinSql) ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_partitioned_sink" -> (t33PartitionedSink _),
     "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
     "t32_oee" -> (t32Oee _),
     "t23_changepoint" -> (t23Changepoint _),
@@ -1535,6 +1568,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t33_partitioned_sink" -> t33Sql,
     "t31_sink_roundtrip" -> t31Sql,
     "t32_oee" -> t32Sql,
     "t23_changepoint" -> t23Sql,

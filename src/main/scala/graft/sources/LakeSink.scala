@@ -59,7 +59,9 @@ class LakeSink extends TableProvider {
       "graft.sources.LakeSink is a write-only sink; read the lake back with spark.read.json")
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new LakeSinkTable(schema, properties.get("path"))
+    new LakeSinkTable(schema, properties.get("path"),
+      Option(properties.get("partitionCols")).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
 }
 
 object LakeSink {
@@ -106,10 +108,46 @@ object LakeSink {
       val _ = i
       ser
     }
+
+  /** The FILE schema of a partitioned write — partition values live in the
+    * directory names (Hive layout), not in the rows; Spark's partition
+    * discovery restores them on read. */
+  private[sources] def dataSchema(schema: StructType, partCols: Seq[String]): StructType = {
+    val out = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    require(out.fields.nonEmpty, "LakeSink: every column is a partition column")
+    out
+  }
+
+  /** One directory-value extractor per partition column, resolved at
+    * planning. Values must be path-safe (the Hive-escape protocol is out
+    * of scope — unsafe characters and NULLs fail the task loudly rather
+    * than corrupting the layout). */
+  private[sources] def partitionExtractors(schema: StructType,
+      partCols: Seq[String]): Seq[InternalRow => String] =
+    partCols.map { c =>
+      val i = schema.fieldIndex(c) // throws on a missing column
+      def safe(v: String): String = {
+        require(v.forall(ch => ch.isLetterOrDigit || ":._-+".contains(ch)),
+          s"LakeSink: partition value '$v' for column $c is not path-safe")
+        v
+      }
+      val f: InternalRow => String = schema.fields(i).dataType match {
+        case StringType  => r => safe(r.getUTF8String(i).toString)
+        case IntegerType => r => r.getInt(i).toString
+        case LongType    => r => r.getLong(i).toString
+        case DateType    => r => java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
+        case other => throw new UnsupportedOperationException(
+          s"LakeSink: unsupported partition column type $other for $c")
+      }
+      (r: InternalRow) => {
+        require(!r.isNullAt(i), s"LakeSink: NULL partition value for column $c")
+        f(r)
+      }
+    }
 }
 
-private[sources] class LakeSinkTable(writeSchema: StructType, path: String)
-    extends Table with SupportsWrite {
+private[sources] class LakeSinkTable(writeSchema: StructType, path: String,
+    partCols: Seq[String]) extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "LakeSink requires a 'path' option")
   override def name(): String = s"graft_lake_sink($path)"
   override def schema(): StructType = writeSchema
@@ -117,26 +155,30 @@ private[sources] class LakeSinkTable(writeSchema: StructType, path: String)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LakeSinkWriteBuilder(info.schema(), path)
+    new LakeSinkWriteBuilder(info.schema(), path, partCols)
 }
 
-private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String)
-    extends WriteBuilder with SupportsTruncate {
+private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
+    partCols: Seq[String]) extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new LakeSinkWrite(schema, path, truncateFirst)
+  override def build(): Write = new LakeSinkWrite(schema, path, truncateFirst, partCols)
 }
 
 private[sources] class LakeSinkWrite(schema: StructType, path: String,
-    truncateFirst: Boolean) extends Write {
-  // validate the schema at planning so an unsupported type fails the job
-  // before any task runs
-  LakeSink.serializers(schema)
-  override def description(): String = s"graft-lake-sink path=$path"
+    truncateFirst: Boolean, partCols: Seq[String]) extends Write {
+  // validate at planning so an unsupported type / missing partition
+  // column fails the job before any task runs
+  LakeSink.serializers(LakeSink.dataSchema(schema, partCols))
+  LakeSink.partitionExtractors(schema, partCols)
+  override def description(): String =
+    s"graft-lake-sink path=$path" +
+      (if (partCols.nonEmpty) s" partitionedBy=[${partCols.mkString(",")}]" else "")
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, truncateFirst,
-      java.util.UUID.randomUUID.toString.take(8))
-  override def toStreaming: StreamingWrite = new LakeSinkStreamingWrite(schema, path)
+      java.util.UUID.randomUUID.toString.take(8), partCols)
+  override def toStreaming: StreamingWrite =
+    new LakeSinkStreamingWrite(schema, path, partCols)
 }
 
 private[graft] object LakeSinkFiles {
@@ -148,12 +190,15 @@ private[graft] object LakeSinkFiles {
     Files.createDirectories(commitsDir(path))
   }
 
-  /** Move staged → destination under the staged file's FINAL name.
+  /** Move staged → destination under the staged file's FINAL relative
+    * path (may carry `k=v/` partition directories, created on demand).
     * REPLACE_EXISTING makes a retried commit converge instead of failing
     * or duplicating. */
   def promote(path: String, staged: Seq[String]): Unit =
     staged.foreach { name =>
-      Files.move(stagingDir(path).resolve(name), Paths.get(path, name),
+      val target = Paths.get(path, name)
+      Option(target.getParent).foreach(Files.createDirectories(_))
+      Files.move(stagingDir(path).resolve(name), target,
         StandardCopyOption.REPLACE_EXISTING)
     }
 
@@ -161,56 +206,70 @@ private[graft] object LakeSinkFiles {
     staged.foreach(name => Files.deleteIfExists(stagingDir(path).resolve(name)))
 
   /** Sweep staging of every artifact carrying this write's tag — job
-    * abort may not receive a message for every attempted task. */
+    * abort may not receive a message for every attempted task. Recursive:
+    * partitioned staging nests `k=v/` directories. */
   def sweep(path: String, tag: String): Unit = {
     val dir = stagingDir(path)
     if (Files.isDirectory(dir)) {
-      val it = Files.list(dir).iterator()
+      val it = Files.walk(dir).iterator()
+      val hits = scala.collection.mutable.ListBuffer.empty[Path]
       while (it.hasNext) {
         val p = it.next()
-        if (p.getFileName.toString.contains(tag)) Files.deleteIfExists(p)
+        if (Files.isRegularFile(p) && p.getFileName.toString.contains(tag)) hits += p
       }
+      hits.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Delete every committed part file under the destination (recursive —
+    * partitioned lakes nest), leaving `_staging`/`_graft_commits` alone. */
+  def truncateDest(path: String): Unit = {
+    val root = Paths.get(path)
+    if (Files.isDirectory(root)) {
+      val it = Files.walk(root).iterator()
+      val hits = scala.collection.mutable.ListBuffer.empty[Path]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
+            && !p.startsWith(stagingDir(path))) hits += p
+      }
+      hits.foreach(Files.deleteIfExists(_))
     }
   }
 }
 
-private[graft] case class LakeSinkCommit(stagedName: String)
+private[graft] case class LakeSinkCommit(staged: Seq[String])
     extends WriterCommitMessage
 private[sources] case object LakeSinkNoData extends WriterCommitMessage
 
 private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean, writeId: String) extends BatchWrite {
+    truncateFirst: Boolean, writeId: String,
+    partCols: Seq[String] = Seq.empty) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeSinkWriterFactory(schema, path, s"b$writeId")
+    new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncateFirst) {
-      val it = Files.list(Paths.get(path)).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("part-") && n.endsWith(".json.gz")) Files.deleteIfExists(p)
-      }
-    }
+    if (truncateFirst) LakeSinkFiles.truncateDest(path)
     LakeSinkFiles.promote(path,
-      messages.collect { case LakeSinkCommit(n) => n }.toSeq)
+      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
-      messages.collect { case LakeSinkCommit(n) => n }.toSeq)
+      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
     LakeSinkFiles.sweep(path, s"b$writeId")
   }
 }
 
-private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String)
-    extends StreamingWrite {
+private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
+    partCols: Seq[String] = Seq.empty) extends StreamingWrite {
   LakeSinkFiles.ensureDirs(path)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeSinkStreamingWriterFactory(schema, path)
+    new LakeSinkStreamingWriterFactory(schema, path, partCols)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = LakeSinkFiles.commitsDir(path).resolve(epochId.toString)
-    val staged = messages.collect { case LakeSinkCommit(n) => n }.toSeq
+    val staged = messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten
     if (Files.exists(marker)) {
       // redelivered epoch (restart between sink commit and checkpoint
       // write): the lake already holds these rows — discard the re-run
@@ -226,80 +285,110 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
-      messages.collect { case LakeSinkCommit(n) => n }.toSeq)
+      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
     LakeSinkFiles.sweep(path, s"e$epochId-")
   }
 }
 
 private[sources] class LakeSinkWriterFactory(schema: StructType, path: String,
-    tag: String) extends DataWriterFactory {
+    tag: String, partCols: Seq[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LakeSinkDataWriter(schema, path,
-      finalName = s"part-$tag-$partitionId.json.gz",
+    new LakeSinkDataWriter(schema, path, partCols,
+      fileName = s"part-$tag-$partitionId.json.gz",
       attemptTag = s"$tag-$partitionId-a$taskId")
 }
 
 private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
-    path: String) extends StreamingDataWriterFactory {
+    path: String, partCols: Seq[String] = Seq.empty)
+    extends StreamingDataWriterFactory {
   // deterministic per (epoch, partition): re-execution of a crashed epoch
   // re-creates the SAME final names, so a mid-commit retry replaces
   // instead of duplicating
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LakeSinkDataWriter(schema, path,
-      finalName = s"part-e$epochId-$partitionId.json.gz",
+    new LakeSinkDataWriter(schema, path, partCols,
+      fileName = s"part-e$epochId-$partitionId.json.gz",
       attemptTag = s"e$epochId-$partitionId-a$taskId")
 }
 
-/** Task-side writer: gzip JSON-lines into `_staging/<attempt>.inprogress`,
-  * finalized to `_staging/<finalName>` on task commit, deleted on abort.
-  * The attempt-unique in-progress name keeps speculative duplicates of
-  * the same partition from clobbering each other; the commit coordinator
-  * guarantees only one of them reaches commit(). */
+/** Task-side writer: gzip JSON-lines into `_staging/<rel>.<attempt>
+  * .inprogress`, finalized to `_staging/<rel>` on task commit, deleted on
+  * abort; `<rel>` carries the Hive-style `k=v/` partition directories
+  * when `partCols` is non-empty (one open stream per partition value the
+  * task sees — dynamic partitioning; partition values are written to the
+  * directory name and EXCLUDED from the rows, Spark partition discovery
+  * restores them on read). The attempt-unique in-progress name keeps
+  * speculative duplicates of the same partition from clobbering each
+  * other; the commit coordinator guarantees only one reaches commit(). */
 private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
-    finalName: String, attemptTag: String) extends DataWriter[InternalRow] {
-  private val fieldNames = schema.fieldNames.map(LakeSink.jsonEscape)
-  private val sers = LakeSink.serializers(schema)
-  private val inProgress =
-    LakeSinkFiles.stagingDir(path).resolve(s"$finalName.$attemptTag.inprogress")
-  private var out: OutputStreamWriter = _
-  private var rows = 0L
+    partCols: Seq[String], fileName: String, attemptTag: String)
+    extends DataWriter[InternalRow] {
+  private val dataSchema = LakeSink.dataSchema(schema, partCols)
+  private val dataIdx = schema.fields.zipWithIndex
+    .filterNot(fi => partCols.contains(fi._1.name)).map(_._2)
+  private val fieldNames = dataSchema.fieldNames.map(LakeSink.jsonEscape)
+  private val sers = LakeSink.serializers(dataSchema)
+  private val partVals = LakeSink.partitionExtractors(schema, partCols)
+  // one open stream per partition-value directory this task has seen
+  private val streams =
+    scala.collection.mutable.LinkedHashMap.empty[String, OutputStreamWriter]
+
+  private def relOf(row: InternalRow): String =
+    if (partCols.isEmpty) ""
+    else partCols.indices.map(i => s"${partCols(i)}=${partVals(i)(row)}")
+      .mkString("", "/", "/")
+
+  private def inProgressOf(rel: String) =
+    LakeSinkFiles.stagingDir(path).resolve(s"$rel$fileName.$attemptTag.inprogress")
 
   override def write(row: InternalRow): Unit = {
-    if (out == null) {
-      Files.createDirectories(LakeSinkFiles.stagingDir(path))
-      out = new OutputStreamWriter(new GZIPOutputStream(new BufferedOutputStream(
-        new FileOutputStream(inProgress.toFile))), StandardCharsets.UTF_8)
-    }
+    val rel = relOf(row)
+    val out = streams.getOrElseUpdate(rel, {
+      val p = inProgressOf(rel)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      new OutputStreamWriter(new GZIPOutputStream(new BufferedOutputStream(
+        new FileOutputStream(p.toFile))), StandardCharsets.UTF_8)
+    })
     val b = new StringBuilder(64)
     b.append('{')
     var i = 0
     while (i < sers.length) {
       if (i > 0) b.append(',')
       b.append('"').append(fieldNames(i)).append("\":")
-      if (row.isNullAt(i)) b.append("null") else b.append(sers(i)(row, i))
+      if (row.isNullAt(dataIdx(i))) b.append("null")
+      else b.append(sers(i)(row, dataIdx(i)))
       i += 1
     }
     b.append("}\n")
     out.write(b.toString)
-    rows += 1
   }
 
   override def commit(): WriterCommitMessage =
-    if (out == null) LakeSinkNoData
+    if (streams.isEmpty) LakeSinkNoData
     else {
-      out.close(); out = null
-      // atomic rename: the staged name appears complete or not at all
-      Files.move(inProgress, LakeSinkFiles.stagingDir(path).resolve(finalName),
-        StandardCopyOption.REPLACE_EXISTING)
-      LakeSinkCommit(finalName)
+      val rels = streams.keys.toSeq
+      streams.values.foreach(_.close())
+      streams.clear()
+      // atomic renames: each staged name appears complete or not at all
+      rels.foreach { rel =>
+        Files.move(inProgressOf(rel),
+          LakeSinkFiles.stagingDir(path).resolve(s"$rel$fileName"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      LakeSinkCommit(rels.map(rel => s"$rel$fileName"))
     }
 
   override def abort(): Unit = {
-    if (out != null) { out.close(); out = null }
-    Files.deleteIfExists(inProgress)
+    val rels = streams.keys.toSeq
+    streams.values.foreach(_.close())
+    streams.clear()
+    rels.foreach(rel => Files.deleteIfExists(inProgressOf(rel)))
   }
 
-  override def close(): Unit =
-    if (out != null) { out.close(); out = null; Files.deleteIfExists(inProgress) }
+  override def close(): Unit = {
+    val rels = streams.keys.toSeq
+    streams.values.foreach(_.close())
+    streams.clear()
+    rels.foreach(rel => Files.deleteIfExists(inProgressOf(rel)))
+  }
 }

@@ -129,6 +129,86 @@ class LakeSinkSpec extends GraftSpec {
     assert(stagingFiles(out).isEmpty)
   }
 
+  test("partitioned write: Hive k=v layout, partition cols excluded from rows, discovery round-trip") {
+    val out = tmp("graft_sink_part")
+    val src = graft.operators.Telemetry.twin(spark).filter(col("id") < 2000L)
+      .withColumn("hr", hour(col("ts")))
+    src.write.format("graft.sources.LakeSink")
+      .option("partitionCols", "hr").mode("append").save(out)
+    // layout: no part files at the root, hr=N directories instead
+    assert(partFiles(out).isEmpty, "partitioned write must not leave root-level part files")
+    val it = Files.list(Paths.get(out)).iterator()
+    var dirs = List.empty[String]
+    while (it.hasNext) {
+      val p = it.next()
+      if (Files.isDirectory(p)) dirs ::= p.getFileName.toString
+    }
+    assert(dirs.count(_.startsWith("hr=")) > 1, s"expected hr= dirs, saw $dirs")
+    // rows must EXCLUDE the partition column (it lives in the dir name)
+    val oneDir = Paths.get(out, dirs.find(_.startsWith("hr=")).get)
+    val rawLine = {
+      val fIt = Files.list(oneDir).iterator()
+      var f: java.nio.file.Path = null
+      while (fIt.hasNext) { val p = fIt.next(); if (p.toString.endsWith(".json.gz")) f = p }
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(Files.newInputStream(f)), "UTF-8"))
+      try in.readLine() finally in.close()
+    }
+    assert(!rawLine.contains("\"hr\""), s"partition col leaked into the rows: $rawLine")
+    // round trip: partition discovery + user schema restores hr with its type
+    val back = spark.read.schema(src.schema)
+      .option("timestampFormat", LakeSink.TimestampFormat).json(out)
+      .select(src.schema.fieldNames.map(col).toIndexedSeq: _*)
+    assert(canon(back) == canon(src), "partitioned round trip must be value-exact")
+    // and the layout actually prunes: a partition filter reaches the scan
+    val pruned = back.filter(col("hr") === 5)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("hr"),
+      s"no partition pruning in:\n${plan.take(600)}")
+    assert(canon(pruned) == canon(src.filter(col("hr") === 5)))
+  }
+
+  test("partitioned job abort sweeps the nested staging tree") {
+    import spark.implicits._
+    val out = tmp("graft_sink_part_abort")
+    val poison = spark.range(500).as[Long]
+      .map { i => if (i == 321L) throw new RuntimeException("graft-poison"); i }
+      .toDF("v").withColumn("g", pmod(col("v"), lit(4L)))
+    intercept[Exception] {
+      poison.write.format("graft.sources.LakeSink")
+        .option("partitionCols", "g").mode("append").save(out)
+    }
+    // nothing staged, nothing promoted — recursively
+    val walked = Files.walk(Paths.get(out)).iterator()
+    var leaked = List.empty[String]
+    while (walked.hasNext) {
+      val p = walked.next()
+      if (Files.isRegularFile(p) && p.toString.contains("part-")) leaked ::= p.toString
+    }
+    assert(leaked.isEmpty, s"abort leaked: $leaked")
+  }
+
+  test("NULL and path-unsafe partition values fail the task loudly") {
+    import spark.implicits._
+    val out = tmp("graft_sink_part_null")
+    val withNull = Seq((1L, "a"), (2L, null)).toDF("v", "g")
+    val err = intercept[Exception] {
+      withNull.write.format("graft.sources.LakeSink")
+        .option("partitionCols", "g").mode("append").save(out)
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(err).exists(t =>
+      Option(t.getMessage).exists(_.contains("NULL partition value"))))
+    val unsafe = Seq((1L, "a/b")).toDF("v", "g")
+    val err2 = intercept[Exception] {
+      unsafe.write.format("graft.sources.LakeSink")
+        .option("partitionCols", "g").mode("append").save(out)
+    }
+    assert(chain(err2).exists(t =>
+      Option(t.getMessage).exists(_.contains("not path-safe"))))
+  }
+
   test("a REDELIVERED epoch is discarded by the commit log, not re-promoted") {
     val out = tmp("graft_sink_redeliver")
     LakeSinkFiles.ensureDirs(out)
@@ -138,13 +218,13 @@ class LakeSinkSpec extends GraftSpec {
       Files.write(LakeSinkFiles.stagingDir(out).resolve(name), content.getBytes)
     // first delivery of epoch 7
     stage("part-e7-0.json.gz", "first")
-    sw.commit(7L, Array(LakeSinkCommit("part-e7-0.json.gz")))
+    sw.commit(7L, Array(LakeSinkCommit(Seq("part-e7-0.json.gz"))))
     assert(partFiles(out) == Seq("part-e7-0.json.gz"))
     assert(Files.exists(LakeSinkFiles.commitsDir(out).resolve("7")))
     // crash between sink commit and checkpoint write → engine re-runs
     // epoch 7 and re-delivers the commit: the marker must win
     stage("part-e7-0.json.gz", "second")
-    sw.commit(7L, Array(LakeSinkCommit("part-e7-0.json.gz")))
+    sw.commit(7L, Array(LakeSinkCommit(Seq("part-e7-0.json.gz"))))
     assert(stagingFiles(out).isEmpty, "re-staged file must be discarded")
     assert(new String(Files.readAllBytes(Paths.get(out, "part-e7-0.json.gz"))) == "first",
       "the FIRST delivery's bytes must survive the redelivery")
@@ -158,7 +238,7 @@ class LakeSinkSpec extends GraftSpec {
     Files.write(LakeSinkFiles.stagingDir(out).resolve("part-e3-0.json.gz"), "x".getBytes)
     Files.write(LakeSinkFiles.stagingDir(out)
       .resolve("part-e3-1.json.gz.e3-1-a42.inprogress"), "y".getBytes)
-    sw.abort(3L, Array(LakeSinkCommit("part-e3-0.json.gz")))
+    sw.abort(3L, Array(LakeSinkCommit(Seq("part-e3-0.json.gz"))))
     assert(stagingFiles(out).isEmpty,
       "abort must remove both committed-message files and in-progress leftovers")
     assert(partFiles(out).isEmpty)
