@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -98,14 +99,41 @@ private[sources] class TelemetryTable(rows: Long, parts: Int, perBatch: Long)
 
 /** Pushdown surface: id-range filters narrow [lo, hi) exactly (and are
   * reported handled — no residual re-filter), `pruneColumns` narrows the
-  * produced schema. Anything else stays residual for Spark. */
+  * produced schema, and ungrouped COUNT/MIN(id)/MAX(id) aggregations
+  * push COMPLETELY into the source — a generated range answers them in
+  * O(1) from its bounds without producing a single row (the DSv2
+  * aggregate-pushdown contract; at 100 TB this is the difference between
+  * a metadata lookup and a full scan for `SELECT count(*)`). Anything
+  * else stays residual for Spark. */
 private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = TelemetrySource.Schema
+  private var pushedAggs: Option[Seq[AggregateFunc]] = None
+
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+      case _                 => false
+    }
+
+  // count(id) ≡ count(*): id is never null in a generated range
+  private def pushable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case c: Count     => !c.isDistinct && isId(c.column)
+      case m: Min       => isId(m.column)
+      case m: Max       => isId(m.column)
+      case _            => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = pushable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!pushable(agg)) false
+    else { pushedAggs = Some(agg.aggregateExpressions.toSeq); true }
 
   private def lv(v: Any): Long = v.asInstanceOf[Number].longValue
 
@@ -128,8 +156,45 @@ private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Lo
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(s: StructType): Unit = required = s
-  override def build(): Scan =
-    new TelemetryScan(lo, math.max(lo, hi), parts, perBatch, required)
+  override def build(): Scan = pushedAggs match {
+    case Some(fns) => new TelemetryAggScan(lo, math.max(lo, hi), fns)
+    case None      => new TelemetryScan(lo, math.max(lo, hi), parts, perBatch, required)
+  }
+}
+
+/** The completely-pushed-down aggregate scan: ONE row computed from the
+  * [lo, hi) bounds — count = hi−lo, min = lo, max = hi−1 (NULL on an
+  * empty range) — zero telemetry rows generated. */
+private[sources] class TelemetryAggScan(lo: Long, hi: Long,
+    fns: Seq[AggregateFunc]) extends Scan with Batch {
+  private val aggSchema = StructType(fns.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-telemetry-agg range=[$lo,$hi) PushedAggregates=[${
+      fns.map(_.toString).mkString(", ")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TelemetryRange(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val (l, h, fs) = (lo, hi, fns)
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(fs.map {
+            case _: CountStar | _: Count => h - l
+            case _: Min                  => if (h > l) l else null
+            case _: Max                  => if (h > l) h - 1 else null
+            case other => throw new IllegalStateException(s"unpushable $other")
+          })
+          override def close(): Unit = ()
+        }
+    }
 }
 
 private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,

@@ -240,6 +240,30 @@ class LakeIOSpec extends GraftSpec {
     assert(got.agg(min($"id"), max($"id")).collect()(0).toSeq == Seq(0L, 499L))
   }
 
+  test("TelemetrySource pushes COUNT/MIN/MAX completely into the source (zero rows generated)") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.TelemetrySource").load()
+    val agg = df.agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"aggregate not pushed:\n${plan.take(800)}")
+    // complete pushdown: no hash-aggregate over generated rows remains
+    assert(!plan.contains("HashAggregate"), s"residual aggregation in:\n${plan.take(800)}")
+    assert(agg.collect()(0).toSeq == Seq(10000L, 0L, 9999L))
+    // composes with filter pushdown: the range narrows FIRST
+    val filtered = df.filter($"id" >= 9990L).agg(count(lit(1)), min($"id"), max($"id"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("range=[9990,10000)"))
+    assert(filtered.collect()(0).toSeq == Seq(10L, 9990L, 9999L))
+    // empty range: count 0, NULL min/max
+    val empty = df.filter($"id" >= 100000L).agg(count(lit(1)), min($"id"), max($"id"))
+    assert(empty.collect()(0).toSeq == Seq(0L, null, null))
+    // an unpushable aggregate (sum over a data column) still computes
+    // correctly through the ordinary row scan
+    val sumT = df.filter($"id" < 100L).agg(sum($"is_anomaly")).collect()(0).getLong(0)
+    val twin = graft.operators.Telemetry.twin(spark).filter($"id" < 100L)
+      .agg(sum($"is_anomaly")).collect()(0).getLong(0)
+    assert(sumT == twin)
+  }
+
   test("TelemetrySource honors a NON-DEFAULT ReadLimit (maxRows / allAvailable / composite)") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     // perBatch (the constructor default) is 1000 — every limit below
