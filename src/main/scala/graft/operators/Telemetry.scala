@@ -1396,6 +1396,51 @@ object Telemetry {
        FROM b ORDER BY hx"""
   }
 
+  // --- t34: native session_window sessionization ---------------------------
+
+  /** t34 — sessionization through Spark's NATIVE `session_window`
+    * operator (t08 builds sessions by hand with lag/sum windows — the
+    * portable gaps-and-islands shape; t34 exercises the built-in
+    * session-merging aggregate the engine ships, the one that also
+    * drives streaming session state): 30-minute gap sessions per user,
+    * window end = last event + gap per the operator's contract. The
+    * oracle is the gaps-and-islands formulation of the SAME semantics
+    * (new session exactly when the gap to the previous event reaches
+    * 30 min), so the native operator is differentially checked against
+    * its textbook definition.
+    *
+    * Scale shape: session_window plans as a per-user sort + merge inside
+    * the aggregate — one shuffle on user_id, no self-join, state bounded
+    * per user. (user_id, session_start) is a total order: sessions of a
+    * user are disjoint. */
+  def t34SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val t34Sql: String =
+    """WITH m AS (SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       FROM events),
+       f AS (SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS brk
+       FROM m),
+       g AS (SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+       FROM f)
+       SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+       FROM g GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
   // --- t32: OEE (overall equipment effectiveness) --------------------------
 
   /** t32 — OEE, the canonical maintenance KPI (Nakajima's TPM formulation:
@@ -1539,6 +1584,7 @@ object Telemetry {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t33_partitioned_sink" -> (t33PartitionedSink _),
+    "t34_session_window" -> (t34SessionWindow _),
     "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
     "t32_oee" -> (t32Oee _),
     "t23_changepoint" -> (t23Changepoint _),
@@ -1569,6 +1615,7 @@ object Telemetry {
 
   val oracles: Map[String, String] = Map(
     "t33_partitioned_sink" -> t33Sql,
+    "t34_session_window" -> t34Sql,
     "t31_sink_roundtrip" -> t31Sql,
     "t32_oee" -> t32Sql,
     "t23_changepoint" -> t23Sql,

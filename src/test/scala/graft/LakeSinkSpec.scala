@@ -209,6 +209,43 @@ class LakeSinkSpec extends GraftSpec {
       Option(t.getMessage).exists(_.contains("not path-safe"))))
   }
 
+  test("partitioned STREAMING write: exactly-once across restart with k=v layout intact") {
+    import spark.implicits._
+    val out = tmp("graft_sink_part_stream")
+    val ckpt = tmp("graft_sink_part_stream_ckpt")
+    // the full reference-sink semantics through the connector: streaming
+    // telemetry, hour-partitioned lake layout, kill/restart exactly-once
+    def run(avail: Long) = {
+      val q = spark.readStream.format("graft.sources.TelemetrySource")
+        .option("rows", avail.toString).option("rowsPerBatch", "100").load()
+        .withColumn("hr", hour(col("ts")))
+        .writeStream.format("graft.sources.LakeSink")
+        .option("path", out).option("partitionCols", "hr")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    (1 to 4).foreach(i => run(i * 100L))
+    val batch = spark.read.format("graft.sources.TelemetrySource")
+      .option("rows", "400").load().withColumn("hr", hour(col("ts")))
+    val back = spark.read.schema(batch.schema)
+      .option("timestampFormat", LakeSink.TimestampFormat).json(out)
+      .select(batch.schema.fieldNames.map(col).toIndexedSeq: _*)
+    assert(back.count() == 400L && back.select($"id").distinct().count() == 400L)
+    assert(canon(back) == canon(batch),
+      "partitioned streamed lake must equal the batch scan exactly once")
+    assert(partFiles(out).isEmpty, "rows must live under hr= dirs, not the root")
+    // staging keeps (empty) k=v dirs after promote — only FILES may not remain
+    val sIt = Files.walk(LakeSinkFiles.stagingDir(out)).iterator()
+    var leftover = List.empty[String]
+    while (sIt.hasNext) {
+      val p = sIt.next()
+      if (Files.isRegularFile(p)) leftover ::= p.toString
+    }
+    assert(leftover.isEmpty, s"staging leaked files: $leftover")
+  }
+
   test("a REDELIVERED epoch is discarded by the commit log, not re-promoted") {
     val out = tmp("graft_sink_redeliver")
     LakeSinkFiles.ensureDirs(out)
