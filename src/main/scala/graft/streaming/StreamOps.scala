@@ -816,6 +816,27 @@ object StreamOps {
       }
   }
 
+  /** The telemetry data-quality metric set shared by the batch and
+    * streaming observation paths: row count, physically-impossible
+    * temperature readings, anomaly count. One definition so the two
+    * layers can never monitor different things. */
+  private[graft] def qualityMetrics: Seq[Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    sum(when(col("temperature") < -40.0 || col("temperature") > 150.0, 1L)
+      .otherwise(0L)).as("n_out_of_range"),
+    sum(col("is_anomaly").cast("long")).as("n_anomalies"))
+
+  /** In-flight data-quality observation (Spark's `observe` API): the
+    * metrics are computed AS the rows flow through the plan — no second
+    * pass, no extra scan, no action of their own. On a stream they
+    * surface per micro-batch in `StreamingQueryProgress.observedMetrics`
+    * (the counters a production pipeline exports to its monitoring
+    * system); in batch, attach an `Observation` to the same
+    * [[qualityMetrics]]. Spec-pinned equal to a direct aggregation. */
+  def withQualityObservation(df: DataFrame,
+      name: String = "graft_quality"): DataFrame =
+    df.observe(name, qualityMetrics.head, qualityMetrics.tail: _*)
+
   /** stream-static enrichment: telemetry joined to a (small) machine
     * dimension — the dimension is broadcast to every task, so the stream
     * side never shuffles and no streaming state is kept. */

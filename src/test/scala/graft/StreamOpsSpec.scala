@@ -351,4 +351,40 @@ class StreamOpsSpec extends GraftSpec {
       assert(math.abs(want - 180.0) / 180.0 < 0.2, s"estimate $want vs 180")
     } finally q.stop()
   }
+
+  test("observe(): in-flight quality metrics equal a direct aggregation (batch)") {
+    val obs = org.apache.spark.sql.Observation("graft_quality_batch")
+    val m = StreamOps.qualityMetrics
+    val df = graft.operators.Telemetry.twin(spark).observe(obs, m.head, m.tail: _*)
+    df.write.format("noop").mode("overwrite").save()
+    val got = obs.get
+    val want = graft.operators.Telemetry.twin(spark)
+      .agg(m.head, m.tail: _*).collect()(0)
+    assert(got("n_rows") == want.getAs[Long]("n_rows"))
+    assert(got("n_out_of_range") == want.getAs[Long]("n_out_of_range"))
+    assert(got("n_anomalies") == want.getAs[Long]("n_anomalies"))
+    // the generator's exact-count anomaly scatter: 5 % of 10000
+    assert(got("n_anomalies") == 500L)
+  }
+
+  test("observe(): quality metrics surface per micro-batch in streaming progress") {
+    val src = spark.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", "400").option("rowsPerBatch", "400").load()
+    val q = StreamOps.withQualityObservation(src)
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val om = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_quality")))
+      assert(om.nonEmpty, "no observed metrics in any progress report")
+      // counters sum across micro-batches to the full stream's truth
+      val rows = om.map(_.getAs[Long]("n_rows")).sum
+      val anom = om.map(_.getAs[Long]("n_anomalies")).sum
+      assert(rows == 400L, s"observed $rows rows")
+      val want = spark.read.format("graft.sources.TelemetrySource")
+        .option("rows", "400").load()
+        .agg(sum(col("is_anomaly").cast("long"))).collect()(0).getLong(0)
+      assert(anom == want, s"observed $anom anomalies vs batch $want")
+    } finally q.stop()
+  }
 }
