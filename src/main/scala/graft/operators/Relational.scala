@@ -668,11 +668,105 @@ object Relational {
   val q86Sql: String =
     q10Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
 
+  // --- q87/q88/q89: TPC-H Q6, Q12, Q18 through the SQL front end --------------
+
+  /** The Q6 body (forecasting-revenue change) — a pure scan-local
+    * predicate + one ungrouped sum, the classic pushdown probe: the
+    * shipdate/discount/quantity conjunction must reach the parquet scan
+    * (PushedFilters) and nothing shuffles but one partial-agg exchange.
+    * Text shared verbatim up to the rounded revenue and the view prefix;
+    * date window moved into this catalog's 1995-2001 span. */
+  private def q6Body(rev: String, p: String): String =
+    s"""SELECT $rev AS revenue
+       FROM ${p}lineitem
+       WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+         AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24
+       ORDER BY revenue"""
+
+  /** q87 — TPC-H Q6 as SQL TEXT through `spark.sql`. */
+  def q87TpchQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("graft_q6_lineitem")
+    s.sql(q6Body(
+      s"CAST(${rsumSql("l_extendedprice * l_discount", 2)} AS DOUBLE)",
+      "graft_q6_"))
+  }
+
+  val q87Sql: String = q6Body(rsumSql("l_extendedprice * l_discount", 2), "")
+
+  /** The Q12 body (shipping-mode / priority) — catalog deviations, each
+    * forced by this testdata and documented: there is no `l_shipmode`
+    * (l_returnflag stands in as the 3-value mode attribute) and no
+    * commit/receipt dates (the published "late" predicate
+    * `l_receiptdate > l_commitdate` becomes shipped >90 days after
+    * order). The priority CASE split is the published one verbatim.
+    * All-integer counts — no rounding policy needed; the sums are CAST
+    * BIGINT on both sides (DuckDB sums int to HUGEINT). */
+  private def q12Body(p: String): String =
+    s"""SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM ${p}orders, ${p}lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
+
+  /** q88 — TPC-H Q12 as SQL TEXT through `spark.sql`. Scale shape: one
+    * fact⋈fact equi-join on the order key (the only shuffle), the late
+    * predicate evaluates post-join (it references both sides), 3-row
+    * output. */
+  def q88TpchQ12(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q12_$t"))
+    s.sql(q12Body("graft_q12_"))
+  }
+
+  val q88Sql: String = q12Body("")
+
+  /** The Q18 body (large-volume customers). `l_quantity` is integral
+    * (1..50) in this testdata, so the whole query runs in exact BIGINT —
+    * the HAVING threshold compares integers on both engines (no
+    * double-sum boundary hazard). Threshold lowered from the published
+    * 300 to 250 (this catalog's max order size is ~460). `o_orderkey`
+    * is in the group key, so it is the total-order tiebreak. */
+  private def q18Body(p: String): String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM ${p}customer, ${p}orders, ${p}lineitem
+       WHERE o_orderkey IN (
+           SELECT l_orderkey FROM ${p}lineitem
+           GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+       LIMIT 100"""
+
+  /** q89 — TPC-H Q18 as SQL TEXT through `spark.sql`. Scale shape: the
+    * HAVING subquery is a semi-join filter on the order key (aggregated
+    * once, then joined — Spark plans it as an aggregate + semi join, no
+    * correlated re-execution), customer broadcasts against the surviving
+    * orders, top-100 via TakeOrdered. */
+  def q89TpchQ18(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q18_$t"))
+    s.sql(q18Body("graft_q18_"))
+  }
+
+  val q89Sql: String = q18Body("")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_fuzzy_match" -> (q36FuzzyMatch _),
     "q84_tpch_q5" -> (q84TpchQ5 _),
     "q85_tpch_q3" -> (q85TpchQ3 _),
     "q86_tpch_q10" -> (q86TpchQ10 _),
+    "q87_tpch_q6" -> (q87TpchQ6 _),
+    "q88_tpch_q12" -> (q88TpchQ12 _),
+    "q89_tpch_q18" -> (q89TpchQ18 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -696,6 +790,9 @@ object Relational {
     "q84_tpch_q5" -> q84Sql,
     "q85_tpch_q3" -> q85Sql,
     "q86_tpch_q10" -> q86Sql,
+    "q87_tpch_q6" -> q87Sql,
+    "q88_tpch_q12" -> q88Sql,
+    "q89_tpch_q18" -> q89Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

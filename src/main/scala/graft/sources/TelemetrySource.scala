@@ -3,8 +3,10 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
+import java.util.OptionalLong
+
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -41,14 +43,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class TelemetrySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TelemetrySource.Schema
+    if (options.getBoolean("daily", false)) TelemetrySource.SchemaDaily
+    else TelemetrySource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TelemetryTable(
       properties.getOrDefault("rows",
         graft.operators.Telemetry.TwinRows.toString).toLong,
       properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("rowsPerBatch", "1000").toLong)
+      properties.getOrDefault("rowsPerBatch", "1000").toLong,
+      properties.getOrDefault("daily", "false").toBoolean)
 }
 
 object TelemetrySource {
@@ -59,6 +63,18 @@ object TelemetrySource {
     StructField("is_anomaly", IntegerType, nullable = false),
     StructField("temperature", DoubleType, nullable = false),
     StructField("vibration", DoubleType, nullable = false)))
+
+  /** `daily` mode adds the partition column: `day` = the UTC date of
+    * `ts`, constant within each day-aligned input partition (the id
+    * stream is 60 s per id, so one day = 1440 contiguous ids). */
+  val SchemaDaily: StructType =
+    StructType(Schema.fields :+ StructField("day", DateType, nullable = false))
+
+  private[sources] val IdsPerDay = 86400L / 60L
+
+  /** Days-since-epoch of an id's timestamp (DateType's internal value). */
+  private[sources] def epochDay(id: Long): Int =
+    Math.floorDiv(graft.operators.Telemetry.TwinEpoch + id * 60L, 86400L).toInt
 
   /** Scala twins of the generator's Column algebra — identical integer
     * LCG, identical left-to-right Irwin–Hall summation, identical
@@ -87,14 +103,16 @@ object TelemetrySource {
       else math.max(1.8 + 0.3 * z(id, 12), 0.0), 6)
 }
 
-private[sources] class TelemetryTable(rows: Long, parts: Int, perBatch: Long)
+private[sources] class TelemetryTable(rows: Long, parts: Int, perBatch: Long,
+    daily: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_telemetry($rows)"
-  override def schema(): StructType = TelemetrySource.Schema
+  override def schema(): StructType =
+    if (daily) TelemetrySource.SchemaDaily else TelemetrySource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TelemetryScanBuilder(rows, parts, perBatch)
+    new TelemetryScanBuilder(rows, parts, perBatch, daily)
 }
 
 /** Pushdown surface: id-range filters narrow [lo, hi) exactly (and are
@@ -103,16 +121,29 @@ private[sources] class TelemetryTable(rows: Long, parts: Int, perBatch: Long)
   * push COMPLETELY into the source — a generated range answers them in
   * O(1) from its bounds without producing a single row (the DSv2
   * aggregate-pushdown contract; at 100 TB this is the difference between
-  * a metadata lookup and a full scan for `SELECT count(*)`). Anything
-  * else stays residual for Spark. */
-private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Long)
+  * a metadata lookup and a full scan for `SELECT count(*)`).
+  *
+  * LIMIT and `ORDER BY id LIMIT n` (TopN) also push COMPLETELY: a
+  * deterministic id-range truncates to its first (ASC) or last (DESC)
+  * n ids exactly, so `isPartiallyPushed = false` and Spark drops its own
+  * Limit/TakeOrdered — `LIMIT 10` over a 100 TB generated range plans a
+  * 10-row single-partition scan. A pushed TopN additionally forces ONE
+  * input partition emitting ids in sort order (the complete-pushdown
+  * contract requires globally ordered output). Anything else stays
+  * residual for Spark. */
+private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Long,
+    daily: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
-  private var required: StructType = TelemetrySource.Schema
+  private var required: StructType =
+    if (daily) TelemetrySource.SchemaDaily else TelemetrySource.Schema
   private var pushedAggs: Option[Seq[AggregateFunc]] = None
+  private var descendingTopN = false
+  private var topNPushed = false
 
   private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
     e match {
@@ -156,10 +187,87 @@ private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Lo
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(s: StructType): Unit = required = s
+
+  // LIMIT n over a deterministic range = keep the first n ids — exact,
+  // so the engine's own Limit node is dropped (isPartiallyPushed=false)
+  override def pushLimit(n: Int): Boolean = {
+    hi = math.min(hi, saturatingAdd(lo, n.toLong))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** ORDER BY id [ASC|DESC] LIMIT n: truncate to the first (ASC) or last
+    * (DESC) n ids of the post-filter range. NULL ordering is irrelevant —
+    * id is never null in a generated range. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
+    if (orders.length != 1 || !isId(orders(0).expression)) false
+    else {
+      if (orders(0).direction == SortDirection.DESCENDING) {
+        lo = math.max(lo, math.max(lo, hi) - n.toLong)
+        descendingTopN = true
+      } else hi = math.min(hi, saturatingAdd(lo, n.toLong))
+      topNPushed = true
+      true
+    }
+
+  private def saturatingAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (s < a) Long.MaxValue else s
+  }
+
   override def build(): Scan = pushedAggs match {
     case Some(fns) => new TelemetryAggScan(lo, math.max(lo, hi), fns)
-    case None      => new TelemetryScan(lo, math.max(lo, hi), parts, perBatch, required)
+    // a pushed TopN needs the single sorted partition, which cannot be
+    // day-keyed — fall back to the plain scan there
+    case None if daily && !topNPushed =>
+      new TelemetryDailyScan(lo, math.max(lo, hi), perBatch, required)
+    case None => new TelemetryScan(lo, math.max(lo, hi),
+      if (topNPushed) 1 else parts, perBatch, required,
+      reverse = descendingTopN)
   }
+}
+
+/** The storage-partitioned-join scan: input partitions are DAY-aligned id
+  * ranges, each carrying its `day` as a DSv2 partition key
+  * ([[HasPartitionKey]]), and the scan reports
+  * `KeyGroupedPartitioning(identity(day))` — so with
+  * `spark.sql.sources.v2.bucketing.enabled` two telemetry scans join or
+  * aggregate ON `day` with ZERO shuffle exchanges (Spark's
+  * storage-partitioned join, the DSv2 answer to bucketed tables; at
+  * 100 TB this is the difference between co-located daily rollups and
+  * re-shuffling the fact table for every day-keyed operation). The
+  * identity transform is used (not `days(ts)`) because identity resolves
+  * against the scan output directly — no FunctionCatalog required. */
+private[sources] class TelemetryDailyScan(lo: Long, hi: Long,
+    perBatch: Long, required: StructType)
+    extends TelemetryScan(lo, hi, 1, perBatch, required)
+    with SupportsReportPartitioning {
+  import TelemetrySource.{epochDay, IdsPerDay}
+
+  private def dayStartId(day: Int): Long =
+    day.toLong * IdsPerDay - graft.operators.Telemetry.TwinEpoch / 60L
+
+  private lazy val days: Array[Int] =
+    if (hi <= lo) Array.empty else (epochDay(lo) to epochDay(hi - 1)).toArray
+
+  override def description(): String =
+    s"graft-telemetry-daily range=[$lo,$hi) days=${days.length} cols=[${
+      required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    days.map { d =>
+      TelemetryDayRange(math.max(lo, dayStartId(d)),
+        math.min(hi, dayStartId(d + 1)), d): InputPartition
+    }
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("day")),
+      days.length)
+}
+
+private[sources] case class TelemetryDayRange(start: Long, end: Long, day: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(day)
 }
 
 /** The completely-pushed-down aggregate scan: ONE row computed from the
@@ -198,10 +306,23 @@ private[sources] class TelemetryAggScan(lo: Long, hi: Long,
 }
 
 private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,
-    perBatch: Long, required: StructType) extends Scan with Batch {
+    perBatch: Long, required: StructType, reverse: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-telemetry range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
+    s"graft-telemetry range=[$lo,$hi)${if (reverse) " desc" else ""} cols=[${
+      required.fieldNames.mkString(",")}]"
+  /** Exact post-pushdown statistics (a generated range KNOWS its
+    * cardinality): lets Catalyst auto-broadcast a small filtered scan in
+    * a join with no `broadcast()` hint — at 100 TB the filtered dim side
+    * of a telemetry join picks BroadcastHashJoin from these numbers
+    * instead of shuffling both sides. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def numRows(): OptionalLong = OptionalLong.of(n)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(n * math.max(1, required.defaultSize).toLong)
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TelemetryMicroBatch(hi, parts, perBatch, required)
@@ -213,7 +334,7 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TelemetryReaderFactory(required)
+    new TelemetryReaderFactory(required, reverse)
 }
 
 private[graft] case class TelemetryOffset(id: Long) extends Offset {
@@ -283,22 +404,35 @@ private[graft] class TelemetryMicroBatch(rows: Long, parts: Int,
 private[sources] case class TelemetryRange(start: Long, end: Long)
     extends InputPartition
 
-private[sources] class TelemetryReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+private[sources] class TelemetryReaderFactory(required: StructType,
+    reverse: Boolean = false) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = p.asInstanceOf[TelemetryRange]
+    val (rs, re) = p match {
+      case TelemetryRange(s0, e0)       => (s0, e0)
+      case TelemetryDayRange(s0, e0, _) => (s0, e0)
+    }
     val fields = required.fieldNames
-    new PartitionReader[InternalRow] {
-      private var id = r.start - 1
-      override def next(): Boolean = { id += 1; id < r.end }
-      override def get(): InternalRow = InternalRow.fromSeq(fields.map {
-        case "id"          => id
-        case "ts"          => (graft.operators.Telemetry.TwinEpoch + id * 60L) * 1000000L
-        case "machine_id"  => UTF8String.fromString("NC_Machine_AC")
-        case "is_anomaly"  => if (TelemetrySource.isAnomaly(id)) 1 else 0
-        case "temperature" => TelemetrySource.temperature(id)
-        case "vibration"   => TelemetrySource.vibration(id)
-      }.toSeq)
+    def row(id: Long): InternalRow = InternalRow.fromSeq(fields.map {
+      case "id"          => id
+      case "ts"          => (graft.operators.Telemetry.TwinEpoch + id * 60L) * 1000000L
+      case "machine_id"  => UTF8String.fromString("NC_Machine_AC")
+      case "is_anomaly"  => if (TelemetrySource.isAnomaly(id)) 1 else 0
+      case "temperature" => TelemetrySource.temperature(id)
+      case "vibration"   => TelemetrySource.vibration(id)
+      case "day"         => TelemetrySource.epochDay(id)
+    }.toSeq)
+    if (reverse) new PartitionReader[InternalRow] {
+      // pushed `ORDER BY id DESC LIMIT n`: emit ids high→low so the
+      // single partition IS globally sorted (complete-TopN contract)
+      private var id = re
+      override def next(): Boolean = { id -= 1; id >= rs }
+      override def get(): InternalRow = row(id)
+      override def close(): Unit = ()
+    }
+    else new PartitionReader[InternalRow] {
+      private var id = rs - 1
+      override def next(): Boolean = { id += 1; id < re }
+      override def get(): InternalRow = row(id)
       override def close(): Unit = ()
     }
   }

@@ -264,6 +264,123 @@ class LakeIOSpec extends GraftSpec {
     assert(sumT == twin)
   }
 
+  test("TelemetrySource pushes LIMIT completely into the scan range") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.TelemetrySource").load()
+    val limited = df.limit(7)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,7)"), s"limit not pushed:\n${plan.take(800)}")
+    assert(limited.collect().map(_.getLong(0)).sorted.toSeq == (0L to 6L))
+    // composes with filter pushdown: range narrows to the filtered window
+    val both = df.filter($"id" >= 9990L).limit(5)
+    assert(both.queryExecution.executedPlan.toString.contains("range=[9990,9995)"),
+      both.queryExecution.executedPlan.toString.take(800))
+    assert(both.collect().map(_.getLong(0)).sorted.toSeq == (9990L to 9994L))
+    // limit larger than the table: the whole range survives
+    assert(df.limit(1000000).count() == 10000L)
+  }
+
+  test("TelemetrySource pushes ORDER BY id LIMIT n (TopN) completely — both directions") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.TelemetrySource").load()
+    val desc3 = df.orderBy($"id".desc).limit(3)
+    val planD = desc3.queryExecution.executedPlan.toString
+    assert(planD.contains("range=[9997,10000) desc"),
+      s"TopN desc not pushed:\n${planD.take(800)}")
+    // complete pushdown: Spark's own TakeOrdered is gone, the scan's
+    // single reversed partition IS the sorted answer
+    assert(!planD.contains("TakeOrderedAndProject"), planD.take(800))
+    assert(desc3.collect().map(_.getLong(0)).toSeq == Seq(9999L, 9998L, 9997L))
+    val asc4 = df.orderBy($"id").limit(4)
+    val planA = asc4.queryExecution.executedPlan.toString
+    assert(planA.contains("range=[0,4)"), s"TopN asc not pushed:\n${planA.take(800)}")
+    assert(asc4.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // a sort the source can't serve (data column) stays with Spark and
+    // is still correct
+    val byTemp = df.filter($"id" < 200L).orderBy($"temperature".desc).limit(2)
+      .collect().map(_.getAs[Double]("temperature")).toSeq
+    val twin = graft.operators.Telemetry.twin(spark).filter($"id" < 200L)
+      .orderBy($"temperature".desc).limit(2)
+      .collect().map(_.getAs[Double]("temperature")).toSeq
+    assert(byTemp == twin)
+  }
+
+  test("TelemetrySource reports post-pushdown statistics: a small filtered scan auto-broadcasts") {
+    import spark.implicits._
+    // no broadcast() hint anywhere — Catalyst must pick BroadcastHashJoin
+    // from SupportsReportStatistics' exact post-filter cardinality
+    val dim = spark.read.format("graft.sources.TelemetrySource").load()
+      .filter($"id" < 50L).select($"id", $"temperature")
+    val fact = spark.range(0L, 200000L).select($"id")
+    val joined = fact.join(dim, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats did not drive a broadcast:\n${plan.take(1200)}")
+    assert(joined.count() == 50L)
+  }
+
+  test("TelemetrySource daily mode: day column correct, partitions day-aligned") {
+    import spark.implicits._
+    val df = spark.read.format("graft.sources.TelemetrySource")
+      .option("daily", "true").load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "ts", "machine_id", "is_anomaly", "temperature", "vibration", "day"))
+    // day ≡ the UTC date of ts on every row
+    assert(df.filter($"day" =!= to_date($"ts")).count() == 0)
+    assert(df.count() == 10000L)
+    // 10000 ids at 1440/day → 7 day-aligned partitions
+    assert(df.rdd.getNumPartitions == 7)
+    // the data columns are unchanged by the mode
+    val twin = graft.operators.Telemetry.twin(spark)
+    assert(df.drop("day").collect().map(_.toString).sorted.toSeq ==
+      twin.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("TelemetrySource daily scans join and aggregate on day with ZERO shuffles (storage-partitioned join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def daily = spark.read.format("graft.sources.TelemetrySource")
+        .option("daily", "true").load()
+      // two day-keyed rollups joined on the partition key: the scans
+      // report KeyGroupedPartitioning(identity(day)) with day-aligned
+      // input partitions, so BOTH aggregations and the join are satisfied
+      // by the storage partitioning — no exchange anywhere in the plan
+      val hot = daily.groupBy($"day").agg(avg($"temperature").as("t"))
+      val vib = daily.groupBy($"day").agg(avg($"vibration").as("v"))
+      val joined = hot.join(vib, "day")
+      joined.collect()
+      var shuffles = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        if (p.isInstanceOf[ShuffleExchangeLike]) shuffles += 1
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(joined.queryExecution.executedPlan)
+      assert(shuffles == 0, s"storage-partitioned join must not shuffle, saw $shuffles:\n${
+        joined.queryExecution.executedPlan.toString.take(1500)}")
+      // and the co-partitioned result is the ordinary shuffled result
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val plain = daily.groupBy($"day").agg(avg($"temperature").as("t"))
+        .join(daily.groupBy($"day").agg(avg($"vibration").as("v")), "day")
+      assert(joined.collect().map(_.toString).sorted.toSeq ==
+        plain.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
   test("TelemetrySource honors a NON-DEFAULT ReadLimit (maxRows / allAvailable / composite)") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     // perBatch (the constructor default) is 1000 — every limit below
