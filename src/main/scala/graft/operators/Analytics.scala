@@ -3291,7 +3291,203 @@ object Analytics {
        ORDER BY type_a, type_b, lag"""
   }
 
+  // --- q90: CUPED variance reduction (pre-period covariate) -----------------
+
+  /** The experiment-period boundary: the month splits 15+15 days, so both
+    * periods are populated at every scale (events span 2024-01). */
+  private val CupedSplit = "2024-01-16 00:00:00"
+
+  /** Shared CUPED algebra over the one-row integer moment table
+    * (n/sx/sy/sxx/syy/sxy plus per-variant n0/n1/sx0/sx1/sy0/sy1) — one
+    * text, identical IEEE order in both engines. All moments are exact
+    * integers (counts), so every double below is born from one cast. */
+  private val CuCov  = "CAST(n * sxy - sx * sy AS DOUBLE)"
+  private val CuVarX = "CAST(n * sxx - sx * sx AS DOUBLE)"
+  private val CuVarY = "CAST(n * syy - sy * sy AS DOUBLE)"
+  private val CuTheta = s"($CuCov / $CuVarX)"
+  private val CuMy0 = "(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+  private val CuMy1 = "(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+  private val CuMx0 = "(CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+  private val CuMx1 = "(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+  private val CuLift = s"($CuMy1 - $CuMy0)"
+  private val CuLiftCv = s"($CuLift - $CuTheta * ($CuMx1 - $CuMx0))"
+  private val CuVarRed = s"(($CuCov * $CuCov) / ($CuVarX * $CuVarY))"
+
+  /** q90 — CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013
+    * "Improving the sensitivity of online controlled experiments by
+    * utilizing pre-experiment data"): per user, x = pre-period event
+    * count (covariate), y = experiment-period event count (metric),
+    * variant = h60(user) mod 2 (the same deterministic assignment family
+    * as the s-series splits). θ = cov(x,y)/var(x) POOLED (the standard
+    * estimator — θ uses no variant information, so it cannot bias the
+    * lift), adjusted lift = lift − θ·(x̄₁ − x̄₀), and the variance
+    * reduction is exactly ρ²(x,y) because var(y − θx) = var(y)(1 − ρ²)
+    * at the OLS θ.
+    *
+    * Numeric policy: x and y are integer counts, so every moment
+    * (Σx, Σy, Σx², Σy², Σxy, per-variant sums) is an EXACT integer from
+    * one map-side-combinable aggregation; each reported double is a
+    * fixed-order expression over one-cast integers — no double summation
+    * anywhere. Scale shape: one groupBy(user) over the fact scan, one
+    * 1-row moment aggregation; the test itself is free at any scale. */
+  def q90Cuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cuped(Tables.events(s, dir).select($"user_id", $"ts"))
+  }
+
+  /** q90's core over an explicit (user_id, ts) relation — exposed so the
+    * spec can plant a perfectly-correlated plant (var_reduction = 1). */
+  private[graft] def cuped(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val cut = lit(CupedSplit).cast("timestamp")
+    val pu = ev.groupBy($"user_id")
+      .agg(sum(when($"ts" < cut, 1L).otherwise(0L)).as("x"),
+        sum(when($"ts" >= cut, 1L).otherwise(0L)).as("y"))
+      .withColumn("v", DedupLsh.h60($"user_id".cast("string")) % 2)
+    pu.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"),
+        sum(when($"v" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"v" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"v" === 0, $"x").otherwise(0L)).as("sx0"),
+        sum(when($"v" === 1, $"x").otherwise(0L)).as("sx1"),
+        sum(when($"v" === 0, $"y").otherwise(0L)).as("sy0"),
+        sum(when($"v" === 1, $"y").otherwise(0L)).as("sy1"))
+      .filter(expr(CuVarX) > 0 && expr(CuVarY) > 0 && $"n0" > 0 && $"n1" > 0)
+      .select($"n", $"n0", $"n1",
+        r(expr(CuTheta), 6).as("theta"),
+        r(expr(CuMy0), 6).as("mean_y0"),
+        r(expr(CuMy1), 6).as("mean_y1"),
+        r(expr(CuLift), 6).as("lift"),
+        r(expr(CuLiftCv), 6).as("lift_cv"),
+        r(expr(CuVarRed), 6).as("var_reduction"))
+      .orderBy($"n")
+  }
+
+  val q90Sql: String =
+    s"""WITH pu AS (SELECT user_id,
+         ${DedupLsh.h60Sql("CAST(user_id AS VARCHAR)")} % 2 AS v,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       FROM events GROUP BY user_id),
+       mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+       FROM pu)
+       SELECT n, n0, n1,
+         ${rSql(CuTheta, 6)} AS theta,
+         ${rSql(CuMy0, 6)} AS mean_y0,
+         ${rSql(CuMy1, 6)} AS mean_y1,
+         ${rSql(CuLift, 6)} AS lift,
+         ${rSql(CuLiftCv, 6)} AS lift_cv,
+         ${rSql(CuVarRed, 6)} AS var_reduction
+       FROM mo
+       WHERE $CuVarX > 0 AND $CuVarY > 0 AND n0 > 0 AND n1 > 0
+       ORDER BY n"""
+
+  // --- q91: ratio-metric standard error (jackknife + delta method) ----------
+
+  /** q91 — standard error of a ratio-of-sums metric with the USER as the
+    * randomization unit (conversion ratio R = Σ purchases / Σ clicks):
+    * the naive binomial SE is wrong because events cluster within users,
+    * so both classical answers are computed side by side —
+    * leave-one-user-out JACKKNIFE (Quenouille/Tukey; R₍ᵢ₎ =
+    * (Sy−yᵢ)/(Sm−mᵢ), var = (n−1)/n · Σ(R₍ᵢ₎ − R̄₍·₎)²) and the DELTA
+    * METHOD linearization (var ≈ Σ(yᵢ − R̂·mᵢ)² / Sm²). The two are
+    * asymptotically equal; the spec plants a perfectly-proportional
+    * corpus where BOTH collapse to exactly zero.
+    *
+    * Numeric policy: per-user y/m are integer counts; R₍ᵢ₎ is one double
+    * division, rounded to 9 dp and summed IN DECIMAL (order-independent,
+    * the q78/ml11 re-entry pattern); squared deviations re-enter decimal
+    * at 12 dp; the delta form is pure integer moments + one R̂. Scale
+    * shape: one groupBy(user), a 1-row totals broadcast, two tiny
+    * aggregations over the n-user frame — no sort, no window. */
+  def q91RatioJackknife(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ratioJackknife(Tables.events(s, dir)
+      .select($"user_id",
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("yy"),
+        when($"event_type" === "click", 1L).otherwise(0L).as("mm")))
+  }
+
+  /** q91's core over (user_id, yy, mm) indicator rows — exposed for the
+    * proportional-plant spec. */
+  private[graft] def ratioJackknife(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val pu = ev.groupBy($"user_id")
+      .agg(sum($"yy").as("y"), sum($"mm").as("m"))
+      .localCheckpoint(true) // feeds totals AND both deviation passes
+    val tot = pu.agg(count(lit(1)).as("n"), sum($"y").as("sy"), sum($"m").as("sm"),
+      sum($"y" * $"y").as("syy"), sum($"m" * $"m").as("smm"),
+      sum($"y" * $"m").as("sym"))
+    val wj = pu.crossJoin(broadcast(tot))
+      .filter($"sm" - $"m" > 0)
+      .withColumn("rj", r(($"sy" - $"y").cast("double") / ($"sm" - $"m").cast("double"), 9))
+    val rb = wj.groupBy($"n", $"sy", $"sm", $"syy", $"smm", $"sym")
+      .agg(count(lit(1)).as("nj"), dsum($"rj").as("s1"))
+      .withColumn("rbar", $"s1" / $"nj".cast("double"))
+    val out = wj.select($"rj")
+      .crossJoin(broadcast(rb))
+      .withColumn("d2", r(($"rj" - $"rbar") * ($"rj" - $"rbar"), 12))
+      .groupBy($"n", $"nj", $"sy", $"sm", $"syy", $"smm", $"sym", $"rbar")
+      .agg(dsum($"d2").as("s2"))
+      .withColumn("rhat", $"sy".cast("double") / $"sm".cast("double"))
+      .select($"n".as("n_users"), $"sy".as("sum_y"), $"sm".as("sum_m"),
+        r($"rhat", 6).as("ratio"),
+        r(sqrt(($"nj" - 1).cast("double") / $"nj".cast("double") * $"s2"), 6)
+          .as("se_jack"),
+        r(sqrt(($"syy".cast("double") - lit(2.0) * $"rhat" * $"sym".cast("double") +
+          $"rhat" * $"rhat" * $"smm".cast("double")) /
+          ($"sm".cast("double") * $"sm".cast("double"))), 6).as("se_delta"))
+      .orderBy($"n_users")
+      .localCheckpoint(true)
+    pu.unpersist(blocking = false)
+    out
+  }
+
+  val q91Sql: String =
+    s"""WITH pu AS (SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS m
+       FROM events GROUP BY user_id),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(m) AS BIGINT) AS sm, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(m * m) AS BIGINT) AS smm, CAST(sum(y * m) AS BIGINT) AS sym
+       FROM pu),
+       wj AS (SELECT n, sy, sm, syy, smm, sym,
+         ${rSql("CAST(sy - y AS DOUBLE) / CAST(sm - m AS DOUBLE)", 9)} AS rj
+       FROM pu CROSS JOIN tot WHERE sm - m > 0),
+       rb AS (SELECT n, sy, sm, syy, smm, sym, CAST(count(*) AS BIGINT) AS nj,
+         ${dsumSql("rj")} AS s1
+       FROM wj GROUP BY n, sy, sm, syy, smm, sym),
+       rb2 AS (SELECT *, s1 / CAST(nj AS DOUBLE) AS rbar FROM rb),
+       dv AS (SELECT wj.n, rb2.nj, wj.sy, wj.sm, wj.syy, wj.smm, wj.sym, rb2.rbar,
+         ${rSql("(wj.rj - rb2.rbar) * (wj.rj - rb2.rbar)", 12)} AS d2
+       FROM wj CROSS JOIN rb2),
+       ag AS (SELECT n, nj, sy, sm, syy, smm, sym, rbar, ${dsumSql("d2")} AS s2
+       FROM dv GROUP BY n, nj, sy, sm, syy, smm, sym, rbar),
+       fin AS (SELECT *, CAST(sy AS DOUBLE) / CAST(sm AS DOUBLE) AS rhat FROM ag)
+       SELECT n AS n_users, sy AS sum_y, sm AS sum_m,
+         ${rSql("rhat", 6)} AS ratio,
+         ${rSql("sqrt(CAST(nj - 1 AS DOUBLE) / CAST(nj AS DOUBLE) * s2)", 6)} AS se_jack,
+         ${rSql("sqrt((CAST(syy AS DOUBLE) - 2.0 * rhat * CAST(sym AS DOUBLE) + rhat * rhat * CAST(smm AS DOUBLE)) / (CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)))", 6)} AS se_delta
+       FROM fin
+       ORDER BY n_users"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_cuped" -> (q90Cuped _),
+    "q91_ratio_jackknife" -> (q91RatioJackknife _),
     "q65_new_vs_returning" -> (q65NewVsReturning _),
     "q66_kruskal_wallis" -> (q66KruskalWallis _),
     "q67_lag_features" -> (q67LagFeatures _),
@@ -3348,6 +3544,8 @@ object Analytics {
   /** q19/q37 are engine-private sketches → rows-only + AnalyticsSpec;
     * their portable twins q40/q39 are hash-checked. */
   val oracles: Map[String, String] = Map(
+    "q90_cuped" -> q90Sql,
+    "q91_ratio_jackknife" -> q91Sql,
     "q65_new_vs_returning" -> q65Sql,
     "q66_kruskal_wallis" -> q66Sql,
     "q67_lag_features" -> q67Sql,

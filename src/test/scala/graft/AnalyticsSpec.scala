@@ -1078,6 +1078,77 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("q90 CUPED: perfectly-correlated plant gives theta = slope, var_reduction = 1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user u: x = u pre-period events, y = 2u + 3 post-period events —
+    // y is an exact affine function of x, so rho^2 = 1 and theta = 2
+    val ev = (1 to 6).flatMap { u =>
+      val pre = (1 to u).map(i =>
+        (u.toLong, Timestamp.valueOf(f"2024-01-10 00:$i%02d:00")))
+      val post = (1 to 2 * u + 3).map(i =>
+        (u.toLong, Timestamp.valueOf(f"2024-01-20 00:$i%02d:00")))
+      pre ++ post
+    }.toDF("user_id", "ts")
+    val got = operators.Analytics.cuped(ev).collect()(0)
+    assert(got.getAs[Long]("n") == 6L)
+    assert(got.getAs[Double]("theta") == 2.0, got.toString)
+    assert(got.getAs[Double]("var_reduction") == 1.0, got.toString)
+    // adjusted lift: recompute from the spec's own variant assignment
+    val v = (1 to 6).map { u =>
+      u.toLong -> spark.range(1).select(
+        (operators.DedupLsh.h60(lit(u.toString)) % 2).cast("long"))
+        .collect()(0).getLong(0)
+    }.toMap
+    val g0 = (1 to 6).filter(u => v(u.toLong) == 0)
+    val g1 = (1 to 6).filter(u => v(u.toLong) == 1)
+    assert(g0.nonEmpty && g1.nonEmpty, v.toString)
+    def mean(xs: Seq[Int]) = xs.sum.toDouble / xs.size
+    val lift = mean(g1.map(u => 2 * u + 3)) - mean(g0.map(u => 2 * u + 3))
+    val liftCv = lift - 2.0 * (mean(g1) - mean(g0))
+    assert(math.abs(got.getAs[Double]("lift") - lift) < 1e-6, got.toString)
+    // y affine in x => the adjusted lift removes ALL covariate imbalance:
+    // lift_cv is exactly the intercept difference (zero here)
+    assert(math.abs(got.getAs[Double]("lift_cv") - liftCv) < 1e-6, got.toString)
+    assert(math.abs(got.getAs[Double]("lift_cv")) < 1e-6, got.toString)
+  }
+
+  test("q90 on testdata: one row, reduction in [0,1], variant means consistent") {
+    val got = operators.Analytics.q90Cuped(spark, sfTiny).collect()
+    assert(got.length == 1)
+    val r0 = got(0)
+    assert(r0.getAs[Long]("n") == r0.getAs[Long]("n0") + r0.getAs[Long]("n1"))
+    val vr = r0.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr <= 1.0, r0.toString)
+    assert(math.abs(r0.getAs[Double]("lift") -
+      (r0.getAs[Double]("mean_y1") - r0.getAs[Double]("mean_y0"))) < 2e-6, r0.toString)
+  }
+
+  test("q91 ratio SE: proportional plant collapses jackknife AND delta to zero") {
+    import spark.implicits._
+    // user u: m = u+1 clicks, y = 2(u+1) purchases — y_i = 2 m_i for every
+    // user, so every leave-one-out ratio equals 2 and both SEs vanish
+    val ev = (1 to 5).flatMap { u =>
+      Seq.fill(2 * (u + 1))((u.toLong, 1L, 0L)) ++
+        Seq.fill(u + 1)((u.toLong, 0L, 1L))
+    }.toDF("user_id", "yy", "mm")
+    val got = operators.Analytics.ratioJackknife(ev).collect()(0)
+    assert(got.getAs[Double]("ratio") == 2.0, got.toString)
+    assert(got.getAs[Double]("se_jack") == 0.0, got.toString)
+    assert(got.getAs[Double]("se_delta") == 0.0, got.toString)
+    assert(got.getAs[Long]("sum_y") == 2L * got.getAs[Long]("sum_m"))
+  }
+
+  test("q91 on testdata: SEs positive and the two estimators agree in magnitude") {
+    val r0 = operators.Analytics.q91RatioJackknife(spark, sfTiny).collect()(0)
+    assert(r0.getAs[Long]("n_users") > 0)
+    assert(r0.getAs[Double]("ratio") > 0.0)
+    val (sj, sd) = (r0.getAs[Double]("se_jack"), r0.getAs[Double]("se_delta"))
+    assert(sj > 0.0 && sd > 0.0, r0.toString)
+    // asymptotically equal estimators: same order of magnitude even at n=15
+    assert(sj / sd < 5.0 && sd / sj < 5.0, r0.toString)
+  }
+
   test("q45 KMV sketch: exact below k, bounded error above, union merge law holds") {
     import spark.implicits._
     val out = Analytics.q45KmvSketch(spark, sfTiny).cache()
