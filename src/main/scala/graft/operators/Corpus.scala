@@ -2603,7 +2603,99 @@ object Corpus {
          ${rSql(s"${dsumSql("logp")} / count(*)", 6)} AS avg_logp
        FROM sc GROUP BY lang ORDER BY lang"""
 
+  // --- ml31: leakage-free K-fold target encoding ----------------------------
+
+  /** ml31's fold count and additive-smoothing weight. */
+  private val TeFolds = 5
+  private val TeAlpha = 10L
+
+  /** ml31 — out-of-fold target encoding of a categorical feature (the
+    * CatBoost/Kaggle standard for high-cardinality categoricals,
+    * Micci-Barreca SIGKDD Expl. 2001 "A preprocessing scheme for
+    * high-cardinality categorical attributes"): rows in fold f are
+    * encoded with statistics computed on the OTHER folds only, so the
+    * encoding never sees its own label (the leakage d35/d53 audit for —
+    * here prevented by construction instead of detected after the fact).
+    * Feature = `source`, label y = [lang = 'en'], fold = h60(doc) mod
+    * [[TeFolds]] (the house split family, so folds agree with s03/ml11).
+    *
+    *   enc(s, f) = (y_out + α·prior_out) / (n_out + α)
+    *
+    * with y_out/n_out the same-source label sums EXCLUDING fold f and
+    * prior_out the global out-of-fold mean — both exact integer
+    * subtractions from one (source, fold) aggregation (the ml11
+    * total−fold trick; no second pass over the corpus). `enc_naive`
+    * (all-fold mean) rides along as the leakage comparison column.
+    *
+    * Scale shape: one groupBy(source, fold) over the scan, then
+    * |sources|×K-row algebra; at 100 TB the encode-apply is a broadcast
+    * join of this tiny table back onto the corpus. */
+  def ml31TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    targetEncoding(Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        when($"lang" === "en", 1L).otherwise(0L).as("y")))
+  }
+
+  /** ml31's core over (doc_id, source, y) — exposed for the hand-computed
+    * plant. */
+  private[graft] def targetEncoding(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy($"fold")
+    rows
+      .withColumn("fold", graft.operators.DedupLsh.h60($"doc_id".cast("string")) % TeFolds)
+      .groupBy($"source", $"fold")
+      .agg(count(lit(1)).as("n_sf"), sum($"y").as("y_sf"))
+      // totals via windows over the tiny (sources × K) cell table — the
+      // out-of-fold sums are exact integer subtractions, never a rescan
+      .withColumn("n_s", sum($"n_sf").over(ws))
+      .withColumn("y_s", sum($"y_sf").over(ws))
+      .withColumn("n_f", sum($"n_sf").over(wf))
+      .withColumn("y_f", sum($"y_sf").over(wf))
+      .withColumn("n_g", sum($"n_sf").over(w))
+      .withColumn("y_g", sum($"y_sf").over(w))
+      .select($"source", $"fold", $"n_sf",
+        ($"n_s" - $"n_sf").as("n_out"),
+        r((($"y_s" - $"y_sf").cast("double") +
+          lit(TeAlpha.toDouble) * (($"y_g" - $"y_f").cast("double") /
+            ($"n_g" - $"n_f").cast("double"))) /
+          (($"n_s" - $"n_sf") + TeAlpha).cast("double"), 6).as("enc"),
+        r($"y_s".cast("double") / $"n_s".cast("double"), 6).as("enc_naive"))
+      .orderBy($"source", $"fold")
+  }
+
+  val ml31Sql: String = {
+    val h = graft.operators.DedupLsh.h60Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH rows0 AS (SELECT doc_id, source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         $h % $TeFolds AS fold
+       FROM documents),
+       cell AS (SELECT source, fold, CAST(count(*) AS BIGINT) AS n_sf,
+         CAST(sum(y) AS BIGINT) AS y_sf
+       FROM rows0 GROUP BY source, fold),
+       tot AS (SELECT source, fold, n_sf, y_sf,
+         CAST(sum(n_sf) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         CAST(sum(y_sf) OVER (PARTITION BY source) AS BIGINT) AS y_s,
+         CAST(sum(n_sf) OVER (PARTITION BY fold) AS BIGINT) AS n_f,
+         CAST(sum(y_sf) OVER (PARTITION BY fold) AS BIGINT) AS y_f,
+         CAST(sum(n_sf) OVER () AS BIGINT) AS n_g,
+         CAST(sum(y_sf) OVER () AS BIGINT) AS y_g
+       FROM cell)
+       SELECT source, fold, n_sf,
+         n_s - n_sf AS n_out,
+         ${rSql(
+           s"(CAST(y_s - y_sf AS DOUBLE) + $TeAlpha.0 * (CAST(y_g - y_f AS DOUBLE) / CAST(n_g - n_f AS DOUBLE))) / CAST((n_s - n_sf) + $TeAlpha AS DOUBLE)",
+           6)} AS enc,
+         ${rSql("CAST(y_s AS DOUBLE) / CAST(n_s AS DOUBLE)", 6)} AS enc_naive
+       FROM tot
+       ORDER BY source, fold"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml31_target_encoding" -> (ml31TargetEncoding _),
     "d37_stupid_backoff" -> (d37StupidBackoff _),
     "ml07_knn_classify" -> (ml07KnnClassify _),
     "ml08_classifier_eval" -> (ml08ClassifierEval _),
@@ -2649,6 +2741,7 @@ object Corpus {
     "ml26_confusion_cells" -> ml26Sql,
     "ml27_ensemble_eval" -> ml27Sql,
     "ml28_isotonic_calibration" -> ml28Sql,
+    "ml31_target_encoding" -> ml31Sql,
     "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
     "ml09_calibration" -> ml09Sql,

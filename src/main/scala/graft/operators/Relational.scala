@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -759,6 +759,114 @@ object Relational {
 
   val q89Sql: String = q18Body("")
 
+  // --- q92: data-quality expectation report -----------------------------------
+
+  /** q92 — a declarative data-quality expectation suite (the
+    * Great-Expectations/dbt-test shape; the platform-side generalization
+    * of the reference's per-record quality thresholds,
+    * `realtime_inference.py:100-118`): ten checks across five tables —
+    * primary-key uniqueness, range/sign assertions, referential
+    * integrity, temporal bounds, derived-column consistency — each
+    * reported as (table, check, rows, violations, share, pass). NULL in a
+    * checked column counts as a violation (the good-predicate is
+    * three-valued; only TRUE passes).
+    *
+    * Scale shape: every value check is ONE scan-local conditional count
+    * (map-side combinable — a 100 TB table costs one pass per CHECKED
+    * TABLE, not per check, once Spark shares the scan); the two
+    * referential checks are anti-join counts (customer broadcasts;
+    * lineitem⋈orders rides the standard fact-key shuffle). The report
+    * itself is 10 rows. */
+  def q92DqReport(s: SparkSession, dir: String): DataFrame =
+    dqReport(Tables(s, dir, "customer"), Tables(s, dir, "orders"),
+      Tables(s, dir, "lineitem"), Tables.events(s, dir),
+      Tables.documents(s, dir))
+
+  /** q92's core over explicit frames — exposed so the spec can plant a
+    * duplicate key, an orphan row, a NULL metric, and range violations. */
+  private[graft] def dqReport(cust: DataFrame, ord: DataFrame, li: DataFrame,
+      ev: DataFrame, docs: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    // good is three-valued: NULL is NOT good → violation
+    def viol(df: DataFrame, tbl: String, chk: String, good: Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(good, 0L).otherwise(1L)).as("n_viol"))
+        .select(lit(tbl).as("tbl"), lit(chk).as("chk"), $"n_rows", $"n_viol")
+    def fk(child: DataFrame, tbl: String, chk: String, key: Column,
+        parent: DataFrame, pkey: Column) =
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(child.join(parent, key === pkey, "left_anti")
+          .agg(count(lit(1)).as("n_viol")))
+        .select(lit(tbl).as("tbl"), lit(chk).as("chk"), $"n_rows", $"n_viol")
+    val checks = Seq(
+      cust.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - countDistinct($"c_custkey")).as("n_viol"))
+        .select(lit("customer").as("tbl"), lit("pk_unique").as("chk"),
+          $"n_rows", $"n_viol"),
+      viol(ord, "orders", "totalprice_positive", $"o_totalprice" > 0),
+      viol(ord, "orders", "orderdate_in_range",
+        $"o_orderdate" >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          $"o_orderdate" < lit("2002-01-01 00:00:00").cast("timestamp")),
+      fk(ord, "orders", "fk_customer", $"o_custkey", cust, $"c_custkey"),
+      viol(li, "lineitem", "quantity_in_range",
+        $"l_quantity" >= 1 && $"l_quantity" <= 50),
+      viol(li, "lineitem", "discount_in_range",
+        $"l_discount" >= 0 && $"l_discount" <= 0.5),
+      fk(li, "lineitem", "fk_orders", $"l_orderkey", ord, $"o_orderkey"),
+      viol(ev, "events", "ts_in_range",
+        $"ts" >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-02-01 00:00:00").cast("timestamp")),
+      viol(ev, "events", "user_not_null", $"user_id".isNotNull),
+      viol(docs, "documents", "chars_consistent", $"n_chars" === length($"text")))
+    checks.reduce(_ union _)
+      .select($"tbl", $"chk", $"n_rows", $"n_viol",
+        r($"n_viol".cast("double") / $"n_rows", 6).as("viol_share"),
+        when($"n_viol" === 0, 1).otherwise(0).as("pass"))
+      .orderBy($"tbl", $"chk")
+  }
+
+  val q92Sql: String = {
+    def v(tbl: String, chk: String, good: String) =
+      s"""SELECT '$tbl' AS tbl, '$chk' AS chk,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN $good THEN 0 ELSE 1 END) AS BIGINT) AS n_viol
+         FROM $tbl"""
+    s"""SELECT tbl, chk, n_rows, n_viol,
+         ${rSql("CAST(n_viol AS DOUBLE) / n_rows", 6)} AS viol_share,
+         CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS pass
+       FROM (
+         SELECT 'customer' AS tbl, 'pk_unique' AS chk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_viol
+         FROM customer
+         UNION ALL ${v("orders", "totalprice_positive", "o_totalprice > 0")}
+         UNION ALL ${v("orders", "orderdate_in_range",
+           "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'")}
+         UNION ALL
+         SELECT 'orders' AS tbl, 'fk_customer' AS chk,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL) AS n_viol
+         UNION ALL ${v("lineitem", "quantity_in_range",
+           "l_quantity >= 1 AND l_quantity <= 50")}
+         UNION ALL ${v("lineitem", "discount_in_range",
+           "l_discount >= 0 AND l_discount <= 0.5")}
+         UNION ALL
+         SELECT 'lineitem' AS tbl, 'fk_orders' AS chk,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL) AS n_viol
+         UNION ALL ${v("events", "ts_in_range",
+           "ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'")}
+         UNION ALL ${v("events", "user_not_null", "user_id IS NOT NULL")}
+         UNION ALL ${v("documents", "chars_consistent", "n_chars = length(text)")}
+       ) checks
+       ORDER BY tbl, chk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_fuzzy_match" -> (q36FuzzyMatch _),
     "q84_tpch_q5" -> (q84TpchQ5 _),
@@ -767,6 +875,7 @@ object Relational {
     "q87_tpch_q6" -> (q87TpchQ6 _),
     "q88_tpch_q12" -> (q88TpchQ12 _),
     "q89_tpch_q18" -> (q89TpchQ18 _),
+    "q92_dq_report" -> (q92DqReport _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -793,6 +902,7 @@ object Relational {
     "q87_tpch_q6" -> q87Sql,
     "q88_tpch_q12" -> q88Sql,
     "q89_tpch_q18" -> q89Sql,
+    "q92_dq_report" -> q92Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

@@ -941,4 +941,50 @@ class CorpusSpec extends GraftSpec {
       assert(out.filter(($"lang" === $"pred_lang").cast("int") =!= $"correct").count() == 0)
     } finally out.unpersist(blocking = false)
   }
+
+  test("ml31 target encoding: driver-side out-of-fold recompute agrees exactly") {
+    import spark.implicits._
+    val data = (1 to 30).map(i =>
+      (i.toLong, if (i <= 15) "A" else "B", if (i % 3 == 0) 1L else 0L))
+    val rows = data.toDF("doc_id", "source", "y")
+    val got = operators.Corpus.targetEncoding(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getAs[Double]("enc"),
+          r.getAs[Double]("enc_naive")))).toMap
+    // recompute with the SAME fold assignment (one pass through h60)
+    val folds = rows
+      .withColumn("fold", operators.DedupLsh.h60($"doc_id".cast("string")) % 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nG = folds.length.toLong
+    val yG = folds.map(_._3).sum
+    for (((src, f), (nSf, nOut, enc, encNaive)) <- got) {
+      val cell = folds.filter(d => d._2 == src && d._4 == f)
+      val inSrc = folds.filter(_._2 == src)
+      val inFold = folds.filter(_._4 == f)
+      assert(nSf == cell.length.toLong, s"($src,$f) n_sf")
+      assert(nOut == (inSrc.length - cell.length).toLong, s"($src,$f) n_out")
+      val prior = (yG - inFold.map(_._3).sum).toDouble / (nG - inFold.length).toDouble
+      val expEnc = operators.Num.rD(
+        ((inSrc.map(_._3).sum - cell.map(_._3).sum).toDouble + 10.0 * prior) /
+          ((inSrc.length - cell.length) + 10).toDouble, 6)
+      assert(enc == expEnc, s"($src,$f): $enc vs $expEnc")
+      val expNaive = operators.Num.rD(
+        inSrc.map(_._3).sum.toDouble / inSrc.length.toDouble, 6)
+      assert(encNaive == expNaive, s"($src,$f) naive")
+    }
+    // every (source, fold) cell present
+    assert(got.keySet == folds.map(d => (d._2, d._4)).toSet)
+  }
+
+  test("ml31 on testdata: encodings bounded, out-of-fold differs from naive somewhere") {
+    val rows = operators.Corpus.ml31TargetEncoding(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, en) = (r.getAs[Double]("enc"), r.getAs[Double]("enc_naive"))
+      assert(e >= 0.0 && e <= 1.0 && en >= 0.0 && en <= 1.0, r.toString)
+    }
+    // the leakage-free column is not just the naive mean re-printed
+    assert(rows.exists(r =>
+      r.getAs[Double]("enc") != r.getAs[Double]("enc_naive")))
+  }
 }

@@ -119,4 +119,47 @@ class RelationalSpec extends GraftSpec {
     val got = out.map(r => r.getString(0) -> r.getAs[Double]("revenue")).toMap
     assert(got == df, s"$got vs $df")
   }
+  test("q92 DQ report: planted duplicate key, orphan rows, NULLs and range breaks all counted") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts0 = Timestamp.valueOf("2024-01-05 00:00:00")
+    val cust = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("c_custkey", "c_name")
+    // order 20: NULL totalprice (a violation — NULL is not good), out-of-range
+    // date, and an orphan custkey all at once
+    val ord = Seq(
+      (10L, 1L, Some(5.0), Timestamp.valueOf("1996-03-01 00:00:00")),
+      (20L, 9L, None, Timestamp.valueOf("1990-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val li = Seq(
+      (10L, 5.0, 0.1),    // clean
+      (10L, 99.0, 0.1),   // quantity out of range
+      (30L, 5.0, 0.9))    // discount out of range AND orphan orderkey
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val ev = Seq((1L, ts0), (2L, Timestamp.valueOf("2025-06-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val docs = Seq((100L, "abc", 3L), (101L, "abcd", 9L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = operators.Relational.dqReport(cust, ord, li, ev, docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(5)))).toMap
+    assert(got(("customer", "pk_unique")) == ((3L, 1L, 0)))
+    assert(got(("orders", "totalprice_positive")) == ((2L, 1L, 0)), "NULL must violate")
+    assert(got(("orders", "orderdate_in_range")) == ((2L, 1L, 0)))
+    assert(got(("orders", "fk_customer")) == ((2L, 1L, 0)))
+    assert(got(("lineitem", "quantity_in_range")) == ((3L, 1L, 0)))
+    assert(got(("lineitem", "discount_in_range")) == ((3L, 1L, 0)))
+    assert(got(("lineitem", "fk_orders")) == ((3L, 1L, 0)))
+    assert(got(("events", "ts_in_range")) == ((2L, 1L, 0)))
+    assert(got(("events", "user_not_null")) == ((2L, 0L, 1)), "clean check must pass")
+    assert(got(("documents", "chars_consistent")) == ((2L, 1L, 0)))
+  }
+
+  test("q92 on testdata: ten checks, all green, shares consistent") {
+    val rows = operators.Relational.q92DqReport(spark, sfTiny).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getInt(5) == 1, s"synthetic data must be clean: $r")
+      assert(r.getAs[Double]("viol_share") == 0.0, r.toString)
+    }
+  }
 }
