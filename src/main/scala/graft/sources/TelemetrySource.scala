@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -189,11 +189,8 @@ private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Lo
   override def pruneColumns(s: StructType): Unit = required = s
 
   // LIMIT n over a deterministic range = keep the first n ids — exact,
-  // so the engine's own Limit node is dropped (isPartiallyPushed=false)
-  override def pushLimit(n: Int): Boolean = {
-    hi = math.min(hi, saturatingAdd(lo, n.toLong))
-    true
-  }
+  // so the engine's own Limit node is dropped (isPartiallyPushed=false);
+  // the override itself lives below with the limitPushed flag
   override def isPartiallyPushed(): Boolean = false
 
   /** ORDER BY id [ASC|DESC] LIMIT n: truncate to the first (ASC) or last
@@ -215,6 +212,13 @@ private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Lo
     if (s < a) Long.MaxValue else s
   }
 
+  override def pushLimit(n: Int): Boolean = {
+    hi = math.min(hi, saturatingAdd(lo, n.toLong))
+    limitPushed = true
+    true
+  }
+  private var limitPushed = false
+
   override def build(): Scan = pushedAggs match {
     case Some(fns) => new TelemetryAggScan(lo, math.max(lo, hi), fns)
     // a pushed TopN needs the single sorted partition, which cannot be
@@ -223,7 +227,10 @@ private[sources] class TelemetryScanBuilder(rows: Long, parts: Int, perBatch: Lo
       new TelemetryDailyScan(lo, math.max(lo, hi), perBatch, required)
     case None => new TelemetryScan(lo, math.max(lo, hi),
       if (topNPushed) 1 else parts, perBatch, required,
-      reverse = descendingTopN)
+      reverse = descendingTopN,
+      // a runtime filter applied UNDER a pushed limit/TopN would change
+      // which rows the truncation keeps — disable it there
+      allowRuntime = !topNPushed && !limitPushed)
   }
 }
 
@@ -253,6 +260,9 @@ private[sources] class TelemetryDailyScan(lo: Long, hi: Long,
   override def description(): String =
     s"graft-telemetry-daily range=[$lo,$hi) days=${days.length} cols=[${
       required.fieldNames.mkString(",")}]"
+  // no runtime filtering in daily mode: the reported KeyGroupedPartitioning
+  // must stay consistent with the planned day partitions
+  override def filterAttributes(): Array[NamedReference] = Array.empty
   override def planInputPartitions(): Array[InputPartition] =
     days.map { d =>
       TelemetryDayRange(math.max(lo, dayStartId(d)),
@@ -306,8 +316,36 @@ private[sources] class TelemetryAggScan(lo: Long, hi: Long,
 }
 
 private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,
-    perBatch: Long, required: StructType, reverse: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    perBatch: Long, required: StructType, reverse: Boolean = false,
+    allowRuntime: Boolean = true)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  // runtime-narrowed bounds (dynamic pruning): the engine may hand this
+  // scan a join's build-side id set AFTER planning; narrowing to its
+  // [min, max+1) envelope is a conservative SUPERSET, which is sound —
+  // the join that sourced the filter still applies it exactly
+  protected var rlo: Long = lo
+  protected var rhi: Long = hi
+
+  /** Advertise `id` as runtime-filterable (DPP for a generated source:
+    * the filtered partitions are simply never generated). Disabled when
+    * a limit/TopN was pushed — see the builder. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (allowRuntime) Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    else Array.empty
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) if vs.nonEmpty =>
+      val longs = vs.map(v => v.asInstanceOf[Number].longValue)
+      rlo = math.max(rlo, longs.min)
+      rhi = math.min(rhi, longs.max + 1)
+    case EqualTo("id", v) =>
+      val x = v.asInstanceOf[Number].longValue
+      rlo = math.max(rlo, x)
+      rhi = math.min(rhi, x + 1)
+    case _ => () // unhandled runtime filters stay a superset — sound
+  }
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-telemetry range=[$lo,$hi)${if (reverse) " desc" else ""} cols=[${
@@ -318,7 +356,7 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,
     * of a telemetry join picks BroadcastHashJoin from these numbers
     * instead of shuffling both sides. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = math.max(0L, hi - lo)
+    private val n = math.max(0L, rhi - rlo)
     override def numRows(): OptionalLong = OptionalLong.of(n)
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(n * math.max(1, required.defaultSize).toLong)
@@ -327,10 +365,11 @@ private[sources] class TelemetryScan(lo: Long, hi: Long, parts: Int,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TelemetryMicroBatch(hi, parts, perBatch, required)
   override def planInputPartitions(): Array[InputPartition] = {
+    val (l, h) = (rlo, math.max(rlo, rhi))
     val n = math.max(1, parts)
     (0 until n).map { p =>
-      TelemetryRange(lo + (hi - lo) * p / n,
-        lo + (hi - lo) * (p + 1) / n): InputPartition
+      TelemetryRange(l + (h - l) * p / n,
+        l + (h - l) * (p + 1) / n): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

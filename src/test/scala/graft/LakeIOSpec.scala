@@ -381,6 +381,43 @@ class LakeIOSpec extends GraftSpec {
     }
   }
 
+  test("TelemetrySource runtime filtering (DPP): a join's build side narrows the generated range at execution") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val fact = spark.read.format("graft.sources.TelemetrySource")
+      .option("rows", "1000000").load()
+    // selective dim with a SURVIVING Filter node (a literal Seq collapses
+    // to a bare LocalRelation under constant folding and DPP sees no
+    // selective predicate — measured): the broadcast build side becomes a
+    // runtime IN-filter pushed into the scan via SupportsRuntimeFiltering
+    val dim = spark.range(0L, 100000L)
+      .select($"id".as("k"), ($"id" % 7).as("m")).filter($"m" === 3)
+    val joined = fact.join(dim, fact("id") === dim("k"))
+    // k ∈ {3, 10, …, 99997}: 14286 matches, all inside the fact range
+    assert(joined.collect().length == 14286)
+    var scanRows = -1L
+    var sawRuntimeFilter = false
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case b: BatchScanExec if b.scan.description.startsWith("graft-telemetry") =>
+          sawRuntimeFilter ||= b.runtimeFilters.nonEmpty
+          scanRows = b.metrics("numOutputRows").value
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(joined.queryExecution.executedPlan)
+    assert(sawRuntimeFilter, "no runtime filter reached the scan:\n" +
+      joined.queryExecution.executedPlan.toString.take(1200))
+    // the source narrowed to the [min, max+1) envelope of the build-side
+    // ids ([3, 99998)): ~100k of the 1M rows were generated, not all
+    assert(scanRows >= 14286L && scanRows <= 150000L,
+      s"scan generated $scanRows rows — runtime narrowing did not happen")
+  }
+
   test("TelemetrySource honors a NON-DEFAULT ReadLimit (maxRows / allAvailable / composite)") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     // perBatch (the constructor default) is 1000 — every limit below
