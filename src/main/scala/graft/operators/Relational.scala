@@ -759,6 +759,67 @@ object Relational {
 
   val q89Sql: String = q18Body("")
 
+  /** The Q13 body (customer order-count distribution): customers LEFT
+    * OUTER JOIN orders, per-customer order count, then the histogram of
+    * counts — the classic "distribution of engagement" shape whose outer
+    * join must keep zero-order customers. This catalog has no o_comment,
+    * so the published NOT-LIKE exclusion is dropped (documented
+    * deviation). All-integer; `c_count` is unique per output row, so the
+    * DESC pair is a total order. */
+  private def q13Body(p: String): String =
+    s"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             FROM ${p}customer LEFT OUTER JOIN ${p}orders
+               ON c_custkey = o_custkey
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST"""
+
+  /** q93 — TPC-H Q13 as SQL TEXT through `spark.sql`. Scale shape: the
+    * outer join shuffles once on the customer key (or broadcasts the
+    * customer side), both aggregations are partial+final. */
+  def q93TpchQ13(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q13_$t"))
+    s.sql(q13Body("graft_q13_"))
+  }
+
+  val q93Sql: String = q13Body("")
+
+  /** The Q19 body (discounted revenue under disjunctive brand/size/
+    * quantity bands) — the OR-of-ANDs predicate is the point: Catalyst
+    * must extract the common `p_partkey = l_partkey` join key, push the
+    * disjunction's common sub-predicates, and still broadcast the part
+    * side. Deviations: this catalog has no p_container (p_type's 6 plain
+    * values stand in) and no l_shipmode/l_shipinstruct (those conjuncts
+    * dropped). */
+  private def q19Body(rev: String, p: String): String =
+    s"""SELECT $rev AS revenue
+       FROM ${p}lineitem, ${p}part
+       WHERE p_partkey = l_partkey AND (
+            (p_brand = 'Brand#1' AND p_type = 'SMALL'
+              AND l_quantity >= 1 AND l_quantity <= 11
+              AND p_size BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#2' AND p_type = 'MEDIUM'
+              AND l_quantity >= 10 AND l_quantity <= 20
+              AND p_size BETWEEN 1 AND 25)
+         OR (p_brand = 'Brand#3' AND p_type = 'LARGE'
+              AND l_quantity >= 20 AND l_quantity <= 30
+              AND p_size BETWEEN 1 AND 35))
+       ORDER BY revenue"""
+
+  /** q94 — TPC-H Q19 as SQL TEXT through `spark.sql`. */
+  def q94TpchQ19(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q19_$t"))
+    s.sql(q19Body(
+      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)",
+      "graft_q19_"))
+  }
+
+  val q94Sql: String =
+    q19Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
+
   // --- q92: data-quality expectation report -----------------------------------
 
   /** q92 — a declarative data-quality expectation suite (the
@@ -876,6 +937,8 @@ object Relational {
     "q88_tpch_q12" -> (q88TpchQ12 _),
     "q89_tpch_q18" -> (q89TpchQ18 _),
     "q92_dq_report" -> (q92DqReport _),
+    "q93_tpch_q13" -> (q93TpchQ13 _),
+    "q94_tpch_q19" -> (q94TpchQ19 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -903,6 +966,8 @@ object Relational {
     "q88_tpch_q12" -> q88Sql,
     "q89_tpch_q18" -> q89Sql,
     "q92_dq_report" -> q92Sql,
+    "q93_tpch_q13" -> q93Sql,
+    "q94_tpch_q19" -> q94Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,
