@@ -973,6 +973,244 @@ object TextOps {
        FROM x$BpeMerges x JOIN lj ON lj.doc_id = x.doc_id
        GROUP BY lang ORDER BY lang"""
 
+  // --- d57: unigram-LM tokenizer training (SentencePiece) --------------------
+
+  /** d57's fixed training schedule: words capped at [[UniMaxWord]] chars
+    * (bounds the DP and the oracle's unrolled levels), candidate pieces
+    * at [[UniMaxPiece]] chars, seed vocabulary capped at [[UniSeedV]]
+    * pieces, [[UniRounds]] Viterbi-EM rounds. */
+  private[graft] val UniMaxWord = 12
+  private[graft] val UniMaxPiece = 4
+  private[graft] val UniSeedV = 120
+  private[graft] val UniRounds = 2
+
+  /** d57 — unigram language-model tokenizer training (Kudo 2018,
+    * arXiv:1804.10959 — the SentencePiece unigram model; the
+    * probabilistic complement of d27's BPE: BPE grows a vocabulary by
+    * greedy merges, unigram starts from a large substring seed and
+    * re-estimates piece probabilities so Viterbi segmentation under
+    * − ln p picks maximum-likelihood pieces). Fixed deterministic
+    * schedule: seed = all single characters plus the top multi-char
+    * substrings by weighted frequency ([[UniSeedV]] total, ties
+    * lexicographic), then [[UniRounds]] hard-EM rounds — E: Viterbi
+    * segmentation of every distinct word (cost = ln(total/count), ties
+    * broken toward the LONGEST piece), M: piece count = weighted
+    * Viterbi emissions, zero-count multi-char pieces pruned, single
+    * characters floored at 1 (coverage guarantee). Output: the final
+    * vocabulary (seed vs final counts, final − ln p), plus a `_corpus`
+    * summary row (word occurrences, weighted emitted pieces, avg
+    * pieces/word — the fertility of the learned tokenizer).
+    *
+    * Engine parity: counts stay integers end to end; the only
+    * transcendental is `ln(total/count)` evaluated as one
+    * double-division-then-ln in both engines (the d10/d26/d37 ln-parity
+    * family), and every DP value is a fixed-order sum of those — the
+    * backtrace compares values both engines computed bit-identically.
+    *
+    * Plan shape: ONE distributed word count, then the whole
+    * seed/EM/Viterbi pipeline runs over the vocabulary-SIZED word table
+    * in a single mapGroups pass (the d27 layout — corpora grow, the
+    * alphabet-word vocabulary does not). The DuckDB oracle unrolls both
+    * EM rounds as MATERIALIZED CTE levels: 12 forward-DP levels + 12
+    * backtrace levels per round. */
+  def d57UnigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables.documents(s, dir)
+      .select(explode(toks(lower($"text"))).as("w"))
+      .filter($"w".rlike("^[a-z0-9]+$") && length($"w") <= UniMaxWord)
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+    unigramTrain(wf)
+  }
+
+  /** d57's core on an arbitrary (word, freq) table — exposed for the
+    * hand-computed dominance spec. */
+  private[graft] def unigramTrain(wf: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    val s = wf.sparkSession
+    import s.implicits._
+    wf.groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val words = it.toArray.sortBy(_._1)
+        // seed: weighted counts of every substring up to UniMaxPiece
+        val seed = scala.collection.mutable.HashMap[String, Long]()
+        words.foreach { case (w, f) =>
+          var i = 0
+          while (i < w.length) {
+            var k = 1
+            while (k <= math.min(UniMaxPiece, w.length - i)) {
+              val p = w.substring(i, i + k)
+              seed(p) = seed.getOrElse(p, 0L) + f
+              k += 1
+            }
+            i += 1
+          }
+        }
+        val chars = seed.iterator.filter(_._1.length == 1).toArray.sortBy(_._1)
+        val multis = seed.iterator.filter(_._1.length > 1).toArray
+          .sortBy { case (p, c) => (-c, p) }
+          .take(math.max(0, UniSeedV - chars.length))
+        var vocab: Map[String, Long] = (chars ++ multis).toMap
+        var totalPieces = 0L
+        var round = 1
+        while (round <= UniRounds) {
+          val tot = vocab.valuesIterator.sum
+          // the ONE transcendental: division first, then ln — the oracle
+          // spells the identical expression
+          val cost: Map[String, Double] =
+            vocab.map { case (p, c) => p -> math.log(tot.toDouble / c.toDouble) }
+          val emitted = scala.collection.mutable.HashMap[String, Long]()
+          totalPieces = 0L
+          words.foreach { case (w, f) =>
+            val best = Array.fill(w.length + 1)(Double.PositiveInfinity)
+            best(0) = 0.0
+            var i = 1
+            while (i <= w.length) {
+              var k = 1
+              while (k <= math.min(UniMaxPiece, i)) {
+                cost.get(w.substring(i - k, i)).foreach { c =>
+                  val v = best(i - k) + c
+                  if (v < best(i)) best(i) = v
+                }
+                k += 1
+              }
+              i += 1
+            }
+            // backtrace, longest-piece tie-break (ascending k, last wins)
+            var pos = w.length
+            var nPieces = 0L
+            while (pos > 0) {
+              var kSel = -1
+              var k = 1
+              while (k <= math.min(UniMaxPiece, pos)) {
+                val p = w.substring(pos - k, pos)
+                if (cost.contains(p) && best(pos - k) + cost(p) == best(pos))
+                  kSel = k
+                k += 1
+              }
+              val p = w.substring(pos - kSel, pos)
+              emitted(p) = emitted.getOrElse(p, 0L) + f
+              nPieces += 1
+              pos -= kSel
+            }
+            totalPieces += f * nPieces
+          }
+          vocab = vocab.flatMap { case (p, _) =>
+            val c = emitted.getOrElse(p, 0L)
+            if (c > 0) Some(p -> c)
+            else if (p.length == 1) Some(p -> 1L) // coverage floor
+            else None
+          }
+          round += 1
+        }
+        val totF = vocab.valuesIterator.sum
+        val wordOcc = words.map(_._2).sum
+        val out = vocab.toArray.map { case (p, c) =>
+          (p, p.length.toLong, seed(p), c,
+            Num.rD(math.log(totF.toDouble / c.toDouble), 6))
+        } :+ (("_corpus", 0L, wordOcc, totalPieces,
+          Num.rD(totalPieces.toDouble / wordOcc.toDouble, 6)))
+        out.iterator
+      }
+      .toDF("piece", "piece_len", "seed_count", "final_count", "cost")
+      .orderBy(desc_nulls_last("final_count"), col("piece"))
+  }
+
+  /** The d57 oracle: the identical schedule unrolled as MATERIALIZED CTE
+    * levels (d27's oracle pattern). Generated mechanically per round:
+    * forward-DP levels `b{r}_i` (min over the ≤[[UniMaxPiece]] pieces
+    * ending at i), a unioned value table `bb{r}`, backtrace levels
+    * `bt{r}_j` (largest k achieving the recorded minimum), emitted-count
+    * recount `em{r}`, and the re-estimated vocabulary `voc{r}`. */
+  val d57Sql: String = {
+    val L = UniMaxPiece
+    val W = UniMaxWord
+    def fwd(r: Int): String = {
+      val levels = (1 to W).map { i =>
+        val branches = (1 to math.min(L, i)).map { k =>
+          s"""SELECT b.w, b.f, b.v + c.c AS v
+             FROM b${r}_${i - k} b JOIN cost$r c ON c.p = b.w[${i - k + 1}:$i]
+             WHERE len(b.w) >= $i"""
+        }.mkString(" UNION ALL ")
+        s"""b${r}_$i AS MATERIALIZED (
+           SELECT w, f, min(v) AS v FROM ($branches) GROUP BY w, f)"""
+      }.mkString(",\n       ")
+      val bbU = (0 to W).map(i => s"SELECT w, $i AS i, v FROM b${r}_$i")
+        .mkString(" UNION ALL ")
+      s"""b${r}_0 AS (SELECT w, f, 0.0 AS v FROM wfu),
+       $levels,
+       bb$r AS MATERIALIZED ($bbU)"""
+    }
+    def bt(r: Int): String = {
+      val levels = (1 to W).map { j =>
+        val branches = (1 to L).map { k =>
+          s"""SELECT t.w, t.f, t.pos, $k AS k,
+               t.w[t.pos - ${k - 1}:t.pos] AS p
+             FROM bt${r}_${j - 1} t
+             JOIN cost$r c ON c.p = t.w[t.pos - ${k - 1}:t.pos]
+             JOIN bb$r ba ON ba.w = t.w AND ba.i = t.pos - $k
+             JOIN bb$r be ON be.w = t.w AND be.i = t.pos
+             WHERE t.pos >= $k AND ba.v + c.c = be.v"""
+        }.mkString(" UNION ALL ")
+        s"""bt${r}_$j AS MATERIALIZED (
+           SELECT w, f, pos - k AS pos, p FROM (
+             SELECT *, row_number() OVER (PARTITION BY w ORDER BY k DESC) AS rn
+             FROM ($branches)) WHERE rn = 1)"""
+      }.mkString(",\n       ")
+      val emU = (1 to W).map(j => s"SELECT f, p FROM bt${r}_$j")
+        .mkString(" UNION ALL ")
+      s"""bt${r}_0 AS (SELECT w, f, len(w) AS pos FROM wfu),
+       $levels,
+       em$r AS MATERIALIZED (
+         SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM ($emU) GROUP BY p)"""
+    }
+    def round(r: Int): String =
+      s"""tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM voc${r - 1}),
+       cost$r AS MATERIALIZED (
+         SELECT p, ln(CAST(t AS DOUBLE) / CAST(cnt AS DOUBLE)) AS c
+         FROM voc${r - 1} CROSS JOIN tot$r),
+       ${fwd(r)},
+       ${bt(r)},
+       voc$r AS MATERIALIZED (
+         SELECT v.p,
+           CASE WHEN e.cnt IS NOT NULL THEN e.cnt ELSE 1 END AS cnt
+         FROM voc${r - 1} v LEFT JOIN em$r e ON e.p = v.p
+         WHERE e.cnt IS NOT NULL OR len(v.p) = 1)"""
+    val rounds = (1 to UniRounds).map(round).mkString(",\n       ")
+    val R = UniRounds
+    s"""WITH wfu AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+           SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents)
+         WHERE regexp_matches(w, '^[a-z0-9]+${"$"}') AND len(w) <= $W
+         GROUP BY w),
+       seeds AS MATERIALIZED (
+         SELECT p, CAST(sum(f) AS BIGINT) AS cnt FROM (
+           SELECT f, unnest(flatten(list_transform(range(1, len(w) + 1),
+             i -> list_transform(range(1, least($L, len(w) - i + 1) + 1),
+               k -> w[i:i + k - 1])))) AS p
+           FROM wfu) GROUP BY p),
+       chs AS MATERIALIZED (SELECT p, cnt FROM seeds WHERE len(p) = 1),
+       mts AS MATERIALIZED (SELECT p, cnt FROM (
+           SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+           FROM seeds WHERE len(p) > 1)
+         WHERE rn <= $UniSeedV - (SELECT count(*) FROM chs)),
+       voc0 AS MATERIALIZED (
+         SELECT p, cnt FROM chs UNION ALL SELECT p, cnt FROM mts),
+       $rounds,
+       totf AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM voc$R),
+       womm AS (SELECT CAST(sum(f) AS BIGINT) AS wo FROM wfu),
+       tp AS (SELECT CAST(sum(cnt) AS BIGINT) AS np FROM em$R)
+       SELECT piece, piece_len, seed_count, final_count, cost FROM (
+         SELECT v.p AS piece, CAST(len(v.p) AS BIGINT) AS piece_len,
+           s0.cnt AS seed_count, v.cnt AS final_count,
+           ${rSql("ln(CAST(t AS DOUBLE) / CAST(v.cnt AS DOUBLE))", 6)} AS cost
+         FROM voc$R v JOIN seeds s0 ON s0.p = v.p CROSS JOIN totf
+         UNION ALL
+         SELECT '_corpus', CAST(0 AS BIGINT), wo, np,
+           ${rSql("CAST(np AS DOUBLE) / CAST(wo AS DOUBLE)", 6)}
+         FROM womm CROSS JOIN tp)
+       ORDER BY final_count DESC NULLS LAST, piece"""
+  }
+
   /** d12 — document chunking: fixed-size token windows (64 tokens,
     * stride 56 → 8-token overlap) — the packing step that turns variable-
     * length documents into training-window-sized pieces. A cached token
@@ -1718,6 +1956,7 @@ object TextOps {
     "d45_dedup_sweep_lsh" -> (d45DedupSweepLsh _),
     "d54_sorted_neighborhood" -> (d54SortedNeighborhood _),
     "d55_snm_audit" -> (d55SnmAudit _),
+    "d57_unigram_train" -> (d57UnigramTrain _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
     "d31_gopher_quality" -> (d31GopherQuality _),
@@ -1746,6 +1985,7 @@ object TextOps {
     "d45_dedup_sweep_lsh" -> d45Sql,
     "d54_sorted_neighborhood" -> d54Sql,
     "d55_snm_audit" -> d55Sql,
+    "d57_unigram_train" -> d57Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,
     "d31_gopher_quality" -> d31Sql,

@@ -563,6 +563,49 @@ class TextOpsSpec extends GraftSpec {
     assert(r0.getDouble(4) >= 0 && r0.getDouble(4) <= 1.0)
   }
 
+  test("d57 unigram training reproduces the hand-computed abab trace") {
+    import spark.implicits._
+    // wf = {abab: 3}. Seeds (weighted by 3): a 6, b 6, ab 6, ba 3,
+    // aba 3, bab 3, abab 3; tot 30. Round 1 Viterbi: [abab] = ln10 beats
+    // [ab,ab] = 2·ln5 — whole-word piece wins; M-step prunes every other
+    // multi-char piece and floors the chars at 1. Round 2 (tot 5) keeps
+    // the same segmentation. Final: abab 3, a 1, b 1; cost(abab) =
+    // ln(5/3), cost(char) = ln 5; fertility 1.0.
+    val out = TextOps.unigramTrain(Seq(("abab", 3L)).toDS()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getAs[Double]("cost"))))
+    assert(out.map(_._1).toSeq == Seq("_corpus", "abab", "a", "b"),
+      out.map(_._1).mkString(","))
+    val m = out.toMap
+    assert(m("abab") == ((4L, 3L, 3L, operators.Num.rD(math.log(5.0 / 3.0), 6))),
+      m("abab").toString)
+    assert(m("a") == ((1L, 6L, 1L, operators.Num.rD(math.log(5.0), 6))))
+    assert(m("b") == ((1L, 6L, 1L, operators.Num.rD(math.log(5.0), 6))))
+    assert(m("_corpus") == ((0L, 3L, 3L, 1.0)), m("_corpus").toString)
+  }
+
+  test("d57 on testdata: vocabulary bounded, emissions conserved, fertility sane") {
+    val rows = TextOps.d57UnigramTrain(spark, sfTiny).collect()
+    val (corpus, pieces) = rows.partition(_.getString(0) == "_corpus")
+    assert(corpus.length == 1 && pieces.nonEmpty)
+    val c = corpus(0)
+    pieces.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= TextOps.UniMaxPiece.toLong, r.toString)
+      // a piece can be EMITTED at most as often as it occurs
+      assert(r.getLong(3) <= r.getLong(2), s"emitted > occurrences: $r")
+      assert(r.getAs[Double]("cost") > 0.0, r.toString)
+    }
+    assert(pieces.length <= TextOps.UniSeedV)
+    // Σ final counts = weighted emissions + the floored zero-count chars
+    val sumFinal = pieces.map(_.getLong(3)).sum
+    val floorable = pieces.count(r => r.getLong(1) == 1L && r.getLong(3) == 1L)
+    assert(sumFinal >= c.getLong(3) && sumFinal - c.getLong(3) <= floorable,
+      s"$sumFinal vs ${c.getLong(3)} (+$floorable)")
+    // fertility: between 1 piece/word and the word-length cap
+    val fert = c.getAs[Double]("cost")
+    assert(fert >= 1.0 && fert <= TextOps.UniMaxWord.toDouble, fert.toString)
+  }
+
   test("text oracles cover every query") {
     assert(TextOps.oracles.keySet == TextOps.queries.keySet)
   }
