@@ -565,7 +565,7 @@ object Analytics {
 
   val q74Sql: String =
     s"""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id,
-         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) / 86400 AS BIGINT) AS di
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS di
        FROM events),
        mx AS (SELECT max(di) AS mx FROM ud),
        dau AS (SELECT di, count(DISTINCT user_id) AS dau FROM ud GROUP BY di),
