@@ -820,6 +820,130 @@ object Relational {
   val q94Sql: String =
     q19Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
 
+  // --- q95/q96/q97: TPC-H's correlated-subquery tier (Q21, Q17, Q22) ----------
+
+  /** The Q21 body (suppliers who kept orders waiting) — the hardest
+    * decorrelation shape in TPC-H: a correlated EXISTS (another supplier
+    * contributed to the order) nested next to a correlated NOT EXISTS
+    * (no OTHER supplier was late on it), both over the same fact table.
+    * Deviations forced by this catalog, documented: there are no
+    * commit/receipt dates, so "kept waiting" = shipped >90 days after
+    * the order date (the q88 convention) — note l3's lateness correlates
+    * on BOTH l1.l_orderkey (equi) and o_orderdate (non-equi), which is
+    * exactly the mixed-condition existence join the optimizer must
+    * build; the published single-nation filter widens to the ASIA
+    * region (sf0.001 has only 10 suppliers spread over 10 nations — a
+    * single nation is empty there). All-integer counts; `s_name` is the
+    * group key, so (numwait DESC, s_name) is a total order. */
+  private def q21Body(p: String): String =
+    s"""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM ${p}supplier, ${p}lineitem l1, ${p}orders, ${p}nation, ${p}region
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+         AND EXISTS (SELECT * FROM ${p}lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT * FROM ${p}lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+       GROUP BY s_name
+       ORDER BY numwait DESC NULLS LAST, s_name
+       LIMIT 100"""
+
+  /** q95 — TPC-H Q21 as SQL TEXT through `spark.sql`. Scale shape: both
+    * existence subqueries decorrelate to join-based semi/anti joins on
+    * the order key (no per-row re-execution — the plan must show no
+    * CartesianProduct); the l3 anti join carries the non-equi
+    * o_orderdate condition alongside the equi key; region/nation/
+    * supplier broadcast. */
+  def q95TpchQ21(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q21_$t"))
+    s.sql(q21Body("graft_q21_"))
+  }
+
+  val q95Sql: String = q21Body("")
+
+  /** The Q17 body (small-quantity-order revenue) — the correlated SCALAR
+    * subquery shape: each part's lineitems compare against 0.2× that
+    * part's own average quantity. Deviations: p_container → p_type (this
+    * catalog's 6-value container stand-in); the /7.0 "yearly" divisor is
+    * kept from the published text. Numeric policy: l_quantity is
+    * integral-valued (1..50), so avg(l_quantity) = exact-sum/count is
+    * order-independent in both engines and the 0.2× threshold compares
+    * bit-identically; the revenue sum rides the decimal-sum path. */
+  private def q17Body(rev: String, p: String): String =
+    s"""SELECT $rev AS avg_yearly
+       FROM ${p}lineitem, ${p}part
+       WHERE p_partkey = l_partkey
+         AND p_brand = 'Brand#4' AND p_type = 'LARGE'
+         AND l_quantity < 0.2 * (SELECT avg(l_quantity)
+                                 FROM ${p}lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)
+       ORDER BY avg_yearly"""
+
+  /** q96 — TPC-H Q17 as SQL TEXT through `spark.sql`. Scale shape: the
+    * correlated scalar subquery decorrelates to ONE per-part aggregate
+    * of lineitem joined back on the part key (no per-row re-execution);
+    * the brand/type-filtered part side broadcasts into both the fact
+    * join and the aggregate join. */
+  def q96TpchQ17(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q17_$t"))
+    s.sql(q17Body(
+      s"CAST(${rSql(s"${dsumSql("l_extendedprice")} / 7.0", 2)} AS DOUBLE)",
+      "graft_q17_"))
+  }
+
+  val q96Sql: String =
+    q17Body(rSql(s"${dsumSql("l_extendedprice")} / 7.0", 2), "")
+
+  /** The Q22 body (global sales opportunity) — an uncorrelated scalar
+    * threshold (above-average positive account balance) plus a
+    * correlated NOT EXISTS anti join. Deviations: this catalog has no
+    * c_phone, so the published country-code prefix becomes the
+    * market-segment trio (the catalog's only customer partitioning
+    * attribute); "has no orders" (always empty here — every customer
+    * ordered) becomes "no orders since 1999-01-01", i.e. lapsed
+    * customers, which keeps the anti join load-bearing at every scale.
+    * The scalar threshold is the order-independent decimal avg — an
+    * unrounded double gate is safe because both engines compute the
+    * identical exact-sum/count value. `cntrycode` is the group key →
+    * total order. */
+  private def q22Body(tot: String, p: String): String =
+    s"""SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, $tot AS totacctbal
+       FROM (SELECT c_mktsegment AS cntrycode, c_acctbal
+             FROM ${p}customer
+             WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD', 'FURNITURE')
+               AND c_acctbal > (SELECT ${davgSql("c_acctbal")}
+                                FROM ${p}customer
+                                WHERE c_acctbal > 0.0
+                                  AND c_mktsegment IN ('MACHINERY', 'HOUSEHOLD', 'FURNITURE'))
+               AND NOT EXISTS (SELECT * FROM ${p}orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderdate >= CAST('1999-01-01' AS TIMESTAMP))) custsale
+       GROUP BY cntrycode
+       ORDER BY cntrycode"""
+
+  /** q97 — TPC-H Q22 as SQL TEXT through `spark.sql`. Scale shape: the
+    * scalar average is ONE 1-row broadcast aggregate; NOT EXISTS
+    * decorrelates to a left-anti join of customer against the
+    * date-filtered orders (the filter pushes below the anti join);
+    * 3-row output. */
+  def q97TpchQ22(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q22_$t"))
+    s.sql(q22Body(
+      s"CAST(${rsumSql("c_acctbal", 2)} AS DOUBLE)",
+      "graft_q22_"))
+  }
+
+  val q97Sql: String = q22Body(rsumSql("c_acctbal", 2), "")
+
   // --- q92: data-quality expectation report -----------------------------------
 
   /** q92 — a declarative data-quality expectation suite (the
@@ -939,6 +1063,9 @@ object Relational {
     "q92_dq_report" -> (q92DqReport _),
     "q93_tpch_q13" -> (q93TpchQ13 _),
     "q94_tpch_q19" -> (q94TpchQ19 _),
+    "q95_tpch_q21" -> (q95TpchQ21 _),
+    "q96_tpch_q17" -> (q96TpchQ17 _),
+    "q97_tpch_q22" -> (q97TpchQ22 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -968,6 +1095,9 @@ object Relational {
     "q92_dq_report" -> q92Sql,
     "q93_tpch_q13" -> q93Sql,
     "q94_tpch_q19" -> q94Sql,
+    "q95_tpch_q21" -> q95Sql,
+    "q96_tpch_q17" -> q96Sql,
+    "q97_tpch_q22" -> q97Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,
