@@ -2249,17 +2249,24 @@ object Analytics {
 
   /** q57 — Gini coefficient + top-decile concentration of order spend per
     * market segment: the inequality audit ("how concentrated is revenue?")
-    * next to q42's histogram and q33's percentiles. Ranks come from one
-    * per-segment window ordered by the unique (x, o_orderkey) pair; the
-    * same sorted pass supplies the partition count, so top-decile
-    * membership (rank > n − n÷10) is decided scan-locally. Σx and Σr·x are
-    * decimal-exact, the final ratios pure IEEE.
+    * next to q42's histogram and q33's percentiles. Exact ranks over the
+    * unique (x, o_orderkey) pair; Σx and Σr·x decimal-exact, final ratios
+    * pure IEEE.
     *
-    * Scale shape: one shuffle on the segment key feeds rank, count, and
-    * all three sums. Exact Gini inherently sorts each group; at 100 TB the
-    * drop-in approximation is the q42 equi-width histogram form of the
-    * same rank-sum identity (trapezoid Lorenz over bucket totals), which
-    * is a pure map-side aggregate. */
+    * Scale shape (r9 — the per-segment GLOBAL sort is gone): `seg` has ~5
+    * values, so a bare `row_number() OVER (PARTITION BY seg)` serializes
+    * each segment's whole sort onto one task (the q36 low-cardinality-key
+    * lesson). Instead, ranks are computed distributively: equi-width value
+    * buckets (q68's bucket formula — a FUNCTION of x, so tied x never
+    * straddle buckets and the composed (bucket, x, k) order is bit-equal
+    * to the global (x, k) order), one tiny (seg, bucket) count table whose
+    * prefix sums are each bucket's rank offset, then rank = offset +
+    * row_number within (seg, bucket) — parallelism seg×32 instead of seg.
+    * Identical values, identical oracle; the base relation is scanned
+    * 3× (bounds, counts, ranked pass), each a cheap pushed-down scan —
+    * the 100 TB trade is 3 scans for seg×32-way sort parallelism. The
+    * map-side-only sibling for when approximate Gini suffices remains
+    * q68's histogram-Lorenz. */
   def q57Gini(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     gini(Tables.orders(s, dir)
@@ -2274,10 +2281,25 @@ object Analytics {
   private[graft] def gini(amounts: DataFrame): DataFrame = {
     val s = amounts.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"seg").orderBy($"x", $"k")
-    amounts
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("nw", count(lit(1)).over(Window.partitionBy($"seg")))
+    val b = lit(32.0)
+    val bounds = amounts.groupBy($"seg").agg(min($"x").as("lo"), max($"x").as("hi"))
+    val bucketed = amounts.join(broadcast(bounds), "seg")
+      .withColumn("bucket",
+        when($"hi" === $"lo", lit(1))
+          .otherwise(least(b, lit(1.0) +
+            floor(($"x" - $"lo") / (($"hi" - $"lo") / b))).cast("int")))
+      .select($"seg", $"k", $"x", $"bucket")
+    // rank offsets: prefix-summed bucket counts (≤ seg×32 rows — the only
+    // window over a LOW-cardinality partition runs on this tiny table)
+    val wOff = Window.partitionBy($"seg").orderBy($"bucket")
+    val offs = bucketed.groupBy($"seg", $"bucket").agg(count(lit(1)).as("cb"))
+      .withColumn("off", coalesce(
+        sum($"cb").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nw", sum($"cb").over(Window.partitionBy($"seg")))
+      .select($"seg", $"bucket", $"off", $"nw")
+    val wLocal = Window.partitionBy($"seg", $"bucket").orderBy($"x", $"k")
+    bucketed.join(broadcast(offs), Seq("seg", "bucket"))
+      .withColumn("rk", $"off" + row_number().over(wLocal).cast("long"))
       .groupBy($"seg")
       .agg(max($"rk").as("n"),
         dsum($"x").as("sx"),

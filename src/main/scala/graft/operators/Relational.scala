@@ -944,6 +944,27 @@ object Relational {
 
   val q97Sql: String = q22Body(rsumSql("c_acctbal", 2), "")
 
+  // --- q98: TPC-H Q6 over CATALOG-qualified names ------------------------------
+
+  /** q98 — TPC-H Q6 resolved by NAME through the `graft` DSv2 catalog
+    * ([[graft.sources.GraftCatalog]]): `FROM graft.sf.lineitem`, ZERO
+    * temp-view prep — the analyzer asks the catalog plugin for the table,
+    * which serves Spark's own parquet connector. Same text as q87
+    * otherwise, so the two keys differentially pin that catalog
+    * resolution changes nothing about the result or the plan (pushed
+    * shipdate/discount/quantity filters, one partial-agg exchange).
+    * The catalog re-reads its namespace dir from the session conf on
+    * every resolution, so re-pointing `...ns.sf` re-targets the scale. */
+  def q98CatalogQ6(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.ns.sf", dir)
+    s.sql(q6Body(
+      s"CAST(${rsumSql("l_extendedprice * l_discount", 2)} AS DOUBLE)",
+      "graft.sf."))
+  }
+
+  val q98Sql: String = q87Sql
+
   // --- q92: data-quality expectation report -----------------------------------
 
   /** q92 — a declarative data-quality expectation suite (the
@@ -1066,6 +1087,7 @@ object Relational {
     "q95_tpch_q21" -> (q95TpchQ21 _),
     "q96_tpch_q17" -> (q96TpchQ17 _),
     "q97_tpch_q22" -> (q97TpchQ22 _),
+    "q98_catalog_q6" -> (q98CatalogQ6 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -1098,6 +1120,7 @@ object Relational {
     "q95_tpch_q21" -> q95Sql,
     "q96_tpch_q17" -> q96Sql,
     "q97_tpch_q22" -> q97Sql,
+    "q98_catalog_q6" -> q98Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

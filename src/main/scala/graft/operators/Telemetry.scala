@@ -1541,9 +1541,10 @@ object Telemetry {
     val out = java.nio.file.Files.createTempDirectory("graft_t31_lake").toString
     val t = twin(s)
     t.write.format("graft.sources.LakeSink").mode("overwrite").save(out)
-    s.read.schema(t.schema)
-      .option("timestampFormat", graft.sources.LakeSink.TimestampFormat)
-      .json(out)
+    // read back THROUGH the connector: the commit-time manifest supplies
+    // the schema, LakeSinkScan parses the committed gzip JSON-lines — the
+    // round trip exercises BOTH halves of the DSv2 surface
+    s.read.format("graft.sources.LakeSink").load(out)
       .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy(col("id"))
   }
@@ -1570,9 +1571,10 @@ object Telemetry {
       .withColumn("hr", hour(col("ts")))
     t.write.format("graft.sources.LakeSink")
       .option("partitionCols", "d,hr").mode("overwrite").save(out)
-    s.read.schema(t.schema)
-      .option("timestampFormat", graft.sources.LakeSink.TimestampFormat)
-      .json(out)
+    // connector read: partition values come back from the k=v directory
+    // names (decoded once per file by LakeSinkPartitionReader), data
+    // columns from the committed rows — both under the same differential
+    s.read.format("graft.sources.LakeSink").load(out)
       .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy(col("id"))
   }

@@ -536,6 +536,99 @@ object TextOps {
               ELSE 0.0 END AS f1
        FROM ne CROSS JOIN ns CROSS JOIN co"""
 
+  /** d56 — the SCALE-SAFE form of d55's SNM audit: precision/recall/F1
+    * estimated from a deterministic 25% hash-gated document sample
+    * (h60(doc_id) mod 4 = 0 — proportional across lang blocks since the
+    * gate is content-independent). The full-corpus SNM pair set (linear,
+    * the d54 band-bucket plan) is restricted to pairs with BOTH endpoints
+    * sampled; the exact Jaccard truth graph — the audit's quadratic
+    * member — is built only WITHIN the sample, cutting its cost by the
+    * sample rate SQUARED (16× here; at 100 TB the same estimator runs at
+    * whatever f makes f²·N² affordable). A pair survives sampling iff
+    * both endpoints do, so numerator and denominator of each metric
+    * shrink by the same p² in expectation: the P/R point estimates are
+    * standard ratio estimators, reported with normal-approximation 95%
+    * bounds (±1.96·√(p̂(1−p̂)/n), clamped to [0,1]) whose width is the
+    * honest price of the sample. d55 stays the exact-validation twin.
+    * One row. */
+  def d56SnmAuditSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ids = docs
+      .filter(DedupLsh.h60($"doc_id".cast("string")) % 4 === 0)
+      .select($"doc_id").localCheckpoint(true) // reused as 3 join filters
+    val sn = snmPairsAll(docs.select($"doc_id", $"text"))
+      .join(ids.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
+      .select($"doc_a", $"doc_b")
+    val ex = nearDupPairsOver(docs
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts")))
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(true) // invariant 5: feeds the count and the overlap join
+    snmAuditCi(sn, ex)
+  }
+
+  /** d56's metric core: [[snmAudit]]'s point estimates + the 95%
+    * normal-approximation bounds on prec/rec. The se uses the ROUNDED
+    * point estimate (deterministic in both engines); sqrt is an IEEE-754
+    * correctly-rounded primitive, so the bounds are bit-portable. */
+  private[graft] def snmAuditCi(sn: DataFrame, ex: DataFrame): DataFrame = {
+    val s = sn.sparkSession
+    import s.implicits._
+    def lo(p: Column, n: Column): Column =
+      r(greatest(lit(0.0), p - lit(1.96) * sqrt(p * (lit(1.0) - p) / n.cast("double"))), 6)
+    def hi(p: Column, n: Column): Column =
+      r(least(lit(1.0), p + lit(1.96) * sqrt(p * (lit(1.0) - p) / n.cast("double"))), 6)
+    snmAudit(sn, ex)
+      .select($"n_exact", $"n_snm", $"n_common", $"prec", $"rec", $"f1",
+        when($"n_snm" > 0, lo($"prec", $"n_snm")).otherwise(0.0).as("prec_lo"),
+        when($"n_snm" > 0, hi($"prec", $"n_snm")).otherwise(0.0).as("prec_hi"),
+        when($"n_exact" > 0, lo($"rec", $"n_exact")).otherwise(0.0).as("rec_lo"),
+        when($"n_exact" > 0, hi($"rec", $"n_exact")).otherwise(0.0).as("rec_hi"))
+  }
+
+  val d56Sql: String = {
+    def loSql(p: String, n: String) = rSql(
+      s"greatest(0.0, $p - CAST(1.96 AS DOUBLE) * sqrt($p * (1.0 - $p) / CAST($n AS DOUBLE)))", 6)
+    def hiSql(p: String, n: String) = rSql(
+      s"least(1.0, $p + CAST(1.96 AS DOUBLE) * sqrt($p * (1.0 - $p) / CAST($n AS DOUBLE)))", 6)
+    s"""WITH $snmCtesSql,
+       sid AS MATERIALIZED (SELECT doc_id FROM documents
+         WHERE ${DedupLsh.h60Sql("CAST(doc_id AS VARCHAR)")} % 4 = 0),
+       d5 AS (SELECT d.doc_id, d.lang, list_distinct(${toksSql("d.text")}) AS ts
+         FROM documents d JOIN sid ON sid.doc_id = d.doc_id),
+       ex AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ${rSql("len(list_intersect(a.ts, b.ts)) / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))", 6)} AS jaccard
+           FROM d5 a JOIN d5 b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.5),
+       sn AS (SELECT doc_a, doc_b FROM snmp
+         JOIN sid sa ON sa.doc_id = snmp.doc_a
+         JOIN sid sb ON sb.doc_id = snmp.doc_b),
+       co AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         FROM sn JOIN ex USING (doc_a, doc_b)),
+       ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n_snm FROM sn),
+       pt AS (SELECT n_exact, n_snm, n_common,
+         CASE WHEN n_snm > 0
+              THEN ${rSql("CAST(n_common AS DOUBLE) / CAST(n_snm AS DOUBLE)", 6)}
+              ELSE 0.0 END AS prec,
+         CASE WHEN n_exact > 0
+              THEN ${rSql("CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)}
+              ELSE 0.0 END AS rec,
+         CASE WHEN n_exact + n_snm > 0
+              THEN ${rSql("CAST(2 * n_common AS DOUBLE) / CAST(n_exact + n_snm AS DOUBLE)", 6)}
+              ELSE 0.0 END AS f1
+       FROM ne CROSS JOIN ns CROSS JOIN co)
+       SELECT n_exact, n_snm, n_common, prec, rec, f1,
+         CASE WHEN n_snm > 0 THEN ${loSql("prec", "n_snm")} ELSE 0.0 END AS prec_lo,
+         CASE WHEN n_snm > 0 THEN ${hiSql("prec", "n_snm")} ELSE 0.0 END AS prec_hi,
+         CASE WHEN n_exact > 0 THEN ${loSql("rec", "n_exact")} ELSE 0.0 END AS rec_lo,
+         CASE WHEN n_exact > 0 THEN ${hiSql("rec", "n_exact")} ELSE 0.0 END AS rec_hi
+       FROM pt"""
+  }
+
   /** d05 — near-duplicate pairs by token-set Jaccard, blocked on `lang`
     * (the exact quadratic baseline; MinHash LSH in [[DedupLsh]] is the
     * 100 TB path). |A∪B| computed as |A|+|B|−|A∩B| so both engines use
@@ -567,8 +660,16 @@ object TextOps {
     * branch is the old general path. Zero driver-side actions either way. */
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts"))
+    nearDupPairsOver(Tables.documents(s, dir)
+      .select($"doc_id", $"lang", array_distinct(toks($"text")).as("ts")))
+  }
+
+  /** [[nearDupPairs]] over an explicit (doc_id, lang, ts) frame — d56's
+    * sampled audit builds the exact truth graph over a document SAMPLE,
+    * so the pair generator must not hard-wire the full table. */
+  private[graft] def nearDupPairsOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     // cached: feeds the fast self-join (both sides) and the overflow
     // branch — without the barrier the mask pipeline (explode + vocab
     // join + bit_or) re-evaluates per branch (CLAUDE.md invariant 5)
@@ -1956,6 +2057,7 @@ object TextOps {
     "d45_dedup_sweep_lsh" -> (d45DedupSweepLsh _),
     "d54_sorted_neighborhood" -> (d54SortedNeighborhood _),
     "d55_snm_audit" -> (d55SnmAudit _),
+    "d56_snm_audit_sample" -> (d56SnmAuditSample _),
     "d57_unigram_train" -> (d57UnigramTrain _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
@@ -1985,6 +2087,7 @@ object TextOps {
     "d45_dedup_sweep_lsh" -> d45Sql,
     "d54_sorted_neighborhood" -> d54Sql,
     "d55_snm_audit" -> d55Sql,
+    "d56_snm_audit_sample" -> d56Sql,
     "d57_unigram_train" -> d57Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,

@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` plugin — name-based resolution over the engine's
+  * two storage layers, the reference's Glue-catalog-over-the-S3-lake role
+  * (`docs/phase3-kinesis-s3.md`: Athena queries the lake by table NAME;
+  * no per-query view prep). Register and query:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.ns.sf", "/root/testdata/sf0.01")
+  * spark.conf.set("spark.sql.catalog.graft.lake", "/data/lake")
+  * spark.sql("SELECT count(*) FROM graft.sf.lineitem")
+  * spark.sql("CREATE TABLE graft.lake.alerts AS SELECT ...")   // CTAS
+  * df.writeTo("graft.lake.alerts").append()
+  * spark.table("graft.lake.alerts")                            // read back
+  * }}}
+  *
+  * Two namespace families:
+  *
+  *   - `ns.<name> = <dir>`: a read-only parquet namespace — every
+  *     `<table>.parquet` in the directory resolves as a table, served by
+  *     Spark's own parquet connector (`ParquetTable` — the engine-grade
+  *     scan: vectorized reader, filter/column pushdown, exact file-size
+  *     statistics), exactly what the per-query `spark.read.parquet` path
+  *     uses, now reached by NAME.
+  *   - `lake = <root>`: managed [[LakeSink]] tables — every subdirectory
+  *     holding a `_graft_schema.json` manifest is a table, readable
+  *     (BATCH_READ via [[LakeSinkScanBuilder]]) and writable (BATCH_WRITE
+  *     with dynamic Hive partitioning); `createTable`/CTAS provisions the
+  *     directory + manifest, `dropTable` removes it.
+  *
+  * Namespace directories are re-resolved from the ACTIVE session's conf on
+  * every call (falling back to the `initialize` snapshot): Spark caches
+  * catalog INSTANCES per name for the session's lifetime, and the harness
+  * points the same catalog at different scale-factor dirs — a stale
+  * snapshot here would silently read the wrong scale.
+  *
+  * Scale story: the catalog itself is a thin name→Table resolver (one
+  * directory listing per call, no data motion on the driver); all scan
+  * planning/pushdown lives in the resolved tables' own connectors.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var initOpts: Map[String, String] = Map.empty
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOpts = options.asScala.toMap
+  }
+  override def name(): String = catalogName
+
+  // --- namespace resolution (conf-first, see class doc) ----------------------
+
+  private def confAll: Map[String, String] =
+    SparkSession.active.conf.getAll
+
+  private def opt(suffix: String): Option[String] =
+    confAll.get(s"spark.sql.catalog.$catalogName.$suffix")
+      .orElse(initOpts.get(suffix))
+
+  private def parquetNsDir(ns: String): Option[String] = opt(s"ns.$ns")
+
+  private def lakeRoot: Option[String] = opt("lake")
+
+  private def parquetNamespaces: Seq[String] = {
+    val prefixLive = s"spark.sql.catalog.$catalogName.ns."
+    (confAll.keys.filter(_.startsWith(prefixLive)).map(_.drop(prefixLive.length)) ++
+      initOpts.keys.filter(_.startsWith("ns.")).map(_.drop(3))).toSeq.distinct.sorted
+  }
+
+  private def ns1(namespace: Array[String]): String = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    namespace(0)
+  }
+
+  // --- SupportsNamespaces -----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    (parquetNamespaces.map(Array(_)) ++ lakeRoot.map(_ => Array("lake"))).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      (parquetNsDir(namespace(0)).isDefined ||
+        (namespace(0) == "lake" && lakeRoot.isDefined))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val ns = ns1(namespace)
+    val dir =
+      if (ns == "lake") lakeRoot
+      else parquetNsDir(ns)
+    dir match {
+      case Some(d) => Map(SupportsNamespaces.PROP_LOCATION -> d).asJava
+      case None    => throw new NoSuchNamespaceException(namespace)
+    }
+  }
+
+  // namespaces are conf-defined, not DDL-managed
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: namespaces are defined by spark.sql.catalog.$catalogName.* conf keys")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: namespaces are defined by conf keys")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName: namespaces are defined by conf keys")
+
+  // --- TableCatalog -----------------------------------------------------------
+
+  private def lakeTableDir(name: String): Option[Path] =
+    lakeRoot.map(r => Paths.get(r, name))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = ns1(namespace)
+    if (ns == "lake" && lakeRoot.isDefined) {
+      val root = Paths.get(lakeRoot.get)
+      if (!Files.isDirectory(root)) return Array.empty
+      Files.list(root).iterator().asScala
+        .filter(p => Files.isRegularFile(LakeSinkFiles.manifestPath(p.toString)))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    } else parquetNsDir(ns) match {
+      case Some(dir) =>
+        val d = Paths.get(dir)
+        if (!Files.isDirectory(d)) return Array.empty
+        Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => Identifier.of(namespace,
+            p.getFileName.toString.stripSuffix(".parquet")))
+          .toArray
+      case None => throw new NoSuchNamespaceException(namespace)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true } catch { case _: NoSuchTableException => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    val ns = ident.namespace()
+    if (ns.length != 1) throw new NoSuchTableException(ident)
+    if (ns(0) == "lake" && lakeRoot.isDefined) {
+      val dir = lakeTableDir(ident.name()).get
+      LakeSinkFiles.readManifest(dir.toString) match {
+        case Some((schema, partCols)) =>
+          new LakeSinkTable(schema, dir.toString, partCols,
+            tableName = Some(s"$catalogName.lake.${ident.name()}"))
+        case None => throw new NoSuchTableException(ident)
+      }
+    } else parquetNsDir(ns(0)) match {
+      case Some(dir) =>
+        val file = s"$dir/${ident.name()}.parquet"
+        if (!Files.isRegularFile(Paths.get(file)))
+          throw new NoSuchTableException(ident)
+        ParquetTable(s"$catalogName.${ns(0)}.${ident.name()}",
+          SparkSession.active,
+          new CaseInsensitiveStringMap(Map("path" -> file).asJava),
+          Seq(file), None, classOf[ParquetFileFormat])
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val ns = ident.namespace()
+    if (ns.length != 1 || ns(0) != "lake")
+      throw new UnsupportedOperationException(
+        s"$catalogName: only the 'lake' namespace supports CREATE TABLE " +
+          "(parquet namespaces are read-only testdata)")
+    if (lakeRoot.isEmpty) throw new NoSuchNamespaceException(ns)
+    val dir = lakeTableDir(ident.name()).get
+    if (Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString)))
+      throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.map { t =>
+      if (t.name != "identity" || t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"$catalogName: only identity partitioning is supported, got $t")
+      t.references()(0).fieldNames.mkString(".")
+    }.toSeq
+    // validate the partition columns exist + types supported, before any I/O
+    LakeSink.dataSchema(schema, partCols)
+    partCols.foreach(c => schema.fieldIndex(c))
+    Files.createDirectories(dir)
+    LakeSinkFiles.writeManifest(dir.toString, schema, partCols)
+    new LakeSinkTable(schema, dir.toString, partCols,
+      tableName = Some(s"$catalogName.lake.${ident.name()}"))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(s"$catalogName: ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ns = ident.namespace()
+    if (ns.length != 1 || ns(0) != "lake" || lakeRoot.isEmpty) return false
+    val dir = lakeTableDir(ident.name()).get
+    if (!Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString))) return false
+    val it = Files.walk(dir).sorted(java.util.Comparator.reverseOrder()).iterator()
+    while (it.hasNext) Files.deleteIfExists(it.next())
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // Spark hands the TO identifier UNRESOLVED: empty namespace (default
+    // into the source's) or still carrying the catalog name as its first
+    // part (`RENAME TO graft.lake.x` arrives as ns=[graft,lake]) — strip it
+    val rawNs = newIdent.namespace()
+    val newNs =
+      if (rawNs.isEmpty) oldIdent.namespace()
+      else if (rawNs.headOption.contains(catalogName)) rawNs.drop(1)
+      else rawNs
+    if (!(oldIdent.namespace().sameElements(Array("lake")) &&
+        newNs.sameElements(Array("lake"))))
+      throw new UnsupportedOperationException(
+        s"$catalogName: RENAME is only supported within the 'lake' namespace " +
+          s"(got ${oldIdent.namespace().mkString(".")} -> ${newNs.mkString(".")})")
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    val target = Identifier.of(newNs, newIdent.name())
+    if (tableExists(target)) throw new TableAlreadyExistsException(target)
+    Files.move(lakeTableDir(oldIdent.name()).get, lakeTableDir(newIdent.name()).get)
+  }
+}

@@ -7,8 +7,9 @@ import java.util
 import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
@@ -48,20 +49,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * executor/driver that owns it — the driver handles only O(#tasks)
   * rename messages per commit, state per writer is one open stream, and
   * the deterministic (epoch, partition) naming is what makes retried
-  * epochs idempotent at any fan-out. Read back via
-  * [[LakeIO.readJsonWithErrorChannel]] or `spark.read.json`.
+  * epochs idempotent at any fan-out. Read back THROUGH the connector
+  * ([[LakeSinkScanBuilder]] — every commit records a `_graft_schema.json`
+  * manifest, so `spark.read.format("graft.sources.LakeSink").load(dir)`
+  * needs no user schema), via [[GraftCatalog]] by name, or with
+  * `spark.read.json` for interop.
   */
 class LakeSink extends TableProvider {
-  // the write schema arrives from the query plan, not from files on disk
+  // on write the schema arrives from the query plan; on read it comes from
+  // the `_graft_schema.json` manifest every committed write records
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new UnsupportedOperationException(
-      "graft.sources.LakeSink is a write-only sink; read the lake back with spark.read.json")
+    LakeSinkFiles.readManifest(options.get("path")).map(_._1).getOrElse(
+      throw new UnsupportedOperationException(
+        "graft.sources.LakeSink: no _graft_schema.json manifest at " +
+          s"'${options.get("path")}' — read an existing lake table, or pass " +
+          "an explicit .schema(...)"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new LakeSinkTable(schema, properties.get("path"),
       Option(properties.get("partitionCols")).map(_.split(",").map(_.trim)
-        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
+        .filter(_.nonEmpty).toSeq)
+        .orElse(LakeSinkFiles.readManifest(properties.get("path")).map(_._2))
+        .getOrElse(Seq.empty))
 }
 
 object LakeSink {
@@ -146,16 +156,23 @@ object LakeSink {
     }
 }
 
-private[sources] class LakeSinkTable(writeSchema: StructType, path: String,
-    partCols: Seq[String]) extends Table with SupportsWrite {
+private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
+    partCols: Seq[String], tableName: Option[String] = None)
+    extends Table with SupportsWrite with SupportsRead {
   require(path != null && path.nonEmpty, "LakeSink requires a 'path' option")
-  override def name(): String = s"graft_lake_sink($path)"
+  override def name(): String = tableName.getOrElse(s"graft_lake_sink($path)")
   override def schema(): StructType = writeSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeSinkWriteBuilder(info.schema(), path, partCols)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeSinkScanBuilder(writeSchema, path, partCols)
 }
 
 private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
@@ -184,6 +201,53 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
 private[graft] object LakeSinkFiles {
   def stagingDir(path: String): Path = Paths.get(path, "_staging")
   def commitsDir(path: String): Path = Paths.get(path, "_graft_commits")
+  def manifestPath(path: String): Path = Paths.get(path, "_graft_schema.json")
+
+  /** Record the lake table's LOGICAL schema (data + partition columns,
+    * original order — DDL round-trips all supported types) so the table is
+    * readable by name with no user schema. Written via temp + atomic move
+    * at every successful commit; last writer wins, which is correct
+    * because appends require an identical schema anyway. */
+  def writeManifest(path: String, schema: StructType, partCols: Seq[String]): Unit = {
+    val json = s"""{"schema":"${LakeSink.jsonEscape(schema.toDDL)}"""" +
+      s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"}"""
+    val tmp = Paths.get(path, s".schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read back (full schema, partition columns); None when the directory
+    * holds no committed lake table. */
+  def readManifest(path: String): Option[(StructType, Seq[String])] = {
+    if (path == null) return None
+    val p = manifestPath(path)
+    if (!Files.isRegularFile(p)) return None
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def str(key: String): String = {
+      val tag = s""""$key":""""
+      val start = json.indexOf(tag) + tag.length
+      require(start > tag.length - 1, s"LakeSink manifest at $p lacks '$key'")
+      val b = new StringBuilder
+      var i = start
+      while (json.charAt(i) != '"') {
+        if (json.charAt(i) == '\\') {
+          i += 1
+          json.charAt(i) match {
+            case 'n' => b.append('\n'); case 'r' => b.append('\r')
+            case 't' => b.append('\t')
+            case 'u' => b.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar); i += 4
+            case c   => b.append(c)
+          }
+        } else b.append(json.charAt(i))
+        i += 1
+      }
+      b.toString
+    }
+    val schema = StructType.fromDDL(str("schema"))
+    val parts = str("partitionCols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    Some((schema, parts))
+  }
 
   def ensureDirs(path: String): Unit = {
     Files.createDirectories(stagingDir(path))
@@ -193,9 +257,11 @@ private[graft] object LakeSinkFiles {
   /** Move staged → destination under the staged file's FINAL relative
     * path (may carry `k=v/` partition directories, created on demand).
     * REPLACE_EXISTING makes a retried commit converge instead of failing
-    * or duplicating. */
+    * or duplicating; `.distinct` absorbs raced speculative attempts of
+    * one (epoch, partition) whose commit messages both name the same
+    * deterministic staged file. */
   def promote(path: String, staged: Seq[String]): Unit =
-    staged.foreach { name =>
+    staged.distinct.foreach { name =>
       val target = Paths.get(path, name)
       Option(target.getParent).foreach(Files.createDirectories(_))
       Files.move(stagingDir(path).resolve(name), target,
@@ -203,7 +269,7 @@ private[graft] object LakeSinkFiles {
     }
 
   def discard(path: String, staged: Seq[String]): Unit =
-    staged.foreach(name => Files.deleteIfExists(stagingDir(path).resolve(name)))
+    staged.distinct.foreach(name => Files.deleteIfExists(stagingDir(path).resolve(name)))
 
   /** Sweep staging of every artifact carrying this write's tag — job
     * abort may not receive a message for every attempted task. Recursive:
@@ -253,6 +319,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     if (truncateFirst) LakeSinkFiles.truncateDest(path)
     LakeSinkFiles.promote(path,
       messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+    LakeSinkFiles.writeManifest(path, schema, partCols)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -276,6 +343,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
       LakeSinkFiles.discard(path, staged)
     } else {
       LakeSinkFiles.promote(path, staged)
+      LakeSinkFiles.writeManifest(path, schema, partCols)
       // marker via temp + atomic move: a crash can't leave a marker for
       // an epoch whose files never promoted
       val tmp = LakeSinkFiles.commitsDir(path).resolve(s".${epochId}.tmp")

@@ -1,0 +1,318 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The READ half of [[LakeSink]] — a DSv2 `Scan` over the connector's own
+  * committed gzip JSON-lines lake, so the sink round-trips through the
+  * connector in BOTH directions (write: stage→commit; read: list committed
+  * files → parallel parse). This is the reference lake's read-back role
+  * (`docs/phase3-kinesis-s3.md` — Athena/Glue over the S3 prefix), kept
+  * inside the same connector.
+  *
+  * Scale shape: one InputPartition per committed file (each task streams
+  * its own gzip member — the natural parallelism of an object-store lake);
+  * `_staging`/`_graft_commits` are never listed, so in-flight writers are
+  * invisible to readers; Hive `k=v/` partition directories are pruned at
+  * PLANNING from pushed equality filters (a day-partitioned 100 TB lake
+  * reads one day's files, not the listing of all of them), and partition
+  * values are restored from directory names without touching row bytes.
+  * Column pruning drops unreferenced fields at parse time.
+  */
+private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
+    partCols: Seq[String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var partFilters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept equality filters on PARTITION columns (evaluated at planning
+    * against directory names — completely, so no residual re-evaluation is
+    * needed); everything else stays with the engine. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (part, rest) = filters.partition {
+      case EqualTo(a, _) => partCols.contains(a)
+      case _             => false
+    }
+    partFilters = part
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = partFilters
+
+  override def build(): Scan =
+    new LakeSinkScan(fullSchema, required, path, partCols, partFilters)
+}
+
+private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType,
+    path: String, partCols: Seq[String], partFilters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-lake-scan path=$path partFilters=[${partFilters.mkString(",")}]"
+  override def toBatch: Batch = this
+
+  /** On-disk bytes of the PRUNED file set (the same convention Spark's
+    * file sources use — `fileCompressionFactor` corrects for gzip if the
+    * user tunes it), so a small lake table auto-broadcasts in catalog
+    * joins with no hint. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = planInputPartitions().map {
+      case LakeSinkInputPartition(f, _) => Files.size(Paths.get(f))
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes max 1L)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  /** Equality against a decoded partition value, tolerant of the external
+    * value types the v1 Filter API surfaces (java.sql.Date vs LocalDate,
+    * Integer vs Long literals). */
+  private def matches(colType: DataType, dirValue: String, want: Any): Boolean =
+    colType match {
+      case StringType => dirValue == String.valueOf(want)
+      case IntegerType | LongType =>
+        try java.lang.Long.parseLong(dirValue) == (want match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long    => l.longValue
+          case other                => return dirValue == String.valueOf(other)
+        }) catch { case _: NumberFormatException => false }
+      case DateType =>
+        val wantDay = want match {
+          case d: java.sql.Date        => d.toLocalDate.toString
+          case d: java.time.LocalDate  => d.toString
+          case other                   => String.valueOf(other)
+        }
+        dirValue == wantDay
+      case _ => false
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Array.empty
+    val staging = LakeSinkFiles.stagingDir(path)
+    val commits = LakeSinkFiles.commitsDir(path)
+    val partTypes: Map[String, DataType] =
+      partCols.map(c => c -> fullSchema(c).dataType).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val it = Files.walk(root).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
+          && !p.startsWith(staging) && !p.startsWith(commits)) {
+        // decode k=v partition directories from the path relative to root
+        val rel = root.relativize(p)
+        val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        val kvs = dirs.flatMap { d =>
+          val eq = d.indexOf('=')
+          if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
+        }.filter { case (k, _) => partCols.contains(k) }
+        val kept = partFilters.forall {
+          case EqualTo(a, v) =>
+            kvs.find(_._1 == a).exists { case (_, dv) => matches(partTypes(a), dv, v) }
+          case _ => true
+        }
+        if (kept) out += LakeSinkInputPartition(p.toString, kvs)
+      }
+    }
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeSinkReaderFactory(fullSchema, required, partCols)
+}
+
+private[sources] case class LakeSinkInputPartition(file: String,
+    partValues: Seq[(String, String)]) extends InputPartition
+
+private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
+    required: StructType, partCols: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakeSinkInputPartition]
+    new LakeSinkPartitionReader(p.file, fullSchema, required, partCols, p.partValues)
+  }
+}
+
+/** Streams one committed gzip JSON-lines file; each line is parsed with a
+  * schema-typed scanner (the inverse of [[LakeSink.serializers]] — same
+  * escape set, same micros-ISO timestamp format), partition-column values
+  * are decoded ONCE from the directory names, and only `required` columns
+  * are materialized. */
+private[sources] class LakeSinkPartitionReader(file: String,
+    fullSchema: StructType, required: StructType, partCols: Seq[String],
+    partValues: Seq[(String, String)]) extends PartitionReader[InternalRow] {
+
+  private val dataSchema = LakeSink.dataSchema(fullSchema, partCols)
+  private val parser = new JsonLineParser(dataSchema)
+  private val parsed = new Array[Any](dataSchema.length)
+
+  // typed partition values, decoded once per file
+  private val partTyped: Map[String, Any] = partValues.map { case (k, v) =>
+    k -> (fullSchema(k).dataType match {
+      case StringType  => UTF8String.fromString(v)
+      case IntegerType => java.lang.Integer.valueOf(v)
+      case LongType    => java.lang.Long.valueOf(v)
+      case DateType    => java.lang.Integer.valueOf(
+        java.time.LocalDate.parse(v).toEpochDay.toInt)
+      case other => throw new UnsupportedOperationException(
+        s"LakeSink read: unsupported partition column type $other for $k")
+    })
+  }.toMap
+
+  // required field i ← Left(dataSchema position) | Right(constant part value)
+  private val extract: Array[Either[Int, Any]] = required.fields.map { f =>
+    if (partCols.contains(f.name)) Right(partTyped.getOrElse(f.name,
+      throw new IllegalStateException(
+        s"LakeSink read: partition column ${f.name} missing from ${file}'s path")))
+    else Left(dataSchema.fieldIndex(f.name))
+  }
+
+  private val in = new BufferedReader(new InputStreamReader(
+    new GZIPInputStream(Files.newInputStream(Paths.get(file))),
+    StandardCharsets.UTF_8))
+  private var line: String = _
+
+  override def next(): Boolean = { line = in.readLine(); line != null }
+
+  override def get(): InternalRow = {
+    parser.parse(line, parsed)
+    val vals = new Array[Any](extract.length)
+    var i = 0
+    while (i < extract.length) {
+      vals(i) = extract(i) match {
+        case Left(j)  => parsed(j)
+        case Right(v) => v
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = in.close()
+}
+
+/** Minimal single-object JSON-lines scanner typed by the writer's own
+  * schema — parses exactly the value grammar [[LakeSink.serializers]]
+  * emits (null / number / true / false / escaped string / quoted
+  * micros-ISO timestamp), field order free, unknown fields rejected
+  * loudly (they would mean the manifest and the files drifted). */
+private[sources] final class JsonLineParser(schema: StructType) {
+  private val fieldIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, i) }
+    m
+  }
+  private val types: Array[DataType] = schema.fields.map(_.dataType)
+
+  private def fail(line: String, pos: Int, what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"LakeSink read: malformed JSON line at pos $pos ($what): $line")
+
+  /** Parse a quoted string starting at `pos` (at the opening '"');
+    * returns (value, position after the closing quote). */
+  private def parseString(line: String, pos: Int): (String, Int) = {
+    var i = pos + 1
+    val b = new java.lang.StringBuilder()
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '"' => return (b.toString, i + 1)
+        case '\\' =>
+          i += 1
+          if (i >= line.length) fail(line, i, "dangling escape")
+          line.charAt(i) match {
+            case '"'  => b.append('"')
+            case '\\' => b.append('\\')
+            case '/'  => b.append('/')
+            case 'n'  => b.append('\n')
+            case 'r'  => b.append('\r')
+            case 't'  => b.append('\t')
+            case 'b'  => b.append('\b')
+            case 'f'  => b.append('\f')
+            case 'u'  =>
+              if (i + 4 >= line.length) fail(line, i, "short \\u escape")
+              b.append(Integer.parseInt(line.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case c => fail(line, i, s"unknown escape \\$c")
+          }
+          i += 1
+        case c => b.append(c); i += 1
+      }
+    }
+    fail(line, pos, "unterminated string")
+  }
+
+  private def micros(s: String): Long = {
+    val inst = java.time.Instant.from(LakeSink.TsFormatter.parse(s))
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  /** Parse one line into `out` (length = schema size, filled with the
+    * InternalRow representation: UTF8String / micros-Long / primitives). */
+  def parse(line: String, out: Array[Any]): Unit = {
+    java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], null)
+    var i = 0
+    if (line.isEmpty || line.charAt(i) != '{') fail(line, i, "expected '{'")
+    i += 1
+    if (i < line.length && line.charAt(i) == '}') return // empty object
+    var done = false
+    while (!done) {
+      if (i >= line.length || line.charAt(i) != '"') fail(line, i, "expected field name")
+      val (name, afterName) = parseString(line, i)
+      i = afterName
+      if (i >= line.length || line.charAt(i) != ':') fail(line, i, "expected ':'")
+      i += 1
+      val fi = fieldIdx.get(name)
+      if (fi == null) fail(line, i, s"unknown field '$name'")
+      line.charAt(i) match {
+        case 'n' =>
+          if (!line.startsWith("null", i)) fail(line, i, "expected null")
+          i += 4
+        case 't' =>
+          if (!line.startsWith("true", i)) fail(line, i, "expected true")
+          out(fi) = java.lang.Boolean.TRUE; i += 4
+        case 'f' =>
+          if (!line.startsWith("false", i)) fail(line, i, "expected false")
+          out(fi) = java.lang.Boolean.FALSE; i += 5
+        case '"' =>
+          val (s, after) = parseString(line, i)
+          i = after
+          out(fi) = types(fi) match {
+            case StringType    => UTF8String.fromString(s)
+            case TimestampType => java.lang.Long.valueOf(micros(s))
+            case other => fail(line, i, s"quoted value for $other field '$name'")
+          }
+        case _ =>
+          var j = i
+          while (j < line.length && line.charAt(j) != ',' && line.charAt(j) != '}') j += 1
+          val s = line.substring(i, j)
+          i = j
+          out(fi) = types(fi) match {
+            case LongType    => java.lang.Long.valueOf(s)
+            case IntegerType => java.lang.Integer.valueOf(s)
+            case DoubleType  => java.lang.Double.valueOf(s)
+            case FloatType   => java.lang.Float.valueOf(s)
+            case other => fail(line, i, s"bare value for $other field '$name'")
+          }
+      }
+      if (i >= line.length) fail(line, i, "unterminated object")
+      line.charAt(i) match {
+        case ',' => i += 1
+        case '}' => done = true
+        case _   => fail(line, i, "expected ',' or '}'")
+      }
+    }
+  }
+}

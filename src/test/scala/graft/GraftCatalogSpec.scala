@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{AnalysisException, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, LakeSinkFiles}
+
+/** The DSv2 catalog surface ([[graft.sources.GraftCatalog]]) + the READ
+  * half of [[graft.sources.LakeSink]]: name-based resolution of the
+  * parquet testdata and managed lake tables, schema-manifest reads,
+  * partition-directory pruning, CTAS / append / drop / rename through the
+  * catalog, and the error contract for missing tables/namespaces.
+  */
+class GraftCatalogSpec extends GraftSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def withCatalog[T](lake: String = null)(body: => T): T = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.ns.sf", sfTiny)
+    if (lake != null) spark.conf.set("spark.sql.catalog.graft.lake", lake)
+    body
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("parquet namespace: name-based read equals the path-based scan") {
+    withCatalog() {
+      val byName = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM graft.sf.lineitem GROUP BY 1")
+      val byPath = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(canon(byName) == canon(byPath))
+    }
+  }
+
+  test("parquet namespace re-resolves its dir from the live session conf") {
+    withCatalog() {
+      val tiny = spark.table("graft.sf.lineitem").count()
+      spark.conf.set("spark.sql.catalog.graft.ns.sf", sfSmall)
+      val small = spark.table("graft.sf.lineitem").count()
+      spark.conf.set("spark.sql.catalog.graft.ns.sf", sfTiny)
+      assert(small > tiny, "same catalog instance must follow the conf re-point")
+    }
+  }
+
+  test("listTables / listNamespaces / missing table + namespace errors") {
+    val lake = tmp("graft_cat_list")
+    withCatalog(lake) {
+      val sfTables = spark.sql("SHOW TABLES IN graft.sf").collect()
+        .map(_.getString(1)).toSet
+      assert(Tables.names.toSet.subsetOf(sfTables), s"got $sfTables")
+      val nss = spark.sql("SHOW NAMESPACES IN graft").collect()
+        .map(_.getString(0)).toSet
+      assert(nss.contains("sf") && nss.contains("lake"), s"got $nss")
+      val e = intercept[AnalysisException](spark.table("graft.sf.no_such_table"))
+      assert(e.getMessage.contains("no_such_table"))
+      val e2 = intercept[AnalysisException](spark.table("graft.nope.lineitem"))
+      assert(e2 != null)
+    }
+  }
+
+  test("lake namespace: CTAS writes through LakeSink, reads back by name, drop removes") {
+    val lake = tmp("graft_cat_ctas")
+    withCatalog(lake) {
+      spark.sql(
+        """CREATE TABLE graft.lake.asia_nations AS
+           SELECT n_nationkey, n_name FROM graft.sf.nation WHERE n_regionkey = 2""")
+      // the table is a real LakeSink lake: manifest + committed gzip files
+      assert(Files.isRegularFile(LakeSinkFiles.manifestPath(s"$lake/asia_nations")))
+      val back = spark.table("graft.lake.asia_nations")
+      val want = spark.read.parquet(s"$sfTiny/nation.parquet")
+        .filter(col("n_regionkey") === 2).select("n_nationkey", "n_name")
+      assert(canon(back) == canon(want))
+      val listed = spark.sql("SHOW TABLES IN graft.lake").collect()
+        .map(_.getString(1)).toSet
+      assert(listed == Set("asia_nations"))
+      spark.sql("DROP TABLE graft.lake.asia_nations")
+      assert(!Files.exists(Paths.get(s"$lake/asia_nations")))
+      assert(spark.sql("SHOW TABLES IN graft.lake").collect().isEmpty)
+    }
+  }
+
+  test("lake namespace: INSERT INTO appends; RENAME moves the directory") {
+    val lake = tmp("graft_cat_insert")
+    withCatalog(lake) {
+      spark.sql("CREATE TABLE graft.lake.vals AS SELECT 1L AS v")
+      spark.sql("INSERT INTO graft.lake.vals SELECT 2L AS v")
+      assert(canon(spark.table("graft.lake.vals")) == Seq("[1]", "[2]"))
+      spark.sql("ALTER TABLE graft.lake.vals RENAME TO graft.lake.vals2")
+      assert(canon(spark.table("graft.lake.vals2")) == Seq("[1]", "[2]"))
+      assert(!spark.catalog.tableExists("graft.lake.vals"))
+    }
+  }
+
+  test("connector read without manifest fails with a useful message") {
+    val empty = tmp("graft_cat_nomanifest")
+    val e = intercept[Exception](
+      spark.read.format("graft.sources.LakeSink").load(empty).collect())
+    assert(e.getMessage.contains("_graft_schema.json"), e.getMessage)
+  }
+
+  test("manifest-driven connector read round-trips all supported types bit-exactly") {
+    val out = tmp("graft_read_types")
+    val src = graft.operators.Telemetry.twin(spark).filter(col("id") < 500L)
+    src.write.format("graft.sources.LakeSink").mode("overwrite").save(out)
+    val back = spark.read.format("graft.sources.LakeSink").load(out)
+    assert(back.schema == src.schema,
+      s"manifest schema drift: ${back.schema.toDDL} vs ${src.schema.toDDL}")
+    assert(canon(back) == canon(src))
+  }
+
+  test("partitioned lake: equality filter on a partition column prunes input files") {
+    import spark.implicits._
+    val out = tmp("graft_read_prune")
+    (0 until 40).map(i => (i.toLong, i % 4)).toDF("v", "b")
+      .repartition(2)
+      .write.format("graft.sources.LakeSink").option("partitionCols", "b")
+      .mode("overwrite").save(out)
+    val all = spark.read.format("graft.sources.LakeSink").load(out)
+    val pruned = all.filter($"b" === 2)
+    // one RDD partition per surviving committed file: the b=2 directory
+    // holds 1/4 of the files (2 tasks x 4 buckets written)
+    assert(all.rdd.getNumPartitions == 8, s"got ${all.rdd.getNumPartitions}")
+    assert(pruned.rdd.getNumPartitions == 2, s"got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.select(sum($"v")).as[Long].head ==
+      (0 until 40).filter(_ % 4 == 2).sum.toLong)
+    // the scan reports the pushed partition filter
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("EqualTo(b,2)"), desc)
+  }
+
+  test("in-flight staging files are invisible to the connector reader") {
+    import spark.implicits._
+    val out = tmp("graft_read_staging")
+    Seq(1L, 2L).toDF("v").write.format("graft.sources.LakeSink")
+      .mode("overwrite").save(out)
+    // simulate a concurrent writer mid-flight: bytes in _staging
+    Files.write(LakeSinkFiles.stagingDir(out).resolve("part-x-0.json.gz"),
+      Array[Byte](1, 2, 3))
+    assert(canon(spark.read.format("graft.sources.LakeSink").load(out)) ==
+      Seq("[1]", "[2]"))
+  }
+
+  test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
+    withCatalog() {
+      val e = intercept[Exception](
+        spark.sql("CREATE TABLE graft.sf.x AS SELECT 1L AS v"))
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+    }
+  }
+}

@@ -102,6 +102,50 @@ class LakeSinkSpec extends GraftSpec {
     assert(partFiles(out).isEmpty && stagingFiles(out).isEmpty)
   }
 
+  test("speculative duplicate: two attempts of one (epoch, partition) leave exactly one file") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val out = tmp("graft_sink_spec_dup")
+    LakeSinkFiles.ensureDirs(out)
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val factory = new graft.sources.LakeSinkStreamingWriterFactory(schema, out)
+    def row(v: Long) = new GenericInternalRow(Array[Any](v))
+
+    // (a) coordinator path: attempt 1 wins task commit, attempt 2 is told
+    // to abort — its attempt-unique .inprogress must vanish, the winner's
+    // bytes must be the staged file
+    val a1 = factory.createWriter(0, 1L, 7L)
+    val a2 = factory.createWriter(0, 2L, 7L)
+    a1.write(row(11L)); a2.write(row(22L))
+    val msg = a1.commit()
+    a2.abort()
+    val staged = stagingFiles(out)
+    assert(staged == Seq("part-e7-0.json.gz"),
+      s"expected exactly the winner's final name, got $staged")
+    val sw = new LakeSinkStreamingWrite(schema, out)
+    sw.commit(7L, Array(msg))
+    assert(partFiles(out) == Seq("part-e7-0.json.gz"))
+    val back = spark.read.schema(schema).json(out)
+    assert(canon(back) == Seq("[11]"), s"winner's content must survive: ${canon(back)}")
+
+    // (b) the raced double-commit (coordinator bypassed entirely): the
+    // deterministic (epoch, partition) final name makes the second task
+    // commit REPLACE the first, never duplicate — one complete file, no
+    // .inprogress leak
+    val b1 = factory.createWriter(0, 3L, 8L)
+    val b2 = factory.createWriter(0, 4L, 8L)
+    b1.write(row(33L)); b2.write(row(44L))
+    val m1 = b1.commit()
+    val m2 = b2.commit()
+    assert(stagingFiles(out) == Seq("part-e8-0.json.gz"),
+      s"raced commits must converge on ONE staged file: ${stagingFiles(out)}")
+    // whichever message the driver processes, the promoted name is the same
+    sw.commit(8L, Array(m1, m2))
+    assert(partFiles(out).count(_ == "part-e8-0.json.gz") == 1)
+    val back8 = spark.read.schema(schema).json(out)
+      .filter(col("v") >= 30L)
+    assert(back8.count() == 1L, "exactly one attempt's single row, never both")
+  }
+
   test("streaming kill/restart through the sink is exactly-once (no dup, no gap)") {
     import spark.implicits._
     val out = tmp("graft_sink_stream")

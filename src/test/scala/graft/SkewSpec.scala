@@ -30,6 +30,48 @@ class SkewSpec extends GraftSpec {
     assert(direct.except(salted).count() == 0)
   }
 
+  test("AQE splits a skewed shuffle join (OptimizeSkewedJoin fires)") {
+    import spark.implicits._
+    // one hot key carries ~all left rows; thresholds lowered so the
+    // planted skew crosses AQE's size gates at test scale (defaults are
+    // 256 MB / factor 5 — calibrated for real clusters)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      // the hot side must be incompressible in the SHUFFLE (MapStatus
+      // sizes are post-compression): a constant key alone lz4-compresses
+      // to nothing, so the distinct payload v rides through the join
+      val left = spark.range(400000)
+        .select(when($"id" % 100 === 0, $"id" % 7).otherwise(lit(3L)).as("k"),
+          xxhash64($"id").as("v"))
+      val right = spark.range(7).select($"id".as("k"), ($"id" * 10).as("w"))
+      // the consumer must not REQUIRE the join key's partitioning: a
+      // groupBy(k) downstream makes OptimizeSkewedJoin decline (the split
+      // breaks hashpartitioning(k) and the rule refuses to add the
+      // repair shuffle unless forced) — a global aggregate is
+      // partitioning-agnostic, so the default rule is free to split
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), max($"v").as("mv"))
+      val rows = joined.collect()
+      // correctness first: the split must not change the result
+      assert(rows(0).getLong(0) == 400000L)
+      // the FINAL adaptive plan must show the skew-split join
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("salted join spreads a hot key over multiple shuffle keys") {
     import spark.implicits._
     // all fact rows share ONE key — the degenerate hot-key case

@@ -563,6 +563,55 @@ class TextOpsSpec extends GraftSpec {
     assert(r0.getDouble(4) >= 0 && r0.getDouble(4) <= 1.0)
   }
 
+  test("d56 CI core: hand-computed bounds, point estimates identical to d55's") {
+    import spark.implicits._
+    val sn = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val ex = Seq((1L, 2L), (3L, 4L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val base = TextOps.snmAudit(sn, ex).collect()(0)
+    val got = TextOps.snmAuditCi(sn, ex).collect()(0)
+    // point estimates ride the d55 core unchanged
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (base.getLong(0), base.getLong(1), base.getLong(2)))
+    assert((got.getDouble(3), got.getDouble(4), got.getDouble(5)) ==
+      (base.getDouble(3), base.getDouble(4), base.getDouble(5)))
+    // prec = 2/4 = 0.5, n_snm = 4: se = sqrt(.25/4) = .25 → [0.01, 0.99]
+    def rd(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.getAs[Double]("prec_lo") == rd(0.5 - 1.96 * 0.25))
+    assert(got.getAs[Double]("prec_hi") == rd(0.5 + 1.96 * 0.25))
+    // rec = 2/3 rounded, n_exact = 3; bounds from the ROUNDED estimate
+    val rec = rd(2.0 / 3.0)
+    val se = math.sqrt(rec * (1.0 - rec) / 3.0)
+    assert(got.getAs[Double]("rec_lo") == rd(math.max(0.0, rec - 1.96 * se)))
+    assert(got.getAs[Double]("rec_hi") == rd(math.min(1.0, rec + 1.96 * se)))
+  }
+
+  test("d56 CI core clamps at certainty and zero denominators") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val perfect = TextOps.snmAuditCi(pairs, pairs).collect()(0)
+    // p = 1 → se = 0 → degenerate [1, 1]
+    assert(perfect.getAs[Double]("prec_lo") == 1.0 &&
+      perfect.getAs[Double]("rec_hi") == 1.0)
+    val emptyEx = TextOps.snmAuditCi(pairs,
+      pairs.filter(col("doc_a") < 0)).collect()(0)
+    assert(emptyEx.getAs[Double]("rec_lo") == 0.0 &&
+      emptyEx.getAs[Double]("rec_hi") == 0.0)
+  }
+
+  test("d56 on testdata: sampled counts bounded by d55's full-audit counts") {
+    val full = TextOps.d55SnmAudit(spark, sfTiny).collect()(0)
+    val samp = TextOps.d56SnmAuditSample(spark, sfTiny).collect()(0)
+    // both-endpoint sampling can only SHRINK each pair set
+    assert(samp.getLong(0) <= full.getLong(0)) // n_exact
+    assert(samp.getLong(1) <= full.getLong(1)) // n_snm
+    assert(samp.getLong(2) <= full.getLong(2)) // n_common
+    // bounds bracket their point estimates
+    assert(samp.getAs[Double]("rec_lo") <= samp.getAs[Double]("rec"))
+    assert(samp.getAs[Double]("rec") <= samp.getAs[Double]("rec_hi"))
+    assert(samp.getAs[Double]("prec_lo") <= samp.getAs[Double]("prec"))
+    assert(samp.getAs[Double]("prec") <= samp.getAs[Double]("prec_hi"))
+  }
+
   test("d57 unigram training reproduces the hand-computed abab trace") {
     import spark.implicits._
     // wf = {abab: 3}. Seeds (weighted by 3): a 6, b 6, ab 6, ba 3,
