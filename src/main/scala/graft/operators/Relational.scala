@@ -944,6 +944,39 @@ object Relational {
 
   val q97Sql: String = q22Body(rsumSql("c_acctbal", 2), "")
 
+  // --- q99: TPC-H Q4 (order-priority checking) ---------------------------------
+
+  /** The Q4 body — the plain correlated-EXISTS shape (Q21's simpler
+    * sibling; together they cover semi + anti existence joins): orders in
+    * one quarter having at least one late lineitem, counted by priority.
+    * Deviations: no commit/receipt dates, so "late" = shipped >90 days
+    * after the order date (the q88/q95 convention — the EXISTS correlates
+    * on the order key AND the outer o_orderdate); quarter moved into this
+    * catalog's span. All-integer counts; the 5-value priority is the
+    * group key → total order. */
+  private def q4Body(p: String): String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM ${p}orders
+       WHERE o_orderdate >= CAST('1996-07-01' AS TIMESTAMP)
+         AND o_orderdate < CAST('1996-10-01' AS TIMESTAMP)
+         AND EXISTS (SELECT * FROM ${p}lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** q99 — TPC-H Q4 as SQL TEXT through `spark.sql`. Scale shape: the
+    * EXISTS decorrelates to a LeftSemi join on the order key carrying the
+    * non-equi date condition; the quarter filter pushes to the orders
+    * scan and bounds the semi join's probe side. */
+  def q99TpchQ4(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q4_$t"))
+    s.sql(q4Body("graft_q4_"))
+  }
+
+  val q99Sql: String = q4Body("")
+
   // --- q98: TPC-H Q6 over CATALOG-qualified names ------------------------------
 
   /** q98 — TPC-H Q6 resolved by NAME through the `graft` DSv2 catalog
@@ -1088,6 +1121,7 @@ object Relational {
     "q96_tpch_q17" -> (q96TpchQ17 _),
     "q97_tpch_q22" -> (q97TpchQ22 _),
     "q98_catalog_q6" -> (q98CatalogQ6 _),
+    "q99_tpch_q4" -> (q99TpchQ4 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -1121,6 +1155,7 @@ object Relational {
     "q96_tpch_q17" -> q96Sql,
     "q97_tpch_q22" -> q97Sql,
     "q98_catalog_q6" -> q98Sql,
+    "q99_tpch_q4" -> q99Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

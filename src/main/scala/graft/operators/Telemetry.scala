@@ -1584,9 +1584,42 @@ object Telemetry {
          CAST(hour(ts) AS INTEGER) AS hr
        FROM ($twinSql) ORDER BY id"""
 
+  /** t35 — partition-level DELETE through the whole DSv2 stack: the twin
+    * is CTAS'd into a date-partitioned [[graft.sources.GraftCatalog]] lake
+    * table (`writeTo.partitionedBy(d).create()`), one day is dropped with
+    * SQL `DELETE FROM graft.lake.… WHERE d = …` (LakeSink's
+    * `SupportsDelete` — a metadata delete: whole matching partition files
+    * vanish, no row is read), and the read-back must equal the oracle's
+    * filtered twin. Catalog + connector + delete contract under one
+    * differential.
+    *
+    * Scale shape: the delete is O(#files in the partition) driver-side
+    * renames-worth of work — the Hive/Iceberg DROP PARTITION contract;
+    * non-partition predicates are refused at planning, never
+    * half-applied. */
+  def t35PartitionDelete(s: SparkSession, dir: String): DataFrame = {
+    // a fresh lake root per invocation: bench reps re-run the CTAS
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t35_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s).withColumn("d", to_date(col("ts")))
+    t.writeTo("graft.lake.t35").partitionedBy(col("d")).create()
+    s.sql("DELETE FROM graft.lake.t35 WHERE d = CAST('2026-01-03' AS DATE)")
+    s.table("graft.lake.t35")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t35Sql: String =
+    s"""SELECT *, CAST(date_trunc('day', ts) AS DATE) AS d
+       FROM ($twinSql)
+       WHERE CAST(date_trunc('day', ts) AS DATE) <> DATE '2026-01-03'
+       ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t33_partitioned_sink" -> (t33PartitionedSink _),
     "t34_session_window" -> (t34SessionWindow _),
+    "t35_partition_delete" -> (t35PartitionDelete _),
     "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
     "t32_oee" -> (t32Oee _),
     "t23_changepoint" -> (t23Changepoint _),
@@ -1618,6 +1651,7 @@ object Telemetry {
   val oracles: Map[String, String] = Map(
     "t33_partitioned_sink" -> t33Sql,
     "t34_session_window" -> t34Sql,
+    "t35_partition_delete" -> t35Sql,
     "t31_sink_roundtrip" -> t31Sql,
     "t32_oee" -> t32Sql,
     "t23_changepoint" -> t23Sql,

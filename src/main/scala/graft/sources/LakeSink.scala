@@ -7,7 +7,7 @@ import java.util
 import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
@@ -158,8 +158,25 @@ object LakeSink {
 
 private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     partCols: Seq[String], tableName: Option[String] = None)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead with SupportsDelete {
   require(path != null && path.nonEmpty, "LakeSink requires a 'path' option")
+
+  /** Partition-level metadata DELETE (the Iceberg/Hive `DROP PARTITION`
+    * contract, reachable as `DELETE FROM graft.lake.t WHERE pcol = v`):
+    * deletable iff every predicate is an equality on a partition column —
+    * then whole matching files vanish without reading a row. Arbitrary
+    * row-level predicates are refused at PLANNING (`canDeleteWhere` =
+    * false → a clear engine error), never half-applied. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall {
+      case org.apache.spark.sql.sources.EqualTo(a, _) => partCols.contains(a)
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    LakeSinkPartitions.listCommitted(path, partCols)
+      .filter { case (_, kvs) => LakeSinkPartitions.keeps(writeSchema, kvs, filters) }
+      .foreach { case (p, _) => Files.deleteIfExists(p) }
   override def name(): String = tableName.getOrElse(s"graft_lake_sink($path)")
   override def schema(): StructType = writeSchema
   override def partitioning(): Array[Transform] =

@@ -55,6 +55,72 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     new LakeSinkScan(fullSchema, required, path, partCols, partFilters)
 }
 
+/** Shared committed-file listing + partition-value matching — used by the
+  * scan's planning, its statistics, and [[LakeSinkTable]]'s
+  * partition-level DELETE. */
+private[sources] object LakeSinkPartitions {
+
+  /** Every committed data file under `path` with its decoded `k=v`
+    * directory pairs; `_staging`/`_graft_commits` are never listed. */
+  def listCommitted(path: String, partCols: Seq[String]): Seq[(Path, Seq[(String, String)])] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val staging = LakeSinkFiles.stagingDir(path)
+    val commits = LakeSinkFiles.commitsDir(path)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Seq[(String, String)])]
+    val it = Files.walk(root).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
+          && !p.startsWith(staging) && !p.startsWith(commits)) {
+        val rel = root.relativize(p)
+        val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        val kvs = dirs.flatMap { d =>
+          val eq = d.indexOf('=')
+          if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
+        }.filter { case (k, _) => partCols.contains(k) }
+        out += ((p, kvs))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Equality against a decoded partition value, tolerant of the external
+    * value types the v1 Filter API surfaces (java.sql.Date vs LocalDate,
+    * Integer vs Long literals). */
+  def matches(colType: DataType, dirValue: String, want: Any): Boolean =
+    colType match {
+      case StringType => dirValue == String.valueOf(want)
+      case IntegerType | LongType =>
+        try java.lang.Long.parseLong(dirValue) == (want match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long    => l.longValue
+          case other                => return dirValue == String.valueOf(other)
+        }) catch { case _: NumberFormatException => false }
+      case DateType =>
+        val wantDay = want match {
+          case d: java.sql.Date        => d.toLocalDate.toString
+          case d: java.time.LocalDate  => d.toString
+          case other                   => String.valueOf(other)
+        }
+        dirValue == wantDay
+      case _ => false
+    }
+
+  /** Does a file's partition-value set satisfy every (partition-column
+    * equality) filter? Non-equality filters keep everything — callers gate
+    * them out beforehand. */
+  def keeps(schema: StructType, kvs: Seq[(String, String)],
+      filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo(a, v) =>
+        kvs.find(_._1 == a).exists { case (_, dv) =>
+          matches(schema(a).dataType, dv, v) }
+      case _ => true
+    }
+}
+
 private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType,
     path: String, partCols: Seq[String], partFilters: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
@@ -77,59 +143,11 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  /** Equality against a decoded partition value, tolerant of the external
-    * value types the v1 Filter API surfaces (java.sql.Date vs LocalDate,
-    * Integer vs Long literals). */
-  private def matches(colType: DataType, dirValue: String, want: Any): Boolean =
-    colType match {
-      case StringType => dirValue == String.valueOf(want)
-      case IntegerType | LongType =>
-        try java.lang.Long.parseLong(dirValue) == (want match {
-          case i: java.lang.Integer => i.longValue
-          case l: java.lang.Long    => l.longValue
-          case other                => return dirValue == String.valueOf(other)
-        }) catch { case _: NumberFormatException => false }
-      case DateType =>
-        val wantDay = want match {
-          case d: java.sql.Date        => d.toLocalDate.toString
-          case d: java.time.LocalDate  => d.toString
-          case other                   => String.valueOf(other)
-        }
-        dirValue == wantDay
-      case _ => false
-    }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val root = Paths.get(path)
-    if (!Files.isDirectory(root)) return Array.empty
-    val staging = LakeSinkFiles.stagingDir(path)
-    val commits = LakeSinkFiles.commitsDir(path)
-    val partTypes: Map[String, DataType] =
-      partCols.map(c => c -> fullSchema(c).dataType).toMap
-    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    val it = Files.walk(root).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val n = p.getFileName.toString
-      if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
-          && !p.startsWith(staging) && !p.startsWith(commits)) {
-        // decode k=v partition directories from the path relative to root
-        val rel = root.relativize(p)
-        val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-        val kvs = dirs.flatMap { d =>
-          val eq = d.indexOf('=')
-          if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
-        }.filter { case (k, _) => partCols.contains(k) }
-        val kept = partFilters.forall {
-          case EqualTo(a, v) =>
-            kvs.find(_._1 == a).exists { case (_, dv) => matches(partTypes(a), dv, v) }
-          case _ => true
-        }
-        if (kept) out += LakeSinkInputPartition(p.toString, kvs)
-      }
-    }
-    out.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    LakeSinkPartitions.listCommitted(path, partCols)
+      .filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, partFilters) }
+      .map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeSinkReaderFactory(fullSchema, required, partCols)

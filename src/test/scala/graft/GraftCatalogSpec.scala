@@ -146,6 +146,29 @@ class GraftCatalogSpec extends GraftSpec {
       Seq("[1]", "[2]"))
   }
 
+  test("DELETE FROM: partition equality drops whole partitions; row predicates refused") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_delete")
+    withCatalog(lake) {
+      (0 until 30).map(i => (i.toLong, i % 3)).toDF("v", "b")
+        .writeTo("graft.lake.deltest").partitionedBy($"b").create()
+      spark.sql("DELETE FROM graft.lake.deltest WHERE b = 1")
+      val left = spark.table("graft.lake.deltest")
+      assert(left.count() == 20)
+      assert(left.filter($"b" === 1).count() == 0)
+      // the partition directory's committed files are physically gone
+      assert(!Files.list(Paths.get(s"$lake/deltest/b=1")).iterator().hasNext ||
+        !Files.exists(Paths.get(s"$lake/deltest/b=1")))
+      // a non-partition predicate must be refused at planning, not
+      // half-applied
+      val e = intercept[Exception](
+        spark.sql("DELETE FROM graft.lake.deltest WHERE v = 5"))
+      assert(e.getMessage != null)
+      assert(spark.table("graft.lake.deltest").count() == 20,
+        "refused delete must not remove anything")
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](
