@@ -977,6 +977,37 @@ object Relational {
 
   val q99Sql: String = q4Body("")
 
+  // --- q100: NOT IN → null-aware anti join -------------------------------------
+
+  /** The NOT-IN body (parts never returned in bulk — TPC-H Q16's
+    * `NOT IN` shape on this catalog): SQL's three-valued NOT IN is NOT a
+    * plain anti join — one NULL in the subquery empties the result, and a
+    * NULL probe never qualifies — so the optimizer must plan the
+    * null-aware variant. Both engines implement the same standard
+    * semantics, so the text is shared verbatim. `p_partkey` is unique →
+    * total order. */
+  private def notInBody(p: String): String =
+    s"""SELECT p_partkey, p_brand, p_type
+       FROM ${p}part
+       WHERE p_partkey NOT IN (SELECT l_partkey FROM ${p}lineitem
+                               WHERE l_returnflag = 'R' AND l_quantity >= 40)
+       ORDER BY p_partkey"""
+
+  /** q100 — NOT IN through `spark.sql`: the one existence-join variant
+    * the TPC-H tier hadn't exercised. Scale shape: Spark's
+    * `optimizeNullAwareAntiJoin` plans a single-column NOT IN as a
+    * broadcast null-aware anti hash join (NAAJ) — the returned-parts set
+    * builds once and broadcasts; without the rewrite this is a
+    * BroadcastNestedLoopJoin, quadratic at scale. The plan is pinned in
+    * PlanShapeSpec. */
+  def q100NullAwareAnti(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_nin_$t"))
+    s.sql(notInBody("graft_nin_"))
+  }
+
+  val q100Sql: String = notInBody("")
+
   // --- q98: TPC-H Q6 over CATALOG-qualified names ------------------------------
 
   /** q98 — TPC-H Q6 resolved by NAME through the `graft` DSv2 catalog
@@ -1122,6 +1153,7 @@ object Relational {
     "q97_tpch_q22" -> (q97TpchQ22 _),
     "q98_catalog_q6" -> (q98CatalogQ6 _),
     "q99_tpch_q4" -> (q99TpchQ4 _),
+    "q100_null_aware_anti" -> (q100NullAwareAnti _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -1156,6 +1188,7 @@ object Relational {
     "q97_tpch_q22" -> q97Sql,
     "q98_catalog_q6" -> q98Sql,
     "q99_tpch_q4" -> q99Sql,
+    "q100_null_aware_anti" -> q100Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

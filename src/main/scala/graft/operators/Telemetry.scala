@@ -1616,10 +1616,41 @@ object Telemetry {
        WHERE CAST(date_trunc('day', ts) AS DATE) <> DATE '2026-01-03'
        ORDER BY id"""
 
+  /** t36 — STREAMING write into a catalog table: the DSv2 telemetry
+    * source streamed with `Trigger.AvailableNow` (4 read-limit-sized
+    * micro-batches) through `writeStream.toTable("graft.lake.…")` — the
+    * analyzer resolves the NAME via [[graft.sources.GraftCatalog]], the
+    * epochs commit through LakeSink's exactly-once protocol, and the
+    * read-back must equal t04's generator oracle bit-for-bit. This is the
+    * reference's live path (device stream → named lake table the
+    * dashboards query, `docs/phase3-kinesis-s3.md`) end-to-end under the
+    * differential.
+    *
+    * Scale shape: source admission and sink commit are both
+    * O(#tasks)-per-epoch driver work; the table is immediately queryable
+    * by name mid-stream (readers see only committed epochs). */
+  def t36StreamToTable(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t36_lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t36_ckpt").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    s.sql(s"CREATE TABLE graft.lake.t36 (${twin(s).schema.toDDL})")
+    val q = s.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", TwinRows.toString).option("rowsPerBatch", "2500").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.lake.t36")
+    q.awaitTermination()
+    s.table("graft.lake.t36").orderBy(col("id"))
+  }
+
+  val t36Sql: String = t04Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t33_partitioned_sink" -> (t33PartitionedSink _),
     "t34_session_window" -> (t34SessionWindow _),
     "t35_partition_delete" -> (t35PartitionDelete _),
+    "t36_stream_to_table" -> (t36StreamToTable _),
     "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
     "t32_oee" -> (t32Oee _),
     "t23_changepoint" -> (t23Changepoint _),
@@ -1652,6 +1683,7 @@ object Telemetry {
     "t33_partitioned_sink" -> t33Sql,
     "t34_session_window" -> t34Sql,
     "t35_partition_delete" -> t35Sql,
+    "t36_stream_to_table" -> t36Sql,
     "t31_sink_roundtrip" -> t31Sql,
     "t32_oee" -> t32Sql,
     "t23_changepoint" -> t23Sql,

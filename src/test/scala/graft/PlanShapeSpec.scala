@@ -252,6 +252,18 @@ class PlanShapeSpec extends GraftSpec {
     assert(countShuffles(df) <= 3)
   }
 
+  test("q100 NOT IN plans the null-aware broadcast anti hash join (no nested loop)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val df = operators.Relational.q100NullAwareAnti(spark, sfTiny)
+    df.collect()
+    assert(countNodes(df)(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 0,
+      "NOT IN fell back to the quadratic nested loop")
+    assert(countNodes(df) {
+      case b: BroadcastHashJoinExec => b.isNullAwareAntiJoin
+      case _ => false
+    } == 1, "expected exactly one null-aware anti hash join")
+  }
+
   test("q44 merge upsert: one full-outer exchange pair + sort, nothing else") {
     // target + source sides of the full-outer join each exchange once;
     // the presentation sort is the only other shuffle
