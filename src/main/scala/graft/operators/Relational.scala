@@ -1008,6 +1008,152 @@ object Relational {
 
   val q100Sql: String = notInBody("")
 
+  // --- q101-q104: TPC-H Q14, Q15, Q7, Q8 ---------------------------------------
+  // With these, every TPC-H query expressible on this catalog is covered:
+  // Q1 (q01's DSL twin), Q3-Q8, Q10, Q12-Q15, Q17-Q19, Q21, Q22 — 17 of 22.
+  // The other five (Q2, Q9, Q11, Q16, Q20) all require the PARTSUPP table
+  // (ps_supplycost / ps_availqty), which this testdata does not ship —
+  // documented impossibility, not a coverage gap.
+
+  /** The Q14 body (promotion-effect revenue share): one month's revenue
+    * share of PROMO-typed parts. This catalog's p_type IS the 6-value
+    * promo attribute (exact 'PROMO' value — no LIKE needed); month moved
+    * into the data span. Both decimal sums are order-independent; the
+    * ratio and ×100 are pure IEEE. */
+  private def q14Body(share: String, p: String): String =
+    s"""SELECT $share AS promo_revenue
+       FROM ${p}lineitem, ${p}part
+       WHERE l_partkey = p_partkey
+         AND l_shipdate >= CAST('1996-09-01' AS TIMESTAMP)
+         AND l_shipdate < CAST('1996-10-01' AS TIMESTAMP)
+       ORDER BY promo_revenue"""
+
+  private val q14Share = rSql(
+    s"""100.0 * ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+        / ${dsumSql("l_extendedprice * (1 - l_discount)")}""", 6)
+
+  /** q101 — TPC-H Q14 as SQL TEXT through `spark.sql`. Scale shape: the
+    * month filter prunes the fact scan, part broadcasts, one ungrouped
+    * partial+final aggregate. */
+  def q101TpchQ14(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q14_$t"))
+    s.sql(q14Body(s"CAST($q14Share AS DOUBLE)", "graft_q14_"))
+  }
+
+  val q101Sql: String = q14Body(q14Share, "")
+
+  /** The Q15 body (top supplier): the published revenue VIEW becomes a
+    * CTE; the max is an uncorrelated scalar subquery over it. Per-supplier
+    * revenue is the ROUNDED decimal sum, so the max-equality join compares
+    * identical doubles in both engines (ties would return every tied
+    * supplier — s_suppkey keeps the order total). Quarter moved into the
+    * data span; this catalog has no s_address/s_phone. */
+  private def q15Body(rev: String, p: String): String =
+    s"""WITH revenue AS (SELECT l_suppkey AS supplier_no, $rev AS total_revenue
+         FROM ${p}lineitem
+         WHERE l_shipdate >= CAST('1996-07-01' AS TIMESTAMP)
+           AND l_shipdate < CAST('1996-10-01' AS TIMESTAMP)
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM ${p}supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+
+  /** q102 — TPC-H Q15 as SQL TEXT through `spark.sql`. Scale shape: ONE
+    * per-supplier aggregate feeds both the scalar max (1-row broadcast)
+    * and the equality filter; supplier broadcasts against the 1-row
+    * survivor set. */
+  def q102TpchQ15(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q15_$t"))
+    s.sql(q15Body(
+      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)",
+      "graft_q15_"))
+  }
+
+  val q102Sql: String =
+    q15Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
+
+  /** The Q7 body (volume shipping between two trade partners): revenue by
+    * (supplier side, customer side, ship year) for both directions of one
+    * trade lane. Deviation: the published NATION pair widens to the
+    * ASIA↔EUROPE REGION pair (sf0.001 has 10 suppliers across 10 nations —
+    * any single nation pair is empty there; the q95 precedent). Year is
+    * CAST BIGINT on both engines. */
+  private def q7Body(rev: String, p: String): String =
+    s"""SELECT supp_region, cust_region, l_year, $rev AS revenue
+       FROM (SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice, l_discount
+             FROM ${p}supplier, ${p}lineitem, ${p}orders, ${p}customer,
+               ${p}nation n1, ${p}nation n2, ${p}region r1, ${p}region r2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND n1.n_regionkey = r1.r_regionkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+                 OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+               AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+               AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)) shipping
+       GROUP BY supp_region, cust_region, l_year
+       ORDER BY supp_region, cust_region, l_year"""
+
+  /** q103 — TPC-H Q7 as SQL TEXT through `spark.sql`. Scale shape: the
+    * region/nation dimension chain broadcasts down both sides, the
+    * disjunctive lane filter evaluates post-join on broadcast columns,
+    * orders⋈lineitem carries the one fact shuffle, 4-row output. */
+  def q103TpchQ7(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q7_$t"))
+    s.sql(q7Body(
+      s"CAST(${rsumSql("l_extendedprice * (1 - l_discount)", 2)} AS DOUBLE)",
+      "graft_q7_"))
+  }
+
+  val q103Sql: String =
+    q7Body(rsumSql("l_extendedprice * (1 - l_discount)", 2), "")
+
+  /** The Q8 body (national market share): one nation's share of a
+    * region's revenue in one part type, by order year. The share is a
+    * conditional-decimal-sum over total-decimal-sum ratio — both
+    * order-independent, the ratio pure IEEE. Deviations: p_type stands in
+    * for the published p_type ('STANDARD'), window moved into the span.
+    * NATION_12 is an ASIA supplier nation present at every scale. */
+  private def q8Body(share: String, p: String): String =
+    s"""SELECT o_year, $share AS mkt_share
+       FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice, l_discount, n2.n_name AS nation
+             FROM ${p}part, ${p}supplier, ${p}lineitem, ${p}orders,
+               ${p}customer, ${p}nation n1, ${p}nation n2, ${p}region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+               AND s_nationkey = n2.n_nationkey
+               AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+               AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+               AND p_type = 'STANDARD') all_nations
+       GROUP BY o_year
+       ORDER BY o_year"""
+
+  private val q8Share = rSql(
+    s"""${dsumSql("CASE WHEN nation = 'NATION_12' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+        / ${dsumSql("l_extendedprice * (1 - l_discount)")}""", 6)
+
+  /** q104 — TPC-H Q8 as SQL TEXT through `spark.sql`. Scale shape: same
+    * broadcast-dimension star as q103 plus the part filter pruning the
+    * fact side before its join; 2-row output. */
+  def q104TpchQ8(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q8_$t"))
+    s.sql(q8Body(s"CAST($q8Share AS DOUBLE)", "graft_q8_"))
+  }
+
+  val q104Sql: String = q8Body(q8Share, "")
+
   // --- q98: TPC-H Q6 over CATALOG-qualified names ------------------------------
 
   /** q98 — TPC-H Q6 resolved by NAME through the `graft` DSv2 catalog
@@ -1154,6 +1300,10 @@ object Relational {
     "q98_catalog_q6" -> (q98CatalogQ6 _),
     "q99_tpch_q4" -> (q99TpchQ4 _),
     "q100_null_aware_anti" -> (q100NullAwareAnti _),
+    "q101_tpch_q14" -> (q101TpchQ14 _),
+    "q102_tpch_q15" -> (q102TpchQ15 _),
+    "q103_tpch_q7" -> (q103TpchQ7 _),
+    "q104_tpch_q8" -> (q104TpchQ8 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -1189,6 +1339,10 @@ object Relational {
     "q98_catalog_q6" -> q98Sql,
     "q99_tpch_q4" -> q99Sql,
     "q100_null_aware_anti" -> q100Sql,
+    "q101_tpch_q14" -> q101Sql,
+    "q102_tpch_q15" -> q102Sql,
+    "q103_tpch_q7" -> q103Sql,
+    "q104_tpch_q8" -> q104Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,
