@@ -206,8 +206,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       tableName = Some(s"$catalogName.lake.${ident.name()}"))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(s"$catalogName: ALTER TABLE is not supported")
+  /** Schema evolution for lake tables: ADD COLUMNS only (appended at the
+    * end of the schema — the JSON-lines reader null-fills fields absent
+    * from files written before the evolution, so old data stays readable
+    * with zero rewrites, the Iceberg/Delta add-column contract). Every
+    * other change is refused: drops/renames would orphan bytes already
+    * committed under the old field names. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = ident.namespace()
+    if (ns.length != 1 || ns(0) != "lake" || lakeRoot.isEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: ALTER TABLE is only supported for 'lake' tables")
+    val dir = lakeTableDir(ident.name()).get
+    val (schema, partCols) = LakeSinkFiles.readManifest(dir.toString)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(schema) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"$catalogName: nested column adds are not supported")
+        val name = add.fieldNames()(0)
+        require(!sch.fieldNames.contains(name),
+          s"$catalogName: column $name already exists")
+        StructType(sch.fields :+
+          org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"$catalogName: only ADD COLUMNS is supported, got $other")
+    }
+    // unsupported data types must fail the DDL, not the next write
+    LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))
+    LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols)
+    new LakeSinkTable(newSchema, dir.toString, partCols,
+      tableName = Some(s"$catalogName.lake.${ident.name()}"))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val ns = ident.namespace()

@@ -234,6 +234,30 @@ private[graft] object LakeSinkFiles {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Manifest policy at commit: a TRUNCATING write owns the table and
+    * replaces the manifest; an APPEND must leave an existing manifest
+    * untouched — the table's logical schema is the source of truth, and a
+    * query-derived schema would silently NARROW it (an INSERT of literals
+    * marks every column NOT NULL, and a pre-evolution writer would drop
+    * an added column — both would corrupt later reads of older files).
+    * Appends against an existing manifest must write a SUBSET of its
+    * columns under the same partition layout; anything else fails the
+    * commit (Spark then aborts, discarding the staged files). */
+  def reconcileManifest(path: String, schema: StructType, partCols: Seq[String],
+      replace: Boolean): Unit =
+    (if (replace) None else readManifest(path)) match {
+      case None => writeManifest(path, schema, partCols)
+      case Some((existing, exParts)) =>
+        require(exParts == partCols,
+          s"LakeSink: append partitioning ${partCols.mkString(",")} does not " +
+            s"match the table's ${exParts.mkString(",")}")
+        val unknown = schema.fieldNames.toSet -- existing.fieldNames.toSet
+        require(unknown.isEmpty,
+          s"LakeSink: appended columns ${unknown.mkString(",")} are not in the " +
+            "table schema — evolve it first (ALTER TABLE ... ADD COLUMNS)")
+      // existing manifest preserved
+    }
+
   /** Read back (full schema, partition columns); None when the directory
     * holds no committed lake table. */
   def readManifest(path: String): Option[(StructType, Seq[String])] = {
@@ -336,7 +360,8 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     if (truncateFirst) LakeSinkFiles.truncateDest(path)
     LakeSinkFiles.promote(path,
       messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
-    LakeSinkFiles.writeManifest(path, schema, partCols)
+    LakeSinkFiles.reconcileManifest(path, schema, partCols,
+      replace = truncateFirst)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -360,7 +385,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
       LakeSinkFiles.discard(path, staged)
     } else {
       LakeSinkFiles.promote(path, staged)
-      LakeSinkFiles.writeManifest(path, schema, partCols)
+      LakeSinkFiles.reconcileManifest(path, schema, partCols, replace = false)
       // marker via temp + atomic move: a crash can't leave a marker for
       // an epoch whose files never promoted
       val tmp = LakeSinkFiles.commitsDir(path).resolve(s".${epochId}.tmp")

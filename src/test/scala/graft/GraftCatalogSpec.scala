@@ -169,6 +169,28 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS: old files null-fill, new writes carry the column") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_evolve")
+    withCatalog(lake) {
+      spark.sql("CREATE TABLE graft.lake.evo AS SELECT 1L AS v")
+      spark.sql("ALTER TABLE graft.lake.evo ADD COLUMNS (tag STRING)")
+      spark.sql("INSERT INTO graft.lake.evo SELECT 2L AS v, 'new' AS tag")
+      val back = spark.table("graft.lake.evo").orderBy($"v")
+        .select($"v", $"tag").as[(Long, Option[String])].collect().toSeq
+      assert(back == Seq((1L, None), (2L, Some("new"))),
+        s"old rows must read the added column as NULL: $back")
+      // refused evolutions: drop (orphans committed bytes) and bad types
+      val e = intercept[Exception](spark.sql("ALTER TABLE graft.lake.evo DROP COLUMN v"))
+      assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.lake.evo ADD COLUMNS (bad ARRAY<INT>)"))
+      assert(e2.getMessage.contains("unsupported"), e2.getMessage)
+      assert(spark.table("graft.lake.evo").columns.toSeq == Seq("v", "tag"),
+        "refused DDL must not change the schema")
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](
