@@ -1646,11 +1646,56 @@ object Telemetry {
 
   val t36Sql: String = t04Sql
 
+  /** t37 — MERGE INTO through the whole row-level DSv2 stack
+    * ([[graft.sources.LakeSinkRowLevelOperation]]: group-based
+    * ReplaceData — Spark reads the affected committed files, computes
+    * their post-merge content, the connector swaps them): the twin is
+    * CTAS'd into a catalog lake table, a source view updates every
+    * id ≡ 0 (mod 7) row's temperature (+5.0) and inserts 100 shifted new
+    * rows, and the read-back must equal the oracle's CASE/UNION
+    * restatement of the same merge. The upsert semantics q44 models as a
+    * batch full-outer twin now run as REAL SQL MERGE against a REAL
+    * connector.
+    *
+    * Scale shape: rewrite cost ∝ the affected group set (all files here —
+    * every file holds a matched id; a partition-scoped merge rewrites
+    * only matching partitions, spec-pinned in GraftCatalogSpec). */
+  def t37MergeInto(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t37_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s)
+    t.writeTo("graft.lake.t37").create()
+    val updates = t.filter(col("id") % 7 === 0)
+      .withColumn("temperature", col("temperature") + lit(5.0))
+    val inserts = t.filter(col("id") < 100)
+      .withColumn("id", col("id") + lit(TwinRows))
+    updates.unionAll(inserts).createOrReplaceTempView("graft_t37_src")
+    s.sql("""MERGE INTO graft.lake.t37 t USING graft_t37_src s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET temperature = s.temperature
+             WHEN NOT MATCHED THEN INSERT *""")
+    s.table("graft.lake.t37")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t37Sql: String =
+    s"""WITH t AS MATERIALIZED ($twinSql)
+       SELECT id, ts, machine_id, is_anomaly,
+         CASE WHEN id % 7 = 0 THEN temperature + 5.0 ELSE temperature END AS temperature,
+         vibration
+       FROM t
+       UNION ALL
+       SELECT id + $TwinRows AS id, ts, machine_id, is_anomaly, temperature, vibration
+       FROM t WHERE id < 100
+       ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t33_partitioned_sink" -> (t33PartitionedSink _),
     "t34_session_window" -> (t34SessionWindow _),
     "t35_partition_delete" -> (t35PartitionDelete _),
     "t36_stream_to_table" -> (t36StreamToTable _),
+    "t37_merge_into" -> (t37MergeInto _),
     "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
     "t32_oee" -> (t32Oee _),
     "t23_changepoint" -> (t23Changepoint _),
@@ -1684,6 +1729,7 @@ object Telemetry {
     "t34_session_window" -> t34Sql,
     "t35_partition_delete" -> t35Sql,
     "t36_stream_to_table" -> t36Sql,
+    "t37_merge_into" -> t37Sql,
     "t31_sink_roundtrip" -> t31Sql,
     "t32_oee" -> t32Sql,
     "t23_changepoint" -> t23Sql,

@@ -156,10 +156,38 @@ object LakeSink {
     }
 }
 
+private[graft] object LakeSinkTable {
+  /** Hidden metadata column: the committed lake file each row came from
+    * (queryable as `SELECT _file FROM …`; load-bearing for row-level
+    * operations — see [[LakeSinkRowLevelOperation]]). */
+  val FileMetaCol = "_file"
+}
+
 private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     partCols: Seq[String], tableName: Option[String] = None)
-    extends Table with SupportsWrite with SupportsRead with SupportsDelete {
+    extends Table with SupportsWrite with SupportsRead with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null && path.nonEmpty, "LakeSink requires a 'path' option")
+
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = LakeSinkTable.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "committed lake file holding this row"
+    })
+
+  /** MERGE INTO / UPDATE / row-level DELETE via group-based ReplaceData
+    * (see [[LakeSinkRowLevelOperation]]); partition-equality DELETEs
+    * still take [[canDeleteWhere]]'s metadata-only path. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new LakeSinkRowLevelOperation(writeSchema, path, partCols, info.command())
+    }
 
   /** Partition-level metadata DELETE (the Iceberg/Hive `DROP PARTITION`
     * contract, reachable as `DELETE FROM graft.lake.t WHERE pcol = v`):
@@ -450,6 +478,11 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
 
   private def inProgressOf(rel: String) =
     LakeSinkFiles.stagingDir(path).resolve(s"$rel$fileName.$attemptTag.inprogress")
+
+  /** Row-level ReplaceData hands carried-over rows as (metadata, row) —
+    * the original-file metadata enables copy optimizations this sink does
+    * not need; the row is written like any other. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
 
   override def write(row: InternalRow): Unit = {
     val rel = relOf(row)

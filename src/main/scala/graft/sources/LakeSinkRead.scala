@@ -8,7 +8,9 @@ import java.util.zip.GZIPInputStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Column pruning drops unreferenced fields at parse time.
   */
 private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
-    partCols: Seq[String]) extends ScanBuilder
+    partCols: Seq[String],
+    onPlanned: Seq[String] => Unit = _ => ()) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -52,7 +55,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
   override def pushedFilters(): Array[Filter] = partFilters
 
   override def build(): Scan =
-    new LakeSinkScan(fullSchema, required, path, partCols, partFilters)
+    new LakeSinkScan(fullSchema, required, path, partCols, partFilters, onPlanned)
 }
 
 /** Shared committed-file listing + partition-value matching — used by the
@@ -122,7 +125,8 @@ private[sources] object LakeSinkPartitions {
 }
 
 private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType,
-    path: String, partCols: Seq[String], partFilters: Array[Filter])
+    path: String, partCols: Seq[String], partFilters: Array[Filter],
+    onPlanned: Seq[String] => Unit = _ => ())
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -143,11 +147,15 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    LakeSinkPartitions.listCommitted(path, partCols)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = LakeSinkPartitions.listCommitted(path, partCols)
       .filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, partFilters) }
-      .map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
+    // row-level operations record the planned group (file) set — the
+    // exact files a ReplaceData commit must swap out (last planning wins)
+    onPlanned(kept.map(_._1.toString))
+    kept.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeSinkReaderFactory(fullSchema, required, partCols)
@@ -190,9 +198,11 @@ private[sources] class LakeSinkPartitionReader(file: String,
     })
   }.toMap
 
-  // required field i ← Left(dataSchema position) | Right(constant part value)
+  // required field i ← Left(dataSchema position) | Right(constant: a
+  // partition value or the _file metadata column, both per-file)
   private val extract: Array[Either[Int, Any]] = required.fields.map { f =>
-    if (partCols.contains(f.name)) Right(partTyped.getOrElse(f.name,
+    if (f.name == LakeSinkTable.FileMetaCol) Right(UTF8String.fromString(file))
+    else if (partCols.contains(f.name)) Right(partTyped.getOrElse(f.name,
       throw new IllegalStateException(
         s"LakeSink read: partition column ${f.name} missing from ${file}'s path")))
     else Left(dataSchema.fieldIndex(f.name))
@@ -220,6 +230,77 @@ private[sources] class LakeSinkPartitionReader(file: String,
   }
 
   override def close(): Unit = in.close()
+}
+
+/** Group-based row-level operations (MERGE INTO / UPDATE / row-level
+  * DELETE) for lake tables — the copy-on-write contract Iceberg calls
+  * eager ReplaceData: Spark rewrites the command into "read the affected
+  * GROUPS (files), compute their full post-command content, write
+  * replacements"; the connector's job is (a) a scan that records exactly
+  * which committed files it planned — partition-equality predicates the
+  * engine pushes shrink that group set for free — and (b) a write whose
+  * commit atomically-per-file promotes the staged replacements and drops
+  * the recorded originals. Partition-equality DELETEs never get here
+  * (SupportsDelete's metadata path wins); everything else rewrites.
+  *
+  * 100 TB story: the rewrite cost is proportional to the AFFECTED file
+  * set, not the table, whenever the command's condition carries a
+  * partition equality; the commit itself is O(#files) driver-side
+  * renames. The promote→drop window is not a single atomic swap (a true
+  * lakehouse closes it with a versioned file manifest) — documented, and
+  * irrelevant to the single-writer semantics this sink promises. */
+private[sources] class LakeSinkRowLevelOperation(schema: StructType,
+    path: String, partCols: Seq[String], cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  // the op's scan and write are built from ONE instance — this field is
+  // the group handshake between them (driver-side only)
+  @volatile private var plannedFiles: Seq[String] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-lake-rowlevel-$cmd path=$path"
+  /** Requiring `_file` is LOAD-BEARING, not an optimization hint: with no
+    * metadata attributes Spark plans the plain writing task, which hands
+    * the connector RAW (operation, data…) rows — only the
+    * metadata-carrying task applies the data projection that strips the
+    * operation column (verified against 4.1.2's ReplaceDataExec). */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      LakeSinkTable.FileMetaCol))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeSinkScanBuilder(schema, path, partCols,
+      onPlanned = fs => plannedFiles = fs)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        LakeSink.serializers(LakeSink.dataSchema(info.schema(), partCols))
+        override def description(): String = s"graft-lake-replace-data path=$path"
+        override def toBatch: BatchWrite = new LakeSinkReplaceBatchWrite(
+          info.schema(), path, partCols,
+          java.util.UUID.randomUUID.toString.take(8), () => plannedFiles)
+      }
+    }
+}
+
+/** ReplaceData commit: stage like any batch write, then promote the
+  * replacements and drop the operation's recorded group files. */
+private[sources] class LakeSinkReplaceBatchWrite(schema: StructType,
+    path: String, partCols: Seq[String], writeId: String,
+    oldFiles: () => Seq[String]) extends BatchWrite {
+  LakeSinkFiles.ensureDirs(path)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    LakeSinkFiles.promote(path,
+      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+    oldFiles().foreach(f => Files.deleteIfExists(Paths.get(f)))
+    Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    LakeSinkFiles.discard(path,
+      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+    LakeSinkFiles.sweep(path, s"b$writeId")
+  }
 }
 
 /** Minimal single-object JSON-lines scanner typed by the writer's own

@@ -146,7 +146,7 @@ class GraftCatalogSpec extends GraftSpec {
       Seq("[1]", "[2]"))
   }
 
-  test("DELETE FROM: partition equality drops whole partitions; row predicates refused") {
+  test("DELETE FROM: partition equality is metadata-only; row predicates rewrite") {
     import spark.implicits._
     val lake = tmp("graft_cat_delete")
     withCatalog(lake) {
@@ -159,13 +159,64 @@ class GraftCatalogSpec extends GraftSpec {
       // the partition directory's committed files are physically gone
       assert(!Files.list(Paths.get(s"$lake/deltest/b=1")).iterator().hasNext ||
         !Files.exists(Paths.get(s"$lake/deltest/b=1")))
-      // a non-partition predicate must be refused at planning, not
-      // half-applied
-      val e = intercept[Exception](
-        spark.sql("DELETE FROM graft.lake.deltest WHERE v = 5"))
-      assert(e.getMessage != null)
-      assert(spark.table("graft.lake.deltest").count() == 20,
-        "refused delete must not remove anything")
+      // a non-partition predicate takes the row-level ReplaceData path:
+      // exactly one row gone, the rest rewritten intact
+      spark.sql("DELETE FROM graft.lake.deltest WHERE v = 5")
+      val after = spark.table("graft.lake.deltest")
+      assert(after.count() == 19)
+      assert(after.filter($"v" === 5).count() == 0)
+    }
+  }
+
+  test("MERGE INTO / UPDATE rewrite lake tables correctly") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_merge")
+    withCatalog(lake) {
+      spark.sql("CREATE TABLE graft.lake.m AS SELECT id AS k, id * 10 AS v FROM range(10)")
+      spark.sql("CREATE OR REPLACE TEMP VIEW graft_m_src AS " +
+        "SELECT id AS k, id * 100 AS nv FROM range(5, 15)")
+      spark.sql("""MERGE INTO graft.lake.m t USING graft_m_src s ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET v = s.nv
+                   WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+      val merged = spark.table("graft.lake.m").orderBy($"k")
+        .as[(Long, Long)].collect().toSeq
+      assert(merged == (0L until 5L).map(k => (k, k * 10)) ++
+        (5L until 15L).map(k => (k, k * 100)), merged.toString)
+      spark.sql("UPDATE graft.lake.m SET v = -1 WHERE k = 3")
+      assert(spark.table("graft.lake.m").filter($"v" === -1)
+        .select($"k").as[Long].collect().toSeq == Seq(3L))
+      // the _file metadata column is queryable like any hidden column
+      assert(spark.sql("SELECT _file FROM graft.lake.m LIMIT 1")
+        .collect()(0).getString(0).endsWith(".json.gz"))
+    }
+  }
+
+  test("row-level UPDATE with a partition predicate rewrites ONLY that partition's files") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_group")
+    withCatalog(lake) {
+      (0 until 40).map(i => (i.toLong, i % 2)).toDF("v", "b")
+        .writeTo("graft.lake.grp").partitionedBy($"b").create()
+      def files(b: Int): Set[String] = {
+        val d = Paths.get(s"$lake/grp/b=$b")
+        if (!Files.isDirectory(d)) Set.empty
+        else {
+          val it = Files.list(d).iterator()
+          var out = Set.empty[String]
+          while (it.hasNext) out += it.next().getFileName.toString
+          out
+        }
+      }
+      val before0 = files(0)
+      assert(before0.nonEmpty)
+      // group-based rewrite with the partition equality pushed: only the
+      // b=1 group files are replaced, b=0's committed files are untouched
+      spark.sql("UPDATE graft.lake.grp SET v = v + 1000 WHERE b = 1 AND v < 10")
+      assert(files(0) == before0,
+        "untouched partition's files must survive a partition-scoped rewrite")
+      val got = spark.table("graft.lake.grp").agg(sum($"v")).as[Long].head
+      val want = (0 until 40).map(i => if (i % 2 == 1 && i < 10) i + 1000 else i).sum
+      assert(got == want)
     }
   }
 
