@@ -1646,6 +1646,41 @@ object Telemetry {
 
   val t36Sql: String = t04Sql
 
+  /** t38 — STREAMING read FROM a catalog lake table
+    * (`spark.readStream.table("graft.lake.…")` —
+    * [[graft.sources.LakeSinkMicroBatchStream]]): offsets are committed-
+    * file-set snapshots (the FileStreamSource pattern as a DSv2 stream),
+    * so the tail reads exactly the files each micro-batch discovers and a
+    * checkpoint restart replays the same difference. The twin is CTAS'd
+    * into the lake, tailed with AvailableNow into a memory sink, and the
+    * drained stream must equal t04's generator oracle — closing the
+    * connector matrix: batch read/write, streaming write, streaming READ.
+    * GraftCatalogSpec pins the incremental contract (appends between two
+    * checkpointed drains arrive exactly once). */
+  def t38StreamFromTable(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t38_lake").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t38_ckpt").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s)
+    t.writeTo("graft.lake.t38").create()
+    val mem = "graft_t38_" + java.util.UUID.randomUUID.toString.take(8)
+    val q = s.readStream.table("graft.lake.t38")
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(mem)
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+      .localCheckpoint(true)
+    s.catalog.dropTempView(mem)
+    out
+  }
+
+  val t38Sql: String = t04Sql
+
   /** t37 — MERGE INTO through the whole row-level DSv2 stack
     * ([[graft.sources.LakeSinkRowLevelOperation]]: group-based
     * ReplaceData — Spark reads the affected committed files, computes
@@ -1696,6 +1731,7 @@ object Telemetry {
     "t35_partition_delete" -> (t35PartitionDelete _),
     "t36_stream_to_table" -> (t36StreamToTable _),
     "t37_merge_into" -> (t37MergeInto _),
+    "t38_stream_from_table" -> (t38StreamFromTable _),
     "t31_sink_roundtrip" -> (t31SinkRoundtrip _),
     "t32_oee" -> (t32Oee _),
     "t23_changepoint" -> (t23Changepoint _),
@@ -1730,6 +1766,7 @@ object Telemetry {
     "t35_partition_delete" -> t35Sql,
     "t36_stream_to_table" -> t36Sql,
     "t37_merge_into" -> t37Sql,
+    "t38_stream_from_table" -> t38Sql,
     "t31_sink_roundtrip" -> t31Sql,
     "t32_oee" -> t32Sql,
     "t23_changepoint" -> t23Sql,

@@ -211,7 +211,7 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

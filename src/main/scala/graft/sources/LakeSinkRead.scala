@@ -159,6 +159,96 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeSinkReaderFactory(fullSchema, required, partCols)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LakeSinkMicroBatchStream(fullSchema, required, path, partCols)
+}
+
+/** Streaming READ of a lake table (`spark.readStream.table("graft.lake.…")`)
+  * — the FileStreamSource pattern re-expressed as a DSv2 MicroBatchStream:
+  * an offset is a SNAPSHOT of the committed file set (names are
+  * deterministic and collision-free across writers, so set difference IS
+  * the new data), each micro-batch reads exactly `end − start`, and a
+  * checkpoint restart replays the same difference. Contract: streaming
+  * readers assume the lake is APPEND-ONLY while tailed (the reference's
+  * telemetry lake is); DML rewrites (MERGE/UPDATE/DELETE) change history,
+  * and a vanished recorded file fails the batch loudly rather than
+  * silently dropping rows. A production lakehouse versioned manifest
+  * would make offsets O(1) — here the file list IS the manifest,
+  * checkpointed by the engine. */
+private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
+    required: StructType, path: String, partCols: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def committed(): Seq[String] =
+    LakeSinkPartitions.listCommitted(path, partCols).map(_._1.toString).sorted
+
+  override def initialOffset(): Offset = LakeSinkOffset(Seq.empty)
+  override def latestOffset(): Offset = LakeSinkOffset(committed())
+  override def deserializeOffset(json: String): Offset = LakeSinkOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[LakeSinkOffset].files.toSet
+    val fresh = end.asInstanceOf[LakeSinkOffset].files.filterNot(seen)
+    fresh.map { f =>
+      require(Files.isRegularFile(Paths.get(f)),
+        s"LakeSink stream: committed file $f vanished mid-stream — " +
+          "streaming reads require an append-only lake")
+      val root = Paths.get(path)
+      val rel = root.relativize(Paths.get(f))
+      val kvs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        .flatMap { d =>
+          val eq = d.indexOf('=')
+          if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
+        }.filter { case (k, _) => partCols.contains(k) }
+      LakeSinkInputPartition(f, kvs): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeSinkReaderFactory(fullSchema, required, partCols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = the sorted committed file list, JSON-escaped one name per
+  * line entry (the writer's own escape set — names are path strings). */
+private[sources] case class LakeSinkOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + LakeSink.jsonEscape(f) + "\"").mkString("[", ",", "]")
+}
+
+private[sources] object LakeSinkOffset {
+  def fromJson(json: String): LakeSinkOffset = {
+    val t = json.trim
+    require(t.startsWith("[") && t.endsWith("]"),
+      s"LakeSink stream: malformed offset $json")
+    val body = t.substring(1, t.length - 1)
+    if (body.isEmpty) LakeSinkOffset(Seq.empty)
+    else {
+      // names were written with jsonEscape: split on "," boundaries is
+      // unsafe under escaped quotes, so scan properly
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < body.length) {
+        require(body.charAt(i) == '"', s"LakeSink stream: malformed offset at $i")
+        val b = new java.lang.StringBuilder
+        i += 1
+        while (body.charAt(i) != '"') {
+          if (body.charAt(i) == '\\') { i += 1; b.append(body.charAt(i)) }
+          else b.append(body.charAt(i))
+          i += 1
+        }
+        out += b.toString
+        i += 1
+        if (i < body.length) { require(body.charAt(i) == ','); i += 1 }
+      }
+      LakeSinkOffset(out.toSeq)
+    }
+  }
 }
 
 private[sources] case class LakeSinkInputPartition(file: String,

@@ -242,6 +242,35 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("streaming read tails a lake table incrementally across checkpointed drains") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_tail")
+    val ckpt = tmp("graft_cat_tail_ckpt")
+    withCatalog(lake) {
+      spark.sql("CREATE TABLE graft.lake.tail AS SELECT id AS v FROM range(5)")
+      // the drained output goes through LakeSink too (memory sinks refuse
+      // checkpoint recovery), so the whole tail is lake → stream → lake
+      val outDir = tmp("graft_cat_tail_out")
+      def drain(): Seq[Long] = {
+        val q = spark.readStream.table("graft.lake.tail")
+          .writeStream.format("graft.sources.LakeSink")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.format("graft.sources.LakeSink").load(outDir)
+          .as[Long].collect().sorted.toSeq
+      }
+      assert(drain() == (0L until 5L))
+      spark.sql("INSERT INTO graft.lake.tail SELECT id AS v FROM range(100, 103)")
+      // same checkpoint: only the appended files arrive — the offset
+      // snapshot makes the tail exactly-once (no re-delivered originals)
+      assert(drain() == ((0L until 5L) ++ Seq(100L, 101L, 102L)),
+        "second drain must append ONLY the new rows")
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](
