@@ -1175,6 +1175,27 @@ object Relational {
 
   val q98Sql: String = q87Sql
 
+  // --- q105: catalog FUNCTION resolution ----------------------------------------
+
+  /** q105 — a catalog FUNCTION under the differential:
+    * `graft.fns.h60(…)` ([[graft.sources.GraftCatalog]]'s FunctionCatalog,
+    * the V2 function API with the no-boxing `invoke` magic method)
+    * resolved by NAME inside SQL text over a catalog-resolved table —
+    * zero temp views, zero session UDF registration. The oracle is
+    * h60's DuckDB twin, so the function's cross-engine hash parity is
+    * hash-checked end-to-end, not just spec-asserted. Scale shape: one
+    * scan-local projection. */
+  def q105CatalogFn(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.ns.sf", dir)
+    s.sql("""SELECT doc_id, graft.fns.h60(CAST(doc_id AS STRING)) % 10 AS h
+             FROM graft.sf.documents ORDER BY doc_id""")
+  }
+
+  val q105Sql: String =
+    s"""SELECT doc_id, ${DedupLsh.h60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS h
+       FROM documents ORDER BY doc_id"""
+
   // --- q92: data-quality expectation report -----------------------------------
 
   /** q92 — a declarative data-quality expectation suite (the
@@ -1304,6 +1325,7 @@ object Relational {
     "q102_tpch_q15" -> (q102TpchQ15 _),
     "q103_tpch_q7" -> (q103TpchQ7 _),
     "q104_tpch_q8" -> (q104TpchQ8 _),
+    "q105_catalog_fn" -> (q105CatalogFn _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -1343,6 +1365,7 @@ object Relational {
     "q102_tpch_q15" -> q102Sql,
     "q103_tpch_q7" -> q103Sql,
     "q104_tpch_q8" -> q104Sql,
+    "q105_catalog_fn" -> q105Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,

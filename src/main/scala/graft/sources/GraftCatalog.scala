@@ -6,7 +6,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -53,7 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * directory listing per call, no data motion on the driver); all scan
   * planning/pushdown lives in the resolved tables' own connectors.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private var initOpts: Map[String, String] = Map.empty
 
@@ -249,6 +250,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
+  // --- FunctionCatalog ----------------------------------------------------------
+
+  /** The engine's portable functions, SQL-addressable as
+    * `graft.fns.<name>(…)` — each the EXACT twin of an existing in-repo
+    * primitive, so results stay bit-identical whichever path a query
+    * takes: `h60` ≡ `DedupLsh.h60`/`StreamOps.h60Scala` (the oracle-
+    * portable 60-bit hash), `sqdist` ≡ the `graft_sqdist` Catalyst
+    * kernel's null/length algebra. Both carry the `invoke` magic method,
+    * so Catalyst calls them WITHOUT boxing an InternalRow per row (the
+    * codegen-friendly path the DSv2 function API exists for). */
+  private val catalogFunctions: Map[String, functions.UnboundFunction] = Map(
+    "h60" -> GraftH60Function, "sqdist" -> GraftSqDistFunction)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("fns")))
+      catalogFunctions.keys.toSeq.sorted
+        .map(n => Identifier.of(namespace, n)).toArray
+    else if (namespaceExists(namespace) || namespace.isEmpty) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace().sameElements(Array("fns")))
+      catalogFunctions.getOrElse(ident.name(),
+        throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     // Spark hands the TO identifier UNRESOLVED: empty namespace (default
     // into the source's) or still carrying the catalog name as its first
@@ -268,4 +295,91 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(target)) throw new TableAlreadyExistsException(target)
     Files.move(lakeTableDir(oldIdent.name()).get, lakeTableDir(newIdent.name()).get)
   }
+}
+
+/** `graft.fns.h60(string) → bigint` — the oracle-portable 60-bit hash
+  * (top 60 bits of md5-utf8; ≡ `DedupLsh.h60`'s Column form, whose
+  * DuckDB twin is `('0x' || substring(md5(x),1,15))::BIGINT`, and
+  * `StreamOps.h60Scala`'s executor form — GraftCatalogSpec pins all
+  * three bit-equal). */
+private[sources] object GraftH60Function
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "h60"
+  override def description(): String =
+    "h60(string) -> bigint: portable 60-bit md5 hash (oracle-portable)"
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == org.apache.spark.sql.types.StringType,
+      s"h60 expects one STRING argument, got ${inputType.toDDL}")
+    new GraftH60Bound
+  }
+}
+
+private[sources] class GraftH60Bound
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+  import org.apache.spark.sql.types._
+  override def name(): String = "h60"
+  override def canonicalName(): String = "graft.fns.h60"
+  override def inputTypes(): Array[DataType] = Array(StringType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+  /** magic method — Catalyst binds this statically (no per-row boxing) */
+  def invoke(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
+    invoke(input.getUTF8String(0))
+}
+
+/** `graft.fns.sqdist(array<double>, array<double>) → double` — squared
+  * euclidean distance with EXACTLY the `graft_sqdist` Catalyst kernel's
+  * null/length algebra (min-length fold, null elements skipped), so a
+  * query can switch between the expression kernel and the catalog
+  * function without a value-level diff (spec-pinned). */
+private[sources] object GraftSqDistFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "sqdist"
+  override def description(): String =
+    "sqdist(array<double>, array<double>) -> double: squared L2 distance"
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields.forall(f => f.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }),
+      s"sqdist expects two ARRAY<DOUBLE> arguments, got ${inputType.toDDL}")
+    new GraftSqDistBound
+  }
+}
+
+private[sources] class GraftSqDistBound
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Double] {
+  import org.apache.spark.sql.types._
+  override def name(): String = "sqdist"
+  override def canonicalName(): String = "graft.fns.sqdist"
+  override def inputTypes(): Array[DataType] =
+    Array(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def resultType(): DataType = DoubleType
+  /** magic method — Catalyst binds this statically (no per-row boxing) */
+  def invoke(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getDouble(i) - b.getDouble(i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Double =
+    invoke(input.getArray(0), input.getArray(1))
 }

@@ -271,6 +271,38 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("catalog functions: h60 three-way bit-equality, sqdist matches the kernel") {
+    import spark.implicits._
+    withCatalog() {
+      // h60: catalog function ≡ Column form ≡ executor Scala twin
+      val samples = Seq("", "a", "doc-123", "ünïcödé \n tab\t")
+      val viaSql = samples.map(s =>
+        spark.sql(s"SELECT graft.fns.h60('${s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n").replace("\t", "\\t")}')")
+          .collect()(0).getLong(0))
+      val viaCol = samples.toDF("s")
+        .select(graft.operators.DedupLsh.h60(col("s"))).as[Long].collect().toSeq
+      val viaScala = samples.map(graft.streaming.StreamOps.h60Scala)
+      assert(viaSql == viaCol && viaCol == viaScala,
+        s"sql=$viaSql col=$viaCol scala=$viaScala")
+      // sqdist: catalog function ≡ the graft_sqdist Catalyst kernel on
+      // ragged/null-carrying vectors (same null/length algebra)
+      org.apache.spark.sql.graft.VectorExpressions.register(spark)
+      val vecs = Seq(
+        (Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.0)),
+        (Seq(1.0, 2.0), Seq(1.0, 2.0, 99.0)),
+        (Seq(0.5), Seq(-0.5))).toDF("a", "b")
+      vecs.createOrReplaceTempView("graft_fn_vecs")
+      val viaFn = spark.sql(
+        "SELECT graft.fns.sqdist(a, b) FROM graft_fn_vecs").as[Double].collect().toSeq
+      val viaKernel = spark.sql(
+        "SELECT graft_sqdist(a, b) FROM graft_fn_vecs").as[Double].collect().toSeq
+      assert(viaFn == viaKernel, s"fn=$viaFn kernel=$viaKernel")
+      // unknown function / wrong namespace error contract
+      val e = intercept[Exception](spark.sql("SELECT graft.fns.nope(1)"))
+      assert(e.getMessage != null)
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](
