@@ -57,19 +57,16 @@ object ScaleProbe {
     // expected to MEASURE that quadratic, not hide it); the declared
     // scale paths get the full 1/4/10 ladder.
     val queries: Seq[(String, Seq[Int], (SparkSession, String) => DataFrame)] = Seq(
-      // current probe set: the late-r5 additions (earlier sweeps'
-      // results — e08 0.85, d23 0.58, d11 0.62, d09 3.40 quadratic-by-
-      // design, e14 0.20, d26 0.70, e15 0.78, d25 0.79, e16 0.91 — are
-      // recorded in CLAUDE.md)
-      ("ml07_knn_classify", Seq(1, 4, 10), operators.Corpus.ml07KnnClassify),
-      ("ml08_classifier_eval", Seq(1, 4, 10), operators.Corpus.ml08ClassifierEval),
-      ("d32_bpe_encode", Seq(1, 4, 10), operators.TextOps.d32BpeEncode),
-      ("d31_gopher_quality", Seq(1, 4, 10), operators.TextOps.d31GopherQuality),
-      ("s04_balanced_sample", Seq(1, 4, 10), operators.Advanced.s04BalancedSample),
-      // r6 heavies: e31's covariance is corpus-linear with O(d²) state,
-      // ml27 is bounded by the 128-query kNN budget
-      ("e31_pca_variance", Seq(1, 4), operators.Similarity.e31PcaVariance),
-      ("ml27_ensemble_eval", Seq(1, 4), operators.Corpus.ml27EnsembleEval))
+      // current probe set: the r9 audit pair — d55 carries the exact
+      // quadratic truth graph BY DESIGN (lang blocks grow 4× → 16× pair
+      // candidates), d56's 25% sample pays the same exponent on a 16×
+      // smaller constant; the probe turns that constant into a number.
+      // (Earlier sweeps' results — e08 0.85, d23 0.58, d11 0.62, d09
+      // 3.40 quadratic-by-design, e14 0.20, d26 0.70, e15 0.78, d25
+      // 0.79, e16 0.91, ml07 −0.13, ml08 0.27, d32 0.45, d31 0.88,
+      // s04 0.05, e31 0.89, ml27 0.21 — are recorded in CLAUDE.md.)
+      ("d55_snm_audit", Seq(1, 4), operators.TextOps.d55SnmAudit),
+      ("d56_snm_audit_sample", Seq(1, 4), operators.TextOps.d56SnmAuditSample))
 
     val factors = queries.flatMap(_._2).distinct.sorted
     factors.foreach { f =>
