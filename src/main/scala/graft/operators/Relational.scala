@@ -1196,6 +1196,238 @@ object Relational {
     s"""SELECT doc_id, ${DedupLsh.h60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS h
        FROM documents ORDER BY doc_id"""
 
+  // --- q106-q110: TPC-H's PARTSUPP tier over a DERIVED partsupp ----------------
+  //
+  // The five remaining TPC-H queries (Q2, Q9, Q11, Q16, Q20) all read the
+  // PARTSUPP table, which this testdata does not ship. Rather than leave
+  // the tier unimplemented, partsupp is DERIVED deterministically from the
+  // facts the catalog does have: the observed (l_partkey, l_suppkey)
+  // relationships in lineitem become the part-supplier rows (every
+  // lineitem therefore joins to exactly one partsupp row, as in dbgen),
+  // and the two synthetic attributes are integer hash mixes of the key
+  // pair — ps_availqty in dbgen's 1..9999 range and the supply cost as
+  // INTEGER CENTS (ps_costc, $1.00..$1000.00) so every min/sum/compare
+  // stays in exact integer arithmetic (the Num policy applied at the
+  // data-generation layer). The identical CTE text runs in both engines,
+  // so the derivation itself is under the differential. Documented
+  // deviation, not a drop-in dbgen clone; with it, all 22 TPC-H queries
+  // run on this catalog.
+  //
+  // Scale shape of the derivation: one DISTINCT over the fact's key pair
+  // (a single shuffle, map-side combinable) followed by scan-local
+  // arithmetic — at 100 TB this is the standard build-a-dimension pass,
+  // and every consumer below joins it on its own key.
+
+  private def psCteSql(p: String): String =
+    s"""partsupp AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                CAST(1 + (l_partkey * 419 + l_suppkey * 721) % 9999 AS BIGINT) AS ps_availqty,
+                CAST(100 + (l_partkey * 7919 + l_suppkey * 104729) % 99901 AS BIGINT) AS ps_costc
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM ${p}lineitem) ps0)"""
+
+  /** The Q2 body (minimum-cost supplier): for each qualifying part, the
+    * EUROPE suppliers achieving that part's region-wide MINIMUM supply
+    * cost — the classic correlated scalar subquery whose body is itself
+    * a 4-table join. Deviations: partsupp derived (see [[psCteSql]]);
+    * p_type = 'STANDARD' + p_size ≤ 25 stand in for the published
+    * type/size pair (this catalog's p_type has 6 plain values); no
+    * s_address/s_phone/s_comment columns exist to project. The min and
+    * the equality ride integer cents — no double compare anywhere.
+    * (ps_partkey, ps_suppkey) is unique in partsupp, so the appended
+    * (p_partkey, s_suppkey) pair makes the published sort a total order. */
+  private def q2Body(p: String): String =
+    s"""WITH ${psCteSql(p)}
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+              CAST(ps_costc AS DOUBLE) / 100.0 AS ps_supplycost
+       FROM ${p}part, ${p}supplier, partsupp, ${p}nation, ${p}region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         AND p_size <= 25 AND p_type = 'STANDARD'
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_costc = (SELECT min(ps2.ps_costc)
+                         FROM partsupp ps2, ${p}supplier s2, ${p}nation n2, ${p}region r2
+                         WHERE p_partkey = ps2.ps_partkey
+                           AND s2.s_suppkey = ps2.ps_suppkey
+                           AND s2.s_nationkey = n2.n_nationkey
+                           AND n2.n_regionkey = r2.r_regionkey
+                           AND r2.r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC NULLS LAST, n_name, s_name, p_partkey, s_suppkey
+       LIMIT 100"""
+
+  /** q106 — TPC-H Q2 as SQL TEXT through `spark.sql`. Scale shape: the
+    * correlated scalar min decorrelates to ONE per-part aggregate of the
+    * region-filtered partsupp joined back on the part key (no per-row
+    * re-execution); region/nation/supplier broadcast into both branches;
+    * top-100 via TakeOrdered. */
+  def q106TpchQ2(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q2_$t"))
+    s.sql(q2Body("graft_q2_"))
+  }
+
+  val q106Sql: String = q2Body("")
+
+  /** The Q9 body (product-type profit measure): profit = revenue minus
+    * supply cost, by supplier nation and order year, over parts whose
+    * name carries one adjective. Deviations: partsupp derived — and
+    * because it is derived FROM lineitem's key pairs, every lineitem
+    * matches exactly one partsupp row, preserving dbgen's join
+    * cardinality; 'red' stands in for the published '%green%'. The
+    * per-row amount is pure IEEE; the group sum rides the decimal path.
+    * (nation, o_year) is the group key → total order. */
+  private def q9Body(profit: String, p: String): String =
+    s"""WITH ${psCteSql(p)}
+       SELECT nation, o_year, $profit AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                    l_extendedprice * (1 - l_discount)
+                      - (CAST(ps_costc AS DOUBLE) / 100.0) * l_quantity AS amount
+             FROM ${p}part, ${p}supplier, ${p}lineitem, partsupp, ${p}orders, ${p}nation
+             WHERE s_suppkey = l_suppkey
+               AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+               AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+               AND s_nationkey = n_nationkey
+               AND p_name LIKE '%red%') profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC NULLS LAST"""
+
+  /** q107 — TPC-H Q9 as SQL TEXT through `spark.sql` — the widest join
+    * tree in the suite (6 tables informing one fact scan). Scale shape:
+    * part/supplier/nation broadcast; partsupp co-shuffles with lineitem
+    * on (partkey, suppkey) — or broadcasts below its threshold; orders
+    * joins on the order key; ONE partial+final group aggregate. */
+  def q107TpchQ9(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "nation")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q9_$t"))
+    s.sql(q9Body(s"CAST(${rsumSql("amount", 2)} AS DOUBLE)", "graft_q9_"))
+  }
+
+  val q107Sql: String = q9Body(rsumSql("amount", 2), "")
+
+  /** The Q11 body (important stock identification): per-part stock value
+    * held by one region's suppliers, kept where the part's value exceeds
+    * a fixed fraction of the regional total. Deviations: partsupp
+    * derived; the published single nation widens to the EUROPE region
+    * (the q95 convention — one nation holds ≤1 supplier at sf0.001) and
+    * the published 0.0001/SF fraction — tuned to dbgen volumes, and
+    * scale-VARIANT (at sf0.1 no part reaches 1/10000 of the regional
+    * total) — becomes "above 2× the mean part value", the
+    * scale-invariant reading of the same intent. Everything up to the
+    * displayed value is exact BIGINT — the comparison is
+    * `cv * count > 2 * total`, integer on both sides; the display
+    * division is exact-in-double (cv < 2^53).
+    * `ps_partkey` is unique per output row → total order. */
+  private def q11Body(p: String): String =
+    s"""WITH ${psCteSql(p)},
+         esup AS (SELECT s_suppkey FROM ${p}supplier, ${p}nation, ${p}region
+                  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                    AND r_name = 'EUROPE'),
+         pv AS (SELECT ps_partkey,
+                       CAST(sum(ps_costc * ps_availqty) AS BIGINT) AS cv
+                FROM partsupp, esup
+                WHERE ps_suppkey = s_suppkey
+                GROUP BY ps_partkey)
+       SELECT ps_partkey, CAST(cv AS DOUBLE) / 100.0 AS value
+       FROM pv
+       WHERE cv * (SELECT CAST(count(*) AS BIGINT) FROM pv)
+               > 2 * (SELECT sum(cv) FROM pv)
+       ORDER BY value DESC NULLS LAST, ps_partkey"""
+
+  /** q108 — TPC-H Q11 as SQL TEXT through `spark.sql`. Scale shape: the
+    * region's supplier set broadcasts as a semi-join filter into the
+    * partsupp scan; ONE per-part aggregate feeds both the scalar total
+    * (1-row broadcast) and the filtered output — Spark materializes the
+    * CTE once per consumer, each a partial+final aggregate over the
+    * filtered partsupp, no re-derivation of the base. */
+  def q108TpchQ11(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q11_$t"))
+    s.sql(q11Body("graft_q11_"))
+  }
+
+  val q108Sql: String = q11Body("")
+
+  /** The Q16 body (parts/supplier relationship): distinct supplier count
+    * per (brand, type, size) over parts not matching an exclusion, with
+    * the published NOT IN over flagged suppliers. Deviations: partsupp
+    * derived; there is no s_comment, so "customer complaints" becomes
+    * the negative-account-balance suppliers (6 exist at sf0.01 — the
+    * NOT IN stays load-bearing); brand/type exclusions use this
+    * catalog's values; the published 8-value size list keeps its shape.
+    * All-integer output; the full group key appended to the count makes
+    * the published sort a total order. */
+  private def q16Body(p: String): String =
+    s"""WITH ${psCteSql(p)}
+       SELECT p_brand, p_type, p_size,
+              CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       FROM partsupp, ${p}part
+       WHERE p_partkey = ps_partkey
+         AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         AND p_size IN (1, 2, 4, 9, 16, 25, 36, 49)
+         AND ps_suppkey NOT IN (SELECT s_suppkey FROM ${p}supplier
+                                WHERE s_acctbal < 0.0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC NULLS LAST, p_brand, p_type, p_size"""
+
+  /** q109 — TPC-H Q16 as SQL TEXT through `spark.sql`. Scale shape: part
+    * broadcasts into the partsupp scan with brand/type/size pushed; the
+    * NOT IN plans as a broadcast null-aware anti join (the q100 shape);
+    * the distinct-count aggregate expands (partial distinct, then
+    * count) — two exchanges total. */
+  def q109TpchQ16(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q16_$t"))
+    s.sql(q16Body("graft_q16_"))
+  }
+
+  val q109Sql: String = q16Body("")
+
+  /** The Q20 body (potential part promotion): suppliers in one region
+    * holding MORE of some matching part than half of what they shipped
+    * of it in one year — IN-subquery nesting with a correlated scalar
+    * aggregate at the bottom, TPC-H's deepest nesting. Deviations:
+    * partsupp derived; 'red%' stands in for 'forest%'; the published
+    * single nation widens to the EUROPE region; the year window sits in
+    * this catalog's span. The threshold compare is exact on both sides:
+    * availqty×2 is integer-in-double, the shipped quantity is the
+    * order-independent decimal sum (pairs with NO shipments in the year
+    * compare against NULL and drop, as in the published semantics).
+    * `s_suppkey` is unique → total order. */
+  private def q20Body(p: String): String =
+    s"""WITH ${psCteSql(p)}
+       SELECT s_suppkey, s_name
+       FROM ${p}supplier, ${p}nation, ${p}region
+       WHERE s_suppkey IN (
+           SELECT ps_suppkey FROM partsupp
+           WHERE ps_partkey IN (SELECT p_partkey FROM ${p}part
+                                WHERE p_name LIKE 'red%')
+             AND CAST(ps_availqty AS DOUBLE) * 2.0 >
+                 (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                  FROM ${p}lineitem
+                  WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                    AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+                    AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)))
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+       ORDER BY s_suppkey"""
+
+  /** q110 — TPC-H Q20 as SQL TEXT through `spark.sql`. Scale shape: the
+    * correlated scalar sum decorrelates to ONE per-(partkey, suppkey)
+    * aggregate of the year-filtered lineitem joined back to partsupp;
+    * the part-name IN is a broadcast semi join; the outer IN is a
+    * LeftSemi on the supplier key; region/nation broadcast. With q95
+    * (EXISTS/NOT EXISTS), q96 (correlated scalar), q97 (scalar-in-scan),
+    * and q100 (null-aware NOT IN), this completes every subquery
+    * decorrelation shape TPC-H exercises — and completes the suite:
+    * all 22 queries run on this catalog. */
+  def q110TpchQ20(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "part", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q20_$t"))
+    s.sql(q20Body("graft_q20_"))
+  }
+
+  val q110Sql: String = q20Body("")
+
   // --- q92: data-quality expectation report -----------------------------------
 
   /** q92 — a declarative data-quality expectation suite (the
@@ -1326,6 +1558,11 @@ object Relational {
     "q103_tpch_q7" -> (q103TpchQ7 _),
     "q104_tpch_q8" -> (q104TpchQ8 _),
     "q105_catalog_fn" -> (q105CatalogFn _),
+    "q106_tpch_q2" -> (q106TpchQ2 _),
+    "q107_tpch_q9" -> (q107TpchQ9 _),
+    "q108_tpch_q11" -> (q108TpchQ11 _),
+    "q109_tpch_q16" -> (q109TpchQ16 _),
+    "q110_tpch_q20" -> (q110TpchQ20 _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_revenue_topn" -> (q03RevenueTopN _),
@@ -1366,6 +1603,11 @@ object Relational {
     "q103_tpch_q7" -> q103Sql,
     "q104_tpch_q8" -> q104Sql,
     "q105_catalog_fn" -> q105Sql,
+    "q106_tpch_q2" -> q106Sql,
+    "q107_tpch_q9" -> q107Sql,
+    "q108_tpch_q11" -> q108Sql,
+    "q109_tpch_q16" -> q109Sql,
+    "q110_tpch_q20" -> q110Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_topk" -> q02Sql,
     "q03_revenue_topn" -> q03Sql,
