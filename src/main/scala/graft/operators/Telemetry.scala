@@ -1725,7 +1725,68 @@ object Telemetry {
        FROM t WHERE id < 100
        ORDER BY id"""
 
+  /** t39 — TIME TRAVEL under the differential
+    * ([[graft.sources.LakeSinkSnapshotTable]] via `VERSION AS OF`): the
+    * twin is CTAS'd into a catalog lake table (version 1), a decoy batch
+    * of id-shifted rows is appended (version 2 — present in every LIVE
+    * read), and the query returns `VERSION AS OF 1`, which must equal
+    * t04's generator oracle exactly: the snapshot planned the RECORDED
+    * file list, not the directory. The reference lake's "reprocess
+    * yesterday's objects" role (`docs/phase3-kinesis-s3.md`) as a
+    * first-class versioned-manifest read.
+    *
+    * Scale shape: a snapshot read plans O(#recorded files) with zero
+    * directory walking — the versioned-manifest contract; same per-file
+    * task parallelism as a live read. */
+  def t39TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t39_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s)
+    t.writeTo("graft.lake.t39").create() // version 1
+    t.filter(col("id") < 500).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft.lake.t39").append() // version 2 (decoy rows)
+    s.sql("SELECT * FROM graft.lake.t39 VERSION AS OF 1")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t39Sql: String = t04Sql
+
+  /** t40 — COMPACTION losslessness under the differential
+    * ([[graft.sources.LakeMaintenance.compact]] — the OPTIMIZE
+    * bin-packing contract): the twin is CTAS'd into a DATE-partitioned
+    * lake table (32 write tasks × days → many small gzip files per
+    * partition directory, the reference sink's exact pathology:
+    * one object per flush interval, `phase3-kinesis-s3.yaml:84`),
+    * compacted to ONE file per partition, and read back — rows must
+    * hash-equal the oracle's twin+partition-column restatement, proving
+    * the rewrite moved every byte and invented none. LakeVersionSpec
+    * additionally pins the file-count drop and pre-compaction snapshot
+    * readability.
+    *
+    * Scale shape: merges run executor-side, one task per oversized
+    * partition dir; the driver commit is O(#files) renames; recorded
+    * versions keep the pre-compaction state readable until VACUUM. */
+  def t40Compaction(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t40_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s).withColumn("d", to_date(col("ts")))
+    t.writeTo("graft.lake.t40").partitionedBy(col("d")).create()
+    graft.sources.LakeMaintenance.compact(s, s"$lakeRoot/t40")
+    s.table("graft.lake.t40")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t40Sql: String =
+    s"""SELECT *, CAST(date_trunc('day', ts) AS DATE) AS d
+       FROM ($twinSql) ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_time_travel" -> (t39TimeTravel _),
+    "t40_compaction" -> (t40Compaction _),
     "t33_partitioned_sink" -> (t33PartitionedSink _),
     "t34_session_window" -> (t34SessionWindow _),
     "t35_partition_delete" -> (t35PartitionDelete _),
@@ -1761,6 +1822,8 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t39_time_travel" -> t39Sql,
+    "t40_compaction" -> t40Sql,
     "t33_partitioned_sink" -> t33Sql,
     "t34_session_window" -> t34Sql,
     "t35_partition_delete" -> t35Sql,

@@ -181,6 +181,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** `VERSION AS OF <v>` — resolve a lake table AT a recorded commit
+    * (see [[LakeSinkFiles.recordVersion]]): that commit's schema,
+    * partitioning, and exact file list, served read-only by
+    * [[LakeSinkSnapshotTable]]. Version ids are the `vNNN` records'
+    * numbers (`1` and `'v1'` both accepted). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = lakeSnapshotDir(ident)
+    val v =
+      try version.stripPrefix("v").trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$catalogName: bad version '$version' for ${ident.name()} " +
+            s"(available: ${LakeSinkFiles.listVersions(dir).mkString(",")})") }
+    val (schema, partCols, files) = LakeSinkFiles.readVersion(dir, v)
+    new LakeSinkSnapshotTable(schema, dir, partCols, files, v,
+      s"$catalogName.lake.${ident.name()}")
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — greatest version committed at or before the
+    * instant (micros since epoch, Spark's convention). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = lakeSnapshotDir(ident)
+    val v = LakeSinkFiles.versionAtTimestamp(dir, timestamp).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalogName: no version of ${ident.name()} at or before " +
+          s"timestamp $timestamp (earliest: " +
+          s"${LakeSinkFiles.listVersions(dir).headOption.getOrElse("none")})"))
+    val (schema, partCols, files) = LakeSinkFiles.readVersion(dir, v)
+    new LakeSinkSnapshotTable(schema, dir, partCols, files, v,
+      s"$catalogName.lake.${ident.name()}")
+  }
+
+  private def lakeSnapshotDir(ident: Identifier): String = {
+    val ns = ident.namespace()
+    if (ns.length != 1 || ns(0) != "lake" || lakeRoot.isEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: time travel is only supported for 'lake' tables " +
+          s"(got ${ident.namespace().mkString(".")}.${ident.name()})")
+    val dir = lakeTableDir(ident.name()).get
+    if (!Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString)))
+      throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val ns = ident.namespace()

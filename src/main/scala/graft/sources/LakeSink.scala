@@ -201,10 +201,13 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
       case _: org.apache.spark.sql.sources.AlwaysTrue => true
       case _ => false
     }
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    LakeSinkPartitions.listCommitted(path, partCols)
-      .filter { case (_, kvs) => LakeSinkPartitions.keeps(writeSchema, kvs, filters) }
-      .foreach { case (p, _) => Files.deleteIfExists(p) }
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    LakeSinkFiles.retire(path,
+      LakeSinkPartitions.listCommitted(path, partCols)
+        .filter { case (_, kvs) => LakeSinkPartitions.keeps(writeSchema, kvs, filters) }
+        .map(_._1.toString))
+    LakeSinkFiles.recordVersion(path)
+  }
   override def name(): String = tableName.getOrElse(s"graft_lake_sink($path)")
   override def schema(): StructType = writeSchema
   override def partitioning(): Array[Transform] =
@@ -247,6 +250,8 @@ private[graft] object LakeSinkFiles {
   def stagingDir(path: String): Path = Paths.get(path, "_staging")
   def commitsDir(path: String): Path = Paths.get(path, "_graft_commits")
   def manifestPath(path: String): Path = Paths.get(path, "_graft_schema.json")
+  def versionsDir(path: String): Path = Paths.get(path, "_graft_versions")
+  def retiredDir(path: String): Path = Paths.get(path, "_graft_retired")
 
   /** Record the lake table's LOGICAL schema (data + partition columns,
     * original order — DDL round-trips all supported types) so the table is
@@ -286,6 +291,30 @@ private[graft] object LakeSinkFiles {
       // existing manifest preserved
     }
 
+  /** Extract one escaped string field from a flat JSON object written with
+    * [[LakeSink.jsonEscape]] — the shared scanner behind the schema
+    * manifest and the version records. */
+  private def jsonField(json: String, key: String, where: String): String = {
+    val tag = s""""$key":""""
+    val start = json.indexOf(tag) + tag.length
+    require(start > tag.length - 1, s"LakeSink $where lacks '$key'")
+    val b = new StringBuilder
+    var i = start // the tag string ends with the value's opening quote
+    while (json.charAt(i) != '"') {
+      if (json.charAt(i) == '\\') {
+        i += 1
+        json.charAt(i) match {
+          case 'n' => b.append('\n'); case 'r' => b.append('\r')
+          case 't' => b.append('\t')
+          case 'u' => b.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar); i += 4
+          case c   => b.append(c)
+        }
+      } else b.append(json.charAt(i))
+      i += 1
+    }
+    b.toString
+  }
+
   /** Read back (full schema, partition columns); None when the directory
     * holds no committed lake table. */
   def readManifest(path: String): Option[(StructType, Seq[String])] = {
@@ -293,30 +322,100 @@ private[graft] object LakeSinkFiles {
     val p = manifestPath(path)
     if (!Files.isRegularFile(p)) return None
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    def str(key: String): String = {
-      val tag = s""""$key":""""
-      val start = json.indexOf(tag) + tag.length
-      require(start > tag.length - 1, s"LakeSink manifest at $p lacks '$key'")
-      val b = new StringBuilder
-      var i = start
-      while (json.charAt(i) != '"') {
-        if (json.charAt(i) == '\\') {
-          i += 1
-          json.charAt(i) match {
-            case 'n' => b.append('\n'); case 'r' => b.append('\r')
-            case 't' => b.append('\t')
-            case 'u' => b.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar); i += 4
-            case c   => b.append(c)
-          }
-        } else b.append(json.charAt(i))
-        i += 1
-      }
-      b.toString
-    }
-    val schema = StructType.fromDDL(str("schema"))
-    val parts = str("partitionCols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val schema = StructType.fromDDL(jsonField(json, "schema", s"manifest at $p"))
+    val parts = jsonField(json, "partitionCols", s"manifest at $p")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     Some((schema, parts))
   }
+
+  // --- version log (time travel) ---------------------------------------------
+  //
+  // Every DATA-changing commit (batch job, streaming epoch, ReplaceData,
+  // partition DELETE, compaction) appends a snapshot record
+  // `_graft_versions/v<n>` holding the table's full committed RELATIVE file
+  // list plus the schema/partitioning AT THAT COMMIT — the minimal
+  // Iceberg/Delta versioned-manifest contract. Rewrites RETIRE files (move
+  // under `_graft_retired/`, same relative path) instead of deleting, so
+  // older snapshots stay readable until VACUUM reclaims them. Single-writer
+  // semantics, like the sink itself.
+
+  /** Move committed files out of the readable lake but keep their bytes
+    * for recorded versions. REPLACE_EXISTING: re-creating a deterministic
+    * streaming name after a truncate re-retires over the old bytes — the
+    * single-writer trade documented on [[LakeMaintenance.vacuum]]. */
+  def retire(path: String, files: Seq[String]): Unit = {
+    val root = Paths.get(path)
+    files.distinct.foreach { f =>
+      val p = Paths.get(f)
+      if (Files.isRegularFile(p)) {
+        val target = retiredDir(path).resolve(root.relativize(p))
+        Option(target.getParent).foreach(Files.createDirectories(_))
+        Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  private def versionName(v: Long): String = f"v$v%09d"
+
+  def listVersions(path: String): Seq[Long] = {
+    val dir = versionsDir(path)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val it = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit)) out += n.drop(1).toLong
+    }
+    out.toSeq.sorted
+  }
+
+  /** Record the NEXT version snapshot from the current committed state
+    * (call after promote/retire and manifest reconciliation). Returns the
+    * recorded version id. */
+  def recordVersion(path: String): Long = {
+    val (schema, partCols) = readManifest(path).getOrElse(
+      throw new IllegalStateException(
+        s"LakeSink: recording a version at $path before any manifest"))
+    val root = Paths.get(path)
+    val rels = LakeSinkPartitions.listCommitted(path, partCols)
+      .map { case (p, _) => root.relativize(p).toString }.sorted
+    val dir = versionsDir(path)
+    Files.createDirectories(dir)
+    val json = s"""{"schema":"${LakeSink.jsonEscape(schema.toDDL)}"""" +
+      s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"""" +
+      s""","files":"${LakeSink.jsonEscape(rels.mkString("\n"))}"}"""
+    val tmp = dir.resolve(s".v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    var v = listVersions(path).lastOption.getOrElse(0L) + 1
+    while (Files.exists(dir.resolve(versionName(v)))) v += 1
+    Files.move(tmp, dir.resolve(versionName(v)), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Read one recorded snapshot: (schema, partition cols, relative files). */
+  def readVersion(path: String, v: Long): (StructType, Seq[String], Seq[String]) = {
+    val p = versionsDir(path).resolve(versionName(v))
+    require(Files.isRegularFile(p),
+      s"LakeSink: no recorded version $v at $path " +
+        s"(available: ${listVersions(path).mkString(",")})")
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val where = s"version record $p"
+    val schema = StructType.fromDDL(jsonField(json, "schema", where))
+    val parts = jsonField(json, "partitionCols", where)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val files = jsonField(json, "files", where)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    (schema, parts, files)
+  }
+
+  /** Greatest recorded version whose commit instant is ≤ `micros` (file
+    * mtime is the commit instant — same convention as Delta's
+    * `timestampAsOf`). */
+  def versionAtTimestamp(path: String, micros: Long): Option[Long] =
+    listVersions(path).filter { v =>
+      Files.getLastModifiedTime(versionsDir(path).resolve(versionName(v)))
+        .toInstant.toEpochMilli * 1000L <= micros
+    }.lastOption
 
   def ensureDirs(path: String): Unit = {
     Files.createDirectories(stagingDir(path))
@@ -356,8 +455,11 @@ private[graft] object LakeSinkFiles {
     }
   }
 
-  /** Delete every committed part file under the destination (recursive —
-    * partitioned lakes nest), leaving `_staging`/`_graft_commits` alone. */
+  /** RETIRE every committed part file under the destination (recursive —
+    * partitioned lakes nest), leaving `_staging`/`_graft_commits`/
+    * `_graft_versions`/`_graft_retired` alone: a truncating overwrite is a
+    * version transition, not history destruction — recorded snapshots of
+    * the pre-truncate table stay readable until VACUUM. */
   def truncateDest(path: String): Unit = {
     val root = Paths.get(path)
     if (Files.isDirectory(root)) {
@@ -367,9 +469,10 @@ private[graft] object LakeSinkFiles {
         val p = it.next()
         val n = p.getFileName.toString
         if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
-            && !p.startsWith(stagingDir(path))) hits += p
+            && !p.startsWith(stagingDir(path)) && !p.startsWith(retiredDir(path)))
+          hits += p
       }
-      hits.foreach(Files.deleteIfExists(_))
+      retire(path, hits.map(_.toString).toSeq)
     }
   }
 }
@@ -390,6 +493,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
       messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
     LakeSinkFiles.reconcileManifest(path, schema, partCols,
       replace = truncateFirst)
+    LakeSinkFiles.recordVersion(path)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -414,6 +518,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     } else {
       LakeSinkFiles.promote(path, staged)
       LakeSinkFiles.reconcileManifest(path, schema, partCols, replace = false)
+      LakeSinkFiles.recordVersion(path)
       // marker via temp + atomic move: a crash can't leave a marker for
       // an epoch whose files never promoted
       val tmp = LakeSinkFiles.commitsDir(path).resolve(s".${epochId}.tmp")

@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     partCols: Seq[String],
-    onPlanned: Seq[String] => Unit = _ => ()) extends ScanBuilder
+    onPlanned: Seq[String] => Unit = _ => (),
+    snapshot: Option[Seq[String]] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -55,7 +56,8 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
   override def pushedFilters(): Array[Filter] = partFilters
 
   override def build(): Scan =
-    new LakeSinkScan(fullSchema, required, path, partCols, partFilters, onPlanned)
+    new LakeSinkScan(fullSchema, required, path, partCols, partFilters, onPlanned,
+      snapshot)
 }
 
 /** Shared committed-file listing + partition-value matching — used by the
@@ -63,27 +65,31 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
   * partition-level DELETE. */
 private[sources] object LakeSinkPartitions {
 
+  /** Decode a relative lake path's Hive `k=v/` directory pairs. */
+  def kvsOf(root: Path, p: Path, partCols: Seq[String]): Seq[(String, String)] = {
+    val rel = root.relativize(p)
+    (0 until rel.getNameCount - 1).map(rel.getName(_).toString).flatMap { d =>
+      val eq = d.indexOf('=')
+      if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
+    }.filter { case (k, _) => partCols.contains(k) }
+  }
+
   /** Every committed data file under `path` with its decoded `k=v`
-    * directory pairs; `_staging`/`_graft_commits` are never listed. */
+    * directory pairs; `_staging`/`_graft_commits`/`_graft_versions`/
+    * `_graft_retired` are never listed. */
   def listCommitted(path: String, partCols: Seq[String]): Seq[(Path, Seq[(String, String)])] = {
     val root = Paths.get(path)
     if (!Files.isDirectory(root)) return Seq.empty
-    val staging = LakeSinkFiles.stagingDir(path)
-    val commits = LakeSinkFiles.commitsDir(path)
+    val hidden = Seq(LakeSinkFiles.stagingDir(path), LakeSinkFiles.commitsDir(path),
+      LakeSinkFiles.versionsDir(path), LakeSinkFiles.retiredDir(path))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Seq[(String, String)])]
     val it = Files.walk(root).iterator()
     while (it.hasNext) {
       val p = it.next()
       val n = p.getFileName.toString
       if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
-          && !p.startsWith(staging) && !p.startsWith(commits)) {
-        val rel = root.relativize(p)
-        val dirs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-        val kvs = dirs.flatMap { d =>
-          val eq = d.indexOf('=')
-          if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
-        }.filter { case (k, _) => partCols.contains(k) }
-        out += ((p, kvs))
+          && !hidden.exists(p.startsWith(_))) {
+        out += ((p, kvsOf(root, p, partCols)))
       }
     }
     out.toSeq
@@ -126,13 +132,37 @@ private[sources] object LakeSinkPartitions {
 
 private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType,
     path: String, partCols: Seq[String], partFilters: Array[Filter],
-    onPlanned: Seq[String] => Unit = _ => ())
+    onPlanned: Seq[String] => Unit = _ => (),
+    snapshot: Option[Seq[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-lake-scan path=$path partFilters=[${partFilters.mkString(",")}]"
+    s"graft-lake-scan path=$path partFilters=[${partFilters.mkString(",")}]" +
+      snapshot.map(fs => s" snapshot=${fs.length}files").getOrElse("")
   override def toBatch: Batch = this
+
+  /** A VERSION/TIMESTAMP AS OF read plans the RECORDED file list, each
+    * name resolved live-first then against `_graft_retired/` (a rewrite
+    * moved it there); a name found in neither was vacuumed — fail loudly
+    * rather than return a silently partial snapshot. */
+  private def snapshotFiles(rels: Seq[String]): Seq[(Path, Seq[(String, String)])] = {
+    val root = Paths.get(path)
+    rels.map { rel =>
+      val live = root.resolve(rel)
+      val p =
+        if (Files.isRegularFile(live)) live
+        else {
+          val r = LakeSinkFiles.retiredDir(path).resolve(rel)
+          require(Files.isRegularFile(r),
+            s"LakeSink time travel: snapshot file $rel was vacuumed from $path")
+          r
+        }
+      // partition values decode from the RELATIVE name (shared by the
+      // live and retired locations)
+      (p, LakeSinkPartitions.kvsOf(root, root.resolve(rel), partCols))
+    }
+  }
 
   /** On-disk bytes of the PRUNED file set (the same convention Spark's
     * file sources use — `fileCompressionFactor` corrects for gzip if the
@@ -148,7 +178,11 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = LakeSinkPartitions.listCommitted(path, partCols)
+    val all = snapshot match {
+      case Some(rels) => snapshotFiles(rels)
+      case None       => LakeSinkPartitions.listCommitted(path, partCols)
+    }
+    val kept = all
       .filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, partFilters) }
     // row-level operations record the planned group (file) set — the
     // exact files a ReplaceData commit must swap out (last planning wins)
@@ -383,7 +417,10 @@ private[sources] class LakeSinkReplaceBatchWrite(schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.promote(path,
       messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
-    oldFiles().foreach(f => Files.deleteIfExists(Paths.get(f)))
+    // RETIRE (not delete) the replaced group files: pre-command snapshots
+    // in the version log stay readable until VACUUM
+    LakeSinkFiles.retire(path, oldFiles())
+    LakeSinkFiles.recordVersion(path)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A `VERSION AS OF` / `TIMESTAMP AS OF` view of a lake table — the
+  * snapshot recorded by [[LakeSinkFiles.recordVersion]] at one commit:
+  * that commit's schema (pre-evolution versions show pre-evolution
+  * columns), partitioning, and exact file list, resolved live-first then
+  * against `_graft_retired/` (see [[LakeSinkScan]]). Read-only by
+  * construction: time travel over a mutable past is not a thing — DML
+  * against a snapshot fails at analysis (no write capability).
+  *
+  * 100 TB story: a snapshot read plans the RECORDED O(#files) list — no
+  * directory walk at all — with the same per-file task parallelism and
+  * partition-equality pruning as a live read; this is the versioned-
+  * manifest contract (Iceberg snapshots / Delta versions) at its minimal
+  * useful surface. */
+private[graft] class LakeSinkSnapshotTable(snapSchema: StructType, path: String,
+    partCols: Seq[String], relFiles: Seq[String], version: Long,
+    tableName: String) extends Table with SupportsRead {
+  override def name(): String = s"$tableName@v$version"
+  override def schema(): StructType = snapSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeSinkScanBuilder(schema, path, partCols, snapshot = Some(relFiles))
+}
+
+/** Table-maintenance operations for lake tables — the OPTIMIZE/VACUUM pair
+  * every real lakehouse grows once streaming writers produce many small
+  * files (the reference's buffered sink flushes one object per interval,
+  * `phase3-kinesis-s3.yaml:84` — at one file per epoch per task a year of
+  * telemetry is millions of tiny objects).
+  */
+object LakeMaintenance {
+
+  /** COMPACT (the OPTIMIZE bin-packing contract): rewrite every partition
+    * directory holding more than one committed file into ONE file, without
+    * changing a single row. The merge itself runs as a Spark job — one
+    * task per oversized partition directory streams its files'
+    * decompressed JSON lines into one staged gzip (row bytes are copied
+    * verbatim, so reads hash-identically before and after — t40 pins this
+    * under the DuckDB differential); the driver then promotes the staged
+    * replacements, RETIRES the originals (recorded versions stay
+    * readable), and records the post-compaction version.
+    *
+    * Returns (partitions compacted, files before, files after).
+    *
+    * 100 TB story: merge bytes move executor-side with per-partition-dir
+    * parallelism; the driver does O(#files) renames at commit — the same
+    * protocol as any other lake commit. Readers racing the commit see the
+    * promote→retire window (same documented window as ReplaceData);
+    * snapshot readers are unaffected. */
+  def compact(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val (_, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
+    val root = Paths.get(path)
+    val groups = LakeSinkPartitions.listCommitted(path, partCols)
+      .map { case (p, _) => root.relativize(p).toString }
+      .groupBy(rel => Option(Paths.get(rel).getParent).map(_.toString).getOrElse(""))
+      .filter(_._2.size > 1)
+      .toSeq.sortBy(_._1)
+    if (groups.isEmpty) return (0, 0, 0)
+    LakeSinkFiles.ensureDirs(path)
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    // one merge task per oversized partition directory
+    val staged = spark.sparkContext
+      .parallelize(groups.zipWithIndex, groups.size)
+      .map { case ((dirRel, rels), i) =>
+        val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
+        val stagedRel = s"${prefix}part-c$tag-$i.json.gz"
+        val out = LakeSinkFiles.stagingDir(path).resolve(s"$stagedRel.inprogress")
+        Option(out.getParent).foreach(Files.createDirectories(_))
+        val os = new GZIPOutputStream(new BufferedOutputStream(
+          new FileOutputStream(out.toFile)))
+        try {
+          val buf = new Array[Byte](1 << 16)
+          rels.sorted.foreach { rel =>
+            val is = new GZIPInputStream(new BufferedInputStream(
+              Files.newInputStream(Paths.get(path).resolve(rel))))
+            try {
+              var n = is.read(buf)
+              while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = is.read(buf) }
+            } finally is.close()
+          }
+        } finally os.close()
+        Files.move(out, LakeSinkFiles.stagingDir(path).resolve(stagedRel),
+          StandardCopyOption.REPLACE_EXISTING)
+        stagedRel
+      }.collect().toSeq
+    LakeSinkFiles.promote(path, staged)
+    LakeSinkFiles.retire(path, groups.flatMap(_._2).map(rel =>
+      root.resolve(rel).toString))
+    LakeSinkFiles.recordVersion(path)
+    (groups.size, groups.map(_._2.size).sum, staged.size)
+  }
+
+  /** VACUUM: reclaim the bytes time travel holds — delete every retired
+    * file and drop every version record but the newest. Snapshot reads of
+    * vacuumed versions fail loudly afterwards ([[LakeSinkScan]]'s
+    * resolution order), the live table is untouched. Returns (retired
+    * files deleted, version records dropped). */
+  def vacuum(path: String): (Int, Int) = {
+    var nFiles = 0
+    val retired = LakeSinkFiles.retiredDir(path)
+    if (Files.isDirectory(retired)) {
+      val it = Files.walk(retired).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p)) nFiles += 1
+        Files.deleteIfExists(p)
+      }
+    }
+    val versions = LakeSinkFiles.listVersions(path)
+    val drop = versions.dropRight(1)
+    drop.foreach { v =>
+      Files.deleteIfExists(LakeSinkFiles.versionsDir(path).resolve(f"v$v%09d"))
+    }
+    (nFiles, drop.size)
+  }
+
+  /** Total committed data files of a lake table (maintenance metric). */
+  def committedFileCount(path: String): Int = {
+    val (_, partCols) = LakeSinkFiles.readManifest(path).getOrElse(return 0)
+    LakeSinkPartitions.listCommitted(path, partCols).size
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, LakeMaintenance, LakeSinkFiles}
+
+/** The versioned-lake tier: VERSION/TIMESTAMP AS OF time travel
+  * ([[graft.sources.LakeSinkSnapshotTable]]), retire-instead-of-delete
+  * rewrite semantics, VACUUM reclamation, and OPTIMIZE-style compaction
+  * ([[graft.sources.LakeMaintenance]]).
+  */
+class LakeVersionSpec extends GraftSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def withLake[T](body: String => T): T = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val lake = tmp("graft_ver_lake")
+    spark.conf.set("spark.sql.catalog.graft.lake", lake)
+    body(lake)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def threeRows(tag: Int) = {
+    import spark.implicits._
+    Seq((1L + 10 * tag, s"a$tag"), (2L + 10 * tag, s"b$tag"), (3L + 10 * tag, s"c$tag"))
+      .toDF("id", "v")
+  }
+
+  test("every data commit records a version; VERSION AS OF resolves each snapshot") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.tt").create() // v1
+      threeRows(1).writeTo("graft.lake.tt").append() // v2
+      threeRows(2).writeTo("graft.lake.tt").append() // v3
+      assert(LakeSinkFiles.listVersions(s"$lake/tt") == Seq(1L, 2L, 3L))
+      assert(spark.sql("SELECT * FROM graft.lake.tt VERSION AS OF 1").count() == 3)
+      assert(canon(spark.sql("SELECT * FROM graft.lake.tt VERSION AS OF 2")) ==
+        canon(threeRows(0).unionAll(threeRows(1))))
+      assert(canon(spark.sql("SELECT * FROM graft.lake.tt VERSION AS OF 3")) ==
+        canon(spark.table("graft.lake.tt")))
+      // 'v2' spelling accepted; unknown version fails loudly
+      assert(spark.sql("SELECT * FROM graft.lake.tt VERSION AS OF 'v2'").count() == 6)
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM graft.lake.tt VERSION AS OF 99").collect())
+      assert(e.getMessage.contains("no recorded version 99"), e.getMessage)
+    }
+  }
+
+  test("rewrites RETIRE files: pre-DML snapshots stay readable, live read is post-DML") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.dml").create() // v1: ids 1,2,3
+      spark.sql("UPDATE graft.lake.dml SET v = 'patched' WHERE id = 2") // v2
+      val live = canon(spark.table("graft.lake.dml"))
+      assert(live.exists(_.contains("patched")), live.mkString(";"))
+      val v1 = canon(spark.sql("SELECT * FROM graft.lake.dml VERSION AS OF 1"))
+      assert(v1 == canon(threeRows(0)), s"v1 must show pre-update rows, got $v1")
+      // the replaced original moved under _graft_retired, not deleted
+      assert(Files.isDirectory(LakeSinkFiles.retiredDir(s"$lake/dml")))
+      // row-level DELETE is also a version transition
+      spark.sql("DELETE FROM graft.lake.dml WHERE id = 1") // v3
+      assert(spark.table("graft.lake.dml").count() == 2)
+      assert(spark.sql("SELECT * FROM graft.lake.dml VERSION AS OF 2").count() == 3)
+    }
+  }
+
+  test("TIMESTAMP AS OF picks the greatest version at or before the instant") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.ts").create() // v1
+      Thread.sleep(1100) // version mtimes carry millis; 1s margin is deterministic
+      val between = java.time.Instant.now()
+      Thread.sleep(1100)
+      threeRows(1).writeTo("graft.lake.ts").append() // v2
+      val atBetween = spark.sql(
+        s"SELECT * FROM graft.lake.ts TIMESTAMP AS OF '$between'")
+      assert(atBetween.count() == 3, "must resolve v1")
+      val e = intercept[Exception](spark.sql(
+        "SELECT * FROM graft.lake.ts TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+      assert(e.getMessage.contains("no version"), e.getMessage)
+    }
+  }
+
+  test("snapshots pin the schema: pre-evolution versions show pre-evolution columns") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.evo").create() // v1 (id, v)
+      spark.sql("ALTER TABLE graft.lake.evo ADD COLUMNS (extra BIGINT)")
+      import spark.implicits._
+      Seq((99L, "z", 7L)).toDF("id", "v", "extra")
+        .writeTo("graft.lake.evo").append() // v2 (id, v, extra)
+      assert(spark.sql("SELECT * FROM graft.lake.evo VERSION AS OF 1")
+        .schema.fieldNames.toSeq == Seq("id", "v"))
+      assert(spark.sql("SELECT * FROM graft.lake.evo VERSION AS OF 2")
+        .schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    }
+  }
+
+  test("snapshots are read-only: DML against VERSION AS OF fails at analysis") {
+    withLake { _ =>
+      threeRows(0).writeTo("graft.lake.ro").create()
+      val e = intercept[Exception](spark.sql(
+        "DELETE FROM graft.lake.ro VERSION AS OF 1 WHERE id = 1"))
+      assert(e.getMessage != null)
+      // live table unaffected either way
+      assert(spark.table("graft.lake.ro").count() == 3)
+    }
+  }
+
+  test("compact merges multi-file partitions to one file, rows bit-identical") {
+    withLake { lake =>
+      import spark.implicits._
+      // 8 partitions x 4 appends -> many files per partition dir
+      val df = (0 until 200).map(i => (i.toLong, i % 4, s"r$i")).toDF("id", "p", "v")
+        .repartition(8)
+      df.writeTo("graft.lake.cp").partitionedBy(col("p")).create()
+      df.withColumn("id", col("id") + 1000).writeTo("graft.lake.cp").append()
+      val before = canon(spark.table("graft.lake.cp"))
+      val filesBefore = LakeMaintenance.committedFileCount(s"$lake/cp")
+      assert(filesBefore > 4, s"precondition: many small files, got $filesBefore")
+      val (parts, fin, fout) = LakeMaintenance.compact(spark, s"$lake/cp")
+      assert(parts == 4 && fout == 4 && fin == filesBefore,
+        s"compacted $parts partitions $fin->$fout files")
+      assert(LakeMaintenance.committedFileCount(s"$lake/cp") == 4)
+      assert(canon(spark.table("graft.lake.cp")) == before,
+        "compaction must not change a row")
+      // pre-compaction snapshot still readable (originals retired, not deleted)
+      val vs = LakeSinkFiles.listVersions(s"$lake/cp")
+      assert(canon(spark.sql(
+        s"SELECT * FROM graft.lake.cp VERSION AS OF ${vs.init.last}")) == before)
+    }
+  }
+
+  test("vacuum reclaims retired files and old versions; vacuumed snapshot fails loudly") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.vc").create() // v1
+      spark.sql("UPDATE graft.lake.vc SET v = 'p' WHERE id = 2") // v2, v1's file retired
+      val (files, versions) = LakeMaintenance.vacuum(s"$lake/vc")
+      assert(files >= 1 && versions == 1, s"vacuumed $files files, $versions versions")
+      val live = spark.table("graft.lake.vc")
+      assert(live.count() == 3, "live table untouched by vacuum")
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM graft.lake.vc VERSION AS OF 1").collect())
+      assert(e.getMessage.contains("no recorded version 1"), e.getMessage)
+    }
+  }
+
+  test("truncating overwrite is a version transition: pre-truncate snapshot readable") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.tr").create() // v1
+      threeRows(1).write.format("graft.sources.LakeSink")
+        .mode("overwrite").save(s"$lake/tr") // v2 (truncate + replace)
+      assert(canon(spark.table("graft.lake.tr")) == canon(threeRows(1)))
+      assert(canon(spark.sql("SELECT * FROM graft.lake.tr VERSION AS OF 1")) ==
+        canon(threeRows(0)))
+    }
+  }
+}
