@@ -1784,9 +1784,40 @@ object Telemetry {
     s"""SELECT *, CAST(date_trunc('day', ts) AS DATE) AS d
        FROM ($twinSql) ORDER BY id"""
 
+  /** t41 — the version CHANGE FEED under the differential
+    * ([[graft.sources.LakeVersions.changes]] — the Delta-CDF/Iceberg
+    * incremental-read role): the twin is CTAS'd (version 1), a shifted
+    * batch is appended (version 2), and the query returns the v1→v2
+    * change feed — which must be exactly the appended rows tagged
+    * `'insert'` (an append adds files and removes none; the
+    * rewrite/delete legs are spec-pinned by LakeVersionSpec's diff law:
+    * snapshot(from) − deletes + inserts ≡ snapshot(to)).
+    *
+    * Scale shape: the diff is a driver-side set difference of two
+    * recorded name lists; the read plans O(changed files) — incremental
+    * consumers never rescan the table. */
+  def t41VersionChanges(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t41_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s)
+    t.writeTo("graft.lake.t41").create() // version 1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft.lake.t41").append() // version 2
+    graft.sources.LakeVersions.changes(s, s"$lakeRoot/t41", 1L, 2L)
+      .select((t.schema.fieldNames.toIndexedSeq :+ "_change_type").map(col): _*)
+      .orderBy(col("id"))
+  }
+
+  val t41Sql: String =
+    s"""SELECT id + ${10L * TwinRows} AS id, ts, machine_id, is_anomaly,
+         temperature, vibration, 'insert' AS _change_type
+       FROM ($twinSql) WHERE id < 700 ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t39_time_travel" -> (t39TimeTravel _),
     "t40_compaction" -> (t40Compaction _),
+    "t41_version_changes" -> (t41VersionChanges _),
     "t33_partitioned_sink" -> (t33PartitionedSink _),
     "t34_session_window" -> (t34SessionWindow _),
     "t35_partition_delete" -> (t35PartitionDelete _),
@@ -1824,6 +1855,7 @@ object Telemetry {
   val oracles: Map[String, String] = Map(
     "t39_time_travel" -> t39Sql,
     "t40_compaction" -> t40Sql,
+    "t41_version_changes" -> t41Sql,
     "t33_partitioned_sink" -> t33Sql,
     "t34_session_window" -> t34Sql,
     "t35_partition_delete" -> t35Sql,

@@ -57,21 +57,44 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class LakeSink extends TableProvider {
   // on write the schema arrives from the query plan; on read it comes from
-  // the `_graft_schema.json` manifest every committed write records
+  // the `_graft_schema.json` manifest every committed write records — or,
+  // with `.option("versionAsOf", n)`, from that version's snapshot record
+  // (path-based time travel; the catalog's VERSION AS OF twin)
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LakeSinkFiles.readManifest(options.get("path")).map(_._1).getOrElse(
-      throw new UnsupportedOperationException(
-        "graft.sources.LakeSink: no _graft_schema.json manifest at " +
-          s"'${options.get("path")}' — read an existing lake table, or pass " +
-          "an explicit .schema(...)"))
+    Option(options.get("versionAsOf")) match {
+      case Some(v) => LakeSinkFiles.readVersion(options.get("path"), v.trim.toLong)._1
+      case None =>
+        LakeSinkFiles.readManifest(options.get("path")).map(_._1).getOrElse(
+          throw new UnsupportedOperationException(
+            "graft.sources.LakeSink: no _graft_schema.json manifest at " +
+              s"'${options.get("path")}' — read an existing lake table, or pass " +
+              "an explicit .schema(...)"))
+    }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new LakeSinkTable(schema, properties.get("path"),
-      Option(properties.get("partitionCols")).map(_.split(",").map(_.trim)
-        .filter(_.nonEmpty).toSeq)
-        .orElse(LakeSinkFiles.readManifest(properties.get("path")).map(_._2))
-        .getOrElse(Seq.empty))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    Option(properties.get("versionAsOf")) match {
+      case Some(vs) =>
+        // read-only snapshot: schema/partitioning/file list from the
+        // recorded version; `snapshotFiles` (newline-joined relative
+        // names) optionally narrows to a subset — the version-diff (CDC)
+        // read path, see [[LakeVersions.changes]]
+        val v = vs.trim.toLong
+        val (sch, partCols, files) = LakeSinkFiles.readVersion(path, v)
+        val rels = Option(properties.get("snapshotFiles"))
+          .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(files)
+        new LakeSinkSnapshotTable(sch, path, partCols, rels, v,
+          s"graft_lake_sink($path)")
+      case None =>
+        new LakeSinkTable(schema, path,
+          Option(properties.get("partitionCols")).map(_.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
+            .orElse(LakeSinkFiles.readManifest(path).map(_._2))
+            .getOrElse(Seq.empty))
+    }
+  }
 }
 
 object LakeSink {

@@ -39,6 +39,47 @@ private[graft] class LakeSinkSnapshotTable(snapSchema: StructType, path: String,
     new LakeSinkScanBuilder(schema, path, partCols, snapshot = Some(relFiles))
 }
 
+/** Version-log read surfaces beyond plain time travel. */
+object LakeVersions {
+
+  /** File-level change-data feed between two recorded versions (the
+    * Delta CDF / Iceberg incremental-read role for this copy-on-write
+    * lake): rows in files ADDED between `from` and `to` surface as
+    * `_change_type = 'insert'` (read under `to`'s schema), rows in files
+    * REMOVED surface as `'delete'` (read under `from`'s schema; a
+    * truncate or DML rewrite retired them — resolved from
+    * `_graft_retired/` until vacuumed). Because every commit rewrites
+    * whole files, the diff law is exact:
+    * `snapshot(from) − deletes + inserts ≡ snapshot(to)` as multisets
+    * (LakeVersionSpec pins it across an UPDATE) — a rewritten file's
+    * CARRIED rows appear as delete+insert pairs, the documented
+    * copy-on-write granularity (row-level CDC needs row tracking a
+    * minimal lake does not carry).
+    *
+    * 100 TB story: an incremental consumer (the training-data refresh
+    * case — process only what changed since the last snapshot) reads
+    * O(changed files), never the table; the diff itself is a driver-side
+    * set difference of two recorded name lists. */
+  def changes(spark: SparkSession, path: String, from: Long, to: Long):
+      org.apache.spark.sql.DataFrame = {
+    require(from <= to, s"LakeVersions.changes: from=$from must be <= to=$to")
+    val (_, _, filesFrom) = LakeSinkFiles.readVersion(path, from)
+    val (_, _, filesTo) = LakeSinkFiles.readVersion(path, to)
+    val added = filesTo.diff(filesFrom)
+    val removed = filesFrom.diff(filesTo)
+    def read(rels: Seq[String], v: Long) = spark.read
+      .format(classOf[LakeSink].getName)
+      .option("versionAsOf", v.toString)
+      .option("snapshotFiles", rels.mkString("\n"))
+      .load(path)
+    import org.apache.spark.sql.functions.lit
+    read(added, to).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        read(removed, from).withColumn("_change_type", lit("delete")),
+        allowMissingColumns = true) // schema may have evolved between versions
+  }
+}
+
 /** Table-maintenance operations for lake tables — the OPTIMIZE/VACUUM pair
   * every real lakehouse grows once streaming writers produce many small
   * files (the reference's buffered sink flushes one object per interval,

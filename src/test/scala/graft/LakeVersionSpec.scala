@@ -148,6 +148,43 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("path-based versionAsOf read equals catalog VERSION AS OF") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.pb").create() // v1
+      threeRows(1).writeTo("graft.lake.pb").append() // v2
+      val byPath = spark.read.format("graft.sources.LakeSink")
+        .option("versionAsOf", "1").load(s"$lake/pb")
+      assert(canon(byPath) == canon(threeRows(0)))
+      assert(canon(spark.read.format("graft.sources.LakeSink")
+        .option("versionAsOf", "2").load(s"$lake/pb")) ==
+        canon(spark.sql("SELECT * FROM graft.lake.pb VERSION AS OF 2")))
+    }
+  }
+
+  test("changes: append feeds inserts only; diff law holds across an UPDATE") {
+    import graft.sources.LakeVersions
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.cdc").create() // v1
+      threeRows(1).writeTo("graft.lake.cdc").append() // v2
+      val appendFeed = LakeVersions.changes(spark, s"$lake/cdc", 1, 2)
+      assert(appendFeed.filter(col("_change_type") === "delete").count() == 0,
+        "an append removes no files")
+      assert(canon(appendFeed.drop("_change_type")) == canon(threeRows(1)))
+
+      spark.sql("UPDATE graft.lake.cdc SET v = 'patched' WHERE id = 2") // v3
+      val feed = LakeVersions.changes(spark, s"$lake/cdc", 2, 3)
+      val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
+      val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+      // copy-on-write diff law: snapshot(2) − deletes + inserts ≡ snapshot(3)
+      val v2 = spark.sql("SELECT * FROM graft.lake.cdc VERSION AS OF 2")
+      val v3 = spark.sql("SELECT * FROM graft.lake.cdc VERSION AS OF 3")
+      val applied = (canon(v2).diff(canon(del)) ++ canon(ins)).sorted
+      assert(applied == canon(v3), "applying the change feed to v2 must yield v3")
+      assert(del.count() > 0 && ins.count() > 0,
+        "a rewrite surfaces both legs (carried rows as delete+insert pairs)")
+    }
+  }
+
   test("truncating overwrite is a version transition: pre-truncate snapshot readable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tr").create() // v1
