@@ -1814,7 +1814,164 @@ object Telemetry {
          temperature, vibration, 'insert' AS _change_type
        FROM ($twinSql) WHERE id < 700 ORDER BY id"""
 
+  /** t42 — COUNT(*) from commit-time metadata under the differential
+    * (the `_graft_counts.json` ledger + LakeSinkAggScan — the
+    * footer-row-count role parquet gets for free and gzip JSON does
+    * not have): the twin is CTAS'd DATE-partitioned (version 1), a
+    * shifted batch appended (version 2, ledger merged), one partition
+    * metadata-DELETEd (version 3, ledger trimmed with the retired
+    * files), and the query answers a global count plus a
+    * partition-filtered count — both completely pushed (LakeCountsSpec
+    * pins `graft-lake-agg` in the plan and zero residual aggregation),
+    * both hash-checked against DuckDB's full recount of the same
+    * arithmetic. This is the "dashboard row-count without touching
+    * S3" contract.
+    *
+    * Scale shape: the pushed count is O(#kept files) driver-side map
+    * lookups — zero bytes decompressed, zero tasks launched; a table
+    * with any unrecorded live file falls back to scanning, never a
+    * guess. */
+  def t42CountPushdown(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t42_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s).withColumn("d", to_date(col("ts")))
+    t.writeTo("graft.lake.t42").partitionedBy(col("d")).create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft.lake.t42").append() // v2
+    s.sql("DELETE FROM graft.lake.t42 WHERE d = CAST('2026-01-03' AS DATE)") // v3
+    val lake = s.table("graft.lake.t42")
+    val all = lake.agg(count(lit(1)).as("n")).withColumn("scope", lit("all"))
+    val day2 = lake.filter(col("d") === lit(java.sql.Date.valueOf("2026-01-02")))
+      .agg(count(lit(1)).as("n")).withColumn("scope", lit("day2"))
+    all.unionAll(day2).select(col("scope"), col("n")).orderBy(col("scope"))
+  }
+
+  val t42Sql: String =
+    s"""WITH tw AS (SELECT id, ts FROM ($twinSql)),
+       lk AS (SELECT id, ts FROM tw
+              UNION ALL SELECT id + ${10L * TwinRows}, ts FROM tw WHERE id < 700),
+       kept AS (SELECT * FROM lk
+                WHERE CAST(date_trunc('day', ts) AS DATE) <> DATE '2026-01-03')
+       SELECT 'all' AS scope, count(*) AS n FROM kept
+       UNION ALL
+       SELECT 'day2' AS scope, count(*) AS n FROM kept
+       WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2026-01-02'
+       ORDER BY scope"""
+
+  /** t43 — per-file column STATISTICS under the differential
+    * ([[graft.sources.LakeSinkStats]] — the parquet-footer/Iceberg-manifest
+    * stats role for the gzip JSON lake): the twin is CTAS'd id-range-
+    * clustered into 8 files; the query mixes (a) min/max aggregates that
+    * answer COMPLETELY from the commit-time `_graft_stats.json` ledger
+    * (LakeStatsSpec pins `graft-lake-agg` + zero residual aggregation)
+    * with (b) filtered aggregates whose scans SKIP the files whose
+    * [lo, hi] provably cannot match (LakeStatsSpec pins the skip counts)
+    * — every value hash-checked against DuckDB's full recount, proving
+    * metadata answers and skipping change I/O, never semantics.
+    *
+    * Scale shape: min/max are O(#files) driver folds with zero bytes
+    * read; the banded count opens only the band's files — on a
+    * range-clustered 100 TB lake that is the difference between a point
+    * lookup and a table scan. */
+  def t43StatsMetrics(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t43_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    twin(s).repartitionByRange(8, col("id")).writeTo("graft.lake.t43").create()
+    val t = s.table("graft.lake.t43")
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col(df.columns(0)).cast("double").as("value"))
+    one("cnt_band", t.filter(col("id").between(2500, 4499)).agg(count(lit(1))))
+      .unionAll(one("max_id", t.agg(max(col("id")))))
+      .unionAll(one("max_temp", t.agg(max(col("temperature")))))
+      .unionAll(one("min_id", t.agg(min(col("id")))))
+      .unionAll(one("min_temp", t.agg(min(col("temperature")))))
+      .unionAll(one("min_vib_hi", t.filter(col("id") >= 8000).agg(min(col("vibration")))))
+      .orderBy(col("metric"))
+  }
+
+  val t43Sql: String =
+    s"""WITH tw AS ($twinSql)
+       SELECT 'cnt_band' AS metric, CAST(count(*) AS DOUBLE) AS value
+         FROM tw WHERE id BETWEEN 2500 AND 4499
+       UNION ALL SELECT 'max_id', CAST(max(id) AS DOUBLE) FROM tw
+       UNION ALL SELECT 'max_temp', max(temperature) FROM tw
+       UNION ALL SELECT 'min_id', CAST(min(id) AS DOUBLE) FROM tw
+       UNION ALL SELECT 'min_temp', min(temperature) FROM tw
+       UNION ALL SELECT 'min_vib_hi', min(vibration) FROM tw WHERE id >= 8000
+       ORDER BY metric"""
+
+  /** t44 — Z-ORDER rewrite under the differential
+    * ([[graft.sources.LakeMaintenance.zorder]] — the OPTIMIZE ZORDER BY
+    * contract): the twin lands id-clustered (so a temperature/vibration
+    * box filter can skip nothing), is z-order-rewritten on
+    * (temperature, vibration), and the query returns every row of an
+    * axis-aligned box — hash-equal to DuckDB evaluating the same box on
+    * the generator arithmetic, proving the full-table rewrite moved every
+    * row and invented none. LakeStatsSpec pins the plan-side payoff
+    * (post-zorder box scans skip most files; rows bit-identical).
+    *
+    * Scale shape: the rewrite is one full shuffle, amortized over every
+    * subsequent selective read; the box read itself opens O(matching
+    * z-range files). */
+  def t44Zorder(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t44_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    twin(s).repartitionByRange(8, col("id")).writeTo("graft.lake.t44").create()
+    graft.sources.LakeMaintenance.zorder(s, s"$lakeRoot/t44",
+      Seq("temperature", "vibration"), 8)
+    s.table("graft.lake.t44")
+      .filter(col("temperature").between(66.0, 68.0) &&
+        col("vibration").between(1.6, 1.9))
+      .select(twin(s).schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t44Sql: String =
+    s"""SELECT * FROM ($twinSql)
+       WHERE temperature BETWEEN 66.0 AND 68.0
+         AND vibration BETWEEN 1.6 AND 1.9
+       ORDER BY id"""
+
+  /** t45 — per-partition ROLLUP from metadata under the differential
+    * (GROUP BY partition column + count/min/max completely pushed —
+    * [[graft.sources.LakeSinkScanBuilder]]'s grouped metaRows): the twin
+    * lands DATE-partitioned; `SELECT d, count(*), min(temperature),
+    * max(temperature) GROUP BY d` answers one row per partition directory
+    * by summing that directory's count-ledger rows and folding its stats
+    * intervals — zero data files opened (LakeStatsSpec pins the plan:
+    * `graft-lake-agg … groups=N`, no HashAggregate) — hash-checked
+    * against DuckDB's full per-day recount. This is the reference's
+    * daily-dashboard query (`docs/phase3-kinesis-s3.md` — per-day object
+    * counts over the S3 lake) as pure metadata arithmetic.
+    *
+    * Scale shape: a group IS a set of whole files, so the rollup is
+    * O(#files) driver work at any row scale — the Iceberg
+    * manifest-aggregation contract. */
+  def t45PartitionRollup(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t45_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    twin(s).withColumn("d", to_date(col("ts")))
+      .writeTo("graft.lake.t45").partitionedBy(col("d")).create()
+    s.table("graft.lake.t45").groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        min(col("temperature")).as("tmin"), max(col("temperature")).as("tmax"))
+      .orderBy(col("d"))
+  }
+
+  val t45Sql: String =
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n,
+         min(temperature) AS tmin, max(temperature) AS tmax
+       FROM ($twinSql) GROUP BY 1 ORDER BY d"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t45_partition_rollup" -> (t45PartitionRollup _),
+    "t43_stats_metrics" -> (t43StatsMetrics _),
+    "t44_zorder" -> (t44Zorder _),
+    "t42_count_pushdown" -> (t42CountPushdown _),
     "t39_time_travel" -> (t39TimeTravel _),
     "t40_compaction" -> (t40Compaction _),
     "t41_version_changes" -> (t41VersionChanges _),
@@ -1853,6 +2010,10 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t45_partition_rollup" -> t45Sql,
+    "t43_stats_metrics" -> t43Sql,
+    "t44_zorder" -> t44Sql,
+    "t42_count_pushdown" -> t42Sql,
     "t39_time_travel" -> t39Sql,
     "t40_compaction" -> t40Sql,
     "t41_version_changes" -> t41Sql,

@@ -317,7 +317,7 @@ private[graft] object LakeSinkFiles {
   /** Extract one escaped string field from a flat JSON object written with
     * [[LakeSink.jsonEscape]] — the shared scanner behind the schema
     * manifest and the version records. */
-  private def jsonField(json: String, key: String, where: String): String = {
+  private[sources] def jsonField(json: String, key: String, where: String): String = {
     val tag = s""""$key":""""
     val start = json.indexOf(tag) + tag.length
     require(start > tag.length - 1, s"LakeSink $where lacks '$key'")
@@ -351,6 +351,41 @@ private[graft] object LakeSinkFiles {
     Some((schema, parts))
   }
 
+  // --- row-count ledger (aggregate pushdown) ---------------------------------
+  //
+  // `_graft_counts.json` maps each committed RELATIVE file name to its row
+  // count (tasks count as they write; commits merge, [[retire]] removes) —
+  // the statistics sidecar that lets `SELECT count(*) FROM graft.lake.t`
+  // answer from metadata without decompressing a byte (the footer-row-count
+  // role parquet gets for free and gzip JSON does not have).
+
+  def countsPath(path: String): Path = Paths.get(path, "_graft_counts.json")
+
+  def readCounts(path: String): Map[String, Long] = {
+    val p = countsPath(path)
+    if (!Files.isRegularFile(p)) return Map.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    jsonField(json, "files", s"counts ledger at $p").split("\n")
+      .map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf(':')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+  }
+
+  /** Merge-and-replace the ledger (read → apply → temp + atomic move).
+    * Driver-side only, under the sink's single-writer commit contract. */
+  def updateCounts(path: String, add: Map[String, Long],
+      remove: Seq[String]): Unit = {
+    if (add.isEmpty && remove.isEmpty) return
+    val merged = (readCounts(path) -- remove) ++ add
+    val body = merged.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString("\n")
+    val json = s"""{"files":"${LakeSink.jsonEscape(body)}"}"""
+    val tmp = Paths.get(path, s".counts.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, countsPath(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   // --- version log (time travel) ---------------------------------------------
   //
   // Every DATA-changing commit (batch job, streaming epoch, ReplaceData,
@@ -368,14 +403,19 @@ private[graft] object LakeSinkFiles {
     * single-writer trade documented on [[LakeMaintenance.vacuum]]. */
   def retire(path: String, files: Seq[String]): Unit = {
     val root = Paths.get(path)
+    val retired = scala.collection.mutable.ListBuffer.empty[String]
     files.distinct.foreach { f =>
       val p = Paths.get(f)
       if (Files.isRegularFile(p)) {
-        val target = retiredDir(path).resolve(root.relativize(p))
+        val rel = root.relativize(p)
+        val target = retiredDir(path).resolve(rel)
         Option(target.getParent).foreach(Files.createDirectories(_))
         Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+        retired += rel.toString
       }
     }
+    updateCounts(path, Map.empty, retired.toSeq) // ledgers track LIVE files only
+    LakeSinkStats.updateBlobs(path, Map.empty, retired.toSeq)
   }
 
   private def versionName(v: Long): String = f"v$v%09d"
@@ -500,8 +540,16 @@ private[graft] object LakeSinkFiles {
   }
 }
 
-private[graft] case class LakeSinkCommit(staged: Seq[String])
-    extends WriterCommitMessage
+private[graft] case class LakeSinkCommit(staged: Seq[String],
+    counts: Seq[Long] = Seq.empty, stats: Seq[String] = Seq.empty)
+    extends WriterCommitMessage {
+  /** (rel name → row count) pairs when the writer counted (always, for
+    * this sink's own writers; possibly absent for hand-built messages). */
+  def counted: Seq[(String, Long)] = staged.zip(counts)
+  /** (rel name → encoded column min/max blob) pairs — feeds
+    * `_graft_stats.json` (see [[LakeSinkStats]]). */
+  def statted: Seq[(String, String)] = staged.zip(stats)
+}
 private[sources] case object LakeSinkNoData extends WriterCommitMessage
 
 private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
@@ -512,16 +560,18 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst) LakeSinkFiles.truncateDest(path)
-    LakeSinkFiles.promote(path,
-      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+    val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
+    LakeSinkFiles.promote(path, committed.flatMap(_.staged))
     LakeSinkFiles.reconcileManifest(path, schema, partCols,
       replace = truncateFirst)
+    LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
+    LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
     LakeSinkFiles.recordVersion(path)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
-      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+      messages.collect { case c: LakeSinkCommit => c.staged }.toSeq.flatten)
     LakeSinkFiles.sweep(path, s"b$writeId")
   }
 }
@@ -533,7 +583,8 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     new LakeSinkStreamingWriterFactory(schema, path, partCols)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = LakeSinkFiles.commitsDir(path).resolve(epochId.toString)
-    val staged = messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten
+    val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
+    val staged = committed.flatMap(_.staged)
     if (Files.exists(marker)) {
       // redelivered epoch (restart between sink commit and checkpoint
       // write): the lake already holds these rows — discard the re-run
@@ -541,6 +592,8 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     } else {
       LakeSinkFiles.promote(path, staged)
       LakeSinkFiles.reconcileManifest(path, schema, partCols, replace = false)
+      LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
+      LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
       LakeSinkFiles.recordVersion(path)
       // marker via temp + atomic move: a crash can't leave a marker for
       // an epoch whose files never promoted
@@ -551,7 +604,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
-      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+      messages.collect { case c: LakeSinkCommit => c.staged }.toSeq.flatten)
     LakeSinkFiles.sweep(path, s"e$epochId-")
   }
 }
@@ -598,6 +651,14 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
   // one open stream per partition-value directory this task has seen
   private val streams =
     scala.collection.mutable.LinkedHashMap.empty[String, OutputStreamWriter]
+  // rows written per staged file — feeds the `_graft_counts.json` ledger
+  // (count(*) answers from metadata, see LakeSinkAggScan)
+  private val rowCounts =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
+  // per-file column [lo, hi] trackers — feed `_graft_stats.json`
+  // (file skipping + min/max pushdown, see LakeSinkStats)
+  private val statTrackers = scala.collection.mutable.LinkedHashMap
+    .empty[String, Array[Option[LakeSinkStats.ColTracker]]]
 
   private def relOf(row: InternalRow): String =
     if (partCols.isEmpty) ""
@@ -632,6 +693,13 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
     }
     b.append("}\n")
     out.write(b.toString)
+    rowCounts.updateWith(rel) { c => Some(c.getOrElse(0L) + 1L) }
+    val ts = statTrackers.getOrElseUpdate(rel, LakeSinkStats.trackers(dataSchema))
+    i = 0
+    while (i < ts.length) {
+      if (ts(i).isDefined && !row.isNullAt(dataIdx(i))) ts(i).get.update(row, dataIdx(i))
+      i += 1
+    }
   }
 
   override def commit(): WriterCommitMessage =
@@ -646,7 +714,10 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
           LakeSinkFiles.stagingDir(path).resolve(s"$rel$fileName"),
           StandardCopyOption.REPLACE_EXISTING)
       }
-      LakeSinkCommit(rels.map(rel => s"$rel$fileName"))
+      LakeSinkCommit(rels.map(rel => s"$rel$fileName"),
+        rels.map(rel => rowCounts.getOrElse(rel, 0L)),
+        rels.map(rel => LakeSinkStats.blobOf(
+          statTrackers.getOrElse(rel, Array.empty))))
     }
 
   override def abort(): Unit = {

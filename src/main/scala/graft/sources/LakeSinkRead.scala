@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,32 +33,215 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     partCols: Seq[String],
     onPlanned: Seq[String] => Unit = _ => (),
-    snapshot: Option[Seq[String]] = None) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    snapshot: Option[Seq[String]] = None,
+    allowAgg: Boolean = true) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var required: StructType = fullSchema
   private var partFilters: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
+  private var aggPushed: Option[(Seq[Array[Any]], StructType, String)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   /** Accept equality filters on PARTITION columns (evaluated at planning
     * against directory names — completely, so no residual re-evaluation is
-    * needed); everything else stays with the engine. */
+    * needed) plus IsNotNull on partition columns (trivially true: the
+    * writer refuses NULL partition values, and the engine plants one next
+    * to every partition equality — leaving it residual would veto the
+    * complete count pushdown below); everything else stays with the
+    * engine — but is REMEMBERED: data filters drive per-file min/max
+    * skipping at planning ([[LakeSinkStats.mayMatch]]). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (part, rest) = filters.partition {
-      case EqualTo(a, _) => partCols.contains(a)
-      case _             => false
+      case EqualTo(a, _)  => partCols.contains(a)
+      case IsNotNull(a)   => partCols.contains(a)
+      case _              => false
     }
     partFilters = part
+    dataFilters = rest
     rest
   }
   override def pushedFilters(): Array[Filter] = partFilters
 
-  override def build(): Scan =
-    new LakeSinkScan(fullSchema, required, path, partCols, partFilters, onPlanned,
-      snapshot)
+  // --- aggregates from commit-time metadata ------------------------------------
+  //
+  // A lake table's gzip JSON files have no footer stats, so without
+  // metadata `SELECT count(*)` (or min/max) decompresses EVERY byte; the
+  // commit-time ledgers (`_graft_counts.json` row counts,
+  // `_graft_stats.json` per-file column [lo, hi]) make them O(#files)
+  // driver arithmetic. COMPLETE pushdown only — legal exactly when every
+  // engine filter was consumed at planning (partition equalities; pruning
+  // composes: the fold covers only kept files) and every kept file has
+  // the needed ledger entry (pre-ledger files fall back to scanning —
+  // never a guess). count(partition col) ≡ count(*): the writer refuses
+  // NULL partition values.
+
+  private def isPartCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: NamedReference => partCols.contains(n.fieldNames.mkString("."))
+      case _                 => false
+    }
+
+  /** Decode a Hive directory value string to the column's InternalRow
+    * representation (the partition-column types [[LakeSink
+    * .partitionExtractors]] writes). */
+  private def dirToInternal(dt: DataType, s: String): Any = dt match {
+    case StringType  => UTF8String.fromString(s)
+    case IntegerType => java.lang.Integer.valueOf(s.toInt)
+    case LongType    => java.lang.Long.valueOf(s.toLong)
+    case DateType    =>
+      java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+    case other => throw new IllegalStateException(s"unexpected partition type $other")
+  }
+
+  /** The metadata answer rows for a pushed aggregation — one row per
+    * group (one group total when there is no GROUP BY), each carrying the
+    * group's partition values followed by the per-function answers — or
+    * None when anything is unanswerable (unsupported function, group-by
+    * on a data column, residual filter, snapshot read, missing ledger
+    * entry). GROUP BY partition columns is answerable because a group IS
+    * a set of whole files: per-group counts sum that set's ledger rows,
+    * per-group min/max fold that set's stats intervals. */
+  private def metaRows(agg: Aggregation): Option[(Seq[Array[Any]], StructType, String)] = {
+    if (!allowAgg || snapshot.nonEmpty || dataFilters.nonEmpty ||
+        agg.aggregateExpressions.isEmpty)
+      return None
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
+      case n: NamedReference if partCols.contains(n.fieldNames.mkString(".")) =>
+        n.fieldNames.mkString(".")
+      case _ => return None
+    }
+    val root = Paths.get(path)
+    val kept: Seq[(String, Seq[(String, String)])] =
+      LakeSinkPartitions.listCommitted(path, partCols)
+        .filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, partFilters) }
+        .map { case (p, kvs) => (root.relativize(p).toString, kvs) }
+    lazy val counts = LakeSinkFiles.readCounts(path)
+    lazy val stats = LakeSinkStats.readBlobs(path)
+
+    def countOf(rels: Seq[String]): Option[Any] = {
+      val cs = rels.map(counts.get)
+      if (cs.forall(_.isDefined)) Some(java.lang.Long.valueOf(cs.flatten.sum))
+      else None
+    }
+
+    /** min/max of a statable DATA column over a file set: the fold over
+      * per-file [lo, hi] is exact iff EVERY file recorded the column
+      * (all-null files record an empty interval and contribute nothing —
+      * min/max ignore nulls). */
+    def minmaxOf(rels: Seq[String], f: StructField, isMin: Boolean): Option[Any] = {
+      val entries = rels.map(rel => stats.get(rel)
+        .flatMap(b => LakeSinkStats.decode(b, fullSchema).get(f.name)))
+      if (entries.exists(_.isEmpty)) return None // some file unrecorded
+      val bounds = entries.flatten.flatten
+      Some(
+        if (bounds.isEmpty) null // every file all-null (or no files)
+        else if (isMin)
+          LakeSinkStats.toInternal(f.dataType,
+            bounds.map(_._1).reduce((a, b) => if (LakeSinkStats.cmp(a, b) <= 0) a else b))
+        else
+          LakeSinkStats.toInternal(f.dataType,
+            bounds.map(_._2).reduce((a, b) => if (LakeSinkStats.cmp(a, b) >= 0) a else b)))
+    }
+
+    def statField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case n: NamedReference =>
+          val name = n.fieldNames.mkString(".")
+          fullSchema.fields.find(_.name == name)
+            .filter(f => !partCols.contains(name) && LakeSinkStats.statable(f.dataType))
+        case _ => None
+      }
+
+    // validate every function ONCE; each yields (answer-builder, out type)
+    val fns: Seq[(Seq[String] => Option[Any], DataType)] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => ((rels: Seq[String]) => countOf(rels), LongType)
+        case c: Count if !c.isDistinct && isPartCol(c.column) =>
+          ((rels: Seq[String]) => countOf(rels), LongType)
+        case m: Min =>
+          val f = statField(m.column).getOrElse(return None)
+          ((rels: Seq[String]) => minmaxOf(rels, f, isMin = true), f.dataType)
+        case m: Max =>
+          val f = statField(m.column).getOrElse(return None)
+          ((rels: Seq[String]) => minmaxOf(rels, f, isMin = false), f.dataType)
+        case _ => return None
+      }
+
+    val groups: Seq[(Seq[String], Seq[String])] =
+      if (groupCols.isEmpty) Seq((Seq.empty, kept.map(_._1)))
+      else kept.groupBy { case (_, kvs) =>
+        groupCols.map(g => kvs.find(_._1 == g).getOrElse(return None)._2)
+      }.toSeq.sortBy(_._1.mkString("/")).map { case (k, fs) => (k, fs.map(_._1)) }
+
+    val groupFields = groupCols.map(fullSchema(_))
+    val rows = groups.map { case (gvals, rels) =>
+      val g = groupFields.zip(gvals).map { case (f, s) => dirToInternal(f.dataType, s) }
+      val a = fns.map(_._1(rels))
+      if (a.exists(_.isEmpty)) return None
+      (g ++ a.map(_.get)).toArray[Any]
+    }
+    val schema = StructType(
+      groupFields.map(f => StructField(f.name, f.dataType, nullable = false)) ++
+        fns.zipWithIndex.map { case ((_, dt), i) =>
+          StructField(s"agg_$i", dt, nullable = rows.exists(_(groupCols.size + i) == null))
+        })
+    val desc = (groupCols.map(g => s"group:$g") ++
+      agg.aggregateExpressions.map(_.toString)).mkString(", ")
+    Some((rows, schema, desc))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metaRows(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    metaRows(agg) match {
+      case Some(t) => aggPushed = Some(t); true
+      case None    => false
+    }
+
+  override def build(): Scan = aggPushed match {
+    case Some((rows, schema, fnDesc)) =>
+      new LakeSinkAggScan(path, partFilters, fnDesc, rows, schema)
+    case None =>
+      new LakeSinkScan(fullSchema, required, path, partCols, partFilters,
+        dataFilters, onPlanned, snapshot)
+  }
 }
+
+/** The completely-pushed-down aggregate scan: one row PER GROUP folded
+  * from the commit-time ledgers — zero data files opened. */
+private[sources] class LakeSinkAggScan(path: String, partFilters: Array[Filter],
+    fnDesc: String, rows: Seq[Array[Any]], aggSchema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-lake-agg path=$path partFilters=[${partFilters.mkString(",")}] " +
+      s"PushedAggregates=[$fnDesc] groups=${rows.size}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeSinkAggPartition(rows.toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[LakeSinkAggPartition]
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < p.rows.length }
+          override def get(): InternalRow = new GenericInternalRow(p.rows(i))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] case class LakeSinkAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
 
 /** Shared committed-file listing + partition-value matching — used by the
   * scan's planning, its statistics, and [[LakeSinkTable]]'s
@@ -118,27 +301,71 @@ private[sources] object LakeSinkPartitions {
     }
 
   /** Does a file's partition-value set satisfy every (partition-column
-    * equality) filter? Non-equality filters keep everything — callers gate
-    * them out beforehand. */
+    * equality / IN) filter? Other filter shapes keep everything — callers
+    * gate them out beforehand. */
   def keeps(schema: StructType, kvs: Seq[(String, String)],
       filters: Array[Filter]): Boolean =
     filters.forall {
       case EqualTo(a, v) =>
         kvs.find(_._1 == a).exists { case (_, dv) =>
           matches(schema(a).dataType, dv, v) }
+      case In(a, vs) => // IN () matches nothing — drops every file
+        kvs.find(_._1 == a).exists { case (_, dv) =>
+          vs.exists(v => matches(schema(a).dataType, dv, v)) }
       case _ => true
     }
 }
 
 private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType,
     path: String, partCols: Seq[String], partFilters: Array[Filter],
+    dataFilters: Array[Filter] = Array.empty,
     onPlanned: Seq[String] => Unit = _ => (),
     snapshot: Option[Seq[String]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // files pruned by per-file [lo, hi] stats at the last planning
+  // (-1 = not yet planned); see planInputPartitions
+  private var skippedFiles = -1
+
+  // --- runtime filtering (DPP + stats-driven runtime skipping) ---------------
+  //
+  // The engine may hand this scan a join's build-side value set AFTER
+  // planning (dynamic partition pruning). Partition-column filters prune
+  // directories exactly; DATA-column filters flow into the same per-file
+  // [lo, hi] stats skip as planned filters — so a selective dim join over
+  // a range-clustered fact lake opens O(matching files) even though the
+  // matching set is only knowable at execution. Unhandled shapes stay a
+  // superset — the join still applies the filter exactly.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statCols = fullSchema.fields
+      .filter(f => !partCols.contains(f.name) && LakeSinkStats.statable(f.dataType))
+      .map(_.name)
+    // only columns in the PRUNED output — the engine resolves these refs
+    // against the scan's readSchema (a ref to a pruned-away column fails
+    // analysis); a join key is always in the output, so nothing is lost
+    val visible = required.fieldNames.toSet
+    (partCols ++ statCols).filter(visible.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+  override def filter(filters: Array[Filter]): Unit = runtimeFilters = filters
+
+  private def isPartFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => partCols.contains(a)
+    case In(a, _)      => partCols.contains(a)
+    case IsNotNull(a)  => partCols.contains(a)
+    case _             => false
+  }
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-lake-scan path=$path partFilters=[${partFilters.mkString(",")}]" +
+      (if (dataFilters.nonEmpty) s" dataFilters=[${dataFilters.mkString(",")}]" else "") +
+      (if (skippedFiles >= 0) s" skippedFiles=$skippedFiles" else "") +
       snapshot.map(fs => s" snapshot=${fs.length}files").getOrElse("")
   override def toBatch: Batch = this
 
@@ -169,12 +396,24 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     * user tunes it), so a small lake table auto-broadcasts in catalog
     * joins with no hint. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = planInputPartitions().map {
-      case LakeSinkInputPartition(f, _) => Files.size(Paths.get(f))
-    }.sum
+    private val planned = planInputPartitions().map {
+      case LakeSinkInputPartition(f, _) => Paths.get(f)
+    }
+    private val bytes = planned.map(Files.size(_)).sum
+    // EXACT row count from the commit-time ledger when every planned file
+    // is recorded (pruned + skipped files excluded) — feeds the CBO the
+    // number a parquet footer would; empty when any file is unrecorded
+    private val rows: java.util.OptionalLong = {
+      val ledger = LakeSinkFiles.readCounts(path)
+      val root = Paths.get(path)
+      val cs = planned.map(p => ledger.get(root.relativize(p).toString))
+      if (cs.nonEmpty && cs.forall(_.isDefined))
+        java.util.OptionalLong.of(cs.flatten.sum)
+      else java.util.OptionalLong.empty()
+    }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes max 1L)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = rows
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -182,12 +421,32 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
       case Some(rels) => snapshotFiles(rels)
       case None       => LakeSinkPartitions.listCommitted(path, partCols)
     }
+    val (rtPart, rtData) = runtimeFilters.partition(isPartFilter)
+    val effPart = partFilters ++ rtPart
+    val effData = dataFilters ++ rtData
     val kept = all
-      .filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, partFilters) }
+      .filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, effPart) }
+    // per-file [lo, hi] stats skipping: drop files a residual (planned or
+    // runtime) data filter PROVABLY cannot match (files are immutable once
+    // committed, so a ledger entry is always current; unrecorded files are
+    // kept — the engine still re-evaluates the filter on every surviving
+    // row, so a skip is a pure I/O save, never a semantics change)
+    val taken =
+      if (effData.isEmpty) kept
+      else {
+        val blobs = LakeSinkStats.readBlobs(path)
+        val root = Paths.get(path)
+        kept.filter { case (p, _) =>
+          val fs = blobs.get(root.relativize(p).toString)
+            .map(LakeSinkStats.decode(_, fullSchema))
+          effData.forall(f => LakeSinkStats.mayMatch(fs, fullSchema, f))
+        }
+      }
+    skippedFiles = kept.size - taken.size
     // row-level operations record the planned group (file) set — the
     // exact files a ReplaceData commit must swap out (last planning wins)
-    onPlanned(kept.map(_._1.toString))
-    kept.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
+    onPlanned(taken.map(_._1.toString))
+    taken.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
       .toArray
   }
 
@@ -392,8 +651,10 @@ private[sources] class LakeSinkRowLevelOperation(schema: StructType,
     Array(org.apache.spark.sql.connector.expressions.Expressions.column(
       LakeSinkTable.FileMetaCol))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // allowAgg = false: the op's scan must PLAN data files (the group
+    // handshake below) — a metadata-only agg scan would record nothing
     new LakeSinkScanBuilder(schema, path, partCols,
-      onPlanned = fs => plannedFiles = fs)
+      onPlanned = fs => plannedFiles = fs, allowAgg = false)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -415,8 +676,10 @@ private[sources] class LakeSinkReplaceBatchWrite(schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    LakeSinkFiles.promote(path,
-      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+    val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
+    LakeSinkFiles.promote(path, committed.flatMap(_.staged))
+    LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
+    LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
     // RETIRE (not delete) the replaced group files: pre-command snapshots
     // in the version log stay readable until VACUUM
     LakeSinkFiles.retire(path, oldFiles())
@@ -425,7 +688,7 @@ private[sources] class LakeSinkReplaceBatchWrite(schema: StructType,
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
-      messages.collect { case LakeSinkCommit(ns) => ns }.toSeq.flatten)
+      messages.collect { case c: LakeSinkCommit => c.staged }.toSeq.flatten)
     LakeSinkFiles.sweep(path, s"b$writeId")
   }
 }

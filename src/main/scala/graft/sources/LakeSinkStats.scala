@@ -1,0 +1,324 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file column min/max statistics for lake tables — the footer-stats
+  * role parquet row groups and Iceberg manifests play, for a gzip
+  * JSON-lines lake that has neither. Writers track [lo, hi] per data
+  * column while serializing (zero extra passes); commits merge the
+  * entries into `_graft_stats.json`; retire/truncate/partition-DELETE
+  * trim them with the files; compaction folds originals' intervals.
+  *
+  * Two read-side consumers:
+  *  - FILE SKIPPING: a pushed-but-residual data filter (`id < 100`,
+  *    `v = 'x'`) prunes every file whose [lo, hi] interval provably
+  *    cannot satisfy it — the engine still re-evaluates the filter on
+  *    surviving rows, so a skip is a pure I/O save, never a semantics
+  *    change (missing stats ⇒ keep the file).
+  *  - MIN/MAX AGGREGATE PUSHDOWN: `min(col)`/`max(col)` answer as a fold
+  *    over per-file stats when every kept file recorded the column
+  *    (see [[LakeSinkScanBuilder]]) — zero bytes decompressed.
+  *
+  * Encoding: numerics/timestamps as decimal text, doubles via
+  * `Double.toString` (shortest round-trip; NaN ordered greatest, exactly
+  * Spark's ordering), strings as Base64 of UTF-8 bytes compared in
+  * UTF8String (binary) space — the SAME ordering Spark's comparisons
+  * use, so string pruning is exact. Strings over 256 chars are not
+  * tracked (a truncated bound is not a bound); the column is then
+  * unrecorded for that file and both consumers degrade gracefully.
+  *
+  * 100 TB story: stats are O(#files × #cols) driver-side metadata; a
+  * selective filter over a clustered table (see
+  * [[LakeMaintenance.zorder]]) opens O(matching files), not O(table).
+  */
+private[graft] object LakeSinkStats {
+
+  val MaxStringChars = 256
+
+  // ledger encoding separators (control chars survive the jsonEscape
+  // round trip; none can appear in file names, column names, or the
+  // numeric/Base64 value encodings)
+  private val FileSep  = '\u0001' // ledger line: rel <sep> blob
+  private val EntrySep = '\u0002' // between column entries of one blob
+  private val FieldSep = '\u0003' // within an entry: col, lo, hi
+
+  def statsPath(path: String): Path = Paths.get(path, "_graft_stats.json")
+
+  /** Is this a column type stats understand? (DateType appears only as a
+    * partition column in this sink — partition pruning covers it.) */
+  def statable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType |
+         TimestampType => true
+    case _ => false
+  }
+
+  // --- per-column trackers (writer side) -------------------------------------
+
+  /** Mutable [lo, hi] tracker over the non-null values of one column of
+    * one file. `encoded` is None when the column cannot be recorded for
+    * this file (oversized string), Some("col") when every value was NULL,
+    * Some(col<sep>lo<sep>hi) otherwise. */
+  sealed abstract class ColTracker(name: String) {
+    protected var seen = false
+    protected var dead = false
+    def update(row: InternalRow, i: Int): Unit
+    protected def loEnc: String
+    protected def hiEnc: String
+    final def encoded: Option[String] =
+      if (dead) None
+      else if (!seen) Some(name)
+      else Some(s"$name$FieldSep$loEnc$FieldSep$hiEnc")
+  }
+
+  private final class LongTracker(name: String, get: (InternalRow, Int) => Long)
+      extends ColTracker(name) {
+    private var lo = 0L; private var hi = 0L
+    def update(row: InternalRow, i: Int): Unit = {
+      val v = get(row, i)
+      if (!seen) { lo = v; hi = v; seen = true }
+      else { if (v < lo) lo = v; if (v > hi) hi = v }
+    }
+    protected def loEnc: String = lo.toString
+    protected def hiEnc: String = hi.toString
+  }
+
+  private final class DoubleTracker(name: String, get: (InternalRow, Int) => Double)
+      extends ColTracker(name) {
+    private var lo = 0.0; private var hi = 0.0
+    def update(row: InternalRow, i: Int): Unit = {
+      val v = get(row, i)
+      if (!seen) { lo = v; hi = v; seen = true }
+      else { // Double.compare: NaN greatest, matching Spark's ordering
+        if (java.lang.Double.compare(v, lo) < 0) lo = v
+        if (java.lang.Double.compare(v, hi) > 0) hi = v
+      }
+    }
+    protected def loEnc: String = lo.toString
+    protected def hiEnc: String = hi.toString
+  }
+
+  private final class StringTracker(name: String) extends ColTracker(name) {
+    private var lo: UTF8String = _; private var hi: UTF8String = _
+    def update(row: InternalRow, i: Int): Unit = {
+      if (dead) return
+      val v = row.getUTF8String(i)
+      if (v.numChars() > MaxStringChars) { dead = true; lo = null; hi = null; return }
+      if (!seen) { val c = v.copy(); lo = c; hi = c; seen = true }
+      else { // copy(): the row buffer is reused across rows
+        if (v.compareTo(lo) < 0) lo = v.copy()
+        if (v.compareTo(hi) > 0) hi = v.copy()
+      }
+    }
+    private def b64(s: UTF8String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    protected def loEnc: String = b64(lo)
+    protected def hiEnc: String = b64(hi)
+  }
+
+  /** One tracker per statable column of a FILE schema (positions are
+    * file-schema ordinals — the writer's dataIdx mapping applies before
+    * calling update). Non-statable columns get None. */
+  def trackers(dataSchema: StructType): Array[Option[ColTracker]] =
+    dataSchema.fields.map { f =>
+      f.dataType match {
+        case LongType | TimestampType =>
+          Some(new LongTracker(f.name, (r, i) => r.getLong(i)))
+        case IntegerType =>
+          Some(new LongTracker(f.name, (r, i) => r.getInt(i).toLong))
+        case DoubleType =>
+          Some(new DoubleTracker(f.name, (r, i) => r.getDouble(i)))
+        case FloatType =>
+          Some(new DoubleTracker(f.name, (r, i) => r.getFloat(i).toDouble))
+        case StringType => Some(new StringTracker(f.name))
+        case _          => None
+      }
+    }
+
+  /** Fold a file's trackers into the per-file blob (entries joined by
+    * EntrySep; a column whose tracker died is simply absent). */
+  def blobOf(ts: Array[Option[ColTracker]]): String =
+    ts.flatten.flatMap(_.encoded).mkString(EntrySep.toString)
+
+  // --- ledger I/O (same temp + atomic-move protocol as the counts ledger) ----
+
+  def readBlobs(path: String): Map[String, String] = {
+    val p = statsPath(path)
+    if (!Files.isRegularFile(p)) return Map.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    LakeSinkFiles.jsonField(json, "files", s"stats ledger at $p").split("\n", -1)
+      .iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf(FileSep)
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+  }
+
+  /** Driver-side merge-and-replace, under the sink's single-writer commit
+    * contract (mirrors [[LakeSinkFiles.updateCounts]]). */
+  def updateBlobs(path: String, add: Map[String, String],
+      remove: Seq[String]): Unit = {
+    if (add.isEmpty && remove.isEmpty) return
+    val merged = (readBlobs(path) -- remove) ++ add
+    val body = merged.toSeq.sorted.map { case (k, v) => s"$k$FileSep$v" }.mkString("\n")
+    val json = s"""{"files":"${LakeSink.jsonEscape(body)}"}"""
+    val tmp = Paths.get(path, s".stats.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, statsPath(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // --- decoded form ------------------------------------------------------------
+
+  /** A recorded column interval: None = every value in the file was NULL;
+    * Some((lo, hi)) = non-null bounds in internal-comparable form (Long /
+    * Double / UTF8String). A column ABSENT from the map was not tracked. */
+  type FileStats = Map[String, Option[(Any, Any)]]
+
+  def decode(blob: String, schema: StructType): FileStats =
+    blob.split(EntrySep.toString, -1).iterator.filter(_.nonEmpty).flatMap { entry =>
+      val parts = entry.split(FieldSep.toString, -1)
+      val name = parts(0)
+      schema.fields.find(_.name == name).map { f =>
+        if (parts.length == 1) name -> None
+        else name -> Some((decodeVal(f.dataType, parts(1)),
+          decodeVal(f.dataType, parts(2))))
+      }
+    }.toMap
+
+  private def decodeVal(dt: DataType, enc: String): Any = dt match {
+    case LongType | IntegerType | TimestampType => java.lang.Long.parseLong(enc)
+    case DoubleType | FloatType                 => java.lang.Double.parseDouble(enc)
+    case StringType =>
+      UTF8String.fromBytes(java.util.Base64.getDecoder.decode(enc))
+    case other => throw new IllegalStateException(s"unstatable type $other")
+  }
+
+  private def encodeVal(v: Any): String = v match {
+    case l: java.lang.Long   => l.toString
+    case d: java.lang.Double => d.toString
+    case s: UTF8String => java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    case other => throw new IllegalStateException(s"unencodable stat $other")
+  }
+
+  /** Merge several files' blobs into one (compaction): a column survives
+    * only if EVERY input recorded it; all-null inputs contribute nothing. */
+  def mergeBlobs(blobs: Seq[String], schema: StructType): String = {
+    val decoded = blobs.map(decode(_, schema))
+    schema.fields.iterator.filter(f => statable(f.dataType)).flatMap { f =>
+      val entries = decoded.map(_.get(f.name))
+      if (entries.exists(_.isEmpty)) None // some input untracked -> drop
+      else {
+        val bounds = entries.flatten.flatten
+        if (bounds.isEmpty) Some(f.name) // all inputs all-null
+        else {
+          val lo = bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+          val hi = bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+          Some(s"${f.name}$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}")
+        }
+      }
+    }.mkString(EntrySep.toString)
+  }
+
+  /** Narrow an internal-comparable stat value (Long / Double / UTF8String)
+    * to the column type's InternalRow representation — the value a pushed
+    * min/max aggregate row must carry. */
+  def toInternal(dt: DataType, v: Any): Any = (dt, v) match {
+    case (IntegerType, l: java.lang.Long) => java.lang.Integer.valueOf(l.intValue)
+    case (FloatType, d: java.lang.Double) => java.lang.Float.valueOf(d.floatValue)
+    case _                                => v
+  }
+
+  /** Compare two internal-comparable stat values of the same kind. */
+  def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long)     => java.lang.Long.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case (x: UTF8String, y: UTF8String)             => x.compareTo(y)
+    case _ => throw new IllegalStateException(s"incomparable stats: $a vs $b")
+  }
+
+  /** Convert a v1 Filter's external literal to the internal-comparable
+    * form of `dt`; None = unconvertible (caller must keep the file). */
+  def toComparable(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (LongType | IntegerType, n: java.lang.Number) =>
+      n match {
+        case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+             _: java.lang.Byte => Some(java.lang.Long.valueOf(n.longValue))
+        case _ => None // fractional literal vs integer column: keep
+      }
+    case (DoubleType | FloatType, n: java.lang.Number) =>
+      Some(java.lang.Double.valueOf(n.doubleValue))
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)))
+    case _ => None
+  }
+
+  // --- file skipping -----------------------------------------------------------
+
+  /** May any row of a file with these stats satisfy the filter? Missing
+    * stats (None fileStats, untracked column, unconvertible literal,
+    * unsupported filter shape) always answer true — skipping is a pure
+    * optimization over PROVEN-empty files. */
+  def mayMatch(fileStats: Option[FileStats], schema: StructType,
+      filter: Filter): Boolean = fileStats match {
+    case None     => true
+    case Some(fs) => mayMatch0(fs, schema, filter)
+  }
+
+  private def bounds(fs: FileStats, schema: StructType, col: String,
+      v: Any): Option[(Option[(Any, Any)], Any)] =
+    for {
+      f <- schema.fields.find(_.name == col)
+      entry <- fs.get(col)
+      want <- toComparable(f.dataType, v)
+    } yield (entry, want)
+
+  private def mayMatch0(fs: FileStats, schema: StructType, filter: Filter): Boolean =
+    filter match {
+      case EqualTo(a, v) => bounds(fs, schema, a, v) match {
+        case Some((None, _))           => false // all-null: nothing equals v
+        case Some((Some((lo, hi)), w)) => cmp(w, lo) >= 0 && cmp(w, hi) <= 0
+        case None                      => true
+      }
+      case GreaterThan(a, v) => bounds(fs, schema, a, v) match {
+        case Some((None, _))          => false
+        case Some((Some((_, hi)), w)) => cmp(hi, w) > 0
+        case None                     => true
+      }
+      case GreaterThanOrEqual(a, v) => bounds(fs, schema, a, v) match {
+        case Some((None, _))          => false
+        case Some((Some((_, hi)), w)) => cmp(hi, w) >= 0
+        case None                     => true
+      }
+      case LessThan(a, v) => bounds(fs, schema, a, v) match {
+        case Some((None, _))          => false
+        case Some((Some((lo, _)), w)) => cmp(lo, w) < 0
+        case None                     => true
+      }
+      case LessThanOrEqual(a, v) => bounds(fs, schema, a, v) match {
+        case Some((None, _))          => false
+        case Some((Some((lo, _)), w)) => cmp(lo, w) <= 0
+        case None                     => true
+      }
+      case In(a, vs) => // IN () matches nothing — a provably-empty file
+        vs.exists(v => mayMatch0(fs, schema, EqualTo(a, v)))
+      case IsNotNull(a) =>
+        // an all-null entry proves no non-null row exists
+        fs.get(a) match {
+          case Some(None) => false
+          case _          => true
+        }
+      case And(l, r) => mayMatch0(fs, schema, l) && mayMatch0(fs, schema, r)
+      case Or(l, r)  => mayMatch0(fs, schema, l) || mayMatch0(fs, schema, r)
+      case _         => true // IsNull, Not, StartsWith, … : no proof, keep
+    }
+}

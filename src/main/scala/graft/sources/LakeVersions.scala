@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A `VERSION AS OF` / `TIMESTAMP AS OF` view of a lake table — the
@@ -106,7 +106,7 @@ object LakeMaintenance {
     * promote→retire window (same documented window as ReplaceData);
     * snapshot readers are unaffected. */
   def compact(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val (_, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
+    val (tblSchema, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
       throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
     val root = Paths.get(path)
     val groups = LakeSinkPartitions.listCommitted(path, partCols)
@@ -143,10 +143,110 @@ object LakeMaintenance {
         stagedRel
       }.collect().toSeq
     LakeSinkFiles.promote(path, staged)
+    // merged row counts carry over: sum of the originals' ledger entries
+    // (omitted when any original is unrecorded — count(*) then falls back
+    // to scanning, never lies)
+    val ledger = LakeSinkFiles.readCounts(path)
+    val mergedCounts = groups.zipWithIndex.flatMap { case ((dirRel, rels), i) =>
+      val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
+      val cs = rels.map(ledger.get)
+      if (cs.forall(_.isDefined))
+        Some(s"${prefix}part-c$tag-$i.json.gz" -> cs.flatten.sum)
+      else None
+    }.toMap
+    LakeSinkFiles.updateCounts(path, mergedCounts, Seq.empty)
+    // merged column stats fold over: [lo, hi] = interval hull of the
+    // originals' intervals (dropped when any original is unrecorded —
+    // skipping/min-max then degrade, never lie)
+    val statsLedger = LakeSinkStats.readBlobs(path)
+    val mergedStats = groups.zipWithIndex.flatMap { case ((dirRel, rels), i) =>
+      val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
+      val bs = rels.map(statsLedger.get)
+      if (bs.forall(_.isDefined))
+        Some(s"${prefix}part-c$tag-$i.json.gz" ->
+          LakeSinkStats.mergeBlobs(bs.flatten, tblSchema))
+      else None
+    }.toMap
+    LakeSinkStats.updateBlobs(path, mergedStats, Seq.empty)
     LakeSinkFiles.retire(path, groups.flatMap(_._2).map(rel =>
       root.resolve(rel).toString))
     LakeSinkFiles.recordVersion(path)
     (groups.size, groups.map(_._2.size).sum, staged.size)
+  }
+
+  /** Z-ORDER rewrite (the Delta `OPTIMIZE … ZORDER BY` / Iceberg
+    * sort-order-rewrite contract): cluster an UNPARTITIONED lake table on
+    * the interleaved-bit order of up to 8 numeric/timestamp columns so
+    * each rewritten file covers a tight axis-aligned box in every
+    * dimension — which is exactly what makes the per-file [lo, hi] stats
+    * ([[LakeSinkStats]]) selective: a multi-dimensional box filter then
+    * opens O(matching files) instead of every file (a 1-D sort gets this
+    * for its one column only; bit interleaving shares the win across all
+    * of them).
+    *
+    * Mechanics: one pass computes per-dimension [min, max]; each row maps
+    * to an 8-bit equal-width bucket per dimension (NULL → bucket 0);
+    * buckets interleave into a single z-value; `repartitionByRange` on
+    * the z-value plus a within-partition sort gives `nFiles` output
+    * tasks, each writing one file over a contiguous z-range — committed
+    * through the ordinary truncating-overwrite protocol (the pre-rewrite
+    * snapshot stays readable until VACUUM; counts + stats ledgers are
+    * rebuilt by the write itself). Equal-width buckets keep the bucketing
+    * a broadcast-free scalar expression; skewed dimensions only loosen
+    * per-file boxes, never correctness, and the range partitioner still
+    * balances ROWS per file by sampling the z-values.
+    *
+    * Returns (files before, files after).
+    *
+    * 100 TB story: the rewrite is a full-table shuffle ONCE, after which
+    * every selective read skips; this is the standard amortization
+    * argument for clustering a lake table that serves point/box lookups. */
+  def zorder(spark: SparkSession, path: String, cols: Seq[String],
+      nFiles: Int): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 8,
+      s"zorder: 1..8 cluster columns, got ${cols.size}")
+    require(nFiles > 0, "zorder: nFiles must be positive")
+    val (schema, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
+    require(partCols.isEmpty,
+      "zorder: partitioned tables cluster within partitions — unsupported; " +
+        "compact() handles per-partition file counts")
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"zorder: no column $c"))
+      require(f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | TimestampType => true
+        case _ => false
+      }, s"zorder: column $c of type ${f.dataType} is not orderable-numeric")
+    }
+    val before = committedFileCount(path)
+    val df = spark.read.format(classOf[LakeSink].getName).load(path)
+    // one aggregate for every dimension's [lo, hi]
+    val loHi = df.agg(
+      lit(1).as("_one"),
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c"))): _*).collect()(0)
+    val k = cols.size
+    val z = cols.zipWithIndex.map { case (c, d) =>
+      val lo = Option(loHi.getAs[Any](s"lo_$c")).fold(0.0)(_.asInstanceOf[Double])
+      val hi = Option(loHi.getAs[Any](s"hi_$c")).fold(0.0)(_.asInstanceOf[Double])
+      val width = if (hi > lo) (hi - lo) / 256.0 else 1.0
+      val bucket = when(col(c).isNull, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor((col(c).cast("double") - lit(lo)) / lit(width)).cast("int"))))
+      // interleave: bit b of dimension d lands at position b*k + d
+      (0 until 8).map(b =>
+        shiftright(bucket, b).bitwiseAND(lit(1)).cast("long") * lit(1L << (b * k + d)))
+        .reduce(_ + _)
+    }.reduce(_ + _)
+    val clustered = df.withColumn("__graft_z", z)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+    clustered.write.format(classOf[LakeSink].getName)
+      .mode("overwrite").save(path)
+    (before, committedFileCount(path))
   }
 
   /** VACUUM: reclaim the bytes time travel holds — delete every retired

@@ -1,0 +1,279 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, LakeMaintenance, LakeSinkStats}
+
+/** Per-file column [lo, hi] statistics ([[graft.sources.LakeSinkStats]]):
+  * commit-time collection, stats-based FILE SKIPPING under residual data
+  * filters, MIN/MAX aggregate pushdown, ledger maintenance across DML and
+  * compaction, and the Z-ORDER rewrite that makes multi-dimensional box
+  * filters selective.
+  */
+class LakeStatsSpec extends GraftSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def withLake[T](body: String => T): T = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val lake = tmp("graft_stat_lake")
+    spark.conf.set("spark.sql.catalog.graft.lake", lake)
+    body(lake)
+  }
+
+  /** Executed-plan text AFTER an action ran (skippedFiles is recorded at
+    * planning, which collect() forces). */
+  private def ranPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def skippedOf(plan: String): Int = {
+    val m = "skippedFiles=(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no skippedFiles marker in:\n${plan.take(900)}")
+    m.get.group(1).toInt
+  }
+
+  private def assertAggPushed(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-lake-agg"), s"aggregate not from metadata:\n${p.take(900)}")
+    assert(!p.contains("HashAggregate"), s"residual aggregation in:\n${p.take(900)}")
+  }
+
+  test("data filters skip files whose [lo, hi] provably cannot match") {
+    withLake { _ =>
+      import spark.implicits._
+      // 4 range-clustered files: ids [0,25) [25,50) [50,75) [75,100)
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.sk").create()
+      val q = spark.table("graft.lake.sk").filter(col("id") < 25)
+      val plan = ranPlan(q)
+      assert(skippedOf(plan) == 3, s"expected 3 of 4 files skipped:\n$plan")
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == (0L until 25L))
+      // equality hits exactly one file
+      val eq = spark.table("graft.lake.sk").filter(col("id") === 60)
+      assert(skippedOf(ranPlan(eq)) == 3)
+      assert(eq.collect().map(_.getString(1)).toSeq == Seq("v60"))
+      // a filter no file can satisfy skips everything, returns empty
+      val none = spark.table("graft.lake.sk").filter(col("id") > 1000)
+      assert(skippedOf(ranPlan(none)) == 4)
+      assert(none.count() == 0)
+      // string bounds prune too (binary UTF8 order, same as Spark's)
+      val sv = spark.table("graft.lake.sk").filter(col("v") === "v60")
+      val svRows = sv.collect()
+      assert(svRows.map(_.getLong(0)).toSeq == Seq(60L))
+      assert(skippedOf(sv.queryExecution.executedPlan.toString) >= 1,
+        "string stats must prune at least the non-covering files")
+      // disjunctions: only files outside BOTH branches skip
+      val or = spark.table("graft.lake.sk")
+        .filter(col("id") < 10 || col("id") >= 90)
+      assert(skippedOf(ranPlan(or)) == 2)
+      assert(or.count() == 20)
+    }
+  }
+
+  test("min/max answer from per-file stats: pushed, typed, DML-safe") {
+    withLake { _ =>
+      import spark.implicits._
+      (0 until 100).map(i => (i.toLong, i * 0.5, s"s${100 - i}")).toDF("id", "d", "s")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.mm").create()
+      val agg = spark.table("graft.lake.mm").agg(
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("d")).as("dmn"), max(col("d")).as("dmx"),
+        max(col("s")).as("smx"), count(lit(1)).as("n"))
+      assertAggPushed(agg)
+      assert(agg.collect()(0).toSeq == Seq(0L, 99L, 0.0, 49.5, "s99", 100L))
+      // a row-level DELETE rewrites groups; new files re-record stats
+      spark.sql("DELETE FROM graft.lake.mm WHERE id >= 90")
+      val agg2 = spark.table("graft.lake.mm").agg(
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+      assertAggPushed(agg2)
+      assert(agg2.collect()(0).toSeq == Seq(0L, 89L))
+      // data filter present -> not answerable from metadata, still correct
+      val mixed = spark.table("graft.lake.mm").filter(col("id") < 50)
+        .agg(max(col("id")).as("mx"))
+      assert(!mixed.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(mixed.collect()(0).getLong(0) == 49L)
+    }
+  }
+
+  test("all-null columns record empty intervals: IsNotNull skips, min is a pushed NULL") {
+    withLake { _ =>
+      import spark.implicits._
+      (0 until 20).map(i => (i.toLong, Option.empty[String])).toDF("id", "s")
+        .repartitionByRange(2, col("id"))
+        .writeTo("graft.lake.nl").create()
+      val nn = spark.table("graft.lake.nl").filter(col("s").isNotNull)
+      assert(skippedOf(ranPlan(nn)) == 2, "IsNotNull over all-null files must skip them all")
+      assert(nn.count() == 0)
+      val mn = spark.table("graft.lake.nl").agg(min(col("s")).as("mn"))
+      assertAggPushed(mn)
+      assert(mn.collect()(0).isNullAt(0))
+    }
+  }
+
+  test("deleting the stats ledger disables skipping and min/max, never correctness") {
+    withLake { lake =>
+      import spark.implicits._
+      (0 until 40).map(i => (i.toLong, i.toString)).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.fb").create()
+      Files.deleteIfExists(LakeSinkStats.statsPath(s"$lake/fb"))
+      val q = spark.table("graft.lake.fb").filter(col("id") < 10)
+      assert(skippedOf(ranPlan(q)) == 0, "no stats -> nothing skipped")
+      assert(q.count() == 10)
+      val mm = spark.table("graft.lake.fb").agg(min(col("id")).as("mn"))
+      assert(!mm.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(mm.collect()(0).getLong(0) == 0L)
+    }
+  }
+
+  test("compaction folds originals' intervals: skipping and min/max survive the merge") {
+    withLake { lake =>
+      import spark.implicits._
+      val df = (0 until 120).map(i => (i.toLong, i % 3, s"w$i")).toDF("id", "p", "v")
+      df.repartitionByRange(4, col("id")).writeTo("graft.lake.cm")
+        .partitionedBy(col("p")).create()
+      df.withColumn("id", col("id") + 1000)
+        .repartitionByRange(4, col("id")).writeTo("graft.lake.cm").append()
+      LakeMaintenance.compact(spark, s"$lake/cm")
+      val mm = spark.table("graft.lake.cm").agg(
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+      assertAggPushed(mm)
+      assert(mm.collect()(0).toSeq == Seq(0L, 1119L))
+      // post-compaction: one file per partition; a tight range over the
+      // merged intervals still answers correctly
+      val q = spark.table("graft.lake.cm").filter(col("id").between(1000, 1009))
+      assert(q.count() == 10)
+    }
+  }
+
+  test("GROUP BY partition columns answers per-group count/min/max from metadata") {
+    withLake { _ =>
+      import spark.implicits._
+      (0 until 90).map(i => (i.toLong, i % 3, s"g$i")).toDF("id", "p", "v")
+        .writeTo("graft.lake.gb").partitionedBy(col("p")).create()
+      val rollup = spark.table("graft.lake.gb").groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+        .orderBy(col("p"))
+      assertAggPushed(rollup)
+      val got = rollup.collect().map(_.toSeq)
+      assert(got.map(_(0)).toSeq == Seq(0, 1, 2))
+      assert(got.map(_(1)).toSeq == Seq(30L, 30L, 30L))
+      assert(got.map(_(2)).toSeq == Seq(0L, 1L, 2L), "per-group min id")
+      assert(got.map(_(3)).toSeq == Seq(87L, 88L, 89L), "per-group max id")
+      // composes with partition pruning: one group survives the filter
+      val one = spark.table("graft.lake.gb").filter(col("p") === 1)
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      assertAggPushed(one)
+      assert(one.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 30L)))
+      // group-by on a DATA column is not a metadata answer
+      val dataGrp = spark.table("graft.lake.gb").groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+      assert(!dataGrp.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(dataGrp.count() == 90)
+    }
+  }
+
+  /** Find the lake BatchScan in an executed plan and report (runtime
+    * filters seen, rows it emitted). */
+  private def lakeScanStats(df: DataFrame): (Boolean, Long) = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    var sawRuntime = false
+    var rows = -1L
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case b: BatchScanExec if b.scan.description.startsWith("graft-lake-scan") =>
+          sawRuntime ||= b.runtimeFilters.nonEmpty
+          rows = b.metrics("numOutputRows").value
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    (sawRuntime, rows)
+  }
+
+  test("runtime filtering (DPP): a dim join prunes lake partition dirs at execution") {
+    withLake { _ =>
+      import spark.implicits._
+      (0 until 1000).map(i => (i.toLong, i % 10)).toDF("id", "p")
+        .writeTo("graft.lake.dpp").partitionedBy(col("p")).create()
+      // the dim's selective predicate must SURVIVE to the optimizer (a
+      // literal Seq constant-folds to a LocalRelation and DPP declines)
+      val dimDir = tmp("graft_dpp_dim")
+      (0 until 10).map(i => (i, i % 5)).toDF("k", "m")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter(col("m") === 2)  // k in {2, 7}
+      val joined = spark.table("graft.lake.dpp")
+        .join(dim.hint("broadcast"), col("p") === col("k"))
+      assert(joined.collect().length == 200)
+      val (sawRuntime, rows) = lakeScanStats(joined)
+      assert(sawRuntime, "no runtime filter reached the lake scan:\n" +
+        joined.queryExecution.executedPlan.toString.take(1200))
+      assert(rows == 200, s"scan emitted $rows rows — runtime dir pruning did not happen")
+    }
+  }
+
+  test("runtime filtering on a DATA column: the build side's values skip files via stats") {
+    withLake { _ =>
+      import spark.implicits._
+      (0 until 800).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .repartitionByRange(8, col("id"))
+        .writeTo("graft.lake.rts").create()
+      val dimDir = tmp("graft_rts_dim")
+      (0 until 800).map(i => (i.toLong, i % 40)).toDF("k", "m")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter(col("m") === 0 && col("k") < 100)
+      val joined = spark.table("graft.lake.rts")
+        .join(dim.hint("broadcast"), col("id") === col("k"))
+      assert(joined.collect().length == 3, "k in {0, 40, 80}")
+      val (sawRuntime, rows) = lakeScanStats(joined)
+      assert(sawRuntime, "no runtime filter reached the lake scan:\n" +
+        joined.queryExecution.executedPlan.toString.take(1200))
+      // the IN {0,40,80} runtime filter's stats skip opens only the first
+      // 100-row file of 8
+      assert(rows == 100, s"scan emitted $rows rows — stats-driven runtime skip did not happen")
+    }
+  }
+
+  test("zorder clusters two dimensions: a box filter skips most files, rows unchanged") {
+    withLake { lake =>
+      import spark.implicits._
+      // a 64x64 grid in row-major order: every one of the 8 range files
+      // covers the FULL y range, so a y filter alone can skip nothing
+      val grid = (0 until 4096).map { i => (i.toLong, (i / 64).toLong, (i % 64).toLong) }
+        .toDF("id", "x", "y")
+      grid.repartitionByRange(8, col("id")).writeTo("graft.lake.zo").create()
+      val box = col("x").between(0, 15) && col("y").between(0, 15)
+      val beforeRows = spark.table("graft.lake.zo").filter(box)
+        .collect().map(_.toString).sorted.toSeq
+      val preSkip = skippedOf(ranPlan(spark.table("graft.lake.zo").filter(col("y") < 16)))
+      assert(preSkip == 0, s"precondition: row-major layout must not allow y-skips, got $preSkip")
+      val all = spark.table("graft.lake.zo").collect().map(_.toString).sorted.toSeq
+
+      val (fin, fout) = LakeMaintenance.zorder(spark, s"$lake/zo", Seq("x", "y"), 8)
+      assert(fin == 8 && fout == 8, s"zorder rewrote $fin->$fout files")
+      assert(spark.table("graft.lake.zo").collect().map(_.toString).sorted.toSeq == all,
+        "zorder must not change a row")
+      val q = spark.table("graft.lake.zo").filter(box)
+      val plan = ranPlan(q)
+      assert(skippedOf(plan) >= 4,
+        s"z-ordered files must make the 1/16-area box skip most files:\n$plan")
+      assert(q.collect().map(_.toString).sorted.toSeq == beforeRows)
+      // pre-rewrite snapshot still readable (overwrite retires, not deletes)
+      val vs = graft.sources.LakeSinkFiles.listVersions(s"$lake/zo")
+      assert(spark.sql(s"SELECT * FROM graft.lake.zo VERSION AS OF ${vs.init.last}")
+        .count() == 4096)
+    }
+  }
+}
