@@ -1967,7 +1967,38 @@ object Telemetry {
          min(temperature) AS tmin, max(temperature) AS tmax
        FROM ($twinSql) GROUP BY 1 ORDER BY d"""
 
+  /** t46 — SHOW PARTITIONS under the differential
+    * ([[graft.sources.LakeSinkTable]]'s SupportsPartitionManagement — the
+    * Hive/Iceberg partition-catalog DDL surface): the twin lands
+    * DATE-partitioned, one partition is DROPPED via `ALTER TABLE … DROP
+    * PARTITION` (metadata-only retire, a version transition —
+    * LakeVersionSpec pins snapshot readability and partial-spec
+    * listings), and the query returns the catalog's partition listing —
+    * which must equal DuckDB recomputing the surviving distinct days from
+    * the generator arithmetic.
+    *
+    * Scale shape: listing is a distinct over decoded directory names —
+    * O(#files) driver work, zero data reads; the drop retires O(files in
+    * partition) names. */
+  def t46ShowPartitions(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t46_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    twin(s).withColumn("d", to_date(col("ts")))
+      .writeTo("graft.lake.t46").partitionedBy(col("d")).create()
+    s.sql("ALTER TABLE graft.lake.t46 DROP PARTITION (d = '2026-01-04')")
+    s.sql("SHOW PARTITIONS graft.lake.t46").orderBy(col("partition"))
+  }
+
+  val t46Sql: String =
+    s"""SELECT DISTINCT 'd=' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+         AS partition
+       FROM ($twinSql)
+       WHERE CAST(date_trunc('day', ts) AS DATE) <> DATE '2026-01-04'
+       ORDER BY partition"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t46_show_partitions" -> (t46ShowPartitions _),
     "t45_partition_rollup" -> (t45PartitionRollup _),
     "t43_stats_metrics" -> (t43StatsMetrics _),
     "t44_zorder" -> (t44Zorder _),
@@ -2010,6 +2041,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t46_show_partitions" -> t46Sql,
     "t45_partition_rollup" -> t45Sql,
     "t43_stats_metrics" -> t43Sql,
     "t44_zorder" -> t44Sql,

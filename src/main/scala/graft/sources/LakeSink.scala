@@ -190,7 +190,8 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     partCols: Seq[String], tableName: Option[String] = None)
     extends Table with SupportsWrite with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null && path.nonEmpty, "LakeSink requires a 'path' option")
 
   override def metadataColumns():
@@ -236,6 +237,97 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
   override def partitioning(): Array[Transform] =
     partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
+
+  // --- SupportsPartitionManagement (SHOW PARTITIONS / DROP PARTITION DDL) ----
+  //
+  // Partitions ARE the Hive k=v directories of committed files: listing is
+  // a distinct over decoded directory pairs, dropping retires that
+  // directory's files through the same metadata-only path as
+  // [[deleteWhere]] (pre-drop snapshots stay readable until VACUUM).
+  // Partitions come into existence by WRITING rows (dynamic partitioning)
+  // — ADD PARTITION of an empty directory is refused, not faked: an empty
+  // partition would be invisible to the file-listing scan anyway.
+
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => writeSchema(c)))
+
+  private def identDirVal(dt: DataType, ident: InternalRow, i: Int): String = {
+    require(!ident.isNullAt(i), "LakeSink: NULL partition value")
+    dt match {
+      case StringType  => ident.getUTF8String(i).toString
+      case IntegerType => ident.getInt(i).toString
+      case LongType    => ident.getLong(i).toString
+      case DateType    => java.time.LocalDate.ofEpochDay(ident.getInt(i).toLong).toString
+      case other => throw new UnsupportedOperationException(
+        s"LakeSink: unsupported partition type $other")
+    }
+  }
+
+  private def matchingFiles(ident: InternalRow): Seq[String] = {
+    val ps = partitionSchema()
+    val want = partCols.zipWithIndex.map { case (c, i) =>
+      c -> identDirVal(ps(i).dataType, ident, i)
+    }
+    LakeSinkPartitions.listCommitted(path, partCols)
+      .filter { case (_, kvs) => want.forall(kvs.contains) }
+      .map(_._1.toString)
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    matchingFiles(ident).nonEmpty
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val files = matchingFiles(ident)
+    if (files.isEmpty) false
+    else {
+      LakeSinkFiles.retire(path, files)
+      LakeSinkFiles.recordVersion(path)
+      true
+    }
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "LakeSink: partitions are created by writing rows (dynamic " +
+        "partitioning) — ADD PARTITION has no empty-directory represention")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "LakeSink: partition metadata is not stored")
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
+
+  /** Distinct partition identifiers, optionally prefix-filtered by a
+    * (names, values) partial spec — the `SHOW PARTITIONS t PARTITION(…)`
+    * contract. Names may be any subset of the partition columns. */
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    require(names.length == ident.numFields,
+      s"LakeSink: ${names.length} names vs ${ident.numFields} values")
+    val ps = partitionSchema()
+    val want = names.zipWithIndex.map { case (n, i) =>
+      val j = partCols.indexOf(n)
+      require(j >= 0, s"LakeSink: $n is not a partition column")
+      n -> identDirVal(ps(j).dataType, ident, i)
+    }
+    // distinct decoded directory tuples, filtered by the partial spec
+    val tuples = LakeSinkPartitions.listCommitted(path, partCols)
+      .map { case (_, kvs) => partCols.map(c => kvs.find(_._1 == c).map(_._2).getOrElse(
+        throw new IllegalStateException(s"LakeSink: file missing partition dir $c"))) }
+      .distinct
+      .filter(t => want.forall { case (n, v) => t(partCols.indexOf(n)) == v })
+      .sortBy(_.mkString("/"))
+    tuples.map { t =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        t.zipWithIndex.map { case (s, i) =>
+          LakeSinkPartitions.dirToInternal(ps(i).dataType, s)
+        }.toArray[Any])
+      : InternalRow
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,

@@ -87,18 +87,6 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       case _                 => false
     }
 
-  /** Decode a Hive directory value string to the column's InternalRow
-    * representation (the partition-column types [[LakeSink
-    * .partitionExtractors]] writes). */
-  private def dirToInternal(dt: DataType, s: String): Any = dt match {
-    case StringType  => UTF8String.fromString(s)
-    case IntegerType => java.lang.Integer.valueOf(s.toInt)
-    case LongType    => java.lang.Long.valueOf(s.toLong)
-    case DateType    =>
-      java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
-    case other => throw new IllegalStateException(s"unexpected partition type $other")
-  }
-
   /** The metadata answer rows for a pushed aggregation — one row per
     * group (one group total when there is no GROUP BY), each carrying the
     * group's partition values followed by the per-function answers — or
@@ -181,7 +169,8 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
 
     val groupFields = groupCols.map(fullSchema(_))
     val rows = groups.map { case (gvals, rels) =>
-      val g = groupFields.zip(gvals).map { case (f, s) => dirToInternal(f.dataType, s) }
+      val g = groupFields.zip(gvals).map { case (f, s) =>
+        LakeSinkPartitions.dirToInternal(f.dataType, s) }
       val a = fns.map(_._1(rels))
       if (a.exists(_.isEmpty)) return None
       (g ++ a.map(_.get)).toArray[Any]
@@ -247,6 +236,18 @@ private[sources] case class LakeSinkAggPartition(rows: Array[Array[Any]])
   * scan's planning, its statistics, and [[LakeSinkTable]]'s
   * partition-level DELETE. */
 private[sources] object LakeSinkPartitions {
+
+  /** Decode a Hive directory value string to the column's InternalRow
+    * representation (the partition-column types
+    * [[LakeSink.partitionExtractors]] writes). */
+  def dirToInternal(dt: DataType, s: String): Any = dt match {
+    case StringType  => UTF8String.fromString(s)
+    case IntegerType => java.lang.Integer.valueOf(s.toInt)
+    case LongType    => java.lang.Long.valueOf(s.toLong)
+    case DateType    =>
+      java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+    case other => throw new IllegalStateException(s"unexpected partition type $other")
+  }
 
   /** Decode a relative lake path's Hive `k=v/` directory pairs. */
   def kvsOf(root: Path, p: Path, partCols: Seq[String]): Seq[(String, String)] = {

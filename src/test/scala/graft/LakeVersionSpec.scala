@@ -185,6 +185,43 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("SHOW PARTITIONS lists the k=v dirs; DROP PARTITION retires them as a version") {
+    withLake { lake =>
+      import spark.implicits._
+      (0 until 60).map(i => (i.toLong, i % 3, java.sql.Date.valueOf(s"2026-02-0${1 + i % 2}")))
+        .toDF("id", "p", "d")
+        .writeTo("graft.lake.pm").partitionedBy(col("p"), col("d")).create()
+      val parts = spark.sql("SHOW PARTITIONS graft.lake.pm")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(parts == Seq(
+        "p=0/d=2026-02-01", "p=0/d=2026-02-02",
+        "p=1/d=2026-02-01", "p=1/d=2026-02-02",
+        "p=2/d=2026-02-01", "p=2/d=2026-02-02"), parts.mkString(";"))
+      // partial spec narrows the listing
+      val sub = spark.sql("SHOW PARTITIONS graft.lake.pm PARTITION (p = 1)")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(sub == Seq("p=1/d=2026-02-01", "p=1/d=2026-02-02"), sub.mkString(";"))
+      // DROP PARTITION: metadata-only retire + version transition
+      spark.sql("ALTER TABLE graft.lake.pm DROP PARTITION (p = 1, d = '2026-02-01')")
+      assert(spark.sql("SHOW PARTITIONS graft.lake.pm").count() == 5)
+      assert(spark.table("graft.lake.pm").count() == 50)
+      val vs = LakeSinkFiles.listVersions(s"$lake/pm")
+      assert(spark.sql(s"SELECT * FROM graft.lake.pm VERSION AS OF ${vs.init.last}")
+        .count() == 60, "pre-drop snapshot must still read the dropped partition")
+      // dropping a missing partition errors (no IF EXISTS)
+      val e = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.lake.pm DROP PARTITION (p = 9, d = '2026-02-01')"))
+      assert(e.getMessage != null)
+      // ... and is silent with IF EXISTS
+      spark.sql("ALTER TABLE graft.lake.pm DROP IF EXISTS PARTITION (p = 9, d = '2026-02-01')")
+      // ADD PARTITION is refused: partitions exist by writing rows
+      val a = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.lake.pm ADD PARTITION (p = 7, d = '2026-02-01')"))
+      assert(a.getMessage.contains("dynamic partitioning") ||
+        a.getMessage.contains("ADD PARTITION"), a.getMessage)
+    }
+  }
+
   test("truncating overwrite is a version transition: pre-truncate snapshot readable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tr").create() // v1
