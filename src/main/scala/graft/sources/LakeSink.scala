@@ -191,7 +191,18 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     extends Table with SupportsWrite with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE graft.lake.t` — the same metadata-only
+    * retire-everything as a truncating overwrite, recorded as a version
+    * (the pre-truncate snapshot stays readable until VACUUM; counts and
+    * stats ledgers are trimmed by the retire). */
+  override def truncateTable(): Boolean = {
+    LakeSinkFiles.truncateDest(path)
+    LakeSinkFiles.recordVersion(path)
+    true
+  }
   require(path != null && path.nonEmpty, "LakeSink requires a 'path' option")
 
   override def metadataColumns():

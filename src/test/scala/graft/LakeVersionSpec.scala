@@ -222,6 +222,23 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("SQL TRUNCATE TABLE retires everything as a version; count ledger follows") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.tt2").create() // v1
+      spark.sql("TRUNCATE TABLE graft.lake.tt2") // v2
+      assert(spark.table("graft.lake.tt2").count() == 0)
+      assert(canon(spark.sql("SELECT * FROM graft.lake.tt2 VERSION AS OF 1")) ==
+        canon(threeRows(0)), "pre-truncate snapshot must survive")
+      // the empty table still answers count(*) from metadata (zero files)
+      val c = spark.sql("SELECT count(*) AS n FROM graft.lake.tt2")
+      assert(c.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(c.collect()(0).getLong(0) == 0L)
+      // and accepts new appends afterwards
+      threeRows(1).writeTo("graft.lake.tt2").append()
+      assert(spark.table("graft.lake.tt2").count() == 3)
+    }
+  }
+
   test("truncating overwrite is a version transition: pre-truncate snapshot readable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tr").create() // v1
