@@ -346,7 +346,10 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeSinkWriteBuilder(info.schema(), path, partCols)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSinkScanBuilder(writeSchema, path, partCols)
+    new LakeSinkScanBuilder(writeSchema, path, partCols,
+      triggerLimits = (
+        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
+        Option(options.get("maxRowsPerTrigger")).map(_.trim.toLong)))
 }
 
 private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,

@@ -34,7 +34,8 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     partCols: Seq[String],
     onPlanned: Seq[String] => Unit = _ => (),
     snapshot: Option[Seq[String]] = None,
-    allowAgg: Boolean = true) extends ScanBuilder
+    allowAgg: Boolean = true,
+    triggerLimits: (Option[Int], Option[Long]) = (None, None)) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -199,7 +200,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       new LakeSinkAggScan(path, partFilters, fnDesc, rows, schema)
     case None =>
       new LakeSinkScan(fullSchema, required, path, partCols, partFilters,
-        dataFilters, onPlanned, snapshot)
+        dataFilters, onPlanned, snapshot, triggerLimits)
   }
 }
 
@@ -321,7 +322,8 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     path: String, partCols: Seq[String], partFilters: Array[Filter],
     dataFilters: Array[Filter] = Array.empty,
     onPlanned: Seq[String] => Unit = _ => (),
-    snapshot: Option[Seq[String]] = None)
+    snapshot: Option[Seq[String]] = None,
+    triggerLimits: (Option[Int], Option[Long]) = (None, None))
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -456,7 +458,8 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LakeSinkMicroBatchStream(fullSchema, required, path, partCols)
+    new LakeSinkMicroBatchStream(fullSchema, required, path, partCols,
+      triggerLimits._1, triggerLimits._2)
 }
 
 /** Streaming READ of a lake table (`spark.readStream.table("graft.lake.…")`)
@@ -472,15 +475,70 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
   * would make offsets O(1) — here the file list IS the manifest,
   * checkpointed by the engine. */
 private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
-    required: StructType, path: String, partCols: Seq[String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    required: StructType, path: String, partCols: Seq[String],
+    maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private def committed(): Seq[String] =
     LakeSinkPartitions.listCommitted(path, partCols).map(_._1.toString).sorted
 
+  // AvailableNow pins the availability horizon at query start: every
+  // batch drains toward the SAME snapshot even while writers keep
+  // committing, so the query terminates (the FileStreamSource contract)
+  private var horizon: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit = horizon = Some(committed())
+
+  /** `maxFilesPerTrigger` / `maxRowsPerTrigger` read options bound the
+    * ADMITTED backlog per micro-batch — tailing a 100 TB lake from an old
+    * checkpoint must not plan one monster batch. Rows are bounded from
+    * the commit-time counts ledger (whole files admit until the cap; an
+    * unrecorded file closes its batch — progress is still guaranteed
+    * because the first fresh file always admits). */
+  override def getDefaultReadLimit: ReadLimit =
+    (maxFilesPerTrigger, maxRowsPerTrigger) match {
+      case (Some(f), Some(r)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _               => ReadLimit.allAvailable()
+    }
+
+  private def admitted(fresh: Seq[String], limit: ReadLimit): Seq[String] = limit match {
+    case _: ReadAllAvailable => fresh
+    case f: ReadMaxFiles     => fresh.take(f.maxFiles)
+    case r: ReadMaxRows =>
+      val counts = LakeSinkFiles.readCounts(path)
+      val root = Paths.get(path)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var acc = 0L
+      val it = fresh.iterator
+      while (it.hasNext && acc < r.maxRows) {
+        val f0 = it.next()
+        out += f0
+        // an unrecorded file has unknown size: admit it, then stop
+        acc += counts.get(root.relativize(Paths.get(f0)).toString)
+          .getOrElse(Long.MaxValue / 2)
+      }
+      out.toSeq
+    case c: CompositeReadLimit => // most restrictive member (admissions
+      c.getReadLimits.map(l => admitted(fresh, l)).minBy(_.size) // are prefixes)
+    case _ => fresh
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[LakeSinkOffset].files
+    val avail = horizon.getOrElse(committed())
+    val fresh = avail.filterNot(seen.toSet)
+    LakeSinkOffset((seen ++ admitted(fresh, limit)).sorted)
+  }
+
   override def initialOffset(): Offset = LakeSinkOffset(Seq.empty)
-  override def latestOffset(): Offset = LakeSinkOffset(committed())
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "LakeSinkMicroBatchStream uses latestOffset(start, limit)")
   override def deserializeOffset(json: String): Offset = LakeSinkOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

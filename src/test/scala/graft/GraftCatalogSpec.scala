@@ -271,6 +271,46 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("streaming read admission: maxFiles/maxRows per trigger bound each micro-batch") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_adm")
+    withCatalog(lake) {
+      // 5 single-file commits of 10 rows each (REPARTITION(1): one task,
+      // one committed file per statement)
+      spark.sql(
+        "CREATE TABLE graft.lake.adm AS SELECT /*+ REPARTITION(1) */ id AS v FROM range(10)")
+      (1 to 4).foreach(i => spark.sql(
+        s"INSERT INTO graft.lake.adm SELECT /*+ REPARTITION(1) */ id AS v " +
+          s"FROM range(${i * 100}, ${i * 100 + 10})"))
+      def drain(opts: (String, String)*): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+        val outDir = tmp("graft_cat_adm_out")
+        var r = spark.readStream
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        val q = r.table("graft.lake.adm")
+          .writeStream.format("graft.sources.LakeSink")
+          .option("path", outDir)
+          .option("checkpointLocation", tmp("graft_cat_adm_ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        assert(spark.read.format("graft.sources.LakeSink").load(outDir)
+          .count() == 50L, "every admitted batch must still deliver all rows")
+        q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      }
+      // one file per batch: 5 data-carrying batches of exactly 10 rows
+      val perFile = drain("maxFilesPerTrigger" -> "1")
+      assert(perFile.length == 5 && perFile.forall(_.numInputRows == 10),
+        perFile.map(_.numInputRows).mkString(","))
+      // row budget from the counts ledger: 20 rows admits 2 whole files
+      val perRows = drain("maxRowsPerTrigger" -> "20").map(_.numInputRows).toSeq
+      assert(perRows == Seq(20L, 20L, 10L), perRows.mkString(","))
+      // no option: everything in one batch (allAvailable default)
+      val all = drain()
+      assert(all.length == 1 && all.head.numInputRows == 50,
+        all.map(_.numInputRows).mkString(","))
+    }
+  }
+
   test("catalog functions: h60 three-way bit-equality, sqdist matches the kernel") {
     import spark.implicits._
     withCatalog() {
