@@ -147,32 +147,61 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
         case _ => None
       }
 
+    /** min/max of a PARTITION column over a file set: fold the decoded
+      * directory values — no ledger needed, values are never null. */
+    def partMinmaxOf(files: Seq[(String, Seq[(String, String)])],
+        f: StructField, isMin: Boolean): Option[Any] = {
+      val vals = files.map { case (_, kvs) =>
+        LakeSinkPartitions.dirToInternal(f.dataType,
+          kvs.find(_._1 == f.name).getOrElse(return None)._2)
+      }
+      Some(
+        if (vals.isEmpty) null // zero kept files
+        else vals.reduce((a, b) =>
+          if (isMin == (LakeSinkStats.cmp(a, b) <= 0)) a else b))
+    }
+
+    def partField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case n: NamedReference =>
+          val name = n.fieldNames.mkString(".")
+          if (partCols.contains(name)) fullSchema.fields.find(_.name == name) else None
+        case _ => None
+      }
+
     // validate every function ONCE; each yields (answer-builder, out type)
-    val fns: Seq[(Seq[String] => Option[Any], DataType)] =
+    type Group = Seq[(String, Seq[(String, String)])]
+    val fns: Seq[(Group => Option[Any], DataType)] =
       agg.aggregateExpressions.toSeq.map {
-        case _: CountStar => ((rels: Seq[String]) => countOf(rels), LongType)
+        case _: CountStar => ((g: Group) => countOf(g.map(_._1)), LongType)
         case c: Count if !c.isDistinct && isPartCol(c.column) =>
-          ((rels: Seq[String]) => countOf(rels), LongType)
+          ((g: Group) => countOf(g.map(_._1)), LongType)
+        case m: Min if partField(m.column).isDefined =>
+          val f = partField(m.column).get
+          ((g: Group) => partMinmaxOf(g, f, isMin = true), f.dataType)
+        case m: Max if partField(m.column).isDefined =>
+          val f = partField(m.column).get
+          ((g: Group) => partMinmaxOf(g, f, isMin = false), f.dataType)
         case m: Min =>
           val f = statField(m.column).getOrElse(return None)
-          ((rels: Seq[String]) => minmaxOf(rels, f, isMin = true), f.dataType)
+          ((g: Group) => minmaxOf(g.map(_._1), f, isMin = true), f.dataType)
         case m: Max =>
           val f = statField(m.column).getOrElse(return None)
-          ((rels: Seq[String]) => minmaxOf(rels, f, isMin = false), f.dataType)
+          ((g: Group) => minmaxOf(g.map(_._1), f, isMin = false), f.dataType)
         case _ => return None
       }
 
-    val groups: Seq[(Seq[String], Seq[String])] =
-      if (groupCols.isEmpty) Seq((Seq.empty, kept.map(_._1)))
+    val groups: Seq[(Seq[String], Group)] =
+      if (groupCols.isEmpty) Seq((Seq.empty, kept))
       else kept.groupBy { case (_, kvs) =>
         groupCols.map(g => kvs.find(_._1 == g).getOrElse(return None)._2)
-      }.toSeq.sortBy(_._1.mkString("/")).map { case (k, fs) => (k, fs.map(_._1)) }
+      }.toSeq.sortBy(_._1.mkString("/"))
 
     val groupFields = groupCols.map(fullSchema(_))
-    val rows = groups.map { case (gvals, rels) =>
+    val rows = groups.map { case (gvals, files) =>
       val g = groupFields.zip(gvals).map { case (f, s) =>
         LakeSinkPartitions.dirToInternal(f.dataType, s) }
-      val a = fns.map(_._1(rels))
+      val a = fns.map(_._1(files))
       if (a.exists(_.isEmpty)) return None
       (g ++ a.map(_.get)).toArray[Any]
     }

@@ -233,11 +233,13 @@ private[graft] object LakeSinkStats {
     case _                                => v
   }
 
-  /** Compare two internal-comparable stat values of the same kind. */
+  /** Compare two internal-comparable stat values of the same kind
+    * (Integer appears for decoded int/date PARTITION values). */
   def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: java.lang.Long, y: java.lang.Long)     => java.lang.Long.compare(x, y)
-    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
-    case (x: UTF8String, y: UTF8String)             => x.compareTo(y)
+    case (x: java.lang.Long, y: java.lang.Long)       => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double)   => java.lang.Double.compare(x, y)
+    case (x: UTF8String, y: UTF8String)               => x.compareTo(y)
     case _ => throw new IllegalStateException(s"incomparable stats: $a vs $b")
   }
 

@@ -178,6 +178,12 @@ class LakeStatsSpec extends GraftSpec {
         .agg(count(lit(1)).as("n"))
       assert(!dataGrp.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
       assert(dataGrp.count() == 90)
+      // min/max of the PARTITION column itself answers from directory
+      // values — the "what range does this lake cover" dashboard query
+      val pmm = spark.table("graft.lake.gb").agg(
+        min(col("p")).as("pmn"), max(col("p")).as("pmx"), count(lit(1)).as("n"))
+      assertAggPushed(pmm)
+      assert(pmm.collect()(0).toSeq == Seq(0, 2, 90L))
     }
   }
 
