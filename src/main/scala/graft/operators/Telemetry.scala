@@ -1997,7 +1997,45 @@ object Telemetry {
        WHERE CAST(date_trunc('day', ts) AS DATE) <> DATE '2026-01-04'
        ORDER BY partition"""
 
+  /** t47 — DYNAMIC PARTITION OVERWRITE under the differential
+    * ([[graft.sources.LakeSinkWriteBuilder]] SupportsDynamicOverwrite —
+    * the Hive dynamic-overwrite / Delta replaceWhere tier): the twin
+    * lands DATE-partitioned, then one day's rows are re-written through
+    * `writeTo(...).overwritePartitions()` with shifted ids — the commit
+    * retires exactly the touched day's files and promotes the
+    * replacements (LakeVersionSpec pins that the untouched partitions'
+    * files survive bit-identically and the pre-overwrite snapshot stays
+    * readable). The read-back must hash-equal DuckDB composing
+    * (all-but-day ∪ shifted-day) from the generator arithmetic — the
+    * idempotent daily-backfill contract every partitioned lake needs.
+    *
+    * Scale shape: a backfill rewrites O(files of the touched partitions),
+    * never the table; the commit is the ordinary O(#renames) protocol. */
+  def t47DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t47_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val t = twin(s).withColumn("d", to_date(col("ts")))
+    t.writeTo("graft.lake.t47").partitionedBy(col("d")).create() // v1
+    t.filter(col("d") === lit(java.sql.Date.valueOf("2026-01-02")))
+      .withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft.lake.t47").overwritePartitions() // v2: replaces ONLY d=2026-01-02
+    s.table("graft.lake.t47")
+      .select((twin(s).schema.fieldNames.toIndexedSeq :+ "d").map(col): _*)
+      .orderBy(col("id"))
+  }
+
+  val t47Sql: String =
+    s"""WITH tw AS (SELECT *, CAST(date_trunc('day', ts) AS DATE) AS d FROM ($twinSql))
+       SELECT * FROM tw WHERE d <> DATE '2026-01-02'
+       UNION ALL
+       SELECT id + ${10L * TwinRows} AS id, ts, machine_id, is_anomaly,
+         temperature, vibration, d
+       FROM tw WHERE d = DATE '2026-01-02'
+       ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t47_dynamic_overwrite" -> (t47DynamicOverwrite _),
     "t46_show_partitions" -> (t46ShowPartitions _),
     "t45_partition_rollup" -> (t45PartitionRollup _),
     "t43_stats_metrics" -> (t43StatsMetrics _),
@@ -2041,6 +2079,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t47_dynamic_overwrite" -> t47Sql,
     "t46_show_partitions" -> t46Sql,
     "t45_partition_rollup" -> t45Sql,
     "t43_stats_metrics" -> t43Sql,

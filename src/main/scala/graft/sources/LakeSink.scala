@@ -342,7 +342,8 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeSinkWriteBuilder(info.schema(), path, partCols)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -352,24 +353,62 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
         Option(options.get("maxRowsPerTrigger")).map(_.trim.toLong)))
 }
 
+/** The write MODE a batch commit applies before promoting staged files. */
+private[sources] sealed trait LakeWriteMode
+private[sources] case object LakeAppend extends LakeWriteMode
+private[sources] case object LakeTruncate extends LakeWriteMode
+/** Static partition overwrite (`INSERT OVERWRITE … PARTITION`, Delta's
+  * replaceWhere shape): retire exactly the files matching the
+  * partition-equality filters, then promote. */
+private[sources] case class LakeOverwriteWhere(
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends LakeWriteMode
+/** Dynamic partition overwrite: retire the files of exactly the
+  * partition directories the INCOMING data touches (an unpartitioned
+  * table has one directory — dynamic ≡ truncate there, the Hive
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` semantics). */
+private[sources] case object LakeDynamicOverwrite extends LakeWriteMode
+
 private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
-    partCols: Seq[String]) extends WriteBuilder with SupportsTruncate {
-  private var truncateFirst = false
-  override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new LakeSinkWrite(schema, path, truncateFirst, partCols)
+    partCols: Seq[String]) extends WriteBuilder with SupportsTruncate
+    with SupportsOverwrite with SupportsDynamicOverwrite {
+  private var mode: LakeWriteMode = LakeAppend
+  override def truncate(): WriteBuilder = { mode = LakeTruncate; this }
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    // a TRUE condition is a whole-table overwrite = truncate; anything
+    // else must be partition equalities — refused at PLANNING otherwise
+    // (a half-applied row-level overwrite would corrupt the table)
+    val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) mode = LakeTruncate
+    else {
+      real.foreach {
+        case org.apache.spark.sql.sources.EqualTo(a, _) if partCols.contains(a) => ()
+        // the engine plants IsNotNull next to every equality; trivially
+        // true here (the writer refuses NULL partition values)
+        case org.apache.spark.sql.sources.IsNotNull(a) if partCols.contains(a) => ()
+        case f => throw new UnsupportedOperationException(
+          s"LakeSink: INSERT OVERWRITE supports partition-equality conditions only, got $f")
+      }
+      mode = LakeOverwriteWhere(real)
+    }
+    this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = LakeDynamicOverwrite; this
+  }
+  override def build(): Write = new LakeSinkWrite(schema, path, mode, partCols)
 }
 
 private[sources] class LakeSinkWrite(schema: StructType, path: String,
-    truncateFirst: Boolean, partCols: Seq[String]) extends Write {
+    mode: LakeWriteMode, partCols: Seq[String]) extends Write {
   // validate at planning so an unsupported type / missing partition
   // column fails the job before any task runs
   LakeSink.serializers(LakeSink.dataSchema(schema, partCols))
   LakeSink.partitionExtractors(schema, partCols)
   override def description(): String =
-    s"graft-lake-sink path=$path" +
+    s"graft-lake-sink path=$path mode=$mode" +
       (if (partCols.nonEmpty) s" partitionedBy=[${partCols.mkString(",")}]" else "")
   override def toBatch: BatchWrite =
-    new LakeSinkBatchWrite(schema, path, truncateFirst,
+    new LakeSinkBatchWrite(schema, path, mode,
       java.util.UUID.randomUUID.toString.take(8), partCols)
   override def toStreaming: StreamingWrite =
     new LakeSinkStreamingWrite(schema, path, partCols)
@@ -659,17 +698,46 @@ private[graft] case class LakeSinkCommit(staged: Seq[String],
 private[sources] case object LakeSinkNoData extends WriterCommitMessage
 
 private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean, writeId: String,
+    mode: LakeWriteMode, writeId: String,
     partCols: Seq[String] = Seq.empty) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
+  // boolean-compat constructor (tests / streaming paths built pre-modes)
+  def this(schema: StructType, path: String, truncateFirst: Boolean,
+      writeId: String, partCols: Seq[String]) =
+    this(schema, path, if (truncateFirst) LakeTruncate else LakeAppend,
+      writeId, partCols)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncateFirst) LakeSinkFiles.truncateDest(path)
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
-    LakeSinkFiles.promote(path, committed.flatMap(_.staged))
+    val staged = committed.flatMap(_.staged)
+    mode match {
+      case LakeAppend   => ()
+      case LakeTruncate => LakeSinkFiles.truncateDest(path)
+      case LakeOverwriteWhere(filters) =>
+        // retire exactly the files of the matching partitions — whole
+        // untouched partitions' files survive bit-identically
+        LakeSinkFiles.retire(path,
+          LakeSinkPartitions.listCommitted(path, partCols)
+            .filter { case (_, kvs) => LakeSinkPartitions.keeps(schema, kvs, filters) }
+            .map(_._1.toString))
+      case LakeDynamicOverwrite =>
+        // replace exactly the partition DIRECTORIES the incoming data
+        // touched (staged rel names carry the k=v dirs)
+        val touched = staged.map(rel =>
+          Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")).toSet
+        val root = Paths.get(path)
+        LakeSinkFiles.retire(path,
+          LakeSinkPartitions.listCommitted(path, partCols)
+            .filter { case (p, _) =>
+              val rel = root.relativize(p)
+              touched.contains(
+                Option(rel.getParent).map(_.toString).getOrElse(""))
+            }.map(_._1.toString))
+    }
+    LakeSinkFiles.promote(path, staged)
     LakeSinkFiles.reconcileManifest(path, schema, partCols,
-      replace = truncateFirst)
+      replace = mode == LakeTruncate)
     LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
     LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
     LakeSinkFiles.recordVersion(path)

@@ -222,6 +222,53 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("partition overwrite: dynamic replaces touched dirs only; static replaceWhere; refusals") {
+    withLake { lake =>
+      import spark.implicits._
+      def filesOf(dir: String): Seq[String] = {
+        val p = Paths.get(dir)
+        if (!Files.isDirectory(p)) Seq.empty
+        else {
+          val it = Files.list(p).iterator()
+          var out = List.empty[String]
+          while (it.hasNext) out ::= it.next().getFileName.toString
+          out.sorted
+        }
+      }
+      (0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "p")
+        .writeTo("graft.lake.ow").partitionedBy(col("p")).create() // v1
+      val p2Before = filesOf(s"$lake/ow/p=2")
+      assert(p2Before.nonEmpty)
+      // DYNAMIC: incoming rows touch only p=0 and p=1
+      (100 until 110).map(i => (i.toLong, i % 2)).toDF("id", "p")
+        .writeTo("graft.lake.ow").overwritePartitions() // v2
+      val t = spark.table("graft.lake.ow")
+      assert(t.filter(col("p") === 2).count() == 10, "untouched partition intact")
+      assert(t.filter(col("p") < 2).collect().map(_.getLong(0)).sorted.toSeq ==
+        (100L until 110L), "touched partitions fully replaced")
+      assert(filesOf(s"$lake/ow/p=2") == p2Before,
+        "the untouched partition's files must survive bit-identically")
+      // the pre-overwrite snapshot still reads the replaced rows
+      val vs = LakeSinkFiles.listVersions(s"$lake/ow")
+      assert(spark.sql(s"SELECT * FROM graft.lake.ow VERSION AS OF ${vs.init.last}")
+        .count() == 30)
+      // STATIC replaceWhere: only the named partition is replaced
+      Seq((900L, 2)).toDF("id", "p")
+        .writeTo("graft.lake.ow").overwrite(col("p") === 2) // v3
+      val after = spark.table("graft.lake.ow")
+      assert(after.filter(col("p") === 2).collect().map(_.getLong(0)).toSeq == Seq(900L))
+      assert(after.count() == 11)
+      // a non-partition condition is refused at planning, nothing changes
+      val e = intercept[Exception](Seq((1L, 0)).toDF("id", "p")
+        .writeTo("graft.lake.ow").overwrite(col("id") === 5L))
+      assert(e.getMessage.contains("partition-equality"), e.getMessage)
+      assert(spark.table("graft.lake.ow").count() == 11)
+      // overwrite(TRUE) degenerates to truncate-and-replace
+      Seq((7L, 7)).toDF("id", "p").writeTo("graft.lake.ow").overwrite(lit(true))
+      assert(canon(spark.table("graft.lake.ow")) == Seq("[7,7]"))
+    }
+  }
+
   test("SQL TRUNCATE TABLE retires everything as a version; count ledger follows") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tt2").create() // v1
