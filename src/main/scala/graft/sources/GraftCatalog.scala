@@ -159,6 +159,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val ns = ident.namespace()
+    // Iceberg-style metadata tables: graft.lake.<table>.{files|history|partitions}
+    // arrive as namespace ["lake", <table>] with the metadata kind as name
+    if (ns.length == 2 && ns(0) == "lake" && lakeRoot.isDefined &&
+        LakeMetadataTables.Kinds.contains(ident.name())) {
+      val dir = lakeTableDir(ns(1)).get
+      if (LakeSinkFiles.readManifest(dir.toString).isEmpty)
+        throw new NoSuchTableException(ident)
+      return new LakeMetaTable(ident.name(), dir.toString,
+        s"$catalogName.lake.${ns(1)}.${ident.name()}")
+    }
     if (ns.length != 1) throw new NoSuchTableException(ident)
     if (ns(0) == "lake" && lakeRoot.isDefined) {
       val dir = lakeTableDir(ident.name()).get

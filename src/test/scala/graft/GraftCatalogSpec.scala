@@ -311,6 +311,37 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("metadata tables: .files / .history / .partitions answer from commit metadata") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_meta")
+    withCatalog(lake) {
+      (0 until 30).map(i => (i.toLong, i % 3)).toDF("v", "b")
+        .repartition(2).writeTo("graft.lake.meta").partitionedBy($"b").create() // v1
+      spark.sql("INSERT INTO graft.lake.meta SELECT /*+ REPARTITION(1) */ " +
+        "v + 100, 0 AS b FROM range(5) t(v)") // v2
+      // .files: one row per committed file, rows from the counts ledger
+      val files = spark.sql("SELECT * FROM graft.lake.meta.files").collect()
+      assert(files.length == 7, s"2 tasks x 3 dirs + 1 append: got ${files.length}")
+      assert(files.map(_.getLong(2)).sum == 35L, "ledger rows must total the table")
+      assert(files.forall(_.getBoolean(4)), "every file has recorded stats")
+      assert(files.forall(_.getLong(3) > 0L), "sizes from the filesystem")
+      assert(files.count(r => r.getString(1) == "b=0") == 3)
+      // .partitions: the per-directory rollup
+      val parts = spark.sql(
+        "SELECT partition, files, rows FROM graft.lake.meta.partitions ORDER BY partition")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(parts == Seq(("b=0", 3L, 15L), ("b=1", 2L, 10L), ("b=2", 2L, 10L)), parts)
+      // .history: one row per recorded version, file counts grow
+      val hist = spark.sql(
+        "SELECT version, files FROM graft.lake.meta.history ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(hist == Seq((1L, 6L), (2L, 7L)), hist.toString)
+      // a metadata table of a missing base table fails loudly
+      val e = intercept[Exception](spark.sql("SELECT * FROM graft.lake.nope.files"))
+      assert(e.getMessage != null)
+    }
+  }
+
   test("catalog functions: h60 three-way bit-equality, sqdist matches the kernel") {
     import spark.implicits._
     withCatalog() {
