@@ -302,6 +302,52 @@ object TextOps {
        JOIN wmin w ON w.fp = b.fp
        ORDER BY b.doc_id"""
 
+  /** d58 — d49's incremental dedup DRIVEN BY THE LAKE CHANGE FEED: the
+    * historical corpus's fingerprints land in a versioned lake table
+    * (version 1), today's crawl is appended (version 2), and the dedup
+    * batch is discovered through [[graft.sources.LakeVersions.changes]]
+    * (the insert leg of v1→v2) while the store side reads the v1
+    * SNAPSHOT — the steady-state training-data refresh: no directory
+    * diffing, no re-scan of history, the version log IS the ingestion
+    * queue. Verdicts must hash-equal d49's pure-SQL recount of the same
+    * split (the oracle never sees the lake — the feed's correctness is
+    * what's being proven).
+    *
+    * Scale shape: the CDF is a driver-side set difference of two
+    * recorded name lists; the consumer reads O(changed files) + one
+    * distinct over the persisted fingerprint store. */
+  def d58CdfDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_d58_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val d = Tables.documents(s, dir)
+      .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+      .select($"doc_id", $"h", normFp($"text").as("fp"))
+    d.filter($"h" <= 7).select($"doc_id", $"fp")
+      .writeTo("graft.lake.d58").create() // v1: the historical store
+    d.filter($"h" >= 8).select($"doc_id", $"fp")
+      .writeTo("graft.lake.d58").append() // v2: today's crawl
+    val batch = graft.sources.LakeVersions.changes(s, s"$lakeRoot/d58", 1L, 2L)
+      .filter($"_change_type" === "insert").select($"doc_id", $"fp")
+    val store = s.sql("SELECT fp FROM graft.lake.d58 VERSION AS OF 1")
+      .select($"fp".as("sfp")).distinct()
+    val wmin = batch.groupBy($"fp").agg(min($"doc_id").as("wid"))
+    batch
+      .join(store, $"fp" === $"sfp", "left")
+      .join(wmin, "fp")
+      .select($"doc_id",
+        when($"sfp".isNotNull, "dup_of_corpus")
+          .when($"doc_id" =!= $"wid", "dup_in_batch")
+          .otherwise("new").as("verdict"))
+      .withColumn("kept", ($"verdict" === "new").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  /** Identical text to [[d49Sql]]: the oracle recomputes the split in
+    * pure SQL — the lake feed must reproduce it bit-for-bit. */
+  val d58Sql: String = d49Sql
+
   /** d50's boilerplate threshold: a sentence-level unit repeated in at
     * least this many DISTINCT docs of one source is boilerplate. */
   private val BoilerK = 3
@@ -2071,6 +2117,7 @@ object TextOps {
     "d47_bpe_fertility" -> (d47BpeFertility _),
     "d48_dedup_impact" -> (d48DedupImpact _),
     "d49_incremental_dedup" -> (d49IncrementalDedup _),
+    "d58_cdf_dedup" -> (d58CdfDedup _),
     "d50_boilerplate" -> (d50Boilerplate _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
@@ -2101,6 +2148,7 @@ object TextOps {
     "d47_bpe_fertility" -> d47Sql,
     "d48_dedup_impact" -> d48Sql,
     "d49_incremental_dedup" -> d49Sql,
+    "d58_cdf_dedup" -> d58Sql,
     "d50_boilerplate" -> d50Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,
