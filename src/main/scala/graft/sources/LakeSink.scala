@@ -232,8 +232,10 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     * false → a clear engine error), never half-applied. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall {
-      case org.apache.spark.sql.sources.EqualTo(a, _) => partCols.contains(a)
-      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case org.apache.spark.sql.sources.EqualTo(a, _)  => partCols.contains(a)
+      case org.apache.spark.sql.sources.In(a, _)       => partCols.contains(a)
+      case org.apache.spark.sql.sources.IsNotNull(a)   => partCols.contains(a)
+      case _: org.apache.spark.sql.sources.AlwaysTrue  => true
       case _ => false
     }
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

@@ -208,6 +208,12 @@ class LakeVersionSpec extends GraftSpec {
       val vs = LakeSinkFiles.listVersions(s"$lake/pm")
       assert(spark.sql(s"SELECT * FROM graft.lake.pm VERSION AS OF ${vs.init.last}")
         .count() == 60, "pre-drop snapshot must still read the dropped partition")
+      // DELETE with an IN-list of partition values is metadata-only too:
+      // no staging activity, two whole partitions vanish
+      spark.sql("DELETE FROM graft.lake.pm WHERE p IN (0, 2)")
+      assert(spark.table("graft.lake.pm").count() == 10,
+        "only p=1's remaining partition survives")
+      assert(spark.sql("SHOW PARTITIONS graft.lake.pm").count() == 1)
       // dropping a missing partition errors (no IF EXISTS)
       val e = intercept[Exception](spark.sql(
         "ALTER TABLE graft.lake.pm DROP PARTITION (p = 9, d = '2026-02-01')"))
