@@ -209,4 +209,130 @@ class PropertySpec extends GraftSpec {
       copies.foreach { case (id, _) => assert(out(id)._2 == 1.0, s"copy $id") }
     }
   }
+
+  // --- per-file column-stats laws (LakeSinkStats) -----------------------------
+
+  import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.sources.LakeSinkStats
+
+  private val statSchema = StructType(Seq(
+    StructField("l", LongType), StructField("d", DoubleType),
+    StructField("s", StringType)))
+
+  private val statStrGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(40)),
+    Gen.listOfN(6, Gen.chooseNum(1, 0x2fff)).map(_.map(_.toChar).mkString),
+    Gen.const(""),
+    Gen.const("\u0001\u0002\u0003 sep\nand\ttab"))
+
+  private val statRowGen: Gen[List[(Option[Long], Option[Double], Option[String])]] =
+    Gen.listOfN(25, for {
+      l <- Gen.option(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      d <- Gen.option(Gen.oneOf(Gen.chooseNum(-1e9, 1e9),
+        Gen.oneOf(Double.NaN, 0.0, -0.0, 1e-300)))
+      t <- Gen.option(statStrGen)
+    } yield (l, d, t))
+
+  /** Feed one column's values through a fresh tracker array. */
+  private def trackedBlob(rows: Seq[(Option[Long], Option[Double], Option[String])]): String = {
+    val ts = LakeSinkStats.trackers(statSchema)
+    rows.foreach { case (l, d, t) =>
+      val row = new GenericInternalRow(Array[Any](
+        l.map(Long.box).orNull, d.map(Double.box).orNull,
+        t.map(UTF8String.fromString).orNull))
+      (0 to 2).foreach(i => if (!row.isNullAt(i)) ts(i).get.update(row, i))
+    }
+    LakeSinkStats.blobOf(ts)
+  }
+
+  private def expectedBounds(rows: Seq[(Option[Long], Option[Double], Option[String])])
+      : Seq[Option[(Any, Any)]] = Seq(
+    rows.flatMap(_._1).map(Long.box) match {
+      case Nil => None
+      case vs => Some((vs.minBy(identity[java.lang.Long]),
+        vs.maxBy(identity[java.lang.Long])))
+    },
+    rows.flatMap(_._2).map(Double.box) match {
+      case Nil => None
+      case vs =>
+        Some((vs.reduce((a, b) => if (java.lang.Double.compare(a, b) <= 0) a else b),
+          vs.reduce((a, b) => if (java.lang.Double.compare(a, b) >= 0) a else b)))
+    },
+    rows.flatMap(_._3).map(UTF8String.fromString) match {
+      case Nil => None
+      case vs => Some((vs.reduce((a, b) => if (a.compareTo(b) <= 0) a else b),
+        vs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)))
+    })
+
+  test("property: stats blob encode/decode round-trips exact bounds (incl. control chars, NaN)") {
+    samples(statRowGen, 8).foreach { rows =>
+      val fs = LakeSinkStats.decode(trackedBlob(rows), statSchema)
+      Seq("l", "d", "s").zip(expectedBounds(rows)).foreach { case (c, want) =>
+        fs.get(c) match {
+          case Some(Some((lo, hi))) =>
+            val Some((wl, wh)) = want
+            assert(LakeSinkStats.cmp(lo, wl) == 0 && LakeSinkStats.cmp(hi, wh) == 0,
+              s"$c: got [$lo,$hi] want [$wl,$wh]")
+          case Some(None) => assert(want.isEmpty, s"$c: all-null marker but values exist")
+          case None       => fail(s"$c: column missing from blob")
+        }
+      }
+    }
+  }
+
+  test("property: mergeBlobs equals the blob of the concatenation (hull law)") {
+    samples(statRowGen, 6).foreach { rows =>
+      val (a, b) = rows.splitAt(rows.length / 2)
+      val merged = LakeSinkStats.decode(
+        LakeSinkStats.mergeBlobs(Seq(trackedBlob(a), trackedBlob(b)), statSchema),
+        statSchema)
+      val whole = LakeSinkStats.decode(trackedBlob(rows), statSchema)
+      Seq("l", "d", "s").foreach { c =>
+        (merged.get(c), whole.get(c)) match {
+          case (Some(Some((ml, mh))), Some(Some((wl, wh)))) =>
+            assert(LakeSinkStats.cmp(ml, wl) == 0 && LakeSinkStats.cmp(mh, wh) == 0,
+              s"$c: merged [$ml,$mh] vs whole [$wl,$wh]")
+          case (m, w) => assert(m.map(_.isEmpty) == w.map(_.isEmpty),
+            s"$c: merged $m vs whole $w")
+        }
+      }
+    }
+  }
+
+  test("property: mayMatch is SOUND — a skipped file truly has no matching value") {
+    import org.apache.spark.sql.sources._
+    val litGen: Gen[(String, Any)] = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2).map(v => ("l", v: Any)),
+      Gen.chooseNum(-1e9, 1e9).map(v => ("d", v: Any)),
+      statStrGen.map(v => ("s", v: Any)))
+    samples(Gen.zip(statRowGen, Gen.listOfN(12, litGen)), 6).foreach { case (rows, lits) =>
+      val fs = Some(LakeSinkStats.decode(trackedBlob(rows), statSchema))
+      def colVals(c: String): Seq[Any] = c match {
+        case "l" => rows.flatMap(_._1).map(Long.box)
+        case "d" => rows.flatMap(_._2).map(Double.box)
+        case "s" => rows.flatMap(_._3).map(UTF8String.fromString)
+      }
+      def comp(c: String, w: Any): Any = c match {
+        case "s" => UTF8String.fromString(w.asInstanceOf[String])
+        case _   => w
+      }
+      lits.foreach { case (c, w) =>
+        val filters: Seq[(Filter, Any => Boolean)] = Seq(
+          (EqualTo(c, w), (v: Any) => LakeSinkStats.cmp(v, comp(c, w)) == 0),
+          (GreaterThan(c, w), (v: Any) => LakeSinkStats.cmp(v, comp(c, w)) > 0),
+          (GreaterThanOrEqual(c, w), (v: Any) => LakeSinkStats.cmp(v, comp(c, w)) >= 0),
+          (LessThan(c, w), (v: Any) => LakeSinkStats.cmp(v, comp(c, w)) < 0),
+          (LessThanOrEqual(c, w), (v: Any) => LakeSinkStats.cmp(v, comp(c, w)) <= 0),
+          (IsNotNull(c), (_: Any) => true))
+        filters.foreach { case (f, pred) =>
+          if (!LakeSinkStats.mayMatch(fs, statSchema, f))
+            assert(!colVals(c).exists(pred),
+              s"UNSOUND SKIP: $f pruned a file containing a matching value " +
+                s"(values=${colVals(c).take(5)}...)")
+        }
+      }
+    }
+  }
 }
