@@ -2034,7 +2034,35 @@ object Telemetry {
        FROM tw WHERE d = DATE '2026-01-02'
        ORDER BY id"""
 
+  /** t48 — the `.partitions` METADATA TABLE under the differential
+    * ([[graft.sources.LakeMetadataTables]] — Iceberg's metadata-table
+    * observability): the twin lands DATE-partitioned and
+    * `SELECT partition, rows FROM graft.lake.t48.partitions` must equal
+    * DuckDB recomputing the per-day rollup from the generator arithmetic
+    * — proving the counts ledger's per-directory sums against ground
+    * truth (file counts are task-layout-dependent and stay spec-side;
+    * partition names and row counts are deterministic).
+    *
+    * Scale shape: the listing is the same O(#files) driver metadata walk
+    * the scan planner does; zero data files opened. */
+  def t48MetaPartitions(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t48_lake").toString
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    twin(s).withColumn("d", to_date(col("ts")))
+      .writeTo("graft.lake.t48").partitionedBy(col("d")).create()
+    s.sql("SELECT partition, rows FROM graft.lake.t48.partitions")
+      .orderBy(col("partition"))
+  }
+
+  val t48Sql: String =
+    s"""SELECT 'd=' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+         AS partition,
+       count(*) AS rows
+       FROM ($twinSql) GROUP BY 1 ORDER BY partition"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t48_meta_partitions" -> (t48MetaPartitions _),
     "t47_dynamic_overwrite" -> (t47DynamicOverwrite _),
     "t46_show_partitions" -> (t46ShowPartitions _),
     "t45_partition_rollup" -> (t45PartitionRollup _),
@@ -2079,6 +2107,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t48_meta_partitions" -> t48Sql,
     "t47_dynamic_overwrite" -> t47Sql,
     "t46_show_partitions" -> t46Sql,
     "t45_partition_rollup" -> t45Sql,
