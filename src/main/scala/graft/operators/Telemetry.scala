@@ -1538,7 +1538,7 @@ object Telemetry {
     * its own gzip file; the driver sees only O(#tasks) renames), the read
     * is a parallel JSON scan. */
   def t31SinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_t31_lake").toString
+    val out = TempLakes.dir("graft_t31_lake")
     val t = twin(s)
     t.write.format("graft.sources.LakeSink").mode("overwrite").save(out)
     // read back THROUGH the connector: the commit-time manifest supplies
@@ -1565,7 +1565,7 @@ object Telemetry {
     * (readable with partition pruning — LakeSinkSpec pins
     * PartitionFilters), rows carry only data columns. */
   def t33PartitionedSink(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_t33_lake").toString
+    val out = TempLakes.dir("graft_t33_lake")
     val t = twin(s)
       .withColumn("d", to_date(col("ts")))
       .withColumn("hr", hour(col("ts")))
@@ -1599,13 +1599,11 @@ object Telemetry {
     * half-applied. */
   def t35PartitionDelete(s: SparkSession, dir: String): DataFrame = {
     // a fresh lake root per invocation: bench reps re-run the CTAS
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t35_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t35")
     val t = twin(s).withColumn("d", to_date(col("ts")))
-    t.writeTo("graft.lake.t35").partitionedBy(col("d")).create()
-    s.sql("DELETE FROM graft.lake.t35 WHERE d = CAST('2026-01-03' AS DATE)")
-    s.table("graft.lake.t35")
+    t.writeTo("graft_t35.lake.t35").partitionedBy(col("d")).create()
+    s.sql("DELETE FROM graft_t35.lake.t35 WHERE d = CAST('2026-01-03' AS DATE)")
+    s.table("graft_t35.lake.t35")
       .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy(col("id"))
   }
@@ -1630,18 +1628,16 @@ object Telemetry {
     * O(#tasks)-per-epoch driver work; the table is immediately queryable
     * by name mid-stream (readers see only committed epochs). */
   def t36StreamToTable(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t36_lake").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_t36_ckpt").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
-    s.sql(s"CREATE TABLE graft.lake.t36 (${twin(s).schema.toDDL})")
+    val lakeRoot = TempLakes.catalog(s, "t36")
+    val ckpt = TempLakes.dir("graft_t36_ckpt")
+    s.sql(s"CREATE TABLE graft_t36.lake.t36 (${twin(s).schema.toDDL})")
     val q = s.readStream.format("graft.sources.TelemetrySource")
       .option("rows", TwinRows.toString).option("rowsPerBatch", "2500").load()
       .writeStream.option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .toTable("graft.lake.t36")
+      .toTable("graft_t36.lake.t36")
     q.awaitTermination()
-    s.table("graft.lake.t36").orderBy(col("id"))
+    s.table("graft_t36.lake.t36").orderBy(col("id"))
   }
 
   val t36Sql: String = t04Sql
@@ -1658,14 +1654,12 @@ object Telemetry {
     * GraftCatalogSpec pins the incremental contract (appends between two
     * checkpointed drains arrive exactly once). */
   def t38StreamFromTable(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t38_lake").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_t38_ckpt").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t38")
+    val ckpt = TempLakes.dir("graft_t38_ckpt")
     val t = twin(s)
-    t.writeTo("graft.lake.t38").create()
+    t.writeTo("graft_t38.lake.t38").create()
     val mem = "graft_t38_" + java.util.UUID.randomUUID.toString.take(8)
-    val q = s.readStream.table("graft.lake.t38")
+    val q = s.readStream.table("graft_t38.lake.t38")
       .writeStream.format("memory").queryName(mem)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1696,20 +1690,18 @@ object Telemetry {
     * every file holds a matched id; a partition-scoped merge rewrites
     * only matching partitions, spec-pinned in GraftCatalogSpec). */
   def t37MergeInto(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t37_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t37")
     val t = twin(s)
-    t.writeTo("graft.lake.t37").create()
+    t.writeTo("graft_t37.lake.t37").create()
     val updates = t.filter(col("id") % 7 === 0)
       .withColumn("temperature", col("temperature") + lit(5.0))
     val inserts = t.filter(col("id") < 100)
       .withColumn("id", col("id") + lit(TwinRows))
     updates.unionAll(inserts).createOrReplaceTempView("graft_t37_src")
-    s.sql("""MERGE INTO graft.lake.t37 t USING graft_t37_src s ON t.id = s.id
+    s.sql("""MERGE INTO graft_t37.lake.t37 t USING graft_t37_src s ON t.id = s.id
              WHEN MATCHED THEN UPDATE SET temperature = s.temperature
              WHEN NOT MATCHED THEN INSERT *""")
-    s.table("graft.lake.t37")
+    s.table("graft_t37.lake.t37")
       .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy(col("id"))
   }
@@ -1739,14 +1731,12 @@ object Telemetry {
     * directory walking — the versioned-manifest contract; same per-file
     * task parallelism as a live read. */
   def t39TimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t39_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t39")
     val t = twin(s)
-    t.writeTo("graft.lake.t39").create() // version 1
+    t.writeTo("graft_t39.lake.t39").create() // version 1
     t.filter(col("id") < 500).withColumn("id", col("id") + lit(10L * TwinRows))
-      .writeTo("graft.lake.t39").append() // version 2 (decoy rows)
-    s.sql("SELECT * FROM graft.lake.t39 VERSION AS OF 1")
+      .writeTo("graft_t39.lake.t39").append() // version 2 (decoy rows)
+    s.sql("SELECT * FROM graft_t39.lake.t39 VERSION AS OF 1")
       .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy(col("id"))
   }
@@ -1769,13 +1759,11 @@ object Telemetry {
     * partition dir; the driver commit is O(#files) renames; recorded
     * versions keep the pre-compaction state readable until VACUUM. */
   def t40Compaction(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t40_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t40")
     val t = twin(s).withColumn("d", to_date(col("ts")))
-    t.writeTo("graft.lake.t40").partitionedBy(col("d")).create()
+    t.writeTo("graft_t40.lake.t40").partitionedBy(col("d")).create()
     graft.sources.LakeMaintenance.compact(s, s"$lakeRoot/t40")
-    s.table("graft.lake.t40")
+    s.table("graft_t40.lake.t40")
       .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy(col("id"))
   }
@@ -1797,13 +1785,11 @@ object Telemetry {
     * recorded name lists; the read plans O(changed files) — incremental
     * consumers never rescan the table. */
   def t41VersionChanges(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t41_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t41")
     val t = twin(s)
-    t.writeTo("graft.lake.t41").create() // version 1
+    t.writeTo("graft_t41.lake.t41").create() // version 1
     t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
-      .writeTo("graft.lake.t41").append() // version 2
+      .writeTo("graft_t41.lake.t41").append() // version 2
     graft.sources.LakeVersions.changes(s, s"$lakeRoot/t41", 1L, 2L)
       .select((t.schema.fieldNames.toIndexedSeq :+ "_change_type").map(col): _*)
       .orderBy(col("id"))
@@ -1832,15 +1818,13 @@ object Telemetry {
     * with any unrecorded live file falls back to scanning, never a
     * guess. */
   def t42CountPushdown(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t42_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t42")
     val t = twin(s).withColumn("d", to_date(col("ts")))
-    t.writeTo("graft.lake.t42").partitionedBy(col("d")).create() // v1
+    t.writeTo("graft_t42.lake.t42").partitionedBy(col("d")).create() // v1
     t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
-      .writeTo("graft.lake.t42").append() // v2
-    s.sql("DELETE FROM graft.lake.t42 WHERE d = CAST('2026-01-03' AS DATE)") // v3
-    val lake = s.table("graft.lake.t42")
+      .writeTo("graft_t42.lake.t42").append() // v2
+    s.sql("DELETE FROM graft_t42.lake.t42 WHERE d = CAST('2026-01-03' AS DATE)") // v3
+    val lake = s.table("graft_t42.lake.t42")
     val all = lake.agg(count(lit(1)).as("n")).withColumn("scope", lit("all"))
     val day2 = lake.filter(col("d") === lit(java.sql.Date.valueOf("2026-01-02")))
       .agg(count(lit(1)).as("n")).withColumn("scope", lit("day2"))
@@ -1875,11 +1859,9 @@ object Telemetry {
     * range-clustered 100 TB lake that is the difference between a point
     * lookup and a table scan. */
   def t43StatsMetrics(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t43_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
-    twin(s).repartitionByRange(8, col("id")).writeTo("graft.lake.t43").create()
-    val t = s.table("graft.lake.t43")
+    val lakeRoot = TempLakes.catalog(s, "t43")
+    twin(s).repartitionByRange(8, col("id")).writeTo("graft_t43.lake.t43").create()
+    val t = s.table("graft_t43.lake.t43")
     def one(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("metric"), col(df.columns(0)).cast("double").as("value"))
     one("cnt_band", t.filter(col("id").between(2500, 4499)).agg(count(lit(1))))
@@ -1916,13 +1898,11 @@ object Telemetry {
     * subsequent selective read; the box read itself opens O(matching
     * z-range files). */
   def t44Zorder(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t44_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
-    twin(s).repartitionByRange(8, col("id")).writeTo("graft.lake.t44").create()
+    val lakeRoot = TempLakes.catalog(s, "t44")
+    twin(s).repartitionByRange(8, col("id")).writeTo("graft_t44.lake.t44").create()
     graft.sources.LakeMaintenance.zorder(s, s"$lakeRoot/t44",
       Seq("temperature", "vibration"), 8)
-    s.table("graft.lake.t44")
+    s.table("graft_t44.lake.t44")
       .filter(col("temperature").between(66.0, 68.0) &&
         col("vibration").between(1.6, 1.9))
       .select(twin(s).schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1951,12 +1931,10 @@ object Telemetry {
     * O(#files) driver work at any row scale — the Iceberg
     * manifest-aggregation contract. */
   def t45PartitionRollup(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t45_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t45")
     twin(s).withColumn("d", to_date(col("ts")))
-      .writeTo("graft.lake.t45").partitionedBy(col("d")).create()
-    s.table("graft.lake.t45").groupBy(col("d"))
+      .writeTo("graft_t45.lake.t45").partitionedBy(col("d")).create()
+    s.table("graft_t45.lake.t45").groupBy(col("d"))
       .agg(count(lit(1)).as("n"),
         min(col("temperature")).as("tmin"), max(col("temperature")).as("tmax"))
       .orderBy(col("d"))
@@ -1981,13 +1959,11 @@ object Telemetry {
     * O(#files) driver work, zero data reads; the drop retires O(files in
     * partition) names. */
   def t46ShowPartitions(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t46_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t46")
     twin(s).withColumn("d", to_date(col("ts")))
-      .writeTo("graft.lake.t46").partitionedBy(col("d")).create()
-    s.sql("ALTER TABLE graft.lake.t46 DROP PARTITION (d = '2026-01-04')")
-    s.sql("SHOW PARTITIONS graft.lake.t46").orderBy(col("partition"))
+      .writeTo("graft_t46.lake.t46").partitionedBy(col("d")).create()
+    s.sql("ALTER TABLE graft_t46.lake.t46 DROP PARTITION (d = '2026-01-04')")
+    s.sql("SHOW PARTITIONS graft_t46.lake.t46").orderBy(col("partition"))
   }
 
   val t46Sql: String =
@@ -2012,15 +1988,13 @@ object Telemetry {
     * Scale shape: a backfill rewrites O(files of the touched partitions),
     * never the table; the commit is the ordinary O(#renames) protocol. */
   def t47DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t47_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t47")
     val t = twin(s).withColumn("d", to_date(col("ts")))
-    t.writeTo("graft.lake.t47").partitionedBy(col("d")).create() // v1
+    t.writeTo("graft_t47.lake.t47").partitionedBy(col("d")).create() // v1
     t.filter(col("d") === lit(java.sql.Date.valueOf("2026-01-02")))
       .withColumn("id", col("id") + lit(10L * TwinRows))
-      .writeTo("graft.lake.t47").overwritePartitions() // v2: replaces ONLY d=2026-01-02
-    s.table("graft.lake.t47")
+      .writeTo("graft_t47.lake.t47").overwritePartitions() // v2: replaces ONLY d=2026-01-02
+    s.table("graft_t47.lake.t47")
       .select((twin(s).schema.fieldNames.toIndexedSeq :+ "d").map(col): _*)
       .orderBy(col("id"))
   }
@@ -2037,7 +2011,7 @@ object Telemetry {
   /** t48 — the `.partitions` METADATA TABLE under the differential
     * ([[graft.sources.LakeMetadataTables]] — Iceberg's metadata-table
     * observability): the twin lands DATE-partitioned and
-    * `SELECT partition, rows FROM graft.lake.t48.partitions` must equal
+    * `SELECT partition, rows FROM graft_t48.lake.t48.partitions` must equal
     * DuckDB recomputing the per-day rollup from the generator arithmetic
     * — proving the counts ledger's per-directory sums against ground
     * truth (file counts are task-layout-dependent and stay spec-side;
@@ -2046,12 +2020,10 @@ object Telemetry {
     * Scale shape: the listing is the same O(#files) driver metadata walk
     * the scan planner does; zero data files opened. */
   def t48MetaPartitions(s: SparkSession, dir: String): DataFrame = {
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_t48_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "t48")
     twin(s).withColumn("d", to_date(col("ts")))
-      .writeTo("graft.lake.t48").partitionedBy(col("d")).create()
-    s.sql("SELECT partition, rows FROM graft.lake.t48.partitions")
+      .writeTo("graft_t48.lake.t48").partitionedBy(col("d")).create()
+    s.sql("SELECT partition, rows FROM graft_t48.lake.t48.partitions")
       .orderBy(col("partition"))
   }
 
@@ -2061,7 +2033,58 @@ object Telemetry {
        count(*) AS rows
        FROM ($twinSql) GROUP BY 1 ORDER BY partition"""
 
+  /** t49 — NULL COUNTS in the stats ledger under the differential
+    * ([[graft.sources.LakeSinkStats]] r10 extension: per-file per-column
+    * null counts beside [lo, hi]): the twin gains a nullable derived
+    * column (`v` = vibration, NULLed for id < 2500 when id ≡ 0 mod 3)
+    * and lands id-range-clustered into 8 files; the query mixes
+    * (a) `count(v)` answered COMPLETELY from metadata as
+    * Σ per file (rows − nulls) — the counts ledger × the stats ledger —
+    * with (b) an `IS NULL`-filtered count whose scan SKIPS every file
+    * whose recorded null count is zero (ids ≥ 2500 cluster into files
+    * with no nulls; LakeStatsSpec pins the skip), plus the min/max
+    * metadata folds over the nullable column. Every value is
+    * hash-checked against DuckDB's full recount — metadata answers and
+    * null-driven skipping change I/O, never semantics.
+    *
+    * Scale shape: `count(col)` on a 100 TB lake is O(#files) driver
+    * arithmetic (the Iceberg null_value_counts contract); an IS NULL
+    * audit over a mostly-complete column opens only the files that
+    * actually hold nulls. */
+  def t49NullLedger(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t49")
+    val _ = lakeRoot
+    twin(s)
+      .withColumn("v", when(col("id") < 2500 && col("id") % 3 === 0,
+        lit(null).cast("double")).otherwise(col("vibration")))
+      .repartitionByRange(8, col("id"))
+      .writeTo("graft_t49.lake.t49").create()
+    val t = s.table("graft_t49.lake.t49")
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col(df.columns(0)).cast("double").as("value"))
+    one("cnt_all", t.agg(count(lit(1))))
+      .unionAll(one("cnt_null_band", t.filter(col("v").isNull && col("id") < 5000)
+        .agg(count(lit(1)))))
+      .unionAll(one("cnt_v", t.agg(count(col("v")))))
+      .unionAll(one("max_v", t.agg(max(col("v")))))
+      .unionAll(one("min_v", t.agg(min(col("v")))))
+      .orderBy(col("metric"))
+  }
+
+  val t49Sql: String =
+    s"""WITH tw AS (SELECT *,
+         CASE WHEN id < 2500 AND id % 3 = 0 THEN NULL ELSE vibration END AS v
+       FROM ($twinSql))
+       SELECT 'cnt_all' AS metric, CAST(count(*) AS DOUBLE) AS value FROM tw
+       UNION ALL SELECT 'cnt_null_band', CAST(count(*) AS DOUBLE)
+         FROM tw WHERE v IS NULL AND id < 5000
+       UNION ALL SELECT 'cnt_v', CAST(count(v) AS DOUBLE) FROM tw
+       UNION ALL SELECT 'max_v', max(v) FROM tw
+       UNION ALL SELECT 'min_v', min(v) FROM tw
+       ORDER BY metric"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t49_null_ledger" -> (t49NullLedger _),
     "t48_meta_partitions" -> (t48MetaPartitions _),
     "t47_dynamic_overwrite" -> (t47DynamicOverwrite _),
     "t46_show_partitions" -> (t46ShowPartitions _),
@@ -2107,6 +2130,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t49_null_ledger" -> t49Sql,
     "t48_meta_partitions" -> t48Sql,
     "t47_dynamic_overwrite" -> t47Sql,
     "t46_show_partitions" -> t46Sql,

@@ -318,19 +318,17 @@ object TextOps {
     * distinct over the persisted fingerprint store. */
   def d58CdfDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lakeRoot = java.nio.file.Files.createTempDirectory("graft_d58_lake").toString
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.lake", lakeRoot)
+    val lakeRoot = TempLakes.catalog(s, "d58")
     val d = Tables.documents(s, dir)
       .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
       .select($"doc_id", $"h", normFp($"text").as("fp"))
     d.filter($"h" <= 7).select($"doc_id", $"fp")
-      .writeTo("graft.lake.d58").create() // v1: the historical store
+      .writeTo("graft_d58.lake.d58").create() // v1: the historical store
     d.filter($"h" >= 8).select($"doc_id", $"fp")
-      .writeTo("graft.lake.d58").append() // v2: today's crawl
+      .writeTo("graft_d58.lake.d58").append() // v2: today's crawl
     val batch = graft.sources.LakeVersions.changes(s, s"$lakeRoot/d58", 1L, 2L)
       .filter($"_change_type" === "insert").select($"doc_id", $"fp")
-    val store = s.sql("SELECT fp FROM graft.lake.d58 VERSION AS OF 1")
+    val store = s.sql("SELECT fp FROM graft_d58.lake.d58 VERSION AS OF 1")
       .select($"fp".as("sfp")).distinct()
     val wmin = batch.groupBy($"fp").agg(min($"doc_id").as("wid"))
     batch
@@ -582,31 +580,41 @@ object TextOps {
               ELSE 0.0 END AS f1
        FROM ne CROSS JOIN ns CROSS JOIN co"""
 
+  /** d56's sampled-document budget: the hash-gate modulus is
+    * M = ⌈N / budget⌉, so the expected SAMPLE SIZE — and with it the
+    * quadratic truth graph's cost (∝ sample²) — stays ~constant as the
+    * corpus grows. Defined ABOVE every val that interpolates it
+    * (object-init order — the e09 lesson: a later constant reads as 0). */
+  private val SnmSampleBudget = 15000L
+
   /** d56 — the SCALE-SAFE form of d55's SNM audit: precision/recall/F1
-    * estimated from a deterministic 25% hash-gated document sample
-    * (h60(doc_id) mod 4 = 0 — proportional across lang blocks since the
-    * gate is content-independent). The full-corpus SNM pair set (linear,
-    * the d54 band-bucket plan) is restricted to pairs with BOTH endpoints
-    * sampled; the exact Jaccard truth graph — the audit's quadratic
-    * member — is built only WITHIN the sample, cutting its cost by the
-    * sample rate SQUARED (16× here; at 100 TB the same estimator runs at
-    * whatever f makes f²·N² affordable). A pair survives sampling iff
-    * both endpoints do, so numerator and denominator of each metric
+    * estimated from a deterministic hash-gated document sample with an
+    * ADAPTIVE rate (r10): the gate is `h60(doc_id) mod M = 0` with
+    * M = ⌈N / 15000⌉ computed IN-PLAN from the corpus count (identical
+    * integer arithmetic in both engines — `div`/`//`), so the expected
+    * sample stays ~15k docs at ANY corpus size and the audit's quadratic
+    * member — the exact Jaccard truth graph, built only WITHIN the
+    * sample — costs ~budget² regardless of N (at sf0.1 M=4, exactly the
+    * old fixed 25% gate; at ×4 the gate tightens to 1/16 and the
+    * sampled-pair work is flat). The gate is content-independent, so
+    * sampling stays proportional across lang blocks. A pair survives iff
+    * BOTH endpoints do, so numerator and denominator of each metric
     * shrink by the same p² in expectation: the P/R point estimates are
     * standard ratio estimators, reported with normal-approximation 95%
-    * bounds (±1.96·√(p̂(1−p̂)/n), clamped to [0,1]) whose width is the
-    * honest price of the sample. d55 stays the exact-validation twin.
-    * Measured (ScaleProbe, sf0.1 replicated ×1/×4): d55 slope 3.30
-    * (x4 = 447 s) vs d56 slope 1.88 (x4 = 32 s) — the sample does not
-    * change the exponent (both sides of the audited ratio are pair
-    * sets), it divides the constant by 1/p² = 16; at production scale
-    * pick p so f²·N² fits the budget, or shrink the audited block.
-    * One row. */
+    * bounds (±1.96·√(p̂(1−p̂)/n), clamped to [0,1]) whose WIDENING as p
+    * shrinks is the honest price of the flat cost. d55 stays the
+    * exact-validation twin. Measured (ScaleProbe, sf0.1 replicated
+    * ×1/×4): fixed-p d55 slope 3.30 (×4 = 447 s) vs adaptive d56 — see
+    * CLAUDE.md r10 probe numbers. One row. */
   def d56SnmAuditSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val ids = docs
-      .filter(DedupLsh.h60($"doc_id".cast("string")) % 4 === 0)
+    // the adaptive modulus rides a broadcast 1-row count frame — no
+    // driver-side sizing action, same arithmetic as the oracle's `//`
+    val m = docs.agg(count(lit(1)).as("n_docs"))
+      .select(expr(s"(n_docs + ${SnmSampleBudget - 1}) div $SnmSampleBudget").as("m"))
+    val ids = docs.crossJoin(broadcast(m))
+      .filter(DedupLsh.h60($"doc_id".cast("string")) % $"m" === 0)
       .select($"doc_id").localCheckpoint(true) // reused as 3 join filters
     val sn = snmPairsAll(docs.select($"doc_id", $"text"))
       .join(ids.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
@@ -645,8 +653,10 @@ object TextOps {
     def hiSql(p: String, n: String) = rSql(
       s"least(1.0, $p + CAST(1.96 AS DOUBLE) * sqrt($p * (1.0 - $p) / CAST($n AS DOUBLE)))", 6)
     s"""WITH $snmCtesSql,
-       sid AS MATERIALIZED (SELECT doc_id FROM documents
-         WHERE ${DedupLsh.h60Sql("CAST(doc_id AS VARCHAR)")} % 4 = 0),
+       smod AS (SELECT (count(*) + ${SnmSampleBudget - 1}) // $SnmSampleBudget AS m
+         FROM documents),
+       sid AS MATERIALIZED (SELECT doc_id FROM documents CROSS JOIN smod
+         WHERE ${DedupLsh.h60Sql("CAST(doc_id AS VARCHAR)")} % m = 0),
        d5 AS (SELECT d.doc_id, d.lang, list_distinct(${toksSql("d.text")}) AS ts
          FROM documents d JOIN sid ON sid.doc_id = d.doc_id),
        ex AS MATERIALIZED (SELECT doc_a, doc_b FROM (

@@ -347,7 +347,8 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LakeSinkWriteBuilder(info.schema(), path, partCols)
+    new LakeSinkWriteBuilder(info.schema(), path, partCols, info.queryId(),
+      info.options())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSinkScanBuilder(writeSchema, path, partCols,
       triggerLimits = (
@@ -371,7 +372,10 @@ private[sources] case class LakeOverwriteWhere(
 private[sources] case object LakeDynamicOverwrite extends LakeWriteMode
 
 private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
-    partCols: Seq[String]) extends WriteBuilder with SupportsTruncate
+    partCols: Seq[String], queryId: String = "",
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends WriteBuilder
+    with SupportsTruncate
     with SupportsOverwrite with SupportsDynamicOverwrite {
   private var mode: LakeWriteMode = LakeAppend
   override def truncate(): WriteBuilder = { mode = LakeTruncate; this }
@@ -397,23 +401,60 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
   override def overwriteDynamicPartitions(): WriteBuilder = {
     mode = LakeDynamicOverwrite; this
   }
-  override def build(): Write = new LakeSinkWrite(schema, path, mode, partCols)
+  override def build(): Write = new LakeSinkWrite(schema, path, mode, partCols, queryId,
+    sortCols = Option(options.get("sortBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+    clusterWrite = options.getOrDefault("distributionMode", "cluster") != "none")
 }
 
+/** The write's plan-side contract. Beyond serializer validation, this is
+  * where the SMALL-FILES problem is prevented instead of compacted away:
+  * a partitioned write REQUESTS clustering by its partition columns
+  * (`RequiresDistributionAndOrdering` — the Iceberg
+  * `write.distribution-mode=hash` role), so the engine inserts one
+  * Exchange and every partition value's rows land in ONE task → one file
+  * per partition directory per job, not one per (task × directory). An
+  * unclustered 100-task append to a 5-partition lake would otherwise
+  * spray 500 tiny objects per job for compaction to re-pay. Opt out with
+  * `.option("distributionMode", "none")` (e.g. a single hot partition at
+  * very high volume, where per-task parallelism beats file count);
+  * `.option("sortBy", "a,b")` additionally requests a within-task sort —
+  * written files then cover tight [lo, hi] ranges on those columns,
+  * which is exactly what makes the per-file stats ledger selective
+  * ([[LakeSinkStats]]). */
 private[sources] class LakeSinkWrite(schema: StructType, path: String,
-    mode: LakeWriteMode, partCols: Seq[String]) extends Write {
+    mode: LakeWriteMode, partCols: Seq[String], queryId: String = "",
+    sortCols: Seq[String] = Seq.empty, clusterWrite: Boolean = true)
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
   // validate at planning so an unsupported type / missing partition
   // column fails the job before any task runs
   LakeSink.serializers(LakeSink.dataSchema(schema, partCols))
   LakeSink.partitionExtractors(schema, partCols)
+  sortCols.foreach(c => require(schema.fieldNames.contains(c),
+    s"LakeSink: sortBy column $c is not in the write schema"))
+
+  override def requiredDistribution(): Distribution =
+    if (partCols.isEmpty || !clusterWrite) Distributions.unspecified()
+    else Distributions.clustered(
+      partCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  // 0 = let the engine pick (AQE may coalesce); correctness only needs
+  // co-location of equal partition values, not a task count
+  override def requiredNumPartitions(): Int = 0
+  override def requiredOrdering(): Array[SortOrder] =
+    sortCols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+
   override def description(): String =
     s"graft-lake-sink path=$path mode=$mode" +
-      (if (partCols.nonEmpty) s" partitionedBy=[${partCols.mkString(",")}]" else "")
+      (if (partCols.nonEmpty) s" partitionedBy=[${partCols.mkString(",")}]" else "") +
+      (if (sortCols.nonEmpty) s" sortBy=[${sortCols.mkString(",")}]" else "")
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, mode,
       java.util.UUID.randomUUID.toString.take(8), partCols)
   override def toStreaming: StreamingWrite =
-    new LakeSinkStreamingWrite(schema, path, partCols)
+    new LakeSinkStreamingWrite(schema, path, partCols, queryId)
 }
 
 private[graft] object LakeSinkFiles {
@@ -545,9 +586,12 @@ private[graft] object LakeSinkFiles {
   // semantics, like the sink itself.
 
   /** Move committed files out of the readable lake but keep their bytes
-    * for recorded versions. REPLACE_EXISTING: re-creating a deterministic
-    * streaming name after a truncate re-retires over the old bytes — the
-    * single-writer trade documented on [[LakeMaintenance.vacuum]]. */
+    * for recorded versions. A retired-name COLLISION (the same relative
+    * name retired twice — only reachable if a deterministic name recurs
+    * after a truncate, which queryId-scoped streaming names make
+    * practically impossible) REFUSES loudly instead of overwriting: the
+    * first retired bytes back recorded snapshots, and replacing them
+    * would make `VERSION AS OF` silently return the wrong rows. */
   def retire(path: String, files: Seq[String]): Unit = {
     val root = Paths.get(path)
     val retired = scala.collection.mutable.ListBuffer.empty[String]
@@ -557,7 +601,13 @@ private[graft] object LakeSinkFiles {
         val rel = root.relativize(p)
         val target = retiredDir(path).resolve(rel)
         Option(target.getParent).foreach(Files.createDirectories(_))
-        Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+        if (Files.exists(target))
+          throw new IllegalStateException(
+            s"LakeSink: retired-name collision for $rel at $path — a different " +
+              "file with this name was already retired by an earlier version " +
+              "transition; refusing to overwrite recorded history (VERSION AS OF " +
+              "reads of older snapshots would silently return the wrong rows)")
+        Files.move(p, target)
         retired += rel.toString
       }
     }
@@ -565,23 +615,81 @@ private[graft] object LakeSinkFiles {
     LakeSinkStats.updateBlobs(path, Map.empty, retired.toSeq)
   }
 
+  /** Conflict detection for commits whose retire set was planned EARLIER
+    * than the commit itself (ReplaceData's scan-recorded group files,
+    * compaction's group listing): a concurrent commit that rewrote any of
+    * those files makes this commit's foundation stale — replacing rows
+    * that are no longer where the plan saw them would silently duplicate
+    * (or lose) data. Called BEFORE any mutation, so the loser aborts
+    * loudly with the table untouched; re-planning against the current
+    * state then succeeds. This is the optimistic-concurrency validation
+    * step of the Delta/Iceberg commit protocol at this lake's file-set
+    * granularity. */
+  def requireAllLive(path: String, files: Seq[String], who: String): Unit = {
+    val missing = files.distinct.filterNot(f => Files.isRegularFile(Paths.get(f)))
+    if (missing.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"LakeSink: $who commit conflict at $path — ${missing.size} file(s) " +
+          "this commit planned to replace were rewritten by a concurrent " +
+          s"commit (first: ${missing.head}); aborting before any mutation — " +
+          "re-run to plan against the current table state")
+  }
+
   private def versionName(v: Long): String = f"v$v%09d"
 
-  def listVersions(path: String): Seq[Long] = {
+  /** All version-named files, including empty RESERVATIONS mid-commit
+    * (the reservation loop must see them to pick a fresh id). */
+  private def rawVersions(path: String): Seq[(Long, Path)] = {
     val dir = versionsDir(path)
     if (!Files.isDirectory(dir)) return Seq.empty
     val it = Files.list(dir).iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
     while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit)) out += n.drop(1).toLong
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
+        out += ((n.drop(1).toLong, p))
     }
-    out.toSeq.sorted
+    out.toSeq.sortBy(_._1)
+  }
+
+  /** COMMITTED versions only: a zero-length file is a reservation whose
+    * commit is in flight (or crashed) — not readable history. */
+  def listVersions(path: String): Seq[Long] =
+    rawVersions(path).collect { case (v, p) if Files.size(p) > 0 => v }
+
+  /** Reserve the next version id with an atomic `CREATE_NEW` marker —
+    * the mutual-exclusion step of the optimistic-concurrency commit
+    * protocol: two independent committers racing on one lake table each
+    * win a DISTINCT id (the loser's createFile throws and it retries
+    * v+1), so no committer can silently overwrite another's version
+    * record. The probe-then-ATOMIC_MOVE this replaces was TOCTOU-racy
+    * (POSIX rename REPLACES an existing target). */
+  private def reserveVersion(path: String): Long = {
+    val dir = versionsDir(path)
+    Files.createDirectories(dir)
+    var v = rawVersions(path).lastOption.map(_._1).getOrElse(0L) + 1
+    var reserved = -1L
+    while (reserved < 0) {
+      try {
+        Files.createFile(dir.resolve(versionName(v))) // atomic O_EXCL
+        reserved = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    reserved
   }
 
   /** Record the NEXT version snapshot from the current committed state
     * (call after promote/retire and manifest reconciliation). Returns the
-    * recorded version id. */
+    * recorded version id. Concurrency contract: the id is RESERVED
+    * atomically (see [[reserveVersion]]), so concurrent committers each
+    * durably record their own snapshot; each record is a valid listing of
+    * the live tree AT ITS OWN WRITE — cross-committer snapshot isolation
+    * (seeing a half-promoted peer) is out of scope for a lake without a
+    * central manifest, and degrades to a superset/subset file list, never
+    * corrupt bytes. */
   def recordVersion(path: String): Long = {
     val (schema, partCols) = readManifest(path).getOrElse(
       throw new IllegalStateException(
@@ -596,9 +704,10 @@ private[graft] object LakeSinkFiles {
       s""","files":"${LakeSink.jsonEscape(rels.mkString("\n"))}"}"""
     val tmp = dir.resolve(s".v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    var v = listVersions(path).lastOption.getOrElse(0L) + 1
-    while (Files.exists(dir.resolve(versionName(v)))) v += 1
-    Files.move(tmp, dir.resolve(versionName(v)), StandardCopyOption.ATOMIC_MOVE)
+    val v = reserveVersion(path)
+    // we own the reserved name now — replacing our own empty marker is safe
+    Files.move(tmp, dir.resolve(versionName(v)), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
     v
   }
 
@@ -608,6 +717,9 @@ private[graft] object LakeSinkFiles {
     require(Files.isRegularFile(p),
       s"LakeSink: no recorded version $v at $path " +
         s"(available: ${listVersions(path).mkString(",")})")
+    require(Files.size(p) > 0,
+      s"LakeSink: version $v at $path is an unfinished reservation " +
+        "(commit in flight or crashed) — not readable history")
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val where = s"version record $p"
     val schema = StructType.fromDDL(jsonField(json, "schema", where))
@@ -752,13 +864,25 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
   }
 }
 
+/** Streaming write, exactly-once per QUERY: commit markers and
+  * deterministic file names carry a queryId tag — the id is stable across
+  * restarts of one query (it lives in the checkpoint), so redelivered
+  * epochs still discard, while a genuinely NEW query (fresh checkpoint,
+  * epochs restarting at 0) gets its own marker space instead of silently
+  * discarding its first epochs against a previous query's markers (the
+  * epoch-only keying this replaces LOST that data). */
 private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
-    partCols: Seq[String] = Seq.empty) extends StreamingWrite {
+    partCols: Seq[String] = Seq.empty, queryId: String = "") extends StreamingWrite {
   LakeSinkFiles.ensureDirs(path)
+  // 8 hex chars of the query UUID: collision-safe per table in practice,
+  // short enough to keep file names readable; empty tag = legacy layout
+  private val qtag =
+    if (queryId == null || queryId.isEmpty) ""
+    else s"q${queryId.filter(_ != '-').take(8)}-"
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeSinkStreamingWriterFactory(schema, path, partCols)
+    new LakeSinkStreamingWriterFactory(schema, path, partCols, qtag)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val marker = LakeSinkFiles.commitsDir(path).resolve(epochId.toString)
+    val marker = LakeSinkFiles.commitsDir(path).resolve(s"$qtag$epochId")
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
     val staged = committed.flatMap(_.staged)
     if (Files.exists(marker)) {
@@ -773,7 +897,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
       LakeSinkFiles.recordVersion(path)
       // marker via temp + atomic move: a crash can't leave a marker for
       // an epoch whose files never promoted
-      val tmp = LakeSinkFiles.commitsDir(path).resolve(s".${epochId}.tmp")
+      val tmp = LakeSinkFiles.commitsDir(path).resolve(s".$qtag$epochId.tmp")
       Files.write(tmp, staged.mkString("\n").getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
     }
@@ -781,7 +905,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
       messages.collect { case c: LakeSinkCommit => c.staged }.toSeq.flatten)
-    LakeSinkFiles.sweep(path, s"e$epochId-")
+    LakeSinkFiles.sweep(path, s"${qtag}e$epochId-")
   }
 }
 
@@ -794,16 +918,16 @@ private[sources] class LakeSinkWriterFactory(schema: StructType, path: String,
 }
 
 private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
-    path: String, partCols: Seq[String] = Seq.empty)
+    path: String, partCols: Seq[String] = Seq.empty, qtag: String = "")
     extends StreamingDataWriterFactory {
-  // deterministic per (epoch, partition): re-execution of a crashed epoch
-  // re-creates the SAME final names, so a mid-commit retry replaces
-  // instead of duplicating
+  // deterministic per (query, epoch, partition): re-execution of a crashed
+  // epoch re-creates the SAME final names, so a mid-commit retry replaces
+  // instead of duplicating — while distinct queries can never collide
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LakeSinkDataWriter(schema, path, partCols,
-      fileName = s"part-e$epochId-$partitionId.json.gz",
-      attemptTag = s"e$epochId-$partitionId-a$taskId")
+      fileName = s"part-${qtag}e$epochId-$partitionId.json.gz",
+      attemptTag = s"${qtag}e$epochId-$partitionId-a$taskId")
 }
 
 /** Task-side writer: gzip JSON-lines into `_staging/<rel>.<attempt>
@@ -873,7 +997,10 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
     val ts = statTrackers.getOrElseUpdate(rel, LakeSinkStats.trackers(dataSchema))
     i = 0
     while (i < ts.length) {
-      if (ts(i).isDefined && !row.isNullAt(dataIdx(i))) ts(i).get.update(row, dataIdx(i))
+      if (ts(i).isDefined) {
+        if (row.isNullAt(dataIdx(i))) ts(i).get.nullSeen()
+        else ts(i).get.update(row, dataIdx(i))
+      }
       i += 1
     }
   }

@@ -45,6 +45,12 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
   private var partFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
   private var aggPushed: Option[(Seq[Array[Any]], StructType, String)] = None
+  // memoized metaRows: the engine calls supportCompletePushDown then
+  // pushAggregation with the SAME Aggregation on one single-threaded
+  // builder — without the cache each call re-walks the committed file
+  // tree and re-reads both ledgers (O(#files) listing, twice, on exactly
+  // the many-small-files tables the ledgers exist to serve)
+  private var metaCache: Option[(Aggregation, Option[(Seq[Array[Any]], StructType, String)])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -96,7 +102,16 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     * entry). GROUP BY partition columns is answerable because a group IS
     * a set of whole files: per-group counts sum that set's ledger rows,
     * per-group min/max fold that set's stats intervals. */
-  private def metaRows(agg: Aggregation): Option[(Seq[Array[Any]], StructType, String)] = {
+  private def metaRows(agg: Aggregation): Option[(Seq[Array[Any]], StructType, String)] =
+    metaCache match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = metaRows0(agg)
+        metaCache = Some((agg, r))
+        r
+    }
+
+  private def metaRows0(agg: Aggregation): Option[(Seq[Array[Any]], StructType, String)] = {
     if (!allowAgg || snapshot.nonEmpty || dataFilters.nonEmpty ||
         agg.aggregateExpressions.isEmpty)
       return None
@@ -119,6 +134,23 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       else None
     }
 
+    /** count(DATA col) = Σ per file (rows − nulls): needs the counts
+      * ledger AND a null-counting stats entry for EVERY kept file
+      * (legacy entries without a null count ⇒ scan fallback, never a
+      * guess). */
+    def countColOf(rels: Seq[String], f: StructField): Option[Any] = {
+      val per = rels.map { rel =>
+        for {
+          n <- counts.get(rel)
+          blob <- stats.get(rel)
+          cs <- LakeSinkStats.decode(blob, fullSchema).get(f.name)
+          nulls <- cs.nulls
+        } yield n - nulls
+      }
+      if (per.forall(_.isDefined)) Some(java.lang.Long.valueOf(per.flatten.sum))
+      else None
+    }
+
     /** min/max of a statable DATA column over a file set: the fold over
       * per-file [lo, hi] is exact iff EVERY file recorded the column
       * (all-null files record an empty interval and contribute nothing —
@@ -127,7 +159,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       val entries = rels.map(rel => stats.get(rel)
         .flatMap(b => LakeSinkStats.decode(b, fullSchema).get(f.name)))
       if (entries.exists(_.isEmpty)) return None // some file unrecorded
-      val bounds = entries.flatten.flatten
+      val bounds = entries.flatten.flatMap(_.bounds)
       Some(
         if (bounds.isEmpty) null // every file all-null (or no files)
         else if (isMin)
@@ -176,6 +208,9 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
         case _: CountStar => ((g: Group) => countOf(g.map(_._1)), LongType)
         case c: Count if !c.isDistinct && isPartCol(c.column) =>
           ((g: Group) => countOf(g.map(_._1)), LongType)
+        case c: Count if !c.isDistinct && statField(c.column).isDefined =>
+          val f = statField(c.column).get
+          ((g: Group) => countColOf(g.map(_._1), f), LongType)
         case m: Min if partField(m.column).isDefined =>
           val f = partField(m.column).get
           ((g: Group) => partMinmaxOf(g, f, isMin = true), f.dataType)
@@ -354,11 +389,44 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     snapshot: Option[Seq[String]] = None,
     triggerLimits: (Option[Int], Option[Long]) = (None, None))
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   // files pruned by per-file [lo, hi] stats at the last planning
   // (-1 = not yet planned); see planInputPartitions
   private var skippedFiles = -1
+
+  // --- storage-partitioned joins (SPJ) ---------------------------------------
+  //
+  // Under `spark.sql.sources.v2.bucketing.enabled`, a partitioned lake
+  // scan reports `KeyGroupedPartitioning(identity(partCols))` with ONE
+  // input partition per partition DIRECTORY (its files chained in one
+  // task, the directory's decoded values as the partition key) — so two
+  // lake tables partitioned on the same key join or aggregate on it with
+  // ZERO shuffle exchanges (the DSv2 bucketed-tables contract; at 100 TB
+  // this is co-located day-keyed joins instead of re-shuffling the fact
+  // table). Active only when every partition column survives column
+  // pruning (the reported keys must resolve against readSchema) on a
+  // non-grouped read; runtime filtering is disabled while active — the
+  // reported partitioning must stay consistent with the planned groups
+  // (the TelemetrySource daily-scan lesson).
+  private lazy val spjActive: Boolean =
+    partCols.nonEmpty &&
+      partCols.forall(required.fieldNames.contains) &&
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjActive)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planInputPartitions().length)
 
   // --- runtime filtering (DPP + stats-driven runtime skipping) ---------------
   //
@@ -373,6 +441,10 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
 
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // SPJ mode: no runtime filtering — a post-planning filter could drop
+    // groups the reported KeyGroupedPartitioning already promised
+    if (spjActive)
+      return Array.empty[org.apache.spark.sql.connector.expressions.NamedReference]
     val statCols = fullSchema.fields
       .filter(f => !partCols.contains(f.name) && LakeSinkStats.statable(f.dataType))
       .map(_.name)
@@ -428,8 +500,9 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     * user tunes it), so a small lake table auto-broadcasts in catalog
     * joins with no hint. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val planned = planInputPartitions().map {
-      case LakeSinkInputPartition(f, _) => Paths.get(f)
+    private val planned = planInputPartitions().flatMap {
+      case LakeSinkInputPartition(f, _) => Seq(Paths.get(f))
+      case g: LakeSinkGroupPartition    => g.files.toSeq.map(f => Paths.get(f.file))
     }
     private val bytes = planned.map(Files.size(_)).sum
     // EXACT row count from the commit-time ledger when every planned file
@@ -478,8 +551,23 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     // row-level operations record the planned group (file) set — the
     // exact files a ReplaceData commit must swap out (last planning wins)
     onPlanned(taken.map(_._1.toString))
-    taken.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
-      .toArray
+    if (spjActive) {
+      // one input partition per partition DIRECTORY, key = decoded values
+      // in partCols order — the KeyGroupedPartitioning contract
+      taken.groupBy { case (_, kvs) =>
+        partCols.map(c => kvs.find(_._1 == c).map(_._2).getOrElse(
+          throw new IllegalStateException(
+            s"LakeSink SPJ: file missing partition dir $c")))
+      }.toSeq.sortBy(_._1.mkString("/")).map { case (vals, files) =>
+        LakeSinkGroupPartition(
+          files.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs) }.toArray,
+          partCols.zip(vals).map { case (c, v) =>
+            LakeSinkPartitions.dirToInternal(fullSchema(c).dataType, v) }.toArray)
+          : InputPartition
+      }.toArray
+    } else
+      taken.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
+        .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -596,13 +684,13 @@ private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
 
 /** Offset = the sorted committed file list, JSON-escaped one name per
   * line entry (the writer's own escape set — names are path strings). */
-private[sources] case class LakeSinkOffset(files: Seq[String])
+private[graft] case class LakeSinkOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
     files.map(f => "\"" + LakeSink.jsonEscape(f) + "\"").mkString("[", ",", "]")
 }
 
-private[sources] object LakeSinkOffset {
+private[graft] object LakeSinkOffset {
   def fromJson(json: String): LakeSinkOffset = {
     val t = json.trim
     require(t.startsWith("[") && t.endsWith("]"),
@@ -619,7 +707,20 @@ private[sources] object LakeSinkOffset {
         val b = new java.lang.StringBuilder
         i += 1
         while (body.charAt(i) != '"') {
-          if (body.charAt(i) == '\\') { i += 1; b.append(body.charAt(i)) }
+          if (body.charAt(i) == '\\') {
+            // full jsonEscape inverse (n/r/t/uXXXX, not just " and \):
+            // a path with whitespace/control chars must round-trip to the
+            // SAME string or checkpointed offsets stop matching committed()
+            i += 1
+            body.charAt(i) match {
+              case 'n' => b.append('\n'); case 'r' => b.append('\r')
+              case 't' => b.append('\t')
+              case 'u' =>
+                b.append(Integer.parseInt(body.substring(i + 1, i + 5), 16).toChar)
+                i += 4
+              case c   => b.append(c)
+            }
+          }
           else b.append(body.charAt(i))
           i += 1
         }
@@ -635,12 +736,43 @@ private[sources] object LakeSinkOffset {
 private[sources] case class LakeSinkInputPartition(file: String,
     partValues: Seq[(String, String)]) extends InputPartition
 
+/** One partition DIRECTORY's files as a single input partition, carrying
+  * the directory's decoded partition values as the DSv2 partition key —
+  * the unit of storage-partitioned-join co-location. */
+private[sources] case class LakeSinkGroupPartition(
+    files: Array[LakeSinkInputPartition], keyVals: Array[Any])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(keyVals)
+}
+
 private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
     required: StructType, partCols: Seq[String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LakeSinkInputPartition]
-    new LakeSinkPartitionReader(p.file, fullSchema, required, partCols, p.partValues)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: LakeSinkInputPartition =>
+        new LakeSinkPartitionReader(p.file, fullSchema, required, partCols, p.partValues)
+      case g: LakeSinkGroupPartition =>
+        // chain the directory's files sequentially in one task
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          private var cur: LakeSinkPartitionReader = _
+          override def next(): Boolean = {
+            while (cur == null || !cur.next()) {
+              if (cur != null) cur.close()
+              cur = null
+              i += 1
+              if (i >= g.files.length) return false
+              cur = new LakeSinkPartitionReader(g.files(i).file, fullSchema,
+                required, partCols, g.files(i).partValues)
+            }
+            true
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
 }
 
 /** Streams one committed gzip JSON-lines file; each line is parsed with a
@@ -756,8 +888,13 @@ private[sources] class LakeSinkRowLevelOperation(schema: StructType,
 }
 
 /** ReplaceData commit: stage like any batch write, then promote the
-  * replacements and drop the operation's recorded group files. */
-private[sources] class LakeSinkReplaceBatchWrite(schema: StructType,
+  * replacements and drop the operation's recorded group files. The
+  * recorded group set is validated against the LIVE tree first
+  * ([[LakeSinkFiles.requireAllLive]]) — a concurrent commit (compaction,
+  * another DML) that rewrote any planned file makes this commit's
+  * foundation stale; it aborts loudly with zero mutations instead of
+  * silently duplicating the rewritten rows. */
+private[graft] class LakeSinkReplaceBatchWrite(schema: StructType,
     path: String, partCols: Seq[String], writeId: String,
     oldFiles: () => Seq[String]) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
@@ -765,6 +902,13 @@ private[sources] class LakeSinkReplaceBatchWrite(schema: StructType,
     new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
+    // conflict check BEFORE any mutation: loser aborts, table untouched
+    try LakeSinkFiles.requireAllLive(path, oldFiles(), "row-level rewrite")
+    catch { case e: java.util.ConcurrentModificationException =>
+      LakeSinkFiles.discard(path, committed.flatMap(_.staged))
+      LakeSinkFiles.sweep(path, s"b$writeId")
+      throw e
+    }
     LakeSinkFiles.promote(path, committed.flatMap(_.staged))
     LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
     LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)

@@ -60,20 +60,27 @@ private[graft] object LakeSinkStats {
 
   // --- per-column trackers (writer side) -------------------------------------
 
-  /** Mutable [lo, hi] tracker over the non-null values of one column of
-    * one file. `encoded` is None when the column cannot be recorded for
-    * this file (oversized string), Some("col") when every value was NULL,
-    * Some(col<sep>lo<sep>hi) otherwise. */
+  /** Mutable [lo, hi] + null-count tracker over one column of one file.
+    * `encoded` is None when the column cannot be recorded for this file
+    * (oversized string), `col<sep>nulls` when every value was NULL,
+    * `col<sep>nulls<sep>lo<sep>hi` otherwise. (Legacy 1-part all-null and
+    * 3-part bounds entries — pre-null-count ledgers — still decode, with
+    * the null count unknown; consumers degrade, never guess.) */
   sealed abstract class ColTracker(name: String) {
     protected var seen = false
     protected var dead = false
+    private var nulls = 0L
     def update(row: InternalRow, i: Int): Unit
+    /** The writer saw a NULL in this column — tracked so `count(col)`
+      * answers as Σ(rows − nulls) and `IsNull` filters can skip files
+      * with zero nulls. */
+    final def nullSeen(): Unit = nulls += 1
     protected def loEnc: String
     protected def hiEnc: String
     final def encoded: Option[String] =
       if (dead) None
-      else if (!seen) Some(name)
-      else Some(s"$name$FieldSep$loEnc$FieldSep$hiEnc")
+      else if (!seen) Some(s"$name$FieldSep$nulls")
+      else Some(s"$name$FieldSep$nulls$FieldSep$loEnc$FieldSep$hiEnc")
   }
 
   private final class LongTracker(name: String, get: (InternalRow, Int) => Long)
@@ -174,19 +181,29 @@ private[graft] object LakeSinkStats {
 
   // --- decoded form ------------------------------------------------------------
 
-  /** A recorded column interval: None = every value in the file was NULL;
-    * Some((lo, hi)) = non-null bounds in internal-comparable form (Long /
-    * Double / UTF8String). A column ABSENT from the map was not tracked. */
-  type FileStats = Map[String, Option[(Any, Any)]]
+  /** One column's recorded stats for one file: `bounds` None = every
+    * value in the file was NULL; Some((lo, hi)) = non-null bounds in
+    * internal-comparable form (Long / Double / UTF8String). `nulls` is
+    * the file's NULL count for the column — None only for legacy ledger
+    * entries written before null counting existed. A column ABSENT from
+    * the map was not tracked at all. */
+  final case class ColStat(nulls: Option[Long], bounds: Option[(Any, Any)])
+
+  type FileStats = Map[String, ColStat]
 
   def decode(blob: String, schema: StructType): FileStats =
     blob.split(EntrySep.toString, -1).iterator.filter(_.nonEmpty).flatMap { entry =>
       val parts = entry.split(FieldSep.toString, -1)
       val name = parts(0)
       schema.fields.find(_.name == name).map { f =>
-        if (parts.length == 1) name -> None
-        else name -> Some((decodeVal(f.dataType, parts(1)),
-          decodeVal(f.dataType, parts(2))))
+        name -> (parts.length match {
+          case 1 => ColStat(None, None) // legacy all-null
+          case 2 => ColStat(Some(parts(1).toLong), None)
+          case 3 => ColStat(None, Some((decodeVal(f.dataType, parts(1)),
+            decodeVal(f.dataType, parts(2))))) // legacy bounds
+          case _ => ColStat(Some(parts(1).toLong),
+            Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))))
+        })
       }
     }.toMap
 
@@ -206,19 +223,27 @@ private[graft] object LakeSinkStats {
   }
 
   /** Merge several files' blobs into one (compaction): a column survives
-    * only if EVERY input recorded it; all-null inputs contribute nothing. */
+    * only if EVERY input recorded it; bounds take the interval hull
+    * (all-null inputs contribute nothing), null counts SUM — unless any
+    * input predates null counting, in which case the merged entry omits
+    * the count (legacy arity) rather than guess. */
   def mergeBlobs(blobs: Seq[String], schema: StructType): String = {
     val decoded = blobs.map(decode(_, schema))
     schema.fields.iterator.filter(f => statable(f.dataType)).flatMap { f =>
       val entries = decoded.map(_.get(f.name))
       if (entries.exists(_.isEmpty)) None // some input untracked -> drop
       else {
-        val bounds = entries.flatten.flatten
-        if (bounds.isEmpty) Some(f.name) // all inputs all-null
+        val stats = entries.flatten
+        val nulls: Option[Long] =
+          if (stats.forall(_.nulls.isDefined)) Some(stats.flatMap(_.nulls).sum)
+          else None
+        val bounds = stats.flatMap(_.bounds)
+        val nEnc = nulls.map(n => s"$FieldSep$n").getOrElse("")
+        if (bounds.isEmpty) Some(s"${f.name}$nEnc") // all inputs all-null
         else {
           val lo = bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
           val hi = bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)
-          Some(s"${f.name}$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}")
+          Some(s"${f.name}$nEnc$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}")
         }
       }
     }.mkString(EntrySep.toString)
@@ -234,11 +259,20 @@ private[graft] object LakeSinkStats {
   }
 
   /** Compare two internal-comparable stat values of the same kind
-    * (Integer appears for decoded int/date PARTITION values). */
+    * (Integer appears for decoded int/date PARTITION values). Doubles use
+    * SPARK's comparison semantics (`SQLOrderingUtil.compareDoubles`):
+    * IEEE `==` first — so `-0.0` and `0.0` compare EQUAL, exactly as a
+    * pushed `d = -0.0` filter evaluates against stored `0.0` rows — then
+    * `Double.compare` for NaN (greatest, self-equal). A raw
+    * `Double.compare` here would order `-0.0 < 0.0` and let
+    * [[mayMatch]] prune a file whose rows Spark's residual evaluation
+    * WOULD match (silent row loss). */
   def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long)       => java.lang.Long.compare(x, y)
     case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
-    case (x: java.lang.Double, y: java.lang.Double)   => java.lang.Double.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double)   =>
+      if (x.doubleValue == y.doubleValue) 0
+      else java.lang.Double.compare(x, y)
     case (x: UTF8String, y: UTF8String)               => x.compareTo(y)
     case _ => throw new IllegalStateException(s"incomparable stats: $a vs $b")
   }
@@ -282,7 +316,7 @@ private[graft] object LakeSinkStats {
       f <- schema.fields.find(_.name == col)
       entry <- fs.get(col)
       want <- toComparable(f.dataType, v)
-    } yield (entry, want)
+    } yield (entry.bounds, want)
 
   private def mayMatch0(fs: FileStats, schema: StructType, filter: Filter): Boolean =
     filter match {
@@ -316,11 +350,17 @@ private[graft] object LakeSinkStats {
       case IsNotNull(a) =>
         // an all-null entry proves no non-null row exists
         fs.get(a) match {
-          case Some(None) => false
-          case _          => true
+          case Some(ColStat(_, None)) => false
+          case _                      => true
+        }
+      case IsNull(a) =>
+        // a recorded zero null count proves no NULL row exists
+        fs.get(a) match {
+          case Some(ColStat(Some(0L), _)) => false
+          case _                          => true
         }
       case And(l, r) => mayMatch0(fs, schema, l) && mayMatch0(fs, schema, r)
       case Or(l, r)  => mayMatch0(fs, schema, l) || mayMatch0(fs, schema, r)
-      case _         => true // IsNull, Not, StartsWith, … : no proof, keep
+      case _         => true // Not, StartsWith, … : no proof, keep
     }
 }

@@ -142,6 +142,16 @@ object LakeMaintenance {
           StandardCopyOption.REPLACE_EXISTING)
         stagedRel
       }.collect().toSeq
+    // conflict check BEFORE any mutation: compaction's group listing is
+    // minutes stale by now — if a concurrent commit (append never
+    // conflicts; DML/another compaction does) rewrote any original,
+    // abort loudly with the table untouched and the staged merges swept
+    try LakeSinkFiles.requireAllLive(path,
+      groups.flatMap(_._2).map(rel => root.resolve(rel).toString), "compaction")
+    catch { case e: java.util.ConcurrentModificationException =>
+      LakeSinkFiles.discard(path, staged)
+      throw e
+    }
     LakeSinkFiles.promote(path, staged)
     // merged row counts carry over: sum of the originals' ledger entries
     // (omitted when any original is unrecorded — count(*) then falls back
@@ -269,6 +279,19 @@ object LakeMaintenance {
     val drop = versions.dropRight(1)
     drop.foreach { v =>
       Files.deleteIfExists(LakeSinkFiles.versionsDir(path).resolve(f"v$v%09d"))
+    }
+    // crashed reservations (zero-length version markers whose commit never
+    // finished) are garbage with no readable history behind them
+    val vdir = LakeSinkFiles.versionsDir(path)
+    if (Files.isDirectory(vdir)) {
+      val it = Files.list(vdir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            Files.isRegularFile(p) && Files.size(p) == 0)
+          Files.deleteIfExists(p)
+      }
     }
     (nFiles, drop.size)
   }

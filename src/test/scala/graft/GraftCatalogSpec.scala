@@ -123,10 +123,11 @@ class GraftCatalogSpec extends GraftSpec {
       .mode("overwrite").save(out)
     val all = spark.read.format("graft.sources.LakeSink").load(out)
     val pruned = all.filter($"b" === 2)
-    // one RDD partition per surviving committed file: the b=2 directory
-    // holds 1/4 of the files (2 tasks x 4 buckets written)
-    assert(all.rdd.getNumPartitions == 8, s"got ${all.rdd.getNumPartitions}")
-    assert(pruned.rdd.getNumPartitions == 2, s"got ${pruned.rdd.getNumPartitions}")
+    // one RDD partition per surviving committed file: since r10 the write
+    // requests clustering by partition columns, so each of the 4 b= dirs
+    // holds exactly ONE file and pruning keeps exactly one
+    assert(all.rdd.getNumPartitions == 4, s"got ${all.rdd.getNumPartitions}")
+    assert(pruned.rdd.getNumPartitions == 1, s"got ${pruned.rdd.getNumPartitions}")
     assert(pruned.select(sum($"v")).as[Long].head ==
       (0 until 40).filter(_ % 4 == 2).sum.toLong)
     // the scan reports the pushed partition filter
@@ -319,23 +320,25 @@ class GraftCatalogSpec extends GraftSpec {
         .repartition(2).writeTo("graft.lake.meta").partitionedBy($"b").create() // v1
       spark.sql("INSERT INTO graft.lake.meta SELECT /*+ REPARTITION(1) */ " +
         "v + 100, 0 AS b FROM range(5) t(v)") // v2
-      // .files: one row per committed file, rows from the counts ledger
+      // .files: one row per committed file, rows from the counts ledger —
+      // since r10 writes cluster by partition columns: one file per dir
+      // per job (3 from the CTAS + 1 from the append into b=0)
       val files = spark.sql("SELECT * FROM graft.lake.meta.files").collect()
-      assert(files.length == 7, s"2 tasks x 3 dirs + 1 append: got ${files.length}")
+      assert(files.length == 4, s"3 dirs + 1 append: got ${files.length}")
       assert(files.map(_.getLong(2)).sum == 35L, "ledger rows must total the table")
       assert(files.forall(_.getBoolean(4)), "every file has recorded stats")
       assert(files.forall(_.getLong(3) > 0L), "sizes from the filesystem")
-      assert(files.count(r => r.getString(1) == "b=0") == 3)
+      assert(files.count(r => r.getString(1) == "b=0") == 2)
       // .partitions: the per-directory rollup
       val parts = spark.sql(
         "SELECT partition, files, rows FROM graft.lake.meta.partitions ORDER BY partition")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      assert(parts == Seq(("b=0", 3L, 15L), ("b=1", 2L, 10L), ("b=2", 2L, 10L)), parts)
+      assert(parts == Seq(("b=0", 2L, 15L), ("b=1", 1L, 10L), ("b=2", 1L, 10L)), parts)
       // .history: one row per recorded version, file counts grow
       val hist = spark.sql(
         "SELECT version, files FROM graft.lake.meta.history ORDER BY version")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(hist == Seq((1L, 6L), (2L, 7L)), hist.toString)
+      assert(hist == Seq((1L, 3L), (2L, 4L)), hist.toString)
       // a metadata table of a missing base table fails loudly
       val e = intercept[Exception](spark.sql("SELECT * FROM graft.lake.nope.files"))
       assert(e.getMessage != null)
@@ -371,6 +374,57 @@ class GraftCatalogSpec extends GraftSpec {
       // unknown function / wrong namespace error contract
       val e = intercept[Exception](spark.sql("SELECT graft.fns.nope(1)"))
       assert(e.getMessage != null)
+    }
+  }
+
+  test("storage-partitioned join: two same-partitioned lake tables join with zero shuffles") {
+    val lake = tmp("graft_cat_spj")
+    withCatalog(lake) {
+      import spark.implicits._
+      (0 until 600).map(i => (i.toLong, i % 6, s"a$i")).toDF("id", "p", "a")
+        .writeTo("graft.lake.spjl").partitionedBy(col("p")).create()
+      (0 until 600).map(i => (i.toLong, i % 6, i * 2L)).toDF("id", "p", "b")
+        .writeTo("graft.lake.spjr").partitionedBy(col("p")).create()
+      // no final orderBy: a global sort adds its own (legitimate) range
+      // exchange; canon() sorts collected rows instead
+      def joined = spark.table("graft.lake.spjl").as("l")
+        .join(spark.table("graft.lake.spjr").as("r"), Seq("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"), sum(col("b")).as("sb"))
+      // baseline: the ordinary shuffled plan's result
+      val expected = canon(joined)
+      def shuffleCount(df: DataFrame): Int = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        var n = 0
+        def walk(pl: SparkPlan): Unit = {
+          pl match {
+            case _: ShuffleExchangeLike   => n += 1
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec        => walk(q.plan)
+            case _                        =>
+          }
+          pl.children.foreach(walk)
+        }
+        df.collect()
+        walk(df.queryExecution.executedPlan)
+        n
+      }
+      val before = shuffleCount(joined)
+      assert(before > 0, "precondition: the un-bucketed join must shuffle")
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // broadcast would bypass the SPJ path entirely on these tiny sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val q = joined
+        assert(shuffleCount(q) == 0,
+          "same-partitioned lake tables must join/aggregate with ZERO exchanges:\n" +
+            q.queryExecution.executedPlan.toString.take(1500))
+        assert(canon(q) == expected, "the co-located plan must return identical rows")
+      } finally {
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     }
   }
 

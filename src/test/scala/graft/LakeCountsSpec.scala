@@ -82,9 +82,11 @@ class LakeCountsSpec extends GraftSpec {
       val cp = spark.table("graft.lake.c2").agg(count(col("p")).as("n"))
       assertPushed(cp)
       assert(cp.collect()(0).getLong(0) == 30L)
-      // count(dataCol) is nullable-aware -> never from metadata
+      // count(dataCol) is nullable-aware: since r10 the stats ledger's
+      // per-file null counts make it a metadata answer too —
+      // Σ per file (rows − nulls); LakeStatsSpec pins the null mechanics
       val cv = spark.table("graft.lake.c2").agg(count(col("v")).as("n"))
-      assertNotPushed(cv)
+      assertPushed(cv)
       assert(cv.collect()(0).getLong(0) == 30L)
       // grouped counts on PARTITION columns are a metadata answer too
       // (one ledger-sum row per partition directory — see LakeStatsSpec's

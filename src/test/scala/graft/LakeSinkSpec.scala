@@ -212,6 +212,48 @@ class LakeSinkSpec extends GraftSpec {
     assert(canon(pruned) == canon(src.filter(col("hr") === 5)))
   }
 
+  test("partitioned writes request clustering: one file per partition dir per job") {
+    import spark.implicits._
+    val df = (0 until 240).map(i => (i.toLong, i % 3)).toDF("id", "p").repartition(8)
+    // default: RequiresDistributionAndOrdering clusters by the partition
+    // columns — 8 incoming tasks × 3 dirs would spray up to 24 small
+    // files; the requested Exchange lands exactly one per directory
+    val out = tmp("graft_sink_cluster")
+    df.write.format("graft.sources.LakeSink").option("partitionCols", "p")
+      .mode("append").save(out)
+    assert(graft.sources.LakeMaintenance.committedFileCount(out) == 3,
+      "clustered append must write one file per partition dir")
+    // opt-out restores task-parallel writes (the many-small-files shape)
+    val out2 = tmp("graft_sink_nocluster")
+    df.write.format("graft.sources.LakeSink").option("partitionCols", "p")
+      .option("distributionMode", "none").mode("append").save(out2)
+    assert(graft.sources.LakeMaintenance.committedFileCount(out2) > 3,
+      "distributionMode=none must keep the incoming task partitioning")
+    // identical rows either way
+    val back = spark.read.format("graft.sources.LakeSink").load(out)
+    assert(back.count() == 240L &&
+      canon(back) == canon(spark.read.format("graft.sources.LakeSink").load(out2)))
+  }
+
+  test("sortBy write option orders rows within each written file (stats-tight layout)") {
+    import spark.implicits._
+    val out = tmp("graft_sink_sortby")
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((0 until 400).toList).map(_.toLong).toDF("id").repartition(4)
+      .write.format("graft.sources.LakeSink").option("sortBy", "id")
+      .mode("append").save(out)
+    val files = partFiles(out)
+    assert(files.size > 1, "precondition: several task files")
+    files.foreach { f =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(Files.newInputStream(Paths.get(out, f))), "UTF-8"))
+      val ids = try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(l => l.replaceAll("[^0-9]", "").toLong).toList
+      finally in.close()
+      assert(ids == ids.sorted, s"$f not sorted by the requested ordering")
+    }
+  }
+
   test("partitioned job abort sweeps the nested staging tree") {
     import spark.implicits._
     val out = tmp("graft_sink_part_abort")
@@ -288,6 +330,40 @@ class LakeSinkSpec extends GraftSpec {
       if (Files.isRegularFile(p)) leftover ::= p.toString
     }
     assert(leftover.isEmpty, s"staging leaked files: $leftover")
+  }
+
+  test("a SECOND streaming query (fresh checkpoint) appends instead of silently discarding") {
+    import spark.implicits._
+    val out = tmp("graft_sink_twoq")
+    // two INDEPENDENT streaming queries write to one lake table; both
+    // restart their epochs at 0 — with epoch-only commit markers the
+    // second query's epoch 0 would match the first query's marker and be
+    // silently DISCARDED (lost data); queryId-scoped markers keep each
+    // query's exactly-once ledger separate
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft.sources.TelemetrySource")
+        .option("rows", "100").option("rowsPerBatch", "100").load()
+        .writeStream.format("graft.sources.LakeSink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    run(tmp("graft_sink_twoq_c1"))
+    run(tmp("graft_sink_twoq_c2"))
+    val batch = spark.read.format("graft.sources.TelemetrySource")
+      .option("rows", "100").load()
+    val back = spark.read.schema(batch.schema)
+      .option("timestampFormat", LakeSink.TimestampFormat).json(out)
+    assert(back.count() == 200L,
+      "both queries' rows must land — 100 means the second query was discarded")
+    assert(back.groupBy($"id").count().filter(col("count") =!= 2L).count() == 0L,
+      "each id appears exactly once PER query")
+    // the commit log holds two distinct query-scoped marker families
+    val mIt = Files.list(LakeSinkFiles.commitsDir(out)).iterator()
+    var tags = Set.empty[String]
+    while (mIt.hasNext) tags += mIt.next().getFileName.toString.takeWhile(_ != '-')
+    assert(tags.size == 2, s"expected two query marker families, saw $tags")
   }
 
   test("a REDELIVERED epoch is discarded by the commit log, not re-promoted") {

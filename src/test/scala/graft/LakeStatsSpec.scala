@@ -118,6 +118,38 @@ class LakeStatsSpec extends GraftSpec {
     }
   }
 
+  test("null counts: count(col) pushes completely; IS NULL skips zero-null files") {
+    withLake { lake =>
+      import spark.implicits._
+      // 4 range-clustered files over id [0,100); nulls only in [0,25)
+      (0 until 100).map(i =>
+        (i.toLong, if (i < 25 && i % 5 == 0) null else s"v$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.nc").create()
+      // count(DATA col) = Σ per file (rows − nulls), zero files opened
+      val c = spark.table("graft.lake.nc").agg(count(col("s")).as("n"))
+      assertAggPushed(c)
+      assert(c.collect()(0).getLong(0) == 95L)
+      // IS NULL opens only the one file that recorded nulls > 0
+      val nulls = spark.table("graft.lake.nc").filter(col("s").isNull)
+      val plan = ranPlan(nulls)
+      assert(skippedOf(plan) == 3, s"expected 3 zero-null files skipped:\n$plan")
+      assert(nulls.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 5L, 10L, 15L, 20L))
+      // composes with the partition rollup machinery: per-group count(col)
+      // still sums (rows − nulls) — and a deleted ledger degrades to a
+      // full scan with identical answers, never a guess
+      Files.deleteIfExists(LakeSinkStats.statsPath(s"$lake/nc"))
+      val c2 = spark.table("graft.lake.nc").agg(count(col("s")).as("n"))
+      assert(!c2.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+        "no stats ledger -> count(col) must fall back to scanning")
+      assert(c2.collect()(0).getLong(0) == 95L)
+      val n2 = spark.table("graft.lake.nc").filter(col("s").isNull)
+      assert(skippedOf(ranPlan(n2)) == 0)
+      assert(n2.count() == 5L)
+    }
+  }
+
   test("deleting the stats ledger disables skipping and min/max, never correctness") {
     withLake { lake =>
       import spark.implicits._

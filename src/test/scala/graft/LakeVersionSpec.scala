@@ -292,6 +292,148 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  // --- optimistic concurrency (round-10) -------------------------------------
+
+  /** Every live committed data file of a lake table, absolute paths. */
+  private def dataFiles(path: String): Seq[String] = {
+    val root = Paths.get(path)
+    val it = Files.walk(root).iterator()
+    var out = List.empty[String]
+    while (it.hasNext) {
+      val p = it.next(); val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
+          && !p.startsWith(LakeSinkFiles.stagingDir(path))
+          && !p.startsWith(LakeSinkFiles.retiredDir(path))) out ::= p.toString
+    }
+    out.sorted
+  }
+
+  test("concurrent committers reserve DISTINCT versions — no record silently overwritten") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.cc").create() // v1
+      val path = s"$lake/cc"
+      val n = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      try {
+        val futs = (1 to n).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = { start.await(); ids.add(LakeSinkFiles.recordVersion(path)); () }
+          })
+        }
+        start.countDown()
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      val got = ids.asScala.toSeq.sorted
+      assert(got == (2L to n + 1L), s"expected $n distinct reserved ids, got $got")
+      assert(LakeSinkFiles.listVersions(path) == (1L to n + 1L),
+        "every committer's record must survive — the probe-then-move race lost these")
+      (1L to n + 1L).foreach { v =>
+        val (_, _, fs) = LakeSinkFiles.readVersion(path, v)
+        assert(fs.nonEmpty, s"version $v record must be complete")
+      }
+    }
+  }
+
+  test("two GENUINELY concurrent batch appenders: both data sets land, both versions survive") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.cw").create() // v1
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      try {
+        val futs = Seq(1, 2).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              start.await()
+              threeRows(t).write.format("graft.sources.LakeSink")
+                .mode("append").save(s"$lake/cw")
+            }
+          })
+        }
+        start.countDown()
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      assert(canon(spark.table("graft.lake.cw")) ==
+        canon(threeRows(0).unionAll(threeRows(1)).unionAll(threeRows(2))),
+        "no appender's rows may be lost")
+      val vs = LakeSinkFiles.listVersions(s"$lake/cw")
+      assert(vs == Seq(1L, 2L, 3L),
+        s"both committers' version records must survive with distinct ids: $vs")
+      assert(spark.table("graft.lake.cw.history").count() == 3,
+        ".history must show all three commits")
+    }
+  }
+
+  test("a STALE row-level rewrite aborts loudly BEFORE mutating (commit conflict detection)") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.st").create() // v1
+      threeRows(1).writeTo("graft.lake.st").append() // v2 — ≥2 files now
+      val path = s"$lake/st"
+      // a row-level operation records its planned group set NOW…
+      val stale = dataFiles(path)
+      assert(stale.size >= 2, s"precondition: multiple committed files, got $stale")
+      // …then a concurrent compaction rewrites exactly those files (v3)
+      val (_, fin, fout) = LakeMaintenance.compact(spark, path)
+      assert(fin == stale.size && fout == 1)
+      val before = canon(spark.table("graft.lake.st"))
+      val vsBefore = LakeSinkFiles.listVersions(path)
+      val filesBefore = dataFiles(path)
+      // the stale operation's commit must detect the conflict and abort
+      // loudly with ZERO mutations — silently skipping the vanished
+      // originals would duplicate every row it meant to replace
+      val w = new graft.sources.LakeSinkReplaceBatchWrite(
+        spark.table("graft.lake.st").schema, path, Seq.empty, "stale", () => stale)
+      val e = intercept[java.util.ConcurrentModificationException](
+        w.commit(Array.empty))
+      assert(e.getMessage.contains("conflict"), e.getMessage)
+      assert(canon(spark.table("graft.lake.st")) == before, "table must be untouched")
+      assert(LakeSinkFiles.listVersions(path) == vsBefore, "no version recorded")
+      assert(dataFiles(path) == filesBefore, "file set unchanged — zero lost files")
+    }
+  }
+
+  test("retired-name collision refuses loudly; the first retired bytes are preserved") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.rx").create()
+      val path = s"$lake/rx"
+      val f = dataFiles(path).head
+      val rel = Paths.get(path).relativize(Paths.get(f))
+      val orig = Files.readAllBytes(Paths.get(f))
+      LakeSinkFiles.retire(path, Seq(f))
+      // adversarially re-create the SAME relative name live, then retire it
+      Files.write(Paths.get(f), "impostor".getBytes)
+      val e = intercept[IllegalStateException](LakeSinkFiles.retire(path, Seq(f)))
+      assert(e.getMessage.contains("collision"), e.getMessage)
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(LakeSinkFiles.retiredDir(path).resolve(rel)), orig),
+        "overwriting the first retired bytes would corrupt VERSION AS OF reads")
+    }
+  }
+
+  test("an unfinished version reservation is invisible to readers and skipped by committers") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.rv").create() // v1
+      val path = s"$lake/rv"
+      // simulate a committer that crashed between reservation and record
+      Files.createFile(LakeSinkFiles.versionsDir(path).resolve("v000000002"))
+      assert(LakeSinkFiles.listVersions(path) == Seq(1L),
+        "an empty reservation is not readable history")
+      val e = intercept[Exception](LakeSinkFiles.readVersion(path, 2L))
+      assert(e.getMessage.contains("reservation"), e.getMessage)
+      // the next commit reserves PAST the crashed hole
+      threeRows(1).writeTo("graft.lake.rv").append()
+      assert(LakeSinkFiles.listVersions(path) == Seq(1L, 3L))
+      assert(spark.table("graft.lake.rv").count() == 6)
+      // vacuum sweeps the garbage reservation
+      LakeMaintenance.vacuum(path)
+      assert(!Files.exists(LakeSinkFiles.versionsDir(path).resolve("v000000002")),
+        "vacuum must reclaim crashed reservations")
+      assert(LakeSinkFiles.listVersions(path) == Seq(3L))
+    }
+  }
+
   test("truncating overwrite is a version transition: pre-truncate snapshot readable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tr").create() // v1

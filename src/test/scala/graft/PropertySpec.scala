@@ -235,16 +235,25 @@ class PropertySpec extends GraftSpec {
       t <- Gen.option(statStrGen)
     } yield (l, d, t))
 
-  /** Feed one column's values through a fresh tracker array. */
+  /** Feed one column's values through a fresh tracker array (nulls go
+    * through nullSeen — exactly the writer's loop). */
   private def trackedBlob(rows: Seq[(Option[Long], Option[Double], Option[String])]): String = {
     val ts = LakeSinkStats.trackers(statSchema)
     rows.foreach { case (l, d, t) =>
       val row = new GenericInternalRow(Array[Any](
         l.map(Long.box).orNull, d.map(Double.box).orNull,
         t.map(UTF8String.fromString).orNull))
-      (0 to 2).foreach(i => if (!row.isNullAt(i)) ts(i).get.update(row, i))
+      (0 to 2).foreach(i =>
+        if (row.isNullAt(i)) ts(i).get.nullSeen() else ts(i).get.update(row, i))
     }
     LakeSinkStats.blobOf(ts)
+  }
+
+  private def nullCountOf(rows: Seq[(Option[Long], Option[Double], Option[String])],
+      c: String): Long = c match {
+    case "l" => rows.count(_._1.isEmpty).toLong
+    case "d" => rows.count(_._2.isEmpty).toLong
+    case "s" => rows.count(_._3.isEmpty).toLong
   }
 
   private def expectedBounds(rows: Seq[(Option[Long], Option[Double], Option[String])])
@@ -271,12 +280,15 @@ class PropertySpec extends GraftSpec {
       val fs = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").zip(expectedBounds(rows)).foreach { case (c, want) =>
         fs.get(c) match {
-          case Some(Some((lo, hi))) =>
+          case Some(LakeSinkStats.ColStat(n, Some((lo, hi)))) =>
             val Some((wl, wh)) = want
             assert(LakeSinkStats.cmp(lo, wl) == 0 && LakeSinkStats.cmp(hi, wh) == 0,
               s"$c: got [$lo,$hi] want [$wl,$wh]")
-          case Some(None) => assert(want.isEmpty, s"$c: all-null marker but values exist")
-          case None       => fail(s"$c: column missing from blob")
+            assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
+          case Some(LakeSinkStats.ColStat(n, None)) =>
+            assert(want.isEmpty, s"$c: all-null marker but values exist")
+            assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
+          case None => fail(s"$c: column missing from blob")
         }
       }
     }
@@ -291,14 +303,50 @@ class PropertySpec extends GraftSpec {
       val whole = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").foreach { c =>
         (merged.get(c), whole.get(c)) match {
-          case (Some(Some((ml, mh))), Some(Some((wl, wh)))) =>
+          case (Some(LakeSinkStats.ColStat(mn, Some((ml, mh)))),
+                Some(LakeSinkStats.ColStat(wn, Some((wl, wh))))) =>
             assert(LakeSinkStats.cmp(ml, wl) == 0 && LakeSinkStats.cmp(mh, wh) == 0,
               s"$c: merged [$ml,$mh] vs whole [$wl,$wh]")
-          case (m, w) => assert(m.map(_.isEmpty) == w.map(_.isEmpty),
+            assert(mn == wn, s"$c: merged null count $mn vs whole $wn (sum law)")
+          case (m, w) => assert(m.map(_.bounds.isEmpty) == w.map(_.bounds.isEmpty) &&
+            m.flatMap(_.nulls) == w.flatMap(_.nulls),
             s"$c: merged $m vs whole $w")
         }
       }
     }
+  }
+
+  test("mayMatch treats signed zeros as equal (Spark IEEE == semantics)") {
+    import org.apache.spark.sql.sources._
+    // Spark evaluates d = -0.0 with IEEE ==, where -0.0 == 0.0 — a file
+    // whose tracked bounds are [0.0, 0.0] MUST stay; raw Double.compare
+    // would order -0.0 < lo and prune it (silent row loss)
+    val posZero = Some(LakeSinkStats.decode(
+      trackedBlob(Seq((None, Some(0.0), None))), statSchema))
+    val negZero = Some(LakeSinkStats.decode(
+      trackedBlob(Seq((None, Some(-0.0), None))), statSchema))
+    assert(LakeSinkStats.mayMatch(posZero, statSchema, EqualTo("d", -0.0)),
+      "d = -0.0 must keep a file with bounds [0.0, 0.0]")
+    assert(LakeSinkStats.mayMatch(negZero, statSchema, EqualTo("d", 0.0)),
+      "d = 0.0 must keep a file with bounds [-0.0, -0.0]")
+    assert(LakeSinkStats.mayMatch(negZero, statSchema, GreaterThanOrEqual("d", 0.0)))
+    assert(LakeSinkStats.mayMatch(posZero, statSchema, LessThanOrEqual("d", -0.0)))
+    // and the comparator itself is Spark's (SQLOrderingUtil.compareDoubles)
+    assert(LakeSinkStats.cmp(Double.box(-0.0), Double.box(0.0)) == 0)
+    assert(LakeSinkStats.cmp(Double.box(Double.NaN), Double.box(Double.NaN)) == 0)
+    assert(LakeSinkStats.cmp(Double.box(1.0), Double.box(Double.NaN)) < 0)
+  }
+
+  test("streaming offset json round-trips paths with whitespace/control chars") {
+    // jsonEscape emits \n/\r/\t/\uXXXX — fromJson must invert ALL of them
+    // or a checkpointed offset stops matching committed() paths
+    val nasty = Seq("/lake/plain/part-e0-0.json.gz",
+      "/lake/with space/part \n tab\t\r.json.gz",
+      "/lake/ctl/quote\"back\\slash.json.gz")
+    val off = graft.sources.LakeSinkOffset(nasty)
+    assert(graft.sources.LakeSinkOffset.fromJson(off.json()).files == nasty)
+    assert(graft.sources.LakeSinkOffset.fromJson(
+      graft.sources.LakeSinkOffset(Seq.empty).json()).files.isEmpty)
   }
 
   test("property: mayMatch is SOUND — a skipped file truly has no matching value") {
@@ -332,6 +380,10 @@ class PropertySpec extends GraftSpec {
               s"UNSOUND SKIP: $f pruned a file containing a matching value " +
                 s"(values=${colVals(c).take(5)}...)")
         }
+        // IsNull soundness: a skip proves the file holds ZERO nulls
+        if (!LakeSinkStats.mayMatch(fs, statSchema, IsNull(c)))
+          assert(nullCountOf(rows, c) == 0L,
+            s"UNSOUND SKIP: IsNull($c) pruned a file containing nulls")
       }
     }
   }
