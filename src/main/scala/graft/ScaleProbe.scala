@@ -65,10 +65,15 @@ object ScaleProbe {
       // 3.40 quadratic-by-design, e14 0.20, d26 0.70, e15 0.78, d25
       // 0.79, e16 0.91, ml07 −0.13, ml08 0.27, d32 0.45, d31 0.88,
       // s04 0.05, e31 0.89, ml27 0.21 — are recorded in CLAUDE.md.)
-      ("d55_snm_audit", Seq(1, 4), operators.TextOps.d55SnmAudit),
-      ("d56_snm_audit_sample", Seq(1, 4), operators.TextOps.d56SnmAuditSample))
+      ("d55_snm_audit", Seq(1, 4), operators.TextOps.d55SnmAudit _),
+      ("d56_snm_audit_sample", Seq(1, 4), operators.TextOps.d56SnmAuditSample _))
 
-    val factors = queries.flatMap(_._2).distinct.sorted
+    // optional extra args narrow the probe to named queries
+    val selected = queries.filter { case (name, _, _) =>
+      args.length < 2 || args.drop(1).contains(name)
+    }
+
+    val factors = selected.flatMap(_._2).distinct.sorted
     factors.foreach { f =>
       replicate(spark, base, f, s"$out/x$f")
       Console.err.println(s"generated x$f")
@@ -85,7 +90,7 @@ object ScaleProbe {
       }.min
 
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    val rows = queries.map { case (name, fs, fn) =>
+    val rows = selected.map { case (name, fs, fn) =>
       val times = fs.map(f => f -> time(fn, s"$out/x$f"))
       val (f1, t1) = times.head
       val (fN, tN) = times.last

@@ -2083,7 +2083,88 @@ object Telemetry {
        UNION ALL SELECT 'min_v', min(v) FROM tw
        ORDER BY metric"""
 
+  /** t50 — MERGE-ON-READ row-level DELETE under the differential
+    * ([[graft.sources.LakeSinkDeltaDeleteOperation]] r10: positional
+    * delete VECTORS, the Iceberg positional-delete / Delta
+    * deletion-vector tier): the twin is CTAS'd id-range-clustered into 8
+    * files, a non-partition DELETE (`id % 97 = 3` — rows in EVERY file)
+    * runs as a delta write that records (file, position) pairs in the
+    * vector ledger WITHOUT rewriting a single data file (LakeVersionSpec
+    * pins same-files-same-bytes), and the read-back — the vector-filtered
+    * scan — must hash-equal DuckDB evaluating the same predicate on the
+    * generator arithmetic. The scan-side vector cursor is what's under
+    * test: ~103 hidden rows scattered across all 8 files.
+    *
+    * Scale shape: the DELETE writes O(deleted) ledger bytes + one
+    * version record (no write amplification); reads pay one sorted-
+    * cursor check per scanned row of affected files until compaction
+    * materializes. */
+  def t50MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t50")
+    val _ = lakeRoot
+    val t = twin(s)
+    t.repartitionByRange(8, col("id")).writeTo("graft_t50.lake.t50").create() // v1
+    s.sql("DELETE FROM graft_t50.lake.t50 WHERE id % 97 = 3") // v2: vectors only
+    s.table("graft_t50.lake.t50")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t50Sql: String =
+    s"""SELECT * FROM ($twinSql) WHERE NOT (id % 97 = 3) ORDER BY id"""
+
+  /** t51 — STREAMING UPSERT into a lake table (the canonical CDC
+    * pattern: `foreachBatch` + SQL MERGE — Delta's streaming-upsert
+    * recipe, run against THIS connector's row-level-operation tier): the
+    * telemetry stream drains in 4 AvailableNow micro-batches, each batch
+    * MERGEs on `key = id mod 4000` (consecutive 2500-row batches keep
+    * source keys unique per MERGE, later epochs overwrite earlier ones),
+    * so the final table is last-writer-wins per key — which the oracle
+    * restates as the max-id row per key over the generator arithmetic.
+    * Streaming admission, epoch ordering, catalog resolution inside
+    * foreachBatch, and 4 sequential copy-on-write MERGE commits all sit
+    * under one hash check.
+    *
+    * Scale shape: each MERGE rewrites only the group files its batch's
+    * keys touch; the stream side is bounded per epoch by admission
+    * control — the standard continuous-ingest upsert topology. */
+  def t51StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t51")
+    val _ = lakeRoot
+    val t = twin(s)
+    s.sql(s"CREATE TABLE graft_t51.lake.t51 (${t.schema.toDDL}, key BIGINT)")
+    val q = s.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", TwinRows.toString).option("rowsPerBatch", "2500").load()
+      .withColumn("key", col("id") % 4000)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("graft_t51_src")
+        batch.sparkSession.sql(
+          """MERGE INTO graft_t51.lake.t51 t USING graft_t51_src s
+             ON t.key = s.key
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_t51.lake.t51")
+      .select((Seq("key") ++ t.schema.fieldNames).map(col): _*)
+      .orderBy(col("key"))
+  }
+
+  val t51Sql: String =
+    s"""WITH tw AS (SELECT *, id % 4000 AS key FROM ($twinSql)),
+       m AS (SELECT key, max(id) AS id FROM tw GROUP BY key)
+       SELECT t.key, t.id, t.ts, t.machine_id, t.is_anomaly,
+         t.temperature, t.vibration
+       FROM tw t JOIN m ON t.key = m.key AND t.id = m.id
+       ORDER BY t.key"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t51_stream_upsert" -> (t51StreamUpsert _),
+    "t50_mor_delete" -> (t50MorDelete _),
     "t49_null_ledger" -> (t49NullLedger _),
     "t48_meta_partitions" -> (t48MetaPartitions _),
     "t47_dynamic_overwrite" -> (t47DynamicOverwrite _),
@@ -2130,6 +2211,8 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t51_stream_upsert" -> t51Sql,
+    "t50_mor_delete" -> t50Sql,
     "t49_null_ledger" -> t49Sql,
     "t48_meta_partitions" -> t48Sql,
     "t47_dynamic_overwrite" -> t47Sql,

@@ -585,14 +585,14 @@ object TextOps {
     * quadratic truth graph's cost (∝ sample²) — stays ~constant as the
     * corpus grows. Defined ABOVE every val that interpolates it
     * (object-init order — the e09 lesson: a later constant reads as 0). */
-  private val SnmSampleBudget = 15000L
+  private val SnmSampleBudget = 1250L
 
   /** d56 — the SCALE-SAFE form of d55's SNM audit: precision/recall/F1
     * estimated from a deterministic hash-gated document sample with an
     * ADAPTIVE rate (r10): the gate is `h60(doc_id) mod M = 0` with
-    * M = ⌈N / 15000⌉ computed IN-PLAN from the corpus count (identical
+    * M = ⌈N / 1250⌉ computed IN-PLAN from the corpus count (identical
     * integer arithmetic in both engines — `div`/`//`), so the expected
-    * sample stays ~15k docs at ANY corpus size and the audit's quadratic
+    * sample stays ~1250 docs at ANY corpus size and the audit's quadratic
     * member — the exact Jaccard truth graph, built only WITHIN the
     * sample — costs ~budget² regardless of N (at sf0.1 M=4, exactly the
     * old fixed 25% gate; at ×4 the gate tightens to 1/16 and the

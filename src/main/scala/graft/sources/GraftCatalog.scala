@@ -206,7 +206,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"(available: ${LakeSinkFiles.listVersions(dir).mkString(",")})") }
     val (schema, partCols, files) = LakeSinkFiles.readVersion(dir, v)
     new LakeSinkSnapshotTable(schema, dir, partCols, files, v,
-      s"$catalogName.lake.${ident.name()}")
+      s"$catalogName.lake.${ident.name()}",
+      deletes = LakeSinkFiles.readVersionDeletes(dir, v))
   }
 
   /** `TIMESTAMP AS OF <ts>` — greatest version committed at or before the
@@ -220,7 +221,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${LakeSinkFiles.listVersions(dir).headOption.getOrElse("none")})"))
     val (schema, partCols, files) = LakeSinkFiles.readVersion(dir, v)
     new LakeSinkSnapshotTable(schema, dir, partCols, files, v,
-      s"$catalogName.lake.${ident.name()}")
+      s"$catalogName.lake.${ident.name()}",
+      deletes = LakeSinkFiles.readVersionDeletes(dir, v))
   }
 
   private def lakeSnapshotDir(ident: Identifier): String = {

@@ -56,12 +56,15 @@ private[graft] object LakeMetadataTables {
       case "files" =>
         val counts = LakeSinkFiles.readCounts(path)
         val stats = LakeSinkStats.readBlobs(path)
+        val dels = LakeSinkDeletes.read(path)
         LakeSinkPartitions.listCommitted(path, partCols).map { case (p, _) =>
           val rel = root.relativize(p).toString
           Array[Any](
             UTF8String.fromString(rel),
             UTF8String.fromString(partOf(rel)),
-            counts.get(rel).map(java.lang.Long.valueOf).orNull,
+            // LIVE rows: ledger count minus the delete vector
+            counts.get(rel).map(n => java.lang.Long.valueOf(
+              n - dels.get(rel).map(_.length.toLong).getOrElse(0L))).orNull,
             java.lang.Long.valueOf(Files.size(p)),
             java.lang.Boolean.valueOf(stats.contains(rel)))
         }.sortBy(_(0).toString)
@@ -77,11 +80,13 @@ private[graft] object LakeMetadataTables {
         }
       case "partitions" =>
         val counts = LakeSinkFiles.readCounts(path)
+        val dels = LakeSinkDeletes.read(path)
         LakeSinkPartitions.listCommitted(path, partCols)
           .map { case (p, _) => root.relativize(p).toString }
           .groupBy(partOf).toSeq.sortBy(_._1)
           .map { case (part, rels) =>
-            val cs = rels.map(counts.get)
+            val cs = rels.map(rel => counts.get(rel)
+              .map(_ - dels.get(rel).map(_.length.toLong).getOrElse(0L)))
             Array[Any](
               UTF8String.fromString(part),
               java.lang.Long.valueOf(rels.size.toLong),

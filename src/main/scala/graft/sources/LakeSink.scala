@@ -85,8 +85,14 @@ class LakeSink extends TableProvider {
         val rels = Option(properties.get("snapshotFiles"))
           .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
           .getOrElse(files)
+        // CDF delete-leg mode: restrict the read to exactly the listed
+        // (file, position) rows — see LakeVersions.changes
+        val includes = Option(properties.get("includePositions"))
+          .map(LakeSinkDeletes.parse).getOrElse(Map.empty[String, Array[Long]])
         new LakeSinkSnapshotTable(sch, path, partCols, rels, v,
-          s"graft_lake_sink($path)")
+          s"graft_lake_sink($path)",
+          deletes = LakeSinkFiles.readVersionDeletes(path, v),
+          includePositions = includes)
       case None =>
         new LakeSinkTable(schema, path,
           Option(properties.get("partitionCols")).map(_.split(",").map(_.trim)
@@ -184,6 +190,28 @@ private[graft] object LakeSinkTable {
     * (queryable as `SELECT _file FROM …`; load-bearing for row-level
     * operations — see [[LakeSinkRowLevelOperation]]). */
   val FileMetaCol = "_file"
+  /** Hidden metadata column: the row's PHYSICAL position (line index) in
+    * its file — stable across delete vectors (positions of deleted rows
+    * are never re-used), so (_file, _pos) is a durable row id: the
+    * rowId of the merge-on-read DELETE path and the address the CDF's
+    * row-level delete legs replay. */
+  val PosMetaCol = "_pos"
+
+  private[sources] def metaCols():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = FileMetaCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "committed lake file holding this row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = PosMetaCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row position (line index) in _file"
+      })
 }
 
 private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
@@ -207,21 +235,31 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
 
   override def metadataColumns():
       Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = LakeSinkTable.FileMetaCol
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "committed lake file holding this row"
-    })
+    LakeSinkTable.metaCols()
 
-  /** MERGE INTO / UPDATE / row-level DELETE via group-based ReplaceData
-    * (see [[LakeSinkRowLevelOperation]]); partition-equality DELETEs
-    * still take [[canDeleteWhere]]'s metadata-only path. */
+  /** Row-level operations, two tiers: DELETE always runs MERGE-ON-READ
+    * (delta-based — [[LakeSinkDeltaOperation]] records positional delete
+    * vectors, no file is rewritten — strictly better: a DELETE has no
+    * insert leg). MERGE INTO / UPDATE default to group-based
+    * copy-on-write ReplaceData ([[LakeSinkRowLevelOperation]] — best for
+    * matched-heavy rewrites) and switch to merge-on-read (vectors + a
+    * small delta file of new rows — best for point updates) under
+    * `spark.graft.lake.dml.mode = mor`, the Iceberg
+    * write.update-mode/write.merge-mode role as a session conf.
+    * Partition-equality DELETEs still take [[canDeleteWhere]]'s
+    * metadata-only path first. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        new LakeSinkRowLevelOperation(writeSchema, path, partCols, info.command())
+      override def build(): RowLevelOperation = {
+        val mor = info.command() == RowLevelOperation.Command.DELETE ||
+          org.apache.spark.sql.SparkSession.active.conf
+            .get("spark.graft.lake.dml.mode", "cow") == "mor"
+        if (mor)
+          new LakeSinkDeltaOperation(writeSchema, path, partCols, info.command())
+        else
+          new LakeSinkRowLevelOperation(writeSchema, path, partCols, info.command())
+      }
     }
 
   /** Partition-level metadata DELETE (the Iceberg/Hive `DROP PARTITION`
@@ -613,6 +651,7 @@ private[graft] object LakeSinkFiles {
     }
     updateCounts(path, Map.empty, retired.toSeq) // ledgers track LIVE files only
     LakeSinkStats.updateBlobs(path, Map.empty, retired.toSeq)
+    LakeSinkDeletes.update(path, Map.empty, retired.toSeq)
   }
 
   /** Conflict detection for commits whose retire set was planned EARLIER
@@ -699,8 +738,13 @@ private[graft] object LakeSinkFiles {
       .map { case (p, _) => root.relativize(p).toString }.sorted
     val dir = versionsDir(path)
     Files.createDirectories(dir)
+    // snapshot the delete-vector ledger INTO the record: `VERSION AS OF`
+    // must apply exactly the vectors of its commit (a later merge-on-read
+    // DELETE mutates the live ledger, not history)
+    val delBody = LakeSinkDeletes.serialize(LakeSinkDeletes.read(path))
     val json = s"""{"schema":"${LakeSink.jsonEscape(schema.toDDL)}"""" +
       s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"""" +
+      s""","deletes":"${LakeSink.jsonEscape(delBody)}"""" +
       s""","files":"${LakeSink.jsonEscape(rels.mkString("\n"))}"}"""
     val tmp = dir.resolve(s".v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -728,6 +772,16 @@ private[graft] object LakeSinkFiles {
     val files = jsonField(json, "files", where)
       .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     (schema, parts, files)
+  }
+
+  /** A recorded version's delete-vector snapshot (empty for records
+    * written before merge-on-read deletes existed). */
+  def readVersionDeletes(path: String, v: Long): Map[String, Array[Long]] = {
+    val p = versionsDir(path).resolve(versionName(v))
+    if (!Files.isRegularFile(p) || Files.size(p) == 0) return Map.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (!json.contains(""""deletes":"""")) Map.empty // legacy record
+    else LakeSinkDeletes.parse(jsonField(json, "deletes", s"version record $p"))
   }
 
   /** Greatest recorded version whose commit instant is ≤ `micros` (file

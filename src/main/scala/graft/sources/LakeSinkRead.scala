@@ -35,7 +35,9 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     onPlanned: Seq[String] => Unit = _ => (),
     snapshot: Option[Seq[String]] = None,
     allowAgg: Boolean = true,
-    triggerLimits: (Option[Int], Option[Long]) = (None, None)) extends ScanBuilder
+    triggerLimits: (Option[Int], Option[Long]) = (None, None),
+    snapshotDeletes: Map[String, Array[Long]] = Map.empty,
+    includePositions: Map[String, Array[Long]] = Map.empty) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -127,9 +129,16 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
         .map { case (p, kvs) => (root.relativize(p).toString, kvs) }
     lazy val counts = LakeSinkFiles.readCounts(path)
     lazy val stats = LakeSinkStats.readBlobs(path)
+    // merge-on-read delete vectors: count(*) stays EXACT (subtract the
+    // vector sizes); min/max/count(col)/partition-value folds FALL BACK
+    // for any kept file carrying a vector — the recorded stats may
+    // describe deleted rows
+    lazy val dels = LakeSinkDeletes.read(path)
+    def hasVector(rels: Seq[String]): Boolean = rels.exists(dels.contains)
 
     def countOf(rels: Seq[String]): Option[Any] = {
-      val cs = rels.map(counts.get)
+      val cs = rels.map(rel => counts.get(rel)
+        .map(_ - dels.get(rel).map(_.length.toLong).getOrElse(0L)))
       if (cs.forall(_.isDefined)) Some(java.lang.Long.valueOf(cs.flatten.sum))
       else None
     }
@@ -139,6 +148,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       * (legacy entries without a null count ⇒ scan fallback, never a
       * guess). */
     def countColOf(rels: Seq[String], f: StructField): Option[Any] = {
+      if (hasVector(rels)) return None // deleted rows' null-ness unknown
       val per = rels.map { rel =>
         for {
           n <- counts.get(rel)
@@ -156,6 +166,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       * (all-null files record an empty interval and contribute nothing —
       * min/max ignore nulls). */
     def minmaxOf(rels: Seq[String], f: StructField, isMin: Boolean): Option[Any] = {
+      if (hasVector(rels)) return None // a bound's row may be deleted
       val entries = rels.map(rel => stats.get(rel)
         .flatMap(b => LakeSinkStats.decode(b, fullSchema).get(f.name)))
       if (entries.exists(_.isEmpty)) return None // some file unrecorded
@@ -183,6 +194,8 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       * directory values — no ledger needed, values are never null. */
     def partMinmaxOf(files: Seq[(String, Seq[(String, String)])],
         f: StructField, isMin: Boolean): Option[Any] = {
+      // a vector could hide every row of the boundary file
+      if (hasVector(files.map(_._1))) return None
       val vals = files.map { case (_, kvs) =>
         LakeSinkPartitions.dirToInternal(f.dataType,
           kvs.find(_._1 == f.name).getOrElse(return None)._2)
@@ -264,7 +277,8 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       new LakeSinkAggScan(path, partFilters, fnDesc, rows, schema)
     case None =>
       new LakeSinkScan(fullSchema, required, path, partCols, partFilters,
-        dataFilters, onPlanned, snapshot, triggerLimits)
+        dataFilters, onPlanned, snapshot, triggerLimits, snapshotDeletes,
+        includePositions)
   }
 }
 
@@ -387,7 +401,9 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     dataFilters: Array[Filter] = Array.empty,
     onPlanned: Seq[String] => Unit = _ => (),
     snapshot: Option[Seq[String]] = None,
-    triggerLimits: (Option[Int], Option[Long]) = (None, None))
+    triggerLimits: (Option[Int], Option[Long]) = (None, None),
+    snapshotDeletes: Map[String, Array[Long]] = Map.empty,
+    includePositions: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -501,8 +517,8 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     * joins with no hint. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val planned = planInputPartitions().flatMap {
-      case LakeSinkInputPartition(f, _) => Seq(Paths.get(f))
-      case g: LakeSinkGroupPartition    => g.files.toSeq.map(f => Paths.get(f.file))
+      case p: LakeSinkInputPartition => Seq(Paths.get(p.file))
+      case g: LakeSinkGroupPartition => g.files.toSeq.map(f => Paths.get(f.file))
     }
     private val bytes = planned.map(Files.size(_)).sum
     // EXACT row count from the commit-time ledger when every planned file
@@ -510,8 +526,12 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     // number a parquet footer would; empty when any file is unrecorded
     private val rows: java.util.OptionalLong = {
       val ledger = LakeSinkFiles.readCounts(path)
+      val dels = LakeSinkDeletes.read(path)
       val root = Paths.get(path)
-      val cs = planned.map(p => ledger.get(root.relativize(p).toString))
+      val cs = planned.map { p =>
+        val rel = root.relativize(p).toString
+        ledger.get(rel).map(_ - dels.get(rel).map(_.length.toLong).getOrElse(0L))
+      }
       if (cs.nonEmpty && cs.forall(_.isDefined))
         java.util.OptionalLong.of(cs.flatten.sum)
       else java.util.OptionalLong.empty()
@@ -551,6 +571,26 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     // row-level operations record the planned group (file) set — the
     // exact files a ReplaceData commit must swap out (last planning wins)
     onPlanned(taken.map(_._1.toString))
+    // merge-on-read delete vectors: live reads apply the CURRENT ledger,
+    // snapshot reads apply exactly their version's recorded vectors; in
+    // CDF delete-leg mode (includePositions) the read is restricted to
+    // the listed positions instead
+    val vecs: Map[String, Array[Long]] =
+      if (snapshot.isDefined) snapshotDeletes else LakeSinkDeletes.read(path)
+    val rootP = Paths.get(path)
+    val retiredP = LakeSinkFiles.retiredDir(path)
+    def relOf(p: Path): String =
+      (if (p.startsWith(retiredP)) retiredP.relativize(p)
+       else rootP.relativize(p)).toString
+    def mk(p: Path, kvs: Seq[(String, String)]): LakeSinkInputPartition = {
+      val rel = if (vecs.isEmpty && includePositions.isEmpty) "" else relOf(p)
+      if (includePositions.nonEmpty)
+        LakeSinkInputPartition(p.toString, kvs,
+          includeOnly = Some(includePositions.getOrElse(rel, Array.empty)))
+      else
+        LakeSinkInputPartition(p.toString, kvs,
+          deletes = vecs.getOrElse(rel, Array.empty))
+    }
     if (spjActive) {
       // one input partition per partition DIRECTORY, key = decoded values
       // in partCols order — the KeyGroupedPartitioning contract
@@ -560,14 +600,13 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
             s"LakeSink SPJ: file missing partition dir $c")))
       }.toSeq.sortBy(_._1.mkString("/")).map { case (vals, files) =>
         LakeSinkGroupPartition(
-          files.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs) }.toArray,
+          files.map { case (p, kvs) => mk(p, kvs) }.toArray,
           partCols.zip(vals).map { case (c, v) =>
             LakeSinkPartitions.dirToInternal(fullSchema(c).dataType, v) }.toArray)
           : InputPartition
       }.toArray
     } else
-      taken.map { case (p, kvs) => LakeSinkInputPartition(p.toString, kvs): InputPartition }
-        .toArray
+      taken.map { case (p, kvs) => mk(p, kvs): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -661,6 +700,11 @@ private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[LakeSinkOffset].files.toSet
     val fresh = end.asInstanceOf[LakeSinkOffset].files.filterNot(seen)
+    // vectors recorded BEFORE a file is admitted must apply (a row both
+    // written and vector-deleted before its batch must not surface);
+    // vectors landing AFTER admission are history the stream already
+    // emitted — the documented append-only streaming contract
+    val vecs = LakeSinkDeletes.read(path)
     fresh.map { f =>
       require(Files.isRegularFile(Paths.get(f)),
         s"LakeSink stream: committed file $f vanished mid-stream — " +
@@ -672,7 +716,8 @@ private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
           val eq = d.indexOf('=')
           if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
         }.filter { case (k, _) => partCols.contains(k) }
-      LakeSinkInputPartition(f, kvs): InputPartition
+      LakeSinkInputPartition(f, kvs,
+        deletes = vecs.getOrElse(rel.toString, Array.empty)): InputPartition
     }.toArray
   }
 
@@ -733,8 +778,13 @@ private[graft] object LakeSinkOffset {
   }
 }
 
+/** One committed file to scan. `deletes` = sorted physical positions a
+  * delete vector hides; `includeOnly` (CDF delete legs) restricts the
+  * read to exactly those sorted positions instead. */
 private[sources] case class LakeSinkInputPartition(file: String,
-    partValues: Seq[(String, String)]) extends InputPartition
+    partValues: Seq[(String, String)],
+    deletes: Array[Long] = Array.empty,
+    includeOnly: Option[Array[Long]] = None) extends InputPartition
 
 /** One partition DIRECTORY's files as a single input partition, carrying
   * the directory's decoded partition values as the DSv2 partition key —
@@ -751,7 +801,8 @@ private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: LakeSinkInputPartition =>
-        new LakeSinkPartitionReader(p.file, fullSchema, required, partCols, p.partValues)
+        new LakeSinkPartitionReader(p.file, fullSchema, required, partCols,
+          p.partValues, p.deletes, p.includeOnly)
       case g: LakeSinkGroupPartition =>
         // chain the directory's files sequentially in one task
         new PartitionReader[InternalRow] {
@@ -764,7 +815,8 @@ private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
               i += 1
               if (i >= g.files.length) return false
               cur = new LakeSinkPartitionReader(g.files(i).file, fullSchema,
-                required, partCols, g.files(i).partValues)
+                required, partCols, g.files(i).partValues, g.files(i).deletes,
+                g.files(i).includeOnly)
             }
             true
           }
@@ -782,7 +834,9 @@ private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
   * are materialized. */
 private[sources] class LakeSinkPartitionReader(file: String,
     fullSchema: StructType, required: StructType, partCols: Seq[String],
-    partValues: Seq[(String, String)]) extends PartitionReader[InternalRow] {
+    partValues: Seq[(String, String)],
+    deletes: Array[Long] = Array.empty,
+    includeOnly: Option[Array[Long]] = None) extends PartitionReader[InternalRow] {
 
   private val dataSchema = LakeSink.dataSchema(fullSchema, partCols)
   private val parser = new JsonLineParser(dataSchema)
@@ -802,9 +856,12 @@ private[sources] class LakeSinkPartitionReader(file: String,
   }.toMap
 
   // required field i ← Left(dataSchema position) | Right(constant: a
-  // partition value or the _file metadata column, both per-file)
+  // partition value or the _file metadata column, both per-file);
+  // PosSentinel marks the per-row _pos metadata column
+  private val PosSentinel = Left(-1)
   private val extract: Array[Either[Int, Any]] = required.fields.map { f =>
     if (f.name == LakeSinkTable.FileMetaCol) Right(UTF8String.fromString(file))
+    else if (f.name == LakeSinkTable.PosMetaCol) PosSentinel
     else if (partCols.contains(f.name)) Right(partTyped.getOrElse(f.name,
       throw new IllegalStateException(
         s"LakeSink read: partition column ${f.name} missing from ${file}'s path")))
@@ -815,8 +872,31 @@ private[sources] class LakeSinkPartitionReader(file: String,
     new GZIPInputStream(Files.newInputStream(Paths.get(file))),
     StandardCharsets.UTF_8))
   private var line: String = _
+  // physical position (line index) of the CURRENT row; delete vectors /
+  // include lists advance over it with sorted-cursor pointers
+  private var pos = -1L
+  private var delIdx = 0
+  private var incIdx = 0
 
-  override def next(): Boolean = { line = in.readLine(); line != null }
+  override def next(): Boolean = {
+    while (true) {
+      line = in.readLine()
+      if (line == null) return false
+      pos += 1
+      includeOnly match {
+        case Some(inc) =>
+          // CDF delete-leg mode: emit EXACTLY the listed positions
+          while (incIdx < inc.length && inc(incIdx) < pos) incIdx += 1
+          if (incIdx >= inc.length) return false // past the last wanted row
+          if (inc(incIdx) == pos) return true
+        case None =>
+          while (delIdx < deletes.length && deletes(delIdx) < pos) delIdx += 1
+          if (delIdx >= deletes.length || deletes(delIdx) != pos) return true
+        // else: vector hides this row — keep scanning
+      }
+    }
+    false // unreachable
+  }
 
   override def get(): InternalRow = {
     parser.parse(line, parsed)
@@ -824,6 +904,7 @@ private[sources] class LakeSinkPartitionReader(file: String,
     var i = 0
     while (i < extract.length) {
       vals(i) = extract(i) match {
+        case Left(-1) => java.lang.Long.valueOf(pos)
         case Left(j)  => parsed(j)
         case Right(v) => v
       }
@@ -923,6 +1004,142 @@ private[graft] class LakeSinkReplaceBatchWrite(schema: StructType,
       messages.collect { case c: LakeSinkCommit => c.staged }.toSeq.flatten)
     LakeSinkFiles.sweep(path, s"b$writeId")
   }
+}
+
+/** MERGE-ON-READ row-level DELETE (the delta-based `SupportsDelta` /
+  * WriteDelta tier — Iceberg positional delete files, Delta deletion
+  * vectors): Spark rewrites `DELETE FROM t WHERE …` into "scan the
+  * affected rows, hand the connector (operation, rowId) DELTAS", where
+  * this table's rowId is the durable physical address `(_file, _pos)`.
+  * The commit merges the collected positions into the delete-vector
+  * ledger ([[LakeSinkDeletes]]) and records a version — ZERO data files
+  * are rewritten; scans filter the vectors out until compaction
+  * materializes them. Partition-equality DELETEs never get here
+  * (SupportsDelete's metadata path wins); UPDATE/MERGE stay
+  * copy-on-write ([[LakeSinkRowLevelOperation]]).
+  *
+  * 100 TB story: a 1-row DELETE is O(1) ledger bytes + one version
+  * record instead of a whole-file rewrite — the write-amplification
+  * answer for point deletes; the read-side price (a sorted-cursor
+  * position check per scanned row of affected files) is bounded and
+  * reclaimed by the next compaction. */
+private[graft] class LakeSinkDeltaOperation(schema: StructType,
+    path: String, partCols: Seq[String], cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  // the files whose rows the operation's scan planned — validated live at
+  // commit (a concurrent compaction/rewrite invalidates the positions)
+  @volatile private var plannedFiles: Seq[String] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-lake-mor-$cmd path=$path"
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(LakeSinkTable.FileMetaCol),
+      Expressions.column(LakeSinkTable.PosMetaCol))
+  /** UPDATE/MERGE updates arrive as delete + insert pairs — the vector
+    * hides the old row, the new row lands in a delta-written file. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeSinkScanBuilder(schema, path, partCols,
+      onPlanned = fs => plannedFiles = fs, allowAgg = false)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        // validate insert-leg serializers at planning, like any write
+        // (a pure DELETE has no insert columns — nothing to validate)
+        if (info.schema().fields.nonEmpty)
+          LakeSink.serializers(LakeSink.dataSchema(info.schema(), partCols))
+        override def description(): String = s"graft-lake-delta path=$path"
+        override def toBatch: DeltaBatchWrite =
+          new LakeSinkDeltaBatchWrite(info.schema(), path, partCols,
+            java.util.UUID.randomUUID.toString.take(8), () => plannedFiles)
+      }
+    }
+}
+
+/** Delta commit message: the vectored (absolute file, position) pairs
+  * plus the ordinary staged-file message of the insert leg (if any). */
+private[graft] case class LakeSinkDeleteCommit(positions: Seq[(String, Long)],
+    inserts: Option[LakeSinkCommit] = None) extends WriterCommitMessage
+
+private[graft] class LakeSinkDeltaBatchWrite(schema: StructType, path: String,
+    partCols: Seq[String], writeId: String,
+    planned: () => Seq[String]) extends DeltaBatchWrite {
+  LakeSinkFiles.ensureDirs(path)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    // standalone factory: an anonymous inner class would drag this batch
+    // write (and its non-serializable planned-files closure) to executors
+    LakeSinkDeltaWriterFactory(schema, path, partCols, writeId)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // stale-plan conflict check BEFORE any mutation (same contract as
+    // ReplaceData): positions address files that must still be live
+    try LakeSinkFiles.requireAllLive(path, planned(), "merge-on-read DML")
+    catch { case e: java.util.ConcurrentModificationException =>
+      LakeSinkFiles.discard(path, messages.collect {
+        case d: LakeSinkDeleteCommit => d.inserts.toSeq.flatMap(_.staged) }.toSeq.flatten)
+      LakeSinkFiles.sweep(path, s"d$writeId")
+      throw e
+    }
+    val root = Paths.get(path)
+    val deltas = messages.collect { case d: LakeSinkDeleteCommit => d }.toSeq
+    val adds: Map[String, Seq[Long]] = deltas.flatMap(_.positions)
+      .groupBy(_._1)
+      .map { case (abs, ps) =>
+        root.relativize(Paths.get(abs)).toString -> ps.map(_._2)
+      }
+    val inserted = deltas.flatMap(_.inserts)
+    LakeSinkFiles.promote(path, inserted.flatMap(_.staged))
+    LakeSinkFiles.updateCounts(path, inserted.flatMap(_.counted).toMap, Seq.empty)
+    LakeSinkStats.updateBlobs(path, inserted.flatMap(_.statted).toMap, Seq.empty)
+    LakeSinkDeletes.update(path, adds, Seq.empty)
+    LakeSinkFiles.recordVersion(path)
+    Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    LakeSinkFiles.discard(path, messages.collect {
+      case d: LakeSinkDeleteCommit => d.inserts.toSeq.flatMap(_.staged) }.toSeq.flatten)
+    LakeSinkFiles.sweep(path, s"d$writeId")
+  }
+}
+
+private[sources] case class LakeSinkDeltaWriterFactory(schema: StructType,
+    path: String, partCols: Seq[String], writeId: String)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new LakeSinkDeltaWriter(schema, path, partCols,
+      fileName = s"part-d$writeId-$partitionId.json.gz",
+      attemptTag = s"d$writeId-$partitionId-a$taskId")
+}
+
+/** Task-side delta writer: buffers (absolute file, position) pairs of
+  * deleted rows; insert legs (UPDATE/MERGE under merge-on-read) stream
+  * through an ordinary staged data writer. Nothing is visible until the
+  * driver commit. */
+private[sources] class LakeSinkDeltaWriter(schema: StructType, path: String,
+    partCols: Seq[String], fileName: String, attemptTag: String)
+    extends DeltaWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private var dataWriter: LakeSinkDataWriter = _
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    buf += ((id.getUTF8String(0).toString, id.getLong(1)))
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "unreachable: representUpdateAsDeleteAndInsert splits updates")
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null)
+      dataWriter = new LakeSinkDataWriter(schema, path, partCols, fileName, attemptTag)
+    dataWriter.write(row)
+  }
+  override def commit(): WriterCommitMessage =
+    LakeSinkDeleteCommit(buf.toSeq,
+      if (dataWriter == null) None
+      else dataWriter.commit() match {
+        case c: LakeSinkCommit => Some(c)
+        case _                 => None
+      })
+  override def abort(): Unit = if (dataWriter != null) dataWriter.abort()
+  override def close(): Unit = if (dataWriter != null) dataWriter.close()
 }
 
 /** Minimal single-object JSON-lines scanner typed by the writer's own

@@ -27,7 +27,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * useful surface. */
 private[graft] class LakeSinkSnapshotTable(snapSchema: StructType, path: String,
     partCols: Seq[String], relFiles: Seq[String], version: Long,
-    tableName: String) extends Table with SupportsRead {
+    tableName: String,
+    deletes: Map[String, Array[Long]] = Map.empty,
+    includePositions: Map[String, Array[Long]] = Map.empty)
+    extends Table with SupportsRead {
   override def name(): String = s"$tableName@v$version"
   override def schema(): StructType = snapSchema
   override def partitioning(): Array[Transform] =
@@ -36,7 +39,8 @@ private[graft] class LakeSinkSnapshotTable(snapSchema: StructType, path: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSinkScanBuilder(schema, path, partCols, snapshot = Some(relFiles))
+    new LakeSinkScanBuilder(schema, path, partCols, snapshot = Some(relFiles),
+      snapshotDeletes = deletes, includePositions = includePositions)
 }
 
 /** Version-log read surfaces beyond plain time travel. */
@@ -73,10 +77,32 @@ object LakeVersions {
       .option("snapshotFiles", rels.mkString("\n"))
       .load(path)
     import org.apache.spark.sql.functions.lit
-    read(added, to).withColumn("_change_type", lit("insert"))
+    // merge-on-read legs: positions newly delete-vectored between the two
+    // versions in files BOTH versions share surface as ROW-level delete
+    // legs — the read replays exactly those (file, position) rows under
+    // `from`'s visibility (they were live there by construction), so the
+    // diff law stays exact without any file change
+    val delsFrom = LakeSinkFiles.readVersionDeletes(path, from)
+    val delsTo = LakeSinkFiles.readVersionDeletes(path, to)
+    val common = filesFrom.toSet.intersect(filesTo.toSet)
+    val newlyDeleted: Map[String, Array[Long]] = common.iterator.flatMap { rel =>
+      val before = delsFrom.getOrElse(rel, Array.empty[Long]).toSet
+      val nd = delsTo.getOrElse(rel, Array.empty[Long]).filterNot(before)
+      if (nd.isEmpty) None else Some(rel -> nd.sorted)
+    }.toMap
+    val base = read(added, to).withColumn("_change_type", lit("insert"))
       .unionByName(
         read(removed, from).withColumn("_change_type", lit("delete")),
         allowMissingColumns = true) // schema may have evolved between versions
+    if (newlyDeleted.isEmpty) base
+    else base.unionByName(
+      spark.read.format(classOf[LakeSink].getName)
+        .option("versionAsOf", from.toString)
+        .option("snapshotFiles", newlyDeleted.keys.toSeq.sorted.mkString("\n"))
+        .option("includePositions", LakeSinkDeletes.serialize(newlyDeleted))
+        .load(path)
+        .withColumn("_change_type", lit("delete")),
+      allowMissingColumns = true)
   }
 }
 
@@ -109,39 +135,94 @@ object LakeMaintenance {
     val (tblSchema, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
       throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
     val root = Paths.get(path)
+    // merge-on-read delete vectors MATERIALIZE here: a compacted group's
+    // survivors are line-filtered (position = line index in JSON-lines),
+    // so a single-file directory carrying a vector is also a compaction
+    // candidate — the rewrite reclaims the read-side filtering cost
+    val dels = LakeSinkDeletes.read(path)
     val groups = LakeSinkPartitions.listCommitted(path, partCols)
       .map { case (p, _) => root.relativize(p).toString }
       .groupBy(rel => Option(Paths.get(rel).getParent).map(_.toString).getOrElse(""))
-      .filter(_._2.size > 1)
+      .filter { case (_, rels) => rels.size > 1 || rels.exists(dels.contains) }
       .toSeq.sortBy(_._1)
     if (groups.isEmpty) return (0, 0, 0)
     LakeSinkFiles.ensureDirs(path)
     val tag = java.util.UUID.randomUUID.toString.take(8)
-    // one merge task per oversized partition directory
-    val staged = spark.sparkContext
+    val dataSchema = LakeSink.dataSchema(tblSchema, partCols)
+    // one merge task per compacted partition directory; a group whose
+    // originals carry delete vectors takes the MATERIALIZE path: survivor
+    // lines are copied AND re-parsed through fresh stats/count trackers,
+    // so the rewrite fully restores metadata pushdown (the ledgers of a
+    // vector-free group carry over arithmetically — no parse needed)
+    val staged: Seq[(String, Option[(Long, String)])] = spark.sparkContext
       .parallelize(groups.zipWithIndex, groups.size)
       .map { case ((dirRel, rels), i) =>
         val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
         val stagedRel = s"${prefix}part-c$tag-$i.json.gz"
         val out = LakeSinkFiles.stagingDir(path).resolve(s"$stagedRel.inprogress")
         Option(out.getParent).foreach(Files.createDirectories(_))
+        val materialize = rels.exists(dels.contains)
+        val trackers =
+          if (materialize) LakeSinkStats.trackers(dataSchema) else Array.empty[Option[LakeSinkStats.ColTracker]]
+        val parser = if (materialize) new JsonLineParser(dataSchema) else null
+        val parsed = new Array[Any](dataSchema.length)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(parsed)
+        var liveRows = 0L
         val os = new GZIPOutputStream(new BufferedOutputStream(
           new FileOutputStream(out.toFile)))
         try {
           val buf = new Array[Byte](1 << 16)
           rels.sorted.foreach { rel =>
-            val is = new GZIPInputStream(new BufferedInputStream(
-              Files.newInputStream(Paths.get(path).resolve(rel))))
-            try {
-              var n = is.read(buf)
-              while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = is.read(buf) }
-            } finally is.close()
+            if (materialize) {
+              val vec = dels.getOrElse(rel, Array.empty[Long])
+              val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+                new GZIPInputStream(new BufferedInputStream(
+                  Files.newInputStream(Paths.get(path).resolve(rel)))),
+                java.nio.charset.StandardCharsets.UTF_8))
+              try {
+                var pos = 0L
+                var di = 0
+                var line = in.readLine()
+                while (line != null) {
+                  while (di < vec.length && vec(di) < pos) di += 1
+                  if (di >= vec.length || vec(di) != pos) {
+                    os.write((line + "\n").getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8))
+                    liveRows += 1
+                    parser.parse(line, parsed)
+                    var c = 0
+                    while (c < trackers.length) {
+                      if (trackers(c).isDefined) {
+                        if (row.isNullAt(c)) trackers(c).get.nullSeen()
+                        else trackers(c).get.update(row, c)
+                      }
+                      c += 1
+                    }
+                  }
+                  pos += 1
+                  line = in.readLine()
+                }
+              } finally in.close()
+            } else { // fast path: verbatim gzip-member byte copy
+              val is = new GZIPInputStream(new BufferedInputStream(
+                Files.newInputStream(Paths.get(path).resolve(rel))))
+              try {
+                var n = is.read(buf)
+                while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = is.read(buf) }
+              } finally is.close()
+            }
           }
         } finally os.close()
         Files.move(out, LakeSinkFiles.stagingDir(path).resolve(stagedRel),
           StandardCopyOption.REPLACE_EXISTING)
-        stagedRel
+        (stagedRel,
+          if (materialize) Some((liveRows, LakeSinkStats.blobOf(trackers))) else None)
       }.collect().toSeq
+    val stagedNames = staged.map(_._1)
+    // fresh per-file metadata from the MATERIALIZE path (group had
+    // vectors): exact live-row count + re-derived stats blob
+    val fresh: Map[String, (Long, String)] =
+      staged.collect { case (n, Some(cs)) => n -> cs }.toMap
     // conflict check BEFORE any mutation: compaction's group listing is
     // minutes stale by now — if a concurrent commit (append never
     // conflicts; DML/another compaction does) rewrote any original,
@@ -149,39 +230,49 @@ object LakeMaintenance {
     try LakeSinkFiles.requireAllLive(path,
       groups.flatMap(_._2).map(rel => root.resolve(rel).toString), "compaction")
     catch { case e: java.util.ConcurrentModificationException =>
-      LakeSinkFiles.discard(path, staged)
+      LakeSinkFiles.discard(path, stagedNames)
       throw e
     }
-    LakeSinkFiles.promote(path, staged)
-    // merged row counts carry over: sum of the originals' ledger entries
-    // (omitted when any original is unrecorded — count(*) then falls back
-    // to scanning, never lies)
+    LakeSinkFiles.promote(path, stagedNames)
+    // merged row counts: a MATERIALIZED group records its exact recount;
+    // a vector-free group carries the sum of the originals' ledger
+    // entries (omitted when any original is unrecorded — count(*) then
+    // falls back to scanning, never lies)
     val ledger = LakeSinkFiles.readCounts(path)
     val mergedCounts = groups.zipWithIndex.flatMap { case ((dirRel, rels), i) =>
       val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
-      val cs = rels.map(ledger.get)
-      if (cs.forall(_.isDefined))
-        Some(s"${prefix}part-c$tag-$i.json.gz" -> cs.flatten.sum)
-      else None
+      val name = s"${prefix}part-c$tag-$i.json.gz"
+      fresh.get(name) match {
+        case Some((n, _)) => Some(name -> n)
+        case None =>
+          val cs = rels.map(ledger.get)
+          if (cs.forall(_.isDefined)) Some(name -> cs.flatten.sum) else None
+      }
     }.toMap
     LakeSinkFiles.updateCounts(path, mergedCounts, Seq.empty)
-    // merged column stats fold over: [lo, hi] = interval hull of the
-    // originals' intervals (dropped when any original is unrecorded —
-    // skipping/min-max then degrade, never lie)
+    // merged column stats: a MATERIALIZED group records the re-derived
+    // blob (metadata pushdown fully restored after the rewrite); a
+    // vector-free group folds the originals' interval hulls (dropped when
+    // any original is unrecorded — skipping/min-max then degrade, never
+    // lie)
     val statsLedger = LakeSinkStats.readBlobs(path)
     val mergedStats = groups.zipWithIndex.flatMap { case ((dirRel, rels), i) =>
       val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
-      val bs = rels.map(statsLedger.get)
-      if (bs.forall(_.isDefined))
-        Some(s"${prefix}part-c$tag-$i.json.gz" ->
-          LakeSinkStats.mergeBlobs(bs.flatten, tblSchema))
-      else None
+      val name = s"${prefix}part-c$tag-$i.json.gz"
+      fresh.get(name) match {
+        case Some((_, blob)) => Some(name -> blob)
+        case None =>
+          val bs = rels.map(statsLedger.get)
+          if (bs.forall(_.isDefined))
+            Some(name -> LakeSinkStats.mergeBlobs(bs.flatten, tblSchema))
+          else None
+      }
     }.toMap
     LakeSinkStats.updateBlobs(path, mergedStats, Seq.empty)
     LakeSinkFiles.retire(path, groups.flatMap(_._2).map(rel =>
       root.resolve(rel).toString))
     LakeSinkFiles.recordVersion(path)
-    (groups.size, groups.map(_._2.size).sum, staged.size)
+    (groups.size, groups.map(_._2.size).sum, stagedNames.size)
   }
 
   /** Z-ORDER rewrite (the Delta `OPTIMIZE … ZORDER BY` / Iceberg

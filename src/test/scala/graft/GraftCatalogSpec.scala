@@ -160,8 +160,9 @@ class GraftCatalogSpec extends GraftSpec {
       // the partition directory's committed files are physically gone
       assert(!Files.list(Paths.get(s"$lake/deltest/b=1")).iterator().hasNext ||
         !Files.exists(Paths.get(s"$lake/deltest/b=1")))
-      // a non-partition predicate takes the row-level ReplaceData path:
-      // exactly one row gone, the rest rewritten intact
+      // a non-partition predicate takes the MERGE-ON-READ path (r10):
+      // exactly one row hidden by a delete vector, nothing rewritten —
+      // LakeVersionSpec pins the zero-rewrite mechanics
       spark.sql("DELETE FROM graft.lake.deltest WHERE v = 5")
       val after = spark.table("graft.lake.deltest")
       assert(after.count() == 19)
@@ -390,8 +391,6 @@ class GraftCatalogSpec extends GraftSpec {
       def joined = spark.table("graft.lake.spjl").as("l")
         .join(spark.table("graft.lake.spjr").as("r"), Seq("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("n"), sum(col("b")).as("sb"))
-      // baseline: the ordinary shuffled plan's result
-      val expected = canon(joined)
       def shuffleCount(df: DataFrame): Int = {
         import org.apache.spark.sql.execution.SparkPlan
         import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -410,20 +409,25 @@ class GraftCatalogSpec extends GraftSpec {
         walk(df.queryExecution.executedPlan)
         n
       }
-      val before = shuffleCount(joined)
-      assert(before > 0, "precondition: the un-bucketed join must shuffle")
+      // hermetic conf: another suite may leave bucketing/broadcast state
+      // behind in the shared session — pin BOTH legs explicitly
+      val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
-        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-        // broadcast would bypass the SPJ path entirely on these tiny sides
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val expected = canon(joined) // baseline: the ordinary shuffled plan
+        assert(shuffleCount(joined) > 0, "precondition: the un-bucketed join must shuffle")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         val q = joined
         assert(shuffleCount(q) == 0,
           "same-partitioned lake tables must join/aggregate with ZERO exchanges:\n" +
             q.queryExecution.executedPlan.toString.take(1500))
         assert(canon(q) == expected, "the co-located plan must return identical rows")
       } finally {
-        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       }
     }
   }

@@ -89,12 +89,22 @@ class LakeStatsSpec extends GraftSpec {
         max(col("s")).as("smx"), count(lit(1)).as("n"))
       assertAggPushed(agg)
       assert(agg.collect()(0).toSeq == Seq(0L, 99L, 0.0, 49.5, "s99", 100L))
-      // a row-level DELETE rewrites groups; new files re-record stats
+      // a row-level DELETE is merge-on-read (r10): the file keeps its
+      // recorded bounds but carries a delete VECTOR, so min/max must
+      // FALL BACK to scanning (a pushed answer could name a deleted row)
+      // — values stay exact either way
       spark.sql("DELETE FROM graft.lake.mm WHERE id >= 90")
       val agg2 = spark.table("graft.lake.mm").agg(
         min(col("id")).as("mn"), max(col("id")).as("mx"))
-      assertAggPushed(agg2)
+      assert(!agg2.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+        "min/max over a vectored file must not answer from stale bounds")
       assert(agg2.collect()(0).toSeq == Seq(0L, 89L))
+      // compaction MATERIALIZES the vector: fresh stats, pushdown returns
+      LakeMaintenance.compact(spark, s"${spark.conf.get("spark.sql.catalog.graft.lake")}/mm")
+      val agg3 = spark.table("graft.lake.mm").agg(
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+      assertAggPushed(agg3)
+      assert(agg3.collect()(0).toSeq == Seq(0L, 89L))
       // data filter present -> not answerable from metadata, still correct
       val mixed = spark.table("graft.lake.mm").filter(col("id") < 50)
         .agg(max(col("id")).as("mx"))

@@ -434,6 +434,116 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("merge-on-read DELETE: zero rewrites, vector-adjusted metadata, CDF law, compaction materializes") {
+    import graft.sources.{LakeSinkDeletes, LakeVersions}
+    withLake { lake =>
+      import spark.implicits._
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.mor").create() // v1: 4 range files
+      val path = s"$lake/mor"
+      val filesBefore = dataFiles(path)
+      val bytesBefore = filesBefore.map(f => Files.readAllBytes(Paths.get(f)).toSeq)
+      spark.sql("DELETE FROM graft.lake.mor WHERE id = 42") // v2 — merge-on-read
+      // the 1-row DELETE rewrote NOTHING: same files, same bytes
+      assert(dataFiles(path) == filesBefore, "no file may be added or removed")
+      assert(filesBefore.map(f => Files.readAllBytes(Paths.get(f)).toSeq) == bytesBefore,
+        "a merge-on-read DELETE must not touch a data file")
+      assert(LakeSinkDeletes.read(path).values.map(_.length).sum == 1)
+      // the row is hidden from every live read
+      assert(spark.table("graft.lake.mor").count() == 99)
+      assert(spark.table("graft.lake.mor").filter(col("id") === 42).count() == 0)
+      // count(*) still answers from metadata, vector-adjusted
+      val c = spark.sql("SELECT count(*) AS n FROM graft.lake.mor")
+      assert(c.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+        "count(*) must stay a metadata answer under vectors")
+      assert(c.collect()(0).getLong(0) == 99L)
+      // time travel applies each version's OWN vectors
+      assert(spark.sql("SELECT * FROM graft.lake.mor VERSION AS OF 1").count() == 100)
+      assert(spark.sql("SELECT * FROM graft.lake.mor VERSION AS OF 2").count() == 99)
+      // CDF v1→v2: exactly the deleted ROW as a delete leg, zero inserts
+      val feed = LakeVersions.changes(spark, path, 1, 2)
+      assert(feed.filter(col("_change_type") === "insert").count() == 0)
+      val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+      assert(del.collect().map(_.getLong(0)).toSeq == Seq(42L),
+        "the change feed must replay exactly the vectored row")
+      // a second DELETE unions vectors across files
+      spark.sql("DELETE FROM graft.lake.mor WHERE id IN (7, 43)") // v3
+      assert(spark.table("graft.lake.mor").count() == 97)
+      val feed23 = LakeVersions.changes(spark, path, 2, 3)
+      assert(feed23.filter(col("_change_type") === "delete")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 43L))
+      // full diff law v1→v3 (vector legs only)
+      val v1 = canon(spark.sql("SELECT * FROM graft.lake.mor VERSION AS OF 1"))
+      val f13 = LakeVersions.changes(spark, path, 1, 3)
+      val dels13 = canon(f13.filter(col("_change_type") === "delete").drop("_change_type"))
+      assert(v1.diff(dels13).sorted == canon(spark.table("graft.lake.mor")),
+        "snapshot(1) − deletes ≡ snapshot(3)")
+      // compaction MATERIALIZES: vectors cleared, rows identical, and the
+      // rewritten file's fresh stats restore min/max pushdown
+      val live = canon(spark.table("graft.lake.mor"))
+      LakeMaintenance.compact(spark, path)
+      assert(canon(spark.table("graft.lake.mor")) == live,
+        "materialization must not change a visible row")
+      assert(LakeSinkDeletes.read(path).isEmpty, "vectors cleared by compaction")
+      val mm = spark.table("graft.lake.mor").agg(
+        min(col("id")).as("mn"), max(col("id")).as("mx"), count(lit(1)).as("n"))
+      assert(mm.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+        "re-derived stats must restore complete pushdown")
+      assert(mm.collect()(0).toSeq == Seq(0L, 99L, 97L))
+    }
+  }
+
+  test("merge-on-read UPDATE/MERGE (dml.mode=mor): vectors + delta files, no rewrite") {
+    import graft.sources.LakeSinkDeletes
+    withLake { lake =>
+      import spark.implicits._
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.moru").create() // v1
+      val path = s"$lake/moru"
+      val before = dataFiles(path)
+      val bytesBefore = before.map(f => Files.readAllBytes(Paths.get(f)).toSeq)
+      try {
+        spark.conf.set("spark.graft.lake.dml.mode", "mor")
+        spark.sql("UPDATE graft.lake.moru SET v = 'patched' WHERE id = 7") // v2
+        // originals untouched; exactly ONE new delta file with the new row
+        val after = dataFiles(path)
+        assert(after.filter(before.contains) == before, "no original removed")
+        assert(before.map(f => Files.readAllBytes(Paths.get(f)).toSeq) == bytesBefore,
+          "a merge-on-read UPDATE must not rewrite a data file")
+        val fresh = after.filterNot(before.contains)
+        assert(fresh.size == 1, s"one delta file expected, got $fresh")
+        assert(LakeSinkDeletes.read(path).values.map(_.length).sum == 1)
+        // semantics identical to copy-on-write
+        val t = spark.table("graft.lake.moru")
+        assert(t.count() == 100)
+        assert(t.filter(col("id") === 7).collect().map(_.getString(1)).toSeq ==
+          Seq("patched"))
+        assert(spark.sql("SELECT v FROM graft.lake.moru VERSION AS OF 1 WHERE id = 7")
+          .collect()(0).getString(0) == "v7", "pre-update snapshot intact")
+        // MERGE under mor: one matched update + one not-matched insert
+        Seq((13L, "merged"), (200L, "new")).toDF("id", "v")
+          .createOrReplaceTempView("graft_moru_src")
+        spark.sql("""MERGE INTO graft.lake.moru t USING graft_moru_src s
+                     ON t.id = s.id
+                     WHEN MATCHED THEN UPDATE SET v = s.v
+                     WHEN NOT MATCHED THEN INSERT *""") // v3
+        val t3 = spark.table("graft.lake.moru")
+        assert(t3.count() == 101)
+        assert(t3.filter(col("id").isin(7L, 13L, 200L))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+          Seq((7L, "patched"), (13L, "merged"), (200L, "new")))
+        assert(LakeSinkDeletes.read(path).values.map(_.length).sum == 2)
+        // compaction materializes everything; content stable
+        val live = canon(spark.table("graft.lake.moru"))
+        LakeMaintenance.compact(spark, path)
+        assert(canon(spark.table("graft.lake.moru")) == live)
+        assert(LakeSinkDeletes.read(path).isEmpty)
+      } finally spark.conf.unset("spark.graft.lake.dml.mode")
+    }
+  }
+
   test("truncating overwrite is a version transition: pre-truncate snapshot readable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tr").create() // v1
