@@ -494,6 +494,46 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("concurrent merge-on-read DELETEs: no commit loses another's vectors") {
+    import graft.sources.LakeSinkDeletes
+    withLake { lake =>
+      import spark.implicits._
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.cd").create() // v1
+      val path = s"$lake/cd"
+      // two genuinely concurrent delta commits on DISJOINT predicates —
+      // with a single read-modify-write ledger one side's vectors could
+      // vanish (deleted rows silently resurfacing); per-commit immutable
+      // delete files make the append path race-free
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      try {
+        val futs = Seq(3, 7).map { m =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              start.await()
+              spark.sql(s"DELETE FROM graft.lake.cd WHERE id % 10 = $m")
+            }
+          })
+        }
+        start.countDown()
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      assert(spark.table("graft.lake.cd").count() == 80L,
+        "both DELETEs' rows must stay hidden — a lost vector resurfaces rows")
+      assert(spark.table("graft.lake.cd")
+        .filter(col("id") % 10 === 3 || col("id") % 10 === 7).count() == 0L)
+      assert(LakeSinkDeletes.read(path).values.map(_.length).sum == 20)
+      assert(LakeSinkFiles.listVersions(path).size == 3,
+        "both delta commits must record their own version")
+      // count(*) metadata answer reflects the union
+      val c = spark.sql("SELECT count(*) AS n FROM graft.lake.cd")
+      assert(c.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(c.collect()(0).getLong(0) == 80L)
+    }
+  }
+
   test("merge-on-read UPDATE/MERGE (dml.mode=mor): vectors + delta files, no rewrite") {
     import graft.sources.LakeSinkDeletes
     withLake { lake =>
