@@ -325,13 +325,19 @@ object Advanced {
     * percentile_approx (t-digest) — same call shape. */
   def q33Percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ONE array-percentile aggregate per column: scalar percentile()
+    // calls each buffer the whole group separately (the q73 lesson —
+    // 2x buffering here for identical values; array mode sorts once)
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        r(percentile($"l_quantity", lit(0.5)), 6).as("qty_p50"),
-        r(percentile($"l_quantity", lit(0.9)), 6).as("qty_p90"),
-        r(percentile($"l_extendedprice", lit(0.5)), 6).as("price_p50"),
-        r(percentile($"l_extendedprice", lit(0.99)), 6).as("price_p99"))
+        percentile($"l_quantity", array(lit(0.5), lit(0.9))).as("qp"),
+        percentile($"l_extendedprice", array(lit(0.5), lit(0.99))).as("pp"))
+      .select($"l_returnflag", $"n",
+        r(element_at($"qp", 1), 6).as("qty_p50"),
+        r(element_at($"qp", 2), 6).as("qty_p90"),
+        r(element_at($"pp", 1), 6).as("price_p50"),
+        r(element_at($"pp", 2), 6).as("price_p99"))
       .orderBy($"l_returnflag")
   }
 

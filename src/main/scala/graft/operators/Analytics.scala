@@ -442,9 +442,12 @@ object Analytics {
   private[graft] def winsorizedStats(vals: DataFrame): DataFrame = {
     val s = vals.sparkSession
     import s.implicits._
+    // ONE array-percentile: two scalar percentile() aggs would buffer
+    // the whole segment twice for identical values (the q73 lesson)
     val th = vals.groupBy($"seg")
-      .agg(r(percentile($"x", lit(0.05)), 6).as("lo"),
-        r(percentile($"x", lit(0.95)), 6).as("hi"))
+      .agg(percentile($"x", array(lit(0.05), lit(0.95))).as("q"))
+      .select($"seg", r(element_at($"q", 1), 6).as("lo"),
+        r(element_at($"q", 2), 6).as("hi"))
     vals.join(broadcast(th), "seg")
       .groupBy($"seg", $"lo", $"hi")
       .agg(count(lit(1)).as("n"),
