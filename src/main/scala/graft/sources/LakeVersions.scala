@@ -114,24 +114,35 @@ object LakeVersions {
   */
 object LakeMaintenance {
 
-  /** COMPACT (the OPTIMIZE bin-packing contract): rewrite every partition
-    * directory holding more than one committed file into ONE file, without
-    * changing a single row. The merge itself runs as a Spark job — one
-    * task per oversized partition directory streams its files'
+  /** COMPACT (the OPTIMIZE bin-packing contract): rewrite each partition
+    * directory's small files into BIN-PACKED merged files, without
+    * changing a single row. With no `targetBytes` every directory folds
+    * to ONE file; with a target, files first-fit-decreasing (by
+    * compressed size) into bins whose input sum stays ≤ target — the
+    * Iceberg/Delta `OPTIMIZE` file-size goal: merged outputs big enough
+    * to amortize per-file overhead, small enough to keep scan
+    * parallelism and bounded task memory at 100 TB (one monster file per
+    * partition would serialize its readers). A bin of ONE vector-free
+    * file is left untouched (already compact). The merge itself runs as
+    * a Spark job — one task per output bin streams its files'
     * decompressed JSON lines into one staged gzip (row bytes are copied
-    * verbatim, so reads hash-identically before and after — t40 pins this
-    * under the DuckDB differential); the driver then promotes the staged
-    * replacements, RETIRES the originals (recorded versions stay
+    * verbatim, so reads hash-identically before and after — t40 pins
+    * this under the DuckDB differential); the driver then promotes the
+    * staged replacements, RETIRES the originals (recorded versions stay
     * readable), and records the post-compaction version.
     *
-    * Returns (partitions compacted, files before, files after).
+    * Returns (partitions compacted, files in, files out).
     *
-    * 100 TB story: merge bytes move executor-side with per-partition-dir
+    * 100 TB story: merge bytes move executor-side with per-bin
     * parallelism; the driver does O(#files) renames at commit — the same
     * protocol as any other lake commit. Readers racing the commit see the
     * promote→retire window (same documented window as ReplaceData);
     * snapshot readers are unaffected. */
-  def compact(spark: SparkSession, path: String): (Int, Int, Int) = {
+  def compact(spark: SparkSession, path: String): (Int, Int, Int) =
+    compact(spark, path, None)
+
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Option[Long]): (Int, Int, Int) = {
     val (tblSchema, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
       throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
     val root = Paths.get(path)
@@ -140,11 +151,35 @@ object LakeMaintenance {
     // so a single-file directory carrying a vector is also a compaction
     // candidate — the rewrite reclaims the read-side filtering cost
     val dels = LakeSinkDeletes.read(path)
-    val groups = LakeSinkPartitions.listCommitted(path, partCols)
+    val dirGroups = LakeSinkPartitions.listCommitted(path, partCols)
       .map { case (p, _) => root.relativize(p).toString }
       .groupBy(rel => Option(Paths.get(rel).getParent).map(_.toString).getOrElse(""))
       .filter { case (_, rels) => rels.size > 1 || rels.exists(dels.contains) }
       .toSeq.sortBy(_._1)
+    // bin-pack within each directory: first-fit-decreasing on compressed
+    // size keeps every merged input sum ≤ target (a single oversized
+    // file stays its own bin); drop 1-file vector-free bins — rewriting
+    // them would churn bytes for nothing
+    def bins(rels: Seq[String]): Seq[Seq[String]] = targetBytes match {
+      case None => Seq(rels)
+      case Some(t) =>
+        val bySize = rels.map(r => r -> Files.size(root.resolve(r)))
+          .sortBy { case (r, sz) => (-sz, r) }
+        val out = scala.collection.mutable.ArrayBuffer.empty[
+          (scala.collection.mutable.ArrayBuffer[String], Long)]
+        bySize.foreach { case (r, sz) =>
+          out.indexWhere(_._2 + sz <= t) match {
+            case -1 => out += ((scala.collection.mutable.ArrayBuffer(r), sz))
+            case i  => out(i) = (out(i)._1 += r, out(i)._2 + sz)
+          }
+        }
+        out.toSeq.map(_._1.toSeq.sorted)
+    }
+    val groups: Seq[(String, Seq[String])] = dirGroups.flatMap { case (dir, rels) =>
+      bins(rels)
+        .filter(b => b.size > 1 || b.exists(dels.contains))
+        .map(dir -> _)
+    }
     if (groups.isEmpty) return (0, 0, 0)
     LakeSinkFiles.ensureDirs(path)
     val tag = java.util.UUID.randomUUID.toString.take(8)

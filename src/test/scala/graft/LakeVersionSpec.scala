@@ -134,6 +134,51 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("compact with a size target bin-packs instead of folding to one file per dir") {
+    withLake { lake =>
+      import spark.implicits._
+      // 8 ~equal small files in one (unpartitioned) directory; payloads
+      // incompressible-ish so merged sizes ≈ input sums (the re-compaction
+      // no-op leg depends on it — the SkewSpec MapStatus lesson)
+      (0 until 4000).map(i => (i.toLong,
+        (1 to 6).map(k => ((i + 13) * 2654435761L * k).toHexString).mkString("-")))
+        .toDF("id", "v")
+        .repartitionByRange(8, col("id"))
+        .writeTo("graft.lake.bp").create()
+      val path = s"$lake/bp"
+      val before = canon(spark.table("graft.lake.bp"))
+      val sizes = {
+        val it = Files.walk(Paths.get(path)).iterator()
+        var out = List.empty[Long]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
+              && !p.startsWith(LakeSinkFiles.stagingDir(path))) out ::= Files.size(p)
+        }
+        out
+      }
+      assert(sizes.size == 8)
+      // target ≈ 3 input files per bin → expect 3 merged outputs, not 1
+      val target = sizes.sorted.take(3).sum + 1
+      val (bins, fin, fout) = LakeMaintenance.compact(spark, path, Some(target))
+      assert(fin == 8, s"all 8 inputs participate, got $fin")
+      assert(fout >= 2 && fout < 8, s"bin-packing must merge to several files, got $fout")
+      assert(bins == fout)
+      assert(LakeMaintenance.committedFileCount(path) == fout)
+      assert(canon(spark.table("graft.lake.bp")) == before, "bin-packing must not change a row")
+      // min/max pushdown survives the per-bin stats folds
+      val mm = spark.table("graft.lake.bp").agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      assert(mm.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(mm.collect()(0).toSeq == Seq(0L, 3999L))
+      // already-compact: a second pass with the same target merges the
+      // merged outputs further only if they still fit — with 3 outputs
+      // near the target nothing fits together, so it is a no-op
+      val (b2, _, f2) = LakeMaintenance.compact(spark, path, Some(target))
+      assert(b2 == 0 && f2 == 0, s"re-compaction must be a no-op, got $b2/$f2")
+    }
+  }
+
   test("vacuum reclaims retired files and old versions; vacuumed snapshot fails loudly") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.vc").create() // v1
