@@ -1612,6 +1612,82 @@ object Similarity {
        FROM dsp d JOIN wr w ON w.cid = d.cid
        ORDER BY cluster"""
 
+  // --- e33: Calinski–Harabasz index of the e10 clustering -----------------
+
+  /** e33 — Calinski–Harabasz (variance-ratio) cluster-validity index
+    * (Caliński & Harabasz 1974) over the e10 k-means clustering: per
+    * cluster the within-SS (Σ member→centroid squared distance — exactly
+    * the assignment's `dist` column, summed in decimal) and between-SS
+    * (n_i · ‖c_i − c̄‖² against the per-dimension global mean); the
+    * global index CH = (B/(K−1)) / (W/(N−K)) — big = tight and
+    * well-separated. Completes the internal-validity triptych: e21
+    * scores MEMBERS (silhouette), e27 scores worst-pair GEOMETRY
+    * (Davies–Bouldin), e33 scores the variance RATIO — all three share
+    * e10's hash-checked Lloyd machinery so the evaluated model is the
+    * trained one.
+    *
+    * Scale shape: W is one K-bounded decimal aggregate over the
+    * assignment scan; the global mean is one 64-row per-dimension
+    * aggregate; B lives on the K×64 centroid frame. Corpus-linear,
+    * K-bounded state — e10's own story. */
+  def e33CalinskiHarabasz(s: SparkSession, dir: String): DataFrame =
+    calinskiHarabasz(corpus(s, dir).select(col("vec_id"), col("v")), KmK, KmIters)
+
+  /** e33's core with explicit (k, iters) — exposed so the spec can plant
+    * a two-cluster geometry with a hand-computed variance ratio. */
+  private[graft] def calinskiHarabasz(c0: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = c0.sparkSession
+    import s.implicits._
+    val c = c0.cache()
+    val cents = kmeansCentroids(c, k, iters).cache()
+    // W_i: the assignment already carries squared distances — decimal sum
+    val wss = kmAssign(c, cents)
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"), rsum($"dist", 6).as("wss"))
+    // per-dimension global mean (decimal avg, rounded — both engines
+    // reproduce it bit-for-bit, so the B arithmetic stays portable)
+    val gm = c.select(posexplode($"v")).toDF("d", "x")
+      .groupBy($"d").agg(r(davg($"x"), 6).as("md"))
+    val bd = cents.select($"cid", posexplode($"cv")).toDF("cid", "d", "cvd")
+      .join(gm, "d")
+      .groupBy($"cid")
+      .agg(rsum(($"cvd" - $"md") * ($"cvd" - $"md"), 6).as("dd"))
+    val per = wss.join(bd, Seq("cid"))
+      .select($"cid", $"n_vecs", $"wss",
+        r($"n_vecs" * $"dd", 6).as("bss"))
+      .localCheckpoint(true) // feeds the totals AND the output (invariant 5)
+    val tot = per.agg(rsum($"wss", 6).as("tw"), rsum($"bss", 6).as("tb"),
+      sum($"n_vecs").as("tn"))
+    val out = per.crossJoin(broadcast(tot))
+      .select($"cid".as("cluster"), $"n_vecs", $"wss", $"bss",
+        r(($"tb" / lit((k - 1).toDouble)) /
+          ($"tw" / ($"tn" - lit(k)).cast("double")), 6).as("ch"))
+      .orderBy($"cluster")
+    Seq(cents, c).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  val e33Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e10Ctes,
+       wss AS (SELECT cid, count(*) AS n_vecs, ${rsumSql("dist", 6)} AS wss
+         FROM kmf GROUP BY cid),
+       gd AS (SELECT unnest(range(1, 65)) AS d, unnest(v) AS x FROM n),
+       gm AS (SELECT d, ${rSql(davgSql("x"), 6)} AS md FROM gd GROUP BY d),
+       cd AS (SELECT cid, unnest(range(1, 65)) AS d, unnest(cv) AS cvd
+         FROM kmc$KmIters),
+       bd AS (SELECT cid, ${rsumSql("(cvd - md) * (cvd - md)", 6)} AS dd
+         FROM cd JOIN gm USING (d) GROUP BY cid),
+       pc AS (SELECT w.cid, w.n_vecs, w.wss,
+           ${rSql("w.n_vecs * b.dd", 6)} AS bss
+         FROM wss w JOIN bd b ON b.cid = w.cid),
+       tot AS (SELECT ${rsumSql("wss", 6)} AS tw, ${rsumSql("bss", 6)} AS tb,
+           CAST(sum(n_vecs) AS BIGINT) AS tn
+         FROM pc)
+       SELECT cid AS cluster, n_vecs, wss, bss,
+         ${rSql(s"(tb / CAST($KmK - 1 AS DOUBLE)) / (tw / CAST(tn - $KmK AS DOUBLE))", 6)} AS ch
+       FROM pc CROSS JOIN tot ORDER BY cluster"""
+
   // --- e29: NDCG@5 retrieval-quality evaluation ---------------------------
 
   /** Discount table 1/log2(i+1) for ranks 1..5 and its prefix sums
@@ -2669,6 +2745,7 @@ object Similarity {
     "e08_ann_recall" -> (e08AnnRecall _),
     "e09_neardup_ann" -> (e09NearDupAnn _),
     "e27_davies_bouldin" -> (e27DaviesBouldin _),
+    "e33_calinski_harabasz" -> (e33CalinskiHarabasz _),
     "e28_embedding_drift" -> (e28EmbeddingDrift _),
     "e29_ndcg_eval" -> (e29NdcgEval _),
     "e01_cosine_topk" -> (e01CosineTopK _),
@@ -2710,6 +2787,7 @@ object Similarity {
     "e08_ann_recall" -> e08Sql,
     "e09_neardup_ann" -> e09Sql,
     "e27_davies_bouldin" -> e27Sql,
+    "e33_calinski_harabasz" -> e33Sql,
     "e28_embedding_drift" -> e28Sql,
     "e29_ndcg_eval" -> e29Sql,
     "e11_ivfpq_ann" -> e11Sql,

@@ -372,6 +372,30 @@ class SimilaritySpec extends GraftSpec {
     assert(db == sil, s"$db vs $sil")
   }
 
+  test("e33 Calinski-Harabasz: hand-computed two-cluster variance ratio") {
+    import spark.implicits._
+    // the e27 geometry: tight pairs at 1.0±0.1 and 10.0±0.1 on the x-axis.
+    // Centroids (1, 10); global mean 5.5. W_i = 0.01+0.01 = 0.02 each;
+    // B_i = 2·4.5² = 40.5 each; CH = (81/(2−1)) / (0.04/(4−2)) = 4050.
+    def v(x: Double) = Array.fill(64)(0.0).updated(0, x).toSeq
+    val planted = Seq((1L, v(0.9)), (2L, v(1.1)), (3L, v(9.9)), (4L, v(10.1)))
+      .toDF("vec_id", "v")
+    val rows = operators.Similarity.calinskiHarabasz(planted, 2, 3).collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 2L, s"$r")
+      assert(r.getAs[Double]("wss") == 0.02, s"$r")
+      assert(r.getAs[Double]("bss") == 40.5, s"$r")
+      assert(r.getAs[Double]("ch") == 4050.0, s"$r")
+    }
+    // on testdata: per-cluster counts must match e27's (same trained model)
+    val ch = operators.Similarity.e33CalinskiHarabasz(spark, sfTiny).collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n_vecs")).toMap
+    val db = operators.Similarity.e27DaviesBouldin(spark, sfTiny).collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n_vecs")).toMap
+    assert(ch == db, s"$ch vs $db")
+  }
+
   test("e29 NDCG: perfectly clustered labels score 1, partial cluster gets exact truncated IDCG") {
     import spark.implicits._
     import org.apache.spark.sql.graft.VectorExpressions
