@@ -2162,7 +2162,150 @@ object Telemetry {
        FROM tw t JOIN m ON t.key = m.key AND t.id = m.id
        ORDER BY t.key"""
 
+  /** t52 — METADATA-ANSWERED TIME TRAVEL under the differential
+    * (r11: [[graft.sources.LakeSinkFiles.recordVersion]] snapshots the
+    * counts/stats/delete ledgers INTO every version record, trimmed to
+    * that version's file list): the twin is CTAS'd DATE-partitioned
+    * (version 1) and a shifted batch appended (version 2); the query
+    * answers count/min/max against BOTH snapshots via `VERSION AS OF` —
+    * each pushed completely to its OWN version's recorded ledgers
+    * (LakeVersionSpec pins the `graft-lake-agg` plan, the frozen-history
+    * law under a later merge-on-read DELETE, and the legacy-record scan
+    * fallback) — hash-checked against DuckDB recomputing both states
+    * from the generator arithmetic. Time-travel dashboards get the same
+    * quarter-second metadata answers as live reads (the r10 probe
+    * measured 1.8–4.4 s full scans here).
+    *
+    * Scale shape: a snapshot aggregate is O(#recorded files) driver
+    * arithmetic over the version record itself — zero data files opened,
+    * zero directory walking, at any row scale. */
+  def t52SnapshotAgg(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t52")
+    val _ = lakeRoot
+    val t = twin(s).withColumn("d", to_date(col("ts")))
+    t.writeTo("graft_t52.lake.t52").partitionedBy(col("d")).create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft_t52.lake.t52").append() // v2
+    def snap(v: Int): DataFrame =
+      s.sql(s"""SELECT 'v$v' AS scope, count(*) AS n, min(id) AS lo,
+                max(id) AS hi, max(temperature) AS tmax
+                FROM graft_t52.lake.t52 VERSION AS OF $v""")
+    snap(1).unionAll(snap(2)).orderBy(col("scope"))
+  }
+
+  val t52Sql: String =
+    s"""WITH tw AS (SELECT id, temperature FROM ($twinSql)),
+       lk AS (SELECT * FROM tw
+              UNION ALL SELECT id + ${10L * TwinRows}, temperature
+              FROM tw WHERE id < 700)
+       SELECT 'v1' AS scope, count(*) AS n, min(id) AS lo, max(id) AS hi,
+         max(temperature) AS tmax
+       FROM tw
+       UNION ALL
+       SELECT 'v2', count(*), min(id), max(id), max(temperature) FROM lk
+       ORDER BY scope"""
+
+  /** t53 — BUCKET-TRANSFORM partitioning + storage-partitioned join under
+    * the differential (r11: [[graft.sources.LakePart]] hidden
+    * `bucket(n, col)` partitioning — the Iceberg bucket transform):
+    * customer and orders land in lake tables BUCKETED 8 ways on the
+    * customer key (`c_custkey_bucket=<id>/` dirs; the source column stays
+    * in the rows), and the query joins them ON THE SOURCE KEY under
+    * `v2.bucketing.enabled` — the scan reports
+    * `KeyGroupedPartitioning(bucket(8, c_custkey))`, both sides resolve
+    * the SAME catalog bucket function, and the join runs with zero
+    * shuffle exchanges (GraftCatalogSpec pins the exchange-free plan and
+    * the shuffled-plan row equality). The HASH is layout-only: the
+    * output must equal DuckDB's plain join of the parquet sources —
+    * partition-layout-invariance is the correctness claim.
+    *
+    * Scale shape: this is what SPJ exists for at 100 TB — identity dirs
+    * cannot serve a high-cardinality join key (one dir per value); the
+    * bucket transform gives co-located, shuffle-free fact-dim joins at a
+    * fixed directory fan-out. */
+  def t53BucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t53")
+    val _ = lakeRoot
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .writeTo("graft_t53.lake.cust")
+      .partitionedBy(bucket(8, col("c_custkey"))).create()
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      .writeTo("graft_t53.lake.ord")
+      .partitionedBy(bucket(8, col("c_custkey"))).create()
+    // capture the EXPLICIT setting only: `getOption` surfaces the conf's
+    // REGISTERED DEFAULT (true on this engine), so the naive
+    // getOption→restore pattern would re-write the default as an explicit
+    // `true` and permanently flip every later scan in the session into
+    // SPJ mode (which vetoes runtime filtering — measured as a
+    // cross-suite DPP failure). `get(key, sentinel)` sees only explicit
+    // settings; unset restores the true pre-call state.
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prevB: Option[String] =
+      if (org.apache.spark.sql.internal.SQLConf.get.contains(key))
+        Some(s.conf.get(key))
+      else None
+    try {
+      s.conf.set(key, "true")
+      s.table("graft_t53.lake.cust")
+        .join(s.table("graft_t53.lake.ord"), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_ok"))
+        .orderBy(col("c_mktsegment"))
+        // the SPJ plan materializes under the pinned conf; restoring the
+        // session conf afterwards must not replan it
+        .localCheckpoint(true)
+    } finally {
+      prevB.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }
+  }
+
+  val t53Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** t54 — SCHEMA EVOLUTION (RENAME/DROP COLUMN) under the differential
+    * (r11: [[graft.sources.GraftCatalog.alterTable]] metadata-only
+    * evolution — renames recorded as name-history ALIASES, drops as an
+    * ignored-fields set, zero file rewrites): documents land in a lake
+    * table under the ORIGINAL column names (half the corpus), the `lang`
+    * column is RENAMED to `language` and `source` DROPPED via ALTER
+    * TABLE, the other half is appended under the NEW name — and the
+    * read-back must hash-equal DuckDB's plain restatement: pre-rename
+    * files serve their `lang` bytes AS `language` through the alias map,
+    * dropped bytes stay invisible, both file generations under one
+    * logical schema. GraftCatalogSpec pins the time-travel side
+    * (pre-evolution snapshots keep pre-evolution names) and the
+    * name-reuse refusal.
+    *
+    * Scale shape: a rename/drop on a 100 TB lake is one manifest write +
+    * one version record — the Iceberg metadata-only evolution contract;
+    * readers pay a per-file constant alias lookup, never a rewrite. */
+  def t54SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t54")
+    val _ = lakeRoot
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    d.filter(col("doc_id") % 2 === 0)
+      .writeTo("graft_t54.lake.t54").create() // v1: old names
+    s.sql("ALTER TABLE graft_t54.lake.t54 RENAME COLUMN lang TO language") // v2
+    s.sql("ALTER TABLE graft_t54.lake.t54 DROP COLUMN source") // v3
+    d.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("lang", "language").drop("source")
+      .writeTo("graft_t54.lake.t54").append() // v4: new names
+    s.table("graft_t54.lake.t54").orderBy(col("doc_id"))
+  }
+
+  val t54Sql: String =
+    """SELECT doc_id, lang AS language, n_chars
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t54_schema_evolution" -> (t54SchemaEvolution _),
+    "t53_bucket_join" -> (t53BucketJoin _),
+    "t52_snapshot_agg" -> (t52SnapshotAgg _),
     "t51_stream_upsert" -> (t51StreamUpsert _),
     "t50_mor_delete" -> (t50MorDelete _),
     "t49_null_ledger" -> (t49NullLedger _),
@@ -2211,6 +2354,9 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t54_schema_evolution" -> t54Sql,
+    "t53_bucket_join" -> t53Sql,
+    "t52_snapshot_agg" -> t52Sql,
     "t51_stream_upsert" -> t51Sql,
     "t50_mor_delete" -> t50Sql,
     "t49_null_ledger" -> t49Sql,

@@ -249,26 +249,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString)))
       throw new TableAlreadyExistsException(ident)
     val partCols = partitions.map { t =>
-      if (t.name != "identity" || t.references().length != 1)
-        throw new UnsupportedOperationException(
-          s"$catalogName: only identity partitioning is supported, got $t")
-      t.references()(0).fieldNames.mkString(".")
+      t.name match {
+        case "identity" if t.references().length == 1 =>
+          t.references()(0).fieldNames.mkString(".")
+        case "bucket" if t.references().length == 1 =>
+          // `PARTITIONED BY (bucket(N, col))` — the hidden bucket
+          // transform (see [[LakePart]]): N arrives as the literal arg
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value() match {
+                case i: java.lang.Number => i.intValue
+                case other => throw new UnsupportedOperationException(
+                  s"$catalogName: bad bucket count $other in $t")
+              }
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"$catalogName: bucket transform without a count: $t"))
+          s"bucket($n,${t.references()(0).fieldNames.mkString(".")})"
+        case _ => throw new UnsupportedOperationException(
+          s"$catalogName: only identity and bucket(n, col) partitioning " +
+            s"are supported, got $t")
+      }
     }.toSeq
-    // validate the partition columns exist + types supported, before any I/O
+    // validate the partition fields exist + types supported, before any I/O
     LakeSink.dataSchema(schema, partCols)
-    partCols.foreach(c => schema.fieldIndex(c))
+    LakeSink.partitionExtractors(schema, partCols)
     Files.createDirectories(dir)
     LakeSinkFiles.writeManifest(dir.toString, schema, partCols)
     new LakeSinkTable(schema, dir.toString, partCols,
       tableName = Some(s"$catalogName.lake.${ident.name()}"))
   }
 
-  /** Schema evolution for lake tables: ADD COLUMNS only (appended at the
-    * end of the schema — the JSON-lines reader null-fills fields absent
-    * from files written before the evolution, so old data stays readable
-    * with zero rewrites, the Iceberg/Delta add-column contract). Every
-    * other change is refused: drops/renames would orphan bytes already
-    * committed under the old field names. */
+  /** Schema evolution for lake tables — all metadata-only, zero file
+    * rewrites (the Iceberg/Delta contract, field ids approximated by
+    * name history — see [[LakeSinkFiles.writeManifest]]):
+    *
+    *  - ADD COLUMNS: appended, nullable; the JSON-lines reader null-fills
+    *    fields absent from pre-evolution files.
+    *  - RENAME COLUMN: the old name joins the column's alias list —
+    *    readers resolve it in old files; new writes use the new name;
+    *    pre-rename SNAPSHOTS keep showing the old name (version records
+    *    carry their own evolution state).
+    *  - DROP COLUMN: the name (and its aliases) joins the ignored set —
+    *    old files stay readable, the dropped bytes invisible.
+    *
+    * Refused: evolving a partition field (directory layout is physical),
+    * reusing a dropped/aliased name (the one ambiguity name-based
+    * evolution cannot represent — requires a rewrite), type changes. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ns = ident.namespace()
     if (ns.length != 1 || ns(0) != "lake" || lakeRoot.isEmpty)
@@ -277,21 +303,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = lakeTableDir(ident.name()).get
     val (schema, partCols) = LakeSinkFiles.readManifest(dir.toString)
       .getOrElse(throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(schema) {
-      case (sch, add: TableChange.AddColumn) =>
-        require(add.fieldNames().length == 1,
-          s"$catalogName: nested column adds are not supported")
-        val name = add.fieldNames()(0)
-        require(!sch.fieldNames.contains(name),
-          s"$catalogName: column $name already exists")
-        StructType(sch.fields :+
-          org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true))
-      case (_, other) => throw new UnsupportedOperationException(
-        s"$catalogName: only ADD COLUMNS is supported, got $other")
-    }
+    val (renames0, dropped0) = LakeSinkFiles.readManifestRenames(dir.toString)
+    val partNames = LakePart.parseAll(partCols).map(_.name).toSet
+    def takenNames(sch: StructType, renames: Map[String, Seq[String]],
+        dropped: Seq[String]): Set[String] =
+      sch.fieldNames.toSet ++ renames.values.flatten ++ dropped
+    val (newSchema, newRenames, newDropped) =
+      changes.foldLeft((schema, renames0, dropped0)) {
+        case ((sch, ren, drp), add: TableChange.AddColumn) =>
+          require(add.fieldNames().length == 1,
+            s"$catalogName: nested column adds are not supported")
+          val name = add.fieldNames()(0)
+          require(!takenNames(sch, ren, drp).contains(name),
+            s"$catalogName: column name $name is in use (live, a rename " +
+              "alias, or dropped) — name reuse needs a table rewrite")
+          (StructType(sch.fields :+
+            org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)),
+            ren, drp)
+        case ((sch, ren, drp), rn: TableChange.RenameColumn) =>
+          require(rn.fieldNames().length == 1,
+            s"$catalogName: nested column renames are not supported")
+          val from = rn.fieldNames()(0)
+          val to = rn.newName()
+          require(sch.fieldNames.contains(from),
+            s"$catalogName: no column $from to rename")
+          require(!partNames.contains(from),
+            s"$catalogName: cannot rename partition field $from " +
+              "(directory layout is physical)")
+          require(!takenNames(sch, ren, drp).contains(to),
+            s"$catalogName: column name $to is in use (live, a rename " +
+              "alias, or dropped) — name reuse needs a table rewrite")
+          (StructType(sch.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f)),
+            (ren - from) + (to -> (from +: ren.getOrElse(from, Seq.empty))),
+            drp)
+        case ((sch, ren, drp), del: TableChange.DeleteColumn) =>
+          require(del.fieldNames().length == 1,
+            s"$catalogName: nested column drops are not supported")
+          val name = del.fieldNames()(0)
+          require(sch.fieldNames.contains(name),
+            s"$catalogName: no column $name to drop")
+          require(!partNames.contains(name),
+            s"$catalogName: cannot drop partition field $name")
+          val rest = StructType(sch.fields.filterNot(_.name == name))
+          require(rest.fields.nonEmpty,
+            s"$catalogName: cannot drop the last column")
+          (rest, ren - name,
+            drp ++ (name +: ren.getOrElse(name, Seq.empty)))
+        case (_, other) => throw new UnsupportedOperationException(
+          s"$catalogName: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN " +
+            s"are supported, got $other")
+      }
     // unsupported data types must fail the DDL, not the next write
     LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))
-    LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols)
+    LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols,
+      newRenames, newDropped)
+    // a schema change is a version transition: snapshots at or before it
+    // keep the pre-evolution schema + aliases
+    LakeSinkFiles.recordVersion(dir.toString)
     new LakeSinkTable(newSchema, dir.toString, partCols,
       tableName = Some(s"$catalogName.lake.${ident.name()}"))
   }
@@ -330,6 +399,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ident.namespace().sameElements(Array("fns")))
       catalogFunctions.getOrElse(ident.name(),
         throw new NoSuchFunctionException(ident))
+    // the engine resolves a table's PARTITION TRANSFORM functions against
+    // its catalog under the EMPTY namespace (V2ExpressionUtils) — this is
+    // what lets it reason about bucket(n, col) compatibility for
+    // storage-partitioned joins
+    else if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

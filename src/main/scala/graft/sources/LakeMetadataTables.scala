@@ -57,7 +57,7 @@ private[graft] object LakeMetadataTables {
         val counts = LakeSinkFiles.readCounts(path)
         val stats = LakeSinkStats.readBlobs(path)
         val dels = LakeSinkDeletes.read(path)
-        LakeSinkPartitions.listCommitted(path, partCols).map { case (p, _) =>
+        LakeSinkFiles.listLive(path, partCols).map { case (p, _) =>
           val rel = root.relativize(p).toString
           Array[Any](
             UTF8String.fromString(rel),
@@ -81,7 +81,7 @@ private[graft] object LakeMetadataTables {
       case "partitions" =>
         val counts = LakeSinkFiles.readCounts(path)
         val dels = LakeSinkDeletes.read(path)
-        LakeSinkPartitions.listCommitted(path, partCols)
+        LakeSinkFiles.listLive(path, partCols)
           .map { case (p, _) => root.relativize(p).toString }
           .groupBy(partOf).toSeq.sortBy(_._1)
           .map { case (part, rels) =>

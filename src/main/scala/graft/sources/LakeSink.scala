@@ -95,8 +95,7 @@ class LakeSink extends TableProvider {
           includePositions = includes)
       case None =>
         new LakeSinkTable(schema, path,
-          Option(properties.get("partitionCols")).map(_.split(",").map(_.trim)
-            .filter(_.nonEmpty).toSeq)
+          Option(properties.get("partitionCols")).map(LakePart.split)
             .orElse(LakeSinkFiles.readManifest(path).map(_._2))
             .getOrElse(Seq.empty))
     }
@@ -157,26 +156,37 @@ object LakeSink {
     out
   }
 
-  /** One directory-value extractor per partition column, resolved at
-    * planning. Values must be path-safe (the Hive-escape protocol is out
-    * of scope — unsafe characters and NULLs fail the task loudly rather
-    * than corrupting the layout). */
+  /** One directory-value extractor per partition FIELD (identity value or
+    * bucket id — see [[LakePart]]), resolved at planning. Values must be
+    * path-safe (the Hive-escape protocol is out of scope — unsafe
+    * characters and NULLs fail the task loudly rather than corrupting the
+    * layout). */
   private[sources] def partitionExtractors(schema: StructType,
       partCols: Seq[String]): Seq[InternalRow => String] =
-    partCols.map { c =>
+    LakePart.parseAll(partCols).map { part =>
+      val c = part.name
       val i = schema.fieldIndex(c) // throws on a missing column
       def safe(v: String): String = {
         require(v.forall(ch => ch.isLetterOrDigit || ":._-+".contains(ch)),
           s"LakeSink: partition value '$v' for column $c is not path-safe")
         v
       }
-      val f: InternalRow => String = schema.fields(i).dataType match {
-        case StringType  => r => safe(r.getUTF8String(i).toString)
-        case IntegerType => r => r.getInt(i).toString
-        case LongType    => r => r.getLong(i).toString
-        case DateType    => r => java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
-        case other => throw new UnsupportedOperationException(
-          s"LakeSink: unsupported partition column type $other for $c")
+      val f: InternalRow => String = part.buckets match {
+        case Some(n) => schema.fields(i).dataType match {
+          case LongType    => r => LakePart.bucketOfLong(n, r.getLong(i)).toString
+          case IntegerType => r => LakePart.bucketOfLong(n, r.getInt(i).toLong).toString
+          case StringType  => r => LakePart.bucketOfString(n, r.getUTF8String(i)).toString
+          case other => throw new UnsupportedOperationException(
+            s"LakeSink: unsupported bucket column type $other for $c")
+        }
+        case None => schema.fields(i).dataType match {
+          case StringType  => r => safe(r.getUTF8String(i).toString)
+          case IntegerType => r => r.getInt(i).toString
+          case LongType    => r => r.getLong(i).toString
+          case DateType    => r => java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
+          case other => throw new UnsupportedOperationException(
+            s"LakeSink: unsupported partition column type $other for $c")
+        }
       }
       (r: InternalRow) => {
         require(!r.isNullAt(i), s"LakeSink: NULL partition value for column $c")
@@ -227,8 +237,8 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     * (the pre-truncate snapshot stays readable until VACUUM; counts and
     * stats ledgers are trimmed by the retire). */
   override def truncateTable(): Boolean = {
-    LakeSinkFiles.truncateDest(path)
-    LakeSinkFiles.recordVersion(path)
+    val removed = LakeSinkFiles.truncateDest(path)
+    LakeSinkFiles.recordVersion(path, Seq.empty, removed)
     true
   }
   require(path != null && path.nonEmpty, "LakeSink requires a 'path' option")
@@ -277,17 +287,21 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
       case _ => false
     }
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    LakeSinkFiles.retire(path,
-      LakeSinkPartitions.listCommitted(path, partCols)
+    val removed = LakeSinkFiles.retire(path,
+      LakeSinkFiles.listLive(path, partCols)
         .filter { case (_, kvs) => LakeSinkPartitions.keeps(writeSchema, kvs, filters) }
         .map(_._1.toString))
-    LakeSinkFiles.recordVersion(path)
+    LakeSinkFiles.recordVersion(path, Seq.empty, removed)
   }
   override def name(): String = tableName.getOrElse(s"graft_lake_sink($path)")
   override def schema(): StructType = writeSchema
-  override def partitioning(): Array[Transform] =
-    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    LakePart.parseAll(partCols).map {
+      case LakePart(_, nm, Some(n)) => Expressions.bucket(n, nm): Transform
+      case LakePart(_, nm, None)    => Expressions.identity(nm): Transform
+    }.toArray
+  }
 
   // --- SupportsPartitionManagement (SHOW PARTITIONS / DROP PARTITION DDL) ----
   //
@@ -300,7 +314,10 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
   // partition would be invisible to the file-listing scan anyway.
 
   override def partitionSchema(): StructType =
-    StructType(partCols.map(c => writeSchema(c)))
+    StructType(LakePart.parseAll(partCols).map {
+      case LakePart(_, nm, None) => writeSchema(nm)
+      case p => StructField(p.dirKey, IntegerType, nullable = false)
+    })
 
   private def identDirVal(dt: DataType, ident: InternalRow, i: Int): String = {
     require(!ident.isNullAt(i), "LakeSink: NULL partition value")
@@ -316,10 +333,10 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
 
   private def matchingFiles(ident: InternalRow): Seq[String] = {
     val ps = partitionSchema()
-    val want = partCols.zipWithIndex.map { case (c, i) =>
-      c -> identDirVal(ps(i).dataType, ident, i)
+    val want = LakePart.parseAll(partCols).zipWithIndex.map { case (p, i) =>
+      p.dirKey -> identDirVal(ps(i).dataType, ident, i)
     }
-    LakeSinkPartitions.listCommitted(path, partCols)
+    LakeSinkFiles.listLive(path, partCols)
       .filter { case (_, kvs) => want.forall(kvs.contains) }
       .map(_._1.toString)
   }
@@ -331,8 +348,8 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     val files = matchingFiles(ident)
     if (files.isEmpty) false
     else {
-      LakeSinkFiles.retire(path, files)
-      LakeSinkFiles.recordVersion(path)
+      val removed = LakeSinkFiles.retire(path, files)
+      LakeSinkFiles.recordVersion(path, Seq.empty, removed)
       true
     }
   }
@@ -359,17 +376,21 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     require(names.length == ident.numFields,
       s"LakeSink: ${names.length} names vs ${ident.numFields} values")
     val ps = partitionSchema()
+    val parts = LakePart.parseAll(partCols)
+    def keyIdx(n: String): Int = parts.indexWhere(_.dirKey == n)
     val want = names.zipWithIndex.map { case (n, i) =>
-      val j = partCols.indexOf(n)
+      val j = keyIdx(n)
       require(j >= 0, s"LakeSink: $n is not a partition column")
       n -> identDirVal(ps(j).dataType, ident, i)
     }
     // distinct decoded directory tuples, filtered by the partial spec
-    val tuples = LakeSinkPartitions.listCommitted(path, partCols)
-      .map { case (_, kvs) => partCols.map(c => kvs.find(_._1 == c).map(_._2).getOrElse(
-        throw new IllegalStateException(s"LakeSink: file missing partition dir $c"))) }
+    val tuples = LakeSinkFiles.listLive(path, partCols)
+      .map { case (_, kvs) => parts.map(p =>
+        kvs.find(_._1 == p.dirKey).map(_._2).getOrElse(
+          throw new IllegalStateException(
+            s"LakeSink: file missing partition dir ${p.dirKey}"))) }
       .distinct
-      .filter(t => want.forall { case (n, v) => t(partCols.indexOf(n)) == v })
+      .filter(t => want.forall { case (n, v) => t(keyIdx(n)) == v })
       .sortBy(_.mkString("/"))
     tuples.map { t =>
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -476,7 +497,11 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
   override def requiredDistribution(): Distribution =
     if (partCols.isEmpty || !clusterWrite) Distributions.unspecified()
     else Distributions.clustered(
-      partCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+      // bucket transforms cluster by their SOURCE column: equal keys land
+      // in one task (so each task writes few bucket dirs) without needing
+      // the engine to resolve the bucket function for path-based writes
+      LakePart.parseAll(partCols).map(p =>
+        Expressions.identity(p.name): org.apache.spark.sql.connector.expressions.Expression).toArray)
   // 0 = let the engine pick (AQE may coalesce); correctness only needs
   // co-location of equal partition values, not a task count
   override def requiredNumPartitions(): Int = 0
@@ -506,14 +531,87 @@ private[graft] object LakeSinkFiles {
     * original order — DDL round-trips all supported types) so the table is
     * readable by name with no user schema. Written via temp + atomic move
     * at every successful commit; last writer wins, which is correct
-    * because appends require an identical schema anyway. */
-  def writeManifest(path: String, schema: StructType, partCols: Seq[String]): Unit = {
+    * because appends require an identical schema anyway.
+    *
+    * Schema EVOLUTION state rides along (see [[GraftCatalog.alterTable]]):
+    * `renames` maps each logical column to the PHYSICAL field names it
+    * carried in files written before its rename(s) — readers resolve any
+    * alias to the logical column, so a rename is metadata-only (zero file
+    * rewrites, the Iceberg field-id contract approximated by name
+    * history); `dropped` lists physical names whose bytes remain in old
+    * files but must be IGNORED on read (a DROP COLUMN is metadata-only
+    * too). Name reuse after a drop/rename is refused at DDL time — the
+    * one ambiguity name-based evolution cannot represent. */
+  def writeManifest(path: String, schema: StructType, partCols: Seq[String],
+      renames: Map[String, Seq[String]] = Map.empty,
+      dropped: Seq[String] = Seq.empty): Unit = {
+    val renBody = renames.toSeq.sortBy(_._1)
+      .map { case (l, ps) => s"$l=${ps.mkString("|")}" }.mkString(";")
     val json = s"""{"schema":"${LakeSink.jsonEscape(schema.toDDL)}"""" +
-      s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"}"""
+      s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"""" +
+      (if (renames.nonEmpty) s""","renames":"${LakeSink.jsonEscape(renBody)}"""" else "") +
+      (if (dropped.nonEmpty) s""","dropped":"${LakeSink.jsonEscape(dropped.mkString(","))}"""" else "") +
+      "}"
     val tmp = Paths.get(path, s".schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(path), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def parseRenames(body: String): Map[String, Seq[String]] =
+    body.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { e =>
+      val i = e.indexOf('=')
+      e.substring(0, i) -> e.substring(i + 1).split("\\|").toSeq.filter(_.nonEmpty)
+    }.toMap
+
+  /** Evolution state from a JSON blob holding optional `renames`/`dropped`
+    * fields (the manifest or a version record): (physical→logical alias
+    * map, ignored physical names). */
+  private def evolutionOf(json: String, where: String): (Map[String, String], Set[String]) = {
+    val aliases =
+      if (!json.contains(""""renames":"""")) Map.empty[String, String]
+      else parseRenames(jsonField(json, "renames", where))
+        .flatMap { case (logical, phys) => phys.map(_ -> logical) }
+    val dropped =
+      if (!json.contains(""""dropped":"""")) Set.empty[String]
+      else jsonField(json, "dropped", where)
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    (aliases, dropped)
+  }
+
+  /** The live table's evolution state: (physical→logical aliases, ignored
+    * physical names). Empty for never-evolved tables. */
+  def readManifestEvolution(path: String): (Map[String, String], Set[String]) = {
+    val p = manifestPath(path)
+    if (!Files.isRegularFile(p)) return (Map.empty, Set.empty)
+    evolutionOf(new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
+      s"manifest at $p")
+  }
+
+  /** The full rename history (logical → physical alias list) — the DDL
+    * fold state [[GraftCatalog.alterTable]] evolves. */
+  def readManifestRenames(path: String): (Map[String, Seq[String]], Seq[String]) = {
+    val p = manifestPath(path)
+    if (!Files.isRegularFile(p)) return (Map.empty, Seq.empty)
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val renames =
+      if (!json.contains(""""renames":"""")) Map.empty[String, Seq[String]]
+      else parseRenames(jsonField(json, "renames", s"manifest at $p"))
+    val dropped =
+      if (!json.contains(""""dropped":"""")) Seq.empty[String]
+      else jsonField(json, "dropped", s"manifest at $p")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    (renames, dropped)
+  }
+
+  /** A recorded version's evolution state — snapshots decode old files
+    * under the aliases of THEIR commit (pre-evolution versions show
+    * pre-evolution names with no aliasing at all). */
+  def readVersionEvolution(path: String, v: Long): (Map[String, String], Set[String]) = {
+    val p = versionsDir(path).resolve(versionName(v))
+    if (!Files.isRegularFile(p) || Files.size(p) == 0) return (Map.empty, Set.empty)
+    evolutionOf(new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
+      s"version record $p")
   }
 
   /** Manifest policy at commit: a TRUNCATING write owns the table and
@@ -572,8 +670,7 @@ private[graft] object LakeSinkFiles {
     if (!Files.isRegularFile(p)) return None
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val schema = StructType.fromDDL(jsonField(json, "schema", s"manifest at $p"))
-    val parts = jsonField(json, "partitionCols", s"manifest at $p")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val parts = LakePart.split(jsonField(json, "partitionCols", s"manifest at $p"))
     Some((schema, parts))
   }
 
@@ -587,15 +684,22 @@ private[graft] object LakeSinkFiles {
 
   def countsPath(path: String): Path = Paths.get(path, "_graft_counts.json")
 
+  /** (rel → rows) line codec — shared by the live ledger file and the
+    * per-version ledger SNAPSHOTS [[recordVersion]] embeds. */
+  def encodeCountLines(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString("\n")
+
+  def decodeCountLines(body: String): Map[String, Long] =
+    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf(':')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
+
   def readCounts(path: String): Map[String, Long] = {
     val p = countsPath(path)
     if (!Files.isRegularFile(p)) return Map.empty
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    jsonField(json, "files", s"counts ledger at $p").split("\n")
-      .map(_.trim).filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf(':')
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap
+    decodeCountLines(jsonField(json, "files", s"counts ledger at $p"))
   }
 
   /** Merge-and-replace the ledger (read → apply → temp + atomic move).
@@ -604,7 +708,7 @@ private[graft] object LakeSinkFiles {
       remove: Seq[String]): Unit = {
     if (add.isEmpty && remove.isEmpty) return
     val merged = (readCounts(path) -- remove) ++ add
-    val body = merged.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString("\n")
+    val body = encodeCountLines(merged)
     val json = s"""{"files":"${LakeSink.jsonEscape(body)}"}"""
     val tmp = Paths.get(path, s".counts.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -629,8 +733,10 @@ private[graft] object LakeSinkFiles {
     * after a truncate, which queryId-scoped streaming names make
     * practically impossible) REFUSES loudly instead of overwriting: the
     * first retired bytes back recorded snapshots, and replacing them
-    * would make `VERSION AS OF` silently return the wrong rows. */
-  def retire(path: String, files: Seq[String]): Unit = {
+    * would make `VERSION AS OF` silently return the wrong rows.
+    * Returns the retired RELATIVE names — the `removes` delta the
+    * caller's [[recordVersion]] applies to the manifest chain. */
+  def retire(path: String, files: Seq[String]): Seq[String] = {
     val root = Paths.get(path)
     val retired = scala.collection.mutable.ListBuffer.empty[String]
     files.distinct.foreach { f =>
@@ -652,6 +758,7 @@ private[graft] object LakeSinkFiles {
     updateCounts(path, Map.empty, retired.toSeq) // ledgers track LIVE files only
     LakeSinkStats.updateBlobs(path, Map.empty, retired.toSeq)
     LakeSinkDeletes.update(path, Map.empty, retired.toSeq)
+    retired.toSeq
   }
 
   /** Conflict detection for commits whose retire set was planned EARLIER
@@ -720,40 +827,101 @@ private[graft] object LakeSinkFiles {
     reserved
   }
 
-  /** Record the NEXT version snapshot from the current committed state
-    * (call after promote/retire and manifest reconciliation). Returns the
-    * recorded version id. Concurrency contract: the id is RESERVED
-    * atomically (see [[reserveVersion]]), so concurrent committers each
-    * durably record their own snapshot; each record is a valid listing of
-    * the live tree AT ITS OWN WRITE — cross-committer snapshot isolation
-    * (seeing a half-promoted peer) is out of scope for a lake without a
-    * central manifest, and degrades to a superset/subset file list, never
-    * corrupt bytes. */
-  def recordVersion(path: String): Long = {
+  /** Record the NEXT version snapshot (call after promote/retire and
+    * manifest reconciliation), passing the commit's own file DELTA.
+    * Returns the recorded version id.
+    *
+    * The recorded file list is MANIFEST ARITHMETIC, not a directory walk
+    * (the Iceberg manifest-list move): our view = the committed
+    * predecessor's recorded list − our retires + our adds. That makes the
+    * record a true SNAPSHOT even while a peer is mid-promote — a peer's
+    * half-promoted files can never leak into our version (the
+    * cross-committer isolation gap the tree walk had) — and commit cost
+    * is O(record size), not O(walk of a million-file tree).
+    *
+    * Concurrency contract: the id is RESERVED atomically (see
+    * [[reserveVersion]]), so concurrent committers each durably record
+    * their own snapshot. Arithmetic needs an intact predecessor chain:
+    * if any reservation BETWEEN the latest committed record and our id is
+    * still pending (a peer mid-commit), basing on the committed
+    * predecessor would drop that peer's already-promoted files from the
+    * chain — so we fall back to the tree walk for exactly that record
+    * (the pre-r11 superset/subset behavior, never lost bytes); the next
+    * uncontended commit re-converges the chain to walk-free arithmetic. */
+  def recordVersion(path: String): Long =
+    recordVersion(path, Seq.empty, Seq.empty)
+
+  def recordVersion(path: String, adds: Seq[String], removes: Seq[String]): Long = {
     val (schema, partCols) = readManifest(path).getOrElse(
       throw new IllegalStateException(
         s"LakeSink: recording a version at $path before any manifest"))
-    val root = Paths.get(path)
-    val rels = LakeSinkPartitions.listCommitted(path, partCols)
-      .map { case (p, _) => root.relativize(p).toString }.sorted
     val dir = versionsDir(path)
     Files.createDirectories(dir)
-    // snapshot the delete-vector ledger INTO the record: `VERSION AS OF`
-    // must apply exactly the vectors of its commit (a later merge-on-read
-    // DELETE mutates the live ledger, not history)
-    val delBody = LakeSinkDeletes.serialize(LakeSinkDeletes.read(path))
+    val v = reserveVersion(path)
+    // predecessor chain below OUR id (peers reserving after us get higher
+    // ids, so everything relevant is already visible)
+    val below = rawVersions(path).filter(_._1 < v)
+    val baseId = below.collect { case (id, p) if Files.size(p) > 0 => id }.lastOption
+    val pendingAboveBase = below.exists { case (id, p) =>
+      Files.size(p) == 0 && baseId.forall(id > _) }
+    val rels: Seq[String] = baseId match {
+      case Some(b) if !pendingAboveBase =>
+        ((readVersion(path, b)._3.toSet -- removes) ++ adds).toSeq.sorted
+      case _ =>
+        // bootstrap (first record) or a peer mid-commit: walk the tree
+        val root = Paths.get(path)
+        LakeSinkPartitions.listCommitted(path, partCols)
+          .map { case (p, _) => root.relativize(p).toString }.sorted
+    }
+    // snapshot the delete-vector ledger AND the counts/stats ledgers INTO
+    // the record, trimmed to this version's files: `VERSION AS OF` must
+    // apply exactly the vectors of its commit, and with the ledgers it
+    // also ANSWERS count/min/max from metadata like a live read (later
+    // commits mutate the live ledgers, not history)
+    val relSet = rels.toSet
+    val delBody = LakeSinkDeletes.serialize(
+      LakeSinkDeletes.read(path).filter { case (r, _) => relSet.contains(r) })
+    val countsBody = encodeCountLines(
+      readCounts(path).filter { case (r, _) => relSet.contains(r) })
+    val statsBody = LakeSinkStats.encodeLines(
+      LakeSinkStats.readBlobs(path).filter { case (r, _) => relSet.contains(r) })
+    // schema-evolution state rides into the record: snapshot reads decode
+    // old files under the aliases of THEIR commit
+    val (renames, droppedCols) = readManifestRenames(path)
+    val renBody = renames.toSeq.sortBy(_._1)
+      .map { case (l, ps) => s"$l=${ps.mkString("|")}" }.mkString(";")
     val json = s"""{"schema":"${LakeSink.jsonEscape(schema.toDDL)}"""" +
       s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"""" +
+      (if (renames.nonEmpty) s""","renames":"${LakeSink.jsonEscape(renBody)}"""" else "") +
+      (if (droppedCols.nonEmpty) s""","dropped":"${LakeSink.jsonEscape(droppedCols.mkString(","))}"""" else "") +
       s""","deletes":"${LakeSink.jsonEscape(delBody)}"""" +
+      s""","counts":"${LakeSink.jsonEscape(countsBody)}"""" +
+      s""","stats":"${LakeSink.jsonEscape(statsBody)}"""" +
       s""","files":"${LakeSink.jsonEscape(rels.mkString("\n"))}"}"""
     val tmp = dir.resolve(s".v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    val v = reserveVersion(path)
-    // we own the reserved name now — replacing our own empty marker is safe
+    // we own the reserved name — replacing our own empty marker is safe
     Files.move(tmp, dir.resolve(versionName(v)), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     v
   }
+
+  /** The LIVE file list from the LATEST version record — planning is then
+    * O(read one record) instead of an O(#files) directory walk (the
+    * measured lake_meta_probe scale gap this closes), and every plan is a
+    * consistent SNAPSHOT of the last commit: a peer's half-promoted files
+    * are invisible until its own record lands. Falls back to the walk
+    * only for a directory with no recorded version (bootstrap). */
+  def listLive(path: String, partCols: Seq[String]): Seq[(Path, Seq[(String, String)])] =
+    listVersions(path).lastOption match {
+      case None => LakeSinkPartitions.listCommitted(path, partCols)
+      case Some(v) =>
+        val root = Paths.get(path)
+        readVersion(path, v)._3.map { rel =>
+          val p = root.resolve(rel)
+          (p, LakeSinkPartitions.kvsOf(root, p, partCols))
+        }
+    }
 
   /** Read one recorded snapshot: (schema, partition cols, relative files). */
   def readVersion(path: String, v: Long): (StructType, Seq[String], Seq[String]) = {
@@ -767,8 +935,7 @@ private[graft] object LakeSinkFiles {
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val where = s"version record $p"
     val schema = StructType.fromDDL(jsonField(json, "schema", where))
-    val parts = jsonField(json, "partitionCols", where)
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val parts = LakePart.split(jsonField(json, "partitionCols", where))
     val files = jsonField(json, "files", where)
       .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     (schema, parts, files)
@@ -782,6 +949,27 @@ private[graft] object LakeSinkFiles {
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     if (!json.contains(""""deletes":"""")) Map.empty // legacy record
     else LakeSinkDeletes.parse(jsonField(json, "deletes", s"version record $p"))
+  }
+
+  /** A recorded version's counts-ledger snapshot — None for records
+    * written before per-version ledgers existed (snapshot aggregates then
+    * fall back to scanning, never a guess). */
+  def readVersionCounts(path: String, v: Long): Option[Map[String, Long]] = {
+    val p = versionsDir(path).resolve(versionName(v))
+    if (!Files.isRegularFile(p) || Files.size(p) == 0) return None
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (!json.contains(""""counts":"""")) None // legacy record
+    else Some(decodeCountLines(jsonField(json, "counts", s"version record $p")))
+  }
+
+  /** A recorded version's stats-ledger snapshot — None for legacy records. */
+  def readVersionStats(path: String, v: Long): Option[Map[String, String]] = {
+    val p = versionsDir(path).resolve(versionName(v))
+    if (!Files.isRegularFile(p) || Files.size(p) == 0) return None
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (!json.contains(""""stats":"""")) None // legacy record
+    else Some(LakeSinkStats.decodeLines(
+      jsonField(json, "stats", s"version record $p")))
   }
 
   /** Greatest recorded version whose commit instant is ≤ `micros` (file
@@ -835,22 +1023,12 @@ private[graft] object LakeSinkFiles {
     * partitioned lakes nest), leaving `_staging`/`_graft_commits`/
     * `_graft_versions`/`_graft_retired` alone: a truncating overwrite is a
     * version transition, not history destruction — recorded snapshots of
-    * the pre-truncate table stay readable until VACUUM. */
-  def truncateDest(path: String): Unit = {
-    val root = Paths.get(path)
-    if (Files.isDirectory(root)) {
-      val it = Files.walk(root).iterator()
-      val hits = scala.collection.mutable.ListBuffer.empty[Path]
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
-            && !p.startsWith(stagingDir(path)) && !p.startsWith(retiredDir(path)))
-          hits += p
-      }
-      retire(path, hits.map(_.toString).toSeq)
-    }
-  }
+    * the pre-truncate table stay readable until VACUUM. Deliberately a
+    * TREE WALK, not the manifest (the one mutation that should also
+    * reclaim crashed commits' orphaned promotes). Returns retired rels. */
+  def truncateDest(path: String): Seq[String] =
+    retire(path,
+      LakeSinkPartitions.listCommitted(path, Seq.empty).map(_._1.toString))
 }
 
 private[graft] case class LakeSinkCommit(staged: Seq[String],
@@ -879,14 +1057,14 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
     val staged = committed.flatMap(_.staged)
-    mode match {
-      case LakeAppend   => ()
+    val removed: Seq[String] = mode match {
+      case LakeAppend   => Seq.empty
       case LakeTruncate => LakeSinkFiles.truncateDest(path)
       case LakeOverwriteWhere(filters) =>
         // retire exactly the files of the matching partitions — whole
         // untouched partitions' files survive bit-identically
         LakeSinkFiles.retire(path,
-          LakeSinkPartitions.listCommitted(path, partCols)
+          LakeSinkFiles.listLive(path, partCols)
             .filter { case (_, kvs) => LakeSinkPartitions.keeps(schema, kvs, filters) }
             .map(_._1.toString))
       case LakeDynamicOverwrite =>
@@ -896,7 +1074,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
           Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")).toSet
         val root = Paths.get(path)
         LakeSinkFiles.retire(path,
-          LakeSinkPartitions.listCommitted(path, partCols)
+          LakeSinkFiles.listLive(path, partCols)
             .filter { case (p, _) =>
               val rel = root.relativize(p)
               touched.contains(
@@ -908,7 +1086,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
       replace = mode == LakeTruncate)
     LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
     LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
-    LakeSinkFiles.recordVersion(path)
+    LakeSinkFiles.recordVersion(path, staged, removed)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -948,7 +1126,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
       LakeSinkFiles.reconcileManifest(path, schema, partCols, replace = false)
       LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
       LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
-      LakeSinkFiles.recordVersion(path)
+      LakeSinkFiles.recordVersion(path, staged, Seq.empty)
       // marker via temp + atomic move: a crash can't leave a marker for
       // an epoch whose files never promoted
       val tmp = LakeSinkFiles.commitsDir(path).resolve(s".$qtag$epochId.tmp")
@@ -1014,9 +1192,11 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
   private val statTrackers = scala.collection.mutable.LinkedHashMap
     .empty[String, Array[Option[LakeSinkStats.ColTracker]]]
 
+  private val dirKeys = LakePart.parseAll(partCols).map(_.dirKey)
+
   private def relOf(row: InternalRow): String =
     if (partCols.isEmpty) ""
-    else partCols.indices.map(i => s"${partCols(i)}=${partVals(i)(row)}")
+    else partCols.indices.map(i => s"${dirKeys(i)}=${partVals(i)(row)}")
       .mkString("", "/", "/")
 
   private def inProgressOf(rel: String) =

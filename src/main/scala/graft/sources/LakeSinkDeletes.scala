@@ -94,6 +94,32 @@ private[graft] object LakeSinkDeletes {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Conflict detection for commits whose rewrite CONTENT was computed
+    * against a planning-time vector snapshot (compaction's materialize
+    * pass, ReplaceData's vector-filtered scan): a concurrent merge-on-read
+    * DELETE commits vectors WITHOUT touching any data file, so
+    * [[LakeSinkFiles.requireAllLive]] cannot see it — but a rewrite
+    * materialized from the stale vector set would silently RESURRECT the
+    * concurrently-deleted rows. Compare the planned files' CURRENT vector
+    * entries against the planning-time snapshot and abort loudly (before
+    * any mutation) on any difference; `rels` are RELATIVE names. */
+  def requireUnchanged(path: String, rels: Seq[String],
+      snapshot: Map[String, Array[Long]], who: String): Unit = {
+    val now = read(path)
+    val changed = rels.distinct.filter { rel =>
+      !java.util.Arrays.equals(now.getOrElse(rel, Array.empty[Long]),
+        snapshot.getOrElse(rel, Array.empty[Long]))
+    }
+    if (changed.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"LakeSink: $who commit conflict at $path — ${changed.size} planned " +
+          "file(s) gained delete vectors from a concurrent merge-on-read " +
+          s"commit since planning (first: ${changed.head}); rewriting them " +
+          "from the stale vector set would resurrect the concurrently-deleted " +
+          "rows; aborting before any mutation — re-run to plan against the " +
+          "current table state")
+  }
+
   /** Record vectors / drop files' entries.
     *  - `add` only (a delta-DML commit): writes ONE new immutable delete
     *    file — append-only, so concurrent committers can never lose each

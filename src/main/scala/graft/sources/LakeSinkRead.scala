@@ -37,7 +37,11 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     allowAgg: Boolean = true,
     triggerLimits: (Option[Int], Option[Long]) = (None, None),
     snapshotDeletes: Map[String, Array[Long]] = Map.empty,
-    includePositions: Map[String, Array[Long]] = Map.empty) extends ScanBuilder
+    includePositions: Map[String, Array[Long]] = Map.empty,
+    onPlannedDeletes: Map[String, Array[Long]] => Unit = _ => (),
+    snapshotCounts: Option[Map[String, Long]] = None,
+    snapshotStats: Option[Map[String, String]] = None,
+    evolution: Option[(Map[String, String], Set[String])] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -114,7 +118,11 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     }
 
   private def metaRows0(agg: Aggregation): Option[(Seq[Array[Any]], StructType, String)] = {
-    if (!allowAgg || snapshot.nonEmpty || dataFilters.nonEmpty ||
+    // includePositions (a CDF row-subset read) can never answer from
+    // file-granular ledgers; snapshot reads CAN — their version record
+    // carries its own ledger snapshots (legacy records without them fall
+    // back to scanning, never a guess)
+    if (!allowAgg || includePositions.nonEmpty || dataFilters.nonEmpty ||
         agg.aggregateExpressions.isEmpty)
       return None
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
@@ -123,17 +131,29 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
       case _ => return None
     }
     val root = Paths.get(path)
-    val kept: Seq[(String, Seq[(String, String)])] =
-      LakeSinkPartitions.listCommitted(path, partCols)
-        .filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, partFilters) }
-        .map { case (p, kvs) => (root.relativize(p).toString, kvs) }
-    lazy val counts = LakeSinkFiles.readCounts(path)
-    lazy val stats = LakeSinkStats.readBlobs(path)
+    val kept: Seq[(String, Seq[(String, String)])] = (snapshot match {
+      case Some(rels) =>
+        rels.map(rel => (rel, LakeSinkPartitions.kvsOf(root, root.resolve(rel), partCols)))
+      case None =>
+        LakeSinkFiles.listLive(path, partCols)
+          .map { case (p, kvs) => (root.relativize(p).toString, kvs) }
+    }).filter { case (_, kvs) => LakeSinkPartitions.keeps(fullSchema, kvs, partFilters) }
     // merge-on-read delete vectors: count(*) stays EXACT (subtract the
     // vector sizes); min/max/count(col)/partition-value folds FALL BACK
     // for any kept file carrying a vector — the recorded stats may
-    // describe deleted rows
-    lazy val dels = LakeSinkDeletes.read(path)
+    // describe deleted rows. Snapshot reads answer from THEIR version's
+    // recorded ledgers, live reads from the live ones.
+    val (counts, stats, dels) = snapshot match {
+      case Some(_) =>
+        (snapshotCounts.getOrElse(return None),
+          snapshotStats.getOrElse(return None), snapshotDeletes)
+      case None =>
+        (LakeSinkFiles.readCounts(path), LakeSinkStats.readBlobs(path),
+          LakeSinkDeletes.read(path))
+    }
+    // pre-rename files' stats entries carry PHYSICAL names — translate
+    val aliasMap = evolution
+      .getOrElse(LakeSinkFiles.readManifestEvolution(path))._1
     def hasVector(rels: Seq[String]): Boolean = rels.exists(dels.contains)
 
     def countOf(rels: Seq[String]): Option[Any] = {
@@ -153,7 +173,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
         for {
           n <- counts.get(rel)
           blob <- stats.get(rel)
-          cs <- LakeSinkStats.decode(blob, fullSchema).get(f.name)
+          cs <- LakeSinkStats.decode(blob, fullSchema, aliasMap).get(f.name)
           nulls <- cs.nulls
         } yield n - nulls
       }
@@ -168,7 +188,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     def minmaxOf(rels: Seq[String], f: StructField, isMin: Boolean): Option[Any] = {
       if (hasVector(rels)) return None // a bound's row may be deleted
       val entries = rels.map(rel => stats.get(rel)
-        .flatMap(b => LakeSinkStats.decode(b, fullSchema).get(f.name)))
+        .flatMap(b => LakeSinkStats.decode(b, fullSchema, aliasMap).get(f.name)))
       if (entries.exists(_.isEmpty)) return None // some file unrecorded
       val bounds = entries.flatten.flatMap(_.bounds)
       Some(
@@ -278,7 +298,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     case None =>
       new LakeSinkScan(fullSchema, required, path, partCols, partFilters,
         dataFilters, onPlanned, snapshot, triggerLimits, snapshotDeletes,
-        includePositions)
+        includePositions, onPlannedDeletes, evolution)
   }
 }
 
@@ -328,33 +348,46 @@ private[sources] object LakeSinkPartitions {
     case other => throw new IllegalStateException(s"unexpected partition type $other")
   }
 
-  /** Decode a relative lake path's Hive `k=v/` directory pairs. */
+  /** Decode a relative lake path's Hive `k=v/` directory pairs — keys are
+    * the partition fields' DIRECTORY keys (`col` for identity,
+    * `col_bucket` for bucket transforms, see [[LakePart]]). */
   def kvsOf(root: Path, p: Path, partCols: Seq[String]): Seq[(String, String)] = {
+    val keys = LakePart.parseAll(partCols).map(_.dirKey)
     val rel = root.relativize(p)
     (0 until rel.getNameCount - 1).map(rel.getName(_).toString).flatMap { d =>
       val eq = d.indexOf('=')
       if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
-    }.filter { case (k, _) => partCols.contains(k) }
+    }.filter { case (k, _) => keys.contains(k) }
   }
 
   /** Every committed data file under `path` with its decoded `k=v`
     * directory pairs; `_staging`/`_graft_commits`/`_graft_versions`/
-    * `_graft_retired` are never listed. */
+    * `_graft_retired` subtrees are PRUNED from the walk (not just
+    * filtered), and a file that vanishes mid-walk (a concurrent
+    * committer moving its temp artifacts) is skipped instead of failing
+    * the whole listing — `Files.walk` would throw NoSuchFileException. */
   def listCommitted(path: String, partCols: Seq[String]): Seq[(Path, Seq[(String, String)])] = {
     val root = Paths.get(path)
     if (!Files.isDirectory(root)) return Seq.empty
     val hidden = Seq(LakeSinkFiles.stagingDir(path), LakeSinkFiles.commitsDir(path),
       LakeSinkFiles.versionsDir(path), LakeSinkFiles.retiredDir(path))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Seq[(String, String)])]
-    val it = Files.walk(root).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val n = p.getFileName.toString
-      if (Files.isRegularFile(p) && n.startsWith("part-") && n.endsWith(".json.gz")
-          && !hidden.exists(p.startsWith(_))) {
-        out += ((p, kvsOf(root, p, partCols)))
+    Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+      import java.nio.file.FileVisitResult
+      override def preVisitDirectory(dir: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes): FileVisitResult =
+        if (hidden.exists(dir.startsWith(_))) FileVisitResult.SKIP_SUBTREE
+        else FileVisitResult.CONTINUE
+      override def visitFile(p: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes): FileVisitResult = {
+        val n = p.getFileName.toString
+        if (attrs.isRegularFile && n.startsWith("part-") && n.endsWith(".json.gz"))
+          out += ((p, kvsOf(root, p, partCols)))
+        FileVisitResult.CONTINUE
       }
-    }
+      override def visitFileFailed(p: Path,
+          e: java.io.IOException): FileVisitResult = FileVisitResult.CONTINUE
+    })
     out.toSeq
   }
 
@@ -403,7 +436,9 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     snapshot: Option[Seq[String]] = None,
     triggerLimits: (Option[Int], Option[Long]) = (None, None),
     snapshotDeletes: Map[String, Array[Long]] = Map.empty,
-    includePositions: Map[String, Array[Long]] = Map.empty)
+    includePositions: Map[String, Array[Long]] = Map.empty,
+    onPlannedDeletes: Map[String, Array[Long]] => Unit = _ => (),
+    evolution: Option[(Map[String, String], Set[String])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -426,9 +461,15 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
   // non-grouped read; runtime filtering is disabled while active — the
   // reported partitioning must stay consistent with the planned groups
   // (the TelemetrySource daily-scan lesson).
+  private val parts: Seq[LakePart] = LakePart.parseAll(partCols)
+  // directory keys whose values restore into DATA columns on read —
+  // identity fields only (a bucket id is a lossy hash, never a column)
+  private val identityKeys: Set[String] =
+    parts.filter(_.isIdentity).map(_.dirKey).toSet
+
   private lazy val spjActive: Boolean =
     partCols.nonEmpty &&
-      partCols.forall(required.fieldNames.contains) &&
+      parts.forall(p => required.fieldNames.contains(p.name)) &&
       org.apache.spark.sql.SparkSession.active.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
 
@@ -436,9 +477,14 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (spjActive)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partCols.map(c =>
-          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        parts.map {
+          case LakePart(_, nm, Some(n)) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, nm)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case LakePart(_, nm, None) =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(nm)
+              : org.apache.spark.sql.connector.expressions.Expression
+        }.toArray,
         planInputPartitions().length)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
@@ -523,13 +569,21 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     private val bytes = planned.map(Files.size(_)).sum
     // EXACT row count from the commit-time ledger when every planned file
     // is recorded (pruned + skipped files excluded) — feeds the CBO the
-    // number a parquet footer would; empty when any file is unrecorded
+    // number a parquet footer would; empty when any file is unrecorded.
+    // Snapshot scans subtract THEIR version's recorded vectors (the same
+    // vecs selection planInputPartitions applies — the live ledger could
+    // under- or over-count a snapshot), and rel names resolve
+    // retired-aware (a snapshot file under _graft_retired/ keys the
+    // ledgers by its ORIGINAL relative name).
     private val rows: java.util.OptionalLong = {
       val ledger = LakeSinkFiles.readCounts(path)
-      val dels = LakeSinkDeletes.read(path)
+      val dels =
+        if (snapshot.isDefined) snapshotDeletes else LakeSinkDeletes.read(path)
       val root = Paths.get(path)
+      val retired = LakeSinkFiles.retiredDir(path)
       val cs = planned.map { p =>
-        val rel = root.relativize(p).toString
+        val rel = (if (p.startsWith(retired)) retired.relativize(p)
+                   else root.relativize(p)).toString
         ledger.get(rel).map(_ - dels.get(rel).map(_.length.toLong).getOrElse(0L))
       }
       if (cs.nonEmpty && cs.forall(_.isDefined))
@@ -544,7 +598,7 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
   override def planInputPartitions(): Array[InputPartition] = {
     val all = snapshot match {
       case Some(rels) => snapshotFiles(rels)
-      case None       => LakeSinkPartitions.listCommitted(path, partCols)
+      case None       => LakeSinkFiles.listLive(path, partCols)
     }
     val (rtPart, rtData) = runtimeFilters.partition(isPartFilter)
     val effPart = partFilters ++ rtPart
@@ -560,10 +614,12 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
       if (effData.isEmpty) kept
       else {
         val blobs = LakeSinkStats.readBlobs(path)
+        val aliasMap = evolution
+          .getOrElse(LakeSinkFiles.readManifestEvolution(path))._1
         val root = Paths.get(path)
         kept.filter { case (p, _) =>
           val fs = blobs.get(root.relativize(p).toString)
-            .map(LakeSinkStats.decode(_, fullSchema))
+            .map(LakeSinkStats.decode(_, fullSchema, aliasMap))
           effData.forall(f => LakeSinkStats.mayMatch(fs, fullSchema, f))
         }
       }
@@ -577,6 +633,11 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     // the listed positions instead
     val vecs: Map[String, Array[Long]] =
       if (snapshot.isDefined) snapshotDeletes else LakeSinkDeletes.read(path)
+    // row-level operations also record the vector snapshot their rewrite
+    // content was computed against — a concurrent merge-on-read DELETE
+    // (which touches no data file) is then detected at their commit
+    // (LakeSinkDeletes.requireUnchanged), not silently undone
+    onPlannedDeletes(vecs)
     val rootP = Paths.get(path)
     val retiredP = LakeSinkFiles.retiredDir(path)
     def relOf(p: Path): String =
@@ -584,33 +645,46 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
        else rootP.relativize(p)).toString
     def mk(p: Path, kvs: Seq[(String, String)]): LakeSinkInputPartition = {
       val rel = if (vecs.isEmpty && includePositions.isEmpty) "" else relOf(p)
+      // readers restore identity dir values into columns; bucket-id dirs
+      // are layout only (the source column travels in the rows)
+      val identKvs = kvs.filter { case (k, _) => identityKeys.contains(k) }
       if (includePositions.nonEmpty)
-        LakeSinkInputPartition(p.toString, kvs,
+        LakeSinkInputPartition(p.toString, identKvs,
           includeOnly = Some(includePositions.getOrElse(rel, Array.empty)))
       else
-        LakeSinkInputPartition(p.toString, kvs,
+        LakeSinkInputPartition(p.toString, identKvs,
           deletes = vecs.getOrElse(rel, Array.empty))
     }
     if (spjActive) {
       // one input partition per partition DIRECTORY, key = decoded values
-      // in partCols order — the KeyGroupedPartitioning contract
+      // in partition-field order (identity value or bucket id) — the
+      // KeyGroupedPartitioning contract
       taken.groupBy { case (_, kvs) =>
-        partCols.map(c => kvs.find(_._1 == c).map(_._2).getOrElse(
+        parts.map(f => kvs.find(_._1 == f.dirKey).map(_._2).getOrElse(
           throw new IllegalStateException(
-            s"LakeSink SPJ: file missing partition dir $c")))
+            s"LakeSink SPJ: file missing partition dir ${f.dirKey}")))
       }.toSeq.sortBy(_._1.mkString("/")).map { case (vals, files) =>
         LakeSinkGroupPartition(
           files.map { case (p, kvs) => mk(p, kvs) }.toArray,
-          partCols.zip(vals).map { case (c, v) =>
-            LakeSinkPartitions.dirToInternal(fullSchema(c).dataType, v) }.toArray)
+          parts.zip(vals).map {
+            case (f, v) if f.isIdentity =>
+              LakeSinkPartitions.dirToInternal(fullSchema(f.name).dataType, v)
+            case (_, v) => java.lang.Integer.valueOf(v.toInt) // bucket id
+          }.toArray)
           : InputPartition
       }.toArray
     } else
       taken.map { case (p, kvs) => mk(p, kvs): InputPartition }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LakeSinkReaderFactory(fullSchema, required, partCols)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // evolution state resolved at PLANNING on the driver (snapshot scans
+    // carry their version's; live scans read the manifest) and shipped to
+    // executors inside the factory
+    val (aliases, ignored) =
+      evolution.getOrElse(LakeSinkFiles.readManifestEvolution(path))
+    new LakeSinkReaderFactory(fullSchema, required, partCols, aliases, ignored)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -640,7 +714,7 @@ private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private def committed(): Seq[String] =
-    LakeSinkPartitions.listCommitted(path, partCols).map(_._1.toString).sorted
+    LakeSinkFiles.listLive(path, partCols).map(_._1.toString).sorted
 
   // AvailableNow pins the availability horizon at query start: every
   // batch drains toward the SAME snapshot even while writers keep
@@ -705,24 +779,25 @@ private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
     // vectors landing AFTER admission are history the stream already
     // emitted — the documented append-only streaming contract
     val vecs = LakeSinkDeletes.read(path)
+    val identityKeys = LakePart.parseAll(partCols)
+      .filter(_.isIdentity).map(_.dirKey).toSet
     fresh.map { f =>
       require(Files.isRegularFile(Paths.get(f)),
         s"LakeSink stream: committed file $f vanished mid-stream — " +
           "streaming reads require an append-only lake")
       val root = Paths.get(path)
       val rel = root.relativize(Paths.get(f))
-      val kvs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-        .flatMap { d =>
-          val eq = d.indexOf('=')
-          if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
-        }.filter { case (k, _) => partCols.contains(k) }
+      val kvs = LakeSinkPartitions.kvsOf(root, Paths.get(f), partCols)
+        .filter { case (k, _) => identityKeys.contains(k) }
       LakeSinkInputPartition(f, kvs,
         deletes = vecs.getOrElse(rel.toString, Array.empty)): InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LakeSinkReaderFactory(fullSchema, required, partCols)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (aliases, ignored) = LakeSinkFiles.readManifestEvolution(path)
+    new LakeSinkReaderFactory(fullSchema, required, partCols, aliases, ignored)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -797,12 +872,14 @@ private[sources] case class LakeSinkGroupPartition(
 }
 
 private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
-    required: StructType, partCols: Seq[String]) extends PartitionReaderFactory {
+    required: StructType, partCols: Seq[String],
+    aliases: Map[String, String] = Map.empty,
+    ignored: Set[String] = Set.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: LakeSinkInputPartition =>
         new LakeSinkPartitionReader(p.file, fullSchema, required, partCols,
-          p.partValues, p.deletes, p.includeOnly)
+          p.partValues, p.deletes, p.includeOnly, aliases, ignored)
       case g: LakeSinkGroupPartition =>
         // chain the directory's files sequentially in one task
         new PartitionReader[InternalRow] {
@@ -816,7 +893,7 @@ private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
               if (i >= g.files.length) return false
               cur = new LakeSinkPartitionReader(g.files(i).file, fullSchema,
                 required, partCols, g.files(i).partValues, g.files(i).deletes,
-                g.files(i).includeOnly)
+                g.files(i).includeOnly, aliases, ignored)
             }
             true
           }
@@ -836,10 +913,12 @@ private[sources] class LakeSinkPartitionReader(file: String,
     fullSchema: StructType, required: StructType, partCols: Seq[String],
     partValues: Seq[(String, String)],
     deletes: Array[Long] = Array.empty,
-    includeOnly: Option[Array[Long]] = None) extends PartitionReader[InternalRow] {
+    includeOnly: Option[Array[Long]] = None,
+    aliases: Map[String, String] = Map.empty,
+    ignored: Set[String] = Set.empty) extends PartitionReader[InternalRow] {
 
   private val dataSchema = LakeSink.dataSchema(fullSchema, partCols)
-  private val parser = new JsonLineParser(dataSchema)
+  private val parser = new JsonLineParser(dataSchema, aliases, ignored)
   private val parsed = new Array[Any](dataSchema.length)
 
   // typed partition values, decoded once per file
@@ -936,9 +1015,12 @@ private[sources] class LakeSinkPartitionReader(file: String,
 private[sources] class LakeSinkRowLevelOperation(schema: StructType,
     path: String, partCols: Seq[String], cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
-  // the op's scan and write are built from ONE instance — this field is
-  // the group handshake between them (driver-side only)
+  // the op's scan and write are built from ONE instance — these fields
+  // are the group handshake between them (driver-side only): the planned
+  // file set AND the delete-vector snapshot the scan filtered with (the
+  // rewrite's content is only valid against exactly those vectors)
   @volatile private var plannedFiles: Seq[String] = Seq.empty
+  @volatile private var plannedVecs: Map[String, Array[Long]] = Map.empty
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-lake-rowlevel-$cmd path=$path"
@@ -955,7 +1037,8 @@ private[sources] class LakeSinkRowLevelOperation(schema: StructType,
     // allowAgg = false: the op's scan must PLAN data files (the group
     // handshake below) — a metadata-only agg scan would record nothing
     new LakeSinkScanBuilder(schema, path, partCols,
-      onPlanned = fs => plannedFiles = fs, allowAgg = false)
+      onPlanned = fs => plannedFiles = fs, allowAgg = false,
+      onPlannedDeletes = vs => plannedVecs = vs)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -963,7 +1046,8 @@ private[sources] class LakeSinkRowLevelOperation(schema: StructType,
         override def description(): String = s"graft-lake-replace-data path=$path"
         override def toBatch: BatchWrite = new LakeSinkReplaceBatchWrite(
           info.schema(), path, partCols,
-          java.util.UUID.randomUUID.toString.take(8), () => plannedFiles)
+          java.util.UUID.randomUUID.toString.take(8), () => plannedFiles,
+          () => plannedVecs)
       }
     }
 }
@@ -977,15 +1061,26 @@ private[sources] class LakeSinkRowLevelOperation(schema: StructType,
   * silently duplicating the rewritten rows. */
 private[graft] class LakeSinkReplaceBatchWrite(schema: StructType,
     path: String, partCols: Seq[String], writeId: String,
-    oldFiles: () => Seq[String]) extends BatchWrite {
+    oldFiles: () => Seq[String],
+    plannedDels: () => Map[String, Array[Long]] = () => Map.empty)
+    extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
-    // conflict check BEFORE any mutation: loser aborts, table untouched
-    try LakeSinkFiles.requireAllLive(path, oldFiles(), "row-level rewrite")
-    catch { case e: java.util.ConcurrentModificationException =>
+    // conflict checks BEFORE any mutation: loser aborts, table untouched.
+    // Two independent races: a concurrent commit REWROTE a planned file
+    // (requireAllLive), or a concurrent merge-on-read DELETE added
+    // vectors to one WITHOUT touching it (requireUnchanged — the rewrite
+    // would otherwise resurrect the concurrently-deleted rows)
+    try {
+      LakeSinkFiles.requireAllLive(path, oldFiles(), "row-level rewrite")
+      val root = Paths.get(path)
+      LakeSinkDeletes.requireUnchanged(path,
+        oldFiles().map(f => root.relativize(Paths.get(f)).toString),
+        plannedDels(), "row-level rewrite")
+    } catch { case e: java.util.ConcurrentModificationException =>
       LakeSinkFiles.discard(path, committed.flatMap(_.staged))
       LakeSinkFiles.sweep(path, s"b$writeId")
       throw e
@@ -995,8 +1090,8 @@ private[graft] class LakeSinkReplaceBatchWrite(schema: StructType,
     LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
     // RETIRE (not delete) the replaced group files: pre-command snapshots
     // in the version log stay readable until VACUUM
-    LakeSinkFiles.retire(path, oldFiles())
-    LakeSinkFiles.recordVersion(path)
+    val removed = LakeSinkFiles.retire(path, oldFiles())
+    LakeSinkFiles.recordVersion(path, committed.flatMap(_.staged), removed)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1089,11 +1184,16 @@ private[graft] class LakeSinkDeltaBatchWrite(schema: StructType, path: String,
         root.relativize(Paths.get(abs)).toString -> ps.map(_._2)
       }
     val inserted = deltas.flatMap(_.inserts)
+    // vectors BEFORE the insert-leg promote: a reader racing a
+    // merge-on-read UPDATE/MERGE then transiently misses the updated row
+    // instead of DOUBLE-seeing it (old row not yet hidden + new row
+    // already promoted) — the safer side of the same promote→retire
+    // window ReplaceData documents
+    LakeSinkDeletes.update(path, adds, Seq.empty)
     LakeSinkFiles.promote(path, inserted.flatMap(_.staged))
     LakeSinkFiles.updateCounts(path, inserted.flatMap(_.counted).toMap, Seq.empty)
     LakeSinkStats.updateBlobs(path, inserted.flatMap(_.statted).toMap, Seq.empty)
-    LakeSinkDeletes.update(path, adds, Seq.empty)
-    LakeSinkFiles.recordVersion(path)
+    LakeSinkFiles.recordVersion(path, inserted.flatMap(_.staged), Seq.empty)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1146,11 +1246,22 @@ private[sources] class LakeSinkDeltaWriter(schema: StructType, path: String,
   * schema — parses exactly the value grammar [[LakeSink.serializers]]
   * emits (null / number / true / false / escaped string / quoted
   * micros-ISO timestamp), field order free, unknown fields rejected
-  * loudly (they would mean the manifest and the files drifted). */
-private[sources] final class JsonLineParser(schema: StructType) {
+  * loudly (they would mean the manifest and the files drifted).
+  *
+  * Schema evolution: `aliases` maps PHYSICAL field names (what files
+  * written before a RENAME carry) to their logical column; `ignored`
+  * lists physical names a DROP COLUMN left behind in old files — their
+  * values are skipped, any other unknown field still fails loudly. */
+private[sources] final class JsonLineParser(schema: StructType,
+    aliases: Map[String, String] = Map.empty,
+    ignored: Set[String] = Set.empty) {
   private val fieldIdx: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, i) }
+    aliases.foreach { case (phys, logical) =>
+      val li = m.get(logical)
+      if (li != null) m.put(phys, li)
+    }
     m
   }
   private val types: Array[DataType] = schema.fields.map(_.dataType)
@@ -1213,21 +1324,24 @@ private[sources] final class JsonLineParser(schema: StructType) {
       if (i >= line.length || line.charAt(i) != ':') fail(line, i, "expected ':'")
       i += 1
       val fi = fieldIdx.get(name)
-      if (fi == null) fail(line, i, s"unknown field '$name'")
+      if (fi == null && !ignored.contains(name))
+        fail(line, i, s"unknown field '$name'")
       line.charAt(i) match {
         case 'n' =>
           if (!line.startsWith("null", i)) fail(line, i, "expected null")
           i += 4
         case 't' =>
           if (!line.startsWith("true", i)) fail(line, i, "expected true")
-          out(fi) = java.lang.Boolean.TRUE; i += 4
+          if (fi != null) out(fi) = java.lang.Boolean.TRUE
+          i += 4
         case 'f' =>
           if (!line.startsWith("false", i)) fail(line, i, "expected false")
-          out(fi) = java.lang.Boolean.FALSE; i += 5
+          if (fi != null) out(fi) = java.lang.Boolean.FALSE
+          i += 5
         case '"' =>
           val (s, after) = parseString(line, i)
           i = after
-          out(fi) = types(fi) match {
+          if (fi != null) out(fi) = types(fi) match {
             case StringType    => UTF8String.fromString(s)
             case TimestampType => java.lang.Long.valueOf(micros(s))
             case other => fail(line, i, s"quoted value for $other field '$name'")
@@ -1237,7 +1351,7 @@ private[sources] final class JsonLineParser(schema: StructType) {
           while (j < line.length && line.charAt(j) != ',' && line.charAt(j) != '}') j += 1
           val s = line.substring(i, j)
           i = j
-          out(fi) = types(fi) match {
+          if (fi != null) out(fi) = types(fi) match {
             case LongType    => java.lang.Long.valueOf(s)
             case IntegerType => java.lang.Integer.valueOf(s)
             case DoubleType  => java.lang.Double.valueOf(s)

@@ -154,15 +154,23 @@ private[graft] object LakeSinkStats {
 
   // --- ledger I/O (same temp + atomic-move protocol as the counts ledger) ----
 
+  /** (rel → blob) line codec — shared by the live ledger file and the
+    * per-version ledger SNAPSHOTS [[LakeSinkFiles.recordVersion]] embeds
+    * (metadata-answered time travel). */
+  def encodeLines(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k$FileSep$v" }.mkString("\n")
+
+  def decodeLines(body: String): Map[String, String] =
+    body.split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf(FileSep)
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+
   def readBlobs(path: String): Map[String, String] = {
     val p = statsPath(path)
     if (!Files.isRegularFile(p)) return Map.empty
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    LakeSinkFiles.jsonField(json, "files", s"stats ledger at $p").split("\n", -1)
-      .iterator.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf(FileSep)
-        line.substring(0, i) -> line.substring(i + 1)
-      }.toMap
+    decodeLines(LakeSinkFiles.jsonField(json, "files", s"stats ledger at $p"))
   }
 
   /** Driver-side merge-and-replace, under the sink's single-writer commit
@@ -171,7 +179,7 @@ private[graft] object LakeSinkStats {
       remove: Seq[String]): Unit = {
     if (add.isEmpty && remove.isEmpty) return
     val merged = (readBlobs(path) -- remove) ++ add
-    val body = merged.toSeq.sorted.map { case (k, v) => s"$k$FileSep$v" }.mkString("\n")
+    val body = encodeLines(merged)
     val json = s"""{"files":"${LakeSink.jsonEscape(body)}"}"""
     val tmp = Paths.get(path, s".stats.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -191,10 +199,13 @@ private[graft] object LakeSinkStats {
 
   type FileStats = Map[String, ColStat]
 
-  def decode(blob: String, schema: StructType): FileStats =
+  /** `aliases` (physical → logical) translates entries recorded before a
+    * RENAME COLUMN — the bounds keep serving the renamed column. */
+  def decode(blob: String, schema: StructType,
+      aliases: Map[String, String] = Map.empty): FileStats =
     blob.split(EntrySep.toString, -1).iterator.filter(_.nonEmpty).flatMap { entry =>
       val parts = entry.split(FieldSep.toString, -1)
-      val name = parts(0)
+      val name = aliases.getOrElse(parts(0), parts(0))
       schema.fields.find(_.name == name).map { f =>
         name -> (parts.length match {
           case 1 => ColStat(None, None) // legacy all-null

@@ -40,7 +40,15 @@ private[graft] class LakeSinkSnapshotTable(snapSchema: StructType, path: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSinkScanBuilder(schema, path, partCols, snapshot = Some(relFiles),
-      snapshotDeletes = deletes, includePositions = includePositions)
+      snapshotDeletes = deletes, includePositions = includePositions,
+      // the version's OWN ledger snapshots: count/min/max against a
+      // snapshot then push down like a live read (None for legacy
+      // records → scan fallback)
+      snapshotCounts = LakeSinkFiles.readVersionCounts(path, version),
+      snapshotStats = LakeSinkFiles.readVersionStats(path, version),
+      // …and its OWN schema-evolution state: a pre-rename snapshot shows
+      // pre-rename names with no aliasing at all
+      evolution = Some(LakeSinkFiles.readVersionEvolution(path, version)))
 }
 
 /** Version-log read surfaces beyond plain time travel. */
@@ -114,6 +122,10 @@ object LakeVersions {
   */
 object LakeMaintenance {
 
+  /** Minimum AGE before VACUUM treats a zero-length version reservation
+    * as crashed (see the sweep in [[vacuum]]). */
+  val ReservationSweepAge: java.time.Duration = java.time.Duration.ofMinutes(15)
+
   /** COMPACT (the OPTIMIZE bin-packing contract): rewrite each partition
     * directory's small files into BIN-PACKED merged files, without
     * changing a single row. With no `targetBytes` every directory folds
@@ -151,7 +163,7 @@ object LakeMaintenance {
     // so a single-file directory carrying a vector is also a compaction
     // candidate — the rewrite reclaims the read-side filtering cost
     val dels = LakeSinkDeletes.read(path)
-    val dirGroups = LakeSinkPartitions.listCommitted(path, partCols)
+    val dirGroups = LakeSinkFiles.listLive(path, partCols)
       .map { case (p, _) => root.relativize(p).toString }
       .groupBy(rel => Option(Paths.get(rel).getParent).map(_.toString).getOrElse(""))
       .filter { case (_, rels) => rels.size > 1 || rels.exists(dels.contains) }
@@ -184,6 +196,9 @@ object LakeMaintenance {
     LakeSinkFiles.ensureDirs(path)
     val tag = java.util.UUID.randomUUID.toString.take(8)
     val dataSchema = LakeSink.dataSchema(tblSchema, partCols)
+    // evolution state captured driver-side: the materialize parser must
+    // decode pre-rename physical names in old files (shipped to executors)
+    val (evoAliases, evoIgnored) = LakeSinkFiles.readManifestEvolution(path)
     // one merge task per compacted partition directory; a group whose
     // originals carry delete vectors takes the MATERIALIZE path: survivor
     // lines are copied AND re-parsed through fresh stats/count trackers,
@@ -199,7 +214,9 @@ object LakeMaintenance {
         val materialize = rels.exists(dels.contains)
         val trackers =
           if (materialize) LakeSinkStats.trackers(dataSchema) else Array.empty[Option[LakeSinkStats.ColTracker]]
-        val parser = if (materialize) new JsonLineParser(dataSchema) else null
+        val parser =
+          if (materialize) new JsonLineParser(dataSchema, evoAliases, evoIgnored)
+          else null
         val parsed = new Array[Any](dataSchema.length)
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(parsed)
         var liveRows = 0L
@@ -258,13 +275,23 @@ object LakeMaintenance {
     // vectors): exact live-row count + re-derived stats blob
     val fresh: Map[String, (Long, String)] =
       staged.collect { case (n, Some(cs)) => n -> cs }.toMap
-    // conflict check BEFORE any mutation: compaction's group listing is
-    // minutes stale by now — if a concurrent commit (append never
-    // conflicts; DML/another compaction does) rewrote any original,
-    // abort loudly with the table untouched and the staged merges swept
-    try LakeSinkFiles.requireAllLive(path,
-      groups.flatMap(_._2).map(rel => root.resolve(rel).toString), "compaction")
-    catch { case e: java.util.ConcurrentModificationException =>
+    // conflict checks BEFORE any mutation: compaction's group listing AND
+    // its vector snapshot are minutes stale by now. Two independent
+    // races: a concurrent commit REWROTE an original (appends never
+    // conflict; DML/another compaction does — requireAllLive), or a
+    // concurrent merge-on-read DELETE added vectors to one WITHOUT
+    // touching it (requireUnchanged against the `dels` snapshot the
+    // materialize pass filtered with — rewriting survivors from the
+    // stale vector set would silently resurrect the concurrently-deleted
+    // rows, and retire()'s ledger consolidation would drop their fresh
+    // vector entries). Loser aborts loudly, table untouched, staged
+    // merges swept.
+    try {
+      LakeSinkFiles.requireAllLive(path,
+        groups.flatMap(_._2).map(rel => root.resolve(rel).toString), "compaction")
+      LakeSinkDeletes.requireUnchanged(path, groups.flatMap(_._2), dels,
+        "compaction")
+    } catch { case e: java.util.ConcurrentModificationException =>
       LakeSinkFiles.discard(path, stagedNames)
       throw e
     }
@@ -304,9 +331,9 @@ object LakeMaintenance {
       }
     }.toMap
     LakeSinkStats.updateBlobs(path, mergedStats, Seq.empty)
-    LakeSinkFiles.retire(path, groups.flatMap(_._2).map(rel =>
+    val removed = LakeSinkFiles.retire(path, groups.flatMap(_._2).map(rel =>
       root.resolve(rel).toString))
-    LakeSinkFiles.recordVersion(path)
+    LakeSinkFiles.recordVersion(path, stagedNames, removed)
     (groups.size, groups.map(_._2.size).sum, stagedNames.size)
   }
 
@@ -407,15 +434,25 @@ object LakeMaintenance {
       Files.deleteIfExists(LakeSinkFiles.versionsDir(path).resolve(f"v$v%09d"))
     }
     // crashed reservations (zero-length version markers whose commit never
-    // finished) are garbage with no readable history behind them
+    // finished) are garbage with no readable history behind them — but
+    // AGE-GATED: a zero-length marker a live committer reserved moments ago
+    // is mid-commit, not crashed; sweeping it would let another committer
+    // re-reserve the same id and the first's REPLACE_EXISTING move would
+    // then silently overwrite the second's record — exactly the lost-record
+    // race the reservation protocol exists to prevent. The reserve→record
+    // window is milliseconds of driver-local work; minutes of age is proof
+    // of a crash, not a race.
     val vdir = LakeSinkFiles.versionsDir(path)
     if (Files.isDirectory(vdir)) {
+      val staleBefore = java.time.Instant.now()
+        .minus(ReservationSweepAge)
       val it = Files.list(vdir).iterator()
       while (it.hasNext) {
         val p = it.next()
         val n = p.getFileName.toString
         if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            Files.isRegularFile(p) && Files.size(p) == 0)
+            Files.isRegularFile(p) && Files.size(p) == 0 &&
+            Files.getLastModifiedTime(p).toInstant.isBefore(staleBefore))
           Files.deleteIfExists(p)
       }
     }
@@ -425,6 +462,6 @@ object LakeMaintenance {
   /** Total committed data files of a lake table (maintenance metric). */
   def committedFileCount(path: String): Int = {
     val (_, partCols) = LakeSinkFiles.readManifest(path).getOrElse(return 0)
-    LakeSinkPartitions.listCommitted(path, partCols).size
+    LakeSinkFiles.listLive(path, partCols).size
   }
 }

@@ -25,6 +25,23 @@ class GraftCatalogSpec extends GraftSpec {
     body
   }
 
+  /** (name, size, mtime) of every committed data file — rewrite detector. */
+  private def dataFilesOf(path: String): Seq[(String, Long, Long)] = {
+    val root = java.nio.file.Paths.get(path)
+    val it = java.nio.file.Files.walk(root).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(p) && n.startsWith("part-") &&
+          n.endsWith(".json.gz") && !p.toString.contains("_staging") &&
+          !p.toString.contains("_graft_retired"))
+        out += ((root.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+    }
+    out.sortBy(_._1).toSeq
+  }
+
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
@@ -233,14 +250,62 @@ class GraftCatalogSpec extends GraftSpec {
         .select($"v", $"tag").as[(Long, Option[String])].collect().toSeq
       assert(back == Seq((1L, None), (2L, Some("new"))),
         s"old rows must read the added column as NULL: $back")
-      // refused evolutions: drop (orphans committed bytes) and bad types
-      val e = intercept[Exception](spark.sql("ALTER TABLE graft.lake.evo DROP COLUMN v"))
-      assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
+      // refused evolutions: dropping the last data column and bad types
+      spark.sql("ALTER TABLE graft.lake.evo DROP COLUMN tag")
+      val e1 = intercept[Exception](spark.sql("ALTER TABLE graft.lake.evo DROP COLUMN v"))
+      assert(e1.getMessage.contains("last column"), e1.getMessage)
       val e2 = intercept[Exception](
         spark.sql("ALTER TABLE graft.lake.evo ADD COLUMNS (bad ARRAY<INT>)"))
       assert(e2.getMessage.contains("unsupported"), e2.getMessage)
-      assert(spark.table("graft.lake.evo").columns.toSeq == Seq("v", "tag"),
+      assert(spark.table("graft.lake.evo").columns.toSeq == Seq("v"),
         "refused DDL must not change the schema")
+    }
+  }
+
+  test("RENAME/DROP COLUMN: metadata-only, old files alias, snapshots keep old names") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_evolve2")
+    withCatalog(lake) {
+      Seq((1L, "en", "keepA"), (2L, "de", "keepB")).toDF("id", "lang", "x")
+        .writeTo("graft.lake.ren").create() // v1: physical names id/lang/x
+      val filesBefore = dataFilesOf(s"$lake/ren")
+      spark.sql("ALTER TABLE graft.lake.ren RENAME COLUMN lang TO language") // v2
+      // metadata-only: not a byte rewritten
+      assert(dataFilesOf(s"$lake/ren") == filesBefore,
+        "a rename must not rewrite data files")
+      // live reads serve OLD files' bytes under the NEW name
+      assert(spark.table("graft.lake.ren").columns.toSeq == Seq("id", "language", "x"))
+      assert(spark.table("graft.lake.ren").orderBy($"id")
+        .select($"language").as[String].collect().toSeq == Seq("en", "de"))
+      // appends write the new physical name; both generations read as one
+      Seq((3L, "fr", "keepC")).toDF("id", "language", "x")
+        .writeTo("graft.lake.ren").append() // v3
+      assert(spark.table("graft.lake.ren").orderBy($"id")
+        .select($"language").as[String].collect().toSeq == Seq("en", "de", "fr"))
+      // filters + stats on the renamed column still evaluate correctly
+      assert(spark.table("graft.lake.ren").filter($"language" === "de").count() == 1)
+      // pre-rename SNAPSHOT keeps the pre-rename name
+      val v1 = spark.sql("SELECT * FROM graft.lake.ren VERSION AS OF 1")
+      assert(v1.columns.toSeq == Seq("id", "lang", "x"),
+        s"a pre-evolution snapshot must show pre-evolution names: ${v1.columns.toSeq}")
+      assert(v1.count() == 2)
+      // DROP COLUMN: old bytes invisible, old files still readable
+      spark.sql("ALTER TABLE graft.lake.ren DROP COLUMN x") // v4
+      assert(spark.table("graft.lake.ren").columns.toSeq == Seq("id", "language"))
+      assert(spark.table("graft.lake.ren").count() == 3)
+      // name reuse after rename/drop is refused (the rewrite-only case)
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.lake.ren ADD COLUMNS (lang STRING)"))
+      assert(e1.getMessage.contains("in use"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.lake.ren ADD COLUMNS (x STRING)"))
+      assert(e2.getMessage.contains("in use"), e2.getMessage)
+      // fresh names still evolve fine; count(*) stays metadata-answered
+      spark.sql("ALTER TABLE graft.lake.ren ADD COLUMNS (y BIGINT)")
+      assert(spark.table("graft.lake.ren").columns.toSeq == Seq("id", "language", "y"))
+      val cnt = spark.sql("SELECT count(*) AS n FROM graft.lake.ren")
+      assert(cnt.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(cnt.collect()(0).getLong(0) == 3)
     }
   }
 
@@ -411,7 +476,14 @@ class GraftCatalogSpec extends GraftSpec {
       }
       // hermetic conf: another suite may leave bucketing/broadcast state
       // behind in the shared session — pin BOTH legs explicitly
-      val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      // EXPLICIT setting only: getOption surfaces the REGISTERED DEFAULT (true
+      // on this engine) and re-setting it explicitly would leak SPJ mode into
+      // every later scan in the shared session (vetoing runtime filtering)
+      val prevB: Option[String] =
+        if (org.apache.spark.sql.internal.SQLConf.get.contains(
+            "spark.sql.sources.v2.bucketing.enabled"))
+          Some(spark.conf.get("spark.sql.sources.v2.bucketing.enabled"))
+        else None
       val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -422,6 +494,76 @@ class GraftCatalogSpec extends GraftSpec {
         val q = joined
         assert(shuffleCount(q) == 0,
           "same-partitioned lake tables must join/aggregate with ZERO exchanges:\n" +
+            q.queryExecution.executedPlan.toString.take(1500))
+        assert(canon(q) == expected, "the co-located plan must return identical rows")
+      } finally {
+        prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      }
+    }
+  }
+
+  test("bucket(n, col) transform: bucketed lake tables SPJ-join on the SOURCE key, zero shuffles") {
+    val lake = tmp("graft_cat_bspj")
+    withCatalog(lake) {
+      import spark.implicits._
+      // high-cardinality key: identity dirs would need one dir per value —
+      // the case the bucket transform exists for
+      (0 until 600).map(i => (i.toLong, s"a$i")).toDF("id", "a")
+        .writeTo("graft.lake.bkl")
+        .partitionedBy(org.apache.spark.sql.functions.bucket(4, col("id"))).create()
+      (0 until 600 by 2).map(i => (i.toLong, i * 3L)).toDF("id", "b")
+        .writeTo("graft.lake.bkr")
+        .partitionedBy(org.apache.spark.sql.functions.bucket(4, col("id"))).create()
+      // layout: id_bucket=<k>/ dirs; the source column travels IN the rows
+      val parts = spark.sql("SHOW PARTITIONS graft.lake.bkl")
+        .collect().map(_.getString(0)).sorted
+      assert(parts.nonEmpty && parts.forall(_.startsWith("id_bucket=")),
+        s"bucket dirs expected, got ${parts.mkString(",")}")
+      assert(spark.table("graft.lake.bkl").columns.contains("id"),
+        "the bucket SOURCE column must remain a data column")
+      def joined = spark.table("graft.lake.bkl")
+        .join(spark.table("graft.lake.bkr"), Seq("id"))
+        .groupBy(col("id")).agg(sum(col("b")).as("sb"))
+      def shuffleCount(df: DataFrame): Int = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        var n = 0
+        def walk(pl: SparkPlan): Unit = {
+          pl match {
+            case _: ShuffleExchangeLike   => n += 1
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec        => walk(q.plan)
+            case _                        =>
+          }
+          pl.children.foreach(walk)
+        }
+        df.collect()
+        walk(df.queryExecution.executedPlan)
+        n
+      }
+      // hermetic conf: pin BOTH legs (the r10 SPJ-flake lesson)
+      // EXPLICIT setting only: getOption surfaces the REGISTERED DEFAULT (true
+      // on this engine) and re-setting it explicitly would leak SPJ mode into
+      // every later scan in the shared session (vetoing runtime filtering)
+      val prevB: Option[String] =
+        if (org.apache.spark.sql.internal.SQLConf.get.contains(
+            "spark.sql.sources.v2.bucketing.enabled"))
+          Some(spark.conf.get("spark.sql.sources.v2.bucketing.enabled"))
+        else None
+      val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val expected = canon(joined) // baseline: the ordinary shuffled plan
+        assert(shuffleCount(joined) > 0, "precondition: the un-bucketed join must shuffle")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val q = joined
+        assert(shuffleCount(q) == 0,
+          "same-bucketed lake tables must join/aggregate on the source key " +
+            "with ZERO exchanges:\n" +
             q.queryExecution.executedPlan.toString.take(1500))
         assert(canon(q) == expected, "the co-located plan must return identical rows")
       } finally {

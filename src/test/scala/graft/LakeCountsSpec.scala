@@ -144,16 +144,29 @@ class LakeCountsSpec extends GraftSpec {
     }
   }
 
-  test("time-travel counts never use the (live-only) ledger") {
-    withLake { _ =>
+  test("time-travel counts answer from the VERSION's recorded ledger, not the live one") {
+    withLake { lake =>
       rows(0, 6).writeTo("graft.lake.c5").create() // v1
       rows(1, 4).writeTo("graft.lake.c5").append() // v2
+      // a snapshot count pushes to ITS version's recorded counts — the
+      // live ledger (which already includes v2's files) must not leak in
       val snap = spark.sql("SELECT count(*) AS n FROM graft.lake.c5 VERSION AS OF 1")
-      assertNotPushed(snap)
+      assertPushed(snap)
       assert(snap.collect()(0).getLong(0) == 6L)
       val live = spark.sql("SELECT count(*) AS n FROM graft.lake.c5")
       assertPushed(live)
       assert(live.collect()(0).getLong(0) == 10L)
+      // a LEGACY record without ledger snapshots falls back to scanning —
+      // never a guess (strip the counts/stats fields from v1's record)
+      val vpath = graft.sources.LakeSinkFiles.versionsDir(s"$lake/c5")
+        .resolve("v000000001")
+      val legacy = new String(java.nio.file.Files.readAllBytes(vpath), "UTF-8")
+        .replaceAll(""","counts":"[^"]*"""", "")
+        .replaceAll(""","stats":"[^"]*"""", "")
+      java.nio.file.Files.write(vpath, legacy.getBytes("UTF-8"))
+      val snapLegacy = spark.sql("SELECT count(*) AS n FROM graft.lake.c5 VERSION AS OF 1")
+      assertNotPushed(snapLegacy)
+      assert(snapLegacy.collect()(0).getLong(0) == 6L)
     }
   }
 

@@ -340,7 +340,14 @@ class LakeIOSpec extends GraftSpec {
     import spark.implicits._
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    // EXPLICIT setting only: getOption surfaces the REGISTERED DEFAULT (true
+      // on this engine) and re-setting it explicitly would leak SPJ mode into
+      // every later scan in the shared session (vetoing runtime filtering)
+      val prevB: Option[String] =
+        if (org.apache.spark.sql.internal.SQLConf.get.contains(
+            "spark.sql.sources.v2.bucketing.enabled"))
+          Some(spark.conf.get("spark.sql.sources.v2.bucketing.enabled"))
+        else None
     val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")

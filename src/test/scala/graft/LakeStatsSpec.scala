@@ -254,6 +254,13 @@ class LakeStatsSpec extends GraftSpec {
   test("runtime filtering (DPP): a dim join prunes lake partition dirs at execution") {
     withLake { _ =>
       import spark.implicits._
+      // hermetic precondition: an EXPLICIT v2.bucketing setting leaked by
+      // another suite/query would flip this scan into SPJ mode, whose
+      // filterAttributes veto is exactly what this test must not see
+      assert(!org.apache.spark.sql.internal.SQLConf.get
+        .contains("spark.sql.sources.v2.bucketing.enabled"),
+        "leaked explicit v2.bucketing.enabled=true — a prior test/query " +
+          "failed to restore the UNSET state (see the t53 getOption lesson)")
       (0 until 1000).map(i => (i.toLong, i % 10)).toDF("id", "p")
         .writeTo("graft.lake.dpp").partitionedBy(col("p")).create()
       // the dim's selective predicate must SURVIVE to the optimizer (a

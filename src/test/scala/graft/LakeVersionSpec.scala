@@ -439,6 +439,118 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("scan planning reads the latest recorded manifest, not the directory tree") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.mf").create() // v1
+      threeRows(1).writeTo("graft.lake.mf").append() // v2
+      val path = s"$lake/mf"
+      val filesBefore = spark.table("graft.lake.mf.files").count()
+      // plant an ORPHAN data file: a crashed peer's promoted-but-
+      // unrecorded bytes (promote landed, recordVersion never did) — a
+      // directory walk would read it; the manifest must not
+      val orphanSrc = dataFiles(path).head
+      Files.copy(Paths.get(orphanSrc), Paths.get(path, "part-orphan-0.json.gz"))
+      assert(canon(spark.table("graft.lake.mf")) ==
+        canon(threeRows(0).unionAll(threeRows(1))),
+        "live reads must plan the recorded manifest, not the tree")
+      assert(spark.table("graft.lake.mf.files").count() == filesBefore,
+        ".files must list the manifest, not the tree")
+      // the next commit's MANIFEST ARITHMETIC record (base − removes +
+      // adds) still excludes the orphan — uncommitted bytes never enter
+      // the version chain
+      threeRows(2).writeTo("graft.lake.mf").append() // v3
+      assert(canon(spark.table("graft.lake.mf")) ==
+        canon(threeRows(0).unionAll(threeRows(1)).unionAll(threeRows(2))))
+      val (_, _, rels) = LakeSinkFiles.readVersion(path, 3L)
+      assert(!rels.contains("part-orphan-0.json.gz"),
+        "arithmetic version records must not absorb orphaned promotes")
+      // a truncating overwrite is the one deliberate tree walk — it also
+      // reclaims the orphan (retire refuses a collision with recorded
+      // history, so the orphan's unique name retires cleanly)
+      threeRows(3).write.format("graft.sources.LakeSink")
+        .mode("overwrite").save(path) // v4
+      assert(canon(spark.table("graft.lake.mf")) == canon(threeRows(3)))
+      assert(!Files.exists(Paths.get(path, "part-orphan-0.json.gz")),
+        "truncate must sweep orphaned promotes out of the live tree")
+    }
+  }
+
+  test("VERSION AS OF count/min/max answer from the version's recorded ledgers") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.sa").create() // v1: ids 1,2,3
+      threeRows(1).writeTo("graft.lake.sa").append() // v2: + ids 11,12,13
+      def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+      val v1cnt = spark.sql("SELECT count(*) AS n FROM graft.lake.sa VERSION AS OF 1")
+      assert(plan(v1cnt).contains("graft-lake-agg"),
+        s"snapshot count must push to the recorded ledgers:\n${plan(v1cnt)}")
+      assert(v1cnt.collect()(0).getLong(0) == 3L)
+      val v1mm = spark.sql(
+        "SELECT min(id) AS lo, max(id) AS hi FROM graft.lake.sa VERSION AS OF 1")
+      assert(plan(v1mm).contains("graft-lake-agg"), plan(v1mm))
+      val r = v1mm.collect()(0)
+      assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+      assert(spark.sql("SELECT max(id) AS hi FROM graft.lake.sa VERSION AS OF 2")
+        .collect()(0).getLong(0) == 13L)
+      // a LATER merge-on-read DELETE mutates the live ledgers, not
+      // history: v2's metadata answers are frozen at its commit
+      spark.sql("DELETE FROM graft.lake.sa WHERE id = 13") // v3: vectors only
+      val v2cnt = spark.sql("SELECT count(*) AS n FROM graft.lake.sa VERSION AS OF 2")
+      assert(plan(v2cnt).contains("graft-lake-agg"), plan(v2cnt))
+      assert(v2cnt.collect()(0).getLong(0) == 6L,
+        "a snapshot's count must not see later delete vectors")
+      // …while v3's own snapshot subtracts ITS recorded vectors exactly
+      val v3cnt = spark.sql("SELECT count(*) AS n FROM graft.lake.sa VERSION AS OF 3")
+      assert(plan(v3cnt).contains("graft-lake-agg"), plan(v3cnt))
+      assert(v3cnt.collect()(0).getLong(0) == 5L)
+      // and a vectored file soundly refuses min/max metadata answers
+      // (the bound's row may be the deleted one) — falls back to scanning
+      val v3max = spark.sql("SELECT max(id) AS hi FROM graft.lake.sa VERSION AS OF 3")
+      assert(!plan(v3max).contains("graft-lake-agg"),
+        "min/max over a vectored snapshot must scan, not trust stale bounds")
+      assert(v3max.collect()(0).getLong(0) == 12L)
+    }
+  }
+
+  test("a rewrite racing a MERGE-ON-READ DELETE aborts loudly (stale vector set)") {
+    import graft.sources.LakeSinkDeletes
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.vr").create() // v1
+      val path = s"$lake/vr"
+      // a row-level rewrite plans NOW: file set + the vector snapshot its
+      // scan filtered with (none yet)
+      val planned = dataFiles(path)
+      val plannedVecs = LakeSinkDeletes.read(path)
+      assert(plannedVecs.isEmpty, "precondition: no vectors at planning")
+      // …then a concurrent merge-on-read DELETE commits vectors WITHOUT
+      // touching a single data file — requireAllLive alone cannot see it
+      spark.sql("DELETE FROM graft.lake.vr WHERE id = 2") // v2: vectors only
+      assert(dataFiles(path) == planned,
+        "precondition: the mor DELETE rewrote no files — the blind spot under test")
+      assert(LakeSinkDeletes.read(path).nonEmpty, "precondition: vectors landed")
+      val before = canon(spark.table("graft.lake.vr"))
+      val vsBefore = LakeSinkFiles.listVersions(path)
+      // the stale rewrite's commit must detect the vector drift and abort
+      // with ZERO mutations — materializing survivors from the stale
+      // vector set would silently resurrect the deleted row
+      val w = new graft.sources.LakeSinkReplaceBatchWrite(
+        spark.table("graft.lake.vr").schema, path, Seq.empty, "stalev",
+        () => planned, () => plannedVecs)
+      val e = intercept[java.util.ConcurrentModificationException](
+        w.commit(Array.empty))
+      assert(e.getMessage.contains("delete vectors"), e.getMessage)
+      assert(canon(spark.table("graft.lake.vr")) == before, "table must be untouched")
+      assert(LakeSinkFiles.listVersions(path) == vsBefore, "no version recorded")
+      // compaction shares the same guard: its planning-time vector
+      // snapshot is validated at commit, so a compaction planned before
+      // the DELETE would abort the same way (here, planned AFTER — it
+      // materializes the current vectors and succeeds)
+      val (dirs, _, _) = LakeMaintenance.compact(spark, path)
+      assert(dirs == 1)
+      assert(canon(spark.table("graft.lake.vr")) == before,
+        "post-DELETE compaction materializes the vectors losslessly")
+    }
+  }
+
   test("retired-name collision refuses loudly; the first retired bytes are preserved") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.rx").create()
@@ -471,7 +583,18 @@ class LakeVersionSpec extends GraftSpec {
       threeRows(1).writeTo("graft.lake.rv").append()
       assert(LakeSinkFiles.listVersions(path) == Seq(1L, 3L))
       assert(spark.table("graft.lake.rv").count() == 6)
-      // vacuum sweeps the garbage reservation
+      // a FRESH zero-length reservation is a LIVE mid-commit marker —
+      // vacuum must NOT reclaim it (sweeping it would let another
+      // committer re-reserve the id and be silently overwritten)
+      LakeMaintenance.vacuum(path)
+      assert(Files.exists(LakeSinkFiles.versionsDir(path).resolve("v000000002")),
+        "vacuum must not sweep a reservation younger than the age gate")
+      // once the marker is provably stale (older than the age gate), it
+      // IS crashed garbage and the sweep reclaims it
+      Files.setLastModifiedTime(
+        LakeSinkFiles.versionsDir(path).resolve("v000000002"),
+        java.nio.file.attribute.FileTime.from(java.time.Instant.now()
+          .minus(LakeMaintenance.ReservationSweepAge).minusSeconds(60)))
       LakeMaintenance.vacuum(path)
       assert(!Files.exists(LakeSinkFiles.versionsDir(path).resolve("v000000002")),
         "vacuum must reclaim crashed reservations")
