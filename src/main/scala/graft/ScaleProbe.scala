@@ -57,10 +57,11 @@ object ScaleProbe {
     // expected to MEASURE that quadratic, not hide it); the declared
     // scale paths get the full 1/4/10 ladder.
     val queries: Seq[(String, Seq[Int], (SparkSession, String) => DataFrame)] = Seq(
-      // current probe set: the r9 audit pair — d55 carries the exact
-      // quadratic truth graph BY DESIGN (lang blocks grow 4× → 16× pair
-      // candidates), d56's 25% sample pays the same exponent on a 16×
-      // smaller constant; the probe turns that constant into a number.
+      // current probe set: the audit pair — d55's truth graph is (r11)
+      // EXACT WITHIN a per-lang hash-rank stratum of ≤400 docs, so its
+      // quadratic member is FLAT in corpus size (pre-r11 it was the
+      // full-block graph, measured slope 3.30); d56's adaptive sample
+      // pays ~budget² at any N. The probe verifies both stay flat.
       // (Earlier sweeps' results — e08 0.85, d23 0.58, d11 0.62, d09
       // 3.40 quadratic-by-design, e14 0.20, d26 0.70, e15 0.78, d25
       // 0.79, e16 0.91, ml07 −0.13, ml08 0.27, d32 0.45, d31 0.88,

@@ -2302,7 +2302,192 @@ object Telemetry {
     """SELECT doc_id, lang AS language, n_chars
        FROM documents ORDER BY doc_id"""
 
+  /** t55 — STREAMING change-data feed under the differential
+    * (r11: [[graft.sources.LakeCdfMicroBatchStream]] — the Delta
+    * `readChangeFeed` streaming contract: offsets are VERSION IDS, each
+    * micro-batch replays [[graft.sources.LakeVersions.changes]]' legs for
+    * its version range, rows tagged `_change_type`/`_commit_version`):
+    * the twin is CTAS'd (v1), a shifted batch appended (v2), and every
+    * `id ≡ 0 (mod 97)` row deleted merge-on-read (v3 — vectors only, so
+    * the delete legs are exactly the deleted ROWS, layout-invariant);
+    * the whole history is then drained through `readStream` with
+    * `maxFilesPerTrigger=1` (several micro-batches, versions admitted
+    * whole) into a memory sink. The drained feed must hash-equal
+    * DuckDB's restatement: every live row as an `'insert'` at its
+    * arrival version, every deleted row again as a `'delete'` at v3.
+    * LakeCdfSpec pins the kill/restart exactly-once contract and the
+    * d58 streaming-twin equivalence.
+    *
+    * Scale shape: an offset is ONE integer (vs the file-set stream's
+    * name list); batch planning diffs recorded manifests driver-side —
+    * O(changed files) read per batch, never a table rescan. The version
+    * log IS the ingestion queue. */
+  def t55StreamCdf(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t55")
+    val ckpt = TempLakes.dir("graft_t55_ckpt")
+    val t = twin(s)
+    t.writeTo("graft_t55.lake.t55").create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft_t55.lake.t55").append() // v2
+    s.sql("DELETE FROM graft_t55.lake.t55 WHERE id % 97 = 0") // v3: mor vectors
+    val mem = "graft_t55_" + java.util.UUID.randomUUID.toString.take(8)
+    val q = s.readStream.format(classOf[graft.sources.LakeSink].getName)
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "1") // one version per micro-batch
+      .load(s"$lakeRoot/t55")
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(mem)
+      .select((t.schema.fieldNames.toIndexedSeq ++
+        Seq("_change_type", "_commit_version")).map(col): _*)
+      .orderBy(col("id"), col("_change_type"))
+      .localCheckpoint(true)
+    s.catalog.dropTempView(mem)
+    out
+  }
+
+  val t55Sql: String =
+    s"""WITH tw AS MATERIALIZED ($twinSql),
+       lk AS (SELECT *, CAST(1 AS BIGINT) AS v FROM tw
+              UNION ALL
+              SELECT id + ${10L * TwinRows}, ts, machine_id, is_anomaly,
+                temperature, vibration, CAST(2 AS BIGINT) FROM tw
+              WHERE id < 700)
+       SELECT id, ts, machine_id, is_anomaly, temperature, vibration,
+         'insert' AS _change_type, v AS _commit_version FROM lk
+       UNION ALL
+       SELECT id, ts, machine_id, is_anomaly, temperature, vibration,
+         'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+       FROM lk WHERE id % 97 = 0
+       ORDER BY id, _change_type"""
+
+  /** t56 — TYPE-WIDENING schema evolution under the differential
+    * (r11: `ALTER COLUMN … TYPE` in [[graft.sources.GraftCatalog]]
+    * `alterTable` — the Iceberg promotion set, int→bigint/float→double,
+    * METADATA-ONLY): half the documents land with an INT key (v1), the
+    * column is widened to BIGINT (v2), and the other half is appended
+    * with keys shifted past 2³¹ (v3) — values an int column cannot hold,
+    * so the widening is load-bearing, not cosmetic. The read-back must
+    * hash-equal DuckDB's plain BIGINT restatement: pre-widening files
+    * re-parse their int text into the wider type exactly (the JSON wire
+    * format is typeless decimal text — the reason this evolution needs
+    * zero rewrites), both file generations under one logical schema.
+    * GraftCatalogSpec pins the rest: files byte-identical across the
+    * DDL, min/max stats pushdown folding int-recorded and long-recorded
+    * bounds together, pre-widening snapshots keeping the narrow type,
+    * and the non-widening refusal.
+    *
+    * Scale shape: a widening on a 100 TB lake is one manifest write +
+    * one version record; readers pay nothing (the text parse was
+    * type-dispatched already). */
+  def t56TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t56")
+    val _ = lakeRoot
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    d.filter(col("doc_id") % 2 === 0)
+      .withColumn("k", col("doc_id").cast("int"))
+      .select(col("k"), col("lang"), col("n_chars"))
+      .writeTo("graft_t56.lake.t56").create() // v1: k is INT
+    s.sql("ALTER TABLE graft_t56.lake.t56 ALTER COLUMN k TYPE BIGINT") // v2
+    d.filter(col("doc_id") % 2 === 1)
+      .withColumn("k", col("doc_id") + lit(5000000000L)) // > Int.MaxValue
+      .select(col("k"), col("lang"), col("n_chars"))
+      .writeTo("graft_t56.lake.t56").append() // v3: k is BIGINT
+    s.table("graft_t56.lake.t56").orderBy(col("k"))
+  }
+
+  val t56Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS k, lang, n_chars FROM documents
+       WHERE doc_id % 2 = 0
+       UNION ALL
+       SELECT doc_id + 5000000000, lang, n_chars FROM documents
+       WHERE doc_id % 2 = 1
+       ORDER BY k"""
+
+  /** t57 — CDC TABLE REPLICATION end-to-end (r11: the Delta "replicate a
+    * table via its change feed" recipe, closing the loop t51 (CDC write)
+    * + t55 (CDC read) bracket): a SOURCE lake table accumulates real DML
+    * history — CTAS (v1), append (v2), merge-on-read DELETE (v3, vector
+    * legs), copy-on-write UPDATE (v4, whole-file delete+insert legs with
+    * carried rows) — and a streaming CDF reader replays it into a
+    * REPLICA via `foreachBatch`: per version IN ORDER, delete legs MERGE
+    * … WHEN MATCHED THEN DELETE on the key, insert legs append (a cow
+    * rewrite's carried rows delete-then-reinsert, converging exactly).
+    * The replica must hash-equal DuckDB's restatement of the FINAL
+    * source state — proving inserts, row-level deletes, and rewrites all
+    * replicate through the feed. Versions admit whole (never split
+    * across batches), so per-batch version ordering is total.
+    *
+    * Scale shape: the replica consumes O(changed files) per version and
+    * each MERGE rewrites only the group files its keys touch — continuous
+    * replication cost tracks the CHANGE RATE, not table size. */
+  def t57CdcReplicate(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t57")
+    val ckpt = TempLakes.dir("graft_t57_ckpt")
+    val t = twin(s)
+    t.writeTo("graft_t57.lake.src").create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft_t57.lake.src").append() // v2
+    s.sql("DELETE FROM graft_t57.lake.src WHERE id % 89 = 0") // v3: mor vectors
+    s.sql("""UPDATE graft_t57.lake.src
+             SET temperature = temperature + 1.0 WHERE id % 13 = 0""") // v4: cow
+    t.limit(0).writeTo("graft_t57.lake.rep").create() // empty replica
+    val q = s.readStream.format(classOf[graft.sources.LakeSink].getName)
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "8") // several batches; versions whole
+      .load(s"$lakeRoot/src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        // one pinned evaluation: the per-version filters below would
+        // otherwise replay the CDF scan once per action
+        val b = batch.localCheckpoint(true)
+        val versions = b.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val dels = b.filter(col("_commit_version") === v &&
+            col("_change_type") === "delete").select(col("id"))
+          if (!dels.isEmpty) {
+            dels.createOrReplaceTempView("graft_t57_dels")
+            ss.sql("""MERGE INTO graft_t57.lake.rep r USING graft_t57_dels d
+                      ON r.id = d.id WHEN MATCHED THEN DELETE""")
+          }
+          val ins = b.filter(col("_commit_version") === v &&
+            col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          if (!ins.isEmpty) ins.writeTo("graft_t57.lake.rep").append()
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_t57.lake.rep")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t57Sql: String =
+    s"""WITH tw AS MATERIALIZED ($twinSql),
+       lk AS (SELECT * FROM tw
+              UNION ALL
+              SELECT id + ${10L * TwinRows}, ts, machine_id, is_anomaly,
+                temperature, vibration FROM tw WHERE id < 700),
+       kept AS (SELECT * FROM lk WHERE id % 89 <> 0)
+       SELECT id, ts, machine_id, is_anomaly,
+         CASE WHEN id % 13 = 0 THEN temperature + 1.0 ELSE temperature END
+           AS temperature,
+         vibration
+       FROM kept ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t57_cdc_replicate" -> (t57CdcReplicate _),
+    "t56_type_widening" -> (t56TypeWidening _),
+    "t55_stream_cdf" -> (t55StreamCdf _),
     "t54_schema_evolution" -> (t54SchemaEvolution _),
     "t53_bucket_join" -> (t53BucketJoin _),
     "t52_snapshot_agg" -> (t52SnapshotAgg _),
@@ -2354,6 +2539,9 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t57_cdc_replicate" -> t57Sql,
+    "t56_type_widening" -> t56Sql,
+    "t55_stream_cdf" -> t55Sql,
     "t54_schema_evolution" -> t54Sql,
     "t53_bucket_join" -> t53Sql,
     "t52_snapshot_agg" -> t52Sql,

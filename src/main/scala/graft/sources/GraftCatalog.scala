@@ -292,9 +292,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *  - DROP COLUMN: the name (and its aliases) joins the ignored set —
     *    old files stay readable, the dropped bytes invisible.
     *
+    *  - ALTER COLUMN TYPE (widening only): int→bigint / float→double —
+    *    the JSON wire format is typeless decimal text, so old files (and
+    *    their stats-ledger bounds) re-parse into the wider type exactly;
+    *    pre-widening snapshots keep the narrow type.
+    *
     * Refused: evolving a partition field (directory layout is physical),
     * reusing a dropped/aliased name (the one ambiguity name-based
-    * evolution cannot represent — requires a rewrite), type changes. */
+    * evolution cannot represent — requires a rewrite), any non-widening
+    * type change. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ns = ident.namespace()
     if (ns.length != 1 || ns(0) != "lake" || lakeRoot.isEmpty)
@@ -350,9 +356,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"$catalogName: cannot drop the last column")
           (rest, ren - name,
             drp ++ (name +: ren.getOrElse(name, Seq.empty)))
+        case ((sch, ren, drp), up: TableChange.UpdateColumnType) =>
+          // TYPE WIDENING (r11, the Iceberg promotion set): int→bigint and
+          // float→double are METADATA-SAFE on a JSON-lines lake — the
+          // wire format is typeless decimal text, so old files re-parse
+          // into the wider type exactly (and the stats ledger's [lo, hi]
+          // text decodes under the same rule, keeping skipping/min-max
+          // sound). Anything else (narrowing, string↔numeric, …) would
+          // change bytes' meaning → refused, needs a rewrite.
+          require(up.fieldNames().length == 1,
+            s"$catalogName: nested column type changes are not supported")
+          val name = up.fieldNames()(0)
+          require(sch.fieldNames.contains(name),
+            s"$catalogName: no column $name to retype")
+          require(!partNames.contains(name),
+            s"$catalogName: cannot retype partition field $name " +
+              "(directory encoding is physical)")
+          val from = sch(name).dataType
+          val to = up.newDataType()
+          import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+          val widening = (from, to) match {
+            case (IntegerType, LongType)  => true
+            case (FloatType, DoubleType)  => true
+            case _                        => false
+          }
+          require(widening,
+            s"$catalogName: only widening int→bigint / float→double is " +
+              s"metadata-safe, got $from → $to (a rewrite is required)")
+          (StructType(sch.fields.map(f =>
+            if (f.name == name) f.copy(dataType = to) else f)),
+            ren, drp)
         case (_, other) => throw new UnsupportedOperationException(
-          s"$catalogName: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN " +
-            s"are supported, got $other")
+          s"$catalogName: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
+            s"widening ALTER COLUMN TYPE are supported, got $other")
       }
     // unsupported data types must fail the DDL, not the next write
     LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))

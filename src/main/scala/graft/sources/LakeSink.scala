@@ -61,16 +61,24 @@ class LakeSink extends TableProvider {
   // with `.option("versionAsOf", n)`, from that version's snapshot record
   // (path-based time travel; the catalog's VERSION AS OF twin)
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    def manifestSchema: StructType =
+      LakeSinkFiles.readManifest(options.get("path")).map(_._1).getOrElse(
+        throw new UnsupportedOperationException(
+          "graft.sources.LakeSink: no _graft_schema.json manifest at " +
+            s"'${options.get("path")}' — read an existing lake table, or pass " +
+            "an explicit .schema(...)"))
     Option(options.get("versionAsOf")) match {
-      case Some(v) => LakeSinkFiles.readVersion(options.get("path"), v.trim.toLong)._1
-      case None =>
-        LakeSinkFiles.readManifest(options.get("path")).map(_._1).getOrElse(
-          throw new UnsupportedOperationException(
-            "graft.sources.LakeSink: no _graft_schema.json manifest at " +
-              s"'${options.get("path")}' — read an existing lake table, or pass " +
-              "an explicit .schema(...)"))
+      case Some(v) =>
+        require(!options.getBoolean("readChangeFeed", false),
+          "LakeSink: readChangeFeed cannot combine with versionAsOf — " +
+            "use startingVersion to position the change stream")
+        LakeSinkFiles.readVersion(options.get("path"), v.trim.toLong)._1
+      case None if options.getBoolean("readChangeFeed", false) =>
+        LakeCdf.cdfSchema(manifestSchema)
+      case None => manifestSchema
     }
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
@@ -93,6 +101,12 @@ class LakeSink extends TableProvider {
           s"graft_lake_sink($path)",
           deletes = LakeSinkFiles.readVersionDeletes(path, v),
           includePositions = includes)
+      case None if java.lang.Boolean.parseBoolean(properties.get("readChangeFeed")) =>
+        // streaming change-data feed over the version log — see [[LakeCdf]]
+        val (sch, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
+          throw new UnsupportedOperationException(
+            s"LakeSink CDF: no lake table at '$path'"))
+        new LakeCdfTable(sch, path, partCols)
       case None =>
         new LakeSinkTable(schema, path,
           Option(properties.get("partitionCols")).map(LakePart.split)

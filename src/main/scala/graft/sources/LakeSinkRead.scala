@@ -915,7 +915,10 @@ private[sources] class LakeSinkPartitionReader(file: String,
     deletes: Array[Long] = Array.empty,
     includeOnly: Option[Array[Long]] = None,
     aliases: Map[String, String] = Map.empty,
-    ignored: Set[String] = Set.empty) extends PartitionReader[InternalRow] {
+    ignored: Set[String] = Set.empty,
+    // CDF mode: per-partition constant columns (internal representation)
+    // the change-feed reader appends — _change_type / _commit_version
+    cdfConsts: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
 
   private val dataSchema = LakeSink.dataSchema(fullSchema, partCols)
   private val parser = new JsonLineParser(dataSchema, aliases, ignored)
@@ -939,7 +942,8 @@ private[sources] class LakeSinkPartitionReader(file: String,
   // PosSentinel marks the per-row _pos metadata column
   private val PosSentinel = Left(-1)
   private val extract: Array[Either[Int, Any]] = required.fields.map { f =>
-    if (f.name == LakeSinkTable.FileMetaCol) Right(UTF8String.fromString(file))
+    if (cdfConsts.contains(f.name)) Right(cdfConsts(f.name))
+    else if (f.name == LakeSinkTable.FileMetaCol) Right(UTF8String.fromString(file))
     else if (f.name == LakeSinkTable.PosMetaCol) PosSentinel
     else if (partCols.contains(f.name)) Right(partTyped.getOrElse(f.name,
       throw new IllegalStateException(

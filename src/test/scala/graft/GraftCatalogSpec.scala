@@ -309,6 +309,42 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE widening: metadata-only, stats pushdown folds both generations") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_widen")
+    withCatalog(lake) {
+      Seq(1, 2, 3).toDF("k").writeTo("graft.lake.wid").create() // v1: k INT
+      val filesBefore = dataFilesOf(s"$lake/wid")
+      spark.sql("ALTER TABLE graft.lake.wid ALTER COLUMN k TYPE BIGINT") // v2
+      assert(dataFilesOf(s"$lake/wid") == filesBefore,
+        "a widening must not rewrite data files")
+      assert(spark.table("graft.lake.wid").schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // append values an int cannot hold; both generations read as one
+      Seq(5000000001L, 5000000002L).toDF("k").writeTo("graft.lake.wid").append() // v3
+      assert(spark.table("graft.lake.wid").orderBy($"k").as[Long].collect().toSeq ==
+        Seq(1L, 2L, 3L, 5000000001L, 5000000002L))
+      // min/max answer from metadata, folding int-recorded and
+      // long-recorded per-file bounds under the widened type
+      val mm = spark.table("graft.lake.wid").agg(min($"k"), max($"k"))
+      assert(mm.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+        mm.queryExecution.executedPlan.toString.linesIterator.take(4).mkString("|"))
+      assert(mm.as[(Long, Long)].head == ((1L, 5000000002L)))
+      // pre-widening snapshot keeps the narrow type
+      assert(spark.sql("SELECT * FROM graft.lake.wid VERSION AS OF 1")
+        .schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+      // refusals: narrowing dies in Spark's own canUpCast analysis; a
+      // cast-compatible but non-widening change (long→string upcasts in
+      // Catalyst) reaches the catalog and must hit OUR refusal
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.lake.wid ALTER COLUMN k TYPE INT"))
+      assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.lake.wid ALTER COLUMN k TYPE STRING"))
+      assert(e2.getMessage.contains("widening"), e2.getMessage)
+    }
+  }
+
   test("streaming read tails a lake table incrementally across checkpointed drains") {
     import spark.implicits._
     val lake = tmp("graft_cat_tail")

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{DedupLsh, TextOps}
+import graft.sources.{GraftCatalog, LakeVersions}
+
+/** Streaming change-data feed over the lake version log
+  * ([[graft.sources.LakeCdfMicroBatchStream]] — `readStream` with
+  * `readChangeFeed=true`): per-version replay equivalence with the batch
+  * CDF, checkpointed exactly-once across kill/restart, startingVersion
+  * positioning, and the d58 incremental-dedup streaming twin.
+  */
+class LakeCdfSpec extends GraftSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def withLake[T](body: String => T): T = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val lake = tmp("graft_cdf_lake")
+    spark.conf.set("spark.sql.catalog.graft.lake", lake)
+    body(lake)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Drain the CDF stream of `path` into a memory table, AvailableNow. */
+  private def drainToMemory(path: String, opts: (String, String)*): DataFrame = {
+    val mem = "cdf_" + java.util.UUID.randomUUID.toString.take(8)
+    var r = spark.readStream.format("graft.sources.LakeSink")
+      .option("readChangeFeed", "true")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(path)
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", tmp("graft_cdf_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(mem).localCheckpoint(true)
+    spark.catalog.dropTempView(mem)
+    out
+  }
+
+  private def threeRows(tag: Int) = {
+    import spark.implicits._
+    Seq((1L + 10 * tag, s"a$tag"), (2L + 10 * tag, s"b$tag"), (3L + 10 * tag, s"c$tag"))
+      .toDF("id", "v")
+  }
+
+  test("streaming CDF drain ≡ per-version batch changes across append/rewrite/mor-delete") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.cdf").create() // v1
+      threeRows(1).writeTo("graft.lake.cdf").append() // v2
+      spark.sql("UPDATE graft.lake.cdf SET v = 'patched' WHERE id = 2") // v3 (cow rewrite)
+      spark.sql("DELETE FROM graft.lake.cdf WHERE id = 11") // v4 (mor vectors)
+      val streamed = drainToMemory(s"$lake/cdf")
+      // expected: v1 = the snapshot as inserts; v>1 = the batch CDF legs
+      val v1 = spark.sql("SELECT * FROM graft.lake.cdf VERSION AS OF 1")
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(1L))
+      val rest = (2L to 4L).map { v =>
+        LakeVersions.changes(spark, s"$lake/cdf", v - 1, v)
+          .withColumn("_commit_version", lit(v))
+      }.reduce(_ unionByName _)
+      assert(canon(streamed) == canon(v1.unionByName(rest)),
+        "stream must replay exactly the batch CDF legs, version-tagged")
+      // the mor DELETE surfaces as EXACTLY the deleted row, nothing else
+      assert(canon(streamed.filter(col("_commit_version") === 4L)) ==
+        canon(spark.sql("SELECT * FROM graft.lake.cdf VERSION AS OF 3")
+          .filter(col("id") === 11L)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(4L))))
+    }
+  }
+
+  test("checkpointed CDF drains are exactly-once across a kill/restart") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.tail").create() // v1
+      val ckpt = tmp("graft_cdf_tail_ckpt")
+      val outDir = tmp("graft_cdf_tail_out")
+      // drains land in a lake table (memory sinks refuse checkpoint
+      // recovery): the whole pipe is version log → CDF stream → lake
+      def drain(): Seq[String] = {
+        val q = spark.readStream.format("graft.sources.LakeSink")
+          .option("readChangeFeed", "true")
+          .option("maxFilesPerTrigger", "1") // several batches per drain
+          .load(s"$lake/tail")
+          .writeStream.format("graft.sources.LakeSink")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        canon(spark.read.format("graft.sources.LakeSink").load(outDir))
+      }
+      val first = drain()
+      assert(first.size == 3 && first.forall(_.contains("insert")), first.mkString(";"))
+      threeRows(1).writeTo("graft.lake.tail").append() // v2
+      spark.sql("DELETE FROM graft.lake.tail WHERE id = 1") // v3 (mor)
+      val second = drain()
+      // restart replays NOTHING already emitted: exactly v2's inserts and
+      // v3's single delete leg arrive on top of the first drain
+      assert(second.size == first.size + 4, s"${first.size} -> ${second.size}")
+      assert(second.count(_.contains("delete")) == 1)
+      // a third drain with no new versions adds nothing
+      assert(drain() == second)
+    }
+  }
+
+  test("startingVersion positions the stream; versionAsOf+readChangeFeed refused") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.pos").create() // v1
+      threeRows(1).writeTo("graft.lake.pos").append() // v2
+      val fromV2 = drainToMemory(s"$lake/pos", "startingVersion" -> "2")
+      assert(canon(fromV2) == canon(threeRows(1)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(2L))))
+      val e = intercept[Exception] {
+        spark.readStream.format("graft.sources.LakeSink")
+          .option("readChangeFeed", "true").option("versionAsOf", "1")
+          .load(s"$lake/pos")
+      }
+      assert(e.getMessage.contains("readChangeFeed"), e.getMessage)
+    }
+  }
+
+  test("d58 streaming twin: CDC replay feeds the incremental dedup bit-equal across kill/restart") {
+    import spark.implicits._
+    withLake { lake =>
+      val d = Tables.documents(spark, sfTiny)
+        .withColumn("h", DedupLsh.h60($"doc_id".cast("string")) % 10)
+        .select($"doc_id", $"h", TextOps.normFp($"text").as("fp"))
+        .localCheckpoint(true)
+      d.filter($"h" <= 7).select($"doc_id", $"fp")
+        .writeTo("graft.lake.d58s").create() // v1: the historical store
+      val ckpt = tmp("graft_cdf_d58_ckpt")
+      val outDir = tmp("graft_cdf_d58_out")
+      def drain(): Long = {
+        val q = spark.readStream.format("graft.sources.LakeSink")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "2") // the store is history, not feed
+          .load(s"$lake/d58s")
+          .writeStream.format("graft.sources.LakeSink")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = spark.read.format("graft.sources.LakeSink").load(outDir)
+        if (out.isEmpty) 0L else out.count()
+      }
+      // first run: today's crawl hasn't landed — the stream drains nothing
+      // (a no-op first run is the kill point: the restart must pick up v2)
+      assert(drain() == 0L)
+      d.filter($"h" >= 8).select($"doc_id", $"fp")
+        .writeTo("graft.lake.d58s").append() // v2: today's crawl
+      assert(drain() > 0L)
+      // the CDC-fed batch drives d49's split against the v1 snapshot store
+      val batch = spark.read.format("graft.sources.LakeSink").load(outDir)
+        .filter($"_change_type" === "insert").select($"doc_id", $"fp")
+      val store = spark.sql("SELECT fp FROM graft.lake.d58s VERSION AS OF 1")
+        .select($"fp".as("sfp")).distinct()
+      val wmin = batch.groupBy($"fp").agg(min($"doc_id").as("wid"))
+      val streamedVerdicts = batch
+        .join(store, $"fp" === $"sfp", "left")
+        .join(wmin, "fp")
+        .select($"doc_id",
+          when($"sfp".isNotNull, "dup_of_corpus")
+            .when($"doc_id" =!= $"wid", "dup_in_batch")
+            .otherwise("new").as("verdict"))
+        .withColumn("kept", ($"verdict" === "new").cast("int"))
+      // bit-equal to d58's batch-CDF pipeline over the same corpus
+      val expected = TextOps.queries("d58_cdf_dedup")(spark, sfTiny)
+      assert(canon(streamedVerdicts) == canon(expected))
+    }
+  }
+}

@@ -555,6 +555,23 @@ class TextOpsSpec extends GraftSpec {
       (1.0, 0.5, 0.666667), got.toString)
   }
 
+  test("d55 stratum: salted two-phase rank ≡ plain per-lang window, cap binds") {
+    import spark.implicits._
+    // 900 docs over 2 langs (600/300): the cap (400) binds on lang a only
+    val docs = (0L until 900L)
+      .map(i => (i, if (i % 3 == 0) "b" else "a")).toDF("doc_id", "lang")
+    val got = TextOps.snmAuditStratum(docs).as[Long].collect().toSet
+    // the unsalted single-window reference (fine at spec scale)
+    val ref = docs
+      .withColumn("hk", md5($"doc_id".cast("string")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"hk", $"doc_id")))
+      .filter($"rk" <= 400).select($"doc_id").as[Long].collect().toSet
+    assert(got == ref)
+    assert(got.size == 400 + 300, s"${got.size}") // lang a capped, b whole
+  }
+
   test("d55 on testdata: overlap bounded by both pair sets, metrics consistent") {
     val r0 = TextOps.d55SnmAudit(spark, sfTiny).collect()(0)
     val (ne, ns, nc) = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
