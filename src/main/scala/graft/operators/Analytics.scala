@@ -1156,6 +1156,95 @@ object Analytics {
          ${rSql("abs_s", 6)} AS cusum_max
        FROM rk WHERE rn = 1 ORDER BY event_type"""
 
+  // --- q111: Page–Hinkley drift statistic over the hourly series ------------
+
+  /** PH insensitivity margin δ — shared by the batch query, the oracle
+    * text, and the streaming fold (defined above the vals that
+    * interpolate it; object-init order). */
+  private[graft] val PhDelta = 0.005
+
+  /** q111 — the Page–Hinkley test per event_type (Page 1954; Hinkley
+    * 1971 — the sequential drift detector CUSUM's q56 is the
+    * fixed-baseline cousin of): with x̄_i the RUNNING mean up to i,
+    * m_t = Σ_{i≤t} (x_i − x̄_i − δ) and PH_t = m_t − min_{s≤t} m_s; the
+    * report is each type's maximum PH and the hour it peaks (earliest on
+    * ties) — the alarm statistic a drift monitor thresholds against λ.
+    * Unlike q56, no trained baseline exists: the mean adapts as data
+    * arrives, which is the deployable no-prior form. Series points are
+    * the ROUNDED hourly means (q56's series); the running mean is
+    * re-rounded each step (`Num.r`, identical text both engines), and
+    * every running sum accumulates in pinned hx order (q08/q56
+    * precedent), so m, its prefix min, and PH mirror exactly.
+    *
+    * Scale shape: one rollup aggregation over events, then three
+    * window passes over the series — which grows with TIME, not volume. */
+  def q111PageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pageHinkley(Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(ravg($"value", 6).as("x"))
+      .select($"event_type", $"h".cast("long").as("hx"), $"x"))
+  }
+
+  /** q111's core over an explicit (event_type, hx, x) series — exposed
+    * so the spec can plant a level shift with a hand-computed PH peak
+    * and the streaming replay can assert bit-equality. */
+  private[graft] def pageHinkley(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"hx")
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // every running sum accumulates EXACT DECIMAL(38,6): x is 6-dp
+    // rounded and x̄/δ are 6-dp, so each term is an exact decimal —
+    // order-independent accumulation (invariant-1 policy; a double fold
+    // here measurably straddles the 6-dp rounding boundary between
+    // engines). Only x̄'s division runs in double, re-rounded per step.
+    series
+      .withColumn("xd", $"x".cast("decimal(38,6)"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cs", sum($"xd").over(wp))
+      .withColumn("term", $"xd" -
+        r($"cs".cast("double") / $"i", 6).cast("decimal(38,6)") -
+        lit(PhDelta).cast("decimal(38,6)"))
+      .withColumn("m", sum($"term").over(wp))
+      .withColumn("ph", ($"m" - min($"m").over(wp)).cast("double"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        max(struct($"ph", (-$"hx").as("nh"), $"hx")).as("b"))
+      .select($"event_type", $"n_hours",
+        $"b.hx".as("ph_hour"), r($"b.ph", 6).as("ph_max"))
+      .orderBy($"event_type")
+  }
+
+  val q111Sql: String =
+    s"""WITH h AS MATERIALIZED (SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         ${rSql(davgSql("value"), 6)} AS x
+       FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       st AS (SELECT event_type, hx, CAST(x AS DECIMAL(38,6)) AS xd,
+         row_number() OVER w AS i,
+         sum(CAST(x AS DECIMAL(38,6))) OVER w AS cs
+         FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       t AS (SELECT event_type, hx,
+         xd - CAST(${rSql("CAST(cs AS DOUBLE) / i", 6)} AS DECIMAL(38,6))
+            - CAST($PhDelta AS DECIMAL(38,6)) AS term
+         FROM st),
+       mm AS (SELECT event_type, hx, sum(term) OVER w AS m
+         FROM t WINDOW w AS (PARTITION BY event_type ORDER BY hx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       p AS (SELECT event_type, hx,
+         CAST(m - min(m) OVER w AS DOUBLE) AS ph
+         FROM mm WINDOW w AS (PARTITION BY event_type ORDER BY hx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       rk AS (SELECT event_type, hx, ph,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY ph DESC NULLS LAST, hx ASC) AS rn
+         FROM p)
+       SELECT event_type, n_hours, hx AS ph_hour, ${rSql("ph", 6)} AS ph_max
+       FROM rk WHERE rn = 1 ORDER BY event_type"""
+
   // --- q55: Theil–Sen robust trend over the daily series --------------------
 
   /** q55 — Theil–Sen estimator per event_type over the daily mean-value
@@ -3533,6 +3622,7 @@ object Analytics {
     "q57_gini" -> (q57Gini _),
     "q68_gini_hist" -> (q68GiniHist _),
     "q56_cusum" -> (q56Cusum _),
+    "q111_page_hinkley" -> (q111PageHinkley _),
     "q55_theil_sen" -> (q55TheilSen _),
     "q54_mutual_info" -> (q54MutualInfo _),
     "q53_benford" -> (q53Benford _),
@@ -3591,6 +3681,7 @@ object Analytics {
     "q57_gini" -> q57Sql,
     "q68_gini_hist" -> q68Sql,
     "q56_cusum" -> q56Sql,
+    "q111_page_hinkley" -> q111Sql,
     "q55_theil_sen" -> q55Sql,
     "q54_mutual_info" -> q54Sql,
     "q53_benford" -> q53Sql,

@@ -1438,6 +1438,103 @@ object Corpus {
        ORDER BY tau"""
   }
 
+  // --- ml32: DeLong variance + 95% CI for ml17's AUC ------------------------
+
+  /** Shared DeLong expression texts over the EXACT INTEGER moments
+    * (u2 = 2U; st2/su2 = Σ of squared per-positive/per-negative 2U
+    * contributions): midranks are multiples of ½, so every placement
+    * V10_i = t_i/(2n0), V01_j = u_j/(2n1) has an integer numerator and
+    * the second moments stay BIGINT — the whole estimator reorders
+    * nothing until the final double division (identical text both
+    * engines). S10/S01 use ΣV² − n·AUC² (the mean of the placements IS
+    * the AUC, a DeLong identity). */
+  private val DlAuc =
+    "CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))"
+  private val DlS10 =
+    s"(CAST(st2 AS DOUBLE) / (4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)) - " +
+      s"CAST(n1 AS DOUBLE) * ($DlAuc) * ($DlAuc)) / (CAST(n1 AS DOUBLE) - 1.0)"
+  private val DlS01 =
+    s"(CAST(su2 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) - " +
+      s"CAST(n0 AS DOUBLE) * ($DlAuc) * ($DlAuc)) / (CAST(n0 AS DOUBLE) - 1.0)"
+  private val DlSe =
+    s"CASE WHEN n1 > 1 AND n0 > 1 THEN sqrt(($DlS10) / CAST(n1 AS DOUBLE) + " +
+      s"($DlS01) / CAST(n0 AS DOUBLE)) ELSE 0.0 END"
+
+  /** ml32 — DeLong et al. (1988) variance and 95% CI for the AUC ml17
+    * reports as a point estimate — the number that says whether an AUC
+    * difference is noise (every model-comparison writeup needs it). Per
+    * positive, the placement V10 = (midrank among all − midrank among
+    * positives)/n0 counts the negatives it outranks (½ per tie); per
+    * negative, V01 symmetrically. Var(AUC) = S10/n1 + S01/n0 with
+    * S10/S01 the placements' sample variances. Everything reduces to the
+    * ml17/q52 count-table shape: per distinct ROUNDED score, the
+    * per-positive contribution t = 2·(neg below) + (neg tied) and the
+    * per-negative contribution u = 2·(pos above) + (pos tied) are exact
+    * integers; Σc1·t = 2U (ml17's u2 — the AUC numerator), and
+    * Σc1·t²/Σc0·u² give the placement second moments with zero float
+    * reordering. CI clamped to [0, 1]; the normal approximation is the
+    * published method. One row.
+    *
+    * Scale shape: ml06's linear scoring plan + one bounded count table
+    * (≤ 10⁶ + 1 distinct 6-dp scores) with two cumulative windows over
+    * it — corpus-scale work is a single aggregation pass. */
+  def ml32AucDelong(s: SparkSession, dir: String): DataFrame =
+    delongAuc(ml06QualityClassifier(s, dir))
+
+  /** ml32's core over a scored (label ∈ {0,1}, score) frame — exposed so
+    * the spec can plant separable and interleaved frames with
+    * hand-computed AUC/variance. */
+  private[graft] def delongAuc(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val cnt = scored.groupBy($"score").agg(
+      count(when($"label" === 1, 1)).as("c1"),
+      count(when($"label" === 0, 1)).as("c0"))
+    val tot = cnt.agg(sum($"c1").as("n1"), sum($"c0").as("n0"))
+    val w = Window.orderBy($"score")
+    val grid = cnt
+      .withColumn("cum0", sum($"c0").over(w))
+      .withColumn("cum1", sum($"c1").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("t", ($"cum0" - $"c0") * 2 + $"c0")  // 2·neg below + tied
+      .withColumn("u", ($"n1" - $"cum1") * 2 + $"c1")  // 2·pos above + tied
+    grid.groupBy()
+      .agg(min($"n1").as("n1"), min($"n0").as("n0"),
+        sum($"c1" * $"t").as("u2"),
+        sum($"c1" * $"t" * $"t").as("st2"),
+        sum($"c0" * $"u" * $"u").as("su2"))
+      .select($"n1".as("n_pos"), $"n0".as("n_neg"),
+        r(expr(DlAuc), 6).as("auc"),
+        r(expr(DlSe), 6).as("auc_se"),
+        r(expr(s"greatest(0.0, ($DlAuc) - CAST(1.96 AS DOUBLE) * ($DlSe))"), 6).as("ci_lo"),
+        r(expr(s"least(1.0, ($DlAuc) + CAST(1.96 AS DOUBLE) * ($DlSe))"), 6).as("ci_hi"))
+  }
+
+  val ml32Sql: String =
+    s"""WITH $ml06Ctes,
+       sc AS (SELECT CAST(y AS INTEGER) AS label, ${rSql(qlrP, 6)} AS score
+         FROM f CROSS JOIN w$QlrIters),
+       cnt AS (SELECT score,
+           count(CASE WHEN label = 1 THEN 1 END) AS c1,
+           count(CASE WHEN label = 0 THEN 1 END) AS c0
+         FROM sc GROUP BY score),
+       tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(c0) AS BIGINT) AS n0 FROM cnt),
+       grid AS (SELECT c1, c0,
+           (CAST(sum(c0) OVER (ORDER BY score) AS BIGINT) - c0) * 2 + c0 AS t,
+           (n1 - CAST(sum(c1) OVER (ORDER BY score) AS BIGINT)) * 2 + c1 AS u
+         FROM cnt CROSS JOIN tot),
+       summ AS (SELECT (SELECT n1 FROM tot) AS n1, (SELECT n0 FROM tot) AS n0,
+           CAST(sum(c1 * t) AS BIGINT) AS u2,
+           CAST(sum(c1 * t * t) AS BIGINT) AS st2,
+           CAST(sum(c0 * u * u) AS BIGINT) AS su2
+         FROM grid)
+       SELECT n1 AS n_pos, n0 AS n_neg, ${rSql(DlAuc, 6)} AS auc,
+         ${rSql(DlSe, 6)} AS auc_se,
+         ${rSql(s"greatest(0.0, ($DlAuc) - CAST(1.96 AS DOUBLE) * ($DlSe))", 6)} AS ci_lo,
+         ${rSql(s"least(1.0, ($DlAuc) + CAST(1.96 AS DOUBLE) * ($DlSe))", 6)} AS ci_hi
+       FROM summ"""
+
   // --- ml18: leakage-safe out-of-fold target encoding ----------------------
 
   /** ml18 smoothing pseudo-count (exact binary literal). */
@@ -2713,6 +2810,7 @@ object Corpus {
     "d43_order_bias" -> (d43OrderBias _),
     "ml16_pr_curve" -> (ml16PrCurve _),
     "ml17_roc_auc" -> (ml17RocAuc _),
+    "ml32_auc_delong" -> (ml32AucDelong _),
     "ml18_target_encode" -> (ml18TargetEncode _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
@@ -2749,6 +2847,7 @@ object Corpus {
     "d43_order_bias" -> d43Sql,
     "ml16_pr_curve" -> ml16Sql,
     "ml17_roc_auc" -> ml17Sql,
+    "ml32_auc_delong" -> ml32Sql,
     "ml18_target_encode" -> ml18Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,

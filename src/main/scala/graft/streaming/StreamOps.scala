@@ -66,6 +66,14 @@ case class CusumSt(s: Double, maxAbs: Double, cpHx: Long, n: Long)
 case class CusumOut(event_type: String, n_hours: Long, mean_x: Double,
   cp_hour: Long, cusum_max: Double)
 
+/** Per-type Page–Hinkley state in EXACT MICRO-UNITS (1e-6, the batch
+  * twin's DECIMAL(38,6) accumulation as integers): running sum of x,
+  * the PH accumulator m, its prefix min, and the PH champion. */
+case class PhSt(n: Long, csM: Long, mM: Long, mMinM: Long,
+  phMaxM: Long, phHx: Long)
+case class PhOut(event_type: String, n_hours: Long, ph_hour: Long,
+  ph_max: Double)
+
 case class AnomalyOut(event_type: String, hx: Long, y: Double,
   fitted: Double, score: Double)
 
@@ -670,6 +678,48 @@ object StreamOps {
           }
           state.update(st)
           CusumOut(et, st.n, mean, st.cpHx, graft.operators.Num.rD(st.maxAbs, 6))
+      }
+  }
+
+  /** q111's streaming twin — the Page–Hinkley drift monitor in its
+    * deployed form, and unlike [[cusumStream]] it needs NO trained
+    * artifact: the mean adapts as points arrive (the no-prior sequential
+    * detector), so the whole monitor is one GroupState fold. Each
+    * arriving hourly point replays the batch windows' arithmetic in hx
+    * order — cs += x; x̄ = round(cs/n) (re-rounded each step, `Num.rD` =
+    * the batch `Num.r`); m += x − x̄ − δ; PH = m − min-so-far — and the
+    * strict-`>` champion update reproduces the batch
+    * max(struct(ph, −hx)) earliest-hour tie-break, so a per-type
+    * hx-monotone replay lands bit-equal to q111's final rows
+    * (StreamReplaySpec asserts it on the max-n_hours update). State is
+    * O(1) per type (Update mode); types shard across executors with the
+    * groupByKey shuffle. */
+  def pageHinkleyStream(ds: Dataset[HourRec]): Dataset[PhOut] = {
+    import ds.sparkSession.implicits._
+    val deltaM = math.rint(graft.operators.Analytics.PhDelta * 1e6).toLong
+    // 6-dp doubles → exact micro-integers (the batch DECIMAL(38,6) fold
+    // as Long arithmetic: order-independent, nothing to straddle)
+    def micros(x: Double): Long = math.rint(x * 1e6).toLong
+    ds.groupByKey(_.event_type)
+      .mapGroupsWithState[PhSt, PhOut](GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[HourRec], state: GroupState[PhSt]) =>
+          var st = state.getOption.getOrElse(
+            PhSt(0L, 0L, 0L, Long.MaxValue, Long.MinValue, Long.MinValue))
+          rows.toSeq.sortBy(_.hx).foreach { h =>
+            val n2 = st.n + 1
+            val csM2 = st.csM + micros(h.x)
+            // the batch x̄ step verbatim: CAST(cs AS DOUBLE) / i, rounded
+            val xbar = graft.operators.Num.rD(csM2 / 1e6 / n2, 6)
+            val mM2 = st.mM + (micros(h.x) - micros(xbar) - deltaM)
+            val mMin2 = math.min(st.mMinM, mM2)
+            val phM = mM2 - mMin2
+            st =
+              if (phM > st.phMaxM) PhSt(n2, csM2, mM2, mMin2, phM, h.hx)
+              else PhSt(n2, csM2, mM2, mMin2, st.phMaxM, st.phHx)
+          }
+          state.update(st)
+          PhOut(et, st.n, st.phHx,
+            graft.operators.Num.rD(st.phMaxM / 1e6, 6))
       }
   }
 

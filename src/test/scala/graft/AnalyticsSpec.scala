@@ -435,6 +435,28 @@ class AnalyticsSpec extends GraftSpec {
     assert(r2.getAs[Double]("cusum_max") == 0.0 && r2.getAs[Long]("cp_hour") == 0L)
   }
 
+  test("q111 Page–Hinkley: alarms on a planted level shift, stays silent on flat") {
+    import spark.implicits._
+    // step series 0,0,0 → 6,6,6 with δ = 0.005 and an ADAPTIVE mean:
+    // pre-shift terms are −δ (m walks to −0.015, ph pinned at 0); after
+    // the shift the running mean lags (1.5, 2.4, 3.0), so m climbs by
+    // 4.495 + 3.595 + 2.995 — PH peaks at the LAST hour ≈ 11.085
+    val series = Seq(0L -> 0.0, 3600L -> 0.0, 7200L -> 0.0,
+      10800L -> 6.0, 14400L -> 6.0, 18000L -> 6.0)
+      .map { case (h, x) => ("a", h, x) }.toDF("event_type", "hx", "x")
+    val r1 = Analytics.pageHinkley(series).collect()(0)
+    assert(r1.getAs[Long]("n_hours") == 6L)
+    assert(r1.getAs[Long]("ph_hour") == 18000L, s"$r1")
+    // decimal accumulation makes the trace EXACT: 4.495+3.595+2.995+0.015
+    assert(r1.getAs[Double]("ph_max") == 11.085, s"$r1")
+    // a constant series never alarms: every prefix min IS m, PH ≡ 0,
+    // and the all-ties champion is the earliest hour
+    val flat = Seq(0L, 3600L, 7200L).map(h => ("a", h, 5.0))
+      .toDF("event_type", "hx", "x")
+    val r2 = Analytics.pageHinkley(flat).collect()(0)
+    assert(r2.getAs[Double]("ph_max") == 0.0 && r2.getAs[Long]("ph_hour") == 0L)
+  }
+
   test("q56 on testdata: one row per event type, CUSUM closes near zero") {
     import spark.implicits._
     val out = Analytics.q56Cusum(spark, sfTiny).cache()

@@ -261,6 +261,30 @@ class CorpusSpec extends GraftSpec {
       t5.getAs[Double]("tpr") == 0.75 && t5.getAs[Double]("fpr") == 0.666667)
   }
 
+  test("ml32 DeLong: zero variance when separable, hand-computed variance interleaved") {
+    import spark.implicits._
+    // perfectly separable: every placement is 1 → S10 = S01 = 0 → se 0,
+    // CI degenerates to [1, 1]
+    val sep = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("label", "score")
+    val r1 = operators.Corpus.delongAuc(sep).collect()(0)
+    assert(r1.getAs[Long]("n_pos") == 2 && r1.getAs[Long]("n_neg") == 2)
+    assert(r1.getAs[Double]("auc") == 1.0 && r1.getAs[Double]("auc_se") == 0.0)
+    assert(r1.getAs[Double]("ci_lo") == 1.0 && r1.getAs[Double]("ci_hi") == 1.0)
+    // interleaved pos {0.9, 0.2}, neg {0.8, 0.1}: AUC = 3/4;
+    // V10 = {1, ½}, V01 = {½, 1} → S10 = S01 = 2·(¼)²/1 = 0.125;
+    // var = 0.125/2 + 0.125/2 = 0.125, se = √0.125
+    val mix = Seq((1, 0.9), (1, 0.2), (0, 0.8), (0, 0.1)).toDF("label", "score")
+    val r2 = operators.Corpus.delongAuc(mix).collect()(0)
+    assert(r2.getAs[Double]("auc") == 0.75, s"$r2")
+    def rd(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r2.getAs[Double]("auc_se") == rd(math.sqrt(0.125)), s"$r2")
+    assert(r2.getAs[Double]("ci_lo") == rd(math.max(0.0, 0.75 - 1.96 * math.sqrt(0.125))))
+    assert(r2.getAs[Double]("ci_hi") == rd(math.min(1.0, 0.75 + 1.96 * math.sqrt(0.125))))
+    // a single positive cannot carry a sample variance: se pins to 0
+    val one = Seq((1, 0.9), (0, 0.8), (0, 0.1)).toDF("label", "score")
+    assert(operators.Corpus.delongAuc(one).collect()(0).getAs[Double]("auc_se") == 0.0)
+  }
+
   test("ml17 on testdata: monotone curve, constant AUC, gini identity") {
     import spark.implicits._
     val out = operators.Corpus.ml17RocAuc(spark, sfTiny).orderBy($"tau").collect()

@@ -378,6 +378,43 @@ class StreamReplaySpec extends GraftSpec {
     } finally hourlyDf.unpersist(blocking = false)
   }
 
+  test("replayed pageHinkleyStream reproduces the oracle-green q111 drift rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.HourRec
+    // same hourly series q111 aggregates; NO trained artifact — the
+    // running mean adapts inside the fold (the no-prior detector)
+    val hourly = Tables.events(spark, sfTiny)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(graft.operators.Num.ravg($"value", 6).as("x"))
+      .select($"event_type", $"h".cast("long").as("hx"), $"x")
+      .as[HourRec].collect().toSeq.sortBy(h => (h.hx, h.event_type))
+    val k = math.ceil(hourly.size / 4.0).toInt
+    val hSlices = hourly.grouped(k).toSeq
+    // precondition: some type's series spans ≥2 slices — the running
+    // (cs, m, min) at the boundary can only come from GroupState carry
+    val spread = hSlices.zipWithIndex
+      .flatMap { case (s, i) => s.map(h => (h.event_type, i)) }
+      .groupBy(_._1).map(_._2.map(_._2).distinct.size)
+    assert(spread.exists(_ >= 2),
+      "slicing must split at least one type's series across batches")
+
+    val in = MemoryStream[HourRec]
+    val q = StreamOps.pageHinkleyStream(in.toDS()).writeStream
+      .format("memory").queryName("replay_ph").outputMode("update").start()
+    try {
+      hSlices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val wn = Window.partitionBy($"event_type").orderBy($"n_hours".desc)
+    val streamed = spark.table("replay_ph")
+      .withColumn("rn", row_number().over(wn)).filter($"rn" === 1)
+      .select($"event_type", $"n_hours", $"ph_hour", $"ph_max")
+    val batch = Analytics.q111PageHinkley(spark, sfTiny)
+    assert(canon(streamed) == canon(batch),
+      "replayed Page–Hinkley champions must equal the batch drift rows")
+  }
+
   test("replayed markovStream reproduces the oracle-green q58 transition cells") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
