@@ -1196,6 +1196,48 @@ object Relational {
     s"""SELECT doc_id, ${DedupLsh.h60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS h
        FROM documents ORDER BY doc_id"""
 
+  /** q112 — DSv2 catalog AGGREGATE function (r11:
+    * [[graft.sources.GraftDsumFunction]], the
+    * `connector.catalog.functions.AggregateFunction` tier next to q105's
+    * ScalarFunction): the pricing-summary shape runs its sums through
+    * `graft.fns.dsum` resolved BY NAME from the catalog — Spark plans it
+    * as a V2Aggregator with partial `update` map-side and `merge` at the
+    * exchange, and the oracle recomputes with `Num.dsumSql`'s
+    * decimal(38,10) text. The function IS `Num.dsum` (exact decimal
+    * accumulation, order-independent), so the hash check proves the V2
+    * aggregate path delivers the policy sum bit-for-bit.
+    *
+    * Scale shape: identical to any built-in sum — map-side partials,
+    * one exchange on the group keys, O(1) state per group. */
+  def q112CatalogAgg(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.ns.sf", dir)
+    // the V2 aggregate returns the RAW double of the exact decimal sum;
+    // the final decimal→double conversion is the one step the two
+    // engines disagree on by an ulp (invariant 1 — the reason every
+    // reporting sum is a ROUNDED rsum), so the policy rounding applies
+    // on top exactly as it does over Num.dsum
+    s.sql("""SELECT l_returnflag, l_linestatus,
+               graft.fns.dsum(l_quantity) AS sq,
+               graft.fns.dsum(l_extendedprice) AS sp,
+               count(*) AS n
+             FROM graft.sf.lineitem
+             GROUP BY l_returnflag, l_linestatus""")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        Num.r(col("sq"), 4).as("sum_qty"), Num.r(col("sp"), 4).as("sum_price"),
+        col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q112Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+         ${Num.rsumSql("l_quantity", 4)} AS sum_qty,
+         ${Num.rsumSql("l_extendedprice", 4)} AS sum_price,
+         count(*) AS n
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
   // --- q106-q110: TPC-H's PARTSUPP tier over a DERIVED partsupp ----------------
   //
   // The five remaining TPC-H queries (Q2, Q9, Q11, Q16, Q20) all read the
@@ -1558,6 +1600,7 @@ object Relational {
     "q103_tpch_q7" -> (q103TpchQ7 _),
     "q104_tpch_q8" -> (q104TpchQ8 _),
     "q105_catalog_fn" -> (q105CatalogFn _),
+    "q112_catalog_agg" -> (q112CatalogAgg _),
     "q106_tpch_q2" -> (q106TpchQ2 _),
     "q107_tpch_q9" -> (q107TpchQ9 _),
     "q108_tpch_q11" -> (q108TpchQ11 _),
@@ -1603,6 +1646,7 @@ object Relational {
     "q103_tpch_q7" -> q103Sql,
     "q104_tpch_q8" -> q104Sql,
     "q105_catalog_fn" -> q105Sql,
+    "q112_catalog_agg" -> q112Sql,
     "q106_tpch_q2" -> q106Sql,
     "q107_tpch_q9" -> q107Sql,
     "q108_tpch_q11" -> q108Sql,

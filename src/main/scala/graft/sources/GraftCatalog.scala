@@ -422,7 +422,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * so Catalyst calls them WITHOUT boxing an InternalRow per row (the
     * codegen-friendly path the DSv2 function API exists for). */
   private val catalogFunctions: Map[String, functions.UnboundFunction] = Map(
-    "h60" -> GraftH60Function, "sqdist" -> GraftSqDistFunction)
+    "h60" -> GraftH60Function, "sqdist" -> GraftSqDistFunction,
+    "dsum" -> GraftDsumFunction)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("fns")))
@@ -500,6 +501,55 @@ private[sources] class GraftH60Bound
   }
   override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
     invoke(input.getUTF8String(0))
+}
+
+/** `graft.fns.dsum(double) → double` — the DSv2 AGGREGATE function tier
+  * (`connector.catalog.functions.AggregateFunction`, the V2Aggregator
+  * path with partial update + merge): an order-independent exact sum of
+  * doubles, semantically `Num.dsum` = CAST(SUM(CAST(x AS
+  * DECIMAL(38,10))) AS DOUBLE). Each input quantizes through
+  * `BigDecimal.valueOf` (the SHORTEST decimal repr — exactly what
+  * Spark's double→decimal cast applies, hence what every oracle-green
+  * `dsum` query already proved portable) rounded to 10 dp HALF_UP;
+  * decimal addition is exact, so update/merge order cannot change the
+  * result — the property that makes the aggregate safe under Spark's
+  * partial/final split at any parallelism.
+  *
+  * 100 TB story: the engine runs partial `update` map-side and `merge`
+  * at the exchange like any built-in sum — state is ONE BigDecimal. */
+private[sources] object GraftDsumFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "dsum"
+  override def description(): String =
+    "dsum(double) -> double: order-independent exact decimal(38,10) sum"
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == DoubleType,
+      s"dsum expects one DOUBLE argument, got ${inputType.toDDL}")
+    new GraftDsumBound
+  }
+}
+
+private[sources] class GraftDsumBound
+    extends org.apache.spark.sql.connector.catalog.functions.AggregateFunction[
+      java.math.BigDecimal, java.lang.Double] {
+  import org.apache.spark.sql.types._
+  override def name(): String = "dsum"
+  override def canonicalName(): String = "graft.fns.dsum"
+  override def inputTypes(): Array[DataType] = Array(DoubleType)
+  override def resultType(): DataType = DoubleType
+  override def newAggregationState(): java.math.BigDecimal =
+    java.math.BigDecimal.ZERO
+  override def update(state: java.math.BigDecimal,
+      input: org.apache.spark.sql.catalyst.InternalRow): java.math.BigDecimal =
+    if (input.isNullAt(0)) state
+    else state.add(java.math.BigDecimal.valueOf(input.getDouble(0))
+      .setScale(10, java.math.RoundingMode.HALF_UP))
+  override def merge(left: java.math.BigDecimal,
+      right: java.math.BigDecimal): java.math.BigDecimal = left.add(right)
+  override def produceResult(state: java.math.BigDecimal): java.lang.Double =
+    state.doubleValue()
 }
 
 /** `graft.fns.sqdist(array<double>, array<double>) → double` — squared

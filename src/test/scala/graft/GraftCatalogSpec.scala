@@ -309,6 +309,33 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("catalog aggregate function: graft.fns.dsum runs the V2Aggregator path with partials") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    Seq(Some(0.1), Some(0.2), Some(0.30000001), Some(-5.5), None)
+      .toDF("x").createOrReplaceTempView("graft_dsum_t")
+    val df = spark.sql("SELECT graft.fns.dsum(x) AS s FROM graft_dsum_t")
+    // the function IS Num.dsum: exact decimal(38,10) accumulation (the
+    // magnitude here converts to double exactly, so raw values match)
+    val want = spark.table("graft_dsum_t")
+      .agg(graft.operators.Num.dsum($"x").as("s")).collect()(0).getDouble(0)
+    assert(df.collect()(0).getDouble(0) == want)
+    // planned as a real aggregate with the partial + final split
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_v2aggregator"), plan)
+    assert(plan.contains("GraftDsumBound"), plan)
+    // grouped + order-independence across parallelism: repartitioned
+    // shuffle order cannot change the exact decimal result
+    val grouped = spark.sql(
+      """SELECT x IS NULL AS g, graft.fns.dsum(x) AS s
+         FROM graft_dsum_t GROUP BY x IS NULL ORDER BY g""").collect()
+    assert(grouped.length == 2 && grouped(1).isNullAt(1) == false)
+    val shuffled = spark.table("graft_dsum_t").repartition(7)
+    shuffled.createOrReplaceTempView("graft_dsum_t7")
+    assert(spark.sql("SELECT graft.fns.dsum(x) AS s FROM graft_dsum_t7")
+      .collect()(0).getDouble(0) == want)
+  }
+
   test("ALTER COLUMN TYPE widening: metadata-only, stats pushdown folds both generations") {
     import spark.implicits._
     val lake = tmp("graft_cat_widen")
