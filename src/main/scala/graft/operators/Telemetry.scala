@@ -2484,7 +2484,61 @@ object Telemetry {
          vibration
        FROM kept ORDER BY id"""
 
+  /** t58 — sorted storage-partitioned join under the differential (r11:
+    * [[graft.sources.LakeSinkScan]]'s `SupportsReportOrdering` over the
+    * `_graft_sorted.json` ledger): customer and orders land BUCKETED 8
+    * ways on the customer key AND `sortBy`-sorted on it (the clustered
+    * write leaves ONE internally-sorted file per bucket dir), so under
+    * `v2.bucketing.enabled` the merge join on the source key plans with
+    * ZERO exchanges and ZERO sorts — the fully co-located layout a
+    * 100 TB fact-fact join wants (Iceberg's write-ordered tables;
+    * GraftCatalogSpec pins the exchange-free sort-free plan and the
+    * unsorted-append invalidation). The HASH is layout-invariant: the
+    * result must equal DuckDB's plain join of the parquet sources.
+    *
+    * Scale shape: the join cost is one streaming merge pass per bucket
+    * pair — no shuffle bytes, no sort memory; the ledger claim is sound
+    * by construction (only `sortBy` batch commits record entries, so
+    * compaction/streaming/DML files never carry a false claim). */
+  def t58SortedSpj(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t58")
+    val _ = lakeRoot
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .writeTo("graft_t58.lake.cust")
+      .partitionedBy(bucket(8, col("c_custkey")))
+      .option("sortBy", "c_custkey").create()
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      .writeTo("graft_t58.lake.ord")
+      .partitionedBy(bucket(8, col("c_custkey")))
+      .option("sortBy", "c_custkey").create()
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prevB: Option[String] =
+      if (org.apache.spark.sql.internal.SQLConf.get.contains(key))
+        Some(s.conf.get(key))
+      else None
+    try {
+      s.conf.set(key, "true")
+      s.table("graft_t58.lake.cust")
+        .join(s.table("graft_t58.lake.ord"), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.operators.Num.rsum(col("o_totalprice"), 4).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+        .localCheckpoint(true) // materialize under the pinned conf (t53)
+    } finally {
+      prevB.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }
+  }
+
+  val t58Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+         ${graft.operators.Num.rsumSql("o_totalprice", 4)} AS revenue
+       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t58_sorted_spj" -> (t58SortedSpj _),
     "t57_cdc_replicate" -> (t57CdcReplicate _),
     "t56_type_widening" -> (t56TypeWidening _),
     "t55_stream_cdf" -> (t55StreamCdf _),
@@ -2539,6 +2593,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t58_sorted_spj" -> t58Sql,
     "t57_cdc_replicate" -> t57Sql,
     "t56_type_widening" -> t56Sql,
     "t55_stream_cdf" -> t55Sql,

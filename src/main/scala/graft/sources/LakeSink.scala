@@ -529,7 +529,7 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
       (if (sortCols.nonEmpty) s" sortBy=[${sortCols.mkString(",")}]" else "")
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, mode,
-      java.util.UUID.randomUUID.toString.take(8), partCols)
+      java.util.UUID.randomUUID.toString.take(8), partCols, sortCols)
   override def toStreaming: StreamingWrite =
     new LakeSinkStreamingWrite(schema, path, partCols, queryId)
 }
@@ -730,6 +730,47 @@ private[graft] object LakeSinkFiles {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // --- sorted-files ledger (sort-free scans) ----------------------------------
+  //
+  // `_graft_sorted.json` maps each committed RELATIVE file name to the
+  // sort columns its write's `sortBy` ordered it by. SOUND BY
+  // CONSTRUCTION: entries are added ONLY by the batch commit of a write
+  // that declared `sortBy` (the one path that actually sorts); files from
+  // every other producer (streaming epochs, ReplaceData, delta DML,
+  // compaction's concatenating merges, Z-order's own ordering) simply
+  // never appear, so no invalidation logic exists to forget. Consumed by
+  // [[LakeSinkScan.outputOrdering]]: a scan whose every input partition
+  // is ONE ledgered file (immutable once committed) reports the recorded
+  // per-partition ordering — with storage-partitioned joins, that is the
+  // exchange-free AND sort-free merge join (see t58).
+
+  def sortedPath(path: String): Path = Paths.get(path, "_graft_sorted.json")
+
+  def readSorted(path: String): Map[String, Seq[String]] = {
+    val p = sortedPath(path)
+    if (!Files.isRegularFile(p)) return Map.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    jsonField(json, "files", s"sorted ledger at $p")
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf(':')
+        line.substring(0, i) -> line.substring(i + 1).split(",").toSeq.filter(_.nonEmpty)
+      }.toMap
+  }
+
+  def updateSorted(path: String, add: Map[String, Seq[String]],
+      remove: Seq[String]): Unit = {
+    if (add.isEmpty && remove.isEmpty) return
+    if (add.isEmpty && !Files.isRegularFile(sortedPath(path))) return
+    val merged = (readSorted(path) -- remove) ++ add
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, cols) => s"$k:${cols.mkString(",")}" }.mkString("\n")
+    val json = s"""{"files":"${LakeSink.jsonEscape(body)}"}"""
+    val tmp = Paths.get(path, s".sorted.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, sortedPath(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   // --- version log (time travel) ---------------------------------------------
   //
   // Every DATA-changing commit (batch job, streaming epoch, ReplaceData,
@@ -772,6 +813,7 @@ private[graft] object LakeSinkFiles {
     updateCounts(path, Map.empty, retired.toSeq) // ledgers track LIVE files only
     LakeSinkStats.updateBlobs(path, Map.empty, retired.toSeq)
     LakeSinkDeletes.update(path, Map.empty, retired.toSeq)
+    updateSorted(path, Map.empty, retired.toSeq)
     retired.toSeq
   }
 
@@ -1059,7 +1101,8 @@ private[sources] case object LakeSinkNoData extends WriterCommitMessage
 
 private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     mode: LakeWriteMode, writeId: String,
-    partCols: Seq[String] = Seq.empty) extends BatchWrite {
+    partCols: Seq[String] = Seq.empty,
+    sortCols: Seq[String] = Seq.empty) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   // boolean-compat constructor (tests / streaming paths built pre-modes)
   def this(schema: StructType, path: String, truncateFirst: Boolean,
@@ -1100,6 +1143,11 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
       replace = mode == LakeTruncate)
     LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
     LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
+    // a sortBy write's files are each internally ordered (the engine's
+    // within-task sort; a task's per-directory files are subsequences of
+    // its sorted stream) — record them for sort-free scans
+    if (sortCols.nonEmpty)
+      LakeSinkFiles.updateSorted(path, staged.map(_ -> sortCols).toMap, Seq.empty)
     LakeSinkFiles.recordVersion(path, staged, removed)
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }

@@ -441,7 +441,8 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     evolution: Option[(Map[String, String], Set[String])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // files pruned by per-file [lo, hi] stats at the last planning
   // (-1 = not yet planned); see planInputPartitions
@@ -489,6 +490,54 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         planInputPartitions().length)
+
+  // --- reported per-partition ordering (sort-free scans) ----------------------
+  //
+  // A scan whose every input partition is ONE file recorded in the
+  // sorted-files ledger (written under `sortBy` — see
+  // [[LakeSinkFiles.updateSorted]]) reports that ordering ascending:
+  // delete vectors / CDF include-lists only FILTER a file's row stream,
+  // never reorder it, so the claim survives merge-on-read state. Combined
+  // with SPJ's KeyGroupedPartitioning (one sorted file per bucket dir
+  // after a clustered+sorted write), a merge join on the sort key needs
+  // ZERO exchanges and ZERO sorts — the fully co-located layout a 100 TB
+  // fact-fact join wants (t58 pins it under the differential). Recorded
+  // names translate through the live alias map (a rename keeps ordering);
+  // any unledgered file, multi-file group, dropped/pruned column, or
+  // disagreeing column list reports nothing (sound by construction —
+  // files from unsorted producers simply never enter the ledger).
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val none = Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+    val ledger = LakeSinkFiles.readSorted(path) // absent on most tables
+    if (ledger.isEmpty) return none
+    val perPart: Seq[Seq[String]] = planInputPartitions().toSeq.map {
+      case p: LakeSinkInputPartition => Seq(p.file)
+      case g: LakeSinkGroupPartition => g.files.map(_.file).toSeq
+    }
+    if (perPart.isEmpty || perPart.exists(_.length != 1)) return none
+    val root = Paths.get(path)
+    val retiredP = LakeSinkFiles.retiredDir(path)
+    val recorded: Seq[Option[Seq[String]]] = perPart.map { fs =>
+      val p = Paths.get(fs.head)
+      val rel = (if (p.startsWith(retiredP)) retiredP.relativize(p)
+                 else root.relativize(p)).toString
+      ledger.get(rel)
+    }
+    if (recorded.exists(_.isEmpty)) return none
+    val lists = recorded.map(_.get).distinct
+    if (lists.length != 1) return none
+    // names were logical AT WRITE TIME — resolve renames to the live name
+    val aliases = evolution
+      .getOrElse(LakeSinkFiles.readManifestEvolution(path))._1
+    val cols = lists.head.map(c => aliases.getOrElse(c, c))
+    // every ordering column must survive pruning (the engine resolves
+    // these refs against readSchema — the DPP filterAttributes lesson)
+    if (!cols.forall(required.fieldNames.contains)) return none
+    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
 
   // --- runtime filtering (DPP + stats-driven runtime skipping) ---------------
   //

@@ -637,6 +637,82 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("sortBy + bucket writes: SPJ merge join plans ZERO exchanges and ZERO sorts") {
+    val lake = tmp("graft_cat_sspj")
+    withCatalog(lake) {
+      import spark.implicits._
+      def mk(name: String, sorted: Boolean, rows: Seq[(Long, Long)]): Unit = {
+        var w = rows.toDF("id", "v").writeTo(s"graft.lake.$name")
+          .partitionedBy(org.apache.spark.sql.functions.bucket(4, col("id")))
+        if (sorted) w = w.option("sortBy", "id")
+        w.create()
+      }
+      // shuffled input order: the writer's requested sort must be what
+      // orders the files, not luck
+      val left = scala.util.Random.shuffle((0 until 600).map(i => (i.toLong, i * 2L))).toSeq
+      val right = scala.util.Random.shuffle((0 until 600 by 2).map(i => (i.toLong, i * 3L))).toSeq
+      mk("sfl", sorted = true, left)
+      mk("sfr", sorted = true, right)
+      mk("sfu", sorted = false, right) // unsorted control
+      def planCounts(df: DataFrame): (Int, Int, Int) = {
+        import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        var (sh, so, smj) = (0, 0, 0)
+        def walk(pl: SparkPlan): Unit = {
+          pl match {
+            case _: ShuffleExchangeLike   => sh += 1
+            case _: SortExec              => so += 1
+            case _: SortMergeJoinExec     => smj += 1
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec        => walk(q.plan)
+            case _                        =>
+          }
+          pl.children.foreach(walk)
+        }
+        df.collect()
+        walk(df.queryExecution.executedPlan)
+        (sh, so, smj)
+      }
+      def joined(r: String) = spark.table("graft.lake.sfl")
+        .join(spark.table(s"graft.lake.$r"), Seq("id"))
+      // hermetic conf (the r10 SPJ-flake lesson): explicit settings only
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prevB: Option[String] =
+        if (org.apache.spark.sql.internal.SQLConf.get.contains(key))
+          Some(spark.conf.get(key))
+        else None
+      val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(key, "false")
+        val expected = canon(joined("sfr")) // ordinary shuffled+sorted plan
+        spark.conf.set(key, "true")
+        // sorted ⋈ sorted: merge join, no exchange, NO SORT — the scans'
+        // reported per-partition ordering satisfies SMJ's requirement
+        val (sh1, so1, smj1) = planCounts(joined("sfr"))
+        assert(smj1 > 0, "expected a sort-merge join")
+        assert(sh1 == 0 && so1 == 0,
+          s"sorted SPJ join must plan zero exchanges/sorts, got $sh1/$so1:\n" +
+            joined("sfr").queryExecution.executedPlan.toString.take(1500))
+        assert(canon(joined("sfr")) == expected, "sort-free plan, identical rows")
+        // unsorted control: same SPJ layout still needs its sorts — the
+        // assertion above is not vacuous
+        val (_, soU, smjU) = planCounts(joined("sfu"))
+        assert(smjU > 0 && soU > 0, s"unsorted control must sort ($soU)")
+        // an UNSORTED append invalidates the claim: new files never enter
+        // the ledger, so the scan stops reporting ordering — sound
+        Seq((601L, 1L)).toDF("id", "v").writeTo("graft.lake.sfr").append()
+        val (_, so2, _) = planCounts(joined("sfr"))
+        assert(so2 > 0, "post-append the right side is no longer provably sorted")
+      } finally {
+        prevB.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      }
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](
