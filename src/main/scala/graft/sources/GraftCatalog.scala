@@ -54,7 +54,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * planning/pushdown lives in the resolved tables' own connectors.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var initOpts: Map[String, String] = Map.empty
 
@@ -248,7 +248,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = lakeTableDir(ident.name()).get
     if (Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString)))
       throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.map { t =>
+    val partCols = parsePartitions(partitions)
+    initLakeDir(dir, schema, partCols)
+    new LakeSinkTable(schema, dir.toString, partCols,
+      tableName = Some(s"$catalogName.lake.${ident.name()}"))
+  }
+
+  private def parsePartitions(partitions: Array[Transform]): Seq[String] =
+    partitions.map { t =>
       t.name match {
         case "identity" if t.references().length == 1 =>
           t.references()(0).fieldNames.mkString(".")
@@ -270,13 +277,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"are supported, got $t")
       }
     }.toSeq
+
+  /** Validate + write the manifest of a fresh lake table directory. */
+  private def initLakeDir(dir: Path, schema: StructType,
+      partCols: Seq[String]): Unit = {
     // validate the partition fields exist + types supported, before any I/O
     LakeSink.dataSchema(schema, partCols)
     LakeSink.partitionExtractors(schema, partCols)
     Files.createDirectories(dir)
     LakeSinkFiles.writeManifest(dir.toString, schema, partCols)
-    new LakeSinkTable(schema, dir.toString, partCols,
-      tableName = Some(s"$catalogName.lake.${ident.name()}"))
+  }
+
+  // --- StagingTableCatalog (atomic CTAS / REPLACE TABLE AS SELECT) ------------
+  //
+  // Without staging, Spark's RTAS is DROP-then-CREATE: a mid-write failure
+  // has already destroyed the old table. Staged writes land in a hidden
+  // `_staged/<uuid>` directory UNDER the lake root (same filesystem, never
+  // listed — table listing keys on per-dir manifests); commit is two
+  // renames (old table aside, staged dir in) and abort deletes only the
+  // staged bytes — the original table survives any failure before commit
+  // (GraftCatalogSpec plants a mid-write failure and reads the old rows
+  // back). The replaced table's bytes are deleted only after the swap.
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = false, orCreate = true)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info, replace = true, orCreate = false)
+  }
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, info: TableInfo,
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    val ns = ident.namespace()
+    if (ns.length != 1 || ns(0) != "lake")
+      throw new UnsupportedOperationException(
+        s"$catalogName: only the 'lake' namespace supports CREATE TABLE " +
+          "(parquet namespaces are read-only testdata)")
+    if (lakeRoot.isEmpty) throw new NoSuchNamespaceException(ns)
+    val dest = lakeTableDir(ident.name()).get
+    if (!replace && Files.isRegularFile(LakeSinkFiles.manifestPath(dest.toString)))
+      throw new TableAlreadyExistsException(ident)
+    val schema = StructType(info.columns().map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val partCols = parsePartitions(info.partitions())
+    val tmp = Paths.get(lakeRoot.get, "_staged",
+      java.util.UUID.randomUUID.toString.take(12))
+    initLakeDir(tmp, schema, partCols)
+    new GraftStagedTable(
+      new LakeSinkTable(schema, tmp.toString, partCols,
+        tableName = Some(s"$catalogName.lake.${ident.name()}")),
+      tmp, dest, ident, replace, orCreate)
   }
 
   /** Schema evolution for lake tables — all metadata-only, zero file
@@ -463,6 +514,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(target)) throw new TableAlreadyExistsException(target)
     Files.move(lakeTableDir(oldIdent.name()).get, lakeTableDir(newIdent.name()).get)
   }
+}
+
+/** A lake table being written ATOMICALLY (CTAS/RTAS through
+  * [[GraftCatalog.stageCreate]]/`stageReplace`): the inner
+  * [[LakeSinkTable]] lives in a hidden `_staged/<uuid>` dir and receives
+  * the full query output through the normal write path; `commit` swaps
+  * directories (old table aside, staged in — each an atomic rename),
+  * `abort` deletes only the staged bytes. A failure at ANY point before
+  * commit leaves the original table untouched — the atomicity RTAS's
+  * default drop-then-create cannot give. */
+private[sources] class GraftStagedTable(inner: LakeSinkTable,
+    tmp: Path, dest: Path, ident: Identifier, replace: Boolean,
+    orCreate: Boolean) extends StagedTable with SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val trash: Option[Path] =
+      if (Files.isRegularFile(LakeSinkFiles.manifestPath(dest.toString))) {
+        if (!replace) {
+          // a concurrent CTAS won the name — the loser must not clobber it
+          deleteTree(tmp)
+          throw new TableAlreadyExistsException(ident)
+        }
+        val t = tmp.getParent.resolve(
+          s".replaced-${java.util.UUID.randomUUID.toString.take(12)}")
+        Files.move(dest, t) // old table aside (atomic)
+        Some(t)
+      } else None
+    Files.move(tmp, dest) // staged table in (atomic)
+    trash.foreach(deleteTree) // reclaim only after the swap landed
+  }
+
+  override def abortStagedChanges(): Unit = deleteTree(tmp)
 }
 
 /** `graft.fns.h60(string) → bigint` — the oracle-portable 60-bit hash

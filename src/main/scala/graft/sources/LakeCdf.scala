@@ -47,6 +47,34 @@ private[graft] object LakeCdf {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Resolve the stream's first replayed version from `startingVersion`
+    * or `startingTimestamp` (epoch millis, or `java.sql.Timestamp`
+    * text "yyyy-mm-dd hh:mm:ss[.f…]") — the Delta option pair: a
+    * timestamp positions at the first commit AT OR AFTER it (commit
+    * instant = the version record's mtime, the `timestampAsOf`
+    * convention). Returns the version to start FROM (inclusive). */
+  def startingVersion(path: String,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val byV = Option(options.get("startingVersion")).map(_.trim.toLong)
+    val byT = Option(options.get("startingTimestamp")).map { raw =>
+      val t = raw.trim
+      val millis =
+        if (t.forall(_.isDigit)) t.toLong
+        else java.sql.Timestamp.valueOf(t).getTime
+      require(byV.isEmpty,
+        "LakeSink CDF: give startingVersion OR startingTimestamp, not both")
+      // first version whose commit instant is >= the timestamp; a
+      // timestamp after all history positions past the end (empty replay
+      // until new commits land)
+      LakeSinkFiles.listVersions(path).find { v =>
+        java.nio.file.Files.getLastModifiedTime(
+          LakeSinkFiles.versionsDir(path).resolve(LakeSinkFiles.versionName(v)))
+          .toMillis >= millis
+      }.getOrElse(LakeSinkFiles.listVersions(path).lastOption.getOrElse(0L) + 1)
+    }
+    byV.orElse(byT)
+  }
+
   def cdfSchema(tableSchema: StructType): StructType = {
     Seq(ChangeTypeCol, CommitVersionCol).foreach { c =>
       require(!tableSchema.fieldNames.contains(c),
@@ -67,7 +95,7 @@ private[sources] class LakeCdfTable(tableSchema: StructType, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LakeCdfScan(schema(), path, partCols,
-        Option(options.get("startingVersion")).map(_.trim.toLong),
+        LakeCdf.startingVersion(path, options),
         Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
     }
 }

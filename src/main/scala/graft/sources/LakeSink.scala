@@ -837,7 +837,7 @@ private[graft] object LakeSinkFiles {
           "re-run to plan against the current table state")
   }
 
-  private def versionName(v: Long): String = f"v$v%09d"
+  private[sources] def versionName(v: Long): String = f"v$v%09d"
 
   /** All version-named files, including empty RESERVATIONS mid-commit
     * (the reservation loop must see them to pick a fresh id). */

@@ -713,6 +713,43 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("staged RTAS is atomic: a mid-write failure leaves the original table intact") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_rtas")
+    withCatalog(lake) {
+      spark.sql("CREATE TABLE graft.lake.rt AS SELECT id AS v FROM range(5)")
+      val before = canon(spark.table("graft.lake.rt"))
+      assert(before.size == 5)
+      // WRITE-TIME failure (assert_true trips at v=3, well into execution):
+      // the non-atomic drop-then-create RTAS would already have destroyed
+      // the old table; the staged path must leave it untouched
+      val e = intercept[Exception](spark.sql(
+        """REPLACE TABLE graft.lake.rt AS
+           SELECT id AS v, CAST(assert_true(id < 3) AS STRING) AS chk
+           FROM range(5)"""))
+      assert(e.getMessage != null)
+      assert(canon(spark.table("graft.lake.rt")) == before,
+        "a failed RTAS must not touch the original table")
+      // no staged leftovers beyond the _staged scratch root itself
+      val staged = java.nio.file.Paths.get(lake, "_staged")
+      assert(!java.nio.file.Files.isDirectory(staged) ||
+        java.nio.file.Files.list(staged).count() == 0,
+        "aborted staged bytes must be reclaimed")
+      // successful RTAS swaps atomically: new rows in, old rows gone
+      spark.sql("REPLACE TABLE graft.lake.rt AS SELECT id * 10 AS v FROM range(3)")
+      assert(spark.table("graft.lake.rt").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 10L, 20L))
+      // REPLACE of a missing table still refuses; CREATE OR REPLACE creates
+      val e2 = intercept[Exception](
+        spark.sql("REPLACE TABLE graft.lake.nope AS SELECT 1L AS v"))
+      assert(e2.getMessage.toUpperCase.contains("TABLE"), e2.getMessage)
+      spark.sql("CREATE OR REPLACE TABLE graft.lake.rt2 AS SELECT 7L AS v")
+      assert(spark.table("graft.lake.rt2").as[Long].head() == 7L)
+      spark.sql("CREATE OR REPLACE TABLE graft.lake.rt2 AS SELECT 8L AS v")
+      assert(spark.table("graft.lake.rt2").as[Long].head() == 8L)
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](

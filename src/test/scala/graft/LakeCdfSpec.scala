@@ -130,6 +130,31 @@ class LakeCdfSpec extends GraftSpec {
     }
   }
 
+  test("startingTimestamp positions at the first commit at-or-after it") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.ts").create() // v1
+      Thread.sleep(30) // separate the commit instants (mtime ms granularity)
+      threeRows(1).writeTo("graft.lake.ts").append() // v2
+      val v2At = java.nio.file.Files.getLastModifiedTime(
+        graft.sources.LakeSinkFiles.versionsDir(s"$lake/ts").resolve("v000000002"))
+        .toMillis
+      // exactly v2's instant → v2 on; epoch-millis form
+      val fromT = drainToMemory(s"$lake/ts", "startingTimestamp" -> v2At.toString)
+      assert(canon(fromT) == canon(threeRows(1)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(2L))))
+      // after all history → empty replay (positions past the end)
+      assert(drainToMemory(s"$lake/ts",
+        "startingTimestamp" -> (v2At + 60000).toString).isEmpty)
+      // both options together refused (at scan build = stream start)
+      val e = intercept[Exception] {
+        drainToMemory(s"$lake/ts",
+          "startingVersion" -> "1", "startingTimestamp" -> v2At.toString)
+      }
+      assert(e.getMessage.contains("not both"), e.getMessage)
+    }
+  }
+
   test("d58 streaming twin: CDC replay feeds the incremental dedup bit-equal across kill/restart") {
     import spark.implicits._
     withLake { lake =>
