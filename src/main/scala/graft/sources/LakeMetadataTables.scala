@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * metadata — the same listing the scan planner already does; a 100 TB
   * table's `files` listing is as cheap as planning one query over it. */
 private[graft] object LakeMetadataTables {
-  val Kinds: Set[String] = Set("files", "history", "partitions")
+  val Kinds: Set[String] = Set("files", "history", "partitions", "deletes")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -42,6 +42,10 @@ private[graft] object LakeMetadataTables {
       StructField("partition", StringType, nullable = false),
       StructField("files", LongType, nullable = false),
       StructField("rows", LongType, nullable = true))) // null = any unrecorded
+    case "deletes" => StructType(Seq( // merge-on-read delete vectors
+      StructField("file", StringType, nullable = false),
+      StructField("deleted_rows", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = true))) // null = pre-ledger file
     case other => throw new IllegalArgumentException(s"no metadata table $other")
   }
 
@@ -92,6 +96,24 @@ private[graft] object LakeMetadataTables {
               java.lang.Long.valueOf(rels.size.toLong),
               if (cs.forall(_.isDefined)) java.lang.Long.valueOf(cs.flatten.sum)
               else null)
+          }
+      case "deletes" =>
+        // one row per LIVE file carrying a delete vector — the
+        // compaction-candidate view of merge-on-read state (a file here
+        // pays a read-side cursor and blocks min/max pushdown until
+        // compaction materializes its vector)
+        val counts = LakeSinkFiles.readCounts(path)
+        val live = LakeSinkFiles.listLive(path, partCols)
+          .map { case (p, _) => root.relativize(p).toString }.toSet
+        LakeSinkDeletes.read(path).toSeq
+          .filter { case (rel, vec) => vec.nonEmpty && live.contains(rel) }
+          .sortBy(_._1)
+          .map { case (rel, vec) =>
+            Array[Any](
+              UTF8String.fromString(rel),
+              java.lang.Long.valueOf(vec.length.toLong),
+              counts.get(rel).map(n =>
+                java.lang.Long.valueOf(n - vec.length)).orNull)
           }
       case other => throw new IllegalArgumentException(s"no metadata table $other")
     }

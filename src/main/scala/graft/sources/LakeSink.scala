@@ -426,7 +426,8 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     new LakeSinkScanBuilder(writeSchema, path, partCols,
       triggerLimits = (
         Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
-        Option(options.get("maxRowsPerTrigger")).map(_.trim.toLong)))
+        Option(options.get("maxRowsPerTrigger")).map(_.trim.toLong),
+        Option(options.get("maxBytesPerTrigger")).map(_.trim.toLong)))
 }
 
 /** The write MODE a batch commit applies before promoting staged files. */

@@ -35,7 +35,7 @@ private[sources] class LakeSinkScanBuilder(fullSchema: StructType, path: String,
     onPlanned: Seq[String] => Unit = _ => (),
     snapshot: Option[Seq[String]] = None,
     allowAgg: Boolean = true,
-    triggerLimits: (Option[Int], Option[Long]) = (None, None),
+    triggerLimits: (Option[Int], Option[Long], Option[Long]) = (None, None, None),
     snapshotDeletes: Map[String, Array[Long]] = Map.empty,
     includePositions: Map[String, Array[Long]] = Map.empty,
     onPlannedDeletes: Map[String, Array[Long]] => Unit = _ => (),
@@ -434,7 +434,7 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     dataFilters: Array[Filter] = Array.empty,
     onPlanned: Seq[String] => Unit = _ => (),
     snapshot: Option[Seq[String]] = None,
-    triggerLimits: (Option[Int], Option[Long]) = (None, None),
+    triggerLimits: (Option[Int], Option[Long], Option[Long]) = (None, None, None),
     snapshotDeletes: Map[String, Array[Long]] = Map.empty,
     includePositions: Map[String, Array[Long]] = Map.empty,
     onPlannedDeletes: Map[String, Array[Long]] => Unit = _ => (),
@@ -738,7 +738,7 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new LakeSinkMicroBatchStream(fullSchema, required, path, partCols,
-      triggerLimits._1, triggerLimits._2)
+      triggerLimits._1, triggerLimits._2, triggerLimits._3)
 }
 
 /** Streaming READ of a lake table (`spark.readStream.table("graft.lake.…")`)
@@ -756,7 +756,8 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
 private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
     required: StructType, path: String, partCols: Seq[String],
     maxFilesPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -808,11 +809,31 @@ private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
     case _ => fresh
   }
 
+  /** `maxBytesPerTrigger` has no ReadLimit type in the engine's admission
+    * API, so it caps the fresh list directly (compressed on-disk sizes —
+    * the unit a backlog is billed in); whole files admit, the first
+    * always (progress), and the file-count/row ReadLimit then applies on
+    * top — most-restrictive wins, like a composite. */
+  private def byteCapped(fresh: Seq[String]): Seq[String] =
+    maxBytesPerTrigger match {
+      case None => fresh
+      case Some(cap) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var acc = 0L
+        val it = fresh.iterator
+        while (it.hasNext && acc < cap) {
+          val f = it.next()
+          out += f
+          acc += (try Files.size(Paths.get(f)) catch { case _: Exception => cap })
+        }
+        out.toSeq
+    }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[LakeSinkOffset].files
     val avail = horizon.getOrElse(committed())
     val fresh = avail.filterNot(seen.toSet)
-    LakeSinkOffset((seen ++ admitted(fresh, limit)).sorted)
+    LakeSinkOffset((seen ++ admitted(byteCapped(fresh), limit)).sorted)
   }
 
   override def initialOffset(): Offset = LakeSinkOffset(Seq.empty)

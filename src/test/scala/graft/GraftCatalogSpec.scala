@@ -438,6 +438,34 @@ class GraftCatalogSpec extends GraftSpec {
       val all = drain()
       assert(all.length == 1 && all.head.numInputRows == 50,
         all.map(_.numInputRows).mkString(","))
+      // byte budget (compressed on-disk sizes; each file here is well
+      // over 1 byte): whole files admit, first always → one per batch
+      val perBytes = drain("maxBytesPerTrigger" -> "1")
+      assert(perBytes.length == 5 && perBytes.forall(_.numInputRows == 10),
+        perBytes.map(_.numInputRows).mkString(","))
+    }
+  }
+
+  test("metadata table .deletes lists merge-on-read vectors until compaction clears them") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_mdel")
+    withCatalog(lake) {
+      spark.sql(
+        "CREATE TABLE graft.lake.md AS SELECT /*+ REPARTITION(2) */ id AS v FROM range(20)")
+      assert(spark.sql("SELECT * FROM graft.lake.md.deletes").isEmpty)
+      spark.sql("DELETE FROM graft.lake.md WHERE v IN (3, 7, 8)") // mor vectors
+      val rows = spark.sql("SELECT * FROM graft.lake.md.deletes").collect()
+      assert(rows.map(_.getAs[Long]("deleted_rows")).sum == 3L, rows.mkString(";"))
+      // live_rows per file = ledger count − vector, and the table-wide sum
+      // matches the live count
+      assert(rows.forall(r => !r.isNullAt(2)))
+      val vectoredLive = rows.map(_.getAs[Long]("live_rows")).sum
+      val untouchedLive = spark.table("graft.lake.md").count() - vectoredLive
+      assert(untouchedLive >= 0)
+      // compaction materializes the vectors → the view drains empty
+      graft.sources.LakeMaintenance.compact(spark, s"$lake/md")
+      assert(spark.sql("SELECT * FROM graft.lake.md.deletes").isEmpty)
+      assert(spark.table("graft.lake.md").count() == 17)
     }
   }
 
