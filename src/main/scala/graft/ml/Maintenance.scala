@@ -953,7 +953,123 @@ object Maintenance {
          ${rSql("mse0 - mse_full", 6)} AS importance
        FROM ag CROSS JOIN fm ORDER BY model"""
 
+  // --- ml33: permutation importance of ml03's features --------------------
+
+  /** Squared residual of the linear score against a (possibly permuted)
+    * feature pair — ONE text, interpolated with the column names each
+    * leg scores, identical IEEE order in both engines. */
+  private def ml33ErrSq(c1: String, c2: String): String =
+    s"(y - (b + w1 * $c1 + w2 * $c2)) * (y - (b + w1 * $c1 + w2 * $c2))"
+
+  /** ml33 — PERMUTATION importance (Breiman 2001 §10) of ml03's linear
+    * model: refit nothing — score the SAME fitted weights against a
+    * deterministic permutation of one feature column and report the MSE
+    * increase; a feature whose scrambling doesn't hurt carries no
+    * information the model uses. The permutation is a bucketed cyclic
+    * derangement: rows hash into 64 `h60` buckets, are ranked by
+    * (md5, id) within their bucket, and each row takes its successor's
+    * feature value (wrap at the bucket end) — deterministic in both
+    * engines, shuffle-local per bucket (no global single-task window),
+    * and a true derangement wherever a bucket holds ≥ 2 rows. Output:
+    * one `_base` row + one row per feature with the permuted MSE and
+    * the importance = rounded-MSE delta. The importances must rank
+    * temperature/vibration consistently with ml30's exact linear-SHAP
+    * shares (spec-pinned).
+    *
+    * Scale shape: training is ml03's one moment pass; each permutation
+    * is one bucket-partitioned window + an equi-join on (bucket, rank) —
+    * 64-way parallel, no global sort; scoring is broadcast weights. */
+  def ml33PermImportance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Telemetry.twin(s).select(
+      col("id"), col("is_anomaly").cast("double").as("y"),
+      col("temperature").as("x1"), col("vibration").as("x2"))
+    val mom = t.agg(
+      count(lit(1)).cast("double").as("nn"),
+      dsum(col("x1")).as("s1"),
+      dsum(col("x2")).as("s2"),
+      dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("y")).as("sy"),
+      dsum(col("x1") * col("y")).as("s1y"),
+      dsum(col("x2") * col("y")).as("s2y"))
+    val wts = mom.select(
+      expr(s"$detBS / $detS").as("b"),
+      expr(s"$detW1S / $detS").as("w1"),
+      expr(s"$detW2S / $detS").as("w2"))
+    val keyed = t
+      .withColumn("bkt", DedupLsh.h60(col("id").cast("string")) % 64)
+      .withColumn("hk", md5(col("id").cast("string")))
+    val wb = Window.partitionBy(col("bkt")).orderBy(col("hk"), col("id"))
+    val p = keyed
+      .withColumn("rk", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("bkt"))))
+      .localCheckpoint(true) // feeds both sides of both permutation joins
+    def permuted(xcol: String): DataFrame = {
+      // receiver rk takes its SUCCESSOR's value (d.rk = rk % cnt + 1,
+      // wrap at the bucket end) — the direction the oracle text spells
+      val donor = p.select(col("bkt").as("bkt2"), col("rk").as("drk"),
+        col(xcol).as("xp"))
+      p.join(donor, col("bkt") === col("bkt2") &&
+          (col("rk") % col("cnt") + 1) === col("drk"))
+        .select(col("y"),
+          (if (xcol == "x1") col("xp") else col("x1")).as("px1"),
+          (if (xcol == "x2") col("xp") else col("x2")).as("px2"))
+    }
+    def mseOf(name: String, scored: DataFrame, c1: String, c2: String): DataFrame =
+      scored.crossJoin(broadcast(wts))
+        .agg(r(dsum(expr(ml33ErrSq(c1, c2))) / count(lit(1)), 6).as("mse"))
+        .select(lit(name).as("feature"), col("mse"))
+    val base = mseOf("_base", t, "x1", "x2").localCheckpoint(true)
+    val out = base
+      .unionAll(mseOf("x1", permuted("x1"), "px1", "px2"))
+      .unionAll(mseOf("x2", permuted("x2"), "px1", "px2"))
+      .crossJoin(broadcast(base.select(col("mse").as("mse0"))))
+      .select(col("feature"), col("mse"),
+        r(col("mse") - col("mse0"), 6).as("importance"))
+      .orderBy(col("feature"))
+    out
+  }
+
+  val ml33Sql: String =
+    s"""WITH t AS MATERIALIZED (SELECT id, CAST(is_anomaly AS DOUBLE) AS y,
+         temperature AS x1, vibration AS x2
+       FROM (${Telemetry.twinSql})),
+       mom AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         ${dsumSql("x1")} AS s1, ${dsumSql("x2")} AS s2,
+         ${dsumSql("x1 * x1")} AS s11, ${dsumSql("x1 * x2")} AS s12,
+         ${dsumSql("x2 * x2")} AS s22, ${dsumSql("y")} AS sy,
+         ${dsumSql("x1 * y")} AS s1y, ${dsumSql("x2 * y")} AS s2y
+         FROM t),
+       wts AS (SELECT $detBS / $detS AS b, $detW1S / $detS AS w1,
+         $detW2S / $detS AS w2 FROM mom),
+       p AS MATERIALIZED (SELECT y, x1, x2, bkt, hk,
+           row_number() OVER (PARTITION BY bkt ORDER BY hk, id) AS rk,
+           count(*) OVER (PARTITION BY bkt) AS cnt
+         FROM (SELECT *, ${DedupLsh.h60Sql("CAST(id AS VARCHAR)")} % 64 AS bkt,
+                 md5(CAST(id AS VARCHAR)) AS hk FROM t) z),
+       p1 AS (SELECT a.y, d.x1 AS px1, a.x2 AS px2
+         FROM p a JOIN p d ON d.bkt = a.bkt AND d.rk = a.rk % a.cnt + 1),
+       p2 AS (SELECT a.y, a.x1 AS px1, d.x2 AS px2
+         FROM p a JOIN p d ON d.bkt = a.bkt AND d.rk = a.rk % a.cnt + 1),
+       m0 AS (SELECT '_base' AS feature,
+         ${rSql(s"${dsumSql(ml33ErrSq("x1", "x2"))} / count(*)", 6)} AS mse
+         FROM t CROSS JOIN wts),
+       m1 AS (SELECT 'x1' AS feature,
+         ${rSql(s"${dsumSql(ml33ErrSq("px1", "px2"))} / count(*)", 6)} AS mse
+         FROM p1 CROSS JOIN wts),
+       m2 AS (SELECT 'x2' AS feature,
+         ${rSql(s"${dsumSql(ml33ErrSq("px1", "px2"))} / count(*)", 6)} AS mse
+         FROM p2 CROSS JOIN wts),
+       uni AS (SELECT * FROM m0 UNION ALL SELECT * FROM m1
+         UNION ALL SELECT * FROM m2)
+       SELECT feature, mse,
+         ${rSql("mse - (SELECT mse FROM m0)", 6)} AS importance
+       FROM uni ORDER BY feature"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml33_perm_importance" -> (ml33PermImportance _),
     "ml15_ablation" -> (ml15Ablation _),
     "ml14_ridge" -> (ml14Ridge _),
     "ml13_gbt_stumps" -> (ml13GbtStumps _),
@@ -969,6 +1085,7 @@ object Maintenance {
   /** ml01/ml02 are MLlib (not SQL-expressible) → rows-only + spec; ml03's
     * closed-form algebra mirrors exactly. */
   val oracles: Map[String, String] = Map(
+    "ml33_perm_importance" -> ml33Sql,
     "ml15_ablation" -> ml15Sql,
     "ml14_ridge" -> ml14Sql,
     "ml13_gbt_stumps" -> ml13Sql,

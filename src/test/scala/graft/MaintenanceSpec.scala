@@ -218,6 +218,24 @@ class MaintenanceSpec extends GraftSpec {
       s"temperature share ${byFeat("temperature")} should dominate")
   }
 
+  test("ml33 permutation importance: base is clean, both features hurt, ranking matches ml30") {
+    val rows = Maintenance.ml33PermImportance(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq("_base", "x1", "x2"))
+    val byFeat = rows.map(r => r._1 -> r._3).toMap
+    assert(byFeat("_base") == 0.0, "the unpermuted leg is its own baseline")
+    // both sensors carry real signal on the planted twin: scrambling
+    // either must increase the MSE
+    assert(byFeat("x1") > 0.0 && byFeat("x2") > 0.0, byFeat.toString)
+    // consistency with the EXACT linear-SHAP attribution (ml30):
+    // temperature (x1) dominates there, so its permutation must hurt more
+    assert(byFeat("x1") > byFeat("x2"),
+      s"temperature's permutation should dominate: $byFeat")
+    // permuted MSEs sit above the baseline MSE itself
+    val mse0 = rows.find(_._1 == "_base").get._2
+    assert(rows.filter(_._1 != "_base").forall(_._2 > mse0))
+  }
+
   test("model save/load roundtrip preserves predictions (S8)") {
     val dir = Files.createTempDirectory("graft-model").toString
     val model = Maintenance.train(spark)
