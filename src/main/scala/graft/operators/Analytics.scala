@@ -3171,6 +3171,77 @@ object Analytics {
        FROM pr WHERE $ASsw > 0 AND $ASst > 0 ORDER BY metric"""
   }
 
+  // --- q113: Brown–Forsythe variance-homogeneity test -----------------------
+
+  /** q113 — the Brown–Forsythe test (Levene's test on MEDIAN-centered
+    * deviations, the robust form): are the per-source VARIANCES of the
+    * document-length metrics equal? — the homoscedasticity check q78's
+    * ANOVA quietly assumes (its F compares means under equal variances;
+    * this W statistic is the test of that assumption, and doubles as a
+    * dispersion-drift detector per source). W = the ANOVA F computed on
+    * z = |x − median_group(x)|, so the WHOLE tail reuses [[anovaF]]
+    * verbatim (q78's oracle-proven moment texts); the group medians ride
+    * the proven percentile↔quantile_cont pairing on integer metrics, and
+    * z = |int − 6dp-median| is an exact decimal — nothing reorders.
+    *
+    * Scale shape: one grouped percentile pass (bounded by group count ×
+    * value cardinality) + q78's two map-side-combinable moment passes. */
+  def q113Levene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    leveneW(Tables.documents(s, dir)
+      .select($"source", explode(array(
+        struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
+        struct(lit("n_tokens").as("metric"),
+          size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
+      .select($"f.metric", $"source", $"f.x"))
+  }
+
+  /** q113's core over an explicit (metric, source, x) relation — exposed
+    * so the spec can pin the location-invariance property (equal-shape
+    * shifted groups ⇒ W = 0) and a planted spread difference. */
+  private[graft] def leveneW(mx0: DataFrame): DataFrame = {
+    val s = mx0.sparkSession
+    import s.implicits._
+    val mx = mx0.localCheckpoint(true) // medians AND the deviation join
+    val med = mx.groupBy($"metric", $"source")
+      .agg(r(percentile($"x", lit(0.5)), 6).as("med"))
+    anovaF(mx.join(broadcast(med), Seq("metric", "source"))
+      .select($"metric", $"source", abs($"x" - $"med").as("x")))
+  }
+
+  // lazy: interpolates ASsb/ASsw/ASst/AF defined LATER in the file — a
+  // strict val here would silently read them as null (the e09/ml22
+  // object-init-order lesson)
+  lazy val q113Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH mx AS MATERIALIZED (SELECT source,
+         unnest(['n_chars', 'n_tokens']) AS metric,
+         unnest([CAST(n_chars AS INTEGER),
+           CAST(len(${TextOps.toksSql("lower(text)")}) AS INTEGER)]) AS x
+       FROM documents),
+       md AS (SELECT metric, source,
+         ${rSql("quantile_cont(x, 0.5)", 6)} AS med
+       FROM mx GROUP BY metric, source),
+       zz AS (SELECT m.metric, m.source, abs(m.x - d.med) AS x
+       FROM mx m JOIN md d USING (metric, source)),
+       mo AS MATERIALIZED (SELECT metric, source, count(*) AS n0,
+         ${m("x")} AS sx, ${m("x * x")} AS sxx
+       FROM zz GROUP BY metric, source),
+       ag AS (SELECT metric, CAST(sum(n0) AS BIGINT) AS n_docs,
+         count(*) AS k_groups, ${m("sx")} AS sxs, ${m("sxx")} AS sxxs,
+         ${m("sx * sx / CAST(n0 AS DOUBLE)")} AS sb
+       FROM mo GROUP BY metric),
+       pr AS (SELECT metric, n_docs, k_groups,
+         CAST(n_docs AS DOUBLE) AS nd, CAST(k_groups AS DOUBLE) AS kd,
+         sxs, sxxs, sb
+       FROM ag WHERE k_groups >= 2 AND n_docs > k_groups)
+       SELECT metric, n_docs, k_groups,
+         ${rSql(ASsb, 6)} AS ssb, ${rSql(ASsw, 6)} AS ssw,
+         ${rSql(AF, 6)} AS f_stat,
+         ${rSql(s"$ASsb / $ASst", 6)} AS eta_sq
+       FROM pr WHERE $ASsw > 0 AND $ASst > 0 ORDER BY metric"""
+  }
+
   // --- q48: Poisson-bootstrap confidence intervals -------------------------
 
   private val BootB = 32
@@ -3623,6 +3694,7 @@ object Analytics {
     "q68_gini_hist" -> (q68GiniHist _),
     "q56_cusum" -> (q56Cusum _),
     "q111_page_hinkley" -> (q111PageHinkley _),
+    "q113_levene" -> (q113Levene _),
     "q55_theil_sen" -> (q55TheilSen _),
     "q54_mutual_info" -> (q54MutualInfo _),
     "q53_benford" -> (q53Benford _),
@@ -3682,6 +3754,7 @@ object Analytics {
     "q68_gini_hist" -> q68Sql,
     "q56_cusum" -> q56Sql,
     "q111_page_hinkley" -> q111Sql,
+    "q113_levene" -> q113Sql,
     "q55_theil_sen" -> q55Sql,
     "q54_mutual_info" -> q54Sql,
     "q53_benford" -> q53Sql,

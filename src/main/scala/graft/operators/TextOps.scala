@@ -346,6 +346,110 @@ object TextOps {
     * pure SQL — the lake feed must reproduce it bit-for-bit. */
   val d58Sql: String = d49Sql
 
+  /** d59 winnowing parameters: k-token grams, window w (guarantee t =
+    * w + k − 1 tokens), and the boilerplate cap on docs-per-fingerprint.
+    * Defined above the vals that interpolate them (object-init order). */
+  private val WinK = 3
+  private val WinW = 4
+  private val WinFpCap = 64
+
+  /** d59 — WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken
+    * 2003 — the MOSS algorithm): hash every [[WinK]]-token gram, slide a
+    * [[WinW]]-window over the hash sequence and keep each window's
+    * MINIMUM — the selected fingerprints guarantee any shared run of
+    * ≥ w+k−1 tokens is detected while keeping ~2/(w+1) of the grams,
+    * position-robust where d06's single rolling hash and x06's CDC
+    * chunks are content-global. Docs with fewer than w grams keep all
+    * their gram hashes (the degenerate-window rule, documented). Output:
+    * the top-50 document pairs by winnowed-set Jaccard among pairs
+    * sharing ≥ 2 fingerprints — fingerprints shared by more than
+    * [[WinFpCap]] docs are dropped first (boilerplate furniture, the
+    * m01/x10 cap pattern: quadratic fan-out stays bounded under
+    * corpus-spanning cliques).
+    *
+    * Scale shape: gram hashing and window minima are SCAN-LOCAL array
+    * lambdas (zero shuffles until the pair join); the join fans out at
+    * most cap² per fingerprint. */
+  /** d59's fingerprint selection over a (doc_id, text) frame — exposed
+    * so the spec can pin the winnowing GUARANTEE (a shared token run of
+    * ≥ w+k−1 tokens shares ≥ 1 fingerprint) on planted docs. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val h = (e: String) =>
+      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val cat = (0 until WinK).map(j => s"element_at(tk, i + ${j + 1})")
+      .mkString(", ' ', ")
+    docs
+      .withColumn("tk", toks(lower(col("text"))))
+      .withColumn("g", when(size(col("tk")) >= WinK, expr(
+        s"transform(sequence(0, size(tk) - $WinK), i -> ${h(s"concat($cat)")})"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("fps", when(size(col("g")) >= WinW, expr(
+        s"""array_distinct(transform(sequence(0, size(g) - $WinW),
+            i -> array_min(transform(sequence(0, ${WinW - 1}),
+                             j -> element_at(g, i + j + 1)))))"""))
+        .otherwise(array_distinct(col("g"))))
+      .select(col("doc_id"), col("fps"))
+  }
+
+  def d59Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = winnowFps(Tables.documents(s, dir).select($"doc_id", $"text"))
+      .localCheckpoint(true) // the lambda work feeds 3 consumers below
+    val nf = f.select($"doc_id", size($"fps").as("n_fps"))
+    val e = f.select($"doc_id", explode($"fps").as("fp"))
+    val keep = e.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      .filter($"nd".between(2, WinFpCap)).select($"fp")
+    val ek = e.join(keep, Seq("fp"), "left_semi")
+      .localCheckpoint(true) // both sides of the pair self-join (invariant 5)
+    val pairs = ek.select($"fp", $"doc_id".as("doc_a"))
+      .join(ek.select($"fp".as("fp2"), $"doc_id".as("doc_b")),
+        $"fp" === $"fp2" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+    pairs
+      .join(nf.select($"doc_id".as("doc_a"), $"n_fps".as("na")), Seq("doc_a"))
+      .join(nf.select($"doc_id".as("doc_b"), $"n_fps".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"n_shared",
+        r($"n_shared".cast("double") / ($"na" + $"nb" - $"n_shared"), 6)
+          .as("win_jaccard"))
+      .orderBy(desc_nulls_last("win_jaccard"), $"doc_a", $"doc_b")
+      .limit(50)
+  }
+
+  lazy val d59Sql: String = {
+    val cat = (0 until WinK).map(j => s"tk[i + ${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents),
+       g0 AS MATERIALIZED (SELECT doc_id,
+         CASE WHEN len(tk) >= $WinK
+           THEN list_transform(range(0, len(tk) - ${WinK - 1}),
+                  i -> ${DedupLsh.h60Sql(s"($cat)")})
+           ELSE CAST([] AS BIGINT[]) END AS g
+       FROM d),
+       f AS MATERIALIZED (SELECT doc_id,
+         CASE WHEN len(g) >= $WinW
+           THEN list_distinct(list_transform(range(0, len(g) - ${WinW - 1}),
+                  i -> list_min(list_transform(range(0, $WinW),
+                         j -> g[i + j + 1]))))
+           ELSE list_distinct(g) END AS fps
+       FROM g0),
+       nf AS (SELECT doc_id, len(fps) AS n_fps FROM f),
+       e AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM f),
+       keep AS (SELECT fp FROM e GROUP BY fp
+         HAVING count(*) BETWEEN 2 AND $WinFpCap),
+       ek AS MATERIALIZED (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp)),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM ek a JOIN ek b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2)
+       SELECT doc_a, doc_b, n_shared,
+         ${rSql("CAST(n_shared AS DOUBLE) / (na.n_fps + nb.n_fps - n_shared)", 6)}
+           AS win_jaccard
+       FROM p JOIN nf na ON na.doc_id = p.doc_a
+         JOIN nf nb ON nb.doc_id = p.doc_b
+       ORDER BY win_jaccard DESC NULLS LAST, doc_a, doc_b
+       LIMIT 50"""
+  }
+
   /** d50's boilerplate threshold: a sentence-level unit repeated in at
     * least this many DISTINCT docs of one source is boilerplate. */
   private val BoilerK = 3
@@ -2176,6 +2280,7 @@ object TextOps {
     "d48_dedup_impact" -> (d48DedupImpact _),
     "d49_incremental_dedup" -> (d49IncrementalDedup _),
     "d58_cdf_dedup" -> (d58CdfDedup _),
+    "d59_winnowing" -> (d59Winnowing _),
     "d50_boilerplate" -> (d50Boilerplate _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
     "d24_chunk_dedup" -> (d24ChunkDedup _),
@@ -2207,6 +2312,7 @@ object TextOps {
     "d48_dedup_impact" -> d48Sql,
     "d49_incremental_dedup" -> d49Sql,
     "d58_cdf_dedup" -> d58Sql,
+    "d59_winnowing" -> d59Sql,
     "d50_boilerplate" -> d50Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
     "d24_chunk_dedup" -> d24Sql,

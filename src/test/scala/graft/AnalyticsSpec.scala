@@ -457,6 +457,29 @@ class AnalyticsSpec extends GraftSpec {
     assert(r2.getAs[Double]("ph_max") == 0.0 && r2.getAs[Long]("ph_hour") == 0L)
   }
 
+  test("q113 Brown–Forsythe: location-shifted equal shapes give W = 0, spread shows up") {
+    import spark.implicits._
+    // groups {1,2,3} and {11,12,13}: same SHAPE, shifted location —
+    // median-centered deviations are identical {1,0,1}, so the between-
+    // group sum of squares is exactly zero: W = 0 (Levene ignores means)
+    val same = Seq(("m", "a", 1), ("m", "a", 2), ("m", "a", 3),
+      ("m", "b", 11), ("m", "b", 12), ("m", "b", 13))
+      .toDF("metric", "source", "x")
+    val r1 = Analytics.leveneW(same).collect()(0)
+    assert(r1.getAs[Double]("f_stat") == 0.0 && r1.getAs[Double]("ssb") == 0.0, s"$r1")
+    // doubling one group's spread: z = {1,0,1} vs {2,0,2} → W > 0
+    val spread = Seq(("m", "a", 1), ("m", "a", 2), ("m", "a", 3),
+      ("m", "b", 11), ("m", "b", 13), ("m", "b", 15))
+      .toDF("metric", "source", "x")
+    val r2 = Analytics.leveneW(spread).collect()(0)
+    assert(r2.getAs[Double]("f_stat") > 0.0, s"$r2")
+    // on testdata: both metrics present, η² in [0, 1]
+    val out = Analytics.q113Levene(spark, sfTiny).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("n_chars", "n_tokens"))
+    assert(out.forall(r => r.getAs[Double]("eta_sq") >= 0.0 &&
+      r.getAs[Double]("eta_sq") <= 1.0))
+  }
+
   test("q56 on testdata: one row per event type, CUSUM closes near zero") {
     import spark.implicits._
     val out = Analytics.q56Cusum(spark, sfTiny).cache()

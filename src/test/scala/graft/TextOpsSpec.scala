@@ -555,6 +555,33 @@ class TextOpsSpec extends GraftSpec {
       (1.0, 0.5, 0.666667), got.toString)
   }
 
+  test("d59 winnowing: the shared-run guarantee holds, disjoint docs share nothing") {
+    import spark.implicits._
+    // the winnowing theorem: two docs sharing a run of ≥ w+k−1 = 6 tokens
+    // MUST share at least one selected fingerprint, whatever surrounds it
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"$shared nine ten eleven twelve thirteen fourteen"),
+      (3L, "totally different words with no overlap at all here now")).toDF("doc_id", "text")
+    val fps = TextOps.winnowFps(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "a 6-token shared run must survive winnowing in both docs")
+    assert((fps(1L) intersect fps(3L)).isEmpty &&
+      (fps(2L) intersect fps(3L)).isEmpty,
+      "no shared 3-gram ⇒ no shared fingerprint")
+    // density: winnowing keeps a subset of the gram hashes
+    val full = docs.withColumn("tk", TextOps.toks(lower($"text")))
+      .select($"doc_id", (size($"tk") - 2).as("n_grams")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fps.foreach { case (id, f) => assert(f.size <= full(id), s"doc $id") }
+    // a short doc (< w grams) keeps all its gram hashes (degenerate rule)
+    val tiny = Seq((9L, "just four little tokens")).toDF("doc_id", "text")
+    val tf = TextOps.winnowFps(tiny).collect()(0).getSeq[Long](1)
+    assert(tf.size == 2, s"4 tokens → 2 trigram hashes, got ${tf.size}")
+  }
+
   test("d55 stratum: salted two-phase rank ≡ plain per-lang window, cap binds") {
     import spark.implicits._
     // 900 docs over 2 langs (600/300): the cap (400) binds on lang a only
