@@ -937,6 +937,85 @@ object Corpus {
          FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)),
        $evalTailSql"""
 
+  // --- ml34: Cochran's Q over the three lang classifiers -------------------
+
+  /** The Q statistic text over the integer marginals (g_j = per-classifier
+    * corrects, t = Σg, sl2 = Σ per-doc L²): for k = 3,
+    * Q = (k−1)(k·Σg² − t²) / (k·t − ΣL²) — every term BIGINT until the
+    * one shared-text division; an all-agree panel (denominator 0)
+    * degenerates to 0. */
+  private val CochranQ: String =
+    "CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - t * t) AS DOUBLE)" +
+      " / CAST(3 * t - sl2 AS DOUBLE)"
+
+  /** ml34 — Cochran's Q test (1950) across ALL THREE lang classifiers on
+    * the shared budgeted test docs: ml22's McNemar generalized from a
+    * pair to the k = 3 panel {ml05 Naive Bayes, ml07 kNN, d03 heuristic}
+    * — "do these classifiers have equal error rates?" asked ONCE with
+    * the correct paired statistic instead of three pairwise tests
+    * (χ²_{k−1} under H₀; McNemar IS Cochran's Q at k = 2). Integer
+    * marginals end-to-end; the three classifier plans run concurrently
+    * (ml22/ml27's inParallel lesson — the work is independent, only the
+    * driver serializes it). One row.
+    *
+    * Scale shape: the classifiers' own budgeted plans + one equi-join on
+    * the ≤128-doc test set + a single global aggregate. */
+  def ml34CochranQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nb0, (knn0, heur0)) = inParallel(ml05NaiveBayes(s, dir),
+      inParallel(ml07KnnClassify(s, dir), TextOps.d03LangId(s, dir)))
+    val nb = nb0.select($"doc_id",
+      coalesce($"lang", lit("")).as("lang"), $"correct".as("c1"))
+    val knn = knn0.select($"doc_id", $"correct".as("c2"))
+    val heur = heur0.select($"doc_id", $"predicted_lang".as("pc"))
+    cochranQ(nb.join(knn, "doc_id").join(heur, "doc_id")
+      .select($"c1", $"c2", ($"lang" === $"pc").cast("int").as("c3")))
+  }
+
+  /** ml34's core over explicit (c1, c2, c3) correctness rows — exposed
+    * so the spec can pin a hand-computed Q and the all-agree degeneracy. */
+  private[graft] def cochranQ(rx: DataFrame): DataFrame = {
+    val s = rx.sparkSession
+    import s.implicits._
+    rx.agg(count(lit(1)).as("n_docs"),
+        sum($"c1".cast("long")).as("g1"),
+        sum($"c2".cast("long")).as("g2"),
+        sum($"c3".cast("long")).as("g3"),
+        sum((($"c1" + $"c2" + $"c3") * ($"c1" + $"c2" + $"c3")).cast("long"))
+          .as("sl2"))
+      .withColumn("t", $"g1" + $"g2" + $"g3")
+      .select($"n_docs", $"g1", $"g2", $"g3",
+        // rounding via the Column r(): rSql's decimal literals inside a
+        // Spark expr would surface a DECIMAL column (the q11 lesson)
+        when(expr("3 * t - sl2") > 0, r(expr(CochranQ), 6))
+          .otherwise(0.0).as("q_stat"))
+  }
+
+  // lazy: ml05Ctes/ml07Ctes read constants defined later (ml22's lesson)
+  lazy val ml34Sql: String =
+    s"""WITH p1 AS (SELECT doc_id, lang, c1 FROM (
+         WITH $ml05Ctes
+         SELECT doc_id, coalesce(true_lang, '') AS lang,
+           CAST(true_lang = cand_lang AS INTEGER) AS c1
+         FROM rk WHERE rn = 1) z1),
+       p2 AS (SELECT doc_id, c2 FROM (
+         WITH $ml07Ctes
+         SELECT qid AS doc_id, CAST(tl = nl AS INTEGER) AS c2
+         FROM pr WHERE rn = 1) z2),
+       p3 AS (SELECT doc_id, predicted_lang AS pc FROM (${TextOps.d03Sql}) z3),
+       rx AS (SELECT c1, c2, CAST(lang = pc AS INTEGER) AS c3
+         FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c1) AS BIGINT) AS g1, CAST(sum(c2) AS BIGINT) AS g2,
+           CAST(sum(c3) AS BIGINT) AS g3,
+           CAST(sum((c1 + c2 + c3) * (c1 + c2 + c3)) AS BIGINT) AS sl2
+         FROM rx),
+       mt AS (SELECT *, g1 + g2 + g3 AS t FROM m)
+       SELECT n_docs, g1, g2, g3,
+         CASE WHEN 3 * t - sl2 > 0 THEN ${rSql(CochranQ, 6)}
+              ELSE 0.0 END AS q_stat
+       FROM mt"""
+
   // --- ml22: McNemar paired comparison of ml05 vs ml07 ---------------------
 
   /** ml22 — McNemar's paired test between the two lang classifiers on
@@ -2811,6 +2890,7 @@ object Corpus {
     "ml16_pr_curve" -> (ml16PrCurve _),
     "ml17_roc_auc" -> (ml17RocAuc _),
     "ml32_auc_delong" -> (ml32AucDelong _),
+    "ml34_cochran_q" -> (ml34CochranQ _),
     "ml18_target_encode" -> (ml18TargetEncode _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
@@ -2848,6 +2928,7 @@ object Corpus {
     "ml16_pr_curve" -> ml16Sql,
     "ml17_roc_auc" -> ml17Sql,
     "ml32_auc_delong" -> ml32Sql,
+    "ml34_cochran_q" -> ml34Sql,
     "ml18_target_encode" -> ml18Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,

@@ -285,6 +285,28 @@ class CorpusSpec extends GraftSpec {
     assert(operators.Corpus.delongAuc(one).collect()(0).getAs[Double]("auc_se") == 0.0)
   }
 
+  test("ml34 Cochran's Q: hand-computed panel, all-agree degeneracy") {
+    import spark.implicits._
+    // docs × (c1,c2,c3): G = (3,3,1), T = 7, ΣL² = 9+1+4+1 = 15
+    // Q = 2·(3·(9+9+1) − 49) / (3·7 − 15) = 16/6 = 2.666667
+    val rx = Seq((1, 1, 1), (1, 0, 0), (1, 1, 0), (0, 1, 0))
+      .toDF("c1", "c2", "c3")
+    val r1 = operators.Corpus.cochranQ(rx).collect()(0)
+    assert((r1.getAs[Long]("g1"), r1.getAs[Long]("g2"), r1.getAs[Long]("g3")) ==
+      ((3L, 3L, 1L)))
+    def rd(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r1.getAs[Double]("q_stat") == rd(16.0 / 6.0), s"$r1")
+    // unanimous panels (all right / all wrong) have zero denominator → 0
+    val agree = Seq((1, 1, 1), (0, 0, 0)).toDF("c1", "c2", "c3")
+    assert(operators.Corpus.cochranQ(agree).collect()(0)
+      .getAs[Double]("q_stat") == 0.0)
+    // McNemar equivalence sanity on testdata: Q ≥ 0, marginals ≤ n
+    val out = operators.Corpus.ml34CochranQ(spark, sfTiny).collect()(0)
+    val n = out.getAs[Long]("n_docs")
+    assert(out.getAs[Double]("q_stat") >= 0.0)
+    assert(Seq("g1", "g2", "g3").forall(c => out.getAs[Long](c) <= n))
+  }
+
   test("ml17 on testdata: monotone curve, constant AUC, gini identity") {
     import spark.implicits._
     val out = operators.Corpus.ml17RocAuc(spark, sfTiny).orderBy($"tau").collect()
