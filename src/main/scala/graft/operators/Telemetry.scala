@@ -2537,7 +2537,40 @@ object Telemetry {
        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** t59 — RESTORE TABLE under the differential (r11:
+    * [[graft.sources.LakeMaintenance.restore]] — the Delta RESTORE
+    * contract: roll the live table back to a recorded version AS A NEW
+    * COMMIT): the twin is CTAS'd (v1), a decoy batch appended (v2),
+    * every id ≡ 0 (mod 97) row merge-on-read DELETEd (v3), and the
+    * table RESTORED to version 1 (v4) — the read-back must equal t04's
+    * generator oracle exactly: the appended files retired, the retired
+    * nothing returned (v1's files never left), and v3's delete vectors
+    * UNDONE (the live delete ledger reset to v1's empty state — the
+    * subtle leg: a restore that kept post-target vectors would silently
+    * hide rows v1 owns). LakeVersionSpec pins the rest: history moves
+    * forward, rolled-over snapshots stay readable, roll-FORWARD works,
+    * metadata pushdown answers for the restored state, vacuum makes a
+    * version non-restorable loudly.
+    *
+    * Scale shape: O(changed files) renames + three ledger writes —
+    * the accidental-damage undo button at any scale. */
+  def t59Restore(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t59")
+    val t = twin(s)
+    t.writeTo("graft_t59.lake.t59").create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft_t59.lake.t59").append() // v2
+    s.sql("DELETE FROM graft_t59.lake.t59 WHERE id % 97 = 0") // v3: mor vectors
+    graft.sources.LakeMaintenance.restore(s"$lakeRoot/t59", 1L) // v4
+    s.table("graft_t59.lake.t59")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  val t59Sql: String = t04Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t59_restore" -> (t59Restore _),
     "t58_sorted_spj" -> (t58SortedSpj _),
     "t57_cdc_replicate" -> (t57CdcReplicate _),
     "t56_type_widening" -> (t56TypeWidening _),
@@ -2593,6 +2626,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t59_restore" -> t59Sql,
     "t58_sorted_spj" -> t58Sql,
     "t57_cdc_replicate" -> t57Sql,
     "t56_type_widening" -> t56Sql,

@@ -459,6 +459,73 @@ object LakeMaintenance {
     (nFiles, drop.size)
   }
 
+  /** RESTORE TABLE … TO VERSION (the Delta `RESTORE` contract): roll the
+    * LIVE table back to a recorded version AS A NEW COMMIT — history
+    * moves only forward (post-restore snapshots of the rolled-over
+    * versions stay readable; a later restore can roll FORWARD again).
+    * Mechanics, all metadata + renames (zero data-byte rewrites):
+    * retired files of the target version move back under their original
+    * relative names (a vacuumed file fails the restore loudly — the
+    * bytes are gone), live files outside the target retire, the
+    * manifest returns to the target's schema + evolution state, and the
+    * counts/stats/delete ledgers are SET from the target version's
+    * recorded snapshots — so count(*)/min-max pushdown answer for the
+    * restored state immediately, and merge-on-read deletes committed
+    * AFTER the target are correctly undone. Single-writer maintenance,
+    * like compaction. Returns (files returned, files retired).
+    *
+    * 100 TB story: restore cost is O(changed files) renames + three
+    * ledger writes — the accidental-TRUNCATE undo button at any scale. */
+  def restore(path: String, version: Long): (Int, Int) = {
+    val (sch, partCols, wantRels) = LakeSinkFiles.readVersion(path, version)
+    val root = Paths.get(path)
+    val live = LakeSinkFiles.listLive(path, partCols)
+      .map { case (p, _) => root.relativize(p).toString }.toSet
+    val want = wantRels.toSet
+    // 1. bring the target's retired files back (bytes are immutable; the
+    // move leaves no retired residue, so a LATER rewrite can retire the
+    // name again without tripping the collision guard)
+    val returned = wantRels.filterNot(live.contains)
+    returned.foreach { rel =>
+      val from = LakeSinkFiles.retiredDir(path).resolve(rel)
+      require(Files.isRegularFile(from),
+        s"LakeMaintenance.restore: file $rel of version $version was " +
+          s"vacuumed from $path — its bytes are gone, the version is not restorable")
+      val to = root.resolve(rel)
+      Option(to.getParent).foreach(Files.createDirectories(_))
+      require(!Files.exists(to),
+        s"LakeMaintenance.restore: live name collision for $rel")
+      Files.move(from, to)
+    }
+    // 2. retire everything the target doesn't have
+    val removed = LakeSinkFiles.retire(path,
+      (live -- want).toSeq.sorted.map(rel => root.resolve(rel).toString))
+    // 3. manifest back to the target's schema + evolution state (the
+    // retired post-target files are the only ones the rollback could
+    // disagree with)
+    val (aliases, ignored) = LakeSinkFiles.readVersionEvolution(path, version)
+    LakeSinkFiles.writeManifest(path, sch, partCols,
+      renames = aliases.groupBy(_._2).map { case (l, m) => l -> m.keys.toSeq.sorted },
+      dropped = ignored.toSeq.sorted)
+    // 4. ledgers SET from the target's recorded snapshots (files are
+    // immutable, so re-adding still-live entries is idempotent; a legacy
+    // record without snapshots degrades to scan fallback, never a guess)
+    LakeSinkFiles.readVersionCounts(path, version)
+      .foreach(c => LakeSinkFiles.updateCounts(path, c, Seq.empty))
+    LakeSinkFiles.readVersionStats(path, version)
+      .foreach(b => LakeSinkStats.updateBlobs(path, b, Seq.empty))
+    // delete vectors: EXACTLY the target's state for its files — first
+    // clear every live entry for them (update removes AFTER unioning
+    // adds, so a single clear+add call would strip the adds too), then
+    // append the target's recorded vectors
+    LakeSinkDeletes.update(path, Map.empty, wantRels)
+    val vDels = LakeSinkFiles.readVersionDeletes(path, version)
+      .map { case (k, v) => k -> v.toSeq }
+    if (vDels.nonEmpty) LakeSinkDeletes.update(path, vDels, Seq.empty)
+    LakeSinkFiles.recordVersion(path, returned, removed)
+    (returned.size, removed.size)
+  }
+
   /** Total committed data files of a lake table (maintenance metric). */
   def committedFileCount(path: String): Int = {
     val (_, partCols) = LakeSinkFiles.readManifest(path).getOrElse(return 0)

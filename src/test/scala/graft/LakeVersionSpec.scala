@@ -33,6 +33,45 @@ class LakeVersionSpec extends GraftSpec {
       .toDF("id", "v")
   }
 
+  test("RESTORE rolls back and forward as new commits; vacuum makes versions non-restorable") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.rst").create() // v1
+      threeRows(1).writeTo("graft.lake.rst").append() // v2
+      spark.sql("UPDATE graft.lake.rst SET v = 'patched' WHERE id = 2") // v3 (cow)
+      spark.sql("DELETE FROM graft.lake.rst WHERE id = 11") // v4 (mor vectors)
+      val v1 = canon(spark.sql("SELECT * FROM graft.lake.rst VERSION AS OF 1"))
+      val v4 = canon(spark.table("graft.lake.rst"))
+      // roll back to v1: rows exactly v1's, the later UPDATE and the mor
+      // DELETE both undone (vectors reset to v1's empty state)
+      val (ret1, rem1) = LakeMaintenance.restore(s"$lake/rst", 1L) // v5
+      assert(canon(spark.table("graft.lake.rst")) == v1, "restore(1) must equal v1")
+      assert(ret1 > 0 || rem1 > 0)
+      assert(spark.sql("SELECT * FROM graft.lake.rst.deletes").isEmpty,
+        "post-target delete vectors must be undone")
+      // history moved FORWARD: the rolled-over snapshots stay readable
+      assert(LakeSinkFiles.listVersions(s"$lake/rst") == (1L to 5L))
+      assert(canon(spark.sql("SELECT * FROM graft.lake.rst VERSION AS OF 4")) == v4)
+      // count(*) still metadata-answered for the restored state
+      val cnt = spark.sql("SELECT count(*) AS n FROM graft.lake.rst")
+      assert(cnt.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+        cnt.queryExecution.executedPlan.toString.linesIterator.take(3).mkString("|"))
+      assert(cnt.collect()(0).getLong(0) == 3)
+      // roll FORWARD to v4: the post-target files return, vectors reapply
+      LakeMaintenance.restore(s"$lake/rst", 4L) // v6
+      assert(canon(spark.table("graft.lake.rst")) == v4, "restore(4) must equal v4")
+      // reclaimed retired bytes make a version non-restorable LOUDLY:
+      // delete the retired files (a partial vacuum) but keep the records
+      LakeMaintenance.restore(s"$lake/rst", 1L) // v7 (back to v1 again)
+      val retired = Paths.get(s"$lake/rst", "_graft_retired")
+      val it = Files.walk(retired).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) Files.delete(p) }
+      val e = intercept[Exception](LakeMaintenance.restore(s"$lake/rst", 4L))
+      assert(e.getMessage.contains("vacuumed"), e.getMessage)
+      assert(canon(spark.table("graft.lake.rst")) == v1,
+        "a failed restore must leave the live table readable")
+    }
+  }
+
   test("every data commit records a version; VERSION AS OF resolves each snapshot") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tt").create() // v1
