@@ -82,7 +82,11 @@ object SkewProbe {
       // clique corpus shares one 40-char prefix — the hot-block case SNM
       // is known weak on; measured to decide whether the multi-pass
       // remedy is needed
-      ("d54_sorted_neighborhood", Seq(1, 4), operators.TextOps.d54SortedNeighborhood))
+      ("d54_sorted_neighborhood", Seq(1, 4), operators.TextOps.d54SortedNeighborhood),
+      // r11: winnowing's fingerprint-fan-out cap (WinFpCap=64) — clique
+      // members share entire fingerprint SETS, the exact load the cap
+      // drops before the pair join
+      ("d59_winnowing", Seq(1, 4), operators.TextOps.d59Winnowing))
 
     // optional args beyond the base dir = query-name filter (local iteration)
     val keyFilter = args.drop(1).toSet
