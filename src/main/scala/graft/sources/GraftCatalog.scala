@@ -132,6 +132,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def lakeTableDir(name: String): Option[Path] =
     lakeRoot.map(r => Paths.get(r, name))
 
+  /** Crash recovery for REPLACE TABLE AS SELECT's two-rename commit: a
+    * crash between `dest → .replaced-<name>-<uuid>` and `tmp → dest`
+    * leaves NO table at dest with the old bytes stranded under
+    * `_staged/`. On a loadTable miss, roll the stranded old table back
+    * (atomic rename) so the replace degrades to a no-op instead of a
+    * table loss. Trash dirs are name-tagged so recovery never resurrects
+    * a DIFFERENT table's replaced bytes; if the swap DID land (dest
+    * exists) the trash is reclaimed by the successful committer, so a
+    * surviving `.replaced-*` with dest missing is proof of the crash. */
+  private def recoverReplaced(name: String, dest: Path): Unit = {
+    val staged = lakeRoot.map(r => Paths.get(r, "_staged")).filter(Files.isDirectory(_))
+    staged.foreach { sd =>
+      val it = Files.list(sd).iterator()
+      var candidates = List.empty[Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith(s".replaced-$name-") &&
+            Files.isRegularFile(LakeSinkFiles.manifestPath(p.toString)))
+          candidates ::= p
+      }
+      // newest by mtime — a second crashed replace of the same table would
+      // leave two; the newest is the most recent committed state
+      candidates.sortBy(p => Files.getLastModifiedTime(p).toMillis)
+        .lastOption.foreach { trash =>
+          if (!Files.isRegularFile(LakeSinkFiles.manifestPath(dest.toString)))
+            Files.move(trash, dest)
+        }
+    }
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = ns1(namespace)
     if (ns == "lake" && lakeRoot.isDefined) {
@@ -172,6 +202,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ns.length != 1) throw new NoSuchTableException(ident)
     if (ns(0) == "lake" && lakeRoot.isDefined) {
       val dir = lakeTableDir(ident.name()).get
+      if (LakeSinkFiles.readManifest(dir.toString).isEmpty)
+        recoverReplaced(ident.name(), dir)
       LakeSinkFiles.readManifest(dir.toString) match {
         case Some((schema, partCols)) =>
           new LakeSinkTable(schema, dir.toString, partCols,
@@ -272,9 +304,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }.getOrElse(throw new UnsupportedOperationException(
             s"$catalogName: bucket transform without a count: $t"))
           s"bucket($n,${t.references()(0).fieldNames.mkString(".")})"
+        case k if LakePart.TemporalKinds.contains(k) && t.references().length == 1 =>
+          // `PARTITIONED BY (days(ts))` — the hidden temporal transforms
+          s"$k(${t.references()(0).fieldNames.mkString(".")})"
         case _ => throw new UnsupportedOperationException(
-          s"$catalogName: only identity and bucket(n, col) partitioning " +
-            s"are supported, got $t")
+          s"$catalogName: only identity, bucket(n, col), and " +
+            s"days/hours/months/years(col) partitioning are supported, got $t")
       }
     }.toSeq
 
@@ -493,6 +528,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // storage-partitioned joins
     else if (ident.namespace().isEmpty && ident.name() == "bucket")
       GraftBucketFunction
+    else if (ident.namespace().isEmpty &&
+        LakePart.TemporalKinds.contains(ident.name()))
+      new GraftTemporalFunction(ident.name())
     else throw new NoSuchFunctionException(ident)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -550,8 +588,10 @@ private[sources] class GraftStagedTable(inner: LakeSinkTable,
           deleteTree(tmp)
           throw new TableAlreadyExistsException(ident)
         }
+        // name-tagged so GraftCatalog.recoverReplaced can match a crashed
+        // swap's stranded old table back to its identifier
         val t = tmp.getParent.resolve(
-          s".replaced-${java.util.UUID.randomUUID.toString.take(12)}")
+          s".replaced-${ident.name()}-${java.util.UUID.randomUUID.toString.take(12)}")
         Files.move(dest, t) // old table aside (atomic)
         Some(t)
       } else None
@@ -641,8 +681,18 @@ private[sources] class GraftDsumBound
   override def update(state: java.math.BigDecimal,
       input: org.apache.spark.sql.catalyst.InternalRow): java.math.BigDecimal =
     if (input.isNullAt(0)) state
-    else state.add(java.math.BigDecimal.valueOf(input.getDouble(0))
-      .setScale(10, java.math.RoundingMode.HALF_UP))
+    else {
+      val d = input.getDouble(0)
+      // mirror Spark's double→decimal cast: NaN/Infinity cast to NULL and
+      // a null is skipped by SUM — BigDecimal.valueOf would throw instead.
+      // Known divergence (documented): this state is an unbounded
+      // BigDecimal, so a sum that would overflow DECIMAL(38,10) returns a
+      // finite value here where the cast form returns NULL; unreachable
+      // for any realistic double input (≥ 1e28 magnitude sums).
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) state
+      else state.add(java.math.BigDecimal.valueOf(d)
+        .setScale(10, java.math.RoundingMode.HALF_UP))
+    }
   override def merge(left: java.math.BigDecimal,
       right: java.math.BigDecimal): java.math.BigDecimal = left.add(right)
   override def produceResult(state: java.math.BigDecimal): java.lang.Double =

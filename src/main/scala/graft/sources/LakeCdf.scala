@@ -138,9 +138,12 @@ private[sources] class LakeCdfMicroBatchStream(cdfSchema: StructType,
     val delsPrev = prev.map(LakeSinkFiles.readVersionDeletes(path, _)).getOrElse(Map.empty)
     val delsV = LakeSinkFiles.readVersionDeletes(path, v)
     val common = filesPrev.toSet.intersect(filesV.toSet)
+    // a vector that changed in EITHER direction makes the file a changed
+    // file: newly-vectored positions replay as deletes, un-vectored
+    // positions (a RESTORE undoing a mor DELETE) as inserts
     val vectored = common.count { rel =>
-      val before = delsPrev.getOrElse(rel, Array.empty[Long]).toSet
-      delsV.getOrElse(rel, Array.empty[Long]).exists(p => !before.contains(p))
+      delsPrev.getOrElse(rel, Array.empty[Long]).toSet !=
+        delsV.getOrElse(rel, Array.empty[Long]).toSet
     }
     filesV.diff(filesPrev).size + filesPrev.diff(filesV).size + vectored
   }
@@ -222,7 +225,7 @@ private[sources] class LakeCdfMicroBatchStream(cdfSchema: StructType,
         base(rel, delsPrev.getOrElse(rel, Array.empty), None), "delete", v)
     }
     // merge-on-read legs: positions newly vectored in files BOTH versions
-    // carry replay as row-level deletes (they were live at prev)
+    // carry replay as row-level deletes (they were live at prev)…
     val common = filesPrev.toSet.intersect(filesV.toSet)
     val vectored = common.toSeq.sorted.flatMap { rel =>
       val before = delsPrev.getOrElse(rel, Array.empty[Long]).toSet
@@ -230,7 +233,17 @@ private[sources] class LakeCdfMicroBatchStream(cdfSchema: StructType,
       if (nd.isEmpty) None
       else Some(LakeCdfInputPartition(base(rel, Array.empty, Some(nd)), "delete", v))
     }
-    inserts ++ removes ++ vectored
+    // …and positions REMOVED from a vector (RESTORE undoing a mor DELETE)
+    // replay as row-level inserts — they are live again at v; without
+    // these legs a CDC replica silently misses every un-deleted row
+    // (the diff law would break exactly at the restore version)
+    val unVectored = common.toSeq.sorted.flatMap { rel =>
+      val after = delsV.getOrElse(rel, Array.empty[Long]).toSet
+      val ud = delsPrev.getOrElse(rel, Array.empty[Long]).filterNot(after).sorted
+      if (ud.isEmpty) None
+      else Some(LakeCdfInputPartition(base(rel, Array.empty, Some(ud)), "insert", v))
+    }
+    inserts ++ removes ++ vectored ++ unVectored
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -185,15 +185,24 @@ object LakeSink {
           s"LakeSink: partition value '$v' for column $c is not path-safe")
         v
       }
-      val f: InternalRow => String = part.buckets match {
-        case Some(n) => schema.fields(i).dataType match {
+      val f: InternalRow => String = (part.buckets, part.temporal) match {
+        case (Some(n), _) => schema.fields(i).dataType match {
           case LongType    => r => LakePart.bucketOfLong(n, r.getLong(i)).toString
           case IntegerType => r => LakePart.bucketOfLong(n, r.getInt(i).toLong).toString
           case StringType  => r => LakePart.bucketOfString(n, r.getUTF8String(i)).toString
           case other => throw new UnsupportedOperationException(
             s"LakeSink: unsupported bucket column type $other for $c")
         }
-        case None => schema.fields(i).dataType match {
+        case (_, Some(kind)) => schema.fields(i).dataType match {
+          // UTC truncation of the internal epoch-micros value — shared
+          // arithmetic with the scan's SPJ keys and the V2 function
+          case TimestampType => r => LakePart.temporalDirValue(kind, r.getLong(i))
+          case DateType if kind != "hours" =>
+            r => LakePart.temporalDirValue(kind, r.getInt(i).toLong * LakePart.MicrosPerDay)
+          case other => throw new UnsupportedOperationException(
+            s"LakeSink: unsupported $kind() column type $other for $c")
+        }
+        case _ => schema.fields(i).dataType match {
           case StringType  => r => safe(r.getUTF8String(i).toString)
           case IntegerType => r => r.getInt(i).toString
           case LongType    => r => r.getLong(i).toString
@@ -312,8 +321,12 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     LakePart.parseAll(partCols).map {
-      case LakePart(_, nm, Some(n)) => Expressions.bucket(n, nm): Transform
-      case LakePart(_, nm, None)    => Expressions.identity(nm): Transform
+      case LakePart(_, nm, Some(n), _)         => Expressions.bucket(n, nm): Transform
+      case LakePart(_, nm, _, Some("days"))    => Expressions.days(nm): Transform
+      case LakePart(_, nm, _, Some("hours"))   => Expressions.hours(nm): Transform
+      case LakePart(_, nm, _, Some("months"))  => Expressions.months(nm): Transform
+      case LakePart(_, nm, _, Some("years"))   => Expressions.years(nm): Transform
+      case LakePart(_, nm, _, _)               => Expressions.identity(nm): Transform
     }.toArray
   }
 
@@ -329,7 +342,10 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
 
   override def partitionSchema(): StructType =
     StructType(LakePart.parseAll(partCols).map {
-      case LakePart(_, nm, None) => writeSchema(nm)
+      case LakePart(_, nm, None, None) => writeSchema(nm)
+      case p if p.temporal.isDefined =>
+        // temporal dirs list as their human-readable value strings
+        StructField(p.dirKey, StringType, nullable = false)
       case p => StructField(p.dirKey, IntegerType, nullable = false)
     })
 

@@ -479,10 +479,22 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     if (spjActive)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         parts.map {
-          case LakePart(_, nm, Some(n)) =>
+          case LakePart(_, nm, Some(n), _) =>
             org.apache.spark.sql.connector.expressions.Expressions.bucket(n, nm)
               : org.apache.spark.sql.connector.expressions.Expression
-          case LakePart(_, nm, None) =>
+          case LakePart(_, nm, _, Some("days")) =>
+            org.apache.spark.sql.connector.expressions.Expressions.days(nm)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case LakePart(_, nm, _, Some("hours")) =>
+            org.apache.spark.sql.connector.expressions.Expressions.hours(nm)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case LakePart(_, nm, _, Some("months")) =>
+            org.apache.spark.sql.connector.expressions.Expressions.months(nm)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case LakePart(_, nm, _, Some("years")) =>
+            org.apache.spark.sql.connector.expressions.Expressions.years(nm)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case LakePart(_, nm, _, _) =>
             org.apache.spark.sql.connector.expressions.Expressions.identity(nm)
               : org.apache.spark.sql.connector.expressions.Expression
         }.toArray,
@@ -658,7 +670,29 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     // runtime) data filter PROVABLY cannot match (files are immutable once
     // committed, so a ledger entry is always current; unrecorded files are
     // kept — the engine still re-evaluates the filter on every surviving
-    // row, so a skip is a pure I/O save, never a semantics change)
+    // row, so a skip is a pure I/O save, never a semantics change).
+    // Temporal partition dirs prune through the SAME interval algebra: a
+    // `days(ts)` file's dir value proves an inclusive epoch-micros
+    // interval for ts, fed to mayMatch as a synthetic stat — so a plain
+    // `ts BETWEEN` predicate opens only the matching day dirs (the hidden-
+    // partitioning contract, no stats ledger needed).
+    val temporalParts = parts.filter(_.temporal.isDefined)
+    def temporalStats(kvs: Seq[(String, String)]): Option[LakeSinkStats.FileStats] =
+      if (temporalParts.isEmpty) None
+      else Some(temporalParts.flatMap { f =>
+        kvs.find(_._1 == f.dirKey).map { case (_, v) =>
+          val (lo, hi) = LakePart.temporalDirInterval(f.temporal.get, v)
+          val b: (Any, Any) = fullSchema(f.name).dataType match {
+            case DateType => // date sources carry epoch-DAY bounds
+              (java.lang.Long.valueOf(Math.floorDiv(lo, LakePart.MicrosPerDay)),
+                java.lang.Long.valueOf(Math.floorDiv(hi, LakePart.MicrosPerDay)))
+            case _ =>
+              (java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))
+          }
+          // nulls = 0: the writer refuses NULL partition-source values
+          f.name -> LakeSinkStats.ColStat(Some(0L), Some(b))
+        }
+      }.toMap)
     val taken =
       if (effData.isEmpty) kept
       else {
@@ -666,10 +700,12 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
         val aliasMap = evolution
           .getOrElse(LakeSinkFiles.readManifestEvolution(path))._1
         val root = Paths.get(path)
-        kept.filter { case (p, _) =>
+        kept.filter { case (p, kvs) =>
           val fs = blobs.get(root.relativize(p).toString)
             .map(LakeSinkStats.decode(_, fullSchema, aliasMap))
-          effData.forall(f => LakeSinkStats.mayMatch(fs, fullSchema, f))
+          val synth = temporalStats(kvs)
+          effData.forall(f => LakeSinkStats.mayMatch(fs, fullSchema, f) &&
+            LakeSinkStats.mayMatch(synth, fullSchema, f))
         }
       }
     skippedFiles = kept.size - taken.size
@@ -718,6 +754,8 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
           parts.zip(vals).map {
             case (f, v) if f.isIdentity =>
               LakeSinkPartitions.dirToInternal(fullSchema(f.name).dataType, v)
+            case (f, v) if f.temporal.isDefined => // days/hours/months/years key
+              java.lang.Integer.valueOf(LakePart.temporalKeyOfDir(f.temporal.get, v))
             case (_, v) => java.lang.Integer.valueOf(v.toInt) // bucket id
           }.toArray)
           : InputPartition

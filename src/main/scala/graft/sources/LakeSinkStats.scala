@@ -306,6 +306,12 @@ private[graft] object LakeSinkStats {
     case (TimestampType, t: java.time.Instant) =>
       Some(java.lang.Long.valueOf(
         org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)))
+    // date literals compare as epoch DAYS — the unit the temporal-
+    // partition synthetic stats carry for DateType sources
+    case (DateType, d: java.sql.Date) =>
+      Some(java.lang.Long.valueOf(d.toLocalDate.toEpochDay))
+    case (DateType, d: java.time.LocalDate) =>
+      Some(java.lang.Long.valueOf(d.toEpochDay))
     case _ => None
   }
 

@@ -98,19 +98,35 @@ object LakeVersions {
       val nd = delsTo.getOrElse(rel, Array.empty[Long]).filterNot(before)
       if (nd.isEmpty) None else Some(rel -> nd.sorted)
     }.toMap
-    val base = read(added, to).withColumn("_change_type", lit("insert"))
+    // …and the mirror image: positions REMOVED from a vector between the
+    // two versions (RESTORE undoing a post-target mor DELETE) are rows
+    // that went from hidden to live — they replay as row-level 'insert'
+    // legs under `to`'s visibility, keeping the diff law exact across a
+    // restore (without them a CDC replica would silently miss the
+    // un-deleted rows)
+    val unDeleted: Map[String, Array[Long]] = common.iterator.flatMap { rel =>
+      val after = delsTo.getOrElse(rel, Array.empty[Long]).toSet
+      val ud = delsFrom.getOrElse(rel, Array.empty[Long]).filterNot(after)
+      if (ud.isEmpty) None else Some(rel -> ud.sorted)
+    }.toMap
+    def positionLegs(m: Map[String, Array[Long]], v: Long, tag: String) =
+      spark.read.format(classOf[LakeSink].getName)
+        .option("versionAsOf", v.toString)
+        .option("snapshotFiles", m.keys.toSeq.sorted.mkString("\n"))
+        .option("includePositions", LakeSinkDeletes.serialize(m))
+        .load(path)
+        .withColumn("_change_type", lit(tag))
+    var out = read(added, to).withColumn("_change_type", lit("insert"))
       .unionByName(
         read(removed, from).withColumn("_change_type", lit("delete")),
         allowMissingColumns = true) // schema may have evolved between versions
-    if (newlyDeleted.isEmpty) base
-    else base.unionByName(
-      spark.read.format(classOf[LakeSink].getName)
-        .option("versionAsOf", from.toString)
-        .option("snapshotFiles", newlyDeleted.keys.toSeq.sorted.mkString("\n"))
-        .option("includePositions", LakeSinkDeletes.serialize(newlyDeleted))
-        .load(path)
-        .withColumn("_change_type", lit("delete")),
-      allowMissingColumns = true)
+    if (newlyDeleted.nonEmpty)
+      out = out.unionByName(positionLegs(newlyDeleted, from, "delete"),
+        allowMissingColumns = true)
+    if (unDeleted.nonEmpty)
+      out = out.unionByName(positionLegs(unDeleted, to, "insert"),
+        allowMissingColumns = true)
+    out
   }
 }
 
@@ -486,15 +502,22 @@ object LakeMaintenance {
     // move leaves no retired residue, so a LATER rewrite can retire the
     // name again without tripping the collision guard)
     val returned = wantRels.filterNot(live.contains)
+    // PRE-VALIDATE every returned file before the first move: a partially
+    // vacuumed target must fail with ZERO filesystem mutation — failing
+    // mid-loop would leave earlier files moved back with no version
+    // recorded, and a retry would then trip the live-collision guard,
+    // leaving the version unrestorable without manual cleanup
     returned.foreach { rel =>
-      val from = LakeSinkFiles.retiredDir(path).resolve(rel)
-      require(Files.isRegularFile(from),
+      require(Files.isRegularFile(LakeSinkFiles.retiredDir(path).resolve(rel)),
         s"LakeMaintenance.restore: file $rel of version $version was " +
           s"vacuumed from $path — its bytes are gone, the version is not restorable")
+      require(!Files.exists(root.resolve(rel)),
+        s"LakeMaintenance.restore: live name collision for $rel")
+    }
+    returned.foreach { rel =>
+      val from = LakeSinkFiles.retiredDir(path).resolve(rel)
       val to = root.resolve(rel)
       Option(to.getParent).foreach(Files.createDirectories(_))
-      require(!Files.exists(to),
-        s"LakeMaintenance.restore: live name collision for $rel")
       Files.move(from, to)
     }
     // 2. retire everything the target doesn't have

@@ -778,6 +778,53 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("graft.fns.dsum skips NaN/Infinity exactly like the cast-to-decimal form") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    Seq(1.5, Double.NaN, 2.25, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.75).toDF("x")
+      .createOrReplaceTempView("graft_dsum_nf")
+    // Num.dsum = CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE): non-finite
+    // doubles cast to NULL and SUM skips them — the V2 aggregate must agree
+    // (BigDecimal.valueOf(NaN) would throw NumberFormatException instead)
+    val got = spark.sql("SELECT graft.fns.dsum(x) AS s FROM graft_dsum_nf")
+      .collect()(0).getDouble(0)
+    val want = spark.table("graft_dsum_nf")
+      .agg(graft.operators.Num.dsum($"x").as("s")).collect()(0).getDouble(0)
+    assert(got == want && got == 3.0, s"got $got want $want")
+  }
+
+  test("REPLACE crash between the two commit renames: loadTable rolls the old table back") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_crash")
+    withCatalog(lake) {
+      spark.sql("CREATE TABLE graft.lake.cr AS SELECT id AS v FROM range(4)")
+      val before = canon(spark.table("graft.lake.cr"))
+      // simulate the crash window commitStagedChanges documents: the old
+      // table has been moved aside (.replaced-<name>-<uuid>) but the staged
+      // table never made it to dest — no table exists at the path
+      val dest = Paths.get(lake, "cr")
+      val staged = Paths.get(lake, "_staged")
+      Files.createDirectories(staged)
+      Files.move(dest, staged.resolve(".replaced-cr-deadbeef0001"))
+      assert(!Files.exists(dest))
+      // loadTable recovers: the stranded old table rolls back atomically
+      assert(canon(spark.table("graft.lake.cr")) == before,
+        "crash recovery must restore the pre-replace table")
+      assert(Files.isRegularFile(LakeSinkFiles.manifestPath(dest.toString)))
+      assert(Files.list(staged).count() == 0, "the trash entry is consumed")
+      // recovery is name-scoped: another table's trash is never resurrected
+      spark.sql("CREATE TABLE graft.lake.other AS SELECT 1L AS v")
+      Files.move(Paths.get(lake, "other"), staged.resolve(".replaced-other-deadbeef0002"))
+      val e = intercept[Exception](spark.table("graft.lake.missing").collect())
+      assert(e.getMessage.toUpperCase.contains("TABLE"), e.getMessage)
+      assert(Files.exists(staged.resolve(".replaced-other-deadbeef0002")),
+        "a mismatched trash entry must stay untouched")
+      assert(canon(spark.table("graft.lake.other")) == Seq("[1]"),
+        "…and still recover under its OWN name")
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](

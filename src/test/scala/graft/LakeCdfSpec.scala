@@ -79,6 +79,37 @@ class LakeCdfSpec extends GraftSpec {
     }
   }
 
+  test("streaming CDF replays a RESTORE's un-deleted rows as INSERT legs (≡ batch changes)") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.rcdf").create() // v1: ids 1,2,3
+      spark.sql("DELETE FROM graft.lake.rcdf WHERE id = 2") // v2 (mor vector)
+      graft.sources.LakeMaintenance.restore(s"$lake/rcdf", 1L) // v3: vector undone
+      val streamed = drainToMemory(s"$lake/rcdf")
+      // the restore version's only leg is the un-deleted row, as an insert
+      val v3legs = streamed.filter(col("_commit_version") === 3L)
+      assert(canon(v3legs) == canon(
+        threeRows(0).filter(col("id") === 2)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(3L))),
+        canon(v3legs).mkString(";"))
+      // …and bit-equal to the batch CDF legs for the same version range
+      assert(canon(v3legs.drop("_commit_version")) ==
+        canon(LakeVersions.changes(spark, s"$lake/rcdf", 2, 3)))
+      // final replica law: applying the whole feed version-by-version
+      // reproduces the live table (insert adds, delete removes)
+      val lastState = (1L to 3L).foldLeft(Seq.empty[String]) { (acc, v) =>
+        val legs = streamed.filter(col("_commit_version") === v)
+        val ins = canon(legs.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version"))
+        val del = canon(legs.filter(col("_change_type") === "delete")
+          .drop("_change_type", "_commit_version"))
+        (acc.diff(del) ++ ins).sorted
+      }
+      assert(lastState == canon(spark.table("graft.lake.rcdf")),
+        "replaying the feed must reproduce the restored live table")
+    }
+  }
+
   test("checkpointed CDF drains are exactly-once across a kill/restart") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tail").create() // v1

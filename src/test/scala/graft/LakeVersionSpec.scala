@@ -269,6 +269,63 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("changes across a RESTORE: un-vectored positions replay as INSERT legs (diff law)") {
+    import graft.sources.LakeVersions
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.udl").create() // v1: ids 1,2,3
+      spark.sql("DELETE FROM graft.lake.udl WHERE id = 2") // v2 (mor vector)
+      LakeMaintenance.restore(s"$lake/udl", 1L) // v3: vector undone, files unchanged
+      val feed = LakeVersions.changes(spark, s"$lake/udl", 2, 3)
+      val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
+      val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+      assert(del.count() == 0, "restore undoing a mor DELETE removes nothing")
+      assert(canon(ins) == canon(threeRows(0).filter(col("id") === 2)),
+        "the un-deleted row must surface as an insert leg")
+      // the diff law holds AT the restore version: v2 − deletes + inserts ≡ v3
+      val v2 = spark.sql("SELECT * FROM graft.lake.udl VERSION AS OF 2")
+      val v3 = spark.sql("SELECT * FROM graft.lake.udl VERSION AS OF 3")
+      assert((canon(v2).diff(canon(del)) ++ canon(ins)).sorted == canon(v3),
+        "applying the change feed to v2 must yield the restored v3")
+    }
+  }
+
+  test("restore of a PARTIALLY vacuumed version fails with zero filesystem mutation") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.pvac").create() // v1
+      threeRows(1).writeTo("graft.lake.pvac").append() // v2
+      spark.sql("TRUNCATE TABLE graft.lake.pvac") // v3: every file retired
+      threeRows(2).writeTo("graft.lake.pvac").append() // v4
+      // simulate a PARTIAL vacuum: exactly one of v2's retired files is gone
+      val retired = LakeSinkFiles.retiredDir(s"$lake/pvac")
+      val it = Files.walk(retired).iterator()
+      val victims = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) victims += p }
+      assert(victims.size >= 2, s"need >=2 retired files, got ${victims.size}")
+      Files.delete(victims.sortBy(_.toString).head)
+      val liveBefore = canon(spark.table("graft.lake.pvac"))
+      val retiredBefore = {
+        val i2 = Files.walk(retired).iterator()
+        var n = 0; while (i2.hasNext) { if (Files.isRegularFile(i2.next())) n += 1 }; n
+      }
+      val e = intercept[Exception](LakeMaintenance.restore(s"$lake/pvac", 2L))
+      assert(e.getMessage.contains("vacuumed"), e.getMessage)
+      // ZERO mutation: pre-validation must fail BEFORE the first move — no
+      // retired file moved back, no version recorded, live table unchanged
+      val retiredAfter = {
+        val i2 = Files.walk(retired).iterator()
+        var n = 0; while (i2.hasNext) { if (Files.isRegularFile(i2.next())) n += 1 }; n
+      }
+      assert(retiredAfter == retiredBefore,
+        s"failed restore moved retired files: $retiredBefore -> $retiredAfter")
+      assert(canon(spark.table("graft.lake.pvac")) == liveBefore)
+      assert(LakeSinkFiles.listVersions(s"$lake/pvac") == (1L to 4L),
+        "a failed restore must not record a version")
+      // an INTACT version still restores after the failed attempt
+      LakeMaintenance.restore(s"$lake/pvac", 3L) // v5: the empty truncated state
+      assert(spark.table("graft.lake.pvac").count() == 0)
+    }
+  }
+
   test("SHOW PARTITIONS lists the k=v dirs; DROP PARTITION retires them as a version") {
     withLake { lake =>
       import spark.implicits._
