@@ -2569,7 +2569,52 @@ object Telemetry {
 
   val t59Sql: String = t04Sql
 
+  /** t60 — TEMPORAL hidden partitioning under the differential (r12:
+    * [[graft.sources.LakePart]] `days(ts)`/`hours`/`months`/`years`
+    * transforms — the Iceberg hidden-partitioning contract the
+    * reference's own sink approximates with time-bucketed S3 prefixes,
+    * `phase3-kinesis-s3.yaml:84-85`): events land in a lake table
+    * `PARTITIONED BY (days(ts))` (UTC `ts_day=YYYY-MM-DD` dirs; ts
+    * itself stays a data column), and the query filters a PLAIN ts range
+    * — no materialized date column — then aggregates per day. The scan
+    * prunes to exactly the matching day dirs at planning (GraftCatalog-
+    * Spec pins skippedFiles and the zero-exchange day-key SPJ; Property-
+    * Spec pins the key/dir/interval laws). The HASH is layout-invariant:
+    * the result must equal DuckDB's restatement over the raw parquet.
+    *
+    * Scale shape: time-series telemetry at 100 TB partitions by day —
+    * a dashboard's `ts BETWEEN` opens O(days asked), not O(table), with
+    * zero user-visible partitioning columns. */
+  def t60TemporalPartition(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t60")
+    val _ = lakeRoot
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .writeTo("graft_t60.lake.ev")
+      .partitionedBy(org.apache.spark.sql.functions.days(col("ts"))).create()
+    s.table("graft_t60.lake.ev")
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("ts").cast("long").as("es"), col("user_id"), col("value"))
+      .select(expr("es div 86400").as("day_idx"), col("user_id"), col("value"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Num.rsum(col("value"), 6).as("sum_v"))
+      .orderBy(col("day_idx"))
+  }
+
+  val t60Sql: String =
+    s"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_idx,
+         count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         ${Num.rsumSql("value", 6)} AS sum_v
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         AND ts < TIMESTAMP '2024-01-15 00:00:00'
+       GROUP BY 1 ORDER BY day_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t60_temporal_partition" -> (t60TemporalPartition _),
     "t59_restore" -> (t59Restore _),
     "t58_sorted_spj" -> (t58SortedSpj _),
     "t57_cdc_replicate" -> (t57CdcReplicate _),
@@ -2626,6 +2671,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t60_temporal_partition" -> t60Sql,
     "t59_restore" -> t59Sql,
     "t58_sorted_spj" -> t58Sql,
     "t57_cdc_replicate" -> t57Sql,

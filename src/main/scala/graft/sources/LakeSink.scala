@@ -154,6 +154,8 @@ object LakeSink {
         case StringType    => (r, j) => "\"" + jsonEscape(r.getUTF8String(j).toString) + "\""
         case TimestampType => (r, j) =>
           "\"" + TsFormatter.format(java.time.Instant.EPOCH.plusNanos(r.getLong(j) * 1000L)) + "\""
+        case DateType      => (r, j) =>
+          "\"" + java.time.LocalDate.ofEpochDay(r.getInt(j).toLong).toString + "\""
         case other => throw new UnsupportedOperationException(
           s"LakeSink: unsupported column type $other for field ${f.name}")
       }

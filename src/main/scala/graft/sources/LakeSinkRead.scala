@@ -1456,6 +1456,8 @@ private[sources] final class JsonLineParser(schema: StructType,
           if (fi != null) out(fi) = types(fi) match {
             case StringType    => UTF8String.fromString(s)
             case TimestampType => java.lang.Long.valueOf(micros(s))
+            case DateType      =>
+              java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
             case other => fail(line, i, s"quoted value for $other field '$name'")
           }
         case _ =>

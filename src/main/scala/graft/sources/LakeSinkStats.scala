@@ -50,11 +50,11 @@ private[graft] object LakeSinkStats {
 
   def statsPath(path: String): Path = Paths.get(path, "_graft_stats.json")
 
-  /** Is this a column type stats understand? (DateType appears only as a
-    * partition column in this sink — partition pruning covers it.) */
+  /** Is this a column type stats understand? (DateType joined with the
+    * temporal partition transforms — a days(d) source is a DATA column.) */
   def statable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         TimestampType => true
+         TimestampType | DateType => true
     case _ => false
   }
 
@@ -136,7 +136,7 @@ private[graft] object LakeSinkStats {
       f.dataType match {
         case LongType | TimestampType =>
           Some(new LongTracker(f.name, (r, i) => r.getLong(i)))
-        case IntegerType =>
+        case IntegerType | DateType =>
           Some(new LongTracker(f.name, (r, i) => r.getInt(i).toLong))
         case DoubleType =>
           Some(new DoubleTracker(f.name, (r, i) => r.getDouble(i)))
@@ -219,7 +219,8 @@ private[graft] object LakeSinkStats {
     }.toMap
 
   private def decodeVal(dt: DataType, enc: String): Any = dt match {
-    case LongType | IntegerType | TimestampType => java.lang.Long.parseLong(enc)
+    case LongType | IntegerType | TimestampType | DateType =>
+      java.lang.Long.parseLong(enc)
     case DoubleType | FloatType                 => java.lang.Double.parseDouble(enc)
     case StringType =>
       UTF8String.fromBytes(java.util.Base64.getDecoder.decode(enc))
@@ -264,7 +265,8 @@ private[graft] object LakeSinkStats {
     * to the column type's InternalRow representation — the value a pushed
     * min/max aggregate row must carry. */
   def toInternal(dt: DataType, v: Any): Any = (dt, v) match {
-    case (IntegerType, l: java.lang.Long) => java.lang.Integer.valueOf(l.intValue)
+    case (IntegerType | DateType, l: java.lang.Long) =>
+      java.lang.Integer.valueOf(l.intValue)
     case (FloatType, d: java.lang.Double) => java.lang.Float.valueOf(d.floatValue)
     case _                                => v
   }

@@ -741,6 +741,154 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("days(ts) hidden partitioning: UTC day dirs, ts-predicate dir pruning, round trip") {
+    val lake = tmp("graft_cat_days")
+    withCatalog(lake) {
+      // 3 UTC days x 4 rows, written through the catalog
+      spark.sql(
+        """CREATE TABLE graft.lake.ev PARTITIONED BY (days(ts)) AS
+           SELECT CAST(id AS BIGINT) AS id,
+                  timestamp'2026-02-01 00:30:00' + make_interval(0,0,0,0,6 * CAST(id AS INT)) AS ts,
+                  CAST(id AS DOUBLE) * 1.5 AS v
+           FROM range(12)""")
+      // layout: ts_day=YYYY-MM-DD dirs; ts itself travels IN the rows
+      val parts = spark.sql("SHOW PARTITIONS graft.lake.ev")
+        .collect().map(_.getString(0)).sorted
+      assert(parts.toSeq == Seq("ts_day=2026-02-01", "ts_day=2026-02-02",
+        "ts_day=2026-02-03"), parts.mkString(","))
+      assert(spark.table("graft.lake.ev").columns.contains("ts"),
+        "the temporal SOURCE column must remain a data column")
+      val all = canon(spark.table("graft.lake.ev"))
+      assert(all.size == 12)
+      // HIDDEN-partitioning pruning: a plain ts predicate opens only the
+      // matching day dirs. Remove the stats ledger first so the only
+      // possible skip mechanism is the synthetic temporal-dir interval.
+      Files.delete(Paths.get(lake, "ev", "_graft_stats.json"))
+      val q = spark.table("graft.lake.ev")
+        .filter(col("ts") >= expr("timestamp'2026-02-02 00:00:00'") &&
+          col("ts") < expr("timestamp'2026-02-03 00:00:00'"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val m = "skippedFiles=(\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined && m.get.group(1).toInt == 2,
+        s"ts range must prune the two other day dirs:\n${plan.take(900)}")
+      assert(q.count() == 4)
+      // equality predicate prunes to one day dir
+      val eq = spark.table("graft.lake.ev")
+        .filter(col("ts") === expr("timestamp'2026-02-01 06:30:00'"))
+      eq.collect()
+      assert("skippedFiles=(\\d+)".r.findFirstMatchIn(
+        eq.queryExecution.executedPlan.toString).get.group(1).toInt == 2)
+      // appends flow into the existing day dirs; reads stay consistent
+      spark.sql(
+        """INSERT INTO graft.lake.ev
+           SELECT 100L AS id, timestamp'2026-02-02 12:00:00' AS ts, 9.0 AS v""")
+      assert(spark.table("graft.lake.ev").count() == 13)
+      assert(spark.sql("SHOW PARTITIONS graft.lake.ev").count() == 3)
+    }
+  }
+
+  test("hours/months/years transforms: dir naming, round trip, NULL refused") {
+    val lake = tmp("graft_cat_temporal")
+    withCatalog(lake) {
+      import org.apache.spark.sql.functions.{hours, months, years}
+      val df = spark.sql(
+        """SELECT CAST(id AS BIGINT) AS id,
+                  timestamp'2025-11-30 22:10:00' + make_interval(0,0,0,0,0,80 * CAST(id AS INT)) AS ts
+           FROM range(4)""")
+      df.writeTo("graft.lake.hh").partitionedBy(hours(col("ts"))).create()
+      assert(spark.sql("SHOW PARTITIONS graft.lake.hh")
+        .collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("ts_hour=2025-11-30-22", "ts_hour=2025-11-30-23",
+          "ts_hour=2025-12-01-00", "ts_hour=2025-12-01-02"))
+      assert(canon(spark.table("graft.lake.hh")) == canon(df))
+      df.writeTo("graft.lake.mm").partitionedBy(months(col("ts"))).create()
+      assert(spark.sql("SHOW PARTITIONS graft.lake.mm")
+        .collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("ts_month=2025-11", "ts_month=2025-12"))
+      df.writeTo("graft.lake.yy").partitionedBy(years(col("ts"))).create()
+      assert(spark.sql("SHOW PARTITIONS graft.lake.yy")
+        .collect().map(_.getString(0)).sorted.toSeq == Seq("ts_year=2025"))
+      // a DATE source partitions by days/months/years too
+      val dd = spark.sql(
+        "SELECT CAST(id AS BIGINT) AS id, date_add(date'2026-03-30', CAST(id AS INT)) AS d FROM range(3)")
+      dd.writeTo("graft.lake.dd")
+        .partitionedBy(org.apache.spark.sql.functions.days(col("d"))).create()
+      assert(spark.sql("SHOW PARTITIONS graft.lake.dd")
+        .collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("d_day=2026-03-30", "d_day=2026-03-31", "d_day=2026-04-01"))
+      // NULL temporal source refused loudly (same contract as identity)
+      val e = intercept[Exception] {
+        spark.sql("SELECT 1L AS id, CAST(NULL AS TIMESTAMP) AS ts")
+          .writeTo("graft.lake.nn")
+          .partitionedBy(org.apache.spark.sql.functions.days(col("ts"))).create()
+      }
+      assert(e.getMessage != null)
+    }
+  }
+
+  test("days(ts) SPJ: day-partitioned lake tables join on the timestamp with zero shuffles") {
+    val lake = tmp("graft_cat_dspj")
+    withCatalog(lake) {
+      spark.sql(
+        """CREATE TABLE graft.lake.dsl PARTITIONED BY (days(ts)) AS
+           SELECT timestamp'2026-02-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT)) AS ts,
+                  CAST(id AS BIGINT) AS a
+           FROM range(96)""")
+      spark.sql(
+        """CREATE TABLE graft.lake.dsr PARTITIONED BY (days(ts)) AS
+           SELECT timestamp'2026-02-01 00:00:00' + make_interval(0,0,0,0,2 * CAST(id AS INT)) AS ts,
+                  CAST(id AS BIGINT) * 3 AS b
+           FROM range(48)""")
+      def joined = spark.table("graft.lake.dsl")
+        .join(spark.table("graft.lake.dsr"), Seq("ts"))
+        .groupBy(col("ts")).agg(sum(col("b")).as("sb"))
+      def shuffleCount(df: DataFrame): Int = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        var n = 0
+        def walk(pl: SparkPlan): Unit = {
+          pl match {
+            case _: ShuffleExchangeLike   => n += 1
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec        => walk(q.plan)
+            case _                        =>
+          }
+          pl.children.foreach(walk)
+        }
+        df.collect()
+        walk(df.queryExecution.executedPlan)
+        n
+      }
+      // hermetic conf: pin BOTH legs (the r10 SPJ-flake lesson); EXPLICIT
+      // setting only (the t53 conf-leak lesson — getOption surfaces the
+      // registered default and re-setting it leaks SPJ mode)
+      val prevB: Option[String] =
+        if (org.apache.spark.sql.internal.SQLConf.get.contains(
+            "spark.sql.sources.v2.bucketing.enabled"))
+          Some(spark.conf.get("spark.sql.sources.v2.bucketing.enabled"))
+        else None
+      val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val expected = canon(joined) // baseline: the ordinary shuffled plan
+        assert(shuffleCount(joined) > 0, "precondition: the un-keyed join must shuffle")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val q = joined
+        assert(shuffleCount(q) == 0,
+          "same-day-partitioned lake tables must join on ts with ZERO " +
+            "exchanges:\n" + q.queryExecution.executedPlan.toString.take(1500))
+        assert(canon(q) == expected, "the co-located plan must return identical rows")
+      } finally {
+        prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      }
+    }
+  }
+
   test("staged RTAS is atomic: a mid-write failure leaves the original table intact") {
     import spark.implicits._
     val lake = tmp("graft_cat_rtas")

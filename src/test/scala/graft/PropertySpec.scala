@@ -387,4 +387,35 @@ class PropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("property: temporal transform laws — key/dir/interval agree on arbitrary micros") {
+    import graft.sources.LakePart
+    // micros spanning 1969..2100 (negative epochs included: floorDiv and
+    // the proleptic calendar must agree below zero too)
+    val microsGen = Gen.listOfN(60,
+      Gen.chooseNum(-50000000000000L, 4200000000000000L))
+    samples(microsGen, 5).foreach { ms =>
+      ms.foreach { m =>
+        LakePart.TemporalKinds.foreach { kind =>
+          val dir = LakePart.temporalDirValue(kind, m)
+          // 1. the dir value round-trips to the SPJ key of the raw micros
+          assert(LakePart.temporalKeyOfDir(kind, dir) ==
+            LakePart.temporalKey(kind, m),
+            s"$kind($m): dir '$dir' key mismatch")
+          // 2. the pruning interval CONTAINS the micros (soundness: a file
+          // can never be pruned away from a predicate its rows satisfy)
+          val (lo, hi) = LakePart.temporalDirInterval(kind, dir)
+          assert(lo <= m && m <= hi, s"$kind($m): $m outside [$lo,$hi] of '$dir'")
+          // 3. interval edges map back into the same dir (tightness)
+          assert(LakePart.temporalDirValue(kind, lo) == dir &&
+            LakePart.temporalDirValue(kind, hi) == dir,
+            s"$kind: interval edges of '$dir' escape the dir")
+          // 4. one past either edge leaves the dir (exactness)
+          assert(LakePart.temporalDirValue(kind, lo - 1) != dir &&
+            LakePart.temporalDirValue(kind, hi + 1) != dir,
+            s"$kind: interval of '$dir' is not maximal")
+        }
+      }
+    }
+  }
 }
