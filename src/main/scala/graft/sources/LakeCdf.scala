@@ -250,6 +250,18 @@ private[sources] class LakeCdfMicroBatchStream(cdfSchema: StructType,
     val startV = start.asInstanceOf[LakeCdfOffset].version
     val endV = end.asInstanceOf[LakeCdfOffset].version
     val all = LakeSinkFiles.listVersions(path)
+    // retention-horizon contract: if VACUUM dropped version records the
+    // stream has not emitted yet (checkpointed offset predates the
+    // horizon), fail LOUDLY — replaying only the surviving versions would
+    // silently lose the dropped ones' changes (offset 0 against a log
+    // starting at v1 is the normal full-history start, not a gap)
+    all.headOption.foreach { minV =>
+      require(startV + 1 >= minV,
+        s"LakeSink CDF: versions ${startV + 1}..${minV - 1} of $path were " +
+          "vacuumed past this stream's checkpointed offset — the change " +
+          "feed is no longer complete from here; restart from a fresh " +
+          "checkpoint or vacuum with a longer retention horizon")
+    }
     all.filter(v => v > startV && v <= endV).flatMap { v =>
       legsFor(v, all.filter(_ < v).lastOption)
     }.toArray

@@ -428,24 +428,58 @@ object LakeMaintenance {
     (before, committedFileCount(path))
   }
 
-  /** VACUUM: reclaim the bytes time travel holds — delete every retired
-    * file and drop every version record but the newest. Snapshot reads of
-    * vacuumed versions fail loudly afterwards ([[LakeSinkScan]]'s
-    * resolution order), the live table is untouched. Returns (retired
-    * files deleted, version records dropped). */
-  def vacuum(path: String): (Int, Int) = {
+  /** VACUUM: reclaim the bytes time travel holds. The default drops every
+    * version record but the newest and deletes every retired file — the
+    * full wipe. `keepLast = Some(n)` is the RETENTION-HORIZON form every
+    * real lakehouse schedules (Delta's `RETAIN`, Iceberg's
+    * expire_snapshots): only records OLDER than the last `n` drop, and a
+    * retired file survives as long as ANY kept record references it — so
+    * `VERSION AS OF` and RESTORE keep working for the whole horizon, and
+    * a routine maintenance call no longer destroys all time travel.
+    * Snapshot reads of vacuumed versions fail loudly afterwards
+    * ([[LakeSinkScan]]'s resolution order), as does a CDF stream whose
+    * checkpointed offset predates the horizon
+    * ([[LakeCdfMicroBatchStream]] refuses to silently skip dropped
+    * versions). The live table is untouched either way. Returns (retired
+    * files deleted, version records dropped).
+    *
+    * 100 TB story: vacuum cost is O(retired files) deletes + a set
+    * membership against the horizon's recorded manifests — the standard
+    * expire-snapshots shape; the horizon bounds both storage held for
+    * time travel and the work to reclaim it. */
+  def vacuum(path: String): (Int, Int) = vacuum(path, None)
+
+  def vacuum(path: String, keepLast: Option[Int]): (Int, Int) = {
+    val versions = LakeSinkFiles.listVersions(path)
+    val keepN = math.max(keepLast.getOrElse(1), 1)
+    val drop = versions.dropRight(keepN)
+    val kept = versions.takeRight(keepN)
+    // a retired file referenced by ANY kept record must stay restorable;
+    // with the default horizon the kept (latest) record's files are all
+    // live, so every retired file deletes — the original full wipe
+    val referenced: Set[String] =
+      kept.flatMap(v => LakeSinkFiles.readVersion(path, v)._3).toSet
     var nFiles = 0
     val retired = LakeSinkFiles.retiredDir(path)
     if (Files.isDirectory(retired)) {
       val it = Files.walk(retired).sorted(java.util.Comparator.reverseOrder()).iterator()
       while (it.hasNext) {
         val p = it.next()
-        if (Files.isRegularFile(p)) nFiles += 1
-        Files.deleteIfExists(p)
+        if (Files.isRegularFile(p)) {
+          if (!referenced.contains(retired.relativize(p).toString)) {
+            nFiles += 1
+            Files.deleteIfExists(p)
+          }
+        } else if (p != retired) {
+          // drop a directory only once emptied (reverse walk order puts
+          // children first; kept files keep their parents alive)
+          val ds = Files.list(p)
+          val empty = !ds.iterator().hasNext
+          ds.close()
+          if (empty) Files.deleteIfExists(p)
+        }
       }
     }
-    val versions = LakeSinkFiles.listVersions(path)
-    val drop = versions.dropRight(1)
     drop.foreach { v =>
       Files.deleteIfExists(LakeSinkFiles.versionsDir(path).resolve(f"v$v%09d"))
     }

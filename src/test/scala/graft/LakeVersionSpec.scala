@@ -269,6 +269,74 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("vacuum with a retention horizon: versions inside the horizon stay readable and restorable") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.rh").create() // v1
+      spark.sql("UPDATE graft.lake.rh SET v = 'p1' WHERE id = 1") // v2 (cow: retires v1 files)
+      spark.sql("UPDATE graft.lake.rh SET v = 'p2' WHERE id = 2") // v3 (retires v2's rewrite)
+      spark.sql("UPDATE graft.lake.rh SET v = 'p3' WHERE id = 3") // v4
+      val v3Rows = canon(spark.sql("SELECT * FROM graft.lake.rh VERSION AS OF 3"))
+      val liveRows = canon(spark.table("graft.lake.rh"))
+      // keep the last 2 versions (v3, v4): v1/v2 records drop, and only
+      // retired files no kept record references are reclaimed
+      val (files, records) = LakeMaintenance.vacuum(s"$lake/rh", keepLast = Some(2))
+      assert(records == 2, s"expected 2 records dropped, got $records")
+      assert(files > 0, "pre-horizon retired files must be reclaimed")
+      assert(LakeSinkFiles.listVersions(s"$lake/rh") == Seq(3L, 4L))
+      // inside the horizon: time travel AND restore still work — v3 needs
+      // a RETIRED file (v4's update rewrote it), which must have survived
+      assert(canon(spark.sql("SELECT * FROM graft.lake.rh VERSION AS OF 3")) == v3Rows)
+      LakeMaintenance.restore(s"$lake/rh", 3L) // v5
+      assert(canon(spark.table("graft.lake.rh")) == v3Rows)
+      LakeMaintenance.restore(s"$lake/rh", 4L) // v6: roll forward again
+      assert(canon(spark.table("graft.lake.rh")) == liveRows)
+      // outside the horizon: loud failures, never silent partials
+      val e1 = intercept[Exception](
+        spark.sql("SELECT * FROM graft.lake.rh VERSION AS OF 2").collect())
+      assert(e1.getMessage.contains("no recorded version"), e1.getMessage)
+      val e2 = intercept[Exception](LakeMaintenance.restore(s"$lake/rh", 1L))
+      assert(e2.getMessage != null)
+      // the default form still wipes: only the newest record remains
+      val (_, dropped) = LakeMaintenance.vacuum(s"$lake/rh")
+      assert(dropped == 3 && LakeSinkFiles.listVersions(s"$lake/rh") == Seq(6L))
+    }
+  }
+
+  test("a CDF stream whose offset predates the vacuum horizon fails loudly, never skips") {
+    withLake { lake =>
+      import org.apache.spark.sql.streaming.Trigger
+      threeRows(0).writeTo("graft.lake.vh").create() // v1
+      val ckpt = tmp("graft_vh_ckpt")
+      val outDir = tmp("graft_vh_out")
+      // drains land in a lake table — memory sinks refuse checkpoint
+      // recovery (the LakeCdfSpec lesson)
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft.sources.LakeSink")
+          .option("readChangeFeed", "true")
+          .load(s"$lake/vh")
+          .writeStream.format("graft.sources.LakeSink")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // offset now at v1
+      threeRows(1).writeTo("graft.lake.vh").append() // v2
+      spark.sql("UPDATE graft.lake.vh SET v = 'x' WHERE id = 11") // v3
+      threeRows(2).writeTo("graft.lake.vh").append() // v4
+      // vacuum past the stream's offset: v1..v3 records drop
+      LakeMaintenance.vacuum(s"$lake/vh", keepLast = Some(1))
+      // the restarted stream must refuse — replaying v4 alone would
+      // silently lose v2's inserts and v3's rewrite legs
+      val e = intercept[Exception](drain())
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+      assert(rootMsg(e).contains("vacuumed past this stream"), rootMsg(e).take(400))
+    }
+  }
+
   test("changes across a RESTORE: un-vectored positions replay as INSERT legs (diff law)") {
     import graft.sources.LakeVersions
     withLake { lake =>
