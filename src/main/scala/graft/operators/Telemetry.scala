@@ -2613,7 +2613,54 @@ object Telemetry {
          AND ts < TIMESTAMP '2024-01-15 00:00:00'
        GROUP BY 1 ORDER BY day_idx"""
 
+  /** t61 — WRITE-TIME CHECK CONSTRAINTS under the differential (r12:
+    * [[graft.sources.LakeSinkTable.constraints]] — the Delta
+    * invariants/constraints role through Spark's native V2 constraint
+    * API): the twin's table is created WITH a CHECK constraint, a second
+    * is ADDed post-hoc (validating every existing row), a VIOLATING
+    * insert is then attempted and MUST abort with zero table mutation
+    * (the staged-commit sweep — asserted inside the query), and the
+    * read-back must still equal t04's generator oracle exactly.
+    * GraftCatalogSpec pins the rest: NULL passes (SQL CHECK semantics),
+    * DROP lifts enforcement, ADD over violating data refuses, renames of
+    * constrained columns refuse.
+    *
+    * Scale shape: enforcement rides the write tasks (the engine injects
+    * the predicate into the write plan), so a bad upstream batch fails
+    * BEFORE commit at any scale — no RESTORE needed to undo it. */
+  def t61CheckConstraint(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t61")
+    val _ = lakeRoot
+    s.sql(
+      """CREATE TABLE graft_t61.lake.t61
+         (id BIGINT, ts TIMESTAMP, machine_id STRING, is_anomaly INT,
+          temperature DOUBLE, vibration DOUBLE,
+          CONSTRAINT trange CHECK (temperature BETWEEN -100 AND 300))
+         USING graft""")
+    twin(s).writeTo("graft_t61.lake.t61").append()
+    // post-hoc ADD validates the 10k existing rows before accepting
+    s.sql("ALTER TABLE graft_t61.lake.t61 ADD CONSTRAINT vnn CHECK (vibration >= 0)")
+    // a violating batch must abort with ZERO mutation — half the batch
+    // being valid must not matter (all-or-nothing task/job abort)
+    val violated =
+      try {
+        s.sql(
+          """INSERT INTO graft_t61.lake.t61 VALUES
+             (90001, timestamp'2026-01-01 00:00:00', 'NC_Machine_AC', 0, 20.0, 1.0),
+             (90002, timestamp'2026-01-01 00:01:00', 'NC_Machine_AC', 0, 999.0, 1.0)""")
+        false
+      } catch { case _: Throwable => true }
+    require(violated, "t61: a violating insert must fail")
+    s.table("graft_t61.lake.t61")
+      .select(col("id"), col("ts"), col("machine_id"), col("is_anomaly"),
+        col("temperature"), col("vibration"))
+      .orderBy(col("id"))
+  }
+
+  val t61Sql: String = t04Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t61_check_constraint" -> (t61CheckConstraint _),
     "t60_temporal_partition" -> (t60TemporalPartition _),
     "t59_restore" -> (t59Restore _),
     "t58_sorted_spj" -> (t58SortedSpj _),
@@ -2671,6 +2718,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t61_check_constraint" -> t61Sql,
     "t60_temporal_partition" -> t60Sql,
     "t59_restore" -> t59Sql,
     "t58_sorted_spj" -> t58Sql,

@@ -269,8 +269,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dir.toString
   }
 
+  // ALTER TABLE ADD CONSTRAINT routes to alterTable only when the
+  // catalog declares it (the engine pre-refuses otherwise)
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createLake(ident, schema, partitions, Seq.empty)
+
+  /** `CREATE TABLE … (…, CONSTRAINT c CHECK (…))` — the TableInfo overload
+    * carries the parsed constraint definitions. */
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createLake(ident,
+      StructType(info.columns().map(c =>
+        org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
+      info.partitions(), checkConstraints(info.constraints()))
+
+  /** Validate + project the supported constraint set: named, ENFORCED
+    * CHECK only — informational PK/FK/UNIQUE would silently not hold. */
+  private def checkConstraints(
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Seq[(String, String)] =
+    cs.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          s"$catalogName: NOT ENFORCED constraints are not stored — " +
+            "an unenforced CHECK silently admits violating rows")
+        val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+          throw new UnsupportedOperationException(
+            s"$catalogName: CHECK constraint ${c.name()} has no SQL text"))
+        c.name() -> sql
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: only CHECK constraints are supported " +
+          s"(informational $other would not be enforced)")
+    }
+
+  private def createLake(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], constraints: Seq[(String, String)]): Table = {
     val ns = ident.namespace()
     if (ns.length != 1 || ns(0) != "lake")
       throw new UnsupportedOperationException(
@@ -281,7 +317,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString)))
       throw new TableAlreadyExistsException(ident)
     val partCols = parsePartitions(partitions)
-    initLakeDir(dir, schema, partCols)
+    initLakeDir(dir, schema, partCols, constraints)
     new LakeSinkTable(schema, dir.toString, partCols,
       tableName = Some(s"$catalogName.lake.${ident.name()}"))
   }
@@ -315,12 +351,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Validate + write the manifest of a fresh lake table directory. */
   private def initLakeDir(dir: Path, schema: StructType,
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String],
+      constraints: Seq[(String, String)] = Seq.empty): Unit = {
     // validate the partition fields exist + types supported, before any I/O
     LakeSink.dataSchema(schema, partCols)
     LakeSink.partitionExtractors(schema, partCols)
     Files.createDirectories(dir)
-    LakeSinkFiles.writeManifest(dir.toString, schema, partCols)
+    LakeSinkFiles.writeManifest(dir.toString, schema, partCols,
+      constraints = constraints)
   }
 
   // --- StagingTableCatalog (atomic CTAS / REPLACE TABLE AS SELECT) ------------
@@ -358,7 +396,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partCols = parsePartitions(info.partitions())
     val tmp = Paths.get(lakeRoot.get, "_staged",
       java.util.UUID.randomUUID.toString.take(12))
-    initLakeDir(tmp, schema, partCols)
+    initLakeDir(tmp, schema, partCols, checkConstraints(info.constraints()))
     new GraftStagedTable(
       new LakeSinkTable(schema, tmp.toString, partCols,
         tableName = Some(s"$catalogName.lake.${ident.name()}")),
@@ -396,13 +434,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (schema, partCols) = LakeSinkFiles.readManifest(dir.toString)
       .getOrElse(throw new NoSuchTableException(ident))
     val (renames0, dropped0) = LakeSinkFiles.readManifestRenames(dir.toString)
+    val cons0 = LakeSinkFiles.readManifestConstraints(dir.toString)
     val partNames = LakePart.parseAll(partCols).map(_.name).toSet
     def takenNames(sch: StructType, renames: Map[String, Seq[String]],
         dropped: Seq[String]): Set[String] =
       sch.fieldNames.toSet ++ renames.values.flatten ++ dropped
-    val (newSchema, newRenames, newDropped) =
-      changes.foldLeft((schema, renames0, dropped0)) {
-        case ((sch, ren, drp), add: TableChange.AddColumn) =>
+    // the columns a CHECK predicate references (unresolved names) — a
+    // rename/drop of one would silently break the stored SQL text
+    def consCols(sql: String): Set[String] =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.toSet
+    def requireUnconstrained(cons: Seq[(String, String)], colName: String,
+        what: String): Unit =
+      cons.find { case (_, sql) => consCols(sql).contains(colName) }.foreach {
+        case (n, _) => throw new UnsupportedOperationException(
+          s"$catalogName: cannot $what column $colName — CHECK constraint " +
+            s"$n references it (DROP CONSTRAINT first)")
+      }
+    val (newSchema, newRenames, newDropped, newCons) =
+      changes.foldLeft((schema, renames0, dropped0, cons0)) {
+        case ((sch, ren, drp, cons), ac: TableChange.AddConstraint) =>
+          ac.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              require(c.name() != null && c.name().nonEmpty,
+                s"$catalogName: constraints must be named")
+              require(!cons.exists(_._1.equalsIgnoreCase(c.name())),
+                s"$catalogName: constraint ${c.name()} already exists")
+              require(c.enforced(),
+                s"$catalogName: NOT ENFORCED constraints are not stored — " +
+                  "an unenforced CHECK silently admits violating rows")
+              val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"$catalogName: CHECK constraint ${c.name()} has no SQL text"))
+              // EXISTING rows must satisfy the new constraint (the Delta
+              // ADD CONSTRAINT contract): scan for violations — predicate
+              // FALSE violates, TRUE or NULL passes (SQL CHECK semantics)
+              import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+              val live = SparkSession.active.read
+                .format(classOf[LakeSink].getName).load(dir.toString)
+              require(live.filter(not(coalesce(expr(sql), lit(true)))).isEmpty,
+                s"$catalogName: existing rows of ${ident.name()} violate " +
+                  s"CHECK ${c.name()} ($sql) — constraint not added")
+              (sch, ren, drp, cons :+ (c.name() -> sql))
+            case other => throw new UnsupportedOperationException(
+              s"$catalogName: only CHECK constraints are supported " +
+                s"(informational $other would not be enforced)")
+          }
+        case ((sch, ren, drp, cons), dc: TableChange.DropConstraint) =>
+          require(cons.exists(_._1 == dc.name()),
+            s"$catalogName: no constraint ${dc.name()} on ${ident.name()}")
+          (sch, ren, drp, cons.filterNot(_._1 == dc.name()))
+        case ((sch, ren, drp, cons), add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             s"$catalogName: nested column adds are not supported")
           val name = add.fieldNames()(0)
@@ -411,8 +496,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "alias, or dropped) — name reuse needs a table rewrite")
           (StructType(sch.fields :+
             org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)),
-            ren, drp)
-        case ((sch, ren, drp), rn: TableChange.RenameColumn) =>
+            ren, drp, cons)
+        case ((sch, ren, drp, cons), rn: TableChange.RenameColumn) =>
           require(rn.fieldNames().length == 1,
             s"$catalogName: nested column renames are not supported")
           val from = rn.fieldNames()(0)
@@ -425,11 +510,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!takenNames(sch, ren, drp).contains(to),
             s"$catalogName: column name $to is in use (live, a rename " +
               "alias, or dropped) — name reuse needs a table rewrite")
+          requireUnconstrained(cons, from, "rename")
           (StructType(sch.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f)),
             (ren - from) + (to -> (from +: ren.getOrElse(from, Seq.empty))),
-            drp)
-        case ((sch, ren, drp), del: TableChange.DeleteColumn) =>
+            drp, cons)
+        case ((sch, ren, drp, cons), del: TableChange.DeleteColumn) =>
           require(del.fieldNames().length == 1,
             s"$catalogName: nested column drops are not supported")
           val name = del.fieldNames()(0)
@@ -440,9 +526,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val rest = StructType(sch.fields.filterNot(_.name == name))
           require(rest.fields.nonEmpty,
             s"$catalogName: cannot drop the last column")
+          requireUnconstrained(cons, name, "drop")
           (rest, ren - name,
-            drp ++ (name +: ren.getOrElse(name, Seq.empty)))
-        case ((sch, ren, drp), up: TableChange.UpdateColumnType) =>
+            drp ++ (name +: ren.getOrElse(name, Seq.empty)), cons)
+        case ((sch, ren, drp, cons), up: TableChange.UpdateColumnType) =>
           // TYPE WIDENING (r11, the Iceberg promotion set): int→bigint and
           // float→double are METADATA-SAFE on a JSON-lines lake — the
           // wire format is typeless decimal text, so old files re-parse
@@ -471,7 +558,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"metadata-safe, got $from → $to (a rewrite is required)")
           (StructType(sch.fields.map(f =>
             if (f.name == name) f.copy(dataType = to) else f)),
-            ren, drp)
+            ren, drp, cons)
         case (_, other) => throw new UnsupportedOperationException(
           s"$catalogName: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
             s"widening ALTER COLUMN TYPE are supported, got $other")
@@ -479,7 +566,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // unsupported data types must fail the DDL, not the next write
     LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))
     LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols,
-      newRenames, newDropped)
+      newRenames, newDropped, newCons)
     // a schema change is a version transition: snapshots at or before it
     // keep the pre-evolution schema + aliases
     LakeSinkFiles.recordVersion(dir.toString)

@@ -257,6 +257,27 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
+  /** The table's stored ENFORCED CHECK constraints (write-time data
+    * quality — the Delta invariants/constraints role): the engine reads
+    * these at write resolution and injects the predicate checks into the
+    * write plan, so a violating row fails its task BEFORE commit — the
+    * staged files are swept and the table is untouched (the existing
+    * abort machinery; GraftCatalogSpec pins zero-mutation). Stored in the
+    * manifest, evolved via ALTER TABLE ADD/DROP CONSTRAINT, validated
+    * against existing rows at ADD time ([[GraftCatalog.alterTable]]). */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    LakeSinkFiles.readManifestConstraints(path).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .rely(true)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   /** SQL `TRUNCATE TABLE graft.lake.t` — the same metadata-only
     * retire-everything as a truncating overwrite, recorded as a version
     * (the pre-truncate snapshot stays readable until VACUUM; counts and
@@ -577,18 +598,40 @@ private[graft] object LakeSinkFiles {
     * one ambiguity name-based evolution cannot represent. */
   def writeManifest(path: String, schema: StructType, partCols: Seq[String],
       renames: Map[String, Seq[String]] = Map.empty,
-      dropped: Seq[String] = Seq.empty): Unit = {
+      dropped: Seq[String] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty): Unit = {
     val renBody = renames.toSeq.sortBy(_._1)
       .map { case (l, ps) => s"$l=${ps.mkString("|")}" }.mkString(";")
+    // (name, CHECK predicate SQL) pairs — control-char separators survive
+    // jsonEscape and can appear in neither identifiers nor SQL text
+    val conBody = constraints
+      .map { case (n, sql) => s"$n\u0001$sql" }.mkString("\u0002")
     val json = s"""{"schema":"${LakeSink.jsonEscape(schema.toDDL)}"""" +
       s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"""" +
       (if (renames.nonEmpty) s""","renames":"${LakeSink.jsonEscape(renBody)}"""" else "") +
       (if (dropped.nonEmpty) s""","dropped":"${LakeSink.jsonEscape(dropped.mkString(","))}"""" else "") +
+      (if (constraints.nonEmpty) s""","constraints":"${LakeSink.jsonEscape(conBody)}"""" else "") +
       "}"
     val tmp = Paths.get(path, s".schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(path), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The table's stored CHECK constraints: (name, predicate SQL) in
+    * definition order. Enforced at write time (the engine injects the
+    * checks from [[LakeSinkTable.constraints]]); evolved through
+    * `ALTER TABLE ADD/DROP CONSTRAINT` ([[GraftCatalog.alterTable]]). */
+  def readManifestConstraints(path: String): Seq[(String, String)] = {
+    val p = manifestPath(path)
+    if (!Files.isRegularFile(p)) return Seq.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (!json.contains(""""constraints":"""")) return Seq.empty
+    jsonField(json, "constraints", s"manifest at $p")
+      .split("\u0002").iterator.filter(_.nonEmpty).map { e =>
+        val i = e.indexOf('\u0001')
+        e.substring(0, i) -> e.substring(i + 1)
+      }.toSeq
   }
 
   private def parseRenames(body: String): Map[String, Seq[String]] =

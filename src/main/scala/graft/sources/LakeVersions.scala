@@ -563,7 +563,10 @@ object LakeMaintenance {
     val (aliases, ignored) = LakeSinkFiles.readVersionEvolution(path, version)
     LakeSinkFiles.writeManifest(path, sch, partCols,
       renames = aliases.groupBy(_._2).map { case (l, m) => l -> m.keys.toSeq.sorted },
-      dropped = ignored.toSeq.sorted)
+      dropped = ignored.toSeq.sorted,
+      // constraint DDL is orthogonal to the data rollback — the live
+      // constraint set survives a restore (matching Delta's RESTORE)
+      constraints = LakeSinkFiles.readManifestConstraints(path))
     // 4. ledgers SET from the target's recorded snapshots (files are
     // immutable, so re-adding still-live entries is idempotent; a legacy
     // record without snapshots degrades to scan fallback, never a guess)

@@ -973,6 +973,50 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("CHECK constraints: writes enforce, violating append aborts with zero mutation") {
+    val lake = tmp("graft_cat_cons")
+    withCatalog(lake) {
+      spark.sql(
+        """CREATE TABLE graft.lake.cn
+           (id BIGINT, t DOUBLE, CONSTRAINT trange CHECK (t BETWEEN -50 AND 150))
+           USING graft""")
+      spark.sql("INSERT INTO graft.lake.cn VALUES (1L, 20.0), (2L, 30.0)")
+      assert(spark.table("graft.lake.cn").count() == 2)
+      val before = dataFilesOf(s"$lake/cn")
+      // a violating append fails BEFORE commit: zero table mutation, the
+      // staged bytes swept by the ordinary task/job abort machinery
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO graft.lake.cn VALUES (3L, 999.0), (4L, 40.0)"))
+      assert(e.getMessage != null)
+      assert(canon(spark.table("graft.lake.cn")).size == 2,
+        "a violating append must not land any rows")
+      assert(dataFilesOf(s"$lake/cn") == before,
+        "a violating append must not touch committed files")
+      // NULL passes CHECK (SQL semantics: violation = predicate IS FALSE)
+      spark.sql("INSERT INTO graft.lake.cn VALUES (5L, CAST(NULL AS DOUBLE))")
+      assert(spark.table("graft.lake.cn").count() == 3)
+      // DROP CONSTRAINT lifts enforcement; ADD over violating data refuses
+      spark.sql("ALTER TABLE graft.lake.cn DROP CONSTRAINT trange")
+      spark.sql("INSERT INTO graft.lake.cn VALUES (6L, 999.0)")
+      assert(spark.table("graft.lake.cn").count() == 4)
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.lake.cn ADD CONSTRAINT trange CHECK (t BETWEEN -50 AND 150)"))
+      assert(e2.getMessage.contains("violate"), e2.getMessage)
+      // clean data: ADD validates and subsequent writes enforce again
+      spark.sql("DELETE FROM graft.lake.cn WHERE t > 150")
+      spark.sql(
+        "ALTER TABLE graft.lake.cn ADD CONSTRAINT trange CHECK (t BETWEEN -50 AND 150)")
+      val e3 = intercept[Exception](
+        spark.sql("INSERT INTO graft.lake.cn VALUES (7L, -999.0)"))
+      assert(e3.getMessage != null)
+      assert(spark.table("graft.lake.cn").count() == 3)
+      // a column referenced by a CHECK cannot be renamed or dropped
+      val e4 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.lake.cn RENAME COLUMN t TO temp"))
+      assert(e4.getMessage.contains("CHECK constraint"), e4.getMessage)
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](
