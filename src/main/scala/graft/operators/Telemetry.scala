@@ -2659,7 +2659,42 @@ object Telemetry {
 
   val t61Sql: String = t04Sql
 
+  /** t62 — PER-FILE BLOOM FILTERS under the differential (r12:
+    * [[graft.sources.LakeSinkStats]]'s opt-in `bloomFilterColumns` — the
+    * parquet column-index / Delta bloomFilter role): documents land
+    * UNCLUSTERED across 8 files (every file's [lo, hi] straddles every
+    * needle — bounds can never skip), each file carrying a Bloom filter
+    * on `doc_id`, and the query is a point lookup `doc_id IN (…)`. The
+    * filters ride the stats ledger (all commit hooks, snapshots,
+    * compaction folds); LakeStatsSpec pins the skip counts (needle opens
+    * 1 file of 4, control opens all) and PropertySpec pins the soundness
+    * law (a skipped file provably lacks the needle — no false
+    * negatives). The HASH is layout-invariant: the lookup must equal
+    * DuckDB's plain restatement.
+    *
+    * Scale shape: a needle lookup on an unclustered high-cardinality key
+    * opens O(matching files) instead of O(table) — the metadata is
+    * O(#files) bits, the standard point-lookup answer at 100 TB. */
+  def t62BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t62")
+    val _ = lakeRoot
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(8, col("doc_id"))
+      .writeTo("graft_t62.lake.docs")
+      .option("bloomFilterColumns", "doc_id")
+      .create()
+    s.table("graft_t62.lake.docs")
+      .filter(col("doc_id").isin(3L, 17L, 41L))
+      .orderBy(col("doc_id"))
+  }
+
+  val t62Sql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE doc_id IN (3, 17, 41) ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t62_bloom_lookup" -> (t62BloomLookup _),
     "t61_check_constraint" -> (t61CheckConstraint _),
     "t60_temporal_partition" -> (t60TemporalPartition _),
     "t59_restore" -> (t59Restore _),
@@ -2718,6 +2753,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t62_bloom_lookup" -> t62Sql,
     "t61_check_constraint" -> t61Sql,
     "t60_temporal_partition" -> t60Sql,
     "t59_restore" -> t59Sql,

@@ -517,7 +517,14 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
   override def build(): Write = new LakeSinkWrite(schema, path, mode, partCols, queryId,
     sortCols = Option(options.get("sortBy")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
-    clusterWrite = options.getOrDefault("distributionMode", "cluster") != "none")
+    clusterWrite = options.getOrDefault("distributionMode", "cluster") != "none",
+    bloomCols = {
+      val bits = Option(options.get("bloomFilterBits"))
+        .map(_.trim.toInt).getOrElse(LakeSinkStats.DefaultBloomBits)
+      Option(options.get("bloomFilterColumns")).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .map(_ -> bits).toMap
+    })
 }
 
 /** The write's plan-side contract. Beyond serializer validation, this is
@@ -537,7 +544,8 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
   * ([[LakeSinkStats]]). */
 private[sources] class LakeSinkWrite(schema: StructType, path: String,
     mode: LakeWriteMode, partCols: Seq[String], queryId: String = "",
-    sortCols: Seq[String] = Seq.empty, clusterWrite: Boolean = true)
+    sortCols: Seq[String] = Seq.empty, clusterWrite: Boolean = true,
+    bloomCols: Map[String, Int] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -547,6 +555,21 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
   LakeSink.partitionExtractors(schema, partCols)
   sortCols.foreach(c => require(schema.fieldNames.contains(c),
     s"LakeSink: sortBy column $c is not in the write schema"))
+  bloomCols.foreach { case (c, m) =>
+    require(m > 0 && (m & (m - 1)) == 0,
+      s"LakeSink: bloomFilterBits must be a power of 2, got $m")
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"LakeSink: bloomFilterColumns column $c is not in the write schema"))
+    require(!partCols.contains(c),
+      s"LakeSink: bloom filters apply to DATA columns; $c is a partition " +
+        "column (directory pruning already serves it)")
+    require(f.dataType match {
+      case DoubleType | FloatType => false
+      case dt                     => LakeSinkStats.statable(dt)
+    }, s"LakeSink: bloom filter on $c of type ${f.dataType} is unsupported " +
+      "(exact-match lookups on IEEE doubles are not a thing)")
+  }
 
   override def requiredDistribution(): Distribution =
     if (partCols.isEmpty || !clusterWrite) Distributions.unspecified()
@@ -569,7 +592,7 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
       (if (sortCols.nonEmpty) s" sortBy=[${sortCols.mkString(",")}]" else "")
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, mode,
-      java.util.UUID.randomUUID.toString.take(8), partCols, sortCols)
+      java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols)
   override def toStreaming: StreamingWrite =
     new LakeSinkStreamingWrite(schema, path, partCols, queryId)
 }
@@ -1164,7 +1187,8 @@ private[sources] case object LakeSinkNoData extends WriterCommitMessage
 private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     mode: LakeWriteMode, writeId: String,
     partCols: Seq[String] = Seq.empty,
-    sortCols: Seq[String] = Seq.empty) extends BatchWrite {
+    sortCols: Seq[String] = Seq.empty,
+    bloomCols: Map[String, Int] = Map.empty) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   // boolean-compat constructor (tests / streaming paths built pre-modes)
   def this(schema: StructType, path: String, truncateFirst: Boolean,
@@ -1172,7 +1196,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     this(schema, path, if (truncateFirst) LakeTruncate else LakeAppend,
       writeId, partCols)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols)
+    new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols, bloomCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
     val staged = committed.flatMap(_.staged)
@@ -1266,11 +1290,13 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
 }
 
 private[sources] class LakeSinkWriterFactory(schema: StructType, path: String,
-    tag: String, partCols: Seq[String]) extends DataWriterFactory {
+    tag: String, partCols: Seq[String],
+    bloomCols: Map[String, Int] = Map.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeSinkDataWriter(schema, path, partCols,
       fileName = s"part-$tag-$partitionId.json.gz",
-      attemptTag = s"$tag-$partitionId-a$taskId")
+      attemptTag = s"$tag-$partitionId-a$taskId",
+      bloomCols = bloomCols)
 }
 
 private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
@@ -1296,7 +1322,8 @@ private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
   * speculative duplicates of the same partition from clobbering each
   * other; the commit coordinator guarantees only one reaches commit(). */
 private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
-    partCols: Seq[String], fileName: String, attemptTag: String)
+    partCols: Seq[String], fileName: String, attemptTag: String,
+    bloomCols: Map[String, Int] = Map.empty)
     extends DataWriter[InternalRow] {
   private val dataSchema = LakeSink.dataSchema(schema, partCols)
   private val dataIdx = schema.fields.zipWithIndex
@@ -1352,7 +1379,8 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
     b.append("}\n")
     out.write(b.toString)
     rowCounts.updateWith(rel) { c => Some(c.getOrElse(0L) + 1L) }
-    val ts = statTrackers.getOrElseUpdate(rel, LakeSinkStats.trackers(dataSchema))
+    val ts = statTrackers.getOrElseUpdate(rel,
+      LakeSinkStats.trackers(dataSchema, bloomCols))
     i = 0
     while (i < ts.length) {
       if (ts(i).isDefined) {

@@ -58,6 +58,97 @@ private[graft] object LakeSinkStats {
     case _ => false
   }
 
+  // --- per-file Bloom filters (point-lookup skipping) ------------------------
+  //
+  // [lo, hi] intervals cannot serve a needle lookup on an UNCLUSTERED
+  // high-cardinality column — every file's interval straddles the needle
+  // and every file opens. A per-(file, column) Bloom filter (the parquet
+  // column-index / Delta `bloomFilter` role) closes that: `id = X` skips
+  // every file whose filter provably lacks X. OPT-IN per write via
+  // `.option("bloomFilterColumns", "id")` (+ `bloomFilterBits`, default
+  // 2^17) — the sorted-ledger pattern: only declaring writes carry
+  // filters, absent filters keep the file, so the skip is sound by
+  // construction. Bits ride the stats blob as a 5th entry part (Base64),
+  // so all five commit-site hooks + retire + the per-version snapshots
+  // carry them with zero new plumbing; compaction ORs same-size filters
+  // (vector-free fold) or rebuilds them (materialize re-parse).
+
+  val DefaultBloomBits: Int = 1 << 17 // 16 KiB/column/file ≈ 10 bits/row at 13k rows
+  private val BloomK = 6
+
+  /** FNV-1a 64 over canonical value bytes — deterministic across JVMs,
+    * identical for the writer's InternalRow values and the scan's
+    * converted filter literals (both reach here via the
+    * internal-COMPARABLE form: Long for int/long/date/timestamp,
+    * UTF8String bytes for strings; doubles carry no filters). */
+  def bloomFp(comparable: Any): Option[Long] = comparable match {
+    case l: java.lang.Long => Some(fnvLong(l.longValue))
+    case s: UTF8String     => Some(fnv(s.getBytes))
+    case _                 => None
+  }
+
+  private def fnv(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def fnvLong(v: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < 8) { h ^= (v >>> (8 * i)) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Double-hashed blocked membership over power-of-two `m` bits. */
+  final class BloomBits(val m: Int) {
+    require(m > 0 && (m & (m - 1)) == 0, s"bloom bits must be a power of 2, got $m")
+    private val words = new Array[Long](m >> 6)
+    def insert(fp: Long): Unit = {
+      val step = LakePart.scramble(fp) | 1L
+      var i = 0
+      while (i < BloomK) {
+        val b = ((fp + i * step) & (m - 1)).toInt
+        words(b >> 6) |= 1L << (b & 63)
+        i += 1
+      }
+    }
+    def encoded: String = {
+      val bytes = new Array[Byte](m >> 3)
+      java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().put(words)
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    }
+  }
+
+  /** Membership test over a DECODED filter byte array (scan side). */
+  def bloomMightContain(bytes: Array[Byte], fp: Long): Boolean = {
+    val m = bytes.length * 8
+    val step = LakePart.scramble(fp) | 1L
+    var i = 0
+    while (i < BloomK) {
+      val b = ((fp + i * step) & (m - 1)).toInt
+      if ((bytes(b >> 3) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Bitwise-OR union of same-size filters (compaction's arithmetic
+    * fold) — the union over-approximates the merged file's membership,
+    * never under: still sound. Mismatched sizes drop the filter. */
+  def bloomUnion(encs: Seq[String]): Option[String] = {
+    val all = encs.map(java.util.Base64.getDecoder.decode)
+    if (all.isEmpty || all.exists(_.length != all.head.length)) return None
+    val out = new Array[Byte](all.head.length)
+    all.foreach { a =>
+      var i = 0
+      while (i < a.length) { out(i) = (out(i) | a(i)).toByte; i += 1 }
+    }
+    Some(java.util.Base64.getEncoder.encodeToString(out))
+  }
+
   // --- per-column trackers (writer side) -------------------------------------
 
   /** Mutable [lo, hi] + null-count tracker over one column of one file.
@@ -70,7 +161,13 @@ private[graft] object LakeSinkStats {
     protected var seen = false
     protected var dead = false
     private var nulls = 0L
+    private var bloomBits: BloomBits = null
     def update(row: InternalRow, i: Int): Unit
+    /** Opt this column into a per-file Bloom filter of `m` bits (see the
+      * bloom section above) — subclasses insert each value's fp. */
+    final def enableBloom(m: Int): Unit = bloomBits = new BloomBits(m)
+    protected final def bloomAdd(fp: Long): Unit =
+      if (bloomBits != null) bloomBits.insert(fp)
     /** The writer saw a NULL in this column — tracked so `count(col)`
       * answers as Σ(rows − nulls) and `IsNull` filters can skip files
       * with zero nulls. */
@@ -80,7 +177,12 @@ private[graft] object LakeSinkStats {
     final def encoded: Option[String] =
       if (dead) None
       else if (!seen) Some(s"$name$FieldSep$nulls")
-      else Some(s"$name$FieldSep$nulls$FieldSep$loEnc$FieldSep$hiEnc")
+      else {
+        // the bloom attaches only to full bounds entries (arity 5) —
+        // all-null files need no filter (EqualTo skips on empty bounds)
+        val b = if (bloomBits == null) "" else s"$FieldSep${bloomBits.encoded}"
+        Some(s"$name$FieldSep$nulls$FieldSep$loEnc$FieldSep$hiEnc$b")
+      }
   }
 
   private final class LongTracker(name: String, get: (InternalRow, Int) => Long)
@@ -88,6 +190,7 @@ private[graft] object LakeSinkStats {
     private var lo = 0L; private var hi = 0L
     def update(row: InternalRow, i: Int): Unit = {
       val v = get(row, i)
+      bloomAdd(fnvLong(v))
       if (!seen) { lo = v; hi = v; seen = true }
       else { if (v < lo) lo = v; if (v > hi) hi = v }
     }
@@ -115,6 +218,7 @@ private[graft] object LakeSinkStats {
     def update(row: InternalRow, i: Int): Unit = {
       if (dead) return
       val v = row.getUTF8String(i)
+      bloomAdd(fnv(v.getBytes))
       if (v.numChars() > MaxStringChars) { dead = true; lo = null; hi = null; return }
       if (!seen) { val c = v.copy(); lo = c; hi = c; seen = true }
       else { // copy(): the row buffer is reused across rows
@@ -131,9 +235,10 @@ private[graft] object LakeSinkStats {
   /** One tracker per statable column of a FILE schema (positions are
     * file-schema ordinals — the writer's dataIdx mapping applies before
     * calling update). Non-statable columns get None. */
-  def trackers(dataSchema: StructType): Array[Option[ColTracker]] =
+  def trackers(dataSchema: StructType,
+      bloomCols: Map[String, Int] = Map.empty): Array[Option[ColTracker]] =
     dataSchema.fields.map { f =>
-      f.dataType match {
+      val t: Option[ColTracker] = f.dataType match {
         case LongType | TimestampType =>
           Some(new LongTracker(f.name, (r, i) => r.getLong(i)))
         case IntegerType | DateType =>
@@ -145,6 +250,15 @@ private[graft] object LakeSinkStats {
         case StringType => Some(new StringTracker(f.name))
         case _          => None
       }
+      // doubles never carry filters (no fp for IEEE values) — callers
+      // validate the column list at write planning
+      bloomCols.get(f.name).foreach { m =>
+        f.dataType match {
+          case DoubleType | FloatType => ()
+          case _                      => t.foreach(_.enableBloom(m))
+        }
+      }
+      t
     }
 
   /** Fold a file's trackers into the per-file blob (entries joined by
@@ -195,7 +309,8 @@ private[graft] object LakeSinkStats {
     * the file's NULL count for the column — None only for legacy ledger
     * entries written before null counting existed. A column ABSENT from
     * the map was not tracked at all. */
-  final case class ColStat(nulls: Option[Long], bounds: Option[(Any, Any)])
+  final case class ColStat(nulls: Option[Long], bounds: Option[(Any, Any)],
+      bloom: Option[Array[Byte]] = None)
 
   type FileStats = Map[String, ColStat]
 
@@ -212,8 +327,11 @@ private[graft] object LakeSinkStats {
           case 2 => ColStat(Some(parts(1).toLong), None)
           case 3 => ColStat(None, Some((decodeVal(f.dataType, parts(1)),
             decodeVal(f.dataType, parts(2))))) // legacy bounds
-          case _ => ColStat(Some(parts(1).toLong),
+          case 4 => ColStat(Some(parts(1).toLong),
             Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))))
+          case _ => ColStat(Some(parts(1).toLong),
+            Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))),
+            bloom = Some(java.util.Base64.getDecoder.decode(parts(4))))
         })
       }
     }.toMap
@@ -255,7 +373,17 @@ private[graft] object LakeSinkStats {
         else {
           val lo = bounds.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
           val hi = bounds.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)
-          Some(s"${f.name}$nEnc$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}")
+          // blooms fold by bitwise OR — kept only when every BOUNDED input
+          // carries one (same size) AND the merged entry has a null count
+          // (a bloom on a legacy-arity entry would be misparsed)
+          val bWith = stats.filter(_.bounds.isDefined)
+          val bEnc: String =
+            if (nulls.isDefined && bWith.nonEmpty && bWith.forall(_.bloom.isDefined))
+              bloomUnion(bWith.map(c => java.util.Base64.getEncoder
+                .encodeToString(c.bloom.get)))
+                .map(u => s"$FieldSep$u").getOrElse("")
+            else ""
+          Some(s"${f.name}$nEnc$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}$bEnc")
         }
       }
     }.mkString(EntrySep.toString)
@@ -341,7 +469,15 @@ private[graft] object LakeSinkStats {
     filter match {
       case EqualTo(a, v) => bounds(fs, schema, a, v) match {
         case Some((None, _))           => false // all-null: nothing equals v
-        case Some((Some((lo, hi)), w)) => cmp(w, lo) >= 0 && cmp(w, hi) <= 0
+        case Some((Some((lo, hi)), w)) =>
+          cmp(w, lo) >= 0 && cmp(w, hi) <= 0 && (fs.get(a).flatMap(_.bloom) match {
+            // the needle proof: a recorded Bloom that lacks w's fp
+            // proves no row equals it (no false negatives by
+            // construction — same fp arithmetic writer- and scan-side)
+            case Some(bits) =>
+              bloomFp(w).forall(bloomMightContain(bits, _))
+            case None => true
+          })
         case None                      => true
       }
       case GreaterThan(a, v) => bounds(fs, schema, a, v) match {
@@ -369,13 +505,13 @@ private[graft] object LakeSinkStats {
       case IsNotNull(a) =>
         // an all-null entry proves no non-null row exists
         fs.get(a) match {
-          case Some(ColStat(_, None)) => false
+          case Some(ColStat(_, None, _)) => false
           case _                      => true
         }
       case IsNull(a) =>
         // a recorded zero null count proves no NULL row exists
         fs.get(a) match {
-          case Some(ColStat(Some(0L), _)) => false
+          case Some(ColStat(Some(0L), _, _)) => false
           case _                          => true
         }
       case And(l, r) => mayMatch0(fs, schema, l) && mayMatch0(fs, schema, r)

@@ -219,17 +219,29 @@ object LakeMaintenance {
     // originals carry delete vectors takes the MATERIALIZE path: survivor
     // lines are copied AND re-parsed through fresh stats/count trackers,
     // so the rewrite fully restores metadata pushdown (the ledgers of a
-    // vector-free group carry over arithmetically — no parse needed)
+    // vector-free group carry over arithmetically — no parse needed).
+    // Bloom coverage survives the rewrite: a column any original carried
+    // a filter for is re-tracked at the originals' max size (the
+    // vector-free fold ORs the original filters instead — see
+    // LakeSinkStats.mergeBlobs)
+    val bloomLedger = LakeSinkStats.readBlobs(path)
+    val groupBloomCols: Seq[Map[String, Int]] = groups.map { case (_, rels) =>
+      rels.flatMap(r => bloomLedger.get(r).toSeq.flatMap(b =>
+        LakeSinkStats.decode(b, tblSchema, evoAliases).toSeq.collect {
+          case (n, cs) if cs.bloom.isDefined => n -> cs.bloom.get.length * 8
+        })).groupBy(_._1).map { case (n, ms) => n -> ms.map(_._2).max }
+    }
     val staged: Seq[(String, Option[(Long, String)])] = spark.sparkContext
-      .parallelize(groups.zipWithIndex, groups.size)
-      .map { case ((dirRel, rels), i) =>
+      .parallelize(groups.zip(groupBloomCols).zipWithIndex, groups.size)
+      .map { case (((dirRel, rels), gBloom), i) =>
         val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
         val stagedRel = s"${prefix}part-c$tag-$i.json.gz"
         val out = LakeSinkFiles.stagingDir(path).resolve(s"$stagedRel.inprogress")
         Option(out.getParent).foreach(Files.createDirectories(_))
         val materialize = rels.exists(dels.contains)
         val trackers =
-          if (materialize) LakeSinkStats.trackers(dataSchema) else Array.empty[Option[LakeSinkStats.ColTracker]]
+          if (materialize) LakeSinkStats.trackers(dataSchema, gBloom)
+          else Array.empty[Option[LakeSinkStats.ColTracker]]
         val parser =
           if (materialize) new JsonLineParser(dataSchema, evoAliases, evoIgnored)
           else null

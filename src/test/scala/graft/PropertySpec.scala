@@ -280,12 +280,12 @@ class PropertySpec extends GraftSpec {
       val fs = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").zip(expectedBounds(rows)).foreach { case (c, want) =>
         fs.get(c) match {
-          case Some(LakeSinkStats.ColStat(n, Some((lo, hi)))) =>
+          case Some(LakeSinkStats.ColStat(n, Some((lo, hi)), _)) =>
             val Some((wl, wh)) = want
             assert(LakeSinkStats.cmp(lo, wl) == 0 && LakeSinkStats.cmp(hi, wh) == 0,
               s"$c: got [$lo,$hi] want [$wl,$wh]")
             assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
-          case Some(LakeSinkStats.ColStat(n, None)) =>
+          case Some(LakeSinkStats.ColStat(n, None, _)) =>
             assert(want.isEmpty, s"$c: all-null marker but values exist")
             assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
           case None => fail(s"$c: column missing from blob")
@@ -303,8 +303,8 @@ class PropertySpec extends GraftSpec {
       val whole = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").foreach { c =>
         (merged.get(c), whole.get(c)) match {
-          case (Some(LakeSinkStats.ColStat(mn, Some((ml, mh)))),
-                Some(LakeSinkStats.ColStat(wn, Some((wl, wh))))) =>
+          case (Some(LakeSinkStats.ColStat(mn, Some((ml, mh)), _)),
+                Some(LakeSinkStats.ColStat(wn, Some((wl, wh)), _))) =>
             assert(LakeSinkStats.cmp(ml, wl) == 0 && LakeSinkStats.cmp(mh, wh) == 0,
               s"$c: merged [$ml,$mh] vs whole [$wl,$wh]")
             assert(mn == wn, s"$c: merged null count $mn vs whole $wn (sum law)")
@@ -386,6 +386,54 @@ class PropertySpec extends GraftSpec {
             s"UNSOUND SKIP: IsNull($c) pruned a file containing nulls")
       }
     }
+  }
+
+  test("property: bloom skip is SOUND — a skipped file provably lacks the needle") {
+    import graft.sources.LakeSinkStats
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.unsafe.types.UTF8String
+    // SMALL filters (512 bits) on dense random inputs — saturation must
+    // only cost effectiveness, never soundness
+    samples(statRowGen, 6).foreach { rows =>
+      val ts = LakeSinkStats.trackers(statSchema,
+        Map("l" -> 512, "s" -> 512, "d" -> 512))
+      rows.foreach { case (l, d, t) =>
+        val row = new GenericInternalRow(Array[Any](
+          l.map(Long.box).orNull, d.map(Double.box).orNull,
+          t.map(UTF8String.fromString).orNull))
+        (0 to 2).foreach(i =>
+          if (row.isNullAt(i)) ts(i).get.nullSeen() else ts(i).get.update(row, i))
+      }
+      val fs = LakeSinkStats.decode(LakeSinkStats.blobOf(ts), statSchema)
+      // no false negatives: every INSERTED value must pass EqualTo
+      rows.flatMap(_._1).foreach { v =>
+        assert(LakeSinkStats.mayMatch(Some(fs), statSchema, EqualTo("l", v)),
+          s"UNSOUND: bloom dropped inserted long $v")
+      }
+      rows.flatMap(_._3).foreach { v =>
+        assert(LakeSinkStats.mayMatch(Some(fs), statSchema, EqualTo("s", v)),
+          s"UNSOUND: bloom dropped inserted string '$v'")
+      }
+      // a double column never carries a filter (no fp for IEEE values):
+      // inserted doubles must still pass through the bounds-only path
+      rows.flatMap(_._2).filterNot(_.isNaN).foreach { v =>
+        assert(LakeSinkStats.mayMatch(Some(fs), statSchema, EqualTo("d", v)))
+      }
+    }
+    // effectiveness (deterministic inputs): an ABSENT needle strictly
+    // inside the [lo, hi] bounds skips via the filter — the case bounds
+    // alone can never serve
+    val ts = LakeSinkStats.trackers(statSchema, Map("l" -> 65536))
+    (0 until 100).foreach { i =>
+      val row = new GenericInternalRow(Array[Any](Long.box(2L * i), null, null))
+      ts(0).get.update(row, 0); ts(1).get.nullSeen(); ts(2).get.nullSeen()
+    }
+    val fs = LakeSinkStats.decode(LakeSinkStats.blobOf(ts), statSchema)
+    assert(LakeSinkStats.mayMatch(Some(fs), statSchema, EqualTo("l", 42L)),
+      "inserted even needle must pass")
+    assert(!LakeSinkStats.mayMatch(Some(fs), statSchema, EqualTo("l", 99L)),
+      "absent odd needle inside the bounds must skip via the bloom")
   }
 
   test("property: temporal transform laws — key/dir/interval agree on arbitrary micros") {
