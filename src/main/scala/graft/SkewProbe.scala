@@ -86,7 +86,11 @@ object SkewProbe {
       // r11: winnowing's fingerprint-fan-out cap (WinFpCap=64) — clique
       // members share entire fingerprint SETS, the exact load the cap
       // drops before the pair join
-      ("d59_winnowing", Seq(1, 4), operators.TextOps.d59Winnowing))
+      ("d59_winnowing", Seq(1, 4), operators.TextOps.d59Winnowing),
+      // r12: exact-substring report — NO pair join by design (per-doc
+      // spans, the Lee et al. removal shape); clique replicas add linear
+      // gram volume, so the slope should sit near the scan-linear band
+      ("d60_exact_substrings", Seq(1, 4), operators.TextOps.d60ExactSubstrings))
 
     // optional args beyond the base dir = query-name filter (local iteration)
     val keyFilter = args.drop(1).toSet

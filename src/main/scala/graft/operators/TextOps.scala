@@ -450,6 +450,116 @@ object TextOps {
        LIMIT 50"""
   }
 
+  /** d60's minimum repeated-substring length in TOKENS (the Lee et al.
+    * 2021 ExactSubstr threshold, scaled to this corpus' short docs; the
+    * paper uses 50 BPE tokens on web-scale text). Defined above the SQL
+    * val that interpolates it (object-init order). */
+  private val SubK = 8
+
+  /** d60 — EXACT-SUBSTRING dedup report (Lee et al. 2021,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr side): for every document, the MAXIMAL
+    * token runs of length ≥ [[SubK]] that also appear verbatim in some
+    * OTHER document — the position-exact family member next to d59's
+    * winnowing (position-robust sample) and d06/x06 (whole-content
+    * fingerprints). A run of ≥ k tokens repeats across docs iff one of
+    * its k-grams repeats across docs, so: hash every k-gram (scan-local
+    * array lambda, the d59 construction), keep grams seen in ≥ 2
+    * DISTINCT docs, and merge each doc's covered positions into maximal
+    * spans (gaps-and-islands on the running interval max — the t26
+    * pattern). Per doc: token count, span count, duplicated-token count,
+    * duplicated share — the numbers ExactSubstr removal would cut.
+    *
+    * Scale shape: gram hashing is scan-local; the only shuffles are ONE
+    * uniform gram-keyed aggregate + ONE semi-join back on the same key +
+    * per-doc windows — NO pair join anywhere, so corpus-spanning
+    * duplicate cliques cost linear work, not quadratic (skew probe
+    * slope < 1; the reason the report is per-DOC spans, exactly like the
+    * paper's removal pass, rather than per-pair). */
+  def d60ExactSubstrings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    exactSubstrReport(Tables.documents(s, dir).select($"doc_id", $"text"))
+  }
+
+  /** d60's core over a (doc_id, text) frame — exposed so the spec can
+    * pin the span algebra on planted shared runs (a shared run of
+    * exactly [[SubK]] tokens is one span of SubK; two disjoint runs are
+    * two spans; a SubK−1 run is invisible). */
+  private[graft] def exactSubstrReport(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = (e: String) => s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val cat = (0 until SubK).map(j => s"element_at(tk, i + ${j + 1})")
+      .mkString(", ' ', ")
+    val base = docs
+      .withColumn("tk", toks(lower($"text")))
+      .select($"doc_id", size($"tk").as("n_tokens"),
+        when(size($"tk") >= SubK, expr(
+          s"transform(sequence(0, size(tk) - $SubK), i -> ${h(s"concat($cat)")})"))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("g"))
+      .localCheckpoint(true) // gram lambdas feed three consumers (invariant 5)
+    val e = base.select($"doc_id", posexplode($"g"))
+      .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("gh"))
+    val rep = e.groupBy($"gh").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"gh")
+    val cov = e.join(rep, Seq("gh"), "left_semi")
+      .select($"doc_id", $"p", ($"p" + lit(SubK - 1)).as("en"))
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = cov
+      .withColumn("pm", max($"en").over(wPrev))
+      .withColumn("brk", when($"pm".isNull || $"p" > $"pm" + 1, 1).otherwise(0))
+      .withColumn("iid", sum($"brk").over(wRun))
+      .groupBy($"doc_id", $"iid").agg(min($"p").as("sp"), max($"en").as("ep"))
+    val perDoc = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"ep" - $"sp" + 1).as("dup_tokens"))
+    base.select($"doc_id", $"n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        r(coalesce($"dup_tokens", lit(0L)).cast("double") /
+          greatest($"n_tokens", lit(1)).cast("double"), 6).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val d60Sql: String = {
+    val cat = (0 until SubK).map(j => s"tk[i + ${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents),
+       b AS MATERIALIZED (SELECT doc_id, len(tk) AS n_tokens,
+         CASE WHEN len(tk) >= $SubK
+           THEN list_transform(range(0, len(tk) - ${SubK - 1}),
+                  i -> ${DedupLsh.h60Sql(s"($cat)")})
+           ELSE CAST([] AS BIGINT[]) END AS g
+       FROM d),
+       e2 AS MATERIALIZED (SELECT doc_id,
+         unnest(generate_series(1, len(g))) AS p, unnest(g) AS gh
+       FROM b WHERE len(g) > 0),
+       rep AS (SELECT gh FROM e2 GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       cov AS (SELECT doc_id, p, p + ${SubK - 1} AS en FROM e2 JOIN rep USING (gh)),
+       isl AS (SELECT doc_id, p, en,
+         CASE WHEN p > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000) + 1
+           THEN 1 ELSE 0 END AS brk
+       FROM cov),
+       isl2 AS (SELECT doc_id, p, en, sum(brk) OVER (PARTITION BY doc_id
+           ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+       FROM isl),
+       spans AS (SELECT doc_id, iid, min(p) AS sp, max(en) AS ep
+       FROM isl2 GROUP BY doc_id, iid),
+       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(ep - sp + 1) AS BIGINT) AS dup_tokens
+       FROM spans GROUP BY doc_id)
+       SELECT b.doc_id, n_tokens, coalesce(n_spans, 0) AS n_spans,
+         coalesce(dup_tokens, 0) AS dup_tokens,
+         ${rSql("CAST(coalesce(dup_tokens, 0) AS DOUBLE) / greatest(n_tokens, 1)", 6)}
+           AS dup_ratio
+       FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id
+       ORDER BY b.doc_id"""
+  }
+
   /** d50's boilerplate threshold: a sentence-level unit repeated in at
     * least this many DISTINCT docs of one source is boilerplate. */
   private val BoilerK = 3
@@ -2280,6 +2390,7 @@ object TextOps {
     "d48_dedup_impact" -> (d48DedupImpact _),
     "d49_incremental_dedup" -> (d49IncrementalDedup _),
     "d58_cdf_dedup" -> (d58CdfDedup _),
+    "d60_exact_substrings" -> (d60ExactSubstrings _),
     "d59_winnowing" -> (d59Winnowing _),
     "d50_boilerplate" -> (d50Boilerplate _),
     "d21_cms_heavy_hitters" -> (d21CmsHeavyHitters _),
@@ -2312,6 +2423,7 @@ object TextOps {
     "d48_dedup_impact" -> d48Sql,
     "d49_incremental_dedup" -> d49Sql,
     "d58_cdf_dedup" -> d58Sql,
+    "d60_exact_substrings" -> d60Sql,
     "d59_winnowing" -> d59Sql,
     "d50_boilerplate" -> d50Sql,
     "d21_cms_heavy_hitters" -> d21Sql,
