@@ -2693,7 +2693,42 @@ object Telemetry {
     """SELECT doc_id, lang, source, n_chars FROM documents
        WHERE doc_id IN (3, 17, 41) ORDER BY doc_id"""
 
+  /** t63 — `mergeSchema` AUTO-EVOLUTION under the differential (r12:
+    * [[graft.sources.LakeSinkFiles.reconcileManifest]] — the Delta
+    * `mergeSchema` write option): the twin's first half lands WITHOUT
+    * the vibration column, the second half appends WITH it under
+    * `.option("mergeSchema", "true")` — the append auto-ADD-COLUMNs
+    * through the same evolution state ALTER TABLE maintains (nullable;
+    * pre-evolution files null-fill on read; rename-alias/dropped name
+    * reuse still refused; a superset append WITHOUT the option still
+    * refuses — LakeSinkSpec pins both). The read-back must hash-equal
+    * DuckDB's restatement with vibration NULL on the first half.
+    *
+    * Scale shape: schema drift in a landing zone is one manifest write
+    * per evolving commit — no rewrite, no manual DDL race between
+    * producers and the pipeline. */
+  def t63MergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val out = TempLakes.dir("graft_t63_lake")
+    val t = twin(s)
+    val half = TwinRows / 2
+    t.filter(col("id") < half)
+      .select(col("id"), col("ts"), col("machine_id"), col("temperature"))
+      .write.format("graft.sources.LakeSink").mode("append").save(out)
+    t.filter(col("id") >= half)
+      .select(col("id"), col("ts"), col("machine_id"), col("temperature"),
+        col("vibration"))
+      .write.format("graft.sources.LakeSink").mode("append")
+      .option("mergeSchema", "true").save(out)
+    s.read.format("graft.sources.LakeSink").load(out).orderBy(col("id"))
+  }
+
+  val t63Sql: String =
+    s"""SELECT id, ts, machine_id, temperature,
+         CASE WHEN id >= ${TwinRows / 2} THEN vibration END AS vibration
+       FROM ($twinSql) ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t63_merge_schema" -> (t63MergeSchema _),
     "t62_bloom_lookup" -> (t62BloomLookup _),
     "t61_check_constraint" -> (t61CheckConstraint _),
     "t60_temporal_partition" -> (t60TemporalPartition _),
@@ -2753,6 +2788,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t63_merge_schema" -> t63Sql,
     "t62_bloom_lookup" -> t62Sql,
     "t61_check_constraint" -> t61Sql,
     "t60_temporal_partition" -> t60Sql,

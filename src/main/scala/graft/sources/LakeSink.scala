@@ -524,7 +524,9 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
       Option(options.get("bloomFilterColumns")).toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         .map(_ -> bits).toMap
-    })
+    },
+    mergeSchema = java.lang.Boolean.parseBoolean(
+      options.getOrDefault("mergeSchema", "false")))
 }
 
 /** The write's plan-side contract. Beyond serializer validation, this is
@@ -545,7 +547,7 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
 private[sources] class LakeSinkWrite(schema: StructType, path: String,
     mode: LakeWriteMode, partCols: Seq[String], queryId: String = "",
     sortCols: Seq[String] = Seq.empty, clusterWrite: Boolean = true,
-    bloomCols: Map[String, Int] = Map.empty)
+    bloomCols: Map[String, Int] = Map.empty, mergeSchema: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -592,7 +594,8 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
       (if (sortCols.nonEmpty) s" sortBy=[${sortCols.mkString(",")}]" else "")
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, mode,
-      java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols)
+      java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols,
+      mergeSchema)
   override def toStreaming: StreamingWrite =
     new LakeSinkStreamingWrite(schema, path, partCols, queryId)
 }
@@ -724,6 +727,10 @@ private[graft] object LakeSinkFiles {
     * commit (Spark then aborts, discarding the staged files). */
   def reconcileManifest(path: String, schema: StructType, partCols: Seq[String],
       replace: Boolean): Unit =
+    reconcileManifest(path, schema, partCols, replace, mergeSchema = false)
+
+  def reconcileManifest(path: String, schema: StructType, partCols: Seq[String],
+      replace: Boolean, mergeSchema: Boolean): Unit =
     (if (replace) None else readManifest(path)) match {
       case None => writeManifest(path, schema, partCols)
       case Some((existing, exParts)) =>
@@ -731,9 +738,29 @@ private[graft] object LakeSinkFiles {
           s"LakeSink: append partitioning ${partCols.mkString(",")} does not " +
             s"match the table's ${exParts.mkString(",")}")
         val unknown = schema.fieldNames.toSet -- existing.fieldNames.toSet
-        require(unknown.isEmpty,
+        if (unknown.nonEmpty && mergeSchema) {
+          // the Delta `mergeSchema` contract: a superset append AUTO-adds
+          // the new columns (nullable — pre-evolution files null-fill on
+          // read) through the SAME evolution state ALTER TABLE ADD
+          // COLUMNS maintains; rename-alias / dropped names stay refused
+          // (the one ambiguity name-based evolution cannot represent)
+          val (ren, drp) = readManifestRenames(path)
+          val taken = ren.values.flatten.toSet ++ drp
+          val reused = unknown.intersect(taken)
+          require(reused.isEmpty,
+            s"LakeSink: mergeSchema cannot reuse names ${reused.mkString(",")} " +
+              "(rename alias or dropped) — a table rewrite is required")
+          val merged = StructType(existing.fields ++
+            schema.fields.filter(f => unknown.contains(f.name))
+              .map(_.copy(nullable = true)))
+          // validate the evolved schema serializes before committing it
+          LakeSink.serializers(LakeSink.dataSchema(merged, partCols))
+          writeManifest(path, merged, partCols, ren, drp,
+            readManifestConstraints(path))
+        } else require(unknown.isEmpty,
           s"LakeSink: appended columns ${unknown.mkString(",")} are not in the " +
-            "table schema — evolve it first (ALTER TABLE ... ADD COLUMNS)")
+            "table schema — evolve it first (ALTER TABLE ... ADD COLUMNS) " +
+            "or append with .option(\"mergeSchema\", \"true\")")
       // existing manifest preserved
     }
 
@@ -1188,7 +1215,8 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     mode: LakeWriteMode, writeId: String,
     partCols: Seq[String] = Seq.empty,
     sortCols: Seq[String] = Seq.empty,
-    bloomCols: Map[String, Int] = Map.empty) extends BatchWrite {
+    bloomCols: Map[String, Int] = Map.empty,
+    mergeSchema: Boolean = false) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   // boolean-compat constructor (tests / streaming paths built pre-modes)
   def this(schema: StructType, path: String, truncateFirst: Boolean,
@@ -1226,7 +1254,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     }
     LakeSinkFiles.promote(path, staged)
     LakeSinkFiles.reconcileManifest(path, schema, partCols,
-      replace = mode == LakeTruncate)
+      replace = mode == LakeTruncate, mergeSchema = mergeSchema)
     LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
     LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
     // a sortBy write's files are each internally ordered (the engine's

@@ -58,6 +58,35 @@ class LakeSinkSpec extends GraftSpec {
     assert(canon(back) == canon(src), "round trip must be value-exact")
   }
 
+  test("mergeSchema append auto-adds new columns; a superset append without it refuses") {
+    import spark.implicits._
+    val out = tmp("graft_sink_merge")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft.sources.LakeSink").mode("append").save(out)
+    // superset append WITHOUT the option: refused at commit, table intact
+    val e = intercept[Exception] {
+      Seq((3L, "c", 9.5)).toDF("id", "v", "w")
+        .write.format("graft.sources.LakeSink").mode("append").save(out)
+    }
+    assert(e.getMessage != null)
+    assert(spark.read.format("graft.sources.LakeSink").load(out)
+      .columns.toSeq == Seq("id", "v"), "a refused append must not evolve")
+    // WITH mergeSchema: the new column auto-ADDs (nullable), old files
+    // null-fill on read — the Delta mergeSchema contract
+    Seq((3L, "c", 9.5)).toDF("id", "v", "w")
+      .write.format("graft.sources.LakeSink").mode("append")
+      .option("mergeSchema", "true").save(out)
+    val back = spark.read.format("graft.sources.LakeSink").load(out)
+    assert(back.columns.toSeq == Seq("id", "v", "w"))
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+    // a later SUBSET append still works against the evolved schema
+    Seq((4L, "d")).toDF("id", "v")
+      .write.format("graft.sources.LakeSink").mode("append").save(out)
+    assert(spark.read.format("graft.sources.LakeSink").load(out).count() == 4)
+  }
+
   test("overwrite truncates previously committed part files") {
     import spark.implicits._
     val out = tmp("graft_sink_trunc")
