@@ -2727,7 +2727,51 @@ object Telemetry {
          CASE WHEN id >= ${TwinRows / 2} THEN vibration END AS vibration
        FROM ($twinSql) ORDER BY id"""
 
+  /** t64 — PARTITION-SPEC EVOLUTION under the differential (r12:
+    * [[graft.sources.LakeMaintenance.evolvePartitionSpec]] — the Iceberg
+    * REPLACE PARTITION FIELD contract, hidden transforms only): half the
+    * events land day-partitioned, the spec evolves `days(ts)` →
+    * `hours(ts)` (pure metadata, a version transition), the other half
+    * appends under the HOURLY layout — and t60's exact filtered
+    * aggregate must hash-equal the same DuckDB restatement over the raw
+    * parquet: the mixed-generation layout is invisible to results, and
+    * the plain-ts pruning works against BOTH generations' dirs
+    * (LakeVersionSpec pins the skippedFiles counts, the pre-evolution
+    * snapshot spec, SHOW PARTITIONS on the active spec, SPJ stand-down,
+    * and the identity refusal).
+    *
+    * Scale shape: re-partitioning a 100 TB table is ONE manifest write —
+    * old files readable in place, new files under the new layout;
+    * the first thing a daily table needs when it outgrows daily dirs. */
+  def t64PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t64")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .writeTo("graft_t64.lake.ev")
+      .partitionedBy(org.apache.spark.sql.functions.days(col("ts"))).create()
+    graft.sources.LakeMaintenance.evolvePartitionSpec(s"$lakeRoot/ev",
+      Seq("hours(ts)"))
+    ev.filter(col("event_id") % 2 === 1)
+      .writeTo("graft_t64.lake.ev").append()
+    s.table("graft_t64.lake.ev")
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("ts").cast("long").as("es"), col("user_id"), col("value"))
+      .select(expr("es div 86400").as("day_idx"), col("user_id"), col("value"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Num.rsum(col("value"), 6).as("sum_v"))
+      .orderBy(col("day_idx"))
+  }
+
+  /** Identical text to [[t60Sql]]: the mixed-spec layout must be
+    * result-invisible. */
+  val t64Sql: String = t60Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t64_partition_evolution" -> (t64PartitionEvolution _),
     "t63_merge_schema" -> (t63MergeSchema _),
     "t62_bloom_lookup" -> (t62BloomLookup _),
     "t61_check_constraint" -> (t61CheckConstraint _),
@@ -2788,6 +2832,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t64_partition_evolution" -> t64Sql,
     "t63_merge_schema" -> t63Sql,
     "t62_bloom_lookup" -> t62Sql,
     "t61_check_constraint" -> t61Sql,

@@ -566,7 +566,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // unsupported data types must fail the DDL, not the next write
     LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))
     LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols,
-      newRenames, newDropped, newCons)
+      newRenames, newDropped, newCons,
+      LakeSinkFiles.readManifestPartHistory(dir.toString))
     // a schema change is a version transition: snapshots at or before it
     // keep the pre-evolution schema + aliases
     LakeSinkFiles.recordVersion(dir.toString)

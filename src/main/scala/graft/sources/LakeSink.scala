@@ -436,12 +436,14 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
       require(j >= 0, s"LakeSink: $n is not a partition column")
       n -> identDirVal(ps(j).dataType, ident, i)
     }
-    // distinct decoded directory tuples, filtered by the partial spec
+    // distinct decoded directory tuples, filtered by the partial spec;
+    // pre-evolution files (missing the ACTIVE spec's dirs after a
+    // partition-spec evolution) are not part of the active listing
     val tuples = LakeSinkFiles.listLive(path, partCols)
-      .map { case (_, kvs) => parts.map(p =>
-        kvs.find(_._1 == p.dirKey).map(_._2).getOrElse(
-          throw new IllegalStateException(
-            s"LakeSink: file missing partition dir ${p.dirKey}"))) }
+      .flatMap { case (_, kvs) =>
+        val t = parts.map(p => kvs.find(_._1 == p.dirKey).map(_._2))
+        if (t.forall(_.isDefined)) Some(t.map(_.get)) else None
+      }
       .distinct
       .filter(t => want.forall { case (n, v) => t(keyIdx(n)) == v })
       .sortBy(_.mkString("/"))
@@ -625,7 +627,8 @@ private[graft] object LakeSinkFiles {
   def writeManifest(path: String, schema: StructType, partCols: Seq[String],
       renames: Map[String, Seq[String]] = Map.empty,
       dropped: Seq[String] = Seq.empty,
-      constraints: Seq[(String, String)] = Seq.empty): Unit = {
+      constraints: Seq[(String, String)] = Seq.empty,
+      partHistory: Seq[String] = Seq.empty): Unit = {
     val renBody = renames.toSeq.sortBy(_._1)
       .map { case (l, ps) => s"$l=${ps.mkString("|")}" }.mkString(";")
     // (name, CHECK predicate SQL) pairs — control-char separators survive
@@ -637,11 +640,29 @@ private[graft] object LakeSinkFiles {
       (if (renames.nonEmpty) s""","renames":"${LakeSink.jsonEscape(renBody)}"""" else "") +
       (if (dropped.nonEmpty) s""","dropped":"${LakeSink.jsonEscape(dropped.mkString(","))}"""" else "") +
       (if (constraints.nonEmpty) s""","constraints":"${LakeSink.jsonEscape(conBody)}"""" else "") +
+      (if (partHistory.nonEmpty)
+        s""","partColsHistory":"${LakeSink.jsonEscape(partHistory.mkString(";"))}"""" else "") +
       "}"
     val tmp = Paths.get(path, s".schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(path), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** PRIOR partition specs of an evolved table (newest last; each entry
+    * one comma-joined spec string) — empty for never-evolved tables. A
+    * non-empty history means pre-evolution files live under old-spec
+    * directories: scans keep them (their kvs simply lack the active
+    * dirKeys), temporal pruning matches each file's OWN generation's dir,
+    * and SPJ stands down (the active KeyGroupedPartitioning cannot
+    * describe them). See [[LakeMaintenance.evolvePartitionSpec]]. */
+  def readManifestPartHistory(path: String): Seq[String] = {
+    val p = manifestPath(path)
+    if (!Files.isRegularFile(p)) return Seq.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (!json.contains(""""partColsHistory":"""")) return Seq.empty
+    jsonField(json, "partColsHistory", s"manifest at $p")
+      .split(";").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** The table's stored CHECK constraints: (name, predicate SQL) in
@@ -756,7 +777,7 @@ private[graft] object LakeSinkFiles {
           // validate the evolved schema serializes before committing it
           LakeSink.serializers(LakeSink.dataSchema(merged, partCols))
           writeManifest(path, merged, partCols, ren, drp,
-            readManifestConstraints(path))
+            readManifestConstraints(path), readManifestPartHistory(path))
         } else require(unknown.isEmpty,
           s"LakeSink: appended columns ${unknown.mkString(",")} are not in the " +
             "table schema — evolve it first (ALTER TABLE ... ADD COLUMNS) " +

@@ -350,14 +350,20 @@ private[sources] object LakeSinkPartitions {
 
   /** Decode a relative lake path's Hive `k=v/` directory pairs — keys are
     * the partition fields' DIRECTORY keys (`col` for identity,
-    * `col_bucket` for bucket transforms, see [[LakePart]]). */
+    * `col_bucket` for bucket transforms, `col_day` etc. for temporal —
+    * see [[LakePart]]). ALL pairs are returned, not just the active
+    * spec's: after a partition-spec evolution, pre-evolution files carry
+    * the OLD spec's dirs, and consumers match by the key they need (a
+    * pair nothing asks for is inert — every lake subdir is either a
+    * writer-created partition dir or a pruned hidden tree, so no foreign
+    * `k=v` name can appear). */
   def kvsOf(root: Path, p: Path, partCols: Seq[String]): Seq[(String, String)] = {
-    val keys = LakePart.parseAll(partCols).map(_.dirKey)
+    val _ = partCols // kept: call sites document which spec they serve
     val rel = root.relativize(p)
     (0 until rel.getNameCount - 1).map(rel.getName(_).toString).flatMap { d =>
       val eq = d.indexOf('=')
       if (eq > 0) Some(d.substring(0, eq) -> d.substring(eq + 1)) else None
-    }.filter { case (k, _) => keys.contains(k) }
+    }
   }
 
   /** Every committed data file under `path` with its decoded `k=v`
@@ -468,8 +474,16 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
   private val identityKeys: Set[String] =
     parts.filter(_.isIdentity).map(_.dirKey).toSet
 
+  // prior partition specs of an evolved table (LakeMaintenance
+  // .evolvePartitionSpec): pre-evolution files live under OLD-spec dirs
+  private lazy val historicSpecs: Seq[Seq[String]] =
+    LakeSinkFiles.readManifestPartHistory(path).map(LakePart.split)
+
   private lazy val spjActive: Boolean =
     partCols.nonEmpty &&
+      // a mixed-spec table stands down: the active KeyGroupedPartitioning
+      // cannot describe pre-evolution files (they lack the active dirs)
+      historicSpecs.isEmpty &&
       parts.forall(p => required.fieldNames.contains(p.name)) &&
       org.apache.spark.sql.SparkSession.active.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
@@ -676,13 +690,21 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     // interval for ts, fed to mayMatch as a synthetic stat — so a plain
     // `ts BETWEEN` predicate opens only the matching day dirs (the hidden-
     // partitioning contract, no stats ledger needed).
-    val temporalParts = parts.filter(_.temporal.isDefined)
+    // temporal pruning covers EVERY generation of an evolved table: each
+    // file matches the dirKey of whichever spec wrote it (a `ts BETWEEN`
+    // skips old day-dirs AND new hour-dirs; a file matching none is kept)
+    val temporalParts = (parts ++
+      historicSpecs.flatten.map(LakePart.parse)).filter(_.temporal.isDefined)
+      .distinctBy(_.spec)
     def temporalStats(kvs: Seq[(String, String)]): Option[LakeSinkStats.FileStats] =
       if (temporalParts.isEmpty) None
       else Some(temporalParts.flatMap { f =>
+        // a historic spec's source column may have been dropped since —
+        // its files then just keep (no synthetic stat, sound)
+        fullSchema.fields.find(_.name == f.name).flatMap { sf =>
         kvs.find(_._1 == f.dirKey).map { case (_, v) =>
           val (lo, hi) = LakePart.temporalDirInterval(f.temporal.get, v)
-          val b: (Any, Any) = fullSchema(f.name).dataType match {
+          val b: (Any, Any) = sf.dataType match {
             case DateType => // date sources carry epoch-DAY bounds
               (java.lang.Long.valueOf(Math.floorDiv(lo, LakePart.MicrosPerDay)),
                 java.lang.Long.valueOf(Math.floorDiv(hi, LakePart.MicrosPerDay)))
@@ -691,6 +713,7 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
           }
           // nulls = 0: the writer refuses NULL partition-source values
           f.name -> LakeSinkStats.ColStat(Some(0L), Some(b))
+        }
         }
       }.toMap)
     val taken =

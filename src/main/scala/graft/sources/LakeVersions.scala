@@ -573,12 +573,25 @@ object LakeMaintenance {
     // retired post-target files are the only ones the rollback could
     // disagree with)
     val (aliases, ignored) = LakeSinkFiles.readVersionEvolution(path, version)
+    // the pre-restore ACTIVE spec joins the history when the target's
+    // spec differs — post-target files may still exist... they retire in
+    // step 2, but the returned files were written under the TARGET's
+    // spec, so the target's recorded partCols become active again; any
+    // specs the live history carried stay recorded (harmless supersets)
+    val liveHist = LakeSinkFiles.readManifestPartHistory(path)
+    val (_, livePartCols) = LakeSinkFiles.readManifest(path)
+      .map { case (sc, pc) => (sc, pc) }.getOrElse((sch, partCols))
+    val hist = (liveHist ++
+      (if (livePartCols != partCols && livePartCols.nonEmpty)
+        Seq(livePartCols.mkString(",")) else Seq.empty)).distinct
+      .filterNot(_ == partCols.mkString(","))
     LakeSinkFiles.writeManifest(path, sch, partCols,
       renames = aliases.groupBy(_._2).map { case (l, m) => l -> m.keys.toSeq.sorted },
       dropped = ignored.toSeq.sorted,
       // constraint DDL is orthogonal to the data rollback — the live
       // constraint set survives a restore (matching Delta's RESTORE)
-      constraints = LakeSinkFiles.readManifestConstraints(path))
+      constraints = LakeSinkFiles.readManifestConstraints(path),
+      partHistory = hist)
     // 4. ledgers SET from the target's recorded snapshots (files are
     // immutable, so re-adding still-live entries is idempotent; a legacy
     // record without snapshots degrades to scan fallback, never a guess)
@@ -596,6 +609,59 @@ object LakeMaintenance {
     if (vDels.nonEmpty) LakeSinkDeletes.update(path, vDels, Seq.empty)
     LakeSinkFiles.recordVersion(path, returned, removed)
     (returned.size, removed.size)
+  }
+
+  /** PARTITION-SPEC EVOLUTION (the Iceberg `ALTER TABLE … ADD/REPLACE
+    * PARTITION FIELD` contract): switch the table's ACTIVE spec — new
+    * files land under the new layout, old files stay readable under the
+    * layout they were written in, zero rewrites. The first thing a daily
+    * table needs when it outgrows daily partitions.
+    *
+    * Supported specs are HIDDEN transforms only (bucket / days / hours /
+    * months / years, or unpartitioned): their source columns travel IN
+    * the rows, so the row schema is identical across generations and the
+    * evolution is pure metadata. Identity partitioning is REFUSED in
+    * either spec — identity values live in directory names, not rows, so
+    * changing it would need a data rewrite.
+    *
+    * Read semantics on a mixed-spec table (spec-pinned):
+    *  - pre-evolution files are simply kept by active-spec pruning (their
+    *    dirs lack the active keys — a sound superset);
+    *  - TEMPORAL pruning matches each file against its OWN generation's
+    *    dir (the scan knows every historic spec), so a `ts BETWEEN` still
+    *    skips both old day-dirs and new hour-dirs;
+    *  - SPJ stands down while any historic spec exists (the active
+    *    KeyGroupedPartitioning cannot describe old files);
+    *  - snapshots read under the spec RECORDED at their commit.
+    *
+    * Returns the number of prior specs now in the history. */
+  def evolvePartitionSpec(path: String, newPartCols: Seq[String]): Int = {
+    val (schema, oldParts) = LakeSinkFiles.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
+    def requireHidden(spec: Seq[String], which: String): Unit =
+      LakePart.parseAll(spec).find(_.isIdentity).foreach { p =>
+        throw new UnsupportedOperationException(
+          s"LakeMaintenance.evolvePartitionSpec: $which spec has IDENTITY " +
+            s"field '${p.spec}' — identity values live in directory names, " +
+            "not rows; evolving them requires a table rewrite")
+      }
+    requireHidden(oldParts, "the current")
+    requireHidden(newPartCols, "the new")
+    require(newPartCols != oldParts,
+      "LakeMaintenance.evolvePartitionSpec: the new spec equals the current one")
+    // validate source columns + types BEFORE committing the manifest
+    LakeSink.dataSchema(schema, newPartCols)
+    LakeSink.partitionExtractors(schema, newPartCols)
+    val (ren, drp) = LakeSinkFiles.readManifestRenames(path)
+    val hist = (LakeSinkFiles.readManifestPartHistory(path) ++
+      (if (oldParts.nonEmpty) Seq(oldParts.mkString(",")) else Seq.empty))
+      .distinct.filterNot(_ == newPartCols.mkString(","))
+    LakeSinkFiles.writeManifest(path, schema, newPartCols, ren, drp,
+      LakeSinkFiles.readManifestConstraints(path), hist)
+    // a spec change is a version transition: snapshots at or before it
+    // keep the pre-evolution spec (recordVersion snapshots the manifest)
+    LakeSinkFiles.recordVersion(path)
+    hist.size
   }
 
   /** Total committed data files of a lake table (maintenance metric). */

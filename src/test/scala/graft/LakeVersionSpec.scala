@@ -337,6 +337,67 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("partition-spec evolution: daily -> hourly, both generations readable and pruned") {
+    withLake { lake =>
+      // 2 day-partitioned files (2 UTC days), written under days(ts)
+      spark.sql(
+        """CREATE TABLE graft.lake.pe PARTITIONED BY (days(ts)) AS
+           SELECT CAST(id AS BIGINT) AS id,
+             timestamp'2026-03-01 01:00:00' + make_interval(0,0,0,0,12 * CAST(id AS INT)) AS ts
+           FROM range(4)""") // days: 03-01, 03-01, 03-02, 03-02
+      val gen1 = canon(spark.table("graft.lake.pe"))
+      LakeMaintenance.evolvePartitionSpec(s"$lake/pe", Seq("hours(ts)")) // v2
+      // appends now land under the HOURLY layout
+      spark.sql(
+        """INSERT INTO graft.lake.pe
+           SELECT CAST(100 + id AS BIGINT) AS id,
+             timestamp'2026-03-03 02:30:00' + make_interval(0,0,0,0,CAST(id AS INT)) AS ts
+           FROM range(2)""") // hours: 02, 03
+      // both directory generations exist on disk
+      val dirs = Files.list(Paths.get(s"$lake/pe")).iterator()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (dirs.hasNext) names += dirs.next().getFileName.toString
+      assert(names.exists(_.startsWith("ts_day=")) &&
+        names.exists(_.startsWith("ts_hour=")), names.sorted.mkString(","))
+      // the full read serves both generations
+      val all = canon(spark.table("graft.lake.pe"))
+      assert(all.size == 6 && gen1.forall(all.contains))
+      // cross-generation TEMPORAL pruning: with the stats ledger gone, a
+      // plain ts filter must still prune old DAY dirs and new HOUR dirs
+      // through each file's own generation's interval
+      Files.deleteIfExists(Paths.get(s"$lake/pe", "_graft_stats.json"))
+      val q = spark.table("graft.lake.pe")
+        .filter(col("ts") >= expr("timestamp'2026-03-02 00:00:00'") &&
+          col("ts") < expr("timestamp'2026-03-03 03:00:00'"))
+      q.collect()
+      val m = "skippedFiles=(\\d+)".r.findFirstMatchIn(
+        q.queryExecution.executedPlan.toString)
+      assert(m.isDefined && m.get.group(1).toInt == 2,
+        s"one day dir (03-01) + one hour dir (03) must prune: ${m.map(_.group(1))}")
+      assert(q.count() == 3) // the 03-02 day file (2 rows) + hour 02 (1 row)
+      // pre-evolution snapshots read under the DAY spec they recorded
+      assert(canon(spark.sql("SELECT * FROM graft.lake.pe VERSION AS OF 1")) == gen1)
+      // SHOW PARTITIONS lists the ACTIVE spec's dirs only
+      val parts = spark.sql("SHOW PARTITIONS graft.lake.pe")
+        .collect().map(_.getString(0)).sorted
+      assert(parts.toSeq == Seq("ts_hour=2026-03-03-02", "ts_hour=2026-03-03-03"),
+        parts.mkString(","))
+      // SPJ stands down on a mixed-spec table (no missing-dir crash, same rows)
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prevB: Option[String] =
+        if (org.apache.spark.sql.internal.SQLConf.get.contains(key))
+          Some(spark.conf.get(key)) else None
+      try {
+        spark.conf.set(key, "true")
+        assert(canon(spark.table("graft.lake.pe")) == all)
+      } finally prevB.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      // identity specs refuse in either direction
+      val e = intercept[Exception](
+        LakeMaintenance.evolvePartitionSpec(s"$lake/pe", Seq("id")))
+      assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    }
+  }
+
   test("changes across a RESTORE: un-vectored positions replay as INSERT legs (diff law)") {
     import graft.sources.LakeVersions
     withLake { lake =>
