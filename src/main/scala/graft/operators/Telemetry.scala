@@ -2770,7 +2770,45 @@ object Telemetry {
     * result-invisible. */
   val t64Sql: String = t60Sql
 
+  /** t65 — STREAMING writes into a TEMPORAL-partitioned lake table (r12:
+    * the days(ts) transform under the exactly-once streaming sink — the
+    * reference's Firehose time-bucketed-prefix topology,
+    * `phase3-kinesis-s3.yaml:84-85`, with real transactional semantics):
+    * the telemetry stream lands in `PARTITIONED BY (days(ts))` across
+    * four AvailableNow micro-batches — every epoch's writer derives UTC
+    * day dirs from the rows' OWN timestamps (shared LakePart arithmetic)
+    * under the deterministic-name + commit-marker exactly-once protocol
+    * — and the read-back must equal t04's generator oracle. The query
+    * itself asserts the hidden day layout exists.
+    *
+    * Scale shape: this is the reference lake's real shape at 100 TB —
+    * telemetry streaming into day dirs continuously, day-scoped reads
+    * opening O(asked days), compaction per day dir. */
+  def t65StreamTemporal(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t65")
+    val ckpt = TempLakes.dir("graft_t65_ckpt")
+    s.sql(s"CREATE TABLE graft_t65.lake.t65 (${twin(s).schema.toDDL}) " +
+      "PARTITIONED BY (days(ts))")
+    val q = s.readStream.format("graft.sources.TelemetrySource")
+      .option("rows", TwinRows.toString).option("rowsPerBatch", "2500").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_t65.lake.t65")
+    q.awaitTermination()
+    // the hidden layout really is day directories
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(s"$lakeRoot/t65")).iterator()
+    var dayDirs = 0
+    while (it.hasNext) {
+      if (it.next().getFileName.toString.startsWith("ts_day=")) dayDirs += 1
+    }
+    require(dayDirs >= 2, s"t65: expected day dirs, found $dayDirs")
+    s.table("graft_t65.lake.t65").orderBy(col("id"))
+  }
+
+  val t65Sql: String = t04Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t65_stream_temporal" -> (t65StreamTemporal _),
     "t64_partition_evolution" -> (t64PartitionEvolution _),
     "t63_merge_schema" -> (t63MergeSchema _),
     "t62_bloom_lookup" -> (t62BloomLookup _),
@@ -2832,6 +2870,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t65_stream_temporal" -> t65Sql,
     "t64_partition_evolution" -> t64Sql,
     "t63_merge_schema" -> t63Sql,
     "t62_bloom_lookup" -> t62Sql,

@@ -456,36 +456,37 @@ object TextOps {
     * val that interpolates it (object-init order). */
   private val SubK = 8
 
-  /** d60 — EXACT-SUBSTRING dedup report (Lee et al. 2021,
-    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
-    * Better", the ExactSubstr side): for every document, the MAXIMAL
-    * token runs of length ≥ [[SubK]] that also appear verbatim in some
-    * OTHER document — the position-exact family member next to d59's
-    * winnowing (position-robust sample) and d06/x06 (whole-content
-    * fingerprints). A run of ≥ k tokens repeats across docs iff one of
-    * its k-grams repeats across docs, so: hash every k-gram (scan-local
-    * array lambda, the d59 construction), keep grams seen in ≥ 2
-    * DISTINCT docs, and merge each doc's covered positions into maximal
-    * spans (gaps-and-islands on the running interval max — the t26
-    * pattern). Per doc: token count, span count, duplicated-token count,
-    * duplicated share — the numbers ExactSubstr removal would cut.
+  /** d60 — EXACT-SUBSTRING REMOVAL (Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr transformation itself): every document is rewritten
+    * with its cross-document repeated token runs of length ≥ [[SubK]]
+    * CUT OUT — the find-and-remove pass the paper applies before
+    * training, completing the family d28 REPORTS on (d28 measures the
+    * duplicated coverage; d60 produces the cleaned corpus). A run of
+    * ≥ k tokens repeats across docs iff one of its k-grams does, so:
+    * hash every k-gram (the d59 scan-local array-lambda construction),
+    * keep grams seen in ≥ 2 DISTINCT docs, merge each doc's covered
+    * positions into maximal spans (gaps-and-islands, the t26 pattern),
+    * and rebuild the text from the surviving positions (the removal
+    * operates on the normalized lowercase token stream — the same
+    * stream the detection matched on). Output per doc: token count,
+    * removed-token count, and the cleaned text.
     *
-    * Scale shape: gram hashing is scan-local; the only shuffles are ONE
-    * uniform gram-keyed aggregate + ONE semi-join back on the same key +
-    * per-doc windows — NO pair join anywhere, so corpus-spanning
-    * duplicate cliques cost linear work, not quadratic (skew probe
-    * slope < 1; the reason the report is per-DOC spans, exactly like the
-    * paper's removal pass, rather than per-pair). */
+    * Scale shape: gram hashing is scan-local; ONE uniform gram-keyed
+    * aggregate + ONE semi-join back + per-doc windows + ONE positional
+    * anti-join — NO pair join anywhere, so corpus-spanning duplicate
+    * cliques cost linear work, not quadratic (measured skew slope
+    * < 1; per-doc spans are exactly the paper's removal granularity). */
   def d60ExactSubstrings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    exactSubstrReport(Tables.documents(s, dir).select($"doc_id", $"text"))
+    exactSubstrRemove(Tables.documents(s, dir).select($"doc_id", $"text"))
   }
 
   /** d60's core over a (doc_id, text) frame — exposed so the spec can
-    * pin the span algebra on planted shared runs (a shared run of
-    * exactly [[SubK]] tokens is one span of SubK; two disjoint runs are
-    * two spans; a SubK−1 run is invisible). */
-  private[graft] def exactSubstrReport(docs: DataFrame): DataFrame = {
+    * pin the removal algebra on planted shared runs (a shared 12-token
+    * run vanishes from both docs; disjoint 8-runs both vanish leaving
+    * the separator; a SubK−1 run survives untouched). */
+  private[graft] def exactSubstrRemove(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val h = (e: String) => s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
@@ -493,7 +494,7 @@ object TextOps {
       .mkString(", ' ', ")
     val base = docs
       .withColumn("tk", toks(lower($"text")))
-      .select($"doc_id", size($"tk").as("n_tokens"),
+      .select($"doc_id", $"tk", size($"tk").as("n_tokens"),
         when(size($"tk") >= SubK, expr(
           s"transform(sequence(0, size(tk) - $SubK), i -> ${h(s"concat($cat)")})"))
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("g"))
@@ -513,22 +514,31 @@ object TextOps {
       .withColumn("brk", when($"pm".isNull || $"p" > $"pm" + 1, 1).otherwise(0))
       .withColumn("iid", sum($"brk").over(wRun))
       .groupBy($"doc_id", $"iid").agg(min($"p").as("sp"), max($"en").as("ep"))
-    val perDoc = spans.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum($"ep" - $"sp" + 1).as("dup_tokens"))
+    // the cut: every position inside a span is removed; the cleaned text
+    // is the ordered concatenation of the survivors
+    val removed = spans.select($"doc_id",
+      explode(expr("sequence(sp, ep)")).as("p"))
+    val kept = base.select($"doc_id", posexplode($"tk"))
+      .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("tok"))
+      .join(removed, Seq("doc_id", "p"), "left_anti")
+    val clean = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct($"p", $"tok")).as("lst"))
+      .select($"doc_id", $"n_kept",
+        expr("array_join(transform(array_sort(lst), x -> x.tok), ' ')")
+          .as("clean_text"))
     base.select($"doc_id", $"n_tokens")
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
-        coalesce($"n_spans", lit(0L)).as("n_spans"),
-        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
-        r(coalesce($"dup_tokens", lit(0L)).cast("double") /
-          greatest($"n_tokens", lit(1)).cast("double"), 6).as("dup_ratio"))
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
       .orderBy($"doc_id")
   }
 
   lazy val d60Sql: String = {
     val cat = (0 until SubK).map(j => s"tk[i + ${j + 1}]").mkString(" || ' ' || ")
     s"""WITH d AS (SELECT doc_id, ${toksSql("lower(text)")} AS tk FROM documents),
-       b AS MATERIALIZED (SELECT doc_id, len(tk) AS n_tokens,
+       b AS MATERIALIZED (SELECT doc_id, tk, len(tk) AS n_tokens,
          CASE WHEN len(tk) >= $SubK
            THEN list_transform(range(0, len(tk) - ${SubK - 1}),
                   i -> ${DedupLsh.h60Sql(s"($cat)")})
@@ -549,14 +559,19 @@ object TextOps {
        FROM isl),
        spans AS (SELECT doc_id, iid, min(p) AS sp, max(en) AS ep
        FROM isl2 GROUP BY doc_id, iid),
-       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         CAST(sum(ep - sp + 1) AS BIGINT) AS dup_tokens
-       FROM spans GROUP BY doc_id)
-       SELECT b.doc_id, n_tokens, coalesce(n_spans, 0) AS n_spans,
-         coalesce(dup_tokens, 0) AS dup_tokens,
-         ${rSql("CAST(coalesce(dup_tokens, 0) AS DOUBLE) / greatest(n_tokens, 1)", 6)}
-           AS dup_ratio
-       FROM b LEFT JOIN pd ON pd.doc_id = b.doc_id
+       rem AS (SELECT doc_id, unnest(generate_series(sp, ep)) AS p FROM spans),
+       pos AS (SELECT doc_id, unnest(generate_series(1, n_tokens)) AS p,
+         unnest(tk) AS tok
+       FROM b WHERE n_tokens > 0),
+       kept AS (SELECT pos.doc_id, pos.p, pos.tok
+       FROM pos ANTI JOIN rem USING (doc_id, p)),
+       ca AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+       FROM kept GROUP BY doc_id)
+       SELECT b.doc_id, n_tokens,
+         n_tokens - coalesce(n_kept, 0) AS n_removed,
+         coalesce(clean_text, '') AS clean_text
+       FROM b LEFT JOIN ca ON ca.doc_id = b.doc_id
        ORDER BY b.doc_id"""
   }
 

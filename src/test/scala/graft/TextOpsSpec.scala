@@ -699,7 +699,7 @@ class TextOpsSpec extends GraftSpec {
     assert(fert >= 1.0 && fert <= TextOps.UniMaxWord.toDouble, fert.toString)
   }
 
-  test("d60 exact substrings: planted shared runs produce exactly the right spans") {
+  test("d60 exact-substring REMOVAL: planted shared runs are cut, the rest survives verbatim") {
     import spark.implicits._
     // a 20-token vocabulary of distinct words w1..w20
     def run(a: Int, b: Int): String = (a to b).map(i => s"w$i").mkString(" ")
@@ -713,19 +713,19 @@ class TextOpsSpec extends GraftSpec {
       // E and F share only a 7-token run — below the K=8 threshold
       (5L, run(301, 307) + " ee"),
       (6L, run(301, 307) + " ff")).toDF("doc_id", "text")
-    val out = TextOps.exactSubstrReport(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+    val out = TextOps.exactSubstrRemove(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3))))
       .toMap
-    // A: covered positions 5..16 → ONE span of 12 of its 20 tokens
-    assert(out(1L) == ((20, 1L, 12L)), s"A: ${out(1L)}")
-    // B: its entire 12 tokens are the shared run
-    assert(out(2L) == ((12, 1L, 12L)), s"B: ${out(2L)}")
-    // C and D: two disjoint 8-token spans each (the separator differs)
-    assert(out(3L) == ((17, 2L, 16L)), s"C: ${out(3L)}")
-    assert(out(4L) == ((17, 2L, 16L)), s"D: ${out(4L)}")
-    // E and F: a 7-token shared run is invisible at K=8
-    assert(out(5L) == ((8, 0L, 0L)), s"E: ${out(5L)}")
-    assert(out(6L) == ((8, 0L, 0L)), s"F: ${out(6L)}")
+    // A: positions 5..16 cut — ONE 12-token span leaves the flanks
+    assert(out(1L) == ((20, 12L, run(1, 4) + " " + run(17, 20))), s"A: ${out(1L)}")
+    // B: its entire text IS the shared run — removed to empty
+    assert(out(2L) == ((12, 12L, "")), s"B: ${out(2L)}")
+    // C and D: both 8-token spans cut, only the separator survives
+    assert(out(3L) == ((17, 16L, "zz")), s"C: ${out(3L)}")
+    assert(out(4L) == ((17, 16L, "qq")), s"D: ${out(4L)}")
+    // E and F: a 7-token shared run is below K=8 — untouched
+    assert(out(5L) == ((8, 0L, run(301, 307) + " ee")), s"E: ${out(5L)}")
+    assert(out(6L) == ((8, 0L, run(301, 307) + " ff")), s"F: ${out(6L)}")
   }
 
   test("text oracles cover every query") {
