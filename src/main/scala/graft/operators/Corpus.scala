@@ -2303,6 +2303,67 @@ object Corpus {
        UNION ALL SELECT bucket, n, mean_score, obs_rate, gap FROM tot
        ORDER BY bucket"""
 
+  // --- ml35: Hosmer–Lemeshow goodness-of-fit over the same buckets ----------
+
+  /** Shared per-bucket HL term text (Spark expr ≡ DuckDB SQL): the
+    * squared observed-minus-expected positives over the binomial
+    * variance, all from exact integers (n, pos) and the rounded decile
+    * mean score. */
+  private val HlTerm =
+    "(CAST(pos AS DOUBLE) - n * mean_score) * " +
+      "(CAST(pos AS DOUBLE) - n * mean_score) / " +
+      "(n * mean_score * (1.0 - mean_score))"
+
+  /** ml35 — Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow
+    * 1980) over ml09's decile reliability buckets: ml09 reports per-
+    * bucket gaps and the ECE, ml35 asks the SIGNIFICANCE question — is
+    * the observed/expected divergence larger than binomial sampling
+    * noise explains? Ĉ = Σ_g (O_g − n_g·p̄_g)² / (n_g·p̄_g·(1−p̄_g)),
+    * df = g − 2; buckets whose rounded mean score is 0 or 1 are excluded
+    * (degenerate variance — the standard guard). Per-bucket terms are
+    * deterministic doubles from exact integers + the rounded p̄; the
+    * cross-bucket sum re-enters DECIMAL (group order differs between
+    * engines — the q111 lesson).
+    *
+    * Scale shape: ml06's scoring plan + one 10-ary aggregate — the test
+    * itself is bucket-axis arithmetic, free at any corpus size. */
+  def ml35HosmerLemeshow(s: SparkSession, dir: String): DataFrame =
+    hosmerLemeshow(ml06QualityClassifier(s, dir))
+
+  /** ml35's core over a (label, score) frame — exposed so the spec can
+    * pin the perfectly-calibrated zero and a hand-computed miscalibrated
+    * bucket. */
+  private[graft] def hosmerLemeshow(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val per = scored
+      .select($"label", $"score",
+        least(floor($"score" * 10), lit(9L)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        r(davg($"score"), 6).as("mean_score"),
+        sum($"label").as("pos"))
+    val terms = per.filter($"mean_score" > 0 && $"mean_score" < 1)
+      .select($"n", r(expr(HlTerm), 6).as("term"))
+    terms.agg(count(lit(1)).as("g_buckets"), sum($"n").as("n_docs"),
+        sum($"term".cast("decimal(38,6)")).cast("double").as("hl6"))
+      .select($"g_buckets", $"n_docs", r($"hl6", 6).as("hl_chi2"),
+        ($"g_buckets" - 2).as("df"))
+      .orderBy($"g_buckets")
+  }
+
+  lazy val ml35Sql: String =
+    s"""WITH $ml06Ctes,
+       $calBucketCtes,
+       tm AS (SELECT n, ${rSql(HlTerm, 6)} AS term
+         FROM per WHERE mean_score > 0 AND mean_score < 1)
+       SELECT CAST(count(*) AS BIGINT) AS g_buckets,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         ${rSql("CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE)", 6)}
+           AS hl_chi2,
+         CAST(count(*) AS BIGINT) - 2 AS df
+       FROM tm ORDER BY g_buckets"""
+
   // --- ml28: isotonic calibration of the reliability buckets ----------------
 
   /** ml28 — isotonic (PAVA) calibration of ml09's reliability diagram:
@@ -2884,6 +2945,7 @@ object Corpus {
     "ml28_isotonic_calibration" -> (ml28IsotonicCalibration _),
     "ml23_brier" -> (ml23Brier _),
     "ml10_knn_eval" -> (ml10KnnEval _),
+    "ml35_hosmer_lemeshow" -> (ml35HosmerLemeshow _),
     "ml09_calibration" -> (ml09Calibration _),
     "d33_ppmi_contexts" -> (d33PpmiContexts _),
     "d43_order_bias" -> (d43OrderBias _),
@@ -2922,6 +2984,7 @@ object Corpus {
     "ml31_target_encoding" -> ml31Sql,
     "ml23_brier" -> ml23Sql,
     "ml10_knn_eval" -> ml10Sql,
+    "ml35_hosmer_lemeshow" -> ml35Sql,
     "ml09_calibration" -> ml09Sql,
     "d33_ppmi_contexts" -> d33Sql,
     "d43_order_bias" -> d43Sql,

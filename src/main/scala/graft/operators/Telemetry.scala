@@ -2807,7 +2807,71 @@ object Telemetry {
 
   val t65Sql: String = t04Sql
 
+  /** t66 — INCREMENTAL VIEW MAINTENANCE over the change feed (r12 — the
+    * Delta Live Tables / materialized-view role): a per-(day, anomaly)
+    * aggregate is maintained from the v1 SNAPSHOT plus the SIGNED CDF
+    * legs of every later commit — insert legs add, delete legs subtract
+    * — WITHOUT ever rescanning the live table. count and the decimal
+    * temperature sum form an abelian group, so the signed fold is
+    * EXACTLY the aggregate of the final state (the diff law
+    * `snapshot(1) − deletes + inserts ≡ snapshot(last)` lifted through
+    * the aggregation); the mutation script is t57's (append + mor
+    * DELETE + cow UPDATE), and the oracle is the DIRECT restatement of
+    * the final table — the IVM result must hash-equal a recompute.
+    *
+    * Scale shape: refreshing a 100 TB table's dashboard aggregate costs
+    * O(changed files) per refresh, never a table scan — the standard
+    * incremental-materialization argument, here with exact decimal
+    * arithmetic instead of approximate re-aggregation. */
+  def t66IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t66")
+    val t = twin(s)
+    t.writeTo("graft_t66.lake.t66").create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft_t66.lake.t66").append() // v2
+    s.sql("DELETE FROM graft_t66.lake.t66 WHERE id % 89 = 0") // v3: mor vectors
+    s.sql("""UPDATE graft_t66.lake.t66
+             SET temperature = temperature + 1.0 WHERE id % 13 = 0""") // v4: cow
+    val path = s"$lakeRoot/t66"
+    val last = graft.sources.LakeSinkFiles.listVersions(path).last
+    val base = s.sql("SELECT * FROM graft_t66.lake.t66 VERSION AS OF 1")
+      .withColumn("sgn", lit(1L))
+    val deltas = graft.sources.LakeVersions.changes(s, path, 1, last)
+      .withColumn("sgn",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .drop("_change_type")
+    base.unionByName(deltas)
+      .select(col("ts").cast("long").as("es"), col("is_anomaly"),
+        col("temperature"), col("sgn"))
+      .select(expr("es div 86400").as("day_idx"), col("is_anomaly"),
+        col("temperature"), col("sgn"))
+      .groupBy(col("day_idx"), col("is_anomaly"))
+      .agg(sum(col("sgn")).as("n_rows"),
+        Num.r(sum((col("temperature") * col("sgn")).cast("decimal(38,10)"))
+          .cast("double"), 6).as("sum_temp"))
+      .orderBy(col("day_idx"), col("is_anomaly"))
+  }
+
+  /** The oracle recomputes the FINAL state directly — the IVM fold must
+    * agree with a full recompute bit-for-bit. */
+  val t66Sql: String =
+    s"""WITH tw AS MATERIALIZED ($twinSql),
+       lk AS (SELECT * FROM tw
+              UNION ALL
+              SELECT id + ${10L * TwinRows}, ts, machine_id, is_anomaly,
+                temperature, vibration FROM tw WHERE id < 700),
+       kept AS (SELECT * FROM lk WHERE id % 89 <> 0),
+       fin AS (SELECT ts, is_anomaly,
+         CASE WHEN id % 13 = 0 THEN temperature + 1.0 ELSE temperature END
+           AS temperature
+       FROM kept)
+       SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_idx,
+         is_anomaly, CAST(count(*) AS BIGINT) AS n_rows,
+         ${Num.rsumSql("temperature", 6)} AS sum_temp
+       FROM fin GROUP BY 1, 2 ORDER BY day_idx, is_anomaly"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t66_incremental_agg" -> (t66IncrementalAgg _),
     "t65_stream_temporal" -> (t65StreamTemporal _),
     "t64_partition_evolution" -> (t64PartitionEvolution _),
     "t63_merge_schema" -> (t63MergeSchema _),
@@ -2870,6 +2934,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t66_incremental_agg" -> t66Sql,
     "t65_stream_temporal" -> t65Sql,
     "t64_partition_evolution" -> t64Sql,
     "t63_merge_schema" -> t63Sql,

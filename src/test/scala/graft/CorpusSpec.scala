@@ -923,6 +923,30 @@ class CorpusSpec extends GraftSpec {
       8L -> ((2L, 0.85, 0.5, 0.35))), s"got $got")
   }
 
+  test("ml35 Hosmer-Lemeshow: perfect calibration scores 0, a miscalibrated bucket hand-checks") {
+    import spark.implicits._
+    // PERFECTLY calibrated: each bucket's positive count equals n * p̄
+    // exactly — every term is 0, so HL = 0 with df = g − 2
+    val perfect = (
+      (1 to 10).map(i => (if (i <= 2) 1 else 0, 0.2)) ++   // n=10 p̄=.2 pos=2
+      (1 to 10).map(i => (if (i <= 7) 1 else 0, 0.7))      // n=10 p̄=.7 pos=7
+    ).toDF("label", "score")
+    val p = Corpus.hosmerLemeshow(perfect).collect()(0)
+    assert(p.getLong(0) == 2L && p.getLong(1) == 20L &&
+      p.getDouble(2) == 0.0 && p.getLong(3) == 0L, p.toString)
+    // MISCALIBRATED: bucket p̄=.2 with 8/10 positives →
+    // (8 − 2)² / (10·.2·.8) = 36 / 1.6 = 22.5
+    val bad = (1 to 10).map(i => (if (i <= 8) 1 else 0, 0.2))
+      .toDF("label", "score")
+    val b = Corpus.hosmerLemeshow(bad).collect()(0)
+    assert(b.getLong(0) == 1L && b.getDouble(2) == 22.5, b.toString)
+    // degenerate buckets (p̄ rounded to 0 or 1) are excluded, never NaN:
+    // with every bucket degenerate the statistic is NULL, not a crash
+    val degen = Seq((1, 0.0), (0, 0.0), (1, 1.0)).toDF("label", "score")
+    val d = Corpus.hosmerLemeshow(degen).collect()(0)
+    assert(d.getLong(0) == 0L && d.isNullAt(2), d.toString)
+  }
+
   test("ml09 on the corpus: buckets partition the docs, ECE row consistent") {
     import spark.implicits._
     val out = Corpus.ml09Calibration(spark, sfTiny).collect()
