@@ -461,11 +461,28 @@ object LakeMaintenance {
     * time travel and the work to reclaim it. */
   def vacuum(path: String): (Int, Int) = vacuum(path, None)
 
-  def vacuum(path: String, keepLast: Option[Int]): (Int, Int) = {
+  def vacuum(path: String, keepLast: Option[Int]): (Int, Int) =
+    vacuum(path, keepLast, None)
+
+  /** `olderThanMillis` is the RETAIN form real schedules run (Delta's
+    * `VACUUM … RETAIN n HOURS`): a version record drops only when its
+    * commit instant (record mtime, the `timestampAsOf` convention) is
+    * before the cutoff — AND it is not among the `keepLast` newest (the
+    * newest record never drops). The two horizons compose: a record
+    * survives if EITHER keeps it. */
+  def vacuum(path: String, keepLast: Option[Int],
+      olderThanMillis: Option[Long]): (Int, Int) = {
     val versions = LakeSinkFiles.listVersions(path)
     val keepN = math.max(keepLast.getOrElse(1), 1)
-    val drop = versions.dropRight(keepN)
-    val kept = versions.takeRight(keepN)
+    val ageKept: Set[Long] = olderThanMillis match {
+      case None => Set.empty
+      case Some(cutoff) => versions.filter { v =>
+        Files.getLastModifiedTime(
+          LakeSinkFiles.versionsDir(path).resolve(f"v$v%09d")).toMillis >= cutoff
+      }.toSet
+    }
+    val (drop, kept) = versions.partition(v =>
+      !versions.takeRight(keepN).contains(v) && !ageKept.contains(v))
     // a retired file referenced by ANY kept record must stay restorable;
     // with the default horizon the kept (latest) record's files are all
     // live, so every retired file deletes — the original full wipe

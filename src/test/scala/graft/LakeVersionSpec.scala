@@ -302,6 +302,41 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("vacuum with an AGE horizon: recent records survive regardless of count") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.ah").create() // v1
+      spark.sql("UPDATE graft.lake.ah SET v = 'p1' WHERE id = 1") // v2
+      spark.sql("UPDATE graft.lake.ah SET v = 'p2' WHERE id = 2") // v3
+      // age v1 and v2 artificially past the cutoff; v3 stays fresh
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L)
+      Seq(1L, 2L).foreach { v =>
+        Files.setLastModifiedTime(
+          LakeSinkFiles.versionsDir(s"$lake/ah").resolve(f"v$v%09d"), old)
+      }
+      val cutoff = System.currentTimeMillis() - 1800_000L
+      // RETAIN 30 minutes: v1/v2 drop (old), v3 survives by age
+      val (_, dropped) = LakeMaintenance.vacuum(s"$lake/ah",
+        keepLast = Some(1), olderThanMillis = Some(cutoff))
+      assert(dropped == 2, s"expected v1+v2 dropped, got $dropped")
+      assert(LakeSinkFiles.listVersions(s"$lake/ah") == Seq(3L))
+      // the two horizons COMPOSE: keepLast keeps records the age would drop
+      threeRows(1).writeTo("graft.lake.ah").append() // v4
+      spark.sql("UPDATE graft.lake.ah SET v = 'p3' WHERE id = 3") // v5
+      Seq(3L, 4L, 5L).foreach { v =>
+        Files.setLastModifiedTime(
+          LakeSinkFiles.versionsDir(s"$lake/ah").resolve(f"v$v%09d"), old)
+      }
+      val (_, dropped2) = LakeMaintenance.vacuum(s"$lake/ah",
+        keepLast = Some(2), olderThanMillis = Some(cutoff))
+      assert(dropped2 == 1 && LakeSinkFiles.listVersions(s"$lake/ah") == Seq(4L, 5L),
+        s"keepLast=2 must keep v4+v5 even though both aged out (dropped $dropped2)")
+      // v4 is restorable inside the keepLast horizon
+      LakeMaintenance.restore(s"$lake/ah", 4L)
+      assert(spark.table("graft.lake.ah").count() == 6)
+    }
+  }
+
   test("a CDF stream whose offset predates the vacuum horizon fails loudly, never skips") {
     withLake { lake =>
       import org.apache.spark.sql.streaming.Trigger
