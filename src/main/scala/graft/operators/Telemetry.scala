@@ -2870,7 +2870,41 @@ object Telemetry {
          ${Num.rsumSql("temperature", 6)} AS sum_temp
        FROM fin GROUP BY 1, 2 ORDER BY day_idx, is_anomaly"""
 
+  /** t67 — BATCH change-feed reads (r12: `spark.read` +
+    * `readChangeFeed`/`startingVersion`/`endingVersion` — the Delta
+    * batch-CDF option parity; [[graft.sources.LakeCdfScan]] now serves
+    * the SAME leg planner both ways): t55's mutation script (append +
+    * mor DELETE), then ONE batch read plans the whole `(0, latest]`
+    * range at once — and must hash-equal t55's per-micro-batch drained
+    * stream restatement exactly (same legs, same tags; LakeCdfSpec pins
+    * endingVersion sub-ranges ≡ per-version batch changes and the
+    * vacuum-gap refusal on the batch path too).
+    *
+    * Scale shape: an incremental backfill over N commits is one batch
+    * job planning O(changed files) legs driver-side — no checkpoint
+    * machinery needed when the consumer is a one-shot job. */
+  def t67BatchCdf(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t67")
+    val t = twin(s)
+    t.writeTo("graft_t67.lake.t67").create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft_t67.lake.t67").append() // v2
+    s.sql("DELETE FROM graft_t67.lake.t67 WHERE id % 97 = 0") // v3: mor vectors
+    s.read.format(classOf[graft.sources.LakeSink].getName)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(s"$lakeRoot/t67")
+      .select((t.schema.fieldNames.toIndexedSeq ++
+        Seq("_change_type", "_commit_version")).map(col): _*)
+      .orderBy(col("id"), col("_change_type"))
+  }
+
+  /** Identical text to [[t55Sql]]: the one-shot batch range read must
+    * reproduce the drained stream bit-for-bit. */
+  val t67Sql: String = t55Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t67_batch_cdf" -> (t67BatchCdf _),
     "t66_incremental_agg" -> (t66IncrementalAgg _),
     "t65_stream_temporal" -> (t65StreamTemporal _),
     "t64_partition_evolution" -> (t64PartitionEvolution _),
@@ -2934,6 +2968,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t67_batch_cdf" -> t67Sql,
     "t66_incremental_agg" -> t66Sql,
     "t65_stream_temporal" -> t65Sql,
     "t64_partition_evolution" -> t64Sql,

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
@@ -75,6 +75,89 @@ private[graft] object LakeCdf {
     byV.orElse(byT)
   }
 
+  /** The legs of one version against its committed predecessor — exactly
+    * [[LakeVersions.changes]]`(prev, v)`, as input partitions. Shared by
+    * the streaming micro-batches and the batch range read. */
+  private[sources] def legsFor(path: String, partCols: Seq[String],
+      v: Long, prev: Option[Long]): Seq[LakeCdfInputPartition] = {
+    val filesPrev = prev.map(LakeSinkFiles.readVersion(path, _)._3).getOrElse(Seq.empty)
+    val filesV = LakeSinkFiles.readVersion(path, v)._3
+    val delsPrev = prev.map(LakeSinkFiles.readVersionDeletes(path, _)).getOrElse(Map.empty)
+    val delsV = LakeSinkFiles.readVersionDeletes(path, v)
+    val root = Paths.get(path)
+    val identityKeys = LakePart.parseAll(partCols)
+      .filter(_.isIdentity).map(_.dirKey).toSet
+    def base(rel: String, deletes: Array[Long],
+        includeOnly: Option[Array[Long]]): LakeSinkInputPartition = {
+      // live-first, retired-second resolution (a removed file was retired
+      // by its rewrite; vacuuming it makes this range unreadable — loud)
+      val live = root.resolve(rel)
+      val p =
+        if (Files.isRegularFile(live)) live
+        else {
+          val r = LakeSinkFiles.retiredDir(path).resolve(rel)
+          require(Files.isRegularFile(r),
+            s"LakeSink CDF: changed file $rel of version $v was vacuumed from $path")
+          r
+        }
+      val kvs = LakeSinkPartitions.kvsOf(root, live, partCols)
+        .filter { case (k, _) => identityKeys.contains(k) }
+      LakeSinkInputPartition(p.toString, kvs, deletes, includeOnly)
+    }
+    val inserts = filesV.diff(filesPrev).sorted.map { rel =>
+      // a row both written and vector-deleted by version v never surfaces
+      LakeCdfInputPartition(
+        base(rel, delsV.getOrElse(rel, Array.empty), None), "insert", v)
+    }
+    val removes = filesPrev.diff(filesV).sorted.map { rel =>
+      // rows already hidden at prev were never live there — not deletes now
+      LakeCdfInputPartition(
+        base(rel, delsPrev.getOrElse(rel, Array.empty), None), "delete", v)
+    }
+    // merge-on-read legs: positions newly vectored in files BOTH versions
+    // carry replay as row-level deletes (they were live at prev)…
+    val common = filesPrev.toSet.intersect(filesV.toSet)
+    val vectored = common.toSeq.sorted.flatMap { rel =>
+      val before = delsPrev.getOrElse(rel, Array.empty[Long]).toSet
+      val nd = delsV.getOrElse(rel, Array.empty[Long]).filterNot(before).sorted
+      if (nd.isEmpty) None
+      else Some(LakeCdfInputPartition(base(rel, Array.empty, Some(nd)), "delete", v))
+    }
+    // …and positions REMOVED from a vector (RESTORE undoing a mor DELETE)
+    // replay as row-level inserts — they are live again at v; without
+    // these legs a CDC replica silently misses every un-deleted row
+    // (the diff law would break exactly at the restore version)
+    val unVectored = common.toSeq.sorted.flatMap { rel =>
+      val after = delsV.getOrElse(rel, Array.empty[Long]).toSet
+      val ud = delsPrev.getOrElse(rel, Array.empty[Long]).filterNot(after).sorted
+      if (ud.isEmpty) None
+      else Some(LakeCdfInputPartition(base(rel, Array.empty, Some(ud)), "insert", v))
+    }
+    inserts ++ removes ++ vectored ++ unVectored
+  }
+
+  /** Plan every leg of the version range `(startV, endV]`, refusing
+    * vacuumed gaps loudly — shared by batch and streaming planning. */
+  private[sources] def planRange(path: String, partCols: Seq[String],
+      startV: Long, endV: Long): Array[InputPartition] = {
+    val all = LakeSinkFiles.listVersions(path)
+    // retention-horizon contract: if VACUUM dropped version records the
+    // consumer has not seen yet, fail LOUDLY — replaying only the
+    // surviving versions would silently lose the dropped ones' changes
+    // (offset 0 against a log starting at v1 is the normal full-history
+    // start, not a gap)
+    all.headOption.foreach { minV =>
+      require(startV + 1 >= minV,
+        s"LakeSink CDF: versions ${startV + 1}..${minV - 1} of $path were " +
+          "vacuumed past this read's starting version — the change " +
+          "feed is no longer complete from here; start later or vacuum " +
+          "with a longer retention horizon")
+    }
+    all.filter(v => v > startV && v <= endV).flatMap { v =>
+      legsFor(path, partCols, v, all.filter(_ < v).lastOption)
+    }.toArray
+  }
+
   def cdfSchema(tableSchema: StructType): StructType = {
     Seq(ChangeTypeCol, CommitVersionCol).foreach { c =>
       require(!tableSchema.fieldNames.contains(c),
@@ -91,23 +174,44 @@ private[sources] class LakeCdfTable(tableSchema: StructType, path: String,
   override def name(): String = s"graft_lake_cdf($path)"
   override def schema(): StructType = LakeCdf.cdfSchema(tableSchema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LakeCdfScan(schema(), path, partCols,
         LakeCdf.startingVersion(path, options),
-        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
+        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
+        Option(options.get("endingVersion")).map(_.trim.toLong))
     }
 }
 
+/** Serves the change feed BOTH ways (the Delta parity): as a micro-batch
+  * stream (offsets = version ids) and as a BATCH range read
+  * (`spark.read … .option("readChangeFeed", "true")
+  * .option("startingVersion", v)[.option("endingVersion", w)]` — the
+  * whole `(v−1, w]` leg set planned at once, default w = latest). */
 private[sources] class LakeCdfScan(cdfSchema: StructType, path: String,
     partCols: Seq[String], startingVersion: Option[Long],
-    maxFilesPerTrigger: Option[Int]) extends Scan {
+    maxFilesPerTrigger: Option[Int],
+    endingVersion: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = cdfSchema
-  override def description(): String = s"graft-lake-cdf $path"
+  override def description(): String = s"graft-lake-cdf $path" +
+    startingVersion.map(v => s" from=v$v").getOrElse("") +
+    endingVersion.map(v => s" to=v$v").getOrElse("")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LakeCdfMicroBatchStream(cdfSchema, path, partCols, startingVersion,
       maxFilesPerTrigger)
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val endV = endingVersion.getOrElse(
+      LakeSinkFiles.listVersions(path).lastOption.getOrElse(0L))
+    LakeCdf.planRange(path, partCols, startingVersion.map(_ - 1).getOrElse(0L), endV)
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (aliases, ignored) = LakeSinkFiles.readManifestEvolution(path)
+    val tableSchema = StructType(cdfSchema.fields.filterNot(f =>
+      f.name == LakeCdf.ChangeTypeCol || f.name == LakeCdf.CommitVersionCol))
+    new LakeCdfReaderFactory(tableSchema, cdfSchema, path, partCols, aliases, ignored)
+  }
 }
 
 /** Offset = the last version whose changes have been emitted. */
@@ -187,85 +291,10 @@ private[sources] class LakeCdfMicroBatchStream(cdfSchema: StructType,
   override def deserializeOffset(json: String): Offset =
     LakeCdfOffset(json.trim.toLong)
 
-  /** The legs of one version against its committed predecessor — exactly
-    * [[LakeVersions.changes]]`(prev, v)`, as input partitions. */
-  private def legsFor(v: Long, prev: Option[Long]): Seq[LakeCdfInputPartition] = {
-    val filesPrev = prev.map(LakeSinkFiles.readVersion(path, _)._3).getOrElse(Seq.empty)
-    val filesV = LakeSinkFiles.readVersion(path, v)._3
-    val delsPrev = prev.map(LakeSinkFiles.readVersionDeletes(path, _)).getOrElse(Map.empty)
-    val delsV = LakeSinkFiles.readVersionDeletes(path, v)
-    val root = Paths.get(path)
-    val identityKeys = LakePart.parseAll(partCols)
-      .filter(_.isIdentity).map(_.dirKey).toSet
-    def base(rel: String, deletes: Array[Long],
-        includeOnly: Option[Array[Long]]): LakeSinkInputPartition = {
-      // live-first, retired-second resolution (a removed file was retired
-      // by its rewrite; vacuuming it makes this range unreadable — loud)
-      val live = root.resolve(rel)
-      val p =
-        if (Files.isRegularFile(live)) live
-        else {
-          val r = LakeSinkFiles.retiredDir(path).resolve(rel)
-          require(Files.isRegularFile(r),
-            s"LakeSink CDF: changed file $rel of version $v was vacuumed from $path")
-          r
-        }
-      val kvs = LakeSinkPartitions.kvsOf(root, live, partCols)
-        .filter { case (k, _) => identityKeys.contains(k) }
-      LakeSinkInputPartition(p.toString, kvs, deletes, includeOnly)
-    }
-    val inserts = filesV.diff(filesPrev).sorted.map { rel =>
-      // a row both written and vector-deleted by version v never surfaces
-      LakeCdfInputPartition(
-        base(rel, delsV.getOrElse(rel, Array.empty), None), "insert", v)
-    }
-    val removes = filesPrev.diff(filesV).sorted.map { rel =>
-      // rows already hidden at prev were never live there — not deletes now
-      LakeCdfInputPartition(
-        base(rel, delsPrev.getOrElse(rel, Array.empty), None), "delete", v)
-    }
-    // merge-on-read legs: positions newly vectored in files BOTH versions
-    // carry replay as row-level deletes (they were live at prev)…
-    val common = filesPrev.toSet.intersect(filesV.toSet)
-    val vectored = common.toSeq.sorted.flatMap { rel =>
-      val before = delsPrev.getOrElse(rel, Array.empty[Long]).toSet
-      val nd = delsV.getOrElse(rel, Array.empty[Long]).filterNot(before).sorted
-      if (nd.isEmpty) None
-      else Some(LakeCdfInputPartition(base(rel, Array.empty, Some(nd)), "delete", v))
-    }
-    // …and positions REMOVED from a vector (RESTORE undoing a mor DELETE)
-    // replay as row-level inserts — they are live again at v; without
-    // these legs a CDC replica silently misses every un-deleted row
-    // (the diff law would break exactly at the restore version)
-    val unVectored = common.toSeq.sorted.flatMap { rel =>
-      val after = delsV.getOrElse(rel, Array.empty[Long]).toSet
-      val ud = delsPrev.getOrElse(rel, Array.empty[Long]).filterNot(after).sorted
-      if (ud.isEmpty) None
-      else Some(LakeCdfInputPartition(base(rel, Array.empty, Some(ud)), "insert", v))
-    }
-    inserts ++ removes ++ vectored ++ unVectored
-  }
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val startV = start.asInstanceOf[LakeCdfOffset].version
-    val endV = end.asInstanceOf[LakeCdfOffset].version
-    val all = LakeSinkFiles.listVersions(path)
-    // retention-horizon contract: if VACUUM dropped version records the
-    // stream has not emitted yet (checkpointed offset predates the
-    // horizon), fail LOUDLY — replaying only the surviving versions would
-    // silently lose the dropped ones' changes (offset 0 against a log
-    // starting at v1 is the normal full-history start, not a gap)
-    all.headOption.foreach { minV =>
-      require(startV + 1 >= minV,
-        s"LakeSink CDF: versions ${startV + 1}..${minV - 1} of $path were " +
-          "vacuumed past this stream's checkpointed offset — the change " +
-          "feed is no longer complete from here; restart from a fresh " +
-          "checkpoint or vacuum with a longer retention horizon")
-    }
-    all.filter(v => v > startV && v <= endV).flatMap { v =>
-      legsFor(v, all.filter(_ < v).lastOption)
-    }.toArray
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    LakeCdf.planRange(path, partCols,
+      start.asInstanceOf[LakeCdfOffset].version,
+      end.asInstanceOf[LakeCdfOffset].version)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (aliases, ignored) = LakeSinkFiles.readManifestEvolution(path)

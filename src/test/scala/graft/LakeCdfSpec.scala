@@ -110,6 +110,39 @@ class LakeCdfSpec extends GraftSpec {
     }
   }
 
+  test("batch CDF range reads: startingVersion/endingVersion ≡ per-version changes; vacuum gap refuses") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.bcdf").create() // v1
+      threeRows(1).writeTo("graft.lake.bcdf").append() // v2
+      spark.sql("UPDATE graft.lake.bcdf SET v = 'patched' WHERE id = 2") // v3
+      spark.sql("DELETE FROM graft.lake.bcdf WHERE id = 11") // v4 (mor)
+      def batchRead(opts: (String, String)*): DataFrame = {
+        var r = spark.read.format("graft.sources.LakeSink")
+          .option("readChangeFeed", "true")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(s"$lake/bcdf")
+      }
+      // a SUB-RANGE equals the per-version batch changes, version-tagged
+      val range23 = batchRead("startingVersion" -> "2", "endingVersion" -> "3")
+      val expect23 = (2L to 3L).map { v =>
+        LakeVersions.changes(spark, s"$lake/bcdf", v - 1, v)
+          .withColumn("_commit_version", lit(v))
+      }.reduce(_ unionByName _)
+      assert(canon(range23) == canon(expect23))
+      // the FULL batch read equals the streamed drain (same leg planner)
+      assert(canon(batchRead()) == canon(drainToMemory(s"$lake/bcdf")))
+      // a batch read positioned before the vacuum horizon refuses loudly
+      graft.sources.LakeMaintenance.vacuum(s"$lake/bcdf", keepLast = Some(1))
+      val e = intercept[Exception](batchRead("startingVersion" -> "2").collect())
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(rootMsg(e).contains("vacuumed past"), rootMsg(e).take(300))
+      // from the horizon on, the batch read still serves
+      assert(batchRead("startingVersion" -> "4").count() > 0)
+    }
+  }
+
   test("checkpointed CDF drains are exactly-once across a kill/restart") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.tail").create() // v1
