@@ -170,7 +170,18 @@ object LakeMaintenance {
     compact(spark, path, None)
 
   def compact(spark: SparkSession, path: String,
-      targetBytes: Option[Long]): (Int, Int, Int) = {
+      targetBytes: Option[Long]): (Int, Int, Int) =
+    compact(spark, path, targetBytes, Map.empty)
+
+  /** `partitions` scopes the rewrite to matching partition DIRECTORIES
+    * (the `OPTIMIZE … WHERE` contract): keys are partition dir keys
+    * (`p`, `ts_day`, `id_bucket` — what SHOW PARTITIONS prints), values
+    * the dir values; a directory compacts only when it carries EVERY
+    * listed pair. Real schedules compact yesterday's partition after its
+    * stream closes instead of rewriting the whole table — untouched
+    * partitions' files survive bit-identically (spec-pinned). */
+  def compact(spark: SparkSession, path: String, targetBytes: Option[Long],
+      partitions: Map[String, String]): (Int, Int, Int) = {
     val (tblSchema, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
       throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
     val root = Paths.get(path)
@@ -180,6 +191,9 @@ object LakeMaintenance {
     // candidate — the rewrite reclaims the read-side filtering cost
     val dels = LakeSinkDeletes.read(path)
     val dirGroups = LakeSinkFiles.listLive(path, partCols)
+      .filter { case (_, kvs) =>
+        partitions.forall { case (k, v) => kvs.contains(k -> v) }
+      }
       .map { case (p, _) => root.relativize(p).toString }
       .groupBy(rel => Option(Paths.get(rel).getParent).map(_.toString).getOrElse(""))
       .filter { case (_, rels) => rels.size > 1 || rels.exists(dels.contains) }

@@ -269,6 +269,48 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("partition-scoped compaction (OPTIMIZE WHERE): only the named partition rewrites") {
+    withLake { lake =>
+      import spark.implicits._
+      // two partitions, several small files each (clustering off so every
+      // append sprays per-task files)
+      (0 until 40).map(i => (i.toLong, i % 2, s"v$i")).toDF("id", "p", "v")
+        .repartition(4)
+        .write.format("graft.sources.LakeSink").mode("append")
+        .option("distributionMode", "none") // per-task files: small-file spray
+        .option("partitionCols", "p")
+        .save(s"$lake/oc")
+      def filesOf(dirKey: String): Seq[(String, Long, Long)] = {
+        val it = Files.walk(Paths.get(s"$lake/oc")).iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f) && f.toString.contains(dirKey) &&
+              !f.toString.contains("_graft_retired") &&
+              !f.toString.contains("_staging") &&
+              f.getFileName.toString.endsWith(".json.gz"))
+            out += ((f.toString, Files.size(f), Files.getLastModifiedTime(f).toMillis))
+        }
+        out.sortBy(_._1).toSeq
+      }
+      val before0 = filesOf("p=0")
+      val before1 = filesOf("p=1")
+      assert(before0.size > 1 && before1.size > 1, s"${before0.size}/${before1.size}")
+      val rows = canon(spark.read.format("graft.sources.LakeSink").load(s"$lake/oc"))
+      // compact ONLY p=1
+      val (nDirs, _, nOut) = LakeMaintenance.compact(spark, s"$lake/oc",
+        None, Map("p" -> "1"))
+      assert(nDirs == 1 && nOut == 1, s"dirs=$nDirs out=$nOut")
+      assert(filesOf("p=0") == before0,
+        "the untouched partition's files must survive bit-identically")
+      assert(filesOf("p=1").size == 1)
+      assert(canon(spark.read.format("graft.sources.LakeSink").load(s"$lake/oc")) == rows)
+      // a non-matching scope compacts nothing
+      assert(LakeMaintenance.compact(spark, s"$lake/oc", None,
+        Map("p" -> "7")) == ((0, 0, 0)))
+    }
+  }
+
   test("vacuum with a retention horizon: versions inside the horizon stay readable and restorable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.rh").create() // v1
