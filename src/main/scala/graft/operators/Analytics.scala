@@ -3670,6 +3670,107 @@ object Analytics {
        FROM fin
        ORDER BY n_users"""
 
+  // q114's shared expression texts (Spark expr ≡ DuckDB SQL): n-scaled
+  // centered moments, Cramer's rule for the 2-regressor fit, and the
+  // Granger F — the n-scalings cancel, so everything stays in the exact
+  // decimal-moment currency until the final divisions
+  private val GrA = "(n * suu - su * su)"
+  private val GrB = "(n * svv - sv * sv)"
+  private val GrC = "(n * suv - su * sv)"
+  private val GrD = "(n * suw - su * sw)"
+  private val GrE = "(n * svw - sv * sw)"
+  private val GrW = "(n * sww - sw * sw)"
+  private val GrDet = s"($GrA * $GrB - $GrC * $GrC)"
+  private val GrB1 = s"(($GrD * $GrB - $GrE * $GrC) / $GrDet)"
+  private val GrB2 = s"(($GrE * $GrA - $GrD * $GrC) / $GrDet)"
+  private val GrWf = s"($GrW - $GrB1 * $GrD - $GrB2 * $GrE)"
+  private val GrWr = s"($GrW - $GrD * $GrD / $GrA)"
+  private val GrF =
+    s"CASE WHEN n > 3.0 AND $GrA > 0 AND $GrDet > 0 AND $GrWf > 0 " +
+      s"THEN ($GrWr - $GrWf) * (n - 3.0) / $GrWf END"
+
+  /** q114 — GRANGER causality screen (Granger 1969) between the two
+    * hourly telemetry series (event volume x, value mass y): does
+    * yesterday's x improve the one-lag autoregression of y beyond y's
+    * own past (and vice versa)? F = ((RSS_r − RSS_f)/1)/(RSS_f/(n−3))
+    * comparing the restricted AR(1) against the full model with the
+    * other series' lag — the standard lead/lag screen before anyone
+    * trusts a dashboard's "x drives y" story. Both directions from ONE
+    * consecutive-hour self-join (q47's integer epoch-hour axis — no
+    * calendar parity, no windows over corpus rows): the pair rows are
+    * tagged with their direction and aggregated once; OLS closed-form
+    * via Cramer on exact decimal moments (the ml03 pattern), one shared
+    * final-division text. Insufficient/degenerate series yield NULL
+    * (guards spec-pinned).
+    *
+    * Scale shape: two uniform aggregations (hourly rollup, per-direction
+    * moments) + one equi-join on the hour key — series-sized state,
+    * corpus-linear scan. */
+  def q114Granger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    grangerOf(Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("hx"))
+      .agg(count(lit(1)).cast("double").as("x"), r(dsum($"value"), 6).as("y")))
+  }
+
+  /** q114's core over an (hx, x, y) series frame — exposed so the spec
+    * can plant a one-lag causal dependence (F(x→y) ≫ F(y→x)) and the
+    * degenerate guards. */
+  private[graft] def grangerOf(hourly0: DataFrame): DataFrame = {
+    val s = hourly0.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    // cached: the hourly series feeds both sides of the lag join
+    // (CLAUDE.md invariant 5)
+    val hourly = hourly0.cache()
+    val b = hourly.select($"hx".as("hx2"), $"x".as("xt"), $"y".as("yt"))
+    val pairs = hourly
+      .join(b, $"hx2" === $"hx" + 3600)
+      .select(
+        // direction 1: does x Granger-cause y?  w = y_t, u = y_{t−1}, v = x_{t−1}
+        // direction 2: mirrored
+        explode(array(
+          struct(lit("x_causes_y").as("direction"),
+            $"yt".as("w"), $"y".as("u"), $"x".as("v")),
+          struct(lit("y_causes_x").as("direction"),
+            $"xt".as("w"), $"x".as("u"), $"y".as("v")))).as("d"))
+      .select($"d.direction", $"d.w", $"d.u", $"d.v")
+    val out = pairs.groupBy($"direction")
+      .agg(count(lit(1)).as("n_pairs"),
+        m($"u").as("su"), m($"v").as("sv"), m($"w").as("sw"),
+        m($"u" * $"u").as("suu"), m($"v" * $"v").as("svv"),
+        m($"w" * $"w").as("sww"),
+        m($"u" * $"v").as("suv"), m($"u" * $"w").as("suw"),
+        m($"v" * $"w").as("svw"))
+      .withColumn("n", $"n_pairs".cast("double"))
+      .select($"direction", $"n_pairs", r(expr(GrF), 6).as("f_stat"))
+      .orderBy($"direction")
+      .localCheckpoint(true)
+    hourly.unpersist(blocking = false)
+    out
+  }
+
+  lazy val q114Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH h AS MATERIALIZED (SELECT
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
+         CAST(count(*) AS DOUBLE) AS x, ${rSql(dsumSql("value"), 6)} AS y
+       FROM events GROUP BY date_trunc('hour', ts)),
+       p AS (SELECT a.x AS x, a.y AS y, b.x AS xt, b.y AS yt
+         FROM h a JOIN h b ON b.hx = a.hx + 3600),
+       d AS (SELECT 'x_causes_y' AS direction, yt AS w, y AS u, x AS v FROM p
+             UNION ALL
+             SELECT 'y_causes_x', xt, x, y FROM p),
+       mo AS (SELECT direction, CAST(count(*) AS BIGINT) AS n_pairs,
+         ${m("u")} AS su, ${m("v")} AS sv, ${m("w")} AS sw,
+         ${m("u * u")} AS suu, ${m("v * v")} AS svv, ${m("w * w")} AS sww,
+         ${m("u * v")} AS suv, ${m("u * w")} AS suw, ${m("v * w")} AS svw
+       FROM d GROUP BY direction),
+       mo2 AS (SELECT *, CAST(n_pairs AS DOUBLE) AS n FROM mo)
+       SELECT direction, n_pairs, ${rSql(GrF, 6)} AS f_stat
+       FROM mo2 ORDER BY direction"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_cuped" -> (q90Cuped _),
     "q91_ratio_jackknife" -> (q91RatioJackknife _),
@@ -3694,6 +3795,7 @@ object Analytics {
     "q68_gini_hist" -> (q68GiniHist _),
     "q56_cusum" -> (q56Cusum _),
     "q111_page_hinkley" -> (q111PageHinkley _),
+    "q114_granger" -> (q114Granger _),
     "q113_levene" -> (q113Levene _),
     "q55_theil_sen" -> (q55TheilSen _),
     "q54_mutual_info" -> (q54MutualInfo _),
@@ -3754,6 +3856,7 @@ object Analytics {
     "q68_gini_hist" -> q68Sql,
     "q56_cusum" -> q56Sql,
     "q111_page_hinkley" -> q111Sql,
+    "q114_granger" -> q114Sql,
     "q113_levene" -> q113Sql,
     "q55_theil_sen" -> q55Sql,
     "q54_mutual_info" -> q54Sql,

@@ -1217,4 +1217,34 @@ class AnalyticsSpec extends GraftSpec {
       assert(out.collect().sameElements(Analytics.q45KmvSketch(spark, sfTiny).collect()))
     } finally out.unpersist(blocking = false)
   }
+
+  test("q114 Granger: a planted one-lag dependence is asymmetric; degenerate series guard") {
+    import spark.implicits._
+    // x is a deterministic pseudo-random walk input; y follows x's LAG
+    // plus small deterministic noise -> x Granger-causes y, not the
+    // reverse
+    val xs = (0 until 200).map(t => ((t * 37) % 11).toDouble)
+    val noise = (0 until 200).map(t => ((t * 13) % 7) * 0.01)
+    val rows = (1 until 200).map { t =>
+      (t.toLong * 3600L, xs(t), xs(t - 1) + noise(t))
+    }
+    val hourly = rows.toDF("hx", "x", "y")
+    val out = Analytics.grangerOf(hourly).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    assert(out("x_causes_y") > 100.0,
+      s"planted dependence must yield a large F: ${out("x_causes_y")}")
+    assert(out("y_causes_x") < out("x_causes_y") / 10.0,
+      s"the reverse direction must be far weaker: $out")
+    // a CONSTANT input series degenerates (A = 0 / det = 0) -> NULL, no crash
+    val const = (1 until 50).map(t => (t.toLong * 3600L, 1.0, (t % 5).toDouble))
+      .toDF("hx", "x", "y")
+    val c = Analytics.grangerOf(const).collect()
+      .map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(c("y_causes_x"), "constant-u regression must be NULL (guarded)")
+    // too-short series (n <= 3) -> NULL
+    val short = (1 until 4).map(t => (t.toLong * 3600L, t.toDouble, (t * 2).toDouble))
+      .toDF("hx", "x", "y")
+    assert(Analytics.grangerOf(short).collect().forall(_.isNullAt(2)))
+  }
 }
