@@ -2903,7 +2903,79 @@ object Telemetry {
     * reproduce the drained stream bit-for-bit. */
   val t67Sql: String = t55Sql
 
+  /** t68 — STREAMING incremental view maintenance (r12 — t66's
+    * continuously-maintained twin, the Delta Live Tables topology):
+    * the same aggregate is kept live by a `readChangeFeed` stream whose
+    * every micro-batch MERGEs its SIGNED per-group deltas into a
+    * materialized lake table (insert legs add, delete legs subtract —
+    * counts as BIGINTs, the temperature sum as exact MICRO-unit integers,
+    * the q111 micro-integer-state lesson: the source values are 6-dp
+    * decimals, so ×10⁶ round-trips exactly and the running state never
+    * re-orders float additions). After the drain the materialized table
+    * must hash-equal the direct recompute (t66's oracle verbatim) —
+    * stream-maintained ≡ batch-folded ≡ recomputed, the full IVM
+    * triangle.
+    *
+    * Scale shape: each refresh costs O(changed files) read + an
+    * aggregate-table-sized MERGE — the dashboard stays current without
+    * ever rescanning the 100 TB source. */
+  def t68StreamIvm(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t68")
+    val ckpt = TempLakes.dir("graft_t68_ckpt")
+    val _ = lakeRoot
+    val t = twin(s)
+    t.writeTo("graft_t68.lake.src").create() // v1
+    t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
+      .writeTo("graft_t68.lake.src").append() // v2
+    s.sql("DELETE FROM graft_t68.lake.src WHERE id % 89 = 0") // v3: mor vectors
+    s.sql("""UPDATE graft_t68.lake.src
+             SET temperature = temperature + 1.0 WHERE id % 13 = 0""") // v4: cow
+    s.sql("""CREATE TABLE graft_t68.lake.agg
+             (day_idx BIGINT, is_anomaly INT, n_rows BIGINT, sum_micro BIGINT)
+             USING graft""")
+    val q = s.readStream.format(classOf[graft.sources.LakeSink].getName)
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "4") // several refreshes; versions whole
+      .load(s"$lakeRoot/src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val d = batch.localCheckpoint(true) // one pinned evaluation (t57)
+        d.select(col("ts").cast("long").as("es"), col("is_anomaly"),
+            col("temperature"),
+            when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+              .as("sgn"))
+          .select(expr("es div 86400").as("day_idx"), col("is_anomaly"),
+            (round(col("temperature") * lit(1000000.0)).cast("long") * col("sgn"))
+              .as("micro"), col("sgn"))
+          .groupBy(col("day_idx"), col("is_anomaly"))
+          .agg(sum(col("sgn")).as("dn"), sum(col("micro")).as("dm"))
+          .createOrReplaceTempView("graft_t68_deltas")
+        ss.sql("""MERGE INTO graft_t68.lake.agg a USING graft_t68_deltas d
+                  ON a.day_idx = d.day_idx AND a.is_anomaly = d.is_anomaly
+                  WHEN MATCHED THEN UPDATE SET
+                    n_rows = a.n_rows + d.dn, sum_micro = a.sum_micro + d.dm
+                  WHEN NOT MATCHED THEN INSERT
+                    (day_idx, is_anomaly, n_rows, sum_micro)
+                    VALUES (d.day_idx, d.is_anomaly, d.dn, d.dm)""")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_t68.lake.agg")
+      .select(col("day_idx"), col("is_anomaly"), col("n_rows"),
+        Num.r(col("sum_micro").cast("double") / lit(1000000.0), 6).as("sum_temp"))
+      .orderBy(col("day_idx"), col("is_anomaly"))
+  }
+
+  /** Identical text to [[t66Sql]]: the stream-maintained table must
+    * equal the direct recompute. */
+  val t68Sql: String = t66Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t68_stream_ivm" -> (t68StreamIvm _),
     "t67_batch_cdf" -> (t67BatchCdf _),
     "t66_incremental_agg" -> (t66IncrementalAgg _),
     "t65_stream_temporal" -> (t65StreamTemporal _),
@@ -2968,6 +3040,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t68_stream_ivm" -> t68Sql,
     "t67_batch_cdf" -> t67Sql,
     "t66_incremental_agg" -> t66Sql,
     "t65_stream_temporal" -> t65Sql,
