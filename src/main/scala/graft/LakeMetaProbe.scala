@@ -77,10 +77,44 @@ object LakeMetaProbe {
         .collect()(0).getLong(0) == targetFiles.toLong * 20)
     }
 
+    // --- bloom-ledger cost at many-small-files scale (r12) -----------------
+    //
+    // Bloom bits ride the stats blob, so a bloom'd table's needle lookup
+    // pays ONE ledger read at planning; this measures that read against
+    // the skip it buys and against the no-bloom control (which must open
+    // every straddling file). Bits deliberately sized small (2^13) for
+    // the many-tiny-files regime — the option's own guidance: size bits
+    // to the file's row count, compact before blooming a spray of
+    // epoch-files.
+    val bloomFiles = math.max(targetFiles / 6, 100)
+    val bRoot = java.nio.file.Files.createTempDirectory("graft_bloom_probe").toString
+    spark.range(bloomFiles.toLong * 20)
+      .select(col("id"), (col("id") % 997).cast("double").as("v"))
+      .repartition(bloomFiles)
+      .write.format("graft.sources.LakeSink").mode("append")
+      .option("distributionMode", "none")
+      .option("bloomFilterColumns", "id")
+      .option("bloomFilterBits", (1 << 13).toString)
+      .save(bRoot)
+    val ledgerKb =
+      java.nio.file.Files.size(java.nio.file.Paths.get(bRoot, "_graft_stats.json")) / 1024
+    spark.read.format("graft.sources.LakeSink").load(bRoot)
+      .filter(col("id") === 1L).collect() // warm
+    val tNeedle = ms {
+      val q = spark.read.format("graft.sources.LakeSink").load(bRoot)
+        .filter(col("id") === 4242L)
+      require(q.collect().length == 1)
+      val m = "skippedFiles=(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      require(m.exists(_.group(1).toInt >= bloomFiles - 2), s"skip ${m.map(_.group(1))}")
+    }
+
     println(s"""{"files":$nFiles,"rows":${targetFiles * 20},""" +
       s""""count_pushed_ms":${f1(tCount)},"rollup_pushed_ms":${f1(tRollup)},""" +
       s""""pruned_plan_ms":${f1(tPrunedPlan)},"files_table_ms":${f1(tFilesTable)},""" +
-      s""""snapshot_count_ms":${f1(tSnapshot)}}""")
+      s""""snapshot_count_ms":${f1(tSnapshot)},""" +
+      s""""bloom_files":$bloomFiles,"bloom_ledger_kb":$ledgerKb,""" +
+      s""""bloom_needle_ms":${f1(tNeedle)}}""")
     spark.stop()
   }
 }
