@@ -100,9 +100,10 @@ object LakeMetaProbe {
       java.nio.file.Files.size(java.nio.file.Paths.get(bRoot, "_graft_stats.json")) / 1024
     spark.read.format("graft.sources.LakeSink").load(bRoot)
       .filter(col("id") === 1L).collect() // warm
+    val needle = bloomFiles.toLong * 20 / 2 + 1 // always inside the id range
     val tNeedle = ms {
       val q = spark.read.format("graft.sources.LakeSink").load(bRoot)
-        .filter(col("id") === 4242L)
+        .filter(col("id") === needle)
       require(q.collect().length == 1)
       val m = "skippedFiles=(\\d+)".r
         .findFirstMatchIn(q.queryExecution.executedPlan.toString)

@@ -2796,11 +2796,16 @@ object Telemetry {
       .toTable("graft_t65.lake.t65")
     q.awaitTermination()
     // the hidden layout really is day directories
-    val it = java.nio.file.Files.list(java.nio.file.Paths.get(s"$lakeRoot/t65")).iterator()
-    var dayDirs = 0
-    while (it.hasNext) {
-      if (it.next().getFileName.toString.startsWith("ts_day=")) dayDirs += 1
-    }
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$lakeRoot/t65"))
+    val dayDirs =
+      try {
+        val it = ls.iterator()
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.startsWith("ts_day=")) n += 1
+        }
+        n
+      } finally ls.close()
     require(dayDirs >= 2, s"t65: expected day dirs, found $dayDirs")
     s.table("graft_t65.lake.t65").orderBy(col("id"))
   }

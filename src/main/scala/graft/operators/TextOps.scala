@@ -346,6 +346,14 @@ object TextOps {
     * pure SQL — the lake feed must reproduce it bit-for-bit. */
   val d58Sql: String = d49Sql
 
+  /** The portable 60-bit hash as Spark EXPRESSION TEXT (for scan-local
+    * array lambdas where a Column can't reach) — semantically
+    * [[DedupLsh.h60]]; its DuckDB twin is [[DedupLsh.h60Sql]]. One
+    * definition so the gram-key arithmetic cannot drift between the
+    * operators that share it (d59, d60). */
+  private def h60ExprSql(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
   /** d59 winnowing parameters: k-token grams, window w (guarantee t =
     * w + k − 1 tokens), and the boilerplate cap on docs-per-fingerprint.
     * Defined above the vals that interpolate them (object-init order). */
@@ -374,8 +382,7 @@ object TextOps {
     * so the spec can pin the winnowing GUARANTEE (a shared token run of
     * ≥ w+k−1 tokens shares ≥ 1 fingerprint) on planted docs. */
   private[graft] def winnowFps(docs: DataFrame): DataFrame = {
-    val h = (e: String) =>
-      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val h = (e: String) => h60ExprSql(e)
     val cat = (0 until WinK).map(j => s"element_at(tk, i + ${j + 1})")
       .mkString(", ' ', ")
     docs
@@ -489,7 +496,7 @@ object TextOps {
   private[graft] def exactSubstrRemove(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val h = (e: String) => s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val h = (e: String) => h60ExprSql(e)
     val cat = (0 until SubK).map(j => s"element_at(tk, i + ${j + 1})")
       .mkString(", ' ', ")
     val base = docs

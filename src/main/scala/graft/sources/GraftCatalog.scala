@@ -144,14 +144,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def recoverReplaced(name: String, dest: Path): Unit = {
     val staged = lakeRoot.map(r => Paths.get(r, "_staged")).filter(Files.isDirectory(_))
     staged.foreach { sd =>
-      val it = Files.list(sd).iterator()
-      var candidates = List.empty[Path]
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.startsWith(s".replaced-$name-") &&
-            Files.isRegularFile(LakeSinkFiles.manifestPath(p.toString)))
-          candidates ::= p
+      // exact-name match: the tag is `.replaced-<12 hex chars>-<name>`
+      // (uuid first, NAME LAST) so a table named "a" can never match
+      // table "a-b"'s trash by prefix — hex carries no '-', making the
+      // parse unambiguous for any identifier
+      def trashNameOf(p: Path): Option[String] = {
+        val n = p.getFileName.toString
+        if (!n.startsWith(".replaced-") || n.length < 23) None
+        else {
+          val uuid = n.substring(10, 22)
+          if (uuid.forall(c => c.isDigit || ('a' to 'f').contains(c)) &&
+              n.charAt(22) == '-')
+            Some(n.substring(23))
+          else None
+        }
       }
+      // AGE GATE (the reservation-sweep argument): 'trash present + dest
+      // missing' is ALSO the transient state between a healthy commit's
+      // two renames — recovering inside that window would make the
+      // committer's second rename fail. The window is milliseconds of
+      // driver-local work; a minute of age is proof of a crash.
+      val staleBefore = java.time.Instant.now().minusSeconds(60)
+      val it = Files.list(sd)
+      val candidates =
+        try it.iterator().asScala.filter { p =>
+          trashNameOf(p).contains(name) &&
+            Files.isRegularFile(LakeSinkFiles.manifestPath(p.toString)) &&
+            Files.getLastModifiedTime(p).toInstant.isBefore(staleBefore)
+        }.toList
+        finally it.close()
       // newest by mtime — a second crashed replace of the same table would
       // leave two; the newest is the most recent committed state
       candidates.sortBy(p => Files.getLastModifiedTime(p).toMillis)
@@ -449,7 +470,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.toSet
     def requireUnconstrained(cons: Seq[(String, String)], colName: String,
         what: String): Unit =
-      cons.find { case (_, sql) => consCols(sql).contains(colName) }.foreach {
+      // CASE-INSENSITIVE: Spark resolves `CHECK (Temperature > 0)`
+      // against column `temperature`, so the guard must too
+      cons.find { case (_, sql) =>
+        consCols(sql).exists(_.equalsIgnoreCase(colName))
+      }.foreach {
         case (n, _) => throw new UnsupportedOperationException(
           s"$catalogName: cannot $what column $colName — CHECK constraint " +
             s"$n references it (DROP CONSTRAINT first)")
@@ -484,9 +509,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 s"(informational $other would not be enforced)")
           }
         case ((sch, ren, drp, cons), dc: TableChange.DropConstraint) =>
-          require(cons.exists(_._1 == dc.name()),
+          // same case-insensitive identity ADD uses for duplicates
+          require(cons.exists(_._1.equalsIgnoreCase(dc.name())),
             s"$catalogName: no constraint ${dc.name()} on ${ident.name()}")
-          (sch, ren, drp, cons.filterNot(_._1 == dc.name()))
+          (sch, ren, drp, cons.filterNot(_._1.equalsIgnoreCase(dc.name())))
         case ((sch, ren, drp, cons), add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             s"$catalogName: nested column adds are not supported")
@@ -677,9 +703,11 @@ private[sources] class GraftStagedTable(inner: LakeSinkTable,
           throw new TableAlreadyExistsException(ident)
         }
         // name-tagged so GraftCatalog.recoverReplaced can match a crashed
-        // swap's stranded old table back to its identifier
+        // swap's stranded old table back to its identifier — uuid FIRST
+        // (12 hex chars, never '-'), name LAST, so the parse is exact for
+        // names that themselves contain '-'
         val t = tmp.getParent.resolve(
-          s".replaced-${ident.name()}-${java.util.UUID.randomUUID.toString.take(12)}")
+          s".replaced-${java.util.UUID.randomUUID.toString.filter(_ != '-').take(12)}-${ident.name()}")
         Files.move(dest, t) // old table aside (atomic)
         Some(t)
       } else None

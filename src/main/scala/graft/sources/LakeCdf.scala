@@ -141,16 +141,22 @@ private[graft] object LakeCdf {
   private[sources] def planRange(path: String, partCols: Seq[String],
       startV: Long, endV: Long): Array[InputPartition] = {
     val all = LakeSinkFiles.listVersions(path)
-    // retention-horizon contract: if VACUUM dropped version records the
-    // consumer has not seen yet, fail LOUDLY — replaying only the
-    // surviving versions would silently lose the dropped ones' changes
-    // (offset 0 against a log starting at v1 is the normal full-history
-    // start, not a gap)
+    // retention-horizon contract: replaying version v needs v's
+    // PREDECESSOR record to diff against, so a positioned consumer
+    // (startV > 0) requires startV's own record to still exist — with
+    // it gone, legsFor would diff against an older survivor (duplicated
+    // legs) or against nothing (the whole table replayed as inserts).
+    // startV == 0 is the FRESH full-history bootstrap: against a
+    // vacuumed log it correctly emits the oldest surviving version's
+    // snapshot as inserts, then diffs (the Delta fresh-consumer shape).
+    // VACUUM only ever drops a PREFIX of records (keepLast and the age
+    // cutoff both act on commit order), so startV's record existing
+    // proves the whole chain from startV is intact.
     all.headOption.foreach { minV =>
-      require(startV + 1 >= minV,
-        s"LakeSink CDF: versions ${startV + 1}..${minV - 1} of $path were " +
-          "vacuumed past this read's starting version — the change " +
-          "feed is no longer complete from here; start later or vacuum " +
+      require(startV == 0 || startV >= minV,
+        s"LakeSink CDF: version $startV of $path (this read's diff base) " +
+          "was vacuumed — the change feed is no longer complete from " +
+          "here; start later, restart from a fresh checkpoint, or vacuum " +
           "with a longer retention horizon")
     }
     all.filter(v => v > startV && v <= endV).flatMap { v =>

@@ -598,8 +598,15 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     new LakeSinkBatchWrite(schema, path, mode,
       java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols,
       mergeSchema)
-  override def toStreaming: StreamingWrite =
-    new LakeSinkStreamingWrite(schema, path, partCols, queryId)
+  override def toStreaming: StreamingWrite = {
+    // schema drift mid-stream is a checkpoint/replay can of worms —
+    // refuse loudly rather than silently ignoring the option (the batch
+    // path honors it; a stream evolves via ALTER TABLE between runs)
+    require(!mergeSchema,
+      "LakeSink: mergeSchema is a batch append option — streaming " +
+        "schemas evolve via ALTER TABLE between runs")
+    new LakeSinkStreamingWrite(schema, path, partCols, queryId, bloomCols)
+  }
 }
 
 private[graft] object LakeSinkFiles {
@@ -753,7 +760,15 @@ private[graft] object LakeSinkFiles {
   def reconcileManifest(path: String, schema: StructType, partCols: Seq[String],
       replace: Boolean, mergeSchema: Boolean): Unit =
     (if (replace) None else readManifest(path)) match {
-      case None => writeManifest(path, schema, partCols)
+      case None =>
+        // a truncating overwrite REPLACES schema/partitioning/evolution
+        // state (and clears partColsHistory — every pre-evolution file
+        // was just retired), but the table's CHECK constraints are data-
+        // quality DDL and must SURVIVE a routine data refresh (the Delta
+        // contract; every other manifest writer preserves them too).
+        // Read before the overwrite below — the old manifest still holds.
+        writeManifest(path, schema, partCols,
+          constraints = readManifestConstraints(path))
       case Some((existing, exParts)) =>
         require(exParts == partCols,
           s"LakeSink: append partitioning ${partCols.mkString(",")} does not " +
@@ -1301,7 +1316,8 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
   * discarding its first epochs against a previous query's markers (the
   * epoch-only keying this replaces LOST that data). */
 private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
-    partCols: Seq[String] = Seq.empty, queryId: String = "") extends StreamingWrite {
+    partCols: Seq[String] = Seq.empty, queryId: String = "",
+    bloomCols: Map[String, Int] = Map.empty) extends StreamingWrite {
   LakeSinkFiles.ensureDirs(path)
   // 8 hex chars of the query UUID: collision-safe per table in practice,
   // short enough to keep file names readable; empty tag = legacy layout
@@ -1309,7 +1325,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     if (queryId == null || queryId.isEmpty) ""
     else s"q${queryId.filter(_ != '-').take(8)}-"
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeSinkStreamingWriterFactory(schema, path, partCols, qtag)
+    new LakeSinkStreamingWriterFactory(schema, path, partCols, qtag, bloomCols)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = LakeSinkFiles.commitsDir(path).resolve(s"$qtag$epochId")
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
@@ -1349,7 +1365,8 @@ private[sources] class LakeSinkWriterFactory(schema: StructType, path: String,
 }
 
 private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
-    path: String, partCols: Seq[String] = Seq.empty, qtag: String = "")
+    path: String, partCols: Seq[String] = Seq.empty, qtag: String = "",
+    bloomCols: Map[String, Int] = Map.empty)
     extends StreamingDataWriterFactory {
   // deterministic per (query, epoch, partition): re-execution of a crashed
   // epoch re-creates the SAME final names, so a mid-commit retry replaces
@@ -1358,7 +1375,8 @@ private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
       epochId: Long): DataWriter[InternalRow] =
     new LakeSinkDataWriter(schema, path, partCols,
       fileName = s"part-${qtag}e$epochId-$partitionId.json.gz",
-      attemptTag = s"${qtag}e$epochId-$partitionId-a$taskId")
+      attemptTag = s"${qtag}e$epochId-$partitionId-a$taskId",
+      bloomCols = bloomCols)
 }
 
 /** Task-side writer: gzip JSON-lines into `_staging/<rel>.<attempt>

@@ -949,27 +949,41 @@ class GraftCatalogSpec extends GraftSpec {
       spark.sql("CREATE TABLE graft.lake.cr AS SELECT id AS v FROM range(4)")
       val before = canon(spark.table("graft.lake.cr"))
       // simulate the crash window commitStagedChanges documents: the old
-      // table has been moved aside (.replaced-<name>-<uuid>) but the staged
-      // table never made it to dest — no table exists at the path
+      // table has been moved aside (.replaced-<uuid>-<name>) but the
+      // staged table never made it to dest — no table exists at the path
       val dest = Paths.get(lake, "cr")
       val staged = Paths.get(lake, "_staged")
       Files.createDirectories(staged)
-      Files.move(dest, staged.resolve(".replaced-cr-deadbeef0001"))
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120_000L) // past the 60 s race gate
+      val trash = staged.resolve(".replaced-deadbeef0001-cr")
+      Files.move(dest, trash)
+      Files.setLastModifiedTime(trash, old)
       assert(!Files.exists(dest))
       // loadTable recovers: the stranded old table rolls back atomically
       assert(canon(spark.table("graft.lake.cr")) == before,
         "crash recovery must restore the pre-replace table")
       assert(Files.isRegularFile(LakeSinkFiles.manifestPath(dest.toString)))
       assert(Files.list(staged).count() == 0, "the trash entry is consumed")
-      // recovery is name-scoped: another table's trash is never resurrected
+      // recovery is name-scoped EXACTLY: table "c" must not match "cr"'s
+      // trash, and a FRESH trash entry (an in-flight commit's transient
+      // state) is never touched — only the aged one recovers
       spark.sql("CREATE TABLE graft.lake.other AS SELECT 1L AS v")
-      Files.move(Paths.get(lake, "other"), staged.resolve(".replaced-other-deadbeef0002"))
+      val trash2 = staged.resolve(".replaced-deadbeef0002-other")
+      Files.move(Paths.get(lake, "other"), trash2)
       val e = intercept[Exception](spark.table("graft.lake.missing").collect())
       assert(e.getMessage.toUpperCase.contains("TABLE"), e.getMessage)
-      assert(Files.exists(staged.resolve(".replaced-other-deadbeef0002")),
-        "a mismatched trash entry must stay untouched")
+      val e2 = intercept[Exception](spark.table("graft.lake.oth").collect())
+      assert(e2.getMessage.toUpperCase.contains("TABLE"), e2.getMessage)
+      assert(Files.exists(trash2),
+        "a mismatched or still-fresh trash entry must stay untouched")
+      // fresh (inside the race gate): even the RIGHT name does not recover
+      val e3 = intercept[Exception](spark.table("graft.lake.other").collect())
+      assert(e3.getMessage.toUpperCase.contains("TABLE"), e3.getMessage)
+      // aged past the gate: recovery proceeds under its own name
+      Files.setLastModifiedTime(trash2, old)
       assert(canon(spark.table("graft.lake.other")) == Seq("[1]"),
-        "…and still recover under its OWN name")
+        "…and the aged crash recovers under its OWN name")
     }
   }
 

@@ -131,15 +131,30 @@ class LakeCdfSpec extends GraftSpec {
       assert(canon(range23) == canon(expect23))
       // the FULL batch read equals the streamed drain (same leg planner)
       assert(canon(batchRead()) == canon(drainToMemory(s"$lake/bcdf")))
-      // a batch read positioned before the vacuum horizon refuses loudly
-      graft.sources.LakeMaintenance.vacuum(s"$lake/bcdf", keepLast = Some(1))
-      val e = intercept[Exception](batchRead("startingVersion" -> "2").collect())
       def rootMsg(t: Throwable): String =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-      assert(rootMsg(e).contains("vacuumed past"), rootMsg(e).take(300))
-      // from the horizon on, the batch read still serves
-      assert(batchRead("startingVersion" -> "4").count() > 0)
+      // keepLast=2 keeps records v3+v4: startingVersion=4 still has its
+      // DIFF BASE (v3's record) and must equal the true v3→v4 legs —
+      // the single mor delete row, NOT a whole-table insert replay
+      graft.sources.LakeMaintenance.vacuum(s"$lake/bcdf", keepLast = Some(2))
+      assert(canon(batchRead("startingVersion" -> "4").drop("_commit_version")) ==
+        canon(LakeVersions.changes(spark, s"$lake/bcdf", 3, 4)),
+        "a positioned read inside the horizon must produce the exact diff")
+      // keepLast=1 destroys v4's diff base: a positioned read REFUSES
+      // (replaying v4 against nothing would duplicate the whole table)
+      graft.sources.LakeMaintenance.vacuum(s"$lake/bcdf", keepLast = Some(1))
+      val e = intercept[Exception](batchRead("startingVersion" -> "4").collect())
+      assert(rootMsg(e).contains("vacuumed"), rootMsg(e).take(300))
+      val e2 = intercept[Exception](batchRead("startingVersion" -> "2").collect())
+      assert(rootMsg(e2).contains("vacuumed"), rootMsg(e2).take(300))
+      // a FRESH full-history consumer bootstraps: the oldest surviving
+      // version's snapshot arrives as inserts (the Delta fresh shape)
+      val fresh = batchRead()
+      assert(canon(fresh.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")) ==
+        canon(spark.table("graft.lake.bcdf")),
+        "the bootstrap must emit exactly the surviving snapshot as inserts")
     }
   }
 

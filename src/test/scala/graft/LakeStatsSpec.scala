@@ -129,6 +129,49 @@ class LakeStatsSpec extends GraftSpec {
     }
   }
 
+  test("STREAMING writes carry bloom filters too; streaming mergeSchema refuses loudly") {
+    withLake { _ =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val lake = spark.conf.get("spark.sql.catalog.graft.lake")
+      val in = MemoryStream[Long]
+      in.addData(0L until 200L: _*)
+      val q = in.toDF().select($"value".as("id"), ($"value" % 4).as("g"))
+        .repartition(4, col("g"))
+        .writeStream.format("graft.sources.LakeSink")
+        .option("path", s"$lake/sbl")
+        .option("checkpointLocation", tmp("graft_sbl_ckpt"))
+        .option("bloomFilterColumns", "id")
+        .option("bloomFilterBits", "8192")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val needle = spark.table("graft.lake.sbl").filter(col("id") === 57L)
+      val plan = ranPlan(needle)
+      assert(skippedOf(plan) >= 1,
+        s"streaming-written files must carry consultable blooms:\n${plan.take(600)}")
+      assert(needle.count() == 1)
+      // mergeSchema on a stream: refused at planning, not silently ignored
+      val in2 = MemoryStream[Long]
+      in2.addData(1L)
+      val e = intercept[Exception] {
+        val q2 = in2.toDF().select($"value".as("id"), ($"value" % 4).as("g"))
+          .writeStream.format("graft.sources.LakeSink")
+          .option("path", s"$lake/sbl")
+          .option("checkpointLocation", tmp("graft_sbl_ckpt2"))
+          .option("mergeSchema", "true")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+      }
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(rootMsg(e).contains("batch append option"), rootMsg(e).take(300))
+    }
+  }
+
   test("min/max answer from per-file stats: pushed, typed, DML-safe") {
     withLake { _ =>
       import spark.implicits._

@@ -410,7 +410,7 @@ class LakeVersionSpec extends GraftSpec {
       def rootMsg(t: Throwable): String =
         (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
-      assert(rootMsg(e).contains("vacuumed past this read"), rootMsg(e).take(400))
+      assert(rootMsg(e).contains("no longer complete"), rootMsg(e).take(400))
     }
   }
 
