@@ -2649,7 +2649,17 @@ object Telemetry {
              (90001, timestamp'2026-01-01 00:00:00', 'NC_Machine_AC', 0, 20.0, 1.0),
              (90002, timestamp'2026-01-01 00:01:00', 'NC_Machine_AC', 0, 999.0, 1.0)""")
         false
-      } catch { case _: Throwable => true }
+      } catch {
+        case t: Throwable =>
+          // ANY failure would green this require while enforcement is
+          // broken (nothing lands either way) — only a rejection whose
+          // root message NAMES the violated constraint counts as proof
+          val rootMsg = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+          require(rootMsg.contains("trange") || rootMsg.contains("CHECK"),
+            s"t61: insert failed for a NON-constraint reason: ${rootMsg.take(300)}")
+          true
+      }
     require(violated, "t61: a violating insert must fail")
     s.table("graft_t61.lake.t61")
       .select(col("id"), col("ts"), col("machine_id"), col("is_anomaly"),
@@ -2979,7 +2989,131 @@ object Telemetry {
     * equal the direct recompute. */
   val t68Sql: String = t66Sql
 
+  /** t69 — STREAMING `mergeSchema` AUTO-EVOLUTION under the differential
+    * (r13: the r12 refusal lifted — `LakeSinkWrite.toStreaming` now routes
+    * the option into the streaming commit's reconcileManifest, the same
+    * path batch appends evolve through): the twin's first half STREAMS
+    * into the lake WITHOUT the vibration column; the pipeline restarts on
+    * the SAME checkpoint with the upstream evolved (vibration present)
+    * under `.option("mergeSchema", "true")` — the first committed epoch
+    * of the evolved run auto-ADD-COLUMNs (nullable, pre-evolution files
+    * null-fill), and exactly-once holds across the restart (LakeSinkSpec
+    * pins kill/restart bit-equality, redelivery-never-evolves, and the
+    * without-option refusal). Read-back must hash-equal t63's DuckDB
+    * restatement: vibration NULL on the first half.
+    *
+    * Scale shape: a long-running ingest pipeline whose upstream gains a
+    * column evolves IN PLACE at restart — one manifest write at one
+    * epoch, no stop/batch-evolve/restart dance, no file rewrite. */
+  def t69StreamEvolve(s: SparkSession, dir: String): DataFrame = {
+    val out = TempLakes.dir("graft_t69_lake")
+    val ckpt = TempLakes.dir("graft_t69_ckpt")
+    val half = TwinRows / 2
+    def run(avail: Long, wide: Boolean): Unit = {
+      val base = s.readStream.format("graft.sources.TelemetrySource")
+        .option("rows", avail.toString).option("rowsPerBatch", "2500").load()
+      val proj =
+        if (wide) base.select(col("id"), col("ts"), col("machine_id"),
+          col("temperature"), col("vibration"))
+        else base.select(col("id"), col("ts"), col("machine_id"),
+          col("temperature"))
+      val q = proj.writeStream.format(classOf[graft.sources.LakeSink].getName)
+        .option("path", out).option("checkpointLocation", ckpt)
+        .option("mergeSchema", wide.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(half.toLong, wide = false)
+    run(TwinRows.toLong, wide = true)
+    s.read.format(classOf[graft.sources.LakeSink].getName).load(out)
+      .orderBy(col("id"))
+  }
+
+  /** Identical text to [[t63Sql]]: the streaming evolution must land the
+    * same table the batch mergeSchema lands. */
+  val t69Sql: String = t63Sql
+
+  /** t70 — CDC REPLICATION ACROSS SCHEMA EVOLUTION (r13: the DML flank of
+    * the evolution story — `MERGE … WITH SCHEMA EVOLUTION`, Spark 4.1's
+    * native clause resolved through the `AUTOMATIC_SCHEMA_EVOLUTION`
+    * capability into [[graft.sources.GraftCatalog.alterTable]]): the
+    * SOURCE table gains a column mid-history (create narrow → ALTER TABLE
+    * ADD COLUMNS → wide append → mor DELETE), and a t57-style streaming
+    * CDF replica FOLLOWS the evolution — the replica was deployed
+    * pre-evolution (narrow schema) and its per-version insert MERGE
+    * carries WITH SCHEMA EVOLUTION, so the first evolved leg auto-adds
+    * the column instead of breaking the pipeline. Pre-evolution insert
+    * legs null-fill the added column through the CDF reader (the typed
+    * scanner reads by the live schema; absent keys are NULL). The replica
+    * must hash-equal DuckDB's restatement of the final source state.
+    *
+    * Scale shape: a long-lived CDC pipeline survives upstream DDL with
+    * ZERO manual intervention — one manifest write on the replica at the
+    * evolving MERGE, cost still O(changed files) per version. */
+  def t70CdcEvolve(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t70")
+    val ckpt = TempLakes.dir("graft_t70_ckpt")
+    val t = twin(s)
+    val half = TwinRows / 2
+    val narrow = t.select(col("id"), col("ts"), col("machine_id"),
+      col("temperature"))
+    narrow.filter(col("id") < half).writeTo("graft_t70.lake.src").create() // v1
+    s.sql("ALTER TABLE graft_t70.lake.src ADD COLUMNS (vibration DOUBLE)")
+    t.filter(col("id") >= half)
+      .select(col("id"), col("ts"), col("machine_id"), col("temperature"),
+        col("vibration"))
+      .writeTo("graft_t70.lake.src").append() // v2: wide
+    s.sql("DELETE FROM graft_t70.lake.src WHERE id % 89 = 0") // v3: mor vectors
+    narrow.limit(0).writeTo("graft_t70.lake.rep").create() // PRE-evolution replica
+    val q = s.readStream.format(classOf[graft.sources.LakeSink].getName)
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "8")
+      .load(s"$lakeRoot/src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val b = batch.localCheckpoint(true) // one pinned evaluation (t57)
+        val versions = b.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val dels = b.filter(col("_commit_version") === v &&
+            col("_change_type") === "delete").select(col("id"))
+          if (!dels.isEmpty) {
+            dels.createOrReplaceTempView("graft_t70_dels")
+            ss.sql("""MERGE INTO graft_t70.lake.rep r USING graft_t70_dels d
+                      ON r.id = d.id WHEN MATCHED THEN DELETE""")
+          }
+          val ins = b.filter(col("_commit_version") === v &&
+            col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          if (!ins.isEmpty) {
+            ins.createOrReplaceTempView("graft_t70_ins")
+            ss.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_t70.lake.rep r
+                      USING graft_t70_ins i ON r.id = i.id
+                      WHEN NOT MATCHED THEN INSERT *""")
+          }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_t70.lake.rep")
+      .select(col("id"), col("ts"), col("machine_id"), col("temperature"),
+        col("vibration"))
+      .orderBy(col("id"))
+  }
+
+  val t70Sql: String =
+    s"""SELECT id, ts, machine_id, temperature,
+         CASE WHEN id >= ${TwinRows / 2} THEN vibration END AS vibration
+       FROM ($twinSql) WHERE id % 89 <> 0 ORDER BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t70_cdc_evolve" -> (t70CdcEvolve _),
+    "t69_stream_evolve" -> (t69StreamEvolve _),
     "t68_stream_ivm" -> (t68StreamIvm _),
     "t67_batch_cdf" -> (t67BatchCdf _),
     "t66_incremental_agg" -> (t66IncrementalAgg _),
@@ -3045,6 +3179,8 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t70_cdc_evolve" -> t70Sql,
+    "t69_stream_evolve" -> t69Sql,
     "t68_stream_ivm" -> t68Sql,
     "t67_batch_cdf" -> t67Sql,
     "t66_incremental_agg" -> t66Sql,

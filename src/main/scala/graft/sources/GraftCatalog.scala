@@ -709,6 +709,14 @@ private[sources] class GraftStagedTable(inner: LakeSinkTable,
         val t = tmp.getParent.resolve(
           s".replaced-${java.util.UUID.randomUUID.toString.filter(_ != '-').take(12)}-${ident.name()}")
         Files.move(dest, t) // old table aside (atomic)
+        // rename preserves the directory's OWN mtime, so the trash of a
+        // table that sat idle >60s before this REPLACE would look "stale"
+        // the instant it is created — stamp the SWAP time so
+        // recoverReplaced's age gate measures time-since-swap, not
+        // time-since-last-write (a loadTable racing this two-rename
+        // window must NOT roll the old table back under us)
+        Files.setLastModifiedTime(t,
+          java.nio.file.attribute.FileTime.from(java.time.Instant.now()))
         Some(t)
       } else None
     Files.move(tmp, dest) // staged table in (atomic)

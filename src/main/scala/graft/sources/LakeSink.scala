@@ -459,7 +459,15 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE … WITH SCHEMA EVOLUTION: the analyzer's
+      // ResolveMergeIntoSchemaEvolution consults this capability, derives
+      // AddColumn/widening TableChanges from the source schema, and routes
+      // them through GraftCatalog.alterTable — the SAME manifest evolution
+      // ALTER TABLE ADD COLUMNS and batch/streaming mergeSchema use (this
+      // is the capability's ONLY consumer in Spark 4.1, verified against
+      // the jars: DataSourceV2Relation.autoSchemaEvolution)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeSinkWriteBuilder(info.schema(), path, partCols, info.queryId(),
       info.options())
@@ -598,15 +606,18 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     new LakeSinkBatchWrite(schema, path, mode,
       java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols,
       mergeSchema)
-  override def toStreaming: StreamingWrite = {
-    // schema drift mid-stream is a checkpoint/replay can of worms —
-    // refuse loudly rather than silently ignoring the option (the batch
-    // path honors it; a stream evolves via ALTER TABLE between runs)
-    require(!mergeSchema,
-      "LakeSink: mergeSchema is a batch append option — streaming " +
-        "schemas evolve via ALTER TABLE between runs")
-    new LakeSinkStreamingWrite(schema, path, partCols, queryId, bloomCols)
-  }
+  override def toStreaming: StreamingWrite =
+    // mergeSchema on a stream: a restarted query whose upstream gained a
+    // column evolves the manifest at its FIRST committed epoch, through
+    // the same reconcileManifest path batch appends use. A query's schema
+    // is fixed per run (Spark pins it at start), so "the epoch that first
+    // carries the wider schema" is deterministic: the first non-redelivered
+    // epoch of the evolved run. Exactly-once holds across a kill INSIDE
+    // that epoch because the merge is idempotent (a replay finds zero
+    // unknown columns and degrades to the ordinary subset check) and
+    // redelivered epochs discard before ever touching the manifest.
+    new LakeSinkStreamingWrite(schema, path, partCols, queryId, bloomCols,
+      mergeSchema)
 }
 
 private[graft] object LakeSinkFiles {
@@ -767,8 +778,28 @@ private[graft] object LakeSinkFiles {
         // quality DDL and must SURVIVE a routine data refresh (the Delta
         // contract; every other manifest writer preserves them too).
         // Read before the overwrite below — the old manifest still holds.
-        writeManifest(path, schema, partCols,
-          constraints = readManifestConstraints(path))
+        val kept = readManifestConstraints(path)
+        // …but only if they still RESOLVE against the replacing schema:
+        // a path-based overwrite skips the engine's constraint injection,
+        // so a schema that drops a constrained column would otherwise
+        // leave a manifest CHECK referencing a missing column and poison
+        // every later catalog-routed write with an unresolved-column
+        // analysis error. Refuse the overwrite loudly instead
+        // (case-insensitive, matching Spark's resolution).
+        kept.foreach { case (n, sql) =>
+          val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.name
+            }
+          val missing = refs.filterNot(r =>
+            schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+          require(missing.isEmpty,
+            s"LakeSink: truncating overwrite drops column(s) " +
+              s"${missing.mkString(",")} referenced by CHECK constraint $n " +
+              "— DROP CONSTRAINT first or keep the column")
+        }
+        writeManifest(path, schema, partCols, constraints = kept)
       case Some((existing, exParts)) =>
         require(exParts == partCols,
           s"LakeSink: append partitioning ${partCols.mkString(",")} does not " +
@@ -1317,7 +1348,8 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
   * epoch-only keying this replaces LOST that data). */
 private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     partCols: Seq[String] = Seq.empty, queryId: String = "",
-    bloomCols: Map[String, Int] = Map.empty) extends StreamingWrite {
+    bloomCols: Map[String, Int] = Map.empty,
+    mergeSchema: Boolean = false) extends StreamingWrite {
   LakeSinkFiles.ensureDirs(path)
   // 8 hex chars of the query UUID: collision-safe per table in practice,
   // short enough to keep file names readable; empty tag = legacy layout
@@ -1336,7 +1368,8 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
       LakeSinkFiles.discard(path, staged)
     } else {
       LakeSinkFiles.promote(path, staged)
-      LakeSinkFiles.reconcileManifest(path, schema, partCols, replace = false)
+      LakeSinkFiles.reconcileManifest(path, schema, partCols, replace = false,
+        mergeSchema = mergeSchema)
       LakeSinkFiles.updateCounts(path, committed.flatMap(_.counted).toMap, Seq.empty)
       LakeSinkStats.updateBlobs(path, committed.flatMap(_.statted).toMap, Seq.empty)
       LakeSinkFiles.recordVersion(path, staged, Seq.empty)

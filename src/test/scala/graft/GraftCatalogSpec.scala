@@ -210,6 +210,39 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a superset source auto-adds columns via the manifest") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_mergeevo")
+    withCatalog(lake) {
+      spark.sql("CREATE TABLE graft.lake.me AS SELECT id AS k, id * 10 AS v FROM range(10)")
+      spark.sql("CREATE OR REPLACE TEMP VIEW graft_me_src AS " +
+        "SELECT id AS k, id * 100 AS v, CAST(id AS STRING) AS tag FROM range(5, 15)")
+      // the analyzer derives AddColumn changes from the source schema and
+      // routes them through GraftCatalog.alterTable (the
+      // AUTOMATIC_SCHEMA_EVOLUTION capability) — same evolution state as
+      // ALTER TABLE ADD COLUMNS; pre-evolution files null-fill
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.lake.me t
+                   USING graft_me_src s ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+      val back = spark.table("graft.lake.me").orderBy($"k")
+      assert(back.columns.toSeq == Seq("k", "v", "tag"))
+      val got = back.as[(Long, Long, Option[String])].collect().toSeq
+      assert(got == (0L until 5L).map(k => (k, k * 10, None: Option[String])) ++
+        (5L until 15L).map(k => (k, k * 100, Some(k.toString))), got.toString)
+      // WITHOUT the clause a superset source must NOT silently evolve the
+      // schema (Spark aligns star assignments by name; the extra source
+      // column is simply not landed)
+      spark.sql("CREATE OR REPLACE TEMP VIEW graft_me_src2 AS " +
+        "SELECT id + 100 AS k, id AS v, CAST(id AS STRING) AS tag, id AS extra FROM range(3)")
+      spark.sql("""MERGE INTO graft.lake.me t USING graft_me_src2 s ON t.k = s.k
+                   WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.table("graft.lake.me").columns.toSeq == Seq("k", "v", "tag"),
+        "a plain MERGE must not evolve the schema")
+      assert(spark.table("graft.lake.me").count() == 18L)
+    }
+  }
+
   test("row-level UPDATE with a partition predicate rewrites ONLY that partition's files") {
     import spark.implicits._
     val lake = tmp("graft_cat_group")

@@ -110,6 +110,66 @@ class LakeCdfSpec extends GraftSpec {
     }
   }
 
+  test("CDF replay across schema evolution: exact leg shapes, null-fill, rename/widen translation") {
+    withLake { lake =>
+      import spark.implicits._
+      // v1 lands (id INT, v STRING); THREE evolution commits follow —
+      // ADD COLUMNS, RENAME, and a type WIDENING — all metadata-only;
+      // then a wide append (v2) and a mor DELETE of a PRE-evolution row
+      // (v3). Every assertion below is an EXACT leg shape (the r12
+      // masked-off-by-one lesson: no rows>0 anywhere).
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+        .writeTo("graft.lake.ecdf").create() // v1
+      spark.sql("ALTER TABLE graft.lake.ecdf ADD COLUMNS (w DOUBLE)")
+      spark.sql("ALTER TABLE graft.lake.ecdf RENAME COLUMN v TO label")
+      spark.sql("ALTER TABLE graft.lake.ecdf ALTER COLUMN id TYPE BIGINT")
+      Seq((10L, "d", 1.5)).toDF("id", "label", "w")
+        .writeTo("graft.lake.ecdf").append() // v2
+      spark.sql("DELETE FROM graft.lake.ecdf WHERE id = 2") // v3 (mor vector)
+      val streamed = drainToMemory(s"$lake/ecdf")
+      // the feed carries the EVOLVED schema + cdf columns, id widened
+      assert(streamed.schema.fieldNames.toSeq ==
+        Seq("id", "label", "w", "_change_type", "_commit_version"))
+      assert(streamed.schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      def legs(v: Long) = streamed.filter(col("_commit_version") === v)
+      // v1 bootstrap: the snapshot as inserts under the LIVE names/types,
+      // the added column null-filled, the rename translated per file
+      assert(canon(legs(1L)) == canon(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "label")
+          .withColumn("w", lit(null).cast("double"))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(1L))), canon(legs(1L)).mkString(";"))
+      // v2-v4 are the three DDL commits (each records a version): EXACTLY
+      // zero legs each — metadata-only versions change no files
+      (2L to 4L).foreach(v =>
+        assert(legs(v).count() == 0L, s"DDL version $v must emit no legs"))
+      // v5: exactly the one appended wide row
+      assert(canon(legs(5L)) == canon(
+        Seq((10L, "d", 1.5)).toDF("id", "label", "w")
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(5L))), canon(legs(5L)).mkString(";"))
+      // v6: exactly the deleted pre-evolution row, translated
+      assert(canon(legs(6L)) == canon(
+        Seq((2L, "b")).toDF("id", "label")
+          .withColumn("w", lit(null).cast("double"))
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(6L))), canon(legs(6L)).mkString(";"))
+      // nothing beyond v6, and the drain is exactly the five leg sets
+      assert(streamed.filter(col("_commit_version") > 6L).count() == 0L)
+      // and the stream ≡ the BATCH CDF read across the evolution — the
+      // one shared leg planner (LakeCdf.planRange) under LIVE names both
+      // ways (LakeVersions.changes stays generation-faithful by design:
+      // each version pair reads under its OWN commit's names)
+      val batchRest = spark.read.format("graft.sources.LakeSink")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2").option("endingVersion", "6")
+        .load(s"$lake/ecdf")
+      assert(canon(streamed.filter(col("_commit_version") > 1L)) ==
+        canon(batchRest))
+    }
+  }
+
   test("batch CDF range reads: startingVersion/endingVersion ≡ per-version changes; vacuum gap refuses") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.bcdf").create() // v1

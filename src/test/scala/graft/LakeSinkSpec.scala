@@ -416,6 +416,94 @@ class LakeSinkSpec extends GraftSpec {
       "the FIRST delivery's bytes must survive the redelivery")
   }
 
+  test("streaming mergeSchema: a restarted query's new column evolves once, exactly-once held") {
+    import spark.implicits._
+    val out = tmp("graft_sink_sevolve")
+    val ckpt = tmp("graft_sink_sevolve_ckpt")
+    // one long-lived pipeline: run 1 writes the narrow schema; the
+    // upstream then gains a column and the RESTARTED run (same
+    // checkpoint) carries it — with mergeSchema the first committed
+    // epoch of the evolved run auto-ADD-COLUMNs through the same
+    // manifest path batch appends use; later restarts replay bit-equal
+    def run(avail: Long, wide: Boolean): Unit = {
+      val base = spark.readStream.format("graft.sources.TelemetrySource")
+        .option("rows", avail.toString).option("rowsPerBatch", "100").load()
+      val proj =
+        if (wide) base.select(col("id"), col("temperature"), col("vibration"))
+        else base.select(col("id"), col("temperature"))
+      val q = proj.writeStream.format("graft.sources.LakeSink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .option("mergeSchema", wide.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    run(200L, wide = false)
+    run(400L, wide = true) // the evolving run
+    run(600L, wide = true) // restart INSIDE the evolved world
+    val back = spark.read.format("graft.sources.LakeSink").load(out)
+    assert(back.columns.toSeq == Seq("id", "temperature", "vibration"))
+    assert(back.count() == 600L &&
+      back.select($"id").distinct().count() == 600L,
+      "evolution must not break exactly-once (no dup, no gap)")
+    // pre-evolution rows null-fill; evolved rows carry real values
+    assert(back.filter(col("id") < 200L && col("vibration").isNotNull).count() == 0L)
+    assert(back.filter(col("id") >= 200L && col("vibration").isNull).count() == 0L)
+    // values equal the batch source exactly on the shared columns
+    val batch = spark.read.format("graft.sources.TelemetrySource")
+      .option("rows", "600").load()
+    assert(canon(back.filter(col("id") >= 200L)
+        .select(col("id"), col("temperature"), col("vibration"))) ==
+      canon(batch.filter(col("id") >= 200L)
+        .select(col("id"), col("temperature"), col("vibration"))))
+    // a wider stream WITHOUT the option still refuses at commit
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft.sources.TelemetrySource")
+        .option("rows", "700").option("rowsPerBatch", "100").load()
+        .select(col("id"), col("temperature"), col("vibration"),
+          col("machine_id"))
+        .writeStream.format("graft.sources.LakeSink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(e).contains("not in the table schema"), rootMsg(e).take(300))
+    assert(spark.read.format("graft.sources.LakeSink").load(out)
+      .columns.toSeq == Seq("id", "temperature", "vibration"),
+      "a refused stream must not evolve the manifest")
+  }
+
+  test("a REDELIVERED epoch never evolves the manifest; the next fresh epoch does") {
+    val out = tmp("graft_sink_sevolve_redeliver")
+    LakeSinkFiles.ensureDirs(out)
+    val narrow = StructType(Seq(StructField("v", LongType)))
+    val swA = new LakeSinkStreamingWrite(narrow, out)
+    def stage(name: String, content: String): Unit =
+      Files.write(LakeSinkFiles.stagingDir(out).resolve(name), content.getBytes)
+    stage("part-e7-0.json.gz", "first")
+    swA.commit(7L, Array(LakeSinkCommit(Seq("part-e7-0.json.gz"))))
+    assert(LakeSinkFiles.readManifest(out).get._1.fieldNames.toSeq == Seq("v"))
+    // the query restarts EVOLVED and re-delivers epoch 7 (crash between
+    // sink commit and checkpoint write): the marker discards the data,
+    // and the manifest must stay untouched — the discarded epoch's rows
+    // landed under the OLD schema and remain the table's truth
+    val wide = StructType(Seq(StructField("v", LongType), StructField("w", LongType)))
+    val swB = new LakeSinkStreamingWrite(wide, out, mergeSchema = true)
+    stage("part-e7-0.json.gz", "second")
+    swB.commit(7L, Array(LakeSinkCommit(Seq("part-e7-0.json.gz"))))
+    assert(LakeSinkFiles.readManifest(out).get._1.fieldNames.toSeq == Seq("v"),
+      "a redelivered epoch must not evolve the manifest")
+    assert(new String(Files.readAllBytes(Paths.get(out, "part-e7-0.json.gz"))) == "first")
+    // the next FRESH epoch carries the wider schema and evolves exactly once
+    stage("part-e8-0.json.gz", "third")
+    swB.commit(8L, Array(LakeSinkCommit(Seq("part-e8-0.json.gz"))))
+    assert(LakeSinkFiles.readManifest(out).get._1.fieldNames.toSeq == Seq("v", "w"))
+  }
+
   test("streaming abort discards staged files for the epoch") {
     val out = tmp("graft_sink_sabort")
     LakeSinkFiles.ensureDirs(out)

@@ -129,7 +129,7 @@ class LakeStatsSpec extends GraftSpec {
     }
   }
 
-  test("STREAMING writes carry bloom filters too; streaming mergeSchema refuses loudly") {
+  test("STREAMING writes carry bloom filters too; streaming mergeSchema evolves") {
     withLake { _ =>
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -152,23 +152,26 @@ class LakeStatsSpec extends GraftSpec {
       assert(skippedOf(plan) >= 1,
         s"streaming-written files must carry consultable blooms:\n${plan.take(600)}")
       assert(needle.count() == 1)
-      // mergeSchema on a stream: refused at planning, not silently ignored
+      // mergeSchema on a stream: a wider query EVOLVES the manifest at
+      // its first committed epoch (the r12 refusal lifted in r13); the
+      // pre-evolution files null-fill on read
       val in2 = MemoryStream[Long]
-      in2.addData(1L)
-      val e = intercept[Exception] {
-        val q2 = in2.toDF().select($"value".as("id"), ($"value" % 4).as("g"))
-          .writeStream.format("graft.sources.LakeSink")
-          .option("path", s"$lake/sbl")
-          .option("checkpointLocation", tmp("graft_sbl_ckpt2"))
-          .option("mergeSchema", "true")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q2.awaitTermination()
-      }
-      def rootMsg(t: Throwable): String =
-        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-      assert(rootMsg(e).contains("batch append option"), rootMsg(e).take(300))
+      in2.addData(1000L)
+      val q2 = in2.toDF().select($"value".as("id"), ($"value" % 4).as("g"),
+          ($"value" * 2).as("w"))
+        .writeStream.format("graft.sources.LakeSink")
+        .option("path", s"$lake/sbl")
+        .option("checkpointLocation", tmp("graft_sbl_ckpt2"))
+        .option("mergeSchema", "true")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      val evolved = spark.read.format("graft.sources.LakeSink").load(s"$lake/sbl")
+      assert(evolved.columns.toSeq == Seq("id", "g", "w"))
+      assert(evolved.filter(col("id") === 1000L).select("w")
+        .collect().map(_.getLong(0)).toSeq == Seq(2000L))
+      assert(evolved.filter(col("id") < 200L && col("w").isNotNull).count() == 0L,
+        "pre-evolution rows must null-fill the added column")
     }
   }
 
