@@ -2905,13 +2905,29 @@ object Telemetry {
     t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
       .writeTo("graft_t67.lake.t67").append() // v2
     s.sql("DELETE FROM graft_t67.lake.t67 WHERE id % 97 = 0") // v3: mor vectors
-    s.read.format(classOf[graft.sources.LakeSink].getName)
-      .option("readChangeFeed", "true")
-      .option("startingVersion", "1")
-      .load(s"$lakeRoot/t67")
-      .select((t.schema.fieldNames.toIndexedSeq ++
-        Seq("_change_type", "_commit_version")).map(col): _*)
-      .orderBy(col("id"), col("_change_type"))
+    def read(opts: (String, String)*): DataFrame = {
+      var r = s.read.format(classOf[graft.sources.LakeSink].getName)
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(s"$lakeRoot/t67")
+        .select((t.schema.fieldNames.toIndexedSeq ++
+          Seq("_change_type", "_commit_version")).map(col): _*)
+        .orderBy(col("id"), col("_change_type"))
+    }
+    // r13: the TIMESTAMP range forms bracket the same commits — the
+    // [v1 instant, v3 instant] window must plan the identical leg set
+    // (LakeCdfSpec pins sub-windows, the before-all-history empty range,
+    // the both-forms refusal, and the ending-options-on-a-stream refusal)
+    def at(v: Long): Long = java.nio.file.Files.getLastModifiedTime(
+      graft.sources.LakeSinkFiles.versionsDir(s"$lakeRoot/t67")
+        .resolve(graft.sources.LakeSinkFiles.versionName(v))).toMillis
+    val byVersion = read("startingVersion" -> "1")
+    val byTimestamp = read("startingTimestamp" -> at(1L).toString,
+      "endingTimestamp" -> at(3L).toString)
+    require(byTimestamp.exceptAll(byVersion).isEmpty &&
+      byVersion.exceptAll(byTimestamp).isEmpty,
+      "t67: the timestamp window must plan the same legs as the version range")
+    byVersion
   }
 
   /** Identical text to [[t55Sql]]: the one-shot batch range read must
@@ -3111,7 +3127,107 @@ object Telemetry {
          CASE WHEN id >= ${TwinRows / 2} THEN vibration END AS vibration
        FROM ($twinSql) WHERE id % 89 <> 0 ORDER BY id"""
 
+  /** t71 — NDV LEDGER → COST-BASED BROADCAST under the differential
+    * (r13: [[graft.sources.LakeSinkStats]]'s opt-in `ndvColumns` — the
+    * parquet distinct_count / Delta column-stats role): events land in a
+    * lake table with per-file HLL registers on `user_id`/`event_id`; the
+    * scan's `estimateStatistics` folds them (elementwise max — exact for
+    * any pruned subset) into V2 `columnStats`, so under
+    * `spark.sql.cbo.enabled` the equality-filtered build side estimates
+    * rows/NDV instead of its full scan size and the join plans as a
+    * BroadcastHashJoin (asserted in-query; LakeStatsSpec pins the
+    * control leg: the same join WITHOUT registers stays sort-merge, the
+    * estimates land within 10%, and compaction's fold preserves them).
+    * The HASH is estimate-invariant: the result must equal DuckDB's
+    * plain restatement.
+    *
+    * Scale shape: join ORDER and broadcast decisions on a 100 TB lake
+    * stop flying blind for one Base64 register set per (file, column) —
+    * the decision input is driver-side metadata, zero data reads. */
+  def t71NdvBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t71")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.format(classOf[graft.sources.LakeSink].getName)
+      .mode("append").option("ndvColumns", "user_id,event_id")
+      .save(s"$lakeRoot/t71")
+    val keys = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536")
+    val prev = keys.map { case (k, _) =>
+      k -> (if (org.apache.spark.sql.internal.SQLConf.get.contains(k))
+        Some(s.conf.get(k)) else None)
+    }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val fact = s.read.format(classOf[graft.sources.LakeSink].getName)
+        .load(s"$lakeRoot/t71")
+      val dim = fact.filter(col("user_id") === 7L).select(col("event_id"))
+      val joined = fact.join(dim, "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Num.rsum(col("value"), 6).as("sum_v"))
+        .orderBy(col("event_type"))
+      val out = joined.localCheckpoint(true) // pin before the conf restore
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        s"t71: the NDV estimate must broadcast the filtered side:\n${plan.take(900)}")
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** t72 — PARTITION-SCOPED Z-ORDER under the differential (r13:
+    * [[graft.sources.LakeMaintenance.zorder]]'s `partitions` overload —
+    * the `OPTIMIZE … WHERE … ZORDER BY` compose): events land
+    * day-partitioned (`days(ts)`), then ONE day's directory is
+    * z-clustered on (user_id, value) through compaction's commit
+    * protocol — untouched days' files survive bit-identically, ledgers
+    * hand off per directory, the pre-rewrite snapshot stays readable
+    * (LakeStatsSpec pins the byte-identity, the skip-rate improvement,
+    * and the identity-column/unknown-key refusals). The aggregate below
+    * is t60's and the HASH is layout-invariant: clustering one
+    * partition must not move a single value.
+    *
+    * Scale shape: you z-order YESTERDAY'S partition when its stream
+    * closes — one partition-sized shuffle instead of a table-sized one;
+    * the other 100 TB of days are not even listed. */
+  def t72ScopedZorder(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t72")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .writeTo("graft_t72.lake.ev")
+      .partitionedBy(org.apache.spark.sql.functions.days(col("ts"))).create()
+    val (fin, fout) = graft.sources.LakeMaintenance.zorder(s, s"$lakeRoot/ev",
+      Seq("user_id", "value"), 4, Map("ts_day" -> "2024-01-08"))
+    require(fin >= 1 && fout >= 1, s"t72: scope must rewrite ($fin -> $fout)")
+    s.table("graft_t72.lake.ev")
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("ts").cast("long").as("es"), col("user_id"), col("value"))
+      .select(expr("es div 86400").as("day_idx"), col("user_id"), col("value"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Num.rsum(col("value"), 6).as("sum_v"))
+      .orderBy(col("day_idx"))
+  }
+
+  /** Identical text to [[t60Sql]]: the scoped rewrite must be
+    * result-invisible. */
+  val t72Sql: String = t60Sql
+
+  val t71Sql: String =
+    s"""SELECT e.event_type, count(*) AS n_events,
+         ${Num.rsumSql("e.value", 6)} AS sum_v
+       FROM events e
+       JOIN (SELECT event_id FROM events WHERE user_id = 7) d
+         ON e.event_id = d.event_id
+       GROUP BY e.event_type ORDER BY e.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t72_scoped_zorder" -> (t72ScopedZorder _),
+    "t71_ndv_broadcast" -> (t71NdvBroadcast _),
     "t70_cdc_evolve" -> (t70CdcEvolve _),
     "t69_stream_evolve" -> (t69StreamEvolve _),
     "t68_stream_ivm" -> (t68StreamIvm _),
@@ -3179,6 +3295,8 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t72_scoped_zorder" -> t72Sql,
+    "t71_ndv_broadcast" -> t71Sql,
     "t70_cdc_evolve" -> t70Sql,
     "t69_stream_evolve" -> t69Sql,
     "t68_stream_ivm" -> t68Sql,

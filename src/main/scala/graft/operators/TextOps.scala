@@ -1221,7 +1221,12 @@ object TextOps {
     * counts, `t_k` the round-k merge (argmax, lexicographic ties), `v_k`
     * the post-merge vocabulary state. MATERIALIZED throughout — plain CTEs
     * inline per reference and blow up the unrolled-iteration plan. */
-  private def bpeCtesSql(rounds: Int): String = {
+  private def bpeCtesSql(rounds: Int): String = bpeCtesSql(rounds, "")
+
+  /** `wordWhere` narrows the training word population (d61 trains both
+    * tokenizers on d57's length-capped words so the fertility comparison
+    * is apples-to-apples); empty keeps the d27/d32/d47 text verbatim. */
+  private def bpeCtesSql(rounds: Int, wordWhere: String): String = {
     val rs = (1 to rounds).map { k =>
       val prev = s"v${k - 1}"
       s"""pr$k AS MATERIALIZED (
@@ -1244,7 +1249,7 @@ object TextOps {
     s"""wf AS MATERIALIZED (
          SELECT w, count(*) AS f FROM (
            SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents)
-         WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')
+         WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')$wordWhere
          GROUP BY w),
        v0 AS MATERIALIZED (
          SELECT w, f, array_to_string(list_transform(range(1, len(w) + 1),
@@ -1344,7 +1349,9 @@ object TextOps {
   /** The trained-merge encode chain in SQL (x0 char-wrap → one replace
     * per merge round), ending in x[[BpeMerges]](doc_id, w, s) — shared by
     * d32's per-doc report and d47's per-lang fertility. */
-  private lazy val bpeEncodeChainSql: String = {
+  private lazy val bpeEncodeChainSql: String = bpeEncodeChain("")
+
+  private def bpeEncodeChain(wordWhere: String): String = {
     val encChain = (1 to BpeMerges).map { k =>
       s"""x$k AS (
            SELECT doc_id, w, replace(s,
@@ -1356,7 +1363,7 @@ object TextOps {
          SELECT doc_id, w, array_to_string(list_transform(range(1, len(w) + 1),
            i -> chr(1) || w[i] || chr(2)), '') AS s
          FROM (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS w FROM documents)
-         WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')),
+         WHERE regexp_matches(w, '^[a-z0-9]+${"$"}')$wordWhere),
        $encChain"""
   }
 
@@ -1469,6 +1476,90 @@ object TextOps {
     unigramTrain(wf)
   }
 
+  /** The d57 hard-EM schedule on a sorted word array — the ONE
+    * implementation d57 (train report) and d61 (encode/fertility) share,
+    * so the two queries' tokenizers cannot drift: returns (substring seed
+    * counts, final vocabulary counts, per-word FINAL-round Viterbi piece
+    * counts, weighted total emitted pieces). */
+  private def uniEmCore(words: Array[(String, Long)])
+      : (scala.collection.mutable.HashMap[String, Long], Map[String, Long],
+         scala.collection.mutable.HashMap[String, Long], Long) = {
+    // seed: weighted counts of every substring up to UniMaxPiece
+    val seed = scala.collection.mutable.HashMap[String, Long]()
+    words.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var k = 1
+        while (k <= math.min(UniMaxPiece, w.length - i)) {
+          val p = w.substring(i, i + k)
+          seed(p) = seed.getOrElse(p, 0L) + f
+          k += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seed.iterator.filter(_._1.length == 1).toArray.sortBy(_._1)
+    val multis = seed.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, UniSeedV - chars.length))
+    var vocab: Map[String, Long] = (chars ++ multis).toMap
+    var totalPieces = 0L
+    val perWord = scala.collection.mutable.HashMap[String, Long]()
+    var round = 1
+    while (round <= UniRounds) {
+      val tot = vocab.valuesIterator.sum
+      // the ONE transcendental: division first, then ln — the oracle
+      // spells the identical expression
+      val cost: Map[String, Double] =
+        vocab.map { case (p, c) => p -> math.log(tot.toDouble / c.toDouble) }
+      val emitted = scala.collection.mutable.HashMap[String, Long]()
+      totalPieces = 0L
+      words.foreach { case (w, f) =>
+        val best = Array.fill(w.length + 1)(Double.PositiveInfinity)
+        best(0) = 0.0
+        var i = 1
+        while (i <= w.length) {
+          var k = 1
+          while (k <= math.min(UniMaxPiece, i)) {
+            cost.get(w.substring(i - k, i)).foreach { c =>
+              val v = best(i - k) + c
+              if (v < best(i)) best(i) = v
+            }
+            k += 1
+          }
+          i += 1
+        }
+        // backtrace, longest-piece tie-break (ascending k, last wins)
+        var pos = w.length
+        var nPieces = 0L
+        while (pos > 0) {
+          var kSel = -1
+          var k = 1
+          while (k <= math.min(UniMaxPiece, pos)) {
+            val p = w.substring(pos - k, pos)
+            if (cost.contains(p) && best(pos - k) + cost(p) == best(pos))
+              kSel = k
+            k += 1
+          }
+          val p = w.substring(pos - kSel, pos)
+          emitted(p) = emitted.getOrElse(p, 0L) + f
+          nPieces += 1
+          pos -= kSel
+        }
+        perWord(w) = nPieces
+        totalPieces += f * nPieces
+      }
+      vocab = vocab.flatMap { case (p, _) =>
+        val c = emitted.getOrElse(p, 0L)
+        if (c > 0) Some(p -> c)
+        else if (p.length == 1) Some(p -> 1L) // coverage floor
+        else None
+      }
+      round += 1
+    }
+    (seed, vocab, perWord, totalPieces)
+  }
+
   /** d57's core on an arbitrary (word, freq) table — exposed for the
     * hand-computed dominance spec. */
   private[graft] def unigramTrain(wf: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
@@ -1477,77 +1568,7 @@ object TextOps {
     wf.groupByKey(_ => 0)
       .flatMapGroups { (_, it) =>
         val words = it.toArray.sortBy(_._1)
-        // seed: weighted counts of every substring up to UniMaxPiece
-        val seed = scala.collection.mutable.HashMap[String, Long]()
-        words.foreach { case (w, f) =>
-          var i = 0
-          while (i < w.length) {
-            var k = 1
-            while (k <= math.min(UniMaxPiece, w.length - i)) {
-              val p = w.substring(i, i + k)
-              seed(p) = seed.getOrElse(p, 0L) + f
-              k += 1
-            }
-            i += 1
-          }
-        }
-        val chars = seed.iterator.filter(_._1.length == 1).toArray.sortBy(_._1)
-        val multis = seed.iterator.filter(_._1.length > 1).toArray
-          .sortBy { case (p, c) => (-c, p) }
-          .take(math.max(0, UniSeedV - chars.length))
-        var vocab: Map[String, Long] = (chars ++ multis).toMap
-        var totalPieces = 0L
-        var round = 1
-        while (round <= UniRounds) {
-          val tot = vocab.valuesIterator.sum
-          // the ONE transcendental: division first, then ln — the oracle
-          // spells the identical expression
-          val cost: Map[String, Double] =
-            vocab.map { case (p, c) => p -> math.log(tot.toDouble / c.toDouble) }
-          val emitted = scala.collection.mutable.HashMap[String, Long]()
-          totalPieces = 0L
-          words.foreach { case (w, f) =>
-            val best = Array.fill(w.length + 1)(Double.PositiveInfinity)
-            best(0) = 0.0
-            var i = 1
-            while (i <= w.length) {
-              var k = 1
-              while (k <= math.min(UniMaxPiece, i)) {
-                cost.get(w.substring(i - k, i)).foreach { c =>
-                  val v = best(i - k) + c
-                  if (v < best(i)) best(i) = v
-                }
-                k += 1
-              }
-              i += 1
-            }
-            // backtrace, longest-piece tie-break (ascending k, last wins)
-            var pos = w.length
-            var nPieces = 0L
-            while (pos > 0) {
-              var kSel = -1
-              var k = 1
-              while (k <= math.min(UniMaxPiece, pos)) {
-                val p = w.substring(pos - k, pos)
-                if (cost.contains(p) && best(pos - k) + cost(p) == best(pos))
-                  kSel = k
-                k += 1
-              }
-              val p = w.substring(pos - kSel, pos)
-              emitted(p) = emitted.getOrElse(p, 0L) + f
-              nPieces += 1
-              pos -= kSel
-            }
-            totalPieces += f * nPieces
-          }
-          vocab = vocab.flatMap { case (p, _) =>
-            val c = emitted.getOrElse(p, 0L)
-            if (c > 0) Some(p -> c)
-            else if (p.length == 1) Some(p -> 1L) // coverage floor
-            else None
-          }
-          round += 1
-        }
+        val (seed, vocab, _, totalPieces) = uniEmCore(words)
         val totF = vocab.valuesIterator.sum
         val wordOcc = words.map(_._2).sum
         val out = vocab.toArray.map { case (p, c) =>
@@ -1561,13 +1582,32 @@ object TextOps {
       .orderBy(desc_nulls_last("final_count"), col("piece"))
   }
 
-  /** The d57 oracle: the identical schedule unrolled as MATERIALIZED CTE
-    * levels (d27's oracle pattern). Generated mechanically per round:
-    * forward-DP levels `b{r}_i` (min over the ≤[[UniMaxPiece]] pieces
-    * ending at i), a unioned value table `bb{r}`, backtrace levels
-    * `bt{r}_j` (largest k achieving the recorded minimum), emitted-count
-    * recount `em{r}`, and the re-estimated vocabulary `voc{r}`. */
-  val d57Sql: String = {
+  /** The encode half of the d57 tokenizer: per-word FINAL-round Viterbi
+    * piece counts (the unigram analogue of [[bpeEncode]]'s per-word
+    * symbol counts) — vocabulary-sized output, broadcastable back onto
+    * corpus occurrences. */
+  private[graft] def unigramPieceCounts(
+      wf: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    val s = wf.sparkSession
+    import s.implicits._
+    wf.groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val words = it.toArray.sortBy(_._1)
+        val (_, _, perWord, _) = uniEmCore(words)
+        words.iterator.map { case (w, _) => (w, perWord(w)) }
+      }
+      .toDF("w", "uni")
+  }
+
+  /** The shared DuckDB unigram-EM CTE body (d57 train / d61 encode — one
+    * source of truth so the two queries' tokenizers can't drift): the
+    * identical schedule unrolled as MATERIALIZED CTE levels (d27's
+    * oracle pattern). Generated mechanically per round: forward-DP
+    * levels `b{r}_i` (min over the ≤[[UniMaxPiece]] pieces ending at i),
+    * a unioned value table `bb{r}`, backtrace levels `bt{r}_j` (largest
+    * k achieving the recorded minimum), emitted-count recount `em{r}`,
+    * and the re-estimated vocabulary `voc{r}`. */
+  private lazy val uniCtesSql: String = {
     val L = UniMaxPiece
     val W = UniMaxWord
     def fwd(r: Int): String = {
@@ -1622,8 +1662,7 @@ object TextOps {
          FROM voc${r - 1} v LEFT JOIN em$r e ON e.p = v.p
          WHERE e.cnt IS NOT NULL OR len(v.p) = 1)"""
     val rounds = (1 to UniRounds).map(round).mkString(",\n       ")
-    val R = UniRounds
-    s"""WITH wfu AS MATERIALIZED (
+    s"""wfu AS MATERIALIZED (
          SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
            SELECT unnest(${toksSql("lower(text)")}) AS w FROM documents)
          WHERE regexp_matches(w, '^[a-z0-9]+${"$"}') AND len(w) <= $W
@@ -1641,7 +1680,12 @@ object TextOps {
          WHERE rn <= $UniSeedV - (SELECT count(*) FROM chs)),
        voc0 AS MATERIALIZED (
          SELECT p, cnt FROM chs UNION ALL SELECT p, cnt FROM mts),
-       $rounds,
+       $rounds"""
+  }
+
+  val d57Sql: String = {
+    val R = UniRounds
+    s"""WITH $uniCtesSql,
        totf AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM voc$R),
        womm AS (SELECT CAST(sum(f) AS BIGINT) AS wo FROM wfu),
        tp AS (SELECT CAST(sum(cnt) AS BIGINT) AS np FROM em$R)
@@ -1655,6 +1699,75 @@ object TextOps {
            ${rSql("CAST(np AS DOUBLE) / CAST(wo AS DOUBLE)", 6)}
          FROM womm CROSS JOIN tp)
        ORDER BY final_count DESC NULLS LAST, piece"""
+  }
+
+  /** d61 — UNIGRAM vs BPE fertility per language (r13: the encode half
+    * of the d57 SentencePiece-unigram tokenizer, rolled up next to d47's
+    * BPE fertility — THE cross-TOKENIZER equity audit a multilingual
+    * corpus team reads when choosing the tokenizer family): both
+    * tokenizers train on the SAME length-capped word population
+    * (d57's ≤[[UniMaxWord]]-char alphabet words), then every word
+    * occurrence is encoded BOTH ways — the unigram side by the
+    * FINAL-round Viterbi piece counts ([[unigramPieceCounts]], the d57
+    * core verbatim so the two queries' tokenizers cannot drift), the BPE
+    * side by the d32 replace-chain — and per language the report carries
+    * chars-per-token for each plus the unigram/BPE token ratio.
+    *
+    * Scale shape: both trainings are ONE distributed word count + one
+    * vocabulary-sized sequential pass (the d27 layout); both encodes are
+    * vocabulary-sized (per DISTINCT word) and broadcast back onto
+    * occurrences — corpus-scale work is the word explode and one
+    * ≤|langs|-key rollup. */
+  def d61UnigramFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val words = docs.select($"doc_id", explode(toks(lower($"text"))).as("w"))
+      .filter($"w".rlike("^[a-z0-9]+$") && length($"w") <= UniMaxWord)
+    // ONE evaluation feeds both trainers (invariant 5)
+    val wf = words.groupBy($"w").agg(count(lit(1)).as("f")).as[(String, Long)]
+      .localCheckpoint(true)
+    val langs = docs.select($"doc_id", coalesce($"lang", lit("")).as("lang"))
+    bpeEncode(words, bpeTrain(wf, BpeMerges), BpeMerges) // (doc_id, w, bpe)
+      .join(broadcast(unigramPieceCounts(wf)), "w")      // + (w, uni)
+      .join(langs, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"w")).as("n_chars"),
+        sum($"uni").as("n_uni_tokens"),
+        sum($"bpe").as("n_bpe_tokens"))
+      .select($"lang", $"n_words", $"n_chars", $"n_uni_tokens", $"n_bpe_tokens",
+        r($"n_chars" / $"n_uni_tokens", 4).as("uni_chars_per_token"),
+        r($"n_chars" / $"n_bpe_tokens", 4).as("bpe_chars_per_token"),
+        r($"n_uni_tokens".cast("double") / $"n_bpe_tokens".cast("double"), 4)
+          .as("uni_vs_bpe"))
+      .orderBy($"lang")
+  }
+
+  val d61Sql: String = {
+    val R = UniRounds
+    val cap = s" AND len(w) <= $UniMaxWord"
+    val npwU = (1 to UniMaxWord).map(j => s"SELECT w FROM bt${R}_$j")
+      .mkString(" UNION ALL ")
+    s"""WITH $uniCtesSql,
+       ${bpeCtesSql(BpeMerges, cap)},
+       ${bpeEncodeChain(cap)},
+       npw AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS uni FROM ($npwU) GROUP BY w),
+       lj AS (SELECT doc_id, coalesce(lang, '') AS lang FROM documents)
+       SELECT lang, count(*) AS n_words,
+         CAST(sum(len(x.w)) AS BIGINT) AS n_chars,
+         CAST(sum(n.uni) AS BIGINT) AS n_uni_tokens,
+         CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT) AS n_bpe_tokens,
+         ${rSql("CAST(sum(len(x.w)) AS BIGINT) / CAST(sum(n.uni) AS BIGINT)", 4)}
+           AS uni_chars_per_token,
+         ${rSql("CAST(sum(len(x.w)) AS BIGINT) / CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT)", 4)}
+           AS bpe_chars_per_token,
+         ${rSql("CAST(CAST(sum(n.uni) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(len(s) - len(replace(s, chr(1), ''))) AS BIGINT) AS DOUBLE)", 4)}
+           AS uni_vs_bpe
+       FROM x$BpeMerges x
+       JOIN npw n ON n.w = x.w
+       JOIN lj ON lj.doc_id = x.doc_id
+       GROUP BY lang ORDER BY lang"""
   }
 
   /** d12 — document chunking: fixed-size token windows (64 tokens,
@@ -2403,6 +2516,7 @@ object TextOps {
     "d54_sorted_neighborhood" -> (d54SortedNeighborhood _),
     "d55_snm_audit" -> (d55SnmAudit _),
     "d56_snm_audit_sample" -> (d56SnmAuditSample _),
+    "d61_unigram_fertility" -> (d61UnigramFertility _),
     "d57_unigram_train" -> (d57UnigramTrain _),
     "d38_readability" -> (d38Readability _),
     "d34_c4_filters" -> (d34C4Filters _),
@@ -2436,6 +2550,7 @@ object TextOps {
     "d54_sorted_neighborhood" -> d54Sql,
     "d55_snm_audit" -> d55Sql,
     "d56_snm_audit_sample" -> d56Sql,
+    "d61_unigram_fertility" -> d61Sql,
     "d57_unigram_train" -> d57Sql,
     "d38_readability" -> d38Sql,
     "d34_c4_filters" -> d34Sql,

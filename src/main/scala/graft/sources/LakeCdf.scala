@@ -75,6 +75,31 @@ private[graft] object LakeCdf {
     byV.orElse(byT)
   }
 
+  /** Resolve the batch range's LAST replayed version from `endingVersion`
+    * or `endingTimestamp` — the mirror of [[startingVersion]]: a
+    * timestamp positions at the last commit AT OR BEFORE it (so the
+    * [startingTimestamp, endingTimestamp] pair brackets exactly the
+    * commits whose instants fall inside the window). A timestamp before
+    * all history yields version 0 — an empty range, not an error. */
+  def endingVersion(path: String,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val byV = Option(options.get("endingVersion")).map(_.trim.toLong)
+    val byT = Option(options.get("endingTimestamp")).map { raw =>
+      val t = raw.trim
+      val millis =
+        if (t.forall(_.isDigit)) t.toLong
+        else java.sql.Timestamp.valueOf(t).getTime
+      require(byV.isEmpty,
+        "LakeSink CDF: give endingVersion OR endingTimestamp, not both")
+      LakeSinkFiles.listVersions(path).takeWhile { v =>
+        java.nio.file.Files.getLastModifiedTime(
+          LakeSinkFiles.versionsDir(path).resolve(LakeSinkFiles.versionName(v)))
+          .toMillis <= millis
+      }.lastOption.getOrElse(0L)
+    }
+    byV.orElse(byT)
+  }
+
   /** The legs of one version against its committed predecessor — exactly
     * [[LakeVersions.changes]]`(prev, v)`, as input partitions. Shared by
     * the streaming micro-batches and the batch range read. */
@@ -186,7 +211,7 @@ private[sources] class LakeCdfTable(tableSchema: StructType, path: String,
       override def build(): Scan = new LakeCdfScan(schema(), path, partCols,
         LakeCdf.startingVersion(path, options),
         Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
-        Option(options.get("endingVersion")).map(_.trim.toLong))
+        LakeCdf.endingVersion(path, options))
     }
 }
 
@@ -203,9 +228,16 @@ private[sources] class LakeCdfScan(cdfSchema: StructType, path: String,
   override def description(): String = s"graft-lake-cdf $path" +
     startingVersion.map(v => s" from=v$v").getOrElse("") +
     endingVersion.map(v => s" to=v$v").getOrElse("")
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // ending options are BATCH range bounds — silently ignoring one on a
+    // stream is the r12 dropped-option anti-pattern; refuse loudly (bound
+    // a streaming run with Trigger.AvailableNow instead)
+    require(endingVersion.isEmpty,
+      "LakeSink CDF: endingVersion/endingTimestamp are batch range " +
+        "bounds — a stream has no end (bound a run with Trigger.AvailableNow)")
     new LakeCdfMicroBatchStream(cdfSchema, path, partCols, startingVersion,
       maxFilesPerTrigger)
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val endV = endingVersion.getOrElse(

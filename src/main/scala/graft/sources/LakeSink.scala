@@ -536,7 +536,9 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
         .map(_ -> bits).toMap
     },
     mergeSchema = java.lang.Boolean.parseBoolean(
-      options.getOrDefault("mergeSchema", "false")))
+      options.getOrDefault("mergeSchema", "false")),
+    ndvCols = Option(options.get("ndvColumns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet)
 }
 
 /** The write's plan-side contract. Beyond serializer validation, this is
@@ -557,7 +559,8 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
 private[sources] class LakeSinkWrite(schema: StructType, path: String,
     mode: LakeWriteMode, partCols: Seq[String], queryId: String = "",
     sortCols: Seq[String] = Seq.empty, clusterWrite: Boolean = true,
-    bloomCols: Map[String, Int] = Map.empty, mergeSchema: Boolean = false)
+    bloomCols: Map[String, Int] = Map.empty, mergeSchema: Boolean = false,
+    ndvCols: Set[String] = Set.empty)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -582,6 +585,16 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     }, s"LakeSink: bloom filter on $c of type ${f.dataType} is unsupported " +
       "(exact-match lookups on IEEE doubles are not a thing)")
   }
+  ndvCols.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"LakeSink: ndvColumns column $c is not in the write schema"))
+    require(!partCols.contains(c),
+      s"LakeSink: NDV registers apply to DATA columns; $c is a partition " +
+        "column (its distinct values are the directory values)")
+    require(LakeSinkStats.statable(f.dataType),
+      s"LakeSink: NDV registers on $c of type ${f.dataType} are unsupported")
+  }
 
   override def requiredDistribution(): Distribution =
     if (partCols.isEmpty || !clusterWrite) Distributions.unspecified()
@@ -605,7 +618,7 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, mode,
       java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols,
-      mergeSchema)
+      mergeSchema, ndvCols)
   override def toStreaming: StreamingWrite =
     // mergeSchema on a stream: a restarted query whose upstream gained a
     // column evolves the manifest at its FIRST committed epoch, through
@@ -617,7 +630,7 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     // unknown columns and degrades to the ordinary subset check) and
     // redelivered epochs discard before ever touching the manifest.
     new LakeSinkStreamingWrite(schema, path, partCols, queryId, bloomCols,
-      mergeSchema)
+      mergeSchema, ndvCols)
 }
 
 private[graft] object LakeSinkFiles {
@@ -1016,7 +1029,7 @@ private[graft] object LakeSinkFiles {
           "re-run to plan against the current table state")
   }
 
-  private[sources] def versionName(v: Long): String = f"v$v%09d"
+  private[graft] def versionName(v: Long): String = f"v$v%09d"
 
   /** All version-named files, including empty RESERVATIONS mid-commit
     * (the reservation loop must see them to pick a fresh id). */
@@ -1283,7 +1296,8 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     partCols: Seq[String] = Seq.empty,
     sortCols: Seq[String] = Seq.empty,
     bloomCols: Map[String, Int] = Map.empty,
-    mergeSchema: Boolean = false) extends BatchWrite {
+    mergeSchema: Boolean = false,
+    ndvCols: Set[String] = Set.empty) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   // boolean-compat constructor (tests / streaming paths built pre-modes)
   def this(schema: StructType, path: String, truncateFirst: Boolean,
@@ -1291,7 +1305,8 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     this(schema, path, if (truncateFirst) LakeTruncate else LakeAppend,
       writeId, partCols)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols, bloomCols)
+    new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols, bloomCols,
+      ndvCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
     val staged = committed.flatMap(_.staged)
@@ -1349,7 +1364,8 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
 private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     partCols: Seq[String] = Seq.empty, queryId: String = "",
     bloomCols: Map[String, Int] = Map.empty,
-    mergeSchema: Boolean = false) extends StreamingWrite {
+    mergeSchema: Boolean = false,
+    ndvCols: Set[String] = Set.empty) extends StreamingWrite {
   LakeSinkFiles.ensureDirs(path)
   // 8 hex chars of the query UUID: collision-safe per table in practice,
   // short enough to keep file names readable; empty tag = legacy layout
@@ -1357,7 +1373,8 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     if (queryId == null || queryId.isEmpty) ""
     else s"q${queryId.filter(_ != '-').take(8)}-"
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeSinkStreamingWriterFactory(schema, path, partCols, qtag, bloomCols)
+    new LakeSinkStreamingWriterFactory(schema, path, partCols, qtag, bloomCols,
+      ndvCols)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = LakeSinkFiles.commitsDir(path).resolve(s"$qtag$epochId")
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
@@ -1389,17 +1406,19 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
 
 private[sources] class LakeSinkWriterFactory(schema: StructType, path: String,
     tag: String, partCols: Seq[String],
-    bloomCols: Map[String, Int] = Map.empty) extends DataWriterFactory {
+    bloomCols: Map[String, Int] = Map.empty,
+    ndvCols: Set[String] = Set.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeSinkDataWriter(schema, path, partCols,
       fileName = s"part-$tag-$partitionId.json.gz",
       attemptTag = s"$tag-$partitionId-a$taskId",
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, ndvCols = ndvCols)
 }
 
 private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
     path: String, partCols: Seq[String] = Seq.empty, qtag: String = "",
-    bloomCols: Map[String, Int] = Map.empty)
+    bloomCols: Map[String, Int] = Map.empty,
+    ndvCols: Set[String] = Set.empty)
     extends StreamingDataWriterFactory {
   // deterministic per (query, epoch, partition): re-execution of a crashed
   // epoch re-creates the SAME final names, so a mid-commit retry replaces
@@ -1409,7 +1428,7 @@ private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
     new LakeSinkDataWriter(schema, path, partCols,
       fileName = s"part-${qtag}e$epochId-$partitionId.json.gz",
       attemptTag = s"${qtag}e$epochId-$partitionId-a$taskId",
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, ndvCols = ndvCols)
 }
 
 /** Task-side writer: gzip JSON-lines into `_staging/<rel>.<attempt>
@@ -1423,7 +1442,8 @@ private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
   * other; the commit coordinator guarantees only one reaches commit(). */
 private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
     partCols: Seq[String], fileName: String, attemptTag: String,
-    bloomCols: Map[String, Int] = Map.empty)
+    bloomCols: Map[String, Int] = Map.empty,
+    ndvCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   private val dataSchema = LakeSink.dataSchema(schema, partCols)
   private val dataIdx = schema.fields.zipWithIndex
@@ -1480,7 +1500,7 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
     out.write(b.toString)
     rowCounts.updateWith(rel) { c => Some(c.getOrElse(0L) + 1L) }
     val ts = statTrackers.getOrElseUpdate(rel,
-      LakeSinkStats.trackers(dataSchema, bloomCols))
+      LakeSinkStats.trackers(dataSchema, bloomCols, ndvCols))
     i = 0
     while (i < ts.length) {
       if (ts(i).isDefined) {

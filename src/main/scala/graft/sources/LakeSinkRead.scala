@@ -668,6 +668,86 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes max 1L)
     override def numRows(): java.util.OptionalLong = rows
+
+    /** Column-level statistics for the CBO (`spark.sql.cbo.enabled`):
+      * distinctCount folds the per-file NDV registers (opt-in
+      * `ndvColumns` writes — elementwise max, then one HLL estimate for
+      * exactly the PRUNED file set), nullCount sums the ledger's null
+      * counts, min/max fold the [lo, hi] bounds. A column reports only
+      * what EVERY planned file recorded (the ledgers' usual
+      * complete-or-silent policy); with no recorded columns the map is
+      * empty and the optimizer falls back to rows/bytes. This is what
+      * lets join ORDER and broadcast decisions on lake tables stop
+      * flying blind: a filtered fact side estimates through
+      * FilterEstimation's ndv arithmetic instead of defaulting. */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics]()
+      // live scans only: a snapshot's pinned ledgers serve the aggregate
+      // pushdown path (LakeSinkScanBuilder); CBO column stats on time
+      // travel add nothing a historical query plans on
+      if (snapshot.isDefined) return out
+      val blobs = LakeSinkStats.readBlobs(path)
+      val aliasMap = evolution
+        .getOrElse(LakeSinkFiles.readManifestEvolution(path))._1
+      val root = Paths.get(path)
+      val retired = LakeSinkFiles.retiredDir(path)
+      val decoded = planned.map { p =>
+        val rel = (if (p.startsWith(retired)) retired.relativize(p)
+                   else root.relativize(p)).toString
+        blobs.get(rel).map(LakeSinkStats.decode(_, fullSchema, aliasMap))
+      }
+      if (decoded.isEmpty || decoded.exists(_.isEmpty)) return out
+      val perFile = decoded.flatten
+      fullSchema.fields.iterator
+        .filter(f => !partCols.contains(f.name) &&
+          LakeSinkStats.statable(f.dataType))
+        .foreach { f =>
+          val entries = perFile.map(_.get(f.name))
+          if (entries.forall(_.isDefined)) {
+            val stats = entries.flatten
+            val bounded = stats.filter(_.bounds.isDefined)
+            val ndvOpt: Option[Long] =
+              if (bounded.isEmpty) Some(0L) // every file all-null
+              else if (bounded.forall(_.ndv.isDefined))
+                LakeSinkStats.ndvUnion(bounded.map(_.ndv.get))
+                  .map(LakeSinkStats.ndvEstimate)
+              else None
+            val nullsOpt: Option[Long] =
+              if (stats.forall(_.nulls.isDefined)) Some(stats.flatMap(_.nulls).sum)
+              else None
+            val bs = bounded.flatMap(_.bounds)
+            val minOpt: Option[Any] = bs.map(_._1)
+              .reduceOption((a, b) => if (LakeSinkStats.cmp(a, b) <= 0) a else b)
+              .map(LakeSinkStats.toInternal(f.dataType, _))
+            val maxOpt: Option[Any] = bs.map(_._2)
+              .reduceOption((a, b) => if (LakeSinkStats.cmp(a, b) >= 0) a else b)
+              .map(LakeSinkStats.toInternal(f.dataType, _))
+            if (ndvOpt.isDefined || nullsOpt.isDefined || minOpt.isDefined)
+              out.put(
+                org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+                new ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    ndvOpt.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def nullCount(): java.util.OptionalLong =
+                    nullsOpt.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def min(): java.util.Optional[Object] =
+                    minOpt.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    maxOpt.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                })
+          }
+        }
+      out
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -76,6 +76,62 @@ private[graft] object LakeSinkStats {
   val DefaultBloomBits: Int = 1 << 17 // 16 KiB/column/file ≈ 10 bits/row at 13k rows
   private val BloomK = 6
 
+  // --- per-file NDV registers (CBO column statistics) -------------------------
+  //
+  // [lo, hi] + nulls cannot tell the optimizer HOW MANY distinct values a
+  // column carries — join ordering and broadcast decisions on lake tables
+  // fly blind at 100 TB without it. A per-(file, column) HLL register set
+  // (the parquet `distinct_count` / Delta column-stats role) closes that:
+  // registers fold across files by ELEMENTWISE MAX (exact — the fold of
+  // the parts IS the register set of the concatenation, the same
+  // arithmetic law the blooms' OR enjoys), so the scan's
+  // `estimateStatistics` can serve `distinctCount` for ANY pruned file
+  // subset with zero data reads. OPT-IN per write via
+  // `.option("ndvColumns", "a,b")` (the bloom pattern: only declaring
+  // writes carry registers, absent registers mean no estimate — never a
+  // guess). The payload rides the stats blob as a TAGGED trailing part
+  // (':' + Base64 — ':' is in neither the Base64 alphabet nor a number,
+  // so the part kind is unambiguous next to an untagged bloom part at any
+  // arity) — all commit-site hooks + retire + per-version snapshots carry
+  // it with zero new plumbing.
+
+  val NdvRegisters: Int = 256 // σ ≈ 1.04/√256 ≈ 6.5% — CBO-grade
+
+  /** Standard HLL estimate over rank registers (with the linear-counting
+    * small-range correction; 56-bit ranks need no large-range term). */
+  def ndvEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += java.lang.Math.pow(2.0, -(regs(i) & 0xff).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val e = alpha * m * m / sum
+    val est =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+    math.round(est)
+  }
+
+  /** Elementwise-max fold — registers of a concatenation EXACTLY equal
+    * the fold of its parts' registers (same-size inputs only). */
+  def ndvUnion(regSets: Seq[Array[Byte]]): Option[Array[Byte]] = {
+    if (regSets.isEmpty || regSets.exists(_.length != regSets.head.length))
+      return None
+    val out = new Array[Byte](regSets.head.length)
+    regSets.foreach { r =>
+      var i = 0
+      while (i < r.length) {
+        if ((r(i) & 0xff) > (out(i) & 0xff)) out(i) = r(i)
+        i += 1
+      }
+    }
+    Some(out)
+  }
+
   /** FNV-1a 64 over canonical value bytes — deterministic across JVMs,
     * identical for the writer's InternalRow values and the scan's
     * converted filter literals (both reach here via the
@@ -162,12 +218,28 @@ private[graft] object LakeSinkStats {
     protected var dead = false
     private var nulls = 0L
     private var bloomBits: BloomBits = null
+    private var ndvRegs: Array[Byte] = null
     def update(row: InternalRow, i: Int): Unit
     /** Opt this column into a per-file Bloom filter of `m` bits (see the
       * bloom section above) — subclasses insert each value's fp. */
     final def enableBloom(m: Int): Unit = bloomBits = new BloomBits(m)
-    protected final def bloomAdd(fp: Long): Unit =
+    /** Opt this column into per-file NDV registers (see the NDV section
+      * above) — shares the bloom's value fp. */
+    final def enableNdv(): Unit = ndvRegs = new Array[Byte](NdvRegisters)
+    protected final def bloomAdd(fp: Long): Unit = {
       if (bloomBits != null) bloomBits.insert(fp)
+      if (ndvRegs != null) {
+        // FNV-1a's top bits avalanche poorly on small sequential inputs
+        // (measured: 4000 sequential longs estimated as 809) — finalize
+        // with the murmur scrambler before deriving register and rank
+        val h = LakePart.scramble(fp)
+        // top 8 bits pick the register, the remaining 56 carry the rank
+        val idx = ((h >>> 56) & (NdvRegisters - 1)).toInt
+        val w = h << 8
+        val rank = (if (w == 0L) 57 else java.lang.Long.numberOfLeadingZeros(w) + 1).toByte
+        if ((rank & 0xff) > (ndvRegs(idx) & 0xff)) ndvRegs(idx) = rank
+      }
+    }
     /** The writer saw a NULL in this column — tracked so `count(col)`
       * answers as Σ(rows − nulls) and `IsNull` filters can skip files
       * with zero nulls. */
@@ -179,9 +251,13 @@ private[graft] object LakeSinkStats {
       else if (!seen) Some(s"$name$FieldSep$nulls")
       else {
         // the bloom attaches only to full bounds entries (arity 5) —
-        // all-null files need no filter (EqualTo skips on empty bounds)
+        // all-null files need no filter (EqualTo skips on empty bounds);
+        // ndv registers ride LAST as a ':'-tagged part (all-null files
+        // need none — zero non-null values is inferable from the entry)
         val b = if (bloomBits == null) "" else s"$FieldSep${bloomBits.encoded}"
-        Some(s"$name$FieldSep$nulls$FieldSep$loEnc$FieldSep$hiEnc$b")
+        val n = if (ndvRegs == null) "" else
+          s"$FieldSep:${java.util.Base64.getEncoder.encodeToString(ndvRegs)}"
+        Some(s"$name$FieldSep$nulls$FieldSep$loEnc$FieldSep$hiEnc$b$n")
       }
   }
 
@@ -203,6 +279,10 @@ private[graft] object LakeSinkStats {
     private var lo = 0.0; private var hi = 0.0
     def update(row: InternalRow, i: Int): Unit = {
       val v = get(row, i)
+      // doubles carry no bloom (write planning refuses) but DO count
+      // distinct values — fp over the IEEE bit pattern (write-side only;
+      // no filter-literal parity needed for an estimate)
+      bloomAdd(fnvLong(java.lang.Double.doubleToLongBits(v)))
       if (!seen) { lo = v; hi = v; seen = true }
       else { // Double.compare: NaN greatest, matching Spark's ordering
         if (java.lang.Double.compare(v, lo) < 0) lo = v
@@ -236,7 +316,8 @@ private[graft] object LakeSinkStats {
     * file-schema ordinals — the writer's dataIdx mapping applies before
     * calling update). Non-statable columns get None. */
   def trackers(dataSchema: StructType,
-      bloomCols: Map[String, Int] = Map.empty): Array[Option[ColTracker]] =
+      bloomCols: Map[String, Int] = Map.empty,
+      ndvCols: Set[String] = Set.empty): Array[Option[ColTracker]] =
     dataSchema.fields.map { f =>
       val t: Option[ColTracker] = f.dataType match {
         case LongType | TimestampType =>
@@ -258,6 +339,7 @@ private[graft] object LakeSinkStats {
           case _                      => t.foreach(_.enableBloom(m))
         }
       }
+      if (ndvCols.contains(f.name)) t.foreach(_.enableNdv())
       t
     }
 
@@ -310,7 +392,7 @@ private[graft] object LakeSinkStats {
     * entries written before null counting existed. A column ABSENT from
     * the map was not tracked at all. */
   final case class ColStat(nulls: Option[Long], bounds: Option[(Any, Any)],
-      bloom: Option[Array[Byte]] = None)
+      bloom: Option[Array[Byte]] = None, ndv: Option[Array[Byte]] = None)
 
   type FileStats = Map[String, ColStat]
 
@@ -329,9 +411,18 @@ private[graft] object LakeSinkStats {
             decodeVal(f.dataType, parts(2))))) // legacy bounds
           case 4 => ColStat(Some(parts(1).toLong),
             Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))))
-          case _ => ColStat(Some(parts(1).toLong),
-            Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))),
-            bloom = Some(java.util.Base64.getDecoder.decode(parts(4))))
+          case _ =>
+            // trailing parts beyond the bounds: an untagged part is the
+            // bloom, a ':'-tagged part the NDV registers — the tag keeps
+            // every arity unambiguous (':' is in neither Base64 nor a
+            // number), so bloom-only / ndv-only / both all decode
+            val (tagged, untagged) = parts.drop(4).partition(_.startsWith(":"))
+            ColStat(Some(parts(1).toLong),
+              Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))),
+              bloom = untagged.headOption
+                .map(java.util.Base64.getDecoder.decode),
+              ndv = tagged.headOption
+                .map(p => java.util.Base64.getDecoder.decode(p.substring(1))))
         })
       }
     }.toMap
@@ -383,7 +474,15 @@ private[graft] object LakeSinkStats {
                 .encodeToString(c.bloom.get)))
                 .map(u => s"$FieldSep$u").getOrElse("")
             else ""
-          Some(s"${f.name}$nEnc$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}$bEnc")
+          // ndv registers fold by elementwise max under the same policy
+          // (all-null inputs contribute nothing — zero distinct values)
+          val nvEnc: String =
+            if (nulls.isDefined && bWith.nonEmpty && bWith.forall(_.ndv.isDefined))
+              ndvUnion(bWith.map(_.ndv.get))
+                .map(u => s"$FieldSep:" +
+                  java.util.Base64.getEncoder.encodeToString(u)).getOrElse("")
+            else ""
+          Some(s"${f.name}$nEnc$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}$bEnc$nvEnc")
         }
       }
     }.mkString(EntrySep.toString)
@@ -505,13 +604,13 @@ private[graft] object LakeSinkStats {
       case IsNotNull(a) =>
         // an all-null entry proves no non-null row exists
         fs.get(a) match {
-          case Some(ColStat(_, None, _)) => false
+          case Some(ColStat(_, None, _, _)) => false
           case _                      => true
         }
       case IsNull(a) =>
         // a recorded zero null count proves no NULL row exists
         fs.get(a) match {
-          case Some(ColStat(Some(0L), _, _)) => false
+          case Some(ColStat(Some(0L), _, _, _)) => false
           case _                          => true
         }
       case And(l, r) => mayMatch0(fs, schema, l) && mayMatch0(fs, schema, r)

@@ -245,16 +245,25 @@ object LakeMaintenance {
           case (n, cs) if cs.bloom.isDefined => n -> cs.bloom.get.length * 8
         })).groupBy(_._1).map { case (n, ms) => n -> ms.map(_._2).max }
     }
+    // NDV coverage likewise: re-track any column an original carried
+    // registers for (the vector-free fold maxes them arithmetically)
+    val groupNdvCols: Seq[Set[String]] = groups.map { case (_, rels) =>
+      rels.flatMap(r => bloomLedger.get(r).toSeq.flatMap(b =>
+        LakeSinkStats.decode(b, tblSchema, evoAliases).toSeq.collect {
+          case (n, cs) if cs.ndv.isDefined => n
+        })).toSet
+    }
     val staged: Seq[(String, Option[(Long, String)])] = spark.sparkContext
-      .parallelize(groups.zip(groupBloomCols).zipWithIndex, groups.size)
-      .map { case (((dirRel, rels), gBloom), i) =>
+      .parallelize(groups.zip(groupBloomCols).zip(groupNdvCols).zipWithIndex,
+        groups.size)
+      .map { case ((((dirRel, rels), gBloom), gNdv), i) =>
         val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
         val stagedRel = s"${prefix}part-c$tag-$i.json.gz"
         val out = LakeSinkFiles.stagingDir(path).resolve(s"$stagedRel.inprogress")
         Option(out.getParent).foreach(Files.createDirectories(_))
         val materialize = rels.exists(dels.contains)
         val trackers =
-          if (materialize) LakeSinkStats.trackers(dataSchema, gBloom)
+          if (materialize) LakeSinkStats.trackers(dataSchema, gBloom, gNdv)
           else Array.empty[Option[LakeSinkStats.ColTracker]]
         val parser =
           if (materialize) new JsonLineParser(dataSchema, evoAliases, evoIgnored)
@@ -452,6 +461,138 @@ object LakeMaintenance {
     clustered.write.format(classOf[LakeSink].getName)
       .mode("overwrite").save(path)
     (before, committedFileCount(path))
+  }
+
+  /** Partition-scoped Z-ORDER (the `OPTIMIZE … WHERE … ZORDER BY`
+    * compose): rewrite ONLY the partition directories matching
+    * `partitions` (dir keys → dir values — compact's WHERE contract),
+    * z-clustering each matching directory's rows on `cols` into at most
+    * `nFiles` files PER DIRECTORY (z bounds are directory-local, so each
+    * partition's boxes stay tight). Untouched partitions' files survive
+    * bit-identically; the commit is compaction's protocol —
+    * requireAllLive + delete-vector requireUnchanged before any
+    * mutation, then promote/retire/recordVersion — so snapshots stay
+    * readable, vectors MATERIALIZE into the rewrite, and a concurrent
+    * rewrite aborts loudly with the staged files swept. Identity
+    * partition columns are refused as z dimensions (constant within
+    * their directory); the temporal/bucket transforms' SOURCE columns
+    * (`ts` under `days(ts)`) are exactly the useful ones. Returns
+    * (files before, files after) within the scope.
+    *
+    * 100 TB story: you z-order yesterday's partition when its stream
+    * closes — one partition-sized shuffle, not a table-sized one; the
+    * rest of the table is not even listed. */
+  def zorder(spark: SparkSession, path: String, cols: Seq[String],
+      nFiles: Int, partitions: Map[String, String]): (Int, Int) = {
+    if (partitions.isEmpty) return zorder(spark, path, cols, nFiles)
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 8,
+      s"zorder: 1..8 cluster columns, got ${cols.size}")
+    require(nFiles > 0, "zorder: nFiles must be positive")
+    val (schema, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
+    require(partCols.nonEmpty,
+      "zorder: a partition scope needs a partitioned table")
+    val parsed = LakePart.parseAll(partCols)
+    val idCols = parsed.filter(_.isIdentity).map(_.name).toSet
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"zorder: no column $c"))
+      require(!idCols.contains(c),
+        s"zorder: $c is an identity partition column — constant within " +
+          "its directory, nothing to cluster")
+      require(f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | TimestampType => true
+        case _ => false
+      }, s"zorder: column $c of type ${f.dataType} is not orderable-numeric")
+    }
+    val dirKeys = parsed.map(_.dirKey).toSet
+    partitions.keys.foreach(k => require(dirKeys.contains(k),
+      s"zorder: $k is not a partition dir key of ${partCols.mkString(",")}"))
+    val root = Paths.get(path)
+    val dels = LakeSinkDeletes.read(path)
+    val dirGroups: Seq[(String, Seq[String])] = LakeSinkFiles.listLive(path, partCols)
+      .filter { case (_, kvs) =>
+        partitions.forall { case (k, v) => kvs.contains(k -> v) }
+      }
+      .map { case (p, _) => root.relativize(p).toString }
+      .groupBy(rel => Option(Paths.get(rel).getParent).map(_.toString).getOrElse(""))
+      .toSeq.sortBy(_._1)
+    require(dirGroups.nonEmpty,
+      s"zorder: no partition directory matches $partitions")
+    val vNow = LakeSinkFiles.listVersions(path).lastOption.getOrElse(
+      throw new IllegalStateException(s"zorder: no committed version at $path"))
+    val k = cols.size
+    val originals = dirGroups.flatMap(_._2)
+    val stagedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val addCounts = scala.collection.mutable.Map.empty[String, Long]
+    val addStats = scala.collection.mutable.Map.empty[String, String]
+    dirGroups.zipWithIndex.foreach { case ((_, rels), di) =>
+      // snapshot-read exactly this directory's files at the CURRENT
+      // version — its recorded vectors apply, so the rewrite
+      // materializes survivors (requireUnchanged below guards the race)
+      val df = spark.read.format(classOf[LakeSink].getName)
+        .option("versionAsOf", vNow.toString)
+        .option("snapshotFiles", rels.mkString("\n")).load(path)
+      val loHi = df.agg(
+        lit(1).as("_one"),
+        cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+          max(col(c).cast("double")).as(s"hi_$c"))): _*).collect()(0)
+      val z = cols.zipWithIndex.map { case (c, d) =>
+        val lo = Option(loHi.getAs[Any](s"lo_$c")).fold(0.0)(_.asInstanceOf[Double])
+        val hi = Option(loHi.getAs[Any](s"hi_$c")).fold(0.0)(_.asInstanceOf[Double])
+        val width = if (hi > lo) (hi - lo) / 256.0 else 1.0
+        val bucket = when(col(c).isNull, lit(0)).otherwise(
+          least(lit(255), greatest(lit(0),
+            floor((col(c).cast("double") - lit(lo)) / lit(width)).cast("int"))))
+        (0 until 8).map(b =>
+          shiftright(bucket, b).bitwiseAND(lit(1)).cast("long") * lit(1L << (b * k + d)))
+          .reduce(_ + _)
+      }.reduce(_ + _)
+      // write the clustered directory through the ordinary sink into a
+      // table-local temp lake (same filesystem — staging moves are
+      // renames), under the SAME partition spec so rows land back in
+      // their own k=v directory; distributionMode=none keeps the
+      // z-range tasks as the file layout
+      val tmpT = root.resolve(s".zorder-$di-${java.util.UUID.randomUUID.toString.take(8)}")
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(nFiles, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+        .write.format(classOf[LakeSink].getName).mode("append")
+        .option("partitionCols", partCols.mkString(","))
+        .option("distributionMode", "none")
+        .save(tmpT.toString)
+      val tmpCounts = LakeSinkFiles.readCounts(tmpT.toString)
+      val tmpStats = LakeSinkStats.readBlobs(tmpT.toString)
+      LakeSinkFiles.listLive(tmpT.toString, partCols).foreach { case (p, _) =>
+        val rel = tmpT.relativize(p).toString
+        val dest = LakeSinkFiles.stagingDir(path).resolve(rel)
+        Option(dest.getParent).foreach(Files.createDirectories(_))
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        stagedNames += rel
+        tmpCounts.get(rel).foreach(n => addCounts(rel) = n)
+        tmpStats.get(rel).foreach(b => addStats(rel) = b)
+      }
+      // reclaim the temp lake's metadata skeleton
+      val it = Files.walk(tmpT).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    }
+    try {
+      LakeSinkFiles.requireAllLive(path,
+        originals.map(rel => root.resolve(rel).toString), "zorder")
+      LakeSinkDeletes.requireUnchanged(path, originals, dels, "zorder")
+    } catch { case e: java.util.ConcurrentModificationException =>
+      LakeSinkFiles.discard(path, stagedNames.toSeq)
+      throw e
+    }
+    LakeSinkFiles.promote(path, stagedNames.toSeq)
+    LakeSinkFiles.updateCounts(path, addCounts.toMap, Seq.empty)
+    LakeSinkStats.updateBlobs(path, addStats.toMap, Seq.empty)
+    val removed = LakeSinkFiles.retire(path,
+      originals.map(rel => root.resolve(rel).toString))
+    LakeSinkFiles.recordVersion(path, stagedNames.toSeq, removed)
+    (originals.size, stagedNames.size)
   }
 
   /** VACUUM: reclaim the bytes time travel holds. The default drops every

@@ -294,6 +294,55 @@ class LakeCdfSpec extends GraftSpec {
     }
   }
 
+  test("batch CDF timestamp window: brackets commit instants, both forms agree, stream refuses ends") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.bts").create() // v1
+      Thread.sleep(30) // separate commit instants (mtime ms granularity)
+      threeRows(1).writeTo("graft.lake.bts").append() // v2
+      Thread.sleep(30)
+      threeRows(2).writeTo("graft.lake.bts").append() // v3
+      def at(v: Long): Long = Files.getLastModifiedTime(
+        graft.sources.LakeSinkFiles.versionsDir(s"$lake/bts")
+          .resolve(graft.sources.LakeSinkFiles.versionName(v))).toMillis
+      def read(opts: (String, String)*): org.apache.spark.sql.DataFrame = {
+        var r = spark.read.format("graft.sources.LakeSink")
+          .option("readChangeFeed", "true")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(s"$lake/bts")
+      }
+      // [v2's instant, v2's instant] → exactly v2's legs
+      assert(canon(read("startingTimestamp" -> at(2).toString,
+        "endingTimestamp" -> at(2).toString)) ==
+        canon(threeRows(1).withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(2L))))
+      // the timestamp pair plans the same legs as the version pair; the
+      // TEXT timestamp form agrees with epoch millis
+      assert(canon(read("startingTimestamp" -> at(2).toString,
+        "endingTimestamp" -> at(3).toString)) ==
+        canon(read("startingVersion" -> "2", "endingVersion" -> "3")))
+      assert(canon(read("startingVersion" -> "1",
+        "endingTimestamp" -> new java.sql.Timestamp(at(2)).toString)) ==
+        canon(read("startingVersion" -> "1", "endingVersion" -> "2")))
+      // endingTimestamp before all history → version 0 → EMPTY, not error
+      assert(read("endingTimestamp" -> (at(1) - 60000).toString).isEmpty)
+      // both ending forms together refused
+      val e = intercept[Exception] {
+        read("endingVersion" -> "2",
+          "endingTimestamp" -> at(2).toString).collect()
+      }
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(rootMsg(e).contains("not both"), rootMsg(e).take(300))
+      // ending options on a STREAM refuse loudly (the r12 silently-dropped
+      // option anti-pattern)
+      val e2 = intercept[Exception] {
+        drainToMemory(s"$lake/bts", "endingVersion" -> "2")
+      }
+      assert(rootMsg(e2).contains("batch range"), rootMsg(e2).take(300))
+    }
+  }
+
   test("d58 streaming twin: CDC replay feeds the incremental dedup bit-equal across kill/restart") {
     import spark.implicits._
     withLake { lake =>

@@ -175,6 +175,76 @@ class LakeStatsSpec extends GraftSpec {
     }
   }
 
+  test("NDV ledger: distinct estimates within 10%, CBO broadcast flip, compaction fold") {
+    withLake { lake =>
+      import spark.implicits._
+      // 20k rows over 8 range-clustered files; true distincts: k=4000,
+      // u=800, d=20000 (ndvColumns opts all three in — long, string,
+      // double); a twin table WITHOUT the option is the control leg
+      val rows = (0 until 20000).map(i => (i.toLong % 4000, s"u${i % 800}", i * 0.5))
+      val df = rows.toDF("k", "u", "d").repartitionByRange(8, col("k"))
+      df.write.format("graft.sources.LakeSink").mode("append")
+        .option("ndvColumns", "k,u,d").save(s"$lake/nf")
+      df.write.format("graft.sources.LakeSink").mode("append")
+        .save(s"$lake/nc") // control: no registers
+      val cboKeys = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "32768")
+      val prev = cboKeys.map { case (k, _) =>
+        k -> (if (org.apache.spark.sql.internal.SQLConf.get.contains(k))
+          Some(spark.conf.get(k)) else None)
+      }
+      try {
+        cboKeys.foreach { case (k, v) => spark.conf.set(k, v) }
+        // the optimizer's attributeStats carry the folded estimates
+        val stats = spark.table("graft.lake.nf")
+          .queryExecution.optimizedPlan.stats.attributeStats
+        def ndvOf(name: String): Long = {
+          val e = stats.find(_._1.name == name)
+          assert(e.isDefined, s"no column stats for $name: $stats")
+          e.get._2.distinctCount.get.toLong
+        }
+        def within10(est: Long, truth: Long): Unit =
+          assert(math.abs(est - truth).toDouble / truth <= 0.10,
+            s"estimate $est vs truth $truth off by >10%")
+        within10(ndvOf("k"), 4000L)
+        within10(ndvOf("u"), 800L)
+        within10(ndvOf("d"), 20000L)
+        // nullCount/min/max ride along (exact, from the bounds ledger)
+        val kStat = stats.find(_._1.name == "k").get._2
+        assert(kStat.nullCount.contains(BigInt(0)))
+        assert(kStat.min.contains(0L) && kStat.max.contains(3999L))
+        // BROADCAST FLIP: an equality-filtered build side estimates
+        // 20000/800 = 25 rows through the ndv → under the 32 KiB
+        // threshold → BroadcastHashJoin; the control table (no
+        // registers) keeps its full scan size → SortMergeJoin. Both
+        // legs pinned hermetically (the SPJ conf lesson).
+        def joinPlan(t: String): String = {
+          val big = spark.table("graft.lake.nf")
+          val dim = spark.table(t).filter(col("u") === "u5")
+            .groupBy(col("k")).agg(max(col("d")).as("md"))
+          big.join(dim, "k").queryExecution.executedPlan.toString
+        }
+        val withNdv = joinPlan("graft.lake.nf")
+        assert(withNdv.contains("BroadcastHashJoin"),
+          s"ndv estimate must flip the filtered side to broadcast:\n${withNdv.take(1200)}")
+        val control = joinPlan("graft.lake.nc")
+        assert(!control.contains("BroadcastHashJoin") &&
+          control.contains("SortMergeJoin"),
+          s"without registers the same join must stay sort-merge:\n${control.take(1200)}")
+        // compaction folds registers (elementwise max — exact): the
+        // merged single file still estimates within 10%
+        LakeMaintenance.compact(spark, s"$lake/nf")
+        val after = spark.table("graft.lake.nf")
+          .queryExecution.optimizedPlan.stats.attributeStats
+        val kAfter = after.find(_._1.name == "k").get._2.distinctCount.get.toLong
+        within10(kAfter, 4000L)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("min/max answer from per-file stats: pushed, typed, DML-safe") {
     withLake { _ =>
       import spark.implicits._
@@ -427,6 +497,68 @@ class LakeStatsSpec extends GraftSpec {
       val vs = graft.sources.LakeSinkFiles.listVersions(s"$lake/zo")
       assert(spark.sql(s"SELECT * FROM graft.lake.zo VERSION AS OF ${vs.init.last}")
         .count() == 4096)
+    }
+  }
+
+  test("partition-scoped zorder: only the named partition rewrites, its skip rate improves") {
+    withLake { lake =>
+      import spark.implicits._
+      // two date-like partitions, each a 32x32 row-major grid across 4
+      // range files — a y filter can skip nothing before the rewrite
+      val grid = (0 until 2048).map { i =>
+        val p = i % 2; val j = i / 2
+        (p, j.toLong, (j / 32).toLong, (j % 32).toLong)
+      }.toDF("p", "id", "x", "y")
+      grid.repartitionByRange(8, col("p"), col("id"))
+        .writeTo("graft.lake.zp").partitionedBy(col("p"))
+        .option("distributionMode", "none").create()
+      def files(p: Int): Seq[(String, Seq[Byte])] = {
+        val d = java.nio.file.Paths.get(s"$lake/zp/p=$p")
+        val it = Files.list(d).iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Byte])]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.toString.endsWith(".json.gz"))
+            out += ((f.getFileName.toString, Files.readAllBytes(f).toSeq))
+        }
+        out.sortBy(_._1).toSeq
+      }
+      val p0Before = files(0)
+      assert(p0Before.size >= 2, s"precondition: several files per partition, got ${p0Before.size}")
+      val all = spark.table("graft.lake.zp").collect().map(_.toString).sorted.toSeq
+      def ySkips(p: Int): Int = skippedOf(ranPlan(
+        spark.table("graft.lake.zp").filter(col("p") === p && col("y") < 8)))
+      assert(ySkips(1) == 0, "precondition: row-major layout allows no y-skips")
+      // z-order ONLY p=1 ("yesterday's partition")
+      val (fin, fout) = LakeMaintenance.zorder(spark, s"$lake/zp",
+        Seq("x", "y"), 4, Map("p" -> "1"))
+      assert(fin >= 2 && fout >= 2, s"scope rewrote $fin->$fout files")
+      // untouched partition: files BYTE-identical
+      assert(files(0) == p0Before, "p=0 must survive bit-identically")
+      // rows unchanged table-wide
+      assert(spark.table("graft.lake.zp").collect().map(_.toString).sorted.toSeq == all)
+      // the scoped partition now skips on the box; the untouched one still can't
+      assert(ySkips(1) >= 2,
+        "z-ordered partition must skip most of its files on a y filter")
+      assert(ySkips(0) == 0)
+      // count(*) still answers from metadata after the ledger handoff
+      val c = spark.sql("SELECT count(*) AS n FROM graft.lake.zp")
+      assert(c.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(c.collect()(0).getLong(0) == 2048L)
+      // pre-rewrite snapshot of the scoped partition still readable
+      val vs = graft.sources.LakeSinkFiles.listVersions(s"$lake/zp")
+      assert(spark.sql(s"SELECT * FROM graft.lake.zp VERSION AS OF ${vs.init.last}")
+        .count() == 2048)
+      // identity partition column refused as a z dimension; unknown dir
+      // key refused
+      val e1 = intercept[IllegalArgumentException] {
+        LakeMaintenance.zorder(spark, s"$lake/zp", Seq("p"), 4, Map("p" -> "1"))
+      }
+      assert(e1.getMessage.contains("identity partition column"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        LakeMaintenance.zorder(spark, s"$lake/zp", Seq("x"), 4, Map("nope" -> "1"))
+      }
+      assert(e2.getMessage.contains("not a partition dir key"), e2.getMessage)
     }
   }
 }

@@ -264,8 +264,15 @@ class LakeVersionSpec extends GraftSpec {
       val v3 = spark.sql("SELECT * FROM graft.lake.cdc VERSION AS OF 3")
       val applied = (canon(v2).diff(canon(del)) ++ canon(ins)).sorted
       assert(applied == canon(v3), "applying the change feed to v2 must yield v3")
-      assert(del.count() > 0 && ins.count() > 0,
-        "a rewrite surfaces both legs (carried rows as delete+insert pairs)")
+      // EXACT leg shapes (the r12 masked-off-by-one lesson): the insert
+      // legs are precisely the delete legs with the UPDATE applied (a cow
+      // rewrite replays carried rows as delete+insert PAIRS), and the
+      // changed row itself is in the rewrite exactly once
+      assert(canon(ins) == canon(del.withColumn("v",
+        when(col("id") === 2, lit("patched")).otherwise(col("v")))),
+        "insert legs must be the delete legs with the update applied")
+      assert(del.filter(col("id") === 2).count() == 1L &&
+        ins.filter(col("v") === "patched").count() == 1L)
     }
   }
 

@@ -280,12 +280,12 @@ class PropertySpec extends GraftSpec {
       val fs = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").zip(expectedBounds(rows)).foreach { case (c, want) =>
         fs.get(c) match {
-          case Some(LakeSinkStats.ColStat(n, Some((lo, hi)), _)) =>
+          case Some(LakeSinkStats.ColStat(n, Some((lo, hi)), _, _)) =>
             val Some((wl, wh)) = want
             assert(LakeSinkStats.cmp(lo, wl) == 0 && LakeSinkStats.cmp(hi, wh) == 0,
               s"$c: got [$lo,$hi] want [$wl,$wh]")
             assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
-          case Some(LakeSinkStats.ColStat(n, None, _)) =>
+          case Some(LakeSinkStats.ColStat(n, None, _, _)) =>
             assert(want.isEmpty, s"$c: all-null marker but values exist")
             assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
           case None => fail(s"$c: column missing from blob")
@@ -303,8 +303,8 @@ class PropertySpec extends GraftSpec {
       val whole = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").foreach { c =>
         (merged.get(c), whole.get(c)) match {
-          case (Some(LakeSinkStats.ColStat(mn, Some((ml, mh)), _)),
-                Some(LakeSinkStats.ColStat(wn, Some((wl, wh)), _))) =>
+          case (Some(LakeSinkStats.ColStat(mn, Some((ml, mh)), _, _)),
+                Some(LakeSinkStats.ColStat(wn, Some((wl, wh)), _, _))) =>
             assert(LakeSinkStats.cmp(ml, wl) == 0 && LakeSinkStats.cmp(mh, wh) == 0,
               s"$c: merged [$ml,$mh] vs whole [$wl,$wh]")
             assert(mn == wn, s"$c: merged null count $mn vs whole $wn (sum law)")
@@ -313,6 +313,49 @@ class PropertySpec extends GraftSpec {
             s"$c: merged $m vs whole $w")
         }
       }
+    }
+  }
+
+  test("property: ndv register fold equals the registers of the concatenation") {
+    // trackedBlob with registers on every column: the merge of two parts'
+    // registers must BIT-EQUAL the registers of tracking the whole — the
+    // elementwise-max law that makes per-file NDV estimates exact for any
+    // pruned file subset (and keeps compaction's arithmetic fold honest)
+    def blobNdv(rows: Seq[(Option[Long], Option[Double], Option[String])]): String = {
+      val ts = LakeSinkStats.trackers(statSchema, ndvCols = Set("l", "d", "s"))
+      rows.foreach { case (l, d, t) =>
+        val row = new GenericInternalRow(Array[Any](
+          l.map(Long.box).orNull, d.map(Double.box).orNull,
+          t.map(UTF8String.fromString).orNull))
+        (0 to 2).foreach(i =>
+          if (row.isNullAt(i)) ts(i).get.nullSeen() else ts(i).get.update(row, i))
+      }
+      LakeSinkStats.blobOf(ts)
+    }
+    samples(statRowGen, 6).foreach { rows =>
+      val (a, b) = rows.splitAt(rows.length / 2)
+      val merged = LakeSinkStats.decode(
+        LakeSinkStats.mergeBlobs(Seq(blobNdv(a), blobNdv(b)), statSchema),
+        statSchema)
+      val whole = LakeSinkStats.decode(blobNdv(rows), statSchema)
+      Seq("l", "d", "s").foreach { c =>
+        (merged.get(c).flatMap(_.ndv), whole.get(c).flatMap(_.ndv)) match {
+          case (Some(m), Some(w)) =>
+            assert(java.util.Arrays.equals(m, w),
+              s"$c: folded registers differ from whole-tracking registers")
+          case (m, w) =>
+            // both absent only when the column is all-null in a part AND
+            // the whole (no registers attach to empty bounds)
+            assert(m.isEmpty == w.isEmpty, s"$c: ndv presence $m vs $w")
+        }
+      }
+      // and the estimate of a known-cardinality set is within 10%
+      val vals = (0 until 2000).map(i =>
+        (Some(i.toLong % 700): Option[Long], None: Option[Double],
+          None: Option[String]))
+      val est = LakeSinkStats.decode(blobNdv(vals), statSchema)
+        .get("l").flatMap(_.ndv).map(LakeSinkStats.ndvEstimate).get
+      assert(math.abs(est - 700L).toDouble / 700.0 <= 0.10, s"estimate $est vs 700")
     }
   }
 

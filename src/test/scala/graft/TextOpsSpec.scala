@@ -699,6 +699,42 @@ class TextOpsSpec extends GraftSpec {
     assert(fert >= 1.0 && fert <= TextOps.UniMaxWord.toDouble, fert.toString)
   }
 
+  test("d61 unigram encode: piece counts tile words, conserve against d57, fertility ordered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, count, explode,
+      length, lit, lower, sum}
+    // shared word population (d61's restriction)
+    val words = Tables.documents(spark, sfTiny)
+      .select(explode(TextOps.toks(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") &&
+        length(col("w")) <= TextOps.UniMaxWord)
+    val wf = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)].localCheckpoint(true)
+    val np = TextOps.unigramPieceCounts(wf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every word segments into 1..len(w) pieces
+    np.foreach { case (w, n) =>
+      assert(n >= 1 && n <= w.length.toLong, s"$w -> $n")
+    }
+    // CONSERVATION: Σ f(w)·pieces(w) equals d57's _corpus emitted total
+    // (the encode IS the trainer's final E-step — shared uniEmCore)
+    val d57Corpus = TextOps.d57UnigramTrain(spark, sfTiny).collect()
+      .find(_.getString(0) == "_corpus").get.getLong(3)
+    val total = wf.collect().map { case (w, f) => f * np(w) }.sum
+    assert(total == d57Corpus, s"$total vs $d57Corpus")
+    // the d61 report: tokens bounded by chars on both tokenizer sides,
+    // and the ratio column is consistent with its numerators
+    val rows = TextOps.d61UnigramFertility(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc, nu, nb) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nu >= nw && nu <= nc, r.toString) // ≥1 piece/word, ≤1 char pieces
+      assert(nb >= nw && nb <= nc, r.toString)
+      assert(math.abs(r.getAs[Double]("uni_vs_bpe") -
+        operators.Num.rD(nu.toDouble / nb.toDouble, 4)) < 1e-9, r.toString)
+    }
+  }
+
   test("d60 exact-substring REMOVAL: planted shared runs are cut, the rest survives verbatim") {
     import spark.implicits._
     // a 20-token vocabulary of distinct words w1..w20
