@@ -2457,7 +2457,9 @@ object Analytics {
   private[graft] def giniHist(amounts0: DataFrame): DataFrame = {
     val s = amounts0.sparkSession
     import s.implicits._
-    val amounts = amounts0.select($"seg", $"x")
+    // TWO consumers (per-seg bounds + the bucketed histogram) would each
+    // re-evaluate the upstream join (invariant 5) — pin it once
+    val amounts = amounts0.select($"seg", $"x").localCheckpoint(true)
     val b = lit(LorenzBuckets.toDouble)
     val bounds = amounts.groupBy($"seg")
       .agg(min($"x").as("lo"), max($"x").as("hi"))

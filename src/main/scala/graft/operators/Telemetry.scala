@@ -3217,6 +3217,38 @@ object Telemetry {
     * result-invisible. */
   val t72Sql: String = t60Sql
 
+  /** t73 — SHALLOW CLONE under the differential (r13:
+    * [[graft.sources.LakeMaintenance.clone]] — the Delta SHALLOW CLONE
+    * role with a hard-link ownership rule: every live file links into
+    * the clone, so each table owns its OWN directory entries and an
+    * inode lives while either references it): the twin table is cloned,
+    * then the SOURCE is deleted-from, updated, compacted, and FULLY
+    * vacuumed — and the clone must still hash-equal t04's generator
+    * oracle exactly (LakeVersionSpec pins the shared-inode zero-copy
+    * claim, ledger carry, both independence directions, and the
+    * existing-destination refusal).
+    *
+    * Scale shape: branching a 100 TB table for an experiment is
+    * O(#files) driver-side link calls and ZERO data bytes; no vacuum
+    * coordination debt between the branches, ever. */
+  def t73ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t73")
+    twin(s).writeTo("graft_t73.lake.src").create()
+    val n = graft.sources.LakeMaintenance.clone(s, s"$lakeRoot/src", s"$lakeRoot/cl")
+    require(n >= 1, "t73: clone must link at least one file")
+    // mutate + compact + FULLY vacuum the source — the clone keeps the
+    // original bytes through its own directory entries
+    s.sql("DELETE FROM graft_t73.lake.src WHERE id % 3 = 0")
+    s.sql("UPDATE graft_t73.lake.src SET temperature = 0.0 WHERE id % 5 = 0")
+    graft.sources.LakeMaintenance.compact(s, s"$lakeRoot/src")
+    graft.sources.LakeMaintenance.vacuum(s"$lakeRoot/src")
+    s.table("graft_t73.lake.cl").orderBy(col("id"))
+  }
+
+  /** Identical text to [[t04Sql]]: the clone must be the pre-mutation
+    * source, bit for bit. */
+  val t73Sql: String = t04Sql
+
   val t71Sql: String =
     s"""SELECT e.event_type, count(*) AS n_events,
          ${Num.rsumSql("e.value", 6)} AS sum_v
@@ -3226,6 +3258,7 @@ object Telemetry {
        GROUP BY e.event_type ORDER BY e.event_type"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t73_shallow_clone" -> (t73ShallowClone _),
     "t72_scoped_zorder" -> (t72ScopedZorder _),
     "t71_ndv_broadcast" -> (t71NdvBroadcast _),
     "t70_cdc_evolve" -> (t70CdcEvolve _),
@@ -3295,6 +3328,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t73_shallow_clone" -> t73Sql,
     "t72_scoped_zorder" -> t72Sql,
     "t71_ndv_broadcast" -> t71Sql,
     "t70_cdc_evolve" -> t70Sql,

@@ -595,6 +595,67 @@ object LakeMaintenance {
     (originals.size, stagedNames.size)
   }
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE` role): a
+    * zero-data-copy, fully INDEPENDENT copy of the source's CURRENT
+    * state. Ownership rule — designed first, as the operation demands:
+    * every live data file is HARD-LINKED into the clone (same
+    * filesystem; committed lake files are immutable, so sharing inodes
+    * is safe), which makes vacuum ownership trivial by construction:
+    * each table deletes only its OWN directory entries, and an inode
+    * survives as long as either table references it — the source can be
+    * DML'd, compacted, and fully vacuumed without EVER breaking the
+    * clone (no reference-counting, no pin protocol, no copy-on-vacuum
+    * debt; the alternative — path indirection into the source — is what
+    * object stores force on Delta, and its vacuum hazard is exactly
+    * what this design avoids). Falls back to a byte copy if the
+    * filesystem refuses the link. Ledgers (counts/stats/sorted/delete
+    * vectors) are trimmed to the live set and copied; the manifest
+    * carries the full evolution state (renames/dropped/constraints/
+    * partition-spec history); the clone's history STARTS at version 1
+    * (its version records are its own — time travel into pre-clone
+    * source history happens at the source). Returns the linked file
+    * count.
+    *
+    * 100 TB story: cloning is O(#live files) driver-side metadata ops
+    * and ZERO data bytes — the branch-for-experiment primitive. */
+  def clone(spark: SparkSession, srcPath: String, dstPath: String): Int = {
+    val (schema, partCols) = LakeSinkFiles.readManifest(srcPath).getOrElse(
+      throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $srcPath"))
+    require(LakeSinkFiles.readManifest(dstPath).isEmpty,
+      s"LakeMaintenance: clone destination $dstPath already holds a table")
+    LakeSinkFiles.ensureDirs(dstPath)
+    val srcRoot = Paths.get(srcPath)
+    val dstRoot = Paths.get(dstPath)
+    val live = LakeSinkFiles.listLive(srcPath, partCols)
+      .map { case (p, _) => srcRoot.relativize(p).toString }.sorted
+    live.foreach { rel =>
+      val to = dstRoot.resolve(rel)
+      Option(to.getParent).foreach(Files.createDirectories(_))
+      try Files.createLink(to, srcRoot.resolve(rel))
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(srcRoot.resolve(rel), to,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val liveSet = live.toSet
+    LakeSinkFiles.updateCounts(dstPath,
+      LakeSinkFiles.readCounts(srcPath).filter(e => liveSet(e._1)), Seq.empty)
+    LakeSinkStats.updateBlobs(dstPath,
+      LakeSinkStats.readBlobs(srcPath).filter(e => liveSet(e._1)), Seq.empty)
+    LakeSinkFiles.updateSorted(dstPath,
+      LakeSinkFiles.readSorted(srcPath).filter(e => liveSet(e._1)), Seq.empty)
+    val vecs = LakeSinkDeletes.read(srcPath).filter(e => liveSet(e._1))
+    if (vecs.nonEmpty)
+      LakeSinkDeletes.update(dstPath,
+        vecs.map { case (k, v) => k -> v.toSeq }, Seq.empty)
+    val (renames, dropped) = LakeSinkFiles.readManifestRenames(srcPath)
+    LakeSinkFiles.writeManifest(dstPath, schema, partCols, renames, dropped,
+      LakeSinkFiles.readManifestConstraints(srcPath),
+      LakeSinkFiles.readManifestPartHistory(srcPath))
+    LakeSinkFiles.recordVersion(dstPath, live, Seq.empty)
+    live.size
+  }
+
   /** VACUUM: reclaim the bytes time travel holds. The default drops every
     * version record but the newest and deletes every retired file — the
     * full wipe. `keepLast = Some(n)` is the RETENTION-HORIZON form every

@@ -33,6 +33,63 @@ class LakeVersionSpec extends GraftSpec {
       .toDF("id", "v")
   }
 
+  test("SHALLOW CLONE: zero-copy, reads ≡ source at clone time, fully vacuum-independent") {
+    withLake { lake =>
+      import spark.implicits._
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.csrc").create() // v1
+      spark.sql("DELETE FROM graft.lake.csrc WHERE id = 42") // v2: mor vector
+      val atClone = canon(spark.table("graft.lake.csrc"))
+      val n = LakeMaintenance.clone(spark, s"$lake/csrc", s"$lake/ccl")
+      assert(n == 4, s"linked $n files")
+      // clone reads ≡ source at clone time, INCLUDING the hidden row
+      assert(canon(spark.table("graft.lake.ccl")) == atClone)
+      assert(spark.table("graft.lake.ccl").filter(col("id") === 42).count() == 0L)
+      // ZERO-COPY: a sampled data file shares its inode with the source
+      def firstFile(t: String): java.nio.file.Path = {
+        val it = Files.walk(Paths.get(s"$lake/$t")).iterator()
+        var out: java.nio.file.Path = null
+        while (it.hasNext && out == null) {
+          val p = it.next()
+          if (p.toString.endsWith(".json.gz") && !p.toString.contains("_graft") &&
+              !p.toString.contains("_staging")) out = p
+        }
+        out
+      }
+      // the clone's history is its OWN, starting at version 1
+      assert(LakeSinkFiles.listVersions(s"$lake/ccl") == Seq(1L))
+      val sf0 = firstFile("csrc")
+      val cf0 = Paths.get(s"$lake/ccl").resolve(Paths.get(s"$lake/csrc").relativize(sf0))
+      assert(Files.getAttribute(sf0, "unix:ino") == Files.getAttribute(cf0, "unix:ino"),
+        "clone must hard-link, not copy")
+      // count(*) still a metadata answer on the clone (ledgers carried)
+      val c = spark.sql("SELECT count(*) AS n FROM graft.lake.ccl")
+      assert(c.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(c.collect()(0).getLong(0) == 99L)
+      // source mutates THEN fully vacuums: the clone must not move an inch
+      spark.sql("UPDATE graft.lake.csrc SET v = 'patched' WHERE id < 50") // cow rewrite
+      spark.sql("DELETE FROM graft.lake.csrc WHERE id % 7 = 0")
+      LakeMaintenance.compact(spark, s"$lake/csrc")
+      LakeMaintenance.vacuum(s"$lake/csrc") // full wipe of retired bytes
+      assert(canon(spark.table("graft.lake.ccl")) == atClone,
+        "source DML + compaction + FULL vacuum must never break a clone")
+      // …and the mirror: clone DML + vacuum leaves the source untouched
+      val srcNow = canon(spark.table("graft.lake.csrc"))
+      spark.sql("DELETE FROM graft.lake.ccl WHERE id >= 90")
+      Seq((1000L, "x")).toDF("id", "v").writeTo("graft.lake.ccl").append()
+      LakeMaintenance.compact(spark, s"$lake/ccl")
+      LakeMaintenance.vacuum(s"$lake/ccl")
+      assert(canon(spark.table("graft.lake.csrc")) == srcNow)
+      assert(spark.table("graft.lake.ccl").count() == 90L) // 99 - 10 + 1
+      // cloning onto an existing table refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        LakeMaintenance.clone(spark, s"$lake/csrc", s"$lake/ccl")
+      }
+      assert(e.getMessage.contains("already holds"), e.getMessage)
+    }
+  }
+
   test("RESTORE rolls back and forward as new commits; vacuum makes versions non-restorable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.rst").create() // v1
