@@ -3148,16 +3148,24 @@ object Analytics {
       .orderBy($"metric")
   }
 
-  val q78Sql: String = {
+  /** The q78/q115 shared DuckDB cell block: per-(metric, source) decimal
+    * moments over the two per-doc metrics — one source of truth so the
+    * omnibus F and its post-hoc q statistics can't drift. */
+  private def anovaCellsSql: String = {
     def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
-    s"""WITH mx AS (SELECT source,
+    s"""mx AS (SELECT source,
          unnest(['n_chars', 'n_tokens']) AS metric,
          unnest([CAST(n_chars AS INTEGER),
            CAST(len(${TextOps.toksSql("lower(text)")}) AS INTEGER)]) AS x
        FROM documents),
        mo AS MATERIALIZED (SELECT metric, source, count(*) AS n0,
          ${m("x")} AS sx, ${m("x * x")} AS sxx
-       FROM mx GROUP BY metric, source),
+       FROM mx GROUP BY metric, source)"""
+  }
+
+  val q78Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH $anovaCellsSql,
        ag AS (SELECT metric, CAST(sum(n0) AS BIGINT) AS n_docs,
          count(*) AS k_groups, ${m("sx")} AS sxs, ${m("sxx")} AS sxxs,
          ${m("sx * sx / CAST(n0 AS DOUBLE)")} AS sb
@@ -3171,6 +3179,94 @@ object Analytics {
          ${rSql(AF, 6)} AS f_stat,
          ${rSql(s"$ASsb / $ASst", 6)} AS eta_sq
        FROM pr WHERE $ASsw > 0 AND $ASst > 0 ORDER BY metric"""
+  }
+
+  // --- q115: Tukey HSD post-hoc pairwise q statistics ------------------------
+
+  /** Shared q115 algebra texts (identical both engines): the pooled
+    * within-group variance from q78's decimal cell sums, and the
+    * studentized-range statistic per source pair. */
+  private val TkMsw = "((sxxs - sb) / (nd - kd))"
+  private val TkQ =
+    "(abs(ma - mb) / sqrt(msw / 2.0 * " +
+      "(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))"
+
+  /** q115 — Tukey HSD post-hoc pairwise comparisons (the step AFTER
+    * q78's omnibus ANOVA says "source matters": WHICH source pairs
+    * differ — the studentized-range q statistic per pair, with the
+    * Tukey–Kramer unequal-n standard error). Same decimal cell moments
+    * as q78 (shared [[anovaCellsSql]] — omnibus and post-hoc cannot
+    * drift); MSW = SSW/(N−k) pooled across groups; q_{ij} =
+    * |x̄ᵢ − x̄ⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)). The critical value lives in
+    * studentized-range tables (not portable transcendentals) — the
+    * report carries the statistic, as q49 does for Welch t.
+    *
+    * Scale shape: ONE map-side-combinable cell pass; the pair join runs
+    * over the ≤|metrics|·|sources| cell table — driver-sized. */
+  def q115TukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tukeyHsd(Tables.documents(s, dir)
+      .select($"source", explode(array(
+        struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
+        struct(lit("n_tokens").as("metric"),
+          size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
+      .select($"f.metric", $"source", $"f.x"))
+  }
+
+  /** q115's core over an explicit (metric, source, x) relation — exposed
+    * so the spec can check q against hand-computed values. */
+  private[graft] def tukeyHsd(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    val cells = metric
+      .groupBy($"metric", $"source")
+      .agg(count(lit(1)).as("n0"), m($"x").as("sx"), m($"x" * $"x").as("sxx"))
+      .localCheckpoint(true) // feeds the MSW aggregate AND both join sides
+    val msw = cells.groupBy($"metric")
+      .agg(sum($"n0").as("n_docs"), count(lit(1)).as("k_groups"),
+        m($"sxx").as("sxxs"),
+        m($"sx" * $"sx" / $"n0".cast("double")).as("sb"))
+      .filter($"k_groups" >= 2 && $"n_docs" > $"k_groups")
+      .withColumn("nd", $"n_docs".cast("double"))
+      .withColumn("kd", $"k_groups".cast("double"))
+      .withColumn("msw", expr(TkMsw))
+      .filter($"msw" > 0)
+      .select($"metric", $"msw")
+    val a = cells.select($"metric", $"source".as("src_a"), $"n0".as("na"),
+      ($"sx" / $"n0".cast("double")).as("ma"))
+    val b = cells.select($"metric", $"source".as("src_b"), $"n0".as("nb"),
+      ($"sx" / $"n0".cast("double")).as("mb"))
+    a.join(b, Seq("metric")).filter($"src_a" < $"src_b")
+      .join(broadcast(msw), Seq("metric"))
+      .select($"metric", $"src_a", $"src_b", $"na", $"nb",
+        r(abs($"ma" - $"mb"), 6).as("mean_diff"),
+        r(expr(TkQ), 6).as("q_stat"))
+      .orderBy($"metric", $"src_a", $"src_b")
+  }
+
+  val q115Sql: String = {
+    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    s"""WITH $anovaCellsSql,
+       tag AS (SELECT metric, CAST(sum(n0) AS BIGINT) AS n_docs,
+           count(*) AS k_groups, ${m("sxx")} AS sxxs,
+           ${m("sx * sx / CAST(n0 AS DOUBLE)")} AS sb
+         FROM mo GROUP BY metric),
+       tmsw AS (SELECT metric, $TkMsw AS msw FROM (
+           SELECT metric, sxxs, sb, CAST(n_docs AS DOUBLE) AS nd,
+             CAST(k_groups AS DOUBLE) AS kd
+           FROM tag WHERE k_groups >= 2 AND n_docs > k_groups)
+         WHERE $TkMsw > 0),
+       ta AS (SELECT metric, source AS src_a, n0 AS na,
+           sx / CAST(n0 AS DOUBLE) AS ma FROM mo),
+       tb AS (SELECT metric, source AS src_b, n0 AS nb,
+           sx / CAST(n0 AS DOUBLE) AS mb FROM mo)
+       SELECT ta.metric, src_a, src_b, na, nb,
+         ${rSql("abs(ma - mb)", 6)} AS mean_diff,
+         ${rSql(TkQ, 6)} AS q_stat
+       FROM ta JOIN tb ON ta.metric = tb.metric AND src_a < src_b
+       JOIN tmsw ON tmsw.metric = ta.metric
+       ORDER BY ta.metric, src_a, src_b"""
   }
 
   // --- q113: Brown–Forsythe variance-homogeneity test -----------------------
@@ -3797,6 +3893,7 @@ object Analytics {
     "q68_gini_hist" -> (q68GiniHist _),
     "q56_cusum" -> (q56Cusum _),
     "q111_page_hinkley" -> (q111PageHinkley _),
+    "q115_tukey_hsd" -> (q115TukeyHsd _),
     "q114_granger" -> (q114Granger _),
     "q113_levene" -> (q113Levene _),
     "q55_theil_sen" -> (q55TheilSen _),
@@ -3858,6 +3955,7 @@ object Analytics {
     "q68_gini_hist" -> q68Sql,
     "q56_cusum" -> q56Sql,
     "q111_page_hinkley" -> q111Sql,
+    "q115_tukey_hsd" -> q115Sql,
     "q114_granger" -> q114Sql,
     "q113_levene" -> q113Sql,
     "q55_theil_sen" -> q55Sql,

@@ -1133,6 +1133,110 @@ object Corpus {
        FROM top CROSS JOIN etot WHERE tot_err > 0
        ORDER BY rk"""
 
+  // --- ml36: multiclass Matthews correlation over ml05's confusion ----------
+
+  /** Shared MCC/balanced-accuracy algebra over the integer confusion
+    * marginals (s, c, spt, spp, stt, rsum, ktrue) — identical text both
+    * engines; the two sqrt factors stay SEPARATE (their product ~1e19
+    * would lose integer exactness in a single double). */
+  private val MccExpr =
+    "(CAST(c AS DOUBLE) * CAST(s AS DOUBLE) - CAST(spt AS DOUBLE)) / " +
+      "(sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(spp AS DOUBLE)) * " +
+      "sqrt(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(stt AS DOUBLE)))"
+  private val AccExpr = "CAST(c AS DOUBLE) / CAST(s AS DOUBLE)"
+  private val BalAccExpr = "rsum / CAST(ktrue AS DOUBLE)"
+
+  /** ml36 — multiclass Matthews correlation coefficient (Gorodkin 2004's
+    * Rₖ — the chance-corrected single-number summary that, unlike
+    * accuracy, cannot be gamed by majority-class prediction) plus
+    * balanced accuracy, over ml05's language predictions: every input is
+    * an INTEGER confusion marginal (per-class true totals t_k, predicted
+    * totals p_k, diagonal c_k), so
+    * MCC = (c·s − Σp·t) / (√(s²−Σp²)·√(s²−Σt²)) is exact integer
+    * arithmetic into two bounded sqrt factors; balanced accuracy
+    * averages per-class recall over classes with support (decimal
+    * re-entry, order-independent). ml08 reports per-class P/R/F1, ml26
+    * the error cells — ml36 is the one-row scoreboard.
+    *
+    * Scale shape: one uniform (true, pred) count, a ≤|langs|²-row cell
+    * table, driver-sized algebra. */
+  def ml36Mcc(s: SparkSession, dir: String): DataFrame =
+    mccOf(ml05NaiveBayes(s, dir).select(col("lang").as("true_lang"),
+      col("pred_lang")))
+
+  /** ml36's core over (true_lang, pred_lang) prediction rows — exposed
+    * for the hand-computed confusion spec. */
+  private[graft] def mccOf(preds: DataFrame): DataFrame = {
+    val s = preds.sparkSession
+    import s.implicits._
+    val cells = preds.groupBy($"true_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val t = cells.groupBy($"true_lang").agg(sum($"n").as("tk"))
+    val p = cells.groupBy($"pred_lang").agg(sum($"n").as("pk"))
+    val dg = cells.filter($"true_lang" === $"pred_lang")
+      .select($"true_lang".as("cls"), $"n".as("ck"))
+    val per = t.join(p, $"true_lang" === $"pred_lang", "full_outer")
+      .select(coalesce($"true_lang", $"pred_lang").as("cls"),
+        coalesce($"tk", lit(0L)).as("tk"), coalesce($"pk", lit(0L)).as("pk"))
+      .join(dg, Seq("cls"), "left")
+      .select($"cls", $"tk", $"pk", coalesce($"ck", lit(0L)).as("ck"))
+    per.agg(
+      sum($"tk").as("s"), sum($"ck").as("c"),
+      sum($"pk" * $"tk").as("spt"),
+      sum($"pk" * $"pk").as("spp"),
+      sum($"tk" * $"tk").as("stt"),
+      count(lit(1)).as("k_classes"),
+      sum(when($"tk" > 0,
+        ($"ck".cast("double") / $"tk".cast("double")).cast("decimal(38,10)")))
+        .cast("double").as("rsum"),
+      sum(when($"tk" > 0, lit(1L)).otherwise(lit(0L))).as("ktrue"))
+      .filter($"s" > 0 &&
+        expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(spp AS DOUBLE)") > 0 &&
+        expr("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(stt AS DOUBLE)") > 0)
+      .select($"s".as("n_docs"), $"k_classes",
+        r(expr(AccExpr), 6).as("acc"),
+        r(expr(BalAccExpr), 6).as("bal_acc"),
+        r(expr(MccExpr), 6).as("mcc"))
+      .orderBy($"n_docs")
+  }
+
+  lazy val ml36Sql: String =
+    s"""WITH $ml05Ctes,
+       pdm AS (SELECT true_lang, cand_lang AS pred_lang FROM rk WHERE rn = 1),
+       cells AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         FROM pdm GROUP BY 1, 2),
+       tkt AS (SELECT true_lang AS cls, CAST(sum(n) AS BIGINT) AS tk
+         FROM cells GROUP BY 1),
+       pkt AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS pk
+         FROM cells GROUP BY 1),
+       dgt AS (SELECT true_lang AS cls, n AS ck FROM cells
+         WHERE true_lang = pred_lang),
+       per AS (SELECT coalesce(tkt.cls, pkt.cls) AS cls,
+           coalesce(tk, 0) AS tk, coalesce(pk, 0) AS pk,
+           coalesce(ck, 0) AS ck
+         FROM tkt FULL OUTER JOIN pkt ON tkt.cls = pkt.cls
+         LEFT JOIN dgt ON coalesce(tkt.cls, pkt.cls) = dgt.cls),
+       ag AS (SELECT CAST(sum(tk) AS BIGINT) AS s,
+           CAST(sum(ck) AS BIGINT) AS c,
+           CAST(sum(pk * tk) AS BIGINT) AS spt,
+           CAST(sum(pk * pk) AS BIGINT) AS spp,
+           CAST(sum(tk * tk) AS BIGINT) AS stt,
+           count(*) AS k_classes,
+           CAST(sum(CASE WHEN tk > 0 THEN
+             CAST(CAST(ck AS DOUBLE) / CAST(tk AS DOUBLE) AS DECIMAL(38,10))
+             END) AS DOUBLE) AS rsum,
+           CAST(sum(CASE WHEN tk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ktrue
+         FROM per)
+       SELECT s AS n_docs, k_classes,
+         ${rSql(AccExpr, 6)} AS acc,
+         ${rSql(BalAccExpr, 6)} AS bal_acc,
+         ${rSql(MccExpr, 6)} AS mcc
+       FROM ag
+       WHERE s > 0
+         AND CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(spp AS DOUBLE) > 0
+         AND CAST(s AS DOUBLE) * CAST(s AS DOUBLE) - CAST(stt AS DOUBLE) > 0
+       ORDER BY n_docs"""
+
   // --- ml24: Cohen's kappa agreement between ml05 and ml07 ------------------
 
   /** Shared kappa algebra over (n_pairs, n_agree, pes): observed
@@ -2940,6 +3044,7 @@ object Corpus {
     "ml22_mcnemar" -> (ml22Mcnemar _),
     "ml24_cohen_kappa" -> (ml24CohenKappa _),
     "ml25_gains" -> (ml25Gains _),
+    "ml36_mcc" -> (ml36Mcc _),
     "ml26_confusion_cells" -> (ml26ConfusionCells _),
     "ml27_ensemble_eval" -> (ml27EnsembleEval _),
     "ml28_isotonic_calibration" -> (ml28IsotonicCalibration _),
@@ -2978,6 +3083,7 @@ object Corpus {
     "ml22_mcnemar" -> ml22Sql,
     "ml24_cohen_kappa" -> ml24Sql,
     "ml25_gains" -> ml25Sql,
+    "ml36_mcc" -> ml36Sql,
     "ml26_confusion_cells" -> ml26Sql,
     "ml27_ensemble_eval" -> ml27Sql,
     "ml28_isotonic_calibration" -> ml28Sql,

@@ -951,17 +951,24 @@ object Similarity {
     * lesson; addition of disjoint bits ≡ bitwise or, overflow-free).
     * At 100 TB the packed column is the only thing the first pass scans:
     * 8 bytes/vector against 512, before the ≤ budget×32 float fetch. */
-  def e17BinaryHamming(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val c = corpus(s, dir).cache()
-    val stats = c.select(posexplode($"v").as(Seq("pos", "x")))
-      .groupBy($"pos").agg(davg($"x").as("m"))
+  /** e17's sign-bit packing over corpus(vec_id, v, nrm) → (vec_id, b) —
+    * shared with e34's Hamming ranker so the two queries' binary sketches
+    * cannot drift. */
+  private def binaryPacked(c: DataFrame): DataFrame = {
+    val stats = c.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(davg(col("x")).as("m"))
     val ms = stats.agg(
       expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ms"))
     val bits = (0 until 64).map(i =>
       when(col("v").getItem(i) > col("ms").getItem(i), lit(1L << i))
         .otherwise(lit(0L))).reduce(_ + _)
-    val packed = c.crossJoin(broadcast(ms)).select($"vec_id", bits.as("b"))
+    c.crossJoin(broadcast(ms)).select(col("vec_id"), bits.as("b"))
+  }
+
+  def e17BinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir).cache()
+    val packed = binaryPacked(c)
     val qs = packed.filter($"vec_id" % 100 === 0)
       .orderBy(hvCol, $"vec_id").limit(QueryBudget)
       .select($"vec_id".as("query_id"), $"b".as("qb"))
@@ -978,9 +985,11 @@ object Similarity {
     out
   }
 
-  val e17Sql: String =
-    s"""WITH n AS ($corpusSql),
-       bst AS (SELECT pos, ${davgSql("x")} AS m FROM (
+  /** e17's binary-sketch CTE block (expects `n` in scope), ending in
+    * bsh(query_id, neighbor_id, hrank) — shared by e17's oracle and
+    * e34's RRF fusion oracle. */
+  private def hammingCtesSql: String =
+    s"""bst AS (SELECT pos, ${davgSql("x")} AS m FROM (
            SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM n)
          GROUP BY pos),
        bms AS (SELECT list(m ORDER BY pos) AS ms FROM bst),
@@ -1002,12 +1011,114 @@ object Similarity {
        bsh AS (SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY hd ASC, neighbor_id ASC) AS hrank
-         FROM bham),
+         FROM bham)"""
+
+  val e17Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $hammingCtesSql,
        ${rerankCtesOver(
       s"SELECT query_id, neighbor_id FROM bsh WHERE hrank <= $RerankDepth")}
        SELECT query_id, neighbor_id, cosine, rank FROM rrk
        WHERE rank <= 5
        ORDER BY query_id, rank"""
+
+  // --- e34: reciprocal-rank fusion of two retrievers ----------------------
+
+  /** Truncated list depth each fused system contributes (standard RRF
+    * over top-D lists) and the RRF damping constant (Cormack, Clarke &
+    * Büttcher 2009 use k = 60). */
+  private[graft] val RrfDepth = 20
+  private[graft] val RrfC = 60
+
+  /** e34 — reciprocal-rank fusion (Cormack et al., SIGIR 2009 — the
+    * standard hybrid-retrieval combiner: RRF(d) = Σ_systems 1/(k + rank))
+    * of two genuinely different retrievers over one corpus: the EXACT
+    * cosine ranker (e01's machinery, full-fidelity) and the binary
+    * sign-sketch Hamming ranker (e17's packing, 64× compressed) — the
+    * cheap-index-plus-exact-scorer pair a production hybrid stack fuses.
+    * Each system contributes its top-[[RrfDepth]] list per budgeted
+    * query; the fused candidate set is their union, scores add 1/(60+r)
+    * per system where the candidate appears (absent = no contribution —
+    * truncated-list RRF), top-5 fused ranks emitted with each system's
+    * rank (0 = not in that system's list, keeping the column
+    * integer-typed for the hash).
+    *
+    * Engine parity: ranks are integers; the score is a fixed two-term
+    * sum of 1/(60+r) doubles — identical IEEE ops both engines, so even
+    * the ORDER BY on the unrounded score agrees bit-for-bit; ties break
+    * on neighbor_id. Scale shape: both rankers are budget-bounded
+    * (broadcast queries × corpus scan); the fusion itself is a
+    * (query, candidate)-keyed outer join of two ≤ budget×[[RrfDepth]]
+    * lists — trivially small at any corpus size. */
+  def e34RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    VectorExpressions.register(s)
+    val c = corpus(s, dir).cache()
+    // system 1: exact cosine, top-RrfDepth
+    val cand = c.select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val wc = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    val sys1 = broadcast(querySide(c, QueryBudget))
+      .join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", r(dotQC / ($"qnrm" * $"cnrm"), 6))
+      .withColumn("r1", row_number().over(wc))
+      .filter($"r1" <= RrfDepth)
+      .select($"query_id", $"neighbor_id", $"r1")
+    // system 2: binary Hamming, top-RrfDepth (e17's shared packing)
+    val packed = binaryPacked(c)
+    val qs = packed.filter($"vec_id" % 100 === 0)
+      .orderBy(hvCol, $"vec_id").limit(QueryBudget)
+      .select($"vec_id".as("query_id"), $"b".as("qb"))
+    val wh = Window.partitionBy($"query_id").orderBy($"hd".asc, $"neighbor_id".asc)
+    val sys2 = broadcast(qs)
+      .join(packed.select($"vec_id".as("neighbor_id"), $"b".as("cb")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hd", bit_count($"qb".bitwiseXOR($"cb")))
+      .withColumn("r2", row_number().over(wh))
+      .filter($"r2" <= RrfDepth)
+      .select($"query_id", $"neighbor_id", $"r2")
+    val kD = lit(RrfC.toDouble)
+    val rrfRaw =
+      coalesce(lit(1.0) / (kD + $"r1".cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (kD + $"r2".cast("double")), lit(0.0))
+    val wf = Window.partitionBy($"query_id").orderBy($"rrf0".desc, $"neighbor_id".asc)
+    val out = sys1.join(sys2, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf0", rrfRaw)
+      .withColumn("frank", row_number().over(wf))
+      .filter($"frank" <= 5)
+      .select($"query_id", $"neighbor_id", $"frank",
+        r($"rrf0", 6).as("rrf"),
+        coalesce($"r1", lit(0)).as("cos_rank"),
+        coalesce($"r2", lit(0)).as("ham_rank"))
+      .orderBy($"query_id", $"frank")
+      .localCheckpoint(true)
+    c.unpersist(blocking = false)
+    out
+  }
+
+  val e34Sql: String =
+    s"""WITH n AS ($corpusSql),
+       $e01Ctes,
+       fs1 AS (SELECT query_id, neighbor_id, rank AS r1 FROM ex
+         WHERE rank <= $RrfDepth),
+       $hammingCtesSql,
+       fs2 AS (SELECT query_id, neighbor_id, hrank AS r2 FROM bsh
+         WHERE hrank <= $RrfDepth),
+       fu AS (SELECT coalesce(fs1.query_id, fs2.query_id) AS query_id,
+           coalesce(fs1.neighbor_id, fs2.neighbor_id) AS neighbor_id,
+           r1, r2,
+           (CASE WHEN r1 IS NOT NULL THEN 1.0 / ($RrfC.0 + r1) ELSE 0.0 END +
+            CASE WHEN r2 IS NOT NULL THEN 1.0 / ($RrfC.0 + r2) ELSE 0.0 END)
+             AS rrf0
+         FROM fs1 FULL OUTER JOIN fs2
+           ON fs1.query_id = fs2.query_id AND fs1.neighbor_id = fs2.neighbor_id),
+       fr AS (SELECT query_id, neighbor_id, r1, r2, rrf0,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf0 DESC, neighbor_id ASC) AS frank
+         FROM fu)
+       SELECT query_id, neighbor_id, frank, ${rSql("rrf0", 6)} AS rrf,
+         coalesce(r1, 0)::BIGINT AS cos_rank, coalesce(r2, 0)::BIGINT AS ham_rank
+       FROM fr WHERE frank <= 5
+       ORDER BY query_id, frank"""
 
   // --- e16: SQ8 scalar-quantized search (FAISS SQ-flat) ------------------
 
@@ -2760,7 +2871,8 @@ object Similarity {
     "e14_semantic_dedup" -> (e14SemanticDedup _),
     "e15_mmr_rerank" -> (e15MmrRerank _),
     "e16_sq8_ann" -> (e16Sq8Ann _),
-    "e17_binary_hamming" -> (e17BinaryHamming _))
+    "e17_binary_hamming" -> (e17BinaryHamming _),
+    "e34_rrf_fusion" -> (e34RrfFusion _))
 
   /** Every similarity query is oracle-checked (r4). */
   val oracles: Map[String, String] = Map(
@@ -2796,5 +2908,6 @@ object Similarity {
     "e14_semantic_dedup" -> e14Sql,
     "e15_mmr_rerank" -> e15Sql,
     "e16_sq8_ann" -> e16Sql,
-    "e17_binary_hamming" -> e17Sql)
+    "e17_binary_hamming" -> e17Sql,
+    "e34_rrf_fusion" -> e34Sql)
 }

@@ -382,7 +382,11 @@ private[sources] object LakeSinkPartitions {
       import java.nio.file.FileVisitResult
       override def preVisitDirectory(dir: Path,
           attrs: java.nio.file.attribute.BasicFileAttributes): FileVisitResult =
-        if (hidden.exists(dir.startsWith(_))) FileVisitResult.SKIP_SUBTREE
+        // dot-dirs are maintenance scratch (a crashed scoped-zorder's
+        // `.zorder-*` temp lake) — their part files are NOT this table's
+        if (hidden.exists(dir.startsWith(_)) ||
+            (dir != root && dir.getFileName.toString.startsWith(".")))
+          FileVisitResult.SKIP_SUBTREE
         else FileVisitResult.CONTINUE
       override def visitFile(p: Path,
           attrs: java.nio.file.attribute.BasicFileAttributes): FileVisitResult = {
@@ -687,6 +691,11 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         ColumnStatistics]()
+      // the engine consults columnStats() on EVERY logical-stats request
+      // (transformV2Stats, unconditionally) — but only the CBO ever reads
+      // attributeStats, so skip the ledger decode entirely when it is off
+      // (keeps default planning zero-overhead at 10k-file ledgers)
+      if (!org.apache.spark.sql.internal.SQLConf.get.cboEnabled) return out
       // live scans only: a snapshot's pinned ledgers serve the aggregate
       // pushdown path (LakeSinkScanBuilder); CBO column stats on time
       // travel add nothing a historical query plans on

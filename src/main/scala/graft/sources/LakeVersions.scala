@@ -554,29 +554,35 @@ object LakeMaintenance {
       // renames), under the SAME partition spec so rows land back in
       // their own k=v directory; distributionMode=none keeps the
       // z-range tasks as the file layout
+      // dot-prefixed so the parent table's tree walks skip it even if a
+      // crash strands it (listCommitted skips dot-dirs); swept in finally
       val tmpT = root.resolve(s".zorder-$di-${java.util.UUID.randomUUID.toString.take(8)}")
-      df.withColumn("__graft_z", z)
-        .repartitionByRange(nFiles, col("__graft_z"))
-        .sortWithinPartitions("__graft_z")
-        .drop("__graft_z")
-        .write.format(classOf[LakeSink].getName).mode("append")
-        .option("partitionCols", partCols.mkString(","))
-        .option("distributionMode", "none")
-        .save(tmpT.toString)
-      val tmpCounts = LakeSinkFiles.readCounts(tmpT.toString)
-      val tmpStats = LakeSinkStats.readBlobs(tmpT.toString)
-      LakeSinkFiles.listLive(tmpT.toString, partCols).foreach { case (p, _) =>
-        val rel = tmpT.relativize(p).toString
-        val dest = LakeSinkFiles.stagingDir(path).resolve(rel)
-        Option(dest.getParent).foreach(Files.createDirectories(_))
-        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
-        stagedNames += rel
-        tmpCounts.get(rel).foreach(n => addCounts(rel) = n)
-        tmpStats.get(rel).foreach(b => addStats(rel) = b)
+      try {
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(nFiles, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+          .write.format(classOf[LakeSink].getName).mode("append")
+          .option("partitionCols", partCols.mkString(","))
+          .option("distributionMode", "none")
+          .save(tmpT.toString)
+        val tmpCounts = LakeSinkFiles.readCounts(tmpT.toString)
+        val tmpStats = LakeSinkStats.readBlobs(tmpT.toString)
+        LakeSinkFiles.listLive(tmpT.toString, partCols).foreach { case (p, _) =>
+          val rel = tmpT.relativize(p).toString
+          val dest = LakeSinkFiles.stagingDir(path).resolve(rel)
+          Option(dest.getParent).foreach(Files.createDirectories(_))
+          Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+          stagedNames += rel
+          tmpCounts.get(rel).foreach(n => addCounts(rel) = n)
+          tmpStats.get(rel).foreach(b => addStats(rel) = b)
+        }
+      } finally {
+        if (Files.exists(tmpT)) {
+          val it = Files.walk(tmpT).sorted(java.util.Comparator.reverseOrder()).iterator()
+          while (it.hasNext) Files.deleteIfExists(it.next())
+        }
       }
-      // reclaim the temp lake's metadata skeleton
-      val it = Files.walk(tmpT).sorted(java.util.Comparator.reverseOrder()).iterator()
-      while (it.hasNext) Files.deleteIfExists(it.next())
     }
     try {
       LakeSinkFiles.requireAllLive(path,
@@ -618,42 +624,88 @@ object LakeMaintenance {
     *
     * 100 TB story: cloning is O(#live files) driver-side metadata ops
     * and ZERO data bytes — the branch-for-experiment primitive. */
-  def clone(spark: SparkSession, srcPath: String, dstPath: String): Int = {
-    val (schema, partCols) = LakeSinkFiles.readManifest(srcPath).getOrElse(
-      throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $srcPath"))
+  def clone(spark: SparkSession, srcPath: String, dstPath: String): Int =
+    clone(spark, srcPath, dstPath, None)
+
+  /** `versionAsOf = Some(v)` clones the source's RECORDED version v
+    * instead of the live state (branch-from-history): the file list,
+    * schema, delete vectors, and ledger snapshots are the version
+    * record's own, names resolve live-first then `_graft_retired/`
+    * (a vacuumed file refuses loudly — no silently partial clone), and
+    * the clone's links pin the historical inodes so a LATER source
+    * vacuum cannot take the branch down either. Snapshot clones omit
+    * CHECK constraints — they are the LIVE table's data contract, and v's
+    * rows were never validated against checks added after v. */
+  def clone(spark: SparkSession, srcPath: String, dstPath: String,
+      versionAsOf: Option[Long]): Int = {
+    require(LakeSinkFiles.readManifest(srcPath).isDefined,
+      s"LakeMaintenance: no lake table at $srcPath")
     require(LakeSinkFiles.readManifest(dstPath).isEmpty,
       s"LakeMaintenance: clone destination $dstPath already holds a table")
     LakeSinkFiles.ensureDirs(dstPath)
     val srcRoot = Paths.get(srcPath)
     val dstRoot = Paths.get(dstPath)
-    val live = LakeSinkFiles.listLive(srcPath, partCols)
-      .map { case (p, _) => srcRoot.relativize(p).toString }.sorted
-    live.foreach { rel =>
+    val retired = LakeSinkFiles.retiredDir(srcPath)
+    val (schema, partCols, files, counts, stats, vecs, renames, dropped) =
+      versionAsOf match {
+        case Some(v) =>
+          val (sch, pc, fs) = LakeSinkFiles.readVersion(srcPath, v)
+          val (ren, drp) = {
+            val (aliases, ignored) = LakeSinkFiles.readVersionEvolution(srcPath, v)
+            // invert the per-version alias map back to the manifest form
+            (aliases.toSeq.groupBy(_._2)
+              .map { case (l, ps) => l -> ps.map(_._1) }, ignored.toSeq)
+          }
+          (sch, pc, fs.sorted,
+            LakeSinkFiles.readVersionCounts(srcPath, v).getOrElse(Map.empty),
+            LakeSinkFiles.readVersionStats(srcPath, v).getOrElse(Map.empty),
+            LakeSinkFiles.readVersionDeletes(srcPath, v), ren, drp)
+        case None =>
+          val (sch, pc) = LakeSinkFiles.readManifest(srcPath).get
+          val live = LakeSinkFiles.listLive(srcPath, pc)
+            .map { case (p, _) => srcRoot.relativize(p).toString }.sorted
+          val ls = live.toSet
+          val (ren, drp) = LakeSinkFiles.readManifestRenames(srcPath)
+          (sch, pc, live,
+            LakeSinkFiles.readCounts(srcPath).filter(e => ls(e._1)),
+            LakeSinkStats.readBlobs(srcPath).filter(e => ls(e._1)),
+            LakeSinkDeletes.read(srcPath).filter(e => ls(e._1)), ren, drp)
+      }
+    files.foreach { rel =>
+      val live = srcRoot.resolve(rel)
+      val from =
+        if (Files.isRegularFile(live)) live
+        else {
+          val r = retired.resolve(rel)
+          require(Files.isRegularFile(r),
+            s"LakeMaintenance: clone source file $rel of version " +
+              s"${versionAsOf.getOrElse("live")} was vacuumed from $srcPath")
+          r
+        }
       val to = dstRoot.resolve(rel)
       Option(to.getParent).foreach(Files.createDirectories(_))
-      try Files.createLink(to, srcRoot.resolve(rel))
+      try Files.createLink(to, from)
       catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        Files.copy(srcRoot.resolve(rel), to,
-          StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    val liveSet = live.toSet
-    LakeSinkFiles.updateCounts(dstPath,
-      LakeSinkFiles.readCounts(srcPath).filter(e => liveSet(e._1)), Seq.empty)
-    LakeSinkStats.updateBlobs(dstPath,
-      LakeSinkStats.readBlobs(srcPath).filter(e => liveSet(e._1)), Seq.empty)
-    LakeSinkFiles.updateSorted(dstPath,
-      LakeSinkFiles.readSorted(srcPath).filter(e => liveSet(e._1)), Seq.empty)
-    val vecs = LakeSinkDeletes.read(srcPath).filter(e => liveSet(e._1))
+    LakeSinkFiles.updateCounts(dstPath, counts, Seq.empty)
+    LakeSinkStats.updateBlobs(dstPath, stats, Seq.empty)
+    if (versionAsOf.isEmpty) {
+      val fileSet = files.toSet
+      LakeSinkFiles.updateSorted(dstPath,
+        LakeSinkFiles.readSorted(srcPath).filter(e => fileSet(e._1)), Seq.empty)
+    }
     if (vecs.nonEmpty)
       LakeSinkDeletes.update(dstPath,
         vecs.map { case (k, v) => k -> v.toSeq }, Seq.empty)
-    val (renames, dropped) = LakeSinkFiles.readManifestRenames(srcPath)
     LakeSinkFiles.writeManifest(dstPath, schema, partCols, renames, dropped,
-      LakeSinkFiles.readManifestConstraints(srcPath),
-      LakeSinkFiles.readManifestPartHistory(srcPath))
-    LakeSinkFiles.recordVersion(dstPath, live, Seq.empty)
-    live.size
+      if (versionAsOf.isEmpty) LakeSinkFiles.readManifestConstraints(srcPath)
+      else Seq.empty,
+      if (versionAsOf.isEmpty) LakeSinkFiles.readManifestPartHistory(srcPath)
+      else Seq.empty)
+    LakeSinkFiles.recordVersion(dstPath, files, Seq.empty)
+    files.size
   }
 
   /** VACUUM: reclaim the bytes time travel holds. The default drops every

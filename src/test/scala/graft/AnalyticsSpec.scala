@@ -768,6 +768,41 @@ class AnalyticsSpec extends GraftSpec {
     assert(row.getAs[Double]("eta_sq") == 0.9)
   }
 
+  test("q115 Tukey HSD: hand-computed two-group q, three-group pairs, q78 cell consistency") {
+    import spark.implicits._
+    // groups a = {0,2}, b = {4,6}: means 1/5, SSW = 2+2 = 4, N−k = 2,
+    // MSW = 2; q = |1−5| / √(2/2·(1/2+1/2)) = 4
+    val two = Seq(("m", "a", 0), ("m", "a", 2), ("m", "b", 4), ("m", "b", 6))
+      .toDF("metric", "source", "x")
+    val r0 = Analytics.tukeyHsd(two).collect()
+    assert(r0.length == 1)
+    assert(r0(0).getAs[Long]("na") == 2L && r0(0).getAs[Long]("nb") == 2L)
+    assert(r0(0).getAs[Double]("mean_diff") == 4.0)
+    assert(r0(0).getAs[Double]("q_stat") == 4.0, r0(0).toString)
+    // three groups → exactly the 3 ordered pairs; q78's own trio: means
+    // 2/5/8, MSW = 6/6 = 1 → q(a,b) = 3/√(1/2·(2/3)) = 3/√(1/3)
+    val m = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6),
+      ("c", 7), ("c", 8), ("c", 9))
+      .map { case (g, x) => ("m", g, x) }.toDF("metric", "source", "x")
+    val rows = Analytics.tukeyHsd(m).collect()
+    assert(rows.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val qab = operators.Num.rD(3.0 / math.sqrt(1.0 / 2.0 * (2.0 / 3.0)), 6)
+    assert(rows(0).getAs[Double]("q_stat") == qab, rows(0).toString)
+    assert(rows(1).getAs[Double]("mean_diff") == 6.0)
+    // identical groups → every pair's q is exactly 0… MSW 0 filters all
+    val same = Seq("a", "b").flatMap(g => Seq(1, 2).map(x => ("m", g, x)))
+      .toDF("metric", "source", "x")
+    val rs = Analytics.tukeyHsd(same).collect()
+    assert(rs.length == 1 && rs(0).getAs[Double]("q_stat") == 0.0)
+    // on testdata: per metric exactly C(k,2) pairs for q78's k_groups
+    val k = Analytics.q78Anova(spark, sfTiny)
+      .select($"k_groups").as[Long].collect().head
+    val cnt = Analytics.q115TukeyHsd(spark, sfTiny)
+      .filter($"metric" === "n_chars").count()
+    assert(cnt == k * (k - 1) / 2, s"$cnt vs C($k,2)")
+  }
+
   test("q78 ANOVA: identical groups give SSB = 0 exactly (all-decimal path)") {
     import spark.implicits._
     val m = Seq("a", "b", "c").flatMap(g => Seq(1, 2, 3).map(x => ("m", g, x)))

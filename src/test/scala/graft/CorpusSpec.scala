@@ -91,6 +91,37 @@ class CorpusSpec extends GraftSpec {
     assert(out.forall(r => r.getAs[String]("true_lang") != r.getAs[String]("pred_lang")))
   }
 
+  test("ml36 MCC: hand-computed confusion, perfect = 1, degenerate filtered") {
+    import spark.implicits._
+    // truths (a,a,a,b), preds (a,b,a,b): t_a=3 t_b=1, p_a=2 p_b=2, c=3,
+    // s=4, Σpt=8, Σp²=8, Σt²=10 → mcc = 4/(√8·√6); acc 0.75;
+    // bal_acc = (2/3 + 1/1)/2
+    val preds = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"))
+      .toDF("true_lang", "pred_lang")
+    val r0 = operators.Corpus.mccOf(preds).collect()(0)
+    assert(r0.getAs[Long]("n_docs") == 4L && r0.getAs[Long]("k_classes") == 2L)
+    assert(r0.getAs[Double]("acc") == 0.75)
+    assert(r0.getAs[Double]("bal_acc") ==
+      operators.Num.rD((2.0 / 3.0 + 1.0) / 2.0, 6))
+    assert(r0.getAs[Double]("mcc") ==
+      operators.Num.rD(4.0 / (math.sqrt(8.0) * math.sqrt(6.0)), 6), r0.toString)
+    // perfect prediction → mcc = 1, bal_acc = 1
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"))
+      .toDF("true_lang", "pred_lang")
+    val rp = operators.Corpus.mccOf(perfect).collect()(0)
+    assert(rp.getAs[Double]("mcc") == 1.0 && rp.getAs[Double]("bal_acc") == 1.0)
+    // degenerate single-class input: s² = Σt² → undefined, filtered out
+    assert(operators.Corpus.mccOf(
+      Seq(("a", "a"), ("a", "a")).toDF("true_lang", "pred_lang")).isEmpty)
+    // on testdata: bounded in [-1, 1], accuracy matches ml05's own rate
+    val out = operators.Corpus.ml36Mcc(spark, sfTiny).collect()(0)
+    assert(math.abs(out.getAs[Double]("mcc")) <= 1.0)
+    val nb = operators.Corpus.ml05NaiveBayes(spark, sfTiny)
+    val accTrue = operators.Num.rD(
+      nb.filter($"correct" === 1).count().toDouble / nb.count().toDouble, 6)
+    assert(out.getAs[Double]("acc") == accTrue)
+  }
+
   test("ml27 majority vote: every branch of the rule pinned") {
     import spark.implicits._
     val j = Seq(

@@ -90,6 +90,38 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("SHALLOW CLONE at VERSION AS OF: branch-from-history survives source vacuum") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.vsrc").create() // v1
+      threeRows(1).writeTo("graft.lake.vsrc").append() // v2
+      spark.sql("UPDATE graft.lake.vsrc SET v = 'patched' WHERE id = 2") // v3 cow
+      val v2Snap = canon(spark.sql("SELECT * FROM graft.lake.vsrc VERSION AS OF 2"))
+      LakeMaintenance.clone(spark, s"$lake/vsrc", s"$lake/vcl", Some(2L))
+      // the branch IS the snapshot (incl. the later-patched row's pre-image)
+      assert(canon(spark.table("graft.lake.vcl")) == v2Snap)
+      assert(spark.table("graft.lake.vcl")
+        .filter(col("id") === 2 && col("v") === "b0").count() == 1L)
+      // a LATER source vacuum cannot take the branch down: the clone's
+      // links pinned the historical inodes
+      LakeMaintenance.vacuum(s"$lake/vsrc")
+      assert(canon(spark.table("graft.lake.vcl")) == v2Snap,
+        "full source vacuum must not break a version clone")
+      // …but cloning an ALREADY-vacuumed version refuses loudly (the
+      // record was dropped by the full wipe — no silently partial
+      // branch); no table lands at dst
+      val e = intercept[IllegalArgumentException] {
+        LakeMaintenance.clone(spark, s"$lake/vsrc", s"$lake/vcl2", Some(2L))
+      }
+      assert(e.getMessage.contains("no recorded version") ||
+        e.getMessage.contains("was vacuumed"), e.getMessage)
+      assert(LakeSinkFiles.readManifest(s"$lake/vcl2").isEmpty,
+        "a refused clone must not leave a committed table")
+      // the branch stays independently writable
+      threeRows(9).writeTo("graft.lake.vcl").append()
+      assert(spark.table("graft.lake.vcl").count() == 9L)
+    }
+  }
+
   test("RESTORE rolls back and forward as new commits; vacuum makes versions non-restorable") {
     withLake { lake =>
       threeRows(0).writeTo("graft.lake.rst").create() // v1
