@@ -3249,6 +3249,37 @@ object Telemetry {
     * source, bit for bit. */
   val t73Sql: String = t04Sql
 
+  /** t74 — SQL-CALLABLE MAINTENANCE under the differential (r13:
+    * [[graft.sources.GraftProcedures]] — Spark 4.1's native
+    * ProcedureCatalog, the Iceberg `CALL cat.system.…` contract): the
+    * twin lands in two commits, then the WHOLE maintenance cycle runs
+    * from pure SQL — `CALL …compact`, a mor DELETE, `CALL …restore`
+    * back to the compacted version, `CALL …vacuum(keep_last => 2)` —
+    * and the read-back must still equal t04's generator oracle exactly
+    * (GraftCatalogSpec pins the per-procedure result rows, scoped
+    * compaction, CALL-clone independence, SHOW PROCEDURES, and the
+    * unknown-procedure/missing-table refusals).
+    *
+    * Scale shape: maintenance is SCHEDULED work — an orchestrator
+    * speaking SQL runs the compact/vacuum cadence with no JVM access;
+    * this is the operational surface over the existing engine. */
+  def t74CallMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t74")
+    val _ = lakeRoot
+    val t = twin(s)
+    t.filter(col("id") % 2 === 0).writeTo("graft_t74.lake.t74").create() // v1
+    t.filter(col("id") % 2 === 1).writeTo("graft_t74.lake.t74").append() // v2
+    s.sql("CALL graft_t74.system.compact('t74')") // v3
+    s.sql("DELETE FROM graft_t74.lake.t74 WHERE id % 7 = 0") // v4: mor vectors
+    s.sql("CALL graft_t74.system.restore('t74', 3)") // v5: deletion undone
+    s.sql("CALL graft_t74.system.vacuum('t74', keep_last => 2)")
+    s.table("graft_t74.lake.t74").orderBy(col("id"))
+  }
+
+  /** Identical text to [[t04Sql]]: the CALL-driven cycle must be
+    * data-invisible. */
+  val t74Sql: String = t04Sql
+
   val t71Sql: String =
     s"""SELECT e.event_type, count(*) AS n_events,
          ${Num.rsumSql("e.value", 6)} AS sum_v
@@ -3258,6 +3289,7 @@ object Telemetry {
        GROUP BY e.event_type ORDER BY e.event_type"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t74_call_maintenance" -> (t74CallMaintenance _),
     "t73_shallow_clone" -> (t73ShallowClone _),
     "t72_scoped_zorder" -> (t72ScopedZorder _),
     "t71_ndv_broadcast" -> (t71NdvBroadcast _),
@@ -3328,6 +3360,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t74_call_maintenance" -> t74Sql,
     "t73_shallow_clone" -> t73Sql,
     "t72_scoped_zorder" -> t72Sql,
     "t71_ndv_broadcast" -> t71Sql,

@@ -54,7 +54,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * planning/pushdown lives in the resolved tables' own connectors.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with StagingTableCatalog {
+    with FunctionCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var initOpts: Map[String, String] = Map.empty
 
@@ -631,6 +632,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(n => Identifier.of(namespace, n)).toArray
     else if (namespaceExists(namespace) || namespace.isEmpty) Array.empty
     else throw new NoSuchNamespaceException(namespace)
+
+  // --- ProcedureCatalog (CALL graft.system.<proc>) ---------------------------
+
+  /** SQL-callable lake maintenance (the Iceberg `CALL cat.system.…`
+    * contract through Spark 4.1's native ProcedureCatalog):
+    * compact / vacuum / zorder / clone / restore / evolve_partition_spec,
+    * each returning its result counts as a one-row relation. See
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"$catalogName: procedures live in the 'system' namespace " +
+        s"(CALL $catalogName.system.${ident.name()}(…))")
+    val root = lakeRoot.getOrElse(throw new UnsupportedOperationException(
+      s"$catalogName: procedures need a lake root " +
+        s"(spark.sql.catalog.$catalogName.lake)"))
+    GraftProcedures.load(ident.name(), root, catalogName)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")) && lakeRoot.isDefined)
+      GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.namespace().sameElements(Array("fns")))

@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable maintenance procedures for lake tables — Spark 4.1's
+  * native `ProcedureCatalog` surface (the Iceberg `CALL cat.system.…`
+  * contract): every [[LakeMaintenance]] operation is reachable from pure
+  * SQL, so a scheduler or a SQL-only operator can run the whole
+  * maintenance cycle without JVM access:
+  *
+  * {{{
+  *   CALL graft.system.compact(`table` => 'events', target_bytes => 1000000)
+  *   CALL graft.system.vacuum(`table` => 'events', keep_last => 3)
+  *   CALL graft.system.zorder(`table` => 'events', cols => 'x,y',
+  *                            n_files => 8, scope => 'p=1')
+  *   CALL graft.system.clone(`table` => 'events', dest => 'events_branch',
+  *                           version => 2)
+  *   CALL graft.system.restore(`table` => 'events', version => 1)
+  *   CALL graft.system.evolve_partition_spec(`table` => 'ev',
+  *                                           spec => 'hours(ts)')
+  * }}}
+  *
+  * Each returns its result counts as a one-row relation (`LocalScan`),
+  * so `SHOW PROCEDURES` / `DESCRIBE PROCEDURE` / named-argument CALL all
+  * work through the engine's own resolution (`InvokeProcedures`).
+  * Optional parameters default to sentinel values (-1 / '') rather than
+  * NULL-typed defaults — the analyzer folds the default expression text,
+  * and a sentinel keeps every parameter non-nullable.
+  *
+  * 100 TB story: maintenance is SCHEDULED work — the compact/zorder/
+  * vacuum cadence belongs to an orchestrator speaking SQL, not to
+  * whoever owns a JVM classpath; this is the missing operational surface
+  * over the existing maintenance engine (zero new table semantics).
+  */
+private[sources] object GraftProcedures {
+
+  val Names: Seq[String] =
+    Seq("compact", "vacuum", "zorder", "clone", "restore",
+      "evolve_partition_spec")
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def inDef(n: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private case class ResultScan(schema: StructType, out: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+  }
+
+  /** One self-binding procedure: the unbound and bound halves coincide
+    * (parameters are static), `run` does the work on the driver. */
+  private abstract class P(pname: String, desc: String,
+      params: Array[ProcedureParameter], resSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates table state
+    def run(in: InternalRow): Array[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](ResultScan(resSchema, run(input))).iterator()
+  }
+
+  private def row(vs: Any*): Array[InternalRow] =
+    Array(new GenericInternalRow(vs.toArray))
+
+  def load(name: String, lakeRoot: String, catalogName: String): UnboundProcedure = {
+    def dirOf(table: String): String = {
+      val d = java.nio.file.Paths.get(lakeRoot, table).toString
+      require(LakeSinkFiles.readManifest(d).isDefined,
+        s"$catalogName: no lake table '$table' under $lakeRoot")
+      d
+    }
+    name match {
+      case "compact" => new P("compact",
+        "bin-pack small files (OPTIMIZE); scope = 'k=v[,k=v]' limits dirs",
+        Array(in("table", StringType),
+          inDef("target_bytes", LongType, "-1"),
+          inDef("scope", StringType, "''")),
+        StructType(Seq(StructField("partitions", IntegerType, nullable = false),
+          StructField("files_in", IntegerType, nullable = false),
+          StructField("files_out", IntegerType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val target = Option(in.getLong(1)).filter(_ > 0)
+          val scope = parseScope(in.getUTF8String(2).toString)
+          val (p, fi, fo) =
+            LakeMaintenance.compact(SparkSession.active, dir, target, scope)
+          row(p, fi, fo)
+        }
+      }
+      case "vacuum" => new P("vacuum",
+        "reclaim retired files + version records beyond the horizon",
+        Array(in("table", StringType),
+          inDef("keep_last", IntegerType, "-1"),
+          inDef("older_than_millis", LongType, "-1")),
+        StructType(Seq(StructField("files_deleted", IntegerType, nullable = false),
+          StructField("records_dropped", IntegerType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val (f, r) = LakeMaintenance.vacuum(dir,
+            Option(in.getInt(1)).filter(_ >= 0),
+            Option(in.getLong(2)).filter(_ >= 0))
+          row(f, r)
+        }
+      }
+      case "zorder" => new P("zorder",
+        "z-cluster on cols; scope = 'k=v[,k=v]' rewrites matching dirs only",
+        Array(in("table", StringType), in("cols", StringType),
+          inDef("n_files", IntegerType, "8"),
+          inDef("scope", StringType, "''")),
+        StructType(Seq(StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val (b, a) = LakeMaintenance.zorder(SparkSession.active, dir, cols,
+            in.getInt(2), parseScope(in.getUTF8String(3).toString))
+          row(b, a)
+        }
+      }
+      case "clone" => new P("clone",
+        "zero-copy shallow clone (hard links); version = -1 clones live",
+        Array(in("table", StringType), in("dest", StringType),
+          inDef("version", LongType, "-1")),
+        StructType(Seq(StructField("files_linked", IntegerType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val destName = in.getUTF8String(1).toString
+          require(destName.nonEmpty && !destName.contains("/") &&
+            !destName.startsWith("."),
+            s"$catalogName: clone dest must be a plain table name")
+          val dest = java.nio.file.Paths.get(lakeRoot, destName).toString
+          val n = LakeMaintenance.clone(SparkSession.active, dir, dest,
+            Option(in.getLong(2)).filter(_ >= 0))
+          row(n)
+        }
+      }
+      case "restore" => new P("restore",
+        "RESTORE TABLE to a recorded version, as a new commit",
+        Array(in("table", StringType), in("version", LongType)),
+        StructType(Seq(StructField("files_restored", IntegerType, nullable = false),
+          StructField("files_retired", IntegerType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val (back, retired) = LakeMaintenance.restore(dir, in.getLong(1))
+          row(back, retired)
+        }
+      }
+      case "evolve_partition_spec" => new P("evolve_partition_spec",
+        "switch the active hidden-partition spec (metadata-only)",
+        Array(in("table", StringType), in("spec", StringType)),
+        StructType(Seq(StructField("new_spec", StringType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val spec = in.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          LakeMaintenance.evolvePartitionSpec(dir, spec)
+          row(UTF8String.fromString(spec.mkString(",")))
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"$catalogName: no procedure '$other' (have: ${Names.mkString(", ")})")
+    }
+  }
+
+  /** 'k=v[,k=v]' → the partitions map compact/zorder scope with. */
+  private def parseScope(s: String): Map[String, String] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"scope entries are k=v pairs, got '$kv'")
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+}

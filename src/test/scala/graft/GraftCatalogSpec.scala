@@ -1064,6 +1064,73 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("CALL graft.system.*: the whole maintenance cycle from pure SQL") {
+    import spark.implicits._
+    val lake = tmp("graft_cat_proc")
+    withCatalog(lake) {
+      // small-file spray across two partitions
+      (0 until 40).map(i => (i.toLong, i % 2, s"v$i")).toDF("id", "p", "v")
+        .repartition(4)
+        .write.format("graft.sources.LakeSink").mode("append")
+        .option("distributionMode", "none").option("partitionCols", "p")
+        .save(s"$lake/pt")
+      val before = spark.table("graft.lake.pt").collect().map(_.toString).sorted.toSeq
+      def files(p: Int): Set[String] = {
+        val d = Paths.get(s"$lake/pt/p=$p")
+        val it = Files.list(d).iterator()
+        var out = Set.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.endsWith(".json.gz")) out += f
+        }
+        out
+      }
+      val p0Before = files(0)
+      assert(files(1).size > 1, "precondition: small-file spray")
+      // scoped COMPACT via CALL, result row counts surfaced
+      val c = spark.sql("CALL graft.system.compact('pt', scope => 'p=1')").collect()
+      assert(c.length == 1 && c(0).getInt(0) == 1 && c(0).getInt(2) == 1,
+        c.mkString(";"))
+      assert(files(1).size == 1 && files(0) == p0Before)
+      assert(spark.table("graft.lake.pt").collect().map(_.toString).sorted.toSeq == before)
+      // CLONE via CALL → independent readable branch
+      val cl = spark.sql("CALL graft.system.clone('pt', 'ptbr')").collect()
+      assert(cl(0).getInt(0) >= 2)
+      assert(spark.table("graft.lake.ptbr").collect().map(_.toString).sorted.toSeq == before)
+      // DML then RESTORE via CALL → v-before-DML state back
+      val vBefore = graft.sources.LakeSinkFiles.listVersions(s"$lake/pt").last
+      spark.sql("DELETE FROM graft.lake.pt WHERE id < 20")
+      assert(spark.table("graft.lake.pt").count() == 20L)
+      spark.sql(s"CALL graft.system.restore('pt', $vBefore)")
+      assert(spark.table("graft.lake.pt").collect().map(_.toString).sorted.toSeq == before)
+      // VACUUM via CALL (keep full history = default wipe): counts surface
+      val v = spark.sql("CALL graft.system.vacuum('pt')").collect()
+      assert(v(0).getInt(0) >= 0 && v(0).getInt(1) >= 1, v.mkString(";"))
+      // ZORDER via CALL on an unpartitioned grid
+      (0 until 256).map(i => (i.toLong, (i / 16).toLong, (i % 16).toLong))
+        .toDF("id", "x", "y").repartitionByRange(4, col("id"))
+        .writeTo("graft.lake.zg").create()
+      val z = spark.sql("CALL graft.system.zorder('zg', 'x,y', n_files => 4)").collect()
+      assert(z(0).getInt(0) == 4 && z(0).getInt(1) == 4, z.mkString(";"))
+      assert(spark.table("graft.lake.zg").count() == 256L)
+      // the procedure namespace is discoverable and described
+      val shown = spark.sql("SHOW PROCEDURES IN graft.`system`").collect()
+        .map(_.toString).mkString(";")
+      Seq("compact", "vacuum", "zorder", "clone", "restore",
+        "evolve_partition_spec").foreach(p =>
+        assert(shown.contains(p), s"$p missing from SHOW PROCEDURES: $shown"))
+      // unknown procedure + missing table refuse loudly
+      val e1 = intercept[Exception] {
+        spark.sql("CALL graft.system.defragment('pt')").collect()
+      }
+      assert(e1.getMessage.contains("defragment"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("CALL graft.system.compact('nope')").collect()
+      }
+      assert(e2.getMessage.contains("no lake table"), e2.getMessage)
+    }
+  }
+
   test("parquet namespaces reject CREATE TABLE (read-only testdata)") {
     withCatalog() {
       val e = intercept[Exception](
