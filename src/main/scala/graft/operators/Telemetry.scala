@@ -3280,6 +3280,59 @@ object Telemetry {
     * data-invisible. */
   val t74Sql: String = t04Sql
 
+  /** t75 — TABLE PROPERTIES as per-table write defaults (r13: stored
+    * TBLPROPERTIES through [[graft.sources.LakeSinkFiles.writeManifest]]'s
+    * `tblprops` field — the Delta table-properties role; previously the
+    * engine silently DROPPED them): the table is created once with
+    * `graft.ndvColumns`, every PLAIN catalog append inherits the NDV
+    * registers (no per-write options anywhere), and t71's CBO broadcast
+    * flip works off the property-configured ledger alone (asserted
+    * in-query). GraftCatalogSpec pins SHOW TBLPROPERTIES round-trip,
+    * SET/UNSET, DDL-time validation of graft.* keys, the
+    * dangling-reference RENAME refusal, explicit-option override, and
+    * property travel through clones.
+    *
+    * Scale shape: ledger configuration is declared ONCE at CREATE and
+    * every writer (batch/streaming/CTAS) inherits it — at 100 TB you
+    * cannot rely on every producer passing the right options. */
+  def t75PropsDefaults(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t75")
+    val _ = lakeRoot
+    s.sql("""CREATE TABLE graft_t75.lake.ev
+             (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+             TBLPROPERTIES ('graft.ndvColumns'='user_id,event_id')""")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeTo("graft_t75.lake.ev").append() // plain append, zero options
+    val keys = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536")
+    val prev = keys.map { case (k, _) =>
+      k -> (if (org.apache.spark.sql.internal.SQLConf.get.contains(k))
+        Some(s.conf.get(k)) else None)
+    }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val fact = s.table("graft_t75.lake.ev")
+      val dim = fact.filter(col("user_id") === 7L).select(col("event_id"))
+      val joined = fact.join(dim, "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Num.rsum(col("value"), 6).as("sum_v"))
+        .orderBy(col("event_type"))
+      val out = joined.localCheckpoint(true)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        s"t75: property-inherited NDV must broadcast the filtered side:\n${plan.take(900)}")
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Identical text to [[t71Sql]]: the property-configured ledger must
+    * produce the same answer the per-write options produce. */
+  lazy val t75Sql: String = t71Sql
+
   val t71Sql: String =
     s"""SELECT e.event_type, count(*) AS n_events,
          ${Num.rsumSql("e.value", 6)} AS sum_v
@@ -3289,6 +3342,7 @@ object Telemetry {
        GROUP BY e.event_type ORDER BY e.event_type"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t75_props_defaults" -> (t75PropsDefaults _),
     "t74_call_maintenance" -> (t74CallMaintenance _),
     "t73_shallow_clone" -> (t73ShallowClone _),
     "t72_scoped_zorder" -> (t72ScopedZorder _),
@@ -3360,6 +3414,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t75_props_defaults" -> t75Sql,
     "t74_call_maintenance" -> t74Sql,
     "t73_shallow_clone" -> t73Sql,
     "t72_scoped_zorder" -> t72Sql,

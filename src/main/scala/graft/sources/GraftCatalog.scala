@@ -298,7 +298,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    createLake(ident, schema, partitions, Seq.empty)
+    createLake(ident, schema, partitions, Seq.empty, userProps(properties))
 
   /** `CREATE TABLE … (…, CONSTRAINT c CHECK (…))` — the TableInfo overload
     * carries the parsed constraint definitions. */
@@ -306,7 +306,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     createLake(ident,
       StructType(info.columns().map(c =>
         org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
-      info.partitions(), checkConstraints(info.constraints()))
+      info.partitions(), checkConstraints(info.constraints()),
+      userProps(info.properties()))
+
+  /** Engine-injected property keys (provider/owner/location/…) are not
+    * USER table properties — storing them would make SHOW TBLPROPERTIES
+    * echo machinery; everything else round-trips. */
+  private val EngineProps =
+    Set("provider", "owner", "location", "external", "is_managed_location",
+      "comment")
+  private def userProps(m: util.Map[String, String]): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    m.forEach((k, v) =>
+      if (!EngineProps.contains(k) && !k.startsWith("option.")) out += (k -> v))
+    out.toSeq.sortBy(_._1)
+  }
+
+  /** `graft.*` properties configure writes (see
+    * [[LakeSinkTable.newWriteBuilder]]) — validate the column-list ones
+    * at DDL time so a typo fails HERE, not on every later write (the
+    * truncate-preserved-constraint lesson). */
+  private def validateGraftProps(schema: StructType, partCols: Seq[String],
+      props: Seq[(String, String)]): Unit = {
+    val partNames = LakePart.parseAll(partCols).map(_.name).toSet
+    props.foreach {
+      case (k @ ("graft.bloomFilterColumns" | "graft.ndvColumns" | "graft.sortBy"), v) =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"$catalogName: $k references column $c, not in the table schema")
+          require(!partNames.exists(_.equalsIgnoreCase(c)),
+            s"$catalogName: $k cannot reference partition column $c")
+        }
+      case ("graft.bloomFilterBits", v) =>
+        val m = v.trim.toInt
+        require(m > 0 && (m & (m - 1)) == 0,
+          s"$catalogName: graft.bloomFilterBits must be a power of 2, got $v")
+      case ("graft.distributionMode", v) =>
+        require(v == "cluster" || v == "none",
+          s"$catalogName: graft.distributionMode must be cluster|none, got $v")
+      case (k, _) if k.startsWith("graft.") =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: unknown graft.* table property $k")
+      case _ => () // arbitrary user properties round-trip unvalidated
+    }
+  }
 
   /** Validate + project the supported constraint set: named, ENFORCED
     * CHECK only — informational PK/FK/UNIQUE would silently not hold. */
@@ -328,7 +371,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   private def createLake(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], constraints: Seq[(String, String)]): Table = {
+      partitions: Array[Transform], constraints: Seq[(String, String)],
+      tableProps: Seq[(String, String)] = Seq.empty): Table = {
     val ns = ident.namespace()
     if (ns.length != 1 || ns(0) != "lake")
       throw new UnsupportedOperationException(
@@ -339,7 +383,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString)))
       throw new TableAlreadyExistsException(ident)
     val partCols = parsePartitions(partitions)
-    initLakeDir(dir, schema, partCols, constraints)
+    initLakeDir(dir, schema, partCols, constraints, tableProps)
     new LakeSinkTable(schema, dir.toString, partCols,
       tableName = Some(s"$catalogName.lake.${ident.name()}"))
   }
@@ -374,13 +418,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Validate + write the manifest of a fresh lake table directory. */
   private def initLakeDir(dir: Path, schema: StructType,
       partCols: Seq[String],
-      constraints: Seq[(String, String)] = Seq.empty): Unit = {
+      constraints: Seq[(String, String)] = Seq.empty,
+      tableProps: Seq[(String, String)] = Seq.empty): Unit = {
     // validate the partition fields exist + types supported, before any I/O
     LakeSink.dataSchema(schema, partCols)
     LakeSink.partitionExtractors(schema, partCols)
+    validateGraftProps(schema, partCols, tableProps)
     Files.createDirectories(dir)
     LakeSinkFiles.writeManifest(dir.toString, schema, partCols,
-      constraints = constraints)
+      constraints = constraints, tableProps = tableProps)
   }
 
   // --- StagingTableCatalog (atomic CTAS / REPLACE TABLE AS SELECT) ------------
@@ -418,7 +464,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partCols = parsePartitions(info.partitions())
     val tmp = Paths.get(lakeRoot.get, "_staged",
       java.util.UUID.randomUUID.toString.take(12))
-    initLakeDir(tmp, schema, partCols, checkConstraints(info.constraints()))
+    initLakeDir(tmp, schema, partCols, checkConstraints(info.constraints()),
+      userProps(info.properties()))
     new GraftStagedTable(
       new LakeSinkTable(schema, tmp.toString, partCols,
         tableName = Some(s"$catalogName.lake.${ident.name()}")),
@@ -480,8 +527,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$catalogName: cannot $what column $colName — CHECK constraint " +
             s"$n references it (DROP CONSTRAINT first)")
       }
+    // SET/UNSET TBLPROPERTIES fold separately (they touch no schema state)
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
     val (newSchema, newRenames, newDropped, newCons) =
-      changes.foldLeft((schema, renames0, dropped0, cons0)) {
+      schemaChanges.foldLeft((schema, renames0, dropped0, cons0)) {
         case ((sch, ren, drp, cons), ac: TableChange.AddConstraint) =>
           ac.constraint() match {
             case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -590,11 +642,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$catalogName: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
             s"widening ALTER COLUMN TYPE are supported, got $other")
       }
+    val newProps = propChanges.foldLeft(
+      LakeSinkFiles.readManifestProps(dir.toString)) {
+      case (ps, sp: TableChange.SetProperty) =>
+        ps.filterNot(_._1 == sp.property) :+ (sp.property -> sp.value)
+      case (ps, rp: TableChange.RemoveProperty) =>
+        ps.filterNot(_._1 == rp.property)
+      case (ps, _) => ps
+    }
+    // graft.* column-list properties must still resolve after a
+    // RENAME/DROP (and new SETs validate here too — the constraints
+    // precedent: a dangling reference would fail every later write)
+    validateGraftProps(newSchema, partCols, newProps)
     // unsupported data types must fail the DDL, not the next write
     LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))
     LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols,
       newRenames, newDropped, newCons,
-      LakeSinkFiles.readManifestPartHistory(dir.toString))
+      LakeSinkFiles.readManifestPartHistory(dir.toString), newProps)
     // a schema change is a version transition: snapshots at or before it
     // keep the pre-evolution schema + aliases
     LakeSinkFiles.recordVersion(dir.toString)

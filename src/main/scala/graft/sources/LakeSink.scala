@@ -468,9 +468,26 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
       // is the capability's ONLY consumer in Spark 4.1, verified against
       // the jars: DataSourceV2Relation.autoSchemaEvolution)
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  /** SHOW TBLPROPERTIES serves the manifest's stored property set. */
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    LakeSinkFiles.readManifestProps(path).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  /** `graft.*` table properties act as per-TABLE default write options
+    * (prefix stripped: graft.ndvColumns -> ndvColumns, …) — explicit
+    * per-write options override them. The Delta table-properties role:
+    * declare the ledger configuration once at CREATE, every writer
+    * (batch, streaming, CTAS) inherits it. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = new java.util.HashMap[String, String]()
+    LakeSinkFiles.readManifestProps(path).foreach { case (k, v) =>
+      if (k.startsWith("graft.")) merged.put(k.substring("graft.".length), v)
+    }
+    merged.putAll(info.options())
     new LakeSinkWriteBuilder(info.schema(), path, partCols, info.queryId(),
-      info.options())
+      new CaseInsensitiveStringMap(merged))
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSinkScanBuilder(writeSchema, path, partCols,
       triggerLimits = (
@@ -659,13 +676,17 @@ private[graft] object LakeSinkFiles {
       renames: Map[String, Seq[String]] = Map.empty,
       dropped: Seq[String] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
-      partHistory: Seq[String] = Seq.empty): Unit = {
+      partHistory: Seq[String] = Seq.empty,
+      tableProps: Seq[(String, String)] = Seq.empty): Unit = {
     val renBody = renames.toSeq.sortBy(_._1)
       .map { case (l, ps) => s"$l=${ps.mkString("|")}" }.mkString(";")
     // (name, CHECK predicate SQL) pairs — control-char separators survive
     // jsonEscape and can appear in neither identifiers nor SQL text
     val conBody = constraints
       .map { case (n, sql) => s"$n\u0001$sql" }.mkString("\u0002")
+    // TBLPROPERTIES, same codec (pair order = definition order)
+    val propBody = tableProps
+      .map { case (k, v) => s"$k\u0001$v" }.mkString("\u0002")
     val json = s"""{"schema":"${LakeSink.jsonEscape(schema.toDDL)}"""" +
       s""","partitionCols":"${LakeSink.jsonEscape(partCols.mkString(","))}"""" +
       (if (renames.nonEmpty) s""","renames":"${LakeSink.jsonEscape(renBody)}"""" else "") +
@@ -673,6 +694,8 @@ private[graft] object LakeSinkFiles {
       (if (constraints.nonEmpty) s""","constraints":"${LakeSink.jsonEscape(conBody)}"""" else "") +
       (if (partHistory.nonEmpty)
         s""","partColsHistory":"${LakeSink.jsonEscape(partHistory.mkString(";"))}"""" else "") +
+      (if (tableProps.nonEmpty)
+        s""","tblprops":"${LakeSink.jsonEscape(propBody)}"""" else "") +
       "}"
     val tmp = Paths.get(path, s".schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -706,6 +729,23 @@ private[graft] object LakeSinkFiles {
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     if (!json.contains(""""constraints":"""")) return Seq.empty
     jsonField(json, "constraints", s"manifest at $p")
+      .split("\u0002").iterator.filter(_.nonEmpty).map { e =>
+        val i = e.indexOf('\u0001')
+        e.substring(0, i) -> e.substring(i + 1)
+      }.toSeq
+  }
+
+  /** The table's stored TBLPROPERTIES: (key, value) in definition order.
+    * Served through [[LakeSinkTable.properties]] (SHOW TBLPROPERTIES),
+    * evolved via ALTER TABLE SET/UNSET TBLPROPERTIES, and preserved by
+    * every manifest rewrite. `graft.*` keys double as per-TABLE default
+    * write options (see [[LakeSinkTable.newWriteBuilder]]). */
+  def readManifestProps(path: String): Seq[(String, String)] = {
+    val p = manifestPath(path)
+    if (!Files.isRegularFile(p)) return Seq.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (!json.contains(""""tblprops":"""")) return Seq.empty
+    jsonField(json, "tblprops", s"manifest at $p")
       .split("\u0002").iterator.filter(_.nonEmpty).map { e =>
         val i = e.indexOf('\u0001')
         e.substring(0, i) -> e.substring(i + 1)
@@ -812,7 +852,8 @@ private[graft] object LakeSinkFiles {
               s"${missing.mkString(",")} referenced by CHECK constraint $n " +
               "— DROP CONSTRAINT first or keep the column")
         }
-        writeManifest(path, schema, partCols, constraints = kept)
+        writeManifest(path, schema, partCols, constraints = kept,
+          tableProps = readManifestProps(path))
       case Some((existing, exParts)) =>
         require(exParts == partCols,
           s"LakeSink: append partitioning ${partCols.mkString(",")} does not " +
@@ -836,7 +877,8 @@ private[graft] object LakeSinkFiles {
           // validate the evolved schema serializes before committing it
           LakeSink.serializers(LakeSink.dataSchema(merged, partCols))
           writeManifest(path, merged, partCols, ren, drp,
-            readManifestConstraints(path), readManifestPartHistory(path))
+            readManifestConstraints(path), readManifestPartHistory(path),
+            readManifestProps(path))
         } else require(unknown.isEmpty,
           s"LakeSink: appended columns ${unknown.mkString(",")} are not in the " +
             "table schema — evolve it first (ALTER TABLE ... ADD COLUMNS) " +

@@ -703,7 +703,9 @@ object LakeMaintenance {
       if (versionAsOf.isEmpty) LakeSinkFiles.readManifestConstraints(srcPath)
       else Seq.empty,
       if (versionAsOf.isEmpty) LakeSinkFiles.readManifestPartHistory(srcPath)
-      else Seq.empty)
+      else Seq.empty,
+      // operational config travels with the table on BOTH clone forms
+      LakeSinkFiles.readManifestProps(srcPath))
     LakeSinkFiles.recordVersion(dstPath, files, Seq.empty)
     files.size
   }
@@ -876,7 +878,9 @@ object LakeMaintenance {
       // constraint DDL is orthogonal to the data rollback — the live
       // constraint set survives a restore (matching Delta's RESTORE)
       constraints = LakeSinkFiles.readManifestConstraints(path),
-      partHistory = hist)
+      partHistory = hist,
+      // operational config is likewise orthogonal to the rollback
+      tableProps = LakeSinkFiles.readManifestProps(path))
     // 4. ledgers SET from the target's recorded snapshots (files are
     // immutable, so re-adding still-live entries is idempotent; a legacy
     // record without snapshots degrades to scan fallback, never a guess)
@@ -942,7 +946,8 @@ object LakeMaintenance {
       (if (oldParts.nonEmpty) Seq(oldParts.mkString(",")) else Seq.empty))
       .distinct.filterNot(_ == newPartCols.mkString(","))
     LakeSinkFiles.writeManifest(path, schema, newPartCols, ren, drp,
-      LakeSinkFiles.readManifestConstraints(path), hist)
+      LakeSinkFiles.readManifestConstraints(path), hist,
+      LakeSinkFiles.readManifestProps(path))
     // a spec change is a version transition: snapshots at or before it
     // keep the pre-evolution spec (recordVersion snapshots the manifest)
     LakeSinkFiles.recordVersion(path)

@@ -1064,6 +1064,64 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("TBLPROPERTIES: stored, shown, evolved; graft.* become default write options") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val lake = tmp("graft_cat_props")
+    withCatalog(lake) {
+      spark.sql("""CREATE TABLE graft.lake.tp (id BIGINT, v STRING)
+                   TBLPROPERTIES ('team'='ml', 'graft.ndvColumns'='id',
+                                  'graft.bloomFilterColumns'='v',
+                                  'graft.bloomFilterBits'='8192')""")
+      val shown = spark.sql("SHOW TBLPROPERTIES graft.lake.tp").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("team").contains("ml") &&
+        shown.get("graft.ndvColumns").contains("id"), shown.toString)
+      assert(!shown.contains("owner") && !shown.contains("provider"),
+        s"engine keys must not round-trip: $shown")
+      // a PLAIN insert (no write options) inherits the graft.* defaults:
+      // every written file's stats entry carries ndv registers for id and
+      // a bloom for v
+      spark.sql("INSERT INTO graft.lake.tp SELECT id, CAST(id AS STRING) FROM range(1000)")
+      val sch = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+      val blobs = graft.sources.LakeSinkStats.readBlobs(s"$lake/tp")
+      assert(blobs.nonEmpty)
+      blobs.values.foreach { b =>
+        val cs = graft.sources.LakeSinkStats.decode(b, sch)
+        assert(cs("id").ndv.isDefined, "graft.ndvColumns default not applied")
+        assert(cs("v").bloom.isDefined, "graft.bloomFilterColumns default not applied")
+        assert(cs("v").bloom.get.length * 8 == 8192, "graft.bloomFilterBits ignored")
+      }
+      // explicit write options override the table defaults
+      import spark.implicits._
+      Seq((5000L, "x")).toDF("id", "v")
+        .write.format("graft.sources.LakeSink").mode("append")
+        .option("bloomFilterColumns", "id").option("bloomFilterBits", "4096")
+        .save(s"$lake/tp")
+      // SET/UNSET evolve the set; the schema survives
+      spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('team'='search', 'x'='1')")
+      spark.sql("ALTER TABLE graft.lake.tp UNSET TBLPROPERTIES ('x')")
+      val shown2 = spark.sql("SHOW TBLPROPERTIES graft.lake.tp").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown2.get("team").contains("search") && !shown2.contains("x"))
+      // a typo'd graft.* property refuses at DDL time, not at every write
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('graft.ndvColumns'='nope')")
+      }
+      assert(e1.getMessage.contains("nope"), e1.getMessage)
+      // renaming a column a graft.* property references refuses (the
+      // dangling-reference lesson)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.lake.tp RENAME COLUMN id TO id2")
+      }
+      assert(e2.getMessage.contains("references column id"), e2.getMessage)
+      // properties travel with clones and survive manifest rewrites
+      spark.sql("CALL graft.system.clone('tp', 'tp2')")
+      val cloned = spark.sql("SHOW TBLPROPERTIES graft.lake.tp2").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cloned.get("team").contains("search"), cloned.toString)
+    }
+  }
+
   test("CALL graft.system.*: the whole maintenance cycle from pure SQL") {
     import spark.implicits._
     val lake = tmp("graft_cat_proc")
