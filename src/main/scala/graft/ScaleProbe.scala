@@ -67,7 +67,13 @@ object ScaleProbe {
       // 0.79, e16 0.91, ml07 −0.13, ml08 0.27, d32 0.45, d31 0.88,
       // s04 0.05, e31 0.89, ml27 0.21 — are recorded in CLAUDE.md.)
       ("d55_snm_audit", Seq(1, 4), operators.TextOps.d55SnmAudit _),
-      ("d56_snm_audit_sample", Seq(1, 4), operators.TextOps.d56SnmAuditSample _))
+      ("d56_snm_audit_sample", Seq(1, 4), operators.TextOps.d56SnmAuditSample _),
+      // r13: the tokenizer pair — the replicate token-RENAMES words per
+      // replica, so the distinct-word vocabulary grows ×f; the expected
+      // slope is ~1 (the sequential EM/merge loops are vocabulary-sized
+      // by design — corpus-scale work is only the distributed word count)
+      ("d57_unigram_train", Seq(1, 4), operators.TextOps.d57UnigramTrain _),
+      ("d61_unigram_fertility", Seq(1, 4), operators.TextOps.d61UnigramFertility _))
 
     // optional extra args narrow the probe to named queries
     val selected = queries.filter { case (name, _, _) =>
