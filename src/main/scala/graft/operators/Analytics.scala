@@ -838,7 +838,7 @@ object Analytics {
   }
 
   val q23Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""SELECT l_returnflag, n,
        ${rSql("(sxx - sx * sx / n) / (n - 1)", 6)} AS var_qty,
        ${rSql("sqrt((sxx - sx * sx / n) / (n - 1))", 6)} AS stddev_qty,
@@ -883,7 +883,7 @@ object Analytics {
   }
 
   val q35Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
     s"""SELECT l_linestatus, n,
        ${rSql(slope, 6)} AS slope,
@@ -2909,7 +2909,7 @@ object Analytics {
   }
 
   val q79Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""WITH d AS MATERIALIZED (SELECT coalesce(lang, '') AS lang,
          CAST(n_chars AS BIGINT) AS x,
          CAST(len(${TextOps.toksSql("lower(text)")}) AS BIGINT) AS y
@@ -3076,7 +3076,7 @@ object Analytics {
   }
 
   val q49Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""WITH mo AS MATERIALIZED (SELECT source, count(*) AS n0,
          ${m("x")} AS sx, ${m("x * x")} AS sxx
        FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
@@ -3151,8 +3151,13 @@ object Analytics {
   /** The q78/q115 shared DuckDB cell block: per-(metric, source) decimal
     * moments over the two per-doc metrics — one source of truth so the
     * omnibus F and its post-hoc q statistics can't drift. */
+  /** THE decimal-moment text (invariant 1's SQL half) — q78/q115 and the
+    * shared cell block all delegate here so a policy change lands once. */
+  private def decMomentSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+
   private def anovaCellsSql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""mx AS (SELECT source,
          unnest(['n_chars', 'n_tokens']) AS metric,
          unnest([CAST(n_chars AS INTEGER),
@@ -3164,7 +3169,7 @@ object Analytics {
   }
 
   val q78Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""WITH $anovaCellsSql,
        ag AS (SELECT metric, CAST(sum(n0) AS BIGINT) AS n_docs,
          count(*) AS k_groups, ${m("sx")} AS sxs, ${m("sxx")} AS sxxs,
@@ -3246,7 +3251,7 @@ object Analytics {
   }
 
   val q115Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""WITH $anovaCellsSql,
        tag AS (SELECT metric, CAST(sum(n0) AS BIGINT) AS n_docs,
            count(*) AS k_groups, ${m("sxx")} AS sxxs,
@@ -3311,7 +3316,7 @@ object Analytics {
   // strict val here would silently read them as null (the e09/ml22
   // object-init-order lesson)
   lazy val q113Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""WITH mx AS MATERIALIZED (SELECT source,
          unnest(['n_chars', 'n_tokens']) AS metric,
          unnest([CAST(n_chars AS INTEGER),
@@ -3474,7 +3479,7 @@ object Analytics {
   }
 
   val q47Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     val acf = "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
     s"""WITH h AS MATERIALIZED (SELECT event_type,
          CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
@@ -3549,7 +3554,7 @@ object Analytics {
   }
 
   val q83Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     val xc = "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
     val grid = XcorrLags.map(l => s"($l)").mkString(", ")
     s"""WITH h AS MATERIALIZED (SELECT event_type,
@@ -3849,7 +3854,7 @@ object Analytics {
   }
 
   lazy val q114Sql: String = {
-    def m(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+    def m(e: String) = decMomentSql(e)
     s"""WITH h AS MATERIALIZED (SELECT
          CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hx,
          CAST(count(*) AS DOUBLE) AS x, ${rSql(dsumSql("value"), 6)} AS y

@@ -328,7 +328,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * truncate-preserved-constraint lesson). */
   private def validateGraftProps(schema: StructType, partCols: Seq[String],
       props: Seq[(String, String)]): Unit = {
-    val partNames = LakePart.parseAll(partCols).map(_.name).toSet
+    // only IDENTITY partition columns are refused (constant within their
+    // directory); hidden transforms' SOURCE columns (ts under days(ts))
+    // are data columns the per-write options accept — the t58
+    // clustered+sorted pattern (review r13)
+    val partNames = LakePart.parseAll(partCols)
+      .filter(_.isIdentity).map(_.name).toSet
     props.foreach {
       case (k @ ("graft.bloomFilterColumns" | "graft.ndvColumns" | "graft.sortBy"), v) =>
         v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>

@@ -66,11 +66,15 @@ private[graft] object LakeCdf {
       // first version whose commit instant is >= the timestamp; a
       // timestamp after all history positions past the end (empty replay
       // until new commits land)
-      LakeSinkFiles.listVersions(path).find { v =>
+      // filter, not find: concurrent committers can record non-monotone
+      // instants (v5 reserved first, finished after v6) — the FIRST
+      // at-or-after commit is the min id over the whole log (review r13)
+      LakeSinkFiles.listVersions(path).filter { v =>
         java.nio.file.Files.getLastModifiedTime(
           LakeSinkFiles.versionsDir(path).resolve(LakeSinkFiles.versionName(v)))
           .toMillis >= millis
-      }.getOrElse(LakeSinkFiles.listVersions(path).lastOption.getOrElse(0L) + 1)
+      }.headOption
+        .getOrElse(LakeSinkFiles.listVersions(path).lastOption.getOrElse(0L) + 1)
     }
     byV.orElse(byT)
   }
@@ -91,7 +95,9 @@ private[graft] object LakeCdf {
         else java.sql.Timestamp.valueOf(t).getTime
       require(byV.isEmpty,
         "LakeSink CDF: give endingVersion OR endingTimestamp, not both")
-      LakeSinkFiles.listVersions(path).takeWhile { v =>
+      // filter, not takeWhile: the LAST at-or-before commit must survive
+      // a non-monotone instant in the middle of the log (review r13)
+      LakeSinkFiles.listVersions(path).filter { v =>
         java.nio.file.Files.getLastModifiedTime(
           LakeSinkFiles.versionsDir(path).resolve(LakeSinkFiles.versionName(v)))
           .toMillis <= millis

@@ -481,8 +481,32 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
     * (batch, streaming, CTAS) inherits it. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val merged = new java.util.HashMap[String, String]()
+    val writeCols = info.schema().fieldNames.toSet
     LakeSinkFiles.readManifestProps(path).foreach { case (k, v) =>
-      if (k.startsWith("graft.")) merged.put(k.substring("graft.".length), v)
+      if (k.startsWith("graft.")) {
+        // LOWERCASE the stripped key: info.options() keys arrive
+        // lowercased (CaseInsensitiveStringMap), and a mixed-case twin
+        // here would make "explicit options win" HashMap-order roulette
+        // in the map constructor below (review finding, r13)
+        val key = k.substring("graft.".length).toLowerCase(java.util.Locale.ROOT)
+        // INHERITED column-list defaults adapt to the write: appends may
+        // legally write a SUBSET of the table's columns, so intersect
+        // ndv/bloom lists with the written columns (absent ⇒ simply not
+        // tracked for these files) and stand sortBy down entirely if any
+        // sort column is missing (a partial sort key is a different
+        // ordering, not a weaker one). EXPLICIT per-write options stay
+        // strict — a typo there should fail loudly.
+        val value = key match {
+          case "ndvcolumns" | "bloomfiltercolumns" =>
+            v.split(",").map(_.trim).filter(_.nonEmpty)
+              .filter(writeCols.contains).mkString(",")
+          case "sortby" =>
+            val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+            if (cols.forall(writeCols.contains)) v else ""
+          case _ => v
+        }
+        if (value.nonEmpty) merged.put(key, value)
+      }
     }
     merged.putAll(info.options())
     new LakeSinkWriteBuilder(info.schema(), path, partCols, info.queryId(),

@@ -239,19 +239,23 @@ object LakeMaintenance {
     // vector-free fold ORs the original filters instead — see
     // LakeSinkStats.mergeBlobs)
     val bloomLedger = LakeSinkStats.readBlobs(path)
+    // ONE decode pass per original feeds BOTH coverage maps (the ledger
+    // decode dominates metadata cost at many files — review r13)
+    val decodedByRel: Map[String, LakeSinkStats.FileStats] =
+      groups.flatMap(_._2).distinct.flatMap(r =>
+        bloomLedger.get(r).map(b =>
+          r -> LakeSinkStats.decode(b, tblSchema, evoAliases))).toMap
     val groupBloomCols: Seq[Map[String, Int]] = groups.map { case (_, rels) =>
-      rels.flatMap(r => bloomLedger.get(r).toSeq.flatMap(b =>
-        LakeSinkStats.decode(b, tblSchema, evoAliases).toSeq.collect {
-          case (n, cs) if cs.bloom.isDefined => n -> cs.bloom.get.length * 8
-        })).groupBy(_._1).map { case (n, ms) => n -> ms.map(_._2).max }
+      rels.flatMap(r => decodedByRel.get(r).toSeq.flatMap(_.toSeq.collect {
+        case (n, cs) if cs.bloom.isDefined => n -> cs.bloom.get.length * 8
+      })).groupBy(_._1).map { case (n, ms) => n -> ms.map(_._2).max }
     }
     // NDV coverage likewise: re-track any column an original carried
     // registers for (the vector-free fold maxes them arithmetically)
     val groupNdvCols: Seq[Set[String]] = groups.map { case (_, rels) =>
-      rels.flatMap(r => bloomLedger.get(r).toSeq.flatMap(b =>
-        LakeSinkStats.decode(b, tblSchema, evoAliases).toSeq.collect {
-          case (n, cs) if cs.ndv.isDefined => n
-        })).toSet
+      rels.flatMap(r => decodedByRel.get(r).toSeq.flatMap(_.toSeq.collect {
+        case (n, cs) if cs.ndv.isDefined => n
+      })).toSet
     }
     val staged: Seq[(String, Option[(Long, String)])] = spark.sparkContext
       .parallelize(groups.zip(groupBloomCols).zip(groupNdvCols).zipWithIndex,
@@ -482,6 +486,15 @@ object LakeMaintenance {
     * 100 TB story: you z-order yesterday's partition when its stream
     * closes — one partition-sized shuffle, not a table-sized one; the
     * rest of the table is not even listed. */
+  /** Decode the scope's originals' stats entries once (aliases applied)
+    * — shared by the coverage re-declaration below. */
+  private def originalsDecoded(ledger: Map[String, String], rels: Seq[String],
+      schema: StructType, path: String): Map[String, LakeSinkStats.FileStats] = {
+    val (aliases, _) = LakeSinkFiles.readManifestEvolution(path)
+    rels.distinct.flatMap(r => ledger.get(r).map(b =>
+      r -> LakeSinkStats.decode(b, schema, aliases))).toMap
+  }
+
   def zorder(spark: SparkSession, path: String, cols: Seq[String],
       nFiles: Int, partitions: Map[String, String]): (Int, Int) = {
     if (partitions.isEmpty) return zorder(spark, path, cols, nFiles)
@@ -522,6 +535,19 @@ object LakeMaintenance {
       s"zorder: no partition directory matches $partitions")
     val vNow = LakeSinkFiles.listVersions(path).lastOption.getOrElse(
       throw new IllegalStateException(s"zorder: no committed version at $path"))
+    // bloom/NDV coverage survives the rewrite like compact's: re-declare
+    // any column the scope's originals carried (at their max bloom size)
+    // as write options on the temp lake — without this the rewrite would
+    // silently strip the ledgers the table was configured for (review r13)
+    val zLedger = LakeSinkStats.readBlobs(path)
+    val (schemaT, _) = LakeSinkFiles.readManifest(path).get
+    val zDecoded = originalsDecoded(zLedger, dirGroups.flatMap(_._2), schemaT, path)
+    val zBloom: Map[String, Int] = zDecoded.values.flatten.collect {
+      case (n, cs) if cs.bloom.isDefined => n -> cs.bloom.get.length * 8
+    }.groupBy(_._1).map { case (n, ms) => n -> ms.map(_._2).max }
+    val zNdv: Set[String] = zDecoded.values.flatten.collect {
+      case (n, cs) if cs.ndv.isDefined => n
+    }.toSet
     val k = cols.size
     val originals = dirGroups.flatMap(_._2)
     val stagedNames = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -558,14 +584,19 @@ object LakeMaintenance {
       // crash strands it (listCommitted skips dot-dirs); swept in finally
       val tmpT = root.resolve(s".zorder-$di-${java.util.UUID.randomUUID.toString.take(8)}")
       try {
-        df.withColumn("__graft_z", z)
+        var w = df.withColumn("__graft_z", z)
           .repartitionByRange(nFiles, col("__graft_z"))
           .sortWithinPartitions("__graft_z")
           .drop("__graft_z")
           .write.format(classOf[LakeSink].getName).mode("append")
           .option("partitionCols", partCols.mkString(","))
           .option("distributionMode", "none")
-          .save(tmpT.toString)
+        if (zBloom.nonEmpty)
+          w = w.option("bloomFilterColumns", zBloom.keys.toSeq.sorted.mkString(","))
+            .option("bloomFilterBits", zBloom.values.max.toString)
+        if (zNdv.nonEmpty)
+          w = w.option("ndvColumns", zNdv.toSeq.sorted.mkString(","))
+        w.save(tmpT.toString)
         val tmpCounts = LakeSinkFiles.readCounts(tmpT.toString)
         val tmpStats = LakeSinkStats.readBlobs(tmpT.toString)
         LakeSinkFiles.listLive(tmpT.toString, partCols).foreach { case (p, _) =>
@@ -702,8 +733,11 @@ object LakeMaintenance {
     LakeSinkFiles.writeManifest(dstPath, schema, partCols, renames, dropped,
       if (versionAsOf.isEmpty) LakeSinkFiles.readManifestConstraints(srcPath)
       else Seq.empty,
-      if (versionAsOf.isEmpty) LakeSinkFiles.readManifestPartHistory(srcPath)
-      else Seq.empty,
+      // partition-spec HISTORY travels on BOTH forms: a version whose
+      // file list spans spec generations needs it so SPJ stands down and
+      // temporal pruning matches each file's own generation (a superset
+      // history is safe — consumers match what they need; review r13)
+      LakeSinkFiles.readManifestPartHistory(srcPath),
       // operational config travels with the table on BOTH clone forms
       LakeSinkFiles.readManifestProps(srcPath))
     LakeSinkFiles.recordVersion(dstPath, files, Seq.empty)
@@ -803,6 +837,23 @@ object LakeMaintenance {
             Files.isRegularFile(p) && Files.size(p) == 0 &&
             Files.getLastModifiedTime(p).toInstant.isBefore(staleBefore))
           Files.deleteIfExists(p)
+      }
+    }
+    // a hard-killed scoped zorder strands its `.zorder-*` temp lake under
+    // the table root (dot-dirs are invisible to every reader by design —
+    // review r13); same age gate, the rewrite is minutes of work at most
+    val rootDir = Paths.get(path)
+    if (Files.isDirectory(rootDir)) {
+      val staleBefore = java.time.Instant.now().minus(ReservationSweepAge)
+      val it = Files.list(rootDir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(".zorder-") &&
+            Files.getLastModifiedTime(p).toInstant.isBefore(staleBefore)) {
+          val w = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
+          while (w.hasNext) Files.deleteIfExists(w.next())
+        }
       }
     }
     (nFiles, drop.size)

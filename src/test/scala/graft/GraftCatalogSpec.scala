@@ -1091,12 +1091,39 @@ class GraftCatalogSpec extends GraftSpec {
         assert(cs("v").bloom.isDefined, "graft.bloomFilterColumns default not applied")
         assert(cs("v").bloom.get.length * 8 == 8192, "graft.bloomFilterBits ignored")
       }
-      // explicit write options override the table defaults
+      // explicit write options OVERRIDE the table defaults — asserted on
+      // the written file, not just attempted (the review's HashMap-order
+      // finding: an unasserted override test stays green while the
+      // property wins)
       import spark.implicits._
-      Seq((5000L, "x")).toDF("id", "v")
+      Seq((5000L, "x5000")).toDF("id", "v")
         .write.format("graft.sources.LakeSink").mode("append")
-        .option("bloomFilterColumns", "id").option("bloomFilterBits", "4096")
+        .option("bloomFilterColumns", "v").option("bloomFilterBits", "4096")
         .save(s"$lake/tp")
+      val afterOverride = graft.sources.LakeSinkStats.readBlobs(s"$lake/tp")
+      val overridden = (afterOverride.keySet -- blobs.keySet).toSeq
+      assert(overridden.size >= 1)
+      overridden.foreach { rel =>
+        val cs = graft.sources.LakeSinkStats.decode(afterOverride(rel), sch)
+        assert(cs("v").bloom.get.length * 8 == 4096,
+          s"explicit bloomFilterBits must beat the table property: $rel")
+      }
+      // a SUBSET append (id only) must still succeed: the inherited
+      // column lists intersect with the write schema instead of failing
+      spark.range(9000, 9010).toDF("id")
+        .write.format("graft.sources.LakeSink").mode("append").save(s"$lake/tp")
+      val afterSubset = graft.sources.LakeSinkStats.readBlobs(s"$lake/tp")
+      val subsetRels = (afterSubset.keySet -- afterOverride.keySet).toSeq
+      assert(subsetRels.size >= 1)
+      subsetRels.foreach { rel =>
+        val cs = graft.sources.LakeSinkStats.decode(afterSubset(rel), sch)
+        assert(cs("id").ndv.isDefined, "present columns still track registers")
+      }
+      // hidden-transform SOURCE columns are legal in graft.* properties
+      // (they are data columns; only identity partition columns refuse)
+      spark.sql("""CREATE TABLE graft.lake.tts (id BIGINT, ts TIMESTAMP)
+                   PARTITIONED BY (days(ts))
+                   TBLPROPERTIES ('graft.sortBy'='ts', 'graft.ndvColumns'='ts')""")
       // SET/UNSET evolve the set; the schema survives
       spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('team'='search', 'x'='1')")
       spark.sql("ALTER TABLE graft.lake.tp UNSET TBLPROPERTIES ('x')")

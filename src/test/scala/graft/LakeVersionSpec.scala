@@ -119,6 +119,23 @@ class LakeVersionSpec extends GraftSpec {
       // the branch stays independently writable
       threeRows(9).writeTo("graft.lake.vcl").append()
       assert(spark.table("graft.lake.vcl").count() == 9L)
+      // a version clone of a spec-EVOLVED table carries the partition
+      // history (SPJ stands down, generation-matched pruning holds on
+      // the branch — review r13); the data is the snapshot exactly
+      import spark.implicits._
+      (0 until 8).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-0${i % 4 + 1} 00:00:00")))
+        .toDF("id", "ts").writeTo("graft.lake.esrc")
+        .partitionedBy(org.apache.spark.sql.functions.days(col("ts"))).create()
+      LakeMaintenance.evolvePartitionSpec(s"$lake/esrc", Seq("hours(ts)"))
+      Seq((100L, java.sql.Timestamp.valueOf("2024-02-01 05:00:00")))
+        .toDF("id", "ts").writeTo("graft.lake.esrc").append()
+      val vLast = LakeSinkFiles.listVersions(s"$lake/esrc").last
+      LakeMaintenance.clone(spark, s"$lake/esrc", s"$lake/ecl", Some(vLast))
+      assert(LakeSinkFiles.readManifestPartHistory(s"$lake/ecl").nonEmpty,
+        "a version clone of an evolved table must carry the spec history")
+      assert(canon(spark.table("graft.lake.ecl")) ==
+        canon(spark.sql(s"SELECT * FROM graft.lake.esrc VERSION AS OF $vLast")))
     }
   }
 
