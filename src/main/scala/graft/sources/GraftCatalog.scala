@@ -325,34 +325,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `graft.*` properties configure writes (see
     * [[LakeSinkTable.newWriteBuilder]]) — validate the column-list ones
     * at DDL time so a typo fails HERE, not on every later write (the
-    * truncate-preserved-constraint lesson). */
+    * truncate-preserved-constraint lesson). Returns the props with
+    * column lists CANONICALIZED to the schema's case: validation is
+    * case-insensitive (Spark resolution), but the write-time
+    * intersection with the write schema is exact-match — storing
+    * 'USER_ID' against schema 'user_id' would pass CREATE yet silently
+    * never track a register (ADVICE r13). */
   private def validateGraftProps(schema: StructType, partCols: Seq[String],
-      props: Seq[(String, String)]): Unit = {
+      props: Seq[(String, String)]): Seq[(String, String)] = {
     // only IDENTITY partition columns are refused (constant within their
     // directory); hidden transforms' SOURCE columns (ts under days(ts))
     // are data columns the per-write options accept — the t58
     // clustered+sorted pattern (review r13)
     val partNames = LakePart.parseAll(partCols)
       .filter(_.isIdentity).map(_.name).toSet
-    props.foreach {
+    props.map {
+      case (k, v) if k.exists(_ < ' ') || v.exists(_ < ' ') =>
+        // the manifest pair codec joins on u0001/u0002 — a control
+        // character in a key/value would corrupt readManifestProps'
+        // split with no DDL-time signal (ADVICE r13); refuse all of
+        // them (none has a legitimate use in a table property)
+        throw new UnsupportedOperationException(
+          s"$catalogName: control characters are not allowed in table " +
+            s"property keys or values (key $k)")
       case (k @ ("graft.bloomFilterColumns" | "graft.ndvColumns" | "graft.sortBy"), v) =>
-        v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
-          require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-            s"$catalogName: $k references column $c, not in the table schema")
+        val canon = v.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+          val hit = schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$catalogName: $k references column $c, not in the table schema"))
           require(!partNames.exists(_.equalsIgnoreCase(c)),
             s"$catalogName: $k cannot reference partition column $c")
+          hit
         }
-      case ("graft.bloomFilterBits", v) =>
+        k -> canon.mkString(",")
+      case p @ ("graft.bloomFilterBits", v) =>
         val m = v.trim.toInt
         require(m > 0 && (m & (m - 1)) == 0,
           s"$catalogName: graft.bloomFilterBits must be a power of 2, got $v")
-      case ("graft.distributionMode", v) =>
+        p
+      case p @ ("graft.distributionMode", v) =>
         require(v == "cluster" || v == "none",
           s"$catalogName: graft.distributionMode must be cluster|none, got $v")
+        p
       case (k, _) if k.startsWith("graft.") =>
         throw new UnsupportedOperationException(
           s"$catalogName: unknown graft.* table property $k")
-      case _ => () // arbitrary user properties round-trip unvalidated
+      case p => p // arbitrary user properties round-trip unvalidated
     }
   }
 
@@ -428,10 +446,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // validate the partition fields exist + types supported, before any I/O
     LakeSink.dataSchema(schema, partCols)
     LakeSink.partitionExtractors(schema, partCols)
-    validateGraftProps(schema, partCols, tableProps)
+    val canonProps = validateGraftProps(schema, partCols, tableProps)
     Files.createDirectories(dir)
     LakeSinkFiles.writeManifest(dir.toString, schema, partCols,
-      constraints = constraints, tableProps = tableProps)
+      constraints = constraints, tableProps = canonProps)
   }
 
   // --- StagingTableCatalog (atomic CTAS / REPLACE TABLE AS SELECT) ------------
@@ -649,7 +667,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     val newProps = propChanges.foldLeft(
       LakeSinkFiles.readManifestProps(dir.toString)) {
-      case (ps, sp: TableChange.SetProperty) =>
+      case (ps, sp: TableChange.SetProperty)
+          // engine-injected keys (COMMENT ON, 'option.*') get the same
+          // filter userProps applies at CREATE — otherwise the two DDL
+          // paths disagree on what SHOW TBLPROPERTIES echoes (ADVICE r13)
+          if !EngineProps.contains(sp.property) &&
+            !sp.property.startsWith("option.") =>
         ps.filterNot(_._1 == sp.property) :+ (sp.property -> sp.value)
       case (ps, rp: TableChange.RemoveProperty) =>
         ps.filterNot(_._1 == rp.property)
@@ -657,13 +680,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // graft.* column-list properties must still resolve after a
     // RENAME/DROP (and new SETs validate here too — the constraints
-    // precedent: a dangling reference would fail every later write)
-    validateGraftProps(newSchema, partCols, newProps)
+    // precedent: a dangling reference would fail every later write);
+    // column lists are canonicalized to the NEW schema's case
+    val canonProps = validateGraftProps(newSchema, partCols, newProps)
     // unsupported data types must fail the DDL, not the next write
     LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))
     LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols,
       newRenames, newDropped, newCons,
-      LakeSinkFiles.readManifestPartHistory(dir.toString), newProps)
+      LakeSinkFiles.readManifestPartHistory(dir.toString), canonProps)
     // a schema change is a version transition: snapshots at or before it
     // keep the pre-evolution schema + aliases
     LakeSinkFiles.recordVersion(dir.toString)

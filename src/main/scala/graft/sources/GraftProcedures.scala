@@ -66,8 +66,17 @@ private[sources] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = params
     override def isDeterministic: Boolean = false // mutates table state
     def run(in: InternalRow): Array[InternalRow]
-    override def call(input: InternalRow): java.util.Iterator[Scan] =
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // An explicit NULL argument would NPE on getUTF8String / read an
+      // undefined primitive slot through the sentinel Option — refuse by
+      // name instead. (Every parameter is sentinel-defaulted, never NULL.)
+      params.zipWithIndex.foreach { case (p, i) =>
+        require(i >= input.numFields || !input.isNullAt(i),
+          s"CALL $pname: parameter '${p.name}' must not be NULL " +
+            "(omit it to take the default)")
+      }
       java.util.List.of[Scan](ResultScan(resSchema, run(input))).iterator()
+    }
   }
 
   private def row(vs: Any*): Array[InternalRow] =
@@ -75,6 +84,12 @@ private[sources] object GraftProcedures {
 
   def load(name: String, lakeRoot: String, catalogName: String): UnboundProcedure = {
     def dirOf(table: String): String = {
+      // A SQL-only caller must not escape the lake root: '../other/t'
+      // would compact/vacuum/restore any manifest-bearing directory on
+      // the machine. Same plain-name rule clone's dest already enforces.
+      require(table.nonEmpty && !table.contains("/") &&
+        !table.startsWith("."),
+        s"$catalogName: table must be a plain lake table name, got '$table'")
       val d = java.nio.file.Paths.get(lakeRoot, table).toString
       require(LakeSinkFiles.readManifest(d).isDefined,
         s"$catalogName: no lake table '$table' under $lakeRoot")

@@ -1146,6 +1146,40 @@ class GraftCatalogSpec extends GraftSpec {
       val cloned = spark.sql("SHOW TBLPROPERTIES graft.lake.tp2").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(cloned.get("team").contains("search"), cloned.toString)
+      // CASE-VARIANT column lists canonicalize to the schema's case at
+      // DDL time AND the configured effect lands: a plain insert tracks
+      // the register (ADVICE r14 — validation was case-insensitive but
+      // the write-time intersection exact-match, so 'ID' vs 'id' passed
+      // CREATE yet silently never tracked)
+      spark.sql("""CREATE TABLE graft.lake.tcase (id BIGINT, v STRING)
+                   TBLPROPERTIES ('graft.ndvColumns'='ID',
+                                  'graft.sortBy'='  V ')""")
+      val caseShown = spark.sql("SHOW TBLPROPERTIES graft.lake.tcase").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(caseShown.get("graft.ndvColumns").contains("id") &&
+        caseShown.get("graft.sortBy").contains("v"),
+        s"column lists must store the schema's canonical case: $caseShown")
+      spark.sql("INSERT INTO graft.lake.tcase SELECT id, CAST(id AS STRING) FROM range(100)")
+      val caseBlobs = graft.sources.LakeSinkStats.readBlobs(s"$lake/tcase")
+      assert(caseBlobs.nonEmpty)
+      caseBlobs.values.foreach { b =>
+        val cs = graft.sources.LakeSinkStats.decode(b, sch)
+        assert(cs("id").ndv.isDefined,
+          "case-variant graft.ndvColumns must still track registers")
+      }
+      // control characters in keys/values refuse at DDL (they would
+      // corrupt the manifest pair codec's split with no signal)
+      val e5 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('bad'='a\u0001b')")
+      }
+      assert(e5.getMessage.contains("control character"), e5.getMessage)
+      // engine-injected keys are filtered on the ALTER path exactly as
+      // at CREATE (SHOW TBLPROPERTIES symmetric between the DDL paths)
+      spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('comment'='hi', 'option.x'='1')")
+      val shown3 = spark.sql("SHOW TBLPROPERTIES graft.lake.tp").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(!shown3.contains("option.x"),
+        s"engine keys must not round-trip via ALTER either: $shown3")
     }
   }
 
@@ -1213,6 +1247,31 @@ class GraftCatalogSpec extends GraftSpec {
         spark.sql("CALL graft.system.compact('nope')").collect()
       }
       assert(e2.getMessage.contains("no lake table"), e2.getMessage)
+      // a SQL-only caller cannot escape the lake root ('../…' would
+      // compact/vacuum/restore any manifest-bearing dir on the machine)
+      val e3 = intercept[Exception] {
+        spark.sql("CALL graft.system.compact('../graft_cat_proc/pt')").collect()
+      }
+      assert(e3.getMessage.contains("plain lake table name"), e3.getMessage)
+      val e4 = intercept[Exception] {
+        spark.sql("CALL graft.system.vacuum('.hidden')").collect()
+      }
+      assert(e4.getMessage.contains("plain lake table name"), e4.getMessage)
+      // explicit NULL arguments refuse with the parameter's NAME, not an
+      // NPE (sentinel-typed optionals would otherwise read an undefined
+      // primitive slot)
+      val e5 = intercept[Exception] {
+        spark.sql("CALL graft.system.compact(NULL)").collect()
+      }
+      assert(e5.getMessage.contains("'table' must not be NULL"), e5.getMessage)
+      val e6 = intercept[Exception] {
+        spark.sql("CALL graft.system.compact('pt', scope => NULL)").collect()
+      }
+      assert(e6.getMessage.contains("'scope' must not be NULL"), e6.getMessage)
+      val e7 = intercept[Exception] {
+        spark.sql("CALL graft.system.vacuum('pt', keep_last => NULL)").collect()
+      }
+      assert(e7.getMessage.contains("'keep_last' must not be NULL"), e7.getMessage)
     }
   }
 
