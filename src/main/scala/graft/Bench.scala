@@ -16,6 +16,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftViewExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay session/codegen/parquet-footer startup outside the timings

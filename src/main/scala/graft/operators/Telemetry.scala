@@ -3341,7 +3341,146 @@ object Telemetry {
          ON e.event_id = d.event_id
        GROUP BY e.event_type ORDER BY e.event_type"""
 
+  /** The two stored-view layers of t76, as text shared verbatim between
+    * the Spark CREATE VIEW statements and the DuckDB oracle's CTEs —
+    * composition through the catalog cannot drift from the inline SQL. */
+  private def t76CleanOver(tbl: String): String =
+    s"SELECT user_id, event_type, value FROM $tbl WHERE user_id % 5 <> 0"
+  private def t76RollupOver(src: String): String =
+    s"""SELECT event_type, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         CAST(${Num.rsumSql("value", 6)} AS DOUBLE) AS sum_v
+       FROM $src GROUP BY event_type"""
+
+  /** t76 — STORED VIEWS under the differential (r14:
+    * [[graft.sources.GraftViews]] through Spark 4.1's native ViewCatalog
+    * API + the graft.plans.GraftViewRules wiring — the API ships with
+    * ZERO engine consumers, so the parser hook routes the DDL and a
+    * resolution rule substitutes the stored text): the events table
+    * lands in a temp lake, TWO stacked views are created from pure SQL
+    * (filter view, then an aggregate view with stored column aliases
+    * over it), and a query through the TOP view must hash-equal the
+    * fully-inlined text over the raw parquet. GraftViewSpec pins SHOW
+    * VIEWS, nesting, OR REPLACE, drop/rename dependency refusals, cycle
+    * refusal, the table/view shared name space, and the evolution
+    * contract (added base columns flow; renamed ones fail loudly).
+    *
+    * Scale shape: a view is O(bytes of SQL) catalog state — the
+    * substituted plan gets the SAME pushdown/pruning the inline text
+    * gets (the spec pins the filter reaching the scan), so the 100 TB
+    * cost model of a query does not change by being named. */
+  def t76StoredView(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t76")
+    val _ = lakeRoot
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeTo("graft_t76.lake.ev").create()
+    s.sql(s"CREATE VIEW graft_t76.lake.v_clean AS ${t76CleanOver("graft_t76.lake.ev")}")
+    s.sql(s"CREATE VIEW graft_t76.lake.v_rollup AS ${t76RollupOver("graft_t76.lake.v_clean")}")
+    s.sql("""SELECT event_type, n_events, n_users, sum_v
+             FROM graft_t76.lake.v_rollup ORDER BY event_type""")
+  }
+
+  /** The same two layers inlined as CTEs over the raw events table. */
+  lazy val t76Sql: String =
+    s"""WITH v_clean AS (${t76CleanOver("events")}),
+         v_rollup AS (${t76RollupOver("v_clean")})
+       SELECT event_type, n_events, n_users, sum_v
+       FROM v_rollup ORDER BY event_type"""
+
+  /** t77 — COLUMN DEFAULT VALUES under the differential (r14: Spark
+    * 4.1's SUPPORT_COLUMN_DEFAULT_VALUE wired to the manifest's
+    * `defaults` field): slice A of events lands BEFORE the column
+    * exists (its files never carry `tag` — the scanner's EXISTS-default
+    * fill serves 'legacy' at read), `ALTER TABLE ADD COLUMN tag STRING
+    * DEFAULT 'legacy'` evolves the table, slice B arrives through a SQL
+    * INSERT that OMITS the column (the engine folds the CURRENT default
+    * into the plan — materialized in files), and slice C appends
+    * explicit per-row tags. The grouped read-back must equal the CASE
+    * reconstruction over raw parquet. LakeDefaultsSpec pins the exact
+    * fill values, explicit-null preservation, CDF legs carrying the
+    * default, compaction/ledger soundness (fresh stats see the FILL,
+    * not nulls), rename/widening travel, and the SET DEFAULT /
+    * partition-default refusals.
+    *
+    * Scale shape: backfill semantics as METADATA — declaring a default
+    * rewrites zero of the 100 TB of pre-evolution files, yet every
+    * reader (batch, CDF, constraint validation, compaction stats) sees
+    * the declared value. */
+  def t77ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t77")
+    val _ = lakeRoot
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 3 === 0)
+      .writeTo("graft_t77.lake.ev").create() // v1: files without 'tag'
+    s.sql("ALTER TABLE graft_t77.lake.ev ADD COLUMN tag STRING DEFAULT 'legacy'")
+    s.sql(s"""INSERT INTO graft_t77.lake.ev (event_id, user_id, event_type, value)
+              SELECT event_id, user_id, event_type, value
+              FROM parquet.`$dir/events.parquet` WHERE event_id % 3 = 1""")
+    ev.filter(col("event_id") % 3 === 2)
+      .withColumn("tag", concat(lit("t:"), col("event_type")))
+      .writeTo("graft_t77.lake.ev").append()
+    s.table("graft_t77.lake.ev")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Num.rsum(col("value"), 6).as("sum_v"))
+      .orderBy(col("tag"))
+  }
+
+  /** t78 — IDEMPOTENT WRITER COMMITS under the differential (r14:
+    * Delta's `txnAppId`/`txnVersion` pair on [[graft.sources.LakeSink]]
+    * batch appends): each half of events is appended TWICE with the same
+    * (appId, version) — the foreachBatch crash-replay shape — and the
+    * replays must be observable NO-OPS (asserted in-query: exactly two
+    * committed versions) leaving zero duplicate rows. The mechanism is
+    * the streaming-epoch trick applied to batch writes: deterministic
+    * (appId, version, partition) file names make a crash-interrupted
+    * commit CONVERGE on re-promote, and a `txn-<app>-<version>` marker
+    * written last makes a completed commit's replay discard before
+    * touching anything. LakeSinkSpec pins the no-op (zero dup rows AND
+    * no new version record), the crash-before-marker convergence, the
+    * planted foreachBatch crash-replay, and the refusals (lone option,
+    * non-append modes, streaming writes, unsafe appId).
+    *
+    * Scale shape: a replayed ingestion job against a 100 TB table is a
+    * metadata no-op — one marker stat — instead of a silent double-load
+    * that only a full-table dedup could undo. */
+  def t78IdempotentAppend(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t78")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def appendTxn(v: Long, df: DataFrame): Unit =
+      df.write.format("graft.sources.LakeSink").mode("append")
+        .option("txnAppId", "loader").option("txnVersion", v.toString)
+        .save(s"$lakeRoot/ev")
+    appendTxn(1, ev.filter(col("event_id") % 2 === 0))
+    appendTxn(1, ev.filter(col("event_id") % 2 === 0)) // crash replay: no-op
+    appendTxn(2, ev.filter(col("event_id") % 2 === 1))
+    appendTxn(2, ev.filter(col("event_id") % 2 === 1)) // replayed too
+    val vs = graft.sources.LakeSinkFiles.listVersions(s"$lakeRoot/ev")
+    require(vs.size == 2,
+      s"t78: replays must be version-invisible — expected 2 commits, got ${vs.size}")
+    s.table("graft_t78.lake.ev").orderBy(col("event_id"))
+  }
+
+  /** Raw projection — the doubled loads must be invisible. */
+  val t78Sql: String =
+    "SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"
+
+  /** The default reconstructed as a CASE over the raw table. */
+  lazy val t77Sql: String =
+    s"""SELECT CASE WHEN event_id % 3 = 2 THEN concat('t:', event_type)
+                    ELSE 'legacy' END AS tag,
+         count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         ${Num.rsumSql("value", 6)} AS sum_v
+       FROM events GROUP BY 1 ORDER BY tag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t78_idempotent_append" -> (t78IdempotentAppend _),
+    "t77_column_defaults" -> (t77ColumnDefaults _),
+    "t76_stored_view" -> (t76StoredView _),
     "t75_props_defaults" -> (t75PropsDefaults _),
     "t74_call_maintenance" -> (t74CallMaintenance _),
     "t73_shallow_clone" -> (t73ShallowClone _),
@@ -3414,6 +3553,9 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t78_idempotent_append" -> t78Sql,
+    "t77_column_defaults" -> t77Sql,
+    "t76_stored_view" -> t76Sql,
     "t75_props_defaults" -> t75Sql,
     "t74_call_maintenance" -> t74Sql,
     "t73_shallow_clone" -> t73Sql,

@@ -55,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog with StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var initOpts: Map[String, String] = Map.empty
 
@@ -77,6 +78,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def parquetNsDir(ns: String): Option[String] = opt(s"ns.$ns")
 
   private def lakeRoot: Option[String] = opt("lake")
+
+  /** The live lake root, for the view-resolution machinery
+    * (graft.plans.GraftViewRules) — re-resolved per call like every
+    * namespace dir (see class doc). */
+  private[graft] def lakeRootOpt: Option[String] = lakeRoot
 
   private def parquetNamespaces: Seq[String] = {
     val prefixLive = s"spark.sql.catalog.$catalogName.ns."
@@ -291,23 +297,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dir.toString
   }
 
-  // ALTER TABLE ADD CONSTRAINT routes to alterTable only when the
-  // catalog declares it (the engine pre-refuses otherwise)
+  // ALTER TABLE ADD CONSTRAINT / DEFAULT column values route to this
+  // catalog only when it declares them (the engine pre-refuses otherwise)
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     createLake(ident, schema, partitions, Seq.empty, userProps(properties))
 
   /** `CREATE TABLE … (…, CONSTRAINT c CHECK (…))` — the TableInfo overload
-    * carries the parsed constraint definitions. */
+    * carries the parsed constraint definitions (and column DEFAULTs). */
   override def createTable(ident: Identifier, info: TableInfo): Table =
     createLake(ident,
       StructType(info.columns().map(c =>
         org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
       info.partitions(), checkConstraints(info.constraints()),
-      userProps(info.properties()))
+      userProps(info.properties()),
+      info.columns().toSeq.flatMap(c => Option(c.defaultValue())
+        .map(dv => defaultTriple(c.name(), c.dataType(), dv))))
+
+  /** One stored DEFAULT: (name, declared SQL, writer-token of the folded
+    * value, cast to the COLUMN's type). The analyzer has already
+    * constant-folded the default into a connector literal — a
+    * non-foldable default never reaches the catalog. The token encode
+    * refuses unsupported column types at DDL time. */
+  private def defaultTriple(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue)
+      : (String, String, String) = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val lit = dv.getValue
+    require(lit != null,
+      s"$catalogName: DEFAULT for column $name has no folded literal value")
+    val internal =
+      if (lit.dataType() == dt) lit.value()
+      else Cast(Literal(lit.value(), lit.dataType()), dt,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .eval(null)
+    val sql = Option(dv.getSql).filter(_.nonEmpty)
+      .getOrElse(Literal(internal, dt).sql)
+    require(!sql.exists(_ < ' '),
+      s"$catalogName: control characters are not allowed in DEFAULT " +
+        s"expressions (column $name)")
+    (name, sql, LakeSink.defaultToken(
+      org.apache.spark.sql.types.StructField(name, dt), internal))
+  }
 
   /** Engine-injected property keys (provider/owner/location/…) are not
     * USER table properties — storing them would make SHOW TBLPROPERTIES
@@ -395,7 +431,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def createLake(ident: Identifier, schema: StructType,
       partitions: Array[Transform], constraints: Seq[(String, String)],
-      tableProps: Seq[(String, String)] = Seq.empty): Table = {
+      tableProps: Seq[(String, String)] = Seq.empty,
+      defaults: Seq[(String, String, String)] = Seq.empty): Table = {
     val ns = ident.namespace()
     if (ns.length != 1 || ns(0) != "lake")
       throw new UnsupportedOperationException(
@@ -405,8 +442,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = lakeTableDir(ident.name()).get
     if (Files.isRegularFile(LakeSinkFiles.manifestPath(dir.toString)))
       throw new TableAlreadyExistsException(ident)
+    if (GraftViews.exists(lakeRoot.get, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val partCols = parsePartitions(partitions)
-    initLakeDir(dir, schema, partCols, constraints, tableProps)
+    // a partition column's value comes from the directory name, never a
+    // default; refuse at DDL instead of silently never applying
+    defaults.foreach { case (n, _, _) =>
+      require(!LakePart.parseAll(partCols).exists(_.name.equalsIgnoreCase(n)),
+        s"$catalogName: partition column $n cannot have a DEFAULT value")
+    }
+    initLakeDir(dir, schema, partCols, constraints, tableProps, defaults)
     new LakeSinkTable(schema, dir.toString, partCols,
       tableName = Some(s"$catalogName.lake.${ident.name()}"))
   }
@@ -442,14 +487,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def initLakeDir(dir: Path, schema: StructType,
       partCols: Seq[String],
       constraints: Seq[(String, String)] = Seq.empty,
-      tableProps: Seq[(String, String)] = Seq.empty): Unit = {
+      tableProps: Seq[(String, String)] = Seq.empty,
+      defaults: Seq[(String, String, String)] = Seq.empty): Unit = {
     // validate the partition fields exist + types supported, before any I/O
     LakeSink.dataSchema(schema, partCols)
     LakeSink.partitionExtractors(schema, partCols)
     val canonProps = validateGraftProps(schema, partCols, tableProps)
     Files.createDirectories(dir)
     LakeSinkFiles.writeManifest(dir.toString, schema, partCols,
-      constraints = constraints, tableProps = canonProps)
+      constraints = constraints, tableProps = canonProps, defaults = defaults)
   }
 
   // --- StagingTableCatalog (atomic CTAS / REPLACE TABLE AS SELECT) ------------
@@ -482,6 +528,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dest = lakeTableDir(ident.name()).get
     if (!replace && Files.isRegularFile(LakeSinkFiles.manifestPath(dest.toString)))
       throw new TableAlreadyExistsException(ident)
+    if (GraftViews.exists(lakeRoot.get, ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val schema = StructType(info.columns().map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
     val partCols = parsePartitions(info.partitions())
@@ -596,6 +644,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!takenNames(sch, ren, drp).contains(name),
             s"$catalogName: column name $name is in use (live, a rename " +
               "alias, or dropped) — name reuse needs a table rewrite")
+          // DEFAULT (if any) is folded into the defaults state below —
+          // the schema fold only records the shape
           (StructType(sch.fields :+
             org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)),
             ren, drp, cons)
@@ -661,10 +711,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (StructType(sch.fields.map(f =>
             if (f.name == name) f.copy(dataType = to) else f)),
             ren, drp, cons)
+        case (st, _: TableChange.UpdateColumnDefaultValue) =>
+          st // shape unchanged; the defaults fold below refuses it by name
         case (_, other) => throw new UnsupportedOperationException(
           s"$catalogName: only ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
             s"widening ALTER COLUMN TYPE are supported, got $other")
       }
+    // column DEFAULTs evolve alongside the schema: ADD COLUMN … DEFAULT
+    // records one, RENAME renames its key, DROP drops it. ALTER COLUMN
+    // SET DEFAULT is REFUSED: a later current-default would fork from
+    // the exists-default old files read, and this engine keeps the two
+    // identical by construction (immutable per column — which is also
+    // what makes live defaults historically exact for snapshots).
+    val newDefaults = schemaChanges.foldLeft(
+      LakeSinkFiles.readManifestDefaults(dir.toString)) {
+      case (ds, add: TableChange.AddColumn) if add.defaultValue() != null =>
+        ds :+ defaultTriple(add.fieldNames()(0), add.dataType(), add.defaultValue())
+      case (ds, ren: TableChange.RenameColumn) =>
+        val from = ren.fieldNames()(0)
+        ds.map(d => if (d._1 == from) (ren.newName(), d._2, d._3) else d)
+      case (ds, del: TableChange.DeleteColumn) =>
+        ds.filterNot(_._1 == del.fieldNames()(0))
+      case (_, up: TableChange.UpdateColumnDefaultValue) =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: ALTER COLUMN ${up.fieldNames().mkString(".")} SET " +
+            "DEFAULT is not supported — defaults are immutable per column " +
+            "(current ≡ exists by construction); drop and re-add the column")
+      case (ds, _) => ds
+    }
     val newProps = propChanges.foldLeft(
       LakeSinkFiles.readManifestProps(dir.toString)) {
       case (ps, sp: TableChange.SetProperty)
@@ -687,7 +761,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     LakeSink.serializers(LakeSink.dataSchema(newSchema, partCols))
     LakeSinkFiles.writeManifest(dir.toString, newSchema, partCols,
       newRenames, newDropped, newCons,
-      LakeSinkFiles.readManifestPartHistory(dir.toString), canonProps)
+      LakeSinkFiles.readManifestPartHistory(dir.toString), canonProps,
+      newDefaults)
     // a schema change is a version transition: snapshots at or before it
     // keep the pre-evolution schema + aliases
     LakeSinkFiles.recordVersion(dir.toString)
@@ -725,6 +800,201 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(n => Identifier.of(namespace, n)).toArray
     else if (namespaceExists(namespace) || namespace.isEmpty) Array.empty
     else throw new NoSuchNamespaceException(namespace)
+
+  // --- ViewCatalog (stored SQL views over lake tables) -----------------------
+  //
+  // Spark 4.1 ships the ViewCatalog API with ZERO engine consumers
+  // (verified against the jars: no analyzer rule or exec node references
+  // it), so the catalog implements the NATIVE interface and the engine
+  // wiring lives in GraftViewExtensions: a parser hook routes
+  // CREATE/DROP/SHOW/ALTER VIEW DDL to these methods, and an analyzer
+  // rule substitutes stored view text at resolution time (see
+  // org.apache.spark.sql.graft.GraftViewRules). Views share the lake
+  // namespace's NAME SPACE with tables — a name is a table or a view,
+  // never both (createLake/stage/renameTable refuse collisions).
+
+  private def viewsRoot: String = lakeRoot.getOrElse(
+    throw new UnsupportedOperationException(
+      s"$catalogName: views need a lake root (spark.sql.catalog.$catalogName.lake)"))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (ns.sameElements(Array("lake")) && lakeRoot.isDefined)
+      GraftViews.list(viewsRoot).map(n => Identifier.of(ns, n)).toArray
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().sameElements(Array("lake")) && lakeRoot.isDefined &&
+      GraftViews.exists(viewsRoot, ident.name())
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    new GraftStoredView(GraftViews.read(viewsRoot, ident.name()).get)
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View =
+    storeView(info, replace = false, orCreate = false)
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View =
+    storeView(info, replace = true, orCreate = orCreate)
+
+  private def storeView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      replace: Boolean, orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val name = ident.name()
+    if (!ident.namespace().sameElements(Array("lake")) || lakeRoot.isEmpty)
+      throw new NoSuchNamespaceException(ident.namespace())
+    val root = viewsRoot
+    require(GraftViews.validName(name),
+      s"$catalogName: invalid view name '$name' (plain names only)")
+    // views and tables share one name space — a stored view must never
+    // shadow a table (resolution would become load-order roulette)
+    if (Files.isRegularFile(LakeSinkFiles.manifestPath(lakeTableDir(name).get.toString)))
+      throw new TableAlreadyExistsException(ident)
+    val already = GraftViews.exists(root, name)
+    if (!replace && already)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (replace && !orCreate && !already)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val comment = Option(info.properties().get(
+      org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT))
+    val props = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      info.properties().forEach((k, v) =>
+        if (!org.apache.spark.sql.connector.catalog.ViewCatalog.RESERVED_PROPERTIES.contains(k))
+          out += (k -> v))
+      out.toSeq.sortBy(_._1)
+    }
+    props.foreach { case (k, v) =>
+      require(!k.exists(_ < ' ') && !v.exists(_ < ' '),
+        s"$catalogName: control characters are not allowed in view " +
+          s"property keys or values (key $k)")
+    }
+    val aliases = Option(info.columnAliases()).map(_.toSeq).getOrElse(Seq.empty)
+    val schema = Option(info.schema()).getOrElse(
+      new StructType())
+    require(aliases.isEmpty || schema.isEmpty || aliases.length == schema.fields.length,
+      s"$catalogName: view $name declares ${aliases.length} column aliases " +
+        s"but its query produces ${schema.fields.length} columns")
+    val refs = viewRefs(info.sql())
+    // a cycle can only enter through REPLACE (a plain CREATE's name does
+    // not exist yet, so nothing stored can reference it)
+    if (replace && already && GraftViews.wouldCycle(root, name,
+        refs.filter(GraftViews.exists(root, _))))
+      throw new IllegalStateException(
+        s"$catalogName: CREATE OR REPLACE VIEW $name would create a " +
+          "reference cycle through its stored dependencies")
+    GraftViews.write(root, GraftViews.ViewDef(name, info.sql(), aliases,
+      schema.toDDL, refs,
+      Option(info.currentCatalog()).getOrElse(catalogName), comment, props))
+    loadView(ident)
+  }
+
+  /** Same-lake-root table/view NAMES a view text references (CTE names
+    * excluded) — the dependency edges DROP refusal and REPLACE cycle
+    * detection walk. Parsed with the active session's parser; name parts
+    * normalize through the live CatalogManager, so `v`, `lake.v`, and
+    * `graft.lake.v` all record as `v` when they resolve into THIS
+    * catalog's lake root. */
+  private def viewRefs(sql: String): Seq[String] = {
+    val session = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val cte = scala.collection.mutable.Set.empty[String]
+    val rels = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    parsed.foreachWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach(r => cte += r._1.toLowerCase(java.util.Locale.ROOT))
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        rels += r.multipartIdentifier
+      case _ => ()
+    }
+    val cm = session.sessionState.analyzer.catalogManager
+    def isSelf(c: org.apache.spark.sql.connector.catalog.CatalogPlugin): Boolean =
+      c match {
+        case g: GraftCatalog => g.lakeRoot.isDefined && g.lakeRoot == lakeRoot
+        case _ => false
+      }
+    rels.toSeq
+      .filterNot(p => p.length == 1 && cte.contains(p.head.toLowerCase(java.util.Locale.ROOT)))
+      .flatMap {
+        case Seq(n) if isSelf(cm.currentCatalog) &&
+          cm.currentNamespace.sameElements(Array("lake")) => Some(n)
+        case Seq(ns, n) if ns.equalsIgnoreCase("lake") &&
+          isSelf(cm.currentCatalog) => Some(n)
+        case Seq(cat, ns, n) if ns.equalsIgnoreCase("lake") &&
+          scala.util.Try(cm.catalog(cat)).toOption.exists(isSelf) => Some(n)
+        case _ => None
+      }.distinct
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    import org.apache.spark.sql.connector.catalog.{ViewCatalog => VC, ViewChange => VCh}
+    val vd = changes.foldLeft(GraftViews.read(viewsRoot, ident.name()).get) {
+      case (vd, sp: VCh.SetProperty) =>
+        require(!sp.property.exists(_ < ' ') && !sp.value.exists(_ < ' '),
+          s"$catalogName: control characters are not allowed in view " +
+            s"property keys or values (key ${sp.property})")
+        if (sp.property == VC.PROP_COMMENT) vd.copy(comment = Some(sp.value))
+        else vd.copy(props =
+          vd.props.filterNot(_._1 == sp.property) :+ (sp.property -> sp.value))
+      case (vd, rp: VCh.RemoveProperty) =>
+        if (rp.property == VC.PROP_COMMENT) vd.copy(comment = None)
+        else vd.copy(props = vd.props.filterNot(_._1 == rp.property))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"$catalogName: unsupported view change $other")
+    }
+    GraftViews.write(viewsRoot, vd)
+    new GraftStoredView(vd)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    if (!viewExists(ident)) return false
+    val deps = GraftViews.referencing(viewsRoot, ident.name(),
+      except = Some(ident.name()))
+    if (deps.nonEmpty) throw new IllegalStateException(
+      s"$catalogName: cannot drop view ${ident.name()} — still referenced " +
+        s"by view(s) ${deps.mkString(", ")}")
+    GraftViews.delete(viewsRoot, ident.name())
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    // the TO identifier arrives unresolved exactly like RENAME TABLE's
+    val rawNs = newIdent.namespace()
+    val newNs =
+      if (rawNs.isEmpty) oldIdent.namespace()
+      else if (rawNs.headOption.contains(catalogName)) rawNs.drop(1)
+      else rawNs
+    require(newNs.sameElements(Array("lake")),
+      s"$catalogName: views can only be renamed within the 'lake' namespace")
+    val newName = newIdent.name()
+    require(GraftViews.validName(newName),
+      s"$catalogName: invalid view name '$newName' (plain names only)")
+    val target = Identifier.of(Array("lake"), newName)
+    if (viewExists(target))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(target)
+    if (tableExists(target)) throw new TableAlreadyExistsException(target)
+    val deps = GraftViews.referencing(viewsRoot, oldIdent.name(),
+      except = Some(oldIdent.name()))
+    require(deps.isEmpty,
+      s"$catalogName: cannot rename view ${oldIdent.name()} — still " +
+        s"referenced by view(s) ${deps.mkString(", ")} (their stored text " +
+        "would dangle)")
+    GraftViews.write(viewsRoot,
+      GraftViews.read(viewsRoot, oldIdent.name()).get.copy(name = newName))
+    GraftViews.delete(viewsRoot, oldIdent.name())
+  }
 
   // --- ProcedureCatalog (CALL graft.system.<proc>) ---------------------------
 
@@ -781,6 +1051,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     val target = Identifier.of(newNs, newIdent.name())
     if (tableExists(target)) throw new TableAlreadyExistsException(target)
+    if (GraftViews.exists(lakeRoot.get, newIdent.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(target)
     Files.move(lakeTableDir(oldIdent.name()).get, lakeTableDir(newIdent.name()).get)
   }
 }

@@ -254,7 +254,8 @@ private[sources] class LakeCdfScan(cdfSchema: StructType, path: String,
     val (aliases, ignored) = LakeSinkFiles.readManifestEvolution(path)
     val tableSchema = StructType(cdfSchema.fields.filterNot(f =>
       f.name == LakeCdf.ChangeTypeCol || f.name == LakeCdf.CommitVersionCol))
-    new LakeCdfReaderFactory(tableSchema, cdfSchema, path, partCols, aliases, ignored)
+    new LakeCdfReaderFactory(tableSchema, cdfSchema, path, partCols, aliases, ignored,
+      LakeSinkDefaults.internalMap(path, LakeSink.dataSchema(tableSchema, partCols)))
   }
 }
 
@@ -344,7 +345,8 @@ private[sources] class LakeCdfMicroBatchStream(cdfSchema: StructType,
     val (aliases, ignored) = LakeSinkFiles.readManifestEvolution(path)
     val tableSchema = StructType(cdfSchema.fields.filterNot(f =>
       f.name == LakeCdf.ChangeTypeCol || f.name == LakeCdf.CommitVersionCol))
-    new LakeCdfReaderFactory(tableSchema, cdfSchema, path, partCols, aliases, ignored)
+    new LakeCdfReaderFactory(tableSchema, cdfSchema, path, partCols, aliases, ignored,
+      LakeSinkDefaults.internalMap(path, LakeSink.dataSchema(tableSchema, partCols)))
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -357,7 +359,10 @@ private[sources] case class LakeCdfInputPartition(base: LakeSinkInputPartition,
 
 private[sources] class LakeCdfReaderFactory(tableSchema: StructType,
     cdfSchema: StructType, path: String, partCols: Seq[String],
-    aliases: Map[String, String], ignored: Set[String])
+    aliases: Map[String, String], ignored: Set[String],
+    // pre-evolution legs fill a defaulted column's DEFAULT, not null —
+    // the CDF surface is live-named, so the fill matches live reads
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -367,7 +372,8 @@ private[sources] class LakeCdfReaderFactory(tableSchema: StructType,
           aliases, ignored,
           cdfConsts = Map(
             LakeCdf.ChangeTypeCol -> UTF8String.fromString(c.changeType),
-            LakeCdf.CommitVersionCol -> java.lang.Long.valueOf(c.version)))
+            LakeCdf.CommitVersionCol -> java.lang.Long.valueOf(c.version)),
+          defaults = defaults)
       case other => throw new IllegalStateException(
         s"LakeCdfReaderFactory: unexpected partition $other")
     }

@@ -163,6 +163,17 @@ object LakeSink {
       ser
     }
 
+  /** The writer's JSON token for a column DEFAULT value — exactly what
+    * [[serializers]] would emit for the value, so the typed scanner's
+    * one-field decode ([[LakeSinkDefaults.decodeToken]]) is its inverse.
+    * Refuses unsupported column types at DDL time (serializers throws). */
+  private[sources] def defaultToken(
+      f: org.apache.spark.sql.types.StructField, internal: Any): String =
+    if (internal == null) "null"
+    else serializers(StructType(Seq(f)))(0)(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](internal)), 0)
+
   /** The FILE schema of a partitioned write — partition values live in the
     * directory names (Hive layout), not in the rows; Spark's partition
     * discovery restores them on read. */
@@ -341,6 +352,29 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
   }
   override def name(): String = tableName.getOrElse(s"graft_lake_sink($path)")
   override def schema(): StructType = writeSchema
+
+  /** V2 columns with stored DEFAULTs attached: the engine derives the
+    * relation's field metadata (CURRENT_DEFAULT / EXISTS_DEFAULT) from
+    * these, so `INSERT` statements missing a defaulted column get the
+    * CURRENT default folded in by ResolveDefaultColumns — while the
+    * scanner fills files that PREDATE the column with the same folded
+    * value ([[LakeSinkDefaults]]). One declaration, both halves. */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column, ColumnDefaultValue}
+    val byName = LakeSinkFiles.readManifestDefaults(path)
+      .map(d => d._1 -> d).toMap
+    writeSchema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some((_, sql, tok)) =>
+          val v = LakeSinkDefaults.decodeToken(f, tok)
+          V2Column.create(f.name, f.dataType, f.nullable, null,
+            new ColumnDefaultValue(sql,
+              org.apache.spark.sql.graft.ConnectorBridge.literal(v, f.dataType)),
+            null)
+        case None => V2Column.create(f.name, f.dataType, f.nullable)
+      }
+    }
+  }
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     LakePart.parseAll(partCols).map {
@@ -579,7 +613,23 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
     mergeSchema = java.lang.Boolean.parseBoolean(
       options.getOrDefault("mergeSchema", "false")),
     ndvCols = Option(options.get("ndvColumns")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet)
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet,
+    txn = {
+      // idempotent-writer handle (Delta's txnAppId/txnVersion): both or
+      // neither — one alone is a silent no-protection trap
+      val app = Option(options.get("txnAppId")).map(_.trim).filter(_.nonEmpty)
+      val ver = Option(options.get("txnVersion")).map(_.trim.toLong)
+      (app, ver) match {
+        case (Some(a), Some(v)) =>
+          require(a.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+            s"LakeSink: txnAppId must be [A-Za-z0-9_-]+, got '$a' " +
+              "(it names commit markers and staged files)")
+          Some((a, v))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "LakeSink: txnAppId and txnVersion must be given together")
+      }
+    })
 }
 
 /** The write's plan-side contract. Beyond serializer validation, this is
@@ -601,8 +651,13 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     mode: LakeWriteMode, partCols: Seq[String], queryId: String = "",
     sortCols: Seq[String] = Seq.empty, clusterWrite: Boolean = true,
     bloomCols: Map[String, Int] = Map.empty, mergeSchema: Boolean = false,
-    ndvCols: Set[String] = Set.empty)
+    ndvCols: Set[String] = Set.empty,
+    txn: Option[(String, Long)] = None)
     extends Write with RequiresDistributionAndOrdering {
+  // the idempotent handle protects APPENDS (a replayed retire/truncate is
+  // a different, non-idempotent animal) — refuse loudly, never drop
+  require(txn.isEmpty || mode == LakeAppend,
+    s"LakeSink: txnAppId/txnVersion only apply to append writes, not $mode")
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
   // validate at planning so an unsupported type / missing partition
@@ -659,8 +714,15 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, mode,
       java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols,
-      mergeSchema, ndvCols)
-  override def toStreaming: StreamingWrite =
+      mergeSchema, ndvCols, txn)
+  override def toStreaming: StreamingWrite = {
+    // a STREAM has its own exactly-once machinery (queryId-scoped epoch
+    // markers); silently dropping txn options would be the r12
+    // dropped-option anti-pattern — refuse instead
+    require(txn.isEmpty,
+      "LakeSink: txnAppId/txnVersion are batch-write options — streaming " +
+        "writes are exactly-once per query already (use foreachBatch for " +
+        "an idempotent batch append keyed on the batch id)")
     // mergeSchema on a stream: a restarted query whose upstream gained a
     // column evolves the manifest at its FIRST committed epoch, through
     // the same reconcileManifest path batch appends use. A query's schema
@@ -672,6 +734,7 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     // redelivered epochs discard before ever touching the manifest.
     new LakeSinkStreamingWrite(schema, path, partCols, queryId, bloomCols,
       mergeSchema, ndvCols)
+  }
 }
 
 private[graft] object LakeSinkFiles {
@@ -701,9 +764,17 @@ private[graft] object LakeSinkFiles {
       dropped: Seq[String] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
       partHistory: Seq[String] = Seq.empty,
-      tableProps: Seq[(String, String)] = Seq.empty): Unit = {
+      tableProps: Seq[(String, String)] = Seq.empty,
+      defaults: Seq[(String, String, String)] = Seq.empty): Unit = {
     val renBody = renames.toSeq.sortBy(_._1)
       .map { case (l, ps) => s"$l=${ps.mkString("|")}" }.mkString(";")
+    // column DEFAULTs: (name, declared SQL, writer-token of the folded
+    // value) triples — the token is EXACTLY what the writer would emit
+    // for the value, so the scanner's typed decode is its inverse.
+    // REMEMBER (r13 lesson): a new manifest field needs every
+    // writeManifest call site — all 8 pass `defaults` explicitly.
+    val defBody = defaults
+      .map { case (n, sql, tok) => s"$n\u0001$sql\u0001$tok" }.mkString("\u0002")
     // (name, CHECK predicate SQL) pairs — control-char separators survive
     // jsonEscape and can appear in neither identifiers nor SQL text
     val conBody = constraints
@@ -720,6 +791,8 @@ private[graft] object LakeSinkFiles {
         s""","partColsHistory":"${LakeSink.jsonEscape(partHistory.mkString(";"))}"""" else "") +
       (if (tableProps.nonEmpty)
         s""","tblprops":"${LakeSink.jsonEscape(propBody)}"""" else "") +
+      (if (defaults.nonEmpty)
+        s""","defaults":"${LakeSink.jsonEscape(defBody)}"""" else "") +
       "}"
     val tmp = Paths.get(path, s".schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -773,6 +846,26 @@ private[graft] object LakeSinkFiles {
       .split("\u0002").iterator.filter(_.nonEmpty).map { e =>
         val i = e.indexOf('\u0001')
         e.substring(0, i) -> e.substring(i + 1)
+      }.toSeq
+  }
+
+  /** Stored column DEFAULTs: (logical name, declared SQL, writer-token of
+    * the folded value) in definition order. The token feeds the scanner's
+    * EXISTS-default fill (files written before the column existed — or by
+    * a legal subset writer — read the default instead of null; an
+    * EXPLICIT null in a file stays null); the SQL feeds the engine's
+    * CURRENT-default INSERT filling through [[LakeSinkTable.columns]].
+    * Defaults are immutable per column (ALTER COLUMN SET DEFAULT is
+    * refused), so live defaults are historically exact for snapshots. */
+  def readManifestDefaults(path: String): Seq[(String, String, String)] = {
+    val p = manifestPath(path)
+    if (!Files.isRegularFile(p)) return Seq.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    if (!json.contains(""""defaults":"""")) return Seq.empty
+    jsonField(json, "defaults", s"manifest at $p")
+      .split("\u0002").iterator.filter(_.nonEmpty).map { e =>
+        val parts = e.split("\u0001", 3)
+        (parts(0), parts(1), parts(2))
       }.toSeq
   }
 
@@ -877,7 +970,12 @@ private[graft] object LakeSinkFiles {
               "— DROP CONSTRAINT first or keep the column")
         }
         writeManifest(path, schema, partCols, constraints = kept,
-          tableProps = readManifestProps(path))
+          tableProps = readManifestProps(path),
+          // defaults are PER-COLUMN state: keep those whose column
+          // survives the replacing schema (a dropped column's default is
+          // meaningless, unlike a CHECK, which references and refuses)
+          defaults = readManifestDefaults(path)
+            .filter(d => schema.fieldNames.contains(d._1)))
       case Some((existing, exParts)) =>
         require(exParts == partCols,
           s"LakeSink: append partitioning ${partCols.mkString(",")} does not " +
@@ -902,7 +1000,7 @@ private[graft] object LakeSinkFiles {
           LakeSink.serializers(LakeSink.dataSchema(merged, partCols))
           writeManifest(path, merged, partCols, ren, drp,
             readManifestConstraints(path), readManifestPartHistory(path),
-            readManifestProps(path))
+            readManifestProps(path), readManifestDefaults(path))
         } else require(unknown.isEmpty,
           s"LakeSink: appended columns ${unknown.mkString(",")} are not in the " +
             "table schema — evolve it first (ALTER TABLE ... ADD COLUMNS) " +
@@ -992,10 +1090,12 @@ private[graft] object LakeSinkFiles {
   //
   // `_graft_sorted.json` maps each committed RELATIVE file name to the
   // sort columns its write's `sortBy` ordered it by. SOUND BY
-  // CONSTRUCTION: entries are added ONLY by the batch commit of a write
-  // that declared `sortBy` (the one path that actually sorts); files from
-  // every other producer (streaming epochs, ReplaceData, delta DML,
-  // compaction's concatenating merges, Z-order's own ordering) simply
+  // CONSTRUCTION: entries are added ONLY by producers that actually
+  // order their output — the batch commit of a write that declared
+  // `sortBy`, and COMPACTION when every input of a merged group carried
+  // the same claim (it k-way-merges on the key and re-declares; see
+  // LakeMaintenance.compact). Files from every other producer (streaming
+  // epochs, ReplaceData, delta DML, Z-order's own ordering) simply
   // never appear, so no invalidation logic exists to forget. Consumed by
   // [[LakeSinkScan.outputOrdering]]: a scan whose every input partition
   // is ONE ledgered file (immutable once committed) reports the recorded
@@ -1363,19 +1463,39 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     sortCols: Seq[String] = Seq.empty,
     bloomCols: Map[String, Int] = Map.empty,
     mergeSchema: Boolean = false,
-    ndvCols: Set[String] = Set.empty) extends BatchWrite {
+    ndvCols: Set[String] = Set.empty,
+    txn: Option[(String, Long)] = None) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   // boolean-compat constructor (tests / streaming paths built pre-modes)
   def this(schema: StructType, path: String, truncateFirst: Boolean,
       writeId: String, partCols: Seq[String]) =
     this(schema, path, if (truncateFirst) LakeTruncate else LakeAppend,
       writeId, partCols)
+  // an idempotent write's TAG is deterministic from (appId, version): a
+  // crash-replayed attempt stages and promotes the SAME final names
+  // (promote REPLACE_EXISTINGs → convergence, the streaming-epoch trick),
+  // so no window between promote and the marker can duplicate rows
+  private val tag = txn match {
+    case Some((a, v)) => s"txn$a-$v"
+    case None         => s"b$writeId"
+  }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeSinkWriterFactory(schema, path, s"b$writeId", partCols, bloomCols,
+    new LakeSinkWriterFactory(schema, path, tag, partCols, bloomCols,
       ndvCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
     val staged = committed.flatMap(_.staged)
+    // idempotent-writer replay check (Delta's txnAppId/txnVersion): a
+    // marker for this (appId, version) pair means a PREVIOUS attempt
+    // fully committed — discard the re-run, record nothing (the no-op is
+    // observable: no new version in .history)
+    val txnMarker = txn.map { case (a, v) =>
+      LakeSinkFiles.commitsDir(path).resolve(s"txn-$a-$v") }
+    if (txnMarker.exists(Files.exists(_))) {
+      LakeSinkFiles.discard(path, staged)
+      LakeSinkFiles.sweep(path, tag)
+      return
+    }
     val removed: Seq[String] = mode match {
       case LakeAppend   => Seq.empty
       case LakeTruncate => LakeSinkFiles.truncateDest(path)
@@ -1411,12 +1531,22 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     if (sortCols.nonEmpty)
       LakeSinkFiles.updateSorted(path, staged.map(_ -> sortCols).toMap, Seq.empty)
     LakeSinkFiles.recordVersion(path, staged, removed)
+    // the txn marker is written LAST, via temp + atomic move: a crash
+    // anywhere earlier leaves no marker, and the replay's deterministic
+    // names re-converge the partial state before committing it
+    txnMarker.foreach { m =>
+      val tmp = LakeSinkFiles.commitsDir(path)
+        .resolve(s".${m.getFileName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.write(tmp, staged.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
       messages.collect { case c: LakeSinkCommit => c.staged }.toSeq.flatten)
-    LakeSinkFiles.sweep(path, s"b$writeId")
+    LakeSinkFiles.sweep(path, tag)
   }
 }
 

@@ -882,7 +882,8 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
     // executors inside the factory
     val (aliases, ignored) =
       evolution.getOrElse(LakeSinkFiles.readManifestEvolution(path))
-    new LakeSinkReaderFactory(fullSchema, required, partCols, aliases, ignored)
+    new LakeSinkReaderFactory(fullSchema, required, partCols, aliases, ignored,
+      LakeSinkDefaults.internalMap(path, LakeSink.dataSchema(fullSchema, partCols)))
   }
 
   override def toMicroBatchStream(checkpointLocation: String):
@@ -1016,7 +1017,8 @@ private[sources] class LakeSinkMicroBatchStream(fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (aliases, ignored) = LakeSinkFiles.readManifestEvolution(path)
-    new LakeSinkReaderFactory(fullSchema, required, partCols, aliases, ignored)
+    new LakeSinkReaderFactory(fullSchema, required, partCols, aliases, ignored,
+      LakeSinkDefaults.internalMap(path, LakeSink.dataSchema(fullSchema, partCols)))
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1094,12 +1096,16 @@ private[sources] case class LakeSinkGroupPartition(
 private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
     required: StructType, partCols: Seq[String],
     aliases: Map[String, String] = Map.empty,
-    ignored: Set[String] = Set.empty) extends PartitionReaderFactory {
+    ignored: Set[String] = Set.empty,
+    // EXISTS-default fill by logical name, resolved at planning on the
+    // driver (see LakeSinkDefaults.internalMap) and shipped to executors
+    defaults: Map[String, Any] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: LakeSinkInputPartition =>
         new LakeSinkPartitionReader(p.file, fullSchema, required, partCols,
-          p.partValues, p.deletes, p.includeOnly, aliases, ignored)
+          p.partValues, p.deletes, p.includeOnly, aliases, ignored,
+          defaults = defaults)
       case g: LakeSinkGroupPartition =>
         // chain the directory's files sequentially in one task
         new PartitionReader[InternalRow] {
@@ -1113,7 +1119,7 @@ private[sources] class LakeSinkReaderFactory(fullSchema: StructType,
               if (i >= g.files.length) return false
               cur = new LakeSinkPartitionReader(g.files(i).file, fullSchema,
                 required, partCols, g.files(i).partValues, g.files(i).deletes,
-                g.files(i).includeOnly, aliases, ignored)
+                g.files(i).includeOnly, aliases, ignored, defaults = defaults)
             }
             true
           }
@@ -1138,10 +1144,12 @@ private[sources] class LakeSinkPartitionReader(file: String,
     ignored: Set[String] = Set.empty,
     // CDF mode: per-partition constant columns (internal representation)
     // the change-feed reader appends — _change_type / _commit_version
-    cdfConsts: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
+    cdfConsts: Map[String, Any] = Map.empty,
+    // EXISTS-default fill by logical name (see LakeSinkDefaults)
+    defaults: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
 
   private val dataSchema = LakeSink.dataSchema(fullSchema, partCols)
-  private val parser = new JsonLineParser(dataSchema, aliases, ignored)
+  private val parser = new JsonLineParser(dataSchema, aliases, ignored, defaults)
   private val parsed = new Array[Any](dataSchema.length)
 
   // typed partition values, decoded once per file
@@ -1476,9 +1484,44 @@ private[sources] class LakeSinkDeltaWriter(schema: StructType, path: String,
   * written before a RENAME carry) to their logical column; `ignored`
   * lists physical names a DROP COLUMN left behind in old files — their
   * values are skipped, any other unknown field still fails loudly. */
+/** Decoding side of column DEFAULT values (see
+  * [[LakeSinkFiles.readManifestDefaults]]): the stored token is the exact
+  * writer encoding of the folded default, so the one-field typed parse
+  * below is its inverse — zero new codec rules. */
+private[sources] object LakeSinkDefaults {
+
+  /** The default's INTERNAL value under `f`'s (possibly widened) type. */
+  def decodeToken(f: org.apache.spark.sql.types.StructField, token: String): Any = {
+    val p = new JsonLineParser(StructType(Seq(f)))
+    val out = new Array[Any](1)
+    p.parse(s"""{"${LakeSink.jsonEscape(f.name)}":$token}""", out)
+    out(0)
+  }
+
+  /** logical name → internal default value, typed by `schema` (columns
+    * absent from the schema — dropped, or not yet added in a snapshot's
+    * generation — do not participate; a NULL default ≡ the plain
+    * null-fill and is dropped too). Driver-side: the result is captured
+    * by reader factories and shipped to executors. */
+  def internalMap(path: String, schema: StructType): Map[String, Any] = {
+    val ds = LakeSinkFiles.readManifestDefaults(path)
+    if (ds.isEmpty) return Map.empty
+    ds.iterator.flatMap { case (n, _, tok) =>
+      schema.fields.find(_.name == n).flatMap { f =>
+        Option(decodeToken(f, tok)).map(v => n -> v)
+      }
+    }.toMap
+  }
+}
+
 private[sources] final class JsonLineParser(schema: StructType,
     aliases: Map[String, String] = Map.empty,
-    ignored: Set[String] = Set.empty) {
+    ignored: Set[String] = Set.empty,
+    // EXISTS-default fill (internal values by logical name): a field
+    // ABSENT from a line reads its default — the writer always emits
+    // explicit nulls for every column it writes, so absence means "file
+    // predates the column (or a legal subset append)", never "null row"
+    defaults: Map[String, Any] = Map.empty) {
   private val fieldIdx: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, i) }
@@ -1489,6 +1532,15 @@ private[sources] final class JsonLineParser(schema: StructType,
     m
   }
   private val types: Array[DataType] = schema.fields.map(_.dataType)
+  // per-parse prefill: defaults at defaulted positions, null elsewhere
+  private val template: Array[AnyRef] = {
+    val t = new Array[AnyRef](schema.length)
+    defaults.foreach { case (n, v) =>
+      val i = fieldIdx.get(n)
+      if (i != null) t(i) = v.asInstanceOf[AnyRef]
+    }
+    t
+  }
 
   private def fail(line: String, pos: Int, what: String): Nothing =
     throw new IllegalArgumentException(
@@ -1535,7 +1587,7 @@ private[sources] final class JsonLineParser(schema: StructType,
   /** Parse one line into `out` (length = schema size, filled with the
     * InternalRow representation: UTF8String / micros-Long / primitives). */
   def parse(line: String, out: Array[Any]): Unit = {
-    java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], null)
+    System.arraycopy(template, 0, out.asInstanceOf[Array[AnyRef]], 0, template.length)
     var i = 0
     if (line.isEmpty || line.charAt(i) != '{') fail(line, i, "expected '{'")
     i += 1
@@ -1553,6 +1605,9 @@ private[sources] final class JsonLineParser(schema: StructType,
       line.charAt(i) match {
         case 'n' =>
           if (!line.startsWith("null", i)) fail(line, i, "expected null")
+          // EXPLICIT null overwrites a default prefill (defaults apply
+          // only to ABSENT fields)
+          if (fi != null) out(fi) = null
           i += 4
         case 't' =>
           if (!line.startsWith("true", i)) fail(line, i, "expected true")

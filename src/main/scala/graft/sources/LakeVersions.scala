@@ -229,6 +229,11 @@ object LakeMaintenance {
     // evolution state captured driver-side: the materialize parser must
     // decode pre-rename physical names in old files (shipped to executors)
     val (evoAliases, evoIgnored) = LakeSinkFiles.readManifestEvolution(path)
+    // column DEFAULTs too: a pre-evolution file's rows READ the default
+    // for a field they lack, so the materialize path's FRESH stats
+    // trackers must see the filled value — recording nulls=rows would
+    // poison count(col) pushdown for the rewritten file
+    val evoDefaults = LakeSinkDefaults.internalMap(path, dataSchema)
     // one merge task per compacted partition directory; a group whose
     // originals carry delete vectors takes the MATERIALIZE path: survivor
     // lines are copied AND re-parsed through fresh stats/count trackers,
@@ -257,10 +262,32 @@ object LakeMaintenance {
         case (n, cs) if cs.ndv.isDefined => n
       })).toSet
     }
+    // SORTEDNESS preservation: when EVERY input of a group carries the
+    // SAME sorted-ledger claim, the merge is a K-WAY MERGE on the claimed
+    // key instead of a concatenation, and the output re-declares the
+    // claim — routine maintenance must not silently demote t58's
+    // zero-exchange-zero-sort merge joins back to sorting. (Z-order
+    // rightly DROPS claims: it reorders by the z-value, not the key.)
+    // Each entry: (recorded claim for re-declaration, live key columns
+    // for comparison — recorded names pre-date renames).
+    val sortedLedger = LakeSinkFiles.readSorted(path)
+    val groupSorted: Seq[Option[(Seq[String], Seq[String])]] =
+      groups.map { case (_, rels) =>
+        val claims = rels.map(sortedLedger.get)
+        if (claims.forall(_.isDefined) && claims.flatten.distinct.size == 1 &&
+            claims.head.get.nonEmpty) {
+          val recorded = claims.head.get
+          val live = recorded.map(c => evoAliases.getOrElse(c, c))
+          if (live.forall(dataSchema.fieldNames.contains))
+            Some((recorded, live))
+          else None // a claim column was dropped — decline, stay sound
+        } else None
+      }
     val staged: Seq[(String, Option[(Long, String)])] = spark.sparkContext
-      .parallelize(groups.zip(groupBloomCols).zip(groupNdvCols).zipWithIndex,
+      .parallelize(
+        groups.zip(groupBloomCols).zip(groupNdvCols).zip(groupSorted).zipWithIndex,
         groups.size)
-      .map { case ((((dirRel, rels), gBloom), gNdv), i) =>
+      .map { case (((((dirRel, rels), gBloom), gNdv), gSort), i) =>
         val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
         val stagedRel = s"${prefix}part-c$tag-$i.json.gz"
         val out = LakeSinkFiles.stagingDir(path).resolve(s"$stagedRel.inprogress")
@@ -270,7 +297,8 @@ object LakeMaintenance {
           if (materialize) LakeSinkStats.trackers(dataSchema, gBloom, gNdv)
           else Array.empty[Option[LakeSinkStats.ColTracker]]
         val parser =
-          if (materialize) new JsonLineParser(dataSchema, evoAliases, evoIgnored)
+          if (materialize)
+            new JsonLineParser(dataSchema, evoAliases, evoIgnored, evoDefaults)
           else null
         val parsed = new Array[Any](dataSchema.length)
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(parsed)
@@ -279,44 +307,143 @@ object LakeMaintenance {
           new FileOutputStream(out.toFile)))
         try {
           val buf = new Array[Byte](1 << 16)
-          rels.sorted.foreach { rel =>
-            if (materialize) {
-              val vec = dels.getOrElse(rel, Array.empty[Long])
-              val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-                new GZIPInputStream(new BufferedInputStream(
-                  Files.newInputStream(Paths.get(path).resolve(rel)))),
-                java.nio.charset.StandardCharsets.UTF_8))
-              try {
-                var pos = 0L
-                var di = 0
-                var line = in.readLine()
-                while (line != null) {
-                  while (di < vec.length && vec(di) < pos) di += 1
-                  if (di >= vec.length || vec(di) != pos) {
-                    os.write((line + "\n").getBytes(
-                      java.nio.charset.StandardCharsets.UTF_8))
-                    liveRows += 1
-                    parser.parse(line, parsed)
-                    var c = 0
-                    while (c < trackers.length) {
-                      if (trackers(c).isDefined) {
-                        if (row.isNullAt(c)) trackers(c).get.nullSeen()
-                        else trackers(c).get.update(row, c)
-                      }
-                      c += 1
+          gSort match {
+            case Some((_, liveCols)) =>
+              // K-WAY MERGE on the claimed key: inputs are individually
+              // sorted (sound by the ledger's construction), so merging
+              // by a comparator that REFINES Spark's sort order keeps
+              // the output Spark-sorted; ties break by file index for
+              // determinism. Per-line key parse is the price — paid only
+              // when compacting sortBy tables.
+              val keyIdx = liveCols.map(dataSchema.fieldIndex).toArray
+              val keyTypes = keyIdx.map(dataSchema.fields(_).dataType)
+              def cmpVal(dt: org.apache.spark.sql.types.DataType,
+                  a: Any, b: Any): Int =
+                if (a == null && b == null) 0
+                else if (a == null) -1 // ascending ⇒ NULLS FIRST (writer's order)
+                else if (b == null) 1
+                else dt match {
+                  case org.apache.spark.sql.types.LongType |
+                       org.apache.spark.sql.types.TimestampType =>
+                    java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+                  case org.apache.spark.sql.types.IntegerType |
+                       org.apache.spark.sql.types.DateType =>
+                    java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+                  case org.apache.spark.sql.types.DoubleType =>
+                    java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+                  case org.apache.spark.sql.types.FloatType =>
+                    java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+                  case org.apache.spark.sql.types.BooleanType =>
+                    java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+                  case org.apache.spark.sql.types.StringType =>
+                    a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                      .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+                  case other => throw new UnsupportedOperationException(
+                    s"LakeSink compaction: unorderable sort-key type $other")
+                }
+              final class Cursor(val fileIdx: Int, rel: String) {
+                private val vec = dels.getOrElse(rel, Array.empty[Long])
+                private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+                  new GZIPInputStream(new BufferedInputStream(
+                    Files.newInputStream(Paths.get(path).resolve(rel)))),
+                  java.nio.charset.StandardCharsets.UTF_8))
+                private val myParser =
+                  new JsonLineParser(dataSchema, evoAliases, evoIgnored, evoDefaults)
+                val parsedArr = new Array[Any](dataSchema.length)
+                val rowView = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(parsedArr)
+                var line: String = _
+                private var pos = -1L
+                private var di = 0
+                def advance(): Boolean = {
+                  while (true) {
+                    line = in.readLine()
+                    if (line == null) { in.close(); return false }
+                    pos += 1
+                    while (di < vec.length && vec(di) < pos) di += 1
+                    if (di >= vec.length || vec(di) != pos) {
+                      myParser.parse(line, parsedArr)
+                      return true
                     }
                   }
-                  pos += 1
-                  line = in.readLine()
+                  false // unreachable
                 }
-              } finally in.close()
-            } else { // fast path: verbatim gzip-member byte copy
-              val is = new GZIPInputStream(new BufferedInputStream(
-                Files.newInputStream(Paths.get(path).resolve(rel))))
+                def close(): Unit = in.close()
+              }
+              val cmp = new java.util.Comparator[Cursor] {
+                override def compare(x: Cursor, y: Cursor): Int = {
+                  var k = 0
+                  while (k < keyIdx.length) {
+                    val c = cmpVal(keyTypes(k),
+                      x.parsedArr(keyIdx(k)), y.parsedArr(keyIdx(k)))
+                    if (c != 0) return c
+                    k += 1
+                  }
+                  java.lang.Integer.compare(x.fileIdx, y.fileIdx)
+                }
+              }
+              val heap = new java.util.PriorityQueue[Cursor](rels.size.max(1), cmp)
+              val cursors = rels.sorted.zipWithIndex
+                .map { case (rel, fi) => new Cursor(fi, rel) }
               try {
-                var n = is.read(buf)
-                while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = is.read(buf) }
-              } finally is.close()
+                cursors.foreach(c => if (c.advance()) heap.add(c))
+                while (!heap.isEmpty) {
+                  val c = heap.poll()
+                  os.write((c.line + "\n").getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+                  liveRows += 1
+                  if (materialize) {
+                    var t = 0
+                    while (t < trackers.length) {
+                      if (trackers(t).isDefined) {
+                        if (c.rowView.isNullAt(t)) trackers(t).get.nullSeen()
+                        else trackers(t).get.update(c.rowView, t)
+                      }
+                      t += 1
+                    }
+                  }
+                  if (c.advance()) heap.add(c)
+                }
+              } finally cursors.foreach(c =>
+                try c.close() catch { case _: java.io.IOException => () })
+            case None => rels.sorted.foreach { rel =>
+              if (materialize) {
+                val vec = dels.getOrElse(rel, Array.empty[Long])
+                val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+                  new GZIPInputStream(new BufferedInputStream(
+                    Files.newInputStream(Paths.get(path).resolve(rel)))),
+                  java.nio.charset.StandardCharsets.UTF_8))
+                try {
+                  var pos = 0L
+                  var di = 0
+                  var line = in.readLine()
+                  while (line != null) {
+                    while (di < vec.length && vec(di) < pos) di += 1
+                    if (di >= vec.length || vec(di) != pos) {
+                      os.write((line + "\n").getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8))
+                      liveRows += 1
+                      parser.parse(line, parsed)
+                      var c = 0
+                      while (c < trackers.length) {
+                        if (trackers(c).isDefined) {
+                          if (row.isNullAt(c)) trackers(c).get.nullSeen()
+                          else trackers(c).get.update(row, c)
+                        }
+                        c += 1
+                      }
+                    }
+                    pos += 1
+                    line = in.readLine()
+                  }
+                } finally in.close()
+              } else { // fast path: verbatim gzip-member byte copy
+                val is = new GZIPInputStream(new BufferedInputStream(
+                  Files.newInputStream(Paths.get(path).resolve(rel))))
+                try {
+                  var n = is.read(buf)
+                  while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = is.read(buf) }
+                } finally is.close()
+              }
             }
           }
         } finally os.close()
@@ -386,6 +513,15 @@ object LakeMaintenance {
       }
     }.toMap
     LakeSinkStats.updateBlobs(path, mergedStats, Seq.empty)
+    // sorted claims: a k-way-merged group's output re-declares the
+    // originals' RECORDED column list (read-time alias translation keeps
+    // working); concatenated groups stay unclaimed as before
+    val mergedSorted = groups.zip(groupSorted).zipWithIndex.flatMap {
+      case (((dirRel, _), sc), i) =>
+        val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
+        sc.map { case (recorded, _) => s"${prefix}part-c$tag-$i.json.gz" -> recorded }
+    }.toMap
+    LakeSinkFiles.updateSorted(path, mergedSorted, Seq.empty)
     val removed = LakeSinkFiles.retire(path, groups.flatMap(_._2).map(rel =>
       root.resolve(rel).toString))
     LakeSinkFiles.recordVersion(path, stagedNames, removed)
@@ -738,8 +874,12 @@ object LakeMaintenance {
       // temporal pruning matches each file's own generation (a superset
       // history is safe — consumers match what they need; review r13)
       LakeSinkFiles.readManifestPartHistory(srcPath),
-      // operational config travels with the table on BOTH clone forms
-      LakeSinkFiles.readManifestProps(srcPath))
+      // operational config travels with the table on BOTH clone forms;
+      // defaults filter to the cloned schema (a version clone may predate
+      // a defaulted column)
+      LakeSinkFiles.readManifestProps(srcPath),
+      LakeSinkFiles.readManifestDefaults(srcPath)
+        .filter(d => schema.fieldNames.contains(d._1)))
     LakeSinkFiles.recordVersion(dstPath, files, Seq.empty)
     files.size
   }
@@ -930,8 +1070,11 @@ object LakeMaintenance {
       // constraint set survives a restore (matching Delta's RESTORE)
       constraints = LakeSinkFiles.readManifestConstraints(path),
       partHistory = hist,
-      // operational config is likewise orthogonal to the rollback
-      tableProps = LakeSinkFiles.readManifestProps(path))
+      // operational config is likewise orthogonal to the rollback;
+      // defaults filter to the restored schema
+      tableProps = LakeSinkFiles.readManifestProps(path),
+      defaults = LakeSinkFiles.readManifestDefaults(path)
+        .filter(d => sch.fieldNames.contains(d._1)))
     // 4. ledgers SET from the target's recorded snapshots (files are
     // immutable, so re-adding still-live entries is idempotent; a legacy
     // record without snapshots degrades to scan fallback, never a guess)
@@ -998,7 +1141,8 @@ object LakeMaintenance {
       .distinct.filterNot(_ == newPartCols.mkString(","))
     LakeSinkFiles.writeManifest(path, schema, newPartCols, ren, drp,
       LakeSinkFiles.readManifestConstraints(path), hist,
-      LakeSinkFiles.readManifestProps(path))
+      LakeSinkFiles.readManifestProps(path),
+      LakeSinkFiles.readManifestDefaults(path))
     // a spec change is a version transition: snapshots at or before it
     // keep the pre-evolution spec (recordVersion snapshots the manifest)
     LakeSinkFiles.recordVersion(path)

@@ -390,5 +390,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-vectorize the HOF dot/sqdist idioms into the strict kernels —
     // semantics-preserving on all inputs (see VectorKernelRule)
     ext.injectOptimizerRule(_ => VectorKernelRule)
+    // stored SQL views over lake tables (parser DDL hook + resolution
+    // substitution — see graft.plans.GraftViewRules)
+    new graft.plans.GraftViewExtensions().apply(ext)
   }
 }

@@ -774,6 +774,116 @@ class GraftCatalogSpec extends GraftSpec {
     }
   }
 
+  test("compaction preserves sortedness: claimed groups k-way merge and re-declare") {
+    val lake = tmp("graft_cat_csort")
+    withCatalog(lake) {
+      import spark.implicits._
+      // two sortBy commits per table → 2 claimed files per bucket dir
+      def mk(name: String, sortedSecond: Boolean): Unit = {
+        val rows = scala.util.Random.shuffle((0 until 600).map(i => (i.toLong, i * 2L))).toSeq
+        val (evens, odds) = rows.partition(_._1 % 2 == 0)
+        evens.toDF("id", "v").writeTo(s"graft.lake.$name")
+          .partitionedBy(org.apache.spark.sql.functions.bucket(4, col("id")))
+          .option("sortBy", "id").create()
+        val w = odds.toDF("id", "v").writeTo(s"graft.lake.$name")
+        (if (sortedSecond) w.option("sortBy", "id") else w).append()
+      }
+      mk("csl", sortedSecond = true)
+      mk("csr", sortedSecond = true)
+      mk("csu", sortedSecond = false) // one UNSORTED input file per dir
+      def planCounts(df: DataFrame): (Int, Int, Int) = {
+        import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        var (sh, so, smj) = (0, 0, 0)
+        def walk(pl: SparkPlan): Unit = {
+          pl match {
+            case _: ShuffleExchangeLike   => sh += 1
+            case _: SortExec              => so += 1
+            case _: SortMergeJoinExec     => smj += 1
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec        => walk(q.plan)
+            case _                        =>
+          }
+          pl.children.foreach(walk)
+        }
+        df.collect()
+        walk(df.queryExecution.executedPlan)
+        (sh, so, smj)
+      }
+      def joined(r: String) = spark.table("graft.lake.csl")
+        .join(spark.table(s"graft.lake.$r"), Seq("id"))
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prevB: Option[String] =
+        if (org.apache.spark.sql.internal.SQLConf.get.contains(key))
+          Some(spark.conf.get(key)) else None
+      val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(key, "true")
+        val expected = canon(joined("csr"))
+        // precondition: multi-file buckets can't report ordering → sorts
+        val (_, soPre, smjPre) = planCounts(joined("csr"))
+        assert(smjPre > 0 && soPre > 0,
+          s"precondition: pre-compaction multi-file groups must sort ($soPre)")
+        // COMPACT both sides: every group's inputs carry the same claim →
+        // k-way merge + re-declared claim
+        graft.sources.LakeMaintenance.compact(spark, s"$lake/csl")
+        graft.sources.LakeMaintenance.compact(spark, s"$lake/csr")
+        // the configured effect, asserted directly (r13 lesson): the
+        // ledger claims exactly the live merged files…
+        val claimed = graft.sources.LakeSinkFiles.readSorted(s"$lake/csr")
+        val live = graft.sources.LakeSinkFiles.listLive(s"$lake/csr",
+          Seq("bucket(4,id)")).map(_._1.toString)
+        assert(claimed.keySet == live.map(f =>
+          java.nio.file.Paths.get(s"$lake/csr").relativize(
+            java.nio.file.Paths.get(f)).toString).toSet &&
+          claimed.values.forall(_ == Seq("id")), claimed.toString)
+        // …and each merged file is GENUINELY ascending row-by-row
+        val perFile = spark.read.format("graft.sources.LakeSink").load(s"$lake/csr")
+          .select(col("_file"), col("_pos"), col("id"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1)
+        perFile.values.foreach { rows =>
+          val byPos = rows.sortBy(_._2).map(_._3).toSeq
+          assert(byPos == byPos.sorted, s"merged file not sorted: ${byPos.take(10)}")
+        }
+        // the t58 plan property SURVIVES maintenance: zero exchanges AND
+        // zero sorts, identical rows
+        val (sh1, so1, smj1) = planCounts(joined("csr"))
+        assert(smj1 > 0 && sh1 == 0 && so1 == 0,
+          s"post-compaction sorted SPJ must stay sort-free, got sh=$sh1 so=$so1:\n" +
+            joined("csr").queryExecution.executedPlan.toString.take(1500))
+        assert(canon(joined("csr")) == expected)
+        // unsorted-input control: a group containing ONE unclaimed file
+        // declines — no claim on its merged output, the join sorts
+        graft.sources.LakeMaintenance.compact(spark, s"$lake/csu")
+        assert(graft.sources.LakeSinkFiles.readSorted(s"$lake/csu").isEmpty,
+          "a group with an unsorted input must not claim its merge")
+        val (_, soU, smjU) = planCounts(joined("csu"))
+        assert(smjU > 0 && soU > 0, s"unsorted control must sort ($soU)")
+        // merge-on-read vectors: deleted rows vanish from the merged file,
+        // the claim still re-declares, the counts ledger stays exact
+        val prevMode = spark.conf.getOption("spark.graft.lake.dml.mode")
+        try {
+          spark.conf.set("spark.graft.lake.dml.mode", "mor")
+          spark.sql("DELETE FROM graft.lake.csl WHERE id < 100")
+        } finally prevMode.fold(spark.conf.unset("spark.graft.lake.dml.mode"))(
+          v => spark.conf.set("spark.graft.lake.dml.mode", v))
+        graft.sources.LakeMaintenance.compact(spark, s"$lake/csl")
+        assert(graft.sources.LakeSinkFiles.readSorted(s"$lake/csl").nonEmpty)
+        assert(spark.table("graft.lake.csl").count() == 500L)
+        val (sh2, so2, smj2) = planCounts(joined("csr"))
+        assert(smj2 > 0 && sh2 == 0 && so2 == 0,
+          "vector-materializing sorted compaction must keep the claim")
+      } finally {
+        prevB.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      }
+    }
+  }
+
   test("days(ts) hidden partitioning: UTC day dirs, ts-predicate dir pruning, round trip") {
     val lake = tmp("graft_cat_days")
     withCatalog(lake) {

@@ -15,6 +15,9 @@ object GraftSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // view machinery only — NOT the umbrella GraftExtensions, whose
+      // VectorKernelRule is A/B-tested per-spec via experimental
+      .config("spark.sql.extensions", "graft.plans.GraftViewExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

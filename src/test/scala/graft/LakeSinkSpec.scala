@@ -504,6 +504,110 @@ class LakeSinkSpec extends GraftSpec {
     assert(LakeSinkFiles.readManifest(out).get._1.fieldNames.toSeq == Seq("v", "w"))
   }
 
+  test("txnAppId/txnVersion: replayed appends no-op; crash-before-marker converges") {
+    import spark.implicits._
+    val out = tmp("graft_sink_txn")
+    def write(v: Long, rows: Seq[Long]): Unit =
+      rows.toDF("id").repartition(2).write.format("graft.sources.LakeSink")
+        .mode("append").option("txnAppId", "job_1")
+        .option("txnVersion", v.toString).save(out)
+    def count: Long =
+      spark.read.format("graft.sources.LakeSink").load(out).count()
+    write(1, 1L to 10L)
+    val versionsAfter1 = LakeSinkFiles.listVersions(out).size
+    // a FULL replay of the same (appId, version) pair must no-op: zero
+    // duplicate rows AND no new version record (.history-observable)
+    write(1, 1L to 10L)
+    assert(count == 10L, "replayed txn append duplicated rows")
+    assert(LakeSinkFiles.listVersions(out).size == versionsAfter1,
+      "a no-op'd replay must not record a version")
+    assert(stagingFiles(out).isEmpty, "the replay's staged files must drain")
+    write(2, 11L to 15L)
+    assert(count == 15L)
+    // CRASH WINDOW: marker removed after a successful commit simulates a
+    // crash between promote and marker — the replay's DETERMINISTIC file
+    // names re-converge the promoted state instead of duplicating
+    write(3, 16L to 20L)
+    assert(count == 20L)
+    val marker = LakeSinkFiles.commitsDir(out).resolve("txn-job_1-3")
+    assert(Files.exists(marker), "txn commit must leave its marker")
+    Files.delete(marker)
+    write(3, 16L to 20L)
+    assert(count == 20L,
+      "crash-before-marker replay must converge on the same file names")
+    assert(Files.exists(marker), "the converging replay re-writes the marker")
+    // refusals: one option alone, bad appId, txn on truncate
+    import spark.implicits._
+    val e1 = intercept[Exception](Seq(1L).toDF("id")
+      .write.format("graft.sources.LakeSink").mode("append")
+      .option("txnAppId", "solo").save(out))
+    assert(e1.getMessage.contains("together"), e1.getMessage)
+    val e2 = intercept[Exception](Seq(1L).toDF("id")
+      .write.format("graft.sources.LakeSink").mode("append")
+      .option("txnAppId", "bad/app").option("txnVersion", "1").save(out))
+    assert(e2.getMessage.contains("txnAppId"), e2.getMessage)
+    val e3 = intercept[Exception](Seq(1L).toDF("id")
+      .write.format("graft.sources.LakeSink").mode("overwrite")
+      .option("txnAppId", "job_1").option("txnVersion", "9").save(out))
+    assert(e3.getMessage.contains("append"), e3.getMessage)
+    assert(count == 20L, "refused writes must not mutate the table")
+  }
+
+  test("foreachBatch + txn: a crash between sink commit and checkpoint replays exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val out = tmp("graft_sink_fbtxn")
+    val ckpt = tmp("graft_sink_fbtxn_ck")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    ms.addData(1L to 10L: _*)
+    @volatile var planted = false
+    def start() = ms.toDF().toDF("id").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.format("graft.sources.LakeSink").mode("append")
+          .option("txnAppId", "fb").option("txnVersion", batchId.toString)
+          .save(out)
+        // crash AFTER the sink committed, BEFORE the checkpoint records
+        // the batch — the restart MUST replay this batchId
+        if (!planted) { planted = true; throw new RuntimeException("planted crash") }
+        ()
+      }.start()
+    val q1 = start()
+    intercept[Exception](q1.awaitTermination())
+    assert(planted, "the crash must have fired after the sink commit")
+    val mid = spark.read.format("graft.sources.LakeSink").load(out).count()
+    assert(mid == 10L, s"first attempt committed before the crash ($mid)")
+    val q2 = start() // replays batch 0 against the txn marker
+    q2.awaitTermination()
+    val fin = spark.read.format("graft.sources.LakeSink").load(out).count()
+    assert(fin == 10L, s"replayed foreachBatch must no-op, got $fin rows")
+    assert(LakeSinkFiles.listVersions(out).size == 1,
+      ".history must show exactly one data commit")
+  }
+
+  test("streaming writes refuse txn options loudly (never silently dropped)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val out = tmp("graft_sink_stxn")
+    val ckpt = tmp("graft_sink_stxn_ck")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L)
+    val q = ms.toDF().toDF("id").writeStream
+      .format("graft.sources.LakeSink")
+      .option("checkpointLocation", ckpt)
+      .option("txnAppId", "s").option("txnVersion", "0")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    val e = intercept[Exception](q.awaitTermination())
+    assert(e.getMessage.contains("txnAppId") ||
+      Option(e.getCause).exists(_.getMessage.contains("txnAppId")), e.getMessage)
+  }
+
   test("streaming abort discards staged files for the epoch") {
     val out = tmp("graft_sink_sabort")
     LakeSinkFiles.ensureDirs(out)
