@@ -204,6 +204,62 @@ object Advanced {
     * Scale shape: fold assignment is scan-local (hash of a column value,
     * no group table, no join); the report is one map-side-combinable
     * aggregation. */
+  /** s07's shard byte budget (16 KiB at test scale — the knob, not the
+    * shape, changes; real epoch shards run ~100 MB-1 GB). */
+  private val EpochShardBudget = 16384L
+
+  /** s07 — DETERMINISTIC EPOCH RESHUFFLE (r14, verdict #9): training-data
+    * ORDER is part of LLM reproducibility — each epoch needs a DIFFERENT
+    * global permutation of the corpus, and every re-run of an epoch needs
+    * the SAME one. The permutation is a pure function of (epoch, doc_id):
+    * the portable 60-bit hash `h60(epoch:doc_id)` IS the sort key (no
+    * RNG, no state, nothing to checkpoint), its top bits bucket the
+    * corpus into 64 groups (the x08 boundedness trick: windows stay
+    * group-local, parallelism = groups, NO global sort), and within a
+    * group the docs lay into byte-budget shards in hash order (x08's
+    * start-rule). Two epochs emitted side by side: the spec pins that
+    * their orders genuinely differ while each is a reproducible function
+    * of the seed; oracle ×3 pins the whole manifest hash-stable.
+    *
+    * Scale shape: one clustering exchange per epoch over (epoch, grp),
+    * per-group window state bounded by the group — the 100 TB layout is
+    * "each group is a writer task emitting its shard sequence"; resuming
+    * a crashed epoch writer recomputes ITS groups bit-identically. */
+  def s07EpochReshuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", octet_length($"text").cast("long").as("n_bytes"))
+    val epochs = Seq(1, 2).toDF("epoch")
+    val keyed = docs.crossJoin(epochs)
+      .withColumn("h", DedupLsh.h60(
+        concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))))
+      .withColumn("grp", $"h" % 64L) // h60 is non-negative: a plain mod
+    val w = Window.partitionBy($"epoch", $"grp").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("cum", sum($"n_bytes").over(w))
+      .withColumn("shard_id", expr(s"(cum - n_bytes) div $EpochShardBudget"))
+      .select($"epoch", $"grp", $"doc_id", $"h", $"n_bytes", $"shard_id",
+        ($"cum" - $"n_bytes" - $"shard_id" * EpochShardBudget).as("offset_bytes"))
+      .orderBy($"epoch", $"grp", $"h", $"doc_id")
+  }
+
+  val s07Sql: String =
+    s"""WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+         m AS (SELECT e.epoch, d.doc_id,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+             ${DedupLsh.h60Sql("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS h
+           FROM documents d, e),
+         g AS (SELECT *, h % 64 AS grp FROM m),
+         c AS (SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY epoch, grp
+             ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM g)
+       SELECT epoch, grp, doc_id, h, n_bytes,
+         CAST((cum - n_bytes) // $EpochShardBudget AS BIGINT) AS shard_id,
+         CAST(cum - n_bytes - ((cum - n_bytes) // $EpochShardBudget) * $EpochShardBudget AS BIGINT) AS offset_bytes
+       FROM c ORDER BY epoch, grp, h, doc_id"""
+
   def s05GroupSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -988,6 +1044,7 @@ object Advanced {
     "s01_stratified_sample" -> (s01StratifiedSample _),
     "s03_hash_split" -> (s03HashSplit _),
     "s05_group_split" -> (s05GroupSplit _),
+    "s07_epoch_reshuffle" -> (s07EpochReshuffle _),
     "q60_stage_latency" -> (q60StageLatency _),
     "q63_attribution" -> (q63Attribution _),
     "s04_balanced_sample" -> (s04BalancedSample _),
@@ -996,6 +1053,7 @@ object Advanced {
     "t11_rolling_window" -> (t11RollingWindow _))
 
   val oracles: Map[String, String] = Map(
+    "s07_epoch_reshuffle" -> s07Sql,
     "t20_rfm" -> t20Sql,
     "q42_histogram" -> q42Sql,
     "t16_scd2_intervals" -> t16Sql,

@@ -3272,6 +3272,14 @@ object Telemetry {
     s.sql("CALL graft_t74.system.compact('t74')") // v3
     s.sql("DELETE FROM graft_t74.lake.t74 WHERE id % 7 = 0") // v4: mor vectors
     s.sql("CALL graft_t74.system.restore('t74', 3)") // v5: deletion undone
+    // CALL-driven Z-ORDER joins the cycle (r14, verdict #6): result-row
+    // counts pinned exactly — the pre-zorder state is one compacted
+    // file, the rewrite lands the requested two
+    val z = s.sql(
+      "CALL graft_t74.system.zorder('t74', 'temperature,vibration', n_files => 2)")
+      .collect()
+    require(z.length == 1 && z(0).getInt(0) == 1 && z(0).getInt(1) == 2,
+      s"t74: zorder counts must be (1 -> 2), got ${z.mkString(";")}")
     s.sql("CALL graft_t74.system.vacuum('t74', keep_last => 2)")
     s.table("graft_t74.lake.t74").orderBy(col("id"))
   }
@@ -3429,6 +3437,115 @@ object Telemetry {
       .orderBy(col("tag"))
   }
 
+  /** t80 — NAMED VERSION REFS (TAGS) under the differential (r14,
+    * verdict #10 stretch: [[graft.sources.LakeMaintenance.tag]] — the
+    * Iceberg tag / Delta named-snapshot role, vacuum interaction
+    * designed first): the twin lands as v1, `CALL graft.system.tag`
+    * pins it under 'golden', a cow DELETE then RETIRES v1's files, and
+    * a FULL `CALL …vacuum` sweeps everything untagged — yet
+    * `VERSION AS OF 'golden'` must still hash-equal t04's generator
+    * oracle exactly (the tag pinned both the record and the retired
+    * bytes; LakeVersionSpec pins name≡number resolution on catalog AND
+    * path forms, post-vacuum value-exactness, immutability/shadow-name/
+    * missing-version refusals, and drop_tag → reclaim → re-tag).
+    *
+    * Scale shape: a tag is one ledger entry — pinning a 100 TB snapshot
+    * for audit/repro costs zero copied bytes and zero vacuum
+    * coordination; consumers address it by NAME, not by hunting commit
+    * ids. */
+  def t80VersionTags(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t80")
+    val _ = lakeRoot
+    twin(s).writeTo("graft_t80.lake.t80").create() // v1
+    s.sql("CALL graft_t80.system.tag('t80', 'golden')") // pin the latest (v1)
+    s.sql("DELETE FROM graft_t80.lake.t80 WHERE id % 3 = 0") // v2: retires v1 files
+    s.sql("CALL graft_t80.system.vacuum('t80')") // full wipe except latest + tag
+    s.sql("SELECT * FROM graft_t80.lake.t80 VERSION AS OF 'golden'")
+      .orderBy(col("id"))
+  }
+
+  /** Identical text to [[t04Sql]]: the tagged snapshot is the
+    * pre-mutation twin, bit for bit, through a full vacuum. */
+  val t80Sql: String = t04Sql
+
+  /** t79 — HISTOGRAM COLUMN STATISTICS under the differential (r14: the
+    * per-file aligned-grid histograms of [[graft.sources.LakeSinkStats]],
+    * served as equi-height bins through `columnStats().histogram()`): a
+    * SKEWED key column (90% one hot value) lands via the
+    * `graft.histogramColumns` table property, and the in-query requires
+    * pin the configured effect at every scale — the optimizer's hot-key
+    * row estimate lands within 2× of the true count (NDV alone is ~45×
+    * under), and the hot-slice self-join stays OFF the broadcast path
+    * (the misestimate-guard; LakeStatsSpec pins the misled NDV-only
+    * control leg, the range estimate, the compaction fold, and the
+    * string-axis refusal; PropertySpec pins the exact merge law). The
+    * HASH is estimate-invariant: statistics may only change plans.
+    *
+    * Scale shape: selectivity estimation is O(buckets) driver-side
+    * metadata folded over the PRUNED file set — at 100 TB the difference
+    * between broadcasting 90% of a fact table and sort-merging it is the
+    * difference between an OOM'd driver and a plan. */
+  def t79HistogramStats(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t79")
+    val _ = lakeRoot
+    s.sql("""CREATE TABLE graft_t79.lake.ev
+             (event_id BIGINT, sk BIGINT, event_type STRING, value DOUBLE)
+             TBLPROPERTIES ('graft.histogramColumns'='sk',
+                            'graft.ndvColumns'='sk')""")
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 10 =!= 0, lit(7L))
+          .otherwise(lit(100L) + col("user_id") % 50).as("sk"),
+        col("event_type"), col("value"))
+      .writeTo("graft_t79.lake.ev").append()
+    // 4096: small enough that the INFORMED hot-slice size (~20 B/row x
+    // >=900 rows at sf0.001) stays above it at every scale, while the
+    // NDV-only misestimate (~20 rows) would dive under it — the spec's
+    // control leg pins that misled broadcast
+    val keys = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096")
+    val prev = keys.map { case (k, _) =>
+      k -> (if (org.apache.spark.sql.internal.SQLConf.get.contains(k))
+        Some(s.conf.get(k)) else None)
+    }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val fact = s.table("graft_t79.lake.ev")
+      val hot = fact.filter(col("sk") === 7L)
+      val truth = hot.count()
+      val est = hot.queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(BigInt(-1))
+      require(est >= truth / 2 && est <= truth * 2,
+        s"t79: histogram hot-key estimate $est vs truth $truth (>2x off)")
+      val joined = fact.join(
+        hot.select(col("event_id"), col("sk").as("sk2")), "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Num.rsum(col("value"), 6).as("sum_v"))
+        .orderBy(col("event_type"))
+      val out = joined.localCheckpoint(true)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastHashJoin"),
+        s"t79: the histogram must keep the hot slice off the broadcast " +
+          s"path:\n${plan.take(900)}")
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The skewed-key join reconstructed over raw parquet. */
+  lazy val t79Sql: String =
+    s"""WITH f AS (SELECT event_id, event_type, value,
+           CASE WHEN event_id % 10 <> 0 THEN 7
+                ELSE 100 + user_id % 50 END AS sk
+         FROM events)
+       SELECT f.event_type, count(*) AS n_events,
+         ${Num.rsumSql("f.value", 6)} AS sum_v
+       FROM f JOIN (SELECT event_id FROM f WHERE sk = 7) h
+         ON f.event_id = h.event_id
+       GROUP BY f.event_type ORDER BY f.event_type"""
+
   /** t78 — IDEMPOTENT WRITER COMMITS under the differential (r14:
     * Delta's `txnAppId`/`txnVersion` pair on [[graft.sources.LakeSink]]
     * batch appends): each half of events is appended TWICE with the same
@@ -3478,6 +3595,8 @@ object Telemetry {
        FROM events GROUP BY 1 ORDER BY tag"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t80_version_tags" -> (t80VersionTags _),
+    "t79_histogram_stats" -> (t79HistogramStats _),
     "t78_idempotent_append" -> (t78IdempotentAppend _),
     "t77_column_defaults" -> (t77ColumnDefaults _),
     "t76_stored_view" -> (t76StoredView _),
@@ -3553,6 +3672,8 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t80_version_tags" -> t80Sql,
+    "t79_histogram_stats" -> t79Sql,
     "t78_idempotent_append" -> t78Sql,
     "t77_column_defaults" -> t77Sql,
     "t76_stored_view" -> t76Sql,

@@ -258,12 +258,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * numbers (`1` and `'v1'` both accepted). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = lakeSnapshotDir(ident)
+    // a non-numeric ref resolves as a TAG name (`VERSION AS OF 'golden'`)
     val v =
-      try version.stripPrefix("v").trim.toLong
-      catch { case _: NumberFormatException =>
+      try LakeSink.resolveVersionRef(dir, version)
+      catch { case e: IllegalArgumentException =>
         throw new IllegalArgumentException(
           s"$catalogName: bad version '$version' for ${ident.name()} " +
-            s"(available: ${LakeSinkFiles.listVersions(dir).mkString(",")})") }
+            s"(available: ${LakeSinkFiles.listVersions(dir).mkString(",")}; " +
+            s"${e.getMessage})") }
     val (schema, partCols, files) = LakeSinkFiles.readVersion(dir, v)
     new LakeSinkSnapshotTable(schema, dir, partCols, files, v,
       s"$catalogName.lake.${ident.name()}",
@@ -384,7 +386,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           s"$catalogName: control characters are not allowed in table " +
             s"property keys or values (key $k)")
-      case (k @ ("graft.bloomFilterColumns" | "graft.ndvColumns" | "graft.sortBy"), v) =>
+      case (k @ ("graft.bloomFilterColumns" | "graft.ndvColumns" | "graft.histogramColumns" | "graft.sortBy"), v) =>
         val canon = v.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
           val hit = schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
             throw new IllegalArgumentException(

@@ -42,7 +42,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "zorder", "clone", "restore",
-      "evolve_partition_spec")
+      "evolve_partition_spec", "tag", "drop_tag")
 
   private def in(n: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(n, dt).build()
@@ -170,6 +170,27 @@ private[sources] object GraftProcedures {
           val dir = dirOf(in.getUTF8String(0).toString)
           val (back, retired) = LakeMaintenance.restore(dir, in.getLong(1))
           row(back, retired)
+        }
+      }
+      case "tag" => new P("tag",
+        "pin a recorded version under a durable name (version = -1: latest)",
+        Array(in("table", StringType), in("name", StringType),
+          inDef("version", LongType, "-1")),
+        StructType(Seq(StructField("tagged_version", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          val v = LakeMaintenance.tag(dir, in.getUTF8String(1).toString,
+            Option(in.getLong(2)).filter(_ >= 0))
+          row(v)
+        }
+      }
+      case "drop_tag" => new P("drop_tag",
+        "release a tag's pin; the next vacuum may reclaim the version",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(StructField("untagged_version", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          row(LakeMaintenance.dropTag(dir, in.getUTF8String(1).toString))
         }
       }
       case "evolve_partition_spec" => new P("evolve_partition_spec",

@@ -68,12 +68,14 @@ class LakeSink extends TableProvider {
           "graft.sources.LakeSink: no _graft_schema.json manifest at " +
             s"'${options.get("path")}' — read an existing lake table, or pass " +
             "an explicit .schema(...)"))
-    Option(options.get("versionAsOf")) match {
+    LakeSink.pathTravelVersion(k => Option(options.get(k)),
+      options.get("path")) match {
       case Some(v) =>
         require(!options.getBoolean("readChangeFeed", false),
-          "LakeSink: readChangeFeed cannot combine with versionAsOf — " +
-            "use startingVersion to position the change stream")
-        LakeSinkFiles.readVersion(options.get("path"), v.trim.toLong)._1
+          "LakeSink: readChangeFeed cannot combine with versionAsOf/" +
+            "timestampAsOf — use startingVersion/startingTimestamp to " +
+            "position the change stream")
+        LakeSinkFiles.readVersion(options.get("path"), v)._1
       case None if options.getBoolean("readChangeFeed", false) =>
         LakeCdf.cdfSchema(manifestSchema)
       case None => manifestSchema
@@ -82,13 +84,12 @@ class LakeSink extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
-    Option(properties.get("versionAsOf")) match {
-      case Some(vs) =>
+    LakeSink.pathTravelVersion(k => Option(properties.get(k)), path) match {
+      case Some(v) =>
         // read-only snapshot: schema/partitioning/file list from the
         // recorded version; `snapshotFiles` (newline-joined relative
         // names) optionally narrows to a subset — the version-diff (CDC)
         // read path, see [[LakeVersions.changes]]
-        val v = vs.trim.toLong
         val (sch, partCols, files) = LakeSinkFiles.readVersion(path, v)
         val rels = Option(properties.get("snapshotFiles"))
           .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
@@ -162,6 +163,44 @@ object LakeSink {
       val _ = i
       ser
     }
+
+  /** Resolve a `VERSION AS OF` STRING: a number directly, anything else
+    * as a TAG name (see [[LakeSinkFiles.readTags]]) — the named-ref
+    * surface over the version log. */
+  private[sources] def resolveVersionRef(path: String, ref: String): Long = {
+    val t = ref.stripPrefix("v").trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else LakeSinkFiles.readTags(path).getOrElse(ref.trim,
+      throw new IllegalArgumentException(
+        s"LakeSink: no version or tag '$ref' at $path (tags: " +
+          s"${LakeSinkFiles.readTags(path).keys.toSeq.sorted.mkString(",")})"))
+  }
+
+  /** Path-read TIME TRAVEL resolution: `versionAsOf` directly, or
+    * `timestampAsOf` (epoch MILLIS or `java.sql.Timestamp` text — the CDF
+    * option convention) resolved to the greatest version committed at or
+    * before the instant, exactly like the catalog's `TIMESTAMP AS OF`.
+    * Both together refuse. Previously `timestampAsOf` on a path read was
+    * SILENTLY IGNORED — live rows served to a consumer who asked for
+    * history (the r14 option audit's find; the r12 anti-pattern). */
+  private[sources] def pathTravelVersion(get: String => Option[String],
+      path: String): Option[Long] = {
+    val byV = get("versionAsOf").map(resolveVersionRef(path, _))
+    val byT = get("timestampAsOf").map { raw =>
+      require(byV.isEmpty,
+        "LakeSink: give versionAsOf OR timestampAsOf, not both")
+      val t = raw.trim
+      val micros =
+        if (t.forall(_.isDigit)) t.toLong * 1000L
+        else java.sql.Timestamp.valueOf(t).getTime * 1000L
+      LakeSinkFiles.versionAtTimestamp(path, micros).getOrElse(
+        throw new IllegalArgumentException(
+          s"LakeSink: no version at or before timestampAsOf '$raw' at " +
+            s"$path (earliest: " +
+            s"${LakeSinkFiles.listVersions(path).headOption.getOrElse("none")})"))
+    }
+    byV.orElse(byT)
+  }
 
   /** The writer's JSON token for a column DEFAULT value — exactly what
     * [[serializers]] would emit for the value, so the typed scanner's
@@ -531,7 +570,7 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
         // ordering, not a weaker one). EXPLICIT per-write options stay
         // strict — a typo there should fail loudly.
         val value = key match {
-          case "ndvcolumns" | "bloomfiltercolumns" =>
+          case "ndvcolumns" | "bloomfiltercolumns" | "histogramcolumns" =>
             v.split(",").map(_.trim).filter(_.nonEmpty)
               .filter(writeCols.contains).mkString(",")
           case "sortby" =>
@@ -543,8 +582,13 @@ private[graft] class LakeSinkTable(writeSchema: StructType, path: String,
       }
     }
     merged.putAll(info.options())
+    val explicitKeys = {
+      val b = Set.newBuilder[String]
+      info.options().forEach((k, _) => b += k.toLowerCase(java.util.Locale.ROOT))
+      b.result()
+    }
     new LakeSinkWriteBuilder(info.schema(), path, partCols, info.queryId(),
-      new CaseInsensitiveStringMap(merged))
+      new CaseInsensitiveStringMap(merged), explicitKeys)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSinkScanBuilder(writeSchema, path, partCols,
@@ -571,7 +615,10 @@ private[sources] case object LakeDynamicOverwrite extends LakeWriteMode
 
 private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
     partCols: Seq[String], queryId: String = "",
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    // lowercased EXPLICIT per-write option keys (provenance the merged
+    // map erases — inherited graft.* defaults adapt, explicit ones bind)
+    explicitOptions: Set[String] = null)
     extends WriteBuilder
     with SupportsTruncate
     with SupportsOverwrite with SupportsDynamicOverwrite {
@@ -614,6 +661,11 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
       options.getOrDefault("mergeSchema", "false")),
     ndvCols = Option(options.get("ndvColumns")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet,
+    histCols = Option(options.get("histogramColumns")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet,
+    explicitSortBy = (if (explicitOptions == null)
+      options.containsKey("sortBy")
+    else explicitOptions.contains("sortby")),
     txn = {
       // idempotent-writer handle (Delta's txnAppId/txnVersion): both or
       // neither — one alone is a silent no-protection trap
@@ -652,7 +704,13 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     sortCols: Seq[String] = Seq.empty, clusterWrite: Boolean = true,
     bloomCols: Map[String, Int] = Map.empty, mergeSchema: Boolean = false,
     ndvCols: Set[String] = Set.empty,
-    txn: Option[(String, Long)] = None)
+    histCols: Set[String] = Set.empty,
+    txn: Option[(String, Long)] = None,
+    // was sortBy given as an EXPLICIT per-write option (strict contract)
+    // or inherited from graft.sortBy (adaptive — stands down where it
+    // cannot apply)? newWriteBuilder records the provenance because the
+    // merged option map erases it
+    explicitSortBy: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   // the idempotent handle protects APPENDS (a replayed retire/truncate is
   // a different, non-idempotent animal) — refuse loudly, never drop
@@ -691,6 +749,19 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     require(LakeSinkStats.statable(f.dataType),
       s"LakeSink: NDV registers on $c of type ${f.dataType} are unsupported")
   }
+  histCols.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"LakeSink: histogramColumns column $c is not in the write schema"))
+    require(!partCols.contains(c),
+      s"LakeSink: histograms apply to DATA columns; $c is a partition " +
+        "column (directory values already enumerate it)")
+    require(f.dataType match {
+      case StringType | BooleanType => false
+      case dt                       => LakeSinkStats.statable(dt)
+    }, s"LakeSink: histogram on $c of type ${f.dataType} is unsupported " +
+      "(histograms need a numeric axis)")
+  }
 
   override def requiredDistribution(): Distribution =
     if (partCols.isEmpty || !clusterWrite) Distributions.unspecified()
@@ -714,7 +785,7 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
   override def toBatch: BatchWrite =
     new LakeSinkBatchWrite(schema, path, mode,
       java.util.UUID.randomUUID.toString.take(8), partCols, sortCols, bloomCols,
-      mergeSchema, ndvCols, txn)
+      mergeSchema, ndvCols, histCols, txn)
   override def toStreaming: StreamingWrite = {
     // a STREAM has its own exactly-once machinery (queryId-scoped epoch
     // markers); silently dropping txn options would be the r12
@@ -723,6 +794,14 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
       "LakeSink: txnAppId/txnVersion are batch-write options — streaming " +
         "writes are exactly-once per query already (use foreachBatch for " +
         "an idempotent batch append keyed on the batch id)")
+    // an EXPLICIT sortBy on a stream refuses (epoch commits record no
+    // sorted-ledger claims, so the option's promise cannot hold — the
+    // silent-drop anti-pattern); an INHERITED graft.sortBy default stands
+    // down like it does on subset appends (r14 option audit)
+    require(sortCols.isEmpty || !explicitSortBy,
+      "LakeSink: sortBy is a batch-write option — streaming epoch commits " +
+        "record no sorted-ledger claims (write sorted batches via " +
+        "foreachBatch, or compact afterwards: compaction preserves claims)")
     // mergeSchema on a stream: a restarted query whose upstream gained a
     // column evolves the manifest at its FIRST committed epoch, through
     // the same reconcileManifest path batch appends use. A query's schema
@@ -733,7 +812,7 @@ private[sources] class LakeSinkWrite(schema: StructType, path: String,
     // unknown columns and degrades to the ordinary subset check) and
     // redelivered epochs discard before ever touching the manifest.
     new LakeSinkStreamingWrite(schema, path, partCols, queryId, bloomCols,
-      mergeSchema, ndvCols)
+      mergeSchema, ndvCols, histCols)
   }
 }
 
@@ -1389,6 +1468,39 @@ private[graft] object LakeSinkFiles {
   /** Greatest recorded version whose commit instant is ≤ `micros` (file
     * mtime is the commit instant — same convention as Delta's
     * `timestampAsOf`). */
+  // --- named refs (tags) over the version log ---------------------------------
+  //
+  // `_graft_tags.json` maps tag NAMES to version ids — the Iceberg
+  // tag/Delta named-snapshot role: `VERSION AS OF 'golden'` resolves by
+  // name, and VACUUM treats every tagged version as part of its keep-set
+  // (the record AND the retired files it references survive any horizon),
+  // so a tag is a durable pin with zero copied bytes. Immutable once
+  // created (retagging a name is refused — drop it first): a moving name
+  // would silently change what downstream consumers read.
+
+  def tagsPath(path: String): Path = Paths.get(path, "_graft_tags.json")
+
+  def readTags(path: String): Map[String, Long] = {
+    val p = tagsPath(path)
+    if (!Files.isRegularFile(p)) return Map.empty
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    jsonField(json, "tags", s"tags at $p")
+      .split("\u0002").iterator.filter(_.nonEmpty).map { e =>
+        val i = e.indexOf('\u0001')
+        e.substring(0, i) -> e.substring(i + 1).toLong
+      }.toMap
+  }
+
+  def writeTags(path: String, tags: Map[String, Long]): Unit = {
+    val body = tags.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"$n\u0001$v" }.mkString("\u0002")
+    val json = s"""{"tags":"${LakeSink.jsonEscape(body)}"}"""
+    val tmp = Paths.get(path, s".tags.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tagsPath(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def versionAtTimestamp(path: String, micros: Long): Option[Long] =
     listVersions(path).filter { v =>
       Files.getLastModifiedTime(versionsDir(path).resolve(versionName(v)))
@@ -1464,6 +1576,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     bloomCols: Map[String, Int] = Map.empty,
     mergeSchema: Boolean = false,
     ndvCols: Set[String] = Set.empty,
+    histCols: Set[String] = Set.empty,
     txn: Option[(String, Long)] = None) extends BatchWrite {
   LakeSinkFiles.ensureDirs(path)
   // boolean-compat constructor (tests / streaming paths built pre-modes)
@@ -1481,7 +1594,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
   }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeSinkWriterFactory(schema, path, tag, partCols, bloomCols,
-      ndvCols)
+      ndvCols, histCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
     val staged = committed.flatMap(_.staged)
@@ -1561,7 +1674,8 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     partCols: Seq[String] = Seq.empty, queryId: String = "",
     bloomCols: Map[String, Int] = Map.empty,
     mergeSchema: Boolean = false,
-    ndvCols: Set[String] = Set.empty) extends StreamingWrite {
+    ndvCols: Set[String] = Set.empty,
+    histCols: Set[String] = Set.empty) extends StreamingWrite {
   LakeSinkFiles.ensureDirs(path)
   // 8 hex chars of the query UUID: collision-safe per table in practice,
   // short enough to keep file names readable; empty tag = legacy layout
@@ -1570,7 +1684,7 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
     else s"q${queryId.filter(_ != '-').take(8)}-"
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LakeSinkStreamingWriterFactory(schema, path, partCols, qtag, bloomCols,
-      ndvCols)
+      ndvCols, histCols)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = LakeSinkFiles.commitsDir(path).resolve(s"$qtag$epochId")
     val committed = messages.collect { case c: LakeSinkCommit => c }.toSeq
@@ -1603,18 +1717,20 @@ private[graft] class LakeSinkStreamingWrite(schema: StructType, path: String,
 private[sources] class LakeSinkWriterFactory(schema: StructType, path: String,
     tag: String, partCols: Seq[String],
     bloomCols: Map[String, Int] = Map.empty,
-    ndvCols: Set[String] = Set.empty) extends DataWriterFactory {
+    ndvCols: Set[String] = Set.empty,
+    histCols: Set[String] = Set.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeSinkDataWriter(schema, path, partCols,
       fileName = s"part-$tag-$partitionId.json.gz",
       attemptTag = s"$tag-$partitionId-a$taskId",
-      bloomCols = bloomCols, ndvCols = ndvCols)
+      bloomCols = bloomCols, ndvCols = ndvCols, histCols = histCols)
 }
 
 private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
     path: String, partCols: Seq[String] = Seq.empty, qtag: String = "",
     bloomCols: Map[String, Int] = Map.empty,
-    ndvCols: Set[String] = Set.empty)
+    ndvCols: Set[String] = Set.empty,
+    histCols: Set[String] = Set.empty)
     extends StreamingDataWriterFactory {
   // deterministic per (query, epoch, partition): re-execution of a crashed
   // epoch re-creates the SAME final names, so a mid-commit retry replaces
@@ -1624,7 +1740,7 @@ private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
     new LakeSinkDataWriter(schema, path, partCols,
       fileName = s"part-${qtag}e$epochId-$partitionId.json.gz",
       attemptTag = s"${qtag}e$epochId-$partitionId-a$taskId",
-      bloomCols = bloomCols, ndvCols = ndvCols)
+      bloomCols = bloomCols, ndvCols = ndvCols, histCols = histCols)
 }
 
 /** Task-side writer: gzip JSON-lines into `_staging/<rel>.<attempt>
@@ -1639,7 +1755,8 @@ private[graft] class LakeSinkStreamingWriterFactory(schema: StructType,
 private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
     partCols: Seq[String], fileName: String, attemptTag: String,
     bloomCols: Map[String, Int] = Map.empty,
-    ndvCols: Set[String] = Set.empty)
+    ndvCols: Set[String] = Set.empty,
+    histCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   private val dataSchema = LakeSink.dataSchema(schema, partCols)
   private val dataIdx = schema.fields.zipWithIndex
@@ -1696,7 +1813,7 @@ private[sources] class LakeSinkDataWriter(schema: StructType, path: String,
     out.write(b.toString)
     rowCounts.updateWith(rel) { c => Some(c.getOrElse(0L) + 1L) }
     val ts = statTrackers.getOrElseUpdate(rel,
-      LakeSinkStats.trackers(dataSchema, bloomCols, ndvCols))
+      LakeSinkStats.trackers(dataSchema, bloomCols, ndvCols, histCols))
     i = 0
     while (i < ts.length) {
       if (ts(i).isDefined) {

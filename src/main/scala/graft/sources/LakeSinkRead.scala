@@ -736,6 +736,35 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
             val maxOpt: Option[Any] = bs.map(_._2)
               .reduceOption((a, b) => if (LakeSinkStats.cmp(a, b) >= 0) a else b)
               .map(LakeSinkStats.toInternal(f.dataType, _))
+            // HISTOGRAM for the CBO's selectivity path: fold the pruned
+            // files' aligned-grid histograms (exact — the merge law) and
+            // convert to the engine's equi-height model; transformV2Stats
+            // hands it to FilterEstimation, so a SKEWED predicate stops
+            // estimating uniformly (rows/ndv) and reads the actual mass
+            val histOpt: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+              if (bounded.nonEmpty && bounded.forall(_.hist.isDefined))
+                LakeSinkStats.histUnion(bounded.map(_.hist.get))
+                  .flatMap { case (j, bs) =>
+                    LakeSinkStats.toEquiHeight(j, bs, ndvOpt,
+                      integral = f.dataType match {
+                        case org.apache.spark.sql.types.DoubleType |
+                             org.apache.spark.sql.types.FloatType => false
+                        case _ => true
+                      }) }
+                  .map { case (h, bs) =>
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h
+                      override def bins(): Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        bs.map { case (l, u, n) =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = l
+                            override def hi(): Double = u
+                            override def ndv(): Long = n
+                          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                        }
+                    }
+                  }
+              else None
             if (ndvOpt.isDefined || nullsOpt.isDefined || minOpt.isDefined)
               out.put(
                 org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
@@ -752,6 +781,10 @@ private[sources] class LakeSinkScan(fullSchema: StructType, required: StructType
                   override def max(): java.util.Optional[Object] =
                     maxOpt.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
                       .getOrElse(java.util.Optional.empty[Object]())
+                  override def histogram(): java.util.Optional[org.apache.spark.sql.connector.read.colstats.Histogram] =
+                    histOpt.map(h => java.util.Optional.of(h))
+                      .getOrElse(java.util.Optional.empty[
+                        org.apache.spark.sql.connector.read.colstats.Histogram]())
                 })
           }
         }

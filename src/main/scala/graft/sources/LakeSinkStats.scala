@@ -97,6 +97,156 @@ private[graft] object LakeSinkStats {
 
   val NdvRegisters: Int = 256 // σ ≈ 1.04/√256 ≈ 6.5% — CBO-grade
 
+  // --- per-file equi-width HISTOGRAMS (CBO selectivity beyond NDV) ----------
+  //
+  // NDV gives the CBO a distinct count; a SKEWED predicate still estimates
+  // uniformly (rows/ndv) — off by orders of magnitude on a hot key. The
+  // fix is a per-file value histogram riding the stats blob as the next
+  // TAGGED part (';' + text — ';' is in neither Base64 nor a number, so
+  // part kinds stay unambiguous next to the bloom and the ':'-tagged NDV
+  // at any arity). Buckets live on a POWER-OF-2-ALIGNED GRID: bucket m at
+  // width 2^j covers [m·2^j, (m+1)·2^j) — grids NEST, so coarsening is an
+  // exact pairwise merge (m → m >> 1) and cross-FILE folds are exact
+  // bucket-wise sums after coarsening to the widest grid (the same
+  // concat-law shape the NDV max-fold and the bloom OR enjoy). Each file
+  // tracks ≤ 64 buckets, adapting j upward as its value range grows.
+  // Serving: [[LakeSinkRead]] folds the PRUNED files' histograms and
+  // converts to the engine's equi-HEIGHT model (cumulative walk + linear
+  // interpolation inside buckets) through `columnStats().histogram()`,
+  // which `transformV2Stats` hands to FilterEstimation's histogram path.
+  // OPT-IN per write via `.option("histogramColumns", "a,b")` /
+  // `graft.histogramColumns` (the bloom/NDV pattern); numeric, date, and
+  // timestamp columns only (strings have no numeric axis).
+
+  val HistMaxBuckets: Int = 64
+
+  /** Mutable aligned-grid histogram: counts per bucket index at width
+    * 2^j, coarsening (j += 1, m → m >> 1) whenever the bucket set would
+    * exceed [[HistMaxBuckets]] or an index would overflow. */
+  final class HistBuckets(startJ: Int) {
+    private var j = startJ
+    private val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def add(v: Double): Unit = {
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return
+      var idx = math.floor(v / math.pow(2.0, j))
+      while (math.abs(idx) > 4.0e18) { coarsen(); idx = math.floor(v / math.pow(2.0, j)) }
+      val key = java.lang.Long.valueOf(idx.toLong)
+      val prev = m.get(key)
+      m.put(key, java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue + 1L))
+      if (m.size > HistMaxBuckets) coarsen()
+    }
+    private def coarsen(): Unit = {
+      j += 1
+      val nm = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      m.forEach { (k, c) =>
+        val nk = java.lang.Long.valueOf(k.longValue >> 1) // floor — grids nest
+        val prev = nm.get(nk)
+        nm.put(nk, java.lang.Long.valueOf(if (prev == null) c.longValue
+          else prev.longValue + c.longValue))
+      }
+      m.clear(); m.putAll(nm)
+    }
+    def encoded: Option[String] = {
+      if (m.isEmpty) return None
+      val buckets = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        m.forEach((k, c) => b += ((k.longValue, c.longValue)))
+        b.sortBy(_._1)
+      }
+      Some(s";$j|${buckets.map { case (k, c) => s"$k:$c" }.mkString(",")}")
+    }
+  }
+
+  /** Decode a ';'-tagged histogram part → (j, buckets sorted by index). */
+  def decodeHist(part: String): (Int, Seq[(Long, Long)]) = {
+    val body = part.substring(1)
+    val bar = body.indexOf('|')
+    val j = body.substring(0, bar).toInt
+    val buckets = body.substring(bar + 1).split(",").toSeq.filter(_.nonEmpty)
+      .map { e =>
+        val i = e.indexOf(':')
+        (e.substring(0, i).toLong, e.substring(i + 1).toLong)
+      }
+    (j, buckets)
+  }
+
+  /** Exact cross-file fold: coarsen every input to the widest grid, sum
+    * bucket-wise, re-coarsen under the cap — the histogram of the
+    * concatenation (the merge law PropertySpec pins). */
+  def histUnion(hs: Seq[(Int, Seq[(Long, Long)])]): Option[(Int, Seq[(Long, Long)])] = {
+    if (hs.isEmpty) return None
+    var j = hs.map(_._1).max
+    var acc: Map[Long, Long] = hs.foldLeft(Map.empty[Long, Long]) {
+      case (a, (hj, bs)) => bs.foldLeft(a) { case (a2, (mIdx, c)) =>
+        val k = mIdx >> (j - hj)
+        a2.updated(k, a2.getOrElse(k, 0L) + c)
+      }
+    }
+    while (acc.size > HistMaxBuckets) {
+      j += 1
+      acc = acc.foldLeft(Map.empty[Long, Long]) { case (a, (k, c)) =>
+        a.updated(k >> 1, a.getOrElse(k >> 1, 0L) + c)
+      }
+    }
+    Some((j, acc.toSeq.sortBy(_._1)))
+  }
+
+  private def encodeHist(h: (Int, Seq[(Long, Long)])): String =
+    s";${h._1}|${h._2.map { case (k, c) => s"$k:$c" }.mkString(",")}"
+
+  /** Convert a folded aligned-grid histogram to the engine's EQUI-HEIGHT
+    * model (`Histogram(height, bins)` — every bin holds ≈ `height` rows):
+    * walk the cumulative distribution and cut a bin at each height
+    * multiple. Bin EDGES snap to BUCKET edges — the estimator counts
+    * `numBinsHoldingRange(v, v)` for an equality, so a HOT value must
+    * occupy every bin its mass spans (k near-identical bins over the hot
+    * bucket ⇒ selectivity ≈ k/B, the mass fraction), which interpolated
+    * interior cuts would break (only the first bin would contain v).
+    * Per-bin ndv is the bin's VALUE-SPAN share of the register estimate
+    * (integral axes additionally cap at the number of representable
+    * integers in the span — a width-1 hot bucket's bins get ndv 1, the
+    * repeated-boundary encoding ANALYZE's own histograms use for hot
+    * keys). Resolution caveat, documented: skew is resolved to BUCKET
+    * granularity — a hot key inside a coarsened bucket dilutes by the
+    * bucket's value width (the standard equi-width trade; 64 buckets
+    * per file bound the coarsening). */
+  def toEquiHeight(j: Int, buckets: Seq[(Long, Long)], ndvTotal: Option[Long],
+      integral: Boolean, maxBins: Int = 32)
+      : Option[(Double, Array[(Double, Double, Long)])] = {
+    val total = buckets.map(_._2).sum
+    if (total <= 0L || buckets.isEmpty) return None
+    val w = math.pow(2.0, j)
+    val nBins = math.min(maxBins.toLong, total).toInt.max(1)
+    val height = total.toDouble / nBins
+    val span = (buckets.last._1 - buckets.head._1 + 1).toDouble // in buckets
+    def ndvOf(startIdx: Long, endIdx: Long): Long = {
+      val bucketSpan = (endIdx - startIdx + 1).toDouble
+      val byShare = ndvTotal.map(n => n * bucketSpan / span)
+        .getOrElse(total * bucketSpan / span)
+      val capped =
+        if (integral) math.min(byShare, math.max(1.0, bucketSpan * w))
+        else byShare
+      math.max(1L, math.round(capped))
+    }
+    val bins = Array.newBuilder[(Double, Double, Long)]
+    var emitted = 0
+    var binStart = buckets.head._1 // bucket index the current bin starts at
+    var target = height            // next boundary's cumulative row count
+    var seen = 0.0                 // rows covered by walked buckets
+    buckets.foreach { case (m, c) =>
+      while (target <= seen + c && emitted < nBins - 1) {
+        bins += ((binStart * w, (m + 1) * w, ndvOf(binStart, m)))
+        emitted += 1
+        binStart = m // a heavy bucket keeps starting new bins — hot-key bins
+        target += height
+      }
+      seen += c
+    }
+    bins += ((binStart * w, (buckets.last._1 + 1) * w,
+      ndvOf(binStart, buckets.last._1)))
+    Some((height, bins.result()))
+  }
+
   /** Standard HLL estimate over rank registers (with the linear-counting
     * small-range correction; 56-bit ranks need no large-range term). */
   def ndvEstimate(regs: Array[Byte]): Long = {
@@ -219,6 +369,7 @@ private[graft] object LakeSinkStats {
     private var nulls = 0L
     private var bloomBits: BloomBits = null
     private var ndvRegs: Array[Byte] = null
+    private var hist: HistBuckets = null
     def update(row: InternalRow, i: Int): Unit
     /** Opt this column into a per-file Bloom filter of `m` bits (see the
       * bloom section above) — subclasses insert each value's fp. */
@@ -226,6 +377,13 @@ private[graft] object LakeSinkStats {
     /** Opt this column into per-file NDV registers (see the NDV section
       * above) — shares the bloom's value fp. */
     final def enableNdv(): Unit = ndvRegs = new Array[Byte](NdvRegisters)
+    /** Opt this column into a per-file aligned-grid histogram (numeric
+      * axis — the trackers factory gates by type). `startJ` picks the
+      * finest width: 0 (width 1) for integer-valued axes, −20 for IEEE
+      * ones whose spread may be sub-unit. */
+    final def enableHist(startJ: Int): Unit = hist = new HistBuckets(startJ)
+    protected final def histAdd(v: Double): Unit =
+      if (hist != null) hist.add(v)
     protected final def bloomAdd(fp: Long): Unit = {
       if (bloomBits != null) bloomBits.insert(fp)
       if (ndvRegs != null) {
@@ -257,7 +415,11 @@ private[graft] object LakeSinkStats {
         val b = if (bloomBits == null) "" else s"$FieldSep${bloomBits.encoded}"
         val n = if (ndvRegs == null) "" else
           s"$FieldSep:${java.util.Base64.getEncoder.encodeToString(ndvRegs)}"
-        Some(s"$name$FieldSep$nulls$FieldSep$loEnc$FieldSep$hiEnc$b$n")
+        // the ';'-tagged histogram part rides last (all-null files need
+        // none — zero non-null values is inferable from the entry)
+        val h = if (hist == null) ""
+          else hist.encoded.map(e => s"$FieldSep$e").getOrElse("")
+        Some(s"$name$FieldSep$nulls$FieldSep$loEnc$FieldSep$hiEnc$b$n$h")
       }
   }
 
@@ -267,6 +429,7 @@ private[graft] object LakeSinkStats {
     def update(row: InternalRow, i: Int): Unit = {
       val v = get(row, i)
       bloomAdd(fnvLong(v))
+      histAdd(v.toDouble)
       if (!seen) { lo = v; hi = v; seen = true }
       else { if (v < lo) lo = v; if (v > hi) hi = v }
     }
@@ -283,6 +446,7 @@ private[graft] object LakeSinkStats {
       // distinct values — fp over the IEEE bit pattern (write-side only;
       // no filter-literal parity needed for an estimate)
       bloomAdd(fnvLong(java.lang.Double.doubleToLongBits(v)))
+      histAdd(v)
       if (!seen) { lo = v; hi = v; seen = true }
       else { // Double.compare: NaN greatest, matching Spark's ordering
         if (java.lang.Double.compare(v, lo) < 0) lo = v
@@ -317,7 +481,8 @@ private[graft] object LakeSinkStats {
     * calling update). Non-statable columns get None. */
   def trackers(dataSchema: StructType,
       bloomCols: Map[String, Int] = Map.empty,
-      ndvCols: Set[String] = Set.empty): Array[Option[ColTracker]] =
+      ndvCols: Set[String] = Set.empty,
+      histCols: Set[String] = Set.empty): Array[Option[ColTracker]] =
     dataSchema.fields.map { f =>
       val t: Option[ColTracker] = f.dataType match {
         case LongType | TimestampType =>
@@ -340,6 +505,11 @@ private[graft] object LakeSinkStats {
         }
       }
       if (ndvCols.contains(f.name)) t.foreach(_.enableNdv())
+      if (histCols.contains(f.name)) f.dataType match {
+        case DoubleType | FloatType => t.foreach(_.enableHist(-20))
+        case StringType             => () // no numeric axis — planning refuses
+        case _                      => t.foreach(_.enableHist(0))
+      }
       t
     }
 
@@ -392,7 +562,8 @@ private[graft] object LakeSinkStats {
     * entries written before null counting existed. A column ABSENT from
     * the map was not tracked at all. */
   final case class ColStat(nulls: Option[Long], bounds: Option[(Any, Any)],
-      bloom: Option[Array[Byte]] = None, ndv: Option[Array[Byte]] = None)
+      bloom: Option[Array[Byte]] = None, ndv: Option[Array[Byte]] = None,
+      hist: Option[(Int, Seq[(Long, Long)])] = None)
 
   type FileStats = Map[String, ColStat]
 
@@ -413,16 +584,22 @@ private[graft] object LakeSinkStats {
             Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))))
           case _ =>
             // trailing parts beyond the bounds: an untagged part is the
-            // bloom, a ':'-tagged part the NDV registers — the tag keeps
-            // every arity unambiguous (':' is in neither Base64 nor a
-            // number), so bloom-only / ndv-only / both all decode
-            val (tagged, untagged) = parts.drop(4).partition(_.startsWith(":"))
+            // bloom, a ':'-tagged part the NDV registers, a ';'-tagged
+            // part the histogram — the tags keep every arity unambiguous
+            // (neither ':' nor ';' is in Base64 or a number), so any
+            // subset of the three decodes
+            val trailing = parts.drop(4)
+            val ndvParts = trailing.filter(_.startsWith(":"))
+            val histParts = trailing.filter(_.startsWith(";"))
+            val untagged = trailing.filterNot(p =>
+              p.startsWith(":") || p.startsWith(";"))
             ColStat(Some(parts(1).toLong),
               Some((decodeVal(f.dataType, parts(2)), decodeVal(f.dataType, parts(3)))),
               bloom = untagged.headOption
                 .map(java.util.Base64.getDecoder.decode),
-              ndv = tagged.headOption
-                .map(p => java.util.Base64.getDecoder.decode(p.substring(1))))
+              ndv = ndvParts.headOption
+                .map(p => java.util.Base64.getDecoder.decode(p.substring(1))),
+              hist = histParts.headOption.map(decodeHist))
         })
       }
     }.toMap
@@ -482,7 +659,13 @@ private[graft] object LakeSinkStats {
                 .map(u => s"$FieldSep:" +
                   java.util.Base64.getEncoder.encodeToString(u)).getOrElse("")
             else ""
-          Some(s"${f.name}$nEnc$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}$bEnc$nvEnc")
+          // histograms fold by the exact aligned-grid sum, same policy
+          val hEnc: String =
+            if (nulls.isDefined && bWith.nonEmpty && bWith.forall(_.hist.isDefined))
+              histUnion(bWith.map(_.hist.get))
+                .map(u => s"$FieldSep${encodeHist(u)}").getOrElse("")
+            else ""
+          Some(s"${f.name}$nEnc$FieldSep${encodeVal(lo)}$FieldSep${encodeVal(hi)}$bEnc$nvEnc$hEnc")
         }
       }
     }.mkString(EntrySep.toString)
@@ -604,13 +787,13 @@ private[graft] object LakeSinkStats {
       case IsNotNull(a) =>
         // an all-null entry proves no non-null row exists
         fs.get(a) match {
-          case Some(ColStat(_, None, _, _)) => false
+          case Some(ColStat(_, None, _, _, _)) => false
           case _                      => true
         }
       case IsNull(a) =>
         // a recorded zero null count proves no NULL row exists
         fs.get(a) match {
-          case Some(ColStat(Some(0L), _, _, _)) => false
+          case Some(ColStat(Some(0L), _, _, _, _)) => false
           case _                          => true
         }
       case And(l, r) => mayMatch0(fs, schema, l) && mayMatch0(fs, schema, r)

@@ -262,6 +262,12 @@ object LakeMaintenance {
         case (n, cs) if cs.ndv.isDefined => n
       })).toSet
     }
+    // histogram coverage likewise (the vector-free fold sums buckets)
+    val groupHistCols: Seq[Set[String]] = groups.map { case (_, rels) =>
+      rels.flatMap(r => decodedByRel.get(r).toSeq.flatMap(_.toSeq.collect {
+        case (n, cs) if cs.hist.isDefined => n
+      })).toSet
+    }
     // SORTEDNESS preservation: when EVERY input of a group carries the
     // SAME sorted-ledger claim, the merge is a K-WAY MERGE on the claimed
     // key instead of a concatenation, and the output re-declares the
@@ -285,16 +291,17 @@ object LakeMaintenance {
       }
     val staged: Seq[(String, Option[(Long, String)])] = spark.sparkContext
       .parallelize(
-        groups.zip(groupBloomCols).zip(groupNdvCols).zip(groupSorted).zipWithIndex,
+        groups.zip(groupBloomCols).zip(groupNdvCols).zip(groupHistCols)
+          .zip(groupSorted).zipWithIndex,
         groups.size)
-      .map { case (((((dirRel, rels), gBloom), gNdv), gSort), i) =>
+      .map { case ((((((dirRel, rels), gBloom), gNdv), gHist), gSort), i) =>
         val prefix = if (dirRel.isEmpty) "" else s"$dirRel/"
         val stagedRel = s"${prefix}part-c$tag-$i.json.gz"
         val out = LakeSinkFiles.stagingDir(path).resolve(s"$stagedRel.inprogress")
         Option(out.getParent).foreach(Files.createDirectories(_))
         val materialize = rels.exists(dels.contains)
         val trackers =
-          if (materialize) LakeSinkStats.trackers(dataSchema, gBloom, gNdv)
+          if (materialize) LakeSinkStats.trackers(dataSchema, gBloom, gNdv, gHist)
           else Array.empty[Option[LakeSinkStats.ColTracker]]
         val parser =
           if (materialize)
@@ -925,8 +932,13 @@ object LakeMaintenance {
           LakeSinkFiles.versionsDir(path).resolve(f"v$v%09d")).toMillis >= cutoff
       }.toSet
     }
+    // TAGGED versions are part of every keep-set: the tag's record AND
+    // the retired files it references (via `referenced` below) survive
+    // any horizon — a tag is a durable zero-copy pin (drop_tag releases)
+    val tagged = LakeSinkFiles.readTags(path).values.toSet
     val (drop, kept) = versions.partition(v =>
-      !versions.takeRight(keepN).contains(v) && !ageKept.contains(v))
+      !versions.takeRight(keepN).contains(v) && !ageKept.contains(v) &&
+        !tagged.contains(v))
     // a retired file referenced by ANY kept record must stay restorable;
     // with the default horizon the kept (latest) record's files are all
     // live, so every retired file deletes — the original full wipe
@@ -1016,6 +1028,47 @@ object LakeMaintenance {
     *
     * 100 TB story: restore cost is O(changed files) renames + three
     * ledger writes — the accidental-TRUNCATE undo button at any scale. */
+  /** TAG a recorded version with a durable name (`None` = the latest) —
+    * the Iceberg-tag role: `VERSION AS OF 'name'` resolves it and VACUUM
+    * pins the tagged record + the retired files it references, so the tag
+    * costs zero copied bytes and survives any horizon. Tags are
+    * IMMUTABLE (retagging refuses — a moving name would silently change
+    * what a downstream consumer reads); [[dropTag]] releases the pin.
+    * Returns the tagged version. */
+  def tag(path: String, name: String, version: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.contains("/") && !name.startsWith(".") &&
+      !name.exists(_ < ' '),
+      s"LakeSink: invalid tag name '$name' (plain names only)")
+    // a name a numeric ref could claim would be ambiguous at resolution
+    require(!name.forall(_.isDigit) &&
+      !(name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)),
+      s"LakeSink: tag name '$name' shadows numeric version references")
+    val tags = LakeSinkFiles.readTags(path)
+    require(!tags.contains(name),
+      s"LakeSink: tag '$name' already exists (tags are immutable — " +
+        "drop_tag first)")
+    val vs = LakeSinkFiles.listVersions(path)
+    val v = version.getOrElse(vs.lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"LakeSink: no recorded versions to tag at $path")))
+    require(vs.contains(v),
+      s"LakeSink: no recorded version $v to tag at $path " +
+        s"(available: ${vs.mkString(",")})")
+    LakeSinkFiles.writeTags(path, tags + (name -> v))
+    v
+  }
+
+  /** Release a tag's pin; the next VACUUM may reclaim the version.
+    * Returns the version the tag pointed at. */
+  def dropTag(path: String, name: String): Long = {
+    val tags = LakeSinkFiles.readTags(path)
+    require(tags.contains(name),
+      s"LakeSink: no tag '$name' at $path (tags: " +
+        s"${tags.keys.toSeq.sorted.mkString(",")})")
+    LakeSinkFiles.writeTags(path, tags - name)
+    tags(name)
+  }
+
   def restore(path: String, version: Long): (Int, Int) = {
     val (sch, partCols, wantRels) = LakeSinkFiles.readVersion(path, version)
     val root = Paths.get(path)

@@ -437,4 +437,29 @@ class AdvancedSpec extends GraftSpec {
         "two-phase result must equal the single-window ranking")
     } finally out.unpersist(blocking = false)
   }
+
+  test("s07: epoch permutations reproduce exactly and genuinely differ") {
+    import graft.operators.Advanced
+    def run() = Advanced.s07EpochReshuffle(spark, sfTiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6))).toSeq
+    val a = run()
+    // REPRODUCIBLE: the permutation is a pure function of (epoch, doc_id)
+    assert(a == run(), "re-running an epoch must reproduce it bit-for-bit")
+    // the two epochs place the SAME corpus in DIFFERENT orders
+    def orderOf(e: Int): Seq[Long] =
+      a.filter(_._1 == e).sortBy(t => (t._2, t._4, t._3)).map(_._3)
+    val o1 = orderOf(1)
+    val o2 = orderOf(2)
+    assert(o1.sorted == o2.sorted, "both epochs must cover the same docs")
+    assert(o1 != o2, "two epochs must not share a permutation")
+    // the start-rule bounds every offset inside its shard budget
+    assert(a.forall(t => t._6 >= 0 && t._6 < 16384L),
+      "offsets must lie inside the shard budget")
+    // shard ids are dense from 0 within each (epoch, grp)
+    a.groupBy(t => (t._1, t._2)).values.foreach { g =>
+      val ids = g.map(_._5).distinct.sorted
+      assert(ids == (0L until ids.length.toLong), s"non-dense shards: $ids")
+    }
+  }
 }

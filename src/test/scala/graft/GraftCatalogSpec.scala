@@ -1342,6 +1342,22 @@ class GraftCatalogSpec extends GraftSpec {
       val z = spark.sql("CALL graft.system.zorder('zg', 'x,y', n_files => 4)").collect()
       assert(z(0).getInt(0) == 4 && z(0).getInt(1) == 4, z.mkString(";"))
       assert(spark.table("graft.lake.zg").count() == 256L)
+      // SCOPED zorder via CALL: exactly the matching partition's files
+      // rewrite (result counts pinned), the other partition's files are
+      // byte-identical, rows unchanged
+      val before2 = spark.table("graft.lake.pt").collect()
+        .map(_.toString).sorted.toSeq
+      val p0Files = files(0)
+      val zs = spark.sql(
+        "CALL graft.system.zorder('pt', 'id', n_files => 2, scope => 'p=1')")
+        .collect()
+      assert(zs.length == 1 && zs(0).getInt(0) == 1 && zs(0).getInt(1) == 2,
+        s"scoped zorder counts must be (1 -> 2): ${zs.mkString(";")}")
+      assert(files(0) == p0Files, "unscoped partition must not be touched")
+      assert(files(1).size == 2)
+      assert(spark.table("graft.lake.pt").collect()
+        .map(_.toString).sorted.toSeq == before2,
+        "a scoped rewrite must not move a single value")
       // the procedure namespace is discoverable and described
       val shown = spark.sql("SHOW PROCEDURES IN graft.`system`").collect()
         .map(_.toString).mkString(";")

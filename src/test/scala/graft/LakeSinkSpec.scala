@@ -608,6 +608,55 @@ class LakeSinkSpec extends GraftSpec {
       Option(e.getCause).exists(_.getMessage.contains("txnAppId")), e.getMessage)
   }
 
+  test("streaming sortBy: explicit option refuses; inherited graft.sortBy stands down") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // EXPLICIT sortBy on a stream: loud refusal (epoch commits record no
+    // sorted-ledger claims — the option's promise cannot hold)
+    val out1 = tmp("graft_sink_ssort")
+    val ms1 = MemoryStream[Long]
+    ms1.addData(3L, 1L, 2L)
+    val q1 = ms1.toDF().toDF("id").writeStream
+      .format("graft.sources.LakeSink")
+      .option("checkpointLocation", tmp("graft_sink_ssort_ck"))
+      .option("sortBy", "id")
+      .trigger(Trigger.AvailableNow())
+      .start(out1)
+    val e = intercept[Exception](q1.awaitTermination())
+    assert(e.getMessage.contains("sortBy") ||
+      Option(e.getCause).exists(_.getMessage.contains("sortBy")), e.getMessage)
+    // INHERITED graft.sortBy: the table property adapts — the stream
+    // lands (no refusal) and the configured-effect boundary is ASSERTED:
+    // streamed files carry NO sorted claims (r13 lesson: assert the
+    // outcome, not just execution success)
+    val lake = tmp("graft_sink_ssort_lake")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.lake", lake)
+    spark.sql("""CREATE TABLE graft.lake.st (id BIGINT)
+                 TBLPROPERTIES ('graft.sortBy'='id')""")
+    // a BATCH append inherits the sort and claims its files
+    Seq(5L, 3L, 4L).toDF("id").write.format("graft.sources.LakeSink")
+      .mode("append").save(s"$lake/st")
+    val batchClaims = LakeSinkFiles.readSorted(s"$lake/st")
+    assert(batchClaims.nonEmpty && batchClaims.values.forall(_ == Seq("id")),
+      s"batch appends must inherit the claim: $batchClaims")
+    val ms2 = MemoryStream[Long]
+    ms2.addData(9L, 7L, 8L)
+    val q2 = ms2.toDF().toDF("id").writeStream
+      .format("graft.sources.LakeSink")
+      .option("checkpointLocation", tmp("graft_sink_ssort_ck2"))
+      .trigger(Trigger.AvailableNow())
+      .start(s"$lake/st")
+    q2.awaitTermination()
+    assert(spark.read.format("graft.sources.LakeSink").load(s"$lake/st")
+      .count() == 6L, "the inherited-default stream must land")
+    val afterStream = LakeSinkFiles.readSorted(s"$lake/st")
+    assert(afterStream == batchClaims,
+      s"streamed files must NOT claim sortedness: $afterStream")
+  }
+
   test("streaming abort discards staged files for the epoch") {
     val out = tmp("graft_sink_sabort")
     LakeSinkFiles.ensureDirs(out)

@@ -245,6 +245,82 @@ class LakeStatsSpec extends GraftSpec {
     }
   }
 
+  test("histogram ledger: skewed selectivity within 2x, hot-key broadcast guard, fold") {
+    withLake { lake =>
+      import spark.implicits._
+      // 20k rows: 90% hot key 7, the rest uniform over 100..149 — true
+      // count(v=7) = 18000; NDV alone estimates 20000/51 ≈ 392 (46x off)
+      val rows = (0 until 20000).map(i =>
+        (i.toLong, if (i % 10 != 0) 7L else 100L + (i / 10) % 50))
+      val df = rows.toDF("id", "v").repartitionByRange(4, col("id"))
+      df.write.format("graft.sources.LakeSink").mode("append")
+        .option("ndvColumns", "v").option("histogramColumns", "v")
+        .save(s"$lake/hf")
+      df.write.format("graft.sources.LakeSink").mode("append")
+        .option("ndvColumns", "v").save(s"$lake/hc") // control: NDV only
+      val cboKeys = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "32768")
+      val prev = cboKeys.map { case (k, _) =>
+        k -> (if (org.apache.spark.sql.internal.SQLConf.get.contains(k))
+          Some(spark.conf.get(k)) else None)
+      }
+      try {
+        cboKeys.foreach { case (k, v) => spark.conf.set(k, v) }
+        // the histogram reaches the optimizer's attributeStats
+        val hstats = spark.table("graft.lake.hf")
+          .queryExecution.optimizedPlan.stats.attributeStats
+        assert(hstats.find(_._1.name == "v").exists(_._2.histogram.isDefined),
+          s"histogram must surface in column stats: $hstats")
+        def est(t: String, p: org.apache.spark.sql.Column): BigInt =
+          spark.table(t).filter(p).queryExecution.optimizedPlan
+            .stats.rowCount.getOrElse(BigInt(-1))
+        // HOT-KEY equality: histogram within 2x of truth; NDV-only leg
+        // estimates uniformly and lands >10x under
+        val hHot = est("graft.lake.hf", col("v") === 7L)
+        val cHot = est("graft.lake.hc", col("v") === 7L)
+        assert(hHot >= 9000 && hHot <= 36000,
+          s"histogram hot-key estimate $hHot vs truth 18000 (>2x off)")
+        assert(cHot >= 0 && cHot < 1800,
+          s"control must underestimate the hot key by >10x, got $cHot")
+        // RANGE predicate: the cold region holds 2000 rows
+        val hRange = est("graft.lake.hf", col("v") >= 100L)
+        assert(hRange >= 1000 && hRange <= 4000,
+          s"histogram range estimate $hRange vs truth 2000 (>2x off)")
+        // HOT-KEY BROADCAST GUARD: joining the fact to its own hot-key
+        // slice — the NDV-only leg underestimates the slice and WRONGLY
+        // broadcasts 18000 rows; the histogram leg sizes it honestly and
+        // keeps the sort-merge join. Both legs hermetically pinned.
+        def joinPlan(t: String): String = {
+          val fact = spark.table(t)
+          val hot = spark.table(t).filter(col("v") === 7L)
+            .withColumnRenamed("v", "v2")
+          fact.join(hot, "id").queryExecution.executedPlan.toString
+        }
+        val guarded = joinPlan("graft.lake.hf")
+        assert(!guarded.contains("BroadcastHashJoin"),
+          s"histogram must keep the hot slice off the broadcast path:\n${guarded.take(1200)}")
+        val misled = joinPlan("graft.lake.hc")
+        assert(misled.contains("BroadcastHashJoin"),
+          s"precondition: the NDV-only control should broadcast the " +
+            s"underestimated slice:\n${misled.take(1200)}")
+        // COMPACTION folds histograms (exact aligned-grid sum): the merged
+        // file still estimates the hot key within 2x
+        LakeMaintenance.compact(spark, s"$lake/hf")
+        val hAfter = est("graft.lake.hf", col("v") === 7L)
+        assert(hAfter >= 9000 && hAfter <= 36000,
+          s"post-compaction hot-key estimate $hAfter (fold broke the histogram)")
+        // a write declaring a histogram on a STRING column refuses loudly
+        val e = intercept[Exception](Seq(("a", 1L)).toDF("s", "v")
+          .write.format("graft.sources.LakeSink").mode("append")
+          .option("histogramColumns", "s").save(s"$lake/hbad"))
+        assert(e.getMessage.contains("numeric axis"), e.getMessage)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("min/max answer from per-file stats: pushed, typed, DML-safe") {
     withLake { _ =>
       import spark.implicits._

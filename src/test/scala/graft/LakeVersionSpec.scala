@@ -351,6 +351,91 @@ class LakeVersionSpec extends GraftSpec {
     }
   }
 
+  test("tags: named refs pin versions (and their retired files) through vacuum") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.tg").create() // v1
+      val v1Rows = canon(spark.table("graft.lake.tg"))
+      // a cow DELETE retires v1's files — the tag must pin THOSE bytes
+      spark.sql("DELETE FROM graft.lake.tg WHERE id = 1") // v2 rewrite
+      spark.sql("CALL graft.system.tag('tg', 'golden', version => 1)")
+      // resolution by NAME ≡ by number, catalog and path forms
+      assert(canon(spark.sql(
+        "SELECT * FROM graft.lake.tg VERSION AS OF 'golden'")) == v1Rows)
+      assert(canon(spark.read.format("graft.sources.LakeSink")
+        .option("versionAsOf", "golden").load(s"$lake/tg")) == v1Rows)
+      // FULL vacuum: the tagged version's record AND its retired files
+      // survive — the snapshot reads back VALUE-exact afterwards
+      graft.sources.LakeMaintenance.vacuum(s"$lake/tg")
+      assert(canon(spark.sql(
+        "SELECT * FROM graft.lake.tg VERSION AS OF 'golden'")) == v1Rows,
+        "a full vacuum must not take a tagged snapshot down")
+      // immutability + validation refusals
+      val e1 = intercept[Exception](
+        spark.sql("CALL graft.system.tag('tg', 'golden', version => 2)").collect())
+      assert(e1.getMessage.contains("immutable"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("CALL graft.system.tag('tg', 'v7')").collect())
+      assert(e2.getMessage.contains("shadows"), e2.getMessage)
+      val e3 = intercept[Exception](
+        spark.sql("CALL graft.system.tag('tg', 'nope', version => 99)").collect())
+      assert(e3.getMessage.contains("99"), e3.getMessage)
+      val e4 = intercept[Exception](spark.sql(
+        "SELECT * FROM graft.lake.tg VERSION AS OF 'missing'").collect())
+      assert(e4.getMessage.contains("missing"), e4.getMessage)
+      // drop_tag releases the pin: the next vacuum reclaims, the name is
+      // gone, and a re-tag of the name is legal again
+      val dropped = spark.sql("CALL graft.system.drop_tag('tg', 'golden')")
+        .collect()(0).getLong(0)
+      assert(dropped == 1L)
+      graft.sources.LakeMaintenance.vacuum(s"$lake/tg")
+      val e5 = intercept[Exception](spark.sql(
+        "SELECT * FROM graft.lake.tg VERSION AS OF 'golden'").collect())
+      assert(e5 != null)
+      spark.sql("CALL graft.system.tag('tg', 'golden')") // latest — legal
+      assert(canon(spark.sql(
+        "SELECT * FROM graft.lake.tg VERSION AS OF 'golden'")) ==
+        canon(spark.table("graft.lake.tg")))
+    }
+  }
+
+  test("path-based timestampAsOf resolves a version (was silently ignored)") {
+    withLake { lake =>
+      threeRows(0).writeTo("graft.lake.pt").create() // v1
+      val v1At = java.nio.file.Files.getLastModifiedTime(
+        graft.sources.LakeSinkFiles.versionsDir(s"$lake/pt")
+          .resolve(graft.sources.LakeSinkFiles.versionName(1L)))
+        .toMillis
+      Thread.sleep(1100) // distinct commit instants (mtime granularity)
+      threeRows(1).writeTo("graft.lake.pt").append() // v2
+      // an instant between the commits reads v1's SNAPSHOT, not live rows
+      // (assert the VALUE: the r14 option-audit find — this option used
+      // to be dropped and the live table served as history)
+      val between = spark.read.format("graft.sources.LakeSink")
+        .option("timestampAsOf", (v1At + 500).toString).load(s"$lake/pt")
+      assert(canon(between) == canon(threeRows(0)),
+        "timestampAsOf must serve the at-or-before snapshot")
+      // SQL-timestamp text form resolves too (far future = latest)
+      val late = spark.read.format("graft.sources.LakeSink")
+        .option("timestampAsOf", "2999-01-01 00:00:00").load(s"$lake/pt")
+      assert(late.count() == threeRows(0).count() + threeRows(1).count())
+      // before all history: loud refusal, not an empty guess
+      val e1 = intercept[Exception](spark.read.format("graft.sources.LakeSink")
+        .option("timestampAsOf", "1000").load(s"$lake/pt").collect())
+      assert(e1.getMessage.contains("timestampAsOf"), e1.getMessage)
+      // both travel options together refuse
+      val e2 = intercept[Exception](spark.read.format("graft.sources.LakeSink")
+        .option("versionAsOf", "1").option("timestampAsOf", "2999-01-01 00:00:00")
+        .load(s"$lake/pt").collect())
+      assert(e2.getMessage.contains("not both"), e2.getMessage)
+      // CDF combine refuses by name
+      val e3 = intercept[Exception](spark.read.format("graft.sources.LakeSink")
+        .option("readChangeFeed", "true")
+        .option("timestampAsOf", (v1At + 500).toString)
+        .load(s"$lake/pt").collect())
+      assert(e3.getMessage.contains("timestampAsOf"), e3.getMessage)
+    }
+  }
+
   test("changes: append feeds inserts only; diff law holds across an UPDATE") {
     import graft.sources.LakeVersions
     withLake { lake =>

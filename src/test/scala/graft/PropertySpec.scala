@@ -280,12 +280,12 @@ class PropertySpec extends GraftSpec {
       val fs = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").zip(expectedBounds(rows)).foreach { case (c, want) =>
         fs.get(c) match {
-          case Some(LakeSinkStats.ColStat(n, Some((lo, hi)), _, _)) =>
+          case Some(LakeSinkStats.ColStat(n, Some((lo, hi)), _, _, _)) =>
             val Some((wl, wh)) = want
             assert(LakeSinkStats.cmp(lo, wl) == 0 && LakeSinkStats.cmp(hi, wh) == 0,
               s"$c: got [$lo,$hi] want [$wl,$wh]")
             assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
-          case Some(LakeSinkStats.ColStat(n, None, _, _)) =>
+          case Some(LakeSinkStats.ColStat(n, None, _, _, _)) =>
             assert(want.isEmpty, s"$c: all-null marker but values exist")
             assert(n.contains(nullCountOf(rows, c)), s"$c: null count $n")
           case None => fail(s"$c: column missing from blob")
@@ -303,14 +303,61 @@ class PropertySpec extends GraftSpec {
       val whole = LakeSinkStats.decode(trackedBlob(rows), statSchema)
       Seq("l", "d", "s").foreach { c =>
         (merged.get(c), whole.get(c)) match {
-          case (Some(LakeSinkStats.ColStat(mn, Some((ml, mh)), _, _)),
-                Some(LakeSinkStats.ColStat(wn, Some((wl, wh)), _, _))) =>
+          case (Some(LakeSinkStats.ColStat(mn, Some((ml, mh)), _, _, _)),
+                Some(LakeSinkStats.ColStat(wn, Some((wl, wh)), _, _, _))) =>
             assert(LakeSinkStats.cmp(ml, wl) == 0 && LakeSinkStats.cmp(mh, wh) == 0,
               s"$c: merged [$ml,$mh] vs whole [$wl,$wh]")
             assert(mn == wn, s"$c: merged null count $mn vs whole $wn (sum law)")
           case (m, w) => assert(m.map(_.bounds.isEmpty) == w.map(_.bounds.isEmpty) &&
             m.flatMap(_.nulls) == w.flatMap(_.nulls),
             s"$c: merged $m vs whole $w")
+        }
+      }
+    }
+  }
+
+  test("property: histogram fold equals the histogram of the concatenation") {
+    // aligned-grid law: union(parts) and whole-tracking agree once both
+    // are coarsened to the coarser of the two grids (coarsening order is
+    // adaptive, so the grids may differ — the COUNTS at a common grid may
+    // not: nesting makes every coarsen an exact pairwise merge)
+    def blobHist(rows: Seq[(Option[Long], Option[Double], Option[String])]): String = {
+      val ts = LakeSinkStats.trackers(statSchema, histCols = Set("l", "d"))
+      rows.foreach { case (l, d, t) =>
+        val row = new GenericInternalRow(Array[Any](
+          l.map(Long.box).orNull, d.map(Double.box).orNull,
+          t.map(UTF8String.fromString).orNull))
+        (0 to 2).foreach(i =>
+          if (row.isNullAt(i)) ts(i).get.nullSeen() else ts(i).get.update(row, i))
+      }
+      LakeSinkStats.blobOf(ts)
+    }
+    def at(j: Int, h: (Int, Seq[(Long, Long)])): Seq[(Long, Long)] = {
+      require(j >= h._1)
+      h._2.groupBy { case (m, _) => m >> (j - h._1) }
+        .map { case (k, v) => k -> v.map(_._2).sum }.toSeq.sortBy(_._1)
+    }
+    samples(statRowGen, 6).foreach { rows =>
+      val (a, b) = rows.splitAt(rows.length / 2)
+      val merged = LakeSinkStats.decode(
+        LakeSinkStats.mergeBlobs(Seq(blobHist(a), blobHist(b)), statSchema),
+        statSchema)
+      val whole = LakeSinkStats.decode(blobHist(rows), statSchema)
+      Seq("l", "d").foreach { c =>
+        (merged.get(c).flatMap(_.hist), whole.get(c).flatMap(_.hist)) match {
+          case (Some(m), Some(w)) =>
+            val j = math.max(m._1, w._1)
+            assert(at(j, m) == at(j, w),
+              s"$c: folded histogram differs from whole-tracking at grid $j")
+            // counts conserve the non-null row count
+            val nonNull = rows.count(r =>
+              (if (c == "l") r._1.isDefined else r._2.isDefined))
+            assert(w._2.map(_._2).sum == nonNull.toLong ||
+              // doubles: NaN/Inf values are excluded from the axis
+              c == "d",
+              s"$c: histogram mass ${w._2.map(_._2).sum} vs $nonNull rows")
+          case (m, w) =>
+            assert(m.isEmpty == w.isEmpty, s"$c: hist presence $m vs $w")
         }
       }
     }
