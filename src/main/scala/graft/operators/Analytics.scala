@@ -1092,6 +1092,107 @@ object Analytics {
        GROUP BY a.source, b.source
        ORDER BY source_a, source_b"""
 
+  // --- q117: two-sample Cramér–von Mises over the q51 pairs ------------------
+
+  /** The CvM normalization text over exact integers + the re-entered
+    * inner sum s10: T = n·m/(n+m)² · Σ_pooled (F−G)². */
+  private val CvmT =
+    "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / " +
+      "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * " +
+      "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))) * s10"
+
+  /** The per-value inner term text: pooled weight w = c_a + c_b times the
+    * squared ECDF gap, where the gap's NUMERATOR n_b·cum_a − n_a·cum_b is
+    * an exact integer (double-exact magnitude) and the division chain is
+    * one shared text. */
+  private val CvmTerm =
+    "CAST(w AS DOUBLE) * " +
+      "(CAST(dn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * " +
+      "(CAST(dn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+
+  /** q117 — the two-sample Cramér–von Mises statistic per source pair:
+    * q51's KS reads only the single WORST ECDF gap; CvM integrates the
+    * SQUARED gap over every pooled observation, so a distribution that
+    * differs a little everywhere (which KS under-reads) scores — the
+    * standard companion on the same ECDF machinery. Exactness: the gap
+    * numerator n_b·cum_a − n_a·cum_b is an exact integer per pooled
+    * value; each weighted term rounds at 10 dp and RE-ENTERS decimal so
+    * the cross-value sum is order-independent (the q78/q111 discipline —
+    * both engines compute identical terms, identical sums); T normalizes
+    * through one shared text. Pooled values with zero pair mass weigh 0,
+    * so the global value axis serves every pair.
+    *
+    * Scale shape: q51's — one count pass, a bounded distinct-value grid,
+    * one pair join over |sources|² × |values| grid rows. */
+  def q117CramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cvmTest(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q117's core over an explicit (source, x) relation — exposed so the
+    * spec can pin a hand-computed T. */
+  private[graft] def cvmTest(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val cnt = metric.filter($"x".isNotNull)
+      .groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+      .cache() // feeds the value axis, per-source totals, and the grid
+    val vals = cnt.select($"x").distinct()
+    val srcn = cnt.groupBy($"source").agg(sum($"c").as("n"))
+    val grid = srcn.crossJoin(broadcast(vals))
+      .join(cnt, Seq("source", "x"), "left")
+      .select($"source", $"n", $"x", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("cum",
+        sum($"c").over(Window.partitionBy($"source").orderBy($"x")))
+    val a = grid.select($"source".as("source_a"), $"n".as("n_a"),
+      $"x", $"c".as("ca"), $"cum".as("cuma"))
+    val b = grid.select($"source".as("source_b"), $"n".as("n_b"),
+      $"x", $"c".as("cb"), $"cum".as("cumb"))
+    val out = a.join(b, Seq("x")).filter($"source_a" < $"source_b")
+      .withColumn("w", $"ca" + $"cb")
+      .withColumn("dn", $"n_b" * $"cuma" - $"n_a" * $"cumb")
+      .withColumn("term", r(expr(CvmTerm), 10))
+      .groupBy($"source_a", $"source_b")
+      .agg(min($"n_a").as("n_a"), min($"n_b").as("n_b"),
+        rsum($"term", 10).as("s10"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        r(expr(CvmT), 6).as("cvm_stat"))
+      .orderBy($"source_a", $"source_b")
+      .localCheckpoint(true)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  val q117Sql: String =
+    s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
+       FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+             FROM documents) z
+       WHERE x IS NOT NULL
+       GROUP BY source, x),
+       vals AS (SELECT DISTINCT x FROM cnt),
+       srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+       grid AS (SELECT s.source, s.n, v.x, coalesce(c.c, 0) AS c
+         FROM srcn s CROSS JOIN vals v
+         LEFT JOIN cnt c ON c.source = s.source AND c.x = v.x),
+       g AS (SELECT source, n, x, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum
+       FROM grid),
+       pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b, a.c + b.c AS w,
+           b.n * a.cum - a.n * b.cum AS dn
+         FROM g a JOIN g b ON a.x = b.x AND a.source < b.source),
+       terms AS (SELECT source_a, source_b, n_a, n_b,
+           ${rSql(CvmTerm, 10)} AS term
+         FROM pairs),
+       agg AS (SELECT source_a, source_b,
+           CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+           ${rsumSql("term", 10)} AS s10
+         FROM terms GROUP BY source_a, source_b)
+       SELECT source_a, source_b, n_a, n_b,
+         ${rSql(CvmT, 6)} AS cvm_stat
+       FROM agg ORDER BY source_a, source_b"""
+
   // --- q56: CUSUM changepoint scan over the hourly series -------------------
 
   /** q56 — CUSUM changepoint detection per event_type: the running sum of
@@ -2772,9 +2873,13 @@ object Analytics {
       .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
   }
 
-  /** q66's core over an explicit (source, x) relation — exposed so the spec
-    * can plant samples with a hand-computed H. */
-  private[graft] def kruskalWallis(metric: DataFrame): DataFrame = {
+  /** The shared rank machinery q66's omnibus AND q116's post-hoc build
+    * on (they cannot drift): a cached (source, x) count table, the
+    * pooled 2·midrank value axis `pc(x, t, r2)`, and the per-source
+    * rank sums `per(source, n, r2sum)` — every column an exact integer.
+    * The CALLER unpersists the returned count table. */
+  private[graft] def kwRankTables(metric: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val s = metric.sparkSession
     import s.implicits._
     // NULL metric values would diverge between engines on the pooled
@@ -2790,6 +2895,15 @@ object Analytics {
     val per = cnt.join(pc.select($"x", $"r2"), Seq("x"))
       .groupBy($"source")
       .agg(sum($"c").as("n"), sum($"c" * $"r2").as("r2sum"))
+    (cnt, pc, per)
+  }
+
+  /** q66's core over an explicit (source, x) relation — exposed so the spec
+    * can plant samples with a hand-computed H. */
+  private[graft] def kruskalWallis(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val (cnt, pc, per) = kwRankTables(metric)
     val term =
       "(CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE) / 2.0) / CAST(n AS DOUBLE)"
     val glob = per.agg(
@@ -2813,8 +2927,10 @@ object Analytics {
     out
   }
 
-  val q66Sql: String =
-    s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
+  /** The cnt/pc/per CTE text q66 and q116 share verbatim (the
+    * anovaCellsSql discipline: omnibus and post-hoc cannot drift). */
+  private[graft] val kwCtesSql: String =
+    s"""cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
        FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
              FROM documents) z
        WHERE x IS NOT NULL
@@ -2825,7 +2941,10 @@ object Analytics {
           FROM cnt GROUP BY x) u),
        per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
            CAST(sum(c * r2) AS BIGINT) AS r2sum
-         FROM cnt JOIN pc USING (x) GROUP BY source),
+         FROM cnt JOIN pc USING (x) GROUP BY source)"""
+
+  val q66Sql: String =
+    s"""WITH $kwCtesSql,
        gstat AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
            count(*) AS n_groups,
            ${dsumSql(
@@ -2842,6 +2961,76 @@ object Analytics {
            CAST(t.ttl AS DOUBLE) AS tt
          FROM per p CROSS JOIN gstat g CROSS JOIN ttg t) z
        ORDER BY source"""
+
+  // --- q116: Dunn's post-hoc test after q66's Kruskal–Wallis -----------------
+
+  /** Dunn's z over the shared rank-sum integers: mean ranks from the
+    * exact 2·rank sums, the tie-corrected rank variance
+    * N(N+1)/12 − Σ(t³−t)/(12(N−1)), one shared text chain. */
+  private val DunnZ =
+    "((CAST(ra AS DOUBLE) / 2.0 / CAST(na AS DOUBLE)) - " +
+      "(CAST(rb AS DOUBLE) / 2.0 / CAST(nb AS DOUBLE))) / " +
+      "sqrt((nn * (nn + 1.0) / 12.0 - tt / (12.0 * (nn - 1.0))) * " +
+      "(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))"
+
+  /** q116 — Dunn's test (1964): WHICH source pairs differ, after q66's
+    * omnibus Kruskal–Wallis says "some do" — the rank-based post-hoc
+    * that pairs with q66 exactly as q115's Tukey HSD pairs with q78's
+    * ANOVA. Pairwise z = (R̄ᵢ − R̄ⱼ) / √(σ²·(1/nᵢ + 1/nⱼ)) with the
+    * tie-corrected pooled rank variance; every input is an exact integer
+    * from the SHARED rank machinery ([[kwRankTables]] / [[kwCtesSql]] —
+    * omnibus and post-hoc cannot drift), and the one shared expression
+    * text does the divisions. The critical value is a Bonferroni-
+    * adjusted normal quantile (a table, not portable transcendentals) —
+    * the report carries the statistic, the q49/q115 convention.
+    *
+    * Scale shape: q66's one count pass + a pair join over the ≤|sources|
+    * rank-sum table — driver-sized. */
+  def q116DunnPosthoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dunnPosthoc(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q116's core over an explicit (source, x) relation — exposed so the
+    * spec can pin a hand-computed z and the symmetry law. */
+  private[graft] def dunnPosthoc(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val (cnt, pc, per0) = kwRankTables(metric)
+    val per = per0.localCheckpoint(true) // feeds totals AND both pair sides
+    cnt.unpersist(blocking = false)
+    val glob = per.agg(sum($"n").as("n_total"))
+    val ttg = pc.agg(sum($"t" * $"t" * $"t" - $"t").as("ttl"))
+    val a = per.select($"source".as("src_a"), $"n".as("na"), $"r2sum".as("ra"))
+    val b = per.select($"source".as("src_b"), $"n".as("nb"), $"r2sum".as("rb"))
+    a.join(b, $"src_a" < $"src_b")
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(ttg))
+      .withColumn("nn", $"n_total".cast("double"))
+      .withColumn("tt", $"ttl".cast("double"))
+      .filter($"n_total" > 1)
+      .select($"src_a", $"src_b", $"na", $"nb",
+        r(expr("CAST(ra AS DOUBLE) / 2.0 / CAST(na AS DOUBLE)"), 6).as("mean_rank_a"),
+        r(expr("CAST(rb AS DOUBLE) / 2.0 / CAST(nb AS DOUBLE)"), 6).as("mean_rank_b"),
+        r(expr(DunnZ), 6).as("z_stat"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q116Sql: String =
+    s"""WITH $kwCtesSql,
+       gstat AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per),
+       ttg AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ttl FROM pc)
+       SELECT src_a, src_b, na, nb,
+         ${rSql("CAST(ra AS DOUBLE) / 2.0 / CAST(na AS DOUBLE)", 6)} AS mean_rank_a,
+         ${rSql("CAST(rb AS DOUBLE) / 2.0 / CAST(nb AS DOUBLE)", 6)} AS mean_rank_b,
+         ${rSql(DunnZ, 6)} AS z_stat
+       FROM (SELECT pa.source AS src_a, pa.n AS na, pa.r2sum AS ra,
+           pb.source AS src_b, pb.n AS nb, pb.r2sum AS rb,
+           CAST(g.n_total AS DOUBLE) AS nn, CAST(t.ttl AS DOUBLE) AS tt
+         FROM per pa JOIN per pb ON pa.source < pb.source
+         CROSS JOIN gstat g CROSS JOIN ttg t
+         WHERE g.n_total > 1) z
+       ORDER BY src_a, src_b"""
 
   // --- q79: Spearman vs Pearson correlation per language -------------------
 
@@ -3879,6 +4068,8 @@ object Analytics {
     "q91_ratio_jackknife" -> (q91RatioJackknife _),
     "q65_new_vs_returning" -> (q65NewVsReturning _),
     "q66_kruskal_wallis" -> (q66KruskalWallis _),
+    "q116_dunn_posthoc" -> (q116DunnPosthoc _),
+    "q117_cramer_von_mises" -> (q117CramerVonMises _),
     "q67_lag_features" -> (q67LagFeatures _),
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
@@ -3941,6 +4132,8 @@ object Analytics {
     "q91_ratio_jackknife" -> q91Sql,
     "q65_new_vs_returning" -> q65Sql,
     "q66_kruskal_wallis" -> q66Sql,
+    "q116_dunn_posthoc" -> q116Sql,
+    "q117_cramer_von_mises" -> q117Sql,
     "q67_lag_features" -> q67Sql,
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,

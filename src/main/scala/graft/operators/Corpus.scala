@@ -960,6 +960,88 @@ object Corpus {
     *
     * Scale shape: the classifiers' own budgeted plans + one equi-join on
     * the ≤128-doc test set + a single global aggregate. */
+  /** κ's shared statistic text over exact integers (s2 = Σᵢₖ n²ᵢₖ,
+    * ck2 = Σₖ Cₖ², nd = N as double, m = 3 raters):
+    * P̄ = (s2 − 3N)/(6N), P̄ₑ = ck2/(9N²), κ = (P̄ − P̄ₑ)/(1 − P̄ₑ). */
+  private val FleissPb = "(CAST(s2 AS DOUBLE) - 3.0 * nd) / (6.0 * nd)"
+  private val FleissPe = "CAST(ck2 AS DOUBLE) / (9.0 * nd * nd)"
+  private val FleissK = s"(($FleissPb) - ($FleissPe)) / (1.0 - ($FleissPe))"
+
+  /** ml37 — Fleiss' kappa (1971) across the THREE lang classifiers'
+    * PREDICTED LABELS: chance-corrected multi-rater agreement over the
+    * full category set — the annotation-pipeline statistic (three LLM
+    * labelers, three heuristics, …) that ml24's Cohen kappa cannot give
+    * beyond a pair and ml34's Cochran Q reduces to correct/incorrect.
+    * Every moment is an exact integer (per-item category counts n_ik,
+    * their squares, the category marginals' squares); the one shared
+    * expression text does the double divisions. A single-category panel
+    * (P̄ₑ = 1) degenerates to κ = 1 by convention (agreement is perfect).
+    *
+    * Scale shape: one explode (3 rows/item), two grouped integer
+    * aggregations, a two-row cross join — map-side combinable
+    * throughout; the classifier plans dominate (ml27's shape). */
+  def ml37FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nb0, (knn0, heur0)) = inParallel(ml05NaiveBayes(s, dir),
+      inParallel(ml07KnnClassify(s, dir), TextOps.d03LangId(s, dir)))
+    val nb = nb0.select($"doc_id", $"pred_lang".as("pa"))
+    val knn = knn0.select($"doc_id", $"pred_lang".as("pb"))
+    val heur = heur0.select($"doc_id", $"predicted_lang".as("pc"))
+    fleissKappa(nb.join(knn, "doc_id").join(heur, "doc_id"))
+  }
+
+  /** ml37's core over (doc_id, pa, pb, pc) label rows — exposed so the
+    * spec can pin a hand-computed κ and the degeneracies. */
+  private[graft] def fleissKappa(j: DataFrame): DataFrame = {
+    val s = j.sparkSession
+    import s.implicits._
+    val nik = j
+      .select($"doc_id", explode(array($"pa", $"pb", $"pc")).as("label"))
+      .groupBy($"doc_id", $"label").agg(count(lit(1)).as("nik"))
+      .localCheckpoint(true) // feeds the item AND category moments
+    val items = nik.agg(countDistinct($"doc_id").as("n_docs"),
+      sum($"nik" * $"nik").as("s2"))
+    val cats = nik.groupBy($"label").agg(sum($"nik").as("ck"))
+      .agg(count(lit(1)).as("n_categories"), sum($"ck" * $"ck").as("ck2"))
+    items.crossJoin(cats)
+      .withColumn("nd", $"n_docs".cast("double"))
+      .select($"n_docs", $"n_categories", $"s2", $"ck2",
+        r(expr(FleissPb), 6).as("p_bar"),
+        r(expr(FleissPe), 6).as("p_exp"),
+        when(expr(s"1.0 - ($FleissPe)") > 0, r(expr(FleissK), 6))
+          .otherwise(1.0).as("kappa"))
+  }
+
+  // lazy: ml05Ctes/ml07Ctes read constants defined later (ml22's lesson)
+  lazy val ml37Sql: String =
+    s"""WITH p1 AS (SELECT doc_id, pa FROM (
+         WITH $ml05Ctes
+         SELECT doc_id, cand_lang AS pa FROM rk WHERE rn = 1) z1),
+       p2 AS (SELECT doc_id, pb FROM (
+         WITH $ml07Ctes
+         SELECT qid AS doc_id, nl AS pb FROM pr WHERE rn = 1) z2),
+       p3 AS (SELECT doc_id, predicted_lang AS pc FROM (${TextOps.d03Sql}) z3),
+       votes AS (SELECT doc_id, unnest([pa, pb, pc]) AS label
+         FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)),
+       nik AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS nik
+         FROM votes GROUP BY doc_id, label),
+       items AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(nik * nik) AS BIGINT) AS s2
+         FROM nik),
+       cats AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(sum(ck * ck) AS BIGINT) AS ck2
+         FROM (SELECT label, CAST(sum(nik) AS BIGINT) AS ck
+               FROM nik GROUP BY label) cm),
+       m AS (SELECT n_docs, n_categories, s2, ck2,
+           CAST(n_docs AS DOUBLE) AS nd
+         FROM items, cats)
+       SELECT n_docs, n_categories, s2, ck2,
+         ${rSql(FleissPb, 6)} AS p_bar,
+         ${rSql(FleissPe, 6)} AS p_exp,
+         CASE WHEN 1.0 - ($FleissPe) > 0 THEN ${rSql(FleissK, 6)}
+              ELSE 1.0 END AS kappa
+       FROM m"""
+
   def ml34CochranQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (nb0, (knn0, heur0)) = inParallel(ml05NaiveBayes(s, dir),
@@ -3058,6 +3140,7 @@ object Corpus {
     "ml17_roc_auc" -> (ml17RocAuc _),
     "ml32_auc_delong" -> (ml32AucDelong _),
     "ml34_cochran_q" -> (ml34CochranQ _),
+    "ml37_fleiss_kappa" -> (ml37FleissKappa _),
     "ml18_target_encode" -> (ml18TargetEncode _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
@@ -3098,6 +3181,7 @@ object Corpus {
     "ml17_roc_auc" -> ml17Sql,
     "ml32_auc_delong" -> ml32Sql,
     "ml34_cochran_q" -> ml34Sql,
+    "ml37_fleiss_kappa" -> ml37Sql,
     "ml18_target_encode" -> ml18Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,

@@ -3437,6 +3437,47 @@ object Telemetry {
       .orderBy(col("tag"))
   }
 
+  /** t81 — MERGE … WHEN NOT MATCHED BY SOURCE under the differential
+    * (r14, beyond the verdict): the full three-clause MERGE a replica
+    * SYNC job runs — matched rows UPDATE, source-only rows INSERT, and
+    * target rows the source no longer carries DELETE — through the
+    * connector's group-based ReplaceData (Spark rewrites all three
+    * clauses into one replace; the BY SOURCE leg is the one t37 didn't
+    * exercise). The target starts as a SKEWED superset (stale values on
+    * a third of rows, a stale tail the source dropped), the source is
+    * the clean half — post-MERGE the table must equal the source
+    * exactly, which only holds if all three legs fired.
+    *
+    * Scale shape: same as t37 — the rewrite touches exactly the file
+    * groups holding matched/target-only rows; pushed predicates shrink
+    * the group set, untouched files survive bit-identically. */
+  def t81MergeBySource(s: SparkSession, dir: String): DataFrame = {
+    val lakeRoot = TempLakes.catalog(s, "t81")
+    val _ = lakeRoot
+    val t = twin(s)
+    // target: ids < 3/4 of the twin, a third of them with STALE values
+    t.filter(col("id") % 4 =!= 3)
+      .withColumn("temperature",
+        when(col("id") % 3 === 0, lit(0.0)).otherwise(col("temperature")))
+      .writeTo("graft_t81.lake.t81").create()
+    // source: the even-id half of the TRUE twin
+    t.filter(col("id") % 2 === 0).createOrReplaceTempView("graft_t81_src")
+    s.sql("""MERGE INTO graft_t81.lake.t81 t USING graft_t81_src s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *
+             WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    s.table("graft_t81.lake.t81")
+      .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy(col("id"))
+  }
+
+  /** The replica-sync law: after the three-clause MERGE the table IS the
+    * source. */
+  val t81Sql: String =
+    s"""WITH t AS MATERIALIZED ($twinSql)
+       SELECT id, ts, machine_id, is_anomaly, temperature, vibration
+       FROM t WHERE id % 2 = 0 ORDER BY id"""
+
   /** t80 — NAMED VERSION REFS (TAGS) under the differential (r14,
     * verdict #10 stretch: [[graft.sources.LakeMaintenance.tag]] — the
     * Iceberg tag / Delta named-snapshot role, vacuum interaction
@@ -3595,6 +3636,7 @@ object Telemetry {
        FROM events GROUP BY 1 ORDER BY tag"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t81_merge_by_source" -> (t81MergeBySource _),
     "t80_version_tags" -> (t80VersionTags _),
     "t79_histogram_stats" -> (t79HistogramStats _),
     "t78_idempotent_append" -> (t78IdempotentAppend _),
@@ -3672,6 +3714,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t81_merge_by_source" -> t81Sql,
     "t80_version_tags" -> t80Sql,
     "t79_histogram_stats" -> t79Sql,
     "t78_idempotent_append" -> t78Sql,

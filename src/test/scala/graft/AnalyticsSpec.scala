@@ -1282,4 +1282,52 @@ class AnalyticsSpec extends GraftSpec {
       .toDF("hx", "x", "y")
     assert(Analytics.grangerOf(short).collect().forall(_.isNullAt(2)))
   }
+
+  test("q116: Dunn post-hoc — hand-computed z, zero law, q66 agreement") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // groups a={1,2}, b={3,4}: pooled ranks 1..4, no ties;
+    // mean ranks 1.5 / 3.5, sigma2 = 4*5/12 = 5/3,
+    // z = -2 / sqrt(5/3 * 1) = -1.549193 (6 dp)
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("source", "x")
+    val d = Analytics.dunnPosthoc(rows).collect()
+    assert(d.length == 1)
+    assert(d(0).getAs[Double]("mean_rank_a") == 1.5 &&
+      d(0).getAs[Double]("mean_rank_b") == 3.5, d(0).toString)
+    assert(math.abs(d(0).getAs[Double]("z_stat") + 1.549193) < 1e-6,
+      d(0).toString)
+    // identically-distributed groups: z = 0 exactly (shared ranks)
+    val z0 = Analytics.dunnPosthoc(
+      Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L)).toDF("source", "x"))
+      .collect()(0)
+    assert(z0.getAs[Double]("z_stat") == 0.0, z0.toString)
+    // pair count is C(k,2) over the same sources q66 reports
+    val full = Analytics.dunnPosthoc(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("source", "x"))
+    assert(full.count() == 6)
+  }
+
+  test("q117: Cramer-von Mises — hand-computed T, zero law, KS companionship") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // A={1,2}, B={3,4}: gaps at pooled points 1..4 are .5,1,.5,0 →
+    // squared .25+1+.25+0 = 1.5; T = (2*2/16)*1.5 = 0.375
+    val t = Analytics.cvmTest(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("source", "x"))
+      .collect()(0)
+    assert(t.getAs[Long]("n_a") == 2L && t.getAs[Long]("n_b") == 2L)
+    assert(math.abs(t.getAs[Double]("cvm_stat") - 0.375) < 1e-6, t.toString)
+    // identical samples: T = 0 exactly
+    val z = Analytics.cvmTest(
+      Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("source", "x"))
+      .collect()(0)
+    assert(z.getAs[Double]("cvm_stat") == 0.0, z.toString)
+    // the "differs a little everywhere" case CvM exists for: a constant
+    // shift spreads mass KS reads only at its single worst point
+    val sh = Analytics.cvmTest(
+      (1L to 40L).map(i => ("a", i)).union((1L to 40L).map(i => ("b", i + 1)))
+        .toDF("source", "x")).collect()(0)
+    assert(sh.getAs[Double]("cvm_stat") > 0.0, sh.toString)
+  }
 }

@@ -1088,4 +1088,32 @@ class CorpusSpec extends GraftSpec {
     assert(rows.exists(r =>
       r.getAs[Double]("enc") != r.getAs[Double]("enc_naive")))
   }
+
+  test("ml37: Fleiss kappa — hand-computed panel and both degeneracies") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // items (a,a,b) and (a,a,a): S2 = (4+1) + 9 = 14, C_a = 5, C_b = 1,
+    // P-bar = (14-6)/12 = 2/3, P-exp = 26/36 = 13/18, kappa = -1/5
+    val r = Corpus.fleissKappa(
+      Seq((1L, "a", "a", "b"), (2L, "a", "a", "a"))
+        .toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_categories") == 2L)
+    assert(r.getAs[Long]("s2") == 14L && r.getAs[Long]("ck2") == 26L)
+    assert(math.abs(r.getAs[Double]("kappa") + 0.2) < 1e-9, r.toString)
+    // all-agree over MULTIPLE categories: kappa = 1 through the formula
+    val p = Corpus.fleissKappa(
+      Seq((1L, "a", "a", "a"), (2L, "b", "b", "b"))
+        .toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(p.getAs[Double]("kappa") == 1.0, p.toString)
+    // a SINGLE category (P-exp = 1) takes the convention branch, not NaN
+    val sc = Corpus.fleissKappa(
+      Seq((1L, "a", "a", "a")).toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(sc.getAs[Double]("kappa") == 1.0, sc.toString)
+    // pure chance: every item maximally split has P-bar = 0
+    val ch = Corpus.fleissKappa(
+      Seq((1L, "a", "b", "c"), (2L, "a", "b", "c"))
+        .toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(ch.getAs[Double]("p_bar") == 0.0 &&
+      ch.getAs[Double]("kappa") < 0, ch.toString)
+  }
 }

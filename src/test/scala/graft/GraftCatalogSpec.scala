@@ -1408,4 +1408,35 @@ class GraftCatalogSpec extends GraftSpec {
       assert(e.getMessage.contains("read-only"), e.getMessage)
     }
   }
+
+  test("SHOW CREATE TABLE / DESCRIBE EXTENDED round-trip the full DDL surface") {
+    val lake = tmp("graft_cat_sct")
+    withCatalog(lake) {
+      spark.sql("""CREATE TABLE graft.lake.sct
+                   (id BIGINT, ts TIMESTAMP, v DOUBLE DEFAULT 1.5)
+                   PARTITIONED BY (days(ts))
+                   TBLPROPERTIES ('team'='ml', 'graft.ndvColumns'='id')""")
+      // SHOW CREATE TABLE emits replayable DDL carrying the DEFAULT, the
+      // hidden temporal transform, and the stored properties — the
+      // V2 columns()/properties() surface end to end
+      val ddl = spark.sql("SHOW CREATE TABLE graft.lake.sct")
+        .collect()(0).getString(0)
+      Seq("v DOUBLE DEFAULT 1.5", "PARTITIONED BY (days(ts))",
+        "'team' = 'ml'", "'graft.ndvColumns' = 'id'").foreach(f =>
+        assert(ddl.contains(f), s"SHOW CREATE TABLE missing '$f':\n$ddl"))
+      // and the DDL actually REPLAYS into an equivalent table
+      spark.sql(ddl.replace("graft.lake.sct", "graft.lake.sct2"))
+      spark.sql("INSERT INTO graft.lake.sct2 (id, ts) " +
+        "VALUES (1, timestamp'2024-01-01 00:00:00')")
+      val row = spark.table("graft.lake.sct2").collect()(0)
+      assert(row.getDouble(2) == 1.5, "replayed DDL must keep the default")
+      // DESCRIBE EXTENDED surfaces partitioning, metadata columns,
+      // properties, and the default-value section
+      val desc = spark.sql("DESCRIBE EXTENDED graft.lake.sct").collect()
+        .map(_.toString).mkString("\n")
+      Seq("days(ts)", "_file", "_pos", "graft.ndvColumns=id",
+        "# Column Default Values").foreach(f =>
+        assert(desc.contains(f), s"DESCRIBE missing '$f':\n$desc"))
+    }
+  }
 }
