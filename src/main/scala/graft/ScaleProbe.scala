@@ -73,7 +73,16 @@ object ScaleProbe {
       // slope is ~1 (the sequential EM/merge loops are vocabulary-sized
       // by design — corpus-scale work is only the distributed word count)
       ("d57_unigram_train", Seq(1, 4), operators.TextOps.d57UnigramTrain _),
-      ("d61_unigram_fertility", Seq(1, 4), operators.TextOps.d61UnigramFertility _))
+      ("d61_unigram_fertility", Seq(1, 4), operators.TextOps.d61UnigramFertility _),
+      // r14: the epoch reshuffle (group-bounded windows — expected ~1:
+      // corpus-linear hash + pack, no global sort) and the ECDF/rank
+      // pair tests (value axis grows with the token-renamed vocabulary's
+      // token counts? no — x is the per-doc token COUNT, whose distinct
+      // axis is bounded; the |sources|² pair grid is constant, so the
+      // expected slope is ~1 from the count pass alone)
+      ("s07_epoch_reshuffle", Seq(1, 4), operators.Advanced.s07EpochReshuffle _),
+      ("q116_dunn_posthoc", Seq(1, 4), operators.Analytics.q116DunnPosthoc _),
+      ("q117_cramer_von_mises", Seq(1, 4), operators.Analytics.q117CramerVonMises _))
 
     // optional extra args narrow the probe to named queries
     val selected = queries.filter { case (name, _, _) =>

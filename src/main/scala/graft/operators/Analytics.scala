@@ -2999,9 +2999,14 @@ object Analytics {
     import s.implicits._
     val (cnt, pc, per0) = kwRankTables(metric)
     val per = per0.localCheckpoint(true) // feeds totals AND both pair sides
+    // ttg derives from pc, which derives from the CACHED cnt — pin it
+    // eagerly BEFORE unpersisting, or every execution of the returned
+    // plan re-scans the corpus for the tie sum (the q68 double-
+    // evaluation genus; review r14)
+    val ttg = pc.agg(sum($"t" * $"t" * $"t" - $"t").as("ttl"))
+      .localCheckpoint(true)
     cnt.unpersist(blocking = false)
     val glob = per.agg(sum($"n").as("n_total"))
-    val ttg = pc.agg(sum($"t" * $"t" * $"t" - $"t").as("ttl"))
     val a = per.select($"source".as("src_a"), $"n".as("na"), $"r2sum".as("ra"))
     val b = per.select($"source".as("src_b"), $"n".as("nb"), $"r2sum".as("rb"))
     a.join(b, $"src_a" < $"src_b")

@@ -3378,6 +3378,15 @@ object Telemetry {
     * gets (the spec pins the filter reaching the scan), so the 100 TB
     * cost model of a query does not change by being named. */
   def t76StoredView(s: SparkSession, dir: String): DataFrame = {
+    // view resolution lives in session EXTENSIONS (spark.sql.extensions
+    // is read once at session build — it cannot be set per query like
+    // the catalog confs): fail with the remedy instead of a confusing
+    // ResolveSessionCatalog error if the session lacks them (review r14;
+    // Verify/Bench/Explain and the test session all set the conf)
+    require(s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.isInstanceOf[graft.plans.GraftViewSqlParser],
+      "t76 needs the view extensions: build the session with " +
+        ".config(\"spark.sql.extensions\", \"graft.plans.GraftViewExtensions\")")
     val lakeRoot = TempLakes.catalog(s, "t76")
     val _ = lakeRoot
     Tables.events(s, dir)

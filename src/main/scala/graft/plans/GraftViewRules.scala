@@ -109,7 +109,8 @@ private[graft] object GraftViewRules {
               throw new UnsupportedOperationException(
                 s"$catName: graft views store SQL text; this CREATE VIEW has none"))
             GraftCreateViewCommand(catName, cat, name,
-              c.userSpecifiedColumns.map(_._1), c.comment,
+              c.userSpecifiedColumns.map(_._1),
+              c.userSpecifiedColumns.map(_._2.getOrElse("")), c.comment,
               c.properties, text, c.allowExisting, c.replace)
           case None => plan
         }
@@ -163,6 +164,23 @@ private[graft] object GraftViewRules {
         }
       case _ => plan
     }
+    case sct: ShowCreateTable => sct.child match {
+      // SHOW CREATE TABLE on a STORED VIEW: emit the replayable
+      // CREATE VIEW DDL instead of the confusing no-such-table error
+      // (only intercepts when the view EXISTS — tables fall through)
+      case utv: UnresolvedTableOrView
+          if lookupView(session, utv.multipartIdentifier).isDefined =>
+        val Some((catName, vd)) = lookupView(session, utv.multipartIdentifier)
+        GraftShowCreateViewCommand(catName, vd.name, sct.output)
+      case _ => plan
+    }
+    case d: DescribeRelation if d.partitionSpec.isEmpty => d.relation match {
+      case utv: UnresolvedTableOrView
+          if lookupView(session, utv.multipartIdentifier).isDefined =>
+        val Some((catName, vd)) = lookupView(session, utv.multipartIdentifier)
+        GraftDescribeViewCommand(catName, vd.name, d.isExtended, d.output)
+      case _ => plan
+    }
     case sp: SetViewProperties => sp.child match {
       case uv: UnresolvedView =>
         ddlTarget(session, uv.multipartIdentifier) match {
@@ -202,13 +220,14 @@ private[graft] object GraftViewRules {
 
   def viewInfoOf(catalogName: String, name: String, text: String,
       aliases: Seq[String], schema: StructType, comment: Option[String],
-      properties: Map[String, String]): ViewInfo = {
+      properties: Map[String, String],
+      colComments: Seq[String] = Seq.empty): ViewInfo = {
     val props = new java.util.HashMap[String, String]()
     properties.foreach { case (k, v) => props.put(k, v) }
     comment.foreach(c => props.put(ViewCatalog.PROP_COMMENT, c))
     new ViewInfo(Identifier.of(Array("lake"), name), text, catalogName,
       Array("lake"), schema, Array.empty[String], aliases.toArray,
-      Array.empty[String], props)
+      colComments.toArray, props)
   }
 }
 
@@ -254,7 +273,8 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
   * views, alias arity), then stored through the native ViewCatalog
   * create/replace methods (which add ref extraction + cycle refusal). */
 case class GraftCreateViewCommand(catalogName: String, catalog: GraftCatalog,
-    name: String, aliases: Seq[String], comment: Option[String],
+    name: String, aliases: Seq[String], colComments: Seq[String],
+    comment: Option[String],
     properties: Map[String, String], text: String,
     allowExisting: Boolean, replace: Boolean) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
@@ -262,7 +282,7 @@ case class GraftCreateViewCommand(catalogName: String, catalog: GraftCatalog,
     if (allowExisting && catalog.viewExists(ident)) return Seq.empty
     val schema = GraftViewRules.analyzedViewSchema(session, name, text, aliases)
     val info = GraftViewRules.viewInfoOf(catalogName, name, text, aliases,
-      schema, comment, properties)
+      schema, comment, properties, colComments)
     if (replace) catalog.replaceView(info, true) else catalog.createView(info)
     Seq.empty
   }
@@ -319,6 +339,72 @@ case class GraftAlterViewPropsCommand(catalog: GraftCatalog, name: String,
         unsets.map(ViewChange.removeProperty)
     catalog.alterView(Identifier.of(Array("lake"), name), changes: _*)
     Seq.empty
+  }
+}
+
+/** `SHOW CREATE TABLE` on a stored view → the replayable CREATE VIEW
+  * DDL (aliases, comment, properties, text). */
+case class GraftShowCreateViewCommand(catalogName: String, name: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cm = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.analyzer.catalogManager
+    val cat = cm.catalog(catalogName).asInstanceOf[GraftCatalog]
+    val v = cat.loadView(Identifier.of(Array("lake"), name))
+    val comments = v.columnComments()
+    val aliases =
+      if (v.columnAliases().isEmpty) ""
+      else v.columnAliases().zipWithIndex.map { case (a, i) =>
+        val c = if (i < comments.length) comments(i) else ""
+        if (c.isEmpty) a else s"$a COMMENT '${c.replace("'", "''")}'"
+      }.mkString(" (", ", ", ")")
+    val comment = Option(v.properties().get(ViewCatalog.PROP_COMMENT))
+      .map(c => s"\nCOMMENT '${c.replace("'", "''")}'").getOrElse("")
+    val props = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      v.properties().forEach((k, vv) =>
+        if (!ViewCatalog.RESERVED_PROPERTIES.contains(k)) b += (k -> vv))
+      if (b.isEmpty) ""
+      else b.sortBy(_._1).map { case (k, vv) =>
+        s"'${k.replace("'", "''")}' = '${vv.replace("'", "''")}'"
+      }.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    }
+    Seq(Row(s"CREATE VIEW $catalogName.lake.$name$aliases$comment$props AS\n" +
+      v.query()))
+  }
+}
+
+/** `DESCRIBE [EXTENDED]` on a stored view → its column rows (+ the
+  * detailed view section: type, text, properties). */
+case class GraftDescribeViewCommand(catalogName: String, name: String,
+    isExtended: Boolean, override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cm = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.analyzer.catalogManager
+    val cat = cm.catalog(catalogName).asInstanceOf[GraftCatalog]
+    val v = cat.loadView(Identifier.of(Array("lake"), name))
+    val comments = v.columnComments()
+    val cols = v.schema().fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val c = if (i < comments.length && comments(i).nonEmpty) comments(i) else null
+      Row(f.name, f.dataType.simpleString, c)
+    }
+    if (!isExtended) cols
+    else {
+      val props = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        v.properties().forEach((k, vv) =>
+          if (!ViewCatalog.RESERVED_PROPERTIES.contains(k)) b += s"$k=$vv")
+        b.sorted.mkString("[", ",", "]")
+      }
+      cols ++ Seq(
+        Row("", "", ""),
+        Row("# Detailed View Information", "", ""),
+        Row("Name", s"$catalogName.lake.$name", ""),
+        Row("Type", "VIEW", ""),
+        Row("View Text", v.query(), ""),
+        Row("View Properties", props, ""))
+    }
   }
 }
 

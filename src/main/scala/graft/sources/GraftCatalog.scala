@@ -350,9 +350,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Engine-injected property keys (provider/owner/location/…) are not
     * USER table properties — storing them would make SHOW TBLPROPERTIES
     * echo machinery; everything else round-trips. */
+  // 'comment' is NOT here: COMMENT 'x' / COMMENT ON TABLE is explicit
+  // user DDL and stores as an ordinary property (review r14 — filtering
+  // it silently dropped the comment with no error)
   private val EngineProps =
-    Set("provider", "owner", "location", "external", "is_managed_location",
-      "comment")
+    Set("provider", "owner", "location", "external", "is_managed_location")
   private def userProps(m: util.Map[String, String]): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     m.forEach((k, v) =>
@@ -744,12 +746,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val newProps = propChanges.foldLeft(
       LakeSinkFiles.readManifestProps(dir.toString)) {
       case (ps, sp: TableChange.SetProperty)
-          // engine-injected keys (COMMENT ON, 'option.*') get the same
-          // filter userProps applies at CREATE — otherwise the two DDL
-          // paths disagree on what SHOW TBLPROPERTIES echoes (ADVICE r13)
           if !EngineProps.contains(sp.property) &&
             !sp.property.startsWith("option.") =>
         ps.filterNot(_._1 == sp.property) :+ (sp.property -> sp.value)
+      case (_, sp: TableChange.SetProperty) =>
+        // at ALTER these keys are EXPLICIT user DDL — refuse loudly
+        // instead of the silent drop (review r14; at CREATE the engine
+        // injects them spuriously, so userProps filters there)
+        throw new UnsupportedOperationException(
+          s"$catalogName: table property '${sp.property}' is engine-" +
+            "reserved and cannot be set")
       case (ps, rp: TableChange.RemoveProperty) =>
         ps.filterNot(_._1 == rp.property)
       case (ps, _) => ps
@@ -893,7 +899,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "reference cycle through its stored dependencies")
     GraftViews.write(root, GraftViews.ViewDef(name, info.sql(), aliases,
       schema.toDDL, refs,
-      Option(info.currentCatalog()).getOrElse(catalogName), comment, props))
+      Option(info.currentCatalog()).getOrElse(catalogName), comment, props,
+      colComments = Option(info.columnComments()).map(_.toSeq.map(c =>
+        Option(c).getOrElse(""))).getOrElse(Seq.empty)))
     loadView(ident)
   }
 
@@ -993,8 +1001,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"$catalogName: cannot rename view ${oldIdent.name()} — still " +
         s"referenced by view(s) ${deps.mkString(", ")} (their stored text " +
         "would dangle)")
-    GraftViews.write(viewsRoot,
-      GraftViews.read(viewsRoot, oldIdent.name()).get.copy(name = newName))
+    val vd = GraftViews.read(viewsRoot, oldIdent.name()).get
+    // a rename can CLOSE a cycle no create saw: some stored view may
+    // already reference the NEW name (recorded when a table of that name
+    // existed) — landing this view there would make substitution unfold
+    // forever (review r14)
+    require(!GraftViews.wouldCycle(viewsRoot, newName,
+      vd.refs.filter(GraftViews.exists(viewsRoot, _))),
+      s"$catalogName: renaming view ${oldIdent.name()} to $newName would " +
+        "create a reference cycle through its stored dependencies")
+    GraftViews.write(viewsRoot, vd.copy(name = newName))
     GraftViews.delete(viewsRoot, oldIdent.name())
   }
 

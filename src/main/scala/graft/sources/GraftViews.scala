@@ -51,7 +51,10 @@ private[graft] object GraftViews {
       refs: Seq[String],
       currentCatalog: String,
       comment: Option[String],
-      props: Seq[(String, String)])
+      props: Seq[(String, String)],
+      // per-alias column comments ("" = none), parallel to `aliases` —
+      // an explicit DDL clause must round-trip, never drop (review r14)
+      colComments: Seq[String] = Seq.empty)
 
   def viewsDir(lakeRoot: String): Path = Paths.get(lakeRoot, "_views")
   def viewPath(lakeRoot: String, name: String): Path =
@@ -90,6 +93,9 @@ private[graft] object GraftViews {
       vd.comment.map(c => s""","comment":"${LakeSink.jsonEscape(c)}"""").getOrElse("") +
       (if (vd.props.nonEmpty)
         s""","props":"${LakeSink.jsonEscape(propBody)}"""" else "") +
+      (if (vd.colComments.exists(_.nonEmpty))
+        s""","colcomments":"${LakeSink.jsonEscape(
+          vd.colComments.mkString("\u0001"))}"""" else "") +
       "}"
     Files.createDirectories(viewsDir(lakeRoot))
     val tmp = viewsDir(lakeRoot).resolve(
@@ -120,7 +126,9 @@ private[graft] object GraftViews {
       props = opt("props").toSeq.flatMap(_.split("\u0002").toSeq.filter(_.nonEmpty).map { e =>
         val i = e.indexOf('\u0001')
         e.substring(0, i) -> e.substring(i + 1)
-      })))
+      }),
+      colComments = opt("colcomments").toSeq
+        .flatMap(_.split("\u0001", -1).toSeq)))
   }
 
   def delete(lakeRoot: String, name: String): Boolean =
@@ -157,7 +165,11 @@ private[graft] class GraftStoredView(vd: GraftViews.ViewDef) extends View {
   override def schema(): StructType = StructType.fromDDL(vd.schemaDDL)
   override def queryColumnNames(): Array[String] = Array.empty
   override def columnAliases(): Array[String] = vd.aliases.toArray
-  override def columnComments(): Array[String] = Array.empty
+  override def columnComments(): Array[String] =
+    if (vd.colComments.exists(_.nonEmpty))
+      vd.aliases.indices.map(i =>
+        vd.colComments.lift(i).getOrElse("")).toArray
+    else Array.empty
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     vd.props.foreach { case (k, v) => m.put(k, v) }

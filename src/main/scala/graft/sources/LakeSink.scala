@@ -676,6 +676,13 @@ private[sources] class LakeSinkWriteBuilder(schema: StructType, path: String,
           require(a.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
             s"LakeSink: txnAppId must be [A-Za-z0-9_-]+, got '$a' " +
               "(it names commit markers and staged files)")
+          // a NEGATIVE version would make the marker name txn-<app>-<v>
+          // ambiguous against an appId ending in '-' (the r12 RTAS
+          // prefix-ambiguity lesson): with v >= 0 the last '-'-segment
+          // is always the version, so every (appId, version) pair maps
+          // to a distinct marker
+          require(v >= 0,
+            s"LakeSink: txnVersion must be non-negative, got $v")
           Some((a, v))
         case (None, None) => None
         case _ => throw new IllegalArgumentException(
@@ -1606,7 +1613,9 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
       LakeSinkFiles.commitsDir(path).resolve(s"txn-$a-$v") }
     if (txnMarker.exists(Files.exists(_))) {
       LakeSinkFiles.discard(path, staged)
-      LakeSinkFiles.sweep(path, tag)
+      // trailing '-' so sweeping (app, 1) can never match (app, 10)'s
+      // staged files (the streaming tag's terminator trick)
+      LakeSinkFiles.sweep(path, s"$tag-")
       return
     }
     val removed: Seq[String] = mode match {
@@ -1633,6 +1642,26 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
                 Option(rel.getParent).map(_.toString).getOrElse(""))
             }.map(_._1.toString))
     }
+    // crash-before-marker convergence under a DIFFERENT partitioning:
+    // an interrupted attempt of this (appId, version) may have promoted
+    // files whose partition indices this replay does not reuse (AQE can
+    // re-plan the write's task count) — same-name files converge via
+    // promote's REPLACE_EXISTING, but index-orphans would DUPLICATE
+    // rows; retire them before recording (review r14)
+    val txnRetired: Seq[String] =
+      if (txn.isEmpty) Seq.empty
+      else {
+        val stagedSet = staged.toSet
+        val root = Paths.get(path)
+        val leftovers = LakeSinkFiles.listLive(path, partCols)
+          .map { case (p, _) => root.relativize(p).toString }
+          .filter(rel => Paths.get(rel).getFileName.toString
+            .startsWith(s"part-$tag-"))
+          .filterNot(stagedSet.contains)
+          .map(rel => root.resolve(rel).toString)
+        if (leftovers.isEmpty) Seq.empty
+        else LakeSinkFiles.retire(path, leftovers)
+      }
     LakeSinkFiles.promote(path, staged)
     LakeSinkFiles.reconcileManifest(path, schema, partCols,
       replace = mode == LakeTruncate, mergeSchema = mergeSchema)
@@ -1643,7 +1672,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
     // its sorted stream) — record them for sort-free scans
     if (sortCols.nonEmpty)
       LakeSinkFiles.updateSorted(path, staged.map(_ -> sortCols).toMap, Seq.empty)
-    LakeSinkFiles.recordVersion(path, staged, removed)
+    LakeSinkFiles.recordVersion(path, staged, removed ++ txnRetired)
     // the txn marker is written LAST, via temp + atomic move: a crash
     // anywhere earlier leaves no marker, and the replay's deterministic
     // names re-converge the partial state before committing it
@@ -1659,7 +1688,7 @@ private[graft] class LakeSinkBatchWrite(schema: StructType, path: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     LakeSinkFiles.discard(path,
       messages.collect { case c: LakeSinkCommit => c.staged }.toSeq.flatten)
-    LakeSinkFiles.sweep(path, tag)
+    LakeSinkFiles.sweep(path, s"$tag-")
   }
 }
 

@@ -173,12 +173,19 @@ private[graft] object LakeSinkStats {
   /** Exact cross-file fold: coarsen every input to the widest grid, sum
     * bucket-wise, re-coarsen under the cap — the histogram of the
     * concatenation (the merge law PropertySpec pins). */
+  /** Right-shift that stays correct past the JVM's 6-bit shift mask: a
+    * grid-level gap of ≥ 64 collapses every index to its sign bucket
+    * (bare `>> 64` would be `>> 0` and land counts in garbage buckets —
+    * review r14). */
+  private def gridShift(mIdx: Long, s: Int): Long =
+    if (s >= 63) (if (mIdx < 0) -1L else 0L) else mIdx >> s
+
   def histUnion(hs: Seq[(Int, Seq[(Long, Long)])]): Option[(Int, Seq[(Long, Long)])] = {
     if (hs.isEmpty) return None
     var j = hs.map(_._1).max
     var acc: Map[Long, Long] = hs.foldLeft(Map.empty[Long, Long]) {
       case (a, (hj, bs)) => bs.foldLeft(a) { case (a2, (mIdx, c)) =>
-        val k = mIdx >> (j - hj)
+        val k = gridShift(mIdx, j - hj)
         a2.updated(k, a2.getOrElse(k, 0L) + c)
       }
     }

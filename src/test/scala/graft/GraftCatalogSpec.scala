@@ -1283,13 +1283,26 @@ class GraftCatalogSpec extends GraftSpec {
         spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('bad'='a\u0001b')")
       }
       assert(e5.getMessage.contains("control character"), e5.getMessage)
-      // engine-injected keys are filtered on the ALTER path exactly as
-      // at CREATE (SHOW TBLPROPERTIES symmetric between the DDL paths)
-      spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('comment'='hi', 'option.x'='1')")
-      val shown3 = spark.sql("SHOW TBLPROPERTIES graft.lake.tp").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(!shown3.contains("option.x"),
-        s"engine keys must not round-trip via ALTER either: $shown3")
+      // COMMENT is explicit user DDL: it STORES (review r14 — the
+      // engine-key filter used to silently drop it)…
+      spark.sql("COMMENT ON TABLE graft.lake.tp IS 'telemetry rollups'")
+      // SHOW TBLPROPERTIES hides engine-RESERVED keys (comment among
+      // them) — assert the STORED manifest and the DESCRIBE surface
+      assert(graft.sources.LakeSinkFiles.readManifestProps(s"$lake/tp")
+        .toMap.get("comment").contains("telemetry rollups"),
+        "COMMENT ON TABLE must store in the manifest")
+      val descC = spark.sql("DESCRIBE EXTENDED graft.lake.tp").collect()
+        .map(_.toString).mkString("\n")
+      assert(descC.contains("telemetry rollups"),
+        s"DESCRIBE must surface the comment:\n$descC")
+      // …while genuinely engine-reserved keys refuse LOUDLY at ALTER —
+      // 'owner' by Spark's own parser (reserved property), 'option.*' by
+      // the catalog guard (never the silent drop)
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        spark.sql("ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('owner'='x')"))
+      val eOpt = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.lake.tp SET TBLPROPERTIES ('option.x'='1')"))
+      assert(eOpt.getMessage.contains("engine-reserved"), eOpt.getMessage)
     }
   }
 

@@ -239,6 +239,55 @@ class GraftViewSpec extends GraftSpec {
       val e2 = intercept[Exception](
         spark.sql("ALTER VIEW graft.lake.pv2 RENAME TO pv3"))
       assert(e2.getMessage.contains("dep"), e2.getMessage)
+      // a RENAME that would CLOSE a cycle refuses (review r14): x refs
+      // table y; w refs x; drop table y; renaming w onto the name y
+      // would make x -> y -> x unfold forever at substitution
+      spark.sql("CREATE TABLE graft.lake.y AS SELECT 1L AS id")
+      spark.sql("CREATE VIEW graft.lake.x AS SELECT id FROM graft.lake.y")
+      spark.sql("CREATE VIEW graft.lake.w AS SELECT id FROM graft.lake.x")
+      spark.sql("DROP TABLE graft.lake.y")
+      val e3 = intercept[Exception](
+        spark.sql("ALTER VIEW graft.lake.w RENAME TO y"))
+      assert(e3.getMessage.contains("cycle"), e3.getMessage)
+    }
+  }
+
+  test("SHOW CREATE TABLE / DESCRIBE on stored views emit the view surface") {
+    import spark.implicits._
+    val lake = tmp("graft_view_sct")
+    withCatalog(lake) {
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .writeTo("graft.lake.t").create()
+      spark.sql("""CREATE VIEW graft.lake.vw (a COMMENT 'the id', b)
+                   COMMENT 'my rule' TBLPROPERTIES ('team'='sre')
+                   AS SELECT id, v FROM graft.lake.t WHERE id > 3""")
+      val ddl = spark.sql("SHOW CREATE TABLE graft.lake.vw")
+        .collect()(0).getString(0)
+      Seq("CREATE VIEW graft.lake.vw (a COMMENT 'the id', b)",
+        "COMMENT 'my rule'",
+        "'team' = 'sre'", "WHERE id > 3").foreach(f =>
+        assert(ddl.contains(f), s"missing '$f' in:\n$ddl"))
+      // the DDL REPLAYS into an equivalent view
+      spark.sql(ddl.replace("graft.lake.vw", "graft.lake.vw2"))
+      assert(spark.table("graft.lake.vw2").columns.toSeq == Seq("a", "b"))
+      assert(spark.table("graft.lake.vw2").count() == 7)
+      // DESCRIBE lists the ALIASED columns; EXTENDED adds the view section
+      // column COMMENTs round-trip (review r14: an explicit DDL clause
+      // must store, never silently drop)
+      val plain = spark.sql("DESCRIBE graft.lake.vw").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(plain == Seq(("a", "bigint", "the id"), ("b", "string", null)),
+        plain.toString)
+      val ext = spark.sql("DESCRIBE EXTENDED graft.lake.vw").collect()
+        .map(_.toString).mkString("\n")
+      Seq("# Detailed View Information", "VIEW", "WHERE id > 3",
+        "team=sre").foreach(f =>
+        assert(ext.contains(f), s"missing '$f' in:\n$ext"))
+      // a TABLE target still takes the table path (not intercepted)
+      assert(spark.sql("SHOW CREATE TABLE graft.lake.t").collect()(0)
+        .getString(0).startsWith("CREATE TABLE"))
+      assert(spark.sql("DESCRIBE graft.lake.t").collect()
+        .map(_.getString(0)).toSeq.take(2) == Seq("id", "v"))
     }
   }
 

@@ -553,6 +553,47 @@ class LakeSinkSpec extends GraftSpec {
     assert(count == 20L, "refused writes must not mutate the table")
   }
 
+  test("txn hardening: negative versions refuse; prefix sweeps and repartitioned replays are safe") {
+    import spark.implicits._
+    val out = tmp("graft_sink_txnh")
+    def write(v: Long, parts: Int, rows: Seq[Long]): Unit =
+      rows.toDF("id").repartition(parts).write.format("graft.sources.LakeSink")
+        .mode("append").option("txnAppId", "loader")
+        .option("txnVersion", v.toString).save(out)
+    def count: Long =
+      spark.read.format("graft.sources.LakeSink").load(out).count()
+    // negative versions refuse (they would make txn-<app>-<v> ambiguous
+    // against an appId ending in '-')
+    val e1 = intercept[Exception](write(-1, 1, Seq(1L)))
+    assert(e1.getMessage.contains("non-negative"), e1.getMessage)
+    // PREFIX SAFETY: a replayed (loader, 1) no-op must not sweep a
+    // concurrent (loader, 10)'s staged files (substring tags — review r14)
+    write(1, 2, 1L to 10L)
+    val staged10 = graft.sources.LakeSinkFiles.stagingDir(out)
+      .resolve("part-txnloader-10-0.json.gz.txnloader-10-0-a9.inprogress")
+    java.nio.file.Files.write(staged10, "x".getBytes)
+    write(1, 2, 1L to 10L) // replay: discards ITS files, sweeps ITS tag
+    assert(java.nio.file.Files.exists(staged10),
+      "a replay of (loader,1) must not sweep (loader,10)'s staged files")
+    java.nio.file.Files.delete(staged10)
+    assert(count == 10L)
+    // REPARTITIONED crash replay: marker removed (crash-before-marker),
+    // the replay runs with FEWER partitions — index-orphans of the first
+    // attempt must retire, not duplicate (review r14)
+    write(2, 4, 11L to 30L)
+    assert(count == 30L)
+    java.nio.file.Files.delete(
+      graft.sources.LakeSinkFiles.commitsDir(out).resolve("txn-loader-2"))
+    write(2, 1, 11L to 30L) // same data, ONE partition
+    assert(count == 30L,
+      "a repartitioned replay must converge, not duplicate")
+    // the orphaned wide-attempt files are retired, not live
+    val live = graft.sources.LakeSinkFiles.listLive(out, Seq.empty)
+      .map(_._1.getFileName.toString)
+    assert(live.count(_.startsWith("part-txnloader-2-")) == 1,
+      s"only the replay's single file may stay live: $live")
+  }
+
   test("foreachBatch + txn: a crash between sink commit and checkpoint replays exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -334,7 +334,9 @@ class PropertySpec extends GraftSpec {
     }
     def at(j: Int, h: (Int, Seq[(Long, Long)])): Seq[(Long, Long)] = {
       require(j >= h._1)
-      h._2.groupBy { case (m, _) => m >> (j - h._1) }
+      def sh(m: Long, s: Int): Long = // past the JVM shift mask
+        if (s >= 63) (if (m < 0) -1L else 0L) else m >> s
+      h._2.groupBy { case (m, _) => sh(m, j - h._1) }
         .map { case (k, v) => k -> v.map(_._2).sum }.toSeq.sortBy(_._1)
     }
     samples(statRowGen, 6).foreach { rows =>
@@ -361,6 +363,20 @@ class PropertySpec extends GraftSpec {
         }
       }
     }
+  }
+
+  test("histUnion survives grid gaps past the JVM shift mask (>= 64 levels)") {
+    // a sub-unit double file (j = -20) folded with an epoch-magnitude
+    // file (j = 50): the 70-level re-grid shift would be masked to 6
+    // bits by a bare >> and land counts in garbage buckets (review r14)
+    val fine = (-20, Seq((1000L, 5L)))   // values ~0.00095 -> bucket 0 at j=50
+    val coarse = (50, Seq((3L, 7L)))
+    val Some((j, buckets)) = LakeSinkStats.histUnion(Seq(fine, coarse))
+    assert(j == 50 && buckets == Seq((0L, 5L), (3L, 7L)), s"$j $buckets")
+    // negative indices collapse to the sign bucket, not garbage
+    val neg = (-20, Seq((-1000L, 4L)))
+    val Some((j2, b2)) = LakeSinkStats.histUnion(Seq(neg, coarse))
+    assert(j2 == 50 && b2 == Seq((-1L, 4L), (3L, 7L)), s"$j2 $b2")
   }
 
   test("property: ndv register fold equals the registers of the concatenation") {
