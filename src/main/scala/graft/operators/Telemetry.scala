@@ -3487,6 +3487,72 @@ object Telemetry {
        SELECT id, ts, machine_id, is_anomaly, temperature, vibration
        FROM t WHERE id % 2 = 0 ORDER BY id"""
 
+  /** t82 — ANALYZE TABLE stats backfill under the differential (r14:
+    * [[graft.sources.LakeMaintenance.analyze]] behind BOTH SQL surfaces —
+    * Spark's native `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`
+    * (rerouted by the parser hook: the engine's own AnalyzeColumn plan is
+    * session-catalog-only) and `CALL graft.system.analyze`): the table is
+    * created with ZERO stats options — the retrofit case every warehouse
+    * hits — then ANALYZE backfills NDV registers over the already-written
+    * files with one linear pass, and t71's CBO broadcast flip must work
+    * off the RETROFITTED ledger (asserted in-query). The second in-query
+    * pin is idempotence: a CALL requesting the SAME coverage reports
+    * (0 analyzed, all skipped) — re-running ANALYZE is a metadata no-op.
+    * GraftAnalyzeSpec pins bounds/hist/bloom backfill, the coverage
+    * union, snapshot isolation (pre-analyze versions keep their recorded
+    * ledgers), and the partition-column/NOSCAN/view refusals.
+    *
+    * Scale shape: the CBO is only as good as its ledger coverage, and a
+    * table loaded before anyone set `graft.ndvColumns` has none —
+    * ANALYZE retrofits exactly the uncovered files (one distributed
+    * linear pass, no rewrite), instead of "reload 100 TB with the right
+    * options". */
+  def t82AnalyzeTable(s: SparkSession, dir: String): DataFrame = {
+    // ANALYZE routing lives in the parser hook (see t76's remedy note)
+    require(s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.isInstanceOf[graft.plans.GraftViewSqlParser],
+      "t82 needs the view extensions: build the session with " +
+        ".config(\"spark.sql.extensions\", \"graft.plans.GraftViewExtensions\")")
+    val lakeRoot = TempLakes.catalog(s, "t82")
+    val _ = lakeRoot
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeTo("graft_t82.lake.ev").create() // zero stats options
+    s.sql("ANALYZE TABLE graft_t82.lake.ev COMPUTE STATISTICS " +
+      "FOR COLUMNS user_id, event_id")
+    val a = s.sql(
+      "CALL graft_t82.system.analyze('ev', ndv_cols => 'user_id,event_id')")
+      .collect()
+    require(a.length == 1 && a(0).getInt(0) == 0 && a(0).getInt(1) >= 1,
+      s"t82: re-analyze must skip every covered file, got ${a.mkString(";")}")
+    val keys = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536")
+    val prev = keys.map { case (k, _) =>
+      k -> (if (org.apache.spark.sql.internal.SQLConf.get.contains(k))
+        Some(s.conf.get(k)) else None)
+    }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val fact = s.table("graft_t82.lake.ev")
+      val dim = fact.filter(col("user_id") === 7L).select(col("event_id"))
+      val joined = fact.join(dim, "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Num.rsum(col("value"), 6).as("sum_v"))
+        .orderBy(col("event_type"))
+      val out = joined.localCheckpoint(true)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        s"t82: ANALYZE-retrofitted NDV must broadcast the filtered side:\n${plan.take(900)}")
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Identical text to [[t71Sql]]: statistics may only change PLANS. */
+  lazy val t82Sql: String = t71Sql
+
   /** t80 — NAMED VERSION REFS (TAGS) under the differential (r14,
     * verdict #10 stretch: [[graft.sources.LakeMaintenance.tag]] — the
     * Iceberg tag / Delta named-snapshot role, vacuum interaction
@@ -3645,6 +3711,7 @@ object Telemetry {
        FROM events GROUP BY 1 ORDER BY tag"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t82_analyze_table" -> (t82AnalyzeTable _),
     "t81_merge_by_source" -> (t81MergeBySource _),
     "t80_version_tags" -> (t80VersionTags _),
     "t79_histogram_stats" -> (t79HistogramStats _),
@@ -3723,6 +3790,7 @@ object Telemetry {
     "t09_props_stats" -> (t09PropsStats _))
 
   val oracles: Map[String, String] = Map(
+    "t82_analyze_table" -> t82Sql,
     "t81_merge_by_source" -> t81Sql,
     "t80_version_tags" -> t80Sql,
     "t79_histogram_stats" -> t79Sql,

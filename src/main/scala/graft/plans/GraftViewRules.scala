@@ -181,6 +181,40 @@ private[graft] object GraftViewRules {
         GraftDescribeViewCommand(catName, vd.name, d.isExtended, d.output)
       case _ => plan
     }
+    // Native ANALYZE TABLE routing: Spark's own AnalyzeTable/AnalyzeColumn
+    // plans are session-catalog-only (ResolveSessionCatalog fails them for
+    // v2 tables), so statements targeting a graft lake table reroute to
+    // the ledger-backfill engine ([[graft.sources.LakeMaintenance.analyze]]).
+    // FOR COLUMNS = NDV registers on the named columns, plus histograms on
+    // numeric axes when spark.sql.statistics.histogram.enabled is true —
+    // Spark's own ANALYZE semantics mapped onto the ledger parts. Plain
+    // COMPUTE STATISTICS backfills bounds/nulls/row counts only.
+    case at: AnalyzeTable => at.child match {
+      case utv: UnresolvedTableOrView =>
+        ddlTarget(session, utv.multipartIdentifier) match {
+          case Some((catName, cat, name)) =>
+            require(at.partitionSpec.isEmpty,
+              s"$catName: partition-scoped ANALYZE is not supported — " +
+                "analyze covers exactly the uncovered files of the table")
+            require(!at.noScan,
+              s"$catName: ANALYZE … NOSCAN computes nothing for lake " +
+                "tables (row counts and sizes are already ledger-exact); " +
+                "omit NOSCAN to backfill per-file column statistics")
+            GraftAnalyzeCommand(catName, cat, name, None, allColumns = false)
+          case None => plan
+        }
+      case _ => plan
+    }
+    case ac: AnalyzeColumn => ac.child match {
+      case utv: UnresolvedTableOrView =>
+        ddlTarget(session, utv.multipartIdentifier) match {
+          case Some((catName, cat, name)) =>
+            GraftAnalyzeCommand(catName, cat, name, ac.columnNames,
+              ac.allColumns)
+          case None => plan
+        }
+      case _ => plan
+    }
     case sp: SetViewProperties => sp.child match {
       case uv: UnresolvedView =>
         ddlTarget(session, uv.multipartIdentifier) match {
@@ -418,6 +452,56 @@ case class GraftShowViewsCommand(catalog: GraftCatalog, pattern: Option[String],
       case None => names
     }
     filtered.map(n => Row("lake", n, false))
+  }
+}
+
+/** `ANALYZE TABLE cat.lake.t COMPUTE STATISTICS [FOR COLUMNS a, b |
+  * FOR ALL COLUMNS]` over a lake table — backfills the per-file stats
+  * ledgers through [[graft.sources.LakeMaintenance.analyze]]:
+  * `columns`/`allColumns` select NDV-register coverage (strings
+  * included — the CBO's distinct counts), plus equi-width histograms on
+  * numeric axes when `spark.sql.statistics.histogram.enabled` is true
+  * (Spark's own gating conf for ANALYZE histograms). Plain COMPUTE
+  * STATISTICS (no column clause) backfills bounds/nulls/row counts for
+  * ledger-absent files only. Bloom filters stay CALL-only
+  * (`graft.system.analyze`) — they are lookup structures, not
+  * statistics, and have a sizing knob. Partition columns are refused by
+  * the engine (directory values already enumerate them) except under
+  * FOR ALL COLUMNS, which simply skips them. */
+case class GraftAnalyzeCommand(catalogName: String, catalog: GraftCatalog,
+    name: String, columns: Option[Seq[String]], allColumns: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.sources.{LakeMaintenance, LakeSinkFiles, LakeSinkStats}
+    val root = catalog.lakeRootOpt.getOrElse(throw new IllegalStateException(
+      s"$catalogName: catalog has no lake namespace configured"))
+    require(!GraftViews.exists(root, name),
+      s"ANALYZE TABLE: $catalogName.lake.$name is a stored VIEW — " +
+        "analyze its base tables instead")
+    val dir = java.nio.file.Paths.get(root, name).toString
+    val (tblSchema, partCols) = LakeSinkFiles.readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"ANALYZE TABLE: no lake table '$name' under $root"))
+    val histOn = session.conf
+      .get("spark.sql.statistics.histogram.enabled", "false").toBoolean
+    def numericAxis(c: String): Boolean =
+      tblSchema.fields.find(_.name.equalsIgnoreCase(c)).exists(_.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType => false
+        case dt => LakeSinkStats.statable(dt)
+      })
+    val (ndv, hist): (Seq[String], Seq[String]) = columns match {
+      case Some(cs) => (cs, if (histOn) cs.filter(numericAxis) else Seq.empty)
+      case None if allColumns =>
+        val dataCols = tblSchema.fields
+          .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+        val nd = dataCols.filter(f => LakeSinkStats.statable(f.dataType))
+          .map(_.name).toSeq
+        (nd, if (histOn) nd.filter(numericAxis) else Seq.empty)
+      case None => (Seq.empty, Seq.empty) // bounds/nulls/counts backfill
+    }
+    LakeMaintenance.analyze(session, dir, ndv, hist)
+    Seq.empty
   }
 }
 

@@ -42,7 +42,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "zorder", "clone", "restore",
-      "evolve_partition_spec", "tag", "drop_tag")
+      "evolve_partition_spec", "tag", "drop_tag", "analyze")
 
   private def in(n: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(n, dt).build()
@@ -191,6 +191,28 @@ private[sources] object GraftProcedures {
         override def run(in: InternalRow): Array[InternalRow] = {
           val dir = dirOf(in.getUTF8String(0).toString)
           row(LakeMaintenance.dropTag(dir, in.getUTF8String(1).toString))
+        }
+      }
+      case "analyze" => new P("analyze",
+        "backfill per-file stats ledgers (bounds/nulls always; " +
+          "ndv_cols/hist_cols/bloom_cols = 'a,b' opt-ins) for files " +
+          "lacking the coverage; already-covered files are skipped",
+        Array(in("table", StringType),
+          inDef("ndv_cols", StringType, "''"),
+          inDef("hist_cols", StringType, "''"),
+          inDef("bloom_cols", StringType, "''"),
+          inDef("bloom_bits", IntegerType, "-1")),
+        StructType(Seq(StructField("files_analyzed", IntegerType, nullable = false),
+          StructField("files_skipped", IntegerType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val dir = dirOf(in.getUTF8String(0).toString)
+          def cols(i: Int): Seq[String] = in.getUTF8String(i).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val bits = Option(in.getInt(4)).filter(_ > 0)
+            .getOrElse(LakeSinkStats.DefaultBloomBits)
+          val (a, s) = LakeMaintenance.analyze(SparkSession.active, dir,
+            cols(1), cols(2), cols(3), bits)
+          row(a, s)
         }
       }
       case "evolve_partition_spec" => new P("evolve_partition_spec",

@@ -1202,6 +1202,166 @@ object LakeMaintenance {
     hist.size
   }
 
+  /** ANALYZE — backfill per-file column statistics for committed files
+    * that LACK the requested coverage, without touching a data byte:
+    * each needy file is re-read through the scanner's own parser
+    * ([[JsonLineParser]] — renames/widening/DEFAULT prefills all apply)
+    * and the writer's own trackers ([[LakeSinkStats.trackers]]), so the
+    * ledger entry an analyzed file gets is byte-compatible with one the
+    * writer would have produced had the options been set at write time.
+    * Covers: bounds/nulls for ledger-absent files (+ their row counts,
+    * for count-pushdown completeness), and opt-in NDV registers /
+    * histograms / bloom filters per column. A re-analyzed file KEEPS
+    * every part any earlier write or analyze gave it (coverage is the
+    * union), and a file already carrying all requested parts is skipped
+    * — the second run of the same ANALYZE is a metadata-only no-op.
+    *
+    * Only the live stats ledger updates: the next plan sees the coverage
+    * immediately, while snapshot reads keep their version's RECORDED
+    * (pre-analyze) ledgers — historically exact, degrading to scans as
+    * they always did. Stats cover ALL written rows (delete vectors are
+    * not subtracted — the writer's own semantics; consumers already
+    * treat vectored files specially). Returns (files analyzed, live
+    * files skipped as already covered).
+    *
+    * 100 TB story: the CBO features (t71 NDV broadcast flips, t79
+    * histogram selectivity) are only as good as their ledger coverage,
+    * and a table loaded before anyone set `graft.ndvColumns` has none —
+    * ANALYZE is the retrofit path every warehouse has (one distributed
+    * linear pass over exactly the uncovered files), instead of "rewrite
+    * the table with the right options". */
+  def analyze(spark: SparkSession, path: String,
+      ndvColsIn: Seq[String] = Seq.empty, histColsIn: Seq[String] = Seq.empty,
+      bloomColsIn: Seq[String] = Seq.empty,
+      bloomBits: Int = LakeSinkStats.DefaultBloomBits): (Int, Int) = {
+    val (tblSchema, partCols) = LakeSinkFiles.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"LakeMaintenance: no lake table at $path"))
+    val dataSchema = LakeSink.dataSchema(tblSchema, partCols)
+    // validation mirrors the writer's (LakeSinkWrite) so the two paths
+    // cannot disagree on what a column may carry — fail before any read.
+    // Names resolve CASE-INSENSITIVELY to the schema's canonical case
+    // (Spark's resolution rule; the r13 case-variant-property lesson) —
+    // trackers and needs-work checks match on the canonical name.
+    def field(c: String, what: String): StructField = {
+      require(!partCols.exists(_.equalsIgnoreCase(c)),
+        s"LakeMaintenance.analyze: $what apply to DATA columns; $c is a " +
+          "partition column (its directory values already enumerate it)")
+      dataSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"LakeMaintenance.analyze: column $c is not in the table schema"))
+    }
+    require(bloomBits > 0 && (bloomBits & (bloomBits - 1)) == 0,
+      s"LakeMaintenance.analyze: bloomBits must be a power of 2, got $bloomBits")
+    val ndvCols = ndvColsIn.map { c =>
+      val f = field(c, "NDV registers")
+      require(LakeSinkStats.statable(f.dataType),
+        s"LakeMaintenance.analyze: NDV registers on $c are unsupported")
+      f.name
+    }
+    val histCols = histColsIn.map { c =>
+      val f = field(c, "histograms")
+      require(f.dataType match {
+        case StringType | BooleanType => false
+        case dt                       => LakeSinkStats.statable(dt)
+      }, s"LakeMaintenance.analyze: histogram on $c needs a numeric axis")
+      f.name
+    }
+    val bloomCols = bloomColsIn.map { c =>
+      val f = field(c, "bloom filters")
+      require(f.dataType match {
+        case DoubleType | FloatType => false
+        case dt                     => LakeSinkStats.statable(dt)
+      }, s"LakeMaintenance.analyze: bloom filter on $c is unsupported")
+      f.name
+    }
+    val root = Paths.get(path)
+    val rels = LakeSinkFiles.listLive(path, partCols)
+      .map { case (p, _) => root.relativize(p).toString }
+    val ledger = LakeSinkStats.readBlobs(path)
+    val (evoAliases, evoIgnored) = LakeSinkFiles.readManifestEvolution(path)
+    val evoDefaults = LakeSinkDefaults.internalMap(path, dataSchema)
+    val decoded: Map[String, LakeSinkStats.FileStats] = rels.flatMap(r =>
+      ledger.get(r).map(b =>
+        r -> LakeSinkStats.decode(b, tblSchema, evoAliases))).toMap
+    // a file needs work when it has no ledger line at all, or when a
+    // requested column's ENTRY or PART is missing (an entry can be
+    // missing because the file pre-dates the column — the re-parse
+    // default/null-fills it; the one non-converging case, a string
+    // column whose tracker dies on >256-char values, re-does harmless
+    // work per call and is documented at the tracker)
+    def needsPart(rel: String, c: String,
+        part: LakeSinkStats.ColStat => Boolean): Boolean =
+      !decoded(rel).get(c).exists(part)
+    val needy = rels.filter { rel =>
+      !decoded.contains(rel) ||
+        ndvCols.exists(needsPart(rel, _, _.ndv.isDefined)) ||
+        histCols.exists(needsPart(rel, _, _.hist.isDefined)) ||
+        bloomCols.exists(needsPart(rel, _, _.bloom.isDefined))
+    }
+    if (needy.isEmpty) return (0, rels.size)
+    // per-file coverage = requested UNION already-recorded: a re-analyzed
+    // file must not LOSE parts another write gave it (the compaction
+    // materialize rule)
+    val jobs: Seq[(String, Map[String, Int], Set[String], Set[String])] =
+      needy.map { rel =>
+        val d = decoded.getOrElse(rel, Map.empty: LakeSinkStats.FileStats)
+        val bl = d.collect {
+          case (n, cs) if cs.bloom.isDefined => n -> cs.bloom.get.length * 8
+        } ++ bloomCols.filterNot(c => d.get(c).exists(_.bloom.isDefined))
+          .map(_ -> bloomBits)
+        val nd = d.collect { case (n, cs) if cs.ndv.isDefined => n }.toSet ++ ndvCols
+        val hs = d.collect { case (n, cs) if cs.hist.isDefined => n }.toSet ++ histCols
+        (rel, bl.toMap, nd, hs)
+      }
+    // one linear pass per needy file, one task each (compaction's layout)
+    val fresh: Seq[(String, (Long, String))] = spark.sparkContext
+      .parallelize(jobs, jobs.size)
+      .map { case (rel, bl, nd, hs) =>
+        val trackers = LakeSinkStats.trackers(dataSchema, bl, nd, hs)
+        val parser = new JsonLineParser(dataSchema, evoAliases, evoIgnored,
+          evoDefaults)
+        val parsed = new Array[Any](dataSchema.length)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(parsed)
+        var rows = 0L
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new GZIPInputStream(new BufferedInputStream(
+            Files.newInputStream(Paths.get(path).resolve(rel)))),
+          java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            parser.parse(line, parsed)
+            rows += 1
+            var c = 0
+            while (c < trackers.length) {
+              if (trackers(c).isDefined) {
+                if (row.isNullAt(c)) trackers(c).get.nullSeen()
+                else trackers(c).get.update(row, c)
+              }
+              c += 1
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+        rel -> ((rows, LakeSinkStats.blobOf(trackers)))
+      }.collect().toSeq
+    // a concurrent rewrite may have retired an analyzed file — a blob
+    // for a dead file would plant a garbage ledger line; trim to the
+    // still-live set (analyze is advisory metadata, no abort needed)
+    val liveNow = LakeSinkFiles.listLive(path, partCols)
+      .map { case (p, _) => root.relativize(p).toString }.toSet
+    val adds = fresh.filter(e => liveNow(e._1))
+    LakeSinkStats.updateBlobs(path,
+      adds.map { case (r, (_, b)) => r -> b }.toMap, Seq.empty)
+    // counts backfill rides the same pass: only for files the counts
+    // ledger MISSES (recorded entries are already exact — never replace)
+    val counts = LakeSinkFiles.readCounts(path)
+    LakeSinkFiles.updateCounts(path,
+      adds.collect { case (r, (n, _)) if !counts.contains(r) => r -> n }.toMap,
+      Seq.empty)
+    (adds.size, rels.size - needy.size)
+  }
+
   /** Total committed data files of a lake table (maintenance metric). */
   def committedFileCount(path: String): Int = {
     val (_, partCols) = LakeSinkFiles.readManifest(path).getOrElse(return 0)

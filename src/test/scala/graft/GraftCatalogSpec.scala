@@ -1375,7 +1375,7 @@ class GraftCatalogSpec extends GraftSpec {
       val shown = spark.sql("SHOW PROCEDURES IN graft.`system`").collect()
         .map(_.toString).mkString(";")
       Seq("compact", "vacuum", "zorder", "clone", "restore",
-        "evolve_partition_spec").foreach(p =>
+        "evolve_partition_spec", "analyze").foreach(p =>
         assert(shown.contains(p), s"$p missing from SHOW PROCEDURES: $shown"))
       // unknown procedure + missing table refuse loudly
       val e1 = intercept[Exception] {
