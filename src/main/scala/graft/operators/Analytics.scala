@@ -1193,6 +1193,116 @@ object Analytics {
          ${rSql(CvmT, 6)} AS cvm_stat
        FROM agg ORDER BY source_a, source_b"""
 
+  // --- q121: two-sample Anderson–Darling over the q51/q117 pairs -------------
+
+  /** q121's shared texts: the per-pooled-value AD term over exact
+    * integers — doubled mid-counts M′ = 2·cumₐ − cₐ and B′ = 2·cum − l
+    * absorb the Scholz–Stephens l/2 midpoints, and for k = 2 the two
+    * sample terms collapse (N·M′ₐ − nₐ·B′ = −(N·M′_b − n_b·B′)), so the
+    * /4s cancel against the denominator's: term = l·D′²/den′ with
+    * D′ = N·M′ₐ − nₐ·B′ and den′ = B′(2N − B′) − N·l, both integers
+    * (D′² multiplies in double — D′ ≤ 2N² is double-exact far past any
+    * driver scale, and BIGINT² would overflow first). */
+  private val AdTerm =
+    "CAST(w AS DOUBLE) * (CAST(dn AS DOUBLE) * CAST(dn AS DOUBLE)) / " +
+      "CAST(den AS DOUBLE)"
+  private val AdStat =
+    "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0) / " +
+      "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * " +
+      "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * s10"
+
+  /** q121 — the two-sample Anderson–Darling statistic per source pair
+    * (Scholz–Stephens 1987, the ties-adjusted midrank form): completes
+    * the ECDF-distance family — q51's KS reads the single worst gap,
+    * q117's CvM integrates the squared gap uniformly, AD weights it by
+    * 1/(H(1−H)) so TAIL differences score (the detector for "same bulk,
+    * different extremes" — length outliers one source alone produces).
+    * Same count/grid machinery as q51/q117; every cumulative a BIGINT;
+    * per-value terms round at 10 dp and re-enter decimal (order-free
+    * sums, the q117 discipline); the one shared text normalizes.
+    * Point-mass values (den′ = 0 ⇔ l = N) are skipped by convention —
+    * they carry zero distribution information. Identical samples give
+    * D′ = 0 at every value → A² = 0 exactly.
+    *
+    * Scale shape: q51's — one count pass, a bounded distinct-value
+    * grid, one pair join over |sources|² × |values| grid rows. */
+  def q121AndersonDarling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    adTest(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q121's core over an explicit (source, x) relation — exposed so the
+    * spec can pin a hand-computed A² and the identity law. */
+  private[graft] def adTest(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val cnt = metric.filter($"x".isNotNull)
+      .groupBy($"source", $"x").agg(count(lit(1)).as("c"))
+      .cache() // feeds the value axis, per-source totals, and the grid
+    val vals = cnt.select($"x").distinct()
+    val srcn = cnt.groupBy($"source").agg(sum($"c").as("n"))
+    val grid = srcn.crossJoin(broadcast(vals))
+      .join(cnt, Seq("source", "x"), "left")
+      .select($"source", $"n", $"x", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("cum",
+        sum($"c").over(Window.partitionBy($"source").orderBy($"x")))
+    val a = grid.select($"source".as("source_a"), $"n".as("n_a"),
+      $"x", $"c".as("ca"), $"cum".as("cuma"))
+    val b = grid.select($"source".as("source_b"), $"n".as("n_b"),
+      $"x", $"c".as("cb"), $"cum".as("cumb"))
+    val out = a.join(b, Seq("x")).filter($"source_a" < $"source_b")
+      .withColumn("w", $"ca" + $"cb")
+      .withColumn("nn", $"n_a" + $"n_b")
+      .withColumn("bp", ($"cuma" + $"cumb") * 2 - $"w")
+      .withColumn("dn", $"nn" * ($"cuma" * 2 - $"ca") - $"n_a" * $"bp")
+      .withColumn("den", $"bp" * ($"nn" * 2 - $"bp") - $"nn" * $"w")
+      .withColumn("term",
+        when($"den" > 0, r(expr(AdTerm), 10)).otherwise(lit(0.0)))
+      .groupBy($"source_a", $"source_b")
+      .agg(min($"n_a").as("n_a"), min($"n_b").as("n_b"),
+        rsum($"term", 10).as("s10"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        r(expr(AdStat), 6).as("ad_stat"))
+      .orderBy($"source_a", $"source_b")
+      .localCheckpoint(true)
+    cnt.unpersist(blocking = false)
+    out
+  }
+
+  val q121Sql: String =
+    s"""WITH cnt AS MATERIALIZED (SELECT source, x, count(*) AS c
+       FROM (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+             FROM documents) z
+       WHERE x IS NOT NULL
+       GROUP BY source, x),
+       vals AS (SELECT DISTINCT x FROM cnt),
+       srcn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+       grid AS (SELECT s.source, s.n, v.x, coalesce(c.c, 0) AS c
+         FROM srcn s CROSS JOIN vals v
+         LEFT JOIN cnt c ON c.source = s.source AND c.x = v.x),
+       g AS (SELECT source, n, x, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum
+       FROM grid),
+       pairs AS (SELECT source_a, source_b, n_a, n_b, w, dn,
+           bp * (nn * 2 - bp) - nn * w AS den
+         FROM (SELECT a.source AS source_a, b.source AS source_b,
+             a.n AS n_a, b.n AS n_b, a.c + b.c AS w, a.n + b.n AS nn,
+             (a.cum + b.cum) * 2 - (a.c + b.c) AS bp,
+             (a.n + b.n) * (a.cum * 2 - a.c)
+               - a.n * ((a.cum + b.cum) * 2 - (a.c + b.c)) AS dn
+           FROM g a JOIN g b ON a.x = b.x AND a.source < b.source) y),
+       terms AS (SELECT source_a, source_b, n_a, n_b,
+           CASE WHEN den > 0 THEN ${rSql(AdTerm, 10)} ELSE 0.0 END AS term
+         FROM pairs),
+       agg AS (SELECT source_a, source_b,
+           CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+           ${rsumSql("term", 10)} AS s10
+         FROM terms GROUP BY source_a, source_b)
+       SELECT source_a, source_b, n_a, n_b,
+         ${rSql(AdStat, 6)} AS ad_stat
+       FROM agg ORDER BY source_a, source_b"""
+
   // --- q56: CUSUM changepoint scan over the hourly series -------------------
 
   /** q56 — CUSUM changepoint detection per event_type: the running sum of
@@ -3468,6 +3578,255 @@ object Analytics {
        ORDER BY ta.metric, src_a, src_b"""
   }
 
+
+  // --- q118/q120: Friedman test + Nemenyi post-hoc over blocked ranks --------
+
+  /** Shared Friedman algebra texts (identical both engines): the
+    * tie-robust Q over DOUBLED midranks — Q = (k−1)·Σⱼ(R′ⱼ − n(k+1))² /
+    * (ΣΣr′² − nk(k+1)²), integer numerator AND denominator (the doubled
+    * ranks absorb the /4s; reduces to the classic 12S/(nk(k+1)) when
+    * tie-free) — and Nemenyi's z over the same rank sums. */
+  private val FrQ =
+    "((kk - 1.0) * CAST(s4 AS DOUBLE) / " +
+      "(CAST(a4 AS DOUBLE) - nn * kk * (kk + 1.0) * (kk + 1.0)))"
+  private val NemZ =
+    "((CAST(ra AS DOUBLE) - CAST(rb AS DOUBLE)) / (2.0 * nn) / " +
+      "sqrt(kk * (kk + 1.0) / (6.0 * nn)))"
+
+  /** The shared Friedman rank machinery q118's omnibus AND q120's
+    * post-hoc build on (they cannot drift): blocks = hour-of-day cells
+    * of the 6dp mean event value per treatment (= event_type), COMPLETE
+    * blocks only (a block missing a treatment has no rank for it —
+    * the balanced-design requirement), ranked WITHIN block as exact
+    * 2·midranks (2·rank + tiecount − 1, every value an integer).
+    * Returns (ranked(blk, treat, r2), per(treat, n_b, rs2)) with `per`
+    * eagerly pinned (it feeds totals and both q120 pair sides). */
+  private[graft] def friedmanTables(cells0: DataFrame): (DataFrame, DataFrame) = {
+    val s = cells0.sparkSession
+    import s.implicits._
+    // null cell means would diverge on the rank window (NULLS FIRST vs
+    // LAST) — drop them BEFORE the completeness filter on both sides
+    val cells = cells0.filter($"x".isNotNull).localCheckpoint(true)
+    val kdf = cells.agg(countDistinct($"treat").as("k_treat"))
+    val complete = cells.groupBy($"blk").agg(count(lit(1)).as("kc"))
+      .crossJoin(broadcast(kdf)).filter($"kc" === $"k_treat").select($"blk")
+    val wr = Window.partitionBy($"blk").orderBy($"x")
+    val we = Window.partitionBy($"blk", $"x")
+    val ranked = cells.join(broadcast(complete), Seq("blk"))
+      .select($"blk", $"treat", $"x")
+      .withColumn("r2", rank().over(wr) * 2 + count(lit(1)).over(we) - 1)
+      .localCheckpoint(true) // feeds per-treat sums AND the ΣΣr'² total
+    val per = ranked.groupBy($"treat")
+      .agg(count(lit(1)).as("n_b"), sum($"r2").as("rs2"))
+      .localCheckpoint(true)
+    (ranked, per)
+  }
+
+  /** q118 — the Friedman test (blocked ranks): do the event types rank
+    * consistently across hour-of-day blocks, judged on the 6dp mean
+    * value per (hod, event_type) cell? The repeated-measures companion
+    * to q66's Kruskal–Wallis (which pools all observations; Friedman
+    * ranks WITHIN each block, so a block-level shift — a hot hour —
+    * cancels instead of confounding). Doubled midranks make numerator
+    * and denominator exact BIGINTs; the one shared text does the final
+    * division; all-tied blocks (denominator 0) emit nothing by pinned
+    * convention. Per-treatment mean ranks ride along (the report).
+    *
+    * Scale shape: ONE map-side-combinable cell aggregation over events;
+    * everything after is |hods|·|types| cells — driver-sized. */
+  def q118Friedman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    friedman(Tables.events(s, dir)
+      .groupBy(hour($"ts").cast("long").as("blk"), $"event_type".as("treat"))
+      .agg(Num.ravg($"value", 6).as("x")))
+  }
+
+  /** q118's core over an explicit (blk, treat, x) relation — exposed so
+    * the spec can pin the perfect-consistency Q = n(k−1), a hand-ranked
+    * tie panel, and the all-tied degeneracy. */
+  private[graft] def friedman(cells0: DataFrame): DataFrame = {
+    val s = cells0.sparkSession
+    import s.implicits._
+    val (ranked, per) = friedmanTables(cells0)
+    val glob = per.agg(count(lit(1)).as("k_treat"), max($"n_b").as("n_blk"))
+    val aa = ranked.agg(sum($"r2" * $"r2").as("a4"))
+    val s4 = per.crossJoin(broadcast(glob))
+      .agg(sum(($"rs2" - $"n_blk" * ($"k_treat" + 1)) *
+        ($"rs2" - $"n_blk" * ($"k_treat" + 1))).as("s4"))
+    per.crossJoin(broadcast(glob)).crossJoin(broadcast(aa))
+      .crossJoin(broadcast(s4))
+      .filter($"a4" - $"n_blk" * $"k_treat" * ($"k_treat" + 1) * ($"k_treat" + 1) > 0)
+      .withColumn("nn", $"n_blk".cast("double"))
+      .withColumn("kk", $"k_treat".cast("double"))
+      .select($"treat".as("event_type"), $"n_blk", $"k_treat",
+        r($"rs2".cast("double") / 2.0 / $"n_blk".cast("double"), 6).as("mean_rank"),
+        r(expr(FrQ), 6).as("q_stat"))
+      .orderBy($"event_type")
+  }
+
+  /** The cells/ranks CTE text q118 and q120 share verbatim. */
+  private[graft] val frCtesSql: String =
+    s"""fc0 AS (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS blk,
+         event_type AS treat, ${Num.ravgSql("value", 6)} AS x
+       FROM events GROUP BY 1, 2),
+       fcn AS (SELECT * FROM fc0 WHERE x IS NOT NULL),
+       kg AS (SELECT count(DISTINCT treat) AS k_treat FROM fcn),
+       cb AS (SELECT blk FROM fcn GROUP BY blk
+              HAVING count(*) = (SELECT k_treat FROM kg)),
+       fr AS MATERIALIZED (SELECT blk, treat,
+           CAST(2 * rank() OVER (PARTITION BY blk ORDER BY x)
+              + count(*) OVER (PARTITION BY blk, x) - 1 AS BIGINT) AS r2
+         FROM fcn JOIN cb USING (blk)),
+       per AS (SELECT treat, count(*) AS n_b, CAST(sum(r2) AS BIGINT) AS rs2
+         FROM fr GROUP BY treat),
+       gl AS (SELECT count(*) AS k_treat, CAST(max(n_b) AS BIGINT) AS n_blk
+         FROM per)"""
+
+  val q118Sql: String =
+    s"""WITH $frCtesSql,
+       a4t AS (SELECT CAST(sum(r2 * r2) AS BIGINT) AS a4 FROM fr),
+       s4t AS (SELECT CAST(sum((rs2 - n_blk * (k_treat + 1)) *
+             (rs2 - n_blk * (k_treat + 1))) AS BIGINT) AS s4
+         FROM per CROSS JOIN gl)
+       SELECT treat AS event_type, n_blk, k_treat,
+         ${rSql("CAST(rs2 AS DOUBLE) / 2.0 / CAST(n_blk AS DOUBLE)", 6)} AS mean_rank,
+         ${rSql(FrQ, 6)} AS q_stat
+       FROM (SELECT p.treat, p.rs2, g.n_blk, g.k_treat,
+           CAST(g.n_blk AS DOUBLE) AS nn, CAST(g.k_treat AS DOUBLE) AS kk,
+           a.a4, s.s4
+         FROM per p CROSS JOIN gl g CROSS JOIN a4t a CROSS JOIN s4t s) z
+       WHERE a4 - n_blk * k_treat * (k_treat + 1) * (k_treat + 1) > 0
+       ORDER BY event_type"""
+
+  /** q120 — the Nemenyi post-hoc (the step AFTER q118's omnibus says
+    * "event types rank differently": WHICH pairs differ — pairwise z
+    * over mean ranks with the blocked-design SE √(k(k+1)/(6n)); pairs
+    * with q118 exactly as q116's Dunn pairs with q66 and q115's Tukey
+    * with q78, completing the omnibus→post-hoc triptych). Shared rank
+    * machinery ([[friedmanTables]]/[[frCtesSql]]) — omnibus and
+    * post-hoc cannot drift; the critical value is a studentized-range
+    * table (not portable transcendentals) — the report carries the
+    * statistic, the q49/q115/q116 convention. */
+  def q120Nemenyi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nemenyi(Tables.events(s, dir)
+      .groupBy(hour($"ts").cast("long").as("blk"), $"event_type".as("treat"))
+      .agg(Num.ravg($"value", 6).as("x")))
+  }
+
+  /** q120's core — exposed for the hand-computed z and the zero law. */
+  private[graft] def nemenyi(cells0: DataFrame): DataFrame = {
+    val s = cells0.sparkSession
+    import s.implicits._
+    val (_, per) = friedmanTables(cells0)
+    val glob = per.agg(count(lit(1)).as("k_treat"), max($"n_b").as("n_blk"))
+    val a = per.select($"treat".as("treat_a"), $"rs2".as("ra"))
+    val b = per.select($"treat".as("treat_b"), $"rs2".as("rb"))
+    a.join(b, $"treat_a" < $"treat_b")
+      .crossJoin(broadcast(glob))
+      .withColumn("nn", $"n_blk".cast("double"))
+      .withColumn("kk", $"k_treat".cast("double"))
+      .select($"treat_a", $"treat_b", $"n_blk", $"k_treat",
+        r($"ra".cast("double") / 2.0 / $"n_blk".cast("double"), 6).as("mean_rank_a"),
+        r($"rb".cast("double") / 2.0 / $"n_blk".cast("double"), 6).as("mean_rank_b"),
+        r(expr(NemZ), 6).as("z_stat"))
+      .orderBy($"treat_a", $"treat_b")
+  }
+
+  val q120Sql: String =
+    s"""WITH $frCtesSql
+       SELECT treat_a, treat_b, n_blk, k_treat,
+         ${rSql("CAST(ra AS DOUBLE) / 2.0 / CAST(n_blk AS DOUBLE)", 6)} AS mean_rank_a,
+         ${rSql("CAST(rb AS DOUBLE) / 2.0 / CAST(n_blk AS DOUBLE)", 6)} AS mean_rank_b,
+         ${rSql(NemZ, 6)} AS z_stat
+       FROM (SELECT pa.treat AS treat_a, pb.treat AS treat_b,
+           pa.rs2 AS ra, pb.rs2 AS rb, g.n_blk, g.k_treat,
+           CAST(g.n_blk AS DOUBLE) AS nn, CAST(g.k_treat AS DOUBLE) AS kk
+         FROM per pa JOIN per pb ON pa.treat < pb.treat CROSS JOIN gl g) z
+       ORDER BY treat_a, treat_b"""
+
+  // --- q119: Bartlett's variance-homogeneity test ----------------------------
+
+  /** Shared q119 algebra texts: the per-group variance from the decimal
+    * cell moments, its weighted-ln term, and the corrected statistic. */
+  private val BtVi =
+    "((sxx - sx * sx / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))"
+  private val BtTerm = s"((CAST(n0 AS DOUBLE) - 1.0) * ln($BtVi))"
+  private val BtC =
+    "(1.0 + (invsum - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0)))"
+  private val BtChi2 = s"(((nd - kd) * ln(sp2) - lnsum) / $BtC)"
+
+  /** q119 — Bartlett's test: the PARAMETRIC variance-homogeneity
+    * companion to q113's Brown–Forsythe (Bartlett is more powerful
+    * under normality, notoriously sensitive otherwise — reporting both
+    * is the textbook practice), over the same per-source document-length
+    * metrics and the SAME decimal cell moments as q78/q115 (shared
+    * anovaCellsSql — the three tests cannot drift). χ² = [(N−k)·ln(s²ₚ)
+    * − Σ(nᵢ−1)·ln(s²ᵢ)] / C with the Bartlett correction C; the pooled
+    * s²ₚ is q115's MSW text. Cross-group sums of ln terms round at 10dp
+    * and re-enter decimal (order-free, the q111/q117 discipline);
+    * zero-variance or singleton groups are excluded by pinned convention
+    * (their ln is undefined), with n/k counted AFTER the exclusion. */
+  def q119Bartlett(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bartlett(Tables.documents(s, dir)
+      .select($"source", explode(array(
+        struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
+        struct(lit("n_tokens").as("metric"),
+          size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
+      .select($"f.metric", $"source", $"f.x"))
+  }
+
+  /** q119's core over an explicit (metric, source, x) relation — exposed
+    * so the spec can pin the hand-computed χ² and the equal-variance
+    * zero law. */
+  private[graft] def bartlett(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    metric
+      .groupBy($"metric", $"source")
+      .agg(count(lit(1)).as("n0"), m($"x").as("sx"), m($"x" * $"x").as("sxx"))
+      .filter($"n0" >= 2 && expr(BtVi) > 0)
+      .groupBy($"metric")
+      .agg(sum($"n0").as("n_docs"), count(lit(1)).as("k_groups"),
+        m($"sxx").as("sxxs"),
+        m($"sx" * $"sx" / $"n0".cast("double")).as("sb"),
+        dsum(r(expr(BtTerm), 10)).as("lnsum"),
+        dsum(r(lit(1.0) / ($"n0".cast("double") - 1.0), 10)).as("invsum"))
+      .filter($"k_groups" >= 2 && $"n_docs" > $"k_groups")
+      .withColumn("nd", $"n_docs".cast("double"))
+      .withColumn("kd", $"k_groups".cast("double"))
+      .withColumn("sp2", expr(TkMsw))
+      .filter($"sp2" > 0)
+      .select($"metric", $"n_docs", $"k_groups",
+        r($"sp2", 6).as("pooled_var"),
+        r(expr(BtC), 6).as("c_factor"),
+        r(expr(BtChi2), 6).as("chi2_stat"))
+      .orderBy($"metric")
+  }
+
+  val q119Sql: String = {
+    def m(e: String) = decMomentSql(e)
+    s"""WITH $anovaCellsSql,
+       bg AS (SELECT metric, CAST(sum(n0) AS BIGINT) AS n_docs,
+           count(*) AS k_groups, ${m("sxx")} AS sxxs,
+           ${m("sx * sx / CAST(n0 AS DOUBLE)")} AS sb,
+           ${dsumSql(rSql(BtTerm, 10))} AS lnsum,
+           ${dsumSql(rSql("1.0 / (CAST(n0 AS DOUBLE) - 1.0)", 10))} AS invsum
+         FROM mo WHERE n0 >= 2 AND $BtVi > 0 GROUP BY metric),
+       bp AS (SELECT metric, n_docs, k_groups, nd, kd,
+           $TkMsw AS sp2, lnsum, invsum
+         FROM (SELECT metric, n_docs, k_groups, sxxs, sb, lnsum, invsum,
+             CAST(n_docs AS DOUBLE) AS nd, CAST(k_groups AS DOUBLE) AS kd
+           FROM bg WHERE k_groups >= 2 AND n_docs > k_groups) y)
+       SELECT metric, n_docs, k_groups,
+         ${rSql("sp2", 6)} AS pooled_var,
+         ${rSql(BtC, 6)} AS c_factor,
+         ${rSql(BtChi2, 6)} AS chi2_stat
+       FROM bp WHERE sp2 > 0 ORDER BY metric"""
+  }
+
   // --- q113: Brown–Forsythe variance-homogeneity test -----------------------
 
   /** q113 — the Brown–Forsythe test (Levene's test on MEDIAN-centered
@@ -4075,6 +4434,10 @@ object Analytics {
     "q66_kruskal_wallis" -> (q66KruskalWallis _),
     "q116_dunn_posthoc" -> (q116DunnPosthoc _),
     "q117_cramer_von_mises" -> (q117CramerVonMises _),
+    "q118_friedman" -> (q118Friedman _),
+    "q119_bartlett" -> (q119Bartlett _),
+    "q120_nemenyi" -> (q120Nemenyi _),
+    "q121_anderson_darling" -> (q121AndersonDarling _),
     "q67_lag_features" -> (q67LagFeatures _),
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
@@ -4139,6 +4502,10 @@ object Analytics {
     "q66_kruskal_wallis" -> q66Sql,
     "q116_dunn_posthoc" -> q116Sql,
     "q117_cramer_von_mises" -> q117Sql,
+    "q118_friedman" -> q118Sql,
+    "q119_bartlett" -> q119Sql,
+    "q120_nemenyi" -> q120Sql,
+    "q121_anderson_darling" -> q121Sql,
     "q67_lag_features" -> q67Sql,
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,

@@ -1042,6 +1042,89 @@ object Corpus {
               ELSE 1.0 END AS kappa
        FROM m"""
 
+  /** ml38's shared texts over ml37's EXACT SAME integer moments (s2 =
+    * Σᵢₖ n²ᵢₖ, ck2 = Σₖ Cₖ², nd = items, nv = 3·nd total values):
+    * D_o = (9N − s2)/(6N) — note D_o ≡ 1 − Fleiss P̄ — and the
+    * (n choose 2)-corrected D_e = (nv² − ck2)/(nv(nv−1)). */
+  private val KrDo = "((9.0 * nd - CAST(s2 AS DOUBLE)) / (6.0 * nd))"
+  private val KrDe =
+    "(((nv * nv) - CAST(ck2 AS DOUBLE)) / (nv * (nv - 1.0)))"
+  private val KrAlpha = s"(1.0 - $KrDo / $KrDe)"
+
+  /** ml38 — Krippendorff's alpha (nominal) across the same three-
+    * classifier label panel as ml37: the OTHER standard multi-rater
+    * agreement statistic annotation pipelines report alongside Fleiss'
+    * kappa — they differ only in the chance model (Fleiss squares the
+    * pooled marginals; alpha uses the exact without-replacement
+    * (n choose 2) correction, so alpha > kappa slightly at any finite
+    * n and they converge as n grows — a relationship the spec pins).
+    * Identical integer moments (shared aggregation shape), different
+    * final texts; the all-one-category panel (D_e = 0) takes the
+    * pinned alpha = 1 convention (agreement is perfect).
+    *
+    * Scale shape: ml37's — one explode, two grouped integer
+    * aggregations; the classifier plans dominate. */
+  def ml38KrippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nb0, (knn0, heur0)) = inParallel(ml05NaiveBayes(s, dir),
+      inParallel(ml07KnnClassify(s, dir), TextOps.d03LangId(s, dir)))
+    val nb = nb0.select($"doc_id", $"pred_lang".as("pa"))
+    val knn = knn0.select($"doc_id", $"pred_lang".as("pb"))
+    val heur = heur0.select($"doc_id", $"predicted_lang".as("pc"))
+    krippendorffAlpha(nb.join(knn, "doc_id").join(heur, "doc_id"))
+  }
+
+  /** ml38's core over (doc_id, pa, pb, pc) label rows — exposed so the
+    * spec can pin a hand-computed alpha and the degeneracies. */
+  private[graft] def krippendorffAlpha(j: DataFrame): DataFrame = {
+    val s = j.sparkSession
+    import s.implicits._
+    val nik = j
+      .select($"doc_id", explode(array($"pa", $"pb", $"pc")).as("label"))
+      .groupBy($"doc_id", $"label").agg(count(lit(1)).as("nik"))
+      .localCheckpoint(true) // feeds the item AND category moments
+    val items = nik.agg(countDistinct($"doc_id").as("n_docs"),
+      sum($"nik" * $"nik").as("s2"))
+    val cats = nik.groupBy($"label").agg(sum($"nik").as("ck"))
+      .agg(count(lit(1)).as("n_categories"), sum($"ck" * $"ck").as("ck2"))
+    items.crossJoin(cats)
+      .withColumn("nd", $"n_docs".cast("double"))
+      .withColumn("nv", $"n_docs".cast("double") * 3.0)
+      .select($"n_docs", $"n_categories", $"s2", $"ck2",
+        r(expr(KrDo), 6).as("d_obs"),
+        when(expr(KrDe) > 0, r(expr(KrDe), 6)).otherwise(0.0).as("d_exp"),
+        when(expr(KrDe) > 0, r(expr(KrAlpha), 6)).otherwise(1.0).as("alpha"))
+  }
+
+  // lazy: ml05Ctes/ml07Ctes read constants defined later (ml22's lesson)
+  lazy val ml38Sql: String =
+    s"""WITH p1 AS (SELECT doc_id, pa FROM (
+         WITH $ml05Ctes
+         SELECT doc_id, cand_lang AS pa FROM rk WHERE rn = 1) z1),
+       p2 AS (SELECT doc_id, pb FROM (
+         WITH $ml07Ctes
+         SELECT qid AS doc_id, nl AS pb FROM pr WHERE rn = 1) z2),
+       p3 AS (SELECT doc_id, predicted_lang AS pc FROM (${TextOps.d03Sql}) z3),
+       votes AS (SELECT doc_id, unnest([pa, pb, pc]) AS label
+         FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)),
+       nik AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS nik
+         FROM votes GROUP BY doc_id, label),
+       items AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(nik * nik) AS BIGINT) AS s2
+         FROM nik),
+       cats AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(sum(ck * ck) AS BIGINT) AS ck2
+         FROM (SELECT label, CAST(sum(nik) AS BIGINT) AS ck
+               FROM nik GROUP BY label) cm),
+       m AS (SELECT n_docs, n_categories, s2, ck2,
+           CAST(n_docs AS DOUBLE) AS nd, CAST(n_docs AS DOUBLE) * 3.0 AS nv
+         FROM items, cats)
+       SELECT n_docs, n_categories, s2, ck2,
+         ${rSql(KrDo, 6)} AS d_obs,
+         CASE WHEN $KrDe > 0 THEN ${rSql(KrDe, 6)} ELSE 0.0 END AS d_exp,
+         CASE WHEN $KrDe > 0 THEN ${rSql(KrAlpha, 6)} ELSE 1.0 END AS alpha
+       FROM m"""
+
   def ml34CochranQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (nb0, (knn0, heur0)) = inParallel(ml05NaiveBayes(s, dir),
@@ -3141,6 +3224,7 @@ object Corpus {
     "ml32_auc_delong" -> (ml32AucDelong _),
     "ml34_cochran_q" -> (ml34CochranQ _),
     "ml37_fleiss_kappa" -> (ml37FleissKappa _),
+    "ml38_krippendorff_alpha" -> (ml38KrippendorffAlpha _),
     "ml18_target_encode" -> (ml18TargetEncode _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
@@ -3182,6 +3266,7 @@ object Corpus {
     "ml32_auc_delong" -> ml32Sql,
     "ml34_cochran_q" -> ml34Sql,
     "ml37_fleiss_kappa" -> ml37Sql,
+    "ml38_krippendorff_alpha" -> ml38Sql,
     "ml18_target_encode" -> ml18Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,

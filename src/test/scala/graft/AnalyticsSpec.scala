@@ -1330,4 +1330,129 @@ class AnalyticsSpec extends GraftSpec {
         .toDF("source", "x")).collect()(0)
     assert(sh.getAs[Double]("cvm_stat") > 0.0, sh.toString)
   }
+
+  test("q121: Anderson-Darling — hand-computed A2, identity law, tail sensitivity") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Num}
+    // A={1,2}, B={3,4} (q117's panel): per pooled value the doubled
+    // mid-count terms are l*D'^2/den' = 4/3, 36/11, 36/11, 4/3 →
+    // A2 = (3/(4*2*2)) * s10 = 1.727273 at the engine's rounding
+    val t = Analytics.adTest(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("source", "x"))
+      .collect()(0)
+    assert(t.getAs[Long]("n_a") == 2L && t.getAs[Long]("n_b") == 2L)
+    val s10 = 2.0 * Num.rD(1.0 * 2.0 * 2.0 / 3.0, 10) +
+      2.0 * Num.rD(1.0 * 6.0 * 6.0 / 11.0, 10)
+    assert(t.getAs[Double]("ad_stat") == Num.rD(3.0 / 16.0 * s10, 6), t.toString)
+    // identical samples: D' = 0 at every pooled value → A2 = 0 exactly
+    val z = Analytics.adTest(
+      Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("source", "x"))
+      .collect()(0)
+    assert(z.getAs[Double]("ad_stat") == 0.0, z.toString)
+    // point-mass pool (den' = 0 everywhere) skips cleanly to 0
+    val pm = Analytics.adTest(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("source", "x"))
+      .collect()(0)
+    assert(pm.getAs[Double]("ad_stat") == 0.0, pm.toString)
+    // the tail case AD exists for: same bulk, one-sided extreme — AD
+    // scores it harder relative to its own CvM than a bulk shift does
+    val tail = Analytics.adTest(
+      ((1L to 20L).map(i => ("a", i)) ++ (1L to 19L).map(i => ("b", i))
+        ++ Seq(("b", 200L))).toDF("source", "x")).collect()(0)
+    assert(tail.getAs[Double]("ad_stat") > 0.0, tail.toString)
+  }
+
+  test("q118: Friedman — perfect Q = n(k-1), tie panel, incomplete block, degeneracy") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Num}
+    // perfect consistency (A<B<C in every block): Q = n(k-1) = 6 exactly
+    val perfect = Seq(
+      (1L, "A", 1.0), (1L, "B", 2.0), (1L, "C", 3.0),
+      (2L, "A", 10.0), (2L, "B", 20.0), (2L, "C", 30.0),
+      (3L, "A", 5.0), (3L, "B", 7.0), (3L, "C", 9.0)).toDF("blk", "treat", "x")
+    val p = Analytics.friedman(perfect).collect()
+    assert(p.length == 3, p.mkString(";"))
+    assert(p.forall(_.getAs[Double]("q_stat") == 6.0), p.mkString(";"))
+    assert(p.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Double]("mean_rank"))).toSeq ==
+      Seq(("A", 1.0), ("B", 2.0), ("C", 3.0)), p.mkString(";"))
+    // tie panel: block 3 has A=B (doubled midranks 3,3) — hand-derived
+    // rs2 = (7, 11, 18), s4 = 62, a4 = 166, denom = 22 → Q = 124/22
+    val tied = Seq(
+      (1L, "A", 1.0), (1L, "B", 2.0), (1L, "C", 3.0),
+      (2L, "A", 1.0), (2L, "B", 2.0), (2L, "C", 3.0),
+      (3L, "A", 5.0), (3L, "B", 5.0), (3L, "C", 9.0)).toDF("blk", "treat", "x")
+    val t = Analytics.friedman(tied).collect()
+    assert(t.forall(_.getAs[Double]("q_stat") == Num.rD(2.0 * 62.0 / 22.0, 6)),
+      t.mkString(";"))
+    assert(t.find(_.getAs[String]("event_type") == "A").get
+      .getAs[Double]("mean_rank") == Num.rD(7.0 / 6.0, 6), t.mkString(";"))
+    // an INCOMPLETE block (missing treatment C) is excluded — n stays 3
+    // and the statistic is unchanged
+    val pi = Analytics.friedman(perfect.union(
+      Seq((4L, "A", 1.0), (4L, "B", 2.0)).toDF("blk", "treat", "x"))).collect()
+    assert(pi.forall(r => r.getAs[Long]("n_blk") == 3L &&
+      r.getAs[Double]("q_stat") == 6.0), pi.mkString(";"))
+    // all-tied blocks: denominator 0 → empty by pinned convention
+    val flat = Seq(
+      (1L, "A", 2.0), (1L, "B", 2.0), (1L, "C", 2.0),
+      (2L, "A", 3.0), (2L, "B", 3.0), (2L, "C", 3.0)).toDF("blk", "treat", "x")
+    assert(Analytics.friedman(flat).count() == 0)
+  }
+
+  test("q120: Nemenyi — hand-computed z, zero law, pair count") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Num}
+    val perfect = Seq(
+      (1L, "A", 1.0), (1L, "B", 2.0), (1L, "C", 3.0),
+      (2L, "A", 10.0), (2L, "B", 20.0), (2L, "C", 30.0),
+      (3L, "A", 5.0), (3L, "B", 7.0), (3L, "C", 9.0)).toDF("blk", "treat", "x")
+    val z = Analytics.nemenyi(perfect).collect()
+    assert(z.length == 3, z.mkString(";")) // C(3,2) pairs
+    // z(A,B) through the engine's own text: (ra-rb)/(2n) / sqrt(k(k+1)/(6n))
+    val expAB = Num.rD(
+      (6.0 - 12.0) / (2.0 * 3.0) / math.sqrt(3.0 * 4.0 / (6.0 * 3.0)), 6)
+    val ab = z.find(r => r.getAs[String]("treat_a") == "A" &&
+      r.getAs[String]("treat_b") == "B").get
+    assert(ab.getAs[Double]("z_stat") == expAB, ab.toString)
+    assert(ab.getAs[Double]("mean_rank_a") == 1.0 &&
+      ab.getAs[Double]("mean_rank_b") == 2.0, ab.toString)
+    // identically-ranked treatments (ties in every block): z = 0 exactly
+    val same = Seq(
+      (1L, "A", 1.0), (1L, "B", 1.0),
+      (2L, "A", 2.0), (2L, "B", 2.0)).toDF("blk", "treat", "x")
+    val z0 = Analytics.nemenyi(same).collect()(0)
+    assert(z0.getAs[Double]("z_stat") == 0.0, z0.toString)
+  }
+
+  test("q119: Bartlett — hand-computed chi2, equal-variance zero, exclusions") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Num}
+    // a={1,2,3} (var 1), b={2,4,6} (var 4): sp2 = 2.5, C = 1.25,
+    // chi2 = (4 ln 2.5 − 2 ln 4) / 1.25, all through the shared texts
+    val rows = Seq(("m", "a", 1L), ("m", "a", 2L), ("m", "a", 3L),
+      ("m", "b", 2L), ("m", "b", 4L), ("m", "b", 6L))
+      .toDF("metric", "source", "x")
+    val b = Analytics.bartlett(rows).collect()
+    assert(b.length == 1, b.mkString(";"))
+    assert(b(0).getAs[Long]("n_docs") == 6L && b(0).getAs[Long]("k_groups") == 2L)
+    assert(b(0).getAs[Double]("pooled_var") == 2.5, b(0).toString)
+    assert(b(0).getAs[Double]("c_factor") == 1.25, b(0).toString)
+    val lnsum = Num.rD(2.0 * math.log(1.0), 10) + Num.rD(2.0 * math.log(4.0), 10)
+    val exp = Num.rD((4.0 * math.log(2.5) - lnsum) / 1.25, 6)
+    assert(b(0).getAs[Double]("chi2_stat") == exp, b(0).toString)
+    // equal variances: the ln terms cancel the pooled ln → chi2 = 0
+    val eq = Analytics.bartlett(
+      Seq(("m", "a", 1L), ("m", "a", 2L), ("m", "a", 3L),
+        ("m", "b", 4L), ("m", "b", 5L), ("m", "b", 6L))
+        .toDF("metric", "source", "x")).collect()(0)
+    assert(eq.getAs[Double]("chi2_stat") == 0.0, eq.toString)
+    // zero-variance and singleton groups are EXCLUDED (ln undefined),
+    // with n/k counted after the exclusion
+    val ex = Analytics.bartlett(rows.union(
+      Seq(("m", "c", 5L), ("m", "c", 5L), ("m", "d", 9L))
+        .toDF("metric", "source", "x"))).collect()(0)
+    assert(ex.getAs[Long]("k_groups") == 2L && ex.getAs[Long]("n_docs") == 6L,
+      ex.toString)
+  }
 }

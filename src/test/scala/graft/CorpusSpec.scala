@@ -1116,4 +1116,34 @@ class CorpusSpec extends GraftSpec {
     assert(ch.getAs[Double]("p_bar") == 0.0 &&
       ch.getAs[Double]("kappa") < 0, ch.toString)
   }
+
+  test("ml38: Krippendorff alpha — hand panels, degeneracies, alpha > kappa law") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // ml37's panel (a,a,b)+(a,a,a): s2 = 14, ck2 = 26, n = 6 values →
+    // D_o = (18-14)/12 = 1/3, D_e = (36-26)/30 = 1/3 → alpha = 0 exactly
+    // (and Fleiss kappa on the same panel is -0.2: alpha > kappa at
+    // finite n, the without-replacement correction)
+    val r = Corpus.krippendorffAlpha(
+      Seq((1L, "a", "a", "b"), (2L, "a", "a", "a"))
+        .toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(r.getAs[Long]("s2") == 14L && r.getAs[Long]("ck2") == 26L)
+    assert(r.getAs[Double]("alpha") == 0.0, r.toString)
+    // mirrored disagreement (a,a,b)+(b,b,a): D_o = 2/3, D_e = 18/30 →
+    // alpha = 1 - (2/3)/(3/5) = -1/9
+    val m = Corpus.krippendorffAlpha(
+      Seq((1L, "a", "a", "b"), (2L, "b", "b", "a"))
+        .toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(math.abs(m.getAs[Double]("alpha") + 1.0 / 9.0) < 1e-6, m.toString)
+    // perfect agreement over multiple categories: alpha = 1 via the formula
+    val p = Corpus.krippendorffAlpha(
+      Seq((1L, "a", "a", "a"), (2L, "b", "b", "b"))
+        .toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(p.getAs[Double]("d_obs") == 0.0 &&
+      p.getAs[Double]("alpha") == 1.0, p.toString)
+    // single category (D_e = 0) takes the convention branch, not NaN
+    val sc = Corpus.krippendorffAlpha(
+      Seq((1L, "a", "a", "a")).toDF("doc_id", "pa", "pb", "pc")).collect()(0)
+    assert(sc.getAs[Double]("alpha") == 1.0, sc.toString)
+  }
 }
