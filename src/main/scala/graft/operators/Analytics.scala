@@ -3984,6 +3984,7 @@ object Analytics {
        ORDER BY base.lang"""
   }
 
+
   // --- q47: lagged autocorrelation of the hourly event series -------------
 
   private val AcfLags = Seq(1, 2, 3, 24)
@@ -4052,6 +4053,88 @@ object Analytics {
          sx, sxx, sy, syy, sxy FROM mo) z
        ORDER BY event_type, lag"""
   }
+
+  /** q123's per-source χ² contribution over exact integers: both
+    * (o − e)²/e cells, e = nᵢ·M/N from the margins. */
+  private def moodCell(o: String, mm: String): String =
+    s"((CAST($o AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST($mm AS DOUBLE) / nn) * " +
+      s"(CAST($o AS DOUBLE) - CAST(n0 AS DOUBLE) * CAST($mm AS DOUBLE) / nn) / " +
+      s"(CAST(n0 AS DOUBLE) * CAST($mm AS DOUBLE) / nn))"
+  private val MoodTerm =
+    s"(${moodCell("n_above", "m_above")} + " +
+      s"${moodCell("(n0 - n_above)", "(n_total - m_above)")})"
+
+  /** q123 — Mood's median test: does each source put the same FRACTION
+    * of its documents above the corpus-wide median length? The bluntest
+    * and most robust of the k-sample location tests (only the sign
+    * relative to the grand median enters — immune to any outlier
+    * magnitude; the χ² companion to q66's rank-based KW on the same
+    * question). Grand median via the proven percentile↔quantile_cont
+    * pairing on the integer metric, rounded before comparison; ties
+    * count AT-OR-BELOW by pinned convention; per-source χ² terms round
+    * at 10dp and re-enter decimal (order-free, the q117 discipline);
+    * an all-above or all-below margin (expected count 0) emits nothing
+    * by pinned convention.
+    *
+    * Scale shape: one exact-percentile aggregate + one broadcast + one
+    * map-side-combinable count pass; everything after is |sources| rows. */
+  def q123MoodMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    moodMedian(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q123's core over an explicit (source, x) relation — exposed so the
+    * spec can pin a hand-computed χ² and the proportional zero law. */
+  private[graft] def moodMedian(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    val mx = metric.filter($"x".isNotNull).cache()
+    val med = mx.agg(r(percentile($"x", lit(0.5)), 6).as("gm"))
+    val cells = mx.crossJoin(broadcast(med))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n0"),
+        sum(($"x" > $"gm").cast("long")).as("n_above"),
+        max($"gm").as("gm"))
+      .localCheckpoint(true) // feeds margins, terms, and the output
+    mx.unpersist(blocking = false)
+    val marg = cells.agg(sum($"n0").as("n_total"), sum($"n_above").as("m_above"))
+    val terms = cells.crossJoin(broadcast(marg))
+      .filter($"m_above" > 0 && $"m_above" < $"n_total")
+      .withColumn("nn", $"n_total".cast("double"))
+      .withColumn("term", r(expr(MoodTerm), 10))
+    val chi = terms.agg(count(lit(1)).as("k_groups"), rsum($"term", 10).as("c10"))
+    terms.crossJoin(broadcast(chi))
+      .select($"source", $"n0".as("n_docs"), $"n_above", $"gm",
+        r($"n_above".cast("double") / $"n0".cast("double"), 6).as("frac_above"),
+        $"k_groups", r($"c10", 6).as("chi2_stat"))
+      .orderBy($"source")
+  }
+
+  val q123Sql: String =
+    s"""WITH mxq AS MATERIALIZED (SELECT source, x FROM
+         (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+          FROM documents) z WHERE x IS NOT NULL),
+       md AS (SELECT ${rSql("quantile_cont(x, 0.5)", 6)} AS gm FROM mxq),
+       cells AS (SELECT source, count(*) AS n0,
+           CAST(sum(CASE WHEN x > gm THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           max(gm) AS gm
+         FROM mxq CROSS JOIN md GROUP BY source),
+       marg AS (SELECT CAST(sum(n0) AS BIGINT) AS n_total,
+           CAST(sum(n_above) AS BIGINT) AS m_above FROM cells),
+       terms AS (SELECT source, n0, n_above, gm, n_total, m_above,
+           ${rSql(MoodTerm, 10)} AS term
+         FROM (SELECT c.*, m.n_total, m.m_above,
+             CAST(m.n_total AS DOUBLE) AS nn
+           FROM cells c CROSS JOIN marg m) y
+         WHERE m_above > 0 AND m_above < n_total),
+       chi AS (SELECT count(*) AS k_groups, ${rsumSql("term", 10)} AS c10
+         FROM terms)
+       SELECT source, n0 AS n_docs, n_above, gm,
+         ${rSql("CAST(n_above AS DOUBLE) / CAST(n0 AS DOUBLE)", 6)} AS frac_above,
+         k_groups, ${rSql("c10", 6)} AS chi2_stat
+       FROM terms CROSS JOIN chi
+       ORDER BY source"""
 
   // --- q83: lagged cross-correlation between event types ---------------------
 
@@ -4438,6 +4521,7 @@ object Analytics {
     "q119_bartlett" -> (q119Bartlett _),
     "q120_nemenyi" -> (q120Nemenyi _),
     "q121_anderson_darling" -> (q121AndersonDarling _),
+    "q123_mood_median" -> (q123MoodMedian _),
     "q67_lag_features" -> (q67LagFeatures _),
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
@@ -4506,6 +4590,7 @@ object Analytics {
     "q119_bartlett" -> q119Sql,
     "q120_nemenyi" -> q120Sql,
     "q121_anderson_darling" -> q121Sql,
+    "q123_mood_median" -> q123Sql,
     "q67_lag_features" -> q67Sql,
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,

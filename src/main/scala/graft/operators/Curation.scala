@@ -681,6 +681,78 @@ object Curation {
        GROUP BY split, n_overlap_users
        ORDER BY split"""
 
+// --- s08: purged k-fold temporal CV with embargo --------------------------
+
+  /** s08 — purged k-fold cross-validation with an embargo (Lopez de
+    * Prado's leakage-aware CV, "Advances in Financial ML" ch. 7, the
+    * standard for serially-correlated targets): s06 gives ONE
+    * past/future split; K-fold evaluation on a time axis leaks twice —
+    * training samples just BEFORE the test block share its label
+    * horizon (purge) and samples just AFTER it see information the test
+    * period revealed (embargo). Folds are contiguous integer-hour
+    * blocks (fold = (h−hmin)·K div (span+1) — all-integer, no quantile
+    * drift); for test fold f, train excludes the fold plus a G-hour
+    * purge before its start and a G-hour embargo after its end. Per
+    * fold: test/train/purged/embargoed counts and the exact hour
+    * boundaries — every output an integer.
+    *
+    * Scale shape: one bounds aggregate, a K-row broadcast, one
+    * conditional count pass — no shuffle beyond the K-row rollup. */
+  def s08PurgedKfold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    purgedKfold(Tables.events(s, dir)
+      .select((unix_timestamp(date_trunc("hour", $"ts")) / 3600L)
+        .cast("long").as("h")), 5, 24L)
+  }
+
+  /** s08's core over (h) hour rows — exposed for the planted-grid spec. */
+  private[graft] def purgedKfold(ev0: DataFrame, k: Int, g: Long): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val ev = ev0.cache()
+    val bounds = ev.agg(min($"h").as("hmin"), max($"h").as("hmax"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("fold",
+        expr(s"least(${k - 1}, ((h - hmin) * $k) div (hmax - hmin + 1))"))
+      .localCheckpoint(true) // feeds the fold table AND the count pass
+    ev.unpersist(blocking = false)
+    val folds = tagged.groupBy($"fold").agg(count(lit(1)).as("n_test"),
+      min($"h").as("f_start"), max($"h").as("f_end"))
+    tagged.select($"h").crossJoin(broadcast(folds))
+      .groupBy($"fold", $"n_test", $"f_start", $"f_end")
+      .agg(
+        sum(when($"h" < $"f_start" - g || $"h" > $"f_end" + g, 1L)
+          .otherwise(0L)).as("n_train"),
+        sum(when($"h" < $"f_start" && $"h" >= $"f_start" - g, 1L)
+          .otherwise(0L)).as("n_purged"),
+        sum(when($"h" > $"f_end" && $"h" <= $"f_end" + g, 1L)
+          .otherwise(0L)).as("n_embargoed"))
+      .select($"fold".as("fold_id"), $"n_test", $"n_train", $"n_purged",
+        $"n_embargoed", $"f_start", $"f_end")
+      .orderBy($"fold_id")
+  }
+
+  val s08Sql: String =
+    s"""WITH ev AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h
+         FROM events),
+       b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ev),
+       tg AS MATERIALIZED (SELECT h,
+           least(4, ((h - hmin) * 5) // (hmax - hmin + 1)) AS fold
+         FROM ev CROSS JOIN b),
+       fd AS (SELECT fold, count(*) AS n_test, min(h) AS f_start,
+           max(h) AS f_end FROM tg GROUP BY fold)
+       SELECT fold AS fold_id, n_test,
+         CAST(sum(CASE WHEN t.h < f_start - 24 OR t.h > f_end + 24
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN t.h < f_start AND t.h >= f_start - 24
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         CAST(sum(CASE WHEN t.h > f_end AND t.h <= f_end + 24
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_embargoed,
+         f_start, f_end
+       FROM (SELECT h FROM tg) t CROSS JOIN fd
+       GROUP BY fold, n_test, f_start, f_end
+       ORDER BY fold_id"""
+
   // --- d39: per-source n-gram novelty audit -------------------------------
 
   /** d39 — n-gram novelty audit: for each document, the fraction of its
@@ -1070,6 +1142,7 @@ object Curation {
     "ml19_psi_drift" -> (ml19PsiDrift _),
     "ml20_info_gain" -> (ml20InfoGain _),
     "s06_time_split" -> (s06TimeSplit _),
+    "s08_purged_kfold" -> (s08PurgedKfold _),
     "d39_novelty" -> (d39Novelty _),
     "d17_pii_scrub" -> (d17PiiScrub _),
     "d18_repetition_filter" -> (d18RepetitionFilter _),
@@ -1086,6 +1159,7 @@ object Curation {
     "ml19_psi_drift" -> ml19Sql,
     "ml20_info_gain" -> ml20Sql,
     "s06_time_split" -> s06Sql,
+    "s08_purged_kfold" -> s08Sql,
     "d39_novelty" -> d39Sql,
     "d17_pii_scrub" -> d17Sql,
     "d18_repetition_filter" -> d18Sql,

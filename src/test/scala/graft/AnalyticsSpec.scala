@@ -1331,6 +1331,29 @@ class AnalyticsSpec extends GraftSpec {
     assert(sh.getAs[Double]("cvm_stat") > 0.0, sh.toString)
   }
 
+  test("q123: Mood median — hand-computed chi2, proportional zero, degenerate empty") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // a={1,9,9,9}, b={1,1,1,9}: grand median 5, above = (3,1), margins
+    // M=4 N=8 → e=2 per cell → chi2 = 4 * (1/2) = 2.0 exactly
+    val rows = Seq(("a", 1L), ("a", 9L), ("a", 9L), ("a", 9L),
+      ("b", 1L), ("b", 1L), ("b", 1L), ("b", 9L)).toDF("source", "x")
+    val m = Analytics.moodMedian(rows).collect()
+    assert(m.length == 2, m.mkString(";"))
+    assert(m.forall(_.getAs[Double]("chi2_stat") == 2.0), m.mkString(";"))
+    assert(m.find(_.getAs[String]("source") == "a").get
+      .getAs[Double]("frac_above") == 0.75, m.mkString(";"))
+    // proportional sources: observed ≡ expected → chi2 = 0 exactly
+    val z = Analytics.moodMedian(
+      Seq(("a", 1L), ("a", 9L), ("b", 1L), ("b", 9L)).toDF("source", "x"))
+      .collect()
+    assert(z.forall(_.getAs[Double]("chi2_stat") == 0.0), z.mkString(";"))
+    // a point-mass corpus (nothing above its median) emits nothing
+    val pm = Analytics.moodMedian(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("source", "x"))
+    assert(pm.count() == 0)
+  }
+
   test("q121: Anderson-Darling — hand-computed A2, identity law, tail sensitivity") {
     import spark.implicits._
     import graft.operators.{Analytics, Num}

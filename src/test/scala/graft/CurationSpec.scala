@@ -333,4 +333,37 @@ class CurationSpec extends GraftSpec {
       assert(leaked == (if (ratio >= Curation.LeakTau) 1 else 0))
     }
   }
+  test("s08 purged k-fold: exact fold grid, purge/embargo windows, single-block edge") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // one event per hour 0..99, k=5, g=10: fold f covers [20f, 20f+19]
+    val out = Curation.purgedKfold((0L until 100L).toDF("h"), 5, 10L)
+      .collect().map(r => (r.getAs[Long]("fold_id"), r)).toMap
+    assert(out.size == 5)
+    (0L to 4L).foreach { f =>
+      val r = out(f)
+      assert(r.getAs[Long]("n_test") == 20L, s"fold $f: $r")
+      assert(r.getAs[Long]("f_start") == 20 * f &&
+        r.getAs[Long]("f_end") == 20 * f + 19, s"fold $f: $r")
+      // purge: the 10 hours before the fold (clipped at the axis start)
+      val purged = if (f == 0) 0L else 10L
+      // embargo: the 10 hours after (clipped at the axis end)
+      val embargoed = if (f == 4) 0L else 10L
+      assert(r.getAs[Long]("n_purged") == purged, s"fold $f: $r")
+      assert(r.getAs[Long]("n_embargoed") == embargoed, s"fold $f: $r")
+      assert(r.getAs[Long]("n_train") == 100L - 20L - purged - embargoed,
+        s"fold $f: $r")
+    }
+    // train/test/purge/embargo PARTITION the axis per fold (nothing lost)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_test") + r.getAs[Long]("n_train") +
+        r.getAs[Long]("n_purged") + r.getAs[Long]("n_embargoed") == 100L)
+    }
+    // degenerate single-hour axis: everything lands in fold 0 as test
+    val one = Curation.purgedKfold(Seq(7L, 7L, 7L).toDF("h"), 5, 24L)
+      .collect()
+    assert(one.length == 1 && one(0).getAs[Long]("fold_id") == 0L &&
+      one(0).getAs[Long]("n_test") == 3L &&
+      one(0).getAs[Long]("n_train") == 0L, one.mkString(";"))
+  }
 }
