@@ -3418,14 +3418,23 @@ object Analytics {
     * over the k-row cell table with the cross-group sums re-entering
     * decimal (order-independent). At 100 TB the cost is the one metric
     * scan; the test itself is free. */
-  def q78Anova(s: SparkSession, dir: String): DataFrame = {
+  /** The two-metric (metric, source, x) relation q78/q113/q115/q119 all
+    * measure — ONE Scala construction mirroring the shared anovaCellsSql
+    * text, so the four tests cannot drift on the metric definition
+    * either (review r14). */
+  private def anovaMetric(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    anovaF(Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"source", explode(array(
         struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
         struct(lit("n_tokens").as("metric"),
           size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
-      .select($"f.metric", $"source", $"f.x"))
+      .select($"f.metric", $"source", $"f.x")
+  }
+
+  def q78Anova(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    anovaF(anovaMetric(s, dir))
   }
 
   /** q78's core over an explicit (metric, source, x) relation — exposed
@@ -3514,12 +3523,7 @@ object Analytics {
     * over the ≤|metrics|·|sources| cell table — driver-sized. */
   def q115TukeyHsd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    tukeyHsd(Tables.documents(s, dir)
-      .select($"source", explode(array(
-        struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
-        struct(lit("n_tokens").as("metric"),
-          size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
-      .select($"f.metric", $"source", $"f.x"))
+    tukeyHsd(anovaMetric(s, dir))
   }
 
   /** q115's core over an explicit (metric, source, x) relation — exposed
@@ -3769,12 +3773,7 @@ object Analytics {
     * (their ln is undefined), with n/k counted AFTER the exclusion. */
   def q119Bartlett(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bartlett(Tables.documents(s, dir)
-      .select($"source", explode(array(
-        struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
-        struct(lit("n_tokens").as("metric"),
-          size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
-      .select($"f.metric", $"source", $"f.x"))
+    bartlett(anovaMetric(s, dir))
   }
 
   /** q119's core over an explicit (metric, source, x) relation — exposed
@@ -3783,7 +3782,7 @@ object Analytics {
   private[graft] def bartlett(metric: DataFrame): DataFrame = {
     val s = metric.sparkSession
     import s.implicits._
-    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    def m(c: org.apache.spark.sql.Column) = dsum(c) // Num's decimal-moment policy
     metric
       .groupBy($"metric", $"source")
       .agg(count(lit(1)).as("n0"), m($"x").as("sx"), m($"x" * $"x").as("sxx"))
@@ -3844,12 +3843,7 @@ object Analytics {
     * value cardinality) + q78's two map-side-combinable moment passes. */
   def q113Levene(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    leveneW(Tables.documents(s, dir)
-      .select($"source", explode(array(
-        struct(lit("n_chars").as("metric"), $"n_chars".cast("int").as("x")),
-        struct(lit("n_tokens").as("metric"),
-          size(TextOps.toks(lower($"text"))).as("x")))).as("f"))
-      .select($"f.metric", $"source", $"f.x"))
+    leveneW(anovaMetric(s, dir))
   }
 
   /** q113's core over an explicit (metric, source, x) relation — exposed
@@ -3900,10 +3894,10 @@ object Analytics {
 
   // --- q48: Poisson-bootstrap confidence intervals -------------------------
 
-  private val BootB = 32
+  private[graft] val BootB = 32
   /** Poisson(1) CDF at 0..3 — literal doubles, identical in both engines;
     * weights cap at 4 (P ≈ 0.004 tail folded into the last bucket). */
-  private val PoisCdf = Seq(0.3678794411714423, 0.7357588823428846,
+  private[graft] val PoisCdf = Seq(0.3678794411714423, 0.7357588823428846,
     0.9196986029286058, 0.9810118431238462)
 
   /** q48 — bootstrap confidence interval for the per-language mean token
@@ -3984,6 +3978,85 @@ object Analytics {
        ORDER BY base.lang"""
   }
 
+
+  // --- q124: Jarque–Bera normality test per source ---------------------------
+
+  /** q124's shared texts: central moments assembled from the raw decimal
+    * power sums (one algebraic identity per moment — no second pass),
+    * skewness/kurtosis via MULTIPLICATION chains (m2·√m2, m2·m2 — never
+    * pow(), the m05 libm-parity rule), and the JB statistic. */
+  private val JbMean = "(sx / nn)"
+  private val JbM2 = s"(sxx / nn - $JbMean * $JbMean)"
+  private val JbM3 =
+    s"(sx3 / nn - 3.0 * $JbMean * sxx / nn + 2.0 * $JbMean * $JbMean * $JbMean)"
+  private val JbM4 =
+    s"(sx4 / nn - 4.0 * $JbMean * sx3 / nn + 6.0 * $JbMean * $JbMean * sxx / nn" +
+      s" - 3.0 * $JbMean * $JbMean * $JbMean * $JbMean)"
+  private val JbS = s"($JbM3 / ($JbM2 * sqrt($JbM2)))"
+  private val JbK = s"($JbM4 / ($JbM2 * $JbM2))"
+  private val JbStat =
+    s"(nn / 6.0 * ($JbS * $JbS + ($JbK - 3.0) * ($JbK - 3.0) / 4.0))"
+
+  /** q124 — the Jarque–Bera normality test per source over the document
+    * token counts: JB = n/6·(S² + (K−3)²/4) from the sample skewness and
+    * kurtosis — the standard screen run BEFORE the parametric tests that
+    * assume normality (q119's Bartlett is notoriously sensitive to
+    * exactly the departure JB measures; reporting them together is the
+    * textbook pairing). Exactness: the integer metric's four power sums
+    * accumulate as exact decimals (x⁴ in BIGINT — exact to x ≤ 55k,
+    * far past any document's token count); every division and root runs
+    * in one shared expression text; degenerate groups (zero variance or
+    * n < 4) are excluded by pinned convention.
+    *
+    * Scale shape: ONE map-side-combinable power-sum aggregation;
+    * everything after is |sources| rows. */
+  def q124JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jarqueBera(Tables.documents(s, dir)
+      .select($"source", size(TextOps.toks(lower($"text"))).as("x")))
+  }
+
+  /** q124's core over an explicit (source, x) relation — exposed so the
+    * spec can pin hand-computed moments and the symmetric-sample law. */
+  private[graft] def jarqueBera(metric: DataFrame): DataFrame = {
+    val s = metric.sparkSession
+    import s.implicits._
+    def m(c: org.apache.spark.sql.Column) = dsum(c) // Num's decimal-moment policy
+    metric.filter($"x".isNotNull)
+      .select($"source", $"x".cast("long").as("xl"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        m($"xl").as("sx"), m($"xl" * $"xl").as("sxx"),
+        m($"xl" * $"xl" * $"xl").as("sx3"),
+        m($"xl" * $"xl" * $"xl" * $"xl").as("sx4"))
+      .filter($"n_docs" >= 4)
+      .withColumn("nn", $"n_docs".cast("double"))
+      .filter(expr(JbM2) > 0)
+      .select($"source", $"n_docs",
+        r(expr(JbS), 6).as("skewness"),
+        r(expr(JbK), 6).as("kurtosis"),
+        r(expr(JbStat), 6).as("jb_stat"))
+      .orderBy($"source")
+  }
+
+  val q124Sql: String = {
+    def m(e: String) = decMomentSql(e)
+    s"""WITH jx AS (SELECT source, CAST(x AS BIGINT) AS xl FROM
+         (SELECT source, len(${TextOps.toksSql("lower(text)")}) AS x
+          FROM documents) z WHERE x IS NOT NULL),
+       jm AS (SELECT source, count(*) AS n_docs,
+           ${m("xl")} AS sx, ${m("xl * xl")} AS sxx,
+           ${m("xl * xl * xl")} AS sx3, ${m("xl * xl * xl * xl")} AS sx4
+         FROM jx GROUP BY source),
+       jp AS (SELECT source, n_docs, sx, sxx, sx3, sx4,
+           CAST(n_docs AS DOUBLE) AS nn
+         FROM jm WHERE n_docs >= 4)
+       SELECT source, n_docs,
+         ${rSql(JbS, 6)} AS skewness,
+         ${rSql(JbK, 6)} AS kurtosis,
+         ${rSql(JbStat, 6)} AS jb_stat
+       FROM jp WHERE $JbM2 > 0 ORDER BY source"""
+  }
 
   // --- q47: lagged autocorrelation of the hourly event series -------------
 
@@ -4522,6 +4595,7 @@ object Analytics {
     "q120_nemenyi" -> (q120Nemenyi _),
     "q121_anderson_darling" -> (q121AndersonDarling _),
     "q123_mood_median" -> (q123MoodMedian _),
+    "q124_jarque_bera" -> (q124JarqueBera _),
     "q67_lag_features" -> (q67LagFeatures _),
     "q64_basket_rules" -> (q64BasketRules _),
     "q62_robust_outliers" -> (q62RobustOutliers _),
@@ -4591,6 +4665,7 @@ object Analytics {
     "q120_nemenyi" -> q120Sql,
     "q121_anderson_darling" -> q121Sql,
     "q123_mood_median" -> q123Sql,
+    "q124_jarque_bera" -> q124Sql,
     "q67_lag_features" -> q67Sql,
     "q64_basket_rules" -> q64Sql,
     "q62_robust_outliers" -> q62Sql,

@@ -1125,6 +1125,94 @@ object Corpus {
          CASE WHEN $KrDe > 0 THEN ${rSql(KrAlpha, 6)} ELSE 1.0 END AS alpha
        FROM m"""
 
+  /** ml39 — paired Poisson-bootstrap comparison of the NB and kNN
+    * classifiers: IS the accuracy difference real? ml22's McNemar gives
+    * a p-value from discordant counts; the bootstrap gives the thing a
+    * model-selection pipeline actually consumes — a CONFIDENCE INTERVAL
+    * on the paired accuracy delta (resample docs, not predictions: the
+    * pairing rides along, so shared-doc difficulty cancels). q48's
+    * deterministic Poisson(1) machinery verbatim (u = h60(doc:b)/2⁵³
+    * through literal CDF thresholds — the whole resampling mirrors in
+    * DuckDB); replicate deltas round at 6dp; the CI is the exact
+    * p05/p95 of the [[Analytics.BootB]] replicate deltas via the proven
+    * percentile pairing. A replicate whose weights all land 0 drops out
+    * (sum(w) = 0 — never happens past tiny n; the spec's constant
+    * panels pin the collapse behavior).
+    *
+    * Scale shape: the classifier plans dominate (ml22's shape); the
+    * bootstrap is one ×32 explode of the ≤128-doc panel. */
+  def ml39PairedBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nb0, knn0) = inParallel(ml05NaiveBayes(s, dir), ml07KnnClassify(s, dir))
+    val nb = nb0.select($"doc_id", $"correct".cast("long").as("c1"))
+    val knn = knn0.select($"doc_id", $"correct".cast("long").as("c2"))
+    pairedBootstrap(nb.join(knn, "doc_id")
+      .select($"doc_id", ($"c1" - $"c2").as("d")))
+  }
+
+  /** ml39's core over (doc_id, d) paired-difference rows — exposed so
+    * the spec can pin the constant-panel collapse laws. */
+  private[graft] def pairedBootstrap(panel: DataFrame): DataFrame = {
+    val s = panel.sparkSession
+    import s.implicits._
+    val docs = panel.localCheckpoint(true) // feeds replicates + the point estimate
+    val reps = docs
+      .select($"doc_id", $"d",
+        explode(sequence(lit(0), lit(Analytics.BootB - 1))).as("b"))
+      .withColumn("u",
+        (DedupLsh.h60(concat($"doc_id".cast("string"), lit(":"), $"b".cast("string")))
+          % lit(9007199254740992L)).cast("double") / lit(9007199254740992.0))
+      .withColumn("w",
+        when($"u" < Analytics.PoisCdf(0), 0).when($"u" < Analytics.PoisCdf(1), 1)
+          .when($"u" < Analytics.PoisCdf(2), 2).when($"u" < Analytics.PoisCdf(3), 3)
+          .otherwise(4))
+    val bm = reps.groupBy($"b")
+      .agg(sum($"w").as("sw"), Num.dsum($"w" * $"d").as("swd"))
+      .filter($"sw" > 0)
+      .select(r($"swd" / $"sw".cast("double"), 6).as("db"))
+    val ci = bm.agg(count(lit(1)).as("n_reps"),
+      r(percentile($"db", lit(0.05)), 6).as("boot_lo"),
+      r(percentile($"db", lit(0.95)), 6).as("boot_hi"))
+    docs.agg(count(lit(1)).as("n_docs"), r(Num.davg($"d"), 6).as("delta_obs"))
+      .crossJoin(broadcast(ci))
+      .select($"n_docs", $"delta_obs", $"n_reps", $"boot_lo", $"boot_hi")
+  }
+
+  // lazy: ml05Ctes/ml07Ctes read constants defined later (ml22's lesson)
+  lazy val ml39Sql: String = {
+    val wCase = s"""CASE WHEN u < ${Analytics.PoisCdf(0)} THEN 0
+      WHEN u < ${Analytics.PoisCdf(1)} THEN 1 WHEN u < ${Analytics.PoisCdf(2)} THEN 2
+      WHEN u < ${Analytics.PoisCdf(3)} THEN 3 ELSE 4 END"""
+    s"""WITH p1 AS (SELECT doc_id, c1 FROM (
+         WITH $ml05Ctes
+         SELECT doc_id, CAST(true_lang = cand_lang AS BIGINT) AS c1
+         FROM rk WHERE rn = 1) z1),
+       p2 AS (SELECT doc_id, c2 FROM (
+         WITH $ml07Ctes
+         SELECT qid AS doc_id, CAST(tl = nl AS BIGINT) AS c2
+         FROM pr WHERE rn = 1) z2),
+       pan AS MATERIALIZED (SELECT doc_id, c1 - c2 AS d
+         FROM p1 JOIN p2 USING (doc_id)),
+       rep AS (SELECT doc_id, d, unnest(range(0, ${Analytics.BootB})) AS b
+         FROM pan),
+       uu AS (SELECT d, b,
+         CAST(${DedupLsh.h60Sql("doc_id::VARCHAR || ':' || b::VARCHAR")}
+           % 9007199254740992 AS DOUBLE) / 9007199254740992.0 AS u
+       FROM rep),
+       ww AS (SELECT d, b, $wCase AS w FROM uu),
+       bm AS (SELECT b, ${rSql(
+             s"${Num.dsumSql("w * d")} / CAST(sum(w) AS BIGINT)", 6)} AS db
+         FROM ww GROUP BY b HAVING sum(w) > 0),
+       ci AS (SELECT count(*) AS n_reps,
+           ${rSql("quantile_cont(db, 0.05)", 6)} AS boot_lo,
+           ${rSql("quantile_cont(db, 0.95)", 6)} AS boot_hi
+         FROM bm),
+       base AS (SELECT count(*) AS n_docs,
+           ${rSql(Num.davgSql("d"), 6)} AS delta_obs FROM pan)
+       SELECT n_docs, delta_obs, n_reps, boot_lo, boot_hi
+       FROM base CROSS JOIN ci"""
+  }
+
   def ml34CochranQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (nb0, (knn0, heur0)) = inParallel(ml05NaiveBayes(s, dir),
@@ -3225,6 +3313,7 @@ object Corpus {
     "ml34_cochran_q" -> (ml34CochranQ _),
     "ml37_fleiss_kappa" -> (ml37FleissKappa _),
     "ml38_krippendorff_alpha" -> (ml38KrippendorffAlpha _),
+    "ml39_paired_bootstrap" -> (ml39PairedBootstrap _),
     "ml18_target_encode" -> (ml18TargetEncode _),
     "d41_js_drift" -> (d41JsDrift _),
     "d40_heaps_law" -> (d40HeapsLaw _),
@@ -3267,6 +3356,7 @@ object Corpus {
     "ml34_cochran_q" -> ml34Sql,
     "ml37_fleiss_kappa" -> ml37Sql,
     "ml38_krippendorff_alpha" -> ml38Sql,
+    "ml39_paired_bootstrap" -> ml39Sql,
     "ml18_target_encode" -> ml18Sql,
     "d41_js_drift" -> d41Sql,
     "d40_heaps_law" -> d40Sql,

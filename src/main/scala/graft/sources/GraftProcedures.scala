@@ -208,8 +208,16 @@ private[sources] object GraftProcedures {
           val dir = dirOf(in.getUTF8String(0).toString)
           def cols(i: Int): Seq[String] = in.getUTF8String(i).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          val bits = Option(in.getInt(4)).filter(_ > 0)
-            .getOrElse(LakeSinkStats.DefaultBloomBits)
+          // only the documented -1 sentinel means "default": any other
+          // invalid size must refuse via analyze's own require, not be
+          // silently replaced (review r14); a size with no bloom columns
+          // would be validated then thrown away — refuse that too
+          val rawBits = in.getInt(4)
+          val bits = if (rawBits == -1) LakeSinkStats.DefaultBloomBits
+            else rawBits
+          require(rawBits == -1 || cols(3).nonEmpty,
+            s"CALL analyze: bloom_bits is set but bloom_cols is empty — " +
+              "the size would configure nothing")
           val (a, s) = LakeMaintenance.analyze(SparkSession.active, dir,
             cols(1), cols(2), cols(3), bits)
           row(a, s)

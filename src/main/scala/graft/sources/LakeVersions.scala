@@ -1209,12 +1209,21 @@ object LakeMaintenance {
     * and the writer's own trackers ([[LakeSinkStats.trackers]]), so the
     * ledger entry an analyzed file gets is byte-compatible with one the
     * writer would have produced had the options been set at write time.
-    * Covers: bounds/nulls for ledger-absent files (+ their row counts,
-    * for count-pushdown completeness), and opt-in NDV registers /
-    * histograms / bloom filters per column. A re-analyzed file KEEPS
-    * every part any earlier write or analyze gave it (coverage is the
-    * union), and a file already carrying all requested parts is skipped
-    * — the second run of the same ANALYZE is a metadata-only no-op.
+    * Covers: bounds/nulls for ledger-absent files AND for files whose
+    * never-dying-tracker (numeric/temporal) columns lack entries — the
+    * post-evolution backfill; row counts for counts-ledger-missed files
+    * (count-pushdown completeness); and opt-in NDV registers /
+    * histograms / bloom filters per column. A requested bloom column
+    * whose existing filter has a DIFFERENT size is re-analyzed at the
+    * requested size (the sizing knob resizes — never a silent no-op);
+    * otherwise a re-analyzed file KEEPS every part any earlier write or
+    * analyze gave it (coverage is the union), and a file already
+    * carrying all requested parts is skipped — the second run of the
+    * same ANALYZE is a metadata-only no-op. (String columns join the
+    * bounds backfill only when the file is needy for another reason or
+    * named in the opt-ins: a StringTracker dies on >256-char values, so
+    * entry absence can be permanent and an absence trigger would break
+    * the no-op contract.)
     *
     * Only the live stats ledger updates: the next plan sees the coverage
     * immediately, while snapshot reads keep their version's RECORDED
@@ -1283,32 +1292,51 @@ object LakeMaintenance {
     val decoded: Map[String, LakeSinkStats.FileStats] = rels.flatMap(r =>
       ledger.get(r).map(b =>
         r -> LakeSinkStats.decode(b, tblSchema, evoAliases))).toMap
-    // a file needs work when it has no ledger line at all, or when a
-    // requested column's ENTRY or PART is missing (an entry can be
-    // missing because the file pre-dates the column — the re-parse
-    // default/null-fills it; the one non-converging case, a string
-    // column whose tracker dies on >256-char values, re-does harmless
-    // work per call and is documented at the tracker)
+    // a file needs work when: it has no ledger line at all; a requested
+    // column's ENTRY or PART is missing (an entry can be missing because
+    // the file pre-dates the column — the re-parse default/null-fills
+    // it); a requested bloom column's filter has the WRONG SIZE (the
+    // sizing knob must resize, not silently no-op — review r14); the
+    // counts ledger misses the file (count-pushdown completeness); or a
+    // CONVERGENT-tracker column (numeric/temporal — trackers that can
+    // never die) lacks its bounds entry entirely, the post-evolution
+    // bounds-backfill case. String columns are deliberately NOT part of
+    // that last trigger: a StringTracker dies on >256-char values, so
+    // entry absence can be permanent and the absence-trigger would
+    // re-analyze such files on every call (the idempotent-no-op
+    // contract). They still backfill when named in ndv/hist/bloom or
+    // when the file is needy for any other reason.
     def needsPart(rel: String, c: String,
         part: LakeSinkStats.ColStat => Boolean): Boolean =
       !decoded(rel).get(c).exists(part)
+    val convergentCols: Seq[String] = dataSchema.fields.collect {
+      case f if (f.dataType match {
+        case LongType | TimestampType | IntegerType | DateType |
+             DoubleType | FloatType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+    val counts = LakeSinkFiles.readCounts(path)
     val needy = rels.filter { rel =>
       !decoded.contains(rel) ||
+        !counts.contains(rel) ||
+        convergentCols.exists(c => !decoded(rel).contains(c)) ||
         ndvCols.exists(needsPart(rel, _, _.ndv.isDefined)) ||
         histCols.exists(needsPart(rel, _, _.hist.isDefined)) ||
-        bloomCols.exists(needsPart(rel, _, _.bloom.isDefined))
+        bloomCols.exists(c => !decoded(rel).get(c).exists(
+          _.bloom.exists(_.length * 8 == bloomBits)))
     }
     if (needy.isEmpty) return (0, rels.size)
     // per-file coverage = requested UNION already-recorded: a re-analyzed
     // file must not LOSE parts another write gave it (the compaction
-    // materialize rule)
+    // materialize rule); a REQUESTED bloom column always takes the
+    // requested size (resize semantics), other columns keep theirs
     val jobs: Seq[(String, Map[String, Int], Set[String], Set[String])] =
       needy.map { rel =>
         val d = decoded.getOrElse(rel, Map.empty: LakeSinkStats.FileStats)
         val bl = d.collect {
           case (n, cs) if cs.bloom.isDefined => n -> cs.bloom.get.length * 8
-        } ++ bloomCols.filterNot(c => d.get(c).exists(_.bloom.isDefined))
-          .map(_ -> bloomBits)
+        } ++ bloomCols.map(_ -> bloomBits)
         val nd = d.collect { case (n, cs) if cs.ndv.isDefined => n }.toSet ++ ndvCols
         val hs = d.collect { case (n, cs) if cs.hist.isDefined => n }.toSet ++ histCols
         (rel, bl.toMap, nd, hs)
@@ -1354,10 +1382,11 @@ object LakeMaintenance {
     LakeSinkStats.updateBlobs(path,
       adds.map { case (r, (_, b)) => r -> b }.toMap, Seq.empty)
     // counts backfill rides the same pass: only for files the counts
-    // ledger MISSES (recorded entries are already exact — never replace)
-    val counts = LakeSinkFiles.readCounts(path)
+    // ledger MISSES (recorded entries are already exact — never replace;
+    // re-read the ledger here, a commit may have landed since planning)
+    val countsNow = LakeSinkFiles.readCounts(path)
     LakeSinkFiles.updateCounts(path,
-      adds.collect { case (r, (n, _)) if !counts.contains(r) => r -> n }.toMap,
+      adds.collect { case (r, (n, _)) if !countsNow.contains(r) => r -> n }.toMap,
       Seq.empty)
     (adds.size, rels.size - needy.size)
   }

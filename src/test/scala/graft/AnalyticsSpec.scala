@@ -1354,6 +1354,41 @@ class AnalyticsSpec extends GraftSpec {
     assert(pm.count() == 0)
   }
 
+  test("q124: Jarque-Bera — hand-computed moments, symmetric law, exclusions") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Num}
+    // {1..5}: symmetric → skewness 0 exactly; m2=2, m4=6.8 → K=1.7,
+    // JB = 5/6 * (1.7-3)^2/4 through the engine's own double ops
+    val sym = Analytics.jarqueBera(
+      (1L to 5L).map(v => ("a", v)).toDF("source", "x")).collect()(0)
+    assert(sym.getAs[Long]("n_docs") == 5L)
+    assert(sym.getAs[Double]("skewness") == 0.0, sym.toString)
+    assert(sym.getAs[Double]("kurtosis") == Num.rD(6.8 / 4.0, 6), sym.toString)
+    assert(sym.getAs[Double]("jb_stat") ==
+      Num.rD(5.0 / 6.0 * ((1.7 - 3.0) * (1.7 - 3.0) / 4.0), 6), sym.toString)
+    // {1,1,1,9}: right-skewed — mirror the shared texts in plain doubles
+    val sk = Analytics.jarqueBera(
+      Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 9L)).toDF("source", "x"))
+      .collect()(0)
+    val (nn, sx, sxx, sx3, sx4) = (4.0, 12.0, 84.0, 732.0, 6564.0)
+    val mean = sx / nn
+    val m2 = sxx / nn - mean * mean
+    val m3 = sx3 / nn - 3.0 * mean * sxx / nn + 2.0 * mean * mean * mean
+    val m4 = sx4 / nn - 4.0 * mean * sx3 / nn +
+      6.0 * mean * mean * sxx / nn - 3.0 * mean * mean * mean * mean
+    val sS = m3 / (m2 * math.sqrt(m2))
+    val kK = m4 / (m2 * m2)
+    assert(sk.getAs[Double]("skewness") == Num.rD(sS, 6), sk.toString)
+    assert(sk.getAs[Double]("jb_stat") ==
+      Num.rD(nn / 6.0 * (sS * sS + (kK - 3.0) * (kK - 3.0) / 4.0), 6),
+      sk.toString)
+    // degenerate groups are excluded: constant (zero variance) and n < 4
+    val ex = Analytics.jarqueBera(Seq(
+      ("c", 7L), ("c", 7L), ("c", 7L), ("c", 7L),
+      ("d", 1L), ("d", 2L), ("d", 3L)).toDF("source", "x"))
+    assert(ex.count() == 0, "zero-variance and small groups must be excluded")
+  }
+
   test("q121: Anderson-Darling — hand-computed A2, identity law, tail sensitivity") {
     import spark.implicits._
     import graft.operators.{Analytics, Num}

@@ -1117,6 +1117,30 @@ class CorpusSpec extends GraftSpec {
       ch.getAs[Double]("kappa") < 0, ch.toString)
   }
 
+  test("ml39: paired bootstrap — constant-panel collapse, sign, replicate count") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // classifier 1 always right, classifier 2 always wrong: every
+    // replicate's weighted mean difference is exactly 1 → CI collapses
+    val up = Corpus.pairedBootstrap(
+      (1L to 40L).map(i => (i, 1L)).toDF("doc_id", "d")).collect()(0)
+    assert(up.getAs[Long]("n_docs") == 40L && up.getAs[Long]("n_reps") == 32L)
+    assert(up.getAs[Double]("delta_obs") == 1.0 &&
+      up.getAs[Double]("boot_lo") == 1.0 &&
+      up.getAs[Double]("boot_hi") == 1.0, up.toString)
+    // identical classifiers: delta and both CI ends are exactly 0
+    val z = Corpus.pairedBootstrap(
+      (1L to 40L).map(i => (i, 0L)).toDF("doc_id", "d")).collect()(0)
+    assert(z.getAs[Double]("delta_obs") == 0.0 &&
+      z.getAs[Double]("boot_lo") == 0.0 &&
+      z.getAs[Double]("boot_hi") == 0.0, z.toString)
+    // the worse-classifier direction carries its sign through
+    val dn = Corpus.pairedBootstrap(
+      (1L to 40L).map(i => (i, -1L)).toDF("doc_id", "d")).collect()(0)
+    assert(dn.getAs[Double]("delta_obs") == -1.0 &&
+      dn.getAs[Double]("boot_hi") == -1.0, dn.toString)
+  }
+
   test("ml38: Krippendorff alpha — hand panels, degeneracies, alpha > kappa law") {
     import spark.implicits._
     import graft.operators.Corpus

@@ -272,6 +272,72 @@ class GraftAnalyzeSpec extends GraftSpec {
     }
   }
 
+  test("plain analyze backfills evolved-column bounds and counts-only loss (review r14)") {
+    withLake { lake =>
+      import spark.implicits._
+      // post-evolution bounds: files written BEFORE the column exist get
+      // their entry from a PLAIN analyze (no columns named) — the
+      // convergent-tracker absence trigger
+      (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .writeTo("graft.lake.pe").create()
+      spark.sql("ALTER TABLE graft.lake.pe ADD COLUMN n INT DEFAULT 7")
+      val (a1, s1) = LakeMaintenance.analyze(spark, s"$lake/pe")
+      assert(a1 >= 1 && s1 == 0, s"evolved files must be needy, got ($a1, $s1)")
+      decodedLedger(s"$lake/pe").foreach { case (rel, fs) =>
+        val n = fs.get("n")
+        assert(n.isDefined && n.get.nulls.contains(0L) &&
+          n.get.bounds.exists(b => b._1 == 7 && b._2 == 7),
+          s"$rel: plain analyze must record the DEFAULT-fill bounds, got $n")
+      }
+      // and it converges: the second plain analyze is a no-op
+      val (a2, s2) = LakeMaintenance.analyze(spark, s"$lake/pe")
+      assert(a2 == 0 && s2 >= 1, s"re-analyze must skip, got ($a2, $s2)")
+      // counts-ONLY loss (stats ledger intact): plain analyze must still
+      // treat the files as needy and restore count(*) pushdown
+      (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .writeTo("graft.lake.co").create()
+      Files.delete(LakeSinkFiles.countsPath(s"$lake/co"))
+      val cntBefore = spark.table("graft.lake.co").agg(count(lit(1)))
+      assert(!cntBefore.queryExecution.executedPlan.toString.contains("graft-lake-agg"))
+      assert(cntBefore.collect()(0).getLong(0) == 50L)
+      val (a3, s3) = LakeMaintenance.analyze(spark, s"$lake/co")
+      assert(a3 >= 1, s"counts-missing files must be needy, got ($a3, $s3)")
+      val cnt = spark.table("graft.lake.co").agg(count(lit(1)))
+      val cntPlan = ranPlan(cnt)
+      assert(cntPlan.contains("graft-lake-agg"),
+        s"counts backfill must restore the pushdown:\n${cntPlan.take(900)}")
+      assert(cnt.collect()(0).getLong(0) == 50L)
+    }
+  }
+
+  test("bloom re-analyze RESIZES: the sizing knob is never a silent no-op (review r14)") {
+    withLake { lake =>
+      import spark.implicits._
+      (0 until 200).map(i => (i.toLong, i % 4)).toDF("id", "g")
+        .repartitionByRange(4, col("g"))
+        .write.format("graft.sources.LakeSink").mode("append").save(s"$lake/rs")
+      val (a1, _) = LakeMaintenance.analyze(spark, s"$lake/rs",
+        bloomColsIn = Seq("id"), bloomBits = 4096)
+      assert(a1 == 4)
+      def bloomBitsOf: Set[Int] = decodedLedger(s"$lake/rs").values
+        .flatMap(_.get("id").flatMap(_.bloom).map(_.length * 8)).toSet
+      assert(bloomBitsOf == Set(4096), s"expected 4096-bit filters: $bloomBitsOf")
+      // a DIFFERENT requested size re-analyzes and replaces the filters
+      val (a2, s2) = LakeMaintenance.analyze(spark, s"$lake/rs",
+        bloomColsIn = Seq("id"), bloomBits = 16384)
+      assert(a2 == 4 && s2 == 0,
+        s"size change must re-analyze every file, got ($a2, $s2)")
+      assert(bloomBitsOf == Set(16384), s"filters must resize: $bloomBitsOf")
+      // the resized filter still answers needle lookups
+      val q = spark.table("graft.lake.rs").filter(col("id") === 57L)
+      assert(skippedOf(ranPlan(q)) == 3 && q.count() == 1L)
+      // the SAME size converges to a no-op
+      val (a3, s3) = LakeMaintenance.analyze(spark, s"$lake/rs",
+        bloomColsIn = Seq("id"), bloomBits = 16384)
+      assert(a3 == 0 && s3 == 4, s"same-size re-analyze must skip, got ($a3, $s3)")
+    }
+  }
+
   test("refusals: NOSCAN, partition column, stored view, unknown column, bad bits") {
     withLake { lake =>
       import spark.implicits._
@@ -296,6 +362,14 @@ class GraftAnalyzeSpec extends GraftSpec {
       val dbl = intercept[Exception](
         spark.sql("CALL graft.system.analyze('rf', bloom_cols => 'id', bloom_bits => 7)"))
       assert(dbl.getMessage.contains("power of 2"), dbl.getMessage)
+      // only -1 means "default": zero is an invalid size, not a fallback
+      val z = intercept[Exception](
+        spark.sql("CALL graft.system.analyze('rf', bloom_cols => 'id', bloom_bits => 0)"))
+      assert(z.getMessage.contains("power of 2"), z.getMessage)
+      // a size with no bloom columns would configure nothing — refuse
+      val nb = intercept[Exception](
+        spark.sql("CALL graft.system.analyze('rf', bloom_bits => 65536)"))
+      assert(nb.getMessage.contains("bloom_cols is empty"), nb.getMessage)
       // a no-lake-table name refuses through every surface
       val missing = intercept[Exception](
         spark.sql("ANALYZE TABLE graft.lake.ghost COMPUTE STATISTICS"))

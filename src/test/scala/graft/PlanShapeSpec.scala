@@ -158,10 +158,16 @@ class PlanShapeSpec extends GraftSpec {
     val tracker = spark.sparkContext.statusTracker
     def settledJobCount: Int = {
       // job-start events reach the status store asynchronously: wait until
-      // the count is stable across two polls
-      var prev = -1
-      var cur = tracker.getJobIdsForGroup(null).length
-      while (cur != prev) { Thread.sleep(200); prev = cur; cur = tracker.getJobIdsForGroup(null).length }
+      // the value is stable across two polls. Track the MAX job id, not
+      // the id-list LENGTH: job ids are globally monotone, while the
+      // status store EVICTS old entries past spark.ui.retainedJobs — once
+      // the full suite's job total crossed that cliff, counts DECREASED
+      // between polls and the calibrated allowances went negative
+      // (measured: allowed = -197 on the 635-test suite).
+      def maxId: Int = tracker.getJobIdsForGroup(null).foldLeft(-1)(math.max)
+      var prev = -2
+      var cur = maxId
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = maxId }
       cur
     }
     // calibrate: a bare parquet read may itself launch a footer/schema job
