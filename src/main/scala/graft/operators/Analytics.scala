@@ -1647,27 +1647,35 @@ object Analytics {
   }
 
   /** q81's core over an explicit (event_type, di, y) series — exposed so
-    * the spec can plant a hand-folded recursion. */
+    * the spec can plant a hand-folded recursion.
+    *
+    * r14 perf: this ran on Spark's own `WITH RECURSIVE` through r13 (the
+    * declarative third path, proven working + hash-checked against DuckDB's
+    * recursion since r6). Profiled at sf0.1 it executed 160 stages totaling
+    * ~2 s of task time inside ~7 s wall — one driver-side plan/optimize
+    * round PER RECURSION LEVEL (30 daily levels), pure scheduler overhead
+    * that grows with the time axis. The recursion is a per-key LEFT FOLD,
+    * so it now runs as ONE mapGroups pass after a single shuffle (the t15
+    * EWMA precedent): same IEEE ops in the same order (e₁ = y₁;
+    * eₜ = 0.25·yₜ + 0.75·eₜ₋₁ in double; [[Num.rD]] only on output), so the
+    * result is bit-identical to the recursive CTE the DuckDB oracle still
+    * runs. */
   private[graft] def recursiveEwma(series: DataFrame): DataFrame = {
     val s = series.sparkSession
-    // checkpoint the anchor: the recursion re-evaluates the view once PER
-    // LEVEL (~n_days events rollups — measured 11.8 s at sf0.1; with the
-    // barrier 2 s), the d35 generator trap in recursive-CTE form
-    series
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("di"))))
-      .localCheckpoint(true)
-      .createOrReplaceTempView("q81_daily")
-    s.sql(
-      s"""WITH RECURSIVE rec AS (
-           SELECT event_type, rn, y, CAST(y AS DOUBLE) AS e
-           FROM q81_daily WHERE rn = 1
-           UNION ALL
-           SELECT d.event_type, d.rn, d.y, 0.25 * d.y + 0.75 * rec.e
-           FROM q81_daily d JOIN rec
-             ON d.event_type = rec.event_type AND d.rn = rec.rn + 1)
-         SELECT event_type, rn, y, CAST(${rSql("e", 6)} AS DOUBLE) AS ewma
-         FROM rec ORDER BY event_type, rn""")
+    import s.implicits._
+    series.select(col("event_type").as[String], col("di").as[Long],
+        col("y").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroups { (et: String, it: Iterator[(String, Long, Double)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        var e = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, _, y), idx) =>
+          e = if (idx == 0) y else 0.25 * y + 0.75 * e
+          (et, idx + 1, y, Num.rD(e, 6))
+        }
+      }
+      .toDF("event_type", "rn", "y", "ewma")
+      .orderBy(col("event_type"), col("rn"))
   }
 
   val q81Sql: String =

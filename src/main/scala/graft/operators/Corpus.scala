@@ -685,10 +685,20 @@ object Corpus {
   private[graft] def naiveBayes(train: DataFrame, test: DataFrame): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
+    // r14 perf: both tokenize→explode passes below otherwise run entirely
+    // inside the table's 1-split scan task (tiny single-file parquet, and
+    // every downstream join broadcasts, so nothing ever redistributes the
+    // amplified per-token work — measured as the two dominant single-task
+    // stages of this query). Fan the documents out by doc_id first; the
+    // explicit partition count pins the exchange against AQE coalescing
+    // and follows the session's shuffle parallelism (scale-adaptive).
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val trainP = train.repartition(nPart, $"doc_id")
+    val testP = test.repartition(nPart, $"doc_id")
     // cached: the (lang, w) count table feeds the vocabulary, the
     // per-lang totals, AND the grid join (CLAUDE.md invariant 5 — three
     // plan branches would re-run the explode→agg otherwise)
-    val cnt = train
+    val cnt = trainP
       .select($"lang", explode(toks(lower($"text"))).as("w"))
       .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
       .cache()
@@ -705,7 +715,7 @@ object Corpus {
       .select($"lang", $"w",
         log((coalesce($"c", lit(0L)) + lit(1L)).cast("double") / ($"n" + $"v"))
           .as("lr"))
-    val ll = test
+    val ll = testP
       .select($"doc_id", $"lang".as("true_lang"), explode(toks(lower($"text"))).as("w"))
       .join(grid.withColumnRenamed("lang", "cand_lang"), "w")
       .groupBy($"doc_id", $"true_lang", $"cand_lang")
@@ -721,7 +731,15 @@ object Corpus {
       .select($"doc_id", $"true_lang".as("lang"), $"b.l".as("pred_lang"),
         r(-$"b.ns", 6).as("score"),
         ($"true_lang" === $"b.l").cast("int").as("correct"))
-      .orderBy($"doc_id")
+      // r14 perf: the output is one row per scored test doc (≤ the h=9
+      // split) — a global orderBy pays a range-sampling pass for a frame
+      // this small. repartition(1) + in-partition sort is the same total
+      // order with ONE exchange and no sampling; the wide exchange (not
+      // coalesce — which would collapse the exchange-free scoring chain
+      // above into one task, measured 2×) keeps upstream 32-way, and
+      // downstream panel consumers pay 1-task stages.
+      .repartition(1)
+      .sortWithinPartitions($"doc_id")
       .localCheckpoint(true)
     cnt.unpersist(blocking = false)
     out
@@ -1614,7 +1632,12 @@ object Corpus {
   private[graft] def qualityLr(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // r14 perf: the tokenize→explode→h60 feature pass otherwise runs whole
+    // inside the 1-split parquet scan task (measured single-task 1.3 s at
+    // sf0.1 — per-token md5 is the amplified cost AQE cannot see). Fan out
+    // by doc_id first; count pinned + session-adaptive (the ml05 pattern).
     val fRaw = docs
+      .repartition(s.sessionState.conf.numShufflePartitions, $"doc_id")
       .select($"doc_id", $"y", explode(toks(lower($"text"))).as("w"))
       .withColumn("hb", DedupLsh.h60($"w") % QlrF)
       .groupBy($"doc_id", $"y")
@@ -2970,8 +2993,27 @@ object Corpus {
     // aggregation — cached so the corpus explode runs once per split
     // (invariant 5), freed after the small output materializes (d10's
     // pattern).
+    // r14 perf: ONE pinned doc_id fan-out at the top of each split, and
+    // every downstream step rides it exchange-free. Before: the tf count
+    // table arrived hashed by (doc_id, lang, w) and AQE coalesced its
+    // sub-advisory-size exchange to ONE partition, so the cached table,
+    // the norm aggregate, the norm join, and the 8.8M-row pair join +
+    // partial aggregate all ran single-task (measured: the query's three
+    // dominant stages), and the per-(qid, tid) dot aggregation could not
+    // collapse map-side — one pair's shared-token contributions lived in
+    // as many partitions as the pair shares tokens, so the partial
+    // aggregate shuffled every raw pair row (127 MB for a ≤0.6 MB result
+    // at sf0.1; guide §2.3/§2.4). Partitioned by doc_id: the tf groupBy
+    // (doc_id ⊂ keys), the norm groupBy, and the post-join (qid, tid, …)
+    // aggregate (tid ⊂ keys) all satisfy their distributions with ZERO
+    // further exchanges, 32-way. The explicit partition count pins the
+    // exchange against AQE byte-size coalescing (the q36 lesson: compute
+    // amplification is invisible to AQE) and tracks the session's shuffle
+    // parallelism — scale-adaptive, not a constant.
+    val nPart = s.sessionState.conf.numShufflePartitions
     def sparseTf(d: DataFrame): (DataFrame, DataFrame) = {
-      val c = d.select($"doc_id", $"lang", explode(toks(lower($"text"))).as("w"))
+      val c = d.repartition(nPart, $"doc_id")
+        .select($"doc_id", $"lang", explode(toks(lower($"text"))).as("w"))
         .groupBy($"doc_id", $"lang", $"w")
         .agg(count(lit(1)).cast("double").as("tf"))
         .cache()
@@ -2998,11 +3040,15 @@ object Corpus {
       .select($"qid".as("doc_id"), $"tl".as("lang"), $"b.l".as("pred_lang"),
         (-$"b.nc").as("votes"),
         ($"tl" === $"b.l").cast("int").as("correct"))
-      .orderBy($"doc_id")
       // output ≤ test-budget rows (test side is pre-capped): one partition,
       // so downstream consumers (ml10's classifierEval) pay 1-task stages
-      // instead of 32-task stages over a handful of rows
-      .coalesce(1)
+      // instead of 32-task stages over a handful of rows.
+      // r14 perf: orderBy + coalesce(1) paid a range-sampling pass only to
+      // flatten the sorted exchange again; repartition(1) + in-partition
+      // sort is the same total order with one exchange and no sampling
+      // (wide exchange, so the pair-join stage above stays 32-way).
+      .repartition(1)
+      .sortWithinPartitions($"doc_id")
       .localCheckpoint(true)
     trC.unpersist(blocking = false)
     teC.unpersist(blocking = false)

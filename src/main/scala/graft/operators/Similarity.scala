@@ -59,6 +59,12 @@ object Similarity {
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     VectorExpressions.register(s)
+    // r14 note: a blanket fan-out here was MEASURED SLOWER for the
+    // multi-step ANN family (each query references corpus ~10× through
+    // sequential checkpointed steps; every reference would pay the extra
+    // exchange + planning pass: e13 3.4→5.2 s, e08 6.6→8.7 s) — amplified
+    // single-task compute is repartitioned at the specific consumers that
+    // profile fat (e18/e31 covariance) instead.
     Tables.embeddings(s, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorExpressions.dot($"v", $"v")))
@@ -2036,9 +2042,16 @@ object Similarity {
       .select($"vec_id", $"label", ($"pos" + 1).cast("int").as("i"), $"col".as("x"))
     val mu = xe.groupBy($"i").agg(davg($"x").as("mu"))
     // cached: feeds the quadratic covariance self-join (both sides) and
-    // the final projection (CLAUDE.md invariant 5)
+    // the final projection (CLAUDE.md invariant 5).
+    // r14 perf: fan the centered explode out by vec_id before caching —
+    // the scan is one split and the mu join broadcasts, so the covariance
+    // build (64²/2 products + decimal partial agg per vector) otherwise
+    // runs as ONE task (measured 5.9 s of e18's 8.5 at sf0.1). Partition
+    // count pinned (AQE can't see compute amplification — q36 lesson) and
+    // session-adaptive; vec_id keying keeps the self-join partition-local.
     val cx = xe.join(broadcast(mu), "i")
       .select($"vec_id", $"label", $"i", ($"x" - $"mu").as("cx"))
+      .repartition(s.sessionState.conf.numShufflePartitions, $"vec_id")
       .cache()
     val v = pcaLoadings(cx.select($"vec_id", $"i", $"cx"), PcaIters)
     val out = cx.join(broadcast(v), $"i" === $"j")
@@ -2187,6 +2200,9 @@ object Similarity {
     val mu = xe.groupBy($"i").agg(davg($"x").as("mu"))
     val cx = xe.join(broadcast(mu), "i")
       .select($"vec_id", $"i", ($"x" - $"mu").as("cx"))
+      // r14 perf: e18's fan-out (the covariance build is single-task on
+      // the 1-split scan otherwise); pinned + session-adaptive.
+      .repartition(s.sessionState.conf.numShufflePartitions, $"vec_id")
       .cache() // feeds the eigenproblem, the projection, and the trace
     val out = pcaVariance(cx)
     cx.unpersist(blocking = false)
