@@ -313,26 +313,32 @@ object Similarity {
       .withColumn("cid",
         (row_number().over(Window.orderBy(hvCol, $"vec_id")) - 1).cast("int"))
       .select($"cid", $"v".as("cv"), $"nrm".as("cnrm"))
-    // assign: per (vector, centroid) cosine → best NPROBE for queries,
-    // best 1 for corpus rows (classic IVF assignment)
-    val scored = c.join(broadcast(cents))
-      .withColumn("ccos", VectorExpressions.dot($"v", $"cv") / ($"nrm" * $"cnrm"))
-    // full-corpus argmin by AGGREGATE, not a window (e07's shape): the
-    // lexicographic max(struct) gets map-side partial aggregation, so the
-    // exchange carries ≤ n pre-combined rows instead of the NList×n a
-    // row_number window would shuffle; (ccos, −cid) reproduces the
-    // (ccos DESC, cid ASC) tie-break and v/nrm ride in never-compared
-    // tail positions (cid is unique within a group)
-    val assigned = scored
-      .groupBy($"vec_id")
-      .agg(max(struct($"ccos", (-$"cid").as("ncid"), $"v", $"nrm")).as("b"))
-      .select((-$"b.ncid").cast("int").as("cid"), $"vec_id".as("neighbor_id"),
-        $"b.v".as("cv2"), $"b.nrm".as("cnrm2"))
-    // the probe side ranks AFTER the broadcast query-id join, so this
-    // window only ever sees QueryBudget×NList rows — bounded at any scale
+    // r15 (guide §2.4): corpus-side assignment runs SCAN-LOCALLY against
+    // the ONE-ROW packed centroid broadcast through the native
+    // [[VectorExpressions.argmaxCos]] kernel — the previous ×NList
+    // broadcast explode + groupBy(vec_id) argmax aggregate had NO
+    // map-side reduction (vec_id unique per scored row) and v/nrm rode in
+    // the struct, so the exchange carried the whole corpus once per
+    // consumer: corpus-sized shuffle at 100 TB, pure-overhead stages
+    // here. The kernel's dot / (nrm·cnrm) loop and (ccos DESC, cid ASC)
+    // tie-break are bit-compatible with the old
+    // max(struct(ccos, ncid, v, nrm)) (cid unique ⇒ v/nrm were never
+    // compared).
+    val packed = cents
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cnrm"))).as("kc"))
+    val assigned = c.crossJoin(broadcast(packed))
+      .withColumn("b", VectorExpressions.argmaxCos($"v", $"nrm", $"kc"))
+      .select($"b.id".as("cid"), $"vec_id".as("neighbor_id"),
+        $"v".as("cv2"), $"nrm".as("cnrm2"))
+    // the probe side joins the budgeted query ids FIRST (broadcast), so
+    // the ×NList fan-out and its rank window only ever see
+    // QueryBudget×NList rows — bounded at any scale; ccos is the same
+    // expression the assignment evaluates, so the probe ranking cannot
+    // drift from the index being probed.
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid".asc)
-    val probes = scored
-      .join(broadcast(queryIds(c)), "vec_id")
+    val probes = c.join(broadcast(queryIds(c)), "vec_id")
+      .join(broadcast(cents))
+      .withColumn("ccos", VectorExpressions.dot($"v", $"cv") / ($"nrm" * $"cnrm"))
       .withColumn("crank", row_number().over(wAssign))
       .select($"cid", $"crank", $"vec_id".as("query_id"),
         $"v".as("qv"), $"nrm".as("qnrm"))
@@ -487,28 +493,42 @@ object Similarity {
     * corpus×K×M training loop vs interpreted zip_with). */
   private def pqDist8: Column = VectorExpressions.sqDist(col("subv"), col("c8"))
 
-  /** PQ assignment: nearest codebook entry per (vector, sub-space) — the
-    * argmin-by-aggregate shape (map-side combine, ≤ corpus×M rows
-    * exchanged); subv rides in a never-compared tail position for the
-    * training update. */
+  /** PQ assignment: nearest codebook entry per (vector, sub-space).
+    * r15 (guide §2.4): the ≤[[PqK]] entries of each sub-space pack into
+    * ONE broadcast row per j and the argmin runs SCAN-LOCALLY through the
+    * native [[VectorExpressions.argminSq]] kernel — the previous ×PqK
+    * broadcast explode + `groupBy(vec_id, j)` argmin aggregate had NO
+    * map-side reduction (every key unique per sub row), so each training
+    * round and the final assignment shuffled the whole sub-vector corpus
+    * (subv rode in the struct): corpus-sized shuffle at 100 TB, ~1.1 MB ×
+    * pure-overhead stages here. The kernel's distance loop and
+    * (dist ASC, m ASC) tie-break are bit-compatible with the old
+    * min(struct(dist, m, subv)) (m unique per j ⇒ subv was never
+    * compared); an unrolled least(struct(…)) alternative measured SLOWER
+    * than the aggregate (blocks whole-stage codegen, re-extracts the
+    * packed array per branch). */
   private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
     VectorExpressions.register(sub.sparkSession)
-    sub.join(broadcast(cb), Seq("j"))
-      .withColumn("dist", pqDist8)
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("dist"), col("m"), col("subv"))).as("best"))
+    val packed = cb.groupBy(col("j"))
+      .agg(sort_array(collect_list(struct(col("m"), col("c8")))).as("ms"))
+    sub.join(broadcast(packed), Seq("j"))
+      .withColumn("bb", VectorExpressions.argminSq(col("subv"), col("ms")))
+      .select(col("vec_id"), col("j"),
+        struct(col("bb.dist").as("dist"), col("bb.id").as("m"),
+          col("subv").as("subv")).as("best"))
   }
 
   /** One Lloyd update per (j, m): decimal-exact per-dimension means
     * (order-independent → engine-identical), empty entries drop out in
-    * both engines alike. */
+    * both engines alike. r15: ONE (j, m) aggregate with [[PqSub]] davg
+    * columns instead of a ×PqSub posexplode + two chained aggregations —
+    * identical per-dimension value multisets, two fewer stages per Lloyd
+    * round and no dim fan-out ahead of the exchange (guide §2.3). */
   private def pqUpdate(asg: DataFrame): DataFrame =
-    asg.select(col("j"), col("best.m").as("m"),
-      posexplode(col("best.subv")).as(Seq("dim", "x")))
-      .groupBy(col("j"), col("m"), col("dim")).agg(davg(col("x")).as("mu"))
+    asg.select(col("j"), col("best.m").as("m"), col("best.subv").as("subv"))
       .groupBy(col("j"), col("m"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
-        p => p.getField("mu")).as("c8"))
+      .agg(array((1 to PqSub).map(d =>
+        davg(element_at(col("subv"), d))): _*).as("c8"))
 
   /** The trained codebook: [[PqIters]] Lloyd rounds from [[pqCodebook0]].
     * 128 tiny rows, fully lazy (PlanShapeSpec pins that e07's
@@ -1425,24 +1445,34 @@ object Similarity {
 
   /** One Lloyd assignment: nearest centroid per vector (tie-break by cid —
     * deterministic because the distances are bit-identical by
-    * construction). Broadcast centroids, scan-local distances, then an
-    * argmin AGGREGATE (min(struct(dist, cid, v)) — e07's shape): map-side
-    * partial aggregation pre-combines per partition, so each Lloyd round
-    * exchanges ≤ n rows instead of the K×n a row_number window would. */
-  private def kmAssign(c: DataFrame, cents: DataFrame): DataFrame =
-    c.join(broadcast(cents))
-      .withColumn("dist", sqDistExpr)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"), col("v"))).as("b"))
-      .select(col("vec_id"), col("b.v").as("v"), col("b.cid").as("cid"),
+    * construction). r15 (guide §2.4): the ≤k centroids pack into ONE
+    * broadcast row and the argmin runs SCAN-LOCALLY through the native
+    * [[VectorExpressions.argminSq]] kernel — the previous ×K broadcast explode +
+    * groupBy(vec_id) argmin aggregate had NO map-side reduction (vec_id
+    * unique per scored row) and v rode in the struct, so every Lloyd
+    * round's exchange carried the whole corpus: corpus-sized shuffle at
+    * 100 TB, pure-overhead stages here. The kernel handles dropped-out
+    * empty clusters (it loops the live array); its distance loop and
+    * (dist ASC, cid ASC) tie-break are bit-compatible with the old
+    * min(struct(dist, cid, v)) (cid unique ⇒ v was never compared). */
+  private def kmAssign(c: DataFrame, cents: DataFrame): DataFrame = {
+    VectorExpressions.register(c.sparkSession)
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("kc"))
+    c.crossJoin(broadcast(packed))
+      .withColumn("b", VectorExpressions.argminSq(col("v"), col("kc")))
+      .select(col("vec_id"), col("v"), col("b.id").as("cid"),
         col("b.dist").as("dist"))
+  }
 
   /** One Lloyd update: element-wise mean of each cluster's vectors via the
     * e06 posexplode→partial-agg layout (map-side combine collapses to
     * ≤ K×64 rows per partition before the shuffle), rebuilt into an array
     * ordered by dimension. Means are decimal-exact sums ÷ count
     * (order-independent → engine-identical). Empty clusters drop out in
-    * both engines alike. */
+    * both engines alike. (r15 note: a single-aggregate form with 64 davg
+    * columns measured ~0.3 s SLOWER per query — the 64-wide decimal
+    * aggregate loses codegen — keep the explode.) */
   private def kmUpdate(asg: DataFrame): DataFrame =
     asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cid"), col("dim")).agg(davg(col("x")).as("mu"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_dot(a, b)` — native dot product of two array<double>.
@@ -264,6 +264,162 @@ object GraftHash {
   }
 }
 
+/** Static kernels shared by [[ArgminSq]]/[[ArgmaxCos]]'s interpreted and
+  * generated paths (top-level object → Java static forwarders, so the
+  * janino codegen stays a single static call — the huge unrolled
+  * least/greatest-of-structs alternative measured 3-8× slower: it blocks
+  * whole-stage codegen and re-extracts the packed array per branch). */
+object GraftArgmin {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Spark's double ordering (SQLOrderingUtil.compareDoubles): IEEE ==
+    * first (so -0.0 ties 0.0), then Double.compare (NaN greatest) — the
+    * exact comparator min/max-of-struct aggregates use, so tie behavior
+    * is bit-compatible with the aggregate forms these kernels replace. */
+  private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** kc: array<struct<id int, cv array<double>>> in id-ASCENDING order;
+    * returns struct(dist, id) of the squared-L2 argmin over the entries
+    * (dist accumulated left-to-right exactly like [[SqDist]]; ties keep
+    * the FIRST = smallest id, reproducing min(struct(dist, id))), or
+    * null when kc is empty. Null entries/elements skipped (total). */
+  def argminSq(v: ArrayData, kc: ArrayData): InternalRow = {
+    val k = kc.numElements()
+    var bestD = 0.0
+    var bestId = 0
+    var found = false
+    var e = 0
+    while (e < k) {
+      if (!kc.isNullAt(e)) {
+        val st = kc.getStruct(e, 2)
+        if (!st.isNullAt(1)) {
+          val cv = st.getArray(1)
+          val n = math.min(v.numElements(), cv.numElements())
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            if (!v.isNullAt(i) && !cv.isNullAt(i)) {
+              val d = v.getDouble(i) - cv.getDouble(i)
+              s += d * d
+            }
+            i += 1
+          }
+          if (!found || cmp(s, bestD) < 0) { bestD = s; bestId = st.getInt(0); found = true }
+        }
+      }
+      e += 1
+    }
+    if (!found) null
+    else new GenericInternalRow(Array[Any](bestD, bestId))
+  }
+
+  /** kc: array<struct<id int, cv array<double>, cnrm double>> in
+    * id-ASCENDING order; returns struct(ccos, id) of the cosine argmax,
+    * ccos = dot(v, cv) / (nrm · cnrm) with the dot accumulated
+    * left-to-right exactly like [[DotProduct]]; ties keep the FIRST =
+    * smallest id, reproducing max(struct(ccos, −id)). Null when kc is
+    * empty. */
+  def argmaxCos(v: ArrayData, nrm: Double, kc: ArrayData): InternalRow = {
+    val k = kc.numElements()
+    var bestC = 0.0
+    var bestId = 0
+    var found = false
+    var e = 0
+    while (e < k) {
+      if (!kc.isNullAt(e)) {
+        val st = kc.getStruct(e, 3)
+        if (!st.isNullAt(1) && !st.isNullAt(2)) {
+          val cv = st.getArray(1)
+          val n = math.min(v.numElements(), cv.numElements())
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            if (!v.isNullAt(i) && !cv.isNullAt(i)) {
+              s += v.getDouble(i) * cv.getDouble(i)
+            }
+            i += 1
+          }
+          val c = s / (nrm * st.getDouble(2))
+          if (!found || cmp(c, bestC) > 0) { bestC = c; bestId = st.getInt(0); found = true }
+        }
+      }
+      e += 1
+    }
+    if (!found) null
+    else new GenericInternalRow(Array[Any](bestC, bestId))
+  }
+}
+
+/** `graft_argmin_sq(v, kc)` — nearest-entry search against a packed
+  * centroid/codebook array: one native loop over k entries × dim, vs the
+  * alternatives measured on the r15 profile: (a) broadcast-join ×k
+  * explode + groupBy argmin AGGREGATE — no map-side reduction (keys
+  * unique per row), so the exchange carries the whole corpus once per
+  * Lloyd round / assignment pass (corpus-sized shuffle at 100 TB, §2.4);
+  * (b) unrolled least(struct(…)) over element_at — blocks whole-stage
+  * codegen and re-extracts per branch (measured 1.5-2× slower than the
+  * aggregate). Distances and tie-breaks are bit-compatible with the
+  * aggregate form (see [[GraftArgmin.argminSq]]). */
+case class ArgminSq(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("id", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_argmin_sq"
+
+  override protected def nullSafeEval(v: Any, kc: Any): Any =
+    GraftArgmin.argminSq(v.asInstanceOf[ArrayData], kc.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, kc) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.GraftArgmin.argminSq($v, $kc);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): ArgminSq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_argmax_cos(v, nrm, kc)` — nearest-centroid-by-cosine against a
+  * packed (id, cv, cnrm) array; same rationale and bit-compatibility as
+  * [[ArgminSq]] (see [[GraftArgmin.argmaxCos]]). */
+case class ArgmaxCos(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ccos", DoubleType, nullable = false),
+    StructField("id", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_argmax_cos"
+
+  override protected def nullSafeEval(v: Any, nrm: Any, kc: Any): Any =
+    GraftArgmin.argmaxCos(v.asInstanceOf[ArrayData],
+      nrm.asInstanceOf[Double], kc.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nrm, kc) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.GraftArgmin.argmaxCos($v, $nrm, $kc);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newFirst: Expression, newSecond: Expression, newThird: Expression): ArgmaxCos =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** `graft_poly_hash(s)` — the d06 rolling polynomial document fingerprint
   * as a native expression. The composable form materializes a
   * length(text)-element array and runs two interpreted lambdas per
@@ -336,7 +492,13 @@ object VectorExpressions {
       (children: Seq[Expression]) => PolyHash(children(0)): Expression),
     (new FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
-      (children: Seq[Expression]) => SqDist(children(0), children(1)): Expression))
+      (children: Seq[Expression]) => SqDist(children(0), children(1)): Expression),
+    (new FunctionIdentifier("graft_argmin_sq"),
+      new ExpressionInfo(classOf[ArgminSq].getName, "graft_argmin_sq"),
+      (children: Seq[Expression]) => ArgminSq(children(0), children(1)): Expression),
+    (new FunctionIdentifier("graft_argmax_cos"),
+      new ExpressionInfo(classOf[ArgmaxCos].getName, "graft_argmax_cos"),
+      (children: Seq[Expression]) => ArgmaxCos(children(0), children(1), children(2)): Expression))
 
   /** Idempotent in-session registration (for sessions built without
     * `withExtensions`, e.g. the driver's). */
@@ -360,6 +522,12 @@ object VectorExpressions {
     call_function("graft_cdc_bounds", c, lit(mask))
 
   def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
+
+  def argminSq(v: Column, kc: Column): Column =
+    call_function("graft_argmin_sq", v, kc)
+
+  def argmaxCos(v: Column, nrm: Column, kc: Column): Column =
+    call_function("graft_argmax_cos", v, nrm, kc)
 }
 
 /** `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` (or
