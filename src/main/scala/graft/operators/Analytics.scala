@@ -392,6 +392,7 @@ object Analytics {
   def q46RobustStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      .repartition(s.sessionState.conf.numShufflePartitions, $"l_extendedprice")
     val med = li.groupBy($"l_returnflag")
       .agg(r(percentile($"l_extendedprice", lit(0.5)), 6).as("med"))
     li.join(broadcast(med), "l_returnflag")
@@ -433,8 +434,14 @@ object Analytics {
     * is map-side-combinable. */
   def q71WinsorizedStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r15 perf: pinned high-cardinality fan-out so the exact-percentile
+    // partial buffers build (and serialize) across the session's full
+    // parallelism instead of the scan's few splits (q46's fix: measured
+    // 3.15 -> 1.98 s there, same shape here; the count tracks
+    // numShufflePartitions — scale-adaptive, AQE can't collapse it).
     winsorizedStats(Tables.lineitem(s, dir)
-      .select($"l_returnflag".as("seg"), $"l_extendedprice".as("x")))
+      .select($"l_returnflag".as("seg"), $"l_extendedprice".as("x"))
+      .repartition(s.sessionState.conf.numShufflePartitions, $"x"))
   }
 
   /** q71's core over (seg, x) — exposed for the hand-computed 1..100
@@ -486,7 +493,9 @@ object Analytics {
     * the 100 TB drop-in), then a map-side-combinable count scan. */
   def q73EquidepthHist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    equidepthHist(Tables.lineitem(s, dir).select($"l_extendedprice".as("x")))
+    // r15 perf: same pinned percentile-partial fan-out as q46/q71.
+    equidepthHist(Tables.lineitem(s, dir).select($"l_extendedprice".as("x"))
+      .repartition(s.sessionState.conf.numShufflePartitions, $"x"))
   }
 
   /** q73's core over (x) — exposed for the 1..100 hand-computed spec. */
@@ -707,11 +716,20 @@ object Analytics {
       .agg(sum($"wt".cast("decimal(38,10)")).as("w"))
     val wv = Window.partitionBy($"seg").orderBy($"x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wa = Window.partitionBy($"seg")
     def pick(q: Double) =
       min(when($"cumw".cast("double") >= lit(q) * $"tw".cast("double"), $"x"))
+    // r15 perf: the per-seg total used to be a second WindowExec
+    // (partitionBy(seg), unbounded frame) — at any scale it re-buffers
+    // every row of the partition just to attach one per-seg constant. A
+    // ≤|seg|-row aggregate broadcast-joined back is the same
+    // decimal-exact, order-free sum (identical values) with no second
+    // full-frame pass (guide §2.4; plan 2 Window → 1). Local wall is
+    // ~flat at sf0.1 (3.20 → 3.16 s, 9-rep medians — exchange reuse
+    // already amortized most of it); the win is the removed pass at
+    // scale, where the unbounded frame is corpus-proportional.
+    val tot = g.groupBy($"seg").agg(sum($"w").as("tw"))
     g.withColumn("cumw", sum($"w").over(wv))
-      .withColumn("tw", sum($"w").over(wa))
+      .join(broadcast(tot), "seg")
       .groupBy($"seg")
       .agg(r(max($"tw").cast("double"), 2).as("total_weight"),
         pick(0.25).as("wp25"), pick(0.5).as("wp50"), pick(0.75).as("wp75"))
