@@ -2427,7 +2427,16 @@ object Telemetry {
   def t57CdcReplicate(s: SparkSession, dir: String): DataFrame = {
     val lakeRoot = TempLakes.catalog(s, "t57")
     val ckpt = TempLakes.dir("graft_t57_ckpt")
-    val t = twin(s)
+    // r15 perf (guide §6 small files): twin() inherits range()'s default
+    // parallelism, so each commit sprayed ~32 ten-KB files — every lake
+    // scan paid ~70 tiny-file tasks and the CDF replay admitted ~9
+    // micro-batches of pure per-file overhead. The fixture is fixed-size
+    // (TwinRows rows), so a constant 4-file layout (~2500 rows/file) is
+    // honest file sizing, not a core-count tune; rows, versions and the
+    // replica hash are unchanged (multi-batch whole-version admission
+    // still exercised: >8 changed files across the commits ⇒ ≥2 batches,
+    // and LakeCdfSpec pins the admission law independently).
+    val t = twin(s).repartition(4, col("id"))
     t.writeTo("graft_t57.lake.src").create() // v1
     t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
       .writeTo("graft_t57.lake.src").append() // v2
@@ -2954,7 +2963,7 @@ object Telemetry {
     val lakeRoot = TempLakes.catalog(s, "t68")
     val ckpt = TempLakes.dir("graft_t68_ckpt")
     val _ = lakeRoot
-    val t = twin(s)
+    val t = twin(s).repartition(4, col("id")) // r15: t57's fixture file sizing
     t.writeTo("graft_t68.lake.src").create() // v1
     t.filter(col("id") < 700).withColumn("id", col("id") + lit(10L * TwinRows))
       .writeTo("graft_t68.lake.src").append() // v2
@@ -3070,7 +3079,7 @@ object Telemetry {
   def t70CdcEvolve(s: SparkSession, dir: String): DataFrame = {
     val lakeRoot = TempLakes.catalog(s, "t70")
     val ckpt = TempLakes.dir("graft_t70_ckpt")
-    val t = twin(s)
+    val t = twin(s).repartition(4, col("id")) // r15: t57's fixture file sizing
     val half = TwinRows / 2
     val narrow = t.select(col("id"), col("ts"), col("machine_id"),
       col("temperature"))
