@@ -706,7 +706,10 @@ object Corpus {
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val nl = cnt.groupBy($"lang").agg(sum($"c").as("n"))
     val pri = train.groupBy($"lang").agg(count(lit(1)).as("dl"))
-    val tot = train.agg(count(lit(1)).as("dt"))
+    // r15: the train-doc total is the sum of the per-lang counts — one
+    // L-row aggregate instead of another full scan of the train split
+    // (identical value: every doc lands in exactly one lang group).
+    val tot = pri.agg(sum($"dl").as("dt"))
     val grid = vocab
       .crossJoin(broadcast(pri.select($"lang")))
       .join(cnt, Seq("lang", "w"), "left")
