@@ -235,6 +235,7 @@ object Analytics {
       .groupBy($"di", $"idx").agg(max($"rho").as("mx"))
       .cache() // feeds the day axis and the dense grid
     val days = daily.select($"di").distinct()
+      // global-window AUDIT (r15): one row per day — calendar axis.
       .withColumn("window_days", count(lit(1)).over(
         Window.orderBy($"di").rangeBetween(-27, 0)))
       .cache() // day-axis cardinality; feeds the grid and the output join
@@ -1822,6 +1823,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_active"),
         count(when($"first_d" === $"d", 1)).as("n_new"))
       .withColumn("n_returning", $"n_active" - $"n_new")
+      // global-window AUDIT (r15): one row per day — calendar axis.
       .withColumn("cum_users", sum($"n_new").over(
         Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select($"d", $"n_active", $"n_new", $"n_returning", $"cum_users")
@@ -3035,6 +3037,9 @@ object Analytics {
     val cnt = metric.filter($"x".isNotNull)
       .groupBy($"source", $"x").agg(count(lit(1)).as("c"))
       .cache() // feeds the pooled value axis and the per-source rank sums
+    // global-window AUDIT (r15): pooled DISTINCT metric values — the
+    // bounded value axis (integer token counts / rounded metrics), not
+    // corpus rows; the midrank sweep is a sorted prefix over that axis.
     val pc = cnt.groupBy($"x").agg(sum($"c").as("t"))
       .withColumn("cum", sum($"t").over(Window.orderBy($"x")))
       // 2·midrank(v): 2·(#strictly below) + (t + 1)

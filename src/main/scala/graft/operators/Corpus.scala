@@ -455,6 +455,8 @@ object Corpus {
         .select($"v".as("u"), $"pr")
     val prT = (1 to TrIters).foldLeft(pr0)((p, _) => step(p))
     prT.select($"u".as("term"), r($"pr", 6).as("score"))
+      // global-window AUDIT (r15): vocabulary-sized term table (d27/d36
+      // family — model-state axis, not corpus rows).
       .withColumn("pos", row_number().over(Window.orderBy($"score".desc, $"term")))
       .orderBy($"pos")
   }
@@ -1842,6 +1844,8 @@ object Corpus {
     val cnt = scored.groupBy($"score").agg(
       count(when($"label" === 1, 1)).as("c1"),
       count(when($"label" === 0, 1)).as("c0"))
+    // global-window AUDIT (r15): grid = distinct 6-dp-ROUNDED scores —
+    // ≤ 10^6+1 rows by the rounding grid, corpus-independent.
     val grid = cnt.withColumn("cum0",
       sum($"c0").over(Window.orderBy($"score")))
     val summ = grid.agg(
@@ -1953,6 +1957,7 @@ object Corpus {
       count(when($"label" === 1, 1)).as("c1"),
       count(when($"label" === 0, 1)).as("c0"))
     val tot = cnt.agg(sum($"c1").as("n1"), sum($"c0").as("n0"))
+    // global-window AUDIT (r15): ml17's rounding-grid bound applies.
     val w = Window.orderBy($"score")
     val grid = cnt
       .withColumn("cum0", sum($"c0").over(w))

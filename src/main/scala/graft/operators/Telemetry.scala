@@ -343,6 +343,10 @@ object Telemetry {
       .groupBy($"dur")
       .agg(count(lit(1)).as("c_all"), sum(lit(1L) - $"cens").as("c_obs"),
         sum($"cens").as("c_cens"))
+    // global-window AUDIT (r15): the frame is `at` = one row per DISTINCT
+    // session duration (integer-second axis bounded by the session span,
+    // not corpus rows); the KM/NA at-risk sweep is inherently a sorted
+    // prefix over that axis.
     val wDesc = Window.orderBy($"dur".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     at.withColumn("n_risk", sum($"c_all").over(wDesc))
@@ -921,6 +925,8 @@ object Telemetry {
       .cache() // feeds the totals and the at-risk windows
     val tot = at.agg(sum($"ca").as("n_sessions_a"), sum($"cb").as("n_sessions_b"),
       sum($"da").as("events_a"), sum($"db").as("events_b"))
+    // global-window AUDIT (r15): frame = distinct-duration axis (riskTable's
+    // bound note applies).
     val wDesc = Window.orderBy($"dur".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val st = at
@@ -1365,6 +1371,7 @@ object Telemetry {
       .agg(count(lit(1)).as("n"), sum($"is_err").as("e"))
     val base = ev.agg(count(lit(1)).as("nn"), sum($"is_err").as("ee"))
       .select(($"ee".cast("double") / $"nn".cast("double")).as("base_rate"))
+    // global-window AUDIT (r15): frame = one row per hour (calendar axis).
     def win(h: Int) = Window.orderBy($"hx").rangeBetween(-(h - 1), 0)
     def burn(h: Int) =
       r((sum($"e").over(win(h)).cast("double") /

@@ -87,16 +87,20 @@ class PlanShapeSpec extends GraftSpec {
     assert(countShuffles(graft.operators.Advanced.t10DateSpine(spark, sfTiny)) <= 3)
   }
 
-  test("q33 percentiles: one agg exchange + one sort") {
-    assert(countShuffles(graft.operators.Advanced.q33Percentiles(spark, sfTiny)) <= 2)
+  test("q33 percentiles: pinned partial fan-out + one agg exchange + one sort") {
+    // r15: a pinned high-cardinality repartition ahead of the percentile
+    // aggregate builds the value-buffering partials across the session's
+    // parallelism (q46's fix) — one deliberate extra exchange.
+    assert(countShuffles(graft.operators.Advanced.q33Percentiles(spark, sfTiny)) <= 3)
   }
 
   test("q28 distribution windows: one window shuffle + one sort") {
     assert(countShuffles(graft.operators.Advanced.q28WindowDistribution(spark, sfTiny)) <= 2)
   }
 
-  test("q35 regression aggregates: one agg exchange + one sort, like q01") {
-    assert(countShuffles(graft.operators.Analytics.q35RegressionAgg(spark, sfTiny)) <= 2)
+  test("q35 regression aggregates: pinned partial fan-out + one agg exchange + one sort") {
+    // r15: q33's deliberate pinned fan-out ahead of the decimal moments.
+    assert(countShuffles(graft.operators.Analytics.q35RegressionAgg(spark, sfTiny)) <= 3)
   }
 
   test("q36 fuzzy match: broadcast build side + pinned probe repartition only") {
@@ -125,16 +129,19 @@ class PlanShapeSpec extends GraftSpec {
     assert(countShuffles(df) <= 2)
   }
 
-  test("IVF family argmin is a partial aggregate, not a full-relation window") {
-    // r4 review: e05/e11/e10 ranked the (vector × centroid) relation with
-    // row_number() to pick each vector's nearest centroid — a window
-    // shuffles all NList×n rows. The argmin is now min/max(struct(...))
-    // (e07's shape): partial aggregation combines map-side, so the
-    // exchange carries at most n pre-combined rows. Pin the plan: the
-    // partial-mode struct extremum must appear, and no WindowExec may
-    // partition by the full-corpus vec_id (bounded windows — the
-    // broadcast-joined probe side, tiny codebook ranks, final per-query
-    // rank — remain legitimate).
+  test("IVF family argmin is scan-local (native kernel), not a shuffle or window") {
+    // r4 review moved the argmin from a full-relation row_number window to
+    // a min/max(struct) aggregate; r15 went further — those aggregates'
+    // keys are unique per scored row, so their partial halves could never
+    // combine map-side and the exchange carried the whole corpus (vectors
+    // riding in the struct) once per assignment pass. The argmin now runs
+    // SCAN-LOCALLY against a packed one-row centroid/codebook broadcast
+    // through the native graft_argmin_sq / graft_argmax_cos kernels: zero
+    // assignment shuffle at any corpus size. Pin the kernel's presence AND
+    // the absence of both old shapes (argmin aggregate, full-corpus
+    // assignment window); bounded windows — the broadcast-joined probe
+    // ranks, tiny codebook init ranks, final per-query rank — remain
+    // legitimate.
     import graft.operators.Similarity
     def planOf(df: org.apache.spark.sql.DataFrame): String = {
       df.collect()
@@ -143,12 +150,17 @@ class PlanShapeSpec extends GraftSpec {
     val e05 = planOf(Similarity.e05IvfAnn(spark, sfTiny))
     val e11 = planOf(Similarity.e11IvfPqAnn(spark, sfTiny))
     val e10 = planOf(Similarity.e10Kmeans(spark, sfTiny))
-    assert(e05.contains("partial_max(struct("), "e05 assignment must partial-aggregate")
-    assert(e11.contains("partial_max(struct("), "e11 assignment must partial-aggregate")
-    assert(e10.contains("partial_min(struct("), "e10 Lloyd assignment must partial-aggregate")
-    // e07 set the pattern originally — keep it pinned too
     val e07 = planOf(Similarity.e07PqQuantize(spark, sfTiny))
-    assert(e07.contains("partial_min(struct("), "e07 sub-code argmin must partial-aggregate")
+    assert(e05.contains("graft_argmax_cos"), "e05 assignment must be the scan-local kernel")
+    assert(e11.contains("graft_argmax_cos") && e11.contains("graft_argmin_sq"),
+      "e11 coarse + PQ assignments must be the scan-local kernels")
+    assert(e10.contains("graft_argmin_sq"), "e10 Lloyd assignment must be the scan-local kernel")
+    assert(e07.contains("graft_argmin_sq"), "e07 sub-code argmin must be the scan-local kernel")
+    Seq("e05" -> e05, "e11" -> e11, "e10" -> e10, "e07" -> e07).foreach {
+      case (n, p) =>
+        assert(!p.contains("partial_max(struct(") && !p.contains("partial_min(struct("),
+          s"$n must not fall back to the shuffling argmin aggregate")
+    }
   }
 
   test("ANN/d05 query construction runs no Spark jobs (no driver-side sizing passes)") {
